@@ -1,0 +1,167 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.api.MStream
+import graft.sources.Tables
+
+/**
+ * Milan §2.2/2.3/2.7/2.8 surface as driver-checkable queries, each with a
+ * DuckDB oracle twin (SparkEntry.oracleSql). Column names are aligned
+ * between both sides — the driver sorts columns by name before hashing.
+ */
+object QueriesCore {
+
+  /** Milan `map` + the scalar expression surface (ConstantValue, Plus/Minus,
+    * IfThenElse, IsNull, ConvertType — `program/Expression.scala`). */
+  def qMapScalar(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir).map(
+      col("l_orderkey"),
+      col("l_linenumber"),
+      (col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("disc_price"),
+      when(col("l_quantity") > 30.0, lit("bulk")).otherwise(lit("small")).as("size_class"),
+      col("l_quantity").cast("long").as("qty_int"),
+      (col("l_extendedprice") + col("l_tax") - col("l_discount")).as("adj")
+    ).df
+
+  val qMapScalarSql: String =
+    """SELECT l_orderkey, l_linenumber,
+       l_extendedprice * (1.0 - l_discount) AS disc_price,
+       CASE WHEN l_quantity > 30.0 THEN 'bulk' ELSE 'small' END AS size_class,
+       CAST(l_quantity AS BIGINT) AS qty_int,
+       l_extendedprice + l_tax - l_discount AS adj
+       FROM lineitem"""
+
+  /** Milan `where` — predicate pushed to the parquet scan. */
+  def qWhere(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .where(col("l_returnflag") === "R" &&
+        col("l_shipdate") < lit("1998-01-01").cast("timestamp"))
+      .map(col("l_orderkey"), col("l_linenumber"), col("l_quantity"))
+      .df
+
+  val qWhereSql: String =
+    """SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem
+       WHERE l_returnflag = 'R' AND l_shipdate < TIMESTAMP '1998-01-01'"""
+
+  /** Milan `addFields` — append computed fields, schema concat (TypeJoiner). */
+  def qAddFields(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .addFields(
+        "price_band" -> when(col("o_totalprice") > 200000.0, lit("high"))
+          .when(col("o_totalprice") > 100000.0, lit("mid")).otherwise(lit("low")),
+        "order_year" -> year(col("o_orderdate")).cast("int"))
+      .df
+
+  val qAddFieldsSql: String =
+    """SELECT *,
+       CASE WHEN o_totalprice > 200000.0 THEN 'high'
+            WHEN o_totalprice > 100000.0 THEN 'mid' ELSE 'low' END AS price_band,
+       CAST(year(o_orderdate) AS INT) AS order_year
+       FROM orders"""
+
+  /** Milan grouped `select` with the whole aggregate family:
+    * sum/min/max/mean/count (`program/AggregateExpressions.scala`). */
+  def qAgg(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .groupBy("l_returnflag", "l_linestatus")
+      .select(
+        sum(col("l_quantity")).as("sum_qty"),
+        round(sum(col("l_extendedprice")), 2).as("sum_base"),
+        min(col("l_quantity")).as("min_qty"),
+        max(col("l_quantity")).as("max_qty"),
+        round(avg(col("l_discount")), 6).as("avg_disc"),
+        count(lit(1)).as("cnt")).df
+
+  val qAggSql: String =
+    """SELECT l_returnflag, l_linestatus,
+       sum(l_quantity) AS sum_qty,
+       round(sum(l_extendedprice), 2) AS sum_base,
+       min(l_quantity) AS min_qty,
+       max(l_quantity) AS max_qty,
+       round(avg(l_discount), 6) AS avg_disc,
+       count(*) AS cnt
+       FROM lineitem GROUP BY l_returnflag, l_linestatus"""
+
+  /** Milan `argmax`/`argmin` (`AggregateExpressions.scala:91,111`) +
+    * `first`/`any` lowered to deterministic arg-orderings. */
+  def qArgMinMax(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .groupBy("event_type")
+      .select(
+        max_by(col("event_id"), struct(col("value"), col("event_id"))).as("argmax_id"),
+        min_by(col("event_id"), struct(col("value"), col("event_id"))).as("argmin_id"),
+        min_by(col("value"), col("event_id")).as("first_value"),
+        max_by(col("value"), col("event_id")).as("any_value")).df
+
+  val qArgMinMaxSql: String =
+    """WITH ranked AS (
+         SELECT event_type, event_id, value,
+           row_number() OVER (PARTITION BY event_type ORDER BY value DESC, event_id DESC) AS rmax,
+           row_number() OVER (PARTITION BY event_type ORDER BY value ASC, event_id ASC) AS rmin
+         FROM events)
+       SELECT r.event_type,
+         max(CASE WHEN r.rmax = 1 THEN r.event_id END) AS argmax_id,
+         max(CASE WHEN r.rmin = 1 THEN r.event_id END) AS argmin_id,
+         arg_min(r.value, r.event_id) AS first_value,
+         arg_max(r.value, r.event_id) AS any_value
+       FROM ranked r GROUP BY r.event_type"""
+
+  /** Milan `union` (`lang/Stream.scala:135`) — bag union, no dedup. */
+  def qUnion(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+    val clicks = ev.where(col("event_type") === "click")
+    val purchases = ev.where(col("event_type") === "purchase")
+    clicks.union(purchases)
+      .map(col("event_id"), col("user_id"), col("event_type"), col("value")).df
+  }
+
+  val qUnionSql: String =
+    """SELECT event_id, user_id, event_type, value FROM events WHERE event_type = 'click'
+       UNION ALL
+       SELECT event_id, user_id, event_type, value FROM events WHERE event_type = 'purchase'"""
+
+  /** Milan `unique`/UniqueBy: latest record per (group, extracted value),
+    * then aggregate. */
+  def qUnique(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .uniqueBy(Seq("user_id", "event_type"), Seq("ts_ns", "event_id"))
+      .groupBy("event_type")
+      .select(count(lit(1)).as("n_users"),
+        round(sum(col("value")), 4).as("sum_latest_value")).df
+
+  val qUniqueSql: String =
+    """SELECT event_type, count(*) AS n_users,
+       round(sum(value), 4) AS sum_latest_value
+       FROM (SELECT *, row_number() OVER (PARTITION BY user_id, event_type
+                                          ORDER BY epoch_ns(ts) DESC, event_id DESC) AS rn
+             FROM events) WHERE rn = 1
+       GROUP BY event_type"""
+
+  /** Milan grouped-select after a 3-way enrichment chain — the BodaApp-style
+    * relational composition; dims broadcast, fact shuffles once. */
+  def qJoin3(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir).df
+    val o = Tables.orders(spark, dir).df
+    val c = Tables.customer(spark, dir).df
+    val n = Tables.nation(spark, dir).df
+    MStream(li
+      .join(o, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(n), col("c_nationkey") === col("n_nationkey")))
+      .groupBy("n_name")
+      .select(
+        round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2).as("revenue"),
+        count(lit(1)).as("n_items")).df
+  }
+
+  val qJoin3Sql: String =
+    """SELECT n_name,
+       round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS revenue,
+       count(*) AS n_items
+       FROM lineitem
+       JOIN orders ON l_orderkey = o_orderkey
+       JOIN customer ON o_custkey = c_custkey
+       JOIN nation ON c_nationkey = n_nationkey
+       GROUP BY n_name"""
+}

@@ -1,13 +1,35 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  * One `queries` entry per implemented operator from SURVEY.md §2; each has
+  * a DuckDB oracle twin in `oracleSql` (same column names on both sides). */
 object SparkEntry {
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    QueriesCore.qJoin3(spark, "/root/testdata/sf0.001")
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_map_scalar" -> (QueriesCore.qMapScalar _),
+    "q_where" -> (QueriesCore.qWhere _),
+    "q_addfields" -> (QueriesCore.qAddFields _),
+    "q_agg" -> (QueriesCore.qAgg _),
+    "q_argminmax" -> (QueriesCore.qArgMinMax _),
+    "q_union" -> (QueriesCore.qUnion _),
+    "q_unique" -> (QueriesCore.qUnique _),
+    "q_join3" -> (QueriesCore.qJoin3 _)
+  )
+
+  def oracleSql: Map[String, String] = Map(
+    "q_map_scalar" -> QueriesCore.qMapScalarSql,
+    "q_where" -> QueriesCore.qWhereSql,
+    "q_addfields" -> QueriesCore.qAddFieldsSql,
+    "q_agg" -> QueriesCore.qAggSql,
+    "q_argminmax" -> QueriesCore.qArgMinMaxSql,
+    "q_union" -> QueriesCore.qUnionSql,
+    "q_unique" -> QueriesCore.qUniqueSql,
+    "q_join3" -> QueriesCore.qJoin3Sql
+  )
 }

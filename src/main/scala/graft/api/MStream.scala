@@ -1,0 +1,244 @@
+package graft.api
+
+import org.apache.spark.sql.{Column, DataFrame, Dataset, Encoder, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.operators.{EnrichmentJoins, JoinedMStream, Scans}
+
+/**
+ * The core data abstraction: a named stream of typed records, batch or
+ * streaming, lowered directly onto a Spark `DataFrame` so that Catalyst is
+ * our IR/analyzer/optimizer (reference semantics: milan-lang
+ * `lang/Stream.scala:19`; doc/Milan Operations.md).
+ *
+ * Order-dependent operators (scans, enrichment joins, `last`) need an
+ * explicit arrival order in batch mode; `eventOrder` carries the column
+ * names that define it (the reference gets this implicitly from stream
+ * arrival order). In streaming mode the micro-batch arrival order is used
+ * instead.
+ *
+ * `contextKeys` implements nested per-group pipelines (Milan's
+ * `GroupedStream.map/flatMap` with stream-valued functions,
+ * `lang/GroupOperations.scala:33`): operators applied "inside a group"
+ * automatically include the outer grouping keys in any grouping/window
+ * they perform, keeping the whole plan relational (no per-group lambdas,
+ * full codegen + partial aggregation).
+ */
+final class MStream(
+    val df: DataFrame,
+    val eventOrder: Seq[String] = Nil,
+    val contextKeys: Seq[String] = Nil,
+    val name: String = "") {
+
+  private def lift(d: DataFrame): MStream =
+    new MStream(d, eventOrder.filter(d.columns.contains), contextKeys, name)
+
+  def withName(n: String): MStream = new MStream(df, eventOrder, contextKeys, n)
+
+  /** Declare the arrival order for batch lowering of stateful operators. */
+  def orderedBy(cols: String*): MStream = new MStream(df, cols, contextKeys, name)
+
+  // ---------------------------------------------------------------- 2.2 per-record ops
+
+  /** Milan `map` to named fields (`fields(field("a", f(r)), ...)`) — a projection.
+    * Order columns not re-selected are dropped from `eventOrder` (stateful
+    * downstream ops then require a fresh `orderedBy`). */
+  def map(cols: Column*): MStream = lift(df.select(cols: _*))
+
+  /** Milan `map` to a new object type — typed escape hatch. */
+  def mapTyped[T: Encoder](f: Row => T): MStream = lift(df.map(f).toDF())
+
+  /** Milan `where` — predicate filter (`lang/Stream.scala:155`). */
+  def where(pred: Column): MStream = lift(df.filter(pred))
+
+  /** Milan `addFields` — append computed fields (`lang/Stream.scala:187`). */
+  def addFields(fields: (String, Column)*): MStream =
+    lift(df.withColumns(fields.toMap))
+
+  /** Milan `toField(name)` — wrap each record as a single named struct field. */
+  def toField(fieldName: String): MStream =
+    lift(df.select(struct(df.columns.map(col).toIndexedSeq: _*).as(fieldName)))
+
+  /** Record-level flatMap (UDTF surface). */
+  def flatMapTyped[T: Encoder](f: Row => IterableOnce[T]): MStream =
+    lift(df.flatMap(f).toDF())
+
+  // ---------------------------------------------------------------- 2.7 set ops
+
+  /** Milan `union` — bag union, same schema, no dedup (`lang/Stream.scala:135`). */
+  def union(other: MStream): MStream = lift(df.unionByName(other.df))
+
+  // ---------------------------------------------------------------- 2.3 grouping
+
+  /** Milan `groupBy` — eternal per-key groups (`lang/Stream.scala:196`). */
+  def groupBy(keys: String*): GroupedMStream =
+    new GroupedMStream(this, contextKeys ++ keys)
+
+  /**
+   * Milan `unique`/UniqueBy (documented in "Streams in Milan", no reference
+   * implementation): within each group keep only the latest record per
+   * distinct extracted value, before aggregating.
+   */
+  def uniqueBy(valueCols: Seq[String], keepLatestBy: Seq[String]): MStream = {
+    val w = Window.partitionBy((contextKeys ++ valueCols).map(col): _*)
+      .orderBy(keepLatestBy.map(c => col(c).desc): _*)
+    lift(df.withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1).drop("__rn"))
+  }
+
+  // ---------------------------------------------------------------- 2.5 windowing
+
+  /** Milan `tumblingWindow` over an event-time column (`lang/Stream.scala:207`). */
+  def tumblingWindow(ts: Column, size: String, offset: String = "0 seconds"): TimeWindowedMStream =
+    new TimeWindowedMStream(this, window(ts, size, size, offset), contextKeys)
+
+  /** Milan `slidingWindow` (`lang/Stream.scala:219`). */
+  def slidingWindow(ts: Column, size: String, slide: String, offset: String = "0 seconds"): TimeWindowedMStream =
+    new TimeWindowedMStream(this, window(ts, size, slide, offset), contextKeys)
+
+  /**
+   * Exact-arithmetic tumbling window over an integral epoch column (used
+   * when the event-time source has sub-microsecond precision that
+   * TimestampType cannot hold, e.g. nanosecond parquet columns).
+   * Emits the window start in the same integral unit.
+   */
+  def tumblingWindowExact(epochCol: Column, sizeUnits: Long, offsetUnits: Long = 0L): TimeWindowedMStream = {
+    val start = (floor((epochCol - offsetUnits) / sizeUnits) * sizeUnits + offsetUnits).cast("long")
+    new TimeWindowedMStream(this, start, contextKeys)
+  }
+
+  // ---------------------------------------------------------------- 2.4 joins
+
+  /** Milan `leftJoin` — left-enrichment join (`lang/Stream.scala:91`). */
+  def leftJoin(right: MStream): JoinBuilder =
+    new JoinBuilder(this, right, EnrichmentJoins.LeftEnrichment)
+
+  /** Milan `fullJoin` — full-enrichment join (`lang/Stream.scala:77`). */
+  def fullJoin(right: MStream): JoinBuilder =
+    new JoinBuilder(this, right, EnrichmentJoins.FullEnrichment)
+
+  /** Milan `leftInnerJoin` — lefts buffer until a right arrives (`lang/Stream.scala:114`). */
+  def leftInnerJoin(right: MStream): JoinBuilder =
+    new JoinBuilder(this, right, EnrichmentJoins.LeftInner)
+
+  // ---------------------------------------------------------------- 2.6 scans
+
+  /** Milan ungrouped `maxBy`: emit a record only when it beats the running max. */
+  def maxBy(arg: Column): MStream = Scans.argCompare(this, contextKeys, arg, isMax = true)
+  def minBy(arg: Column): MStream = Scans.argCompare(this, contextKeys, arg, isMax = false)
+
+  /** Milan `sumBy`: running sum of `arg`, output = record + running value. */
+  def sumBy(arg: Column, as: String): MStream = Scans.runningAgg(this, contextKeys, sum(arg), as)
+
+  /** Milan `last()`: final record (per context key, else global). */
+  def last(): MStream = Scans.lastRecord(this, contextKeys)
+
+  /** Generic running computation (Milan `scan`, `lang/Stream.scala:176`). */
+  def scanRows[S, O: Encoder](initial: S)(step: (S, Row) => (S, Option[O])): MStream =
+    Scans.genericScan(this, contextKeys, initial, step)
+}
+
+object MStream {
+  def apply(df: DataFrame): MStream = new MStream(df)
+  def apply(df: DataFrame, order: String*): MStream = new MStream(df, order)
+}
+
+/**
+ * Milan `GroupedStream[T, K]` (`lang/GroupedStream.scala:19`): logical
+ * per-key sub-streams. Aggregations lower to `groupBy(...).agg(...)` so
+ * Catalyst performs partial+final aggregation (the reference implements
+ * this split by hand in `runtime/MultiAggregateFunction.scala`).
+ */
+final class GroupedMStream(val stream: MStream, val keys: Seq[String]) {
+  private def df = stream.df
+
+  /** Milan grouped `select` with aggregate expressions; group key included. */
+  def select(aggs: Column*): MStream =
+    new MStream(df.groupBy(keys.map(col): _*).agg(aggs.head, aggs.tail: _*),
+      Nil, Nil, stream.name)
+
+  /** Count window: the last `n` records per key (Milan `recordWindow(n)`). */
+  def recordWindow(n: Int): RecordWindowedMStream =
+    new RecordWindowedMStream(stream, keys, n)
+
+  /** Per-group stream pipeline (Milan `GroupedStream.flatMap`): the nested
+    * operators automatically scope to this group's keys. */
+  def flatMap(f: MStream => MStream): MStream = {
+    val scoped = new MStream(df, stream.eventOrder, keys, stream.name)
+    val out = f(scoped)
+    new MStream(out.df, out.eventOrder, stream.contextKeys, stream.name)
+  }
+
+  /** Per-group map preserving the key context (Milan `GroupedStream.map`). */
+  def mapStreams(f: MStream => MStream): GroupedMStream = {
+    val scoped = new MStream(df, stream.eventOrder, keys, stream.name)
+    new GroupedMStream(f(scoped), keys)
+  }
+
+  /** Time window within each group (key + window aggregation). */
+  def tumblingWindow(ts: Column, size: String, offset: String = "0 seconds"): TimeWindowedMStream =
+    new TimeWindowedMStream(stream, window(ts, size, size, offset), keys)
+
+  def tumblingWindowExact(epochCol: Column, sizeUnits: Long, offsetUnits: Long = 0L): TimeWindowedMStream = {
+    val start = (floor((epochCol - offsetUnits) / sizeUnits) * sizeUnits + offsetUnits).cast("long")
+    new TimeWindowedMStream(stream, start, keys)
+  }
+
+  def maxBy(arg: Column): MStream = Scans.argCompare(stream, keys, arg, isMax = true)
+  def minBy(arg: Column): MStream = Scans.argCompare(stream, keys, arg, isMax = false)
+  def sumBy(arg: Column, as: String): MStream = Scans.runningAgg(stream, keys, sum(arg), as)
+  def last(): MStream = Scans.lastRecord(stream, keys)
+
+  def scanRows[S, O: Encoder](initial: S)(step: (S, Row) => (S, Option[O])): MStream =
+    Scans.genericScan(stream, keys, initial, step)
+}
+
+/**
+ * Milan `TimeWindowedStream` (`lang/WindowedStreams.scala:47`): aggregation
+ * is grouped by (context keys, window). `windowExpr` is either Spark's
+ * `window()` struct or an exact integral window-start expression.
+ */
+final class TimeWindowedMStream(val stream: MStream, windowExpr: Column, keys: Seq[String]) {
+  /** Aggregate each window; output includes window + keys. */
+  def select(windowAs: String, aggs: Column*): MStream = {
+    val grouped = stream.df.groupBy((windowExpr.as(windowAs) +: keys.map(col)): _*)
+    new MStream(grouped.agg(aggs.head, aggs.tail: _*), Nil, Nil, stream.name)
+  }
+
+  /** Milan window `apply`: arbitrary function over full window contents
+    * (`lang/WindowedStreams.scala:37`), via sort-free grouped iteration. */
+  def applyRows[O: Encoder](windowAs: String)(f: (Row, Iterator[Row]) => IterableOnce[O]): MStream = {
+    val withW = stream.df.withColumn(windowAs, windowExpr)
+    val keyCols = windowAs +: keys
+    val grouped = withW.groupBy(keyCols.map(col): _*)
+    import org.apache.spark.sql.catalyst.encoders.RowEncoder
+    implicit val rowEnc: Encoder[Row] = RowEncoder.encoderFor(withW.schema)
+    val kv = withW.groupByKey(r => keyCols.map(c => r.get(r.fieldIndex(c)).toString).mkString(" "))(
+      org.apache.spark.sql.Encoders.STRING)
+    new MStream(kv.flatMapGroups((_, it) => {
+      val buf = it.buffered
+      f(buf.head, buf).iterator
+    }).toDF(), Nil, Nil, stream.name)
+  }
+}
+
+/** Milan `recordWindow(n)` (`lang/GroupedStream.scala:46`): sliding window
+  * of the last n records per key; aggregates emit per record. */
+final class RecordWindowedMStream(val stream: MStream, keys: Seq[String], n: Int) {
+  /** Per-record aggregate over the trailing n records of this key. */
+  def select(aggs: (Column => Column, String, String)*): MStream = {
+    require(stream.eventOrder.nonEmpty, "recordWindow needs orderedBy(...) in batch mode")
+    val w = Window.partitionBy(keys.map(col): _*)
+      .orderBy(stream.eventOrder.map(col): _*)
+      .rowsBetween(-(n - 1), Window.currentRow)
+    val out = aggs.foldLeft(stream.df) { case (d, (fn, in, as)) =>
+      d.withColumn(as, fn(col(in)).over(w))
+    }
+    new MStream(out, stream.eventOrder, stream.contextKeys, stream.name)
+  }
+}
+
+/** Builder for enrichment joins: `.on((l, r) => cond)` then `.select`. */
+final class JoinBuilder(left: MStream, right: MStream, kind: EnrichmentJoins.Kind) {
+  def on(cond: (String => Column, String => Column) => Column): JoinedMStream =
+    EnrichmentJoins.build(left, right, kind, cond)
+}

@@ -1,0 +1,225 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.catalyst.expressions.{And, Attribute, AttributeSet, EqualTo, Expression}
+import org.apache.spark.sql.graftbridge.ColumnBridge
+import graft.api.MStream
+
+/**
+ * Milan's enrichment joins, Spark-first.
+ *
+ * Reference semantics (`runtime/LeftJoinKeyedCoProcessFunction.scala:47-75`,
+ * `FullJoinKeyedCoProcessFunction.scala:51-92`,
+ * `LeftInnerJoinKeyedCoProcessFunction.scala:48`):
+ *  - LeftEnrichment: a left arrival pairs with the latest right arrival of
+ *    the same key (or null); right arrivals emit nothing.
+ *  - FullEnrichment: any arrival pairs with the latest arrival of the other
+ *    side (either may be null).
+ *  - LeftInner: lefts buffer until a right satisfying the condition exists;
+ *    each left emits exactly once.
+ *
+ * The join condition is split exactly like the reference's
+ * `JoinPreconditionExtractor` / `JoinKeyExpressionExtractor` /
+ * `KeySelectorExtractor` (milan-scala-compiler trees package), but on
+ * Catalyst expressions: single-side conjuncts become pushed-down filters,
+ * cross-side equalities become the shuffle key, anything else is a residual
+ * applied at pairing time. Non-equi joins (no equality conjunct) are
+ * rejected, as in the reference (`ConnectedStreamsGenerator.scala:50`).
+ *
+ * Batch lowering: tag both sides, union, and compute "latest other side"
+ * with a window over the arrival order — ONE shuffle on the join key, no
+ * join node, no state blowup; per-key ordering scales to any number of
+ * keys (the sort is within key partitions). Streaming lowering lives in
+ * `graft.streaming.StatefulJoins`.
+ */
+object EnrichmentJoins {
+  sealed trait Kind
+  case object LeftEnrichment extends Kind
+  case object FullEnrichment extends Kind
+  case object LeftInner extends Kind
+
+  private val L = "_l"
+  private val R = "_r"
+
+  /** Split a join condition's conjuncts by which side they reference. */
+  final case class Split(
+      leftPreIdx: Seq[Int], rightPreIdx: Seq[Int],
+      equiIdx: Seq[Int], residualIdx: Seq[Int],
+      leftKeys: Seq[Expression], rightKeys: Seq[Expression])
+
+  private def conjuncts(e: Expression): Seq[Expression] = e match {
+    case And(a, b) => conjuncts(a) ++ conjuncts(b)
+    case other     => Seq(other)
+  }
+
+  private[graft] def splitCondition(cond: Expression, leftAttrs: AttributeSet, rightAttrs: AttributeSet): Split = {
+    val cs = conjuncts(cond)
+    var (lp, rp, eq, res) = (Vector[Int](), Vector[Int](), Vector[Int](), Vector[Int]())
+    var (lk, rk) = (Vector[Expression](), Vector[Expression]())
+    cs.zipWithIndex.foreach { case (c, i) =>
+      val refs = c.references
+      if (refs.subsetOf(leftAttrs)) lp :+= i
+      else if (refs.subsetOf(rightAttrs)) rp :+= i
+      else c match {
+        case EqualTo(a, b) if a.references.subsetOf(leftAttrs) && b.references.subsetOf(rightAttrs) =>
+          eq :+= i; lk :+= a; rk :+= b
+        case EqualTo(a, b) if b.references.subsetOf(leftAttrs) && a.references.subsetOf(rightAttrs) =>
+          eq :+= i; lk :+= b; rk :+= a
+        case _ => res :+= i
+      }
+    }
+    require(eq.nonEmpty, "Non-keyed enrichment joins are not supported (no cross-side equality conjunct)")
+    Split(lp, rp, eq, res, lk, rk)
+  }
+
+  def build(left: MStream, right: MStream,
+            kind: Kind,
+            cond: (String => Column, String => Column) => Column): JoinedMStream = {
+    require(left.eventOrder.nonEmpty && right.eventOrder.nonEmpty,
+      "enrichment joins need orderedBy(...) on both sides in batch mode")
+    // Fresh exprIds on both sides so self-joins split unambiguously.
+    val lDf = left.df.select(left.df.columns.toIndexedSeq.map(c => left.df(c).as(c)): _*)
+    val rDf = right.df.select(right.df.columns.toIndexedSeq.map(c => right.df(c).as(c)): _*)
+    val lAttrs = AttributeSet(ColumnBridge.output(lDf))
+    val rAttrs = AttributeSet(ColumnBridge.output(rDf))
+
+    val realCond = ColumnBridge.expr(cond(lDf.col, rDf.col))
+    val split = splitCondition(realCond, lAttrs, rAttrs)
+    val realConjuncts = conjuncts(realCond)
+
+    val leftPre  = split.leftPreIdx.map(i => ColumnBridge.column(realConjuncts(i))).reduceOption(_ && _)
+    val rightPre = split.rightPreIdx.map(i => ColumnBridge.column(realConjuncts(i))).reduceOption(_ && _)
+    val lKeyCols = split.leftKeys.map(ColumnBridge.column)
+    val rKeyCols = split.rightKeys.map(ColumnBridge.column)
+
+    // Residual, rebuilt against the paired structs: re-invoke the user
+    // condition with struct-field accessors — conjunct order is identical.
+    def residualFor(lAcc: String => Column, rAcc: String => Column): Option[Column] =
+      if (split.residualIdx.isEmpty) None
+      else {
+        val cs = conjuncts(ColumnBridge.expr(cond(lAcc, rAcc)))
+        Some(split.residualIdx.map(i => ColumnBridge.column(cs(i))).reduce(_ && _))
+      }
+
+    val lp = leftPre.map(lDf.filter).getOrElse(lDf)
+    val rp = rightPre.map(rDf.filter).getOrElse(rDf)
+    val lStructT = org.apache.spark.sql.types.StructType(lp.schema.fields)
+    val rStructT = org.apache.spark.sql.types.StructType(rp.schema.fields)
+
+    val keyNames = lKeyCols.indices.map(i => s"_k$i")
+    val ordNames = left.eventOrder.indices.map(i => s"_o$i")
+    val lTagged = lp.select(
+      struct(lp.columns.toIndexedSeq.map(lp.col): _*).as(L) +:
+      lit(null).cast(rStructT).as(R) +:
+      (lKeyCols.zip(keyNames).map { case (c, n) => c.as(n) } ++
+       left.eventOrder.zip(ordNames).map { case (c, n) => lp.col(c).as(n) } :+
+       lit(1).as("_tag")): _*)
+    val rTagged = rp.select(
+      lit(null).cast(lStructT).as(L) +:
+      struct(rp.columns.toIndexedSeq.map(rp.col): _*).as(R) +:
+      (rKeyCols.zip(keyNames).map { case (c, n) => c.as(n) } ++
+       right.eventOrder.zip(ordNames).map { case (c, n) => rp.col(c).as(n) } :+
+       lit(0).as("_tag")): _*)
+    val u = lTagged.unionByName(rTagged)
+
+    // rights sort before lefts at equal arrival order, so a left sees a
+    // same-instant right (matches the reference's arrival interleaving).
+    val ord = ordNames.map(col) :+ col("_tag")
+    val wPast = Window.partitionBy(keyNames.map(col): _*).orderBy(ord: _*)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+
+    val paired: DataFrame = kind match {
+      case LeftEnrichment =>
+        val withLast = u.withColumn("__lastr", last(col(R), ignoreNulls = true).over(wPast))
+        val lefts = withLast.filter(col("_tag") === 1)
+        val rOut = residualFor(c => col(s"$L.$c"), c => col(s"__lastr.$c")) match {
+          case Some(resid) => when(resid, col("__lastr")).otherwise(lit(null).cast(rStructT))
+          case None        => col("__lastr")
+        }
+        lefts.select(col(L), rOut.as(R))
+      case FullEnrichment =>
+        val withLast = u
+          .withColumn("__lastl", last(col(L), ignoreNulls = true).over(wPast))
+          .withColumn("__lastr", last(col(R), ignoreNulls = true).over(wPast))
+        val resid = residualFor(c => col(s"__lastl.$c"), c => col(s"__lastr.$c"))
+        val lOut = resid match {
+          case Some(p) => when(col("_tag") === 1, col(L))
+            .otherwise(when(p, col("__lastl")).otherwise(lit(null).cast(lStructT)))
+          case None => col("__lastl")
+        }
+        val rOut = resid match {
+          case Some(p) => when(col("_tag") === 0, col(R))
+            .otherwise(when(p, col("__lastr")).otherwise(lit(null).cast(rStructT)))
+          case None => col("__lastr")
+        }
+        u.select(lOut.as(L), rOut.as(R))
+      case LeftInner =>
+        val resid = residualFor(c => col(s"$L.$c"), c => col(s"__r.$c"))
+        resid match {
+          case None =>
+            val wFut = Window.partitionBy(keyNames.map(col): _*).orderBy(ord: _*)
+              .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+            u.withColumn("__lastr", last(col(R), ignoreNulls = true).over(wPast))
+              .withColumn("__nextr", first(col(R), ignoreNulls = true).over(wFut))
+              .filter(col("_tag") === 1)
+              .select(col(L), coalesce(col("__lastr"), col("__nextr")).as(R))
+              .filter(col(R).isNotNull)
+          case Some(_) =>
+            // General (residual) path: the latest-prior right counts only if
+            // it satisfies the residual; otherwise the left waits for the
+            // first future right that does. Requires a pair join — costs a
+            // second shuffle; only taken when a residual exists.
+            val lefts = u.filter(col("_tag") === 1)
+              .withColumn("__lastr", last(col(R), ignoreNulls = true).over(wPast))
+            val residPrev = residualFor(c => col(s"$L.$c"), c => col(s"__lastr.$c")).get
+            val immediate = lefts.filter(col("__lastr").isNotNull && residPrev)
+              .select(col(L), col("__lastr").as(R))
+            val waiting = lefts.filter(col("__lastr").isNull || !residPrev)
+              .select((col(L) +: keyNames.map(col)) ++ ordNames.map(col): _*)
+            val rights = u.filter(col("_tag") === 0)
+              .select((col(R).as("__r") +: keyNames.map(c => col(c).as(s"r$c"))) ++
+                ordNames.map(c => col(c).as(s"r$c")): _*)
+            val residFut = residualFor(c => col(s"$L.$c"), c => col(s"__r.$c")).get
+            val keyEq = keyNames.map(k => col(k) === col(s"r$k")).reduce(_ && _)
+            val after = ordNames.map(o => col(s"r$o") > col(o))
+              .zip(ordNames.map(o => col(s"r$o") === col(o)))
+              .foldRight(lit(false)) { case ((gt, eq), acc) => gt || (eq && acc) }
+            val matched = waiting.join(rights, keyEq && after && residFut, "inner")
+              .withColumn("__rn", row_number().over(
+                Window.partitionBy(col(L)).orderBy(ordNames.map(o => col(s"r$o")): _*)))
+              .filter(col("__rn") === 1)
+              .select(col(L), col("__r").as(R))
+            immediate.unionByName(matched)
+        }
+    }
+    new JoinedMStream(paired, lStructT, rStructT, left.name)
+  }
+}
+
+/** Milan `JoinedStream` (`lang/JoinedStream.scala:21`): the paired sides as
+  * nullable structs awaiting `select`/`selectAll`. */
+final class JoinedMStream(
+    val paired: DataFrame,
+    lType: org.apache.spark.sql.types.StructType,
+    rType: org.apache.spark.sql.types.StructType,
+    name: String) {
+
+  /** Milan join `select` (`lang/JoinedStream.scala:105`): project from both
+    * sides; unmatched side reads as null (reference null semantics). */
+  def select(f: (String => Column, String => Column) => Seq[Column]): MStream =
+    new MStream(paired.select(f(c => col(s"_l.$c"), c => col(s"_r.$c")): _*), Nil, Nil, name)
+
+  /** Milan `selectAll()` (`lang/JoinedStream.scala:43`): concat both sides'
+    * fields, renaming right-side collisions (TypeJoiner semantics). */
+  def selectAll(): MStream = {
+    val lNames = lType.fieldNames.toSeq
+    val cols = lNames.map(c => col(s"_l.$c").as(c)) ++
+      rType.fieldNames.toSeq.map { c =>
+        val out = if (lNames.contains(c)) s"right_$c" else c
+        col(s"_r.$c").as(out)
+      }
+    new MStream(paired.select(cols: _*), Nil, Nil, name)
+  }
+}

@@ -1,0 +1,18 @@
+package org.apache.spark.sql.graftbridge
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.catalyst.expressions.{Attribute, Expression}
+import org.apache.spark.sql.classic.{ClassicConversions, ExpressionUtils}
+
+/**
+ * Column <-> Catalyst Expression bridge. Spark 4 made `Column` plan-agnostic
+ * and hid the classic converters behind `private[sql]`; this object lives in
+ * the sql package namespace to re-expose exactly the two conversions our
+ * join-condition analyzer needs.
+ */
+object ColumnBridge {
+  def expr(c: Column): Expression = ExpressionUtils.expression(c)
+  def column(e: Expression): Column = ExpressionUtils.column(e)
+  def output(df: DataFrame): Seq[Attribute] =
+    ClassicConversions.castToImpl(df).queryExecution.analyzed.output
+}
