@@ -99,11 +99,24 @@ final class MStream(
    * Exact-arithmetic tumbling window over an integral epoch column (used
    * when the event-time source has sub-microsecond precision that
    * TimestampType cannot hold, e.g. nanosecond parquet columns).
-   * Emits the window start in the same integral unit.
+   * Emits the window start in the same integral unit. Pure long arithmetic
+   * (`pmod`, not floating division) so ns-scale epochs never mis-bucket at
+   * window boundaries.
    */
-  def tumblingWindowExact(epochCol: Column, sizeUnits: Long, offsetUnits: Long = 0L): TimeWindowedMStream = {
-    val start = (floor((epochCol - offsetUnits) / sizeUnits) * sizeUnits + offsetUnits).cast("long")
-    new TimeWindowedMStream(this, start, contextKeys)
+  def tumblingWindowExact(epochCol: Column, sizeUnits: Long, offsetUnits: Long = 0L): TimeWindowedMStream =
+    new TimeWindowedMStream(this, MStream.exactWindowStart(epochCol, sizeUnits, offsetUnits), contextKeys)
+
+  /**
+   * Exact-arithmetic sliding window: each record lands in every window
+   * `[start, start+size)` containing it, `start ≡ offset (mod slide)`.
+   * Lowered as `explode(sequence(...))` — a generate, no extra shuffle
+   * before the window aggregation itself.
+   */
+  def slidingWindowExact(epochCol: Column, sizeUnits: Long, slideUnits: Long,
+                         offsetUnits: Long = 0L): TimeWindowedMStream = {
+    val exploded = MStream.explodeSlidingWindows(df, epochCol, sizeUnits, slideUnits, offsetUnits)
+    new TimeWindowedMStream(new MStream(exploded, eventOrder, contextKeys, name),
+      col(MStream.SlidingWindowCol), contextKeys)
   }
 
   // ---------------------------------------------------------------- 2.4 joins
@@ -140,6 +153,25 @@ final class MStream(
 object MStream {
   def apply(df: DataFrame): MStream = new MStream(df)
   def apply(df: DataFrame, order: String*): MStream = new MStream(df, order)
+
+  private[api] val SlidingWindowCol = "__w_start"
+
+  /** Largest `k*size + offset <= epoch`, in exact long arithmetic. */
+  private[api] def exactWindowStart(epochCol: Column, size: Long, offset: Long): Column = {
+    val e = epochCol - lit(offset)
+    (e - pmod(e, lit(size)) + lit(offset)).cast("long")
+  }
+
+  /** Explode each record into one row per sliding window containing it. */
+  private[api] def explodeSlidingWindows(df: DataFrame, epochCol: Column,
+                                         size: Long, slide: Long, offset: Long): DataFrame = {
+    val e = epochCol - lit(offset)
+    // window [start, start+size) contains t  ⇔  t-size < start <= t
+    val maxStart = e - pmod(e, lit(slide)) + lit(offset)
+    val minStart = (e - lit(size)) - pmod(e - lit(size), lit(slide)) + lit(slide) + lit(offset)
+    df.withColumn(SlidingWindowCol,
+      explode(sequence(minStart.cast("long"), maxStart.cast("long"), lit(slide))))
+  }
 }
 
 /**
@@ -178,9 +210,14 @@ final class GroupedMStream(val stream: MStream, val keys: Seq[String]) {
   def tumblingWindow(ts: Column, size: String, offset: String = "0 seconds"): TimeWindowedMStream =
     new TimeWindowedMStream(stream, window(ts, size, size, offset), keys)
 
-  def tumblingWindowExact(epochCol: Column, sizeUnits: Long, offsetUnits: Long = 0L): TimeWindowedMStream = {
-    val start = (floor((epochCol - offsetUnits) / sizeUnits) * sizeUnits + offsetUnits).cast("long")
-    new TimeWindowedMStream(stream, start, keys)
+  def tumblingWindowExact(epochCol: Column, sizeUnits: Long, offsetUnits: Long = 0L): TimeWindowedMStream =
+    new TimeWindowedMStream(stream, MStream.exactWindowStart(epochCol, sizeUnits, offsetUnits), keys)
+
+  def slidingWindowExact(epochCol: Column, sizeUnits: Long, slideUnits: Long,
+                         offsetUnits: Long = 0L): TimeWindowedMStream = {
+    val exploded = MStream.explodeSlidingWindows(stream.df, epochCol, sizeUnits, slideUnits, offsetUnits)
+    new TimeWindowedMStream(new MStream(exploded, stream.eventOrder, keys, stream.name),
+      col(MStream.SlidingWindowCol), keys)
   }
 
   def maxBy(arg: Column): MStream = Scans.argCompare(stream, keys, arg, isMax = true)

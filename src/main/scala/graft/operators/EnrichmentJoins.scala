@@ -3,7 +3,8 @@ package graft.operators
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
-import org.apache.spark.sql.catalyst.expressions.{And, Attribute, AttributeSet, EqualTo, Expression}
+import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
+import org.apache.spark.sql.catalyst.expressions.{And, Attribute, EqualTo, Expression}
 import org.apache.spark.sql.graftbridge.ColumnBridge
 import graft.api.MStream
 
@@ -43,6 +44,13 @@ object EnrichmentJoins {
   private val L = "_l"
   private val R = "_r"
 
+  /** Name prefixes used to tag which side a column reference belongs to.
+    * Spark 4 `Column`s are plan-agnostic (unresolved by name), so side
+    * membership can't come from exprIds; tagging by name also makes
+    * self-joins (both sides derived from one source) unambiguous. */
+  private val LTag = "__L__"
+  private val RTag = "__R__"
+
   /** Split a join condition's conjuncts by which side they reference. */
   final case class Split(
       leftPreIdx: Seq[Int], rightPreIdx: Seq[Int],
@@ -54,19 +62,41 @@ object EnrichmentJoins {
     case other     => Seq(other)
   }
 
-  private[graft] def splitCondition(cond: Expression, leftAttrs: AttributeSet, rightAttrs: AttributeSet): Split = {
+  private def refNames(e: Expression): Seq[String] =
+    e.collect { case a: Attribute => a.name }
+
+  private def allTagged(e: Expression, tag: String): Boolean = {
+    val ns = refNames(e); ns.nonEmpty && ns.forall(_.startsWith(tag))
+  }
+
+  /** Rewrite tagged references back to plain column names. */
+  private def untag(e: Expression): Expression = e.transform {
+    case a: Attribute if a.name.startsWith(LTag) =>
+      UnresolvedAttribute.quoted(a.name.stripPrefix(LTag))
+    case a: Attribute if a.name.startsWith(RTag) =>
+      UnresolvedAttribute.quoted(a.name.stripPrefix(RTag))
+  }
+
+  /** Rewrite tagged references to fields of the given parent structs. */
+  private def retag(e: Expression, lParent: String, rParent: String): Expression = e.transform {
+    case a: Attribute if a.name.startsWith(LTag) =>
+      UnresolvedAttribute(Seq(lParent, a.name.stripPrefix(LTag)))
+    case a: Attribute if a.name.startsWith(RTag) =>
+      UnresolvedAttribute(Seq(rParent, a.name.stripPrefix(RTag)))
+  }
+
+  private[graft] def splitCondition(cond: Expression): Split = {
     val cs = conjuncts(cond)
     var (lp, rp, eq, res) = (Vector[Int](), Vector[Int](), Vector[Int](), Vector[Int]())
     var (lk, rk) = (Vector[Expression](), Vector[Expression]())
     cs.zipWithIndex.foreach { case (c, i) =>
-      val refs = c.references
-      if (refs.subsetOf(leftAttrs)) lp :+= i
-      else if (refs.subsetOf(rightAttrs)) rp :+= i
+      if (allTagged(c, LTag)) lp :+= i
+      else if (allTagged(c, RTag)) rp :+= i
       else c match {
-        case EqualTo(a, b) if a.references.subsetOf(leftAttrs) && b.references.subsetOf(rightAttrs) =>
-          eq :+= i; lk :+= a; rk :+= b
-        case EqualTo(a, b) if b.references.subsetOf(leftAttrs) && a.references.subsetOf(rightAttrs) =>
-          eq :+= i; lk :+= b; rk :+= a
+        case EqualTo(a, b) if allTagged(a, LTag) && allTagged(b, RTag) =>
+          eq :+= i; lk :+= untag(a); rk :+= untag(b)
+        case EqualTo(a, b) if allTagged(b, LTag) && allTagged(a, RTag) =>
+          eq :+= i; lk :+= untag(b); rk :+= untag(a)
         case _ => res :+= i
       }
     }
@@ -79,29 +109,31 @@ object EnrichmentJoins {
             cond: (String => Column, String => Column) => Column): JoinedMStream = {
     require(left.eventOrder.nonEmpty && right.eventOrder.nonEmpty,
       "enrichment joins need orderedBy(...) on both sides in batch mode")
-    // Fresh exprIds on both sides so self-joins split unambiguously.
-    val lDf = left.df.select(left.df.columns.toIndexedSeq.map(c => left.df(c).as(c)): _*)
-    val rDf = right.df.select(right.df.columns.toIndexedSeq.map(c => right.df(c).as(c)): _*)
-    val lAttrs = AttributeSet(ColumnBridge.output(lDf))
-    val rAttrs = AttributeSet(ColumnBridge.output(rDf))
+    val lDf = left.df
+    val rDf = right.df
 
-    val realCond = ColumnBridge.expr(cond(lDf.col, rDf.col))
-    val split = splitCondition(realCond, lAttrs, rAttrs)
-    val realConjuncts = conjuncts(realCond)
+    // Resolve the tagged condition against a (never-executed) cross-join of
+    // both sides so we get a real Catalyst tree with typed attributes.
+    val lTaggedDf = lDf.select(lDf.columns.toIndexedSeq.map(c => lDf(c).as(LTag + c)): _*)
+    val rTaggedDf = rDf.select(rDf.columns.toIndexedSeq.map(c => rDf(c).as(RTag + c)): _*)
+    val taggedCond = ColumnBridge.analyzedExpr(
+      lTaggedDf.crossJoin(rTaggedDf), cond(n => col(LTag + n), n => col(RTag + n)))
+    val split = splitCondition(taggedCond)
+    val taggedConjuncts = conjuncts(taggedCond)
 
-    val leftPre  = split.leftPreIdx.map(i => ColumnBridge.column(realConjuncts(i))).reduceOption(_ && _)
-    val rightPre = split.rightPreIdx.map(i => ColumnBridge.column(realConjuncts(i))).reduceOption(_ && _)
+    def sideCol(i: Int): Column = ColumnBridge.column(untag(taggedConjuncts(i)))
+    val leftPre  = split.leftPreIdx.map(sideCol).reduceOption(_ && _)
+    val rightPre = split.rightPreIdx.map(sideCol).reduceOption(_ && _)
     val lKeyCols = split.leftKeys.map(ColumnBridge.column)
     val rKeyCols = split.rightKeys.map(ColumnBridge.column)
 
-    // Residual, rebuilt against the paired structs: re-invoke the user
-    // condition with struct-field accessors — conjunct order is identical.
-    def residualFor(lAcc: String => Column, rAcc: String => Column): Option[Column] =
+    // Residual conjuncts, rebuilt against the paired structs by renaming
+    // each side's references to fields of the given parent struct columns.
+    def residualFor(lParent: String, rParent: String): Option[Column] =
       if (split.residualIdx.isEmpty) None
-      else {
-        val cs = conjuncts(ColumnBridge.expr(cond(lAcc, rAcc)))
-        Some(split.residualIdx.map(i => ColumnBridge.column(cs(i))).reduce(_ && _))
-      }
+      else Some(split.residualIdx
+        .map(i => ColumnBridge.column(retag(taggedConjuncts(i), lParent, rParent)))
+        .reduce(_ && _))
 
     val lp = leftPre.map(lDf.filter).getOrElse(lDf)
     val rp = rightPre.map(rDf.filter).getOrElse(rDf)
@@ -134,7 +166,7 @@ object EnrichmentJoins {
       case LeftEnrichment =>
         val withLast = u.withColumn("__lastr", last(col(R), ignoreNulls = true).over(wPast))
         val lefts = withLast.filter(col("_tag") === 1)
-        val rOut = residualFor(c => col(s"$L.$c"), c => col(s"__lastr.$c")) match {
+        val rOut = residualFor(L, "__lastr") match {
           case Some(resid) => when(resid, col("__lastr")).otherwise(lit(null).cast(rStructT))
           case None        => col("__lastr")
         }
@@ -143,7 +175,7 @@ object EnrichmentJoins {
         val withLast = u
           .withColumn("__lastl", last(col(L), ignoreNulls = true).over(wPast))
           .withColumn("__lastr", last(col(R), ignoreNulls = true).over(wPast))
-        val resid = residualFor(c => col(s"__lastl.$c"), c => col(s"__lastr.$c"))
+        val resid = residualFor("__lastl", "__lastr")
         val lOut = resid match {
           case Some(p) => when(col("_tag") === 1, col(L))
             .otherwise(when(p, col("__lastl")).otherwise(lit(null).cast(lStructT)))
@@ -154,9 +186,9 @@ object EnrichmentJoins {
             .otherwise(when(p, col("__lastr")).otherwise(lit(null).cast(rStructT)))
           case None => col("__lastr")
         }
-        u.select(lOut.as(L), rOut.as(R))
+        withLast.select(lOut.as(L), rOut.as(R))
       case LeftInner =>
-        val resid = residualFor(c => col(s"$L.$c"), c => col(s"__r.$c"))
+        val resid = residualFor(L, "__r")
         resid match {
           case None =>
             val wFut = Window.partitionBy(keyNames.map(col): _*).orderBy(ord: _*)
@@ -173,7 +205,7 @@ object EnrichmentJoins {
             // second shuffle; only taken when a residual exists.
             val lefts = u.filter(col("_tag") === 1)
               .withColumn("__lastr", last(col(R), ignoreNulls = true).over(wPast))
-            val residPrev = residualFor(c => col(s"$L.$c"), c => col(s"__lastr.$c")).get
+            val residPrev = residualFor(L, "__lastr").get
             val immediate = lefts.filter(col("__lastr").isNotNull && residPrev)
               .select(col(L), col("__lastr").as(R))
             val waiting = lefts.filter(col("__lastr").isNull || !residPrev)
@@ -181,7 +213,7 @@ object EnrichmentJoins {
             val rights = u.filter(col("_tag") === 0)
               .select((col(R).as("__r") +: keyNames.map(c => col(c).as(s"r$c"))) ++
                 ordNames.map(c => col(c).as(s"r$c")): _*)
-            val residFut = residualFor(c => col(s"$L.$c"), c => col(s"__r.$c")).get
+            val residFut = residualFor(L, "__r").get
             val keyEq = keyNames.map(k => col(k) === col(s"r$k")).reduce(_ && _)
             val after = ordNames.map(o => col(s"r$o") > col(o))
               .zip(ordNames.map(o => col(s"r$o") === col(o)))

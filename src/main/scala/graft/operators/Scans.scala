@@ -34,7 +34,9 @@ object Scans {
       .orderBy(order.map(col): _*)
       .rowsBetween(Window.unboundedPreceding, -1)
     val running = (if (isMax) max(arg) else min(arg)).over(past)
-    val beats = if (isMax) arg > running else arg < running
+    // compare against the materialized column, not the raw window expression
+    // — a window function may not appear inside a WHERE clause
+    val beats = if (isMax) arg > col("__run") else arg < col("__run")
     new MStream(
       s.df.withColumn("__run", running).filter(col("__run").isNull || beats).drop("__run"),
       s.eventOrder, s.contextKeys, s.name)

@@ -15,4 +15,16 @@ object ColumnBridge {
   def column(e: Expression): Column = ExpressionUtils.column(e)
   def output(df: DataFrame): Seq[Attribute] =
     ClassicConversions.castToImpl(df).queryExecution.analyzed.output
+
+  /** Fully-resolved Catalyst expression for `c` against `df`'s schema.
+    * `expr(c)` alone yields a lazy `ColumnNodeExpression` wrapper on Spark 4
+    * (Columns are plan-agnostic), so tree analysis needs a real analysis
+    * pass; the plan is only analyzed, never executed. */
+  def analyzedExpr(df: DataFrame, c: Column): Expression = {
+    val plan = ClassicConversions.castToImpl(df.select(c)).queryExecution.analyzed
+    plan.expressions.head match {
+      case a: org.apache.spark.sql.catalyst.expressions.Alias => a.child
+      case e => e
+    }
+  }
 }
