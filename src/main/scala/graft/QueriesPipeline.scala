@@ -1,0 +1,211 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.pipeline.{Dedup, Multimodal, Similarity, TextOps}
+import graft.sources.Tables
+
+/**
+ * Training-data-pipeline operators (dedup, similarity search, text
+ * analysis, multimodal) as driver-checkable queries over the `documents`
+ * and `embeddings` tables. Oracles reproduce the same computation
+ * independently in DuckDB (portable polynomial hashes make the hash-based
+ * operators engine-reproducible); the MinHash oracle is the *all-pairs
+ * ground truth*, so a match also proves the LSH pipeline achieves full
+ * recall on this corpus.
+ */
+object QueriesPipeline {
+
+  private val PolyFold =
+    "list_reduce([0] || [ord(c)::BIGINT for c in string_split(%s, '')], (a, c) -> (a * 31 + c) %% 1000000007)"
+
+  /** Exact dedup: representative id + copy count per identical text. */
+  def qDedupExact(spark: SparkSession, dir: String): DataFrame =
+    Dedup.exact(Tables.documents(spark, dir).df, "doc_id", "text")
+      .select("keep_id", "n_copies")
+
+  val qDedupExactSql: String =
+    "SELECT min(doc_id) AS keep_id, count(*) AS n_copies FROM documents GROUP BY text"
+
+  /** MinHash+LSH near-dup: 16 hashes, 4 bands, verify at Jaccard >= 0.8.
+    * Oracle is brute-force all-pairs truth — match proves LSH recall. */
+  def qMinhashDedup(spark: SparkSession, dir: String): DataFrame =
+    Dedup.minhashNearDup(Tables.documents(spark, dir).df, "doc_id", "text",
+      k = 16, bands = 4, threshold = 0.8)
+
+  val qMinhashDedupSql: String =
+    """WITH s AS (
+         SELECT doc_id,
+           list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+                          for i in range(1, len(w) - 1)]) AS sh
+         FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents))
+       SELECT id_a, id_b, round(j, 3) AS jaccard FROM (
+         SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           len(list_intersect(a.sh, b.sh))::DOUBLE
+             / len(list_distinct(list_concat(a.sh, b.sh))) AS j
+         FROM s a JOIN s b ON a.doc_id < b.doc_id)
+       WHERE j >= 0.8"""
+
+  /** SimHash 16-bit signatures over word hashes. */
+  def qSimhash(spark: SparkSession, dir: String): DataFrame =
+    Dedup.simhash(Tables.documents(spark, dir).df, "doc_id", "text")
+
+  val qSimhashSql: String = {
+    val h = PolyFold.format("w")
+    val bitSums = (0 until 16).map(i =>
+      s"sum(CASE WHEN (h >> $i) & 1 = 1 THEN 1 ELSE -1 END) AS b$i").mkString(", ")
+    val combine = (0 until 16).map(i =>
+      s"CASE WHEN b$i > 0 THEN ${1L << i} ELSE 0 END").mkString(" + ")
+    s"""WITH t AS (
+          SELECT doc_id, $h AS h
+          FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents)),
+        s AS (SELECT doc_id, $bitSums FROM t GROUP BY doc_id)
+        SELECT doc_id, ($combine)::BIGINT AS simhash FROM s"""
+  }
+
+  /** Character-4-gram Jaccard near-dup within each source (blocked
+    * all-pairs — block size is bounded by the natural partition). */
+  def qNgramJaccard(spark: SparkSession, dir: String): DataFrame =
+    Dedup.ngramJaccardWithinBlocks(Tables.documents(spark, dir).df,
+      "doc_id", "text", "source", n = 4, threshold = 0.5)
+
+  val qNgramJaccardSql: String =
+    """WITH s AS (
+         SELECT source, doc_id,
+           list_distinct([text[i:i+3] for i in range(1, len(text) - 2)]) AS sh
+         FROM documents)
+       SELECT id_a, id_b, round(j, 3) AS jaccard FROM (
+         SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           len(list_intersect(a.sh, b.sh))::DOUBLE
+             / len(list_distinct(list_concat(a.sh, b.sh))) AS j
+         FROM s a JOIN s b ON a.source = b.source AND a.doc_id < b.doc_id)
+       WHERE j >= 0.5"""
+
+  /** Embedding cosine near-dup (exact all-pairs baseline). */
+  def qEmbedDedup(spark: SparkSession, dir: String): DataFrame =
+    Dedup.embeddingNearDupExact(Tables.embeddings(spark, dir).df,
+      "vec_id", "embedding", threshold = 0.4)
+
+  val qEmbedDedupSql: String =
+    """SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+         round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) AS cos
+       FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+       WHERE list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= 0.4"""
+
+  /** Brute-force cosine top-5 for the first 10 vectors as queries. */
+  def qAnnTopK(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, dir).df
+    val queries = emb.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("q_id"), col("embedding"))
+    Similarity.bruteForceTopK(emb, queries, "vec_id", "embedding", "q_id", k = 5)
+  }
+
+  val qAnnTopKSql: String =
+    """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+         q AS (SELECT vec_id AS q_id, e AS qe FROM e WHERE vec_id < 10)
+       SELECT q_id, vec_id, round(list_cosine_similarity(qe, e), 6) AS cos,
+         row_number() OVER (PARTITION BY q_id
+           ORDER BY list_cosine_similarity(qe, e) DESC, vec_id) AS rn
+       FROM q, e WHERE vec_id <> q_id
+       QUALIFY rn <= 5"""
+
+  /** Language-ID heuristic: argmax of per-language marker-word hits. */
+  def qLangId(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(spark, dir).df
+    d.select(col("doc_id"), TextOps.langId(col("text")).as("lang_pred"),
+      TextOps.markerHits(col("text"), TextOps.LangMarkers.head._2).as("en_hits"))
+  }
+
+  val qLangIdSql: String = {
+    def hits(ms: Seq[String]) =
+      s"len(list_filter(string_split(text, ' '), w -> w IN (${ms.map("'" + _ + "'").mkString(",")})))"
+    val Seq(en, de, fr, es) = TextOps.LangMarkers.map(m => hits(m._2))
+    s"""SELECT doc_id,
+          CASE WHEN $en >= $de AND $en >= $fr AND $en >= $es THEN 'en'
+               WHEN $de >= $fr AND $de >= $es THEN 'de'
+               WHEN $fr >= $es THEN 'fr'
+               ELSE 'es' END AS lang_pred,
+          $en AS en_hits
+        FROM documents"""
+  }
+
+  /** Quality-score features per document. */
+  def qTextQuality(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(spark, dir).df
+    val feats = TextOps.qualityFeatures(col("text")).map { case (n, c) => c.as(n) }
+    d.select(col("doc_id") +: feats: _*)
+  }
+
+  val qTextQualitySql: String = {
+    val stops = TextOps.Stopwords.map("'" + _ + "'").mkString(",")
+    s"""SELECT doc_id,
+          len(string_split(text, ' ')) AS n_words,
+          round((length(text) - (len(string_split(text, ' ')) - 1))::DOUBLE
+                / len(string_split(text, ' ')), 4) AS avg_word_len,
+          round(len(list_filter(string_split(text, ' '), w -> w IN ($stops)))::DOUBLE
+                / len(string_split(text, ' ')), 4) AS stopword_ratio,
+          len(regexp_extract_all(text, '[^A-Za-z0-9_\\s]')) AS punct_count
+        FROM documents"""
+  }
+
+  /** Token counting: whitespace and BPE-ish regex tokenizations. */
+  def qTokenCount(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir).df.select(col("doc_id"),
+      TextOps.tokenCountWhitespace(col("text")).as("ws_tokens"),
+      TextOps.tokenCountRegex(col("text")).as("re_tokens"))
+
+  val qTokenCountSql: String =
+    """SELECT doc_id, len(string_split(text, ' ')) AS ws_tokens,
+         len(regexp_extract_all(text, '[A-Za-z0-9_]+|[^A-Za-z0-9_\s]')) AS re_tokens
+       FROM documents"""
+
+  /** Rolling-hash document fingerprint. */
+  def qFingerprint(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir).df.select(col("doc_id"),
+      TextOps.fingerprint(col("text")).as("fp"))
+
+  val qFingerprintSql: String =
+    s"SELECT doc_id, ${PolyFold.format("text")} AS fp FROM documents"
+
+  /** Multimodal plumbing: fake media bytes → partition-batched decode stub
+    * → per-source feature aggregate. No SQL oracle (binary + mapPartitions
+    * path) — driver records a rows-only check. */
+  def qMultimodal(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(spark, dir).df
+    val media = Multimodal.withFakeMedia(d, "text")
+    val feats = Multimodal.decodeStub(media, "doc_id")
+    feats.join(d.select(col("doc_id").as("id"), col("source")), "id")
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        round(avg(col("byte_len")), 2).as("avg_bytes"),
+        round(avg(col("mean_byte")), 4).as("avg_mean_byte"))
+  }
+
+  val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_dedup_exact" -> (qDedupExact _),
+    "q_minhash_dedup" -> (qMinhashDedup _),
+    "q_simhash" -> (qSimhash _),
+    "q_ngram_jaccard" -> (qNgramJaccard _),
+    "q_embed_dedup" -> (qEmbedDedup _),
+    "q_ann_topk" -> (qAnnTopK _),
+    "q_langid" -> (qLangId _),
+    "q_text_quality" -> (qTextQuality _),
+    "q_token_count" -> (qTokenCount _),
+    "q_fingerprint" -> (qFingerprint _),
+    "q_multimodal" -> (qMultimodal _)
+  )
+
+  val sql: Map[String, String] = Map(
+    "q_dedup_exact" -> qDedupExactSql,
+    "q_minhash_dedup" -> qMinhashDedupSql,
+    "q_simhash" -> qSimhashSql,
+    "q_ngram_jaccard" -> qNgramJaccardSql,
+    "q_embed_dedup" -> qEmbedDedupSql,
+    "q_ann_topk" -> qAnnTopKSql,
+    "q_langid" -> qLangIdSql,
+    "q_text_quality" -> qTextQualitySql,
+    "q_token_count" -> qTokenCountSql,
+    "q_fingerprint" -> qFingerprintSql
+    // q_multimodal intentionally has no oracle (rows-only check)
+  )
+}

@@ -20,7 +20,7 @@ object SparkEntry {
     "q_union" -> (QueriesCore.qUnion _),
     "q_unique" -> (QueriesCore.qUnique _),
     "q_join3" -> (QueriesCore.qJoin3 _)
-  ) ++ QueriesStateful.all
+  ) ++ QueriesStateful.all ++ QueriesPipeline.all
 
   def oracleSql: Map[String, String] = Map(
     "q_map_scalar" -> QueriesCore.qMapScalarSql,
@@ -31,5 +31,5 @@ object SparkEntry {
     "q_union" -> QueriesCore.qUnionSql,
     "q_unique" -> QueriesCore.qUniqueSql,
     "q_join3" -> QueriesCore.qJoin3Sql
-  ) ++ QueriesStateful.sql
+  ) ++ QueriesStateful.sql ++ QueriesPipeline.sql
 }

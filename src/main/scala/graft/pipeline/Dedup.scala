@@ -1,0 +1,105 @@
+package graft.pipeline
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/**
+ * Deduplication operators for training-data pipelines. Every variant is a
+ * pure DataFrame pipeline (shuffle count noted per operator) designed to
+ * survive a 100 TB corpus: no driver collects, no all-pairs comparisons
+ * outside LSH buckets, per-doc work bounded by document length.
+ */
+object Dedup {
+
+  /** Exact dedup: one representative (min id) per identical text.
+    * One shuffle (groupBy text). At 100 TB, group by `xxhash64(text)`
+    * instead so the shuffle key is 8 bytes, not the document. */
+  def exact(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs.groupBy(col(textCol))
+      .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_copies"))
+
+  /** MinHash signature: k portable minhashes over word-3-gram shingles.
+    * Explode shingles → hash → k min-aggregates: one shuffle on the doc id,
+    * partial aggregation makes the map side emit k values per doc. */
+  def minhashSignature(docs: DataFrame, idCol: String, textCol: String, k: Int): DataFrame = {
+    val exploded = docs
+      .select(col(idCol), explode(TextOps.wordShingles(col(textCol), 3)).as("__shingle"))
+      .withColumn("__h", TextOps.polyHash(col("__shingle")))
+    val aggs = (0 until k).map { j =>
+      min((col("__h") * (2L * j + 1) + (12345L * j + 7)) % TextOps.P).as(s"mh$j")
+    }
+    exploded.groupBy(col(idCol)).agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** LSH banding: k minhashes → `bands` band keys; docs sharing any band
+    * key become candidate pairs. Shuffles on the band key only — the
+    * classic scalable near-dup candidate generator (no all-pairs). */
+  def lshCandidates(sig: DataFrame, idCol: String, k: Int, bands: Int): DataFrame = {
+    val rows = k / bands
+    val bandCols = (0 until bands).map { b =>
+      val combined = (0 until rows).map(r => col(s"mh${b * rows + r}")).reduce((x, y) => x * 31L + y)
+      struct(lit(b).as("band"), combined.as("bv"))
+    }
+    val e = sig.select(col(idCol), explode(array(bandCols: _*)).as("__bk"))
+    e.as("a").join(e.as("b"),
+        col("a.__bk") === col("b.__bk") && col(s"a.$idCol") < col(s"b.$idCol"))
+      .select(col(s"a.$idCol").as("id_a"), col(s"b.$idCol").as("id_b"))
+      .distinct()
+  }
+
+  /** Full MinHash+LSH near-dup pipeline: candidates from LSH, then exact
+    * shingle-Jaccard verification of candidates only. */
+  def minhashNearDup(docs: DataFrame, idCol: String, textCol: String,
+                     k: Int, bands: Int, threshold: Double): DataFrame = {
+    val cands = lshCandidates(minhashSignature(docs, idCol, textCol, k), idCol, k, bands)
+    val sets = docs.select(col(idCol), TextOps.wordShingles(col(textCol), 3).as("__sh"))
+    cands
+      .join(sets.select(col(idCol).as("id_a"), col("__sh").as("__sha")), "id_a")
+      .join(sets.select(col(idCol).as("id_b"), col("__sh").as("__shb")), "id_b")
+      .withColumn("jaccard", TextOps.jaccard(col("__sha"), col("__shb")))
+      .filter(col("jaccard") >= threshold)
+      .select(col("id_a"), col("id_b"), round(col("jaccard"), 3).as("jaccard"))
+  }
+
+  /** SimHash: 16-bit signature over word hashes; near-dups share signatures
+    * within small Hamming distance. One shuffle (groupBy doc). */
+  def simhash(docs: DataFrame, idCol: String, textCol: String, bits: Int = 16): DataFrame = {
+    val exploded = docs
+      .select(col(idCol), explode(TextOps.words(col(textCol))).as("__w"))
+      .withColumn("__h", TextOps.polyHash(col("__w")))
+    val bitSums = (0 until bits).map { i =>
+      sum(when(shiftright(col("__h"), i).bitwiseAND(1) === 1, 1).otherwise(-1)).as(s"__b$i")
+    }
+    exploded.groupBy(col(idCol)).agg(bitSums.head, bitSums.tail: _*)
+      .select(col(idCol),
+        (0 until bits).map(i => when(col(s"__b$i") > 0, lit(1L << i)).otherwise(lit(0L)))
+          .reduce(_ + _).as("simhash"))
+  }
+
+  /** Character-n-gram Jaccard near-dup within a blocking key (e.g. source):
+    * all-pairs only inside blocks — use when a natural partition bounds
+    * block size; otherwise prefer MinHash+LSH. */
+  def ngramJaccardWithinBlocks(docs: DataFrame, idCol: String, textCol: String,
+                               blockCol: String, n: Int, threshold: Double): DataFrame = {
+    val sets = docs.select(col(blockCol), col(idCol), TextOps.charShingles(col(textCol), n).as("__sh"))
+    sets.as("a").join(sets.as("b"),
+        col(s"a.$blockCol") === col(s"b.$blockCol") && col(s"a.$idCol") < col(s"b.$idCol"))
+      .withColumn("jaccard", TextOps.jaccard(col("a.__sh"), col("b.__sh")))
+      .filter(col("jaccard") >= threshold)
+      .select(col(s"a.$idCol").as("id_a"), col(s"b.$idCol").as("id_b"),
+        round(col("jaccard"), 3).as("jaccard"))
+  }
+
+  /** Embedding cosine near-dup, exact all-pairs baseline. Quadratic — the
+    * correctness reference for the LSH-bucketed variant in `Similarity`;
+    * at scale, bucket first (`Similarity.hyperplaneBuckets`). */
+  def embeddingNearDupExact(embs: DataFrame, idCol: String, vecCol: String,
+                            threshold: Double): DataFrame = {
+    val e = embs.select(col(idCol), col(vecCol).cast("array<double>").as("__e"))
+    e.as("a").join(e.as("b"), col(s"a.$idCol") < col(s"b.$idCol"))
+      .withColumn("cos", Similarity.cosine(col("a.__e"), col("b.__e")))
+      .filter(col("cos") >= threshold)
+      .select(col(s"a.$idCol").as("id_a"), col(s"b.$idCol").as("id_b"),
+        round(col("cos"), 6).as("cos"))
+  }
+}

@@ -1,0 +1,70 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.catalyst.encoders.RowEncoder
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/**
+ * Multimodal-column plumbing: image/audio/video travel as opaque `binary`
+ * columns with a typed metadata struct. The Spark-side machinery (schema,
+ * partition-parallel batch UDF shape, frame slicing) is real and tested;
+ * the actual codec step is a clearly-marked deterministic STUB because no
+ * image/audio libraries ship in this environment — swap `decodeStub`'s
+ * body for a real decoder without touching the pipeline shape.
+ */
+object Multimodal {
+
+  val MediaMetaType: StructType = StructType(Seq(
+    StructField("format", StringType),
+    StructField("width", IntegerType),
+    StructField("height", IntegerType),
+    StructField("n_frames", IntegerType)))
+
+  /** Attach a fake media payload derived from a text column: the bytes are
+    * the UTF-8 encoding (deterministic), the metadata is synthesized. */
+  def withFakeMedia(df: DataFrame, textCol: String): DataFrame =
+    df.withColumn("media", encode(col(textCol), "UTF-8"))
+      .withColumn("media_meta", struct(
+        lit("fake/raw").as("format"),
+        (length(col(textCol)) % 64 + 1).cast("int").as("width"),
+        (length(col(textCol)) % 48 + 1).cast("int").as("height"),
+        (length(col(textCol)) % 8 + 1).cast("int").as("n_frames")))
+
+  /**
+   * Decode + feature-extract, batched per partition (the Scala analog of
+   * `mapInPandas`: one iterator pass, no per-row task overhead, output
+   * schema declared up front). STUB: features are byte statistics; a real
+   * build decodes `media` with an image/audio codec here.
+   */
+  def decodeStub(df: DataFrame, idCol: String): DataFrame = {
+    val outSchema = StructType(Seq(
+      StructField("id", LongType),
+      StructField("byte_len", IntegerType),
+      StructField("mean_byte", DoubleType),
+      StructField("format", StringType)))
+    val idIdx = df.schema.fieldIndex(idCol)
+    val mediaIdx = df.schema.fieldIndex("media")
+    val metaIdx = df.schema.fieldIndex("media_meta")
+    implicit val enc = RowEncoder.encoderFor(outSchema)
+    df.mapPartitions { rows =>
+      rows.map { r =>
+        val bytes = r.getAs[Array[Byte]](mediaIdx)
+        // STUB decode: byte statistics stand in for pixel/sample decoding.
+        val mean = if (bytes.isEmpty) 0.0 else bytes.map(_ & 0xff).sum.toDouble / bytes.length
+        Row(r.getLong(idIdx), bytes.length, mean, r.getStruct(metaIdx).getString(0))
+      }
+    }
+  }
+
+  /** Sample up to `n` equal-length frame slices out of the binary payload
+    * — pure `substring` on binary, codegen'd, no decode required. */
+  def frameSample(df: DataFrame, n: Int): DataFrame = {
+    val total = length(col("media"))
+    val frameLen = greatest(total / n, lit(1))
+    df.withColumn("frames", filter(
+      transform(sequence(lit(0), lit(n - 1)),
+        i => col("media").substr((i * frameLen + 1).cast("int"), frameLen.cast("int"))),
+      f => length(f) > 0))
+  }
+}

@@ -1,0 +1,76 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/**
+ * Similarity search over an embedding column (`array<float>`), built from
+ * Catalyst higher-order functions (`zip_with`/`aggregate`) — codegen'd dot
+ * products, no UDFs.
+ */
+object Similarity {
+
+  /** Dot product of two array<double> columns (sequential fold — the fp
+    * result is deterministic and engine-portable). */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0d), (s, x) => s + x)
+
+  def norm(a: Column): Column = sqrt(aggregate(transform(a, x => x * x), lit(0.0d), (s, x) => s + x))
+
+  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+
+  /**
+   * Brute-force cosine top-k: every query scans the corpus once. The query
+   * set is broadcast (small side), so the corpus never shuffles for the
+   * scan; ranking shuffles (query_id, cos) pairs only. Exact baseline for
+   * the bucketed variant below.
+   */
+  def bruteForceTopK(corpus: DataFrame, queries: DataFrame,
+                     idCol: String, vecCol: String, qIdCol: String, k: Int): DataFrame = {
+    val c = corpus.select(col(idCol), col(vecCol).cast("array<double>").as("__e"))
+    val q = queries.select(col(qIdCol), col(vecCol).cast("array<double>").as("__qe"))
+    val scored = c.crossJoin(broadcast(q))
+      .filter(col(idCol) =!= col(qIdCol))
+      .withColumn("cos", cosine(col("__qe"), col("__e")))
+    val w = Window.partitionBy(col(qIdCol)).orderBy(col("cos").desc, col(idCol))
+    scored.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+      .select(col(qIdCol), col(idCol), round(col("cos"), 6).as("cos"), col("rn"))
+  }
+
+  /**
+   * Random-hyperplane LSH bucket key: `planes` sign bits from deterministic
+   * pseudo-random hyperplanes (hash-seeded, so any engine reproduces them).
+   * The scale path for ANN / near-dup: bucket, then compare within buckets
+   * only. Recall depends on the angle distribution — the exact operators
+   * above are the correctness baseline.
+   */
+  def hyperplaneBuckets(embs: DataFrame, idCol: String, vecCol: String,
+                        planes: Int, seed: Long = 42L): DataFrame = {
+    val e = col(vecCol).cast("array<double>")
+    // plane p, dim i weight: portable pseudo-random in [-1, 1)
+    def weight(p: Int, i: Column): Column =
+      (pmod((i + lit(p * 7919L + seed)) * 2654435761L, lit(1000003L)).cast("double") / 500001.5d) - 1.0d
+    val bits = (0 until planes).map { p =>
+      val proj = aggregate(zip_with(e, sequence(lit(0L), size(e).cast("long") - 1),
+        (x, i) => x * weight(p, i)), lit(0.0d), (s, x) => s + x)
+      when(proj >= 0, lit(1L << p)).otherwise(lit(0L))
+    }
+    embs.select(col(idCol), col(vecCol), bits.reduce(_ + _).as("bucket"))
+  }
+
+  /** Bucketed ANN: exact cosine within hyperplane buckets — sub-quadratic
+    * candidate generation, shuffle on the bucket key only. */
+  def bucketedNearDup(embs: DataFrame, idCol: String, vecCol: String,
+                      planes: Int, threshold: Double): DataFrame = {
+    val b = hyperplaneBuckets(embs, idCol, vecCol, planes)
+      .select(col(idCol), col(vecCol).cast("array<double>").as("__e"), col("bucket"))
+    b.as("a").join(b.as("b"),
+        col("a.bucket") === col("b.bucket") && col(s"a.$idCol") < col(s"b.$idCol"))
+      .withColumn("cos", cosine(col("a.__e"), col("b.__e")))
+      .filter(col("cos") >= threshold)
+      .select(col(s"a.$idCol").as("id_a"), col(s"b.$idCol").as("id_b"),
+        round(col("cos"), 6).as("cos"))
+  }
+}

@@ -1,0 +1,99 @@
+package graft.pipeline
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/**
+ * Text-analysis primitives for large-scale training-data pipelines, built
+ * entirely from Catalyst higher-order functions (`transform`/`aggregate`/
+ * `filter`) — no UDFs, so everything stays inside whole-stage codegen and
+ * scales linearly with input partitions (no shuffle is introduced by any
+ * helper here).
+ *
+ * All hashes are *portable* polynomial hashes (mod 1e9+7) rather than
+ * xxhash/murmur so an independent engine (the DuckDB oracle) can reproduce
+ * them exactly; at production scale swap `polyHash` for `xxhash64` — the
+ * pipeline shape is identical.
+ */
+object TextOps {
+
+  /** Modulus for portable polynomial hashing: keeps every intermediate
+    * (`acc*31 + char`) well inside signed-64 range in any engine. */
+  val P = 1000000007L
+
+  /** Characters of `s` as an array column (no trailing empties). */
+  def chars(s: Column): Column = filter(split(s, ""), c => c =!= "")
+
+  /** Portable polynomial hash of a string: fold (acc*31 + code) mod P. */
+  def polyHash(s: Column): Column =
+    aggregate(chars(s), lit(0L), (acc, c) => (acc * 31 + ascii(c)) % P)
+
+  /** Whitespace tokens. */
+  def words(text: Column): Column = split(text, " ")
+
+  /** Distinct word n-gram shingles ("a b c" strings). */
+  def wordShingles(text: Column, n: Int): Column = {
+    val ws = words(text)
+    when(size(ws) < n, array().cast("array<string>"))
+      .otherwise(array_distinct(transform(
+        sequence(lit(1), size(ws) - (n - 1)),
+        i => concat_ws(" ", (0 until n).map(j => element_at(ws, i + j)): _*))))
+  }
+
+  /** Distinct character n-gram shingles. */
+  def charShingles(text: Column, n: Int): Column =
+    when(length(text) < n, array().cast("array<string>"))
+      .otherwise(array_distinct(transform(
+        sequence(lit(1), length(text) - (n - 1)),
+        i => text.substr(i, lit(n)))))
+
+  /** Exact Jaccard similarity of two (distinct-element) array columns. */
+  def jaccard(a: Column, b: Column): Column =
+    size(array_intersect(a, b)).cast("double") / size(array_union(a, b))
+
+  /** Number of whitespace tokens. */
+  def tokenCountWhitespace(text: Column): Column = size(words(text))
+
+  /** BPE-ish token count: alnum runs + isolated punctuation, via a single
+    * regexp pass (codegen'd `regexp_count`). */
+  def tokenCountRegex(text: Column): Column =
+    regexp_count(text, lit("[A-Za-z0-9_]+|[^A-Za-z0-9_\\s]"))
+
+  /** Rolling-hash document fingerprint (content-defined identity). */
+  def fingerprint(text: Column): Column = polyHash(text)
+
+  /** Count of words that appear in the given marker list. */
+  def markerHits(text: Column, markers: Seq[String]): Column =
+    size(filter(words(text), w => markers.map(m => w === m).reduce(_ || _)))
+
+  /** Language markers for the n-gram/stopword language-ID heuristic. */
+  val LangMarkers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "a", "of", "and", "to"),
+    "de" -> Seq("der", "die", "das", "und", "ist"),
+    "fr" -> Seq("le", "la", "les", "et", "est"),
+    "es" -> Seq("el", "los", "las", "es", "una"))
+
+  /** Heuristic language ID: argmax of marker hits, ties resolved in
+    * `LangMarkers` declaration order. */
+  def langId(text: Column): Column = {
+    val hits = LangMarkers.map { case (l, ms) => l -> markerHits(text, ms) }
+    hits.init.zipWithIndex.foldRight(lit(hits.last._1)) { case (((l, h), i), rest) =>
+      val laterHits = hits.drop(i + 1).map(_._2)
+      when(laterHits.map(h >= _).reduce(_ && _), l).otherwise(rest)
+    }
+  }
+
+  /** Common English stopwords used by the quality score. */
+  val Stopwords: Seq[String] = Seq("the", "a", "of", "and", "to", "in", "is", "it")
+
+  /** Quality features: word count, mean word length, stopword ratio,
+    * punctuation ratio. */
+  def qualityFeatures(text: Column): Seq[(String, Column)] = {
+    val nw = tokenCountWhitespace(text)
+    Seq(
+      "n_words" -> nw,
+      "avg_word_len" -> round((length(text) - (nw - 1)).cast("double") / nw, 4),
+      "stopword_ratio" -> round(markerHits(text, Stopwords).cast("double") / nw, 4),
+      "punct_count" -> regexp_count(text, lit("[^A-Za-z0-9_\\s]")))
+  }
+}

@@ -1,0 +1,92 @@
+package graft.streaming
+
+import org.apache.spark.sql.{Dataset, Encoder, Encoders}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/**
+ * Streaming enrichment joins, mirroring the reference co-process functions:
+ *
+ *  - leftEnrichment (`runtime/LeftJoinKeyedCoProcessFunction.scala:47-75`):
+ *    a left arrival pairs with the latest right of its key (or None);
+ *    right arrivals only update state and emit nothing.
+ *  - fullEnrichment (`runtime/FullJoinKeyedCoProcessFunction.scala:51-92`):
+ *    an arrival on either side pairs with the latest of the other side.
+ *  - leftInner (`runtime/LeftInnerJoinKeyedCoProcessFunction.scala:48`):
+ *    lefts buffer until a right satisfying the residual exists; each left
+ *    emits exactly once.
+ *
+ * Lowering: tag both sides, union, `groupByKey` on the join key, one
+ * `flatMapGroupsWithState` holding (lastLeft, lastRight, pendingLefts).
+ * The shuffle key is the join key — the same partitioning point as the
+ * reference's `keyBy` — so state is horizontally partitioned across
+ * executors, never concentrated. Internal tagged/state values use kryo
+ * encoders (opaque binary, like the reference's POJO serialization);
+ * the user-visible input/output Datasets keep their columnar encoders.
+ *
+ * Emission is per micro-batch; records within a batch are processed in
+ * `seq` order with rights-before-lefts at equal seq (the reference's
+ * arrival interleaving). One record per batch reproduces per-record traces.
+ */
+object StreamingJoins {
+
+  sealed trait Kind
+  case object LeftEnrichment extends Kind
+  case object FullEnrichment extends Kind
+  case object LeftInner extends Kind
+
+  def enrichmentJoin[L, R, K: Encoder, O: Encoder](
+      left: Dataset[L], right: Dataset[R],
+      lKey: L => K, rKey: R => K,
+      lSeq: L => Long, rSeq: R => Long,
+      kind: Kind,
+      residual: (L, R) => Boolean = (_: L, _: R) => true)(
+      out: (Option[L], Option[R]) => O): Dataset[O] = {
+
+    implicit val tagEnc: Encoder[(K, Long, Option[L], Option[R])] =
+      Encoders.kryo[(K, Long, Option[L], Option[R])]
+    implicit val stEnc: Encoder[(Option[L], Option[R], List[L])] =
+      Encoders.kryo[(Option[L], Option[R], List[L])]
+
+    val lt = left.map(l => (lKey(l), lSeq(l), Option(l), Option.empty[R]))
+    val rt = right.map(r => (rKey(r), rSeq(r), Option.empty[L], Option(r)))
+    val u = lt.union(rt)
+
+    u.groupByKey(_._1)
+      .flatMapGroupsWithState[(Option[L], Option[R], List[L]), O](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (_: K, it: Iterator[(K, Long, Option[L], Option[R])],
+         state: GroupState[(Option[L], Option[R], List[L])]) =>
+          var (lastL, lastR, pending) = state.getOption.getOrElse(
+            (Option.empty[L], Option.empty[R], List.empty[L]))
+          val outs = scala.collection.mutable.ArrayBuffer.empty[O]
+          // rights before lefts at equal seq — reference interleaving
+          it.toSeq.sortBy(t => (t._2, t._3.isDefined)).foreach {
+            case (_, _, Some(l), _) => // left arrival
+              lastL = Some(l)
+              kind match {
+                case LeftEnrichment | FullEnrichment =>
+                  outs += out(Some(l), lastR.filter(r => residual(l, r)))
+                case LeftInner =>
+                  lastR.filter(r => residual(l, r)) match {
+                    case some @ Some(_) => outs += out(Some(l), some)
+                    case None           => pending :+= l
+                  }
+              }
+            case (_, _, _, Some(r)) => // right arrival
+              lastR = Some(r)
+              kind match {
+                case LeftEnrichment => // right arrivals emit nothing
+                case FullEnrichment =>
+                  outs += out(lastL.filter(l => residual(l, r)), Some(r))
+                case LeftInner =>
+                  val (matched, stillWaiting) = pending.partition(l => residual(l, r))
+                  matched.foreach(l => outs += out(Some(l), Some(r)))
+                  pending = stillWaiting
+              }
+            case _ => ()
+          }
+          state.update((lastL, lastR, pending))
+          outs.iterator
+      }
+  }
+}
