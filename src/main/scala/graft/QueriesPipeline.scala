@@ -72,7 +72,9 @@ object QueriesPipeline {
   val qNgramJaccardSql: String =
     """WITH s AS (
          SELECT source, doc_id,
-           list_distinct([text[i:i+3] for i in range(1, len(text) - 2)]) AS sh
+           list_distinct([list_reduce([0] || [ord(c)::BIGINT for c in string_split(g, '')],
+                                      (a, c) -> (a * 31 + c) % 1000000007)
+                          for g in list_distinct([text[i:i+3] for i in range(1, len(text) - 2)])]) AS sh
          FROM documents)
        SELECT id_a, id_b, round(j, 3) AS jaccard FROM (
          SELECT a.doc_id AS id_a, b.doc_id AS id_b,

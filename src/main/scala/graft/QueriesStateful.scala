@@ -221,6 +221,46 @@ object QueriesStateful {
                                 ROWS BETWEEN 4 PRECEDING AND CURRENT ROW), 4) AS trail_sum
        FROM events"""
 
+  /** Milan `GroupedStream.flatMap` with a nested stream pipeline
+    * (`lang/GroupOperations.scala:33`, `GroupBySample.scala:22-27`): the
+    * inner where+sumBy scope automatically to the group key. */
+  def qFlatmapNested(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .groupBy("user_id")
+      .flatMap(g => g.where(col("event_type") === "click").sumBy(col("value"), "run"))
+      .map(col("event_id"), col("user_id"), round(col("run"), 4).as("run"))
+      .df
+
+  val qFlatmapNestedSql: String =
+    """SELECT event_id, user_id,
+         round(sum(value) OVER (PARTITION BY user_id ORDER BY epoch_ns(ts), event_id
+                                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 4) AS run
+       FROM events WHERE event_type='click'"""
+
+  /** Milan stream ⋈ record-window join (`LeftWindowedJoin` +
+    * `recordWindow(2)`): each click sees the sum of its user's last two
+    * purchase values at arrival time. */
+  def qWindowJoin(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+    val clicks = ev.where(col("event_type") === "click")
+    val purchases = ev.where(col("event_type") === "purchase")
+    clicks.leftJoinWindow(purchases, 2).on((l, r) => l("user_id") === r("user_id"))
+      .select((l, rwin) => Seq(
+        l("event_id").as("event_id"), l("user_id").as("user_id"),
+        round(aggregate(transform(rwin, r => r.getField("value")), lit(0.0d), (s, x) => s + x), 4)
+          .as("sum_last2")))
+      .df
+  }
+
+  val qWindowJoinSql: String =
+    """SELECT c.event_id, c.user_id,
+         (SELECT round(coalesce(sum(v), 0), 4) FROM (
+            SELECT p.value AS v FROM events p
+            WHERE p.event_type = 'purchase' AND p.user_id = c.user_id
+              AND (epoch_ns(p.ts), p.event_id) < (epoch_ns(c.ts), c.event_id)
+            ORDER BY epoch_ns(p.ts) DESC, p.event_id DESC LIMIT 2)) AS sum_last2
+       FROM events c WHERE c.event_type = 'click'"""
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_leftjoin" -> (qLeftJoin _),
     "q_fulljoin" -> (qFullJoin _),
@@ -231,7 +271,9 @@ object QueriesStateful {
     "q_scan" -> (qScan _),
     "q_tumbling_window" -> (qTumblingWindow _),
     "q_sliding_window" -> (qSlidingWindow _),
-    "q_recordwindow" -> (qRecordWindow _)
+    "q_recordwindow" -> (qRecordWindow _),
+    "q_flatmap_nested" -> (qFlatmapNested _),
+    "q_window_join" -> (qWindowJoin _)
   )
 
   val sql: Map[String, String] = Map(
@@ -244,6 +286,8 @@ object QueriesStateful {
     "q_scan" -> qScanSql,
     "q_tumbling_window" -> qTumblingWindowSql,
     "q_sliding_window" -> qSlidingWindowSql,
-    "q_recordwindow" -> qRecordWindowSql
+    "q_recordwindow" -> qRecordWindowSql,
+    "q_flatmap_nested" -> qFlatmapNestedSql,
+    "q_window_join" -> qWindowJoinSql
   )
 }

@@ -133,6 +133,11 @@ final class MStream(
   def leftInnerJoin(right: MStream): JoinBuilder =
     new JoinBuilder(this, right, EnrichmentJoins.LeftInner)
 
+  /** Milan stream ⋈ record-window join (`lang/Stream.scala:102` +
+    * `recordWindow(n)`): each left sees the last n rights of its key. */
+  def leftJoinWindow(right: MStream, n: Int): WindowJoinBuilder =
+    new WindowJoinBuilder(this, right, n)
+
   // ---------------------------------------------------------------- 2.6 scans
 
   /** Milan ungrouped `maxBy`: emit a record only when it beats the running max. */
@@ -278,4 +283,10 @@ final class RecordWindowedMStream(val stream: MStream, keys: Seq[String], n: Int
 final class JoinBuilder(left: MStream, right: MStream, kind: EnrichmentJoins.Kind) {
   def on(cond: (String => Column, String => Column) => Column): JoinedMStream =
     EnrichmentJoins.build(left, right, kind, cond)
+}
+
+/** Builder for stream ⋈ record-window joins. */
+final class WindowJoinBuilder(left: MStream, right: MStream, n: Int) {
+  def on(cond: (String => Column, String => Column) => Column): graft.operators.WindowJoinedMStream =
+    EnrichmentJoins.buildWindowed(left, right, n, cond)
 }

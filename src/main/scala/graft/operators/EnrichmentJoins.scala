@@ -228,6 +228,75 @@ object EnrichmentJoins {
     }
     new JoinedMStream(paired, lStructT, rStructT, left.name)
   }
+
+  /**
+   * Milan stream ⋈ windowed-stream join (`LeftWindowedJoin`,
+   * `program/JoinExpressions.scala:210`; used with `recordWindow(n)` for
+   * latest-n-per-key lookups, see `bodaboda/BodaApp.scala:46-59`): each
+   * left record sees the last `n` right records of its key at its arrival
+   * point. Same single-shuffle union+window lowering; the right window is
+   * a `collect_list` sliced to its tail (collect_list skips the nulls the
+   * left rows contribute). NOTE: the running list is unbounded within a
+   * key partition before slicing — bounded-state variant is the streaming
+   * path (`StreamingJoins`); at batch scale the list lives inside the
+   * window operator per key, spilling with the sort.
+   */
+  def buildWindowed(left: MStream, right: MStream, n: Int,
+                    cond: (String => Column, String => Column) => Column): WindowJoinedMStream = {
+    require(left.eventOrder.nonEmpty && right.eventOrder.nonEmpty,
+      "windowed joins need orderedBy(...) on both sides in batch mode")
+    val lDf = left.df
+    val rDf = right.df
+    val lTaggedDf = lDf.select(lDf.columns.toIndexedSeq.map(c => lDf(c).as(LTag + c)): _*)
+    val rTaggedDf = rDf.select(rDf.columns.toIndexedSeq.map(c => rDf(c).as(RTag + c)): _*)
+    val taggedCond = ColumnBridge.analyzedExpr(
+      lTaggedDf.crossJoin(rTaggedDf), cond(nm => col(LTag + nm), nm => col(RTag + nm)))
+    val split = splitCondition(taggedCond)
+    require(split.residualIdx.isEmpty, "windowed joins support only equi-key + preconditions")
+    val taggedConjuncts = conjuncts(taggedCond)
+    def sideCol(i: Int): Column = ColumnBridge.column(untag(taggedConjuncts(i)))
+    val lp = split.leftPreIdx.map(sideCol).reduceOption(_ && _).map(lDf.filter).getOrElse(lDf)
+    val rp = split.rightPreIdx.map(sideCol).reduceOption(_ && _).map(rDf.filter).getOrElse(rDf)
+    val lKeyCols = split.leftKeys.map(ColumnBridge.column)
+    val rKeyCols = split.rightKeys.map(ColumnBridge.column)
+
+    val lStructT = org.apache.spark.sql.types.StructType(lp.schema.fields)
+    val rStructT = org.apache.spark.sql.types.StructType(rp.schema.fields)
+    val keyNames = lKeyCols.indices.map(i => s"_k$i")
+    val ordNames = left.eventOrder.indices.map(i => s"_o$i")
+    val lTagged = lp.select(
+      struct(lp.columns.toIndexedSeq.map(lp.col): _*).as(L) +:
+      lit(null).cast(rStructT).as(R) +:
+      (lKeyCols.zip(keyNames).map { case (c, nm) => c.as(nm) } ++
+       left.eventOrder.zip(ordNames).map { case (c, nm) => lp.col(c).as(nm) } :+
+       lit(1).as("_tag")): _*)
+    val rTagged = rp.select(
+      lit(null).cast(lStructT).as(L) +:
+      struct(rp.columns.toIndexedSeq.map(rp.col): _*).as(R) +:
+      (rKeyCols.zip(keyNames).map { case (c, nm) => c.as(nm) } ++
+       right.eventOrder.zip(ordNames).map { case (c, nm) => rp.col(c).as(nm) } :+
+       lit(0).as("_tag")): _*)
+    val u = lTagged.unionByName(rTagged)
+    val ord = ordNames.map(col) :+ col("_tag")
+    val wPast = Window.partitionBy(keyNames.map(col): _*).orderBy(ord: _*)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val withList = u.withColumn("__rall", collect_list(col(R)).over(wPast))
+    val lastN = when(size(col("__rall")) <= n, col("__rall"))
+      .otherwise(slice(col("__rall"), size(col("__rall")) - (n - 1), lit(n)))
+    val lefts = withList.filter(col("_tag") === 1)
+      .select(col(L), lastN.as("_rwin"))
+    new WindowJoinedMStream(lefts, left.name)
+  }
+}
+
+/** Milan `LeftJoinedWindowedStream` (`lang/JoinedWindowedStream.scala:16`):
+  * left records paired with the window contents of the right stream,
+  * awaiting `apply`. */
+final class WindowJoinedMStream(paired: DataFrame, name: String) {
+  /** Milan windowed-join `apply` (`lang/JoinedWindowedStream.scala:26`):
+    * project from the left record and the array of right records. */
+  def select(f: (String => Column, Column) => Seq[Column]): MStream =
+    new MStream(paired.select(f(c => col(s"_l.$c"), col("_rwin")): _*), Nil, Nil, name)
 }
 
 /** Milan `JoinedStream` (`lang/JoinedStream.scala:21`): the paired sides as

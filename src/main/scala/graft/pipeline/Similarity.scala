@@ -11,12 +11,14 @@ import org.apache.spark.sql.expressions.Window
  */
 object Similarity {
 
-  /** Dot product of two array<double> columns (sequential fold — the fp
-    * result is deterministic and engine-portable). */
-  def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0d), (s, x) => s + x)
+  /** Dot product of two array<double> columns: a native codegen'd Catalyst
+    * expression (`graft.functions.DotProduct`) — the higher-order-function
+    * formulation interprets lambdas per element, ~200× slower in the
+    * quadratic stages. Sequential left-to-right fold either way, so the fp
+    * result is deterministic and engine-portable. */
+  def dot(a: Column, b: Column): Column = graft.functions.VectorFunctions.dotNative(a, b)
 
-  def norm(a: Column): Column = sqrt(aggregate(transform(a, x => x * x), lit(0.0d), (s, x) => s + x))
+  def norm(a: Column): Column = graft.functions.VectorFunctions.normNative(a)
 
   def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
 

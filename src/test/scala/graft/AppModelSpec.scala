@@ -1,0 +1,35 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.api.App
+
+/** Application-model semantics: program is pure dataflow over named
+  * streams; sources/sinks bind by name in the config (Milan
+  * `ApplicationConfiguration` separation). */
+class AppModelSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("batch program runs against config-bound sources and sinks") {
+    val data = Seq(("a", 1.0), ("a", 2.0), ("b", 5.0)).toDF("k", "v")
+    val out = java.nio.file.Files.createTempDirectory("graft_app").toString
+    val config = new App.Config()
+      .setSource("input", App.Source(format = "list", rows = Some(data)))
+      .addSink("totals", App.Sink(format = "parquet", path = Some(s"$out/totals")))
+      .addSink("totals", App.Sink(format = "memory"))
+
+    val running = App.run(spark, config) { input =>
+      Map("totals" -> input("input").groupBy("k").select(sum(col("v")).as("total")))
+    }
+    assert(running.size == 2)
+    val roundTrip = spark.read.parquet(s"$out/totals")
+      .collect().map(r => (r.getString(0), r.getDouble(1))).toSet
+    assert(roundTrip == Set(("a", 3.0), ("b", 5.0)), "parquet sink wrote program output")
+  }
+
+  test("missing bindings fail with the stream name") {
+    val e = intercept[IllegalArgumentException] {
+      App.run(spark, new App.Config().addSink("x", App.Sink("memory"))) { _ => Map.empty }
+    }
+    assert(e.getMessage.contains("'x'"))
+  }
+}
