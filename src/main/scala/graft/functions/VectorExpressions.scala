@@ -89,6 +89,63 @@ case class NormL2(child: Expression) extends UnaryExpression {
   override protected def withNewChildInternal(newChild: Expression): Expression = copy(child = newChild)
 }
 
+/**
+ * Jaccard similarity of two SORTED, de-duplicated array<long> columns via a
+ * codegen'd two-pointer merge — no hash-set build per pair, the fast path
+ * for n-gram set similarity in O(pairs) dedup stages. Caller guarantees
+ * sortedness (`sort_array` once per row, amortized outside the pair join).
+ */
+case class JaccardSorted(left: Expression, right: Expression)
+    extends BinaryExpression {
+  import org.apache.spark.sql.types.LongType
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (Seq(left, right).forall(e => e.dataType match {
+      case ArrayType(LongType, _) => true
+      case _ => false
+    })) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires array<bigint> inputs, got ${left.dataType}, ${right.dataType}")
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "graft_jaccard_sorted"
+
+  override protected def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val (nx, ny) = (x.numElements(), y.numElements())
+    var (i, j, inter) = (0, 0, 0)
+    while (i < nx && j < ny) {
+      val (u, v) = (x.getLong(i), y.getLong(j))
+      if (u == v) { inter += 1; i += 1; j += 1 }
+      else if (u < v) i += 1
+      else j += 1
+    }
+    val union = nx + ny - inter
+    if (union == 0) 0.0d else inter.toDouble / union
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val i = ctx.freshName("i"); val j = ctx.freshName("j")
+      val nx = ctx.freshName("nx"); val ny = ctx.freshName("ny")
+      val inter = ctx.freshName("inter"); val u = ctx.freshName("u"); val v = ctx.freshName("v")
+      val union = ctx.freshName("union")
+      s"""
+         |int $nx = $a.numElements(); int $ny = $b.numElements();
+         |int $i = 0; int $j = 0; int $inter = 0;
+         |while ($i < $nx && $j < $ny) {
+         |  long $u = $a.getLong($i); long $v = $b.getLong($j);
+         |  if ($u == $v) { $inter++; $i++; $j++; }
+         |  else if ($u < $v) { $i++; } else { $j++; }
+         |}
+         |int $union = $nx + $ny - $inter;
+         |${ev.value} = ($union == 0) ? 0.0 : ((double) $inter) / $union;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): JaccardSorted =
+    copy(left = l, right = r)
+}
+
 object VectorFunctions {
   /** Codegen'd dot product of two array<double> columns. */
   def dotNative(a: Column, b: Column): Column =
@@ -97,4 +154,8 @@ object VectorFunctions {
   /** Codegen'd L2 norm of an array<double> column. */
   def normNative(a: Column): Column =
     ColumnBridge.column(NormL2(ColumnBridge.expr(a)))
+
+  /** Codegen'd Jaccard of two sorted, de-duplicated array<long> columns. */
+  def jaccardSorted(a: Column, b: Column): Column =
+    ColumnBridge.column(JaccardSorted(ColumnBridge.expr(a), ColumnBridge.expr(b)))
 }

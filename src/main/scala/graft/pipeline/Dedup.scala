@@ -81,15 +81,16 @@ object Dedup {
     * block size; otherwise prefer MinHash+LSH. */
   def ngramJaccardWithinBlocks(docs: DataFrame, idCol: String, textCol: String,
                                blockCol: String, n: Int, threshold: Double): DataFrame = {
-    // Hash each shingle to a long BEFORE the pair join: the O(pairs) set
-    // intersections then compare 8-byte longs instead of re-hashing ~n-char
-    // strings per pair — ~10× less work in the quadratic stage.
-    val hashed = array_distinct(transform(
-      TextOps.charShingles(col(textCol), n), s => TextOps.polyHash(s)))
+    // Hash each shingle to a long and sort ONCE per row — the O(pairs)
+    // stage is then a codegen'd two-pointer merge over 8-byte longs
+    // (`JaccardSorted`) instead of per-pair hash-set builds over strings.
+    val hashed = sort_array(array_distinct(transform(
+      TextOps.charShingles(col(textCol), n), s => TextOps.polyHash(s))))
     val sets = docs.select(col(blockCol), col(idCol), hashed.as("__sh"))
     sets.as("a").join(sets.as("b"),
         col(s"a.$blockCol") === col(s"b.$blockCol") && col(s"a.$idCol") < col(s"b.$idCol"))
-      .withColumn("jaccard", TextOps.jaccard(col("a.__sh"), col("b.__sh")))
+      .withColumn("jaccard",
+        graft.functions.VectorFunctions.jaccardSorted(col("a.__sh"), col("b.__sh")))
       .filter(col("jaccard") >= threshold)
       .select(col(s"a.$idCol").as("id_a"), col(s"b.$idCol").as("id_b"),
         round(col("jaccard"), 3).as("jaccard"))

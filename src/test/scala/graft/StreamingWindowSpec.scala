@@ -1,0 +1,54 @@
+package graft
+
+import java.sql.Timestamp
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.OutputMode
+import graft.streaming.StreamingWindows
+
+case class TEv(k: String, ts: Timestamp, v: Double)
+case class Trail(k: String, seq: Long, tsum: Double)
+
+/** Streaming window semantics: watermarked tumbling aggregation in update
+  * mode; trailing-n record windows emit per record. */
+class StreamingWindowSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("tumbling window aggregates per (window, key) with watermark = window size") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[TEv]
+    val agg = StreamingWindows.tumbling(in.toDF(), "ts", "10 seconds", keys = Seq("k"))
+      .agg(sum(col("v")).as("total"))
+      .select(col("w.start").cast("long").as("ws"), col("k"), col("total"))
+    val name = s"win_${System.nanoTime()}"
+    val q = agg.writeStream.format("memory").queryName(name)
+      .outputMode(OutputMode.Update()).start()
+    try {
+      def t(s: Long) = new Timestamp(s * 1000)
+      in.addData(TEv("a", t(1), 1.0), TEv("a", t(5), 2.0), TEv("a", t(12), 4.0))
+      q.processAllAvailable()
+      val out = spark.table(name).as[(Long, String, Double)].collect().toSet
+      assert(out.contains((0L, "a", 3.0)), "window [0,10) sums in-window records")
+      assert(out.contains((10L, "a", 4.0)), "window [10,20) opens with the late-window record")
+    } finally q.stop()
+  }
+
+  test("recordWindow(n) emits trailing-n aggregate per record across batches") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[Ev]
+    val out = StreamingWindows.recordWindow[Ev, String, Trail](
+      in.toDS(), _.k, _.seq, 3)((t, w) => Trail(t.k, t.seq, w.map(_.v).sum))
+    val name = s"rw_${System.nanoTime()}"
+    val q = out.writeStream.format("memory").queryName(name)
+      .outputMode(OutputMode.Append()).start()
+    try {
+      in.addData(Ev("a", 1, 1.0), Ev("a", 2, 2.0))
+      in.addData(Ev("a", 3, 4.0), Ev("a", 4, 8.0))
+      q.processAllAvailable()
+      val got = spark.table(name).as[Trail].collect().toSet
+      assert(got == Set(Trail("a", 1, 1.0), Trail("a", 2, 3.0),
+        Trail("a", 3, 7.0), Trail("a", 4, 14.0)),
+        "ring buffer keeps last 3 across batch boundaries")
+    } finally q.stop()
+  }
+}
