@@ -146,6 +146,43 @@ case class JaccardSorted(left: Expression, right: Expression)
     copy(left = l, right = r)
 }
 
+/** Static helper so both interpreted eval and generated code share one
+  * implementation of the portable polynomial string hash. */
+object PolyHashUtil {
+  final val P = 1000000007L
+  def hash(s: org.apache.spark.unsafe.types.UTF8String): Long = {
+    val str = s.toString
+    var a = 0L
+    var i = 0
+    while (i < str.length) { a = (a * 31 + str.charAt(i)) % P; i += 1 }
+    a
+  }
+}
+
+/**
+ * Portable polynomial string hash `fold (acc*31 + codepoint) mod 1e9+7` as
+ * a native expression — the HOF formulation (`aggregate(split(s,''),...)`)
+ * interprets two lambdas per character; this is one tight loop. Matches
+ * DuckDB `list_reduce([0] || [ord(c) ...])` for BMP text.
+ */
+case class StringPolyHash(child: Expression) extends UnaryExpression {
+  import org.apache.spark.sql.types.{LongType, StringType}
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(s"$prettyName requires string, got $other")
+  }
+  override def dataType: DataType = LongType
+  override def prettyName: String = "graft_polyhash"
+
+  override protected def nullSafeEval(a: Any): Any =
+    PolyHashUtil.hash(a.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, a => s"graft.functions.PolyHashUtil.hash($a)")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression = copy(child = newChild)
+}
+
 object VectorFunctions {
   /** Codegen'd dot product of two array<double> columns. */
   def dotNative(a: Column, b: Column): Column =
@@ -158,4 +195,8 @@ object VectorFunctions {
   /** Codegen'd Jaccard of two sorted, de-duplicated array<long> columns. */
   def jaccardSorted(a: Column, b: Column): Column =
     ColumnBridge.column(JaccardSorted(ColumnBridge.expr(a), ColumnBridge.expr(b)))
+
+  /** Codegen'd portable polynomial string hash. */
+  def polyHashNative(s: Column): Column =
+    ColumnBridge.column(StringPolyHash(ColumnBridge.expr(s)))
 }

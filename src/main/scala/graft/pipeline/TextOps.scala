@@ -24,9 +24,10 @@ object TextOps {
   /** Characters of `s` as an array column (no trailing empties). */
   def chars(s: Column): Column = filter(split(s, ""), c => c =!= "")
 
-  /** Portable polynomial hash of a string: fold (acc*31 + code) mod P. */
-  def polyHash(s: Column): Column =
-    aggregate(chars(s), lit(0L), (acc, c) => (acc * 31 + ascii(c)) % P)
+  /** Portable polynomial hash of a string: fold (acc*31 + code) mod P.
+    * Native codegen'd expression (`StringPolyHash`); the HOF equivalent
+    * interprets two lambdas per character. */
+  def polyHash(s: Column): Column = graft.functions.VectorFunctions.polyHashNative(s)
 
   /** Whitespace tokens. */
   def words(text: Column): Column = split(text, " ")

@@ -1,0 +1,35 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.api.{Metrics, MStream}
+import graft.operators.Cycles
+
+/** Cycle (batch fixpoint) and observe()-based metrics. */
+class CycleMetricsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("batch cycle iterates to a fixpoint (transitive closure)") {
+    // edges of a chain 1->2->3->4; closure adds 1->3,1->4,2->4
+    val edges = Seq((1, 2), (2, 3), (3, 4)).toDF("src", "dst")
+    val closure = Cycles.iterate(MStream(edges), maxIterations = 10) { cur =>
+      val joined = cur.df.as("a").join(edges.as("b"), col("a.dst") === col("b.src"))
+        .select(col("a.src").as("src"), col("b.dst").as("dst"))
+      MStream(cur.df.unionByName(joined).distinct())
+    }
+    assert(closure.df.count() == 6, "chain of 4 nodes has 6 closure edges")
+  }
+
+  test("observed metrics are evaluated in-plan and reach the collector") {
+    val collector = new Metrics.Collector(spark)
+    try {
+      val s = Metrics.observe(MStream(Seq(1.0, 2.0, 3.0).toDF("v")),
+        "obs1", "cnt" -> count(lit(1)), "total" -> sum(col("v")))
+      s.df.collect()
+      // listener delivery is asynchronous with respect to collect()
+      var tries = 0
+      while (collector.get("obs1").isEmpty && tries < 50) { Thread.sleep(100); tries += 1 }
+      val m = collector.get("obs1").get
+      assert(m("cnt") == 3L && m("total") == 6.0)
+    } finally collector.close()
+  }
+}
