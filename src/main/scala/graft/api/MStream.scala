@@ -78,11 +78,19 @@ final class MStream(
    * Milan `unique`/UniqueBy (documented in "Streams in Milan", no reference
    * implementation): within each group keep only the latest record per
    * distinct extracted value, before aggregating.
+   *
+   * Lowered as `max_by(record-struct, order-struct)` under a hash
+   * aggregation — one shuffle, map-side partial aggregation, and no
+   * per-partition sort (the window/row_number formulation sorts every
+   * partition; at 100 TB the sort dominates).
    */
   def uniqueBy(valueCols: Seq[String], keepLatestBy: Seq[String]): MStream = {
-    val w = Window.partitionBy((contextKeys ++ valueCols).map(col): _*)
-      .orderBy(keepLatestBy.map(c => col(c).desc): _*)
-    lift(df.withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1).drop("__rn"))
+    val keys = contextKeys ++ valueCols
+    val payload = struct(df.columns.toIndexedSeq.map(col): _*)
+    val ordKey = struct(keepLatestBy.map(col): _*)
+    lift(df.groupBy(keys.map(col): _*)
+      .agg(max_by(payload, ordKey).as("__latest"))
+      .select(col("__latest.*")))
   }
 
   // ---------------------------------------------------------------- 2.5 windowing
@@ -251,15 +259,15 @@ final class TimeWindowedMStream(val stream: MStream, windowExpr: Column, keys: S
   def applyRows[O: Encoder](windowAs: String)(f: (Row, Iterator[Row]) => IterableOnce[O]): MStream = {
     val withW = stream.df.withColumn(windowAs, windowExpr)
     val keyCols = windowAs +: keys
-    val grouped = withW.groupBy(keyCols.map(col): _*)
     import org.apache.spark.sql.catalyst.encoders.RowEncoder
     implicit val rowEnc: Encoder[Row] = RowEncoder.encoderFor(withW.schema)
-    val kv = withW.groupByKey(r => keyCols.map(c => r.get(r.fieldIndex(c)).toString).mkString(" "))(
-      org.apache.spark.sql.Encoders.STRING)
-    new MStream(kv.flatMapGroups((_, it) => {
+    implicit val keyEnc: Encoder[Seq[Any]] = org.apache.spark.sql.Encoders.kryo[Seq[Any]]
+    val idx = keyCols.map(withW.schema.fieldIndex)
+    val kv = withW.groupByKey(r => idx.map(r.get(_)): Seq[Any])
+    new MStream(kv.flatMapGroups { (_, it) =>
       val buf = it.buffered
       f(buf.head, buf).iterator
-    }).toDF(), Nil, Nil, stream.name)
+    }.toDF(), Nil, Nil, stream.name)
   }
 }
 
