@@ -115,12 +115,14 @@ object QueriesPipeline {
        FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
        WHERE list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= 0.4"""
 
-  /** Brute-force cosine top-5 for the first 10 vectors as queries. */
+  /** Brute-force cosine top-5 for the first 10 vectors as queries, via
+    * map-side partial top-k (shuffle carries queries×k rows, not
+    * queries×corpus). */
   def qAnnTopK(spark: SparkSession, dir: String): DataFrame = {
     val emb = Tables.embeddings(spark, dir).df
     val queries = emb.filter(col("vec_id") < 10)
       .select(col("vec_id").as("q_id"), col("embedding"))
-    Similarity.bruteForceTopK(emb, queries, "vec_id", "embedding", "q_id", k = 5)
+    Similarity.bruteForceTopKPartial(emb, queries, "vec_id", "embedding", "q_id", k = 5)
   }
 
   val qAnnTopKSql: String =

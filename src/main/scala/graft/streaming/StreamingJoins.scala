@@ -39,7 +39,10 @@ object StreamingJoins {
       lKey: L => K, rKey: R => K,
       lSeq: L => Long, rSeq: R => Long,
       kind: Kind,
-      residual: (L, R) => Boolean = (_: L, _: R) => true)(
+      residual: (L, R) => Boolean = (_: L, _: R) => true,
+      /** Evict join state for keys idle longer than this (Milan keeps
+        * group state forever — unbounded on an unbounded key space). */
+      stateTtl: Option[java.time.Duration] = None)(
       out: (Option[L], Option[R]) => O): Dataset[O] = {
 
     implicit val tagEnc: Encoder[(K, Long, Option[L], Option[R])] =
@@ -51,11 +54,16 @@ object StreamingJoins {
     val rt = right.map(r => (rKey(r), rSeq(r), Option.empty[L], Option(r)))
     val u = lt.union(rt)
 
+    val timeoutConf =
+      if (stateTtl.isDefined) GroupStateTimeout.ProcessingTimeTimeout()
+      else GroupStateTimeout.NoTimeout()
     u.groupByKey(_._1)
       .flatMapGroupsWithState[(Option[L], Option[R], List[L]), O](
-        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        OutputMode.Append(), timeoutConf) {
         (_: K, it: Iterator[(K, Long, Option[L], Option[R])],
          state: GroupState[(Option[L], Option[R], List[L])]) =>
+          if (state.hasTimedOut) { state.remove(); Iterator.empty }
+          else {
           var (lastL, lastR, pending) = state.getOption.getOrElse(
             (Option.empty[L], Option.empty[R], List.empty[L]))
           val outs = scala.collection.mutable.ArrayBuffer.empty[O]
@@ -86,7 +94,9 @@ object StreamingJoins {
             case _ => ()
           }
           state.update((lastL, lastR, pending))
+          stateTtl.foreach(d => state.setTimeoutDuration(d.toMillis))
           outs.iterator
+          }
       }
   }
 }

@@ -22,21 +22,36 @@ object StreamingScans {
   /**
    * Generic keyed running scan: state `S`, per-record optional output.
    * The direct analog of Milan `scan` (`lang/Stream.scala:176`).
+   *
+   * Milan's groups live forever; on an unbounded key space that is
+   * unbounded state (the reference has the same hazard, hidden inside
+   * Flink state backends). `stateTtl` opts a pipeline out: keys idle
+   * longer than the TTL are evicted, resetting their running state.
    */
   def scanWithState[T, K: Encoder, S: Encoder, O: Encoder](
       ds: Dataset[T], key: T => K, seq: T => Long,
-      initial: S, step: (K, S, T) => (S, Option[O])): Dataset[O] = {
+      initial: S, step: (K, S, T) => (S, Option[O]),
+      stateTtl: Option[java.time.Duration] = None): Dataset[O] = {
+    val timeoutConf =
+      if (stateTtl.isDefined) GroupStateTimeout.ProcessingTimeTimeout()
+      else GroupStateTimeout.NoTimeout()
     ds.groupByKey(key).flatMapGroupsWithState[S, O](
-      OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+      OutputMode.Append(), timeoutConf) {
       (k: K, it: Iterator[T], state: GroupState[S]) =>
-        var s = state.getOption.getOrElse(initial)
-        val out = it.toSeq.sortBy(seq).flatMap { t =>
-          val (s2, o) = step(k, s, t)
-          s = s2
-          o
+        if (state.hasTimedOut) {
+          state.remove()
+          Iterator.empty
+        } else {
+          var s = state.getOption.getOrElse(initial)
+          val out = it.toSeq.sortBy(seq).flatMap { t =>
+            val (s2, o) = step(k, s, t)
+            s = s2
+            o
+          }
+          state.update(s)
+          stateTtl.foreach(d => state.setTimeoutDuration(d.toMillis))
+          out.iterator
         }
-        state.update(s)
-        out.iterator
     }
   }
 
