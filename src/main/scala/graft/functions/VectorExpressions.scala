@@ -183,6 +183,52 @@ case class StringPolyHash(child: Expression) extends UnaryExpression {
   override protected def withNewChildInternal(newChild: Expression): Expression = copy(child = newChild)
 }
 
+/**
+ * Full MinHash signature in one pass over a hashed-shingle array: for
+ * hash family j in 0..k-1, `min over shingles of ((2j+1)*h + 12345j+7)
+ * mod P`. Replaces explode → k min-aggregates → shuffle with a per-row
+ * array expression — the signature never leaves the row. Interpreted eval
+ * (CodegenFallback) is fine here: one call per document, with the k×n
+ * loop compiled JVM code.
+ */
+object MinHashUtil {
+  /** Shared by interpreted eval and generated code. */
+  def signature(hs: ArrayData, k: Int): ArrayData = {
+    val n = hs.numElements()
+    val mins = Array.fill(k)(Long.MaxValue)
+    var i = 0
+    while (i < n) {
+      val h = hs.getLong(i)
+      var j = 0
+      while (j < k) {
+        val v = (h * (2L * j + 1) + (12345L * j + 7)) % PolyHashUtil.P
+        if (v < mins(j)) mins(j) = v
+        j += 1
+      }
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(mins)
+  }
+}
+
+case class MinHashSignature(child: Expression, k: Int) extends UnaryExpression {
+  import org.apache.spark.sql.types.LongType
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(LongType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(s"$prettyName requires array<bigint>, got $other")
+  }
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = s"graft_minhash$k"
+
+  override protected def nullSafeEval(a: Any): Any =
+    MinHashUtil.signature(a.asInstanceOf[ArrayData], k)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, a => s"graft.functions.MinHashUtil.signature($a, $k)")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression = copy(child = newChild)
+}
+
 object VectorFunctions {
   /** Codegen'd dot product of two array<double> columns. */
   def dotNative(a: Column, b: Column): Column =
@@ -199,4 +245,8 @@ object VectorFunctions {
   /** Codegen'd portable polynomial string hash. */
   def polyHashNative(s: Column): Column =
     ColumnBridge.column(StringPolyHash(ColumnBridge.expr(s)))
+
+  /** k-minhash signature of a hashed-shingle array, one pass per row. */
+  def minhashSignature(hashes: Column, k: Int): Column =
+    ColumnBridge.column(MinHashSignature(ColumnBridge.expr(hashes), k))
 }

@@ -18,17 +18,24 @@ object Dedup {
     docs.groupBy(col(textCol))
       .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_copies"))
 
-  /** MinHash signature: k portable minhashes over word-3-gram shingles.
-    * Explode shingles → hash → k min-aggregates: one shuffle on the doc id,
-    * partial aggregation makes the map side emit k values per doc. */
+  /** MinHash signature: k portable minhashes over word-3-gram shingles,
+    * computed in one pass per document (`MinHashSignature` expression) —
+    * no explode, no shuffle; the signature never leaves the row. */
   def minhashSignature(docs: DataFrame, idCol: String, textCol: String, k: Int): DataFrame = {
-    val exploded = docs
-      .select(col(idCol), explode(TextOps.wordShingles(col(textCol), 3)).as("__shingle"))
-      .withColumn("__h", TextOps.polyHash(col("__shingle")))
-    val aggs = (0 until k).map { j =>
-      min((col("__h") * (2L * j + 1) + (12345L * j + 7)) % TextOps.P).as(s"mh$j")
-    }
-    exploded.groupBy(col(idCol)).agg(aggs.head, aggs.tail: _*)
+    val hashes = transform(TextOps.wordShingles(col(textCol), 3), s => TextOps.polyHash(s))
+    val sig = graft.functions.VectorFunctions.minhashSignature(hashes, k)
+    // explode(array(sig)) is a deliberate Generate barrier: without it,
+    // CollapseProject inlines the signature into every element_at below
+    // and the whole k-pass evaluates once PER REFERENCED ELEMENT.
+    docs.select(col(idCol), explode(array(sig)).as("__mhs"))
+      // docs with no shingles (under n words) have no signature — same as
+      // the explode formulation, and it keeps them out of a shared bucket
+      .filter(element_at(col("__mhs"), 1) =!= Long.MaxValue)
+      .select(col(idCol) +: (0 until k).map(j => element_at(col("__mhs"), j + 1).as(s"mh$j")): _*)
+      // one small shuffle of compact signatures: the LSH band self-join
+      // then reuses this exchange on both sides (ReuseExchange), instead
+      // of re-shingling and re-hashing every document per side
+      .repartition(col(idCol))
   }
 
   /** LSH banding: k minhashes → `bands` band keys; docs sharing any band
