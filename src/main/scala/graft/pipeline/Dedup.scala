@@ -94,7 +94,12 @@ object Dedup {
     val hashed = sort_array(array_distinct(transform(
       TextOps.charShingles(col(textCol), n), s => TextOps.polyHash(s))))
     val sets = docs.select(col(blockCol), col(idCol), hashed.as("__sh"))
-    sets.as("a").join(sets.as("b"),
+    // A shuffle on the block key alone would have only #blocks distinct
+    // keys (parallelism collapse + skew). Broadcast the build side and
+    // round-robin the probe side so the quadratic pair work spreads over
+    // every core regardless of how few input splits or blocks there are.
+    val probe = sets.repartition(sets.sparkSession.sparkContext.defaultParallelism)
+    probe.as("a").join(broadcast(sets.as("b")),
         col(s"a.$blockCol") === col(s"b.$blockCol") && col(s"a.$idCol") < col(s"b.$idCol"))
       .withColumn("jaccard",
         graft.functions.VectorFunctions.jaccardSorted(col("a.__sh"), col("b.__sh")))
@@ -114,7 +119,10 @@ object Dedup {
     // dot/(norm*norm), so results match the cosine oracle.
     val e = embs.select(col(idCol), col(vecCol).cast("array<double>").as("__e"))
       .withColumn("__n", Similarity.norm(col("__e")))
-    e.as("a").join(e.as("b"), col(s"a.$idCol") < col(s"b.$idCol"))
+    // spread the probe side over all cores — a small parquet input is one
+    // split, which would serialize the whole O(n²) stage onto one task
+    val probe = e.repartition(e.sparkSession.sparkContext.defaultParallelism)
+    probe.as("a").join(broadcast(e.as("b")), col(s"a.$idCol") < col(s"b.$idCol"))
       .withColumn("cos", Similarity.dot(col("a.__e"), col("b.__e")) / (col("a.__n") * col("b.__n")))
       .filter(col("cos") >= threshold)
       .select(col(s"a.$idCol").as("id_a"), col(s"b.$idCol").as("id_b"),
