@@ -78,6 +78,25 @@ object App {
     new MStream(df, s.order)
   }
 
+  /** Milan `ApplicationInstance.toJsonString` parity
+    * (`application/ApplicationInstance.scala:27`): a JSON description of
+    * the resolved program — output stream names, schemas, and optimized
+    * plans — without executing anything. */
+  def describeJson(spark: SparkSession, config: Config)(
+      program: (String => MStream) => Map[String, MStream]): String = {
+    def q(s: String): String = "\"" + s.flatMap {
+      case '"' => "\\\""; case '\\' => "\\\\"; case '\n' => "\\n"
+      case '\r' => "\\r"; case '\t' => "\\t"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c => c.toString
+    } + "\""
+    val outputs = program(name => readSource(spark, config.source(name)))
+    outputs.map { case (name, s) =>
+      s"""${q(name)}: {"schema": ${q(s.df.schema.json)}, "plan": ${q(
+        s.df.queryExecution.optimizedPlan.toString)}}"""
+    }.mkString("{", ",", "}")
+  }
+
   /**
    * Run a program under a configuration: resolve each named input, apply
    * the dataflow, drive every bound sink. The program never names paths or

@@ -155,6 +155,14 @@ final class MStream(
   /** Milan `sumBy`: running sum of `arg`, output = record + running value. */
   def sumBy(arg: Column, as: String): MStream = Scans.runningAgg(this, contextKeys, sum(arg), as)
 
+  /** Milan `meanBy`/`productBy`/`countBy` — the ops doc declares the whole
+    * "SumBy, ProductBy, MaxBy, MinBy, MeanBy, etc" running family; each is
+    * the same keyed running-aggregate pattern. */
+  def meanBy(arg: Column, as: String): MStream = Scans.runningAgg(this, contextKeys, avg(arg), as)
+  def productBy(arg: Column, as: String): MStream =
+    Scans.runningAgg(this, contextKeys, product(arg), as)
+  def countBy(as: String): MStream = Scans.runningAgg(this, contextKeys, count(lit(1)), as)
+
   /** Milan `last()`: final record (per context key, else global). */
   def last(): MStream = Scans.lastRecord(this, contextKeys)
 
@@ -236,6 +244,9 @@ final class GroupedMStream(val stream: MStream, val keys: Seq[String]) {
   def maxBy(arg: Column): MStream = Scans.argCompare(stream, keys, arg, isMax = true)
   def minBy(arg: Column): MStream = Scans.argCompare(stream, keys, arg, isMax = false)
   def sumBy(arg: Column, as: String): MStream = Scans.runningAgg(stream, keys, sum(arg), as)
+  def meanBy(arg: Column, as: String): MStream = Scans.runningAgg(stream, keys, avg(arg), as)
+  def productBy(arg: Column, as: String): MStream = Scans.runningAgg(stream, keys, product(arg), as)
+  def countBy(as: String): MStream = Scans.runningAgg(stream, keys, count(lit(1)), as)
   def last(): MStream = Scans.lastRecord(stream, keys)
 
   def scanRows[S, O: Encoder](initial: S)(step: (S, Row) => (S, Option[O])): MStream =

@@ -26,6 +26,15 @@ class AppModelSpec extends SparkSpec {
     assert(roundTrip == Set(("a", 3.0), ("b", 5.0)), "parquet sink wrote program output")
   }
 
+  test("describeJson serializes the resolved program without executing") {
+    val data = Seq(("a", 1.0)).toDF("k", "v")
+    val config = new App.Config().setSource("input", App.Source("list", rows = Some(data)))
+    val json = App.describeJson(spark, config) { input =>
+      Map("out" -> input("input").groupBy("k").select(sum(col("v")).as("total")))
+    }
+    assert(json.contains("\"out\"") && json.contains("Aggregate") && json.contains("total"))
+  }
+
   test("missing bindings fail with the stream name") {
     val e = intercept[IllegalArgumentException] {
       App.run(spark, new App.Config().addSink("x", App.Sink("memory"))) { _ => Map.empty }
