@@ -206,7 +206,20 @@ object QueriesPipeline {
         round(avg(col("mean_byte")), 4).as("avg_mean_byte"))
   }
 
+  /** IVF ANN: k-means cells + probe-limited exact search. Rows-only check
+    * (training is iterative; no closed-form SQL oracle) — recall vs brute
+    * force is asserted in IvfSpec. */
+  def qIvfAnn(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, dir).df
+    val centroids = graft.pipeline.Ivf.train(emb, "vec_id", "embedding", k = 8, iters = 2)
+    val queries = emb.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("q_id"), col("embedding"))
+    graft.pipeline.Ivf.search(emb, queries, "vec_id", "embedding", "q_id",
+      centroids, topK = 5, nProbe = 3)
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_ivf_ann" -> (qIvfAnn _),
     "q_dedup_exact" -> (qDedupExact _),
     "q_minhash_dedup" -> (qMinhashDedup _),
     "q_simhash" -> (qSimhash _),
