@@ -1,0 +1,87 @@
+package graft.api
+
+import org.apache.spark.sql.{Dataset, Encoder}
+import graft.streaming.{StreamingJoins, StreamingScans}
+
+/**
+ * Typed facade with the reference's lambda-based surface
+ * (`lang/Stream.scala`: where/map/flatMap/groupBy + scans/joins on
+ * `T => _` functions), for programs ported verbatim from Milan.
+ *
+ * The trade-off is explicit: Milan's macros convert lambdas into an
+ * inspectable IR; JVM closures are opaque to Catalyst, so this facade
+ * costs deserialization at every lambda boundary and loses pushdown/
+ * pruning across it. The `MStream` Column API is the optimizer-friendly
+ * path — use it wherever the logic is expressible; `TypedStream` is the
+ * drop-in for existing typed Milan programs and works identically over
+ * batch and streaming Datasets.
+ */
+final case class TypedStream[T](ds: Dataset[T], seqFn: T => Long) {
+
+  /** Milan `where` (`lang/Stream.scala:155`). */
+  def where(p: T => Boolean): TypedStream[T] = copy(ds = ds.filter(p))
+
+  /** Milan `map` (`lang/Stream.scala:164`). */
+  def map[O: Encoder](f: T => O, seq: O => Long): TypedStream[O] =
+    TypedStream(ds.map(f), seq)
+
+  /** Milan record-level flatMap. */
+  def flatMap[O: Encoder](f: T => IterableOnce[O], seq: O => Long): TypedStream[O] =
+    TypedStream(ds.flatMap(f), seq)
+
+  /** Milan `union` (`lang/Stream.scala:135`). */
+  def union(other: TypedStream[T]): TypedStream[T] = copy(ds = ds.union(other.ds))
+
+  /** Milan `groupBy` (`lang/Stream.scala:196`). */
+  def groupBy[K: Encoder](key: T => K): TypedGroupedStream[T, K] =
+    TypedGroupedStream(this, key)
+
+  /** Milan `leftJoin`/`fullJoin`/`leftInnerJoin` (typed enrichment). */
+  def leftJoin[R, K: Encoder, O: Encoder](right: TypedStream[R])(
+      lKey: T => K, rKey: R => K,
+      residual: (T, R) => Boolean = (_: T, _: R) => true)(
+      out: (Option[T], Option[R]) => O)(implicit te: Encoder[T]): Dataset[O] =
+    StreamingJoins.enrichmentJoin[T, R, K, O](ds, right.ds, lKey, rKey,
+      seqFn, right.seqFn, StreamingJoins.LeftEnrichment, residual)(out)
+
+  def fullJoin[R, K: Encoder, O: Encoder](right: TypedStream[R])(
+      lKey: T => K, rKey: R => K)(
+      out: (Option[T], Option[R]) => O)(implicit te: Encoder[T]): Dataset[O] =
+    StreamingJoins.enrichmentJoin[T, R, K, O](ds, right.ds, lKey, rKey,
+      seqFn, right.seqFn, StreamingJoins.FullEnrichment)(out)
+
+  def leftInnerJoin[R, K: Encoder, O: Encoder](right: TypedStream[R])(
+      lKey: T => K, rKey: R => K,
+      residual: (T, R) => Boolean = (_: T, _: R) => true)(
+      out: (Option[T], Option[R]) => O)(implicit te: Encoder[T]): Dataset[O] =
+    StreamingJoins.enrichmentJoin[T, R, K, O](ds, right.ds, lKey, rKey,
+      seqFn, right.seqFn, StreamingJoins.LeftInner, residual)(out)
+}
+
+/** Milan `GroupedStream[T, K]` on the typed facade: the stateful engine is
+  * the same one the streaming module uses, so batch Datasets get identical
+  * semantics (per-key, seq-ordered). */
+final case class TypedGroupedStream[T, K](stream: TypedStream[T], key: T => K)(
+    implicit kEnc: Encoder[K]) {
+  private implicit def tEnc: Encoder[T] = stream.ds.encoder
+
+  /** Milan `scan` (`lang/Stream.scala:176`). */
+  def scan[S: Encoder, O: Encoder](initial: S)(step: (K, S, T) => (S, Option[O])): Dataset[O] =
+    StreamingScans.scanWithState(stream.ds, key, stream.seqFn, initial, step)
+
+  /** Milan `maxBy`/`minBy` — emit on strict improvement. */
+  def maxBy[A: Ordering](arg: T => A): Dataset[T] =
+    StreamingScans.argCompare(stream.ds, key, stream.seqFn, arg, isMax = true)
+  def minBy[A: Ordering](arg: T => A): Dataset[T] =
+    StreamingScans.argCompare(stream.ds, key, stream.seqFn, arg, isMax = false)
+
+  /** Milan `sumBy`. */
+  def sumBy[O: Encoder](arg: T => Double)(out: (T, Double) => O): Dataset[O] =
+    StreamingScans.sumBy(stream.ds, key, stream.seqFn, arg, out)
+
+  /** Milan `last()`: streaming re-emits the latest per key (update
+    * semantics); batch reduces to the final record per key. */
+  def last(): Dataset[T] =
+    if (stream.ds.isStreaming) StreamingScans.lastByKey(stream.ds, key, stream.seqFn)
+    else stream.ds.groupByKey(key).mapGroups((_, it) => it.maxBy(stream.seqFn))
+}
