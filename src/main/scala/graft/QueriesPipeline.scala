@@ -57,9 +57,7 @@ object QueriesPipeline {
         cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
                  FROM bands a JOIN bands b ON a.band = b.band AND a.bv = b.bv
                                           AND a.doc_id < b.doc_id),
-        sets AS (SELECT doc_id, list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
-                                               for i in range(1, len(w) - 1)]) AS sh
-                 FROM words)
+        sets AS (SELECT doc_id, list_distinct(list(h)) AS sh FROM h GROUP BY doc_id)
         SELECT id_a, id_b, round(j, 3) AS jaccard FROM (
           SELECT id_a, id_b, len(list_intersect(x.sh, y.sh))::DOUBLE
                              / len(list_distinct(list_concat(x.sh, y.sh))) AS j

@@ -211,6 +211,72 @@ object MinHashUtil {
   }
 }
 
+object WordShingleUtil {
+  import PolyHashUtil.P
+
+  /**
+   * Hashes of all word n-gram shingles of `text` in ONE pass over the
+   * characters, identical to hashing each "w1 w2 ... wn" string: per word
+   * we track (hash, 31^length mod P) and compose
+   * `h(a + ' ' + b) = (h(a)*31 + ' ') * 31^len(b) + h(b)  (mod P)`.
+   * Building the ~n× intermediate shingle strings is what this avoids.
+   */
+  def shingleHashes(text: org.apache.spark.unsafe.types.UTF8String, n: Int): ArrayData = {
+    val s = text.toString
+    // per-word (hash, 31^len)
+    val wh = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
+    var h = 0L; var pw = 1L; var inWord = false
+    var i = 0
+    while (i <= s.length) {
+      val c = if (i < s.length) s.charAt(i) else ' '
+      if (c == ' ') {
+        if (inWord) { wh += ((h, pw)); h = 0L; pw = 1L; inWord = false }
+      } else {
+        h = (h * 31 + c) % P
+        pw = (pw * 31) % P
+        inWord = true
+      }
+      i += 1
+    }
+    val m = wh.length
+    if (m < n) return new org.apache.spark.sql.catalyst.util.GenericArrayData(Array.empty[Long])
+    val out = new Array[Long](m - n + 1)
+    var j = 0
+    while (j <= m - n) {
+      var acc = wh(j)._1
+      var t = 1
+      while (t < n) {
+        val (hw, pww) = wh(j + t)
+        acc = (((acc * 31 + 32) % P) * pww + hw) % P
+        t += 1
+      }
+      out(j) = acc
+      j += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+}
+
+/** All word-n-gram shingle hashes of a text column, one pass, no
+  * intermediate strings. Values equal `polyHash` of each shingle string. */
+case class WordShingleHashes(child: Expression, n: Int) extends UnaryExpression {
+  import org.apache.spark.sql.types.{LongType, StringType}
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(s"$prettyName requires string, got $other")
+  }
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = s"graft_shingle_hashes$n"
+
+  override protected def nullSafeEval(a: Any): Any =
+    WordShingleUtil.shingleHashes(a.asInstanceOf[org.apache.spark.unsafe.types.UTF8String], n)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, a => s"graft.functions.WordShingleUtil.shingleHashes($a, $n)")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression = copy(child = newChild)
+}
+
 case class MinHashSignature(child: Expression, k: Int) extends UnaryExpression {
   import org.apache.spark.sql.types.LongType
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
@@ -249,4 +315,8 @@ object VectorFunctions {
   /** k-minhash signature of a hashed-shingle array, one pass per row. */
   def minhashSignature(hashes: Column, k: Int): Column =
     ColumnBridge.column(MinHashSignature(ColumnBridge.expr(hashes), k))
+
+  /** Word-n-gram shingle hashes straight from text, one pass per row. */
+  def wordShingleHashes(text: Column, n: Int): Column =
+    ColumnBridge.column(WordShingleHashes(ColumnBridge.expr(text), n))
 }

@@ -22,7 +22,7 @@ object Dedup {
     * computed in one pass per document (`MinHashSignature` expression) —
     * no explode, no shuffle; the signature never leaves the row. */
   def minhashSignature(docs: DataFrame, idCol: String, textCol: String, k: Int): DataFrame = {
-    val hashes = transform(TextOps.wordShingles(col(textCol), 3), s => TextOps.polyHash(s))
+    val hashes = graft.functions.VectorFunctions.wordShingleHashes(col(textCol), 3)
     val sig = graft.functions.VectorFunctions.minhashSignature(hashes, k)
     // explode(array(sig)) is a deliberate Generate barrier: without it,
     // CollapseProject inlines the signature into every element_at below
@@ -59,11 +59,15 @@ object Dedup {
   def minhashNearDup(docs: DataFrame, idCol: String, textCol: String,
                      k: Int, bands: Int, threshold: Double): DataFrame = {
     val cands = lshCandidates(minhashSignature(docs, idCol, textCol, k), idCol, k, bands)
-    val sets = docs.select(col(idCol), TextOps.wordShingles(col(textCol), 3).as("__sh"))
+    // verification over hashed shingles: sorted-long sets + the codegen'd
+    // two-pointer merge, no shingle strings anywhere in the pipeline
+    val sets = docs.select(col(idCol), sort_array(array_distinct(
+      graft.functions.VectorFunctions.wordShingleHashes(col(textCol), 3))).as("__sh"))
     cands
       .join(sets.select(col(idCol).as("id_a"), col("__sh").as("__sha")), "id_a")
       .join(sets.select(col(idCol).as("id_b"), col("__sh").as("__shb")), "id_b")
-      .withColumn("jaccard", TextOps.jaccard(col("__sha"), col("__shb")))
+      .withColumn("jaccard",
+        graft.functions.VectorFunctions.jaccardSorted(col("__sha"), col("__shb")))
       .filter(col("jaccard") >= threshold)
       .select(col("id_a"), col("id_b"), round(col("jaccard"), 3).as("jaccard"))
   }
