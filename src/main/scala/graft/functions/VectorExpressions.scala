@@ -18,9 +18,10 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType}
 case class DotProduct(left: Expression, right: Expression)
     extends BinaryExpression {
   override def checkInputDataTypes(): TypeCheckResult =
-    if (Seq(left, right).forall(_.dataType == ArrayType(DoubleType)) ||
-        Seq(left, right).forall(_.dataType == ArrayType(DoubleType, containsNull = true)))
-      TypeCheckResult.TypeCheckSuccess
+    if (Seq(left, right).forall(e => e.dataType match {
+      case ArrayType(DoubleType, _) => true
+      case _ => false
+    })) TypeCheckResult.TypeCheckSuccess
     else TypeCheckResult.TypeCheckFailure(
       s"$prettyName requires array<double> inputs, got ${left.dataType}, ${right.dataType}")
   override def dataType: DataType = DoubleType

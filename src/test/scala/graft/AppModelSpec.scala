@@ -26,6 +26,28 @@ class AppModelSpec extends SparkSpec {
     assert(roundTrip == Set(("a", 3.0), ("b", 5.0)), "parquet sink wrote program output")
   }
 
+  test("streaming program: keepReading source drives a live query to a memory sink") {
+    val config = new App.Config()
+      .setSource("ticks", App.Source(format = "rate",
+        options = Map("rowsPerSecond" -> "50"), keepReading = true))
+      .addSink("out", App.Sink(format = "memory", outputMode = "append",
+        queryName = Some(s"app_stream_${System.nanoTime()}")))
+    val running = App.run(spark, config) { input =>
+      Map("out" -> input("ticks").where(col("value") % 2 === 0)
+        .map(col("value"), (col("value") * 10).as("v10")))
+    }
+    val q = running.collect { case App.StreamingOutput(_, query) => query }.head
+    try {
+      var tries = 0
+      def count() = spark.table(q.name).count()
+      while (count() == 0 && tries < 100) { q.processAllAvailable(); Thread.sleep(100); tries += 1 }
+      val rows = spark.table(q.name).collect()
+      assert(rows.nonEmpty, "streaming rows reached the memory sink")
+      assert(rows.forall(r => r.getLong(1) == r.getLong(0) * 10), "projection applied in-stream")
+      assert(rows.forall(_.getLong(0) % 2 == 0), "filter applied in-stream")
+    } finally q.stop()
+  }
+
   test("describeJson serializes the resolved program without executing") {
     val data = Seq(("a", 1.0)).toDF("k", "v")
     val config = new App.Config().setSource("input", App.Source("list", rows = Some(data)))
