@@ -258,6 +258,46 @@ object WordShingleUtil {
   }
 }
 
+object CharShingleUtil {
+  import PolyHashUtil.P
+  /** Hashes of all character n-gram shingles, one pass. Values equal
+    * `polyHash` of each substring. */
+  def shingleHashes(text: org.apache.spark.unsafe.types.UTF8String, n: Int): ArrayData = {
+    val s = text.toString
+    val m = s.length - n + 1
+    if (m <= 0) return new org.apache.spark.sql.catalyst.util.GenericArrayData(Array.empty[Long])
+    val out = new Array[Long](m)
+    var i = 0
+    while (i < m) {
+      var h = 0L
+      var j = 0
+      while (j < n) { h = (h * 31 + s.charAt(i + j)) % P; j += 1 }
+      out(i) = h
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+}
+
+/** All char-n-gram shingle hashes of a text column, one pass. */
+case class CharShingleHashes(child: Expression, n: Int) extends UnaryExpression {
+  import org.apache.spark.sql.types.{LongType, StringType}
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(s"$prettyName requires string, got $other")
+  }
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = s"graft_char_shingle_hashes$n"
+
+  override protected def nullSafeEval(a: Any): Any =
+    CharShingleUtil.shingleHashes(a.asInstanceOf[org.apache.spark.unsafe.types.UTF8String], n)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, a => s"graft.functions.CharShingleUtil.shingleHashes($a, $n)")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression = copy(child = newChild)
+}
+
 /** All word-n-gram shingle hashes of a text column, one pass, no
   * intermediate strings. Values equal `polyHash` of each shingle string. */
 case class WordShingleHashes(child: Expression, n: Int) extends UnaryExpression {
@@ -320,4 +360,8 @@ object VectorFunctions {
   /** Word-n-gram shingle hashes straight from text, one pass per row. */
   def wordShingleHashes(text: Column, n: Int): Column =
     ColumnBridge.column(WordShingleHashes(ColumnBridge.expr(text), n))
+
+  /** Char-n-gram shingle hashes straight from text, one pass per row. */
+  def charShingleHashes(text: Column, n: Int): Column =
+    ColumnBridge.column(CharShingleHashes(ColumnBridge.expr(text), n))
 }

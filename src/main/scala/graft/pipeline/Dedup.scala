@@ -92,11 +92,12 @@ object Dedup {
     * block size; otherwise prefer MinHash+LSH. */
   def ngramJaccardWithinBlocks(docs: DataFrame, idCol: String, textCol: String,
                                blockCol: String, n: Int, threshold: Double): DataFrame = {
-    // Hash each shingle to a long and sort ONCE per row — the O(pairs)
-    // stage is then a codegen'd two-pointer merge over 8-byte longs
-    // (`JaccardSorted`) instead of per-pair hash-set builds over strings.
-    val hashed = sort_array(array_distinct(transform(
-      TextOps.charShingles(col(textCol), n), s => TextOps.polyHash(s))))
+    // Hash each shingle to a long (one native pass over the text) and sort
+    // ONCE per row — the O(pairs) stage is then a codegen'd two-pointer
+    // merge over 8-byte longs (`JaccardSorted`) instead of per-pair
+    // hash-set builds over strings.
+    val hashed = sort_array(array_distinct(
+      graft.functions.VectorFunctions.charShingleHashes(col(textCol), n)))
     val sets = docs.select(col(blockCol), col(idCol), hashed.as("__sh"))
     // A shuffle on the block key alone would have only #blocks distinct
     // keys (parallelism collapse + skew). Broadcast the build side and
