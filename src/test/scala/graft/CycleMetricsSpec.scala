@@ -19,6 +19,30 @@ class CycleMetricsSpec extends SparkSpec {
     assert(closure.df.count() == 6, "chain of 4 nodes has 6 closure edges")
   }
 
+  test("weekly window offset aligns windows to the requested weekday") {
+    import java.time.DayOfWeek
+    import graft.api.TimeWindows
+    assert(TimeWindows.weeklyOffset(DayOfWeek.THURSDAY) == "0 days")
+    assert(TimeWindows.weeklyOffset(DayOfWeek.MONDAY) == "4 days")
+    val dayNs = 86400L * 1000000000L
+    // 1970-01-05 was a Monday; a weekly window offset for Monday must make
+    // that instant a window start
+    val off = TimeWindows.weeklyOffsetUnits(DayOfWeek.MONDAY, dayNs)
+    assert((4L * dayNs - off) % (7L * dayNs) == 0)
+  }
+
+  test("lineage: record ids are deterministic; join outputs link to input ids") {
+    import graft.api.Lineage
+    val in = Lineage.withRecordId(Seq(("a", 1), ("b", 2)).toDF("k", "v"), "in_id")
+    val in2 = Lineage.withRecordId(Seq(("a", 1), ("b", 2)).toDF("k", "v"), "in_id")
+    assert(in.collect().map(_.getLong(2)).toSet == in2.collect().map(_.getLong(2)).toSet,
+      "content-hash ids reproduce across runs")
+    val out = Lineage.withRecordId(
+      in.select(col("k"), col("v"), col("in_id"), (col("v") * 10).as("v10")), "out_id")
+    val e = Lineage.edges(out, "out_id", Seq("in_id"))
+    assert(e.columns.toSeq == Seq("output_id", "input_id") && e.count() == 2)
+  }
+
   test("observed metrics are evaluated in-plan and reach the collector") {
     val collector = new Metrics.Collector(spark)
     try {

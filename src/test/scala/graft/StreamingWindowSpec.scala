@@ -33,6 +33,30 @@ class StreamingWindowSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("append mode emits a window only after the watermark passes its end") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[TEv]
+    val agg = StreamingWindows.tumbling(in.toDF(), "ts", "10 seconds", keys = Seq("k"),
+        lateness = Some("0 seconds"))
+      .agg(sum(col("v")).as("total"))
+      .select(col("w.start").cast("long").as("ws"), col("k"), col("total"))
+    val name = s"winap_${System.nanoTime()}"
+    val q = agg.writeStream.format("memory").queryName(name)
+      .outputMode(OutputMode.Append()).start()
+    try {
+      def t(s: Long) = new Timestamp(s * 1000)
+      in.addData(TEv("a", t(1), 1.0), TEv("a", t(5), 2.0))
+      q.processAllAvailable()
+      assert(spark.table(name).count() == 0, "open window emits nothing in append mode")
+      in.addData(TEv("a", t(25), 4.0)) // watermark jumps past window [0,10)
+      q.processAllAvailable()
+      in.addData(TEv("a", t(26), 1.0)) // one more batch so the closed window flushes
+      q.processAllAvailable()
+      val out = spark.table(name).as[(Long, String, Double)].collect().toSet
+      assert(out.contains((0L, "a", 3.0)), "window [0,10) closed and emitted exactly once")
+    } finally q.stop()
+  }
+
   test("recordWindow(n) emits trailing-n aggregate per record across batches") {
     implicit val sqlCtx = spark.sqlContext
     val in = MemoryStream[Ev]
