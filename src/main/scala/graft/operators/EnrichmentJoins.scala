@@ -140,6 +140,28 @@ object EnrichmentJoins {
     val lStructT = org.apache.spark.sql.types.StructType(lp.schema.fields)
     val rStructT = org.apache.spark.sql.types.StructType(rp.schema.fields)
 
+    // Streaming inputs: same program, stateful lowering. Residuals apply
+    // post-pairing for left-enrichment (all outputs are left arrivals);
+    // full/left-inner with residuals need the typed facade.
+    if (lp.isStreaming || rp.isStreaming) {
+      require(split.residualIdx.isEmpty || kind == LeftEnrichment,
+        "streaming full/left-inner enrichment joins support only equi-key + preconditions")
+      val paired0 = graft.streaming.StreamingRowJoins.enrichmentJoin(
+        lp, rp, lKeyCols, rKeyCols, left.eventOrder, right.eventOrder,
+        kind match {
+          case LeftEnrichment => graft.streaming.StreamingJoins.LeftEnrichment
+          case FullEnrichment => graft.streaming.StreamingJoins.FullEnrichment
+          case LeftInner      => graft.streaming.StreamingJoins.LeftInner
+        })
+      val paired = residualFor(L, R) match {
+        case Some(resid) =>
+          paired0.select(col(L),
+            when(col(R).isNotNull && resid, col(R)).otherwise(lit(null).cast(rStructT)).as(R))
+        case None => paired0
+      }
+      return new JoinedMStream(paired, lStructT, rStructT, left.name)
+    }
+
     val keyNames = lKeyCols.indices.map(i => s"_k$i")
     val ordNames = left.eventOrder.indices.map(i => s"_o$i")
     val lTagged = lp.select(

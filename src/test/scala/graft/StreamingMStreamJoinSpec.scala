@@ -1,0 +1,65 @@
+package graft
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.streaming.OutputMode
+import graft.api.MStream
+
+/** The SAME MStream join program lowers to stateful streaming when its
+  * inputs are streaming DataFrames — reference emission rules hold. */
+class StreamingMStreamJoinSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("MStream leftJoin over streaming inputs follows enrichment semantics") {
+    implicit val sqlCtx = spark.sqlContext
+    val ls = MemoryStream[LRec]
+    val rs = MemoryStream[RRec]
+    val lefts = new MStream(ls.toDF(), Seq("seq"))
+    val rights = new MStream(rs.toDF(), Seq("seq"))
+    val joined = lefts.leftJoin(rights)
+      .on((l, r) => l("k") === r("k") && r("w") > 50)
+      .select((l, r) => Seq(
+        l("seq").as("lseq"), r("w").as("rw")))
+    assert(joined.df.isStreaming, "streaming inputs produce a streaming plan")
+    val name = s"msj_${System.nanoTime()}"
+    val q = joined.df.writeStream.format("memory").queryName(name)
+      .outputMode(OutputMode.Append()).start()
+    try {
+      def emitted(): Set[(Long, Option[Int])] = {
+        q.processAllAvailable()
+        spark.table(name).collect()
+          .map(r => (r.getLong(0), Option(r.get(1)).map(_.asInstanceOf[Int]))).toSet
+      }
+      ls.addData(LRec("a", 1, 10))
+      assert(emitted() == Set((1L, None)), "unmatched left emits null right")
+      rs.addData(RRec("a", 2, 30)) // fails precondition w > 50
+      assert(emitted().size == 1, "right arrival emits nothing")
+      ls.addData(LRec("a", 3, 11))
+      assert(emitted().contains((3L, None)), "precondition-filtered right never pairs")
+      rs.addData(RRec("a", 4, 100))
+      ls.addData(LRec("a", 5, 12))
+      assert(emitted().contains((5L, Some(100))), "left pairs with latest passing right")
+    } finally q.stop()
+  }
+
+  test("cross-side residual nulls the paired right when unsatisfied") {
+    implicit val sqlCtx = spark.sqlContext
+    val ls = MemoryStream[LRec]
+    val rs = MemoryStream[RRec]
+    val joined = new MStream(ls.toDF(), Seq("seq"))
+      .leftJoin(new MStream(rs.toDF(), Seq("seq")))
+      .on((l, r) => l("k") === r("k") && r("w") > l("v") * 10)
+      .select((l, r) => Seq(l("seq").as("lseq"), r("w").as("rw")))
+    val name = s"msjr_${System.nanoTime()}"
+    val q = joined.df.writeStream.format("memory").queryName(name)
+      .outputMode(OutputMode.Append()).start()
+    try {
+      rs.addData(RRec("a", 1, 100))
+      ls.addData(LRec("a", 2, 5))   // 100 > 50 → pairs
+      ls.addData(LRec("a", 3, 50))  // 100 > 500 fails → null right
+      q.processAllAvailable()
+      val out = spark.table(name).collect()
+        .map(r => (r.getLong(0), Option(r.get(1)).map(_.asInstanceOf[Int]))).toSet
+      assert(out == Set((2L, Some(100)), (3L, None)))
+    } finally q.stop()
+  }
+}
