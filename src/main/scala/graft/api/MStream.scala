@@ -153,21 +153,24 @@ final class MStream(
   def minBy(arg: Column): MStream = Scans.argCompare(this, contextKeys, arg, isMax = false)
 
   /** Milan `sumBy`: running sum of `arg`, output = record + running value. */
-  def sumBy(arg: Column, as: String): MStream = Scans.runningAgg(this, contextKeys, sum(arg), as)
+  def sumBy(arg: Column, as: String): MStream =
+    Scans.runningAgg(this, contextKeys, arg, graft.streaming.StreamingRowScans.RSum, as)
 
   /** Milan `meanBy`/`productBy`/`countBy` — the ops doc declares the whole
     * "SumBy, ProductBy, MaxBy, MinBy, MeanBy, etc" running family; each is
-    * the same keyed running-aggregate pattern. */
-  def meanBy(arg: Column, as: String): MStream = Scans.runningAgg(this, contextKeys, avg(arg), as)
+    * the same keyed running-aggregate pattern, batch or streaming. */
+  def meanBy(arg: Column, as: String): MStream =
+    Scans.runningAgg(this, contextKeys, arg, graft.streaming.StreamingRowScans.RMean, as)
   def productBy(arg: Column, as: String): MStream =
-    Scans.runningAgg(this, contextKeys, product(arg), as)
-  def countBy(as: String): MStream = Scans.runningAgg(this, contextKeys, count(lit(1)), as)
+    Scans.runningAgg(this, contextKeys, arg, graft.streaming.StreamingRowScans.RProduct, as)
+  def countBy(as: String): MStream =
+    Scans.runningAgg(this, contextKeys, lit(1), graft.streaming.StreamingRowScans.RCount, as)
 
   /** Milan `last()`: final record (per context key, else global). */
   def last(): MStream = Scans.lastRecord(this, contextKeys)
 
   /** Generic running computation (Milan `scan`, `lang/Stream.scala:176`). */
-  def scanRows[S, O: Encoder](initial: S)(step: (S, Row) => (S, Option[O])): MStream =
+  def scanRows[S: scala.reflect.ClassTag, O: Encoder](initial: S)(step: (S, Row) => (S, Option[O])): MStream =
     Scans.genericScan(this, contextKeys, initial, step)
 }
 
@@ -243,13 +246,17 @@ final class GroupedMStream(val stream: MStream, val keys: Seq[String]) {
 
   def maxBy(arg: Column): MStream = Scans.argCompare(stream, keys, arg, isMax = true)
   def minBy(arg: Column): MStream = Scans.argCompare(stream, keys, arg, isMax = false)
-  def sumBy(arg: Column, as: String): MStream = Scans.runningAgg(stream, keys, sum(arg), as)
-  def meanBy(arg: Column, as: String): MStream = Scans.runningAgg(stream, keys, avg(arg), as)
-  def productBy(arg: Column, as: String): MStream = Scans.runningAgg(stream, keys, product(arg), as)
-  def countBy(as: String): MStream = Scans.runningAgg(stream, keys, count(lit(1)), as)
+  def sumBy(arg: Column, as: String): MStream =
+    Scans.runningAgg(stream, keys, arg, graft.streaming.StreamingRowScans.RSum, as)
+  def meanBy(arg: Column, as: String): MStream =
+    Scans.runningAgg(stream, keys, arg, graft.streaming.StreamingRowScans.RMean, as)
+  def productBy(arg: Column, as: String): MStream =
+    Scans.runningAgg(stream, keys, arg, graft.streaming.StreamingRowScans.RProduct, as)
+  def countBy(as: String): MStream =
+    Scans.runningAgg(stream, keys, lit(1), graft.streaming.StreamingRowScans.RCount, as)
   def last(): MStream = Scans.lastRecord(stream, keys)
 
-  def scanRows[S, O: Encoder](initial: S)(step: (S, Row) => (S, Option[O])): MStream =
+  def scanRows[S: scala.reflect.ClassTag, O: Encoder](initial: S)(step: (S, Row) => (S, Option[O])): MStream =
     Scans.genericScan(stream, keys, initial, step)
 }
 

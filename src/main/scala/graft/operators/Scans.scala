@@ -1,27 +1,26 @@
 package graft.operators
 
-import org.apache.spark.sql.{Column, Encoder, Row}
+import org.apache.spark.sql.{Column, Encoder, Encoders, Row}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 import graft.api.MStream
+import graft.streaming.StreamingRowScans
+import graft.streaming.StreamingRowScans.{RCount, RMean, RProduct, RSum, RunKind}
 
 /**
  * Milan's stateful sequential operators (`ScanExpression`s,
- * `program/StreamExpressions.scala:494`), batch lowerings.
- *
- * The reference runs these per key with Flink ValueState
- * (`runtime/ArgScanProcessFunction.scala`, `runtime/ScanProcessFunction.scala`,
- * `event/operators/ScanOperations.scala`). On Spark, the SQL-expressible
- * ones lower to window functions over the arrival order — whole-stage
- * codegen, one shuffle on the key, per-key sort only. The generic `scan`
- * uses a single-pass sorted `mapPartitions` keyed run (the direct analog of
- * the reference's composable `ScanOperation`,
- * `event/operators/ScanOperation.scala:6`).
+ * `program/StreamExpressions.scala:494`), with BOTH lowerings behind one
+ * API: batch inputs use window functions over the arrival order
+ * (whole-stage codegen, one shuffle on the key); streaming inputs use the
+ * keyed-state engine in `streaming.StreamingRowScans`. The reference runs
+ * these per key with Flink ValueState (`runtime/ArgScanProcessFunction`,
+ * `event/operators/ScanOperations.scala`).
  */
 object Scans {
 
   private def requireOrder(s: MStream): Seq[String] = {
-    require(s.eventOrder.nonEmpty, "stateful scan needs orderedBy(...) in batch mode")
+    require(s.eventOrder.nonEmpty, "stateful scan needs orderedBy(...) — arrival order columns")
     s.eventOrder
   }
 
@@ -30,6 +29,9 @@ object Scans {
     * per record ("Milan Operations.md", MaxBy/MinBy). First record emits. */
   def argCompare(s: MStream, keys: Seq[String], arg: Column, isMax: Boolean): MStream = {
     val order = requireOrder(s)
+    if (s.df.isStreaming)
+      return new MStream(StreamingRowScans.argCompare(s.df, keys, order, arg, isMax),
+        s.eventOrder, s.contextKeys, s.name)
     val past = (if (keys.nonEmpty) Window.partitionBy(keys.map(col): _*) else Window.partitionBy())
       .orderBy(order.map(col): _*)
       .rowsBetween(Window.unboundedPreceding, -1)
@@ -44,8 +46,17 @@ object Scans {
 
   /** Milan `sumBy` family (`lang/Stream.scala:251`): running aggregate per
     * key; output = input record + running value (one output per input). */
-  def runningAgg(s: MStream, keys: Seq[String], agg: Column, as: String): MStream = {
+  def runningAgg(s: MStream, keys: Seq[String], arg: Column, kind: RunKind, as: String): MStream = {
     val order = requireOrder(s)
+    if (s.df.isStreaming)
+      return new MStream(StreamingRowScans.running(s.df, keys, order, arg, kind, as),
+        s.eventOrder, s.contextKeys, s.name)
+    val agg = kind match {
+      case RSum => sum(arg)
+      case RMean => avg(arg)
+      case RProduct => product(arg)
+      case RCount => count(lit(1))
+    }
     val w = (if (keys.nonEmpty) Window.partitionBy(keys.map(col): _*) else Window.partitionBy())
       .orderBy(order.map(col): _*)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
@@ -54,10 +65,13 @@ object Scans {
 
   /** Milan `last()` (`lang/Stream.scala:123`, `runtime/LastOperators.scala`):
     * final record per key (global when unkeyed — the reference forces
-    * parallelism 1 there; we use a global aggregate instead, which stays
-    * distributed via partial aggregation). */
+    * parallelism 1 there; batch uses a global aggregate instead, which
+    * stays distributed via partial aggregation). */
   def lastRecord(s: MStream, keys: Seq[String]): MStream = {
     val order = requireOrder(s)
+    if (s.df.isStreaming)
+      return new MStream(StreamingRowScans.lastRecord(s.df, keys, order),
+        s.eventOrder, Nil, s.name)
     val ordKey = struct(order.map(col): _*)
     val payload = struct(s.df.columns.toIndexedSeq.map(col): _*)
     val agg = max_by(payload, ordKey).as("__last")
@@ -69,15 +83,36 @@ object Scans {
 
   /**
    * Milan generic `scan` (`lang/Stream.scala:176`): running state + one
-   * optional output per record, per key. Single pass: repartition by key,
-   * sort within partitions by (key, arrival order), run the state machine
-   * per contiguous key run — no per-group materialization, spill-safe.
+   * optional output per record, per key. Batch: repartition by key, sort
+   * within partitions, run the state machine per contiguous key run — one
+   * pass, no per-group materialization, spill-safe. Streaming: the same
+   * state machine inside `flatMapGroupsWithState` (kryo state).
    */
-  def genericScan[S, O: Encoder](s: MStream, keys: Seq[String], initial: S,
+  def genericScan[S: scala.reflect.ClassTag, O: Encoder](s: MStream, keys: Seq[String], initial: S,
                                  step: (S, Row) => (S, Option[O])): MStream = {
     val order = requireOrder(s)
     val df = s.df
     val keyIdx = keys.map(df.columns.indexOf(_))
+    if (df.isStreaming) {
+      import org.apache.spark.sql.catalyst.encoders.RowEncoder
+      implicit val rowEnc: Encoder[Row] = RowEncoder.encoderFor(df.schema)
+      implicit val keyEnc: Encoder[Seq[Any]] = Encoders.kryo[Seq[Any]]
+      implicit val stEnc: Encoder[S] = Encoders.kryo[S]
+      val oIdx = order.map(df.schema.fieldIndex)
+      val out = df.groupByKey(r => keyIdx.map(r.get(_)): Seq[Any])(keyEnc)
+        .flatMapGroupsWithState[S, O](OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+          (_: Seq[Any], it: Iterator[Row], state: GroupState[S]) =>
+            var st = state.getOption.getOrElse(initial)
+            val outs = it.toSeq.sortBy(StreamingRowScans.orderKey(_, oIdx)).flatMap { r =>
+              val (s2, o) = step(st, r)
+              st = s2
+              o
+            }
+            state.update(st)
+            outs.iterator
+        }
+      return new MStream(out.toDF(), Nil, Nil, s.name)
+    }
     val sorted =
       if (keys.isEmpty) df.coalesce(1).sortWithinPartitions(order.map(col): _*)
       else df.repartition(keys.map(col): _*)

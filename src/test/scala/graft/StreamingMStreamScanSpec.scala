@@ -1,0 +1,56 @@
+package graft
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.OutputMode
+import graft.api.MStream
+
+/** The SAME MStream scan program lowers to keyed state when the input is
+  * a streaming DataFrame. */
+class StreamingMStreamScanSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def drive[T](df: org.apache.spark.sql.DataFrame)(feed: (() => Seq[Row]) => Unit): Unit = {
+    val name = s"mss_${System.nanoTime()}"
+    val q = df.writeStream.format("memory").queryName(name)
+      .outputMode(OutputMode.Append()).start()
+    try feed(() => { q.processAllAvailable(); spark.table(name).collect().toSeq })
+    finally q.stop()
+  }
+  private type Row = org.apache.spark.sql.Row
+
+  test("streaming sumBy emits running sums per key across batches") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[Ev]
+    val out = new MStream(in.toDF(), Seq("seq"))
+      .groupBy("k").sumBy(col("v"), "run")
+    assert(out.df.isStreaming)
+    drive(out.df) { emitted =>
+      in.addData(Ev("a", 1, 5.0), Ev("a", 2, 3.0))
+      in.addData(Ev("a", 3, 2.0), Ev("b", 4, 1.0))
+      val got = emitted().map(r => (r.getString(0), r.getLong(1), r.getDouble(3))).toSet
+      assert(got == Set(("a", 1L, 5.0), ("a", 2L, 8.0), ("a", 3L, 10.0), ("b", 4L, 1.0)))
+    }
+  }
+
+  test("streaming maxBy emits only on improvement; last re-emits the latest") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[Ev]
+    val mx = new MStream(in.toDF(), Seq("seq")).groupBy("k").maxBy(col("v"))
+    drive(mx.df) { emitted =>
+      in.addData(Ev("a", 1, 5.0))
+      in.addData(Ev("a", 2, 3.0))
+      in.addData(Ev("a", 3, 9.0))
+      assert(emitted().map(_.getLong(1)).toSet == Set(1L, 3L))
+    }
+    val in2 = MemoryStream[Ev]
+    val lst = new MStream(in2.toDF(), Seq("seq")).groupBy("k").last()
+    drive(lst.df) { emitted =>
+      in2.addData(Ev("a", 1, 5.0))
+      assert(emitted().map(_.getLong(1)).toSet == Set(1L))
+      in2.addData(Ev("a", 2, 3.0))
+      assert(emitted().map(_.getLong(1)).toSet == Set(1L, 2L),
+        "each batch re-emits the latest (update semantics per batch)")
+    }
+  }
+}
