@@ -38,6 +38,11 @@ final class MStream(
   /** Declare the arrival order for batch lowering of stateful operators. */
   def orderedBy(cols: String*): MStream = new MStream(df, cols, contextKeys, name)
 
+  /** Event-time watermark for streaming inputs (Milan's policy is
+    * lateness = window size; set explicitly here to override). */
+  def withWatermark(tsCol: String, delay: String): MStream =
+    new MStream(df.withWatermark(tsCol, delay), eventOrder, contextKeys, name)
+
   // ---------------------------------------------------------------- 2.2 per-record ops
 
   /** Milan `map` to named fields (`fields(field("a", f(r)), ...)`) — a projection.

@@ -33,6 +33,28 @@ class StreamingMStreamScanSpec extends SparkSpec {
     }
   }
 
+  test("MStream tumbling window aggregates a watermarked stream in update mode") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[TEv]
+    val out = new MStream(in.toDF(), Seq("ts"))
+      .withWatermark("ts", "10 seconds")
+      .groupBy("k")
+      .tumblingWindow(col("ts"), "10 seconds")
+      .select("w", sum(col("v")).as("total"))
+    assert(out.df.isStreaming)
+    val name = s"msw_${System.nanoTime()}"
+    val q = out.df.select(col("w.start").cast("long").as("ws"), col("k"), col("total"))
+      .writeStream.format("memory").queryName(name)
+      .outputMode(OutputMode.Update()).start()
+    try {
+      def t(s: Long) = new java.sql.Timestamp(s * 1000)
+      in.addData(TEv("a", t(1), 1.0), TEv("a", t(3), 2.0), TEv("b", t(12), 4.0))
+      q.processAllAvailable()
+      val got = spark.table(name).as[(Long, String, Double)].collect().toSet
+      assert(got == Set((0L, "a", 3.0), (10L, "b", 4.0)))
+    } finally q.stop()
+  }
+
   test("streaming maxBy emits only on improvement; last re-emits the latest") {
     implicit val sqlCtx = spark.sqlContext
     val in = MemoryStream[Ev]
