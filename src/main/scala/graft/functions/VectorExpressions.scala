@@ -124,6 +124,9 @@ case class JaccardSorted(left: Expression, right: Expression)
     if (union == 0) 0.0d else inter.toDouble / union
   }
 
+  /** Test hook: interpreted eval without a Spark session. */
+  def nullSafeEvalPublic(a: Any, b: Any): Any = nullSafeEval(a, b)
+
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, (a, b) => {
       val i = ctx.freshName("i"); val j = ctx.freshName("j")

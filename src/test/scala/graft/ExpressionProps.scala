@@ -1,0 +1,71 @@
+package graft
+
+import org.scalacheck.{Gen, Properties}
+import org.scalacheck.Prop.forAll
+import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.unsafe.types.UTF8String
+import graft.functions.{CharShingleUtil, MinHashUtil, PolyHashUtil, WordShingleUtil}
+
+/**
+ * Property tests pinning the custom expressions to independent reference
+ * implementations (plain Scala folds over the definition), across random
+ * inputs — the same definitions the DuckDB oracles reimplement in SQL.
+ */
+object ExpressionProps extends Properties("graft.expressions") {
+  private val P = PolyHashUtil.P
+
+  private def refHash(s: String): Long =
+    s.foldLeft(0L)((a, c) => (a * 31 + c) % P)
+
+  private val word = Gen.nonEmptyListOf(Gen.alphaLowerChar).map(_.mkString)
+  private val text = Gen.listOf(word).map(_.mkString(" "))
+
+  property("polyHash matches the definitional fold") = forAll(text) { s =>
+    PolyHashUtil.hash(UTF8String.fromString(s)) == refHash(s)
+  }
+
+  property("word shingle hashes equal hashes of the shingle strings") =
+    forAll(Gen.listOf(word), Gen.choose(1, 4)) { (ws, n) =>
+      val s = ws.mkString(" ")
+      val got = WordShingleUtil.shingleHashes(UTF8String.fromString(s), n)
+        .toLongArray().toSeq
+      val words = s.split(" ").filter(_.nonEmpty).toSeq
+      val expect =
+        if (words.size < n) Seq.empty
+        else words.sliding(n).map(g => refHash(g.mkString(" "))).toSeq
+      got == expect
+    }
+
+  property("char shingle hashes equal hashes of the substrings") =
+    forAll(text, Gen.choose(1, 6)) { (s, n) =>
+      val got = CharShingleUtil.shingleHashes(UTF8String.fromString(s), n)
+        .toLongArray().toSeq
+      val expect =
+        if (s.length < n) Seq.empty
+        else (0 to s.length - n).map(i => refHash(s.substring(i, i + n)))
+      got == expect
+    }
+
+  property("minhash signature equals per-family minimum") =
+    forAll(Gen.nonEmptyListOf(Gen.choose(0L, P - 1)), Gen.choose(1, 32)) { (hs, k) =>
+      val got = MinHashUtil.signature(new GenericArrayData(hs.toArray), k)
+        .toLongArray().toSeq
+      val expect = (0 until k).map { j =>
+        hs.map(h => (h * (2L * j + 1) + (12345L * j + 7)) % P).min
+      }
+      got == expect
+    }
+
+  property("sorted-merge jaccard equals set jaccard") =
+    forAll(Gen.listOf(Gen.choose(0L, 50L)), Gen.listOf(Gen.choose(0L, 50L))) { (a, b) =>
+      val sa = a.distinct.sorted
+      val sb = b.distinct.sorted
+      val expr = graft.functions.JaccardSorted(null, null)
+      val got = expr.nullSafeEvalPublic(
+        new GenericArrayData(sa.toArray), new GenericArrayData(sb.toArray))
+      val inter = sa.toSet.intersect(sb.toSet).size
+      val union = sa.toSet.union(sb.toSet).size
+      val expect = if (union == 0) 0.0 else inter.toDouble / union
+      got == expect
+    }
+}
