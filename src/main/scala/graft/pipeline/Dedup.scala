@@ -8,6 +8,12 @@ import org.apache.spark.sql.functions._
  * pure DataFrame pipeline (shuffle count noted per operator) designed to
  * survive a 100 TB corpus: no driver collects, no all-pairs comparisons
  * outside LSH buckets, per-doc work bounded by document length.
+ *
+ * Algorithms are the classic public ones: MinHash resemblance sketching
+ * (Broder, "On the resemblance and containment of documents", 1997) with
+ * banded LSH (Leskovec/Rajaraman/Ullman, "Mining of Massive Datasets"
+ * ch. 3), and SimHash (Charikar, "Similarity estimation techniques from
+ * rounding algorithms", 2002).
  */
 object Dedup {
 

@@ -17,25 +17,29 @@ import org.apache.spark.sql.functions._
 object Ivf {
 
   /** Train `k` centroids. Initialization is deterministic (the k lowest
-    * ids) so results are reproducible across engines and runs. */
+    * ids) so results are reproducible across engines and runs. Centroids
+    * are k×dim — small by definition — so they live as driver-side state
+    * between iterations (no cache churn, one broadcast per assignment),
+    * exactly how production IVF trainers treat the codebook; the corpus
+    * itself never leaves the executors. */
   def train(embs: DataFrame, idCol: String, vecCol: String, k: Int, iters: Int): DataFrame = {
+    val spark = embs.sparkSession
+    import spark.implicits._
     val pts = embs.select(col(idCol).as("__pid"), col(vecCol).cast("array<double>").as("__pv"))
-    var centroids = pts.orderBy("__pid").limit(k)
-      .select((row_number().over(org.apache.spark.sql.expressions.Window.orderBy("__pid")) - 1)
-        .as("cid"), col("__pv").as("cv"))
-      .cache()
+    var cent: Seq[(Int, Seq[Double])] = pts.orderBy("__pid").limit(k).collect()
+      .zipWithIndex.map { case (r, i) => (i, r.getSeq[Double](1)) }.toSeq
+    def cdf = cent.toDF("cid", "cv").select(col("cid"), col("cv").cast("array<double>").as("cv"))
     var i = 0
     while (i < iters) {
-      val assigned = assign(pts, centroids)
-      val next = assigned.join(pts, "__pid")
+      cent = assign(pts, cdf).join(pts, "__pid")
         .select(col("cid"), posexplode(col("__pv")).as(Seq("__pos", "__x")))
         .groupBy("cid", "__pos").agg(avg("__x").as("__m"))
         .groupBy("cid").agg(array_sort(collect_list(struct(col("__pos"), col("__m")))).as("__ms"))
         .select(col("cid"), expr("transform(__ms, s -> s.__m)").as("cv"))
-      centroids = next.cache()
+        .collect().map(r => (r.getInt(0), r.getSeq[Double](1))).toSeq
       i += 1
     }
-    centroids
+    cdf
   }
 
   /** Assign each point to its nearest centroid (broadcast + min_by). */
