@@ -55,6 +55,26 @@ class StreamingMStreamScanSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming uniqueBy keeps the latest record per value in update mode") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[Ev]
+    val out = new MStream(in.toDF(), Seq("seq")).uniqueBy(Seq("k"), Seq("seq"))
+    assert(out.df.isStreaming)
+    val name = s"msu_${System.nanoTime()}"
+    val q = out.df.writeStream.format("memory").queryName(name)
+      .outputMode(OutputMode.Complete()).start()
+    try {
+      in.addData(Ev("a", 1, 5.0), Ev("a", 2, 3.0), Ev("b", 3, 1.0))
+      q.processAllAvailable()
+      val got = spark.table(name).as[Ev].collect().toSet
+      assert(got == Set(Ev("a", 2, 3.0), Ev("b", 3, 1.0)), "latest per key retained")
+      in.addData(Ev("a", 4, 9.0))
+      q.processAllAvailable()
+      assert(spark.table(name).as[Ev].collect().toSet ==
+        Set(Ev("a", 4, 9.0), Ev("b", 3, 1.0)), "state updates across batches")
+    } finally q.stop()
+  }
+
   test("streaming maxBy emits only on improvement; last re-emits the latest") {
     implicit val sqlCtx = spark.sqlContext
     val in = MemoryStream[Ev]
