@@ -179,12 +179,12 @@ object QueriesStateful {
       .tumblingWindowExact(col("ts_ns"), 3600L * 1000000000L)
       .select("w_start",
         count(lit(1)).as("cnt"),
-        round(sum(col("value")), 4).as("sum_value"))
+        round(sum(col("value")), 2).as("sum_value"))
       .df
 
   val qTumblingWindowSql: String =
     """SELECT (epoch_ns(ts) // 3600000000000) * 3600000000000 AS w_start, event_type,
-         count(*) AS cnt, round(sum(value), 4) AS sum_value
+         count(*) AS cnt, round(sum(value), 2) AS sum_value
        FROM events GROUP BY 1, 2"""
 
   /** Milan `slidingWindow` — overlapping windows (2h size, 1h slide), each
@@ -195,7 +195,7 @@ object QueriesStateful {
       .slidingWindowExact(col("ts_ns"), 7200L * 1000000000L, 3600L * 1000000000L)
       .select("w_start",
         count(lit(1)).as("cnt"),
-        round(sum(col("value")), 4).as("sum_value"))
+        round(sum(col("value")), 2).as("sum_value"))
       .df
 
   val qSlidingWindowSql: String =
