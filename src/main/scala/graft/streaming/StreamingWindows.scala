@@ -32,6 +32,39 @@ object StreamingWindows {
       .groupBy(window(col(tsCol), size, slide, offset).as("w") +: keys.map(col): _*)
 
   /**
+   * Milan window `apply` in streaming (`lang/WindowedStreams.scala:37`):
+   * arbitrary function over the FULL window contents, emitted once when
+   * the event-time watermark passes the window end. Keyed by
+   * (key, window-start) with an event-time timeout — the input Dataset
+   * must carry a watermark on its event-time column.
+   */
+  def timeWindowApply[T: Encoder, K: Encoder, O: Encoder](
+      ds: Dataset[T], key: T => K, eventTime: T => java.sql.Timestamp,
+      windowMs: Long)(apply: (java.sql.Timestamp, K, Seq[T]) => O): Dataset[O] = {
+    implicit val kEnc: Encoder[(K, Long)] =
+      Encoders.tuple(implicitly[Encoder[K]], Encoders.scalaLong)
+    implicit val stEnc: Encoder[List[T]] = Encoders.kryo[List[T]]
+    ds.groupByKey { t =>
+      val ts = eventTime(t).getTime
+      (key(t), ts - java.lang.Math.floorMod(ts, windowMs))
+    }.flatMapGroupsWithState[List[T], O](
+      OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+      (kw: (K, Long), it: Iterator[T], state: GroupState[List[T]]) =>
+        if (state.hasTimedOut) {
+          val buf = state.get
+          state.remove()
+          Iterator.single(apply(new java.sql.Timestamp(kw._2), kw._1, buf))
+        } else {
+          state.update(state.getOption.getOrElse(Nil) ++ it)
+          // fire when the watermark passes the window end (never in the past)
+          val end = kw._2 + windowMs
+          state.setTimeoutTimestamp(math.max(end, state.getCurrentWatermarkMs() + 1))
+          Iterator.empty
+        }
+    }
+  }
+
+  /**
    * Milan `recordWindow(n)` in streaming: trailing-n ring buffer per key in
    * `flatMapGroupsWithState`; every arrival emits the aggregate of the last
    * n records — the reference's per-record emission

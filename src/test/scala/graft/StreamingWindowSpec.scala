@@ -57,6 +57,33 @@ class StreamingWindowSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("time-window apply emits the full window contents once, at window close") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[TEv]
+    val out = StreamingWindows.timeWindowApply[TEv, String, Med](
+      in.toDS().withWatermark("ts", "0 seconds"), _.k, _.ts, windowMs = 10000L) {
+      (ws, k, buf) =>
+        val vs = buf.map(_.v).sorted
+        Med(k, ws.getTime / 1000, vs(vs.length / 2))
+    }
+    val name = s"twa_${System.nanoTime()}"
+    val q = out.writeStream.format("memory").queryName(name)
+      .outputMode(OutputMode.Append()).start()
+    try {
+      def t(s: Long) = new Timestamp(s * 1000)
+      in.addData(TEv("a", t(1), 1.0), TEv("a", t(5), 9.0), TEv("a", t(8), 5.0))
+      q.processAllAvailable()
+      assert(spark.table(name).count() == 0, "open window emits nothing")
+      in.addData(TEv("a", t(25), 7.0)) // watermark → 25, window [0,10) closes
+      q.processAllAvailable()
+      in.addData(TEv("a", t(26), 1.0)) // extra batch to deliver the timeout
+      q.processAllAvailable()
+      val got = spark.table(name).as[Med].collect().toSet
+      assert(got == Set(Med("a", 0L, 5.0)),
+        "median over the full closed window, emitted exactly once")
+    } finally q.stop()
+  }
+
   test("recordWindow(n) emits trailing-n aggregate per record across batches") {
     implicit val sqlCtx = spark.sqlContext
     val in = MemoryStream[Ev]
