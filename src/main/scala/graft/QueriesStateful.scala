@@ -261,7 +261,31 @@ object QueriesStateful {
             ORDER BY epoch_ns(p.ts) DESC, p.event_id DESC LIMIT 2)) AS sum_last2
        FROM events c WHERE c.event_type = 'click'"""
 
+  /** Session windows (parity-plus): per-user sessions with a 30-minute
+    * gap; sessions extend while consecutive events are under the gap. */
+  def qSessionWindow(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .groupBy("user_id")
+      .sessionWindow(col("ts"), "30 minutes")
+      .select("sess_start",
+        count(lit(1)).as("n_events"),
+        round(sum(col("value")), 2).as("sum_value"))
+      .df
+
+  val qSessionWindowSql: String =
+    """WITH o AS (SELECT user_id, value, epoch_us(ts) AS tus, event_id FROM events),
+       s AS (SELECT *, CASE WHEN tus - lag(tus) OVER
+               (PARTITION BY user_id ORDER BY tus, event_id) >= 1800000000
+             THEN 1 ELSE 0 END AS brk FROM o),
+       t AS (SELECT *, sum(brk) OVER (PARTITION BY user_id ORDER BY tus, event_id
+                                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess
+             FROM s)
+       SELECT min(tus) AS sess_start, user_id, count(*) AS n_events,
+              round(sum(value), 2) AS sum_value
+       FROM t GROUP BY user_id, sess"""
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_session_window" -> (qSessionWindow _),
     "q_leftjoin" -> (qLeftJoin _),
     "q_fulljoin" -> (qFullJoin _),
     "q_leftinnerjoin" -> (qLeftInnerJoin _),
@@ -287,6 +311,7 @@ object QueriesStateful {
     "q_tumbling_window" -> qTumblingWindowSql,
     "q_sliding_window" -> qSlidingWindowSql,
     "q_recordwindow" -> qRecordWindowSql,
+    "q_session_window" -> qSessionWindowSql,
     "q_flatmap_nested" -> qFlatmapNestedSql,
     "q_window_join" -> qWindowJoinSql
   )

@@ -242,6 +242,11 @@ final class GroupedMStream(val stream: MStream, val keys: Seq[String]) {
   def tumblingWindowExact(epochCol: Column, sizeUnits: Long, offsetUnits: Long = 0L): TimeWindowedMStream =
     new TimeWindowedMStream(stream, MStream.exactWindowStart(epochCol, sizeUnits, offsetUnits), keys)
 
+  /** Session windows (parity-plus — absent in Milan, native on Spark):
+    * events within `gap` of the previous event extend the session. */
+  def sessionWindow(ts: Column, gap: String): SessionWindowedMStream =
+    new SessionWindowedMStream(stream, ts, gap, keys)
+
   def slidingWindowExact(epochCol: Column, sizeUnits: Long, slideUnits: Long,
                          offsetUnits: Long = 0L): TimeWindowedMStream = {
     val exploded = MStream.explodeSlidingWindows(stream.df, epochCol, sizeUnits, slideUnits, offsetUnits)
@@ -291,6 +296,20 @@ final class TimeWindowedMStream(val stream: MStream, windowExpr: Column, keys: S
       val buf = it.buffered
       f(buf.head, buf).iterator
     }.toDF(), Nil, Nil, stream.name)
+  }
+}
+
+/** Session windows over an event-time column: `select` aggregates per
+  * (keys, session), emitting the session start in epoch micros. */
+final class SessionWindowedMStream(val stream: MStream, ts: Column, gap: String, keys: Seq[String]) {
+  def select(startAs: String, aggs: Column*): MStream = {
+    val grouped = stream.df.groupBy(
+      session_window(ts, gap).as("__sw") +: keys.map(col): _*)
+    val agged = grouped.agg(aggs.head, aggs.tail: _*)
+    new MStream(
+      agged.select(unix_micros(col("__sw.start")).as(startAs) +:
+        agged.columns.filterNot(_ == "__sw").toIndexedSeq.map(col): _*),
+      Nil, Nil, stream.name)
   }
 }
 

@@ -36,7 +36,9 @@ object Tables {
       }
     val norm = raw
       .withColumnRenamed("ts", "ts_ns")
-      .withColumn("ts", timestamp_micros(floor(col("ts_ns") / 1000L).cast("long")))
+      // integral `div`, NOT floor(x/1000): double division loses precision
+      // at ns-scale epochs (ulp of 1.7e18 is 256) and truncates off-by-one
+      .withColumn("ts", timestamp_micros(expr("ts_ns div 1000")))
     new MStream(norm, Seq("ts_ns", "event_id"))
   }
 
