@@ -73,6 +73,11 @@ final class MStream(
   /** Milan `union` — bag union, same schema, no dedup (`lang/Stream.scala:135`). */
   def union(other: MStream): MStream = lift(df.unionByName(other.df))
 
+  /** Set ops absent in Milan (SURVEY §2.7 "free if wanted") — parity-plus. */
+  def distinct(): MStream = lift(df.distinct())
+  def intersect(other: MStream): MStream = lift(df.intersect(other.df))
+  def except(other: MStream): MStream = lift(df.except(other.df))
+
   // ---------------------------------------------------------------- 2.3 grouping
 
   /** Milan `groupBy` — eternal per-key groups (`lang/Stream.scala:196`). */
@@ -316,9 +321,11 @@ final class SessionWindowedMStream(val stream: MStream, ts: Column, gap: String,
 /** Milan `recordWindow(n)` (`lang/GroupedStream.scala:46`): sliding window
   * of the last n records per key; aggregates emit per record. */
 final class RecordWindowedMStream(val stream: MStream, keys: Seq[String], n: Int) {
-  /** Per-record aggregate over the trailing n records of this key. */
+  /** Per-record aggregate over the trailing n records of this key
+    * (batch: window frame; for streaming inputs use `selectRunning`). */
   def select(aggs: (Column => Column, String, String)*): MStream = {
     require(stream.eventOrder.nonEmpty, "recordWindow needs orderedBy(...) in batch mode")
+    require(!stream.df.isStreaming, "streaming recordWindow: use selectRunning(kind, in, as)")
     val w = Window.partitionBy(keys.map(col): _*)
       .orderBy(stream.eventOrder.map(col): _*)
       .rowsBetween(-(n - 1), Window.currentRow)
@@ -326,6 +333,27 @@ final class RecordWindowedMStream(val stream: MStream, keys: Seq[String], n: Int
       d.withColumn(as, fn(col(in)).over(w))
     }
     new MStream(out, stream.eventOrder, stream.contextKeys, stream.name)
+  }
+
+  /** Kind-tagged trailing-n aggregates working in BOTH modes: batch lowers
+    * to the window frame, streaming to a per-key ring buffer. */
+  def selectRunning(aggs: (graft.streaming.StreamingRowScans.RunKind, String, String)*): MStream = {
+    import graft.streaming.StreamingRowScans._
+    if (stream.df.isStreaming)
+      return new MStream(
+        graft.streaming.StreamingRowScans.recordWindow(
+          stream.df, keys, stream.eventOrder, n, aggs),
+        stream.eventOrder, stream.contextKeys, stream.name)
+    val fns: Seq[(Column => Column, String, String)] = aggs.map { case (kind, in, as) =>
+      val fn: Column => Column = kind match {
+        case RSum => sum(_)
+        case RMean => avg(_)
+        case RProduct => product(_)
+        case RCount => (_: Column) => count(lit(1))
+      }
+      (fn, in, as)
+    }
+    select(fns: _*)
   }
 }
 

@@ -100,6 +100,45 @@ object StreamingRowScans {
     }.toDF()
   }
 
+  /** Trailing-n record window per key: ring buffer in state, kind-tagged
+    * aggregates appended per arrival (Milan `recordWindow(n)`). */
+  def recordWindow(df: DataFrame, keys: Seq[String], order: Seq[String], n: Int,
+                   aggs: Seq[(RunKind, String, String)]): DataFrame = {
+    val outSchema = StructType(df.schema.fields ++ aggs.map { case (kind, _, as) =>
+      StructField(as, if (kind == RCount) LongType else DoubleType)
+    })
+    implicit val outEnc: Encoder[Row] = RowEncoder.encoderFor(outSchema)
+    implicit val stEnc: Encoder[List[Row]] = Encoders.kryo[List[Row]]
+    val oIdx = order.map(df.schema.fieldIndex)
+    val aIdx = aggs.map { case (kind, in, _) => (kind, df.schema.fieldIndex(in)) }
+    keyed(df, keys).flatMapGroupsWithState[List[Row], Row](
+      OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+      (_: Seq[Any], it: Iterator[Row], state: GroupState[List[Row]]) =>
+        var buf = state.getOption.getOrElse(Nil)
+        val outs = it.toSeq.sortBy(orderKey(_, oIdx)).map { r =>
+          buf = (buf :+ r).takeRight(n)
+          val vals = aIdx.map { case (kind, i) =>
+            def ds = buf.map(b => b.get(i) match {
+              case d: Double => d; case l: Long => l.toDouble
+              case x: Int => x.toDouble; case f: Float => f.toDouble
+            })
+            // Any, not the numeric lub: Scala would widen the Long count
+            // to Double and break the BIGINT column
+            val v: Any = kind match {
+              case RSum => ds.sum
+              case RMean => ds.sum / buf.size
+              case RProduct => ds.product
+              case RCount => buf.size.toLong
+            }
+            v
+          }
+          Row.fromSeq(r.toSeq ++ vals)
+        }
+        state.update(buf)
+        outs.iterator
+    }.toDF()
+  }
+
   /** last(): latest record per key, re-emitted per arrival (update
     * semantics at micro-batch granularity). */
   def lastRecord(df: DataFrame, keys: Seq[String], order: Seq[String]): DataFrame = {

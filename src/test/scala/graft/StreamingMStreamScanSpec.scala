@@ -55,6 +55,39 @@ class StreamingMStreamScanSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming recordWindow(3) emits trailing-window aggregates per arrival") {
+    import graft.streaming.StreamingRowScans.{RCount, RSum}
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[Ev]
+    val out = new MStream(in.toDF(), Seq("seq"))
+      .groupBy("k").recordWindow(3)
+      .selectRunning((RSum, "v", "tsum"), (RCount, "v", "tn"))
+    assert(out.df.isStreaming)
+    val name = s"msrw_${System.nanoTime()}"
+    val q = out.df.writeStream.format("memory").queryName(name)
+      .outputMode(OutputMode.Append()).start()
+    try {
+      in.addData(Ev("a", 1, 1.0), Ev("a", 2, 2.0))
+      in.addData(Ev("a", 3, 4.0), Ev("a", 4, 8.0))
+      q.processAllAvailable()
+      val got = spark.table(name).collect()
+        .map(r => (r.getLong(1), r.getDouble(3), r.getLong(4))).toSet
+      assert(got == Set((1L, 1.0, 1L), (2L, 3.0, 2L), (3L, 7.0, 3L), (4L, 14.0, 3L)),
+        "ring buffer trails 3 records across batches")
+    } finally q.stop()
+  }
+
+  test("selectRunning matches window-frame lowering in batch") {
+    import graft.streaming.StreamingRowScans.RSum
+    val batch = new MStream(
+      Seq(("a", 1L, 1.0), ("a", 2L, 2.0), ("a", 3L, 4.0), ("a", 4L, 8.0)).toDF("k", "seq", "v"),
+      Seq("seq"))
+      .groupBy("k").recordWindow(3)
+      .selectRunning((RSum, "v", "tsum"))
+      .df.orderBy("seq").select("tsum").collect().map(_.getDouble(0)).toSeq
+    assert(batch == Seq(1.0, 3.0, 7.0, 14.0))
+  }
+
   test("streaming uniqueBy keeps the latest record per value in update mode") {
     implicit val sqlCtx = spark.sqlContext
     val in = MemoryStream[Ev]
