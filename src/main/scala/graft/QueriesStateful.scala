@@ -200,7 +200,7 @@ object QueriesStateful {
 
   val qSlidingWindowSql: String =
     """SELECT event_type, k * 3600000000000 AS w_start, count(*) AS cnt,
-         round(sum(value), 4) AS sum_value
+         round(sum(value), 2) AS sum_value
        FROM events, LATERAL (SELECT unnest(generate_series(
               epoch_ns(ts) // 3600000000000 - 1,
               epoch_ns(ts) // 3600000000000))) AS t(k)

@@ -199,6 +199,10 @@ object MStream {
   /** Explode each record into one row per sliding window containing it. */
   private[api] def explodeSlidingWindows(df: DataFrame, epochCol: Column,
                                          size: Long, slide: Long, offset: Long): DataFrame = {
+    // size < slide would let a record fall in no window, making
+    // minStart > maxStart — sequence() throws at runtime for that
+    require(size >= slide,
+      s"sliding window size ($size) must be >= slide ($slide); records would fall in gaps")
     val e = epochCol - lit(offset)
     // window [start, start+size) contains t  ⇔  t-size < start <= t
     val maxStart = e - pmod(e, lit(slide)) + lit(offset)

@@ -103,7 +103,7 @@ object Scans {
         .flatMapGroupsWithState[S, O](OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
           (_: Seq[Any], it: Iterator[Row], state: GroupState[S]) =>
             var st = state.getOption.getOrElse(initial)
-            val outs = it.toSeq.sortBy(StreamingRowScans.orderKey(_, oIdx)).flatMap { r =>
+            val outs = it.toSeq.sorted(graft.streaming.EventOrder.rowOrdering(oIdx)).flatMap { r =>
               val (s2, o) = step(st, r)
               st = s2
               o
@@ -113,8 +113,12 @@ object Scans {
         }
       return new MStream(out.toDF(), Nil, Nil, s.name)
     }
+    // repartition(1), not coalesce(1): a shuffle boundary keeps the upstream
+    // scan/filter/projection stages at full parallelism — only the final
+    // state machine is inherently serial (the reference forces parallelism 1
+    // the same way, milan generator/LastByGenerator.scala:59).
     val sorted =
-      if (keys.isEmpty) df.coalesce(1).sortWithinPartitions(order.map(col): _*)
+      if (keys.isEmpty) df.repartition(1).sortWithinPartitions(order.map(col): _*)
       else df.repartition(keys.map(col): _*)
         .sortWithinPartitions((keys ++ order).map(col): _*)
     val out = sorted.mapPartitions { it =>

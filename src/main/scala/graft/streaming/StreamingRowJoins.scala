@@ -51,19 +51,11 @@ object StreamingRowJoins {
     val lIdx = u.schema.fieldIndex("_l")
     val rIdx = u.schema.fieldIndex("_r")
 
-    // Row ordering key: (order-struct values as comparable seq, tag)
-    def seqKey(r: Row): (String, Int) = {
-      val s = r.getStruct(seqIdx)
-      // zero-padded string encoding keeps numeric and chronological order
-      val enc = (0 until s.length).map { i =>
-        s.get(i) match {
-          case l: Long => f"$l%020d"
-          case i2: Int => f"$i2%020d"
-          case t: java.sql.Timestamp => f"${t.getTime}%020d"
-          case other => String.valueOf(other)
-        }
-      }.mkString("|")
-      (enc, r.getInt(tagIdx)) // rights (0) before lefts (1) at equal seq
+    // Typed row ordering: order-struct values compared natively (EventOrder),
+    // then tag — rights (0) before lefts (1) at equal seq.
+    val seqOrdering: Ordering[Row] = (x: Row, y: Row) => {
+      val c = EventOrder.compareSeqs(x.getStruct(seqIdx).toSeq, y.getStruct(seqIdx).toSeq)
+      if (c != 0) c else java.lang.Integer.compare(x.getInt(tagIdx), y.getInt(tagIdx))
     }
 
     u.groupByKey(r => r.getStruct(kIdx).toSeq)(keyEnc)
@@ -72,7 +64,7 @@ object StreamingRowJoins {
         (_: Seq[Any], it: Iterator[Row], state: GroupState[(Row, Row, List[Row])]) =>
           var (lastL, lastR, pending) = state.getOption.getOrElse((null: Row, null: Row, List.empty[Row]))
           val outs = scala.collection.mutable.ArrayBuffer.empty[Row]
-          it.toSeq.sortBy(seqKey).foreach { rec =>
+          it.toSeq.sorted(seqOrdering).foreach { rec =>
             if (rec.getInt(tagIdx) == 1) { // left arrival
               val l = rec.getStruct(lIdx)
               lastL = l

@@ -4,28 +4,16 @@ import org.apache.spark.sql.{Column, DataFrame, Encoder, Encoders, Row}
 import org.apache.spark.sql.catalyst.encoders.RowEncoder
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
-import org.apache.spark.sql.types.{DoubleType, LongType, StructField, StructType}
+import org.apache.spark.sql.types._
 
 /**
  * Untyped (Row-based) streaming lowerings for MStream's stateful scans, so
  * the same program runs streaming when its input does (batch takes the
  * window-function lowering in `operators.Scans`). One record per
  * micro-batch reproduces the reference's per-record traces; within a
- * batch, records fold in event-order.
+ * batch, records fold in event-order (typed comparison via [[EventOrder]]).
  */
 object StreamingRowScans {
-
-  /** Zero-padded order encoding shared with the row joins: keeps numeric
-    * and chronological order under string comparison. */
-  private[graft] def orderKey(row: Row, idx: Seq[Int]): String =
-    idx.map { i =>
-      row.get(i) match {
-        case l: Long => f"$l%020d"
-        case n: Int => f"$n%020d"
-        case t: java.sql.Timestamp => f"${t.getTime}%020d"
-        case other => String.valueOf(other)
-      }
-    }.mkString("|")
 
   private def keyed(df: DataFrame, keys: Seq[String]) = {
     implicit val rowEnc: Encoder[Row] = RowEncoder.encoderFor(df.schema)
@@ -41,58 +29,80 @@ object StreamingRowScans {
   case object RCount extends RunKind
 
   /** Running aggregate per key: one output per input record, input row +
-    * running value appended as `as`. */
+    * running value appended as `as`. Output type mirrors the batch window
+    * lowering: `sum` over an integral column stays BIGINT (no 2^53 double
+    * precision loss); mean/product are DOUBLE (Spark's `avg` buffers a
+    * double sum for non-decimal inputs, `product` is always double);
+    * count is BIGINT. Decimal args fold as double (documented deviation —
+    * batch sum(decimal) widens the decimal instead). */
   def running(df: DataFrame, keys: Seq[String], order: Seq[String],
               arg: Column, kind: RunKind, as: String): DataFrame = {
-    val prep = df.withColumn("__arg", if (kind == RCount) lit(0.0d) else arg.cast("double"))
+    val argType =
+      if (kind == RCount) LongType else df.select(arg).schema.head.dataType
+    val sumLong = kind == RSum && (argType match {
+      case ByteType | ShortType | IntegerType | LongType => true
+      case _ => false
+    })
+    val prep = df.withColumn("__arg",
+      if (kind == RCount) lit(0L)
+      else if (sumLong) arg.cast("long")
+      else arg.cast("double"))
     val outSchema = StructType(df.schema.fields :+
-      StructField(as, if (kind == RCount) LongType else DoubleType))
+      StructField(as, if (kind == RCount || sumLong) LongType else DoubleType))
     implicit val outEnc: Encoder[Row] = RowEncoder.encoderFor(outSchema)
-    implicit val stEnc: Encoder[(Double, Long)] = Encoders.kryo[(Double, Long)]
+    implicit val stEnc: Encoder[(Double, Long, Long)] = Encoders.kryo[(Double, Long, Long)]
     val oIdx = order.map(prep.schema.fieldIndex)
     val argIdx = prep.schema.fieldIndex("__arg")
     val n0 = df.schema.length
-    keyed(prep, keys).flatMapGroupsWithState[(Double, Long), Row](
+    keyed(prep, keys).flatMapGroupsWithState[(Double, Long, Long), Row](
       OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
-      (_: Seq[Any], it: Iterator[Row], state: GroupState[(Double, Long)]) =>
-        var (acc, n) = state.getOption.getOrElse(
-          (if (kind == RProduct) 1.0d else 0.0d, 0L))
-        val outs = it.toSeq.sortBy(orderKey(_, oIdx)).map { r =>
-          val a = r.getDouble(argIdx)
+      (_: Seq[Any], it: Iterator[Row], state: GroupState[(Double, Long, Long)]) =>
+        var (accD, accL, n) = state.getOption.getOrElse(
+          (if (kind == RProduct) 1.0d else 0.0d, 0L, 0L))
+        val outs = it.toSeq.sorted(EventOrder.rowOrdering(oIdx)).map { r =>
           n += 1
-          acc = kind match {
-            case RSum | RMean => acc + a
-            case RProduct     => acc * a
-            case RCount       => acc
+          if (sumLong) accL += r.getLong(argIdx)
+          else if (kind != RCount) {
+            val a = r.getDouble(argIdx)
+            accD = kind match {
+              case RProduct => accD * a
+              case _        => accD + a
+            }
           }
           val value: Any = kind match {
-            case RSum | RProduct => acc
-            case RMean           => acc / n
-            case RCount          => n
+            case RSum     => if (sumLong) accL else accD
+            case RMean    => accD / n
+            case RProduct => accD
+            case RCount   => n
           }
           Row.fromSeq(r.toSeq.take(n0) :+ value)
         }
-        state.update((acc, n))
+        state.update((accD, accL, n))
         outs.iterator
     }.toDF()
   }
 
-  /** maxBy/minBy: emit the input record only on strict improvement. */
+  /** maxBy/minBy: emit the input record only on strict improvement. The
+    * arg keeps its native type — comparison is typed, so Longs above 2^53
+    * and negative values compare exactly. */
   def argCompare(df: DataFrame, keys: Seq[String], order: Seq[String],
                  arg: Column, isMax: Boolean): DataFrame = {
-    val prep = df.withColumn("__arg", arg.cast("double"))
+    val prep = df.withColumn("__arg", arg)
     implicit val outEnc: Encoder[Row] = RowEncoder.encoderFor(df.schema)
-    implicit val stEnc: Encoder[Option[Double]] = Encoders.kryo[Option[Double]]
+    implicit val stEnc: Encoder[Option[Any]] = Encoders.kryo[Option[Any]]
     val oIdx = order.map(prep.schema.fieldIndex)
     val argIdx = prep.schema.fieldIndex("__arg")
     val n0 = df.schema.length
-    keyed(prep, keys).flatMapGroupsWithState[Option[Double], Row](
+    keyed(prep, keys).flatMapGroupsWithState[Option[Any], Row](
       OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
-      (_: Seq[Any], it: Iterator[Row], state: GroupState[Option[Double]]) =>
+      (_: Seq[Any], it: Iterator[Row], state: GroupState[Option[Any]]) =>
         var best = state.getOption.flatten
-        val outs = it.toSeq.sortBy(orderKey(_, oIdx)).flatMap { r =>
-          val a = r.getDouble(argIdx)
-          val beats = best.forall(b => if (isMax) a > b else a < b)
+        val outs = it.toSeq.sorted(EventOrder.rowOrdering(oIdx)).flatMap { r =>
+          val a = r.get(argIdx)
+          val beats = best.forall { b =>
+            val c = EventOrder.compareValues(a, b)
+            if (isMax) c > 0 else c < 0
+          }
           if (beats) { best = Some(a); Some(Row.fromSeq(r.toSeq.take(n0))) } else None
         }
         state.update(best)
@@ -115,7 +125,7 @@ object StreamingRowScans {
       OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
       (_: Seq[Any], it: Iterator[Row], state: GroupState[List[Row]]) =>
         var buf = state.getOption.getOrElse(Nil)
-        val outs = it.toSeq.sortBy(orderKey(_, oIdx)).map { r =>
+        val outs = it.toSeq.sorted(EventOrder.rowOrdering(oIdx)).map { r =>
           buf = (buf :+ r).takeRight(n)
           val vals = aIdx.map { case (kind, i) =>
             def ds = buf.map(b => b.get(i) match {
@@ -140,19 +150,20 @@ object StreamingRowScans {
   }
 
   /** last(): latest record per key, re-emitted per arrival (update
-    * semantics at micro-batch granularity). */
+    * semantics at micro-batch granularity). State stores the typed order
+    * values of the best-so-far record. */
   def lastRecord(df: DataFrame, keys: Seq[String], order: Seq[String]): DataFrame = {
     implicit val outEnc: Encoder[Row] = RowEncoder.encoderFor(df.schema)
-    implicit val stEnc: Encoder[Option[String]] = Encoders.kryo[Option[String]]
+    implicit val stEnc: Encoder[Option[Seq[Any]]] = Encoders.kryo[Option[Seq[Any]]]
     val oIdx = order.map(df.schema.fieldIndex)
-    keyed(df, keys).flatMapGroupsWithState[Option[String], Row](
+    keyed(df, keys).flatMapGroupsWithState[Option[Seq[Any]], Row](
       OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
-      (_: Seq[Any], it: Iterator[Row], state: GroupState[Option[String]]) =>
-        val sorted = it.toSeq.sortBy(orderKey(_, oIdx))
+      (_: Seq[Any], it: Iterator[Row], state: GroupState[Option[Seq[Any]]]) =>
+        val sorted = it.toSeq.sorted(EventOrder.rowOrdering(oIdx))
         val prevBest = state.getOption.flatten
         val latest = sorted.lastOption.filter(r =>
-          prevBest.forall(orderKey(r, oIdx) > _))
-        latest.foreach(r => state.update(Some(orderKey(r, oIdx))))
+          prevBest.forall(p => EventOrder.compareSeqs(EventOrder.values(r, oIdx), p) > 0))
+        latest.foreach(r => state.update(Some(EventOrder.values(r, oIdx))))
         latest.iterator
     }.toDF()
   }
