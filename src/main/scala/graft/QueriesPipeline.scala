@@ -190,13 +190,16 @@ object QueriesPipeline {
   val qFingerprintSql: String =
     s"SELECT doc_id, ${PolyFold.format("text")} AS fp FROM documents"
 
-  /** Multimodal plumbing: fake media bytes → partition-batched decode stub
-    * → per-source feature aggregate. No SQL oracle (binary + mapPartitions
-    * path) — driver records a rows-only check. */
+  /** Multimodal plumbing: fake media bytes → native byte-statistics
+    * features (codegen'd `ByteMean` expression over the binary payload) →
+    * per-source feature aggregate. The per-doc feature values are exact
+    * integer arithmetic, so the DuckDB oracle reproduces them
+    * bit-identically (`decodeBatched`, the partition-batched codec slot,
+    * computes the same values — asserted in BatchApiSpec). */
   def qMultimodal(spark: SparkSession, dir: String): DataFrame = {
     val d = Tables.documents(spark, dir).df
     val media = Multimodal.withFakeMedia(d, "text")
-    val feats = Multimodal.decodeStub(media, "doc_id")
+    val feats = Multimodal.byteFeatures(media, "doc_id")
     feats.join(d.select(col("doc_id").as("id"), col("source")), "id")
       .groupBy("source")
       .agg(count(lit(1)).as("n_docs"),
@@ -204,9 +207,27 @@ object QueriesPipeline {
         round(avg(col("mean_byte")), 4).as("avg_mean_byte"))
   }
 
-  /** IVF ANN: k-means cells + probe-limited exact search. Rows-only check
-    * (training is iterative; no closed-form SQL oracle) — recall vs brute
-    * force is asserted in IvfSpec. */
+  /** DuckDB mirror: the fake payload is the UTF-8 encoding of `text`
+    * (pure ASCII in this corpus — asserted cheaply by octet_length =
+    * length), so byte_len = octet_length and the byte sum = sum of
+    * code points. */
+  val qMultimodalSql: String =
+    """WITH f AS (SELECT doc_id, source,
+           octet_length(encode(text)) AS byte_len,
+           CASE WHEN length(text) = 0 THEN 0.0
+                ELSE list_reduce([0] || [ord(c)::BIGINT for c in string_split(text, '')],
+                                 (a, c) -> a + c)::DOUBLE / octet_length(encode(text)) END AS mean_byte
+         FROM documents)
+       SELECT source, count(*) AS n_docs,
+         round(avg(byte_len), 2) AS avg_bytes,
+         round(avg(mean_byte), 4) AS avg_mean_byte
+       FROM f GROUP BY source"""
+
+  /** IVF ANN: k-means cells + probe-limited exact search. Training is
+    * deterministic (k lowest ids init, 2 fixed Lloyd rounds), so the oracle
+    * mirrors the FULL pipeline in DuckDB — init, two unrolled
+    * assign/update rounds, probe selection, in-cell search. Recall vs
+    * brute force is asserted separately in IvfSpec. */
   def qIvfAnn(spark: SparkSession, dir: String): DataFrame = {
     val emb = Tables.embeddings(spark, dir).df
     val centroids = graft.pipeline.Ivf.train(emb, "vec_id", "embedding", k = 8, iters = 2)
@@ -214,6 +235,47 @@ object QueriesPipeline {
       .select(col("vec_id").as("q_id"), col("embedding"))
     graft.pipeline.Ivf.search(emb, queries, "vec_id", "embedding", "q_id",
       centroids, topK = 5, nProbe = 3)
+  }
+
+  /** DuckDB mirror of qIvfAnn: two unrolled Lloyd rounds then probed
+    * search. Distances use the same |p|²−2p·c+|c|² shape as `Ivf.assign`;
+    * centroid means differ from Spark's only by fp summation order
+    * (~1e-13), far below any assignment or ranking decision margin. */
+  val qIvfAnnSql: String = {
+    val dist = (p: String, c: String) =>
+      s"list_dot_product($p, $p) - 2*list_dot_product($p, $c) + list_dot_product($c, $c)"
+    def assign(cent: String) =
+      s"""(SELECT vec_id, cid FROM (
+            SELECT e.vec_id, c.cid,
+              row_number() OVER (PARTITION BY e.vec_id
+                ORDER BY ${dist("e.v", "c.cv")}, c.cid) AS rn
+            FROM e, $cent c) WHERE rn = 1)"""
+    def update(asg: String) =
+      s"""(SELECT cid, list(m ORDER BY pos) AS cv FROM (
+            SELECT a.cid, t.pos, avg(e.v[t.pos]) AS m
+            FROM $asg a JOIN e USING (vec_id),
+                 LATERAL (SELECT unnest(generate_series(1, len(e.v))) AS pos) t
+            GROUP BY a.cid, t.pos) GROUP BY cid)"""
+    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        c0 AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid, v AS cv
+               FROM (SELECT * FROM e ORDER BY vec_id LIMIT 8)),
+        a1 AS ${assign("c0")},
+        c1 AS ${update("a1")},
+        a2 AS ${assign("c1")},
+        c2 AS ${update("a2")},
+        qc AS (SELECT q_id, qv, cid FROM (
+            SELECT q.vec_id AS q_id, q.v AS qv, c.cid,
+              row_number() OVER (PARTITION BY q.vec_id
+                ORDER BY ${dist("q.v", "c.cv")}, c.cid) AS rn
+            FROM e q, c2 c WHERE q.vec_id < 10) WHERE rn <= 3),
+        a3 AS ${assign("c2")},
+        scored AS (
+          SELECT qc.q_id, e.vec_id, list_cosine_similarity(qc.qv, e.v) AS c
+          FROM qc JOIN a3 ON a3.cid = qc.cid JOIN e ON e.vec_id = a3.vec_id
+          WHERE e.vec_id <> qc.q_id)
+        SELECT q_id, vec_id, round(c, 6) AS cos,
+          row_number() OVER (PARTITION BY q_id ORDER BY c DESC, vec_id) AS rn
+        FROM scored QUALIFY rn <= 5"""
   }
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -232,6 +294,7 @@ object QueriesPipeline {
   )
 
   val sql: Map[String, String] = Map(
+    "q_ivf_ann" -> qIvfAnnSql,
     "q_dedup_exact" -> qDedupExactSql,
     "q_minhash_dedup" -> qMinhashDedupSql,
     "q_simhash" -> qSimhashSql,
@@ -241,7 +304,7 @@ object QueriesPipeline {
     "q_langid" -> qLangIdSql,
     "q_text_quality" -> qTextQualitySql,
     "q_token_count" -> qTokenCountSql,
-    "q_fingerprint" -> qFingerprintSql
-    // q_multimodal intentionally has no oracle (rows-only check)
+    "q_fingerprint" -> qFingerprintSql,
+    "q_multimodal" -> qMultimodalSql
   )
 }

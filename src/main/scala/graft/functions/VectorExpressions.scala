@@ -339,6 +339,42 @@ case class MinHashSignature(child: Expression, k: Int) extends UnaryExpression {
   override protected def withNewChildInternal(newChild: Expression): Expression = copy(child = newChild)
 }
 
+/** Static helper shared by interpreted eval and generated code. */
+object ByteMeanUtil {
+  /** Mean unsigned byte value; 0.0 for an empty payload. The integer sum
+    * is exact, so the result is bit-identical across engines. */
+  def mean(bytes: Array[Byte]): Double = {
+    if (bytes.isEmpty) return 0.0d
+    var s = 0L
+    var i = 0
+    while (i < bytes.length) { s += (bytes(i) & 0xff); i += 1 }
+    s.toDouble / bytes.length
+  }
+}
+
+/**
+ * Mean unsigned byte of a binary column — the deterministic stand-in for
+ * media decoding in the multimodal pipeline (see `pipeline.Multimodal`),
+ * as a native codegen'd expression rather than a per-row closure.
+ */
+case class ByteMean(child: Expression) extends UnaryExpression {
+  import org.apache.spark.sql.types.BinaryType
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case BinaryType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(s"$prettyName requires binary, got $other")
+  }
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "graft_byte_mean"
+
+  override protected def nullSafeEval(a: Any): Any =
+    ByteMeanUtil.mean(a.asInstanceOf[Array[Byte]])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, a => s"graft.functions.ByteMeanUtil.mean($a)")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression = copy(child = newChild)
+}
+
 object VectorFunctions {
   /** Codegen'd dot product of two array<double> columns. */
   def dotNative(a: Column, b: Column): Column =
@@ -367,4 +403,8 @@ object VectorFunctions {
   /** Char-n-gram shingle hashes straight from text, one pass per row. */
   def charShingleHashes(text: Column, n: Int): Column =
     ColumnBridge.column(CharShingleHashes(ColumnBridge.expr(text), n))
+
+  /** Codegen'd mean unsigned byte of a binary column. */
+  def byteMeanNative(b: Column): Column =
+    ColumnBridge.column(ByteMean(ColumnBridge.expr(b)))
 }

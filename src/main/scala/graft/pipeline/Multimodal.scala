@@ -8,10 +8,13 @@ import org.apache.spark.sql.types._
 /**
  * Multimodal-column plumbing: image/audio/video travel as opaque `binary`
  * columns with a typed metadata struct. The Spark-side machinery (schema,
- * partition-parallel batch UDF shape, frame slicing) is real and tested;
- * the actual codec step is a clearly-marked deterministic STUB because no
- * image/audio libraries ship in this environment — swap `decodeStub`'s
- * body for a real decoder without touching the pipeline shape.
+ * partition-parallel batch UDF shape, frame slicing) is real and tested.
+ * Feature extraction has two equivalent paths: `byteFeatures` (native
+ * column expressions, oracle-checked) and `decodeBatched` (the
+ * partition-batched codec slot — its byte-statistics body is a
+ * clearly-marked deterministic STUB because no image/audio libraries ship
+ * in this environment; swap it for a real decoder without touching the
+ * pipeline shape).
  */
 object Multimodal {
 
@@ -32,12 +35,27 @@ object Multimodal {
         (length(col(textCol)) % 8 + 1).cast("int").as("n_frames")))
 
   /**
+   * Byte-statistics features over the binary payload as NATIVE column
+   * expressions — whole-stage codegen, pushdown-friendly, and expressible
+   * in the DuckDB oracle. This is the default feature path; `decodeBatched`
+   * below keeps the partition-batched shape for real codecs.
+   */
+  def byteFeatures(df: DataFrame, idCol: String): DataFrame =
+    df.select(
+      col(idCol).cast("long").as("id"),
+      length(col("media")).as("byte_len"),
+      graft.functions.VectorFunctions.byteMeanNative(col("media")).as("mean_byte"),
+      col("media_meta").getField("format").as("format"))
+
+  /**
    * Decode + feature-extract, batched per partition (the Scala analog of
    * `mapInPandas`: one iterator pass, no per-row task overhead, output
-   * schema declared up front). STUB: features are byte statistics; a real
-   * build decodes `media` with an image/audio codec here.
+   * schema declared up front). STUB: features are byte statistics standing
+   * in for pixel/sample decoding — a real build swaps the row body for an
+   * image/audio codec call without touching the pipeline shape. Feature
+   * values are identical to `byteFeatures` (asserted in BatchApiSpec).
    */
-  def decodeStub(df: DataFrame, idCol: String): DataFrame = {
+  def decodeBatched(df: DataFrame, idCol: String): DataFrame = {
     val outSchema = StructType(Seq(
       StructField("id", LongType),
       StructField("byte_len", IntegerType),
@@ -51,7 +69,7 @@ object Multimodal {
       rows.map { r =>
         val bytes = r.getAs[Array[Byte]](mediaIdx)
         // STUB decode: byte statistics stand in for pixel/sample decoding.
-        val mean = if (bytes.isEmpty) 0.0 else bytes.map(_ & 0xff).sum.toDouble / bytes.length
+        val mean = graft.functions.ByteMeanUtil.mean(bytes)
         Row(r.getLong(idIdx), bytes.length, mean, r.getStruct(metaIdx).getString(0))
       }
     }

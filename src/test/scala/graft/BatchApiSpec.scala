@@ -106,8 +106,16 @@ class BatchApiSpec extends SparkSpec {
   test("multimodal decode stub is partition-parallel and deterministic") {
     val df = Multimodal.withFakeMedia(
       Seq((1L, "aa"), (2L, "zzzz")).toDF("id", "text").repartition(2), "text")
-    val out = Multimodal.decodeStub(df, "id").collect()
+    val out = Multimodal.decodeBatched(df, "id").collect()
       .map(r => (r.getLong(0), r.getInt(1), r.getDouble(2))).toSet
     assert(out == Set((1L, 2, 97.0), (2L, 4, 122.0)))
+  }
+
+  test("multimodal native byteFeatures equals the batched codec path") {
+    val df = Multimodal.withFakeMedia(
+      Seq((1L, "hello world"), (2L, ""), (3L, "Zz!")).toDF("id", "text"), "text")
+    def rows(d: org.apache.spark.sql.DataFrame) = d.collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getDouble(2), r.getString(3))).toSet
+    assert(rows(Multimodal.byteFeatures(df, "id")) == rows(Multimodal.decodeBatched(df, "id")))
   }
 }
