@@ -223,29 +223,46 @@ object EnrichmentJoins {
           case Some(_) =>
             // General (residual) path: the latest-prior right counts only if
             // it satisfies the residual; otherwise the left waits for the
-            // first future right that does. Requires a pair join — costs a
-            // second shuffle; only taken when a residual exists.
+            // first future right that does. A naive waiting×future-rights
+            // join materializes w×r pairs on a hot key before keeping 1, so
+            // the search runs in order-bucketed ROUNDS over a rights-only
+            // sequence number: each waiting left first joins its next 16
+            // rights, the still-unmatched its next 512, and only the
+            // (rare) remainder scan all farther rights — that last round is
+            // also the work a per-key state machine would do for lefts
+            // whose match is that far out (or never comes).
             val lefts = u.filter(col("_tag") === 1)
               .withColumn("__lastr", last(col(R), ignoreNulls = true).over(wPast))
+              // rights seen so far: a future right is one with seq > this
+              .withColumn("__nr", count(col(R)).over(wPast))
             val residPrev = residualFor(L, "__lastr").get
             val immediate = lefts.filter(col("__lastr").isNotNull && residPrev)
               .select(col(L), col("__lastr").as(R))
             val waiting = lefts.filter(col("__lastr").isNull || !residPrev)
-              .select((col(L) +: keyNames.map(col)) ++ ordNames.map(col): _*)
+              .select(col(L) +: col("__nr") +: keyNames.map(col): _*)
+            val wRight = Window.partitionBy(keyNames.map(col): _*).orderBy(ord: _*)
             val rights = u.filter(col("_tag") === 0)
-              .select((col(R).as("__r") +: keyNames.map(c => col(c).as(s"r$c"))) ++
-                ordNames.map(c => col(c).as(s"r$c")): _*)
+              .withColumn("__rn", row_number().over(wRight))
+              .select((col(R).as("__r") +: col("__rn") +:
+                keyNames.map(c => col(c).as(s"r$c"))): _*)
             val residFut = residualFor(L, "__r").get
             val keyEq = keyNames.map(k => col(k) === col(s"r$k")).reduce(_ && _)
-            val after = ordNames.map(o => col(s"r$o") > col(o))
-              .zip(ordNames.map(o => col(s"r$o") === col(o)))
-              .foldRight(lit(false)) { case ((gt, eq), acc) => gt || (eq && acc) }
-            val matched = waiting.join(rights, keyEq && after && residFut, "inner")
-              .withColumn("__rn", row_number().over(
-                Window.partitionBy(col(L)).orderBy(ordNames.map(o => col(s"r$o")): _*)))
-              .filter(col("__rn") === 1)
-              .select(col(L), col("__r").as(R))
-            immediate.unionByName(matched)
+            def matchRound(w: DataFrame, lo: Column, hi: Option[Column]): DataFrame = {
+              val inRange = hi.map(col("__rn") <= _).foldLeft(col("__rn") > lo)(_ && _)
+              w.join(rights, keyEq && inRange && residFut, "inner")
+                .withColumn("__rk", row_number().over(
+                  Window.partitionBy(col(L)).orderBy(col("__rn"))))
+                .filter(col("__rk") === 1)
+                .select(col(L), col("__r").as(R))
+            }
+            def unmatched(w: DataFrame, m: DataFrame): DataFrame =
+              w.join(m.select(col(L).as("__ml")), col(L) <=> col("__ml"), "left_anti")
+            val m1 = matchRound(waiting, col("__nr"), Some(col("__nr") + 16))
+            val w2 = unmatched(waiting, m1)
+            val m2 = matchRound(w2, col("__nr") + 16, Some(col("__nr") + 512))
+            val w3 = unmatched(w2, m2)
+            val m3 = matchRound(w3, col("__nr") + 512, None)
+            immediate.unionByName(m1).unionByName(m2).unionByName(m3)
         }
     }
     new JoinedMStream(paired, lStructT, rStructT, left.name)
@@ -257,11 +274,11 @@ object EnrichmentJoins {
    * latest-n-per-key lookups, see `bodaboda/BodaApp.scala:46-59`): each
    * left record sees the last `n` right records of its key at its arrival
    * point. Same single-shuffle union+window lowering; the right window is
-   * a `collect_list` sliced to its tail (collect_list skips the nulls the
-   * left rows contribute). NOTE: the running list is unbounded within a
-   * key partition before slicing — bounded-state variant is the streaming
-   * path (`StreamingJoins`); at batch scale the list lives inside the
-   * window operator per key, spilling with the sort.
+   * a bounded ring-buffer aggregate (`functions.BoundedLastList`) over the
+   * running frame — at most `n` elements of state per key regardless of
+   * how many rights precede, so a hot key with millions of rights never
+   * materializes more than `n` rows per output (the streaming path in
+   * `StreamingJoins` bounds state the same way).
    */
   def buildWindowed(left: MStream, right: MStream, n: Int,
                     cond: (String => Column, String => Column) => Column): WindowJoinedMStream = {
@@ -302,11 +319,11 @@ object EnrichmentJoins {
     val ord = ordNames.map(col) :+ col("_tag")
     val wPast = Window.partitionBy(keyNames.map(col): _*).orderBy(ord: _*)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val withList = u.withColumn("__rall", collect_list(col(R)).over(wPast))
-    val lastN = when(size(col("__rall")) <= n, col("__rall"))
-      .otherwise(slice(col("__rall"), size(col("__rall")) - (n - 1), lit(n)))
-    val lefts = withList.filter(col("_tag") === 1)
-      .select(col(L), lastN.as("_rwin"))
+    val tailN = ColumnBridge.column(
+      graft.functions.BoundedLastList(ColumnBridge.expr(col(R)), n).toAggregateExpression())
+    val lefts = u.withColumn("_rwin", tailN.over(wPast))
+      .filter(col("_tag") === 1)
+      .select(col(L), col("_rwin"))
     new WindowJoinedMStream(lefts, left.name)
   }
 }

@@ -17,12 +17,21 @@ import org.apache.spark.sql.functions._
  */
 object Dedup {
 
-  /** Exact dedup: one representative (min id) per identical text.
-    * One shuffle (groupBy text). At 100 TB, group by `xxhash64(text)`
-    * instead so the shuffle key is 8 bytes, not the document. */
-  def exact(docs: DataFrame, idCol: String, textCol: String): DataFrame =
-    docs.groupBy(col(textCol))
-      .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_copies"))
+  /** Exact dedup: one representative (min id) per identical text. One
+    * shuffle whose key is `xxhash64(text)` — 8 bytes per row, the corpus
+    * text never shuffles. A salted second hash is min/max-checked per
+    * group: any 64-bit collision between distinct texts would disagree in
+    * the salted hash too only with ~2⁻¹²⁸ probability, so the check
+    * raises instead of silently merging distinct documents. */
+  def exact(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val salted = xxhash64(col(textCol), lit(0x5bd1e995))
+    docs.groupBy(xxhash64(col(textCol)).as("__th"))
+      .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_copies"),
+        min(salted).as("__v1"), max(salted).as("__v2"))
+      .filter(assert_true(col("__v1") === col("__v2"),
+        lit("xxhash64 collision in Dedup.exact: distinct texts share a hash")).isNull)
+      .select(col("keep_id"), col("n_copies"))
+  }
 
   /** MinHash signature: k portable minhashes over word-3-gram shingles,
     * computed in one pass per document (`MinHashSignature` expression) —
@@ -95,9 +104,19 @@ object Dedup {
 
   /** Character-n-gram Jaccard near-dup within a blocking key (e.g. source):
     * all-pairs only inside blocks — use when a natural partition bounds
-    * block size; otherwise prefer MinHash+LSH. */
+    * block size; otherwise prefer MinHash+LSH.
+    *
+    * The pair join is TRIANGLE-TILED per block: block b is hashed into
+    * `G_b = ceil(|b| / sqrt(comparisonsPerTask))` groups and every
+    * unordered group pair (i ≤ j) becomes one join bucket, so each task
+    * performs ~comparisonsPerTask comparisons no matter how large or
+    * skewed a block is, rows replicate G_b× (not #executors×), and
+    * nothing corpus-sized is broadcast — only the per-block stats table
+    * (one row per block) is. Small blocks get G=1, which degenerates to
+    * the plain one-shuffle block join. */
   def ngramJaccardWithinBlocks(docs: DataFrame, idCol: String, textCol: String,
-                               blockCol: String, n: Int, threshold: Double): DataFrame = {
+                               blockCol: String, n: Int, threshold: Double,
+                               comparisonsPerTask: Long = 250000L): DataFrame = {
     // Hash each shingle to a long (one native pass over the text) and sort
     // ONCE per row — the O(pairs) stage is then a codegen'd two-pointer
     // merge over 8-byte longs (`JaccardSorted`) instead of per-pair
@@ -105,13 +124,43 @@ object Dedup {
     val hashed = sort_array(array_distinct(
       graft.functions.VectorFunctions.charShingleHashes(col(textCol), n)))
     val sets = docs.select(col(blockCol), col(idCol), hashed.as("__sh"))
-    // A shuffle on the block key alone would have only #blocks distinct
-    // keys (parallelism collapse + skew). Broadcast the build side and
-    // round-robin the probe side so the quadratic pair work spreads over
-    // every core regardless of how few input splits or blocks there are.
-    val probe = sets.repartition(sets.sparkSession.sparkContext.defaultParallelism)
-    probe.as("a").join(broadcast(sets.as("b")),
-        col(s"a.$blockCol") === col(s"b.$blockCol") && col(s"a.$idCol") < col(s"b.$idCol"))
+    // G floor: even one hot block must tile into >= ~parallelism buckets
+    // (G(G+1)/2 of them), so the quadratic stage can occupy the cluster
+    // when blocks are few; the ceiling term keeps per-task work ~constant
+    // when blocks are huge
+    val gMin = math.ceil(math.sqrt(2.0 * docs.sparkSession.sparkContext.defaultParallelism)).toLong
+    val stats = sets.groupBy(col(blockCol)).agg(count(lit(1)).as("__bn"))
+      .select(col(blockCol),
+        when(col("__bn") <= 1, lit(1L)).otherwise(
+          greatest(lit(gMin), ceil(col("__bn") / lit(math.sqrt(comparisonsPerTask.toDouble)))))
+          .cast("int").as("__ng"))
+    val grouped = sets.join(broadcast(stats), blockCol)
+      .withColumn("__grp", pmod(xxhash64(col(idCol)), col("__ng")).cast("int"))
+    // replicate each row into its G triangle buckets: (i, g) for i <= g
+    // plus (g, j) for j > g — every unordered group pair shares exactly
+    // one bucket
+    val low = transform(sequence(lit(0), col("__grp")),
+      i => struct(i.cast("int").as("bi"), col("__grp").as("bj")))
+    val high = when(col("__grp") + 1 <= col("__ng") - 1,
+      transform(sequence(col("__grp") + 1, col("__ng") - 1),
+        j => struct(col("__grp").as("bi"), j.cast("int").as("bj"))))
+      .otherwise(array().cast("array<struct<bi:int,bj:int>>"))
+    val buckets = grouped.withColumn("__bkt", explode(concat(low, high)))
+    // a same-group pair appears in all G of its buckets; count it only on
+    // the diagonal. A cross-group pair's groups match (bi, bj) in exactly
+    // one orientation in its single shared bucket.
+    val once = when(col("a.__bkt.bi") === col("a.__bkt.bj"),
+        col("a.__grp") === col("a.__bkt.bi") && col("b.__grp") === col("a.__bkt.bi"))
+      .otherwise((col("a.__grp") === col("a.__bkt.bi") && col("b.__grp") === col("a.__bkt.bj")) ||
+                 (col("a.__grp") === col("a.__bkt.bj") && col("b.__grp") === col("a.__bkt.bi")))
+    // shuffle_hash, not the planner's size-based choice: the build side is
+    // the exploded corpus — broadcastable only at toy scale, and both
+    // sides shuffling on (block, bucket) lets ReuseExchange materialize
+    // the shingle sets once
+    buckets.as("a").join(buckets.as("b").hint("shuffle_hash"),
+        col(s"a.$blockCol") === col(s"b.$blockCol") &&
+        col("a.__bkt") === col("b.__bkt") && once &&
+        col(s"a.$idCol") < col(s"b.$idCol"))
       .withColumn("jaccard",
         graft.functions.VectorFunctions.jaccardSorted(col("a.__sh"), col("b.__sh")))
       .filter(col("jaccard") >= threshold)

@@ -111,6 +111,69 @@ class BatchApiSpec extends SparkSpec {
     assert(out == Set((1L, 2, 97.0), (2L, 4, 122.0)))
   }
 
+  test("windowed join state stays bounded on a hot key") {
+    // one hot key with 10k rights before each left — the ring-buffer window
+    // aggregate keeps n=3 elements of state, never the full right history
+    val lefts = new MStream(
+      Seq((1L, "hot", 5000L), (2L, "hot", 10001L)).toDF("id", "k", "t"), Seq("t", "id"))
+    val rights = new MStream(
+      (1L to 10000L).map(i => (100L + i, "hot", i, i.toDouble))
+        .toDF("rid", "rk", "rt", "rv"), Seq("rt", "rid"))
+    val joined = lefts.leftJoinWindow(rights, 3).on((l, r) => l("k") === r("rk"))
+      .select((l, rwin) => Seq(l("id").as("id"),
+        expr("transform(_rwin, r -> r.rid)").as("rids")))
+    val plan = joined.df.queryExecution.executedPlan.toString
+    assert(plan.contains("graft_bounded_last3"), "bounded window aggregate in the plan")
+    assert(!plan.contains("collect_list"), "no unbounded running list")
+    val out = joined.df.collect().map(r => r.getLong(0) -> r.getSeq[Long](1).toList).toMap
+    // left (t=5000, id=1) sorts before the rt=5000 right on the second
+    // order column, so its window is rights rt=1..4999
+    assert(out(1L) == List(100L + 4997, 100L + 4998, 100L + 4999))
+    assert(out(2L) == List(100L + 9998, 100L + 9999, 100L + 10000))
+  }
+
+  test("left-inner residual matches across all search rounds on a hot key") {
+    // three waiting lefts on one hot key whose first satisfying right is
+    // 5 / 100 / 800 rights ahead — exercising the 16-, 512-, and
+    // unbounded-round paths of the bucketed search; plus one that never
+    // matches (no output)
+    val lefts = new MStream(
+      Seq((1L, "hot", 10L, 5.0), (2L, "hot", 20L, 100.0),
+          (3L, "hot", 30L, 800.0), (4L, "hot", 40L, 99999.0))
+        .toDF("id", "k", "t", "need"), Seq("t", "id"))
+    // rights arrive after every left (rt > 40); the i-th right has rv=i
+    val rights = new MStream(
+      (1L to 1000L).map(i => (2000L + i, "hot", 100L + i, i.toDouble))
+        .toDF("rid", "rk", "rt", "rv"), Seq("rt", "rid"))
+    val out = lefts.leftInnerJoin(rights)
+      .on((l, r) => l("k") === r("rk") && r("rv") >= l("need"))
+      .select((l, r) => Seq(l("id").as("id"), r("rid").as("rid")))
+      .df.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(out == Set((1L, 2005L), (2L, 2100L), (3L, 2800L)))
+  }
+
+  test("triangle-tiled block jaccard equals naive all-pairs (no dup, no miss)") {
+    val docs = (1L to 60L).map { i =>
+      val block = if (i <= 45) "big" else "small" // skewed blocks
+      (i, block, s"document number $i talks about topic ${i % 5} and subject ${i % 3}")
+    }.toDF("doc_id", "src", "text")
+    // tiny comparisonsPerTask forces real tiling (G=12 for the big block);
+    // threshold 0 keeps every pair, so coverage mismatches can't hide
+    val tiled = Dedup.ngramJaccardWithinBlocks(docs, "doc_id", "text", "src",
+        n = 3, threshold = 0.0, comparisonsPerTask = 16)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toList.sorted
+    val hashed = sort_array(array_distinct(
+      graft.functions.VectorFunctions.charShingleHashes(col("text"), 3)))
+    val sets = docs.select(col("src"), col("doc_id"), hashed.as("__sh"))
+    val naive = sets.as("a").join(sets.as("b"),
+        col("a.src") === col("b.src") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id"), col("b.doc_id"),
+        round(graft.functions.VectorFunctions.jaccardSorted(col("a.__sh"), col("b.__sh")), 3))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toList.sorted
+    assert(naive.size == 45 * 44 / 2 + 15 * 14 / 2)
+    assert(tiled == naive)
+  }
+
   test("multimodal native byteFeatures equals the batched codec path") {
     val df = Multimodal.withFakeMedia(
       Seq((1L, "hello world"), (2L, ""), (3L, "Zz!")).toDF("id", "text"), "text")
