@@ -14,6 +14,9 @@ import graft.sources.Tables
  * Every oracle reproduces the reference semantics *independently* in DuckDB
  * window SQL, so a match checks the semantics, not our own lowering.
  */
+/** Output row of q_window_apply (column names match the oracle). */
+case class WindowMedianRow(w_start: Long, event_type: String, n_events: Long, med_value: Double)
+
 object QueriesStateful {
 
   /** Milan `leftJoin` — left-enrichment: a click pairs with the latest
@@ -284,7 +287,34 @@ object QueriesStateful {
               round(sum(value), 2) AS sum_value
        FROM t GROUP BY user_id, sess"""
 
+  /** Milan window `apply` — an arbitrary function over the full window
+    * contents at close (`lang/WindowedStreams.scala:37`,
+    * `runtime/TimeWindowFlatMapProcessWindowFunction.scala:16`): per-window
+    * median, not expressible as a single Spark aggregate without sorting
+    * the window. The oracle is DuckDB's own `median` (interpolated at even
+    * counts, matching the (a+b)/2 midpoint here). */
+  def qWindowApply(spark: SparkSession, dir: String): DataFrame = {
+    implicit val enc = Encoders.product[WindowMedianRow]
+    Tables.events(spark, dir)
+      .groupBy("event_type")
+      .tumblingWindowExact(col("ts_ns"), 3600L * 1000000000L)
+      .applyRows[WindowMedianRow]("w_start") { (head, rows) =>
+        val vs = rows.map(_.getAs[Double]("value")).toArray
+        java.util.Arrays.sort(vs)
+        val n = vs.length
+        val med = if (n % 2 == 1) vs(n / 2) else (vs(n / 2 - 1) + vs(n / 2)) / 2.0
+        Seq(WindowMedianRow(head.getAs[Long]("w_start"), head.getAs[String]("event_type"),
+          n.toLong, BigDecimal(med).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble))
+      }.df
+  }
+
+  val qWindowApplySql: String =
+    """SELECT (epoch_ns(ts) // 3600000000000) * 3600000000000 AS w_start, event_type,
+         count(*) AS n_events, round(median(value), 4) AS med_value
+       FROM events GROUP BY 1, 2"""
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_window_apply" -> (qWindowApply _),
     "q_session_window" -> (qSessionWindow _),
     "q_leftjoin" -> (qLeftJoin _),
     "q_fulljoin" -> (qFullJoin _),
@@ -301,6 +331,7 @@ object QueriesStateful {
   )
 
   val sql: Map[String, String] = Map(
+    "q_window_apply" -> qWindowApplySql,
     "q_leftjoin" -> qLeftJoinSql,
     "q_fulljoin" -> qFullJoinSql,
     "q_leftinnerjoin" -> qLeftInnerJoinSql,

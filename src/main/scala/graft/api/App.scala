@@ -2,7 +2,7 @@ package graft.api
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.streaming.StreamingQuery
-import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.types.{DataType, StructType}
 
 /**
  * Milan's application model, Spark-first (reference:
@@ -29,6 +29,26 @@ object App {
       /** Arrival-order columns for stateful batch operators. */
       order: Seq[String] = Nil)
 
+  object Source {
+    /** Message-bus ingress — the analog of the reference's production
+      * Kinesis source (`application/sources/KinesisDataSource.scala:35`),
+      * bound to a Kafka topic via Spark's built-in kafka source. Needs the
+      * spark-sql-kafka connector on the classpath and a reachable broker,
+      * so it is untestable offline; the rate source (`Source("rate",
+      * keepReading = true)`) stands in for unbounded non-file ingress in
+      * AppModelSpec. */
+    def kafka(bootstrapServers: String, topic: String,
+              startingOffsets: String = "latest",
+              keepReading: Boolean = true,
+              options: Map[String, String] = Map.empty): Source =
+      Source(format = "kafka",
+        options = options ++ Map(
+          "kafka.bootstrap.servers" -> bootstrapServers,
+          "subscribe" -> topic,
+          "startingOffsets" -> startingOffsets),
+        keepReading = keepReading)
+  }
+
   /** Where/how to write a named output stream
     * (Milan `FileDataSink`/`ConsoleDataSink`/`SingletonMemorySink`). */
   final case class Sink(
@@ -53,6 +73,72 @@ object App {
       throw new IllegalArgumentException(s"no source bound for stream '$stream'"))
     def sinkList(stream: String): Seq[Sink] = sinks.getOrElse(stream, Nil)
     def sinkStreams: Seq[String] = sinks.keys.toSeq
+    def sourceBindings: Map[String, Source] = sources
+    def sinkBindings: Map[String, Seq[Sink]] = sinks
+  }
+
+  /** Milan serializes a full application instance to JSON and can parse it
+    * back (`application/ApplicationInstance.scala:27` `toJsonString`,
+    * `program/TreeParser.scala:49`). Here the program half is plain Scala
+    * by design (SURVEY §7 — Catalyst is the IR), so the JSON round-trip
+    * covers the external half: every source/sink binding serializes and
+    * loads back, letting a deployment ship one JSON config per
+    * environment against a compiled program. `describeJson` exports the
+    * program side (schemas + optimized plans) for inspection. */
+  def configToJson(config: Config): String = {
+    import org.json4s.JsonDSL._
+    import org.json4s.jackson.JsonMethods
+    def sourceJson(s: Source): org.json4s.JObject = {
+      if (s.rows.nonEmpty) throw new IllegalArgumentException(
+        "in-memory `rows` sources hold live DataFrames and cannot serialize; bind them after load")
+      ("format" -> s.format) ~ ("path" -> s.path) ~ ("options" -> s.options) ~
+        ("schema" -> s.schema.map(_.json)) ~ ("keepReading" -> s.keepReading) ~
+        ("order" -> s.order)
+    }
+    def sinkJson(k: Sink): org.json4s.JObject =
+      ("format" -> k.format) ~ ("path" -> k.path) ~ ("options" -> k.options) ~
+        ("mode" -> k.mode) ~ ("outputMode" -> k.outputMode) ~
+        ("queryName" -> k.queryName)
+    JsonMethods.compact(JsonMethods.render(
+      ("sources" -> config.sourceBindings.map { case (n, s) => n -> sourceJson(s) }) ~
+        ("sinks" -> config.sinkBindings.map { case (n, ks) => n -> ks.map(sinkJson) })))
+  }
+
+  /** Parse a `configToJson` document back into a bindable `Config`. */
+  def configFromJson(json: String): Config = {
+    import org.json4s._
+    import org.json4s.jackson.JsonMethods
+    implicit val fmts: Formats = DefaultFormats
+    val j = JsonMethods.parse(json)
+    val c = new Config
+    (j \ "sources") match {
+      case JObject(fields) => fields.foreach { case (name, v) =>
+        c.setSource(name, Source(
+          format = (v \ "format").extract[String],
+          path = (v \ "path").extractOpt[String],
+          options = (v \ "options").extract[Map[String, String]],
+          schema = (v \ "schema").extractOpt[String]
+            .map(s => DataType.fromJson(s).asInstanceOf[StructType]),
+          keepReading = (v \ "keepReading").extract[Boolean],
+          order = (v \ "order").extract[Seq[String]]))
+      }
+      case _ =>
+    }
+    (j \ "sinks") match {
+      case JObject(fields) => fields.foreach { case (name, v) =>
+        v.extract[Seq[JValue]].foreach { k =>
+          c.addSink(name, Sink(
+            format = (k \ "format").extract[String],
+            path = (k \ "path").extractOpt[String],
+            options = (k \ "options").extract[Map[String, String]],
+            mode = (k \ "mode").extract[String],
+            outputMode = (k \ "outputMode").extract[String],
+            queryName = (k \ "queryName").extractOpt[String]))
+        }
+      }
+      case _ =>
+    }
+    c
   }
 
   /** One running output: batch results are materialized DataFrames,

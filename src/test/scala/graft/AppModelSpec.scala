@@ -57,6 +57,44 @@ class AppModelSpec extends SparkSpec {
     assert(json.contains("\"out\"") && json.contains("Aggregate") && json.contains("total"))
   }
 
+  test("config JSON round-trips every source/sink binding") {
+    val schema = new org.apache.spark.sql.types.StructType()
+      .add("k", "string").add("v", "double")
+    val config = new App.Config()
+      .setSource("input", App.Source(format = "parquet", path = Some("/data/in"),
+        options = Map("mergeSchema" -> "false"), schema = Some(schema),
+        order = Seq("ts_ns", "event_id")))
+      .setSource("bus", App.Source.kafka("broker:9092", "clicks",
+        startingOffsets = "earliest"))
+      .addSink("out", App.Sink(format = "parquet", path = Some("/data/out"),
+        mode = "append"))
+      .addSink("out", App.Sink(format = "memory", outputMode = "complete",
+        queryName = Some("t")))
+    val reloaded = App.configFromJson(App.configToJson(config))
+    assert(reloaded.sourceBindings == config.sourceBindings, "sources survive")
+    assert(reloaded.sinkBindings == config.sinkBindings, "sinks survive")
+    // reloaded config is runnable, not just structurally equal
+    val reloaded2 = App.configFromJson(App.configToJson(
+      new App.Config().setSource("input",
+        App.Source(format = "json", path = Some("/tmp/nope"), keepReading = false))))
+    assert(reloaded2.source("input").format == "json")
+  }
+
+  test("kafka source helper binds Milan's message-bus ingress shape") {
+    val s = App.Source.kafka("b1:9092,b2:9092", "events")
+    assert(s.format == "kafka" && s.keepReading)
+    assert(s.options("kafka.bootstrap.servers") == "b1:9092,b2:9092")
+    assert(s.options("subscribe") == "events")
+    assert(s.options("startingOffsets") == "latest")
+  }
+
+  test("in-memory rows sources refuse to serialize") {
+    val data = Seq(("a", 1.0)).toDF("k", "v")
+    val c = new App.Config().setSource("m", App.Source("list", rows = Some(data)))
+    val e = intercept[IllegalArgumentException](App.configToJson(c))
+    assert(e.getMessage.contains("serialize"))
+  }
+
   test("missing bindings fail with the stream name") {
     val e = intercept[IllegalArgumentException] {
       App.run(spark, new App.Config().addSink("x", App.Sink("memory"))) { _ => Map.empty }
