@@ -59,7 +59,21 @@ object App {
       /** streaming only: update/append/complete */
       outputMode: String = "update",
       /** memory sink table name (the test oracle, like SingletonMemorySink). */
-      queryName: Option[String] = None)
+      queryName: Option[String] = None,
+      /** streaming only: checkpoint dir for fault-tolerant state — the
+        * durable-state analog of Milan's `StateStore.Directory`. */
+      checkpoint: Option[String] = None,
+      /** streaming only: state backend for this query's stateful operators
+        * ("rocksdb", "hdfs", or a full provider class name). Milan binds a
+        * state store per operation (`application/StateStore.scala`,
+        * `ApplicationConfiguration.setStateStore:121`); Spark scopes the
+        * provider per streaming query, so the binding lives on the sink —
+        * each output stream picks its backend independently. */
+      stateStore: Option[String] = None)
+
+  private val stateStoreProviders = Map(
+    "rocksdb" -> "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    "hdfs" -> "org.apache.spark.sql.execution.streaming.state.HDFSBackedStateStoreProvider")
 
   /** Milan `ApplicationConfiguration`: name → source / sinks bindings. */
   final class Config {
@@ -98,7 +112,8 @@ object App {
     def sinkJson(k: Sink): org.json4s.JObject =
       ("format" -> k.format) ~ ("path" -> k.path) ~ ("options" -> k.options) ~
         ("mode" -> k.mode) ~ ("outputMode" -> k.outputMode) ~
-        ("queryName" -> k.queryName)
+        ("queryName" -> k.queryName) ~ ("checkpoint" -> k.checkpoint) ~
+        ("stateStore" -> k.stateStore)
     JsonMethods.compact(JsonMethods.render(
       ("sources" -> config.sourceBindings.map { case (n, s) => n -> sourceJson(s) }) ~
         ("sinks" -> config.sinkBindings.map { case (n, ks) => n -> ks.map(sinkJson) })))
@@ -133,7 +148,9 @@ object App {
             options = (k \ "options").extract[Map[String, String]],
             mode = (k \ "mode").extract[String],
             outputMode = (k \ "outputMode").extract[String],
-            queryName = (k \ "queryName").extractOpt[String]))
+            queryName = (k \ "queryName").extractOpt[String],
+            checkpoint = (k \ "checkpoint").extractOpt[String],
+            stateStore = (k \ "stateStore").extractOpt[String]))
         }
       }
       case _ =>
@@ -199,7 +216,21 @@ object App {
           val w = out.df.writeStream.format(sink.format)
             .options(sink.options).outputMode(sink.outputMode)
           sink.queryName.foreach(w.queryName)
-          StreamingOutput(stream, sink.path.map(w.start).getOrElse(w.start()))
+          sink.checkpoint.foreach(cp => w.option("checkpointLocation", cp))
+          // The provider class is read from the session conf once at query
+          // start and pinned in the checkpoint, so set-start-restore gives
+          // per-query state backends without leaking into later queries.
+          val providerKey = "spark.sql.streaming.stateStore.providerClass"
+          val prev = sink.stateStore.map { s =>
+            val saved = spark.conf.getOption(providerKey)
+            spark.conf.set(providerKey, stateStoreProviders.getOrElse(s, s))
+            saved
+          }
+          try StreamingOutput(stream, sink.path.map(w.start).getOrElse(w.start()))
+          finally prev.foreach {
+            case Some(old) => spark.conf.set(providerKey, old)
+            case None => spark.conf.unset(providerKey)
+          }
         } else sink.format match {
           case "memory" => BatchOutput(stream, out.df) // caller collects
           case "console" => out.df.show(false); BatchOutput(stream, out.df)

@@ -57,6 +57,35 @@ class AppModelSpec extends SparkSpec {
     assert(json.contains("\"out\"") && json.contains("Aggregate") && json.contains("total"))
   }
 
+  test("per-query state store binding runs stateful ops on RocksDB") {
+    val cp = java.nio.file.Files.createTempDirectory("graft_rocks_cp").toString
+    val config = new App.Config()
+      .setSource("ticks", App.Source(format = "rate",
+        options = Map("rowsPerSecond" -> "100"), keepReading = true))
+      .addSink("counts", App.Sink(format = "memory", outputMode = "update",
+        queryName = Some(s"rocks_${System.nanoTime()}"),
+        checkpoint = Some(cp), stateStore = Some("rocksdb")))
+    val before = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    val running = App.run(spark, config) { input =>
+      Map("counts" -> input("ticks")
+        .addFields("k" -> col("value") % 10)
+        .groupBy("k").select(count(lit(1)).as("n")))
+    }
+    val q = running.collect { case App.StreamingOutput(_, query) => query }.head
+    try {
+      var tries = 0
+      while (spark.table(q.name).count() == 0 && tries < 100) {
+        q.processAllAvailable(); Thread.sleep(100); tries += 1
+      }
+      val metrics = q.lastProgress.stateOperators.flatMap(
+        _.customMetrics.keySet.toArray.map(_.toString))
+      assert(metrics.exists(_.toLowerCase.contains("rocksdb")),
+        s"state operator ran on RocksDB, got metrics: ${metrics.mkString(",")}")
+      assert(spark.conf.getOption("spark.sql.streaming.stateStore.providerClass") == before,
+        "provider conf restored after start — no leak into later queries")
+    } finally q.stop()
+  }
+
   test("config JSON round-trips every source/sink binding") {
     val schema = new org.apache.spark.sql.types.StructType()
       .add("k", "string").add("v", "double")
@@ -69,7 +98,8 @@ class AppModelSpec extends SparkSpec {
       .addSink("out", App.Sink(format = "parquet", path = Some("/data/out"),
         mode = "append"))
       .addSink("out", App.Sink(format = "memory", outputMode = "complete",
-        queryName = Some("t")))
+        queryName = Some("t"), checkpoint = Some("/cp/out"),
+        stateStore = Some("rocksdb")))
     val reloaded = App.configFromJson(App.configToJson(config))
     assert(reloaded.sourceBindings == config.sourceBindings, "sources survive")
     assert(reloaded.sinkBindings == config.sinkBindings, "sinks survive")
