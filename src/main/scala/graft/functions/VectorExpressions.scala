@@ -380,6 +380,12 @@ object VectorFunctions {
   def dotNative(a: Column, b: Column): Column =
     ColumnBridge.column(DotProduct(ColumnBridge.expr(a), ColumnBridge.expr(b)))
 
+  /** Bounded top-k aggregate by (score desc, id asc); O(k) state, map-side
+    * partial aggregation. Output array<struct<id,cos>> best-first. */
+  def topKByScore(id: Column, score: Column, k: Int): Column =
+    ColumnBridge.column(BoundedTopK(ColumnBridge.expr(id), ColumnBridge.expr(score), k)
+      .toAggregateExpression())
+
   /** Codegen'd L2 norm of an array<double> column. */
   def normNative(a: Column): Column =
     ColumnBridge.column(NormL2(ColumnBridge.expr(a)))

@@ -41,53 +41,25 @@ object Similarity {
       .select(col(qIdCol), col(idCol), round(col("cos"), 6).as("cos"), col("rn"))
   }
 
-  /** One scored candidate. */
-  final case class Scored(id: Long, cos: Double)
-
-  /**
-   * Top-k as a typed `Aggregator` with a bounded buffer: each partition
-   * keeps at most k candidates per query (map-side partial aggregation),
-   * so the shuffle carries `queries × k` rows instead of
-   * `queries × corpus` — the difference between a merge of tiny lists and
-   * an N-row sort per query at 100 TB.
-   */
-  final class TopKAggregator(k: Int)
-      extends org.apache.spark.sql.expressions.Aggregator[Scored, List[Scored], Seq[Scored]] {
-    private def bound(l: List[Scored]): List[Scored] =
-      l.sortBy(s => (-s.cos, s.id)).take(k)
-    override def zero: List[Scored] = Nil
-    override def reduce(b: List[Scored], a: Scored): List[Scored] = bound(a :: b)
-    override def merge(x: List[Scored], y: List[Scored]): List[Scored] = bound(x ++ y)
-    override def finish(b: List[Scored]): Seq[Scored] = bound(b)
-    override def bufferEncoder: org.apache.spark.sql.Encoder[List[Scored]] =
-      org.apache.spark.sql.Encoders.kryo[List[Scored]]
-    override def outputEncoder: org.apache.spark.sql.Encoder[Seq[Scored]] =
-      org.apache.spark.sql.Encoders.kryo[Seq[Scored]]
-  }
-
   /** `bruteForceTopK` with partial (map-side) top-k aggregation — same
-    * results, shuffle bounded to queries × k rows. */
+    * results, shuffle bounded to queries × k rows instead of
+    * queries × corpus: the difference between a merge of k-element heaps
+    * and an N-row sort per query at 100 TB. The bounding runs as a native
+    * aggregate (`functions.BoundedTopK`), so the scan + cosine projection
+    * stays in whole-stage codegen with no typed-object barrier. */
   def bruteForceTopKPartial(corpus: DataFrame, queries: DataFrame,
                             idCol: String, vecCol: String, qIdCol: String, k: Int): DataFrame = {
-    val spark = corpus.sparkSession
-    import spark.implicits._
     val c = corpus.select(col(idCol), col(vecCol).cast("array<double>").as("__e"))
     val q = queries.select(col(qIdCol), col(vecCol).cast("array<double>").as("__qe"))
-    val scored = c.crossJoin(broadcast(q))
+    c.crossJoin(broadcast(q))
       .filter(col(idCol) =!= col(qIdCol))
-      .select(col(qIdCol), col(idCol), cosine(col("__qe"), col("__e")).as("cos"))
-      .as[(Long, Long, Double)]
-    val agg = new TopKAggregator(k).toColumn
-    scored.map { case (qid, id, cos) => (qid, Scored(id, cos)) }
-      .groupByKey(_._1)
-      .mapValues(_._2)
-      .agg(agg)
-      .flatMap { case (qid, top) =>
-        top.zipWithIndex.map { case (s, i) =>
-          (qid, s.id, BigDecimal(s.cos).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble, i + 1)
-        }
-      }
-      .toDF(qIdCol, idCol, "cos", "rn")
+      .select(col(qIdCol), col(idCol).cast("long").as("__id"),
+        cosine(col("__qe"), col("__e")).as("__cos"))
+      .groupBy(col(qIdCol))
+      .agg(graft.functions.VectorFunctions.topKByScore(col("__id"), col("__cos"), k).as("__top"))
+      .select(col(qIdCol), posexplode(col("__top")))
+      .select(col(qIdCol), col("col.id").as(idCol),
+        round(col("col.cos"), 6).as("cos"), (col("pos") + 1).cast("int").as("rn"))
   }
 
   /**

@@ -95,6 +95,27 @@ class BatchApiSpec extends SparkSpec {
     assert(out.map(_._1) == List(1L, 2L), "nearest first, self excluded")
   }
 
+  test("partial top-k matches exact top-k and stays in the row domain") {
+    // 60 corpus vectors / 3 queries across many partitions exercises the
+    // update, merge (partial->final), and tie paths of BoundedTopK
+    val rnd = new scala.util.Random(7)
+    val embs = (0L until 60L).map { i =>
+      val a = rnd.nextDouble() * math.Pi * 2
+      (i, Array(math.cos(a).toFloat, math.sin(a).toFloat))
+    }.toDF("vec_id", "embedding").repartition(8)
+    val q = embs.filter(col("vec_id") < 3).select(col("vec_id").as("q_id"), col("embedding"))
+    def key(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3))).toSet
+    val exact = Similarity.bruteForceTopK(embs, q, "vec_id", "embedding", "q_id", k = 5)
+    val partial = Similarity.bruteForceTopKPartial(embs, q, "vec_id", "embedding", "q_id", k = 5)
+    assert(key(partial) == key(exact), "bounded-heap aggregation = exact ranking")
+    val plan = partial.queryExecution.executedPlan.toString
+    assert(!plan.contains("DeserializeToObject") && !plan.contains("MapElements"),
+      "no typed-object barrier around the top-k aggregation")
+    assert(plan.contains("ObjectHashAggregate") && plan.toLowerCase.contains("partial"),
+      "map-side partial top-k present")
+  }
+
   test("multimodal frame sampling slices the payload without decoding") {
     val df = Multimodal.withFakeMedia(Seq((1L, "abcdefgh")).toDF("id", "text"), "text")
     val frames = Multimodal.frameSample(df, 4).select("frames")
