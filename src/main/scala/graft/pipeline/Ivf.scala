@@ -1,14 +1,18 @@
 package graft.pipeline
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /**
  * IVF (inverted-file) index for approximate nearest neighbor: k-means
  * cells trained with Lloyd's iterations, search probes only the nProbe
- * nearest cells. Everything is DataFrame ops — assignment is a broadcast
- * join + min_by, centroid update is posexplode/avg/collect — so training
- * scales with the corpus and never collects vectors to the driver.
+ * nearest cells. The codebook is k×dim — small by definition — so it lives
+ * as driver-side state and enters the plan as LITERALS: assignment is a
+ * per-row codegen'd `least(struct(distance, cid))` over the corpus with no
+ * crossJoin, no per-point shuffle, and no window sort. Per training
+ * iteration the only shuffles are the two tiny centroid-update
+ * aggregations (k×dim rows); the corpus itself never leaves the executors
+ * and is scanned exactly once per iteration.
  *
  * The scale story vs the exact operators: brute force scans corpus×queries;
  * hyperplane LSH bounds candidates but with data-independent buckets; IVF
@@ -16,61 +20,80 @@ import org.apache.spark.sql.functions._
  */
 object Ivf {
 
+  /** Squared-distance argmin as one codegen'd expression:
+    * `least(struct(|p|²−2p·c+|c|², cid)...)` — lexicographic struct
+    * comparison ties on the lower cid, matching `min_by(cid,
+    * struct(d, cid))` and the DuckDB oracle's `ORDER BY d, cid`. |c|² is
+    * folded on the driver with the same left-to-right summation order as
+    * the `DotProduct` expression, so distances are bit-identical to the
+    * join formulation. */
+  private def distCid(pv: Column, cent: Seq[(Int, Seq[Double])]): Seq[Column] = {
+    val pp = Similarity.dot(pv, pv)
+    cent.sortBy(_._1).map { case (cid, cv) =>
+      var cc = 0.0
+      cv.foreach(x => cc += x * x)
+      struct((pp - lit(2.0) * Similarity.dot(pv, typedLit(cv)) + lit(cc)).as("d"),
+        lit(cid).as("cid"))
+    }
+  }
+
+  private def nearestCid(pv: Column, cent: Seq[(Int, Seq[Double])]): Column =
+    least(distCid(pv, cent): _*).getField("cid")
+
+  /** The nProbe nearest cells, best-first: sort the k-element struct array
+    * per row — still no join or window shuffle. */
+  private def probeCids(pv: Column, cent: Seq[(Int, Seq[Double])], nProbe: Int): Column =
+    transform(slice(array_sort(array(distCid(pv, cent): _*)), 1, nProbe), s => s.getField("cid"))
+
   /** Train `k` centroids. Initialization is deterministic (the k lowest
-    * ids) so results are reproducible across engines and runs. Centroids
-    * are k×dim — small by definition — so they live as driver-side state
-    * between iterations (no cache churn, one broadcast per assignment),
-    * exactly how production IVF trainers treat the codebook; the corpus
-    * itself never leaves the executors. */
+    * ids) so results are reproducible across engines and runs. */
   def train(embs: DataFrame, idCol: String, vecCol: String, k: Int, iters: Int): DataFrame = {
     val spark = embs.sparkSession
     import spark.implicits._
     val pts = embs.select(col(idCol).as("__pid"), col(vecCol).cast("array<double>").as("__pv"))
     var cent: Seq[(Int, Seq[Double])] = pts.orderBy("__pid").limit(k).collect()
       .zipWithIndex.map { case (r, i) => (i, r.getSeq[Double](1)) }.toSeq
-    def cdf = cent.toDF("cid", "cv").select(col("cid"), col("cv").cast("array<double>").as("cv"))
     var i = 0
     while (i < iters) {
-      cent = assign(pts, cdf).join(pts, "__pid")
-        .select(col("cid"), posexplode(col("__pv")).as(Seq("__pos", "__x")))
+      cent = pts
+        .select(nearestCid(col("__pv"), cent).as("cid"),
+          posexplode(col("__pv")).as(Seq("__pos", "__x")))
         .groupBy("cid", "__pos").agg(avg("__x").as("__m"))
         .groupBy("cid").agg(array_sort(collect_list(struct(col("__pos"), col("__m")))).as("__ms"))
         .select(col("cid"), expr("transform(__ms, s -> s.__m)").as("cv"))
         .collect().map(r => (r.getInt(0), r.getSeq[Double](1))).toSeq
       i += 1
     }
-    cdf
+    cent.toDF("cid", "cv").select(col("cid"), col("cv").cast("array<double>").as("cv"))
   }
 
-  /** Assign each point to its nearest centroid (broadcast + min_by). */
+  /** Assign each point to its nearest centroid. Kept for API parity with
+    * a DataFrame codebook; collects the (small) codebook and runs the
+    * same literal-centroid expression as training. */
   def assign(pts: DataFrame, centroids: DataFrame): DataFrame =
-    pts.crossJoin(broadcast(centroids))
-      .withColumn("__d", Similarity.dot(col("__pv"), col("__pv"))
-        - lit(2.0) * Similarity.dot(col("__pv"), col("cv"))
-        + Similarity.dot(col("cv"), col("cv")))
-      .groupBy("__pid").agg(min_by(col("cid"), struct(col("__d"), col("cid"))).as("cid"))
+    pts.select(col("__pid"), nearestCid(col("__pv"), collectCodebook(centroids)).as("cid"))
+
+  private def collectCodebook(centroids: DataFrame): Seq[(Int, Seq[Double])] =
+    centroids.select(col("cid"), col("cv").cast("array<double>"))
+      .collect().map(r => (r.getInt(0), r.getSeq[Double](1))).toSeq
 
   /**
    * ANN search: probe the `nProbe` nearest cells per query, exact cosine
-   * top-k within the probed cells only. The corpus join is on the cell id
-   * — candidates per query shrink by roughly k/nProbe versus brute force.
+   * top-k within the probed cells only. Cell assignment on both sides is
+   * the literal-codebook expression; the only shuffle joins queries to
+   * corpus on the cell id — candidates per query shrink by roughly
+   * k/nProbe versus brute force.
    */
   def search(embs: DataFrame, queries: DataFrame, idCol: String, vecCol: String,
              qIdCol: String, centroids: DataFrame, topK: Int, nProbe: Int): DataFrame = {
-    val pts = embs.select(col(idCol).as("__pid"), col(vecCol).cast("array<double>").as("__pv"))
-    val cells = assign(pts, centroids)
-    val corpus = pts.join(cells, "__pid")
+    val cent = collectCodebook(centroids)
+    val corpus = embs.select(col(idCol).as("__pid"), col(vecCol).cast("array<double>").as("__pv"))
+      .withColumn("cid", nearestCid(col("__pv"), cent))
 
     val q = queries.select(col(qIdCol).as("__qid"), col(vecCol).cast("array<double>").as("__qv"))
-    val qCells = q.crossJoin(broadcast(centroids))
-      .withColumn("__d", Similarity.dot(col("__qv"), col("__qv"))
-        - lit(2.0) * Similarity.dot(col("__qv"), col("cv"))
-        + Similarity.dot(col("cv"), col("cv")))
-      .withColumn("__rn", row_number().over(
-        org.apache.spark.sql.expressions.Window.partitionBy("__qid")
-          .orderBy(col("__d"), col("cid"))))
-      .filter(col("__rn") <= nProbe)
-      .select(col("__qid"), col("__qv"), col("cid"))
+    val qCells = q
+      .select(col("__qid"), col("__qv"),
+        explode(probeCids(col("__qv"), cent, nProbe)).as("cid"))
 
     val scored = qCells.join(corpus, "cid")
       .filter(col("__pid") =!= col("__qid"))
