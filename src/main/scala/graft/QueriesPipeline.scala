@@ -65,6 +65,29 @@ object QueriesPipeline {
         WHERE j >= 0.8"""
   }
 
+  /** Duplicate clusters: MinHash+LSH near-dup pairs folded into connected
+    * components (large-star/small-star), each doc labeled with its cluster
+    * representative — the pairwise→decision step of a real dedup pipeline.
+    * The oracle reproduces the pair list with the same LSH SQL, then
+    * resolves components with a recursive min-label propagation CTE (an
+    * independent algorithm — a match checks the clustering semantics, not
+    * our iteration schedule). */
+  def qDedupClusters(spark: SparkSession, dir: String): DataFrame = {
+    val pairs = Dedup.minhashNearDup(Tables.documents(spark, dir).df, "doc_id", "text",
+      k = 16, bands = 8, threshold = 0.8)
+    Dedup.connectedComponents(pairs, "id_a", "id_b", nodeOut = "doc_id")
+  }
+
+  val qDedupClustersSql: String =
+    s"""WITH RECURSIVE pairs AS ($qMinhashDedupSql),
+        edges AS (SELECT id_a AS u, id_b AS v FROM pairs
+                  UNION SELECT id_b, id_a FROM pairs),
+        cc(node, label) AS (
+          SELECT u, u FROM edges
+          UNION
+          SELECT e.v, cc.label FROM cc JOIN edges e ON cc.node = e.u)
+        SELECT node AS doc_id, min(label) AS cluster_id FROM cc GROUP BY node"""
+
   /** SimHash 16-bit signatures over word hashes. */
   def qSimhash(spark: SparkSession, dir: String): DataFrame =
     Dedup.simhash(Tables.documents(spark, dir).df, "doc_id", "text")
@@ -281,6 +304,7 @@ object QueriesPipeline {
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_ivf_ann" -> (qIvfAnn _),
     "q_dedup_exact" -> (qDedupExact _),
+    "q_dedup_clusters" -> (qDedupClusters _),
     "q_minhash_dedup" -> (qMinhashDedup _),
     "q_simhash" -> (qSimhash _),
     "q_ngram_jaccard" -> (qNgramJaccard _),
@@ -296,6 +320,7 @@ object QueriesPipeline {
   val sql: Map[String, String] = Map(
     "q_ivf_ann" -> qIvfAnnSql,
     "q_dedup_exact" -> qDedupExactSql,
+    "q_dedup_clusters" -> qDedupClustersSql,
     "q_minhash_dedup" -> qMinhashDedupSql,
     "q_simhash" -> qSimhashSql,
     "q_ngram_jaccard" -> qNgramJaccardSql,

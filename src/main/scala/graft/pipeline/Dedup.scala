@@ -168,6 +168,60 @@ object Dedup {
         round(col("jaccard"), 3).as("jaccard"))
   }
 
+  /** Near-dup pairs → duplicate CLUSTERS: distributed connected components
+    * by alternating large-star / small-star (Kiveris et al., "Connected
+    * Components in MapReduce and Beyond", SOCC 2014) — the MapReduce-native
+    * algorithm: O(log n) rounds, each a window-min + projection with one
+    * shuffle on the node key, no driver-side graph state, component-size
+    * independent. This is the step that turns pairwise similarity output
+    * (LSH, SimHash, n-gram Jaccard) into dedup decisions: every document
+    * in a cluster maps to the cluster minimum as its representative.
+    *
+    * Each round materializes via `localCheckpoint` to keep the iterative
+    * lineage flat (on a cluster, a reliable checkpoint dir does the same).
+    * Returns (node, cluster_id = component min) for nodes appearing in
+    * `pairs`; singletons are their own cluster by definition. */
+  def connectedComponents(pairs: DataFrame, aCol: String, bCol: String,
+                          nodeOut: String = "node", clusterOut: String = "cluster_id",
+                          maxIter: Int = 50): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    def resym(d: DataFrame): DataFrame = {
+      val c = d.filter(col("u") =!= col("v"))
+      c.union(c.select(col("v").as("u"), col("u").as("v"))).distinct()
+    }
+    // (count, hash-xor) set fingerprint: an O(1)-state convergence probe
+    // (xor, not sum: overflow-free under ANSI, and the edge set is distinct)
+    def fingerprint(d: DataFrame): (Long, Long) = {
+      val r = d.agg(count(lit(1)), coalesce(expr("bit_xor(xxhash64(u, v))"), lit(0L))).collect()(0)
+      (r.getLong(0), r.getLong(1))
+    }
+    val base = pairs.select(col(aCol).cast("long").as("u"), col(bCol).cast("long").as("v"))
+    var e = resym(base).localCheckpoint()
+    var fp = fingerprint(e)
+    var done = e.isEmpty
+    var it = 0
+    val wU = Window.partitionBy("u")
+    while (!done && it < maxIter) {
+      // large-star: every neighbor v > u links to min(Γ(u) ∪ {u})
+      val ls = e.withColumn("m", least(min(col("v")).over(wU), col("u")))
+        .filter(col("v") > col("u"))
+        .select(col("v").as("u"), col("m").as("v"))
+      val e1 = resym(ls).localCheckpoint()
+      // small-star: u and its smaller neighbors all link to their min
+      val low = e1.filter(col("v") < col("u")).withColumn("m", min(col("v")).over(wU))
+      val ss = low.select(col("u"), col("m").as("v"))
+        .union(low.filter(col("v") =!= col("m")).select(col("v").as("u"), col("m").as("v")))
+      val e2 = resym(ss).localCheckpoint()
+      val fp2 = fingerprint(e2)
+      done = fp2 == fp
+      fp = fp2
+      e = e2
+      it += 1
+    }
+    e.groupBy(col("u")).agg(min(col("v")).as("__mn"))
+      .select(col("u").as(nodeOut), least(col("__mn"), col("u")).as(clusterOut))
+  }
+
   /** Embedding cosine near-dup, exact all-pairs baseline. Quadratic — the
     * correctness reference for the LSH-bucketed variant in `Similarity`;
     * at scale, bucket first (`Similarity.hyperplaneBuckets`). */

@@ -1,0 +1,64 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.pipeline.Dedup
+
+/** Distributed connected components (large-star/small-star) vs a
+  * sequential union-find over the same edges — random graphs, worst-case
+  * chains (max rounds), cliques, and empties. */
+class ConnectedComponentsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def unionFind(edges: Seq[(Long, Long)]): Map[Long, Long] = {
+    val parent = scala.collection.mutable.Map.empty[Long, Long]
+    def find(x: Long): Long = {
+      val p = parent.getOrElse(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    edges.foreach { case (a, b) =>
+      parent.getOrElseUpdate(a, a); parent.getOrElseUpdate(b, b)
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    parent.keys.map(k => k -> find(k)).toMap
+  }
+
+  private def check(edges: Seq[(Long, Long)], clue: String): Unit = {
+    val df = edges.toDF("id_a", "id_b")
+    val got = Dedup.connectedComponents(df, "id_a", "id_b")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == unionFind(edges), clue)
+  }
+
+  test("random graphs match union-find") {
+    val rnd = new scala.util.Random(42)
+    for (trial <- 0 until 5) {
+      val n = 40 + rnd.nextInt(40)
+      val edges = Seq.fill(n) {
+        val a = rnd.nextInt(60).toLong; val b = rnd.nextInt(60).toLong
+        (a, b)
+      }.filter { case (a, b) => a != b }
+      check(edges, s"trial $trial")
+    }
+  }
+
+  test("long chain (worst case for label propagation) converges") {
+    check((0L until 63L).map(i => (i, i + 1)), "64-node chain = one cluster")
+  }
+
+  test("chain ordered against the grain still finds the min root") {
+    check((0L until 63L).map(i => (63L - i, 62L - i)), "reversed chain")
+  }
+
+  test("clique and disjoint pairs") {
+    val clique = for (i <- 0L until 8L; j <- (i + 1) until 8L) yield (i, j)
+    check(clique ++ Seq((100L, 101L), (200L, 201L)), "clique + islands")
+  }
+
+  test("empty pair set yields empty clusters") {
+    val out = Dedup.connectedComponents(
+      Seq.empty[(Long, Long)].toDF("id_a", "id_b"), "id_a", "id_b")
+    assert(out.isEmpty)
+    assert(out.columns.toSeq == Seq("node", "cluster_id"))
+  }
+}
