@@ -205,6 +205,27 @@ object QueriesPipeline {
          len(regexp_extract_all(text, '[A-Za-z0-9_]+|[^A-Za-z0-9_\s]')) AS re_tokens
        FROM documents"""
 
+  /** Gopher-style repetition quality filters per document. */
+  def qRepetition(spark: SparkSession, dir: String): DataFrame =
+    TextOps.repetitionFeatures(Tables.documents(spark, dir).df, "doc_id", "text")
+
+  val qRepetitionSql: String =
+    """WITH w AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
+        wc AS (SELECT doc_id, w, count(*) AS c FROM w GROUP BY 1, 2),
+        ws AS (SELECT doc_id,
+                 round(1.0 - count(*)::DOUBLE / sum(c), 4) AS dup_word_frac,
+                 round(max(c)::DOUBLE / sum(c), 4) AS max_word_frac
+               FROM wc GROUP BY doc_id),
+        bg AS (SELECT doc_id, w[i] AS w1, w[i + 1] AS w2
+               FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+                    LATERAL (SELECT unnest(generate_series(1, len(w) - 1)) AS i) t),
+        bc AS (SELECT doc_id, w1, w2, count(*) AS c FROM bg GROUP BY 1, 2, 3),
+        bs AS (SELECT doc_id, round(max(c)::DOUBLE / sum(c), 4) AS top_bigram_frac
+               FROM bc GROUP BY doc_id)
+       SELECT ws.doc_id, dup_word_frac, max_word_frac,
+              coalesce(top_bigram_frac, 0.0) AS top_bigram_frac
+       FROM ws LEFT JOIN bs ON ws.doc_id = bs.doc_id"""
+
   /** Rolling-hash document fingerprint. */
   def qFingerprint(spark: SparkSession, dir: String): DataFrame =
     Tables.documents(spark, dir).df.select(col("doc_id"),
@@ -314,6 +335,7 @@ object QueriesPipeline {
     "q_text_quality" -> (qTextQuality _),
     "q_token_count" -> (qTokenCount _),
     "q_fingerprint" -> (qFingerprint _),
+    "q_repetition" -> (qRepetition _),
     "q_multimodal" -> (qMultimodal _)
   )
 
@@ -330,6 +352,7 @@ object QueriesPipeline {
     "q_text_quality" -> qTextQualitySql,
     "q_token_count" -> qTokenCountSql,
     "q_fingerprint" -> qFingerprintSql,
+    "q_repetition" -> qRepetitionSql,
     "q_multimodal" -> qMultimodalSql
   )
 }

@@ -87,6 +87,38 @@ object TextOps {
   /** Common English stopwords used by the quality score. */
   val Stopwords: Seq[String] = Seq("the", "a", "of", "and", "to", "in", "is", "it")
 
+  /** Repetition features (Gopher-style quality filters — Rae et al.,
+    * "Scaling Language Models: ... Gopher", 2021 §A1.1): duplicate-word
+    * fraction, most-frequent-word fraction, most-frequent-bigram fraction.
+    * High values flag boilerplate and spam for corpus filtering. Two
+    * explode+count aggregations shuffling on (doc, term) — linear in
+    * corpus size, counts bounded per document. */
+  def repetitionFeatures(docs: org.apache.spark.sql.DataFrame,
+                         idCol: String, textCol: String): org.apache.spark.sql.DataFrame = {
+    val w = docs.select(col(idCol), explode(words(col(textCol))).as("__w"))
+    val wordStats = w.groupBy(col(idCol), col("__w")).agg(count(lit(1)).as("__c"))
+      .groupBy(col(idCol))
+      .agg(sum("__c").as("__nw"), count(lit(1)).as("__dw"), max("__c").as("__mw"))
+      .select(col(idCol),
+        round(lit(1.0) - col("__dw").cast("double") / col("__nw"), 4).as("dup_word_frac"),
+        round(col("__mw").cast("double") / col("__nw"), 4).as("max_word_frac"))
+    val ws = words(col(textCol))
+    // arrays_zip over two slices, NOT transform+element_at: the interpreted
+    // lambda would re-evaluate the split per element after CollapseProject
+    // inlines it (same trap as minhashSignature's explode barrier)
+    val bigrams = when(size(ws) < 2,
+        array().cast("array<struct<w1:string,w2:string>>"))
+      .otherwise(arrays_zip(slice(ws, lit(1), size(ws) - 1).as("w1"),
+        slice(ws, lit(2), size(ws) - 1).as("w2")))
+    val b = docs.select(col(idCol), explode(bigrams).as("__b"))
+    val bigramStats = b.groupBy(col(idCol), col("__b")).agg(count(lit(1)).as("__c"))
+      .groupBy(col(idCol)).agg(sum("__c").as("__nb"), max("__c").as("__mb"))
+      .select(col(idCol),
+        round(col("__mb").cast("double") / col("__nb"), 4).as("top_bigram_frac"))
+    wordStats.join(bigramStats, Seq(idCol), "left")
+      .na.fill(0.0, Seq("top_bigram_frac"))
+  }
+
   /** Quality features: word count, mean word length, stopword ratio,
     * punctuation ratio. */
   def qualityFeatures(text: Column): Seq[(String, Column)] = {
