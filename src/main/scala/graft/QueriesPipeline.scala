@@ -88,6 +88,27 @@ object QueriesPipeline {
           SELECT e.v, cc.label FROM cc JOIN edges e ON cc.node = e.u)
         SELECT node AS doc_id, min(label) AS cluster_id FROM cc GROUP BY node"""
 
+  /** Surviving corpus after end-to-end dedup (exact + near, transitive). */
+  def qDedupCorpus(spark: SparkSession, dir: String): DataFrame =
+    Dedup.deduplicateCorpus(Tables.documents(spark, dir).df, "doc_id", "text",
+      k = 16, bands = 8, threshold = 0.8)
+
+  val qDedupCorpusSql: String =
+    s"""WITH RECURSIVE mpairs AS ($qMinhashDedupSql),
+        epairs AS (SELECT keep AS id_a, doc_id AS id_b FROM (
+            SELECT doc_id, min(doc_id) OVER (PARTITION BY text) AS keep FROM documents)
+          WHERE doc_id <> keep),
+        pairs AS (SELECT id_a, id_b FROM mpairs UNION SELECT id_a, id_b FROM epairs),
+        edges AS (SELECT id_a AS u, id_b AS v FROM pairs
+                  UNION SELECT id_b, id_a FROM pairs),
+        cc(node, label) AS (
+          SELECT u, u FROM edges
+          UNION
+          SELECT e.v, cc.label FROM cc JOIN edges e ON cc.node = e.u),
+        dropped AS (SELECT node FROM (SELECT node, min(label) AS l FROM cc GROUP BY node)
+                    WHERE l <> node)
+        SELECT doc_id FROM documents WHERE doc_id NOT IN (SELECT node FROM dropped)"""
+
   /** SimHash 16-bit signatures over word hashes. */
   def qSimhash(spark: SparkSession, dir: String): DataFrame =
     Dedup.simhash(Tables.documents(spark, dir).df, "doc_id", "text")
@@ -326,6 +347,7 @@ object QueriesPipeline {
     "q_ivf_ann" -> (qIvfAnn _),
     "q_dedup_exact" -> (qDedupExact _),
     "q_dedup_clusters" -> (qDedupClusters _),
+    "q_dedup_corpus" -> (qDedupCorpus _),
     "q_minhash_dedup" -> (qMinhashDedup _),
     "q_simhash" -> (qSimhash _),
     "q_ngram_jaccard" -> (qNgramJaccard _),
@@ -343,6 +365,7 @@ object QueriesPipeline {
     "q_ivf_ann" -> qIvfAnnSql,
     "q_dedup_exact" -> qDedupExactSql,
     "q_dedup_clusters" -> qDedupClustersSql,
+    "q_dedup_corpus" -> qDedupCorpusSql,
     "q_minhash_dedup" -> qMinhashDedupSql,
     "q_simhash" -> qSimhashSql,
     "q_ngram_jaccard" -> qNgramJaccardSql,

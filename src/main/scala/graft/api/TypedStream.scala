@@ -79,6 +79,21 @@ final case class TypedGroupedStream[T, K](stream: TypedStream[T], key: T => K)(
   def sumBy[O: Encoder](arg: T => Double)(out: (T, Double) => O): Dataset[O] =
     StreamingScans.sumBy(stream.ds, key, stream.seqFn, arg, out)
 
+  /** Milan `reduce` (doc-declared in the reference's stream guide; no IR
+    * node there either): running pairwise fold per key, emitting the
+    * reduction after every record — sugar over the shared scan engine, so
+    * batch and streaming behave identically. */
+  def reduce(f: (T, T) => T): Dataset[T] = {
+    implicit val sEnc: org.apache.spark.sql.Encoder[(Boolean, T)] =
+      org.apache.spark.sql.Encoders.tuple(org.apache.spark.sql.Encoders.scalaBoolean, tEnc)
+    StreamingScans.scanWithState[T, K, (Boolean, T), T](
+      stream.ds, key, stream.seqFn, (false, null.asInstanceOf[T]),
+      (_, s, t) => {
+        val r = if (s._1) f(s._2, t) else t
+        ((true, r), Some(r))
+      })
+  }
+
   /** Milan `last()`: streaming re-emits the latest per key (update
     * semantics); batch reduces to the final record per key. */
   def last(): Dataset[T] =

@@ -222,6 +222,35 @@ object Dedup {
       .select(col("u").as(nodeOut), least(col("__mn"), col("u")).as(clusterOut))
   }
 
+  /** End-to-end corpus deduplication — the operation a training-data
+    * pipeline actually runs: drop every document that is an exact OR near
+    * duplicate of another, keeping one representative (the cluster
+    * minimum) per duplicate group. Composes the scale-safe pieces above:
+    * exact-duplicate pairs (8-byte hash shuffle + collision guard), MinHash
+    * +LSH near-dup pairs, connected components, then a left-anti join —
+    * transitive near-duplicate chains collapse to ONE survivor, which
+    * pairwise dropping would miss. */
+  def deduplicateCorpus(docs: DataFrame, idCol: String, textCol: String,
+                        k: Int, bands: Int, threshold: Double): DataFrame = {
+    val salted = xxhash64(col(textCol), lit(0x5bd1e995))
+    val h = docs.select(col(idCol), xxhash64(col(textCol)).as("__th"))
+    val keep = docs.groupBy(xxhash64(col(textCol)).as("__th"))
+      .agg(min(col(idCol)).as("__keep"), min(salted).as("__v1"), max(salted).as("__v2"))
+      // same ~2⁻¹²⁸ guard as `exact`: a 64-bit collision between distinct
+      // texts would wrongly merge groups — raise instead
+      .filter(assert_true(col("__v1") === col("__v2"),
+        lit("xxhash64 collision in Dedup.deduplicateCorpus")).isNull)
+      .select(col("__th"), col("__keep"))
+    val exactPairs = h.join(keep, "__th").filter(col(idCol) =!= col("__keep"))
+      .select(col("__keep").as("id_a"), col(idCol).as("id_b"))
+    val nearPairs = minhashNearDup(docs, idCol, textCol, k, bands, threshold)
+      .select(col("id_a"), col("id_b"))
+    val clusters = connectedComponents(exactPairs.union(nearPairs), "id_a", "id_b")
+    val dropped = clusters.filter(col("node") =!= col("cluster_id"))
+      .select(col("node").as(idCol))
+    docs.select(col(idCol)).join(dropped, Seq(idCol), "left_anti")
+  }
+
   /** Embedding cosine near-dup, exact all-pairs baseline. Quadratic — the
     * correctness reference for the LSH-bucketed variant in `Similarity`;
     * at scale, bucket first (`Similarity.hyperplaneBuckets`). */

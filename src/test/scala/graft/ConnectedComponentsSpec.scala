@@ -55,6 +55,22 @@ class ConnectedComponentsSpec extends SparkSpec {
     check(clique ++ Seq((100L, 101L), (200L, 201L)), "clique + islands")
   }
 
+  test("deduplicateCorpus keeps one survivor per exact+near duplicate group") {
+    val base = "the quick brown fox jumps over the lazy dog again and again today"
+    val docs = Seq(
+      (1L, base),                         // representative (min id of its group)
+      (2L, base),                         // exact dup of 1
+      (3L, base + " extra"),              // near dup of 1/2 (chains via 1)
+      (4L, "completely different words about spark catalyst tungsten codegen shuffles"),
+      (5L, "short doc"),                  // < 3 words after dedup: no shingles
+      (6L, "short doc")                   // exact dup of 5, caught by hash path
+    ).toDF("doc_id", "text")
+    val survivors = Dedup.deduplicateCorpus(docs, "doc_id", "text",
+      k = 16, bands = 8, threshold = 0.8)
+      .collect().map(_.getLong(0)).toSet
+    assert(survivors == Set(1L, 4L, 5L), "transitive group {1,2,3} -> 1; {5,6} -> 5")
+  }
+
   test("empty pair set yields empty clusters") {
     val out = Dedup.connectedComponents(
       Seq.empty[(Long, Long)].toDF("id_a", "id_b"), "id_a", "id_b")

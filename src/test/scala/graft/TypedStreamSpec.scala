@@ -30,6 +30,14 @@ class TypedStreamSpec extends SparkSpec {
     assert(out == Set(Ev("a", 3, 7.0), Ev("b", 4, 1.0)))
   }
 
+  test("typed reduce emits the running pairwise fold per key in seq order") {
+    val out = events.groupBy(_.k)
+      .reduce((a, b) => Ev(b.k, b.seq, a.v + b.v))
+      .collect().toSet
+    assert(out == Set(
+      Ev("a", 1, 5.0), Ev("a", 2, 8.0), Ev("a", 3, 15.0), Ev("b", 4, 1.0)))
+  }
+
   test("typed left enrichment join over batch datasets") {
     val rights = TypedStream(Seq(RRec("a", 2, 100)).toDS(), (r: RRec) => r.seq)
     val lefts = TypedStream(
