@@ -206,7 +206,7 @@ object Dedup {
       val ls = e.withColumn("m", least(min(col("v")).over(wU), col("u")))
         .filter(col("v") > col("u"))
         .select(col("v").as("u"), col("m").as("v"))
-      val e1 = resym(ls).localCheckpoint()
+      val e1 = resym(ls)
       // small-star: u and its smaller neighbors all link to their min
       val low = e1.filter(col("v") < col("u")).withColumn("m", min(col("v")).over(wU))
       val ss = low.select(col("u"), col("m").as("v"))

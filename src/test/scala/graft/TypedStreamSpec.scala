@@ -38,6 +38,26 @@ class TypedStreamSpec extends SparkSpec {
       Ev("a", 1, 5.0), Ev("a", 2, 8.0), Ev("a", 3, 15.0), Ev("b", 4, 1.0)))
   }
 
+  test("typed reduce runs streaming with identical semantics") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[Ev]
+    val out = TypedStream(in.toDS(), (e: Ev) => e.seq)
+      .groupBy(_.k).reduce((a, b) => Ev(b.k, b.seq, a.v + b.v))
+    val name = s"reduce_${System.nanoTime()}"
+    val q = out.writeStream.format("memory").queryName(name)
+      .outputMode("append").start()
+    try {
+      in.addData(Ev("a", 1, 5.0), Ev("a", 2, 3.0))
+      q.processAllAvailable()
+      in.addData(Ev("a", 3, 7.0), Ev("b", 4, 1.0))
+      q.processAllAvailable()
+      assert(spark.table(name).as[Ev].collect().toSet == Set(
+        Ev("a", 1, 5.0), Ev("a", 2, 8.0), Ev("a", 3, 15.0), Ev("b", 4, 1.0)),
+        "state carries across micro-batches; fold order = seq order within batch")
+    } finally q.stop()
+  }
+
   test("typed left enrichment join over batch datasets") {
     val rights = TypedStream(Seq(RRec("a", 2, 100)).toDS(), (r: RRec) => r.seq)
     val lefts = TypedStream(
