@@ -126,6 +126,39 @@ object QueriesPipeline {
         SELECT doc_id, ($combine)::BIGINT AS simhash FROM s"""
   }
 
+  /** SimHash near-dup pairs: 32-bit shingle-feature signatures, pigeonhole
+    * banding (3 chunks for Hamming ≤ 2), XOR+popcount verification. */
+  def qSimhashPairs(spark: SparkSession, dir: String): DataFrame =
+    Dedup.simhashNearDup(Tables.documents(spark, dir).df, "doc_id", "text",
+      bits = 32, maxHamming = 2, shingleN = 3)
+
+  val qSimhashPairsSql: String = {
+    val bits = 32
+    val bitSums = (0 until bits).map(i =>
+      s"sum(CASE WHEN (h >> $i) & 1 = 1 THEN 1 ELSE -1 END) AS b$i").mkString(", ")
+    val combine = (0 until bits).map(i =>
+      s"CASE WHEN b$i > 0 THEN ${1L << i} ELSE 0 END").mkString(" + ")
+    s"""WITH words AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        shex AS (SELECT doc_id, unnest([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+                                        for i in range(1, len(w) - 1)]) AS s
+                 FROM words),
+        t AS (SELECT doc_id, list_reduce([0] || [ord(c)::BIGINT for c in string_split(s, '')],
+                                         (a, c) -> (a * 31 + c) % 1000000007) AS h FROM shex),
+        s0 AS (SELECT doc_id, $bitSums FROM t GROUP BY doc_id),
+        sig AS (SELECT doc_id, ($combine)::BIGINT AS simhash FROM s0),
+        ch AS (SELECT doc_id, simhash, i,
+                 CASE i WHEN 0 THEN simhash & 2047
+                        WHEN 1 THEN (simhash >> 11) & 2047
+                        ELSE (simhash >> 22) & 1023 END AS cv
+               FROM sig, (SELECT unnest([0, 1, 2]) AS i) x),
+        cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+                   a.simhash AS sa, b.simhash AS sb
+                 FROM ch a JOIN ch b ON a.i = b.i AND a.cv = b.cv
+                                    AND a.doc_id < b.doc_id)
+        SELECT id_a, id_b, bit_count(xor(sa, sb))::INTEGER AS hamming
+        FROM cand WHERE bit_count(xor(sa, sb)) <= 2"""
+  }
+
   /** Character-4-gram Jaccard near-dup within each source (blocked
     * all-pairs — block size is bounded by the natural partition). */
   def qNgramJaccard(spark: SparkSession, dir: String): DataFrame =
@@ -350,6 +383,7 @@ object QueriesPipeline {
     "q_dedup_corpus" -> (qDedupCorpus _),
     "q_minhash_dedup" -> (qMinhashDedup _),
     "q_simhash" -> (qSimhash _),
+    "q_simhash_pairs" -> (qSimhashPairs _),
     "q_ngram_jaccard" -> (qNgramJaccard _),
     "q_embed_dedup" -> (qEmbedDedup _),
     "q_ann_topk" -> (qAnnTopK _),
@@ -368,6 +402,7 @@ object QueriesPipeline {
     "q_dedup_corpus" -> qDedupCorpusSql,
     "q_minhash_dedup" -> qMinhashDedupSql,
     "q_simhash" -> qSimhashSql,
+    "q_simhash_pairs" -> qSimhashPairsSql,
     "q_ngram_jaccard" -> qNgramJaccardSql,
     "q_embed_dedup" -> qEmbedDedupSql,
     "q_ann_topk" -> qAnnTopKSql,

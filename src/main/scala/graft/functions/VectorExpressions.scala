@@ -340,6 +340,55 @@ case class MinHashSignature(child: Expression, k: Int) extends UnaryExpression {
 }
 
 /** Static helper shared by interpreted eval and generated code. */
+object SimHashUtil {
+  /** SimHash over feature hashes: per-bit ±1 sums over all features, sign
+    * → bit. Matches the aggregate formulation (bit i set iff strictly more
+    * features have bit i set than clear) and the DuckDB oracle's
+    * CASE-sum mirror, feature multiplicity included. */
+  def signature(hashes: org.apache.spark.sql.catalyst.util.ArrayData, bits: Int): Long = {
+    val n = hashes.numElements()
+    val sums = new Array[Int](bits)
+    var i = 0
+    while (i < n) {
+      val h = hashes.getLong(i)
+      var b = 0
+      while (b < bits) {
+        if (((h >> b) & 1L) == 1L) sums(b) += 1 else sums(b) -= 1
+        b += 1
+      }
+      i += 1
+    }
+    var sig = 0L
+    var b = 0
+    while (b < bits) { if (sums(b) > 0) sig |= 1L << b; b += 1 }
+    sig
+  }
+}
+
+/** SimHash signature of a hashed-feature array, one codegen'd pass per row
+  * — the whole signature computes inside the document's row, so the
+  * signature stage needs NO explode and NO shuffle (vs the per-bit
+  * aggregate formulation's 2·bits sum columns over exploded features). */
+case class SimHashBits(child: Expression, bits: Int) extends UnaryExpression {
+  import org.apache.spark.sql.types.LongType
+  require(bits > 0 && bits <= 63, s"simhash bits must be in [1, 63], got $bits")
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(LongType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(s"$prettyName requires array<bigint>, got $other")
+  }
+  override def dataType: DataType = LongType
+  override def prettyName: String = s"graft_simhash$bits"
+
+  override protected def nullSafeEval(a: Any): Any =
+    SimHashUtil.signature(a.asInstanceOf[ArrayData], bits)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, a => s"graft.functions.SimHashUtil.signature($a, $bits)")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression = copy(child = newChild)
+}
+
+/** Static helper shared by interpreted eval and generated code. */
 object ByteMeanUtil {
   /** Mean unsigned byte value; 0.0 for an empty payload. The integer sum
     * is exact, so the result is bit-identical across engines. */
@@ -401,6 +450,10 @@ object VectorFunctions {
   /** k-minhash signature of a hashed-shingle array, one pass per row. */
   def minhashSignature(hashes: Column, k: Int): Column =
     ColumnBridge.column(MinHashSignature(ColumnBridge.expr(hashes), k))
+
+  /** SimHash signature of a hashed-feature array, one pass per row. */
+  def simhashBits(hashes: Column, bits: Int): Column =
+    ColumnBridge.column(SimHashBits(ColumnBridge.expr(hashes), bits))
 
   /** Word-n-gram shingle hashes straight from text, one pass per row. */
   def wordShingleHashes(text: Column, n: Int): Column =

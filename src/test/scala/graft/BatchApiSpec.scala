@@ -84,6 +84,23 @@ class BatchApiSpec extends SparkSpec {
     assert(pairs == Set((1L, 2L)))
   }
 
+  test("simhash pigeonhole banding finds exactly the all-pairs Hamming matches") {
+    val docs = (0L until 40L).map { i =>
+      val words = (0 until 12).map(j => s"w${(i * 31 + j * 7) % 9}").mkString(" ")
+      (i, words)
+    }.toDF("doc_id", "text")
+    val sigs = Dedup.simhashShingles(docs, "doc_id", "text", n = 2, bits = 16)
+    val banded = Dedup.simhashPairs(sigs, "doc_id", bits = 16, maxHamming = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val brute = sigs.as("a").join(sigs.as("b"), col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id"), col("b.doc_id"),
+        expr("bit_count(a.simhash ^ b.simhash)").cast("int").as("h"))
+      .filter(col("h") <= 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(banded == brute, "pigeonhole candidates = all-pairs truth (exact, not probabilistic)")
+    assert(brute.nonEmpty, "fixture actually produces near pairs")
+  }
+
   test("brute-force top-k ranks by cosine") {
     val embs = Seq(
       (0L, Array(1.0f, 0.0f)), (1L, Array(0.9f, 0.1f)),

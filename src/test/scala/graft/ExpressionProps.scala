@@ -56,6 +56,16 @@ object ExpressionProps extends Properties("graft.expressions") {
       got == expect
     }
 
+  property("simhash signature equals the per-bit majority-vote definition") =
+    forAll(Gen.listOf(Gen.choose(0L, P - 1)), Gen.choose(1, 63)) { (hs, bits) =>
+      val got = graft.functions.SimHashUtil.signature(new GenericArrayData(hs.toArray), bits)
+      val expect = (0 until bits).map { b =>
+        val votes = hs.map(h => if (((h >> b) & 1L) == 1L) 1 else -1).sum
+        if (votes > 0) 1L << b else 0L
+      }.sum
+      got == expect
+    }
+
   property("sorted-merge jaccard equals set jaccard") =
     forAll(Gen.listOf(Gen.choose(0L, 50L)), Gen.listOf(Gen.choose(0L, 50L))) { (a, b) =>
       val sa = a.distinct.sorted
