@@ -75,6 +75,18 @@ final class MStream(
 
   /** Set ops absent in Milan (SURVEY §2.7 "free if wanted") — parity-plus. */
   def distinct(): MStream = lift(df.distinct())
+
+  /** Exact dedup by key columns, first record wins — one operator for
+    * batch AND streaming (parity-plus; the streaming face of
+    * `pipeline.Dedup.exact`). Streaming keeps per-key state forever by
+    * default (Milan's eternal groups); pass `withinWatermark = true`
+    * after `withWatermark` to evict each key's dedup state once its event
+    * time falls behind the watermark — the bounded-state posture for
+    * unbounded streams. Dedup on a fingerprint/hash column to keep the
+    * state entry 8 bytes instead of the payload. */
+  def dedupBy(cols: Seq[String], withinWatermark: Boolean = false): MStream =
+    lift(if (withinWatermark) df.dropDuplicatesWithinWatermark(cols)
+         else df.dropDuplicates(cols))
   def intersect(other: MStream): MStream = lift(df.intersect(other.df))
   def except(other: MStream): MStream = lift(df.except(other.df))
 

@@ -33,6 +33,22 @@ class StreamingMStreamScanSpec extends SparkSpec {
     }
   }
 
+  test("streaming dedupBy drops repeated fingerprints across micro-batches") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[Ev]
+    val out = new MStream(in.toDF(), Seq("seq"))
+      .addFields("fp" -> graft.pipeline.TextOps.polyHash(col("k")))
+      .dedupBy(Seq("fp"))
+    assert(out.df.isStreaming)
+    drive(out.df) { emitted =>
+      in.addData(Ev("a", 1, 5.0), Ev("a", 2, 3.0), Ev("b", 3, 1.0))
+      in.addData(Ev("a", 4, 9.0), Ev("c", 5, 2.0)) // 'a' already seen last batch
+      val got = emitted().map(r => (r.getString(0), r.getLong(1))).toSet
+      assert(got == Set(("a", 1L), ("b", 3L), ("c", 5L)),
+        "first record per fingerprint survives; dedup state spans batches")
+    }
+  }
+
   test("MStream tumbling window aggregates a watermarked stream in update mode") {
     implicit val sqlCtx = spark.sqlContext
     val in = MemoryStream[TEv]
