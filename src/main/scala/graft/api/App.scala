@@ -37,6 +37,17 @@ object App {
       * so it is untestable offline; the rate source (`Source("rate",
       * keepReading = true)`) stands in for unbounded non-file ingress in
       * AppModelSpec. */
+    /** S3 source binding (Milan `S3DataSource`,
+      * `application/sources/S3DataSource.scala:21`): same DataSource API
+      * with an s3a:// path — on a cluster the hadoop-aws jars and
+      * credentials provider must be on the classpath; untestable offline,
+      * so the spec asserts only the constructed binding. */
+    def s3(bucket: String, key: String, format: String = "parquet",
+           options: Map[String, String] = Map.empty,
+           keepReading: Boolean = false): Source =
+      Source(format = format, path = Some(s"s3a://$bucket/$key"),
+        options = options, keepReading = keepReading)
+
     def kafka(bootstrapServers: String, topic: String,
               startingOffsets: String = "latest",
               keepReading: Boolean = true,

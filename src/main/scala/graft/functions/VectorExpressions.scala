@@ -389,6 +389,43 @@ case class SimHashBits(child: Expression, bits: Int) extends UnaryExpression {
 }
 
 /** Static helper shared by interpreted eval and generated code. */
+object ByteResizeUtil {
+  /** 1-D nearest-neighbor resample of a byte payload to `outLen` bytes —
+    * the deterministic stand-in for media resizing (see
+    * `pipeline.Multimodal.resizeStub`). */
+  def resize(bytes: Array[Byte], outLen: Int): Array[Byte] = {
+    if (outLen <= 0 || bytes.isEmpty) return Array.emptyByteArray
+    val out = new Array[Byte](outLen)
+    var i = 0
+    while (i < outLen) {
+      out(i) = bytes((i.toLong * bytes.length / outLen).toInt)
+      i += 1
+    }
+    out
+  }
+}
+
+/** Nearest-neighbor byte resample `(binary, int) -> binary`, codegen'd. */
+case class ByteResize(left: Expression, right: Expression) extends BinaryExpression {
+  import org.apache.spark.sql.types.{BinaryType, IntegerType}
+  override def checkInputDataTypes(): TypeCheckResult = (left.dataType, right.dataType) match {
+    case (BinaryType, IntegerType) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(s"$prettyName requires (binary, int), got $other")
+  }
+  override def dataType: DataType = BinaryType
+  override def prettyName: String = "graft_byte_resize"
+
+  override protected def nullSafeEval(b: Any, n: Any): Any =
+    ByteResizeUtil.resize(b.asInstanceOf[Array[Byte]], n.asInstanceOf[Int])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (b, n) => s"graft.functions.ByteResizeUtil.resize($b, $n)")
+
+  override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): ByteResize =
+    copy(left = newLeft, right = newRight)
+}
+
+/** Static helper shared by interpreted eval and generated code. */
 object ByteMeanUtil {
   /** Mean unsigned byte value; 0.0 for an empty payload. The integer sum
     * is exact, so the result is bit-identical across engines. */
@@ -466,4 +503,8 @@ object VectorFunctions {
   /** Codegen'd mean unsigned byte of a binary column. */
   def byteMeanNative(b: Column): Column =
     ColumnBridge.column(ByteMean(ColumnBridge.expr(b)))
+
+  /** Codegen'd nearest-neighbor byte resample of a binary column. */
+  def byteResize(b: Column, outLen: Column): Column =
+    ColumnBridge.column(ByteResize(ColumnBridge.expr(b), ColumnBridge.expr(outLen)))
 }

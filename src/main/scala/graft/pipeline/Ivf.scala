@@ -50,21 +50,27 @@ object Ivf {
   def train(embs: DataFrame, idCol: String, vecCol: String, k: Int, iters: Int): DataFrame = {
     val spark = embs.sparkSession
     import spark.implicits._
+    // k-means scans the working set iters+1 times — cache it for the
+    // duration of training (spills to disk beyond memory), the standard
+    // iterative-trainer posture
     val pts = embs.select(col(idCol).as("__pid"), col(vecCol).cast("array<double>").as("__pv"))
-    var cent: Seq[(Int, Seq[Double])] = pts.orderBy("__pid").limit(k).collect()
-      .zipWithIndex.map { case (r, i) => (i, r.getSeq[Double](1)) }.toSeq
-    var i = 0
-    while (i < iters) {
-      cent = pts
-        .select(nearestCid(col("__pv"), cent).as("cid"),
-          posexplode(col("__pv")).as(Seq("__pos", "__x")))
-        .groupBy("cid", "__pos").agg(avg("__x").as("__m"))
-        .groupBy("cid").agg(array_sort(collect_list(struct(col("__pos"), col("__m")))).as("__ms"))
-        .select(col("cid"), expr("transform(__ms, s -> s.__m)").as("cv"))
-        .collect().map(r => (r.getInt(0), r.getSeq[Double](1))).toSeq
-      i += 1
-    }
-    cent.toDF("cid", "cv").select(col("cid"), col("cv").cast("array<double>").as("cv"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      var cent: Seq[(Int, Seq[Double])] = pts.orderBy("__pid").limit(k).collect()
+        .zipWithIndex.map { case (r, i) => (i, r.getSeq[Double](1)) }.toSeq
+      var i = 0
+      while (i < iters) {
+        cent = pts
+          .select(nearestCid(col("__pv"), cent).as("cid"),
+            posexplode(col("__pv")).as(Seq("__pos", "__x")))
+          .groupBy("cid", "__pos").agg(avg("__x").as("__m"))
+          .groupBy("cid").agg(array_sort(collect_list(struct(col("__pos"), col("__m")))).as("__ms"))
+          .select(col("cid"), expr("transform(__ms, s -> s.__m)").as("cv"))
+          .collect().map(r => (r.getInt(0), r.getSeq[Double](1))).toSeq
+        i += 1
+      }
+      cent.toDF("cid", "cv").select(col("cid"), col("cv").cast("array<double>").as("cv"))
+    } finally pts.unpersist(blocking = false)
   }
 
   /** Assign each point to its nearest centroid. Kept for API parity with

@@ -75,6 +75,20 @@ object Multimodal {
     }
   }
 
+  /** Resize the media payload to `w`×`h` — the resize stage of the media
+    * pipeline with the same honest-stub semantics as the decode: a 1-D
+    * nearest-neighbor byte resample (codegen'd `ByteResize`) stands in for
+    * pixel-space interpolation, the metadata struct updates to the target
+    * dimensions, and a real build swaps the expression for a codec-backed
+    * one without touching schema or callers. */
+  def resizeStub(df: DataFrame, w: Int, h: Int): DataFrame =
+    df.withColumn("media",
+        graft.functions.VectorFunctions.byteResize(col("media"), lit(w * h)))
+      .withColumn("media_meta", struct(
+        col("media_meta").getField("format").as("format"),
+        lit(w).as("width"), lit(h).as("height"),
+        col("media_meta").getField("n_frames").as("n_frames")))
+
   /** Sample up to `n` equal-length frame slices out of the binary payload
     * — pure `substring` on binary, codegen'd, no decode required. */
   def frameSample(df: DataFrame, n: Int): DataFrame = {

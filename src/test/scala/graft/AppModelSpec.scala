@@ -110,6 +110,12 @@ class AppModelSpec extends SparkSpec {
     assert(reloaded2.source("input").format == "json")
   }
 
+  test("s3 source helper builds the s3a binding") {
+    val s = App.Source.s3("corpus-bucket", "docs/year=2026/", format = "parquet")
+    assert(s.path.contains("s3a://corpus-bucket/docs/year=2026/"))
+    assert(s.format == "parquet" && !s.keepReading)
+  }
+
   test("kafka source helper binds Milan's message-bus ingress shape") {
     val s = App.Source.kafka("b1:9092,b2:9092", "events")
     assert(s.format == "kafka" && s.keepReading)

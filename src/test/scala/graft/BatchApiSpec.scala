@@ -141,6 +141,15 @@ class BatchApiSpec extends SparkSpec {
       "frames tile the payload")
   }
 
+  test("multimodal resize resamples the payload and updates metadata") {
+    val df = Multimodal.withFakeMedia(Seq((1L, "abcdefgh")).toDF("id", "text"), "text")
+    val out = Multimodal.resizeStub(df, w = 2, h = 2).select("media", "media_meta").collect().head
+    assert(new String(out.getAs[Array[Byte]](0), "UTF-8") == "aceg",
+      "nearest-neighbor stride over the payload")
+    val meta = out.getStruct(1)
+    assert(meta.getInt(1) == 2 && meta.getInt(2) == 2, "meta reflects target dims")
+  }
+
   test("multimodal decode stub is partition-parallel and deterministic") {
     val df = Multimodal.withFakeMedia(
       Seq((1L, "aa"), (2L, "zzzz")).toDF("id", "text").repartition(2), "text")
