@@ -255,17 +255,23 @@ object Dedup {
     var fp = fingerprint(e)
     var done = e.isEmpty
     var it = 0
-    val wU = Window.partitionBy("u")
+    // neighborhood minima via groupBy+join, NOT a window over u: a window
+    // sorts each node's whole neighborhood in one task, so the star
+    // center of a giant component serializes on one core; hash
+    // aggregation partial-aggregates map-side and the re-join on u gets
+    // AQE skew handling — per-node degree never bounds a task
     while (!done && it < maxIter) {
       // large-star: every neighbor v > u links to min(Γ(u) ∪ {u})
-      val ls = e.withColumn("m", least(min(col("v")).over(wU), col("u")))
-        .filter(col("v") > col("u"))
+      val mL = e.groupBy("u").agg(min("v").as("__mn"))
+        .select(col("u"), least(col("__mn"), col("u")).as("m"))
+      val ls = e.join(mL, "u").filter(col("v") > col("u"))
         .select(col("v").as("u"), col("m").as("v"))
       val e1 = resym(ls)
       // small-star: u and its smaller neighbors all link to their min
-      val low = e1.filter(col("v") < col("u")).withColumn("m", min(col("v")).over(wU))
-      val ss = low.select(col("u"), col("m").as("v"))
-        .union(low.filter(col("v") =!= col("m")).select(col("v").as("u"), col("m").as("v")))
+      val low = e1.filter(col("v") < col("u"))
+      val lowM = low.join(low.groupBy("u").agg(min("v").as("m")), "u")
+      val ss = lowM.select(col("u"), col("m").as("v"))
+        .union(lowM.filter(col("v") =!= col("m")).select(col("v").as("u"), col("m").as("v")))
       val e2 = resym(ss).localCheckpoint()
       val fp2 = fingerprint(e2)
       done = fp2 == fp
