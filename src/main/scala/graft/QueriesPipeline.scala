@@ -259,6 +259,24 @@ object QueriesPipeline {
          len(regexp_extract_all(text, '[A-Za-z0-9_]+|[^A-Za-z0-9_\s]')) AS re_tokens
        FROM documents"""
 
+  /** Stratified deterministic sampling: a reproducible training mix that
+    * up/down-weights sources; the oracle reproduces the exact sample. */
+  def qSample(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(spark, dir).df
+    graft.pipeline.Sampling.stratifiedHashSample(d,
+      col("doc_id"), col("source"),
+      rates = Map("src0" -> 0.5, "src1" -> 0.9), defaultRate = 0.25, salt = "mix1")
+      .select(col("doc_id"), col("source"))
+  }
+
+  val qSampleSql: String = {
+    val gate = "((" + PolyFold.format("(doc_id::VARCHAR || 'mix1')") + ") * 2654435761) % 1000000"
+    s"""SELECT doc_id, source FROM documents
+        WHERE $gate < CASE source WHEN 'src0' THEN 500000
+                                  WHEN 'src1' THEN 900000
+                                  ELSE 250000 END"""
+  }
+
   /** Gopher-style repetition quality filters per document. */
   def qRepetition(spark: SparkSession, dir: String): DataFrame =
     TextOps.repetitionFeatures(Tables.documents(spark, dir).df, "doc_id", "text")
@@ -392,6 +410,7 @@ object QueriesPipeline {
     "q_token_count" -> (qTokenCount _),
     "q_fingerprint" -> (qFingerprint _),
     "q_repetition" -> (qRepetition _),
+    "q_sample" -> (qSample _),
     "q_multimodal" -> (qMultimodal _)
   )
 
@@ -411,6 +430,7 @@ object QueriesPipeline {
     "q_token_count" -> qTokenCountSql,
     "q_fingerprint" -> qFingerprintSql,
     "q_repetition" -> qRepetitionSql,
+    "q_sample" -> qSampleSql,
     "q_multimodal" -> qMultimodalSql
   )
 }

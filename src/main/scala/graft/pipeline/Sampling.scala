@@ -1,0 +1,47 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/**
+ * Deterministic, reproducible corpus sampling for training-data mixes.
+ * Selection is `hash(key ∥ salt) mod 10⁶ < rate·10⁶` — a pure per-row
+ * predicate: no RNG state, no partition-order dependence, identical
+ * output on any cluster size or engine (the DuckDB oracle reproduces the
+ * sample bit-for-bit), and changing the salt draws an independent sample.
+ * `sample`/`sampleBy` in Spark are seed-dependent on partitioning, which
+ * breaks reproducibility under repartition — hash gating is the standard
+ * fix for audit-stable corpus subsets.
+ */
+object Sampling {
+
+  private val Scale = 1000000L
+
+  /** Knuth multiplicative finalizer after the polynomial fold: short keys
+    * produce fold values below the modulus (no wraparound → heavy bias
+    * toward keeping); the multiply spreads them across the gate range.
+    * polyHash < 2³⁰, so the product stays well inside signed-64. */
+  private def gate(keyCol: Column, salt: String): Column =
+    pmod(TextOps.polyHash(concat(keyCol.cast("string"), lit(salt))) * lit(2654435761L),
+      lit(Scale))
+
+  /** Keep each row with probability ~`rate`, decided by the row's key. */
+  def hashSample(df: DataFrame, keyCol: Column, rate: Double, salt: String = ""): DataFrame = {
+    require(rate >= 0.0 && rate <= 1.0, s"rate must be in [0,1], got $rate")
+    df.filter(gate(keyCol, salt) < lit((rate * Scale).toLong))
+  }
+
+  /** Stratified variant: per-stratum rates (e.g. up/down-weighting
+    * sources in a training mix), one pass, no shuffle. */
+  def stratifiedHashSample(df: DataFrame, keyCol: Column, strataCol: Column,
+                           rates: Map[String, Double], defaultRate: Double = 0.0,
+                           salt: String = ""): DataFrame = {
+    require((defaultRate +: rates.values.toSeq).forall(r => r >= 0.0 && r <= 1.0),
+      "rates must be in [0,1]")
+    val threshold = rates.toSeq.sortBy(_._1).foldRight(
+      lit((defaultRate * Scale).toLong)) { case ((s, r), rest) =>
+      when(strataCol === s, lit((r * Scale).toLong)).otherwise(rest)
+    }
+    df.filter(gate(keyCol, salt) < threshold)
+  }
+}

@@ -84,6 +84,22 @@ class BatchApiSpec extends SparkSpec {
     assert(pairs == Set((1L, 2L)))
   }
 
+  test("hash sampling is reproducible across partitionings and salts draw independently") {
+    import graft.pipeline.Sampling
+    val docs = (0L until 2000L).map(i => (i, s"s${i % 4}")).toDF("id", "src")
+    def ids(df: org.apache.spark.sql.DataFrame) = df.select("id").collect().map(_.getLong(0)).toSet
+    val a = ids(Sampling.hashSample(docs.repartition(7), col("id"), 0.3, salt = "x"))
+    val b = ids(Sampling.hashSample(docs.repartition(3), col("id"), 0.3, salt = "x"))
+    assert(a == b, "partitioning-independent selection")
+    assert(math.abs(a.size - 600) < 120, s"~30% kept, got ${a.size}")
+    val c = ids(Sampling.hashSample(docs, col("id"), 0.3, salt = "y"))
+    assert(c != a, "different salt draws a different sample")
+    val strat = Sampling.stratifiedHashSample(docs, col("id"), col("src"),
+      rates = Map("s0" -> 1.0, "s1" -> 0.0), defaultRate = 0.5)
+      .groupBy("src").count().collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(strat("s0") == 500 && !strat.contains("s1"), "per-stratum rates applied")
+  }
+
   test("simhash pigeonhole banding finds exactly the all-pairs Hamming matches") {
     val docs = (0L until 40L).map { i =>
       val words = (0 until 12).map(j => s"w${(i * 31 + j * 7) % 9}").mkString(" ")
