@@ -298,6 +298,34 @@ object QueriesPipeline {
               coalesce(top_bigram_frac, 0.0) AS top_bigram_frac
        FROM ws LEFT JOIN bs ON ws.doc_id = bs.doc_id"""
 
+  /** Corpus heavy hitters: 20 most frequent word-3-grams. */
+  def qTopNgrams(spark: SparkSession, dir: String): DataFrame =
+    TextOps.topNgrams(Tables.documents(spark, dir).df, "text", n = 3, k = 20)
+
+  val qTopNgramsSql: String =
+    """WITH g AS (SELECT w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS ngram
+         FROM (SELECT string_split(text, ' ') AS w FROM documents),
+              LATERAL (SELECT unnest(generate_series(1, len(w) - 2)) AS i) t)
+       SELECT ngram, count(*) AS cnt FROM g GROUP BY ngram
+       ORDER BY cnt DESC, ngram LIMIT 20"""
+
+  /** Per-document top TF-IDF word. */
+  def qTfidf(spark: SparkSession, dir: String): DataFrame =
+    TextOps.tfidfTopWord(Tables.documents(spark, dir).df, "doc_id", "text")
+
+  val qTfidfSql: String =
+    """WITH tf AS (SELECT doc_id, w, count(*) AS tf
+         FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents)
+         GROUP BY 1, 2),
+        dfx AS (SELECT w, count(*) AS dfc FROM tf GROUP BY w),
+        s AS (SELECT doc_id, w,
+                tf * ln((SELECT count(*) FROM documents)::DOUBLE / dfc) AS tfidf
+              FROM tf JOIN dfx USING (w)),
+        r AS (SELECT doc_id, w, tfidf,
+                row_number() OVER (PARTITION BY doc_id
+                  ORDER BY round(tfidf, 6) DESC, w DESC) AS rn FROM s)
+       SELECT doc_id, w AS top_word, round(tfidf, 4) AS top_tfidf FROM r WHERE rn = 1"""
+
   /** Rolling-hash document fingerprint. */
   def qFingerprint(spark: SparkSession, dir: String): DataFrame =
     Tables.documents(spark, dir).df.select(col("doc_id"),
@@ -411,6 +439,8 @@ object QueriesPipeline {
     "q_fingerprint" -> (qFingerprint _),
     "q_repetition" -> (qRepetition _),
     "q_sample" -> (qSample _),
+    "q_top_ngrams" -> (qTopNgrams _),
+    "q_tfidf" -> (qTfidf _),
     "q_multimodal" -> (qMultimodal _)
   )
 
@@ -431,6 +461,8 @@ object QueriesPipeline {
     "q_fingerprint" -> qFingerprintSql,
     "q_repetition" -> qRepetitionSql,
     "q_sample" -> qSampleSql,
+    "q_top_ngrams" -> qTopNgramsSql,
+    "q_tfidf" -> qTfidfSql,
     "q_multimodal" -> qMultimodalSql
   )
 }

@@ -119,6 +119,46 @@ object TextOps {
       .na.fill(0.0, Seq("top_bigram_frac"))
   }
 
+  /** Corpus-wide n-gram counts: explode codegen'd zipped slices (no
+    * interpreted per-element lambda), then a two-stage count aggregation. */
+  def ngramCounts(docs: org.apache.spark.sql.DataFrame, textCol: String,
+                  n: Int): org.apache.spark.sql.DataFrame = {
+    val ws = words(col(textCol))
+    val castTo = (0 until n).map(j => s"w$j:string").mkString("array<struct<", ",", ">>")
+    val zipped = when(size(ws) < n, array().cast(castTo))
+      .otherwise(arrays_zip((0 until n).map(j =>
+        slice(ws, lit(j + 1), size(ws) - (n - 1)).as(s"w$j")): _*))
+    docs.select(explode(zipped).as("__g"))
+      .select(concat_ws(" ", (0 until n).map(j => col(s"__g.w$j")): _*).as("ngram"))
+      .groupBy("ngram").agg(count(lit(1)).as("cnt"))
+  }
+
+  /** Top-k most frequent n-grams (heavy hitters for boilerplate
+    * detection): partial aggregation + TakeOrdered — the k results travel,
+    * never the full frequency table. Ties break lexicographically. */
+  def topNgrams(docs: org.apache.spark.sql.DataFrame, textCol: String,
+                n: Int, k: Int): org.apache.spark.sql.DataFrame =
+    ngramCounts(docs, textCol, n).orderBy(desc("cnt"), col("ngram")).limit(k)
+
+  /** Per-document top TF-IDF word: tf·ln(N/df), argmax per doc (ties on
+    * the rounded score break toward the lexicographically larger word, so
+    * the result is engine-portable). Two count aggregations + one
+    * word-keyed join — linear, no all-pairs. */
+  def tfidfTopWord(docs: org.apache.spark.sql.DataFrame, idCol: String,
+                   textCol: String): org.apache.spark.sql.DataFrame = {
+    val nDocs = docs.count()
+    val tf = docs.select(col(idCol), explode(words(col(textCol))).as("__w"))
+      .groupBy(col(idCol), col("__w")).agg(count(lit(1)).as("__tf"))
+    val dfx = tf.groupBy(col("__w")).agg(count(lit(1)).as("__df"))
+    tf.join(dfx, "__w")
+      .withColumn("__tfidf", col("__tf") * log(lit(nDocs.toDouble) / col("__df")))
+      .groupBy(col(idCol))
+      .agg(max_by(struct(col("__w").as("top_word"), round(col("__tfidf"), 4).as("top_tfidf")),
+        struct(round(col("__tfidf"), 6), col("__w"))).as("__t"))
+      .select(col(idCol), col("__t.top_word").as("top_word"),
+        col("__t.top_tfidf").as("top_tfidf"))
+  }
+
   /** Quality features: word count, mean word length, stopword ratio,
     * punctuation ratio. */
   def qualityFeatures(text: Column): Seq[(String, Column)] = {
