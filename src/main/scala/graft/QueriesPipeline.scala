@@ -326,6 +326,25 @@ object QueriesPipeline {
                   ORDER BY round(tfidf, 6) DESC, w DESC) AS rn FROM s)
        SELECT doc_id, w AS top_word, round(tfidf, 4) AS top_tfidf FROM r WHERE rn = 1"""
 
+  /** Per-source document-length quantiles (exact interpolated percentile —
+    * Spark `percentile` ≡ DuckDB `quantile_cont`; sorting happens within
+    * source groups only). */
+  def qLengthQuantiles(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir).df
+      .groupBy("source")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        round(percentile(length(col("text")), lit(0.5)), 2).as("p50_len"),
+        round(percentile(length(col("text")), lit(0.9)), 2).as("p90_len"),
+        round(percentile(length(col("text")), lit(0.99)), 2).as("p99_len"))
+
+  val qLengthQuantilesSql: String =
+    """SELECT source, count(*) AS n_docs,
+         round(quantile_cont(length(text), 0.5), 2) AS p50_len,
+         round(quantile_cont(length(text), 0.9), 2) AS p90_len,
+         round(quantile_cont(length(text), 0.99), 2) AS p99_len
+       FROM documents GROUP BY source"""
+
   /** Rolling-hash document fingerprint. */
   def qFingerprint(spark: SparkSession, dir: String): DataFrame =
     Tables.documents(spark, dir).df.select(col("doc_id"),
@@ -440,6 +459,7 @@ object QueriesPipeline {
     "q_repetition" -> (qRepetition _),
     "q_sample" -> (qSample _),
     "q_top_ngrams" -> (qTopNgrams _),
+    "q_length_quantiles" -> (qLengthQuantiles _),
     "q_tfidf" -> (qTfidf _),
     "q_multimodal" -> (qMultimodal _)
   )
@@ -462,6 +482,7 @@ object QueriesPipeline {
     "q_repetition" -> qRepetitionSql,
     "q_sample" -> qSampleSql,
     "q_top_ngrams" -> qTopNgramsSql,
+    "q_length_quantiles" -> qLengthQuantilesSql,
     "q_tfidf" -> qTfidfSql,
     "q_multimodal" -> qMultimodalSql
   )
