@@ -147,7 +147,11 @@ object Dedup {
     val e = sigs.select(col(idCol), col("simhash"), explode(array(chunkCols: _*)).as("__ck"))
       .repartition(col("__ck"))
     val ham = expr("bit_count(__sa ^ __sb)")
-    e.as("a").join(e.as("b"),
+    // shuffle_hash, not the planner's size-based broadcast: the build side
+    // is the exploded corpus (broadcastable only at toy scale), and with
+    // both sides shuffled on the chunk key ReuseExchange materializes the
+    // signature scan once
+    e.as("a").join(e.as("b").hint("shuffle_hash"),
         col("a.__ck") === col("b.__ck") && col(s"a.$idCol") < col(s"b.$idCol"))
       .select(col(s"a.$idCol").as("id_a"), col(s"b.$idCol").as("id_b"),
         col("a.simhash").as("__sa"), col("b.simhash").as("__sb"))
