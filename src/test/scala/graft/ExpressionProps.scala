@@ -66,6 +66,33 @@ object ExpressionProps extends Properties("graft.expressions") {
       got == expect
     }
 
+  property("bounded top-k over random partition splits equals global sort-take") =
+    forAll(Gen.listOf(Gen.zip(Gen.choose(0L, 30L), Gen.choose(-5.0, 5.0))),
+           Gen.choose(1, 8), Gen.choose(1, 5)) { (rows, k, nParts) =>
+      import org.apache.spark.sql.catalyst.InternalRow
+      import org.apache.spark.sql.catalyst.expressions.BoundReference
+      import org.apache.spark.sql.types.{DoubleType, LongType}
+      val agg = graft.functions.BoundedTopK(
+        BoundReference(0, LongType, nullable = false),
+        BoundReference(1, DoubleType, nullable = false), k)
+      // partial buffers per partition (update path), then serialize ->
+      // deserialize -> merge, as the exchange would
+      val parts = rows.zipWithIndex.groupMap(_._2 % nParts)(_._1).values.toList
+      val merged = parts
+        .map(_.foldLeft(agg.createAggregationBuffer()) { (b, r) =>
+          agg.update(b, InternalRow(r._1, r._2))
+        })
+        .map(b => agg.deserialize(agg.serialize(b)))
+        .foldLeft(agg.createAggregationBuffer())(agg.merge)
+      val got = agg.eval(merged)
+        .asInstanceOf[org.apache.spark.sql.catalyst.util.GenericArrayData]
+        .array.toSeq.map { r =>
+          val ir = r.asInstanceOf[InternalRow]; (ir.getLong(0), ir.getDouble(1))
+        }
+      val expect = rows.sortBy(t => (-t._2, t._1)).take(k)
+      got == expect
+    }
+
   property("sorted-merge jaccard equals set jaccard") =
     forAll(Gen.listOf(Gen.choose(0L, 50L)), Gen.listOf(Gen.choose(0L, 50L))) { (a, b) =>
       val sa = a.distinct.sorted
