@@ -345,6 +345,17 @@ object QueriesPipeline {
          round(quantile_cont(length(text), 0.99), 2) AS p99_len
        FROM documents GROUP BY source"""
 
+  /** Sequence packing into ~512-token chunks per source. */
+  def qPack(spark: SparkSession, dir: String): DataFrame =
+    TextOps.packChunks(Tables.documents(spark, dir).df, "doc_id", "text", "source", budget = 512L)
+
+  val qPackSql: String =
+    """SELECT doc_id, source, len(string_split(text, ' '))::BIGINT AS n_tokens,
+         floor(coalesce(sum(len(string_split(text, ' '))::BIGINT) OVER (
+             PARTITION BY source ORDER BY doc_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) / 512)::BIGINT AS chunk_id
+       FROM documents"""
+
   /** Rolling-hash document fingerprint. */
   def qFingerprint(spark: SparkSession, dir: String): DataFrame =
     Tables.documents(spark, dir).df.select(col("doc_id"),
@@ -460,6 +471,7 @@ object QueriesPipeline {
     "q_sample" -> (qSample _),
     "q_top_ngrams" -> (qTopNgrams _),
     "q_length_quantiles" -> (qLengthQuantiles _),
+    "q_pack" -> (qPack _),
     "q_tfidf" -> (qTfidf _),
     "q_multimodal" -> (qMultimodal _)
   )
@@ -483,6 +495,7 @@ object QueriesPipeline {
     "q_sample" -> qSampleSql,
     "q_top_ngrams" -> qTopNgramsSql,
     "q_length_quantiles" -> qLengthQuantilesSql,
+    "q_pack" -> qPackSql,
     "q_tfidf" -> qTfidfSql,
     "q_multimodal" -> qMultimodalSql
   )

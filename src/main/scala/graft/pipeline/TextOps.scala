@@ -159,6 +159,24 @@ object TextOps {
         col("__t.top_tfidf").as("top_tfidf"))
   }
 
+  /** Sequence packing: assign documents, in a stable order within each
+    * partition key, to consecutive training chunks of ~`budget` tokens
+    * (streaming-greedy: a chunk takes documents until the budget is
+    * crossed, so chunks overflow by at most one document — the standard
+    * packing used when assembling fixed-length training sequences). One
+    * running-sum window per partition key; sorting happens within keys
+    * only, so scale is bounded by the largest partition, not the corpus. */
+  def packChunks(docs: org.apache.spark.sql.DataFrame, idCol: String, textCol: String,
+                 partCol: String, budget: Long): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col(partCol)).orderBy(col(idCol))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val toks = tokenCountWhitespace(col(textCol)).cast("long")
+    docs.select(col(idCol), col(partCol), toks.as("n_tokens"))
+      .withColumn("chunk_id",
+        floor(coalesce(sum(col("n_tokens")).over(w), lit(0L)) / budget).cast("long"))
+  }
+
   /** Quality features: word count, mean word length, stopword ratio,
     * punctuation ratio. */
   def qualityFeatures(text: Column): Seq[(String, Column)] = {
