@@ -254,8 +254,30 @@ object Dedup {
       val r = d.agg(count(lit(1)), coalesce(expr("bit_xor(xxhash64(u, v))"), lit(0L))).collect()(0)
       (r.getLong(0), r.getLong(1))
     }
+    // Each round's localCheckpoint supersedes the previous one, but its
+    // blocks stay pinned in the BlockManager for the session unless
+    // explicitly unpersisted (round 2's bench artifact was contaminated by
+    // exactly that). Track the RDDs each checkpoint persists
+    // (getPersistentRDDs diff — this loop is the only thing persisting
+    // between the two reads) and drop a round's blocks once its successor
+    // is materialized. Superseded rounds are never re-read, so unpersisting
+    // them is safe despite the truncated lineage; Spark logs a WARN per
+    // unpersist for that truncation — expected and harmless here.
+    // (A persist + createDataFrame(p.rdd) flat rebuild avoids the WARN but
+    // pays a Row<->InternalRow round-trip on every downstream reference —
+    // measured 2x slower on the clusters/corpus queries.)
+    val sc = pairs.sparkSession.sparkContext
+    def checkpointTracked(d: DataFrame): (DataFrame, Set[Int]) = {
+      val before = sc.getPersistentRDDs.keySet.toSet
+      val cp = d.localCheckpoint()
+      (cp, sc.getPersistentRDDs.keySet.toSet.diff(before))
+    }
+    def unpersistIds(ids: Set[Int]): Unit = {
+      val live = sc.getPersistentRDDs
+      ids.foreach(id => live.get(id).foreach(_.unpersist(blocking = false)))
+    }
     val base = pairs.select(col(aCol).cast("long").as("u"), col(bCol).cast("long").as("v"))
-    var e = resym(base).localCheckpoint()
+    var (e, eIds) = checkpointTracked(resym(base))
     var fp = fingerprint(e)
     var done = e.isEmpty
     var it = 0
@@ -276,15 +298,25 @@ object Dedup {
       val lowM = low.join(low.groupBy("u").agg(min("v").as("m")), "u")
       val ss = lowM.select(col("u"), col("m").as("v"))
         .union(lowM.filter(col("v") =!= col("m")).select(col("v").as("u"), col("m").as("v")))
-      val e2 = resym(ss).localCheckpoint()
+      val (e2, e2Ids) = checkpointTracked(resym(ss))
       val fp2 = fingerprint(e2)
+      // e2 is materialized (eager checkpoint): the previous round's blocks
+      // are dead weight from here on
+      unpersistIds(eIds)
       done = fp2 == fp
       fp = fp2
       e = e2
+      eIds = e2Ids
       it += 1
     }
-    e.groupBy(col("u")).agg(min(col("v")).as("__mn"))
+    // Materialize the (tiny: one row per non-singleton node) RESULT so the
+    // final iteration's full edge set can be dropped too instead of staying
+    // referenced by the returned plan.
+    val out = e.groupBy(col("u")).agg(min(col("v")).as("__mn"))
       .select(col("u").as(nodeOut), least(col("__mn"), col("u")).as(clusterOut))
+      .localCheckpoint()
+    unpersistIds(eIds)
+    out
   }
 
   /** End-to-end corpus deduplication — the operation a training-data

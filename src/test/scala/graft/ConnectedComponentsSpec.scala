@@ -71,6 +71,19 @@ class ConnectedComponentsSpec extends SparkSpec {
     assert(survivors == Set(1L, 4L, 5L), "transitive group {1,2,3} -> 1; {5,6} -> 5")
   }
 
+  test("iteration checkpoints are unpersisted (no BlockManager leak)") {
+    // round-2 bench contamination: each CC round's localCheckpoint stayed
+    // pinned for the session. After a run, only the (tiny) result
+    // checkpoint may remain persisted.
+    val before = spark.sparkContext.getPersistentRDDs.keySet.toSet
+    val out = Dedup.connectedComponents(
+      (0L until 40L).map(i => (i, i + 1)).toDF("id_a", "id_b"), "id_a", "id_b")
+    out.collect()
+    val leaked = spark.sparkContext.getPersistentRDDs.keySet.toSet.diff(before)
+    // the chain forces several rounds; a leak would leave >= 2 RDDs per round
+    assert(leaked.size <= 1, s"superseded checkpoints still persisted: $leaked")
+  }
+
   test("empty pair set yields empty clusters") {
     val out = Dedup.connectedComponents(
       Seq.empty[(Long, Long)].toDF("id_a", "id_b"), "id_a", "id_b")
