@@ -150,6 +150,73 @@ case class JaccardSorted(left: Expression, right: Expression)
     copy(left = l, right = r)
 }
 
+/** Static helper shared by interpreted eval and generated code (Scala
+  * objects expose static forwarders, so codegen calls it directly). */
+object JaccardGateUtil {
+  /** Two-pointer Jaccard with early abandonment: returns the exact Jaccard
+    * while the running upper bound (inter + min(remaining)) / (S - same)
+    * can still reach `t`, else -1.0 the moment it provably cannot. The
+    * first iteration's check subsumes the size-ratio prefilter
+    * (min(n)/max(n) < t ⇒ skip without touching the arrays). The 1e-9
+    * slack makes skipping strictly conservative under fp rounding, so
+    * (result >= t) ⇔ (exact Jaccard >= t) for any t in (0, 1]. */
+  def jaccardAtLeast(x: ArrayData, y: ArrayData, t: Double): Double = {
+    val nx = x.numElements(); val ny = y.numElements()
+    val s = nx + ny
+    if (s == 0) return 0.0
+    // smallest intersection that can still reach t: J = i/(s-i) >= t
+    val need = t * s / (1.0 + t) - 1e-9
+    var i = 0; var j = 0; var inter = 0
+    while (i < nx && j < ny) {
+      if (inter + math.min(nx - i, ny - j) < need) return -1.0
+      val u = x.getLong(i); val v = y.getLong(j)
+      if (u == v) { inter += 1; i += 1; j += 1 }
+      else if (u < v) i += 1
+      else j += 1
+    }
+    val union = s - inter
+    inter.toDouble / union
+  }
+}
+
+/**
+ * Thresholded Jaccard over sorted, de-duplicated array<long> columns:
+ * exact value when >= threshold is still possible, -1.0 as soon as the
+ * remaining-overlap bound proves it is not — candidate pairs from LSH/
+ * blocking are mostly BELOW threshold, so the quadratic verify stage skips
+ * most of its merge work. Filter the result with `>= threshold` exactly as
+ * with [[JaccardSorted]]; outputs are identical for all surviving rows.
+ */
+case class JaccardSortedAtLeast(left: Expression, right: Expression, threshold: Double)
+    extends BinaryExpression {
+  import org.apache.spark.sql.types.LongType
+  // t = 0 degrades gracefully: the bound can never fire, every merge exact
+  require(threshold >= 0.0 && threshold <= 1.0, "threshold must be in [0, 1]")
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (Seq(left, right).forall(e => e.dataType match {
+      case ArrayType(LongType, _) => true
+      case _ => false
+    })) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires array<bigint> inputs, got ${left.dataType}, ${right.dataType}")
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "graft_jaccard_sorted_at_least"
+
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    JaccardGateUtil.jaccardAtLeast(
+      a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData], threshold)
+
+  /** Test hook: interpreted eval without a Spark session. */
+  def nullSafeEvalPublic(a: Any, b: Any): Any = nullSafeEval(a, b)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) =>
+      s"graft.functions.JaccardGateUtil.jaccardAtLeast($a, $b, ${threshold}D)")
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): JaccardSortedAtLeast =
+    copy(left = l, right = r)
+}
+
 /** Static helper so both interpreted eval and generated code share one
   * implementation of the portable polynomial string hash. */
 object PolyHashUtil {
@@ -479,6 +546,11 @@ object VectorFunctions {
   /** Codegen'd Jaccard of two sorted, de-duplicated array<long> columns. */
   def jaccardSorted(a: Column, b: Column): Column =
     ColumnBridge.column(JaccardSorted(ColumnBridge.expr(a), ColumnBridge.expr(b)))
+
+  /** Thresholded Jaccard with early abandonment: exact value when it can
+    * reach `t`, -1.0 once it provably cannot. Filter with `>= t`. */
+  def jaccardSortedAtLeast(a: Column, b: Column, t: Double): Column =
+    ColumnBridge.column(JaccardSortedAtLeast(ColumnBridge.expr(a), ColumnBridge.expr(b), t))
 
   /** Codegen'd portable polynomial string hash. */
   def polyHashNative(s: Column): Column =

@@ -81,8 +81,10 @@ object Dedup {
     cands
       .join(sets.select(col(idCol).as("id_a"), col("__sh").as("__sha")), "id_a")
       .join(sets.select(col(idCol).as("id_b"), col("__sh").as("__shb")), "id_b")
-      .withColumn("jaccard",
-        graft.functions.VectorFunctions.jaccardSorted(col("__sha"), col("__shb")))
+      // early-abandoning merge: most LSH candidates are below threshold and
+      // skip the bulk of their two-pointer walk (-1 sentinel < threshold)
+      .withColumn("jaccard", graft.functions.VectorFunctions.jaccardSortedAtLeast(
+        col("__sha"), col("__shb"), threshold))
       .filter(col("jaccard") >= threshold)
       .select(col("id_a"), col("id_b"), round(col("jaccard"), 3).as("jaccard"))
   }
@@ -183,16 +185,34 @@ object Dedup {
     val hashed = sort_array(array_distinct(
       graft.functions.VectorFunctions.charShingleHashes(col(textCol), n)))
     val sets = docs.select(col(blockCol), col(idCol), hashed.as("__sh"))
-    // G floor: even one hot block must tile into >= ~parallelism buckets
-    // (G(G+1)/2 of them), so the quadratic stage can occupy the cluster
-    // when blocks are few; the ceiling term keeps per-task work ~constant
-    // when blocks are huge
-    val gMin = math.ceil(math.sqrt(2.0 * docs.sparkSession.sparkContext.defaultParallelism)).toLong
-    val stats = sets.groupBy(col(blockCol)).agg(count(lit(1)).as("__bn"))
+    // Per-task work ceiling: G grows with block size so one task never
+    // holds more than ~comparisonsPerTask pairs, whatever the skew.
+    val par = docs.sparkSession.sparkContext.defaultParallelism
+    val rawStats = sets.groupBy(col(blockCol)).agg(count(lit(1)).as("__bn"))
+      .withColumn("__g0",
+        when(col("__bn") <= 1, lit(1L)).otherwise(greatest(lit(1L),
+          ceil(col("__bn") / lit(math.sqrt(comparisonsPerTask.toDouble))))).cast("long"))
+    // Occupancy floor, applied ONLY when the ceiling alone would idle MOST
+    // of the cluster (total pair-buckets sum G(G+1)/2 below parallelism/2:
+    // past that point extra tiling buys < 2x on the quadratic stage but
+    // costs >= 2x in shuffle replication — a wash at best). Round 2 used a
+    // blunt per-block minimum of sqrt(2*par), which replicated every row
+    // ~8x at local[32] even for small, well-distributed blocks; instead
+    // distribute ~2*parallelism buckets across blocks proportional to each
+    // block's comparison mass (bn^2): gOcc_b = bn_b * sqrt(2*par /
+    // sum(bn^2)). A single hot block degenerates to the old sqrt(2*par)
+    // floor; many blocks get gOcc~1 and skip replication entirely. The
+    // one-row occupancy aggregate broadcasts.
+    val occ = rawStats.agg(
+      sum(col("__g0") * (col("__g0") + 1) / 2).as("__buckets0"),
+      sum(when(col("__bn") <= 1, lit(0.0))
+        .otherwise(col("__bn").cast("double") * col("__bn"))).as("__sumsq"))
+    val gOcc = when(col("__bn") <= 1 || col("__buckets0") >= par, lit(1L))
+      .otherwise(ceil(col("__bn") *
+        sqrt(lit(2.0 * par) / greatest(col("__sumsq"), lit(1.0))))).cast("long")
+    val stats = rawStats.crossJoin(broadcast(occ))
       .select(col(blockCol),
-        when(col("__bn") <= 1, lit(1L)).otherwise(
-          greatest(lit(gMin), ceil(col("__bn") / lit(math.sqrt(comparisonsPerTask.toDouble)))))
-          .cast("int").as("__ng"))
+        least(col("__bn"), greatest(col("__g0"), gOcc)).cast("int").as("__ng"))
     val grouped = sets.join(broadcast(stats), blockCol)
       .withColumn("__grp", pmod(xxhash64(col(idCol)), col("__ng")).cast("int"))
     // replicate each row into its G triangle buckets: (i, g) for i <= g
@@ -220,8 +240,11 @@ object Dedup {
         col(s"a.$blockCol") === col(s"b.$blockCol") &&
         col("a.__bkt") === col("b.__bkt") && once &&
         col(s"a.$idCol") < col(s"b.$idCol"))
-      .withColumn("jaccard",
-        graft.functions.VectorFunctions.jaccardSorted(col("a.__sh"), col("b.__sh")))
+      // early-abandoning merge: the within-block pairs are mostly below
+      // threshold; the remaining-overlap bound (and its first-step
+      // size-ratio special case) skips most of the quadratic merge work
+      .withColumn("jaccard", graft.functions.VectorFunctions.jaccardSortedAtLeast(
+        col("a.__sh"), col("b.__sh"), threshold))
       .filter(col("jaccard") >= threshold)
       .select(col(s"a.$idCol").as("id_a"), col(s"b.$idCol").as("id_b"),
         round(col("jaccard"), 3).as("jaccard"))

@@ -105,4 +105,19 @@ object ExpressionProps extends Properties("graft.expressions") {
       val expect = if (union == 0) 0.0 else inter.toDouble / union
       got == expect
     }
+
+  property("early-abandoning jaccard filters identically to the exact one") =
+    forAll(Gen.listOf(Gen.choose(0L, 50L)), Gen.listOf(Gen.choose(0L, 50L)),
+           Gen.oneOf(0.1, 0.25, 0.5, 0.8, 1.0)) { (a, b, t) =>
+      val sa = a.distinct.sorted
+      val sb = b.distinct.sorted
+      val (xa, xb) = (new GenericArrayData(sa.toArray), new GenericArrayData(sb.toArray))
+      val exact = graft.functions.JaccardSorted(null, null)
+        .nullSafeEvalPublic(xa, xb).asInstanceOf[Double]
+      val gated = graft.functions.JaccardSortedAtLeast(null, null, t)
+        .nullSafeEvalPublic(xa, xb).asInstanceOf[Double]
+      // the gate must never change which pairs survive `>= t`, and must
+      // report the exact value for every survivor
+      ((gated >= t) == (exact >= t)) && (gated < t || gated == exact)
+    }
 }
