@@ -319,7 +319,7 @@ object QueriesPipeline {
          GROUP BY 1, 2),
         dfx AS (SELECT w, count(*) AS dfc FROM tf GROUP BY w),
         s AS (SELECT doc_id, w,
-                tf * ln((SELECT count(*) FROM documents)::DOUBLE / dfc) AS tfidf
+                tf * ln((SELECT count(DISTINCT doc_id) FROM tf)::DOUBLE / dfc) AS tfidf
               FROM tf JOIN dfx USING (w)),
         r AS (SELECT doc_id, w, tfidf,
                 row_number() OVER (PARTITION BY doc_id

@@ -304,15 +304,21 @@ final class TimeWindowedMStream(val stream: MStream, windowExpr: Column, keys: S
   }
 
   /** Milan window `apply`: arbitrary function over full window contents
-    * (`lang/WindowedStreams.scala:37`), via sort-free grouped iteration. */
+    * (`lang/WindowedStreams.scala:37`), via sort-free grouped iteration.
+    * Grouping happens on the NATIVE window/key columns
+    * (`groupBy(...).as[Row, Row]`), so the exchange partitions on real
+    * attributes — codegen'd hashing, reusable partitioning — rather than
+    * an opaque kryo-encoded key; only the user function itself leaves the
+    * relational world. */
   def applyRows[O: Encoder](windowAs: String)(f: (Row, Iterator[Row]) => IterableOnce[O]): MStream = {
     val withW = stream.df.withColumn(windowAs, windowExpr)
     val keyCols = windowAs +: keys
     import org.apache.spark.sql.catalyst.encoders.RowEncoder
-    implicit val rowEnc: Encoder[Row] = RowEncoder.encoderFor(withW.schema)
-    implicit val keyEnc: Encoder[Seq[Any]] = org.apache.spark.sql.Encoders.kryo[Seq[Any]]
-    val idx = keyCols.map(withW.schema.fieldIndex)
-    val kv = withW.groupByKey(r => idx.map(r.get(_)): Seq[Any])
+    import org.apache.spark.sql.types.StructType
+    val rowEnc: Encoder[Row] = RowEncoder.encoderFor(withW.schema)
+    val keyEnc: Encoder[Row] =
+      RowEncoder.encoderFor(StructType(keyCols.map(c => withW.schema(c))))
+    val kv = withW.groupBy(keyCols.map(col): _*).as[Row, Row](keyEnc, rowEnc)
     new MStream(kv.flatMapGroups { (_, it) =>
       val buf = it.buffered
       f(buf.head, buf).iterator

@@ -143,15 +143,20 @@ object TextOps {
   /** Per-document top TF-IDF word: tf·ln(N/df), argmax per doc (ties on
     * the rounded score break toward the lexicographically larger word, so
     * the result is engine-portable). Two count aggregations + one
-    * word-keyed join — linear, no all-pairs. */
+    * word-keyed join — linear, no all-pairs. N (documents with >= 1 token)
+    * derives from the tf table as a broadcast one-row aggregate rather
+    * than a separate `docs.count()` pass, so the corpus is scanned ONCE —
+    * a whole extra 100 TB scan otherwise. Wordless documents produce no
+    * tf rows (hence no output) either way. */
   def tfidfTopWord(docs: org.apache.spark.sql.DataFrame, idCol: String,
                    textCol: String): org.apache.spark.sql.DataFrame = {
-    val nDocs = docs.count()
     val tf = docs.select(col(idCol), explode(words(col(textCol))).as("__w"))
       .groupBy(col(idCol), col("__w")).agg(count(lit(1)).as("__tf"))
     val dfx = tf.groupBy(col("__w")).agg(count(lit(1)).as("__df"))
+    val nd = tf.agg(countDistinct(col(idCol)).as("__nd"))
     tf.join(dfx, "__w")
-      .withColumn("__tfidf", col("__tf") * log(lit(nDocs.toDouble) / col("__df")))
+      .crossJoin(broadcast(nd))
+      .withColumn("__tfidf", col("__tf") * log(col("__nd").cast("double") / col("__df")))
       .groupBy(col(idCol))
       .agg(max_by(struct(col("__w").as("top_word"), round(col("__tfidf"), 4).as("top_tfidf")),
         struct(round(col("__tfidf"), 6), col("__w"))).as("__t"))
