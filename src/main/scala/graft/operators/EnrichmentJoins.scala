@@ -141,23 +141,27 @@ object EnrichmentJoins {
     val rStructT = org.apache.spark.sql.types.StructType(rp.schema.fields)
 
     // Streaming inputs: same program, stateful lowering. Residuals apply
-    // post-pairing for left-enrichment (all outputs are left arrivals);
-    // full/left-inner with residuals need the typed facade.
+    // post-pairing for left-enrichment (all outputs are left arrivals, so
+    // a native projection suffices); for full/left-inner the residual
+    // changes PAIRING itself (which side nulls, whether a left keeps
+    // waiting), so it evaluates inside the keyed state machine — the
+    // reference applies its post-condition in every co-process function
+    // the same way (`FullJoinKeyedCoProcessFunction.scala:51-92`).
     if (lp.isStreaming || rp.isStreaming) {
-      require(split.residualIdx.isEmpty || kind == LeftEnrichment,
-        "streaming full/left-inner enrichment joins support only equi-key + preconditions")
+      val residCol = residualFor(L, R)
       val paired0 = graft.streaming.StreamingRowJoins.enrichmentJoin(
         lp, rp, lKeyCols, rKeyCols, left.eventOrder, right.eventOrder,
         kind match {
           case LeftEnrichment => graft.streaming.StreamingJoins.LeftEnrichment
           case FullEnrichment => graft.streaming.StreamingJoins.FullEnrichment
           case LeftInner      => graft.streaming.StreamingJoins.LeftInner
-        })
-      val paired = residualFor(L, R) match {
-        case Some(resid) =>
+        },
+        residual = if (kind == LeftEnrichment) None else residCol)
+      val paired = (kind, residCol) match {
+        case (LeftEnrichment, Some(resid)) =>
           paired0.select(col(L),
             when(col(R).isNotNull && resid, col(R)).otherwise(lit(null).cast(rStructT)).as(R))
-        case None => paired0
+        case _ => paired0
       }
       return new JoinedMStream(paired, lStructT, rStructT, left.name)
     }

@@ -1,10 +1,39 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, Encoder, Encoders, Row}
-import org.apache.spark.sql.catalyst.encoders.RowEncoder
+import org.apache.spark.sql.{Column, DataFrame, Encoder, Encoders, Row}
+import org.apache.spark.sql.catalyst.encoders.{ExpressionEncoder, RowEncoder}
+import org.apache.spark.sql.catalyst.expressions.{BindReferences, Expression, Predicate}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graftbridge.ColumnBridge
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 import org.apache.spark.sql.types.StructType
+
+/**
+ * Serializable evaluator for a residual join condition over a `(_l, _r)`
+ * pair row: the Column is analyzed and bound to the pair schema on the
+ * driver; the compiled predicate and the Row->InternalRow serializer
+ * materialize lazily per executor. Null evaluates to false, matching the
+ * batch lowering's `when(resid, ...)` null semantics.
+ */
+final class PairPredicate(bound: Expression, schema: StructType) extends Serializable {
+  @transient private lazy val toInternal =
+    ExpressionEncoder(RowEncoder.encoderFor(schema)).createSerializer()
+  @transient private lazy val pred = Predicate.create(bound)
+  def apply(l: Row, r: Row): Boolean = pred.eval(toInternal(Row(l, r)))
+}
+
+object PairPredicate {
+  /** Resolve `cond` (references `_l`/`_r` struct fields) against the pair
+    * schema and bind it for raw InternalRow evaluation. */
+  def bind(spark: org.apache.spark.sql.SparkSession, pairSchema: StructType,
+           cond: Column): PairPredicate = {
+    val dummy = spark.createDataFrame(
+      spark.sparkContext.emptyRDD[Row], pairSchema)
+    val analyzed = ColumnBridge.analyzedExpr(dummy, cond)
+    val bound = BindReferences.bindReference(analyzed, ColumnBridge.output(dummy))
+    new PairPredicate(bound, pairSchema)
+  }
+}
 
 /**
  * Untyped (Row-based) streaming enrichment joins, so the SAME `MStream`
@@ -12,6 +41,15 @@ import org.apache.spark.sql.types.StructType
  * streaming DataFrames (batch inputs take the union+window lowering in
  * `EnrichmentJoins`). Output schema matches the batch lowering: nullable
  * `_l`/`_r` structs awaiting `select`/`selectAll`.
+ *
+ * `residual` is the cross-side non-equi part of the join condition,
+ * applied INSIDE the keyed state machine at pairing time — the reference
+ * applies its post-condition the same way in every co-process function
+ * (milan `FullJoinKeyedCoProcessFunction.scala:51-92`,
+ * `ConnectedStreamsGenerator.scala:70-75`): for full enrichment a failing
+ * pair keeps the arriving side and nulls the other; for left-inner the
+ * left stays buffered until a right actually satisfying the condition
+ * arrives.
  */
 object StreamingRowJoins {
   import StreamingJoins.{FullEnrichment, Kind, LeftEnrichment, LeftInner}
@@ -19,12 +57,14 @@ object StreamingRowJoins {
   def enrichmentJoin(lp: DataFrame, rp: DataFrame,
                      lKeys: Seq[org.apache.spark.sql.Column], rKeys: Seq[org.apache.spark.sql.Column],
                      lOrder: Seq[String], rOrder: Seq[String],
-                     kind: Kind): DataFrame = {
+                     kind: Kind, residual: Option[Column] = None): DataFrame = {
     val lStructT = StructType(lp.schema.fields)
     val rStructT = StructType(rp.schema.fields)
     val pairSchema = StructType(Seq(
       org.apache.spark.sql.types.StructField("_l", lStructT),
       org.apache.spark.sql.types.StructField("_r", rStructT)))
+    val residPred: Option[PairPredicate] =
+      residual.map(PairPredicate.bind(lp.sparkSession, pairSchema, _))
 
     def prep(df: DataFrame, keys: Seq[org.apache.spark.sql.Column], order: Seq[String],
              isLeft: Boolean): DataFrame = {
@@ -63,25 +103,33 @@ object StreamingRowJoins {
         OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
         (_: Seq[Any], it: Iterator[Row], state: GroupState[(Row, Row, List[Row])]) =>
           var (lastL, lastR, pending) = state.getOption.getOrElse((null: Row, null: Row, List.empty[Row]))
+          // residual holds for a pair (true when no residual was given)
+          def ok(l: Row, r: Row): Boolean = residPred.forall(p => p(l, r))
           val outs = scala.collection.mutable.ArrayBuffer.empty[Row]
           it.toSeq.sorted(seqOrdering).foreach { rec =>
             if (rec.getInt(tagIdx) == 1) { // left arrival
               val l = rec.getStruct(lIdx)
               lastL = l
               kind match {
-                case LeftEnrichment | FullEnrichment => outs += Row(l, lastR)
+                case LeftEnrichment => outs += Row(l, lastR)
+                case FullEnrichment =>
+                  // failing residual keeps the arriving side, nulls the other
+                  outs += Row(l, if (lastR != null && ok(l, lastR)) lastR else null)
                 case LeftInner =>
-                  if (lastR != null) outs += Row(l, lastR) else pending :+= l
+                  if (lastR != null && ok(l, lastR)) outs += Row(l, lastR)
+                  else pending :+= l
               }
             } else { // right arrival
               val r = rec.getStruct(rIdx)
               lastR = r
               kind match {
                 case LeftEnrichment => ()
-                case FullEnrichment => outs += Row(lastL, r)
+                case FullEnrichment =>
+                  outs += Row(if (lastL != null && ok(lastL, r)) lastL else null, r)
                 case LeftInner =>
-                  pending.foreach(l => outs += Row(l, r))
-                  pending = Nil
+                  val (matched, stillWaiting) = pending.partition(l => ok(l, r))
+                  matched.foreach(l => outs += Row(l, r))
+                  pending = stillWaiting
               }
             }
           }

@@ -41,6 +41,71 @@ class StreamingMStreamJoinSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming fullJoin with residual: failing pair keeps arriving side, nulls other") {
+    implicit val sqlCtx = spark.sqlContext
+    val ls = MemoryStream[LRec]
+    val rs = MemoryStream[RRec]
+    val joined = new MStream(ls.toDF(), Seq("seq"))
+      .fullJoin(new MStream(rs.toDF(), Seq("seq")))
+      .on((l, r) => l("k") === r("k") && r("w") > l("v") * 10)
+      .select((l, r) => Seq(l("seq").as("lseq"), r("w").as("rw")))
+    assert(joined.df.isStreaming)
+    val name = s"msjf_${System.nanoTime()}"
+    val q = joined.df.writeStream.format("memory").queryName(name)
+      .outputMode(OutputMode.Append()).start()
+    try {
+      def emitted(): Set[(Option[Long], Option[Int])] = {
+        q.processAllAvailable()
+        spark.table(name).collect()
+          .map(r => (Option(r.get(0)).map(_.asInstanceOf[Long]),
+                     Option(r.get(1)).map(_.asInstanceOf[Int]))).toSet
+      }
+      rs.addData(RRec("a", 1, 100))
+      assert(emitted() == Set((None, Some(100))), "right with no left emits (None, r)")
+      ls.addData(LRec("a", 2, 5))   // 100 > 50 → pairs
+      assert(emitted().contains((Some(2L), Some(100))))
+      ls.addData(LRec("a", 3, 50))  // 100 > 500 fails → right nulled, left kept
+      assert(emitted().contains((Some(3L), None)), "failing residual keeps arriving left")
+      rs.addData(RRec("a", 4, 600)) // 600 > 500 → pairs with latest left
+      assert(emitted().contains((Some(3L), Some(600))))
+      rs.addData(RRec("a", 5, 400)) // 400 > 500 fails → left nulled, right kept
+      assert(emitted().contains((None, Some(400))), "failing residual keeps arriving right")
+    } finally q.stop()
+  }
+
+  test("streaming leftInnerJoin with residual: lefts wait for a right that satisfies it") {
+    implicit val sqlCtx = spark.sqlContext
+    val ls = MemoryStream[LRec]
+    val rs = MemoryStream[RRec]
+    val joined = new MStream(ls.toDF(), Seq("seq"))
+      .leftInnerJoin(new MStream(rs.toDF(), Seq("seq")))
+      .on((l, r) => l("k") === r("k") && r("w") > l("v") * 10)
+      .select((l, r) => Seq(l("seq").as("lseq"), r("w").as("rw")))
+    assert(joined.df.isStreaming)
+    val name = s"msjl_${System.nanoTime()}"
+    val q = joined.df.writeStream.format("memory").queryName(name)
+      .outputMode(OutputMode.Append()).start()
+    try {
+      def emitted(): Set[(Long, Int)] = {
+        q.processAllAvailable()
+        spark.table(name).collect()
+          .map(r => (r.getLong(0), r.getInt(1))).toSet
+      }
+      ls.addData(LRec("a", 1, 5))
+      assert(emitted().isEmpty, "left buffers with no right")
+      rs.addData(RRec("a", 2, 30)) // 30 > 50 fails: pending left stays buffered
+      assert(emitted().isEmpty, "non-satisfying right releases nothing")
+      ls.addData(LRec("a", 3, 2))  // latest right 30 > 20 → immediate
+      assert(emitted() == Set((3L, 30)), "left pairs immediately when residual holds")
+      rs.addData(RRec("a", 4, 100)) // 100 > 50 → releases the seq=1 left
+      assert(emitted().contains((1L, 100)), "buffered left released by first satisfying right")
+      ls.addData(LRec("a", 5, 50))  // 100 > 500 fails → buffers
+      rs.addData(RRec("a", 6, 600)) // 600 > 500 → releases it
+      assert(emitted().contains((5L, 600)))
+      assert(emitted().size == 3, "each left emits exactly once")
+    } finally q.stop()
+  }
+
   test("cross-side residual nulls the paired right when unsatisfied") {
     implicit val sqlCtx = spark.sqlContext
     val ls = MemoryStream[LRec]
