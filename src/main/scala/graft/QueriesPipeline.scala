@@ -159,6 +159,34 @@ object QueriesPipeline {
         FROM cand WHERE bit_count(xor(sa, sb)) <= 2"""
   }
 
+  /** Streaming-capable near-dup ingest run in batch: docs collapse to one
+    * survivor per 63-bit shingle-SimHash signature (short docs by exact
+    * text). Batch `dropDuplicates` picks an arbitrary survivor per group,
+    * so the deterministic observable is the survivor COUNT. */
+  def qIngestNearDup(spark: SparkSession, dir: String): DataFrame =
+    Dedup.ingestNearDup(Tables.documents(spark, dir), "doc_id", "text")
+      .df.agg(count(lit(1)).as("n_survivors"))
+
+  val qIngestNearDupSql: String = {
+    val bits = 63
+    val bitSums = (0 until bits).map(i =>
+      s"sum(CASE WHEN (h >> $i) & 1 = 1 THEN 1 ELSE -1 END) AS b$i").mkString(", ")
+    val combine = (0 until bits).map(i =>
+      s"CASE WHEN b$i > 0 THEN ${1L << i} ELSE 0 END").mkString(" + ")
+    s"""WITH words AS (SELECT doc_id, text, string_split(text, ' ') AS w FROM documents),
+        shex AS (SELECT doc_id, unnest([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+                                        for i in range(1, len(w) - 1)]) AS s
+                 FROM words WHERE len(w) >= 3),
+        t AS (SELECT doc_id, list_reduce([0] || [ord(c)::BIGINT for c in string_split(s, '')],
+                                         (a, c) -> (a * 31 + c) % 1000000007) AS h FROM shex),
+        s0 AS (SELECT doc_id, $bitSums FROM t GROUP BY doc_id),
+        sig AS (SELECT doc_id, ($combine)::BIGINT AS simhash FROM s0),
+        k AS (SELECT 'S:' || simhash::VARCHAR AS k FROM sig
+              UNION ALL
+              SELECT 'T:' || text FROM words WHERE len(w) < 3)
+        SELECT count(DISTINCT k) AS n_survivors FROM k"""
+  }
+
   /** Character-4-gram Jaccard near-dup within each source (blocked
     * all-pairs — block size is bounded by the natural partition). */
   def qNgramJaccard(spark: SparkSession, dir: String): DataFrame =
@@ -461,6 +489,7 @@ object QueriesPipeline {
     "q_simhash" -> (qSimhash _),
     "q_simhash_pairs" -> (qSimhashPairs _),
     "q_ngram_jaccard" -> (qNgramJaccard _),
+    "q_ingest_neardup" -> (qIngestNearDup _),
     "q_embed_dedup" -> (qEmbedDedup _),
     "q_ann_topk" -> (qAnnTopK _),
     "q_langid" -> (qLangId _),
@@ -485,6 +514,7 @@ object QueriesPipeline {
     "q_simhash" -> qSimhashSql,
     "q_simhash_pairs" -> qSimhashPairsSql,
     "q_ngram_jaccard" -> qNgramJaccardSql,
+    "q_ingest_neardup" -> qIngestNearDupSql,
     "q_embed_dedup" -> qEmbedDedupSql,
     "q_ann_topk" -> qAnnTopKSql,
     "q_langid" -> qLangIdSql,

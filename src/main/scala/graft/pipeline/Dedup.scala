@@ -371,6 +371,37 @@ object Dedup {
     docs.select(col(idCol)).join(dropped, Seq(idCol), "left_anti")
   }
 
+  /** Streaming near-dup ingest — the streaming face of corpus dedup
+    * (parity-plus; the reference has nothing here): a one-pass SimHash
+    * signature (`SimHashBits` over word-shingle hashes) computes at
+    * ingest, and first-wins dedup state keys on the 8-byte signature —
+    * near-identical documents collapse to equal signatures (Charikar '02;
+    * Manku WWW'07 use hamming <= 3 over 64 bits, so signature EQUALITY is
+    * the high-precision subset: some near-dups with middling similarity
+    * pass through, to be swept by the batch `deduplicateCorpus`).
+    * Documents under `shingleN` words have no shingle features and dedup
+    * by exact text hash instead (flagged separately so the two key spaces
+    * cannot collide). State per distinct signature is the key itself —
+    * bytes, not documents; with `withinWatermark = true` (after
+    * `withWatermark` upstream) state evicts as event time passes, the
+    * bounded-state posture for unbounded streams. Works identically on a
+    * batch `MStream` (first record in `eventOrder`-free batch = arbitrary;
+    * feed ordered input when survivor identity matters). */
+  def ingestNearDup(stream: graft.api.MStream, idCol: String, textCol: String,
+                    bits: Int = 63, shingleN: Int = 3,
+                    withinWatermark: Boolean = false): graft.api.MStream = {
+    val ws = TextOps.words(col(textCol))
+    val sig = when(size(ws) >= shingleN,
+        graft.functions.VectorFunctions.simhashBits(
+          graft.functions.VectorFunctions.wordShingleHashes(col(textCol), shingleN), bits))
+      .otherwise(xxhash64(col(textCol)))
+    val orig = stream.df.columns.toIndexedSeq
+    stream
+      .addFields("__short" -> (size(ws) < shingleN), "__sig" -> sig)
+      .dedupBy(Seq("__short", "__sig"), withinWatermark)
+      .map(orig.map(col): _*)
+  }
+
   /** Embedding cosine near-dup, exact all-pairs baseline. Quadratic — the
     * correctness reference for the LSH-bucketed variant in `Similarity`;
     * at scale, bucket first (`Similarity.hyperplaneBuckets`). */

@@ -124,6 +124,40 @@ class StreamingMStreamScanSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming near-dup ingest matches batch deduplicateCorpus survivors") {
+    implicit val sqlCtx = spark.sqlContext
+    val base = "the quick brown fox jumps over the lazy dog while seventeen green parrots " +
+      "recite ancient poetry beneath flickering neon signs as midnight trains rattle through " +
+      "forgotten stations carrying letters nobody will ever read toward cities slowly sinking " +
+      "into warm coastal fog banks tonight"
+    val docs = Seq(
+      (1L, base),                    // survivor of its group
+      (2L, base),                    // exact dup of 1
+      (3L, base.replace("tonight", "today")), // one trailing word changed: ~3 of ~40
+                                     // shingles differ -> jaccard >= 0.9 and per-bit
+                                     // simhash delta too small to flip any bit
+      (4L, "completely different words about spark catalyst tungsten codegen shuffles at scale"),
+      (5L, "tiny doc"),              // < 3 words: exact-hash path
+      (6L, "tiny doc"),              // exact dup of 5
+      (7L, "other thing"))           // distinct short doc
+    val batchSurvivors = graft.pipeline.Dedup.deduplicateCorpus(
+      docs.toDF("doc_id", "text"), "doc_id", "text", k = 16, bands = 8, threshold = 0.7)
+      .collect().map(_.getLong(0)).toSet
+    val in = MemoryStream[(Long, String)]
+    val out = graft.pipeline.Dedup.ingestNearDup(
+      new MStream(in.toDF().toDF("doc_id", "text"), Seq("doc_id")), "doc_id", "text")
+    assert(out.df.isStreaming)
+    drive(out.df) { emitted =>
+      // id-ordered arrival so streaming first-wins = batch cluster-min
+      in.addData(docs(0), docs(1))
+      in.addData(docs(2), docs(3))
+      in.addData(docs(4), docs(5), docs(6))
+      val streamed = emitted().map(_.getLong(0)).toSet
+      assert(streamed == batchSurvivors,
+        s"streaming survivors $streamed != batch survivors $batchSurvivors")
+    }
+  }
+
   test("streaming maxBy emits only on improvement; last re-emits the latest") {
     implicit val sqlCtx = spark.sqlContext
     val in = MemoryStream[Ev]
