@@ -124,6 +124,34 @@ class AppModelSpec extends SparkSpec {
     assert(s.options("startingOffsets") == "latest")
   }
 
+  test("JSON-loaded config drives a streaming program end-to-end (rate source standing in for the broker)") {
+    // the deployment path a Kafka binding takes: ship a JSON config, load
+    // it, run the compiled program — with the rate source substituting for
+    // the unreachable broker (same keepReading streaming read path).
+    val name = s"rate_e2e_${System.nanoTime()}"
+    val json = App.configToJson(new App.Config()
+      .setSource("in", App.Source(format = "rate",
+        options = Map("rowsPerSecond" -> "100"), keepReading = true))
+      .addSink("out", App.Sink(format = "memory", outputMode = "append",
+        queryName = Some(name))))
+    val running = App.run(spark, App.configFromJson(json)) { in =>
+      Map("out" -> in("in").map(col("value"), (col("value") * 2).as("doubled")))
+    }
+    val q = running.collect { case App.StreamingOutput("out", sq) => sq }.head
+    try {
+      var rows = 0L
+      val deadline = System.nanoTime() + 30L * 1000 * 1000 * 1000
+      while (rows == 0 && System.nanoTime() < deadline) {
+        q.processAllAvailable()
+        rows = spark.table(name).count()
+        if (rows == 0) Thread.sleep(100)
+      }
+      assert(rows > 0, "JSON-loaded streaming config produced rows")
+      val bad = spark.table(name).filter(col("doubled") =!= col("value") * 2).count()
+      assert(bad == 0, "program transform applied")
+    } finally q.stop()
+  }
+
   test("in-memory rows sources refuse to serialize") {
     val data = Seq(("a", 1.0)).toDF("k", "v")
     val c = new App.Config().setSource("m", App.Source("list", rows = Some(data)))
