@@ -308,6 +308,26 @@ object QueriesStateful {
       }.df
   }
 
+  /** Milan `reduce` (Scan/Reduce family): whole-stream fold to one value
+    * per key. The fold keeps exact integer cents so it is order-insensitive
+    * and engine-portable. */
+  def qReduce(spark: SparkSession, dir: String): DataFrame = {
+    implicit val enc = Encoders.product[(Long, Long, Long)]
+    Tables.events(spark, dir)
+      .groupBy("user_id")
+      .reduceRows((0L, 0L, 0L)) { case ((_, n, cents), r) =>
+        (r.getAs[Long]("user_id"), n + 1,
+          cents + Math.round(r.getAs[Double]("value") * 100))
+      }
+      .map(col("_1").as("user_id"), col("_2").as("n_events"), col("_3").as("cents"))
+      .df
+  }
+
+  val qReduceSql: String =
+    """SELECT user_id, count(*) AS n_events,
+         sum(round(value * 100)::BIGINT)::BIGINT AS cents
+       FROM events GROUP BY user_id"""
+
   val qWindowApplySql: String =
     """SELECT (epoch_ns(ts) // 3600000000000) * 3600000000000 AS w_start, event_type,
          count(*) AS n_events, round(median(value), 4) AS med_value
@@ -323,6 +343,7 @@ object QueriesStateful {
     "q_sumby" -> (qSumBy _),
     "q_last" -> (qLast _),
     "q_scan" -> (qScan _),
+    "q_reduce" -> (qReduce _),
     "q_tumbling_window" -> (qTumblingWindow _),
     "q_sliding_window" -> (qSlidingWindow _),
     "q_recordwindow" -> (qRecordWindow _),
@@ -339,6 +360,7 @@ object QueriesStateful {
     "q_sumby" -> qSumBySql,
     "q_last" -> qLastSql,
     "q_scan" -> qScanSql,
+    "q_reduce" -> qReduceSql,
     "q_tumbling_window" -> qTumblingWindowSql,
     "q_sliding_window" -> qSlidingWindowSql,
     "q_recordwindow" -> qRecordWindowSql,

@@ -58,6 +58,29 @@ object App {
           "subscribe" -> topic,
           "startingOffsets" -> startingOffsets),
         keepReading = keepReading)
+
+    /** Queue ingress binding (Milan `SqsDataSource`,
+      * `application/sources/SqsDataSource.scala:17`). Spark ships no SQS
+      * connector; the binding names a DataSource V2 format (any published
+      * SQS connector registers one) + the queue URL, so a config document
+      * carries the same information as the reference's source. Untestable
+      * offline — the spec asserts the binding; the rate source stands in
+      * for live-queue smoke (AppModelSpec). */
+    def sqs(queueUrl: String, region: String,
+            keepReading: Boolean = true,
+            options: Map[String, String] = Map.empty): Source =
+      Source(format = "sqs",
+        options = options ++ Map("sqsUrl" -> queueUrl, "region" -> region),
+        keepReading = keepReading)
+
+    /** Change-stream ingress binding (Milan `DynamoDbStreamSource`):
+      * DataSource V2 format name + table, same posture as [[sqs]]. */
+    def dynamoDbStream(table: String, region: String,
+                       keepReading: Boolean = true,
+                       options: Map[String, String] = Map.empty): Source =
+      Source(format = "dynamodb-streams",
+        options = options ++ Map("tableName" -> table, "region" -> region),
+        keepReading = keepReading)
   }
 
   /** Where/how to write a named output stream
@@ -81,6 +104,28 @@ object App {
         * provider per streaming query, so the binding lives on the sink —
         * each output stream picks its backend independently. */
       stateStore: Option[String] = None)
+
+  object Sink {
+    /** Message-bus egress bindings (Milan `KinesisDataSink`/`SqsDataSink`/
+      * `DynamoDbDataSink`, `application/sinks/KinesisDataSink.scala:19`):
+      * format name + addressing options for the matching DataSource V2
+      * connector — AWS endpoints are unreachable offline, so the specs
+      * assert the binding shape only (same posture as `Source.s3`/`kafka`). */
+    def kinesis(streamName: String, region: String,
+                options: Map[String, String] = Map.empty): Sink =
+      Sink(format = "kinesis",
+        options = options ++ Map("streamName" -> streamName, "region" -> region))
+
+    def sqs(queueUrl: String, region: String,
+            options: Map[String, String] = Map.empty): Sink =
+      Sink(format = "sqs",
+        options = options ++ Map("sqsUrl" -> queueUrl, "region" -> region))
+
+    def dynamoDb(table: String, region: String,
+                 options: Map[String, String] = Map.empty): Sink =
+      Sink(format = "dynamodb",
+        options = options ++ Map("tableName" -> table, "region" -> region))
+  }
 
   private val stateStoreProviders = Map(
     "rocksdb" -> "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",

@@ -194,6 +194,11 @@ final class MStream(
   /** Generic running computation (Milan `scan`, `lang/Stream.scala:176`). */
   def scanRows[S: scala.reflect.ClassTag, O: Encoder](initial: S)(step: (S, Row) => (S, Option[O])): MStream =
     Scans.genericScan(this, contextKeys, initial, step)
+
+  /** Milan `reduce` ("Milan Operations.md" Scan/Reduce family): fold the
+    * whole stream (per context key) into one final value. */
+  def reduceRows[S: scala.reflect.ClassTag: Encoder](initial: S)(step: (S, Row) => S): MStream =
+    Scans.reduceRows(this, contextKeys, initial, step)
 }
 
 object MStream {
@@ -289,6 +294,9 @@ final class GroupedMStream(val stream: MStream, val keys: Seq[String]) {
 
   def scanRows[S: scala.reflect.ClassTag, O: Encoder](initial: S)(step: (S, Row) => (S, Option[O])): MStream =
     Scans.genericScan(stream, keys, initial, step)
+
+  def reduceRows[S: scala.reflect.ClassTag: Encoder](initial: S)(step: (S, Row) => S): MStream =
+    Scans.reduceRows(stream, keys, initial, step)
 }
 
 /**

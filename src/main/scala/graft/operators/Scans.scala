@@ -82,6 +82,68 @@ object Scans {
   }
 
   /**
+   * Milan `reduce` ("Milan Operations.md" declares the Scan/Reduce family;
+   * like several doc-only ops it has no IR node in the reference either):
+   * fold every record of a (key-scoped) stream into ONE final value per
+   * key. Batch: one pass over key-sorted partitions, emitting at key
+   * boundaries — no per-group materialization, spill-safe via the shuffle
+   * sort. Streaming: the running fold's latest value re-emits per
+   * micro-batch (the micro-batch face of "final", same update semantics
+   * as `last()`).
+   */
+  def reduceRows[S: scala.reflect.ClassTag: Encoder](s: MStream, keys: Seq[String], initial: S,
+                                                     step: (S, Row) => S): MStream = {
+    val order = requireOrder(s)
+    val df = s.df
+    val keyIdx = keys.map(df.columns.indexOf(_))
+    if (df.isStreaming) {
+      import org.apache.spark.sql.catalyst.encoders.RowEncoder
+      implicit val rowEnc: Encoder[Row] = RowEncoder.encoderFor(df.schema)
+      implicit val keyEnc: Encoder[Seq[Any]] = Encoders.kryo[Seq[Any]]
+      val stEnc: Encoder[S] = Encoders.kryo[S] // state: kryo; output: caller's encoder
+      val oIdx = order.map(df.schema.fieldIndex)
+      val out = df.groupByKey(r => keyIdx.map(r.get(_)): Seq[Any])(keyEnc)
+        .flatMapGroupsWithState[S, S](OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+          (_: Seq[Any], it: Iterator[Row], state: GroupState[S]) =>
+            var st = state.getOption.getOrElse(initial)
+            it.toSeq.sorted(graft.streaming.EventOrder.rowOrdering(oIdx))
+              .foreach { r => st = step(st, r) }
+            state.update(st)
+            Iterator.single(st)
+        }(stEnc, implicitly[Encoder[S]])
+      return new MStream(out.toDF(), Nil, Nil, s.name)
+    }
+    val sorted =
+      if (keys.isEmpty) df.repartition(1).sortWithinPartitions(order.map(col): _*)
+      else df.repartition(keys.map(col): _*)
+        .sortWithinPartitions((keys ++ order).map(col): _*)
+    val out = sorted.mapPartitions { base =>
+      new Iterator[S] {
+        private var curKey: Seq[Any] = null
+        private var acc: S = initial
+        private var open = false           // a fold is in progress
+        private var pending: Option[S] = None
+        private var flushed = false
+        private def advance(): Unit = {
+          while (pending.isEmpty && base.hasNext) {
+            val row = base.next()
+            val k = keyIdx.map(row.get)
+            if (open && k != curKey) { pending = Some(acc); acc = initial }
+            curKey = k; open = true
+            acc = step(acc, row)
+          }
+          if (pending.isEmpty && !base.hasNext && open && !flushed) {
+            pending = Some(acc); flushed = true
+          }
+        }
+        def hasNext: Boolean = { advance(); pending.nonEmpty }
+        def next(): S = { advance(); val v = pending.get; pending = None; v }
+      }
+    }
+    new MStream(out.toDF(), Nil, Nil, s.name)
+  }
+
+  /**
    * Milan generic `scan` (`lang/Stream.scala:176`): running state + one
    * optional output per record, per key. Batch: repartition by key, sort
    * within partitions, run the state machine per contiguous key run — one

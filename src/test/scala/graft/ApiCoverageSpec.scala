@@ -37,6 +37,18 @@ class ApiCoverageSpec extends SparkSpec {
     assert(out == Set(("a", 1L), ("a", 2L), ("a", 3L), ("b", 4L)))
   }
 
+  test("reduceRows folds each key to ONE final value in arrival order") {
+    val out = ev.groupBy("k")
+      .reduceRows(("", 0.0)) { case ((ks, acc), r) =>
+        (r.getAs[String]("k"), acc * 10 + r.getAs[Double]("v")) // order-sensitive fold
+      }.df.collect().map(r => (r.getString(0), r.getDouble(1))).toSet
+    assert(out == Set(("a", 421.0), ("b", 5.0)), "one output per key, folded 4->2->1")
+    // unkeyed: one global value, order across keys by t
+    val g = ev.reduceRows(0.0)((acc, r) => acc * 10 + r.getAs[Double]("v"))
+      .df.collect().map(_.getDouble(0)).toSeq
+    assert(g == Seq(4215.0))
+  }
+
   test("running meanBy/productBy/countBy fold per key in arrival order") {
     val out = ev.groupBy("k")
       .meanBy(col("v"), "mean").df

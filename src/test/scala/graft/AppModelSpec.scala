@@ -152,6 +152,22 @@ class AppModelSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("sqs/dynamodb/kinesis bindings carry Milan's addressing and survive the JSON round-trip") {
+    val cfg = new App.Config()
+      .setSource("q", App.Source.sqs("https://sqs.test.example/123/queue", "eu-west-1"))
+      .setSource("d", App.Source.dynamoDbStream("tbl", "eu-west-1"))
+      .addSink("out", App.Sink.kinesis("events", "eu-west-1"))
+      .addSink("out", App.Sink.sqs("https://sqs.test.example/123/out", "eu-west-1"))
+      .addSink("out", App.Sink.dynamoDb("results", "eu-west-1"))
+    val back = App.configFromJson(App.configToJson(cfg))
+    assert(back.source("q").format == "sqs" &&
+      back.source("q").options("sqsUrl").endsWith("/queue") && back.source("q").keepReading)
+    assert(back.source("d").format == "dynamodb-streams" &&
+      back.source("d").options("tableName") == "tbl")
+    assert(back.sinkList("out").map(_.format) == Seq("kinesis", "sqs", "dynamodb"))
+    assert(back.sinkList("out").head.options("streamName") == "events")
+  }
+
   test("in-memory rows sources refuse to serialize") {
     val data = Seq(("a", 1.0)).toDF("k", "v")
     val c = new App.Config().setSource("m", App.Source("list", rows = Some(data)))

@@ -158,6 +158,24 @@ class StreamingMStreamScanSpec extends SparkSpec {
     }
   }
 
+  test("streaming reduceRows re-emits each key's latest fold per micro-batch") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[Ev]
+    val out = new MStream(in.toDF(), Seq("seq")).groupBy("k")
+      .reduceRows(("", 0.0)) { case ((_, acc), r) =>
+        (r.getAs[String]("k"), acc + r.getAs[Double]("v"))
+      }
+    assert(out.df.isStreaming)
+    drive(out.df) { emitted =>
+      in.addData(Ev("a", 1, 5.0), Ev("a", 2, 3.0))
+      assert(emitted().map(r => (r.getString(0), r.getDouble(1))).toSet == Set(("a", 8.0)))
+      in.addData(Ev("a", 3, 2.0), Ev("b", 4, 1.0))
+      val got = emitted().map(r => (r.getString(0), r.getDouble(1)))
+      assert(got.toSet == Set(("a", 8.0), ("a", 10.0), ("b", 1.0)),
+        "state persists across batches; latest fold re-emits")
+    }
+  }
+
   test("streaming maxBy emits only on improvement; last re-emits the latest") {
     implicit val sqlCtx = spark.sqlContext
     val in = MemoryStream[Ev]
