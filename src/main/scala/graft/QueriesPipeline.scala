@@ -187,6 +187,57 @@ object QueriesPipeline {
         SELECT count(DISTINCT k) AS n_survivors FROM k"""
   }
 
+  /** Benchmark decontamination: the first 25 documents stand in for an
+    * eval set; every doc sharing a word-5-gram with them is flagged. */
+  def qDecontaminate(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir).df
+    TextOps.decontaminate(docs, "doc_id", "text",
+      docs.filter(col("doc_id") < 25), "text", n = 5, minOverlap = 1)
+  }
+
+  val qDecontaminateSql: String = {
+    val h = PolyFold.format("s")
+    s"""WITH words AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        dg AS (SELECT doc_id,
+                 unnest(list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' ||
+                                       w[i+3] || ' ' || w[i+4]
+                                       for i in range(1, len(w) - 3)])) AS s
+               FROM words),
+        dh AS (SELECT doc_id, $h AS g FROM dg),
+        bh AS (SELECT DISTINCT g FROM dh WHERE doc_id < 25),
+        hits AS (SELECT d.doc_id, count(*) AS n FROM dh d JOIN bh USING (g) GROUP BY d.doc_id)
+        SELECT doc_id, coalesce(n, 0) AS n_overlap,
+               (coalesce(n, 0) >= 1)::INTEGER AS contaminated
+        FROM documents LEFT JOIN hits USING (doc_id)"""
+  }
+
+  /** PII/URL scrubbing over text carrying synthetic doc-derived PII (the
+    * corpus itself has none); both engines inject identically, so the
+    * scrubbed text and counts compare exactly. */
+  def qScrub(spark: SparkSession, dir: String): DataFrame = {
+    val injected = Tables.documents(spark, dir).df.select(col("doc_id"),
+      concat(col("text"),
+        lit(" contact user"), col("doc_id"), lit("@example.com or http://site"),
+        col("doc_id"), lit(".example/path from 10.0."),
+        pmod(col("doc_id"), lit(256)), lit(".7")).as("text"))
+    injected.select(col("doc_id") +:
+      TextOps.scrubPii(col("text")).map { case (n, c) => c.as(n) }: _*)
+  }
+
+  val qScrubSql: String =
+    s"""WITH inj AS (SELECT doc_id,
+          text || ' contact user' || doc_id || '@example.com or http://site' || doc_id ||
+          '.example/path from 10.0.' || (doc_id % 256) || '.7' AS text FROM documents)
+        SELECT doc_id,
+          len(regexp_extract_all(text, '${TextOps.EmailRe}'))::INTEGER AS n_emails,
+          len(regexp_extract_all(text, '${TextOps.UrlRe}'))::INTEGER AS n_urls,
+          len(regexp_extract_all(text, '${TextOps.IpRe}'))::INTEGER AS n_ips,
+          regexp_replace(regexp_replace(regexp_replace(text,
+            '${TextOps.EmailRe}', '<EMAIL>', 'g'),
+            '${TextOps.UrlRe}', '<URL>', 'g'),
+            '${TextOps.IpRe}', '<IP>', 'g') AS scrubbed
+        FROM inj"""
+
   /** Character-4-gram Jaccard near-dup within each source (blocked
     * all-pairs — block size is bounded by the natural partition). */
   def qNgramJaccard(spark: SparkSession, dir: String): DataFrame =
@@ -490,6 +541,8 @@ object QueriesPipeline {
     "q_simhash_pairs" -> (qSimhashPairs _),
     "q_ngram_jaccard" -> (qNgramJaccard _),
     "q_ingest_neardup" -> (qIngestNearDup _),
+    "q_decontaminate" -> (qDecontaminate _),
+    "q_scrub" -> (qScrub _),
     "q_embed_dedup" -> (qEmbedDedup _),
     "q_ann_topk" -> (qAnnTopK _),
     "q_langid" -> (qLangId _),
@@ -515,6 +568,8 @@ object QueriesPipeline {
     "q_simhash_pairs" -> qSimhashPairsSql,
     "q_ngram_jaccard" -> qNgramJaccardSql,
     "q_ingest_neardup" -> qIngestNearDupSql,
+    "q_decontaminate" -> qDecontaminateSql,
+    "q_scrub" -> qScrubSql,
     "q_embed_dedup" -> qEmbedDedupSql,
     "q_ann_topk" -> qAnnTopKSql,
     "q_langid" -> qLangIdSql,

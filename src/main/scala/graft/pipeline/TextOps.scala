@@ -182,6 +182,49 @@ object TextOps {
         floor(coalesce(sum(col("n_tokens")).over(w), lit(0L)) / budget).cast("long"))
   }
 
+  /** Benchmark decontamination — n-gram-overlap hygiene between a training
+    * corpus and an evaluation set (the published practice for GPT-3/PaLM
+    * training data: drop or flag documents sharing word-n-grams with a
+    * benchmark). The benchmark is small by nature, so its distinct n-gram
+    * hashes BROADCAST; the corpus side is one explode + broadcast
+    * semi-join + per-doc count — the only shuffle carries (doc, hits),
+    * never text. Same portable shingle hashes as the dedup stack, so the
+    * overlap set is engine-reproducible. */
+  def decontaminate(docs: org.apache.spark.sql.DataFrame, idCol: String, textCol: String,
+                    bench: org.apache.spark.sql.DataFrame, benchTextCol: String,
+                    n: Int = 8, minOverlap: Int = 1): org.apache.spark.sql.DataFrame = {
+    val grams = graft.functions.VectorFunctions.wordShingleHashes(col(textCol), n)
+    val docGrams = docs.select(col(idCol),
+      explode(array_distinct(grams)).as("__g"))
+    val benchGrams = bench.select(explode(array_distinct(
+      graft.functions.VectorFunctions.wordShingleHashes(col(benchTextCol), n))).as("__g"))
+      .distinct()
+    val hits = docGrams.join(broadcast(benchGrams), "__g")
+      .groupBy(col(idCol)).agg(count(lit(1)).as("__n")) // doc grams are distinct already
+    docs.select(col(idCol)).join(hits, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("__n"), lit(0L)).as("n_overlap"),
+        (coalesce(col("__n"), lit(0L)) >= minOverlap).cast("int").as("contaminated"))
+  }
+
+  /** RE2-safe PII patterns (portable between Java regex and DuckDB's RE2 —
+    * no lookaround, no possessive quantifiers). */
+  val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val UrlRe = "https?://[^ \\t\\n]+"
+  val IpRe = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+
+  /** PII/URL scrubbing: redact emails, URLs, and dotted-quad IPs with
+    * placeholder tokens, plus per-category match counts. Pure codegen'd
+    * regexp columns — order (emails, then URLs, then IPs) is fixed so the
+    * output is deterministic across engines. */
+  def scrubPii(text: Column): Seq[(String, Column)] = Seq(
+    "n_emails" -> regexp_count(text, lit(EmailRe)),
+    "n_urls" -> regexp_count(text, lit(UrlRe)),
+    "n_ips" -> regexp_count(text, lit(IpRe)),
+    "scrubbed" -> regexp_replace(
+      regexp_replace(regexp_replace(text, EmailRe, "<EMAIL>"), UrlRe, "<URL>"),
+      IpRe, "<IP>"))
+
   /** Quality features: word count, mean word length, stopword ratio,
     * punctuation ratio. */
   def qualityFeatures(text: Column): Seq[(String, Column)] = {
