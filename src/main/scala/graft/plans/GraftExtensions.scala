@@ -38,7 +38,29 @@ object GraftExtensions {
       (es: Seq[Expression]) => MinHashSignature(es(0), 16)),
     ("graft_shingle_hashes3", info("graft_shingle_hashes3",
       "hashes of word 3-gram shingles of a string"),
-      (es: Seq[Expression]) => WordShingleHashes(es(0), 3)))
+      (es: Seq[Expression]) => WordShingleHashes(es(0), 3)),
+    ("graft_char_shingle_hashes4", info("graft_char_shingle_hashes4",
+      "hashes of char 4-gram shingles of a string"),
+      (es: Seq[Expression]) => CharShingleHashes(es(0), 4)),
+    ("graft_simhash32", info("graft_simhash32",
+      "32-bit SimHash of an array<bigint> feature-hash column"),
+      (es: Seq[Expression]) => SimHashBits(es(0), 32)),
+    ("graft_byte_mean", info("graft_byte_mean", "mean unsigned byte of a binary column"),
+      (es: Seq[Expression]) => ByteMean(es(0))),
+    ("graft_jaccard_at_least", info("graft_jaccard_at_least",
+      "Jaccard of two sorted distinct array<bigint> with early abandonment below a literal threshold (-1 when provably below)"),
+      (es: Seq[Expression]) => {
+        import org.apache.spark.sql.catalyst.expressions.Literal
+        val t = es(2) match {
+          case Literal(d: Double, _) => d
+          case Literal(d: org.apache.spark.sql.types.Decimal, _) => d.toDouble
+          case Literal(i: Int, _) => i.toDouble
+          case Literal(l: Long, _) => l.toDouble
+          case other => throw new IllegalArgumentException(
+            s"graft_jaccard_at_least threshold must be a literal number, got $other")
+        }
+        JaccardSortedAtLeast(es(0), es(1), t)
+      }))
 
   /** Register on a live session (temp functions, session-scoped). */
   def register(spark: SparkSession): Unit =

@@ -20,4 +20,21 @@ class SqlFunctionSpec extends SparkSpec {
     assert(r.getLong(3) == ('a' * 31 + 'b').toLong)
     assert(r.getInt(4) == 2)
   }
+
+  test("round-3 additions: char shingles, simhash, byte mean, thresholded jaccard") {
+    GraftExtensions.register(spark)
+    val r = spark.sql(
+      """SELECT size(graft_char_shingle_hashes4('abcdef')) AS nc,
+                graft_simhash32(array(1L, 3L)) AS sh,
+                graft_byte_mean(cast('ab' AS BINARY)) AS bm,
+                graft_jaccard_at_least(array(1L, 2L, 3L), array(2L, 3L, 4L), 0.5) AS ok,
+                graft_jaccard_at_least(array(1L, 2L, 3L), array(7L, 8L, 9L), 0.5) AS cut
+      """).collect().head
+    assert(r.getInt(0) == 3)
+    // bits 0 of 1 and 3 agree (set), bit 1 splits 1-vs-1 -> majority not > 0
+    assert(r.getLong(1) == 1L)
+    assert(math.abs(r.getDouble(2) - (('a' + 'b') / 2.0)) < 1e-9)
+    assert(math.abs(r.getDouble(3) - 0.5) < 1e-12)
+    assert(r.getDouble(4) == -1.0, "disjoint sets abandon below threshold")
+  }
 }
