@@ -1,6 +1,6 @@
 package graft
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.api.MStream
 import graft.sources.Tables
@@ -164,4 +164,35 @@ object QueriesCore {
        JOIN customer ON o_custkey = c_custkey
        JOIN nation ON c_nationkey = n_nationkey
        GROUP BY n_name"""
+
+  /** Pure range join (no equi key): returned lineitems shipped within 7
+    * days of any urgent order's date — bucketized lowering, never the
+    * BroadcastNestedLoopJoin a raw range predicate plans to. */
+  def qRangeJoin(spark: SparkSession, dir: String): DataFrame = {
+    val D = 86400000000L // micros per day
+    // parquet dates are TIMESTAMP_NTZ; session tz is UTC, so the cast is
+    // the identity wall-clock mapping DuckDB's epoch_us applies
+    def us(c: Column): Column = unix_micros(c.cast("timestamp"))
+    // aggregation pushdown below the range join: ship dates are
+    // day-granular, so collapsing the fact side to (day, count) first
+    // shrinks the join from |lineitem|x(overlap) pairs (~19M at sf0.1) to
+    // |distinct days| x(overlap) (~20k) — the count just becomes a sum
+    val pts = Tables.lineitem(spark, dir).df.filter(col("l_returnflag") === "R")
+      .select(us(col("l_shipdate")).as("__pt"))
+      .groupBy("__pt").agg(count(lit(1)).as("__n"))
+    val ivs = Tables.orders(spark, dir).df.filter(col("o_orderpriority") === "1-URGENT")
+      .select(col("o_orderkey"), us(col("o_orderdate")).as("__s"),
+        (us(col("o_orderdate")) + lit(7L * D)).as("__e"))
+    graft.operators.RangeJoins.pointInInterval(pts, "__pt", ivs, "__s", "__e",
+        bucketWidth = 8L * D)
+      .groupBy("o_orderkey").agg(sum(col("__n")).as("n_shipped"))
+  }
+
+  val qRangeJoinSql: String =
+    """SELECT o_orderkey, count(*) AS n_shipped
+       FROM orders o JOIN lineitem l
+         ON l.l_returnflag = 'R' AND o.o_orderpriority = '1-URGENT'
+        AND epoch_us(l.l_shipdate) >= epoch_us(o.o_orderdate)
+        AND epoch_us(l.l_shipdate) <= epoch_us(o.o_orderdate) + 604800000000
+       GROUP BY o_orderkey"""
 }

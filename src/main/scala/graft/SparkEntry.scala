@@ -19,7 +19,8 @@ object SparkEntry {
     "q_argminmax" -> (QueriesCore.qArgMinMax _),
     "q_union" -> (QueriesCore.qUnion _),
     "q_unique" -> (QueriesCore.qUnique _),
-    "q_join3" -> (QueriesCore.qJoin3 _)
+    "q_join3" -> (QueriesCore.qJoin3 _),
+    "q_range_join" -> (QueriesCore.qRangeJoin _)
   ) ++ QueriesStateful.all ++ QueriesPipeline.all
 
   def oracleSql: Map[String, String] = Map(
@@ -30,6 +31,7 @@ object SparkEntry {
     "q_argminmax" -> QueriesCore.qArgMinMaxSql,
     "q_union" -> QueriesCore.qUnionSql,
     "q_unique" -> QueriesCore.qUniqueSql,
-    "q_join3" -> QueriesCore.qJoin3Sql
+    "q_join3" -> QueriesCore.qJoin3Sql,
+    "q_range_join" -> QueriesCore.qRangeJoinSql
   ) ++ QueriesStateful.sql ++ QueriesPipeline.sql
 }

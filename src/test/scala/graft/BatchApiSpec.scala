@@ -244,4 +244,24 @@ class BatchApiSpec extends SparkSpec {
       .map(r => (r.getLong(0), r.getInt(1), r.getDouble(2), r.getString(3))).toSet
     assert(rows(Multimodal.byteFeatures(df, "id")) == rows(Multimodal.decodeBatched(df, "id")))
   }
+
+  test("bucketized range join equals naive all-pairs filter; plan is an equi-join") {
+    import graft.operators.RangeJoins
+    val rnd = new scala.util.Random(7)
+    // points and intervals spanning cell boundaries, incl. negative values,
+    // empty intervals, and intervals longer than several cells
+    val pts = (1 to 200).map(_ => rnd.nextLong(2000) - 500).toDF("pt")
+    val ivs = (1 to 60).map { i =>
+      val s = rnd.nextLong(2000) - 600
+      (i.toLong, s, s + rnd.nextLong(300) - 20) // some e < s -> empty
+    }.toDF("iv_id", "s", "e")
+    val got = RangeJoins.pointInInterval(pts, "pt", ivs, "s", "e", bucketWidth = 64)
+    val naive = pts.crossJoin(ivs)
+      .filter(col("pt") >= col("s") && col("pt") <= col("e"))
+    def key(df: org.apache.spark.sql.DataFrame) =
+      df.select("pt", "iv_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSeq.sorted
+    assert(key(got) == key(naive), "bucketized join = exact range semantics, no dup/miss")
+    assert(!got.queryExecution.executedPlan.toString.contains("BroadcastNestedLoopJoin"),
+      "the range predicate must not plan as a nested-loop join")
+  }
 }
