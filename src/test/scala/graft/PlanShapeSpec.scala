@@ -1,0 +1,64 @@
+package graft
+
+/**
+ * Pins the physical-plan properties the 100 TB posture depends on, so a
+ * refactor that silently loses a pushdown, a broadcast, or a hash-join
+ * hint fails here rather than in a cluster. Asserts are on plan STRINGS
+ * of the driver-facing queries at sf0.001 — coarse on purpose (exact
+ * operator trees churn across Spark versions; these properties must not).
+ */
+class PlanShapeSpec extends SparkSpec {
+
+  private def plan(name: String): String =
+    SparkEntry.queries(name)(spark, "/root/testdata/sf0.001")
+      .queryExecution.executedPlan.toString
+
+  test("q_where pushes its predicate into the parquet scan and prunes columns") {
+    val p = plan("q_where")
+    assert(p.contains("PushedFilters") && p.contains("l_returnflag"),
+      "filter must reach the scan")
+    assert(!p.contains("l_extendedprice"), "unreferenced columns must be pruned")
+  }
+
+  test("q_join3 broadcasts both dimension tables") {
+    val p = plan("q_join3")
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 2,
+      "customer and nation joins must broadcast")
+    assert(!p.contains("BroadcastNestedLoopJoin"))
+  }
+
+  test("q_dedup_exact shuffles an 8-byte hash, never the text") {
+    val p = plan("q_dedup_exact")
+    assert(p.contains("xxhash64"), "group key must be the 64-bit text hash")
+  }
+
+  test("q_ngram_jaccard keeps the hinted hash join for the pair stage") {
+    val p = plan("q_ngram_jaccard")
+    // the only nested-loop allowed is the ONE-ROW occupancy crossJoin; the
+    // corpus-sized pair join must stay the hinted shuffled hash join
+    assert(p.contains("ShuffledHashJoin"), "pair join must honor the shuffle_hash hint")
+    assert("BroadcastNestedLoopJoin".r.findAllIn(p).size <= 2,
+      "no nested-loop beyond the broadcast one-row occupancy aggregate")
+  }
+
+  test("q_ann_topk aggregates top-k map-side (ObjectHashAggregate) with a broadcast probe side") {
+    val p = plan("q_ann_topk")
+    assert(p.contains("ObjectHashAggregate"),
+      "BoundedTopK must run as a partial-capable object hash aggregate")
+    assert(p.contains("BroadcastExchange") || p.contains("BroadcastHashJoin"),
+      "the small query side must broadcast")
+  }
+
+  test("q_decontaminate broadcasts the eval-set grams") {
+    val p = plan("q_decontaminate")
+    assert(p.contains("BroadcastHashJoin"), "eval n-gram set must broadcast")
+    assert(!p.contains("BroadcastNestedLoopJoin"))
+  }
+
+  test("q_window_apply exchanges on native key columns, not an opaque encoded key") {
+    val p = plan("q_window_apply")
+    assert(p.contains("hashpartitioning(w_start"),
+      "exchange must partition on the real window column")
+    assert(!p.toLowerCase.contains("kryo"))
+  }
+}
