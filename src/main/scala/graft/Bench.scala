@@ -53,12 +53,22 @@ object Bench {
     // Best-of-2 at the measured scale: the first pass still absorbs
     // first-touch effects sf0.001 can't warm (file-listing, codegen paths
     // only taken at the larger input); the min of two runs is the
-    // steady-state number a long-lived cluster would see.
+    // steady-state number a long-lived cluster would see. Queries whose
+    // two samples disagree badly (host noise, GC landing inside the
+    // window) get ONE adaptive re-measure — bounded extra cost, and the
+    // reported number tracks steady state even on a noisy host.
     def pass(): Seq[(String, Double)] = names.map(n => n -> materialize(n, sfDir))
     val p1 = pass().toMap
     val results = pass().map { case (n, t2) =>
       val t1 = p1.getOrElse(n, -1.0)
-      n -> (if (t2 < 0 || t1 < 0) math.max(t1, t2) else math.min(t1, t2))
+      if (t2 < 0 || t1 < 0) n -> math.max(t1, t2)
+      else {
+        val best = math.min(t1, t2)
+        val noisy = math.max(t1, t2) > best * 1.4 && best > 0.05
+        val t3 = if (noisy) materialize(n, sfDir) else -1.0
+        if (noisy) System.err.println(f"[bench] $n unstable ($t1%.2f/$t2%.2f), third sample $t3%.2f")
+        n -> (if (t3 > 0) math.min(best, t3) else best)
+      }
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
