@@ -308,6 +308,26 @@ object QueriesStateful {
       }.df
   }
 
+  /** Salted two-stage aggregation (hot-key mitigation): partial per
+    * (key, salt), final per key. The salt is nondeterministic
+    * (partition-dependent) but the merged result is exact for algebraic
+    * aggregates — integer cents keep the sum order-insensitive, so the
+    * plain GROUP BY oracle matches bit-for-bit. */
+  def qSaltedAgg(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.Skew.saltedAgg(
+      Tables.events(spark, dir).df
+        .withColumn("cents", round(col("value") * 100).cast("long")),
+      Seq("event_type"), saltFactor = 8,
+      partials = Seq(sum(col("cents")).as("pc"), count(lit(1)).as("pn"),
+        min(col("value")).as("pmin"), max(col("value")).as("pmax")),
+      finals = Seq(sum(col("pc")).as("cents"), sum(col("pn")).as("n_events"),
+        min(col("pmin")).as("min_value"), max(col("pmax")).as("max_value")))
+
+  val qSaltedAggSql: String =
+    """SELECT event_type, sum(round(value * 100)::BIGINT)::BIGINT AS cents,
+         count(*) AS n_events, min(value) AS min_value, max(value) AS max_value
+       FROM events GROUP BY event_type"""
+
   /** Milan `reduce` (Scan/Reduce family): whole-stream fold to one value
     * per key. The fold keeps exact integer cents so it is order-insensitive
     * and engine-portable. */
@@ -344,6 +364,7 @@ object QueriesStateful {
     "q_last" -> (qLast _),
     "q_scan" -> (qScan _),
     "q_reduce" -> (qReduce _),
+    "q_salted_agg" -> (qSaltedAgg _),
     "q_tumbling_window" -> (qTumblingWindow _),
     "q_sliding_window" -> (qSlidingWindow _),
     "q_recordwindow" -> (qRecordWindow _),
@@ -361,6 +382,7 @@ object QueriesStateful {
     "q_last" -> qLastSql,
     "q_scan" -> qScanSql,
     "q_reduce" -> qReduceSql,
+    "q_salted_agg" -> qSaltedAggSql,
     "q_tumbling_window" -> qTumblingWindowSql,
     "q_sliding_window" -> qSlidingWindowSql,
     "q_recordwindow" -> qRecordWindowSql,

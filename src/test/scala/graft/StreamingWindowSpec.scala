@@ -84,6 +84,33 @@ class StreamingWindowSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("session windows run streaming through the same MStream API (append at close)") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[TEv]
+    val out = new graft.api.MStream(in.toDF())
+      .withWatermark("ts", "0 seconds")
+      .groupBy("k")
+      .sessionWindow(col("ts"), "5 seconds")
+      .select("s_start", count(lit(1)).as("cnt"), sum(col("v")).as("total"))
+      .df
+    assert(out.isStreaming)
+    val name = s"sess_${System.nanoTime()}"
+    val q = out.writeStream.format("memory").queryName(name)
+      .outputMode(OutputMode.Append()).start()
+    try {
+      def t(s: Long) = new Timestamp(s * 1000)
+      in.addData(TEv("a", t(1), 1.0), TEv("a", t(3), 2.0)) // one session [1, 8)
+      in.addData(TEv("a", t(20), 4.0))                     // gap > 5s: new session + watermark -> 20
+      q.processAllAvailable()
+      in.addData(TEv("a", t(40), 8.0)) // advance watermark past the second session
+      q.processAllAvailable()
+      val got = spark.table(name).collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getDouble(3))).toSet
+      assert(got.contains((1000000L, "a", 2L, 3.0)), "first session merged both events")
+      assert(got.contains((20000000L, "a", 1L, 4.0)), "gap opened a second session")
+    } finally q.stop()
+  }
+
   test("recordWindow(n) emits trailing-n aggregate per record across batches") {
     implicit val sqlCtx = spark.sqlContext
     val in = MemoryStream[Ev]
