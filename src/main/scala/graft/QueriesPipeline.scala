@@ -46,7 +46,7 @@ object QueriesPipeline {
       val bv = (0 until rows).map(r => s"mh${b * rows + r}").reduce((x, y) => s"($x * 31 + $y)")
       s"SELECT doc_id, $b AS band, $bv AS bv FROM sig"
     }.mkString(" UNION ALL ")
-    s"""WITH words AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+    s"""WITH words AS (SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS w FROM documents),
         shex AS (SELECT doc_id, unnest(list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
                                                       for i in range(1, len(w) - 1)])) AS s
                  FROM words),
@@ -138,7 +138,7 @@ object QueriesPipeline {
       s"sum(CASE WHEN (h >> $i) & 1 = 1 THEN 1 ELSE -1 END) AS b$i").mkString(", ")
     val combine = (0 until bits).map(i =>
       s"CASE WHEN b$i > 0 THEN ${1L << i} ELSE 0 END").mkString(" + ")
-    s"""WITH words AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+    s"""WITH words AS (SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS w FROM documents),
         shex AS (SELECT doc_id, unnest([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
                                         for i in range(1, len(w) - 1)]) AS s
                  FROM words),
@@ -173,7 +173,7 @@ object QueriesPipeline {
       s"sum(CASE WHEN (h >> $i) & 1 = 1 THEN 1 ELSE -1 END) AS b$i").mkString(", ")
     val combine = (0 until bits).map(i =>
       s"CASE WHEN b$i > 0 THEN ${1L << i} ELSE 0 END").mkString(" + ")
-    s"""WITH words AS (SELECT doc_id, text, string_split(text, ' ') AS w FROM documents),
+    s"""WITH words AS (SELECT doc_id, text, list_filter(string_split(text, ' '), x -> x <> '') AS w FROM documents),
         shex AS (SELECT doc_id, unnest([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
                                         for i in range(1, len(w) - 1)]) AS s
                  FROM words WHERE len(w) >= 3),
@@ -196,14 +196,17 @@ object QueriesPipeline {
   }
 
   val qDecontaminateSql: String = {
+    // DISTINCT on the HASHES (dh), not just the shingle strings: the Spark
+    // side counts distinct hashes (array_distinct after hashing), so an
+    // intra-document hash collision must collapse on both sides
     val h = PolyFold.format("s")
-    s"""WITH words AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+    s"""WITH words AS (SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS w FROM documents),
         dg AS (SELECT doc_id,
                  unnest(list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' ||
                                        w[i+3] || ' ' || w[i+4]
                                        for i in range(1, len(w) - 3)])) AS s
                FROM words),
-        dh AS (SELECT doc_id, $h AS g FROM dg),
+        dh AS (SELECT DISTINCT doc_id, $h AS g FROM dg),
         bh AS (SELECT DISTINCT g FROM dh WHERE doc_id < 25),
         hits AS (SELECT d.doc_id, count(*) AS n FROM dh d JOIN bh USING (g) GROUP BY d.doc_id)
         SELECT doc_id, coalesce(n, 0) AS n_overlap,

@@ -333,11 +333,14 @@ object QueriesStateful {
     * and engine-portable. */
   def qReduce(spark: SparkSession, dir: String): DataFrame = {
     implicit val enc = Encoders.product[(Long, Long, Long)]
+    // cents precomputed with Spark round (HALF_UP away from zero — the
+    // same rule DuckDB's round applies); JVM Math.round rounds -x.5
+    // toward +inf and would diverge on negative values
     Tables.events(spark, dir)
+      .addFields("cents" -> round(col("value") * 100).cast("long"))
       .groupBy("user_id")
       .reduceRows((0L, 0L, 0L)) { case ((_, n, cents), r) =>
-        (r.getAs[Long]("user_id"), n + 1,
-          cents + Math.round(r.getAs[Double]("value") * 100))
+        (r.getAs[Long]("user_id"), n + 1, cents + r.getAs[Long]("cents"))
       }
       .map(col("_1").as("user_id"), col("_2").as("n_events"), col("_3").as("cents"))
       .df

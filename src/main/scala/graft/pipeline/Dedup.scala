@@ -260,9 +260,15 @@ object Dedup {
     * in a cluster maps to the cluster minimum as its representative.
     *
     * Each round materializes via `localCheckpoint` to keep the iterative
-    * lineage flat (on a cluster, a reliable checkpoint dir does the same).
-    * Returns (node, cluster_id = component min) for nodes appearing in
-    * `pairs`; singletons are their own cluster by definition. */
+    * lineage flat (on a cluster, a reliable checkpoint dir does the same);
+    * superseded rounds are unpersisted as they are replaced. The RETURNED
+    * frame is itself checkpoint-pinned (one row per non-singleton node —
+    * orders of magnitude smaller than the corpus) because its lineage
+    * roots in a truncated checkpoint and must stay materialized; a session
+    * running unbounded numbers of dedup jobs should unpersist superseded
+    * results (`sc.getPersistentRDDs`) between jobs, as `Bench.isolate`
+    * does. Returns (node, cluster_id = component min) for nodes appearing
+    * in `pairs`; singletons are their own cluster by definition. */
   def connectedComponents(pairs: DataFrame, aCol: String, bCol: String,
                           nodeOut: String = "node", clusterOut: String = "cluster_id",
                           maxIter: Int = 50): DataFrame = {
@@ -390,14 +396,17 @@ object Dedup {
   def ingestNearDup(stream: graft.api.MStream, idCol: String, textCol: String,
                     bits: Int = 63, shingleN: Int = 3,
                     withinWatermark: Boolean = false): graft.api.MStream = {
-    val ws = TextOps.words(col(textCol))
-    val sig = when(size(ws) >= shingleN,
-        graft.functions.VectorFunctions.simhashBits(
-          graft.functions.VectorFunctions.wordShingleHashes(col(textCol), shingleN), bits))
+    // The short-doc guard keys on the FEATURE array being empty, not on a
+    // separate word count: the native shingle hasher skips empty words
+    // (runs of spaces), so a split-based count could disagree with it and
+    // route a featureless doc into the SimHash key space, where every such
+    // doc shares signature 0 and unrelated documents would silently merge.
+    val h = graft.functions.VectorFunctions.wordShingleHashes(col(textCol), shingleN)
+    val sig = when(size(h) >= 1, graft.functions.VectorFunctions.simhashBits(h, bits))
       .otherwise(xxhash64(col(textCol)))
     val orig = stream.df.columns.toIndexedSeq
     stream
-      .addFields("__short" -> (size(ws) < shingleN), "__sig" -> sig)
+      .addFields("__short" -> (size(h) < 1), "__sig" -> sig)
       .dedupBy(Seq("__short", "__sig"), withinWatermark)
       .map(orig.map(col): _*)
   }

@@ -148,10 +148,14 @@ class StreamingMStreamScanSpec extends SparkSpec {
       new MStream(in.toDF().toDF("doc_id", "text"), Seq("doc_id")), "doc_id", "text")
     assert(out.df.isStreaming)
     drive(out.df) { emitted =>
-      // id-ordered arrival so streaming first-wins = batch cluster-min
-      in.addData(docs(0), docs(1))
-      in.addData(docs(2), docs(3))
-      in.addData(docs(4), docs(5), docs(6))
+      // id-ordered arrival, duplicates in SEPARATE micro-batches: within a
+      // batch dropDuplicates' survivor pick is contractually arbitrary;
+      // across batches first-wins is guaranteed, making survivor identity
+      // equal the batch path's cluster-min
+      in.addData(docs(0))
+      in.addData(docs(1), docs(2))
+      in.addData(docs(3), docs(4))
+      in.addData(docs(5), docs(6))
       val streamed = emitted().map(_.getLong(0)).toSet
       assert(streamed == batchSurvivors,
         s"streaming survivors $streamed != batch survivors $batchSurvivors")
