@@ -117,31 +117,37 @@ object Scans {
       if (keys.isEmpty) df.repartition(1).sortWithinPartitions(order.map(col): _*)
       else df.repartition(keys.map(col): _*)
         .sortWithinPartitions((keys ++ order).map(col): _*)
-    val out = sorted.mapPartitions { base =>
-      new Iterator[S] {
-        private var curKey: Seq[Any] = null
-        private var acc: S = initial
-        private var open = false           // a fold is in progress
-        private var pending: Option[S] = None
-        private var flushed = false
-        private def advance(): Unit = {
-          while (pending.isEmpty && base.hasNext) {
-            val row = base.next()
-            val k = keyIdx.map(row.get)
-            if (open && k != curKey) { pending = Some(acc); acc = initial }
-            curKey = k; open = true
-            acc = step(acc, row)
-          }
-          if (pending.isEmpty && !base.hasNext && open && !flushed) {
-            pending = Some(acc); flushed = true
-          }
-        }
-        def hasNext: Boolean = { advance(); pending.nonEmpty }
-        def next(): S = { advance(); val v = pending.get; pending = None; v }
-      }
-    }
+    val out = sorted.mapPartitions(base =>
+      foldKeyRuns(base, (row: Row) => keyIdx.map(row.get), initial, step))
     new MStream(out.toDF(), Nil, Nil, s.name)
   }
+
+  /** Fold each contiguous key run of a (key-sorted) iterator to one value,
+    * lazily — the partition-local engine of [[reduceRows]], extracted pure
+    * so its boundary handling is property-testable without Spark. */
+  private[graft] def foldKeyRuns[A, K, S](base: Iterator[A], keyOf: A => K,
+                                          initial: S, step: (S, A) => S): Iterator[S] =
+    new Iterator[S] {
+      private var curKey: K = _
+      private var acc: S = initial
+      private var open = false           // a fold is in progress
+      private var pending: Option[S] = None
+      private var flushed = false
+      private def advance(): Unit = {
+        while (pending.isEmpty && base.hasNext) {
+          val row = base.next()
+          val k = keyOf(row)
+          if (open && k != curKey) { pending = Some(acc); acc = initial }
+          curKey = k; open = true
+          acc = step(acc, row)
+        }
+        if (pending.isEmpty && !base.hasNext && open && !flushed) {
+          pending = Some(acc); flushed = true
+        }
+      }
+      def hasNext: Boolean = { advance(); pending.nonEmpty }
+      def next(): S = { advance(); val v = pending.get; pending = None; v }
+    }
 
   /**
    * Milan generic `scan` (`lang/Stream.scala:176`): running state + one

@@ -106,6 +106,22 @@ object ExpressionProps extends Properties("graft.expressions") {
       got == expect
     }
 
+  property("foldKeyRuns emits one fold per contiguous key run, in order") =
+    forAll(Gen.listOf(Gen.zip(Gen.choose(0, 5), Gen.choose(-100, 100)))) { rows =>
+      // rows arrive key-contiguous after the engine's sort; group without
+      // reordering to build the expected per-run folds
+      val sorted = rows.sortBy(_._1)
+      val got = graft.operators.Scans.foldKeyRuns[(Int, Int), Int, (Int, List[Int])](
+        sorted.iterator, _._1, (0, Nil),
+        { case ((k, acc), (key, v)) => (key, acc :+ v) }).toList
+      val expect = sorted.foldLeft(List.empty[(Int, List[Int])]) {
+        case (out, (k, v)) if out.nonEmpty && out.last._1 == k =>
+          out.init :+ ((k, out.last._2 :+ v))
+        case (out, (k, v)) => out :+ ((k, List(v)))
+      }
+      got == expect
+    }
+
   property("early-abandoning jaccard filters identically to the exact one") =
     forAll(Gen.listOf(Gen.choose(0L, 50L)), Gen.listOf(Gen.choose(0L, 50L)),
            Gen.oneOf(0.1, 0.25, 0.5, 0.8, 1.0)) { (a, b, t) =>
