@@ -28,21 +28,43 @@ object RangeJoins {
 
   /** Inner-join `points` to every row of `intervals` whose
     * `[startCol, endCol]` (inclusive) contains `pointCol`. Column names of
-    * the two inputs must be disjoint (project first). `bucketWidth` should
-    * be on the order of the typical interval length: shorter wastes
-    * replication, longer wastes post-filtering. */
+    * the two inputs must be disjoint and must not include the internal
+    * `__pcell`/`__icell` names (project first). `bucketWidth` should be on
+    * the order of the typical interval length: shorter wastes replication,
+    * longer wastes post-filtering.
+    *
+    * Replication bound: an interval spanning L domain units explodes to
+    * ceil(L / bucketWidth) + 1 cells. An interval longer than
+    * `maxCellsPerInterval` buckets fails the job with a clear error rather
+    * than silently materializing an enormous (ultimately > 2^31-element,
+    * which Spark rejects) cell array — pick a wider bucket or split the
+    * outlier intervals upstream. */
   def pointInInterval(points: DataFrame, pointCol: String,
                       intervals: DataFrame, startCol: String, endCol: String,
-                      bucketWidth: Long): DataFrame = {
+                      bucketWidth: Long, maxCellsPerInterval: Long = 1L << 20): DataFrame = {
     require(bucketWidth > 0, "bucketWidth must be positive")
+    require(maxCellsPerInterval > 0, "maxCellsPerInterval must be positive")
     val overlap = points.columns.toSet.intersect(intervals.columns.toSet)
     require(overlap.isEmpty, s"column names must be disjoint, both sides have: $overlap")
+    val internal = Set("__pcell", "__icell")
+    val clash = (points.columns.toSet ++ intervals.columns.toSet).intersect(internal)
+    require(clash.isEmpty, s"inputs must not contain internal columns: $clash")
     val p = points.withColumn("__pcell", cell(col(pointCol), bucketWidth))
+    val cellStart = cell(col(startCol), bucketWidth)
+    val cellEnd = cell(col(endCol), bucketWidth)
+    val nCells = (cellEnd - cellStart) / bucketWidth + 1
+    // the error expression feeds the explode, so pruning cannot drop it;
+    // it fires only on offending rows
+    val cells = when(nCells > maxCellsPerInterval,
+        raise_error(concat(lit(s"pointInInterval: interval of "),
+          nCells.cast("string"),
+          lit(s" cells exceeds maxCellsPerInterval=$maxCellsPerInterval " +
+            s"at bucketWidth=$bucketWidth; widen the bucket or split long intervals")))
+          .cast("array<bigint>"))
+      .otherwise(sequence(cellStart, cellEnd, lit(bucketWidth)))
     val iv = intervals
       .filter(col(endCol) >= col(startCol))
-      .withColumn("__icell", explode(sequence(
-        cell(col(startCol), bucketWidth), cell(col(endCol), bucketWidth),
-        lit(bucketWidth))))
+      .withColumn("__icell", explode(cells))
     p.join(iv, col("__pcell") === col("__icell") &&
         col(pointCol) >= col(startCol) && col(pointCol) <= col(endCol))
       .drop("__pcell", "__icell")

@@ -192,17 +192,17 @@ object Dedup {
       .withColumn("__g0",
         when(col("__bn") <= 1, lit(1L)).otherwise(greatest(lit(1L),
           ceil(col("__bn") / lit(math.sqrt(comparisonsPerTask.toDouble))))).cast("long"))
-    // Occupancy floor, applied ONLY when the ceiling alone would idle MOST
-    // of the cluster (total pair-buckets sum G(G+1)/2 below parallelism/2:
-    // past that point extra tiling buys < 2x on the quadratic stage but
-    // costs >= 2x in shuffle replication — a wash at best). Round 2 used a
-    // blunt per-block minimum of sqrt(2*par), which replicated every row
-    // ~8x at local[32] even for small, well-distributed blocks; instead
-    // distribute ~2*parallelism buckets across blocks proportional to each
-    // block's comparison mass (bn^2): gOcc_b = bn_b * sqrt(2*par /
-    // sum(bn^2)). A single hot block degenerates to the old sqrt(2*par)
-    // floor; many blocks get gOcc~1 and skip replication entirely. The
-    // one-row occupancy aggregate broadcasts.
+    // Occupancy floor, applied ONLY when the ceiling alone would idle most
+    // of the cluster (total pair-buckets sum G(G+1)/2 below parallelism:
+    // past that point extra tiling buys little on the quadratic stage but
+    // costs proportionally in shuffle replication). Round 2 used a blunt
+    // per-block minimum of sqrt(2*par), which replicated every row ~8x at
+    // local[32] even for small, well-distributed blocks; instead
+    // distribute ~parallelism pair-buckets across blocks proportional to
+    // each block's comparison mass (bn^2): gOcc_b = bn_b * sqrt(2*par /
+    // sum(bn^2)), so sum gOcc^2/2 ~ par. A single hot block degenerates to
+    // the old sqrt(2*par) floor; many blocks get gOcc~1 and skip
+    // replication entirely. The one-row occupancy aggregate broadcasts.
     val occ = rawStats.agg(
       sum(col("__g0") * (col("__g0") + 1) / 2).as("__buckets0"),
       sum(when(col("__bn") <= 1, lit(0.0))

@@ -143,11 +143,17 @@ object TextOps {
   /** Per-document top TF-IDF word: tf·ln(N/df), argmax per doc (ties on
     * the rounded score break toward the lexicographically larger word, so
     * the result is engine-portable). Two count aggregations + one
-    * word-keyed join — linear, no all-pairs. N (documents with >= 1 token)
-    * derives from the tf table as a broadcast one-row aggregate rather
-    * than a separate `docs.count()` pass, so the corpus is scanned ONCE —
-    * a whole extra 100 TB scan otherwise. Wordless documents produce no
-    * tf rows (hence no output) either way. */
+    * word-keyed join — linear, no all-pairs.
+    *
+    * SEMANTIC CHOICE (not just a scan optimization): N is the number of
+    * documents with >= 1 token, derived from the tf table as a broadcast
+    * one-row aggregate — NOT total corpus size via a separate
+    * `docs.count()` pass (a whole extra 100 TB scan). When wordless
+    * documents exist, every word's IDF is computed against the smaller N;
+    * since a wordless document contributes to no word's df and produces
+    * no output row, this is the self-consistent definition (df <= N always
+    * holds, so IDF >= 0). Callers needing classic total-corpus N should
+    * count the corpus upstream and pass it through their own column. */
   def tfidfTopWord(docs: org.apache.spark.sql.DataFrame, idCol: String,
                    textCol: String): org.apache.spark.sql.DataFrame = {
     val tf = docs.select(col(idCol), explode(words(col(textCol))).as("__w"))

@@ -43,13 +43,16 @@ object PairPredicate {
  * `_l`/`_r` structs awaiting `select`/`selectAll`.
  *
  * `residual` is the cross-side non-equi part of the join condition,
- * applied INSIDE the keyed state machine at pairing time — the reference
- * applies its post-condition the same way in every co-process function
+ * applied INSIDE the keyed state machine at pairing time — the same
+ * EVALUATION point as the reference's co-process post-conditions
  * (milan `FullJoinKeyedCoProcessFunction.scala:51-92`,
- * `ConnectedStreamsGenerator.scala:70-75`): for full enrichment a failing
- * pair keeps the arriving side and nulls the other; for left-inner the
- * left stays buffered until a right actually satisfying the condition
- * arrives.
+ * `ConnectedStreamsGenerator.scala:70-75`). Emission on a failing pair:
+ * left-inner matches the reference exactly (the left stays buffered until
+ * a right actually satisfying the condition arrives). Full enrichment
+ * keeps the arriving side and nulls the other — consistent with graft's
+ * batch lowering but a DELIBERATE deviation from the reference, which
+ * emits nothing when its full-join post-condition fails (see README
+ * "Documented deviations").
  */
 object StreamingRowJoins {
   import StreamingJoins.{FullEnrichment, Kind, LeftEnrichment, LeftInner}

@@ -264,4 +264,30 @@ class BatchApiSpec extends SparkSpec {
     assert(!got.queryExecution.executedPlan.toString.contains("BroadcastNestedLoopJoin"),
       "the range predicate must not plan as a nested-loop join")
   }
+
+  test("range join rejects internal-column collisions and over-long intervals") {
+    import graft.operators.RangeJoins
+    val pts = Seq(5L).toDF("pt")
+    val ivs = Seq((1L, 0L, 10L)).toDF("iv_id", "s", "e")
+    // caller columns named like the internal cell keys would be silently
+    // overwritten — must raise instead
+    intercept[IllegalArgumentException] {
+      RangeJoins.pointInInterval(pts.withColumn("__pcell", lit(1L)), "pt", ivs, "s", "e", 64)
+    }
+    intercept[IllegalArgumentException] {
+      RangeJoins.pointInInterval(pts, "pt", ivs.withColumn("__icell", lit(1L)), "s", "e", 64)
+    }
+    // an interval exploding past maxCellsPerInterval fails loudly at run time
+    val long = Seq((1L, 0L, 10000L)).toDF("iv_id", "s", "e")
+    val ex = intercept[Exception] {
+      RangeJoins.pointInInterval(pts, "pt", long, "s", "e",
+        bucketWidth = 1, maxCellsPerInterval = 100).collect()
+    }
+    assert(ex.getMessage.contains("maxCellsPerInterval") ||
+      Option(ex.getCause).exists(_.getMessage.contains("maxCellsPerInterval")))
+    // within the cap the result is unchanged
+    val ok = RangeJoins.pointInInterval(pts, "pt", long, "s", "e",
+      bucketWidth = 1, maxCellsPerInterval = 20000)
+    assert(ok.count() == 1L)
+  }
 }
