@@ -277,12 +277,6 @@ object Dedup {
       val c = d.filter(col("u") =!= col("v"))
       c.union(c.select(col("v").as("u"), col("u").as("v"))).distinct()
     }
-    // (count, hash-xor) set fingerprint: an O(1)-state convergence probe
-    // (xor, not sum: overflow-free under ANSI, and the edge set is distinct)
-    def fingerprint(d: DataFrame): (Long, Long) = {
-      val r = d.agg(count(lit(1)), coalesce(expr("bit_xor(xxhash64(u, v))"), lit(0L))).collect()(0)
-      (r.getLong(0), r.getLong(1))
-    }
     // Each round's localCheckpoint supersedes the previous one, but its
     // blocks stay pinned in the BlockManager for the session unless
     // explicitly unpersisted (round 2's bench artifact was contaminated by
@@ -296,19 +290,32 @@ object Dedup {
     // pays a Row<->InternalRow round-trip on every downstream reference —
     // measured 2x slower on the clusters/corpus queries.)
     val sc = pairs.sparkSession.sparkContext
-    def checkpointTracked(d: DataFrame): (DataFrame, Set[Int]) = {
+    // (count, hash-xor) set fingerprint: an O(1)-state convergence probe
+    // (xor, not sum: overflow-free under ANSI, and the edge set is
+    // distinct). Computed as OBSERVED metrics inside the checkpoint job —
+    // the eager localCheckpoint is already an action, so the fingerprint
+    // rides along for free instead of re-scanning the checkpointed round
+    // as a second job (2 jobs/round -> 1; the per-round fixed cost
+    // dominates once the edge set shrinks, which is every round but the
+    // first at corpus scale).
+    def checkpointTracked(d: DataFrame): (DataFrame, Set[Int], (Long, Long)) = {
+      val obs = org.apache.spark.sql.Observation()
+      val observed = d.observe(obs,
+        count(lit(1)).as("__n"),
+        coalesce(expr("bit_xor(xxhash64(u, v))"), lit(0L)).as("__x"))
       val before = sc.getPersistentRDDs.keySet.toSet
-      val cp = d.localCheckpoint()
-      (cp, sc.getPersistentRDDs.keySet.toSet.diff(before))
+      val cp = observed.localCheckpoint()
+      val ids = sc.getPersistentRDDs.keySet.toSet.diff(before)
+      val m = obs.get
+      (cp, ids, (m("__n").asInstanceOf[Long], m("__x").asInstanceOf[Long]))
     }
     def unpersistIds(ids: Set[Int]): Unit = {
       val live = sc.getPersistentRDDs
       ids.foreach(id => live.get(id).foreach(_.unpersist(blocking = false)))
     }
     val base = pairs.select(col(aCol).cast("long").as("u"), col(bCol).cast("long").as("v"))
-    var (e, eIds) = checkpointTracked(resym(base))
-    var fp = fingerprint(e)
-    var done = e.isEmpty
+    var (e, eIds, fp) = checkpointTracked(resym(base))
+    var done = fp._1 == 0L
     var it = 0
     // neighborhood minima via groupBy+join, NOT a window over u: a window
     // sorts each node's whole neighborhood in one task, so the star
@@ -327,8 +334,7 @@ object Dedup {
       val lowM = low.join(low.groupBy("u").agg(min("v").as("m")), "u")
       val ss = lowM.select(col("u"), col("m").as("v"))
         .union(lowM.filter(col("v") =!= col("m")).select(col("v").as("u"), col("m").as("v")))
-      val (e2, e2Ids) = checkpointTracked(resym(ss))
-      val fp2 = fingerprint(e2)
+      val (e2, e2Ids, fp2) = checkpointTracked(resym(ss))
       // e2 is materialized (eager checkpoint): the previous round's blocks
       // are dead weight from here on
       unpersistIds(eIds)
