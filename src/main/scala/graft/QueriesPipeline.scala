@@ -408,6 +408,28 @@ object QueriesPipeline {
                   ORDER BY round(tfidf, 6) DESC, w DESC) AS rn FROM s)
        SELECT doc_id, w AS top_word, round(tfidf, 4) AS top_tfidf FROM r WHERE rn = 1"""
 
+  /** BM25 top-25 documents for a 3-term keyword query (k1=1.2, b=0.75 —
+    * the Okapi defaults). The oracle mirrors the exact formula, Lucene
+    * idf variant, with structurally identical arithmetic. */
+  def qBm25(spark: SparkSession, dir: String): DataFrame =
+    TextOps.bm25TopK(Tables.documents(spark, dir).df, "doc_id", "text",
+      query = Seq("spark", "join", "window"), k = 25)
+
+  val qBm25Sql: String =
+    """WITH dl AS (SELECT doc_id, len(string_split(text, ' ')) AS dl FROM documents),
+        tf AS (SELECT doc_id, w, count(*) AS tf
+               FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents)
+               WHERE w IN ('join', 'spark', 'window')
+               GROUP BY 1, 2),
+        stats AS (SELECT count(*)::DOUBLE AS n, avg(dl) AS avgdl FROM dl),
+        dfx AS (SELECT w, count(*) AS dfc FROM tf GROUP BY w),
+        s AS (SELECT t.doc_id,
+                ln((stats.n - dfx.dfc + 0.5) / (dfx.dfc + 0.5) + 1.0)
+                  * (t.tf * 2.2) / (t.tf + 1.2 * (0.25 + 0.75 * dl.dl / stats.avgdl)) AS sc
+              FROM tf t JOIN dfx ON t.w = dfx.w JOIN dl ON t.doc_id = dl.doc_id, stats)
+       SELECT doc_id, round(sum(sc), 4) AS bm25, count(*) AS n_terms
+       FROM s GROUP BY doc_id ORDER BY bm25 DESC, doc_id LIMIT 25"""
+
   /** Per-source document-length quantiles (exact interpolated percentile —
     * Spark `percentile` ≡ DuckDB `quantile_cont`; sorting happens within
     * source groups only). */
@@ -558,6 +580,7 @@ object QueriesPipeline {
     "q_length_quantiles" -> (qLengthQuantiles _),
     "q_pack" -> (qPack _),
     "q_tfidf" -> (qTfidf _),
+    "q_bm25" -> (qBm25 _),
     "q_multimodal" -> (qMultimodal _)
   )
 
@@ -585,6 +608,7 @@ object QueriesPipeline {
     "q_length_quantiles" -> qLengthQuantilesSql,
     "q_pack" -> qPackSql,
     "q_tfidf" -> qTfidfSql,
+    "q_bm25" -> qBm25Sql,
     "q_multimodal" -> qMultimodalSql
   )
 }

@@ -20,7 +20,8 @@ object SparkEntry {
     "q_union" -> (QueriesCore.qUnion _),
     "q_unique" -> (QueriesCore.qUnique _),
     "q_join3" -> (QueriesCore.qJoin3 _),
-    "q_range_join" -> (QueriesCore.qRangeJoin _)
+    "q_range_join" -> (QueriesCore.qRangeJoin _),
+    "q_asof_join" -> (QueriesCore.qAsofJoin _)
   ) ++ QueriesStateful.all ++ QueriesPipeline.all
 
   def oracleSql: Map[String, String] = Map(
@@ -32,6 +33,7 @@ object SparkEntry {
     "q_union" -> QueriesCore.qUnionSql,
     "q_unique" -> QueriesCore.qUniqueSql,
     "q_join3" -> QueriesCore.qJoin3Sql,
-    "q_range_join" -> QueriesCore.qRangeJoinSql
+    "q_range_join" -> QueriesCore.qRangeJoinSql,
+    "q_asof_join" -> QueriesCore.qAsofJoinSql
   ) ++ QueriesStateful.sql ++ QueriesPipeline.sql
 }

@@ -1,0 +1,106 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/**
+ * As-of (temporal point-in-time) join — an operator Spark lacks natively:
+ * enrich each left row with the single most recent right row at or before
+ * the left's timestamp (per key, optionally within a tolerance window).
+ * The naive formulation — range join + per-left argmax — plans as a
+ * nested-loop or an exploding range join; kdb's `aj`, pandas'
+ * `merge_asof`, and DuckDB's `ASOF JOIN` all special-case it for the same
+ * reason.
+ *
+ * Lowering (the same union+window engine as `EnrichmentJoins`, keyed by
+ * the JOIN key and ordered by EVENT TIME rather than arrival order): tag
+ * both sides, union, ONE shuffle on the key, then a running
+ * `last(right, ignoreNulls)` over (ts, tag, rightOrder) with rights
+ * sorting before lefts on timestamp ties — so an equal-timestamp right IS
+ * visible to the left (inclusive `<=`, matching DuckDB's `>=` convention).
+ * No pair materialization: a left never meets more than one right.
+ *
+ * Tolerance is a post-check, not a range join: the running match is the
+ * most recent right overall, so if IT falls outside `[leftTs - tolerance,
+ * leftTs]` every earlier right does too — null-fill (left) or drop
+ * (inner) is exact.
+ *
+ * 100 TB posture: one hash shuffle on the key + a sort within key
+ * partitions (spillable); a hot key serializes its own timeline on one
+ * task — the same per-key bound as the reference's keyed co-process
+ * functions and our enrichment joins. Salt or pre-aggregate upstream if a
+ * single key exceeds an executor's spill budget.
+ *
+ * Milan analog: `leftJoin` enrichment (latest-right-so-far,
+ * `runtime/LeftJoinKeyedCoProcessFunction.scala:47`) keyed by arrival
+ * order; as-of generalizes it to an explicit time axis + tolerance.
+ */
+object AsofJoins {
+
+  /** Backward as-of join. `keys` pairs (leftKeyCol, rightKeyCol);
+    * `rightOrder` breaks timestamp ties among rights (LAST in ascending
+    * order wins — pass a unique column for determinism). Column names of
+    * the two inputs must be disjoint (project first). Timestamps are any
+    * orderable numeric/temporal column; `tolerance` is in the same units
+    * as the timestamp columns. Forward as-of = negate the time axis on
+    * both inputs. Rows with a null timestamp never match (nulls sort
+    * first). */
+  def asofBackward(left: DataFrame, leftTs: String,
+                   right: DataFrame, rightTs: String,
+                   keys: Seq[(String, String)],
+                   rightOrder: Seq[String],
+                   tolerance: Option[Long] = None,
+                   inner: Boolean = false): DataFrame = {
+    require(keys.nonEmpty, "as-of join requires at least one equi-key pair")
+    require(rightOrder.nonEmpty,
+      "rightOrder must name tie-break column(s) for equal right timestamps")
+    val overlap = left.columns.toSet.intersect(right.columns.toSet)
+    require(overlap.isEmpty, s"column names must be disjoint, both sides have: $overlap")
+    val internal = Set("__l", "__r", "__k", "__ts", "__tag", "__ro")
+    val clash = (left.columns.toSet ++ right.columns.toSet).intersect(internal)
+    require(clash.isEmpty, s"inputs must not contain internal columns: $clash")
+
+    val lStructT = org.apache.spark.sql.types.StructType(left.schema.fields)
+    val rStructT = org.apache.spark.sql.types.StructType(right.schema.fields)
+    // rights carry their tie-break values; lefts take the type-matched max
+    // so a left at (ts, tag=1) sorts after every right at the same ts
+    val roType = org.apache.spark.sql.types.StructType(
+      rightOrder.map(c => right.schema(c)).toIndexedSeq)
+
+    val lp = left.select(
+      struct(left.columns.toIndexedSeq.map(left.col): _*).as("__l"),
+      lit(null).cast(rStructT).as("__r"),
+      struct(keys.zipWithIndex.map { case ((lk, _), i) => left.col(lk).as(s"k$i") }: _*).as("__k"),
+      left.col(leftTs).as("__ts"),
+      lit(1).as("__tag"),
+      lit(null).cast(roType).as("__ro"))
+    val rp = right.select(
+      lit(null).cast(lStructT).as("__l"),
+      struct(right.columns.toIndexedSeq.map(right.col): _*).as("__r"),
+      struct(keys.zipWithIndex.map { case ((_, rk), i) => right.col(rk).as(s"k$i") }: _*).as("__k"),
+      right.col(rightTs).as("__ts"),
+      lit(0).as("__tag"),
+      struct(rightOrder.map(right.col): _*).as("__ro"))
+
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("__k"))
+      .orderBy(col("__ts").asc, col("__tag").asc, col("__ro").asc)
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+
+    val matchedRaw = last(col("__r"), ignoreNulls = true).over(w)
+    val withMatch = lp.unionByName(rp)
+      .withColumn("__m", matchedRaw)
+      .filter(col("__tag") === 1)
+    val inTol: Column = tolerance match {
+      case None => col("__m").isNotNull
+      case Some(t) =>
+        col("__m").isNotNull && col("__m").getField(rightTs) >= col("__ts") - lit(t)
+    }
+    val paired = withMatch
+      .withColumn("__mr", when(inTol, col("__m")).otherwise(lit(null).cast(rStructT)))
+    val kept = if (inner) paired.filter(col("__mr").isNotNull) else paired
+    kept.select(
+      left.columns.toIndexedSeq.map(c => col(s"__l.$c").as(c)) ++
+        right.columns.toIndexedSeq.map(c => col(s"__mr.$c").as(c)): _*)
+  }
+}

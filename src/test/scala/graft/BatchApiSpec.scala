@@ -265,6 +265,37 @@ class BatchApiSpec extends SparkSpec {
       "the range predicate must not plan as a nested-loop join")
   }
 
+  test("as-of join equals naive per-left argmax; plan is one window, no join node") {
+    import graft.operators.AsofJoins
+    val rnd = new scala.util.Random(11)
+    // small ts domain forces timestamp ties -> exercises the tie-break
+    val lRows = (1 to 300).map(i => (i.toLong, rnd.nextInt(8).toLong, rnd.nextLong(500)))
+    val rRows = (1 to 300).map(i =>
+      (i.toLong, rnd.nextInt(8).toLong, rnd.nextLong(500), rnd.nextInt(50).toDouble))
+    val lefts = lRows.toDF("l_id", "l_k", "l_ts")
+    val rights = rRows.toDF("r_id", "r_k", "r_ts", "r_v")
+    val tol = 60L
+    val got = AsofJoins.asofBackward(lefts, "l_ts", rights, "r_ts",
+      Seq("l_k" -> "r_k"), Seq("r_id"), tolerance = Some(tol))
+    val gotPairs = got.select("l_id", "r_id").collect()
+      .map(r => (r.getLong(0), if (r.isNullAt(1)) -1L else r.getLong(1))).toSet
+    val expected = lRows.map { case (lid, lk, lts) =>
+      val best = rRows.filter(r => r._2 == lk && r._3 <= lts && r._3 >= lts - tol)
+        .sortBy(r => (r._3, r._1)).lastOption
+      (lid, best.map(_._1).getOrElse(-1L))
+    }.toSet
+    assert(gotPairs == expected, "as-of = latest right within tolerance, (ts, id) tie-break")
+    assert(got.count() == 300L, "left as-of keeps every left row")
+    val inner = AsofJoins.asofBackward(lefts, "l_ts", rights, "r_ts",
+      Seq("l_k" -> "r_k"), Seq("r_id"), tolerance = Some(tol), inner = true)
+    assert(inner.count() == expected.count(_._2 >= 0L).toLong)
+    val plan = got.queryExecution.executedPlan.toString
+    assert(!plan.contains("Join"), "as-of must lower to union+window, never a join")
+    intercept[IllegalArgumentException] { // disjoint-name guard
+      AsofJoins.asofBackward(lefts, "l_ts", lefts, "l_ts", Seq("l_k" -> "l_k"), Seq("l_id"))
+    }
+  }
+
   test("range join rejects internal-column collisions and over-long intervals") {
     import graft.operators.RangeJoins
     val pts = Seq(5L).toDF("pt")
