@@ -60,13 +60,18 @@ object Ivf {
         .zipWithIndex.map { case (r, i) => (i, r.getSeq[Double](1)) }.toSeq
       var i = 0
       while (i < iters) {
+        // one shuffle per round: per-(cell, position) means; the k×dim
+        // result collects either way, so array re-assembly happens on the
+        // driver instead of a second collect_list aggregation
         cent = pts
           .select(nearestCid(col("__pv"), cent).as("cid"),
             posexplode(col("__pv")).as(Seq("__pos", "__x")))
           .groupBy("cid", "__pos").agg(avg("__x").as("__m"))
-          .groupBy("cid").agg(array_sort(collect_list(struct(col("__pos"), col("__m")))).as("__ms"))
-          .select(col("cid"), expr("transform(__ms, s -> s.__m)").as("cv"))
-          .collect().map(r => (r.getInt(0), r.getSeq[Double](1))).toSeq
+          .collect()
+          .groupBy(_.getInt(0))
+          .map { case (cid, rs) =>
+            (cid, rs.sortBy(_.getInt(1)).map(_.getDouble(2)).toSeq)
+          }.toSeq.sortBy(_._1)
         i += 1
       }
       cent.toDF("cid", "cv").select(col("cid"), col("cv").cast("array<double>").as("cv"))
