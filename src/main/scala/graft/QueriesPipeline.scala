@@ -430,6 +430,38 @@ object QueriesPipeline {
        SELECT doc_id, round(sum(sc), 4) AS bm25, count(*) AS n_terms
        FROM s GROUP BY doc_id ORDER BY bm25 DESC, doc_id LIMIT 25"""
 
+  /** Per-label embedding statistics: count, centroid norm, mean vector
+    * norm — one scan, `VectorSum` centroid accumulation (k rows shuffle,
+    * not k×dim). */
+  def qEmbedStats(spark: SparkSession, dir: String): DataFrame =
+    graft.pipeline.Similarity.embeddingStats(
+      Tables.embeddings(spark, dir).df, "label", "embedding")
+
+  val qEmbedStatsSql: String =
+    """WITH e AS (SELECT label, embedding::DOUBLE[] AS v FROM embeddings),
+        c AS (SELECT label, t.pos, avg(v[t.pos]) AS m
+              FROM e, LATERAL (SELECT unnest(generate_series(1, len(v))) AS pos) t
+              GROUP BY label, t.pos),
+        cn AS (SELECT label, sqrt(sum(m * m)) AS cnorm FROM c GROUP BY label),
+        nn AS (SELECT label, count(*) AS n_vecs,
+                 avg(sqrt(list_dot_product(v, v))) AS an
+               FROM e GROUP BY label)
+       SELECT nn.label, nn.n_vecs, round(cn.cnorm, 4) AS centroid_norm,
+              round(nn.an, 4) AS mean_norm
+       FROM nn JOIN cn ON nn.label = cn.label"""
+
+  /** Overlapping 32-token windows, stride 24. */
+  def qChunk(spark: SparkSession, dir: String): DataFrame =
+    TextOps.chunkTokens(Tables.documents(spark, dir).df, "doc_id", "text",
+      chunkSize = 32, stride = 24)
+
+  val qChunkSql: String =
+    """SELECT doc_id, (t.s / 24)::BIGINT AS chunk_id,
+         array_to_string(w[t.s + 1 : t.s + 32], ' ') AS chunk_text,
+         least(32, len(w) - t.s)::BIGINT AS n_tokens
+       FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+            LATERAL (SELECT unnest(generate_series(0, len(w) - 1, 24)) AS s) t"""
+
   /** Per-source document-length quantiles (exact interpolated percentile —
     * Spark `percentile` ≡ DuckDB `quantile_cont`; sorting happens within
     * source groups only). */
@@ -581,6 +613,8 @@ object QueriesPipeline {
     "q_pack" -> (qPack _),
     "q_tfidf" -> (qTfidf _),
     "q_bm25" -> (qBm25 _),
+    "q_embed_stats" -> (qEmbedStats _),
+    "q_chunk" -> (qChunk _),
     "q_multimodal" -> (qMultimodal _)
   )
 
@@ -609,6 +643,8 @@ object QueriesPipeline {
     "q_pack" -> qPackSql,
     "q_tfidf" -> qTfidfSql,
     "q_bm25" -> qBm25Sql,
+    "q_embed_stats" -> qEmbedStatsSql,
+    "q_chunk" -> qChunkSql,
     "q_multimodal" -> qMultimodalSql
   )
 }

@@ -572,6 +572,11 @@ object VectorFunctions {
   def charShingleHashes(text: Column, n: Int): Column =
     ColumnBridge.column(CharShingleHashes(ColumnBridge.expr(text), n))
 
+  /** Elementwise vector-sum aggregate (array<double>); O(dim) state,
+    * map-side partial aggregation — centroids without posexplode. */
+  def vectorSum(v: Column): Column =
+    ColumnBridge.column(VectorSum(ColumnBridge.expr(v)).toAggregateExpression())
+
   /** Codegen'd mean unsigned byte of a binary column. */
   def byteMeanNative(b: Column): Column =
     ColumnBridge.column(ByteMean(ColumnBridge.expr(b)))

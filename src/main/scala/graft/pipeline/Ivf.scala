@@ -60,17 +60,19 @@ object Ivf {
         .zipWithIndex.map { case (r, i) => (i, r.getSeq[Double](1)) }.toSeq
       var i = 0
       while (i < iters) {
-        // one shuffle per round: per-(cell, position) means; the k×dim
-        // result collects either way, so array re-assembly happens on the
-        // driver instead of a second collect_list aggregation
+        // one shuffle of k ROWS per round: the VectorSum aggregate
+        // partial-sums dim-length arrays map-side (posexplode would
+        // multiply the shuffle row count by dim); k sums + counts
+        // collect and the division to means happens on the driver
         cent = pts
-          .select(nearestCid(col("__pv"), cent).as("cid"),
-            posexplode(col("__pv")).as(Seq("__pos", "__x")))
-          .groupBy("cid", "__pos").agg(avg("__x").as("__m"))
+          .select(nearestCid(col("__pv"), cent).as("cid"), col("__pv"))
+          .groupBy("cid")
+          .agg(graft.functions.VectorFunctions.vectorSum(col("__pv")).as("__s"),
+            count(lit(1)).as("__n"))
           .collect()
-          .groupBy(_.getInt(0))
-          .map { case (cid, rs) =>
-            (cid, rs.sortBy(_.getInt(1)).map(_.getDouble(2)).toSeq)
+          .map { r =>
+            val n = r.getLong(2).toDouble
+            (r.getInt(0), r.getSeq[Double](1).map(_ / n))
           }.toSeq.sortBy(_._1)
         i += 1
       }

@@ -83,6 +83,25 @@ object Similarity {
     embs.select(col(idCol), col(vecCol), bits.reduce(_ + _).as("bucket"))
   }
 
+  /** Per-group embedding statistics — the corpus-report operator an
+    * embedding pipeline runs per shard/label/source: vector count,
+    * centroid L2 norm, and mean vector norm. ONE scan, one shuffle of one
+    * dim-length array + two scalars per group: the centroid accumulates
+    * through the `VectorSum` aggregate (map-side partial sums — a
+    * posexplode formulation would shuffle rows × dim), the mean norm
+    * through a codegen'd `NormL2`. */
+  def embeddingStats(embs: DataFrame, groupCol: String, vecCol: String): DataFrame = {
+    val v = col(vecCol).cast("array<double>")
+    embs.select(col(groupCol), v.as("__v"))
+      .groupBy(col(groupCol))
+      .agg(count(lit(1)).as("n_vecs"),
+        graft.functions.VectorFunctions.vectorSum(col("__v")).as("__s"),
+        avg(norm(col("__v"))).as("__an"))
+      .select(col(groupCol), col("n_vecs"),
+        round(norm(transform(col("__s"), x => x / col("n_vecs"))), 4).as("centroid_norm"),
+        round(col("__an"), 4).as("mean_norm"))
+  }
+
   /** Bucketed ANN: exact cosine within hyperplane buckets — sub-quadratic
     * candidate generation, shuffle on the bucket key only. */
   def bucketedNearDup(embs: DataFrame, idCol: String, vecCol: String,

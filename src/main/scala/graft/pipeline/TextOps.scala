@@ -230,6 +230,26 @@ object TextOps {
         floor(coalesce(sum(col("n_tokens")).over(w), lit(0L)) / budget).cast("long"))
   }
 
+  /** Overlapping token-window chunking — splitting long documents into
+    * fixed-size windows with stride < size (the RAG-indexing / context-
+    * length-preprocessing sibling of `packChunks`). Pure per-row explode:
+    * chunk starts are `0, stride, 2·stride, …` while < n_tokens, the last
+    * window truncates, chunk_id = start/stride. The token array
+    * materializes once before the Generate barrier so per-chunk slicing
+    * never re-tokenizes. No shuffle at all — scales with the scan. */
+  def chunkTokens(docs: org.apache.spark.sql.DataFrame, idCol: String, textCol: String,
+                  chunkSize: Int, stride: Int): org.apache.spark.sql.DataFrame = {
+    require(chunkSize > 0 && stride > 0 && stride <= chunkSize,
+      s"need 0 < stride <= chunkSize, got chunkSize=$chunkSize stride=$stride")
+    val base = docs.select(col(idCol), words(col(textCol)).as("__ws"))
+    base.select(col(idCol), col("__ws"),
+        explode(sequence(lit(0), size(col("__ws")) - 1, lit(stride))).as("__s"))
+      .select(col(idCol),
+        (col("__s") / stride).cast("long").as("chunk_id"),
+        concat_ws(" ", slice(col("__ws"), col("__s") + 1, lit(chunkSize))).as("chunk_text"),
+        least(lit(chunkSize), size(col("__ws")) - col("__s")).cast("long").as("n_tokens"))
+  }
+
   /** Benchmark decontamination — n-gram-overlap hygiene between a training
     * corpus and an evaluation set (the published practice for GPT-3/PaLM
     * training data: drop or flag documents sharing word-n-grams with a

@@ -93,6 +93,36 @@ object ExpressionProps extends Properties("graft.expressions") {
       got == expect
     }
 
+  property("vector-sum over random partition splits equals elementwise fold") =
+    forAll(Gen.choose(1, 6).flatMap(dim =>
+             Gen.listOf(Gen.listOfN(dim, Gen.choose(-5.0, 5.0)))),
+           Gen.choose(1, 5)) { (rows, nParts) =>
+      import org.apache.spark.sql.catalyst.InternalRow
+      import org.apache.spark.sql.catalyst.expressions.BoundReference
+      import org.apache.spark.sql.types.{ArrayType, DoubleType}
+      val agg = graft.functions.VectorSum(
+        BoundReference(0, ArrayType(DoubleType, containsNull = false), nullable = true))
+      // update per partition, then serialize -> deserialize -> merge, as
+      // the exchange would
+      val parts = rows.zipWithIndex.groupMap(_._2 % nParts)(_._1).values.toList
+      val merged = parts
+        .map(_.foldLeft(agg.createAggregationBuffer()) { (b, v) =>
+          agg.update(b, InternalRow(new GenericArrayData(v.toArray)))
+        })
+        .map(b => agg.deserialize(agg.serialize(b)))
+        .foldLeft(agg.createAggregationBuffer())(agg.merge)
+      val got = Option(agg.eval(merged))
+        .map(_.asInstanceOf[GenericArrayData].toDoubleArray.toSeq)
+      val expect =
+        if (rows.isEmpty) None
+        else Some(rows.transpose.map(_.sum).toSeq)
+      // same adds in the same order per position -> exact equality modulo
+      // merge order; compare with a tolerance to stay order-agnostic
+      (got.isEmpty == expect.isEmpty) && got.zip(expect).forall { case (g, e) =>
+        g.size == e.size && g.zip(e).forall { case (x, y) => math.abs(x - y) <= 1e-9 }
+      }
+    }
+
   property("sorted-merge jaccard equals set jaccard") =
     forAll(Gen.listOf(Gen.choose(0L, 50L)), Gen.listOf(Gen.choose(0L, 50L))) { (a, b) =>
       val sa = a.distinct.sorted
