@@ -450,6 +450,36 @@ object QueriesPipeline {
               round(nn.an, 4) AS mean_norm
        FROM nn JOIN cn ON nn.label = cn.label"""
 
+  /** Vocabulary build (minCount=5, top-20 by frequency) + token-id
+    * encoding with OOV = -1; per-document scalar checks (length, OOV
+    * count, id checksum, first id) keep the oracle array-free. */
+  def qEncode(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir).df
+    val vocab = TextOps.buildVocab(docs, "text", minCount = 5L, maxSize = 20)
+    TextOps.encodeTokens(docs, "doc_id", "text", vocab)
+      .select(col("doc_id"), size(col("ids")).cast("long").as("n_tokens"),
+        col("n_oov"),
+        aggregate(col("ids"), lit(0L), (a, x) => a + x).as("id_checksum"),
+        element_at(col("ids"), 1).as("first_id"))
+  }
+
+  val qEncodeSql: String =
+    """WITH wc AS (SELECT w, count(*) AS c
+                   FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+                   GROUP BY w),
+        v AS (SELECT w, row_number() OVER (ORDER BY c DESC, w) - 1 AS id
+              FROM (SELECT * FROM wc WHERE c >= 5 ORDER BY c DESC, w LIMIT 20)),
+        t AS (SELECT doc_id, t.i AS pos, w[t.i] AS word
+              FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+                   LATERAL (SELECT unnest(generate_series(1, len(w))) AS i) t),
+        e AS (SELECT t.doc_id, t.pos, coalesce(v.id, -1) AS id
+              FROM t LEFT JOIN v ON t.word = v.w)
+       SELECT doc_id, count(*)::BIGINT AS n_tokens,
+              sum(CASE WHEN id = -1 THEN 1 ELSE 0 END)::BIGINT AS n_oov,
+              sum(id)::BIGINT AS id_checksum,
+              arg_min(id, pos)::BIGINT AS first_id
+       FROM e GROUP BY doc_id"""
+
   /** Overlapping 32-token windows, stride 24. */
   def qChunk(spark: SparkSession, dir: String): DataFrame =
     TextOps.chunkTokens(Tables.documents(spark, dir).df, "doc_id", "text",
@@ -615,6 +645,7 @@ object QueriesPipeline {
     "q_bm25" -> (qBm25 _),
     "q_embed_stats" -> (qEmbedStats _),
     "q_chunk" -> (qChunk _),
+    "q_encode" -> (qEncode _),
     "q_multimodal" -> (qMultimodal _)
   )
 
@@ -645,6 +676,7 @@ object QueriesPipeline {
     "q_bm25" -> qBm25Sql,
     "q_embed_stats" -> qEmbedStatsSql,
     "q_chunk" -> qChunkSql,
+    "q_encode" -> qEncodeSql,
     "q_multimodal" -> qMultimodalSql
   )
 }

@@ -230,6 +230,42 @@ object TextOps {
         floor(coalesce(sum(col("n_tokens")).over(w), lit(0L)) / budget).cast("long"))
   }
 
+  /** Frequency-ranked vocabulary: words with >= `minCount` occurrences,
+    * top `maxSize` by (count desc, word asc), contiguous ids from 0 in
+    * that order. The corpus-wide count is one partial-aggregated shuffle;
+    * the ranking is a TakeOrdered of `maxSize` rows, and id assignment is
+    * a window over ONLY those collected rows — the vocabulary (bounded by
+    * `maxSize`) is the one intentionally driver-sized artifact of the
+    * encode pipeline, like the IVF codebook. */
+  def buildVocab(docs: org.apache.spark.sql.DataFrame, textCol: String,
+                 minCount: Long, maxSize: Int): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    docs.select(explode(words(col(textCol))).as("word"))
+      .groupBy("word").agg(count(lit(1)).as("wcount"))
+      .filter(col("wcount") >= minCount)
+      .orderBy(desc("wcount"), col("word")).limit(maxSize)
+      .withColumn("id",
+        (row_number().over(Window.orderBy(desc("wcount"), col("word"))) - 1).cast("long"))
+  }
+
+  /** Encode documents to token-id arrays against a vocabulary frame
+    * (`word`, `id`): tokens keep their positions through `posexplode`, the
+    * vocab joins broadcast (it is maxSize rows), unknown words become
+    * `oovId`, and per-document arrays re-assemble in token order. Output:
+    * (idCol, ids array<long>, n_oov). One shuffle on the document id. */
+  def encodeTokens(docs: org.apache.spark.sql.DataFrame, idCol: String, textCol: String,
+                   vocab: org.apache.spark.sql.DataFrame,
+                   oovId: Long = -1L): org.apache.spark.sql.DataFrame =
+    docs.select(col(idCol), posexplode(words(col(textCol))).as(Seq("__pos", "__w")))
+      .join(broadcast(vocab.select(col("word").as("__w"), col("id"))), Seq("__w"), "left")
+      .groupBy(col(idCol))
+      .agg(
+        transform(
+          array_sort(collect_list(struct(col("__pos"),
+            coalesce(col("id"), lit(oovId)).as("__id")))),
+          s => s.getField("__id")).as("ids"),
+        sum(when(col("id").isNull, 1L).otherwise(0L)).as("n_oov"))
+
   /** Overlapping token-window chunking — splitting long documents into
     * fixed-size windows with stride < size (the RAG-indexing / context-
     * length-preprocessing sibling of `packChunks`). Pure per-row explode:
