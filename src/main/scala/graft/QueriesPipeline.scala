@@ -65,6 +65,40 @@ object QueriesPipeline {
         WHERE j >= 0.8"""
   }
 
+  /** Fuzzy dedup: LSH-blocked edit-distance pairs (<= 20 edits). Shares
+    * the qMinhashDedup candidate mirror; verification is DuckDB's full
+    * levenshtein vs Spark's threshold-capped one — equal wherever the
+    * distance is within the cap. */
+  def qEditDist(spark: SparkSession, dir: String): DataFrame =
+    Dedup.editDistanceNearDup(Tables.documents(spark, dir).df, "doc_id", "text",
+      k = 16, bands = 8, maxDist = 20)
+
+  val qEditDistSql: String = {
+    val k = 16; val bands = 8; val rows = k / bands
+    val mins = (0 until k).map(j =>
+      s"min((h * ${2 * j + 1} + ${12345 * j + 7}) % 1000000007) AS mh$j").mkString(", ")
+    val bandRows = (0 until bands).map { b =>
+      val bv = (0 until rows).map(r => s"mh${b * rows + r}").reduce((x, y) => s"($x * 31 + $y)")
+      s"SELECT doc_id, $b AS band, $bv AS bv FROM sig"
+    }.mkString(" UNION ALL ")
+    s"""WITH words AS (SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS w FROM documents),
+        shex AS (SELECT doc_id, unnest(list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+                                                      for i in range(1, len(w) - 1)])) AS s
+                 FROM words),
+        h AS (SELECT doc_id, list_reduce([0] || [ord(c)::BIGINT for c in string_split(s, '')],
+                                         (a, c) -> (a * 31 + c) % 1000000007) AS h FROM shex),
+        sig AS (SELECT doc_id, $mins FROM h GROUP BY doc_id),
+        bands AS ($bandRows),
+        cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+                 FROM bands a JOIN bands b ON a.band = b.band AND a.bv = b.bv
+                                          AND a.doc_id < b.doc_id)
+        SELECT id_a, id_b, d AS dist FROM (
+          SELECT id_a, id_b, levenshtein(x.text, y.text) AS d
+          FROM cand JOIN documents x ON x.doc_id = id_a
+                    JOIN documents y ON y.doc_id = id_b)
+        WHERE d <= 20"""
+  }
+
   /** Duplicate clusters: MinHash+LSH near-dup pairs folded into connected
     * components (large-star/small-star), each doc labeled with its cluster
     * representative — the pairwise→decision step of a real dedup pipeline.
@@ -624,6 +658,7 @@ object QueriesPipeline {
     "q_dedup_clusters" -> (qDedupClusters _),
     "q_dedup_corpus" -> (qDedupCorpus _),
     "q_minhash_dedup" -> (qMinhashDedup _),
+    "q_editdist" -> (qEditDist _),
     "q_simhash" -> (qSimhash _),
     "q_simhash_pairs" -> (qSimhashPairs _),
     "q_ngram_jaccard" -> (qNgramJaccard _),
@@ -655,6 +690,7 @@ object QueriesPipeline {
     "q_dedup_clusters" -> qDedupClustersSql,
     "q_dedup_corpus" -> qDedupCorpusSql,
     "q_minhash_dedup" -> qMinhashDedupSql,
+    "q_editdist" -> qEditDistSql,
     "q_simhash" -> qSimhashSql,
     "q_simhash_pairs" -> qSimhashPairsSql,
     "q_ngram_jaccard" -> qNgramJaccardSql,

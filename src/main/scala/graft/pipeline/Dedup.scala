@@ -89,6 +89,29 @@ object Dedup {
       .select(col("id_a"), col("id_b"), round(col("jaccard"), 3).as("jaccard"))
   }
 
+  /** Fuzzy (edit-distance) near-duplicate pairs, LSH-blocked — the
+    * CCNet/RefinedWeb-style fuzzy dedup that exact-hash and
+    * Jaccard-threshold variants miss (small in-place edits): MinHash
+    * banding generates the candidate pairs (never all-pairs; same
+    * signature exchange reuse as `minhashNearDup`), then a
+    * THRESHOLD-CAPPED Levenshtein verifies each candidate — Spark's
+    * 3-arg `levenshtein` returns -1 as soon as the distance provably
+    * exceeds `maxDist`, turning the O(|a|·|b|) DP into O(maxDist·|a|)
+    * per pair and bailing immediately on length mismatch. Candidates
+    * bounded by LSH, per-pair work bounded by the threshold: scales. */
+  def editDistanceNearDup(docs: DataFrame, idCol: String, textCol: String,
+                          k: Int, bands: Int, maxDist: Int): DataFrame = {
+    require(maxDist >= 0, "maxDist must be non-negative")
+    val cands = lshCandidates(minhashSignature(docs, idCol, textCol, k), idCol, k, bands)
+    val texts = docs.select(col(idCol), col(textCol))
+    cands
+      .join(texts.select(col(idCol).as("id_a"), col(textCol).as("__ta")), "id_a")
+      .join(texts.select(col(idCol).as("id_b"), col(textCol).as("__tb")), "id_b")
+      .withColumn("dist", levenshtein(col("__ta"), col("__tb"), maxDist))
+      .filter(col("dist") >= 0)
+      .select(col("id_a"), col("id_b"), col("dist"))
+  }
+
   /** SimHash core: per-bit ±1 sums over a hashed-feature column, one
     * shuffle (groupBy doc, partial aggregation). */
   private def simhashOverHashes(hashed: DataFrame, idCol: String, bits: Int): DataFrame = {
