@@ -168,6 +168,29 @@ final class MStream(
   def leftJoinWindow(right: MStream, n: Int): WindowJoinBuilder =
     new WindowJoinBuilder(this, right, n)
 
+  /** Backward as-of join (parity-plus: Milan's leftJoin generalized to an
+    * explicit time axis): each record of THIS stream enriches with the
+    * latest `right` record at-or-before its timestamp, per key, optionally
+    * within `tolerance`. Batch lowers to the one-shuffle union+window
+    * (`AsofJoins`); when both inputs stream it lowers to the event-time
+    * keyed state machine (`StreamingAsof`, timestamps must be
+    * TimestampType and `tolerance` is then milliseconds). Column names of
+    * the two sides must be disjoint. */
+  def asofJoin(right: MStream, leftTs: String, rightTs: String,
+               keys: Seq[(String, String)], rightOrder: Seq[String],
+               tolerance: Option[Long] = None,
+               watermarkDelay: String = "0 seconds",
+               inner: Boolean = false): MStream = {
+    val out =
+      if (df.isStreaming || right.df.isStreaming)
+        graft.streaming.StreamingAsof.asofBackward(df, leftTs, right.df, rightTs,
+          keys, rightOrder, tolerance, watermarkDelay, inner)
+      else
+        graft.operators.AsofJoins.asofBackward(df, leftTs, right.df, rightTs,
+          keys, rightOrder, tolerance, inner)
+    new MStream(out, eventOrder, contextKeys, name)
+  }
+
   // ---------------------------------------------------------------- 2.6 scans
 
   /** Milan ungrouped `maxBy`: emit a record only when it beats the running max. */

@@ -1,0 +1,139 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Encoder, Encoders, Row}
+import org.apache.spark.sql.catalyst.encoders.RowEncoder
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.types.{StructField, StructType, TimestampType}
+
+/**
+ * EVENT-TIME-correct streaming backward as-of join — the streaming lowering
+ * of `operators/AsofJoins.asofBackward`, with the semantics a feature
+ * pipeline needs: each left matches the latest right at-or-before its
+ * EVENT time, not the latest right that happened to ARRIVE first. Because
+ * streams arrive out of event-time order, a left cannot emit on arrival —
+ * an earlier-timestamped right may still be in flight. Lefts buffer per
+ * key and emit once the watermark passes their timestamp (event-time
+ * timeout), exactly when no admissible right can still arrive; rights
+ * arriving between the left and its maturity are correctly considered.
+ * Neither Milan (arrival-order enrichment only) nor native Structured
+ * Streaming (interval joins emit ALL rights in range, not the latest)
+ * expresses this directly.
+ *
+ * State per key is bounded by the watermark: pending lefts drain as the
+ * watermark advances, and the right history COMPACTS to a single record
+ * at-or-below the watermark — among rights older than every future left,
+ * only the latest can ever win, under any tolerance (the candidate set
+ * only shrinks further back in time). Rights newer than the watermark stay
+ * until they age past it: state is O(watermark-lag × rate) per key, the
+ * same bound as a native stream-stream join buffer.
+ *
+ * The timestamp columns must be TimestampType; `toleranceMs` is in
+ * milliseconds (the watermark clock). Emission ties match the batch
+ * operator: a right at exactly the left's timestamp is admissible, ties
+ * among rights break by (ts, rightOrder) — last wins.
+ */
+object StreamingAsof {
+
+  def asofBackward(left: DataFrame, leftTs: String,
+                   right: DataFrame, rightTs: String,
+                   keys: Seq[(String, String)],
+                   rightOrder: Seq[String],
+                   toleranceMs: Option[Long] = None,
+                   watermarkDelay: String = "0 seconds",
+                   inner: Boolean = false): DataFrame = {
+    require(keys.nonEmpty, "as-of join requires at least one equi-key pair")
+    require(rightOrder.nonEmpty,
+      "rightOrder must name tie-break column(s) for equal right timestamps")
+    require(left.schema(leftTs).dataType == TimestampType &&
+      right.schema(rightTs).dataType == TimestampType,
+      "streaming as-of needs TimestampType event-time columns (the watermark clock)")
+    val overlap = left.columns.toSet.intersect(right.columns.toSet)
+    require(overlap.isEmpty, s"column names must be disjoint, both sides have: $overlap")
+
+    val lStructT = StructType(left.schema.fields)
+    val rStructT = StructType(right.schema.fields)
+    val roType = StructType(rightOrder.map(c => right.schema(c)).toIndexedSeq)
+    val pairSchema = StructType(Seq(
+      StructField("_l", lStructT), StructField("_r", rStructT)))
+
+    def prep(df: DataFrame, ts: String, ks: Seq[String], isLeft: Boolean): DataFrame = {
+      val self = struct(df.columns.toIndexedSeq.map(df.col): _*)
+      df.select(
+        (if (isLeft) self else lit(null).cast(lStructT)).as("_l"),
+        (if (isLeft) lit(null).cast(rStructT) else self).as("_r"),
+        struct(ks.zipWithIndex.map { case (k, i) => df.col(k).as(s"k$i") }: _*).as("__k"),
+        df.col(ts).as("__ts"),
+        lit(if (isLeft) 1 else 0).as("__tag"),
+        (if (isLeft) lit(null).cast(roType)
+         else struct(rightOrder.map(df.col): _*)).as("__ro"))
+    }
+
+    val u = prep(left, leftTs, keys.map(_._1), isLeft = true)
+      .unionByName(prep(right, rightTs, keys.map(_._2), isLeft = false))
+      .withWatermark("__ts", watermarkDelay)
+
+    implicit val rowEnc: Encoder[Row] = RowEncoder.encoderFor(u.schema)
+    implicit val keyEnc: Encoder[Seq[Any]] = Encoders.kryo[Seq[Any]]
+    // state: (pending lefts (tsMs, left), right history (tsMs, right, ro))
+    implicit val stEnc: Encoder[(List[(Long, Row)], List[(Long, Row, Row)])] =
+      Encoders.kryo[(List[(Long, Row)], List[(Long, Row, Row)])]
+    implicit val outEnc: Encoder[Row] = RowEncoder.encoderFor(pairSchema)
+
+    val kIdx = u.schema.fieldIndex("__k")
+    val tsIdx = u.schema.fieldIndex("__ts")
+    val tagIdx = u.schema.fieldIndex("__tag")
+    val lIdx = u.schema.fieldIndex("_l")
+    val rIdx = u.schema.fieldIndex("_r")
+    val roIdx = u.schema.fieldIndex("__ro")
+    val tol = toleranceMs
+
+    // max by (ts, rightOrder): the winning right among candidates
+    def later(a: (Long, Row, Row), b: (Long, Row, Row)): Boolean =
+      a._1 > b._1 || (a._1 == b._1 && EventOrder.compareSeqs(a._3.toSeq, b._3.toSeq) > 0)
+    def best(cands: List[(Long, Row, Row)]): Row =
+      cands.reduceOption((x, y) => if (later(x, y)) x else y).map(_._2).orNull
+
+    val paired = u.groupByKey(r => r.getStruct(kIdx).toSeq)(keyEnc)
+      .flatMapGroupsWithState[(List[(Long, Row)], List[(Long, Row, Row)]), Row](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        (_: Seq[Any], it: Iterator[Row], state: GroupState[(List[(Long, Row)], List[(Long, Row, Row)])]) =>
+          var (pending, rights) = state.getOption.getOrElse(
+            (List.empty[(Long, Row)], List.empty[(Long, Row, Row)]))
+          it.foreach { rec =>
+            val ts = rec.getTimestamp(tsIdx).getTime
+            if (rec.getInt(tagIdx) == 1) pending :+= ((ts, rec.getStruct(lIdx)))
+            else rights :+= ((ts, rec.getStruct(rIdx), rec.getStruct(roIdx)))
+          }
+          val w = state.getCurrentWatermarkMs()
+          // a left matures once the watermark passes it STRICTLY: a right
+          // stamped exactly at the watermark is not yet late, so waiting
+          // for w > ts keeps equal-timestamp rights admissible
+          val (mature, stillPending) = pending.partition(_._1 < w)
+          val outs = mature.sortBy(_._1).map { case (lts, l) =>
+            val cands = rights.filter(r =>
+              r._1 <= lts && tol.forall(t => r._1 >= lts - t))
+            Row(l, best(cands))
+          }
+          // compact: of the rights at-or-below the watermark, only the
+          // latest can win for any future (necessarily later) left
+          val (old, fresh) = rights.partition(_._1 <= w)
+          rights = old.reduceOption((x, y) => if (later(x, y)) x else y).toList ++ fresh
+          pending = stillPending
+          if (pending.isEmpty && rights.isEmpty) state.remove()
+          else {
+            state.update((pending, rights))
+            if (pending.nonEmpty)
+              state.setTimeoutTimestamp(
+                math.max(pending.map(_._1).min, state.getCurrentWatermarkMs() + 1))
+          }
+          outs.iterator
+      }(stEnc, outEnc)
+      .toDF()
+
+    val kept = if (inner) paired.filter(col("_r").isNotNull) else paired
+    kept.select(
+      left.columns.toIndexedSeq.map(c => col(s"_l.$c").as(c)) ++
+        right.columns.toIndexedSeq.map(c => col(s"_r.$c").as(c)): _*)
+  }
+}

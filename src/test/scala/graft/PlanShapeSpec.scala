@@ -61,4 +61,29 @@ class PlanShapeSpec extends SparkSpec {
       "exchange must partition on the real window column")
     assert(!p.toLowerCase.contains("kryo"))
   }
+
+  test("q_asof_join lowers to union + window — no join operator at all") {
+    val p = plan("q_asof_join")
+    assert(p.contains("Window"), "the running-match window must be present")
+    assert(!p.contains("Join"), "an as-of must never materialize pairs")
+  }
+
+  test("q_bm25 broadcasts df and corpus stats; scores join is broadcast, not shuffled") {
+    val p = plan("q_bm25")
+    assert("BroadcastExchange".r.findAllIn(p).size >= 2,
+      "term df and the one-row stats must broadcast")
+    assert(!p.contains("SortMergeJoin"), "no corpus-sized shuffle join in the score stage")
+  }
+
+  test("q_encode broadcasts the vocabulary to the token join") {
+    val p = plan("q_encode")
+    assert(p.contains("BroadcastHashJoin"), "the maxSize-bounded vocab must broadcast")
+    assert(!p.contains("SortMergeJoin"), "tokens must not shuffle against the vocab")
+  }
+
+  test("q_editdist keeps the LSH band join on exchanges, no nested loop") {
+    val p = plan("q_editdist")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      "candidate generation must stay an equi-join on band keys")
+  }
 }

@@ -1,0 +1,91 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.streaming.OutputMode
+
+case class AsofL(lk: Int, lts: Timestamp, lid: Int)
+case class AsofR(rk: Int, rts: Timestamp, rid: Int)
+
+/**
+ * Event-time streaming as-of: lefts emit only when the watermark passes
+ * their timestamp, so rights that ARRIVE after a left but carry earlier
+ * EVENT time still win — the property that separates an as-of join from
+ * arrival-order enrichment (StreamingJoinSpec covers the latter).
+ */
+class StreamingAsofSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def t(s: Long) = new Timestamp(s * 1000L)
+
+  private def run(toleranceMs: Option[Long] = None,
+                  watermarkDelay: String = "0 seconds")(
+      feed: (MemoryStream[AsofL], MemoryStream[AsofR], () => Set[(Int, Int)]) => Unit): Unit = {
+    implicit val sqlCtx = spark.sqlContext
+    val ls = MemoryStream[AsofL]
+    val rs = MemoryStream[AsofR]
+    val out = graft.streaming.StreamingAsof.asofBackward(
+      ls.toDF(), "lts", rs.toDF(), "rts", Seq("lk" -> "rk"), Seq("rid"),
+      toleranceMs = toleranceMs, watermarkDelay = watermarkDelay)
+    val name = s"asof_${System.nanoTime()}"
+    val q = out.writeStream.format("memory").queryName(name)
+      .outputMode(OutputMode.Append()).start()
+    try {
+      def rows(): Set[(Int, Int)] = {
+        q.processAllAvailable()
+        spark.table(name).select("lid", "rid").collect()
+          .map(r => (r.getInt(0), if (r.isNullAt(1)) -1 else r.getInt(1))).toSet
+      }
+      feed(ls, rs, rows _)
+    } finally q.stop()
+  }
+
+  test("a left waits for the watermark; an out-of-order earlier right still wins") {
+    // 10 s allowed lateness: the t8 right arriving after the watermark has
+    // seen t10 is still admissible (with 0 s it would be dropped as late —
+    // the delay is the disorder bound, exactly as in native SS joins)
+    run(watermarkDelay = "10 seconds") { (ls, rs, rows) =>
+      // batch 1: right@5s, left@10s — watermark still behind the left
+      rs.addData(AsofR(1, t(5), 1))
+      ls.addData(AsofL(1, t(10), 1))
+      assert(rows().isEmpty, "left must not emit before the watermark passes it")
+      // batch 2: right@8s arrives AFTER the left but is EARLIER in event
+      // time; a key-2 right@100s pushes the watermark past the left
+      rs.addData(AsofR(1, t(8), 2), AsofR(2, t(100), 99))
+      rows()
+      // batch 3: any trigger lets the event-time timeout fire
+      rs.addData(AsofR(2, t(101), 98))
+      assert(rows() == Set((1, 2)),
+        "the t8 right (latest at-or-before t10) must win over the t5 one")
+    }
+  }
+
+  test("tolerance nulls stale matches; equal-timestamp rights are admissible") {
+    run(toleranceMs = Some(2000L)) { (ls, rs, rows) =>
+      // l1@10s: only right is @5s — outside the 2 s tolerance -> null match
+      rs.addData(AsofR(1, t(5), 1))
+      ls.addData(AsofL(1, t(10), 1))
+      // l2@20s: rights at exactly 20s (admissible, <=) and 19s; rid ties
+      // break last-wins on (ts, rightOrder)
+      rs.addData(AsofR(1, t(19), 2), AsofR(1, t(20), 3))
+      ls.addData(AsofL(1, t(20), 2))
+      rs.addData(AsofR(2, t(100), 99)) // watermark push
+      rows()
+      rs.addData(AsofR(2, t(101), 98)) // timeout trigger
+      assert(rows() == Set((1, -1), (2, 3)),
+        "stale-beyond-tolerance -> null; equal-ts right admissible and wins")
+    }
+  }
+
+  test("per-key isolation: each key matches only its own rights") {
+    run() { (ls, rs, rows) =>
+      rs.addData(AsofR(1, t(5), 1), AsofR(2, t(6), 2))
+      ls.addData(AsofL(1, t(10), 1), AsofL(2, t(10), 2))
+      rs.addData(AsofR(3, t(100), 99))
+      rows()
+      rs.addData(AsofR(3, t(101), 98))
+      assert(rows() == Set((1, 1), (2, 2)))
+    }
+  }
+}
