@@ -173,41 +173,44 @@ object TextOps {
   /** BM25 (Okapi; Lucene's non-negative idf variant `ln(1 + (N - df +
     * 0.5)/(df + 0.5))`) top-k retrieval for a literal term query — the
     * ranked keyword search a corpus-curation pipeline runs to pull
-    * topic-relevant documents. ONE corpus scan: the document length rides
-    * every token row and `explode_outer` of the query-filtered token list
-    * keeps termless documents (as a single null-term row), so corpus
-    * stats N and avgdl — computed from the same exploded table — cover
-    * the WHOLE corpus while only matching tokens ever reach the shuffle.
-    * The tf aggregation is referenced three times (scores, df, corpus
-    * stats) but hashes on the same keys, so ReuseExchange materializes
-    * the scan+partial-agg once. df and (N, avgdl) are term-count-sized —
-    * they broadcast. Ties on the rounded score break toward the lower
-    * document id; k result rows travel. */
+    * topic-relevant documents. The query terms are literals and few, so
+    * per-term frequencies become COLUMNS of one projection (no token
+    * explode, no token shuffle): one corpus pass feeds a single one-row
+    * aggregate carrying N, avgdl, and every per-term df, which broadcasts
+    * back to a second pass that scores — two scans, the floor for
+    * corpus-stat-then-score without caching. (The exploded formulation
+    * referenced its tf table three times — scores, df, corpus stats — and
+    * the differently-pushed filters defeated ReuseExchange: three corpus
+    * scans plus a token-row shuffle.) Only the k
+    * result rows travel (TakeOrdered); ties on the rounded score break
+    * toward the lower document id. */
   def bm25TopK(docs: org.apache.spark.sql.DataFrame, idCol: String, textCol: String,
                query: Seq[String], k: Int,
                k1: Double = 1.2, b: Double = 0.75): org.apache.spark.sql.DataFrame = {
     require(query.nonEmpty, "bm25TopK needs at least one query term")
     val terms = query.distinct.sorted
     val ws = words(col(textCol))
-    val qlit = typedLit(terms)
-    val toks = docs.select(col(idCol), size(ws).as("__dl"),
-      explode_outer(filter(ws, w => array_contains(qlit, w))).as("__w"))
-    val tf = toks.groupBy(col(idCol), col("__dl"), col("__w"))
-      .agg(count(lit(1)).as("__tf"))
-    val stats = tf.groupBy(col(idCol)).agg(min(col("__dl")).as("__dl1"))
-      .agg(count(lit(1)).cast("double").as("__n"), avg(col("__dl1")).as("__avgdl"))
-    val dfx = tf.filter(col("__w").isNotNull)
-      .groupBy(col("__w")).agg(count(lit(1)).as("__df"))
-    tf.filter(col("__w").isNotNull)
-      .join(broadcast(dfx), "__w")
-      .crossJoin(broadcast(stats))
-      .withColumn("__idf",
-        log((col("__n") - col("__df") + lit(0.5)) / (col("__df") + lit(0.5)) + lit(1.0)))
-      .withColumn("__s",
-        col("__idf") * (col("__tf") * lit(k1 + 1)) /
-          (col("__tf") + lit(k1) * (lit(1 - b) + lit(b) * col("__dl") / col("__avgdl"))))
-      .groupBy(col(idCol))
-      .agg(round(sum(col("__s")), 4).as("bm25"), count(lit(1)).as("n_terms"))
+    val perDoc = docs.select(col(idCol) +: size(ws).as("__dl") +:
+      terms.zipWithIndex.map { case (t, i) =>
+        size(filter(ws, w => w === lit(t))).as(s"__tf$i")
+      }: _*)
+    val aggCols = count(lit(1)).cast("double").as("__n") +:
+      avg(col("__dl")).as("__avgdl") +:
+      terms.indices.map(i => sum((col(s"__tf$i") > 0).cast("long")).as(s"__df$i"))
+    val stats = perDoc.agg(aggCols.head, aggCols.tail: _*)
+    val perTerm = terms.indices.map { i =>
+      val idf = log((col("__n") - col(s"__df$i") + lit(0.5)) /
+        (col(s"__df$i") + lit(0.5)) + lit(1.0))
+      when(col(s"__tf$i") > 0,
+        idf * (col(s"__tf$i") * lit(k1 + 1)) /
+          (col(s"__tf$i") + lit(k1) * (lit(1 - b) + lit(b) * col("__dl") / col("__avgdl"))))
+        .otherwise(lit(0.0))
+    }
+    perDoc.crossJoin(broadcast(stats))
+      .select(col(idCol),
+        round(perTerm.reduce(_ + _), 4).as("bm25"),
+        terms.indices.map(i => (col(s"__tf$i") > 0).cast("long")).reduce(_ + _).as("n_terms"))
+      .filter(col("n_terms") > 0)
       .orderBy(desc("bm25"), col(idCol))
       .limit(k)
   }

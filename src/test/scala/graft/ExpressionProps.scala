@@ -104,7 +104,10 @@ object ExpressionProps extends Properties("graft.expressions") {
         BoundReference(0, ArrayType(DoubleType, containsNull = false), nullable = true))
       // update per partition, then serialize -> deserialize -> merge, as
       // the exchange would
-      val parts = rows.zipWithIndex.groupMap(_._2 % nParts)(_._1).values.toList
+      // a partition with no rows for the group serializes its EMPTY (null)
+      // buffer — the exchange path must round-trip it
+      val parts = List.empty[List[Double]] ::
+        rows.zipWithIndex.groupMap(_._2 % nParts)(_._1).values.toList
       val merged = parts
         .map(_.foldLeft(agg.createAggregationBuffer()) { (b, v) =>
           agg.update(b, InternalRow(new GenericArrayData(v.toArray)))
