@@ -393,6 +393,34 @@ object QueriesPipeline {
                                   ELSE 250000 END"""
   }
 
+  /** Weighted corpus mixing (epoch-style up/down-sampling): src0 ×2.5,
+    * src1 ×1.0, src2 ×0.4, everything else ×0.25 — repeated rows carry a
+    * 0-based `epoch` index, fractional parts resolve by the same
+    * deterministic hash gate as q_sample. */
+  def qMix(spark: SparkSession, dir: String): DataFrame =
+    graft.pipeline.Sampling.weightedMix(Tables.documents(spark, dir).df,
+      col("doc_id"), col("source"),
+      weights = Map("src0" -> 2.5, "src1" -> 1.0, "src2" -> 0.4),
+      defaultWeight = 0.25, salt = "mix2")
+      .select(col("doc_id"), col("source"), col("epoch"))
+
+  val qMixSql: String = {
+    val gate = "((" + PolyFold.format("(doc_id::VARCHAR || 'mix2')") + ") * 2654435761) % 1000000"
+    s"""WITH c AS (
+          SELECT doc_id, source,
+            (CASE source WHEN 'src0' THEN 2 WHEN 'src1' THEN 1
+                         WHEN 'src2' THEN 0 ELSE 0 END)
+            + (CASE WHEN $gate < CASE source WHEN 'src0' THEN 500000
+                                             WHEN 'src1' THEN 0
+                                             WHEN 'src2' THEN 400000
+                                             ELSE 250000 END
+                    THEN 1 ELSE 0 END) AS copies
+          FROM documents)
+        SELECT doc_id, source, t.e::BIGINT AS epoch
+        FROM c, LATERAL (SELECT unnest(generate_series(0, copies - 1)) AS e) t
+        WHERE copies > 0"""
+  }
+
   /** Gopher-style repetition quality filters per document. */
   def qRepetition(spark: SparkSession, dir: String): DataFrame =
     TextOps.repetitionFeatures(Tables.documents(spark, dir).df, "doc_id", "text")
@@ -673,6 +701,7 @@ object QueriesPipeline {
     "q_fingerprint" -> (qFingerprint _),
     "q_repetition" -> (qRepetition _),
     "q_sample" -> (qSample _),
+    "q_mix" -> (qMix _),
     "q_top_ngrams" -> (qTopNgrams _),
     "q_length_quantiles" -> (qLengthQuantiles _),
     "q_pack" -> (qPack _),
@@ -705,6 +734,7 @@ object QueriesPipeline {
     "q_fingerprint" -> qFingerprintSql,
     "q_repetition" -> qRepetitionSql,
     "q_sample" -> qSampleSql,
+    "q_mix" -> qMixSql,
     "q_top_ngrams" -> qTopNgramsSql,
     "q_length_quantiles" -> qLengthQuantilesSql,
     "q_pack" -> qPackSql,

@@ -44,4 +44,32 @@ object Sampling {
     }
     df.filter(gate(keyCol, salt) < threshold)
   }
+
+  /** Weighted corpus mixing with weights that may EXCEED 1 — the
+    * epoch-style up/down-sampling step of training-mix assembly (e.g.
+    * wiki ×3.2, crawl ×0.6): each row repeats floor(w) times and once
+    * more with hash-gated probability frac(w), so expected multiplicity
+    * is exactly w, the realized multiplicity is deterministic per key,
+    * and a repeated row is distinguishable by its `epoch` column (0-based
+    * copy index — downstream shuffles treat copies as distinct records).
+    * Pure per-row explode, no shuffle, engine-reproducible like the
+    * samplers above. Strata absent from `weights` default to weight 0
+    * (dropped) unless `defaultWeight` says otherwise. */
+  def weightedMix(df: DataFrame, keyCol: Column, strataCol: Column,
+                  weights: Map[String, Double], defaultWeight: Double = 0.0,
+                  salt: String = ""): DataFrame = {
+    require((defaultWeight +: weights.values.toSeq).forall(_ >= 0.0),
+      "weights must be non-negative")
+    def part(f: Double => Long): Column =
+      weights.toSeq.sortBy(_._1).foldRight(lit(f(defaultWeight))) { case ((s, w), rest) =>
+        when(strataCol === s, lit(f(w))).otherwise(rest)
+      }
+    val whole = part(w => math.floor(w).toLong)
+    val fracGate = part(w => math.round((w - math.floor(w)) * Scale))
+    val copies = whole + when(gate(keyCol, salt) < fracGate, 1L).otherwise(0L)
+    // copies = 0 must yield an EMPTY array (sequence(0, -1) would descend)
+    val epochs = when(copies > 0, sequence(lit(0L), copies - 1))
+      .otherwise(array().cast("array<bigint>"))
+    df.withColumn("epoch", explode(epochs))
+  }
 }
