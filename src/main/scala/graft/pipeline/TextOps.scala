@@ -158,8 +158,16 @@ object TextOps {
                    textCol: String): org.apache.spark.sql.DataFrame = {
     val tf = docs.select(col(idCol), explode(words(col(textCol))).as("__w"))
       .groupBy(col(idCol), col("__w")).agg(count(lit(1)).as("__tf"))
-    val dfx = tf.groupBy(col("__w")).agg(count(lit(1)).as("__df"))
-    val nd = tf.agg(countDistinct(col(idCol)).as("__nd"))
+    // ONE pass over tf yields BOTH stats via rollup: the (__w) groups give
+    // per-word document frequencies, the grand-total group's distinct-doc
+    // count is N — previously two separate aggregations whose differently
+    // pruned inputs defeated ReuseExchange (three tokenization passes;
+    // two is the floor for corpus-stat-then-score without caching)
+    val stats = tf.rollup(col("__w"))
+      .agg(count(lit(1)).as("__df"), countDistinct(col(idCol)).as("__ndist"),
+        grouping(col("__w")).as("__g"))
+    val dfx = stats.filter(col("__g") === 0).select(col("__w"), col("__df"))
+    val nd = stats.filter(col("__g") === 1).select(col("__ndist").as("__nd"))
     tf.join(dfx, "__w")
       .crossJoin(broadcast(nd))
       .withColumn("__tfidf", col("__tf") * log(col("__nd").cast("double") / col("__df")))
