@@ -19,6 +19,31 @@ object QueriesPipeline {
   private val PolyFold =
     "list_reduce([0] || [ord(c)::BIGINT for c in string_split(%s, '')], (a, c) -> (a * 31 + c) %% 1000000007)"
 
+  /** The MinHash/LSH candidate-pair CTE chain (words → shingles → hashes
+    * → signatures → bands → `cand(id_a, id_b)`), shared by every oracle
+    * that mirrors `Dedup.lshCandidates` — ONE generator, so the mirrors
+    * cannot drift from each other (or from the Spark hash constants). */
+  private def minhashCandidateCtes(k: Int, bands: Int): String = {
+    val rows = k / bands
+    val mins = (0 until k).map(j =>
+      s"min((h * ${2 * j + 1} + ${12345 * j + 7}) % 1000000007) AS mh$j").mkString(", ")
+    val bandRows = (0 until bands).map { b =>
+      val bv = (0 until rows).map(r => s"mh${b * rows + r}").reduce((x, y) => s"($x * 31 + $y)")
+      s"SELECT doc_id, $b AS band, $bv AS bv FROM sig"
+    }.mkString(" UNION ALL ")
+    s"""words AS (SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS w FROM documents),
+        shex AS (SELECT doc_id, unnest(list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+                                                      for i in range(1, len(w) - 1)])) AS s
+                 FROM words),
+        h AS (SELECT doc_id, list_reduce([0] || [ord(c)::BIGINT for c in string_split(s, '')],
+                                         (a, c) -> (a * 31 + c) % 1000000007) AS h FROM shex),
+        sig AS (SELECT doc_id, $mins FROM h GROUP BY doc_id),
+        bands AS ($bandRows),
+        cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+                 FROM bands a JOIN bands b ON a.band = b.band AND a.bv = b.bv
+                                          AND a.doc_id < b.doc_id)"""
+  }
+
   /** Exact dedup: representative id + copy count per identical text. */
   def qDedupExact(spark: SparkSession, dir: String): DataFrame =
     Dedup.exact(Tables.documents(spark, dir).df, "doc_id", "text")
@@ -38,32 +63,14 @@ object QueriesPipeline {
     Dedup.minhashNearDup(Tables.documents(spark, dir).df, "doc_id", "text",
       k = 16, bands = 8, threshold = 0.8)
 
-  val qMinhashDedupSql: String = {
-    val k = 16; val bands = 8; val rows = k / bands
-    val mins = (0 until k).map(j =>
-      s"min((h * ${2 * j + 1} + ${12345 * j + 7}) % 1000000007) AS mh$j").mkString(", ")
-    val bandRows = (0 until bands).map { b =>
-      val bv = (0 until rows).map(r => s"mh${b * rows + r}").reduce((x, y) => s"($x * 31 + $y)")
-      s"SELECT doc_id, $b AS band, $bv AS bv FROM sig"
-    }.mkString(" UNION ALL ")
-    s"""WITH words AS (SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS w FROM documents),
-        shex AS (SELECT doc_id, unnest(list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
-                                                      for i in range(1, len(w) - 1)])) AS s
-                 FROM words),
-        h AS (SELECT doc_id, list_reduce([0] || [ord(c)::BIGINT for c in string_split(s, '')],
-                                         (a, c) -> (a * 31 + c) % 1000000007) AS h FROM shex),
-        sig AS (SELECT doc_id, $mins FROM h GROUP BY doc_id),
-        bands AS ($bandRows),
-        cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-                 FROM bands a JOIN bands b ON a.band = b.band AND a.bv = b.bv
-                                          AND a.doc_id < b.doc_id),
+  val qMinhashDedupSql: String =
+    s"""WITH ${minhashCandidateCtes(16, 8)},
         sets AS (SELECT doc_id, list_distinct(list(h)) AS sh FROM h GROUP BY doc_id)
         SELECT id_a, id_b, round(j, 3) AS jaccard FROM (
           SELECT id_a, id_b, len(list_intersect(x.sh, y.sh))::DOUBLE
                              / len(list_distinct(list_concat(x.sh, y.sh))) AS j
           FROM cand JOIN sets x ON x.doc_id = id_a JOIN sets y ON y.doc_id = id_b)
         WHERE j >= 0.8"""
-  }
 
   /** Fuzzy dedup: LSH-blocked edit-distance pairs (<= 20 edits). Shares
     * the qMinhashDedup candidate mirror; verification is DuckDB's full
@@ -73,31 +80,13 @@ object QueriesPipeline {
     Dedup.editDistanceNearDup(Tables.documents(spark, dir).df, "doc_id", "text",
       k = 16, bands = 8, maxDist = 20)
 
-  val qEditDistSql: String = {
-    val k = 16; val bands = 8; val rows = k / bands
-    val mins = (0 until k).map(j =>
-      s"min((h * ${2 * j + 1} + ${12345 * j + 7}) % 1000000007) AS mh$j").mkString(", ")
-    val bandRows = (0 until bands).map { b =>
-      val bv = (0 until rows).map(r => s"mh${b * rows + r}").reduce((x, y) => s"($x * 31 + $y)")
-      s"SELECT doc_id, $b AS band, $bv AS bv FROM sig"
-    }.mkString(" UNION ALL ")
-    s"""WITH words AS (SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS w FROM documents),
-        shex AS (SELECT doc_id, unnest(list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
-                                                      for i in range(1, len(w) - 1)])) AS s
-                 FROM words),
-        h AS (SELECT doc_id, list_reduce([0] || [ord(c)::BIGINT for c in string_split(s, '')],
-                                         (a, c) -> (a * 31 + c) % 1000000007) AS h FROM shex),
-        sig AS (SELECT doc_id, $mins FROM h GROUP BY doc_id),
-        bands AS ($bandRows),
-        cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-                 FROM bands a JOIN bands b ON a.band = b.band AND a.bv = b.bv
-                                          AND a.doc_id < b.doc_id)
+  val qEditDistSql: String =
+    s"""WITH ${minhashCandidateCtes(16, 8)}
         SELECT id_a, id_b, d AS dist FROM (
           SELECT id_a, id_b, levenshtein(x.text, y.text) AS d
           FROM cand JOIN documents x ON x.doc_id = id_a
                     JOIN documents y ON y.doc_id = id_b)
         WHERE d <= 20"""
-  }
 
   /** Duplicate clusters: MinHash+LSH near-dup pairs folded into connected
     * components (large-star/small-star), each doc labeled with its cluster

@@ -181,8 +181,13 @@ final class MStream(
                tolerance: Option[Long] = None,
                watermarkDelay: String = "0 seconds",
                inner: Boolean = false): MStream = {
+    require(df.isStreaming == right.df.isStreaming,
+      "asofJoin needs both sides batch or both streaming (Spark cannot union a " +
+        "stream with a batch frame); snapshot or stream the other side first")
+    // one program, one meaning: on TimestampType columns `tolerance` is
+    // MILLISECONDS in BOTH lowerings (batch compares epoch millis there)
     val out =
-      if (df.isStreaming || right.df.isStreaming)
+      if (df.isStreaming)
         graft.streaming.StreamingAsof.asofBackward(df, leftTs, right.df, rightTs,
           keys, rightOrder, tolerance, watermarkDelay, inner)
       else

@@ -45,16 +45,22 @@ case class VectorSum(
 
   private def add(buf: Array[Double], arr: org.apache.spark.sql.catalyst.util.ArrayData): Array[Double] = {
     val n = arr.numElements()
+    // a null ELEMENT would silently read as 0.0 — raise, like the
+    // dimension-mismatch path (null whole-vector rows are skipped upstream)
+    def elem(i: Int): Double = {
+      require(!arr.isNullAt(i), s"graft_vec_sum: null element at position $i")
+      arr.getDouble(i)
+    }
     if (buf == null) {
       val fresh = new Array[Double](n)
       var i = 0
-      while (i < n) { fresh(i) = arr.getDouble(i); i += 1 }
+      while (i < n) { fresh(i) = elem(i); i += 1 }
       fresh
     } else {
       require(buf.length == n,
         s"graft_vec_sum: dimension mismatch (${buf.length} vs $n)")
       var i = 0
-      while (i < n) { buf(i) += arr.getDouble(i); i += 1 }
+      while (i < n) { buf(i) += elem(i); i += 1 }
       buf
     }
   }

@@ -42,9 +42,12 @@ object AsofJoins {
     * order wins — pass a unique column for determinism). Column names of
     * the two inputs must be disjoint (project first). Timestamps are any
     * orderable numeric/temporal column; `tolerance` is in the same units
-    * as the timestamp columns. Forward as-of = negate the time axis on
-    * both inputs. Rows with a null timestamp never match (nulls sort
-    * first). */
+    * as the timestamp columns — except TimestampType, where it is
+    * MILLISECONDS (matching the streaming lowering, so one MStream
+    * program means one thing in both modes). Forward as-of = negate the
+    * time axis on both inputs. Rights with a null timestamp are dropped
+    * (they would otherwise sort first and masquerade as "oldest");
+    * null-timestamp lefts emit unmatched. */
   def asofBackward(left: DataFrame, leftTs: String,
                    right: DataFrame, rightTs: String,
                    keys: Seq[(String, String)],
@@ -56,6 +59,9 @@ object AsofJoins {
       "rightOrder must name tie-break column(s) for equal right timestamps")
     val overlap = left.columns.toSet.intersect(right.columns.toSet)
     require(overlap.isEmpty, s"column names must be disjoint, both sides have: $overlap")
+    require(left.schema(leftTs).dataType == right.schema(rightTs).dataType,
+      s"timestamp columns must share a type, got ${left.schema(leftTs).dataType} " +
+        s"vs ${right.schema(rightTs).dataType}")
     val internal = Set("__l", "__r", "__k", "__ts", "__tag", "__ro")
     val clash = (left.columns.toSet ++ right.columns.toSet).intersect(internal)
     require(clash.isEmpty, s"inputs must not contain internal columns: $clash")
@@ -74,7 +80,9 @@ object AsofJoins {
       left.col(leftTs).as("__ts"),
       lit(1).as("__tag"),
       lit(null).cast(roType).as("__ro"))
-    val rp = right.select(
+    // a null-ts right would sort FIRST (nulls-first asc) and become the
+    // running match for lefts that have no genuine predecessor — drop it
+    val rp = right.filter(right.col(rightTs).isNotNull).select(
       lit(null).cast(lStructT).as("__l"),
       struct(right.columns.toIndexedSeq.map(right.col): _*).as("__r"),
       struct(keys.zipWithIndex.map { case ((_, rk), i) => right.col(rk).as(s"k$i") }: _*).as("__k"),
@@ -91,10 +99,17 @@ object AsofJoins {
     val withMatch = lp.unionByName(rp)
       .withColumn("__m", matchedRaw)
       .filter(col("__tag") === 1)
+    // TimestampType cannot subtract a bigint under ANSI; compare on epoch
+    // millis there (tolerance is then ms, matching the streaming lowering)
+    def tsVal(c: Column): Column =
+      if (left.schema(leftTs).dataType == org.apache.spark.sql.types.TimestampType)
+        unix_millis(c)
+      else c
     val inTol: Column = tolerance match {
       case None => col("__m").isNotNull
       case Some(t) =>
-        col("__m").isNotNull && col("__m").getField(rightTs) >= col("__ts") - lit(t)
+        col("__m").isNotNull &&
+          tsVal(col("__m").getField(rightTs)) >= tsVal(col("__ts")) - lit(t)
     }
     val paired = withMatch
       .withColumn("__mr", when(inTol, col("__m")).otherwise(lit(null).cast(rStructT)))

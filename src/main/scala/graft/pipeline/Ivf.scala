@@ -68,7 +68,7 @@ object Ivf {
           .select(nearestCid(col("__pv"), cent).as("cid"), col("__pv"))
           .groupBy("cid")
           .agg(graft.functions.VectorFunctions.vectorSum(col("__pv")).as("__s"),
-            count(lit(1)).as("__n"))
+            count(col("__pv")).as("__n")) // same non-null population as the sum
           .collect()
           .map { r =>
             val n = r.getLong(2).toDouble

@@ -94,7 +94,10 @@ object Similarity {
     val v = col(vecCol).cast("array<double>")
     embs.select(col(groupCol), v.as("__v"))
       .groupBy(col(groupCol))
-      .agg(count(lit(1)).as("n_vecs"),
+      // count(__v), not count(*): null vectors are skipped by BOTH the
+      // VectorSum accumulation and avg(norm), so the centroid divisor and
+      // the reported count must use the same (non-null) population
+      .agg(count(col("__v")).as("n_vecs"),
         graft.functions.VectorFunctions.vectorSum(col("__v")).as("__s"),
         avg(norm(col("__v"))).as("__an"))
       .select(col(groupCol), col("n_vecs"),

@@ -26,7 +26,11 @@ import org.apache.spark.sql.types.{StructField, StructType, TimestampType}
  * only the latest can ever win, under any tolerance (the candidate set
  * only shrinks further back in time). Rights newer than the watermark stay
  * until they age past it: state is O(watermark-lag × rate) per key, the
- * same bound as a native stream-stream join buffer.
+ * same bound as a native stream-stream join buffer. With a tolerance, an
+ * idle key's compacted right ages out entirely (an eviction timeout fires
+ * once it passes the tolerance horizon) and the key's state is removed;
+ * without one, that single record is legitimately needed forever — the
+ * reference's own forever-groups enrichment default.
  *
  * The timestamp columns must be TimestampType; `toleranceMs` is in
  * milliseconds (the watermark clock). Emission ties match the batch
@@ -59,7 +63,9 @@ object StreamingAsof {
 
     def prep(df: DataFrame, ts: String, ks: Seq[String], isLeft: Boolean): DataFrame = {
       val self = struct(df.columns.toIndexedSeq.map(df.col): _*)
-      df.select(
+      // null event times have no place on a watermark clock: drop them
+      // rather than NPE in the state machine
+      df.filter(df.col(ts).isNotNull).select(
         (if (isLeft) self else lit(null).cast(lStructT)).as("_l"),
         (if (isLeft) lit(null).cast(rStructT) else self).as("_r"),
         struct(ks.zipWithIndex.map { case (k, i) => df.col(k).as(s"k$i") }: _*).as("__k"),
@@ -98,34 +104,52 @@ object StreamingAsof {
       .flatMapGroupsWithState[(List[(Long, Row)], List[(Long, Row, Row)]), Row](
         OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
         (_: Seq[Any], it: Iterator[Row], state: GroupState[(List[(Long, Row)], List[(Long, Row, Row)])]) =>
-          var (pending, rights) = state.getOption.getOrElse(
+          val st = state.getOption.getOrElse(
             (List.empty[(Long, Row)], List.empty[(Long, Row, Row)]))
+          // buffer-append the batch (List :+ would copy the whole list per
+          // record — quadratic on a hot key)
+          val pendingBuf = scala.collection.mutable.ListBuffer.from(st._1)
+          val rightsBuf = scala.collection.mutable.ListBuffer.from(st._2)
           it.foreach { rec =>
             val ts = rec.getTimestamp(tsIdx).getTime
-            if (rec.getInt(tagIdx) == 1) pending :+= ((ts, rec.getStruct(lIdx)))
-            else rights :+= ((ts, rec.getStruct(rIdx), rec.getStruct(roIdx)))
+            if (rec.getInt(tagIdx) == 1) pendingBuf += ((ts, rec.getStruct(lIdx)))
+            else rightsBuf += ((ts, rec.getStruct(rIdx), rec.getStruct(roIdx)))
           }
           val w = state.getCurrentWatermarkMs()
           // a left matures once the watermark passes it STRICTLY: a right
           // stamped exactly at the watermark is not yet late, so waiting
           // for w > ts keeps equal-timestamp rights admissible
-          val (mature, stillPending) = pending.partition(_._1 < w)
+          val (mature, stillPending) = pendingBuf.toList.partition(_._1 < w)
+          val allRights = rightsBuf.toList
           val outs = mature.sortBy(_._1).map { case (lts, l) =>
-            val cands = rights.filter(r =>
+            val cands = allRights.filter(r =>
               r._1 <= lts && tol.forall(t => r._1 >= lts - t))
             Row(l, best(cands))
           }
           // compact: of the rights at-or-below the watermark, only the
-          // latest can win for any future (necessarily later) left
-          val (old, fresh) = rights.partition(_._1 <= w)
-          rights = old.reduceOption((x, y) => if (later(x, y)) x else y).toList ++ fresh
-          pending = stillPending
+          // latest can win for any future (necessarily later) left; with
+          // a tolerance, a right older than watermark - tolerance cannot
+          // match ANY future left (all have ts > watermark) — drop it
+          val (old, fresh) = allRights.partition(_._1 <= w)
+          val keptOld = old.reduceOption((x, y) => if (later(x, y)) x else y)
+            .filter(r => tol.forall(t => r._1 >= w - t)).toList
+          val rights = keptOld ++ fresh
+          val pending = stillPending
           if (pending.isEmpty && rights.isEmpty) state.remove()
           else {
             state.update((pending, rights))
             if (pending.nonEmpty)
               state.setTimeoutTimestamp(
                 math.max(pending.map(_._1).min, state.getCurrentWatermarkMs() + 1))
+            else tol.foreach { t =>
+              // no lefts waiting: wake once every currently-held right has
+              // aged past the tolerance horizon, so an idle key's state
+              // reaches empty and is removed. Without a tolerance the
+              // single compacted right is legitimately needed forever —
+              // the reference's own forever-groups enrichment default.
+              state.setTimeoutTimestamp(math.max(
+                rights.map(_._1).max + t + 1, state.getCurrentWatermarkMs() + 1))
+            }
           }
           outs.iterator
       }(stEnc, outEnc)

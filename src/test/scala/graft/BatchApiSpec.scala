@@ -296,6 +296,18 @@ class BatchApiSpec extends SparkSpec {
     }
   }
 
+  test("as-of drops null-timestamp rights instead of matching them as oldest") {
+    import graft.operators.AsofJoins
+    val lefts = Seq((1L, 1L, 10L)).toDF("l_id", "l_k", "l_ts")
+    val rights = Seq((1L, 1L, Option.empty[Long], 1.0), (2L, 1L, Some(50L), 2.0))
+      .toDF("r_id", "r_k", "r_ts", "r_v")
+    // the only right at-or-before t10 is the null-ts one, which must NOT
+    // masquerade as "oldest" — the left emits unmatched
+    val got = AsofJoins.asofBackward(lefts, "l_ts", rights, "r_ts",
+      Seq("l_k" -> "r_k"), Seq("r_id")).collect()
+    assert(got.length == 1 && got(0).isNullAt(got(0).fieldIndex("r_id")))
+  }
+
   test("range join rejects internal-column collisions and over-long intervals") {
     import graft.operators.RangeJoins
     val pts = Seq(5L).toDF("pt")
