@@ -62,4 +62,22 @@ class ApiCoverageSpec extends SparkSpec {
       .filter(col("k") === "a").orderBy("t").select("n").collect().map(_.getLong(0)).toSeq
     assert(cnt == Seq(1L, 2L, 3L))
   }
+
+  test("MStream.asofJoin routes batch inputs and rejects mixed batch/stream") {
+    val lefts = new MStream(Seq((1L, 1L, 10L)).toDF("l_id", "l_k", "l_ts"), Seq("l_ts"))
+    val rights = new MStream(
+      Seq((1L, 1L, 4L, 1.5), (2L, 1L, 8L, 2.5), (3L, 1L, 12L, 3.5))
+        .toDF("r_id", "r_k", "r_ts", "r_v"), Seq("r_ts"))
+    val got = lefts.asofJoin(rights, "l_ts", "r_ts", Seq("l_k" -> "r_k"), Seq("r_id"))
+      .df.select("l_id", "r_id").collect()
+    assert(got.map(r => (r.getLong(0), r.getLong(1))).toSeq == Seq((1L, 2L)),
+      "batch path: latest right at-or-before t10 is r2@t8")
+    implicit val sqlCtx = spark.sqlContext
+    val streamed = new MStream(
+      org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, Long, Long)]
+        .toDF().toDF("r_id", "r_k", "r_ts"), Seq("r_ts"))
+    intercept[IllegalArgumentException] {
+      lefts.asofJoin(streamed, "l_ts", "r_ts", Seq("l_k" -> "r_k"), Seq("r_id"))
+    }
+  }
 }
