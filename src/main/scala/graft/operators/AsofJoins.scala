@@ -44,8 +44,8 @@ object AsofJoins {
     * orderable numeric/temporal column; `tolerance` is in the same units
     * as the timestamp columns — except TimestampType, where it is
     * MILLISECONDS (matching the streaming lowering, so one MStream
-    * program means one thing in both modes). Forward as-of = negate the
-    * time axis on both inputs. Rights with a null timestamp are dropped
+    * program means one thing in both modes). For the forward direction
+    * see `asofForward`. Rights with a null timestamp are dropped
     * (they would otherwise sort first and masquerade as "oldest");
     * null-timestamp lefts emit unmatched. */
   def asofBackward(left: DataFrame, leftTs: String,
@@ -53,7 +53,32 @@ object AsofJoins {
                    keys: Seq[(String, String)],
                    rightOrder: Seq[String],
                    tolerance: Option[Long] = None,
-                   inner: Boolean = false): DataFrame = {
+                   inner: Boolean = false): DataFrame =
+    asofImpl(left, leftTs, right, rightTs, keys, rightOrder, tolerance, inner,
+      forward = false)
+
+  /** Forward as-of join (pandas `merge_asof(direction="forward")`): the
+    * EARLIEST right at-or-after each left's timestamp, per key, optionally
+    * within `tolerance` ahead. Ties among equal-timestamp rights break
+    * FIRST-wins on (ts, rightOrder) — the mirror of backward's last-wins.
+    * Same one-shuffle union+window lowering, with the frame looking
+    * forward. */
+  def asofForward(left: DataFrame, leftTs: String,
+                  right: DataFrame, rightTs: String,
+                  keys: Seq[(String, String)],
+                  rightOrder: Seq[String],
+                  tolerance: Option[Long] = None,
+                  inner: Boolean = false): DataFrame =
+    asofImpl(left, leftTs, right, rightTs, keys, rightOrder, tolerance, inner,
+      forward = true)
+
+  private def asofImpl(left: DataFrame, leftTs: String,
+                       right: DataFrame, rightTs: String,
+                       keys: Seq[(String, String)],
+                       rightOrder: Seq[String],
+                       tolerance: Option[Long],
+                       inner: Boolean,
+                       forward: Boolean): DataFrame = {
     require(keys.nonEmpty, "as-of join requires at least one equi-key pair")
     require(rightOrder.nonEmpty,
       "rightOrder must name tie-break column(s) for equal right timestamps")
@@ -68,17 +93,21 @@ object AsofJoins {
 
     val lStructT = org.apache.spark.sql.types.StructType(left.schema.fields)
     val rStructT = org.apache.spark.sql.types.StructType(right.schema.fields)
-    // rights carry their tie-break values; lefts take the type-matched max
-    // so a left at (ts, tag=1) sorts after every right at the same ts
+    // rights carry their tie-break values; lefts carry a type-matched null
+    // (at equal (ts, tag) lefts only ever compare among themselves)
     val roType = org.apache.spark.sql.types.StructType(
       rightOrder.map(c => right.schema(c)).toIndexedSeq)
 
+    // equal-timestamp rights must be VISIBLE to the left: in a backward
+    // frame (ending at the left) rights sort before lefts; in a forward
+    // frame (starting at the left) lefts sort before rights
+    val (lTag, rTag) = if (forward) (0, 1) else (1, 0)
     val lp = left.select(
       struct(left.columns.toIndexedSeq.map(left.col): _*).as("__l"),
       lit(null).cast(rStructT).as("__r"),
       struct(keys.zipWithIndex.map { case ((lk, _), i) => left.col(lk).as(s"k$i") }: _*).as("__k"),
       left.col(leftTs).as("__ts"),
-      lit(1).as("__tag"),
+      lit(lTag).as("__tag"),
       lit(null).cast(roType).as("__ro"))
     // a null-ts right would sort FIRST (nulls-first asc) and become the
     // running match for lefts that have no genuine predecessor — drop it
@@ -87,18 +116,24 @@ object AsofJoins {
       struct(right.columns.toIndexedSeq.map(right.col): _*).as("__r"),
       struct(keys.zipWithIndex.map { case ((_, rk), i) => right.col(rk).as(s"k$i") }: _*).as("__k"),
       right.col(rightTs).as("__ts"),
-      lit(0).as("__tag"),
+      lit(rTag).as("__tag"),
       struct(rightOrder.map(right.col): _*).as("__ro"))
 
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("__k"))
+    val W = org.apache.spark.sql.expressions.Window
+    val ordered = W.partitionBy(col("__k"))
       .orderBy(col("__ts").asc, col("__tag").asc, col("__ro").asc)
-      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    val w =
+      if (forward) ordered.rowsBetween(0, W.unboundedFollowing)
+      else ordered.rowsBetween(W.unboundedPreceding, 0)
 
-    val matchedRaw = last(col("__r"), ignoreNulls = true).over(w)
+    // backward: LAST right at-or-before (latest, last-wins ties);
+    // forward: FIRST right at-or-after (earliest, first-wins ties)
+    val matchedRaw =
+      if (forward) first(col("__r"), ignoreNulls = true).over(w)
+      else last(col("__r"), ignoreNulls = true).over(w)
     val withMatch = lp.unionByName(rp)
       .withColumn("__m", matchedRaw)
-      .filter(col("__tag") === 1)
+      .filter(col("__l").isNotNull)
     // TimestampType cannot subtract a bigint under ANSI; compare on epoch
     // millis there (tolerance is then ms, matching the streaming lowering)
     def tsVal(c: Column): Column =
@@ -108,8 +143,10 @@ object AsofJoins {
     val inTol: Column = tolerance match {
       case None => col("__m").isNotNull
       case Some(t) =>
+        val m = tsVal(col("__m").getField(rightTs))
+        val l = tsVal(col("__ts"))
         col("__m").isNotNull &&
-          tsVal(col("__m").getField(rightTs)) >= tsVal(col("__ts")) - lit(t)
+          (if (forward) m <= l + lit(t) else m >= l - lit(t))
     }
     val paired = withMatch
       .withColumn("__mr", when(inTol, col("__m")).otherwise(lit(null).cast(rStructT)))

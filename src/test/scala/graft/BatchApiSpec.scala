@@ -296,6 +296,28 @@ class BatchApiSpec extends SparkSpec {
     }
   }
 
+  test("forward as-of equals naive per-left argmin; first-wins ties") {
+    import graft.operators.AsofJoins
+    val rnd = new scala.util.Random(13)
+    val lRows = (1 to 300).map(i => (i.toLong, rnd.nextInt(8).toLong, rnd.nextLong(500)))
+    val rRows = (1 to 300).map(i =>
+      (i.toLong, rnd.nextInt(8).toLong, rnd.nextLong(500), rnd.nextInt(50).toDouble))
+    val lefts = lRows.toDF("l_id", "l_k", "l_ts")
+    val rights = rRows.toDF("r_id", "r_k", "r_ts", "r_v")
+    val tol = 60L
+    val got = AsofJoins.asofForward(lefts, "l_ts", rights, "r_ts",
+      Seq("l_k" -> "r_k"), Seq("r_id"), tolerance = Some(tol))
+    val gotPairs = got.select("l_id", "r_id").collect()
+      .map(r => (r.getLong(0), if (r.isNullAt(1)) -1L else r.getLong(1))).toSet
+    val expected = lRows.map { case (lid, lk, lts) =>
+      val best = rRows.filter(r => r._2 == lk && r._3 >= lts && r._3 <= lts + tol)
+        .sortBy(r => (r._3, r._1)).headOption
+      (lid, best.map(_._1).getOrElse(-1L))
+    }.toSet
+    assert(gotPairs == expected, "forward as-of = earliest right within tolerance, first-wins")
+    assert(!got.queryExecution.executedPlan.toString.contains("Join"))
+  }
+
   test("as-of drops null-timestamp rights instead of matching them as oldest") {
     import graft.operators.AsofJoins
     val lefts = Seq((1L, 1L, 10L)).toDF("l_id", "l_k", "l_ts")
