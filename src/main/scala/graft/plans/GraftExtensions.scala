@@ -47,6 +47,9 @@ object GraftExtensions {
       (es: Seq[Expression]) => SimHashBits(es(0), 32)),
     ("graft_byte_mean", info("graft_byte_mean", "mean unsigned byte of a binary column"),
       (es: Seq[Expression]) => ByteMean(es(0))),
+    ("graft_vec_sum", info("graft_vec_sum",
+      "aggregate: elementwise sum of array<double> vectors"),
+      (es: Seq[Expression]) => VectorSum(es(0)).toAggregateExpression()),
     ("graft_jaccard_at_least", info("graft_jaccard_at_least",
       "Jaccard of two sorted distinct array<bigint> with early abandonment below a literal threshold (-1 when provably below)"),
       (es: Seq[Expression]) => {

@@ -100,6 +100,37 @@ class BatchApiSpec extends SparkSpec {
     assert(strat("s0") == 500 && !strat.contains("s1"), "per-stratum rates applied")
   }
 
+  test("weighted mixing repeats by floor(w) or ceil(w), reproducibly across partitionings") {
+    import graft.pipeline.Sampling
+    val docs = (0L until 2000L).map(i => (i, s"s${i % 4}")).toDF("id", "src")
+    def mult(df: org.apache.spark.sql.DataFrame): Map[Long, Long] =
+      df.groupBy("id").count().collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val weights = Map("s0" -> 2.5, "s1" -> 1.0, "s2" -> 0.4)
+    val a = mult(Sampling.weightedMix(docs.repartition(7), col("id"), col("src"), weights))
+    val b = mult(Sampling.weightedMix(docs.repartition(3), col("id"), col("src"), weights))
+    assert(a == b, "partitioning-independent multiplicities")
+    // every s0 row appears 2 or 3 times, s1 exactly once, s2 0-or-1,
+    // default-weight (s3) rows never appear; realized total tracks E[w]
+    val bySrc = (i: Long) => s"s${i % 4}"
+    assert(a.forall { case (id, n) => bySrc(id) match {
+      case "s0" => n == 2L || n == 3L
+      case "s1" => n == 1L
+      case "s2" => n == 1L // multiplicity 0 rows are simply absent
+      case _    => false   // s3 should never be present
+    }})
+    val s0Total = a.collect { case (id, n) if bySrc(id) == "s0" => n }.sum
+    assert(math.abs(s0Total - 1250L) < 120, s"~2.5x on 500 s0 rows, got $s0Total")
+    assert(a.keys.count(bySrc(_) == "s2") > 120 && a.keys.count(bySrc(_) == "s2") < 280,
+      "~40% of s2 rows present")
+    // epoch indices are 0-based and contiguous per row
+    val epochs = Sampling.weightedMix(docs, col("id"), col("src"), weights)
+      .filter(col("src") === "s0").groupBy("id")
+      .agg(min("epoch").as("mn"), max("epoch").as("mx"), count(lit(1)).as("n"))
+      .collect()
+    assert(epochs.forall(r => r.getLong(r.fieldIndex("mn")) == 0L &&
+      r.getLong(r.fieldIndex("mx")) == r.getLong(r.fieldIndex("n")) - 1))
+  }
+
   test("simhash pigeonhole banding finds exactly the all-pairs Hamming matches") {
     val docs = (0L until 40L).map { i =>
       val words = (0 until 12).map(j => s"w${(i * 31 + j * 7) % 9}").mkString(" ")

@@ -37,4 +37,15 @@ class SqlFunctionSpec extends SparkSpec {
     assert(math.abs(r.getDouble(3) - 0.5) < 1e-12)
     assert(r.getDouble(4) == -1.0, "disjoint sets abandon below threshold")
   }
+
+  test("round-4 addition: graft_vec_sum aggregates elementwise from SQL") {
+    GraftExtensions.register(spark)
+    import spark.implicits._
+    Seq((0, Seq(1.0, 2.0)), (0, Seq(3.0, 4.0)), (1, Seq(5.0, 6.0)))
+      .toDF("g", "v").createOrReplaceTempView("vecs")
+    val rows = spark.sql(
+      "SELECT g, graft_vec_sum(v) AS s FROM vecs GROUP BY g ORDER BY g")
+      .collect().map(r => (r.getInt(0), r.getSeq[Double](1)))
+    assert(rows.toSeq == Seq((0, Seq(4.0, 6.0)), (1, Seq(5.0, 6.0))))
+  }
 }
