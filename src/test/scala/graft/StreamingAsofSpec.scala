@@ -78,6 +78,38 @@ class StreamingAsofSpec extends SparkSpec {
     }
   }
 
+  test("with a tolerance, an idle key's state evicts once its rights age out") {
+    // the watermark jump triggers an extra no-data batch inside
+    // processAllAvailable, so key 1's wake-up timeout fires right after
+    // the jump: with a tolerance its aged-out right leaves empty state
+    // (key removed); without one, the compacted right is kept forever
+    // (the reference's forever-groups default) and the key stays
+    def stateKeysAfterJump(tol: Option[Long]): Long = {
+      implicit val sqlCtx = spark.sqlContext
+      val ls = MemoryStream[AsofL]
+      val rs = MemoryStream[AsofR]
+      val out = graft.streaming.StreamingAsof.asofBackward(
+        ls.toDF(), "lts", rs.toDF(), "rts", Seq("lk" -> "rk"), Seq("rid"),
+        toleranceMs = tol)
+      val name = s"asof_evict_${System.nanoTime()}"
+      val q = out.writeStream.format("memory").queryName(name)
+        .outputMode(OutputMode.Append()).start()
+      try {
+        rs.addData(AsofR(1, t(5), 1)) // key 1 holds one right, no lefts
+        q.processAllAvailable()
+        rs.addData(AsofR(2, t(100), 99)) // watermark -> 100s, far past 5s+2s
+        q.processAllAvailable()
+        rs.addData(AsofR(2, t(200), 98)) // ensure a further observed batch
+        q.processAllAvailable()
+        q.lastProgress.stateOperators(0).numRowsTotal
+      } finally q.stop()
+    }
+    assert(stateKeysAfterJump(Some(2000L)) == 1L,
+      "tolerance: idle key 1 evicts entirely; only key 2 remains")
+    assert(stateKeysAfterJump(None) == 2L,
+      "no tolerance: key 1 keeps its compacted right forever")
+  }
+
   test("per-key isolation: each key matches only its own rights") {
     run() { (ls, rs, rows) =>
       rs.addData(AsofR(1, t(5), 1), AsofR(2, t(6), 2))
