@@ -97,14 +97,11 @@ object Scans {
     val df = s.df
     val keyIdx = keys.map(df.columns.indexOf(_))
     if (df.isStreaming) {
-      import org.apache.spark.sql.catalyst.encoders.RowEncoder
-      implicit val rowEnc: Encoder[Row] = RowEncoder.encoderFor(df.schema)
-      implicit val keyEnc: Encoder[Seq[Any]] = Encoders.kryo[Seq[Any]]
       val stEnc: Encoder[S] = Encoders.kryo[S] // state: kryo; output: caller's encoder
       val oIdx = order.map(df.schema.fieldIndex)
-      val out = df.groupByKey(r => keyIdx.map(r.get(_)): Seq[Any])(keyEnc)
+      val out = graft.streaming.KeyedRows.byNames(df, keys)
         .flatMapGroupsWithState[S, S](OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
-          (_: Seq[Any], it: Iterator[Row], state: GroupState[S]) =>
+          (_: Row, it: Iterator[Row], state: GroupState[S]) =>
             var st = state.getOption.getOrElse(initial)
             it.toSeq.sorted(graft.streaming.EventOrder.rowOrdering(oIdx))
               .foreach { r => st = step(st, r) }
@@ -162,14 +159,11 @@ object Scans {
     val df = s.df
     val keyIdx = keys.map(df.columns.indexOf(_))
     if (df.isStreaming) {
-      import org.apache.spark.sql.catalyst.encoders.RowEncoder
-      implicit val rowEnc: Encoder[Row] = RowEncoder.encoderFor(df.schema)
-      implicit val keyEnc: Encoder[Seq[Any]] = Encoders.kryo[Seq[Any]]
       implicit val stEnc: Encoder[S] = Encoders.kryo[S]
       val oIdx = order.map(df.schema.fieldIndex)
-      val out = df.groupByKey(r => keyIdx.map(r.get(_)): Seq[Any])(keyEnc)
+      val out = graft.streaming.KeyedRows.byNames(df, keys)
         .flatMapGroupsWithState[S, O](OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
-          (_: Seq[Any], it: Iterator[Row], state: GroupState[S]) =>
+          (_: Row, it: Iterator[Row], state: GroupState[S]) =>
             var st = state.getOption.getOrElse(initial)
             val outs = it.toSeq.sorted(graft.streaming.EventOrder.rowOrdering(oIdx)).flatMap { r =>
               val (s2, o) = step(st, r)

@@ -79,14 +79,11 @@ object StreamingAsof {
       .unionByName(prep(right, rightTs, keys.map(_._2), isLeft = false))
       .withWatermark("__ts", watermarkDelay)
 
-    implicit val rowEnc: Encoder[Row] = RowEncoder.encoderFor(u.schema)
-    implicit val keyEnc: Encoder[Seq[Any]] = Encoders.kryo[Seq[Any]]
     // state: (pending lefts (tsMs, left), right history (tsMs, right, ro))
     implicit val stEnc: Encoder[(List[(Long, Row)], List[(Long, Row, Row)])] =
       Encoders.kryo[(List[(Long, Row)], List[(Long, Row, Row)])]
     implicit val outEnc: Encoder[Row] = RowEncoder.encoderFor(pairSchema)
 
-    val kIdx = u.schema.fieldIndex("__k")
     val tsIdx = u.schema.fieldIndex("__ts")
     val tagIdx = u.schema.fieldIndex("__tag")
     val lIdx = u.schema.fieldIndex("_l")
@@ -100,10 +97,12 @@ object StreamingAsof {
     def best(cands: List[(Long, Row, Row)]): Row =
       cands.reduceOption((x, y) => if (later(x, y)) x else y).map(_._2).orNull
 
-    val paired = u.groupByKey(r => r.getStruct(kIdx).toSeq)(keyEnc)
+    // native struct key (KeyedRows): the state exchange partitions on the
+    // __k column itself and checkpoint keys are UnsafeRows, not kryo blobs
+    val paired = KeyedRows.byStructCol(u, "__k")
       .flatMapGroupsWithState[(List[(Long, Row)], List[(Long, Row, Row)]), Row](
         OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
-        (_: Seq[Any], it: Iterator[Row], state: GroupState[(List[(Long, Row)], List[(Long, Row, Row)])]) =>
+        (_: Row, it: Iterator[Row], state: GroupState[(List[(Long, Row)], List[(Long, Row, Row)])]) =>
           val st = state.getOption.getOrElse(
             (List.empty[(Long, Row)], List.empty[(Long, Row, Row)]))
           // buffer-append the batch (List :+ would copy the whole list per

@@ -83,12 +83,9 @@ object StreamingRowJoins {
     val u = prep(lp, lKeys, lOrder, isLeft = true)
       .unionByName(prep(rp, rKeys, rOrder, isLeft = false))
 
-    implicit val rowEnc: Encoder[Row] = RowEncoder.encoderFor(u.schema)
-    implicit val keyEnc: Encoder[Seq[Any]] = Encoders.kryo[Seq[Any]]
     implicit val stEnc: Encoder[(Row, Row, List[Row])] = Encoders.kryo[(Row, Row, List[Row])]
     implicit val outEnc: Encoder[Row] = RowEncoder.encoderFor(pairSchema)
 
-    val kIdx = u.schema.fieldIndex("__k")
     val seqIdx = u.schema.fieldIndex("__seq")
     val tagIdx = u.schema.fieldIndex("__tag")
     val lIdx = u.schema.fieldIndex("_l")
@@ -101,10 +98,12 @@ object StreamingRowJoins {
       if (c != 0) c else java.lang.Integer.compare(x.getInt(tagIdx), y.getInt(tagIdx))
     }
 
-    u.groupByKey(r => r.getStruct(kIdx).toSeq)(keyEnc)
+    // native struct key (KeyedRows): the state exchange partitions on the
+    // __k column itself and checkpoint keys are UnsafeRows, not kryo blobs
+    KeyedRows.byStructCol(u, "__k")
       .flatMapGroupsWithState[(Row, Row, List[Row]), Row](
         OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
-        (_: Seq[Any], it: Iterator[Row], state: GroupState[(Row, Row, List[Row])]) =>
+        (_: Row, it: Iterator[Row], state: GroupState[(Row, Row, List[Row])]) =>
           var (lastL, lastR, pending) = state.getOption.getOrElse((null: Row, null: Row, List.empty[Row]))
           // residual holds for a pair (true when no residual was given)
           def ok(l: Row, r: Row): Boolean = residPred.forall(p => p(l, r))

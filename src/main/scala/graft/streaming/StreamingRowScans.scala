@@ -15,12 +15,10 @@ import org.apache.spark.sql.types._
  */
 object StreamingRowScans {
 
-  private def keyed(df: DataFrame, keys: Seq[String]) = {
-    implicit val rowEnc: Encoder[Row] = RowEncoder.encoderFor(df.schema)
-    implicit val keyEnc: Encoder[Seq[Any]] = Encoders.kryo[Seq[Any]]
-    val kIdx = keys.map(df.schema.fieldIndex)
-    df.groupByKey(r => kIdx.map(r.get(_)): Seq[Any])(keyEnc)
-  }
+  /** Native-column grouping (see [[KeyedRows]]): the state exchange
+    * partitions on the named key columns and the checkpoint key format is
+    * Spark's UnsafeRow, not a kryo blob. */
+  private def keyed(df: DataFrame, keys: Seq[String]) = KeyedRows.byNames(df, keys)
 
   sealed trait RunKind
   case object RSum extends RunKind
@@ -56,7 +54,7 @@ object StreamingRowScans {
     val n0 = df.schema.length
     keyed(prep, keys).flatMapGroupsWithState[(Double, Long, Long), Row](
       OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
-      (_: Seq[Any], it: Iterator[Row], state: GroupState[(Double, Long, Long)]) =>
+      (_: Row, it: Iterator[Row], state: GroupState[(Double, Long, Long)]) =>
         var (accD, accL, n) = state.getOption.getOrElse(
           (if (kind == RProduct) 1.0d else 0.0d, 0L, 0L))
         val outs = it.toSeq.sorted(EventOrder.rowOrdering(oIdx)).map { r =>
@@ -95,7 +93,7 @@ object StreamingRowScans {
     val n0 = df.schema.length
     keyed(prep, keys).flatMapGroupsWithState[Option[Any], Row](
       OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
-      (_: Seq[Any], it: Iterator[Row], state: GroupState[Option[Any]]) =>
+      (_: Row, it: Iterator[Row], state: GroupState[Option[Any]]) =>
         var best = state.getOption.flatten
         val outs = it.toSeq.sorted(EventOrder.rowOrdering(oIdx)).flatMap { r =>
           val a = r.get(argIdx)
@@ -123,7 +121,7 @@ object StreamingRowScans {
     val aIdx = aggs.map { case (kind, in, _) => (kind, df.schema.fieldIndex(in)) }
     keyed(df, keys).flatMapGroupsWithState[List[Row], Row](
       OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
-      (_: Seq[Any], it: Iterator[Row], state: GroupState[List[Row]]) =>
+      (_: Row, it: Iterator[Row], state: GroupState[List[Row]]) =>
         var buf = state.getOption.getOrElse(Nil)
         val outs = it.toSeq.sorted(EventOrder.rowOrdering(oIdx)).map { r =>
           buf = (buf :+ r).takeRight(n)
@@ -158,7 +156,7 @@ object StreamingRowScans {
     val oIdx = order.map(df.schema.fieldIndex)
     keyed(df, keys).flatMapGroupsWithState[Option[Seq[Any]], Row](
       OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
-      (_: Seq[Any], it: Iterator[Row], state: GroupState[Option[Seq[Any]]]) =>
+      (_: Row, it: Iterator[Row], state: GroupState[Option[Seq[Any]]]) =>
         val sorted = it.toSeq.sorted(EventOrder.rowOrdering(oIdx))
         val prevBest = state.getOption.flatten
         val latest = sorted.lastOption.filter(r =>
