@@ -234,4 +234,38 @@ object QueriesCore {
        SELECT p.p_id, p.p_user, p.p_ts, p.p_value, m.c_id, m.c_value,
               p.p_ts - m.c_ts AS lag_us
        FROM p LEFT JOIN m ON p.p_id = m.m_pid AND m.rn = 1"""
+
+  /** Forward as-of: each purchase matched to the EARLIEST click at-or-after
+    * it within 1 h (first-wins ties on click id) — e.g. "next user action
+    * after a conversion". Mirror of q_asof_join with the frame reversed. */
+  def qAsofFwd(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir).df
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("p_id"), col("user_id").as("p_user"),
+        expr("ts_ns div 1000").as("p_ts"), col("value").as("p_value"))
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("event_id").as("c_id"), col("user_id").as("c_user"),
+        expr("ts_ns div 1000").as("c_ts"), col("value").as("c_value"))
+    graft.operators.AsofJoins.asofForward(purchases, "p_ts", clicks, "c_ts",
+        keys = Seq("p_user" -> "c_user"), rightOrder = Seq("c_id"),
+        tolerance = Some(3600L * 1000000L))
+      .select(col("p_id"), col("p_user"), col("p_ts"), col("p_value"),
+        col("c_id"), col("c_value"), (col("c_ts") - col("p_ts")).as("lead_us"))
+  }
+
+  val qAsofFwdSql: String =
+    """WITH p AS (SELECT event_id AS p_id, user_id AS p_user, epoch_us(ts) AS p_ts,
+                    value AS p_value
+                  FROM events WHERE event_type = 'purchase'),
+         c AS (SELECT event_id AS c_id, user_id AS c_user, epoch_us(ts) AS c_ts,
+                    value AS c_value
+               FROM events WHERE event_type = 'click'),
+         m AS (SELECT p.p_id AS m_pid, c.c_id, c.c_ts, c.c_value,
+                 row_number() OVER (PARTITION BY p.p_id
+                                    ORDER BY c.c_ts ASC, c.c_id ASC) AS rn
+               FROM p JOIN c ON p.p_user = c.c_user
+                AND c.c_ts >= p.p_ts AND c.c_ts <= p.p_ts + 3600000000)
+       SELECT p.p_id, p.p_user, p.p_ts, p.p_value, m.c_id, m.c_value,
+              m.c_ts - p.p_ts AS lead_us
+       FROM p LEFT JOIN m ON p.p_id = m.m_pid AND m.rn = 1"""
 }

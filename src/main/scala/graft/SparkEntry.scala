@@ -21,7 +21,8 @@ object SparkEntry {
     "q_unique" -> (QueriesCore.qUnique _),
     "q_join3" -> (QueriesCore.qJoin3 _),
     "q_range_join" -> (QueriesCore.qRangeJoin _),
-    "q_asof_join" -> (QueriesCore.qAsofJoin _)
+    "q_asof_join" -> (QueriesCore.qAsofJoin _),
+    "q_asof_fwd" -> (QueriesCore.qAsofFwd _)
   ) ++ QueriesStateful.all ++ QueriesPipeline.all
 
   def oracleSql: Map[String, String] = Map(
@@ -34,6 +35,7 @@ object SparkEntry {
     "q_unique" -> QueriesCore.qUniqueSql,
     "q_join3" -> QueriesCore.qJoin3Sql,
     "q_range_join" -> QueriesCore.qRangeJoinSql,
-    "q_asof_join" -> QueriesCore.qAsofJoinSql
+    "q_asof_join" -> QueriesCore.qAsofJoinSql,
+    "q_asof_fwd" -> QueriesCore.qAsofFwdSql
   ) ++ QueriesStateful.sql ++ QueriesPipeline.sql
 }

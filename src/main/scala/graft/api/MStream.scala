@@ -168,31 +168,48 @@ final class MStream(
   def leftJoinWindow(right: MStream, n: Int): WindowJoinBuilder =
     new WindowJoinBuilder(this, right, n)
 
-  /** Backward as-of join (parity-plus: Milan's leftJoin generalized to an
-    * explicit time axis): each record of THIS stream enriches with the
-    * latest `right` record at-or-before its timestamp, per key, optionally
-    * within `tolerance`. Batch lowers to the one-shuffle union+window
+  /** As-of join (parity-plus: Milan's leftJoin generalized to an explicit
+    * time axis): each record of THIS stream enriches with the latest
+    * `right` record at-or-before its timestamp (`direction = Backward`,
+    * the default) or the earliest at-or-after (`Forward`, pandas
+    * `merge_asof(direction="forward")`), per key, optionally within
+    * `tolerance`. Batch lowers to the one-shuffle union+window
     * (`AsofJoins`); when both inputs stream it lowers to the event-time
     * keyed state machine (`StreamingAsof`, timestamps must be
-    * TimestampType and `tolerance` is then milliseconds). Column names of
+    * TimestampType and `tolerance` is then milliseconds). Streaming
+    * FORWARD requires a tolerance — it is the horizon that lets an
+    * unmatched left (and its buffered state) finalize. Column names of
     * the two sides must be disjoint. */
   def asofJoin(right: MStream, leftTs: String, rightTs: String,
                keys: Seq[(String, String)], rightOrder: Seq[String],
                tolerance: Option[Long] = None,
                watermarkDelay: String = "0 seconds",
-               inner: Boolean = false): MStream = {
+               inner: Boolean = false,
+               direction: graft.operators.AsofJoins.Direction =
+                 graft.operators.AsofJoins.Backward): MStream = {
+    import graft.operators.AsofJoins
     require(df.isStreaming == right.df.isStreaming,
       "asofJoin needs both sides batch or both streaming (Spark cannot union a " +
         "stream with a batch frame); snapshot or stream the other side first")
     // one program, one meaning: on TimestampType columns `tolerance` is
     // MILLISECONDS in BOTH lowerings (batch compares epoch millis there)
-    val out =
-      if (df.isStreaming)
+    val out = (df.isStreaming, direction) match {
+      case (true, AsofJoins.Backward) =>
         graft.streaming.StreamingAsof.asofBackward(df, leftTs, right.df, rightTs,
           keys, rightOrder, tolerance, watermarkDelay, inner)
-      else
-        graft.operators.AsofJoins.asofBackward(df, leftTs, right.df, rightTs,
+      case (true, AsofJoins.Forward) =>
+        require(tolerance.nonEmpty,
+          "streaming forward as-of needs a tolerance horizon (ms): without one an " +
+            "unmatched left would wait, and hold state, forever")
+        graft.streaming.StreamingAsof.asofForward(df, leftTs, right.df, rightTs,
+          keys, rightOrder, tolerance.get, watermarkDelay, inner)
+      case (false, AsofJoins.Backward) =>
+        AsofJoins.asofBackward(df, leftTs, right.df, rightTs,
           keys, rightOrder, tolerance, inner)
+      case (false, AsofJoins.Forward) =>
+        AsofJoins.asofForward(df, leftTs, right.df, rightTs,
+          keys, rightOrder, tolerance, inner)
+    }
     new MStream(out, eventOrder, contextKeys, name)
   }
 

@@ -37,6 +37,14 @@ import org.apache.spark.sql.functions._
  */
 object AsofJoins {
 
+  /** Match direction, for API surfaces that take it as a parameter
+    * (`MStream.asofJoin`): `Backward` = latest right at-or-before
+    * (kdb `aj`, the default everywhere), `Forward` = earliest right
+    * at-or-after (pandas `merge_asof(direction="forward")`). */
+  sealed trait Direction
+  case object Backward extends Direction
+  case object Forward extends Direction
+
   /** Backward as-of join. `keys` pairs (leftKeyCol, rightKeyCol);
     * `rightOrder` breaks timestamp ties among rights (LAST in ascending
     * order wins — pass a unique column for determinism). Column names of
@@ -120,8 +128,13 @@ object AsofJoins {
       struct(rightOrder.map(right.col): _*).as("__ro"))
 
     val W = org.apache.spark.sql.expressions.Window
+    // null-ts lefts must emit unmatched in BOTH directions: backward keeps
+    // them nulls-FIRST (an empty backward frame of real rights), forward
+    // needs nulls-LAST — nulls-first would put every right in a null-ts
+    // left's forward frame and match it to the earliest one
+    val tsOrder = if (forward) col("__ts").asc_nulls_last else col("__ts").asc
     val ordered = W.partitionBy(col("__k"))
-      .orderBy(col("__ts").asc, col("__tag").asc, col("__ro").asc)
+      .orderBy(tsOrder, col("__tag").asc, col("__ro").asc)
     val w =
       if (forward) ordered.rowsBetween(0, W.unboundedFollowing)
       else ordered.rowsBetween(W.unboundedPreceding, 0)

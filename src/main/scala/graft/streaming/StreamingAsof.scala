@@ -7,45 +7,49 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
 import org.apache.spark.sql.types.{StructField, StructType, TimestampType}
 
 /**
- * EVENT-TIME-correct streaming backward as-of join — the streaming lowering
- * of `operators/AsofJoins.asofBackward`, with the semantics a feature
- * pipeline needs: each left matches the latest right at-or-before its
- * EVENT time, not the latest right that happened to ARRIVE first. Because
- * streams arrive out of event-time order, a left cannot emit on arrival —
- * an earlier-timestamped right may still be in flight. Lefts buffer per
- * key and emit once the watermark passes their timestamp (event-time
- * timeout), exactly when no admissible right can still arrive; rights
- * arriving between the left and its maturity are correctly considered.
- * Neither Milan (arrival-order enrichment only) nor native Structured
- * Streaming (interval joins emit ALL rights in range, not the latest)
- * expresses this directly.
+ * EVENT-TIME-correct streaming as-of joins — the streaming lowerings of
+ * `operators/AsofJoins`, with the semantics a feature pipeline needs: each
+ * left matches on its EVENT time, not on whichever right happened to
+ * ARRIVE first. Because streams arrive out of event-time order, a left
+ * cannot emit on arrival — a better-timestamped right may still be in
+ * flight. Lefts buffer per key and emit exactly when the watermark proves
+ * no better right can still arrive (event-time timeout). Neither Milan
+ * (arrival-order enrichment only) nor native Structured Streaming
+ * (interval joins emit ALL rights in range, not one) expresses this
+ * directly.
  *
- * State per key is bounded by the watermark: pending lefts drain as the
- * watermark advances, and the right history COMPACTS to a single record
- * at-or-below the watermark — among rights older than every future left,
- * only the latest can ever win, under any tolerance (the candidate set
- * only shrinks further back in time). Rights newer than the watermark stay
- * until they age past it: state is O(watermark-lag × rate) per key, the
- * same bound as a native stream-stream join buffer. With a tolerance, an
- * idle key's compacted right ages out entirely (an eviction timeout fires
- * once it passes the tolerance horizon) and the key's state is removed;
- * without one, that single record is legitimately needed forever — the
- * reference's own forever-groups enrichment default.
+ * Backward (`asofBackward`): latest right at-or-before the left's
+ * timestamp; a left matures when the watermark passes its own timestamp.
+ * State per key is bounded by the watermark: pending lefts drain as it
+ * advances, and the right history COMPACTS to a single record at-or-below
+ * the watermark — among rights older than every future left, only the
+ * latest can ever win. With a tolerance, an idle key's compacted right
+ * ages out entirely and the key's state is removed; without one, that
+ * single record is legitimately needed forever — the reference's own
+ * forever-groups enrichment default.
+ *
+ * Forward (`asofForward`): earliest right at-or-after, first-wins ties —
+ * the mirror state machine. A left's match is final when the watermark
+ * passes its current candidate's timestamp (no earlier admissible right
+ * can still arrive), or passes `ts + tolerance` with no candidate (none
+ * ever will). The tolerance is REQUIRED in the forward direction: without
+ * a horizon, a left with no future right would wait, and hold state,
+ * forever. Rights compact to those still admissible to some pending left
+ * or newer than the watermark.
  *
  * The timestamp columns must be TimestampType; `toleranceMs` is in
  * milliseconds (the watermark clock). Emission ties match the batch
- * operator: a right at exactly the left's timestamp is admissible, ties
- * among rights break by (ts, rightOrder) — last wins.
+ * operator: a right at exactly the left's timestamp is admissible; ties
+ * among equal-timestamp rights break by rightOrder — last wins backward,
+ * first wins forward.
  */
 object StreamingAsof {
 
-  def asofBackward(left: DataFrame, leftTs: String,
-                   right: DataFrame, rightTs: String,
-                   keys: Seq[(String, String)],
-                   rightOrder: Seq[String],
-                   toleranceMs: Option[Long] = None,
-                   watermarkDelay: String = "0 seconds",
-                   inner: Boolean = false): DataFrame = {
+  /** Tagged union of both sides with key/ts/ro columns, watermarked. */
+  private def tagged(left: DataFrame, leftTs: String,
+                     right: DataFrame, rightTs: String,
+                     keys: Seq[(String, String)], rightOrder: Seq[String],
+                     watermarkDelay: String): (DataFrame, StructType, StructType, StructType) = {
     require(keys.nonEmpty, "as-of join requires at least one equi-key pair")
     require(rightOrder.nonEmpty,
       "rightOrder must name tie-break column(s) for equal right timestamps")
@@ -58,8 +62,6 @@ object StreamingAsof {
     val lStructT = StructType(left.schema.fields)
     val rStructT = StructType(right.schema.fields)
     val roType = StructType(rightOrder.map(c => right.schema(c)).toIndexedSeq)
-    val pairSchema = StructType(Seq(
-      StructField("_l", lStructT), StructField("_r", rStructT)))
 
     def prep(df: DataFrame, ts: String, ks: Seq[String], isLeft: Boolean): DataFrame = {
       val self = struct(df.columns.toIndexedSeq.map(df.col): _*)
@@ -78,6 +80,28 @@ object StreamingAsof {
     val u = prep(left, leftTs, keys.map(_._1), isLeft = true)
       .unionByName(prep(right, rightTs, keys.map(_._2), isLeft = false))
       .withWatermark("__ts", watermarkDelay)
+    (u, lStructT, rStructT, roType)
+  }
+
+  private def unpair(paired: DataFrame, left: DataFrame, right: DataFrame,
+                     inner: Boolean): DataFrame = {
+    val kept = if (inner) paired.filter(col("_r").isNotNull) else paired
+    kept.select(
+      left.columns.toIndexedSeq.map(c => col(s"_l.$c").as(c)) ++
+        right.columns.toIndexedSeq.map(c => col(s"_r.$c").as(c)): _*)
+  }
+
+  def asofBackward(left: DataFrame, leftTs: String,
+                   right: DataFrame, rightTs: String,
+                   keys: Seq[(String, String)],
+                   rightOrder: Seq[String],
+                   toleranceMs: Option[Long] = None,
+                   watermarkDelay: String = "0 seconds",
+                   inner: Boolean = false): DataFrame = {
+    val (u, lStructT, rStructT, _) =
+      tagged(left, leftTs, right, rightTs, keys, rightOrder, watermarkDelay)
+    val pairSchema = StructType(Seq(
+      StructField("_l", lStructT), StructField("_r", rStructT)))
 
     // state: (pending lefts (tsMs, left), right history (tsMs, right, ro))
     implicit val stEnc: Encoder[(List[(Long, Row)], List[(Long, Row, Row)])] =
@@ -154,9 +178,97 @@ object StreamingAsof {
       }(stEnc, outEnc)
       .toDF()
 
-    val kept = if (inner) paired.filter(col("_r").isNotNull) else paired
-    kept.select(
-      left.columns.toIndexedSeq.map(c => col(s"_l.$c").as(c)) ++
-        right.columns.toIndexedSeq.map(c => col(s"_r.$c").as(c)): _*)
+    unpair(paired, left, right, inner)
+  }
+
+  /** Forward as-of: earliest right in `[leftTs, leftTs + toleranceMs]`,
+    * first-wins ties on (ts, rightOrder). The mirror of `asofBackward`'s
+    * state machine — see the object scaladoc for the maturity argument.
+    * `toleranceMs` is required: it is the horizon that lets unmatched
+    * lefts (and their state) finalize. */
+  def asofForward(left: DataFrame, leftTs: String,
+                  right: DataFrame, rightTs: String,
+                  keys: Seq[(String, String)],
+                  rightOrder: Seq[String],
+                  toleranceMs: Long,
+                  watermarkDelay: String = "0 seconds",
+                  inner: Boolean = false): DataFrame = {
+    require(toleranceMs >= 0L,
+      "streaming forward as-of needs a non-negative tolerance horizon (ms)")
+    val (u, lStructT, rStructT, _) =
+      tagged(left, leftTs, right, rightTs, keys, rightOrder, watermarkDelay)
+    val pairSchema = StructType(Seq(
+      StructField("_l", lStructT), StructField("_r", rStructT)))
+
+    implicit val stEnc: Encoder[(List[(Long, Row)], List[(Long, Row, Row)])] =
+      Encoders.kryo[(List[(Long, Row)], List[(Long, Row, Row)])]
+    implicit val outEnc: Encoder[Row] = RowEncoder.encoderFor(pairSchema)
+
+    val tsIdx = u.schema.fieldIndex("__ts")
+    val tagIdx = u.schema.fieldIndex("__tag")
+    val lIdx = u.schema.fieldIndex("_l")
+    val rIdx = u.schema.fieldIndex("_r")
+    val roIdx = u.schema.fieldIndex("__ro")
+    val tol = toleranceMs
+
+    // min by (ts, rightOrder): the winning right among candidates
+    def earlier(a: (Long, Row, Row), b: (Long, Row, Row)): Boolean =
+      a._1 < b._1 || (a._1 == b._1 && EventOrder.compareSeqs(a._3.toSeq, b._3.toSeq) < 0)
+    def candidate(rights: List[(Long, Row, Row)], lts: Long): Option[(Long, Row, Row)] =
+      rights.filter(r => r._1 >= lts && r._1 <= lts + tol)
+        .reduceOption((x, y) => if (earlier(x, y)) x else y)
+    // a left's match is FINAL once the watermark strictly passes its
+    // finality bound: candidate ts (no earlier/equal-ts right can still
+    // arrive and beat it — even a tie, since first-wins ties need the
+    // watermark past the tie timestamp) or, with no candidate, ts + tol
+    // (no admissible right can ever arrive)
+    def bound(rights: List[(Long, Row, Row)], lts: Long): Long =
+      candidate(rights, lts).map(_._1).getOrElse(lts + tol)
+
+    val paired = KeyedRows.byStructCol(u, "__k")
+      .flatMapGroupsWithState[(List[(Long, Row)], List[(Long, Row, Row)]), Row](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        (_: Row, it: Iterator[Row], state: GroupState[(List[(Long, Row)], List[(Long, Row, Row)])]) =>
+          val st = state.getOption.getOrElse(
+            (List.empty[(Long, Row)], List.empty[(Long, Row, Row)]))
+          val pendingBuf = scala.collection.mutable.ListBuffer.from(st._1)
+          val rightsBuf = scala.collection.mutable.ListBuffer.from(st._2)
+          it.foreach { rec =>
+            val ts = rec.getTimestamp(tsIdx).getTime
+            if (rec.getInt(tagIdx) == 1) pendingBuf += ((ts, rec.getStruct(lIdx)))
+            else rightsBuf += ((ts, rec.getStruct(rIdx), rec.getStruct(roIdx)))
+          }
+          val w = state.getCurrentWatermarkMs()
+          val allRights = rightsBuf.toList
+          val (mature, stillPending) =
+            pendingBuf.toList.partition { case (lts, _) => bound(allRights, lts) < w }
+          val outs = mature.sortBy(_._1).map { case (lts, l) =>
+            Row(l, candidate(allRights, lts).map(_._2).orNull)
+          }
+          // compact: future lefts have ts > watermark, so their admissible
+          // rights have ts > watermark too — a right at-or-below it is only
+          // needed while a PENDING left can still match it
+          val rights = allRights.filter(r =>
+            r._1 > w || stillPending.exists { case (lts, _) =>
+              r._1 >= lts && r._1 <= lts + tol
+            })
+          if (stillPending.isEmpty && rights.isEmpty) state.remove()
+          else {
+            state.update((stillPending, rights))
+            if (stillPending.nonEmpty)
+              state.setTimeoutTimestamp(math.max(
+                stillPending.map { case (lts, _) => bound(rights, lts) }.min + 1,
+                state.getCurrentWatermarkMs() + 1))
+            else
+              // only unmatched-by-any-left rights remain: wake once the
+              // watermark passes the last of them so the key's state empties
+              state.setTimeoutTimestamp(math.max(
+                rights.map(_._1).max + 1, state.getCurrentWatermarkMs() + 1))
+          }
+          outs.iterator
+      }(stEnc, outEnc)
+      .toDF()
+
+    unpair(paired, left, right, inner)
   }
 }

@@ -361,6 +361,26 @@ class BatchApiSpec extends SparkSpec {
     assert(got.length == 1 && got(0).isNullAt(got(0).fieldIndex("r_id")))
   }
 
+  test("null-timestamp lefts emit unmatched in BOTH directions, with or without tolerance") {
+    import graft.operators.AsofJoins
+    val lefts = Seq((1L, 1L, Option.empty[Long]), (2L, 1L, Some(10L)))
+      .toDF("l_id", "l_k", "l_ts")
+    val rights = Seq((1L, 1L, 5L, 1.0), (2L, 1L, 20L, 2.0))
+      .toDF("r_id", "r_k", "r_ts", "r_v")
+    // forward + no tolerance is the trap case: a nulls-FIRST sort would put
+    // every right in the null-ts left's forward frame and match r1
+    for (tol <- Seq(None, Some(100L)); fwd <- Seq(false, true)) {
+      val join = if (fwd) AsofJoins.asofForward _ else AsofJoins.asofBackward _
+      val got = join(lefts, "l_ts", rights, "r_ts",
+        Seq("l_k" -> "r_k"), Seq("r_id"), tol, false)
+        .select("l_id", "r_id").collect()
+        .map(r => (r.getLong(0), if (r.isNullAt(1)) -1L else r.getLong(1))).toSet
+      val expectReal = if (fwd) 2L else 1L
+      assert(got == Set((1L, -1L), (2L, expectReal)),
+        s"fwd=$fwd tol=$tol: null-ts left unmatched, real left matches r$expectReal")
+    }
+  }
+
   test("range join rejects internal-column collisions and over-long intervals") {
     import graft.operators.RangeJoins
     val pts = Seq(5L).toDF("pt")

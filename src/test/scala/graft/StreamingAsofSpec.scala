@@ -120,4 +120,126 @@ class StreamingAsofSpec extends SparkSpec {
       assert(rows() == Set((1, 1), (2, 2)))
     }
   }
+
+  // ------------------------------------------------------------- forward
+
+  private def runFwd(toleranceMs: Long, watermarkDelay: String = "0 seconds")(
+      feed: (MemoryStream[AsofL], MemoryStream[AsofR], () => Set[(Int, Int)]) => Unit): Unit = {
+    implicit val sqlCtx = spark.sqlContext
+    val ls = MemoryStream[AsofL]
+    val rs = MemoryStream[AsofR]
+    val out = graft.streaming.StreamingAsof.asofForward(
+      ls.toDF(), "lts", rs.toDF(), "rts", Seq("lk" -> "rk"), Seq("rid"),
+      toleranceMs = toleranceMs, watermarkDelay = watermarkDelay)
+    val name = s"asoff_${System.nanoTime()}"
+    val q = out.writeStream.format("memory").queryName(name)
+      .outputMode(OutputMode.Append()).start()
+    try {
+      def rows(): Set[(Int, Int)] = {
+        q.processAllAvailable()
+        spark.table(name).select("lid", "rid").collect()
+          .map(r => (r.getInt(0), if (r.isNullAt(1)) -1 else r.getInt(1))).toSet
+      }
+      feed(ls, rs, rows _)
+    } finally q.stop()
+  }
+
+  test("forward: a left waits for its candidate to finalize; an out-of-order earlier right wins") {
+    runFwd(toleranceMs = 60000L, watermarkDelay = "10 seconds") { (ls, rs, rows) =>
+      // left@10s, then a right@20s arrives — candidate, but not final while
+      // an earlier admissible right (>=10s) could still arrive
+      ls.addData(AsofL(1, t(10), 1))
+      rs.addData(AsofR(1, t(20), 1))
+      assert(rows().isEmpty, "left must not emit while an earlier right may arrive")
+      // right@12s arrives AFTER, but is EARLIER in event time — it must win
+      rs.addData(AsofR(1, t(12), 2), AsofR(2, t(100), 99))
+      rows()
+      rs.addData(AsofR(2, t(101), 98)) // let the event-time timeout fire
+      assert(rows() == Set((1, 2)),
+        "the t12 right (earliest at-or-after t10) must win over the t20 one")
+    }
+  }
+
+  test("forward: tolerance horizon finalizes an unmatched left as null") {
+    runFwd(toleranceMs = 5000L) { (ls, rs, rows) =>
+      ls.addData(AsofL(1, t(10), 1))
+      // only right for key 1 is BEFORE the left — never admissible forward
+      rs.addData(AsofR(1, t(8), 1))
+      // push the watermark past 10s + 5s tolerance
+      rs.addData(AsofR(2, t(100), 99))
+      rows()
+      rs.addData(AsofR(2, t(101), 98))
+      assert(rows() == Set((1, -1)),
+        "no right in [10s, 15s]: the left finalizes unmatched at the horizon")
+    }
+  }
+
+  test("forward: equal-timestamp rights are admissible and ties break first-wins") {
+    runFwd(toleranceMs = 60000L) { (ls, rs, rows) =>
+      ls.addData(AsofL(1, t(20), 1))
+      // a right at exactly 20s is admissible; rid 2 vs 5 at equal ts -> 2
+      rs.addData(AsofR(1, t(20), 5), AsofR(1, t(20), 2), AsofR(1, t(25), 1))
+      rs.addData(AsofR(2, t(100), 99))
+      rows()
+      rs.addData(AsofR(2, t(101), 98))
+      assert(rows() == Set((1, 2)),
+        "equal-ts rights admissible; (ts, rightOrder) ties break first-wins")
+    }
+  }
+
+  test("forward: state empties once lefts finalize and rights age out") {
+    implicit val sqlCtx = spark.sqlContext
+    val ls = MemoryStream[AsofL]
+    val rs = MemoryStream[AsofR]
+    val out = graft.streaming.StreamingAsof.asofForward(
+      ls.toDF(), "lts", rs.toDF(), "rts", Seq("lk" -> "rk"), Seq("rid"),
+      toleranceMs = 2000L)
+    val name = s"asoff_evict_${System.nanoTime()}"
+    val q = out.writeStream.format("memory").queryName(name)
+      .outputMode(OutputMode.Append()).start()
+    try {
+      ls.addData(AsofL(1, t(10), 1))
+      rs.addData(AsofR(1, t(11), 1))
+      q.processAllAvailable()
+      rs.addData(AsofR(2, t(100), 99)) // watermark far past key 1's horizon
+      q.processAllAvailable()
+      rs.addData(AsofR(2, t(200), 98)) // further batches let timeouts fire
+      q.processAllAvailable()
+      rs.addData(AsofR(2, t(300), 97))
+      q.processAllAvailable()
+      assert(spark.table(name).count() == 1L, "key 1's left emitted its match")
+      assert(q.lastProgress.stateOperators(0).numRowsTotal == 1L,
+        "key 1's state fully removed; only key 2's fresh right remains")
+    } finally q.stop()
+  }
+
+  test("MStream.asofJoin(direction = Forward) lowers to the forward state machine") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.operators.AsofJoins
+    val ls = MemoryStream[AsofL]
+    val rs = MemoryStream[AsofR]
+    val lefts = new graft.api.MStream(ls.toDF(), Seq("lts"))
+    val rights = new graft.api.MStream(rs.toDF(), Seq("rts"))
+    intercept[IllegalArgumentException] { // forward needs a horizon
+      lefts.asofJoin(rights, "lts", "rts", Seq("lk" -> "rk"), Seq("rid"),
+        direction = AsofJoins.Forward)
+    }
+    val out = lefts.asofJoin(rights, "lts", "rts", Seq("lk" -> "rk"), Seq("rid"),
+      tolerance = Some(60000L), direction = AsofJoins.Forward)
+    assert(out.df.isStreaming)
+    val name = s"asoff_ms_${System.nanoTime()}"
+    val q = out.df.writeStream.format("memory").queryName(name)
+      .outputMode(OutputMode.Append()).start()
+    try {
+      ls.addData(AsofL(1, t(10), 1))
+      rs.addData(AsofR(1, t(15), 7))
+      rs.addData(AsofR(2, t(100), 99))
+      q.processAllAvailable()
+      rs.addData(AsofR(2, t(101), 98))
+      q.processAllAvailable()
+      val got = spark.table(name).select("lid", "rid").collect()
+        .map(r => (r.getInt(0), if (r.isNullAt(1)) -1 else r.getInt(1))).toSet
+      assert(got == Set((1, 7)))
+    } finally q.stop()
+  }
 }
