@@ -285,6 +285,13 @@ object MinHashUtil {
 object WordShingleUtil {
   import PolyHashUtil.P
 
+  /** Word separators = Java regex `\s` (ASCII whitespace), matching
+    * `TextOps.words`' `split(text, "\\s+")` + empty-filter rule exactly —
+    * token counts and shingle features must agree on irregular whitespace
+    * (DuckDB's RE2 `\s` is the same class). */
+  @inline private def isSep(c: Char): Boolean =
+    c == ' ' || c == '\t' || c == '\n' || c == '\u000B' || c == '\f' || c == '\r'
+
   /**
    * Hashes of all word n-gram shingles of `text` in ONE pass over the
    * characters, identical to hashing each "w1 w2 ... wn" string: per word
@@ -300,7 +307,7 @@ object WordShingleUtil {
     var i = 0
     while (i <= s.length) {
       val c = if (i < s.length) s.charAt(i) else ' '
-      if (c == ' ') {
+      if (isSep(c)) {
         if (inWord) { wh += ((h, pw)); h = 0L; pw = 1L; inWord = false }
       } else {
         h = (h * 31 + c) % P

@@ -29,8 +29,14 @@ object TextOps {
     * interprets two lambdas per character. */
   def polyHash(s: Column): Column = graft.functions.VectorFunctions.polyHashNative(s)
 
-  /** Whitespace tokens. */
-  def words(text: Column): Column = split(text, " ")
+  /** Whitespace tokens: split on ASCII whitespace RUNS (`\s+`) and drop
+    * empties, so tabs/newlines/consecutive spaces never produce phantom
+    * tokens. This is the ONE tokenization rule of the text stack — token
+    * counts, shingles (incl. the native one-pass hasher in
+    * `WordShingleUtil`), packing budgets, vocabulary, and encoding all
+    * agree on it, and every oracle mirrors it
+    * (`list_filter(string_split_regex(text, '\s+'), x -> x <> '')`). */
+  def words(text: Column): Column = filter(split(text, "\\s+"), w => w =!= "")
 
   /** Distinct word n-gram shingles ("a b c" strings). */
   def wordShingles(text: Column, n: Int): Column = {
@@ -341,12 +347,14 @@ object TextOps {
       IpRe, "<IP>"))
 
   /** Quality features: word count, mean word length, stopword ratio,
-    * punctuation ratio. */
+    * punctuation ratio. Mean word length sums the words themselves
+    * (whitespace-robust) rather than assuming single-space separators. */
   def qualityFeatures(text: Column): Seq[(String, Column)] = {
     val nw = tokenCountWhitespace(text)
+    val wordChars = aggregate(words(text), lit(0), (a, w) => a + length(w))
     Seq(
       "n_words" -> nw,
-      "avg_word_len" -> round((length(text) - (nw - 1)).cast("double") / nw, 4),
+      "avg_word_len" -> round(wordChars.cast("double") / nw, 4),
       "stopword_ratio" -> round(markerHits(text, Stopwords).cast("double") / nw, 4),
       "punct_count" -> regexp_count(text, lit("[^A-Za-z0-9_\\s]")))
   }

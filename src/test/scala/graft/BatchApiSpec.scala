@@ -65,6 +65,44 @@ class BatchApiSpec extends SparkSpec {
     assert(out == Set(("u1", 2L, 9.0), ("u2", 1L, 4.0)))
   }
 
+  test("tokenization is whitespace-robust: counts and shingle features agree on tabs/newlines/runs") {
+    import graft.pipeline.TextOps
+    val docs = Seq(
+      ("tab", "a\tb\nc", 3),
+      ("runs", "a  b   c", 3),
+      ("edges", " a b ", 2),
+      ("crlf", "a\r\nb", 2),
+      ("vtff", "ab\fc", 3),
+      ("plain", "x y z", 3),
+      ("empty", "", 0)
+    ).toDF("id", "text", "expect")
+    val got = docs.select(col("id"), col("expect"),
+      TextOps.tokenCountWhitespace(col("text")).as("n"),
+      size(graft.functions.VectorFunctions.wordShingleHashes(col("text"), 1)).as("nsh"),
+      TextOps.words(col("text")).as("ws")).collect()
+    got.foreach { r =>
+      assert(r.getAs[Int]("n") == r.getAs[Int]("expect"),
+        s"${r.getAs[String]("id")}: token count")
+      assert(r.getAs[Int]("nsh") == r.getAs[Int]("expect"),
+        s"${r.getAs[String]("id")}: native 1-shingle count must equal token count")
+      assert(!r.getSeq[String](r.fieldIndex("ws")).contains(""),
+        s"${r.getAs[String]("id")}: no empty tokens")
+    }
+    // 2-gram shingles across irregular separators: same as single-space text
+    val shRow = docs.filter(col("id") === "runs")
+      .select(TextOps.wordShingles(col("text"), 2).as("s")).collect()(0)
+    assert(shRow.getSeq[String](0) == Seq("a b", "b c"),
+      "shingles normalize separator runs")
+    // the native hasher agrees with polyHash of the normalized shingle text
+    val agree = docs.select(
+      graft.functions.VectorFunctions.wordShingleHashes(col("text"), 2).as("h"),
+      transform(TextOps.wordShingles(col("text"), 2),
+        s => graft.pipeline.TextOps.polyHash(s)).as("e")).collect()
+    agree.foreach(r => assert(r.getSeq[Long](0).distinct.sorted ==
+      r.getSeq[Long](1).distinct.sorted,
+      "one-pass shingle hashes == polyHash of shingle strings under \\s+ rule"))
+  }
+
   test("wordShingles handles short documents") {
     val df = Seq((1L, "a b"), (2L, "a b c d")).toDF("id", "text")
     val out = df.select(col("id"), TextOps.wordShingles(col("text"), 3).as("sh"))
