@@ -424,7 +424,14 @@ object Dedup {
     * feed ordered input when survivor identity matters). */
   def ingestNearDup(stream: graft.api.MStream, idCol: String, textCol: String,
                     bits: Int = 63, shingleN: Int = 3,
-                    withinWatermark: Boolean = false): graft.api.MStream = {
+                    withinWatermark: Boolean = false,
+                    maxHamming: Int = 0): graft.api.MStream = {
+    require(maxHamming >= 0 && maxHamming < bits,
+      s"need 0 <= maxHamming < bits, got maxHamming=$maxHamming bits=$bits")
+    require(maxHamming == 0 || !withinWatermark,
+      "banded ingest (maxHamming > 0) keeps bucket state without watermark " +
+        "eviction (the reference's forever-groups default); use maxHamming = 0 " +
+        "for withinWatermark eviction")
     // The short-doc guard keys on the FEATURE array being empty, not on a
     // separate word count: the native shingle hasher skips empty words
     // (runs of spaces), so a split-based count could disagree with it and
@@ -434,10 +441,152 @@ object Dedup {
     val sig = when(size(h) >= 1, graft.functions.VectorFunctions.simhashBits(h, bits))
       .otherwise(xxhash64(col(textCol)))
     val orig = stream.df.columns.toIndexedSeq
-    stream
-      .addFields("__short" -> (size(h) < 1), "__sig" -> sig)
-      .dedupBy(Seq("__short", "__sig"), withinWatermark)
-      .map(orig.map(col): _*)
+    if (maxHamming == 0)
+      stream
+        .addFields("__short" -> (size(h) < 1), "__sig" -> sig)
+        .dedupBy(Seq("__short", "__sig"), withinWatermark)
+        .map(orig.map(col): _*)
+    else
+      bandedIngest(stream, idCol, sig, size(h) < 1, bits, maxHamming)
+  }
+
+  /**
+   * Banded near-dup ingest: drop a document iff a STRICTLY EARLIER one (by
+   * `eventOrder`, then `idCol` — a deterministic total order) is within
+   * `maxHamming` bits of its SimHash (featureless docs: exact-hash equality
+   * only — near-matching raw xxhash values would merge unrelated empties).
+   * "Earlier" counts every prior document, kept or dropped, so chains
+   * collapse to their first element — the streaming face of the batch
+   * pigeonhole sweep (`simhashPairs` + clustering keeps one doc per
+   * connected chain too).
+   *
+   * Streaming lowering: the signature explodes into maxHamming+1 pigeonhole
+   * chunk keys (any pair within the budget agrees exactly on >= 1 chunk —
+   * same argument as `simhashPairs`); a keyed state machine per
+   * (chunk index, chunk value) bucket holds the distinct signatures seen
+   * (8 bytes each) and flags arrivals whose signature is within budget of a
+   * prior one; a second, stateless-per-batch combine keyed on the doc id
+   * ANDs the bucket verdicts (all of a doc's verdicts arrive in the same
+   * micro-batch) and emits survivors. State per bucket = distinct
+   * signatures landing in it; exchange keys are native columns
+   * ([[graft.streaming.KeyedRows]]). Batch lowering: `simhashPairs` +
+   * order-rank anti-join, same drop rule.
+   */
+  private def bandedIngest(stream: graft.api.MStream, idCol: String,
+                           sig: org.apache.spark.sql.Column,
+                           short: org.apache.spark.sql.Column,
+                           bits: Int, maxHamming: Int): graft.api.MStream = {
+    import org.apache.spark.sql.{Encoder, Encoders, Row}
+    import org.apache.spark.sql.catalyst.encoders.RowEncoder
+    import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
+    import org.apache.spark.sql.types._
+    val order = stream.eventOrder
+    require(order.nonEmpty,
+      "banded ingestNearDup needs orderedBy(...) — the drop rule is 'a strictly " +
+        "earlier doc within the budget exists' and needs a deterministic order")
+    val df = stream.df
+    val orig = df.columns.toIndexedSeq
+    val payloadT = StructType(df.schema.fields)
+    val base = df.withColumn("__sig", sig).withColumn("__short", short)
+
+    if (!df.isStreaming) {
+      val rank = struct((order :+ idCol).map(col): _*)
+      val ranked = base.select(col(idCol).as("__id"), col("__sig"),
+        col("__short"), rank.as("__rk"))
+      val nonShort = ranked.filter(!col("__short"))
+        .select(col("__id").as(idCol), col("__sig").as("simhash"))
+      val rk = ranked.select(col("__id"), col("__rk"))
+      val droppedNear = simhashPairs(nonShort, idCol, bits, maxHamming)
+        .select(col("id_a"), col("id_b"))
+        .join(rk.withColumnRenamed("__id", "id_a").withColumnRenamed("__rk", "__rka"), "id_a")
+        .join(rk.withColumnRenamed("__id", "id_b").withColumnRenamed("__rk", "__rkb"), "id_b")
+        .select(when(col("__rka") < col("__rkb"), col("id_b"))
+          .otherwise(col("id_a")).as("__id"))
+      val shorts = ranked.filter(col("__short"))
+      val shortSurvivors = shorts
+        .groupBy(col("__sig")).agg(min(struct(col("__rk"), col("__id"))).as("__m"))
+        .select(col("__m.__id").as("__id"))
+      val droppedShort = shorts.select(col("__id"))
+        .join(shortSurvivors, Seq("__id"), "left_anti")
+      val dropped = droppedNear.union(droppedShort).distinct()
+        .withColumnRenamed("__id", idCol)
+      return new graft.api.MStream(
+        base.join(dropped, Seq(idCol), "left_anti").select(orig.map(col): _*),
+        stream.eventOrder, stream.contextKeys, stream.name)
+    }
+
+    // ---- streaming: pigeonhole buckets + per-doc combine -----------------
+    val nChunks = maxHamming + 1
+    val sizes = (0 until nChunks).map(i => bits / nChunks + (if (i < bits % nChunks) 1 else 0))
+    val offs = sizes.scanLeft(0)(_ + _)
+    val chunkCols = (0 until nChunks).map { i =>
+      struct(lit(i).as("ci"),
+        shiftright(col("__sig"), offs(i)).bitwiseAND(lit((1L << sizes(i)) - 1)).as("cv"))
+    }
+    // featureless docs live in their own exact-equality key space (ci = -1)
+    val chunks = when(col("__short"), array(struct(lit(-1).as("ci"), col("__sig").as("cv"))))
+      .otherwise(array(chunkCols: _*))
+    // the payload rides only the first chunk record — verdicts are small
+    val u = base.select(
+        col(idCol).as("__id"), col("__sig"), col("__short"),
+        struct((order :+ idCol).map(col): _*).as("__ord"),
+        struct(orig.map(col): _*).as("__payload"),
+        posexplode(chunks).as(Seq("__pos", "__ck")))
+      .select(col("__id"), col("__sig"), col("__short"), col("__ord"),
+        when(col("__pos") === 0, col("__payload")).otherwise(lit(null).cast(payloadT))
+          .as("__payload"),
+        col("__ck.ci").as("__ci"), col("__ck.cv").as("__cv"))
+
+    val idType = df.schema(idCol).dataType
+    val verdictT = StructType(Seq(
+      StructField("__id", idType), StructField("__matched", BooleanType, nullable = false),
+      StructField("__payload", payloadT)))
+    val verdictEnc: Encoder[Row] = RowEncoder.encoderFor(verdictT)
+    val bucketStEnc: Encoder[List[(Long, Boolean)]] =
+      Encoders.kryo[List[(Long, Boolean)]]
+    val idIdx = u.schema.fieldIndex("__id")
+    val sigIdx = u.schema.fieldIndex("__sig")
+    val shortIdx = u.schema.fieldIndex("__short")
+    val ordIdx = u.schema.fieldIndex("__ord")
+    val paylIdx = u.schema.fieldIndex("__payload")
+    val mh = maxHamming
+    val verdicts = graft.streaming.KeyedRows.byNames(u, Seq("__ci", "__cv"))
+      .flatMapGroupsWithState[List[(Long, Boolean)], Row](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (_: Row, it: Iterator[Row], state) =>
+          var seen = state.getOption.getOrElse(Nil) // distinct (sig, short) seen
+          val sorted = it.toSeq.sortWith((a, b) => graft.streaming.EventOrder
+            .compareSeqs(a.getStruct(ordIdx).toSeq, b.getStruct(ordIdx).toSeq) < 0)
+          val outs = sorted.map { r =>
+            val sg = r.getLong(sigIdx)
+            val sh = r.getBoolean(shortIdx)
+            val m = seen.exists { case (s2, sh2) =>
+              sh2 == sh && (if (sh) s2 == sg
+                            else java.lang.Long.bitCount(s2 ^ sg) <= mh)
+            }
+            if (!seen.contains((sg, sh))) seen ::= ((sg, sh))
+            Row(r.get(idIdx), m, r.getStruct(paylIdx))
+          }
+          state.update(seen)
+          outs.iterator
+      }(bucketStEnc, verdictEnc).toDF()
+
+    // combine: all of a doc's bucket verdicts arrive in the same micro-batch
+    // (they are produced from the same input rows), so this op stores NO
+    // state — it is a per-batch grouped reduction in state-machine clothing
+    // (plain streaming groupBy would wait for a watermark to emit)
+    val payloadEnc: Encoder[Row] = RowEncoder.encoderFor(payloadT)
+    val out = graft.streaming.KeyedRows.byNames(verdicts, Seq("__id"))
+      .flatMapGroupsWithState[Int, Row](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (_: Row, it: Iterator[Row], _) =>
+          val rows = it.toList
+          val matched = rows.exists(_.getBoolean(1))
+          val payload = rows.collectFirst { case r if !r.isNullAt(2) => r.getStruct(2) }
+          if (!matched && payload.nonEmpty) Iterator.single(payload.get)
+          else Iterator.empty
+      }(Encoders.scalaInt, payloadEnc).toDF()
+    new graft.api.MStream(out, stream.eventOrder, stream.contextKeys, stream.name)
   }
 
   /** Embedding cosine near-dup, exact all-pairs baseline. Quadratic — the

@@ -200,4 +200,65 @@ class StreamingMStreamScanSpec extends SparkSpec {
         "each batch re-emits the latest (update semantics per batch)")
     }
   }
+
+  test("banded ingestNearDup collapses hamming<=k near-dups across batches; streaming == batch") {
+    implicit val sqlCtx = spark.sqlContext
+    val t0 = "the quick brown fox jumps over the lazy dog again and again for testing purposes only"
+    val t1 = t0.replace("lazy", "hazy") // near-dup of t0 (one word)
+    val t2 = "completely different content about spark structured streaming state stores and checkpoints"
+    val docs = Seq(
+      NdDoc(1, t0, 1), NdDoc(2, t1, 2), NdDoc(3, t2, 3),
+      NdDoc(4, t0, 4), // exact copy of doc 1, later batch
+      NdDoc(5, "", 5), NdDoc(6, "", 6), // featureless equal -> 6 drops
+      NdDoc(7, "short", 7)) // featureless but distinct text -> survives
+    val maxH = 6
+
+    // the impl's signature rule, collected once, drives a naive reference
+    val h = graft.functions.VectorFunctions.wordShingleHashes(col("text"), 3)
+    val sigCol = when(size(h) >= 1,
+      graft.functions.VectorFunctions.simhashBits(h, 63)).otherwise(xxhash64(col("text")))
+    val sigs = docs.toDF().select(col("id"), sigCol.as("sig"), (size(h) < 1).as("short"))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getBoolean(2))).toMap
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    // preconditions that make the test meaningful: a REAL near (not exact)
+    // collapse within budget, and the unrelated doc outside it
+    assert(ham(sigs(1L)._1, sigs(2L)._1) >= 1 && ham(sigs(1L)._1, sigs(2L)._1) <= maxH,
+      s"fixture: t1 must be within budget of t0 (got ${ham(sigs(1L)._1, sigs(2L)._1)})")
+    assert(ham(sigs(1L)._1, sigs(3L)._1) > maxH,
+      s"fixture: t2 must be outside the budget (got ${ham(sigs(1L)._1, sigs(3L)._1)})")
+    // drop rule reference: a doc drops iff ANY earlier doc (kept or
+    // dropped) is within the budget
+    val expected = docs.sortBy(_.seq).foldLeft((Set.empty[Long], Vector.empty[NdDoc])) {
+      case ((keep, seen), d) =>
+        val (sg, sh) = sigs(d.id)
+        val isDup = seen.exists { e =>
+          val (s2, sh2) = sigs(e.id)
+          sh2 == sh && (if (sh) s2 == sg else ham(s2, sg) <= maxH)
+        }
+        (if (isDup) keep else keep + d.id, seen :+ d)
+    }._1
+    assert(expected == Set(1L, 3L, 5L, 7L), s"fixture sanity: got $expected")
+
+    // streaming, split across micro-batches so collapse crosses batch state
+    val in = MemoryStream[NdDoc]
+    val out = graft.pipeline.Dedup.ingestNearDup(
+      new MStream(in.toDF(), Seq("seq")), "id", "text", maxHamming = maxH)
+    assert(out.df.isStreaming)
+    drive(out.df) { emitted =>
+      in.addData(NdDoc(1, t0, 1), NdDoc(2, t1, 2), NdDoc(3, t2, 3))
+      in.addData(NdDoc(4, t0, 4), NdDoc(5, "", 5))
+      in.addData(NdDoc(6, "", 6), NdDoc(7, "short", 7))
+      val got = emitted().map(_.getLong(0)).toSet
+      assert(got == expected,
+        "survivors = docs with no earlier neighbor within the hamming budget")
+    }
+
+    // batch lowering of the SAME program agrees
+    val b = graft.pipeline.Dedup.ingestNearDup(
+      new MStream(docs.toDF(), Seq("seq")), "id", "text", maxHamming = maxH)
+    assert(b.df.select("id").collect().map(_.getLong(0)).toSet == expected,
+      "batch banded ingest matches the streaming survivors")
+  }
 }
+
+case class NdDoc(id: Long, text: String, seq: Long)
