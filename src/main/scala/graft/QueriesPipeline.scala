@@ -496,7 +496,7 @@ object QueriesPipeline {
               FROM e, LATERAL (SELECT unnest(generate_series(1, len(v))) AS pos) t
               GROUP BY label, t.pos),
         cn AS (SELECT label, sqrt(sum(m * m)) AS cnorm FROM c GROUP BY label),
-        nn AS (SELECT label, count(*) AS n_vecs,
+        nn AS (SELECT label, count(v) AS n_vecs,
                  avg(sqrt(list_dot_product(v, v))) AS an
                FROM e GROUP BY label)
        SELECT nn.label, nn.n_vecs, round(cn.cnorm, 4) AS centroid_norm,

@@ -80,6 +80,42 @@ object AsofJoins {
     asofImpl(left, leftTs, right, rightTs, keys, rightOrder, tolerance, inner,
       forward = true)
 
+  /** Duration-typed tolerance — the unit-safe overload. Valid ONLY when
+    * the timestamp columns are TimestampType (the Duration converts to the
+    * millisecond axis both lowerings share); numeric ts columns must pass
+    * a Long in column units via the primary signature, because a Duration
+    * has no defined conversion onto an arbitrary numeric axis (a column
+    * switched from long-ns to TimestampType would otherwise silently
+    * reinterpret the same number as ms). */
+  def asofBackward(left: DataFrame, leftTs: String,
+                   right: DataFrame, rightTs: String,
+                   keys: Seq[(String, String)],
+                   rightOrder: Seq[String],
+                   tolerance: java.time.Duration): DataFrame =
+    asofImpl(left, leftTs, right, rightTs, keys, rightOrder,
+      Some(durationMs(left, leftTs, tolerance)), inner = false, forward = false)
+
+  /** Duration-typed tolerance for the forward direction — see the
+    * backward overload for the unit contract. */
+  def asofForward(left: DataFrame, leftTs: String,
+                  right: DataFrame, rightTs: String,
+                  keys: Seq[(String, String)],
+                  rightOrder: Seq[String],
+                  tolerance: java.time.Duration): DataFrame =
+    asofImpl(left, leftTs, right, rightTs, keys, rightOrder,
+      Some(durationMs(left, leftTs, tolerance)), inner = false, forward = true)
+
+  private def durationMs(left: DataFrame, leftTs: String,
+                         tolerance: java.time.Duration): Long = {
+    require(left.schema(leftTs).dataType ==
+      org.apache.spark.sql.types.TimestampType,
+      s"Duration tolerance requires TimestampType timestamp columns " +
+        s"(got ${left.schema(leftTs).dataType} for '$leftTs'); for numeric " +
+        "timestamp columns pass a Long tolerance in column units")
+    require(!tolerance.isNegative, "tolerance must be non-negative")
+    tolerance.toMillis
+  }
+
   private def asofImpl(left: DataFrame, leftTs: String,
                        right: DataFrame, rightTs: String,
                        keys: Seq[(String, String)],

@@ -48,6 +48,14 @@ object Ivf {
   /** Train `k` centroids. Initialization is deterministic (the k lowest
     * ids) so results are reproducible across engines and runs. */
   def train(embs: DataFrame, idCol: String, vecCol: String, k: Int, iters: Int): DataFrame = {
+    // the codebook is a BY-DESIGN driver-sized artifact: k×dim doubles
+    // collect per Lloyd round and embed into the assignment expressions —
+    // cap k where that stops being driver-sized (IVF cell counts are
+    // ~sqrt(n) in practice; 65536 cells already indexes billions of rows)
+    require(k > 0 && k <= 65536,
+      s"k=$k: the IVF codebook (k x dim doubles) is collected per training " +
+        "round and embedded into the assignment plan; keep k <= 65536")
+    require(iters >= 0, s"iters=$iters must be non-negative")
     val spark = embs.sparkSession
     import spark.implicits._
     // k-means scans the working set iters+1 times — cache it for the

@@ -256,6 +256,13 @@ object TextOps {
     * encode pipeline, like the IVF codebook. */
   def buildVocab(docs: org.apache.spark.sql.DataFrame, textCol: String,
                  minCount: Long, maxSize: Int): org.apache.spark.sql.DataFrame = {
+    // the vocabulary is a BY-DESIGN driver-sized artifact: the id window
+    // runs over maxSize collected rows and encodeTokens broadcasts it —
+    // cap it where "driver-sized" stops being true (~10^7 rows is already
+    // hundreds of MB broadcast; a 10^8 request is a mistake, not a vocab)
+    require(maxSize > 0 && maxSize <= 10000000,
+      s"maxSize=$maxSize: the vocabulary is collected to the driver and " +
+        "broadcast to every encode task; it must stay driver-sized (<= 1e7)")
     import org.apache.spark.sql.expressions.Window
     docs.select(explode(words(col(textCol))).as("word"))
       .groupBy("word").agg(count(lit(1)).as("wcount"))

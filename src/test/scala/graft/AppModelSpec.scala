@@ -168,6 +168,56 @@ class AppModelSpec extends SparkSpec {
     assert(back.sinkList("out").head.options("streamName") == "events")
   }
 
+  test("parity sweep: EVERY Source/Sink binding round-trips field-exact with options intact") {
+    val schema = new org.apache.spark.sql.types.StructType()
+      .add("id", "long").add("payload", "binary")
+    val extra = Map("x-custom" -> "1", "another" -> "two")
+    // one row per binding constructor the API exposes
+    val sources: Seq[(String, App.Source)] = Seq(
+      "file" -> App.Source(format = "parquet", path = Some("/data/in"),
+        options = extra, schema = Some(schema), keepReading = false,
+        order = Seq("ts", "id")),
+      "csv" -> App.Source(format = "csv", path = Some("/data/in.csv"),
+        options = extra ++ Map("header" -> "true", "sep" -> "|")),
+      "json" -> App.Source(format = "json", path = Some("/data/in.json"),
+        options = extra ++ Map("multiLine" -> "true")),
+      "rate" -> App.Source(format = "rate",
+        options = Map("rowsPerSecond" -> "7"), keepReading = true),
+      "s3" -> App.Source.s3("bkt", "pfx/part", format = "json",
+        options = extra, keepReading = true),
+      "kafka" -> App.Source.kafka("b:9092", "topic",
+        startingOffsets = "earliest", options = extra),
+      "sqs" -> App.Source.sqs("https://sqs/q", "us-east-1", options = extra),
+      "ddbs" -> App.Source.dynamoDbStream("tbl", "us-east-1", options = extra))
+    val sinks: Seq[(String, App.Sink)] = Seq(
+      "file" -> App.Sink(format = "parquet", path = Some("/data/out"),
+        options = extra, mode = "append"),
+      "memory" -> App.Sink(format = "memory", outputMode = "complete",
+        queryName = Some("tbl"), checkpoint = Some("/cp"),
+        stateStore = Some("rocksdb")),
+      "console" -> App.Sink(format = "console", outputMode = "append"),
+      "kinesis" -> App.Sink.kinesis("stream", "us-east-1", options = extra),
+      "sqs" -> App.Sink.sqs("https://sqs/out", "us-east-1", options = extra),
+      "ddb" -> App.Sink.dynamoDb("results", "us-east-1", options = extra))
+    val cfg = new App.Config()
+    sources.foreach { case (n, s) => cfg.setSource(n, s) }
+    sinks.foreach { case (n, k) => cfg.addSink(n, k) }
+    val back = App.configFromJson(App.configToJson(cfg))
+    sources.foreach { case (n, s) =>
+      assert(back.source(n) == s, s"source '$n' must round-trip field-exact")
+      assert(back.source(n).options == s.options, s"source '$n' options intact")
+    }
+    sinks.foreach { case (n, k) =>
+      assert(back.sinkList(n) == Seq(k), s"sink '$n' must round-trip field-exact")
+      assert(back.sinkList(n).head.options == k.options, s"sink '$n' options intact")
+    }
+    // builder-injected addressing rides in options and must survive too
+    assert(back.source("kafka").options("kafka.bootstrap.servers") == "b:9092")
+    assert(back.source("sqs").options("region") == "us-east-1")
+    assert(back.sinkList("kinesis").head.options("streamName") == "stream")
+    assert(back.sinkList("ddb").head.options("tableName") == "results")
+  }
+
   test("in-memory rows sources refuse to serialize") {
     val data = Seq(("a", 1.0)).toDF("k", "v")
     val c = new App.Config().setSource("m", App.Source("list", rows = Some(data)))

@@ -407,15 +407,45 @@ class BatchApiSpec extends SparkSpec {
       .toDF("r_id", "r_k", "r_ts", "r_v")
     // forward + no tolerance is the trap case: a nulls-FIRST sort would put
     // every right in the null-ts left's forward frame and match r1
-    for (tol <- Seq(None, Some(100L)); fwd <- Seq(false, true)) {
-      val join = if (fwd) AsofJoins.asofForward _ else AsofJoins.asofBackward _
-      val got = join(lefts, "l_ts", rights, "r_ts",
-        Seq("l_k" -> "r_k"), Seq("r_id"), tol, false)
+    for (tol <- Seq(Option.empty[Long], Some(100L)); fwd <- Seq(false, true)) {
+      val got = (if (fwd)
+          AsofJoins.asofForward(lefts, "l_ts", rights, "r_ts",
+            Seq("l_k" -> "r_k"), Seq("r_id"), tol)
+        else
+          AsofJoins.asofBackward(lefts, "l_ts", rights, "r_ts",
+            Seq("l_k" -> "r_k"), Seq("r_id"), tol))
         .select("l_id", "r_id").collect()
         .map(r => (r.getLong(0), if (r.isNullAt(1)) -1L else r.getLong(1))).toSet
       val expectReal = if (fwd) 2L else 1L
       assert(got == Set((1L, -1L), (2L, expectReal)),
         s"fwd=$fwd tol=$tol: null-ts left unmatched, real left matches r$expectReal")
+    }
+  }
+
+  test("as-of Duration tolerance: unit-safe on timestamps, rejected on numeric axes") {
+    import graft.operators.AsofJoins
+    import java.sql.Timestamp
+    def ts(s: Long) = new Timestamp(s * 1000L)
+    val lefts = Seq((1L, 1L, ts(100))).toDF("l_id", "l_k", "l_ts")
+    val rights = Seq((1L, 1L, ts(40), 1.0), (2L, 1L, ts(95), 2.0))
+      .toDF("r_id", "r_k", "r_ts", "r_v")
+    val viaDuration = AsofJoins.asofBackward(lefts, "l_ts", rights, "r_ts",
+      Seq("l_k" -> "r_k"), Seq("r_id"), java.time.Duration.ofSeconds(10))
+    val viaMs = AsofJoins.asofBackward(lefts, "l_ts", rights, "r_ts",
+      Seq("l_k" -> "r_k"), Seq("r_id"), tolerance = Some(10000L))
+    assert(viaDuration.select("r_id").collect().map(_.getLong(0)).toSeq == Seq(2L))
+    assert(viaDuration.collect().toSeq == viaMs.collect().toSeq,
+      "Duration overload == millisecond Long on TimestampType")
+    // numeric time axis: a Duration has no defined conversion — must raise
+    val numL = Seq((1L, 1L, 100L)).toDF("l_id", "l_k", "l_ts")
+    val numR = Seq((1L, 1L, 95L, 1.0)).toDF("r_id", "r_k", "r_ts", "r_v")
+    intercept[IllegalArgumentException] {
+      AsofJoins.asofBackward(numL, "l_ts", numR, "r_ts",
+        Seq("l_k" -> "r_k"), Seq("r_id"), java.time.Duration.ofSeconds(10))
+    }
+    intercept[IllegalArgumentException] {
+      AsofJoins.asofForward(numL, "l_ts", numR, "r_ts",
+        Seq("l_k" -> "r_k"), Seq("r_id"), java.time.Duration.ofSeconds(10))
     }
   }
 
