@@ -68,6 +68,12 @@ class PlanShapeSpec extends SparkSpec {
     assert(!p.contains("Join"), "an as-of must never materialize pairs")
   }
 
+  test("q_asof_fwd (forward direction) keeps the same no-join window shape") {
+    val p = plan("q_asof_fwd")
+    assert(p.contains("Window"), "the running-match window must be present")
+    assert(!p.contains("Join"), "an as-of must never materialize pairs")
+  }
+
   test("q_bm25 is two corpus scans (stats + scoring), no token shuffle") {
     val p = plan("q_bm25")
     // the floor for corpus-stat-then-score without caching: one pass
