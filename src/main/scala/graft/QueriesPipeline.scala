@@ -210,6 +210,40 @@ object QueriesPipeline {
         SELECT count(DISTINCT k) AS n_survivors FROM k"""
   }
 
+  /** Banded near-dup ingest, batch lowering: survivors after dropping
+    * every doc with a STRICTLY EARLIER (doc_id order) neighbor within
+    * hamming 8 of its 63-bit shingle SimHash (featureless docs: exact
+    * text identity). The oracle mirrors the signature pipeline and the
+    * drop rule with an explicit earlier-neighbor anti-join. */
+  def qBandedDedup(spark: SparkSession, dir: String): DataFrame =
+    Dedup.ingestNearDup(Tables.documents(spark, dir).orderedBy("doc_id"),
+        "doc_id", "text", maxHamming = 8)
+      .df.select(col("doc_id"))
+
+  val qBandedDedupSql: String = {
+    val bits = 63
+    val bitSums = (0 until bits).map(i =>
+      s"sum(CASE WHEN (h >> $i) & 1 = 1 THEN 1 ELSE -1 END) AS b$i").mkString(", ")
+    val combine = (0 until bits).map(i =>
+      s"CASE WHEN b$i > 0 THEN ${1L << i} ELSE 0 END").mkString(" + ")
+    s"""WITH words AS (SELECT doc_id, text, list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS w FROM documents),
+        shex AS (SELECT doc_id, unnest([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+                                        for i in range(1, len(w) - 1)]) AS s
+                 FROM words WHERE len(w) >= 3),
+        t AS (SELECT doc_id, list_reduce([0] || [ord(c)::BIGINT for c in string_split(s, '')],
+                                         (a, c) -> (a * 31 + c) % 1000000007) AS h FROM shex),
+        s0 AS (SELECT doc_id, $bitSums FROM t GROUP BY doc_id),
+        sig AS (SELECT doc_id, ($combine)::BIGINT AS simhash FROM s0),
+        shorts AS (SELECT doc_id, text FROM words WHERE len(w) < 3),
+        dropn AS (SELECT b.doc_id FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+                  AND bit_count(xor(a.simhash, b.simhash)) <= 8),
+        drops AS (SELECT b.doc_id FROM shorts a JOIN shorts b
+                  ON a.doc_id < b.doc_id AND a.text = b.text)
+       SELECT doc_id FROM documents
+       WHERE doc_id NOT IN (SELECT doc_id FROM dropn
+                            UNION ALL SELECT doc_id FROM drops)"""
+  }
+
   /** Benchmark decontamination: the first 25 documents stand in for an
     * eval set; every doc sharing a word-5-gram with them is flagged. */
   def qDecontaminate(spark: SparkSession, dir: String): DataFrame = {
@@ -682,6 +716,7 @@ object QueriesPipeline {
     "q_simhash_pairs" -> (qSimhashPairs _),
     "q_ngram_jaccard" -> (qNgramJaccard _),
     "q_ingest_neardup" -> (qIngestNearDup _),
+    "q_banded_dedup" -> (qBandedDedup _),
     "q_decontaminate" -> (qDecontaminate _),
     "q_scrub" -> (qScrub _),
     "q_embed_dedup" -> (qEmbedDedup _),
@@ -715,6 +750,7 @@ object QueriesPipeline {
     "q_simhash_pairs" -> qSimhashPairsSql,
     "q_ngram_jaccard" -> qNgramJaccardSql,
     "q_ingest_neardup" -> qIngestNearDupSql,
+    "q_banded_dedup" -> qBandedDedupSql,
     "q_decontaminate" -> qDecontaminateSql,
     "q_scrub" -> qScrubSql,
     "q_embed_dedup" -> qEmbedDedupSql,

@@ -48,7 +48,10 @@ object StreamingRowScans {
     val outSchema = StructType(df.schema.fields :+
       StructField(as, if (kind == RCount || sumLong) LongType else DoubleType))
     implicit val outEnc: Encoder[Row] = RowEncoder.encoderFor(outSchema)
-    implicit val stEnc: Encoder[(Double, Long, Long)] = Encoders.kryo[(Double, Long, Long)]
+    // primitive product state: native tuple encoder — like the grouping
+    // keys, the checkpoint payload format is then UnsafeRow, not kryo
+    implicit val stEnc: Encoder[(Double, Long, Long)] =
+      Encoders.tuple(Encoders.scalaDouble, Encoders.scalaLong, Encoders.scalaLong)
     val oIdx = order.map(prep.schema.fieldIndex)
     val argIdx = prep.schema.fieldIndex("__arg")
     val n0 = df.schema.length
