@@ -490,28 +490,36 @@ object Dedup {
     val base = df.withColumn("__sig", sig).withColumn("__short", short)
 
     if (!df.isStreaming) {
+      // Collapse to DISTINCT signatures first: every non-representative doc
+      // has an earlier same-signature doc (hamming 0 <= budget) and is
+      // dropped by definition, and a representative (min-rank of its
+      // signature group) has an earlier within-budget doc iff some
+      // NEIGHBORING signature group's min-rank is earlier (any earlier
+      // member implies an earlier min-rank). The pigeonhole pair sweep then
+      // runs over one row per distinct signature — a corpus with massive
+      // exact-duplicate groups (the common 100 TB reality) cannot explode
+      // the band join quadratically in group size.
       val rank = struct((order :+ idCol).map(col): _*)
-      val ranked = base.select(col(idCol).as("__id"), col("__sig"),
-        col("__short"), rank.as("__rk"))
-      val nonShort = ranked.filter(!col("__short"))
+      val reps = base
+        .select(col(idCol).as("__id"), col("__sig"), col("__short"), rank.as("__rk"))
+        .groupBy(col("__short"), col("__sig"))
+        .agg(min(struct(col("__rk"), col("__id"))).as("__m"))
+        .select(col("__short"), col("__sig"),
+          col("__m.__rk").as("__rk"), col("__m.__id").as("__id"))
+      val nonShortReps = reps.filter(!col("__short"))
         .select(col("__id").as(idCol), col("__sig").as("simhash"))
-      val rk = ranked.select(col("__id"), col("__rk"))
-      val droppedNear = simhashPairs(nonShort, idCol, bits, maxHamming)
+      val rk = reps.select(col("__id"), col("__rk"))
+      val droppedReps = simhashPairs(nonShortReps, idCol, bits, maxHamming)
         .select(col("id_a"), col("id_b"))
         .join(rk.withColumnRenamed("__id", "id_a").withColumnRenamed("__rk", "__rka"), "id_a")
         .join(rk.withColumnRenamed("__id", "id_b").withColumnRenamed("__rk", "__rkb"), "id_b")
         .select(when(col("__rka") < col("__rkb"), col("id_b"))
           .otherwise(col("id_a")).as("__id"))
-      val shorts = ranked.filter(col("__short"))
-      val shortSurvivors = shorts
-        .groupBy(col("__sig")).agg(min(struct(col("__rk"), col("__id"))).as("__m"))
-        .select(col("__m.__id").as("__id"))
-      val droppedShort = shorts.select(col("__id"))
-        .join(shortSurvivors, Seq("__id"), "left_anti")
-      val dropped = droppedNear.union(droppedShort).distinct()
+      val survivors = reps.select(col("__id"))
+        .join(droppedReps, Seq("__id"), "left_anti")
         .withColumnRenamed("__id", idCol)
       return new graft.api.MStream(
-        base.join(dropped, Seq(idCol), "left_anti").select(orig.map(col): _*),
+        base.join(survivors, Seq(idCol), "left_semi").select(orig.map(col): _*),
         stream.eventOrder, stream.contextKeys, stream.name)
     }
 
