@@ -31,7 +31,7 @@ object QueriesPipeline {
       val bv = (0 until rows).map(r => s"mh${b * rows + r}").reduce((x, y) => s"($x * 31 + $y)")
       s"SELECT doc_id, $b AS band, $bv AS bv FROM sig"
     }.mkString(" UNION ALL ")
-    s"""words AS (SELECT doc_id, list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS w FROM documents),
+    s"""words AS (SELECT doc_id, list_filter(string_split_regex(text, '[ \\t\\n\\f\\r\\x0b]+'), x -> x <> '') AS w FROM documents),
         shex AS (SELECT doc_id, unnest(list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
                                                       for i in range(1, len(w) - 1)])) AS s
                  FROM words),
@@ -144,7 +144,7 @@ object QueriesPipeline {
       s"CASE WHEN b$i > 0 THEN ${1L << i} ELSE 0 END").mkString(" + ")
     s"""WITH t AS (
           SELECT doc_id, $h AS h
-          FROM (SELECT doc_id, unnest(list_filter(string_split_regex(text, '\\s+'), x -> x <> '')) AS w FROM documents)),
+          FROM (SELECT doc_id, unnest(list_filter(string_split_regex(text, '[ \\t\\n\\f\\r\\x0b]+'), x -> x <> '')) AS w FROM documents)),
         s AS (SELECT doc_id, $bitSums FROM t GROUP BY doc_id)
         SELECT doc_id, ($combine)::BIGINT AS simhash FROM s"""
   }
@@ -161,7 +161,7 @@ object QueriesPipeline {
       s"sum(CASE WHEN (h >> $i) & 1 = 1 THEN 1 ELSE -1 END) AS b$i").mkString(", ")
     val combine = (0 until bits).map(i =>
       s"CASE WHEN b$i > 0 THEN ${1L << i} ELSE 0 END").mkString(" + ")
-    s"""WITH words AS (SELECT doc_id, list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS w FROM documents),
+    s"""WITH words AS (SELECT doc_id, list_filter(string_split_regex(text, '[ \\t\\n\\f\\r\\x0b]+'), x -> x <> '') AS w FROM documents),
         shex AS (SELECT doc_id, unnest([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
                                         for i in range(1, len(w) - 1)]) AS s
                  FROM words),
@@ -196,7 +196,7 @@ object QueriesPipeline {
       s"sum(CASE WHEN (h >> $i) & 1 = 1 THEN 1 ELSE -1 END) AS b$i").mkString(", ")
     val combine = (0 until bits).map(i =>
       s"CASE WHEN b$i > 0 THEN ${1L << i} ELSE 0 END").mkString(" + ")
-    s"""WITH words AS (SELECT doc_id, text, list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS w FROM documents),
+    s"""WITH words AS (SELECT doc_id, text, list_filter(string_split_regex(text, '[ \\t\\n\\f\\r\\x0b]+'), x -> x <> '') AS w FROM documents),
         shex AS (SELECT doc_id, unnest([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
                                         for i in range(1, len(w) - 1)]) AS s
                  FROM words WHERE len(w) >= 3),
@@ -226,7 +226,7 @@ object QueriesPipeline {
       s"sum(CASE WHEN (h >> $i) & 1 = 1 THEN 1 ELSE -1 END) AS b$i").mkString(", ")
     val combine = (0 until bits).map(i =>
       s"CASE WHEN b$i > 0 THEN ${1L << i} ELSE 0 END").mkString(" + ")
-    s"""WITH words AS (SELECT doc_id, text, list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS w FROM documents),
+    s"""WITH words AS (SELECT doc_id, text, list_filter(string_split_regex(text, '[ \\t\\n\\f\\r\\x0b]+'), x -> x <> '') AS w FROM documents),
         shex AS (SELECT doc_id, unnest([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
                                         for i in range(1, len(w) - 1)]) AS s
                  FROM words WHERE len(w) >= 3),
@@ -257,7 +257,7 @@ object QueriesPipeline {
     // side counts distinct hashes (array_distinct after hashing), so an
     // intra-document hash collision must collapse on both sides
     val h = PolyFold.format("s")
-    s"""WITH words AS (SELECT doc_id, list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS w FROM documents),
+    s"""WITH words AS (SELECT doc_id, list_filter(string_split_regex(text, '[ \\t\\n\\f\\r\\x0b]+'), x -> x <> '') AS w FROM documents),
         dg AS (SELECT doc_id,
                  unnest(list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' ||
                                        w[i+3] || ' ' || w[i+4]
@@ -357,7 +357,7 @@ object QueriesPipeline {
 
   val qLangIdSql: String = {
     def hits(ms: Seq[String]) =
-      s"len(list_filter(list_filter(string_split_regex(text, '\\s+'), x -> x <> ''), w -> w IN (${ms.map("'" + _ + "'").mkString(",")})))"
+      s"len(list_filter(list_filter(string_split_regex(text, '[ \\t\\n\\f\\r\\x0b]+'), x -> x <> ''), w -> w IN (${ms.map("'" + _ + "'").mkString(",")})))"
     val Seq(en, de, fr, es) = TextOps.LangMarkers.map(m => hits(m._2))
     s"""SELECT doc_id,
           CASE WHEN $en >= $de AND $en >= $fr AND $en >= $es THEN 'en'
@@ -378,13 +378,13 @@ object QueriesPipeline {
   val qTextQualitySql: String = {
     val stops = TextOps.Stopwords.map("'" + _ + "'").mkString(",")
     s"""SELECT doc_id,
-          len(list_filter(string_split_regex(text, '\\s+'), x -> x <> '')) AS n_words,
+          len(list_filter(string_split_regex(text, '[ \\t\\n\\f\\r\\x0b]+'), x -> x <> '')) AS n_words,
           round(list_aggregate(list_transform(
-                  list_filter(string_split_regex(text, '\\s+'), x -> x <> ''),
+                  list_filter(string_split_regex(text, '[ \\t\\n\\f\\r\\x0b]+'), x -> x <> ''),
                   x -> length(x)), 'sum')::DOUBLE
-                / len(list_filter(string_split_regex(text, '\\s+'), x -> x <> '')), 4) AS avg_word_len,
-          round(len(list_filter(list_filter(string_split_regex(text, '\\s+'), x -> x <> ''), w -> w IN ($stops)))::DOUBLE
-                / len(list_filter(string_split_regex(text, '\\s+'), x -> x <> '')), 4) AS stopword_ratio,
+                / nullif(len(list_filter(string_split_regex(text, '[ \\t\\n\\f\\r\\x0b]+'), x -> x <> '')), 0), 4) AS avg_word_len,
+          round(len(list_filter(list_filter(string_split_regex(text, '[ \\t\\n\\f\\r\\x0b]+'), x -> x <> ''), w -> w IN ($stops)))::DOUBLE
+                / nullif(len(list_filter(string_split_regex(text, '[ \\t\\n\\f\\r\\x0b]+'), x -> x <> '')), 0), 4) AS stopword_ratio,
           len(regexp_extract_all(text, '[^A-Za-z0-9_\\s]')) AS punct_count
         FROM documents"""
   }
@@ -396,7 +396,7 @@ object QueriesPipeline {
       TextOps.tokenCountRegex(col("text")).as("re_tokens"))
 
   val qTokenCountSql: String =
-    """SELECT doc_id, len(list_filter(string_split_regex(text, '\s+'), x -> x <> '')) AS ws_tokens,
+    """SELECT doc_id, len(list_filter(string_split_regex(text, '[ \t\n\f\r\x0b]+'), x -> x <> '')) AS ws_tokens,
          len(regexp_extract_all(text, '[A-Za-z0-9_]+|[^A-Za-z0-9_\s]')) AS re_tokens
        FROM documents"""
 
@@ -451,14 +451,14 @@ object QueriesPipeline {
     TextOps.repetitionFeatures(Tables.documents(spark, dir).df, "doc_id", "text")
 
   val qRepetitionSql: String =
-    """WITH w AS (SELECT doc_id, unnest(list_filter(string_split_regex(text, '\s+'), x -> x <> '')) AS w FROM documents),
+    """WITH w AS (SELECT doc_id, unnest(list_filter(string_split_regex(text, '[ \t\n\f\r\x0b]+'), x -> x <> '')) AS w FROM documents),
         wc AS (SELECT doc_id, w, count(*) AS c FROM w GROUP BY 1, 2),
         ws AS (SELECT doc_id,
                  round(1.0 - count(*)::DOUBLE / sum(c), 4) AS dup_word_frac,
                  round(max(c)::DOUBLE / sum(c), 4) AS max_word_frac
                FROM wc GROUP BY doc_id),
         bg AS (SELECT doc_id, w[i] AS w1, w[i + 1] AS w2
-               FROM (SELECT doc_id, list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS w FROM documents),
+               FROM (SELECT doc_id, list_filter(string_split_regex(text, '[ \t\n\f\r\x0b]+'), x -> x <> '') AS w FROM documents),
                     LATERAL (SELECT unnest(generate_series(1, len(w) - 1)) AS i) t),
         bc AS (SELECT doc_id, w1, w2, count(*) AS c FROM bg GROUP BY 1, 2, 3),
         bs AS (SELECT doc_id, round(max(c)::DOUBLE / sum(c), 4) AS top_bigram_frac
@@ -473,7 +473,7 @@ object QueriesPipeline {
 
   val qTopNgramsSql: String =
     """WITH g AS (SELECT w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS ngram
-         FROM (SELECT list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS w FROM documents),
+         FROM (SELECT list_filter(string_split_regex(text, '[ \t\n\f\r\x0b]+'), x -> x <> '') AS w FROM documents),
               LATERAL (SELECT unnest(generate_series(1, len(w) - 2)) AS i) t)
        SELECT ngram, count(*) AS cnt FROM g GROUP BY ngram
        ORDER BY cnt DESC, ngram LIMIT 20"""
@@ -484,7 +484,7 @@ object QueriesPipeline {
 
   val qTfidfSql: String =
     """WITH tf AS (SELECT doc_id, w, count(*) AS tf
-         FROM (SELECT doc_id, unnest(list_filter(string_split_regex(text, '\s+'), x -> x <> '')) AS w FROM documents)
+         FROM (SELECT doc_id, unnest(list_filter(string_split_regex(text, '[ \t\n\f\r\x0b]+'), x -> x <> '')) AS w FROM documents)
          GROUP BY 1, 2),
         dfx AS (SELECT w, count(*) AS dfc FROM tf GROUP BY w),
         s AS (SELECT doc_id, w,
@@ -503,9 +503,9 @@ object QueriesPipeline {
       query = Seq("spark", "join", "window"), k = 25)
 
   val qBm25Sql: String =
-    """WITH dl AS (SELECT doc_id, len(list_filter(string_split_regex(text, '\s+'), x -> x <> '')) AS dl FROM documents),
+    """WITH dl AS (SELECT doc_id, len(list_filter(string_split_regex(text, '[ \t\n\f\r\x0b]+'), x -> x <> '')) AS dl FROM documents),
         tf AS (SELECT doc_id, w, count(*) AS tf
-               FROM (SELECT doc_id, unnest(list_filter(string_split_regex(text, '\s+'), x -> x <> '')) AS w FROM documents)
+               FROM (SELECT doc_id, unnest(list_filter(string_split_regex(text, '[ \t\n\f\r\x0b]+'), x -> x <> '')) AS w FROM documents)
                WHERE w IN ('join', 'spark', 'window')
                GROUP BY 1, 2),
         stats AS (SELECT count(*)::DOUBLE AS n, avg(dl) AS avgdl FROM dl),
@@ -552,12 +552,12 @@ object QueriesPipeline {
 
   val qEncodeSql: String =
     """WITH wc AS (SELECT w, count(*) AS c
-                   FROM (SELECT unnest(list_filter(string_split_regex(text, '\s+'), x -> x <> '')) AS w FROM documents)
+                   FROM (SELECT unnest(list_filter(string_split_regex(text, '[ \t\n\f\r\x0b]+'), x -> x <> '')) AS w FROM documents)
                    GROUP BY w),
         v AS (SELECT w, row_number() OVER (ORDER BY c DESC, w) - 1 AS id
               FROM (SELECT * FROM wc WHERE c >= 5 ORDER BY c DESC, w LIMIT 20)),
         t AS (SELECT doc_id, t.i AS pos, w[t.i] AS word
-              FROM (SELECT doc_id, list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS w FROM documents),
+              FROM (SELECT doc_id, list_filter(string_split_regex(text, '[ \t\n\f\r\x0b]+'), x -> x <> '') AS w FROM documents),
                    LATERAL (SELECT unnest(generate_series(1, len(w))) AS i) t),
         e AS (SELECT t.doc_id, t.pos, coalesce(v.id, -1) AS id
               FROM t LEFT JOIN v ON t.word = v.w)
@@ -576,7 +576,7 @@ object QueriesPipeline {
     """SELECT doc_id, (t.s / 24)::BIGINT AS chunk_id,
          array_to_string(w[t.s + 1 : t.s + 32], ' ') AS chunk_text,
          least(32, len(w) - t.s)::BIGINT AS n_tokens
-       FROM (SELECT doc_id, list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS w FROM documents),
+       FROM (SELECT doc_id, list_filter(string_split_regex(text, '[ \t\n\f\r\x0b]+'), x -> x <> '') AS w FROM documents),
             LATERAL (SELECT unnest(generate_series(0, len(w) - 1, 24)) AS s) t"""
 
   /** Per-source document-length quantiles (exact interpolated percentile —
@@ -603,8 +603,8 @@ object QueriesPipeline {
     TextOps.packChunks(Tables.documents(spark, dir).df, "doc_id", "text", "source", budget = 512L)
 
   val qPackSql: String =
-    """SELECT doc_id, source, len(list_filter(string_split_regex(text, '\s+'), x -> x <> ''))::BIGINT AS n_tokens,
-         floor(coalesce(sum(len(list_filter(string_split_regex(text, '\s+'), x -> x <> ''))::BIGINT) OVER (
+    """SELECT doc_id, source, len(list_filter(string_split_regex(text, '[ \t\n\f\r\x0b]+'), x -> x <> ''))::BIGINT AS n_tokens,
+         floor(coalesce(sum(len(list_filter(string_split_regex(text, '[ \t\n\f\r\x0b]+'), x -> x <> ''))::BIGINT) OVER (
              PARTITION BY source ORDER BY doc_id
              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) / 512)::BIGINT AS chunk_id
        FROM documents"""

@@ -164,22 +164,29 @@ object AsofJoins {
       struct(rightOrder.map(right.col): _*).as("__ro"))
 
     val W = org.apache.spark.sql.expressions.Window
-    // null-ts lefts must emit unmatched in BOTH directions: backward keeps
-    // them nulls-FIRST (an empty backward frame of real rights), forward
-    // needs nulls-LAST — nulls-first would put every right in a null-ts
-    // left's forward frame and match it to the earliest one
-    val tsOrder = if (forward) col("__ts").asc_nulls_last else col("__ts").asc
-    val ordered = W.partitionBy(col("__k"))
-      .orderBy(tsOrder, col("__tag").asc, col("__ro").asc)
-    val w =
-      if (forward) ordered.rowsBetween(0, W.unboundedFollowing)
-      else ordered.rowsBetween(W.unboundedPreceding, 0)
+    // BOTH directions use the running [unboundedPreceding, currentRow]
+    // frame — Spark executes it in one linear pass per key, whereas an
+    // unbounded-FOLLOWING frame re-aggregates from each row to the
+    // partition end (O(n²) on a hot key). Forward is expressed by sorting
+    // DESCENDING: the running `last` then yields the earliest right
+    // at-or-after the left, and `__ro` descending makes equal-timestamp
+    // ties break first-wins — the exact mirror of backward's last-wins.
+    // Null-ts lefts must emit unmatched in BOTH directions: nulls sort
+    // FIRST, so a null-ts left's running frame holds no real rights.
+    val ordered =
+      if (forward)
+        W.partitionBy(col("__k")).orderBy(
+          col("__ts").desc_nulls_first, col("__tag").desc, col("__ro").desc)
+      else
+        W.partitionBy(col("__k")).orderBy(
+          col("__ts").asc, col("__tag").asc, col("__ro").asc)
+    val w = ordered.rowsBetween(W.unboundedPreceding, 0)
 
     // backward: LAST right at-or-before (latest, last-wins ties);
-    // forward: FIRST right at-or-after (earliest, first-wins ties)
-    val matchedRaw =
-      if (forward) first(col("__r"), ignoreNulls = true).over(w)
-      else last(col("__r"), ignoreNulls = true).over(w)
+    // forward (desc): running last = FIRST right at-or-after (earliest,
+    // first-wins ties) — equal-ts rights sort before the left in both
+    // (tag asc with rights=0 backward, tag desc with rights=1 forward)
+    val matchedRaw = last(col("__r"), ignoreNulls = true).over(w)
     val withMatch = lp.unionByName(rp)
       .withColumn("__m", matchedRaw)
       .filter(col("__l").isNotNull)

@@ -158,17 +158,28 @@ object Dedup {
                      bits: Int = 32, maxHamming: Int = 2, shingleN: Int = 3): DataFrame =
     simhashPairs(simhashShingles(docs, idCol, textCol, shingleN, bits), idCol, bits, maxHamming)
 
+  /** Pigeonhole chunk-key structs (ci, cv) for a SimHash column: the
+    * signature splits into maxHamming+1 chunks, and any pair within the
+    * Hamming budget agrees EXACTLY on at least one chunk (Manku WWW'07).
+    * ONE generator shared by the batch pair sweep (`simhashPairs`) and the
+    * streaming banded ingest, so the two lowerings — whose equivalence
+    * StreamingMStreamScanSpec pins — cannot drift on chunk sizing. */
+  private def pigeonholeChunks(sigCol: org.apache.spark.sql.Column,
+                               bits: Int, maxHamming: Int): Seq[org.apache.spark.sql.Column] = {
+    val nChunks = maxHamming + 1
+    val sizes = (0 until nChunks).map(i => bits / nChunks + (if (i < bits % nChunks) 1 else 0))
+    val offs = sizes.scanLeft(0)(_ + _)
+    (0 until nChunks).map { i =>
+      struct(lit(i).as("ci"),
+        shiftright(sigCol, offs(i)).bitwiseAND(lit((1L << sizes(i)) - 1)).as("cv"))
+    }
+  }
+
   /** Pigeonhole pair generation over any (id, simhash) signature table. */
   def simhashPairs(sigs: DataFrame, idCol: String,
                    bits: Int, maxHamming: Int): DataFrame = {
     require(maxHamming >= 0 && maxHamming < bits, s"need 0 <= maxHamming < bits")
-    val nChunks = maxHamming + 1
-    val sizes = (0 until nChunks).map(i => bits / nChunks + (if (i < bits % nChunks) 1 else 0))
-    val offs = sizes.scanLeft(0)(_ + _)
-    val chunkCols = (0 until nChunks).map { i =>
-      struct(lit(i).as("ci"),
-        shiftright(col("simhash"), offs(i)).bitwiseAND(lit((1L << sizes(i)) - 1)).as("cv"))
-    }
+    val chunkCols = pigeonholeChunks(col("simhash"), bits, maxHamming)
     val e = sigs.select(col(idCol), col("simhash"), explode(array(chunkCols: _*)).as("__ck"))
       .repartition(col("__ck"))
     val ham = expr("bit_count(__sa ^ __sb)")
@@ -524,13 +535,7 @@ object Dedup {
     }
 
     // ---- streaming: pigeonhole buckets + per-doc combine -----------------
-    val nChunks = maxHamming + 1
-    val sizes = (0 until nChunks).map(i => bits / nChunks + (if (i < bits % nChunks) 1 else 0))
-    val offs = sizes.scanLeft(0)(_ + _)
-    val chunkCols = (0 until nChunks).map { i =>
-      struct(lit(i).as("ci"),
-        shiftright(col("__sig"), offs(i)).bitwiseAND(lit((1L << sizes(i)) - 1)).as("cv"))
-    }
+    val chunkCols = pigeonholeChunks(col("__sig"), bits, maxHamming)
     // featureless docs live in their own exact-equality key space (ci = -1)
     val chunks = when(col("__short"), array(struct(lit(-1).as("ci"), col("__sig").as("cv"))))
       .otherwise(array(chunkCols: _*))

@@ -301,7 +301,11 @@ object TextOps {
                   chunkSize: Int, stride: Int): org.apache.spark.sql.DataFrame = {
     require(chunkSize > 0 && stride > 0 && stride <= chunkSize,
       s"need 0 < stride <= chunkSize, got chunkSize=$chunkSize stride=$stride")
+    // zero-word documents produce no chunks (and must not reach sequence():
+    // sequence(0, -1, stride) is an ANSI error, the same trap Sampling.scala
+    // documents) — the filter mirrors the oracle's empty generate_series
     val base = docs.select(col(idCol), words(col(textCol)).as("__ws"))
+      .filter(size(col("__ws")) >= 1)
     base.select(col(idCol), col("__ws"),
         explode(sequence(lit(0), size(col("__ws")) - 1, lit(stride))).as("__s"))
       .select(col(idCol),
@@ -355,14 +359,17 @@ object TextOps {
 
   /** Quality features: word count, mean word length, stopword ratio,
     * punctuation ratio. Mean word length sums the words themselves
-    * (whitespace-robust) rather than assuming single-space separators. */
+    * (whitespace-robust) rather than assuming single-space separators.
+    * Zero-word documents get NULL ratios (guarded — ANSI division by the
+    * zero count would throw; the oracle mirrors via `nullif`). */
   def qualityFeatures(text: Column): Seq[(String, Column)] = {
     val nw = tokenCountWhitespace(text)
     val wordChars = aggregate(words(text), lit(0), (a, w) => a + length(w))
     Seq(
       "n_words" -> nw,
-      "avg_word_len" -> round(wordChars.cast("double") / nw, 4),
-      "stopword_ratio" -> round(markerHits(text, Stopwords).cast("double") / nw, 4),
+      "avg_word_len" -> when(nw > 0, round(wordChars.cast("double") / nw, 4)),
+      "stopword_ratio" -> when(nw > 0,
+        round(markerHits(text, Stopwords).cast("double") / nw, 4)),
       "punct_count" -> regexp_count(text, lit("[^A-Za-z0-9_\\s]")))
   }
 }

@@ -139,9 +139,11 @@ object StreamingAsof {
             else rightsBuf += ((ts, rec.getStruct(rIdx), rec.getStruct(roIdx)))
           }
           val w = state.getCurrentWatermarkMs()
-          // a left matures once the watermark passes it STRICTLY: a right
-          // stamped exactly at the watermark is not yet late, so waiting
-          // for w > ts keeps equal-timestamp rights admissible
+          // a left matures once the watermark passes it STRICTLY: while
+          // w < ts an equal-timestamp right can still be admitted (the
+          // late-drop predicate is ts <= watermark, evaluated against the
+          // PREVIOUS batch's watermark), so waiting for w > ts keeps
+          // equal-timestamp rights admissible
           val (mature, stillPending) = pendingBuf.toList.partition(_._1 < w)
           val allRights = rightsBuf.toList
           val outs = mature.sortBy(_._1).map { case (lts, l) =>
@@ -245,8 +247,10 @@ object StreamingAsof {
           val outs = mature.sortBy(_._1).map { case (lts, l) =>
             Row(l, candidate(allRights, lts).map(_._2).orNull)
           }
-          // compact: future lefts have ts > watermark, so their admissible
-          // rights have ts > watermark too — a right at-or-below it is only
+          // compact: Spark drops input rows with ts <= watermark as late
+          // (WatermarkSupport builds a LessThanOrEqual predicate), so any
+          // future left has lts STRICTLY above w and its admissible rights
+          // have ts >= lts > w — a right at-or-below the watermark is only
           // needed while a PENDING left can still match it
           val rights = allRights.filter(r =>
             r._1 > w || stillPending.exists { case (lts, _) =>

@@ -103,6 +103,24 @@ class BatchApiSpec extends SparkSpec {
       "one-pass shingle hashes == polyHash of shingle strings under \\s+ rule"))
   }
 
+  test("zero-word documents: chunking emits nothing, quality ratios are NULL (no ANSI errors)") {
+    import graft.pipeline.TextOps
+    val docs = Seq((1L, ""), (2L, " \t\n"), (3L, "one two three")).toDF("doc_id", "text")
+    // chunkTokens: sequence(0, -1, stride) would throw under ANSI — the
+    // zero-word filter must keep empty docs out entirely
+    val chunks = TextOps.chunkTokens(docs, "doc_id", "text", chunkSize = 2, stride = 2)
+      .collect()
+    assert(chunks.map(_.getLong(0)).toSet == Set(3L), "only the real doc chunks")
+    assert(chunks.length == 2)
+    // quality: division by the zero word count must yield NULL, not throw
+    val feats = TextOps.qualityFeatures(col("text")).map { case (n, c) => c.as(n) }
+    val q = docs.select(col("doc_id") +: feats: _*).orderBy("doc_id").collect()
+    assert(q(0).getAs[Int]("n_words") == 0 && q(0).isNullAt(q(0).fieldIndex("avg_word_len"))
+      && q(0).isNullAt(q(0).fieldIndex("stopword_ratio")))
+    assert(q(1).getAs[Int]("n_words") == 0 && q(1).isNullAt(q(1).fieldIndex("avg_word_len")))
+    assert(q(2).getAs[Int]("n_words") == 3 && !q(2).isNullAt(q(2).fieldIndex("avg_word_len")))
+  }
+
   test("wordShingles handles short documents") {
     val df = Seq((1L, "a b"), (2L, "a b c d")).toDF("id", "text")
     val out = df.select(col("id"), TextOps.wordShingles(col("text"), 3).as("sh"))

@@ -187,6 +187,25 @@ class StreamingAsofSpec extends SparkSpec {
     }
   }
 
+  test("forward: the watermark boundary is INCLUSIVE-late (ts <= w drops) — compaction loses nothing") {
+    // Spark's late predicate is ts <= watermark (verified against
+    // WatermarkSupport's LessThanOrEqual), so a left stamped at-or-below
+    // the watermark never reaches the state machine — which is exactly why
+    // compacting rights at ts <= w (none pending) is safe: no admissible
+    // future left exists for them. This pins both halves.
+    runFwd(toleranceMs = 60000L) { (ls, rs, rows) =>
+      rs.addData(AsofR(1, t(10), 7), AsofR(2, t(10), 99)) // watermark -> 10s
+      rows() // idle pass: key 1's right compacts away (no pending lefts)
+      ls.addData(AsofL(1, t(10), 1)) // at exactly the watermark: late, dropped
+      ls.addData(AsofL(1, t(11), 2)) // above the watermark: admitted
+      rs.addData(AsofR(1, t(12), 8), AsofR(2, t(100), 97))
+      rows()
+      rs.addData(AsofR(2, t(101), 96)) // let the timeout fire
+      assert(rows() == Set((2, 8)),
+        "the boundary left is late-dropped; the live left matches the fresh right")
+    }
+  }
+
   test("forward: state empties once lefts finalize and rights age out") {
     implicit val sqlCtx = spark.sqlContext
     val ls = MemoryStream[AsofL]
