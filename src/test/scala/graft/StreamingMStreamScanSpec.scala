@@ -259,6 +259,25 @@ class StreamingMStreamScanSpec extends SparkSpec {
     assert(b.df.select("id").collect().map(_.getLong(0)).toSet == expected,
       "batch banded ingest matches the streaming survivors")
   }
+
+  test("banded batch ingest: a massive exact-duplicate group cannot explode the pair stage") {
+    // 5000 identical docs + 2 distinct ones: the distinct-signature
+    // collapse must reduce the pigeonhole band join to 3 signature rows
+    // (naively the identical group alone would make ~12.5M pairs x 9
+    // chunks); completion in bounded time + the exact survivor set is the
+    // behavioral pin
+    val big = (1L to 5000L).map(i => NdDoc(i, "the same exact document text repeated verbatim many times over", i)) ++
+      Seq(NdDoc(6001L, "a completely different first document about streams", 6001L),
+          NdDoc(6002L, "and another unrelated second one about state stores", 6002L))
+    import spark.implicits._
+    val out = graft.pipeline.Dedup.ingestNearDup(
+      new MStream(big.toDF(), Seq("seq")), "id", "text", maxHamming = 8)
+    val got = out.df.select("id").collect().map(_.getLong(0)).toSet
+    assert(got.contains(1L) && !got.exists(i => i > 1L && i <= 5000L),
+      "one survivor for the duplicate group — its first element")
+    assert(got.size <= 3 && got.contains(1L),
+      "survivors: the group rep plus distinct docs not within the budget of it")
+  }
 }
 
 case class NdDoc(id: Long, text: String, seq: Long)
