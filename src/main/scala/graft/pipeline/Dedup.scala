@@ -481,7 +481,16 @@ object Dedup {
    * micro-batch) and emits survivors. State per bucket = distinct
    * signatures landing in it; exchange keys are native columns
    * ([[graft.streaming.KeyedRows]]). Batch lowering: `simhashPairs` +
-   * order-rank anti-join, same drop rule.
+   * order-rank anti-join over one representative per DISTINCT signature
+   * (immune to exact-duplicate skew), same drop rule.
+   *
+   * Chunk-width tradeoff: a 63-bit signature at budget k gives
+   * maxHamming+1 chunks of ~63/(k+1) bits, and the FALSE-candidate rate
+   * grows as chunks narrow (k=8 → 7-bit chunks → 128 bucket values per
+   * chunk). Very large budgets on very large corpora want wider
+   * signatures (multiple longs, or Manku's permuted tables); 63 bits at
+   * k <= 8 keeps candidate sets tractable here, and the popcount verify
+   * is exact regardless of chunk width.
    */
   private def bandedIngest(stream: graft.api.MStream, idCol: String,
                            sig: org.apache.spark.sql.Column,

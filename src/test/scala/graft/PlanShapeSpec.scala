@@ -72,6 +72,13 @@ class PlanShapeSpec extends SparkSpec {
     val p = plan("q_asof_fwd")
     assert(p.contains("Window"), "the running-match window must be present")
     assert(!p.contains("Join"), "an as-of must never materialize pairs")
+    // the forward direction must use the LINEAR running frame (descending
+    // sort), never unbounded-FOLLOWING — Spark executes that frame by
+    // re-aggregating each row to the partition end: O(n^2) on a hot key
+    assert(!p.toLowerCase.contains("unboundedfollowing"),
+      "forward as-of must not plan an unbounded-following frame")
+    assert(p.toLowerCase.contains("unboundedpreceding"),
+      "forward as-of runs on the running [unboundedPreceding, current] frame")
   }
 
   test("q_bm25 is two corpus scans (stats + scoring), no token shuffle") {
