@@ -238,6 +238,8 @@ object TextOps {
     * only, so scale is bounded by the largest partition, not the corpus. */
   def packChunks(docs: org.apache.spark.sql.DataFrame, idCol: String, textCol: String,
                  partCol: String, budget: Long): org.apache.spark.sql.DataFrame = {
+    require(budget > 0, s"budget=$budget: chunk budget must be positive " +
+      "(zero would divide the running token sum by zero)")
     import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy(col(partCol)).orderBy(col(idCol))
       .rowsBetween(Window.unboundedPreceding, -1)

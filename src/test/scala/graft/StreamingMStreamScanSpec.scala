@@ -260,6 +260,40 @@ class StreamingMStreamScanSpec extends SparkSpec {
       "batch banded ingest matches the streaming survivors")
   }
 
+  test("banded batch drop rule equals the naive reference over randomized corpora") {
+    import spark.implicits._
+    val vocab = Vector("alpha", "beta", "gamma", "delta", "epsilon", "zeta")
+    val h = graft.functions.VectorFunctions.wordShingleHashes(col("text"), 3)
+    val sigCol = when(size(h) >= 1,
+      graft.functions.VectorFunctions.simhashBits(h, 63)).otherwise(xxhash64(col("text")))
+    for (seed <- 1 to 5) {
+      val rnd = new scala.util.Random(seed)
+      // small vocab + short docs force near/exact signature collisions
+      val docs = (1L to 60L).map { i =>
+        val n = 2 + rnd.nextInt(6) // 2..7 words; under 3 -> featureless path
+        NdDoc(i, Seq.fill(n)(vocab(rnd.nextInt(vocab.size))).mkString(" "), i)
+      }
+      val maxH = 1 + rnd.nextInt(10)
+      val sigs = docs.toDF().select(col("id"), sigCol.as("sig"), (size(h) < 1).as("short"))
+        .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getBoolean(2))).toMap
+      val expected = docs.sortBy(_.seq).foldLeft((Set.empty[Long], Vector.empty[NdDoc])) {
+        case ((keep, seen), d) =>
+          val (sg, sh) = sigs(d.id)
+          val isDup = seen.exists { e =>
+            val (s2, sh2) = sigs(e.id)
+            sh2 == sh && (if (sh) s2 == sg
+                          else java.lang.Long.bitCount(s2 ^ sg) <= maxH)
+          }
+          (if (isDup) keep else keep + d.id, seen :+ d)
+      }._1
+      val got = graft.pipeline.Dedup.ingestNearDup(
+          new MStream(docs.toDF(), Seq("seq")), "id", "text", maxHamming = maxH)
+        .df.select("id").collect().map(_.getLong(0)).toSet
+      assert(got == expected, s"seed=$seed maxH=$maxH: " +
+        s"missing=${expected -- got} extra=${got -- expected}")
+    }
+  }
+
   test("banded batch ingest: a massive exact-duplicate group cannot explode the pair stage") {
     // 5000 identical docs + 2 distinct ones: the distinct-signature
     // collapse must reduce the pigeonhole band join to 3 signature rows
