@@ -440,6 +440,38 @@ class BatchApiSpec extends SparkSpec {
     }
   }
 
+  test("as-of with a composite key matches per-(k1,k2) naive; MStream batch dispatch covers both directions") {
+    import graft.operators.AsofJoins
+    val rnd = new scala.util.Random(17)
+    val lRows = (1 to 200).map(i =>
+      (i.toLong, rnd.nextInt(3).toLong, rnd.nextInt(3).toLong, rnd.nextLong(300)))
+    val rRows = (1 to 200).map(i =>
+      (i.toLong, rnd.nextInt(3).toLong, rnd.nextInt(3).toLong, rnd.nextLong(300)))
+    val lefts = lRows.toDF("l_id", "l_k1", "l_k2", "l_ts")
+    val rights = rRows.toDF("r_id", "r_k1", "r_k2", "r_ts")
+    val keys = Seq("l_k1" -> "r_k1", "l_k2" -> "r_k2")
+    def naive(fwd: Boolean) = lRows.map { case (lid, k1, k2, lts) =>
+      val cands = rRows.filter(r => r._2 == k1 && r._3 == k2 &&
+        (if (fwd) r._4 >= lts else r._4 <= lts))
+      val best =
+        if (fwd) cands.sortBy(r => (r._4, r._1)).headOption
+        else cands.sortBy(r => (r._4, r._1)).lastOption
+      (lid, best.map(_._1).getOrElse(-1L))
+    }.toSet
+    def pairs(df: org.apache.spark.sql.DataFrame) = df.select("l_id", "r_id").collect()
+      .map(r => (r.getLong(0), if (r.isNullAt(1)) -1L else r.getLong(1))).toSet
+    assert(pairs(AsofJoins.asofBackward(lefts, "l_ts", rights, "r_ts", keys, Seq("r_id")))
+      == naive(fwd = false), "composite-key backward")
+    assert(pairs(AsofJoins.asofForward(lefts, "l_ts", rights, "r_ts", keys, Seq("r_id")))
+      == naive(fwd = true), "composite-key forward")
+    // the MStream batch dispatch reaches the same lowerings
+    val lm = new graft.api.MStream(lefts, Seq("l_ts"))
+    val rm = new graft.api.MStream(rights, Seq("r_ts"))
+    assert(pairs(lm.asofJoin(rm, "l_ts", "r_ts", keys, Seq("r_id")).df) == naive(fwd = false))
+    assert(pairs(lm.asofJoin(rm, "l_ts", "r_ts", keys, Seq("r_id"),
+      direction = AsofJoins.Forward).df) == naive(fwd = true))
+  }
+
   test("as-of Duration tolerance: unit-safe on timestamps, rejected on numeric axes") {
     import graft.operators.AsofJoins
     import java.sql.Timestamp
