@@ -385,7 +385,7 @@ object QueriesPipeline {
                 / nullif(len(list_filter(string_split_regex(text, '[ \\t\\n\\f\\r\\x0b]+'), x -> x <> '')), 0), 4) AS avg_word_len,
           round(len(list_filter(list_filter(string_split_regex(text, '[ \\t\\n\\f\\r\\x0b]+'), x -> x <> ''), w -> w IN ($stops)))::DOUBLE
                 / nullif(len(list_filter(string_split_regex(text, '[ \\t\\n\\f\\r\\x0b]+'), x -> x <> '')), 0), 4) AS stopword_ratio,
-          len(regexp_extract_all(text, '[^A-Za-z0-9_\\s]')) AS punct_count
+          len(regexp_extract_all(text, '[^A-Za-z0-9_ \\t\\n\\f\\r\\x0b]')) AS punct_count
         FROM documents"""
   }
 
@@ -397,7 +397,7 @@ object QueriesPipeline {
 
   val qTokenCountSql: String =
     """SELECT doc_id, len(list_filter(string_split_regex(text, '[ \t\n\f\r\x0b]+'), x -> x <> '')) AS ws_tokens,
-         len(regexp_extract_all(text, '[A-Za-z0-9_]+|[^A-Za-z0-9_\s]')) AS re_tokens
+         len(regexp_extract_all(text, '[A-Za-z0-9_]+|[^A-Za-z0-9_ \t\n\f\r\x0b]')) AS re_tokens
        FROM documents"""
 
   /** Stratified deterministic sampling: a reproducible training mix that

@@ -458,7 +458,12 @@ object Dedup {
         .dedupBy(Seq("__short", "__sig"), withinWatermark)
         .map(orig.map(col): _*)
     else
-      bandedIngest(stream, idCol, sig, size(h) < 1, bits, maxHamming)
+      // null text => size(h) is NULL under ANSI; coalesce to the
+      // featureless class (its xxhash64 signature is the seed hash, so
+      // null-text docs dedup among themselves) — the streaming state
+      // machine reads the flag with getBoolean, which must never see NULL
+      bandedIngest(stream, idCol, sig, coalesce(size(h) < 1, lit(true)),
+        bits, maxHamming)
   }
 
   /**

@@ -29,13 +29,15 @@ object TextOps {
     * interprets two lambdas per character. */
   def polyHash(s: Column): Column = graft.functions.VectorFunctions.polyHashNative(s)
 
-  /** Whitespace tokens: split on ASCII whitespace RUNS (`\s+`) and drop
-    * empties, so tabs/newlines/consecutive spaces never produce phantom
-    * tokens. This is the ONE tokenization rule of the text stack — token
-    * counts, shingles (incl. the native one-pass hasher in
+  /** Whitespace tokens: split on ASCII whitespace RUNS (Java `\s+`) and
+    * drop empties, so tabs/newlines/consecutive spaces never produce
+    * phantom tokens. This is the ONE tokenization rule of the text stack —
+    * token counts, shingles (incl. the native one-pass hasher in
     * `WordShingleUtil`), packing budgets, vocabulary, and encoding all
-    * agree on it, and every oracle mirrors it
-    * (`list_filter(string_split_regex(text, '\s+'), x -> x <> '')`). */
+    * agree on it. Every oracle mirrors it with the EXPLICIT class
+    * `list_filter(string_split_regex(text, '[ \t\n\f\r\x0b]+'), x -> x <> '')`
+    * — never RE2's `\s`, which (unlike Java's) excludes vertical tab;
+    * OracleConsistencySpec pins `\s`-free oracles. */
   def words(text: Column): Column = filter(split(text, "\\s+"), w => w =!= "")
 
   /** Distinct word n-gram shingles ("a b c" strings). */

@@ -1,0 +1,42 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/**
+ * Static consistency pins over the oracle SQL corpus — the contracts that
+ * keep 58 hand-mirrored DuckDB queries from drifting apart (or from the
+ * engine) as they evolve.
+ */
+class OracleConsistencySpec extends AnyFunSuite {
+
+  /** The one canonical DuckDB word-split idiom (explicit ASCII-whitespace
+    * class matching Java regex `\s`; RE2's `\s` lacks `\x0b`). */
+  private val WordSplit =
+    """list_filter(string_split_regex(text, '[ \t\n\f\r\x0b]+'), x -> x <> '')"""
+
+  test("no oracle uses RE2 \\s — Java and RE2 disagree on vertical tab") {
+    for ((name, sql) <- SparkEntry.oracleSql)
+      assert(!sql.contains("\\s"),
+        s"$name: oracle contains regex \\s — use the explicit class " +
+          "[ \\t\\n\\f\\r\\x0b] so DuckDB (RE2) matches the engine (Java)")
+  }
+
+  test("every oracle that tokenizes uses the one canonical word-split idiom") {
+    for ((name, sql) <- SparkEntry.oracleSql if sql.contains("string_split_regex")) {
+      val splits = "string_split_regex".r.findAllIn(sql).length
+      val canonical = java.util.regex.Pattern.quote(WordSplit).r.findAllIn(sql).length
+      assert(splits == canonical,
+        s"$name: ${splits - canonical} string_split_regex call(s) deviate from " +
+          s"the canonical word-split idiom:\n  $WordSplit")
+    }
+  }
+
+  test("every query has an oracle twin or is explicitly rows-only") {
+    // the driver records a weaker rows-only check for queries without SQL;
+    // today every registered query has a twin — keep it that way
+    val missing = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
+    assert(missing.isEmpty, s"queries without oracle twins: $missing")
+    val orphans = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet
+    assert(orphans.isEmpty, s"oracles without queries: $orphans")
+  }
+}

@@ -260,6 +260,20 @@ class StreamingMStreamScanSpec extends SparkSpec {
       "batch banded ingest matches the streaming survivors")
   }
 
+  test("banded streaming ingest survives null-text rows (featureless class, no NPE)") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[NdDoc]
+    val out = graft.pipeline.Dedup.ingestNearDup(
+      new MStream(in.toDF(), Seq("seq")), "id", "text", maxHamming = 4)
+    drive(out.df) { emitted =>
+      in.addData(NdDoc(1, null, 1), NdDoc(2, "real document text here padded out", 2))
+      in.addData(NdDoc(3, null, 3)) // second null-text doc, later batch
+      val got = emitted().map(_.getLong(0)).toSet
+      assert(got == Set(1L, 2L),
+        "null-text docs take the featureless class: first survives, later dup drops")
+    }
+  }
+
   test("banded batch drop rule equals the naive reference over randomized corpora") {
     import spark.implicits._
     val vocab = Vector("alpha", "beta", "gamma", "delta", "epsilon", "zeta")
