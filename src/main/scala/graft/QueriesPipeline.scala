@@ -88,6 +88,24 @@ object QueriesPipeline {
                     JOIN documents y ON y.doc_id = id_b)
         WHERE d <= 20"""
 
+  /** Containment pairs: asymmetric shingle-set containment over the same
+    * LSH candidates — catches "small doc copied inside a larger one"
+    * (threshold 0.9 on either direction). Shares the candidate CTE
+    * generator with the MinHash mirrors. */
+  def qContainment(spark: SparkSession, dir: String): DataFrame =
+    Dedup.containmentNearDup(Tables.documents(spark, dir).df, "doc_id", "text",
+      k = 16, bands = 8, threshold = 0.9)
+
+  val qContainmentSql: String =
+    s"""WITH ${minhashCandidateCtes(16, 8)},
+        sets AS (SELECT doc_id, list_distinct(list(h)) AS sh FROM h GROUP BY doc_id)
+        SELECT id_a, id_b, ca AS containment_a, cb AS containment_b FROM (
+          SELECT id_a, id_b,
+            round(len(list_intersect(x.sh, y.sh))::DOUBLE / len(x.sh), 3) AS ca,
+            round(len(list_intersect(x.sh, y.sh))::DOUBLE / len(y.sh), 3) AS cb
+          FROM cand JOIN sets x ON x.doc_id = id_a JOIN sets y ON y.doc_id = id_b)
+        WHERE ca >= 0.9 OR cb >= 0.9"""
+
   /** Duplicate clusters: MinHash+LSH near-dup pairs folded into connected
     * components (large-star/small-star), each doc labeled with its cluster
     * representative — the pairwise→decision step of a real dedup pipeline.
@@ -717,6 +735,7 @@ object QueriesPipeline {
     "q_ngram_jaccard" -> (qNgramJaccard _),
     "q_ingest_neardup" -> (qIngestNearDup _),
     "q_banded_dedup" -> (qBandedDedup _),
+    "q_containment" -> (qContainment _),
     "q_decontaminate" -> (qDecontaminate _),
     "q_scrub" -> (qScrub _),
     "q_embed_dedup" -> (qEmbedDedup _),
@@ -751,6 +770,7 @@ object QueriesPipeline {
     "q_ngram_jaccard" -> qNgramJaccardSql,
     "q_ingest_neardup" -> qIngestNearDupSql,
     "q_banded_dedup" -> qBandedDedupSql,
+    "q_containment" -> qContainmentSql,
     "q_decontaminate" -> qDecontaminateSql,
     "q_scrub" -> qScrubSql,
     "q_embed_dedup" -> qEmbedDedupSql,

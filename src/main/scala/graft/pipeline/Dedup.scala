@@ -89,6 +89,37 @@ object Dedup {
       .select(col("id_a"), col("id_b"), round(col("jaccard"), 3).as("jaccard"))
   }
 
+  /** Containment near-dup pairs (RefinedWeb-style): containment
+    * C(a→b) = |S(a) ∩ S(b)| / |S(a)| over word-3-gram shingle sets —
+    * ASYMMETRIC, so both directions are reported; a high C(a→b) with a
+    * low Jaccard is exactly the "small document copied inside a larger
+    * one" case a symmetric Jaccard threshold misses. Candidates come from
+    * the SAME MinHash banding as `minhashNearDup` (band-key join, never
+    * all-pairs; signature exchange reused) — the standard practice of
+    * verifying containment on minhash-bucket candidates, with the honest
+    * recall caveat that banding keys on RESEMBLANCE: a tiny doc inside a
+    * huge one has low Jaccard and may not surface as a candidate (raise
+    * `bands` toward `k` to push recall; a dedicated containment index is
+    * out of scope). Verification is one codegen'd sorted-set intersection
+    * per candidate. */
+  def containmentNearDup(docs: DataFrame, idCol: String, textCol: String,
+                         k: Int, bands: Int, threshold: Double): DataFrame = {
+    require(threshold > 0.0 && threshold <= 1.0, s"threshold in (0,1], got $threshold")
+    val cands = lshCandidates(minhashSignature(docs, idCol, textCol, k), idCol, k, bands)
+    val sets = docs.select(col(idCol), sort_array(array_distinct(
+      graft.functions.VectorFunctions.wordShingleHashes(col(textCol), 3))).as("__sh"))
+    cands
+      .join(sets.select(col(idCol).as("id_a"), col("__sh").as("__sha")), "id_a")
+      .join(sets.select(col(idCol).as("id_b"), col("__sh").as("__shb")), "id_b")
+      // candidates always have >= 1 shingle (signature-less docs never
+      // reach a band bucket), so the divisors are never zero
+      .withColumn("__inter", size(array_intersect(col("__sha"), col("__shb"))))
+      .select(col("id_a"), col("id_b"),
+        round(col("__inter").cast("double") / size(col("__sha")), 3).as("containment_a"),
+        round(col("__inter").cast("double") / size(col("__shb")), 3).as("containment_b"))
+      .filter(col("containment_a") >= threshold || col("containment_b") >= threshold)
+  }
+
   /** Fuzzy (edit-distance) near-duplicate pairs, LSH-blocked — the
     * CCNet/RefinedWeb-style fuzzy dedup that exact-hash and
     * Jaccard-threshold variants miss (small in-place edits): MinHash

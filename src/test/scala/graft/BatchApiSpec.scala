@@ -129,6 +129,28 @@ class BatchApiSpec extends SparkSpec {
     assert(out(2L) == Set("a b c", "b c d"))
   }
 
+  test("containment near-dup flags a doc embedded in a larger one that Jaccard misses") {
+    import graft.pipeline.Dedup
+    val small = "alpha beta gamma delta epsilon zeta eta theta"
+    val big = small + " iota kappa lambda mu nu xi omicron pi rho sigma"
+    val docs = Seq((1L, small), (2L, big),
+      (3L, "wholly other unrelated words entirely different tokens here now"))
+      .toDF("id", "text")
+    // bands = k (one row per band): a single shared minhash makes a
+    // candidate, which low-jaccard containment pairs need
+    val got = Dedup.containmentNearDup(docs, "id", "text",
+      k = 16, bands = 16, threshold = 0.9).collect()
+    assert(got.length == 1 && got(0).getLong(0) == 1L && got(0).getLong(1) == 2L)
+    assert(got(0).getDouble(got(0).fieldIndex("containment_a")) == 1.0,
+      "every shingle of the small doc appears in the big one")
+    assert(got(0).getDouble(got(0).fieldIndex("containment_b")) < 0.9,
+      "the big doc is not contained in the small one")
+    // the symmetric Jaccard pipeline misses this pair at its threshold
+    assert(Dedup.minhashNearDup(docs, "id", "text",
+      k = 16, bands = 16, threshold = 0.8).count() == 0,
+      "jaccard 6/16 is under 0.8 — containment is what catches the embed")
+  }
+
   test("minhash LSH finds exact duplicates and skips unrelated docs") {
     val docs = Seq(
       (1L, "the quick brown fox jumps over the lazy dog again and again today"),
