@@ -436,6 +436,24 @@ object QueriesPipeline {
                                   ELSE 250000 END"""
   }
 
+  /** Deterministic 80/10/10 train/validation/test assignment over the
+    * corpus (hash-gate bands; reproducible across partitionings and
+    * engines — the oracle reproduces every label bit-for-bit). */
+  def qSplit(spark: SparkSession, dir: String): DataFrame =
+    graft.pipeline.Sampling.assignSplit(Tables.documents(spark, dir).df,
+        col("doc_id"), Seq("train" -> 0.8, "validation" -> 0.1, "test" -> 0.1),
+        salt = "split1")
+      .select(col("doc_id"), col("split"))
+
+  val qSplitSql: String = {
+    val gate = "((" + PolyFold.format("(doc_id::VARCHAR || 'split1')") + ") * 2654435761) % 1000000"
+    s"""SELECT doc_id,
+          CASE WHEN $gate < 800000 THEN 'train'
+               WHEN $gate < 900000 THEN 'validation'
+               ELSE 'test' END AS split
+        FROM documents"""
+  }
+
   /** Weighted corpus mixing (epoch-style up/down-sampling): src0 ×2.5,
     * src1 ×1.0, src2 ×0.4, everything else ×0.25 — repeated rows carry a
     * 0-based `epoch` index, fractional parts resolve by the same
@@ -746,6 +764,7 @@ object QueriesPipeline {
     "q_fingerprint" -> (qFingerprint _),
     "q_repetition" -> (qRepetition _),
     "q_sample" -> (qSample _),
+    "q_split" -> (qSplit _),
     "q_mix" -> (qMix _),
     "q_top_ngrams" -> (qTopNgrams _),
     "q_length_quantiles" -> (qLengthQuantiles _),
@@ -781,6 +800,7 @@ object QueriesPipeline {
     "q_fingerprint" -> qFingerprintSql,
     "q_repetition" -> qRepetitionSql,
     "q_sample" -> qSampleSql,
+    "q_split" -> qSplitSql,
     "q_mix" -> qMixSql,
     "q_top_ngrams" -> qTopNgramsSql,
     "q_length_quantiles" -> qLengthQuantilesSql,

@@ -45,6 +45,28 @@ object Sampling {
     df.filter(gate(keyCol, salt) < threshold)
   }
 
+  /** Deterministic train/validation/test split assignment: the same hash
+    * gate as the samplers partitions [0, 10⁶) into consecutive bands sized
+    * by the split fractions, so every row gets exactly one label, the
+    * assignment is identical on any cluster size / partitioning / engine,
+    * and a different salt redraws independently. Returns the corpus plus a
+    * label column rather than filtering — one pass labels everything and a
+    * writer can `partitionBy` it. Fractions must sum to 1 (±1e-9); the
+    * last band absorbs gate-rounding so the union is exhaustive. */
+  def assignSplit(df: DataFrame, keyCol: Column, splits: Seq[(String, Double)],
+                  as: String = "split", salt: String = ""): DataFrame = {
+    require(splits.nonEmpty, "need at least one split")
+    require(splits.forall(_._2 >= 0.0), "split fractions must be non-negative")
+    require(math.abs(splits.map(_._2).sum - 1.0) < 1e-9,
+      s"split fractions must sum to 1, got ${splits.map(_._2).sum}")
+    val g = gate(keyCol, salt)
+    val bounds = splits.map(_._2).scanLeft(0.0)(_ + _).map(f => math.round(f * Scale))
+    val label = splits.init.zipWithIndex.foldRight(lit(splits.last._1): Column) {
+      case (((name, _), i), rest) => when(g < lit(bounds(i + 1)), lit(name)).otherwise(rest)
+    }
+    df.withColumn(as, label)
+  }
+
   /** Weighted corpus mixing with weights that may EXCEED 1 — the
     * epoch-style up/down-sampling step of training-mix assembly (e.g.
     * wiki ×3.2, crawl ×0.6): each row repeats floor(w) times and once

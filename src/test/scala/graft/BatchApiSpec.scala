@@ -162,6 +162,27 @@ class BatchApiSpec extends SparkSpec {
     assert(pairs == Set((1L, 2L)))
   }
 
+  test("assignSplit labels are exhaustive, repartition-invariant, and salt-independent") {
+    import graft.pipeline.Sampling
+    val docs = (1L to 2000L).map(i => (i, s"doc$i")).toDF("id", "text")
+    val splits = Seq("train" -> 0.8, "validation" -> 0.1, "test" -> 0.1)
+    def labels(df: org.apache.spark.sql.DataFrame) =
+      Sampling.assignSplit(df, col("id"), splits, salt = "s1")
+        .select("id", "split").collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val a = labels(docs)
+    val b = labels(docs.repartition(13, col("text")))
+    assert(a == b, "assignment is a pure function of the key — partitioning-invariant")
+    assert(a.values.toSet == Set("train", "validation", "test"), "all bands hit")
+    val frac = a.values.count(_ == "train").toDouble / a.size
+    assert(frac > 0.75 && frac < 0.85, s"train fraction ~0.8, got $frac")
+    val c = Sampling.assignSplit(docs, col("id"), splits, salt = "s2")
+      .select("id", "split").collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(a != c, "a different salt redraws the assignment")
+    intercept[IllegalArgumentException] {
+      Sampling.assignSplit(docs, col("id"), Seq("a" -> 0.5, "b" -> 0.4))
+    }
+  }
+
   test("hash sampling is reproducible across partitionings and salts draw independently") {
     import graft.pipeline.Sampling
     val docs = (0L until 2000L).map(i => (i, s"s${i % 4}")).toDF("id", "src")
