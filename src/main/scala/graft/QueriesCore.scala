@@ -268,4 +268,35 @@ object QueriesCore {
        SELECT p.p_id, p.p_user, p.p_ts, p.p_value, m.c_id, m.c_value,
               m.c_ts - p.p_ts AS lead_us
        FROM p LEFT JOIN m ON p.p_id = m.m_pid AND m.rn = 1"""
+
+  /** Program-as-data import path (milan `ApplicationInstance.toJsonString`
+    * + `TreeParser`; built from JSON by
+    * `tools/CompileApplicationInstance.scala:28`): the same aggregation as
+    * q_agg, but arriving as a JSON artifact — parsed, validated, lowered
+    * through `Program.interpret`, and run under a config that binds the
+    * lineitem parquet by name. Same oracle SQL as q_agg, so the import
+    * path is hash-verified against DuckDB. */
+  def qProgramAgg(spark: SparkSession, dir: String): DataFrame = {
+    val programJson =
+      """{"nodes": [
+           {"op": "external", "name": "lineitem"},
+           {"op": "groupSelect", "name": "out", "input": "lineitem",
+            "keys": ["l_returnflag", "l_linestatus"],
+            "aggs": [
+              {"expr": "sum(l_quantity)", "as": "sum_qty"},
+              {"expr": "round(sum(l_extendedprice), 2)", "as": "sum_base"},
+              {"expr": "min(l_quantity)", "as": "min_qty"},
+              {"expr": "max(l_quantity)", "as": "max_qty"},
+              {"expr": "round(avg(l_discount), 6)", "as": "avg_disc"},
+              {"expr": "count(1)", "as": "cnt"}]}],
+         "outputs": ["out"]}"""
+    val config = new graft.api.App.Config()
+      .setSource("lineitem", graft.api.App.Source(
+        format = "parquet", path = Some(s"$dir/lineitem.parquet")))
+      .addSink("out", graft.api.App.Sink(format = "memory"))
+    graft.api.App.runProgram(spark, config, programJson)
+      .collectFirst { case graft.api.App.BatchOutput("out", out) => out }.get
+  }
+
+  val qProgramAggSql: String = qAggSql
 }

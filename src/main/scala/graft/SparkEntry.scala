@@ -22,7 +22,8 @@ object SparkEntry {
     "q_join3" -> (QueriesCore.qJoin3 _),
     "q_range_join" -> (QueriesCore.qRangeJoin _),
     "q_asof_join" -> (QueriesCore.qAsofJoin _),
-    "q_asof_fwd" -> (QueriesCore.qAsofFwd _)
+    "q_asof_fwd" -> (QueriesCore.qAsofFwd _),
+    "q_program_agg" -> (QueriesCore.qProgramAgg _)
   ) ++ QueriesStateful.all ++ QueriesPipeline.all
 
   def oracleSql: Map[String, String] = Map(
@@ -36,6 +37,7 @@ object SparkEntry {
     "q_join3" -> QueriesCore.qJoin3Sql,
     "q_range_join" -> QueriesCore.qRangeJoinSql,
     "q_asof_join" -> QueriesCore.qAsofJoinSql,
-    "q_asof_fwd" -> QueriesCore.qAsofFwdSql
+    "q_asof_fwd" -> QueriesCore.qAsofFwdSql,
+    "q_program_agg" -> QueriesCore.qProgramAggSql
   ) ++ QueriesStateful.sql ++ QueriesPipeline.sql
 }

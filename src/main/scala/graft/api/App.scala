@@ -256,6 +256,14 @@ object App {
     }.mkString("{", ",", "}")
   }
 
+  /** Run a serialized program document under a configuration — the full
+    * ship-a-program-as-an-artifact path (milan
+    * `tools/CompileApplicationInstance.scala:28` builds a runnable job from
+    * the `ApplicationInstance` JSON the same way): parse, validate, lower to
+    * MStream dataflow, bind, run. */
+  def runProgram(spark: SparkSession, config: Config, programJson: String): Seq[Running] =
+    run(spark, config)(Program.interpret(Program.fromJson(programJson)))
+
   /**
    * Run a program under a configuration: resolve each named input, apply
    * the dataflow, drive every bound sink. The program never names paths or

@@ -1,0 +1,264 @@
+package graft.api
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
+import org.apache.spark.sql.catalyst.parser.CatalystSqlParser
+import org.apache.spark.sql.functions.{col, expr}
+import org.apache.spark.sql.graftbridge.ColumnBridge
+
+/**
+ * Program-as-data: a serializable JSON document describing a dataflow over
+ * named external streams, loadable into a runnable pipeline.
+ *
+ * This is the import dual of [[App.describeJson]] and the graft analog of
+ * the reference's ship-a-program-as-an-artifact capability: milan
+ * serializes a whole application instance to JSON
+ * (`application/ApplicationInstance.scala:27` `toJsonString`), parses the
+ * expression IR back (`program/TreeParser.scala:49-94`), and compiles a
+ * runnable job from the document alone
+ * (`tools/CompileApplicationInstance.scala:28`). Here the operator nodes
+ * are the MStream surface and scalar expressions travel as ANSI SQL
+ * strings parsed by Spark's own parser — Catalyst is the expression IR,
+ * so no bespoke tree format or typechecker is needed (SURVEY §7).
+ *
+ * Join conditions and join projections reference the two sides with the
+ * qualifiers `l.` and `r.` (e.g. `"l.user_id = r.user_id AND r.v > 0"`);
+ * every other expression is plain column-name SQL. A document composes
+ * with [[App.Config]] exactly like a hand-written program: sources and
+ * sinks still bind by name outside the document.
+ */
+object Program {
+
+  /** One computed column: SQL expression + output name. */
+  final case class Field(expr: String, as: String)
+
+  sealed trait Node { def name: String }
+
+  /** A named external input, resolved by the configuration at run time. */
+  final case class External(name: String) extends Node
+  /** Milan `map` to named fields — a projection. */
+  final case class MapCols(name: String, input: String, cols: Seq[Field]) extends Node
+  /** Milan `where`. */
+  final case class Where(name: String, input: String, predicate: String) extends Node
+  /** Milan `addFields`. */
+  final case class AddTo(name: String, input: String, fields: Seq[Field]) extends Node
+  /** Declare batch arrival order for downstream stateful operators. */
+  final case class OrderBy(name: String, input: String, cols: Seq[String]) extends Node
+  /** Milan `union` (bag union, 2+ inputs, same schema). */
+  final case class Union(name: String, inputs: Seq[String]) extends Node
+  final case class Distinct(name: String, input: String) extends Node
+  /** Milan grouped `select` with aggregate expressions. */
+  final case class GroupSelect(name: String, input: String, keys: Seq[String],
+                               aggs: Seq[Field]) extends Node
+  /** Milan tumbling/sliding window aggregation (slide = None → tumbling).
+    * `ts` is a SQL expression yielding the event-time column; `size`,
+    * `slide`, `offset` are Spark interval strings ("1 hour"). */
+  final case class WindowSelect(name: String, input: String, keys: Seq[String],
+                                ts: String, size: String, slide: Option[String],
+                                offset: String, windowAs: String,
+                                aggs: Seq[Field]) extends Node
+  /** Milan enrichment join: kind ∈ left | full | leftInner; `condition`
+    * and `select` expressions use `l.` / `r.` side qualifiers. */
+  final case class Join(name: String, kind: String, left: String, right: String,
+                        condition: String, select: Seq[Field]) extends Node
+
+  /** The whole document: nodes in topological order + the named outputs a
+    * configuration may bind sinks to. */
+  final case class Doc(nodes: Seq[Node], outputs: Seq[String]) {
+    require(nodes.map(_.name).distinct.size == nodes.size,
+      "program nodes must have unique names")
+  }
+
+  // ------------------------------------------------------------- execution
+
+  /** Parse a side-qualified SQL expression into a Column through the
+    * resolvers an operator hands out for its left/right sides. Uses the
+    * session-independent Catalyst parser so the unresolved tree can be
+    * rewritten before any analysis. */
+  private def sideExpr(sql: String, l: String => Column, r: String => Column): Column = {
+    val parsed = CatalystSqlParser.parseExpression(sql)
+    val rewritten = parsed.transformUp {
+      case UnresolvedAttribute(parts) if parts.length > 1 && parts.head == "l" =>
+        ColumnBridge.expr(l(parts.tail.mkString(".")))
+      case UnresolvedAttribute(parts) if parts.length > 1 && parts.head == "r" =>
+        ColumnBridge.expr(r(parts.tail.mkString(".")))
+    }
+    ColumnBridge.column(rewritten)
+  }
+
+  /** Lower a document to the program shape [[App.run]]/[[App.describeJson]]
+    * take: nodes evaluate in document order (inputs must precede uses),
+    * external names resolve through the config-bound lookup. */
+  def interpret(doc: Doc): (String => MStream) => Map[String, MStream] = external => {
+    var env = Map.empty[String, MStream]
+    def in(n: String): MStream = env.getOrElse(n,
+      throw new IllegalArgumentException(
+        s"program node input '$n' is not defined above its use"))
+    doc.nodes.foreach { node =>
+      val out: MStream = node match {
+        case External(n) => external(n)
+        case MapCols(_, i, cols) => in(i).map(cols.map(f => expr(f.expr).as(f.as)): _*)
+        case Where(_, i, p) => in(i).where(expr(p))
+        case AddTo(_, i, fields) =>
+          in(i).addFields(fields.map(f => f.as -> expr(f.expr)): _*)
+        case OrderBy(_, i, cols) => in(i).orderedBy(cols: _*)
+        case Union(_, inputs) =>
+          require(inputs.nonEmpty, "union needs at least one input")
+          inputs.map(in).reduce(_ union _)
+        case Distinct(_, i) => in(i).distinct()
+        case GroupSelect(_, i, keys, aggs) =>
+          val cols = aggs.map(f => expr(f.expr).as(f.as))
+          if (keys.isEmpty) new MStream(in(i).df.agg(cols.head, cols.tail: _*))
+          else in(i).groupBy(keys: _*).select(cols: _*)
+        case WindowSelect(_, i, keys, ts, size, slide, offset, windowAs, aggs) =>
+          val s = in(i)
+          // window aggregation groups by (contextKeys, window); extra keys
+          // scope the window per group exactly like groupBy().tumblingWindow
+          val scoped = if (keys.isEmpty) s
+            else new MStream(s.df, s.eventOrder, s.contextKeys ++ keys, s.name)
+          val windowed = slide match {
+            case Some(sl) => scoped.slidingWindow(expr(ts), size, sl, offset)
+            case None => scoped.tumblingWindow(expr(ts), size, offset)
+          }
+          windowed.select(windowAs, aggs.map(f => expr(f.expr).as(f.as)): _*)
+        case Join(_, kind, l, r, condition, select) =>
+          val builder = kind match {
+            case "left" => in(l).leftJoin(in(r))
+            case "full" => in(l).fullJoin(in(r))
+            case "leftInner" => in(l).leftInnerJoin(in(r))
+            case other => throw new IllegalArgumentException(
+              s"unknown join kind '$other' (expected left|full|leftInner)")
+          }
+          builder.on((lc, rc) => sideExpr(condition, lc, rc))
+            .select((lc, rc) => select.map(f => sideExpr(f.expr, lc, rc).as(f.as)))
+      }
+      env += node.name -> out.withName(node.name)
+    }
+    doc.outputs.map(o => o -> in(o)).toMap
+  }
+
+  // ---------------------------------------------------------------- codec
+
+  /** Serialize a program document (milan `ApplicationInstance.toJsonString`
+    * parity, program half — [[App.configToJson]] carries the bindings). */
+  def toJson(doc: Doc): String = {
+    import org.json4s.JsonDSL._
+    import org.json4s.jackson.JsonMethods
+    import org.json4s.JObject
+    def fields(fs: Seq[Field]) = fs.map(f => ("expr" -> f.expr) ~ ("as" -> f.as))
+    def nodeJson(n: Node): JObject = n match {
+      case External(name) => ("op" -> "external") ~ ("name" -> name)
+      case MapCols(name, i, cols) =>
+        ("op" -> "map") ~ ("name" -> name) ~ ("input" -> i) ~ ("cols" -> fields(cols))
+      case Where(name, i, p) =>
+        ("op" -> "where") ~ ("name" -> name) ~ ("input" -> i) ~ ("predicate" -> p)
+      case AddTo(name, i, fs) =>
+        ("op" -> "addFields") ~ ("name" -> name) ~ ("input" -> i) ~ ("fields" -> fields(fs))
+      case OrderBy(name, i, cols) =>
+        ("op" -> "orderBy") ~ ("name" -> name) ~ ("input" -> i) ~ ("cols" -> cols)
+      case Union(name, inputs) =>
+        ("op" -> "union") ~ ("name" -> name) ~ ("inputs" -> inputs)
+      case Distinct(name, i) =>
+        ("op" -> "distinct") ~ ("name" -> name) ~ ("input" -> i)
+      case GroupSelect(name, i, keys, aggs) =>
+        ("op" -> "groupSelect") ~ ("name" -> name) ~ ("input" -> i) ~
+          ("keys" -> keys) ~ ("aggs" -> fields(aggs))
+      case WindowSelect(name, i, keys, ts, size, slide, offset, windowAs, aggs) =>
+        ("op" -> "windowSelect") ~ ("name" -> name) ~ ("input" -> i) ~
+          ("keys" -> keys) ~ ("ts" -> ts) ~ ("size" -> size) ~ ("slide" -> slide) ~
+          ("offset" -> offset) ~ ("windowAs" -> windowAs) ~ ("aggs" -> fields(aggs))
+      case Join(name, kind, l, r, condition, select) =>
+        ("op" -> "join") ~ ("name" -> name) ~ ("kind" -> kind) ~
+          ("left" -> l) ~ ("right" -> r) ~ ("condition" -> condition) ~
+          ("select" -> fields(select))
+    }
+    JsonMethods.compact(JsonMethods.render(
+      ("nodes" -> doc.nodes.map(nodeJson)) ~ ("outputs" -> doc.outputs)))
+  }
+
+  /** Parse a `toJson` document back into a runnable [[Doc]] — the
+    * reference's `TreeParser` role, except the scalar grammar is ANSI SQL
+    * validated here by Catalyst's parser so a malformed document fails at
+    * load, not run, time. */
+  def fromJson(json: String): Doc = {
+    import org.json4s._
+    import org.json4s.jackson.JsonMethods
+    implicit val fmts: Formats = DefaultFormats
+    val j = JsonMethods.parse(json)
+    def fields(v: JValue): Seq[Field] = v match {
+      case JArray(xs) => xs.map(x =>
+        Field((x \ "expr").extract[String], (x \ "as").extract[String]))
+      case JNothing => Nil
+      case other => throw new IllegalArgumentException(s"expected field array, got $other")
+    }
+    def strs(v: JValue): Seq[String] = v match {
+      case JArray(xs) => xs.map(_.extract[String])
+      case JNothing => Nil
+      case other => throw new IllegalArgumentException(s"expected string array, got $other")
+    }
+    val nodes = (j \ "nodes") match {
+      case JArray(xs) => xs.map { v =>
+        val name = (v \ "name").extract[String]
+        (v \ "op").extract[String] match {
+          case "external" => External(name)
+          case "map" => MapCols(name, (v \ "input").extract[String], fields(v \ "cols"))
+          case "where" => Where(name, (v \ "input").extract[String],
+            (v \ "predicate").extract[String])
+          case "addFields" => AddTo(name, (v \ "input").extract[String], fields(v \ "fields"))
+          case "orderBy" => OrderBy(name, (v \ "input").extract[String], strs(v \ "cols"))
+          case "union" => Union(name, strs(v \ "inputs"))
+          case "distinct" => Distinct(name, (v \ "input").extract[String])
+          case "groupSelect" => GroupSelect(name, (v \ "input").extract[String],
+            strs(v \ "keys"), fields(v \ "aggs"))
+          case "windowSelect" => WindowSelect(name, (v \ "input").extract[String],
+            strs(v \ "keys"), (v \ "ts").extract[String], (v \ "size").extract[String],
+            (v \ "slide").extractOpt[String], (v \ "offset").extract[String],
+            (v \ "windowAs").extract[String], fields(v \ "aggs"))
+          case "join" => Join(name, (v \ "kind").extract[String],
+            (v \ "left").extract[String], (v \ "right").extract[String],
+            (v \ "condition").extract[String], fields(v \ "select"))
+          case other => throw new IllegalArgumentException(s"unknown program op '$other'")
+        }
+      }
+      case _ => throw new IllegalArgumentException("program document has no 'nodes' array")
+    }
+    val doc = Doc(nodes, strs(j \ "outputs"))
+    validate(doc)
+    doc
+  }
+
+  /** Load-time validation: every SQL fragment must parse, every input
+    * reference must resolve to an earlier node. Catches a corrupt or
+    * hand-edited document before any Spark job is planned. */
+  private def validate(doc: Doc): Unit = {
+    def parse(sql: String, where: String): Unit =
+      try CatalystSqlParser.parseExpression(sql)
+      catch { case e: Exception => throw new IllegalArgumentException(
+        s"$where: unparseable SQL expression '$sql': ${e.getMessage}") }
+    var defined = Set.empty[String]
+    doc.nodes.foreach { n =>
+      val inputs: Seq[String] = n match {
+        case External(_) => Nil
+        case m: MapCols => m.cols.foreach(f => parse(f.expr, s"node ${n.name}")); Seq(m.input)
+        case w: Where => parse(w.predicate, s"node ${n.name}"); Seq(w.input)
+        case a: AddTo => a.fields.foreach(f => parse(f.expr, s"node ${n.name}")); Seq(a.input)
+        case o: OrderBy => Seq(o.input)
+        case u: Union => u.inputs
+        case d: Distinct => Seq(d.input)
+        case g: GroupSelect => g.aggs.foreach(f => parse(f.expr, s"node ${n.name}")); Seq(g.input)
+        case w: WindowSelect =>
+          parse(w.ts, s"node ${n.name}"); w.aggs.foreach(f => parse(f.expr, s"node ${n.name}"))
+          Seq(w.input)
+        case jn: Join =>
+          parse(jn.condition, s"node ${n.name}")
+          jn.select.foreach(f => parse(f.expr, s"node ${n.name}"))
+          Seq(jn.left, jn.right)
+      }
+      inputs.foreach(i => if (!defined.contains(i)) throw new IllegalArgumentException(
+        s"node '${n.name}' references '$i' before it is defined"))
+      defined += n.name
+    }
+    doc.outputs.foreach(o => if (!defined.contains(o)) throw new IllegalArgumentException(
+      s"output '$o' is not produced by any node"))
+  }
+}

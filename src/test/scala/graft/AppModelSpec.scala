@@ -231,4 +231,95 @@ class AppModelSpec extends SparkSpec {
     }
     assert(e.getMessage.contains("'x'"))
   }
+
+  test("program document round-trips export→import→run (map/where/groupSelect/join)") {
+    import graft.api.Program
+    import graft.api.Program._
+    // the document a deployment would ship: filter events, project, enrich
+    // each event with the latest matching user record, aggregate per tier
+    val doc = Doc(
+      nodes = Seq(
+        External("events"),
+        External("users"),
+        Where("recent", "events", "v > 0"),
+        MapCols("projected", "recent", Seq(
+          Field("user_id", "user_id"), Field("v * 2", "v2"), Field("seq", "seq"))),
+        OrderBy("ordered", "projected", Seq("seq")),
+        Join("enriched", "left", "ordered", "users",
+          "l.user_id = r.uid", Seq(
+            Field("l.user_id", "user_id"), Field("l.v2", "v2"),
+            Field("r.tier", "tier"))),
+        GroupSelect("out", "enriched", Seq("tier"), Seq(
+          Field("sum(v2)", "total"), Field("count(1)", "n")))),
+      outputs = Seq("out"))
+
+    val json = Program.toJson(doc)
+    val reloaded = Program.fromJson(json)
+    assert(reloaded == doc, "document survives the JSON round-trip structurally")
+
+    val events = Seq((1L, 1.0, 1L), (1L, -5.0, 2L), (2L, 3.0, 3L), (3L, 7.0, 4L))
+      .toDF("user_id", "v", "seq")
+    val users = Seq((1L, "gold", 1L), (2L, "silver", 2L)).toDF("uid", "tier", "useq")
+    val config = new App.Config()
+      .setSource("events", App.Source("list", rows = Some(events)))
+      .setSource("users", App.Source("list", rows = Some(users), order = Seq("useq")))
+      .addSink("out", App.Sink("memory"))
+    val out = App.run(spark, config)(Program.interpret(reloaded))
+      .collectFirst { case App.BatchOutput("out", df) => df }.get
+      .collect().map(r => (r.getString(0), r.getDouble(1), r.getLong(2))).toSet
+    // user 1 matched gold, user 2 silver, user 3 unmatched (null tier);
+    // v=-5 filtered by the where node; v2 = v*2
+    assert(out == Set(("gold", 2.0, 1L), ("silver", 6.0, 1L), (null, 14.0, 1L)),
+      s"imported program computed the same dataflow, got $out")
+  }
+
+  test("program import rejects malformed documents at load time") {
+    import graft.api.Program
+    val badSql = """{"nodes": [{"op": "external", "name": "a"},
+      {"op": "where", "name": "w", "input": "a", "predicate": "v > (1"}],
+      "outputs": ["w"]}"""
+    assert(intercept[IllegalArgumentException](Program.fromJson(badSql))
+      .getMessage.contains("unparseable"))
+    val badRef = """{"nodes": [{"op": "where", "name": "w", "input": "missing",
+      "predicate": "v > 1"}], "outputs": ["w"]}"""
+    assert(intercept[IllegalArgumentException](Program.fromJson(badRef))
+      .getMessage.contains("before it is defined"))
+    val badOut = """{"nodes": [{"op": "external", "name": "a"}], "outputs": ["nope"]}"""
+    assert(intercept[IllegalArgumentException](Program.fromJson(badOut))
+      .getMessage.contains("not produced"))
+    val badOp = """{"nodes": [{"op": "frobnicate", "name": "x"}], "outputs": []}"""
+    assert(intercept[IllegalArgumentException](Program.fromJson(badOp))
+      .getMessage.contains("unknown program op"))
+  }
+
+  test("program document covers union/distinct/addFields/windowSelect") {
+    import graft.api.Program
+    import graft.api.Program._
+    val doc = Program.fromJson(Program.toJson(Doc(
+      nodes = Seq(
+        External("a"),
+        External("b"),
+        Union("u", Seq("a", "b")),
+        Distinct("d", "u"),
+        AddTo("t", "d", Seq(Field("cast(k as string)", "ks"))),
+        WindowSelect("w", "t", Seq("ks"), ts = "ts", size = "10 seconds",
+          slide = None, offset = "0 seconds", windowAs = "win",
+          aggs = Seq(Field("sum(v)", "sv")))),
+      outputs = Seq("d", "w"))))
+    val a = Seq((1L, 2.0, java.sql.Timestamp.valueOf("2026-01-01 00:00:01")),
+                (1L, 2.0, java.sql.Timestamp.valueOf("2026-01-01 00:00:02")))
+      .toDF("k", "v", "ts")
+    val b = Seq((1L, 2.0, java.sql.Timestamp.valueOf("2026-01-01 00:00:01")),
+                (2L, 9.0, java.sql.Timestamp.valueOf("2026-01-01 00:00:15")))
+      .toDF("k", "v", "ts")
+    val config = new App.Config()
+      .setSource("a", App.Source("list", rows = Some(a)))
+      .setSource("b", App.Source("list", rows = Some(b)))
+      .addSink("d", App.Sink("memory")).addSink("w", App.Sink("memory"))
+    val outs = App.run(spark, config)(Program.interpret(doc))
+      .collect { case App.BatchOutput(name, df) => name -> df }.toMap
+    assert(outs("d").count() == 3, "union is bag semantics, distinct collapses the dup")
+    val w = outs("w").collect().map(r => (r.getString(1), r.getDouble(2))).toSet
+    assert(w == Set(("1", 4.0), ("2", 9.0)), s"windowed per-key sums, got $w")
+  }
 }
