@@ -33,25 +33,37 @@ object Dedup {
       .select(col("keep_id"), col("n_copies"))
   }
 
-  /** MinHash signature: k portable minhashes over word-3-gram shingles,
-    * computed in one pass per document (`MinHashSignature` expression) —
-    * no explode, no shuffle; the signature never leaves the row. */
-  def minhashSignature(docs: DataFrame, idCol: String, textCol: String, k: Int): DataFrame = {
-    val hashes = graft.functions.VectorFunctions.wordShingleHashes(col(textCol), 3)
-    val sig = graft.functions.VectorFunctions.minhashSignature(hashes, k)
+  /** One pass over the corpus text: (id, word-n-gram shingle hashes),
+    * closed by a `repartition(id)` exchange. Every minhash pipeline stage
+    * (signature, band keys, verification sets) branches off this ONE
+    * materialized exchange instead of re-scanning and re-shingling the
+    * text per branch — the text itself never shuffles, only 8-byte hash
+    * arrays do. */
+  private def hashedDocs(docs: DataFrame, idCol: String, textCol: String,
+                         n: Int = 3): DataFrame =
+    docs.select(col(idCol),
+        graft.functions.VectorFunctions.wordShingleHashes(col(textCol), n).as("__hs"))
+      .repartition(col(idCol))
+
+  /** MinHash signature columns (mh0..mhk-1) from a pre-hashed frame. */
+  private def minhashSignatureOverHashes(hashed: DataFrame, idCol: String,
+                                         k: Int): DataFrame = {
+    val sig = graft.functions.VectorFunctions.minhashSignature(col("__hs"), k)
     // explode(array(sig)) is a deliberate Generate barrier: without it,
     // CollapseProject inlines the signature into every element_at below
     // and the whole k-pass evaluates once PER REFERENCED ELEMENT.
-    docs.select(col(idCol), explode(array(sig)).as("__mhs"))
+    hashed.select(col(idCol), explode(array(sig)).as("__mhs"))
       // docs with no shingles (under n words) have no signature — same as
       // the explode formulation, and it keeps them out of a shared bucket
       .filter(element_at(col("__mhs"), 1) =!= Long.MaxValue)
       .select(col(idCol) +: (0 until k).map(j => element_at(col("__mhs"), j + 1).as(s"mh$j")): _*)
-      // one small shuffle of compact signatures: the LSH band self-join
-      // then reuses this exchange on both sides (ReuseExchange), instead
-      // of re-shingling and re-hashing every document per side
-      .repartition(col(idCol))
   }
+
+  /** MinHash signature: k portable minhashes over word-3-gram shingles,
+    * computed in one pass per document (`MinHashSignature` expression) —
+    * no explode, no shuffle; the signature never leaves the row. */
+  def minhashSignature(docs: DataFrame, idCol: String, textCol: String, k: Int): DataFrame =
+    minhashSignatureOverHashes(hashedDocs(docs, idCol, textCol), idCol, k)
 
   /** LSH banding: k minhashes → `bands` band keys; docs sharing any band
     * key become candidate pairs. Shuffles on the band key only — the
@@ -69,15 +81,15 @@ object Dedup {
       .distinct()
   }
 
-  /** Full MinHash+LSH near-dup pipeline: candidates from LSH, then exact
-    * shingle-Jaccard verification of candidates only. */
-  def minhashNearDup(docs: DataFrame, idCol: String, textCol: String,
-                     k: Int, bands: Int, threshold: Double): DataFrame = {
-    val cands = lshCandidates(minhashSignature(docs, idCol, textCol, k), idCol, k, bands)
+  /** Candidate generation + exact-Jaccard verification over a pre-hashed
+    * frame — the shared core of `minhashNearDup` and `deduplicateCorpus`,
+    * so both read the corpus text exactly once. */
+  private def verifiedNearDupPairs(hashed: DataFrame, idCol: String,
+                                   k: Int, bands: Int, threshold: Double): DataFrame = {
+    val cands = lshCandidates(minhashSignatureOverHashes(hashed, idCol, k), idCol, k, bands)
     // verification over hashed shingles: sorted-long sets + the codegen'd
     // two-pointer merge, no shingle strings anywhere in the pipeline
-    val sets = docs.select(col(idCol), sort_array(array_distinct(
-      graft.functions.VectorFunctions.wordShingleHashes(col(textCol), 3))).as("__sh"))
+    val sets = hashed.select(col(idCol), sort_array(array_distinct(col("__hs"))).as("__sh"))
     cands
       .join(sets.select(col(idCol).as("id_a"), col("__sh").as("__sha")), "id_a")
       .join(sets.select(col(idCol).as("id_b"), col("__sh").as("__shb")), "id_b")
@@ -88,6 +100,12 @@ object Dedup {
       .filter(col("jaccard") >= threshold)
       .select(col("id_a"), col("id_b"), round(col("jaccard"), 3).as("jaccard"))
   }
+
+  /** Full MinHash+LSH near-dup pipeline: candidates from LSH, then exact
+    * shingle-Jaccard verification of candidates only. */
+  def minhashNearDup(docs: DataFrame, idCol: String, textCol: String,
+                     k: Int, bands: Int, threshold: Double): DataFrame =
+    verifiedNearDupPairs(hashedDocs(docs, idCol, textCol), idCol, k, bands, threshold)
 
   /** Containment near-dup pairs (RefinedWeb-style): containment
     * C(a→b) = |S(a) ∩ S(b)| / |S(a)| over word-3-gram shingle sets —
@@ -105,9 +123,9 @@ object Dedup {
   def containmentNearDup(docs: DataFrame, idCol: String, textCol: String,
                          k: Int, bands: Int, threshold: Double): DataFrame = {
     require(threshold > 0.0 && threshold <= 1.0, s"threshold in (0,1], got $threshold")
-    val cands = lshCandidates(minhashSignature(docs, idCol, textCol, k), idCol, k, bands)
-    val sets = docs.select(col(idCol), sort_array(array_distinct(
-      graft.functions.VectorFunctions.wordShingleHashes(col(textCol), 3))).as("__sh"))
+    val hashed = hashedDocs(docs, idCol, textCol)
+    val cands = lshCandidates(minhashSignatureOverHashes(hashed, idCol, k), idCol, k, bands)
+    val sets = hashed.select(col(idCol), sort_array(array_distinct(col("__hs"))).as("__sh"))
     cands
       .join(sets.select(col(idCol).as("id_a"), col("__sh").as("__sha")), "id_a")
       .join(sets.select(col(idCol).as("id_b"), col("__sh").as("__shb")), "id_b")
@@ -133,8 +151,14 @@ object Dedup {
   def editDistanceNearDup(docs: DataFrame, idCol: String, textCol: String,
                           k: Int, bands: Int, maxDist: Int): DataFrame = {
     require(maxDist >= 0, "maxDist must be non-negative")
-    val cands = lshCandidates(minhashSignature(docs, idCol, textCol, k), idCol, k, bands)
-    val texts = docs.select(col(idCol), col(textCol))
+    // text rides the shared exchange here: the verification join must
+    // shuffle it anyway, so carrying it costs nothing extra and the corpus
+    // scans once (signature + candidate + text lookup off one exchange)
+    val pre = docs.select(col(idCol), col(textCol),
+        graft.functions.VectorFunctions.wordShingleHashes(col(textCol), 3).as("__hs"))
+      .repartition(col(idCol))
+    val cands = lshCandidates(minhashSignatureOverHashes(pre, idCol, k), idCol, k, bands)
+    val texts = pre.select(col(idCol), col(textCol))
     cands
       .join(texts.select(col(idCol).as("id_a"), col(textCol).as("__ta")), "id_a")
       .join(texts.select(col(idCol).as("id_b"), col(textCol).as("__tb")), "id_b")
@@ -222,9 +246,13 @@ object Dedup {
         col("a.__ck") === col("b.__ck") && col(s"a.$idCol") < col(s"b.$idCol"))
       .select(col(s"a.$idCol").as("id_a"), col(s"b.$idCol").as("id_b"),
         col("a.simhash").as("__sa"), col("b.simhash").as("__sb"))
-      .distinct() // a pair can match in several chunks
+      // verify BEFORE dedup: the XOR+popcount is ~free per candidate,
+      // while distinct is a shuffle — filtering first shrinks the
+      // deduplicated set from every chunk-collision candidate (narrow
+      // chunks make these plentiful) to the true within-budget pairs
       .withColumn("hamming", ham)
       .filter(col("hamming") <= maxHamming)
+      .distinct() // a pair can match in several chunks
       .select(col("id_a"), col("id_b"), col("hamming").cast("int").as("hamming"))
   }
 
@@ -337,11 +365,15 @@ object Dedup {
   def connectedComponents(pairs: DataFrame, aCol: String, bCol: String,
                           nodeOut: String = "node", clusterOut: String = "cluster_id",
                           maxIter: Int = 50): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    def resym(d: DataFrame): DataFrame = {
-      val c = d.filter(col("u") =!= col("v"))
-      c.union(c.select(col("v").as("u"), col("u").as("v"))).distinct()
-    }
+    // Edges live in DIRECTED high→low form throughout: each undirected
+    // edge {a,b} is stored once as (u = max, v = min). Both stars read and
+    // emit this form directly — a node's full-neighborhood minimum is its
+    // downward minimum (upward neighbors are larger by construction), and
+    // every large-star emission "larger neighbor y of x links to m(x)" is
+    // indexed by exactly one stored edge (y, x). The symmetric
+    // re-materialization the textbook formulation runs between stars
+    // (union + distinct over 2|E|) disappears, and every per-round
+    // aggregate/join runs over |E| rows instead of 2|E|.
     // Each round's localCheckpoint supersedes the previous one, but its
     // blocks stay pinned in the BlockManager for the session unless
     // explicitly unpersisted (round 2's bench artifact was contaminated by
@@ -378,8 +410,11 @@ object Dedup {
       val live = sc.getPersistentRDDs
       ids.foreach(id => live.get(id).foreach(_.unpersist(blocking = false)))
     }
-    val base = pairs.select(col(aCol).cast("long").as("u"), col(bCol).cast("long").as("v"))
-    var (e, eIds, fp) = checkpointTracked(resym(base))
+    val base = pairs
+      .select(greatest(col(aCol), col(bCol)).cast("long").as("u"),
+        least(col(aCol), col(bCol)).cast("long").as("v"))
+      .filter(col("u") =!= col("v")).distinct()
+    var (e, eIds, fp) = checkpointTracked(base)
     var done = fp._1 == 0L
     var it = 0
     // neighborhood minima via groupBy+join, NOT a window over u: a window
@@ -388,18 +423,23 @@ object Dedup {
     // aggregation partial-aggregates map-side and the re-join on u gets
     // AQE skew handling — per-node degree never bounds a task
     while (!done && it < maxIter) {
-      // large-star: every neighbor v > u links to min(Γ(u) ∪ {u})
+      // large-star: every edge (u, v) rewires to (u, m(v)) — u is a
+      // larger neighbor of v, and m(v) = min(downward Γ(v) ∪ {v}) is v's
+      // full-neighborhood minimum. Nodes with no downward edges (local
+      // minima) miss from the aggregate → coalesce to themselves. The
+      // output stays high→low: m(v) ≤ v < u.
       val mL = e.groupBy("u").agg(min("v").as("__mn"))
-        .select(col("u"), least(col("__mn"), col("u")).as("m"))
-      val ls = e.join(mL, "u").filter(col("v") > col("u"))
-        .select(col("v").as("u"), col("m").as("v"))
-      val e1 = resym(ls)
-      // small-star: u and its smaller neighbors all link to their min
-      val low = e1.filter(col("v") < col("u"))
-      val lowM = low.join(low.groupBy("u").agg(min("v").as("m")), "u")
-      val ss = lowM.select(col("u"), col("m").as("v"))
-        .union(lowM.filter(col("v") =!= col("m")).select(col("v").as("u"), col("m").as("v")))
-      val (e2, e2Ids, fp2) = checkpointTracked(resym(ss))
+        .select(col("u").as("v"), col("__mn").as("__m"))
+      val ls = e.join(mL, Seq("v"), "left")
+        .select(col("u"), coalesce(col("__m"), col("v")).as("v"))
+        .distinct()
+      // small-star: u and its smaller neighbors all link to their min;
+      // emissions (u, m) and (v, m) with m = min ≤ v < u are high→low too
+      val mS = ls.groupBy("u").agg(min("v").as("__m"))
+      val ss = mS.select(col("u"), col("__m").as("v"))
+        .union(ls.join(mS, "u").filter(col("v") =!= col("__m"))
+          .select(col("v").as("u"), col("__m").as("v")))
+      val (e2, e2Ids, fp2) = checkpointTracked(ss.distinct())
       // e2 is materialized (eager checkpoint): the previous round's blocks
       // are dead weight from here on
       unpersistIds(eIds)
@@ -409,11 +449,19 @@ object Dedup {
       eIds = e2Ids
       it += 1
     }
-    // Materialize the (tiny: one row per non-singleton node) RESULT so the
-    // final iteration's full edge set can be dropped too instead of staying
-    // referenced by the returned plan.
-    val out = e.groupBy(col("u")).agg(min(col("v")).as("__mn"))
-      .select(col("u").as(nodeOut), least(col("__mn"), col("u")).as(clusterOut))
+    // At the fixpoint the edge set is a star forest pointing at component
+    // minima: non-root nodes appear as u (mapped to their minimum), roots
+    // appear only as v (mapped to themselves). Materialize the (tiny: one
+    // row per non-singleton node) RESULT so the final iteration's full
+    // edge set can be dropped instead of staying referenced by the plan.
+    val mapped = e.groupBy(col("u")).agg(min(col("v")).as("__mn"))
+    // anti-join guards the maxIter-without-convergence exit: a node still
+    // appearing on both sides must not get two rows (free at the fixpoint,
+    // where no u ever appears as a v)
+    val roots = e.select(col("v")).distinct()
+      .join(mapped.select(col("u").as("v")), Seq("v"), "left_anti")
+    val out = mapped.select(col("u").as(nodeOut), col("__mn").as(clusterOut))
+      .unionByName(roots.select(col("v").as(nodeOut), col("v").as(clusterOut)))
       .localCheckpoint()
     unpersistIds(eIds)
     out
@@ -429,18 +477,29 @@ object Dedup {
     * pairwise dropping would miss. */
   def deduplicateCorpus(docs: DataFrame, idCol: String, textCol: String,
                         k: Int, bands: Int, threshold: Double): DataFrame = {
-    val salted = xxhash64(col(textCol), lit(0x5bd1e995))
-    val h = docs.select(col(idCol), xxhash64(col(textCol)).as("__th"))
-    val keep = docs.groupBy(xxhash64(col(textCol)).as("__th"))
-      .agg(min(col(idCol)).as("__keep"), min(salted).as("__v1"), max(salted).as("__v2"))
+    // ONE projection reads the text and computes everything any stage
+    // needs from it (exact hash + collision salt + shingle hashes), closed
+    // by a repartition(id) exchange: the exact-pair branch, the minhash
+    // band branch, and both verification-set branches all read that one
+    // materialized exchange — the corpus text is scanned and hashed once
+    // for the whole job instead of once per branch.
+    val pre = docs.select(col(idCol),
+        xxhash64(col(textCol)).as("__th"),
+        xxhash64(col(textCol), lit(0x5bd1e995)).as("__salt"),
+        graft.functions.VectorFunctions.wordShingleHashes(col(textCol), 3).as("__hs"))
+      .repartition(col(idCol))
+    val keep = pre.groupBy(col("__th"))
+      .agg(min(col(idCol)).as("__keep"), min(col("__salt")).as("__v1"),
+        max(col("__salt")).as("__v2"))
       // same ~2⁻¹²⁸ guard as `exact`: a 64-bit collision between distinct
       // texts would wrongly merge groups — raise instead
       .filter(assert_true(col("__v1") === col("__v2"),
         lit("xxhash64 collision in Dedup.deduplicateCorpus")).isNull)
       .select(col("__th"), col("__keep"))
-    val exactPairs = h.join(keep, "__th").filter(col(idCol) =!= col("__keep"))
+    val exactPairs = pre.select(col(idCol), col("__th")).join(keep, "__th")
+      .filter(col(idCol) =!= col("__keep"))
       .select(col("__keep").as("id_a"), col(idCol).as("id_b"))
-    val nearPairs = minhashNearDup(docs, idCol, textCol, k, bands, threshold)
+    val nearPairs = verifiedNearDupPairs(pre, idCol, k, bands, threshold)
       .select(col("id_a"), col("id_b"))
     val clusters = connectedComponents(exactPairs.union(nearPairs), "id_a", "id_b")
     val dropped = clusters.filter(col("node") =!= col("cluster_id"))
@@ -555,27 +614,54 @@ object Dedup {
       // runs over one row per distinct signature — a corpus with massive
       // exact-duplicate groups (the common 100 TB reality) cannot explode
       // the band join quadratically in group size.
+      //
+      // The rank rides INLINE through the sweep (no rank re-joins), and
+      // shorts route through their own exact-equality chunk space (ci = -1,
+      // same convention as the streaming lowering) instead of a filter on
+      // the aggregate: every consumer of `reps` then shares one identical
+      // aggregate-exchange subtree, so the corpus scan + signature pass
+      // materializes ONCE (a `filter(!short)` on a grouping key would push
+      // into the scan and split the subtree into per-consumer copies that
+      // each recompute the SimHash).
       val rank = struct((order :+ idCol).map(col): _*)
+      // localCheckpoint: `reps` is consumed by both pair-sweep sides AND
+      // the survivor anti-join, and those subtrees pick up different
+      // pushed filters, so plan-level exchange reuse cannot unify them —
+      // each would re-run the corpus scan + SimHash pass. The frame is one
+      // 32-byte row per DISTINCT signature (MEMORY_AND_DISK, ~400 MB per
+      // 10⁹ distinct signatures across a cluster), so materializing it is
+      // far cheaper than recomputing the signature pass per consumer.
       val reps = base
         .select(col(idCol).as("__id"), col("__sig"), col("__short"), rank.as("__rk"))
         .groupBy(col("__short"), col("__sig"))
         .agg(min(struct(col("__rk"), col("__id"))).as("__m"))
         .select(col("__short"), col("__sig"),
           col("__m.__rk").as("__rk"), col("__m.__id").as("__id"))
-      val nonShortReps = reps.filter(!col("__short"))
-        .select(col("__id").as(idCol), col("__sig").as("simhash"))
-      val rk = reps.select(col("__id"), col("__rk"))
-      val droppedReps = simhashPairs(nonShortReps, idCol, bits, maxHamming)
-        .select(col("id_a"), col("id_b"))
-        .join(rk.withColumnRenamed("__id", "id_a").withColumnRenamed("__rk", "__rka"), "id_a")
-        .join(rk.withColumnRenamed("__id", "id_b").withColumnRenamed("__rk", "__rkb"), "id_b")
-        .select(when(col("__rka") < col("__rkb"), col("id_b"))
-          .otherwise(col("id_a")).as("__id"))
+        .localCheckpoint()
+      val chunkCols = pigeonholeChunks(col("__sig"), bits, maxHamming)
+      // two short reps always differ in __sig (they'd be one group
+      // otherwise), so ci = -1 buckets never produce a pair — shorts only
+      // fold into their exact-duplicate group, never near-match
+      val chunks = when(col("__short"), array(struct(lit(-1).as("ci"), col("__sig").as("cv"))))
+        .otherwise(array(chunkCols: _*))
+      val e = reps.select(col("__id"), col("__sig"), col("__short"), col("__rk"),
+          explode(chunks).as("__ck"))
+        .repartition(col("__ck"))
+      // shuffle_hash + identical subtrees: ReuseExchange materializes the
+      // exploded reps once for both sides (same posture as simhashPairs).
+      // No distinct on the drop set: it feeds a left-anti join, which is
+      // insensitive to duplicate right rows — a dedup here would only add
+      // a shuffle.
+      val droppedReps = e.as("a").join(e.as("b").hint("shuffle_hash"),
+          col("a.__ck") === col("b.__ck") && col("a.__id") < col("b.__id"))
+        .filter(expr("bit_count(a.__sig ^ b.__sig)") <= maxHamming)
+        .select(when(col("a.__rk") < col("b.__rk"), col("b.__id"))
+          .otherwise(col("a.__id")).as("__id"))
       val survivors = reps.select(col("__id"))
         .join(droppedReps, Seq("__id"), "left_anti")
         .withColumnRenamed("__id", idCol)
       return new graft.api.MStream(
-        base.join(survivors, Seq(idCol), "left_semi").select(orig.map(col): _*),
+        df.join(survivors, Seq(idCol), "left_semi").select(orig.map(col): _*),
         stream.eventOrder, stream.contextKeys, stream.name)
     }
 
