@@ -231,10 +231,14 @@ object EnrichmentJoins {
             // join materializes w×r pairs on a hot key before keeping 1, so
             // the search runs in order-bucketed ROUNDS over a rights-only
             // sequence number: each waiting left first joins its next 16
-            // rights, the still-unmatched its next 512, and only the
-            // (rare) remainder scan all farther rights — that last round is
-            // also the work a per-key state machine would do for lefts
-            // whose match is that far out (or never comes).
+            // rights, the still-unmatched its next 512, and the (rare)
+            // remainder proceeds in FIXED chunks of `residualChunk` rights
+            // per round — never an unbounded per-left scan. A left whose
+            // key has no rights beyond its scanned horizon leaves the loop
+            // (left-inner semantics: it emits nothing), so adversarial
+            // never-matching lefts on a hot key terminate after scanning
+            // that key's rights once, in bounded slices, instead of
+            // materializing a stuck×all-rights cross in one task.
             val lefts = u.filter(col("_tag") === 1)
               .withColumn("__lastr", last(col(R), ignoreNulls = true).over(wPast))
               // rights seen so far: a future right is one with seq > this
@@ -251,22 +255,43 @@ object EnrichmentJoins {
                 keyNames.map(c => col(c).as(s"r$c"))): _*)
             val residFut = residualFor(L, "__r").get
             val keyEq = keyNames.map(k => col(k) === col(s"r$k")).reduce(_ && _)
-            def matchRound(w: DataFrame, lo: Column, hi: Option[Column]): DataFrame = {
-              val inRange = hi.map(col("__rn") <= _).foldLeft(col("__rn") > lo)(_ && _)
-              w.join(rights, keyEq && inRange && residFut, "inner")
+            def matchRound(w: DataFrame, lo: Column, hi: Column): DataFrame =
+              w.join(rights, keyEq && col("__rn") > lo && col("__rn") <= hi && residFut,
+                  "inner")
                 .withColumn("__rk", row_number().over(
                   Window.partitionBy(col(L)).orderBy(col("__rn"))))
                 .filter(col("__rk") === 1)
                 .select(col(L), col("__r").as(R))
-            }
             def unmatched(w: DataFrame, m: DataFrame): DataFrame =
               w.join(m.select(col(L).as("__ml")), col(L) <=> col("__ml"), "left_anti")
-            val m1 = matchRound(waiting, col("__nr"), Some(col("__nr") + 16))
+            val m1 = matchRound(waiting, col("__nr"), col("__nr") + 16)
             val w2 = unmatched(waiting, m1)
-            val m2 = matchRound(w2, col("__nr") + 16, Some(col("__nr") + 512))
-            val w3 = unmatched(w2, m2)
-            val m3 = matchRound(w3, col("__nr") + 512, None)
-            immediate.unionByName(m1).unionByName(m2).unionByName(m3)
+            val m2 = matchRound(w2, col("__nr") + 16, col("__nr") + 512)
+            // remainder loop: stuck lefts carry their key's rights extent;
+            // each round is one bounded chunk, checkpointed so the (small,
+            // monotonically shrinking) stuck set doesn't re-derive the
+            // whole upstream per round
+            val chunk = lDf.sparkSession.conf
+              .get("graft.join.residualChunk", "65536").toLong
+            require(chunk > 0, s"graft.join.residualChunk must be positive, got $chunk")
+            val maxRn = rights.groupBy(keyNames.map(k => col(s"r$k")): _*)
+              .agg(max(col("__rn")).as("__maxrn"))
+            var stuck = unmatched(w2, m2).join(maxRn, keyEq, "inner")
+              .filter(col("__maxrn") > col("__nr") + 512)
+              .select(col(L) +: col("__nr") +: col("__maxrn") +: keyNames.map(col): _*)
+              .localCheckpoint()
+            var acc = immediate.unionByName(m1).unionByName(m2)
+            var round = 0L
+            while (!stuck.isEmpty) {
+              val lo = col("__nr") + 512 + lit(round * chunk)
+              val m = matchRound(stuck, lo, lo + chunk).localCheckpoint()
+              acc = acc.unionByName(m)
+              stuck = unmatched(stuck, m)
+                .filter(col("__maxrn") > col("__nr") + 512 + lit((round + 1L) * chunk))
+                .localCheckpoint()
+              round += 1L
+            }
+            acc
         }
     }
     new JoinedMStream(paired, lStructT, rStructT, left.name)

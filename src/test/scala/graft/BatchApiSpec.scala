@@ -327,9 +327,9 @@ class BatchApiSpec extends SparkSpec {
 
   test("left-inner residual matches across all search rounds on a hot key") {
     // three waiting lefts on one hot key whose first satisfying right is
-    // 5 / 100 / 800 rights ahead — exercising the 16-, 512-, and
-    // unbounded-round paths of the bucketed search; plus one that never
-    // matches (no output)
+    // 5 / 100 / 800 rights ahead — exercising the 16-round, the 512-round,
+    // and the chunked remainder loop of the bucketed search; plus one that
+    // never matches (no output)
     val lefts = new MStream(
       Seq((1L, "hot", 10L, 5.0), (2L, "hot", 20L, 100.0),
           (3L, "hot", 30L, 800.0), (4L, "hot", 40L, 99999.0))
@@ -343,6 +343,35 @@ class BatchApiSpec extends SparkSpec {
       .select((l, r) => Seq(l("id").as("id"), r("rid").as("rid")))
       .df.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(out == Set((1L, 2005L), (2L, 2100L), (3L, 2800L)))
+  }
+
+  test("left-inner residual remainder runs in bounded chunks: adversarial hot key terminates with the same answers") {
+    // shrink the remainder chunk so the loop genuinely iterates: a match
+    // 800 rights out needs ceil((800-512)/100) = 3 bounded rounds, and the
+    // never-matching lefts must leave the loop once their key's 1000
+    // rights are exhausted — under the old unbounded final round they
+    // joined every farther right in one task
+    val prev = spark.conf.getOption("graft.join.residualChunk")
+    spark.conf.set("graft.join.residualChunk", "100")
+    try {
+      val lefts = new MStream(
+        Seq((1L, "hot", 10L, 800.0), (2L, "hot", 20L, 99999.0),
+            (3L, "hot", 30L, 99999.0), (4L, "cold", 40L, 1.0))
+          .toDF("id", "k", "t", "need"), Seq("t", "id"))
+      val rights = new MStream(
+        (1L to 1000L).map(i => (2000L + i, "hot", 100L + i, i.toDouble))
+          .toDF("rid", "rk", "rt", "rv"), Seq("rt", "rid"))
+      val out = lefts.leftInnerJoin(rights)
+        .on((l, r) => l("k") === r("rk") && r("rv") >= l("need"))
+        .select((l, r) => Seq(l("id").as("id"), r("rid").as("rid")))
+        .df.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      // id=1 matches 800 rights out; ids 2-3 never match (emit nothing);
+      // id=4's key has no rights at all (emit nothing)
+      assert(out == Set((1L, 2800L)))
+    } finally prev match {
+      case Some(v) => spark.conf.set("graft.join.residualChunk", v)
+      case None => spark.conf.unset("graft.join.residualChunk")
+    }
   }
 
   test("triangle-tiled block jaccard equals naive all-pairs (no dup, no miss)") {
