@@ -254,26 +254,45 @@ object TextOps {
   /** Frequency-ranked vocabulary: words with >= `minCount` occurrences,
     * top `maxSize` by (count desc, word asc), contiguous ids from 0 in
     * that order. The corpus-wide count is one partial-aggregated shuffle;
-    * the ranking is a TakeOrdered of `maxSize` rows, and id assignment is
-    * a window over ONLY those collected rows — the vocabulary (bounded by
-    * `maxSize`) is the one intentionally driver-sized artifact of the
-    * encode pipeline, like the IVF codebook. */
+    * ranking is DISTRIBUTED: range-partition the counted words by the
+    * vocab order, row_number within each range, then add per-range
+    * offsets (a #partitions-row driver aggregate) — contiguous global ids
+    * with no single-partition window or sort anywhere, and no driver-side
+    * top-K merge. The RESULT (bounded by `maxSize`) remains the one
+    * intentionally driver-sized artifact of the encode pipeline (it is
+    * broadcast by `encodeTokens`), like the IVF codebook. */
   def buildVocab(docs: org.apache.spark.sql.DataFrame, textCol: String,
                  minCount: Long, maxSize: Int): org.apache.spark.sql.DataFrame = {
-    // the vocabulary is a BY-DESIGN driver-sized artifact: the id window
-    // runs over maxSize collected rows and encodeTokens broadcasts it —
-    // cap it where "driver-sized" stops being true (~10^7 rows is already
+    // cap where "driver-sized" stops being true (~10^7 rows is already
     // hundreds of MB broadcast; a 10^8 request is a mistake, not a vocab)
     require(maxSize > 0 && maxSize <= 10000000,
       s"maxSize=$maxSize: the vocabulary is collected to the driver and " +
         "broadcast to every encode task; it must stay driver-sized (<= 1e7)")
     import org.apache.spark.sql.expressions.Window
-    docs.select(explode(words(col(textCol))).as("word"))
+    val counted = docs.select(explode(words(col(textCol))).as("word"))
       .groupBy("word").agg(count(lit(1)).as("wcount"))
       .filter(col("wcount") >= minCount)
-      .orderBy(desc("wcount"), col("word")).limit(maxSize)
-      .withColumn("id",
-        (row_number().over(Window.orderBy(desc("wcount"), col("word"))) - 1).cast("long"))
+    val spark = docs.sparkSession
+    val nBuckets = math.max(1, spark.sparkContext.defaultParallelism)
+    // materialize the range-partitioned counts once: both the offset
+    // aggregate and the id projection read it (vocabulary-candidate rows,
+    // far smaller than the corpus)
+    val bucketed = counted
+      .repartitionByRange(nBuckets, desc("wcount"), col("word"))
+      .withColumn("__b", spark_partition_id())
+      .localCheckpoint()
+    val sizes = bucketed.groupBy(col("__b")).agg(count(lit(1)).as("__n"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val offsets = (0 until nBuckets).map(sizes.getOrElse(_, 0L)).scanLeft(0L)(_ + _)
+    // ranges come back ordered by partition id (highest counts in range 0),
+    // so offset(b) + local rank is the exact global (count desc, word) rank
+    val offExpr = element_at(
+      map((0 until nBuckets).flatMap(b => Seq(lit(b), lit(offsets(b)))): _*), col("__b"))
+    val w = Window.partitionBy(col("__b")).orderBy(desc("wcount"), col("word"))
+    bucketed
+      .withColumn("id", (offExpr + row_number().over(w) - 1).cast("long"))
+      .filter(col("id") < maxSize)
+      .select(col("word"), col("wcount"), col("id"))
   }
 
   /** Encode documents to token-id arrays against a vocabulary frame
