@@ -135,10 +135,19 @@ object App {
   final class Config {
     private var sources = Map.empty[String, Source]
     private var sinks = Map.empty[String, Seq[Sink]]
+    private var lineage: Option[Sink] = None
     def setSource(stream: String, s: Source): Config = { sources += stream -> s; this }
     def addSink(stream: String, s: Sink): Config = {
       sinks += stream -> (sinks.getOrElse(stream, Nil) :+ s); this
     }
+    /** Milan `ApplicationConfiguration.addLineageSink`
+      * (`application/ApplicationConfiguration.scala:111`): bind a sink for
+      * the lineage side-channel. When bound, [[App.run]] records lineage —
+      * enrichment/as-of joins and running-aggregate scans in the program
+      * expose a `record_id` column and their (op, output_id, input_id)
+      * edges are written to this sink as the stream `__lineage`. */
+    def addLineageSink(s: Sink): Config = { lineage = Some(s); this }
+    def lineageSink: Option[Sink] = lineage
     def source(stream: String): Source = sources.getOrElse(stream,
       throw new IllegalArgumentException(s"no source bound for stream '$stream'"))
     def sinkList(stream: String): Seq[Sink] = sinks.getOrElse(stream, Nil)
@@ -271,8 +280,33 @@ object App {
    */
   def run(spark: SparkSession, config: Config)(
       program: (String => MStream) => Map[String, MStream]): Seq[Running] = {
+    val recorder = config.lineageSink.map(_ => Lineage.enable(spark))
+    try runWithLineage(spark, config, recorder)(program)
+    finally recorder.foreach(_ => Lineage.disable(spark))
+  }
+
+  private def runWithLineage(spark: SparkSession, config: Config,
+      recorder: Option[Lineage.Recorder])(
+      program: (String => MStream) => Map[String, MStream]): Seq[Running] = {
     val outputs = program(name => readSource(spark, config.source(name)))
-    config.sinkStreams.flatMap { stream =>
+    val lineageOut = (config.lineageSink, recorder) match {
+      case (Some(sink), Some(rec)) =>
+        val edges = rec.allEdges(spark)
+        require(!edges.isStreaming,
+          "lineage sinks currently support batch programs only (operators in a " +
+            "streaming program still expose record_id columns; write the edge " +
+            "frames with foreachBatch)")
+        sink.format match {
+          case "memory" | "console" =>
+            if (sink.format == "console") edges.show(false)
+          case f =>
+            val w = edges.write.format(f).options(sink.options).mode(sink.mode)
+            sink.path.map(w.save).getOrElse(w.save())
+        }
+        Seq(BatchOutput("__lineage", edges))
+      case _ => Nil
+    }
+    lineageOut ++ config.sinkStreams.flatMap { stream =>
       val out = outputs.getOrElse(stream,
         throw new IllegalArgumentException(s"program produced no stream '$stream'"))
       config.sinkList(stream).map { sink =>

@@ -210,7 +210,23 @@ final class MStream(
         AsofJoins.asofForward(df, leftTs, right.df, rightTs,
           keys, rightOrder, tolerance, inner)
     }
-    new MStream(out, eventOrder, contextKeys, name)
+    // opt-in lineage (config bound a lineage sink): output rows are
+    // left-cols ++ right-cols, so input ids derive in place — the right
+    // side counts as present when any of its columns is non-null (an
+    // unmatched left nulls the whole side)
+    val withLineage = Lineage.current(df.sparkSession) match {
+      case None => out
+      case Some(rec) =>
+        val lCols = df.columns.toIndexedSeq.map(col)
+        val rCols = right.df.columns.toIndexedSeq.map(col)
+        val rightPresent = rCols.map(_.isNotNull).reduce(_ || _)
+        Lineage.record(rec, s"asofJoin:$name", out,
+          idCols = lCols ++ rCols,
+          inputIds = Seq(
+            xxhash64(struct(lCols: _*)),
+            when(rightPresent, xxhash64(struct(rCols: _*)))))
+    }
+    new MStream(withLineage, eventOrder, contextKeys, name)
   }
 
   // ---------------------------------------------------------------- 2.6 scans

@@ -163,7 +163,7 @@ object EnrichmentJoins {
             when(col(R).isNotNull && resid, col(R)).otherwise(lit(null).cast(rStructT)).as(R))
         case _ => paired0
       }
-      return new JoinedMStream(paired, lStructT, rStructT, left.name)
+      return new JoinedMStream(withLineage(paired, kind, left.name), lStructT, rStructT, left.name)
     }
 
     val keyNames = lKeyCols.indices.map(i => s"_k$i")
@@ -294,8 +294,26 @@ object EnrichmentJoins {
             acc
         }
     }
-    new JoinedMStream(paired, lStructT, rStructT, left.name)
+    new JoinedMStream(withLineage(paired, kind, left.name), lStructT, rStructT, left.name)
   }
+
+  /** Opt-in lineage (active when the running configuration bound a lineage
+    * sink, Milan `ApplicationConfiguration.addLineageSink`): the paired
+    * frame gains a content-hash `record_id` — which `select`/`selectAll`
+    * carry into the join output — and one (output_id → input_id) edge per
+    * present side registers with the session recorder. Input ids equal
+    * `Lineage.withRecordId` of each input row (a struct hashes as its
+    * fields), so edges correlate with ids minted upstream. */
+  private def withLineage(paired: DataFrame, kind: Kind, name: String): DataFrame =
+    graft.api.Lineage.current(paired.sparkSession) match {
+      case None => paired
+      case Some(rec) =>
+        graft.api.Lineage.record(rec, s"$kind:$name", paired,
+          idCols = Seq(col(L), col(R)),
+          inputIds = Seq(
+            when(col(L).isNotNull, xxhash64(col(L))),
+            when(col(R).isNotNull, xxhash64(col(R)))))
+    }
 
   /**
    * Milan stream ⋈ windowed-stream join (`LeftWindowedJoin`,
@@ -375,10 +393,16 @@ final class JoinedMStream(
     rType: org.apache.spark.sql.types.StructType,
     name: String) {
 
+  /** When the lineage recorder was active at build time, the paired frame
+    * carries a `record_id` that projections must keep exposing. */
+  private def withRecordId(cols: Seq[Column]): Seq[Column] =
+    if (paired.columns.contains("record_id")) cols :+ col("record_id") else cols
+
   /** Milan join `select` (`lang/JoinedStream.scala:105`): project from both
     * sides; unmatched side reads as null (reference null semantics). */
   def select(f: (String => Column, String => Column) => Seq[Column]): MStream =
-    new MStream(paired.select(f(c => col(s"_l.$c"), c => col(s"_r.$c")): _*), Nil, Nil, name)
+    new MStream(paired.select(
+      withRecordId(f(c => col(s"_l.$c"), c => col(s"_r.$c"))): _*), Nil, Nil, name)
 
   /** Milan `selectAll()` (`lang/JoinedStream.scala:43`): concat both sides'
     * fields, renaming right-side collisions (TypeJoiner semantics). */
@@ -389,6 +413,6 @@ final class JoinedMStream(
         val out = if (lNames.contains(c)) s"right_$c" else c
         col(s"_r.$c").as(out)
       }
-    new MStream(paired.select(cols: _*), Nil, Nil, name)
+    new MStream(paired.select(withRecordId(cols): _*), Nil, Nil, name)
   }
 }

@@ -48,19 +48,31 @@ object Scans {
     * key; output = input record + running value (one output per input). */
   def runningAgg(s: MStream, keys: Seq[String], arg: Column, kind: RunKind, as: String): MStream = {
     val order = requireOrder(s)
-    if (s.df.isStreaming)
-      return new MStream(StreamingRowScans.running(s.df, keys, order, arg, kind, as),
-        s.eventOrder, s.contextKeys, s.name)
-    val agg = kind match {
-      case RSum => sum(arg)
-      case RMean => avg(arg)
-      case RProduct => product(arg)
-      case RCount => count(lit(1))
+    val out =
+      if (s.df.isStreaming) StreamingRowScans.running(s.df, keys, order, arg, kind, as)
+      else {
+        val agg = kind match {
+          case RSum => sum(arg)
+          case RMean => avg(arg)
+          case RProduct => product(arg)
+          case RCount => count(lit(1))
+        }
+        val w = (if (keys.nonEmpty) Window.partitionBy(keys.map(col): _*) else Window.partitionBy())
+          .orderBy(order.map(col): _*)
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        s.df.withColumn(as, agg.over(w))
+      }
+    // opt-in lineage (config bound a lineage sink): each output row IS its
+    // input row plus the running column, so the input id derives in place
+    val withLineage = graft.api.Lineage.current(s.df.sparkSession) match {
+      case None => out
+      case Some(rec) =>
+        val inCols = s.df.columns.toIndexedSeq.map(col)
+        graft.api.Lineage.record(rec, s"$kind:${s.name}", out,
+          idCols = out.columns.toIndexedSeq.map(col),
+          inputIds = Seq(xxhash64(struct(inCols: _*))))
     }
-    val w = (if (keys.nonEmpty) Window.partitionBy(keys.map(col): _*) else Window.partitionBy())
-      .orderBy(order.map(col): _*)
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    new MStream(s.df.withColumn(as, agg.over(w)), s.eventOrder, s.contextKeys, s.name)
+    new MStream(withLineage, s.eventOrder, s.contextKeys, s.name)
   }
 
   /** Milan `last()` (`lang/Stream.scala:123`, `runtime/LastOperators.scala`):

@@ -1,0 +1,107 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.api.{App, Lineage}
+
+/** Auto-wired lineage (Milan `ApplicationConfiguration.addLineageSink`,
+  * `application/ApplicationConfiguration.scala:111`; join emission
+  * `runtime/LeftJoinKeyedCoProcessFunction.scala:85-91`): binding a lineage
+  * sink on the config makes joins and running scans expose `record_id` and
+  * write (op, output_id, input_id) edges — no manual plumbing. */
+class LineageSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def idsOf(df: org.apache.spark.sql.DataFrame): Map[Long, Long] =
+    Lineage.withRecordId(df).select(col(df.columns.head), col("record_id"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+  test("lineage sink auto-wires enrichment join edges") {
+    val lefts = Seq((1L, "a", 10L), (2L, "b", 20L)).toDF("id", "k", "t")
+    val rights = Seq((100L, "a", 5L)).toDF("rid", "rk", "rt")
+    val config = new App.Config()
+      .setSource("l", App.Source("list", rows = Some(lefts), order = Seq("t", "id")))
+      .setSource("r", App.Source("list", rows = Some(rights), order = Seq("rt", "rid")))
+      .addSink("out", App.Sink("memory"))
+      .addLineageSink(App.Sink("memory"))
+    val running = App.run(spark, config) { in =>
+      Map("out" -> in("l").leftJoin(in("r"))
+        .on((l, r) => l("k") === r("rk"))
+        .select((l, r) => Seq(l("id").as("id"), r("rid").as("rid"))))
+    }
+    val out = running.collectFirst { case App.BatchOutput("out", df) => df }.get
+    val edges = running.collectFirst { case App.BatchOutput("__lineage", df) => df }.get
+
+    assert(out.columns.contains("record_id"),
+      "join output exposes the record id when lineage is on")
+    val outIds = out.select("record_id").collect().map(_.getLong(0)).toSet
+    val e = edges.collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    assert(e.forall(_._1.startsWith("LeftEnrichment")), s"op label, got $e")
+    assert(e.map(_._2) == outIds, "every edge links an actual output record")
+
+    // expected edge set: matched left -> {left id, right id}; unmatched -> {left id}
+    val lIds = idsOf(lefts)
+    val rIds = idsOf(rights)
+    val byOut = out.collect().map(r =>
+      (r.getLong(0), if (r.isNullAt(1)) None else Some(r.getLong(1)), r.getLong(2))).toSeq
+    val expected = byOut.flatMap { case (lid, rid, outId) =>
+      (outId, lIds(lid)) +: rid.toSeq.map(r => (outId, rIds(r)))
+    }.toSet
+    assert(e.map(x => (x._2, x._3)) == expected,
+      "edges are exactly output -> present-side input ids")
+    assert(e.size == 3, "matched left contributes 2 edges, unmatched 1")
+  }
+
+  test("lineage sink auto-wires as-of join and running-scan edges") {
+    val purchases = Seq((1L, 7L, 100L), (2L, 8L, 50L)).toDF("pid", "pu", "pts")
+    val clicks = Seq((10L, 7L, 90L)).toDF("cid", "cu", "cts")
+    val values = Seq((1L, 2.0, 1L), (2L, 3.0, 2L)).toDF("vid", "v", "vt")
+    val config = new App.Config()
+      .setSource("p", App.Source("list", rows = Some(purchases)))
+      .setSource("c", App.Source("list", rows = Some(clicks)))
+      .setSource("v", App.Source("list", rows = Some(values), order = Seq("vt")))
+      .addSink("asof", App.Sink("memory"))
+      .addSink("sums", App.Sink("memory"))
+      .addLineageSink(App.Sink("memory"))
+    val running = App.run(spark, config) { in =>
+      Map(
+        "asof" -> in("p").asofJoin(in("c"), "pts", "cts",
+          keys = Seq("pu" -> "cu"), rightOrder = Seq("cid")),
+        "sums" -> in("v").sumBy(col("v"), "running"))
+    }
+    val asof = running.collectFirst { case App.BatchOutput("asof", df) => df }.get
+    val sums = running.collectFirst { case App.BatchOutput("sums", df) => df }.get
+    val edges = running.collectFirst { case App.BatchOutput("__lineage", df) => df }.get
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+
+    assert(asof.columns.contains("record_id") && sums.columns.contains("record_id"))
+    // as-of: purchase 1 matched click 10 (2 edges), purchase 2 unmatched (1)
+    val asofEdges = edges.filter(_._1.startsWith("asofJoin"))
+    assert(asofEdges.size == 3)
+    assert(asofEdges.map(_._3).toSet ==
+      (idsOf(purchases).values.toSet + idsOf(clicks)(10L)))
+    // scan: one edge per record, inputs are exactly the source records
+    val scanEdges = edges.filter(_._1.startsWith("RSum"))
+    assert(scanEdges.size == 2)
+    assert(scanEdges.map(_._3) == idsOf(values).values.toSet)
+    assert(scanEdges.map(_._2) ==
+      sums.select("record_id").collect().map(_.getLong(0)).toSet)
+  }
+
+  test("without a lineage sink nothing changes: no record_id, no recorder leak") {
+    val lefts = Seq((1L, "a", 10L)).toDF("id", "k", "t")
+    val rights = Seq((100L, "a", 5L)).toDF("rid", "rk", "rt")
+    val config = new App.Config()
+      .setSource("l", App.Source("list", rows = Some(lefts), order = Seq("t", "id")))
+      .setSource("r", App.Source("list", rows = Some(rights), order = Seq("rt", "rid")))
+      .addSink("out", App.Sink("memory"))
+    val running = App.run(spark, config) { in =>
+      Map("out" -> in("l").leftJoin(in("r"))
+        .on((l, r) => l("k") === r("rk"))
+        .select((l, r) => Seq(l("id").as("id"), r("rid").as("rid"))))
+    }
+    val out = running.collectFirst { case App.BatchOutput("out", df) => df }.get
+    assert(!out.columns.contains("record_id"))
+    assert(running.size == 1, "no __lineage output")
+    assert(Lineage.current(spark).isEmpty, "recorder removed after run")
+  }
+}
