@@ -529,10 +529,6 @@ object Dedup {
                     maxHamming: Int = 0): graft.api.MStream = {
     require(maxHamming >= 0 && maxHamming < bits,
       s"need 0 <= maxHamming < bits, got maxHamming=$maxHamming bits=$bits")
-    require(maxHamming == 0 || !withinWatermark,
-      "banded ingest (maxHamming > 0) keeps bucket state without watermark " +
-        "eviction (the reference's forever-groups default); use maxHamming = 0 " +
-        "for withinWatermark eviction")
     // The short-doc guard keys on the FEATURE array being empty, not on a
     // separate word count: the native shingle hasher skips empty words
     // (runs of spaces), so a split-based count could disagree with it and
@@ -553,7 +549,7 @@ object Dedup {
       // null-text docs dedup among themselves) — the streaming state
       // machine reads the flag with getBoolean, which must never see NULL
       bandedIngest(stream, idCol, sig, coalesce(size(h) < 1, lit(true)),
-        bits, maxHamming)
+        bits, maxHamming, withinWatermark)
   }
 
   /**
@@ -575,9 +571,17 @@ object Dedup {
    * ANDs the bucket verdicts (all of a doc's verdicts arrive in the same
    * micro-batch) and emits survivors. State per bucket = distinct
    * signatures landing in it; exchange keys are native columns
-   * ([[graft.streaming.KeyedRows]]). Batch lowering: `simhashPairs` +
-   * order-rank anti-join over one representative per DISTINCT signature
-   * (immune to exact-duplicate skew), same drop rule.
+   * ([[graft.streaming.KeyedRows]]). With `withinWatermark` each signature
+   * carries the max event time seen for it and is pruned on the bucket's
+   * next visit once the watermark passes it — bounded state for unbounded
+   * streams, the dropDuplicatesWithinWatermark contract (bucket keys come
+   * from a bounded space, so idle buckets strand at most key-space-many
+   * horizon leftovers, never corpus-proportional state); without it state
+   * is kept forever (the reference's forever-groups default).
+   * Batch lowering: `simhashPairs` + order-rank anti-join over one
+   * representative per DISTINCT signature (immune to exact-duplicate
+   * skew), same drop rule; like dropDuplicatesWithinWatermark, the batch
+   * lowering ignores the watermark horizon.
    *
    * Chunk-width tradeoff: a 63-bit signature at budget k gives
    * maxHamming+1 chunks of ~63/(k+1) bits, and the FALSE-candidate rate
@@ -590,7 +594,8 @@ object Dedup {
   private def bandedIngest(stream: graft.api.MStream, idCol: String,
                            sig: org.apache.spark.sql.Column,
                            short: org.apache.spark.sql.Column,
-                           bits: Int, maxHamming: Int): graft.api.MStream = {
+                           bits: Int, maxHamming: Int,
+                           withinWatermark: Boolean = false): graft.api.MStream = {
     import org.apache.spark.sql.{Encoder, Encoders, Row}
     import org.apache.spark.sql.catalyst.encoders.RowEncoder
     import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
@@ -666,49 +671,104 @@ object Dedup {
     }
 
     // ---- streaming: pigeonhole buckets + per-doc combine -----------------
+    // withinWatermark: signatures carry the max event time seen for them
+    // and evict once the watermark passes it — the bounded-state posture
+    // for unbounded streams (dropDuplicatesWithinWatermark's contract,
+    // extended to the banded near-dup machinery). The event-time column is
+    // the one `withWatermark` marked upstream.
+    val wmColName: Option[String] =
+      if (!withinWatermark) None
+      else {
+        val c = df.schema.fields
+          .find(_.metadata.contains("spark.watermarkDelayMs")).map(_.name)
+        require(c.nonEmpty, "withinWatermark banded ingest needs withWatermark(...) " +
+          "upstream: no event-time column is marked on the input")
+        c
+      }
+    // null event times sort as MinValue+1: stored, then evicted at the
+    // first pruning pass
+    val tsExpr = wmColName
+      .map(c => coalesce(unix_millis(col(c)), lit(Long.MinValue + 1)))
+      .getOrElse(lit(0L))
     val chunkCols = pigeonholeChunks(col("__sig"), bits, maxHamming)
-    // featureless docs live in their own exact-equality key space (ci = -1)
-    val chunks = when(col("__short"), array(struct(lit(-1).as("ci"), col("__sig").as("cv"))))
+    // featureless docs live in their own exact-equality key space (ci = -1).
+    // Their bucket key is the signature MASKED to 16 bits, not the full
+    // signature: bucket keys must come from a BOUNDED space (chunk values
+    // already are) so total state is capped by key space, not by the
+    // number of distinct short documents ever seen; the state machine
+    // compares full signatures for the exact-equality verdict, so masking
+    // only co-locates, never merges.
+    val chunks = when(col("__short"),
+        array(struct(lit(-1).as("ci"), col("__sig").bitwiseAND(lit(0xFFFFL)).as("cv"))))
       .otherwise(array(chunkCols: _*))
-    // the payload rides only the first chunk record — verdicts are small
+    // the payload rides only the first chunk record — verdicts are small.
+    // The raw watermarked column must survive as a TOP-LEVEL column into
+    // the stateful operator's child (Spark's event-time-timeout check
+    // looks for watermark metadata there; struct fields don't carry it).
+    val wmPassthrough = wmColName.map(col).toSeq
     val u = base.select(
-        col(idCol).as("__id"), col("__sig"), col("__short"),
-        struct((order :+ idCol).map(col): _*).as("__ord"),
-        struct(orig.map(col): _*).as("__payload"),
-        posexplode(chunks).as(Seq("__pos", "__ck")))
-      .select(col("__id"), col("__sig"), col("__short"), col("__ord"),
-        when(col("__pos") === 0, col("__payload")).otherwise(lit(null).cast(payloadT))
-          .as("__payload"),
-        col("__ck.ci").as("__ci"), col("__ck.cv").as("__cv"))
+        (col(idCol).as("__id") +: col("__sig") +: col("__short") +: tsExpr.as("__ts") +:
+          struct((order :+ idCol).map(col): _*).as("__ord") +:
+          struct(orig.map(col): _*).as("__payload") +:
+          wmPassthrough) :+
+          posexplode(chunks).as(Seq("__pos", "__ck")): _*)
+      .select(
+        (col("__id") +: col("__sig") +: col("__short") +: col("__ts") +: col("__ord") +:
+          when(col("__pos") === 0, col("__payload")).otherwise(lit(null).cast(payloadT))
+            .as("__payload") +:
+          col("__ck.ci").as("__ci") +: col("__ck.cv").as("__cv") +:
+          wmPassthrough): _*)
 
     val idType = df.schema(idCol).dataType
     val verdictT = StructType(Seq(
       StructField("__id", idType), StructField("__matched", BooleanType, nullable = false),
       StructField("__payload", payloadT)))
     val verdictEnc: Encoder[Row] = RowEncoder.encoderFor(verdictT)
-    val bucketStEnc: Encoder[List[(Long, Boolean)]] =
-      Encoders.kryo[List[(Long, Boolean)]]
+    // state entries: (signature, short-class flag, max event time ms seen
+    // for that signature — 0 when eviction is off)
+    val bucketStEnc: Encoder[List[(Long, Boolean, Long)]] =
+      Encoders.kryo[List[(Long, Boolean, Long)]]
     val idIdx = u.schema.fieldIndex("__id")
     val sigIdx = u.schema.fieldIndex("__sig")
     val shortIdx = u.schema.fieldIndex("__short")
+    val tsIdx = u.schema.fieldIndex("__ts")
     val ordIdx = u.schema.fieldIndex("__ord")
     val paylIdx = u.schema.fieldIndex("__payload")
     val mh = maxHamming
+    val within = withinWatermark
+    // Eviction is ARRIVAL-TIME pruning, not an event-time timer: a timer
+    // (EventTimeTimeout) on this operator would trip Spark's global-
+    // watermark correctness check for the chained per-doc combine below —
+    // the combine is genuinely stateless, but the checker cannot know
+    // that. Pruning on every bucket visit gives the same guarantee where
+    // it matters (state never accumulates beyond the horizon on any live
+    // bucket), and the bounded bucket-key space (chunk values; 16-bit
+    // masked short keys) caps what an idle bucket can strand.
     val verdicts = graft.streaming.KeyedRows.byNames(u, Seq("__ci", "__cv"))
-      .flatMapGroupsWithState[List[(Long, Boolean)], Row](
+      .flatMapGroupsWithState[List[(Long, Boolean, Long)], Row](
         OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
         (_: Row, it: Iterator[Row], state) =>
-          var seen = state.getOption.getOrElse(Nil) // distinct (sig, short) seen
+          // prune first: a signature whose latest occurrence is at-or-below
+          // the watermark can never match a future arrival (late rows are
+          // already dropped at ts <= watermark), so its entry is dead
+          val wm = if (within) state.getCurrentWatermarkMs() else Long.MinValue
+          var seen = state.getOption.getOrElse(Nil).filter(_._3 > wm)
           val sorted = it.toSeq.sortWith((a, b) => graft.streaming.EventOrder
             .compareSeqs(a.getStruct(ordIdx).toSeq, b.getStruct(ordIdx).toSeq) < 0)
           val outs = sorted.map { r =>
             val sg = r.getLong(sigIdx)
             val sh = r.getBoolean(shortIdx)
-            val m = seen.exists { case (s2, sh2) =>
+            val ts = r.getLong(tsIdx)
+            val m = seen.exists { case (s2, sh2, _) =>
               sh2 == sh && (if (sh) s2 == sg
                             else java.lang.Long.bitCount(s2 ^ sg) <= mh)
             }
-            if (!seen.contains((sg, sh))) seen ::= ((sg, sh))
+            // every arrival (kept or dropped) refreshes its signature's
+            // horizon: "an earlier doc within budget" counts dropped ones
+            seen = seen.partition(e => e._1 == sg && e._2 == sh) match {
+              case (Nil, rest) => (sg, sh, ts) :: rest
+              case (hit :: _, rest) => (sg, sh, math.max(hit._3, ts)) :: rest
+            }
             Row(r.get(idIdx), m, r.getStruct(paylIdx))
           }
           state.update(seen)

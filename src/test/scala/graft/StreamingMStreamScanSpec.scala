@@ -326,6 +326,55 @@ class StreamingMStreamScanSpec extends SparkSpec {
     assert(got.size <= 3 && got.contains(1L),
       "survivors: the group rep plus distinct docs not within the budget of it")
   }
+
+  test("banded ingest withinWatermark evicts bucket signatures past the horizon, state stays bounded") {
+    implicit val sqlCtx = spark.sqlContext
+    val tDup = "the quick brown fox jumps over the lazy dog again and again for testing purposes only"
+    val tA = "a completely different first document about structured streaming state stores"
+    val tB = "and yet another unrelated piece of text concerning watermark semantics entirely"
+    val in = MemoryStream[NdTDoc]
+    val out = graft.pipeline.Dedup.ingestNearDup(
+      new MStream(in.toDF(), Seq("seq")).withWatermark("ts", "10 seconds"),
+      "id", "text", maxHamming = 3, withinWatermark = true)
+    assert(out.df.isStreaming)
+    def t(s: Long) = new java.sql.Timestamp(s * 1000)
+    val name = s"bw_${System.nanoTime()}"
+    val q = out.df.writeStream.format("memory").queryName(name)
+      .outputMode(OutputMode.Append()).start()
+    try {
+      def ids() = { q.processAllAvailable(); spark.table(name).collect().map(_.getLong(0)).toSet }
+      in.addData(NdTDoc(1, tDup, t(0), 1), NdTDoc(2, tDup, t(1), 2))
+      assert(ids() == Set(1L), "in-horizon duplicate drops")
+      // watermark after batch 1 = 1s - 10s: signature still live
+      in.addData(NdTDoc(3, tDup, t(100), 3))
+      assert(ids() == Set(1L), "duplicate within the horizon still drops " +
+        "(and refreshes its signature's event time to 100s)")
+      // advance the watermark to 190s via an unrelated doc: tDup's
+      // signature (last seen 100s) is now past the horizon
+      in.addData(NdTDoc(4, tA, t(200), 4))
+      assert(ids() == Set(1L, 4L))
+      in.addData(NdTDoc(5, tDup, t(300), 5))
+      assert(ids() == Set(1L, 4L, 5L),
+        "the evicted signature no longer suppresses a late re-arrival — " +
+          "forever-state would have dropped doc 5")
+      // retention vs eviction in ONE batch at watermark 990 (doc 6 below
+      // advanced it): tA last seen 200s -> evicted -> its duplicate
+      // survives; tB last seen 1000s -> retained -> its duplicate drops
+      in.addData(NdTDoc(6, tB, t(1000), 6))
+      assert(ids() == Set(1L, 4L, 5L, 6L))
+      in.addData(NdTDoc(7, tA, t(1005), 7), NdTDoc(8, tB, t(1010), 8))
+      assert(ids() == Set(1L, 4L, 5L, 6L, 7L),
+        "horizon is per signature: stale tA re-emits, fresh tB still dedups")
+      // bounded state: bucket rows track the live signatures (4 chunk
+      // buckets per non-short signature at maxHamming=3), and a pruned
+      // signature costs nothing on its bucket's next visit — state never
+      // grows with the number of documents ever ingested
+      val stateRows = q.lastProgress.stateOperators.map(_.numRowsTotal).sum
+      assert(stateRows <= 3 * 4,
+        s"bucket state bounded by live signatures x chunks, got $stateRows rows")
+    } finally q.stop()
+  }
 }
 
 case class NdDoc(id: Long, text: String, seq: Long)
+case class NdTDoc(id: Long, text: String, ts: java.sql.Timestamp, seq: Long)
