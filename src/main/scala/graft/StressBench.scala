@@ -1,0 +1,64 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/**
+ * Dedup-family scale probe: synthesizes an sf1-equivalent documents table
+ * (10× the sf0.1 slice — each document plus 9 near-duplicate replicas with
+ * a distinct trailing marker, preserving realistic heavy-duplication
+ * structure: replica clusters merge with the original near-dup groups) and
+ * times the heavy dedup queries against it. Validates that the banded
+ * sweep / LSH verification / connected-components designs hold at 10× the
+ * bench data, where quadratic or skew-fragile stages would blow up
+ * super-linearly. Usage:
+ *   runMain graft.StressBench [srcDir] [outDir] [factor] [queries...]
+ */
+object StressBench {
+  def main(args: Array[String]): Unit = {
+    val src = if (args.length > 0) args(0) else "/root/testdata/sf0.1"
+    val out = if (args.length > 1) args(1) else "/tmp/graft_sf1"
+    val factor = if (args.length > 2) args(2).toInt else 10
+    val queries =
+      if (args.length > 3) args.drop(3).toSeq
+      else Seq("q_minhash_dedup", "q_banded_dedup", "q_dedup_clusters", "q_dedup_corpus")
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+
+    val docsPath = s"$out/documents.parquet"
+    if (!new java.io.File(docsPath).exists()) {
+      val docs = spark.read.parquet(s"$src/documents.parquet")
+      val copies = (0 until factor).map { i =>
+        if (i == 0) docs
+        else docs.select(
+          (col("doc_id") + lit(i * 10000000L)).as("doc_id"),
+          concat(col("text"), lit(s" replica marker token $i")).as("text"),
+          col("lang"), col("source"), col("n_chars"))
+      }
+      copies.reduce(_ unionByName _).repartition(32)
+        .write.mode("overwrite").parquet(docsPath)
+    }
+    val n = spark.read.parquet(docsPath).count()
+    println(s"STRESS corpus: $n docs at $out (factor $factor over $src)")
+
+    def isolate(): Unit = {
+      spark.catalog.clearCache()
+      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
+      System.gc()
+    }
+    for (q <- queries) {
+      SparkEntry.queries(q)(spark, "/root/testdata/sf0.001")
+        .write.format("noop").mode("overwrite").save() // warm
+      for (rep <- 1 to 3) {
+        isolate()
+        val t0 = System.nanoTime()
+        val rows = SparkEntry.queries(q)(spark, out).count()
+        println(f"STRESS $q rep$rep ${(System.nanoTime() - t0) / 1e9}%.2f s ($rows rows)")
+      }
+    }
+    spark.stop()
+  }
+}
