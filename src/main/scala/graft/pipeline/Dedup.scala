@@ -422,24 +422,32 @@ object Dedup {
     // center of a giant component serializes on one core; hash
     // aggregation partial-aggregates map-side and the re-join on u gets
     // AQE skew handling — per-node degree never bounds a task
-    while (!done && it < maxIter) {
-      // large-star: every edge (u, v) rewires to (u, m(v)) — u is a
-      // larger neighbor of v, and m(v) = min(downward Γ(v) ∪ {v}) is v's
-      // full-neighborhood minimum. Nodes with no downward edges (local
-      // minima) miss from the aggregate → coalesce to themselves. The
-      // output stays high→low: m(v) ≤ v < u.
-      val mL = e.groupBy("u").agg(min("v").as("__mn"))
+    // One large-star + small-star alternation over the D-form:
+    //  - large-star: every edge (u, v) rewires to (u, m(v)) — u is a
+    //    larger neighbor of v, and m(v) = min(downward Γ(v) ∪ {v}) is v's
+    //    full-neighborhood minimum. Nodes with no downward edges (local
+    //    minima) miss from the aggregate → coalesce to themselves. The
+    //    output stays high→low: m(v) ≤ v < u.
+    //  - small-star: u and its smaller neighbors all link to their min;
+    //    emissions (u, m) and (v, m) with m = min ≤ v < u are high→low too.
+    def alternate(d: DataFrame): DataFrame = {
+      val mL = d.groupBy("u").agg(min("v").as("__mn"))
         .select(col("u").as("v"), col("__mn").as("__m"))
-      val ls = e.join(mL, Seq("v"), "left")
+      val ls = d.join(mL, Seq("v"), "left")
         .select(col("u"), coalesce(col("__m"), col("v")).as("v"))
         .distinct()
-      // small-star: u and its smaller neighbors all link to their min;
-      // emissions (u, m) and (v, m) with m = min ≤ v < u are high→low too
       val mS = ls.groupBy("u").agg(min("v").as("__m"))
-      val ss = mS.select(col("u"), col("__m").as("v"))
+      mS.select(col("u"), col("__m").as("v"))
         .union(ls.join(mS, "u").filter(col("v") =!= col("__m"))
           .select(col("v").as("u"), col("__m").as("v")))
-      val (e2, e2Ids, fp2) = checkpointTracked(ss.distinct())
+        .distinct()
+    }
+    while (!done && it < maxIter) {
+      // ONE alternation per checkpoint job. Two-per-job was measured 2x
+      // SLOWER at sf0.1 (the doubled in-job plan outweighs the saved
+      // scheduling/checkpoint overhead, and the coarser convergence probe
+      // wastes two alternations at the fixpoint instead of one).
+      val (e2, e2Ids, fp2) = checkpointTracked(alternate(e))
       // e2 is materialized (eager checkpoint): the previous round's blocks
       // are dead weight from here on
       unpersistIds(eIds)

@@ -269,18 +269,20 @@ object TextOps {
       s"maxSize=$maxSize: the vocabulary is collected to the driver and " +
         "broadcast to every encode task; it must stay driver-sized (<= 1e7)")
     import org.apache.spark.sql.expressions.Window
+    // materialize the counts BEFORE range partitioning: RangePartitioner's
+    // boundary sampling is itself a pass over its child, so an
+    // uncheckpointed count aggregate would run twice (sampling + shuffle);
+    // checkpointed, the corpus-scanning explode+aggregate runs exactly
+    // once and everything downstream reshuffles vocabulary-candidate rows
     val counted = docs.select(explode(words(col(textCol))).as("word"))
       .groupBy("word").agg(count(lit(1)).as("wcount"))
       .filter(col("wcount") >= minCount)
+      .localCheckpoint()
     val spark = docs.sparkSession
     val nBuckets = math.max(1, spark.sparkContext.defaultParallelism)
-    // materialize the range-partitioned counts once: both the offset
-    // aggregate and the id projection read it (vocabulary-candidate rows,
-    // far smaller than the corpus)
     val bucketed = counted
       .repartitionByRange(nBuckets, desc("wcount"), col("word"))
       .withColumn("__b", spark_partition_id())
-      .localCheckpoint()
     val sizes = bucketed.groupBy(col("__b")).agg(count(lit(1)).as("__n"))
       .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
     val offsets = (0 until nBuckets).map(sizes.getOrElse(_, 0L)).scanLeft(0L)(_ + _)
