@@ -61,6 +61,26 @@ object Program {
     * and `select` expressions use `l.` / `r.` side qualifiers. */
   final case class Join(name: String, kind: String, left: String, right: String,
                         condition: String, select: Seq[Field]) extends Node
+  /** Milan scan family (2.6): kind ∈ sumBy | meanBy | productBy | countBy |
+    * maxBy | minBy | last. `arg` is a SQL expression (unused for countBy/
+    * last), `as` names the running column (sumBy family only). Empty
+    * `keys` = the ungrouped variant. */
+  final case class Scan(name: String, input: String, kind: String,
+                        keys: Seq[String], arg: Option[String],
+                        as: Option[String]) extends Node
+  /** Exact dedup by key columns, first record wins (batch + streaming). */
+  final case class DedupBy(name: String, input: String, cols: Seq[String],
+                           withinWatermark: Boolean) extends Node
+  /** Event-time watermark for streaming inputs. */
+  final case class Watermark(name: String, input: String, ts: String,
+                             delay: String) extends Node
+  /** As-of join: direction ∈ backward | forward; keys pair left/right
+    * column names; tolerance in the time axis' units (ms on timestamps). */
+  final case class Asof(name: String, left: String, right: String,
+                        leftTs: String, rightTs: String,
+                        keys: Seq[(String, String)], rightOrder: Seq[String],
+                        tolerance: Option[Long], direction: String,
+                        inner: Boolean) extends Node
 
   /** The whole document: nodes in topological order + the named outputs a
     * configuration may bind sinks to. */
@@ -131,6 +151,47 @@ object Program {
           }
           builder.on((lc, rc) => sideExpr(condition, lc, rc))
             .select((lc, rc) => select.map(f => sideExpr(f.expr, lc, rc).as(f.as)))
+        case Scan(name, i, kind, keys, arg, as) =>
+          val s = in(i)
+          def argCol = expr(arg.getOrElse(throw new IllegalArgumentException(
+            s"scan node '$name' ($kind) needs an 'arg' expression")))
+          def outName = as.getOrElse(throw new IllegalArgumentException(
+            s"scan node '$name' ($kind) needs an 'as' output name"))
+          if (keys.isEmpty) kind match {
+            case "sumBy" => s.sumBy(argCol, outName)
+            case "meanBy" => s.meanBy(argCol, outName)
+            case "productBy" => s.productBy(argCol, outName)
+            case "countBy" => s.countBy(as.getOrElse("count"))
+            case "maxBy" => s.maxBy(argCol)
+            case "minBy" => s.minBy(argCol)
+            case "last" => s.last()
+            case other => throw new IllegalArgumentException(
+              s"unknown scan kind '$other'")
+          } else {
+            val g = s.groupBy(keys: _*)
+            kind match {
+              case "sumBy" => g.sumBy(argCol, outName)
+              case "meanBy" => g.meanBy(argCol, outName)
+              case "productBy" => g.productBy(argCol, outName)
+              case "countBy" => g.countBy(as.getOrElse("count"))
+              case "maxBy" => g.maxBy(argCol)
+              case "minBy" => g.minBy(argCol)
+              case "last" => g.last()
+              case other => throw new IllegalArgumentException(
+                s"unknown scan kind '$other'")
+            }
+          }
+        case DedupBy(_, i, cols, withinWm) => in(i).dedupBy(cols, withinWm)
+        case Watermark(_, i, ts, delay) => in(i).withWatermark(ts, delay)
+        case Asof(name, l, r, lts, rts, keys, rightOrder, tol, direction, inner) =>
+          val dir = direction match {
+            case "backward" => graft.operators.AsofJoins.Backward
+            case "forward" => graft.operators.AsofJoins.Forward
+            case other => throw new IllegalArgumentException(
+              s"asof node '$name': unknown direction '$other' (backward|forward)")
+          }
+          in(l).asofJoin(in(r), lts, rts, keys, rightOrder, tol,
+            inner = inner, direction = dir)
       }
       env += node.name -> out.withName(node.name)
     }
@@ -171,6 +232,21 @@ object Program {
         ("op" -> "join") ~ ("name" -> name) ~ ("kind" -> kind) ~
           ("left" -> l) ~ ("right" -> r) ~ ("condition" -> condition) ~
           ("select" -> fields(select))
+      case Scan(name, i, kind, keys, arg, as) =>
+        ("op" -> "scan") ~ ("name" -> name) ~ ("input" -> i) ~ ("kind" -> kind) ~
+          ("keys" -> keys) ~ ("arg" -> arg) ~ ("as" -> as)
+      case DedupBy(name, i, cols, withinWm) =>
+        ("op" -> "dedupBy") ~ ("name" -> name) ~ ("input" -> i) ~
+          ("cols" -> cols) ~ ("withinWatermark" -> withinWm)
+      case Watermark(name, i, ts, delay) =>
+        ("op" -> "watermark") ~ ("name" -> name) ~ ("input" -> i) ~
+          ("ts" -> ts) ~ ("delay" -> delay)
+      case Asof(name, l, r, lts, rts, keys, rightOrder, tol, direction, inner) =>
+        ("op" -> "asof") ~ ("name" -> name) ~ ("left" -> l) ~ ("right" -> r) ~
+          ("leftTs" -> lts) ~ ("rightTs" -> rts) ~
+          ("keys" -> keys.map { case (lk, rk) => ("l" -> lk) ~ ("r" -> rk) }) ~
+          ("rightOrder" -> rightOrder) ~ ("tolerance" -> tol) ~
+          ("direction" -> direction) ~ ("inner" -> inner)
     }
     JsonMethods.compact(JsonMethods.render(
       ("nodes" -> doc.nodes.map(nodeJson)) ~ ("outputs" -> doc.outputs)))
@@ -217,6 +293,24 @@ object Program {
           case "join" => Join(name, (v \ "kind").extract[String],
             (v \ "left").extract[String], (v \ "right").extract[String],
             (v \ "condition").extract[String], fields(v \ "select"))
+          case "scan" => Scan(name, (v \ "input").extract[String],
+            (v \ "kind").extract[String], strs(v \ "keys"),
+            (v \ "arg").extractOpt[String], (v \ "as").extractOpt[String])
+          case "dedupBy" => DedupBy(name, (v \ "input").extract[String],
+            strs(v \ "cols"), (v \ "withinWatermark").extractOpt[Boolean].getOrElse(false))
+          case "watermark" => Watermark(name, (v \ "input").extract[String],
+            (v \ "ts").extract[String], (v \ "delay").extract[String])
+          case "asof" => Asof(name, (v \ "left").extract[String],
+            (v \ "right").extract[String], (v \ "leftTs").extract[String],
+            (v \ "rightTs").extract[String],
+            (v \ "keys") match {
+              case JArray(xs) => xs.map(x =>
+                (x \ "l").extract[String] -> (x \ "r").extract[String])
+              case _ => Nil
+            },
+            strs(v \ "rightOrder"), (v \ "tolerance").extractOpt[Long],
+            (v \ "direction").extractOpt[String].getOrElse("backward"),
+            (v \ "inner").extractOpt[Boolean].getOrElse(false))
           case other => throw new IllegalArgumentException(s"unknown program op '$other'")
         }
       }
@@ -253,6 +347,19 @@ object Program {
           parse(jn.condition, s"node ${n.name}")
           jn.select.foreach(f => parse(f.expr, s"node ${n.name}"))
           Seq(jn.left, jn.right)
+        case s: Scan =>
+          s.arg.foreach(parse(_, s"node ${n.name}"))
+          val kinds = Set("sumBy", "meanBy", "productBy", "countBy", "maxBy", "minBy", "last")
+          if (!kinds.contains(s.kind)) throw new IllegalArgumentException(
+            s"node ${n.name}: unknown scan kind '${s.kind}' (${kinds.mkString("|")})")
+          Seq(s.input)
+        case d: DedupBy => Seq(d.input)
+        case w: Watermark => Seq(w.input)
+        case a: Asof =>
+          if (a.direction != "backward" && a.direction != "forward")
+            throw new IllegalArgumentException(
+              s"node ${n.name}: unknown asof direction '${a.direction}' (backward|forward)")
+          Seq(a.left, a.right)
       }
       inputs.foreach(i => if (!defined.contains(i)) throw new IllegalArgumentException(
         s"node '${n.name}' references '$i' before it is defined"))

@@ -292,6 +292,44 @@ class AppModelSpec extends SparkSpec {
       .getMessage.contains("unknown program op"))
   }
 
+  test("program document covers scan family, dedupBy, and as-of join") {
+    import graft.api.Program
+    import graft.api.Program._
+    val doc = Program.fromJson(Program.toJson(Doc(
+      nodes = Seq(
+        External("trades"),
+        External("quotes"),
+        OrderBy("ordered", "trades", Seq("seq")),
+        Scan("running", "ordered", "sumBy", Seq("sym"), Some("qty * 2"), Some("run2")),
+        DedupBy("deduped", "running", Seq("sym", "qty"), withinWatermark = false),
+        Asof("priced", "deduped", "quotes", "tts", "qts",
+          keys = Seq("sym" -> "qsym"), rightOrder = Seq("qid"),
+          tolerance = Some(100L), direction = "backward", inner = false),
+        Scan("lastp", "priced", "last", Nil, None, None)),
+      outputs = Seq("priced", "lastp"))))
+
+    val trades = Seq(("A", 1L, 10L, 1L), ("A", 2L, 20L, 2L), ("A", 2L, 30L, 3L))
+      .toDF("sym", "qty", "tts", "seq")
+    val quotes = Seq(("A", 5L, 100L, 1.5), ("A", 18L, 101L, 2.5))
+      .toDF("qsym", "qts", "qid", "px")
+    val config = new App.Config()
+      .setSource("trades", App.Source("list", rows = Some(trades), order = Seq("seq")))
+      .setSource("quotes", App.Source("list", rows = Some(quotes)))
+      .addSink("priced", App.Sink("memory")).addSink("lastp", App.Sink("memory"))
+    val outs = App.run(spark, config)(Program.interpret(doc))
+      .collect { case App.BatchOutput(n, df) => n -> df }.toMap
+    val priced = outs("priced")
+      .select("sym", "qty", "tts", "run2", "px")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), if (r.isNullAt(4)) -1.0 else r.getDouble(4))).toSet
+    // running sum of qty*2 per sym over seq order: 2, 6; the (A,2,30)
+    // row dedups away (same (sym, qty) as seq=2); backward as-of within
+    // tolerance 100: tts=10 -> qts=5 quote (px 1.5), tts=20 -> qts=18 (2.5)
+    assert(priced == Set(("A", 1L, 10L, 2L, 1.5), ("A", 2L, 20L, 6L, 2.5)),
+      s"scan+dedup+asof document pipeline, got $priced")
+    assert(outs("lastp").count() == 1, "ungrouped last() keeps the final record")
+  }
+
   test("program document covers union/distinct/addFields/windowSelect") {
     import graft.api.Program
     import graft.api.Program._
