@@ -292,18 +292,24 @@ object App {
     val lineageOut = (config.lineageSink, recorder) match {
       case (Some(sink), Some(rec)) =>
         val edges = rec.allEdges(spark)
-        require(!edges.isStreaming,
-          "lineage sinks currently support batch programs only (operators in a " +
-            "streaming program still expose record_id columns; write the edge " +
-            "frames with foreachBatch)")
-        sink.format match {
-          case "memory" | "console" =>
-            if (sink.format == "console") edges.show(false)
-          case f =>
-            val w = edges.write.format(f).options(sink.options).mode(sink.mode)
-            sink.path.map(w.save).getOrElse(w.save())
+        if (edges.isStreaming) {
+          // lineage is a side OUTPUT stream: one more streaming query over
+          // the same sources, append mode (operators emit edges once)
+          val w = edges.writeStream.format(sink.format)
+            .options(sink.options).outputMode("append")
+          sink.queryName.foreach(w.queryName)
+          sink.checkpoint.foreach(cp => w.option("checkpointLocation", cp))
+          Seq(StreamingOutput("__lineage", sink.path.map(w.start).getOrElse(w.start())))
+        } else {
+          sink.format match {
+            case "memory" | "console" =>
+              if (sink.format == "console") edges.show(false)
+            case f =>
+              val w = edges.write.format(f).options(sink.options).mode(sink.mode)
+              sink.path.map(w.save).getOrElse(w.save())
+          }
+          Seq(BatchOutput("__lineage", edges))
         }
-        Seq(BatchOutput("__lineage", edges))
       case _ => Nil
     }
     lineageOut ++ config.sinkStreams.flatMap { stream =>

@@ -43,6 +43,9 @@ object Lineage {
     def edgeFrames: Seq[DataFrame] = synchronized(frames.reverse)
     def allEdges(spark: SparkSession): DataFrame = {
       val fs = edgeFrames
+      require(fs.forall(_.isStreaming) || fs.forall(!_.isStreaming),
+        "a program mixing batch and streaming lineage-emitting operators " +
+          "cannot union its edge frames; bind sinks per mode instead")
       if (fs.nonEmpty) fs.reduce(_ unionByName _)
       else spark.createDataFrame(
         new java.util.ArrayList[org.apache.spark.sql.Row](),

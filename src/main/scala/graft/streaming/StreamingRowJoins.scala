@@ -72,11 +72,15 @@ object StreamingRowJoins {
     def prep(df: DataFrame, keys: Seq[org.apache.spark.sql.Column], order: Seq[String],
              isLeft: Boolean): DataFrame = {
       val self = struct(df.columns.toIndexedSeq.map(df.col): _*)
+      // positional aliases inside the key/seq structs: the two sides'
+      // key/order COLUMNS may be named differently (l.user_id = r.uid),
+      // and unionByName aligns nested struct fields by name — mismatched
+      // field names would fail analysis even though positions agree
       df.select(
         (if (isLeft) self else lit(null).cast(lStructT)).as("_l"),
         (if (isLeft) lit(null).cast(rStructT) else self).as("_r"),
-        struct(keys: _*).as("__k"),
-        struct(order.map(df.col): _*).as("__seq"),
+        struct(keys.zipWithIndex.map { case (c, i) => c.as(s"_k$i") }: _*).as("__k"),
+        struct(order.zipWithIndex.map { case (c, i) => df.col(c).as(s"_o$i") }: _*).as("__seq"),
         lit(if (isLeft) 1 else 0).as("__tag"))
     }
 

@@ -87,6 +87,48 @@ class LineageSpec extends SparkSpec {
       sums.select("record_id").collect().map(_.getLong(0)).toSet)
   }
 
+  test("streaming program lineage: edges flow to a streaming lineage sink") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val lIn = MemoryStream[(Long, String, Long)]
+    val rIn = MemoryStream[(Long, String, Long)]
+    val outName = s"lin_out_${System.nanoTime()}"
+    val linName = s"lin_edges_${System.nanoTime()}"
+    val config = new App.Config()
+      .setSource("l", App.Source("list",
+        rows = Some(lIn.toDF().toDF("id", "k", "t")), order = Seq("t", "id")))
+      .setSource("r", App.Source("list",
+        rows = Some(rIn.toDF().toDF("rid", "rk", "rt")), order = Seq("rt", "rid")))
+      .addSink("out", App.Sink("memory", outputMode = "append",
+        queryName = Some(outName)))
+      .addLineageSink(App.Sink("memory", queryName = Some(linName)))
+    val running = App.run(spark, config) { in =>
+      Map("out" -> in("l").leftJoin(in("r"))
+        .on((l, r) => l("k") === r("rk"))
+        .select((l, r) => Seq(l("id").as("id"), r("rid").as("rid"))))
+    }
+    val queries = running.collect { case App.StreamingOutput(n, q) => n -> q }.toMap
+    assert(queries.keySet == Set("out", "__lineage"),
+      "lineage rides as a second streaming query")
+    try {
+      rIn.addData((100L, "a", 5L))
+      lIn.addData((1L, "a", 10L), (2L, "b", 20L))
+      queries.values.foreach(_.processAllAvailable())
+      val out = spark.table(outName).collect()
+        .map(r => (r.getLong(0), if (r.isNullAt(1)) -1L else r.getLong(1), r.getLong(2)))
+      assert(out.map(x => (x._1, x._2)).toSet == Set((1L, 100L), (2L, -1L)))
+      val edges = spark.table(linName).collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+      assert(edges.length == 3, s"matched left: 2 edges, unmatched: 1 — got ${edges.toSeq}")
+      assert(edges.map(_._2).toSet == out.map(_._3).toSet,
+        "edge output ids are the streaming join's record_ids")
+      val lIds = idsOf(Seq((1L, "a", 10L), (2L, "b", 20L)).toDF("id", "k", "t"))
+      val rIds = idsOf(Seq((100L, "a", 5L)).toDF("rid", "rk", "rt"))
+      assert(edges.map(_._3).toSet == Set(lIds(1L), lIds(2L), rIds(100L)),
+        "input ids hash-match the source records")
+    } finally queries.values.foreach(_.stop())
+  }
+
   test("without a lineage sink nothing changes: no record_id, no recorder leak") {
     val lefts = Seq((1L, "a", 10L)).toDF("id", "k", "t")
     val rights = Seq((100L, "a", 5L)).toDF("rid", "rk", "rt")
