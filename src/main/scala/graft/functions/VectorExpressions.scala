@@ -292,6 +292,22 @@ object WordShingleUtil {
   @inline private def isSep(c: Char): Boolean =
     c == ' ' || c == '\t' || c == '\n' || c == '\u000B' || c == '\f' || c == '\r'
 
+  /** The words of `text` under the same separator + empty-filter rule as
+    * `TextOps.words` — shared by the gram-stats pass. */
+  def splitWords(text: org.apache.spark.unsafe.types.UTF8String): Array[String] = {
+    val s = text.toString
+    val out = scala.collection.mutable.ArrayBuffer.empty[String]
+    var start = -1
+    var i = 0
+    while (i <= s.length) {
+      val sep = i == s.length || isSep(s.charAt(i))
+      if (sep) { if (start >= 0) { out += s.substring(start, i); start = -1 } }
+      else if (start < 0) start = i
+      i += 1
+    }
+    out.toArray
+  }
+
   /**
    * Hashes of all word n-gram shingles of `text` in ONE pass over the
    * characters, identical to hashing each "w1 w2 ... wn" string: per word
@@ -333,6 +349,65 @@ object WordShingleUtil {
     }
     new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
   }
+}
+
+/** Static helper shared by interpreted eval and generated code. */
+object WordGramStatsUtil {
+  import WordShingleUtil.splitWords
+
+  /** Multiplicity statistics of a text's word n-grams in one pass:
+    * [total grams, distinct grams, max multiplicity]. Counts key on EXACT
+    * gram strings (a per-row hash map), not on poly hashes — the 30-bit
+    * poly space (and even 64-bit 31-poly composition, where "Aa"/"BB"
+    * collide by construction) cannot guarantee count parity with a
+    * string-keyed oracle. */
+  def stats(text: org.apache.spark.unsafe.types.UTF8String, n: Int): ArrayData = {
+    val words = splitWords(text)
+    val m = words.length
+    if (m < n)
+      return new org.apache.spark.sql.catalyst.util.GenericArrayData(Array(0L, 0L, 0L))
+    val counts = new java.util.HashMap[String, Integer]()
+    var max = 0
+    var j = 0
+    while (j <= m - n) {
+      val gram =
+        if (n == 1) words(j)
+        else {
+          val sb = new java.lang.StringBuilder(words(j))
+          var t = 1
+          while (t < n) { sb.append(' ').append(words(j + t)); t += 1 }
+          sb.toString
+        }
+      val c = counts.merge(gram, 1, (a, b) => a + b)
+      if (c > max) max = c
+      j += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      Array((m - n + 1).toLong, counts.size.toLong, max.toLong))
+  }
+}
+
+/** Word n-gram multiplicity stats `[total, distinct, max]` of a text
+  * column, one codegen'd pass per row — repetition features compute with
+  * NO explode and NO shuffle (vs two (doc, term)-keyed aggregations over
+  * the exploded corpus). */
+case class WordGramStats(child: Expression, n: Int) extends UnaryExpression {
+  import org.apache.spark.sql.types.{LongType, StringType}
+  require(n > 0, s"gram size must be positive, got $n")
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(s"$prettyName requires string, got $other")
+  }
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = s"graft_gram_stats$n"
+
+  override protected def nullSafeEval(a: Any): Any =
+    WordGramStatsUtil.stats(a.asInstanceOf[org.apache.spark.unsafe.types.UTF8String], n)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, a => s"graft.functions.WordGramStatsUtil.stats($a, $n)")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression = copy(child = newChild)
 }
 
 object CharShingleUtil {
@@ -578,6 +653,10 @@ object VectorFunctions {
   /** Char-n-gram shingle hashes straight from text, one pass per row. */
   def charShingleHashes(text: Column, n: Int): Column =
     ColumnBridge.column(CharShingleHashes(ColumnBridge.expr(text), n))
+
+  /** Word n-gram multiplicity stats [total, distinct, max] per row. */
+  def wordGramStats(text: Column, n: Int): Column =
+    ColumnBridge.column(WordGramStats(ColumnBridge.expr(text), n))
 
   /** Elementwise vector-sum aggregate (array<double>); O(dim) state,
     * map-side partial aggregation — centroids without posexplode. */

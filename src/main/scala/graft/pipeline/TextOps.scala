@@ -98,33 +98,33 @@ object TextOps {
   /** Repetition features (Gopher-style quality filters — Rae et al.,
     * "Scaling Language Models: ... Gopher", 2021 §A1.1): duplicate-word
     * fraction, most-frequent-word fraction, most-frequent-bigram fraction.
-    * High values flag boilerplate and spam for corpus filtering. Two
-    * explode+count aggregations shuffling on (doc, term) — linear in
-    * corpus size, counts bounded per document. */
+    * High values flag boilerplate and spam for corpus filtering.
+    *
+    * Pure projection, NO shuffle: the per-document multiplicity stats
+    * ([total, distinct, max] over words and bigrams) compute in one
+    * codegen'd pass per row (`WordGramStats`, exact string counts) — the
+    * previous formulation exploded the tokenized corpus through two
+    * (doc, term)-keyed aggregations, i.e. shuffled every token twice.
+    * Documents with no words produce no row (explode-formulation parity). */
   def repetitionFeatures(docs: org.apache.spark.sql.DataFrame,
                          idCol: String, textCol: String): org.apache.spark.sql.DataFrame = {
-    val w = docs.select(col(idCol), explode(words(col(textCol))).as("__w"))
-    val wordStats = w.groupBy(col(idCol), col("__w")).agg(count(lit(1)).as("__c"))
-      .groupBy(col(idCol))
-      .agg(sum("__c").as("__nw"), count(lit(1)).as("__dw"), max("__c").as("__mw"))
+    val s1 = graft.functions.VectorFunctions.wordGramStats(col(textCol), 1)
+    val s2 = graft.functions.VectorFunctions.wordGramStats(col(textCol), 2)
+    // explode(array(struct(...))) is the usual Generate barrier: without
+    // it CollapseProject inlines each stats pass into every element_at
+    // reference below and the text tokenizes once per reference
+    docs.select(col(idCol),
+        explode(array(struct(s1.as("s1"), s2.as("s2")))).as("__st"))
+      .filter(element_at(col("__st.s1"), 1) > 0)
       .select(col(idCol),
-        round(lit(1.0) - col("__dw").cast("double") / col("__nw"), 4).as("dup_word_frac"),
-        round(col("__mw").cast("double") / col("__nw"), 4).as("max_word_frac"))
-    val ws = words(col(textCol))
-    // arrays_zip over two slices, NOT transform+element_at: the interpreted
-    // lambda would re-evaluate the split per element after CollapseProject
-    // inlines it (same trap as minhashSignature's explode barrier)
-    val bigrams = when(size(ws) < 2,
-        array().cast("array<struct<w1:string,w2:string>>"))
-      .otherwise(arrays_zip(slice(ws, lit(1), size(ws) - 1).as("w1"),
-        slice(ws, lit(2), size(ws) - 1).as("w2")))
-    val b = docs.select(col(idCol), explode(bigrams).as("__b"))
-    val bigramStats = b.groupBy(col(idCol), col("__b")).agg(count(lit(1)).as("__c"))
-      .groupBy(col(idCol)).agg(sum("__c").as("__nb"), max("__c").as("__mb"))
-      .select(col(idCol),
-        round(col("__mb").cast("double") / col("__nb"), 4).as("top_bigram_frac"))
-    wordStats.join(bigramStats, Seq(idCol), "left")
-      .na.fill(0.0, Seq("top_bigram_frac"))
+        round(lit(1.0) - element_at(col("__st.s1"), 2).cast("double") /
+          element_at(col("__st.s1"), 1), 4).as("dup_word_frac"),
+        round(element_at(col("__st.s1"), 3).cast("double") /
+          element_at(col("__st.s1"), 1), 4).as("max_word_frac"),
+        when(element_at(col("__st.s2"), 1) > 0,
+          round(element_at(col("__st.s2"), 3).cast("double") /
+            element_at(col("__st.s2"), 1), 4))
+          .otherwise(lit(0.0)).as("top_bigram_frac"))
   }
 
   /** Corpus-wide n-gram counts: explode codegen'd zipped slices (no

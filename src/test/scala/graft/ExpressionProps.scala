@@ -36,6 +36,25 @@ object ExpressionProps extends Properties("graft.expressions") {
       got == expect
     }
 
+  property("word-gram stats equal the groupBy-count definition") =
+    forAll(Gen.listOf(Gen.oneOf("a", "ab", "b", "the", "xy")),
+           Gen.oneOf(Gen.const(" "), Gen.const("\t"), Gen.const("  \n")),
+           Gen.choose(1, 3)) { (ws, sep, n) =>
+      val s = ws.mkString(sep)
+      val got = graft.functions.WordGramStatsUtil
+        .stats(UTF8String.fromString(s), n).toLongArray().toSeq
+      val words = s.split("\\s+").filter(_.nonEmpty).toSeq
+      val expect =
+        if (words.size < n) Seq(0L, 0L, 0L)
+        else {
+          val counts = words.sliding(n).map(_.mkString(" ")).toSeq
+            .groupBy(identity).view.mapValues(_.size)
+          Seq((words.size - n + 1).toLong, counts.size.toLong,
+            counts.values.max.toLong)
+        }
+      got == expect
+    }
+
   property("char shingle hashes equal hashes of the substrings") =
     forAll(text, Gen.choose(1, 6)) { (s, n) =>
       val got = CharShingleUtil.shingleHashes(UTF8String.fromString(s), n)
