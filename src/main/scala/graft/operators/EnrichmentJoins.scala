@@ -270,7 +270,13 @@ object EnrichmentJoins {
             // remainder loop: stuck lefts carry their key's rights extent;
             // each round is one bounded chunk, checkpointed so the (small,
             // monotonically shrinking) stuck set doesn't re-derive the
-            // whole upstream per round
+            // whole upstream per round. NOTE this makes a residual
+            // left-inner join EAGER when any left is still unmatched after
+            // 512 future rights (driver-looped jobs at build time) — the
+            // common case checkpoints once, finds the stuck set empty, and
+            // never iterates. Superseded stuck frames unpersist as they
+            // are replaced (same hygiene as connectedComponents); matched
+            // frames stay — the returned plan references them.
             val chunk = lDf.sparkSession.conf
               .get("graft.join.residualChunk", "65536").toLong
             require(chunk > 0, s"graft.join.residualChunk must be positive, got $chunk")
@@ -286,9 +292,11 @@ object EnrichmentJoins {
               val lo = col("__nr") + 512 + lit(round * chunk)
               val m = matchRound(stuck, lo, lo + chunk).localCheckpoint()
               acc = acc.unionByName(m)
+              val prev = stuck
               stuck = unmatched(stuck, m)
                 .filter(col("__maxrn") > col("__nr") + 512 + lit((round + 1L) * chunk))
                 .localCheckpoint()
+              prev.unpersist(blocking = false)
               round += 1L
             }
             acc

@@ -27,6 +27,13 @@ class PlanShapeSpec extends SparkSpec {
     assert(!p.contains("BroadcastNestedLoopJoin"))
   }
 
+  test("q_repetition is a zero-shuffle projection over the scan") {
+    val p = plan("q_repetition")
+    assert(!p.contains("Exchange"),
+      "repetition features must not shuffle: the WordGramStats pass is per-row")
+    assert(p.contains("graft_gram_stats"), "the codegen'd stats expression must be in-plan")
+  }
+
   test("q_dedup_exact shuffles an 8-byte hash, never the text") {
     val p = plan("q_dedup_exact")
     assert(p.contains("xxhash64"), "group key must be the 64-bit text hash")
