@@ -167,24 +167,13 @@ object Dedup {
       .select(col("id_a"), col("id_b"), col("dist"))
   }
 
-  /** SimHash core: per-bit ±1 sums over a hashed-feature column, one
-    * shuffle (groupBy doc, partial aggregation). */
-  private def simhashOverHashes(hashed: DataFrame, idCol: String, bits: Int): DataFrame = {
-    val bitSums = (0 until bits).map { i =>
-      sum(when(shiftright(col("__h"), i).bitwiseAND(1) === 1, 1).otherwise(-1)).as(s"__b$i")
-    }
-    hashed.groupBy(col(idCol)).agg(bitSums.head, bitSums.tail: _*)
-      .select(col(idCol),
-        (0 until bits).map(i => when(col(s"__b$i") > 0, lit(1L << i)).otherwise(lit(0L)))
-          .reduce(_ + _).as("simhash"))
-  }
-
-  /** SimHash: 16-bit signature over word hashes; near-dups share signatures
-    * within small Hamming distance. */
+  /** SimHash: 16-bit signature over word (unigram) hashes; near-dups share
+    * signatures within small Hamming distance. The unigram special case of
+    * [[simhashShingles]] — one codegen'd pass per document, no explode, no
+    * shuffle (`SimHashUtil.signature` is spec-pinned to the per-bit
+    * majority-vote aggregate the DuckDB oracle mirrors). */
   def simhash(docs: DataFrame, idCol: String, textCol: String, bits: Int = 16): DataFrame =
-    simhashOverHashes(docs
-      .select(col(idCol), explode(TextOps.words(col(textCol))).as("__w"))
-      .withColumn("__h", TextOps.polyHash(col("__w"))), idCol, bits)
+    simhashShingles(docs, idCol, textCol, n = 1, bits = bits)
 
   /** SimHash over word-n-gram shingle features (multiplicity-weighted, as
     * in Manku/Jain/Das Sarma WWW'07): far better separation than unigram
