@@ -41,8 +41,26 @@ object StressBench {
       copies.reduce(_ unionByName _).repartition(32)
         .write.mode("overwrite").parquet(docsPath)
     }
+    val embPath = s"$out/embeddings.parquet"
+    if (!new java.io.File(embPath).exists()) {
+      // replicas are deterministic small rotations of the original vector
+      // (scale by 1 + i/1000): distinct points, same cluster structure —
+      // the regime an IVF index faces on augmented/epoch-repeated corpora
+      val emb = spark.read.parquet(s"$src/embeddings.parquet")
+      val copies = (0 until factor).map { i =>
+        if (i == 0) emb
+        else emb.select(
+          (col("vec_id") + lit(i * 10000000L)).as("vec_id"),
+          transform(col("embedding"),
+            x => (x * lit(1.0f + i / 1000.0f)).cast("float")).as("embedding"),
+          col("label"))
+      }
+      copies.reduce(_ unionByName _).repartition(32)
+        .write.mode("overwrite").parquet(embPath)
+    }
     val n = spark.read.parquet(docsPath).count()
-    println(s"STRESS corpus: $n docs at $out (factor $factor over $src)")
+    val ne = spark.read.parquet(embPath).count()
+    println(s"STRESS corpus: $n docs, $ne vectors at $out (factor $factor over $src)")
 
     def isolate(): Unit = {
       spark.catalog.clearCache()
