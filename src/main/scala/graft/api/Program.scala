@@ -329,18 +329,26 @@ object Program {
       try CatalystSqlParser.parseExpression(sql)
       catch { case e: Exception => throw new IllegalArgumentException(
         s"$where: unparseable SQL expression '$sql': ${e.getMessage}") }
+    def nonEmpty(fs: Seq[_], what: String, node: String): Unit =
+      if (fs.isEmpty) throw new IllegalArgumentException(
+        s"node '$node' needs at least one $what")
     var defined = Set.empty[String]
     doc.nodes.foreach { n =>
       val inputs: Seq[String] = n match {
         case External(_) => Nil
-        case m: MapCols => m.cols.foreach(f => parse(f.expr, s"node ${n.name}")); Seq(m.input)
+        case m: MapCols =>
+          nonEmpty(m.cols, "column", n.name)
+          m.cols.foreach(f => parse(f.expr, s"node ${n.name}")); Seq(m.input)
         case w: Where => parse(w.predicate, s"node ${n.name}"); Seq(w.input)
         case a: AddTo => a.fields.foreach(f => parse(f.expr, s"node ${n.name}")); Seq(a.input)
-        case o: OrderBy => Seq(o.input)
-        case u: Union => u.inputs
+        case o: OrderBy => nonEmpty(o.cols, "order column", n.name); Seq(o.input)
+        case u: Union => nonEmpty(u.inputs, "input", n.name); u.inputs
         case d: Distinct => Seq(d.input)
-        case g: GroupSelect => g.aggs.foreach(f => parse(f.expr, s"node ${n.name}")); Seq(g.input)
+        case g: GroupSelect =>
+          nonEmpty(g.aggs, "aggregate", n.name)
+          g.aggs.foreach(f => parse(f.expr, s"node ${n.name}")); Seq(g.input)
         case w: WindowSelect =>
+          nonEmpty(w.aggs, "aggregate", n.name)
           parse(w.ts, s"node ${n.name}"); w.aggs.foreach(f => parse(f.expr, s"node ${n.name}"))
           Seq(w.input)
         case jn: Join =>

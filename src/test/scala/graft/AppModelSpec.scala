@@ -290,6 +290,16 @@ class AppModelSpec extends SparkSpec {
     val badOp = """{"nodes": [{"op": "frobnicate", "name": "x"}], "outputs": []}"""
     assert(intercept[IllegalArgumentException](Program.fromJson(badOp))
       .getMessage.contains("unknown program op"))
+    val emptyAggs = """{"nodes": [{"op": "external", "name": "a"},
+      {"op": "groupSelect", "name": "g", "input": "a", "keys": ["k"], "aggs": []}],
+      "outputs": ["g"]}"""
+    assert(intercept[IllegalArgumentException](Program.fromJson(emptyAggs))
+      .getMessage.contains("at least one aggregate"))
+    val badScan = """{"nodes": [{"op": "external", "name": "a"},
+      {"op": "scan", "name": "s", "input": "a", "kind": "frob", "keys": []}],
+      "outputs": ["s"]}"""
+    assert(intercept[IllegalArgumentException](Program.fromJson(badScan))
+      .getMessage.contains("unknown scan kind"))
   }
 
   test("program document covers scan family, dedupBy, and as-of join") {
