@@ -302,6 +302,33 @@ class AppModelSpec extends SparkSpec {
       .getMessage.contains("unknown scan kind"))
   }
 
+  test("program codec is the identity over every node type") {
+    import graft.api.Program
+    import graft.api.Program._
+    val doc = Doc(
+      nodes = Seq(
+        External("a"), External("b"),
+        MapCols("m", "a", Seq(Field("x + 1", "y"))),
+        Where("w", "m", "y > 0"),
+        AddTo("t", "w", Seq(Field("y * 2", "z"))),
+        OrderBy("o", "t", Seq("z", "y")),
+        Union("u", Seq("o", "b")),
+        Distinct("d", "u"),
+        GroupSelect("g", "d", Seq("y"), Seq(Field("sum(z)", "s"))),
+        WindowSelect("ws", "d", Seq("y"), "ts", "1 hour", Some("10 minutes"),
+          "0 seconds", "win", Seq(Field("count(1)", "n"))),
+        Join("j", "leftInner", "g", "ws", "l.y = r.y AND r.n > 1",
+          Seq(Field("l.s", "s"), Field("r.n", "n"))),
+        Scan("sc", "o", "maxBy", Seq("y"), Some("z"), None),
+        DedupBy("dd", "o", Seq("y"), withinWatermark = true),
+        Watermark("wm", "a", "ts", "30 seconds"),
+        Asof("as", "o", "b", "z", "bts", Seq("y" -> "by"), Seq("bid"),
+          Some(500L), "forward", inner = true)),
+      outputs = Seq("j", "sc"))
+    assert(Program.fromJson(Program.toJson(doc)) == doc,
+      "toJson/fromJson must be the identity on every node type and field")
+  }
+
   test("program document covers scan family, dedupBy, and as-of join") {
     import graft.api.Program
     import graft.api.Program._
