@@ -39,4 +39,11 @@ class OracleConsistencySpec extends AnyFunSuite {
     val orphans = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet
     assert(orphans.isEmpty, s"oracles without queries: $orphans")
   }
+
+  test("q_program_agg stays oracle-identical to q_agg") {
+    // the query IS q_agg executed through the JSON program-import path;
+    // if either oracle is edited independently the equivalence claim breaks
+    assert(SparkEntry.oracleSql("q_program_agg") == SparkEntry.oracleSql("q_agg"),
+      "q_program_agg's oracle must remain q_agg's SQL verbatim")
+  }
 }
