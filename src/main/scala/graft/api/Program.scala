@@ -81,6 +81,21 @@ object Program {
                         keys: Seq[(String, String)], rightOrder: Seq[String],
                         tolerance: Option[Long], direction: String,
                         inner: Boolean) extends Node
+  /** Milan `unique`/UniqueBy: latest record per (value columns), by the
+    * keep-latest ordering columns, before any aggregation. */
+  final case class UniqueBy(name: String, input: String, valueCols: Seq[String],
+                            keepLatestBy: Seq[String]) extends Node
+  /** Milan `toField`: wrap each record as one named struct field. */
+  final case class ToField(name: String, input: String, fieldName: String) extends Node
+  /** Session windows (gap-based) per key; emits session start + aggregates. */
+  final case class SessionSelect(name: String, input: String, keys: Seq[String],
+                                 ts: String, gap: String, startAs: String,
+                                 aggs: Seq[Field]) extends Node
+  /** Milan `recordWindow(n)`: trailing-n running aggregates per key; each
+    * agg is (kind ∈ sumBy|meanBy|productBy|countBy, input column, output
+    * name). Works batch and streaming through `selectRunning`. */
+  final case class RecordWindow(name: String, input: String, keys: Seq[String],
+                                n: Int, aggs: Seq[(String, String, String)]) extends Node
 
   /** The whole document: nodes in topological order + the named outputs a
     * configuration may bind sinks to. */
@@ -192,6 +207,26 @@ object Program {
           }
           in(l).asofJoin(in(r), lts, rts, keys, rightOrder, tol,
             inner = inner, direction = dir)
+        case UniqueBy(_, i, valueCols, keepLatestBy) =>
+          in(i).uniqueBy(valueCols, keepLatestBy)
+        case ToField(_, i, fieldName) => in(i).toField(fieldName)
+        case SessionSelect(_, i, keys, ts, gap, startAs, aggs) =>
+          in(i).groupBy(keys: _*).sessionWindow(expr(ts), gap)
+            .select(startAs, aggs.map(f => expr(f.expr).as(f.as)): _*)
+        case RecordWindow(name, i, keys, nWin, aggs) =>
+          import graft.streaming.StreamingRowScans._
+          val kinds: Seq[(RunKind, String, String)] = aggs.map { case (k, in0, as) =>
+            val kind = k match {
+              case "sumBy" => RSum
+              case "meanBy" => RMean
+              case "productBy" => RProduct
+              case "countBy" => RCount
+              case other => throw new IllegalArgumentException(
+                s"recordWindow node '$name': unknown agg kind '$other'")
+            }
+            (kind, in0, as)
+          }
+          in(i).groupBy(keys: _*).recordWindow(nWin).selectRunning(kinds: _*)
       }
       env += node.name -> out.withName(node.name)
     }
@@ -247,6 +282,21 @@ object Program {
           ("keys" -> keys.map { case (lk, rk) => ("l" -> lk) ~ ("r" -> rk) }) ~
           ("rightOrder" -> rightOrder) ~ ("tolerance" -> tol) ~
           ("direction" -> direction) ~ ("inner" -> inner)
+      case UniqueBy(name, i, valueCols, keepLatestBy) =>
+        ("op" -> "uniqueBy") ~ ("name" -> name) ~ ("input" -> i) ~
+          ("valueCols" -> valueCols) ~ ("keepLatestBy" -> keepLatestBy)
+      case ToField(name, i, fieldName) =>
+        ("op" -> "toField") ~ ("name" -> name) ~ ("input" -> i) ~
+          ("fieldName" -> fieldName)
+      case SessionSelect(name, i, keys, ts, gap, startAs, aggs) =>
+        ("op" -> "sessionSelect") ~ ("name" -> name) ~ ("input" -> i) ~
+          ("keys" -> keys) ~ ("ts" -> ts) ~ ("gap" -> gap) ~
+          ("startAs" -> startAs) ~ ("aggs" -> fields(aggs))
+      case RecordWindow(name, i, keys, nWin, aggs) =>
+        ("op" -> "recordWindow") ~ ("name" -> name) ~ ("input" -> i) ~
+          ("keys" -> keys) ~ ("n" -> nWin) ~
+          ("aggs" -> aggs.map { case (k, in0, as) =>
+            ("kind" -> k) ~ ("in" -> in0) ~ ("as" -> as) })
     }
     JsonMethods.compact(JsonMethods.render(
       ("nodes" -> doc.nodes.map(nodeJson)) ~ ("outputs" -> doc.outputs)))
@@ -311,6 +361,20 @@ object Program {
             strs(v \ "rightOrder"), (v \ "tolerance").extractOpt[Long],
             (v \ "direction").extractOpt[String].getOrElse("backward"),
             (v \ "inner").extractOpt[Boolean].getOrElse(false))
+          case "uniqueBy" => UniqueBy(name, (v \ "input").extract[String],
+            strs(v \ "valueCols"), strs(v \ "keepLatestBy"))
+          case "toField" => ToField(name, (v \ "input").extract[String],
+            (v \ "fieldName").extract[String])
+          case "sessionSelect" => SessionSelect(name, (v \ "input").extract[String],
+            strs(v \ "keys"), (v \ "ts").extract[String], (v \ "gap").extract[String],
+            (v \ "startAs").extract[String], fields(v \ "aggs"))
+          case "recordWindow" => RecordWindow(name, (v \ "input").extract[String],
+            strs(v \ "keys"), (v \ "n").extract[Int],
+            (v \ "aggs") match {
+              case JArray(xs) => xs.map(x => ((x \ "kind").extract[String],
+                (x \ "in").extract[String], (x \ "as").extract[String]))
+              case _ => Nil
+            })
           case other => throw new IllegalArgumentException(s"unknown program op '$other'")
         }
       }
@@ -368,6 +432,26 @@ object Program {
             throw new IllegalArgumentException(
               s"node ${n.name}: unknown asof direction '${a.direction}' (backward|forward)")
           Seq(a.left, a.right)
+        case u: UniqueBy =>
+          nonEmpty(u.valueCols, "value column", n.name)
+          nonEmpty(u.keepLatestBy, "keep-latest ordering column", n.name)
+          Seq(u.input)
+        case t: ToField => Seq(t.input)
+        case ss: SessionSelect =>
+          nonEmpty(ss.aggs, "aggregate", n.name)
+          parse(ss.ts, s"node ${n.name}")
+          ss.aggs.foreach(f => parse(f.expr, s"node ${n.name}"))
+          Seq(ss.input)
+        case rw: RecordWindow =>
+          nonEmpty(rw.aggs, "aggregate", n.name)
+          if (rw.n <= 0) throw new IllegalArgumentException(
+            s"node ${n.name}: recordWindow needs n > 0, got ${rw.n}")
+          val kinds = Set("sumBy", "meanBy", "productBy", "countBy")
+          rw.aggs.foreach { case (k, _, _) =>
+            if (!kinds.contains(k)) throw new IllegalArgumentException(
+              s"node ${n.name}: unknown recordWindow agg kind '$k' (${kinds.mkString("|")})")
+          }
+          Seq(rw.input)
       }
       inputs.foreach(i => if (!defined.contains(i)) throw new IllegalArgumentException(
         s"node '${n.name}' references '$i' before it is defined"))

@@ -323,10 +323,43 @@ class AppModelSpec extends SparkSpec {
         DedupBy("dd", "o", Seq("y"), withinWatermark = true),
         Watermark("wm", "a", "ts", "30 seconds"),
         Asof("as", "o", "b", "z", "bts", Seq("y" -> "by"), Seq("bid"),
-          Some(500L), "forward", inner = true)),
+          Some(500L), "forward", inner = true),
+        UniqueBy("uq", "o", Seq("y"), Seq("z")),
+        ToField("tf", "o", "rec"),
+        SessionSelect("ses", "o", Seq("y"), "ts", "5 minutes", "sess_start",
+          Seq(Field("count(1)", "n"))),
+        RecordWindow("rw", "o", Seq("y"), 3,
+          Seq(("sumBy", "z", "rsum"), ("countBy", "z", "rn")))),
       outputs = Seq("j", "sc"))
     assert(Program.fromJson(Program.toJson(doc)) == doc,
       "toJson/fromJson must be the identity on every node type and field")
+  }
+
+  test("program uniqueBy/toField/recordWindow nodes execute") {
+    import graft.api.Program
+    import graft.api.Program._
+    val doc = Program.fromJson(Program.toJson(Doc(
+      nodes = Seq(
+        External("ev"),
+        OrderBy("o", "ev", Seq("t")),
+        UniqueBy("uq", "o", Seq("k"), Seq("t")),
+        RecordWindow("rw", "o", Seq("k"), 2, Seq(("sumBy", "v", "rsum"))),
+        ToField("tf", "uq", "rec")),
+      outputs = Seq("uq", "rw", "tf"))))
+    val ev = Seq(("a", 1L, 1.0), ("a", 2L, 2.0), ("a", 3L, 4.0), ("b", 4L, 9.0))
+      .toDF("k", "t", "v")
+    val config = new App.Config()
+      .setSource("ev", App.Source("list", rows = Some(ev), order = Seq("t")))
+      .addSink("uq", App.Sink("memory")).addSink("rw", App.Sink("memory"))
+      .addSink("tf", App.Sink("memory"))
+    val outs = App.run(spark, config)(Program.interpret(doc))
+      .collect { case App.BatchOutput(n, df) => n -> df }.toMap
+    val uq = outs("uq").collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(uq == Set(("a", 3L), ("b", 4L)), "uniqueBy keeps the latest record per key")
+    val rw = outs("rw").filter(col("k") === "a").orderBy("t")
+      .select("rsum").collect().map(_.getDouble(0)).toSeq
+    assert(rw == Seq(1.0, 3.0, 6.0), "trailing-2 running sums")
+    assert(outs("tf").columns.toSeq == Seq("rec"), "toField wraps the record")
   }
 
   test("program document covers scan family, dedupBy, and as-of join") {
