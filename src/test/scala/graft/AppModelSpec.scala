@@ -400,6 +400,38 @@ class AppModelSpec extends SparkSpec {
     assert(outs("lastp").count() == 1, "ungrouped last() keeps the final record")
   }
 
+  test("program full join and sliding windowSelect execute") {
+    import graft.api.Program
+    import graft.api.Program._
+    val doc = Program.fromJson(Program.toJson(Doc(
+      nodes = Seq(
+        External("l"), External("r"),
+        Join("j", "full", "l", "r", "l.k = r.rk",
+          Seq(Field("l.id", "id"), Field("r.rid", "rid"))),
+        External("ts"),
+        WindowSelect("w", "ts", Nil, "t", "10 seconds", Some("5 seconds"),
+          "0 seconds", "win", Seq(Field("sum(v)", "sv")))),
+      outputs = Seq("j", "w"))))
+    val l = Seq((1L, "a", 1L)).toDF("id", "k", "t")
+    val r = Seq((100L, "b", 2L)).toDF("rid", "rk", "rt")
+    val ts = Seq((java.sql.Timestamp.valueOf("2026-01-01 00:00:07"), 3.0))
+      .toDF("t", "v")
+    val config = new App.Config()
+      .setSource("l", App.Source("list", rows = Some(l), order = Seq("t", "id")))
+      .setSource("r", App.Source("list", rows = Some(r), order = Seq("rt", "rid")))
+      .setSource("ts", App.Source("list", rows = Some(ts)))
+      .addSink("j", App.Sink("memory")).addSink("w", App.Sink("memory"))
+    val outs = App.run(spark, config)(Program.interpret(doc))
+      .collect { case App.BatchOutput(n, df) => n -> df }.toMap
+    val j = outs("j").collect()
+      .map(rr => (if (rr.isNullAt(0)) -1L else rr.getLong(0),
+        if (rr.isNullAt(1)) -1L else rr.getLong(1))).toSet
+    assert(j == Set((1L, -1L), (-1L, 100L)),
+      "full enrichment emits both unmatched sides with nulls")
+    // one record at 00:07 lands in sliding windows starting 00:00 and 00:05
+    assert(outs("w").count() == 2, "sliding window emits one row per covering window")
+  }
+
   test("program document covers union/distinct/addFields/windowSelect") {
     import graft.api.Program
     import graft.api.Program._
