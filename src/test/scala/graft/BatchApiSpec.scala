@@ -374,6 +374,32 @@ class BatchApiSpec extends SparkSpec {
     }
   }
 
+  test("minhash LSH recall/precision vs exhaustive ground truth on the real corpus") {
+    // quantitative trust in the scale path: ground truth = exact jaccard
+    // over ALL pairs of the sf0.001 corpus; the banded pipeline must find
+    // nearly every true pair (16 hashes / 8 bands at t=0.8 gives
+    // P(candidate) ~ 1-(1-s^2)^8 ~ 0.9997 at s=0.8) and, because every
+    // candidate is exactly verified, report NO false positives
+    val docs = graft.sources.Tables.documents(spark, "/root/testdata/sf0.001").df
+    val hashed = sort_array(array_distinct(
+      graft.functions.VectorFunctions.wordShingleHashes(col("text"), 3)))
+    val sets = docs.select(col("doc_id"), hashed.as("__sh"))
+      .filter(size(col("__sh")) >= 1)
+    val truth = sets.as("a").join(sets.as("b"), col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"),
+        graft.functions.VectorFunctions.jaccardSorted(col("a.__sh"), col("b.__sh")).as("j"))
+      .filter(col("j") >= 0.8)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(truth.nonEmpty, "fixture sanity: the corpus contains true near-dup pairs")
+    val found = Dedup.minhashNearDup(docs, "doc_id", "text", k = 16, bands = 8, 0.8)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert((found -- truth).isEmpty,
+      s"precision must be exact (verified candidates): false positives ${found -- truth}")
+    val recall = found.size.toDouble / truth.size
+    assert(recall >= 0.95,
+      s"LSH recall $recall below 0.95: missed ${truth -- found}")
+  }
+
   test("triangle-tiled block jaccard equals naive all-pairs (no dup, no miss)") {
     val docs = (1L to 60L).map { i =>
       val block = if (i <= 45) "big" else "small" // skewed blocks
