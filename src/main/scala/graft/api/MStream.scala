@@ -82,10 +82,14 @@ final class MStream(
     * default (Milan's eternal groups); pass `withinWatermark = true`
     * after `withWatermark` to evict each key's dedup state once its event
     * time falls behind the watermark — the bounded-state posture for
-    * unbounded streams. Dedup on a fingerprint/hash column to keep the
-    * state entry 8 bytes instead of the payload. */
+    * unbounded streams. A batch run of the same program ignores the
+    * horizon (global dedup), like the banded ingest's batch lowering —
+    * Spark's own dropDuplicatesWithinWatermark rejects batch frames, so
+    * the dispatch lives here and one program document runs in both modes.
+    * Dedup on a fingerprint/hash column to keep the state entry 8 bytes
+    * instead of the payload. */
   def dedupBy(cols: Seq[String], withinWatermark: Boolean = false): MStream =
-    lift(if (withinWatermark) df.dropDuplicatesWithinWatermark(cols)
+    lift(if (withinWatermark && df.isStreaming) df.dropDuplicatesWithinWatermark(cols)
          else df.dropDuplicates(cols))
   def intersect(other: MStream): MStream = lift(df.intersect(other.df))
   def except(other: MStream): MStream = lift(df.except(other.df))

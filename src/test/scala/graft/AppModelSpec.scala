@@ -273,6 +273,52 @@ class AppModelSpec extends SparkSpec {
       s"imported program computed the same dataflow, got $out")
   }
 
+  test("one program document runs batch AND streaming from the same artifact") {
+    import graft.api.Program
+    import graft.api.Program._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    // the document: watermark -> filter -> exact dedup within the horizon
+    val json = Program.toJson(Doc(
+      nodes = Seq(
+        External("ev"),
+        Watermark("wm", "ev", "ts", "10 seconds"),
+        Where("pos", "wm", "v > 0"),
+        DedupBy("out", "pos", Seq("k"), withinWatermark = true)),
+      outputs = Seq("out")))
+
+    // batch run
+    def t(s: Long) = new java.sql.Timestamp(s * 1000)
+    val batchRows = Seq(("a", t(1), 5.0), ("a", t(2), 7.0), ("b", t(3), -1.0))
+      .toDF("k", "ts", "v")
+    val batchOut = App.run(spark,
+        new App.Config()
+          .setSource("ev", App.Source("list", rows = Some(batchRows)))
+          .addSink("out", App.Sink("memory")))(
+        Program.interpret(Program.fromJson(json)))
+      .collectFirst { case App.BatchOutput("out", df) => df }.get
+    assert(batchOut.count() == 1, "batch: one survivor for key a, b filtered")
+
+    // streaming run of the SAME document
+    val in = MemoryStream[(String, java.sql.Timestamp, Double)]
+    val name = s"prog_stream_${System.nanoTime()}"
+    val running = App.run(spark,
+        new App.Config()
+          .setSource("ev", App.Source("list", rows = Some(in.toDF().toDF("k", "ts", "v"))))
+          .addSink("out", App.Sink("memory", outputMode = "append",
+            queryName = Some(name))))(
+        Program.interpret(Program.fromJson(json)))
+    val q = running.collect { case App.StreamingOutput("out", sq) => sq }.head
+    try {
+      in.addData(("a", t(1), 5.0), ("b", t(2), -3.0))
+      in.addData(("a", t(3), 9.0), ("c", t(4), 2.0))
+      q.processAllAvailable()
+      val got = spark.table(name).collect().map(_.getString(0)).toSet
+      assert(got == Set("a", "c"),
+        "streaming: dedup state spans micro-batches, filter applied in-stream")
+    } finally q.stop()
+  }
+
   test("program import rejects malformed documents at load time") {
     import graft.api.Program
     val badSql = """{"nodes": [{"op": "external", "name": "a"},
