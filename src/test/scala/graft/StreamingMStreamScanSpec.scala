@@ -327,6 +327,40 @@ class StreamingMStreamScanSpec extends SparkSpec {
       "survivors: the group rep plus distinct docs not within the budget of it")
   }
 
+  test("banded batch ingest survives an uncollapsible fat bucket: distinct signatures, all pairwise close") {
+    // the skew case the distinct-signature collapse CANNOT absorb: 1500
+    // docs that all differ (distinct signatures) but are pairwise within a
+    // few bits — pigeonhole buckets go fat and the sweep relies on AQE
+    // skew-splitting of the hinted shuffled hash join. Completion in
+    // bounded time + exact agreement with the naive quadratic fold is the
+    // behavioral pin.
+    import spark.implicits._
+    val base = "the quick brown fox jumps over the lazy dog again and again for testing purposes only just fine"
+    val docs = (1L to 1500L).map { i =>
+      // flip one word deterministically: texts are distinct, signatures
+      // nearly identical
+      NdDoc(i, base + " variant" + (i % 37), i)
+    }
+    val maxH = 8
+    val h = graft.functions.VectorFunctions.wordShingleHashes(col("text"), 3)
+    val sigCol = when(size(h) >= 1,
+      graft.functions.VectorFunctions.simhashBits(h, 63)).otherwise(xxhash64(col("text")))
+    val df = docs.toDF()
+    val sigs = df.select(col("id"), sigCol.as("s"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // "earlier doc within budget" counts every prior doc, kept OR dropped
+    val expected = docs.foldLeft((Set.empty[Long], Vector.empty[Long])) {
+      case ((keep, seen), d) =>
+        val isDup = seen.exists(s => java.lang.Long.bitCount(sigs(s) ^ sigs(d.id)) <= maxH)
+        (if (isDup) keep else keep + d.id, seen :+ d.id)
+    }._1
+    val got = graft.pipeline.Dedup.ingestNearDup(
+        new MStream(df, Seq("seq")), "id", "text", maxHamming = maxH)
+      .df.select("id").collect().map(_.getLong(0)).toSet
+    assert(got == expected,
+      s"fat-bucket sweep must match the naive fold: missing=${expected -- got} extra=${got -- expected}")
+  }
+
   test("banded ingest withinWatermark evicts bucket signatures past the horizon, state stays bounded") {
     implicit val sqlCtx = spark.sqlContext
     val tDup = "the quick brown fox jumps over the lazy dog again and again for testing purposes only"
