@@ -129,6 +129,40 @@ class LineageSpec extends SparkSpec {
     } finally queries.values.foreach(_.stop())
   }
 
+  test("streaming scan lineage: running-aggregate edges flow per micro-batch") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(Long, Double, Long)]
+    val outName = s"scan_out_${System.nanoTime()}"
+    val linName = s"scan_edges_${System.nanoTime()}"
+    val config = new App.Config()
+      .setSource("v", App.Source("list",
+        rows = Some(in.toDF().toDF("vid", "v", "vt")), order = Seq("vt")))
+      .addSink("sums", App.Sink("memory", outputMode = "append",
+        queryName = Some(outName)))
+      .addLineageSink(App.Sink("memory", queryName = Some(linName)))
+    val running = App.run(spark, config) { s =>
+      Map("sums" -> s("v").sumBy(col("v"), "running"))
+    }
+    val queries = running.collect { case App.StreamingOutput(n, q) => n -> q }.toMap
+    try {
+      in.addData((1L, 2.0, 1L), (2L, 3.0, 2L))
+      in.addData((3L, 4.0, 3L))
+      queries.values.foreach(_.processAllAvailable())
+      val out = spark.table(outName).collect()
+      assert(out.length == 3 && out.map(_.schema.fieldNames.contains("record_id")).forall(identity))
+      val edges = spark.table(linName).collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+      assert(edges.length == 3, "one edge per scanned record, across micro-batches")
+      val expectedInputs = idsOf(
+        Seq((1L, 2.0, 1L), (2L, 3.0, 2L), (3L, 4.0, 3L)).toDF("vid", "v", "vt")).values.toSet
+      assert(edges.map(_._3).toSet == expectedInputs,
+        "streaming scan input ids hash-match the source records")
+      assert(edges.map(_._2).toSet ==
+        out.map(_.getAs[Long]("record_id")).toSet)
+    } finally queries.values.foreach(_.stop())
+  }
+
   test("without a lineage sink nothing changes: no record_id, no recorder leak") {
     val lefts = Seq((1L, "a", 10L)).toDF("id", "k", "t")
     val rights = Seq((100L, "a", 5L)).toDF("rid", "rk", "rt")
