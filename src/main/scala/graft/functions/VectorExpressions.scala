@@ -663,6 +663,11 @@ object VectorFunctions {
   def vectorSum(v: Column): Column =
     ColumnBridge.column(VectorSum(ColumnBridge.expr(v)).toAggregateExpression())
 
+  /** Exact per-key counts as one map<int,bigint> aggregate; state is one
+    * counter per distinct key — for BOUNDED key spaces (bucket ids). */
+  def countByIntKey(k: Column): Column =
+    ColumnBridge.column(CountByIntKey(ColumnBridge.expr(k)).toAggregateExpression())
+
   /** Codegen'd mean unsigned byte of a binary column. */
   def byteMeanNative(b: Column): Column =
     ColumnBridge.column(ByteMean(ColumnBridge.expr(b)))

@@ -269,32 +269,85 @@ object TextOps {
       s"maxSize=$maxSize: the vocabulary is collected to the driver and " +
         "broadcast to every encode task; it must stay driver-sized (<= 1e7)")
     import org.apache.spark.sql.expressions.Window
+    val spark = docs.sparkSession
+    val sc = spark.sparkContext
+    def newlyPinned(before: Set[Int]): Set[Int] =
+      sc.getPersistentRDDs.keySet.toSet.diff(before)
+    def unpersistIds(ids: Set[Int]): Unit = {
+      // expected "lineage truncated" WARN per id — superseded checkpoints
+      // are never re-read (same hygiene as connectedComponents)
+      val live = sc.getPersistentRDDs
+      ids.foreach(id => live.get(id).foreach(_.unpersist(blocking = false)))
+    }
     // materialize the counts BEFORE range partitioning: RangePartitioner's
     // boundary sampling is itself a pass over its child, so an
     // uncheckpointed count aggregate would run twice (sampling + shuffle);
-    // checkpointed, the corpus-scanning explode+aggregate runs exactly
-    // once and everything downstream reshuffles vocabulary-candidate rows
+    // checkpointed, the corpus-scanning explode+aggregate runs exactly once
+    val before0 = sc.getPersistentRDDs.keySet.toSet
     val counted = docs.select(explode(words(col(textCol))).as("word"))
       .groupBy("word").agg(count(lit(1)).as("wcount"))
       .filter(col("wcount") >= minCount)
       .localCheckpoint()
-    val spark = docs.sparkSession
-    val nBuckets = math.max(1, spark.sparkContext.defaultParallelism)
+    val countedIds = newlyPinned(before0)
+    val nBuckets = math.max(1, sc.defaultParallelism)
+    // pin ONE bucketing: RangePartitioner's boundary sampling is seeded
+    // per-physical-plan, so an unpinned range exchange derives DIFFERENT
+    // bucket boundaries in every job that scans it — per-bucket sizes
+    // measured in one job would not describe the bucketing the id
+    // assignment (or any later re-read) actually sees, corrupting every
+    // id past bucket 0. Checkpointing here makes the bucket assignment a
+    // fact, not a plan; the per-bucket histogram rides the checkpoint
+    // action as an observed metric (the checkpointTracked pattern from
+    // connectedComponents) instead of costing a second job.
+    val obs = org.apache.spark.sql.Observation()
+    val before1 = sc.getPersistentRDDs.keySet.toSet
     val bucketed = counted
       .repartitionByRange(nBuckets, desc("wcount"), col("word"))
       .withColumn("__b", spark_partition_id())
-    val sizes = bucketed.groupBy(col("__b")).agg(count(lit(1)).as("__n"))
-      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+      .observe(obs, graft.functions.VectorFunctions.countByIntKey(col("__b")).as("__sizes"))
+      .localCheckpoint()
+    val bucketedIds = newlyPinned(before1)
+    val sizes = obs.get("__sizes").asInstanceOf[scala.collection.Map[Int, Long]]
     val offsets = (0 until nBuckets).map(sizes.getOrElse(_, 0L)).scanLeft(0L)(_ + _)
     // ranges come back ordered by partition id (highest counts in range 0),
     // so offset(b) + local rank is the exact global (count desc, word) rank
     val offExpr = element_at(
       map((0 until nBuckets).flatMap(b => Seq(lit(b), lit(offsets(b)))): _*), col("__b"))
     val w = Window.partitionBy(col("__b")).orderBy(desc("wcount"), col("word"))
-    bucketed
+    val before2 = sc.getPersistentRDDs.keySet.toSet
+    // the result is driver-sized by contract (<= maxSize rows; encodeTokens
+    // broadcasts it) — materialize it once and release the corpus-sized
+    // intermediates NOW: every later consumer re-reads maxSize pinned rows,
+    // never the corpus scan or the range exchange (which also guarantees
+    // repeated reads agree — the ranking is computed exactly once)
+    val out = bucketed
       .withColumn("id", (offExpr + row_number().over(w) - 1).cast("long"))
       .filter(col("id") < maxSize)
       .select(col("word"), col("wcount"), col("id"))
+      .localCheckpoint()
+    VocabRelease.register(spark, newlyPinned(before2))
+    unpersistIds(countedIds ++ bucketedIds)
+    out
+  }
+
+  /** Registry of the (driver-sized) pinned vocab results per session, so a
+    * long-lived service can release them once encoding is done — the
+    * lifecycle hook the corpus-sized intermediates don't need (buildVocab
+    * unpersists those before returning). */
+  object VocabRelease {
+    private val pinned =
+      new java.util.concurrent.ConcurrentHashMap[org.apache.spark.sql.SparkSession, Set[Int]]()
+    private[pipeline] def register(spark: org.apache.spark.sql.SparkSession,
+                                   ids: Set[Int]): Unit =
+      pinned.merge(spark, ids, (a, b) => a ++ b)
+    /** Unpersist every vocab frame built on `spark` since the last release.
+      * Call after the consuming action (encode/write) completes; the frames
+      * cannot be re-read afterwards. */
+    def release(spark: org.apache.spark.sql.SparkSession): Unit = {
+      val ids = Option(pinned.remove(spark)).getOrElse(Set.empty)
+      val live = spark.sparkContext.getPersistentRDDs
+      ids.foreach(id => live.get(id).foreach(_.unpersist(blocking = false)))
+    }
   }
 
   /** Encode documents to token-id arrays against a vocabulary frame

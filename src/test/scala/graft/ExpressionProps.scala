@@ -145,6 +145,30 @@ object ExpressionProps extends Properties("graft.expressions") {
       }
     }
 
+  property("count-by-key over random partition splits equals groupBy size") =
+    forAll(Gen.listOf(Gen.choose(0, 12)), Gen.choose(1, 5)) { (keys, nParts) =>
+      import org.apache.spark.sql.catalyst.InternalRow
+      import org.apache.spark.sql.catalyst.expressions.BoundReference
+      import org.apache.spark.sql.types.IntegerType
+      val agg = graft.functions.CountByIntKey(
+        BoundReference(0, IntegerType, nullable = false))
+      // update per partition, then serialize -> deserialize -> merge, as
+      // the partial/final aggregation exchange would
+      val parts = List.empty[Int] ::
+        keys.zipWithIndex.groupMap(_._2 % nParts)(_._1).values.toList
+      val merged = parts
+        .map(_.foldLeft(agg.createAggregationBuffer()) { (b, k) =>
+          agg.update(b, InternalRow(k))
+        })
+        .map(b => agg.deserialize(agg.serialize(b)))
+        .foldLeft(agg.createAggregationBuffer())(agg.merge)
+      val m = agg.eval(merged)
+        .asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayBasedMapData]
+      val got = m.keyArray.toIntArray().zip(m.valueArray.toLongArray()).toMap
+      val expect = keys.groupBy(identity).map { case (k, v) => k -> v.size.toLong }
+      got == expect
+    }
+
   property("sorted-merge jaccard equals set jaccard") =
     forAll(Gen.listOf(Gen.choose(0L, 50L)), Gen.listOf(Gen.choose(0L, 50L))) { (a, b) =>
       val sa = a.distinct.sorted

@@ -1,0 +1,69 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.pipeline.TextOps
+
+/** Distributed vocabulary ranking across MULTIPLE range buckets — the
+  * regression net for the one-pinned-bucketing invariant: RangePartitioner
+  * boundary sampling is seeded per-physical-plan, so if the range exchange
+  * were re-derived by the sizes pass and the id-assignment pass (as an
+  * unpinned plan would), words past bucket 0 would get duplicate/gapped
+  * ids. The q_encode oracle cannot see this (maxSize=20 lives in bucket 0);
+  * this spec spans every bucket. */
+class VocabSpec extends SparkSpec {
+
+  private def corpus(nWords: Int) = {
+    import spark.implicits._
+    // word w_i appears (i % 13) + 1 times -> many count ties, so the
+    // (count desc, word asc) tiebreak is exercised across bucket borders
+    (0 until nWords).flatMap { i =>
+      val w = f"w$i%05d"
+      Seq.fill(i % 13 + 1)(w)
+    }.grouped(50).map(_.mkString(" ")).toSeq.toDF("text")
+  }
+
+  test("vocab ids are the exact global (count desc, word) ranks across >1 bucket") {
+    val nWords = 5000
+    val docs = corpus(nWords)
+    // defaultParallelism=4 in specs -> 4 range buckets; maxSize=4000 spans
+    // every bucket, so any offset/bucketing disagreement corrupts the tail
+    val vocab = TextOps.buildVocab(docs, "text", minCount = 1L, maxSize = 4000)
+    val got = vocab.collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val expect = (0 until nWords).map(i => (f"w$i%05d", (i % 13 + 1).toLong))
+      .sortBy { case (w, c) => (-c, w) }
+      .take(4000).zipWithIndex
+      .map { case ((w, c), id) => (w, c, id.toLong) }
+    assert(got.length == 4000)
+    assert(got.sortBy(_._3).toSeq == expect,
+      "every id equals the global (count desc, word asc) rank")
+  }
+
+  test("vocab ids are contiguous and stable across repeated collects") {
+    val docs = corpus(3000)
+    val vocab = TextOps.buildVocab(docs, "text", minCount = 2L, maxSize = 2500)
+    val first = vocab.collect().map(r => (r.getString(0), r.getLong(2))).sortBy(_._2)
+    val second = vocab.collect().map(r => (r.getString(0), r.getLong(2))).sortBy(_._2)
+    assert(first.map(_._2).toSeq == (0L until first.length).toSeq,
+      "ids are contiguous 0..n-1")
+    assert(first.toSeq == second.toSeq,
+      "re-reading the vocab frame yields the identical ranking (pinned, not re-derived)")
+  }
+
+  test("buildVocab releases corpus-sized intermediates; VocabRelease frees the result") {
+    val sc = spark.sparkContext
+    val before = sc.getPersistentRDDs.keySet.toSet
+    val vocab = TextOps.buildVocab(corpus(1000), "text", minCount = 1L, maxSize = 500)
+    assert(vocab.count() == 500)
+    val pinnedAfter = sc.getPersistentRDDs.keySet.toSet.diff(before)
+    // only the driver-sized result stays pinned (counted + bucketed are
+    // unpersisted before buildVocab returns); async unpersist may briefly
+    // leave entries, so poll
+    def livePinned() = sc.getPersistentRDDs.keySet.toSet.diff(before)
+    val deadline = System.nanoTime() + 10e9.toLong
+    while (livePinned().size > 1 && System.nanoTime() < deadline) Thread.sleep(50)
+    assert(livePinned().size <= 1, s"corpus-sized intermediates released, got ${livePinned()}")
+    TextOps.VocabRelease.release(spark)
+    while (livePinned().nonEmpty && System.nanoTime() < deadline) Thread.sleep(50)
+    assert(livePinned().isEmpty, "release() drops the pinned vocab result")
+  }
+}
