@@ -299,4 +299,31 @@ object QueriesCore {
   }
 
   val qProgramAggSql: String = qAggSql
+
+  /** Program CAPTURE path (milan `graph/StreamCollection.scala:9-31` build →
+    * `application/ApplicationInstance.scala:27` toJsonString): the q_agg
+    * pipeline is composed on the RECORDING surface (`Program.Rec`), captured
+    * to a document, serialized, re-parsed, and executed via `runProgram` —
+    * the full author-in-Scala / ship-JSON flow, hash-verified against the
+    * same DuckDB oracle as q_agg. */
+  def qCaptureAgg(spark: SparkSession, dir: String): DataFrame = {
+    import graft.api.Program
+    val rec = Program.Rec.external("lineitem", Tables.lineitem(spark, dir))
+      .groupSelect(Seq("l_returnflag", "l_linestatus"),
+        "sum(l_quantity)" -> "sum_qty",
+        "round(sum(l_extendedprice), 2)" -> "sum_base",
+        "min(l_quantity)" -> "min_qty",
+        "max(l_quantity)" -> "max_qty",
+        "round(avg(l_discount), 6)" -> "avg_disc",
+        "count(1)" -> "cnt").as("out")
+    val programJson = Program.toJson(Program.capture(rec))
+    val config = new graft.api.App.Config()
+      .setSource("lineitem", graft.api.App.Source(
+        format = "parquet", path = Some(s"$dir/lineitem.parquet")))
+      .addSink("out", graft.api.App.Sink(format = "memory"))
+    graft.api.App.runProgram(spark, config, programJson)
+      .collectFirst { case graft.api.App.BatchOutput("out", out) => out }.get
+  }
+
+  val qCaptureAggSql: String = qAggSql
 }

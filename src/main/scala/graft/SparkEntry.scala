@@ -23,7 +23,8 @@ object SparkEntry {
     "q_range_join" -> (QueriesCore.qRangeJoin _),
     "q_asof_join" -> (QueriesCore.qAsofJoin _),
     "q_asof_fwd" -> (QueriesCore.qAsofFwd _),
-    "q_program_agg" -> (QueriesCore.qProgramAgg _)
+    "q_program_agg" -> (QueriesCore.qProgramAgg _),
+    "q_capture_agg" -> (QueriesCore.qCaptureAgg _)
   ) ++ QueriesStateful.all ++ QueriesPipeline.all
 
   def oracleSql: Map[String, String] = Map(
@@ -38,6 +39,7 @@ object SparkEntry {
     "q_range_join" -> QueriesCore.qRangeJoinSql,
     "q_asof_join" -> QueriesCore.qAsofJoinSql,
     "q_asof_fwd" -> QueriesCore.qAsofFwdSql,
-    "q_program_agg" -> QueriesCore.qProgramAggSql
+    "q_program_agg" -> QueriesCore.qProgramAggSql,
+    "q_capture_agg" -> QueriesCore.qCaptureAggSql
   ) ++ QueriesStateful.sql ++ QueriesPipeline.sql
 }

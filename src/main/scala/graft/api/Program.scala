@@ -132,6 +132,21 @@ object Program {
     doc.nodes.foreach { node =>
       val out: MStream = node match {
         case External(n) => external(n)
+        case other => lowerNode(other, in)
+      }
+      env += node.name -> out.withName(node.name)
+    }
+    doc.outputs.map(o => o -> in(o)).toMap
+  }
+
+  /** The single lowering of a non-external node onto the MStream surface —
+    * shared by [[interpret]] (import path) and [[Rec]] (capture path), so a
+    * captured pipeline and its re-imported document execute IDENTICAL
+    * dataflows by construction. */
+  private def lowerNode(node: Node, in: String => MStream): MStream = {
+    node match {
+        case External(n) => throw new IllegalArgumentException(
+          s"external node '$n' has no lowering (resolved by the configuration)")
         case MapCols(_, i, cols) => in(i).map(cols.map(f => expr(f.expr).as(f.as)): _*)
         case Where(_, i, p) => in(i).where(expr(p))
         case AddTo(_, i, fields) =>
@@ -227,10 +242,181 @@ object Program {
             (kind, in0, as)
           }
           in(i).groupBy(keys: _*).recordWindow(nWin).selectRunning(kinds: _*)
-      }
-      env += node.name -> out.withName(node.name)
     }
-    doc.outputs.map(o => o -> in(o)).toMap
+  }
+
+  // -------------------------------------------------------------- capture
+
+  /** Copy a node with a new name (for [[Rec.as]]). */
+  private def withNodeName(n: Node, name: String): Node = n match {
+    case x: External => x.copy(name = name)
+    case x: MapCols => x.copy(name = name)
+    case x: Where => x.copy(name = name)
+    case x: AddTo => x.copy(name = name)
+    case x: OrderBy => x.copy(name = name)
+    case x: Union => x.copy(name = name)
+    case x: Distinct => x.copy(name = name)
+    case x: GroupSelect => x.copy(name = name)
+    case x: WindowSelect => x.copy(name = name)
+    case x: Join => x.copy(name = name)
+    case x: Scan => x.copy(name = name)
+    case x: DedupBy => x.copy(name = name)
+    case x: Watermark => x.copy(name = name)
+    case x: Asof => x.copy(name = name)
+    case x: UniqueBy => x.copy(name = name)
+    case x: ToField => x.copy(name = name)
+    case x: SessionSelect => x.copy(name = name)
+    case x: RecordWindow => x.copy(name = name)
+  }
+
+  /** Order-preserving merge of upstream node lists for a multi-input op:
+    * each list is topologically ordered and cross-list references only hit
+    * shared (identical) nodes, so first-occurrence dedup keeps every input
+    * ahead of its uses. Two DIFFERENT nodes under one name is a build
+    * error, not a silent shadow. */
+  private def mergeNodes(lists: Seq[Vector[Node]]): Vector[Node] = {
+    val out = Vector.newBuilder[Node]
+    val seen = scala.collection.mutable.Map.empty[String, Node]
+    lists.iterator.flatten.foreach { n =>
+      seen.get(n.name) match {
+        case None => seen += n.name -> n; out += n
+        case Some(prev) => require(prev == n,
+          s"capture: two different nodes share the name '${n.name}'")
+      }
+    }
+    out.result()
+  }
+
+  /**
+   * Recording builder over the MStream surface — the EXPORT dual of
+   * [[interpret]] and the missing half of milan's authoring flow: compose
+   * the pipeline in Scala, ship the serialized artifact
+   * (`graph/StreamCollection.scala:9-31` `build` →
+   * `application/ApplicationInstance.scala:27` `toJsonString`). Every
+   * operation appends its [[Node]] AND executes it through the same
+   * `lowerNode` the import path uses, so the live `stream` and the
+   * captured document can never drift: `capture(rec)` → [[toJson]] →
+   * [[fromJson]] → [[interpret]] replays the identical dataflow.
+   *
+   * Expressions are ANSI SQL strings (the document's scalar grammar);
+   * join/asof surfaces take `l.` / `r.` side qualifiers exactly like the
+   * document nodes they record. Node names auto-derive from the op kind
+   * (`where_2`, `join_5`); call [[as]] immediately after an op to give the
+   * node a stable name worth binding a sink to.
+   */
+  final class Rec private[Program] (
+      val nodes: Vector[Node], val name: String, val stream: MStream) {
+
+    private def freshName(op: String, merged: Vector[Node]): String = {
+      val used = merged.iterator.map(_.name).toSet
+      Iterator.from(merged.size + 1).map(i => s"${op}_$i").find(!used.contains(_)).get
+    }
+
+    /** Append `node` (built by `mk` from its fresh auto-name), lowering it
+      * over this stream (+ `others` for multi-input ops). */
+    private def derive(op: String, others: Seq[Rec])(mk: String => Node): Rec = {
+      val merged = mergeNodes(this.nodes +: others.map(_.nodes))
+      val node = mk(freshName(op, merged))
+      val inputs = (this +: others).map(r => r.name -> r.stream).toMap
+      val out = lowerNode(node, n => inputs.getOrElse(n,
+        throw new IllegalArgumentException(s"capture: unknown input '$n'")))
+      new Rec(merged :+ node, node.name, out.withName(node.name))
+    }
+    private def derive1(op: String)(mk: String => Node): Rec = derive(op, Nil)(mk)
+
+    /** Rename the node this Rec just defined (no downstream uses exist
+      * yet, so the rename is local). */
+    def as(newName: String): Rec = {
+      require(!nodes.init.exists(_.name == newName),
+        s"capture: node name '$newName' is already defined")
+      new Rec(nodes.init :+ withNodeName(nodes.last, newName), newName,
+        stream.withName(newName))
+    }
+
+    def map(cols: (String, String)*): Rec =
+      derive1("map")(n => MapCols(n, name, cols.map { case (e, a) => Field(e, a) }))
+    def where(predicate: String): Rec =
+      derive1("where")(n => Where(n, name, predicate))
+    def addFields(fields: (String, String)*): Rec =
+      derive1("addFields")(n => AddTo(n, name, fields.map { case (e, a) => Field(e, a) }))
+    def orderedBy(cols: String*): Rec =
+      derive1("orderBy")(n => OrderBy(n, name, cols))
+    def union(others: Rec*): Rec =
+      derive("union", others)(n => Union(n, name +: others.map(_.name)))
+    def distinct(): Rec = derive1("distinct")(n => Distinct(n, name))
+    def groupSelect(keys: Seq[String], aggs: (String, String)*): Rec =
+      derive1("groupSelect")(n =>
+        GroupSelect(n, name, keys, aggs.map { case (e, a) => Field(e, a) }))
+    def windowSelect(keys: Seq[String], ts: String, size: String,
+                     slide: Option[String] = None, offset: String = "0 seconds",
+                     windowAs: String = "window_start",
+                     aggs: Seq[(String, String)]): Rec =
+      derive1("windowSelect")(n => WindowSelect(n, name, keys, ts, size, slide,
+        offset, windowAs, aggs.map { case (e, a) => Field(e, a) }))
+    def join(kind: String, right: Rec, condition: String,
+             select: (String, String)*): Rec =
+      derive("join", Seq(right))(n => Join(n, kind, name, right.name, condition,
+        select.map { case (e, a) => Field(e, a) }))
+    def leftJoin(right: Rec, condition: String, select: (String, String)*): Rec =
+      join("left", right, condition, select: _*)
+    def fullJoin(right: Rec, condition: String, select: (String, String)*): Rec =
+      join("full", right, condition, select: _*)
+    def leftInnerJoin(right: Rec, condition: String, select: (String, String)*): Rec =
+      join("leftInner", right, condition, select: _*)
+    def scan(kind: String, keys: Seq[String], arg: Option[String],
+             as: Option[String]): Rec =
+      derive1("scan")(n => Scan(n, name, kind, keys, arg, as))
+    def sumBy(arg: String, as: String, keys: Seq[String] = Nil): Rec =
+      scan("sumBy", keys, Some(arg), Some(as))
+    def meanBy(arg: String, as: String, keys: Seq[String] = Nil): Rec =
+      scan("meanBy", keys, Some(arg), Some(as))
+    def productBy(arg: String, as: String, keys: Seq[String] = Nil): Rec =
+      scan("productBy", keys, Some(arg), Some(as))
+    def countBy(as: String, keys: Seq[String] = Nil): Rec =
+      scan("countBy", keys, None, Some(as))
+    def maxBy(arg: String, keys: Seq[String] = Nil): Rec =
+      scan("maxBy", keys, Some(arg), None)
+    def minBy(arg: String, keys: Seq[String] = Nil): Rec =
+      scan("minBy", keys, Some(arg), None)
+    def last(keys: Seq[String] = Nil): Rec = scan("last", keys, None, None)
+    def dedupBy(cols: Seq[String], withinWatermark: Boolean = false): Rec =
+      derive1("dedupBy")(n => DedupBy(n, name, cols, withinWatermark))
+    def withWatermark(ts: String, delay: String): Rec =
+      derive1("watermark")(n => Watermark(n, name, ts, delay))
+    def asofJoin(right: Rec, leftTs: String, rightTs: String,
+                 keys: Seq[(String, String)], rightOrder: Seq[String],
+                 tolerance: Option[Long] = None, direction: String = "backward",
+                 inner: Boolean = false): Rec =
+      derive("asof", Seq(right))(n => Asof(n, name, right.name, leftTs, rightTs,
+        keys, rightOrder, tolerance, direction, inner))
+    def uniqueBy(valueCols: Seq[String], keepLatestBy: Seq[String]): Rec =
+      derive1("uniqueBy")(n => UniqueBy(n, name, valueCols, keepLatestBy))
+    def toField(fieldName: String): Rec =
+      derive1("toField")(n => ToField(n, name, fieldName))
+    def sessionSelect(keys: Seq[String], ts: String, gap: String, startAs: String,
+                      aggs: (String, String)*): Rec =
+      derive1("sessionSelect")(n => SessionSelect(n, name, keys, ts, gap, startAs,
+        aggs.map { case (e, a) => Field(e, a) }))
+    def recordWindow(keys: Seq[String], n: Int,
+                     aggs: (String, String, String)*): Rec =
+      derive1("recordWindow")(nm => RecordWindow(nm, name, keys, n, aggs))
+  }
+
+  object Rec {
+    /** Start a recording pipeline from a named external input and the live
+      * stream it resolves to (a config-bound source or any MStream). */
+    def external(name: String, stream: MStream): Rec =
+      new Rec(Vector(External(name)), name, stream.withName(name))
+  }
+
+  /** Assemble the document for one or more recorded outputs — the capture
+    * dual of [[interpret]]: shared upstream nodes dedup, outputs bind by
+    * their node names. The result validates like an imported document. */
+  def capture(outs: Rec*): Doc = {
+    require(outs.nonEmpty, "capture needs at least one output")
+    val doc = Doc(mergeNodes(outs.map(_.nodes)), outs.map(_.name).distinct)
+    validate(doc)
+    doc
   }
 
   // ---------------------------------------------------------------- codec

@@ -508,4 +508,128 @@ class AppModelSpec extends SparkSpec {
     val w = outs("w").collect().map(r => (r.getString(1), r.getDouble(2))).toSet
     assert(w == Set(("1", 4.0), ("2", 9.0)), s"windowed per-key sums, got $w")
   }
+
+  test("capture: a recorded pipeline exports the exact document its DSL twin hand-writes") {
+    import graft.api.Program
+    import graft.api.Program._
+    import graft.api.MStream
+    val events = Seq((1L, 1.0, 1L), (1L, -5.0, 2L), (2L, 3.0, 3L), (3L, 7.0, 4L))
+      .toDF("user_id", "v", "seq")
+    val users = Seq((1L, "gold", 1L), (2L, "silver", 2L)).toDF("uid", "tier", "useq")
+
+    // compose on the RECORDING surface: every op executes (rec.stream is a
+    // live MStream) AND appends its node
+    val ev = Program.Rec.external("events", new MStream(events))
+    val us = Program.Rec.external("users", new MStream(users, eventOrder = Seq("useq")))
+    val rec = ev.where("v > 0").as("recent")
+      .map("user_id" -> "user_id", "v * 2" -> "v2", "seq" -> "seq").as("projected")
+      .orderedBy("seq").as("ordered")
+      .leftJoin(us, "l.user_id = r.uid",
+        "l.user_id" -> "user_id", "l.v2" -> "v2", "r.tier" -> "tier").as("enriched")
+      .groupSelect(Seq("tier"), "sum(v2)" -> "total", "count(1)" -> "n").as("out")
+    val captured = Program.capture(rec)
+
+    // byte-for-byte the document the import test hand-writes
+    val handWritten = Doc(
+      nodes = Seq(
+        External("events"),
+        Where("recent", "events", "v > 0"),
+        MapCols("projected", "recent", Seq(
+          Field("user_id", "user_id"), Field("v * 2", "v2"), Field("seq", "seq"))),
+        OrderBy("ordered", "projected", Seq("seq")),
+        External("users"),
+        Join("enriched", "left", "ordered", "users",
+          "l.user_id = r.uid", Seq(
+            Field("l.user_id", "user_id"), Field("l.v2", "v2"),
+            Field("r.tier", "tier"))),
+        GroupSelect("out", "enriched", Seq("tier"), Seq(
+          Field("sum(v2)", "total"), Field("count(1)", "n")))),
+      outputs = Seq("out"))
+    assert(captured == handWritten,
+      "recording surface captures the same nodes a hand-authored document declares")
+    assert(Program.fromJson(Program.toJson(captured)) == captured,
+      "captured document survives its own JSON round-trip")
+
+    // the live recorded stream and the export->import->run replay agree
+    val direct = rec.stream.df.collect()
+      .map(r => (r.getString(0), r.getDouble(1), r.getLong(2))).toSet
+    val config = new App.Config()
+      .setSource("events", App.Source("list", rows = Some(events)))
+      .setSource("users", App.Source("list", rows = Some(users), order = Seq("useq")))
+      .addSink("out", App.Sink("memory"))
+    val replay = App.runProgram(spark, config, Program.toJson(captured))
+      .collectFirst { case App.BatchOutput("out", df) => df }.get
+      .collect().map(r => (r.getString(0), r.getDouble(1), r.getLong(2))).toSet
+    assert(replay == direct && direct == Set(
+        ("gold", 2.0, 1L), ("silver", 6.0, 1L), (null, 14.0, 1L)),
+      s"capture->toJson->fromJson->runProgram replays the recorded dataflow, got $replay")
+  }
+
+  test("capture: one captured document runs batch AND streaming") {
+    import graft.api.Program
+    import graft.api.MStream
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    def t(s: Long) = new java.sql.Timestamp(s * 1000)
+    val batchRows = Seq(("a", t(1), 5.0), ("a", t(2), 7.0), ("b", t(3), -1.0))
+      .toDF("k", "ts", "v")
+    // record on a batch stream, ship the artifact
+    val json = Program.toJson(Program.capture(
+      Program.Rec.external("ev", new MStream(batchRows))
+        .withWatermark("ts", "10 seconds")
+        .where("v > 0")
+        .dedupBy(Seq("k"), withinWatermark = true).as("out")))
+
+    val batchOut = App.run(spark,
+        new App.Config()
+          .setSource("ev", App.Source("list", rows = Some(batchRows)))
+          .addSink("out", App.Sink("memory")))(
+        Program.interpret(Program.fromJson(json)))
+      .collectFirst { case App.BatchOutput("out", df) => df }.get
+    assert(batchOut.count() == 1, "batch: one survivor for key a, b filtered")
+
+    val in = MemoryStream[(String, java.sql.Timestamp, Double)]
+    val name = s"cap_stream_${System.nanoTime()}"
+    val running = App.run(spark,
+        new App.Config()
+          .setSource("ev", App.Source("list", rows = Some(in.toDF().toDF("k", "ts", "v"))))
+          .addSink("out", App.Sink("memory", outputMode = "append",
+            queryName = Some(name))))(
+        Program.interpret(Program.fromJson(json)))
+    val q = running.collect { case App.StreamingOutput("out", sq) => sq }.head
+    try {
+      in.addData(("a", t(1), 5.0), ("b", t(2), -3.0))
+      in.addData(("a", t(3), 9.0), ("c", t(4), 2.0))
+      q.processAllAvailable()
+      val got = spark.table(name).collect().map(_.getString(0)).toSet
+      assert(got == Set("a", "c"),
+        "streaming: the captured artifact drives the same stateful dedup")
+    } finally q.stop()
+  }
+
+  test("capture: shared upstreams dedup; name collisions and bad inputs reject") {
+    import graft.api.Program
+    import graft.api.MStream
+    val data = Seq((1L, 2.0), (2L, 3.0)).toDF("k", "v")
+    val base = Program.Rec.external("src", new MStream(data)).where("v > 0").as("pos")
+    // two branches off one recorded node, rejoined: upstream appears once
+    val left = base.map("k" -> "k", "v * 2" -> "dbl").as("l2").orderedBy("k").as("lo")
+    val right = base.map("k" -> "k", "v + 1" -> "inc").as("r2").orderedBy("k").as("ro")
+    val joined = left.leftJoin(right, "l.k = r.k",
+      "l.k" -> "k", "l.dbl" -> "dbl", "r.inc" -> "inc").as("out")
+    val doc = Program.capture(joined)
+    assert(doc.nodes.count(_.name == "pos") == 1, "shared upstream captured once")
+    assert(doc.nodes.map(_.name) == Seq("src", "pos", "l2", "lo", "r2", "ro", "out"),
+      "nodes stay topologically ordered after the branch merge")
+
+    val eDup = intercept[IllegalArgumentException](joined.distinct().as("pos"))
+    assert(eDup.getMessage.contains("'pos'"), "renaming onto a live name rejects")
+
+    // auto-names never collide across branches
+    val a1 = base.distinct()
+    val a2 = base.distinct()
+    val u = a1.union(a2)
+    assert(Program.capture(u).nodes.map(_.name).distinct.size ==
+      Program.capture(u).nodes.size, "auto-generated node names stay unique")
+  }
 }
