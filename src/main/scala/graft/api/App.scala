@@ -279,11 +279,15 @@ object App {
    * formats — exactly Milan's separation.
    */
   def run(spark: SparkSession, config: Config)(
-      program: (String => MStream) => Map[String, MStream]): Seq[Running] = {
-    val recorder = config.lineageSink.map(_ => Lineage.enable(spark))
-    try runWithLineage(spark, config, recorder)(program)
-    finally recorder.foreach(_ => Lineage.disable(spark))
-  }
+      program: (String => MStream) => Map[String, MStream]): Seq[Running] =
+    config.lineageSink match {
+      // recorder is scoped to THIS run (thread-local for the synchronous
+      // program build), so concurrent runs on one session neither mix
+      // edge frames nor disable each other's recording mid-build
+      case Some(_) => Lineage.scoped(rec =>
+        runWithLineage(spark, config, Some(rec))(program))
+      case None => runWithLineage(spark, config, None)(program)
+    }
 
   private def runWithLineage(spark: SparkSession, config: Config,
       recorder: Option[Lineage.Recorder])(

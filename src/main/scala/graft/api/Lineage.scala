@@ -56,16 +56,28 @@ object Lineage {
     }
   }
 
-  private val recorders =
-    new java.util.concurrent.ConcurrentHashMap[SparkSession, Recorder]()
+  private val scope = new ThreadLocal[Option[Recorder]] {
+    override def initialValue(): Option[Recorder] = None
+  }
 
-  /** Activate lineage recording for this session (idempotent). */
-  def enable(spark: SparkSession): Recorder =
-    recorders.computeIfAbsent(spark, _ => new Recorder)
+  /** Activate a FRESH recorder for the duration of `body` on this thread.
+    * Program construction happens synchronously inside [[App.run]], so
+    * thread scoping isolates concurrent runs sharing one session — a
+    * session-keyed registry would union both runs' edge frames into
+    * whichever sink finishes binding first, and the first run's teardown
+    * would disable recording mid-build for the other. Scopes nest
+    * (restore-previous), so a program that itself calls App.run records
+    * each layer separately. */
+  private[graft] def scoped[T](body: Recorder => T): T = {
+    val rec = new Recorder
+    val prev = scope.get()
+    scope.set(Some(rec))
+    try body(rec) finally scope.set(prev)
+  }
 
-  def current(spark: SparkSession): Option[Recorder] = Option(recorders.get(spark))
-
-  def disable(spark: SparkSession): Unit = recorders.remove(spark)
+  /** The recorder active for the current run, if any (operators consult
+    * this at stream-construction time). */
+  def current(spark: SparkSession): Option[Recorder] = scope.get()
 
   /** Operator-side helper: append `record_id` (content hash of the listed
     * output columns) and register one edge per non-null input id column.
@@ -79,6 +91,27 @@ object Lineage {
       .filter(col("input_id").isNotNull)
       .select(lit(op).as("op"), col("output_id"), col("input_id"))
     rec.add(e)
+    withId
+  }
+
+  /** Operator-side helper for AGGREGATING ops (group/window select), where
+    * the output row has collapsed its inputs: the record id is the GROUP
+    * identity hash (key/window columns — a documented deviation from the
+    * full-record hash, since the aggregate values derive from the very
+    * inputs the edges list), which lets the fan-in edges project from the
+    * INPUT side alone — one stateless pass, no join back to the aggregate,
+    * so the same emission works in streaming micro-batches (edges append
+    * while the aggregate output runs in its own output mode). */
+  private[graft] def recordFanIn(rec: Recorder, op: String, out: DataFrame,
+                                 groupIdCols: Seq[org.apache.spark.sql.Column],
+                                 input: DataFrame,
+                                 inputGroupIdCols: Seq[org.apache.spark.sql.Column],
+                                 inputIdCols: Seq[org.apache.spark.sql.Column]): DataFrame = {
+    val withId = out.withColumn("record_id", xxhash64(struct(groupIdCols: _*)))
+    rec.add(input.select(
+      lit(op).as("op"),
+      xxhash64(struct(inputGroupIdCols: _*)).as("output_id"),
+      xxhash64(struct(inputIdCols: _*)).as("input_id")))
     withId
   }
 }

@@ -303,10 +303,24 @@ object MStream {
 final class GroupedMStream(val stream: MStream, val keys: Seq[String]) {
   private def df = stream.df
 
-  /** Milan grouped `select` with aggregate expressions; group key included. */
-  def select(aggs: Column*): MStream =
-    new MStream(df.groupBy(keys.map(col): _*).agg(aggs.head, aggs.tail: _*),
-      Nil, Nil, stream.name)
+  /** Milan grouped `select` with aggregate expressions; group key included.
+    * With a lineage recorder active (config bound a lineage sink), the
+    * output exposes `record_id` = group-identity hash and one fan-in edge
+    * per contributing input record (milan emits lineage from every runtime
+    * op, `types/LineageRecord.scala`). */
+  def select(aggs: Column*): MStream = {
+    val agged = df.groupBy(keys.map(col): _*).agg(aggs.head, aggs.tail: _*)
+    val out = Lineage.current(df.sparkSession) match {
+      case None => agged
+      case Some(rec) =>
+        Lineage.recordFanIn(rec, s"GroupSelect:${stream.name}", agged,
+          groupIdCols = keys.map(col),
+          input = df,
+          inputGroupIdCols = keys.map(col),
+          inputIdCols = df.columns.toIndexedSeq.map(col))
+    }
+    new MStream(out, Nil, Nil, stream.name)
+  }
 
   /** Count window: the last `n` records per key (Milan `recordWindow(n)`). */
   def recordWindow(n: Int): RecordWindowedMStream =
@@ -370,10 +384,26 @@ final class GroupedMStream(val stream: MStream, val keys: Seq[String]) {
  * `window()` struct or an exact integral window-start expression.
  */
 final class TimeWindowedMStream(val stream: MStream, windowExpr: Column, keys: Seq[String]) {
-  /** Aggregate each window; output includes window + keys. */
+  /** Aggregate each window; output includes window + keys. With a lineage
+    * recorder active, output exposes `record_id` = (window, keys) identity
+    * hash and one fan-in edge per contributing input record; the window
+    * assignment is re-projected on the input side (tumbling `window()` and
+    * the exact/pre-exploded forms are all per-row projections), so edge
+    * emission stays join-free and streaming-safe. */
   def select(windowAs: String, aggs: Column*): MStream = {
     val grouped = stream.df.groupBy((windowExpr.as(windowAs) +: keys.map(col)): _*)
-    new MStream(grouped.agg(aggs.head, aggs.tail: _*), Nil, Nil, stream.name)
+    val agged = grouped.agg(aggs.head, aggs.tail: _*)
+    val out = Lineage.current(stream.df.sparkSession) match {
+      case None => agged
+      case Some(rec) =>
+        val withW = stream.df.withColumn(windowAs, windowExpr)
+        Lineage.recordFanIn(rec, s"WindowSelect:${stream.name}", agged,
+          groupIdCols = col(windowAs) +: keys.map(col),
+          input = withW,
+          inputGroupIdCols = col(windowAs) +: keys.map(col),
+          inputIdCols = stream.df.columns.toIndexedSeq.map(col))
+    }
+    new MStream(out, Nil, Nil, stream.name)
   }
 
   /** Milan window `apply`: arbitrary function over full window contents

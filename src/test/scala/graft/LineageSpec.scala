@@ -163,6 +163,119 @@ class LineageSpec extends SparkSpec {
     } finally queries.values.foreach(_.stop())
   }
 
+  test("groupSelect emits fan-in edges: every input record links to its group's output") {
+    val values = Seq((1L, "a", 2.0), (2L, "a", 3.0), (3L, "b", 5.0)).toDF("vid", "k", "v")
+    val config = new App.Config()
+      .setSource("v", App.Source("list", rows = Some(values)))
+      .addSink("out", App.Sink("memory"))
+      .addLineageSink(App.Sink("memory"))
+    val running = App.run(spark, config) { in =>
+      Map("out" -> in("v").groupBy("k").select(sum(col("v")).as("total")))
+    }
+    val out = running.collectFirst { case App.BatchOutput("out", df) => df }.get
+    val edges = running.collectFirst { case App.BatchOutput("__lineage", df) => df }.get
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+
+    assert(out.columns.contains("record_id"), "aggregate output exposes record_id")
+    val outIdByKey = out.collect().map(r => r.getString(0) -> r.getAs[Long]("record_id")).toMap
+    assert(edges.forall(_._1.startsWith("GroupSelect")))
+    assert(edges.size == 3, "one fan-in edge per contributing input record")
+    val inputIds = idsOf(values)
+    val expected = Set(
+      (outIdByKey("a"), inputIds(1L)), (outIdByKey("a"), inputIds(2L)),
+      (outIdByKey("b"), inputIds(3L)))
+    assert(edges.map(e => (e._2, e._3)) == expected,
+      "edges are exactly output-group -> contributing input ids")
+  }
+
+  test("tumbling windowSelect emits fan-in edges per (window, key) group") {
+    def t(s: Long) = new java.sql.Timestamp(s * 1000)
+    // windows of 10s: rows at 1s,9s share window [0,10); row at 15s is [10,20)
+    val events = Seq((1L, "a", t(1)), (2L, "a", t(9)), (3L, "a", t(15)))
+      .toDF("eid", "k", "ts")
+    val config = new App.Config()
+      .setSource("e", App.Source("list", rows = Some(events)))
+      .addSink("out", App.Sink("memory"))
+      .addLineageSink(App.Sink("memory"))
+    val running = App.run(spark, config) { in =>
+      Map("out" -> in("e").groupBy("k")
+        .tumblingWindow(col("ts"), "10 seconds")
+        .select("win", count(lit(1)).as("n")))
+    }
+    val out = running.collectFirst { case App.BatchOutput("out", df) => df }.get
+    val edges = running.collectFirst { case App.BatchOutput("__lineage", df) => df }.get
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+
+    assert(out.columns.contains("record_id"))
+    assert(edges.forall(_._1.startsWith("WindowSelect")))
+    assert(edges.size == 3, "one edge per input event")
+    val byN = out.collect().map(r => r.getAs[Long]("n") -> r.getAs[Long]("record_id")).toMap
+    val inputIds = idsOf(events)
+    assert(edges.map(e => (e._2, e._3)) == Set(
+        (byN(2L), inputIds(1L)), (byN(2L), inputIds(2L)), (byN(1L), inputIds(3L))),
+      "events 1,2 fan into the [0,10) window output, event 3 into [10,20)")
+  }
+
+  test("streaming groupSelect lineage: fan-in edges flow per micro-batch") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(Long, String, Double)]
+    val outName = s"gs_out_${System.nanoTime()}"
+    val linName = s"gs_edges_${System.nanoTime()}"
+    val config = new App.Config()
+      .setSource("v", App.Source("list", rows = Some(in.toDF().toDF("vid", "k", "v"))))
+      .addSink("out", App.Sink("memory", outputMode = "complete",
+        queryName = Some(outName)))
+      .addLineageSink(App.Sink("memory", queryName = Some(linName)))
+    val running = App.run(spark, config) { s =>
+      Map("out" -> s("v").groupBy("k").select(sum(col("v")).as("total")))
+    }
+    val queries = running.collect { case App.StreamingOutput(n, q) => n -> q }.toMap
+    try {
+      in.addData((1L, "a", 2.0), (2L, "b", 5.0))
+      in.addData((3L, "a", 3.0))
+      queries.values.foreach(_.processAllAvailable())
+      val edges = spark.table(linName).collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+      assert(edges.length == 3, "edges append across micro-batches, one per input")
+      val inputIds = idsOf(
+        Seq((1L, "a", 2.0), (2L, "b", 5.0), (3L, "a", 3.0)).toDF("vid", "k", "v"))
+      assert(edges.map(_._3).toSet == inputIds.values.toSet,
+        "input ids hash-match the streamed records")
+      val outIds = spark.table(outName).collect().map(_.getAs[Long]("record_id")).toSet
+      assert(edges.map(_._2).toSet == outIds,
+        "edge output ids match the aggregate's group-identity record_ids")
+    } finally queries.values.foreach(_.stop())
+  }
+
+  test("concurrent runs on one session keep separate recorders (no cross-talk)") {
+    import scala.concurrent.{Await, Future, Promise}
+    import scala.concurrent.duration._
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val values = Seq((1L, "a", 2.0), (2L, "b", 3.0)).toDF("vid", "k", "v")
+    // gate both program builds to overlap: each waits for the other to
+    // have STARTED building before finishing its own build
+    val aStarted = Promise[Unit](); val bStarted = Promise[Unit]()
+    def runOne(tag: String, started: Promise[Unit], other: Promise[Unit]) = Future {
+      val config = new App.Config()
+        .setSource("v", App.Source("list", rows = Some(values)))
+        .addSink("out", App.Sink("memory"))
+        .addLineageSink(App.Sink("memory"))
+      App.run(spark, config) { in =>
+        started.success(())
+        Await.result(other.future, 30.seconds)
+        Map("out" -> in("v").withName(tag).groupBy("k")
+          .select(sum(col("v")).as("total")))
+      }.collectFirst { case App.BatchOutput("__lineage", df) => df }.get
+        .collect().map(_.getString(0)).toSet
+    }
+    val fa = runOne("runA", aStarted, bStarted)
+    val fb = runOne("runB", bStarted, aStarted)
+    val (opsA, opsB) = (Await.result(fa, 60.seconds), Await.result(fb, 60.seconds))
+    assert(opsA == Set("GroupSelect:runA") && opsB == Set("GroupSelect:runB"),
+      s"each run's lineage sink sees only its own ops, got A=$opsA B=$opsB")
+  }
+
   test("without a lineage sink nothing changes: no record_id, no recorder leak") {
     val lefts = Seq((1L, "a", 10L)).toDF("id", "k", "t")
     val rights = Seq((100L, "a", 5L)).toDF("rid", "rk", "rt")
