@@ -21,6 +21,14 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // RDD.unpersist logs one "locally checkpointed ... cannot be
+    // recomputed" WARN per released block, unconditionally. Every such
+    // release here is deliberate (supersede-and-unpersist hygiene in
+    // connectedComponents/buildVocab/residual joins, and isolate() below)
+    // and the frames are never re-read, so the rdd logger drops to ERROR
+    // in the HARNESS only — library code never touches log levels.
+    org.apache.logging.log4j.core.config.Configurator.setLevel(
+      "org.apache.spark.rdd", org.apache.logging.log4j.Level.ERROR)
 
     // Per-query isolation: a query must not be billed for state a previous
     // query left behind (cached plans, persisted RDDs, checkpoint blocks) —

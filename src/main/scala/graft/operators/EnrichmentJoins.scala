@@ -274,30 +274,59 @@ object EnrichmentJoins {
             // left-inner join EAGER when any left is still unmatched after
             // 512 future rights (driver-looped jobs at build time) — the
             // common case checkpoints once, finds the stuck set empty, and
-            // never iterates. Superseded stuck frames unpersist as they
-            // are replaced (same hygiene as connectedComponents); matched
-            // frames stay — the returned plan references them.
+            // never iterates, leaving NOTHING pinned. Every intermediate
+            // (superseded stuck frames, the final empty stuck frame,
+            // per-chunk match checkpoints) unpersists here; if the loop
+            // matched anything, the chunks consolidate into ONE pinned
+            // frame registered with graft.api.Pinned for App-level release
+            // (the returned plan references it, so it cannot drop earlier).
             val chunk = lDf.sparkSession.conf
               .get("graft.join.residualChunk", "65536").toLong
             require(chunk > 0, s"graft.join.residualChunk must be positive, got $chunk")
+            // release is RDD-level: Dataset.unpersist only talks to the
+            // CacheManager and silently IGNORES localCheckpoint blocks, so
+            // every checkpoint captures its pinned ids (getPersistentRDDs
+            // diff) and frees them through the RDD handles — the same
+            // mechanics as connectedComponents/buildVocab
+            val sc = lDf.sparkSession.sparkContext
+            def cpTracked(d: DataFrame): (DataFrame, Set[Int]) = {
+              val before = sc.getPersistentRDDs.keySet.toSet
+              val cp = d.localCheckpoint()
+              (cp, sc.getPersistentRDDs.keySet.toSet.diff(before))
+            }
+            def unpersistIds(ids: Set[Int]): Unit = {
+              val live = sc.getPersistentRDDs
+              ids.foreach(id => live.get(id).foreach(_.unpersist(blocking = false)))
+            }
             val maxRn = rights.groupBy(keyNames.map(k => col(s"r$k")): _*)
               .agg(max(col("__rn")).as("__maxrn"))
-            var stuck = unmatched(w2, m2).join(maxRn, keyEq, "inner")
+            var (stuck, stuckIds) = cpTracked(unmatched(w2, m2).join(maxRn, keyEq, "inner")
               .filter(col("__maxrn") > col("__nr") + 512)
-              .select(col(L) +: col("__nr") +: col("__maxrn") +: keyNames.map(col): _*)
-              .localCheckpoint()
+              .select(col(L) +: col("__nr") +: col("__maxrn") +: keyNames.map(col): _*))
             var acc = immediate.unionByName(m1).unionByName(m2)
+            var chunkIds = Set.empty[Int]
             var round = 0L
             while (!stuck.isEmpty) {
               val lo = col("__nr") + 512 + lit(round * chunk)
-              val m = matchRound(stuck, lo, lo + chunk).localCheckpoint()
+              val (m, mIds) = cpTracked(matchRound(stuck, lo, lo + chunk))
+              chunkIds ++= mIds
               acc = acc.unionByName(m)
-              val prev = stuck
-              stuck = unmatched(stuck, m)
-                .filter(col("__maxrn") > col("__nr") + 512 + lit((round + 1L) * chunk))
-                .localCheckpoint()
-              prev.unpersist(blocking = false)
+              val prevIds = stuckIds
+              val next = cpTracked(unmatched(stuck, m)
+                .filter(col("__maxrn") > col("__nr") + 512 + lit((round + 1L) * chunk)))
+              stuck = next._1; stuckIds = next._2
+              unpersistIds(prevIds)
               round += 1L
+            }
+            unpersistIds(stuckIds) // the final stuck frame is empty
+            if (chunkIds.nonEmpty) {
+              // consolidate the per-chunk checkpoints into the ONE frame
+              // the returned plan references; register it for caller-side
+              // release (graft.api.Pinned), free the chunks now
+              val (consolidated, accIds) = cpTracked(acc)
+              graft.api.Pinned.register(lDf.sparkSession, accIds)
+              unpersistIds(chunkIds)
+              acc = consolidated
             }
             acc
         }

@@ -325,29 +325,11 @@ object TextOps {
       .filter(col("id") < maxSize)
       .select(col("word"), col("wcount"), col("id"))
       .localCheckpoint()
-    VocabRelease.register(spark, newlyPinned(before2))
+    // only the driver-sized result stays pinned; a long-lived service
+    // frees it via graft.api.Pinned.release once encoding completes
+    graft.api.Pinned.register(spark, newlyPinned(before2))
     unpersistIds(countedIds ++ bucketedIds)
     out
-  }
-
-  /** Registry of the (driver-sized) pinned vocab results per session, so a
-    * long-lived service can release them once encoding is done — the
-    * lifecycle hook the corpus-sized intermediates don't need (buildVocab
-    * unpersists those before returning). */
-  object VocabRelease {
-    private val pinned =
-      new java.util.concurrent.ConcurrentHashMap[org.apache.spark.sql.SparkSession, Set[Int]]()
-    private[pipeline] def register(spark: org.apache.spark.sql.SparkSession,
-                                   ids: Set[Int]): Unit =
-      pinned.merge(spark, ids, (a, b) => a ++ b)
-    /** Unpersist every vocab frame built on `spark` since the last release.
-      * Call after the consuming action (encode/write) completes; the frames
-      * cannot be re-read afterwards. */
-    def release(spark: org.apache.spark.sql.SparkSession): Unit = {
-      val ids = Option(pinned.remove(spark)).getOrElse(Set.empty)
-      val live = spark.sparkContext.getPersistentRDDs
-      ids.foreach(id => live.get(id).foreach(_.unpersist(blocking = false)))
-    }
   }
 
   /** Encode documents to token-id arrays against a vocabulary frame

@@ -1,0 +1,74 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.api.{MStream, Pinned}
+
+/** Checkpoint lifecycle: operators that localCheckpoint intermediates must
+  * unpersist every superseded frame before returning, and anything the
+  * RETURNED plan still references must be registered with [[Pinned]] for
+  * caller-side release — a long-lived service must not accumulate
+  * BlockManager blocks per built query. */
+class CheckpointHygieneSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def pinnedNow(): Set[Int] = spark.sparkContext.getPersistentRDDs.keySet.toSet
+
+  /** Async unpersist: poll until the diff against `before` satisfies `ok`. */
+  private def settle(before: Set[Int])(ok: Set[Int] => Boolean): Set[Int] = {
+    val deadline = System.nanoTime() + 10e9.toLong
+    var diff = pinnedNow().diff(before)
+    while (!ok(diff) && System.nanoTime() < deadline) { Thread.sleep(50); diff = pinnedNow().diff(before) }
+    diff
+  }
+
+  test("common-case residual left-inner join pins nothing after build") {
+    val before = pinnedNow()
+    val lefts = new MStream(
+      Seq((1L, "a", 1L, 1.0), (2L, "a", 3L, 2.0), (3L, "b", 5L, 9.0))
+        .toDF("id", "k", "t", "need"), Seq("t", "id"))
+    val rights = new MStream(
+      Seq((10L, "a", 2L, 5.0), (11L, "a", 4L, 40.0)).toDF("rid", "rk", "rt", "rv"),
+      Seq("rt", "rid"))
+    val out = lefts.leftInnerJoin(rights)
+      .on((l, r) => l("k") === r("rk") && r("rv") >= l("need"))
+      .select((l, r) => Seq(l("id").as("id"), r("rid").as("rid")))
+      .df.collect()
+    assert(out.nonEmpty)
+    val left = settle(before)(_.isEmpty)
+    assert(left.isEmpty, s"no pinned blocks survive the common residual path, got $left")
+  }
+
+  test("adversarial residual loop consolidates matches into one released-on-demand frame") {
+    val prev = spark.conf.getOption("graft.join.residualChunk")
+    spark.conf.set("graft.join.residualChunk", "100")
+    try {
+      val before = pinnedNow()
+      val lefts = new MStream(
+        Seq((1L, "hot", 10L, 800.0), (2L, "hot", 20L, 950.0))
+          .toDF("id", "k", "t", "need"), Seq("t", "id"))
+      val rights = new MStream(
+        (1L to 1000L).map(i => (2000L + i, "hot", 100L + i, i.toDouble))
+          .toDF("rid", "rk", "rt", "rv"), Seq("rt", "rid"))
+      val joined = lefts.leftInnerJoin(rights)
+        .on((l, r) => l("k") === r("rk") && r("rv") >= l("need"))
+        .select((l, r) => Seq(l("id").as("id"), r("rid").as("rid")))
+      assert(joined.df.collect().map(r => (r.getLong(0), r.getLong(1))).toSet ==
+        Set((1L, 2800L), (2L, 2950L)), "loop answers stay correct under consolidation")
+      // per-chunk and stuck-set intermediates are gone; only the single
+      // consolidated matches frame (registered with Pinned) remains
+      val afterBuild = settle(before)(_.size <= 1)
+      assert(afterBuild.size <= 1,
+        s"chunk/stuck checkpoints released, one consolidated frame at most: $afterBuild")
+      assert(Pinned.registered(spark).nonEmpty,
+        "the consolidated frame is registered for caller-side release")
+      Pinned.release(spark)
+      val end = settle(before)(_.isEmpty)
+      assert(end.isEmpty, s"Pinned.release drops the consolidated frame, got $end")
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set("graft.join.residualChunk", v)
+        case None => spark.conf.unset("graft.join.residualChunk")
+      }
+    }
+  }
+}

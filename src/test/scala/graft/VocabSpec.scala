@@ -62,7 +62,7 @@ class VocabSpec extends SparkSpec {
     val deadline = System.nanoTime() + 10e9.toLong
     while (livePinned().size > 1 && System.nanoTime() < deadline) Thread.sleep(50)
     assert(livePinned().size <= 1, s"corpus-sized intermediates released, got ${livePinned()}")
-    TextOps.VocabRelease.release(spark)
+    graft.api.Pinned.release(spark)
     while (livePinned().nonEmpty && System.nanoTime() < deadline) Thread.sleep(50)
     assert(livePinned().isEmpty, "release() drops the pinned vocab result")
   }
