@@ -148,6 +148,19 @@ object App {
       * edges are written to this sink as the stream `__lineage`. */
     def addLineageSink(s: Sink): Config = { lineage = Some(s); this }
     def lineageSink: Option[Sink] = lineage
+    /** Engine tuning the configuration carries with it (milan configs
+      * travel with their job, `ApplicationConfiguration`): `graft.*` conf
+      * knobs — e.g. `graft.join.residualChunk`, the residual left-inner
+      * join's remainder chunk size — applied for the duration of
+      * [[App.run]] and restored afterwards, so a shipped JSON config tunes
+      * the engine without touching code or leaking session state. */
+    def setTuning(key: String, value: String): Config = {
+      require(key.startsWith("graft."),
+        s"engine tuning keys are graft.* confs, got '$key' (set Spark confs on the session)")
+      tuningMap += key -> value; this
+    }
+    def tuning: Map[String, String] = tuningMap
+    private var tuningMap = Map.empty[String, String]
     def source(stream: String): Source = sources.getOrElse(stream,
       throw new IllegalArgumentException(s"no source bound for stream '$stream'"))
     def sinkList(stream: String): Seq[Sink] = sinks.getOrElse(stream, Nil)
@@ -181,7 +194,8 @@ object App {
         ("stateStore" -> k.stateStore)
     JsonMethods.compact(JsonMethods.render(
       ("sources" -> config.sourceBindings.map { case (n, s) => n -> sourceJson(s) }) ~
-        ("sinks" -> config.sinkBindings.map { case (n, ks) => n -> ks.map(sinkJson) })))
+        ("sinks" -> config.sinkBindings.map { case (n, ks) => n -> ks.map(sinkJson) }) ~
+        ("tuning" -> config.tuning)))
   }
 
   /** Parse a `configToJson` document back into a bindable `Config`. */
@@ -220,6 +234,12 @@ object App {
       }
       case _ =>
     }
+    (j \ "tuning") match {
+      case JObject(fields) => fields.foreach { case (k, v) =>
+        c.setTuning(k, v.extract[String])
+      }
+      case _ =>
+    }
     c
   }
 
@@ -229,7 +249,7 @@ object App {
   final case class BatchOutput(stream: String, df: DataFrame) extends Running
   final case class StreamingOutput(stream: String, query: StreamingQuery) extends Running
 
-  private def readSource(spark: SparkSession, s: Source): MStream = {
+  private[graft] def readSource(spark: SparkSession, s: Source): MStream = {
     val df = s.rows.getOrElse {
       val reader =
         if (s.keepReading) {
@@ -280,14 +300,30 @@ object App {
    */
   def run(spark: SparkSession, config: Config)(
       program: (String => MStream) => Map[String, MStream]): Seq[Running] =
-    config.lineageSink match {
-      // recorder is scoped to THIS run (thread-local for the synchronous
-      // program build), so concurrent runs on one session neither mix
-      // edge frames nor disable each other's recording mid-build
-      case Some(_) => Lineage.scoped(rec =>
-        runWithLineage(spark, config, Some(rec))(program))
-      case None => runWithLineage(spark, config, None)(program)
+    withTuning(spark, config) {
+      config.lineageSink match {
+        // recorder is scoped to THIS run (thread-local for the synchronous
+        // program build), so concurrent runs on one session neither mix
+        // edge frames nor disable each other's recording mid-build
+        case Some(_) => Lineage.scoped(rec =>
+          runWithLineage(spark, config, Some(rec))(program))
+        case None => runWithLineage(spark, config, None)(program)
+      }
     }
+
+  /** Apply the config's `graft.*` tuning for the duration of `body` and
+    * restore the prior session values after (the state-store provider
+    * save/restore pattern below). Build-time-eager operators (residual
+    * joins) read their knobs during the program build, inside this scope. */
+  private def withTuning[T](spark: SparkSession, config: Config)(body: => T): T = {
+    if (config.tuning.isEmpty) return body
+    val saved = config.tuning.keys.map(k => k -> spark.conf.getOption(k)).toMap
+    config.tuning.foreach { case (k, v) => spark.conf.set(k, v) }
+    try body finally saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
 
   private def runWithLineage(spark: SparkSession, config: Config,
       recorder: Option[Lineage.Recorder])(

@@ -571,6 +571,44 @@ object Program {
     doc
   }
 
+  /** SCHEMA validation against the bound sources: replay the document over
+    * EMPTY frames carrying each source's real schema (and declared order)
+    * and force analysis node-by-node, so a document referencing a
+    * nonexistent column fails HERE with the offending node's name instead
+    * of surfacing as a bare AnalysisException from deep inside
+    * `interpret` at run time. Empty frames keep build-time-eager operators
+    * (residual joins) trivial, so validation plans but never computes.
+    * Structural/SQL-parse validation ([[fromJson]]'s load-time check) is a
+    * prerequisite and runs first. */
+  def validate(doc: Doc, spark: org.apache.spark.sql.SparkSession,
+               config: App.Config): Unit = {
+    validate(doc)
+    def emptyExternal(n: String): MStream = {
+      val bound = App.readSource(spark, config.source(n))
+      new MStream(
+        spark.createDataFrame(new java.util.ArrayList[org.apache.spark.sql.Row](),
+          bound.df.schema),
+        bound.eventOrder, bound.contextKeys, n)
+    }
+    var env = Map.empty[String, MStream]
+    doc.nodes.foreach { node =>
+      try {
+        val out = node match {
+          case External(n) => emptyExternal(n)
+          case other => lowerNode(other, name => env(name))
+        }
+        out.df.schema // force analysis NOW so failures attribute to THIS node
+        env += node.name -> out.withName(node.name)
+      } catch {
+        case e: IllegalArgumentException if e.getMessage != null &&
+          e.getMessage.startsWith(s"node '") => throw e
+        case e: Exception => throw new IllegalArgumentException(
+          s"node '${node.name}' does not resolve against the bound source " +
+            s"schemas: ${e.getMessage}", e)
+      }
+    }
+  }
+
   /** Load-time validation: every SQL fragment must parse, every input
     * reference must resolve to an earlier node. Catches a corrupt or
     * hand-edited document before any Spark job is planned. */

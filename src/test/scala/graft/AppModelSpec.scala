@@ -509,6 +509,80 @@ class AppModelSpec extends SparkSpec {
     assert(w == Set(("1", 4.0), ("2", 9.0)), s"windowed per-key sums, got $w")
   }
 
+  test("config carries graft.* engine tuning: JSON round-trip, applied during run, restored after") {
+    val json = App.configToJson(new App.Config()
+      .setSource("v", App.Source("parquet", path = Some("/tmp/x.parquet")))
+      .addSink("out", App.Sink("memory"))
+      .setTuning("graft.join.residualChunk", "100"))
+    val loaded = App.configFromJson(json)
+    assert(loaded.tuning == Map("graft.join.residualChunk" -> "100"),
+      "tuning survives the config JSON round-trip")
+
+    assert(intercept[IllegalArgumentException](
+      new App.Config().setTuning("spark.sql.shuffle.partitions", "8"))
+      .getMessage.contains("graft.*"), "non-graft keys are rejected")
+
+    // the knob is visible to operators DURING the program build (that is
+    // when the residual join reads it) and restored afterwards
+    spark.conf.unset("graft.join.residualChunk")
+    val data = Seq((1L, 2.0)).toDF("k", "v")
+    var seenDuringBuild: Option[String] = None
+    App.run(spark, new App.Config()
+        .setSource("v", App.Source("list", rows = Some(data)))
+        .addSink("out", App.Sink("memory"))
+        .setTuning("graft.join.residualChunk", "100")) { in =>
+      seenDuringBuild = spark.conf.getOption("graft.join.residualChunk")
+      Map("out" -> in("v"))
+    }
+    assert(seenDuringBuild.contains("100"), "tuning applied for the build")
+    assert(spark.conf.getOption("graft.join.residualChunk").isEmpty,
+      "session conf restored after the run")
+  }
+
+  test("schema validation resolves each node against bound sources and names the bad one") {
+    import graft.api.Program
+    import graft.api.Program._
+    val events = Seq((1L, 2.0)).toDF("user_id", "v")
+    val config = new App.Config()
+      .setSource("events", App.Source("list", rows = Some(events)))
+    val good = Doc(
+      nodes = Seq(
+        External("events"),
+        Where("pos", "events", "v > 0"),
+        GroupSelect("out", "pos", Seq("user_id"), Seq(Field("sum(v)", "total")))),
+      outputs = Seq("out"))
+    Program.validate(good, spark, config) // resolves cleanly
+
+    val badCol = Doc(
+      nodes = Seq(
+        External("events"),
+        Where("pos", "events", "v > 0"),
+        GroupSelect("totals", "pos", Seq("user_id"),
+          Seq(Field("sum(missing_col)", "total")))),
+      outputs = Seq("totals"))
+    val e = intercept[IllegalArgumentException](Program.validate(badCol, spark, config))
+    assert(e.getMessage.contains("node 'totals'"),
+      s"failure names the unresolvable node, got: ${e.getMessage}")
+    assert(e.getMessage.toLowerCase.contains("missing_col"),
+      "and carries the analyzer's detail")
+
+    // downstream of the bad node nothing is reached; a bad MIDDLE node is
+    // still the one named
+    val badMid = Doc(
+      nodes = Seq(
+        External("events"),
+        Where("oops", "events", "nope > 0"),
+        GroupSelect("out", "oops", Seq("user_id"), Seq(Field("sum(v)", "total")))),
+      outputs = Seq("out"))
+    val e2 = intercept[IllegalArgumentException](Program.validate(badMid, spark, config))
+    assert(e2.getMessage.contains("node 'oops'"))
+
+    // unbound source still reports through the external node
+    val e3 = intercept[IllegalArgumentException](
+      Program.validate(good, spark, new App.Config()))
+    assert(e3.getMessage.contains("events"))
+  }
+
   test("capture: a recorded pipeline exports the exact document its DSL twin hand-writes") {
     import graft.api.Program
     import graft.api.Program._
