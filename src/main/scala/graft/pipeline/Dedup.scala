@@ -588,6 +588,26 @@ object Dedup {
    * k <= 8 keeps candidate sets tractable here, and the popcount verify
    * is exact regardless of chunk width.
    */
+  /** Versioned kryo envelope for the banded-ingest bucket state.
+    * CHECKPOINT COMPATIBILITY: the wire format changed in each of rounds
+    * 6 and 7 (entry arity, 16-bit short keys, then this envelope) — a
+    * streaming query restarted from a checkpoint written by an older
+    * build needs a NEW checkpointLocation. From this version on, a format
+    * bump increments [[BandedStateVersion]] and a stale-but-decodable
+    * checkpoint fails fast with the message below instead of a kryo
+    * decode exception deep inside the state manager (a checkpoint from
+    * BEFORE the envelope existed still fails at kryo decode — that too
+    * means "new checkpointLocation required"). */
+  final case class BandedBucketState(version: Int,
+                                     entries: List[(Long, Boolean, Long)])
+  private[graft] val BandedStateVersion = 1
+  private[graft] def requireBandedStateVersion(v: Int): Unit =
+    if (v != BandedStateVersion) throw new IllegalStateException(
+      s"banded-ingest state version $v in checkpoint, this build writes " +
+        s"$BandedStateVersion: the streaming state format changed between " +
+        "builds and cannot be migrated in place - restart the query with a " +
+        "new checkpointLocation (re-ingesting history re-derives the state)")
+
   private def bandedIngest(stream: graft.api.MStream, idCol: String,
                            sig: org.apache.spark.sql.Column,
                            short: org.apache.spark.sql.Column,
@@ -721,10 +741,9 @@ object Dedup {
       StructField("__id", idType), StructField("__matched", BooleanType, nullable = false),
       StructField("__payload", payloadT)))
     val verdictEnc: Encoder[Row] = RowEncoder.encoderFor(verdictT)
-    // state entries: (signature, short-class flag, max event time ms seen
-    // for that signature — 0 when eviction is off)
-    val bucketStEnc: Encoder[List[(Long, Boolean, Long)]] =
-      Encoders.kryo[List[(Long, Boolean, Long)]]
+    // state: versioned envelope over (signature, short-class flag, max
+    // event time ms seen for that signature — 0 when eviction is off)
+    val bucketStEnc: Encoder[BandedBucketState] = Encoders.kryo[BandedBucketState]
     val idIdx = u.schema.fieldIndex("__id")
     val sigIdx = u.schema.fieldIndex("__sig")
     val shortIdx = u.schema.fieldIndex("__short")
@@ -742,14 +761,17 @@ object Dedup {
     // bucket), and the bounded bucket-key space (chunk values; 16-bit
     // masked short keys) caps what an idle bucket can strand.
     val verdicts = graft.streaming.KeyedRows.byNames(u, Seq("__ci", "__cv"))
-      .flatMapGroupsWithState[List[(Long, Boolean, Long)], Row](
+      .flatMapGroupsWithState[BandedBucketState, Row](
         OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
         (_: Row, it: Iterator[Row], state) =>
           // prune first: a signature whose latest occurrence is at-or-below
           // the watermark can never match a future arrival (late rows are
           // already dropped at ts <= watermark), so its entry is dead
           val wm = if (within) state.getCurrentWatermarkMs() else Long.MinValue
-          var seen = state.getOption.getOrElse(Nil).filter(_._3 > wm)
+          var seen: List[(Long, Boolean, Long)] = state.getOption match {
+            case None => Nil
+            case Some(s) => requireBandedStateVersion(s.version); s.entries.filter(_._3 > wm)
+          }
           val sorted = it.toSeq.sortWith((a, b) => graft.streaming.EventOrder
             .compareSeqs(a.getStruct(ordIdx).toSeq, b.getStruct(ordIdx).toSeq) < 0)
           val outs = sorted.map { r =>
@@ -768,7 +790,7 @@ object Dedup {
             }
             Row(r.get(idIdx), m, r.getStruct(paylIdx))
           }
-          state.update(seen)
+          state.update(BandedBucketState(BandedStateVersion, seen))
           outs.iterator
       }(bucketStEnc, verdictEnc).toDF()
 

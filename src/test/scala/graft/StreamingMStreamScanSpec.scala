@@ -361,6 +361,17 @@ class StreamingMStreamScanSpec extends SparkSpec {
       s"fat-bucket sweep must match the naive fold: missing=${expected -- got} extra=${got -- expected}")
   }
 
+  test("banded state version guard: stale checkpoint fails with a migration message, current passes") {
+    graft.pipeline.Dedup.requireBandedStateVersion(
+      graft.pipeline.Dedup.BandedStateVersion) // current version is silent
+    val e = intercept[IllegalStateException](
+      graft.pipeline.Dedup.requireBandedStateVersion(
+        graft.pipeline.Dedup.BandedStateVersion + 1))
+    assert(e.getMessage.contains("checkpointLocation"),
+      s"the error tells the operator what to do, got: ${e.getMessage}")
+    assert(e.getMessage.contains("state format changed"))
+  }
+
   test("banded ingest withinWatermark evicts bucket signatures past the horizon, state stays bounded") {
     implicit val sqlCtx = spark.sqlContext
     val tDup = "the quick brown fox jumps over the lazy dog again and again for testing purposes only"
