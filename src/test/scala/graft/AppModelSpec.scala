@@ -681,6 +681,47 @@ class AppModelSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("capture surface covers every program node type; captured docs survive the codec") {
+    import graft.api.Program
+    import graft.api.Program._
+    import graft.api.MStream
+    def t(s: Long) = new java.sql.Timestamp(s * 1000)
+    val evDf = Seq(("a", 2.0, t(1), 1L), ("a", 3.0, t(12), 2L), ("b", 5.0, t(3), 3L))
+      .toDF("k", "v", "ts", "seq")
+    val rDf = Seq(("a", 10L, 100L)).toDF("rk", "rid", "rseq")
+
+    val ev = Program.Rec.external("ev", new MStream(evDf, Seq("seq")))
+    val rs = Program.Rec.external("rs", new MStream(rDf, Seq("rseq", "rid")))
+    val base = ev.where("v > 0")
+      .addFields("v * 2" -> "v2")
+      .map("k" -> "k", "v2" -> "v2", "ts" -> "ts", "seq" -> "seq")
+      .orderedBy("seq")
+    val outs: Seq[Program.Rec] = Seq(
+      base.union(base.distinct()),
+      base.sumBy("v2", "run", keys = Seq("k")),
+      base.recordWindow(Seq("k"), 2, ("sumBy", "v2", "rw")),
+      base.dedupBy(Seq("k")),
+      ev.withWatermark("ts", "10 seconds"),
+      base.uniqueBy(Seq("k"), Seq("seq")),
+      base.toField("rec"),
+      base.groupSelect(Seq("k"), "sum(v2)" -> "total"),
+      base.windowSelect(Seq("k"), "ts", "10 seconds", None, "0 seconds", "win",
+        Seq("sum(v2)" -> "sv")),
+      base.sessionSelect(Seq("k"), "ts", "5 seconds", "sstart", "count(1)" -> "n"),
+      base.leftJoin(rs, "l.k = r.rk", "l.k" -> "k", "r.rid" -> "rid"),
+      base.asofJoin(rs, "seq", "rseq", Seq("k" -> "rk"), Seq("rid")))
+    val doc = Program.capture(outs: _*)
+    val nodeTypes = doc.nodes.map(_.getClass.getSimpleName).toSet
+    val allTypes = Set("External", "MapCols", "Where", "AddTo", "OrderBy", "Union",
+      "Distinct", "GroupSelect", "WindowSelect", "Join", "Scan", "DedupBy",
+      "Watermark", "Asof", "UniqueBy", "ToField", "SessionSelect", "RecordWindow")
+    assert(nodeTypes == allTypes,
+      s"recording surface reaches every node type; missing ${allTypes.diff(nodeTypes)}")
+    assert(Program.fromJson(Program.toJson(doc)) == doc,
+      "the full-surface captured document is codec-stable")
+    assert(doc.outputs.size == outs.size, "every branch is an addressable output")
+  }
+
   test("capture: shared upstreams dedup; name collisions and bad inputs reject") {
     import graft.api.Program
     import graft.api.MStream
