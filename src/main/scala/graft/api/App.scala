@@ -315,6 +315,31 @@ object App {
     * restore the prior session values after (the state-store provider
     * save/restore pattern below). Build-time-eager operators (residual
     * joins) read their knobs during the program build, inside this scope. */
+  /** Append `df` as parquet files into `dir` with atomic visibility: write
+    * to a staging dir, then rename each part file into place (same
+    * filesystem ⇒ atomic), so a concurrent listing-based stream source
+    * never observes a partial file. */
+  private def appendAtomic(df: DataFrame, dir: String, tag: Long): Unit = {
+    // staging lives INSIDE the channel so executors write to the same
+    // (possibly shared) filesystem the rename targets; the source's file
+    // listing skips dot-prefixed paths, so staging files are invisible
+    // until renamed. Rename-in-place is atomic on posix/HDFS semantics.
+    val staging = new org.apache.hadoop.fs.Path(
+      dir, s".stage-$tag-${java.util.UUID.randomUUID()}")
+    val conf = df.sparkSession.sessionState.newHadoopConf()
+    val fs = staging.getFileSystem(conf)
+    try {
+      df.write.mode("overwrite").parquet(staging.toString)
+      val parts = fs.listStatus(staging,
+        (p: org.apache.hadoop.fs.Path) =>
+          p.getName.startsWith("part-") && p.getName.endsWith(".parquet"))
+      parts.zipWithIndex.foreach { case (st, i) =>
+        fs.rename(st.getPath,
+          new org.apache.hadoop.fs.Path(dir, s"fb-$tag-$i-${st.getPath.getName}"))
+      }
+    } finally fs.delete(staging, true)
+  }
+
   private def withTuning[T](spark: SparkSession, config: Config)(body: => T): T = {
     if (config.tuning.isEmpty) return body
     val saved = config.tuning.keys.map(k => k -> spark.conf.getOption(k)).toMap
@@ -356,7 +381,21 @@ object App {
       val out = outputs.getOrElse(stream,
         throw new IllegalArgumentException(s"program produced no stream '$stream'"))
       config.sinkList(stream).map { sink =>
-        if (out.df.isStreaming) {
+        if (out.df.isStreaming && sink.format == "cycle-feedback") {
+          // Cycles.feedbackChannel egress: skip empty micro-batches (a
+          // stock file sink's empty-batch part files would re-trigger the
+          // loop's own source forever) and publish by atomic rename so the
+          // listing-based source never reads a half-written file.
+          val dir = sink.path.getOrElse(throw new IllegalArgumentException(
+            "cycle-feedback sink needs a path"))
+          val w = out.df.writeStream.foreachBatch {
+            (batch: DataFrame, batchId: Long) =>
+              if (!batch.isEmpty) appendAtomic(batch, dir, batchId)
+          }
+          sink.queryName.foreach(w.queryName)
+          sink.checkpoint.foreach(cp => w.option("checkpointLocation", cp))
+          StreamingOutput(stream, w.start())
+        } else if (out.df.isStreaming) {
           val w = out.df.writeStream.format(sink.format)
             .options(sink.options).outputMode(sink.outputMode)
           sink.queryName.foreach(w.queryName)
@@ -378,6 +417,11 @@ object App {
         } else sink.format match {
           case "memory" => BatchOutput(stream, out.df) // caller collects
           case "console" => out.df.show(false); BatchOutput(stream, out.df)
+          case "cycle-feedback" => // batch run of the same program: one pass
+            appendAtomic(out.df, sink.path.getOrElse(throw
+              new IllegalArgumentException("cycle-feedback sink needs a path")),
+              System.nanoTime())
+            BatchOutput(stream, out.df)
           case f =>
             val w = out.df.write.format(f).options(sink.options).mode(sink.mode)
             sink.path.map(w.save).getOrElse(w.save())

@@ -1,7 +1,8 @@
 package graft.operators
 
 import org.apache.spark.sql.DataFrame
-import graft.api.MStream
+import org.apache.spark.sql.types.StructType
+import graft.api.{App, MStream}
 
 /**
  * Milan `beginCycle`/`closeCycle` (`lang/CycleStream.scala:22`,
@@ -38,5 +39,48 @@ object Cycles {
       i += 1
     }
     current
+  }
+
+  /**
+   * Streaming feedback — the reference's documented sink→source fallback
+   * (`bodaboda/BodaApp.scala:62-66`: route the cycle through an external
+   * channel when `beginCycle`/`closeCycle` can't be used) as a managed
+   * surface rather than prose: ONE directory is both the cycle's sink and
+   * its source, so a record the loop body emits re-enters the program in a
+   * later micro-batch.
+   *
+   * Returns the `(source, sink)` pair to bind in an [[App.Config]]: union
+   * the source into the loop body's ingress, route the body's feedback
+   * output to the sink. The sink is the `cycle-feedback` format — a
+   * foreachBatch writer that SKIPS EMPTY MICRO-BATCHES and publishes part
+   * files into the channel by atomic rename. Both halves of that matter
+   * for a self-loop: Spark's stock file sink emits a (possibly empty) part
+   * file and a commit-log entry every batch, which the loop's own source
+   * then sees as new data — the cycle re-triggers forever on its own
+   * zero-row emissions. Suppressing empty batches makes
+   * `StreamingQuery.processAllAvailable()` a fixpoint driver: it returns
+   * exactly when the feedback predicate stops emitting (an always-true
+   * predicate loops forever, like an ill-founded Flink iteration), and
+   * rename-publication means the listing-based source never observes a
+   * half-written file.
+   *
+   * Scale posture: the channel is a parquet directory — at cluster scale
+   * point it at shared storage; feedback volume is bounded by the
+   * predicate, not by any single executor's memory. Each pass costs one
+   * file round trip (latency, not throughput) — the same cost the
+   * reference's sink→source fallback pays through Kinesis. Delivery is
+   * at-least-once across crash recovery (foreachBatch replay), matching
+   * the reference fallback's semantics.
+   */
+  def feedbackChannel(dir: String, schema: StructType,
+      checkpoint: Option[String] = None): (App.Source, App.Sink) = {
+    new java.io.File(dir).mkdirs()
+    val source = App.Source(format = "parquet", path = Some(dir),
+      schema = Some(schema), keepReading = true)
+    val sink = App.Sink(format = "cycle-feedback", path = Some(dir),
+      outputMode = "append",
+      checkpoint = Some(checkpoint.getOrElse(
+        java.nio.file.Files.createTempDirectory("graft_cycle_cp").toString)))
+    (source, sink)
   }
 }
