@@ -74,7 +74,9 @@ object StressBench {
         isolate()
         val t0 = System.nanoTime()
         val rows = SparkEntry.queries(q)(spark, out).count()
-        println(f"STRESS $q rep$rep ${(System.nanoTime() - t0) / 1e9}%.2f s ($rows rows)")
+        val cc = if (q.contains("clusters") || q.contains("corpus"))
+          s", ${graft.pipeline.Dedup.lastCcRounds} cc rounds" else ""
+        println(f"STRESS $q rep$rep ${(System.nanoTime() - t0) / 1e9}%.2f s ($rows rows$cc)")
       }
     }
     spark.stop()

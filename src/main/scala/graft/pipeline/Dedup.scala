@@ -351,6 +351,11 @@ object Dedup {
     * results (`sc.getPersistentRDDs`) between jobs, as `Bench.isolate`
     * does. Returns (node, cluster_id = component min) for nodes appearing
     * in `pairs`; singletons are their own cluster by definition. */
+  /** Iterations the most recent [[connectedComponents]] call in this JVM
+    * took to converge — a diagnostic for the O(log n)-rounds claim
+    * (StressBench prints it per scale point). Driver-side only. */
+  @volatile var lastCcRounds: Int = -1
+
   def connectedComponents(pairs: DataFrame, aCol: String, bCol: String,
                           nodeOut: String = "node", clusterOut: String = "cluster_id",
                           maxIter: Int = 50): DataFrame = {
@@ -446,6 +451,7 @@ object Dedup {
       eIds = e2Ids
       it += 1
     }
+    lastCcRounds = it
     // At the fixpoint the edge set is a star forest pointing at component
     // minima: non-root nodes appear as u (mapped to their minimum), roots
     // appear only as v (mapped to themselves). Materialize the (tiny: one
