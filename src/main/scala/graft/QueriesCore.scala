@@ -326,4 +326,42 @@ object QueriesCore {
   }
 
   val qCaptureAggSql: String = qAggSql
+
+  /** Iterative dataflow through the program-document cycle surface (milan
+    * `beginCycle`/`closeCycle`, `lang/CycleStream.scala:22`,
+    * `program/StreamExpressions.scala:141`): per-order base-10 shift chains
+    * (x, x div 10, ... while > 0) as the batch SET least-fixpoint
+    * H = distinct(init ∪ F(H)), driver-iterated with per-round checkpoints
+    * (`Cycles.iterate`). The document ships through the JSON codec and
+    * executes via `App.runProgram`, so the oracle row set certifies the
+    * whole serialize → load → cycle-lowering path. DuckDB mirror: recursive
+    * CTE with UNION (set semantics — the same fixpoint). */
+  def qCycle(spark: SparkSession, dir: String): DataFrame = {
+    import graft.api.{App, Program}
+    import graft.api.Program._
+    val doc = Doc(
+      nodes = Seq(
+        External("orders"),
+        MapCols("init", "orders", Seq(
+          Field("o_orderkey", "id"),
+          Field("CAST(floor(o_totalprice) AS BIGINT)", "x"))),
+        BeginCycle("chain", "init", 50),
+        MapCols("shift", "chain", Seq(Field("id", "id"), Field("x div 10", "x"))),
+        Where("fb", "shift", "x > 0"),
+        CloseCycle("out", "chain", "fb")),
+      outputs = Seq("out"))
+    val config = new App.Config()
+      .setSource("orders", App.Source(
+        format = "parquet", path = Some(s"$dir/orders.parquet")))
+      .addSink("out", App.Sink(format = "memory"))
+    App.runProgram(spark, config, Program.toJson(doc))
+      .collectFirst { case App.BatchOutput("out", out) => out }.get
+  }
+
+  val qCycleSql: String =
+    """WITH RECURSIVE h(id, x) AS (
+      |  SELECT o_orderkey AS id, CAST(floor(o_totalprice) AS BIGINT) AS x FROM orders
+      |  UNION
+      |  SELECT id, x // 10 FROM h WHERE (x // 10) > 0
+      |) SELECT id, x FROM h""".stripMargin
 }

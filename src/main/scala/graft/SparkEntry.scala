@@ -24,7 +24,8 @@ object SparkEntry {
     "q_asof_join" -> (QueriesCore.qAsofJoin _),
     "q_asof_fwd" -> (QueriesCore.qAsofFwd _),
     "q_program_agg" -> (QueriesCore.qProgramAgg _),
-    "q_capture_agg" -> (QueriesCore.qCaptureAgg _)
+    "q_capture_agg" -> (QueriesCore.qCaptureAgg _),
+    "q_cycle" -> (QueriesCore.qCycle _)
   ) ++ QueriesStateful.all ++ QueriesPipeline.all
 
   def oracleSql: Map[String, String] = Map(
@@ -40,6 +41,7 @@ object SparkEntry {
     "q_asof_join" -> QueriesCore.qAsofJoinSql,
     "q_asof_fwd" -> QueriesCore.qAsofFwdSql,
     "q_program_agg" -> QueriesCore.qProgramAggSql,
-    "q_capture_agg" -> QueriesCore.qCaptureAggSql
+    "q_capture_agg" -> QueriesCore.qCaptureAggSql,
+    "q_cycle" -> QueriesCore.qCycleSql
   ) ++ QueriesStateful.sql ++ QueriesPipeline.sql
 }

@@ -96,6 +96,23 @@ object Program {
     * name). Works batch and streaming through `selectRunning`. */
   final case class RecordWindow(name: String, input: String, keys: Seq[String],
                                 n: Int, aggs: Seq[(String, String, String)]) extends Node
+  /** Milan `beginCycle` (`lang/CycleStream.scala:22`,
+    * `program/StreamExpressions.scala:141`): declares a feedback head — the
+    * stream is `input` ∪ whatever the matching [[CloseCycle]] feeds back.
+    * Batch lowering computes the SET least-fixpoint H = distinct(input ∪
+    * F(H)) by driver iteration (≤ maxIterations rounds, each checkpointed;
+    * `Cycles.iterate`); streaming lowering unions the channel source bound
+    * under the reserved name `__cycle_<name>` and exposes the feedback
+    * stream as an extra output of the same name for the channel sink
+    * (`Cycles.feedbackChannel` provides both bindings). */
+  final case class BeginCycle(name: String, input: String,
+                              maxIterations: Int) extends Node
+  /** Milan `closeCycle`: connects `feedback`'s records back into the head
+    * `cycle`. Evaluates to the closed head stream. Nodes between a
+    * BeginCycle and its CloseCycle form the loop body; nesting is not
+    * supported. */
+  final case class CloseCycle(name: String, cycle: String,
+                              feedback: String) extends Node
 
   /** The whole document: nodes in topological order + the named outputs a
     * configuration may bind sinks to. */
@@ -123,20 +140,78 @@ object Program {
 
   /** Lower a document to the program shape [[App.run]]/[[App.describeJson]]
     * take: nodes evaluate in document order (inputs must precede uses),
-    * external names resolve through the config-bound lookup. */
+    * external names resolve through the config-bound lookup. For each
+    * STREAMING cycle the returned map carries one extra entry
+    * `__cycle_<head>` (the feedback stream) so a configuration can bind
+    * the channel sink by name; batch cycles resolve to their fixpoint and
+    * need no channel bindings. */
   def interpret(doc: Doc): (String => MStream) => Map[String, MStream] = external => {
+    val env = interpretNodes(doc.nodes.toVector, external)
+    val feedback = doc.nodes.collect {
+      case b: BeginCycle if env.contains(s"__cycle_${b.name}") =>
+        val k = s"__cycle_${b.name}"; k -> env(k)
+    }
+    doc.outputs.map(o => o -> env(o)).toMap ++ feedback
+  }
+
+  private def interpretNodes(nodes: Vector[Node],
+      external: String => MStream): Map[String, MStream] = {
     var env = Map.empty[String, MStream]
     def in(n: String): MStream = env.getOrElse(n,
       throw new IllegalArgumentException(
         s"program node input '$n' is not defined above its use"))
-    doc.nodes.foreach { node =>
-      val out: MStream = node match {
-        case External(n) => external(n)
-        case other => lowerNode(other, in)
-      }
-      env += node.name -> out.withName(node.name)
+    // a cycle body may contain External nodes (merged in by capture order)
+    def lowerBody(bn: Node, resolve: String => MStream): MStream = bn match {
+      case External(n) => external(n)
+      case _: BeginCycle | _: CloseCycle => throw new IllegalArgumentException(
+        s"nested cycles are not supported (node '${bn.name}')")
+      case other => lowerNode(other, resolve)
     }
-    doc.outputs.map(o => o -> in(o)).toMap
+    var i = 0
+    while (i < nodes.size) {
+      nodes(i) match {
+        case External(n) =>
+          env += n -> external(n).withName(n); i += 1
+        case BeginCycle(nm, input, maxIter) =>
+          val ci = nodes.indexWhere(
+            { case c: CloseCycle => c.cycle == nm; case _ => false }, i + 1)
+          if (ci < 0) throw new IllegalArgumentException(
+            s"cycle '$nm' is never closed")
+          val close = nodes(ci).asInstanceOf[CloseCycle]
+          val body = nodes.slice(i + 1, ci)
+          val init = in(input)
+          if (init.df.isStreaming) {
+            // head = ingress ∪ channel; feedback re-enters in a later
+            // micro-batch through the externally bound channel directory
+            val head = init.union(external(s"__cycle_$nm")).withName(nm)
+            env += nm -> head
+            body.foreach(bn => env += bn.name -> lowerBody(bn, in).withName(bn.name))
+            env += s"__cycle_$nm" -> in(close.feedback)
+            env += close.name -> head.withName(close.name)
+          } else {
+            // batch: SET least-fixpoint H = distinct(H ∪ F(H)), count-stable
+            val fixed = graft.operators.Cycles.iterate(init, maxIter) { cur =>
+              var benv = env + (nm -> cur.withName(nm))
+              def bin(x: String): MStream = benv.getOrElse(x,
+                throw new IllegalArgumentException(
+                  s"program node input '$x' is not defined above its use"))
+              body.foreach(bn => benv += bn.name -> lowerBody(bn, bin).withName(bn.name))
+              cur.union(benv(close.feedback)).distinct()
+            }
+            env += nm -> fixed.withName(nm)
+            // re-lower the body against the fixpoint so later references
+            // see converged frames
+            body.foreach(bn => env += bn.name -> lowerBody(bn, in).withName(bn.name))
+            env += close.name -> fixed.withName(close.name)
+          }
+          i = ci + 1
+        case c: CloseCycle => throw new IllegalArgumentException(
+          s"closeCycle '${c.name}' without an open cycle '${c.cycle}'")
+        case other =>
+          env += other.name -> lowerNode(other, in).withName(other.name); i += 1
+      }
+    }
+    env
   }
 
   /** The single lowering of a non-external node onto the MStream surface —
@@ -147,6 +222,10 @@ object Program {
     node match {
         case External(n) => throw new IllegalArgumentException(
           s"external node '$n' has no lowering (resolved by the configuration)")
+        case c: BeginCycle => throw new IllegalArgumentException(
+          s"cycle node '${c.name}' is lowered by interpret, not standalone")
+        case c: CloseCycle => throw new IllegalArgumentException(
+          s"cycle node '${c.name}' is lowered by interpret, not standalone")
         case MapCols(_, i, cols) => in(i).map(cols.map(f => expr(f.expr).as(f.as)): _*)
         case Where(_, i, p) => in(i).where(expr(p))
         case AddTo(_, i, fields) =>
@@ -267,6 +346,8 @@ object Program {
     case x: ToField => x.copy(name = name)
     case x: SessionSelect => x.copy(name = name)
     case x: RecordWindow => x.copy(name = name)
+    case x: BeginCycle => x.copy(name = name)
+    case x: CloseCycle => x.copy(name = name)
   }
 
   /** Order-preserving merge of upstream node lists for a multi-input op:
@@ -305,7 +386,8 @@ object Program {
    * node a stable name worth binding a sink to.
    */
   final class Rec private[Program] (
-      val nodes: Vector[Node], val name: String, val stream: MStream) {
+      val nodes: Vector[Node], val name: String, val stream: MStream,
+      private val ext: Map[String, MStream]) {
 
     private def freshName(op: String, merged: Vector[Node]): String = {
       val used = merged.iterator.map(_.name).toSet
@@ -320,7 +402,8 @@ object Program {
       val inputs = (this +: others).map(r => r.name -> r.stream).toMap
       val out = lowerNode(node, n => inputs.getOrElse(n,
         throw new IllegalArgumentException(s"capture: unknown input '$n'")))
-      new Rec(merged :+ node, node.name, out.withName(node.name))
+      new Rec(merged :+ node, node.name, out.withName(node.name),
+        others.foldLeft(ext)(_ ++ _.ext))
     }
     private def derive1(op: String)(mk: String => Node): Rec = derive(op, Nil)(mk)
 
@@ -330,7 +413,45 @@ object Program {
       require(!nodes.init.exists(_.name == newName),
         s"capture: node name '$newName' is already defined")
       new Rec(nodes.init :+ withNodeName(nodes.last, newName), newName,
-        stream.withName(newName))
+        stream.withName(newName), ext)
+    }
+
+    /** Milan `beginCycle`: open a feedback head. The returned Rec's live
+      * stream is PROVISIONAL (the zeroth iterate — just this stream); build
+      * the loop body off it, then call [[closeCycle]] on THIS Rec to close
+      * the feedback edge — the closed Rec's stream is the true lowering
+      * (batch fixpoint / streaming channel union) and from there on the
+      * live-stream ≡ captured-document identity holds again. An unclosed
+      * cycle head is not executable, exactly like the reference's
+      * `CycleStream` before its `closeCycle`. */
+    def beginCycle(maxIterations: Int = 50): Rec = {
+      val node = BeginCycle(freshName("cycle", nodes), name, maxIterations)
+      new Rec(nodes :+ node, node.name, stream.withName(node.name), ext)
+    }
+
+    /** Close the feedback edge opened by [[beginCycle]] (call on the head
+      * Rec). The closed stream re-interprets the captured nodes through the
+      * SAME cycle lowering the import path uses — batch: driver fixpoint
+      * (eager jobs, like the import path); streaming: requires the channel
+      * source (`Cycles.feedbackChannel`'s source half) via `channel`. */
+    def closeCycle(feedback: Rec, channel: Option[MStream] = None): Rec = {
+      val merged = mergeNodes(Seq(this.nodes, feedback.nodes))
+      require(merged.exists {
+        case b: BeginCycle => b.name == name; case _ => false },
+        s"closeCycle must be called on the beginCycle recording " +
+          s"('$name' is not a cycle head)")
+      val extM = ext ++ feedback.ext
+      val node = CloseCycle(freshName("closeCycle", merged), name, feedback.name)
+      val all = merged :+ node
+      val resolve: String => MStream = n =>
+        if (n == s"__cycle_$name") channel.getOrElse(
+          throw new IllegalArgumentException(
+            "streaming cycle capture needs the feedback channel source: " +
+              "closeCycle(fb, channel = Some(...))"))
+        else extM.getOrElse(n, throw new IllegalArgumentException(
+          s"capture: unknown external '$n'"))
+      val out = interpret(Doc(all, Seq(node.name)))(resolve)(node.name)
+      new Rec(all, node.name, out, extM)
     }
 
     def map(cols: (String, String)*): Rec =
@@ -406,7 +527,8 @@ object Program {
     /** Start a recording pipeline from a named external input and the live
       * stream it resolves to (a config-bound source or any MStream). */
     def external(name: String, stream: MStream): Rec =
-      new Rec(Vector(External(name)), name, stream.withName(name))
+      new Rec(Vector(External(name)), name, stream.withName(name),
+        Map(name -> stream))
   }
 
   /** Assemble the document for one or more recorded outputs — the capture
@@ -483,6 +605,12 @@ object Program {
           ("keys" -> keys) ~ ("n" -> nWin) ~
           ("aggs" -> aggs.map { case (k, in0, as) =>
             ("kind" -> k) ~ ("in" -> in0) ~ ("as" -> as) })
+      case BeginCycle(name, i, maxIter) =>
+        ("op" -> "beginCycle") ~ ("name" -> name) ~ ("input" -> i) ~
+          ("maxIterations" -> maxIter)
+      case CloseCycle(name, cycle, feedback) =>
+        ("op" -> "closeCycle") ~ ("name" -> name) ~ ("cycle" -> cycle) ~
+          ("feedback" -> feedback)
     }
     JsonMethods.compact(JsonMethods.render(
       ("nodes" -> doc.nodes.map(nodeJson)) ~ ("outputs" -> doc.outputs)))
@@ -561,6 +689,10 @@ object Program {
                 (x \ "in").extract[String], (x \ "as").extract[String]))
               case _ => Nil
             })
+          case "beginCycle" => BeginCycle(name, (v \ "input").extract[String],
+            (v \ "maxIterations").extractOpt[Int].getOrElse(50))
+          case "closeCycle" => CloseCycle(name, (v \ "cycle").extract[String],
+            (v \ "feedback").extract[String])
           case other => throw new IllegalArgumentException(s"unknown program op '$other'")
         }
       }
@@ -595,6 +727,13 @@ object Program {
       try {
         val out = node match {
           case External(n) => emptyExternal(n)
+          case b: BeginCycle => env(b.input) // head carries the input schema
+          case c: CloseCycle =>
+            // force the feedback-into-head union analysis so a schema
+            // mismatch attributes to this node
+            val head = env(c.cycle)
+            new MStream(head.df.unionByName(env(c.feedback).df),
+              head.eventOrder, head.contextKeys, c.name)
           case other => lowerNode(other, name => env(name))
         }
         out.df.schema // force analysis NOW so failures attribute to THIS node
@@ -621,9 +760,26 @@ object Program {
       if (fs.isEmpty) throw new IllegalArgumentException(
         s"node '$node' needs at least one $what")
     var defined = Set.empty[String]
+    var openCycle: Option[String] = None
     doc.nodes.foreach { n =>
+      if (n.name.startsWith("__cycle_")) throw new IllegalArgumentException(
+        s"node name '${n.name}' uses the reserved cycle-channel prefix '__cycle_'")
       val inputs: Seq[String] = n match {
         case External(_) => Nil
+        case b: BeginCycle =>
+          if (openCycle.isDefined) throw new IllegalArgumentException(
+            s"node '${b.name}': nested cycles are not supported " +
+              s"(cycle '${openCycle.get}' is still open)")
+          if (b.maxIterations <= 0) throw new IllegalArgumentException(
+            s"node '${b.name}': beginCycle needs maxIterations > 0, got ${b.maxIterations}")
+          openCycle = Some(b.name)
+          Seq(b.input)
+        case c: CloseCycle =>
+          if (!openCycle.contains(c.cycle)) throw new IllegalArgumentException(
+            s"node '${c.name}': closeCycle targets '${c.cycle}' but " +
+              openCycle.fold("no cycle is open")(o => s"the open cycle is '$o'"))
+          openCycle = None
+          Seq(c.feedback)
         case m: MapCols =>
           nonEmpty(m.cols, "column", n.name)
           m.cols.foreach(f => parse(f.expr, s"node ${n.name}")); Seq(m.input)
@@ -681,6 +837,8 @@ object Program {
         s"node '${n.name}' references '$i' before it is defined"))
       defined += n.name
     }
+    openCycle.foreach(c => throw new IllegalArgumentException(
+      s"cycle '$c' is never closed"))
     doc.outputs.foreach(o => if (!defined.contains(o)) throw new IllegalArgumentException(
       s"output '$o' is not produced by any node"))
   }

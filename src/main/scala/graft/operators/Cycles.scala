@@ -22,17 +22,34 @@ object Cycles {
 
   /** Iterate a batch dataflow to a fixpoint. Each round's result is
     * localCheckpoint()ed so lineage doesn't grow unboundedly (the classic
-    * iterative-Spark hazard). */
+    * iterative-Spark hazard); the convergence count rides the checkpoint
+    * job as an observed metric (one job per round, not two), and each
+    * round's blocks are unpersisted once its successor is materialized —
+    * the same supersede-and-release discipline as
+    * `Dedup.connectedComponents`. The FINAL round's checkpoint stays
+    * persisted: the returned plan reads it. */
   def iterate(initial: MStream, maxIterations: Int,
               checkpoint: Boolean = true)(step: MStream => MStream): MStream = {
+    import org.apache.spark.sql.functions.{count, lit}
+    val sc = initial.df.sparkSession.sparkContext
     var current = initial
+    var prevIds = Set.empty[Int]
     var lastCount = -1L
     var i = 0
     while (i < maxIterations) {
       val next = step(current)
-      val df: DataFrame =
-        if (checkpoint) next.df.localCheckpoint(true) else next.df
-      val c = df.count()
+      val (df, ids, c): (DataFrame, Set[Int], Long) =
+        if (checkpoint) {
+          val obs = org.apache.spark.sql.Observation()
+          val observed = next.df.observe(obs, count(lit(1)).as("__n"))
+          val before = sc.getPersistentRDDs.keySet.toSet
+          val cp = observed.localCheckpoint()
+          val after = sc.getPersistentRDDs.keySet.toSet.diff(before)
+          (cp, after, obs.get("__n").asInstanceOf[Long])
+        } else { val d = next.df; (d, Set.empty[Int], d.count()) }
+      val live = sc.getPersistentRDDs
+      prevIds.foreach(id => live.get(id).foreach(_.unpersist(blocking = false)))
+      prevIds = ids
       current = new MStream(df, next.eventOrder, next.contextKeys, next.name)
       if (c == lastCount) return current
       lastCount = c

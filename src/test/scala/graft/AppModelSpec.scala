@@ -375,7 +375,10 @@ class AppModelSpec extends SparkSpec {
         SessionSelect("ses", "o", Seq("y"), "ts", "5 minutes", "sess_start",
           Seq(Field("count(1)", "n"))),
         RecordWindow("rw", "o", Seq("y"), 3,
-          Seq(("sumBy", "z", "rsum"), ("countBy", "z", "rn")))),
+          Seq(("sumBy", "z", "rsum"), ("countBy", "z", "rn"))),
+        BeginCycle("bc", "o", 7),
+        Where("fbw", "bc", "y > 0"),
+        CloseCycle("cc", "bc", "fbw")),
       outputs = Seq("j", "sc"))
     assert(Program.fromJson(Program.toJson(doc)) == doc,
       "toJson/fromJson must be the identity on every node type and field")
@@ -709,17 +712,45 @@ class AppModelSpec extends SparkSpec {
         Seq("sum(v2)" -> "sv")),
       base.sessionSelect(Seq("k"), "ts", "5 seconds", "sstart", "count(1)" -> "n"),
       base.leftJoin(rs, "l.k = r.rk", "l.k" -> "k", "r.rid" -> "rid"),
-      base.asofJoin(rs, "seq", "rseq", Seq("k" -> "rk"), Seq("rid")))
+      base.asofJoin(rs, "seq", "rseq", Seq("k" -> "rk"), Seq("rid")),
+      { val head = base.beginCycle()
+        head.closeCycle(head
+          .map("k" -> "k", "v2 / 2" -> "v2", "ts" -> "ts", "seq" -> "seq")
+          .where("v2 > 1")) })
     val doc = Program.capture(outs: _*)
     val nodeTypes = doc.nodes.map(_.getClass.getSimpleName).toSet
     val allTypes = Set("External", "MapCols", "Where", "AddTo", "OrderBy", "Union",
       "Distinct", "GroupSelect", "WindowSelect", "Join", "Scan", "DedupBy",
-      "Watermark", "Asof", "UniqueBy", "ToField", "SessionSelect", "RecordWindow")
+      "Watermark", "Asof", "UniqueBy", "ToField", "SessionSelect", "RecordWindow",
+      "BeginCycle", "CloseCycle")
     assert(nodeTypes == allTypes,
       s"recording surface reaches every node type; missing ${allTypes.diff(nodeTypes)}")
     assert(Program.fromJson(Program.toJson(doc)) == doc,
       "the full-surface captured document is codec-stable")
     assert(doc.outputs.size == outs.size, "every branch is an addressable output")
+  }
+
+  test("cycle documents reject nesting, dangling closes, reserved names, bad maxIterations") {
+    import graft.api.Program
+    import graft.api.Program._
+    def load(ns: Node*): Doc =
+      Program.fromJson(Program.toJson(Doc(ns.toVector, Seq(ns.last.name))))
+    assert(intercept[IllegalArgumentException](load(
+      External("a"), BeginCycle("c1", "a", 5), BeginCycle("c2", "c1", 5),
+      CloseCycle("x1", "c2", "c1"), CloseCycle("x2", "c1", "c1")))
+      .getMessage.contains("nested cycles"))
+    assert(intercept[IllegalArgumentException](load(
+      External("a"), BeginCycle("c1", "a", 5)))
+      .getMessage.contains("never closed"))
+    assert(intercept[IllegalArgumentException](load(
+      External("a"), CloseCycle("x", "nope", "a")))
+      .getMessage.contains("no cycle is open"))
+    assert(intercept[IllegalArgumentException](load(
+      External("__cycle_a")))
+      .getMessage.contains("reserved"))
+    assert(intercept[IllegalArgumentException](load(
+      External("a"), BeginCycle("c1", "a", 0), CloseCycle("x", "c1", "a")))
+      .getMessage.contains("maxIterations > 0"))
   }
 
   test("capture: shared upstreams dedup; name collisions and bad inputs reject") {

@@ -47,4 +47,55 @@ class StreamingCycleSpec extends SparkSpec {
         "each record makes exactly 3 traversals; every re-entry bumps hops")
     } finally { loopQ.stop(); outQ.stop() }
   }
+
+  test("one cycle document runs batch (fixpoint) and streaming (channel) to the same set") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.api.Program
+    import graft.api.Program._
+    implicit val sqlCtx = spark.sqlContext
+    // per-record base-10 shift chain: x, x div 10, ... while > 0
+    val json = Program.toJson(Doc(
+      nodes = Seq(
+        External("seed"),
+        BeginCycle("chain", "seed", 20),
+        MapCols("shift", "chain", Seq(Field("id", "id"), Field("x div 10", "x"))),
+        Where("fb", "shift", "x > 0"),
+        CloseCycle("out", "chain", "fb")),
+      outputs = Seq("out")))
+    val rows = Seq((1L, 420L), (2L, 7L), (3L, 1030L))
+    val expect = Set((1L, 420L), (1L, 42L), (1L, 4L), (2L, 7L),
+      (3L, 1030L), (3L, 103L), (3L, 10L), (3L, 1L))
+
+    val batchOut = App.run(spark, new App.Config()
+        .setSource("seed", App.Source("list", rows = Some(rows.toDF("id", "x"))))
+        .addSink("out", App.Sink("memory")))(
+      Program.interpret(Program.fromJson(json)))
+      .collectFirst { case App.BatchOutput("out", df) => df }.get
+    assert(batchOut.as[(Long, Long)].collect().toSet == expect,
+      "batch lowering computes the set fixpoint")
+
+    val in = MemoryStream[(Long, Long)]
+    val dir = java.nio.file.Files.createTempDirectory("graft_cycle_doc").toString
+    val schema = StructType(Seq(
+      StructField("id", LongType), StructField("x", LongType)))
+    val (src, snk) = Cycles.feedbackChannel(dir, schema)
+    val outName = s"cycle_doc_out_${System.nanoTime()}"
+    val running = App.run(spark, new App.Config()
+        .setSource("seed", App.Source("list", rows = Some(in.toDF().toDF("id", "x"))))
+        .setSource("__cycle_chain", src)
+        .addSink("__cycle_chain", snk)
+        .addSink("out", App.Sink("memory", outputMode = "append",
+          queryName = Some(outName))))(
+      Program.interpret(Program.fromJson(json)))
+    val qs = running.collect { case App.StreamingOutput(_, q) => q }
+    try {
+      in.addData(rows: _*)
+      var tries = 0
+      while (spark.table(outName).count() < expect.size && tries < 60) {
+        qs.foreach(_.processAllAvailable()); Thread.sleep(100); tries += 1
+      }
+      assert(spark.table(outName).as[(Long, Long)].collect().toSet == expect,
+        "the same artifact yields the same record set through the channel")
+    } finally qs.foreach(_.stop())
+  }
 }
