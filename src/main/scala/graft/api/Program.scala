@@ -189,15 +189,24 @@ object Program {
             env += s"__cycle_$nm" -> in(close.feedback)
             env += close.name -> head.withName(close.name)
           } else {
-            // batch: SET least-fixpoint H = distinct(H ∪ F(H)), count-stable
-            val fixed = graft.operators.Cycles.iterate(init, maxIter) { cur =>
+            // batch: SET least-fixpoint. Semi-naive (frontier-only) when
+            // the body is linear in the head — every head-dependent node is
+            // union-distributive and touches the head through exactly one
+            // input — else the naive count-stable accumulation.
+            def evalBody(cur: MStream): MStream = {
               var benv = env + (nm -> cur.withName(nm))
               def bin(x: String): MStream = benv.getOrElse(x,
                 throw new IllegalArgumentException(
                   s"program node input '$x' is not defined above its use"))
               body.foreach(bn => benv += bn.name -> lowerBody(bn, bin).withName(bn.name))
-              cur.union(benv(close.feedback)).distinct()
+              benv(close.feedback)
             }
+            val fixed =
+              if (useDeltaEvaluation(nm, body, close.feedback))
+                graft.operators.Cycles.iterateDelta(init, maxIter)(evalBody)
+              else
+                graft.operators.Cycles.iterate(init, maxIter)(cur =>
+                  cur.union(evalBody(cur)).distinct())
             env += nm -> fixed.withName(nm)
             // re-lower the body against the fixpoint so later references
             // see converged frames
@@ -212,6 +221,70 @@ object Program {
       }
     }
     env
+  }
+
+  /** Input node names of a node (dataflow edges). */
+  private def nodeInputs(n: Node): Seq[String] = n match {
+    case External(_) => Nil
+    case m: MapCols => Seq(m.input)
+    case w: Where => Seq(w.input)
+    case a: AddTo => Seq(a.input)
+    case o: OrderBy => Seq(o.input)
+    case u: Union => u.inputs
+    case d: Distinct => Seq(d.input)
+    case g: GroupSelect => Seq(g.input)
+    case w: WindowSelect => Seq(w.input)
+    case j: Join => Seq(j.left, j.right)
+    case s: Scan => Seq(s.input)
+    case d: DedupBy => Seq(d.input)
+    case w: Watermark => Seq(w.input)
+    case a: Asof => Seq(a.left, a.right)
+    case u: UniqueBy => Seq(u.input)
+    case t: ToField => Seq(t.input)
+    case ss: SessionSelect => Seq(ss.input)
+    case rw: RecordWindow => Seq(rw.input)
+    case b: BeginCycle => Seq(b.input)
+    case c: CloseCycle => Seq(c.feedback)
+  }
+
+  /** True when the cycle should lower through semi-naive delta evaluation
+    * (`Cycles.iterateDelta`). Two conditions:
+    *
+    * SOUNDNESS — the body is LINEAR in the head `nm`: every node on a
+    * head-dependent path is union-distributive (per-record ops; unions;
+    * enrichment joins whose right side is loop-invariant) and reaches the
+    * head through exactly one input. Aggregations, windows, scans,
+    * distinct, dedup, as-of and right-side-recursive joins break
+    * distributivity → naive.
+    *
+    * PROFITABILITY — the head-dependent path contains a JOIN. For join
+    * bodies, naive evaluation re-derives every old fact every round
+    * (quadratic total work in rounds) and re-runs the join build over the
+    * full accumulation; frontier-only evaluation is the asymptotic fix.
+    * For purely row-local bodies the frontier saving is smaller than the
+    * extra per-round jobs delta evaluation costs (measured 1.9× slower on
+    * q_cycle at sf0.1) → naive. */
+  private def useDeltaEvaluation(nm: String, body: Seq[Node], feedback: String): Boolean = {
+    val headDep = scala.collection.mutable.Set(nm)
+    var linear = true
+    var headJoin = false
+    body.foreach { bn =>
+      val deps = nodeInputs(bn).filter(headDep)
+      if (deps.nonEmpty) {
+        headDep += bn.name
+        val ok = bn match {
+          case _: MapCols | _: Where | _: AddTo | _: ToField | _: OrderBy =>
+            deps.size == 1
+          case _: Union => true // union distributes regardless of arity
+          case j: Join =>
+            headJoin = true
+            headDep(j.left) && !headDep(j.right)
+          case _ => false
+        }
+        if (!ok) linear = false
+      }
+    }
+    linear && headJoin && headDep(feedback)
   }
 
   /** The single lowering of a non-external node onto the MStream surface —

@@ -28,9 +28,27 @@ object Cycles {
     * the same supersede-and-release discipline as
     * `Dedup.connectedComponents`. The FINAL round's checkpoint stays
     * persisted: the returned plan reads it. */
+  /** Eager checkpoint with the row count riding the checkpoint job as an
+    * observed metric (one job, not two); returns the pinned frame, the
+    * RDD ids it persisted (for later release), and the count. */
+  private def checkpointCounted(df: DataFrame): (DataFrame, Set[Int], Long) = {
+    import org.apache.spark.sql.functions.{count, lit}
+    val sc = df.sparkSession.sparkContext
+    val obs = org.apache.spark.sql.Observation()
+    val observed = df.observe(obs, count(lit(1)).as("__n"))
+    val before = sc.getPersistentRDDs.keySet.toSet
+    val cp = observed.localCheckpoint()
+    val ids = sc.getPersistentRDDs.keySet.toSet.diff(before)
+    (cp, ids, obs.get("__n").asInstanceOf[Long])
+  }
+
+  private def release(sc: org.apache.spark.SparkContext, ids: Set[Int]): Unit = {
+    val live = sc.getPersistentRDDs
+    ids.foreach(id => live.get(id).foreach(_.unpersist(blocking = false)))
+  }
+
   def iterate(initial: MStream, maxIterations: Int,
               checkpoint: Boolean = true)(step: MStream => MStream): MStream = {
-    import org.apache.spark.sql.functions.{count, lit}
     val sc = initial.df.sparkSession.sparkContext
     var current = initial
     var prevIds = Set.empty[Int]
@@ -39,16 +57,9 @@ object Cycles {
     while (i < maxIterations) {
       val next = step(current)
       val (df, ids, c): (DataFrame, Set[Int], Long) =
-        if (checkpoint) {
-          val obs = org.apache.spark.sql.Observation()
-          val observed = next.df.observe(obs, count(lit(1)).as("__n"))
-          val before = sc.getPersistentRDDs.keySet.toSet
-          val cp = observed.localCheckpoint()
-          val after = sc.getPersistentRDDs.keySet.toSet.diff(before)
-          (cp, after, obs.get("__n").asInstanceOf[Long])
-        } else { val d = next.df; (d, Set.empty[Int], d.count()) }
-      val live = sc.getPersistentRDDs
-      prevIds.foreach(id => live.get(id).foreach(_.unpersist(blocking = false)))
+        if (checkpoint) checkpointCounted(next.df)
+        else { val d = next.df; (d, Set.empty[Int], d.count()) }
+      release(sc, prevIds)
       prevIds = ids
       current = new MStream(df, next.eventOrder, next.contextKeys, next.name)
       if (c == lastCount) return current
@@ -56,6 +67,42 @@ object Cycles {
       i += 1
     }
     current
+  }
+
+  /**
+   * Semi-naive (delta) set fixpoint: H = distinct(initial); repeat
+   * Δ' = step(Δ) \ H, H ∪= Δ' until Δ' is empty. SOUND ONLY when `step`
+   * distributes over union (step(A ∪ B) = step(A) ∪ step(B)) — i.e. the
+   * loop body is LINEAR in the head: per-record ops and joins whose other
+   * side is loop-invariant. Callers must check that property statically
+   * (`Program` does) and fall back to [[iterate]] otherwise.
+   *
+   * Scale posture vs [[iterate]]: the step function runs over the FRONTIER
+   * only, never re-deriving old facts — for join bodies (transitive
+   * closure and friends) that is the difference between quadratic and
+   * linear total work in the number of rounds. H accumulates as a union
+   * of per-round checkpointed deltas (each materialized exactly once)
+   * instead of a full re-distinct of the accumulation every round, and
+   * termination is exact (empty delta), not a count heuristic.
+   */
+  def iterateDelta(initial: MStream, maxIterations: Int)(
+      step: MStream => MStream): MStream = {
+    val sc = initial.df.sparkSession.sparkContext
+    def lift(d: DataFrame): MStream =
+      new MStream(d, initial.eventOrder, initial.contextKeys, initial.name)
+    val (h0, _, _) = checkpointCounted(initial.df.distinct())
+    var acc: DataFrame = h0
+    var delta = lift(h0)
+    var i = 0
+    while (i < maxIterations) {
+      val fd = step(delta)
+      val (d2, ids2, c2) = checkpointCounted(fd.df.except(acc))
+      if (c2 == 0L) { release(sc, ids2); return lift(acc) }
+      acc = acc.unionByName(d2)
+      delta = lift(d2)
+      i += 1
+    }
+    lift(acc)
   }
 
   /**

@@ -98,4 +98,26 @@ class StreamingCycleSpec extends SparkSpec {
         "the same artifact yields the same record set through the channel")
     } finally qs.foreach(_.stop())
   }
+
+  test("join-body cycle (semi-naive path) computes reachability over static edges") {
+    import graft.api.{MStream, Program}
+    import graft.api.Program._
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L)).toDF("src", "dst")
+    val seeds = Seq(Tuple1(1L)).toDF("id")
+    // linear body with a head-dependent enrichment join → delta evaluation:
+    // F(Δ) = Δ ⨝ edges, one hop per round, old facts never re-derived
+    val doc = Doc(
+      nodes = Seq(
+        External("seeds"), External("edges"),
+        BeginCycle("reach", "seeds", 20),
+        Join("step", "leftInner", "reach", "edges", "l.id = r.src",
+          Seq(Field("r.dst", "id"))),
+        CloseCycle("out", "reach", "step")),
+      outputs = Seq("out"))
+    val out = Program.interpret(doc)(
+      n => if (n == "seeds") new MStream(seeds, Seq("id"))
+           else new MStream(edges, Seq("src", "dst")))("out")
+    assert(out.df.as[Long].collect().toSet == Set(1L, 2L, 3L, 4L),
+      "the fixpoint reaches every node on the chain exactly once")
+  }
 }
