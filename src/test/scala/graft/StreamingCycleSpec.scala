@@ -120,4 +120,27 @@ class StreamingCycleSpec extends SparkSpec {
     assert(out.df.as[Long].collect().toSet == Set(1L, 2L, 3L, 4L),
       "the fixpoint reaches every node on the chain exactly once")
   }
+
+  test("delta and naive fixpoints agree on a seeded random functional graph") {
+    import graft.api.MStream
+    import graft.operators.Cycles
+    import org.apache.spark.sql.functions._
+    // functional graph: every node has exactly one successor — reachability
+    // from seeds via a broadcast-joined step, run through BOTH strategies
+    val rnd = new scala.util.Random(42)
+    val n = 60
+    val succ = (0L until n.toLong).map(i => (i, rnd.nextInt(n).toLong))
+    val edges = succ.toDF("src", "dst")
+    val seeds = Seq(Tuple1(0L), Tuple1(17L), Tuple1(44L)).toDF("id")
+    def step(cur: MStream): MStream = MStream(
+      cur.df.join(broadcast(edges), col("id") === col("src"))
+        .select(col("dst").as("id")))
+    val viaDelta = Cycles.iterateDelta(MStream(seeds), 100)(step)
+      .df.as[Long].collect().toSet
+    val viaNaive = Cycles.iterate(MStream(seeds), 100)(cur =>
+      cur.union(step(cur)).distinct())
+      .df.as[Long].collect().toSet
+    assert(viaDelta == viaNaive, "both strategies compute the same least fixpoint")
+    assert(viaDelta.contains(0L) && viaDelta.size >= 3, "seeds are in the fixpoint")
+  }
 }
