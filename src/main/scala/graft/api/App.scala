@@ -269,7 +269,10 @@ object App {
   /** Milan `ApplicationInstance.toJsonString` parity
     * (`application/ApplicationInstance.scala:27`): a JSON description of
     * the resolved program — output stream names, schemas, and optimized
-    * plans — without executing anything. */
+    * plans — without executing anything. Exception: operators that are
+    * build-time-eager BY DESIGN (residual left-inner joins, batch cycle
+    * fixpoints) run their driver jobs while the program is being built,
+    * so describing a program containing them does execute those stages. */
   def describeJson(spark: SparkSession, config: Config)(
       program: (String => MStream) => Map[String, MStream]): String = {
     def q(s: String): String = "\"" + s.flatMap {
@@ -305,7 +308,7 @@ object App {
         // recorder is scoped to THIS run (thread-local for the synchronous
         // program build), so concurrent runs on one session neither mix
         // edge frames nor disable each other's recording mid-build
-        case Some(_) => Lineage.scoped(rec =>
+        case Some(_) => Lineage.scoped(spark)(rec =>
           runWithLineage(spark, config, Some(rec))(program))
         case None => runWithLineage(spark, config, None)(program)
       }
@@ -314,16 +317,27 @@ object App {
   /** Apply the config's `graft.*` tuning for the duration of `body` and
     * restore the prior session values after (the state-store provider
     * save/restore pattern below). Build-time-eager operators (residual
-    * joins) read their knobs during the program build, inside this scope. */
+    * joins) read their knobs during the program build, inside this scope.
+    * The session conf is SHARED: concurrent runs on one session with
+    * DIFFERENT tuning values race on set/restore — give each
+    * differently-tuned run its own session (`spark.newSession()`). */
+  private def withTuning[T](spark: SparkSession, config: Config)(body: => T): T = {
+    if (config.tuning.isEmpty) return body
+    val saved = config.tuning.keys.map(k => k -> spark.conf.getOption(k)).toMap
+    config.tuning.foreach { case (k, v) => spark.conf.set(k, v) }
+    try body finally saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
   /** Append `df` as parquet files into `dir` with atomic visibility: write
-    * to a staging dir, then rename each part file into place (same
-    * filesystem ⇒ atomic), so a concurrent listing-based stream source
-    * never observes a partial file. */
+    * to a staging dir INSIDE the channel (executors then write to the same,
+    * possibly shared, filesystem the rename targets, and the source's file
+    * listing skips dot-prefixed paths), then rename each part file into
+    * place — atomic on posix/HDFS semantics — so a concurrent
+    * listing-based stream source never observes a partial file. */
   private def appendAtomic(df: DataFrame, dir: String, tag: Long): Unit = {
-    // staging lives INSIDE the channel so executors write to the same
-    // (possibly shared) filesystem the rename targets; the source's file
-    // listing skips dot-prefixed paths, so staging files are invisible
-    // until renamed. Rename-in-place is atomic on posix/HDFS semantics.
     val staging = new org.apache.hadoop.fs.Path(
       dir, s".stage-$tag-${java.util.UUID.randomUUID()}")
     val conf = df.sparkSession.sessionState.newHadoopConf()
@@ -334,20 +348,14 @@ object App {
         (p: org.apache.hadoop.fs.Path) =>
           p.getName.startsWith("part-") && p.getName.endsWith(".parquet"))
       parts.zipWithIndex.foreach { case (st, i) =>
-        fs.rename(st.getPath,
-          new org.apache.hadoop.fs.Path(dir, s"fb-$tag-$i-${st.getPath.getName}"))
+        val dest = new org.apache.hadoop.fs.Path(dir, s"fb-$tag-$i-${st.getPath.getName}")
+        // rename reports failure as `false` (e.g. dest exists, dir gone) —
+        // surfacing it is what keeps the channel at-least-once instead of
+        // silently dropping a batch
+        if (!fs.rename(st.getPath, dest)) throw new java.io.IOException(
+          s"feedback channel: rename ${st.getPath} -> $dest failed")
       }
     } finally fs.delete(staging, true)
-  }
-
-  private def withTuning[T](spark: SparkSession, config: Config)(body: => T): T = {
-    if (config.tuning.isEmpty) return body
-    val saved = config.tuning.keys.map(k => k -> spark.conf.getOption(k)).toMap
-    config.tuning.foreach { case (k, v) => spark.conf.set(k, v) }
-    try body finally saved.foreach {
-      case (k, Some(v)) => spark.conf.set(k, v)
-      case (k, None) => spark.conf.unset(k)
-    }
   }
 
   private def runWithLineage(spark: SparkSession, config: Config,

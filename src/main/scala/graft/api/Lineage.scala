@@ -35,7 +35,8 @@ object Lineage {
   /** Per-run edge collector. Operators register their edge frames here
     * when a recorder is active for their session; [[App.run]] unions and
     * writes them. Edge schema: (op string, output_id long, input_id long). */
-  final class Recorder private[Lineage] () {
+  final class Recorder private[Lineage] (
+      private[Lineage] val session: SparkSession) {
     private var frames = List.empty[DataFrame]
     private[graft] def add(edges: DataFrame): Unit =
       synchronized { frames ::= edges }
@@ -68,16 +69,19 @@ object Lineage {
     * would disable recording mid-build for the other. Scopes nest
     * (restore-previous), so a program that itself calls App.run records
     * each layer separately. */
-  private[graft] def scoped[T](body: Recorder => T): T = {
-    val rec = new Recorder
+  private[graft] def scoped[T](spark: SparkSession)(body: Recorder => T): T = {
+    val rec = new Recorder(spark)
     val prev = scope.get()
     scope.set(Some(rec))
     try body(rec) finally scope.set(prev)
   }
 
   /** The recorder active for the current run, if any (operators consult
-    * this at stream-construction time). */
-  def current(spark: SparkSession): Option[Recorder] = scope.get()
+    * this at stream-construction time). Filtered by session: a stream
+    * built against a DIFFERENT session inside a scoped run must not
+    * register its edges into this run's recorder. */
+  def current(spark: SparkSession): Option[Recorder] =
+    scope.get().filter(_.session eq spark)
 
   /** Operator-side helper: append `record_id` (content hash of the listed
     * output columns) and register one edge per non-null input id column.

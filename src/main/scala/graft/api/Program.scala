@@ -146,7 +146,7 @@ object Program {
     * the channel sink by name; batch cycles resolve to their fixpoint and
     * need no channel bindings. */
   def interpret(doc: Doc): (String => MStream) => Map[String, MStream] = external => {
-    val env = interpretNodes(doc.nodes.toVector, external)
+    val env = interpretNodes(doc.nodes.toVector, external, doc.outputs.toSet)
     val feedback = doc.nodes.collect {
       case b: BeginCycle if env.contains(s"__cycle_${b.name}") =>
         val k = s"__cycle_${b.name}"; k -> env(k)
@@ -154,15 +154,17 @@ object Program {
     doc.outputs.map(o => o -> env(o)).toMap ++ feedback
   }
 
-  private def interpretNodes(nodes: Vector[Node],
-      external: String => MStream): Map[String, MStream] = {
+  private def interpretNodes(nodes: Vector[Node], external: String => MStream,
+      outputs: Set[String]): Map[String, MStream] = {
     var env = Map.empty[String, MStream]
     def in(n: String): MStream = env.getOrElse(n,
       throw new IllegalArgumentException(
         s"program node input '$n' is not defined above its use"))
-    // a cycle body may contain External nodes (merged in by capture order)
+    // a cycle body may contain External nodes (merged in by capture order);
+    // they are loop-invariant, so they are pre-bound into env once per
+    // cycle and resolve like any other name from there on
     def lowerBody(bn: Node, resolve: String => MStream): MStream = bn match {
-      case External(n) => external(n)
+      case External(n) => resolve(n)
       case _: BeginCycle | _: CloseCycle => throw new IllegalArgumentException(
         s"nested cycles are not supported (node '${bn.name}')")
       case other => lowerNode(other, resolve)
@@ -179,6 +181,12 @@ object Program {
             s"cycle '$nm' is never closed")
           val close = nodes(ci).asInstanceOf[CloseCycle]
           val body = nodes.slice(i + 1, ci)
+          // loop-invariant externals inside the body segment bind once
+          body.foreach {
+            case External(n) if !env.contains(n) =>
+              env += n -> external(n).withName(n)
+            case _ =>
+          }
           val init = in(input)
           if (init.df.isStreaming) {
             // head = ingress ∪ channel; feedback re-enters in a later
@@ -208,9 +216,14 @@ object Program {
                 graft.operators.Cycles.iterate(init, maxIter)(cur =>
                   cur.union(evalBody(cur)).distinct())
             env += nm -> fixed.withName(nm)
-            // re-lower the body against the fixpoint so later references
-            // see converged frames
-            body.foreach(bn => env += bn.name -> lowerBody(bn, in).withName(bn.name))
+            // re-lower the body against the fixpoint ONLY when a later node
+            // or an output actually references a body name — skipping it
+            // avoids re-running build-time-eager body operators (residual
+            // joins) purely to populate unused env entries
+            val bodyNames = body.map(_.name).toSet
+            val laterRefs = nodes.drop(ci + 1).flatMap(nodeInputs).toSet ++ outputs
+            if ((laterRefs & bodyNames).nonEmpty)
+              body.foreach(bn => env += bn.name -> lowerBody(bn, in).withName(bn.name))
             env += close.name -> fixed.withName(close.name)
           }
           i = ci + 1
@@ -278,7 +291,10 @@ object Program {
           case _: Union => true // union distributes regardless of arity
           case j: Join =>
             headJoin = true
-            headDep(j.left) && !headDep(j.right)
+            // full joins emit unmatched RIGHT rows null-padded — evaluating
+            // over a frontier delta would re-emit rights the accumulated
+            // head already matched, so full does NOT distribute over union
+            j.kind != "full" && headDep(j.left) && !headDep(j.right)
           case _ => false
         }
         if (!ok) linear = false
@@ -462,16 +478,27 @@ object Program {
       val nodes: Vector[Node], val name: String, val stream: MStream,
       private val ext: Map[String, MStream]) {
 
-    private def freshName(op: String, merged: Vector[Node]): String = {
-      val used = merged.iterator.map(_.name).toSet
-      Iterator.from(merged.size + 1).map(i => s"${op}_$i").find(!used.contains(_)).get
+    /** Deterministic content-derived auto-name: structurally identical
+      * derivations (same op, inputs, parameters) get the SAME name — so
+      * independently derived identical branches dedup in mergeNodes —
+      * while DIFFERENT nodes built over one shared base get different
+      * names instead of colliding positionally (`base.map(a)` and
+      * `base.map(b)` must be unionable without manual renames). A rare
+      * hash collision with a different node falls to a numeric suffix. */
+    private def freshName(op: String, merged: Vector[Node],
+                          mk: String => Node): String = {
+      val h = Integer.toHexString(scala.util.hashing.MurmurHash3
+        .productHash(mk("").asInstanceOf[Product])).take(6)
+      val base = s"${op}_$h"
+      Iterator.single(base).concat(Iterator.from(2).map(i => s"${base}_$i"))
+        .find(nm => merged.find(_.name == nm).forall(_ == mk(nm))).get
     }
 
     /** Append `node` (built by `mk` from its fresh auto-name), lowering it
       * over this stream (+ `others` for multi-input ops). */
     private def derive(op: String, others: Seq[Rec])(mk: String => Node): Rec = {
       val merged = mergeNodes(this.nodes +: others.map(_.nodes))
-      val node = mk(freshName(op, merged))
+      val node = mk(freshName(op, merged, mk))
       val inputs = (this +: others).map(r => r.name -> r.stream).toMap
       val out = lowerNode(node, n => inputs.getOrElse(n,
         throw new IllegalArgumentException(s"capture: unknown input '$n'")))
@@ -498,7 +525,8 @@ object Program {
       * cycle head is not executable, exactly like the reference's
       * `CycleStream` before its `closeCycle`. */
     def beginCycle(maxIterations: Int = 50): Rec = {
-      val node = BeginCycle(freshName("cycle", nodes), name, maxIterations)
+      def mk(n: String) = BeginCycle(n, name, maxIterations)
+      val node = mk(freshName("cycle", nodes, mk))
       new Rec(nodes :+ node, node.name, stream.withName(node.name), ext)
     }
 
@@ -514,7 +542,8 @@ object Program {
         s"closeCycle must be called on the beginCycle recording " +
           s"('$name' is not a cycle head)")
       val extM = ext ++ feedback.ext
-      val node = CloseCycle(freshName("closeCycle", merged), name, feedback.name)
+      def mk(n: String) = CloseCycle(n, name, feedback.name)
+      val node = mk(freshName("closeCycle", merged, mk))
       val all = merged :+ node
       val resolve: String => MStream = n =>
         if (n == s"__cycle_$name") channel.getOrElse(

@@ -30,7 +30,10 @@ object Cycles {
     * persisted: the returned plan reads it. */
   /** Eager checkpoint with the row count riding the checkpoint job as an
     * observed metric (one job, not two); returns the pinned frame, the
-    * RDD ids it persisted (for later release), and the count. */
+    * RDD ids it persisted (for later release), and the count. The id
+    * capture is a getPersistentRDDs before/after diff — like the other
+    * iterative operators' trackers, it assumes no CONCURRENT checkpointing
+    * on the same session during the (driver-side, synchronous) window. */
   private def checkpointCounted(df: DataFrame): (DataFrame, Set[Int], Long) = {
     import org.apache.spark.sql.functions.{count, lit}
     val sc = df.sparkSession.sparkContext
@@ -62,10 +65,16 @@ object Cycles {
       release(sc, prevIds)
       prevIds = ids
       current = new MStream(df, next.eventOrder, next.contextKeys, next.name)
-      if (c == lastCount) return current
+      if (c == lastCount) {
+        // the returned plan reads the final checkpoint — register it so a
+        // long-lived service can free it after the consuming action
+        graft.api.Pinned.register(initial.df.sparkSession, prevIds)
+        return current
+      }
       lastCount = c
       i += 1
     }
+    graft.api.Pinned.register(initial.df.sparkSession, prevIds)
     current
   }
 
@@ -87,22 +96,33 @@ object Cycles {
    */
   def iterateDelta(initial: MStream, maxIterations: Int)(
       step: MStream => MStream): MStream = {
+    import org.apache.spark.sql.functions.col
     val sc = initial.df.sparkSession.sparkContext
     def lift(d: DataFrame): MStream =
       new MStream(d, initial.eventOrder, initial.contextKeys, initial.name)
-    val (h0, _, _) = checkpointCounted(initial.df.distinct())
+    val cols = initial.df.columns.toIndexedSeq
+    val (h0, ids0, _) = checkpointCounted(initial.df.distinct())
     var acc: DataFrame = h0
+    var allIds = ids0
     var delta = lift(h0)
     var i = 0
-    while (i < maxIterations) {
+    var growing = true
+    while (growing && i < maxIterations) {
       val fd = step(delta)
-      val (d2, ids2, c2) = checkpointCounted(fd.df.except(acc))
-      if (c2 == 0L) { release(sc, ids2); return lift(acc) }
-      acc = acc.unionByName(d2)
-      delta = lift(d2)
-      i += 1
+      // Dataset.except compares POSITIONALLY — align the body's output
+      // column order to the head's before differencing
+      val aligned = fd.df.select(cols.map(col): _*)
+      val (d2, ids2, c2) = checkpointCounted(aligned.except(acc))
+      if (c2 == 0L) { release(sc, ids2); growing = false }
+      else { acc = acc.unionByName(d2); allIds ++= ids2; delta = lift(d2); i += 1 }
     }
-    lift(acc)
+    // consolidate the union-of-per-round-deltas into ONE pinned frame so
+    // the round checkpoints can be released now (block count stays O(1),
+    // not O(rounds)) and the survivor is registered for App-level release
+    val (fin, finIds, _) = checkpointCounted(acc)
+    release(sc, allIds)
+    graft.api.Pinned.register(initial.df.sparkSession, finIds)
+    lift(fin)
   }
 
   /**

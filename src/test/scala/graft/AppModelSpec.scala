@@ -777,5 +777,18 @@ class AppModelSpec extends SparkSpec {
     val u = a1.union(a2)
     assert(Program.capture(u).nodes.map(_.name).distinct.size ==
       Program.capture(u).nodes.size, "auto-generated node names stay unique")
+    // identical independent derivations dedup to ONE shared node...
+    assert(Program.capture(u).nodes.count(_.isInstanceOf[Program.Distinct]) == 1,
+      "structurally identical branches share a node")
+    // ...while DIFFERENT derivations over the same base get distinct names
+    // (content-derived, not positional — positional naming collides here)
+    val m1 = base.map("k" -> "k", "v * 2" -> "d")
+    val m2 = base.map("k" -> "k", "v + 1" -> "d")
+    val mu = m1.union(m2)
+    val mdoc = Program.capture(mu)
+    assert(mdoc.nodes.count(_.isInstanceOf[Program.MapCols]) == 2,
+      "differing branches keep their own nodes instead of colliding")
+    assert(Program.fromJson(Program.toJson(mdoc)) == mdoc)
+    assert(mu.stream.df.count() == 4, "the recorded union executes both branches")
   }
 }
