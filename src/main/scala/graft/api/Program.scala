@@ -209,8 +209,21 @@ object Program {
               body.foreach(bn => benv += bn.name -> lowerBody(bn, bin).withName(bn.name))
               benv(close.feedback)
             }
+            val (linear, headJoin) = bodyShape(nm, body, close.feedback)
+            val useDelta = init.df.sparkSession.conf
+                .get("graft.cycle.strategy", "auto") match {
+              case "naive" => false
+              case "delta" =>
+                require(linear, s"cycle '$nm': graft.cycle.strategy=delta " +
+                  "requires a body linear in the head (semi-naive " +
+                  "evaluation is unsound otherwise)")
+                true
+              case "auto" => linear && headJoin
+              case other => throw new IllegalArgumentException(
+                s"unknown graft.cycle.strategy '$other' (auto|naive|delta)")
+            }
             val fixed =
-              if (useDeltaEvaluation(nm, body, close.feedback))
+              if (useDelta)
                 graft.operators.Cycles.iterateDelta(init, maxIter)(evalBody)
               else
                 graft.operators.Cycles.iterate(init, maxIter)(cur =>
@@ -260,24 +273,28 @@ object Program {
     case c: CloseCycle => Seq(c.feedback)
   }
 
-  /** True when the cycle should lower through semi-naive delta evaluation
-    * (`Cycles.iterateDelta`). Two conditions:
+  /** Static shape of a cycle body, deciding the batch fixpoint strategy.
     *
-    * SOUNDNESS — the body is LINEAR in the head `nm`: every node on a
-    * head-dependent path is union-distributive (per-record ops; unions;
-    * enrichment joins whose right side is loop-invariant) and reaches the
-    * head through exactly one input. Aggregations, windows, scans,
-    * distinct, dedup, as-of and right-side-recursive joins break
-    * distributivity → naive.
+    * `linear` (SOUNDNESS precondition for semi-naive delta evaluation,
+    * `Cycles.iterateDelta`): every node on a head-dependent path is
+    * union-distributive (per-record ops; unions; left/leftInner enrichment
+    * joins whose right side is loop-invariant) and reaches the head
+    * through exactly one input. Aggregations, windows, scans, distinct,
+    * dedup, as-of, FULL joins (unmatched-right null-padding does not
+    * distribute — a frontier delta would re-emit rights the accumulated
+    * head already matched) and right-side-recursive joins break it.
     *
-    * PROFITABILITY — the head-dependent path contains a JOIN. For join
-    * bodies, naive evaluation re-derives every old fact every round
-    * (quadratic total work in rounds) and re-runs the join build over the
-    * full accumulation; frontier-only evaluation is the asymptotic fix.
-    * For purely row-local bodies the frontier saving is smaller than the
-    * extra per-round jobs delta evaluation costs (measured 1.9× slower on
-    * q_cycle at sf0.1) → naive. */
-  private def useDeltaEvaluation(nm: String, body: Seq[Node], feedback: String): Boolean = {
+    * `headJoin` (PROFITABILITY heuristic): the head-dependent path
+    * contains a join — the case where naive evaluation re-derives every
+    * old fact each round through the join. Measured crossover
+    * (`CycleBench`): delta wins once the accumulation dominates per-round
+    * overhead (5M-row fixpoint: 68 s vs 84 s) and loses when many tiny
+    * rounds do (800k-row, 40 rounds: ~2× slower) — local mode amplifies
+    * per-round overhead; on a cluster the shuffle/write volume it saves
+    * (per-round: ~half the shuffle, delta-only checkpoint writes, F probes
+    * the frontier not the accumulation) is what matters. The
+    * `graft.cycle.strategy` conf overrides the auto choice per run. */
+  private def bodyShape(nm: String, body: Seq[Node], feedback: String): (Boolean, Boolean) = {
     val headDep = scala.collection.mutable.Set(nm)
     var linear = true
     var headJoin = false
@@ -291,16 +308,13 @@ object Program {
           case _: Union => true // union distributes regardless of arity
           case j: Join =>
             headJoin = true
-            // full joins emit unmatched RIGHT rows null-padded — evaluating
-            // over a frontier delta would re-emit rights the accumulated
-            // head already matched, so full does NOT distribute over union
             j.kind != "full" && headDep(j.left) && !headDep(j.right)
           case _ => false
         }
         if (!ok) linear = false
       }
     }
-    linear && headJoin && headDep(feedback)
+    (linear && headDep(feedback), headJoin)
   }
 
   /** The single lowering of a non-external node onto the MStream surface —

@@ -106,6 +106,7 @@ object Cycles {
     var allIds = ids0
     var delta = lift(h0)
     var i = 0
+    var sinceConsolidation = 0
     var growing = true
     while (growing && i < maxIterations) {
       val fd = step(delta)
@@ -114,11 +115,26 @@ object Cycles {
       val aligned = fd.df.select(cols.map(col): _*)
       val (d2, ids2, c2) = checkpointCounted(aligned.except(acc))
       if (c2 == 0L) { release(sc, ids2); growing = false }
-      else { acc = acc.unionByName(d2); allIds ++= ids2; delta = lift(d2); i += 1 }
+      else {
+        acc = acc.unionByName(d2); allIds ++= ids2
+        delta = lift(d2); i += 1; sinceConsolidation += 1
+        // collapse the union-of-round-deltas into ONE frame periodically:
+        // without this, round k's except scans k separate checkpointed
+        // frames (O(rounds²) map tasks over the loop — measured 2× slower
+        // than naive at depth 40 before the fix). The copy is a
+        // no-shuffle materialization, amortized |H|/C per round.
+        if (sinceConsolidation >= 8) {
+          val (flat, flatIds, _) = checkpointCounted(acc)
+          // the newest delta's checkpoint must survive: next round's step
+          // reads it. It is also inside `flat` now, so only the superseded
+          // accumulation frames are dropped.
+          release(sc, allIds -- ids2)
+          acc = flat; allIds = flatIds ++ ids2; sinceConsolidation = 0
+        }
+      }
     }
-    // consolidate the union-of-per-round-deltas into ONE pinned frame so
-    // the round checkpoints can be released now (block count stays O(1),
-    // not O(rounds)) and the survivor is registered for App-level release
+    // consolidate the survivors into ONE pinned frame, release the round
+    // checkpoints, and register for App-level release (Pinned)
     val (fin, finIds, _) = checkpointCounted(acc)
     release(sc, allIds)
     graft.api.Pinned.register(initial.df.sparkSession, finIds)

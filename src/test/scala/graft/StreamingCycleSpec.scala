@@ -121,6 +121,45 @@ class StreamingCycleSpec extends SparkSpec {
       "the fixpoint reaches every node on the chain exactly once")
   }
 
+  test("graft.cycle.strategy overrides the fixpoint strategy; delta rejects nonlinear bodies") {
+    import graft.api.{MStream, Program}
+    import graft.api.Program._
+    val edges = Seq((1L, 2L), (2L, 3L)).toDF("src", "dst")
+    val seeds = Seq(Tuple1(1L)).toDF("id")
+    val doc = Doc(
+      nodes = Seq(
+        External("seeds"), External("edges"),
+        BeginCycle("reach", "seeds", 20),
+        Join("step", "leftInner", "reach", "edges", "l.id = r.src",
+          Seq(Field("r.dst", "id"))),
+        CloseCycle("out", "reach", "step")),
+      outputs = Seq("out"))
+    def run(): Set[Long] = Program.interpret(doc)(
+      n => if (n == "seeds") new MStream(seeds, Seq("id"))
+           else new MStream(edges, Seq("src", "dst")))("out")
+      .df.as[Long].collect().toSet
+    // join body → auto picks delta; forcing naive must agree
+    spark.conf.set("graft.cycle.strategy", "naive")
+    try assert(run() == Set(1L, 2L, 3L), "forced-naive join body computes the fixpoint")
+    finally spark.conf.unset("graft.cycle.strategy")
+    assert(run() == Set(1L, 2L, 3L), "auto (delta) agrees")
+
+    // nonlinear body (distinct breaks union-distributivity) + forced delta → reject
+    val nonlinear = Doc(
+      nodes = Seq(
+        External("seeds"),
+        BeginCycle("c", "seeds", 5),
+        Distinct("d", "c"),
+        CloseCycle("out", "c", "d")),
+      outputs = Seq("out"))
+    spark.conf.set("graft.cycle.strategy", "delta")
+    try {
+      val e = intercept[IllegalArgumentException](
+        Program.interpret(nonlinear)(_ => new MStream(seeds, Seq("id")))("out"))
+      assert(e.getMessage.contains("linear"), "forced delta on a nonlinear body rejects")
+    } finally spark.conf.unset("graft.cycle.strategy")
+  }
+
   test("delta and naive fixpoints agree on a seeded random functional graph") {
     import graft.api.MStream
     import graft.operators.Cycles
