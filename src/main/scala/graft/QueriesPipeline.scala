@@ -741,9 +741,59 @@ object QueriesPipeline {
         FROM scored QUALIFY rn <= 5"""
   }
 
+  /** Repeated-passage spans: maximal runs of 6-token grams occurring in
+    * >= 2 distinct docs (Lee et al. exact-substring dedup, k-gram form).
+    * The oracle rebuilds the spans from the gram STRINGS — fully
+    * independent of the Spark side's hash-candidates-then-verify path. */
+  def qRepeatedSpans(spark: SparkSession, dir: String): DataFrame =
+    Dedup.repeatedSpans(Tables.documents(spark, dir).df, "doc_id", "text",
+      k = 6, minDocs = 2)
+
+  /** The duplicated-span CTE chain (words → positional grams → repeated
+    * grams → gaps-and-islands → `spans(doc_id, span_start, span_len)`),
+    * shared by both span-dedup oracles so the mirrors cannot drift. */
+  private def spanCtes(k: Int, minDocs: Int): String =
+    s"""words AS (SELECT doc_id, list_filter(string_split_regex(text, '[ \\t\\n\\f\\r\\x0b]+'), x -> x <> '') AS w FROM documents),
+        pos AS (SELECT doc_id,
+                  unnest(range(0, len(w) - ${k - 1})) AS p,
+                  unnest([array_to_string(w[i:i+${k - 1}], ' ') for i in range(1, len(w) - ${k - 2})]) AS g
+                FROM words WHERE len(w) >= $k),
+        rep AS (SELECT g FROM pos GROUP BY g HAVING count(DISTINCT doc_id) >= $minDocs),
+        dup AS (SELECT doc_id, p, p - row_number() OVER (PARTITION BY doc_id ORDER BY p) AS grp
+                FROM pos WHERE g IN (SELECT g FROM rep)),
+        spans AS (SELECT doc_id, min(p) AS span_start, max(p) - min(p) + $k AS span_len
+                  FROM dup GROUP BY doc_id, grp)"""
+
+  val qRepeatedSpansSql: String =
+    s"WITH ${spanCtes(6, 2)} SELECT doc_id, span_start, span_len FROM spans"
+
+  /** Boilerplate scrub: drop every token covered by a repeated span from
+    * every doc; per-doc kept-token count + portable hash of the surviving
+    * text (array-free — the oracle verifies the exact remaining content). */
+  def qSpanScrub(spark: SparkSession, dir: String): DataFrame =
+    Dedup.scrubRepeatedSpans(Tables.documents(spark, dir).df, "doc_id", "text",
+      k = 6, minDocs = 2)
+
+  private val PolyKept =
+    "list_reduce([0] || [ord(c)::BIGINT for c in string_split(array_to_string(kept, ' '), '')], (a, c) -> (a * 31 + c) % 1000000007)"
+
+  val qSpanScrubSql: String =
+    s"""WITH ${spanCtes(6, 2)},
+        spa AS (SELECT doc_id, list({'s': span_start, 'e': span_start + span_len}) AS sp
+                FROM spans GROUP BY doc_id),
+        keep AS (SELECT w.doc_id AS doc_id,
+                   [w.w[i + 1] for i in range(0, len(w.w))
+                    if sp IS NULL OR len(list_filter(sp, x -> i >= x.s AND i < x.e)) = 0] AS kept
+                 FROM words w LEFT JOIN spa USING (doc_id))
+        SELECT doc_id, len(kept)::BIGINT AS n_kept,
+          CASE WHEN len(kept) = 0 THEN 0 ELSE $PolyKept END AS kept_hash
+        FROM keep"""
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_ivf_ann" -> (qIvfAnn _),
     "q_dedup_exact" -> (qDedupExact _),
+    "q_repeated_spans" -> (qRepeatedSpans _),
+    "q_span_scrub" -> (qSpanScrub _),
     "q_dedup_clusters" -> (qDedupClusters _),
     "q_dedup_corpus" -> (qDedupCorpus _),
     "q_minhash_dedup" -> (qMinhashDedup _),
@@ -780,6 +830,8 @@ object QueriesPipeline {
   val sql: Map[String, String] = Map(
     "q_ivf_ann" -> qIvfAnnSql,
     "q_dedup_exact" -> qDedupExactSql,
+    "q_repeated_spans" -> qRepeatedSpansSql,
+    "q_span_scrub" -> qSpanScrubSql,
     "q_dedup_clusters" -> qDedupClustersSql,
     "q_dedup_corpus" -> qDedupCorpusSql,
     "q_minhash_dedup" -> qMinhashDedupSql,

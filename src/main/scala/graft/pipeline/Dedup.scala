@@ -818,6 +818,104 @@ object Dedup {
     new graft.api.MStream(out, stream.eventOrder, stream.contextKeys, stream.name)
   }
 
+  /** Repeated-passage detection (exact substring dedup at token-k-gram
+    * granularity, the span-level counterpart of `exact`): every maximal
+    * run of k-token grams that occur in >= `minDocs` DISTINCT documents,
+    * as (doc, span_start, span_len) in 0-based token positions. This is
+    * the duplicated-span primitive of "Deduplicating Training Data Makes
+    * Language Models Better" (Lee et al., 2022) re-expressed as a
+    * dataflow: where their suffix array is single-machine, the k-gram
+    * formulation shuffles and scales.
+    *
+    * Scale shape: the corpus-wide stage shuffles only (hash, doc, pos)
+    * triples — the one-pass positional shingle hasher's array INDEX is
+    * the token position, so no gram strings are ever built corpus-wide.
+    * Because the portable hash is 30-bit, repeated-by-hash candidates are
+    * then VERIFIED on the actual gram text (the collision-guard pattern
+    * of `exact`) — only documents already containing a candidate position
+    * are re-tokenized, so the text-bearing stages are bounded by the
+    * corpus's duplicate mass, not its size. A 64-bit hash would make the
+    * guard near-redundant locally but not at 100 TB (~1e13 distinct grams
+    * collide in 64 bits); the guard makes the operator exact at every
+    * scale. Span assembly is a per-document gaps-and-islands window —
+    * partitioned by doc, bounded by document length. */
+  def repeatedSpans(docs: DataFrame, idCol: String, textCol: String,
+                    k: Int, minDocs: Int): DataFrame = {
+    require(k >= 2, s"span gram size must be >= 2, got $k")
+    require(minDocs >= 2, s"minDocs must be >= 2, got $minDocs")
+    val id = col(idCol)
+    val W = org.apache.spark.sql.expressions.Window
+    // Distinct-doc count per gram computed IN-PLACE over the partition
+    // (dense_rank by doc, then its partition max): one exchange carrying
+    // (hash, doc, pos) and the qualifying positions fall out of the same
+    // pass — an aggregate + self-join shape would re-derive the corpus
+    // stage per consumer (differently-pruned subtrees defeat
+    // ReuseExchange) and shuffle the same rows twice.
+    def repeatedPositions(f: DataFrame, gram: org.apache.spark.sql.Column): DataFrame = {
+      val g = gram.as("__g")
+      f.select(id, col("__p"), g)
+        .withColumn("__dr", dense_rank().over(W.partitionBy(col("__g")).orderBy(id)))
+        .withColumn("__nd", max(col("__dr")).over(W.partitionBy(col("__g"))))
+        .where(col("__nd") >= minDocs)
+        .select(id, col("__p"))
+    }
+    // (doc, position, gram hash): 16 bytes + id per token, no text
+    val pos = docs.select(id, posexplode(
+        graft.functions.VectorFunctions.wordShingleHashes(col(textCol), k))
+      .as(Seq("__p", "__h")))
+    // candidate positions, by hash only (may over-merge: verified below).
+    // Duplicate-mass-sized, so pin it: the doc-prune and the verify join
+    // below must not each re-run the corpus-wide stage (registered with
+    // Pinned for caller-side release — the residual-join lifecycle).
+    val sc = docs.sparkSession.sparkContext
+    val before = sc.getPersistentRDDs.keySet.toSet
+    val candPos = repeatedPositions(pos, col("__h")).localCheckpoint()
+    graft.api.Pinned.register(docs.sparkSession,
+      sc.getPersistentRDDs.keySet.toSet.diff(before))
+    // collision guard: re-derive candidate grams' text from just the docs
+    // that contain a candidate position (semi join; broadcast when small)
+    val candDocs = candPos.select(id).distinct()
+    val words = docs.join(candDocs, Seq(idCol), "left_semi")
+      .select(id, graft.pipeline.TextOps.words(col(textCol)).as("__w"))
+    val dup = repeatedPositions(candPos.join(words, Seq(idCol)),
+      concat_ws(" ", slice(col("__w"), col("__p") + 1, lit(k))))
+    // gaps-and-islands: consecutive duplicated positions form one span
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(id).orderBy(col("__p"))
+    dup.withColumn("__grp", col("__p") - row_number().over(w))
+      .groupBy(id, col("__grp"))
+      .agg(min(col("__p")).cast("long").as("span_start"),
+        (max(col("__p")) - min(col("__p")) + k).cast("long").as("span_len"))
+      .select(id, col("span_start"), col("span_len"))
+  }
+
+  /** Boilerplate removal: drop every token covered by a repeated span
+    * (`repeatedSpans(k, minDocs)`) from EVERY document it appears in, and
+    * emit per-doc accounting — kept-token count + portable hash of the
+    * remaining text (array-free, so an independent engine can verify the
+    * surviving content exactly). Dropping ALL occurrences is the
+    * boilerplate semantic (headers, license blocks, navigation chrome);
+    * the keep-one-canonical variant of Lee et al. is a filter away
+    * (exclude each span's minimum-doc occurrence from the drop set).
+    *
+    * The span frame is duplicate-mass-sized; joining it back to the
+    * corpus is an equi join on the doc id (broadcast when small), and the
+    * token filter is a per-row indexed HOF — no extra shuffle beyond
+    * `repeatedSpans` itself. */
+  def scrubRepeatedSpans(docs: DataFrame, idCol: String, textCol: String,
+                         k: Int, minDocs: Int): DataFrame = {
+    val id = col(idCol)
+    val sp = repeatedSpans(docs, idCol, textCol, k, minDocs)
+      .groupBy(id).agg(collect_list(struct(col("span_start").as("s"),
+        (col("span_start") + col("span_len")).as("e"))).as("__sp"))
+    docs.join(sp, Seq(idCol), "left")
+      .select(id, graft.pipeline.TextOps.words(col(textCol)).as("__w"), col("__sp"))
+      .withColumn("__kept", filter(col("__w"), (_, i) =>
+        col("__sp").isNull || !exists(col("__sp"),
+          s => i >= s.getField("s") && i < s.getField("e"))))
+      .select(id, size(col("__kept")).cast("long").as("n_kept"),
+        graft.pipeline.TextOps.polyHash(concat_ws(" ", col("__kept"))).as("kept_hash"))
+  }
+
   /** Embedding cosine near-dup, exact all-pairs baseline. Quadratic — the
     * correctness reference for the LSH-bucketed variant in `Similarity`;
     * at scale, bucket first (`Similarity.hyperplaneBuckets`). */

@@ -1,0 +1,54 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.pipeline.{Dedup, TextOps}
+
+/**
+ * Repeated-passage (exact substring, token-k-gram) dedup:
+ * `Dedup.repeatedSpans` island assembly and `Dedup.scrubRepeatedSpans`
+ * accounting on a hand-computed corpus — adjacent duplicated grams merge
+ * into ONE maximal span, disjoint runs stay separate spans, docs shorter
+ * than k are untouched, and the scrub drops exactly the covered tokens.
+ */
+class SpanDedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  // k=3, minDocs=2. Shared 3-grams: "a b c" (d1@1, d2@1, d4@0, d8@0) and
+  // "b c d" (d1@2, d2@2, d8@8). Everything else is unique to its doc.
+  private def corpus = Seq(
+    (1L, "x a b c d y"),             // island {1,2} -> span (1, 4)
+    (2L, "z a b c d w"),             // island {1,2} -> span (1, 4)
+    (3L, "q r s"),                   // no repeated grams
+    (4L, "a b c"),                   // exactly one gram, repeated -> (0, 3)
+    (5L, "ab"),                      // shorter than k: no grams at all
+    (8L, "a b c m n o p q b c d")    // TWO islands: (0, 3) and (8, 3)
+  ).toDF("doc_id", "text")
+
+  test("repeatedSpans merges adjacent duplicated grams into maximal spans") {
+    val got = Dedup.repeatedSpans(corpus, "doc_id", "text", k = 3, minDocs = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got == Set(
+      (1L, 1L, 4L), (2L, 1L, 4L), (4L, 0L, 3L), (8L, 0L, 3L), (8L, 8L, 3L)))
+  }
+
+  test("scrubRepeatedSpans drops exactly the covered tokens and hashes the rest") {
+    val got = Dedup.scrubRepeatedSpans(corpus, "doc_id", "text", k = 3, minDocs = 2)
+      .collect().map(r => (r.getLong(0), (r.getLong(1), r.getLong(2)))).toMap
+    def h(s: String): Long =
+      corpus.sparkSession.range(1).select(TextOps.polyHash(lit(s)))
+        .collect().head.getLong(0)
+    assert(got(1L) == (2L, h("x y")), "d1 keeps the tokens outside its span")
+    assert(got(2L) == (2L, h("z w")))
+    assert(got(3L) == (3L, h("q r s")), "a doc with no spans keeps everything")
+    assert(got(4L) == (0L, h("")), "a fully-covered doc keeps nothing")
+    assert(got(5L) == (1L, h("ab")), "a doc shorter than k keeps everything")
+    assert(got(8L) == (5L, h("m n o p q")), "both islands are scrubbed")
+  }
+
+  test("minDocs raises the repetition threshold") {
+    // "a b c" is in 4 docs, "b c d" in 3 — at minDocs=4 only "a b c" spans
+    val got = Dedup.repeatedSpans(corpus, "doc_id", "text", k = 3, minDocs = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got == Set((1L, 1L, 3L), (2L, 1L, 3L), (4L, 0L, 3L), (8L, 0L, 3L)))
+  }
+}
