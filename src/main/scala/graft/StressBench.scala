@@ -72,11 +72,19 @@ object StressBench {
         .write.format("noop").mode("overwrite").save() // warm
       for (rep <- 1 to 3) {
         isolate()
+        // time build + noop WRITE (all columns, the full pipeline — a
+        // count() lets Catalyst eliminate provably row-preserving joins,
+        // e.g. the scrub's left join against a groupBy'd span list, and
+        // with them the very stages being stress-tested); row count is
+        // taken untimed from the same frame
         val t0 = System.nanoTime()
-        val rows = SparkEntry.queries(q)(spark, out).count()
+        val df = SparkEntry.queries(q)(spark, out)
+        df.write.format("noop").mode("overwrite").save()
+        val secs = (System.nanoTime() - t0) / 1e9
+        val rows = df.count()
         val cc = if (q.contains("clusters") || q.contains("corpus"))
           s", ${graft.pipeline.Dedup.lastCcRounds} cc rounds" else ""
-        println(f"STRESS $q rep$rep ${(System.nanoTime() - t0) / 1e9}%.2f s ($rows rows$cc)")
+        println(f"STRESS $q rep$rep $secs%.2f s ($rows rows$cc)")
       }
     }
     spark.stop()
