@@ -752,17 +752,21 @@ object QueriesPipeline {
   /** The duplicated-span CTE chain (words → positional grams → repeated
     * grams → gaps-and-islands → `spans(doc_id, span_start, span_len)`),
     * shared by both span-dedup oracles so the mirrors cannot drift. */
-  private def spanCtes(k: Int, minDocs: Int): String =
+  private def spanCtes(k: Int, minDocs: Int, excludeCanonical: Boolean = false): String = {
+    val canon = if (excludeCanonical) " AND doc_id <> cdoc" else ""
     s"""words AS (SELECT doc_id, list_filter(string_split_regex(text, '[ \\t\\n\\f\\r\\x0b]+'), x -> x <> '') AS w FROM documents),
         pos AS (SELECT doc_id,
                   unnest(range(0, len(w) - ${k - 1})) AS p,
                   unnest([array_to_string(w[i:i+${k - 1}], ' ') for i in range(1, len(w) - ${k - 2})]) AS g
                 FROM words WHERE len(w) >= $k),
         rep AS (SELECT g FROM pos GROUP BY g HAVING count(DISTINCT doc_id) >= $minDocs),
+        dupc AS (SELECT doc_id, p, min(doc_id) OVER (PARTITION BY g) AS cdoc
+                 FROM pos WHERE g IN (SELECT g FROM rep)),
         dup AS (SELECT doc_id, p, p - row_number() OVER (PARTITION BY doc_id ORDER BY p) AS grp
-                FROM pos WHERE g IN (SELECT g FROM rep)),
+                FROM dupc WHERE true$canon),
         spans AS (SELECT doc_id, min(p) AS span_start, max(p) - min(p) + $k AS span_len
                   FROM dup GROUP BY doc_id, grp)"""
+  }
 
   val qRepeatedSpansSql: String =
     s"WITH ${spanCtes(6, 2)} SELECT doc_id, span_start, span_len FROM spans"
@@ -776,6 +780,25 @@ object QueriesPipeline {
 
   private val PolyKept =
     "list_reduce([0] || [ord(c)::BIGINT for c in string_split(array_to_string(kept, ' '), '')], (a, c) -> (a * 31 + c) % 1000000007)"
+
+  /** Keep-one-canonical scrub (Lee et al. semantics): every duplicated
+    * span is removed EXCEPT each gram's minimum-doc occurrence — exactly
+    * one copy of every duplicated passage survives in the corpus. */
+  def qSpanKeepone(spark: SparkSession, dir: String): DataFrame =
+    Dedup.scrubRepeatedSpans(Tables.documents(spark, dir).df, "doc_id", "text",
+      k = 6, minDocs = 2, keepCanonical = true)
+
+  val qSpanKeeponeSql: String =
+    s"""WITH ${spanCtes(6, 2, excludeCanonical = true)},
+        spa AS (SELECT doc_id, list({'s': span_start, 'e': span_start + span_len}) AS sp
+                FROM spans GROUP BY doc_id),
+        keep AS (SELECT w.doc_id AS doc_id,
+                   [w.w[i + 1] for i in range(0, len(w.w))
+                    if sp IS NULL OR len(list_filter(sp, x -> i >= x.s AND i < x.e)) = 0] AS kept
+                 FROM words w LEFT JOIN spa USING (doc_id))
+        SELECT doc_id, len(kept)::BIGINT AS n_kept,
+          CASE WHEN len(kept) = 0 THEN 0 ELSE $PolyKept END AS kept_hash
+        FROM keep"""
 
   val qSpanScrubSql: String =
     s"""WITH ${spanCtes(6, 2)},
@@ -794,6 +817,7 @@ object QueriesPipeline {
     "q_dedup_exact" -> (qDedupExact _),
     "q_repeated_spans" -> (qRepeatedSpans _),
     "q_span_scrub" -> (qSpanScrub _),
+    "q_span_keepone" -> (qSpanKeepone _),
     "q_dedup_clusters" -> (qDedupClusters _),
     "q_dedup_corpus" -> (qDedupCorpus _),
     "q_minhash_dedup" -> (qMinhashDedup _),
@@ -832,6 +856,7 @@ object QueriesPipeline {
     "q_dedup_exact" -> qDedupExactSql,
     "q_repeated_spans" -> qRepeatedSpansSql,
     "q_span_scrub" -> qSpanScrubSql,
+    "q_span_keepone" -> qSpanKeeponeSql,
     "q_dedup_clusters" -> qDedupClustersSql,
     "q_dedup_corpus" -> qDedupCorpusSql,
     "q_minhash_dedup" -> qMinhashDedupSql,

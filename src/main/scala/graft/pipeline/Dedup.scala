@@ -840,7 +840,8 @@ object Dedup {
     * scale. Span assembly is a per-document gaps-and-islands window —
     * partitioned by doc, bounded by document length. */
   def repeatedSpans(docs: DataFrame, idCol: String, textCol: String,
-                    k: Int, minDocs: Int): DataFrame = {
+                    k: Int, minDocs: Int,
+                    excludeCanonical: Boolean = false): DataFrame = {
     require(k >= 2, s"span gram size must be >= 2, got $k")
     require(minDocs >= 2, s"minDocs must be >= 2, got $minDocs")
     val id = col(idCol)
@@ -850,14 +851,24 @@ object Dedup {
     // (hash, doc, pos) and the qualifying positions fall out of the same
     // pass — an aggregate + self-join shape would re-derive the corpus
     // stage per consumer (differently-pruned subtrees defeat
-    // ReuseExchange) and shuffle the same rows twice.
-    def repeatedPositions(f: DataFrame, gram: org.apache.spark.sql.Column): DataFrame = {
+    // ReuseExchange) and shuffle the same rows twice. `canonical` drops
+    // each gram's minimum-doc occurrence from the result — the keep-one
+    // drop set of Lee et al. (one more window over the SAME partition,
+    // applied only at the verified-gram stage: canonical choice under an
+    // unverified hash could elect a collision's doc).
+    def repeatedPositions(f: DataFrame, gram: org.apache.spark.sql.Column,
+                          canonical: Boolean): DataFrame = {
       val g = gram.as("__g")
-      f.select(id, col("__p"), g)
+      val counted = f.select(id, col("__p"), g)
         .withColumn("__dr", dense_rank().over(W.partitionBy(col("__g")).orderBy(id)))
         .withColumn("__nd", max(col("__dr")).over(W.partitionBy(col("__g"))))
         .where(col("__nd") >= minDocs)
-        .select(id, col("__p"))
+      val kept =
+        if (canonical)
+          counted.withColumn("__cd", min(id).over(W.partitionBy(col("__g"))))
+            .where(id =!= col("__cd"))
+        else counted
+      kept.select(id, col("__p"))
     }
     // (doc, position, gram hash): 16 bytes + id per token, no text
     val pos = docs.select(id, posexplode(
@@ -869,7 +880,8 @@ object Dedup {
     // Pinned for caller-side release — the residual-join lifecycle).
     val sc = docs.sparkSession.sparkContext
     val before = sc.getPersistentRDDs.keySet.toSet
-    val candPos = repeatedPositions(pos, col("__h")).localCheckpoint()
+    val candPos = repeatedPositions(pos, col("__h"), canonical = false)
+      .localCheckpoint()
     graft.api.Pinned.register(docs.sparkSession,
       sc.getPersistentRDDs.keySet.toSet.diff(before))
     // collision guard: re-derive candidate grams' text from just the docs
@@ -878,7 +890,8 @@ object Dedup {
     val words = docs.join(candDocs, Seq(idCol), "left_semi")
       .select(id, graft.pipeline.TextOps.words(col(textCol)).as("__w"))
     val dup = repeatedPositions(candPos.join(words, Seq(idCol)),
-      concat_ws(" ", slice(col("__w"), col("__p") + 1, lit(k))))
+      concat_ws(" ", slice(col("__w"), col("__p") + 1, lit(k))),
+      canonical = excludeCanonical)
     // gaps-and-islands: consecutive duplicated positions form one span
     val w = org.apache.spark.sql.expressions.Window.partitionBy(id).orderBy(col("__p"))
     dup.withColumn("__grp", col("__p") - row_number().over(w))
@@ -894,17 +907,20 @@ object Dedup {
     * remaining text (array-free, so an independent engine can verify the
     * surviving content exactly). Dropping ALL occurrences is the
     * boilerplate semantic (headers, license blocks, navigation chrome);
-    * the keep-one-canonical variant of Lee et al. is a filter away
-    * (exclude each span's minimum-doc occurrence from the drop set).
+    * `keepCanonical` switches to the keep-one semantic of Lee et al. —
+    * each gram's minimum-doc occurrence survives, so one copy of every
+    * duplicated passage remains in the corpus.
     *
     * The span frame is duplicate-mass-sized; joining it back to the
     * corpus is an equi join on the doc id (broadcast when small), and the
     * token filter is a per-row indexed HOF — no extra shuffle beyond
     * `repeatedSpans` itself. */
   def scrubRepeatedSpans(docs: DataFrame, idCol: String, textCol: String,
-                         k: Int, minDocs: Int): DataFrame = {
+                         k: Int, minDocs: Int,
+                         keepCanonical: Boolean = false): DataFrame = {
     val id = col(idCol)
-    val sp = repeatedSpans(docs, idCol, textCol, k, minDocs)
+    val sp = repeatedSpans(docs, idCol, textCol, k, minDocs,
+        excludeCanonical = keepCanonical)
       .groupBy(id).agg(collect_list(struct(col("span_start").as("s"),
         (col("span_start") + col("span_len")).as("e"))).as("__sp"))
     docs.join(sp, Seq(idCol), "left")

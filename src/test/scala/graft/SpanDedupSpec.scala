@@ -45,6 +45,26 @@ class SpanDedupSpec extends SparkSpec {
     assert(got(8L) == (5L, h("m n o p q")), "both islands are scrubbed")
   }
 
+  test("excludeCanonical drops each gram's minimum-doc occurrence (keep-one)") {
+    // min doc for both shared grams is d1 -> d1 reports NO spans; everyone
+    // else is unchanged (they are never the canonical occurrence)
+    val got = Dedup.repeatedSpans(corpus, "doc_id", "text", k = 3, minDocs = 2,
+        excludeCanonical = true)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got == Set(
+      (2L, 1L, 4L), (4L, 0L, 3L), (8L, 0L, 3L), (8L, 8L, 3L)))
+  }
+
+  test("keepCanonical scrub leaves exactly one copy of each passage") {
+    val got = Dedup.scrubRepeatedSpans(corpus, "doc_id", "text", k = 3, minDocs = 2,
+        keepCanonical = true)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(got(1L) == 6L, "the canonical doc keeps its full text")
+    assert(got(2L) == 2L, "non-canonical copies are still scrubbed")
+    assert(got(4L) == 0L)
+    assert(got(8L) == 5L)
+  }
+
   test("minDocs raises the repetition threshold") {
     // "a b c" is in 4 docs, "b c d" in 3 — at minDocs=4 only "a b c" spans
     val got = Dedup.repeatedSpans(corpus, "doc_id", "text", k = 3, minDocs = 4)
