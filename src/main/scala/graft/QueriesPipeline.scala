@@ -812,12 +812,45 @@ object QueriesPipeline {
           CASE WHEN len(kept) = 0 THEN 0 ELSE $PolyKept END AS kept_hash
         FROM keep"""
 
+  /** Ingest-time boilerplate scrub against a static reference corpus
+    * (every 20th doc plays the curated-boilerplate role): tokens covered
+    * by any reference 6-gram are dropped; per-doc kept count + portable
+    * hash of the surviving text. Exercises the batch branch of the
+    * dual-mode `scrubKnownSpans`; the streaming branch is pinned equal to
+    * it by SpanDedupSpec. */
+  def qKnownScrub(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val ref = docs.df.where(col("doc_id") % 20 === 0)
+    Dedup.scrubKnownSpans(docs, "doc_id", "text", ref, "text", k = 6)
+      .df.select(col("doc_id"), col("n_kept"),
+        TextOps.polyHash(col("scrubbed")).as("kept_hash"))
+  }
+
+  val qKnownScrubSql: String =
+    s"""WITH words AS (SELECT doc_id, list_filter(string_split_regex(text, '[ \\t\\n\\f\\r\\x0b]+'), x -> x <> '') AS w FROM documents),
+        refg AS (SELECT DISTINCT unnest([array_to_string(w[i:i+5], ' ') for i in range(1, len(w) - 4)]) AS g
+                 FROM words WHERE doc_id % 20 = 0 AND len(w) >= 6),
+        pos AS (SELECT doc_id,
+                  unnest(range(0, len(w) - 5)) AS p,
+                  unnest([array_to_string(w[i:i+5], ' ') for i in range(1, len(w) - 4)]) AS g
+                FROM words WHERE len(w) >= 6),
+        m AS (SELECT doc_id, list(p) AS ps FROM pos
+              WHERE g IN (SELECT g FROM refg) GROUP BY doc_id),
+        keep AS (SELECT w.doc_id AS doc_id,
+                   [w.w[i + 1] for i in range(0, len(w.w))
+                    if ps IS NULL OR len(list_filter(ps, p -> p <= i AND i < p + 6)) = 0] AS kept
+                 FROM words w LEFT JOIN m USING (doc_id))
+        SELECT doc_id, len(kept)::BIGINT AS n_kept,
+          CASE WHEN len(kept) = 0 THEN 0 ELSE $PolyKept END AS kept_hash
+        FROM keep"""
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_ivf_ann" -> (qIvfAnn _),
     "q_dedup_exact" -> (qDedupExact _),
     "q_repeated_spans" -> (qRepeatedSpans _),
     "q_span_scrub" -> (qSpanScrub _),
     "q_span_keepone" -> (qSpanKeepone _),
+    "q_known_scrub" -> (qKnownScrub _),
     "q_dedup_clusters" -> (qDedupClusters _),
     "q_dedup_corpus" -> (qDedupCorpus _),
     "q_minhash_dedup" -> (qMinhashDedup _),
@@ -857,6 +890,7 @@ object QueriesPipeline {
     "q_repeated_spans" -> qRepeatedSpansSql,
     "q_span_scrub" -> qSpanScrubSql,
     "q_span_keepone" -> qSpanKeeponeSql,
+    "q_known_scrub" -> qKnownScrubSql,
     "q_dedup_clusters" -> qDedupClustersSql,
     "q_dedup_corpus" -> qDedupCorpusSql,
     "q_minhash_dedup" -> qMinhashDedupSql,

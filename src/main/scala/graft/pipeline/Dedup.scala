@@ -932,6 +932,125 @@ object Dedup {
         graft.pipeline.TextOps.polyHash(concat_ws(" ", col("__kept"))).as("kept_hash"))
   }
 
+  /** Boilerplate scrub against a STATIC reference corpus, batch AND
+    * streaming from one call (the ingest-time face of
+    * [[scrubRepeatedSpans]]): every k-token gram of `refDocs` is a known
+    * boilerplate gram; tokens of arriving documents covered by any of
+    * them are dropped. Emits the original columns + `scrubbed` (the kept
+    * tokens single-space joined — the one tokenization rule) + `n_kept`.
+    *
+    * The reference grams broadcast as (hash, gram) pairs and candidates
+    * are confirmed on the gram STRING in the same stage, so a portable-
+    * hash collision can never scrub innocent text. The arriving side is
+    * narrow until the per-doc reassembly: gram structs are built per row
+    * (each exploded row carries one k-word gram, not the document),
+    * matched against the broadcast, and reassembled — batch by a plain
+    * groupBy + indexed-HOF token filter, streaming by a keyed SAME-BATCH
+    * combine (all of a doc's position verdicts are produced from its own
+    * input row, so the state machine stores nothing — the banded-ingest
+    * combine pattern). Shuffle rows are (id, pos, matched) + one payload
+    * struct per doc. */
+  def scrubKnownSpans(stream: graft.api.MStream, idCol: String, textCol: String,
+                      refDocs: DataFrame, refTextCol: String,
+                      k: Int): graft.api.MStream = {
+    import org.apache.spark.sql.{Encoder, Encoders, Row}
+    import org.apache.spark.sql.catalyst.encoders.RowEncoder
+    import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
+    import org.apache.spark.sql.types._
+    require(k >= 2, s"span gram size must be >= 2, got $k")
+    val df = stream.df
+    val orig = df.columns.toIndexedSeq
+    val payloadT = StructType(df.schema.fields)
+
+    def wordsOf(c: org.apache.spark.sql.Column) = graft.pipeline.TextOps.words(c)
+    def hashesOf(c: org.apache.spark.sql.Column) =
+      graft.functions.VectorFunctions.wordShingleHashes(c, k)
+
+    // (hash, gram) of the reference corpus, distinct, broadcast
+    val ref = refDocs
+      .select(wordsOf(col(refTextCol)).as("__rw"), hashesOf(col(refTextCol)).as("__rh"))
+      .where(size(col("__rh")) >= 1)
+      .select(explode(transform(sequence(lit(0), size(col("__rh")) - 1),
+        i => struct(element_at(col("__rh"), i + 1).as("h"),
+          concat_ws(" ", slice(col("__rw"), i + 1, lit(k))).as("g")))).as("__r"))
+      .select(col("__r.h").as("__h"), col("__r.g").as("__rg")).distinct()
+
+    val base = df
+      .withColumn("__w", wordsOf(col(textCol)))
+      .withColumn("__hs", hashesOf(col(textCol)))
+    // per-position (pos, gram, hash) structs; docs under k words get ONE
+    // sentinel element so their payload row survives the explode
+    val gramStructs = transform(sequence(lit(0), size(col("__hs")) - 1),
+      i => struct((i).cast("int").as("p"),
+        concat_ws(" ", slice(col("__w"), i + 1, lit(k))).as("g"),
+        element_at(col("__hs"), i + 1).as("h")))
+    val sentinel = array(struct(lit(-1).cast("int").as("p"),
+      lit(null).cast("string").as("g"), lit(null).cast("long").as("h")))
+    val grams = when(size(col("__hs")) >= 1, gramStructs).otherwise(sentinel)
+
+    if (!df.isStreaming) {
+      // `grams`, not `gramStructs`: gram-less docs must not evaluate the
+      // per-position builder (ANSI sequence(0, -1) descends to [0, -1] and
+      // element_at throws); their sentinel has a null hash and null gram,
+      // which the inner join + string equality below can never match
+      val m = base.select(col(idCol).as("__id"), explode(grams).as("__gr"))
+        .select(col("__id"), col("__gr.p").as("__p"),
+          col("__gr.g").as("__g"), col("__gr.h").as("__h"))
+        .join(broadcast(ref), "__h")
+        .where(col("__g") === col("__rg"))
+        .groupBy(col("__id")).agg(collect_list(col("__p")).as("__ps"))
+      val out = base.join(m, col(idCol) === col("__id"), "left")
+        .withColumn("__kept", filter(col("__w"), (_, i) =>
+          col("__ps").isNull || !exists(col("__ps"), p => p <= i && i < p + k)))
+        .select(orig.map(col) :+
+          concat_ws(" ", col("__kept")).as("scrubbed") :+
+          size(col("__kept")).cast("long").as("n_kept"): _*)
+      return new graft.api.MStream(out, stream.eventOrder, stream.contextKeys, stream.name)
+    }
+
+    // streaming: one narrow leg (explode + broadcast left join keeps every
+    // position row), payload rides position index 0, keyed per-batch combine
+    val u = base.select(col(idCol).as("__id"),
+        struct(orig.map(col): _*).as("__payload"),
+        posexplode(grams).as(Seq("__pos", "__gr")))
+      .select(col("__id"),
+        when(col("__pos") === 0, col("__payload")).otherwise(lit(null).cast(payloadT))
+          .as("__payload"),
+        col("__gr.p").as("__p"), col("__gr.g").as("__g"), col("__gr.h").as("__h"))
+      .join(broadcast(ref), Seq("__h"), "left")
+      .select(col("__id"), col("__payload"), col("__p"),
+        coalesce(col("__g") === col("__rg"), lit(false)).as("__m"))
+    val outT = StructType(payloadT.fields ++ Seq(
+      StructField("scrubbed", StringType), StructField("n_kept", LongType, nullable = false)))
+    val outEnc: Encoder[Row] = RowEncoder.encoderFor(outT)
+    val payIdx = u.schema.fieldIndex("__payload")
+    val pIdx = u.schema.fieldIndex("__p")
+    val mIdx = u.schema.fieldIndex("__m")
+    val textIdx = payloadT.fieldIndex(textCol)
+    val kk = k
+    val out = graft.streaming.KeyedRows.byNames(u, Seq("__id"))
+      .flatMapGroupsWithState[Int, Row](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (_: Row, it: Iterator[Row], _) =>
+          val rows = it.toList
+          // all of a doc's rows come from its own input row => same batch
+          val payload = rows.collectFirst {
+            case r if !r.isNullAt(payIdx) => r.getStruct(payIdx)
+          }.get
+          val hits = rows.filter(_.getBoolean(mIdx)).map(_.getInt(pIdx))
+          val text = payload.getString(textIdx)
+          val ws = graft.functions.WordShingleUtil.splitWords(
+            org.apache.spark.unsafe.types.UTF8String.fromString(
+              if (text == null) "" else text))
+          val kept = ws.zipWithIndex.collect {
+            case (w, i) if !hits.exists(p => p <= i && i < p + kk) => w
+          }
+          Iterator.single(Row.fromSeq(
+            payload.toSeq ++ Seq(kept.mkString(" "), kept.length.toLong)))
+      }(Encoders.scalaInt, outEnc).toDF()
+    new graft.api.MStream(out, stream.eventOrder, stream.contextKeys, stream.name)
+  }
+
   /** Embedding cosine near-dup, exact all-pairs baseline. Quadratic — the
     * correctness reference for the LSH-bucketed variant in `Similarity`;
     * at scale, bucket first (`Similarity.hyperplaneBuckets`). */

@@ -107,6 +107,25 @@ class PlanShapeSpec extends SparkSpec {
     assert(!p.contains("SortMergeJoin"), "tokens must not shuffle against the vocab")
   }
 
+  test("q_repeated_spans: two scans (hash pass + guard), windows partitioned") {
+    val p = plan("q_repeated_spans")
+    // one corpus scan feeds the positional-hash window stage (checkpointed
+    // at build); one pruned scan re-tokenizes candidate docs for the text
+    // guard. The agg+self-join shape this replaced re-derived the corpus
+    // stage per consumer: 42 scans across the two span plans, now 6.
+    assert("Scan parquet".r.findAllIn(p).size <= 2,
+      "span detection must stay at two corpus scans")
+    assert(p.contains("Window"), "islands assemble on a per-doc window")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      "all span joins are equi joins")
+  }
+
+  test("q_span_scrub adds no corpus re-scan beyond its span sub-pipeline") {
+    val p = plan("q_span_scrub")
+    assert("Scan parquet".r.findAllIn(p).size <= 4,
+      "scrub = span pipeline (2 scans) + docs join + span-list reread")
+  }
+
   test("q_editdist keeps the LSH band join on exchanges, no nested loop") {
     val p = plan("q_editdist")
     assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),

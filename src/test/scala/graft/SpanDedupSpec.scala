@@ -1,6 +1,7 @@
 package graft
 
 import org.apache.spark.sql.functions._
+import graft.api.MStream
 import graft.pipeline.{Dedup, TextOps}
 
 /**
@@ -63,6 +64,46 @@ class SpanDedupSpec extends SparkSpec {
     assert(got(2L) == 2L, "non-canonical copies are still scrubbed")
     assert(got(4L) == 0L)
     assert(got(8L) == 5L)
+  }
+
+  test("scrubKnownSpans: streaming output equals the batch branch") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.streaming.OutputMode
+    implicit val sqlCtx = spark.sqlContext
+    // ref corpus: "a b c d" -> 3-grams "a b c", "b c d" are boilerplate
+    val ref = Seq((100L, "a b c d")).toDF("doc_id", "text")
+    val arriving = Seq(
+      (1L, "x a b c d y"),  // interior span scrubbed -> "x y"
+      (2L, "q r s"),        // no boilerplate -> untouched
+      (3L, "b c d"),        // fully covered -> ""
+      (4L, "ab"))           // under k tokens -> untouched
+    def expect(rows: Seq[(Long, String, Long)]): Unit =
+      assert(rows.toSet == Set(
+        (1L, "x y", 2L), (2L, "q r s", 3L), (3L, "", 0L), (4L, "ab", 1L)))
+
+    val batch = Dedup.scrubKnownSpans(
+        new MStream(arriving.toDF("doc_id", "text"), Seq("doc_id")),
+        "doc_id", "text", ref, "text", k = 3)
+    assert(!batch.df.isStreaming)
+    expect(batch.df.select("doc_id", "scrubbed", "n_kept")
+      .collect().toSeq.map(r => (r.getLong(0), r.getString(1), r.getLong(2))))
+
+    val in = MemoryStream[(Long, String)]
+    val stream = Dedup.scrubKnownSpans(
+        new MStream(in.toDF().toDF("doc_id", "text"), Seq("doc_id")),
+        "doc_id", "text", ref, "text", k = 3)
+    assert(stream.df.isStreaming)
+    val name = s"sks_${System.nanoTime()}"
+    val q = stream.df.select("doc_id", "scrubbed", "n_kept")
+      .writeStream.format("memory").queryName(name)
+      .outputMode(OutputMode.Append()).start()
+    try {
+      in.addData(arriving.take(2): _*)
+      in.addData(arriving.drop(2): _*)
+      q.processAllAvailable()
+      expect(spark.table(name).collect().toSeq
+        .map(r => (r.getLong(0), r.getString(1), r.getLong(2))))
+    } finally q.stop()
   }
 
   test("minDocs raises the repetition threshold") {
