@@ -23,7 +23,8 @@ object QueriesPipeline {
     * → signatures → bands → `cand(id_a, id_b)`), shared by every oracle
     * that mirrors `Dedup.lshCandidates` — ONE generator, so the mirrors
     * cannot drift from each other (or from the Spark hash constants). */
-  private def minhashCandidateCtes(k: Int, bands: Int): String = {
+  private def minhashCandidateCtes(k: Int, bands: Int,
+                                   pairCond: String = "a.doc_id < b.doc_id"): String = {
     val rows = k / bands
     val mins = (0 until k).map(j =>
       s"min((h * ${2 * j + 1} + ${12345 * j + 7}) % 1000000007) AS mh$j").mkString(", ")
@@ -41,7 +42,7 @@ object QueriesPipeline {
         bands AS ($bandRows),
         cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
                  FROM bands a JOIN bands b ON a.band = b.band AND a.bv = b.bv
-                                          AND a.doc_id < b.doc_id)"""
+                                          AND $pairCond)"""
   }
 
   /** Exact dedup: representative id + copy count per identical text. */
@@ -67,6 +68,27 @@ object QueriesPipeline {
     s"""WITH ${minhashCandidateCtes(16, 8)},
         sets AS (SELECT doc_id, list_distinct(list(h)) AS sh FROM h GROUP BY doc_id)
         SELECT id_a, id_b, round(j, 3) AS jaccard FROM (
+          SELECT id_a, id_b, len(list_intersect(x.sh, y.sh))::DOUBLE
+                             / len(list_distinct(list_concat(x.sh, y.sh))) AS j
+          FROM cand JOIN sets x ON x.doc_id = id_a JOIN sets y ON y.doc_id = id_b)
+        WHERE j >= 0.8"""
+
+  /** Cross-corpus near-dup: every third doc plays the fresh-crawl role,
+    * the rest the existing training set; new docs resembling any ref doc
+    * at >= 0.8 are flagged. The oracle computes signatures/bands over the
+    * whole table once and applies the SAME side split in the pair join. */
+  def qCrossDedup(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir).df
+    Dedup.crossCorpusNearDup(
+      docs.where(col("doc_id") % 3 === 0), docs.where(col("doc_id") % 3 =!= 0),
+      "doc_id", "text", k = 16, bands = 8, threshold = 0.8)
+  }
+
+  val qCrossDedupSql: String =
+    s"""WITH ${minhashCandidateCtes(16, 8,
+          pairCond = "a.doc_id % 3 = 0 AND b.doc_id % 3 <> 0")},
+        sets AS (SELECT doc_id, list_distinct(list(h)) AS sh FROM h GROUP BY doc_id)
+        SELECT id_a AS id_new, id_b AS id_ref, round(j, 3) AS jaccard FROM (
           SELECT id_a, id_b, len(list_intersect(x.sh, y.sh))::DOUBLE
                              / len(list_distinct(list_concat(x.sh, y.sh))) AS j
           FROM cand JOIN sets x ON x.doc_id = id_a JOIN sets y ON y.doc_id = id_b)
@@ -851,6 +873,7 @@ object QueriesPipeline {
     "q_span_scrub" -> (qSpanScrub _),
     "q_span_keepone" -> (qSpanKeepone _),
     "q_known_scrub" -> (qKnownScrub _),
+    "q_cross_dedup" -> (qCrossDedup _),
     "q_dedup_clusters" -> (qDedupClusters _),
     "q_dedup_corpus" -> (qDedupCorpus _),
     "q_minhash_dedup" -> (qMinhashDedup _),
@@ -891,6 +914,7 @@ object QueriesPipeline {
     "q_span_scrub" -> qSpanScrubSql,
     "q_span_keepone" -> qSpanKeeponeSql,
     "q_known_scrub" -> qKnownScrubSql,
+    "q_cross_dedup" -> qCrossDedupSql,
     "q_dedup_clusters" -> qDedupClustersSql,
     "q_dedup_corpus" -> qDedupCorpusSql,
     "q_minhash_dedup" -> qMinhashDedupSql,

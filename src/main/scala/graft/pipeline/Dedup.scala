@@ -107,6 +107,42 @@ object Dedup {
                      k: Int, bands: Int, threshold: Double): DataFrame =
     verifiedNearDupPairs(hashedDocs(docs, idCol, textCol), idCol, k, bands, threshold)
 
+  /** Cross-corpus near-dup: NEW documents whose resemblance to any
+    * REFERENCE document reaches `threshold` — the incremental-update face
+    * of [[minhashNearDup]] (dedup a fresh crawl against the existing
+    * training set). Band keys join new×ref ONLY: the reference corpus —
+    * typically orders of magnitude larger than the increment — never
+    * pays its own ref×ref self-join, and at scale its signatures/shingle
+    * sets are a precomputed artifact (pass the frames in; both sides
+    * shuffle by band key / id only — 8-byte hashes, never text). */
+  def crossCorpusNearDup(newDocs: DataFrame, refDocs: DataFrame,
+                         idCol: String, textCol: String,
+                         k: Int, bands: Int, threshold: Double): DataFrame = {
+    val rows = k / bands
+    val hn = hashedDocs(newDocs, idCol, textCol)
+    val hr = hashedDocs(refDocs, idCol, textCol)
+    def bandsOf(h: DataFrame, side: String): DataFrame = {
+      val bandCols = (0 until bands).map { b =>
+        val combined = (0 until rows).map(r => col(s"mh${b * rows + r}"))
+          .reduce((x, y) => x * 31L + y)
+        struct(lit(b).as("band"), combined.as("bv"))
+      }
+      minhashSignatureOverHashes(h, idCol, k)
+        .select(col(idCol).as(side), explode(array(bandCols: _*)).as("__bk"))
+    }
+    val cands = bandsOf(hn, "id_new").join(bandsOf(hr, "id_ref"), "__bk")
+      .select(col("id_new"), col("id_ref")).distinct()
+    val setsN = hn.select(col(idCol).as("id_new"),
+      sort_array(array_distinct(col("__hs"))).as("__sha"))
+    val setsR = hr.select(col(idCol).as("id_ref"),
+      sort_array(array_distinct(col("__hs"))).as("__shb"))
+    cands.join(setsN, "id_new").join(setsR, "id_ref")
+      .withColumn("jaccard", graft.functions.VectorFunctions.jaccardSortedAtLeast(
+        col("__sha"), col("__shb"), threshold))
+      .filter(col("jaccard") >= threshold)
+      .select(col("id_new"), col("id_ref"), round(col("jaccard"), 3).as("jaccard"))
+  }
+
   /** Containment near-dup pairs (RefinedWeb-style): containment
     * C(a→b) = |S(a) ∩ S(b)| / |S(a)| over word-3-gram shingle sets —
     * ASYMMETRIC, so both directions are reported; a high C(a→b) with a

@@ -151,6 +151,22 @@ class BatchApiSpec extends SparkSpec {
       "jaccard 6/16 is under 0.8 — containment is what catches the embed")
   }
 
+  test("cross-corpus near-dup pairs new against ref only, never within a side") {
+    import graft.pipeline.Dedup
+    val a = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val docs = Seq(
+      (1L, a), (2L, a),                       // both NEW: an exact pair, but same side
+      (10L, a + " lambda"),                   // REF near-dup of 1 and 2
+      (11L, "wholly other unrelated words entirely different tokens here now"))
+    val newDocs = docs.take(2).toDF("id", "text")
+    val refDocs = docs.drop(2).toDF("id", "text")
+    val got = Dedup.crossCorpusNearDup(newDocs, refDocs, "id", "text",
+        k = 16, bands = 8, threshold = 0.8)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == Set((1L, 10L), (2L, 10L)),
+      "each new doc pairs with the ref near-dup; the new-new exact pair is not reported")
+  }
+
   test("minhash LSH finds exact duplicates and skips unrelated docs") {
     val docs = Seq(
       (1L, "the quick brown fox jumps over the lazy dog again and again today"),
