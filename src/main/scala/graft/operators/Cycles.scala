@@ -120,9 +120,13 @@ object Cycles {
         delta = lift(d2); i += 1; sinceConsolidation += 1
         // collapse the union-of-round-deltas into ONE frame periodically:
         // without this, round k's except scans k separate checkpointed
-        // frames (O(rounds²) map tasks over the loop — measured 2× slower
-        // than naive at depth 40 before the fix). The copy is a
-        // no-shuffle materialization, amortized |H|/C per round.
+        // frames — O(rounds²) map tasks over the loop, unbounded block
+        // count. It bounds frame growth; it does NOT close the local-mode
+        // gap to naive on many-tiny-round fixpoints (CycleBench depth 40:
+        // still ~2× — per-round stage overhead, not frame count, dominates
+        // there; that regime is why `auto` can be overridden to naive).
+        // The copy is a no-shuffle materialization, amortized |H|/C per
+        // round.
         if (sinceConsolidation >= 8) {
           val (flat, flatIds, _) = checkpointCounted(acc)
           // the newest delta's checkpoint must survive: next round's step
