@@ -866,6 +866,27 @@ object QueriesPipeline {
           CASE WHEN len(kept) = 0 THEN 0 ELSE $PolyKept END AS kept_hash
         FROM keep"""
 
+  /** CCNet-style bigram-LM quality score: the model trains on the corpus
+    * itself, each doc scored by average smoothed pair log-likelihood. */
+  def qLmScore(spark: SparkSession, dir: String): DataFrame =
+    TextOps.bigramLmScore(Tables.documents(spark, dir).df, "doc_id", "text")
+
+  val qLmScoreSql: String =
+    s"""WITH words AS (SELECT doc_id, list_filter(string_split_regex(text, '[ \\t\\n\\f\\r\\x0b]+'), x -> x <> '') AS w FROM documents),
+        pairs AS (SELECT doc_id,
+                    unnest(w[1:len(w) - 1]) AS u, unnest(w[2:len(w)]) AS v
+                  FROM words WHERE len(w) >= 2),
+        bc AS (SELECT u, v, count(*) AS c FROM pairs GROUP BY u, v),
+        cc AS (SELECT u, sum(c) AS cu FROM bc GROUP BY u),
+        vv AS (SELECT count(DISTINCT v) AS V FROM bc),
+        agg AS (SELECT p.doc_id AS doc_id, count(*) AS n_pairs,
+                  round(avg(ln((bc.c + 0.5) / (cc.cu + 0.5 * vv.V))), 3) AS avg_logprob
+                FROM pairs p JOIN bc ON p.u = bc.u AND p.v = bc.v
+                             JOIN cc ON p.u = cc.u CROSS JOIN vv
+                GROUP BY p.doc_id)
+        SELECT d.doc_id, coalesce(a.n_pairs, 0)::BIGINT AS n_pairs, a.avg_logprob
+        FROM documents d LEFT JOIN agg a USING (doc_id)"""
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_ivf_ann" -> (qIvfAnn _),
     "q_dedup_exact" -> (qDedupExact _),
@@ -874,6 +895,7 @@ object QueriesPipeline {
     "q_span_keepone" -> (qSpanKeepone _),
     "q_known_scrub" -> (qKnownScrub _),
     "q_cross_dedup" -> (qCrossDedup _),
+    "q_lm_score" -> (qLmScore _),
     "q_dedup_clusters" -> (qDedupClusters _),
     "q_dedup_corpus" -> (qDedupCorpus _),
     "q_minhash_dedup" -> (qMinhashDedup _),
@@ -915,6 +937,7 @@ object QueriesPipeline {
     "q_span_keepone" -> qSpanKeeponeSql,
     "q_known_scrub" -> qKnownScrubSql,
     "q_cross_dedup" -> qCrossDedupSql,
+    "q_lm_score" -> qLmScoreSql,
     "q_dedup_clusters" -> qDedupClustersSql,
     "q_dedup_corpus" -> qDedupCorpusSql,
     "q_minhash_dedup" -> qMinhashDedupSql,

@@ -399,6 +399,53 @@ object TextOps {
         (coalesce(col("__n"), lit(0L)) >= minOverlap).cast("int").as("contaminated"))
   }
 
+  /** CCNet-style LM quality signal (Wenzek et al., "CCNet: Extracting High
+    * Quality Monolingual Datasets from Web Crawl Data", 2020 — their
+    * KenLM perplexity filter, with the LM trained on the corpus itself):
+    * an add-alpha-smoothed bigram model over adjacent token pairs, each
+    * document scored by its average per-pair log-likelihood
+    * ln((c(u,v) + a) / (c(u) + a·V)). Low scores flag OCR noise and
+    * gibberish; anomalously high ones flag boilerplate (the corpus's own
+    * most-repeated continuations).
+    *
+    * Scale shape: the LM tables derive from ONE corpus pass (context
+    * counts and the vocabulary fold over the bigram aggregate, which is
+    * `localCheckpoint`ed — it is the trained-model artifact, orders of
+    * magnitude smaller than the corpus, and three consumers would
+    * otherwise each re-derive the corpus explode); scoring is a second
+    * pass joining pairs against the pinned model — the two-scan floor of
+    * every corpus-stat-then-score operator here. Pair keys are the token
+    * strings so an independent engine reproduces scores exactly; at
+    * 100 TB the join key would be a 64-bit pair hash with the strings
+    * kept only in the model table. Documents with under 2 tokens score
+    * NULL (no pairs). */
+  def bigramLmScore(docs: org.apache.spark.sql.DataFrame, idCol: String,
+                    textCol: String, alpha: Double = 0.5): org.apache.spark.sql.DataFrame = {
+    val id = col(idCol)
+    val pairs = docs
+      .select(id, words(col(textCol)).as("__w")).where(size(col("__w")) >= 2)
+      .select(id, explode(arrays_zip(
+        slice(col("__w"), lit(1), size(col("__w")) - 1).as("u"),
+        slice(col("__w"), lit(2), size(col("__w")) - 1).as("v"))).as("__p"))
+      .select(id, col("__p.u").as("__u"), col("__p.v").as("__v"))
+    val sc = docs.sparkSession.sparkContext
+    val before = sc.getPersistentRDDs.keySet.toSet
+    val bc = pairs.groupBy(col("__u"), col("__v")).agg(count(lit(1)).as("__c"))
+      .localCheckpoint()
+    graft.api.Pinned.register(docs.sparkSession,
+      sc.getPersistentRDDs.keySet.toSet.diff(before))
+    val cc = bc.groupBy(col("__u")).agg(sum(col("__c")).as("__cu"))
+    val vv = bc.agg(count_distinct(col("__v")).as("__nv"))
+    val scored = pairs
+      .join(bc, Seq("__u", "__v")).join(cc, Seq("__u"))
+      .crossJoin(broadcast(vv))
+      .withColumn("__lp", log((col("__c") + alpha) / (col("__cu") + col("__nv") * alpha)))
+      .groupBy(id)
+      .agg(count(lit(1)).as("n_pairs"), round(avg(col("__lp")), 3).as("avg_logprob"))
+    docs.select(id).join(scored, Seq(idCol), "left")
+      .select(id, coalesce(col("n_pairs"), lit(0L)).as("n_pairs"), col("avg_logprob"))
+  }
+
   /** RE2-safe PII patterns (portable between Java regex and DuckDB's RE2 —
     * no lookaround, no possessive quantifiers). */
   val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"

@@ -15,10 +15,12 @@ class PlanSweepSpec extends SparkSpec {
   //    by construction (the LSH-bucketed variant is the scale path)
   //  - q_ann_topk: brute-force baseline broadcasts the (tiny) probe set
   //    against every partition on an inequality condition
-  //  - q_bm25 / q_tfidf: corpus statistics (N, avgdl / N) reduce to a
-  //    SINGLE broadcast row cross-joined onto the scoring scan
+  //  - q_bm25 / q_tfidf / q_lm_score: corpus statistics (N, avgdl / N /
+  //    vocabulary size) reduce to a SINGLE broadcast row cross-joined
+  //    onto the scoring scan
   private val bnljByDesign =
-    Set("q_ngram_jaccard", "q_embed_dedup", "q_ann_topk", "q_bm25", "q_tfidf")
+    Set("q_ngram_jaccard", "q_embed_dedup", "q_ann_topk", "q_bm25", "q_tfidf",
+      "q_lm_score")
 
   test("no query plans a cartesian product; nested-loop joins only by design") {
     val offenders = scala.collection.mutable.ArrayBuffer.empty[String]
