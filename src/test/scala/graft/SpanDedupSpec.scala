@@ -106,6 +106,45 @@ class SpanDedupSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("repeatedSpans equals a brute-force reference on seeded random corpora") {
+    // tiny vocab forces heavy cross-doc gram sharing — the regime where
+    // island assembly, thresholds, and the collision-guard stage all work
+    val rnd = new scala.util.Random(42)
+    val vocab = Vector("a", "b", "c", "d", "e")
+    for (trial <- 1 to 5) {
+      val k = 2 + rnd.nextInt(2)
+      val minDocs = 2 + rnd.nextInt(2)
+      val docs = (1L to (3 + rnd.nextInt(5)).toLong).map { i =>
+        (i, Seq.fill(rnd.nextInt(13))(vocab(rnd.nextInt(vocab.size))).mkString(" "))
+      }
+      def grams(t: String): Vector[String] = {
+        val w = t.split("\\s+").filter(_.nonEmpty).toVector
+        if (w.size < k) Vector()
+        else (0 to w.size - k).map(p => w.slice(p, p + k).mkString(" ")).toVector
+      }
+      val docsPerGram = docs.flatMap { case (id, t) => grams(t).distinct.map(_ -> id) }
+        .groupBy(_._1).map { case (g, xs) => g -> xs.map(_._2).distinct.size }
+      val expected = docs.flatMap { case (id, t) =>
+        val dup = grams(t).zipWithIndex.collect {
+          case (g, p) if docsPerGram(g) >= minDocs => p
+        }
+        val spans = scala.collection.mutable.Buffer.empty[(Long, Long, Long)]
+        var i = 0
+        while (i < dup.size) {
+          var j = i
+          while (j + 1 < dup.size && dup(j + 1) == dup(j) + 1) j += 1
+          spans += ((id, dup(i).toLong, (dup(j) - dup(i) + k).toLong))
+          i = j + 1
+        }
+        spans
+      }.toSet
+      val got = Dedup.repeatedSpans(docs.toDF("doc_id", "text"), "doc_id", "text",
+          k, minDocs)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      assert(got == expected, s"trial $trial k=$k minDocs=$minDocs docs=$docs")
+    }
+  }
+
   test("minDocs raises the repetition threshold") {
     // "a b c" is in 4 docs, "b c d" in 3 — at minDocs=4 only "a b c" spans
     val got = Dedup.repeatedSpans(corpus, "doc_id", "text", k = 3, minDocs = 4)
