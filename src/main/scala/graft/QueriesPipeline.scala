@@ -458,6 +458,19 @@ object QueriesPipeline {
                                   ELSE 250000 END"""
   }
 
+  /** Per-source quota cap: at most 15 docs per source, hash-ranked —
+    * the per-domain contribution limit of web-corpus assembly. */
+  def qSourceCap(spark: SparkSession, dir: String): DataFrame =
+    graft.pipeline.Sampling.capPerKey(
+        Tables.documents(spark, dir).df, col("source"), col("doc_id"), 15, salt = "cap1")
+      .select(col("doc_id"), col("source"))
+
+  val qSourceCapSql: String = {
+    val gate = "((" + PolyFold.format("(doc_id::VARCHAR || 'cap1')") + ") * 2654435761) % 1000000"
+    s"""SELECT doc_id, source FROM documents
+        QUALIFY row_number() OVER (PARTITION BY source ORDER BY $gate, doc_id) <= 15"""
+  }
+
   /** Deterministic 80/10/10 train/validation/test assignment over the
     * corpus (hash-gate bands; reproducible across partitionings and
     * engines — the oracle reproduces every label bit-for-bit). */
@@ -896,6 +909,7 @@ object QueriesPipeline {
     "q_known_scrub" -> (qKnownScrub _),
     "q_cross_dedup" -> (qCrossDedup _),
     "q_lm_score" -> (qLmScore _),
+    "q_source_cap" -> (qSourceCap _),
     "q_dedup_clusters" -> (qDedupClusters _),
     "q_dedup_corpus" -> (qDedupCorpus _),
     "q_minhash_dedup" -> (qMinhashDedup _),
@@ -938,6 +952,7 @@ object QueriesPipeline {
     "q_known_scrub" -> qKnownScrubSql,
     "q_cross_dedup" -> qCrossDedupSql,
     "q_lm_score" -> qLmScoreSql,
+    "q_source_cap" -> qSourceCapSql,
     "q_dedup_clusters" -> qDedupClustersSql,
     "q_dedup_corpus" -> qDedupCorpusSql,
     "q_minhash_dedup" -> qMinhashDedupSql,

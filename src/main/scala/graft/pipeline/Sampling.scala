@@ -94,4 +94,23 @@ object Sampling {
       .otherwise(array().cast("array<bigint>"))
     df.withColumn("epoch", explode(epochs))
   }
+
+  /** Per-key quota cap (the Common-Crawl-style per-domain contribution
+    * limit): keep at most `n` rows per `strataCol` value, chosen by a
+    * deterministic hash rank over the row key (same multiplicative-hash
+    * machinery as the samplers — stable under any partitioning / cluster
+    * size / engine; a different salt redraws the survivors), ties broken
+    * by the key itself. One shuffle on the stratum; the rank window is
+    * per-stratum and AQE-spill-safe, but a pathologically hot stratum
+    * serializes its own partition — at that scale pre-thin hot strata
+    * with [[hashSample]] before capping (the cap only needs the sample
+    * to be ≥ n, and the gate is rank-consistent). */
+  def capPerKey(df: DataFrame, strataCol: Column, keyCol: Column, n: Int,
+                salt: String = ""): DataFrame = {
+    require(n > 0, s"cap must be positive, got $n")
+    import org.apache.spark.sql.expressions.Window
+    df.withColumn("__rk", row_number().over(
+        Window.partitionBy(strataCol).orderBy(gate(keyCol, salt), keyCol)))
+      .filter(col("__rk") <= n).drop("__rk")
+  }
 }
