@@ -364,4 +364,47 @@ object QueriesCore {
       |  UNION
       |  SELECT id, x // 10 FROM h WHERE (x // 10) > 0
       |) SELECT id, x FROM h""".stripMargin
+
+  /** The JOIN-BODY cycle twin of q_cycle: reachability over a +120 ring on
+    * custkey residues (out-degree 1 — milan's enrichment join pairs each
+    * left with ONE right). The body is linear in the head AND contains a
+    * head-dependent join, so the auto strategy lowers through SEMI-NAIVE
+    * delta evaluation (`Cycles.iterateDelta` — frontier-only rounds,
+    * exact empty-delta termination after the 3-step rings close): this
+    * query puts the delta machinery itself under the DuckDB oracle, where
+    * q_cycle's row-local body exercises the naive path (deeper-round
+    * behavior incl. the round-8 consolidation is spec-pinned —
+    * StreamingCycleSpec's seeded random-graph equivalence). */
+  def qCycleDelta(spark: SparkSession, dir: String): DataFrame = {
+    import graft.api.{App, Program}
+    import graft.api.Program._
+    val doc = Doc(
+      nodes = Seq(
+        External("orders"),
+        MapCols("edges0", "orders", Seq(
+          Field("o_custkey % 360", "src"),
+          Field("(o_custkey % 360 + 120) % 360", "dst"))),
+        OrderBy("edges", "edges0", Seq("src", "dst")),
+        MapCols("ids", "orders", Seq(Field("o_custkey % 360", "id"))),
+        Where("seeds0", "ids", "id % 60 = 0"),
+        OrderBy("seeds", "seeds0", Seq("id")),
+        BeginCycle("reach", "seeds", 30),
+        Join("step", "leftInner", "reach", "edges", "l.id = r.src",
+          Seq(Field("r.dst", "id"))),
+        CloseCycle("out", "reach", "step")),
+      outputs = Seq("out"))
+    val config = new App.Config()
+      .setSource("orders", App.Source(
+        format = "parquet", path = Some(s"$dir/orders.parquet")))
+      .addSink("out", App.Sink(format = "memory"))
+    App.runProgram(spark, config, Program.toJson(doc))
+      .collectFirst { case App.BatchOutput("out", out) => out }.get
+  }
+
+  val qCycleDeltaSql: String =
+    """WITH RECURSIVE
+      |e AS (SELECT DISTINCT o_custkey % 360 AS src, (o_custkey % 360 + 120) % 360 AS dst FROM orders),
+      |s AS (SELECT DISTINCT o_custkey % 360 AS id FROM orders WHERE (o_custkey % 360) % 60 = 0),
+      |h(id) AS (SELECT id FROM s UNION SELECT e.dst FROM h JOIN e ON h.id = e.src)
+      |SELECT id FROM h""".stripMargin
 }
