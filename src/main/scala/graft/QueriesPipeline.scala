@@ -471,6 +471,25 @@ object QueriesPipeline {
         QUALIFY row_number() OVER (PARTITION BY source ORDER BY $gate, doc_id) <= 15"""
   }
 
+  /** Per-source token budget: greedy hash-rank prefix fill to 600
+    * whitespace tokens per source — the "sample N tokens per domain"
+    * step of training-mix assembly. */
+  def qTokenBudget(spark: SparkSession, dir: String): DataFrame =
+    graft.pipeline.Sampling.capTokensPerKey(
+        Tables.documents(spark, dir).df, col("source"), col("doc_id"),
+        TextOps.tokenCountWhitespace(col("text")), budget = 600L, salt = "tb1")
+      .select(col("doc_id"), col("source"))
+
+  val qTokenBudgetSql: String = {
+    val gate = "((" + PolyFold.format("(doc_id::VARCHAR || 'tb1')") + ") * 2654435761) % 1000000"
+    s"""SELECT doc_id, source FROM (
+          SELECT doc_id, source,
+            sum(len(list_filter(string_split_regex(text, '[ \\t\\n\\f\\r\\x0b]+'), x -> x <> '')))
+              OVER (PARTITION BY source ORDER BY $gate, doc_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS rt
+          FROM documents) WHERE rt <= 600"""
+  }
+
   /** Deterministic 80/10/10 train/validation/test assignment over the
     * corpus (hash-gate bands; reproducible across partitionings and
     * engines — the oracle reproduces every label bit-for-bit). */
@@ -910,6 +929,7 @@ object QueriesPipeline {
     "q_cross_dedup" -> (qCrossDedup _),
     "q_lm_score" -> (qLmScore _),
     "q_source_cap" -> (qSourceCap _),
+    "q_token_budget" -> (qTokenBudget _),
     "q_dedup_clusters" -> (qDedupClusters _),
     "q_dedup_corpus" -> (qDedupCorpus _),
     "q_minhash_dedup" -> (qMinhashDedup _),
@@ -953,6 +973,7 @@ object QueriesPipeline {
     "q_cross_dedup" -> qCrossDedupSql,
     "q_lm_score" -> qLmScoreSql,
     "q_source_cap" -> qSourceCapSql,
+    "q_token_budget" -> qTokenBudgetSql,
     "q_dedup_clusters" -> qDedupClustersSql,
     "q_dedup_corpus" -> qDedupCorpusSql,
     "q_minhash_dedup" -> qMinhashDedupSql,

@@ -113,4 +113,23 @@ object Sampling {
         Window.partitionBy(strataCol).orderBy(gate(keyCol, salt), keyCol)))
       .filter(col("__rk") <= n).drop("__rk")
   }
+
+  /** Token-budget variant of [[capPerKey]] ("sample N tokens per domain"):
+    * walk each stratum in deterministic hash-rank order and keep the
+    * maximal PREFIX whose running token total stays within `budget` — the
+    * greedy budget fill of training-mix assembly, reproducible on any
+    * partitioning / engine (one running-sum window, O(stratum); a
+    * skip-oversized-and-continue fill would need a quadratic per-row
+    * refold of the kept set). The first row of a stratum is kept only if
+    * it fits alone. Same hot-stratum caveat as `capPerKey`. */
+  def capTokensPerKey(df: DataFrame, strataCol: Column, keyCol: Column,
+                      tokensCol: Column, budget: Long,
+                      salt: String = ""): DataFrame = {
+    require(budget > 0, s"budget must be positive, got $budget")
+    import org.apache.spark.sql.expressions.Window
+    val running = sum(tokensCol).over(
+      Window.partitionBy(strataCol).orderBy(gate(keyCol, salt), keyCol)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    df.withColumn("__rt", running).filter(col("__rt") <= budget).drop("__rt")
+  }
 }
