@@ -327,6 +327,55 @@ object QueriesCore {
 
   val qCaptureAggSql: String = qAggSql
 
+  /** Milan's serializable UDF escape hatch
+    * (`ApplyFunction(FunctionReference(type, name), args)`,
+    * `program/Expression.scala:407`, `program/FunctionReference.scala`) as
+    * a program document: three functions registered by NAME in
+    * `Program.Functions` (column builders — codegen'd Catalyst
+    * expressions, not Scala UDFs), referenced from `applyFn` nodes in all
+    * three positions (addField, where, map) of a JSON document that ships
+    * through the codec and runs via `App.runProgram`. The oracle mirrors
+    * each function's definition in DuckDB SQL, so the whole
+    * register → serialize → load → resolve-by-name → execute path is
+    * hash-verified. */
+  def qProgramFn(spark: SparkSession, dir: String): DataFrame = {
+    import graft.api.Program
+    Program.Functions.register("norm_text", 1)(a =>
+      lower(regexp_replace(a.head, "[^A-Za-z0-9 ]", " ")))
+    Program.Functions.register("is_substantial", 2)(a => length(a.head) >= a(1))
+    Program.Functions.register("fmt_doc_stats", 3)(a => concat_ws(":", a: _*))
+    val programJson =
+      """{"nodes": [
+           {"op": "external", "name": "documents"},
+           {"op": "applyFn", "name": "n", "input": "documents",
+            "function": "norm_text", "args": ["text"], "kind": "addField", "as": "norm"},
+           {"op": "applyFn", "name": "f", "input": "n",
+            "function": "is_substantial", "args": ["norm", "200"], "kind": "where"},
+           {"op": "groupSelect", "name": "g", "input": "f", "keys": ["lang"],
+            "aggs": [{"expr": "count(1)", "as": "cnt"},
+                     {"expr": "sum(length(norm))", "as": "total_len"}]},
+           {"op": "applyFn", "name": "out", "input": "g",
+            "function": "fmt_doc_stats", "args": ["lang", "cnt", "total_len"],
+            "kind": "map", "as": "summary"}],
+         "outputs": ["out"]}"""
+    val config = new graft.api.App.Config()
+      .setSource("documents", graft.api.App.Source(
+        format = "parquet", path = Some(s"$dir/documents.parquet")))
+      .addSink("out", graft.api.App.Sink(format = "memory"))
+    graft.api.App.runProgram(spark, config, programJson)
+      .collectFirst { case graft.api.App.BatchOutput("out", out) => out }.get
+  }
+
+  val qProgramFnSql: String =
+    """WITH n AS (
+         SELECT *, lower(regexp_replace(text, '[^A-Za-z0-9 ]', ' ', 'g')) AS norm
+         FROM documents),
+       f AS (SELECT * FROM n WHERE length(norm) >= 200),
+       g AS (SELECT lang, count(*) AS cnt,
+                    CAST(sum(length(norm)) AS BIGINT) AS total_len
+             FROM f GROUP BY lang)
+       SELECT concat_ws(':', lang, cnt, total_len) AS summary FROM g"""
+
   /** Iterative dataflow through the program-document cycle surface (milan
     * `beginCycle`/`closeCycle`, `lang/CycleStream.scala:22`,
     * `program/StreamExpressions.scala:141`): per-order base-10 shift chains

@@ -25,6 +25,7 @@ object SparkEntry {
     "q_asof_fwd" -> (QueriesCore.qAsofFwd _),
     "q_program_agg" -> (QueriesCore.qProgramAgg _),
     "q_capture_agg" -> (QueriesCore.qCaptureAgg _),
+    "q_program_fn" -> (QueriesCore.qProgramFn _),
     "q_cycle" -> (QueriesCore.qCycle _),
     "q_cycle_delta" -> (QueriesCore.qCycleDelta _)
   ) ++ QueriesStateful.all ++ QueriesPipeline.all
@@ -43,6 +44,7 @@ object SparkEntry {
     "q_asof_fwd" -> QueriesCore.qAsofFwdSql,
     "q_program_agg" -> QueriesCore.qProgramAggSql,
     "q_capture_agg" -> QueriesCore.qCaptureAggSql,
+    "q_program_fn" -> QueriesCore.qProgramFnSql,
     "q_cycle" -> QueriesCore.qCycleSql,
     "q_cycle_delta" -> QueriesCore.qCycleDeltaSql
   ) ++ QueriesStateful.sql ++ QueriesPipeline.sql

@@ -32,6 +32,55 @@ object Program {
   /** One computed column: SQL expression + output name. */
   final case class Field(expr: String, as: String)
 
+  /**
+   * Named-function registry — the graft twin of milan's serializable UDF
+   * escape hatch `ApplyFunction(FunctionReference(type, name), args)`
+   * (`program/Expression.scala:407`, `program/FunctionReference.scala`):
+   * an opaque user function travels *inside the serialized program* by
+   * name only, and the loading side resolves it. Milan resolves the
+   * reference against the JVM classpath at compile time
+   * (`ScalarFunctionGenerator.scala:119-151`); the graft registry is the
+   * same scope made explicit — JVM-global, so a document loads
+   * identically in every session of a process that has registered its
+   * function library (typically from a static initializer), and
+   * load-time [[validate]] can reject an unregistered name with the
+   * offending node BEFORE any Spark session or job exists.
+   *
+   * A registered function is a COLUMN BUILDER (`Seq[Column] => Column`):
+   * it composes Catalyst expressions, so the escape hatch stays inside
+   * whole-stage codegen (no Scala-UDF deserialization wall) while being
+   * every bit as opaque to the document as milan's `FunctionReference`.
+   * Re-registering a name replaces the previous definition.
+   */
+  object Functions {
+    private final case class FnDef(arity: Int, build: Seq[Column] => Column)
+    private val reg = new java.util.concurrent.ConcurrentHashMap[String, FnDef]()
+
+    /** Register `name` as an `arity`-argument column builder. */
+    def register(name: String, arity: Int)(build: Seq[Column] => Column): Unit = {
+      require(name.matches("[A-Za-z_][A-Za-z0-9_]*"),
+        s"function name '$name' must be an identifier")
+      require(arity >= 0, s"function '$name': arity must be >= 0, got $arity")
+      reg.put(name, FnDef(arity, build))
+    }
+
+    def unregister(name: String): Unit = reg.remove(name)
+
+    /** The registered arity of `name`, if registered. */
+    def registeredArity(name: String): Option[Int] =
+      Option(reg.get(name)).map(_.arity)
+
+    /** Resolve and apply, with the node name in every failure. */
+    private[api] def apply(node: String, fn: String, args: Seq[Column]): Column = {
+      val d = Option(reg.get(fn)).getOrElse(throw new IllegalArgumentException(
+        s"node '$node': function '$fn' is not registered " +
+          "(Program.Functions.register it before loading the document)"))
+      require(d.arity == args.size,
+        s"node '$node': function '$fn' takes ${d.arity} argument(s), got ${args.size}")
+      d.build(args)
+    }
+  }
+
   sealed trait Node { def name: String }
 
   /** A named external input, resolved by the configuration at run time. */
@@ -107,6 +156,17 @@ object Program {
     * (`Cycles.feedbackChannel` provides both bindings). */
   final case class BeginCycle(name: String, input: String,
                               maxIterations: Int) extends Node
+  /** Milan `ApplyFunction(FunctionReference(type, name), args)`
+    * (`program/Expression.scala:407`) as a document node: apply the
+    * [[Functions]]-registered function `function` to the SQL-expression
+    * `args`. `kind` selects the position milan's expression node occupies:
+    * `map` (record := result, single field named `as`), `where` (boolean
+    * result filters the input), `addField` (input schema + result as
+    * `as`). Unregistered names and arity mismatches reject at
+    * [[validate]] with this node's name. */
+  final case class ApplyFn(name: String, input: String, function: String,
+                           args: Seq[String], kind: String,
+                           as: Option[String]) extends Node
   /** Milan `closeCycle`: connects `feedback`'s records back into the head
     * `cycle`. Evaluates to the closed head stream. Nodes between a
     * BeginCycle and its CloseCycle form the loop body; nesting is not
@@ -269,6 +329,7 @@ object Program {
     case t: ToField => Seq(t.input)
     case ss: SessionSelect => Seq(ss.input)
     case rw: RecordWindow => Seq(rw.input)
+    case a: ApplyFn => Seq(a.input)
     case b: BeginCycle => Seq(b.input)
     case c: CloseCycle => Seq(c.feedback)
   }
@@ -303,7 +364,8 @@ object Program {
       if (deps.nonEmpty) {
         headDep += bn.name
         val ok = bn match {
-          case _: MapCols | _: Where | _: AddTo | _: ToField | _: OrderBy =>
+          case _: MapCols | _: Where | _: AddTo | _: ToField | _: OrderBy |
+               _: ApplyFn => // applyFn kinds are all per-record
             deps.size == 1
           case _: Union => true // union distributes regardless of arity
           case j: Join =>
@@ -424,6 +486,18 @@ object Program {
             (kind, in0, as)
           }
           in(i).groupBy(keys: _*).recordWindow(nWin).selectRunning(kinds: _*)
+        case ApplyFn(name, i, fnName, args, kind, as) =>
+          val s = in(i)
+          val c = Functions(name, fnName, args.map(a => expr(a)))
+          def outName = as.getOrElse(throw new IllegalArgumentException(
+            s"applyFn node '$name' (kind '$kind') needs an 'as' output name"))
+          kind match {
+            case "map" => s.map(c.as(outName))
+            case "where" => s.where(c)
+            case "addField" => s.addFields(outName -> c)
+            case other => throw new IllegalArgumentException(
+              s"applyFn node '$name': unknown kind '$other' (map|where|addField)")
+          }
     }
   }
 
@@ -449,6 +523,7 @@ object Program {
     case x: ToField => x.copy(name = name)
     case x: SessionSelect => x.copy(name = name)
     case x: RecordWindow => x.copy(name = name)
+    case x: ApplyFn => x.copy(name = name)
     case x: BeginCycle => x.copy(name = name)
     case x: CloseCycle => x.copy(name = name)
   }
@@ -516,17 +591,29 @@ object Program {
       val inputs = (this +: others).map(r => r.name -> r.stream).toMap
       val out = lowerNode(node, n => inputs.getOrElse(n,
         throw new IllegalArgumentException(s"capture: unknown input '$n'")))
-      new Rec(merged :+ node, node.name, out.withName(node.name),
+      // freshName may have landed on an IDENTICAL node already present in
+      // the merged lineage — reuse that entry instead of appending a twin
+      // (a later .as() would rename only one copy, leaving an unused
+      // auto-named duplicate that interpret still lowers on import)
+      val all = if (merged.contains(node)) merged else merged :+ node
+      new Rec(all, node.name, out.withName(node.name),
         others.foldLeft(ext)(_ ++ _.ext))
     }
     private def derive1(op: String)(mk: String => Node): Rec = derive(op, Nil)(mk)
 
-    /** Rename the node this Rec just defined (no downstream uses exist
-      * yet, so the rename is local). */
+    /** Rename the node this Rec just defined. The rename must be local:
+      * it rejects if any node in this lineage already references the
+      * current name as an input (possible when [[derive]] reused an
+      * identical existing node instead of appending). */
     def as(newName: String): Rec = {
-      require(!nodes.init.exists(_.name == newName),
+      if (newName == name) return this
+      require(!nodes.exists(_.name == newName),
         s"capture: node name '$newName' is already defined")
-      new Rec(nodes.init :+ withNodeName(nodes.last, newName), newName,
+      val idx = nodes.lastIndexWhere(_.name == name)
+      require(idx >= 0, s"capture: no node named '$name' to rename")
+      require(!nodes.exists(n => nodeInputs(n).contains(name)),
+        s"capture: cannot rename '$name' — downstream nodes already reference it")
+      new Rec(nodes.updated(idx, withNodeName(nodes(idx), newName)), newName,
         stream.withName(newName), ext)
     }
 
@@ -637,6 +724,15 @@ object Program {
     def recordWindow(keys: Seq[String], n: Int,
                      aggs: (String, String, String)*): Rec =
       derive1("recordWindow")(nm => RecordWindow(nm, name, keys, n, aggs))
+    /** Milan `ApplyFunction` in map position: record := function(args). */
+    def applyFn(function: String, args: Seq[String], as: String): Rec =
+      derive1("applyFn")(n => ApplyFn(n, name, function, args, "map", Some(as)))
+    /** Milan `ApplyFunction` in where position: boolean function filters. */
+    def whereFn(function: String, args: String*): Rec =
+      derive1("whereFn")(n => ApplyFn(n, name, function, args, "where", None))
+    /** Milan `ApplyFunction` in addFields position. */
+    def addFieldFn(function: String, as: String, args: String*): Rec =
+      derive1("addFieldFn")(n => ApplyFn(n, name, function, args, "addField", Some(as)))
   }
 
   object Rec {
@@ -658,6 +754,15 @@ object Program {
   }
 
   // ---------------------------------------------------------------- codec
+
+  /** Document format version written by [[toJson]]. Bump when the node
+    * grammar changes incompatibly; [[fromJson]] rejects documents from a
+    * NEWER format with a clear error instead of misinterpreting them —
+    * the ship-JSON twin of the streaming state-format tag (a document is
+    * a long-lived artifact; the library reading it may be older than the
+    * one that wrote it). Documents with no `version` field (pre-tag
+    * artifacts) read as version 1. */
+  val FormatVersion: Int = 1
 
   /** Serialize a program document (milan `ApplicationInstance.toJsonString`
     * parity, program half — [[App.configToJson]] carries the bindings). */
@@ -721,6 +826,9 @@ object Program {
           ("keys" -> keys) ~ ("n" -> nWin) ~
           ("aggs" -> aggs.map { case (k, in0, as) =>
             ("kind" -> k) ~ ("in" -> in0) ~ ("as" -> as) })
+      case ApplyFn(name, i, fn, args, kind, as) =>
+        ("op" -> "applyFn") ~ ("name" -> name) ~ ("input" -> i) ~
+          ("function" -> fn) ~ ("args" -> args) ~ ("kind" -> kind) ~ ("as" -> as)
       case BeginCycle(name, i, maxIter) =>
         ("op" -> "beginCycle") ~ ("name" -> name) ~ ("input" -> i) ~
           ("maxIterations" -> maxIter)
@@ -729,7 +837,8 @@ object Program {
           ("feedback" -> feedback)
     }
     JsonMethods.compact(JsonMethods.render(
-      ("nodes" -> doc.nodes.map(nodeJson)) ~ ("outputs" -> doc.outputs)))
+      ("version" -> FormatVersion) ~ ("nodes" -> doc.nodes.map(nodeJson)) ~
+        ("outputs" -> doc.outputs)))
   }
 
   /** Parse a `toJson` document back into a runnable [[Doc]] — the
@@ -741,6 +850,11 @@ object Program {
     import org.json4s.jackson.JsonMethods
     implicit val fmts: Formats = DefaultFormats
     val j = JsonMethods.parse(json)
+    val ver = (j \ "version").extractOpt[Int].getOrElse(1)
+    if (ver > FormatVersion) throw new IllegalArgumentException(
+      s"program document format version $ver is newer than this library's " +
+        s"$FormatVersion — upgrade the reading side (refusing to " +
+        "misinterpret a newer grammar)")
     def fields(v: JValue): Seq[Field] = v match {
       case JArray(xs) => xs.map(x =>
         Field((x \ "expr").extract[String], (x \ "as").extract[String]))
@@ -805,6 +919,10 @@ object Program {
                 (x \ "in").extract[String], (x \ "as").extract[String]))
               case _ => Nil
             })
+          case "applyFn" => ApplyFn(name, (v \ "input").extract[String],
+            (v \ "function").extract[String], strs(v \ "args"),
+            (v \ "kind").extractOpt[String].getOrElse("map"),
+            (v \ "as").extractOpt[String])
           case "beginCycle" => BeginCycle(name, (v \ "input").extract[String],
             (v \ "maxIterations").extractOpt[Int].getOrElse(50))
           case "closeCycle" => CloseCycle(name, (v \ "cycle").extract[String],
@@ -948,6 +1066,23 @@ object Program {
               s"node ${n.name}: unknown recordWindow agg kind '$k' (${kinds.mkString("|")})")
           }
           Seq(rw.input)
+        case af: ApplyFn =>
+          af.args.foreach(parse(_, s"node ${n.name}"))
+          if (!Set("map", "where", "addField").contains(af.kind))
+            throw new IllegalArgumentException(
+              s"node '${n.name}': unknown applyFn kind '${af.kind}' (map|where|addField)")
+          if (af.kind != "where" && af.as.isEmpty) throw new IllegalArgumentException(
+            s"node '${n.name}': applyFn kind '${af.kind}' needs an 'as' output name")
+          Functions.registeredArity(af.function) match {
+            case None => throw new IllegalArgumentException(
+              s"node '${n.name}': function '${af.function}' is not registered " +
+                "(Program.Functions.register it before loading the document)")
+            case Some(a) if a != af.args.size => throw new IllegalArgumentException(
+              s"node '${n.name}': function '${af.function}' takes $a argument(s), " +
+                s"got ${af.args.size}")
+            case _ =>
+          }
+          Seq(af.input)
       }
       inputs.foreach(i => if (!defined.contains(i)) throw new IllegalArgumentException(
         s"node '${n.name}' references '$i' before it is defined"))

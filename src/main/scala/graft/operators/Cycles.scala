@@ -20,29 +20,47 @@ import graft.api.{App, MStream}
  */
 object Cycles {
 
-  /** Iterate a batch dataflow to a fixpoint. Each round's result is
-    * localCheckpoint()ed so lineage doesn't grow unboundedly (the classic
-    * iterative-Spark hazard); the convergence count rides the checkpoint
-    * job as an observed metric (one job per round, not two), and each
-    * round's blocks are unpersisted once its successor is materialized —
-    * the same supersede-and-release discipline as
-    * `Dedup.connectedComponents`. The FINAL round's checkpoint stays
-    * persisted: the returned plan reads it. */
-  /** Eager checkpoint with the row count riding the checkpoint job as an
-    * observed metric (one job, not two); returns the pinned frame, the
-    * RDD ids it persisted (for later release), and the count. The id
-    * capture is a getPersistentRDDs before/after diff — like the other
-    * iterative operators' trackers, it assumes no CONCURRENT checkpointing
-    * on the same session during the (driver-side, synchronous) window. */
-  private def checkpointCounted(df: DataFrame): (DataFrame, Set[Int], Long) = {
-    import org.apache.spark.sql.functions.{count, lit}
+  /** Does the schema contain a MapType anywhere? `xxhash64` rejects maps
+    * (unordered entries have no canonical hash), so such frames degrade to
+    * the count-only witness. */
+  private def hasMap(dt: org.apache.spark.sql.types.DataType): Boolean = dt match {
+    case _: org.apache.spark.sql.types.MapType => true
+    case s: StructType => s.exists(f => hasMap(f.dataType))
+    case a: org.apache.spark.sql.types.ArrayType => hasMap(a.elementType)
+    case _ => false
+  }
+
+  /** Eager checkpoint with a (row count, xor-of-row-hashes) SET
+    * fingerprint riding the checkpoint job as observed metrics (one job
+    * per round, not two) — the same convergence witness
+    * `Dedup.connectedComponents` uses (`checkpointTracked`). Count alone
+    * is a sound witness only for monotone set growth (the Program cycle
+    * lowering's H = distinct(input ∪ F(H)) shape, where equal count ⟺
+    * equal set); [[iterate]] is a public API, and a caller's non-monotone
+    * step that changes rows while preserving count must not falsely
+    * converge — the xor fingerprint catches exactly that (collision odds
+    * 2⁻⁶⁴ per comparison; xor, not sum: overflow-free under ANSI).
+    * Returns the pinned frame, the RDD ids it persisted (for later
+    * release), and the fingerprint. The id capture is a
+    * getPersistentRDDs before/after diff — like the other iterative
+    * operators' trackers, it assumes no CONCURRENT checkpointing on the
+    * same session during the (driver-side, synchronous) window.
+    * Frames with map-typed columns (unhashable) degrade to (count, 0) —
+    * i.e. the old count-stable witness. */
+  private def checkpointCounted(df: DataFrame): (DataFrame, Set[Int], (Long, Long)) = {
+    import org.apache.spark.sql.functions.{bit_xor, coalesce, col, count, lit, xxhash64}
     val sc = df.sparkSession.sparkContext
     val obs = org.apache.spark.sql.Observation()
-    val observed = df.observe(obs, count(lit(1)).as("__n"))
+    val rowHash =
+      if (df.schema.exists(f => hasMap(f.dataType))) lit(0L)
+      else xxhash64(df.columns.toIndexedSeq.map(col): _*)
+    val observed = df.observe(obs, count(lit(1)).as("__n"),
+      coalesce(bit_xor(rowHash), lit(0L)).as("__x"))
     val before = sc.getPersistentRDDs.keySet.toSet
     val cp = observed.localCheckpoint()
     val ids = sc.getPersistentRDDs.keySet.toSet.diff(before)
-    (cp, ids, obs.get("__n").asInstanceOf[Long])
+    val m = obs.get
+    (cp, ids, (m("__n").asInstanceOf[Long], m("__x").asInstanceOf[Long]))
   }
 
   private def release(sc: org.apache.spark.SparkContext, ids: Set[Int]): Unit = {
@@ -50,28 +68,46 @@ object Cycles {
     ids.foreach(id => live.get(id).foreach(_.unpersist(blocking = false)))
   }
 
+  /** Iterate a batch dataflow to a fixpoint: apply `step` until the
+    * (count, xor-hash) fingerprint of consecutive rounds is equal, or
+    * `maxIterations`. Each round's result is localCheckpoint()ed so
+    * lineage doesn't grow unboundedly (the classic iterative-Spark
+    * hazard); the fingerprint rides the checkpoint job as observed
+    * metrics, and each round's blocks are unpersisted once its successor
+    * is materialized — the same supersede-and-release discipline as
+    * `Dedup.connectedComponents`. The FINAL round's checkpoint stays
+    * persisted: the returned plan reads it. */
   def iterate(initial: MStream, maxIterations: Int,
               checkpoint: Boolean = true)(step: MStream => MStream): MStream = {
+    import org.apache.spark.sql.functions.{bit_xor, coalesce, col, count, lit, xxhash64}
     val sc = initial.df.sparkSession.sparkContext
     var current = initial
     var prevIds = Set.empty[Int]
-    var lastCount = -1L
+    var last: (Long, Long) = (-1L, 0L)
     var i = 0
     while (i < maxIterations) {
       val next = step(current)
-      val (df, ids, c): (DataFrame, Set[Int], Long) =
+      val (df, ids, fp): (DataFrame, Set[Int], (Long, Long)) =
         if (checkpoint) checkpointCounted(next.df)
-        else { val d = next.df; (d, Set.empty[Int], d.count()) }
+        else {
+          val d = next.df
+          val rowHash =
+            if (d.schema.exists(f => hasMap(f.dataType))) lit(0L)
+            else xxhash64(d.columns.toIndexedSeq.map(col): _*)
+          val r = d.agg(count(lit(1)).as("__n"),
+            coalesce(bit_xor(rowHash), lit(0L)).as("__x")).head()
+          (d, Set.empty[Int], (r.getLong(0), r.getLong(1)))
+        }
       release(sc, prevIds)
       prevIds = ids
       current = new MStream(df, next.eventOrder, next.contextKeys, next.name)
-      if (c == lastCount) {
+      if (fp == last) {
         // the returned plan reads the final checkpoint — register it so a
         // long-lived service can free it after the consuming action
         graft.api.Pinned.register(initial.df.sparkSession, prevIds)
         return current
       }
-      lastCount = c
+      last = fp
       i += 1
     }
     graft.api.Pinned.register(initial.df.sparkSession, prevIds)
@@ -113,7 +149,7 @@ object Cycles {
       // Dataset.except compares POSITIONALLY — align the body's output
       // column order to the head's before differencing
       val aligned = fd.df.select(cols.map(col): _*)
-      val (d2, ids2, c2) = checkpointCounted(aligned.except(acc))
+      val (d2, ids2, (c2, _)) = checkpointCounted(aligned.except(acc))
       if (c2 == 0L) { release(sc, ids2); growing = false }
       else {
         acc = acc.unionByName(d2); allIds ++= ids2

@@ -985,7 +985,14 @@ object Dedup {
     * combine (all of a doc's position verdicts are produced from its own
     * input row, so the state machine stores nothing — the banded-ingest
     * combine pattern). Shuffle rows are (id, pos, matched) + one payload
-    * struct per doc. */
+    * struct per doc.
+    *
+    * PRECONDITION: `idCol` must be unique per document (per micro-batch
+    * on the streaming side) — like the other id-keyed dedup surfaces.
+    * Both branches reassemble a document's verdicts by grouping on the
+    * id alone; two documents sharing an id would have their match
+    * positions merged and one payload picked arbitrarily, silently
+    * scrubbing the wrong tokens. */
   def scrubKnownSpans(stream: graft.api.MStream, idCol: String, textCol: String,
                       refDocs: DataFrame, refTextCol: String,
                       k: Int): graft.api.MStream = {

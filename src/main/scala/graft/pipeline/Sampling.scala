@@ -121,13 +121,23 @@ object Sampling {
     * partitioning / engine (one running-sum window, O(stratum); a
     * skip-oversized-and-continue fill would need a quadratic per-row
     * refold of the kept set). The first row of a stratum is kept only if
-    * it fits alone. Same hot-stratum caveat as `capPerKey`. */
+    * it fits alone. Same hot-stratum caveat as `capPerKey`.
+    *
+    * The maximal-prefix guarantee relies on the running sum being
+    * MONOTONE: a NULL token count is treated as 0 (the row rides free —
+    * sum would skip it but keep the row anyway, so this makes the
+    * treatment explicit), and a NEGATIVE count raises in-plan — it would
+    * silently let later rows re-enter an already-exhausted budget. */
   def capTokensPerKey(df: DataFrame, strataCol: Column, keyCol: Column,
                       tokensCol: Column, budget: Long,
                       salt: String = ""): DataFrame = {
     require(budget > 0, s"budget must be positive, got $budget")
     import org.apache.spark.sql.expressions.Window
-    val running = sum(tokensCol).over(
+    val tok = coalesce(tokensCol, lit(0L))
+    val checked = when(tok >= 0, tok).otherwise(raise_error(concat(
+      lit("capTokensPerKey: negative token count "), tok.cast("string"),
+      lit(" breaks the monotone running sum"))))
+    val running = sum(checked).over(
       Window.partitionBy(strataCol).orderBy(gate(keyCol, salt), keyCol)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
     df.withColumn("__rt", running).filter(col("__rt") <= budget).drop("__rt")

@@ -348,9 +348,27 @@ class AppModelSpec extends SparkSpec {
       .getMessage.contains("unknown scan kind"))
   }
 
+  test("program document format version: default, round-trip, too-new rejection") {
+    import graft.api.Program
+    import graft.api.Program._
+    val doc = Doc(Seq(External("a")), Seq("a"))
+    val json = Program.toJson(doc)
+    assert(json.contains("\"version\":" + Program.FormatVersion),
+      "toJson stamps the format version")
+    assert(Program.fromJson(json) == doc)
+    // pre-tag artifacts (no version field) read as version 1
+    assert(Program.fromJson(
+      """{"nodes": [{"op": "external", "name": "a"}], "outputs": ["a"]}""") == doc)
+    val tooNew = s"""{"version": ${Program.FormatVersion + 1},
+      "nodes": [{"op": "external", "name": "a"}], "outputs": ["a"]}"""
+    assert(intercept[IllegalArgumentException](Program.fromJson(tooNew))
+      .getMessage.contains("newer than this library"))
+  }
+
   test("program codec is the identity over every node type") {
     import graft.api.Program
     import graft.api.Program._
+    Program.Functions.register("codec_fn", 2)(a => a.head + a(1))
     val doc = Doc(
       nodes = Seq(
         External("a"), External("b"),
@@ -376,6 +394,8 @@ class AppModelSpec extends SparkSpec {
           Seq(Field("count(1)", "n"))),
         RecordWindow("rw", "o", Seq("y"), 3,
           Seq(("sumBy", "z", "rsum"), ("countBy", "z", "rn"))),
+        ApplyFn("af", "o", "codec_fn", Seq("y", "z"), "addField", Some("yz")),
+        ApplyFn("af2", "af", "codec_fn", Seq("y", "1"), "map", Some("y1")),
         BeginCycle("bc", "o", 7),
         Where("fbw", "bc", "y > 0"),
         CloseCycle("cc", "bc", "fbw")),
@@ -409,6 +429,60 @@ class AppModelSpec extends SparkSpec {
       .select("rsum").collect().map(_.getDouble(0)).toSeq
     assert(rw == Seq(1.0, 3.0, 6.0), "trailing-2 running sums")
     assert(outs("tf").columns.toSeq == Seq("rec"), "toField wraps the record")
+  }
+
+  test("applyFn documents resolve registered functions batch AND streaming; " +
+       "rejections name the node") {
+    import graft.api.Program
+    import graft.api.Program._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    Program.Functions.register("pf_scale", 2)(a => a.head * a(1))
+    Program.Functions.register("pf_pos", 1)(a => a.head > 0)
+    val json = Program.toJson(Doc(Seq(
+      External("ev"),
+      ApplyFn("scaled", "ev", "pf_scale", Seq("v", "10"), "addField", Some("v10")),
+      ApplyFn("kept", "scaled", "pf_pos", Seq("v"), "where", None),
+      ApplyFn("out", "kept", "pf_scale", Seq("v10", "2"), "map", Some("v20"))),
+      Seq("out")))
+
+    val batchRows = Seq(("a", 1.0), ("b", -3.0), ("c", 2.0)).toDF("k", "v")
+    val batchOut = App.run(spark, new App.Config()
+        .setSource("ev", App.Source("list", rows = Some(batchRows)))
+        .addSink("out", App.Sink("memory")))(
+      Program.interpret(Program.fromJson(json)))
+      .collectFirst { case App.BatchOutput("out", df) => df }.get
+    assert(batchOut.columns.toSeq == Seq("v20"), "map kind keeps only the result")
+    assert(batchOut.collect().map(_.getDouble(0)).sorted.toSeq == Seq(20.0, 40.0),
+      "addField -> where -> map chain through registered functions")
+
+    val in = MemoryStream[(String, Double)]
+    val name = s"fn_stream_${System.nanoTime()}"
+    val running = App.run(spark, new App.Config()
+        .setSource("ev", App.Source("list", rows = Some(in.toDF().toDF("k", "v"))))
+        .addSink("out", App.Sink("memory", outputMode = "append",
+          queryName = Some(name))))(
+      Program.interpret(Program.fromJson(json)))
+    val q = running.collect { case App.StreamingOutput("out", sq) => sq }.head
+    try {
+      in.addData(("a", 1.0), ("b", -3.0))
+      in.addData(("c", 2.0))
+      q.processAllAvailable()
+      val got = spark.table(name).collect().map(_.getDouble(0)).toSet
+      assert(got == Set(20.0, 40.0), "streaming applyFn chain matches batch")
+    } finally q.stop()
+
+    def bad(node: Node): IllegalArgumentException =
+      intercept[IllegalArgumentException](Program.fromJson(Program.toJson(
+        Doc(Seq(External("ev"), node), Seq(node.name)))))
+    assert(bad(ApplyFn("x", "ev", "nope_fn", Seq("v"), "map", Some("o")))
+      .getMessage.contains("node 'x': function 'nope_fn' is not registered"))
+    assert(bad(ApplyFn("x", "ev", "pf_scale", Seq("v"), "map", Some("o")))
+      .getMessage.contains("takes 2 argument(s), got 1"))
+    assert(bad(ApplyFn("x", "ev", "pf_scale", Seq("v", "2"), "frob", Some("o")))
+      .getMessage.contains("unknown applyFn kind"))
+    assert(bad(ApplyFn("x", "ev", "pf_scale", Seq("v", "2"), "map", None))
+      .getMessage.contains("needs an 'as' output name"))
   }
 
   test("program document covers scan family, dedupBy, and as-of join") {
@@ -713,6 +787,11 @@ class AppModelSpec extends SparkSpec {
       base.sessionSelect(Seq("k"), "ts", "5 seconds", "sstart", "count(1)" -> "n"),
       base.leftJoin(rs, "l.k = r.rk", "l.k" -> "k", "r.rid" -> "rid"),
       base.asofJoin(rs, "seq", "rseq", Seq("k" -> "rk"), Seq("rid")),
+      { Program.Functions.register("cap_scale", 2)(a => a.head * a(1))
+        Program.Functions.register("cap_pos", 1)(a => a.head > 0)
+        base.addFieldFn("cap_scale", "v4", "v2", "2")
+          .whereFn("cap_pos", "v4")
+          .applyFn("cap_scale", Seq("v4", "0.5"), "vh") },
       { val head = base.beginCycle()
         head.closeCycle(head
           .map("k" -> "k", "v2 / 2" -> "v2", "ts" -> "ts", "seq" -> "seq")
@@ -722,7 +801,7 @@ class AppModelSpec extends SparkSpec {
     val allTypes = Set("External", "MapCols", "Where", "AddTo", "OrderBy", "Union",
       "Distinct", "GroupSelect", "WindowSelect", "Join", "Scan", "DedupBy",
       "Watermark", "Asof", "UniqueBy", "ToField", "SessionSelect", "RecordWindow",
-      "BeginCycle", "CloseCycle")
+      "ApplyFn", "BeginCycle", "CloseCycle")
     assert(nodeTypes == allTypes,
       s"recording surface reaches every node type; missing ${allTypes.diff(nodeTypes)}")
     assert(Program.fromJson(Program.toJson(doc)) == doc,

@@ -19,6 +19,33 @@ class CycleMetricsSpec extends SparkSpec {
     assert(closure.df.count() == 6, "chain of 4 nodes has 6 closure edges")
   }
 
+  test("iterate's fingerprint witness catches count-preserving non-monotone steps") {
+    // a rotating step: {k} -> {k+1 mod 5}, always 3 rows — under a
+    // count-only witness round 2 would falsely "converge" (3 == 3) and
+    // return a non-fixpoint; the (count, xor-hash) fingerprint keeps
+    // iterating until maxIterations
+    def rotate(cur: MStream): MStream =
+      MStream(cur.df.select(((col("k") + 1) % 5).as("k")))
+    var rounds = 0
+    val out = Cycles.iterate(MStream(Seq(0, 1, 2).toDF("k")), maxIterations = 7) { cur =>
+      rounds += 1; rotate(cur)
+    }
+    assert(rounds == 7, s"non-monotone count-preserving step must never " +
+      s"satisfy the fingerprint witness, stopped after $rounds rounds")
+    // 7 rotations of {0,1,2} mod 5 = {2,3,4}
+    assert(out.df.collect().map(_.getInt(0)).sorted.toSeq == Seq(2, 3, 4))
+    // and a genuine fixpoint still terminates early, checkpoint on or off
+    for (cp <- Seq(true, false)) {
+      var n = 0
+      val fixed = Cycles.iterate(MStream(Seq(1, 2).toDF("k")),
+          maxIterations = 10, checkpoint = cp) { cur =>
+        n += 1; MStream(cur.df.unionByName(Seq(1, 2, 3).toDF("k")).distinct())
+      }
+      assert(fixed.df.count() == 3 && n < 10,
+        s"monotone step converges via the fingerprint (checkpoint=$cp, rounds=$n)")
+    }
+  }
+
   test("weekly window offset aligns windows to the requested weekday") {
     import java.time.DayOfWeek
     import graft.api.TimeWindows
