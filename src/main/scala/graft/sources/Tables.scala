@@ -19,11 +19,15 @@ object Tables {
     MStream(df(spark, dir, name))
 
   /**
-   * The `events` table carries TIMESTAMP(NANOS) which Spark's TimestampType
-   * (µs) cannot represent. We read it as raw nanos (`nanosAsLong`) and
-   * expose BOTH: `ts_ns` (exact, used for ordering and exact window
-   * arithmetic) and `ts` (µs-truncated TimestampType, for Spark windowing /
-   * streaming watermarks). Arrival order := (ts_ns, event_id) — unique.
+   * The `events` table's `ts` column has shipped in two physical forms:
+   * TIMESTAMP(NANOS) (which Spark's µs TimestampType cannot represent —
+   * read as raw nanos via `nanosAsLong`) and TIMESTAMP(MICROS) without
+   * timezone (read as TIMESTAMP_NTZ). Either way we expose BOTH: `ts_ns`
+   * (exact epoch nanos, used for ordering and exact window arithmetic)
+   * and `ts` (TimestampType, for Spark windowing / streaming watermarks).
+   * The naive µs form is interpreted as UTC — the session timezone is
+   * pinned to UTC by every entry point, matching DuckDB's `epoch_ns` over
+   * the same file. Arrival order := (ts_ns, event_id) — unique.
    */
   def events(spark: SparkSession, dir: String): MStream = {
     val prev = spark.conf.getOption("spark.sql.legacy.parquet.nanosAsLong")
@@ -34,11 +38,19 @@ object Tables {
         case Some(v) => spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", v)
         case None    => spark.conf.unset("spark.sql.legacy.parquet.nanosAsLong")
       }
-    val norm = raw
-      .withColumnRenamed("ts", "ts_ns")
-      // integral `div`, NOT floor(x/1000): double division loses precision
-      // at ns-scale epochs (ulp of 1.7e18 is 256) and truncates off-by-one
-      .withColumn("ts", timestamp_micros(expr("ts_ns div 1000")))
+    val norm = raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        raw.withColumnRenamed("ts", "ts_ns")
+          // integral `div`, NOT floor(x/1000): double division loses
+          // precision at ns-scale epochs (ulp of 1.7e18 is 256) and
+          // truncates off-by-one
+          .withColumn("ts", timestamp_micros(expr("ts_ns div 1000")))
+      case _ =>
+        // µs-precision timestamp (TIMESTAMP or TIMESTAMP_NTZ): the
+        // NTZ→timestamp cast applies the session timezone, pinned UTC
+        raw.withColumn("ts", col("ts").cast("timestamp"))
+          .withColumn("ts_ns", unix_micros(col("ts")) * 1000L)
+    }
     new MStream(norm, Seq("ts_ns", "event_id"))
   }
 
