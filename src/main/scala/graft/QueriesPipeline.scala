@@ -94,6 +94,32 @@ object QueriesPipeline {
           FROM cand JOIN sets x ON x.doc_id = id_a JOIN sets y ON y.doc_id = id_b)
         WHERE j >= 0.8"""
 
+  /** Cross-corpus ingest dedup, batch face (the streaming face is pinned
+    * equal by CrossCorpusSpec): documents of the arriving slice
+    * (doc_id % 3 = 0) that survive near-dup screening against the
+    * reference corpus (doc_id % 3 <> 0) at the same 16/8/0.8 pipeline as
+    * q_cross_dedup — survivors = arriving minus verified matches. */
+  def qCrossIngest(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir).df
+    Dedup.dedupAgainstCorpus(
+      graft.api.MStream(docs.where(col("doc_id") % 3 === 0)),
+      docs.where(col("doc_id") % 3 =!= 0),
+      "doc_id", "text", k = 16, bands = 8, threshold = 0.8)
+      .df.select(col("doc_id"), col("source"), col("n_chars"))
+  }
+
+  val qCrossIngestSql: String =
+    s"""WITH ${minhashCandidateCtes(16, 8,
+          pairCond = "a.doc_id % 3 = 0 AND b.doc_id % 3 <> 0")},
+        sets AS (SELECT doc_id, list_distinct(list(h)) AS sh FROM h GROUP BY doc_id),
+        matched AS (SELECT DISTINCT id_a FROM (
+          SELECT id_a, len(list_intersect(x.sh, y.sh))::DOUBLE
+                      / len(list_distinct(list_concat(x.sh, y.sh))) AS j
+          FROM cand JOIN sets x ON x.doc_id = id_a JOIN sets y ON y.doc_id = id_b)
+          WHERE j >= 0.8)
+        SELECT doc_id, source, n_chars FROM documents
+        WHERE doc_id % 3 = 0 AND doc_id NOT IN (SELECT id_a FROM matched)"""
+
   /** Fuzzy dedup: LSH-blocked edit-distance pairs (<= 20 edits). Shares
     * the qMinhashDedup candidate mirror; verification is DuckDB's full
     * levenshtein vs Spark's threshold-capped one — equal wherever the
@@ -927,6 +953,7 @@ object QueriesPipeline {
     "q_span_keepone" -> (qSpanKeepone _),
     "q_known_scrub" -> (qKnownScrub _),
     "q_cross_dedup" -> (qCrossDedup _),
+    "q_cross_ingest" -> (qCrossIngest _),
     "q_lm_score" -> (qLmScore _),
     "q_source_cap" -> (qSourceCap _),
     "q_token_budget" -> (qTokenBudget _),
@@ -971,6 +998,7 @@ object QueriesPipeline {
     "q_span_keepone" -> qSpanKeeponeSql,
     "q_known_scrub" -> qKnownScrubSql,
     "q_cross_dedup" -> qCrossDedupSql,
+    "q_cross_ingest" -> qCrossIngestSql,
     "q_lm_score" -> qLmScoreSql,
     "q_source_cap" -> qSourceCapSql,
     "q_token_budget" -> qTokenBudgetSql,

@@ -148,6 +148,20 @@ object App {
       * edges are written to this sink as the stream `__lineage`. */
     def addLineageSink(s: Sink): Config = { lineage = Some(s); this }
     def lineageSink: Option[Sink] = lineage
+    /** Opt-in pinned-frame hygiene for long-lived services: when enabled,
+      * [[App.run]] releases the frames THIS run pinned (residual-join
+      * matches, vocabularies, cycle fixpoints — see [[Pinned]]) as soon as
+      * the run's consuming actions complete — which is at the end of `run`
+      * when every output is batch and every bound sink writes eagerly.
+      * Runs with a `memory` sink (the caller collects later) or any
+      * streaming output keep their pins; release those with
+      * [[Pinned.release]] once consumed. Default off: `run`'s returned
+      * frames stay re-executable. */
+    def releasePinnedAfterRun(enable: Boolean = true): Config = {
+      releasePinned = enable; this
+    }
+    def releasePinnedAfterRunEnabled: Boolean = releasePinned
+    private var releasePinned = false
     /** Engine tuning the configuration carries with it (milan configs
       * travel with their job, `ApplicationConfiguration`): `graft.*` conf
       * knobs — e.g. `graft.join.residualChunk`, the residual left-inner
@@ -304,13 +318,31 @@ object App {
   def run(spark: SparkSession, config: Config)(
       program: (String => MStream) => Map[String, MStream]): Seq[Running] =
     withTuning(spark, config) {
-      config.lineageSink match {
-        // recorder is scoped to THIS run (thread-local for the synchronous
-        // program build), so concurrent runs on one session neither mix
-        // edge frames nor disable each other's recording mid-build
-        case Some(_) => Lineage.scoped(spark)(rec =>
-          runWithLineage(spark, config, Some(rec))(program))
-        case None => runWithLineage(spark, config, None)(program)
+      // pinned frames register into a per-run scope (thread-local, like
+      // the lineage recorder below): concurrent runs on one session
+      // attribute their checkpoints exactly, and releasing one run's pins
+      // can never free a frame another run's unexecuted plan references
+      Pinned.scoped(spark) { pins =>
+        val outs = config.lineageSink match {
+          // recorder is scoped to THIS run (thread-local for the
+          // synchronous program build), so concurrent runs on one session
+          // neither mix edge frames nor disable each other's recording
+          // mid-build
+          case Some(_) => Lineage.scoped(spark)(rec =>
+            runWithLineage(spark, config, Some(rec))(program))
+          case None => runWithLineage(spark, config, None)(program)
+        }
+        // auto-release only when every consuming action already ran:
+        // all outputs batch, and no sink defers consumption to the caller
+        // (memory). Otherwise the run's pins fall back to the session
+        // registry for a later Pinned.release(spark).
+        val boundSinks =
+          config.sinkStreams.flatMap(config.sinkList) ++ config.lineageSink
+        val consumed = outs.forall(_.isInstanceOf[BatchOutput]) &&
+          boundSinks.forall(_.format != "memory")
+        if (config.releasePinnedAfterRunEnabled && consumed) pins.release()
+        else Pinned.adopt(pins)
+        outs
       }
     }
 

@@ -1,35 +1,132 @@
 package graft.api
 
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{DataFrame, SparkSession}
 
 /**
- * Session registry of deliberately pinned (locally checkpointed) frames
- * whose blocks must outlive their building operator because the RETURNED
- * plan references them — the residual left-inner join's consolidated
- * matches (`EnrichmentJoins`) and the driver-sized vocabulary
- * (`TextOps.buildVocab`). Operators unpersist every superseded
+ * Registry of deliberately pinned (locally checkpointed) frames whose
+ * blocks must outlive their building operator because the RETURNED plan
+ * references them — the residual left-inner join's consolidated matches
+ * (`EnrichmentJoins`), the driver-sized vocabulary (`TextOps.buildVocab`),
+ * cycle fixpoints (`Cycles`), the span-dedup candidate frame
+ * (`Dedup.repeatedSpans`). Operators unpersist every superseded
  * intermediate themselves; what lands here is only the frame the caller
- * is still using. A long-lived service calls [[release]] once the
- * consuming action (write/collect) completes; short-lived drivers can
- * ignore it (blocks die with the session).
+ * is still using.
+ *
+ * Lifecycle faces, narrowest first:
+ *  - [[scoped]]: a per-run scope (thread-local, like `Lineage.scoped`) —
+ *    registrations inside the body land in the scope, and
+ *    `scope.release()` frees exactly that run's frames. Two concurrent
+ *    runs sharing one session each release their own pins without
+ *    touching the other's still-referenced checkpoints. `App.run` opens
+ *    one per run; [[App.Config.releasePinnedAfterRun]] drains it
+ *    automatically once the run's batch sinks have consumed their plans.
+ *  - [[release]]`(spark)`: unscoped fallback — drains the session-global
+ *    registry. Safe for the single-run-at-a-time driver; a concurrent
+ *    service should use scopes.
+ * Short-lived drivers can ignore both (blocks die with the context).
  */
 object Pinned {
-  private val reg =
-    new java.util.concurrent.ConcurrentHashMap[SparkSession, Set[Int]]()
+
+  /** One run's pinned-frame registrations; see [[scoped]]. */
+  final class Scope private[Pinned] (private[Pinned] val spark: SparkSession) {
+    private var ids = Set.empty[Int]
+    private[Pinned] def add(more: Set[Int]): Unit = synchronized { ids ++= more }
+    /** RDD ids this run has pinned so far. */
+    def registered: Set[Int] = synchronized(ids)
+    private[Pinned] def drain(): Set[Int] =
+      synchronized { val r = ids; ids = Set.empty; r }
+    /** Unpersist only THIS run's frames. The plans built from them cannot
+      * be re-executed afterwards (local checkpoints truncate lineage), so
+      * call this only after the run's consuming actions complete. */
+    def release(): Unit = unpersist(spark, drain())
+  }
+
+  private val active = new ThreadLocal[List[Scope]] {
+    override def initialValue(): List[Scope] = Nil
+  }
+
+  /** Run `body` with a fresh per-run scope: frames graft operators pin on
+    * this thread against `spark` register into the scope instead of the
+    * session-global registry. Scopes nest (innermost wins); the scope
+    * stays valid after `body` returns, so a caller can hold it and
+    * release once its consuming action completes. */
+  def scoped[T](spark: SparkSession)(body: Scope => T): T = {
+    val s = new Scope(spark)
+    val prev = active.get()
+    active.set(s :: prev)
+    try body(s) finally active.set(prev)
+  }
+
+  // Unscoped fallback, one entry per session. Weak keys: an abandoned
+  // session's ENTRY vanishes with the session object instead of
+  // accumulating forever in a long-lived service (`App.withTuning`
+  // recommends a fresh newSession() per differently-tuned run). The
+  // BLOCKS belong to the shared SparkContext and still need release() or
+  // a scope — the weak map only stops the registry itself leaking.
+  private val reg = new java.util.WeakHashMap[SparkSession, Set[Int]]()
+
+  private def scopeFor(spark: SparkSession): Option[Scope] =
+    active.get().find(_.spark eq spark)
 
   private[graft] def register(spark: SparkSession, ids: Set[Int]): Unit =
-    if (ids.nonEmpty) reg.merge(spark, ids, (a, b) => a ++ b)
+    if (ids.nonEmpty) scopeFor(spark) match {
+      case Some(s) => s.add(ids)
+      case None => reg.synchronized {
+        reg.put(spark, Option(reg.get(spark)).getOrElse(Set.empty) ++ ids)
+      }
+    }
 
-  /** RDD ids currently registered for `spark`. */
+  /** RDD ids registered by the calling run: the innermost active scope's
+    * for `spark` on this thread, else the session-global registry's. */
   def registered(spark: SparkSession): Set[Int] =
-    Option(reg.get(spark)).getOrElse(Set.empty)
+    scopeFor(spark).map(_.registered).getOrElse(
+      reg.synchronized(Option(reg.get(spark)).getOrElse(Set.empty)))
 
-  /** Unpersist every registered frame. The plans built from them cannot
-    * be re-executed afterwards (local checkpoints truncate lineage), so
-    * call this only after their consuming actions complete. */
-  def release(spark: SparkSession): Unit = {
-    val ids = Option(reg.remove(spark)).getOrElse(Set.empty)
+  /** Unpersist the calling run's registered frames — the active scope's
+    * if one is live on this thread, else the session-global registry's.
+    * The plans built from them cannot be re-executed afterwards (local
+    * checkpoints truncate lineage), so call this only after their
+    * consuming actions complete. */
+  def release(spark: SparkSession): Unit = scopeFor(spark) match {
+    case Some(s) => s.release()
+    case None =>
+      val ids = reg.synchronized(Option(reg.remove(spark)).getOrElse(Set.empty))
+      unpersist(spark, ids)
+  }
+
+  /** Merge a scope's unreleased ids into the session-global registry —
+    * `App.run`'s exit path when auto-release is off (or deferred by a
+    * memory sink / streaming output), so the documented unscoped
+    * `Pinned.release(spark)` fallback still frees a completed run's
+    * frames afterwards. */
+  private[graft] def adopt(scope: Scope): Unit = {
+    val ids = scope.drain()
+    if (ids.nonEmpty) reg.synchronized {
+      reg.put(scope.spark,
+        Option(reg.get(scope.spark)).getOrElse(Set.empty) ++ ids)
+    }
+  }
+
+  private def unpersist(spark: SparkSession, ids: Set[Int]): Unit = {
     val live = spark.sparkContext.getPersistentRDDs
     ids.foreach(id => live.get(id).foreach(_.unpersist(blocking = false)))
+  }
+
+  /** The block-backed RDD ids a `localCheckpoint()`ed frame pins, read
+    * off its `LogicalRDD` plan node — EXACT attribution, unlike the
+    * getPersistentRDDs before/after diff this replaced, which captured
+    * whatever any concurrent build on the same session persisted inside
+    * the window (mis-registering a neighbor's still-referenced blocks,
+    * which a later release would then free under its plan). */
+  private[graft] def idsOf(cp: DataFrame): Set[Int] =
+    cp.queryExecution.analyzed.collect {
+      case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd.id
+    }.toSet
+
+  /** `localCheckpoint()` plus exact id capture: the standard tracker for
+    * iterative operators (supersede-and-release discipline). */
+  private[graft] def checkpointTracked(df: DataFrame): (DataFrame, Set[Int]) = {
+    val cp = df.localCheckpoint()
+    (cp, idsOf(cp))
   }
 }

@@ -41,26 +41,23 @@ object Cycles {
     * converge — the xor fingerprint catches exactly that (collision odds
     * 2⁻⁶⁴ per comparison; xor, not sum: overflow-free under ANSI).
     * Returns the pinned frame, the RDD ids it persisted (for later
-    * release), and the fingerprint. The id capture is a
-    * getPersistentRDDs before/after diff — like the other iterative
-    * operators' trackers, it assumes no CONCURRENT checkpointing on the
-    * same session during the (driver-side, synchronous) window.
-    * Frames with map-typed columns (unhashable) degrade to (count, 0) —
-    * i.e. the old count-stable witness. */
+    * release — exact capture off the checkpoint's own plan node,
+    * `Pinned.idsOf`, so concurrent builds on one session cannot claim
+    * each other's blocks), and the fingerprint. Frames with map-typed
+    * columns (unhashable) degrade to (count, 0) — i.e. the old
+    * count-stable witness. */
   private def checkpointCounted(df: DataFrame): (DataFrame, Set[Int], (Long, Long)) = {
     import org.apache.spark.sql.functions.{bit_xor, coalesce, col, count, lit, xxhash64}
-    val sc = df.sparkSession.sparkContext
     val obs = org.apache.spark.sql.Observation()
     val rowHash =
       if (df.schema.exists(f => hasMap(f.dataType))) lit(0L)
       else xxhash64(df.columns.toIndexedSeq.map(col): _*)
     val observed = df.observe(obs, count(lit(1)).as("__n"),
       coalesce(bit_xor(rowHash), lit(0L)).as("__x"))
-    val before = sc.getPersistentRDDs.keySet.toSet
     val cp = observed.localCheckpoint()
-    val ids = sc.getPersistentRDDs.keySet.toSet.diff(before)
     val m = obs.get
-    (cp, ids, (m("__n").asInstanceOf[Long], m("__x").asInstanceOf[Long]))
+    (cp, graft.api.Pinned.idsOf(cp),
+      (m("__n").asInstanceOf[Long], m("__x").asInstanceOf[Long]))
   }
 
   private def release(sc: org.apache.spark.SparkContext, ids: Set[Int]): Unit = {

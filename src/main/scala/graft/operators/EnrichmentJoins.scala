@@ -285,15 +285,12 @@ object EnrichmentJoins {
             require(chunk > 0, s"graft.join.residualChunk must be positive, got $chunk")
             // release is RDD-level: Dataset.unpersist only talks to the
             // CacheManager and silently IGNORES localCheckpoint blocks, so
-            // every checkpoint captures its pinned ids (getPersistentRDDs
-            // diff) and frees them through the RDD handles — the same
-            // mechanics as connectedComponents/buildVocab
+            // every checkpoint captures its pinned ids (exactly, off its
+            // own LogicalRDD node) and frees them through the RDD
+            // handles — the same mechanics as connectedComponents/buildVocab
             val sc = lDf.sparkSession.sparkContext
-            def cpTracked(d: DataFrame): (DataFrame, Set[Int]) = {
-              val before = sc.getPersistentRDDs.keySet.toSet
-              val cp = d.localCheckpoint()
-              (cp, sc.getPersistentRDDs.keySet.toSet.diff(before))
-            }
+            def cpTracked(d: DataFrame): (DataFrame, Set[Int]) =
+              graft.api.Pinned.checkpointTracked(d)
             def unpersistIds(ids: Set[Int]): Unit = {
               val live = sc.getPersistentRDDs
               ids.foreach(id => live.get(id).foreach(_.unpersist(blocking = false)))

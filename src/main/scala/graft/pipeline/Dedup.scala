@@ -143,6 +143,119 @@ object Dedup {
       .select(col("id_new"), col("id_ref"), round(col("jaccard"), 3).as("jaccard"))
   }
 
+  /** Cross-corpus ingest dedup — the ingest-time face of
+    * [[crossCorpusNearDup]] and the streaming sibling `scrubKnownSpans`'s
+    * dual-mode design suggests: keep each arriving document iff NO
+    * document of the static reference corpus resembles it at `threshold`
+    * (word-3-gram shingle Jaccard over MinHash-banded candidates —
+    * IDENTICAL verdict semantics to the batch pair query, so the two
+    * faces agree row-for-row and the batch face carries the oracle).
+    *
+    * Batch lowering: [[crossCorpusNearDup]] pairs → left-anti survivors.
+    * Streaming lowering: the reference's band-key index and sorted
+    * shingle-hash sets localCheckpoint once (registered with
+    * [[graft.api.Pinned]] — micro-batches re-read two hash frames, never
+    * the reference text) and broadcast into two stream-static equi-joins
+    * — completely STATELESS: no stream-side state store at all, unlike
+    * [[ingestNearDup]]'s within-stream dedup. Each arriving doc explodes
+    * to its band keys (`posexplode_outer`, so band-less short docs still
+    * flow through and survive), candidates verify with the early-abandon
+    * sorted-set merge, and the per-doc verdict folds in the same
+    * stateless per-batch combine as banded ingest (all of a doc's rows
+    * derive from its own input row, hence one micro-batch; docs sharing
+    * an id within a micro-batch merge — same unique-id precondition as
+    * `scrubKnownSpans`).
+    *
+    * Scale posture: the broadcast is 8-byte hash artifacts per reference
+    * doc (bands band keys + the distinct shingle set), never text —
+    * suitable while the reference HASH artifacts fit executor memory.
+    * Beyond that, run the batch face incrementally (micro-batch = crawl
+    * slice): its band join shuffles both sides instead of broadcasting. */
+  def dedupAgainstCorpus(stream: graft.api.MStream, refDocs: DataFrame,
+                         idCol: String, textCol: String,
+                         k: Int, bands: Int, threshold: Double): graft.api.MStream = {
+    import org.apache.spark.sql.{Encoder, Encoders, Row}
+    import org.apache.spark.sql.catalyst.encoders.RowEncoder
+    import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
+    import org.apache.spark.sql.types._
+    val df = stream.df
+    if (!df.isStreaming) {
+      val matched = crossCorpusNearDup(df, refDocs, idCol, textCol, k, bands, threshold)
+        .select(col("id_new").as(idCol)).distinct()
+      return new graft.api.MStream(df.join(matched, Seq(idCol), "left_anti"),
+        stream.eventOrder, stream.contextKeys, stream.name)
+    }
+
+    val rows = k / bands
+    val orig = df.columns.toIndexedSeq
+    val payloadT = StructType(df.schema.fields)
+    def bandKeyCols(mh: Int => org.apache.spark.sql.Column) =
+      (0 until bands).map { b =>
+        val combined = (0 until rows).map(r => mh(b * rows + r))
+          .reduce((x, y) => x * 31L + y)
+        struct(lit(b).as("band"), combined.as("bv"))
+      }
+
+    // reference artifacts: one pass over the reference corpus, pinned
+    val hr = hashedDocs(refDocs, idCol, textCol)
+    val (refBands, rbIds) = graft.api.Pinned.checkpointTracked(
+      minhashSignatureOverHashes(hr, idCol, k)
+        .select(col(idCol).as("__rid"),
+          explode(array(bandKeyCols(j => col(s"mh$j")): _*)).as("__bk")))
+    val (refSets, rsIds) = graft.api.Pinned.checkpointTracked(
+      hr.select(col(idCol).as("__rid"),
+        sort_array(array_distinct(col("__hs"))).as("__shb")))
+    graft.api.Pinned.register(df.sparkSession, rbIds ++ rsIds)
+
+    // arriving side: signature behind an explode barrier (the same
+    // Generate trick as minhashSignatureOverHashes — without it every
+    // element_at below would re-run the whole k-pass sketch)
+    val base = df
+      .withColumn("__hs",
+        graft.functions.VectorFunctions.wordShingleHashes(col(textCol), 3))
+      .withColumn("__sha", sort_array(array_distinct(col("__hs"))))
+      .select(col("*"), explode(array(
+        graft.functions.VectorFunctions.minhashSignature(col("__hs"), k))).as("__mhs"))
+    val bkType = ArrayType(StructType(Seq(
+      StructField("band", IntegerType, nullable = false),
+      StructField("bv", LongType))))
+    val withBands = base.withColumn("__bks",
+      when(element_at(col("__mhs"), 1) =!= Long.MaxValue,
+        array(bandKeyCols(j => element_at(col("__mhs"), j + 1)): _*))
+        .otherwise(lit(null).cast(bkType)))
+
+    val u = withBands
+      .select(col(idCol).as("__id"), col("__sha"),
+        struct(orig.map(col): _*).as("__payload"),
+        posexplode_outer(col("__bks")).as(Seq("__pos", "__bk")))
+      .select(col("__id"), col("__sha"),
+        when(col("__pos").isNull || col("__pos") === 0, col("__payload"))
+          .otherwise(lit(null).cast(payloadT)).as("__payload"),
+        col("__bk"))
+      .join(broadcast(refBands), Seq("__bk"), "left")
+      .join(broadcast(refSets), Seq("__rid"), "left")
+      .select(col("__id"), col("__payload"),
+        coalesce(graft.functions.VectorFunctions.jaccardSortedAtLeast(
+          col("__sha"), col("__shb"), threshold) >= threshold, lit(false)).as("__m"))
+
+    val payloadEnc: Encoder[Row] = RowEncoder.encoderFor(payloadT)
+    val payIdx = u.schema.fieldIndex("__payload")
+    val mIdx = u.schema.fieldIndex("__m")
+    // stateless per-batch combine (banded-ingest pattern): OR the
+    // candidate verdicts, emit the payload of unmatched docs
+    val out = graft.streaming.KeyedRows.byNames(u, Seq("__id"))
+      .flatMapGroupsWithState[Int, Row](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (_: Row, it: Iterator[Row], _) =>
+          val rows = it.toList
+          val matched = rows.exists(_.getBoolean(mIdx))
+          val payload = rows.collectFirst { case r if !r.isNullAt(payIdx) => r.getStruct(payIdx) }
+          if (!matched && payload.nonEmpty) Iterator.single(payload.get)
+          else Iterator.empty
+      }(Encoders.scalaInt, payloadEnc).toDF()
+    new graft.api.MStream(out, stream.eventOrder, stream.contextKeys, stream.name)
+  }
+
   /** Containment near-dup pairs (RefinedWeb-style): containment
     * C(a→b) = |S(a) ∩ S(b)| / |S(a)| over word-3-gram shingle sets —
     * ASYMMETRIC, so both directions are reported; a high C(a→b) with a
@@ -407,10 +520,10 @@ object Dedup {
     // Each round's localCheckpoint supersedes the previous one, but its
     // blocks stay pinned in the BlockManager for the session unless
     // explicitly unpersisted (round 2's bench artifact was contaminated by
-    // exactly that). Track the RDDs each checkpoint persists
-    // (getPersistentRDDs diff — this loop is the only thing persisting
-    // between the two reads) and drop a round's blocks once its successor
-    // is materialized. Superseded rounds are never re-read, so unpersisting
+    // exactly that). Track the RDDs each checkpoint persists (exact ids
+    // off the checkpoint's own plan node, `Pinned.idsOf`) and drop a
+    // round's blocks once its successor is materialized. Superseded
+    // rounds are never re-read, so unpersisting
     // them is safe despite the truncated lineage; Spark logs a WARN per
     // unpersist for that truncation — expected and harmless here.
     // (A persist + createDataFrame(p.rdd) flat rebuild avoids the WARN but
@@ -430,11 +543,10 @@ object Dedup {
       val observed = d.observe(obs,
         count(lit(1)).as("__n"),
         coalesce(expr("bit_xor(xxhash64(u, v))"), lit(0L)).as("__x"))
-      val before = sc.getPersistentRDDs.keySet.toSet
       val cp = observed.localCheckpoint()
-      val ids = sc.getPersistentRDDs.keySet.toSet.diff(before)
       val m = obs.get
-      (cp, ids, (m("__n").asInstanceOf[Long], m("__x").asInstanceOf[Long]))
+      (cp, graft.api.Pinned.idsOf(cp),
+        (m("__n").asInstanceOf[Long], m("__x").asInstanceOf[Long]))
     }
     def unpersistIds(ids: Set[Int]): Unit = {
       val live = sc.getPersistentRDDs
@@ -702,6 +814,9 @@ object Dedup {
         .select(col("__short"), col("__sig"),
           col("__m.__rk").as("__rk"), col("__m.__id").as("__id"))
         .localCheckpoint()
+      // the returned plan reads this frame — register for caller-side
+      // release (the residual-join lifecycle)
+      graft.api.Pinned.register(df.sparkSession, graft.api.Pinned.idsOf(reps))
       val chunkCols = pigeonholeChunks(col("__sig"), bits, maxHamming)
       // two short reps always differ in __sig (they'd be one group
       // otherwise), so ci = -1 buckets never produce a pair — shorts only
@@ -914,12 +1029,9 @@ object Dedup {
     // Duplicate-mass-sized, so pin it: the doc-prune and the verify join
     // below must not each re-run the corpus-wide stage (registered with
     // Pinned for caller-side release — the residual-join lifecycle).
-    val sc = docs.sparkSession.sparkContext
-    val before = sc.getPersistentRDDs.keySet.toSet
     val candPos = repeatedPositions(pos, col("__h"), canonical = false)
       .localCheckpoint()
-    graft.api.Pinned.register(docs.sparkSession,
-      sc.getPersistentRDDs.keySet.toSet.diff(before))
+    graft.api.Pinned.register(docs.sparkSession, graft.api.Pinned.idsOf(candPos))
     // collision guard: re-derive candidate grams' text from just the docs
     // that contain a candidate position (semi join; broadcast when small)
     val candDocs = candPos.select(id).distinct()

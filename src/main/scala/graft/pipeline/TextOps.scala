@@ -271,8 +271,6 @@ object TextOps {
     import org.apache.spark.sql.expressions.Window
     val spark = docs.sparkSession
     val sc = spark.sparkContext
-    def newlyPinned(before: Set[Int]): Set[Int] =
-      sc.getPersistentRDDs.keySet.toSet.diff(before)
     def unpersistIds(ids: Set[Int]): Unit = {
       // expected "lineage truncated" WARN per id — superseded checkpoints
       // are never re-read (same hygiene as connectedComponents)
@@ -283,12 +281,11 @@ object TextOps {
     // boundary sampling is itself a pass over its child, so an
     // uncheckpointed count aggregate would run twice (sampling + shuffle);
     // checkpointed, the corpus-scanning explode+aggregate runs exactly once
-    val before0 = sc.getPersistentRDDs.keySet.toSet
     val counted = docs.select(explode(words(col(textCol))).as("word"))
       .groupBy("word").agg(count(lit(1)).as("wcount"))
       .filter(col("wcount") >= minCount)
       .localCheckpoint()
-    val countedIds = newlyPinned(before0)
+    val countedIds = graft.api.Pinned.idsOf(counted)
     val nBuckets = math.max(1, sc.defaultParallelism)
     // pin ONE bucketing: RangePartitioner's boundary sampling is seeded
     // per-physical-plan, so an unpinned range exchange derives DIFFERENT
@@ -300,13 +297,12 @@ object TextOps {
     // action as an observed metric (the checkpointTracked pattern from
     // connectedComponents) instead of costing a second job.
     val obs = org.apache.spark.sql.Observation()
-    val before1 = sc.getPersistentRDDs.keySet.toSet
     val bucketed = counted
       .repartitionByRange(nBuckets, desc("wcount"), col("word"))
       .withColumn("__b", spark_partition_id())
       .observe(obs, graft.functions.VectorFunctions.countByIntKey(col("__b")).as("__sizes"))
       .localCheckpoint()
-    val bucketedIds = newlyPinned(before1)
+    val bucketedIds = graft.api.Pinned.idsOf(bucketed)
     val sizes = obs.get("__sizes").asInstanceOf[scala.collection.Map[Int, Long]]
     val offsets = (0 until nBuckets).map(sizes.getOrElse(_, 0L)).scanLeft(0L)(_ + _)
     // ranges come back ordered by partition id (highest counts in range 0),
@@ -314,7 +310,6 @@ object TextOps {
     val offExpr = element_at(
       map((0 until nBuckets).flatMap(b => Seq(lit(b), lit(offsets(b)))): _*), col("__b"))
     val w = Window.partitionBy(col("__b")).orderBy(desc("wcount"), col("word"))
-    val before2 = sc.getPersistentRDDs.keySet.toSet
     // the result is driver-sized by contract (<= maxSize rows; encodeTokens
     // broadcasts it) — materialize it once and release the corpus-sized
     // intermediates NOW: every later consumer re-reads maxSize pinned rows,
@@ -327,7 +322,7 @@ object TextOps {
       .localCheckpoint()
     // only the driver-sized result stays pinned; a long-lived service
     // frees it via graft.api.Pinned.release once encoding completes
-    graft.api.Pinned.register(spark, newlyPinned(before2))
+    graft.api.Pinned.register(spark, graft.api.Pinned.idsOf(out))
     unpersistIds(countedIds ++ bucketedIds)
     out
   }
@@ -428,12 +423,9 @@ object TextOps {
         slice(col("__w"), lit(1), size(col("__w")) - 1).as("u"),
         slice(col("__w"), lit(2), size(col("__w")) - 1).as("v"))).as("__p"))
       .select(id, col("__p.u").as("__u"), col("__p.v").as("__v"))
-    val sc = docs.sparkSession.sparkContext
-    val before = sc.getPersistentRDDs.keySet.toSet
     val bc = pairs.groupBy(col("__u"), col("__v")).agg(count(lit(1)).as("__c"))
       .localCheckpoint()
-    graft.api.Pinned.register(docs.sparkSession,
-      sc.getPersistentRDDs.keySet.toSet.diff(before))
+    graft.api.Pinned.register(docs.sparkSession, graft.api.Pinned.idsOf(bc))
     val cc = bc.groupBy(col("__u")).agg(sum(col("__c")).as("__cu"))
     val vv = bc.agg(count_distinct(col("__v")).as("__nv"))
     val scored = pairs

@@ -71,4 +71,72 @@ class CheckpointHygieneSpec extends SparkSpec {
       }
     }
   }
+
+  test("per-run scopes release only their own frames") {
+    import graft.api.Pinned
+    val before = pinnedNow()
+    var out1: org.apache.spark.sql.DataFrame = null
+    var out2: org.apache.spark.sql.DataFrame = null
+    // two runs' registrations, each in its own scope (what concurrent
+    // App.run invocations on one session produce)
+    val s1 = Pinned.scoped(spark) { s =>
+      out1 = Seq((1L, "a")).toDF("id", "v").localCheckpoint()
+      Pinned.register(spark, Pinned.idsOf(out1))
+      assert(Pinned.registered(spark) == Pinned.idsOf(out1),
+        "inside a scope, registered() reads the scope")
+      s
+    }
+    val s2 = Pinned.scoped(spark) { s =>
+      out2 = Seq((2L, "b")).toDF("id", "v").localCheckpoint()
+      Pinned.register(spark, Pinned.idsOf(out2))
+      s
+    }
+    assert(s1.registered.intersect(s2.registered).isEmpty,
+      "exact id attribution: scopes never claim each other's checkpoints")
+    s1.release()
+    settle(before)(d => d.intersect(s1.registered).isEmpty)
+    // run 2's still-unexecuted plan survives run 1's release
+    assert(out2.collect().map(_.getLong(0)).toSeq == Seq(2L),
+      "releasing one run's pins must not free another run's frames")
+    s2.release()
+    val end = settle(before)(_.isEmpty)
+    assert(end.isEmpty, s"both scopes drained, got $end")
+    assert(Pinned.registered(spark).isEmpty, "nothing fell back to the session registry")
+  }
+
+  test("releasePinnedAfterRun drains two sequential eager-batch runs without manual release") {
+    import graft.api.{App, Pinned}
+    val before = pinnedNow()
+    val outDir = java.nio.file.Files.createTempDirectory("graft_autorelease").toString
+    def runOnce(tag: Int): Unit = {
+      val lefts = Seq((1L, "hot", 10L, 800.0), (2L, "hot", 20L, 950.0))
+        .toDF("id", "k", "t", "need")
+      val rights = (1L to 1000L).map(i => (2000L + i, "hot", 100L + i, i.toDouble))
+        .toDF("rid", "rk", "rt", "rv")
+      val config = new App.Config()
+        .setSource("lefts", App.Source(format = "memory", rows = Some(lefts),
+          order = Seq("t", "id")))
+        .setSource("rights", App.Source(format = "memory", rows = Some(rights),
+          order = Seq("rt", "rid")))
+        .addSink("joined", App.Sink(format = "parquet", path = Some(s"$outDir/run$tag"),
+          mode = "overwrite"))
+        .setTuning("graft.join.residualChunk", "100")
+        .releasePinnedAfterRun()
+      val outs = App.run(spark, config) { ins =>
+        Map("joined" -> ins("lefts").leftInnerJoin(ins("rights"))
+          .on((l, r) => l("k") === r("rk") && r("rv") >= l("need"))
+          .select((l, r) => Seq(l("id").as("id"), r("rid").as("rid"))))
+      }
+      assert(outs.nonEmpty)
+      assert(spark.read.parquet(s"$outDir/run$tag").count() == 2L,
+        "the sink consumed the plan before auto-release")
+    }
+    runOnce(1)
+    runOnce(2)
+    val left = settle(before)(_.isEmpty)
+    assert(left.isEmpty,
+      s"sequential auto-released runs strand no pinned blocks, got $left")
+    assert(Pinned.registered(spark).isEmpty,
+      "auto-release leaves nothing in the session registry")
+  }
 }
