@@ -251,7 +251,23 @@ object Program {
           if (init.df.isStreaming) {
             // head = ingress ∪ channel; feedback re-enters in a later
             // micro-batch through the externally bound channel directory
-            val head = init.union(external(s"__cycle_$nm")).withName(nm)
+            val chan = external(s"__cycle_$nm")
+            // re-entry lineage (when the run bound a lineage sink): a
+            // record keeps its content hash across the channel's file
+            // round trip, so an identity edge on the channel source
+            // bridges the feedback record (emitted under the same id by
+            // the body's operators) to its next-pass head entry
+            Lineage.current(init.df.sparkSession) match {
+              case Some(rc) if !init.df.schema.exists(f =>
+                  graft.operators.Cycles.hasMap(f.dataType)) =>
+                val h = org.apache.spark.sql.functions.xxhash64(
+                  chan.df.columns.toIndexedSeq.map(col): _*)
+                rc.add(chan.df.select(
+                  org.apache.spark.sql.functions.lit(s"cycleReentry:$nm").as("op"),
+                  h.as("output_id"), h.as("input_id")))
+              case _ =>
+            }
+            val head = init.union(chan).withName(nm)
             env += nm -> head
             body.foreach(bn => env += bn.name -> lowerBody(bn, in).withName(bn.name))
             env += s"__cycle_$nm" -> in(close.feedback)
@@ -282,11 +298,13 @@ object Program {
               case other => throw new IllegalArgumentException(
                 s"unknown graft.cycle.strategy '$other' (auto|naive|delta)")
             }
+            // withName(nm): the cycle's lineage edges are labelled by the
+            // cycle name, not the seed node's
             val fixed =
               if (useDelta)
-                graft.operators.Cycles.iterateDelta(init, maxIter)(evalBody)
+                graft.operators.Cycles.iterateDelta(init.withName(nm), maxIter)(evalBody)
               else
-                graft.operators.Cycles.iterate(init, maxIter)(cur =>
+                graft.operators.Cycles.iterate(init.withName(nm), maxIter)(cur =>
                   cur.union(evalBody(cur)).distinct())
             env += nm -> fixed.withName(nm)
             // re-lower the body against the fixpoint ONLY when a later node

@@ -22,8 +22,8 @@ object Cycles {
 
   /** Does the schema contain a MapType anywhere? `xxhash64` rejects maps
     * (unordered entries have no canonical hash), so such frames degrade to
-    * the count-only witness. */
-  private def hasMap(dt: org.apache.spark.sql.types.DataType): Boolean = dt match {
+    * the count-only witness (and emit no cycle lineage edges). */
+  private[graft] def hasMap(dt: org.apache.spark.sql.types.DataType): Boolean = dt match {
     case _: org.apache.spark.sql.types.MapType => true
     case s: StructType => s.exists(f => hasMap(f.dataType))
     case a: org.apache.spark.sql.types.ArrayType => hasMap(a.elementType)
@@ -65,6 +65,43 @@ object Cycles {
     ids.foreach(id => live.get(id).foreach(_.unpersist(blocking = false)))
   }
 
+  /** Round-granularity lineage for cycle fixpoints (active when the run
+    * bound a lineage sink — milan emits lineage from every runtime op,
+    * `types/LineageRecord.scala`; a generic `step` cannot be inverted
+    * row-for-row, so rounds are the honest derivation unit, the same
+    * group-identity deviation `Lineage.recordFanIn` documents for
+    * aggregates). Two edge families per productive round r:
+    *   `cycleRound:<name>` — round-group id ← each row of the frontier
+    *     the step consumed (fan-in, bounded by frontier size);
+    *   `cycle:<name>` — each row NEW in round r ← the round-group id.
+    * Record ids are content hashes, so a frontier row's id equals the id
+    * under which an earlier round (or the upstream operator that built
+    * the seed) emitted it — the rounds chain into a DAG from every output
+    * row back to the seed records with no extra bookkeeping. */
+  private final class CycleLineage(rec: graft.api.Lineage.Recorder,
+                                   name: String) {
+    import org.apache.spark.sql.functions.{col, lit, xxhash64}
+    private val tag = if (name.nonEmpty) name else "cycle"
+    private def rowId(d: DataFrame) =
+      xxhash64(d.columns.toIndexedSeq.map(col): _*)
+    private def groupId(round: Int) = xxhash64(lit(s"cycle:$tag"), lit(round))
+    /** `frontier` = the frame the step consumed; `fresh` = the rows first
+      * derived this round. Both are read lazily when the lineage sink
+      * writes — their checkpoints must stay alive until then (the caller
+      * registers them with Pinned instead of releasing). */
+    def round(r: Int, frontier: DataFrame, fresh: DataFrame): Unit = {
+      rec.add(frontier.select(lit(s"cycleRound:$tag").as("op"),
+        groupId(r).as("output_id"), rowId(frontier).as("input_id")))
+      rec.add(fresh.select(lit(s"cycle:$tag").as("op"),
+        rowId(fresh).as("output_id"), groupId(r).as("input_id")))
+    }
+  }
+
+  private def lineageFor(initial: MStream): Option[CycleLineage] =
+    graft.api.Lineage.current(initial.df.sparkSession)
+      .filter(_ => !initial.df.schema.exists(f => hasMap(f.dataType)))
+      .map(new CycleLineage(_, initial.name))
+
   /** Iterate a batch dataflow to a fixpoint: apply `step` until the
     * (count, xor-hash) fingerprint of consecutive rounds is equal, or
     * `maxIterations`. Each round's result is localCheckpoint()ed so
@@ -73,11 +110,19 @@ object Cycles {
     * metrics, and each round's blocks are unpersisted once its successor
     * is materialized — the same supersede-and-release discipline as
     * `Dedup.connectedComponents`. The FINAL round's checkpoint stays
-    * persisted: the returned plan reads it. */
+    * persisted: the returned plan reads it.
+    *
+    * When the run records lineage, per-round edges emit (see
+    * [[CycleLineage]]); the edge frames read the per-round checkpoints
+    * lazily, so superseded rounds are then REGISTERED with `Pinned`
+    * (released after the run's lineage sink writes) instead of freed
+    * eagerly — recording a naive fixpoint holds all rounds' frames. */
   def iterate(initial: MStream, maxIterations: Int,
               checkpoint: Boolean = true)(step: MStream => MStream): MStream = {
     import org.apache.spark.sql.functions.{bit_xor, coalesce, col, count, lit, xxhash64}
-    val sc = initial.df.sparkSession.sparkContext
+    val spark = initial.df.sparkSession
+    val sc = spark.sparkContext
+    val lin = lineageFor(initial)
     var current = initial
     var prevIds = Set.empty[Int]
     var last: (Long, Long) = (-1L, 0L)
@@ -95,19 +140,23 @@ object Cycles {
             coalesce(bit_xor(rowHash), lit(0L)).as("__x")).head()
           (d, Set.empty[Int], (r.getLong(0), r.getLong(1)))
         }
-      release(sc, prevIds)
+      // a converged (fingerprint-equal) round derived nothing: no edges
+      if (fp != last) lin.foreach(_.round(i + 1, current.df,
+        df.exceptAll(current.df)))
+      if (lin.isEmpty) release(sc, prevIds)
+      else graft.api.Pinned.register(spark, prevIds)
       prevIds = ids
       current = new MStream(df, next.eventOrder, next.contextKeys, next.name)
       if (fp == last) {
         // the returned plan reads the final checkpoint — register it so a
         // long-lived service can free it after the consuming action
-        graft.api.Pinned.register(initial.df.sparkSession, prevIds)
+        graft.api.Pinned.register(spark, prevIds)
         return current
       }
       last = fp
       i += 1
     }
-    graft.api.Pinned.register(initial.df.sparkSession, prevIds)
+    graft.api.Pinned.register(spark, prevIds)
     current
   }
 
@@ -130,7 +179,9 @@ object Cycles {
   def iterateDelta(initial: MStream, maxIterations: Int)(
       step: MStream => MStream): MStream = {
     import org.apache.spark.sql.functions.col
-    val sc = initial.df.sparkSession.sparkContext
+    val spark = initial.df.sparkSession
+    val sc = spark.sparkContext
+    val lin = lineageFor(initial)
     def lift(d: DataFrame): MStream =
       new MStream(d, initial.eventOrder, initial.contextKeys, initial.name)
     val cols = initial.df.columns.toIndexedSeq
@@ -149,6 +200,10 @@ object Cycles {
       val (d2, ids2, (c2, _)) = checkpointCounted(aligned.except(acc))
       if (c2 == 0L) { release(sc, ids2); growing = false }
       else {
+        // semi-naive lineage is the cheap case: the new delta IS the
+        // round's fresh rows and the consumed frontier IS the previous
+        // delta — two narrow projections over already-checkpointed frames
+        lin.foreach(_.round(i + 1, delta.df, d2))
         acc = acc.unionByName(d2); allIds ++= ids2
         delta = lift(d2); i += 1; sinceConsolidation += 1
         // collapse the union-of-round-deltas into ONE frame periodically:
@@ -164,17 +219,22 @@ object Cycles {
           val (flat, flatIds, _) = checkpointCounted(acc)
           // the newest delta's checkpoint must survive: next round's step
           // reads it. It is also inside `flat` now, so only the superseded
-          // accumulation frames are dropped.
-          release(sc, allIds -- ids2)
+          // accumulation frames are dropped — unless lineage edge frames
+          // still read the per-round deltas, in which case they stay
+          // pinned until the run's lineage sink writes.
+          if (lin.isEmpty) release(sc, allIds -- ids2)
+          else graft.api.Pinned.register(spark, allIds -- ids2)
           acc = flat; allIds = flatIds ++ ids2; sinceConsolidation = 0
         }
       }
     }
     // consolidate the survivors into ONE pinned frame, release the round
-    // checkpoints, and register for App-level release (Pinned)
+    // checkpoints (kept when lineage edge frames read them), and register
+    // for App-level release (Pinned)
     val (fin, finIds, _) = checkpointCounted(acc)
-    release(sc, allIds)
-    graft.api.Pinned.register(initial.df.sparkSession, finIds)
+    if (lin.isEmpty) release(sc, allIds)
+    else graft.api.Pinned.register(spark, allIds)
+    graft.api.Pinned.register(spark, finIds)
     lift(fin)
   }
 

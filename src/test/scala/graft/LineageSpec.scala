@@ -293,4 +293,113 @@ class LineageSpec extends SparkSpec {
     assert(running.size == 1, "no __lineage output")
     assert(Lineage.current(spark).isEmpty, "recorder removed after run")
   }
+
+  // ---- cycles: round-granularity provenance DAG ---------------------------
+
+  /** Content hash of an (id, x) row — the record-id convention. */
+  private def rowHash(id: Long, x: Long): Long =
+    Seq((id, x)).toDF("id", "x")
+      .select(xxhash64(col("id"), col("x"))).head().getLong(0)
+  private def cycleGroupId(name: String, round: Int): Long =
+    spark.range(1).select(xxhash64(lit(s"cycle:$name"), lit(round))).head().getLong(0)
+
+  private def cycleDoc: String = {
+    import graft.api.Program
+    import graft.api.Program._
+    Program.toJson(Doc(
+      nodes = Seq(
+        External("seed"),
+        BeginCycle("chain", "seed", 20),
+        MapCols("shift", "chain", Seq(Field("id", "id"), Field("x div 10", "x"))),
+        Where("fb", "shift", "x > 0"),
+        CloseCycle("out", "chain", "fb")),
+      outputs = Seq("out")))
+  }
+
+  /** Run the digit-shift cycle doc on seeds {(1,250),(2,7)} under a
+    * lineage sink and return the (op, output_id, input_id) edge set. */
+  private def cycleEdges(strategy: String): Set[(String, Long, Long)] = {
+    import graft.api.Program
+    val config = new App.Config()
+      .setSource("seed", App.Source("list",
+        rows = Some(Seq((1L, 250L), (2L, 7L)).toDF("id", "x"))))
+      .addSink("out", App.Sink("memory"))
+      .addLineageSink(App.Sink("memory"))
+      .setTuning("graft.cycle.strategy", strategy)
+    val running = App.run(spark, config)(
+      Program.interpret(Program.fromJson(cycleDoc)))
+    val out = running.collectFirst { case App.BatchOutput("out", df) => df }.get
+    assert(out.as[(Long, Long)].collect().toSet ==
+      Set((1L, 250L), (1L, 25L), (1L, 2L), (2L, 7L)), "fixpoint unchanged")
+    val edges = running.collectFirst { case App.BatchOutput("__lineage", df) => df }.get
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    graft.api.Pinned.release(spark) // drop the run's retained round frames
+    edges
+  }
+
+  test("naive batch cycle emits per-round fan-in edges back to the seeds") {
+    val (g1, g2) = (cycleGroupId("chain", 1), cycleGroupId("chain", 2))
+    val (s1, s2) = (rowHash(1L, 250L), rowHash(2L, 7L))
+    val (r25, r2) = (rowHash(1L, 25L), rowHash(1L, 2L))
+    // naive frontier = the full accumulation: round 1 consumed the seeds,
+    // round 2 consumed seeds + (1,25); fresh rows chain through the groups
+    assert(cycleEdges("naive") == Set(
+      ("cycleRound:chain", g1, s1), ("cycleRound:chain", g1, s2),
+      ("cycle:chain", r25, g1),
+      ("cycleRound:chain", g2, s1), ("cycleRound:chain", g2, s2),
+      ("cycleRound:chain", g2, r25),
+      ("cycle:chain", r2, g2)))
+  }
+
+  test("delta batch cycle emits frontier-only fan-in edges") {
+    val (g1, g2) = (cycleGroupId("chain", 1), cycleGroupId("chain", 2))
+    val (s1, s2) = (rowHash(1L, 250L), rowHash(2L, 7L))
+    val (r25, r2) = (rowHash(1L, 25L), rowHash(1L, 2L))
+    // semi-naive frontier = the previous round's delta only
+    assert(cycleEdges("delta") == Set(
+      ("cycleRound:chain", g1, s1), ("cycleRound:chain", g1, s2),
+      ("cycle:chain", r25, g1),
+      ("cycleRound:chain", g2, r25),
+      ("cycle:chain", r2, g2)))
+  }
+
+  test("streaming channel cycle emits re-entry edges under the feedback records' ids") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.types._
+    import graft.api.Program
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(Long, Long)]
+    val dir = java.nio.file.Files.createTempDirectory("graft_cycle_lin").toString
+    val schema = StructType(Seq(
+      StructField("id", LongType), StructField("x", LongType)))
+    val (src, snk) = graft.operators.Cycles.feedbackChannel(dir, schema)
+    val outName = s"cycle_lin_out_${System.nanoTime()}"
+    val linName = s"cycle_lin_edges_${System.nanoTime()}"
+    val running = App.run(spark, new App.Config()
+        .setSource("seed", App.Source("list", rows = Some(in.toDF().toDF("id", "x"))))
+        .setSource("__cycle_chain", src)
+        .addSink("__cycle_chain", snk)
+        .addSink("out", App.Sink("memory", outputMode = "append",
+          queryName = Some(outName)))
+        .addLineageSink(App.Sink("memory", outputMode = "append",
+          queryName = Some(linName))))(
+      Program.interpret(Program.fromJson(cycleDoc)))
+    val qs = running.collect { case App.StreamingOutput(_, q) => q }
+    try {
+      in.addData((1L, 250L))
+      var tries = 0
+      while (spark.table(outName).count() < 3 && tries < 60) {
+        qs.foreach(_.processAllAvailable()); Thread.sleep(100); tries += 1
+      }
+      // feedback records (x > 0 after shift): (1,25) and (1,2) re-enter —
+      // their re-entry edges carry the records' own content hashes, the
+      // same ids the body's operators would emit them under
+      val reentry = spark.table(linName)
+        .filter(col("op") === "cycleReentry:chain")
+        .collect().map(r => (r.getLong(1), r.getLong(2))).toSet
+      val expect = Set(rowHash(1L, 25L), rowHash(1L, 2L)).map(h => (h, h))
+      assert(reentry == expect,
+        s"one identity edge per re-entrant record, got $reentry")
+    } finally qs.foreach(_.stop())
+  }
 }
