@@ -48,8 +48,15 @@ object CycleBench {
     }
     for (_ <- 1 to 2) {
       time("delta")(Cycles.iterateDelta(MStream(seeds), depth + 5)(step).df.count())
-      time("naive")(Cycles.iterate(MStream(seeds), depth + 5)(cur =>
-        cur.union(step(cur)).distinct()).df.count())
+      // checkpoint-cadence experiment: persist every round vs every 2nd
+      // round (fingerprints still compute per round; skipped rounds pay a
+      // step re-execution inside the next checkpoint job)
+      for (cad <- Seq(1, 2)) {
+        spark.conf.set("graft.cycle.checkpointCadence", cad.toString)
+        time(s"naive cadence=$cad")(Cycles.iterate(MStream(seeds), depth + 5)(cur =>
+          cur.union(step(cur)).distinct()).df.count())
+      }
+      spark.conf.unset("graft.cycle.checkpointCadence")
     }
     spark.stop()
   }

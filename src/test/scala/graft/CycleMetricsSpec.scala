@@ -46,6 +46,25 @@ class CycleMetricsSpec extends SparkSpec {
     }
   }
 
+  test("checkpoint cadence > 1: skipped rounds keep the live checkpoint readable") {
+    // at cadence 3, rounds 1-2 are plans over the seed, round 3
+    // checkpoints, rounds 4-5 are plans over round 3's checkpoint — which
+    // must NOT be released until round 6 supersedes it (regression: the
+    // old supersede-every-round release freed it under the skipped
+    // rounds' still-referenced plans -> CHECKPOINT_RDD_BLOCK_ID_NOT_FOUND)
+    spark.conf.set("graft.cycle.checkpointCadence", "3")
+    try {
+      val edges = Seq((1, 2), (2, 3), (3, 4), (4, 5), (5, 6), (6, 7)).toDF("src", "dst")
+      val closure = Cycles.iterate(MStream(edges), maxIterations = 12) { cur =>
+        val joined = cur.df.as("a").join(edges.as("b"), col("a.dst") === col("b.src"))
+          .select(col("a.src").as("src"), col("b.dst").as("dst"))
+        MStream(cur.df.unionByName(joined).distinct())
+      }
+      assert(closure.df.count() == 21, "chain of 7 nodes has 21 closure edges")
+      graft.api.Pinned.release(spark)
+    } finally spark.conf.unset("graft.cycle.checkpointCadence")
+  }
+
   test("weekly window offset aligns windows to the requested weekday") {
     import java.time.DayOfWeek
     import graft.api.TimeWindows
