@@ -150,13 +150,15 @@ object App {
     def lineageSink: Option[Sink] = lineage
     /** Opt-in pinned-frame hygiene for long-lived services: when enabled,
       * [[App.run]] releases the frames THIS run pinned (residual-join
-      * matches, vocabularies, cycle fixpoints — see [[Pinned]]) as soon as
-      * the run's consuming actions complete — which is at the end of `run`
-      * when every output is batch and every bound sink writes eagerly.
-      * Runs with a `memory` sink (the caller collects later) or any
-      * streaming output keep their pins; release those with
-      * [[Pinned.release]] once consumed. Default off: `run`'s returned
-      * frames stay re-executable. */
+      * matches, vocabularies, cycle fixpoints, broadcast dedup references
+      * — see [[Pinned]]) as soon as the run's consuming actions complete:
+      * at the end of `run` for all-batch runs whose sinks write eagerly,
+      * or — for runs with streaming outputs — when the LAST of the run's
+      * streaming queries terminates (a listener watches them). Runs with
+      * a batch `memory` sink keep their pins (the caller collects the
+      * returned frame later); release those with [[Pinned.release]] once
+      * consumed. Default off: `run`'s returned frames stay
+      * re-executable. */
     def releasePinnedAfterRun(enable: Boolean = true): Config = {
       releasePinned = enable; this
     }
@@ -332,16 +334,47 @@ object App {
             runWithLineage(spark, config, Some(rec))(program))
           case None => runWithLineage(spark, config, None)(program)
         }
-        // auto-release only when every consuming action already ran:
-        // all outputs batch, and no sink defers consumption to the caller
-        // (memory). Otherwise the run's pins fall back to the session
-        // registry for a later Pinned.release(spark).
-        val boundSinks =
-          config.sinkStreams.flatMap(config.sinkList) ++ config.lineageSink
-        val consumed = outs.forall(_.isInstanceOf[BatchOutput]) &&
-          boundSinks.forall(_.format != "memory")
-        if (config.releasePinnedAfterRunEnabled && consumed) pins.release()
-        else Pinned.adopt(pins)
+        // auto-release once every consuming action has run. Batch sinks
+        // consume eagerly inside run — except `memory`, whose BatchOutput
+        // the caller collects later (a streaming memory sink is fine: its
+        // table materializes rows per micro-batch). Streaming outputs
+        // consume for as long as their queries live, so their release
+        // waits on a termination listener. Deferred-consumption runs fall
+        // back to the session registry for a later Pinned.release(spark).
+        val batchEager = outs.collect { case b: BatchOutput => b }.forall { b =>
+          (if (b.stream == "__lineage") config.lineageSink.toSeq
+           else config.sinkList(b.stream)).forall(_.format != "memory")
+        }
+        val streamingQs = outs.collect { case StreamingOutput(_, q) => q }
+        if (!config.releasePinnedAfterRunEnabled || !batchEager) Pinned.adopt(pins)
+        else if (streamingQs.isEmpty) pins.release()
+        else {
+          val remaining = java.util.concurrent.ConcurrentHashMap
+            .newKeySet[java.util.UUID]()
+          streamingQs.foreach(q => remaining.add(q.id))
+          val listener = new org.apache.spark.sql.streaming.StreamingQueryListener {
+            override def onQueryStarted(
+                e: org.apache.spark.sql.streaming.StreamingQueryListener.QueryStartedEvent): Unit = ()
+            override def onQueryProgress(
+                e: org.apache.spark.sql.streaming.StreamingQueryListener.QueryProgressEvent): Unit = ()
+            override def onQueryTerminated(
+                e: org.apache.spark.sql.streaming.StreamingQueryListener.QueryTerminatedEvent): Unit = {
+              remaining.remove(e.id)
+              if (remaining.isEmpty) {
+                pins.release()
+                spark.streams.removeListener(this)
+              }
+            }
+          }
+          spark.streams.addListener(listener)
+          // a query may have terminated before the listener attached
+          val live = spark.streams.active.map(_.id).toSet
+          remaining.removeIf(id => !live.contains(id))
+          if (remaining.isEmpty) {
+            pins.release()
+            spark.streams.removeListener(listener)
+          }
+        }
         outs
       }
     }

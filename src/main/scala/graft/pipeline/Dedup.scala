@@ -1122,13 +1122,25 @@ object Dedup {
       graft.functions.VectorFunctions.wordShingleHashes(c, k)
 
     // (hash, gram) of the reference corpus, distinct, broadcast
-    val ref = refDocs
+    val refPlan = refDocs
       .select(wordsOf(col(refTextCol)).as("__rw"), hashesOf(col(refTextCol)).as("__rh"))
       .where(size(col("__rh")) >= 1)
       .select(explode(transform(sequence(lit(0), size(col("__rh")) - 1),
         i => struct(element_at(col("__rh"), i + 1).as("h"),
           concat_ws(" ", slice(col("__rw"), i + 1, lit(k))).as("g")))).as("__r"))
       .select(col("__r.h").as("__h"), col("__r.g").as("__rg")).distinct()
+    // streaming re-plans the static side of a stream-static join every
+    // micro-batch: pin the gram frame once (registered with Pinned, the
+    // dedupAgainstCorpus lifecycle) so each batch re-reads a hash/gram
+    // frame bounded by the reference's distinct gram count, never the
+    // reference corpus text. Batch consumes it once — no checkpoint.
+    val ref =
+      if (!df.isStreaming) refPlan
+      else {
+        val (cp, ids) = graft.api.Pinned.checkpointTracked(refPlan)
+        graft.api.Pinned.register(df.sparkSession, ids)
+        cp
+      }
 
     val base = df
       .withColumn("__w", wordsOf(col(textCol)))

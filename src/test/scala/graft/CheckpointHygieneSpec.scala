@@ -139,4 +139,35 @@ class CheckpointHygieneSpec extends SparkSpec {
     assert(Pinned.registered(spark).isEmpty,
       "auto-release leaves nothing in the session registry")
   }
+
+  test("releasePinnedAfterRun drains a streaming run when its last query terminates") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.api.App
+    implicit val sqlCtx = spark.sqlContext
+    val before = pinnedNow()
+    val ref = Seq((100L, "the quick brown fox jumps over the lazy dog today"))
+      .toDF("doc_id", "text")
+    val in = MemoryStream[(Long, String)]
+    val outName = s"pin_stream_${System.nanoTime()}"
+    val config = new App.Config()
+      .setSource("docs", App.Source("list", rows = Some(in.toDF().toDF("doc_id", "text"))))
+      .addSink("out", App.Sink("memory", outputMode = "append", queryName = Some(outName)))
+      .releasePinnedAfterRun()
+    val running = App.run(spark, config) { ins =>
+      // pins the broadcast reference band index + shingle sets at build
+      Map("out" -> graft.pipeline.Dedup.dedupAgainstCorpus(ins("docs"), ref,
+        "doc_id", "text", k = 16, bands = 8, threshold = 0.8))
+    }
+    val q = running.collect { case App.StreamingOutput(_, sq) => sq }.head
+    try {
+      assert(pinnedNow().diff(before).nonEmpty,
+        "the reference artifacts are pinned while the query runs")
+      in.addData((1L, "a fresh unrelated document about streams"))
+      q.processAllAvailable()
+      assert(spark.table(outName).count() == 1L)
+    } finally q.stop()
+    val left = settle(before)(_.isEmpty)
+    assert(left.isEmpty,
+      s"query termination drains the run's pinned reference frames, got $left")
+  }
 }
