@@ -471,4 +471,103 @@ object TextOps {
         round(markerHits(text, Stopwords).cast("double") / nw, 4)),
       "punct_count" -> regexp_count(text, lit("[^A-Za-z0-9_\\s]")))
   }
+
+  /** Dual-mode [[encodeTokens]] — apply a FIXED vocabulary at ingest.
+    * Batch delegates to `encodeTokens` (the q_encode oracle face);
+    * streaming explodes each arriving doc's tokens, stream-static
+    * broadcast-joins the pinned vocabulary (driver-sized by `buildVocab`
+    * contract, localCheckpoint'ed once so micro-batches never re-plan the
+    * vocab build), and re-assembles per-doc id arrays in the stateless
+    * per-batch combine (every token row derives from its own input row —
+    * one micro-batch; unique-id precondition per batch, as
+    * `scrubKnownSpans`). Token-less documents produce no output in EITHER
+    * mode (the batch groupBy sees no rows for them). Zero state-store
+    * rows: encode throughput is join-bound at ingest. */
+  def encodeTokensIngest(stream: graft.api.MStream, vocab: org.apache.spark.sql.DataFrame,
+                         idCol: String, textCol: String,
+                         oovId: Long = -1L): graft.api.MStream = {
+    import org.apache.spark.sql.{Encoder, Encoders, Row}
+    import org.apache.spark.sql.catalyst.encoders.RowEncoder
+    import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
+    import org.apache.spark.sql.types._
+    val df = stream.df
+    if (!df.isStreaming)
+      return new graft.api.MStream(encodeTokens(df, idCol, textCol, vocab, oovId),
+        stream.eventOrder, stream.contextKeys, stream.name)
+    val (vcp, vIds) = graft.api.Pinned.checkpointTracked(
+      vocab.select(col("word").as("__w"), col("id")))
+    graft.api.Pinned.register(df.sparkSession, vIds)
+    val u = df
+      .select(col(idCol).as("__id"), posexplode(words(col(textCol))).as(Seq("__pos", "__w")))
+      .join(broadcast(vcp), Seq("__w"), "left")
+      .select(col("__id"), col("__pos"), col("id").as("__vid"))
+    val idType = df.schema(idCol).dataType
+    val outT = StructType(Seq(
+      StructField("__id", idType),
+      StructField("ids", ArrayType(LongType, containsNull = false)),
+      StructField("n_oov", LongType, nullable = false)))
+    val outEnc: Encoder[Row] = RowEncoder.encoderFor(outT)
+    val posIdx = u.schema.fieldIndex("__pos")
+    val vidIdx = u.schema.fieldIndex("__vid")
+    val oov = oovId
+    val out = graft.streaming.KeyedRows.byNames(u, Seq("__id"))
+      .flatMapGroupsWithState[Int, Row](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (key: Row, it: Iterator[Row], _) =>
+          val rows = it.toList.sortBy(_.getInt(posIdx))
+          val ids = rows.map(r => if (r.isNullAt(vidIdx)) oov else r.getLong(vidIdx))
+          Iterator.single(Row(key.get(0), ids, rows.count(_.isNullAt(vidIdx)).toLong))
+      }(Encoders.scalaInt, outEnc).toDF()
+      .withColumnRenamed("__id", idCol)
+    new graft.api.MStream(out, stream.eventOrder, stream.contextKeys, stream.name)
+  }
+
+  /** Dual-mode [[decontaminate]] — benchmark-overlap hygiene at ingest.
+    * Batch delegates to `decontaminate` (the q_decontaminate oracle
+    * face); streaming explodes each arriving doc's distinct n-gram hashes
+    * (`posexplode_outer`, so sub-n-word docs still flow through and score
+    * 0), stream-static broadcast-joins the pinned benchmark gram set
+    * (small by nature; localCheckpoint'ed once), and counts hits in the
+    * stateless per-batch combine. Zero state-store rows. */
+  def decontaminateIngest(stream: graft.api.MStream, bench: org.apache.spark.sql.DataFrame,
+                          idCol: String, textCol: String, benchTextCol: String,
+                          n: Int = 8, minOverlap: Int = 1): graft.api.MStream = {
+    import org.apache.spark.sql.{Encoder, Encoders, Row}
+    import org.apache.spark.sql.catalyst.encoders.RowEncoder
+    import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
+    import org.apache.spark.sql.types._
+    val df = stream.df
+    if (!df.isStreaming)
+      return new graft.api.MStream(
+        decontaminate(df, idCol, textCol, bench, benchTextCol, n, minOverlap),
+        stream.eventOrder, stream.contextKeys, stream.name)
+    val (bcp, bIds) = graft.api.Pinned.checkpointTracked(
+      bench.select(explode(array_distinct(
+          graft.functions.VectorFunctions.wordShingleHashes(col(benchTextCol), n))).as("__g"))
+        .distinct().withColumn("__hit", lit(1)))
+    graft.api.Pinned.register(df.sparkSession, bIds)
+    val grams = graft.functions.VectorFunctions.wordShingleHashes(col(textCol), n)
+    val u = df
+      .select(col(idCol).as("__id"),
+        posexplode_outer(array_distinct(grams)).as(Seq("__p", "__g")))
+      .join(broadcast(bcp), Seq("__g"), "left")
+      .select(col("__id"), col("__hit"))
+    val idType = df.schema(idCol).dataType
+    val outT = StructType(Seq(
+      StructField("__id", idType),
+      StructField("n_overlap", LongType, nullable = false),
+      StructField("contaminated", IntegerType, nullable = false)))
+    val outEnc: Encoder[Row] = RowEncoder.encoderFor(outT)
+    val hitIdx = u.schema.fieldIndex("__hit")
+    val mo = minOverlap
+    val out = graft.streaming.KeyedRows.byNames(u, Seq("__id"))
+      .flatMapGroupsWithState[Int, Row](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (key: Row, it: Iterator[Row], _) =>
+          val hits = it.count(r => !r.isNullAt(hitIdx)).toLong
+          Iterator.single(Row(key.get(0), hits, if (hits >= mo) 1 else 0))
+      }(Encoders.scalaInt, outEnc).toDF()
+      .withColumnRenamed("__id", idCol)
+    new graft.api.MStream(out, stream.eventOrder, stream.contextKeys, stream.name)
+  }
 }

@@ -1,0 +1,131 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.api.MStream
+import graft.pipeline.TextOps
+
+/** Dual-mode ingest faces of the encode and decontaminate operators:
+  * streaming output must equal the batch branch (which carries the
+  * q_encode / q_decontaminate oracles), and both are stateless at ingest
+  * (broadcast static side + per-batch combine — no state-store rows). */
+class StreamingTextOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def streamed[T](out: MStream)(read: String => Set[T]): Set[T] = {
+    import org.apache.spark.sql.streaming.OutputMode
+    assert(out.df.isStreaming)
+    val name = s"sto_${System.nanoTime()}"
+    val q = out.df.writeStream.format("memory").queryName(name)
+      .outputMode(OutputMode.Append()).start()
+    try {
+      q.processAllAvailable()
+      assert(q.lastProgress == null ||
+        q.lastProgress.stateOperators.forall(_.numRowsTotal == 0L),
+        "ingest op is stateless: no state rows accumulate")
+      read(name)
+    } finally q.stop()
+  }
+
+  test("encodeTokensIngest: streaming equals batch (ids, oov, dropped empty docs)") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val vocab = Seq(("alpha", 0L), ("beta", 1L), ("gamma", 2L)).toDF("word", "id")
+    val docs = Seq(
+      (1L, "alpha beta gamma"),
+      (2L, "beta unknown alpha"),
+      (3L, ""),                       // token-less: no output row, either mode
+      (4L, "unknown only words here"))
+    def key(r: org.apache.spark.sql.Row): (Long, Seq[Long], Long) =
+      (r.getLong(0), r.getSeq[Long](1), r.getLong(2))
+
+    val batch = TextOps.encodeTokensIngest(
+      MStream(docs.toDF("doc_id", "text")), vocab, "doc_id", "text")
+    assert(!batch.df.isStreaming)
+    val b = batch.df.select("doc_id", "ids", "n_oov").collect().map(key).toSet
+    assert(b == Set(
+      (1L, Seq(0L, 1L, 2L), 0L),
+      (2L, Seq(1L, -1L, 0L), 1L),
+      (4L, Seq(-1L, -1L, -1L, -1L), 4L)))
+
+    val in = MemoryStream[(Long, String)]
+    val out = TextOps.encodeTokensIngest(
+      MStream(in.toDF().toDF("doc_id", "text")), vocab, "doc_id", "text")
+    in.addData(docs.take(2): _*)
+    in.addData(docs.drop(2): _*)
+    val s = streamed(out)(nm =>
+      spark.table(nm).select("doc_id", "ids", "n_oov").collect().map(key).toSet)
+    assert(s == b, "streaming encode equals the batch oracle face")
+    graft.api.Pinned.release(spark)
+  }
+
+  test("decontaminateIngest: streaming equals batch (zero-overlap and short docs kept)") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val bench = Seq("one two three four five six seven eight nine ten")
+      .toDF("text")
+    val docs = Seq(
+      (1L, "prefix one two three four five six seven eight nine ten suffix"), // overlaps
+      (2L, "a completely clean training document with enough words to gram"),
+      (3L, "short"))                 // under n words: no grams, scores 0
+    def key(r: org.apache.spark.sql.Row): (Long, Long, Int) =
+      (r.getLong(0), r.getLong(1), r.getInt(2))
+
+    val batch = TextOps.decontaminateIngest(
+      MStream(docs.toDF("doc_id", "text")), bench, "doc_id", "text", "text", n = 8)
+    assert(!batch.df.isStreaming)
+    val b = batch.df.select("doc_id", "n_overlap", "contaminated")
+      .collect().map(key).toSet
+    assert(b.map(_._1) == Set(1L, 2L, 3L), "every doc scores, hit or not")
+    assert(b.exists(r => r._1 == 1L && r._3 == 1), "overlapping doc flagged")
+    assert(b.exists(r => r._1 == 3L && r._2 == 0L && r._3 == 0), "short doc scores 0")
+
+    val in = MemoryStream[(Long, String)]
+    val out = TextOps.decontaminateIngest(
+      MStream(in.toDF().toDF("doc_id", "text")), bench, "doc_id", "text", "text", n = 8)
+    in.addData(docs.take(1): _*)
+    in.addData(docs.drop(1): _*)
+    val s = streamed(out)(nm =>
+      spark.table(nm).select("doc_id", "n_overlap", "contaminated")
+        .collect().map(key).toSet)
+    assert(s == b, "streaming decontamination equals the batch oracle face")
+    graft.api.Pinned.release(spark)
+  }
+
+  test("both ingest faces agree on a seeded random corpus") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val rnd = new scala.util.Random(7)
+    val vocabWords = Vector("alpha", "beta", "gamma", "delta", "epsilon",
+      "zeta", "eta", "theta")
+    def doc(): String =
+      Seq.fill(rnd.nextInt(14))(vocabWords(rnd.nextInt(vocabWords.size))).mkString(" ")
+    val docs = (0L until 60L).map(i => (i, doc()))
+    val vocab = vocabWords.take(5).zipWithIndex.map { case (w, i) => (w, i.toLong) }
+      .toDF("word", "id")
+    val bench = Seq(docs(10)._2, docs(20)._2).toDF("text")
+
+    val be = TextOps.encodeTokensIngest(
+        MStream(docs.toDF("doc_id", "text")), vocab, "doc_id", "text")
+      .df.collect().map(r => (r.getLong(0), r.getSeq[Long](1), r.getLong(2))).toSet
+    val bd = TextOps.decontaminateIngest(
+        MStream(docs.toDF("doc_id", "text")), bench, "doc_id", "text", "text", n = 4)
+      .df.collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+
+    val inE = MemoryStream[(Long, String)]
+    val outE = TextOps.encodeTokensIngest(
+      MStream(inE.toDF().toDF("doc_id", "text")), vocab, "doc_id", "text")
+    docs.grouped(25).foreach(g => inE.addData(g: _*))
+    val se = streamed(outE)(nm => spark.table(nm).collect()
+      .map(r => (r.getLong(0), r.getSeq[Long](1), r.getLong(2))).toSet)
+    assert(se == be)
+
+    val inD = MemoryStream[(Long, String)]
+    val outD = TextOps.decontaminateIngest(
+      MStream(inD.toDF().toDF("doc_id", "text")), bench, "doc_id", "text", "text", n = 4)
+    docs.grouped(25).foreach(g => inD.addData(g: _*))
+    val sd = streamed(outD)(nm => spark.table(nm).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet)
+    assert(sd == bd)
+    graft.api.Pinned.release(spark)
+  }
+}
