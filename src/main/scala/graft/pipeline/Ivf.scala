@@ -126,4 +126,85 @@ object Ivf {
       .select(col("__qid").as(qIdCol), col("__pid").as(idCol),
         round(col("cos"), 6).as("cos"), col("__rk").as("rn"))
   }
+
+  /** Dual-mode [[search]] — similarity search at ingest: query vectors
+    * arrive as a stream and probe a STATIC indexed corpus. Batch
+    * delegates to `search` (the q_ivf_ann oracle face); streaming
+    * assigns the corpus its cell ids ONCE (localCheckpoint, registered
+    * with `Pinned` — the static side of a stream-static join re-plans
+    * every micro-batch otherwise), explodes each arriving query to its
+    * nProbe cell ids (literal-codebook expressions, no shuffle), equi-
+    * joins the pinned corpus on the cell id, and takes the exact top-k
+    * per query in the stateless per-batch combine (every candidate row
+    * derives from its own query row — one micro-batch; zero state-store
+    * rows). Queries whose probed cells are empty produce no output in
+    * either mode (inner join).
+    *
+    * `broadcastCorpus = true` suits corpora whose (id, vector, cid) frame
+    * fits executor memory. At cluster scale set it false and store the
+    * corpus BUCKETED by cell id: the per-batch join then shuffles only
+    * the (small) query micro-batch to the co-located corpus buckets. */
+  def searchIngest(queries: graft.api.MStream, embs: DataFrame,
+                   idCol: String, vecCol: String, qIdCol: String,
+                   centroids: DataFrame, topK: Int, nProbe: Int,
+                   broadcastCorpus: Boolean = true): graft.api.MStream = {
+    import org.apache.spark.sql.{Encoder, Encoders, Row}
+    import org.apache.spark.sql.catalyst.encoders.RowEncoder
+    import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
+    import org.apache.spark.sql.types._
+    val df = queries.df
+    if (!df.isStreaming)
+      return new graft.api.MStream(
+        search(embs, df, idCol, vecCol, qIdCol, centroids, topK, nProbe),
+        queries.eventOrder, queries.contextKeys, queries.name)
+    require(topK > 0 && nProbe > 0, s"need topK > 0 and nProbe > 0, got $topK/$nProbe")
+    val cent = collectCodebook(centroids)
+    val (corpus, cIds) = graft.api.Pinned.checkpointTracked(
+      embs.select(col(idCol).as("__pid"), col(vecCol).cast("array<double>").as("__pv"))
+        .withColumn("cid", nearestCid(col("__pv"), cent)))
+    graft.api.Pinned.register(df.sparkSession, cIds)
+    val qCells = df
+      .select(col(qIdCol).as("__qid"), col(vecCol).cast("array<double>").as("__qv"))
+      .select(col("__qid"), col("__qv"),
+        explode(probeCids(col("__qv"), cent, nProbe)).as("cid"))
+    val scored = qCells
+      .join(if (broadcastCorpus) broadcast(corpus) else corpus, "cid")
+      .filter(col("__pid") =!= col("__qid"))
+      .select(col("__qid"), col("__pid"),
+        Similarity.cosine(col("__qv"), col("__pv")).as("__cos"))
+    val qType = df.schema(qIdCol).dataType
+    val pType = embs.schema(idCol).dataType
+    val outT = StructType(Seq(
+      StructField("__qid", qType), StructField("__pid", pType),
+      StructField("__cos", DoubleType), StructField("rn", IntegerType, nullable = false)))
+    val outEnc: Encoder[Row] = RowEncoder.encoderFor(outT)
+    val pidIdx = scored.schema.fieldIndex("__pid")
+    val cosIdx = scored.schema.fieldIndex("__cos")
+    val k = topK
+    // (cos desc, pid asc) — the batch window's exact order, so the two
+    // faces pick identical top-k sets and ranks
+    val ord = new Ordering[Row] {
+      def compare(a: Row, b: Row): Int = {
+        val c = java.lang.Double.compare(b.getDouble(cosIdx), a.getDouble(cosIdx))
+        if (c != 0) c
+        else a.get(pidIdx).asInstanceOf[Comparable[Any]].compareTo(b.get(pidIdx))
+      }
+    }
+    val out = graft.streaming.KeyedRows.byNames(scored, Seq("__qid"))
+      .flatMapGroupsWithState[Int, Row](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (key: Row, it: Iterator[Row], _) =>
+          // bounded top-k heap, the BoundedTopK posture: never holds more
+          // than k candidates however many cells a hot query probes
+          val heap = new java.util.PriorityQueue[Row](k + 1, ord.reverse)
+          it.foreach { r => heap.add(r); if (heap.size > k) heap.poll() }
+          val top = Array.fill(heap.size)(heap.poll()).reverse
+          top.iterator.zipWithIndex.map { case (r, i) =>
+            Row(key.get(0), r.get(pidIdx), r.getDouble(cosIdx), i + 1)
+          }
+      }(Encoders.scalaInt, outEnc).toDF()
+      .select(col("__qid").as(qIdCol), col("__pid").as(idCol),
+        round(col("__cos"), 6).as("cos"), col("rn"))
+    new graft.api.MStream(out, queries.eventOrder, queries.contextKeys, queries.name)
+  }
 }
