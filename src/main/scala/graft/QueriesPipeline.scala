@@ -945,6 +945,38 @@ object QueriesPipeline {
         SELECT d.doc_id, coalesce(a.n_pairs, 0)::BIGINT AS n_pairs, a.avg_logprob
         FROM documents d LEFT JOIN agg a USING (doc_id)"""
 
+  /** CCNet-shaped cross-corpus LM scoring, batch face (streaming pinned
+    * equal by StreamingTextOpsSpec): documents of the arriving slice
+    * (doc_id % 3 = 0) scored by a bigram LM trained on the reference
+    * slice (doc_id % 3 <> 0); unseen pairs back off to the smoothed
+    * floor. */
+  def qLmAgainst(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir).df
+    TextOps.lmScoreAgainst(
+      graft.api.MStream(docs.where(col("doc_id") % 3 === 0)),
+      docs.where(col("doc_id") % 3 =!= 0),
+      "doc_id", "text", "text").df
+  }
+
+  val qLmAgainstSql: String =
+    s"""WITH words AS (SELECT doc_id, list_filter(string_split_regex(text, '[ \\t\\n\\f\\r\\x0b]+'), x -> x <> '') AS w FROM documents),
+        pairs AS (SELECT doc_id,
+                    unnest(w[1:len(w) - 1]) AS u, unnest(w[2:len(w)]) AS v
+                  FROM words WHERE len(w) >= 2),
+        bc AS (SELECT u, v, count(*) AS c FROM pairs WHERE doc_id % 3 <> 0 GROUP BY u, v),
+        cc AS (SELECT u, sum(c) AS cu FROM bc GROUP BY u),
+        vv AS (SELECT count(DISTINCT v) AS V FROM bc),
+        agg AS (SELECT p.doc_id AS doc_id, count(*) AS n_pairs,
+                  round(avg(ln((coalesce(bc.c, 0) + 0.5)
+                               / (coalesce(cc.cu, 0) + 0.5 * vv.V))), 3) AS avg_logprob
+                FROM pairs p LEFT JOIN bc ON p.u = bc.u AND p.v = bc.v
+                             LEFT JOIN cc ON p.u = cc.u CROSS JOIN vv
+                WHERE p.doc_id % 3 = 0
+                GROUP BY p.doc_id)
+        SELECT d.doc_id, coalesce(a.n_pairs, 0)::BIGINT AS n_pairs, a.avg_logprob
+        FROM documents d LEFT JOIN agg a USING (doc_id)
+        WHERE d.doc_id % 3 = 0"""
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_ivf_ann" -> (qIvfAnn _),
     "q_dedup_exact" -> (qDedupExact _),
@@ -955,6 +987,7 @@ object QueriesPipeline {
     "q_cross_dedup" -> (qCrossDedup _),
     "q_cross_ingest" -> (qCrossIngest _),
     "q_lm_score" -> (qLmScore _),
+    "q_lm_against" -> (qLmAgainst _),
     "q_source_cap" -> (qSourceCap _),
     "q_token_budget" -> (qTokenBudget _),
     "q_dedup_clusters" -> (qDedupClusters _),
@@ -1000,6 +1033,7 @@ object QueriesPipeline {
     "q_cross_dedup" -> qCrossDedupSql,
     "q_cross_ingest" -> qCrossIngestSql,
     "q_lm_score" -> qLmScoreSql,
+    "q_lm_against" -> qLmAgainstSql,
     "q_source_cap" -> qSourceCapSql,
     "q_token_budget" -> qTokenBudgetSql,
     "q_dedup_clusters" -> qDedupClustersSql,

@@ -472,6 +472,101 @@ object TextOps {
       "punct_count" -> regexp_count(text, lit("[^A-Za-z0-9_\\s]")))
   }
 
+  /** Dual-mode bigram-LM scoring AGAINST a reference corpus — the full
+    * CCNet shape (Wenzek et al. 2020 score crawl text with an LM trained
+    * on Wikipedia; [[bigramLmScore]] is the self-scoring variant): the
+    * add-alpha bigram model trains on `refDocs` in one pass (tables
+    * localCheckpoint'ed and registered with `Pinned`; the vocabulary size
+    * is a scalar collected once and folded as a literal), then documents
+    * — batch frame or arriving stream — score by average per-pair
+    * log-likelihood ln((c(u,v)+a)/(c(u)+a·V)). Pairs UNSEEN in the
+    * reference back off to the smoothed floor via left joins (c=0), the
+    * piece self-scoring never needs. Documents under 2 tokens emit
+    * (n_pairs=0, avg_logprob NULL) in both modes. Streaming is two
+    * stream-static broadcast joins + the stateless per-batch combine —
+    * zero state-store rows; the model frames are model-sized, never
+    * corpus-sized. */
+  def lmScoreAgainst(stream: graft.api.MStream, refDocs: org.apache.spark.sql.DataFrame,
+                     idCol: String, textCol: String, refTextCol: String,
+                     alpha: Double = 0.5): graft.api.MStream = {
+    import org.apache.spark.sql.{Encoder, Encoders, Row}
+    import org.apache.spark.sql.catalyst.encoders.RowEncoder
+    import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
+    import org.apache.spark.sql.types._
+    val df = stream.df
+    val spark = df.sparkSession
+    def pairsOf(d: org.apache.spark.sql.DataFrame, text: String,
+                keep: Seq[Column]): org.apache.spark.sql.DataFrame = d
+      .select(keep :+ words(col(text)).as("__w"): _*).where(size(col("__w")) >= 2)
+      .select(keep :+ explode(arrays_zip(
+        slice(col("__w"), lit(1), size(col("__w")) - 1).as("u"),
+        slice(col("__w"), lit(2), size(col("__w")) - 1).as("v"))).as("__p"): _*)
+      .select(keep :+ col("__p.u").as("__u") :+ col("__p.v").as("__v"): _*)
+    // reference model: one corpus pass; bc is THE trained artifact
+    val (bc, bcIds) = graft.api.Pinned.checkpointTracked(
+      pairsOf(refDocs, refTextCol, Nil)
+        .groupBy(col("__u"), col("__v")).agg(count(lit(1)).as("__c")))
+    val (cc, ccIds) = graft.api.Pinned.checkpointTracked(
+      bc.groupBy(col("__u")).agg(sum(col("__c")).as("__cu")))
+    graft.api.Pinned.register(spark, bcIds ++ ccIds)
+    val nv = bc.agg(count_distinct(col("__v"))).head().getLong(0)
+    require(nv > 0, "lmScoreAgainst: the reference corpus yields an empty bigram model")
+    val lp = log((coalesce(col("__c"), lit(0L)) + alpha) /
+      (coalesce(col("__cu"), lit(0L)) + lit(nv) * alpha))
+    val id = col(idCol)
+
+    if (!df.isStreaming) {
+      val scored = pairsOf(df, textCol, Seq(id))
+        .join(broadcast(bc), Seq("__u", "__v"), "left")
+        .join(broadcast(cc), Seq("__u"), "left")
+        .withColumn("__lp", lp)
+        .groupBy(id)
+        .agg(count(lit(1)).as("n_pairs"), round(avg(col("__lp")), 3).as("avg_logprob"))
+      val out = df.select(id).join(scored, Seq(idCol), "left")
+        .select(id, coalesce(col("n_pairs"), lit(0L)).as("n_pairs"), col("avg_logprob"))
+      return new graft.api.MStream(out, stream.eventOrder, stream.contextKeys, stream.name)
+    }
+
+    // streaming: pair-less docs ride a sentinel row (null u/v never joins)
+    // so they still emit; per-doc fold is the stateless per-batch combine
+    val pairStructs = arrays_zip(
+      slice(col("__w"), lit(1), size(col("__w")) - 1).as("u"),
+      slice(col("__w"), lit(2), size(col("__w")) - 1).as("v"))
+    val sentinel = array(struct(lit(null).cast("string").as("u"),
+      lit(null).cast("string").as("v")))
+    val u = df
+      .withColumn("__w", words(col(textCol)))
+      .select(id.as("__id"),
+        explode(when(size(col("__w")) >= 2, pairStructs).otherwise(sentinel)).as("__p"))
+      .select(col("__id"), col("__p.u").as("__u"), col("__p.v").as("__v"))
+      .join(broadcast(bc), Seq("__u", "__v"), "left")
+      .join(broadcast(cc), Seq("__u"), "left")
+      .select(col("__id"), col("__u"), when(col("__u").isNotNull, lp).as("__lp"))
+    val idType = df.schema(idCol).dataType
+    val aggT = StructType(Seq(
+      StructField("__id", idType),
+      StructField("n_pairs", LongType, nullable = false),
+      StructField("__sum", DoubleType)))
+    val aggEnc: Encoder[Row] = RowEncoder.encoderFor(aggT)
+    val uIdx = u.schema.fieldIndex("__u")
+    val lpIdx = u.schema.fieldIndex("__lp")
+    val out = graft.streaming.KeyedRows.byNames(u, Seq("__id"))
+      .flatMapGroupsWithState[Int, Row](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (key: Row, it: Iterator[Row], _) =>
+          var n = 0L; var s = 0.0
+          it.foreach { r =>
+            if (!r.isNullAt(uIdx)) { n += 1; s += r.getDouble(lpIdx) }
+          }
+          Iterator.single(Row(key.get(0), n, if (n > 0) s else null))
+      }(Encoders.scalaInt, aggEnc).toDF()
+      // the division + round happen in SQL so both faces share Spark's
+      // exact avg/round semantics
+      .select(col("__id").as(idCol), col("n_pairs"),
+        round(col("__sum") / col("n_pairs"), 3).as("avg_logprob"))
+    new graft.api.MStream(out, stream.eventOrder, stream.contextKeys, stream.name)
+  }
+
   /** Dual-mode [[encodeTokens]] — apply a FIXED vocabulary at ingest.
     * Batch delegates to `encodeTokens` (the q_encode oracle face);
     * streaming explodes each arriving doc's tokens, stream-static

@@ -91,6 +91,42 @@ class StreamingTextOpsSpec extends SparkSpec {
     graft.api.Pinned.release(spark)
   }
 
+  test("lmScoreAgainst: streaming equals batch (unseen-pair backoff, short docs NULL)") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val ref = Seq(
+      "the cat sat on the mat",
+      "the dog sat on the rug",
+      "a cat and a dog").toDF("text")
+    val docs = Seq(
+      (1L, "the cat sat on the rug"),       // all pairs seen
+      (2L, "quantum flux capacitors hum"),  // all pairs unseen -> floor
+      (3L, "word"))                         // under 2 tokens -> (0, NULL)
+    def key(r: org.apache.spark.sql.Row): (Long, Long, Option[Double]) =
+      (r.getLong(0), r.getLong(1), if (r.isNullAt(2)) None else Some(r.getDouble(2)))
+
+    val batch = TextOps.lmScoreAgainst(
+      MStream(docs.toDF("doc_id", "text")), ref, "doc_id", "text", "text")
+    assert(!batch.df.isStreaming)
+    val b = batch.df.collect().map(key).toSet
+    assert(b.exists(r => r._1 == 3L && r._2 == 0L && r._3.isEmpty),
+      "short doc scores (0, NULL)")
+    assert(b.exists(r => r._1 == 2L && r._2 == 3L && r._3.nonEmpty),
+      "unseen pairs score at the smoothed floor, not dropped")
+    val seen = b.find(_._1 == 1L).get._3.get
+    val unseen = b.find(_._1 == 2L).get._3.get
+    assert(seen > unseen, "in-distribution text scores above gibberish")
+
+    val in = MemoryStream[(Long, String)]
+    val out = TextOps.lmScoreAgainst(
+      MStream(in.toDF().toDF("doc_id", "text")), ref, "doc_id", "text", "text")
+    in.addData(docs.take(2): _*)
+    in.addData(docs.drop(2): _*)
+    val s = streamed(out)(nm => spark.table(nm).collect().map(key).toSet)
+    assert(s == b, "streaming LM scoring equals the batch oracle face")
+    graft.api.Pinned.release(spark)
+  }
+
   test("both ingest faces agree on a seeded random corpus") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val sqlCtx = spark.sqlContext
