@@ -178,6 +178,9 @@ object Dedup {
     import org.apache.spark.sql.catalyst.encoders.RowEncoder
     import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
     import org.apache.spark.sql.types._
+    require(bands > 0 && k >= bands && k % bands == 0,
+      s"need k a positive multiple of bands, got k=$k bands=$bands")
+    require(threshold > 0.0 && threshold <= 1.0, s"threshold in (0,1], got $threshold")
     val df = stream.df
     if (!df.isStreaming) {
       val matched = crossCorpusNearDup(df, refDocs, idCol, textCol, k, bands, threshold)

@@ -493,6 +493,7 @@ object TextOps {
     import org.apache.spark.sql.catalyst.encoders.RowEncoder
     import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
     import org.apache.spark.sql.types._
+    require(alpha > 0.0, s"add-alpha smoothing needs alpha > 0, got $alpha")
     val df = stream.df
     val spark = df.sparkSession
     def pairsOf(d: org.apache.spark.sql.DataFrame, text: String,
