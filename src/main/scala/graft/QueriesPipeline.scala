@@ -395,6 +395,26 @@ object QueriesPipeline {
        FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
        WHERE list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= 0.4"""
 
+  /** Cross-corpus embedding dedup, batch face (streaming pinned equal by
+    * CrossCorpusSpec): arriving vectors (vec_id % 3 = 0) that survive
+    * cosine screening against the reference corpus (vec_id % 3 <> 0) at
+    * the q_embed_dedup threshold. */
+  def qEmbedIngest(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, dir).df
+    Dedup.embeddingDedupAgainstCorpus(
+      graft.api.MStream(emb.where(col("vec_id") % 3 === 0)),
+      emb.where(col("vec_id") % 3 =!= 0),
+      "vec_id", "embedding", threshold = 0.4)
+      .df.select(col("vec_id"), col("label"))
+  }
+
+  val qEmbedIngestSql: String =
+    """SELECT vec_id, label FROM embeddings
+       WHERE vec_id % 3 = 0 AND vec_id NOT IN (
+         SELECT a.vec_id FROM embeddings a JOIN embeddings b
+           ON a.vec_id % 3 = 0 AND b.vec_id % 3 <> 0
+          AND list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= 0.4)"""
+
   /** Brute-force cosine top-5 for the first 10 vectors as queries, via
     * map-side partial top-k (shuffle carries queries×k rows, not
     * queries×corpus). */
@@ -1003,6 +1023,7 @@ object QueriesPipeline {
     "q_decontaminate" -> (qDecontaminate _),
     "q_scrub" -> (qScrub _),
     "q_embed_dedup" -> (qEmbedDedup _),
+    "q_embed_ingest" -> (qEmbedIngest _),
     "q_ann_topk" -> (qAnnTopK _),
     "q_langid" -> (qLangId _),
     "q_text_quality" -> (qTextQuality _),
@@ -1049,6 +1070,7 @@ object QueriesPipeline {
     "q_decontaminate" -> qDecontaminateSql,
     "q_scrub" -> qScrubSql,
     "q_embed_dedup" -> qEmbedDedupSql,
+    "q_embed_ingest" -> qEmbedIngestSql,
     "q_ann_topk" -> qAnnTopKSql,
     "q_langid" -> qLangIdSql,
     "q_text_quality" -> qTextQualitySql,

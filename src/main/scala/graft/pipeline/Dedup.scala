@@ -1241,4 +1241,45 @@ object Dedup {
       .select(col(s"a.$idCol").as("id_a"), col(s"b.$idCol").as("id_b"),
         round(col("cos"), 6).as("cos"))
   }
+
+  /** Cross-corpus EMBEDDING near-dup dedup — the vector-space sibling of
+    * [[dedupAgainstCorpus]]: keep each arriving record iff NO vector of
+    * the static reference corpus reaches `threshold` cosine similarity.
+    * ONE code path serves batch and streaming: a (stream-)static
+    * LEFT-ANTI join against the broadcast reference (norms precomputed
+    * per side, the [[embeddingNearDupExact]] arithmetic), completely
+    * stateless — the anti join needs no per-record combine at all. The
+    * reference frame pins when the input streams (a stream-static join
+    * re-plans its static side every micro-batch).
+    *
+    * This is the EXACT baseline (every arriving vector scans the
+    * broadcast reference — |batch| × |ref| dot products); for references
+    * beyond broadcast size, route candidates through IVF cells
+    * (`Ivf.searchIngest`) or `Similarity.hyperplaneBuckets` and anti-join
+    * on the verified matches — recall then depends on the probe budget,
+    * which is why the exact form carries the oracle. */
+  def embeddingDedupAgainstCorpus(stream: graft.api.MStream, refEmbs: DataFrame,
+                                  idCol: String, vecCol: String,
+                                  threshold: Double): graft.api.MStream = {
+    val df = stream.df
+    val orig = df.columns.toIndexedSeq
+    val refPlan = refEmbs
+      .select(col(idCol).as("__rid"), col(vecCol).cast("array<double>").as("__re"))
+      .withColumn("__rn", Similarity.norm(col("__re")))
+    val ref =
+      if (!df.isStreaming) refPlan
+      else {
+        val (cp, ids) = graft.api.Pinned.checkpointTracked(refPlan)
+        graft.api.Pinned.register(df.sparkSession, ids)
+        cp
+      }
+    val arr = df
+      .withColumn("__e", col(vecCol).cast("array<double>"))
+      .withColumn("__n", Similarity.norm(col("__e")))
+    val near = Similarity.dot(col("__e"), col("__re")) /
+      (col("__n") * col("__rn")) >= threshold
+    val survivors = arr.join(broadcast(ref), near, "left_anti")
+      .select(orig.map(col): _*)
+    new graft.api.MStream(survivors, stream.eventOrder, stream.contextKeys, stream.name)
+  }
 }

@@ -104,6 +104,43 @@ class CrossCorpusSpec extends SparkSpec {
     assert(streamOf(arrivingDocs) == b)
   }
 
+  test("embeddingDedupAgainstCorpus: streaming equals batch, stateless anti-join") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.streaming.OutputMode
+    implicit val sqlCtx = spark.sqlContext
+    val refE = Seq(
+      (900L, Array(1.0f, 0.0f, 0.0f)),
+      (901L, Array(0.0f, 1.0f, 0.0f))).toDF("vec_id", "embedding")
+    val arrivingE = Seq(
+      (1L, Array(0.99f, 0.01f, 0.0f)),  // near ref 900 -> dropped
+      (2L, Array(0.0f, 0.0f, 1.0f)),    // orthogonal -> survives
+      (3L, Array(0.01f, 0.98f, 0.0f)),  // near ref 901 -> dropped
+      (4L, Array(0.5f, -0.5f, 0.7f)))   // below threshold -> survives
+    def run(in: org.apache.spark.sql.DataFrame) =
+      Dedup.embeddingDedupAgainstCorpus(MStream(in), refE,
+        "vec_id", "embedding", threshold = 0.8)
+
+    val b = run(arrivingE.toDF("vec_id", "embedding"))
+      .df.select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(b == Set(2L, 4L))
+
+    val mem = MemoryStream[(Long, Array[Float])]
+    val out = run(mem.toDF().toDF("vec_id", "embedding"))
+    assert(out.df.isStreaming)
+    val name = s"cce_${System.nanoTime()}"
+    val q = out.df.select("vec_id").writeStream.format("memory").queryName(name)
+      .outputMode(OutputMode.Append()).start()
+    try {
+      arrivingE.grouped(2).foreach(g => mem.addData(g: _*))
+      q.processAllAvailable()
+      assert(q.lastProgress == null ||
+        q.lastProgress.stateOperators.forall(_.numRowsTotal == 0L),
+        "the anti-join ingest is stateless")
+      assert(spark.table(name).collect().map(_.getLong(0)).toSet == b)
+    } finally q.stop()
+    graft.api.Pinned.release(spark)
+  }
+
   test("payload columns ride through both faces unchanged") {
     val in = Seq((1L, "the quick brown fox jumps over the lazy dog today", "web", 7L),
                  (2L, "untouched fresh document with original words inside it", "book", 9L))

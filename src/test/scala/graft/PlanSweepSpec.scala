@@ -18,9 +18,12 @@ class PlanSweepSpec extends SparkSpec {
   //  - q_bm25 / q_tfidf / q_lm_score: corpus statistics (N, avgdl / N /
   //    vocabulary size) reduce to a SINGLE broadcast row cross-joined
   //    onto the scoring scan
+  //  - q_embed_ingest: exact cross-corpus cosine anti-join against the
+  //    broadcast reference (the IVF/LSH path is the beyond-broadcast
+  //    variant; the exact form carries the oracle)
   private val bnljByDesign =
     Set("q_ngram_jaccard", "q_embed_dedup", "q_ann_topk", "q_bm25", "q_tfidf",
-      "q_lm_score")
+      "q_lm_score", "q_embed_ingest")
 
   test("no query plans a cartesian product; nested-loop joins only by design") {
     val offenders = scala.collection.mutable.ArrayBuffer.empty[String]
