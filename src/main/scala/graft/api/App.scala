@@ -325,6 +325,18 @@ object App {
       // attribute their checkpoints exactly, and releasing one run's pins
       // can never free a frame another run's unexecuted plan references
       Pinned.scoped(spark) { pins =>
+        // if the program build or a sink start throws below, frames
+        // operators already pinned into this scope would otherwise be
+        // stranded (the scope dies with the call) — adopt them into the
+        // session registry so the documented Pinned.release(spark)
+        // fallback can still reclaim the blocks after a failed run
+        try runScoped(spark, config, pins)(program)
+        catch { case t: Throwable => Pinned.adopt(pins); throw t }
+      }
+    }
+
+  private def runScoped(spark: SparkSession, config: Config, pins: Pinned.Scope)(
+      program: (String => MStream) => Map[String, MStream]): Seq[Running] = {
         val outs = config.lineageSink match {
           // recorder is scoped to THIS run (thread-local for the
           // synchronous program build), so concurrent runs on one session
@@ -352,32 +364,50 @@ object App {
           val remaining = java.util.concurrent.ConcurrentHashMap
             .newKeySet[java.util.UUID]()
           streamingQs.foreach(q => remaining.add(q.id))
-          val listener = new org.apache.spark.sql.streaming.StreamingQueryListener {
+          val released = new java.util.concurrent.atomic.AtomicBoolean(false)
+          // StreamExecution posts QueryTerminatedEvent BEFORE removing the
+          // query from streams.active, and the bus only delivers to
+          // listeners attached at post time — a query dying in the
+          // attach window is missed by both the event and a single
+          // liveness sweep. So: sweep against streams.active on EVERY
+          // event (progress events from surviving queries re-drive it)
+          // plus two delayed one-shot re-sweeps for the all-terminated-
+          // before-attach case, and release exactly once.
+          var listenerRef: org.apache.spark.sql.streaming.StreamingQueryListener = null
+          def sweep(): Unit = {
+            val live = spark.streams.active.map(_.id).toSet
+            remaining.removeIf(id => !live.contains(id))
+            if (remaining.isEmpty && released.compareAndSet(false, true)) {
+              pins.release()
+              spark.streams.removeListener(listenerRef)
+            }
+          }
+          listenerRef = new org.apache.spark.sql.streaming.StreamingQueryListener {
             override def onQueryStarted(
                 e: org.apache.spark.sql.streaming.StreamingQueryListener.QueryStartedEvent): Unit = ()
             override def onQueryProgress(
-                e: org.apache.spark.sql.streaming.StreamingQueryListener.QueryProgressEvent): Unit = ()
+                e: org.apache.spark.sql.streaming.StreamingQueryListener.QueryProgressEvent): Unit = sweep()
             override def onQueryTerminated(
                 e: org.apache.spark.sql.streaming.StreamingQueryListener.QueryTerminatedEvent): Unit = {
               remaining.remove(e.id)
-              if (remaining.isEmpty) {
-                pins.release()
-                spark.streams.removeListener(this)
-              }
+              sweep()
             }
           }
-          spark.streams.addListener(listener)
-          // a query may have terminated before the listener attached
-          val live = spark.streams.active.map(_.id).toSet
-          remaining.removeIf(id => !live.contains(id))
-          if (remaining.isEmpty) {
-            pins.release()
-            spark.streams.removeListener(listener)
+          spark.streams.addListener(listenerRef)
+          sweep()
+          if (!released.get()) Seq(1000L, 10000L).foreach { delay =>
+            releaseTimer.schedule(new java.util.TimerTask {
+              override def run(): Unit =
+                try sweep() catch { case _: Throwable => () }
+            }, delay)
           }
         }
         outs
       }
-    }
+
+  // daemon timer backing the delayed pin-release re-sweeps above; shared,
+  // tasks are one-shot and rare (two per streaming run)
+  private lazy val releaseTimer = new java.util.Timer("graft-pin-release", true)
 
   /** Apply the config's `graft.*` tuning for the duration of `body` and
     * restore the prior session values after (the state-store provider

@@ -133,8 +133,16 @@ object Cycles {
     val spark = initial.df.sparkSession
     val sc = spark.sparkContext
     val lin = lineageFor(initial)
-    val cadence = spark.conf.get("graft.cycle.checkpointCadence", "1").toInt
-    require(cadence >= 1, s"graft.cycle.checkpointCadence must be >= 1, got $cadence")
+    val cadenceConf = spark.conf.get("graft.cycle.checkpointCadence", "1").toInt
+    require(cadenceConf >= 1,
+      s"graft.cycle.checkpointCadence must be >= 1, got $cadenceConf")
+    // with lineage recording, every round's edge frame must read a
+    // MATERIALIZED round: at cadence > 1 the uncheckpointed rounds' edge
+    // frames would be plans over the previous checkpoint, so the lineage
+    // sink write would re-execute up to cadence-1 step()s per round — and
+    // record step's RE-COMPUTED output (divergent edges if step is
+    // nondeterministic). Force cadence 1 when recording.
+    val cadence = if (lin.isDefined) 1 else cadenceConf
     var current = initial
     var prevIds = Set.empty[Int]
     var last: (Long, Long) = (-1L, 0L)

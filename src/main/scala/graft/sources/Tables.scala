@@ -45,11 +45,18 @@ object Tables {
           // precision at ns-scale epochs (ulp of 1.7e18 is 256) and
           // truncates off-by-one
           .withColumn("ts", timestamp_micros(expr("ts_ns div 1000")))
-      case _ =>
+      case org.apache.spark.sql.types.TimestampType |
+           org.apache.spark.sql.types.TimestampNTZType =>
         // µs-precision timestamp (TIMESTAMP or TIMESTAMP_NTZ): the
         // NTZ→timestamp cast applies the session timezone, pinned UTC
         raw.withColumn("ts", col("ts").cast("timestamp"))
           .withColumn("ts_ns", unix_micros(col("ts")) * 1000L)
+      case other =>
+        // a third driver-side schema drift (STRING, DATE, ...) must fail
+        // fast, not cast to null ts rows and silently wrong query output
+        throw new IllegalStateException(
+          s"events.ts has unexpected physical type $other " +
+            "(expected INT64 nanos, TIMESTAMP, or TIMESTAMP_NTZ)")
     }
     new MStream(norm, Seq("ts_ns", "event_id"))
   }
