@@ -1,17 +1,52 @@
 package graft
 import org.apache.spark.sql.SparkSession
+
+/**
+ * Single-query steady-state timing, SAME protocol as [[Bench]]: per-run
+ * isolation (cache/persistent-RDD clear + GC), an sf0.001 warm-up pass,
+ * then best-of-2 at the measured scale with median-of-3 when the two
+ * samples disagree >1.5x. A cold single-shot run (the pre-round-9
+ * behavior) read 2-3x the warmed Bench figure for hot queries and made
+ * per-query claims irreproducible; this prints the number Bench would
+ * report for the query, one command.
+ *
+ * Usage: runMain graft.BenchOne <query> [<query> ...]
+ * Env: SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1), SPARK_GRAFT_CPUS.
+ */
 object BenchOne {
   def main(args: Array[String]): Unit = {
-    val spark = SparkSession.builder().master("local[32]")
-      .config("spark.sql.shuffle.partitions","32")
-      .config("spark.sql.session.timeZone","UTC")
-      .config("spark.ui.enabled","false").getOrCreate()
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder().master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
-    for (n <- args) {
-      SparkEntry.queries(n)(spark, "/root/testdata/sf0.001").write.format("noop").mode("overwrite").save() // warm
+
+    def isolate(): Unit = {
+      spark.catalog.clearCache()
+      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
+      System.gc()
+    }
+    def materialize(name: String, dir: String): Double = {
+      isolate()
       val t0 = System.nanoTime()
-      SparkEntry.queries(n)(spark, "/root/testdata/sf0.1").write.format("noop").mode("overwrite").save()
-      println(f"TIMED $n ${(System.nanoTime()-t0)/1e9}%.2f s")
+      SparkEntry.queries(name)(spark, dir)
+        .write.format("noop").mode("overwrite").save()
+      (System.nanoTime() - t0) / 1e9
+    }
+
+    for (n <- args) {
+      materialize(n, "/root/testdata/sf0.001") // JVM/codegen warm-up
+      val t1 = materialize(n, sfDir)
+      val t2 = materialize(n, sfDir)
+      val best = math.min(t1, t2)
+      val steady =
+        if (math.max(t1, t2) > best * 1.5 && best > 0.05) {
+          val t3 = materialize(n, sfDir)
+          Seq(t1, t2, t3).sorted.apply(1)
+        } else best
+      println(f"TIMED $n $steady%.2f s (samples ${Seq(t1, t2).map(t => f"$t%.2f").mkString("/")})")
     }
     spark.stop()
   }
