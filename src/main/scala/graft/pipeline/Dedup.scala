@@ -246,16 +246,14 @@ object Dedup {
     val mIdx = u.schema.fieldIndex("__m")
     // stateless per-batch combine (banded-ingest pattern): OR the
     // candidate verdicts, emit the payload of unmatched docs
-    val out = graft.streaming.KeyedRows.byNames(u, Seq("__id"))
-      .flatMapGroupsWithState[Int, Row](
-        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
-        (_: Row, it: Iterator[Row], _) =>
+    val out = graft.streaming.PerBatchCombine(u, Seq("__id"), payloadEnc) {
+        (_: Row, it: Iterator[Row]) =>
           val rows = it.toList
           val matched = rows.exists(_.getBoolean(mIdx))
           val payload = rows.collectFirst { case r if !r.isNullAt(payIdx) => r.getStruct(payIdx) }
           if (!matched && payload.nonEmpty) Iterator.single(payload.get)
           else Iterator.empty
-      }(Encoders.scalaInt, payloadEnc).toDF()
+      }
     new graft.api.MStream(out, stream.eventOrder, stream.contextKeys, stream.name)
   }
 
@@ -955,20 +953,17 @@ object Dedup {
       }(bucketStEnc, verdictEnc).toDF()
 
     // combine: all of a doc's bucket verdicts arrive in the same micro-batch
-    // (they are produced from the same input rows), so this op stores NO
-    // state — it is a per-batch grouped reduction in state-machine clothing
-    // (plain streaming groupBy would wait for a watermark to emit)
+    // (they are produced from the same input rows — PerBatchCombine's
+    // enforced invariant)
     val payloadEnc: Encoder[Row] = RowEncoder.encoderFor(payloadT)
-    val out = graft.streaming.KeyedRows.byNames(verdicts, Seq("__id"))
-      .flatMapGroupsWithState[Int, Row](
-        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
-        (_: Row, it: Iterator[Row], _) =>
+    val out = graft.streaming.PerBatchCombine(verdicts, Seq("__id"), payloadEnc) {
+        (_: Row, it: Iterator[Row]) =>
           val rows = it.toList
           val matched = rows.exists(_.getBoolean(1))
           val payload = rows.collectFirst { case r if !r.isNullAt(2) => r.getStruct(2) }
           if (!matched && payload.nonEmpty) Iterator.single(payload.get)
           else Iterator.empty
-      }(Encoders.scalaInt, payloadEnc).toDF()
+      }
     new graft.api.MStream(out, stream.eventOrder, stream.contextKeys, stream.name)
   }
 
@@ -1198,10 +1193,8 @@ object Dedup {
     val mIdx = u.schema.fieldIndex("__m")
     val textIdx = payloadT.fieldIndex(textCol)
     val kk = k
-    val out = graft.streaming.KeyedRows.byNames(u, Seq("__id"))
-      .flatMapGroupsWithState[Int, Row](
-        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
-        (_: Row, it: Iterator[Row], _) =>
+    val out = graft.streaming.PerBatchCombine(u, Seq("__id"), outEnc) {
+        (_: Row, it: Iterator[Row]) =>
           val rows = it.toList
           // all of a doc's rows come from its own input row => same batch
           val payload = rows.collectFirst {
@@ -1217,7 +1210,7 @@ object Dedup {
           }
           Iterator.single(Row.fromSeq(
             payload.toSeq ++ Seq(kept.mkString(" "), kept.length.toLong)))
-      }(Encoders.scalaInt, outEnc).toDF()
+      }
     new graft.api.MStream(out, stream.eventOrder, stream.contextKeys, stream.name)
   }
 

@@ -190,10 +190,8 @@ object Ivf {
         else a.get(pidIdx).asInstanceOf[Comparable[Any]].compareTo(b.get(pidIdx))
       }
     }
-    val out = graft.streaming.KeyedRows.byNames(scored, Seq("__qid"))
-      .flatMapGroupsWithState[Int, Row](
-        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
-        (key: Row, it: Iterator[Row], _) =>
+    val out = graft.streaming.PerBatchCombine(scored, Seq("__qid"), outEnc) {
+        (key: Row, it: Iterator[Row]) =>
           // bounded top-k heap, the BoundedTopK posture: never holds more
           // than k candidates however many cells a hot query probes
           val heap = new java.util.PriorityQueue[Row](k + 1, ord.reverse)
@@ -202,7 +200,7 @@ object Ivf {
           top.iterator.zipWithIndex.map { case (r, i) =>
             Row(key.get(0), r.get(pidIdx), r.getDouble(cosIdx), i + 1)
           }
-      }(Encoders.scalaInt, outEnc).toDF()
+      }
       .select(col("__qid").as(qIdCol), col("__pid").as(idCol),
         round(col("__cos"), 6).as("cos"), col("rn"))
     new graft.api.MStream(out, queries.eventOrder, queries.contextKeys, queries.name)

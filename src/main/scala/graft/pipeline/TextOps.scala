@@ -551,16 +551,14 @@ object TextOps {
     val aggEnc: Encoder[Row] = RowEncoder.encoderFor(aggT)
     val uIdx = u.schema.fieldIndex("__u")
     val lpIdx = u.schema.fieldIndex("__lp")
-    val out = graft.streaming.KeyedRows.byNames(u, Seq("__id"))
-      .flatMapGroupsWithState[Int, Row](
-        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
-        (key: Row, it: Iterator[Row], _) =>
+    val out = graft.streaming.PerBatchCombine(u, Seq("__id"), aggEnc) {
+        (key: Row, it: Iterator[Row]) =>
           var n = 0L; var s = 0.0
           it.foreach { r =>
             if (!r.isNullAt(uIdx)) { n += 1; s += r.getDouble(lpIdx) }
           }
           Iterator.single(Row(key.get(0), n, if (n > 0) s else null))
-      }(Encoders.scalaInt, aggEnc).toDF()
+      }
       // the division + round happen in SQL so both faces share Spark's
       // exact avg/round semantics
       .select(col("__id").as(idCol), col("n_pairs"),
@@ -606,14 +604,12 @@ object TextOps {
     val posIdx = u.schema.fieldIndex("__pos")
     val vidIdx = u.schema.fieldIndex("__vid")
     val oov = oovId
-    val out = graft.streaming.KeyedRows.byNames(u, Seq("__id"))
-      .flatMapGroupsWithState[Int, Row](
-        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
-        (key: Row, it: Iterator[Row], _) =>
+    val out = graft.streaming.PerBatchCombine(u, Seq("__id"), outEnc) {
+        (key: Row, it: Iterator[Row]) =>
           val rows = it.toList.sortBy(_.getInt(posIdx))
           val ids = rows.map(r => if (r.isNullAt(vidIdx)) oov else r.getLong(vidIdx))
           Iterator.single(Row(key.get(0), ids, rows.count(_.isNullAt(vidIdx)).toLong))
-      }(Encoders.scalaInt, outEnc).toDF()
+      }
       .withColumnRenamed("__id", idCol)
     new graft.api.MStream(out, stream.eventOrder, stream.contextKeys, stream.name)
   }
@@ -656,13 +652,11 @@ object TextOps {
     val outEnc: Encoder[Row] = RowEncoder.encoderFor(outT)
     val hitIdx = u.schema.fieldIndex("__hit")
     val mo = minOverlap
-    val out = graft.streaming.KeyedRows.byNames(u, Seq("__id"))
-      .flatMapGroupsWithState[Int, Row](
-        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
-        (key: Row, it: Iterator[Row], _) =>
+    val out = graft.streaming.PerBatchCombine(u, Seq("__id"), outEnc) {
+        (key: Row, it: Iterator[Row]) =>
           val hits = it.count(r => !r.isNullAt(hitIdx)).toLong
           Iterator.single(Row(key.get(0), hits, if (hits >= mo) 1 else 0))
-      }(Encoders.scalaInt, outEnc).toDF()
+      }
       .withColumnRenamed("__id", idCol)
     new graft.api.MStream(out, stream.eventOrder, stream.contextKeys, stream.name)
   }
