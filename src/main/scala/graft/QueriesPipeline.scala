@@ -841,6 +841,62 @@ object QueriesPipeline {
         FROM scored QUALIFY rn <= 5"""
   }
 
+  /** IVF-routed cross-corpus embedding dedup (the beyond-broadcast face
+    * of q_embed_ingest): train 8 cells on the reference third, probe 3
+    * cells per arriving vector, verify exact cosine within probed cells,
+    * keep non-matching arrivals. An equi-join plan — no |batch|×|ref|
+    * product anywhere. */
+  def qEmbedIngestIvf(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, dir).df
+    val ref = emb.where(col("vec_id") % 3 =!= 0)
+    val centroids = graft.pipeline.Ivf.train(ref, "vec_id", "embedding", k = 8, iters = 2)
+    Dedup.embeddingDedupAgainstCorpusIvf(
+      graft.api.MStream(emb.where(col("vec_id") % 3 === 0)), ref,
+      "vec_id", "embedding", threshold = 0.4, centroids, nProbe = 3)
+      .df.select(col("vec_id"), col("label"))
+  }
+
+  /** DuckDB mirror of qEmbedIngestIvf: the qIvfAnn two-round Lloyd
+    * unroll trained on the reference third, then probe-and-verify. Same
+    * fp-parity posture as qIvfAnnSql (centroid means differ only by
+    * summation order, far below assignment margins). */
+  val qEmbedIngestIvfSql: String = {
+    val dist = (p: String, c: String) =>
+      s"list_dot_product($p, $p) - 2*list_dot_product($p, $c) + list_dot_product($c, $c)"
+    def assign(cent: String) =
+      s"""(SELECT vec_id, cid FROM (
+            SELECT e.vec_id, c.cid,
+              row_number() OVER (PARTITION BY e.vec_id
+                ORDER BY ${dist("e.v", "c.cv")}, c.cid) AS rn
+            FROM e, $cent c) WHERE rn = 1)"""
+    def update(asg: String) =
+      s"""(SELECT cid, list(m ORDER BY pos) AS cv FROM (
+            SELECT a.cid, t.pos, avg(e.v[t.pos]) AS m
+            FROM $asg a JOIN e USING (vec_id),
+                 LATERAL (SELECT unnest(generate_series(1, len(e.v))) AS pos) t
+            GROUP BY a.cid, t.pos) GROUP BY cid)"""
+    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+                   WHERE vec_id % 3 <> 0),
+        c0 AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid, v AS cv
+               FROM (SELECT * FROM e ORDER BY vec_id LIMIT 8)),
+        a1 AS ${assign("c0")},
+        c1 AS ${update("a1")},
+        a2 AS ${assign("c1")},
+        c2 AS ${update("a2")},
+        a3 AS ${assign("c2")},
+        qc AS (SELECT q_id, qv, cid FROM (
+            SELECT q.vec_id AS q_id, q.embedding::DOUBLE[] AS qv, c.cid,
+              row_number() OVER (PARTITION BY q.vec_id
+                ORDER BY ${dist("q.embedding::DOUBLE[]", "c.cv")}, c.cid) AS rn
+            FROM embeddings q, c2 c WHERE q.vec_id % 3 = 0) WHERE rn <= 3),
+        matched AS (
+          SELECT DISTINCT qc.q_id
+          FROM qc JOIN a3 ON a3.cid = qc.cid JOIN e ON e.vec_id = a3.vec_id
+          WHERE list_cosine_similarity(qc.qv, e.v) >= 0.4)
+        SELECT vec_id, label FROM embeddings
+        WHERE vec_id % 3 = 0 AND vec_id NOT IN (SELECT q_id FROM matched)"""
+  }
+
   /** Repeated-passage spans: maximal runs of 6-token grams occurring in
     * >= 2 distinct docs (Lee et al. exact-substring dedup, k-gram form).
     * The oracle rebuilds the spans from the gram STRINGS — fully
@@ -1024,6 +1080,7 @@ object QueriesPipeline {
     "q_scrub" -> (qScrub _),
     "q_embed_dedup" -> (qEmbedDedup _),
     "q_embed_ingest" -> (qEmbedIngest _),
+    "q_embed_ingest_ivf" -> (qEmbedIngestIvf _),
     "q_ann_topk" -> (qAnnTopK _),
     "q_langid" -> (qLangId _),
     "q_text_quality" -> (qTextQuality _),
@@ -1071,6 +1128,7 @@ object QueriesPipeline {
     "q_scrub" -> qScrubSql,
     "q_embed_dedup" -> qEmbedDedupSql,
     "q_embed_ingest" -> qEmbedIngestSql,
+    "q_embed_ingest_ivf" -> qEmbedIngestIvfSql,
     "q_ann_topk" -> qAnnTopKSql,
     "q_langid" -> qLangIdSql,
     "q_text_quality" -> qTextQualitySql,

@@ -166,14 +166,22 @@ object Dedup {
     * an id within a micro-batch merge — same unique-id precondition as
     * `scrubKnownSpans`).
     *
-    * Scale posture: the broadcast is 8-byte hash artifacts per reference
-    * doc (bands band keys + the distinct shingle set), never text —
-    * suitable while the reference HASH artifacts fit executor memory.
-    * Beyond that, run the batch face incrementally (micro-batch = crawl
-    * slice): its band join shuffles both sides instead of broadcasting. */
+    * Scale posture, a TESTED knob (`broadcastRef`): the default broadcast
+    * face ships 8-byte hash artifacts per reference doc (bands band keys
+    * + the distinct shingle set), never text — right while the reference
+    * HASH artifacts fit executor memory. `broadcastRef = false` is the
+    * beyond-broadcast face (the `Ivf.searchIngest` `broadcastCorpus` knob
+    * generalized): the same two stream-static equi-joins run as shuffled
+    * joins, so each micro-batch's exploded band keys exchange against the
+    * band-keyed reference instead of pulling it into every executor —
+    * identical verdicts (CrossCorpusSpec pins the two faces equal), still
+    * zero state rows. On a cluster, bucket the persisted reference
+    * artifacts by their join keys so the static side's exchange is not
+    * re-shuffled per micro-batch. */
   def dedupAgainstCorpus(stream: graft.api.MStream, refDocs: DataFrame,
                          idCol: String, textCol: String,
-                         k: Int, bands: Int, threshold: Double): graft.api.MStream = {
+                         k: Int, bands: Int, threshold: Double,
+                         broadcastRef: Boolean = true): graft.api.MStream = {
     import org.apache.spark.sql.{Encoder, Encoders, Row}
     import org.apache.spark.sql.catalyst.encoders.RowEncoder
     import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
@@ -235,8 +243,8 @@ object Dedup {
         when(col("__pos").isNull || col("__pos") === 0, col("__payload"))
           .otherwise(lit(null).cast(payloadT)).as("__payload"),
         col("__bk"))
-      .join(broadcast(refBands), Seq("__bk"), "left")
-      .join(broadcast(refSets), Seq("__rid"), "left")
+      .join(if (broadcastRef) broadcast(refBands) else refBands, Seq("__bk"), "left")
+      .join(if (broadcastRef) broadcast(refSets) else refSets, Seq("__rid"), "left")
       .select(col("__id"), col("__payload"),
         coalesce(graft.functions.VectorFunctions.jaccardSortedAtLeast(
           col("__sha"), col("__shb"), threshold) >= threshold, lit(false)).as("__m"))
@@ -1274,5 +1282,86 @@ object Dedup {
     val survivors = arr.join(broadcast(ref), near, "left_anti")
       .select(orig.map(col): _*)
     new graft.api.MStream(survivors, stream.eventOrder, stream.contextKeys, stream.name)
+  }
+
+  /** IVF-routed face of [[embeddingDedupAgainstCorpus]] — the tested
+    * beyond-broadcast path the exact face's doc comment prescribes. The
+    * reference assigns to its nearest IVF cell once (literal-codebook
+    * expression, no shuffle); each arriving vector probes its `nProbe`
+    * nearest cells, EQUI-joins the cell-keyed reference on the cell id
+    * (`broadcastRef = false` makes that a shuffled join against a
+    * cid-bucketed reference at cluster scale — no |batch|×|ref| product
+    * anywhere in the plan, unlike the exact face's cosine-predicate
+    * BNLJ), verifies candidates with the exact cosine, and keeps
+    * non-matching arrivals. Batch lowering is candidates → matched ids →
+    * left-anti; streaming folds verdicts in the stateless per-batch
+    * combine (zero state rows, like [[dedupAgainstCorpus]]).
+    *
+    * Recall: an arriving near-dup is dropped iff its matching reference
+    * vector lies in one of the `nProbe` probed cells — the standard IVF
+    * trade (raise `nProbe` toward the cell count to push recall to
+    * exact; CrossCorpusSpec pins IVF == exact on a cluster-separated
+    * corpus where every near-dup's cell is probed by construction). */
+  def embeddingDedupAgainstCorpusIvf(stream: graft.api.MStream, refEmbs: DataFrame,
+                                     idCol: String, vecCol: String,
+                                     threshold: Double, centroids: DataFrame,
+                                     nProbe: Int,
+                                     broadcastRef: Boolean = true): graft.api.MStream = {
+    import org.apache.spark.sql.{Encoder, Row}
+    import org.apache.spark.sql.catalyst.encoders.RowEncoder
+    import org.apache.spark.sql.types._
+    require(nProbe > 0, s"nProbe must be positive, got $nProbe")
+    val df = stream.df
+    val orig = df.columns.toIndexedSeq
+    val cent = Ivf.collectCodebook(centroids)
+    val refPlan = refEmbs
+      .select(col(idCol).as("__rid"), col(vecCol).cast("array<double>").as("__re"))
+      .withColumn("__rn", Similarity.norm(col("__re")))
+      .withColumn("__cid", Ivf.nearestCid(col("__re"), cent))
+    val isCos = Similarity.dot(col("__e0"), col("__re")) /
+      (col("__n0") * col("__rn")) >= threshold
+
+    if (!df.isStreaming) {
+      val matched = df
+        .withColumn("__e0", col(vecCol).cast("array<double>"))
+        .withColumn("__n0", Similarity.norm(col("__e0")))
+        .select(col(idCol), col("__e0"), col("__n0"),
+          explode(Ivf.probeCids(col("__e0"), cent, nProbe)).as("__cid"))
+        .join(if (broadcastRef) broadcast(refPlan) else refPlan, Seq("__cid"))
+        .filter(isCos)
+        .select(col(idCol)).distinct()
+      return new graft.api.MStream(
+        df.join(matched, Seq(idCol), "left_anti").select(orig.map(col): _*),
+        stream.eventOrder, stream.contextKeys, stream.name)
+    }
+
+    val (ref, ids) = graft.api.Pinned.checkpointTracked(refPlan)
+    graft.api.Pinned.register(df.sparkSession, ids)
+    val payloadT = StructType(df.schema.fields)
+    val u = df
+      .withColumn("__e0", col(vecCol).cast("array<double>"))
+      .withColumn("__n0", Similarity.norm(col("__e0")))
+      .select(col(idCol).as("__id"), col("__e0"), col("__n0"),
+        struct(orig.map(col): _*).as("__payload"),
+        posexplode(Ivf.probeCids(col("__e0"), cent, nProbe)).as(Seq("__pos", "__cid")))
+      .select(col("__id"), col("__e0"), col("__n0"),
+        when(col("__pos") === 0, col("__payload"))
+          .otherwise(lit(null).cast(payloadT)).as("__payload"),
+        col("__cid"))
+      .join(if (broadcastRef) broadcast(ref) else ref, Seq("__cid"), "left")
+      .select(col("__id"), col("__payload"),
+        coalesce(isCos, lit(false)).as("__m"))
+    val payloadEnc: Encoder[Row] = RowEncoder.encoderFor(payloadT)
+    val payIdx = u.schema.fieldIndex("__payload")
+    val mIdx = u.schema.fieldIndex("__m")
+    val out = graft.streaming.PerBatchCombine(u, Seq("__id"), payloadEnc) {
+        (_: Row, it: Iterator[Row]) =>
+          val rows = it.toList
+          val matched = rows.exists(_.getBoolean(mIdx))
+          val payload = rows.collectFirst { case r if !r.isNullAt(payIdx) => r.getStruct(payIdx) }
+          if (!matched && payload.nonEmpty) Iterator.single(payload.get)
+          else Iterator.empty
+      }
+    new graft.api.MStream(out, stream.eventOrder, stream.contextKeys, stream.name)
   }
 }

@@ -37,12 +37,12 @@ object Ivf {
     }
   }
 
-  private def nearestCid(pv: Column, cent: Seq[(Int, Seq[Double])]): Column =
+  private[pipeline] def nearestCid(pv: Column, cent: Seq[(Int, Seq[Double])]): Column =
     least(distCid(pv, cent): _*).getField("cid")
 
   /** The nProbe nearest cells, best-first: sort the k-element struct array
     * per row — still no join or window shuffle. */
-  private def probeCids(pv: Column, cent: Seq[(Int, Seq[Double])], nProbe: Int): Column =
+  private[pipeline] def probeCids(pv: Column, cent: Seq[(Int, Seq[Double])], nProbe: Int): Column =
     transform(slice(array_sort(array(distCid(pv, cent): _*)), 1, nProbe), s => s.getField("cid"))
 
   /** Train `k` centroids. Initialization is deterministic (the k lowest
@@ -94,7 +94,7 @@ object Ivf {
   def assign(pts: DataFrame, centroids: DataFrame): DataFrame =
     pts.select(col("__pid"), nearestCid(col("__pv"), collectCodebook(centroids)).as("cid"))
 
-  private def collectCodebook(centroids: DataFrame): Seq[(Int, Seq[Double])] =
+  private[pipeline] def collectCodebook(centroids: DataFrame): Seq[(Int, Seq[Double])] =
     centroids.select(col("cid"), col("cv").cast("array<double>"))
       .collect().map(r => (r.getInt(0), r.getSeq[Double](1))).toSeq
 

@@ -104,6 +104,34 @@ class CrossCorpusSpec extends SparkSpec {
     assert(streamOf(arrivingDocs) == b)
   }
 
+  test("broadcastRef=false (beyond-broadcast face): same survivors, still stateless") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.streaming.OutputMode
+    implicit val sqlCtx = spark.sqlContext
+    // force the shuffled-join path genuinely: no auto-broadcast rescue
+    val saved = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val mem = MemoryStream[(Long, String)]
+      val out = Dedup.dedupAgainstCorpus(
+        MStream(mem.toDF().toDF("doc_id", "text")), ref,
+        "doc_id", "text", k = 16, bands = 8, threshold = 0.8, broadcastRef = false)
+      val name = s"ccnb_${System.nanoTime()}"
+      val q = out.df.select("doc_id")
+        .writeStream.format("memory").queryName(name)
+        .outputMode(OutputMode.Append()).start()
+      try {
+        arriving.grouped(2).foreach(batch => mem.addData(batch: _*))
+        q.processAllAvailable()
+        assert(q.lastProgress.stateOperators.forall(_.numRowsTotal == 0L),
+          "the shuffled face is as stateless as the broadcast one")
+        assert(spark.table(name).collect().map(_.getLong(0)).toSet == runBatch(arriving),
+          "beyond-broadcast face equals the oracle-carrying batch face")
+      } finally q.stop()
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", saved)
+    graft.api.Pinned.release(spark)
+  }
+
   test("embeddingDedupAgainstCorpus: streaming equals batch, stateless anti-join") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import org.apache.spark.sql.streaming.OutputMode
@@ -137,6 +165,62 @@ class CrossCorpusSpec extends SparkSpec {
         q.lastProgress.stateOperators.forall(_.numRowsTotal == 0L),
         "the anti-join ingest is stateless")
       assert(spark.table(name).collect().map(_.getLong(0)).toSet == b)
+    } finally q.stop()
+    graft.api.Pinned.release(spark)
+  }
+
+  test("embeddingDedupAgainstCorpusIvf: IVF-routed == exact on a recall-complete corpus, no product join") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.streaming.OutputMode
+    implicit val sqlCtx = spark.sqlContext
+    // four tight, well-separated clusters around the unit axes of R^4;
+    // reference ids ordered so k-means init (4 lowest ids) seeds one
+    // centroid per cluster -> every near-dup's nearest cell IS its
+    // reference's cell, so nProbe=1 is recall-complete by construction
+    def axis(i: Int, eps: Float): Array[Float] = {
+      val v = Array.fill(4)(eps); v(i) = 1.0f; v
+    }
+    val refE = (0 until 12).map(j => (100L + j, axis(j % 4, 0.01f * (j / 4 + 1))))
+      .toDF("vec_id", "embedding")
+    val arrivingE = Seq(
+      (1L, axis(0, 0.02f)),                       // near cluster 0 -> dropped
+      (2L, Array(0.5f, -0.5f, 0.5f, -0.5f)),      // far from every axis -> survives
+      (3L, axis(2, 0.03f)),                       // near cluster 2 -> dropped
+      (4L, Array(-0.7f, 0.1f, -0.7f, 0.1f)))      // negative quadrant -> survives
+    val centroids = graft.pipeline.Ivf.train(refE, "vec_id", "embedding", k = 4, iters = 2)
+
+    val exact = Dedup.embeddingDedupAgainstCorpus(
+        MStream(arrivingE.toDF("vec_id", "embedding")), refE, "vec_id", "embedding", 0.9)
+      .df.select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(exact == Set(2L, 4L))
+
+    val saved = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val ivfBatch = Dedup.embeddingDedupAgainstCorpusIvf(
+        MStream(arrivingE.toDF("vec_id", "embedding")), refE, "vec_id", "embedding",
+        0.9, centroids, nProbe = 1, broadcastRef = false)
+      val plan = ivfBatch.df.queryExecution.executedPlan.toString
+      assert(!plan.contains("BroadcastNestedLoop") && !plan.contains("CartesianProduct"),
+        s"IVF route must not contain a |batch|x|ref| product join:\n$plan")
+      assert(ivfBatch.df.select("vec_id").collect().map(_.getLong(0)).toSet == exact,
+        "IVF-routed survivors equal exact survivors when every near-dup's cell is probed")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", saved)
+
+    val mem = MemoryStream[(Long, Array[Float])]
+    val out = Dedup.embeddingDedupAgainstCorpusIvf(
+      MStream(mem.toDF().toDF("vec_id", "embedding")), refE, "vec_id", "embedding",
+      0.9, centroids, nProbe = 1)
+    assert(out.df.isStreaming)
+    val name = s"ccivf_${System.nanoTime()}"
+    val q = out.df.select("vec_id").writeStream.format("memory").queryName(name)
+      .outputMode(OutputMode.Append()).start()
+    try {
+      arrivingE.grouped(2).foreach(g => mem.addData(g: _*))
+      q.processAllAvailable()
+      assert(q.lastProgress.stateOperators.forall(_.numRowsTotal == 0L),
+        "the IVF-routed ingest is stateless")
+      assert(spark.table(name).collect().map(_.getLong(0)).toSet == exact)
     } finally q.stop()
     graft.api.Pinned.release(spark)
   }
