@@ -120,6 +120,69 @@ object QueriesPipeline {
         SELECT doc_id, source, n_chars FROM documents
         WHERE doc_id % 3 = 0 AND doc_id NOT IN (SELECT id_a FROM matched)"""
 
+  /** The round-8 flagship ingest pipeline (quality gate → cross-corpus
+    * dedup → fixed-vocab encode) shipped AS AN ARTIFACT: the pipeline is
+    * composed on the recording surface (`Program.Rec`), captured to a
+    * version-2 JSON document, schema-validated against the bound sources,
+    * and executed through `App.runProgram` — the reference's
+    * program-as-data deployment story
+    * (`application/ApplicationInstance.scala:27`,
+    * `tools/CompileApplicationInstance.scala:28`) carrying pipeline
+    * operators, hash-verified against DuckDB end-to-end. */
+  def qIngestProgram(spark: SparkSession, dir: String): DataFrame = {
+    import graft.api.{App, MStream, Program}
+    import spark.implicits._
+    val vocab = Seq("the" -> 0L, "of" -> 1L, "and" -> 2L, "to" -> 3L,
+      "a" -> 4L, "in" -> 5L, "is" -> 6L, "for" -> 7L).toDF("word", "id")
+    val docs = Program.Rec.external("documents", Tables.documents(spark, dir))
+    val vocabR = Program.Rec.external("vocab", MStream(vocab))
+    val piped = docs.where("doc_id % 3 = 0 AND n_chars >= 100").as("gated")
+      .corpusDedup(docs.where("doc_id % 3 <> 0").as("refside"),
+        "doc_id", "text", k = 16, bands = 8, threshold = 0.8)
+      .encodeIngest(vocabR, "doc_id", "text")
+      .map("doc_id" -> "doc_id",
+        "cast(size(ids) as bigint)" -> "n_tokens",
+        "n_oov" -> "n_oov",
+        "aggregate(ids, cast(0 as bigint), (a, x) -> a + x)" -> "id_checksum",
+        "element_at(ids, 1)" -> "first_id").as("out")
+    val programJson = Program.toJson(Program.capture(piped))
+    val config = new App.Config()
+      .setSource("documents", App.Source(
+        format = "parquet", path = Some(s"$dir/documents.parquet")))
+      .setSource("vocab", App.Source(format = "rows", rows = Some(vocab)))
+      .addSink("out", App.Sink(format = "memory"))
+    // full artifact hygiene: the shipped JSON also passes load-time +
+    // schema validation against the bound sources before running
+    Program.validate(Program.fromJson(programJson), spark, config)
+    App.runProgram(spark, config, programJson)
+      .collectFirst { case App.BatchOutput("out", out) => out }.get
+  }
+
+  val qIngestProgramSql: String =
+    s"""WITH ${minhashCandidateCtes(16, 8,
+          pairCond = "a.doc_id % 3 = 0 AND b.doc_id % 3 <> 0")},
+        sets AS (SELECT doc_id, list_distinct(list(h)) AS sh FROM h GROUP BY doc_id),
+        matched AS (SELECT DISTINCT id_a FROM (
+          SELECT id_a, len(list_intersect(x.sh, y.sh))::DOUBLE
+                      / len(list_distinct(list_concat(x.sh, y.sh))) AS j
+          FROM cand JOIN sets x ON x.doc_id = id_a JOIN sets y ON y.doc_id = id_b)
+          WHERE j >= 0.8),
+        surv AS (SELECT doc_id, text FROM documents
+                 WHERE doc_id % 3 = 0 AND n_chars >= 100
+                   AND doc_id NOT IN (SELECT id_a FROM matched)),
+        v(w, id) AS (VALUES ('the', 0), ('of', 1), ('and', 2), ('to', 3),
+                            ('a', 4), ('in', 5), ('is', 6), ('for', 7)),
+        t AS (SELECT doc_id, t.i AS pos, w[t.i] AS word
+              FROM (SELECT doc_id, list_filter(string_split_regex(text, '[ \\t\\n\\f\\r\\x0b]+'), x -> x <> '') AS w FROM surv),
+                   LATERAL (SELECT unnest(generate_series(1, len(w))) AS i) t),
+        e AS (SELECT t.doc_id, t.pos, coalesce(v.id, -1) AS id
+              FROM t LEFT JOIN v ON t.word = v.w)
+        SELECT doc_id, count(*)::BIGINT AS n_tokens,
+               sum(CASE WHEN id = -1 THEN 1 ELSE 0 END)::BIGINT AS n_oov,
+               sum(id)::BIGINT AS id_checksum,
+               arg_min(id, pos)::BIGINT AS first_id
+        FROM e GROUP BY doc_id"""
+
   /** Fuzzy dedup: LSH-blocked edit-distance pairs (<= 20 edits). Shares
     * the qMinhashDedup candidate mirror; verification is DuckDB's full
     * levenshtein vs Spark's threshold-capped one — equal wherever the
@@ -1062,6 +1125,7 @@ object QueriesPipeline {
     "q_known_scrub" -> (qKnownScrub _),
     "q_cross_dedup" -> (qCrossDedup _),
     "q_cross_ingest" -> (qCrossIngest _),
+    "q_ingest_program" -> (qIngestProgram _),
     "q_lm_score" -> (qLmScore _),
     "q_lm_against" -> (qLmAgainst _),
     "q_source_cap" -> (qSourceCap _),
@@ -1110,6 +1174,7 @@ object QueriesPipeline {
     "q_known_scrub" -> qKnownScrubSql,
     "q_cross_dedup" -> qCrossDedupSql,
     "q_cross_ingest" -> qCrossIngestSql,
+    "q_ingest_program" -> qIngestProgramSql,
     "q_lm_score" -> qLmScoreSql,
     "q_lm_against" -> qLmAgainstSql,
     "q_source_cap" -> qSourceCapSql,

@@ -174,6 +174,52 @@ object Program {
   final case class CloseCycle(name: String, cycle: String,
                               feedback: String) extends Node
 
+  // ----- pipeline ingest-face nodes (format version 2) -----
+  // Each takes one or two STATIC side inputs (a reference corpus, a
+  // vocabulary, a centroid codebook) referenced BY NAME — usually External
+  // nodes the configuration binds, the reference's source-binding pattern
+  // (`application/ApplicationConfiguration.scala:46` setSource). The
+  // static side must resolve to a batch frame; the streaming faces pin it
+  // once and broadcast/bucket-join it per micro-batch.
+
+  /** Cross-corpus near-dup ingest dedup (`Dedup.dedupAgainstCorpus`): keep
+    * arrivals no reference document resembles at `threshold` Jaccard. */
+  final case class CorpusDedup(name: String, input: String, ref: String,
+                               idCol: String, textCol: String, k: Int,
+                               bands: Int, threshold: Double,
+                               broadcastRef: Boolean) extends Node
+  /** Cross-corpus embedding dedup (`Dedup.embeddingDedupAgainstCorpus`):
+    * exact anti-join when `centroids` is empty, the IVF-routed
+    * beyond-broadcast face when it names a codebook input. */
+  final case class EmbedDedup(name: String, input: String, ref: String,
+                              idCol: String, vecCol: String, threshold: Double,
+                              centroids: Option[String], nProbe: Int,
+                              broadcastRef: Boolean) extends Node
+  /** Cross-corpus bigram-LM scoring (`TextOps.lmScoreAgainst`): train on
+    * the reference once, score arrivals. Build-time eager (the model
+    * artifact pins at program build, like residual joins). */
+  final case class LmScore(name: String, input: String, ref: String,
+                           idCol: String, textCol: String, refTextCol: String,
+                           alpha: Double) extends Node
+  /** Fixed-vocabulary token encoding at ingest (`TextOps.encodeTokensIngest`);
+    * `vocab` names a (word, id) input. */
+  final case class EncodeIngest(name: String, input: String, vocab: String,
+                                idCol: String, textCol: String,
+                                oovId: Long) extends Node
+  /** Benchmark-overlap decontamination at ingest
+    * (`TextOps.decontaminateIngest`); `bench` names the benchmark corpus. */
+  final case class DecontamIngest(name: String, input: String, bench: String,
+                                  idCol: String, textCol: String,
+                                  benchTextCol: String, n: Int,
+                                  minOverlap: Int) extends Node
+  /** IVF ANN probe at ingest (`Ivf.searchIngest`): arriving query vectors
+    * probe a static indexed corpus; `centroids` names the codebook input.
+    * Build-time eager (collects the driver-sized codebook). */
+  final case class IvfProbe(name: String, input: String, corpus: String,
+                            centroids: String, idCol: String, vecCol: String,
+                            qIdCol: String, topK: Int, nProbe: Int,
+                            broadcastCorpus: Boolean) extends Node
+
   /** The whole document: nodes in topological order + the named outputs a
     * configuration may bind sinks to. */
   final case class Doc(nodes: Seq[Node], outputs: Seq[String]) {
@@ -350,6 +396,12 @@ object Program {
     case a: ApplyFn => Seq(a.input)
     case b: BeginCycle => Seq(b.input)
     case c: CloseCycle => Seq(c.feedback)
+    case cd: CorpusDedup => Seq(cd.input, cd.ref)
+    case ed: EmbedDedup => Seq(ed.input, ed.ref) ++ ed.centroids
+    case lm: LmScore => Seq(lm.input, lm.ref)
+    case ei: EncodeIngest => Seq(ei.input, ei.vocab)
+    case di: DecontamIngest => Seq(di.input, di.bench)
+    case ip: IvfProbe => Seq(ip.input, ip.corpus, ip.centroids)
   }
 
   /** Static shape of a cycle body, deciding the batch fixpoint strategy.
@@ -516,7 +568,42 @@ object Program {
             case other => throw new IllegalArgumentException(
               s"applyFn node '$name': unknown kind '$other' (map|where|addField)")
           }
+        case CorpusDedup(name, i, ref, idCol, textCol, k, bands, threshold, bRef) =>
+          graft.pipeline.Dedup.dedupAgainstCorpus(in(i),
+            staticSide(name, in, ref), idCol, textCol, k, bands, threshold, bRef)
+        case EmbedDedup(name, i, ref, idCol, vecCol, threshold, cents, nProbe, bRef) =>
+          cents match {
+            case Some(c) => graft.pipeline.Dedup.embeddingDedupAgainstCorpusIvf(
+              in(i), staticSide(name, in, ref), idCol, vecCol, threshold,
+              staticSide(name, in, c), nProbe, bRef)
+            case None => graft.pipeline.Dedup.embeddingDedupAgainstCorpus(
+              in(i), staticSide(name, in, ref), idCol, vecCol, threshold)
+          }
+        case LmScore(name, i, ref, idCol, textCol, refTextCol, alpha) =>
+          graft.pipeline.TextOps.lmScoreAgainst(in(i),
+            staticSide(name, in, ref), idCol, textCol, refTextCol, alpha)
+        case EncodeIngest(name, i, vocab, idCol, textCol, oovId) =>
+          graft.pipeline.TextOps.encodeTokensIngest(in(i),
+            staticSide(name, in, vocab), idCol, textCol, oovId)
+        case DecontamIngest(name, i, bench, idCol, textCol, benchTextCol, n, minOv) =>
+          graft.pipeline.TextOps.decontaminateIngest(in(i),
+            staticSide(name, in, bench), idCol, textCol, benchTextCol, n, minOv)
+        case IvfProbe(name, i, corpus, cents, idCol, vecCol, qIdCol, topK, nProbe, bc) =>
+          graft.pipeline.Ivf.searchIngest(in(i), staticSide(name, in, corpus),
+            idCol, vecCol, qIdCol, staticSide(name, in, cents), topK, nProbe, bc)
     }
+  }
+
+  /** Resolve an ingest node's static-side input: must be a batch frame
+    * (the operators pin/broadcast it; a streaming reference has no stable
+    * artifact to pin). */
+  private def staticSide(node: String, in: String => MStream,
+                         ref: String): org.apache.spark.sql.DataFrame = {
+    val s = in(ref)
+    require(!s.df.isStreaming,
+      s"node '$node': static-side input '$ref' must be a batch source " +
+        "(the ingest operators pin a static reference artifact)")
+    s.df
   }
 
   // -------------------------------------------------------------- capture
@@ -544,6 +631,12 @@ object Program {
     case x: ApplyFn => x.copy(name = name)
     case x: BeginCycle => x.copy(name = name)
     case x: CloseCycle => x.copy(name = name)
+    case x: CorpusDedup => x.copy(name = name)
+    case x: EmbedDedup => x.copy(name = name)
+    case x: LmScore => x.copy(name = name)
+    case x: EncodeIngest => x.copy(name = name)
+    case x: DecontamIngest => x.copy(name = name)
+    case x: IvfProbe => x.copy(name = name)
   }
 
   /** Order-preserving merge of upstream node lists for a multi-input op:
@@ -751,6 +844,44 @@ object Program {
     /** Milan `ApplyFunction` in addFields position. */
     def addFieldFn(function: String, as: String, args: String*): Rec =
       derive1("addFieldFn")(n => ApplyFn(n, name, function, args, "addField", Some(as)))
+
+    // ----- pipeline ingest-face recordings (format version 2) -----
+    /** Cross-corpus near-dup ingest dedup against `ref`'s corpus. */
+    def corpusDedup(ref: Rec, idCol: String, textCol: String, k: Int,
+                    bands: Int, threshold: Double,
+                    broadcastRef: Boolean = true): Rec =
+      derive("corpusDedup", Seq(ref))(n => CorpusDedup(n, name, ref.name,
+        idCol, textCol, k, bands, threshold, broadcastRef))
+    /** Cross-corpus embedding dedup; pass `centroids` for the IVF route. */
+    def embedDedup(ref: Rec, idCol: String, vecCol: String, threshold: Double,
+                   centroids: Option[Rec] = None, nProbe: Int = 1,
+                   broadcastRef: Boolean = true): Rec =
+      derive("embedDedup", Seq(ref) ++ centroids)(n => EmbedDedup(n, name,
+        ref.name, idCol, vecCol, threshold, centroids.map(_.name), nProbe,
+        broadcastRef))
+    /** Cross-corpus bigram-LM scoring trained on `ref`. */
+    def lmScoreAgainst(ref: Rec, idCol: String, textCol: String,
+                       refTextCol: String, alpha: Double = 0.5): Rec =
+      derive("lmScore", Seq(ref))(n => LmScore(n, name, ref.name, idCol,
+        textCol, refTextCol, alpha))
+    /** Fixed-vocabulary token encoding at ingest. */
+    def encodeIngest(vocab: Rec, idCol: String, textCol: String,
+                     oovId: Long = -1L): Rec =
+      derive("encodeIngest", Seq(vocab))(n => EncodeIngest(n, name, vocab.name,
+        idCol, textCol, oovId))
+    /** Benchmark-overlap decontamination at ingest. */
+    def decontaminateIngest(bench: Rec, idCol: String, textCol: String,
+                            benchTextCol: String, n: Int = 8,
+                            minOverlap: Int = 1): Rec =
+      derive("decontaminateIngest", Seq(bench))(nm => DecontamIngest(nm, name,
+        bench.name, idCol, textCol, benchTextCol, n, minOverlap))
+    /** IVF ANN probe of `corpus` (indexed by `centroids`) at ingest. */
+    def ivfProbe(corpus: Rec, centroids: Rec, idCol: String, vecCol: String,
+                 qIdCol: String, topK: Int, nProbe: Int,
+                 broadcastCorpus: Boolean = true): Rec =
+      derive("ivfProbe", Seq(corpus, centroids))(n => IvfProbe(n, name,
+        corpus.name, centroids.name, idCol, vecCol, qIdCol, topK, nProbe,
+        broadcastCorpus))
   }
 
   object Rec {
@@ -773,14 +904,28 @@ object Program {
 
   // ---------------------------------------------------------------- codec
 
-  /** Document format version written by [[toJson]]. Bump when the node
-    * grammar changes incompatibly; [[fromJson]] rejects documents from a
-    * NEWER format with a clear error instead of misinterpreting them —
-    * the ship-JSON twin of the streaming state-format tag (a document is
-    * a long-lived artifact; the library reading it may be older than the
-    * one that wrote it). Documents with no `version` field (pre-tag
-    * artifacts) read as version 1. */
-  val FormatVersion: Int = 1
+  /** Highest document format version this library reads and writes. Bump
+    * when the node grammar changes incompatibly; [[fromJson]] rejects
+    * documents from a NEWER format with a clear error instead of
+    * misinterpreting them — the ship-JSON twin of the streaming
+    * state-format tag (a document is a long-lived artifact; the library
+    * reading it may be older than the one that wrote it). Documents with
+    * no `version` field (pre-tag artifacts) read as version 1.
+    *
+    * Version history: 1 = the original 21-node §2 grammar; 2 adds the six
+    * pipeline ingest-face nodes (corpusDedup, embedDedup, lmScore,
+    * encodeIngest, decontaminateIngest, ivfProbe). [[toJson]] stamps each
+    * document with the LOWEST version that can express it, so a document
+    * using only the v1 grammar stays loadable by a v1 library. */
+  val FormatVersion: Int = 2
+
+  /** The lowest format version expressing every node in `doc`. */
+  private def requiredVersion(doc: Doc): Int =
+    if (doc.nodes.exists {
+      case _: CorpusDedup | _: EmbedDedup | _: LmScore | _: EncodeIngest |
+           _: DecontamIngest | _: IvfProbe => true
+      case _ => false
+    }) 2 else 1
 
   /** Serialize a program document (milan `ApplicationInstance.toJsonString`
     * parity, program half — [[App.configToJson]] carries the bindings). */
@@ -853,9 +998,36 @@ object Program {
       case CloseCycle(name, cycle, feedback) =>
         ("op" -> "closeCycle") ~ ("name" -> name) ~ ("cycle" -> cycle) ~
           ("feedback" -> feedback)
+      case CorpusDedup(name, i, ref, idCol, textCol, k, bands, threshold, bRef) =>
+        ("op" -> "corpusDedup") ~ ("name" -> name) ~ ("input" -> i) ~
+          ("ref" -> ref) ~ ("idCol" -> idCol) ~ ("textCol" -> textCol) ~
+          ("k" -> k) ~ ("bands" -> bands) ~ ("threshold" -> threshold) ~
+          ("broadcastRef" -> bRef)
+      case EmbedDedup(name, i, ref, idCol, vecCol, threshold, cents, nProbe, bRef) =>
+        ("op" -> "embedDedup") ~ ("name" -> name) ~ ("input" -> i) ~
+          ("ref" -> ref) ~ ("idCol" -> idCol) ~ ("vecCol" -> vecCol) ~
+          ("threshold" -> threshold) ~ ("centroids" -> cents) ~
+          ("nProbe" -> nProbe) ~ ("broadcastRef" -> bRef)
+      case LmScore(name, i, ref, idCol, textCol, refTextCol, alpha) =>
+        ("op" -> "lmScore") ~ ("name" -> name) ~ ("input" -> i) ~
+          ("ref" -> ref) ~ ("idCol" -> idCol) ~ ("textCol" -> textCol) ~
+          ("refTextCol" -> refTextCol) ~ ("alpha" -> alpha)
+      case EncodeIngest(name, i, vocab, idCol, textCol, oovId) =>
+        ("op" -> "encodeIngest") ~ ("name" -> name) ~ ("input" -> i) ~
+          ("vocab" -> vocab) ~ ("idCol" -> idCol) ~ ("textCol" -> textCol) ~
+          ("oovId" -> oovId)
+      case DecontamIngest(name, i, bench, idCol, textCol, benchTextCol, nn, minOv) =>
+        ("op" -> "decontaminateIngest") ~ ("name" -> name) ~ ("input" -> i) ~
+          ("bench" -> bench) ~ ("idCol" -> idCol) ~ ("textCol" -> textCol) ~
+          ("benchTextCol" -> benchTextCol) ~ ("n" -> nn) ~ ("minOverlap" -> minOv)
+      case IvfProbe(name, i, corpus, cents, idCol, vecCol, qIdCol, topK, nProbe, bc) =>
+        ("op" -> "ivfProbe") ~ ("name" -> name) ~ ("input" -> i) ~
+          ("corpus" -> corpus) ~ ("centroids" -> cents) ~ ("idCol" -> idCol) ~
+          ("vecCol" -> vecCol) ~ ("qIdCol" -> qIdCol) ~ ("topK" -> topK) ~
+          ("nProbe" -> nProbe) ~ ("broadcastCorpus" -> bc)
     }
     JsonMethods.compact(JsonMethods.render(
-      ("version" -> FormatVersion) ~ ("nodes" -> doc.nodes.map(nodeJson)) ~
+      ("version" -> requiredVersion(doc)) ~ ("nodes" -> doc.nodes.map(nodeJson)) ~
         ("outputs" -> doc.outputs)))
   }
 
@@ -945,6 +1117,36 @@ object Program {
             (v \ "maxIterations").extractOpt[Int].getOrElse(50))
           case "closeCycle" => CloseCycle(name, (v \ "cycle").extract[String],
             (v \ "feedback").extract[String])
+          case "corpusDedup" => CorpusDedup(name, (v \ "input").extract[String],
+            (v \ "ref").extract[String], (v \ "idCol").extract[String],
+            (v \ "textCol").extract[String], (v \ "k").extract[Int],
+            (v \ "bands").extract[Int], (v \ "threshold").extract[Double],
+            (v \ "broadcastRef").extractOpt[Boolean].getOrElse(true))
+          case "embedDedup" => EmbedDedup(name, (v \ "input").extract[String],
+            (v \ "ref").extract[String], (v \ "idCol").extract[String],
+            (v \ "vecCol").extract[String], (v \ "threshold").extract[Double],
+            (v \ "centroids").extractOpt[String],
+            (v \ "nProbe").extractOpt[Int].getOrElse(1),
+            (v \ "broadcastRef").extractOpt[Boolean].getOrElse(true))
+          case "lmScore" => LmScore(name, (v \ "input").extract[String],
+            (v \ "ref").extract[String], (v \ "idCol").extract[String],
+            (v \ "textCol").extract[String], (v \ "refTextCol").extract[String],
+            (v \ "alpha").extractOpt[Double].getOrElse(0.5))
+          case "encodeIngest" => EncodeIngest(name, (v \ "input").extract[String],
+            (v \ "vocab").extract[String], (v \ "idCol").extract[String],
+            (v \ "textCol").extract[String],
+            (v \ "oovId").extractOpt[Long].getOrElse(-1L))
+          case "decontaminateIngest" => DecontamIngest(name, (v \ "input").extract[String],
+            (v \ "bench").extract[String], (v \ "idCol").extract[String],
+            (v \ "textCol").extract[String], (v \ "benchTextCol").extract[String],
+            (v \ "n").extractOpt[Int].getOrElse(8),
+            (v \ "minOverlap").extractOpt[Int].getOrElse(1))
+          case "ivfProbe" => IvfProbe(name, (v \ "input").extract[String],
+            (v \ "corpus").extract[String], (v \ "centroids").extract[String],
+            (v \ "idCol").extract[String], (v \ "vecCol").extract[String],
+            (v \ "qIdCol").extract[String], (v \ "topK").extract[Int],
+            (v \ "nProbe").extract[Int],
+            (v \ "broadcastCorpus").extractOpt[Boolean].getOrElse(true))
           case other => throw new IllegalArgumentException(s"unknown program op '$other'")
         }
       }
@@ -975,6 +1177,10 @@ object Program {
         bound.eventOrder, bound.contextKeys, n)
     }
     var env = Map.empty[String, MStream]
+    def emptyOf(schema: org.apache.spark.sql.types.StructType): MStream =
+      new MStream(spark.createDataFrame(
+        new java.util.ArrayList[org.apache.spark.sql.Row](), schema))
+    import org.apache.spark.sql.types.{DoubleType, IntegerType, LongType, StructField, StructType}
     doc.nodes.foreach { node =>
       try {
         val out = node match {
@@ -986,6 +1192,34 @@ object Program {
             val head = env(c.cycle)
             new MStream(head.df.unionByName(env(c.feedback).df),
               head.eventOrder, head.contextKeys, c.name)
+          // the build-time-eager ingest nodes (model training, codebook
+          // collect) must not run driver jobs during validation: force the
+          // column references each side needs, then emit the operator's
+          // known output schema directly
+          case lm: LmScore =>
+            val s = env(lm.input)
+            s.df.select(col(lm.idCol), col(lm.textCol)).schema
+            env(lm.ref).df.select(col(lm.refTextCol)).schema
+            emptyOf(StructType(Seq(
+              StructField(lm.idCol, s.df.schema(lm.idCol).dataType),
+              StructField("n_pairs", LongType, nullable = false),
+              StructField("avg_logprob", DoubleType))))
+          case ed: EmbedDedup if ed.centroids.isDefined =>
+            val s = env(ed.input)
+            s.df.select(col(ed.idCol), col(ed.vecCol)).schema
+            env(ed.ref).df.select(col(ed.idCol), col(ed.vecCol)).schema
+            env(ed.centroids.get).df.select(col("cid"), col("cv")).schema
+            emptyOf(s.df.schema) // survivors keep the input schema
+          case ip: IvfProbe =>
+            val s = env(ip.input)
+            s.df.select(col(ip.qIdCol), col(ip.vecCol)).schema
+            env(ip.corpus).df.select(col(ip.idCol), col(ip.vecCol)).schema
+            env(ip.centroids).df.select(col("cid"), col("cv")).schema
+            emptyOf(StructType(Seq(
+              StructField(ip.qIdCol, s.df.schema(ip.qIdCol).dataType),
+              StructField(ip.idCol, env(ip.corpus).df.schema(ip.idCol).dataType),
+              StructField("cos", DoubleType),
+              StructField("rn", IntegerType, nullable = false))))
           case other => lowerNode(other, name => env(name))
         }
         out.df.schema // force analysis NOW so failures attribute to THIS node
@@ -1101,6 +1335,37 @@ object Program {
             case _ =>
           }
           Seq(af.input)
+        case cd: CorpusDedup =>
+          if (cd.bands <= 0 || cd.k < cd.bands || cd.k % cd.bands != 0)
+            throw new IllegalArgumentException(s"node '${n.name}': corpusDedup " +
+              s"needs k a positive multiple of bands, got k=${cd.k} bands=${cd.bands}")
+          if (cd.threshold <= 0.0 || cd.threshold > 1.0)
+            throw new IllegalArgumentException(s"node '${n.name}': corpusDedup " +
+              s"threshold must be in (0,1], got ${cd.threshold}")
+          Seq(cd.input, cd.ref)
+        case ed: EmbedDedup =>
+          if (ed.centroids.isDefined && ed.nProbe <= 0)
+            throw new IllegalArgumentException(s"node '${n.name}': embedDedup " +
+              s"via IVF needs nProbe > 0, got ${ed.nProbe}")
+          Seq(ed.input, ed.ref) ++ ed.centroids
+        case lm: LmScore =>
+          if (lm.alpha <= 0.0) throw new IllegalArgumentException(
+            s"node '${n.name}': lmScore needs alpha > 0, got ${lm.alpha}")
+          Seq(lm.input, lm.ref)
+        case ei: EncodeIngest => Seq(ei.input, ei.vocab)
+        case di: DecontamIngest =>
+          if (di.n < 1 || di.minOverlap < 1) throw new IllegalArgumentException(
+            s"node '${n.name}': decontaminateIngest needs n >= 1 and " +
+              s"minOverlap >= 1, got n=${di.n} minOverlap=${di.minOverlap}")
+          Seq(di.input, di.bench)
+        case ip: IvfProbe =>
+          if (ip.topK <= 0 || ip.nProbe <= 0) throw new IllegalArgumentException(
+            s"node '${n.name}': ivfProbe needs topK > 0 and nProbe > 0, " +
+              s"got topK=${ip.topK} nProbe=${ip.nProbe}")
+          if (ip.qIdCol == ip.idCol) throw new IllegalArgumentException(
+            s"node '${n.name}': ivfProbe query and corpus id columns must " +
+              s"differ (both are '${ip.idCol}')")
+          Seq(ip.input, ip.corpus, ip.centroids)
       }
       inputs.foreach(i => if (!defined.contains(i)) throw new IllegalArgumentException(
         s"node '${n.name}' references '$i' before it is defined"))

@@ -37,8 +37,12 @@ object Ivf {
     }
   }
 
-  private[pipeline] def nearestCid(pv: Column, cent: Seq[(Int, Seq[Double])]): Column =
-    least(distCid(pv, cent): _*).getField("cid")
+  private[pipeline] def nearestCid(pv: Column, cent: Seq[(Int, Seq[Double])]): Column = {
+    require(cent.nonEmpty, "IVF codebook is empty — train() first")
+    val ds = distCid(pv, cent)
+    // least() rejects a single argument; a 1-cell codebook assigns trivially
+    (if (ds.sizeIs == 1) ds.head else least(ds: _*)).getField("cid")
+  }
 
   /** The nProbe nearest cells, best-first: sort the k-element struct array
     * per row — still no join or window shuffle. */

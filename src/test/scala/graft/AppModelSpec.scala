@@ -353,8 +353,10 @@ class AppModelSpec extends SparkSpec {
     import graft.api.Program._
     val doc = Doc(Seq(External("a")), Seq("a"))
     val json = Program.toJson(doc)
-    assert(json.contains("\"version\":" + Program.FormatVersion),
-      "toJson stamps the format version")
+    // toJson stamps the LOWEST version expressing the doc: a v1-only
+    // grammar document stays loadable by a v1 library
+    assert(json.contains("\"version\":1"),
+      "toJson stamps the minimal format version")
     assert(Program.fromJson(json) == doc)
     // pre-tag artifacts (no version field) read as version 1
     assert(Program.fromJson(

@@ -1,0 +1,207 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.api.{App, MStream, Program}
+import graft.api.Program._
+
+/** The pipeline ingest-face operators as program-document nodes (format
+  * version 2): codec identity, minimal version stamping, capture →
+  * toJson → fromJson → runProgram round trips matching the direct API
+  * (batch AND streaming), and the static-side / parameter validations. */
+class IngestProgramSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val ref = Seq(
+    (900L, "the quick brown fox jumps over the lazy dog today"),
+    (901L, "pack my box with five dozen liquor jugs right now"))
+    .toDF("doc_id", "text")
+
+  private val vocab = Seq(("the", 0L), ("fox", 1L), ("dog", 2L), ("fresh", 3L),
+    ("words", 4L), ("appear", 5L)).toDF("word", "id")
+
+  private val arriving = Seq(
+    (1L, "the quick brown fox jumps over the lazy dog today"), // near-dup -> dropped
+    (2L, "fresh words appear in the stream with enough content"),
+    (3L, "ok"),                                                // gate: too short
+    (4L, "completely original sentences carry fresh ideas forward nicely"))
+
+  // the StreamingIngestPipelineSpec composition as a document
+  private val pipelineDoc: Doc = Doc(
+    nodes = Seq(
+      External("docs"), External("refcorpus"), External("vocab"),
+      Where("gated", "docs", "length(text) >= 20"),
+      CorpusDedup("deduped", "gated", "refcorpus", "doc_id", "text",
+        k = 16, bands = 8, threshold = 0.8, broadcastRef = true),
+      EncodeIngest("out", "deduped", "vocab", "doc_id", "text", oovId = -1L)),
+    outputs = Seq("out"))
+
+  test("codec is the identity over the six ingest nodes; version stamps 2") {
+    val doc = Doc(
+      nodes = Seq(
+        External("a"), External("r"), External("v"), External("c"), External("emb"),
+        CorpusDedup("cd", "a", "r", "id", "text", 16, 8, 0.8, broadcastRef = false),
+        EmbedDedup("edx", "emb", "r", "id", "vec", 0.9, None, 1, broadcastRef = true),
+        EmbedDedup("edi", "emb", "r", "id", "vec", 0.9, Some("c"), 3, broadcastRef = false),
+        LmScore("lm", "a", "r", "id", "text", "rtext", 0.25),
+        EncodeIngest("en", "a", "v", "id", "text", -7L),
+        DecontamIngest("de", "a", "r", "id", "text", "rtext", 6, 2),
+        IvfProbe("ip", "emb", "r", "c", "pid", "vec", "qid", 5, 3,
+          broadcastCorpus = false)),
+      outputs = Seq("cd", "edx", "edi", "lm", "en", "de", "ip"))
+    val json = Program.toJson(doc)
+    assert(json.contains("\"version\":2"),
+      "ingest nodes require format version 2")
+    assert(Program.fromJson(json) == doc,
+      "toJson/fromJson must be the identity on every ingest node and field")
+  }
+
+  test("document pipeline (gate -> corpusDedup -> encodeIngest) runs batch, matches direct API") {
+    val json = Program.toJson(pipelineDoc)
+    val config = new App.Config()
+      .setSource("docs", App.Source("list", rows = Some(arriving.toDF("doc_id", "text"))))
+      .setSource("refcorpus", App.Source("list", rows = Some(ref)))
+      .setSource("vocab", App.Source("list", rows = Some(vocab)))
+      .addSink("out", App.Sink("memory"))
+    val out = App.runProgram(spark, config, json)
+      .collectFirst { case App.BatchOutput("out", df) => df }.get
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getLong(0), r.getSeq[Long](1), r.getLong(2))
+    val got = out.select("doc_id", "ids", "n_oov").collect().map(key).toSet
+    val direct = graft.pipeline.TextOps.encodeTokensIngest(
+        graft.pipeline.Dedup.dedupAgainstCorpus(
+          MStream(arriving.toDF("doc_id", "text").where("length(text) >= 20")),
+          ref, "doc_id", "text", 16, 8, 0.8),
+        vocab, "doc_id", "text")
+      .df.select("doc_id", "ids", "n_oov").collect().map(key).toSet
+    assert(got == direct && got.map(_._1) == Set(2L, 4L),
+      s"document run equals the direct-API pipeline, got ${got.map(_._1)}")
+  }
+
+  test("the SAME document runs streaming: one stateless query through the artifact") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val json = Program.toJson(pipelineDoc)
+    val in = MemoryStream[(Long, String)]
+    val name = s"ingest_doc_${System.nanoTime()}"
+    val running = App.runProgram(spark,
+      new App.Config()
+        .setSource("docs", App.Source("list", rows = Some(in.toDF().toDF("doc_id", "text"))))
+        .setSource("refcorpus", App.Source("list", rows = Some(ref)))
+        .setSource("vocab", App.Source("list", rows = Some(vocab)))
+        .addSink("out", App.Sink("memory", outputMode = "append",
+          queryName = Some(name))),
+      json)
+    val q = running.collect { case App.StreamingOutput("out", sq) => sq }.head
+    try {
+      in.addData(arriving.take(2): _*)
+      in.addData(arriving.drop(2): _*)
+      q.processAllAvailable()
+      assert(q.lastProgress == null ||
+        q.lastProgress.stateOperators.forall(_.numRowsTotal == 0L),
+        "the document-run ingest pipeline is stateless")
+      assert(spark.table(name).select("doc_id").collect().map(_.getLong(0)).toSet ==
+        Set(2L, 4L), "streaming document run drops the near-dup and the gated doc")
+    } finally q.stop()
+  }
+
+  test("capture surface records the ingest ops; captured doc round-trips the codec") {
+    val docsR = Program.Rec.external("docs", MStream(arriving.toDF("doc_id", "text")))
+    val refR = Program.Rec.external("refcorpus", MStream(ref))
+    val vocabR = Program.Rec.external("vocab", MStream(vocab))
+    val embR = Program.Rec.external("emb",
+      MStream(Seq((1L, Array(1.0f, 0.0f))).toDF("vec_id", "embedding")))
+    val centR = Program.Rec.external("cents",
+      MStream(Seq((0, Seq(1.0, 0.0))).toDF("cid", "cv")))
+    val piped = docsR.where("length(text) >= 20").as("gated")
+      .corpusDedup(refR, "doc_id", "text", 16, 8, 0.8)
+      .encodeIngest(vocabR, "doc_id", "text").as("enc")
+    val lm = docsR.lmScoreAgainst(refR, "doc_id", "text", "text", alpha = 0.25).as("lmout")
+    val de = docsR.decontaminateIngest(refR, "doc_id", "text", "text", n = 4).as("deout")
+    val ex = embR.embedDedup(embR, "vec_id", "embedding", 0.9).as("exact_dedup")
+    val iv = embR.embedDedup(embR, "vec_id", "embedding", 0.9,
+      centroids = Some(centR), nProbe = 1).as("ivf_dedup")
+    val pr = embR.map("vec_id as q_id" -> "q_id", "embedding" -> "embedding")
+      .ivfProbe(embR, centR, "vec_id", "embedding", "q_id", topK = 2, nProbe = 1)
+      .as("probe")
+    val doc = Program.capture(piped, lm, de, ex, iv, pr)
+    assert(Program.fromJson(Program.toJson(doc)) == doc,
+      "captured ingest pipeline survives the codec")
+    assert(doc.outputs.toSet ==
+      Set("enc", "lmout", "deout", "exact_dedup", "ivf_dedup", "probe"))
+    // the capture's LIVE streams equal a fresh interpret of the document
+    val resolve = Map(
+      "docs" -> MStream(arriving.toDF("doc_id", "text")),
+      "refcorpus" -> MStream(ref), "vocab" -> MStream(vocab),
+      "emb" -> MStream(Seq((1L, Array(1.0f, 0.0f))).toDF("vec_id", "embedding")),
+      "cents" -> MStream(Seq((0, Seq(1.0, 0.0))).toDF("cid", "cv")))
+    val reRun = Program.interpret(doc)(n => resolve(n))
+    assert(reRun("enc").df.select("doc_id").collect().map(_.getLong(0)).toSet ==
+      piped.stream.df.select("doc_id").collect().map(_.getLong(0)).toSet,
+      "re-interpreted document equals the capture's live stream")
+    graft.api.Pinned.release(spark)
+  }
+
+  test("static-side inputs must be batch; parameter validations name the node") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    // streaming reference rejected with the node name
+    val in = MemoryStream[(Long, String)]
+    val e = intercept[IllegalArgumentException] {
+      App.runProgram(spark,
+        new App.Config()
+          .setSource("docs", App.Source("list", rows = Some(arriving.toDF("doc_id", "text"))))
+          .setSource("refcorpus", App.Source("list", rows = Some(in.toDF().toDF("doc_id", "text"))))
+          .setSource("vocab", App.Source("list", rows = Some(vocab)))
+          .addSink("out", App.Sink("memory")),
+        Program.toJson(pipelineDoc))
+    }
+    assert(e.getMessage.contains("deduped") && e.getMessage.contains("batch source"),
+      s"streaming static side names the node: ${e.getMessage}")
+
+    def loadFail(doc: Doc, needle: String): Unit = {
+      val ex = intercept[IllegalArgumentException](Program.fromJson(Program.toJson(doc)))
+      assert(ex.getMessage.contains(needle), s"${ex.getMessage} !contains $needle")
+    }
+    loadFail(Doc(Seq(External("a"), External("r"),
+      CorpusDedup("cd", "a", "r", "id", "text", 16, 5, 0.8, broadcastRef = true)),
+      Seq("cd")), "positive multiple")
+    loadFail(Doc(Seq(External("a"), External("r"),
+      CorpusDedup("cd", "a", "r", "id", "text", 16, 8, 1.5, broadcastRef = true)),
+      Seq("cd")), "threshold")
+    loadFail(Doc(Seq(External("a"), External("r"), External("c"),
+      EmbedDedup("ed", "a", "r", "id", "v", 0.9, Some("c"), 0, broadcastRef = true)),
+      Seq("ed")), "nProbe")
+    loadFail(Doc(Seq(External("a"), External("r"),
+      LmScore("lm", "a", "r", "id", "t", "rt", 0.0)), Seq("lm")), "alpha")
+    loadFail(Doc(Seq(External("a"), External("r"),
+      DecontamIngest("de", "a", "r", "id", "t", "rt", 0, 1)), Seq("de")), "n >= 1")
+    loadFail(Doc(Seq(External("q"), External("p"), External("c"),
+      IvfProbe("ip", "q", "p", "c", "vec_id", "v", "vec_id", 5, 1,
+        broadcastCorpus = true)), Seq("ip")), "must differ")
+  }
+
+  test("schema validation covers ingest nodes without running driver jobs") {
+    val config = new App.Config()
+      .setSource("docs", App.Source("list", rows = Some(arriving.toDF("doc_id", "text"))))
+      .setSource("refcorpus", App.Source("list", rows = Some(ref)))
+      .setSource("vocab", App.Source("list", rows = Some(vocab)))
+    Program.validate(pipelineDoc, spark, config) // resolves clean
+
+    // a wrong column name attributes to the offending node
+    val bad = Doc(pipelineDoc.nodes.map {
+      case c: CorpusDedup => c.copy(textCol = "body")
+      case n => n
+    }, pipelineDoc.outputs)
+    val e = intercept[IllegalArgumentException](Program.validate(bad, spark, config))
+    assert(e.getMessage.contains("deduped"), e.getMessage)
+
+    // the build-time-eager lmScore validates by schema only (no model train)
+    val lmDoc = Doc(Seq(External("docs"), External("refcorpus"),
+      LmScore("lm", "docs", "refcorpus", "doc_id", "text", "text", 0.5)), Seq("lm"))
+    Program.validate(lmDoc, spark, config)
+    val lmBad = Doc(Seq(External("docs"), External("refcorpus"),
+      LmScore("lm", "docs", "refcorpus", "doc_id", "text", "reftext", 0.5)), Seq("lm"))
+    assert(intercept[IllegalArgumentException](
+      Program.validate(lmBad, spark, config)).getMessage.contains("lm"))
+  }
+}
