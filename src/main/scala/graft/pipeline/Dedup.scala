@@ -190,9 +190,18 @@ object Dedup {
       s"need k a positive multiple of bands, got k=$k bands=$bands")
     require(threshold > 0.0 && threshold <= 1.0, s"threshold in (0,1], got $threshold")
     val df = stream.df
+    val dropOp = s"droppedBecause:${
+      if (stream.name.nonEmpty) stream.name else "dedupAgainstCorpus"}"
     if (!df.isStreaming) {
-      val matched = crossCorpusNearDup(df, refDocs, idCol, textCol, k, bands, threshold)
-        .select(col("id_new").as(idCol)).distinct()
+      val pairs = crossCorpusNearDup(df, refDocs, idCol, textCol, k, bands, threshold)
+      // droppedBecause lineage (the deduplicateCorpus scheme): dropped
+      // arrival -> each reference doc that matched it, ids = doc-key hash
+      graft.api.Lineage.current(df.sparkSession).foreach { rec =>
+        rec.add(pairs.select(lit(dropOp).as("op"),
+          xxhash64(struct(col("id_new"))).as("output_id"),
+          xxhash64(struct(col("id_ref"))).as("input_id")))
+      }
+      val matched = pairs.select(col("id_new").as(idCol)).distinct()
       return new graft.api.MStream(df.join(matched, Seq(idCol), "left_anti"),
         stream.eventOrder, stream.contextKeys, stream.name)
     }
@@ -235,7 +244,7 @@ object Dedup {
         array(bandKeyCols(j => element_at(col("__mhs"), j + 1)): _*))
         .otherwise(lit(null).cast(bkType)))
 
-    val u = withBands
+    val scoredV = withBands
       .select(col(idCol).as("__id"), col("__sha"),
         struct(orig.map(col): _*).as("__payload"),
         posexplode_outer(col("__bks")).as(Seq("__pos", "__bk")))
@@ -245,9 +254,20 @@ object Dedup {
         col("__bk"))
       .join(if (broadcastRef) broadcast(refBands) else refBands, Seq("__bk"), "left")
       .join(if (broadcastRef) broadcast(refSets) else refSets, Seq("__rid"), "left")
-      .select(col("__id"), col("__payload"),
+      .select(col("__id"), col("__payload"), col("__rid"),
         coalesce(graft.functions.VectorFunctions.jaccardSortedAtLeast(
           col("__sha"), col("__shb"), threshold) >= threshold, lit(false)).as("__m"))
+    // droppedBecause lineage, streaming: the matched (arrival, reference)
+    // verdict rows ARE the drop explanations — register them as a
+    // streaming edge frame (stateless: the same stream-static joins,
+    // re-planned by the lineage sink query). A pair surfacing via several
+    // band keys repeats its edge; readers treat edges as a set.
+    graft.api.Lineage.current(df.sparkSession).foreach { rec =>
+      rec.add(scoredV.filter(col("__m")).select(lit(dropOp).as("op"),
+        xxhash64(struct(col("__id"))).as("output_id"),
+        xxhash64(struct(col("__rid"))).as("input_id")))
+    }
+    val u = scoredV.select(col("__id"), col("__payload"), col("__m"))
 
     val payloadEnc: Encoder[Row] = RowEncoder.encoderFor(payloadT)
     val payIdx = u.schema.fieldIndex("__payload")
@@ -662,6 +682,18 @@ object Dedup {
     val nearPairs = verifiedNearDupPairs(pre, idCol, k, bands, threshold)
       .select(col("id_a"), col("id_b"))
     val clusters = connectedComponents(exactPairs.union(nearPairs), "id_a", "id_b")
+    // droppedBecause lineage: when the run records lineage, each dropped
+    // document links to the survivor that represents its duplicate
+    // cluster — the edge a curation team reads to explain a drop.
+    // Record ids hash the DOC-ID column (the dropped record never appears
+    // in the output to carry a record_id column, so the document key is
+    // the stable identity on both sides).
+    graft.api.Lineage.current(docs.sparkSession).foreach { rec =>
+      rec.add(clusters.filter(col("node") =!= col("cluster_id")).select(
+        lit("droppedBecause:deduplicateCorpus").as("op"),
+        xxhash64(struct(col("node"))).as("output_id"),
+        xxhash64(struct(col("cluster_id"))).as("input_id")))
+    }
     val dropped = clusters.filter(col("node") =!= col("cluster_id"))
       .select(col("node").as(idCol))
     docs.select(col(idCol)).join(dropped, Seq(idCol), "left_anti")

@@ -294,6 +294,110 @@ class LineageSpec extends SparkSpec {
     assert(Lineage.current(spark).isEmpty, "recorder removed after run")
   }
 
+  // ---- curation drops: droppedBecause provenance --------------------------
+
+  /** Doc-key hash — the dedup operators' record-id convention (the
+    * dropped record never appears in the output, so identity is the id
+    * column alone, hashed like every other record-id). */
+  private def keyHash(id: Long): Long =
+    spark.range(1).select(xxhash64(struct(lit(id)))).head().getLong(0)
+
+  test("deduplicateCorpus emits droppedBecause edges to each cluster's survivor") {
+    import graft.api.MStream
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog today"),
+      (2L, "the quick brown fox jumps over the lazy dog today"),       // exact dup -> 1
+      (3L, "pack my box with five dozen liquor jugs right now"),
+      (4L, "the quick brown fox jumps over the lazy dog today extra"), // near dup -> 1
+      (5L, "sphinx of black quartz judge my vow said the king"))
+      .toDF("doc_id", "text")
+    val config = new App.Config()
+      .setSource("docs", App.Source("list", rows = Some(docs)))
+      .addSink("out", App.Sink("memory"))
+      .addLineageSink(App.Sink("memory"))
+    val running = App.run(spark, config) { in =>
+      Map("out" -> new MStream(graft.pipeline.Dedup.deduplicateCorpus(
+        in("docs").df, "doc_id", "text", k = 16, bands = 8, threshold = 0.6)))
+    }
+    val out = running.collectFirst { case App.BatchOutput("out", df) => df }.get
+    assert(out.collect().map(_.getLong(0)).toSet == Set(1L, 3L, 5L))
+    val edges = running.collectFirst { case App.BatchOutput("__lineage", df) => df }.get
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    assert(edges == Set(
+      ("droppedBecause:deduplicateCorpus", keyHash(2L), keyHash(1L)),
+      ("droppedBecause:deduplicateCorpus", keyHash(4L), keyHash(1L))),
+      s"each dropped doc links to its cluster survivor, got $edges")
+    graft.api.Pinned.release(spark)
+  }
+
+  private val dropRef = Seq(
+    (900L, "the quick brown fox jumps over the lazy dog today"),
+    (901L, "pack my box with five dozen liquor jugs right now"))
+    .toDF("doc_id", "text")
+
+  private val dropArrivals = Seq(
+    (1L, "the quick brown fox jumps over the lazy dog today"), // matches 900
+    (2L, "a completely different sentence about nothing that matches here"),
+    (3L, "pack my box with five dozen liquor jugs right now")) // matches 901
+
+  test("dedupAgainstCorpus batch emits droppedBecause edges to the matching reference docs") {
+    import graft.api.MStream
+    val config = new App.Config()
+      .setSource("arrivals", App.Source("list",
+        rows = Some(dropArrivals.toDF("doc_id", "text"))))
+      .addSink("out", App.Sink("memory"))
+      .addLineageSink(App.Sink("memory"))
+    val running = App.run(spark, config) { in =>
+      Map("out" -> graft.pipeline.Dedup.dedupAgainstCorpus(
+        in("arrivals"), dropRef, "doc_id", "text", k = 16, bands = 8, threshold = 0.8))
+    }
+    val out = running.collectFirst { case App.BatchOutput("out", df) => df }.get
+    assert(out.select("doc_id").collect().map(_.getLong(0)).toSet == Set(2L))
+    val edges = running.collectFirst { case App.BatchOutput("__lineage", df) => df }.get
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    assert(edges == Set(
+      ("droppedBecause:dedupAgainstCorpus", keyHash(1L), keyHash(900L)),
+      ("droppedBecause:dedupAgainstCorpus", keyHash(3L), keyHash(901L))),
+      s"dropped arrivals link to the reference docs that matched them, got $edges")
+    graft.api.Pinned.release(spark)
+  }
+
+  test("dedupAgainstCorpus streaming: droppedBecause edges flow per micro-batch") {
+    import graft.api.MStream
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(Long, String)]
+    val outName = s"drop_out_${System.nanoTime()}"
+    val linName = s"drop_edges_${System.nanoTime()}"
+    val config = new App.Config()
+      .setSource("arrivals", App.Source("list",
+        rows = Some(in.toDF().toDF("doc_id", "text"))))
+      .addSink("out", App.Sink("memory", outputMode = "append",
+        queryName = Some(outName)))
+      .addLineageSink(App.Sink("memory", queryName = Some(linName)))
+    val running = App.run(spark, config) { ins =>
+      Map("out" -> graft.pipeline.Dedup.dedupAgainstCorpus(
+        ins("arrivals"), dropRef, "doc_id", "text", k = 16, bands = 8, threshold = 0.8))
+    }
+    val queries = running.collect { case App.StreamingOutput(n, q) => n -> q }.toMap
+    assert(queries.keySet == Set("out", "__lineage"))
+    try {
+      in.addData(dropArrivals.take(2): _*)
+      in.addData(dropArrivals.drop(2): _*)
+      queries.values.foreach(_.processAllAvailable())
+      assert(spark.table(outName).select("doc_id").collect()
+        .map(_.getLong(0)).toSet == Set(2L))
+      // a pair surfacing via several band keys may repeat its edge — set
+      val edges = spark.table(linName).collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+      assert(edges == Set(
+        ("droppedBecause:dedupAgainstCorpus", keyHash(1L), keyHash(900L)),
+        ("droppedBecause:dedupAgainstCorpus", keyHash(3L), keyHash(901L))),
+        s"streaming drop edges match the batch face, got $edges")
+    } finally queries.values.foreach(_.stop())
+    graft.api.Pinned.release(spark)
+  }
+
   // ---- cycles: round-granularity provenance DAG ---------------------------
 
   /** Content hash of an (id, x) row — the record-id convention. */
