@@ -960,6 +960,57 @@ object QueriesPipeline {
         WHERE vec_id % 3 = 0 AND vec_id NOT IN (SELECT q_id FROM matched)"""
   }
 
+  /** SemDeDup semantic dedup: 8 k-means cells over the embeddings, exact
+    * cosine >= 0.4 within cells, transitive grouping, min-id survivor. */
+  def qSemanticDedup(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, dir).df
+    val centroids = graft.pipeline.Ivf.train(emb, "vec_id", "embedding", k = 8, iters = 2)
+    Dedup.semanticDedup(emb, "vec_id", "embedding", centroids, threshold = 0.4)
+      .select(col("vec_id"), col("label"))
+  }
+
+  /** DuckDB mirror: the qIvfAnn Lloyd unroll for cell assignment, then
+    * within-cell cosine pairs, recursive-CTE connected components, and
+    * the survivor anti-filter (the qDedupCorpus CC shape). */
+  val qSemanticDedupSql: String = {
+    val dist = (p: String, c: String) =>
+      s"list_dot_product($p, $p) - 2*list_dot_product($p, $c) + list_dot_product($c, $c)"
+    def assign(cent: String) =
+      s"""(SELECT vec_id, cid FROM (
+            SELECT e.vec_id, c.cid,
+              row_number() OVER (PARTITION BY e.vec_id
+                ORDER BY ${dist("e.v", "c.cv")}, c.cid) AS rn
+            FROM e, $cent c) WHERE rn = 1)"""
+    def update(asg: String) =
+      s"""(SELECT cid, list(m ORDER BY pos) AS cv FROM (
+            SELECT a.cid, t.pos, avg(e.v[t.pos]) AS m
+            FROM $asg a JOIN e USING (vec_id),
+                 LATERAL (SELECT unnest(generate_series(1, len(e.v))) AS pos) t
+            GROUP BY a.cid, t.pos) GROUP BY cid)"""
+    s"""WITH RECURSIVE e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        c0 AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid, v AS cv
+               FROM (SELECT * FROM e ORDER BY vec_id LIMIT 8)),
+        a1 AS ${assign("c0")},
+        c1 AS ${update("a1")},
+        a2 AS ${assign("c1")},
+        c2 AS ${update("a2")},
+        a3 AS ${assign("c2")},
+        ce AS (SELECT e.vec_id, e.v, a.cid FROM e JOIN a3 a USING (vec_id)),
+        pairs AS (SELECT x.vec_id AS id_a, y.vec_id AS id_b
+                  FROM ce x JOIN ce y ON x.cid = y.cid AND x.vec_id < y.vec_id
+                  WHERE list_cosine_similarity(x.v, y.v) >= 0.4),
+        edges AS (SELECT id_a AS u, id_b AS v FROM pairs
+                  UNION SELECT id_b, id_a FROM pairs),
+        cc(node, label) AS (
+          SELECT u, u FROM edges
+          UNION
+          SELECT ed.v, cc.label FROM cc JOIN edges ed ON cc.node = ed.u),
+        dropped AS (SELECT node FROM (SELECT node, min(label) AS l FROM cc GROUP BY node)
+                    WHERE l <> node)
+        SELECT vec_id, label FROM embeddings
+        WHERE vec_id NOT IN (SELECT node FROM dropped)"""
+  }
+
   /** Repeated-passage spans: maximal runs of 6-token grams occurring in
     * >= 2 distinct docs (Lee et al. exact-substring dedup, k-gram form).
     * The oracle rebuilds the spans from the gram STRINGS — fully
@@ -1145,6 +1196,7 @@ object QueriesPipeline {
     "q_embed_dedup" -> (qEmbedDedup _),
     "q_embed_ingest" -> (qEmbedIngest _),
     "q_embed_ingest_ivf" -> (qEmbedIngestIvf _),
+    "q_semantic_dedup" -> (qSemanticDedup _),
     "q_ann_topk" -> (qAnnTopK _),
     "q_langid" -> (qLangId _),
     "q_text_quality" -> (qTextQuality _),
@@ -1194,6 +1246,7 @@ object QueriesPipeline {
     "q_embed_dedup" -> qEmbedDedupSql,
     "q_embed_ingest" -> qEmbedIngestSql,
     "q_embed_ingest_ivf" -> qEmbedIngestIvfSql,
+    "q_semantic_dedup" -> qSemanticDedupSql,
     "q_ann_topk" -> qAnnTopKSql,
     "q_langid" -> qLangIdSql,
     "q_text_quality" -> qTextQualitySql,

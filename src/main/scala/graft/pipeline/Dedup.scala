@@ -1275,6 +1275,48 @@ object Dedup {
         round(col("cos"), 6).as("cos"))
   }
 
+  /** SemDeDup-style semantic dedup (Abbas et al. 2023, arXiv:2303.09540):
+    * k-means cells bound the candidate space, exact cosine verifies pairs
+    * WITHIN each cell, connected components group transitive near-dups,
+    * and each group's minimum id survives — the embedding-space sibling of
+    * [[deduplicateCorpus]]. Pairs split across cells are not candidates
+    * (the paper's deliberate recall trade: semantic duplicates cluster
+    * together by construction of the k-means; sweep `threshold` per the
+    * paper rather than probing neighbor cells).
+    *
+    * Scale shape: cell assignment is a literal-codebook projection (no
+    * shuffle, no join); the one shuffle keys on the cell id and the only
+    * quadratic stage is within-cell — cells are ~n/k and data-adaptive,
+    * the reason SemDeDup scales where all-pairs cosine cannot. A skewed
+    * hot cell bounds the worst task; raise k to shrink cells. CC rounds
+    * are measured flat (2) to 100x on the duplicate structures the
+    * synthetic corpus carries. Emits [[graft.api.Lineage]] droppedBecause
+    * edges (dropped -> surviving representative) when the run records
+    * lineage, like `deduplicateCorpus`. */
+  def semanticDedup(embs: DataFrame, idCol: String, vecCol: String,
+                    centroids: DataFrame, threshold: Double): DataFrame = {
+    require(threshold > 0.0 && threshold <= 1.0, s"threshold in (0,1], got $threshold")
+    val cent = Ivf.collectCodebook(centroids)
+    val e = embs.select(col(idCol), col(vecCol).cast("array<double>").as("__e"))
+      .withColumn("__n", Similarity.norm(col("__e")))
+      .withColumn("__cid", Ivf.nearestCid(col("__e"), cent))
+    val pairs = e.as("a").join(e.as("b"),
+        col("a.__cid") === col("b.__cid") && col(s"a.$idCol") < col(s"b.$idCol"))
+      .filter(Similarity.dot(col("a.__e"), col("b.__e")) /
+        (col("a.__n") * col("b.__n")) >= threshold)
+      .select(col(s"a.$idCol").as("id_a"), col(s"b.$idCol").as("id_b"))
+    val clusters = connectedComponents(pairs, "id_a", "id_b")
+    graft.api.Lineage.current(embs.sparkSession).foreach { rec =>
+      rec.add(clusters.filter(col("node") =!= col("cluster_id")).select(
+        lit("droppedBecause:semanticDedup").as("op"),
+        xxhash64(struct(col("node"))).as("output_id"),
+        xxhash64(struct(col("cluster_id"))).as("input_id")))
+    }
+    val dropped = clusters.filter(col("node") =!= col("cluster_id"))
+      .select(col("node").as(idCol))
+    embs.join(dropped, Seq(idCol), "left_anti")
+  }
+
   /** Cross-corpus EMBEDDING near-dup dedup — the vector-space sibling of
     * [[dedupAgainstCorpus]]: keep each arriving record iff NO vector of
     * the static reference corpus reaches `threshold` cosine similarity.
