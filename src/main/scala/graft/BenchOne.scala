@@ -36,17 +36,23 @@ object BenchOne {
       (System.nanoTime() - t0) / 1e9
     }
 
+    val warmDir = sys.env.getOrElse("SPARK_GRAFT_WARM_DIR", "/root/testdata/sf0.001")
     for (n <- args) {
-      materialize(n, "/root/testdata/sf0.001") // JVM/codegen warm-up
+      // JVM/codegen warm-up (skipped when the warm corpus is absent or IS
+      // the measured corpus — the first timed sample then absorbs warm-up)
+      if (new java.io.File(warmDir).isDirectory && warmDir != sfDir)
+        materialize(n, warmDir)
       val t1 = materialize(n, sfDir)
       val t2 = materialize(n, sfDir)
       val best = math.min(t1, t2)
+      var samples = Seq(t1, t2)
       val steady =
         if (math.max(t1, t2) > best * 1.5 && best > 0.05) {
           val t3 = materialize(n, sfDir)
-          Seq(t1, t2, t3).sorted.apply(1)
+          samples = Seq(t1, t2, t3)
+          samples.sorted.apply(1)
         } else best
-      println(f"TIMED $n $steady%.2f s (samples ${Seq(t1, t2).map(t => f"$t%.2f").mkString("/")})")
+      println(f"TIMED $n $steady%.2f s (samples ${samples.map(t => f"$t%.2f").mkString("/")})")
     }
     spark.stop()
   }

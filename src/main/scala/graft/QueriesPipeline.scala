@@ -863,25 +863,35 @@ object QueriesPipeline {
       centroids, topK = 5, nProbe = 3)
   }
 
+  /** Shared DuckDB Lloyd-unroll scaffolding, mirroring `Ivf.train`/
+    * `Ivf.assign`: distances use the |p|²−2p·c+|c|² shape, assignment
+    * ties break on the lower cid, updates drop empty cells. Each
+    * generator reads a training CTE `e(vec_id, v)`. ONE copy serves the
+    * qIvfAnn / qEmbedIngestIvf / qSemanticDedup mirrors so the fp
+    * posture and tie-breaking cannot drift between oracles. Centroid
+    * means differ from Spark's only by fp summation order (~1e-13), far
+    * below any assignment or ranking decision margin. */
+  private def ivfDist(p: String, c: String): String =
+    s"list_dot_product($p, $p) - 2*list_dot_product($p, $c) + list_dot_product($c, $c)"
+  private def ivfAssign(cent: String): String =
+    s"""(SELECT vec_id, cid FROM (
+          SELECT e.vec_id, c.cid,
+            row_number() OVER (PARTITION BY e.vec_id
+              ORDER BY ${ivfDist("e.v", "c.cv")}, c.cid) AS rn
+          FROM e, $cent c) WHERE rn = 1)"""
+  private def ivfUpdate(asg: String): String =
+    s"""(SELECT cid, list(m ORDER BY pos) AS cv FROM (
+          SELECT a.cid, t.pos, avg(e.v[t.pos]) AS m
+          FROM $asg a JOIN e USING (vec_id),
+               LATERAL (SELECT unnest(generate_series(1, len(e.v))) AS pos) t
+          GROUP BY a.cid, t.pos) GROUP BY cid)"""
+
   /** DuckDB mirror of qIvfAnn: two unrolled Lloyd rounds then probed
-    * search. Distances use the same |p|²−2p·c+|c|² shape as `Ivf.assign`;
-    * centroid means differ from Spark's only by fp summation order
-    * (~1e-13), far below any assignment or ranking decision margin. */
+    * search. */
   val qIvfAnnSql: String = {
-    val dist = (p: String, c: String) =>
-      s"list_dot_product($p, $p) - 2*list_dot_product($p, $c) + list_dot_product($c, $c)"
-    def assign(cent: String) =
-      s"""(SELECT vec_id, cid FROM (
-            SELECT e.vec_id, c.cid,
-              row_number() OVER (PARTITION BY e.vec_id
-                ORDER BY ${dist("e.v", "c.cv")}, c.cid) AS rn
-            FROM e, $cent c) WHERE rn = 1)"""
-    def update(asg: String) =
-      s"""(SELECT cid, list(m ORDER BY pos) AS cv FROM (
-            SELECT a.cid, t.pos, avg(e.v[t.pos]) AS m
-            FROM $asg a JOIN e USING (vec_id),
-                 LATERAL (SELECT unnest(generate_series(1, len(e.v))) AS pos) t
-            GROUP BY a.cid, t.pos) GROUP BY cid)"""
+    val dist = ivfDist _
+    val assign = ivfAssign _
+    val update = ivfUpdate _
     s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
         c0 AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid, v AS cv
                FROM (SELECT * FROM e ORDER BY vec_id LIMIT 8)),
@@ -924,20 +934,9 @@ object QueriesPipeline {
     * fp-parity posture as qIvfAnnSql (centroid means differ only by
     * summation order, far below assignment margins). */
   val qEmbedIngestIvfSql: String = {
-    val dist = (p: String, c: String) =>
-      s"list_dot_product($p, $p) - 2*list_dot_product($p, $c) + list_dot_product($c, $c)"
-    def assign(cent: String) =
-      s"""(SELECT vec_id, cid FROM (
-            SELECT e.vec_id, c.cid,
-              row_number() OVER (PARTITION BY e.vec_id
-                ORDER BY ${dist("e.v", "c.cv")}, c.cid) AS rn
-            FROM e, $cent c) WHERE rn = 1)"""
-    def update(asg: String) =
-      s"""(SELECT cid, list(m ORDER BY pos) AS cv FROM (
-            SELECT a.cid, t.pos, avg(e.v[t.pos]) AS m
-            FROM $asg a JOIN e USING (vec_id),
-                 LATERAL (SELECT unnest(generate_series(1, len(e.v))) AS pos) t
-            GROUP BY a.cid, t.pos) GROUP BY cid)"""
+    val dist = ivfDist _
+    val assign = ivfAssign _
+    val update = ivfUpdate _
     s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
                    WHERE vec_id % 3 <> 0),
         c0 AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid, v AS cv
@@ -973,20 +972,8 @@ object QueriesPipeline {
     * within-cell cosine pairs, recursive-CTE connected components, and
     * the survivor anti-filter (the qDedupCorpus CC shape). */
   val qSemanticDedupSql: String = {
-    val dist = (p: String, c: String) =>
-      s"list_dot_product($p, $p) - 2*list_dot_product($p, $c) + list_dot_product($c, $c)"
-    def assign(cent: String) =
-      s"""(SELECT vec_id, cid FROM (
-            SELECT e.vec_id, c.cid,
-              row_number() OVER (PARTITION BY e.vec_id
-                ORDER BY ${dist("e.v", "c.cv")}, c.cid) AS rn
-            FROM e, $cent c) WHERE rn = 1)"""
-    def update(asg: String) =
-      s"""(SELECT cid, list(m ORDER BY pos) AS cv FROM (
-            SELECT a.cid, t.pos, avg(e.v[t.pos]) AS m
-            FROM $asg a JOIN e USING (vec_id),
-                 LATERAL (SELECT unnest(generate_series(1, len(e.v))) AS pos) t
-            GROUP BY a.cid, t.pos) GROUP BY cid)"""
+    val assign = ivfAssign _
+    val update = ivfUpdate _
     s"""WITH RECURSIVE e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
         c0 AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid, v AS cv
                FROM (SELECT * FROM e ORDER BY vec_id LIMIT 8)),

@@ -395,7 +395,11 @@ object App {
           }
           spark.streams.addListener(listenerRef)
           sweep()
-          if (!released.get()) Seq(1000L, 10000L).foreach { delay =>
+          // the one-shots cover the all-terminated-before-attach case even
+          // when StreamExecution's removal from streams.active lags; a
+          // query that outlives them keeps the listener attached, and its
+          // progress/termination events keep driving sweeps
+          if (!released.get()) Seq(1000L, 10000L, 60000L).foreach { delay =>
             releaseTimer.schedule(new java.util.TimerTask {
               override def run(): Unit =
                 try sweep() catch { case _: Throwable => () }

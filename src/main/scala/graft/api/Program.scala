@@ -1180,7 +1180,6 @@ object Program {
     def emptyOf(schema: org.apache.spark.sql.types.StructType): MStream =
       new MStream(spark.createDataFrame(
         new java.util.ArrayList[org.apache.spark.sql.Row](), schema))
-    import org.apache.spark.sql.types.{DoubleType, IntegerType, LongType, StructField, StructType}
     doc.nodes.foreach { node =>
       try {
         val out = node match {
@@ -1200,10 +1199,8 @@ object Program {
             val s = env(lm.input)
             s.df.select(col(lm.idCol), col(lm.textCol)).schema
             env(lm.ref).df.select(col(lm.refTextCol)).schema
-            emptyOf(StructType(Seq(
-              StructField(lm.idCol, s.df.schema(lm.idCol).dataType),
-              StructField("n_pairs", LongType, nullable = false),
-              StructField("avg_logprob", DoubleType))))
+            emptyOf(graft.pipeline.TextOps.lmScoreOutputSchema(
+              lm.idCol, s.df.schema(lm.idCol).dataType))
           case ed: EmbedDedup if ed.centroids.isDefined =>
             val s = env(ed.input)
             s.df.select(col(ed.idCol), col(ed.vecCol)).schema
@@ -1215,11 +1212,9 @@ object Program {
             s.df.select(col(ip.qIdCol), col(ip.vecCol)).schema
             env(ip.corpus).df.select(col(ip.idCol), col(ip.vecCol)).schema
             env(ip.centroids).df.select(col("cid"), col("cv")).schema
-            emptyOf(StructType(Seq(
-              StructField(ip.qIdCol, s.df.schema(ip.qIdCol).dataType),
-              StructField(ip.idCol, env(ip.corpus).df.schema(ip.idCol).dataType),
-              StructField("cos", DoubleType),
-              StructField("rn", IntegerType, nullable = false))))
+            emptyOf(graft.pipeline.Ivf.searchOutputSchema(
+              ip.qIdCol, s.df.schema(ip.qIdCol).dataType,
+              ip.idCol, env(ip.corpus).df.schema(ip.idCol).dataType))
           case other => lowerNode(other, name => env(name))
         }
         out.df.schema // force analysis NOW so failures attribute to THIS node
@@ -1347,6 +1342,13 @@ object Program {
           if (ed.centroids.isDefined && ed.nProbe <= 0)
             throw new IllegalArgumentException(s"node '${n.name}': embedDedup " +
               s"via IVF needs nProbe > 0, got ${ed.nProbe}")
+          // the exact face has no non-broadcast lowering (a cosine-predicate
+          // join without a broadcast side is a cartesian product) — the flag
+          // must not silently no-op at the very scale it exists for
+          if (ed.centroids.isEmpty && !ed.broadcastRef)
+            throw new IllegalArgumentException(s"node '${n.name}': embedDedup's " +
+              "exact face is broadcast-only; pass a centroids input for the " +
+              "beyond-broadcast IVF route (broadcastRef = false)")
           Seq(ed.input, ed.ref) ++ ed.centroids
         case lm: LmScore =>
           if (lm.alpha <= 0.0) throw new IllegalArgumentException(

@@ -190,16 +190,26 @@ object Dedup {
       s"need k a positive multiple of bands, got k=$k bands=$bands")
     require(threshold > 0.0 && threshold <= 1.0, s"threshold in (0,1], got $threshold")
     val df = stream.df
-    val dropOp = s"droppedBecause:${
-      if (stream.name.nonEmpty) stream.name else "dedupAgainstCorpus"}"
+    // fixed operator label (like deduplicateCorpus/semanticDedup): a
+    // stream-derived label would vary with the upstream node's name in
+    // program-document runs, breaking consumers that filter on it
+    val dropOp = "droppedBecause:dedupAgainstCorpus"
     if (!df.isStreaming) {
-      val pairs = crossCorpusNearDup(df, refDocs, idCol, textCol, k, bands, threshold)
+      val rawPairs = crossCorpusNearDup(df, refDocs, idCol, textCol, k, bands, threshold)
       // droppedBecause lineage (the deduplicateCorpus scheme): dropped
-      // arrival -> each reference doc that matched it, ids = doc-key hash
-      graft.api.Lineage.current(df.sparkSession).foreach { rec =>
-        rec.add(pairs.select(lit(dropOp).as("op"),
-          xxhash64(struct(col("id_new"))).as("output_id"),
-          xxhash64(struct(col("id_ref"))).as("input_id")))
+      // arrival -> each reference doc that matched it, ids = doc-key hash.
+      // The pair frame feeds TWO consumers when recording (the edge frame
+      // and the anti-join), so checkpoint it once — otherwise the lineage
+      // sink write re-executes the whole LSH candidate pipeline
+      val pairs = graft.api.Lineage.current(df.sparkSession) match {
+        case Some(rec) =>
+          val (cp, ids) = graft.api.Pinned.checkpointTracked(rawPairs)
+          graft.api.Pinned.register(df.sparkSession, ids)
+          rec.add(cp.select(lit(dropOp).as("op"),
+            xxhash64(struct(col("id_new"))).as("output_id"),
+            xxhash64(struct(col("id_ref"))).as("input_id")))
+          cp
+        case None => rawPairs
       }
       val matched = pairs.select(col("id_new").as(idCol)).distinct()
       return new graft.api.MStream(df.join(matched, Seq(idCol), "left_anti"),

@@ -148,6 +148,16 @@ object Ivf {
     * fits executor memory. At cluster scale set it false and store the
     * corpus BUCKETED by cell id: the per-batch join then shuffles only
     * the (small) query micro-batch to the co-located corpus buckets. */
+  /** Output schema of [[search]]/[[searchIngest]] (names + types) — the
+    * single source `Program.validate` resolves against (IngestProgramSpec
+    * pins this equal to the real operator's schema). */
+  def searchOutputSchema(qIdCol: String, qType: org.apache.spark.sql.types.DataType,
+      idCol: String, pType: org.apache.spark.sql.types.DataType): org.apache.spark.sql.types.StructType = {
+    import org.apache.spark.sql.types._
+    StructType(Seq(StructField(qIdCol, qType), StructField(idCol, pType),
+      StructField("cos", DoubleType), StructField("rn", IntegerType, nullable = false)))
+  }
+
   def searchIngest(queries: graft.api.MStream, embs: DataFrame,
                    idCol: String, vecCol: String, qIdCol: String,
                    centroids: DataFrame, topK: Int, nProbe: Int,

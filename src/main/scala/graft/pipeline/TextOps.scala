@@ -486,6 +486,18 @@ object TextOps {
     * stream-static broadcast joins + the stateless per-batch combine —
     * zero state-store rows; the model frames are model-sized, never
     * corpus-sized. */
+  /** Output schema of [[lmScoreAgainst]] (names + types) for a given id
+    * column — the single source `Program.validate` resolves against, so
+    * the two cannot drift (IngestProgramSpec pins this equal to the real
+    * operator's schema). */
+  def lmScoreOutputSchema(idCol: String,
+      idType: org.apache.spark.sql.types.DataType): org.apache.spark.sql.types.StructType = {
+    import org.apache.spark.sql.types._
+    StructType(Seq(StructField(idCol, idType),
+      StructField("n_pairs", LongType, nullable = false),
+      StructField("avg_logprob", DoubleType)))
+  }
+
   def lmScoreAgainst(stream: graft.api.MStream, refDocs: org.apache.spark.sql.DataFrame,
                      idCol: String, textCol: String, refTextCol: String,
                      alpha: Double = 0.5): graft.api.MStream = {

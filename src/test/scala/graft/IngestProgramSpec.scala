@@ -180,6 +180,36 @@ class IngestProgramSpec extends SparkSpec {
         broadcastCorpus = true)), Seq("ip")), "must differ")
   }
 
+  test("exported output schemas match the real operators (validate cannot drift)") {
+    def namesTypes(s: org.apache.spark.sql.types.StructType) =
+      s.fields.map(f => (f.name, f.dataType)).toSeq
+    val docs = arriving.toDF("doc_id", "text")
+    val lm = graft.pipeline.TextOps.lmScoreAgainst(
+      MStream(docs), ref, "doc_id", "text", "text")
+    assert(namesTypes(lm.df.schema) == namesTypes(
+      graft.pipeline.TextOps.lmScoreOutputSchema("doc_id",
+        docs.schema("doc_id").dataType)))
+    val emb = Seq((1L, Array(1.0f, 0.0f)), (2L, Array(0.0f, 1.0f)))
+      .toDF("vec_id", "embedding")
+    val q = emb.select(col("vec_id").as("q_id"), col("embedding"))
+    val cents = graft.pipeline.Ivf.train(emb, "vec_id", "embedding", k = 2, iters = 1)
+    val pr = graft.pipeline.Ivf.searchIngest(MStream(q), emb,
+      "vec_id", "embedding", "q_id", cents, topK = 1, nProbe = 1)
+    assert(namesTypes(pr.df.schema) == namesTypes(
+      graft.pipeline.Ivf.searchOutputSchema("q_id",
+        q.schema("q_id").dataType, "vec_id", emb.schema("vec_id").dataType)))
+    graft.api.Pinned.release(spark)
+  }
+
+  test("embedDedup exact face rejects broadcastRef=false (no non-broadcast lowering)") {
+    val e = intercept[IllegalArgumentException](Program.fromJson(Program.toJson(
+      Doc(Seq(External("a"), External("r"),
+        EmbedDedup("ed", "a", "r", "id", "v", 0.9, None, 1, broadcastRef = false)),
+        Seq("ed")))))
+    assert(e.getMessage.contains("broadcast-only") && e.getMessage.contains("IVF"),
+      e.getMessage)
+  }
+
   test("schema validation covers ingest nodes without running driver jobs") {
     val config = new App.Config()
       .setSource("docs", App.Source("list", rows = Some(arriving.toDF("doc_id", "text"))))
