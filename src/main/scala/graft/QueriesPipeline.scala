@@ -1154,6 +1154,41 @@ object QueriesPipeline {
         FROM documents d LEFT JOIN agg a USING (doc_id)
         WHERE d.doc_id % 3 = 0"""
 
+  /** DSIR-style importance weighting (Xie et al. 2023): every document
+    * scored by target-likeness under hashed word-bigram bucket models
+    * with add-1 smoothing — target = the English slice, raw = the whole
+    * corpus; `selected` = more target-like than raw-like. Batch face of
+    * the dual-mode `TextOps.dsirScore` (streaming pinned equal by
+    * StreamingTextOpsSpec). */
+  def qDsir(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir).df
+    TextOps.dsirScore(graft.api.MStream(docs), docs.where(col("lang") === "en"),
+      docs, "doc_id", "text", "text").df
+  }
+
+  val qDsirSql: String =
+    s"""WITH words AS (SELECT doc_id, lang, list_filter(string_split_regex(text, '[ \\t\\n\\f\\r\\x0b]+'), x -> x <> '') AS w FROM documents),
+        g AS (SELECT doc_id, lang,
+                unnest([w[i] || ' ' || w[i+1] for i in range(1, len(w))]) AS s
+              FROM words WHERE len(w) >= 2),
+        h AS (SELECT doc_id, lang,
+                list_reduce([0] || [ord(c)::BIGINT for c in string_split(s, '')],
+                            (a, c) -> (a * 31 + c) % 1000000007) % 4096 AS b FROM g),
+        tgt AS (SELECT b, count(*) AS t FROM h WHERE lang = 'en' GROUP BY b),
+        tt AS (SELECT count(*) AS tot_t FROM h WHERE lang = 'en'),
+        rw AS (SELECT b, count(*) AS r FROM h GROUP BY b),
+        rt AS (SELECT count(*) AS tot_r FROM h),
+        agg AS (SELECT h.doc_id AS doc_id, count(*) AS n,
+                  sum(ln((coalesce(tgt.t, 0) + 1.0) / (tt.tot_t + 1.0 * 4096))
+                      - ln((coalesce(rw.r, 0) + 1.0) / (rt.tot_r + 1.0 * 4096))) AS s
+                FROM h LEFT JOIN tgt USING (b) LEFT JOIN rw USING (b)
+                     CROSS JOIN tt CROSS JOIN rt
+                GROUP BY h.doc_id)
+        SELECT d.doc_id, coalesce(a.n, 0)::BIGINT AS n_feats,
+          round(a.s, 3) AS dsir_weight,
+          coalesce(round(a.s, 3) > 0, false) AS selected
+        FROM documents d LEFT JOIN agg a USING (doc_id)"""
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_ivf_ann" -> (qIvfAnn _),
     "q_dedup_exact" -> (qDedupExact _),
@@ -1166,6 +1201,7 @@ object QueriesPipeline {
     "q_ingest_program" -> (qIngestProgram _),
     "q_lm_score" -> (qLmScore _),
     "q_lm_against" -> (qLmAgainst _),
+    "q_dsir" -> (qDsir _),
     "q_source_cap" -> (qSourceCap _),
     "q_token_budget" -> (qTokenBudget _),
     "q_dedup_clusters" -> (qDedupClusters _),
@@ -1216,6 +1252,7 @@ object QueriesPipeline {
     "q_ingest_program" -> qIngestProgramSql,
     "q_lm_score" -> qLmScoreSql,
     "q_lm_against" -> qLmAgainstSql,
+    "q_dsir" -> qDsirSql,
     "q_source_cap" -> qSourceCapSql,
     "q_token_budget" -> qTokenBudgetSql,
     "q_dedup_clusters" -> qDedupClustersSql,

@@ -672,4 +672,104 @@ object TextOps {
       .withColumnRenamed("__id", idCol)
     new graft.api.MStream(out, stream.eventOrder, stream.contextKeys, stream.name)
   }
+
+  /** DSIR-style importance weights (Xie et al. 2023, "Data Selection for
+    * Language Models via Importance Resampling"): documents are scored by
+    * how target-like they look under hashed word-bigram bucket models —
+    * `weight(doc) = Σ over bigram occurrences of
+    * log p_target(bucket) − log p_raw(bucket)` with add-`alpha` smoothing
+    * over `buckets` hash buckets. `selected` = rounded weight > 0 (the doc
+    * is more target-like than raw-like); resample by ranking on `weight`.
+    *
+    * Dual-mode like [[lmScoreAgainst]] (the trained artifact here is the
+    * pair of bucket-count tables): both reference corpora are counted in
+    * ONE pass each, checkpointed as pinned model artifacts (≤ `buckets`
+    * rows — broadcast by construction), and arrivals are scored by two
+    * broadcast left joins + a per-doc fold. Batch groups by doc id;
+    * streaming uses the stateless per-batch combine (every bigram row
+    * derives from its own input row — one micro-batch), zero state-store
+    * rows. Documents with < 2 words emit (0, NULL, false) in both modes.
+    * Bucket totals are scalar model constants (`.head()` on the count
+    * tables — model-sized by construction, like [[lmScoreAgainst]]'s V).
+    *
+    * Scale posture: the bucket space is fixed (`buckets`), so the model
+    * is O(buckets) regardless of corpus size; scoring is a zero-shuffle
+    * projection + broadcast joins per arrival batch. The reference's
+    * capability ceiling doesn't apply — no per-key state anywhere. */
+  def dsirScore(stream: graft.api.MStream, targetDocs: org.apache.spark.sql.DataFrame,
+                rawDocs: org.apache.spark.sql.DataFrame,
+                idCol: String, textCol: String, refTextCol: String,
+                buckets: Int = 4096, alpha: Double = 1.0): graft.api.MStream = {
+    import org.apache.spark.sql.{Encoder, Row}
+    import org.apache.spark.sql.catalyst.encoders.RowEncoder
+    import org.apache.spark.sql.types._
+    require(buckets > 0, s"dsirScore needs a positive bucket count, got $buckets")
+    require(alpha > 0.0, s"add-alpha smoothing needs alpha > 0, got $alpha")
+    val df = stream.df
+    val spark = df.sparkSession
+    def bucketRows(d: org.apache.spark.sql.DataFrame, text: String,
+                   keep: Seq[Column]): org.apache.spark.sql.DataFrame = d
+      .select(keep :+ explode(
+        graft.functions.VectorFunctions.wordShingleHashes(col(text), 2)).as("__h"): _*)
+      .select(keep :+ (col("__h") % buckets).as("__b"): _*)
+    val (tgt, tIds) = graft.api.Pinned.checkpointTracked(
+      bucketRows(targetDocs, refTextCol, Nil).groupBy(col("__b")).agg(count(lit(1)).as("__t")))
+    val (raw, rIds) = graft.api.Pinned.checkpointTracked(
+      bucketRows(rawDocs, refTextCol, Nil).groupBy(col("__b")).agg(count(lit(1)).as("__r")))
+    graft.api.Pinned.register(spark, tIds ++ rIds)
+    val totT = tgt.agg(coalesce(sum(col("__t")), lit(0L))).head().getLong(0)
+    val totR = raw.agg(coalesce(sum(col("__r")), lit(0L))).head().getLong(0)
+    require(totT > 0, "dsirScore: the target corpus yields no word bigrams")
+    require(totR > 0, "dsirScore: the raw corpus yields no word bigrams")
+    // per-occurrence log-ratio; unseen buckets fall to the smoothed floor
+    // uniformly (counts coalesce to 0 inside the formula, in-engine)
+    val lam =
+      log((coalesce(col("__t"), lit(0L)) + alpha) / (lit(totT) + alpha * buckets)) -
+      log((coalesce(col("__r"), lit(0L)) + alpha) / (lit(totR) + alpha * buckets))
+    val id = col(idCol)
+    def finish(n: Column, s: Column): Seq[Column] = Seq(
+      coalesce(n, lit(0L)).as("n_feats"),
+      round(s, 3).as("dsir_weight"),
+      coalesce(round(s, 3) > 0d, lit(false)).as("selected"))
+
+    if (!df.isStreaming) {
+      val scored = bucketRows(df, textCol, Seq(id))
+        .join(broadcast(tgt), Seq("__b"), "left")
+        .join(broadcast(raw), Seq("__b"), "left")
+        .groupBy(id)
+        .agg(count(lit(1)).as("__n"), sum(lam).as("__s"))
+      val out = df.select(id).join(scored, Seq(idCol), "left")
+        .select(id +: finish(col("__n"), col("__s")): _*)
+      return new graft.api.MStream(out, stream.eventOrder, stream.contextKeys, stream.name)
+    }
+
+    // streaming: bigram-less docs ride a sentinel (null bucket) row so
+    // they still emit; the fold skips sentinels, sum/round stay in SQL so
+    // both faces share Spark's exact semantics
+    val grams = graft.functions.VectorFunctions.wordShingleHashes(col(textCol), 2)
+    val u = df
+      .select(id.as("__id"),
+        explode(when(size(grams) >= 1, grams)
+          .otherwise(array(lit(null).cast("long")))).as("__h"))
+      .withColumn("__b", col("__h") % buckets)
+      .join(broadcast(tgt), Seq("__b"), "left")
+      .join(broadcast(raw), Seq("__b"), "left")
+      .select(col("__id"), when(col("__h").isNotNull, lam).as("__lam"))
+    val idType = df.schema(idCol).dataType
+    val aggT = StructType(Seq(
+      StructField("__id", idType),
+      StructField("__n", LongType, nullable = false),
+      StructField("__s", DoubleType)))
+    val aggEnc: Encoder[Row] = RowEncoder.encoderFor(aggT)
+    val lamIdx = u.schema.fieldIndex("__lam")
+    val out = graft.streaming.PerBatchCombine(u, Seq("__id"), aggEnc) {
+        (key: Row, it: Iterator[Row]) =>
+          var n = 0L; var s = 0.0
+          it.foreach { r => if (!r.isNullAt(lamIdx)) { n += 1; s += r.getDouble(lamIdx) } }
+          Iterator.single(Row(key.get(0), n, if (n > 0) s else null))
+      }
+      .select(col("__id").as(idCol) +:
+        finish(col("__n"), when(col("__n") > 0, col("__s"))): _*)
+    new graft.api.MStream(out, stream.eventOrder, stream.contextKeys, stream.name)
+  }
 }

@@ -127,6 +127,47 @@ class StreamingTextOpsSpec extends SparkSpec {
     graft.api.Pinned.release(spark)
   }
 
+  test("dsirScore: streaming equals batch (target-like selected, short docs NULL)") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val target = Seq(
+      "the cat sat on the mat",
+      "the dog sat on the rug",
+      "a cat and a dog sat down").toDF("text")
+    val raw = (target.as[String].collect().toSeq ++ Seq(
+      "quantum flux capacitors hum loudly",
+      "flux hum quantum capacitors again",
+      "lorem ipsum dolor sit amet")).toDF("text")
+    val docs = Seq(
+      (1L, "the cat sat on the rug"),        // target-like
+      (2L, "quantum flux capacitors hum"),   // raw-only
+      (3L, "word"))                          // <2 words -> (0, NULL, false)
+    def key(r: org.apache.spark.sql.Row): (Long, Long, Option[Double], Boolean) =
+      (r.getLong(0), r.getLong(1),
+        if (r.isNullAt(2)) None else Some(r.getDouble(2)), r.getBoolean(3))
+
+    val batch = TextOps.dsirScore(
+      MStream(docs.toDF("doc_id", "text")), target, raw, "doc_id", "text", "text")
+    assert(!batch.df.isStreaming)
+    val b = batch.df.collect().map(key).toSet
+    assert(b.exists(r => r._1 == 3L && r._2 == 0L && r._3.isEmpty && !r._4),
+      "short doc scores (0, NULL, false)")
+    val tLike = b.find(_._1 == 1L).get
+    val rOnly = b.find(_._1 == 2L).get
+    assert(tLike._3.get > rOnly._3.get, "target-like text outscores raw-only text")
+    assert(tLike._4, "target-like doc is selected")
+    assert(!rOnly._4, "raw-only doc is not selected")
+
+    val in = MemoryStream[(Long, String)]
+    val out = TextOps.dsirScore(
+      MStream(in.toDF().toDF("doc_id", "text")), target, raw, "doc_id", "text", "text")
+    in.addData(docs.take(2): _*)
+    in.addData(docs.drop(2): _*)
+    val s = streamed(out)(nm => spark.table(nm).collect().map(key).toSet)
+    assert(s == b, "streaming DSIR scoring equals the batch oracle face")
+    graft.api.Pinned.release(spark)
+  }
+
   test("both ingest faces agree on a seeded random corpus") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val sqlCtx = spark.sqlContext
