@@ -1189,6 +1189,38 @@ object QueriesPipeline {
           coalesce(round(a.s, 3) > 0, false) AS selected
         FROM documents d LEFT JOIN agg a USING (doc_id)"""
 
+  /** Heavy hitters via the count–min sketch aggregate: tokens estimated
+    * at ≥ 1/1000 of the corpus token count. The oracle rebuilds the d×w
+    * sketch cell-for-cell (per-row bucket counts under the shared affine
+    * hash family) and applies the same integer threshold. */
+  def qHeavyHitters(spark: SparkSession, dir: String): DataFrame =
+    TextOps.heavyHitters(Tables.documents(spark, dir).df, "text",
+      depth = 4, width = 2048, minFracInv = 1000L)
+
+  val qHeavyHittersSql: String = {
+    val d = 4; val w = 2048
+    val rows = (0 until d).map { i =>
+      val (a, c) = (2 * i + 1, 12345 * i + 7)
+      s"b$i AS (SELECT ((hh * $a + $c) % 1000000007) % $w AS b, count(*) AS c FROM h GROUP BY 1)"
+    }.mkString(",\n        ")
+    val joins = (0 until d).map { i =>
+      val (a, c) = (2 * i + 1, 12345 * i + 7)
+      s"JOIN b$i x$i ON ((cand.hh * $a + $c) % 1000000007) % $w = x$i.b"
+    }.mkString("\n               ")
+    val cells = (0 until d).map(i => s"x$i.c").mkString(", ")
+    s"""WITH words AS (SELECT list_filter(string_split_regex(text, '[ \\t\\n\\f\\r\\x0b]+'), x -> x <> '') AS w FROM documents),
+        tok AS (SELECT unnest(w) AS word FROM words),
+        h AS (SELECT word, list_reduce([0] || [ord(c)::BIGINT for c in string_split(word, '')],
+                                       (a, c) -> (a * 31 + c) % 1000000007) AS hh FROM tok),
+        $rows,
+        n AS (SELECT count(*) AS n FROM h),
+        cand AS (SELECT DISTINCT word, hh FROM h),
+        est AS (SELECT cand.word AS word, least($cells)::BIGINT AS est
+                FROM cand
+               $joins)
+        SELECT word, est FROM est CROSS JOIN n WHERE est * 1000 >= n.n"""
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_ivf_ann" -> (qIvfAnn _),
     "q_dedup_exact" -> (qDedupExact _),
@@ -1202,6 +1234,7 @@ object QueriesPipeline {
     "q_lm_score" -> (qLmScore _),
     "q_lm_against" -> (qLmAgainst _),
     "q_dsir" -> (qDsir _),
+    "q_heavy_hitters" -> (qHeavyHitters _),
     "q_source_cap" -> (qSourceCap _),
     "q_token_budget" -> (qTokenBudget _),
     "q_dedup_clusters" -> (qDedupClusters _),
@@ -1253,6 +1286,7 @@ object QueriesPipeline {
     "q_lm_score" -> qLmScoreSql,
     "q_lm_against" -> qLmAgainstSql,
     "q_dsir" -> qDsirSql,
+    "q_heavy_hitters" -> qHeavyHittersSql,
     "q_source_cap" -> qSourceCapSql,
     "q_token_budget" -> qTokenBudgetSql,
     "q_dedup_clusters" -> qDedupClustersSql,

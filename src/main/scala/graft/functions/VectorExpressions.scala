@@ -668,6 +668,26 @@ object VectorFunctions {
   def countByIntKey(k: Column): Column =
     ColumnBridge.column(CountByIntKey(ColumnBridge.expr(k)).toAggregateExpression())
 
+  /** Count–min sketch aggregate over item-hash longs: fixed d×w table,
+    * map-side partial aggregation — frequency estimation whose shuffle
+    * is one table per partition, never one row per key. */
+  def countMin(itemHash: Column, depth: Int, width: Int): Column =
+    ColumnBridge.column(CountMinAgg(ColumnBridge.expr(itemHash), depth, width)
+      .toAggregateExpression())
+
+  /** Point query against a count–min sketch column: min over rows of the
+    * item's cell — an upper bound on the item's true count. Pure column
+    * arithmetic (codegen'd), mirroring [[CountMinUtil.bucket]]. */
+  def countMinEstimate(sketch: Column, itemHash: Column,
+                       depth: Int, width: Int): Column = {
+    import org.apache.spark.sql.functions._
+    val cells = (0 until depth).map { i =>
+      val b = ((itemHash * (2L * i + 1) + (12345L * i + 7)) % PolyHashUtil.P) % width
+      element_at(sketch, (b + i.toLong * width).cast("int") + 1)
+    }
+    if (cells.size == 1) cells.head else least(cells: _*)
+  }
+
   /** Codegen'd mean unsigned byte of a binary column. */
   def byteMeanNative(b: Column): Column =
     ColumnBridge.column(ByteMean(ColumnBridge.expr(b)))

@@ -772,4 +772,38 @@ object TextOps {
         finish(col("__n"), when(col("__n") > 0, col("__s"))): _*)
     new graft.api.MStream(out, stream.eventOrder, stream.contextKeys, stream.name)
   }
+
+  /** Heavy hitters via a count–min sketch (Cormode & Muthukrishnan 2005):
+    * tokens whose estimated frequency is at least `1/minFracInv` of the
+    * corpus token count. Two passes, both cluster-shaped: (1) fold every
+    * token into ONE fixed d×w sketch ([[graft.functions.CountMinAgg]] —
+    * map-side partials, the shuffle carries one table per partition);
+    * (2) score candidate tokens against the broadcast sketch and keep
+    * `estimate * minFracInv >= N` (integer arithmetic — no float
+    * threshold to disagree across engines). Estimates are CMS upper
+    * bounds: a token within εN of the line can surface though its exact
+    * count is below it — that is the sketch's contract, deterministic
+    * and mirrored cell-for-cell by the oracle.
+    *
+    * Candidates here are the distinct vocabulary (one extra shuffle,
+    * bounded by vocabulary size, NOT corpus size). At 100 TB the sketch
+    * is the artifact: build once, broadcast, point-query arriving items
+    * with [[graft.functions.VectorFunctions.countMinEstimate]] — no
+    * vocabulary pass needed for the query side. */
+  def heavyHitters(docs: org.apache.spark.sql.DataFrame, textCol: String,
+                   depth: Int = 4, width: Int = 2048,
+                   minFracInv: Long = 1000): org.apache.spark.sql.DataFrame = {
+    require(minFracInv >= 1, s"heavyHitters needs minFracInv >= 1, got $minFracInv")
+    val vf = graft.functions.VectorFunctions
+    val toks = docs
+      .select(explode(words(col(textCol))).as("word"))
+      .select(col("word"), vf.polyHashNative(col("word")).as("__h"))
+    val sk = toks.agg(vf.countMin(col("__h"), depth, width).as("__sk"),
+      count(lit(1)).as("__n"))
+    toks.distinct()
+      .crossJoin(broadcast(sk))
+      .withColumn("est", vf.countMinEstimate(col("__sk"), col("__h"), depth, width))
+      .where(col("est") * minFracInv >= col("__n"))
+      .select(col("word"), col("est"))
+  }
 }

@@ -50,6 +50,9 @@ object GraftExtensions {
     ("graft_vec_sum", info("graft_vec_sum",
       "aggregate: elementwise sum of array<double> vectors"),
       (es: Seq[Expression]) => VectorSum(es(0)).toAggregateExpression()),
+    ("graft_count_min", info("graft_count_min",
+      "aggregate: count-min sketch (d=4, w=2048) over bigint item hashes"),
+      (es: Seq[Expression]) => CountMinAgg(es(0), 4, 2048).toAggregateExpression()),
     ("graft_jaccard_at_least", info("graft_jaccard_at_least",
       "Jaccard of two sorted distinct array<bigint> with early abandonment below a literal threshold (-1 when provably below)"),
       (es: Seq[Expression]) => {

@@ -212,4 +212,36 @@ object ExpressionProps extends Properties("graft.expressions") {
       // report the exact value for every survivor
       ((gated >= t) == (exact >= t)) && (gated < t || gated == exact)
     }
+
+  property("count-min: update/merge equals the definitional table under any split") =
+    forAll(Gen.listOf(Gen.choose(0L, PolyHashUtil.P - 1)),
+           Gen.choose(1, 4), Gen.choose(2, 64), Gen.choose(0, 100)) { (hs, d, w, cut) =>
+      import org.apache.spark.sql.catalyst.InternalRow
+      import org.apache.spark.sql.catalyst.expressions.BoundReference
+      import org.apache.spark.sql.types.LongType
+      val agg = graft.functions.CountMinAgg(
+        BoundReference(0, LongType, nullable = true), d, w)
+      def build(part: Seq[Long]): Array[Long] =
+        part.foldLeft(agg.createAggregationBuffer())(
+          (b, h) => agg.update(b, InternalRow(h)))
+      val (l, r) = hs.splitAt(cut % (hs.size + 1))
+      // serialize round-trip on one side: the shuffle path must be lossless
+      val rhs = build(r)
+      val merged = agg.merge(build(l),
+        if (rhs == null) null else agg.deserialize(agg.serialize(rhs)))
+      val got = agg.eval(merged)
+        .asInstanceOf[GenericArrayData].toLongArray().toSeq
+      got == graft.functions.CountMinUtil.reference(hs, d, w).toSeq
+    }
+
+  property("count-min estimate upper-bounds the exact count") =
+    forAll(Gen.listOf(Gen.choose(0L, 40L).map(n => refHash(n.toString))),
+           Gen.choose(2, 4), Gen.choose(2, 32)) { (hs, d, w) =>
+      val table = graft.functions.CountMinUtil.reference(hs, d, w)
+      hs.distinct.forall { h =>
+        val est = (0 until d)
+          .map(i => table(i * w + graft.functions.CountMinUtil.bucket(h, i, w))).min
+        est >= hs.count(_ == h)
+      }
+    }
 }

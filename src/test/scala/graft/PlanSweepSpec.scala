@@ -21,9 +21,11 @@ class PlanSweepSpec extends SparkSpec {
   //  - q_embed_ingest: exact cross-corpus cosine anti-join against the
   //    broadcast reference (the IVF/LSH path is the beyond-broadcast
   //    variant; the exact form carries the oracle)
+  //  - q_heavy_hitters: the count–min sketch + token total reduce to a
+  //    SINGLE broadcast row cross-joined onto the candidate scoring
   private val bnljByDesign =
     Set("q_ngram_jaccard", "q_embed_dedup", "q_ann_topk", "q_bm25", "q_tfidf",
-      "q_lm_score", "q_embed_ingest")
+      "q_lm_score", "q_embed_ingest", "q_heavy_hitters")
 
   test("no query plans a cartesian product; nested-loop joins only by design") {
     val offenders = scala.collection.mutable.ArrayBuffer.empty[String]

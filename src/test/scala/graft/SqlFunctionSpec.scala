@@ -38,6 +38,33 @@ class SqlFunctionSpec extends SparkSpec {
     assert(r.getDouble(4) == -1.0, "disjoint sets abandon below threshold")
   }
 
+  test("count-min sketch: ample width recovers exact counts; partitioning-invariant") {
+    GraftExtensions.register(spark)
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val vf = graft.functions.VectorFunctions
+    val words = Seq.fill(40)("alpha") ++ Seq.fill(25)("beta") ++
+      Seq.fill(9)("gamma") ++ Seq("delta")
+    // heavy hitters at >= 1/10 of the 75 tokens: alpha, beta, gamma
+    val docs = words.grouped(7).map(_.mkString(" ")).toSeq.toDF("text")
+    val hh = graft.pipeline.TextOps
+      .heavyHitters(docs, "text", depth = 4, width = 2048, minFracInv = 10L)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    // 2048 buckets vs 4 distinct words: collisions impossible to matter
+    // across ALL 4 rows, so estimates are exact and the set is exact
+    assert(hh == Map("alpha" -> 40L, "beta" -> 25L, "gamma" -> 9L))
+    // the SQL-registered aggregate agrees regardless of partitioning
+    val toks = words.toDF("w").repartition(13)
+      .select(vf.polyHashNative(col("w")).as("h"))
+    toks.createOrReplaceTempView("cms_toks")
+    val sk = spark.sql("SELECT graft_count_min(h) AS sk FROM cms_toks")
+      .collect().head.getSeq[Long](0)
+    val ref = graft.functions.CountMinUtil.reference(
+      words.map(w => graft.functions.PolyHashUtil.hash(
+        org.apache.spark.unsafe.types.UTF8String.fromString(w))), 4, 2048)
+    assert(sk == ref.toSeq)
+  }
+
   test("round-4 addition: graft_vec_sum aggregates elementwise from SQL") {
     GraftExtensions.register(spark)
     import spark.implicits._
