@@ -1221,6 +1221,44 @@ object QueriesPipeline {
         SELECT word, est FROM est CROSS JOIN n WHERE est * 1000 >= n.n"""
   }
 
+  /** C4-style duplicate-line scrub over a synthesized boilerplate corpus:
+    * the raw documents carry no newlines, so each doc is extended with a
+    * shared footer line (the text of doc `doc_id % 20` — 20 footers,
+    * each repeated ~N/20 times, the crawl-boilerplate shape the C4
+    * cleanup targets). Only each footer's first (id, pos) occurrence
+    * survives; own texts are unique and stay. */
+  def qLineScrub(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir).df
+    val footer = docs.select(col("doc_id").as("__fid"), col("text").as("__ftext"))
+    val synth = docs.join(footer, col("doc_id") % 20 === col("__fid"))
+      .select(col("doc_id"), concat_ws("\n", col("text"), col("__ftext")).as("text"))
+    Dedup.scrubDuplicateLines(synth, "doc_id", "text", minWords = 3)
+      .select(col("doc_id"), col("n_lines"), col("n_dropped"),
+        TextOps.polyHash(col("scrubbed")).as("kept_hash"))
+  }
+
+  val qLineScrubSql: String =
+    s"""WITH synth AS (SELECT d.doc_id AS doc_id, d.text || chr(10) || f.text AS text
+                       FROM documents d JOIN documents f ON f.doc_id = d.doc_id % 20),
+        ls AS (SELECT doc_id, string_split(text, chr(10)) AS ls FROM synth),
+        lines AS (SELECT doc_id, unnest(ls) AS line,
+                    unnest(range(0, len(ls))) AS pos FROM ls),
+        tag AS (SELECT doc_id, pos, line,
+                  len(list_filter(string_split_regex(line, '[ \\t\\n\\f\\r\\x0b]+'), x -> x <> '')) >= 3 AS sub
+                FROM lines),
+        rn AS (SELECT doc_id, pos, line, sub,
+                 row_number() OVER (PARTITION BY sub, line ORDER BY doc_id, pos) AS rn
+               FROM tag),
+        keepr AS (SELECT doc_id, pos, line, (NOT sub OR rn = 1) AS keep FROM rn),
+        agg AS (SELECT doc_id, count(*) AS n_lines,
+                  sum(CASE WHEN keep THEN 0 ELSE 1 END)::BIGINT AS n_dropped,
+                  array_to_string(list(line ORDER BY pos) FILTER (WHERE keep), chr(10)) AS scrubbed
+                FROM keepr GROUP BY doc_id)
+        SELECT doc_id, n_lines, n_dropped,
+          list_reduce([0] || [ord(c)::BIGINT for c in string_split(scrubbed, '')],
+                      (a, c) -> (a * 31 + c) % 1000000007) AS kept_hash
+        FROM agg"""
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_ivf_ann" -> (qIvfAnn _),
     "q_dedup_exact" -> (qDedupExact _),
@@ -1235,6 +1273,7 @@ object QueriesPipeline {
     "q_lm_against" -> (qLmAgainst _),
     "q_dsir" -> (qDsir _),
     "q_heavy_hitters" -> (qHeavyHitters _),
+    "q_line_scrub" -> (qLineScrub _),
     "q_source_cap" -> (qSourceCap _),
     "q_token_budget" -> (qTokenBudget _),
     "q_dedup_clusters" -> (qDedupClusters _),
@@ -1287,6 +1326,7 @@ object QueriesPipeline {
     "q_lm_against" -> qLmAgainstSql,
     "q_dsir" -> qDsirSql,
     "q_heavy_hitters" -> qHeavyHittersSql,
+    "q_line_scrub" -> qLineScrubSql,
     "q_source_cap" -> qSourceCapSql,
     "q_token_budget" -> qTokenBudgetSql,
     "q_dedup_clusters" -> qDedupClustersSql,

@@ -33,6 +33,53 @@ object Dedup {
       .select(col("keep_id"), col("n_copies"))
   }
 
+  /** C4-style corpus-wide duplicate-line scrub (Raffel et al. 2020 §2.2:
+    * boilerplate lines repeated across pages): every line that occurs
+    * more than once in the corpus keeps only its FIRST occurrence
+    * (global (id, pos) order — deterministic under any partitioning) and
+    * is dropped everywhere else. Lines under `minWords` words (menu
+    * fragments, blank separators) never participate — they are kept
+    * verbatim so document structure survives.
+    *
+    * Scale shape, same as [[exact]]: the duplicate grouping keys on the
+    * 8-byte `xxhash64(line)` — the shuffle carries hashes + (id, pos)
+    * structs, never line text — with a salted second hash as a collision
+    * guard that fails loudly rather than merging distinct lines. The
+    * rebuild is one groupBy(id) with an in-group sort; per-document line
+    * counts bound the collect_list.
+    *
+    * Output: (idCol, n_lines, n_dropped, scrubbed) — `scrubbed` is the
+    * document with surviving lines re-joined by newline, in order. */
+  def scrubDuplicateLines(docs: DataFrame, idCol: String, textCol: String,
+                          minWords: Int = 3): DataFrame = {
+    require(minWords >= 1, s"scrubDuplicateLines needs minWords >= 1, got $minWords")
+    val id = col(idCol)
+    val lines = docs.select(id,
+      posexplode(split(col(textCol), "\n", -1)).as(Seq("__pos", "__line")))
+    val isSub = size(graft.pipeline.TextOps.words(col("__line"))) >= minWords
+    val salted = xxhash64(col("__line"), lit(0x517cc1b7L))
+    val firsts = lines.where(isSub)
+      .groupBy(xxhash64(col("__line")).as("__lh"))
+      .agg(min(struct(id.as("i"), col("__pos").as("p"))).as("__first"),
+        min(salted).as("__v1"), max(salted).as("__v2"))
+      .filter(assert_true(col("__v1") === col("__v2"),
+        lit("xxhash64 collision in scrubDuplicateLines: distinct lines share a hash")).isNull)
+      .select(col("__lh"), col("__first"))
+    val tagged = lines
+      .withColumn("__sub", isSub)
+      .withColumn("__lh", xxhash64(col("__line")))
+      .join(firsts, Seq("__lh"), "left")
+      .withColumn("__keep", !col("__sub") ||
+        (col("__first.i") === id && col("__first.p") === col("__pos")))
+    tagged.groupBy(id)
+      .agg(count(lit(1)).as("n_lines"),
+        sum(when(col("__keep"), 0L).otherwise(1L)).as("n_dropped"),
+        array_join(transform(
+          sort_array(collect_list(when(col("__keep"),
+            struct(col("__pos"), col("__line"))))),
+          x => x.getField("__line")), "\n").as("scrubbed"))
+  }
+
   /** One pass over the corpus text: (id, word-n-gram shingle hashes),
     * closed by a `repartition(id)` exchange. Every minhash pipeline stage
     * (signature, band keys, verification sets) branches off this ONE

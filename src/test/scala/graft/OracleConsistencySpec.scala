@@ -10,9 +10,14 @@ import org.scalatest.funsuite.AnyFunSuite
 class OracleConsistencySpec extends AnyFunSuite {
 
   /** The one canonical DuckDB word-split idiom (explicit ASCII-whitespace
-    * class matching Java regex `\s`; RE2's `\s` lacks `\x0b`). */
+    * class matching Java regex `\s`; RE2's `\s` lacks `\x0b`), over any
+    * single column reference (`text`, `line`, ...). */
   private val WordSplit =
-    """list_filter(string_split_regex(text, '[ \t\n\f\r\x0b]+'), x -> x <> '')"""
+    """list_filter(string_split_regex(<col>, '[ \t\n\f\r\x0b]+'), x -> x <> '')"""
+  private val WordSplitRe =
+    (java.util.regex.Pattern.quote("list_filter(string_split_regex(") +
+      "[A-Za-z_][A-Za-z0-9_.]*" +
+      java.util.regex.Pattern.quote(""", '[ \t\n\f\r\x0b]+'), x -> x <> '')""")).r
 
   test("no oracle uses RE2 \\s — Java and RE2 disagree on vertical tab") {
     for ((name, sql) <- SparkEntry.oracleSql)
@@ -24,7 +29,7 @@ class OracleConsistencySpec extends AnyFunSuite {
   test("every oracle that tokenizes uses the one canonical word-split idiom") {
     for ((name, sql) <- SparkEntry.oracleSql if sql.contains("string_split_regex")) {
       val splits = "string_split_regex".r.findAllIn(sql).length
-      val canonical = java.util.regex.Pattern.quote(WordSplit).r.findAllIn(sql).length
+      val canonical = WordSplitRe.findAllIn(sql).length
       assert(splits == canonical,
         s"$name: ${splits - canonical} string_split_regex call(s) deviate from " +
           s"the canonical word-split idiom:\n  $WordSplit")

@@ -106,6 +106,27 @@ class SpanDedupSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("scrubDuplicateLines: first occurrence wins, short lines exempt, order kept") {
+    val docs = Seq(
+      (1L, "unique opening line one\nshared footer line here\nok"),
+      (2L, "another distinct first line\nshared footer line here"),
+      (3L, "shared footer line here\nlast unique content line"),
+      (4L, "ok\nok\nthird unique line of text"),  // "ok" < 3 words: kept twice
+      (5L, ""))                                   // empty doc: one empty line
+      .toDF("doc_id", "text")
+    val out = Dedup.scrubDuplicateLines(docs, "doc_id", "text", minWords = 3)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getString(3))))
+      .toMap
+    assert(out(1L) == ((3L, 0L, "unique opening line one\nshared footer line here\nok")),
+      "doc 1 holds the footer's first occurrence")
+    assert(out(2L) == ((2L, 1L, "another distinct first line")))
+    assert(out(3L) == ((2L, 1L, "last unique content line")),
+      "dropping a leading line keeps later lines in order")
+    assert(out(4L) == ((3L, 0L, "ok\nok\nthird unique line of text")),
+      "sub-minWords duplicates are structural, never scrubbed")
+    assert(out(5L) == ((1L, 0L, "")), "empty doc survives as one empty line")
+  }
+
   test("repeatedSpans equals a brute-force reference on seeded random corpora") {
     // tiny vocab forces heavy cross-doc gram sharing — the regime where
     // island assembly, thresholds, and the collision-guard stage all work
