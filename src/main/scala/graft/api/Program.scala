@@ -201,6 +201,14 @@ object Program {
   final case class LmScore(name: String, input: String, ref: String,
                            idCol: String, textCol: String, refTextCol: String,
                            alpha: Double) extends Node
+  /** DSIR importance scoring (`TextOps.dsirScore`, format version 3):
+    * hashed-bigram bucket log-ratio of a `target` vs a `raw` reference
+    * corpus. Build-time eager (the bucket-count artifacts pin at program
+    * build, like [[LmScore]]'s model). */
+  final case class DsirScore(name: String, input: String, target: String,
+                             raw: String, idCol: String, textCol: String,
+                             refTextCol: String, buckets: Int,
+                             alpha: Double) extends Node
   /** Fixed-vocabulary token encoding at ingest (`TextOps.encodeTokensIngest`);
     * `vocab` names a (word, id) input. */
   final case class EncodeIngest(name: String, input: String, vocab: String,
@@ -399,6 +407,7 @@ object Program {
     case cd: CorpusDedup => Seq(cd.input, cd.ref)
     case ed: EmbedDedup => Seq(ed.input, ed.ref) ++ ed.centroids
     case lm: LmScore => Seq(lm.input, lm.ref)
+    case ds: DsirScore => Seq(ds.input, ds.target, ds.raw)
     case ei: EncodeIngest => Seq(ei.input, ei.vocab)
     case di: DecontamIngest => Seq(di.input, di.bench)
     case ip: IvfProbe => Seq(ip.input, ip.corpus, ip.centroids)
@@ -582,6 +591,9 @@ object Program {
         case LmScore(name, i, ref, idCol, textCol, refTextCol, alpha) =>
           graft.pipeline.TextOps.lmScoreAgainst(in(i),
             staticSide(name, in, ref), idCol, textCol, refTextCol, alpha)
+        case DsirScore(name, i, tgt, raw, idCol, textCol, refTextCol, buckets, alpha) =>
+          graft.pipeline.TextOps.dsirScore(in(i), staticSide(name, in, tgt),
+            staticSide(name, in, raw), idCol, textCol, refTextCol, buckets, alpha)
         case EncodeIngest(name, i, vocab, idCol, textCol, oovId) =>
           graft.pipeline.TextOps.encodeTokensIngest(in(i),
             staticSide(name, in, vocab), idCol, textCol, oovId)
@@ -634,6 +646,7 @@ object Program {
     case x: CorpusDedup => x.copy(name = name)
     case x: EmbedDedup => x.copy(name = name)
     case x: LmScore => x.copy(name = name)
+    case x: DsirScore => x.copy(name = name)
     case x: EncodeIngest => x.copy(name = name)
     case x: DecontamIngest => x.copy(name = name)
     case x: IvfProbe => x.copy(name = name)
@@ -864,6 +877,13 @@ object Program {
                        refTextCol: String, alpha: Double = 0.5): Rec =
       derive("lmScore", Seq(ref))(n => LmScore(n, name, ref.name, idCol,
         textCol, refTextCol, alpha))
+    /** DSIR importance scoring against `target` and `raw` reference
+      * corpora (format version 3). */
+    def dsirScore(target: Rec, raw: Rec, idCol: String, textCol: String,
+                  refTextCol: String, buckets: Int = 4096,
+                  alpha: Double = 1.0): Rec =
+      derive("dsirScore", Seq(target, raw))(n => DsirScore(n, name,
+        target.name, raw.name, idCol, textCol, refTextCol, buckets, alpha))
     /** Fixed-vocabulary token encoding at ingest. */
     def encodeIngest(vocab: Rec, idCol: String, textCol: String,
                      oovId: Long = -1L): Rec =
@@ -914,14 +934,16 @@ object Program {
     *
     * Version history: 1 = the original 21-node §2 grammar; 2 adds the six
     * pipeline ingest-face nodes (corpusDedup, embedDedup, lmScore,
-    * encodeIngest, decontaminateIngest, ivfProbe). [[toJson]] stamps each
-    * document with the LOWEST version that can express it, so a document
-    * using only the v1 grammar stays loadable by a v1 library. */
-  val FormatVersion: Int = 2
+    * encodeIngest, decontaminateIngest, ivfProbe); 3 adds dsirScore.
+    * [[toJson]] stamps each document with the LOWEST version that can
+    * express it, so a document using only the v1 grammar stays loadable
+    * by a v1 library. */
+  val FormatVersion: Int = 3
 
   /** The lowest format version expressing every node in `doc`. */
   private def requiredVersion(doc: Doc): Int =
-    if (doc.nodes.exists {
+    if (doc.nodes.exists { case _: DsirScore => true; case _ => false }) 3
+    else if (doc.nodes.exists {
       case _: CorpusDedup | _: EmbedDedup | _: LmScore | _: EncodeIngest |
            _: DecontamIngest | _: IvfProbe => true
       case _ => false
@@ -1012,6 +1034,11 @@ object Program {
         ("op" -> "lmScore") ~ ("name" -> name) ~ ("input" -> i) ~
           ("ref" -> ref) ~ ("idCol" -> idCol) ~ ("textCol" -> textCol) ~
           ("refTextCol" -> refTextCol) ~ ("alpha" -> alpha)
+      case DsirScore(name, i, tgt, raw, idCol, textCol, refTextCol, buckets, alpha) =>
+        ("op" -> "dsirScore") ~ ("name" -> name) ~ ("input" -> i) ~
+          ("target" -> tgt) ~ ("raw" -> raw) ~ ("idCol" -> idCol) ~
+          ("textCol" -> textCol) ~ ("refTextCol" -> refTextCol) ~
+          ("buckets" -> buckets) ~ ("alpha" -> alpha)
       case EncodeIngest(name, i, vocab, idCol, textCol, oovId) =>
         ("op" -> "encodeIngest") ~ ("name" -> name) ~ ("input" -> i) ~
           ("vocab" -> vocab) ~ ("idCol" -> idCol) ~ ("textCol" -> textCol) ~
@@ -1132,6 +1159,12 @@ object Program {
             (v \ "ref").extract[String], (v \ "idCol").extract[String],
             (v \ "textCol").extract[String], (v \ "refTextCol").extract[String],
             (v \ "alpha").extractOpt[Double].getOrElse(0.5))
+          case "dsirScore" => DsirScore(name, (v \ "input").extract[String],
+            (v \ "target").extract[String], (v \ "raw").extract[String],
+            (v \ "idCol").extract[String], (v \ "textCol").extract[String],
+            (v \ "refTextCol").extract[String],
+            (v \ "buckets").extractOpt[Int].getOrElse(4096),
+            (v \ "alpha").extractOpt[Double].getOrElse(1.0))
           case "encodeIngest" => EncodeIngest(name, (v \ "input").extract[String],
             (v \ "vocab").extract[String], (v \ "idCol").extract[String],
             (v \ "textCol").extract[String],
@@ -1201,6 +1234,13 @@ object Program {
             env(lm.ref).df.select(col(lm.refTextCol)).schema
             emptyOf(graft.pipeline.TextOps.lmScoreOutputSchema(
               lm.idCol, s.df.schema(lm.idCol).dataType))
+          case ds: DsirScore =>
+            val s = env(ds.input)
+            s.df.select(col(ds.idCol), col(ds.textCol)).schema
+            env(ds.target).df.select(col(ds.refTextCol)).schema
+            env(ds.raw).df.select(col(ds.refTextCol)).schema
+            emptyOf(graft.pipeline.TextOps.dsirOutputSchema(
+              ds.idCol, s.df.schema(ds.idCol).dataType))
           case ed: EmbedDedup if ed.centroids.isDefined =>
             val s = env(ed.input)
             s.df.select(col(ed.idCol), col(ed.vecCol)).schema
@@ -1354,6 +1394,11 @@ object Program {
           if (lm.alpha <= 0.0) throw new IllegalArgumentException(
             s"node '${n.name}': lmScore needs alpha > 0, got ${lm.alpha}")
           Seq(lm.input, lm.ref)
+        case ds: DsirScore =>
+          if (ds.alpha <= 0.0 || ds.buckets <= 0) throw new IllegalArgumentException(
+            s"node '${n.name}': dsirScore needs alpha > 0 and buckets > 0, " +
+              s"got alpha=${ds.alpha} buckets=${ds.buckets}")
+          Seq(ds.input, ds.target, ds.raw)
         case ei: EncodeIngest => Seq(ei.input, ei.vocab)
         case di: DecontamIngest =>
           if (di.n < 1 || di.minOverlap < 1) throw new IllegalArgumentException(

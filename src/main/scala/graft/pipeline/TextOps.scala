@@ -696,6 +696,15 @@ object TextOps {
     * is O(buckets) regardless of corpus size; scoring is a zero-shuffle
     * projection + broadcast joins per arrival batch. The reference's
     * capability ceiling doesn't apply — no per-key state anywhere. */
+  def dsirOutputSchema(idCol: String,
+      idType: org.apache.spark.sql.types.DataType): org.apache.spark.sql.types.StructType = {
+    import org.apache.spark.sql.types._
+    StructType(Seq(StructField(idCol, idType),
+      StructField("n_feats", LongType, nullable = false),
+      StructField("dsir_weight", DoubleType),
+      StructField("selected", BooleanType, nullable = false)))
+  }
+
   def dsirScore(stream: graft.api.MStream, targetDocs: org.apache.spark.sql.DataFrame,
                 rawDocs: org.apache.spark.sql.DataFrame,
                 idCol: String, textCol: String, refTextCol: String,

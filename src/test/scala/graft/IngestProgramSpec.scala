@@ -210,6 +210,53 @@ class IngestProgramSpec extends SparkSpec {
       e.getMessage)
   }
 
+  test("dsirScore node: v3 stamping, codec identity, document run equals direct API") {
+    val rawDf = ref.select("text")
+      .union(arriving.toDF("doc_id", "text").select("text")).toDF("text")
+    val doc = Doc(
+      nodes = Seq(External("docs"), External("tgt"), External("rawc"),
+        DsirScore("w", "docs", "tgt", "rawc", "doc_id", "text", "text", 512, 1.0)),
+      outputs = Seq("w"))
+    val json = Program.toJson(doc)
+    assert(json.contains("\"version\":3"), "dsirScore requires format version 3")
+    assert(Program.fromJson(json) == doc, "codec is the identity on dsirScore")
+    assert(Program.toJson(pipelineDoc).contains("\"version\":2"),
+      "documents without dsirScore still stamp the lowest version")
+
+    val config = new App.Config()
+      .setSource("docs", App.Source("list", rows = Some(arriving.toDF("doc_id", "text"))))
+      .setSource("tgt", App.Source("list", rows = Some(ref)))
+      .setSource("rawc", App.Source("list", rows = Some(rawDf)))
+      .addSink("w", App.Sink("memory"))
+    Program.validate(doc, spark, config) // schema-only: no model training here
+    val out = App.runProgram(spark, config, json)
+      .collectFirst { case App.BatchOutput("w", df) => df }.get
+    def key(r: org.apache.spark.sql.Row) = (r.getLong(0), r.getLong(1),
+      if (r.isNullAt(2)) None else Some(r.getDouble(2)), r.getBoolean(3))
+    val got = out.collect().map(key).toSet
+    val direct = graft.pipeline.TextOps.dsirScore(
+        MStream(arriving.toDF("doc_id", "text")), ref, rawDf,
+        "doc_id", "text", "text", buckets = 512)
+      .df.collect().map(key).toSet
+    assert(got == direct && got.map(_._1) == Set(1L, 2L, 3L, 4L),
+      "document run equals the direct dsirScore API")
+
+    // capture surface records it; captured doc survives the codec
+    val docsR = Program.Rec.external("docs", MStream(arriving.toDF("doc_id", "text")))
+    val tgtR = Program.Rec.external("tgt", MStream(ref))
+    val rawR = Program.Rec.external("rawc", MStream(rawDf))
+    val cap = Program.capture(
+      docsR.dsirScore(tgtR, rawR, "doc_id", "text", "text", buckets = 512).as("w"))
+    assert(Program.fromJson(Program.toJson(cap)) == cap)
+
+    // parameter validation names the node
+    val bad = Doc(Seq(External("a"), External("t"), External("r"),
+      DsirScore("w", "a", "t", "r", "id", "text", "text", 512, 0.0)), Seq("w"))
+    val e = intercept[IllegalArgumentException](Program.fromJson(Program.toJson(bad)))
+    assert(e.getMessage.contains("'w'") && e.getMessage.contains("alpha > 0"), e.getMessage)
+    graft.api.Pinned.release(spark)
+  }
+
   test("schema validation covers ingest nodes without running driver jobs") {
     val config = new App.Config()
       .setSource("docs", App.Source("list", rows = Some(arriving.toDF("doc_id", "text"))))
