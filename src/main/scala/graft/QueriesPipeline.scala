@@ -497,6 +497,66 @@ object QueriesPipeline {
        FROM q, e WHERE vec_id <> q_id
        QUALIFY rn <= 5"""
 
+  /** Product-quantization ADC top-k (Jégou et al. 2011): 4 subspaces of
+    * 16 dims, 8 codewords each, two Lloyd rounds per subspace; the probe
+    * set scores the PQ-compressed corpus by asymmetric distance. The
+    * oracle re-trains every sub-codebook with per-subspace Lloyd unrolls
+    * and recomputes the ADC sums in the same fixed subspace order. */
+  def qPqTopK(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, dir).df
+    val books = graft.pipeline.Pq.train(emb, "vec_id", "embedding",
+      m = 4, ksub = 8, iters = 2)
+    val queries = emb.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("q_id"), col("embedding"))
+    graft.pipeline.Pq.adcTopK(emb, queries, "vec_id", "embedding", "q_id",
+      books, topK = 5)
+  }
+
+  val qPqTopKSql: String = {
+    val sd = 16; val m = 4; val ksub = 8
+    def lo(j: Int) = j * sd + 1
+    def hi(j: Int) = (j + 1) * sd
+    def dist(p: String, c: String) =
+      s"list_dot_product($p, $p) - 2*list_dot_product($p, $c) + list_dot_product($c, $c)"
+    def assign(j: Int, cent: String) =
+      s"""(SELECT vec_id, cid FROM (
+            SELECT e.vec_id, c.cid,
+              row_number() OVER (PARTITION BY e.vec_id
+                ORDER BY ${dist(s"e.v[${lo(j)}:${hi(j)}]", "c.cv")}, c.cid) AS rn
+            FROM e, $cent c) WHERE rn = 1)"""
+    def update(j: Int, asg: String) =
+      s"""(SELECT cid, list(m ORDER BY pos) AS cv FROM (
+            SELECT a.cid, t.pos, avg(e.v[${lo(j)} + t.pos - 1]) AS m
+            FROM $asg a JOIN e USING (vec_id),
+                 LATERAL (SELECT unnest(generate_series(1, $sd)) AS pos) t
+            GROUP BY a.cid, t.pos) GROUP BY cid)"""
+    val perSub = (0 until m).map { j =>
+      s"""s${j}0 AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid,
+                  v[${lo(j)}:${hi(j)}] AS cv
+                FROM (SELECT * FROM e ORDER BY vec_id LIMIT $ksub)),
+          a${j}1 AS ${assign(j, s"s${j}0")},
+          s${j}1 AS ${update(j, s"a${j}1")},
+          a${j}2 AS ${assign(j, s"s${j}1")},
+          s${j}2 AS ${update(j, s"a${j}2")},
+          code$j AS ${assign(j, s"s${j}2")}"""
+    }.mkString(",\n        ")
+    val joins = (0 until m).map(j =>
+      s"JOIN code$j c$j ON c$j.vec_id = x.vec_id JOIN s${j}2 b$j ON b$j.cid = c$j.cid")
+      .mkString("\n               ")
+    val dsum = (0 until m)
+      .map(j => s"(${dist(s"q.qv[${lo(j)}:${hi(j)}]", s"b$j.cv")})").mkString(" + ")
+    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        $perSub,
+        q AS (SELECT vec_id AS q_id, v AS qv FROM e WHERE vec_id < 10),
+        adc AS (SELECT q.q_id AS q_id, x.vec_id AS vec_id, $dsum AS adc
+                FROM q, e x
+               $joins
+                WHERE x.vec_id <> q.q_id)
+        SELECT q_id, vec_id, round(adc, 6) AS adc,
+          row_number() OVER (PARTITION BY q_id ORDER BY adc, vec_id) AS rn
+        FROM adc QUALIFY rn <= 5"""
+  }
+
   /** Language-ID heuristic: argmax of per-language marker-word hits. */
   def qLangId(spark: SparkSession, dir: String): DataFrame = {
     val d = Tables.documents(spark, dir).df
@@ -1293,6 +1353,7 @@ object QueriesPipeline {
     "q_embed_ingest_ivf" -> (qEmbedIngestIvf _),
     "q_semantic_dedup" -> (qSemanticDedup _),
     "q_ann_topk" -> (qAnnTopK _),
+    "q_pq_topk" -> (qPqTopK _),
     "q_langid" -> (qLangId _),
     "q_text_quality" -> (qTextQuality _),
     "q_token_count" -> (qTokenCount _),
@@ -1346,6 +1407,7 @@ object QueriesPipeline {
     "q_embed_ingest_ivf" -> qEmbedIngestIvfSql,
     "q_semantic_dedup" -> qSemanticDedupSql,
     "q_ann_topk" -> qAnnTopKSql,
+    "q_pq_topk" -> qPqTopKSql,
     "q_langid" -> qLangIdSql,
     "q_text_quality" -> qTextQualitySql,
     "q_token_count" -> qTokenCountSql,

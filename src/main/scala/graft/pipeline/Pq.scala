@@ -1,0 +1,159 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/**
+ * Product quantization for compressed ANN (Jégou, Douze & Schmid 2011,
+ * "Product Quantization for Nearest Neighbor Search"): each vector splits
+ * into `m` contiguous sub-vectors, each subspace gets its own small
+ * k-means codebook (`ksub` codewords), and a vector's compressed form is
+ * its `m` codeword ids — dim×4 bytes shrink to m small ints. Search uses
+ * asymmetric distance computation (ADC): per query, ONE `m × ksub` table
+ * of exact sub-distances to every codeword, then each corpus row scores
+ * with `m` table lookups instead of a dim-length dot product.
+ *
+ * This is the 100 TB shape for embedding search: the corpus at rest is
+ * codes (≈32× smaller at m=4, ksub≤256 over 64 float dims), the scan is
+ * lookup-bound, and the codebooks are driver-sized literal artifacts like
+ * [[Ivf]]'s (the two compose: IVF cells prune candidates, PQ codes score
+ * them — `adcTopK` here is the exhaustive-ADC face that carries the
+ * oracle). Training follows [[Ivf.train]]'s discipline — deterministic
+ * lowest-id initialization, literal-codebook assignment expressions, one
+ * corpus scan per Lloyd round for ALL subspaces (the per-subspace
+ * assignments explode into (sub, cid, sub-vector) rows whose lengths sum
+ * to the original dim — same bytes shuffled as one [[graft.functions.VectorSum]]
+ * pass), and a shuffle of only `m × ksub` partial-sum rows per round.
+ */
+object Pq {
+
+  /** Train the `m` sub-codebooks. Output (sub, cid, cv) — `cv` has
+    * dim/m elements; collect with [[collectBooks]]. */
+  def train(embs: DataFrame, idCol: String, vecCol: String,
+            m: Int, ksub: Int, iters: Int): DataFrame = {
+    require(m >= 1 && m <= 64, s"m=$m subspaces: keep 1..64")
+    require(ksub >= 1 && ksub <= 256,
+      s"ksub=$ksub: PQ codes are small ints by design; keep ksub <= 256")
+    require(iters >= 0, s"iters=$iters must be non-negative")
+    val spark = embs.sparkSession
+    import spark.implicits._
+    val pts = embs.select(col(idCol).as("__pid"),
+        col(vecCol).cast("array<double>").as("__pv"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val dim = pts.select(size(col("__pv"))).head().getInt(0)
+      require(dim % m == 0, s"vector dim $dim is not divisible by m=$m subspaces")
+      val sd = dim / m
+      def subv(j: Int, c: Column): Column = slice(c, j * sd + 1, sd)
+      // deterministic init: the ksub lowest ids' sub-vectors, like Ivf
+      val init = pts.orderBy("__pid").limit(ksub).collect().map(_.getSeq[Double](1))
+      var books: IndexedSeq[Seq[(Int, Seq[Double])]] = (0 until m).map { j =>
+        init.zipWithIndex.map { case (v, i) => (i, v.slice(j * sd, (j + 1) * sd)) }.toSeq
+      }
+      var it = 0
+      while (it < iters) {
+        // ONE corpus scan updates every subspace: explode m
+        // (sub, cid, sub-vector) structs per row — total exploded payload
+        // equals the original vector — then partial-sum per (sub, cid)
+        val rows = pts
+          .select(explode(array((0 until m).map { j =>
+            struct(lit(j).as("sub"),
+              Ivf.nearestCid(subv(j, col("__pv")), books(j)).as("cid"),
+              subv(j, col("__pv")).as("sv"))
+          }: _*)).as("__a"))
+          .select(col("__a.sub"), col("__a.cid"), col("__a.sv"))
+          .groupBy(col("sub"), col("cid"))
+          .agg(graft.functions.VectorFunctions.vectorSum(col("sv")).as("__s"),
+            count(col("sv")).as("__n"))
+          .collect()
+        books = (0 until m).map { j =>
+          rows.filter(_.getInt(0) == j).map { r =>
+            val n = r.getLong(3).toDouble
+            (r.getInt(1), r.getSeq[Double](2).map(_ / n))
+          }.toSeq.sortBy(_._1)
+        }
+        it += 1
+      }
+      books.zipWithIndex
+        .flatMap { case (b, j) => b.map { case (c, v) => (j, c, v) } }
+        .toDF("sub", "cid", "cv")
+    } finally pts.unpersist(blocking = false)
+  }
+
+  /** Collect a (sub, cid, cv) codebook frame to the driver artifact,
+    * indexed by subspace; enforces the contiguous-cid invariant ADC
+    * lookup tables rely on (an empty training cell would leave a hole —
+    * fail loudly, don't mis-index). */
+  def collectBooks(codebooks: DataFrame): IndexedSeq[Seq[(Int, Seq[Double])]] = {
+    val rows = codebooks.select(col("sub"), col("cid"), col("cv").cast("array<double>"))
+      .collect().map(r => (r.getInt(0), r.getInt(1), r.getSeq[Double](2)))
+    require(rows.nonEmpty, "PQ codebook frame is empty — train() first")
+    val m = rows.map(_._1).max + 1
+    (0 until m).map { j =>
+      val b = rows.filter(_._1 == j).map(r => (r._2, r._3)).toSeq.sortBy(_._1)
+      require(b.map(_._1) == (0 until b.size),
+        s"PQ codebook subspace $j has non-contiguous cids ${b.map(_._1)} " +
+          "(an empty training cell?) — retrain with smaller ksub or more data")
+      b
+    }
+  }
+
+  /** PQ-encode: each vector becomes its `m` codeword ids — the
+    * compressed at-rest representation. Pure literal-codebook projection,
+    * no shuffle. */
+  def encode(embs: DataFrame, idCol: String, vecCol: String,
+             codebooks: DataFrame): DataFrame =
+    encodeWith(embs, idCol, vecCol, collectBooks(codebooks))
+
+  private def encodeWith(embs: DataFrame, idCol: String, vecCol: String,
+                         books: IndexedSeq[Seq[(Int, Seq[Double])]]): DataFrame = {
+    val sd = books.head.head._2.size
+    val v = col(vecCol).cast("array<double>")
+    embs.select(col(idCol),
+      array(books.indices.map(j =>
+        Ivf.nearestCid(slice(v, j * sd + 1, sd), books(j))): _*).as("codes"))
+  }
+
+  /** Exhaustive ADC top-k: per query one `m × ksub` lookup table of exact
+    * sub-distances (flattened sub-major, codeword-ascending), corpus rows
+    * score with `m` array lookups summed in fixed subspace order (fp
+    * determinism), bounded top-k per query via the map-side
+    * [[graft.functions.BoundedTopK]] heap — the shuffle carries
+    * queries × k rows. `adc` is the approximate SQUARED L2 distance
+    * (ascending = nearest), ties on the lower id. Queries are broadcast
+    * (the probe set is small by contract); compose with [[Ivf]] cells to
+    * prune the corpus side at cluster scale. */
+  def adcTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
+              vecCol: String, qIdCol: String, codebooks: DataFrame,
+              topK: Int): DataFrame = {
+    require(topK >= 1, s"topK=$topK must be positive")
+    val books = collectBooks(codebooks)
+    val m = books.size
+    val sd = books.head.head._2.size
+    val enc = encodeWith(corpus, idCol, vecCol, books)
+    val lutCols = books.zipWithIndex.flatMap { case (b, j) =>
+      val qj = slice(col("__qv"), j * sd + 1, sd)
+      b.map { case (_, cv) =>
+        var cc = 0.0
+        cv.foreach(x => cc += x * x) // driver fold, left-to-right like DotProduct
+        Similarity.dot(qj, qj) - lit(2.0) * Similarity.dot(qj, typedLit(cv)) + lit(cc)
+      }
+    }
+    val q = queries
+      .select(col(qIdCol), col(vecCol).cast("array<double>").as("__qv"))
+      .select(col(qIdCol), array(lutCols: _*).as("__lut"))
+    val offs = books.map(_.size).scanLeft(0)(_ + _)
+    val adc = (0 until m).map(j =>
+        element_at(col("__lut"), lit(offs(j) + 1) + element_at(col("codes"), j + 1)))
+      .reduce(_ + _)
+    enc.crossJoin(broadcast(q))
+      .filter(col(idCol) =!= col(qIdCol))
+      .select(col(qIdCol), col(idCol).cast("long").as("__id"), (-adc).as("__s"))
+      .groupBy(col(qIdCol))
+      .agg(graft.functions.VectorFunctions.topKByScore(col("__id"), col("__s"), topK)
+        .as("__top"))
+      .select(col(qIdCol), posexplode(col("__top")))
+      .select(col(qIdCol), col("col.id").as(idCol),
+        round(-col("col.cos"), 6).as("adc"), (col("pos") + 1).cast("int").as("rn"))
+  }
+}

@@ -1,0 +1,96 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.pipeline.Pq
+
+/** Product quantization: codebook training invariants, ADC against the
+  * definitional per-pair sum, and exactness on a codeword-exact corpus
+  * (recall-complete by construction — quantization is lossless there, so
+  * ADC ordering must equal the true squared-L2 ordering). */
+class PqSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def rngVecs(n: Int, dim: Int, seed: Long): Seq[(Long, Seq[Double])] = {
+    val r = new scala.util.Random(seed)
+    (0L until n.toLong).map(i => (i, Seq.fill(dim)(r.nextDouble() * 2 - 1)))
+  }
+
+  test("training: deterministic, contiguous cids, codes in range, partition-stable") {
+    val data = rngVecs(60, 8, seed = 11)
+    val df = data.toDF("vec_id", "embedding")
+    val b1 = Pq.train(df, "vec_id", "embedding", m = 2, ksub = 4, iters = 2)
+    def canon(b: org.apache.spark.sql.DataFrame) =
+      b.collect().map(r => ((r.getInt(0), r.getInt(1)), r.getSeq[Double](2))).toMap
+    assert(canon(b1) ==
+      canon(Pq.train(df, "vec_id", "embedding", m = 2, ksub = 4, iters = 2)),
+      "re-training on the same frame is bit-deterministic")
+    // a different partitioning reorders the VectorSum partial sums: the
+    // centroids agree to fp accumulation noise, not bit-exactly (same
+    // contract as Ivf.train — the oracle runs against ONE fixed layout)
+    val c1 = canon(b1)
+    val c2 = canon(Pq.train(df.repartition(7), "vec_id", "embedding", m = 2, ksub = 4, iters = 2))
+    assert(c1.keySet == c2.keySet && c1.forall { case (k, v) =>
+      v.zip(c2(k)).forall { case (a, b) => math.abs(a - b) < 1e-9 } },
+      "codebooks are partition-stable to accumulation noise")
+    val books = Pq.collectBooks(b1)
+    assert(books.size == 2 && books.forall(_.map(_._1) == (0 until 4)))
+    val codes = Pq.encode(df, "vec_id", "embedding", b1)
+      .collect().map(r => (r.getLong(0), r.getSeq[Int](1)))
+    assert(codes.length == 60 &&
+      codes.forall { case (_, cs) => cs.size == 2 && cs.forall(c => c >= 0 && c < 4) })
+  }
+
+  test("ADC equals the definitional per-pair lookup sum") {
+    val data = rngVecs(40, 8, seed = 23)
+    val df = data.toDF("vec_id", "embedding")
+    val cb = Pq.train(df, "vec_id", "embedding", m = 2, ksub = 4, iters = 1)
+    val books = Pq.collectBooks(cb)
+    val sd = 4
+    def sub(v: Seq[Double], j: Int) = v.slice(j * sd, (j + 1) * sd)
+    def d2(a: Seq[Double], b: Seq[Double]) =
+      a.zip(b).foldLeft(0.0) { case (s, (x, y)) => s + (x - y) * (x - y) }
+    def codeOf(v: Seq[Double], j: Int): Int =
+      books(j).minBy { case (cid, cv) => (d2(sub(v, j), cv), cid) }._1
+    val queries = df.where(col("vec_id") < 3)
+      .select(col("vec_id").as("q_id"), col("embedding"))
+    val got = Pq.adcTopK(df, queries, "vec_id", "embedding", "q_id", cb, topK = 40)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    val byId = data.toMap
+    for (q <- 0L until 3L; x <- data.map(_._1) if x != q) {
+      val expect = (0 until 2).map { j =>
+        // the LUT entry is |q_j|^2 - 2 q_j.c + |c|^2, summed in j order
+        val c = books(j)(codeOf(byId(x), j))._2
+        val qj = sub(byId(q), j)
+        qj.foldLeft(0.0)((s, v) => s + v * v) -
+          2.0 * qj.zip(c).foldLeft(0.0) { case (s, (a, b)) => s + a * b } +
+          c.foldLeft(0.0)((s, v) => s + v * v)
+      }.sum
+      assert(math.abs(got((q, x)) - expect) < 1e-6,
+        s"ADC($q,$x): ${got((q, x))} vs reference $expect")
+    }
+  }
+
+  test("codeword-exact corpus: ADC ordering equals true squared-L2 ordering") {
+    // four distinct base vectors at ids 0..3 (the deterministic init picks
+    // them), repeated across the corpus: Lloyd fixes the codewords at the
+    // bases, quantization is lossless, ADC == exact distance
+    val r = new scala.util.Random(5)
+    val bases = Seq.fill(4)(Seq.fill(8)(r.nextDouble() * 2 - 1))
+    val data = (0L until 40L).map(i => (i, bases((i % 4).toInt)))
+    val df = data.toDF("vec_id", "embedding")
+    val cb = Pq.train(df, "vec_id", "embedding", m = 2, ksub = 4, iters = 2)
+    val queries = df.where(col("vec_id") === 0)
+      .select(col("vec_id").as("q_id"), col("embedding"))
+    val got = Pq.adcTopK(df, queries, "vec_id", "embedding", "q_id", cb, topK = 39)
+      .collect().map(r => (r.getLong(1), r.getDouble(2), r.getInt(3)))
+    def d2(a: Seq[Double], b: Seq[Double]) =
+      a.zip(b).foldLeft(0.0) { case (s, (x, y)) => s + (x - y) * (x - y) }
+    val exact = data.filter(_._1 != 0L)
+      .map { case (i, v) => (i, d2(bases(0), v)) }
+      .sortBy { case (i, d) => (d, i) }
+    assert(got.map(_._1).toSeq == exact.map(_._1),
+      "lossless quantization: ADC ranking equals the exact ranking")
+    got.zip(exact).foreach { case ((_, adc, _), (_, ed)) =>
+      assert(math.abs(adc - ed) < 1e-6, s"ADC $adc vs exact $ed") }
+  }
+}
