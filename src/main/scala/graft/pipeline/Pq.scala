@@ -157,6 +157,66 @@ object Pq {
     adcTopKCodedWith(coded, queries, idCol, vecCol, qIdCol,
       collectBooks(codebooks), topK)
 
+  /** IVF + PQ (Jégou et al.'s IVFADC): the coarse IVF cells prune
+    * candidates, the PQ codes score them — the canonical billion-scale
+    * composition. The corpus materializes ONCE as (id, cid, codes)
+    * (coarse cell + compressed codes, pinned); each query explodes to
+    * its `nProbe` nearest cells (literal-codebook expression, no
+    * shuffle), equi-joins the coded corpus on the cell id — no product
+    * join anywhere — and ADC-scores only the joined candidates.
+    * `broadcastCorpus = false` for a cid-bucketed corpus table at
+    * cluster scale, as [[Ivf.searchIngest]]. Recall follows the probed
+    * cells: with every near neighbor's cell probed the result equals
+    * [[adcTopK]] exactly (PqSpec pins this). */
+  def ivfAdcTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
+                 vecCol: String, qIdCol: String, centroids: DataFrame,
+                 codebooks: DataFrame, topK: Int, nProbe: Int,
+                 broadcastCorpus: Boolean = true): DataFrame = {
+    require(topK >= 1 && nProbe >= 1, s"need topK/nProbe >= 1, got $topK/$nProbe")
+    val cent = Ivf.collectCodebook(centroids)
+    val books = collectBooks(codebooks)
+    val m = books.size
+    val sd = books.head.head._2.size
+    val v = col(vecCol).cast("array<double>")
+    val (coded, ids) = graft.api.Pinned.checkpointTracked(
+      corpus
+        .select(col(idCol) +: v.as("__pv") +:
+          books.indices.map(j => slice(v, j * sd + 1, sd).as(s"__s$j")): _*)
+        .select(col(idCol), Ivf.nearestCid(col("__pv"), cent).as("cid"),
+          array(books.indices.map(j =>
+            Ivf.nearestCid(col(s"__s$j"), books(j))): _*).as("codes")))
+    graft.api.Pinned.register(corpus.sparkSession, ids)
+    val lutCols = books.zipWithIndex.flatMap { case (b, j) =>
+      val qj = col(s"__q$j")
+      b.map { case (_, cv) =>
+        var cc = 0.0
+        cv.foreach(x => cc += x * x)
+        col(s"__qq$j") - lit(2.0) * Similarity.dot(qj, typedLit(cv)) + lit(cc)
+      }
+    }
+    val q = queries
+      .select(col(qIdCol), col(vecCol).cast("array<double>").as("__qv"))
+      .select(col(qIdCol) +: col("__qv") +: books.indices.map(j =>
+        slice(col("__qv"), j * sd + 1, sd).as(s"__q$j")): _*)
+      .select(col(qIdCol) +: col("__qv") +: books.indices.flatMap(j =>
+        Seq(col(s"__q$j"), Similarity.dot(col(s"__q$j"), col(s"__q$j")).as(s"__qq$j"))): _*)
+      .select(col(qIdCol), array(lutCols: _*).as("__lut"),
+        explode(Ivf.probeCids(col("__qv"), cent, nProbe)).as("cid"))
+    val offs = books.map(_.size).scanLeft(0)(_ + _)
+    val adc = (0 until m).map(j =>
+        element_at(col("__lut"), lit(offs(j) + 1) + element_at(col("codes"), j + 1)))
+      .reduce(_ + _)
+    q.join(if (broadcastCorpus) broadcast(coded) else coded, "cid")
+      .filter(col(idCol) =!= col(qIdCol))
+      .select(col(qIdCol), col(idCol).cast("long").as("__id"), (-adc).as("__s"))
+      .groupBy(col(qIdCol))
+      .agg(graft.functions.VectorFunctions.topKByScore(col("__id"), col("__s"), topK)
+        .as("__top"))
+      .select(col(qIdCol), posexplode(col("__top")))
+      .select(col(qIdCol), col("col.id").as(idCol),
+        round(-col("col.cos"), 6).as("adc"), (col("pos") + 1).cast("int").as("rn"))
+  }
+
   private def adcTopKCodedWith(enc: DataFrame, queries: DataFrame, idCol: String,
                                vecCol: String, qIdCol: String,
                                books: IndexedSeq[Seq[(Int, Seq[Double])]],

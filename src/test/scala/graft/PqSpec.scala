@@ -70,6 +70,32 @@ class PqSpec extends SparkSpec {
     }
   }
 
+  test("IVFADC: all-cells probe equals exhaustive ADC; plan is equi-join only") {
+    val data = rngVecs(80, 8, seed = 31)
+    val df = data.toDF("vec_id", "embedding")
+    val cents = graft.pipeline.Ivf.train(df, "vec_id", "embedding", k = 4, iters = 2)
+    val cb = Pq.train(df, "vec_id", "embedding", m = 2, ksub = 4, iters = 2)
+    val queries = df.where(col("vec_id") < 4)
+      .select(col("vec_id").as("q_id"), col("embedding"))
+    def rows(d: org.apache.spark.sql.DataFrame) =
+      d.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3))).toSet
+    // probing EVERY cell makes the candidate set the whole corpus:
+    // IVFADC must equal the exhaustive ADC face exactly
+    val routed = Pq.ivfAdcTopK(df, queries, "vec_id", "embedding", "q_id",
+      cents, cb, topK = 10, nProbe = 4)
+    assert(rows(routed) ==
+      rows(Pq.adcTopK(df, queries, "vec_id", "embedding", "q_id", cb, topK = 10)),
+      "all-cells IVFADC == exhaustive ADC")
+    val plan = routed.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      "IVFADC candidates come from the cell equi-join, never a product join")
+    // the non-broadcast face (cid-bucketed corpus at scale) agrees
+    assert(rows(Pq.ivfAdcTopK(df, queries, "vec_id", "embedding", "q_id",
+      cents, cb, topK = 10, nProbe = 4, broadcastCorpus = false)) == rows(routed))
+    graft.api.Pinned.release(spark)
+  }
+
   test("codeword-exact corpus: ADC ordering equals true squared-L2 ordering") {
     // four distinct base vectors at ids 0..3 (the deterministic init picks
     // them), repeated across the corpus: Lloyd fixes the codewords at the
