@@ -1319,6 +1319,50 @@ object QueriesPipeline {
                       (a, c) -> (a * 31 + c) % 1000000007) AS kept_hash
         FROM agg"""
 
+  /** Token-frequency annotation at ingest: arrivals (doc_id % 3 = 0)
+    * annotated against a count–min sketch of the reference slice
+    * (doc_id % 3 <> 0) — rarest-token estimate + count of tokens the
+    * reference has (modulo collisions) seen at most twice. Batch face of
+    * the dual-mode `TextOps.tokenFrequencyStats` (streaming pinned equal
+    * by StreamingTextOpsSpec); integer outputs, no float rounding. */
+  def qTokenFreq(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir).df
+    TextOps.tokenFrequencyStats(
+      graft.api.MStream(docs.where(col("doc_id") % 3 === 0)),
+      docs.where(col("doc_id") % 3 =!= 0), "doc_id", "text", "text").df
+  }
+
+  val qTokenFreqSql: String = {
+    val d = 4; val w = 2048
+    val rows = (0 until d).map { i =>
+      val (a, c) = (2 * i + 1, 12345 * i + 7)
+      s"b$i AS (SELECT ((hh * $a + $c) % 1000000007) % $w AS b, count(*) AS c FROM rh GROUP BY 1)"
+    }.mkString(",\n        ")
+    val joins = (0 until d).map { i =>
+      val (a, c) = (2 * i + 1, 12345 * i + 7)
+      s"LEFT JOIN b$i x$i ON ((t.hh * $a + $c) % 1000000007) % $w = x$i.b"
+    }.mkString("\n               ")
+    val cells = (0 until d).map(i => s"coalesce(x$i.c, 0)").mkString(", ")
+    s"""WITH words AS (SELECT doc_id, list_filter(string_split_regex(text, '[ \\t\\n\\f\\r\\x0b]+'), x -> x <> '') AS w FROM documents),
+        rh AS (SELECT list_reduce([0] || [ord(c)::BIGINT for c in string_split(word, '')],
+                                  (a, c) -> (a * 31 + c) % 1000000007) AS hh
+               FROM (SELECT unnest(w) AS word FROM words WHERE doc_id % 3 <> 0)),
+        $rows,
+        t AS (SELECT doc_id, list_reduce([0] || [ord(c)::BIGINT for c in string_split(word, '')],
+                                         (a, c) -> (a * 31 + c) % 1000000007) AS hh
+              FROM (SELECT doc_id, unnest(w) AS word FROM words WHERE doc_id % 3 = 0)),
+        est AS (SELECT t.doc_id AS doc_id, least($cells)::BIGINT AS e
+                FROM t
+               $joins),
+        agg AS (SELECT doc_id, count(*) AS n, min(e) AS mn,
+                  sum(CASE WHEN e <= 2 THEN 1 ELSE 0 END)::BIGINT AS r
+                FROM est GROUP BY doc_id)
+        SELECT d.doc_id, coalesce(a.n, 0)::BIGINT AS n_tokens, a.mn AS min_est,
+          coalesce(a.r, 0)::BIGINT AS n_rare
+        FROM documents d LEFT JOIN agg a USING (doc_id)
+        WHERE d.doc_id % 3 = 0"""
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_ivf_ann" -> (qIvfAnn _),
     "q_dedup_exact" -> (qDedupExact _),
@@ -1333,6 +1377,7 @@ object QueriesPipeline {
     "q_lm_against" -> (qLmAgainst _),
     "q_dsir" -> (qDsir _),
     "q_heavy_hitters" -> (qHeavyHitters _),
+    "q_token_freq" -> (qTokenFreq _),
     "q_line_scrub" -> (qLineScrub _),
     "q_source_cap" -> (qSourceCap _),
     "q_token_budget" -> (qTokenBudget _),
@@ -1387,6 +1432,7 @@ object QueriesPipeline {
     "q_lm_against" -> qLmAgainstSql,
     "q_dsir" -> qDsirSql,
     "q_heavy_hitters" -> qHeavyHittersSql,
+    "q_token_freq" -> qTokenFreqSql,
     "q_line_scrub" -> qLineScrubSql,
     "q_source_cap" -> qSourceCapSql,
     "q_token_budget" -> qTokenBudgetSql,

@@ -209,6 +209,12 @@ object Program {
                              raw: String, idCol: String, textCol: String,
                              refTextCol: String, buckets: Int,
                              alpha: Double) extends Node
+  /** Token-frequency annotation against a reference-corpus count–min
+    * sketch (`TextOps.tokenFrequencyStats`, format version 3).
+    * Build-time eager (the sketch collects at program build). */
+  final case class TokenFreq(name: String, input: String, ref: String,
+                             idCol: String, textCol: String, refTextCol: String,
+                             depth: Int, width: Int, rareMax: Long) extends Node
   /** Fixed-vocabulary token encoding at ingest (`TextOps.encodeTokensIngest`);
     * `vocab` names a (word, id) input. */
   final case class EncodeIngest(name: String, input: String, vocab: String,
@@ -408,6 +414,7 @@ object Program {
     case ed: EmbedDedup => Seq(ed.input, ed.ref) ++ ed.centroids
     case lm: LmScore => Seq(lm.input, lm.ref)
     case ds: DsirScore => Seq(ds.input, ds.target, ds.raw)
+    case tf: TokenFreq => Seq(tf.input, tf.ref)
     case ei: EncodeIngest => Seq(ei.input, ei.vocab)
     case di: DecontamIngest => Seq(di.input, di.bench)
     case ip: IvfProbe => Seq(ip.input, ip.corpus, ip.centroids)
@@ -594,6 +601,9 @@ object Program {
         case DsirScore(name, i, tgt, raw, idCol, textCol, refTextCol, buckets, alpha) =>
           graft.pipeline.TextOps.dsirScore(in(i), staticSide(name, in, tgt),
             staticSide(name, in, raw), idCol, textCol, refTextCol, buckets, alpha)
+        case TokenFreq(name, i, ref, idCol, textCol, refTextCol, depth, width, rareMax) =>
+          graft.pipeline.TextOps.tokenFrequencyStats(in(i),
+            staticSide(name, in, ref), idCol, textCol, refTextCol, depth, width, rareMax)
         case EncodeIngest(name, i, vocab, idCol, textCol, oovId) =>
           graft.pipeline.TextOps.encodeTokensIngest(in(i),
             staticSide(name, in, vocab), idCol, textCol, oovId)
@@ -647,6 +657,7 @@ object Program {
     case x: EmbedDedup => x.copy(name = name)
     case x: LmScore => x.copy(name = name)
     case x: DsirScore => x.copy(name = name)
+    case x: TokenFreq => x.copy(name = name)
     case x: EncodeIngest => x.copy(name = name)
     case x: DecontamIngest => x.copy(name = name)
     case x: IvfProbe => x.copy(name = name)
@@ -884,6 +895,13 @@ object Program {
                   alpha: Double = 1.0): Rec =
       derive("dsirScore", Seq(target, raw))(n => DsirScore(n, name,
         target.name, raw.name, idCol, textCol, refTextCol, buckets, alpha))
+    /** Token-frequency annotation against `ref`'s corpus sketch
+      * (format version 3). */
+    def tokenFreq(ref: Rec, idCol: String, textCol: String,
+                  refTextCol: String, depth: Int = 4, width: Int = 2048,
+                  rareMax: Long = 2L): Rec =
+      derive("tokenFreq", Seq(ref))(n => TokenFreq(n, name, ref.name,
+        idCol, textCol, refTextCol, depth, width, rareMax))
     /** Fixed-vocabulary token encoding at ingest. */
     def encodeIngest(vocab: Rec, idCol: String, textCol: String,
                      oovId: Long = -1L): Rec =
@@ -934,7 +952,8 @@ object Program {
     *
     * Version history: 1 = the original 21-node §2 grammar; 2 adds the six
     * pipeline ingest-face nodes (corpusDedup, embedDedup, lmScore,
-    * encodeIngest, decontaminateIngest, ivfProbe); 3 adds dsirScore.
+    * encodeIngest, decontaminateIngest, ivfProbe); 3 adds dsirScore and
+    * tokenFreq.
     * [[toJson]] stamps each document with the LOWEST version that can
     * express it, so a document using only the v1 grammar stays loadable
     * by a v1 library. */
@@ -942,7 +961,7 @@ object Program {
 
   /** The lowest format version expressing every node in `doc`. */
   private def requiredVersion(doc: Doc): Int =
-    if (doc.nodes.exists { case _: DsirScore => true; case _ => false }) 3
+    if (doc.nodes.exists { case _: DsirScore | _: TokenFreq => true; case _ => false }) 3
     else if (doc.nodes.exists {
       case _: CorpusDedup | _: EmbedDedup | _: LmScore | _: EncodeIngest |
            _: DecontamIngest | _: IvfProbe => true
@@ -1039,6 +1058,11 @@ object Program {
           ("target" -> tgt) ~ ("raw" -> raw) ~ ("idCol" -> idCol) ~
           ("textCol" -> textCol) ~ ("refTextCol" -> refTextCol) ~
           ("buckets" -> buckets) ~ ("alpha" -> alpha)
+      case TokenFreq(name, i, ref, idCol, textCol, refTextCol, depth, width, rareMax) =>
+        ("op" -> "tokenFreq") ~ ("name" -> name) ~ ("input" -> i) ~
+          ("ref" -> ref) ~ ("idCol" -> idCol) ~ ("textCol" -> textCol) ~
+          ("refTextCol" -> refTextCol) ~ ("depth" -> depth) ~
+          ("width" -> width) ~ ("rareMax" -> rareMax)
       case EncodeIngest(name, i, vocab, idCol, textCol, oovId) =>
         ("op" -> "encodeIngest") ~ ("name" -> name) ~ ("input" -> i) ~
           ("vocab" -> vocab) ~ ("idCol" -> idCol) ~ ("textCol" -> textCol) ~
@@ -1165,6 +1189,12 @@ object Program {
             (v \ "refTextCol").extract[String],
             (v \ "buckets").extractOpt[Int].getOrElse(4096),
             (v \ "alpha").extractOpt[Double].getOrElse(1.0))
+          case "tokenFreq" => TokenFreq(name, (v \ "input").extract[String],
+            (v \ "ref").extract[String], (v \ "idCol").extract[String],
+            (v \ "textCol").extract[String], (v \ "refTextCol").extract[String],
+            (v \ "depth").extractOpt[Int].getOrElse(4),
+            (v \ "width").extractOpt[Int].getOrElse(2048),
+            (v \ "rareMax").extractOpt[Long].getOrElse(2L))
           case "encodeIngest" => EncodeIngest(name, (v \ "input").extract[String],
             (v \ "vocab").extract[String], (v \ "idCol").extract[String],
             (v \ "textCol").extract[String],
@@ -1241,6 +1271,12 @@ object Program {
             env(ds.raw).df.select(col(ds.refTextCol)).schema
             emptyOf(graft.pipeline.TextOps.dsirOutputSchema(
               ds.idCol, s.df.schema(ds.idCol).dataType))
+          case tf: TokenFreq =>
+            val s = env(tf.input)
+            s.df.select(col(tf.idCol), col(tf.textCol)).schema
+            env(tf.ref).df.select(col(tf.refTextCol)).schema
+            emptyOf(graft.pipeline.TextOps.tokenFreqOutputSchema(
+              tf.idCol, s.df.schema(tf.idCol).dataType))
           case ed: EmbedDedup if ed.centroids.isDefined =>
             val s = env(ed.input)
             s.df.select(col(ed.idCol), col(ed.vecCol)).schema
@@ -1399,6 +1435,12 @@ object Program {
             s"node '${n.name}': dsirScore needs alpha > 0 and buckets > 0, " +
               s"got alpha=${ds.alpha} buckets=${ds.buckets}")
           Seq(ds.input, ds.target, ds.raw)
+        case tf: TokenFreq =>
+          if (tf.depth < 1 || tf.width < 2 || tf.rareMax < 0)
+            throw new IllegalArgumentException(
+              s"node '${n.name}': tokenFreq needs depth >= 1, width >= 2 and " +
+                s"rareMax >= 0, got depth=${tf.depth} width=${tf.width} rareMax=${tf.rareMax}")
+          Seq(tf.input, tf.ref)
         case ei: EncodeIngest => Seq(ei.input, ei.vocab)
         case di: DecontamIngest =>
           if (di.n < 1 || di.minOverlap < 1) throw new IllegalArgumentException(

@@ -782,6 +782,103 @@ object TextOps {
     new graft.api.MStream(out, stream.eventOrder, stream.contextKeys, stream.name)
   }
 
+  /** Token-frequency annotation against a REFERENCE corpus sketch: one
+    * pass over the reference folds every token into a count–min sketch
+    * ([[graft.functions.CountMinAgg]]); the collected d×w table — the
+    * model artifact, 8·d·w bytes — embeds into the scoring expressions
+    * as a LITERAL, so annotating a document is a pure zero-shuffle
+    * projection: per token, `est` = the sketch's upper-bound count in
+    * the reference; per document, the rarest token's estimate and how
+    * many tokens fall at or under `rareMax` (a hapax/garbage signal —
+    * docs full of reference-unseen tokens are OOD for the corpus the
+    * reference models). All outputs are integers — no float rounding in
+    * the oracle contract.
+    *
+    * Dual-mode: batch groups per doc (q_token_freq carries the oracle);
+    * streaming folds in the stateless per-batch combine — zero
+    * state-store rows, no broadcast join either (the model rides the
+    * plan as a literal). Token-less documents emit (0, NULL, 0) in both
+    * modes. */
+  def tokenFreqOutputSchema(idCol: String,
+      idType: org.apache.spark.sql.types.DataType): org.apache.spark.sql.types.StructType = {
+    import org.apache.spark.sql.types._
+    StructType(Seq(StructField(idCol, idType),
+      StructField("n_tokens", LongType, nullable = false),
+      StructField("min_est", LongType),
+      StructField("n_rare", LongType, nullable = false)))
+  }
+
+  def tokenFrequencyStats(stream: graft.api.MStream,
+                          refDocs: org.apache.spark.sql.DataFrame,
+                          idCol: String, textCol: String, refTextCol: String,
+                          depth: Int = 4, width: Int = 2048,
+                          rareMax: Long = 2L): graft.api.MStream = {
+    import org.apache.spark.sql.{Encoder, Row}
+    import org.apache.spark.sql.catalyst.encoders.RowEncoder
+    import org.apache.spark.sql.types._
+    require(rareMax >= 0, s"rareMax must be non-negative, got $rareMax")
+    val df = stream.df
+    val vf = graft.functions.VectorFunctions
+    val skRow = refDocs
+      .select(explode(words(col(refTextCol))).as("__w"))
+      .select(vf.polyHashNative(col("__w")).as("__h"))
+      .agg(vf.countMin(col("__h"), depth, width).as("sk"), count(lit(1)).as("n"))
+      .head()
+    require(skRow.getLong(1) > 0,
+      "tokenFrequencyStats: the reference corpus yields no tokens")
+    val skLit = typedLit(skRow.getSeq[Long](0))
+    val id = col(idCol)
+    val est = vf.countMinEstimate(skLit, col("__h"), depth, width)
+    def outCols(n: Column, mn: Column, rare: Column): Seq[Column] = Seq(
+      coalesce(n, lit(0L)).as("n_tokens"), mn.as("min_est"),
+      coalesce(rare, lit(0L)).as("n_rare"))
+
+    if (!df.isStreaming) {
+      val toks = df
+        .select(id, explode(words(col(textCol))).as("__w"))
+        .select(id, vf.polyHashNative(col("__w")).as("__h"))
+        .select(id, est.as("__e"))
+      val agg = toks.groupBy(id).agg(count(lit(1)).as("__n"),
+        min(col("__e")).as("__mn"),
+        sum(when(col("__e") <= rareMax, 1L).otherwise(0L)).as("__r"))
+      val out = df.select(id).join(agg, Seq(idCol), "left")
+        .select(id +: outCols(col("__n"), col("__mn"), col("__r")): _*)
+      return new graft.api.MStream(out, stream.eventOrder, stream.contextKeys, stream.name)
+    }
+
+    // streaming: token-less docs ride a sentinel (null-hash) row; the
+    // fold skips sentinels. No join, no state — literal-model projection.
+    val ws = words(col(textCol))
+    val u = df
+      .select(id.as("__id"),
+        explode(when(size(ws) >= 1, transform(ws, w => vf.polyHashNative(w)))
+          .otherwise(array(lit(null).cast("long")))).as("__h"))
+      .select(col("__id"), when(col("__h").isNotNull, est).as("__e"))
+    val idType = df.schema(idCol).dataType
+    val aggT = StructType(Seq(
+      StructField("__id", idType),
+      StructField("n_tokens", LongType, nullable = false),
+      StructField("min_est", LongType),
+      StructField("n_rare", LongType, nullable = false)))
+    val aggEnc: Encoder[Row] = RowEncoder.encoderFor(aggT)
+    val eIdx = u.schema.fieldIndex("__e")
+    val rm = rareMax
+    val out = graft.streaming.PerBatchCombine(u, Seq("__id"), aggEnc) {
+        (key: Row, it: Iterator[Row]) =>
+          var n = 0L; var mn = Long.MaxValue; var rare = 0L
+          it.foreach { r =>
+            if (!r.isNullAt(eIdx)) {
+              val e = r.getLong(eIdx)
+              n += 1; if (e < mn) mn = e; if (e <= rm) rare += 1
+            }
+          }
+          Iterator.single(Row(key.get(0), n, if (n > 0) mn else null, rare))
+      }
+      .select(col("__id").as(idCol) +:
+        outCols(col("n_tokens"), col("min_est"), col("n_rare")): _*)
+    new graft.api.MStream(out, stream.eventOrder, stream.contextKeys, stream.name)
+  }
+
   /** Heavy hitters via a count–min sketch (Cormode & Muthukrishnan 2005):
     * tokens whose estimated frequency is at least `1/minFracInv` of the
     * corpus token count. Two passes, both cluster-shaped: (1) fold every

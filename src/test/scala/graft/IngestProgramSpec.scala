@@ -257,6 +257,42 @@ class IngestProgramSpec extends SparkSpec {
     graft.api.Pinned.release(spark)
   }
 
+  test("tokenFreq node: v3 codec identity, document run equals direct API") {
+    val doc = Doc(
+      nodes = Seq(External("docs"), External("refc"),
+        TokenFreq("tf", "docs", "refc", "doc_id", "text", "text", 4, 1024, 0L)),
+      outputs = Seq("tf"))
+    val json = Program.toJson(doc)
+    assert(json.contains("\"version\":3"), "tokenFreq requires format version 3")
+    assert(Program.fromJson(json) == doc, "codec is the identity on tokenFreq")
+    val config = new App.Config()
+      .setSource("docs", App.Source("list", rows = Some(arriving.toDF("doc_id", "text"))))
+      .setSource("refc", App.Source("list", rows = Some(ref)))
+      .addSink("tf", App.Sink("memory"))
+    Program.validate(doc, spark, config) // schema-only: no sketch build here
+    val out = App.runProgram(spark, config, json)
+      .collectFirst { case App.BatchOutput("tf", df) => df }.get
+    def key(r: org.apache.spark.sql.Row) = (r.getLong(0), r.getLong(1),
+      if (r.isNullAt(2)) None else Some(r.getLong(2)), r.getLong(3))
+    val direct = graft.pipeline.TextOps.tokenFrequencyStats(
+        MStream(arriving.toDF("doc_id", "text")), ref, "doc_id", "text", "text",
+        depth = 4, width = 1024, rareMax = 0L)
+      .df.collect().map(key).toSet
+    assert(out.collect().map(key).toSet == direct,
+      "document run equals the direct tokenFrequencyStats API")
+    // capture + invalid params
+    val docsR = Program.Rec.external("docs", MStream(arriving.toDF("doc_id", "text")))
+    val refR = Program.Rec.external("refc", MStream(ref))
+    val cap = Program.capture(
+      docsR.tokenFreq(refR, "doc_id", "text", "text", width = 1024, rareMax = 0L).as("tf"))
+    assert(Program.fromJson(Program.toJson(cap)) == cap)
+    val bad = Doc(Seq(External("a"), External("r"),
+      TokenFreq("tf", "a", "r", "id", "text", "text", 0, 1024, 0L)), Seq("tf"))
+    val e = intercept[IllegalArgumentException](Program.fromJson(Program.toJson(bad)))
+    assert(e.getMessage.contains("'tf'") && e.getMessage.contains("depth"), e.getMessage)
+    graft.api.Pinned.release(spark)
+  }
+
   test("schema validation covers ingest nodes without running driver jobs") {
     val config = new App.Config()
       .setSource("docs", App.Source("list", rows = Some(arriving.toDF("doc_id", "text"))))

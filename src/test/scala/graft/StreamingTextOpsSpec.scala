@@ -168,6 +168,47 @@ class StreamingTextOpsSpec extends SparkSpec {
     graft.api.Pinned.release(spark)
   }
 
+  test("tokenFrequencyStats: streaming equals batch (rare tokens, empty docs)") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val ref = Seq(
+      "the cat sat on the mat",
+      "the dog and the cat sat",
+      "the bird sat on a branch").toDF("text")
+    val docs = Seq(
+      (1L, "the cat sat"),             // all tokens frequent in ref
+      (2L, "quantum flux the"),        // two reference-unseen tokens
+      (3L, ""))                        // token-less -> (0, NULL, 0)
+    def key(r: org.apache.spark.sql.Row): (Long, Long, Option[Long], Long) =
+      (r.getLong(0), r.getLong(1),
+        if (r.isNullAt(2)) None else Some(r.getLong(2)), r.getLong(3))
+
+    val batch = TextOps.tokenFrequencyStats(
+      MStream(docs.toDF("doc_id", "text")), ref, "doc_id", "text", "text",
+      depth = 4, width = 1024, rareMax = 0L)
+    assert(!batch.df.isStreaming)
+    val b = batch.df.collect().map(key).toSet
+    assert(b.exists(r => r._1 == 3L && r._2 == 0L && r._3.isEmpty && r._4 == 0L),
+      "token-less doc scores (0, NULL, 0)")
+    val frequent = b.find(_._1 == 1L).get
+    val rare = b.find(_._1 == 2L).get
+    assert(frequent._4 == 0L, "all-frequent doc has no rare tokens")
+    assert(rare._4 == 2L && rare._3.contains(0L),
+      "reference-unseen tokens count as rare with estimate 0 (1024 buckets, " +
+        "9 distinct reference tokens: a full-row collision across all 4 rows " +
+        "is impossible)")
+
+    val in = MemoryStream[(Long, String)]
+    val out = TextOps.tokenFrequencyStats(
+      MStream(in.toDF().toDF("doc_id", "text")), ref, "doc_id", "text", "text",
+      depth = 4, width = 1024, rareMax = 0L)
+    in.addData(docs.take(2): _*)
+    in.addData(docs.drop(2): _*)
+    val s = streamed(out)(nm => spark.table(nm).collect().map(key).toSet)
+    assert(s == b, "streaming frequency annotation equals the batch oracle face")
+    graft.api.Pinned.release(spark)
+  }
+
   test("both ingest faces agree on a seeded random corpus") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val sqlCtx = spark.sqlContext
