@@ -71,6 +71,15 @@ object Dedup {
       .join(firsts, Seq("__lh"), "left")
       .withColumn("__keep", !col("__sub") ||
         (col("__first.i") === id && col("__first.p") === col("__pos")))
+    // droppedBecause lineage: each scrubbed line occurrence links to the
+    // first occurrence that kept the line — identity is (doc, pos), the
+    // only stable key a dropped line has
+    graft.api.Lineage.current(docs.sparkSession).foreach { rec =>
+      rec.add(tagged.where(!col("__keep")).select(
+        lit("droppedBecause:scrubDuplicateLines").as("op"),
+        xxhash64(struct(id, col("__pos"))).as("output_id"),
+        xxhash64(struct(col("__first.i"), col("__first.p"))).as("input_id")))
+    }
     tagged.groupBy(id)
       .agg(count(lit(1)).as("n_lines"),
         sum(when(col("__keep"), 0L).otherwise(1L)).as("n_dropped"),

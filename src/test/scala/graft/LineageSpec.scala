@@ -398,6 +398,35 @@ class LineageSpec extends SparkSpec {
     graft.api.Pinned.release(spark)
   }
 
+  test("scrubDuplicateLines emits droppedBecause edges to each line's first occurrence") {
+    def lineHash(doc: Long, pos: Int): Long =
+      spark.range(1).select(xxhash64(struct(lit(doc), lit(pos)))).head().getLong(0)
+    val docs = Seq(
+      (1L, "unique opening line one\nshared footer line here"),
+      (2L, "another distinct first line\nshared footer line here"),
+      (3L, "shared footer line here\nlast unique content line"))
+      .toDF("doc_id", "text")
+    val config = new App.Config()
+      .setSource("docs", App.Source("list", rows = Some(docs)))
+      .addSink("out", App.Sink("memory"))
+      .addLineageSink(App.Sink("memory"))
+    val running = App.run(spark, config) { in =>
+      Map("out" -> new graft.api.MStream(graft.pipeline.Dedup.scrubDuplicateLines(
+        in("docs").df, "doc_id", "text", minWords = 3)))
+    }
+    val out = running.collectFirst { case App.BatchOutput("out", df) => df }.get
+    assert(out.select("doc_id", "n_dropped").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet ==
+      Set((1L, 0L), (2L, 1L), (3L, 1L)))
+    val edges = running.collectFirst { case App.BatchOutput("__lineage", df) => df }.get
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    // the footer's first occurrence is (doc 1, pos 1); drops at (2,1), (3,0)
+    assert(edges == Set(
+      ("droppedBecause:scrubDuplicateLines", lineHash(2L, 1), lineHash(1L, 1)),
+      ("droppedBecause:scrubDuplicateLines", lineHash(3L, 0), lineHash(1L, 1))),
+      s"each scrubbed line links to its surviving first occurrence, got $edges")
+  }
+
   // ---- cycles: round-granularity provenance DAG ---------------------------
 
   /** Content hash of an (id, x) row — the record-id convention. */

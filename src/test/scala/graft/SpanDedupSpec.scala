@@ -127,6 +127,35 @@ class SpanDedupSpec extends SparkSpec {
     assert(out(5L) == ((1L, 0L, "")), "empty doc survives as one empty line")
   }
 
+  test("scrubDuplicateLines equals a brute-force reference on seeded random corpora") {
+    val rnd = new scala.util.Random(17)
+    val vocabLines = Vector(
+      "alpha beta gamma", "delta epsilon zeta", "eta theta iota kappa",
+      "one two", "x", "", "shared boiler plate line", "lambda mu nu xi")
+    for (trial <- 0 until 5) {
+      val docs = (0L until 30L).map { i =>
+        (i, Seq.fill(1 + rnd.nextInt(4))(vocabLines(rnd.nextInt(vocabLines.size)))
+          .mkString("\n"))
+      }
+      // reference: iterate all lines in global (doc, pos) order;
+      // substantive (>= 3 words) lines keep only their first occurrence
+      val seen = scala.collection.mutable.Set.empty[String]
+      val expect2 = docs.sortBy(_._1).map { case (id, t) =>
+        val ls = t.split("\n", -1)
+        val kept = ls.zipWithIndex.filter { case (l, _) =>
+          val sub = l.split("\\s+").count(_.nonEmpty) >= 3
+          !sub || seen.add(l)
+        }.map(_._1)
+        (id, (ls.length.toLong, (ls.length - kept.length).toLong, kept.mkString("\n")))
+      }.toMap
+      val got = Dedup.scrubDuplicateLines(docs.toDF("doc_id", "text"), "doc_id", "text",
+          minWords = 3)
+        .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getString(3))))
+        .toMap
+      assert(got == expect2, s"trial $trial")
+    }
+  }
+
   test("repeatedSpans equals a brute-force reference on seeded random corpora") {
     // tiny vocab forces heavy cross-doc gram sharing — the regime where
     // island assembly, thresholds, and the collision-guard stage all work
