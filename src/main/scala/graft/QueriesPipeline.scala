@@ -1363,6 +1363,82 @@ object QueriesPipeline {
         WHERE d.doc_id % 3 = 0"""
   }
 
+  private val BpeRounds = 6
+
+  /** Distributed BPE merge training (Sennrich et al. 2016): the first 6
+    * merge rules learned from the corpus vocabulary. The oracle re-runs
+    * every round — pair counts weighted by word frequency, argmax with
+    * lexicographic ties, greedy left-to-right merge application via
+    * bracketed-symbol literal replace. */
+  def qBpeMerges(spark: SparkSession, dir: String): DataFrame =
+    TextOps.trainBpeMerges(Tables.documents(spark, dir).df, "text", BpeRounds)
+
+  /** Shared oracle CTEs: the canonical word split, the word-frequency
+    * vocabulary as bracketed-symbol strings, and `BpeRounds` unrolled
+    * training rounds (p\$r pair counts, b\$r winning merge, v\$r rewritten
+    * vocabulary). */
+  private def bpeTrainingCtes: String = {
+    val rounds = (1 to BpeRounds).map { r =>
+      s"""p$r AS (SELECT a, b, sum(c)::BIGINT AS n FROM (
+             SELECT unnest(y[1:len(y) - 1]) AS a, unnest(y[2:len(y)]) AS b, c FROM (
+               SELECT string_split(s[2:len(s) - 1], chr(3) || chr(2)) AS y, c
+               FROM v${r - 1}))
+           GROUP BY 1, 2),
+        b$r AS (SELECT a, b FROM p$r ORDER BY n DESC, a, b LIMIT 1),
+        v$r AS (SELECT replace(v.s, chr(2) || b.a || chr(3) || chr(2) || b.b || chr(3),
+                        chr(2) || b.a || b.b || chr(3)) AS s, v.c
+                FROM v${r - 1} v CROSS JOIN b$r b)"""
+    }.mkString(",\n        ")
+    s"""words AS (SELECT doc_id, list_filter(string_split_regex(text, '[ \\t\\n\\f\\r\\x0b]+'), x -> x <> '') AS w FROM documents),
+        wf AS (SELECT word, count(*)::BIGINT AS c
+               FROM (SELECT unnest(w) AS word FROM words) GROUP BY word),
+        v0 AS (SELECT array_to_string([chr(2) || ch || chr(3)
+                                       for ch in string_split(word, '')], '') AS s, c
+               FROM wf),
+        $rounds"""
+  }
+
+  val qBpeMergesSql: String = {
+    val union = (1 to BpeRounds)
+      .map(r => s"SELECT $r AS merge_rank, a AS lhs, b AS rhs FROM b$r")
+      .mkString("\n        UNION ALL ")
+    s"""WITH $bpeTrainingCtes
+        $union"""
+  }
+
+  /** The learned merges applied back to every document: subword token
+    * count + portable hash of the space-joined token sequence. */
+  def qBpeEncode(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir).df
+    TextOps.bpeTokenize(docs, "doc_id", "text",
+      TextOps.trainBpeMerges(docs, "text", BpeRounds))
+  }
+
+  val qBpeEncodeSql: String = {
+    val chain = (1 to BpeRounds).foldLeft("s0") { (acc, r) =>
+      s"replace($acc, chr(2) || b$r.a || chr(3) || chr(2) || b$r.b || chr(3), chr(2) || b$r.a || b$r.b || chr(3))"
+    }
+    val crosses = (1 to BpeRounds).map(r => s"CROSS JOIN b$r").mkString(" ")
+    s"""WITH $bpeTrainingCtes,
+        dw AS (SELECT doc_id, unnest(w) AS word, unnest(range(1, len(w) + 1)) AS pos
+               FROM words),
+        wrapped AS (SELECT doc_id, pos,
+                      array_to_string([chr(2) || ch || chr(3)
+                                       for ch in string_split(word, '')], '') AS s0
+                    FROM dw),
+        tok AS (SELECT doc_id, pos,
+                  string_split(s6x[2:len(s6x) - 1], chr(3) || chr(2)) AS y
+                FROM (SELECT doc_id, pos, $chain AS s6x FROM wrapped $crosses)),
+        agg AS (SELECT doc_id, sum(len(y))::BIGINT AS n_bpe_tokens,
+                  list_reduce([0] || [ord(c)::BIGINT for c in string_split(
+                    array_to_string(list(array_to_string(y, ' ') ORDER BY pos), ' '), '')],
+                    (a, c) -> (a * 31 + c) % 1000000007) AS tok_hash
+                FROM tok GROUP BY doc_id)
+        SELECT d.doc_id, coalesce(a.n_bpe_tokens, 0)::BIGINT AS n_bpe_tokens,
+          coalesce(a.tok_hash, 0)::BIGINT AS tok_hash
+        FROM documents d LEFT JOIN agg a USING (doc_id)"""
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_ivf_ann" -> (qIvfAnn _),
     "q_dedup_exact" -> (qDedupExact _),
@@ -1378,6 +1454,8 @@ object QueriesPipeline {
     "q_dsir" -> (qDsir _),
     "q_heavy_hitters" -> (qHeavyHitters _),
     "q_token_freq" -> (qTokenFreq _),
+    "q_bpe_merges" -> (qBpeMerges _),
+    "q_bpe_encode" -> (qBpeEncode _),
     "q_line_scrub" -> (qLineScrub _),
     "q_source_cap" -> (qSourceCap _),
     "q_token_budget" -> (qTokenBudget _),
@@ -1433,6 +1511,8 @@ object QueriesPipeline {
     "q_dsir" -> qDsirSql,
     "q_heavy_hitters" -> qHeavyHittersSql,
     "q_token_freq" -> qTokenFreqSql,
+    "q_bpe_merges" -> qBpeMergesSql,
+    "q_bpe_encode" -> qBpeEncodeSql,
     "q_line_scrub" -> qLineScrubSql,
     "q_source_cap" -> qSourceCapSql,
     "q_token_budget" -> qTokenBudgetSql,

@@ -782,6 +782,107 @@ object TextOps {
     new graft.api.MStream(out, stream.eventOrder, stream.contextKeys, stream.name)
   }
 
+  /** Symbol-bracket markers (U+0002 / U+0003) for the BPE working
+    * representation: each symbol is stored bracketed (written `⟨symbol⟩`
+    * below), so a merge rule (a, b)
+    * applies as ONE literal string replace of `⟨a⟩⟨b⟩` with `⟨ab⟩` —
+    * left-to-right non-overlapping, exactly BPE's greedy application
+    * order, with the brackets anchoring whole symbols (no false matches
+    * inside longer symbols). Codegen'd `replace`, no regex, no UDF; an
+    * independent engine (the DuckDB oracle) reproduces it with its own
+    * literal `replace`. */
+  private val BpeS = "\u0002"
+  private val BpeE = "\u0003"
+
+  private def bpeWrap(word: Column): Column =
+    array_join(transform(chars(word), c => concat(lit(BpeS), c, lit(BpeE))), "")
+
+  private def bpeApply(s: Column, merges: Seq[(String, String)]): Column =
+    merges.foldLeft(s) { case (c, (a, b)) =>
+      org.apache.spark.sql.functions.replace(c,
+        lit(BpeS + a + BpeE + BpeS + b + BpeE), lit(BpeS + a + b + BpeE))
+    }
+
+  private def bpeSymbols(s: Column): Column =
+    filter(split(s, s"[$BpeS$BpeE]"), x => x =!= "")
+
+  /** Distributed BPE merge training (Sennrich, Haddow & Birch 2016,
+    * "Neural Machine Translation of Rare Words with Subword Units"):
+    * learn `numMerges` merge rules from the corpus. BPE's working set is
+    * the word-frequency VOCABULARY, not the corpus — ONE corpus pass
+    * builds (word, count), then every round (a) counts adjacent symbol
+    * pairs weighted by word count (overlapping occurrences count, the
+    * reference algorithm's statistic), (b) picks the most frequent pair
+    * (ties to the lexicographically smaller), and (c) rewrites symbols
+    * by applying the merge greedily left-to-right. The vocabulary is
+    * pinned once; each round scans it with the merge chain applied as
+    * chained literal replaces — the corpus itself is touched exactly
+    * once, and the only driver data is the merge table (`numMerges`
+    * rows, the trained artifact). No end-of-word marker (documented
+    * deviation from the paper; the oracle mirrors the same choice).
+    *
+    * Output: (merge_rank, lhs, rhs) — apply with [[bpeTokenize]]. */
+  def trainBpeMerges(docs: org.apache.spark.sql.DataFrame, textCol: String,
+                     numMerges: Int): org.apache.spark.sql.DataFrame = {
+    require(numMerges >= 1 && numMerges <= 256,
+      s"numMerges=$numMerges: each merge is one driver-coordinated round; keep <= 256")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val vocab = docs
+      .select(explode(words(col(textCol))).as("__w"))
+      .groupBy("__w").agg(count(lit(1)).as("__c"))
+      .select(bpeWrap(col("__w")).as("__s"), col("__c"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val merges = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
+      var r = 0
+      var exhausted = false
+      while (r < numMerges && !exhausted) {
+        val syms = bpeSymbols(bpeApply(col("__s"), merges.toSeq))
+        val best = vocab
+          .select(syms.as("__y"), col("__c")).where(size(col("__y")) >= 2)
+          .select(explode(arrays_zip(
+            slice(col("__y"), lit(1), size(col("__y")) - 1).as("a"),
+            slice(col("__y"), lit(2), size(col("__y")) - 1).as("b"))).as("__p"),
+            col("__c"))
+          .groupBy(col("__p.a").as("a"), col("__p.b").as("b"))
+          .agg(sum(col("__c")).as("__n"))
+          .orderBy(col("__n").desc, col("a"), col("b"))
+          .limit(1).collect()
+        if (best.isEmpty) exhausted = true // every word is one symbol
+        else { merges += ((best(0).getString(0), best(0).getString(1))); r += 1 }
+      }
+      merges.toSeq.zipWithIndex
+        .map { case ((a, b), i) => (i + 1, a, b) }.toDF("merge_rank", "lhs", "rhs")
+    } finally vocab.unpersist(blocking = false)
+  }
+
+  /** Apply learned BPE merges to every document: per-doc subword token
+    * count and a portable hash of the token sequence (word order
+    * preserved, tokens space-joined). The merge table is a driver-sized
+    * artifact ([[trainBpeMerges]]'s contract); application is a pure
+    * zero-shuffle projection — chained codegen'd replaces — plus one
+    * per-doc aggregation. */
+  def bpeTokenize(docs: org.apache.spark.sql.DataFrame, idCol: String,
+                  textCol: String,
+                  merges: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val ms = merges.select(col("merge_rank"), col("lhs"), col("rhs"))
+      .collect().sortBy(_.getInt(0)).map(r => (r.getString(1), r.getString(2))).toSeq
+    val id = col(idCol)
+    val toks = docs
+      .select(id, posexplode(words(col(textCol))).as(Seq("__pos", "__w")))
+      .select(id, col("__pos"),
+        bpeSymbols(bpeApply(bpeWrap(col("__w")), ms)).as("__y"))
+    val agg = toks.groupBy(id).agg(
+      sum(size(col("__y"))).as("__n"),
+      polyHash(array_join(transform(
+        sort_array(collect_list(struct(col("__pos"), col("__y")))),
+        x => array_join(x.getField("__y"), " ")), " ")).as("__h"))
+    docs.select(id).join(agg, Seq(idCol), "left")
+      .select(id, coalesce(col("__n"), lit(0L)).as("n_bpe_tokens"),
+        coalesce(col("__h"), lit(0L)).as("tok_hash"))
+  }
+
   /** Token-frequency annotation against a REFERENCE corpus sketch: one
     * pass over the reference folds every token into a count–min sketch
     * ([[graft.functions.CountMinAgg]]); the collected d×w table — the

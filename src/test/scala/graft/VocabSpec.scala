@@ -66,4 +66,30 @@ class VocabSpec extends SparkSpec {
     while (livePinned().nonEmpty && System.nanoTime() < deadline) Thread.sleep(50)
     assert(livePinned().isEmpty, "release() drops the pinned vocab result")
   }
+
+  test("BPE training matches the reference algorithm on a hand corpus") {
+    import spark.implicits._
+    // Sennrich-style toy: 'lo' dominates (low x3, lower x2, lowest x1);
+    // hand-run: counts l·o=6, o·w=6, then w·e=3, ... ties lexicographic
+    val docs = Seq("low low low lower lower lowest").toDF("text")
+    val merges = TextOps.trainBpeMerges(docs, "text", numMerges = 3)
+      .collect().sortBy(_.getInt(0)).map(r => (r.getString(1), r.getString(2))).toSeq
+    // round 1: pairs l·o (6), o·w (6) tie -> lexicographic picks (l, o)
+    // round 2: lo·w (6) wins
+    // round 3: low·e (3) wins (e·r 2, e·s 1, s·t 1, ...)
+    assert(merges == Seq(("l", "o"), ("lo", "w"), ("low", "e")), merges.toString)
+
+    // greedy left-to-right non-overlap: merge (a, a) on "aaaa" -> [aa, aa],
+    // on "aaa" -> [aa, a]
+    val m = Seq((1, "a", "a")).toDF("merge_rank", "lhs", "rhs")
+    val toks = TextOps.bpeTokenize(Seq((1L, "aaaa aaa")).toDF("doc_id", "text"),
+      "doc_id", "text", m).collect().head
+    assert(toks.getLong(1) == 4L, s"aaaa -> 2 tokens, aaa -> 2 tokens: ${toks.getLong(1)}")
+    val refHash = "aa aa aa a".foldLeft(0L)((a, c) => (a * 31 + c) % 1000000007L)
+    assert(toks.getLong(2) == refHash, "token-sequence hash matches the definitional fold")
+
+    // merge exhaustion: single-letter vocabulary runs out of pairs early
+    val few = TextOps.trainBpeMerges(Seq("a b a b ab").toDF("text"), "text", 10)
+    assert(few.count() <= 2, "training stops when no adjacent pairs remain")
+  }
 }
