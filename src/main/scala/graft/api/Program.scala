@@ -215,6 +215,12 @@ object Program {
   final case class TokenFreq(name: String, input: String, ref: String,
                              idCol: String, textCol: String, refTextCol: String,
                              depth: Int, width: Int, rareMax: Long) extends Node
+  /** Frozen-BPE tokenization at ingest (`TextOps.bpeTokenizeIngest`,
+    * format version 3); `merges` names a (merge_rank, lhs, rhs) input —
+    * a `trainBpeMerges` artifact. Build-time eager (the merge table
+    * collects at program build; driver-sized by training contract). */
+  final case class BpeEncode(name: String, input: String, merges: String,
+                             idCol: String, textCol: String) extends Node
   /** Fixed-vocabulary token encoding at ingest (`TextOps.encodeTokensIngest`);
     * `vocab` names a (word, id) input. */
   final case class EncodeIngest(name: String, input: String, vocab: String,
@@ -415,6 +421,7 @@ object Program {
     case lm: LmScore => Seq(lm.input, lm.ref)
     case ds: DsirScore => Seq(ds.input, ds.target, ds.raw)
     case tf: TokenFreq => Seq(tf.input, tf.ref)
+    case be: BpeEncode => Seq(be.input, be.merges)
     case ei: EncodeIngest => Seq(ei.input, ei.vocab)
     case di: DecontamIngest => Seq(di.input, di.bench)
     case ip: IvfProbe => Seq(ip.input, ip.corpus, ip.centroids)
@@ -604,6 +611,9 @@ object Program {
         case TokenFreq(name, i, ref, idCol, textCol, refTextCol, depth, width, rareMax) =>
           graft.pipeline.TextOps.tokenFrequencyStats(in(i),
             staticSide(name, in, ref), idCol, textCol, refTextCol, depth, width, rareMax)
+        case BpeEncode(name, i, merges, idCol, textCol) =>
+          graft.pipeline.TextOps.bpeTokenizeIngest(in(i),
+            staticSide(name, in, merges), idCol, textCol)
         case EncodeIngest(name, i, vocab, idCol, textCol, oovId) =>
           graft.pipeline.TextOps.encodeTokensIngest(in(i),
             staticSide(name, in, vocab), idCol, textCol, oovId)
@@ -658,6 +668,7 @@ object Program {
     case x: LmScore => x.copy(name = name)
     case x: DsirScore => x.copy(name = name)
     case x: TokenFreq => x.copy(name = name)
+    case x: BpeEncode => x.copy(name = name)
     case x: EncodeIngest => x.copy(name = name)
     case x: DecontamIngest => x.copy(name = name)
     case x: IvfProbe => x.copy(name = name)
@@ -902,6 +913,10 @@ object Program {
                   rareMax: Long = 2L): Rec =
       derive("tokenFreq", Seq(ref))(n => TokenFreq(n, name, ref.name,
         idCol, textCol, refTextCol, depth, width, rareMax))
+    /** Frozen-BPE tokenization with `merges`' artifact (format version 3). */
+    def bpeEncode(merges: Rec, idCol: String, textCol: String): Rec =
+      derive("bpeEncode", Seq(merges))(n => BpeEncode(n, name, merges.name,
+        idCol, textCol))
     /** Fixed-vocabulary token encoding at ingest. */
     def encodeIngest(vocab: Rec, idCol: String, textCol: String,
                      oovId: Long = -1L): Rec =
@@ -952,8 +967,8 @@ object Program {
     *
     * Version history: 1 = the original 21-node §2 grammar; 2 adds the six
     * pipeline ingest-face nodes (corpusDedup, embedDedup, lmScore,
-    * encodeIngest, decontaminateIngest, ivfProbe); 3 adds dsirScore and
-    * tokenFreq.
+    * encodeIngest, decontaminateIngest, ivfProbe); 3 adds dsirScore,
+    * tokenFreq and bpeEncode.
     * [[toJson]] stamps each document with the LOWEST version that can
     * express it, so a document using only the v1 grammar stays loadable
     * by a v1 library. */
@@ -961,7 +976,8 @@ object Program {
 
   /** The lowest format version expressing every node in `doc`. */
   private def requiredVersion(doc: Doc): Int =
-    if (doc.nodes.exists { case _: DsirScore | _: TokenFreq => true; case _ => false }) 3
+    if (doc.nodes.exists {
+      case _: DsirScore | _: TokenFreq | _: BpeEncode => true; case _ => false }) 3
     else if (doc.nodes.exists {
       case _: CorpusDedup | _: EmbedDedup | _: LmScore | _: EncodeIngest |
            _: DecontamIngest | _: IvfProbe => true
@@ -1063,6 +1079,9 @@ object Program {
           ("ref" -> ref) ~ ("idCol" -> idCol) ~ ("textCol" -> textCol) ~
           ("refTextCol" -> refTextCol) ~ ("depth" -> depth) ~
           ("width" -> width) ~ ("rareMax" -> rareMax)
+      case BpeEncode(name, i, merges, idCol, textCol) =>
+        ("op" -> "bpeEncode") ~ ("name" -> name) ~ ("input" -> i) ~
+          ("merges" -> merges) ~ ("idCol" -> idCol) ~ ("textCol" -> textCol)
       case EncodeIngest(name, i, vocab, idCol, textCol, oovId) =>
         ("op" -> "encodeIngest") ~ ("name" -> name) ~ ("input" -> i) ~
           ("vocab" -> vocab) ~ ("idCol" -> idCol) ~ ("textCol" -> textCol) ~
@@ -1195,6 +1214,9 @@ object Program {
             (v \ "depth").extractOpt[Int].getOrElse(4),
             (v \ "width").extractOpt[Int].getOrElse(2048),
             (v \ "rareMax").extractOpt[Long].getOrElse(2L))
+          case "bpeEncode" => BpeEncode(name, (v \ "input").extract[String],
+            (v \ "merges").extract[String], (v \ "idCol").extract[String],
+            (v \ "textCol").extract[String])
           case "encodeIngest" => EncodeIngest(name, (v \ "input").extract[String],
             (v \ "vocab").extract[String], (v \ "idCol").extract[String],
             (v \ "textCol").extract[String],
@@ -1277,6 +1299,12 @@ object Program {
             env(tf.ref).df.select(col(tf.refTextCol)).schema
             emptyOf(graft.pipeline.TextOps.tokenFreqOutputSchema(
               tf.idCol, s.df.schema(tf.idCol).dataType))
+          case be: BpeEncode =>
+            val s = env(be.input)
+            s.df.select(col(be.idCol), col(be.textCol)).schema
+            env(be.merges).df.select(col("merge_rank"), col("lhs"), col("rhs")).schema
+            emptyOf(graft.pipeline.TextOps.bpeOutputSchema(
+              be.idCol, s.df.schema(be.idCol).dataType))
           case ed: EmbedDedup if ed.centroids.isDefined =>
             val s = env(ed.input)
             s.df.select(col(ed.idCol), col(ed.vecCol)).schema
@@ -1441,6 +1469,7 @@ object Program {
               s"node '${n.name}': tokenFreq needs depth >= 1, width >= 2 and " +
                 s"rareMax >= 0, got depth=${tf.depth} width=${tf.width} rareMax=${tf.rareMax}")
           Seq(tf.input, tf.ref)
+        case be: BpeEncode => Seq(be.input, be.merges)
         case ei: EncodeIngest => Seq(ei.input, ei.vocab)
         case di: DecontamIngest =>
           if (di.n < 1 || di.minOverlap < 1) throw new IllegalArgumentException(

@@ -883,6 +883,70 @@ object TextOps {
         coalesce(col("__h"), lit(0L)).as("tok_hash"))
   }
 
+  def bpeOutputSchema(idCol: String,
+      idType: org.apache.spark.sql.types.DataType): org.apache.spark.sql.types.StructType = {
+    import org.apache.spark.sql.types._
+    StructType(Seq(StructField(idCol, idType),
+      StructField("n_bpe_tokens", LongType, nullable = false),
+      StructField("tok_hash", LongType, nullable = false)))
+  }
+
+  /** Dual-mode [[bpeTokenize]] — apply a FROZEN merge table at ingest
+    * (the production tokenizer case: train once, tokenize every arriving
+    * document with the shipped artifact). Batch delegates to
+    * `bpeTokenize` (the q_bpe_encode oracle face); streaming runs the
+    * same chained-replace projection per arriving word and re-assembles
+    * per-doc counts + the sequence hash in the stateless per-batch
+    * combine — zero state-store rows, no join (the merge table is
+    * driver-sized and rides the plan as literals). Word-less documents
+    * emit (0, 0) in both modes. */
+  def bpeTokenizeIngest(stream: graft.api.MStream,
+                        merges: org.apache.spark.sql.DataFrame,
+                        idCol: String, textCol: String): graft.api.MStream = {
+    import org.apache.spark.sql.{Encoder, Row}
+    import org.apache.spark.sql.catalyst.encoders.RowEncoder
+    import org.apache.spark.sql.types._
+    val df = stream.df
+    if (!df.isStreaming)
+      return new graft.api.MStream(bpeTokenize(df, idCol, textCol, merges),
+        stream.eventOrder, stream.contextKeys, stream.name)
+    val ms = merges.select(col("merge_rank"), col("lhs"), col("rhs"))
+      .collect().sortBy(_.getInt(0)).map(r => (r.getString(1), r.getString(2))).toSeq
+    val id = col(idCol)
+    // word-less docs ride a sentinel (null word) row so they still emit
+    val ws = words(col(textCol))
+    val u = df
+      .select(id.as("__id"), posexplode(
+        when(size(ws) >= 1, ws).otherwise(array(lit(null).cast("string"))))
+        .as(Seq("__pos", "__w")))
+      .select(col("__id"), col("__pos"),
+        when(col("__w").isNotNull,
+          array_join(bpeSymbols(bpeApply(bpeWrap(col("__w")), ms)), " ")).as("__t"))
+    val idType = df.schema(idCol).dataType
+    val aggT = StructType(Seq(
+      StructField("__id", idType),
+      StructField("n_bpe_tokens", LongType, nullable = false),
+      StructField("tok_hash", LongType, nullable = false)))
+    val aggEnc: Encoder[Row] = RowEncoder.encoderFor(aggT)
+    val posIdx = u.schema.fieldIndex("__pos")
+    val tIdx = u.schema.fieldIndex("__t")
+    val out = graft.streaming.PerBatchCombine(u, Seq("__id"), aggEnc) {
+        (key: Row, it: Iterator[Row]) =>
+          val rows = it.filter(r => !r.isNullAt(tIdx)).toArray.sortBy(_.getInt(posIdx))
+          var n = 0L
+          val joined = rows.map { r =>
+            val t = r.getString(tIdx)
+            n += t.count(_ == ' ') + 1
+            t
+          }.mkString(" ")
+          val h = joined.foldLeft(0L)((a, c) => (a * 31 + c) % P)
+          Iterator.single(Row(key.get(0), if (rows.isEmpty) 0L else n,
+            if (rows.isEmpty) 0L else h))
+      }
+      .withColumnRenamed("__id", idCol)
+    new graft.api.MStream(out, stream.eventOrder, stream.contextKeys, stream.name)
+  }
+
   /** Token-frequency annotation against a REFERENCE corpus sketch: one
     * pass over the reference folds every token into a count–min sketch
     * ([[graft.functions.CountMinAgg]]); the collected d×w table — the

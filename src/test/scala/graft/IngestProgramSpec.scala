@@ -293,6 +293,35 @@ class IngestProgramSpec extends SparkSpec {
     graft.api.Pinned.release(spark)
   }
 
+  test("bpeEncode node: v3 codec identity, document run equals direct API") {
+    val merges = graft.pipeline.TextOps.trainBpeMerges(
+      Seq("low low low lower lower lowest").toDF("text"), "text", 3)
+    val doc = Doc(
+      nodes = Seq(External("docs"), External("bpe"),
+        BpeEncode("enc", "docs", "bpe", "doc_id", "text")),
+      outputs = Seq("enc"))
+    val json = Program.toJson(doc)
+    assert(json.contains("\"version\":3") && Program.fromJson(json) == doc)
+    val config = new App.Config()
+      .setSource("docs", App.Source("list", rows = Some(arriving.toDF("doc_id", "text"))))
+      .setSource("bpe", App.Source("list", rows = Some(merges)))
+      .addSink("enc", App.Sink("memory"))
+    Program.validate(doc, spark, config)
+    val out = App.runProgram(spark, config, json)
+      .collectFirst { case App.BatchOutput("enc", df) => df }.get
+    def key(r: org.apache.spark.sql.Row) = (r.getLong(0), r.getLong(1), r.getLong(2))
+    val direct = graft.pipeline.TextOps.bpeTokenize(
+        arriving.toDF("doc_id", "text"), "doc_id", "text", merges)
+      .collect().map(key).toSet
+    assert(out.collect().map(key).toSet == direct)
+    val cap = Program.capture(
+      Program.Rec.external("docs", MStream(arriving.toDF("doc_id", "text")))
+        .bpeEncode(Program.Rec.external("bpe", MStream(merges)),
+          "doc_id", "text").as("enc"))
+    assert(Program.fromJson(Program.toJson(cap)) == cap)
+    graft.api.Pinned.release(spark)
+  }
+
   test("schema validation covers ingest nodes without running driver jobs") {
     val config = new App.Config()
       .setSource("docs", App.Source("list", rows = Some(arriving.toDF("doc_id", "text"))))

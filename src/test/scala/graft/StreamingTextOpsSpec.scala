@@ -209,6 +209,37 @@ class StreamingTextOpsSpec extends SparkSpec {
     graft.api.Pinned.release(spark)
   }
 
+  test("bpeTokenizeIngest: streaming equals batch (frozen merges, empty docs)") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val trainDocs = Seq("low low low lower lower lowest").toDF("text")
+    val merges = TextOps.trainBpeMerges(trainDocs, "text", numMerges = 3)
+    val docs = Seq(
+      (1L, "low lower"),
+      (2L, "slow glowing"),
+      (3L, ""))                        // word-less -> (0, 0)
+    def key(r: org.apache.spark.sql.Row): (Long, Long, Long) =
+      (r.getLong(0), r.getLong(1), r.getLong(2))
+
+    val batch = TextOps.bpeTokenizeIngest(
+      MStream(docs.toDF("doc_id", "text")), merges, "doc_id", "text")
+    assert(!batch.df.isStreaming)
+    val b = batch.df.collect().map(key).toSet
+    assert(b.exists(r => r._1 == 3L && r._2 == 0L && r._3 == 0L),
+      "word-less doc emits (0, 0)")
+    // merges (l,o),(lo,w),(low,e): "low" -> [low], "lower" -> [lowe, r]
+    assert(b.find(_._1 == 1L).get._2 == 3L, "low=1 token, lower=2 tokens")
+
+    val in = MemoryStream[(Long, String)]
+    val out = TextOps.bpeTokenizeIngest(
+      MStream(in.toDF().toDF("doc_id", "text")), merges, "doc_id", "text")
+    in.addData(docs.take(2): _*)
+    in.addData(docs.drop(2): _*)
+    val s = streamed(out)(nm => spark.table(nm).collect().map(key).toSet)
+    assert(s == b, "streaming BPE application equals the batch oracle face")
+    graft.api.Pinned.release(spark)
+  }
+
   test("both ingest faces agree on a seeded random corpus") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val sqlCtx = spark.sqlContext
