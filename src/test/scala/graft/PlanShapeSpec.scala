@@ -131,4 +131,35 @@ class PlanShapeSpec extends SparkSpec {
     assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
       "candidate generation must stay an equi-join on band keys")
   }
+
+  test("q_dsir scores through two BROADCAST model joins with partial aggregation") {
+    val p = plan("q_dsir")
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 2,
+      "both bucket-count model tables must broadcast")
+    assert(p.contains("partial_sum"),
+      "the per-doc log-ratio sum must combine map-side")
+  }
+
+  test("q_token_freq is join-free: the sketch rides the plan as a literal") {
+    val p = plan("q_token_freq")
+    // ONE join is allowed: the left join resurrecting token-less docs.
+    // The MODEL must not add any — no sketch-table join, no cross join.
+    val joins = "BroadcastHashJoin|SortMergeJoin|ShuffledHashJoin|BroadcastNestedLoopJoin"
+      .r.findAllIn(p).size
+    assert(joins <= 1,
+      s"the count-min model must be a literal, not a joined table ($joins joins)")
+  }
+
+  test("q_heavy_hitters builds the sketch with map-side partial aggregation") {
+    val p = plan("q_heavy_hitters")
+    assert(p.contains("partial_graft_count_min"),
+      "the sketch must partial-aggregate per partition (one table per " +
+        "partition over the shuffle, never a row per token)")
+  }
+
+  test("q_line_scrub shuffles line hashes, never line text, for the dedup key") {
+    val p = plan("q_line_scrub")
+    assert(p.contains("xxhash64"), "dedup keys on the 8-byte line hash")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
+  }
 }
