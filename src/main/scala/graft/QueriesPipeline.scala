@@ -627,6 +627,29 @@ object QueriesPipeline {
                                   ELSE 250000 END"""
   }
 
+  /** Temperature-based source rebalancing at alpha = 0.5 toward a 300-doc
+    * budget: big sources downsample harder than small ones. The oracle
+    * recomputes the per-source integer gate thresholds bit-exactly —
+    * sqrt is IEEE-correctly-rounded in both engines and the normalizer
+    * folds in source-name order on both sides. */
+  def qTempMix(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir).df
+    graft.pipeline.Sampling.temperatureMix(docs, col("doc_id"), col("source"),
+        alpha = 0.5, budgetRows = 300L, salt = "t1")
+      .select(col("doc_id"), col("source"))
+  }
+
+  val qTempMixSql: String = {
+    val gate = "((" + PolyFold.format("(doc_id::VARCHAR || 't1')") + ") * 2654435761) % 1000000"
+    s"""WITH cnt AS (SELECT source AS s, count(*)::BIGINT AS n FROM documents GROUP BY source),
+        tot AS (SELECT list_reduce([0.0] || list(sqrt(n::DOUBLE) ORDER BY s),
+                                   (a, x) -> a + x) AS t FROM cnt),
+        thr AS (SELECT s, trunc(least(1.0, sqrt(n::DOUBLE) / t * 300 / n) * 1000000)::BIGINT AS th
+                FROM cnt CROSS JOIN tot)
+        SELECT d.doc_id, d.source FROM documents d JOIN thr ON thr.s = d.source
+        WHERE $gate < thr.th"""
+  }
+
   /** Per-source quota cap: at most 15 docs per source, hash-ranked —
     * the per-domain contribution limit of web-corpus assembly. */
   def qSourceCap(spark: SparkSession, dir: String): DataFrame =
@@ -1455,6 +1478,7 @@ object QueriesPipeline {
     "q_heavy_hitters" -> (qHeavyHitters _),
     "q_token_freq" -> (qTokenFreq _),
     "q_bpe_merges" -> (qBpeMerges _),
+    "q_temp_mix" -> (qTempMix _),
     "q_bpe_encode" -> (qBpeEncode _),
     "q_line_scrub" -> (qLineScrub _),
     "q_source_cap" -> (qSourceCap _),
@@ -1512,6 +1536,7 @@ object QueriesPipeline {
     "q_heavy_hitters" -> qHeavyHittersSql,
     "q_token_freq" -> qTokenFreqSql,
     "q_bpe_merges" -> qBpeMergesSql,
+    "q_temp_mix" -> qTempMixSql,
     "q_bpe_encode" -> qBpeEncodeSql,
     "q_line_scrub" -> qLineScrubSql,
     "q_source_cap" -> qSourceCapSql,

@@ -142,4 +142,41 @@ object Sampling {
         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
     df.withColumn("__rt", running).filter(col("__rt") <= budget).drop("__rt")
   }
+
+  /** Temperature-based source rebalancing (the multilingual-LM sampling
+    * exponent — Devlin et al. 2019 mBERT, Conneau et al. 2020 XLM-R §3.1):
+    * draw ~`budgetRows` documents so source s's share moves from its
+    * natural n_s/N toward the tempered p_s ∝ n_s^alpha (alpha = 1/T;
+    * alpha 1 = natural mix, alpha → 0 = uniform over sources). Rates
+    * derive from ONE strata-sized count aggregate (`p_s·budget / n_s`,
+    * capped at 1 — downsampling only; compose with [[weightedMix]] to
+    * upsample starved sources past 1×), then one pass of the stratified
+    * hash gate: no shuffle of the corpus, partitioning/engine-invariant,
+    * salt redraws.
+    *
+    * Engine portability of the rate arithmetic: the normalizer folds
+    * n_s^alpha in SOURCE-NAME order (a plain left fold the oracle
+    * mirrors with an ordered `list_reduce`), and alpha = 0.5 routes
+    * through `sqrt` — correctly rounded in every IEEE libm, unlike the
+    * general `pow`, so the oracle's integer gate thresholds are
+    * bit-identical. Other alphas use `pow`; their thresholds may differ
+    * from an independent engine's in the last ulp (documented — pin such
+    * mixes by spec, not oracle). */
+  def temperatureMix(df: DataFrame, keyCol: Column, strataCol: Column,
+                     alpha: Double, budgetRows: Long,
+                     salt: String = ""): DataFrame = {
+    require(alpha > 0.0 && alpha <= 1.0, s"alpha must be in (0,1], got $alpha")
+    require(budgetRows > 0, s"budgetRows must be positive, got $budgetRows")
+    def tempered(n: Long): Double =
+      if (alpha == 0.5) math.sqrt(n.toDouble) else math.pow(n.toDouble, alpha)
+    val counts = df.groupBy(strataCol.cast("string").as("__s"))
+      .agg(count(lit(1)).as("__n")).collect()
+      .map(r => (r.getString(0), r.getLong(1))).sortBy(_._1)
+    require(counts.nonEmpty, "temperatureMix: empty input")
+    val tot = counts.foldLeft(0.0) { case (a, (_, n)) => a + tempered(n) }
+    val rates = counts.map { case (s, n) =>
+      s -> math.min(1.0, tempered(n) / tot * budgetRows / n)
+    }.toMap
+    stratifiedHashSample(df, keyCol, strataCol, rates, 0.0, salt)
+  }
 }

@@ -242,6 +242,32 @@ class BatchApiSpec extends SparkSpec {
     assert(strat("s0") == 500 && !strat.contains("s1"), "per-stratum rates applied")
   }
 
+  test("temperature mixing flattens source shares toward uniform, deterministically") {
+    import graft.pipeline.Sampling
+    // 1600 big + 100 small: natural mix 94/6; alpha 0.5 should pull the
+    // kept composition much closer to even
+    val docs = ((0L until 1600L).map(i => (i, "big")) ++
+      (10000L until 10100L).map(i => (i, "small"))).toDF("id", "src")
+    def mix(d: org.apache.spark.sql.DataFrame) = Sampling
+      .temperatureMix(d, col("id"), col("src"), alpha = 0.5, budgetRows = 400L, salt = "t")
+      .groupBy("src").count().collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val m = mix(docs)
+    assert(m == mix(docs.repartition(7)), "partitioning-invariant selection")
+    // tempered shares: sqrt(1600)=40, sqrt(100)=10 -> want 320 big / 80
+    // small; small's rate caps below 1? 80/100 = 0.8 -> ~80 kept
+    assert(math.abs(m("big") - 320) < 60, s"big ~320, got ${m("big")}")
+    assert(math.abs(m("small") - 80) < 25, s"small ~80, got ${m("small")}")
+    val smallShare = m("small").toDouble / (m("big") + m("small"))
+    assert(smallShare > 0.12, s"small's share must rise well above 6%: $smallShare")
+    // alpha = 1 reproduces the natural mix rates (p_s * budget / n_s is
+    // uniform across sources)
+    val nat = Sampling.temperatureMix(docs, col("id"), col("src"),
+        alpha = 1.0, budgetRows = 400L, salt = "t")
+      .groupBy("src").count().collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val natShare = nat("small").toDouble / (nat("big") + nat("small"))
+    assert(natShare < 0.1, s"alpha=1 keeps the natural composition: $natShare")
+  }
+
   test("weighted mixing repeats by floor(w) or ceil(w), reproducibly across partitionings") {
     import graft.pipeline.Sampling
     val docs = (0L until 2000L).map(i => (i, s"s${i % 4}")).toDF("id", "src")
