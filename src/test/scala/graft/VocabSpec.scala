@@ -92,4 +92,45 @@ class VocabSpec extends SparkSpec {
     val few = TextOps.trainBpeMerges(Seq("a b a b ab").toDF("text"), "text", 10)
     assert(few.count() <= 2, "training stops when no adjacent pairs remain")
   }
+
+  test("BPE training equals a plain-Scala reference on seeded random corpora") {
+    import spark.implicits._
+    // reference implementation of the algorithm, independent of Spark:
+    // word-frequency dict, overlap-counted pair statistics, argmax with
+    // lexicographic ties, greedy left-to-right merge application
+    def refBpe(words: Seq[String], rounds: Int): Seq[(String, String)] = {
+      var vocab: Map[List[String], Long] = words.groupBy(identity).view
+        .mapValues(_.size.toLong).toMap.map { case (w, c) => (w.toList.map(_.toString), c) }
+      val out = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
+      var done = false
+      while (out.size < rounds && !done) {
+        val counts = scala.collection.mutable.Map.empty[(String, String), Long]
+        for ((syms, c) <- vocab; p <- syms.zip(syms.tail))
+          counts(p) = counts.getOrElse(p, 0L) + c
+        if (counts.isEmpty) done = true
+        else {
+          val (a, b) = counts.toSeq.minBy { case ((x, y), n) => (-n, x, y) }._1
+          out += ((a, b))
+          def merge(syms: List[String]): List[String] = syms match {
+            case `a` :: `b` :: rest => (a + b) :: merge(rest)
+            case s :: rest => s :: merge(rest)
+            case Nil => Nil
+          }
+          vocab = vocab.groupBy { case (syms, _) => merge(syms) }.view
+            .mapValues(_.values.sum).toMap
+        }
+      }
+      out.toSeq
+    }
+    val rnd = new scala.util.Random(29)
+    val alphabet = "abcde"
+    for (trial <- 0 until 5) {
+      val words = Seq.fill(60)(
+        Seq.fill(1 + rnd.nextInt(5))(alphabet(rnd.nextInt(alphabet.size))).mkString)
+      val docs = words.grouped(8).map(_.mkString(" ")).toSeq.toDF("text")
+      val got = TextOps.trainBpeMerges(docs, "text", numMerges = 4)
+        .collect().sortBy(_.getInt(0)).map(r => (r.getString(1), r.getString(2))).toSeq
+      assert(got == refBpe(words, 4), s"trial $trial")
+    }
+  }
 }
