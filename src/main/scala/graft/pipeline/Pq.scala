@@ -41,7 +41,9 @@ object Pq {
         col(vecCol).cast("array<double>").as("__pv"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
-      val dim = pts.select(size(col("__pv"))).head().getInt(0)
+      val firstDim = pts.select(size(col("__pv"))).limit(1).collect()
+      require(firstDim.nonEmpty, "Pq.train: the corpus has no vectors")
+      val dim = firstDim.head.getInt(0)
       require(dim % m == 0, s"vector dim $dim is not divisible by m=$m subspaces")
       val sd = dim / m
       def subv(j: Int, c: Column): Column = slice(c, j * sd + 1, sd)

@@ -161,7 +161,8 @@ object Sampling {
     * general `pow`, so the oracle's integer gate thresholds are
     * bit-identical. Other alphas use `pow`; their thresholds may differ
     * from an independent engine's in the last ulp (documented — pin such
-    * mixes by spec, not oracle). */
+    * mixes by spec, not oracle). Rows whose stratum is NULL never match
+    * a named rate and fall to the 0 default — i.e. they are dropped. */
   def temperatureMix(df: DataFrame, keyCol: Column, strataCol: Column,
                      alpha: Double, budgetRows: Long,
                      salt: String = ""): DataFrame = {

@@ -821,6 +821,10 @@ object TextOps {
     * rows, the trained artifact). No end-of-word marker (documented
     * deviation from the paper; the oracle mirrors the same choice).
     *
+    * Precondition: text must not contain U+0002/U+0003 (the symbol
+    * brackets) — control characters are not word characters in any real
+    * corpus; strip them upstream (e.g. with the PII/quality scrubbers).
+    *
     * Output: (merge_rank, lhs, rhs) — apply with [[bpeTokenize]]. */
   def trainBpeMerges(docs: org.apache.spark.sql.DataFrame, textCol: String,
                      numMerges: Int): org.apache.spark.sql.DataFrame = {
@@ -982,6 +986,12 @@ object TextOps {
     import org.apache.spark.sql.catalyst.encoders.RowEncoder
     import org.apache.spark.sql.types._
     require(rareMax >= 0, s"rareMax must be non-negative, got $rareMax")
+    // the model embeds in the PLAN as a literal array — size it for a
+    // plan, not an executor heap; a bigger sketch should broadcast-join
+    // a (bucket, count) table instead (the dsirScore shape)
+    require(depth.toLong * width <= (1 << 16),
+      s"tokenFrequencyStats keeps the $depth x $width sketch as a plan literal; " +
+        "beyond 64K cells route the model through a broadcast join instead")
     val df = stream.df
     val vf = graft.functions.VectorFunctions
     val skRow = refDocs
