@@ -219,6 +219,102 @@ object Pq {
         round(-col("col.cos"), 6).as("adc"), (col("pos") + 1).cast("int").as("rn"))
   }
 
+  /** Dual-mode [[ivfAdcTopK]] — compressed similarity search at ingest:
+    * query vectors arrive as a stream and probe a STATIC IVF+PQ-indexed
+    * corpus. Batch delegates to `ivfAdcTopK`; streaming pins the coded
+    * corpus once (id, cell, codes — the compressed index), explodes each
+    * arriving query to its nProbe cells (literal-codebook expression, no
+    * shuffle), equi-joins the pinned codes on the cell id, ADC-scores
+    * the candidates, and takes the exact top-k per query in the
+    * stateless per-batch combine — zero state-store rows, the
+    * [[Ivf.searchIngest]] shape over 32×-smaller corpus bytes.
+    * `broadcastCorpus = false` for a cid-bucketed codes table at cluster
+    * scale. Queries whose probed cells are empty produce no output in
+    * either mode (inner join). */
+  def ivfAdcIngest(queries: graft.api.MStream, corpus: DataFrame,
+                   idCol: String, vecCol: String, qIdCol: String,
+                   centroids: DataFrame, codebooks: DataFrame,
+                   topK: Int, nProbe: Int,
+                   broadcastCorpus: Boolean = true): graft.api.MStream = {
+    import org.apache.spark.sql.{Encoder, Row}
+    import org.apache.spark.sql.catalyst.encoders.RowEncoder
+    import org.apache.spark.sql.types._
+    val df = queries.df
+    if (!df.isStreaming)
+      return new graft.api.MStream(
+        ivfAdcTopK(corpus, df, idCol, vecCol, qIdCol, centroids, codebooks,
+          topK, nProbe, broadcastCorpus),
+        queries.eventOrder, queries.contextKeys, queries.name)
+    require(topK >= 1 && nProbe >= 1, s"need topK/nProbe >= 1, got $topK/$nProbe")
+    val cent = Ivf.collectCodebook(centroids)
+    val books = collectBooks(codebooks)
+    val m = books.size
+    val sd = books.head.head._2.size
+    val v = col(vecCol).cast("array<double>")
+    val (coded, ids) = graft.api.Pinned.checkpointTracked(
+      corpus
+        .select(col(idCol).as("__pid") +: v.as("__pv") +:
+          books.indices.map(j => slice(v, j * sd + 1, sd).as(s"__s$j")): _*)
+        .select(col("__pid"), Ivf.nearestCid(col("__pv"), cent).as("cid"),
+          array(books.indices.map(j =>
+            Ivf.nearestCid(col(s"__s$j"), books(j))): _*).as("codes")))
+    graft.api.Pinned.register(df.sparkSession, ids)
+    val lutCols = books.zipWithIndex.flatMap { case (b, j) =>
+      val qj = col(s"__q$j")
+      b.map { case (_, cv) =>
+        var cc = 0.0
+        cv.foreach(x => cc += x * x)
+        col(s"__qq$j") - lit(2.0) * Similarity.dot(qj, typedLit(cv)) + lit(cc)
+      }
+    }
+    val q = df
+      .select(col(qIdCol).as("__qid"), col(vecCol).cast("array<double>").as("__qv"))
+      .select(col("__qid") +: col("__qv") +: books.indices.map(j =>
+        slice(col("__qv"), j * sd + 1, sd).as(s"__q$j")): _*)
+      .select(col("__qid") +: col("__qv") +: books.indices.flatMap(j =>
+        Seq(col(s"__q$j"), Similarity.dot(col(s"__q$j"), col(s"__q$j")).as(s"__qq$j"))): _*)
+      .select(col("__qid"), array(lutCols: _*).as("__lut"),
+        explode(Ivf.probeCids(col("__qv"), cent, nProbe)).as("cid"))
+    val offs = books.map(_.size).scanLeft(0)(_ + _)
+    val adc = (0 until m).map(j =>
+        element_at(col("__lut"), lit(offs(j) + 1) + element_at(col("codes"), j + 1)))
+      .reduce(_ + _)
+    val scored = q
+      .join(if (broadcastCorpus) broadcast(coded) else coded, "cid")
+      .filter(col("__pid") =!= col("__qid"))
+      // long ids, matching the batch face's BoundedTopK contract
+      .select(col("__qid"), col("__pid").cast("long").as("__pid"), adc.as("__adc"))
+    val qType = df.schema(qIdCol).dataType
+    val outT = StructType(Seq(
+      StructField("__qid", qType), StructField("__pid", LongType),
+      StructField("__adc", DoubleType), StructField("rn", IntegerType, nullable = false)))
+    val outEnc: Encoder[Row] = RowEncoder.encoderFor(outT)
+    val pidIdx = scored.schema.fieldIndex("__pid")
+    val adcIdx = scored.schema.fieldIndex("__adc")
+    val k = topK
+    // (adc asc, pid asc) — the batch BoundedTopK's exact order, so both
+    // faces pick identical top-k sets and ranks
+    val ord = new Ordering[Row] {
+      def compare(a: Row, b: Row): Int = {
+        val c = java.lang.Double.compare(a.getDouble(adcIdx), b.getDouble(adcIdx))
+        if (c != 0) c
+        else a.get(pidIdx).asInstanceOf[Comparable[Any]].compareTo(b.get(pidIdx))
+      }
+    }
+    val out = graft.streaming.PerBatchCombine(scored, Seq("__qid"), outEnc) {
+        (key: Row, it: Iterator[Row]) =>
+          val heap = new java.util.PriorityQueue[Row](k + 1, ord.reverse)
+          it.foreach { r => heap.add(r); if (heap.size > k) heap.poll() }
+          val top = Array.fill(heap.size)(heap.poll()).reverse
+          top.iterator.zipWithIndex.map { case (r, i) =>
+            Row(key.get(0), r.get(pidIdx), r.getDouble(adcIdx), i + 1)
+          }
+      }
+      .select(col("__qid").as(qIdCol), col("__pid").as(idCol),
+        round(col("__adc"), 6).as("adc"), col("rn"))
+    new graft.api.MStream(out, queries.eventOrder, queries.contextKeys, queries.name)
+  }
+
   private def adcTopKCodedWith(enc: DataFrame, queries: DataFrame, idCol: String,
                                vecCol: String, qIdCol: String,
                                books: IndexedSeq[Seq[(Int, Seq[Double])]],

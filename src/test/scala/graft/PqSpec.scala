@@ -96,6 +96,48 @@ class PqSpec extends SparkSpec {
     graft.api.Pinned.release(spark)
   }
 
+  test("ivfAdcIngest: streaming equals batch, stateless, both corpus faces") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val data = rngVecs(60, 8, seed = 41)
+    val df = data.toDF("vec_id", "embedding")
+    val cents = graft.pipeline.Ivf.train(df, "vec_id", "embedding", k = 3, iters = 2)
+    val cb = Pq.train(df, "vec_id", "embedding", m = 2, ksub = 4, iters = 2)
+    val qRows = data.take(4).map { case (i, v) => (i, v) }
+    def rows(d: org.apache.spark.sql.DataFrame) =
+      d.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3))).toSet
+    val batch = Pq.ivfAdcIngest(
+      graft.api.MStream(qRows.toDF("q_id", "embedding")), df,
+      "vec_id", "embedding", "q_id", cents, cb, topK = 5, nProbe = 3)
+    assert(!batch.df.isStreaming)
+    val b = rows(batch.df)
+    assert(b.nonEmpty && b == rows(Pq.ivfAdcTopK(df, qRows.toDF("q_id", "embedding"),
+      "vec_id", "embedding", "q_id", cents, cb, topK = 5, nProbe = 3)))
+
+    for (bc <- Seq(true, false)) {
+      val in = MemoryStream[(Long, Seq[Double])]
+      val out = Pq.ivfAdcIngest(
+        graft.api.MStream(in.toDF().toDF("q_id", "embedding")), df,
+        "vec_id", "embedding", "q_id", cents, cb, topK = 5, nProbe = 3,
+        broadcastCorpus = bc)
+      assert(out.df.isStreaming)
+      val name = s"pq_ing_${bc}_${System.nanoTime()}"
+      val q = out.df.writeStream.format("memory").queryName(name)
+        .outputMode(org.apache.spark.sql.streaming.OutputMode.Append()).start()
+      try {
+        in.addData(qRows.take(2).map { case (i, v) => (i, v.toSeq) }: _*)
+        in.addData(qRows.drop(2).map { case (i, v) => (i, v.toSeq) }: _*)
+        q.processAllAvailable()
+        assert(q.lastProgress == null ||
+          q.lastProgress.stateOperators.forall(_.numRowsTotal == 0L),
+          "compressed search at ingest is stateless")
+        assert(rows(spark.table(name)) == b,
+          s"streaming (broadcastCorpus=$bc) equals the batch face")
+      } finally q.stop()
+    }
+    graft.api.Pinned.release(spark)
+  }
+
   test("codeword-exact corpus: ADC ordering equals true squared-L2 ordering") {
     // four distinct base vectors at ids 0..3 (the deterministic init picks
     // them), repeated across the corpus: Lloyd fixes the codewords at the
