@@ -120,6 +120,33 @@ object QueriesPipeline {
         SELECT doc_id, source, n_chars FROM documents
         WHERE doc_id % 3 = 0 AND doc_id NOT IN (SELECT id_a FROM matched)"""
 
+  /** Exact cross-corpus dedup at ingest, batch face (the streaming face
+    * and the Bloom prune are pinned by BloomSpec): the corpus has no
+    * natural exact duplicates, so the arriving slice is the fresh third
+    * PLUS literal copies of every 7th reference text under fresh ids —
+    * those copies, and only those, must drop. The Bloom screen is
+    * semantics-free by construction (false positives re-checked exactly),
+    * so the oracle is the plain text-equality anti-join. */
+  def qExactIngest(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir).df
+    val ref = docs.where(col("doc_id") % 3 =!= 0)
+    val copies = ref.where(col("doc_id") % 7 === 1)
+      .select((col("doc_id") + 1000000L).as("doc_id"), col("text"),
+        col("lang"), col("source"), col("n_chars"))
+    val arrivals = docs.where(col("doc_id") % 3 === 0).unionByName(copies)
+    Dedup.exactDedupAgainstCorpus(graft.api.MStream(arrivals), ref, "doc_id", "text")
+      .df.select(col("doc_id"), col("source"), col("n_chars"))
+  }
+
+  val qExactIngestSql: String =
+    """WITH ref AS (SELECT * FROM documents WHERE doc_id % 3 <> 0),
+       arrivals AS (
+         SELECT doc_id, text, source, n_chars FROM documents WHERE doc_id % 3 = 0
+         UNION ALL
+         SELECT doc_id + 1000000, text, source, n_chars FROM ref WHERE doc_id % 7 = 1)
+       SELECT doc_id, source, n_chars FROM arrivals a
+       WHERE NOT EXISTS (SELECT 1 FROM ref r WHERE r.text = a.text)"""
+
   /** The round-8 flagship ingest pipeline (quality gate → cross-corpus
     * dedup → fixed-vocab encode) shipped AS AN ARTIFACT: the pipeline is
     * composed on the recording surface (`Program.Rec`), captured to a
@@ -1471,6 +1498,7 @@ object QueriesPipeline {
     "q_known_scrub" -> (qKnownScrub _),
     "q_cross_dedup" -> (qCrossDedup _),
     "q_cross_ingest" -> (qCrossIngest _),
+    "q_exact_ingest" -> (qExactIngest _),
     "q_ingest_program" -> (qIngestProgram _),
     "q_lm_score" -> (qLmScore _),
     "q_lm_against" -> (qLmAgainst _),
@@ -1529,6 +1557,7 @@ object QueriesPipeline {
     "q_known_scrub" -> qKnownScrubSql,
     "q_cross_dedup" -> qCrossDedupSql,
     "q_cross_ingest" -> qCrossIngestSql,
+    "q_exact_ingest" -> qExactIngestSql,
     "q_ingest_program" -> qIngestProgramSql,
     "q_lm_score" -> qLmScoreSql,
     "q_lm_against" -> qLmAgainstSql,

@@ -688,6 +688,18 @@ object VectorFunctions {
     if (cells.size == 1) cells.head else least(cells: _*)
   }
 
+  /** Bloom-filter aggregate over item-hash longs: fixed bit array,
+    * OR-mergeable, map-side partial aggregation — the join-pruning
+    * membership artifact (no false negatives). */
+  def bloomAgg(itemHash: Column, numBits: Int, numHashes: Int): Column =
+    ColumnBridge.column(BloomAgg(ColumnBridge.expr(itemHash), numBits, numHashes)
+      .toAggregateExpression())
+
+  /** Codegen'd membership probe against a [[BloomAgg]] word array. */
+  def bloomContains(filter: Column, itemHash: Column, numHashes: Int): Column =
+    ColumnBridge.column(BloomMightContain(
+      ColumnBridge.expr(filter), ColumnBridge.expr(itemHash), numHashes))
+
   /** Codegen'd mean unsigned byte of a binary column. */
   def byteMeanNative(b: Column): Column =
     ColumnBridge.column(ByteMean(ColumnBridge.expr(b)))

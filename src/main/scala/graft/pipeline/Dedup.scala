@@ -33,6 +33,109 @@ object Dedup {
       .select(col("keep_id"), col("n_copies"))
   }
 
+  /** Exact cross-corpus dedup at ingest, Bloom-pre-screened: drop every
+    * arriving document whose text EXACTLY equals some reference
+    * document's ("has the training set already seen this literal
+    * document" — the membership screen that runs in front of the
+    * near-dup pipeline). The reference folds once into two pinned
+    * artifacts: a [[graft.functions.BloomAgg]] filter over
+    * `xxhash64(text)` (OR-mergeable, map-side combined — the shuffle
+    * carries one bit-array per partition) and the distinct
+    * (hash, salted-hash) key set. Arrivals then pay a zero-shuffle
+    * codegen'd filter probe; only the tiny might-contain slice — true
+    * duplicates plus the filter's ~(1-e^{-kn/m})^k false positives —
+    * reaches the exact confirm join, so the Bloom can only PRUNE, never
+    * change the answer. Matching is on the (xxhash64, salted xxhash64)
+    * key pair, the [[exact]] collision posture: the text itself never
+    * shuffles, and a false drop needs a simultaneous 2⁻¹²⁸ double
+    * collision. Null-text arrivals never match (SQL equality semantics).
+    *
+    * Dual-mode: batch anti-join (q_exact_ingest carries the oracle);
+    * streaming runs the same probe + one stateless stream-static join —
+    * zero state-store rows. `droppedBecause` lineage edges (arrival →
+    * each matching reference doc) go to the bound sink in both modes.
+    *
+    * Scale: the filter embeds in the plan as a literal — size it for a
+    * plan, not an executor heap (the 2^23-bit cap is ~1 MB; at 10⁹+
+    * reference docs ship the filter as a broadcast one-row frame and
+    * probe the column instead, and set `broadcastRef=false` so the
+    * confirm join shuffles against a key-bucketed reference table). */
+  def exactDedupAgainstCorpus(stream: graft.api.MStream, refDocs: DataFrame,
+                              idCol: String, textCol: String,
+                              numBits: Int = 1 << 20, numHashes: Int = 7,
+                              broadcastRef: Boolean = true): graft.api.MStream = {
+    require(numBits <= (1 << 23),
+      s"exactDedupAgainstCorpus keeps the $numBits-bit filter as a plan literal; " +
+        "beyond 2^23 bits route the probe through a broadcast join instead")
+    require(!refDocs.isStreaming,
+      "exactDedupAgainstCorpus needs a batch reference corpus")
+    val vf = graft.functions.VectorFunctions
+    val df = stream.df
+    val spark = df.sparkSession
+    val dropOp = "droppedBecause:exactDedupAgainstCorpus"
+    def salted(c: org.apache.spark.sql.Column) = xxhash64(c, lit(0x5bd1e995))
+
+    // reference artifacts: one pass, filter + distinct key pairs
+    val refKeyed = refDocs.where(col(textCol).isNotNull)
+      .select(xxhash64(col(textCol)).as("__k1"), salted(col(textCol)).as("__k2"),
+        col(idCol).as("__rid"))
+    val bfLit = typedLit(refDocs.where(col(textCol).isNotNull)
+      .agg(vf.bloomAgg(xxhash64(col(textCol)), numBits, numHashes).as("bf"))
+      .head().getSeq[Long](0))
+
+    val tagged = df.withColumn("__k1", xxhash64(col(textCol)))
+      .withColumn("__k2", salted(col(textCol)))
+    // null text hashes to the seed value but can never equal a reference
+    // text under SQL semantics — gate it out of the candidate slice
+    val might = vf.bloomContains(bfLit, col("__k1"), numHashes) && col(textCol).isNotNull
+    val clear = tagged.filter(!might).drop("__k1", "__k2")
+    val cand = tagged.filter(might)
+
+    if (!df.isStreaming) {
+      val out = graft.api.Lineage.current(spark) match {
+        case Some(rec) =>
+          // the pair frame feeds the edge frame AND the matched set —
+          // checkpoint once so the sink write never re-runs the probe join
+          val (cp, ids) = graft.api.Pinned.checkpointTracked(
+            cand.join(refKeyed, Seq("__k1", "__k2")).select(col(idCol), col("__rid")))
+          graft.api.Pinned.register(spark, ids)
+          rec.add(cp.select(lit(dropOp).as("op"),
+            xxhash64(struct(col(idCol))).as("output_id"),
+            xxhash64(struct(col("__rid"))).as("input_id")))
+          val matched = cp.select(col(idCol)).distinct()
+          clear.unionByName(
+            cand.drop("__k1", "__k2").join(matched, Seq(idCol), "left_anti"))
+        case None =>
+          clear.unionByName(
+            cand.join(refKeyed.select(col("__k1"), col("__k2")).distinct(),
+                Seq("__k1", "__k2"), "left_anti")
+              .drop("__k1", "__k2"))
+      }
+      return new graft.api.MStream(out, stream.eventOrder, stream.contextKeys, stream.name)
+    }
+
+    // streaming: pin the distinct key set once; the probe is a zero-state
+    // projection, the confirm a stateless stream-static join
+    val (refKeys, rkIds) = graft.api.Pinned.checkpointTracked(
+      refKeyed.select(col("__k1"), col("__k2")).distinct().withColumn("__hit", lit(true)))
+    graft.api.Pinned.register(spark, rkIds)
+    graft.api.Lineage.current(spark).foreach { rec =>
+      val (refFull, rfIds) = graft.api.Pinned.checkpointTracked(refKeyed)
+      graft.api.Pinned.register(spark, rfIds)
+      rec.add(cand.join(
+          if (broadcastRef) broadcast(refFull) else refFull, Seq("__k1", "__k2"))
+        .select(lit(dropOp).as("op"),
+          xxhash64(struct(col(idCol))).as("output_id"),
+          xxhash64(struct(col("__rid"))).as("input_id")))
+    }
+    val surv = cand
+      .join(if (broadcastRef) broadcast(refKeys) else refKeys, Seq("__k1", "__k2"), "left")
+      .filter(col("__hit").isNull)
+      .drop("__hit", "__k1", "__k2")
+    new graft.api.MStream(clear.unionByName(surv),
+      stream.eventOrder, stream.contextKeys, stream.name)
+  }
+
   /** C4-style corpus-wide duplicate-line scrub (Raffel et al. 2020 §2.2:
     * boilerplate lines repeated across pages): every line that occurs
     * more than once in the corpus keeps only its FIRST occurrence

@@ -53,6 +53,12 @@ object GraftExtensions {
     ("graft_count_min", info("graft_count_min",
       "aggregate: count-min sketch (d=4, w=2048) over bigint item hashes"),
       (es: Seq[Expression]) => CountMinAgg(es(0), 4, 2048).toAggregateExpression()),
+    ("graft_bloom", info("graft_bloom",
+      "aggregate: bloom filter (2^20 bits, 7 hashes) over bigint item hashes"),
+      (es: Seq[Expression]) => BloomAgg(es(0), 1 << 20, 7).toAggregateExpression()),
+    ("graft_bloom_contains", info("graft_bloom_contains",
+      "membership probe (7 hashes) against a graft_bloom word array"),
+      (es: Seq[Expression]) => BloomMightContain(es(0), es(1), 7)),
     ("graft_jaccard_at_least", info("graft_jaccard_at_least",
       "Jaccard of two sorted distinct array<bigint> with early abandonment below a literal threshold (-1 when provably below)"),
       (es: Seq[Expression]) => {

@@ -234,6 +234,38 @@ object ExpressionProps extends Properties("graft.expressions") {
       got == graft.functions.CountMinUtil.reference(hs, d, w).toSeq
     }
 
+  property("bloom: update/merge equals the definitional word array under any split") =
+    forAll(Gen.listOf(Gen.choose(Long.MinValue, Long.MaxValue)),
+           Gen.choose(1, 8), Gen.choose(1, 8), Gen.choose(0, 100)) { (hs, words, k, cut) =>
+      import org.apache.spark.sql.catalyst.InternalRow
+      import org.apache.spark.sql.catalyst.expressions.BoundReference
+      import org.apache.spark.sql.types.LongType
+      val m = words * 64
+      val agg = graft.functions.BloomAgg(
+        BoundReference(0, LongType, nullable = true), m, k)
+      def build(part: Seq[Long]): Array[Long] =
+        part.foldLeft(agg.createAggregationBuffer())(
+          (b, h) => agg.update(b, InternalRow(h)))
+      val (l, r) = hs.splitAt(cut % (hs.size + 1))
+      val rhs = build(r)
+      val merged = agg.merge(build(l),
+        if (rhs == null) null else agg.deserialize(agg.serialize(rhs)))
+      val got = agg.eval(merged)
+        .asInstanceOf[GenericArrayData].toLongArray().toSeq
+      got == graft.functions.BloomUtil.reference(hs, m, k).toSeq
+    }
+
+  property("bloom: no false negatives — every inserted hash is contained") =
+    forAll(Gen.nonEmptyListOf(Gen.choose(Long.MinValue, Long.MaxValue)),
+           Gen.choose(1, 8), Gen.choose(1, 8)) { (hs, words, k) =>
+      val m = words * 64
+      val table = new GenericArrayData(graft.functions.BloomUtil.reference(hs, m, k))
+      hs.forall { h =>
+        graft.functions.BloomMightContain(null, null, k)
+          .nullSafeEvalPublic(table, h).asInstanceOf[Boolean]
+      }
+    }
+
   property("count-min estimate upper-bounds the exact count") =
     forAll(Gen.listOf(Gen.choose(0L, 40L).map(n => refHash(n.toString))),
            Gen.choose(2, 4), Gen.choose(2, 32)) { (hs, d, w) =>
