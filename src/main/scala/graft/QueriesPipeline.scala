@@ -120,6 +120,54 @@ object QueriesPipeline {
         SELECT doc_id, source, n_chars FROM documents
         WHERE doc_id % 3 = 0 AND doc_id NOT IN (SELECT id_a FROM matched)"""
 
+  /** Gopher quality-rule gate (Rae et al. 2021 §A1.1) over the documents
+    * corpus at the published thresholds: per-rule boolean flags plus the
+    * conjunction. Every ratio test is integer cross-multiplication on
+    * both sides, so there is no float rounding contract at all. */
+  def qGopher(spark: SparkSession, dir: String): DataFrame =
+    graft.pipeline.TextOps.gopherRules(
+      Tables.documents(spark, dir).df, "doc_id", "text")
+
+  val qGopherSql: String =
+    """WITH base AS (
+         SELECT doc_id,
+           list_filter(string_split_regex(text, '[ \t\n\f\r\x0b]+'), x -> x <> '') AS ws,
+           string_split(text, chr(10)) AS ls, text AS t
+         FROM documents),
+       stats AS (
+         SELECT doc_id,
+           len(ws) AS nw,
+           coalesce(list_sum(list_transform(ws, w -> length(w))), 0) AS chars,
+           length(t) - length(replace(t, '#', '')) AS hashes,
+           ((length(t) - length(replace(t, '...', ''))) / 3)::BIGINT
+             + (length(t) - length(replace(t, '…', ''))) AS ellipses,
+           len(ls) AS nl,
+           len(list_filter(ls, l -> substr(ltrim(l), 1, 1) IN ('•','‣','▪','-','*'))) AS bullet_lines,
+           len(list_filter(ls, l -> ends_with(rtrim(l), '...') OR ends_with(rtrim(l), '…'))) AS ell_lines,
+           len(list_filter(ws, w -> regexp_matches(w, '[A-Za-z]'))) AS alpha_words,
+           list_contains(list_transform(ws, w -> lower(w)), 'the')::INT
+             + list_contains(list_transform(ws, w -> lower(w)), 'be')::INT
+             + list_contains(list_transform(ws, w -> lower(w)), 'to')::INT
+             + list_contains(list_transform(ws, w -> lower(w)), 'of')::INT
+             + list_contains(list_transform(ws, w -> lower(w)), 'and')::INT
+             + list_contains(list_transform(ws, w -> lower(w)), 'that')::INT
+             + list_contains(list_transform(ws, w -> lower(w)), 'have')::INT
+             + list_contains(list_transform(ws, w -> lower(w)), 'with')::INT AS stops
+         FROM base),
+       flags AS (
+         SELECT doc_id, coalesce(nw, 0)::BIGINT AS n_words,
+           coalesce(nw >= 50 AND nw <= 100000, false) AS ok_words,
+           coalesce(nw > 0 AND chars >= 3*nw AND chars <= 10*nw, false) AS ok_word_len,
+           coalesce(nw > 0 AND 10*hashes <= nw AND 10*ellipses <= nw, false) AS ok_symbols,
+           coalesce(10*bullet_lines <= 9*nl, false) AS ok_bullets,
+           coalesce(10*ell_lines <= 3*nl, false) AS ok_ellipses,
+           coalesce(nw > 0 AND 5*alpha_words >= 4*nw, false) AS ok_alpha,
+           coalesce(stops >= 2, false) AS ok_stopwords
+         FROM stats)
+       SELECT *, (ok_words AND ok_word_len AND ok_symbols AND ok_bullets
+         AND ok_ellipses AND ok_alpha AND ok_stopwords) AS keep
+       FROM flags"""
+
   /** Exact cross-corpus dedup at ingest, batch face (the streaming face
     * and the Bloom prune are pinned by BloomSpec): the corpus has no
     * natural exact duplicates, so the arriving slice is the fresh third
@@ -1499,6 +1547,7 @@ object QueriesPipeline {
     "q_cross_dedup" -> (qCrossDedup _),
     "q_cross_ingest" -> (qCrossIngest _),
     "q_exact_ingest" -> (qExactIngest _),
+    "q_gopher" -> (qGopher _),
     "q_ingest_program" -> (qIngestProgram _),
     "q_lm_score" -> (qLmScore _),
     "q_lm_against" -> (qLmAgainst _),
@@ -1558,6 +1607,7 @@ object QueriesPipeline {
     "q_cross_dedup" -> qCrossDedupSql,
     "q_cross_ingest" -> qCrossIngestSql,
     "q_exact_ingest" -> qExactIngestSql,
+    "q_gopher" -> qGopherSql,
     "q_ingest_program" -> qIngestProgramSql,
     "q_lm_score" -> qLmScoreSql,
     "q_lm_against" -> qLmAgainstSql,

@@ -472,6 +472,67 @@ object TextOps {
       "punct_count" -> regexp_count(text, lit("[^A-Za-z0-9_\\s]")))
   }
 
+  /** Gopher quality-rule gate (Rae et al., "Scaling Language Models:
+    * ... Gopher", 2021 §A1.1): the published heuristic filter set as
+    * per-document boolean flags plus the conjunction `keep` —
+    * word count in [minWords, maxWords]; mean word length in [3, 10];
+    * hash-symbol and ellipsis symbol-to-word ratios each ≤ 0.1; ≤ 90% of
+    * lines bullet-started; ≤ 30% of lines ellipsis-ended; ≥ 80% of words
+    * containing an alphabetic character; ≥ 2 of the paper's 8 stopwords
+    * present. Every ratio test is INTEGER cross-multiplication
+    * (`10·hashes ≤ nw`, never a float division), so the flags are exact
+    * and engine-portable with no rounding contract. Word-dependent flags
+    * are false for wordless (or null-text) documents.
+    *
+    * Pure zero-shuffle projection — one tokenization pass per document
+    * behind the usual Generate barrier (the struct of counts is
+    * materialized once; without the barrier CollapseProject would inline
+    * the tokenizer into every flag) — so it is dual-mode by construction:
+    * the same code path plans over a batch frame or a streaming one with
+    * zero state. */
+  def gopherRules(docs: org.apache.spark.sql.DataFrame, idCol: String, textCol: String,
+                  minWords: Int = 50, maxWords: Int = 100000): org.apache.spark.sql.DataFrame = {
+    require(minWords >= 1 && maxWords >= minWords,
+      s"need 1 <= minWords <= maxWords, got [$minWords, $maxWords]")
+    val t = col(textCol)
+    val ws = words(t)
+    val wsl = transform(ws, w => lower(w))
+    val ls = split(t, "\n", -1)
+    val bulletMarks = Seq("•", "‣", "▪", "-", "*")
+    // the paper's stopword set (An et al. trace it to the C4/MassiveWeb
+    // rule): {the, be, to, of, and, that, have, with}
+    val gopherStops = Seq("the", "be", "to", "of", "and", "that", "have", "with")
+    val stats = struct(
+      size(ws).as("nw"),
+      aggregate(ws, lit(0L), (a, w) => a + length(w)).as("chars"),
+      (length(t) - length(replace(t, lit("#"), lit("")))).as("hashes"),
+      (((length(t) - length(replace(t, lit("..."), lit("")))) / lit(3)).cast("long")
+        + (length(t) - length(replace(t, lit("…"), lit(""))))).as("ellipses"),
+      size(ls).as("nl"),
+      size(filter(ls, l => substring(ltrim(l), 1, 1).isInCollection(bulletMarks)))
+        .as("bullet_lines"),
+      size(filter(ls, l => endswith(rtrim(l), lit("...")) || endswith(rtrim(l), lit("…"))))
+        .as("ell_lines"),
+      size(filter(ws, w => w.rlike("[A-Za-z]"))).as("alpha_words"),
+      gopherStops.map(sw => array_contains(wsl, sw).cast("int")).reduce(_ + _).as("stops"))
+    val s = col("__g")
+    def ok(c: Column) = coalesce(c, lit(false))
+    docs.select(col(idCol), explode(array(stats)).as("__g"))
+      .select(col(idCol),
+        coalesce(s("nw").cast("long"), lit(0L)).as("n_words"),
+        ok(s("nw") >= minWords && s("nw") <= maxWords).as("ok_words"),
+        ok(s("nw") > 0 && s("chars") >= lit(3L) * s("nw") && s("chars") <= lit(10L) * s("nw"))
+          .as("ok_word_len"),
+        ok(s("nw") > 0 && lit(10) * s("hashes") <= s("nw")
+          && lit(10) * s("ellipses") <= s("nw")).as("ok_symbols"),
+        ok(lit(10) * s("bullet_lines") <= lit(9) * s("nl")).as("ok_bullets"),
+        ok(lit(10) * s("ell_lines") <= lit(3) * s("nl")).as("ok_ellipses"),
+        ok(s("nw") > 0 && lit(5) * s("alpha_words") >= lit(4) * s("nw")).as("ok_alpha"),
+        ok(s("stops") >= 2).as("ok_stopwords"))
+      .withColumn("keep", col("ok_words") && col("ok_word_len") && col("ok_symbols") &&
+        col("ok_bullets") && col("ok_ellipses") && col("ok_alpha") && col("ok_stopwords"))
+  }
+
   /** Dual-mode bigram-LM scoring AGAINST a reference corpus — the full
     * CCNet shape (Wenzek et al. 2020 score crawl text with an LM trained
     * on Wikipedia; [[bigramLmScore]] is the self-scoring variant): the
