@@ -232,6 +232,18 @@ object Program {
                                   idCol: String, textCol: String,
                                   benchTextCol: String, n: Int,
                                   minOverlap: Int) extends Node
+  /** Exact (Bloom-pre-screened) cross-corpus dedup at ingest
+    * (`Dedup.exactDedupAgainstCorpus`, format version 4). Build-time
+    * eager (the filter aggregate collects at program build, like
+    * [[LmScore]]'s model). */
+  final case class ExactDedup(name: String, input: String, ref: String,
+                              idCol: String, textCol: String, numBits: Int,
+                              numHashes: Int, broadcastRef: Boolean) extends Node
+  /** Gopher quality-rule gate (`TextOps.gopherGate`, format version 4):
+    * a pure zero-shuffle flag projection — no static side. */
+  final case class GopherGate(name: String, input: String, idCol: String,
+                              textCol: String, minWords: Int,
+                              maxWords: Int) extends Node
   /** IVF ANN probe at ingest (`Ivf.searchIngest`): arriving query vectors
     * probe a static indexed corpus; `centroids` names the codebook input.
     * Build-time eager (collects the driver-sized codebook). */
@@ -425,6 +437,8 @@ object Program {
     case ei: EncodeIngest => Seq(ei.input, ei.vocab)
     case di: DecontamIngest => Seq(di.input, di.bench)
     case ip: IvfProbe => Seq(ip.input, ip.corpus, ip.centroids)
+    case xd: ExactDedup => Seq(xd.input, xd.ref)
+    case gg: GopherGate => Seq(gg.input)
   }
 
   /** Static shape of a cycle body, deciding the batch fixpoint strategy.
@@ -623,6 +637,11 @@ object Program {
         case IvfProbe(name, i, corpus, cents, idCol, vecCol, qIdCol, topK, nProbe, bc) =>
           graft.pipeline.Ivf.searchIngest(in(i), staticSide(name, in, corpus),
             idCol, vecCol, qIdCol, staticSide(name, in, cents), topK, nProbe, bc)
+        case ExactDedup(name, i, ref, idCol, textCol, numBits, numHashes, bRef) =>
+          graft.pipeline.Dedup.exactDedupAgainstCorpus(in(i),
+            staticSide(name, in, ref), idCol, textCol, numBits, numHashes, bRef)
+        case GopherGate(_, i, idCol, textCol, minW, maxW) =>
+          graft.pipeline.TextOps.gopherGate(in(i), idCol, textCol, minW, maxW)
     }
   }
 
@@ -672,6 +691,8 @@ object Program {
     case x: EncodeIngest => x.copy(name = name)
     case x: DecontamIngest => x.copy(name = name)
     case x: IvfProbe => x.copy(name = name)
+    case x: ExactDedup => x.copy(name = name)
+    case x: GopherGate => x.copy(name = name)
   }
 
   /** Order-preserving merge of upstream node lists for a multi-input op:
@@ -928,6 +949,18 @@ object Program {
                             minOverlap: Int = 1): Rec =
       derive("decontaminateIngest", Seq(bench))(nm => DecontamIngest(nm, name,
         bench.name, idCol, textCol, benchTextCol, n, minOverlap))
+    /** Exact (Bloom-pre-screened) cross-corpus dedup against `ref`
+      * (format version 4). */
+    def exactDedup(ref: Rec, idCol: String, textCol: String,
+                   numBits: Int = 1 << 20, numHashes: Int = 7,
+                   broadcastRef: Boolean = true): Rec =
+      derive("exactDedup", Seq(ref))(n => ExactDedup(n, name, ref.name,
+        idCol, textCol, numBits, numHashes, broadcastRef))
+    /** Gopher quality-rule gate (format version 4). */
+    def gopherGate(idCol: String, textCol: String, minWords: Int = 50,
+                   maxWords: Int = 100000): Rec =
+      derive1("gopherGate")(n => GopherGate(n, name, idCol, textCol,
+        minWords, maxWords))
     /** IVF ANN probe of `corpus` (indexed by `centroids`) at ingest. */
     def ivfProbe(corpus: Rec, centroids: Rec, idCol: String, vecCol: String,
                  qIdCol: String, topK: Int, nProbe: Int,
@@ -968,15 +1001,17 @@ object Program {
     * Version history: 1 = the original 21-node §2 grammar; 2 adds the six
     * pipeline ingest-face nodes (corpusDedup, embedDedup, lmScore,
     * encodeIngest, decontaminateIngest, ivfProbe); 3 adds dsirScore,
-    * tokenFreq and bpeEncode.
+    * tokenFreq and bpeEncode; 4 adds exactDedup and gopherGate.
     * [[toJson]] stamps each document with the LOWEST version that can
     * express it, so a document using only the v1 grammar stays loadable
     * by a v1 library. */
-  val FormatVersion: Int = 3
+  val FormatVersion: Int = 4
 
   /** The lowest format version expressing every node in `doc`. */
   private def requiredVersion(doc: Doc): Int =
     if (doc.nodes.exists {
+      case _: ExactDedup | _: GopherGate => true; case _ => false }) 4
+    else if (doc.nodes.exists {
       case _: DsirScore | _: TokenFreq | _: BpeEncode => true; case _ => false }) 3
     else if (doc.nodes.exists {
       case _: CorpusDedup | _: EmbedDedup | _: LmScore | _: EncodeIngest |
@@ -1095,6 +1130,15 @@ object Program {
           ("corpus" -> corpus) ~ ("centroids" -> cents) ~ ("idCol" -> idCol) ~
           ("vecCol" -> vecCol) ~ ("qIdCol" -> qIdCol) ~ ("topK" -> topK) ~
           ("nProbe" -> nProbe) ~ ("broadcastCorpus" -> bc)
+      case ExactDedup(name, i, ref, idCol, textCol, numBits, numHashes, bRef) =>
+        ("op" -> "exactDedup") ~ ("name" -> name) ~ ("input" -> i) ~
+          ("ref" -> ref) ~ ("idCol" -> idCol) ~ ("textCol" -> textCol) ~
+          ("numBits" -> numBits) ~ ("numHashes" -> numHashes) ~
+          ("broadcastRef" -> bRef)
+      case GopherGate(name, i, idCol, textCol, minW, maxW) =>
+        ("op" -> "gopherGate") ~ ("name" -> name) ~ ("input" -> i) ~
+          ("idCol" -> idCol) ~ ("textCol" -> textCol) ~
+          ("minWords" -> minW) ~ ("maxWords" -> maxW)
     }
     JsonMethods.compact(JsonMethods.render(
       ("version" -> requiredVersion(doc)) ~ ("nodes" -> doc.nodes.map(nodeJson)) ~
@@ -1232,6 +1276,16 @@ object Program {
             (v \ "qIdCol").extract[String], (v \ "topK").extract[Int],
             (v \ "nProbe").extract[Int],
             (v \ "broadcastCorpus").extractOpt[Boolean].getOrElse(true))
+          case "exactDedup" => ExactDedup(name, (v \ "input").extract[String],
+            (v \ "ref").extract[String], (v \ "idCol").extract[String],
+            (v \ "textCol").extract[String],
+            (v \ "numBits").extractOpt[Int].getOrElse(1 << 20),
+            (v \ "numHashes").extractOpt[Int].getOrElse(7),
+            (v \ "broadcastRef").extractOpt[Boolean].getOrElse(true))
+          case "gopherGate" => GopherGate(name, (v \ "input").extract[String],
+            (v \ "idCol").extract[String], (v \ "textCol").extract[String],
+            (v \ "minWords").extractOpt[Int].getOrElse(50),
+            (v \ "maxWords").extractOpt[Int].getOrElse(100000))
           case other => throw new IllegalArgumentException(s"unknown program op '$other'")
         }
       }
@@ -1319,6 +1373,13 @@ object Program {
             emptyOf(graft.pipeline.Ivf.searchOutputSchema(
               ip.qIdCol, s.df.schema(ip.qIdCol).dataType,
               ip.idCol, env(ip.corpus).df.schema(ip.idCol).dataType))
+          case xd: ExactDedup =>
+            // build-time eager (the filter aggregate collects): force the
+            // column references, emit the survivor schema (= input schema)
+            val s = env(xd.input)
+            s.df.select(col(xd.idCol), col(xd.textCol)).schema
+            env(xd.ref).df.select(col(xd.idCol), col(xd.textCol)).schema
+            emptyOf(s.df.schema)
           case other => lowerNode(other, name => env(name))
         }
         out.df.schema // force analysis NOW so failures attribute to THIS node
@@ -1484,6 +1545,19 @@ object Program {
             s"node '${n.name}': ivfProbe query and corpus id columns must " +
               s"differ (both are '${ip.idCol}')")
           Seq(ip.input, ip.corpus, ip.centroids)
+        case xd: ExactDedup =>
+          if (xd.numBits < 64 || xd.numBits % 64 != 0 || xd.numBits > (1 << 23))
+            throw new IllegalArgumentException(s"node '${n.name}': exactDedup " +
+              s"numBits must be a multiple of 64 in [64, 2^23], got ${xd.numBits}")
+          if (xd.numHashes < 1 || xd.numHashes > 32)
+            throw new IllegalArgumentException(s"node '${n.name}': exactDedup " +
+              s"numHashes must be in [1,32], got ${xd.numHashes}")
+          Seq(xd.input, xd.ref)
+        case gg: GopherGate =>
+          if (gg.minWords < 1 || gg.maxWords < gg.minWords)
+            throw new IllegalArgumentException(s"node '${n.name}': gopherGate " +
+              s"needs 1 <= minWords <= maxWords, got [${gg.minWords}, ${gg.maxWords}]")
+          Seq(gg.input)
       }
       inputs.foreach(i => if (!defined.contains(i)) throw new IllegalArgumentException(
         s"node '${n.name}' references '$i' before it is defined"))

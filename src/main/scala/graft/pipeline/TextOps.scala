@@ -533,6 +533,15 @@ object TextOps {
         col("ok_bullets") && col("ok_ellipses") && col("ok_alpha") && col("ok_stopwords"))
   }
 
+  /** [[gopherRules]] over an MStream — the ingest-face wrapper the
+    * program grammar's `gopherGate` node lowers to (identical plan; the
+    * projection is already dual-mode). */
+  def gopherGate(stream: graft.api.MStream, idCol: String, textCol: String,
+                 minWords: Int = 50, maxWords: Int = 100000): graft.api.MStream =
+    new graft.api.MStream(
+      gopherRules(stream.df, idCol, textCol, minWords, maxWords),
+      stream.eventOrder, stream.contextKeys, stream.name)
+
   /** Dual-mode bigram-LM scoring AGAINST a reference corpus — the full
     * CCNet shape (Wenzek et al. 2020 score crawl text with an LM trained
     * on Wikipedia; [[bigramLmScore]] is the self-scoring variant): the

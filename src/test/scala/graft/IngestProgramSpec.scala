@@ -346,4 +346,60 @@ class IngestProgramSpec extends SparkSpec {
     assert(intercept[IllegalArgumentException](
       Program.validate(lmBad, spark, config)).getMessage.contains("lm"))
   }
+
+  test("exactDedup + gopherGate nodes: v4 stamping, codec identity, run equals direct API") {
+    // arrivals 1 and 5 are literal copies of ref 900 — the exact screen's
+    // targets; 5's trailing tweak makes it a NEAR dup that must SURVIVE
+    val exArriving = arriving :+ (5L, "the quick brown fox jumps over the lazy dog today!")
+    val doc = Doc(
+      nodes = Seq(External("docs"), External("refcorpus"),
+        ExactDedup("survivors", "docs", "refcorpus", "doc_id", "text",
+          numBits = 1 << 12, numHashes = 5, broadcastRef = true),
+        GopherGate("out", "survivors", "doc_id", "text", minWords = 6,
+          maxWords = 100000)),
+      outputs = Seq("out"))
+    val json = Program.toJson(doc)
+    assert(json.contains("\"version\":4"),
+      "exactDedup/gopherGate require format version 4")
+    assert(Program.fromJson(json) == doc, "codec is the identity on the v4 nodes")
+    assert(Program.toJson(pipelineDoc).contains("\"version\":2"),
+      "documents without v4 nodes still stamp the lowest version")
+
+    val config = new App.Config()
+      .setSource("docs", App.Source("list", rows = Some(exArriving.toDF("doc_id", "text"))))
+      .setSource("refcorpus", App.Source("list", rows = Some(ref)))
+      .addSink("out", App.Sink("memory"))
+    Program.validate(doc, spark, config) // schema-only: no filter collect here
+    val out = App.runProgram(spark, config, json)
+      .collectFirst { case App.BatchOutput("out", df) => df }.get
+    def key(r: org.apache.spark.sql.Row) = r.toSeq.toList
+    val direct = graft.pipeline.TextOps.gopherGate(
+      graft.pipeline.Dedup.exactDedupAgainstCorpus(
+        MStream(exArriving.toDF("doc_id", "text")), ref, "doc_id", "text",
+        numBits = 1 << 12, numHashes = 5),
+      "doc_id", "text", minWords = 6).df
+    assert(out.collect().map(key).toSet == direct.collect().map(key).toSet,
+      "document run equals the direct API composition")
+    assert(out.select("doc_id").collect().map(_.getLong(0)).toSet == Set(2L, 3L, 4L, 5L),
+      "only the literal copy drops at the exact screen; the near dup survives")
+
+    // capture surface records both; captured doc survives the codec
+    val docsR = Program.Rec.external("docs", MStream(exArriving.toDF("doc_id", "text")))
+    val refR = Program.Rec.external("refcorpus", MStream(ref))
+    val cap = Program.capture(
+      docsR.exactDedup(refR, "doc_id", "text", numBits = 1 << 12, numHashes = 5)
+        .as("survivors").gopherGate("doc_id", "text", minWords = 6).as("out"))
+    assert(Program.fromJson(Program.toJson(cap)) == cap)
+
+    // parameter validations name the node
+    val badBits = Doc(Seq(External("a"), External("r"),
+      ExactDedup("x", "a", "r", "id", "text", 100, 7, true)), Seq("x"))
+    val e1 = intercept[IllegalArgumentException](Program.fromJson(Program.toJson(badBits)))
+    assert(e1.getMessage.contains("'x'") && e1.getMessage.contains("multiple of 64"), e1.getMessage)
+    val badWords = Doc(Seq(External("a"),
+      GopherGate("g", "a", "id", "text", 10, 5)), Seq("g"))
+    val e2 = intercept[IllegalArgumentException](Program.fromJson(Program.toJson(badWords)))
+    assert(e2.getMessage.contains("'g'") && e2.getMessage.contains("minWords"), e2.getMessage)
+    graft.api.Pinned.release(spark)
+  }
 }
