@@ -1280,6 +1280,38 @@ object QueriesPipeline {
         SELECT d.doc_id, coalesce(a.n_pairs, 0)::BIGINT AS n_pairs, a.avg_logprob
         FROM documents d LEFT JOIN agg a USING (doc_id)"""
 
+  /** CCNet head/middle/tail perplexity bucketing (Wenzek et al. 2020
+    * §4.3): per-language terciles of the self-corpus LM score, higher
+    * log-likelihood = bucket 1 = "head"; ties break on doc_id, so the
+    * assignment is a total order on both engines. Sub-2-token documents
+    * take a NULL bucket (they partition separately and never occupy tile
+    * slots of the real ranking). */
+  def qPplBuckets(spark: SparkSession, dir: String): DataFrame =
+    TextOps.perplexityBuckets(Tables.documents(spark, dir).df,
+      "doc_id", "text", "lang")
+
+  val qPplBucketsSql: String =
+    s"""WITH words AS (SELECT doc_id, list_filter(string_split_regex(text, '[ \\t\\n\\f\\r\\x0b]+'), x -> x <> '') AS w FROM documents),
+        pairs AS (SELECT doc_id,
+                    unnest(w[1:len(w) - 1]) AS u, unnest(w[2:len(w)]) AS v
+                  FROM words WHERE len(w) >= 2),
+        bc AS (SELECT u, v, count(*) AS c FROM pairs GROUP BY u, v),
+        cc AS (SELECT u, sum(c) AS cu FROM bc GROUP BY u),
+        vv AS (SELECT count(DISTINCT v) AS V FROM bc),
+        agg AS (SELECT p.doc_id AS doc_id, count(*) AS n_pairs,
+                  round(avg(ln((bc.c + 0.5) / (cc.cu + 0.5 * vv.V))), 3) AS avg_logprob
+                FROM pairs p JOIN bc ON p.u = bc.u AND p.v = bc.v
+                             JOIN cc ON p.u = cc.u CROSS JOIN vv
+                GROUP BY p.doc_id),
+        scored AS (SELECT d.doc_id, d.lang, coalesce(a.n_pairs, 0)::BIGINT AS n_pairs,
+                     a.avg_logprob
+                   FROM documents d LEFT JOIN agg a USING (doc_id))
+        SELECT doc_id, lang, n_pairs, avg_logprob,
+          (CASE WHEN avg_logprob IS NOT NULL THEN ntile(3) OVER (
+             PARTITION BY lang, avg_logprob IS NULL
+             ORDER BY avg_logprob DESC, doc_id) END)::INT AS bucket
+        FROM scored"""
+
   /** CCNet-shaped cross-corpus LM scoring, batch face (streaming pinned
     * equal by StreamingTextOpsSpec): documents of the arriving slice
     * (doc_id % 3 = 0) scored by a bigram LM trained on the reference
@@ -1550,6 +1582,7 @@ object QueriesPipeline {
     "q_gopher" -> (qGopher _),
     "q_ingest_program" -> (qIngestProgram _),
     "q_lm_score" -> (qLmScore _),
+    "q_ppl_buckets" -> (qPplBuckets _),
     "q_lm_against" -> (qLmAgainst _),
     "q_dsir" -> (qDsir _),
     "q_heavy_hitters" -> (qHeavyHitters _),
@@ -1610,6 +1643,7 @@ object QueriesPipeline {
     "q_gopher" -> qGopherSql,
     "q_ingest_program" -> qIngestProgramSql,
     "q_lm_score" -> qLmScoreSql,
+    "q_ppl_buckets" -> qPplBucketsSql,
     "q_lm_against" -> qLmAgainstSql,
     "q_dsir" -> qDsirSql,
     "q_heavy_hitters" -> qHeavyHittersSql,

@@ -438,6 +438,40 @@ object TextOps {
       .select(id, coalesce(col("n_pairs"), lit(0L)).as("n_pairs"), col("avg_logprob"))
   }
 
+  /** CCNet head/middle/tail perplexity bucketing (Wenzek et al. 2020
+    * §4.3: per-language perplexity terciles decide which slice of the
+    * crawl is kept for LM training — "head" is the best-scoring third):
+    * documents score under the [[bigramLmScore]] self-corpus LM, then
+    * each LANGUAGE partition splits into `buckets` equal-depth ranks by
+    * (avg_logprob DESC, id) — higher log-likelihood = lower perplexity =
+    * bucket 1 = "head". The tiebreak on id makes the assignment a total
+    * order, so bucket membership is deterministic on any engine and
+    * partitioning. Documents with no score (< 2 tokens) take a NULL
+    * bucket instead of polluting a tercile.
+    *
+    * Scale shape: scoring is the two-pass LM operator; bucketing adds ONE
+    * shuffle keyed by language and a per-language sort (range-partitioned
+    * at cluster scale). A pathologically hot language serializes its own
+    * partition — at that scale switch to threshold assignment against
+    * per-language percentile cut points (one aggregate pass), which
+    * approximates the same terciles without the global sort. */
+  def perplexityBuckets(docs: org.apache.spark.sql.DataFrame, idCol: String,
+                        textCol: String, langCol: String, buckets: Int = 3,
+                        alpha: Double = 0.5): org.apache.spark.sql.DataFrame = {
+    require(buckets >= 2, s"perplexityBuckets needs >= 2 buckets, got $buckets")
+    import org.apache.spark.sql.expressions.Window
+    val scored = bigramLmScore(docs, idCol, textCol, alpha)
+      .join(docs.select(col(idCol), col(langCol)), Seq(idCol))
+    // the null-score rows partition separately so they never occupy tile
+    // slots of the real ranking (one pass — no filter-union double scan)
+    val w = Window.partitionBy(col(langCol), col("avg_logprob").isNull)
+      .orderBy(col("avg_logprob").desc, col(idCol))
+    scored.withColumn("bucket",
+      when(col("avg_logprob").isNotNull, ntile(buckets).over(w)))
+      .select(col(idCol), col(langCol), col("n_pairs"), col("avg_logprob"),
+        col("bucket"))
+  }
+
   /** RE2-safe PII patterns (portable between Java regex and DuckDB's RE2 —
     * no lookaround, no possessive quantifiers). */
   val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
