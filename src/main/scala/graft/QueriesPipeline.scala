@@ -1280,6 +1280,30 @@ object QueriesPipeline {
         SELECT d.doc_id, coalesce(a.n_pairs, 0)::BIGINT AS n_pairs, a.avg_logprob
         FROM documents d LEFT JOIN agg a USING (doc_id)"""
 
+  /** Winnowing fingerprints (Schleimer et al. 2003) over word 3-grams,
+    * window 4: the oracle re-runs the per-window rightmost-min definition
+    * with list ops (the Scala side is the O(n) deque — same selection,
+    * pinned equal by the ScalaCheck property). */
+  def qWinnow(spark: SparkSession, dir: String): DataFrame =
+    TextOps.winnowFingerprints(Tables.documents(spark, dir).df,
+      "doc_id", "text", n = 3, w = 4)
+
+  val qWinnowSql: String =
+    s"""WITH words AS (SELECT doc_id, list_filter(string_split_regex(text, '[ \\t\\n\\f\\r\\x0b]+'), x -> x <> '') AS w FROM documents),
+        sh AS (SELECT doc_id, [w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+                               for i in range(1, len(w) - 1)] AS s
+               FROM words WHERE len(w) >= 3),
+        hs AS (SELECT doc_id, list_transform(s, x ->
+                 list_reduce([0] || [ord(c)::BIGINT for c in string_split(x, '')],
+                             (a, c) -> (a * 31 + c) % 1000000007)) AS hs FROM sh),
+        ps AS (SELECT doc_id, hs, list_distinct(list_transform(
+                 range(1, greatest(len(hs) - 2, 2)),
+                 i -> i + least(4, len(hs) - i + 1)
+                        - list_position(list_reverse(hs[i:i+3]), list_min(hs[i:i+3])))) AS sel
+               FROM hs)
+        SELECT doc_id, (p - 1)::INT AS pos, hs[p] AS fp
+        FROM (SELECT doc_id, hs, unnest(sel) AS p FROM ps)"""
+
   /** CCNet head/middle/tail perplexity bucketing (Wenzek et al. 2020
     * §4.3): per-language terciles of the self-corpus LM score, higher
     * log-likelihood = bucket 1 = "head"; ties break on doc_id, so the
@@ -1583,6 +1607,7 @@ object QueriesPipeline {
     "q_ingest_program" -> (qIngestProgram _),
     "q_lm_score" -> (qLmScore _),
     "q_ppl_buckets" -> (qPplBuckets _),
+    "q_winnow" -> (qWinnow _),
     "q_lm_against" -> (qLmAgainst _),
     "q_dsir" -> (qDsir _),
     "q_heavy_hitters" -> (qHeavyHitters _),
@@ -1644,6 +1669,7 @@ object QueriesPipeline {
     "q_ingest_program" -> qIngestProgramSql,
     "q_lm_score" -> qLmScoreSql,
     "q_ppl_buckets" -> qPplBucketsSql,
+    "q_winnow" -> qWinnowSql,
     "q_lm_against" -> qLmAgainstSql,
     "q_dsir" -> qDsirSql,
     "q_heavy_hitters" -> qHeavyHittersSql,

@@ -688,6 +688,12 @@ object VectorFunctions {
     if (cells.size == 1) cells.head else least(cells: _*)
   }
 
+  /** Winnowing fingerprint selection over a position-ordered k-gram hash
+    * array: per window of `w`, the rightmost minimum — one codegen'd
+    * O(n) deque pass per row. */
+  def winnowSelect(hashes: Column, w: Int): Column =
+    ColumnBridge.column(WinnowSelect(ColumnBridge.expr(hashes), w))
+
   /** Bloom-filter aggregate over item-hash longs: fixed bit array,
     * OR-mergeable, map-side partial aggregation — the join-pruning
     * membership artifact (no false negatives). */

@@ -71,6 +71,29 @@ object TextOps {
   /** Rolling-hash document fingerprint (content-defined identity). */
   def fingerprint(text: Column): Column = polyHash(text)
 
+  /** Winnowing document fingerprints (Schleimer et al., SIGMOD 2003 — the
+    * MOSS algorithm): word-`n`-gram hashes in position order, each window
+    * of `w` selecting its rightmost minimum ([[graft.functions.WinnowSelect]],
+    * one codegen'd O(len) pass per document). Output is one row per
+    * selected (0-based gram position, hash): a sparse position-robust
+    * signature at expected density 2/(w+1) with the paper's guarantee —
+    * any shared run of at least w+n-1 words between two documents shares
+    * at least one fingerprint hash, so an equi-join of fingerprint tables
+    * on `fp` finds local overlaps that whole-document hashing misses and
+    * fixed-stride sampling can align past. Zero shuffle; documents with
+    * fewer than `w` grams winnow as a single window, so every document
+    * with >= n words carries >= 1 fingerprint. */
+  def winnowFingerprints(docs: org.apache.spark.sql.DataFrame, idCol: String,
+                         textCol: String, n: Int = 3,
+                         w: Int = 4): org.apache.spark.sql.DataFrame = {
+    require(n >= 1 && w >= 1, s"need n >= 1 and w >= 1, got n=$n w=$w")
+    val vf = graft.functions.VectorFunctions
+    docs.select(col(idCol), vf.wordShingleHashes(col(textCol), n).as("__hs"))
+      .where(size(col("__hs")) >= 1)
+      .select(col(idCol), explode(vf.winnowSelect(col("__hs"), w)).as("__f"))
+      .select(col(idCol), col("__f.pos").as("pos"), col("__f.h").as("fp"))
+  }
+
   /** Count of words that appear in the given marker list. */
   def markerHits(text: Column, markers: Seq[String]): Column =
     size(filter(words(text), w => markers.map(m => w === m).reduce(_ || _)))

@@ -53,6 +53,9 @@ object GraftExtensions {
     ("graft_count_min", info("graft_count_min",
       "aggregate: count-min sketch (d=4, w=2048) over bigint item hashes"),
       (es: Seq[Expression]) => CountMinAgg(es(0), 4, 2048).toAggregateExpression()),
+    ("graft_winnow4", info("graft_winnow4",
+      "winnowing fingerprints (window 4) of a position-ordered hash array"),
+      (es: Seq[Expression]) => WinnowSelect(es(0), 4)),
     ("graft_bloom", info("graft_bloom",
       "aggregate: bloom filter (2^20 bits, 7 hashes) over bigint item hashes"),
       (es: Seq[Expression]) => BloomAgg(es(0), 1 << 20, 7).toAggregateExpression()),

@@ -266,6 +266,17 @@ object ExpressionProps extends Properties("graft.expressions") {
       }
     }
 
+  property("winnow deque selection equals the per-window rightmost-min definition") =
+    forAll(Gen.listOf(Gen.choose(0L, 50L)), Gen.choose(1, 8)) { (hs, w) =>
+      import org.apache.spark.sql.catalyst.util.GenericArrayData
+      val got = graft.functions.WinnowUtil
+        .select(new GenericArrayData(hs.toArray), w)
+      val gotPairs = (0 until got.numElements()).map { i =>
+        val r = got.getStruct(i, 2); (r.getInt(0), r.getLong(1))
+      }
+      gotPairs == graft.functions.WinnowUtil.reference(hs, w)
+    }
+
   property("count-min estimate upper-bounds the exact count") =
     forAll(Gen.listOf(Gen.choose(0L, 40L).map(n => refHash(n.toString))),
            Gen.choose(2, 4), Gen.choose(2, 32)) { (hs, d, w) =>
