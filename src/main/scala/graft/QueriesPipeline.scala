@@ -1304,6 +1304,35 @@ object QueriesPipeline {
         SELECT doc_id, (p - 1)::INT AS pos, hs[p] AS fp
         FROM (SELECT doc_id, hs, unnest(sel) AS p FROM ps)"""
 
+  /** Winnow-index overlap pairs: documents sharing >= 3 distinct
+    * fingerprints after the boilerplate cap — the MOSS index join over
+    * q_winnow's selection. */
+  def qWinnowPairs(spark: SparkSession, dir: String): DataFrame =
+    TextOps.winnowOverlapPairs(Tables.documents(spark, dir).df,
+      "doc_id", "text", n = 3, w = 4, minShared = 3, maxBucket = 64)
+
+  val qWinnowPairsSql: String =
+    s"""WITH words AS (SELECT doc_id, list_filter(string_split_regex(text, '[ \\t\\n\\f\\r\\x0b]+'), x -> x <> '') AS w FROM documents),
+        sh AS (SELECT doc_id, [w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+                               for i in range(1, len(w) - 1)] AS s
+               FROM words WHERE len(w) >= 3),
+        hs AS (SELECT doc_id, list_transform(s, x ->
+                 list_reduce([0] || [ord(c)::BIGINT for c in string_split(x, '')],
+                             (a, c) -> (a * 31 + c) % 1000000007)) AS hs FROM sh),
+        ps AS (SELECT doc_id, hs, list_distinct(list_transform(
+                 range(1, greatest(len(hs) - 2, 2)),
+                 i -> i + least(4, len(hs) - i + 1)
+                        - list_position(list_reverse(hs[i:i+3]), list_min(hs[i:i+3])))) AS sel
+               FROM hs),
+        byfp AS (SELECT DISTINCT doc_id, fp FROM (
+                   SELECT doc_id, hs[unnest(sel)] AS fp FROM ps)),
+        keep AS (SELECT fp FROM byfp GROUP BY fp HAVING count(*) <= 64)
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_shared
+        FROM (SELECT * FROM byfp WHERE fp IN (SELECT fp FROM keep)) a
+        JOIN (SELECT * FROM byfp WHERE fp IN (SELECT fp FROM keep)) b
+          ON a.fp = b.fp AND a.doc_id < b.doc_id
+        GROUP BY a.doc_id, b.doc_id HAVING count(*) >= 3"""
+
   /** CCNet head/middle/tail perplexity bucketing (Wenzek et al. 2020
     * §4.3): per-language terciles of the self-corpus LM score, higher
     * log-likelihood = bucket 1 = "head"; ties break on doc_id, so the
@@ -1608,6 +1637,7 @@ object QueriesPipeline {
     "q_lm_score" -> (qLmScore _),
     "q_ppl_buckets" -> (qPplBuckets _),
     "q_winnow" -> (qWinnow _),
+    "q_winnow_pairs" -> (qWinnowPairs _),
     "q_lm_against" -> (qLmAgainst _),
     "q_dsir" -> (qDsir _),
     "q_heavy_hitters" -> (qHeavyHitters _),
@@ -1670,6 +1700,7 @@ object QueriesPipeline {
     "q_lm_score" -> qLmScoreSql,
     "q_ppl_buckets" -> qPplBucketsSql,
     "q_winnow" -> qWinnowSql,
+    "q_winnow_pairs" -> qWinnowPairsSql,
     "q_lm_against" -> qLmAgainstSql,
     "q_dsir" -> qDsirSql,
     "q_heavy_hitters" -> qHeavyHittersSql,

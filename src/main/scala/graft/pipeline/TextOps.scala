@@ -94,6 +94,35 @@ object TextOps {
       .select(col(idCol), col("__f.pos").as("pos"), col("__f.h").as("fp"))
   }
 
+  /** Local-overlap candidate pairs from winnowing fingerprints — the
+    * plagiarism-index shape the paper builds (MOSS): documents sharing at
+    * least `minShared` distinct fingerprint hashes. The join keys on the
+    * 8-byte fingerprint ONLY (never text); a fingerprint appearing in
+    * more than `maxBucket` documents is boilerplate (a hot bucket would
+    * quadratically dominate the join) and is dropped from pairing — the
+    * same frequent-key cap every LSH bucket join here applies, mirrored
+    * exactly in the oracle. Complements Jaccard near-dup: two documents
+    * sharing one long run inside otherwise-different text have low
+    * resemblance but many CONSECUTIVE shared fingerprints. */
+  def winnowOverlapPairs(docs: org.apache.spark.sql.DataFrame, idCol: String,
+                         textCol: String, n: Int = 3, w: Int = 4,
+                         minShared: Int = 2,
+                         maxBucket: Int = 64): org.apache.spark.sql.DataFrame = {
+    require(minShared >= 1 && maxBucket >= 2,
+      s"need minShared >= 1 and maxBucket >= 2, got $minShared, $maxBucket")
+    val byFp = winnowFingerprints(docs, idCol, textCol, n, w)
+      .select(col(idCol), col("fp")).distinct()
+    val keep = byFp.groupBy(col("fp"))
+      .agg(count(lit(1)).as("__n")).where(col("__n") <= maxBucket)
+      .select(col("fp"))
+    val pruned = byFp.join(keep, Seq("fp"))
+    pruned.select(col("fp"), col(idCol).as("id_a"))
+      .join(pruned.select(col("fp"), col(idCol).as("id_b")), Seq("fp"))
+      .where(col("id_a") < col("id_b"))
+      .groupBy(col("id_a"), col("id_b")).agg(count(lit(1)).as("n_shared"))
+      .where(col("n_shared") >= minShared)
+  }
+
   /** Count of words that appear in the given marker list. */
   def markerHits(text: Column, markers: Seq[String]): Column =
     size(filter(words(text), w => markers.map(m => w === m).reduce(_ || _)))

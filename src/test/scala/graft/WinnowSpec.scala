@@ -51,6 +51,27 @@ class WinnowSpec extends SparkSpec {
     assert(f.length == 1 && f.head.getLong(0) == 1L && f.head.getInt(1) == 0)
   }
 
+  test("overlap pairs surface planted spans and the boilerplate cap holds") {
+    val span = sent(12)
+    val docs = Seq(
+      (1L, s"${sent(15)} $span ${sent(15)}"),
+      (2L, s"${sent(15)} $span ${sent(15)}"),
+      (3L, sent(30)), (4L, sent(30)))
+    val pairs = TextOps.winnowOverlapPairs(docs.toDF("doc_id", "text"),
+        "doc_id", "text", n = 3, w = 4, minShared = 2, maxBucket = 64)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(pairs.exists(p => p._1 == 1L && p._2 == 2L && p._3 >= 2L),
+      s"the planted 12-word span must pair 1-2: ${pairs.toSeq}")
+    // a fingerprint hotter than maxBucket never pairs: every doc shares
+    // the same boilerplate sentence, cap 2 kills its bucket
+    val boiler = span
+    val many = (1L to 6L).map(i => (i, s"$boiler ${sent(1)}"))
+    val capped = TextOps.winnowOverlapPairs(many.toDF("doc_id", "text"),
+        "doc_id", "text", n = 3, w = 4, minShared = 1, maxBucket = 2)
+      .collect()
+    assert(capped.isEmpty, "fingerprints hotter than maxBucket must not pair")
+  }
+
   test("identical documents produce identical (pos, fp) sets at any partitioning") {
     val doc = sent(300)
     val df = Seq((1L, doc), (2L, doc)).toDF("doc_id", "text")
