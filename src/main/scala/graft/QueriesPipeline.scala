@@ -533,6 +533,40 @@ object QueriesPipeline {
        FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
        WHERE list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= 0.4"""
 
+  /** Hyperplane-LSH embedding near-dup (Charikar 2002): 16-bit sign codes
+    * in 2 independent tables, whole-code bucket join, exact cosine
+    * verification. The oracle re-derives every hyperplane from the same
+    * portable affine family and folds each dot product in the same
+    * position order, so bucket membership is bit-identical — candidate
+    * recall is an LSH property (sweep bits/tables), but both engines
+    * compute the SAME candidate set by construction. */
+  def qHyperplane(spark: SparkSession, dir: String): DataFrame =
+    Dedup.hyperplaneNearDup(Tables.embeddings(spark, dir).df,
+      "vec_id", "embedding", bits = 16, tables = 2, threshold = 0.4)
+
+  val qHyperplaneSql: String = {
+    val bits = 16
+    val tables = 2
+    def dotFold(fam: Int) =
+      s"list_reduce([0.0::DOUBLE] || list_transform(range(1, len(e) + 1), " +
+        s"j -> e[j] * (((j - 1) * ${2 * fam + 1} + ${12345 * fam + 7}) % 1000000007 " +
+        s"/ 1000000007.0 - 0.5)), (a, x) -> a + x)"
+    val codeSelects = (0 until tables).map { t =>
+      val code = (0 until bits).map { b =>
+        s"(CASE WHEN ${dotFold(t * bits + b)} >= 0 THEN ${1L << b} ELSE 0 END)"
+      }.mkString(" + ")
+      s"SELECT vec_id, $t AS t, ($code)::BIGINT AS code FROM e"
+    }.mkString(" UNION ALL ")
+    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+        codes AS ($codeSelects),
+        cand AS (SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+                 FROM codes a JOIN codes b
+                   ON a.t = b.t AND a.code = b.code AND a.vec_id < b.vec_id)
+        SELECT id_a, id_b, round(list_cosine_similarity(x.e, y.e), 6) AS cos
+        FROM cand JOIN e x ON x.vec_id = id_a JOIN e y ON y.vec_id = id_b
+        WHERE list_cosine_similarity(x.e, y.e) >= 0.4"""
+  }
+
   /** Cross-corpus embedding dedup, batch face (streaming pinned equal by
     * CrossCorpusSpec): arriving vectors (vec_id % 3 = 0) that survive
     * cosine screening against the reference corpus (vec_id % 3 <> 0) at
@@ -1638,6 +1672,7 @@ object QueriesPipeline {
     "q_ppl_buckets" -> (qPplBuckets _),
     "q_winnow" -> (qWinnow _),
     "q_winnow_pairs" -> (qWinnowPairs _),
+    "q_hyperplane" -> (qHyperplane _),
     "q_lm_against" -> (qLmAgainst _),
     "q_dsir" -> (qDsir _),
     "q_heavy_hitters" -> (qHeavyHitters _),
@@ -1701,6 +1736,7 @@ object QueriesPipeline {
     "q_ppl_buckets" -> qPplBucketsSql,
     "q_winnow" -> qWinnowSql,
     "q_winnow_pairs" -> qWinnowPairsSql,
+    "q_hyperplane" -> qHyperplaneSql,
     "q_lm_against" -> qLmAgainstSql,
     "q_dsir" -> qDsirSql,
     "q_heavy_hitters" -> qHeavyHittersSql,

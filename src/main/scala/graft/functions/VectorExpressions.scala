@@ -694,6 +694,11 @@ object VectorFunctions {
   def winnowSelect(hashes: Column, w: Int): Column =
     ColumnBridge.column(WinnowSelect(ColumnBridge.expr(hashes), w))
 
+  /** Hyperplane LSH code (Charikar 2002) of an array<double> vector:
+    * `bits` sign bits under the seeded portable hyperplane family. */
+  def hyperplaneBits(vec: Column, bits: Int, seed: Int): Column =
+    ColumnBridge.column(HyperplaneBits(ColumnBridge.expr(vec), bits, seed))
+
   /** Bloom-filter aggregate over item-hash longs: fixed bit array,
     * OR-mergeable, map-side partial aggregation — the join-pruning
     * membership artifact (no false negatives). */

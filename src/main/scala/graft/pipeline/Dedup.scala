@@ -1444,6 +1444,47 @@ object Dedup {
         round(col("cos"), 6).as("cos"))
   }
 
+  /** Hyperplane-LSH embedding near-dup (Charikar 2002 random-hyperplane
+    * rounding for cosine): each vector takes a `bits`-bit sign code per
+    * table ([[graft.functions.HyperplaneBits]], codegen'd, zero shuffle);
+    * candidates are pairs sharing a WHOLE code in ANY of `tables`
+    * independent tables (standard OR-amplification: per-bit collision
+    * probability is 1 - θ/π, per-table (1-θ/π)^bits, missing in all T
+    * tables (1-(1-θ/π)^bits)^T); exact cosine verifies candidates only.
+    * The TRAIN-FREE sibling of [[semanticDedup]]: no k-means pass, no
+    * codebook artifact — the right tool when the corpus has no stable
+    * cluster structure to learn or the index must exist before any data
+    * arrives. Each table's join keys on the 8-byte code — never
+    * all-pairs; raise `tables` (recall) or `bits` (precision) per the
+    * formula. Recall caveat inherent to LSH: a true pair can miss all
+    * tables; sweep the knobs, or use the exact/IVF paths where recall
+    * must be total. */
+  def hyperplaneNearDup(embs: DataFrame, idCol: String, vecCol: String,
+                        bits: Int = 16, tables: Int = 4,
+                        threshold: Double = 0.8): DataFrame = {
+    require(tables >= 1 && tables <= 64, s"tables must be in [1,64], got $tables")
+    require(threshold > 0.0 && threshold <= 1.0, s"threshold in (0,1], got $threshold")
+    val vf = graft.functions.VectorFunctions
+    val e = embs.select(col(idCol), col(vecCol).cast("array<double>").as("__e"))
+      .withColumn("__n", Similarity.norm(col("__e")))
+    val codes = e.select(col(idCol),
+      explode(array((0 until tables).map(t =>
+        struct(lit(t).as("t"), vf.hyperplaneBits(col("__e"), bits, t).as("code"))): _*))
+        .as("__c"))
+      .select(col(idCol), col("__c.t").as("__t"), col("__c.code").as("__code"))
+    val cands = codes.as("a").join(codes.as("b"),
+        col("a.__t") === col("b.__t") && col("a.__code") === col("b.__code") &&
+          col(s"a.$idCol") < col(s"b.$idCol"))
+      .select(col(s"a.$idCol").as("id_a"), col(s"b.$idCol").as("id_b"))
+      .distinct()
+    cands
+      .join(e.select(col(idCol).as("id_a"), col("__e").as("__ea"), col("__n").as("__na")), "id_a")
+      .join(e.select(col(idCol).as("id_b"), col("__e").as("__eb"), col("__n").as("__nb")), "id_b")
+      .withColumn("cos", Similarity.dot(col("__ea"), col("__eb")) / (col("__na") * col("__nb")))
+      .filter(col("cos") >= threshold)
+      .select(col("id_a"), col("id_b"), round(col("cos"), 6).as("cos"))
+  }
+
   /** SemDeDup-style semantic dedup (Abbas et al. 2023, arXiv:2303.09540):
     * k-means cells bound the candidate space, exact cosine verifies pairs
     * WITHIN each cell, connected components group transitive near-dups,

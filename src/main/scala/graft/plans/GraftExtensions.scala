@@ -53,6 +53,9 @@ object GraftExtensions {
     ("graft_count_min", info("graft_count_min",
       "aggregate: count-min sketch (d=4, w=2048) over bigint item hashes"),
       (es: Seq[Expression]) => CountMinAgg(es(0), 4, 2048).toAggregateExpression()),
+    ("graft_hyperplane16", info("graft_hyperplane16",
+      "16-bit hyperplane LSH code (table 0) of an array<double> vector"),
+      (es: Seq[Expression]) => HyperplaneBits(es(0), 16, 0)),
     ("graft_winnow4", info("graft_winnow4",
       "winnowing fingerprints (window 4) of a position-ordered hash array"),
       (es: Seq[Expression]) => WinnowSelect(es(0), 4)),
