@@ -800,6 +800,39 @@ object QueriesPipeline {
         salt = "split1")
       .select(col("doc_id"), col("split"))
 
+  /** Leakage-safe 80/10/10 split: the gate keys on each document's
+    * MinHash near-dup cluster representative, so no near-dup cluster
+    * straddles train/validation/test. Same bands and salt as q_split —
+    * only clustered documents move. */
+  def qSafeSplit(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir).df
+    val pairs = Dedup.minhashNearDup(docs, "doc_id", "text",
+      k = 16, bands = 8, threshold = 0.8)
+    graft.pipeline.Sampling.leakageSafeSplit(docs, "doc_id", pairs,
+        "id_a", "id_b", Seq("train" -> 0.8, "validation" -> 0.1, "test" -> 0.1),
+        salt = "split1")
+      .select(col("doc_id"), col("split"))
+  }
+
+  val qSafeSplitSql: String = {
+    val gate = "((" + PolyFold.format("(rep::VARCHAR || 'split1')") + ") * 2654435761) % 1000000"
+    s"""WITH RECURSIVE pairs AS ($qMinhashDedupSql),
+        edges AS (SELECT id_a AS u, id_b AS v FROM pairs
+                  UNION SELECT id_b, id_a FROM pairs),
+        cc(node, label) AS (
+          SELECT u, u FROM edges
+          UNION
+          SELECT e.v, cc.label FROM cc JOIN edges e ON cc.node = e.u),
+        clusters AS (SELECT node AS doc_id, min(label) AS cluster_id FROM cc GROUP BY node),
+        reps AS (SELECT d.doc_id, coalesce(c.cluster_id, d.doc_id) AS rep
+                 FROM documents d LEFT JOIN clusters c USING (doc_id))
+        SELECT doc_id,
+          CASE WHEN $gate < 800000 THEN 'train'
+               WHEN $gate < 900000 THEN 'validation'
+               ELSE 'test' END AS split
+        FROM reps"""
+  }
+
   val qSplitSql: String = {
     val gate = "((" + PolyFold.format("(doc_id::VARCHAR || 'split1')") + ") * 2654435761) % 1000000"
     s"""SELECT doc_id,
@@ -1673,6 +1706,7 @@ object QueriesPipeline {
     "q_winnow" -> (qWinnow _),
     "q_winnow_pairs" -> (qWinnowPairs _),
     "q_hyperplane" -> (qHyperplane _),
+    "q_safe_split" -> (qSafeSplit _),
     "q_lm_against" -> (qLmAgainst _),
     "q_dsir" -> (qDsir _),
     "q_heavy_hitters" -> (qHeavyHitters _),
@@ -1737,6 +1771,7 @@ object QueriesPipeline {
     "q_winnow" -> qWinnowSql,
     "q_winnow_pairs" -> qWinnowPairsSql,
     "q_hyperplane" -> qHyperplaneSql,
+    "q_safe_split" -> qSafeSplitSql,
     "q_lm_against" -> qLmAgainstSql,
     "q_dsir" -> qDsirSql,
     "q_heavy_hitters" -> qHeavyHittersSql,

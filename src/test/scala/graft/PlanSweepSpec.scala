@@ -25,9 +25,12 @@ class PlanSweepSpec extends SparkSpec {
   //    SINGLE broadcast row cross-joined onto the candidate scoring
   //  - q_pq_topk: exhaustive-ADC face broadcasts the (tiny) probe set's
   //    lookup tables against the coded corpus, like q_ann_topk
+  //  - q_ppl_buckets: rides q_lm_score's scorer — the same single
+  //    vocabulary-size row cross-joined onto the scoring scan
   private val bnljByDesign =
     Set("q_ngram_jaccard", "q_embed_dedup", "q_ann_topk", "q_bm25", "q_tfidf",
-      "q_lm_score", "q_embed_ingest", "q_heavy_hitters", "q_pq_topk")
+      "q_lm_score", "q_embed_ingest", "q_heavy_hitters", "q_pq_topk",
+      "q_ppl_buckets")
 
   test("no query plans a cartesian product; nested-loop joins only by design") {
     val offenders = scala.collection.mutable.ArrayBuffer.empty[String]
