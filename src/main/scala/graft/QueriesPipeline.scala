@@ -1400,6 +1400,47 @@ object QueriesPipeline {
           ON a.fp = b.fp AND a.doc_id < b.doc_id
         GROUP BY a.doc_id, b.doc_id HAVING count(*) >= 3"""
 
+  /** Naive Bayes language ID, batch face (streaming pinned equal by
+    * NbClassifySpec): train on the reference slice's (text, lang) pairs,
+    * classify the arriving slice; argmax on the rounded score with ties
+    * to the smallest class label. */
+  def qNbLangid(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir).df
+    TextOps.nbClassifyAgainst(
+      graft.api.MStream(docs.where(col("doc_id") % 3 === 0)),
+      docs.where(col("doc_id") % 3 =!= 0),
+      "doc_id", "text", "text", "lang").df
+  }
+
+  val qNbLangidSql: String =
+    s"""WITH words AS (SELECT doc_id, list_filter(string_split_regex(text, '[ \\t\\n\\f\\r\\x0b]+'), x -> x <> '') AS w FROM documents),
+        cls AS (SELECT d.lang AS c, count(*) AS nc,
+                  sum(coalesce(len(w.w), 0)) AS tc
+                FROM documents d JOIN words w USING (doc_id)
+                WHERE d.doc_id % 3 <> 0 GROUP BY d.lang),
+        wc AS (SELECT d.lang AS c, t.t AS w, count(*) AS cwc
+               FROM (SELECT doc_id, unnest(w) AS t FROM words) t
+                 JOIN documents d USING (doc_id)
+               WHERE d.doc_id % 3 <> 0 GROUP BY 1, 2),
+        nv AS (SELECT count(DISTINCT w) AS V FROM wc),
+        nn AS (SELECT count(*) AS ndocs FROM documents WHERE doc_id % 3 <> 0),
+        toks AS (SELECT doc_id, unnest(w) AS t FROM words WHERE doc_id % 3 = 0),
+        percls AS (SELECT toks.doc_id, cls.c, cls.nc, cls.tc, count(*) AS ntok,
+                     sum(ln(coalesce(wc.cwc, 0) + 1.0)) AS s
+                   FROM toks CROSS JOIN cls
+                     LEFT JOIN wc ON wc.c = cls.c AND wc.w = toks.t
+                   GROUP BY 1, 2, 3, 4),
+        scored AS (SELECT doc_id, c,
+                     round(ln(nc::DOUBLE / ndocs) + s - ntok * ln(tc + V * 1.0), 3) AS score
+                   FROM percls CROSS JOIN nv CROSS JOIN nn),
+        pred AS (SELECT doc_id, c, score,
+                   row_number() OVER (PARTITION BY doc_id
+                                      ORDER BY score DESC, c) AS rn
+                 FROM scored)
+        SELECT d.doc_id, p.c AS pred, p.score
+        FROM documents d LEFT JOIN (SELECT * FROM pred WHERE rn = 1) p USING (doc_id)
+        WHERE d.doc_id % 3 = 0"""
+
   /** CCNet head/middle/tail perplexity bucketing (Wenzek et al. 2020
     * §4.3): per-language terciles of the self-corpus LM score, higher
     * log-likelihood = bucket 1 = "head"; ties break on doc_id, so the
@@ -1707,6 +1748,7 @@ object QueriesPipeline {
     "q_winnow_pairs" -> (qWinnowPairs _),
     "q_hyperplane" -> (qHyperplane _),
     "q_safe_split" -> (qSafeSplit _),
+    "q_nb_langid" -> (qNbLangid _),
     "q_lm_against" -> (qLmAgainst _),
     "q_dsir" -> (qDsir _),
     "q_heavy_hitters" -> (qHeavyHitters _),
@@ -1772,6 +1814,7 @@ object QueriesPipeline {
     "q_winnow_pairs" -> qWinnowPairsSql,
     "q_hyperplane" -> qHyperplaneSql,
     "q_safe_split" -> qSafeSplitSql,
+    "q_nb_langid" -> qNbLangidSql,
     "q_lm_against" -> qLmAgainstSql,
     "q_dsir" -> qDsirSql,
     "q_heavy_hitters" -> qHeavyHittersSql,

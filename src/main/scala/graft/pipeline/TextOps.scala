@@ -524,6 +524,141 @@ object TextOps {
         col("bucket"))
   }
 
+  /** Multinomial Naive Bayes classification against a LABELED reference
+    * corpus (the counts-based classic — McCallum & Nigam 1998; the
+    * deterministic stand-in for the fastText classifiers CCNet-style
+    * pipelines use for language/domain ID, and the right shape for an
+    * oracle: every model parameter is a count, so an independent engine
+    * reproduces each score): train-side one pass yields per-class doc
+    * and token totals plus (class, word) counts; a document's class
+    * score is `ln(n_c/N) + Σ_t ln((c(t,c)+α)/(T_c+α·V))`, the argmax
+    * (on the ROUNDED score, ties to the lexicographically smallest
+    * class — a total order both engines share) is the prediction.
+    *
+    * Scale shape: the (class, word) count table is the pinned model
+    * artifact (model-sized, never corpus-sized); the class list with its
+    * totals folds into the PLAN as a literal array (≤ 1024 classes), so
+    * scoring explodes each token across classes with NO cross join and
+    * one broadcast left join against the model — unseen (class, word)
+    * pairs back off to the smoothed floor via the join miss. Dual-mode:
+    * batch carries the oracle (q_nb_langid); streaming is the stateless
+    * per-batch combine — zero state-store rows. Wordless documents emit
+    * (NULL, NULL) in both modes. */
+  def nbClassifyAgainst(stream: graft.api.MStream,
+                        refDocs: org.apache.spark.sql.DataFrame,
+                        idCol: String, textCol: String, refTextCol: String,
+                        refLabelCol: String,
+                        alpha: Double = 1.0): graft.api.MStream = {
+    import org.apache.spark.sql.{Encoder, Row}
+    import org.apache.spark.sql.catalyst.encoders.RowEncoder
+    import org.apache.spark.sql.types._
+    require(alpha > 0.0, s"add-alpha smoothing needs alpha > 0, got $alpha")
+    val df = stream.df
+    val spark = df.sparkSession
+
+    // trained model: class totals (collected — class-count-sized) and the
+    // pinned (class, word) count table
+    val cls = refDocs
+      .select(col(refLabelCol).as("__c"), size(words(col(refTextCol))).as("__n"))
+      .groupBy(col("__c"))
+      .agg(count(lit(1)).as("__nc"), sum(greatest(col("__n"), lit(0))).as("__tc"))
+    val clsRows = cls.collect()
+    require(clsRows.nonEmpty, "nbClassifyAgainst: the reference corpus is empty")
+    require(clsRows.length <= 1024,
+      s"nbClassifyAgainst folds the class list into the plan; got " +
+        s"${clsRows.length} classes (cap 1024)")
+    val (wc, wcIds) = graft.api.Pinned.checkpointTracked(
+      refDocs.select(col(refLabelCol).as("__c"),
+          explode(words(col(refTextCol))).as("__w"))
+        .groupBy(col("__c"), col("__w")).agg(count(lit(1)).as("__cwc")))
+    graft.api.Pinned.register(spark, wcIds)
+    val nDocs = clsRows.map(_.getAs[Long]("__nc")).sum
+    val vocab = wc.agg(count_distinct(col("__w"))).head().getLong(0)
+    require(vocab > 0, "nbClassifyAgainst: the reference corpus yields no tokens")
+    val clsArr = array(clsRows.map(r => struct(
+      lit(r.getAs[String]("__c")).as("__c"),
+      lit(r.getAs[Long]("__nc")).as("__nc"),
+      lit(r.getAs[Long]("__tc")).as("__tc"))): _*)
+    val id = col(idCol)
+
+    def scoreCol(n: Column, sumLog: Column, nc: Column, tc: Column): Column =
+      round(log(nc.cast("double") / nDocs) + sumLog
+        - n * log(tc + lit(vocab) * alpha), 3)
+
+    if (!df.isStreaming) {
+      import org.apache.spark.sql.expressions.Window
+      val toks = df.select(id.as("__id"), explode(words(col(textCol))).as("__w"))
+      val perCls = toks
+        .select(col("__id"), col("__w"), explode(clsArr).as("__k"))
+        .select(col("__id"), col("__w"), col("__k.__c").as("__c"),
+          col("__k.__nc").as("__nc"), col("__k.__tc").as("__tc"))
+        .join(broadcast(wc), Seq("__c", "__w"), "left")
+        .groupBy(col("__id"), col("__c"), col("__nc"), col("__tc"))
+        .agg(count(lit(1)).as("__n"),
+          sum(log(coalesce(col("__cwc"), lit(0L)) + alpha)).as("__s"))
+        .withColumn("__score",
+          scoreCol(col("__n"), col("__s"), col("__nc"), col("__tc")))
+      val w = Window.partitionBy(col("__id"))
+        .orderBy(col("__score").desc, col("__c"))
+      val pred = perCls.withColumn("__rn", row_number().over(w))
+        .where(col("__rn") === 1)
+        .select(col("__id").as(idCol), col("__c").as("pred"),
+          col("__score").as("score"))
+      return new graft.api.MStream(
+        df.select(id).join(pred, Seq(idCol), "left"),
+        stream.eventOrder, stream.contextKeys, stream.name)
+    }
+
+    // streaming: wordless docs ride a null-word sentinel whose class
+    // column stays null (no class explode, no model match)
+    val clsT = "array<struct<__c:string,__nc:bigint,__tc:bigint>>"
+    val ws = words(col(textCol))
+    val u = df
+      .select(id.as("__id"),
+        explode(when(size(ws) >= 1, ws)
+          .otherwise(array(lit(null).cast("string")))).as("__w"))
+      .select(col("__id"), col("__w"),
+        explode_outer(when(col("__w").isNotNull, clsArr)
+          .otherwise(lit(null).cast(clsT))).as("__k"))
+      .select(col("__id"), col("__w"), col("__k.__c").as("__c"),
+        col("__k.__nc").as("__nc"), col("__k.__tc").as("__tc"))
+      .join(broadcast(wc), Seq("__c", "__w"), "left")
+    val idType = df.schema(idCol).dataType
+    val aggT = StructType(Seq(StructField("__id", idType),
+      StructField("pred", StringType), StructField("score", DoubleType)))
+    val aggEnc: Encoder[Row] = RowEncoder.encoderFor(aggT)
+    val cIdx = u.schema.fieldIndex("__c")
+    val ncIdx = u.schema.fieldIndex("__nc")
+    val tcIdx = u.schema.fieldIndex("__tc")
+    val cwcIdx = u.schema.fieldIndex("__cwc")
+    val nD = nDocs
+    val v = vocab
+    val a = alpha
+    val out = graft.streaming.PerBatchCombine(u, Seq("__id"), aggEnc) {
+        (key: Row, it: Iterator[Row]) =>
+          val acc = scala.collection.mutable.Map.empty[String, (Long, Double, Long, Long)]
+          it.foreach { r =>
+            if (!r.isNullAt(cIdx)) {
+              val c = r.getString(cIdx)
+              val cwc = if (r.isNullAt(cwcIdx)) 0L else r.getLong(cwcIdx)
+              val (n, s, _, _) = acc.getOrElse(c, (0L, 0.0, 0L, 0L))
+              acc(c) = (n + 1, s + math.log(cwc + a), r.getLong(ncIdx), r.getLong(tcIdx))
+            }
+          }
+          if (acc.isEmpty) Iterator.single(Row(key.get(0), null, null))
+          else {
+            val scored = acc.toSeq.map { case (c, (n, s, nc, tc)) =>
+              val raw = math.log(nc.toDouble / nD) + s - n * math.log(tc + v * a)
+              (c, BigDecimal(raw).setScale(3, BigDecimal.RoundingMode.HALF_UP).toDouble)
+            }
+            val best = scored.minBy { case (c, sc) => (-sc, c) }
+            Iterator.single(Row(key.get(0), best._1, best._2))
+          }
+      }
+      .withColumnRenamed("__id", idCol)
+    new graft.api.MStream(out, stream.eventOrder, stream.contextKeys, stream.name)
+  }
+
   /** RE2-safe PII patterns (portable between Java regex and DuckDB's RE2 —
     * no lookaround, no possessive quantifiers). */
   val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
