@@ -232,6 +232,13 @@ object Program {
                                   idCol: String, textCol: String,
                                   benchTextCol: String, n: Int,
                                   minOverlap: Int) extends Node
+  /** Naive Bayes classification against a labeled reference
+    * (`TextOps.nbClassifyAgainst`, format version 4). Build-time eager
+    * (the count-model artifacts pin at program build, like [[LmScore]]). */
+  final case class NbClassify(name: String, input: String, ref: String,
+                              idCol: String, textCol: String,
+                              refTextCol: String, refLabelCol: String,
+                              alpha: Double) extends Node
   /** Exact (Bloom-pre-screened) cross-corpus dedup at ingest
     * (`Dedup.exactDedupAgainstCorpus`, format version 4). Build-time
     * eager (the filter aggregate collects at program build, like
@@ -439,6 +446,7 @@ object Program {
     case ip: IvfProbe => Seq(ip.input, ip.corpus, ip.centroids)
     case xd: ExactDedup => Seq(xd.input, xd.ref)
     case gg: GopherGate => Seq(gg.input)
+    case nb: NbClassify => Seq(nb.input, nb.ref)
   }
 
   /** Static shape of a cycle body, deciding the batch fixpoint strategy.
@@ -642,6 +650,9 @@ object Program {
             staticSide(name, in, ref), idCol, textCol, numBits, numHashes, bRef)
         case GopherGate(_, i, idCol, textCol, minW, maxW) =>
           graft.pipeline.TextOps.gopherGate(in(i), idCol, textCol, minW, maxW)
+        case NbClassify(name, i, ref, idCol, textCol, refTextCol, refLabelCol, alpha) =>
+          graft.pipeline.TextOps.nbClassifyAgainst(in(i),
+            staticSide(name, in, ref), idCol, textCol, refTextCol, refLabelCol, alpha)
     }
   }
 
@@ -693,6 +704,7 @@ object Program {
     case x: IvfProbe => x.copy(name = name)
     case x: ExactDedup => x.copy(name = name)
     case x: GopherGate => x.copy(name = name)
+    case x: NbClassify => x.copy(name = name)
   }
 
   /** Order-preserving merge of upstream node lists for a multi-input op:
@@ -956,6 +968,13 @@ object Program {
                    broadcastRef: Boolean = true): Rec =
       derive("exactDedup", Seq(ref))(n => ExactDedup(n, name, ref.name,
         idCol, textCol, numBits, numHashes, broadcastRef))
+    /** Naive Bayes classification against `ref`'s labeled corpus
+      * (format version 4). */
+    def nbClassify(ref: Rec, idCol: String, textCol: String,
+                   refTextCol: String, refLabelCol: String,
+                   alpha: Double = 1.0): Rec =
+      derive("nbClassify", Seq(ref))(n => NbClassify(n, name, ref.name,
+        idCol, textCol, refTextCol, refLabelCol, alpha))
     /** Gopher quality-rule gate (format version 4). */
     def gopherGate(idCol: String, textCol: String, minWords: Int = 50,
                    maxWords: Int = 100000): Rec =
@@ -1001,7 +1020,8 @@ object Program {
     * Version history: 1 = the original 21-node §2 grammar; 2 adds the six
     * pipeline ingest-face nodes (corpusDedup, embedDedup, lmScore,
     * encodeIngest, decontaminateIngest, ivfProbe); 3 adds dsirScore,
-    * tokenFreq and bpeEncode; 4 adds exactDedup and gopherGate.
+    * tokenFreq and bpeEncode; 4 adds exactDedup, gopherGate and
+    * nbClassify.
     * [[toJson]] stamps each document with the LOWEST version that can
     * express it, so a document using only the v1 grammar stays loadable
     * by a v1 library. */
@@ -1010,7 +1030,7 @@ object Program {
   /** The lowest format version expressing every node in `doc`. */
   private def requiredVersion(doc: Doc): Int =
     if (doc.nodes.exists {
-      case _: ExactDedup | _: GopherGate => true; case _ => false }) 4
+      case _: ExactDedup | _: GopherGate | _: NbClassify => true; case _ => false }) 4
     else if (doc.nodes.exists {
       case _: DsirScore | _: TokenFreq | _: BpeEncode => true; case _ => false }) 3
     else if (doc.nodes.exists {
@@ -1139,6 +1159,11 @@ object Program {
         ("op" -> "gopherGate") ~ ("name" -> name) ~ ("input" -> i) ~
           ("idCol" -> idCol) ~ ("textCol" -> textCol) ~
           ("minWords" -> minW) ~ ("maxWords" -> maxW)
+      case NbClassify(name, i, ref, idCol, textCol, refTextCol, refLabelCol, alpha) =>
+        ("op" -> "nbClassify") ~ ("name" -> name) ~ ("input" -> i) ~
+          ("ref" -> ref) ~ ("idCol" -> idCol) ~ ("textCol" -> textCol) ~
+          ("refTextCol" -> refTextCol) ~ ("refLabelCol" -> refLabelCol) ~
+          ("alpha" -> alpha)
     }
     JsonMethods.compact(JsonMethods.render(
       ("version" -> requiredVersion(doc)) ~ ("nodes" -> doc.nodes.map(nodeJson)) ~
@@ -1282,6 +1307,11 @@ object Program {
             (v \ "numBits").extractOpt[Int].getOrElse(1 << 20),
             (v \ "numHashes").extractOpt[Int].getOrElse(7),
             (v \ "broadcastRef").extractOpt[Boolean].getOrElse(true))
+          case "nbClassify" => NbClassify(name, (v \ "input").extract[String],
+            (v \ "ref").extract[String], (v \ "idCol").extract[String],
+            (v \ "textCol").extract[String], (v \ "refTextCol").extract[String],
+            (v \ "refLabelCol").extract[String],
+            (v \ "alpha").extractOpt[Double].getOrElse(1.0))
           case "gopherGate" => GopherGate(name, (v \ "input").extract[String],
             (v \ "idCol").extract[String], (v \ "textCol").extract[String],
             (v \ "minWords").extractOpt[Int].getOrElse(50),
@@ -1380,6 +1410,13 @@ object Program {
             s.df.select(col(xd.idCol), col(xd.textCol)).schema
             env(xd.ref).df.select(col(xd.idCol), col(xd.textCol)).schema
             emptyOf(s.df.schema)
+          case nb: NbClassify =>
+            // build-time eager (the count model collects): schema-only
+            val s = env(nb.input)
+            s.df.select(col(nb.idCol), col(nb.textCol)).schema
+            env(nb.ref).df.select(col(nb.refTextCol), col(nb.refLabelCol)).schema
+            emptyOf(graft.pipeline.TextOps.nbOutputSchema(
+              nb.idCol, s.df.schema(nb.idCol).dataType))
           case other => lowerNode(other, name => env(name))
         }
         out.df.schema // force analysis NOW so failures attribute to THIS node
@@ -1558,6 +1595,10 @@ object Program {
             throw new IllegalArgumentException(s"node '${n.name}': gopherGate " +
               s"needs 1 <= minWords <= maxWords, got [${gg.minWords}, ${gg.maxWords}]")
           Seq(gg.input)
+        case nb: NbClassify =>
+          if (nb.alpha <= 0.0) throw new IllegalArgumentException(
+            s"node '${n.name}': nbClassify needs alpha > 0, got ${nb.alpha}")
+          Seq(nb.input, nb.ref)
       }
       inputs.foreach(i => if (!defined.contains(i)) throw new IllegalArgumentException(
         s"node '${n.name}' references '$i' before it is defined"))

@@ -544,6 +544,16 @@ object TextOps {
     * batch carries the oracle (q_nb_langid); streaming is the stateless
     * per-batch combine — zero state-store rows. Wordless documents emit
     * (NULL, NULL) in both modes. */
+  /** Output schema of [[nbClassifyAgainst]] for a given id column — the
+    * single source `Program.validate` resolves against (the build-time
+    * eager model must not train during validation). */
+  def nbOutputSchema(idCol: String,
+      idType: org.apache.spark.sql.types.DataType): org.apache.spark.sql.types.StructType = {
+    import org.apache.spark.sql.types._
+    StructType(Seq(StructField(idCol, idType),
+      StructField("pred", StringType), StructField("score", DoubleType)))
+  }
+
   def nbClassifyAgainst(stream: graft.api.MStream,
                         refDocs: org.apache.spark.sql.DataFrame,
                         idCol: String, textCol: String, refTextCol: String,
