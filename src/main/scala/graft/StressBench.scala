@@ -21,7 +21,11 @@ object StressBench {
     val factor = if (args.length > 2) args(2).toInt else 10
     val queries =
       if (args.length > 3) args.drop(3).toSeq
-      else Seq("q_minhash_dedup", "q_banded_dedup", "q_dedup_clusters", "q_dedup_corpus")
+      else Seq("q_minhash_dedup", "q_banded_dedup", "q_dedup_clusters", "q_dedup_corpus",
+        // one representative per round-9 family: fingerprint pairs, BPE
+        // training, NB classification, compressed ANN, plus the
+        // large-codebook assignment probe (loop lowering past LiteralCells)
+        "q_winnow_pairs", "q_bpe_merges", "q_nb_langid", "q_pq_topk", "ivf4096")
     val spark = SparkSession.builder().master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
       .config("spark.sql.session.timeZone", "UTC")
@@ -68,6 +72,26 @@ object StressBench {
       System.gc()
     }
     for (q <- queries) {
+      if (q == "ivf4096") {
+        // SemDeDup-realistic cell count: k=4096 > LiteralCells exercises
+        // the compiled-loop assignment (train 1 Lloyd round + encode +
+        // probe search) at a codebook size where the literal lowering
+        // would blow the Janino method limit
+        for (rep <- 1 to 3) {
+          isolate()
+          val t0 = System.nanoTime()
+          val emb = spark.read.parquet(embPath)
+          val cent = graft.pipeline.Ivf.train(emb, "vec_id", "embedding",
+            k = 4096, iters = 1)
+          val qs = emb.orderBy("vec_id").limit(100)
+            .select(col("vec_id").as("q_id"), col("embedding"))
+          val hits = graft.pipeline.Ivf.search(emb, qs, "vec_id", "embedding",
+            "q_id", cent, topK = 10, nProbe = 16)
+          hits.write.format("noop").mode("overwrite").save()
+          val secs = (System.nanoTime() - t0) / 1e9
+          println(f"STRESS ivf4096 rep$rep $secs%.2f s (${hits.count()} rows)")
+        }
+      } else {
       SparkEntry.queries(q)(spark, "/root/testdata/sf0.001")
         .write.format("noop").mode("overwrite").save() // warm
       for (rep <- 1 to 3) {
@@ -85,6 +109,7 @@ object StressBench {
         val cc = if (q.contains("clusters") || q.contains("corpus"))
           s", ${graft.pipeline.Dedup.lastCcRounds} cc rounds" else ""
         println(f"STRESS $q rep$rep $secs%.2f s ($rows rows$cc)")
+      }
       }
     }
     spark.stop()

@@ -11,13 +11,22 @@ import org.apache.spark.sql.types._
 /** Bucket family shared by the sketch aggregate, the estimate columns,
   * the property tests, and the DuckDB oracle mirror: row `i` of the
   * sketch hashes item-hash `h` (a portable [[PolyHashUtil]] value in
-  * `[0, P)`) to `((h * (2i+1) + 12345i+7) mod P) mod width` — the same
-  * `(2j+1, 12345j+7)` affine family the MinHash signatures use, so an
-  * independent engine reproduces every cell exactly. */
+  * `[0, P)`) to `(((h mod P) * (2i+1) + 12345i+7) mod P) mod width` — the
+  * same `(2j+1, 12345j+7)` affine family the MinHash signatures use, so
+  * an independent engine reproduces every cell exactly.
+  *
+  * `h` is reduced into `[0, P)` FIRST (floorMod, so negative hashes land
+  * in range too): internal callers always feed [[PolyHashUtil]] values,
+  * for which the reduction is the identity, but the registered SQL
+  * function `graft_count_min` accepts any bigint (e.g. an xxhash64) — a
+  * signed `%` would produce a negative bucket and crash the aggregate
+  * with an opaque ArrayIndexOutOfBounds, and an unreduced multiply could
+  * overflow. After the reduction every term is non-negative and
+  * < 2³¹·2⁵ ≪ 2⁶³, so the remaining `%`s are exact. */
 object CountMinUtil {
   import PolyHashUtil.P
   def bucket(h: Long, i: Int, width: Int): Int =
-    (((h * (2L * i + 1) + (12345L * i + 7)) % P) % width).toInt
+    (((Math.floorMod(h, P) * (2L * i + 1) + (12345L * i + 7)) % P) % width).toInt
 
   /** Definitional reference: the full d×w table from a list of hashes. */
   def reference(hs: Seq[Long], depth: Int, width: Int): Array[Long] = {

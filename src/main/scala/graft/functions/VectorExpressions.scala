@@ -610,6 +610,108 @@ case class ByteMean(child: Expression) extends UnaryExpression {
   override protected def withNewChildInternal(newChild: Expression): Expression = copy(child = newChild)
 }
 
+/**
+ * Top-n nearest centroids by squared L2 distance, best-first, ties on the
+ * lower cell id — the LARGE-codebook face of IVF cell assignment
+ * (`Ivf.nearestCid`/`probeCids` dispatch here above `Ivf.LiteralCells`).
+ *
+ * Why not the literal `least(struct(d, cid)…)` formulation everywhere: that
+ * expression TREE is O(k·dim) literal nodes — past a few hundred cells the
+ * generated method blows Janino's 64 KB limit (whole-stage codegen falls
+ * back to interpreted) and the plan itself carries every centroid double as
+ * a separate literal. Here the codebook is ONE constructor artifact: the
+ * expression ships it with the task binary once, the generated code calls a
+ * single compiled loop (`topCids`) via a reference object — compact
+ * bytecode at any k, still inside whole-stage codegen (no fallback), zero
+ * shuffle, no join. Why not broadcast-join + `min_by`: that shuffles one
+ * row per corpus point through an aggregation; assignment is a pure per-row
+ * computation and should stay a projection.
+ *
+ * Bit-parity with the literal path (IvfSpec pins it): per cell
+ * `d = |p|² − 2·p·c + |c|²` with [[DotProduct]]'s exact summation order
+ * (left-to-right over min(len) elements), |c|² folded left-to-right at
+ * construction, the same `(pp - (2.0*dot)) + cc` association, double
+ * comparison via Spark's SQL ordering (`x == y` first, then
+ * `Double.compare` — so -0.0 == 0.0 and NaN sorts last, matching `least`
+ * over structs and `array_sort`), and ascending-cid iteration so distance
+ * ties keep the lower cid.
+ */
+case class NearestCells(child: Expression, cids: Seq[Int], cents: Seq[Seq[Double]], n: Int)
+  extends UnaryExpression {
+  import org.apache.spark.sql.types.IntegerType
+  import org.apache.spark.sql.catalyst.util.GenericArrayData
+  require(cents.nonEmpty, "nearest_cells needs a non-empty codebook")
+  require(cids.length == cents.length,
+    s"nearest_cells: ${cids.length} cell ids vs ${cents.length} centroids")
+  require(n >= 1, s"nearest_cells needs n >= 1, got $n")
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(DoubleType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires array<double>, got $other")
+  }
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def prettyName: String = "graft_nearest_cells"
+
+  @transient private lazy val cidArr: Array[Int] = cids.toArray
+  @transient private lazy val centArr: Array[Array[Double]] = cents.map(_.toArray).toArray
+  @transient private lazy val ccArr: Array[Double] = centArr.map { cv =>
+    var s = 0.0; cv.foreach(x => s += x * x); s
+  }
+
+  /** Spark SQL double ordering (SQLOrderingUtil): equality first so
+    * -0.0 == 0.0, Double.compare for the rest so NaN sorts greatest. */
+  private def cmp(x: Double, y: Double): Int =
+    if (x == y) 0 else java.lang.Double.compare(x, y)
+
+  /** One compiled pass: O(k·dim) distance work into an O(n) sorted
+    * insertion buffer — the same selection `array_sort` + `slice` makes,
+    * without materializing k structs per row. */
+  def topCids(a: ArrayData): ArrayData = {
+    val k = centArr.length
+    val keep = math.min(n, k)
+    val bd = new Array[Double](keep)
+    val bc = new Array[Int](keep)
+    var filled = 0
+    val len = a.numElements()
+    var pp = 0.0
+    var i = 0
+    while (i < len) { val x = a.getDouble(i); pp += x * x; i += 1 }
+    var j = 0
+    while (j < k) {
+      val cv = centArr(j)
+      val m = math.min(len, cv.length)
+      var dot = 0.0
+      i = 0
+      while (i < m) { dot += a.getDouble(i) * cv(i); i += 1 }
+      val d = pp - 2.0 * dot + ccArr(j)
+      if (filled < keep || cmp(d, bd(keep - 1)) < 0) {
+        var pos = if (filled < keep) filled else keep - 1
+        while (pos > 0 && cmp(d, bd(pos - 1)) < 0) {
+          bd(pos) = bd(pos - 1); bc(pos) = bc(pos - 1); pos -= 1
+        }
+        bd(pos) = d
+        bc(pos) = cidArr(j)
+        if (filled < keep) filled += 1
+      }
+      j += 1
+    }
+    new GenericArrayData(if (filled == keep) bc else java.util.Arrays.copyOf(bc, filled))
+  }
+
+  override protected def nullSafeEval(a: Any): Any = topCids(a.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    // the codebook rides as ONE reference object; generated code is a
+    // single call, so method size is constant in k
+    val ref = ctx.addReferenceObj("nearestCells", this, classOf[NearestCells].getName)
+    defineCodeGen(ctx, ev, a => s"$ref.topCids($a)")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 object VectorFunctions {
   /** Codegen'd dot product of two array<double> columns. */
   def dotNative(a: Column, b: Column): Column =
@@ -675,14 +777,28 @@ object VectorFunctions {
     ColumnBridge.column(CountMinAgg(ColumnBridge.expr(itemHash), depth, width)
       .toAggregateExpression())
 
+    /** Top-n nearest centroids of an array<double> vector by squared L2,
+    * best-first, ties on the lower cell id — the beyond-literal-codebook
+    * assignment face (see [[NearestCells]]). */
+  def nearestCells(vec: Column, cent: Seq[(Int, Seq[Double])], n: Int): Column = {
+    val sorted = cent.sortBy(_._1)
+    ColumnBridge.column(NearestCells(ColumnBridge.expr(vec),
+      sorted.map(_._1), sorted.map(_._2), n))
+  }
+
   /** Point query against a count–min sketch column: min over rows of the
     * item's cell — an upper bound on the item's true count. Pure column
-    * arithmetic (codegen'd), mirroring [[CountMinUtil.bucket]]. */
+    * arithmetic (codegen'd), mirroring [[CountMinUtil.bucket]] — including
+    * the leading floorMod reduction into [0, P), so an arbitrary bigint
+    * hash (negative, or large enough to overflow the affine multiply)
+    * indexes the same cell the aggregate counted it in instead of
+    * producing an invalid element_at index. */
   def countMinEstimate(sketch: Column, itemHash: Column,
                        depth: Int, width: Int): Column = {
     import org.apache.spark.sql.functions._
+    val h = pmod(itemHash, lit(PolyHashUtil.P))
     val cells = (0 until depth).map { i =>
-      val b = ((itemHash * (2L * i + 1) + (12345L * i + 7)) % PolyHashUtil.P) % width
+      val b = ((h * (2L * i + 1) + (12345L * i + 7)) % PolyHashUtil.P) % width
       element_at(sketch, (b + i.toLong * width).cast("int") + 1)
     }
     if (cells.size == 1) cells.head else least(cells: _*)

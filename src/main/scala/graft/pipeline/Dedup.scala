@@ -750,9 +750,23 @@ object Dedup {
       val live = sc.getPersistentRDDs
       ids.foreach(id => live.get(id).foreach(_.unpersist(blocking = false)))
     }
+    // Node keys are LONGS (8-byte shuffle keys through every round). A
+    // non-castable id must fail by NAME, not degrade: under ANSI the bare
+    // cast throws an anonymous NumberFormatException mid-join; without
+    // ANSI it nulls out and the caller's clusters silently vanish (a
+    // leakage-safe split would degenerate to the plain hash split). try_cast
+    // is null-on-failure under BOTH modes, so the raise_error fires
+    // deterministically either way.
+    def nodeKey(name: String): org.apache.spark.sql.Column = {
+      val c = col(name)
+      val l = expr(s"try_cast(`$name` as bigint)")
+      when(c.isNull || l.isNotNull, l).otherwise(raise_error(concat(
+        lit(s"connectedComponents: node id in '$name' is not long-castable: "),
+        c.cast("string"))))
+    }
+    val (ua, ub) = (nodeKey(aCol), nodeKey(bCol))
     val base = pairs
-      .select(greatest(col(aCol), col(bCol)).cast("long").as("u"),
-        least(col(aCol), col(bCol)).cast("long").as("v"))
+      .select(greatest(ua, ub).as("u"), least(ua, ub).as("v"))
       .filter(col("u") =!= col("v")).distinct()
     var (e, eIds, fp) = checkpointTracked(base)
     var done = fp._1 == 0L

@@ -7,9 +7,12 @@ import org.apache.spark.sql.functions._
  * IVF (inverted-file) index for approximate nearest neighbor: k-means
  * cells trained with Lloyd's iterations, search probes only the nProbe
  * nearest cells. The codebook is k×dim — small by definition — so it lives
- * as driver-side state and enters the plan as LITERALS: assignment is a
- * per-row codegen'd `least(struct(distance, cid))` over the corpus with no
- * crossJoin, no per-point shuffle, and no window sort. Per training
+ * as driver-side state and enters the plan with the point projection:
+ * assignment is a per-row codegen'd expression (literal `least(struct(d,
+ * cid))` up to [[LiteralCells]] cells, the compiled-loop
+ * [[graft.functions.NearestCells]] beyond — bit-identical selection) over
+ * the corpus with no crossJoin, no per-point shuffle, and no window sort.
+ * Per training
  * iteration the only shuffles are the two tiny centroid-update
  * aggregations (k×dim rows); the corpus itself never leaves the executors
  * and is scanned exactly once per iteration.
@@ -37,17 +40,44 @@ object Ivf {
     }
   }
 
-  private[pipeline] def nearestCid(pv: Column, cent: Seq[(Int, Seq[Double])]): Column = {
-    require(cent.nonEmpty, "IVF codebook is empty — train() first")
+  /** Codebook-size threshold between the two assignment lowerings. Below:
+    * the literal `least(struct(d, cid)…)` expression — k inlined struct
+    * comparisons, fully unrolled codegen, the fastest shape for the
+    * sqrt(n)-cells-of-a-broadcastable-corpus regime. Above: the generated
+    * method would blow Janino's 64 KB limit (whole-stage codegen falls
+    * back to interpreted for the whole projection) and the plan would
+    * carry k×dim literal doubles — switch to [[graft.functions.NearestCells]],
+    * whose codebook is one reference object and whose generated code is a
+    * single compiled-loop call; bit-identical selection (IvfSpec pins
+    * literal == loop on random data straddling the threshold). Still a
+    * zero-shuffle projection either way — a broadcast-join + `min_by`
+    * formulation would push every corpus row through an aggregation. */
+  private[graft] val LiteralCells = 256
+
+  private[graft] def nearestCidLiteral(pv: Column, cent: Seq[(Int, Seq[Double])]): Column = {
     val ds = distCid(pv, cent)
     // least() rejects a single argument; a 1-cell codebook assigns trivially
     (if (ds.sizeIs == 1) ds.head else least(ds: _*)).getField("cid")
   }
 
+  private[graft] def nearestCidLoop(pv: Column, cent: Seq[(Int, Seq[Double])]): Column =
+    element_at(graft.functions.VectorFunctions.nearestCells(pv, cent, 1), 1)
+
+  private[pipeline] def nearestCid(pv: Column, cent: Seq[(Int, Seq[Double])]): Column = {
+    require(cent.nonEmpty, "IVF codebook is empty — train() first")
+    if (cent.sizeIs <= LiteralCells) nearestCidLiteral(pv, cent)
+    else nearestCidLoop(pv, cent)
+  }
+
   /** The nProbe nearest cells, best-first: sort the k-element struct array
-    * per row — still no join or window shuffle. */
-  private[pipeline] def probeCids(pv: Column, cent: Seq[(Int, Seq[Double])], nProbe: Int): Column =
+    * per row (small codebooks) or the compiled top-n pass (large) — no
+    * join or window shuffle either way. */
+  private[graft] def probeCidsLiteral(pv: Column, cent: Seq[(Int, Seq[Double])], nProbe: Int): Column =
     transform(slice(array_sort(array(distCid(pv, cent): _*)), 1, nProbe), s => s.getField("cid"))
+
+  private[pipeline] def probeCids(pv: Column, cent: Seq[(Int, Seq[Double])], nProbe: Int): Column =
+    if (cent.sizeIs <= LiteralCells) probeCidsLiteral(pv, cent, nProbe)
+    else graft.functions.VectorFunctions.nearestCells(pv, cent, nProbe)
 
   /** Train `k` centroids. Initialization is deterministic (the k lowest
     * ids) so results are reproducible across engines and runs. */

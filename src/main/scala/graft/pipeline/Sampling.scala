@@ -81,16 +81,25 @@ object Sampling {
     * inherits exactly that detector's notion of "too similar to
     * separate". Cost over [[assignSplit]] is the CC rounds
     * (data-logarithmic, measured flat at 2 on the bench corpora) plus
-    * one id-keyed join; the gate itself stays a zero-shuffle projection. */
+    * one id-keyed join; the gate itself stays a zero-shuffle projection.
+    *
+    * Ids must be long-castable ([[Dedup.connectedComponents]] keys on
+    * long node ids): a pair id whose cast nulls out raises in-plan
+    * inside CC rather than silently degenerating to the plain hash
+    * split. Internal working columns are `__graft_`-prefixed so a
+    * corpus that already carries e.g. a `cluster_id` column passes
+    * through untouched. */
   def leakageSafeSplit(docs: DataFrame, idCol: String, pairs: DataFrame,
                        aCol: String, bCol: String,
                        splits: Seq[(String, Double)], as: String = "split",
                        salt: String = ""): DataFrame = {
-    val cc = Dedup.connectedComponents(pairs, aCol, bCol)
-    val withRep = docs.join(cc.withColumnRenamed("node", idCol), Seq(idCol), "left")
-      .withColumn("__rep", coalesce(col("cluster_id"), col(idCol)))
-    assignSplit(withRep, col("__rep"), splits, as, salt)
-      .drop("cluster_id", "__rep")
+    val cc = Dedup.connectedComponents(pairs, aCol, bCol,
+      nodeOut = "__graft_cc_node", clusterOut = "__graft_cc_cluster")
+    val withRep = docs
+      .join(cc.withColumnRenamed("__graft_cc_node", idCol), Seq(idCol), "left")
+      .withColumn("__graft_rep", coalesce(col("__graft_cc_cluster"), col(idCol)))
+    assignSplit(withRep, col("__graft_rep"), splits, as, salt)
+      .drop("__graft_cc_cluster", "__graft_rep")
   }
 
   /** Weighted corpus mixing with weights that may EXCEED 1 — the
@@ -188,7 +197,19 @@ object Sampling {
     * bit-identical. Other alphas use `pow`; their thresholds may differ
     * from an independent engine's in the last ulp (documented — pin such
     * mixes by spec, not oracle). Rows whose stratum is NULL never match
-    * a named rate and fall to the 0 default — i.e. they are dropped. */
+    * a named rate and fall to the 0 default — i.e. they are dropped
+    * (NULL strata are excluded from the count aggregate too, so they
+    * neither crash the driver fold nor inflate the tempered normalizer).
+    *
+    * Driver-artifact contract: the per-stratum rate table is collected,
+    * so the stratum space must be bounded — at most [[MaxStrata]]
+    * distinct strata (source names, languages, domains-after-capping
+    * all fit; raw URLs do not). Checked with a `take(cap+1)` probe, not
+    * an unbounded collect, so the failure is a named `require`, never a
+    * driver OOM — the same capped-artifact contract as the IVF codebook
+    * (k ≤ 65536), BPE vocabulary (≤ 10⁷) and NB class table (≤ 1024). */
+  val MaxStrata = 100000
+
   def temperatureMix(df: DataFrame, keyCol: Column, strataCol: Column,
                      alpha: Double, budgetRows: Long,
                      salt: String = ""): DataFrame = {
@@ -196,9 +217,14 @@ object Sampling {
     require(budgetRows > 0, s"budgetRows must be positive, got $budgetRows")
     def tempered(n: Long): Double =
       if (alpha == 0.5) math.sqrt(n.toDouble) else math.pow(n.toDouble, alpha)
-    val counts = df.groupBy(strataCol.cast("string").as("__s"))
-      .agg(count(lit(1)).as("__n")).collect()
-      .map(r => (r.getString(0), r.getLong(1))).sortBy(_._1)
+    val counted = df.where(strataCol.isNotNull)
+      .groupBy(strataCol.cast("string").as("__s"))
+      .agg(count(lit(1)).as("__n")).take(MaxStrata + 1)
+    require(counted.length <= MaxStrata,
+      s"temperatureMix folds per-stratum rates into the plan; got more than " +
+        s"$MaxStrata distinct strata (cap $MaxStrata) — cap or coarsen the " +
+        s"stratum column first (e.g. domain, not URL)")
+    val counts = counted.map(r => (r.getString(0), r.getLong(1))).sortBy(_._1)
     require(counts.nonEmpty, "temperatureMix: empty input")
     val tot = counts.foldLeft(0.0) { case (a, (_, n)) => a + tempered(n) }
     val rates = counts.map { case (s, n) =>

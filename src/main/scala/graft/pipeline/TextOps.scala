@@ -563,22 +563,33 @@ object TextOps {
     import org.apache.spark.sql.catalyst.encoders.RowEncoder
     import org.apache.spark.sql.types._
     require(alpha > 0.0, s"add-alpha smoothing needs alpha > 0, got $alpha")
+    // The class table is collected and its labels re-emitted as string
+    // literals: a non-string label column would ClassCastException deep in
+    // the build, and a NULL label would train a phantom null class that
+    // can surface as `pred` — reject the former by name, drop the latter
+    // (an unlabeled reference row carries no class evidence).
+    val refLabelType = refDocs.schema(refLabelCol).dataType
+    require(refLabelType == StringType,
+      s"nbClassifyAgainst: reference label column '$refLabelCol' must be " +
+        s"string, got ${refLabelType.simpleString} — cast it first")
     val df = stream.df
     val spark = df.sparkSession
+    val labeled = refDocs.where(col(refLabelCol).isNotNull)
 
     // trained model: class totals (collected — class-count-sized) and the
     // pinned (class, word) count table
-    val cls = refDocs
+    val cls = labeled
       .select(col(refLabelCol).as("__c"), size(words(col(refTextCol))).as("__n"))
       .groupBy(col("__c"))
       .agg(count(lit(1)).as("__nc"), sum(greatest(col("__n"), lit(0))).as("__tc"))
     val clsRows = cls.collect()
-    require(clsRows.nonEmpty, "nbClassifyAgainst: the reference corpus is empty")
+    require(clsRows.nonEmpty,
+      "nbClassifyAgainst: the reference corpus has no labeled rows")
     require(clsRows.length <= 1024,
       s"nbClassifyAgainst folds the class list into the plan; got " +
         s"${clsRows.length} classes (cap 1024)")
     val (wc, wcIds) = graft.api.Pinned.checkpointTracked(
-      refDocs.select(col(refLabelCol).as("__c"),
+      labeled.select(col(refLabelCol).as("__c"),
           explode(words(col(refTextCol))).as("__w"))
         .groupBy(col("__c"), col("__w")).agg(count(lit(1)).as("__cwc")))
     graft.api.Pinned.register(spark, wcIds)

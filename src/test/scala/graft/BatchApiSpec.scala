@@ -268,6 +268,34 @@ class BatchApiSpec extends SparkSpec {
     assert(natShare < 0.1, s"alpha=1 keeps the natural composition: $natShare")
   }
 
+  test("temperature mixing drops NULL-stratum rows and excludes them from the rate fold") {
+    import graft.pipeline.Sampling
+    val docs = ((0L until 800L).map(i => (i, "big")) ++
+      (10000L until 10100L).map(i => (i, "small"))).toDF("id", "src")
+    val withNulls = docs.unionByName(
+      (20000L until 20300L).map(i => (i, null: String)).toDF("id", "src"))
+    // must not NPE on the driver-side sort, and the null group must not
+    // inflate the tempered normalizer: rates (hence survivors) identical
+    // to the null-free corpus
+    def mix(d: org.apache.spark.sql.DataFrame): Map[Long, String] = Sampling
+      .temperatureMix(d, col("id"), col("src"), alpha = 0.5, budgetRows = 300L, salt = "n")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val m = mix(withNulls)
+    assert(m == mix(docs), "NULL strata perturb the rate table")
+    assert(m.keys.forall(_ < 20000L), "a NULL-stratum row survived the gate")
+  }
+
+  test("temperature mixing rejects unbounded stratum cardinality by name, not driver OOM") {
+    import graft.pipeline.Sampling
+    val docs = spark.range(Sampling.MaxStrata + 1)
+      .select(col("id"), col("id").cast("string").as("src"))
+    val e = intercept[IllegalArgumentException] {
+      Sampling.temperatureMix(docs, col("id"), col("src"),
+        alpha = 0.5, budgetRows = 10L)
+    }
+    assert(e.getMessage.contains(s"cap ${Sampling.MaxStrata}"), e.getMessage)
+  }
+
   test("weighted mixing repeats by floor(w) or ceil(w), reproducibly across partitionings") {
     import graft.pipeline.Sampling
     val docs = (0L until 2000L).map(i => (i, s"s${i % 4}")).toDF("id", "src")

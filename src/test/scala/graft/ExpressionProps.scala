@@ -214,7 +214,9 @@ object ExpressionProps extends Properties("graft.expressions") {
     }
 
   property("count-min: update/merge equals the definitional table under any split") =
-    forAll(Gen.listOf(Gen.choose(0L, PolyHashUtil.P - 1)),
+    // full signed-64 range: raw xxhash64-style inputs must bucket in
+    // [0, width) too (floorMod reduction), not just PolyHash values
+    forAll(Gen.listOf(Gen.choose(Long.MinValue, Long.MaxValue)),
            Gen.choose(1, 4), Gen.choose(2, 64), Gen.choose(0, 100)) { (hs, d, w, cut) =>
       import org.apache.spark.sql.catalyst.InternalRow
       import org.apache.spark.sql.catalyst.expressions.BoundReference
@@ -275,6 +277,36 @@ object ExpressionProps extends Properties("graft.expressions") {
         val r = got.getStruct(i, 2); (r.getInt(0), r.getLong(1))
       }
       gotPairs == graft.functions.WinnowUtil.reference(hs, w)
+    }
+
+  property("nearest-cells top-n equals the definitional sort by (distance, cid)") =
+    forAll(Gen.nonEmptyListOf(Gen.listOfN(4, Gen.choose(-8.0, 8.0))),
+           Gen.listOfN(4, Gen.choose(-8.0, 8.0)),
+           Gen.choose(1, 6), Gen.choose(0, 3)) { (cvsRaw, pv, n, dupEvery) =>
+      import org.apache.spark.sql.catalyst.util.GenericArrayData
+      // inject duplicate centroids (exact distance ties) at a generated cadence
+      val cvs = cvsRaw.zipWithIndex.map { case (v, i) =>
+        if (dupEvery > 0 && i % (dupEvery + 1) == dupEvery) cvsRaw((i - 1) max 0) else v
+      }
+      val cent = cvs.zipWithIndex.map { case (v, i) => (i * 3, v) } // non-contiguous cids
+      val e = graft.functions.NearestCells(
+        org.apache.spark.sql.catalyst.expressions.BoundReference(
+          0, org.apache.spark.sql.types.ArrayType(
+            org.apache.spark.sql.types.DoubleType), nullable = true),
+        cent.map(_._1), cent.map(_._2), n)
+      val got = e.topCids(new GenericArrayData(pv.toArray)).toIntArray().toSeq
+      def cmp(x: Double, y: Double) = if (x == y) 0 else java.lang.Double.compare(x, y)
+      val want = cent.map { case (cid, cv) =>
+        var pp = 0.0; pv.foreach(x => pp += x * x)
+        var dot = 0.0
+        var i = 0
+        while (i < math.min(pv.size, cv.size)) { dot += pv(i) * cv(i); i += 1 }
+        var cc = 0.0; cv.foreach(x => cc += x * x)
+        (pp - 2.0 * dot + cc, cid)
+      }.sortWith { case ((d1, c1), (d2, c2)) =>
+        val c = cmp(d1, d2); c < 0 || (c == 0 && c1 < c2)
+      }.take(n).map(_._2)
+      got == want
     }
 
   property("count-min estimate upper-bounds the exact count") =

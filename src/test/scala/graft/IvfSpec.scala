@@ -30,6 +30,62 @@ class IvfSpec extends SparkSpec {
     assert(ivf == brute, "in-cluster nearest neighbor found while scanning one cell")
   }
 
+  test("loop assignment (beyond LiteralCells) is bit-identical to the literal path") {
+    // 300 cells > LiteralCells=256 forces the compiled-loop face through
+    // the public surface; the literal face is invoked directly. Distances
+    // include exact ties (duplicate centroids) to pin the lower-cid rule.
+    val rnd = new scala.util.Random(42)
+    val dim = 8
+    val cent = {
+      val b = Vector.newBuilder[(Int, Seq[Double])]
+      var prev: Seq[Double] = null
+      (0 until 300).foreach { c =>
+        val v = if (c % 7 == 3 && prev != null) prev
+          else Seq.fill(dim)(rnd.nextDouble() * 4 - 2)
+        b += (c -> v); prev = v
+      }
+      b.result()
+    }
+    assert(cent.size > Ivf.LiteralCells)
+    val pts = (0 until 200).map(i =>
+      (i.toLong, Seq.fill(dim)(rnd.nextDouble() * 4 - 2))).toDF("id", "v")
+      .select(col("id"), col("v").cast("array<double>").as("v"))
+    val lit1 = pts.select(col("id"), Ivf.nearestCidLiteral(col("v"), cent).as("cid"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val loop1 = pts.select(col("id"), Ivf.nearestCidLoop(col("v"), cent).as("cid"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(lit1 == loop1, "nearest-cell assignment diverged between lowerings")
+    val litP = pts.select(col("id"), Ivf.probeCidsLiteral(col("v"), cent, 5).as("p"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Int](1)).toMap
+    val loopP = pts.select(col("id"),
+        graft.functions.VectorFunctions.nearestCells(col("v"), cent, 5).as("p"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Int](1)).toMap
+    assert(litP == loopP, "probe-cell lists diverged between lowerings")
+    // nProbe beyond k returns all cells in both lowerings
+    val litAll = pts.limit(5).select(Ivf.probeCidsLiteral(col("v"), cent.take(3), 9).as("p"))
+      .collect().map(_.getSeq[Int](0))
+    val loopAll = pts.limit(5).select(
+        graft.functions.VectorFunctions.nearestCells(col("v"), cent.take(3), 9).as("p"))
+      .collect().map(_.getSeq[Int](0))
+    assert(litAll.toSeq == loopAll.toSeq)
+    assert(litAll.forall(_.size == 3))
+  }
+
+  test("large-codebook projection stays inside whole-stage codegen") {
+    val rnd = new scala.util.Random(7)
+    val cent: Seq[(Int, Seq[Double])] =
+      (0 until 512).map(c => c -> Seq.fill(8)(rnd.nextDouble()))
+    // spark.range, not a local Seq: a LocalRelation constant-folds the
+    // whole projection away and there is no codegen stage to assert on
+    val pts = spark.range(10).select(col("id"),
+      array((0 until 8).map(i => (col("id") + i).cast("double")): _*).as("v"))
+    val exec = pts.select(Ivf.nearestCidLoop(col("v"), cent).as("cid"))
+      .queryExecution.executedPlan
+    assert(exec.exists(_.isInstanceOf[
+        org.apache.spark.sql.execution.WholeStageCodegenExec]),
+      s"loop assignment fell out of whole-stage codegen:\n$exec")
+  }
+
   test("searchIngest: streaming probe equals the batch face, stateless") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import org.apache.spark.sql.streaming.OutputMode

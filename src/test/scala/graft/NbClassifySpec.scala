@@ -68,6 +68,29 @@ class NbClassifySpec extends SparkSpec {
     assert(runStreaming(arriving) == runBatch(arriving))
   }
 
+  test("non-string reference labels are rejected by name; NULL labels train nothing") {
+    val e = intercept[IllegalArgumentException] {
+      TextOps.nbClassifyAgainst(
+        MStream(arriving.toDF("doc_id", "text")),
+        Seq(("the cat sat", 7L)).toDF("text", "lang"),
+        "doc_id", "text", "text", "lang")
+    }
+    assert(e.getMessage.contains("must be string"), e.getMessage)
+
+    // a NULL-label row neither becomes a phantom class nor shifts priors:
+    // predictions match the null-free corpus exactly
+    val noisy = ref.unionByName(Seq(("bruit parasite text", null: String))
+      .toDF("text", "lang"))
+    val got = TextOps.nbClassifyAgainst(MStream(arriving.toDF("doc_id", "text")),
+        noisy, "doc_id", "text", "text", "lang")
+      .df.collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(1)) None else Some(r.getString(1)))).toMap
+    assert(got.values.flatten.toSet == Set("en", "fr"),
+      s"phantom null class surfaced: $got")
+    assert(got == runBatch(arriving).map { case (k, v) => k -> v._1 },
+      "NULL label rows shifted the trained model")
+  }
+
   test("tie-break is the smallest class: a fully symmetric doc picks the first label") {
     // both classes have 3 docs; "shared" appears once in each class, so
     // every class scores identically -> smallest label wins

@@ -48,4 +48,36 @@ class SafeSplitSpec extends SparkSpec {
     assert(split(1) == split(23))
     graft.api.Pinned.release(spark)
   }
+
+  test("a corpus already carrying a cluster_id column passes through untouched") {
+    val df = docs.toDF("doc_id", "text")
+      .withColumn("cluster_id", concat(lit("user-"), col("doc_id")))
+    val pairs = Dedup.minhashNearDup(df.drop("cluster_id"), "doc_id", "text", 16, 8, 0.8)
+    val out = Sampling.leakageSafeSplit(df, "doc_id", pairs, "id_a", "id_b",
+      bands, salt = "s1")
+    assert(out.columns.count(_ == "cluster_id") == 1, "user column clobbered or dropped")
+    val kept = out.select("doc_id", "cluster_id").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(docs.forall { case (id, _) => kept(id) == s"user-$id" },
+      s"user cluster_id values rewritten: $kept")
+    // and the split itself is the same as without the user column
+    val s = out.select("doc_id", "split").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(s == split(), "user cluster_id column changed the assignment")
+    graft.api.Pinned.release(spark)
+  }
+
+  test("non-long-castable pair ids fail by name instead of degenerating to a plain split") {
+    import spark.implicits._
+    val df = Seq(("docA", "t1"), ("docB", "t2")).toDF("doc_id", "text")
+    val pairs = Seq(("docA", "docB")).toDF("id_a", "id_b")
+    val e = intercept[Exception] {
+      Sampling.leakageSafeSplit(df, "doc_id", pairs, "id_a", "id_b",
+        bands, salt = "s1").collect()
+    }
+    def messages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ messages(x.getCause))
+    assert(messages(e).exists(_.contains("not long-castable")),
+      s"expected the named connectedComponents error, got: $e")
+  }
 }

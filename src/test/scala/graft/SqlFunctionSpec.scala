@@ -65,6 +65,28 @@ class SqlFunctionSpec extends SparkSpec {
     assert(sk == ref.toSeq)
   }
 
+  test("count-min accepts arbitrary bigint hashes (negative xxhash64 included)") {
+    GraftExtensions.register(spark)
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val vf = graft.functions.VectorFunctions
+    // xxhash64 values span the full signed-64 range; a signed % would
+    // produce a negative bucket and crash the aggregate's array update
+    val words = Seq.fill(12)("alpha") ++ Seq.fill(5)("beta") ++ Seq("gamma")
+    val toks = words.toDF("w").select(xxhash64(col("w")).as("h"))
+    val hs = toks.collect().map(_.getLong(0)).toSeq
+    assert(hs.exists(_ < 0L), "test premise: at least one negative hash")
+    val sk = toks.agg(vf.countMin(col("h"), 4, 64).as("sk"))
+    val est = sk.select(
+        vf.countMinEstimate(col("sk"), lit(hs.head), 4, 64).as("e"),
+        col("sk"))
+      .collect().head
+    assert(est.getLong(0) >= 12L, "estimate is an upper bound on the true count")
+    assert(est.getSeq[Long](1) ==
+      graft.functions.CountMinUtil.reference(hs, 4, 64).toSeq,
+      "aggregate and Scala reference must bucket identically for raw hashes")
+  }
+
   test("round-4 addition: graft_vec_sum aggregates elementwise from SQL") {
     GraftExtensions.register(spark)
     import spark.implicits._
