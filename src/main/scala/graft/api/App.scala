@@ -177,6 +177,24 @@ object App {
     }
     def tuning: Map[String, String] = tuningMap
     private var tuningMap = Map.empty[String, String]
+    /** Opt-in single-scan fan-out for a stream bound to MULTIPLE sinks.
+      * Structured Streaming gives every sink its own query, so a shared
+      * lineage re-reads its sources and re-executes once per sink (the
+      * SURVEY §4 "Ref dereference" deviation — milan's generated graphs
+      * share the subgraph). With fan-out enabled the stream runs as ONE
+      * `foreachBatch` query that materializes each micro-batch once
+      * (persist) and writes it to every sink — one source scan and one
+      * plan execution per trigger regardless of sink count
+      * (AppModelSpec pins input rows = fed rows, not sinks × rows).
+      * Contract: all sinks share one outputMode; file-format sinks append
+      * per batch; a `memory` sink accumulates the batch trace under its
+      * queryName; the first bound checkpoint drives the (single) query;
+      * `cycle-feedback` sinks keep their dedicated query. */
+    def setFanOutSinks(stream: String, enable: Boolean = true): Config = {
+      fanOut = if (enable) fanOut + stream else fanOut - stream; this
+    }
+    def fanOutEnabled(stream: String): Boolean = fanOut.contains(stream)
+    private var fanOut = Set.empty[String]
     def source(stream: String): Source = sources.getOrElse(stream,
       throw new IllegalArgumentException(s"no source bound for stream '$stream'"))
     def sinkList(stream: String): Seq[Sink] = sinks.getOrElse(stream, Nil)
@@ -457,6 +475,50 @@ object App {
     } finally fs.delete(staging, true)
   }
 
+  /** One streaming query serving every sink of a stream (see
+    * `Config.setFanOutSinks`): `foreachBatch` materializes the micro-batch
+    * once and writes it N times — the shared lineage executes once per
+    * trigger instead of once per sink. The memory face accumulates the
+    * localCheckpointed batch trace under the sink's queryName (the
+    * append-mode oracle); file formats append per batch. */
+  private def fanOutStreaming(spark: SparkSession, stream: String,
+                              df: DataFrame, sinks: Seq[Sink]): Running = {
+    require(sinks.forall(_.format != "cycle-feedback"),
+      s"fan-out for '$stream': cycle-feedback sinks keep their dedicated query " +
+        "(empty-batch skipping + atomic rename)")
+    val modes = sinks.map(_.outputMode).distinct
+    require(modes.size == 1,
+      s"fan-out sinks for '$stream' must share one outputMode, got $modes")
+    val memAccum = new scala.collection.mutable.HashMap[String, DataFrame]
+    val w = df.writeStream.outputMode(modes.head).foreachBatch {
+      (batch: DataFrame, batchId: Long) =>
+        val pinned = batch.persist()
+        try sinks.foreach { sink =>
+          sink.format match {
+            case "console" => pinned.show(false)
+            case "memory" =>
+              val name = sink.queryName.getOrElse(throw new IllegalArgumentException(
+                s"fan-out memory sink for '$stream' needs a queryName"))
+              // foreachBatch frames live on a per-query session CLONE —
+              // re-root the materialized batch onto the caller's session
+              // so the accumulated view lands in the visible catalog
+              val step = org.apache.spark.sql.graftbridge.ColumnBridge
+                .onSession(spark, pinned.localCheckpoint())
+              val next = memAccum.get(name).map(_.unionByName(step)).getOrElse(step)
+              memAccum(name) = next
+              next.createOrReplaceTempView(name)
+            case f =>
+              val bw = pinned.write.format(f).options(sink.options).mode("append")
+              sink.path.map(bw.save).getOrElse(bw.save())
+          }
+        } finally pinned.unpersist(false)
+    }
+    sinks.flatMap(_.checkpoint).headOption.foreach(cp =>
+      w.option("checkpointLocation", cp))
+    sinks.flatMap(_.queryName).headOption.foreach(n => w.queryName(s"${n}_fanout"))
+    StreamingOutput(stream, w.start())
+  }
+
   private def runWithLineage(spark: SparkSession, config: Config,
       recorder: Option[Lineage.Recorder])(
       program: (String => MStream) => Map[String, MStream]): Seq[Running] = {
@@ -487,7 +549,10 @@ object App {
     lineageOut ++ config.sinkStreams.flatMap { stream =>
       val out = outputs.getOrElse(stream,
         throw new IllegalArgumentException(s"program produced no stream '$stream'"))
-      config.sinkList(stream).map { sink =>
+      val bound = config.sinkList(stream)
+      if (out.df.isStreaming && config.fanOutEnabled(stream) && bound.size > 1)
+        Seq(fanOutStreaming(spark, stream, out.df, bound))
+      else bound.map { sink =>
         if (out.df.isStreaming && sink.format == "cycle-feedback") {
           // Cycles.feedbackChannel egress: skip empty micro-batches (a
           // stock file sink's empty-batch part files would re-trigger the

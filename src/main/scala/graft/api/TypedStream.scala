@@ -1,6 +1,6 @@
 package graft.api
 
-import org.apache.spark.sql.{Dataset, Encoder}
+import org.apache.spark.sql.{Column, Dataset, Encoder}
 import graft.streaming.{StreamingJoins, StreamingScans}
 
 /**
@@ -9,17 +9,33 @@ import graft.streaming.{StreamingJoins, StreamingScans}
  * `T => _` functions), for programs ported verbatim from Milan.
  *
  * The trade-off is explicit: Milan's macros convert lambdas into an
- * inspectable IR; JVM closures are opaque to Catalyst, so this facade
- * costs deserialization at every lambda boundary and loses pushdown/
- * pruning across it. The `MStream` Column API is the optimizer-friendly
- * path — use it wherever the logic is expressible; `TypedStream` is the
- * drop-in for existing typed Milan programs and works identically over
- * batch and streaming Datasets.
+ * inspectable IR (`program/internal/ConvertExpressionHost.scala:76-175`
+ * captures exactly field access, comparisons, arithmetic, boolean ops and
+ * if/else); JVM closures are opaque to Catalyst, so this facade costs
+ * deserialization at every lambda boundary and loses pushdown/pruning
+ * across it (PlanShapeSpec pins the difference: a lambda `where` leaves
+ * the parquet scan unfiltered, the Column twin reaches `PushedFilters`).
+ * The `MStream` Column API is the optimizer-friendly path — use it
+ * wherever the logic is expressible; `TypedStream` is the drop-in for
+ * existing typed Milan programs and works identically over batch and
+ * streaming Datasets.
+ *
+ * THE BRIDGE for Milan's captured expression subset: every form Milan's
+ * macro accepts is Column-expressible — `r.x > 3 && r.y == "a"` becomes
+ * `col("x") > 3 && col("y") === "a"` — and the Column overloads below
+ * keep the Dataset TYPED while handing the expression to Catalyst, so a
+ * ported program can reclaim pushdown one predicate at a time without
+ * leaving the typed surface.
  */
 final case class TypedStream[T](ds: Dataset[T], seqFn: T => Long) {
 
   /** Milan `where` (`lang/Stream.scala:155`). */
   def where(p: T => Boolean): TypedStream[T] = copy(ds = ds.filter(p))
+
+  /** `where` with the predicate as a Column — same typed stream, but the
+    * predicate is IR Catalyst can push into the scan (the §2.8 scalar
+    * subset Milan's macro captures translates 1:1 to Columns). */
+  def where(pred: Column): TypedStream[T] = copy(ds = ds.filter(pred))
 
   /** Milan `map` (`lang/Stream.scala:164`). */
   def map[O: Encoder](f: T => O, seq: O => Long): TypedStream[O] =

@@ -16,6 +16,16 @@ object ColumnBridge {
   def output(df: DataFrame): Seq[Attribute] =
     ClassicConversions.castToImpl(df).queryExecution.analyzed.output
 
+  /** Re-root a frame's logical plan onto another session sharing the same
+    * SparkContext — `foreachBatch` hands batch frames bound to a per-query
+    * session CLONE, so a temp view registered on them is invisible to the
+    * caller's session; re-rooting a materialized (localCheckpointed) plan
+    * makes the view land in the right catalog. */
+  def onSession(spark: org.apache.spark.sql.SparkSession, df: DataFrame): DataFrame =
+    org.apache.spark.sql.classic.Dataset.ofRows(
+      spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession],
+      ClassicConversions.castToImpl(df).queryExecution.logical)
+
   /** Fully-resolved Catalyst expression for `c` against `df`'s schema.
     * `expr(c)` alone yields a lazy `ColumnNodeExpression` wrapper on Spark 4
     * (Columns are plan-agnostic), so tree analysis needs a real analysis

@@ -872,4 +872,38 @@ class AppModelSpec extends SparkSpec {
     assert(Program.fromJson(Program.toJson(mdoc)) == mdoc)
     assert(mu.stream.df.count() == 4, "the recorded union executes both branches")
   }
+
+  test("fan-out: a two-sink stream runs ONE query and scans its source once per batch") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(Long, Double)]
+    val memName = s"fanout_${System.nanoTime()}"
+    val dir = java.nio.file.Files.createTempDirectory("graft_fanout").toString
+    val running = App.run(spark, new App.Config()
+        .setSource("ev", App.Source("list", rows = Some(in.toDF().toDF("id", "v"))))
+        .addSink("out", App.Sink("parquet", path = Some(dir), outputMode = "append"))
+        .addSink("out", App.Sink("memory", outputMode = "append",
+          queryName = Some(memName)))
+        .setFanOutSinks("out")) { src =>
+      Map("out" -> src("ev").map(col("id"), (col("v") * 2).as("v2")))
+    }
+    val outs = running.collect { case s: App.StreamingOutput => s }
+    assert(outs.size == 1, s"two sinks must share ONE streaming query, got ${outs.size}")
+    val q = outs.head.query
+    try {
+      in.addData((1L, 1.0), (2L, 2.0))
+      in.addData((3L, 3.0))
+      q.processAllAvailable()
+      // the load-bearing pin: the shared lineage consumed each fed row
+      // ONCE — two separate per-sink queries would have read 6
+      val scanned = q.recentProgress.map(_.numInputRows).sum
+      assert(scanned == 3, s"3 fed rows -> $scanned scanned (per-sink queries would double-read)")
+      val mem = spark.table(memName).collect()
+        .map(r => (r.getLong(0), r.getDouble(1))).toSet
+      assert(mem == Set((1L, 2.0), (2L, 4.0), (3L, 6.0)), s"memory face: $mem")
+      val pq = spark.read.parquet(dir).collect()
+        .map(r => (r.getLong(0), r.getDouble(1))).toSet
+      assert(pq == mem, "both sinks received every micro-batch")
+    } finally q.stop()
+  }
 }

@@ -1,5 +1,8 @@
 package graft
 
+case class PlanShapeDoc(doc_id: Long, text: String, lang: String,
+                        source: String, n_chars: Long)
+
 /**
  * Pins the physical-plan properties the 100 TB posture depends on, so a
  * refactor that silently loses a pushdown, a broadcast, or a hash-join
@@ -12,6 +15,28 @@ class PlanShapeSpec extends SparkSpec {
   private def plan(name: String): String =
     SparkEntry.queries(name)(spark, "/root/testdata/sf0.001")
       .queryExecution.executedPlan.toString
+
+  test("TypedStream lambda filters block parquet pushdown; the Column bridge restores it") {
+    import spark.implicits._
+    val ds = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .as[PlanShapeDoc]
+    def planOf(t: graft.api.TypedStream[PlanShapeDoc]): String =
+      t.ds.queryExecution.executedPlan.toString
+    // lambda face: the closure is opaque — no filter reaches the scan,
+    // and the typed boundary deserializes every row
+    val lam = planOf(graft.api.TypedStream[PlanShapeDoc](ds, _.doc_id).where(_.lang == "en"))
+    assert(lam.contains("PushedFilters: []"),
+      s"a JVM closure must not (and cannot) push down:\n$lam")
+    assert(lam.contains("newInstance(class graft.PlanShapeDoc"),
+      s"the lambda face constructs an object per row to invoke the closure:\n$lam")
+    // Column bridge: same typed stream, predicate reaches PushedFilters
+    val bridged = planOf(graft.api.TypedStream[PlanShapeDoc](ds, _.doc_id)
+      .where(org.apache.spark.sql.functions.col("lang") === "en"))
+    assert(bridged.contains("EqualTo(lang,en)"),
+      s"the Column overload must reach the parquet scan:\n$bridged")
+    assert(!bridged.contains("newInstance"),
+      "the Column face stays relational — no object construction")
+  }
 
   test("q_where pushes its predicate into the parquet scan and prunes columns") {
     val p = plan("q_where")

@@ -99,6 +99,62 @@ class StreamingCycleSpec extends SparkSpec {
     } finally qs.foreach(_.stop())
   }
 
+  test("reference TestFlinkGenCycle: the add-one-stop-at-ten loop outputs exactly 2..10") {
+    // TestFlinkGenCycle.scala:15-39 — seed IntRecord(1), body map(i+1)
+    // then where(i <= 10), closeCycle on the filtered stream; expected
+    // output = exactly the nine records 2..10. The reference observes the
+    // MAPPED+FILTERED stream, so the graft document applies the same
+    // map+filter once more past the fixpoint: body(fix {1..10}) = {2..10}.
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.api.Program
+    import graft.api.Program._
+    implicit val sqlCtx = spark.sqlContext
+    val json = Program.toJson(Doc(
+      nodes = Seq(
+        External("seed"),
+        BeginCycle("c", "seed", 20),
+        MapCols("inc", "c", Seq(Field("i + 1", "i"))),
+        Where("fb", "inc", "i <= 10"),
+        CloseCycle("out", "c", "fb"),
+        MapCols("inc2", "out", Seq(Field("i + 1", "i"))),
+        Where("final", "inc2", "i <= 10")),
+      outputs = Seq("final")))
+    val expect = (2 to 10).map(_.toLong).toSeq
+
+    // batch face: set fixpoint, then the observed node
+    val batch = App.run(spark, new App.Config()
+        .setSource("seed", App.Source("list", rows = Some(Seq(Tuple1(1L)).toDF("i"))))
+        .addSink("final", App.Sink("memory")))(
+      Program.interpret(Program.fromJson(json)))
+      .collectFirst { case App.BatchOutput("final", df) => df }.get
+    assert(batch.as[Long].collect().sorted.toSeq == expect,
+      "batch fixpoint observes the reference's nine records 2..10")
+
+    // streaming face: the same document through the feedback channel
+    val in = MemoryStream[Long]
+    val dir = java.nio.file.Files.createTempDirectory("graft_cycle_ref").toString
+    val schema = StructType(Seq(StructField("i", LongType)))
+    val (src, snk) = Cycles.feedbackChannel(dir, schema)
+    val outName = s"cycle_ref_out_${System.nanoTime()}"
+    val running = App.run(spark, new App.Config()
+        .setSource("seed", App.Source("list", rows = Some(in.toDF().toDF("i"))))
+        .setSource("__cycle_c", src)
+        .addSink("__cycle_c", snk)
+        .addSink("final", App.Sink("memory", outputMode = "append",
+          queryName = Some(outName))))(
+      Program.interpret(Program.fromJson(json)))
+    val qs = running.collect { case App.StreamingOutput(_, q) => q }
+    try {
+      in.addData(1L)
+      var tries = 0
+      while (spark.table(outName).count() < expect.size && tries < 60) {
+        qs.foreach(_.processAllAvailable()); Thread.sleep(100); tries += 1
+      }
+      assert(spark.table(outName).as[Long].collect().sorted.toSeq == expect,
+        "the channel trace emits each of 2..10 exactly once, like the reference")
+    } finally qs.foreach(_.stop())
+  }
+
   test("join-body cycle (semi-naive path) computes reachability over static edges") {
     import graft.api.{MStream, Program}
     import graft.api.Program._
