@@ -712,6 +712,88 @@ case class NearestCells(child: Expression, cids: Seq[Int], cents: Seq[Seq[Double
     copy(child = newChild)
 }
 
+/**
+ * ADC lookup table for product quantization: the m×ksub table of exact
+ * squared-L2 sub-distances from a query vector's m sub-slices to every
+ * codeword, flattened sub-major codeword-ascending — the LARGE-codebook
+ * face of `Pq`'s per-query LUT (above `Pq.LiteralLutEntries` the literal
+ * `array(entry…)` formulation is m×ksub separate expression trees and
+ * hits the same Janino method ceiling as the IVF literal codebook; see
+ * [[NearestCells]]). The codebooks ride as one constructor artifact and
+ * the generated code is a single compiled-loop call.
+ *
+ * Bit-parity with the literal staging (PqLutProps + PqSpec pin it): per
+ * subspace j over the slice `[j·sd, j·sd+sd)` clipped to the vector's
+ * length, `qq_j` and the dot fold left-to-right like [[DotProduct]]
+ * (min-length semantics), |c|² folded left-to-right at construction, and
+ * the same `(qq - (2.0*dot)) + cc` association.
+ */
+case class PqLut(child: Expression, cents: Seq[Seq[Seq[Double]]], sd: Int)
+  extends UnaryExpression {
+  import org.apache.spark.sql.catalyst.util.GenericArrayData
+  require(cents.nonEmpty && cents.forall(_.nonEmpty),
+    "pq_lut needs non-empty sub-codebooks")
+  require(sd >= 1, s"pq_lut needs sub-dimension >= 1, got $sd")
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(DoubleType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires array<double>, got $other")
+  }
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+  override def prettyName: String = "graft_pq_lut"
+
+  @transient private lazy val centArr: Array[Array[Array[Double]]] =
+    cents.map(_.map(_.toArray).toArray).toArray
+  @transient private lazy val ccArr: Array[Array[Double]] = centArr.map(_.map { cv =>
+    var s = 0.0; cv.foreach(x => s += x * x); s
+  })
+
+  def lut(a: ArrayData): ArrayData = {
+    val qlen = a.numElements()
+    val m = centArr.length
+    var total = 0
+    var j = 0
+    while (j < m) { total += centArr(j).length; j += 1 }
+    val out = new Array[Double](total)
+    var idx = 0
+    j = 0
+    while (j < m) {
+      val base = j * sd
+      // the sub-slice clipped to the vector: slice() past the end is empty
+      val qjLen = math.max(0, math.min(sd, qlen - base))
+      var qq = 0.0
+      var i = 0
+      while (i < qjLen) { val x = a.getDouble(base + i); qq += x * x; i += 1 }
+      val book = centArr(j)
+      val ccs = ccArr(j)
+      var c = 0
+      while (c < book.length) {
+        val cv = book(c)
+        val n = math.min(qjLen, cv.length)
+        var dot = 0.0
+        i = 0
+        while (i < n) { dot += a.getDouble(base + i) * cv(i); i += 1 }
+        out(idx) = qq - 2.0 * dot + ccs(c)
+        idx += 1
+        c += 1
+      }
+      j += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override protected def nullSafeEval(a: Any): Any = lut(a.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("pqLut", this, classOf[PqLut].getName)
+    defineCodeGen(ctx, ev, a => s"$ref.lut($a)")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 object VectorFunctions {
   /** Codegen'd dot product of two array<double> columns. */
   def dotNative(a: Column, b: Column): Column =
@@ -777,7 +859,12 @@ object VectorFunctions {
     ColumnBridge.column(CountMinAgg(ColumnBridge.expr(itemHash), depth, width)
       .toAggregateExpression())
 
-    /** Top-n nearest centroids of an array<double> vector by squared L2,
+    /** Flattened m×ksub ADC lookup table of a query vector against PQ
+    * sub-codebooks — the beyond-literal LUT face (see [[PqLut]]). */
+  def pqLut(vec: Column, books: Seq[Seq[Seq[Double]]], sd: Int): Column =
+    ColumnBridge.column(PqLut(ColumnBridge.expr(vec), books, sd))
+
+  /** Top-n nearest centroids of an array<double> vector by squared L2,
     * best-first, ties on the lower cell id — the beyond-literal-codebook
     * assignment face (see [[NearestCells]]). */
   def nearestCells(vec: Column, cent: Seq[(Int, Seq[Double])], n: Int): Column = {

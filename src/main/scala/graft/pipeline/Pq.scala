@@ -27,6 +27,49 @@ import org.apache.spark.sql.functions._
  */
 object Pq {
 
+  /** LUT-size threshold between the two per-query lookup-table lowerings,
+    * mirroring [[Ivf.LiteralCells]]: up to this many m×ksub entries the
+    * table is a literal `array(...)` of staged column expressions (fully
+    * unrolled codegen — fastest for the small-m defaults); above it the
+    * literal formulation hits the Janino method ceiling and the table
+    * lowers to the compiled-loop [[graft.functions.PqLut]] expression
+    * (codebooks as one reference object, constant bytecode at any size).
+    * Bit-identical entries either way (PqSpec + the PqLut property). */
+  private[graft] val LiteralLutEntries = 256
+
+  private def lutColsLiteral(books: IndexedSeq[Seq[(Int, Seq[Double])]]): Seq[Column] =
+    books.zipWithIndex.flatMap { case (b, j) =>
+      val qj = col(s"__q$j")
+      b.map { case (_, cv) =>
+        var cc = 0.0
+        cv.foreach(x => cc += x * x) // driver fold, left-to-right like DotProduct
+        col(s"__qq$j") - lit(2.0) * Similarity.dot(qj, typedLit(cv)) + lit(cc)
+      }
+    }
+
+  /** Stage `__lut` — the flattened m×ksub ADC table, sub-major and
+    * codeword-ascending — onto a frame carrying the query vector as
+    * `__qv`. `carry` columns pass through; `extra` columns (which may
+    * reference `__qv`, e.g. the IVF probe explode) evaluate in the final
+    * select. Literal staging below [[LiteralLutEntries]] (slice each
+    * sub-vector once, |q_j|² once, every entry then references columns —
+    * smaller codegen, one copy); the [[graft.functions.PqLut]] loop
+    * expression above it. */
+  private def withLut(q: DataFrame, books: IndexedSeq[Seq[(Int, Seq[Double])]],
+                      carry: Seq[String], extra: Seq[Column]): DataFrame = {
+    val sd = books.head.head._2.size
+    val cs = carry.map(col)
+    if (books.iterator.map(_.size).sum > LiteralLutEntries)
+      return q.select(cs ++ (graft.functions.VectorFunctions
+        .pqLut(col("__qv"), books.map(_.map(_._2)), sd).as("__lut") +: extra): _*)
+    q
+      .select(cs ++ (col("__qv") +: books.indices.map(j =>
+        slice(col("__qv"), j * sd + 1, sd).as(s"__q$j"))): _*)
+      .select(cs ++ (col("__qv") +: books.indices.flatMap(j =>
+        Seq(col(s"__q$j"), Similarity.dot(col(s"__q$j"), col(s"__q$j")).as(s"__qq$j")))): _*)
+      .select(cs ++ (array(lutColsLiteral(books): _*).as("__lut") +: extra): _*)
+  }
+
   /** Train the `m` sub-codebooks. Output (sub, cid, cv) — `cv` has
     * dim/m elements; collect with [[collectBooks]]. */
   def train(embs: DataFrame, idCol: String, vecCol: String,
@@ -188,22 +231,10 @@ object Pq {
           array(books.indices.map(j =>
             Ivf.nearestCid(col(s"__s$j"), books(j))): _*).as("codes")))
     graft.api.Pinned.register(corpus.sparkSession, ids)
-    val lutCols = books.zipWithIndex.flatMap { case (b, j) =>
-      val qj = col(s"__q$j")
-      b.map { case (_, cv) =>
-        var cc = 0.0
-        cv.foreach(x => cc += x * x)
-        col(s"__qq$j") - lit(2.0) * Similarity.dot(qj, typedLit(cv)) + lit(cc)
-      }
-    }
-    val q = queries
-      .select(col(qIdCol), col(vecCol).cast("array<double>").as("__qv"))
-      .select(col(qIdCol) +: col("__qv") +: books.indices.map(j =>
-        slice(col("__qv"), j * sd + 1, sd).as(s"__q$j")): _*)
-      .select(col(qIdCol) +: col("__qv") +: books.indices.flatMap(j =>
-        Seq(col(s"__q$j"), Similarity.dot(col(s"__q$j"), col(s"__q$j")).as(s"__qq$j"))): _*)
-      .select(col(qIdCol), array(lutCols: _*).as("__lut"),
-        explode(Ivf.probeCids(col("__qv"), cent, nProbe)).as("cid"))
+    val q = withLut(
+      queries.select(col(qIdCol), col(vecCol).cast("array<double>").as("__qv")),
+      books, Seq(qIdCol),
+      Seq(explode(Ivf.probeCids(col("__qv"), cent, nProbe)).as("cid")))
     val offs = books.map(_.size).scanLeft(0)(_ + _)
     val adc = (0 until m).map(j =>
         element_at(col("__lut"), lit(offs(j) + 1) + element_at(col("codes"), j + 1)))
@@ -259,22 +290,10 @@ object Pq {
           array(books.indices.map(j =>
             Ivf.nearestCid(col(s"__s$j"), books(j))): _*).as("codes")))
     graft.api.Pinned.register(df.sparkSession, ids)
-    val lutCols = books.zipWithIndex.flatMap { case (b, j) =>
-      val qj = col(s"__q$j")
-      b.map { case (_, cv) =>
-        var cc = 0.0
-        cv.foreach(x => cc += x * x)
-        col(s"__qq$j") - lit(2.0) * Similarity.dot(qj, typedLit(cv)) + lit(cc)
-      }
-    }
-    val q = df
-      .select(col(qIdCol).as("__qid"), col(vecCol).cast("array<double>").as("__qv"))
-      .select(col("__qid") +: col("__qv") +: books.indices.map(j =>
-        slice(col("__qv"), j * sd + 1, sd).as(s"__q$j")): _*)
-      .select(col("__qid") +: col("__qv") +: books.indices.flatMap(j =>
-        Seq(col(s"__q$j"), Similarity.dot(col(s"__q$j"), col(s"__q$j")).as(s"__qq$j"))): _*)
-      .select(col("__qid"), array(lutCols: _*).as("__lut"),
-        explode(Ivf.probeCids(col("__qv"), cent, nProbe)).as("cid"))
+    val q = withLut(
+      df.select(col(qIdCol).as("__qid"), col(vecCol).cast("array<double>").as("__qv")),
+      books, Seq("__qid"),
+      Seq(explode(Ivf.probeCids(col("__qv"), cent, nProbe)).as("cid")))
     val offs = books.map(_.size).scanLeft(0)(_ + _)
     val adc = (0 until m).map(j =>
         element_at(col("__lut"), lit(offs(j) + 1) + element_at(col("codes"), j + 1)))
@@ -321,23 +340,9 @@ object Pq {
                                topK: Int): DataFrame = {
     require(topK >= 1, s"topK=$topK must be positive")
     val m = books.size
-    val sd = books.head.head._2.size
-    val lutCols = books.zipWithIndex.flatMap { case (b, j) =>
-      val qj = col(s"__q$j")
-      b.map { case (_, cv) =>
-        var cc = 0.0
-        cv.foreach(x => cc += x * x) // driver fold, left-to-right like DotProduct
-        col(s"__qq$j") - lit(2.0) * Similarity.dot(qj, typedLit(cv)) + lit(cc)
-      }
-    }
-    val q = queries
-      .select(col(qIdCol), col(vecCol).cast("array<double>").as("__qv"))
-      // slice once, |q_j|² once — every LUT entry then references columns
-      .select(col(qIdCol) +: books.indices.map(j =>
-        slice(col("__qv"), j * sd + 1, sd).as(s"__q$j")): _*)
-      .select(col(qIdCol) +: books.indices.flatMap(j => Seq(col(s"__q$j"),
-        Similarity.dot(col(s"__q$j"), col(s"__q$j")).as(s"__qq$j"))): _*)
-      .select(col(qIdCol), array(lutCols: _*).as("__lut"))
+    val q = withLut(
+      queries.select(col(qIdCol), col(vecCol).cast("array<double>").as("__qv")),
+      books, Seq(qIdCol), Nil)
     val offs = books.map(_.size).scanLeft(0)(_ + _)
     val adc = (0 until m).map(j =>
         element_at(col("__lut"), lit(offs(j) + 1) + element_at(col("codes"), j + 1)))

@@ -31,6 +31,26 @@ object Sampling {
     df.filter(gate(keyCol, salt) < lit((rate * Scale).toLong))
   }
 
+  /** Per-stratum long-valued lookup with two lowerings: a literal
+    * when-chain for SMALL tables (readable plans, fully unrolled codegen,
+    * and no cast on the stratum column) and ONE map literal +
+    * `try_element_at` above [[LiteralStrataEntries]] — a 100k-entry rate
+    * table as a when-chain is a 100k-deep expression TREE (analyzer
+    * recursion, Janino method ceiling), as a map literal it is one node
+    * whose size is data. Same semantics either way: a missing or NULL
+    * stratum falls to `default` (`try_element_at`, not `element_at`,
+    * because ANSI `element_at` throws on a missing map key). */
+  private[graft] val LiteralStrataEntries = 32
+
+  private[graft] def strataLookup(strataCol: Column, table: Map[String, Long],
+                                  default: Long): Column =
+    if (table.size <= LiteralStrataEntries)
+      table.toSeq.sortBy(_._1).foldRight(lit(default): Column) { case ((s, v), rest) =>
+        when(strataCol === s, lit(v)).otherwise(rest)
+      }
+    else coalesce(
+      try_element_at(typedLit(table), strataCol.cast("string")), lit(default))
+
   /** Stratified variant: per-stratum rates (e.g. up/down-weighting
     * sources in a training mix), one pass, no shuffle. */
   def stratifiedHashSample(df: DataFrame, keyCol: Column, strataCol: Column,
@@ -38,10 +58,9 @@ object Sampling {
                            salt: String = ""): DataFrame = {
     require((defaultRate +: rates.values.toSeq).forall(r => r >= 0.0 && r <= 1.0),
       "rates must be in [0,1]")
-    val threshold = rates.toSeq.sortBy(_._1).foldRight(
-      lit((defaultRate * Scale).toLong)) { case ((s, r), rest) =>
-      when(strataCol === s, lit((r * Scale).toLong)).otherwise(rest)
-    }
+    val threshold = strataLookup(strataCol,
+      rates.map { case (s, r) => s -> (r * Scale).toLong },
+      (defaultRate * Scale).toLong)
     df.filter(gate(keyCol, salt) < threshold)
   }
 
@@ -118,9 +137,7 @@ object Sampling {
     require((defaultWeight +: weights.values.toSeq).forall(_ >= 0.0),
       "weights must be non-negative")
     def part(f: Double => Long): Column =
-      weights.toSeq.sortBy(_._1).foldRight(lit(f(defaultWeight))) { case ((s, w), rest) =>
-        when(strataCol === s, lit(f(w))).otherwise(rest)
-      }
+      strataLookup(strataCol, weights.map { case (s, w) => s -> f(w) }, f(defaultWeight))
     val whole = part(w => math.floor(w).toLong)
     val fracGate = part(w => math.round((w - math.floor(w)) * Scale))
     val copies = whole + when(gate(keyCol, salt) < fracGate, 1L).otherwise(0L)

@@ -268,6 +268,28 @@ class BatchApiSpec extends SparkSpec {
     assert(natShare < 0.1, s"alpha=1 keeps the natural composition: $natShare")
   }
 
+  test("stratified gate: the map-literal lowering (>32 strata) matches per-stratum gating") {
+    import graft.pipeline.Sampling
+    val n = 50 // > LiteralStrataEntries: forces the map-literal face
+    assert(n > Sampling.LiteralStrataEntries)
+    val docs = ((0L until 2000L).map(i => (i, s"s${i % n}")) ++
+      (9000L until 9100L).map(i => (i, null: String))).toDF("id", "src")
+    val rates = (0 until n).map(j => s"s$j" -> (j % 11) / 10.0).toMap
+    val got = Sampling.stratifiedHashSample(docs, col("id"), col("src"), rates,
+        defaultRate = 0.25, salt = "z")
+      .collect().map(_.getLong(0)).toSet
+    // definitional semantics: each stratum gated independently at its own
+    // rate (plain hashSample — no stratum table at all); NULL strata at
+    // the default
+    val expected = ((0 until n).flatMap { j =>
+      Sampling.hashSample(docs.where(col("src") === s"s$j"), col("id"),
+        rates(s"s$j"), "z").collect().map(_.getLong(0))
+    } ++ Sampling.hashSample(docs.where(col("src").isNull), col("id"), 0.25, "z")
+      .collect().map(_.getLong(0))).toSet
+    assert(got == expected, "map-literal stratified gate diverged from per-stratum gates")
+    assert(got.exists(_ >= 9000L), "NULL strata gate at the default rate")
+  }
+
   test("temperature mixing drops NULL-stratum rows and excludes them from the rate fold") {
     import graft.pipeline.Sampling
     val docs = ((0L until 800L).map(i => (i, "big")) ++

@@ -309,6 +309,36 @@ object ExpressionProps extends Properties("graft.expressions") {
       got == want
     }
 
+  property("pq lut equals the literal staging's per-entry arithmetic") =
+    forAll(Gen.choose(1, 4), Gen.choose(1, 5), Gen.choose(1, 3),
+           Gen.choose(0, 14), Gen.long) { (m, ksub, sd, qlen, seed) =>
+      import org.apache.spark.sql.catalyst.util.GenericArrayData
+      val rnd = new scala.util.Random(seed)
+      def vec(n: Int) = Seq.fill(n)(rnd.nextDouble() * 6 - 3)
+      val books = Seq.fill(m)(Seq.fill(ksub)(vec(sd)))
+      val q = vec(qlen) // qlen independent of m*sd: clipping semantics covered
+      val e = graft.functions.PqLut(
+        org.apache.spark.sql.catalyst.expressions.BoundReference(
+          0, org.apache.spark.sql.types.ArrayType(
+            org.apache.spark.sql.types.DoubleType), nullable = true),
+        books, sd)
+      val got = e.lut(new GenericArrayData(q.toArray)).toDoubleArray().toSeq
+      // the literal formulation: slice, then DotProduct's min-length folds
+      val want = books.zipWithIndex.flatMap { case (b, j) =>
+        val qj = q.slice(j * sd, j * sd + sd)
+        var qq = 0.0; qj.foreach(x => qq += x * x)
+        b.map { cv =>
+          var dot = 0.0
+          var i = 0
+          while (i < math.min(qj.size, cv.size)) { dot += qj(i) * cv(i); i += 1 }
+          var cc = 0.0; cv.foreach(x => cc += x * x)
+          qq - 2.0 * dot + cc
+        }
+      }
+      // bit-exact: same op order in both
+      got == want
+    }
+
   property("count-min estimate upper-bounds the exact count") =
     forAll(Gen.listOf(Gen.choose(0L, 40L).map(n => refHash(n.toString))),
            Gen.choose(2, 4), Gen.choose(2, 32)) { (hs, d, w) =>

@@ -138,6 +138,55 @@ class PqSpec extends SparkSpec {
     graft.api.Pinned.release(spark)
   }
 
+  test("beyond-literal LUT (> 256 entries) is bit-identical to the literal staging") {
+    // synthetic (sub, cid, cv) books with m=2, ksub=160 -> 320 LUT entries:
+    // adcTopKCoded takes the PqLut loop face; the same search under
+    // per-subspace 128-entry sub-books (built from the SAME codewords,
+    // literal face) cannot compare directly, so parity is pinned at the
+    // LUT-column level: loop expression vs staged literal arithmetic on
+    // the same frame, elementwise bit-equal
+    val r = new scala.util.Random(9)
+    val m = 2; val ksub = 160; val sd = 4
+    val books: IndexedSeq[Seq[(Int, Seq[Double])]] = IndexedSeq.fill(m)(
+      (0 until ksub).map(c => c -> Seq.fill(sd)(r.nextDouble() * 2 - 1)))
+    val qs = rngVecs(20, m * sd, seed = 77).toDF("q_id", "embedding")
+      .select(col("q_id"), col("embedding").cast("array<double>").as("__qv"))
+    val loop = qs.select(col("q_id"), graft.functions.VectorFunctions
+        .pqLut(col("__qv"), books.map(_.map(_._2)), sd).as("__lut"))
+      .collect().map(x => x.getLong(0) -> x.getSeq[Double](1)).toMap
+    // literal staging replicated exactly as Pq.withLut builds it
+    val staged = qs
+      .select(col("q_id") +: col("__qv") +: books.indices.map(j =>
+        slice(col("__qv"), j * sd + 1, sd).as(s"__q$j")): _*)
+      .select(col("q_id") +: books.indices.flatMap(j => Seq(col(s"__q$j"),
+        graft.pipeline.Similarity.dot(col(s"__q$j"), col(s"__q$j")).as(s"__qq$j"))): _*)
+    val lits = books.zipWithIndex.flatMap { case (b, j) =>
+      b.map { case (_, cv) =>
+        var cc = 0.0; cv.foreach(x => cc += x * x)
+        col(s"__qq$j") - lit(2.0) * graft.pipeline.Similarity.dot(
+          col(s"__q$j"), typedLit(cv)) + lit(cc)
+      }
+    }
+    val literal = staged.select(col("q_id"), array(lits: _*).as("__lut"))
+      .collect().map(x => x.getLong(0) -> x.getSeq[Double](1)).toMap
+    assert(loop.keySet == literal.keySet)
+    loop.foreach { case (k, v) =>
+      assert(v == literal(k), s"LUT diverged for query $k") }
+
+    // and the public face end-to-end: >256-entry books route through the
+    // loop LUT and still rank a codeword-exact corpus exactly
+    val bases = IndexedSeq.fill(8)(Seq.fill(m * sd)(r.nextDouble() * 2 - 1))
+    val corpus = (0L until 40L).map(i => (i, bases((i % 8).toInt))).toDF("vec_id", "embedding")
+    val cbBig = books.zipWithIndex
+      .flatMap { case (b, j) => b.map { case (c, v) => (j, c, v) } }
+      .toDF("sub", "cid", "cv")
+    val hits = Pq.adcTopKCoded(
+      Pq.encode(corpus, "vec_id", "embedding", cbBig),
+      corpus.where(col("vec_id") === 0).select(col("vec_id").as("q_id"), col("embedding")),
+      "vec_id", "embedding", "q_id", cbBig, topK = 5)
+    assert(hits.count() == 5, "loop-LUT search returns the requested top-k")
+  }
+
   test("codeword-exact corpus: ADC ordering equals true squared-L2 ordering") {
     // four distinct base vectors at ids 0..3 (the deterministic init picks
     // them), repeated across the corpus: Lloyd fixes the codewords at the
