@@ -25,7 +25,8 @@ object StressBench {
         // one representative per round-9 family: fingerprint pairs, BPE
         // training, NB classification, compressed ANN, plus the
         // large-codebook assignment probe (loop lowering past LiteralCells)
-        "q_winnow_pairs", "q_bpe_merges", "q_nb_langid", "q_pq_topk", "ivf4096")
+        "q_winnow_pairs", "q_bpe_merges", "q_nb_langid", "q_pq_topk", "ivf4096",
+        "pqlut512")
     val spark = SparkSession.builder().master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
       .config("spark.sql.session.timeZone", "UTC")
@@ -90,6 +91,25 @@ object StressBench {
           hits.write.format("noop").mode("overwrite").save()
           val secs = (System.nanoTime() - t0) / 1e9
           println(f"STRESS ivf4096 rep$rep $secs%.2f s (${hits.count()} rows)")
+        }
+      } else if (q == "pqlut512") {
+        // m=8 x ksub=64 = 512 LUT entries > LiteralLutEntries: the ADC
+        // lookup table takes the compiled-loop PqLut face; train + encode
+        // + exhaustive ADC over the 10x corpus
+        for (rep <- 1 to 3) {
+          isolate()
+          val t0 = System.nanoTime()
+          val emb = spark.read.parquet(embPath)
+          val cb = graft.pipeline.Pq.train(emb, "vec_id", "embedding",
+            m = 8, ksub = 64, iters = 1)
+          val qs = emb.orderBy("vec_id").limit(20)
+            .select(col("vec_id").as("q_id"), col("embedding"))
+          val hits = graft.pipeline.Pq.adcTopK(emb, qs, "vec_id", "embedding",
+            "q_id", cb, topK = 10)
+          hits.write.format("noop").mode("overwrite").save()
+          val secs = (System.nanoTime() - t0) / 1e9
+          println(f"STRESS pqlut512 rep$rep $secs%.2f s (${hits.count()} rows)")
+          graft.api.Pinned.release(spark)
         }
       } else {
       SparkEntry.queries(q)(spark, "/root/testdata/sf0.001")

@@ -596,10 +596,13 @@ object TextOps {
     val nDocs = clsRows.map(_.getAs[Long]("__nc")).sum
     val vocab = wc.agg(count_distinct(col("__w"))).head().getLong(0)
     require(vocab > 0, "nbClassifyAgainst: the reference corpus yields no tokens")
-    val clsArr = array(clsRows.map(r => struct(
-      lit(r.getAs[String]("__c")).as("__c"),
-      lit(r.getAs[Long]("__nc")).as("__nc"),
-      lit(r.getAs[Long]("__tc")).as("__tc"))): _*)
+    // the class table as ONE typed literal (cast renames the tuple fields;
+    // both fold to a single array literal) — an array(struct(lit…)…) of
+    // 1024 classes would be ~3k expression NODES in the plan, the same
+    // ceiling class as the IVF literal codebook
+    val clsT = "array<struct<__c:string,__nc:bigint,__tc:bigint>>"
+    val clsArr = typedLit(clsRows.map(r => (r.getAs[String]("__c"),
+      r.getAs[Long]("__nc"), r.getAs[Long]("__tc")))).cast(clsT)
     val id = col(idCol)
 
     def scoreCol(n: Column, sumLog: Column, nc: Column, tc: Column): Column =
@@ -632,7 +635,6 @@ object TextOps {
 
     // streaming: wordless docs ride a null-word sentinel whose class
     // column stays null (no class explode, no model match)
-    val clsT = "array<struct<__c:string,__nc:bigint,__tc:bigint>>"
     val ws = words(col(textCol))
     val u = df
       .select(id.as("__id"),
