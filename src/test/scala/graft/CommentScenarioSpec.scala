@@ -187,6 +187,45 @@ class CommentScenarioSpec extends SparkSpec {
     assert(got(6L) == (("new text", 1L, 1L, false)), s"after stale edit: ${got(6L)}")
   }
 
+  test("streaming one-event-per-batch reproduces the same cumulative trace") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.streaming.OutputMode
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(Long, String, Long, String, String, String)]
+    val events = new MStream(
+      in.toDF().toDF("seq", "commentId", "eventTime", "eventType", "username", "data"),
+      Seq("seq"))
+    val out = pipeline(events)
+    assert(out.df.isStreaming)
+    val name = s"comments_${System.nanoTime()}"
+    val q = out.df.writeStream.format("memory").queryName(name)
+      .outputMode(OutputMode.Append()).start()
+    def snapshot(): Map[Long, (String, Long, Long, Boolean)] =
+      spark.table(name).select("seq", "text", "upvotes", "downvotes", "deleted")
+        .collect()
+        .map(r => r.getLong(0) ->
+          ((r.getString(1), r.getLong(2), r.getLong(3), r.getBoolean(4)))).toMap
+    try {
+      // the reference's consume loop: one event per micro-batch, sink
+      // record count checked after each (cumulative = k outputs after
+      // consume k — per-record emission through the whole chain)
+      val expected = Seq(
+        1L -> (("text", 0L, 0L, false)),
+        2L -> (("text", 1L, 0L, false)),
+        3L -> (("text", 0L, 1L, false)),
+        4L -> (("text", 1L, 1L, false)),
+        5L -> (("new text", 1L, 1L, false)),
+        6L -> (("new text", 1L, 1L, false)))
+      trace.zip(expected).foreach { case (ev, (k, want)) =>
+        in.addData(ev)
+        q.processAllAvailable()
+        val got = snapshot()
+        assert(got.size == k, s"after consume $k: ${got.size} outputs ($got)")
+        assert(got(k) == want, s"after consume $k: ${got(k)} != $want")
+      }
+    } finally q.stop()
+  }
+
   test("context keys mirror the reference's key-type assertions") {
     // reference test_..._HasCorrectKeys (:315-325): a grouped flatMap's
     // OUTPUT drops back to the outer context (editEventsByTime fullKeyType
