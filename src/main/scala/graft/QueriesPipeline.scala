@@ -772,6 +772,64 @@ object QueriesPipeline {
         QUALIFY row_number() OVER (PARTITION BY source ORDER BY $gate, doc_id) <= 15"""
   }
 
+  /** Stratified gate through the MAP-LITERAL lowering: 36 named buckets
+    * (> `Sampling.LiteralStrataEntries` = 32, so the rate table enters
+    * the plan as ONE map literal + try_element_at, not a when-chain) at
+    * exact-binary rates j%8/8, plus four buckets falling to the 0.25
+    * default — the oracle reproduces the thresholds bit-exactly (eighths
+    * scale to integer gate units with no rounding). */
+  def qStrataMix(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(spark, dir).df
+    val rates = (0 until 36).map(j => s"b$j" -> (j % 8) / 8.0).toMap
+    require(rates.size > graft.pipeline.Sampling.LiteralStrataEntries,
+      "q_strata_mix must exercise the map-literal lowering")
+    val bucket = concat(lit("b"), pmod(col("doc_id"), lit(40)).cast("string"))
+    graft.pipeline.Sampling.stratifiedHashSample(
+        d.withColumn("bucket", bucket), col("doc_id"), col("bucket"),
+        rates, defaultRate = 0.25, salt = "sm1")
+      .select(col("doc_id"), col("bucket"))
+  }
+
+  val qStrataMixSql: String = {
+    val gate = "((" + PolyFold.format("(doc_id::VARCHAR || 'sm1')") + ") * 2654435761) % 1000000"
+    s"""SELECT doc_id, 'b' || (doc_id % 40)::VARCHAR AS bucket FROM documents
+        WHERE $gate < CASE WHEN doc_id % 40 < 36 THEN ((doc_id % 40) % 8) * 125000
+                           ELSE 250000 END"""
+  }
+
+  /** Nearest-cell assignment through the COMPILED-LOOP lowering: a fixed
+    * 300-cell rational codebook (> `Ivf.LiteralCells` = 256, so the
+    * assignment is the `NearestCells` reference-object expression, not
+    * the literal `least(struct…)`) rebuilt exactly by both engines
+    * (((c·31 + d·7 + 3) mod 97)/97 − 1/2 — one correctly-rounded division
+    * per element); the oracle recomputes every squared distance with the
+    * same left-to-right folds and the same `(pp − 2·dot) + cc`
+    * association, then argmins by (distance, cid). */
+  def qIvfLoop(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, dir).df
+    val cent: Seq[(Int, Seq[Double])] = (0 until 300).map(c =>
+      c -> (0 until 64).map(d => ((c * 31 + d * 7 + 3) % 97) / 97.0 - 0.5))
+    require(cent.size > graft.pipeline.Ivf.LiteralCells,
+      "q_ivf_loop must exercise the compiled-loop lowering")
+    emb.select(col("vec_id"),
+      graft.pipeline.Ivf.nearestCidLoop(
+        col("embedding").cast("array<double>"), cent).as("cid"))
+  }
+
+  val qIvfLoopSql: String =
+    """WITH cents AS (
+         SELECT c, list_transform(range(0, 64),
+                  d -> ((c * 31 + d * 7 + 3) % 97) / 97.0 - 0.5) AS cv
+         FROM (SELECT unnest(range(0, 300)) AS c)),
+       e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+       d AS (SELECT vec_id, c,
+               list_reduce([0.0] || [v[i] * v[i] for i in range(1, len(v) + 1)], (a, x) -> a + x)
+             - 2.0 * list_reduce([0.0] || [v[i] * cv[i] for i in range(1, least(len(v), len(cv)) + 1)], (a, x) -> a + x)
+             + list_reduce([0.0] || [cv[i] * cv[i] for i in range(1, len(cv) + 1)], (a, x) -> a + x) AS dist
+             FROM e CROSS JOIN cents)
+       SELECT vec_id, c::INT AS cid FROM d
+       QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY dist, c) = 1"""
+
   /** Per-source token budget: greedy hash-rank prefix fill to 600
     * whitespace tokens per source — the "sample N tokens per domain"
     * step of training-mix assembly. */
@@ -1783,6 +1841,8 @@ object QueriesPipeline {
     "q_fingerprint" -> (qFingerprint _),
     "q_repetition" -> (qRepetition _),
     "q_sample" -> (qSample _),
+    "q_strata_mix" -> (qStrataMix _),
+    "q_ivf_loop" -> (qIvfLoop _),
     "q_split" -> (qSplit _),
     "q_mix" -> (qMix _),
     "q_top_ngrams" -> (qTopNgrams _),
@@ -1849,6 +1909,8 @@ object QueriesPipeline {
     "q_fingerprint" -> qFingerprintSql,
     "q_repetition" -> qRepetitionSql,
     "q_sample" -> qSampleSql,
+    "q_strata_mix" -> qStrataMixSql,
+    "q_ivf_loop" -> qIvfLoopSql,
     "q_split" -> qSplitSql,
     "q_mix" -> qMixSql,
     "q_top_ngrams" -> qTopNgramsSql,

@@ -26,7 +26,7 @@ object StressBench {
         // training, NB classification, compressed ANN, plus the
         // large-codebook assignment probe (loop lowering past LiteralCells)
         "q_winnow_pairs", "q_bpe_merges", "q_nb_langid", "q_pq_topk", "ivf4096",
-        "pqlut512")
+        "pqlut512", "semdedup1024")
     val spark = SparkSession.builder().master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
       .config("spark.sql.session.timeZone", "UTC")
@@ -91,6 +91,24 @@ object StressBench {
           hits.write.format("noop").mode("overwrite").save()
           val secs = (System.nanoTime() - t0) / 1e9
           println(f"STRESS ivf4096 rep$rep $secs%.2f s (${hits.count()} rows)")
+        }
+      } else if (q == "semdedup1024") {
+        // the round-9 verdict's scale-killer scenario: SemDeDup at a
+        // realistic cell count — k=1024 > LiteralCells routes cell
+        // assignment through the compiled-loop face inside semanticDedup
+        for (rep <- 1 to 3) {
+          isolate()
+          val t0 = System.nanoTime()
+          val emb = spark.read.parquet(embPath)
+          val cent = graft.pipeline.Ivf.train(emb, "vec_id", "embedding",
+            k = 1024, iters = 1)
+          val kept = graft.pipeline.Dedup.semanticDedup(
+            emb, "vec_id", "embedding", cent, threshold = 0.4)
+          kept.write.format("noop").mode("overwrite").save()
+          val secs = (System.nanoTime() - t0) / 1e9
+          println(f"STRESS semdedup1024 rep$rep $secs%.2f s (${kept.count()} rows, " +
+            s"${graft.pipeline.Dedup.lastCcRounds} cc rounds)")
+          graft.api.Pinned.release(spark)
         }
       } else if (q == "pqlut512") {
         // m=8 x ksub=64 = 512 LUT entries > LiteralLutEntries: the ADC
