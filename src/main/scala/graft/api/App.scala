@@ -186,10 +186,13 @@ object App {
       * (persist) and writes it to every sink — one source scan and one
       * plan execution per trigger regardless of sink count
       * (AppModelSpec pins input rows = fed rows, not sinks × rows).
-      * Contract: all sinks share one outputMode; file-format sinks append
-      * per batch; a `memory` sink accumulates the batch trace under its
+      * Contract: APPEND mode only (the fan-out faces append per batch, so
+      * update/complete re-emissions would duplicate rows — rejected by
+      * name); file-format sinks get replay-idempotent per-batch atomic
+      * appends; a `memory` sink accumulates the batch trace under its
       * queryName; the first bound checkpoint drives the (single) query;
-      * `cycle-feedback` sinks keep their dedicated query. */
+      * sinks must agree on any `stateStore`; `cycle-feedback` sinks keep
+      * their dedicated query. */
     def setFanOutSinks(stream: String, enable: Boolean = true): Config = {
       fanOut = if (enable) fanOut + stream else fanOut - stream; this
     }
@@ -448,22 +451,26 @@ object App {
     }
   }
 
-  /** Append `df` as parquet files into `dir` with atomic visibility: write
-    * to a staging dir INSIDE the channel (executors then write to the same,
-    * possibly shared, filesystem the rename targets, and the source's file
-    * listing skips dot-prefixed paths), then rename each part file into
-    * place — atomic on posix/HDFS semantics — so a concurrent
-    * listing-based stream source never observes a partial file. */
-  private def appendAtomic(df: DataFrame, dir: String, tag: Long): Unit = {
+  /** Append `df` as `format` files into `dir` with atomic visibility:
+    * write to a staging dir INSIDE the channel (executors then write to
+    * the same, possibly shared, filesystem the rename targets, and the
+    * source's file listing skips dot-prefixed paths), then rename each
+    * part file into place — atomic on posix/HDFS semantics — so a
+    * concurrent listing-based stream source never observes a partial
+    * file. Visible files are `fb-$tag-…`, so a caller that pre-deletes
+    * its tag's files gets IDEMPOTENT per-batch appends (fan-out replay). */
+  private def appendAtomic(df: DataFrame, dir: String, tag: Long,
+                           format: String = "parquet",
+                           options: Map[String, String] = Map.empty): Unit = {
     val staging = new org.apache.hadoop.fs.Path(
       dir, s".stage-$tag-${java.util.UUID.randomUUID()}")
     val conf = df.sparkSession.sessionState.newHadoopConf()
     val fs = staging.getFileSystem(conf)
     try {
-      df.write.mode("overwrite").parquet(staging.toString)
+      df.write.format(format).options(options).mode("overwrite")
+        .save(staging.toString)
       val parts = fs.listStatus(staging,
-        (p: org.apache.hadoop.fs.Path) =>
-          p.getName.startsWith("part-") && p.getName.endsWith(".parquet"))
+        (p: org.apache.hadoop.fs.Path) => p.getName.startsWith("part-"))
       parts.zipWithIndex.foreach { case (st, i) =>
         val dest = new org.apache.hadoop.fs.Path(dir, s"fb-$tag-$i-${st.getPath.getName}")
         // rename reports failure as `false` (e.g. dest exists, dir gone) —
@@ -475,22 +482,59 @@ object App {
     } finally fs.delete(staging, true)
   }
 
+  /** Delete `dir`'s visible files for one [[appendAtomic]] tag — the
+    * replay-idempotence half of the fan-out file face: a micro-batch
+    * re-delivered after a crash first removes its own previous output. */
+  private def deleteBatchFiles(spark: SparkSession, dir: String, tag: Long): Unit = {
+    val d = new org.apache.hadoop.fs.Path(dir)
+    val fs = d.getFileSystem(spark.sessionState.newHadoopConf())
+    if (fs.exists(d))
+      fs.listStatus(d, (p: org.apache.hadoop.fs.Path) =>
+          p.getName.startsWith(s"fb-$tag-"))
+        .foreach(st => fs.delete(st.getPath, false))
+  }
+
   /** One streaming query serving every sink of a stream (see
     * `Config.setFanOutSinks`): `foreachBatch` materializes the micro-batch
     * once and writes it N times — the shared lineage executes once per
-    * trigger instead of once per sink. The memory face accumulates the
-    * localCheckpointed batch trace under the sink's queryName (the
-    * append-mode oracle); file formats append per batch. */
+    * trigger instead of once per sink. APPEND-ONLY by contract: both
+    * faces below have append semantics (the memory face accumulates the
+    * batch trace, the file face appends per batch), so an update/complete
+    * fan-out would silently duplicate re-emitted rows — rejected by name.
+    * File sinks are replay-IDEMPOTENT: each batch pre-deletes its own
+    * `fb-$batchId-…` files then atomic-renames fresh ones, so a batch
+    * re-delivered after a crash overwrites itself instead of doubling
+    * (the exactly-once property the stock file sink gets from its commit
+    * log). A bound `stateStore` is honored for the (single) query; sinks
+    * must agree on it. */
   private def fanOutStreaming(spark: SparkSession, stream: String,
                               df: DataFrame, sinks: Seq[Sink]): Running = {
     require(sinks.forall(_.format != "cycle-feedback"),
       s"fan-out for '$stream': cycle-feedback sinks keep their dedicated query " +
         "(empty-batch skipping + atomic rename)")
     val modes = sinks.map(_.outputMode).distinct
-    require(modes.size == 1,
-      s"fan-out sinks for '$stream' must share one outputMode, got $modes")
-    val memAccum = new scala.collection.mutable.HashMap[String, DataFrame]
-    val w = df.writeStream.outputMode(modes.head).foreachBatch {
+    require(modes == Seq("append"),
+      s"fan-out sinks for '$stream' must all be outputMode=append (got " +
+        s"${modes.mkString(", ")}): the fan-out faces append per batch, so " +
+        "update/complete re-emissions would duplicate rows")
+    val stores = sinks.flatMap(_.stateStore).distinct
+    require(stores.size <= 1,
+      s"fan-out sinks for '$stream' share ONE query and must agree on the " +
+        s"state store, got ${stores.mkString(", ")}")
+    sinks.filter(s => s.format != "memory" && s.format != "console").foreach(s =>
+      require(s.path.nonEmpty,
+        s"fan-out ${s.format} sink for '$stream' needs a path"))
+    // memory-face accumulation: (full-trace frame, its checkpoint RDD ids).
+    // Each batch RE-checkpoints the union so the registered view stays ONE
+    // plan node deep (an ever-growing Union chain re-analyzes slower every
+    // batch) and the superseded blocks are released — storage is O(rows),
+    // like a real memory sink's buffer, not O(rows × batches)
+    val memAccum = new scala.collection.mutable.HashMap[String, (DataFrame, Set[Int])]
+    def unpersistIds(ids: Set[Int]): Unit = {
+      val live = spark.sparkContext.getPersistentRDDs
+      ids.foreach(id => live.get(id).foreach(_.unpersist(blocking = false)))
+    }
+    val w = df.writeStream.outputMode("append").foreachBatch {
       (batch: DataFrame, batchId: Long) =>
         val pinned = batch.persist()
         try sinks.foreach { sink =>
@@ -500,23 +544,42 @@ object App {
               val name = sink.queryName.getOrElse(throw new IllegalArgumentException(
                 s"fan-out memory sink for '$stream' needs a queryName"))
               // foreachBatch frames live on a per-query session CLONE —
-              // re-root the materialized batch onto the caller's session
+              // re-root the materialized trace onto the caller's session
               // so the accumulated view lands in the visible catalog
-              val step = org.apache.spark.sql.graftbridge.ColumnBridge
-                .onSession(spark, pinned.localCheckpoint())
-              val next = memAccum.get(name).map(_.unionByName(step)).getOrElse(step)
-              memAccum(name) = next
-              next.createOrReplaceTempView(name)
+              val step = pinned.localCheckpoint()
+              val (next, oldIds) = memAccum.get(name) match {
+                case None => (step, Set.empty[Int])
+                case Some((prev, prevIds)) =>
+                  (prev.unionByName(step).localCheckpoint(),
+                    prevIds ++ Pinned.idsOf(step))
+              }
+              memAccum(name) = (next, Pinned.idsOf(next))
+              org.apache.spark.sql.graftbridge.ColumnBridge.onSession(spark, next)
+                .createOrReplaceTempView(name)
+              unpersistIds(oldIds)
             case f =>
-              val bw = pinned.write.format(f).options(sink.options).mode("append")
-              sink.path.map(bw.save).getOrElse(bw.save())
+              val dir = sink.path.get
+              deleteBatchFiles(spark, dir, batchId) // replay overwrites itself
+              appendAtomic(pinned, dir, batchId, f, sink.options)
           }
         } finally pinned.unpersist(false)
     }
     sinks.flatMap(_.checkpoint).headOption.foreach(cp =>
       w.option("checkpointLocation", cp))
     sinks.flatMap(_.queryName).headOption.foreach(n => w.queryName(s"${n}_fanout"))
-    StreamingOutput(stream, w.start())
+    // single query => single provider; pinned at start like the
+    // non-fan-out path (set-start-restore)
+    val providerKey = "spark.sql.streaming.stateStore.providerClass"
+    val prev = stores.headOption.map { s =>
+      val saved = spark.conf.getOption(providerKey)
+      spark.conf.set(providerKey, stateStoreProviders.getOrElse(s, s))
+      saved
+    }
+    try StreamingOutput(stream, w.start())
+    finally prev.foreach {
+      case Some(old) => spark.conf.set(providerKey, old)
+      case None => spark.conf.unset(providerKey)
+    }
   }
 
   private def runWithLineage(spark: SparkSession, config: Config,

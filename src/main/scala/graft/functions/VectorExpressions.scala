@@ -859,7 +859,15 @@ object VectorFunctions {
     ColumnBridge.column(CountMinAgg(ColumnBridge.expr(itemHash), depth, width)
       .toAggregateExpression())
 
-    /** Flattened m×ksub ADC lookup table of a query vector against PQ
+    /** O(1) constant string→long table lookup (default for missing keys,
+    * NULL in → NULL out; see [[StrataLookup]]). */
+  def strataLookup(stratum: Column, table: Map[String, Long], default: Long): Column = {
+    val sorted = table.toSeq.sortBy(_._1)
+    ColumnBridge.column(StrataLookup(ColumnBridge.expr(stratum),
+      sorted.map(_._1), sorted.map(_._2), default))
+  }
+
+  /** Flattened m×ksub ADC lookup table of a query vector against PQ
     * sub-codebooks — the beyond-literal LUT face (see [[PqLut]]). */
   def pqLut(vec: Column, books: Seq[Seq[Seq[Double]]], sd: Int): Column =
     ColumnBridge.column(PqLut(ColumnBridge.expr(vec), books, sd))

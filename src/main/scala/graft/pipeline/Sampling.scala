@@ -32,24 +32,29 @@ object Sampling {
   }
 
   /** Per-stratum long-valued lookup with two lowerings: a literal
-    * when-chain for SMALL tables (readable plans, fully unrolled codegen,
-    * and no cast on the stratum column) and ONE map literal +
-    * `try_element_at` above [[LiteralStrataEntries]] — a 100k-entry rate
-    * table as a when-chain is a 100k-deep expression TREE (analyzer
-    * recursion, Janino method ceiling), as a map literal it is one node
-    * whose size is data. Same semantics either way: a missing or NULL
-    * stratum falls to `default` (`try_element_at`, not `element_at`,
-    * because ANSI `element_at` throws on a missing map key). */
+    * when-chain for SMALL tables (readable plans, fully unrolled codegen)
+    * and the O(1) hashed [[graft.functions.StrataLookup]] expression
+    * above [[LiteralStrataEntries]] — a 100k-entry rate table as a
+    * when-chain is a 100k-deep expression TREE (analyzer recursion,
+    * Janino method ceiling), and a map LITERAL would still be a linear
+    * key scan per row (`GetMapValue` has no hash index); the expression
+    * hashes the table once per task. IDENTICAL semantics at any size:
+    * the stratum column compares AS A STRING in both faces (the
+    * when-chain also matches on the cast, so crossing the size threshold
+    * can never change which rows match), and a missing or NULL stratum
+    * falls to `default`. */
   private[graft] val LiteralStrataEntries = 32
 
   private[graft] def strataLookup(strataCol: Column, table: Map[String, Long],
-                                  default: Long): Column =
+                                  default: Long): Column = {
+    val s = strataCol.cast("string")
     if (table.size <= LiteralStrataEntries)
-      table.toSeq.sortBy(_._1).foldRight(lit(default): Column) { case ((s, v), rest) =>
-        when(strataCol === s, lit(v)).otherwise(rest)
+      table.toSeq.sortBy(_._1).foldRight(lit(default): Column) { case ((k, v), rest) =>
+        when(s === k, lit(v)).otherwise(rest)
       }
     else coalesce(
-      try_element_at(typedLit(table), strataCol.cast("string")), lit(default))
+      graft.functions.VectorFunctions.strataLookup(s, table, default), lit(default))
+  }
 
   /** Stratified variant: per-stratum rates (e.g. up/down-weighting
     * sources in a training mix), one pass, no shuffle. */

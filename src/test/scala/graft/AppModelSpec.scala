@@ -906,4 +906,34 @@ class AppModelSpec extends SparkSpec {
       assert(pq == mem, "both sinks received every micro-batch")
     } finally q.stop()
   }
+
+  test("fan-out rejects non-append modes and conflicting state stores by name") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    def run(s1: App.Sink, s2: App.Sink): Seq[App.Running] = {
+      val in = MemoryStream[(Long, Double)]
+      App.run(spark, new App.Config()
+          .setSource("ev", App.Source("list", rows = Some(in.toDF().toDF("id", "v"))))
+          .addSink("out", s1).addSink("out", s2)
+          .setFanOutSinks("out")) { src => Map("out" -> src("ev")) }
+    }
+    val dir = java.nio.file.Files.createTempDirectory("graft_fanout_rej").toString
+    val e1 = intercept[IllegalArgumentException] {
+      run(App.Sink("parquet", path = Some(s"$dir/a"), outputMode = "update"),
+        App.Sink("memory", outputMode = "update", queryName = Some("fo_rej")))
+    }
+    assert(e1.getMessage.contains("outputMode=append"), e1.getMessage)
+    val e2 = intercept[IllegalArgumentException] {
+      run(App.Sink("parquet", path = Some(s"$dir/b"), outputMode = "append",
+          stateStore = Some("rocksdb")),
+        App.Sink("parquet", path = Some(s"$dir/c"), outputMode = "append",
+          stateStore = Some("hdfs")))
+    }
+    assert(e2.getMessage.contains("state store"), e2.getMessage)
+    val e3 = intercept[IllegalArgumentException] {
+      run(App.Sink("parquet", outputMode = "append"), // no path
+        App.Sink("parquet", path = Some(s"$dir/d"), outputMode = "append"))
+    }
+    assert(e3.getMessage.contains("needs a path"), e3.getMessage)
+  }
 }

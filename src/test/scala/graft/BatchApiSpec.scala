@@ -290,6 +290,26 @@ class BatchApiSpec extends SparkSpec {
     assert(got.exists(_ >= 9000L), "NULL strata gate at the default rate")
   }
 
+  test("stratified gate: matches are size-threshold-invariant for non-string strata") {
+    import graft.pipeline.Sampling
+    // an INT stratum column with string rate keys: both lowerings compare
+    // on the stratum CAST TO STRING, so growing the table past the
+    // literal threshold must never change which rows match
+    val docs = (0L until 1200L).map(i => (i, (i % 6).toInt)).toDF("id", "src")
+    val base = Map("3" -> 1.0, "4" -> 0.0)
+    def kept(rates: Map[String, Double]): Set[Long] =
+      Sampling.stratifiedHashSample(docs, col("id"), col("src"), rates,
+          defaultRate = 0.5, salt = "ti")
+        .collect().map(_.getLong(0)).toSet
+    val small = kept(base)
+    // pad with never-matching keys to force the hashed-lookup face
+    val big = kept(base ++ (0 until 40).map(j => s"zz$j" -> 0.9))
+    assert(small == big, "crossing the lowering threshold changed the sample")
+    assert((0L until 1200L).filter(_ % 6 == 3).toSet.subsetOf(small),
+      "stratum 3 (rate 1.0) keeps every row under the string-cast match")
+    assert(!small.exists(_ % 6 == 4), "stratum 4 (rate 0.0) keeps none")
+  }
+
   test("temperature mixing drops NULL-stratum rows and excludes them from the rate fold") {
     import graft.pipeline.Sampling
     val docs = ((0L until 800L).map(i => (i, "big")) ++

@@ -309,6 +309,20 @@ object ExpressionProps extends Properties("graft.expressions") {
       got == want
     }
 
+  property("strata lookup equals Map.getOrElse (missing keys fall to default)") =
+    forAll(Gen.mapOf(Gen.zip(Gen.alphaNumStr.map(_.take(8)), Gen.long)),
+           Gen.listOf(Gen.alphaNumStr.map(_.take(8))), Gen.long) { (table, probes, default) =>
+      import org.apache.spark.unsafe.types.UTF8String
+      val sorted = table.toSeq.sortBy(_._1)
+      val e = graft.functions.StrataLookup(
+        org.apache.spark.sql.catalyst.expressions.BoundReference(
+          0, org.apache.spark.sql.types.StringType, nullable = true),
+        sorted.map(_._1), sorted.map(_._2), default)
+      (probes ++ table.keys).forall { k =>
+        e.get(UTF8String.fromString(k)) == table.getOrElse(k, default)
+      }
+    }
+
   property("pq lut equals the literal staging's per-entry arithmetic") =
     forAll(Gen.choose(1, 4), Gen.choose(1, 5), Gen.choose(1, 3),
            Gen.choose(0, 14), Gen.long) { (m, ksub, sd, qlen, seed) =>
