@@ -197,6 +197,7 @@ object App {
       fanOut = if (enable) fanOut + stream else fanOut - stream; this
     }
     def fanOutEnabled(stream: String): Boolean = fanOut.contains(stream)
+    def fanOutStreams: Set[String] = fanOut
     private var fanOut = Set.empty[String]
     def source(stream: String): Source = sources.getOrElse(stream,
       throw new IllegalArgumentException(s"no source bound for stream '$stream'"))
@@ -232,7 +233,10 @@ object App {
     JsonMethods.compact(JsonMethods.render(
       ("sources" -> config.sourceBindings.map { case (n, s) => n -> sourceJson(s) }) ~
         ("sinks" -> config.sinkBindings.map { case (n, ks) => n -> ks.map(sinkJson) }) ~
-        ("tuning" -> config.tuning)))
+        ("tuning" -> config.tuning) ~
+        ("fanOut" -> config.fanOutStreams.toSeq.sorted) ~
+        ("lineage" -> config.lineageSink.map(sinkJson)) ~
+        ("releasePinned" -> config.releasePinnedAfterRunEnabled)))
   }
 
   /** Parse a `configToJson` document back into a bindable `Config`. */
@@ -255,19 +259,18 @@ object App {
       }
       case _ =>
     }
+    def sinkOf(k: JValue): Sink = Sink(
+      format = (k \ "format").extract[String],
+      path = (k \ "path").extractOpt[String],
+      options = (k \ "options").extract[Map[String, String]],
+      mode = (k \ "mode").extract[String],
+      outputMode = (k \ "outputMode").extract[String],
+      queryName = (k \ "queryName").extractOpt[String],
+      checkpoint = (k \ "checkpoint").extractOpt[String],
+      stateStore = (k \ "stateStore").extractOpt[String])
     (j \ "sinks") match {
       case JObject(fields) => fields.foreach { case (name, v) =>
-        v.extract[Seq[JValue]].foreach { k =>
-          c.addSink(name, Sink(
-            format = (k \ "format").extract[String],
-            path = (k \ "path").extractOpt[String],
-            options = (k \ "options").extract[Map[String, String]],
-            mode = (k \ "mode").extract[String],
-            outputMode = (k \ "outputMode").extract[String],
-            queryName = (k \ "queryName").extractOpt[String],
-            checkpoint = (k \ "checkpoint").extractOpt[String],
-            stateStore = (k \ "stateStore").extractOpt[String]))
-        }
+        v.extract[Seq[JValue]].foreach(k => c.addSink(name, sinkOf(k)))
       }
       case _ =>
     }
@@ -275,6 +278,18 @@ object App {
       case JObject(fields) => fields.foreach { case (k, v) =>
         c.setTuning(k, v.extract[String])
       }
+      case _ =>
+    }
+    (j \ "fanOut") match {
+      case JArray(vs) => vs.foreach(v => c.setFanOutSinks(v.extract[String]))
+      case _ =>
+    }
+    (j \ "lineage") match {
+      case JNothing | JNull =>
+      case v => c.addLineageSink(sinkOf(v))
+    }
+    (j \ "releasePinned") match {
+      case JBool(b) => c.releasePinnedAfterRun(b)
       case _ =>
     }
     c

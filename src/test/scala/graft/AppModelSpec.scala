@@ -100,9 +100,15 @@ class AppModelSpec extends SparkSpec {
       .addSink("out", App.Sink(format = "memory", outputMode = "complete",
         queryName = Some("t"), checkpoint = Some("/cp/out"),
         stateStore = Some("rocksdb")))
+      .setFanOutSinks("out")
+      .addLineageSink(App.Sink(format = "parquet", path = Some("/data/lineage")))
+      .releasePinnedAfterRun()
     val reloaded = App.configFromJson(App.configToJson(config))
     assert(reloaded.sourceBindings == config.sourceBindings, "sources survive")
     assert(reloaded.sinkBindings == config.sinkBindings, "sinks survive")
+    assert(reloaded.fanOutStreams == Set("out"), "fan-out flags survive")
+    assert(reloaded.lineageSink == config.lineageSink, "the lineage binding survives")
+    assert(reloaded.releasePinnedAfterRunEnabled, "pin-release hygiene survives")
     // reloaded config is runnable, not just structurally equal
     val reloaded2 = App.configFromJson(App.configToJson(
       new App.Config().setSource("input",
