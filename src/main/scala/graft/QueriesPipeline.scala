@@ -797,6 +797,45 @@ object QueriesPipeline {
                            ELSE 250000 END"""
   }
 
+  /** Training-mix assembly AS A SHIPPED PROGRAM DOCUMENT (format
+    * version 5): capture stratifiedSample → assignSplit with the Rec
+    * recorder, serialize, reload with full load-time + schema validation,
+    * run under a config — the sampling-family nodes join the artifact
+    * flow (the q_ingest_program discipline). The oracle reproduces both
+    * hash gates bit-exactly. */
+  def qMixProgram(spark: SparkSession, dir: String): DataFrame = {
+    import graft.api.{App, Program}
+    val docs = Program.Rec.external("documents", Tables.documents(spark, dir))
+    val piped = docs
+      .stratifiedSample("doc_id", "source",
+        rates = Map("src0" -> 0.5, "src1" -> 0.9), defaultRate = 0.25, salt = "mix1")
+      .assignSplit("doc_id",
+        Seq("train" -> 0.8, "validation" -> 0.1, "test" -> 0.1), salt = "sp1")
+      .as("out")
+    val programJson = Program.toJson(Program.capture(piped))
+    val config = new App.Config()
+      .setSource("documents", App.Source(
+        format = "parquet", path = Some(s"$dir/documents.parquet")))
+      .addSink("out", App.Sink(format = "memory"))
+    Program.validate(Program.fromJson(programJson), spark, config)
+    App.runProgram(spark, config, programJson)
+      .collectFirst { case App.BatchOutput("out", out) => out }.get
+      .select(col("doc_id"), col("source"), col("split"))
+  }
+
+  val qMixProgramSql: String = {
+    val gate = "((" + PolyFold.format("(doc_id::VARCHAR || 'mix1')") + ") * 2654435761) % 1000000"
+    val sgate = "((" + PolyFold.format("(doc_id::VARCHAR || 'sp1')") + ") * 2654435761) % 1000000"
+    s"""SELECT doc_id, source,
+          CASE WHEN $sgate < 800000 THEN 'train'
+               WHEN $sgate < 900000 THEN 'validation'
+               ELSE 'test' END AS split
+        FROM documents
+        WHERE $gate < CASE source WHEN 'src0' THEN 500000
+                                  WHEN 'src1' THEN 900000
+                                  ELSE 250000 END"""
+  }
+
   /** Nearest-cell assignment through the COMPILED-LOOP lowering: a fixed
     * 300-cell rational codebook (> `Ivf.LiteralCells` = 256, so the
     * assignment is the `NearestCells` reference-object expression, not
@@ -1842,6 +1881,7 @@ object QueriesPipeline {
     "q_repetition" -> (qRepetition _),
     "q_sample" -> (qSample _),
     "q_strata_mix" -> (qStrataMix _),
+    "q_mix_program" -> (qMixProgram _),
     "q_ivf_loop" -> (qIvfLoop _),
     "q_split" -> (qSplit _),
     "q_mix" -> (qMix _),
@@ -1910,6 +1950,7 @@ object QueriesPipeline {
     "q_repetition" -> qRepetitionSql,
     "q_sample" -> qSampleSql,
     "q_strata_mix" -> qStrataMixSql,
+    "q_mix_program" -> qMixProgramSql,
     "q_ivf_loop" -> qIvfLoopSql,
     "q_split" -> qSplitSql,
     "q_mix" -> qMixSql,

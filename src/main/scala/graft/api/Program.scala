@@ -259,6 +259,50 @@ object Program {
                             qIdCol: String, topK: Int, nProbe: Int,
                             broadcastCorpus: Boolean) extends Node
 
+  // --- sampling / training-mix nodes (format version 5): the deterministic
+  // hash-gate family (`pipeline.Sampling`) as shippable document nodes —
+  // pure per-row gates (batch AND streaming) except the window-ranked caps
+  // and the count-collecting temperature mix, which are batch-face ops.
+
+  /** Keep each row with probability ~`rate` by key hash (`Sampling.hashSample`). */
+  final case class HashSample(name: String, input: String, keyCol: String,
+                              rate: Double, salt: String) extends Node
+  /** Per-stratum rates (`Sampling.stratifiedHashSample`); strata compare
+    * as strings, absent strata fall to `defaultRate`. */
+  final case class StratifiedSample(name: String, input: String, keyCol: String,
+                                    strataCol: String, rates: Map[String, Double],
+                                    defaultRate: Double, salt: String) extends Node
+  /** Deterministic split labeling (`Sampling.assignSplit`); `splits` are
+    * ordered (name, fraction) bands summing to 1. */
+  final case class AssignSplit(name: String, input: String, keyCol: String,
+                               splits: Seq[(String, Double)], as: String,
+                               salt: String) extends Node
+  /** Epoch-style up/down-sampling (`Sampling.weightedMix`): weights may
+    * exceed 1; output adds the `epoch` copy index. */
+  final case class WeightedMix(name: String, input: String, keyCol: String,
+                               strataCol: String, weights: Map[String, Double],
+                               defaultWeight: Double, salt: String) extends Node
+  /** Per-stratum quota cap (`Sampling.capPerKey`) — batch face (rank window). */
+  final case class CapPerKey(name: String, input: String, strataCol: String,
+                             keyCol: String, n: Int, salt: String) extends Node
+  /** Per-stratum token-budget prefix fill (`Sampling.capTokensPerKey`) —
+    * batch face (running-sum window). */
+  final case class CapTokens(name: String, input: String, strataCol: String,
+                             keyCol: String, tokensCol: String, budget: Long,
+                             salt: String) extends Node
+  /** Temperature-based source rebalancing (`Sampling.temperatureMix`) —
+    * batch face; BUILD-TIME EAGER (collects the capped per-stratum counts),
+    * so validation is schema-only like [[LmScore]]. */
+  final case class TemperatureMix(name: String, input: String, keyCol: String,
+                                  strataCol: String, alpha: Double,
+                                  budgetRows: Long, salt: String) extends Node
+  /** Leakage-safe split (`Sampling.leakageSafeSplit`): `pairs` names the
+    * near-dup edge input; no cluster straddles a band. */
+  final case class SafeSplit(name: String, input: String, pairs: String,
+                             idCol: String, aCol: String, bCol: String,
+                             splits: Seq[(String, Double)], as: String,
+                             salt: String) extends Node
+
   /** The whole document: nodes in topological order + the named outputs a
     * configuration may bind sinks to. */
   final case class Doc(nodes: Seq[Node], outputs: Seq[String]) {
@@ -447,6 +491,14 @@ object Program {
     case xd: ExactDedup => Seq(xd.input, xd.ref)
     case gg: GopherGate => Seq(gg.input)
     case nb: NbClassify => Seq(nb.input, nb.ref)
+    case hs: HashSample => Seq(hs.input)
+    case ss: StratifiedSample => Seq(ss.input)
+    case as: AssignSplit => Seq(as.input)
+    case wm: WeightedMix => Seq(wm.input)
+    case cp: CapPerKey => Seq(cp.input)
+    case ct: CapTokens => Seq(ct.input)
+    case tm: TemperatureMix => Seq(tm.input)
+    case sp: SafeSplit => Seq(sp.input, sp.pairs)
   }
 
   /** Static shape of a cycle body, deciding the batch fixpoint strategy.
@@ -480,7 +532,12 @@ object Program {
         headDep += bn.name
         val ok = bn match {
           case _: MapCols | _: Where | _: AddTo | _: ToField | _: OrderBy |
-               _: ApplyFn => // applyFn kinds are all per-record
+               _: ApplyFn | // applyFn kinds are all per-record
+               // the hash-gate samplers are pure per-row filters/explodes —
+               // union-distributive (caps and temperatureMix are NOT: rank
+               // windows and corpus counts don't distribute -> default)
+               _: HashSample | _: StratifiedSample | _: AssignSplit |
+               _: WeightedMix =>
             deps.size == 1
           case _: Union => true // union distributes regardless of arity
           case j: Join =>
@@ -653,6 +710,43 @@ object Program {
         case NbClassify(name, i, ref, idCol, textCol, refTextCol, refLabelCol, alpha) =>
           graft.pipeline.TextOps.nbClassifyAgainst(in(i),
             staticSide(name, in, ref), idCol, textCol, refTextCol, refLabelCol, alpha)
+        case HashSample(_, i, key, rate, salt) =>
+          val s = in(i)
+          new MStream(graft.pipeline.Sampling.hashSample(s.df, col(key), rate, salt),
+            s.eventOrder, s.contextKeys, s.name)
+        case StratifiedSample(_, i, key, strata, rates, dflt, salt) =>
+          val s = in(i)
+          new MStream(graft.pipeline.Sampling.stratifiedHashSample(
+              s.df, col(key), col(strata), rates, dflt, salt),
+            s.eventOrder, s.contextKeys, s.name)
+        case AssignSplit(_, i, key, splits, as, salt) =>
+          val s = in(i)
+          new MStream(graft.pipeline.Sampling.assignSplit(s.df, col(key), splits, as, salt),
+            s.eventOrder, s.contextKeys, s.name)
+        case WeightedMix(_, i, key, strata, weights, dflt, salt) =>
+          val s = in(i)
+          new MStream(graft.pipeline.Sampling.weightedMix(
+              s.df, col(key), col(strata), weights, dflt, salt),
+            s.eventOrder, s.contextKeys, s.name)
+        case CapPerKey(_, i, strata, key, cap, salt) =>
+          val s = in(i)
+          new MStream(graft.pipeline.Sampling.capPerKey(s.df, col(strata), col(key), cap, salt),
+            s.eventOrder, s.contextKeys, s.name)
+        case CapTokens(_, i, strata, key, tokens, budget, salt) =>
+          val s = in(i)
+          new MStream(graft.pipeline.Sampling.capTokensPerKey(
+              s.df, col(strata), col(key), col(tokens), budget, salt),
+            s.eventOrder, s.contextKeys, s.name)
+        case TemperatureMix(_, i, key, strata, alpha, budget, salt) =>
+          val s = in(i)
+          new MStream(graft.pipeline.Sampling.temperatureMix(
+              s.df, col(key), col(strata), alpha, budget, salt),
+            s.eventOrder, s.contextKeys, s.name)
+        case SafeSplit(_, i, pairs, idCol, aCol, bCol, splits, as, salt) =>
+          val s = in(i)
+          new MStream(graft.pipeline.Sampling.leakageSafeSplit(
+              s.df, idCol, in(pairs).df, aCol, bCol, splits, as, salt),
+            s.eventOrder, s.contextKeys, s.name)
     }
   }
 
@@ -705,6 +799,14 @@ object Program {
     case x: ExactDedup => x.copy(name = name)
     case x: GopherGate => x.copy(name = name)
     case x: NbClassify => x.copy(name = name)
+    case x: HashSample => x.copy(name = name)
+    case x: StratifiedSample => x.copy(name = name)
+    case x: AssignSplit => x.copy(name = name)
+    case x: WeightedMix => x.copy(name = name)
+    case x: CapPerKey => x.copy(name = name)
+    case x: CapTokens => x.copy(name = name)
+    case x: TemperatureMix => x.copy(name = name)
+    case x: SafeSplit => x.copy(name = name)
   }
 
   /** Order-preserving merge of upstream node lists for a multi-input op:
@@ -987,6 +1089,45 @@ object Program {
       derive("ivfProbe", Seq(corpus, centroids))(n => IvfProbe(n, name,
         corpus.name, centroids.name, idCol, vecCol, qIdCol, topK, nProbe,
         broadcastCorpus))
+    /** Deterministic hash-gated sampling (format version 5). */
+    def hashSample(keyCol: String, rate: Double, salt: String = ""): Rec =
+      derive1("hashSample")(n => HashSample(n, name, keyCol, rate, salt))
+    /** Per-stratum rates; absent strata fall to `defaultRate`. */
+    def stratifiedSample(keyCol: String, strataCol: String,
+                         rates: Map[String, Double], defaultRate: Double = 0.0,
+                         salt: String = ""): Rec =
+      derive1("stratifiedSample")(n => StratifiedSample(n, name, keyCol,
+        strataCol, rates, defaultRate, salt))
+    /** Deterministic split labeling; `splits` sum to 1. */
+    def assignSplit(keyCol: String, splits: Seq[(String, Double)],
+                    as: String = "split", salt: String = ""): Rec =
+      derive1("assignSplit")(n => AssignSplit(n, name, keyCol, splits, as, salt))
+    /** Epoch-style up/down-sampling; adds the `epoch` copy index. */
+    def weightedMix(keyCol: String, strataCol: String,
+                    weights: Map[String, Double], defaultWeight: Double = 0.0,
+                    salt: String = ""): Rec =
+      derive1("weightedMix")(n => WeightedMix(n, name, keyCol, strataCol,
+        weights, defaultWeight, salt))
+    /** Per-stratum quota cap (batch face). */
+    def capPerKey(strataCol: String, keyCol: String, cap: Int,
+                  salt: String = ""): Rec =
+      derive1("capPerKey")(n => CapPerKey(n, name, strataCol, keyCol, cap, salt))
+    /** Per-stratum token-budget prefix fill (batch face). */
+    def capTokens(strataCol: String, keyCol: String, tokensCol: String,
+                  budget: Long, salt: String = ""): Rec =
+      derive1("capTokens")(n => CapTokens(n, name, strataCol, keyCol,
+        tokensCol, budget, salt))
+    /** Temperature rebalancing (batch face; build-time eager counts). */
+    def temperatureMix(keyCol: String, strataCol: String, alpha: Double,
+                       budgetRows: Long, salt: String = ""): Rec =
+      derive1("temperatureMix")(n => TemperatureMix(n, name, keyCol, strataCol,
+        alpha, budgetRows, salt))
+    /** Leakage-safe split keyed on `pairs`' near-dup clusters. */
+    def safeSplit(pairs: Rec, idCol: String, aCol: String, bCol: String,
+                  splits: Seq[(String, Double)], as: String = "split",
+                  salt: String = ""): Rec =
+      derive("safeSplit", Seq(pairs))(n => SafeSplit(n, name, pairs.name,
+        idCol, aCol, bCol, splits, as, salt))
   }
 
   object Rec {
@@ -1025,11 +1166,15 @@ object Program {
     * [[toJson]] stamps each document with the LOWEST version that can
     * express it, so a document using only the v1 grammar stays loadable
     * by a v1 library. */
-  val FormatVersion: Int = 4
+  val FormatVersion: Int = 5
 
   /** The lowest format version expressing every node in `doc`. */
   private def requiredVersion(doc: Doc): Int =
     if (doc.nodes.exists {
+      case _: HashSample | _: StratifiedSample | _: AssignSplit | _: WeightedMix |
+           _: CapPerKey | _: CapTokens | _: TemperatureMix | _: SafeSplit => true
+      case _ => false }) 5
+    else if (doc.nodes.exists {
       case _: ExactDedup | _: GopherGate | _: NbClassify => true; case _ => false }) 4
     else if (doc.nodes.exists {
       case _: DsirScore | _: TokenFreq | _: BpeEncode => true; case _ => false }) 3
@@ -1164,6 +1309,39 @@ object Program {
           ("ref" -> ref) ~ ("idCol" -> idCol) ~ ("textCol" -> textCol) ~
           ("refTextCol" -> refTextCol) ~ ("refLabelCol" -> refLabelCol) ~
           ("alpha" -> alpha)
+      case HashSample(name, i, key, rate, salt) =>
+        ("op" -> "hashSample") ~ ("name" -> name) ~ ("input" -> i) ~
+          ("keyCol" -> key) ~ ("rate" -> rate) ~ ("salt" -> salt)
+      case StratifiedSample(name, i, key, strata, rates, dflt, salt) =>
+        ("op" -> "stratifiedSample") ~ ("name" -> name) ~ ("input" -> i) ~
+          ("keyCol" -> key) ~ ("strataCol" -> strata) ~ ("rates" -> rates) ~
+          ("defaultRate" -> dflt) ~ ("salt" -> salt)
+      case AssignSplit(name, i, key, splits, as, salt) =>
+        ("op" -> "assignSplit") ~ ("name" -> name) ~ ("input" -> i) ~
+          ("keyCol" -> key) ~
+          ("splits" -> splits.map { case (s, f) => ("name" -> s) ~ ("fraction" -> f) }) ~
+          ("as" -> as) ~ ("salt" -> salt)
+      case WeightedMix(name, i, key, strata, weights, dflt, salt) =>
+        ("op" -> "weightedMix") ~ ("name" -> name) ~ ("input" -> i) ~
+          ("keyCol" -> key) ~ ("strataCol" -> strata) ~ ("weights" -> weights) ~
+          ("defaultWeight" -> dflt) ~ ("salt" -> salt)
+      case CapPerKey(name, i, strata, key, cap, salt) =>
+        ("op" -> "capPerKey") ~ ("name" -> name) ~ ("input" -> i) ~
+          ("strataCol" -> strata) ~ ("keyCol" -> key) ~ ("n" -> cap) ~ ("salt" -> salt)
+      case CapTokens(name, i, strata, key, tokens, budget, salt) =>
+        ("op" -> "capTokens") ~ ("name" -> name) ~ ("input" -> i) ~
+          ("strataCol" -> strata) ~ ("keyCol" -> key) ~ ("tokensCol" -> tokens) ~
+          ("budget" -> budget) ~ ("salt" -> salt)
+      case TemperatureMix(name, i, key, strata, alpha, budget, salt) =>
+        ("op" -> "temperatureMix") ~ ("name" -> name) ~ ("input" -> i) ~
+          ("keyCol" -> key) ~ ("strataCol" -> strata) ~ ("alpha" -> alpha) ~
+          ("budgetRows" -> budget) ~ ("salt" -> salt)
+      case SafeSplit(name, i, pairs, idCol, aCol, bCol, splits, as, salt) =>
+        ("op" -> "safeSplit") ~ ("name" -> name) ~ ("input" -> i) ~
+          ("pairs" -> pairs) ~ ("idCol" -> idCol) ~ ("aCol" -> aCol) ~
+          ("bCol" -> bCol) ~
+          ("splits" -> splits.map { case (s, f) => ("name" -> s) ~ ("fraction" -> f) }) ~
+          ("as" -> as) ~ ("salt" -> salt)
     }
     JsonMethods.compact(JsonMethods.render(
       ("version" -> requiredVersion(doc)) ~ ("nodes" -> doc.nodes.map(nodeJson)) ~
@@ -1194,6 +1372,11 @@ object Program {
       case JArray(xs) => xs.map(_.extract[String])
       case JNothing => Nil
       case other => throw new IllegalArgumentException(s"expected string array, got $other")
+    }
+    def splitsOf(v: JValue): Seq[(String, Double)] = (v \ "splits") match {
+      case JArray(xs) => xs.map(x =>
+        (x \ "name").extract[String] -> (x \ "fraction").extract[Double])
+      case _ => Nil
     }
     val nodes = (j \ "nodes") match {
       case JArray(xs) => xs.map { v =>
@@ -1316,6 +1499,39 @@ object Program {
             (v \ "idCol").extract[String], (v \ "textCol").extract[String],
             (v \ "minWords").extractOpt[Int].getOrElse(50),
             (v \ "maxWords").extractOpt[Int].getOrElse(100000))
+          case "hashSample" => HashSample(name, (v \ "input").extract[String],
+            (v \ "keyCol").extract[String], (v \ "rate").extract[Double],
+            (v \ "salt").extractOpt[String].getOrElse(""))
+          case "stratifiedSample" => StratifiedSample(name, (v \ "input").extract[String],
+            (v \ "keyCol").extract[String], (v \ "strataCol").extract[String],
+            (v \ "rates").extract[Map[String, Double]],
+            (v \ "defaultRate").extractOpt[Double].getOrElse(0.0),
+            (v \ "salt").extractOpt[String].getOrElse(""))
+          case "assignSplit" => AssignSplit(name, (v \ "input").extract[String],
+            (v \ "keyCol").extract[String], splitsOf(v),
+            (v \ "as").extractOpt[String].getOrElse("split"),
+            (v \ "salt").extractOpt[String].getOrElse(""))
+          case "weightedMix" => WeightedMix(name, (v \ "input").extract[String],
+            (v \ "keyCol").extract[String], (v \ "strataCol").extract[String],
+            (v \ "weights").extract[Map[String, Double]],
+            (v \ "defaultWeight").extractOpt[Double].getOrElse(0.0),
+            (v \ "salt").extractOpt[String].getOrElse(""))
+          case "capPerKey" => CapPerKey(name, (v \ "input").extract[String],
+            (v \ "strataCol").extract[String], (v \ "keyCol").extract[String],
+            (v \ "n").extract[Int], (v \ "salt").extractOpt[String].getOrElse(""))
+          case "capTokens" => CapTokens(name, (v \ "input").extract[String],
+            (v \ "strataCol").extract[String], (v \ "keyCol").extract[String],
+            (v \ "tokensCol").extract[String], (v \ "budget").extract[Long],
+            (v \ "salt").extractOpt[String].getOrElse(""))
+          case "temperatureMix" => TemperatureMix(name, (v \ "input").extract[String],
+            (v \ "keyCol").extract[String], (v \ "strataCol").extract[String],
+            (v \ "alpha").extract[Double], (v \ "budgetRows").extract[Long],
+            (v \ "salt").extractOpt[String].getOrElse(""))
+          case "safeSplit" => SafeSplit(name, (v \ "input").extract[String],
+            (v \ "pairs").extract[String], (v \ "idCol").extract[String],
+            (v \ "aCol").extract[String], (v \ "bCol").extract[String],
+            splitsOf(v), (v \ "as").extractOpt[String].getOrElse("split"),
+            (v \ "salt").extractOpt[String].getOrElse(""))
           case other => throw new IllegalArgumentException(s"unknown program op '$other'")
         }
       }
@@ -1417,6 +1633,13 @@ object Program {
             env(nb.ref).df.select(col(nb.refTextCol), col(nb.refLabelCol)).schema
             emptyOf(graft.pipeline.TextOps.nbOutputSchema(
               nb.idCol, s.df.schema(nb.idCol).dataType))
+          case tm: TemperatureMix =>
+            // build-time eager (collects per-stratum counts, and rejects an
+            // EMPTY corpus by contract): force the column references, emit
+            // the operator's schema (a filter — the input schema unchanged)
+            val s = env(tm.input)
+            s.df.select(col(tm.keyCol), col(tm.strataCol)).schema
+            emptyOf(s.df.schema)
           case other => lowerNode(other, name => env(name))
         }
         out.df.schema // force analysis NOW so failures attribute to THIS node
@@ -1442,6 +1665,13 @@ object Program {
     def nonEmpty(fs: Seq[_], what: String, node: String): Unit =
       if (fs.isEmpty) throw new IllegalArgumentException(
         s"node '$node' needs at least one $what")
+    def checkSplits(node: String, splits: Seq[(String, Double)]): Unit = {
+      nonEmpty(splits, "split band", node)
+      if (splits.exists(_._2 < 0.0) || math.abs(splits.map(_._2).sum - 1.0) >= 1e-9)
+        throw new IllegalArgumentException(
+          s"node '$node': split fractions must be non-negative and sum to 1, " +
+            s"got ${splits.map(_._2).mkString(", ")}")
+    }
     var defined = Set.empty[String]
     var openCycle: Option[String] = None
     doc.nodes.foreach { n =>
@@ -1599,6 +1829,38 @@ object Program {
           if (nb.alpha <= 0.0) throw new IllegalArgumentException(
             s"node '${n.name}': nbClassify needs alpha > 0, got ${nb.alpha}")
           Seq(nb.input, nb.ref)
+        case hs: HashSample =>
+          if (hs.rate < 0.0 || hs.rate > 1.0) throw new IllegalArgumentException(
+            s"node '${n.name}': hashSample rate must be in [0,1], got ${hs.rate}")
+          Seq(hs.input)
+        case ss2: StratifiedSample =>
+          if ((ss2.defaultRate +: ss2.rates.values.toSeq).exists(r => r < 0.0 || r > 1.0))
+            throw new IllegalArgumentException(
+              s"node '${n.name}': stratifiedSample rates must be in [0,1]")
+          Seq(ss2.input)
+        case as2: AssignSplit =>
+          checkSplits(n.name, as2.splits); Seq(as2.input)
+        case wm: WeightedMix =>
+          if ((wm.defaultWeight +: wm.weights.values.toSeq).exists(_ < 0.0))
+            throw new IllegalArgumentException(
+              s"node '${n.name}': weightedMix weights must be non-negative")
+          Seq(wm.input)
+        case cp: CapPerKey =>
+          if (cp.n <= 0) throw new IllegalArgumentException(
+            s"node '${n.name}': capPerKey needs n > 0, got ${cp.n}")
+          Seq(cp.input)
+        case ct: CapTokens =>
+          if (ct.budget <= 0) throw new IllegalArgumentException(
+            s"node '${n.name}': capTokens needs budget > 0, got ${ct.budget}")
+          Seq(ct.input)
+        case tm: TemperatureMix =>
+          if (tm.alpha <= 0.0 || tm.alpha > 1.0) throw new IllegalArgumentException(
+            s"node '${n.name}': temperatureMix alpha must be in (0,1], got ${tm.alpha}")
+          if (tm.budgetRows <= 0) throw new IllegalArgumentException(
+            s"node '${n.name}': temperatureMix needs budgetRows > 0, got ${tm.budgetRows}")
+          Seq(tm.input)
+        case sp: SafeSplit =>
+          checkSplits(n.name, sp.splits); Seq(sp.input, sp.pairs)
       }
       inputs.foreach(i => if (!defined.contains(i)) throw new IllegalArgumentException(
         s"node '${n.name}' references '$i' before it is defined"))
