@@ -93,6 +93,50 @@ class SamplingProgramSpec extends SparkSpec {
     graft.api.Pinned.release(spark)
   }
 
+  test("the pure hash-gate nodes run the SAME document streaming (one per-row plan)") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    // gate -> split -> epoch mix: all three are per-row gates, so the
+    // document lowers onto a stream unchanged (no state, no watermark)
+    val json = Program.toJson(Doc(
+      nodes = Seq(
+        External("in"),
+        StratifiedSample("st", "in", "id", "src",
+          Map("s0" -> 1.0, "s1" -> 0.5), 0.0, "sx"),
+        AssignSplit("sp", "st", "id", Seq("train" -> 0.9, "test" -> 0.1), "split", "sy"),
+        WeightedMix("wm", "sp", "id", "src", Map("s0" -> 2.0, "s1" -> 1.0), 0.0, "sz")),
+      outputs = Seq("wm")))
+    val rows = (0L until 300L).map(i => (i, s"s${i % 3}", 1L))
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getLong(0), r.getString(1), r.getString(3), r.getLong(4)) // id, src, split, epoch
+    val batch = App.run(spark, new App.Config()
+        .setSource("in", App.Source("list", rows = Some(rows.toDF("id", "src", "toks"))))
+        .addSink("wm", App.Sink("memory")))(
+      Program.interpret(Program.fromJson(json)))
+      .collectFirst { case App.BatchOutput("wm", df) => df }.get
+    val b = batch.collect().map(key).toSet
+    assert(b.nonEmpty && b.forall(_._2 != "s2"), "default weight 0 drops s2")
+    assert(b.exists(_._4 == 1L), "s0 rows carry epoch copies")
+
+    val in = MemoryStream[(Long, String, Long)]
+    val name = s"mix_stream_${System.nanoTime()}"
+    val running = App.run(spark, new App.Config()
+        .setSource("in", App.Source("list", rows = Some(in.toDF().toDF("id", "src", "toks"))))
+        .addSink("wm", App.Sink("memory", outputMode = "append",
+          queryName = Some(name))))(
+      Program.interpret(Program.fromJson(json)))
+    val q = running.collect { case App.StreamingOutput("wm", sq) => sq }.head
+    try {
+      rows.grouped(100).foreach(g => in.addData(g: _*))
+      q.processAllAvailable()
+      assert(q.lastProgress == null ||
+        q.lastProgress.stateOperators.forall(_.numRowsTotal == 0L),
+        "hash gates are stateless")
+      assert(spark.table(name).collect().map(key).toSet == b,
+        "streaming document output equals the batch run exactly")
+    } finally q.stop()
+  }
+
   test("temperatureMix validates schema-only (empty sources never collect counts)") {
     val doc = Doc(
       nodes = Seq(External("in"),
