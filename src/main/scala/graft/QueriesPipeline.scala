@@ -836,6 +836,49 @@ object QueriesPipeline {
                                   ELSE 250000 END"""
   }
 
+  /** A shipped curation document (format version 6): quality-annotate →
+    * marker langId → SQL gate → sliding token chunking, exercised through
+    * the full artifact flow (capture → serialize → validate → run under a
+    * config). The gate keeps English documents of >= 5 words; the oracle
+    * reproduces the marker-hit argmax, the word count and every chunk
+    * bit-for-bit (the whole pipeline is stateless projections + one
+    * per-row generator — zero shuffles either engine). */
+  def qCurateProgram(spark: SparkSession, dir: String): DataFrame = {
+    import graft.api.{App, Program}
+    val docs = Program.Rec.external("documents", Tables.documents(spark, dir))
+    val piped = docs
+      .qualityAnnotate("text")
+      .langId("text")
+      .where("n_words >= 5 AND lang = 'en'")
+      .chunkTokens("doc_id", "text", chunkSize = 32, stride = 24)
+      .as("out")
+    val programJson = Program.toJson(Program.capture(piped))
+    val config = new App.Config()
+      .setSource("documents", App.Source(
+        format = "parquet", path = Some(s"$dir/documents.parquet")))
+      .addSink("out", App.Sink(format = "memory"))
+    Program.validate(Program.fromJson(programJson), spark, config)
+    App.runProgram(spark, config, programJson)
+      .collectFirst { case App.BatchOutput("out", out) => out }.get
+  }
+
+  val qCurateProgramSql: String = {
+    val nWords =
+      "len(list_filter(string_split_regex(text, '[ \\t\\n\\f\\r\\x0b]+'), x -> x <> ''))"
+    def hits(ms: Seq[String]) =
+      s"len(list_filter(list_filter(string_split_regex(text, '[ \\t\\n\\f\\r\\x0b]+'), x -> x <> ''), w -> w IN (${ms.map("'" + _ + "'").mkString(",")})))"
+    val Seq(en, de, fr, es) = TextOps.LangMarkers.map(m => hits(m._2))
+    s"""SELECT doc_id, (t.s / 24)::BIGINT AS chunk_id,
+          array_to_string(w[t.s + 1 : t.s + 32], ' ') AS chunk_text,
+          least(32, len(w) - t.s)::BIGINT AS n_tokens
+        FROM (SELECT doc_id,
+                list_filter(string_split_regex(text, '[ \\t\\n\\f\\r\\x0b]+'), x -> x <> '') AS w
+              FROM documents
+              WHERE $nWords >= 5
+                AND $en >= $de AND $en >= $fr AND $en >= $es),
+             LATERAL (SELECT unnest(generate_series(0, len(w) - 1, 24)) AS s) t"""
+  }
+
   /** Nearest-cell assignment through the COMPILED-LOOP lowering: a fixed
     * 300-cell rational codebook (> `Ivf.LiteralCells` = 256, so the
     * assignment is the `NearestCells` reference-object expression, not
@@ -1882,6 +1925,7 @@ object QueriesPipeline {
     "q_sample" -> (qSample _),
     "q_strata_mix" -> (qStrataMix _),
     "q_mix_program" -> (qMixProgram _),
+    "q_curate_program" -> (qCurateProgram _),
     "q_ivf_loop" -> (qIvfLoop _),
     "q_split" -> (qSplit _),
     "q_mix" -> (qMix _),
@@ -1951,6 +1995,7 @@ object QueriesPipeline {
     "q_sample" -> qSampleSql,
     "q_strata_mix" -> qStrataMixSql,
     "q_mix_program" -> qMixProgramSql,
+    "q_curate_program" -> qCurateProgramSql,
     "q_ivf_loop" -> qIvfLoopSql,
     "q_split" -> qSplitSql,
     "q_mix" -> qMixSql,

@@ -303,6 +303,70 @@ object Program {
                              splits: Seq[(String, Double)], as: String,
                              salt: String) extends Node
 
+  // --- corpus-curation nodes (format version 6): the within-corpus dedup
+  // and text-quality family (`pipeline.Dedup` / `pipeline.TextOps`) as
+  // shippable document nodes. The annotation/generator nodes (quality,
+  // piiScrub, langId, chunkTokens, winnow, repetition) are stateless
+  // per-row projections — dual-mode and union-distributive; the corpus
+  // aggregation nodes (dedupCorpus, semanticDedup, lineScrub, spanScrub,
+  // packChunks) are batch-face.
+
+  /** Within-corpus near-dup dedup (`Dedup.deduplicateCorpus`): surviving
+    * `idCol` values after exact-hash + MinHash/LSH clustering. BUILD-TIME
+    * EAGER (the connected-components fixpoint runs driver rounds), so
+    * validation is schema-only; the output carries `idCol` alone. */
+  final case class DedupCorpus(name: String, input: String, idCol: String,
+                               textCol: String, k: Int, bands: Int,
+                               threshold: Double) extends Node
+  /** Within-corpus embedding dedup (`Dedup.semanticDedup`, SemDeDup):
+    * `centroids` names the codebook input that bounds the pair space.
+    * BUILD-TIME EAGER (codebook collect + CC fixpoint); survivors keep
+    * the input schema. */
+  final case class SemanticDedup(name: String, input: String, centroids: String,
+                                 idCol: String, vecCol: String,
+                                 threshold: Double) extends Node
+  /** Duplicate-line scrub (`Dedup.scrubDuplicateLines`, the C4 rule):
+    * per-doc (n_lines, n_dropped, scrubbed) keeping each line's first
+    * (id, position) occurrence corpus-wide. */
+  final case class LineScrub(name: String, input: String, idCol: String,
+                             textCol: String, minWords: Int) extends Node
+  /** Repeated-span scrub (`Dedup.scrubRepeatedSpans`, Lee et al. 2022):
+    * per-doc (n_kept, kept_hash) after dropping spans of `k`-grams seen
+    * in >= `minDocs` documents. BUILD-TIME EAGER (pins the corpus-wide
+    * candidate frame), so validation is schema-only. */
+  final case class SpanScrub(name: String, input: String, idCol: String,
+                             textCol: String, k: Int, minDocs: Int,
+                             keepCanonical: Boolean) extends Node
+  /** Quality-feature annotation (`TextOps.qualityFeatures`): appends
+    * n_words, avg_word_len, stopword_ratio, punct_count. */
+  final case class QualityAnnotate(name: String, input: String,
+                                   textCol: String) extends Node
+  /** PII annotation + scrub (`TextOps.scrubPii`): appends n_emails,
+    * n_urls, n_ips and the masked `scrubbed` text. */
+  final case class PiiScrub(name: String, input: String,
+                            textCol: String) extends Node
+  /** Marker-word language-ID annotation (`TextOps.langId`) as `as`. */
+  final case class LangId(name: String, input: String, textCol: String,
+                          as: String) extends Node
+  /** Sliding token-window chunking (`TextOps.chunkTokens`): one row per
+    * (doc, chunk) — a per-row generator, so dual-mode. */
+  final case class ChunkTokens(name: String, input: String, idCol: String,
+                               textCol: String, chunkSize: Int,
+                               stride: Int) extends Node
+  /** Greedy token-budget packing (`TextOps.packChunks`) — batch face
+    * (running-sum window per `partCol`). */
+  final case class PackChunks(name: String, input: String, idCol: String,
+                              textCol: String, partCol: String,
+                              budget: Long) extends Node
+  /** Winnowing fingerprints (`TextOps.winnowFingerprints`, Schleimer
+    * et al. SIGMOD 2003): one row per selected (pos, fp) per doc. */
+  final case class Winnow(name: String, input: String, idCol: String,
+                          textCol: String, n: Int, w: Int) extends Node
+  /** Repetition-feature annotation (`TextOps.repetitionFeatures`):
+    * (id, dup_word_frac, max_word_frac, top_bigram_frac). */
+  final case class Repetition(name: String, input: String, idCol: String,
+                              textCol: String) extends Node
+
   /** The whole document: nodes in topological order + the named outputs a
     * configuration may bind sinks to. */
   final case class Doc(nodes: Seq[Node], outputs: Seq[String]) {
@@ -499,6 +563,17 @@ object Program {
     case ct: CapTokens => Seq(ct.input)
     case tm: TemperatureMix => Seq(tm.input)
     case sp: SafeSplit => Seq(sp.input, sp.pairs)
+    case dc: DedupCorpus => Seq(dc.input)
+    case sd: SemanticDedup => Seq(sd.input, sd.centroids)
+    case ls: LineScrub => Seq(ls.input)
+    case sc: SpanScrub => Seq(sc.input)
+    case qa: QualityAnnotate => Seq(qa.input)
+    case ps: PiiScrub => Seq(ps.input)
+    case li: LangId => Seq(li.input)
+    case ct: ChunkTokens => Seq(ct.input)
+    case pc: PackChunks => Seq(pc.input)
+    case wn: Winnow => Seq(wn.input)
+    case rp: Repetition => Seq(rp.input)
   }
 
   /** Static shape of a cycle body, deciding the batch fixpoint strategy.
@@ -537,7 +612,11 @@ object Program {
                // union-distributive (caps and temperatureMix are NOT: rank
                // windows and corpus counts don't distribute -> default)
                _: HashSample | _: StratifiedSample | _: AssignSplit |
-               _: WeightedMix =>
+               _: WeightedMix |
+               // the curation annotators/generators are pure per-row ops
+               // (corpus aggregations — dedup, scrubs, packChunks — are not)
+               _: QualityAnnotate | _: PiiScrub | _: LangId |
+               _: ChunkTokens | _: Winnow | _: Repetition =>
             deps.size == 1
           case _: Union => true // union distributes regardless of arity
           case j: Join =>
@@ -747,8 +826,44 @@ object Program {
           new MStream(graft.pipeline.Sampling.leakageSafeSplit(
               s.df, idCol, in(pairs).df, aCol, bCol, splits, as, salt),
             s.eventOrder, s.contextKeys, s.name)
+        case DedupCorpus(_, i, idCol, textCol, k, bands, threshold) =>
+          rewrap(in(i), graft.pipeline.Dedup.deduplicateCorpus(
+            in(i).df, idCol, textCol, k, bands, threshold))
+        case SemanticDedup(name, i, cents, idCol, vecCol, threshold) =>
+          rewrap(in(i), graft.pipeline.Dedup.semanticDedup(
+            in(i).df, idCol, vecCol, staticSide(name, in, cents), threshold))
+        case LineScrub(_, i, idCol, textCol, minWords) =>
+          rewrap(in(i), graft.pipeline.Dedup.scrubDuplicateLines(
+            in(i).df, idCol, textCol, minWords))
+        case SpanScrub(_, i, idCol, textCol, k, minDocs, keepCanonical) =>
+          rewrap(in(i), graft.pipeline.Dedup.scrubRepeatedSpans(
+            in(i).df, idCol, textCol, k, minDocs, keepCanonical))
+        case QualityAnnotate(_, i, textCol) =>
+          in(i).addFields(graft.pipeline.TextOps.qualityFeatures(col(textCol)): _*)
+        case PiiScrub(_, i, textCol) =>
+          in(i).addFields(graft.pipeline.TextOps.scrubPii(col(textCol)): _*)
+        case LangId(_, i, textCol, as) =>
+          in(i).addFields(as -> graft.pipeline.TextOps.langId(col(textCol)))
+        case ChunkTokens(_, i, idCol, textCol, chunkSize, stride) =>
+          rewrap(in(i), graft.pipeline.TextOps.chunkTokens(
+            in(i).df, idCol, textCol, chunkSize, stride))
+        case PackChunks(_, i, idCol, textCol, partCol, budget) =>
+          rewrap(in(i), graft.pipeline.TextOps.packChunks(
+            in(i).df, idCol, textCol, partCol, budget))
+        case Winnow(_, i, idCol, textCol, nGram, w) =>
+          rewrap(in(i), graft.pipeline.TextOps.winnowFingerprints(
+            in(i).df, idCol, textCol, nGram, w))
+        case Repetition(_, i, idCol, textCol) =>
+          rewrap(in(i), graft.pipeline.TextOps.repetitionFeatures(
+            in(i).df, idCol, textCol))
     }
   }
+
+  /** Wrap a pipeline operator's output frame back onto `s`'s stream
+    * identity, keeping only the order columns that survived (same rule as
+    * `MStream.lift`). */
+  private def rewrap(s: MStream, out: org.apache.spark.sql.DataFrame): MStream =
+    new MStream(out, s.eventOrder.filter(out.columns.contains), s.contextKeys, s.name)
 
   /** Resolve an ingest node's static-side input: must be a batch frame
     * (the operators pin/broadcast it; a streaming reference has no stable
@@ -807,6 +922,17 @@ object Program {
     case x: CapTokens => x.copy(name = name)
     case x: TemperatureMix => x.copy(name = name)
     case x: SafeSplit => x.copy(name = name)
+    case x: DedupCorpus => x.copy(name = name)
+    case x: SemanticDedup => x.copy(name = name)
+    case x: LineScrub => x.copy(name = name)
+    case x: SpanScrub => x.copy(name = name)
+    case x: QualityAnnotate => x.copy(name = name)
+    case x: PiiScrub => x.copy(name = name)
+    case x: LangId => x.copy(name = name)
+    case x: ChunkTokens => x.copy(name = name)
+    case x: PackChunks => x.copy(name = name)
+    case x: Winnow => x.copy(name = name)
+    case x: Repetition => x.copy(name = name)
   }
 
   /** Order-preserving merge of upstream node lists for a multi-input op:
@@ -1128,6 +1254,53 @@ object Program {
                   salt: String = ""): Rec =
       derive("safeSplit", Seq(pairs))(n => SafeSplit(n, name, pairs.name,
         idCol, aCol, bCol, splits, as, salt))
+
+    // ----- corpus-curation recordings (format version 6) -----
+    /** Within-corpus near-dup dedup; BUILD-TIME EAGER (CC fixpoint runs
+      * at capture, like the import path). */
+    def dedupCorpus(idCol: String, textCol: String, k: Int, bands: Int,
+                    threshold: Double): Rec =
+      derive1("dedupCorpus")(n => DedupCorpus(n, name, idCol, textCol,
+        k, bands, threshold))
+    /** SemDeDup within-corpus embedding dedup; `centroids` names the
+      * codebook input. BUILD-TIME EAGER. */
+    def semanticDedup(centroids: Rec, idCol: String, vecCol: String,
+                      threshold: Double): Rec =
+      derive("semanticDedup", Seq(centroids))(n => SemanticDedup(n, name,
+        centroids.name, idCol, vecCol, threshold))
+    /** Duplicate-line scrub (the C4 rule). */
+    def lineScrub(idCol: String, textCol: String, minWords: Int = 3): Rec =
+      derive1("lineScrub")(n => LineScrub(n, name, idCol, textCol, minWords))
+    /** Repeated-span scrub (Lee et al.); BUILD-TIME EAGER. */
+    def spanScrub(idCol: String, textCol: String, k: Int, minDocs: Int,
+                  keepCanonical: Boolean = false): Rec =
+      derive1("spanScrub")(n => SpanScrub(n, name, idCol, textCol, k,
+        minDocs, keepCanonical))
+    /** Quality-feature annotation. */
+    def qualityAnnotate(textCol: String): Rec =
+      derive1("quality")(n => QualityAnnotate(n, name, textCol))
+    /** PII annotation + masked text. */
+    def piiScrub(textCol: String): Rec =
+      derive1("piiScrub")(n => PiiScrub(n, name, textCol))
+    /** Marker-word language-ID annotation. */
+    def langId(textCol: String, as: String = "lang"): Rec =
+      derive1("langId")(n => LangId(n, name, textCol, as))
+    /** Sliding token-window chunking. */
+    def chunkTokens(idCol: String, textCol: String, chunkSize: Int,
+                    stride: Int): Rec =
+      derive1("chunkTokens")(n => ChunkTokens(n, name, idCol, textCol,
+        chunkSize, stride))
+    /** Greedy token-budget packing per `partCol`. */
+    def packChunks(idCol: String, textCol: String, partCol: String,
+                   budget: Long): Rec =
+      derive1("packChunks")(n => PackChunks(n, name, idCol, textCol,
+        partCol, budget))
+    /** Winnowing fingerprints. */
+    def winnow(idCol: String, textCol: String, n: Int = 3, w: Int = 4): Rec =
+      derive1("winnow")(nm => Winnow(nm, name, idCol, textCol, n, w))
+    /** Repetition-feature annotation. */
+    def repetition(idCol: String, textCol: String): Rec =
+      derive1("repetition")(n => Repetition(n, name, idCol, textCol))
   }
 
   object Rec {
@@ -1162,15 +1335,23 @@ object Program {
     * pipeline ingest-face nodes (corpusDedup, embedDedup, lmScore,
     * encodeIngest, decontaminateIngest, ivfProbe); 3 adds dsirScore,
     * tokenFreq and bpeEncode; 4 adds exactDedup, gopherGate and
-    * nbClassify.
+    * nbClassify; 5 adds the eight sampling/training-mix nodes; 6 adds
+    * the eleven corpus-curation nodes (dedupCorpus, semanticDedup,
+    * lineScrub, spanScrub, quality, piiScrub, langId, chunkTokens,
+    * packChunks, winnow, repetition).
     * [[toJson]] stamps each document with the LOWEST version that can
     * express it, so a document using only the v1 grammar stays loadable
     * by a v1 library. */
-  val FormatVersion: Int = 5
+  val FormatVersion: Int = 6
 
   /** The lowest format version expressing every node in `doc`. */
   private def requiredVersion(doc: Doc): Int =
     if (doc.nodes.exists {
+      case _: DedupCorpus | _: SemanticDedup | _: LineScrub | _: SpanScrub |
+           _: QualityAnnotate | _: PiiScrub | _: LangId | _: ChunkTokens |
+           _: PackChunks | _: Winnow | _: Repetition => true
+      case _ => false }) 6
+    else if (doc.nodes.exists {
       case _: HashSample | _: StratifiedSample | _: AssignSplit | _: WeightedMix |
            _: CapPerKey | _: CapTokens | _: TemperatureMix | _: SafeSplit => true
       case _ => false }) 5
@@ -1342,6 +1523,45 @@ object Program {
           ("bCol" -> bCol) ~
           ("splits" -> splits.map { case (s, f) => ("name" -> s) ~ ("fraction" -> f) }) ~
           ("as" -> as) ~ ("salt" -> salt)
+      case DedupCorpus(name, i, idCol, textCol, k, bands, threshold) =>
+        ("op" -> "dedupCorpus") ~ ("name" -> name) ~ ("input" -> i) ~
+          ("idCol" -> idCol) ~ ("textCol" -> textCol) ~ ("k" -> k) ~
+          ("bands" -> bands) ~ ("threshold" -> threshold)
+      case SemanticDedup(name, i, cents, idCol, vecCol, threshold) =>
+        ("op" -> "semanticDedup") ~ ("name" -> name) ~ ("input" -> i) ~
+          ("centroids" -> cents) ~ ("idCol" -> idCol) ~ ("vecCol" -> vecCol) ~
+          ("threshold" -> threshold)
+      case LineScrub(name, i, idCol, textCol, minWords) =>
+        ("op" -> "lineScrub") ~ ("name" -> name) ~ ("input" -> i) ~
+          ("idCol" -> idCol) ~ ("textCol" -> textCol) ~ ("minWords" -> minWords)
+      case SpanScrub(name, i, idCol, textCol, k, minDocs, keepCanonical) =>
+        ("op" -> "spanScrub") ~ ("name" -> name) ~ ("input" -> i) ~
+          ("idCol" -> idCol) ~ ("textCol" -> textCol) ~ ("k" -> k) ~
+          ("minDocs" -> minDocs) ~ ("keepCanonical" -> keepCanonical)
+      case QualityAnnotate(name, i, textCol) =>
+        ("op" -> "quality") ~ ("name" -> name) ~ ("input" -> i) ~
+          ("textCol" -> textCol)
+      case PiiScrub(name, i, textCol) =>
+        ("op" -> "piiScrub") ~ ("name" -> name) ~ ("input" -> i) ~
+          ("textCol" -> textCol)
+      case LangId(name, i, textCol, as) =>
+        ("op" -> "langId") ~ ("name" -> name) ~ ("input" -> i) ~
+          ("textCol" -> textCol) ~ ("as" -> as)
+      case ChunkTokens(name, i, idCol, textCol, chunkSize, stride) =>
+        ("op" -> "chunkTokens") ~ ("name" -> name) ~ ("input" -> i) ~
+          ("idCol" -> idCol) ~ ("textCol" -> textCol) ~
+          ("chunkSize" -> chunkSize) ~ ("stride" -> stride)
+      case PackChunks(name, i, idCol, textCol, partCol, budget) =>
+        ("op" -> "packChunks") ~ ("name" -> name) ~ ("input" -> i) ~
+          ("idCol" -> idCol) ~ ("textCol" -> textCol) ~
+          ("partCol" -> partCol) ~ ("budget" -> budget)
+      case Winnow(name, i, idCol, textCol, nGram, w) =>
+        ("op" -> "winnow") ~ ("name" -> name) ~ ("input" -> i) ~
+          ("idCol" -> idCol) ~ ("textCol" -> textCol) ~ ("n" -> nGram) ~
+          ("w" -> w)
+      case Repetition(name, i, idCol, textCol) =>
+        ("op" -> "repetition") ~ ("name" -> name) ~ ("input" -> i) ~
+          ("idCol" -> idCol) ~ ("textCol" -> textCol)
     }
     JsonMethods.compact(JsonMethods.render(
       ("version" -> requiredVersion(doc)) ~ ("nodes" -> doc.nodes.map(nodeJson)) ~
@@ -1532,6 +1752,39 @@ object Program {
             (v \ "aCol").extract[String], (v \ "bCol").extract[String],
             splitsOf(v), (v \ "as").extractOpt[String].getOrElse("split"),
             (v \ "salt").extractOpt[String].getOrElse(""))
+          case "dedupCorpus" => DedupCorpus(name, (v \ "input").extract[String],
+            (v \ "idCol").extract[String], (v \ "textCol").extract[String],
+            (v \ "k").extract[Int], (v \ "bands").extract[Int],
+            (v \ "threshold").extract[Double])
+          case "semanticDedup" => SemanticDedup(name, (v \ "input").extract[String],
+            (v \ "centroids").extract[String], (v \ "idCol").extract[String],
+            (v \ "vecCol").extract[String], (v \ "threshold").extract[Double])
+          case "lineScrub" => LineScrub(name, (v \ "input").extract[String],
+            (v \ "idCol").extract[String], (v \ "textCol").extract[String],
+            (v \ "minWords").extractOpt[Int].getOrElse(3))
+          case "spanScrub" => SpanScrub(name, (v \ "input").extract[String],
+            (v \ "idCol").extract[String], (v \ "textCol").extract[String],
+            (v \ "k").extract[Int], (v \ "minDocs").extract[Int],
+            (v \ "keepCanonical").extractOpt[Boolean].getOrElse(false))
+          case "quality" => QualityAnnotate(name, (v \ "input").extract[String],
+            (v \ "textCol").extract[String])
+          case "piiScrub" => PiiScrub(name, (v \ "input").extract[String],
+            (v \ "textCol").extract[String])
+          case "langId" => LangId(name, (v \ "input").extract[String],
+            (v \ "textCol").extract[String],
+            (v \ "as").extractOpt[String].getOrElse("lang"))
+          case "chunkTokens" => ChunkTokens(name, (v \ "input").extract[String],
+            (v \ "idCol").extract[String], (v \ "textCol").extract[String],
+            (v \ "chunkSize").extract[Int], (v \ "stride").extract[Int])
+          case "packChunks" => PackChunks(name, (v \ "input").extract[String],
+            (v \ "idCol").extract[String], (v \ "textCol").extract[String],
+            (v \ "partCol").extract[String], (v \ "budget").extract[Long])
+          case "winnow" => Winnow(name, (v \ "input").extract[String],
+            (v \ "idCol").extract[String], (v \ "textCol").extract[String],
+            (v \ "n").extractOpt[Int].getOrElse(3),
+            (v \ "w").extractOpt[Int].getOrElse(4))
+          case "repetition" => Repetition(name, (v \ "input").extract[String],
+            (v \ "idCol").extract[String], (v \ "textCol").extract[String])
           case other => throw new IllegalArgumentException(s"unknown program op '$other'")
         }
       }
@@ -1640,6 +1893,31 @@ object Program {
             val s = env(tm.input)
             s.df.select(col(tm.keyCol), col(tm.strataCol)).schema
             emptyOf(s.df.schema)
+          case dc: DedupCorpus =>
+            // build-time eager (CC fixpoint runs driver rounds): force the
+            // column references, emit the survivor-id schema
+            val s = env(dc.input)
+            s.df.select(col(dc.idCol), col(dc.textCol)).schema
+            emptyOf(org.apache.spark.sql.types.StructType(
+              Seq(s.df.schema(dc.idCol))))
+          case sd: SemanticDedup =>
+            // build-time eager (codebook collect + CC fixpoint): survivors
+            // keep the input schema
+            val s = env(sd.input)
+            s.df.select(col(sd.idCol), col(sd.vecCol)).schema
+            env(sd.centroids).df.select(col("cid"), col("cv")).schema
+            emptyOf(s.df.schema)
+          case sc: SpanScrub =>
+            // build-time eager (pins the corpus-wide candidate frame):
+            // emit the accounting schema (id, n_kept, kept_hash)
+            val s = env(sc.input)
+            s.df.select(col(sc.idCol), col(sc.textCol)).schema
+            emptyOf(org.apache.spark.sql.types.StructType(Seq(
+              s.df.schema(sc.idCol),
+              org.apache.spark.sql.types.StructField("n_kept",
+                org.apache.spark.sql.types.LongType),
+              org.apache.spark.sql.types.StructField("kept_hash",
+                org.apache.spark.sql.types.LongType))))
           case other => lowerNode(other, name => env(name))
         }
         out.df.schema // force analysis NOW so failures attribute to THIS node
@@ -1861,6 +2139,47 @@ object Program {
           Seq(tm.input)
         case sp: SafeSplit =>
           checkSplits(n.name, sp.splits); Seq(sp.input, sp.pairs)
+        case dc: DedupCorpus =>
+          if (dc.bands <= 0 || dc.k < dc.bands || dc.k % dc.bands != 0)
+            throw new IllegalArgumentException(s"node '${n.name}': dedupCorpus " +
+              s"needs k a positive multiple of bands, got k=${dc.k} bands=${dc.bands}")
+          if (dc.threshold <= 0.0 || dc.threshold > 1.0)
+            throw new IllegalArgumentException(s"node '${n.name}': dedupCorpus " +
+              s"threshold must be in (0,1], got ${dc.threshold}")
+          Seq(dc.input)
+        case sd: SemanticDedup =>
+          if (sd.threshold <= 0.0 || sd.threshold > 1.0)
+            throw new IllegalArgumentException(s"node '${n.name}': semanticDedup " +
+              s"threshold must be in (0,1], got ${sd.threshold}")
+          Seq(sd.input, sd.centroids)
+        case ls: LineScrub =>
+          if (ls.minWords < 1) throw new IllegalArgumentException(
+            s"node '${n.name}': lineScrub needs minWords >= 1, got ${ls.minWords}")
+          Seq(ls.input)
+        case sc: SpanScrub =>
+          if (sc.k < 2 || sc.minDocs < 2) throw new IllegalArgumentException(
+            s"node '${n.name}': spanScrub needs k >= 2 and minDocs >= 2, " +
+              s"got k=${sc.k} minDocs=${sc.minDocs}")
+          Seq(sc.input)
+        case qa: QualityAnnotate => Seq(qa.input)
+        case ps: PiiScrub => Seq(ps.input)
+        case li: LangId => Seq(li.input)
+        case ct2: ChunkTokens =>
+          if (ct2.chunkSize <= 0 || ct2.stride <= 0 || ct2.stride > ct2.chunkSize)
+            throw new IllegalArgumentException(s"node '${n.name}': chunkTokens " +
+              s"needs 0 < stride <= chunkSize, got chunkSize=${ct2.chunkSize} " +
+              s"stride=${ct2.stride}")
+          Seq(ct2.input)
+        case pc: PackChunks =>
+          if (pc.budget <= 0) throw new IllegalArgumentException(
+            s"node '${n.name}': packChunks needs budget > 0, got ${pc.budget}")
+          Seq(pc.input)
+        case wn: Winnow =>
+          if (wn.n < 1 || wn.w < 1) throw new IllegalArgumentException(
+            s"node '${n.name}': winnow needs n >= 1 and w >= 1, " +
+              s"got n=${wn.n} w=${wn.w}")
+          Seq(wn.input)
+        case rp: Repetition => Seq(rp.input)
       }
       inputs.foreach(i => if (!defined.contains(i)) throw new IllegalArgumentException(
         s"node '${n.name}' references '$i' before it is defined"))
