@@ -1181,6 +1181,22 @@ object QueriesPipeline {
   val qFingerprintSql: String =
     s"SELECT doc_id, ${PolyFold.format("text")} AS fp FROM documents"
 
+  /** CCNet-style normalization fold, then the portable fingerprint of the
+    * NORMALIZED text — the canonical normalize-then-hash step of fuzzy
+    * dedup. On the pure-ASCII corpus the fold reduces to digit-fold +
+    * whitespace collapse + trim (the NFKD/mark-strip/lowercase steps are
+    * no-ops there — NormalizeSpec pins them against an independent
+    * unicode reference); the oracle mirrors the reduction exactly. */
+  def qNormalize(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir).df.select(col("doc_id"),
+      TextOps.normalizeText(col("text")).as("norm_text"),
+      TextOps.polyHash(TextOps.normalizeText(col("text"))).as("norm_fp"))
+
+  val qNormalizeSql: String = {
+    val norm = "trim(regexp_replace(regexp_replace(lower(text), '[0-9]', '0', 'g'), '[ \\t\\n\\f\\r\\x0b]+', ' ', 'g'))"
+    s"SELECT doc_id, $norm AS norm_text, ${PolyFold.format(norm)} AS norm_fp FROM documents"
+  }
+
   /** Multimodal plumbing: fake media bytes → native byte-statistics
     * features (codegen'd `ByteMean` expression over the binary payload) →
     * per-source feature aggregate. The per-doc feature values are exact
@@ -1921,6 +1937,7 @@ object QueriesPipeline {
     "q_text_quality" -> (qTextQuality _),
     "q_token_count" -> (qTokenCount _),
     "q_fingerprint" -> (qFingerprint _),
+    "q_normalize" -> (qNormalize _),
     "q_repetition" -> (qRepetition _),
     "q_sample" -> (qSample _),
     "q_strata_mix" -> (qStrataMix _),
@@ -1991,6 +2008,7 @@ object QueriesPipeline {
     "q_text_quality" -> qTextQualitySql,
     "q_token_count" -> qTokenCountSql,
     "q_fingerprint" -> qFingerprintSql,
+    "q_normalize" -> qNormalizeSql,
     "q_repetition" -> qRepetitionSql,
     "q_sample" -> qSampleSql,
     "q_strata_mix" -> qStrataMixSql,

@@ -71,6 +71,15 @@ object TextOps {
   /** Rolling-hash document fingerprint (content-defined identity). */
   def fingerprint(text: Column): Column = polyHash(text)
 
+  /** CCNet-style unicode normalization (Wenzek et al. LREC 2020): NFKD,
+    * accent-mark strip, locale-free lowercase, digits → 0, whitespace
+    * collapse — the canonical pre-hash fold of fuzzy-dedup pipelines
+    * (RefinedWeb normalizes the same way before MinHash). A codegen'd
+    * stateless projection (`functions.UnicodeFold`), dual-mode by
+    * construction. */
+  def normalizeText(text: Column): Column =
+    graft.functions.TextNormalize.fold(text)
+
   /** Winnowing document fingerprints (Schleimer et al., SIGMOD 2003 — the
     * MOSS algorithm): word-`n`-gram hashes in position order, each window
     * of `w` selecting its rightmost minimum ([[graft.functions.WinnowSelect]],

@@ -34,6 +34,9 @@ object GraftExtensions {
       (es: Seq[Expression]) => JaccardSorted(es(0), es(1))),
     ("graft_polyhash", info("graft_polyhash", "portable polynomial string hash mod 1e9+7"),
       (es: Seq[Expression]) => StringPolyHash(es(0))),
+    ("graft_normalize", info("graft_normalize",
+      "CCNet-style unicode fold: NFKD, strip marks, lowercase, digits->0, collapse whitespace"),
+      (es: Seq[Expression]) => UnicodeFold(es(0))),
     ("graft_minhash16", info("graft_minhash16", "16-minhash signature of array<bigint>"),
       (es: Seq[Expression]) => MinHashSignature(es(0), 16)),
     ("graft_shingle_hashes3", info("graft_shingle_hashes3",

@@ -363,4 +363,28 @@ object ExpressionProps extends Properties("graft.expressions") {
         est >= hs.count(_ == h)
       }
     }
+
+  /** Independent reference for the CCNet fold: regex-based mark strip and
+    * whitespace split vs the expression's single code-point loop. */
+  private def refFold(s: String): String = {
+    val nfkd = java.text.Normalizer.normalize(s, java.text.Normalizer.Form.NFKD)
+    val noMarks = nfkd.replaceAll("\\p{Mn}", "")
+    val lowered = noMarks.codePoints().toArray
+      .map(Character.toLowerCase)
+      .map(cp => if (Character.isDigit(cp)) '0'.toInt else cp)
+    new String(lowered, 0, lowered.length)
+      .split("\\p{javaWhitespace}+").filter(_.nonEmpty).mkString(" ")
+  }
+
+  private val uniChar = Gen.frequency(
+    8 -> Gen.alphaNumChar,
+    2 -> Gen.oneOf(' ', '\t', '\n', '\u000B', '\r'),
+    3 -> Gen.oneOf('é', 'É', 'ü', 'ß', 'ﬁ', 'Ａ', '１', '①', 'ö', 'ñ', 'Ç',
+      '\u0301', '\u00A0', '\u3000', '²', 'Ⅷ'))
+
+  property("unicodeFold matches the independent unicode reference") =
+    forAll(Gen.listOf(uniChar).map(_.mkString)) { s =>
+      graft.functions.UnicodeFoldUtil.fold(UTF8String.fromString(s))
+        .toString == refFold(s)
+    }
 }
