@@ -879,6 +879,51 @@ object QueriesPipeline {
              LATERAL (SELECT unnest(generate_series(0, len(w) - 1, 24)) AS s) t"""
   }
 
+  /** Johnson–Lindenstrauss random projection to 16 dims under the seeded
+    * portable hyperplane family (seed 7): dimensionality reduction before
+    * ANN/k-means. Deterministic end to end — the oracle rebuilds all 16
+    * hyperplanes from the affine constants and refolds every dot product
+    * in position order (the q_hyperplane idiom), then divides by √16 = 4
+    * (exact) — so every projected element matches to the rounding. */
+  def qJlProject(spark: SparkSession, dir: String): DataFrame =
+    graft.pipeline.Similarity.randomProject(
+        Tables.embeddings(spark, dir).df, "embedding", outDim = 16, seed = 7)
+      .select(col("vec_id"), posexplode(col("projected")).as(Seq("dim", "val")))
+      .select(col("vec_id"), col("dim").cast("long").as("dim"),
+        round(col("val"), 6).as("val"))
+
+  val qJlProjectSql: String = {
+    val outDim = 16
+    val seed = 7
+    def dotFold(fam: Int) =
+      s"list_reduce([0.0::DOUBLE] || list_transform(range(1, len(e) + 1), " +
+        s"j -> e[j] * (((j - 1) * ${2 * fam + 1} + ${12345 * fam + 7}) % 1000000007 " +
+        s"/ 1000000007.0 - 0.5)), (a, x) -> a + x)"
+    val dimSelects = (0 until outDim).map { b =>
+      s"SELECT vec_id, ${b}::BIGINT AS dim, " +
+        s"round(${dotFold(seed * outDim + b)} / 4.0, 6) AS val FROM e"
+    }.mkString(" UNION ALL ")
+    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings)
+        $dimSelects"""
+  }
+
+  /** Top-3 documents by length per source through the BOUNDED-HEAP
+    * aggregate (`operators.GroupTopK` over `functions.BoundedTopK`): the
+    * 100 TB lowering of QUALIFY row_number() <= k — map-side k-element
+    * heaps merge through partial aggregation, so the exchange carries at
+    * most groups × k pairs instead of every row into a per-group sort.
+    * Ties break by ascending doc_id on both sides. */
+  def qGroupTopK(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.GroupTopK.topKPerKey(
+      Tables.documents(spark, dir).df, Seq("source"), "doc_id",
+      length(col("text")), k = 3, scoreAs = "len_score")
+
+  val qGroupTopKSql: String =
+    """SELECT source, doc_id, length(text)::DOUBLE AS len_score,
+         row_number() OVER (PARTITION BY source
+                            ORDER BY length(text) DESC, doc_id) AS rank
+       FROM documents QUALIFY rank <= 3"""
+
   /** Nearest-cell assignment through the COMPILED-LOOP lowering: a fixed
     * 300-cell rational codebook (> `Ivf.LiteralCells` = 256, so the
     * assignment is the `NearestCells` reference-object expression, not
@@ -1938,6 +1983,8 @@ object QueriesPipeline {
     "q_token_count" -> (qTokenCount _),
     "q_fingerprint" -> (qFingerprint _),
     "q_normalize" -> (qNormalize _),
+    "q_jl_project" -> (qJlProject _),
+    "q_group_topk" -> (qGroupTopK _),
     "q_repetition" -> (qRepetition _),
     "q_sample" -> (qSample _),
     "q_strata_mix" -> (qStrataMix _),
@@ -2009,6 +2056,8 @@ object QueriesPipeline {
     "q_token_count" -> qTokenCountSql,
     "q_fingerprint" -> qFingerprintSql,
     "q_normalize" -> qNormalizeSql,
+    "q_jl_project" -> qJlProjectSql,
+    "q_group_topk" -> qGroupTopKSql,
     "q_repetition" -> qRepetitionSql,
     "q_sample" -> qSampleSql,
     "q_strata_mix" -> qStrataMixSql,

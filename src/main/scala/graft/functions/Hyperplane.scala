@@ -43,6 +43,60 @@ object HyperplaneUtil {
   }
 }
 
+object JlProjectUtil {
+  /** Johnson–Lindenstrauss projection onto `outDim` portable hyperplanes
+    * (the SAME affine family as [[HyperplaneUtil]] — JL projection is
+    * hyperplane LSH without the sign): `y[b] = (Σ_j x[j]·c(seed·outDim+b,
+    * j)) / √outDim`, products folded in position order from 0.0 and one
+    * final IEEE division, so every output element is bit-identical across
+    * engines. The dense pseudo-random family is Achlioptas-style
+    * (bounded, zero-mean ±~0.29 components) rather than Gaussian — the
+    * distance-preservation guarantee is the same and the determinism is
+    * what makes it an ORACLE-checkable operator. */
+  def project(vec: ArrayData, outDim: Int, seed: Int): ArrayData = {
+    val d = vec.numElements()
+    val acc = new Array[Double](outDim)
+    var j = 0
+    while (j < d) {
+      val x = vec.getDouble(j)
+      var b = 0
+      while (b < outDim) {
+        acc(b) += x * HyperplaneUtil.component(seed * outDim + b, j); b += 1
+      }
+      j += 1
+    }
+    val s = math.sqrt(outDim.toDouble)
+    var b = 0
+    while (b < outDim) { acc(b) /= s; b += 1 }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(acc)
+  }
+}
+
+/** `graft_jl_project`: dimensionality reduction before ANN/clustering —
+  * a codegen'd stateless per-row projection to `outDim` dims. */
+case class JlProject(child: Expression, outDim: Int, seed: Int)
+  extends UnaryExpression {
+  require(outDim >= 1 && outDim <= 4096, s"outDim must be in [1,4096], got $outDim")
+  require(seed >= 0, s"seed must be non-negative, got $seed")
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(DoubleType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires array<double>, got $other")
+  }
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+  override def prettyName: String = "graft_jl_project"
+
+  override protected def nullSafeEval(a: Any): Any =
+    JlProjectUtil.project(a.asInstanceOf[ArrayData], outDim, seed)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, a => s"graft.functions.JlProjectUtil.project($a, $outDim, $seed)")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 /** `bits`-bit hyperplane code of an array<double> vector — one codegen'd
   * pass per row; the code never leaves the row until the bucket join. */
 case class HyperplaneBits(child: Expression, bits: Int, seed: Int)

@@ -910,6 +910,11 @@ object VectorFunctions {
   def hyperplaneBits(vec: Column, bits: Int, seed: Int): Column =
     ColumnBridge.column(HyperplaneBits(ColumnBridge.expr(vec), bits, seed))
 
+  /** Johnson–Lindenstrauss projection to `outDim` dims under the seeded
+    * portable hyperplane family (deterministic, engine-reproducible). */
+  def jlProject(vec: Column, outDim: Int, seed: Int): Column =
+    ColumnBridge.column(JlProject(ColumnBridge.expr(vec), outDim, seed))
+
   /** Bloom-filter aggregate over item-hash longs: fixed bit array,
     * OR-mergeable, map-side partial aggregation — the join-pruning
     * membership artifact (no false negatives). */

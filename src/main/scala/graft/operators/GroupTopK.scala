@@ -1,0 +1,47 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType}
+
+/**
+ * Top-k rows per group WITHOUT a per-group sort — the 100 TB lowering of
+ * `QUALIFY row_number() OVER (PARTITION BY keys ORDER BY score DESC) <= k`.
+ *
+ * A window formulation sorts every group's full row set on the shuffled
+ * side; this lowers onto the `BoundedTopK` native aggregate instead, so
+ * each map task keeps a k-element heap per group and the exchange carries
+ * at most groups × k (id, score) pairs — partial aggregation does the
+ * heavy lifting where the data is, exactly like `sum`. Ties break by
+ * ascending id (a total order, so results are partitioning-invariant and
+ * oracle-checkable).
+ *
+ * Contract: `idCol` must be an integral column (the heap entry is the
+ * (id, score) pair, not the row — join the result back on id to recover
+ * payload columns). Milan has no ranking operator at all (SURVEY §2.7:
+ * "sort / limit / top-k — absent"); this is parity-plus for the
+ * "top documents per domain / per query" steps of corpus curation.
+ */
+object GroupTopK {
+  def topKPerKey(df: DataFrame, keys: Seq[String], idCol: String,
+                 score: Column, k: Int, scoreAs: String = "score"): DataFrame = {
+    require(k > 0, s"topKPerKey needs k > 0, got $k")
+    require(keys.nonEmpty, "topKPerKey needs at least one grouping key")
+    df.schema(idCol).dataType match {
+      case LongType | IntegerType | ShortType | ByteType =>
+      case other => throw new IllegalArgumentException(
+        s"topKPerKey: idCol '$idCol' must be integral (the bounded heap " +
+          s"carries (id, score) pairs), got $other")
+    }
+    val keyCols = keys.map(col)
+    df.select(keyCols ++ Seq(col(idCol).cast("long").as("__id"),
+        score.cast("double").as("__s")): _*)
+      .groupBy(keyCols: _*)
+      .agg(graft.functions.VectorFunctions.topKByScore(
+        col("__id"), col("__s"), k).as("__top"))
+      .select(keyCols :+ posexplode(col("__top")): _*)
+      .select(keyCols ++ Seq(col("col.id").as(idCol),
+        col("col.cos").as(scoreAs),
+        (col("pos") + 1).cast("long").as("rank")): _*)
+  }
+}

@@ -62,6 +62,19 @@ object Similarity {
         round(col("col.cos"), 6).as("cos"), (col("pos") + 1).cast("int").as("rn"))
   }
 
+  /** Johnson–Lindenstrauss random projection of the embedding column to
+    * `outDim` dims (Achlioptas-style dense bounded family — the seeded
+    * portable hyperplanes, so both the projection matrix and every output
+    * element are engine-reproducible): the standard dimensionality
+    * reduction before ANN indexing or k-means when the native dimension
+    * makes distance arithmetic the bottleneck. A codegen'd zero-shuffle
+    * projection (`functions.JlProject`), dual-mode by construction; all
+    * original columns pass through, `as` carries the projected vector. */
+  def randomProject(embs: DataFrame, vecCol: String, outDim: Int,
+                    seed: Int = 0, as: String = "projected"): DataFrame =
+    embs.withColumn(as, graft.functions.VectorFunctions.jlProject(
+      col(vecCol).cast("array<double>"), outDim, seed))
+
   /**
    * Random-hyperplane LSH bucket key: `planes` sign bits from deterministic
    * pseudo-random hyperplanes (hash-seeded, so any engine reproduces them).

@@ -387,4 +387,22 @@ object ExpressionProps extends Properties("graft.expressions") {
       graft.functions.UnicodeFoldUtil.fold(UTF8String.fromString(s))
         .toString == refFold(s)
     }
+
+  property("jl projection equals the definitional per-dim dot fold") =
+    forAll(Gen.nonEmptyListOf(Gen.choose(-5.0, 5.0)),
+           Gen.choose(1, 8), Gen.choose(0, 3)) { (v, outDim, seed) =>
+      val got = graft.functions.JlProjectUtil
+        .project(new GenericArrayData(v.toArray), outDim, seed)
+        .toDoubleArray().toSeq
+      // independent order of loops (per-dim pass vs the expression's
+      // per-element pass) — same left-to-right fold per dim, so bit-exact
+      val expect = (0 until outDim).map { b =>
+        var acc = 0.0
+        v.zipWithIndex.foreach { case (x, j) =>
+          acc += x * graft.functions.HyperplaneUtil.component(seed * outDim + b, j)
+        }
+        acc / math.sqrt(outDim.toDouble)
+      }
+      got == expect
+    }
 }

@@ -1,0 +1,62 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.GroupTopK
+
+/** `GroupTopK.topKPerKey`: result parity with the window formulation
+  * (including the ascending-id tie-break), the named contract error on a
+  * non-integral id, and the plan shape that justifies the operator — a
+  * bounded-heap aggregate, never a per-group window sort. */
+class GroupTopKSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def rows = (0L until 200L)
+    .map(i => (i, s"g${i % 5}", (i * 37 % 11).toDouble)).toDF("id", "grp", "v")
+
+  test("topKPerKey equals the window formulation, ties by ascending id") {
+    val got = GroupTopK.topKPerKey(rows, Seq("grp"), "id", col("v"), k = 4)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2), r.getLong(3)))
+      .toSet
+    val want = rows
+      .withColumn("rank", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy("grp").orderBy(col("v").desc, col("id"))))
+      .filter(col("rank") <= 4)
+      .select(col("grp"), col("id"), col("v").as("score"), col("rank").cast("long"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2), r.getLong(3)))
+      .toSet
+    assert(got == want)
+    // groups with heavy ties (v repeats every 11 ids) exercise the
+    // tie-break; each group yields exactly k rows
+    assert(got.groupBy(_._1).forall(_._2.size == 4))
+  }
+
+  test("a group smaller than k yields all its rows") {
+    val small = Seq((1L, "a", 2.0), (2L, "a", 1.0), (3L, "b", 9.0))
+      .toDF("id", "grp", "v")
+    val got = GroupTopK.topKPerKey(small, Seq("grp"), "id", col("v"), k = 5)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(3))).toSet
+    assert(got == Set(("a", 1L, 1L), ("a", 2L, 2L), ("b", 3L, 1L)))
+  }
+
+  test("non-integral id is rejected with the contract error") {
+    val bad = Seq(("x", "a", 1.0)).toDF("id", "grp", "v")
+    val e = intercept[IllegalArgumentException](
+      GroupTopK.topKPerKey(bad, Seq("grp"), "id", col("v"), 2))
+    assert(e.getMessage.contains("must be integral"), e.getMessage)
+  }
+
+  test("the plan is a bounded-heap aggregate, not a window sort") {
+    // string form: the AQE wrapper hides the inner plan from collect()
+    val plan = GroupTopK.topKPerKey(rows, Seq("grp"), "id", col("v"), 3)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"), s"no per-group window sort allowed:\n$plan")
+    assert(!plan.contains("Sort"), s"no sort anywhere:\n$plan")
+    // partial + final ObjectHashAggregate around one exchange: the map
+    // side bounds each group's contribution to k rows
+    assert(plan.contains("partial_graft_top"),
+      s"expected a map-side partial bounded-heap aggregate:\n$plan")
+    assert("ObjectHashAggregate".r.findAllIn(plan).size >= 2,
+      s"expected partial+final bounded-heap aggregate:\n$plan")
+  }
+}
