@@ -366,6 +366,20 @@ object Program {
     * (id, dup_word_frac, max_word_frac, top_bigram_frac). */
   final case class Repetition(name: String, input: String, idCol: String,
                               textCol: String) extends Node
+  /** CCNet unicode-normalization annotation (`TextOps.normalizeText`)
+    * as `as` — stateless per-row, dual-mode. */
+  final case class Normalize(name: String, input: String, textCol: String,
+                             as: String) extends Node
+  /** Johnson–Lindenstrauss projection (`Similarity.randomProject`) of
+    * `vecCol` to `outDim` dims as `as` — stateless per-row, dual-mode. */
+  final case class JlProjection(name: String, input: String, vecCol: String,
+                                outDim: Int, seed: Int, as: String) extends Node
+  /** Bounded-heap group top-k (`operators.GroupTopK.topKPerKey`):
+    * `score` is a SQL expression; output (keys, idCol, scoreAs, rank).
+    * Batch face (an aggregation). */
+  final case class TopKPerKey(name: String, input: String, keys: Seq[String],
+                              idCol: String, score: String, k: Int,
+                              scoreAs: String) extends Node
 
   /** The whole document: nodes in topological order + the named outputs a
     * configuration may bind sinks to. */
@@ -574,6 +588,9 @@ object Program {
     case pc: PackChunks => Seq(pc.input)
     case wn: Winnow => Seq(wn.input)
     case rp: Repetition => Seq(rp.input)
+    case nm2: Normalize => Seq(nm2.input)
+    case jp: JlProjection => Seq(jp.input)
+    case tk: TopKPerKey => Seq(tk.input)
   }
 
   /** Static shape of a cycle body, deciding the batch fixpoint strategy.
@@ -616,7 +633,8 @@ object Program {
                // the curation annotators/generators are pure per-row ops
                // (corpus aggregations — dedup, scrubs, packChunks — are not)
                _: QualityAnnotate | _: PiiScrub | _: LangId |
-               _: ChunkTokens | _: Winnow | _: Repetition =>
+               _: ChunkTokens | _: Winnow | _: Repetition |
+               _: Normalize | _: JlProjection =>
             deps.size == 1
           case _: Union => true // union distributes regardless of arity
           case j: Join =>
@@ -856,6 +874,14 @@ object Program {
         case Repetition(_, i, idCol, textCol) =>
           rewrap(in(i), graft.pipeline.TextOps.repetitionFeatures(
             in(i).df, idCol, textCol))
+        case Normalize(_, i, textCol, as) =>
+          in(i).addFields(as -> graft.pipeline.TextOps.normalizeText(col(textCol)))
+        case JlProjection(_, i, vecCol, outDim, seed, as) =>
+          rewrap(in(i), graft.pipeline.Similarity.randomProject(
+            in(i).df, vecCol, outDim, seed, as))
+        case TopKPerKey(_, i, keys, idCol, score, k, scoreAs) =>
+          rewrap(in(i), graft.operators.GroupTopK.topKPerKey(
+            in(i).df, keys, idCol, expr(score), k, scoreAs))
     }
   }
 
@@ -933,6 +959,9 @@ object Program {
     case x: PackChunks => x.copy(name = name)
     case x: Winnow => x.copy(name = name)
     case x: Repetition => x.copy(name = name)
+    case x: Normalize => x.copy(name = name)
+    case x: JlProjection => x.copy(name = name)
+    case x: TopKPerKey => x.copy(name = name)
   }
 
   /** Order-preserving merge of upstream node lists for a multi-input op:
@@ -1301,6 +1330,17 @@ object Program {
     /** Repetition-feature annotation. */
     def repetition(idCol: String, textCol: String): Rec =
       derive1("repetition")(n => Repetition(n, name, idCol, textCol))
+    /** CCNet unicode-normalization annotation. */
+    def normalize(textCol: String, as: String = "norm_text"): Rec =
+      derive1("normalize")(n => Normalize(n, name, textCol, as))
+    /** Johnson–Lindenstrauss projection to `outDim` dims. */
+    def jlProject(vecCol: String, outDim: Int, seed: Int = 0,
+                  as: String = "projected"): Rec =
+      derive1("jlProject")(n => JlProjection(n, name, vecCol, outDim, seed, as))
+    /** Bounded-heap top-k per group by a SQL `score` expression. */
+    def topKPerKey(keys: Seq[String], idCol: String, score: String, k: Int,
+                   scoreAs: String = "score"): Rec =
+      derive1("topkPerKey")(n => TopKPerKey(n, name, keys, idCol, score, k, scoreAs))
   }
 
   object Rec {
@@ -1336,9 +1376,9 @@ object Program {
     * encodeIngest, decontaminateIngest, ivfProbe); 3 adds dsirScore,
     * tokenFreq and bpeEncode; 4 adds exactDedup, gopherGate and
     * nbClassify; 5 adds the eight sampling/training-mix nodes; 6 adds
-    * the eleven corpus-curation nodes (dedupCorpus, semanticDedup,
+    * the fourteen corpus-curation nodes (dedupCorpus, semanticDedup,
     * lineScrub, spanScrub, quality, piiScrub, langId, chunkTokens,
-    * packChunks, winnow, repetition).
+    * packChunks, winnow, repetition, normalize, jlProject, topkPerKey).
     * [[toJson]] stamps each document with the LOWEST version that can
     * express it, so a document using only the v1 grammar stays loadable
     * by a v1 library. */
@@ -1349,7 +1389,8 @@ object Program {
     if (doc.nodes.exists {
       case _: DedupCorpus | _: SemanticDedup | _: LineScrub | _: SpanScrub |
            _: QualityAnnotate | _: PiiScrub | _: LangId | _: ChunkTokens |
-           _: PackChunks | _: Winnow | _: Repetition => true
+           _: PackChunks | _: Winnow | _: Repetition | _: Normalize |
+           _: JlProjection | _: TopKPerKey => true
       case _ => false }) 6
     else if (doc.nodes.exists {
       case _: HashSample | _: StratifiedSample | _: AssignSplit | _: WeightedMix |
@@ -1562,6 +1603,17 @@ object Program {
       case Repetition(name, i, idCol, textCol) =>
         ("op" -> "repetition") ~ ("name" -> name) ~ ("input" -> i) ~
           ("idCol" -> idCol) ~ ("textCol" -> textCol)
+      case Normalize(name, i, textCol, as) =>
+        ("op" -> "normalize") ~ ("name" -> name) ~ ("input" -> i) ~
+          ("textCol" -> textCol) ~ ("as" -> as)
+      case JlProjection(name, i, vecCol, outDim, seed, as) =>
+        ("op" -> "jlProject") ~ ("name" -> name) ~ ("input" -> i) ~
+          ("vecCol" -> vecCol) ~ ("outDim" -> outDim) ~ ("seed" -> seed) ~
+          ("as" -> as)
+      case TopKPerKey(name, i, keys, idCol, score, k, scoreAs) =>
+        ("op" -> "topkPerKey") ~ ("name" -> name) ~ ("input" -> i) ~
+          ("keys" -> keys) ~ ("idCol" -> idCol) ~ ("score" -> score) ~
+          ("k" -> k) ~ ("scoreAs" -> scoreAs)
     }
     JsonMethods.compact(JsonMethods.render(
       ("version" -> requiredVersion(doc)) ~ ("nodes" -> doc.nodes.map(nodeJson)) ~
@@ -1785,6 +1837,17 @@ object Program {
             (v \ "w").extractOpt[Int].getOrElse(4))
           case "repetition" => Repetition(name, (v \ "input").extract[String],
             (v \ "idCol").extract[String], (v \ "textCol").extract[String])
+          case "normalize" => Normalize(name, (v \ "input").extract[String],
+            (v \ "textCol").extract[String],
+            (v \ "as").extractOpt[String].getOrElse("norm_text"))
+          case "jlProject" => JlProjection(name, (v \ "input").extract[String],
+            (v \ "vecCol").extract[String], (v \ "outDim").extract[Int],
+            (v \ "seed").extractOpt[Int].getOrElse(0),
+            (v \ "as").extractOpt[String].getOrElse("projected"))
+          case "topkPerKey" => TopKPerKey(name, (v \ "input").extract[String],
+            strs(v \ "keys"), (v \ "idCol").extract[String],
+            (v \ "score").extract[String], (v \ "k").extract[Int],
+            (v \ "scoreAs").extractOpt[String].getOrElse("score"))
           case other => throw new IllegalArgumentException(s"unknown program op '$other'")
         }
       }
@@ -2180,6 +2243,19 @@ object Program {
               s"got n=${wn.n} w=${wn.w}")
           Seq(wn.input)
         case rp: Repetition => Seq(rp.input)
+        case nm2: Normalize => Seq(nm2.input)
+        case jp: JlProjection =>
+          if (jp.outDim < 1 || jp.outDim > 4096 || jp.seed < 0)
+            throw new IllegalArgumentException(s"node '${n.name}': jlProject " +
+              s"needs outDim in [1,4096] and seed >= 0, got outDim=${jp.outDim} " +
+              s"seed=${jp.seed}")
+          Seq(jp.input)
+        case tk: TopKPerKey =>
+          parse(tk.score, s"node ${n.name}")
+          nonEmpty(tk.keys, "grouping key", n.name)
+          if (tk.k <= 0) throw new IllegalArgumentException(
+            s"node '${n.name}': topkPerKey needs k > 0, got ${tk.k}")
+          Seq(tk.input)
       }
       inputs.foreach(i => if (!defined.contains(i)) throw new IllegalArgumentException(
         s"node '${n.name}' references '$i' before it is defined"))

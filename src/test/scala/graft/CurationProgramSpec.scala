@@ -34,7 +34,10 @@ class CurationProgramSpec extends SparkSpec {
         ChunkTokens("ct", "li", "id", "text", 32, 24),
         PackChunks("pc", "in", "id", "text", "src", 100L),
         Winnow("wn", "in", "id", "text", 3, 4),
-        Repetition("rp", "in", "id", "text")),
+        Repetition("rp", "in", "id", "text"),
+        Normalize("nz", "in", "text", "norm_text"),
+        JlProjection("jl", "in", "vec", 16, 7, "projected"),
+        TopKPerKey("tk", "in", Seq("src"), "id", "length(text)", 3, "score")),
       outputs = Seq("ct"))
     val json = Program.toJson(d)
     assert(json.contains("\"version\":6"), "curation nodes need format version 6")
@@ -64,6 +67,29 @@ class CurationProgramSpec extends SparkSpec {
     assert(bad(PackChunks("x", "in", "id", "text", "src", 0L))
       .contains("budget > 0"))
     assert(bad(Winnow("x", "in", "id", "text", 0, 4)).contains("n >= 1"))
+    assert(bad(JlProjection("x", "in", "vec", 0, 0, "p"))
+      .contains("outDim in [1,4096]"))
+    assert(bad(TopKPerKey("x", "in", Nil, "id", "v", 3, "score"))
+      .contains("at least one grouping key"))
+    assert(bad(TopKPerKey("x", "in", Seq("g"), "id", "v", 0, "score"))
+      .contains("k > 0"))
+  }
+
+  test("normalize and topKPerKey capture == direct API") {
+    val piped = Program.Rec.external("in", MStream(docs))
+      .normalize("text")
+      .topKPerKey(Seq("src"), "id", "length(norm_text)", k = 2, scoreAs = "len")
+      .as("out")
+    val live = piped.stream.df.collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2), r.getLong(3))).toSet
+    val direct = graft.operators.GroupTopK.topKPerKey(
+        docs.withColumn("norm_text",
+          graft.pipeline.TextOps.normalizeText(col("text"))),
+        Seq("src"), "id", expr("length(norm_text)"), 2, "len")
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2), r.getLong(3))).toSet
+    assert(live == direct && live.nonEmpty,
+      "normalize/topKPerKey capture diverged from the direct API")
   }
 
   test("captured curation pipeline == direct API == reloaded document") {
