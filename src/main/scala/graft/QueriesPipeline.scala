@@ -907,6 +907,34 @@ object QueriesPipeline {
         $dimSelects"""
   }
 
+  /** Scalar int8 quantization (the SQ8 codec): train per-dimension
+    * [lo, hi] in ONE partial-aggregated scan (`VectorExtreme` — never a
+    * rows × dim explode), pin the driver-sized stats artifact, encode
+    * every vector through the reference-object expression. min/max are
+    * exact and the affine map is the documented op order, so the oracle
+    * reproduces every code: `clamp(floor((x-lo)*255/(hi-lo)), 0, 255)`,
+    * degenerate dims → 0. */
+  def qSq8(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, dir).df
+    val (lo, hi) = graft.pipeline.Sq.collectStats(
+      graft.pipeline.Sq.sq8Train(emb, "embedding"))
+    graft.pipeline.Sq.sq8Encode(emb, "embedding", lo, hi)
+      .select(col("vec_id"), posexplode(col("codes")).as(Seq("dim", "code")))
+      .select(col("vec_id"), col("dim").cast("long").as("dim"),
+        col("code").cast("long").as("code"))
+  }
+
+  val qSq8Sql: String =
+    """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        d AS (SELECT vec_id, j, v[j] AS x
+              FROM e, LATERAL (SELECT unnest(range(1, len(v) + 1)) AS j) t),
+        s AS (SELECT j, min(x) AS lo, max(x) AS hi FROM d GROUP BY j)
+        SELECT d.vec_id, (d.j - 1)::BIGINT AS dim,
+          (CASE WHEN s.hi = s.lo THEN 0
+                ELSE least(greatest(floor((d.x - s.lo) * 255.0 / (s.hi - s.lo)), 0), 255)
+           END)::BIGINT AS code
+        FROM d JOIN s USING (j)"""
+
   /** Top-3 documents by length per source through the BOUNDED-HEAP
     * aggregate (`operators.GroupTopK` over `functions.BoundedTopK`): the
     * 100 TB lowering of QUALIFY row_number() <= k — map-side k-element
@@ -1985,6 +2013,7 @@ object QueriesPipeline {
     "q_normalize" -> (qNormalize _),
     "q_jl_project" -> (qJlProject _),
     "q_group_topk" -> (qGroupTopK _),
+    "q_sq8" -> (qSq8 _),
     "q_repetition" -> (qRepetition _),
     "q_sample" -> (qSample _),
     "q_strata_mix" -> (qStrataMix _),
@@ -2058,6 +2087,7 @@ object QueriesPipeline {
     "q_normalize" -> qNormalizeSql,
     "q_jl_project" -> qJlProjectSql,
     "q_group_topk" -> qGroupTopKSql,
+    "q_sq8" -> qSq8Sql,
     "q_repetition" -> qRepetitionSql,
     "q_sample" -> qSampleSql,
     "q_strata_mix" -> qStrataMixSql,

@@ -380,6 +380,12 @@ object Program {
   final case class TopKPerKey(name: String, input: String, keys: Seq[String],
                               idCol: String, score: String, k: Int,
                               scoreAs: String) extends Node
+  /** SQ8 encode at ingest (`pipeline.Sq.sq8Encode`): `stats` names a
+    * (dim, lo, hi) input — a `sq8Train` artifact, pinned like an IVF
+    * codebook. BUILD-TIME EAGER (collects the capped stats artifact);
+    * once pinned the encode is a stateless dual-mode projection. */
+  final case class Sq8Ingest(name: String, input: String, stats: String,
+                             vecCol: String, as: String) extends Node
 
   /** The whole document: nodes in topological order + the named outputs a
     * configuration may bind sinks to. */
@@ -591,6 +597,7 @@ object Program {
     case nm2: Normalize => Seq(nm2.input)
     case jp: JlProjection => Seq(jp.input)
     case tk: TopKPerKey => Seq(tk.input)
+    case sq: Sq8Ingest => Seq(sq.input, sq.stats)
   }
 
   /** Static shape of a cycle body, deciding the batch fixpoint strategy.
@@ -882,6 +889,10 @@ object Program {
         case TopKPerKey(_, i, keys, idCol, score, k, scoreAs) =>
           rewrap(in(i), graft.operators.GroupTopK.topKPerKey(
             in(i).df, keys, idCol, expr(score), k, scoreAs))
+        case Sq8Ingest(name, i, stats, vecCol, as) =>
+          val (lo, hi) = graft.pipeline.Sq.collectStats(
+            staticSide(name, in, stats))
+          rewrap(in(i), graft.pipeline.Sq.sq8Encode(in(i).df, vecCol, lo, hi, as))
     }
   }
 
@@ -962,6 +973,7 @@ object Program {
     case x: Normalize => x.copy(name = name)
     case x: JlProjection => x.copy(name = name)
     case x: TopKPerKey => x.copy(name = name)
+    case x: Sq8Ingest => x.copy(name = name)
   }
 
   /** Order-preserving merge of upstream node lists for a multi-input op:
@@ -1341,6 +1353,10 @@ object Program {
     def topKPerKey(keys: Seq[String], idCol: String, score: String, k: Int,
                    scoreAs: String = "score"): Rec =
       derive1("topkPerKey")(n => TopKPerKey(n, name, keys, idCol, score, k, scoreAs))
+    /** SQ8 encode at ingest with `stats`' pinned (dim, lo, hi) artifact. */
+    def sq8Encode(stats: Rec, vecCol: String, as: String = "codes"): Rec =
+      derive("sq8Encode", Seq(stats))(n => Sq8Ingest(n, name, stats.name,
+        vecCol, as))
   }
 
   object Rec {
@@ -1376,9 +1392,10 @@ object Program {
     * encodeIngest, decontaminateIngest, ivfProbe); 3 adds dsirScore,
     * tokenFreq and bpeEncode; 4 adds exactDedup, gopherGate and
     * nbClassify; 5 adds the eight sampling/training-mix nodes; 6 adds
-    * the fourteen corpus-curation nodes (dedupCorpus, semanticDedup,
+    * the fifteen corpus-curation nodes (dedupCorpus, semanticDedup,
     * lineScrub, spanScrub, quality, piiScrub, langId, chunkTokens,
-    * packChunks, winnow, repetition, normalize, jlProject, topkPerKey).
+    * packChunks, winnow, repetition, normalize, jlProject, topkPerKey,
+    * sq8Encode).
     * [[toJson]] stamps each document with the LOWEST version that can
     * express it, so a document using only the v1 grammar stays loadable
     * by a v1 library. */
@@ -1390,7 +1407,7 @@ object Program {
       case _: DedupCorpus | _: SemanticDedup | _: LineScrub | _: SpanScrub |
            _: QualityAnnotate | _: PiiScrub | _: LangId | _: ChunkTokens |
            _: PackChunks | _: Winnow | _: Repetition | _: Normalize |
-           _: JlProjection | _: TopKPerKey => true
+           _: JlProjection | _: TopKPerKey | _: Sq8Ingest => true
       case _ => false }) 6
     else if (doc.nodes.exists {
       case _: HashSample | _: StratifiedSample | _: AssignSplit | _: WeightedMix |
@@ -1614,6 +1631,9 @@ object Program {
         ("op" -> "topkPerKey") ~ ("name" -> name) ~ ("input" -> i) ~
           ("keys" -> keys) ~ ("idCol" -> idCol) ~ ("score" -> score) ~
           ("k" -> k) ~ ("scoreAs" -> scoreAs)
+      case Sq8Ingest(name, i, stats, vecCol, as) =>
+        ("op" -> "sq8Encode") ~ ("name" -> name) ~ ("input" -> i) ~
+          ("stats" -> stats) ~ ("vecCol" -> vecCol) ~ ("as" -> as)
     }
     JsonMethods.compact(JsonMethods.render(
       ("version" -> requiredVersion(doc)) ~ ("nodes" -> doc.nodes.map(nodeJson)) ~
@@ -1848,6 +1868,9 @@ object Program {
             strs(v \ "keys"), (v \ "idCol").extract[String],
             (v \ "score").extract[String], (v \ "k").extract[Int],
             (v \ "scoreAs").extractOpt[String].getOrElse("score"))
+          case "sq8Encode" => Sq8Ingest(name, (v \ "input").extract[String],
+            (v \ "stats").extract[String], (v \ "vecCol").extract[String],
+            (v \ "as").extractOpt[String].getOrElse("codes"))
           case other => throw new IllegalArgumentException(s"unknown program op '$other'")
         }
       }
@@ -1970,6 +1993,16 @@ object Program {
             s.df.select(col(sd.idCol), col(sd.vecCol)).schema
             env(sd.centroids).df.select(col("cid"), col("cv")).schema
             emptyOf(s.df.schema)
+          case sq: Sq8Ingest =>
+            // build-time eager (collects the capped stats artifact):
+            // force the refs, emit input schema + the code column
+            val s = env(sq.input)
+            s.df.select(col(sq.vecCol)).schema
+            env(sq.stats).df.select(col("dim"), col("lo"), col("hi")).schema
+            emptyOf(org.apache.spark.sql.types.StructType(
+              s.df.schema.fields :+ org.apache.spark.sql.types.StructField(
+                sq.as, org.apache.spark.sql.types.ArrayType(
+                  org.apache.spark.sql.types.IntegerType, containsNull = false))))
           case sc: SpanScrub =>
             // build-time eager (pins the corpus-wide candidate frame):
             // emit the accounting schema (id, n_kept, kept_hash)
@@ -2256,6 +2289,7 @@ object Program {
           if (tk.k <= 0) throw new IllegalArgumentException(
             s"node '${n.name}': topkPerKey needs k > 0, got ${tk.k}")
           Seq(tk.input)
+        case sq: Sq8Ingest => Seq(sq.input, sq.stats)
       }
       inputs.foreach(i => if (!defined.contains(i)) throw new IllegalArgumentException(
         s"node '${n.name}' references '$i' before it is defined"))

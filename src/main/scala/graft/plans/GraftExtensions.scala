@@ -53,6 +53,12 @@ object GraftExtensions {
     ("graft_vec_sum", info("graft_vec_sum",
       "aggregate: elementwise sum of array<double> vectors"),
       (es: Seq[Expression]) => VectorSum(es(0)).toAggregateExpression()),
+    ("graft_vec_min", info("graft_vec_min",
+      "aggregate: elementwise min of array<double> vectors"),
+      (es: Seq[Expression]) => VectorExtreme(es(0), max = false).toAggregateExpression()),
+    ("graft_vec_max", info("graft_vec_max",
+      "aggregate: elementwise max of array<double> vectors"),
+      (es: Seq[Expression]) => VectorExtreme(es(0), max = true).toAggregateExpression()),
     ("graft_count_min", info("graft_count_min",
       "aggregate: count-min sketch (d=4, w=2048) over bigint item hashes"),
       (es: Seq[Expression]) => CountMinAgg(es(0), 4, 2048).toAggregateExpression()),

@@ -37,7 +37,8 @@ class CurationProgramSpec extends SparkSpec {
         Repetition("rp", "in", "id", "text"),
         Normalize("nz", "in", "text", "norm_text"),
         JlProjection("jl", "in", "vec", 16, 7, "projected"),
-        TopKPerKey("tk", "in", Seq("src"), "id", "length(text)", 3, "score")),
+        TopKPerKey("tk", "in", Seq("src"), "id", "length(text)", 3, "score"),
+        Sq8Ingest("sq", "jl", "cents", "projected", "codes")),
       outputs = Seq("ct"))
     val json = Program.toJson(d)
     assert(json.contains("\"version\":6"), "curation nodes need format version 6")
@@ -73,6 +74,26 @@ class CurationProgramSpec extends SparkSpec {
       .contains("at least one grouping key"))
     assert(bad(TopKPerKey("x", "in", Seq("g"), "id", "v", 0, "score"))
       .contains("k > 0"))
+  }
+
+  test("sq8Encode document node encodes against the pinned stats artifact") {
+    val embs = Seq((1L, Seq(0.0, 10.0)), (2L, Seq(10.0, 20.0))).toDF("id", "vec")
+    val stats = Seq((0L, 0.0, 10.0), (1L, 10.0, 20.0)).toDF("dim", "lo", "hi")
+    val piped = Program.Rec.external("in", MStream(embs))
+      .sq8Encode(Program.Rec.external("stats", MStream(stats)), "vec")
+      .as("out")
+    val live = piped.stream.df.collect()
+      .map(r => r.getLong(0) -> r.getSeq[Int](2)).toMap
+    assert(live(1L) == Seq(0, 0) && live(2L) == Seq(255, 255), live.toString)
+    // validation is schema-only: an EMPTY stats source would fail the
+    // collect contract if eager
+    val emptyStats = stats.limit(0)
+    val doc = Program.capture(piped)
+    val config = new App.Config()
+      .setSource("in", App.Source("list", rows = Some(embs)))
+      .setSource("stats", App.Source("list", rows = Some(emptyStats)))
+      .addSink("out", App.Sink("memory"))
+    Program.validate(doc, spark, config)
   }
 
   test("normalize and topKPerKey capture == direct API") {

@@ -388,6 +388,62 @@ object ExpressionProps extends Properties("graft.expressions") {
         .toString == refFold(s)
     }
 
+  property("vector min/max over random partition splits equals elementwise fold") =
+    forAll(Gen.choose(1, 6).flatMap(dim =>
+             Gen.nonEmptyListOf(Gen.listOfN(dim, Gen.choose(-5.0, 5.0)))),
+           Gen.choose(1, 5), Gen.oneOf(true, false)) { (rows, nParts, isMax) =>
+      import org.apache.spark.sql.catalyst.InternalRow
+      import org.apache.spark.sql.catalyst.expressions.BoundReference
+      import org.apache.spark.sql.types.{ArrayType, DoubleType}
+      val agg = graft.functions.VectorExtreme(
+        BoundReference(0, ArrayType(DoubleType, containsNull = false),
+          nullable = true), max = isMax)
+      val parts = List.empty[List[Double]] ::
+        rows.zipWithIndex.groupMap(_._2 % nParts)(_._1).values.toList
+      val merged = parts
+        .map(_.foldLeft(agg.createAggregationBuffer()) { (b, v) =>
+          agg.update(b, InternalRow(new GenericArrayData(v.toArray)))
+        })
+        .map(b => agg.deserialize(agg.serialize(b)))
+        .foldLeft(agg.createAggregationBuffer())(agg.merge)
+      val got = agg.eval(merged).asInstanceOf[GenericArrayData].toDoubleArray.toSeq
+      val expect = rows.transpose.map(c => if (isMax) c.max else c.min).toSeq
+      got == expect
+    }
+
+  property("sq8 encode equals the definitional per-element affine clamp") =
+    forAll(Gen.choose(1, 6).flatMap(dim =>
+             Gen.zip(Gen.listOfN(dim, Gen.choose(-5.0, 5.0)),
+                     Gen.listOfN(dim, Gen.choose(-5.0, 5.0)),
+                     Gen.listOfN(dim, Gen.choose(-6.0, 6.0))))) { case (a, b, v) =>
+      val lo = a.zip(b).map(t => math.min(t._1, t._2))
+      val hi = a.zip(b).map(t => math.max(t._1, t._2))
+      val e = graft.functions.Sq8Encode(
+        org.apache.spark.sql.catalyst.expressions.BoundReference(0,
+          org.apache.spark.sql.types.ArrayType(
+            org.apache.spark.sql.types.DoubleType), nullable = true), lo, hi)
+      val got = e.encode(new GenericArrayData(v.toArray))
+        .toIntArray().toSeq
+      val expect = v.indices.map { j =>
+        val s = hi(j) - lo(j)
+        if (s == 0.0) 0
+        else math.min(255, math.max(0,
+          math.floor((v(j) - lo(j)) * 255.0 / s).toInt))
+      }
+      // decode error is bounded by half a step per element
+      val dec = graft.functions.Sq8Decode(
+        org.apache.spark.sql.catalyst.expressions.BoundReference(0,
+          org.apache.spark.sql.types.ArrayType(
+            org.apache.spark.sql.types.IntegerType), nullable = true), lo, hi)
+        .decode(new GenericArrayData(got.toArray)).toDoubleArray().toSeq
+      val inRange = v.indices.forall { j =>
+        val s = hi(j) - lo(j)
+        val x = math.min(hi(j), math.max(lo(j), v(j))) // clamp like the codes do
+        s == 0.0 || math.abs(dec(j) - x) <= s / 255.0 * 0.5 + 1e-9
+      }
+      got == expect && inRange
+    }
+
   property("jl projection equals the definitional per-dim dot fold") =
     forAll(Gen.nonEmptyListOf(Gen.choose(-5.0, 5.0)),
            Gen.choose(1, 8), Gen.choose(0, 3)) { (v, outDim, seed) =>
