@@ -26,7 +26,11 @@ object StressBench {
         // training, NB classification, compressed ANN, plus the
         // large-codebook assignment probe (loop lowering past LiteralCells)
         "q_winnow_pairs", "q_bpe_merges", "q_nb_langid", "q_pq_topk", "ivf4096",
-        "pqlut512", "semdedup1024")
+        "pqlut512", "semdedup1024",
+        // round-10 representatives: the SQ8 train+encode pass and the
+        // captured curation document (normalize/quality/langid gates +
+        // chunking through the artifact flow)
+        "q_sq8", "q_curate_program")
     val spark = SparkSession.builder().master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
       .config("spark.sql.session.timeZone", "UTC")

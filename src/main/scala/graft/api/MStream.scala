@@ -30,7 +30,9 @@ final class MStream(
     val contextKeys: Seq[String] = Nil,
     val name: String = "") {
 
-  private def lift(d: DataFrame): MStream =
+  /** Rewrap a derived frame on this stream's identity, keeping only the
+    * order columns that survived (shared with the document-node path). */
+  private[graft] def lift(d: DataFrame): MStream =
     new MStream(d, eventOrder.filter(d.columns.contains), contextKeys, name)
 
   def withName(n: String): MStream = new MStream(df, eventOrder, contextKeys, n)

@@ -897,10 +897,9 @@ object Program {
   }
 
   /** Wrap a pipeline operator's output frame back onto `s`'s stream
-    * identity, keeping only the order columns that survived (same rule as
-    * `MStream.lift`). */
+    * identity — `MStream.lift`'s rule, shared so it cannot drift. */
   private def rewrap(s: MStream, out: org.apache.spark.sql.DataFrame): MStream =
-    new MStream(out, s.eventOrder.filter(out.columns.contains), s.contextKeys, s.name)
+    s.lift(out)
 
   /** Resolve an ingest node's static-side input: must be a batch frame
     * (the operators pin/broadcast it; a streaming reference has no stable
@@ -1999,10 +1998,13 @@ object Program {
             val s = env(sq.input)
             s.df.select(col(sq.vecCol)).schema
             env(sq.stats).df.select(col("dim"), col("lo"), col("hi")).schema
+            // mirror withColumn: an existing `as` column is REPLACED, not
+            // duplicated (encode-in-place documents must keep validating)
             emptyOf(org.apache.spark.sql.types.StructType(
-              s.df.schema.fields :+ org.apache.spark.sql.types.StructField(
-                sq.as, org.apache.spark.sql.types.ArrayType(
-                  org.apache.spark.sql.types.IntegerType, containsNull = false))))
+              s.df.schema.fields.filterNot(_.name == sq.as) :+
+                org.apache.spark.sql.types.StructField(
+                  sq.as, org.apache.spark.sql.types.ArrayType(
+                    org.apache.spark.sql.types.IntegerType, containsNull = false))))
           case sc: SpanScrub =>
             // build-time eager (pins the corpus-wide candidate frame):
             // emit the accounting schema (id, n_kept, kept_hash)

@@ -78,6 +78,11 @@ case class JlProject(child: Expression, outDim: Int, seed: Int)
   extends UnaryExpression {
   require(outDim >= 1 && outDim <= 4096, s"outDim must be in [1,4096], got $outDim")
   require(seed >= 0, s"seed must be non-negative, got $seed")
+  // family index is seed*outDim + b (b < outDim) as an Int: overflow
+  // would silently draw from a biased family instead of failing
+  require(seed.toLong * outDim + (outDim - 1) <= Int.MaxValue,
+    s"seed * outDim overflows the hyperplane family index " +
+      s"(seed=$seed, outDim=$outDim); pick a smaller seed")
 
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
     case ArrayType(DoubleType, _) => TypeCheckResult.TypeCheckSuccess
@@ -103,6 +108,9 @@ case class HyperplaneBits(child: Expression, bits: Int, seed: Int)
   extends UnaryExpression {
   require(bits >= 1 && bits <= 63, s"hyperplane bits must be in [1,63], got $bits")
   require(seed >= 0, s"hyperplane seed must be non-negative, got $seed")
+  require(seed.toLong * bits + (bits - 1) <= Int.MaxValue,
+    s"seed * bits overflows the hyperplane family index " +
+      s"(seed=$seed, bits=$bits); pick a smaller seed")
 
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
     case ArrayType(DoubleType, _) => TypeCheckResult.TypeCheckSuccess

@@ -23,8 +23,14 @@ import org.apache.spark.unsafe.types.UTF8String
  *     locale, so `I` → `i` regardless of default locale);
  *  4. fold every decimal digit (Nd) to `0` — numbers carry no signal
  *     for dedup but explode the shingle space;
- *  5. collapse runs of whitespace (`Character.isWhitespace`) to a
- *     single space and trim the ends.
+ *  5. collapse runs of whitespace to a single space and trim the ends —
+ *     whitespace is the PORTABLE Java-`\s` class (space, tab, LF, VT, FF, CR),
+ *     the exact separator rule of `TextOps.words` and the DuckDB
+ *     oracles (NFKD already folds the compat space variants — NBSP,
+ *     ideographic space, fullwidth forms — onto U+0020, so unicode
+ *     spacing still collapses; the class only excludes exotic
+ *     non-decomposing separators, keeping fold and oracle byte-agreed
+ *     on EVERY input, not just the corpus).
  *
  * On pure-ASCII lowercase text the fold reduces to whitespace collapse +
  * digit fold, which is how the DuckDB oracle mirrors it; the unicode
@@ -32,6 +38,12 @@ import org.apache.spark.unsafe.types.UTF8String
  * regex-based reference (NormalizeSpec).
  */
 object UnicodeFoldUtil {
+  /** The portable Java-`\s` separator class (`WordShingleUtil.isSep`'s
+    * rule) — NOT `Character.isWhitespace`, whose extras (U+001C–U+001F,
+    * NEL, line/paragraph separator) the oracles' regex class excludes. */
+  @inline private def isSep(cp: Int): Boolean =
+    cp == ' ' || cp == '\t' || cp == '\n' || cp == 0x0B || cp == '\f' || cp == '\r'
+
   /** Shared by interpreted eval and generated code. */
   def fold(s: UTF8String): UTF8String = {
     val nfkd = java.text.Normalizer.normalize(s.toString,
@@ -45,7 +57,7 @@ object UnicodeFoldUtil {
       val cp = nfkd.codePointAt(i)
       if (Character.getType(cp) == Character.NON_SPACING_MARK) {
         // strip accents / diacritics
-      } else if (Character.isWhitespace(cp)) {
+      } else if (isSep(cp)) {
         pendingSpace = started // leading whitespace never emits
       } else {
         if (pendingSpace) { sb.append(' '); pendingSpace = false }

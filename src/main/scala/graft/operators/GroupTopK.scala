@@ -18,9 +18,13 @@ import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType}
  *
  * Contract: `idCol` must be an integral column (the heap entry is the
  * (id, score) pair, not the row — join the result back on id to recover
- * payload columns). Milan has no ranking operator at all (SURVEY §2.7:
- * "sort / limit / top-k — absent"); this is parity-plus for the
- * "top documents per domain / per query" steps of corpus curation.
+ * payload columns), and rows whose id or score evaluates to NULL are
+ * EXCLUDED — aggregate null-skipping semantics, like `sum`, NOT the
+ * window formulation's nulls-rank-last. Coalesce the score upstream if
+ * null rows should compete. Milan has no ranking operator at all
+ * (SURVEY §2.7: "sort / limit / top-k — absent"); this is parity-plus
+ * for the "top documents per domain / per query" steps of corpus
+ * curation.
  */
 object GroupTopK {
   def topKPerKey(df: DataFrame, keys: Seq[String], idCol: String,

@@ -43,7 +43,10 @@ object Sq {
   /** Collect a `sq8Train` frame into the pinned (lo, hi) arrays —
     * capped driver artifact ([[MaxDims]]), dims contiguous from 0. */
   def collectStats(stats: DataFrame): (Seq[Double], Seq[Double]) = {
-    val probe = stats.select(col("dim"), col("lo"), col("hi"))
+    // cast up front so a user-bound artifact with INT dims or FLOAT
+    // bounds gets the named contract errors, not a ClassCastException
+    val probe = stats.select(col("dim").cast("long").as("dim"),
+        col("lo").cast("double").as("lo"), col("hi").cast("double").as("hi"))
       .orderBy(col("dim")).limit(MaxDims + 1).collect()
     require(probe.length <= MaxDims,
       s"sq8 stats artifact exceeds MaxDims=$MaxDims dimensions " +

@@ -20,7 +20,7 @@ class CurationProgramSpec extends SparkSpec {
     (4L, "a completely different document about spark and data the", "en"),
     (5L, "short one", "en")).toDF("id", "text", "src")
 
-  test("all eleven curation nodes JSON round-trip and stamp format version 6") {
+  test("all fifteen v6 nodes JSON round-trip and stamp format version 6") {
     val d = Doc(
       nodes = Seq(
         External("in"), External("cents"),

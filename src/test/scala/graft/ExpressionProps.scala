@@ -365,7 +365,8 @@ object ExpressionProps extends Properties("graft.expressions") {
     }
 
   /** Independent reference for the CCNet fold: regex-based mark strip and
-    * whitespace split vs the expression's single code-point loop. */
+    * whitespace split vs the expression's single code-point loop. The
+    * split class is the portable Java-`\s` (the words()/oracle rule). */
   private def refFold(s: String): String = {
     val nfkd = java.text.Normalizer.normalize(s, java.text.Normalizer.Form.NFKD)
     val noMarks = nfkd.replaceAll("\\p{Mn}", "")
@@ -373,7 +374,7 @@ object ExpressionProps extends Properties("graft.expressions") {
       .map(Character.toLowerCase)
       .map(cp => if (Character.isDigit(cp)) '0'.toInt else cp)
     new String(lowered, 0, lowered.length)
-      .split("\\p{javaWhitespace}+").filter(_.nonEmpty).mkString(" ")
+      .split("[ \t\n\u000B\f\r]+").filter(_.nonEmpty).mkString(" ")
   }
 
   private val uniChar = Gen.frequency(

@@ -39,6 +39,17 @@ class GroupTopKSpec extends SparkSpec {
     assert(got == Set(("a", 1L, 1L), ("a", 2L, 2L), ("b", 3L, 1L)))
   }
 
+  test("NULL-score rows are excluded (aggregate null semantics, documented)") {
+    val withNulls = Seq(
+      (1L, "a", Some(2.0)), (2L, "a", Some(1.0)),
+      (3L, "a", None), (4L, "a", None)).toDF("id", "grp", "v")
+    val got = GroupTopK.topKPerKey(withNulls, Seq("grp"), "id", col("v"), k = 3)
+      .collect().map(_.getLong(1)).toSet
+    // the window formulation would rank a null row 3rd; the aggregate
+    // contract drops both null rows instead
+    assert(got == Set(1L, 2L), got.toString)
+  }
+
   test("non-integral id is rejected with the contract error") {
     val bad = Seq(("x", "a", 1.0)).toDF("id", "grp", "v")
     val e = intercept[IllegalArgumentException](
