@@ -41,6 +41,16 @@ final case class TypedStream[T](ds: Dataset[T], seqFn: T => Long) {
   def map[O: Encoder](f: T => O, seq: O => Long): TypedStream[O] =
     TypedStream(ds.map(f), seq)
 
+  /** `map` to a new case-class type through Columns — Milan's §2.8
+    * `CreateInstance` form as Catalyst IR: `new O(r.x + 1, r.y)` becomes
+    * `mapTo[O](_.seq)((col("x") + 1).as("a"), col("y").as("b"))`. The
+    * projection stays inside codegen and column pruning reaches the scan
+    * (no closure boundary); column aliases must name O's fields (`as[O]`
+    * resolves by name). The lambda `map` is the fallback for logic
+    * outside the macro-capturable subset. */
+  def mapTo[O: Encoder](seq: O => Long)(cols: Column*): TypedStream[O] =
+    TypedStream(ds.select(cols: _*).as[O], seq)
+
   /** Milan record-level flatMap. */
   def flatMap[O: Encoder](f: T => IterableOnce[O], seq: O => Long): TypedStream[O] =
     TypedStream(ds.flatMap(f), seq)

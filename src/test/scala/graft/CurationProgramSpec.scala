@@ -215,6 +215,51 @@ class CurationProgramSpec extends SparkSpec {
     assert(e.getMessage.contains("node 'sc'"), e.getMessage)
   }
 
+  test("jlProject + sq8Encode run the SAME document streaming (stats pinned)") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    // a 4-dim corpus, projected to 2 dims, then SQ8-coded against a
+    // pinned stats artifact: the whole chain is stateless projections
+    val stats = Seq((0L, -2.0, 2.0), (1L, -2.0, 2.0)).toDF("dim", "lo", "hi")
+    val json = Program.toJson(Doc(
+      nodes = Seq(
+        External("in"), External("stats"),
+        JlProjection("jl", "in", "vec", 2, 3, "projected"),
+        Sq8Ingest("sq", "jl", "stats", "projected", "codes")),
+      outputs = Seq("sq")))
+    val rows = (0L until 40L).map(i =>
+      (i, Seq(i * 0.1, 1.0 - i * 0.05, 0.5, -0.25 * (i % 4))))
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getLong(0), r.getSeq[Int](r.fieldIndex("codes")))
+    val batch = App.run(spark, new App.Config()
+        .setSource("in", App.Source("list", rows = Some(rows.toDF("id", "vec"))))
+        .setSource("stats", App.Source("list", rows = Some(stats)))
+        .addSink("sq", App.Sink("memory")))(
+      Program.interpret(Program.fromJson(json)))
+      .collectFirst { case App.BatchOutput("sq", df) => df }.get
+    val b = batch.collect().map(key).toSet
+    assert(b.nonEmpty)
+
+    val in = MemoryStream[(Long, Seq[Double])]
+    val name = s"sq8_stream_${System.nanoTime()}"
+    val running = App.run(spark, new App.Config()
+        .setSource("in", App.Source("list", rows = Some(in.toDF().toDF("id", "vec"))))
+        .setSource("stats", App.Source("list", rows = Some(stats)))
+        .addSink("sq", App.Sink("memory", outputMode = "append",
+          queryName = Some(name))))(
+      Program.interpret(Program.fromJson(json)))
+    val q = running.collect { case App.StreamingOutput("sq", sq) => sq }.head
+    try {
+      rows.grouped(10).foreach(g => in.addData(g: _*))
+      q.processAllAvailable()
+      assert(q.lastProgress == null ||
+        q.lastProgress.stateOperators.forall(_.numRowsTotal == 0L),
+        "projection + pinned-stats encode are stateless")
+      assert(spark.table(name).collect().map(key).toSet == b,
+        "streaming document output equals the batch run exactly")
+    } finally q.stop()
+  }
+
   test("the stateless annotator nodes run the SAME document streaming") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val sqlCtx = spark.sqlContext

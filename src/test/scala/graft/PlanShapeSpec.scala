@@ -38,6 +38,28 @@ class PlanShapeSpec extends SparkSpec {
       "the Column face stays relational — no object construction")
   }
 
+  test("TypedStream.mapTo prunes the scan to the projected columns; lambda map cannot") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val ds = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .as[PlanShapeDoc]
+    // lambda map: Catalyst sees an opaque closure over the whole record —
+    // every column is read to build the object
+    val lam = graft.api.TypedStream[PlanShapeDoc](ds, _.doc_id)
+      .map(d => (d.doc_id, d.n_chars), (o: (Long, Long)) => o._1)
+      .ds.queryExecution.executedPlan.toString
+    assert(lam.contains("text"), s"the lambda face reads every column:\n$lam")
+    // mapTo: the §2.8 CreateInstance form as Columns — the projection is
+    // IR, so ReadSchema shrinks to exactly the referenced columns
+    val bridged = graft.api.TypedStream[PlanShapeDoc](ds, _.doc_id)
+      .mapTo[(Long, Long)](_._1)(col("doc_id").as("_1"), col("n_chars").as("_2"))
+      .ds.queryExecution.executedPlan.toString
+    assert(bridged.contains("ReadSchema: struct<doc_id:bigint,n_chars:bigint>"),
+      s"mapTo must prune the scan to the projected columns:\n$bridged")
+    assert(!bridged.contains("newInstance(class graft.PlanShapeDoc"),
+      "mapTo stays relational — no per-row source-object construction")
+  }
+
   test("q_where pushes its predicate into the parquet scan and prunes columns") {
     val p = plan("q_where")
     assert(p.contains("PushedFilters") && p.contains("l_returnflag"),
