@@ -935,6 +935,36 @@ object QueriesPipeline {
            END)::BIGINT AS code
         FROM d JOIN s USING (j)"""
 
+  /** Z-order (Morton) clustering key over (n_chars, doc_id) at 8 bits
+    * per column — the data-layout operator behind multi-dimensional scan
+    * pruning (`Layout.zorderBy` range-partitions and sorts by this key
+    * before a write, so parquet min/max stats tighten per file). The key
+    * is min/max-pinned affine buckets (the SQ8 clamp) bit-interleaved
+    * column-major; the oracle rebuilds both ranges and every interleave
+    * term. */
+  def qZorder(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(spark, dir).df
+    d.select(col("doc_id"), graft.operators.Layout.zkey(
+      d, Seq("n_chars", "doc_id"), bits = 8).as("zkey"))
+  }
+
+  val qZorderSql: String = {
+    val terms = (0 until 8).flatMap(b => Seq(
+      s"(((b1 >> $b) & 1) << ${2 * b})",
+      s"(((b2 >> $b) & 1) << ${2 * b + 1})")).mkString(" | ")
+    def bucket(x: String, lo: String, hi: String) =
+      s"CASE WHEN $hi = $lo THEN 0 ELSE " +
+        s"least(greatest(floor(($x::DOUBLE - $lo) * 255.0 / ($hi - $lo)), 0), 255) END::BIGINT"
+    s"""WITH s AS (SELECT min(n_chars::DOUBLE) AS lo1, max(n_chars::DOUBLE) AS hi1,
+                    min(doc_id::DOUBLE) AS lo2, max(doc_id::DOUBLE) AS hi2
+             FROM documents),
+        b AS (SELECT doc_id,
+                ${bucket("n_chars", "lo1", "hi1")} AS b1,
+                ${bucket("doc_id", "lo2", "hi2")} AS b2
+              FROM documents CROSS JOIN s)
+        SELECT doc_id, ($terms)::BIGINT AS zkey FROM b"""
+  }
+
   /** Top-3 documents by length per source through the BOUNDED-HEAP
     * aggregate (`operators.GroupTopK` over `functions.BoundedTopK`): the
     * 100 TB lowering of QUALIFY row_number() <= k — map-side k-element
@@ -2014,6 +2044,7 @@ object QueriesPipeline {
     "q_jl_project" -> (qJlProject _),
     "q_group_topk" -> (qGroupTopK _),
     "q_sq8" -> (qSq8 _),
+    "q_zorder" -> (qZorder _),
     "q_repetition" -> (qRepetition _),
     "q_sample" -> (qSample _),
     "q_strata_mix" -> (qStrataMix _),
@@ -2088,6 +2119,7 @@ object QueriesPipeline {
     "q_jl_project" -> qJlProjectSql,
     "q_group_topk" -> qGroupTopKSql,
     "q_sq8" -> qSq8Sql,
+    "q_zorder" -> qZorderSql,
     "q_repetition" -> qRepetitionSql,
     "q_sample" -> qSampleSql,
     "q_strata_mix" -> qStrataMixSql,

@@ -1,0 +1,79 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.Layout
+
+/** `Layout.zorderBy`: interleave correctness against a definitional bit
+  * loop, the locality property that justifies the operator (per-partition
+  * bounding boxes shrink vs arrival order — what parquet min/max pruning
+  * feeds on), sorted-within-partition output, and degenerate ranges. */
+class LayoutSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("interleave equals the definitional bit loop") {
+    def ref(bs: Seq[Long], bits: Int): Long = {
+      var z = 0L
+      for (b <- 0 until bits; i <- bs.indices)
+        z |= ((bs(i) >> b) & 1L) << (b * bs.size + i)
+      z
+    }
+    val rows = for (a <- 0L until 16L; b <- 0L until 16L) yield (a, b)
+    val got = rows.toDF("a", "b")
+      .select(col("a"), col("b"),
+        Layout.interleave(Seq(col("a"), col("b")), 4).as("z"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    rows.foreach { case (a, b) =>
+      assert(got((a, b)) == ref(Seq(a, b), 4), s"($a,$b)")
+    }
+    // 3-column interleave too
+    val g3 = Seq((5L, 3L, 6L)).toDF("a", "b", "c")
+      .select(Layout.interleave(Seq(col("a"), col("b"), col("c")), 3).as("z"))
+      .collect().head.getLong(0)
+    assert(g3 == ref(Seq(5L, 3L, 6L), 3))
+  }
+
+  test("z-ordering shrinks per-partition bounding boxes vs arrival order") {
+    // a 64x64 grid in shuffled arrival order
+    val pts = scala.util.Random.shuffle(
+      (for (x <- 0 until 64; y <- 0 until 64) yield (x.toLong, y.toLong)).toList)
+    val df = pts.toDF("x", "y").repartition(1)
+    def totalArea(d: org.apache.spark.sql.DataFrame): Long =
+      d.withColumn("p", spark_partition_id())
+        .groupBy("p")
+        .agg(((max("x") - min("x") + 1) * (max("y") - min("y") + 1)).as("area"))
+        .agg(sum("area")).collect().head.getLong(0)
+    val zByParts = Layout.zorderBy(df, Seq("x", "y"), numFiles = 16, bits = 6)
+    val zArea = totalArea(zByParts)
+    val naiveArea = totalArea(df.repartition(16))
+    // 16 hash partitions of a shuffled grid each span ~the whole domain
+    // (~16 * 4096); z-ordered range partitions tile it (~4096 total, and
+    // boxes overlap a little at curve seams)
+    assert(naiveArea >= 16L * 3000,
+      s"baseline should span the domain per partition, got $naiveArea")
+    assert(zArea <= naiveArea / 4,
+      s"z-order must tile the domain: zArea=$zArea vs naive=$naiveArea")
+    // output is sorted by the (recomputed) z-key within each partition
+    val keyed = Layout.zkey(zByParts, Seq("x", "y"), bits = 6)
+    val sortedWithin = zByParts.withColumn("z", keyed)
+      .withColumn("p", spark_partition_id())
+      .groupBy("p")
+      .agg(collect_list("z").as("zs"))
+      .collect().forall { r =>
+        val zs = r.getSeq[Long](1); zs == zs.sorted
+      }
+    assert(sortedWithin, "partitions must be internally sorted by the z-key")
+  }
+
+  test("degenerate (constant) columns bucket to 0 and a null-only column fails by name") {
+    val df = Seq((1L, 7L), (2L, 7L)).toDF("a", "c")
+    val z = df.select(Layout.zkey(df, Seq("a", "c"), bits = 4).as("z"))
+      .collect().map(_.getLong(0)).toSet
+    // c is constant -> bucket 0 everywhere; key only varies by a
+    assert(z.size == 2)
+    val nulls = Seq((Some(1L), None: Option[Long]), (Some(2L), None))
+      .toDF("a", "c")
+    val e = intercept[IllegalArgumentException](
+      nulls.select(Layout.zkey(nulls, Seq("a", "c"), 4)))
+    assert(e.getMessage.contains("'c'"), e.getMessage)
+  }
+}
