@@ -386,6 +386,11 @@ object Program {
     * once pinned the encode is a stateless dual-mode projection. */
   final case class Sq8Ingest(name: String, input: String, stats: String,
                              vecCol: String, as: String) extends Node
+  /** Z-order clustering (`operators.Layout.zorderBy`) for scan pruning —
+    * batch face (range exchange + sort). BUILD-TIME EAGER (one min/max
+    * aggregation pins the per-column ranges). */
+  final case class ZOrder(name: String, input: String, cols: Seq[String],
+                          numFiles: Int, bits: Int) extends Node
 
   /** The whole document: nodes in topological order + the named outputs a
     * configuration may bind sinks to. */
@@ -598,6 +603,7 @@ object Program {
     case jp: JlProjection => Seq(jp.input)
     case tk: TopKPerKey => Seq(tk.input)
     case sq: Sq8Ingest => Seq(sq.input, sq.stats)
+    case zo: ZOrder => Seq(zo.input)
   }
 
   /** Static shape of a cycle body, deciding the batch fixpoint strategy.
@@ -893,6 +899,9 @@ object Program {
           val (lo, hi) = graft.pipeline.Sq.collectStats(
             staticSide(name, in, stats))
           rewrap(in(i), graft.pipeline.Sq.sq8Encode(in(i).df, vecCol, lo, hi, as))
+        case ZOrder(_, i, cols, numFiles, bits) =>
+          rewrap(in(i), graft.operators.Layout.zorderBy(
+            in(i).df, cols, numFiles, bits))
     }
   }
 
@@ -973,6 +982,7 @@ object Program {
     case x: JlProjection => x.copy(name = name)
     case x: TopKPerKey => x.copy(name = name)
     case x: Sq8Ingest => x.copy(name = name)
+    case x: ZOrder => x.copy(name = name)
   }
 
   /** Order-preserving merge of upstream node lists for a multi-input op:
@@ -1356,6 +1366,9 @@ object Program {
     def sq8Encode(stats: Rec, vecCol: String, as: String = "codes"): Rec =
       derive("sq8Encode", Seq(stats))(n => Sq8Ingest(n, name, stats.name,
         vecCol, as))
+    /** Z-order clustering for scan pruning (batch face). */
+    def zorderBy(cols: Seq[String], numFiles: Int, bits: Int = 12): Rec =
+      derive1("zorder")(n => ZOrder(n, name, cols, numFiles, bits))
   }
 
   object Rec {
@@ -1391,10 +1404,10 @@ object Program {
     * encodeIngest, decontaminateIngest, ivfProbe); 3 adds dsirScore,
     * tokenFreq and bpeEncode; 4 adds exactDedup, gopherGate and
     * nbClassify; 5 adds the eight sampling/training-mix nodes; 6 adds
-    * the fifteen corpus-curation nodes (dedupCorpus, semanticDedup,
+    * the sixteen corpus-curation nodes (dedupCorpus, semanticDedup,
     * lineScrub, spanScrub, quality, piiScrub, langId, chunkTokens,
     * packChunks, winnow, repetition, normalize, jlProject, topkPerKey,
-    * sq8Encode).
+    * sq8Encode, zorder).
     * [[toJson]] stamps each document with the LOWEST version that can
     * express it, so a document using only the v1 grammar stays loadable
     * by a v1 library. */
@@ -1406,7 +1419,7 @@ object Program {
       case _: DedupCorpus | _: SemanticDedup | _: LineScrub | _: SpanScrub |
            _: QualityAnnotate | _: PiiScrub | _: LangId | _: ChunkTokens |
            _: PackChunks | _: Winnow | _: Repetition | _: Normalize |
-           _: JlProjection | _: TopKPerKey | _: Sq8Ingest => true
+           _: JlProjection | _: TopKPerKey | _: Sq8Ingest | _: ZOrder => true
       case _ => false }) 6
     else if (doc.nodes.exists {
       case _: HashSample | _: StratifiedSample | _: AssignSplit | _: WeightedMix |
@@ -1633,6 +1646,9 @@ object Program {
       case Sq8Ingest(name, i, stats, vecCol, as) =>
         ("op" -> "sq8Encode") ~ ("name" -> name) ~ ("input" -> i) ~
           ("stats" -> stats) ~ ("vecCol" -> vecCol) ~ ("as" -> as)
+      case ZOrder(name, i, cols, numFiles, bits) =>
+        ("op" -> "zorder") ~ ("name" -> name) ~ ("input" -> i) ~
+          ("cols" -> cols) ~ ("numFiles" -> numFiles) ~ ("bits" -> bits)
     }
     JsonMethods.compact(JsonMethods.render(
       ("version" -> requiredVersion(doc)) ~ ("nodes" -> doc.nodes.map(nodeJson)) ~
@@ -1870,6 +1886,9 @@ object Program {
           case "sq8Encode" => Sq8Ingest(name, (v \ "input").extract[String],
             (v \ "stats").extract[String], (v \ "vecCol").extract[String],
             (v \ "as").extractOpt[String].getOrElse("codes"))
+          case "zorder" => ZOrder(name, (v \ "input").extract[String],
+            strs(v \ "cols"), (v \ "numFiles").extract[Int],
+            (v \ "bits").extractOpt[Int].getOrElse(12))
           case other => throw new IllegalArgumentException(s"unknown program op '$other'")
         }
       }
@@ -2005,6 +2024,12 @@ object Program {
                 org.apache.spark.sql.types.StructField(
                   sq.as, org.apache.spark.sql.types.ArrayType(
                     org.apache.spark.sql.types.IntegerType, containsNull = false))))
+          case zo: ZOrder =>
+            // build-time eager (the min/max job pins the ranges): force
+            // the refs; the layout op keeps the input schema
+            val s = env(zo.input)
+            s.df.select(zo.cols.map(col): _*).schema
+            emptyOf(s.df.schema)
           case sc: SpanScrub =>
             // build-time eager (pins the corpus-wide candidate frame):
             // emit the accounting schema (id, n_kept, kept_hash)
@@ -2292,6 +2317,15 @@ object Program {
             s"node '${n.name}': topkPerKey needs k > 0, got ${tk.k}")
           Seq(tk.input)
         case sq: Sq8Ingest => Seq(sq.input, sq.stats)
+        case zo: ZOrder =>
+          nonEmpty(zo.cols, "z-order column", n.name)
+          if (zo.cols.size > 4 || zo.bits < 1 || zo.bits > 16 ||
+              zo.cols.size * zo.bits > 62 || zo.numFiles < 1)
+            throw new IllegalArgumentException(s"node '${n.name}': zorder " +
+              s"needs 1-4 cols, bits in [1,16], cols*bits <= 62 and " +
+              s"numFiles >= 1, got cols=${zo.cols.size} bits=${zo.bits} " +
+              s"numFiles=${zo.numFiles}")
+          Seq(zo.input)
       }
       inputs.foreach(i => if (!defined.contains(i)) throw new IllegalArgumentException(
         s"node '${n.name}' references '$i' before it is defined"))

@@ -20,7 +20,7 @@ class CurationProgramSpec extends SparkSpec {
     (4L, "a completely different document about spark and data the", "en"),
     (5L, "short one", "en")).toDF("id", "text", "src")
 
-  test("all fifteen v6 nodes JSON round-trip and stamp format version 6") {
+  test("all sixteen v6 nodes JSON round-trip and stamp format version 6") {
     val d = Doc(
       nodes = Seq(
         External("in"), External("cents"),
@@ -38,7 +38,8 @@ class CurationProgramSpec extends SparkSpec {
         Normalize("nz", "in", "text", "norm_text"),
         JlProjection("jl", "in", "vec", 16, 7, "projected"),
         TopKPerKey("tk", "in", Seq("src"), "id", "length(text)", 3, "score"),
-        Sq8Ingest("sq", "jl", "cents", "projected", "codes")),
+        Sq8Ingest("sq", "jl", "cents", "projected", "codes"),
+        ZOrder("zo", "in", Seq("id"), 8, 12)),
       outputs = Seq("ct"))
     val json = Program.toJson(d)
     assert(json.contains("\"version\":6"), "curation nodes need format version 6")
@@ -74,6 +75,21 @@ class CurationProgramSpec extends SparkSpec {
       .contains("at least one grouping key"))
     assert(bad(TopKPerKey("x", "in", Seq("g"), "id", "v", 0, "score"))
       .contains("k > 0"))
+    assert(bad(ZOrder("x", "in", Seq("a", "b", "c", "d", "e"), 8, 12))
+      .contains("1-4 cols"))
+    assert(bad(ZOrder("x", "in", Seq("a"), 0, 12)).contains("numFiles >= 1"))
+  }
+
+  test("zorder capture == direct API, and it validates schema-only") {
+    val piped = Program.Rec.external("in", MStream(docs))
+      .zorderBy(Seq("id"), numFiles = 2, bits = 4).as("out")
+    val live = piped.stream.df.collect().map(_.getLong(0))
+    assert(live.toSet == docs.collect().map(_.getLong(0)).toSet,
+      "zorder is a pure layout op — row set unchanged")
+    val config = new App.Config()
+      .setSource("in", App.Source("list", rows = Some(docs)))
+      .addSink("out", App.Sink("memory"))
+    Program.validate(Program.capture(piped), spark, config)
   }
 
   test("sq8Encode document node encodes against the pinned stats artifact") {

@@ -30,6 +30,31 @@ class IvfSpec extends SparkSpec {
     assert(ivf == brute, "in-cluster nearest neighbor found while scanning one cell")
   }
 
+  test("measured recall@10 on the real embeddings rises with nProbe") {
+    // measure, don't guess: the probe budget is THE recall knob of the
+    // IVF design — pin the measured curve on real data so an assignment
+    // or search regression shows as a recall drop, not just a perf shift
+    val embs = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val centroids = Ivf.train(embs, "vec_id", "embedding", k = 16, iters = 2)
+    val queries = embs.orderBy("vec_id").limit(30)
+      .select(col("vec_id").as("q_id"), col("embedding"))
+    val truth = Similarity.bruteForceTopKPartial(
+        embs, queries, "vec_id", "embedding", "q_id", k = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    def recallAt(nProbe: Int): Double = {
+      val got = Ivf.search(embs, queries, "vec_id", "embedding", "q_id",
+          centroids, topK = 10, nProbe = nProbe)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      (truth & got).size.toDouble / truth.size
+    }
+    val r1 = recallAt(1); val r4 = recallAt(4); val r16 = recallAt(16)
+    info(f"IVF recall@10 (k=16 cells, 1000 vecs): nProbe=1 $r1%.3f, 4 $r4%.3f, 16 $r16%.3f")
+    assert(r1 <= r4 + 1e-9 && r4 <= r16 + 1e-9,
+      s"recall must be monotone in the probe budget: $r1, $r4, $r16")
+    assert(r16 >= 0.999, s"probing every cell must recover brute force, got $r16")
+    assert(r4 >= 0.6, s"a quarter of the cells should recover most neighbors, got $r4")
+  }
+
   test("loop assignment (beyond LiteralCells) is bit-identical to the literal path") {
     // 300 cells > LiteralCells=256 forces the compiled-loop face through
     // the public surface; the literal face is invoked directly. Distances
