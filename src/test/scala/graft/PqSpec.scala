@@ -138,6 +138,36 @@ class PqSpec extends SparkSpec {
     graft.api.Pinned.release(spark)
   }
 
+  test("measured ADC recall@10 on the real embeddings rises with codebook size") {
+    // measure, don't guess: sub-codebook size is PQ's recall knob — pin
+    // the measured curve on real data (the sibling of IvfSpec's
+    // recall-vs-nProbe sweep)
+    import org.apache.spark.sql.functions.col
+    val embs = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val queries = embs.orderBy("vec_id").limit(20)
+      .select(col("vec_id").as("q_id"), col("embedding"))
+    val truth = graft.pipeline.Similarity.bruteForceTopKPartial(
+        embs, queries, "vec_id", "embedding", "q_id", k = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    def recallAt(ksub: Int): Double = {
+      val cb = Pq.train(embs, "vec_id", "embedding", m = 8, ksub = ksub, iters = 2)
+      val got = Pq.adcTopK(embs, queries, "vec_id", "embedding", "q_id", cb, topK = 10)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      graft.api.Pinned.release(spark)
+      (truth & got).size.toDouble / truth.size
+    }
+    val r4 = recallAt(4); val r16 = recallAt(16)
+    info(f"PQ ADC recall@10 (m=8, 1000 vecs): ksub=4 $r4%.3f, ksub=16 $r16%.3f")
+    // these embeddings are near-uniform random — the hardest case for PQ
+    // (measured: ~0.14 at ksub=4, ~0.33 at ksub=16). Pin the measured
+    // reality: a finer codebook must recover clearly more, and a
+    // regression that collapses ADC to noise (recall ~ k/N = 0.01)
+    // fails the floor
+    assert(r16 >= r4 + 0.1,
+      s"a 4x finer codebook must lift recall: $r4 -> $r16")
+    assert(r16 >= 0.2, s"ADC must beat noise-level recall by far, got $r16")
+  }
+
   test("beyond-literal LUT (> 256 entries) is bit-identical to the literal staging") {
     // synthetic (sub, cid, cv) books with m=2, ksub=160 -> 320 LUT entries:
     // adcTopKCoded takes the PqLut loop face; the same search under
