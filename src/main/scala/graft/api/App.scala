@@ -103,7 +103,15 @@ object App {
         * `ApplicationConfiguration.setStateStore:121`); Spark scopes the
         * provider per streaming query, so the binding lives on the sink —
         * each output stream picks its backend independently. */
-      stateStore: Option[String] = None)
+      stateStore: Option[String] = None,
+      /** batch file sinks only: Z-order-cluster the output by these
+        * columns before writing (`Layout.zorderBy`), so every file
+        * carries tight min/max stats on ALL of them — the layout knob of
+        * the external half, like Delta's OPTIMIZE ZORDER BY at write
+        * time. `clusterFiles` bounds the file count (0 = the session's
+        * shuffle parallelism). */
+      clusterBy: Seq[String] = Nil,
+      clusterFiles: Int = 0)
 
   object Sink {
     /** Message-bus egress bindings (Milan `KinesisDataSink`/`SqsDataSink`/
@@ -229,7 +237,8 @@ object App {
       ("format" -> k.format) ~ ("path" -> k.path) ~ ("options" -> k.options) ~
         ("mode" -> k.mode) ~ ("outputMode" -> k.outputMode) ~
         ("queryName" -> k.queryName) ~ ("checkpoint" -> k.checkpoint) ~
-        ("stateStore" -> k.stateStore)
+        ("stateStore" -> k.stateStore) ~ ("clusterBy" -> k.clusterBy) ~
+        ("clusterFiles" -> k.clusterFiles)
     JsonMethods.compact(JsonMethods.render(
       ("sources" -> config.sourceBindings.map { case (n, s) => n -> sourceJson(s) }) ~
         ("sinks" -> config.sinkBindings.map { case (n, ks) => n -> ks.map(sinkJson) }) ~
@@ -267,7 +276,9 @@ object App {
       outputMode = (k \ "outputMode").extract[String],
       queryName = (k \ "queryName").extractOpt[String],
       checkpoint = (k \ "checkpoint").extractOpt[String],
-      stateStore = (k \ "stateStore").extractOpt[String])
+      stateStore = (k \ "stateStore").extractOpt[String],
+      clusterBy = (k \ "clusterBy").extractOpt[Seq[String]].getOrElse(Nil),
+      clusterFiles = (k \ "clusterFiles").extractOpt[Int].getOrElse(0))
     (j \ "sinks") match {
       case JObject(fields) => fields.foreach { case (name, v) =>
         v.extract[Seq[JValue]].foreach(k => c.addSink(name, sinkOf(k)))
@@ -631,6 +642,11 @@ object App {
       if (out.df.isStreaming && config.fanOutEnabled(stream) && bound.size > 1)
         Seq(fanOutStreaming(spark, stream, out.df, bound))
       else bound.map { sink =>
+        if (out.df.isStreaming && sink.clusterBy.nonEmpty)
+          throw new IllegalArgumentException(
+            s"sink for '$stream': clusterBy is a batch-layout knob " +
+              "(z-ordering needs a global range sample; per-micro-batch " +
+              "clustering would be meaningless) — drop it or run batch")
         if (out.df.isStreaming && sink.format == "cycle-feedback") {
           // Cycles.feedbackChannel egress: skip empty micro-batches (a
           // stock file sink's empty-batch part files would re-trigger the
@@ -673,7 +689,12 @@ object App {
               System.nanoTime())
             BatchOutput(stream, out.df)
           case f =>
-            val w = out.df.write.format(f).options(sink.options).mode(sink.mode)
+            val data =
+              if (sink.clusterBy.isEmpty) out.df
+              else graft.operators.Layout.zorderBy(out.df, sink.clusterBy,
+                if (sink.clusterFiles > 0) sink.clusterFiles
+                else spark.conf.get("spark.sql.shuffle.partitions").toInt)
+            val w = data.write.format(f).options(sink.options).mode(sink.mode)
             sink.path.map(w.save).getOrElse(w.save())
             BatchOutput(stream, out.df)
         }

@@ -96,7 +96,7 @@ class AppModelSpec extends SparkSpec {
       .setSource("bus", App.Source.kafka("broker:9092", "clicks",
         startingOffsets = "earliest"))
       .addSink("out", App.Sink(format = "parquet", path = Some("/data/out"),
-        mode = "append"))
+        mode = "append", clusterBy = Seq("n_chars", "doc_id"), clusterFiles = 64))
       .addSink("out", App.Sink(format = "memory", outputMode = "complete",
         queryName = Some("t"), checkpoint = Some("/cp/out"),
         stateStore = Some("rocksdb")))
@@ -114,6 +114,42 @@ class AppModelSpec extends SparkSpec {
       new App.Config().setSource("input",
         App.Source(format = "json", path = Some("/tmp/nope"), keepReading = false))))
     assert(reloaded2.source("input").format == "json")
+  }
+
+  test("a clusterBy sink z-orders the written files; streaming rejects it by name") {
+    import org.apache.spark.sql.functions._
+    val dir = java.nio.file.Files.createTempDirectory("graft_cluster_sink").toString
+    val pts = scala.util.Random.shuffle(
+      (for (x <- 0 until 32; y <- 0 until 32) yield (x.toLong, y.toLong)).toList)
+    App.run(spark, new App.Config()
+        .setSource("in", App.Source("list", rows = Some(pts.toDF("x", "y"))))
+        .addSink("out", App.Sink(format = "parquet", path = Some(s"$dir/out"),
+          clusterBy = Seq("x", "y"), clusterFiles = 8)))(
+      in => Map("out" -> in("in")))
+    // each written file covers a small rectangle: total bounding-box area
+    // across files ~tiles the domain instead of 8 x the whole domain
+    val perFile = spark.read.parquet(s"$dir/out")
+      .select(col("x"), col("y"), input_file_name().as("f"))
+      .groupBy("f")
+      .agg(((max("x") - min("x") + 1) * (max("y") - min("y") + 1)).as("area"))
+      .collect()
+    assert(perFile.length == 8, s"clusterFiles must bound the file count: ${perFile.length}")
+    val total = perFile.map(_.getLong(1)).sum
+    assert(total <= 32L * 32 * 2,
+      s"z-ordered files must tile the domain (area $total vs ${8 * 32 * 32} unclustered)")
+
+    // streaming + clusterBy is rejected by name (no global range sample)
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(Long, Long)]
+    val e = intercept[IllegalArgumentException] {
+      App.run(spark, new App.Config()
+          .setSource("in", App.Source("list", rows = Some(in.toDF().toDF("x", "y"))))
+          .addSink("out", App.Sink(format = "parquet", path = Some(s"$dir/s"),
+            checkpoint = Some(s"$dir/cp"), clusterBy = Seq("x"))))(
+        in2 => Map("out" -> in2("in")))
+    }
+    assert(e.getMessage.contains("batch-layout knob"), e.getMessage)
   }
 
   test("s3 source helper builds the s3a binding") {
