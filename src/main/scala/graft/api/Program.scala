@@ -857,18 +857,20 @@ object Program {
           new MStream(graft.pipeline.Sampling.leakageSafeSplit(
               s.df, idCol, in(pairs).df, aCol, bCol, splits, as, salt),
             s.eventOrder, s.contextKeys, s.name)
-        case DedupCorpus(_, i, idCol, textCol, k, bands, threshold) =>
+        case DedupCorpus(name, i, idCol, textCol, k, bands, threshold) =>
           rewrap(in(i), graft.pipeline.Dedup.deduplicateCorpus(
-            in(i).df, idCol, textCol, k, bands, threshold))
+            batchFace(name, "dedupCorpus", in(i)), idCol, textCol, k, bands, threshold))
         case SemanticDedup(name, i, cents, idCol, vecCol, threshold) =>
           rewrap(in(i), graft.pipeline.Dedup.semanticDedup(
-            in(i).df, idCol, vecCol, staticSide(name, in, cents), threshold))
-        case LineScrub(_, i, idCol, textCol, minWords) =>
+            batchFace(name, "semanticDedup", in(i)), idCol, vecCol,
+            staticSide(name, in, cents), threshold))
+        case LineScrub(name, i, idCol, textCol, minWords) =>
           rewrap(in(i), graft.pipeline.Dedup.scrubDuplicateLines(
-            in(i).df, idCol, textCol, minWords))
-        case SpanScrub(_, i, idCol, textCol, k, minDocs, keepCanonical) =>
+            batchFace(name, "lineScrub", in(i)), idCol, textCol, minWords))
+        case SpanScrub(name, i, idCol, textCol, k, minDocs, keepCanonical) =>
           rewrap(in(i), graft.pipeline.Dedup.scrubRepeatedSpans(
-            in(i).df, idCol, textCol, k, minDocs, keepCanonical))
+            batchFace(name, "spanScrub", in(i)), idCol, textCol, k, minDocs,
+            keepCanonical))
         case QualityAnnotate(_, i, textCol) =>
           in(i).addFields(graft.pipeline.TextOps.qualityFeatures(col(textCol)): _*)
         case PiiScrub(_, i, textCol) =>
@@ -878,9 +880,9 @@ object Program {
         case ChunkTokens(_, i, idCol, textCol, chunkSize, stride) =>
           rewrap(in(i), graft.pipeline.TextOps.chunkTokens(
             in(i).df, idCol, textCol, chunkSize, stride))
-        case PackChunks(_, i, idCol, textCol, partCol, budget) =>
+        case PackChunks(name, i, idCol, textCol, partCol, budget) =>
           rewrap(in(i), graft.pipeline.TextOps.packChunks(
-            in(i).df, idCol, textCol, partCol, budget))
+            batchFace(name, "packChunks", in(i)), idCol, textCol, partCol, budget))
         case Winnow(_, i, idCol, textCol, nGram, w) =>
           rewrap(in(i), graft.pipeline.TextOps.winnowFingerprints(
             in(i).df, idCol, textCol, nGram, w))
@@ -899,10 +901,21 @@ object Program {
           val (lo, hi) = graft.pipeline.Sq.collectStats(
             staticSide(name, in, stats))
           rewrap(in(i), graft.pipeline.Sq.sq8Encode(in(i).df, vecCol, lo, hi, as))
-        case ZOrder(_, i, cols, numFiles, bits) =>
+        case ZOrder(name, i, cols, numFiles, bits) =>
           rewrap(in(i), graft.operators.Layout.zorderBy(
-            in(i).df, cols, numFiles, bits))
+            batchFace(name, "zorder", in(i)), cols, numFiles, bits))
     }
+  }
+
+  /** Batch-face guard: the corpus-aggregation/layout nodes run driver
+    * jobs or global sorts a streaming frame cannot express — fail with
+    * the node's name instead of a bare Spark streaming error. */
+  private def batchFace(node: String, op: String,
+                        s: MStream): org.apache.spark.sql.DataFrame = {
+    require(!s.df.isStreaming,
+      s"node '$node': $op is a batch-face operator (corpus-wide " +
+        "aggregation/layout) — it cannot lower onto a streaming input")
+    s.df
   }
 
   /** Wrap a pipeline operator's output frame back onto `s`'s stream

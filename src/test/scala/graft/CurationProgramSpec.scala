@@ -112,6 +112,21 @@ class CurationProgramSpec extends SparkSpec {
     Program.validate(doc, spark, config)
   }
 
+  test("batch-face nodes reject a streaming input by node name") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(Long, String)]
+    val stream = MStream(in.toDF().toDF("id", "text"))
+    val doc = Doc(
+      nodes = Seq(External("in"),
+        DedupCorpus("dc", "in", "id", "text", 8, 4, 0.7)),
+      outputs = Seq("dc"))
+    val e = intercept[IllegalArgumentException](
+      Program.interpret(doc)(Map("in" -> stream)))
+    assert(e.getMessage.contains("node 'dc'") &&
+      e.getMessage.contains("batch-face"), e.getMessage)
+  }
+
   test("normalize and topKPerKey capture == direct API") {
     val piped = Program.Rec.external("in", MStream(docs))
       .normalize("text")
