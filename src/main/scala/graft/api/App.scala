@@ -111,7 +111,13 @@ object App {
         * time. `clusterFiles` bounds the file count (0 = the session's
         * shuffle parallelism). */
       clusterBy: Seq[String] = Nil,
-      clusterFiles: Int = 0)
+      clusterFiles: Int = 0,
+      /** file sinks: hive-style directory partitioning (`write.partitionBy`)
+        * — the partition-pruning layout knob (one directory per value;
+        * use for low-cardinality columns like source/date, `clusterBy`
+        * for the high-cardinality multi-dimensional ones). Works batch
+        * AND streaming (the stock file streaming sink partitions too). */
+      partitionBy: Seq[String] = Nil)
 
   object Sink {
     /** Message-bus egress bindings (Milan `KinesisDataSink`/`SqsDataSink`/
@@ -238,7 +244,7 @@ object App {
         ("mode" -> k.mode) ~ ("outputMode" -> k.outputMode) ~
         ("queryName" -> k.queryName) ~ ("checkpoint" -> k.checkpoint) ~
         ("stateStore" -> k.stateStore) ~ ("clusterBy" -> k.clusterBy) ~
-        ("clusterFiles" -> k.clusterFiles)
+        ("clusterFiles" -> k.clusterFiles) ~ ("partitionBy" -> k.partitionBy)
     JsonMethods.compact(JsonMethods.render(
       ("sources" -> config.sourceBindings.map { case (n, s) => n -> sourceJson(s) }) ~
         ("sinks" -> config.sinkBindings.map { case (n, ks) => n -> ks.map(sinkJson) }) ~
@@ -278,7 +284,8 @@ object App {
       checkpoint = (k \ "checkpoint").extractOpt[String],
       stateStore = (k \ "stateStore").extractOpt[String],
       clusterBy = (k \ "clusterBy").extractOpt[Seq[String]].getOrElse(Nil),
-      clusterFiles = (k \ "clusterFiles").extractOpt[Int].getOrElse(0))
+      clusterFiles = (k \ "clusterFiles").extractOpt[Int].getOrElse(0),
+      partitionBy = (k \ "partitionBy").extractOpt[Seq[String]].getOrElse(Nil))
     (j \ "sinks") match {
       case JObject(fields) => fields.foreach { case (name, v) =>
         v.extract[Seq[JValue]].foreach(k => c.addSink(name, sinkOf(k)))
@@ -550,6 +557,10 @@ object App {
     sinks.filter(s => s.format != "memory" && s.format != "console").foreach(s =>
       require(s.path.nonEmpty,
         s"fan-out ${s.format} sink for '$stream' needs a path"))
+    require(sinks.forall(s => s.partitionBy.isEmpty && s.clusterBy.isEmpty),
+      s"fan-out sinks for '$stream' write flat fb-batch files (the " +
+        "replay-idempotent rename contract) — partitionBy/clusterBy need " +
+        "a dedicated per-sink query or a batch run")
     // memory-face accumulation: (full-trace frame, its checkpoint RDD ids).
     // Each batch RE-checkpoints the union so the registered view stays ONE
     // plan node deep (an ever-growing Union chain re-analyzes slower every
@@ -664,6 +675,7 @@ object App {
         } else if (out.df.isStreaming) {
           val w = out.df.writeStream.format(sink.format)
             .options(sink.options).outputMode(sink.outputMode)
+          if (sink.partitionBy.nonEmpty) w.partitionBy(sink.partitionBy: _*)
           sink.queryName.foreach(w.queryName)
           sink.checkpoint.foreach(cp => w.option("checkpointLocation", cp))
           // The provider class is read from the session conf once at query
@@ -695,6 +707,7 @@ object App {
                 if (sink.clusterFiles > 0) sink.clusterFiles
                 else spark.conf.get("spark.sql.shuffle.partitions").toInt)
             val w = data.write.format(f).options(sink.options).mode(sink.mode)
+            if (sink.partitionBy.nonEmpty) w.partitionBy(sink.partitionBy: _*)
             sink.path.map(w.save).getOrElse(w.save())
             BatchOutput(stream, out.df)
         }

@@ -96,7 +96,8 @@ class AppModelSpec extends SparkSpec {
       .setSource("bus", App.Source.kafka("broker:9092", "clicks",
         startingOffsets = "earliest"))
       .addSink("out", App.Sink(format = "parquet", path = Some("/data/out"),
-        mode = "append", clusterBy = Seq("n_chars", "doc_id"), clusterFiles = 64))
+        mode = "append", clusterBy = Seq("n_chars", "doc_id"), clusterFiles = 64,
+        partitionBy = Seq("source")))
       .addSink("out", App.Sink(format = "memory", outputMode = "complete",
         queryName = Some("t"), checkpoint = Some("/cp/out"),
         stateStore = Some("rocksdb")))
@@ -150,6 +151,41 @@ class AppModelSpec extends SparkSpec {
         in2 => Map("out" -> in2("in")))
     }
     assert(e.getMessage.contains("batch-layout knob"), e.getMessage)
+  }
+
+  test("a partitionBy sink writes hive-style directories, batch and streaming") {
+    import org.apache.spark.sql.functions._
+    val dir = java.nio.file.Files.createTempDirectory("graft_part_sink").toString
+    val rows = Seq((1L, "a"), (2L, "a"), (3L, "b")).toDF("id", "src")
+    App.run(spark, new App.Config()
+        .setSource("in", App.Source("list", rows = Some(rows)))
+        .addSink("out", App.Sink(format = "parquet", path = Some(s"$dir/b"),
+          partitionBy = Seq("src"))))(in => Map("out" -> in("in")))
+    assert(new java.io.File(s"$dir/b/src=a").isDirectory &&
+      new java.io.File(s"$dir/b/src=b").isDirectory,
+      "batch write must produce hive-style partition directories")
+    // partition pruning reaches the read: only src=a files are listed
+    val pruned = spark.read.parquet(s"$dir/b").filter(col("src") === "a")
+    assert(pruned.count() == 2)
+    assert(pruned.queryExecution.executedPlan.toString.contains("PartitionFilters"),
+      "the partition filter must prune at the source")
+
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(Long, String)]
+    val running = App.run(spark, new App.Config()
+        .setSource("in", App.Source("list", rows = Some(in.toDF().toDF("id", "src"))))
+        .addSink("out", App.Sink(format = "parquet", path = Some(s"$dir/s"),
+          outputMode = "append", checkpoint = Some(s"$dir/cp"),
+          partitionBy = Seq("src"))))(in2 => Map("out" -> in2("in")))
+    val q = running.collect { case App.StreamingOutput("out", sq) => sq }.head
+    try {
+      in.addData((10L, "a"), (11L, "c"))
+      q.processAllAvailable()
+      assert(new java.io.File(s"$dir/s/src=c").isDirectory,
+        "the streaming file sink must partition too")
+      assert(spark.read.parquet(s"$dir/s").count() == 2)
+    } finally q.stop()
   }
 
   test("s3 source helper builds the s3a binding") {
