@@ -111,13 +111,16 @@ object App {
         * time. `clusterFiles` bounds the file count (0 = the session's
         * shuffle parallelism). */
       clusterBy: Seq[String] = Nil,
-      clusterFiles: Int = 0,
+      clusterFiles: Int = 0,  // 0 = the session's shuffle parallelism
       /** file sinks: hive-style directory partitioning (`write.partitionBy`)
         * — the partition-pruning layout knob (one directory per value;
         * use for low-cardinality columns like source/date, `clusterBy`
         * for the high-cardinality multi-dimensional ones). Works batch
         * AND streaming (the stock file streaming sink partitions too). */
-      partitionBy: Seq[String] = Nil)
+      partitionBy: Seq[String] = Nil) {
+    require(clusterFiles >= 0,
+      s"clusterFiles must be >= 0 (0 = session shuffle parallelism), got $clusterFiles")
+  }
 
   object Sink {
     /** Message-bus egress bindings (Milan `KinesisDataSink`/`SqsDataSink`/
@@ -658,6 +661,13 @@ object App {
             s"sink for '$stream': clusterBy is a batch-layout knob " +
               "(z-ordering needs a global range sample; per-micro-batch " +
               "clustering would be meaningless) — drop it or run batch")
+        // the layout knobs only mean something on file sinks — reject a
+        // silent no-op instead of ignoring the misconfiguration
+        if ((sink.clusterBy.nonEmpty || sink.partitionBy.nonEmpty) &&
+            Set("memory", "console", "cycle-feedback").contains(sink.format))
+          throw new IllegalArgumentException(
+            s"sink for '$stream': clusterBy/partitionBy are file-layout " +
+              s"knobs — the '${sink.format}' sink writes no files")
         if (out.df.isStreaming && sink.format == "cycle-feedback") {
           // Cycles.feedbackChannel egress: skip empty micro-batches (a
           // stock file sink's empty-batch part files would re-trigger the
@@ -703,12 +713,20 @@ object App {
           case f =>
             val data =
               if (sink.clusterBy.isEmpty) out.df
-              else graft.operators.Layout.zorderBy(out.df, sink.clusterBy,
-                if (sink.clusterFiles > 0) sink.clusterFiles
-                else spark.conf.get("spark.sql.shuffle.partitions").toInt)
-            val w = data.write.format(f).options(sink.options).mode(sink.mode)
-            if (sink.partitionBy.nonEmpty) w.partitionBy(sink.partitionBy: _*)
-            sink.path.map(w.save).getOrElse(w.save())
+              else {
+                // the z-order executes the upstream thrice (min/max agg,
+                // range sample, write) — persist it for the write's scope
+                out.df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+                graft.operators.Layout.zorderBy(out.df, sink.clusterBy,
+                  if (sink.clusterFiles > 0) sink.clusterFiles
+                  else spark.conf.get("spark.sql.shuffle.partitions").toInt)
+              }
+            try {
+              val w = data.write.format(f).options(sink.options).mode(sink.mode)
+              if (sink.partitionBy.nonEmpty) w.partitionBy(sink.partitionBy: _*)
+              sink.path.map(w.save).getOrElse(w.save())
+            } finally if (sink.clusterBy.nonEmpty)
+              out.df.unpersist(blocking = false)
             BatchOutput(stream, out.df)
         }
       }

@@ -2332,12 +2332,12 @@ object Program {
         case sq: Sq8Ingest => Seq(sq.input, sq.stats)
         case zo: ZOrder =>
           nonEmpty(zo.cols, "z-order column", n.name)
-          if (zo.cols.size > 4 || zo.bits < 1 || zo.bits > 16 ||
-              zo.cols.size * zo.bits > 62 || zo.numFiles < 1)
+          try graft.operators.Layout.checkDims(zo.cols.size, zo.bits)
+          catch { case e: IllegalArgumentException =>
+            throw new IllegalArgumentException(s"node '${n.name}': ${e.getMessage}") }
+          if (zo.numFiles < 1)
             throw new IllegalArgumentException(s"node '${n.name}': zorder " +
-              s"needs 1-4 cols, bits in [1,16], cols*bits <= 62 and " +
-              s"numFiles >= 1, got cols=${zo.cols.size} bits=${zo.bits} " +
-              s"numFiles=${zo.numFiles}")
+              s"needs numFiles >= 1, got ${zo.numFiles}")
           Seq(zo.input)
       }
       inputs.foreach(i => if (!defined.contains(i)) throw new IllegalArgumentException(

@@ -24,8 +24,9 @@ import org.apache.spark.sql.functions._
  * no UDF, no custom expression needed.
  */
 object Layout {
-  /** Max columns × bits that fit a signed 64-bit z-key. */
-  private def checkDims(n: Int, bits: Int): Unit = {
+  /** Max columns × bits that fit a signed 64-bit z-key. ONE source of
+    * truth — `Program.validate` delegates here for the zorder node. */
+  private[graft] def checkDims(n: Int, bits: Int): Unit = {
     require(n >= 1 && n <= 4, s"zorder needs 1-4 columns, got $n")
     require(bits >= 1 && bits <= 16, s"zorder needs bits in [1,16], got $bits")
     require(n * bits <= 62, s"zorder key would overflow: $n cols x $bits bits")
@@ -57,6 +58,17 @@ object Layout {
     * then the key is a pure codegen'd projection. */
   def zkey(df: DataFrame, cols: Seq[String], bits: Int = 12): Column = {
     checkDims(cols.size, bits)
+    cols.foreach { c =>
+      df.schema(c).dataType match {
+        case _: org.apache.spark.sql.types.NumericType |
+             org.apache.spark.sql.types.DateType |
+             org.apache.spark.sql.types.TimestampType |
+             org.apache.spark.sql.types.TimestampNTZType =>
+        case other => throw new IllegalArgumentException(
+          s"zorder: column '$c' must be numeric or date/time " +
+            s"(affine range bucketing), got $other")
+      }
+    }
     val aggs = cols.flatMap(c => Seq(
       min(col(c).cast("double")).as(s"__lo_$c"),
       max(col(c).cast("double")).as(s"__hi_$c")))
@@ -73,14 +85,22 @@ object Layout {
     * the z-key into `numFiles` partitions and sort within each, so a
     * subsequent parquet write carries tight per-file min/max stats on
     * every z-column. The range exchange samples the z-key (one extra
-    * job), exactly like `ORDER BY` — the price of balanced files. */
+    * job), exactly like `ORDER BY` — the price of balanced files.
+    *
+    * The input plan executes multiple times (the min/max aggregation,
+    * the range sample, and whatever consumes the result) — persist an
+    * expensive upstream before clustering, as the clusterBy sink does. */
   def zorderBy(df: DataFrame, cols: Seq[String], numFiles: Int,
                bits: Int = 12): DataFrame = {
     require(numFiles >= 1, s"zorder needs numFiles >= 1, got $numFiles")
     val key = zkey(df, cols, bits)
-    df.withColumn("__zkey", key)
-      .repartitionByRange(numFiles, col("__zkey"))
-      .sortWithinPartitions("__zkey")
-      .drop("__zkey")
+    // a collision-proof working name: the input may itself carry __zkey
+    // (e.g. a re-clustered frame that materialized its key)
+    val kc = Iterator.from(0).map(i => s"__zkey$i")
+      .find(n => !df.columns.contains(n)).get
+    df.withColumn(kc, key)
+      .repartitionByRange(numFiles, col(kc))
+      .sortWithinPartitions(kc)
+      .drop(kc)
   }
 }

@@ -76,7 +76,7 @@ class CurationProgramSpec extends SparkSpec {
     assert(bad(TopKPerKey("x", "in", Seq("g"), "id", "v", 0, "score"))
       .contains("k > 0"))
     assert(bad(ZOrder("x", "in", Seq("a", "b", "c", "d", "e"), 8, 12))
-      .contains("1-4 cols"))
+      .contains("1-4 columns"))
     assert(bad(ZOrder("x", "in", Seq("a"), 0, 12)).contains("numFiles >= 1"))
   }
 

@@ -64,6 +64,20 @@ class LayoutSpec extends SparkSpec {
     assert(sortedWithin, "partitions must be internally sorted by the z-key")
   }
 
+  test("a re-clustered frame carrying __zkey0 keeps its column") {
+    val df = Seq((1L, 2L, 99L), (3L, 4L, 98L)).toDF("x", "y", "__zkey0")
+    val out = Layout.zorderBy(df, Seq("x", "y"), numFiles = 1, bits = 4)
+    assert(out.columns.toSeq == Seq("x", "y", "__zkey0"),
+      "a user column colliding with the working name must survive")
+    assert(out.select("__zkey0").collect().map(_.getLong(0)).toSet == Set(99L, 98L))
+  }
+
+  test("non-numeric z-columns fail with the type error, not a null-range error") {
+    val df = Seq((1L, "a"), (2L, "b")).toDF("x", "s")
+    val e = intercept[IllegalArgumentException](Layout.zkey(df, Seq("x", "s"), 4))
+    assert(e.getMessage.contains("must be numeric or date/time"), e.getMessage)
+  }
+
   test("degenerate (constant) columns bucket to 0 and a null-only column fails by name") {
     val df = Seq((1L, 7L), (2L, 7L)).toDF("a", "c")
     val z = df.select(Layout.zkey(df, Seq("a", "c"), bits = 4).as("z"))
