@@ -336,6 +336,37 @@ object QueriesPipeline {
                     WHERE l <> node)
         SELECT doc_id FROM documents WHERE doc_id NOT IN (SELECT node FROM dropped)"""
 
+  /** Keep-BEST corpus dedup: same clustering as q_dedup_corpus, but each
+    * cluster's survivor maximizes n_chars (ties → the lower doc_id) — the
+    * curation semantic keeping the longest representative of a near-dup
+    * family. The oracle re-derives the clusters recursively and elects
+    * per-cluster via the same (score desc, id asc) total order. */
+  def qDedupKeepBest(spark: SparkSession, dir: String): DataFrame =
+    Dedup.deduplicateCorpusKeepBest(Tables.documents(spark, dir).df,
+      "doc_id", "text", k = 16, bands = 8, threshold = 0.8,
+      scoreCol = col("n_chars"))
+
+  val qDedupKeepBestSql: String =
+    s"""WITH RECURSIVE mpairs AS ($qMinhashDedupSql),
+        epairs AS (SELECT keep AS id_a, doc_id AS id_b FROM (
+            SELECT doc_id, min(doc_id) OVER (PARTITION BY text) AS keep FROM documents)
+          WHERE doc_id <> keep),
+        pairs AS (SELECT id_a, id_b FROM mpairs UNION SELECT id_a, id_b FROM epairs),
+        edges AS (SELECT id_a AS u, id_b AS v FROM pairs
+                  UNION SELECT id_b, id_a FROM pairs),
+        cc(node, label) AS (
+          SELECT u, u FROM edges
+          UNION
+          SELECT e.v, cc.label FROM cc JOIN edges e ON cc.node = e.u),
+        labels AS (SELECT node, min(label) AS lbl FROM cc GROUP BY node),
+        whole AS (SELECT d.doc_id, coalesce(labels.lbl, d.doc_id) AS lbl, d.n_chars
+                  FROM documents d LEFT JOIN labels ON labels.node = d.doc_id),
+        ranked AS (SELECT doc_id,
+                     row_number() OVER (PARTITION BY lbl
+                                        ORDER BY n_chars DESC, doc_id) AS rn
+                   FROM whole)
+        SELECT doc_id FROM ranked WHERE rn = 1"""
+
   /** SimHash 16-bit signatures over word hashes. */
   def qSimhash(spark: SparkSession, dir: String): DataFrame =
     Dedup.simhash(Tables.documents(spark, dir).df, "doc_id", "text")
@@ -2045,6 +2076,7 @@ object QueriesPipeline {
     "q_group_topk" -> (qGroupTopK _),
     "q_sq8" -> (qSq8 _),
     "q_zorder" -> (qZorder _),
+    "q_dedup_keepbest" -> (qDedupKeepBest _),
     "q_repetition" -> (qRepetition _),
     "q_sample" -> (qSample _),
     "q_strata_mix" -> (qStrataMix _),
@@ -2120,6 +2152,7 @@ object QueriesPipeline {
     "q_group_topk" -> qGroupTopKSql,
     "q_sq8" -> qSq8Sql,
     "q_zorder" -> qZorderSql,
+    "q_dedup_keepbest" -> qDedupKeepBestSql,
     "q_repetition" -> qRepetitionSql,
     "q_sample" -> qSampleSql,
     "q_strata_mix" -> qStrataMixSql,

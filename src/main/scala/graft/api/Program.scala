@@ -318,6 +318,13 @@ object Program {
   final case class DedupCorpus(name: String, input: String, idCol: String,
                                textCol: String, k: Int, bands: Int,
                                threshold: Double) extends Node
+  /** Keep-BEST within-corpus dedup (`Dedup.deduplicateCorpusKeepBest`):
+    * each cluster's survivor maximizes the SQL expression `score` (ties →
+    * lower id). BUILD-TIME EAGER like [[DedupCorpus]]; schema-only
+    * validation, output is the surviving `idCol` alone. */
+  final case class DedupCorpusBest(name: String, input: String, idCol: String,
+                                   textCol: String, k: Int, bands: Int,
+                                   threshold: Double, score: String) extends Node
   /** Within-corpus embedding dedup (`Dedup.semanticDedup`, SemDeDup):
     * `centroids` names the codebook input that bounds the pair space.
     * BUILD-TIME EAGER (codebook collect + CC fixpoint); survivors keep
@@ -589,6 +596,7 @@ object Program {
     case tm: TemperatureMix => Seq(tm.input)
     case sp: SafeSplit => Seq(sp.input, sp.pairs)
     case dc: DedupCorpus => Seq(dc.input)
+    case db: DedupCorpusBest => Seq(db.input)
     case sd: SemanticDedup => Seq(sd.input, sd.centroids)
     case ls: LineScrub => Seq(ls.input)
     case sc: SpanScrub => Seq(sc.input)
@@ -860,6 +868,10 @@ object Program {
         case DedupCorpus(name, i, idCol, textCol, k, bands, threshold) =>
           rewrap(in(i), graft.pipeline.Dedup.deduplicateCorpus(
             batchFace(name, "dedupCorpus", in(i)), idCol, textCol, k, bands, threshold))
+        case DedupCorpusBest(name, i, idCol, textCol, k, bands, threshold, score) =>
+          rewrap(in(i), graft.pipeline.Dedup.deduplicateCorpusKeepBest(
+            batchFace(name, "dedupCorpusBest", in(i)), idCol, textCol, k, bands,
+            threshold, expr(score)))
         case SemanticDedup(name, i, cents, idCol, vecCol, threshold) =>
           rewrap(in(i), graft.pipeline.Dedup.semanticDedup(
             batchFace(name, "semanticDedup", in(i)), idCol, vecCol,
@@ -981,6 +993,7 @@ object Program {
     case x: TemperatureMix => x.copy(name = name)
     case x: SafeSplit => x.copy(name = name)
     case x: DedupCorpus => x.copy(name = name)
+    case x: DedupCorpusBest => x.copy(name = name)
     case x: SemanticDedup => x.copy(name = name)
     case x: LineScrub => x.copy(name = name)
     case x: SpanScrub => x.copy(name = name)
@@ -1325,6 +1338,12 @@ object Program {
                     threshold: Double): Rec =
       derive1("dedupCorpus")(n => DedupCorpus(n, name, idCol, textCol,
         k, bands, threshold))
+    /** Keep-best corpus dedup: each cluster survives through its
+      * `score`-maximizing member (ties → lower id). BUILD-TIME EAGER. */
+    def dedupCorpusBest(idCol: String, textCol: String, k: Int, bands: Int,
+                        threshold: Double, score: String): Rec =
+      derive1("dedupCorpusBest")(n => DedupCorpusBest(n, name, idCol, textCol,
+        k, bands, threshold, score))
     /** SemDeDup within-corpus embedding dedup; `centroids` names the
       * codebook input. BUILD-TIME EAGER. */
     def semanticDedup(centroids: Rec, idCol: String, vecCol: String,
@@ -1417,7 +1436,8 @@ object Program {
     * encodeIngest, decontaminateIngest, ivfProbe); 3 adds dsirScore,
     * tokenFreq and bpeEncode; 4 adds exactDedup, gopherGate and
     * nbClassify; 5 adds the eight sampling/training-mix nodes; 6 adds
-    * the sixteen corpus-curation nodes (dedupCorpus, semanticDedup,
+    * the seventeen corpus-curation nodes (dedupCorpus, dedupCorpusBest,
+    * semanticDedup,
     * lineScrub, spanScrub, quality, piiScrub, langId, chunkTokens,
     * packChunks, winnow, repetition, normalize, jlProject, topkPerKey,
     * sq8Encode, zorder).
@@ -1429,7 +1449,8 @@ object Program {
   /** The lowest format version expressing every node in `doc`. */
   private def requiredVersion(doc: Doc): Int =
     if (doc.nodes.exists {
-      case _: DedupCorpus | _: SemanticDedup | _: LineScrub | _: SpanScrub |
+      case _: DedupCorpus | _: DedupCorpusBest | _: SemanticDedup |
+           _: LineScrub | _: SpanScrub |
            _: QualityAnnotate | _: PiiScrub | _: LangId | _: ChunkTokens |
            _: PackChunks | _: Winnow | _: Repetition | _: Normalize |
            _: JlProjection | _: TopKPerKey | _: Sq8Ingest | _: ZOrder => true
@@ -1610,6 +1631,10 @@ object Program {
         ("op" -> "dedupCorpus") ~ ("name" -> name) ~ ("input" -> i) ~
           ("idCol" -> idCol) ~ ("textCol" -> textCol) ~ ("k" -> k) ~
           ("bands" -> bands) ~ ("threshold" -> threshold)
+      case DedupCorpusBest(name, i, idCol, textCol, k, bands, threshold, score) =>
+        ("op" -> "dedupCorpusBest") ~ ("name" -> name) ~ ("input" -> i) ~
+          ("idCol" -> idCol) ~ ("textCol" -> textCol) ~ ("k" -> k) ~
+          ("bands" -> bands) ~ ("threshold" -> threshold) ~ ("score" -> score)
       case SemanticDedup(name, i, cents, idCol, vecCol, threshold) =>
         ("op" -> "semanticDedup") ~ ("name" -> name) ~ ("input" -> i) ~
           ("centroids" -> cents) ~ ("idCol" -> idCol) ~ ("vecCol" -> vecCol) ~
@@ -1856,6 +1881,11 @@ object Program {
             (v \ "idCol").extract[String], (v \ "textCol").extract[String],
             (v \ "k").extract[Int], (v \ "bands").extract[Int],
             (v \ "threshold").extract[Double])
+          case "dedupCorpusBest" => DedupCorpusBest(name,
+            (v \ "input").extract[String], (v \ "idCol").extract[String],
+            (v \ "textCol").extract[String], (v \ "k").extract[Int],
+            (v \ "bands").extract[Int], (v \ "threshold").extract[Double],
+            (v \ "score").extract[String])
           case "semanticDedup" => SemanticDedup(name, (v \ "input").extract[String],
             (v \ "centroids").extract[String], (v \ "idCol").extract[String],
             (v \ "vecCol").extract[String], (v \ "threshold").extract[Double])
@@ -2017,6 +2047,11 @@ object Program {
             s.df.select(col(dc.idCol), col(dc.textCol)).schema
             emptyOf(org.apache.spark.sql.types.StructType(
               Seq(s.df.schema(dc.idCol))))
+          case db: DedupCorpusBest =>
+            val s = env(db.input)
+            s.df.select(col(db.idCol), col(db.textCol), expr(db.score)).schema
+            emptyOf(org.apache.spark.sql.types.StructType(
+              Seq(s.df.schema(db.idCol))))
           case sd: SemanticDedup =>
             // build-time eager (codebook collect + CC fixpoint): survivors
             // keep the input schema
@@ -2283,6 +2318,15 @@ object Program {
             throw new IllegalArgumentException(s"node '${n.name}': dedupCorpus " +
               s"threshold must be in (0,1], got ${dc.threshold}")
           Seq(dc.input)
+        case db: DedupCorpusBest =>
+          parse(db.score, s"node ${n.name}")
+          if (db.bands <= 0 || db.k < db.bands || db.k % db.bands != 0)
+            throw new IllegalArgumentException(s"node '${n.name}': dedupCorpusBest " +
+              s"needs k a positive multiple of bands, got k=${db.k} bands=${db.bands}")
+          if (db.threshold <= 0.0 || db.threshold > 1.0)
+            throw new IllegalArgumentException(s"node '${n.name}': dedupCorpusBest " +
+              s"threshold must be in (0,1], got ${db.threshold}")
+          Seq(db.input)
         case sd: SemanticDedup =>
           if (sd.threshold <= 0.0 || sd.threshold > 1.0)
             throw new IllegalArgumentException(s"node '${n.name}': semanticDedup " +

@@ -840,12 +840,65 @@ object Dedup {
     * pairwise dropping would miss. */
   def deduplicateCorpus(docs: DataFrame, idCol: String, textCol: String,
                         k: Int, bands: Int, threshold: Double): DataFrame = {
-    // ONE projection reads the text and computes everything any stage
-    // needs from it (exact hash + collision salt + shingle hashes), closed
-    // by a repartition(id) exchange: the exact-pair branch, the minhash
-    // band branch, and both verification-set branches all read that one
-    // materialized exchange — the corpus text is scanned and hashed once
-    // for the whole job instead of once per branch.
+    val clusters = corpusClusters(docs, idCol, textCol, k, bands, threshold)
+    // droppedBecause lineage: when the run records lineage, each dropped
+    // document links to the survivor that represents its duplicate
+    // cluster — the edge a curation team reads to explain a drop.
+    // Record ids hash the DOC-ID column (the dropped record never appears
+    // in the output to carry a record_id column, so the document key is
+    // the stable identity on both sides).
+    graft.api.Lineage.current(docs.sparkSession).foreach { rec =>
+      rec.add(clusters.filter(col("node") =!= col("cluster_id")).select(
+        lit("droppedBecause:deduplicateCorpus").as("op"),
+        xxhash64(struct(col("node"))).as("output_id"),
+        xxhash64(struct(col("cluster_id"))).as("input_id")))
+    }
+    val dropped = clusters.filter(col("node") =!= col("cluster_id"))
+      .select(col("node").as(idCol))
+    docs.select(col(idCol)).join(dropped, Seq(idCol), "left_anti")
+  }
+
+  /** Keep-BEST corpus dedup: same exact + MinHash/LSH clustering as
+    * [[deduplicateCorpus]], but each duplicate cluster's survivor is the
+    * member maximizing `scoreCol` (ties → the lower id) instead of the
+    * minimum id — the curation semantic that keeps the longest /
+    * highest-quality representative of every near-dup family. Output:
+    * the surviving `idCol` values. */
+  def deduplicateCorpusKeepBest(docs: DataFrame, idCol: String, textCol: String,
+                                k: Int, bands: Int, threshold: Double,
+                                scoreCol: org.apache.spark.sql.Column): DataFrame = {
+    val clusters = corpusClusters(docs, idCol, textCol, k, bands, threshold)
+    val scored = docs.select(col(idCol).as("node"), scoreCol.cast("double").as("__s"))
+    val members = clusters.join(scored, Seq("node"))
+    // elect per cluster: max score, ties to the LOWER id — one partial-
+    // aggregated max_by, no window sort
+    val best = members.groupBy(col("cluster_id"))
+      .agg(max_by(col("node"), struct(col("__s"), -col("node"))).as("__best"))
+    graft.api.Lineage.current(docs.sparkSession).foreach { rec =>
+      rec.add(members.join(best, Seq("cluster_id"))
+        .filter(col("node") =!= col("__best")).select(
+          lit("droppedBecause:deduplicateCorpusKeepBest").as("op"),
+          xxhash64(struct(col("node"))).as("output_id"),
+          xxhash64(struct(col("__best"))).as("input_id")))
+    }
+    val dropped = members.join(best, Seq("cluster_id"))
+      .filter(col("node") =!= col("__best"))
+      .select(col("node").as(idCol))
+    docs.select(col(idCol)).join(dropped, Seq(idCol), "left_anti")
+  }
+
+  /** The shared cluster derivation of the corpus dedup family:
+    * (node, cluster_id) for every document in an exact- or near-dup
+    * cluster (singletons absent; cluster_id = the cluster's min id).
+    *
+    * ONE projection reads the text and computes everything any stage
+    * needs from it (exact hash + collision salt + shingle hashes), closed
+    * by a repartition(id) exchange: the exact-pair branch, the minhash
+    * band branch, and both verification-set branches all read that one
+    * materialized exchange — the corpus text is scanned and hashed once
+    * for the whole job instead of once per branch. */
+  private def corpusClusters(docs: DataFrame, idCol: String, textCol: String,
+                             k: Int, bands: Int, threshold: Double): DataFrame = {
     val pre = docs.select(col(idCol),
         xxhash64(col(textCol)).as("__th"),
         xxhash64(col(textCol), lit(0x5bd1e995)).as("__salt"),
@@ -864,22 +917,7 @@ object Dedup {
       .select(col("__keep").as("id_a"), col(idCol).as("id_b"))
     val nearPairs = verifiedNearDupPairs(pre, idCol, k, bands, threshold)
       .select(col("id_a"), col("id_b"))
-    val clusters = connectedComponents(exactPairs.union(nearPairs), "id_a", "id_b")
-    // droppedBecause lineage: when the run records lineage, each dropped
-    // document links to the survivor that represents its duplicate
-    // cluster — the edge a curation team reads to explain a drop.
-    // Record ids hash the DOC-ID column (the dropped record never appears
-    // in the output to carry a record_id column, so the document key is
-    // the stable identity on both sides).
-    graft.api.Lineage.current(docs.sparkSession).foreach { rec =>
-      rec.add(clusters.filter(col("node") =!= col("cluster_id")).select(
-        lit("droppedBecause:deduplicateCorpus").as("op"),
-        xxhash64(struct(col("node"))).as("output_id"),
-        xxhash64(struct(col("cluster_id"))).as("input_id")))
-    }
-    val dropped = clusters.filter(col("node") =!= col("cluster_id"))
-      .select(col("node").as(idCol))
-    docs.select(col(idCol)).join(dropped, Seq(idCol), "left_anti")
+    connectedComponents(exactPairs.union(nearPairs), "id_a", "id_b")
   }
 
   /** Streaming near-dup ingest — the streaming face of corpus dedup

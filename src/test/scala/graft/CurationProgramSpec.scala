@@ -20,11 +20,12 @@ class CurationProgramSpec extends SparkSpec {
     (4L, "a completely different document about spark and data the", "en"),
     (5L, "short one", "en")).toDF("id", "text", "src")
 
-  test("all sixteen v6 nodes JSON round-trip and stamp format version 6") {
+  test("all seventeen v6 nodes JSON round-trip and stamp format version 6") {
     val d = Doc(
       nodes = Seq(
         External("in"), External("cents"),
         DedupCorpus("dc", "in", "id", "text", 8, 4, 0.7),
+        DedupCorpusBest("db", "in", "id", "text", 8, 4, 0.7, "length(text)"),
         SemanticDedup("sd", "in", "cents", "id", "vec", 0.9),
         LineScrub("ls", "in", "id", "text", 3),
         SpanScrub("sc", "in", "id", "text", 5, 2, true),
@@ -189,6 +190,15 @@ class CurationProgramSpec extends SparkSpec {
     assert(live == direct, "dedupCorpus capture diverged from the direct API")
     assert(!(live.contains(1L) && live.contains(2L)),
       "exact duplicates 1 and 2 must collapse to one survivor")
+
+    // keep-best elects the score-maximizing member instead of the min id
+    val best = Program.Rec.external("in", MStream(docs))
+      .dedupCorpusBest("id", "text", k = 8, bands = 4, threshold = 0.7,
+        score = "id * 1.0") // score by id: the HIGHEST id must survive
+      .as("bestOut")
+    val bestIds = best.stream.df.collect().map(_.getLong(0)).toSet
+    assert(bestIds.contains(2L) && !bestIds.contains(1L),
+      s"keep-best must elect the max-score member of {1,2}: $bestIds")
 
     val ls = Program.Rec.external("in", MStream(docs))
       .lineScrub("id", "text", minWords = 2).as("lsOut")
