@@ -1315,6 +1315,33 @@ object QueriesPipeline {
   val qFingerprintSql: String =
     s"SELECT doc_id, ${PolyFold.format("text")} AS fp FROM documents"
 
+  /** Markup strip + domain extraction over the corpus: on the plain-text
+    * synthetic corpus the strip reduces to whitespace collapse (pinning
+    * the plumbing; MarkupSpec pins the HTML behavior on real markup) and
+    * domains are empty — the oracle mirrors the identical regex chain
+    * in the Java ∩ RE2 subset. */
+  def qStripMarkup(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir).df.select(col("doc_id"),
+      TextOps.stripMarkup(col("text")).as("clean_text"),
+      size(TextOps.domainsOf(col("text"))).cast("long").as("n_domains"))
+
+  val qStripMarkupSql: String =
+    """SELECT doc_id,
+         trim(regexp_replace(
+           replace(replace(replace(replace(replace(replace(
+             regexp_replace(
+               regexp_replace(
+                 regexp_replace(text, '(?is)<script[^>]*>.*?</script>', ' ', 'g'),
+                 '(?is)<style[^>]*>.*?</style>', ' ', 'g'),
+               '<[^>]+>', ' ', 'g'),
+             '&nbsp;', ' '), '&amp;', '&'), '&lt;', '<'), '&gt;', '>'),
+             '&quot;', '"'), '&#39;', ''''),
+           '[ \t\n\f\r\x0b]+', ' ', 'g')) AS clean_text,
+         len(list_distinct(list_transform(
+           regexp_extract_all(text, '(?i)https?://([A-Za-z0-9.-]+)', 1),
+           h -> lower(h))))::BIGINT AS n_domains
+       FROM documents"""
+
   /** CCNet-style normalization fold, then the portable fingerprint of the
     * NORMALIZED text — the canonical normalize-then-hash step of fuzzy
     * dedup. On the pure-ASCII corpus the fold reduces to digit-fold +
@@ -2072,6 +2099,7 @@ object QueriesPipeline {
     "q_token_count" -> (qTokenCount _),
     "q_fingerprint" -> (qFingerprint _),
     "q_normalize" -> (qNormalize _),
+    "q_strip_markup" -> (qStripMarkup _),
     "q_jl_project" -> (qJlProject _),
     "q_group_topk" -> (qGroupTopK _),
     "q_sq8" -> (qSq8 _),
@@ -2148,6 +2176,7 @@ object QueriesPipeline {
     "q_token_count" -> qTokenCountSql,
     "q_fingerprint" -> qFingerprintSql,
     "q_normalize" -> qNormalizeSql,
+    "q_strip_markup" -> qStripMarkupSql,
     "q_jl_project" -> qJlProjectSql,
     "q_group_topk" -> qGroupTopKSql,
     "q_sq8" -> qSq8Sql,

@@ -80,6 +80,30 @@ object TextOps {
   def normalizeText(text: Column): Column =
     graft.functions.TextNormalize.fold(text)
 
+  /** HTML/markup strip (the web-corpus extraction step, jusText-lite):
+    * drop script/style blocks, strip tags, decode the six common
+    * entities, collapse whitespace. Built from regexp/replace built-ins
+    * in the Java ∩ RE2 regex subset (inline `(?is)` flags + non-greedy,
+    * NO backreferences), so the DuckDB oracle runs the identical chain. */
+  def stripMarkup(text: Column): Column = {
+    val noBlocks = regexp_replace(
+      regexp_replace(text, "(?is)<script[^>]*>.*?</script>", " "),
+      "(?is)<style[^>]*>.*?</style>", " ")
+    val noTags = regexp_replace(noBlocks, "<[^>]+>", " ")
+    val decoded = Seq("&nbsp;" -> " ", "&amp;" -> "&", "&lt;" -> "<",
+      "&gt;" -> ">", "&quot;" -> "\"", "&#39;" -> "'")
+      .foldLeft(noTags) { case (c, (e, r)) => replace(c, lit(e), lit(r)) }
+    trim(regexp_replace(decoded, "[ \\t\\n\\f\\r\\x0B]+", " "))
+  }
+
+  /** Lowercased hosts of every URL in the text — the input to
+    * domain-blocklist filtering (RefinedWeb-style URL rules). Distinct,
+    * first-occurrence order. */
+  def domainsOf(text: Column): Column =
+    array_distinct(transform(
+      regexp_extract_all(text, lit("(?i)https?://([A-Za-z0-9.-]+)"), lit(1)),
+      h => lower(h)))
+
   /** Winnowing document fingerprints (Schleimer et al., SIGMOD 2003 — the
     * MOSS algorithm): word-`n`-gram hashes in position order, each window
     * of `w` selecting its rightmost minimum ([[graft.functions.WinnowSelect]],
