@@ -377,6 +377,11 @@ object Program {
     * as `as` — stateless per-row, dual-mode. */
   final case class Normalize(name: String, input: String, textCol: String,
                              as: String) extends Node
+  /** Markup-strip annotation (`TextOps.stripMarkup`) as `as`, plus the
+    * extracted URL hosts (`TextOps.domainsOf`) as `domainsAs` —
+    * stateless per-row, dual-mode. */
+  final case class StripMarkup(name: String, input: String, textCol: String,
+                               as: String, domainsAs: String) extends Node
   /** Johnson–Lindenstrauss projection (`Similarity.randomProject`) of
     * `vecCol` to `outDim` dims as `as` — stateless per-row, dual-mode. */
   final case class JlProjection(name: String, input: String, vecCol: String,
@@ -608,6 +613,7 @@ object Program {
     case wn: Winnow => Seq(wn.input)
     case rp: Repetition => Seq(rp.input)
     case nm2: Normalize => Seq(nm2.input)
+    case sm: StripMarkup => Seq(sm.input)
     case jp: JlProjection => Seq(jp.input)
     case tk: TopKPerKey => Seq(tk.input)
     case sq: Sq8Ingest => Seq(sq.input, sq.stats)
@@ -655,7 +661,7 @@ object Program {
                // (corpus aggregations — dedup, scrubs, packChunks — are not)
                _: QualityAnnotate | _: PiiScrub | _: LangId |
                _: ChunkTokens | _: Winnow | _: Repetition |
-               _: Normalize | _: JlProjection =>
+               _: Normalize | _: StripMarkup | _: JlProjection =>
             deps.size == 1
           case _: Union => true // union distributes regardless of arity
           case j: Join =>
@@ -903,6 +909,10 @@ object Program {
             in(i).df, idCol, textCol))
         case Normalize(_, i, textCol, as) =>
           in(i).addFields(as -> graft.pipeline.TextOps.normalizeText(col(textCol)))
+        case StripMarkup(_, i, textCol, as, domainsAs) =>
+          in(i).addFields(
+            as -> graft.pipeline.TextOps.stripMarkup(col(textCol)),
+            domainsAs -> graft.pipeline.TextOps.domainsOf(col(textCol)))
         case JlProjection(_, i, vecCol, outDim, seed, as) =>
           rewrap(in(i), graft.pipeline.Similarity.randomProject(
             in(i).df, vecCol, outDim, seed, as))
@@ -1005,6 +1015,7 @@ object Program {
     case x: Winnow => x.copy(name = name)
     case x: Repetition => x.copy(name = name)
     case x: Normalize => x.copy(name = name)
+    case x: StripMarkup => x.copy(name = name)
     case x: JlProjection => x.copy(name = name)
     case x: TopKPerKey => x.copy(name = name)
     case x: Sq8Ingest => x.copy(name = name)
@@ -1386,6 +1397,10 @@ object Program {
     /** CCNet unicode-normalization annotation. */
     def normalize(textCol: String, as: String = "norm_text"): Rec =
       derive1("normalize")(n => Normalize(n, name, textCol, as))
+    /** Markup-strip + URL-host annotation. */
+    def stripMarkup(textCol: String, as: String = "clean_text",
+                    domainsAs: String = "domains"): Rec =
+      derive1("stripMarkup")(n => StripMarkup(n, name, textCol, as, domainsAs))
     /** Johnson–Lindenstrauss projection to `outDim` dims. */
     def jlProject(vecCol: String, outDim: Int, seed: Int = 0,
                   as: String = "projected"): Rec =
@@ -1436,11 +1451,11 @@ object Program {
     * encodeIngest, decontaminateIngest, ivfProbe); 3 adds dsirScore,
     * tokenFreq and bpeEncode; 4 adds exactDedup, gopherGate and
     * nbClassify; 5 adds the eight sampling/training-mix nodes; 6 adds
-    * the seventeen corpus-curation nodes (dedupCorpus, dedupCorpusBest,
+    * the eighteen corpus-curation nodes (dedupCorpus, dedupCorpusBest,
     * semanticDedup,
     * lineScrub, spanScrub, quality, piiScrub, langId, chunkTokens,
-    * packChunks, winnow, repetition, normalize, jlProject, topkPerKey,
-    * sq8Encode, zorder).
+    * packChunks, winnow, repetition, normalize, stripMarkup, jlProject,
+    * topkPerKey, sq8Encode, zorder).
     * [[toJson]] stamps each document with the LOWEST version that can
     * express it, so a document using only the v1 grammar stays loadable
     * by a v1 library. */
@@ -1453,7 +1468,8 @@ object Program {
            _: LineScrub | _: SpanScrub |
            _: QualityAnnotate | _: PiiScrub | _: LangId | _: ChunkTokens |
            _: PackChunks | _: Winnow | _: Repetition | _: Normalize |
-           _: JlProjection | _: TopKPerKey | _: Sq8Ingest | _: ZOrder => true
+           _: StripMarkup | _: JlProjection | _: TopKPerKey | _: Sq8Ingest |
+           _: ZOrder => true
       case _ => false }) 6
     else if (doc.nodes.exists {
       case _: HashSample | _: StratifiedSample | _: AssignSplit | _: WeightedMix |
@@ -1673,6 +1689,9 @@ object Program {
       case Normalize(name, i, textCol, as) =>
         ("op" -> "normalize") ~ ("name" -> name) ~ ("input" -> i) ~
           ("textCol" -> textCol) ~ ("as" -> as)
+      case StripMarkup(name, i, textCol, as, domainsAs) =>
+        ("op" -> "stripMarkup") ~ ("name" -> name) ~ ("input" -> i) ~
+          ("textCol" -> textCol) ~ ("as" -> as) ~ ("domainsAs" -> domainsAs)
       case JlProjection(name, i, vecCol, outDim, seed, as) =>
         ("op" -> "jlProject") ~ ("name" -> name) ~ ("input" -> i) ~
           ("vecCol" -> vecCol) ~ ("outDim" -> outDim) ~ ("seed" -> seed) ~
@@ -1918,6 +1937,10 @@ object Program {
           case "normalize" => Normalize(name, (v \ "input").extract[String],
             (v \ "textCol").extract[String],
             (v \ "as").extractOpt[String].getOrElse("norm_text"))
+          case "stripMarkup" => StripMarkup(name, (v \ "input").extract[String],
+            (v \ "textCol").extract[String],
+            (v \ "as").extractOpt[String].getOrElse("clean_text"),
+            (v \ "domainsAs").extractOpt[String].getOrElse("domains"))
           case "jlProject" => JlProjection(name, (v \ "input").extract[String],
             (v \ "vecCol").extract[String], (v \ "outDim").extract[Int],
             (v \ "seed").extractOpt[Int].getOrElse(0),
@@ -2361,6 +2384,7 @@ object Program {
           Seq(wn.input)
         case rp: Repetition => Seq(rp.input)
         case nm2: Normalize => Seq(nm2.input)
+        case sm: StripMarkup => Seq(sm.input)
         case jp: JlProjection =>
           if (jp.outDim < 1 || jp.outDim > 4096 || jp.seed < 0)
             throw new IllegalArgumentException(s"node '${n.name}': jlProject " +

@@ -20,7 +20,7 @@ class CurationProgramSpec extends SparkSpec {
     (4L, "a completely different document about spark and data the", "en"),
     (5L, "short one", "en")).toDF("id", "text", "src")
 
-  test("all seventeen v6 nodes JSON round-trip and stamp format version 6") {
+  test("all eighteen v6 nodes JSON round-trip and stamp format version 6") {
     val d = Doc(
       nodes = Seq(
         External("in"), External("cents"),
@@ -37,6 +37,7 @@ class CurationProgramSpec extends SparkSpec {
         Winnow("wn", "in", "id", "text", 3, 4),
         Repetition("rp", "in", "id", "text"),
         Normalize("nz", "in", "text", "norm_text"),
+        StripMarkup("sm", "in", "text", "clean_text", "domains"),
         JlProjection("jl", "in", "vec", 16, 7, "projected"),
         TopKPerKey("tk", "in", Seq("src"), "id", "length(text)", 3, "score"),
         Sq8Ingest("sq", "jl", "cents", "projected", "codes"),
