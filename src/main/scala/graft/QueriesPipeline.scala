@@ -320,8 +320,12 @@ object QueriesPipeline {
     Dedup.deduplicateCorpus(Tables.documents(spark, dir).df, "doc_id", "text",
       k = 16, bands = 8, threshold = 0.8)
 
-  val qDedupCorpusSql: String =
-    s"""WITH RECURSIVE mpairs AS ($qMinhashDedupSql),
+  /** The exact-pair + LSH-pair + recursive-CC cluster CTEs shared by the
+    * corpus-dedup oracles — ONE fragment, mirroring the Scala side's
+    * shared `Dedup.corpusClusters`, so the keep-min and keep-best mirrors
+    * cannot drift from each other. */
+  private val corpusClusterCtes: String =
+    s"""mpairs AS ($qMinhashDedupSql),
         epairs AS (SELECT keep AS id_a, doc_id AS id_b FROM (
             SELECT doc_id, min(doc_id) OVER (PARTITION BY text) AS keep FROM documents)
           WHERE doc_id <> keep),
@@ -331,7 +335,10 @@ object QueriesPipeline {
         cc(node, label) AS (
           SELECT u, u FROM edges
           UNION
-          SELECT e.v, cc.label FROM cc JOIN edges e ON cc.node = e.u),
+          SELECT e.v, cc.label FROM cc JOIN edges e ON cc.node = e.u)"""
+
+  val qDedupCorpusSql: String =
+    s"""WITH RECURSIVE $corpusClusterCtes,
         dropped AS (SELECT node FROM (SELECT node, min(label) AS l FROM cc GROUP BY node)
                     WHERE l <> node)
         SELECT doc_id FROM documents WHERE doc_id NOT IN (SELECT node FROM dropped)"""
@@ -347,17 +354,7 @@ object QueriesPipeline {
       scoreCol = col("n_chars"))
 
   val qDedupKeepBestSql: String =
-    s"""WITH RECURSIVE mpairs AS ($qMinhashDedupSql),
-        epairs AS (SELECT keep AS id_a, doc_id AS id_b FROM (
-            SELECT doc_id, min(doc_id) OVER (PARTITION BY text) AS keep FROM documents)
-          WHERE doc_id <> keep),
-        pairs AS (SELECT id_a, id_b FROM mpairs UNION SELECT id_a, id_b FROM epairs),
-        edges AS (SELECT id_a AS u, id_b AS v FROM pairs
-                  UNION SELECT id_b, id_a FROM pairs),
-        cc(node, label) AS (
-          SELECT u, u FROM edges
-          UNION
-          SELECT e.v, cc.label FROM cc JOIN edges e ON cc.node = e.u),
+    s"""WITH RECURSIVE $corpusClusterCtes,
         labels AS (SELECT node, min(label) AS lbl FROM cc GROUP BY node),
         whole AS (SELECT d.doc_id, coalesce(labels.lbl, d.doc_id) AS lbl, d.n_chars
                   FROM documents d LEFT JOIN labels ON labels.node = d.doc_id),
@@ -1331,14 +1328,17 @@ object QueriesPipeline {
            replace(replace(replace(replace(replace(replace(
              regexp_replace(
                regexp_replace(
-                 regexp_replace(text, '(?is)<script[^>]*>.*?</script>', ' ', 'g'),
-                 '(?is)<style[^>]*>.*?</style>', ' ', 'g'),
-               '<[^>]+>', ' ', 'g'),
-             '&nbsp;', ' '), '&amp;', '&'), '&lt;', '<'), '&gt;', '>'),
-             '&quot;', '"'), '&#39;', ''''),
+                 regexp_replace(
+                   regexp_replace(text, '(?is)<script[^>]*>.*?</script>', ' ', 'g'),
+                   '(?is)<style[^>]*>.*?</style>', ' ', 'g'),
+                 '(?s)<!--.*?-->', ' ', 'g'),
+               '</?[A-Za-z][^>]*>|<![A-Za-z][^>]*>', ' ', 'g'),
+             '&nbsp;', ' '), '&lt;', '<'), '&gt;', '>'),
+             '&quot;', '"'), '&#39;', ''''), '&amp;', '&'),
            '[ \t\n\f\r\x0b]+', ' ', 'g')) AS clean_text,
          len(list_distinct(list_transform(
-           regexp_extract_all(text, '(?i)https?://([A-Za-z0-9.-]+)', 1),
+           regexp_extract_all(text,
+             '(?i)https?://(?:[^/@ \t\n\f\r\x0b]+@)?([A-Za-z0-9.-]+)', 1),
            h -> lower(h))))::BIGINT AS n_domains
        FROM documents"""
 

@@ -1458,7 +1458,9 @@ object Program {
     * topkPerKey, sq8Encode, zorder).
     * [[toJson]] stamps each document with the LOWEST version that can
     * express it, so a document using only the v1 grammar stays loadable
-    * by a v1 library. */
+    * by a v1 library. Versions track SHIPPED grammars (one per build
+    * round), not individual commits — every v6 node landed in the same
+    * round, so no v6-stamped artifact can predate any v6 op. */
   val FormatVersion: Int = 6
 
   /** The lowest format version expressing every node in `doc`. */

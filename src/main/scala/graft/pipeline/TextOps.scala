@@ -87,21 +87,29 @@ object TextOps {
     * NO backreferences), so the DuckDB oracle runs the identical chain. */
   def stripMarkup(text: Column): Column = {
     val noBlocks = regexp_replace(
-      regexp_replace(text, "(?is)<script[^>]*>.*?</script>", " "),
-      "(?is)<style[^>]*>.*?</style>", " ")
-    val noTags = regexp_replace(noBlocks, "<[^>]+>", " ")
-    val decoded = Seq("&nbsp;" -> " ", "&amp;" -> "&", "&lt;" -> "<",
-      "&gt;" -> ">", "&quot;" -> "\"", "&#39;" -> "'")
+      regexp_replace(
+        regexp_replace(text, "(?is)<script[^>]*>.*?</script>", " "),
+        "(?is)<style[^>]*>.*?</style>", " "),
+      "(?s)<!--.*?-->", " ")
+    // tag-SHAPED spans only (</?letter… or <!DOCTYPE…): a bare
+    // inequality in prose ("a<b and c>d") is NOT a tag and survives
+    val noTags = regexp_replace(noBlocks, "</?[A-Za-z][^>]*>|<![A-Za-z][^>]*>", " ")
+    // &amp; decodes LAST: '&amp;lt;' is the TEXT '&lt;', one decode only
+    val decoded = Seq("&nbsp;" -> " ", "&lt;" -> "<", "&gt;" -> ">",
+      "&quot;" -> "\"", "&#39;" -> "'", "&amp;" -> "&")
       .foldLeft(noTags) { case (c, (e, r)) => replace(c, lit(e), lit(r)) }
     trim(regexp_replace(decoded, "[ \\t\\n\\f\\r\\x0B]+", " "))
   }
 
   /** Lowercased hosts of every URL in the text — the input to
     * domain-blocklist filtering (RefinedWeb-style URL rules). Distinct,
-    * first-occurrence order. */
+    * first-occurrence order; an optional userinfo component
+    * (`user@host`) is skipped so a blocklisted host cannot hide behind
+    * credentials. */
   def domainsOf(text: Column): Column =
     array_distinct(transform(
-      regexp_extract_all(text, lit("(?i)https?://([A-Za-z0-9.-]+)"), lit(1)),
+      regexp_extract_all(text,
+        lit("(?i)https?://(?:[^/@ \\t\\n\\f\\r\\x0B]+@)?([A-Za-z0-9.-]+)"), lit(1)),
       h => lower(h)))
 
   /** Winnowing document fingerprints (Schleimer et al., SIGMOD 2003 — the

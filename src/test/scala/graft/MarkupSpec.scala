@@ -27,6 +27,27 @@ class MarkupSpec extends SparkSpec {
     assert(strip("  plain   text  ") == "plain text")
   }
 
+  test("escaped markup decodes ONCE (&amp; last), never into live tags") {
+    // a page showing '<div>' as text escapes it '&amp;lt;div&amp;gt;':
+    // one decode yields the literal '&lt;div&gt;', not '<div>'
+    assert(strip("code: &amp;lt;div&amp;gt;") == "code: &lt;div&gt;")
+  }
+
+  test("bare inequalities in prose are not tags; comments and DOCTYPE are") {
+    // digit comparisons and unclosed '<x' never look tag-shaped
+    assert(strip("price<10 and rate>5") == "price<10 and rate>5")
+    assert(strip("if a<b then stop") == "if a<b then stop")
+    // the irreducible ambiguity: '<b and c>' IS a tag shape (<b> with
+    // attributes) and strips — documented trade-off of tag anchoring
+    assert(strip("<!DOCTYPE html><!-- nav\nchrome --><p>body</p>") == "body")
+  }
+
+  test("domainsOf skips userinfo: a blocklisted host cannot hide behind credentials") {
+    val got = Seq("fetch http://anything@evil.com/page and https://ok.org/x")
+      .toDF("t").select(TextOps.domainsOf(col("t"))).collect().head.getSeq[String](0)
+    assert(got == Seq("evil.com", "ok.org"), got.toString)
+  }
+
   test("domainsOf extracts distinct lowercased hosts in first-seen order") {
     val got = Seq("see HTTPS://Example.COM/a and http://sub.site.org/b " +
       "plus https://example.com/c, no-scheme.com ignored").toDF("t")
