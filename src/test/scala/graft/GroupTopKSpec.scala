@@ -57,6 +57,47 @@ class GroupTopKSpec extends SparkSpec {
     assert(e.getMessage.contains("must be integral"), e.getMessage)
   }
 
+  test("streaming update-mode continuous top-k converges to the batch answer") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.api.{App, Program}
+    import graft.api.Program._
+    implicit val sqlCtx = spark.sqlContext
+    // the document face: a streaming groupBy aggregation is legitimate
+    // for topkPerKey (update mode re-emits a group's refreshed top-k)
+    val json = Program.toJson(Doc(
+      nodes = Seq(External("in"),
+        TopKPerKey("tk", "in", Seq("grp"), "id", "v", 2, "score")),
+      outputs = Seq("tk")))
+    val allRows = rows.collect().map(r =>
+      (r.getLong(0), r.getString(1), r.getDouble(2))).toSeq
+    val in = MemoryStream[(Long, String, Double)]
+    val name = s"topk_stream_${System.nanoTime()}"
+    val running = App.run(spark, new App.Config()
+        .setSource("in", App.Source("list", rows = Some(
+          in.toDF().toDF("id", "grp", "v"))))
+        .addSink("tk", App.Sink("memory", outputMode = "update",
+          queryName = Some(name))))(
+      Program.interpret(Program.fromJson(json)))
+    val q = running.collect { case App.StreamingOutput("tk", sq) => sq }.head
+    try {
+      allRows.grouped(50).foreach(g => in.addData(g: _*))
+      q.processAllAvailable()
+      // update mode re-emits refreshed rows; the LATEST emission per
+      // (grp, rank) is the converged answer
+      val latest = spark.table(name)
+        .withColumn("__emit", monotonically_increasing_id())
+        .collect()
+        .groupBy(r => (r.getString(0), r.getLong(3)))
+        .map { case (_, rs) => val r = rs.maxBy(_.getLong(4))
+          (r.getString(0), r.getLong(1), r.getDouble(2), r.getLong(3)) }.toSet
+      val batch = GroupTopK.topKPerKey(rows, Seq("grp"), "id", col("v"), 2)
+        .collect().map(r =>
+          (r.getString(0), r.getLong(1), r.getDouble(2), r.getLong(3))).toSet
+      assert(latest == batch,
+        s"continuous top-k must converge to the batch answer:\n$latest\nvs\n$batch")
+    } finally q.stop()
+  }
+
   test("the plan is a bounded-heap aggregate, not a window sort") {
     // string form: the AQE wrapper hides the inner plan from collect()
     val plan = GroupTopK.topKPerKey(rows, Seq("grp"), "id", col("v"), 3)
