@@ -1510,13 +1510,14 @@ object QueriesPipeline {
       .select(col("vec_id"), col("label"))
   }
 
-  /** DuckDB mirror: the qIvfAnn Lloyd unroll for cell assignment, then
-    * within-cell cosine pairs, recursive-CTE connected components, and
-    * the survivor anti-filter (the qDedupCorpus CC shape). */
-  val qSemanticDedupSql: String = {
+  /** The SemDeDup cluster CTE chain (Lloyd unroll → cell assignment →
+    * within-cell cosine pairs → recursive CC) shared by the keep-min and
+    * keep-best mirrors — ONE fragment, like the Scala side's
+    * `Dedup.semanticClusters`. */
+  private lazy val semanticClusterCtes: String = {
     val assign = ivfAssign _
     val update = ivfUpdate _
-    s"""WITH RECURSIVE e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    s"""e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
         c0 AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid, v AS cv
                FROM (SELECT * FROM e ORDER BY vec_id LIMIT 8)),
         a1 AS ${assign("c0")},
@@ -1533,12 +1534,43 @@ object QueriesPipeline {
         cc(node, label) AS (
           SELECT u, u FROM edges
           UNION
-          SELECT ed.v, cc.label FROM cc JOIN edges ed ON cc.node = ed.u),
+          SELECT ed.v, cc.label FROM cc JOIN edges ed ON cc.node = ed.u)"""
+  }
+
+  /** DuckDB mirror: the qIvfAnn Lloyd unroll for cell assignment, then
+    * within-cell cosine pairs, recursive-CTE connected components, and
+    * the survivor anti-filter (the qDedupCorpus CC shape). */
+  val qSemanticDedupSql: String =
+    s"""WITH RECURSIVE $semanticClusterCtes,
         dropped AS (SELECT node FROM (SELECT node, min(label) AS l FROM cc GROUP BY node)
                     WHERE l <> node)
         SELECT vec_id, label FROM embeddings
         WHERE vec_id NOT IN (SELECT node FROM dropped)"""
+
+  /** Keep-BEST SemDeDup: same clustering, the survivor maximizes the L2
+    * norm (ties → lower id) — the generalized election (pass any score;
+    * the norm folds in position order on both engines, so the argmax is
+    * engine-exact). */
+  def qSemanticKeepBest(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, dir).df
+    val centroids = graft.pipeline.Ivf.train(emb, "vec_id", "embedding", k = 8, iters = 2)
+    Dedup.semanticDedupKeepBest(emb, "vec_id", "embedding", centroids,
+        threshold = 0.4,
+        scoreCol = Similarity.norm(col("embedding").cast("array<double>")))
+      .select(col("vec_id"), col("label"))
   }
+
+  val qSemanticKeepBestSql: String =
+    s"""WITH RECURSIVE $semanticClusterCtes,
+        labels AS (SELECT node, min(label) AS lbl FROM cc GROUP BY node),
+        whole AS (SELECT emb.vec_id, coalesce(labels.lbl, emb.vec_id) AS lbl,
+                    sqrt(list_reduce([0.0] || [x * x for x in emb.v], (a, x) -> a + x)) AS s
+                  FROM e emb LEFT JOIN labels ON labels.node = emb.vec_id),
+        ranked AS (SELECT vec_id,
+                     row_number() OVER (PARTITION BY lbl ORDER BY s DESC, vec_id) AS rn
+                   FROM whole)
+        SELECT vec_id, label FROM embeddings
+        WHERE vec_id IN (SELECT vec_id FROM ranked WHERE rn = 1)"""
 
   /** Repeated-passage spans: maximal runs of 6-token grams occurring in
     * >= 2 distinct docs (Lee et al. exact-substring dedup, k-gram form).
@@ -2105,6 +2137,7 @@ object QueriesPipeline {
     "q_sq8" -> (qSq8 _),
     "q_zorder" -> (qZorder _),
     "q_dedup_keepbest" -> (qDedupKeepBest _),
+    "q_semantic_keepbest" -> (qSemanticKeepBest _),
     "q_repetition" -> (qRepetition _),
     "q_sample" -> (qSample _),
     "q_strata_mix" -> (qStrataMix _),
@@ -2182,6 +2215,7 @@ object QueriesPipeline {
     "q_sq8" -> qSq8Sql,
     "q_zorder" -> qZorderSql,
     "q_dedup_keepbest" -> qDedupKeepBestSql,
+    "q_semantic_keepbest" -> qSemanticKeepBestSql,
     "q_repetition" -> qRepetitionSql,
     "q_sample" -> qSampleSql,
     "q_strata_mix" -> qStrataMixSql,

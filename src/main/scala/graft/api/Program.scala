@@ -332,6 +332,13 @@ object Program {
   final case class SemanticDedup(name: String, input: String, centroids: String,
                                  idCol: String, vecCol: String,
                                  threshold: Double) extends Node
+  /** Keep-BEST SemDeDup (`Dedup.semanticDedupKeepBest`): like
+    * [[SemanticDedup]] but each cluster's survivor maximizes the SQL
+    * expression `score` (ties → lower id). BUILD-TIME EAGER. */
+  final case class SemanticDedupBest(name: String, input: String,
+                                     centroids: String, idCol: String,
+                                     vecCol: String, threshold: Double,
+                                     score: String) extends Node
   /** Duplicate-line scrub (`Dedup.scrubDuplicateLines`, the C4 rule):
     * per-doc (n_lines, n_dropped, scrubbed) keeping each line's first
     * (id, position) occurrence corpus-wide. */
@@ -603,6 +610,7 @@ object Program {
     case dc: DedupCorpus => Seq(dc.input)
     case db: DedupCorpusBest => Seq(db.input)
     case sd: SemanticDedup => Seq(sd.input, sd.centroids)
+    case sb: SemanticDedupBest => Seq(sb.input, sb.centroids)
     case ls: LineScrub => Seq(ls.input)
     case sc: SpanScrub => Seq(sc.input)
     case qa: QualityAnnotate => Seq(qa.input)
@@ -882,6 +890,10 @@ object Program {
           rewrap(in(i), graft.pipeline.Dedup.semanticDedup(
             batchFace(name, "semanticDedup", in(i)), idCol, vecCol,
             staticSide(name, in, cents), threshold))
+        case SemanticDedupBest(name, i, cents, idCol, vecCol, threshold, score) =>
+          rewrap(in(i), graft.pipeline.Dedup.semanticDedupKeepBest(
+            batchFace(name, "semanticDedupBest", in(i)), idCol, vecCol,
+            staticSide(name, in, cents), threshold, expr(score)))
         case LineScrub(name, i, idCol, textCol, minWords) =>
           rewrap(in(i), graft.pipeline.Dedup.scrubDuplicateLines(
             batchFace(name, "lineScrub", in(i)), idCol, textCol, minWords))
@@ -1005,6 +1017,7 @@ object Program {
     case x: DedupCorpus => x.copy(name = name)
     case x: DedupCorpusBest => x.copy(name = name)
     case x: SemanticDedup => x.copy(name = name)
+    case x: SemanticDedupBest => x.copy(name = name)
     case x: LineScrub => x.copy(name = name)
     case x: SpanScrub => x.copy(name = name)
     case x: QualityAnnotate => x.copy(name = name)
@@ -1361,6 +1374,11 @@ object Program {
                       threshold: Double): Rec =
       derive("semanticDedup", Seq(centroids))(n => SemanticDedup(n, name,
         centroids.name, idCol, vecCol, threshold))
+    /** Keep-best SemDeDup: survivors maximize the SQL `score`. */
+    def semanticDedupBest(centroids: Rec, idCol: String, vecCol: String,
+                          threshold: Double, score: String): Rec =
+      derive("semanticDedupBest", Seq(centroids))(n => SemanticDedupBest(n,
+        name, centroids.name, idCol, vecCol, threshold, score))
     /** Duplicate-line scrub (the C4 rule). */
     def lineScrub(idCol: String, textCol: String, minWords: Int = 3): Rec =
       derive1("lineScrub")(n => LineScrub(n, name, idCol, textCol, minWords))
@@ -1451,8 +1469,8 @@ object Program {
     * encodeIngest, decontaminateIngest, ivfProbe); 3 adds dsirScore,
     * tokenFreq and bpeEncode; 4 adds exactDedup, gopherGate and
     * nbClassify; 5 adds the eight sampling/training-mix nodes; 6 adds
-    * the eighteen corpus-curation nodes (dedupCorpus, dedupCorpusBest,
-    * semanticDedup,
+    * the nineteen corpus-curation nodes (dedupCorpus, dedupCorpusBest,
+    * semanticDedup, semanticDedupBest,
     * lineScrub, spanScrub, quality, piiScrub, langId, chunkTokens,
     * packChunks, winnow, repetition, normalize, stripMarkup, jlProject,
     * topkPerKey, sq8Encode, zorder).
@@ -1467,7 +1485,7 @@ object Program {
   private def requiredVersion(doc: Doc): Int =
     if (doc.nodes.exists {
       case _: DedupCorpus | _: DedupCorpusBest | _: SemanticDedup |
-           _: LineScrub | _: SpanScrub |
+           _: SemanticDedupBest | _: LineScrub | _: SpanScrub |
            _: QualityAnnotate | _: PiiScrub | _: LangId | _: ChunkTokens |
            _: PackChunks | _: Winnow | _: Repetition | _: Normalize |
            _: StripMarkup | _: JlProjection | _: TopKPerKey | _: Sq8Ingest |
@@ -1657,6 +1675,10 @@ object Program {
         ("op" -> "semanticDedup") ~ ("name" -> name) ~ ("input" -> i) ~
           ("centroids" -> cents) ~ ("idCol" -> idCol) ~ ("vecCol" -> vecCol) ~
           ("threshold" -> threshold)
+      case SemanticDedupBest(name, i, cents, idCol, vecCol, threshold, score) =>
+        ("op" -> "semanticDedupBest") ~ ("name" -> name) ~ ("input" -> i) ~
+          ("centroids" -> cents) ~ ("idCol" -> idCol) ~ ("vecCol" -> vecCol) ~
+          ("threshold" -> threshold) ~ ("score" -> score)
       case LineScrub(name, i, idCol, textCol, minWords) =>
         ("op" -> "lineScrub") ~ ("name" -> name) ~ ("input" -> i) ~
           ("idCol" -> idCol) ~ ("textCol" -> textCol) ~ ("minWords" -> minWords)
@@ -1910,6 +1932,10 @@ object Program {
           case "semanticDedup" => SemanticDedup(name, (v \ "input").extract[String],
             (v \ "centroids").extract[String], (v \ "idCol").extract[String],
             (v \ "vecCol").extract[String], (v \ "threshold").extract[Double])
+          case "semanticDedupBest" => SemanticDedupBest(name,
+            (v \ "input").extract[String], (v \ "centroids").extract[String],
+            (v \ "idCol").extract[String], (v \ "vecCol").extract[String],
+            (v \ "threshold").extract[Double], (v \ "score").extract[String])
           case "lineScrub" => LineScrub(name, (v \ "input").extract[String],
             (v \ "idCol").extract[String], (v \ "textCol").extract[String],
             (v \ "minWords").extractOpt[Int].getOrElse(3))
@@ -2083,6 +2109,11 @@ object Program {
             val s = env(sd.input)
             s.df.select(col(sd.idCol), col(sd.vecCol)).schema
             env(sd.centroids).df.select(col("cid"), col("cv")).schema
+            emptyOf(s.df.schema)
+          case sb: SemanticDedupBest =>
+            val s = env(sb.input)
+            s.df.select(col(sb.idCol), col(sb.vecCol), expr(sb.score)).schema
+            env(sb.centroids).df.select(col("cid"), col("cv")).schema
             emptyOf(s.df.schema)
           case sq: Sq8Ingest =>
             // build-time eager (collects the capped stats artifact):
@@ -2357,6 +2388,12 @@ object Program {
             throw new IllegalArgumentException(s"node '${n.name}': semanticDedup " +
               s"threshold must be in (0,1], got ${sd.threshold}")
           Seq(sd.input, sd.centroids)
+        case sb: SemanticDedupBest =>
+          parse(sb.score, s"node ${n.name}")
+          if (sb.threshold <= 0.0 || sb.threshold > 1.0)
+            throw new IllegalArgumentException(s"node '${n.name}': semanticDedupBest " +
+              s"threshold must be in (0,1], got ${sb.threshold}")
+          Seq(sb.input, sb.centroids)
         case ls: LineScrub =>
           if (ls.minWords < 1) throw new IllegalArgumentException(
             s"node '${n.name}': lineScrub needs minWords >= 1, got ${ls.minWords}")

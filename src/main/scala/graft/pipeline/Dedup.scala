@@ -1557,6 +1557,50 @@ object Dedup {
     * lineage, like `deduplicateCorpus`. */
   def semanticDedup(embs: DataFrame, idCol: String, vecCol: String,
                     centroids: DataFrame, threshold: Double): DataFrame = {
+    val clusters = semanticClusters(embs, idCol, vecCol, centroids, threshold)
+    graft.api.Lineage.current(embs.sparkSession).foreach { rec =>
+      rec.add(clusters.filter(col("node") =!= col("cluster_id")).select(
+        lit("droppedBecause:semanticDedup").as("op"),
+        xxhash64(struct(col("node"))).as("output_id"),
+        xxhash64(struct(col("cluster_id"))).as("input_id")))
+    }
+    val dropped = clusters.filter(col("node") =!= col("cluster_id"))
+      .select(col("node").as(idCol))
+    embs.join(dropped, Seq(idCol), "left_anti")
+  }
+
+  /** Keep-BEST SemDeDup: same cell-bounded clustering as
+    * [[semanticDedup]], but each cluster's survivor maximizes `scoreCol`
+    * (ties → lower id) instead of the minimum id — pass the score that
+    * implements the election policy (the SemDeDup paper keeps low
+    * centroid-proximity members; an L2-norm or quality score works the
+    * same way). Survivors keep the full input schema. */
+  def semanticDedupKeepBest(embs: DataFrame, idCol: String, vecCol: String,
+                            centroids: DataFrame, threshold: Double,
+                            scoreCol: org.apache.spark.sql.Column): DataFrame = {
+    val clusters = semanticClusters(embs, idCol, vecCol, centroids, threshold)
+    val scored = embs.select(col(idCol).as("node"), scoreCol.cast("double").as("__s"))
+    val members = clusters.join(scored, Seq("node"))
+    val best = members.groupBy(col("cluster_id"))
+      .agg(max_by(col("node"), struct(col("__s"), -col("node"))).as("__best"))
+    graft.api.Lineage.current(embs.sparkSession).foreach { rec =>
+      rec.add(members.join(best, Seq("cluster_id"))
+        .filter(col("node") =!= col("__best")).select(
+          lit("droppedBecause:semanticDedupKeepBest").as("op"),
+          xxhash64(struct(col("node"))).as("output_id"),
+          xxhash64(struct(col("__best"))).as("input_id")))
+    }
+    val dropped = members.join(best, Seq("cluster_id"))
+      .filter(col("node") =!= col("__best"))
+      .select(col("node").as(idCol))
+    embs.join(dropped, Seq(idCol), "left_anti")
+  }
+
+  /** The shared SemDeDup cluster derivation: IVF-cell-bounded exact
+    * cosine pairs → connected components, (node, cluster_id) for every
+    * member of a near-dup cluster (singletons absent). */
+  private def semanticClusters(embs: DataFrame, idCol: String, vecCol: String,
+                               centroids: DataFrame, threshold: Double): DataFrame = {
     require(threshold > 0.0 && threshold <= 1.0, s"threshold in (0,1], got $threshold")
     val cent = Ivf.collectCodebook(centroids)
     val e = embs.select(col(idCol), col(vecCol).cast("array<double>").as("__e"))
@@ -1567,16 +1611,7 @@ object Dedup {
       .filter(Similarity.dot(col("a.__e"), col("b.__e")) /
         (col("a.__n") * col("b.__n")) >= threshold)
       .select(col(s"a.$idCol").as("id_a"), col(s"b.$idCol").as("id_b"))
-    val clusters = connectedComponents(pairs, "id_a", "id_b")
-    graft.api.Lineage.current(embs.sparkSession).foreach { rec =>
-      rec.add(clusters.filter(col("node") =!= col("cluster_id")).select(
-        lit("droppedBecause:semanticDedup").as("op"),
-        xxhash64(struct(col("node"))).as("output_id"),
-        xxhash64(struct(col("cluster_id"))).as("input_id")))
-    }
-    val dropped = clusters.filter(col("node") =!= col("cluster_id"))
-      .select(col("node").as(idCol))
-    embs.join(dropped, Seq(idCol), "left_anti")
+    connectedComponents(pairs, "id_a", "id_b")
   }
 
   /** Cross-corpus EMBEDDING near-dup dedup — the vector-space sibling of

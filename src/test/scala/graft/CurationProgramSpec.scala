@@ -20,13 +20,14 @@ class CurationProgramSpec extends SparkSpec {
     (4L, "a completely different document about spark and data the", "en"),
     (5L, "short one", "en")).toDF("id", "text", "src")
 
-  test("all eighteen v6 nodes JSON round-trip and stamp format version 6") {
+  test("all nineteen v6 nodes JSON round-trip and stamp format version 6") {
     val d = Doc(
       nodes = Seq(
         External("in"), External("cents"),
         DedupCorpus("dc", "in", "id", "text", 8, 4, 0.7),
         DedupCorpusBest("db", "in", "id", "text", 8, 4, 0.7, "length(text)"),
         SemanticDedup("sd", "in", "cents", "id", "vec", 0.9),
+        SemanticDedupBest("sb", "in", "cents", "id", "vec", 0.9, "id * 1.0"),
         LineScrub("ls", "in", "id", "text", 3),
         SpanScrub("sc", "in", "id", "text", 5, 2, true),
         QualityAnnotate("qa", "in", "text"),
@@ -228,6 +229,7 @@ class CurationProgramSpec extends SparkSpec {
     val doc = Doc(
       nodes = Seq(External("in"), External("cents"),
         SemanticDedup("sd", "in", "cents", "id", "vec", 0.9),
+        SemanticDedupBest("sb", "in", "cents", "id", "vec", 0.9, "id * 1.0"),
         DedupCorpus("dc2", "sd", "id", "vec", 8, 4, 0.7)),
       outputs = Seq("dc2"))
     val config = new App.Config()
