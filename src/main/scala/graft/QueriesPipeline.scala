@@ -1514,7 +1514,7 @@ object QueriesPipeline {
     * within-cell cosine pairs → recursive CC) shared by the keep-min and
     * keep-best mirrors — ONE fragment, like the Scala side's
     * `Dedup.semanticClusters`. */
-  private lazy val semanticClusterCtes: String = {
+  private val semanticClusterCtes: String = {
     val assign = ivfAssign _
     val update = ivfUpdate _
     s"""e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),

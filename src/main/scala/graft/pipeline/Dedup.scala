@@ -868,23 +868,33 @@ object Dedup {
                                 k: Int, bands: Int, threshold: Double,
                                 scoreCol: org.apache.spark.sql.Column): DataFrame = {
     val clusters = corpusClusters(docs, idCol, textCol, k, bands, threshold)
-    val scored = docs.select(col(idCol).as("node"), scoreCol.cast("double").as("__s"))
+    docs.select(col(idCol)).join(
+      keepBestDropped(docs, idCol, clusters, scoreCol,
+        "deduplicateCorpusKeepBest"),
+      Seq(idCol), "left_anti")
+  }
+
+  /** The shared keep-best election of the two keep-best dedups: per
+    * cluster, the survivor maximizes the score (ties → lower id — one
+    * partial-aggregated `max_by`, no window sort); droppedBecause lineage
+    * edges point at the elected representative. Returns the dropped-id
+    * frame for the caller's anti-join. */
+  private def keepBestDropped(df: DataFrame, idCol: String, clusters: DataFrame,
+                              scoreCol: org.apache.spark.sql.Column,
+                              op: String): DataFrame = {
+    val scored = df.select(col(idCol).as("node"), scoreCol.cast("double").as("__s"))
     val members = clusters.join(scored, Seq("node"))
-    // elect per cluster: max score, ties to the LOWER id — one partial-
-    // aggregated max_by, no window sort
     val best = members.groupBy(col("cluster_id"))
       .agg(max_by(col("node"), struct(col("__s"), -col("node"))).as("__best"))
-    graft.api.Lineage.current(docs.sparkSession).foreach { rec =>
-      rec.add(members.join(best, Seq("cluster_id"))
-        .filter(col("node") =!= col("__best")).select(
-          lit("droppedBecause:deduplicateCorpusKeepBest").as("op"),
-          xxhash64(struct(col("node"))).as("output_id"),
-          xxhash64(struct(col("__best"))).as("input_id")))
-    }
-    val dropped = members.join(best, Seq("cluster_id"))
+    val losers = members.join(best, Seq("cluster_id"))
       .filter(col("node") =!= col("__best"))
-      .select(col("node").as(idCol))
-    docs.select(col(idCol)).join(dropped, Seq(idCol), "left_anti")
+    graft.api.Lineage.current(df.sparkSession).foreach { rec =>
+      rec.add(losers.select(
+        lit(s"droppedBecause:$op").as("op"),
+        xxhash64(struct(col("node"))).as("output_id"),
+        xxhash64(struct(col("__best"))).as("input_id")))
+    }
+    losers.select(col("node").as(idCol))
   }
 
   /** The shared cluster derivation of the corpus dedup family:
@@ -1579,21 +1589,9 @@ object Dedup {
                             centroids: DataFrame, threshold: Double,
                             scoreCol: org.apache.spark.sql.Column): DataFrame = {
     val clusters = semanticClusters(embs, idCol, vecCol, centroids, threshold)
-    val scored = embs.select(col(idCol).as("node"), scoreCol.cast("double").as("__s"))
-    val members = clusters.join(scored, Seq("node"))
-    val best = members.groupBy(col("cluster_id"))
-      .agg(max_by(col("node"), struct(col("__s"), -col("node"))).as("__best"))
-    graft.api.Lineage.current(embs.sparkSession).foreach { rec =>
-      rec.add(members.join(best, Seq("cluster_id"))
-        .filter(col("node") =!= col("__best")).select(
-          lit("droppedBecause:semanticDedupKeepBest").as("op"),
-          xxhash64(struct(col("node"))).as("output_id"),
-          xxhash64(struct(col("__best"))).as("input_id")))
-    }
-    val dropped = members.join(best, Seq("cluster_id"))
-      .filter(col("node") =!= col("__best"))
-      .select(col("node").as(idCol))
-    embs.join(dropped, Seq(idCol), "left_anti")
+    embs.join(
+      keepBestDropped(embs, idCol, clusters, scoreCol, "semanticDedupKeepBest"),
+      Seq(idCol), "left_anti")
   }
 
   /** The shared SemDeDup cluster derivation: IVF-cell-bounded exact

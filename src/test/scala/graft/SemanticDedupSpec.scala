@@ -31,6 +31,22 @@ class SemanticDedupSpec extends SparkSpec {
     assert(out.select("vec_id").collect().map(_.getLong(0)).toSet ==
       Set(10L, 20L, 30L, 40L),
       "each semantic group keeps its minimum id")
+
+    // keep-best on the same clusters: score by id, the MAX id survives
+    // each cluster instead of the min (singletons untouched)
+    val best = Dedup.semanticDedupKeepBest(embs, "vec_id", "embedding", cents,
+        threshold = 0.9, scoreCol = col("vec_id") * 1.0)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(best == Set(51L, 52L, 30L, 40L),
+      s"keep-best must elect the max-score member per cluster: $best")
+
+    // the SemanticDedupBest document node lowers to the same election
+    import graft.api.{MStream, Program}
+    val node = Program.Rec.external("in", MStream(embs))
+      .semanticDedupBest(Program.Rec.external("cents", MStream(cents)),
+        "vec_id", "embedding", threshold = 0.9, score = "vec_id * 1.0")
+      .stream.df.select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(node == best, "document-node lowering diverged from the direct API")
   }
 
   test("cross-cell near-dups are NOT candidates (the SemDeDup recall trade)") {
