@@ -37,15 +37,35 @@ object GroupTopK {
         s"topKPerKey: idCol '$idCol' must be integral (the bounded heap " +
           s"carries (id, score) pairs), got $other")
     }
+    // Output columns are keys ++ (idCol, scoreAs, rank) — reject overlaps
+    // up front with a named contract error instead of emitting a frame
+    // with duplicate column names.
+    Seq(idCol, scoreAs, "rank").foreach { n =>
+      require(!keys.contains(n),
+        s"topKPerKey: grouping key '$n' collides with an output column " +
+          s"(output is keys ++ ($idCol, $scoreAs, rank))")
+    }
+    require(scoreAs != idCol && scoreAs != "rank",
+      s"topKPerKey: scoreAs '$scoreAs' collides with an output column")
+    // Collision-proof working names (the zorderBy idiom): a key named
+    // 'pos'/'col' or '__id'/'__s'/'__top' must not capture the internal
+    // heap/explode columns.
+    val taken = collection.mutable.Set(df.columns ++ keys: _*)
+    def fresh(base: String): String = {
+      val n = Iterator.from(0).map(i => s"__$base$i").find(!taken(_)).get
+      taken += n; n
+    }
+    val (idW, sW, topW, posW, entryW) =
+      (fresh("id"), fresh("s"), fresh("top"), fresh("pos"), fresh("e"))
     val keyCols = keys.map(col)
-    df.select(keyCols ++ Seq(col(idCol).cast("long").as("__id"),
-        score.cast("double").as("__s")): _*)
+    df.select(keyCols ++ Seq(col(idCol).cast("long").as(idW),
+        score.cast("double").as(sW)): _*)
       .groupBy(keyCols: _*)
       .agg(graft.functions.VectorFunctions.topKByScore(
-        col("__id"), col("__s"), k).as("__top"))
-      .select(keyCols :+ posexplode(col("__top")): _*)
-      .select(keyCols ++ Seq(col("col.id").as(idCol),
-        col("col.cos").as(scoreAs),
-        (col("pos") + 1).cast("long").as("rank")): _*)
+        col(idW), col(sW), k).as(topW))
+      .select(keyCols :+ posexplode(col(topW)).as(Seq(posW, entryW)): _*)
+      .select(keyCols ++ Seq(col(s"$entryW.id").as(idCol),
+        col(s"$entryW.cos").as(scoreAs),
+        (col(posW) + 1).cast("long").as("rank")): _*)
   }
 }

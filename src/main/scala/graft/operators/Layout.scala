@@ -53,30 +53,38 @@ object Layout {
       lit(hi - lo)), lit(0.0)), lit(levels.toDouble)).cast("long")
   }
 
-  /** The z-key column for `df`'s numeric `cols`: one min/max aggregation
-    * pass pins the per-column ranges (constant-size driver artifact),
-    * then the key is a pure codegen'd projection. */
+  /** The order-preserving double face of a z-column. Date and timestamp
+    * types are not castable to double in Spark SQL, so they convert
+    * explicitly: days since epoch for dates, microseconds since epoch
+    * for timestamps (NTZ reads via a timestamp cast — the session-zone
+    * offset is a monotonic shift, which is all affine bucketing needs). */
+  private def asOrderedDouble(c: Column, dt: org.apache.spark.sql.types.DataType,
+                              name: String): Column = {
+    import org.apache.spark.sql.types._
+    dt match {
+      case _: NumericType => c.cast("double")
+      case DateType => unix_date(c).cast("double")
+      case TimestampType => unix_micros(c).cast("double")
+      case TimestampNTZType => unix_micros(c.cast(TimestampType)).cast("double")
+      case other => throw new IllegalArgumentException(
+        s"zorder: column '$name' must be numeric or date/time " +
+          s"(affine range bucketing), got $other")
+    }
+  }
+
+  /** The z-key column for `df`'s numeric/date/time `cols`: one min/max
+    * aggregation pass pins the per-column ranges (constant-size driver
+    * artifact), then the key is a pure codegen'd projection. */
   def zkey(df: DataFrame, cols: Seq[String], bits: Int = 12): Column = {
     checkDims(cols.size, bits)
-    cols.foreach { c =>
-      df.schema(c).dataType match {
-        case _: org.apache.spark.sql.types.NumericType |
-             org.apache.spark.sql.types.DateType |
-             org.apache.spark.sql.types.TimestampType |
-             org.apache.spark.sql.types.TimestampNTZType =>
-        case other => throw new IllegalArgumentException(
-          s"zorder: column '$c' must be numeric or date/time " +
-            s"(affine range bucketing), got $other")
-      }
-    }
-    val aggs = cols.flatMap(c => Seq(
-      min(col(c).cast("double")).as(s"__lo_$c"),
-      max(col(c).cast("double")).as(s"__hi_$c")))
+    val ordered = cols.map(c => asOrderedDouble(col(c), df.schema(c).dataType, c))
+    val aggs = cols.zip(ordered).flatMap { case (c, oc) =>
+      Seq(min(oc).as(s"__lo_$c"), max(oc).as(s"__hi_$c")) }
     val r = df.agg(aggs.head, aggs.tail: _*).collect()(0)
-    val buckets = cols.zipWithIndex.map { case (c, i) =>
+    val buckets = cols.zip(ordered).zipWithIndex.map { case ((c, oc), i) =>
       require(!r.isNullAt(2 * i) && !r.isNullAt(2 * i + 1),
         s"zorder: column '$c' has no non-null values to range over")
-      bucketOf(col(c), r.getDouble(2 * i), r.getDouble(2 * i + 1), bits)
+      bucketOf(oc, r.getDouble(2 * i), r.getDouble(2 * i + 1), bits)
     }
     interleave(buckets, bits)
   }

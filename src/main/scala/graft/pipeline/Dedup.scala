@@ -876,16 +876,21 @@ object Dedup {
 
   /** The shared keep-best election of the two keep-best dedups: per
     * cluster, the survivor maximizes the score (ties → lower id — one
-    * partial-aggregated `max_by`, no window sort); droppedBecause lineage
-    * edges point at the elected representative. Returns the dropped-id
-    * frame for the caller's anti-join. */
+    * partial-aggregated `min_by` over (-score, node), no window sort, and
+    * no arithmetic on the id so string doc-ids elect as well as numeric
+    * ones); droppedBecause lineage edges point at the elected
+    * representative. NULL scores coalesce to -Infinity so an all-NULL
+    * cluster still elects its min-id member and dedups instead of
+    * silently retaining every duplicate. Returns the dropped-id frame for
+    * the caller's anti-join. */
   private def keepBestDropped(df: DataFrame, idCol: String, clusters: DataFrame,
                               scoreCol: org.apache.spark.sql.Column,
                               op: String): DataFrame = {
-    val scored = df.select(col(idCol).as("node"), scoreCol.cast("double").as("__s"))
+    val scored = df.select(col(idCol).as("node"),
+      coalesce(scoreCol.cast("double"), lit(Double.NegativeInfinity)).as("__s"))
     val members = clusters.join(scored, Seq("node"))
     val best = members.groupBy(col("cluster_id"))
-      .agg(max_by(col("node"), struct(col("__s"), -col("node"))).as("__best"))
+      .agg(min_by(col("node"), struct(-col("__s"), col("node"))).as("__best"))
     val losers = members.join(best, Seq("cluster_id"))
       .filter(col("node") =!= col("__best"))
     graft.api.Lineage.current(df.sparkSession).foreach { rec =>

@@ -71,6 +71,26 @@ class ConnectedComponentsSpec extends SparkSpec {
     assert(survivors == Set(1L, 4L, 5L), "transitive group {1,2,3} -> 1; {5,6} -> 5")
   }
 
+  test("keep-best dedup elects with string ids and all-NULL-score clusters") {
+    // round-10 advice: the election used -col(node) (numeric-only) and a
+    // cluster whose score is NULL for every member elected a NULL best,
+    // silently retaining the whole duplicate cluster. String ids (CC
+    // itself requires long-castable ones) must elect without arithmetic
+    // on the id, and all-NULL clusters must still dedup (min-id
+    // survivor).
+    val base = "the quick brown fox jumps over the lazy dog again and again today"
+    val docs = Seq(
+      ("101", base, Some(1.0)), ("102", base, Some(5.0)), // 102 wins on score
+      ("201", "completely different words about spark catalyst codegen", None),
+      ("202", "completely different words about spark catalyst codegen",
+        None: Option[Double])                             // all-NULL: 201 by min id
+    ).toDF("doc_id", "text", "score")
+    val survivors = Dedup.deduplicateCorpusKeepBest(docs, "doc_id", "text",
+        k = 16, bands = 8, threshold = 0.8, scoreCol = col("score"))
+      .collect().map(_.getString(0)).toSet
+    assert(survivors == Set("102", "201"), survivors.toString)
+  }
+
   test("iteration checkpoints are unpersisted (no BlockManager leak)") {
     // round-2 bench contamination: each CC round's localCheckpoint stayed
     // pinned for the session. After a run, only the (tiny) result

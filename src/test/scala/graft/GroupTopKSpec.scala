@@ -50,6 +50,27 @@ class GroupTopKSpec extends SparkSpec {
     assert(got == Set(1L, 2L), got.toString)
   }
 
+  test("grouping keys named 'pos'/'col' don't capture the explode columns") {
+    // posexplode's default output names are pos/col; a user key with
+    // either name must survive untouched (round-10 advice)
+    val df = Seq((1L, "a", "x", 2.0), (2L, "a", "x", 1.0), (3L, "b", "y", 9.0))
+      .toDF("id", "pos", "col", "v")
+    val got = GroupTopK.topKPerKey(df, Seq("pos", "col"), "id", col("v"), k = 1)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(4)))
+      .toSet
+    assert(got == Set(("a", "x", 1L, 1L), ("b", "y", 3L, 1L)), got.toString)
+  }
+
+  test("idCol inside keys is rejected with a named contract error") {
+    val df = Seq((1L, "a", 1.0)).toDF("id", "grp", "v")
+    val e = intercept[IllegalArgumentException](
+      GroupTopK.topKPerKey(df, Seq("grp", "id"), "id", col("v"), 2))
+    assert(e.getMessage.contains("collides"), e.getMessage)
+    val e2 = intercept[IllegalArgumentException](
+      GroupTopK.topKPerKey(df, Seq("grp"), "id", col("v"), 2, scoreAs = "rank"))
+    assert(e2.getMessage.contains("collides"), e2.getMessage)
+  }
+
   test("non-integral id is rejected with the contract error") {
     val bad = Seq(("x", "a", 1.0)).toDF("id", "grp", "v")
     val e = intercept[IllegalArgumentException](

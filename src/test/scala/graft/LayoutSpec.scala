@@ -90,4 +90,24 @@ class LayoutSpec extends SparkSpec {
       nulls.select(Layout.zkey(nulls, Seq("a", "c"), 4)))
     assert(e.getMessage.contains("'c'"), e.getMessage)
   }
+
+  test("date and timestamp_ntz z-columns bucket by explicit epoch conversion") {
+    // date and timestamp_ntz are NOT castable to double in Spark SQL —
+    // zkey must convert via unix_date/unix_micros instead of failing at
+    // analysis (round-10 advice)
+    val df = Seq((1L, "2024-01-01"), (2L, "2024-06-15"), (3L, "2024-12-31"))
+      .toDF("id", "d")
+      .withColumn("d", to_date(col("d")))
+      .withColumn("ts", col("d").cast("timestamp"))
+      .withColumn("tsntz", col("ts").cast("timestamp_ntz"))
+    for (c <- Seq("d", "ts", "tsntz")) {
+      val z = df.select(col("id"), Layout.zkey(df, Seq("id", c), bits = 4).as("z"))
+        .orderBy("id").collect().map(_.getLong(1))
+      // both columns increase together, so the z-key must strictly increase
+      assert(z(0) < z(1) && z(1) < z(2), s"$c: ${z.toSeq}")
+    }
+    // and zorderBy round-trips a date column end to end
+    val out = Layout.zorderBy(df, Seq("d"), numFiles = 2, bits = 4)
+    assert(out.count() == 3)
+  }
 }
