@@ -30,7 +30,9 @@ object StressBench {
         // round-10 representatives: the SQ8 train+encode pass and the
         // captured curation document (normalize/quality/langid gates +
         // chunking through the artifact flow)
-        "q_sq8", "q_curate_program")
+        "q_sq8", "q_curate_program",
+        // round-11: the hot-cell skew probe (80% of vectors in one cell)
+        "semskew")
     val spark = SparkSession.builder().master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
       .config("spark.sql.session.timeZone", "UTC")
@@ -114,6 +116,78 @@ object StressBench {
             s"${graft.pipeline.Dedup.lastCcRounds} cc rounds)")
           graft.api.Pinned.release(spark)
         }
+      } else if (q == "semskew") {
+        // round-10 verdict's remaining scale-killer scenario: ONE IVF
+        // cell deliberately captures >80% of the corpus (80% of vectors
+        // are jittered copies of one direction, and the hand-built
+        // codebook pins that cone to a single cell). Uncapped, the
+        // within-cell verification is ONE quadratic task; with the salted
+        // triangle cover (graft.semdedup.cellCap) the same exact pair set
+        // spreads over s(s+1)/2 buckets. Survivor counts must match —
+        // the cover is exact — while wall time drops.
+        import spark.implicits._
+        val emb0 = spark.read.parquet(embPath)
+        val dim = emb0.select(size(col("embedding"))).head().getInt(0)
+        val hotVec = transform(col("embedding"), (_, i) =>
+          when(i === 0, lit(1.0)).otherwise(
+            pmod(col("vec_id") * (i.cast("long") + 1L), lit(9973L))
+              .cast("double") / lit(99800.0)).cast("float"))
+        val skewed = emb0.select(col("vec_id"),
+            when(pmod(col("vec_id"), lit(10L)) < 8L, hotVec)
+              .otherwise(col("embedding")).as("embedding"))
+          .repartition(32).persist()
+        val nSkew = skewed.count()
+        val cents = Seq(
+          (0, Seq.tabulate(dim)(i => if (i == 0) 1.0 else 0.0)),
+          (1, Seq.tabulate(dim)(i => if (i == 0) -1.0 else 0.0)),
+          (2, Seq.tabulate(dim)(i => if (i == 1) 1.0 else 0.0)),
+          (3, Seq.tabulate(dim)(i => if (i == 1) -1.0 else 0.0)))
+          .toDF("cid", "cv")
+        // Model the beyond-broadcast regime: at probe size Spark would
+        // BROADCAST one join side, which happens to parallelize even the
+        // uncapped plan (each input partition streams against the hash
+        // map). At corpus scale the sides exceed any broadcast threshold
+        // and the join shuffles on the cell id — the hot cell then lands
+        // in ONE task, the pathology the cover fixes. AQE's skew split is
+        // byte-based and can't see pair-count blowup (9 MB of hot rows is
+        // "not skewed" by bytes while being quadratic by pairs).
+        val bcast = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        // time the pair stage alone (the stage the cover redistributes);
+        // full-dedup survivor equality separately pins exactness
+        var uncappedPairs = -1L
+        for ((mode, cap) <- Seq("uncapped" -> "1000000000", "capped" -> "2048")) {
+          spark.conf.set("graft.semdedup.cellCap", cap)
+          for (rep <- 1 to 2) {
+            isolate()
+            val t0 = System.nanoTime()
+            val pairs = graft.pipeline.Dedup.semanticPairs(
+              skewed, "vec_id", "embedding", cents, threshold = 0.999999)
+            pairs.write.format("noop").mode("overwrite").save()
+            val secs = (System.nanoTime() - t0) / 1e9
+            val np = pairs.count()
+            if (uncappedPairs < 0) uncappedPairs = np
+            else require(np == uncappedPairs,
+              s"triangle cover changed the pair set size: $np vs $uncappedPairs")
+            println(f"STRESS semskew/$mode pairs rep$rep $secs%.2f s " +
+              s"($np verified pairs over $nSkew vectors)")
+          }
+          spark.conf.unset("graft.semdedup.cellCap")
+        }
+        // exactness end to end: survivor SETS equal capped vs uncapped
+        spark.conf.set("graft.semdedup.cellCap", "2048")
+        val cappedIds = graft.pipeline.Dedup.semanticDedup(
+          skewed, "vec_id", "embedding", cents, threshold = 0.999999)
+          .select("vec_id")
+        spark.conf.unset("graft.semdedup.cellCap")
+        val unIds = graft.pipeline.Dedup.semanticDedup(
+          skewed, "vec_id", "embedding", cents, threshold = 0.999999)
+          .select("vec_id")
+        require(cappedIds.exceptAll(unIds).isEmpty && unIds.exceptAll(cappedIds).isEmpty,
+          "triangle cover changed the survivor set")
+        println(s"STRESS semskew survivors identical capped vs uncapped")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", bcast)
+        skewed.unpersist()
       } else if (q == "pqlut512") {
         // m=8 x ksub=64 = 512 LUT entries > LiteralLutEntries: the ADC
         // lookup table takes the compiled-loop PqLut face; train + encode

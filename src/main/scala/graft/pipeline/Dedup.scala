@@ -1564,8 +1564,12 @@ object Dedup {
     * Scale shape: cell assignment is a literal-codebook projection (no
     * shuffle, no join); the one shuffle keys on the cell id and the only
     * quadratic stage is within-cell — cells are ~n/k and data-adaptive,
-    * the reason SemDeDup scales where all-pairs cosine cannot. A skewed
-    * hot cell bounds the worst task; raise k to shrink cells. CC rounds
+    * the reason SemDeDup scales where all-pairs cosine cannot. Cells that
+    * outgrow `graft.semdedup.cellCap` are sub-split by an exact salted
+    * triangle cover (see [[semanticClusters]]), so one skewed hot cell
+    * can no longer pin the job on a single quadratic task; size the
+    * codebook with [[Ivf.cellsFor]] so cells stay ~constant as the
+    * corpus grows. CC rounds
     * are measured flat (2) to 100x on the duplicate structures the
     * synthetic corpus carries. Emits [[graft.api.Lineage]] droppedBecause
     * edges (dropped -> surviving representative) when the run records
@@ -1601,20 +1605,75 @@ object Dedup {
 
   /** The shared SemDeDup cluster derivation: IVF-cell-bounded exact
     * cosine pairs → connected components, (node, cluster_id) for every
-    * member of a near-dup cluster (singletons absent). */
+    * member of a near-dup cluster (singletons absent).
+    *
+    * HOT-CELL GUARD: real embedding distributions are skewed — one cell
+    * capturing a large fraction of the corpus used to make ONE task
+    * quadratic in that cell's population. Cells whose population exceeds
+    * `graft.semdedup.cellCap` (default 8192) are sub-split by a salted
+    * TRIANGLE COVER: each member gets a deterministic salt
+    * `g = hash(id) mod s` (s = ceil(pop/cap)), the left side replicates
+    * to buckets (g, j) for j in [g, s) and the right side to (i, g) for
+    * i in [0, g], so every unordered salt pair (i <= j) meets in exactly
+    * one bucket and every within-cell id pair is verified EXACTLY ONCE
+    * (same-salt pairs only on the diagonal bucket, via the id-order
+    * predicate). The pair set — and therefore the cluster set and the
+    * oracle — is identical to the naive self-join; only the task shape
+    * changes: per-task pairs drop from pop² to ~cap², spread over
+    * s(s+1)/2 buckets, at the cost of (s+1)× replication of the hot
+    * cell's rows (the inherent SemDeDup verification work, redistributed).
+    * Populations are counted in one pass and the (cid -> s) map is a
+    * driver artifact bounded by the codebook size, like the codebook
+    * itself; when no cell exceeds the cap the original two-sided plan is
+    * used untouched. */
   private def semanticClusters(embs: DataFrame, idCol: String, vecCol: String,
-                               centroids: DataFrame, threshold: Double): DataFrame = {
+                               centroids: DataFrame, threshold: Double): DataFrame =
+    connectedComponents(
+      semanticPairs(embs, idCol, vecCol, centroids, threshold), "id_a", "id_b")
+
+  /** The verified within-cell pair stage of [[semanticClusters]], exposed
+    * package-private so the StressBench skew probe can time THIS stage
+    * (the one the hot-cell cover redistributes) without CC noise. */
+  private[graft] def semanticPairs(embs: DataFrame, idCol: String, vecCol: String,
+                                   centroids: DataFrame, threshold: Double): DataFrame = {
     require(threshold > 0.0 && threshold <= 1.0, s"threshold in (0,1], got $threshold")
     val cent = Ivf.collectCodebook(centroids)
+    val cap = embs.sparkSession.conf.getOption("graft.semdedup.cellCap")
+      .map(_.toInt).getOrElse(8192)
+    require(cap > 0, s"graft.semdedup.cellCap must be positive, got $cap")
     val e = embs.select(col(idCol), col(vecCol).cast("array<double>").as("__e"))
       .withColumn("__n", Similarity.norm(col("__e")))
       .withColumn("__cid", Ivf.nearestCid(col("__e"), cent))
-    val pairs = e.as("a").join(e.as("b"),
-        col("a.__cid") === col("b.__cid") && col(s"a.$idCol") < col(s"b.$idCol"))
-      .filter(Similarity.dot(col("a.__e"), col("b.__e")) /
-        (col("a.__n") * col("b.__n")) >= threshold)
-      .select(col(s"a.$idCol").as("id_a"), col(s"b.$idCol").as("id_b"))
-    connectedComponents(pairs, "id_a", "id_b")
+    val splits: Map[Int, Int] = e.groupBy(col("__cid")).count().collect()
+      .collect { case r if r.getLong(1) > cap =>
+        r.getInt(0) -> math.ceil(r.getLong(1).toDouble / cap).toInt }
+      .toMap
+    val cos = Similarity.dot(col("a.__e"), col("b.__e")) /
+      (col("a.__n") * col("b.__n"))
+    val pairs =
+      if (splits.isEmpty)
+        e.as("a").join(e.as("b"),
+            col("a.__cid") === col("b.__cid") && col(s"a.$idCol") < col(s"b.$idCol"))
+          .filter(cos >= threshold)
+          .select(col(s"a.$idCol").as("id_a"), col(s"b.$idCol").as("id_b"))
+      else {
+        val sCol = coalesce(element_at(typedLit(splits), col("__cid")), lit(1))
+        val salted = e.withColumn("__s", sCol)
+          .withColumn("__g", pmod(xxhash64(col(idCol)), col("__s")).cast("int"))
+        val lhs = salted.withColumn("__j",
+          explode(sequence(col("__g"), col("__s") - 1)))
+        val rhs = salted.withColumn("__i",
+          explode(sequence(lit(0), col("__g"))))
+        lhs.as("a").join(rhs.as("b"),
+            col("a.__cid") === col("b.__cid") &&
+              col("a.__g") === col("b.__i") && col("a.__j") === col("b.__g") &&
+              (col("a.__g") =!= col("b.__g") ||
+                col(s"a.$idCol") < col(s"b.$idCol")))
+          .filter(cos >= threshold)
+          .select(least(col(s"a.$idCol"), col(s"b.$idCol")).as("id_a"),
+            greatest(col(s"a.$idCol"), col(s"b.$idCol")).as("id_b"))
+      }
+    pairs
   }
 
   /** Cross-corpus EMBEDDING near-dup dedup — the vector-space sibling of

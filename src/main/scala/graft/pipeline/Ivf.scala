@@ -79,6 +79,24 @@ object Ivf {
     if (cent.sizeIs <= LiteralCells) probeCidsLiteral(pv, cent, nProbe)
     else graft.functions.VectorFunctions.nearestCells(pv, cent, nProbe)
 
+  /** The codebook size that keeps expected cell population ~constant as
+    * the corpus grows — the executable form of the 100×-scale contract
+    * that IVF cell count must grow ∝ corpus size (k = ceil(n /
+    * targetCellSize), clamped to [1, maxCells]). Use for [[train]]'s `k`
+    * and for `Dedup.semanticDedup`'s codebook: at targetCellSize ≤ the
+    * `graft.semdedup.cellCap` the hot-cell triangle cover only engages on
+    * genuine skew, not on uniform growth. The clamp keeps the codebook a
+    * driver-sized artifact; beyond maxCells × targetCellSize vectors,
+    * raise targetCellSize (cells stay sub-quadratic) or shard the corpus. */
+  def cellsFor(n: Long, targetCellSize: Long, maxCells: Int = 65536): Int = {
+    require(n >= 0, s"cellsFor: corpus size must be >= 0, got $n")
+    require(targetCellSize > 0, s"cellsFor: targetCellSize must be positive, got $targetCellSize")
+    require(maxCells >= 1, s"cellsFor: maxCells must be >= 1, got $maxCells")
+    // overflow-safe ceil divide: n + target - 1 wraps near Long.MaxValue
+    val cells = if (n == 0) 1L else (n - 1) / targetCellSize + 1
+    math.min(maxCells.toLong, cells).toInt
+  }
+
   /** Train `k` centroids. Initialization is deterministic (the k lowest
     * ids) so results are reproducible across engines and runs. */
   def train(embs: DataFrame, idCol: String, vecCol: String, k: Int, iters: Int): DataFrame = {

@@ -152,4 +152,15 @@ class IvfSpec extends SparkSpec {
     } finally q.stop()
     graft.api.Pinned.release(spark)
   }
+
+  test("cellsFor keeps cell population ~constant as the corpus grows") {
+    assert(Ivf.cellsFor(0L, 8192L) == 1)
+    assert(Ivf.cellsFor(8192L, 8192L) == 1)
+    assert(Ivf.cellsFor(8193L, 8192L) == 2)
+    // 100x the corpus -> 100x the cells (the scale contract)
+    assert(Ivf.cellsFor(81920000L, 8192L) == 100 * Ivf.cellsFor(819200L, 8192L))
+    // the driver-artifact clamp engages past maxCells
+    assert(Ivf.cellsFor(Long.MaxValue, 8192L) == 65536)
+    intercept[IllegalArgumentException](Ivf.cellsFor(10L, 0L))
+  }
 }

@@ -61,6 +61,43 @@ class SemanticDedupSpec extends SparkSpec {
       "similar vectors in different cells both survive — documented recall boundary")
   }
 
+  test("hot-cell triangle cover: identical clusters, work spread over salted buckets") {
+    // one cell deliberately captures most of the corpus (the skew case);
+    // with cellCap forced tiny the salted cover engages — survivors must
+    // be IDENTICAL to the uncapped plan (exact pair cover), including the
+    // keep-best election on top of the same clusters.
+    val rnd = new scala.util.Random(7)
+    // 60 vectors near axis 0 in 3 near-dup families + 30 spread over the
+    // other axes; ids shuffled so salts don't follow family structure
+    val hot = (0 until 60).map { i =>
+      val fam = i % 3
+      val v = Array.fill(4)(0.001f * fam + 0.0005f * (i / 3)); v(0) = 1.0f
+      (100L + i, v)
+    }
+    val cold = (0 until 30).map { i =>
+      (500L + i, axis(1 + i % 3, 0.001f * (i / 3)))
+    }
+    val embs = rnd.shuffle(hot ++ cold).toDF("vec_id", "embedding")
+    val cents = Ivf.train(embs, "vec_id", "embedding", k = 4, iters = 2)
+
+    def run(cap: String): (Set[Long], Set[Long]) = {
+      spark.conf.set("graft.semdedup.cellCap", cap)
+      try {
+        val plain = Dedup.semanticDedup(embs, "vec_id", "embedding", cents,
+          threshold = 0.999).select("vec_id").collect().map(_.getLong(0)).toSet
+        val best = Dedup.semanticDedupKeepBest(embs, "vec_id", "embedding", cents,
+            threshold = 0.999, scoreCol = col("vec_id") * 1.0)
+          .select("vec_id").collect().map(_.getLong(0)).toSet
+        (plain, best)
+      } finally spark.conf.unset("graft.semdedup.cellCap")
+    }
+    val (unCapped, unCappedBest) = run(cap = "1000000")
+    val (capped, cappedBest) = run(cap = "5") // hot cell (60) -> s = 12
+    assert(capped == unCapped, "salted cover must not change the cluster set")
+    assert(cappedBest == unCappedBest, "keep-best election unchanged under the cover")
+    assert(unCapped.nonEmpty && unCapped.size < 90, "scenario must actually dedup")
+  }
+
   test("droppedBecause lineage names the surviving representative") {
     val embs = Seq(
       (10L, axis(0, 0.01f)), (50L, axis(0, 0.02f)),
