@@ -88,9 +88,24 @@ object Bench {
         }
       }
     }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
+    // Artifact layout is dictated by the driver's TAIL capture (last ~2000
+    // chars of stdout survive): millisecond precision, queries ASCENDING by
+    // time so the truncated head loses only the fastest entries, and the
+    // total LAST so it always lands inside the captured tail. The COMPLETE
+    // line additionally persists to BENCH_FULL.json in the working
+    // directory (the round snapshot commits it), so the full per-query map
+    // is never lost to truncation.
+    def fmt(v: Double): String =
+      String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
+    val qs = results.sortBy(_._2)
+      .map { case (k, v) => "\"" + k + "\":" + fmt(v) }.mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val line =
+      s"""{"metric":"total","unit":"sec","sf":"$sfDir","full":"BENCH_FULL.json","queries":$qs,"value":${fmt(total)}}"""
+    try java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_FULL.json"),
+      (line + "\n").getBytes("UTF-8"))
+    catch { case e: Exception => System.err.println(s"[bench] BENCH_FULL.json write failed: $e") }
+    println(line)
     spark.stop()
   }
 }

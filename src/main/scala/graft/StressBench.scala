@@ -153,6 +153,10 @@ object StressBench {
         // "not skewed" by bytes while being quadratic by pairs).
         val bcast = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        // restore the probe's conf overrides even when a mid-probe
+        // require() trips — a failed probe must not leave broadcast joins
+        // disabled (or the cap set) for queries listed after it
+        try {
         // time the pair stage alone (the stage the cover redistributes);
         // full-dedup survivor equality separately pins exactness
         var uncappedPairs = -1L
@@ -186,8 +190,11 @@ object StressBench {
         require(cappedIds.exceptAll(unIds).isEmpty && unIds.exceptAll(cappedIds).isEmpty,
           "triangle cover changed the survivor set")
         println(s"STRESS semskew survivors identical capped vs uncapped")
-        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", bcast)
-        skewed.unpersist()
+        } finally {
+          spark.conf.unset("graft.semdedup.cellCap")
+          spark.conf.set("spark.sql.autoBroadcastJoinThreshold", bcast)
+          skewed.unpersist()
+        }
       } else if (q == "pqlut512") {
         // m=8 x ksub=64 = 512 LUT entries > LiteralLutEntries: the ADC
         // lookup table takes the compiled-loop PqLut face; train + encode

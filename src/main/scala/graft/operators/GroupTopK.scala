@@ -47,6 +47,9 @@ object GroupTopK {
     }
     require(scoreAs != idCol && scoreAs != "rank",
       s"topKPerKey: scoreAs '$scoreAs' collides with an output column")
+    require(idCol != "rank",
+      "topKPerKey: idCol 'rank' collides with the rank output column " +
+        s"(output is keys ++ ($idCol, $scoreAs, rank))")
     // Collision-proof working names (the zorderBy idiom): a key named
     // 'pos'/'col' or '__id'/'__s'/'__top' must not capture the internal
     // heap/explode columns.
