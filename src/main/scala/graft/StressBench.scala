@@ -32,7 +32,12 @@ object StressBench {
         // chunking through the artifact flow)
         "q_sq8", "q_curate_program",
         // round-11: the hot-cell skew probe (80% of vectors in one cell)
-        "semskew")
+        "semskew",
+        // round-12: the hot-BAND skew probe (boilerplate docs sharing one
+        // LSH band) — the generalized saltedSelfJoin cover, and the
+        // real-tokenizer-sized BPE training run (4096 merges, possible
+        // since the vocabulary re-materialization lifted the 256 cap)
+        "bandskew", "bpe4k")
     val spark = SparkSession.builder().master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
       .config("spark.sql.session.timeZone", "UTC")
@@ -195,6 +200,76 @@ object StressBench {
           spark.conf.set("spark.sql.autoBroadcastJoinThreshold", bcast)
           skewed.unpersist()
         }
+      } else if (q == "bandskew") {
+        // round-11 verdict finding #1: a boilerplate-hot LSH band (the
+        // norm in crawled corpora — identical headers/footers put one
+        // band key on a large fraction of the corpus) used to land that
+        // band's entire quadratic candidate count in ONE task. 40% of the
+        // sf0.1 documents are replaced by one literal boilerplate string,
+        // so every band of the MinHash signature is shared by all of
+        // them; with graft.dedup.bandCap the saltedSelfJoin triangle
+        // cover redistributes each hot band over bounded buckets. The
+        // candidate COUNT must be identical — the cover is exact.
+        // Broadcast disabled for the same reason as semskew: at probe
+        // size the planner would broadcast one exploded side, which
+        // happens to parallelize even the uncapped plan; at corpus scale
+        // the join shuffles on the band key and the hot band is one task.
+        val docs0 = spark.read.parquet(s"$src/documents.parquet")
+        val boiler = "terms of service privacy policy all rights reserved " +
+          "contact us about careers copyright two thousand twenty four"
+        val docs = docs0.select(col("doc_id"),
+            when(pmod(col("doc_id"), lit(5L)) < 2L, lit(boiler))
+              .otherwise(col("text")).as("text"))
+          .repartition(32).persist()
+        val nDocs = docs.count()
+        val bcast = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        try {
+          var uncappedCands = -1L
+          for ((mode, cap) <- Seq("uncapped" -> "1000000000", "capped" -> "256")) {
+            spark.conf.set("graft.dedup.bandCap", cap)
+            for (rep <- 1 to 2) {
+              isolate()
+              val t0 = System.nanoTime()
+              val sig = graft.pipeline.Dedup.minhashSignature(
+                docs, "doc_id", "text", k = 16)
+              val cands = graft.pipeline.Dedup.lshCandidates(
+                sig, "doc_id", k = 16, bands = 4)
+              cands.write.format("noop").mode("overwrite").save()
+              val secs = (System.nanoTime() - t0) / 1e9
+              val nc = cands.count()
+              if (uncappedCands < 0) uncappedCands = nc
+              else require(nc == uncappedCands,
+                s"triangle cover changed the candidate count: $nc vs $uncappedCands")
+              println(f"STRESS bandskew/$mode rep$rep $secs%.2f s " +
+                s"($nc candidates over $nDocs docs)")
+              graft.api.Pinned.release(spark)
+            }
+            spark.conf.unset("graft.dedup.bandCap")
+          }
+        } finally {
+          spark.conf.unset("graft.dedup.bandCap")
+          spark.conf.set("spark.sql.autoBroadcastJoinThreshold", bcast)
+          docs.unpersist()
+        }
+      } else if (q == "bpe4k") {
+        // round-11 verdict finding #2: the BPE trainer was capped at 256
+        // merges because each round replayed the full merge chain over
+        // the pinned vocabulary (expression depth linear in the chain).
+        // With periodic vocabulary re-materialization the per-round cost
+        // is O(rematEvery); this probe proves a real-tokenizer-sized run
+        // (4096 merges) completes on the sf0.1 documents. One rep — the
+        // run is 4096 driver-coordinated rounds by definition.
+        isolate()
+        val docs = spark.read.parquet(s"$src/documents.parquet")
+        val t0 = System.nanoTime()
+        val merges = graft.pipeline.TextOps.trainBpeMerges(docs, "text",
+          numMerges = 4096)
+        val nm = merges.count()
+        val secs = (System.nanoTime() - t0) / 1e9
+        require(nm > 256, s"bpe4k: expected more than 256 merges, got $nm")
+        println(f"STRESS bpe4k $secs%.2f s ($nm merges trained, " +
+          f"${secs / nm * 1000}%.1f ms/merge)")
       } else if (q == "pqlut512") {
         // m=8 x ksub=64 = 512 LUT entries > LiteralLutEntries: the ADC
         // lookup table takes the compiled-loop PqLut face; train + encode

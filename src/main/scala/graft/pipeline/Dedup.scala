@@ -224,9 +224,98 @@ object Dedup {
   def minhashSignature(docs: DataFrame, idCol: String, textCol: String, k: Int): DataFrame =
     minhashSignatureOverHashes(hashedDocs(docs, idCol, textCol), idCol, k)
 
+  /** Positive-integer conf with a NAMED contract error: malformed or
+    * out-of-range values fail citing the conf key, not with a bare
+    * NumberFormatException from somewhere inside a plan build. */
+  private def longConf(spark: org.apache.spark.sql.SparkSession,
+                       key: String, default: Long): Long = {
+    val v = spark.conf.getOption(key).map { s =>
+      try s.trim.toLong
+      catch { case _: NumberFormatException => throw new IllegalArgumentException(
+        s"$key must be an integer, got '$s'") }
+    }.getOrElse(default)
+    require(v > 0, s"$key must be positive, got $v")
+    v
+  }
+
+  /** Hot-key-guarded candidate self-join — the shared skew armor of the
+    * whole banded-dedup family (MinHash LSH bands, SimHash pigeonhole
+    * chunks, SemDeDup IVF cells). Joins `e` to itself on `keyCol` with
+    * the id-ordered pair predicate; any key whose population exceeds
+    * `cap` is sub-split by an exact salted TRIANGLE COVER:
+    *
+    * each member gets a deterministic salt `g = hash(id) mod s`
+    * (s = ceil(pop/cap)); the left side replicates to buckets (g, j) for
+    * j in [g, s) and the right side to (i, g) for i in [0, g], so every
+    * unordered salt pair (i <= j) meets in exactly one bucket and every
+    * within-key id pair is generated EXACTLY ONCE (same-salt pairs only
+    * on the diagonal bucket, via the id-order predicate). The pair SET is
+    * identical to the naive self-join; only the task shape changes:
+    * per-task pairs drop from pop² to ~cap², spread over s(s+1)/2
+    * buckets, at (s+1)× replication of only the hot key's rows. This
+    * matters because boilerplate-heavy corpora are the NORM at scale —
+    * millions of documents sharing one band/chunk used to land that
+    * band's entire pair count in ONE task, and AQE's byte-based skew
+    * split cannot see pair-count blowup.
+    *
+    * The census runs once, eagerly, as a `localCheckpoint`ed hot-key
+    * table (bounded by #keys-over-cap rows — tiny); when NO key is hot
+    * (every oracle corpus; healthy band distributions) the checkpoint is
+    * released immediately and the returned plan is the untouched plain
+    * self-join. When hot keys exist the table broadcasts into the salt
+    * assignment and registers with [[graft.api.Pinned]] for caller-side
+    * release. Batch-only by construction (the census is an action).
+    *
+    * Returns the joined frame with sides aliased `a`/`b` for the caller
+    * to project. Under the cover a bucket's pair ORIENTATION is
+    * arbitrary, so callers must canonicalize ids with least/greatest and
+    * keep only orientation-symmetric payloads (hamming, jaccard, cosine).
+    * Input must not already carry __cnt/__s/__g/__i/__j columns (all
+    * call sites are internal projections). */
+  private[graft] def saltedSelfJoin(e0: DataFrame, keyCol: String, idCol: String,
+                                    cap: Long,
+                                    hint: Option[String] = None): DataFrame = {
+    require(cap > 0, s"saltedSelfJoin cap must be positive, got $cap")
+    // Materialize the (id, key, payload) projection ONCE: the census and
+    // both join sides read it, and the upstream compute (minhash
+    // signatures, simhash bits, IVF cell assignment) is the expensive
+    // part — without this the signature pass would run three times (it
+    // already ran TWICE in the pre-census plain self-join). The
+    // checkpoint is 8-byte keys + ids + per-row payload, smaller than
+    // the shuffle the join itself performs; it registers with
+    // [[graft.api.Pinned]] for caller-side release.
+    val (e, eIds) = graft.api.Pinned.checkpointTracked(e0)
+    graft.api.Pinned.register(e0.sparkSession, eIds)
+    def hinted(d: DataFrame): DataFrame = hint.map(d.hint(_)).getOrElse(d)
+    val keyEq = col(s"a.$keyCol") === col(s"b.$keyCol")
+    val hot = e.groupBy(col(keyCol)).agg(count(lit(1)).as("__cnt"))
+      .filter(col("__cnt") > cap)
+      .select(col(keyCol),
+        ceil(col("__cnt").cast("double") / cap).cast("int").as("__s"))
+    if (hot.isEmpty) {
+      e.as("a").join(hinted(e.as("b")),
+        keyEq && col(s"a.$idCol") < col(s"b.$idCol"))
+    } else {
+      val salted = e.join(broadcast(hot), Seq(keyCol), "left")
+        .withColumn("__s", coalesce(col("__s"), lit(1)))
+        .withColumn("__g", pmod(xxhash64(col(idCol)), col("__s")).cast("int"))
+      val lhs = salted.withColumn("__j",
+        explode(sequence(col("__g"), col("__s") - 1)))
+      val rhs = salted.withColumn("__i",
+        explode(sequence(lit(0), col("__g"))))
+      lhs.as("a").join(hinted(rhs.as("b")),
+        keyEq && col("a.__g") === col("b.__i") && col("a.__j") === col("b.__g") &&
+          (col("a.__g") =!= col("b.__g") ||
+            col(s"a.$idCol") < col(s"b.$idCol")))
+    }
+  }
+
   /** LSH banding: k minhashes → `bands` band keys; docs sharing any band
     * key become candidate pairs. Shuffles on the band key only — the
-    * classic scalable near-dup candidate generator (no all-pairs). */
+    * classic scalable near-dup candidate generator (no all-pairs) — with
+    * the [[saltedSelfJoin]] triangle cover keeping any boilerplate-hot
+    * band (population > `graft.dedup.bandCap`, default 8192) from
+    * collapsing its quadratic candidate count into one task. */
   def lshCandidates(sig: DataFrame, idCol: String, k: Int, bands: Int): DataFrame = {
     val rows = k / bands
     val bandCols = (0 until bands).map { b =>
@@ -234,9 +323,10 @@ object Dedup {
       struct(lit(b).as("band"), combined.as("bv"))
     }
     val e = sig.select(col(idCol), explode(array(bandCols: _*)).as("__bk"))
-    e.as("a").join(e.as("b"),
-        col("a.__bk") === col("b.__bk") && col(s"a.$idCol") < col(s"b.$idCol"))
-      .select(col(s"a.$idCol").as("id_a"), col(s"b.$idCol").as("id_b"))
+    val cap = longConf(sig.sparkSession, "graft.dedup.bandCap", 8192L)
+    saltedSelfJoin(e, "__bk", idCol, cap)
+      .select(least(col(s"a.$idCol"), col(s"b.$idCol")).as("id_a"),
+        greatest(col(s"a.$idCol"), col(s"b.$idCol")).as("id_b"))
       .distinct()
   }
 
@@ -566,21 +656,28 @@ object Dedup {
     }
   }
 
-  /** Pigeonhole pair generation over any (id, simhash) signature table. */
+  /** Pigeonhole pair generation over any (id, simhash) signature table.
+    * Chunk populations above `graft.dedup.bandCap` (default 8192) take
+    * the [[saltedSelfJoin]] triangle cover — a boilerplate-hot chunk
+    * (identical headers/footers pushing millions of docs into one chunk
+    * value) redistributes instead of going quadratic in one task. */
   def simhashPairs(sigs: DataFrame, idCol: String,
                    bits: Int, maxHamming: Int): DataFrame = {
     require(maxHamming >= 0 && maxHamming < bits, s"need 0 <= maxHamming < bits")
     val chunkCols = pigeonholeChunks(col("simhash"), bits, maxHamming)
     val e = sigs.select(col(idCol), col("simhash"), explode(array(chunkCols: _*)).as("__ck"))
       .repartition(col("__ck"))
+    val cap = longConf(sigs.sparkSession, "graft.dedup.bandCap", 8192L)
     val ham = expr("bit_count(__sa ^ __sb)")
     // shuffle_hash, not the planner's size-based broadcast: the build side
     // is the exploded corpus (broadcastable only at toy scale), and with
     // both sides shuffled on the chunk key ReuseExchange materializes the
     // signature scan once
-    e.as("a").join(e.as("b").hint("shuffle_hash"),
-        col("a.__ck") === col("b.__ck") && col(s"a.$idCol") < col(s"b.$idCol"))
-      .select(col(s"a.$idCol").as("id_a"), col(s"b.$idCol").as("id_b"),
+    saltedSelfJoin(e, "__ck", idCol, cap, hint = Some("shuffle_hash"))
+      // ids canonicalized least/greatest (cover buckets pair in arbitrary
+      // orientation); hamming is XOR-symmetric so the payload is safe
+      .select(least(col(s"a.$idCol"), col(s"b.$idCol")).as("id_a"),
+        greatest(col(s"a.$idCol"), col(s"b.$idCol")).as("id_b"),
         col("a.simhash").as("__sa"), col("b.simhash").as("__sb"))
       // verify BEFORE dedup: the XOR+popcount is ~free per candidate,
       // while distinct is a shuffle — filtering first shrinks the
@@ -588,8 +685,8 @@ object Dedup {
       // chunks make these plentiful) to the true within-budget pairs
       .withColumn("hamming", ham)
       .filter(col("hamming") <= maxHamming)
-      .distinct() // a pair can match in several chunks
       .select(col("id_a"), col("id_b"), col("hamming").cast("int").as("hamming"))
+      .distinct() // a pair can match in several chunks
   }
 
   /** Character-n-gram Jaccard near-dup within a blocking key (e.g. source):
@@ -1622,10 +1719,12 @@ object Dedup {
     * changes: per-task pairs drop from pop² to ~cap², spread over
     * s(s+1)/2 buckets, at the cost of (s+1)× replication of the hot
     * cell's rows (the inherent SemDeDup verification work, redistributed).
-    * Populations are counted in one pass and the (cid -> s) map is a
-    * driver artifact bounded by the codebook size, like the codebook
-    * itself; when no cell exceeds the cap the original two-sided plan is
-    * used untouched. */
+    * Populations are counted in one eager pass and the hot-cell table
+    * (bounded by #cells-over-cap, itself bounded by the codebook size) is
+    * a broadcast artifact; when no cell exceeds the cap the original
+    * two-sided plan is used untouched. The mechanism is the shared
+    * [[saltedSelfJoin]], the same cover guarding the MinHash band and
+    * SimHash chunk joins. */
   private def semanticClusters(embs: DataFrame, idCol: String, vecCol: String,
                                centroids: DataFrame, threshold: Double): DataFrame =
     connectedComponents(
@@ -1638,42 +1737,19 @@ object Dedup {
                                    centroids: DataFrame, threshold: Double): DataFrame = {
     require(threshold > 0.0 && threshold <= 1.0, s"threshold in (0,1], got $threshold")
     val cent = Ivf.collectCodebook(centroids)
-    val cap = embs.sparkSession.conf.getOption("graft.semdedup.cellCap")
-      .map(_.toInt).getOrElse(8192)
-    require(cap > 0, s"graft.semdedup.cellCap must be positive, got $cap")
+    val cap = longConf(embs.sparkSession, "graft.semdedup.cellCap", 8192L)
     val e = embs.select(col(idCol), col(vecCol).cast("array<double>").as("__e"))
       .withColumn("__n", Similarity.norm(col("__e")))
       .withColumn("__cid", Ivf.nearestCid(col("__e"), cent))
-    val splits: Map[Int, Int] = e.groupBy(col("__cid")).count().collect()
-      .collect { case r if r.getLong(1) > cap =>
-        r.getInt(0) -> math.ceil(r.getLong(1).toDouble / cap).toInt }
-      .toMap
     val cos = Similarity.dot(col("a.__e"), col("b.__e")) /
       (col("a.__n") * col("b.__n"))
-    val pairs =
-      if (splits.isEmpty)
-        e.as("a").join(e.as("b"),
-            col("a.__cid") === col("b.__cid") && col(s"a.$idCol") < col(s"b.$idCol"))
-          .filter(cos >= threshold)
-          .select(col(s"a.$idCol").as("id_a"), col(s"b.$idCol").as("id_b"))
-      else {
-        val sCol = coalesce(element_at(typedLit(splits), col("__cid")), lit(1))
-        val salted = e.withColumn("__s", sCol)
-          .withColumn("__g", pmod(xxhash64(col(idCol)), col("__s")).cast("int"))
-        val lhs = salted.withColumn("__j",
-          explode(sequence(col("__g"), col("__s") - 1)))
-        val rhs = salted.withColumn("__i",
-          explode(sequence(lit(0), col("__g"))))
-        lhs.as("a").join(rhs.as("b"),
-            col("a.__cid") === col("b.__cid") &&
-              col("a.__g") === col("b.__i") && col("a.__j") === col("b.__g") &&
-              (col("a.__g") =!= col("b.__g") ||
-                col(s"a.$idCol") < col(s"b.$idCol")))
-          .filter(cos >= threshold)
-          .select(least(col(s"a.$idCol"), col(s"b.$idCol")).as("id_a"),
-            greatest(col(s"a.$idCol"), col(s"b.$idCol")).as("id_b"))
-      }
-    pairs
+    // shared triangle cover ([[saltedSelfJoin]]); cosine is symmetric so
+    // the least/greatest canonicalization is safe, and reduces to the
+    // id-ordered identity on the uncapped plain plan
+    saltedSelfJoin(e, "__cid", idCol, cap)
+      .filter(cos >= threshold)
+      .select(least(col(s"a.$idCol"), col(s"b.$idCol")).as("id_a"),
+        greatest(col(s"a.$idCol"), col(s"b.$idCol")).as("id_b"))
   }
 
   /** Cross-corpus EMBEDDING near-dup dedup — the vector-space sibling of

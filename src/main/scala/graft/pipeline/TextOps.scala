@@ -1170,11 +1170,20 @@ object TextOps {
     * reference algorithm's statistic), (b) picks the most frequent pair
     * (ties to the lexicographically smaller), and (c) rewrites symbols
     * by applying the merge greedily left-to-right. The vocabulary is
-    * pinned once; each round scans it with the merge chain applied as
-    * chained literal replaces — the corpus itself is touched exactly
-    * once, and the only driver data is the merge table (`numMerges`
-    * rows, the trained artifact). No end-of-word marker (documented
-    * deviation from the paper; the oracle mirrors the same choice).
+    * pinned once; each round scans it with the PENDING merge chain
+    * applied as chained literal replaces, and every
+    * `graft.bpe.rematEvery` rounds (default 64) the vocabulary is
+    * RE-MATERIALIZED with the chain applied and the chain reset — so
+    * per-round expression depth and cost are O(rematEvery), constant in
+    * the total merge count, which is what lets a real-tokenizer-sized
+    * run (8k–32k merges) complete. Each re-materialization also prunes
+    * words already collapsed to one symbol (exact: merges never split a
+    * symbol, so a one-symbol word can never contribute a pair again),
+    * shrinking the working set as training progresses. The corpus itself
+    * is touched exactly once, and the only driver data is the merge
+    * table (`numMerges` rows, the trained artifact). No end-of-word
+    * marker (documented deviation from the paper; the oracle mirrors the
+    * same choice).
     *
     * Precondition: text must not contain U+0002/U+0003 (the symbol
     * brackets) — control characters are not word characters in any real
@@ -1183,21 +1192,35 @@ object TextOps {
     * Output: (merge_rank, lhs, rhs) — apply with [[bpeTokenize]]. */
   def trainBpeMerges(docs: org.apache.spark.sql.DataFrame, textCol: String,
                      numMerges: Int): org.apache.spark.sql.DataFrame = {
-    require(numMerges >= 1 && numMerges <= 256,
-      s"numMerges=$numMerges: each merge is one driver-coordinated round; keep <= 256")
+    require(numMerges >= 1 && numMerges <= 65536,
+      s"numMerges=$numMerges: each merge is one driver-coordinated round " +
+        "and the merge table is a driver artifact; keep <= 65536")
     val spark = docs.sparkSession
     import spark.implicits._
-    val vocab = docs
+    val rematEvery = {
+      val key = "graft.bpe.rematEvery"
+      val v = spark.conf.getOption(key).map { s =>
+        try s.trim.toInt
+        catch { case _: NumberFormatException => throw new IllegalArgumentException(
+          s"$key must be an integer, got '$s'") }
+      }.getOrElse(64)
+      require(v > 0, s"$key must be positive, got $v")
+      v
+    }
+    var vocab = docs
       .select(explode(words(col(textCol))).as("__w"))
       .groupBy("__w").agg(count(lit(1)).as("__c"))
       .select(bpeWrap(col("__w")).as("__s"), col("__c"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
       val merges = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
+      // merges learned since the last vocabulary re-materialization — the
+      // only chain each round's scan replays
+      val pending = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
       var r = 0
       var exhausted = false
       while (r < numMerges && !exhausted) {
-        val syms = bpeSymbols(bpeApply(col("__s"), merges.toSeq))
+        val syms = bpeSymbols(bpeApply(col("__s"), pending.toSeq))
         val best = vocab
           .select(syms.as("__y"), col("__c")).where(size(col("__y")) >= 2)
           .select(explode(arrays_zip(
@@ -1209,7 +1232,25 @@ object TextOps {
           .orderBy(col("__n").desc, col("a"), col("b"))
           .limit(1).collect()
         if (best.isEmpty) exhausted = true // every word is one symbol
-        else { merges += ((best(0).getString(0), best(0).getString(1))); r += 1 }
+        else {
+          val m = (best(0).getString(0), best(0).getString(1))
+          merges += m
+          pending += m
+          r += 1
+          if (pending.size >= rematEvery && r < numMerges && !exhausted) {
+            // fold the pending chain into the data: one bounded-depth
+            // projection, materialized (count) BEFORE the old generation
+            // is released so a cache miss never replays the full history
+            val next = vocab
+              .select(bpeApply(col("__s"), pending.toSeq).as("__s"), col("__c"))
+              .where(size(bpeSymbols(col("__s"))) >= 2)
+              .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+            next.count()
+            vocab.unpersist(blocking = false)
+            vocab = next
+            pending.clear()
+          }
+        }
       }
       merges.toSeq.zipWithIndex
         .map { case ((a, b), i) => (i + 1, a, b) }.toDF("merge_rank", "lhs", "rhs")

@@ -133,4 +133,30 @@ class VocabSpec extends SparkSpec {
       assert(got == refBpe(words, 4), s"trial $trial")
     }
   }
+
+  test("BPE vocabulary re-materialization is invisible to the learned merges") {
+    import spark.implicits._
+    // the remat path (chain folded into the data + one-symbol words
+    // pruned every rematEvery rounds) must learn the EXACT same merge
+    // table as the never-remat run; rematEvery=2 forces five
+    // re-materializations inside a 12-merge run
+    val rnd = new scala.util.Random(41)
+    val words = Seq.fill(80)(
+      Seq.fill(2 + rnd.nextInt(5))("abcd"(rnd.nextInt(4))).mkString)
+    val docs = words.grouped(8).map(_.mkString(" ")).toSeq.toDF("text")
+    def train(): Seq[(String, String)] =
+      TextOps.trainBpeMerges(docs, "text", numMerges = 12)
+        .collect().sortBy(_.getInt(0)).map(r => (r.getString(1), r.getString(2))).toSeq
+    val plain = train()
+    spark.conf.set("graft.bpe.rematEvery", "2")
+    val remat = try train() finally spark.conf.unset("graft.bpe.rematEvery")
+    assert(remat == plain, "re-materialized run must learn identical merges")
+    // and no working-set cache leaks past the trainer
+    assert(remat.size == 12)
+    val bad = intercept[IllegalArgumentException] {
+      spark.conf.set("graft.bpe.rematEvery", "often")
+      try train() finally spark.conf.unset("graft.bpe.rematEvery")
+    }
+    assert(bad.getMessage.contains("graft.bpe.rematEvery"))
+  }
 }
