@@ -34,10 +34,12 @@ object StressBench {
         // round-11: the hot-cell skew probe (80% of vectors in one cell)
         "semskew",
         // round-12: the hot-BAND skew probe (boilerplate docs sharing one
-        // LSH band) — the generalized saltedSelfJoin cover, and the
+        // LSH band) — the generalized saltedSelfJoin cover, the
         // real-tokenizer-sized BPE training run (4096 merges, possible
-        // since the vocabulary re-materialization lifted the 256 cap)
-        "bandskew", "bpe4k")
+        // since the vocabulary re-materialization lifted the 256 cap),
+        // and the auto-sized SemDeDup codebook (cell population ~constant
+        // across a 10x corpus scale-up)
+        "bandskew", "bpe4k", "semauto")
     val spark = SparkSession.builder().master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
       .config("spark.sql.session.timeZone", "UTC")
@@ -252,22 +254,68 @@ object StressBench {
           spark.conf.set("spark.sql.autoBroadcastJoinThreshold", bcast)
           docs.unpersist()
         }
+      } else if (q == "semauto") {
+        // semanticDedupAuto sizes the codebook with Ivf.cellsFor — the
+        // executable cells-∝-corpus contract. Ran at 1x and 10x, the MEAN
+        // cell population must stay ~targetCellSize (constant per-task
+        // verification work); k grows with the corpus instead.
+        val target = 512L
+        for ((label, path) <- Seq("1x" -> s"$src/embeddings.parquet",
+                                  "10x" -> embPath)) {
+          isolate()
+          val emb = spark.read.parquet(path)
+          val nv = emb.count()
+          val t0 = System.nanoTime()
+          val kept = graft.pipeline.Dedup.semanticDedupAuto(
+            emb, "vec_id", "embedding", threshold = 0.995,
+            targetCellSize = target, iters = 1)
+          val nk = kept.count()
+          val secs = (System.nanoTime() - t0) / 1e9
+          // census under the SAME codebook (training is deterministic:
+          // k-lowest-ids init, so retraining reproduces it exactly)
+          val k = graft.pipeline.Ivf.cellsFor(nv, target)
+          val cents = graft.pipeline.Ivf.train(emb, "vec_id", "embedding", k, 1)
+          val pop = graft.pipeline.Ivf.assign(
+              emb.select(col("vec_id").as("__pid"),
+                col("embedding").cast("array<double>").as("__pv")), cents)
+            .groupBy("cid").count().agg(avg("count"), max("count")).collect()(0)
+          val meanCell = pop.getDouble(0)
+          require(meanCell <= target && meanCell >= target / 4,
+            s"semauto/$label: mean cell population $meanCell strayed from target $target")
+          println(f"STRESS semauto/$label $secs%.2f s: n=$nv k=$k kept=$nk " +
+            f"meanCell=$meanCell%.0f maxCell=${pop.getLong(1)}")
+        }
       } else if (q == "bpe4k") {
         // round-11 verdict finding #2: the BPE trainer was capped at 256
         // merges because each round replayed the full merge chain over
         // the pinned vocabulary (expression depth linear in the chain).
         // With periodic vocabulary re-materialization the per-round cost
         // is O(rematEvery); this probe proves a real-tokenizer-sized run
-        // (4096 merges) completes on the sf0.1 documents. One rep — the
-        // run is 4096 driver-coordinated rounds by definition.
+        // (4096 merges) completes. The synthetic sf0.1 corpus has only 31
+        // distinct words (BPE exhausts at ~89 merges), so each word gets
+        // a deterministic two-letter salt from (word, doc, position) —
+        // ~8k distinct words with natural frequency structure, a
+        // realistic subword-training vocabulary. One rep — the run is
+        // 4096 driver-coordinated rounds by definition.
         isolate()
+        // GRAFT_BPE_PROBE_MERGES / GRAFT_BPE_REMAT override for quick
+        // per-round timing runs
+        val probeMerges = sys.env.get("GRAFT_BPE_PROBE_MERGES").map(_.toInt).getOrElse(4096)
+        sys.env.get("GRAFT_BPE_REMAT").foreach(v =>
+          spark.conf.set("graft.bpe.rematEvery", v))
         val docs = spark.read.parquet(s"$src/documents.parquet")
+          .selectExpr("doc_id",
+            """array_join(transform(split(text, ' '), (w, i) ->
+                 concat(w,
+                   chr(97 + pmod(hash(w, doc_id, i), 16)),
+                   chr(97 + pmod(hash(w, doc_id, i, 7), 16)))), ' ') AS text""")
         val t0 = System.nanoTime()
         val merges = graft.pipeline.TextOps.trainBpeMerges(docs, "text",
-          numMerges = 4096)
+          numMerges = probeMerges)
         val nm = merges.count()
         val secs = (System.nanoTime() - t0) / 1e9
-        require(nm > 256, s"bpe4k: expected more than 256 merges, got $nm")
+        require(nm == probeMerges, s"bpe4k: expected the full $probeMerges merges " +
+          s"(the ~8k-word salted vocabulary cannot exhaust before ~8k rules), got $nm")
         println(f"STRESS bpe4k $secs%.2f s ($nm merges trained, " +
           f"${secs / nm * 1000}%.1f ms/merge)")
       } else if (q == "pqlut512") {

@@ -484,10 +484,24 @@ final class RecordWindowedMStream(val stream: MStream, keys: Seq[String], n: Int
   }
 }
 
-/** Builder for enrichment joins: `.on((l, r) => cond)` then `.select`. */
-final class JoinBuilder(left: MStream, right: MStream, kind: EnrichmentJoins.Kind) {
+/** Builder for enrichment joins: `.on((l, r) => cond)` then `.select`.
+  *
+  * Full joins whose condition carries a cross-side residual (non-equi)
+  * part are reference-strict by default: an arrival whose
+  * (lastLeft, lastRight) pair fails the residual emits NOTHING, matching
+  * the reference's post-condition gate
+  * (`FullJoinKeyedCoProcessFunction.scala:57-79`), identically on the
+  * batch and streaming faces. `.lenient()` opts into the
+  * SQL-outer-join-style alternative — the failing pair keeps the arriving
+  * side and nulls the other. Joins without a residual are unaffected. */
+final class JoinBuilder(left: MStream, right: MStream, kind: EnrichmentJoins.Kind,
+                        lenientResidual: Boolean = false) {
+  /** Failing-residual pairs emit the arriving side with the other nulled
+    * instead of being suppressed (full joins only; no-op otherwise). */
+  def lenient(flag: Boolean = true): JoinBuilder =
+    new JoinBuilder(left, right, kind, flag)
   def on(cond: (String => Column, String => Column) => Column): JoinedMStream =
-    EnrichmentJoins.build(left, right, kind, cond)
+    EnrichmentJoins.build(left, right, kind, cond, lenientResidual)
 }
 
 /** Builder for stream ⋈ record-window joins. */

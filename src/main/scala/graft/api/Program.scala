@@ -107,9 +107,13 @@ object Program {
                                 offset: String, windowAs: String,
                                 aggs: Seq[Field]) extends Node
   /** Milan enrichment join: kind ∈ left | full | leftInner; `condition`
-    * and `select` expressions use `l.` / `r.` side qualifiers. */
+    * and `select` expressions use `l.` / `r.` side qualifiers.
+    * `lenientResidual` (optional, default false = reference-strict) makes
+    * a failing full-join residual emit the arriving side with the other
+    * nulled instead of suppressing the row. */
   final case class Join(name: String, kind: String, left: String, right: String,
-                        condition: String, select: Seq[Field]) extends Node
+                        condition: String, select: Seq[Field],
+                        lenientResidual: Boolean = false) extends Node
   /** Milan scan family (2.6): kind ∈ sumBy | meanBy | productBy | countBy |
     * maxBy | minBy | last. `arg` is a SQL expression (unused for countBy/
     * last), `as` names the running column (sumBy family only). Empty
@@ -719,14 +723,15 @@ object Program {
             case None => scoped.tumblingWindow(expr(ts), size, offset)
           }
           windowed.select(windowAs, aggs.map(f => expr(f.expr).as(f.as)): _*)
-        case Join(_, kind, l, r, condition, select) =>
-          val builder = kind match {
+        case Join(_, kind, l, r, condition, select, lenient) =>
+          val builder0 = kind match {
             case "left" => in(l).leftJoin(in(r))
             case "full" => in(l).fullJoin(in(r))
             case "leftInner" => in(l).leftInnerJoin(in(r))
             case other => throw new IllegalArgumentException(
               s"unknown join kind '$other' (expected left|full|leftInner)")
           }
+          val builder = if (lenient) builder0.lenient() else builder0
           builder.on((lc, rc) => sideExpr(condition, lc, rc))
             .select((lc, rc) => select.map(f => sideExpr(f.expr, lc, rc).as(f.as)))
         case Scan(name, i, kind, keys, arg, as) =>
@@ -1192,6 +1197,12 @@ object Program {
       join("left", right, condition, select: _*)
     def fullJoin(right: Rec, condition: String, select: (String, String)*): Rec =
       join("full", right, condition, select: _*)
+    /** Full join with lenient residual emission (failing pair keeps the
+      * arriving side, other side nulled) instead of the reference-strict
+      * default. */
+    def fullJoinLenient(right: Rec, condition: String, select: (String, String)*): Rec =
+      derive("join", Seq(right))(n => Join(n, "full", name, right.name, condition,
+        select.map { case (e, a) => Field(e, a) }, lenientResidual = true))
     def leftInnerJoin(right: Rec, condition: String, select: (String, String)*): Rec =
       join("leftInner", right, condition, select: _*)
     def scan(kind: String, keys: Seq[String], arg: Option[String],
@@ -1533,10 +1544,11 @@ object Program {
         ("op" -> "windowSelect") ~ ("name" -> name) ~ ("input" -> i) ~
           ("keys" -> keys) ~ ("ts" -> ts) ~ ("size" -> size) ~ ("slide" -> slide) ~
           ("offset" -> offset) ~ ("windowAs" -> windowAs) ~ ("aggs" -> fields(aggs))
-      case Join(name, kind, l, r, condition, select) =>
+      case Join(name, kind, l, r, condition, select, lenient) =>
         ("op" -> "join") ~ ("name" -> name) ~ ("kind" -> kind) ~
           ("left" -> l) ~ ("right" -> r) ~ ("condition" -> condition) ~
-          ("select" -> fields(select))
+          ("select" -> fields(select)) ~
+          ("lenientResidual" -> (if (lenient) Some(true) else None))
       case Scan(name, i, kind, keys, arg, as) =>
         ("op" -> "scan") ~ ("name" -> name) ~ ("input" -> i) ~ ("kind" -> kind) ~
           ("keys" -> keys) ~ ("arg" -> arg) ~ ("as" -> as)
@@ -1786,7 +1798,8 @@ object Program {
             (v \ "windowAs").extract[String], fields(v \ "aggs"))
           case "join" => Join(name, (v \ "kind").extract[String],
             (v \ "left").extract[String], (v \ "right").extract[String],
-            (v \ "condition").extract[String], fields(v \ "select"))
+            (v \ "condition").extract[String], fields(v \ "select"),
+            (v \ "lenientResidual").extractOpt[Boolean].getOrElse(false))
           case "scan" => Scan(name, (v \ "input").extract[String],
             (v \ "kind").extract[String], strs(v \ "keys"),
             (v \ "arg").extractOpt[String], (v \ "as").extractOpt[String])

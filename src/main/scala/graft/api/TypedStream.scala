@@ -70,11 +70,20 @@ final case class TypedStream[T](ds: Dataset[T], seqFn: T => Long) {
     StreamingJoins.enrichmentJoin[T, R, K, O](ds, right.ds, lKey, rKey,
       seqFn, right.seqFn, StreamingJoins.LeftEnrichment, residual)(out)
 
+  /** Full enrichment. A `residual` post-condition gates emission
+    * reference-strictly by default (a failing pair emits nothing,
+    * `FullJoinKeyedCoProcessFunction.scala:57-79`; like the reference,
+    * the residual is invoked with a null side when that side has no
+    * state yet — null-check it as Milan programs do).
+    * `lenientResidual = true` keeps the arriving side with None instead. */
   def fullJoin[R, K: Encoder, O: Encoder](right: TypedStream[R])(
-      lKey: T => K, rKey: R => K)(
+      lKey: T => K, rKey: R => K,
+      residual: (T, R) => Boolean = (_: T, _: R) => true,
+      lenientResidual: Boolean = false)(
       out: (Option[T], Option[R]) => O)(implicit te: Encoder[T]): Dataset[O] =
     StreamingJoins.enrichmentJoin[T, R, K, O](ds, right.ds, lKey, rKey,
-      seqFn, right.seqFn, StreamingJoins.FullEnrichment)(out)
+      seqFn, right.seqFn, StreamingJoins.FullEnrichment, residual,
+      lenientResidual = lenientResidual)(out)
 
   def leftInnerJoin[R, K: Encoder, O: Encoder](right: TypedStream[R])(
       lKey: T => K, rKey: R => K,

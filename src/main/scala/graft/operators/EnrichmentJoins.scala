@@ -106,7 +106,8 @@ object EnrichmentJoins {
 
   def build(left: MStream, right: MStream,
             kind: Kind,
-            cond: (String => Column, String => Column) => Column): JoinedMStream = {
+            cond: (String => Column, String => Column) => Column,
+            lenientResidual: Boolean = false): JoinedMStream = {
     require(left.eventOrder.nonEmpty && right.eventOrder.nonEmpty,
       "enrichment joins need orderedBy(...) on both sides in batch mode")
     val lDf = left.df
@@ -156,7 +157,8 @@ object EnrichmentJoins {
           case FullEnrichment => graft.streaming.StreamingJoins.FullEnrichment
           case LeftInner      => graft.streaming.StreamingJoins.LeftInner
         },
-        residual = if (kind == LeftEnrichment) None else residCol)
+        residual = if (kind == LeftEnrichment) None else residCol,
+        lenientResidual = lenientResidual)
       val paired = (kind, residCol) match {
         case (LeftEnrichment, Some(resid)) =>
           paired0.select(col(L),
@@ -202,17 +204,24 @@ object EnrichmentJoins {
           .withColumn("__lastl", last(col(L), ignoreNulls = true).over(wPast))
           .withColumn("__lastr", last(col(R), ignoreNulls = true).over(wPast))
         val resid = residualFor("__lastl", "__lastr")
-        val lOut = resid match {
-          case Some(p) => when(col("_tag") === 1, col(L))
-            .otherwise(when(p, col("__lastl")).otherwise(lit(null).cast(lStructT)))
-          case None => col("__lastl")
+        resid match {
+          case Some(p) if !lenientResidual =>
+            // reference-strict (the default): an arrival whose
+            // (lastLeft, lastRight) pair fails the residual emits NOTHING
+            // (`FullJoinKeyedCoProcessFunction.scala:57-79` collects only
+            // inside `if (postCondition(...))`). A null side makes the
+            // residual NULL, which filters — unless the residual itself
+            // is null-tolerant (e.g. `r IS NULL OR ...`).
+            withLast.filter(p).select(col("__lastl").as(L), col("__lastr").as(R))
+          case Some(p) => // lenient: failing pair keeps the arriving side
+            val lOut = when(col("_tag") === 1, col(L))
+              .otherwise(when(p, col("__lastl")).otherwise(lit(null).cast(lStructT)))
+            val rOut = when(col("_tag") === 0, col(R))
+              .otherwise(when(p, col("__lastr")).otherwise(lit(null).cast(rStructT)))
+            withLast.select(lOut.as(L), rOut.as(R))
+          case None =>
+            withLast.select(col("__lastl").as(L), col("__lastr").as(R))
         }
-        val rOut = resid match {
-          case Some(p) => when(col("_tag") === 0, col(R))
-            .otherwise(when(p, col("__lastr")).otherwise(lit(null).cast(rStructT)))
-          case None => col("__lastr")
-        }
-        withLast.select(lOut.as(L), rOut.as(R))
       case LeftInner =>
         val resid = residualFor(L, "__r")
         resid match {

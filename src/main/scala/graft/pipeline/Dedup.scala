@@ -1685,6 +1685,25 @@ object Dedup {
     embs.join(dropped, Seq(idCol), "left_anti")
   }
 
+  /** [[semanticDedup]] with the codebook sized and trained automatically —
+    * the default entry point when the caller has no pre-trained centroids.
+    * k = [[Ivf.cellsFor]](count, targetCellSize) makes the
+    * cells-∝-corpus scale contract executable: expected cell population
+    * stays ~targetCellSize whatever the corpus size, so the within-cell
+    * verification work per task is constant at 1× and at 100× and the
+    * hot-cell triangle cover engages only on genuine skew (keep
+    * targetCellSize ≤ `graft.semdedup.cellCap`, default 8192). Costs one
+    * count plus `iters` Lloyd rounds over the embeddings before the
+    * dedup itself. */
+  def semanticDedupAuto(embs: DataFrame, idCol: String, vecCol: String,
+                        threshold: Double, targetCellSize: Long = 4096,
+                        iters: Int = 2): DataFrame = {
+    require(targetCellSize > 0, s"targetCellSize must be positive, got $targetCellSize")
+    val k = Ivf.cellsFor(embs.count(), targetCellSize)
+    val cents = Ivf.train(embs, idCol, vecCol, k, iters)
+    semanticDedup(embs, idCol, vecCol, cents, threshold)
+  }
+
   /** Keep-BEST SemDeDup: same cell-bounded clustering as
     * [[semanticDedup]], but each cluster's survivor maximizes `scoreCol`
     * (ties → lower id) instead of the minimum id — pass the score that

@@ -75,6 +75,68 @@ object Multimodal {
     }
   }
 
+  /**
+   * REAL image decode in the same partition-batched codec slot, using the
+   * JDK's built-in `javax.imageio` (PNG/BMP/GIF/JPEG readers ship with
+   * every JRE — no external dependency, works headless). Rows whose
+   * metadata format starts with `image/` are decoded to pixels: true
+   * width/height
+   * from the decoded raster and mean luminance (Rec. 601
+   * 0.299 R + 0.587 G + 0.114 B over all pixels). Non-image formats and
+   * undecodable payloads keep the byte-statistics fallback and report
+   * `decoded = false` — the honest degradation, not an error, so one
+   * pipeline handles mixed corpora. Per-row cost is linear in pixels; the
+   * decode runs inside `mapPartitions` exactly like [[decodeBatched]], so
+   * it distributes and batches identically at any scale.
+   */
+  def decodeImageBatched(df: DataFrame, idCol: String): DataFrame = {
+    val outSchema = StructType(Seq(
+      StructField("id", LongType),
+      StructField("byte_len", IntegerType),
+      StructField("decoded", BooleanType, nullable = false),
+      StructField("width", IntegerType),
+      StructField("height", IntegerType),
+      StructField("mean_luma", DoubleType),
+      StructField("format", StringType)))
+    val idIdx = df.schema.fieldIndex(idCol)
+    val mediaIdx = df.schema.fieldIndex("media")
+    val metaIdx = df.schema.fieldIndex("media_meta")
+    implicit val enc = RowEncoder.encoderFor(outSchema)
+    df.mapPartitions { rows =>
+      rows.map { r =>
+        val bytes = r.getAs[Array[Byte]](mediaIdx)
+        val fmt = r.getStruct(metaIdx).getString(0)
+        val img =
+          if (fmt != null && fmt.startsWith("image/"))
+            try Option(javax.imageio.ImageIO.read(
+              new java.io.ByteArrayInputStream(bytes)))
+            catch { case _: java.io.IOException => None }
+          else None
+        img match {
+          case Some(im) =>
+            val (w, h) = (im.getWidth, im.getHeight)
+            var sum = 0.0
+            var y = 0
+            while (y < h) {
+              var x = 0
+              while (x < w) {
+                val rgb = im.getRGB(x, y)
+                sum += 0.299 * ((rgb >> 16) & 0xff) +
+                  0.587 * ((rgb >> 8) & 0xff) + 0.114 * (rgb & 0xff)
+                x += 1
+              }
+              y += 1
+            }
+            Row(r.getLong(idIdx), bytes.length, true, w, h,
+              sum / (w.toLong * h), fmt)
+          case None =>
+            Row(r.getLong(idIdx), bytes.length, false, null, null,
+              graft.functions.ByteMeanUtil.mean(bytes), fmt)
+        }
+      }
+    }
+  }
+
   /** Resize the media payload to `w`×`h` — the resize stage of the media
     * pipeline with the same honest-stub semantics as the decode: a 1-D
     * nearest-neighbor byte resample (codegen'd `ByteResize`) stands in for

@@ -1197,20 +1197,38 @@ object TextOps {
         "and the merge table is a driver artifact; keep <= 65536")
     val spark = docs.sparkSession
     import spark.implicits._
-    val rematEvery = {
-      val key = "graft.bpe.rematEvery"
+    def intConf(key: String, default: Int): Int = {
       val v = spark.conf.getOption(key).map { s =>
         try s.trim.toInt
         catch { case _: NumberFormatException => throw new IllegalArgumentException(
           s"$key must be an integer, got '$s'") }
-      }.getOrElse(64)
+      }.getOrElse(default)
       require(v > 0, s"$key must be positive, got $v")
       v
     }
+    val rematEvery = intConf("graft.bpe.rematEvery", 64)
+    // The training loop runs thousands of TINY driver-coordinated jobs
+    // over the (word, count) vocabulary — a table of distinct WORDS, which
+    // is small even when the corpus is not (a 100 TB crawl has millions of
+    // distinct words, not billions of rows). Wide partitioning makes every
+    // round pay 32+ task launches for kilobytes of work, and that task
+    // overhead — not data — dominates the trainer. Keep the working set on
+    // a few partitions (graft.bpe.vocabPartitions, default 8) and narrow
+    // the per-round shuffle to match (restored in the finally).
+    val vocabParts = intConf("graft.bpe.vocabPartitions", 8)
+    val shufflePartsBefore = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", vocabParts.toString)
+    // AQE's per-stage re-planning adds a scheduling round trip to every
+    // micro-job; over thousands of driver-coordinated rounds that fixed
+    // latency dominates. The trainer's plans are tiny and fixed-shape —
+    // nothing for AQE to improve — so switch it off for the loop.
+    val aqeBefore = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
     var vocab = docs
       .select(explode(words(col(textCol))).as("__w"))
       .groupBy("__w").agg(count(lit(1)).as("__c"))
       .select(bpeWrap(col("__w")).as("__s"), col("__c"))
+      .coalesce(vocabParts)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
       val merges = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
@@ -1238,14 +1256,16 @@ object TextOps {
           pending += m
           r += 1
           if (pending.size >= rematEvery && r < numMerges && !exhausted) {
-            // fold the pending chain into the data: one bounded-depth
-            // projection, materialized (count) BEFORE the old generation
-            // is released so a cache miss never replays the full history
+            // fold the pending chain into the data and TRUNCATE LINEAGE
+            // (localCheckpoint, eager): without truncation the logical
+            // plan stacks one projection per generation and analyzer cost
+            // grows linearly with the merge count — the very thing the
+            // re-materialization exists to bound. Same posture as Spark
+            // ML's iterative trainers.
             val next = vocab
               .select(bpeApply(col("__s"), pending.toSeq).as("__s"), col("__c"))
               .where(size(bpeSymbols(col("__s"))) >= 2)
-              .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-            next.count()
+              .localCheckpoint(true)
             vocab.unpersist(blocking = false)
             vocab = next
             pending.clear()
@@ -1254,7 +1274,11 @@ object TextOps {
       }
       merges.toSeq.zipWithIndex
         .map { case ((a, b), i) => (i + 1, a, b) }.toDF("merge_rank", "lhs", "rhs")
-    } finally vocab.unpersist(blocking = false)
+    } finally {
+      spark.conf.set("spark.sql.shuffle.partitions", shufflePartsBefore)
+      spark.conf.set("spark.sql.adaptive.enabled", aqeBefore)
+      vocab.unpersist(blocking = false)
+    }
   }
 
   /** Apply learned BPE merges to every document: per-doc subword token

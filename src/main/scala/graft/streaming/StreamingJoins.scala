@@ -10,7 +10,9 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
  *    a left arrival pairs with the latest right of its key (or None);
  *    right arrivals only update state and emit nothing.
  *  - fullEnrichment (`runtime/FullJoinKeyedCoProcessFunction.scala:51-92`):
- *    an arrival on either side pairs with the latest of the other side.
+ *    an arrival on either side pairs with the latest of the other side;
+ *    a residual gates emission reference-strictly by default (failing
+ *    pair emits nothing; see `lenientResidual`).
  *  - leftInner (`runtime/LeftInnerJoinKeyedCoProcessFunction.scala:48`):
  *    lefts buffer until a right satisfying the residual exists; each left
  *    emits exactly once.
@@ -42,7 +44,15 @@ object StreamingJoins {
       residual: (L, R) => Boolean = (_: L, _: R) => true,
       /** Evict join state for keys idle longer than this (Milan keeps
         * group state forever — unbounded on an unbounded key space). */
-      stateTtl: Option[java.time.Duration] = None)(
+      stateTtl: Option[java.time.Duration] = None,
+      /** Full joins only: true = a failing-residual pair emits the
+        * arriving side with the other as None; false (default,
+        * reference-strict) = it emits nothing, matching the reference's
+        * post-condition gate (`FullJoinKeyedCoProcessFunction.scala:
+        * 57-79` — collect only inside `if (postCondition(...))`, which
+        * is also handed null sides there). With no residual supplied the
+        * two modes coincide. */
+      lenientResidual: Boolean = false)(
       out: (Option[L], Option[R]) => O): Dataset[O] = {
 
     implicit val tagEnc: Encoder[(K, Long, Option[L], Option[R])] =
@@ -72,8 +82,16 @@ object StreamingJoins {
             case (_, _, Some(l), _) => // left arrival
               lastL = Some(l)
               kind match {
-                case LeftEnrichment | FullEnrichment =>
+                case LeftEnrichment =>
                   outs += out(Some(l), lastR.filter(r => residual(l, r)))
+                case FullEnrichment =>
+                  if (lenientResidual)
+                    outs += out(Some(l), lastR.filter(r => residual(l, r)))
+                  // reference-strict: the residual gates emission and is
+                  // evaluated with the state's value even when absent
+                  // (the reference passes null the same way)
+                  else if (residual(l, lastR.getOrElse(null.asInstanceOf[R])))
+                    outs += out(Some(l), lastR)
                 case LeftInner =>
                   lastR.filter(r => residual(l, r)) match {
                     case some @ Some(_) => outs += out(Some(l), some)
@@ -85,7 +103,10 @@ object StreamingJoins {
               kind match {
                 case LeftEnrichment => // right arrivals emit nothing
                 case FullEnrichment =>
-                  outs += out(lastL.filter(l => residual(l, r)), Some(r))
+                  if (lenientResidual)
+                    outs += out(lastL.filter(l => residual(l, r)), Some(r))
+                  else if (residual(lastL.getOrElse(null.asInstanceOf[L]), r))
+                    outs += out(lastL, Some(r))
                 case LeftInner =>
                   val (matched, stillWaiting) = pending.partition(l => residual(l, r))
                   matched.foreach(l => outs += out(Some(l), Some(r)))

@@ -48,11 +48,15 @@ object PairPredicate {
  * (milan `FullJoinKeyedCoProcessFunction.scala:51-92`,
  * `ConnectedStreamsGenerator.scala:70-75`). Emission on a failing pair:
  * left-inner matches the reference exactly (the left stays buffered until
- * a right actually satisfying the condition arrives). Full enrichment
- * keeps the arriving side and nulls the other — consistent with graft's
- * batch lowering but a DELIBERATE deviation from the reference, which
- * emits nothing when its full-join post-condition fails (see README
- * "Documented deviations").
+ * a right actually satisfying the condition arrives). Full enrichment is
+ * reference-strict BY DEFAULT: an arrival whose (lastLeft, lastRight)
+ * pair fails the residual emits NOTHING, exactly the reference's
+ * `collect` only inside `if (postCondition(...))`
+ * (`FullJoinKeyedCoProcessFunction.scala:57-79`); a null other side makes
+ * a residual that references it evaluate to null = fail, unless the
+ * residual is explicitly null-tolerant. `lenientResidual = true`
+ * (JoinBuilder `.lenient()`) restores the SQL-outer-join-style face:
+ * the failing pair keeps the arriving side and nulls the other.
  */
 object StreamingRowJoins {
   import StreamingJoins.{FullEnrichment, Kind, LeftEnrichment, LeftInner}
@@ -60,7 +64,8 @@ object StreamingRowJoins {
   def enrichmentJoin(lp: DataFrame, rp: DataFrame,
                      lKeys: Seq[org.apache.spark.sql.Column], rKeys: Seq[org.apache.spark.sql.Column],
                      lOrder: Seq[String], rOrder: Seq[String],
-                     kind: Kind, residual: Option[Column] = None): DataFrame = {
+                     kind: Kind, residual: Option[Column] = None,
+                     lenientResidual: Boolean = false): DataFrame = {
     val lStructT = StructType(lp.schema.fields)
     val rStructT = StructType(rp.schema.fields)
     val pairSchema = StructType(Seq(
@@ -119,8 +124,16 @@ object StreamingRowJoins {
               kind match {
                 case LeftEnrichment => outs += Row(l, lastR)
                 case FullEnrichment =>
-                  // failing residual keeps the arriving side, nulls the other
-                  outs += Row(l, if (lastR != null && ok(l, lastR)) lastR else null)
+                  if (!lenientResidual) {
+                    // reference-strict: emit only when the post-condition
+                    // holds for (arriving left, lastRight); a null right
+                    // fails any residual that references it
+                    if (ok(l, lastR)) outs += Row(l, lastR)
+                  } else {
+                    // lenient: failing residual keeps the arriving side,
+                    // nulls the other
+                    outs += Row(l, if (lastR != null && ok(l, lastR)) lastR else null)
+                  }
                 case LeftInner =>
                   if (lastR != null && ok(l, lastR)) outs += Row(l, lastR)
                   else pending :+= l
@@ -131,7 +144,11 @@ object StreamingRowJoins {
               kind match {
                 case LeftEnrichment => ()
                 case FullEnrichment =>
-                  outs += Row(if (lastL != null && ok(lastL, r)) lastL else null, r)
+                  if (!lenientResidual) {
+                    if (ok(lastL, r)) outs += Row(lastL, r)
+                  } else {
+                    outs += Row(if (lastL != null && ok(lastL, r)) lastL else null, r)
+                  }
                 case LeftInner =>
                   val (matched, stillWaiting) = pending.partition(l => ok(l, r))
                   matched.foreach(l => outs += Row(l, r))

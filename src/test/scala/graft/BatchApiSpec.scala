@@ -3,6 +3,7 @@ package graft
 import org.apache.spark.sql.functions._
 import graft.api.MStream
 import graft.pipeline.{Dedup, Multimodal, Similarity, TextOps}
+import scala.jdk.CollectionConverters._
 
 /**
  * Batch API units: enrichment-join condition splitting (precondition /
@@ -47,6 +48,34 @@ class BatchApiSpec extends SparkSpec {
     // id=1 (t=1): rid10 fails residual→wait→rid11 (t=4) matches; id=2 (t=3): same;
     // id=3 key b: no right ever → absent
     assert(out == Set((1L, 11L), (2L, 11L)))
+  }
+
+  test("full join residual: batch face matches the streaming trace, strict and lenient") {
+    // same event trace as StreamingMStreamJoinSpec's full-join tests —
+    // the batch lowering must produce the identical row sets
+    def lefts = new MStream(
+      Seq((2L, "a", 5.0), (3L, "a", 50.0)).toDF("seq", "k", "v"), Seq("seq"))
+    def rights = new MStream(
+      Seq((1L, "a", 100), (4L, "a", 600), (5L, "a", 400)).toDF("seq", "k", "w"), Seq("seq"))
+    def run(lenient: Boolean): List[(Option[Long], Option[Int])] = {
+      val b0 = lefts.fullJoin(rights)
+      val b = if (lenient) b0.lenient() else b0
+      b.on((l, r) => l("k") === r("k") && r("w") > l("v") * 10)
+        .select((l, r) => Seq(l("seq").as("lseq"), r("w").as("rw")))
+        .df.collect()
+        .map(r => (Option(r.get(0)).map(_.asInstanceOf[Long]),
+                   Option(r.get(1)).map(_.asInstanceOf[Int]))).toList
+    }
+    // reference-strict default: only pairs satisfying the residual emit
+    // (FullJoinKeyedCoProcessFunction.scala:57-79 — no else branch)
+    assert(run(lenient = false).sortBy(_._1) ==
+      List((Some(2L), Some(100)), (Some(3L), Some(600))),
+      "strict batch face == streaming reference trace")
+    // lenient: every arrival emits, failing pair keeps the arriving side
+    assert(run(lenient = true).toSet == Set(
+      (None, Some(100)), (Some(2L), Some(100)), (Some(3L), None),
+      (Some(3L), Some(600)), (None, Some(400))),
+      "lenient batch face == streaming lenient trace")
   }
 
   test("non-equi join conditions are rejected like the reference") {
@@ -441,6 +470,44 @@ class BatchApiSpec extends SparkSpec {
     val out = Multimodal.decodeBatched(df, "id").collect()
       .map(r => (r.getLong(0), r.getInt(1), r.getDouble(2))).toSet
     assert(out == Set((1L, 2, 97.0), (2L, 4, 122.0)))
+  }
+
+  test("multimodal image decode: real PNG pixels through the batched codec slot") {
+    // generate genuine PNGs in memory with java.awt + javax.imageio (both
+    // ship in the JDK): a 4x3 solid mid-gray and a 2x2 black/white checker
+    def png(w: Int, h: Int, rgbAt: (Int, Int) => Int): Array[Byte] = {
+      val im = new java.awt.image.BufferedImage(
+        w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until h; x <- 0 until w) im.setRGB(x, y, rgbAt(x, y))
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(im, "png", bos)
+      bos.toByteArray
+    }
+    val gray = png(4, 3, (_, _) => 0x808080) // luma = 128 everywhere
+    val checker = png(2, 2, (x, y) => if ((x + y) % 2 == 0) 0x000000 else 0xffffff)
+    val notAnImage = "plain text bytes".getBytes("UTF-8")
+    val rows = Seq(
+      (1L, gray, "image/png"), (2L, checker, "image/png"),
+      (3L, notAnImage, "text/plain"), // non-image format: fallback path
+      (4L, notAnImage, "image/png"))  // declared image but undecodable
+    val df = spark.createDataFrame(rows.map { case (id, b, f) =>
+      org.apache.spark.sql.Row(id, b, org.apache.spark.sql.Row(f, null, null, null)) }.asJava,
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("id", org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("media", org.apache.spark.sql.types.BinaryType),
+        org.apache.spark.sql.types.StructField("media_meta", Multimodal.MediaMetaType))))
+      .repartition(2)
+    val out = Multimodal.decodeImageBatched(df, "id").collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(out(1L).getBoolean(2) && out(1L).getInt(3) == 4 && out(1L).getInt(4) == 3)
+    assert(math.abs(out(1L).getDouble(5) - 128.0) < 0.5, "solid gray luma ~128")
+    assert(out(2L).getBoolean(2) && out(2L).getInt(3) == 2 && out(2L).getInt(4) == 2)
+    assert(math.abs(out(2L).getDouble(5) - 127.5) < 0.5, "checker luma ~127.5")
+    assert(!out(3L).getBoolean(2) && out(3L).isNullAt(3),
+      "non-image format takes the byte-stats fallback")
+    assert(!out(4L).getBoolean(2),
+      "undecodable bytes degrade to fallback instead of failing the task")
+    assert(out(3L).getDouble(5) > 0, "fallback mean_byte populated")
   }
 
   test("windowed join state stays bounded on a hot key") {

@@ -41,7 +41,10 @@ class StreamingMStreamJoinSpec extends SparkSpec {
     } finally q.stop()
   }
 
-  test("streaming fullJoin with residual: failing pair keeps arriving side, nulls other") {
+  test("streaming fullJoin with residual is reference-strict: failing pair emits NOTHING") {
+    // the reference's FullJoinKeyedCoProcessFunction.scala:57-79 collects
+    // ONLY inside `if (postCondition(...))` — a failing pair produces no
+    // output record at all; this trace mirrors that gate event by event
     implicit val sqlCtx = spark.sqlContext
     val ls = MemoryStream[LRec]
     val rs = MemoryStream[RRec]
@@ -51,6 +54,39 @@ class StreamingMStreamJoinSpec extends SparkSpec {
       .select((l, r) => Seq(l("seq").as("lseq"), r("w").as("rw")))
     assert(joined.df.isStreaming)
     val name = s"msjf_${System.nanoTime()}"
+    val q = joined.df.writeStream.format("memory").queryName(name)
+      .outputMode(OutputMode.Append()).start()
+    try {
+      def emitted(): List[(Option[Long], Option[Int])] = {
+        q.processAllAvailable()
+        spark.table(name).collect()
+          .map(r => (Option(r.get(0)).map(_.asInstanceOf[Long]),
+                     Option(r.get(1)).map(_.asInstanceOf[Int]))).toList
+      }
+      rs.addData(RRec("a", 1, 100))
+      assert(emitted().isEmpty,
+        "right with no left: residual on a null left fails -> nothing (reference trace)")
+      ls.addData(LRec("a", 2, 5))   // 100 > 50 → pairs
+      assert(emitted() == List((Some(2L), Some(100))))
+      ls.addData(LRec("a", 3, 50))  // 100 > 500 fails → NOTHING emitted
+      assert(emitted().size == 1, "failing residual suppresses the arrival")
+      rs.addData(RRec("a", 4, 600)) // 600 > 500 → pairs with latest left
+      assert(emitted().contains((Some(3L), Some(600))))
+      rs.addData(RRec("a", 5, 400)) // 400 > 500 fails → NOTHING
+      assert(emitted().size == 2, "failing residual on right arrival suppresses too")
+    } finally q.stop()
+  }
+
+  test("streaming fullJoin .lenient(): failing pair keeps arriving side, nulls other") {
+    implicit val sqlCtx = spark.sqlContext
+    val ls = MemoryStream[LRec]
+    val rs = MemoryStream[RRec]
+    val joined = new MStream(ls.toDF(), Seq("seq"))
+      .fullJoin(new MStream(rs.toDF(), Seq("seq"))).lenient()
+      .on((l, r) => l("k") === r("k") && r("w") > l("v") * 10)
+      .select((l, r) => Seq(l("seq").as("lseq"), r("w").as("rw")))
+    assert(joined.df.isStreaming)
+    val name = s"msjfl_${System.nanoTime()}"
     val q = joined.df.writeStream.format("memory").queryName(name)
       .outputMode(OutputMode.Append()).start()
     try {
