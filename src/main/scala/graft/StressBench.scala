@@ -245,7 +245,6 @@ object StressBench {
                 s"triangle cover changed the candidate count: $nc vs $uncappedCands")
               println(f"STRESS bandskew/$mode rep$rep $secs%.2f s " +
                 s"($nc candidates over $nDocs docs)")
-              graft.api.Pinned.release(spark)
             }
             spark.conf.unset("graft.dedup.bandCap")
           }
