@@ -245,63 +245,63 @@ object Dedup {
     * `cap` is sub-split by an exact salted TRIANGLE COVER:
     *
     * each member gets a deterministic salt `g = hash(id) mod s`
-    * (s = ceil(pop/cap)); the left side replicates to buckets (g, j) for
-    * j in [g, s) and the right side to (i, g) for i in [0, g], so every
-    * unordered salt pair (i <= j) meets in exactly one bucket and every
-    * within-key id pair is generated EXACTLY ONCE (same-salt pairs only
-    * on the diagonal bucket, via the id-order predicate). The pair SET is
-    * identical to the naive self-join; only the task shape changes:
-    * per-task pairs drop from pop² to ~cap², spread over s(s+1)/2
-    * buckets, at (s+1)× replication of only the hot key's rows. This
-    * matters because boilerplate-heavy corpora are the NORM at scale —
-    * millions of documents sharing one band/chunk used to land that
-    * band's entire pair count in ONE task, and AQE's byte-based skew
-    * split cannot see pair-count blowup.
+    * (s = ceil(pop/cap)) and emits itself into the s unordered salt
+    * buckets it can meet a partner in: (min(g,j), max(g,j)) for j in
+    * [0, s). Both join sides are the SAME exploded frame, keyed on
+    * (key, bucket); the orientation predicate
+    * `a.g < b.g  OR  (a.g = b.g AND bx = by AND a.id < b.id)`
+    * generates every within-key id pair EXACTLY ONCE — a cross-salt
+    * pair shares exactly one bucket (min,max) and is oriented by salt
+    * order; a same-salt pair shares s buckets but only the diagonal
+    * (bx = by) passes, oriented by id. The pair SET is identical to the
+    * naive self-join; only the task shape changes: per-task pairs drop
+    * from pop² to ~cap², spread over s(s+1)/2 buckets, at s× replication
+    * of only the hot key's rows. This matters because boilerplate-heavy
+    * corpora are the NORM at scale — millions of documents sharing one
+    * band/chunk used to land that band's entire pair count in ONE task,
+    * and AQE's byte-based skew split cannot see pair-count blowup.
     *
     * The split factor is a WINDOW COUNT over the key inside the same
     * declarative plan — no census action, no checkpoint, no driver round
-    * trip, no plan branch. When no key is hot every row gets s = 1 and
-    * the join IS the plain self-join at 1x replication (measured: the
-    * census/checkpoint design this replaced cost the no-skew common case
-    * 1.5-2x at sf0.1); hot keys engage the cover per key automatically.
+    * trip, no plan branch. The SYMMETRY is the load-bearing design
+    * choice: because the two join sides are byte-identical subtrees, the
+    * exchange is built once and reused (earlier asymmetric variants —
+    * lhs/rhs exploding different salt ranges, or a cold/hot union —
+    * planned 2-4 independent copies of the upstream projection and
+    * measured 2x on q_minhash_dedup at sf0.1). When no key is hot every
+    * row gets s = 1, emits exactly one bucket (0,0), and the join IS the
+    * plain key-equal id-ordered self-join at 1x replication plus one
+    * window count over the projection. The orientation predicate
+    * references both sides in every conjunct, so the optimizer cannot
+    * push a side-local filter down and break the symmetry.
     * Batch-only (window over the full key population).
     *
     * Returns the joined frame with sides aliased `a`/`b` for the caller
     * to project. Under the cover a bucket's pair ORIENTATION is
     * arbitrary, so callers must canonicalize ids with least/greatest and
-    * keep only orientation-symmetric payloads (hamming, jaccard, cosine).
-    * Input must not already carry __cnt/__s/__g/__i/__j columns (all
-    * call sites are internal projections). */
+    * keep only orientation-symmetric payloads (hamming, jaccard,
+    * cosine). Input must not already carry __s/__g/__bx/__by columns
+    * (all call sites are internal projections). */
   private[graft] def saltedSelfJoin(e0: DataFrame, keyCol: String, idCol: String,
                                     cap: Long,
                                     hint: Option[String] = None): DataFrame = {
     require(cap > 0, s"saltedSelfJoin cap must be positive, got $cap")
-    // Fully DECLARATIVE cover — no census action, no checkpoint, no
-    // driver round trip: the per-key split factor s = ceil(pop/cap) is a
-    // WINDOW COUNT over the key, computed inside the same plan. When no
-    // key is hot, s = 1 everywhere, both explodes emit exactly one row
-    // (g = j = i = 0) and the join degenerates to the plain key-equal +
-    // id-ordered self-join at 1x replication — the common case pays one
-    // window pass over the key-partitioned shuffle the join needs
-    // anyway (ReuseExchange materializes the upstream projection once
-    // for both sides). A hot key replicates only its own rows (s+1)x and
-    // its pair work spreads over s(s+1)/2 join buckets keyed on
-    // (key, salt, salt) — the skew guard engages per key, at any scale,
-    // with no plan branch to mispredict.
     def hinted(d: DataFrame): DataFrame = hint.map(d.hint(_)).getOrElse(d)
     val w = org.apache.spark.sql.expressions.Window.partitionBy(col(keyCol))
-    val salted = e0
+    val e = e0
       .withColumn("__s", ceil(count(lit(1)).over(w).cast("double") / cap).cast("int"))
       .withColumn("__g", pmod(xxhash64(col(idCol)), col("__s")).cast("int"))
-    val lhs = salted.withColumn("__j",
-      explode(sequence(col("__g"), col("__s") - 1)))
-    val rhs = salted.withColumn("__i",
-      explode(sequence(lit(0), col("__g"))))
-    lhs.as("a").join(hinted(rhs.as("b")),
+      .withColumn("__b", explode(transform(
+        sequence(lit(0), col("__s") - 1),
+        j => struct(least(col("__g"), j).as("x"), greatest(col("__g"), j).as("y")))))
+      .withColumn("__bx", col("__b.x")).withColumn("__by", col("__b.y"))
+      .drop("__b")
+    e.as("a").join(hinted(e.as("b")),
       col(s"a.$keyCol") === col(s"b.$keyCol") &&
-        col("a.__g") === col("b.__i") && col("a.__j") === col("b.__g") &&
-        (col("a.__g") =!= col("b.__g") ||
-          col(s"a.$idCol") < col(s"b.$idCol")))
+        col("a.__bx") === col("b.__bx") && col("a.__by") === col("b.__by") &&
+        (col("a.__g") < col("b.__g") ||
+          (col("a.__g") === col("b.__g") && col("a.__bx") === col("b.__by") &&
+            col(s"a.$idCol") < col(s"b.$idCol"))))
   }
 
   /** LSH banding: k minhashes → `bands` band keys; docs sharing any band
@@ -318,7 +318,7 @@ object Dedup {
     }
     val e = sig.select(col(idCol), explode(array(bandCols: _*)).as("__bk"))
     val cap = longConf(sig.sparkSession, "graft.dedup.bandCap", 8192L)
-    saltedSelfJoin(e, "__bk", idCol, cap)
+    saltedSelfJoin(e, "__bk", idCol, cap, hint = Some("shuffle_hash"))
       .select(least(col(s"a.$idCol"), col(s"b.$idCol")).as("id_a"),
         greatest(col(s"a.$idCol"), col(s"b.$idCol")).as("id_b"))
       .distinct()
@@ -1759,7 +1759,7 @@ object Dedup {
     // shared triangle cover ([[saltedSelfJoin]]); cosine is symmetric so
     // the least/greatest canonicalization is safe, and reduces to the
     // id-ordered identity on the uncapped plain plan
-    saltedSelfJoin(e, "__cid", idCol, cap)
+    saltedSelfJoin(e, "__cid", idCol, cap, hint = Some("shuffle_hash"))
       .filter(cos >= threshold)
       .select(least(col(s"a.$idCol"), col(s"b.$idCol")).as("id_a"),
         greatest(col(s"a.$idCol"), col(s"b.$idCol")).as("id_b"))

@@ -90,6 +90,41 @@ class SaltedSelfJoinSpec extends SparkSpec {
     assert(capped == un, "pigeonhole cover must not change the pair set")
   }
 
+  test("capped band join reuses ONE exchange for both sides (AQE-final plan)") {
+    // The cover's two join sides are byte-identical subtrees BY DESIGN:
+    // the orientation predicate references both sides in every conjunct so
+    // no side-local filter can be pushed down and break the symmetry, and
+    // the shuffle_hash hint keeps AQE from downgrading to broadcast (a
+    // broadcast build side cannot reuse the probe's shuffle). Result: the
+    // banded projection + window count + explode is planned, shuffled, and
+    // materialized ONCE — the asymmetric lhs/rhs variant this replaced
+    // planned up to 4 independent copies of the upstream and measured 2x
+    // slower on q_minhash_dedup at sf0.1. Assert on the AQE-FINAL executed
+    // plan: static explain of an adaptive plan shows neither reuse nor the
+    // final join strategy.
+    val docs = ((0 until 70).map(i => (i.toLong, "shared boilerplate header terms of service apply to all pages")) ++
+      (0 until 20).map(i => (200L + i, s"unique document number $i with its own words and content $i")))
+      .toDF("doc_id", "text")
+    val bcast = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try withCap("6") {
+      val sig = Dedup.minhashSignature(docs, "doc_id", "text", k = 12)
+      val df = Dedup.lshCandidates(sig, "doc_id", k = 12, bands = 4)
+      df.collect()
+      val p = df.queryExecution.executedPlan match {
+        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+          a.executedPlan.toString
+        case other => other.toString
+      }
+      assert(p.contains("ReusedExchange"),
+        s"both cover sides must read ONE materialized exchange:\n$p")
+      assert(p.contains("ShuffledHashJoin"),
+        s"the pair join must stay the hinted shuffled hash join:\n$p")
+      assert("Scan parquet|LocalTableScan".r.findAllIn(p).size <= 1,
+        s"the banded projection must be built once, not once per side:\n$p")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", bcast)
+  }
+
   test("bandCap conf: named errors on malformed values, accepts beyond-int") {
     val docs = Seq((1L, "a b c d"), (2L, "a b c d")).toDF("doc_id", "text")
     val sig = Dedup.minhashSignature(docs, "doc_id", "text", k = 4)
