@@ -227,7 +227,7 @@ object Dedup {
   /** Positive-integer conf with a NAMED contract error: malformed or
     * out-of-range values fail citing the conf key, not with a bare
     * NumberFormatException from somewhere inside a plan build. */
-  private def longConf(spark: org.apache.spark.sql.SparkSession,
+  private[graft] def longConf(spark: org.apache.spark.sql.SparkSession,
                        key: String, default: Long): Long = {
     val v = spark.conf.getOption(key).map { s =>
       try s.trim.toLong
@@ -1191,16 +1191,21 @@ object Dedup {
       // fold into their exact-duplicate group, never near-match
       val chunks = when(col("__short"), array(struct(lit(-1).as("ci"), col("__sig").as("cv"))))
         .otherwise(array(chunkCols: _*))
-      val e = reps.select(col("__id"), col("__sig"), col("__short"), col("__rk"),
+      val e = reps.select(col("__id"), col("__sig"), col("__rk"),
           explode(chunks).as("__ck"))
-        .repartition(col("__ck"))
       // shuffle_hash + identical subtrees: ReuseExchange materializes the
-      // exploded reps once for both sides (same posture as simhashPairs).
-      // No distinct on the drop set: it feeds a left-anti join, which is
-      // insensitive to duplicate right rows — a dedup here would only add
-      // a shuffle.
-      val droppedReps = e.as("a").join(e.as("b").hint("shuffle_hash"),
-          col("a.__ck") === col("b.__ck") && col("a.__id") < col("b.__id"))
+      // exploded reps once for both sides (same posture as simhashPairs),
+      // and the [[saltedSelfJoin]] triangle cover keeps a boilerplate-hot
+      // chunk above `graft.dedup.bandCap` from landing its quadratic pair
+      // count in one task (the distinct-signature collapse above bounds
+      // exact-duplicate blowup, but NEAR-identical distinct docs sharing a
+      // chunk value are unbounded). The dropped-id payload picks the
+      // rank-loser of the pair — orientation-symmetric, so the cover's
+      // arbitrary pair orientation is safe. No distinct on the drop set:
+      // it feeds a left-anti join, which is insensitive to duplicate
+      // right rows — a dedup here would only add a shuffle.
+      val cap = longConf(df.sparkSession, "graft.dedup.bandCap", 8192L)
+      val droppedReps = saltedSelfJoin(e, "__ck", "__id", cap, hint = Some("shuffle_hash"))
         .filter(expr("bit_count(a.__sig ^ b.__sig)") <= maxHamming)
         .select(when(col("a.__rk") < col("b.__rk"), col("b.__id"))
           .otherwise(col("a.__id")).as("__id"))
@@ -1628,12 +1633,17 @@ object Dedup {
     val codes = e.select(col(idCol),
       explode(array((0 until tables).map(t =>
         struct(lit(t).as("t"), vf.hyperplaneBits(col("__e"), bits, t).as("code"))): _*))
-        .as("__c"))
-      .select(col(idCol), col("__c.t").as("__t"), col("__c.code").as("__code"))
-    val cands = codes.as("a").join(codes.as("b"),
-        col("a.__t") === col("b.__t") && col("a.__code") === col("b.__code") &&
-          col(s"a.$idCol") < col(s"b.$idCol"))
-      .select(col(s"a.$idCol").as("id_a"), col(s"b.$idCol").as("id_b"))
+        .as("__bk"))
+    // (table, code) is the band key of this family's join: a hot code —
+    // the zero-vector code, or any dominant direction all hyperplanes
+    // agree on — is exactly the boilerplate-hot band of the text paths,
+    // so the same [[saltedSelfJoin]] cover applies under the same cap.
+    // Candidate pairs are id-canonicalized (no payload), so the cover's
+    // arbitrary orientation is safe.
+    val cap = longConf(embs.sparkSession, "graft.dedup.bandCap", 8192L)
+    val cands = saltedSelfJoin(codes, "__bk", idCol, cap, hint = Some("shuffle_hash"))
+      .select(least(col(s"a.$idCol"), col(s"b.$idCol")).as("id_a"),
+        greatest(col(s"a.$idCol"), col(s"b.$idCol")).as("id_b"))
       .distinct()
     cands
       .join(e.select(col(idCol).as("id_a"), col("__e").as("__ea"), col("__n").as("__na")), "id_a")

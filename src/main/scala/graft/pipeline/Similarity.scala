@@ -124,11 +124,17 @@ object Similarity {
                       planes: Int, threshold: Double): DataFrame = {
     val b = hyperplaneBuckets(embs, idCol, vecCol, planes)
       .select(col(idCol), col(vecCol).cast("array<double>").as("__e"), col("bucket"))
-    b.as("a").join(b.as("b"),
-        col("a.bucket") === col("b.bucket") && col(s"a.$idCol") < col(s"b.$idCol"))
+    // the bucket self-join rides the shared triangle cover
+    // ([[Dedup.saltedSelfJoin]]): a hot sign bucket (zero vectors, one
+    // dominant direction) redistributes over bounded tasks under
+    // `graft.dedup.bandCap`; cosine is symmetric, so least/greatest
+    // canonicalization under the cover's arbitrary orientation is safe
+    val cap = Dedup.longConf(embs.sparkSession, "graft.dedup.bandCap", 8192L)
+    Dedup.saltedSelfJoin(b, "bucket", idCol, cap, hint = Some("shuffle_hash"))
       .withColumn("cos", cosine(col("a.__e"), col("b.__e")))
       .filter(col("cos") >= threshold)
-      .select(col(s"a.$idCol").as("id_a"), col(s"b.$idCol").as("id_b"),
+      .select(least(col(s"a.$idCol"), col(s"b.$idCol")).as("id_a"),
+        greatest(col(s"a.$idCol"), col(s"b.$idCol")).as("id_b"),
         round(col("cos"), 6).as("cos"))
   }
 }

@@ -90,6 +90,65 @@ class SaltedSelfJoinSpec extends SparkSpec {
     assert(capped == un, "pigeonhole cover must not change the pair set")
   }
 
+  test("banded ingest (batch): hot chunk redistributes with identical survivors") {
+    // NEAR-identical but DISTINCT docs sharing pigeonhole chunks: the
+    // distinct-signature collapse cannot bound these (every signature is
+    // distinct), so only the triangle cover keeps a hot chunk from going
+    // quadratic in one task. Survivor sets must be identical — the pair
+    // set is, and the min-rank election is orientation-free.
+    val docs = ((0 until 60).map(i =>
+        (i.toLong, s"the quick brown fox jumps over the lazy dog shared body text variant $i")) ++
+      (0 until 15).map(i => (100L + i, s"entirely different subject matter number $i about topic $i")))
+      .toDF("id", "text")
+    def survivors(cap: String): Set[Long] = withCap(cap) {
+      Dedup.ingestNearDup(new graft.api.MStream(docs, Seq("id")), "id", "text",
+          maxHamming = 8)
+        .df.select("id").collect().map(_.getLong(0)).toSet
+    }
+    val un = survivors("1000000")
+    assert(un.size < 75, "scenario must actually collapse near-dups")
+    assert(survivors("4") == un, "chunk cover must not change the survivor set")
+  }
+
+  test("hyperplaneNearDup: hot sign code redistributes with identical pairs") {
+    import scala.util.Random
+    // 50 near-parallel vectors share every table's code (the hot band);
+    // 12 scattered vectors provide cold buckets
+    val rnd = new Random(7)
+    val vecs = ((0 until 50).map(i =>
+        (i.toLong, Array(1.0f, 0.001f * i, 0.002f * i, 0.01f))) ++
+      (0 until 12).map(i => (100L + i,
+        Array.fill(4)(rnd.nextFloat() * 2f - 1f))))
+      .toDF("vec_id", "embedding")
+    def pairs(cap: String): Set[(Long, Long)] = withCap(cap) {
+      Dedup.hyperplaneNearDup(vecs, "vec_id", "embedding",
+          bits = 8, tables = 2, threshold = 0.9)
+        .select("id_a", "id_b")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    }
+    val un = pairs("1000000")
+    assert(un.size >= 50 * 49 / 2, "parallel vectors must all pair")
+    assert(pairs("5") == un, "code cover must not change the verified pair set")
+  }
+
+  test("bucketedNearDup: hot hyperplane bucket redistributes with identical pairs") {
+    import scala.util.Random
+    val rnd = new Random(11)
+    val vecs = ((0 until 40).map(i =>
+        (i.toLong, Array(1.0f, 0.001f * i, 0.002f * i, 0.01f))) ++
+      (0 until 10).map(i => (100L + i,
+        Array.fill(4)(rnd.nextFloat() * 2f - 1f))))
+      .toDF("vec_id", "embedding")
+    def pairs(cap: String): Set[(Long, Long, Double)] = withCap(cap) {
+      graft.pipeline.Similarity.bucketedNearDup(vecs, "vec_id", "embedding",
+          planes = 6, threshold = 0.9)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    }
+    val un = pairs("1000000")
+    assert(un.nonEmpty, "scenario must produce near-dup pairs")
+    assert(pairs("5") == un, "bucket cover must not change the pair set")
+  }
+
   test("capped band join reuses ONE exchange for both sides (AQE-final plan)") {
     // The cover's two join sides are byte-identical subtrees BY DESIGN:
     // the orientation predicate references both sides in every conjunct so
