@@ -137,6 +137,91 @@ object Multimodal {
     }
   }
 
+  /**
+   * REAL audio decode in the same partition-batched codec slot, using the
+   * JDK's built-in `javax.sound.sampled` (WAV/AIFF/AU readers ship with
+   * every JRE — no external dependency, works headless). Rows whose
+   * metadata format starts with `audio/` are parsed and converted to
+   * 16-bit signed PCM (the JDK converter handles 8/24/32-bit and unsigned
+   * variants), yielding the true sample rate, channel count, per-channel
+   * sample count, duration in seconds, and RMS amplitude normalized to
+   * full scale (a full-scale square wave is 1.0, a full-scale sine
+   * 1/√2). Non-audio formats and undecodable payloads keep the
+   * byte-statistics fallback (`mean_byte`, `decoded = false`) — the same
+   * honest degradation as [[decodeImageBatched]], so one pipeline handles
+   * mixed corpora. Per-row cost is linear in samples; the decode runs
+   * inside `mapPartitions` exactly like [[decodeBatched]], so it
+   * distributes and batches identically at any scale.
+   */
+  def decodeAudioBatched(df: DataFrame, idCol: String): DataFrame = {
+    val outSchema = StructType(Seq(
+      StructField("id", LongType),
+      StructField("byte_len", IntegerType),
+      StructField("decoded", BooleanType, nullable = false),
+      StructField("sample_rate", IntegerType),
+      StructField("channels", IntegerType),
+      StructField("n_samples", LongType),
+      StructField("duration_s", DoubleType),
+      StructField("rms", DoubleType),
+      StructField("mean_byte", DoubleType),
+      StructField("format", StringType)))
+    val idIdx = df.schema.fieldIndex(idCol)
+    val mediaIdx = df.schema.fieldIndex("media")
+    val metaIdx = df.schema.fieldIndex("media_meta")
+    implicit val enc = RowEncoder.encoderFor(outSchema)
+    df.mapPartitions { rows =>
+      rows.map { r =>
+        val bytes = r.getAs[Array[Byte]](mediaIdx)
+        val fmt = r.getStruct(metaIdx).getString(0)
+        val decoded: Option[(Int, Int, Long, Double)] =
+          if (fmt != null && fmt.startsWith("audio/")) {
+            try {
+              val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+                new java.io.ByteArrayInputStream(bytes))
+              try {
+                val base = ais.getFormat
+                val target = new javax.sound.sampled.AudioFormat(
+                  javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED,
+                  base.getSampleRate, 16, base.getChannels,
+                  base.getChannels * 2, base.getSampleRate, false)
+                val pcm = javax.sound.sampled.AudioSystem
+                  .getAudioInputStream(target, ais)
+                val buf = new java.io.ByteArrayOutputStream()
+                val tmp = new Array[Byte](8192)
+                var n = pcm.read(tmp)
+                while (n > 0) { buf.write(tmp, 0, n); n = pcm.read(tmp) }
+                val data = buf.toByteArray
+                var i = 0; var sumSq = 0.0; var cnt = 0L
+                while (i + 1 < data.length) {
+                  // little-endian 16-bit signed, normalized to full scale
+                  val s = ((data(i) & 0xff) | (data(i + 1) << 8)).toShort
+                  val v = s / 32768.0
+                  sumSq += v * v; cnt += 1; i += 2
+                }
+                val rms = if (cnt > 0) math.sqrt(sumSq / cnt) else 0.0
+                Some((base.getSampleRate.toInt, base.getChannels,
+                  cnt / base.getChannels, rms))
+              } finally ais.close()
+            } catch {
+              // not an audio container / truncated / conversion unsupported:
+              // degrade, never fail the task
+              case _: javax.sound.sampled.UnsupportedAudioFileException => None
+              case _: java.io.IOException => None
+              case _: IllegalArgumentException => None
+            }
+          } else None
+        decoded match {
+          case Some((sr, ch, ns, rms)) =>
+            Row(r.getLong(idIdx), bytes.length, true, sr, ch, ns,
+              if (sr > 0) ns.toDouble / sr else 0.0, rms, null, fmt)
+          case None =>
+            Row(r.getLong(idIdx), bytes.length, false, null, null, null, null,
+              null, graft.functions.ByteMeanUtil.mean(bytes), fmt)
+        }
+      }
+    }
+  }
+
   /** Resize the media payload to `w`×`h` — the resize stage of the media
     * pipeline with the same honest-stub semantics as the decode: a 1-D
     * nearest-neighbor byte resample (codegen'd `ByteResize`) stands in for

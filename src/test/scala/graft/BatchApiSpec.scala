@@ -510,6 +510,56 @@ class BatchApiSpec extends SparkSpec {
     assert(out(3L).getDouble(5) > 0, "fallback mean_byte populated")
   }
 
+  test("multimodal audio decode: real WAV PCM through the batched codec slot") {
+    // generate genuine WAV containers in memory with javax.sound.sampled
+    // (ships in the JDK): a full-half-scale square wave (rms exactly 0.5)
+    // and a 440 Hz sine at half scale (rms ~ 0.5/sqrt(2))
+    def wav(sampleRate: Int, samples: Array[Short]): Array[Byte] = {
+      val data = new Array[Byte](samples.length * 2)
+      for (i <- samples.indices) {
+        data(2 * i) = (samples(i) & 0xff).toByte
+        data(2 * i + 1) = ((samples(i) >> 8) & 0xff).toByte
+      }
+      val fmt = new javax.sound.sampled.AudioFormat(sampleRate.toFloat, 16, 1, true, false)
+      val ais = new javax.sound.sampled.AudioInputStream(
+        new java.io.ByteArrayInputStream(data), fmt, samples.length)
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.sound.sampled.AudioSystem.write(ais,
+        javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+      bos.toByteArray
+    }
+    val square = wav(8000, Array.tabulate(800)(i =>
+      if (i % 2 == 0) 16384.toShort else (-16384).toShort))
+    val sine = wav(16000, Array.tabulate(16000)(i =>
+      (16384 * math.sin(2 * math.Pi * 440 * i / 16000)).toShort))
+    val notAudio = "plain text bytes".getBytes("UTF-8")
+    val rows = Seq(
+      (1L, square, "audio/wav"), (2L, sine, "audio/wav"),
+      (3L, notAudio, "text/plain"), // non-audio format: fallback path
+      (4L, notAudio, "audio/wav")) // declared audio but undecodable
+    val df = spark.createDataFrame(rows.map { case (id, b, f) =>
+      org.apache.spark.sql.Row(id, b, org.apache.spark.sql.Row(f, null, null, null)) }.asJava,
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("id", org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("media", org.apache.spark.sql.types.BinaryType),
+        org.apache.spark.sql.types.StructField("media_meta", Multimodal.MediaMetaType))))
+      .repartition(2)
+    val out = Multimodal.decodeAudioBatched(df, "id").collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(out(1L).getBoolean(2) && out(1L).getInt(3) == 8000 && out(1L).getInt(4) == 1)
+    assert(out(1L).getLong(5) == 800, "true per-channel sample count from the container")
+    assert(math.abs(out(1L).getDouble(6) - 0.1) < 1e-9, "duration = 800 / 8000 Hz")
+    assert(math.abs(out(1L).getDouble(7) - 0.5) < 1e-6, "half-scale square rms = 0.5")
+    assert(out(2L).getBoolean(2) && out(2L).getInt(3) == 16000)
+    assert(math.abs(out(2L).getDouble(7) - 0.5 / math.sqrt(2)) < 0.01,
+      "half-scale sine rms ~ 0.3536")
+    assert(!out(3L).getBoolean(2) && out(3L).isNullAt(7),
+      "non-audio format takes the byte-stats fallback")
+    assert(!out(4L).getBoolean(2),
+      "undecodable bytes degrade to fallback instead of failing the task")
+    assert(out(3L).getDouble(8) > 0, "fallback mean_byte populated")
+  }
+
   test("windowed join state stays bounded on a hot key") {
     // one hot key with 10k rights before each left — the ring-buffer window
     // aggregate keeps n=3 elements of state, never the full right history

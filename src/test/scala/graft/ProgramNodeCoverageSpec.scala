@@ -165,6 +165,8 @@ class ProgramNodeCoverageSpec extends AnyFunSuite {
       "repeatedSpans" -> excluded(block),
       "semanticPairs" -> excluded(block),
       "saltedSelfJoin" -> excluded(block),
+      "longConf" -> excluded("internal conf parser shared with Similarity " +
+        "(named-error contract for graft.* caps); not an operator"),
       "lastCcRounds" -> excluded("convergence metric accessor (diagnostics)"),
       "BandedStateVersion" -> excluded(const),
       "requireBandedStateVersion" -> excluded("state-format guard (diagnostics)")))
@@ -281,6 +283,8 @@ class ProgramNodeCoverageSpec extends AnyFunSuite {
         "by environment); not artifact-serializable — the codec is a " +
         "deployment concern, like Milan's UDF escape"),
       "decodeImageBatched" -> excluded("partition-batched JDK image codec; " +
+        "same deployment-concern exclusion as decodeBatched"),
+      "decodeAudioBatched" -> excluded("partition-batched JDK audio codec; " +
         "same deployment-concern exclusion as decodeBatched"),
       "resizeStub" -> excluded("codec-slot stage, same exclusion"),
       "frameSample" -> excluded("binary slicing projection; program face " +
