@@ -39,7 +39,10 @@ object StressBench {
         // since the vocabulary re-materialization lifted the 256 cap),
         // and the auto-sized SemDeDup codebook (cell population ~constant
         // across a 10x corpus scale-up)
-        "bandskew", "bpe4k", "semauto")
+        "bandskew", "bpe4k", "semauto",
+        // round-12: the two joins newly routed through the triangle cover
+        // run whole at 10x (banded ingest batch face, hyperplane-LSH)
+        "q_banded_dedup", "q_hyperplane")
     val spark = SparkSession.builder().master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
       .config("spark.sql.session.timeZone", "UTC")

@@ -238,6 +238,15 @@ object Dedup {
     v
   }
 
+  /** The session's shuffle width as an explicit number — the width an
+    * exchange would plan without AQE — for repartition calls that must
+    * pin a stage against AQE partition coalescing. Falls back to the
+    * default parallelism on runtimes where the conf is non-numeric. */
+  private def pinnedWidth(spark: org.apache.spark.sql.SparkSession): Int =
+    scala.util.Try(spark.conf.get("spark.sql.shuffle.partitions").trim.toInt)
+      .filter(_ > 0)
+      .getOrElse(spark.sparkContext.defaultParallelism)
+
   /** Hot-key-guarded candidate self-join — the shared skew armor of the
     * whole banded-dedup family (MinHash LSH bands, SimHash pigeonhole
     * chunks, SemDeDup IVF cells). Joins `e` to itself on `keyCol` with
@@ -296,6 +305,18 @@ object Dedup {
         j => struct(least(col("__g"), j).as("x"), greatest(col("__g"), j).as("y")))))
       .withColumn("__bx", col("__b.x")).withColumn("__by", col("__b.y"))
       .drop("__b")
+      // Pin the pair-join exchange at explicit width. AQE's byte-based
+      // partition COALESCING is the cover's mirror hazard: this shuffle
+      // carries only ids and 8-byte keys, so a quadratic-BY-PAIRS join
+      // stage looks tiny by bytes and the coalescer merges every bucket
+      // the cover just distributed back into ONE task (observed at the
+      // 10x probe: one 180s+ task while 31 cores idled). An explicit-N
+      // repartition on the join keys has REPARTITION_BY_NUM origin,
+      // which CoalesceShufflePartitions must not touch; it satisfies the
+      // join's required distribution, so no second exchange is planned
+      // and the b side still resolves to a ReusedExchange.
+      .repartition(pinnedWidth(e0.sparkSession),
+        col(keyCol), col("__bx"), col("__by"))
     e.as("a").join(hinted(e.as("b")),
       col(s"a.$keyCol") === col(s"b.$keyCol") &&
         col("a.__bx") === col("b.__bx") && col("a.__by") === col("b.__by") &&
