@@ -181,6 +181,35 @@ class SaltedSelfJoinSpec extends SparkSpec {
         s"the pair join must stay the hinted shuffled hash join:\n$p")
       assert("Scan parquet|LocalTableScan".r.findAllIn(p).size <= 1,
         s"the banded projection must be built once, not once per side:\n$p")
+      // AQE-COALESCING pin: the pair shuffle carries only ids + 8-byte
+      // keys, so a quadratic-BY-PAIRS stage looks tiny by bytes and the
+      // coalescer would merge every bucket the cover just distributed
+      // back into ONE task (observed: one 180s+ task at the 10x probe).
+      // The explicit-width repartition has REPARTITION_BY_NUM origin,
+      // which CoalesceShufflePartitions must not touch — assert both the
+      // origin survived into the executed plan and, behaviorally, that
+      // the join still reads the full configured width (AQE would have
+      // coalesced this tiny exchange to 1 without the pin).
+      assert(p.contains("REPARTITION_BY_NUM"),
+        s"pair-join exchange must keep its explicit-width origin:\n$p")
+      // plain collect does not descend into completed query stages — recurse
+      def deepCollect(plan: org.apache.spark.sql.execution.SparkPlan)
+          : Seq[org.apache.spark.sql.execution.SparkPlan] =
+        plan.flatMap {
+          case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+            q +: deepCollect(q.plan)
+          case x => Seq(x)
+        }
+      val joinWidth = df.queryExecution.executedPlan match {
+        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+          deepCollect(a.executedPlan).collectFirst {
+            case j: org.apache.spark.sql.execution.joins.ShuffledHashJoinExec =>
+              j.outputPartitioning.numPartitions
+          }
+        case _ => None
+      }
+      assert(joinWidth.contains(spark.sessionState.conf.numShufflePartitions),
+        s"pair join must not be partition-coalesced below the pinned width, got $joinWidth")
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", bcast)
   }
 
