@@ -325,6 +325,57 @@ object Dedup {
             col(s"a.$idCol") < col(s"b.$idCol"))))
   }
 
+  /** Hot-key-guarded candidate CROSS join — the BIPARTITE sibling of
+    * [[saltedSelfJoin]], guarding the new×reference band/cell joins
+    * (cross-corpus MinHash dedup, IVF-routed embedding ingest with a
+    * shuffled reference). A boilerplate band shared by m arriving and n
+    * reference documents lands m×n candidate pairs in ONE task of a plain
+    * key-equi join — the bipartite form of the same quadratic-task
+    * hazard, and AQE's byte-based skew split cannot see it either.
+    *
+    * Lowering: the two inputs UNION under a side tag and ride the SAME
+    * [[saltedSelfJoin]] triangle cover — the composite id
+    * `struct(__side, id)` keeps ids unique even when the two corpora
+    * share raw id values, the window count is over the combined key
+    * population (s = ceil((popL+popR)/cap)), and the side-inequality
+    * filter keeps exactly the cross pairs (each generated EXACTLY once
+    * by the cover's exactness property; same-side pairs are formed and
+    * discarded inside the join task, the inherent price of the
+    * symmetric one-exchange shape — bounded by the same cap²). Going
+    * through the self-join inherits its whole plan contract: one
+    * byte-identical subtree feeds both sides (runtime ReusedExchange —
+    * a hand-rolled two-sided grid variant measured 3× on q_cross_dedup
+    * because AQE would not reuse the top exchanges across the reuse
+    * boundary), the explicit-width repartition pins the pair exchange
+    * against AQE partition coalescing, and when no key is hot the plan
+    * IS the plain key-equal join at 1× replication.
+    *
+    * Inputs must have IDENTICAL schemas (same id column name/type, same
+    * key column, any union-compatible payload columns — payloads ride
+    * the cover shuffles, so keep them to what verification needs) and
+    * must not already carry __side/__uid/__s/__g/__bx/__by columns.
+    * The cover's pair orientation is arbitrary, so the output is
+    * re-projected canonically: every input column c returns as `l_c`
+    * (the row from `l0`) and `r_c` (the row from `r0`). Batch-only
+    * (window over the full key population). */
+  private[graft] def saltedCrossJoin(l0: DataFrame, r0: DataFrame,
+                                     keyCol: String, idCol: String, cap: Long,
+                                     hint: Option[String] = None): DataFrame = {
+    require(l0.columns.sorted.sameElements(r0.columns.sorted),
+      s"saltedCrossJoin needs identically-shaped sides, got " +
+        s"${l0.columns.mkString(",")} vs ${r0.columns.mkString(",")}")
+    val cols = l0.columns.toIndexedSeq
+    val u = l0.withColumn("__side", lit(0))
+      .unionByName(r0.withColumn("__side", lit(1)))
+      .withColumn("__uid", struct(col("__side"), col(idCol)))
+    val aIsLeft = col("a.__side") === 0
+    saltedSelfJoin(u, keyCol, "__uid", cap, hint)
+      .filter(col("a.__side") =!= col("b.__side"))
+      .select(
+        cols.map(c => when(aIsLeft, col(s"a.$c")).otherwise(col(s"b.$c")).as(s"l_$c")) ++
+          cols.map(c => when(aIsLeft, col(s"b.$c")).otherwise(col(s"a.$c")).as(s"r_$c")): _*)
+  }
+
   /** LSH banding: k minhashes → `bands` band keys; docs sharing any band
     * key become candidate pairs. Shuffles on the band key only — the
     * classic scalable near-dup candidate generator (no all-pairs) — with
@@ -394,8 +445,13 @@ object Dedup {
       minhashSignatureOverHashes(h, idCol, k)
         .select(col(idCol).as(side), explode(array(bandCols: _*)).as("__bk"))
     }
-    val cands = bandsOf(hn, "id_new").join(bandsOf(hr, "id_ref"), "__bk")
-      .select(col("id_new"), col("id_ref")).distinct()
+    // new×ref band join through the bipartite salted cover: a boilerplate
+    // band shared by m new and n reference docs redistributes its m×n
+    // candidates over bounded buckets instead of one task
+    val cap = longConf(newDocs.sparkSession, "graft.dedup.bandCap", 8192L)
+    val cands = saltedCrossJoin(bandsOf(hn, "__id"), bandsOf(hr, "__id"),
+        "__bk", "__id", cap, hint = Some("shuffle_hash"))
+      .select(col("l___id").as("id_new"), col("r___id").as("id_ref")).distinct()
     val setsN = hn.select(col(idCol).as("id_new"),
       sort_array(array_distinct(col("__hs"))).as("__sha"))
     val setsR = hr.select(col(idCol).as("id_ref"),
@@ -1875,14 +1931,32 @@ object Dedup {
       (col("__n0") * col("__rn")) >= threshold
 
     if (!df.isStreaming) {
-      val matched = df
+      val probes = df
         .withColumn("__e0", col(vecCol).cast("array<double>"))
         .withColumn("__n0", Similarity.norm(col("__e0")))
         .select(col(idCol), col("__e0"), col("__n0"),
           explode(Ivf.probeCids(col("__e0"), cent, nProbe)).as("__cid"))
-        .join(if (broadcastRef) broadcast(refPlan) else refPlan, Seq("__cid"))
-        .filter(isCos)
-        .select(col(idCol)).distinct()
+      val matched = (if (broadcastRef)
+          // broadcast build side: skew-immune, each probe task streams
+          probes.join(broadcast(refPlan), Seq("__cid")).filter(isCos)
+            .select(col(idCol))
+        else {
+          // shuffled face (beyond-broadcast references): a hot IVF cell
+          // is the embedding-space boilerplate band — route the new×ref
+          // cell join through the bipartite salted cover so one hot cell
+          // cannot pin |arrivals-in-cell| × |ref-in-cell| verifications
+          // on a single task (CrossCorpusSpec pins this face equal to
+          // the broadcast face under a tiny cap)
+          val cap = longConf(df.sparkSession, "graft.semdedup.cellCap", 8192L)
+          val lf = probes.select(col(idCol).as("__xid"),
+            col("__e0").as("__xv"), col("__n0").as("__xn"), col("__cid"))
+          val rf = refPlan.select(col("__rid").as("__xid"),
+            col("__re").as("__xv"), col("__rn").as("__xn"), col("__cid"))
+          saltedCrossJoin(lf, rf, "__cid", "__xid", cap, hint = Some("shuffle_hash"))
+            .filter(Similarity.dot(col("l___xv"), col("r___xv")) /
+              (col("l___xn") * col("r___xn")) >= threshold)
+            .select(col("l___xid").as(idCol))
+        }).distinct()
       return new graft.api.MStream(
         df.join(matched, Seq(idCol), "left_anti").select(orig.map(col): _*),
         stream.eventOrder, stream.contextKeys, stream.name)

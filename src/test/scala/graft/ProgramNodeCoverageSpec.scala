@@ -165,6 +165,7 @@ class ProgramNodeCoverageSpec extends AnyFunSuite {
       "repeatedSpans" -> excluded(block),
       "semanticPairs" -> excluded(block),
       "saltedSelfJoin" -> excluded(block),
+      "saltedCrossJoin" -> excluded(block),
       "longConf" -> excluded("internal conf parser shared with Similarity " +
         "(named-error contract for graft.* caps); not an operator"),
       "lastCcRounds" -> excluded("convergence metric accessor (diagnostics)"),

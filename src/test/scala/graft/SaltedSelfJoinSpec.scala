@@ -213,6 +213,84 @@ class SaltedSelfJoinSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", bcast)
   }
 
+  test("saltedCrossJoin: exact bipartite cover, mixed regimes") {
+    // key 0: 40 left × 25 right (both sides hot under cap=7); key 1:
+    // 3 left × 30 right (right-only hot); key 2: 5 × 4 (cold); key 3:
+    // left-only (no pairs); key 4: right-only (no pairs)
+    // key 5 shares RAW id values across the corpora — the composite
+    // (side, id) uid must still generate those cross pairs (a plain
+    // id-ordered predicate would silently drop the id-equal ones)
+    val left = ((0 until 40).map(i => (i.toLong, 0)) ++
+      (100 until 103).map(i => (i.toLong, 1)) ++
+      (200 until 205).map(i => (i.toLong, 2)) ++
+      (300 until 304).map(i => (i.toLong, 3)) ++
+      (400 until 403).map(i => (i.toLong, 5))).toDF("id", "key")
+    val right = ((1000 until 1025).map(i => (i.toLong, 0)) ++
+      (1100 until 1130).map(i => (i.toLong, 1)) ++
+      (1200 until 1204).map(i => (i.toLong, 2)) ++
+      (1300 until 1302).map(i => (i.toLong, 4)) ++
+      (400 until 403).map(i => (i.toLong, 5))).toDF("id", "key")
+    def pairs(cap: Long): Seq[(Long, Long)] =
+      Dedup.saltedCrossJoin(left, right, "key", "id", cap)
+        .select(col("l_id"), col("r_id"))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val lrows = left.collect().map(r => (r.getLong(0), r.getInt(1)))
+    val rrows = right.collect().map(r => (r.getLong(0), r.getInt(1)))
+    val expect = (for { (l, kl) <- lrows; (r, kr) <- rrows if kl == kr }
+      yield (l, r)).toSet
+    val plain = pairs(1000000L)
+    assert(plain.toSet == expect && plain.size == expect.size, "plain-join baseline")
+    val capped = pairs(7L)
+    assert(capped.toSet == expect, "bipartite cover must generate the exact cross pair set")
+    assert(capped.size == expect.size, "each cross pair generated exactly once")
+  }
+
+  test("crossCorpusNearDup: boilerplate-hot band redistributes with identical pairs") {
+    // 50 arriving + 45 reference docs all sharing the same boilerplate
+    // (every band hot on both sides) + distinct docs on each side
+    val newDocs = ((0 until 50).map(i => (i.toLong, "shared boilerplate header terms of service apply to all pages")) ++
+      (0 until 10).map(i => (500L + i, s"fresh arrival number $i with its own words and content $i")))
+      .toDF("doc_id", "text")
+    val refDocs = ((0 until 45).map(i => (1000L + i, "shared boilerplate header terms of service apply to all pages")) ++
+      (0 until 8).map(i => (2000L + i, s"reference document $i about another subject entirely $i")))
+      .toDF("doc_id", "text")
+    def pairs(cap: String): Set[(Long, Long, Double)] = withCap(cap) {
+      Dedup.crossCorpusNearDup(newDocs, refDocs, "doc_id", "text",
+          k = 12, bands = 4, threshold = 0.8)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    }
+    val un = pairs("1000000")
+    assert(un.size >= 50 * 45, "hot band must pair every boilerplate arrival with every boilerplate ref")
+    assert(pairs("5") == un, "bipartite cover must not change the verified pair set")
+  }
+
+  test("embeddingDedupAgainstCorpusIvf: shuffled face under tiny cap == broadcast face") {
+    import scala.util.Random
+    val rnd = new Random(3)
+    // one dominant direction -> one hot IVF cell holding most vectors on
+    // both sides; scattered vectors fill other cells
+    val mk = (i: Int, base: Array[Float]) => (i.toLong, base)
+    val hotDir = Array(1.0f, 0.02f, 0.01f, 0.0f)
+    val vecs = ((0 until 40).map(i => mk(i, hotDir.map(x => x + 0.001f * i))) ++
+      (0 until 12).map(i => mk(100 + i, Array.fill(4)(rnd.nextFloat() * 2f - 1f))))
+      .toDF("vec_id", "embedding")
+    val arrivals = vecs.where(col("vec_id") % 3 === 0)
+    val ref = vecs.where(col("vec_id") % 3 =!= 0)
+    val cents = graft.pipeline.Ivf.train(ref, "vec_id", "embedding", k = 3, iters = 2)
+    def survivors(bcast: Boolean, cap: String): Set[Long] = {
+      spark.conf.set("graft.semdedup.cellCap", cap)
+      try Dedup.embeddingDedupAgainstCorpusIvf(
+          graft.api.MStream(arrivals), ref, "vec_id", "embedding",
+          threshold = 0.9, cents, nProbe = 3, broadcastRef = bcast)
+        .df.select("vec_id").collect().map(_.getLong(0)).toSet
+      finally spark.conf.unset("graft.semdedup.cellCap")
+    }
+    val viaBroadcast = survivors(bcast = true, cap = "1000000")
+    assert(viaBroadcast.size < arrivals.count(), "scenario must drop some arrivals")
+    assert(survivors(bcast = false, cap = "4") == viaBroadcast,
+      "covered shuffled face must match the broadcast face")
+  }
+
   test("bandCap conf: named errors on malformed values, accepts beyond-int") {
     val docs = Seq((1L, "a b c d"), (2L, "a b c d")).toDF("doc_id", "text")
     val sig = Dedup.minhashSignature(docs, "doc_id", "text", k = 4)
