@@ -171,12 +171,34 @@ object Ivf {
     val scored = qCells.join(corpus, "cid")
       .filter(col("__pid") =!= col("__qid"))
       .withColumn("cos", Similarity.cosine(col("__qv"), col("__pv")))
-    scored.withColumn("__rk", row_number().over(
-        org.apache.spark.sql.expressions.Window.partitionBy("__qid")
-          .orderBy(col("cos").desc, col("__pid"))))
-      .filter(col("__rk") <= topK)
-      .select(col("__qid").as(qIdCol), col("__pid").as(idCol),
-        round(col("cos"), 6).as("cos"), col("__rk").as("rn"))
+    // Rank with the bounded-heap aggregate, not a window: a window ships
+    // EVERY candidate (cell population × nProbe per query) through the
+    // rank exchange and sorts each query's full candidate set; the
+    // partial-aggregated k-heap bounds the exchange to queries × k
+    // entries, merged map-side where the candidates are formed — the same
+    // (cos desc, id asc) total order, so ranks are identical
+    // (bruteForceTopKPartial's lowering). Non-integral corpus ids fall
+    // back to the window formulation (the heap entry is an (id, score)
+    // pair).
+    import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType}
+    val pType = corpus.schema("__pid").dataType
+    pType match {
+      case LongType | IntegerType | ShortType | ByteType =>
+        scored.select(col("__qid"), col("__pid").cast("long").as("__id"), col("cos"))
+          .groupBy(col("__qid"))
+          .agg(graft.functions.VectorFunctions.topKByScore(
+            col("__id"), col("cos"), topK).as("__top"))
+          .select(col("__qid"), posexplode(col("__top")))
+          .select(col("__qid").as(qIdCol), col("col.id").cast(pType).as(idCol),
+            round(col("col.cos"), 6).as("cos"), (col("pos") + 1).cast("int").as("rn"))
+      case _ =>
+        scored.withColumn("__rk", row_number().over(
+            org.apache.spark.sql.expressions.Window.partitionBy("__qid")
+              .orderBy(col("cos").desc, col("__pid"))))
+          .filter(col("__rk") <= topK)
+          .select(col("__qid").as(qIdCol), col("__pid").as(idCol),
+            round(col("cos"), 6).as("cos"), col("__rk").as("rn"))
+    }
   }
 
   /** Dual-mode [[search]] — similarity search at ingest: query vectors
