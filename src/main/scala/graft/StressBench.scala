@@ -41,8 +41,10 @@ object StressBench {
         // across a 10x corpus scale-up)
         "bandskew", "bpe4k", "semauto",
         // round-12: the two joins newly routed through the triangle cover
-        // run whole at 10x (banded ingest batch face, hyperplane-LSH)
-        "q_banded_dedup", "q_hyperplane")
+        // run whole at 10x (banded ingest batch face, hyperplane-LSH),
+        // and the BIPARTITE cover probe (boilerplate hot on both corpora
+        // of a cross-corpus dedup)
+        "q_banded_dedup", "q_hyperplane", "crossskew")
     val spark = SparkSession.builder().master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
       .config("spark.sql.session.timeZone", "UTC")
@@ -248,6 +250,51 @@ object StressBench {
                 s"triangle cover changed the candidate count: $nc vs $uncappedCands")
               println(f"STRESS bandskew/$mode rep$rep $secs%.2f s " +
                 s"($nc candidates over $nDocs docs)")
+            }
+            spark.conf.unset("graft.dedup.bandCap")
+          }
+        } finally {
+          spark.conf.unset("graft.dedup.bandCap")
+          spark.conf.set("spark.sql.autoBroadcastJoinThreshold", bcast)
+          docs.unpersist()
+        }
+      } else if (q == "crossskew") {
+        // bipartite form of bandskew: the SAME boilerplate is hot on BOTH
+        // corpora of a cross-corpus dedup (40% of arrivals and 40% of the
+        // reference share one literal string), so every MinHash band of
+        // the boilerplate joins m arriving x n reference docs — one task
+        // of the plain new×ref band join. saltedCrossJoin redistributes
+        // it; the verified pair count must be identical (exact cover).
+        // Broadcast disabled for the same reason as bandskew.
+        val docs0 = spark.read.parquet(s"$src/documents.parquet")
+        val boiler = "terms of service privacy policy all rights reserved " +
+          "contact us about careers copyright two thousand twenty four"
+        val docs = docs0.select(col("doc_id"),
+            when(pmod(col("doc_id"), lit(5L)) < 2L, lit(boiler))
+              .otherwise(col("text")).as("text"))
+          .repartition(32).persist()
+        val arrivals = docs.where(pmod(col("doc_id"), lit(3L)) === 0L)
+        val ref = docs.where(pmod(col("doc_id"), lit(3L)) =!= 0L)
+        val nDocs = docs.count()
+        val bcast = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        try {
+          var uncappedPairs = -1L
+          for ((mode, cap) <- Seq("uncapped" -> "1000000000", "capped" -> "256")) {
+            spark.conf.set("graft.dedup.bandCap", cap)
+            for (rep <- 1 to 2) {
+              isolate()
+              val t0 = System.nanoTime()
+              val pairs = graft.pipeline.Dedup.crossCorpusNearDup(
+                arrivals, ref, "doc_id", "text", k = 16, bands = 4, threshold = 0.8)
+              pairs.write.format("noop").mode("overwrite").save()
+              val secs = (System.nanoTime() - t0) / 1e9
+              val np = pairs.count()
+              if (uncappedPairs < 0) uncappedPairs = np
+              else require(np == uncappedPairs,
+                s"bipartite cover changed the pair count: $np vs $uncappedPairs")
+              println(f"STRESS crossskew/$mode rep$rep $secs%.2f s " +
+                s"($np pairs over $nDocs docs)")
             }
             spark.conf.unset("graft.dedup.bandCap")
           }
