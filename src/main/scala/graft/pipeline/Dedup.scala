@@ -546,16 +546,44 @@ object Dedup {
         struct(lit(b).as("band"), combined.as("bv"))
       }
 
-    // reference artifacts: one pass over the reference corpus, pinned
+    // reference artifacts: one pass over the reference corpus, pinned.
+    // On the shuffled face (broadcastRef=false, beyond-broadcast
+    // references) the band index is SALTED at pin time: a boilerplate
+    // band holding n reference docs would otherwise route every arrival
+    // carrying it — and all n of its verifications — through ONE task of
+    // the per-micro-batch stream-static join. Reference rows of a band
+    // over `graft.dedup.bandCap` get a deterministic salt
+    // g = hash(rid) mod s (s = ceil(pop/cap), computed once here, batch
+    // side); arrivals join the small pinned hot-band table (broadcast)
+    // and replicate to all s salts, so each (arrival, ref) pair still
+    // meets exactly once but a hot band's verifications spread over s
+    // tasks. Cold bands (and the broadcast face, which is skew-immune)
+    // keep s = 1 / skip the census entirely.
     val hr = hashedDocs(refDocs, idCol, textCol)
-    val (refBands, rbIds) = graft.api.Pinned.checkpointTracked(
-      minhashSignatureOverHashes(hr, idCol, k)
-        .select(col(idCol).as("__rid"),
-          explode(array(bandKeyCols(j => col(s"mh$j")): _*)).as("__bk")))
+    val refBandsRaw = minhashSignatureOverHashes(hr, idCol, k)
+      .select(col(idCol).as("__rid"),
+        explode(array(bandKeyCols(j => col(s"mh$j")): _*)).as("__bk"))
+    val (refBands, hotBands, saltIds) =
+      if (broadcastRef) {
+        val (rb, ids) = graft.api.Pinned.checkpointTracked(refBandsRaw)
+        (rb, None, ids)
+      } else {
+        val cap = longConf(df.sparkSession, "graft.dedup.bandCap", 8192L)
+        val (hot, hIds) = graft.api.Pinned.checkpointTracked(
+          refBandsRaw.groupBy(col("__bk")).count().filter(col("count") > cap)
+            .select(col("__bk"),
+              ceil(col("count").cast("double") / cap).cast("int").as("__s")))
+        val (rb, rIds) = graft.api.Pinned.checkpointTracked(
+          refBandsRaw.join(broadcast(hot), Seq("__bk"), "left")
+            .withColumn("__sg", when(col("__s").isNull, lit(0))
+              .otherwise(pmod(xxhash64(col("__rid")), col("__s")).cast("int")))
+            .drop("__s"))
+        (rb, Some(hot), hIds ++ rIds)
+      }
     val (refSets, rsIds) = graft.api.Pinned.checkpointTracked(
       hr.select(col(idCol).as("__rid"),
         sort_array(array_distinct(col("__hs"))).as("__shb")))
-    graft.api.Pinned.register(df.sparkSession, rbIds ++ rsIds)
+    graft.api.Pinned.register(df.sparkSession, saltIds ++ rsIds)
 
     // arriving side: signature behind an explode barrier (the same
     // Generate trick as minhashSignatureOverHashes — without it every
@@ -574,7 +602,7 @@ object Dedup {
         array(bandKeyCols(j => element_at(col("__mhs"), j + 1)): _*))
         .otherwise(lit(null).cast(bkType)))
 
-    val scoredV = withBands
+    val arrBands = withBands
       .select(col(idCol).as("__id"), col("__sha"),
         struct(orig.map(col): _*).as("__payload"),
         posexplode_outer(col("__bks")).as(Seq("__pos", "__bk")))
@@ -582,7 +610,19 @@ object Dedup {
         when(col("__pos").isNull || col("__pos") === 0, col("__payload"))
           .otherwise(lit(null).cast(payloadT)).as("__payload"),
         col("__bk"))
-      .join(if (broadcastRef) broadcast(refBands) else refBands, Seq("__bk"), "left")
+    // arrivals replicate to every salt of a hot reference band (cold
+    // bands: the 1-element sequence, one row); the broadcast face skips
+    // the hot table and probes salt 0 directly
+    val arrSalted = hotBands match {
+      case None => arrBands
+      case Some(hot) => arrBands
+        .join(broadcast(hot), Seq("__bk"), "left")
+        .withColumn("__sg", explode(sequence(lit(0), coalesce(col("__s"), lit(1)) - 1)))
+        .drop("__s")
+    }
+    val scoredV = arrSalted
+      .join(if (broadcastRef) broadcast(refBands) else refBands,
+        if (broadcastRef) Seq("__bk") else Seq("__bk", "__sg"), "left")
       .join(if (broadcastRef) broadcast(refSets) else refSets, Seq("__rid"), "left")
       .select(col("__id"), col("__payload"), col("__rid"),
         coalesce(graft.functions.VectorFunctions.jaccardSortedAtLeast(
@@ -1962,10 +2002,30 @@ object Dedup {
         stream.eventOrder, stream.contextKeys, stream.name)
     }
 
-    val (ref, ids) = graft.api.Pinned.checkpointTracked(refPlan)
+    // shuffled face: salt the pinned reference's hot IVF cells at pin
+    // time (the stream-static sibling of the bipartite cover — same
+    // design as dedupAgainstCorpus's salted band index: a hot cell's
+    // verifications spread over s tasks instead of one per micro-batch)
+    val (ref, hotCells, ids) =
+      if (broadcastRef) {
+        val (r, i) = graft.api.Pinned.checkpointTracked(refPlan)
+        (r, None, i)
+      } else {
+        val cap = longConf(df.sparkSession, "graft.semdedup.cellCap", 8192L)
+        val (hot, hIds) = graft.api.Pinned.checkpointTracked(
+          refPlan.groupBy(col("__cid")).count().filter(col("count") > cap)
+            .select(col("__cid"),
+              ceil(col("count").cast("double") / cap).cast("int").as("__s")))
+        val (r, rIds) = graft.api.Pinned.checkpointTracked(
+          refPlan.join(broadcast(hot), Seq("__cid"), "left")
+            .withColumn("__sg", when(col("__s").isNull, lit(0))
+              .otherwise(pmod(xxhash64(col("__rid")), col("__s")).cast("int")))
+            .drop("__s"))
+        (r, Some(hot), hIds ++ rIds)
+      }
     graft.api.Pinned.register(df.sparkSession, ids)
     val payloadT = StructType(df.schema.fields)
-    val u = df
+    val probes = df
       .withColumn("__e0", col(vecCol).cast("array<double>"))
       .withColumn("__n0", Similarity.norm(col("__e0")))
       .select(col(idCol).as("__id"), col("__e0"), col("__n0"),
@@ -1975,7 +2035,16 @@ object Dedup {
         when(col("__pos") === 0, col("__payload"))
           .otherwise(lit(null).cast(payloadT)).as("__payload"),
         col("__cid"))
-      .join(if (broadcastRef) broadcast(ref) else ref, Seq("__cid"), "left")
+    val probesSalted = hotCells match {
+      case None => probes
+      case Some(hot) => probes
+        .join(broadcast(hot), Seq("__cid"), "left")
+        .withColumn("__sg", explode(sequence(lit(0), coalesce(col("__s"), lit(1)) - 1)))
+        .drop("__s")
+    }
+    val u = probesSalted
+      .join(if (broadcastRef) broadcast(ref) else ref,
+        if (broadcastRef) Seq("__cid") else Seq("__cid", "__sg"), "left")
       .select(col("__id"), col("__payload"),
         coalesce(isCos, lit(false)).as("__m"))
     val payloadEnc: Encoder[Row] = RowEncoder.encoderFor(payloadT)

@@ -243,16 +243,47 @@ object Ivf {
         queries.eventOrder, queries.contextKeys, queries.name)
     require(topK > 0 && nProbe > 0, s"need topK > 0 and nProbe > 0, got $topK/$nProbe")
     val cent = collectCodebook(centroids)
-    val (corpus, cIds) = graft.api.Pinned.checkpointTracked(
-      embs.select(col(idCol).as("__pid"), col(vecCol).cast("array<double>").as("__pv"))
-        .withColumn("cid", nearestCid(col("__pv"), cent)))
+    val corpusPlan = embs
+      .select(col(idCol).as("__pid"), col(vecCol).cast("array<double>").as("__pv"))
+      .withColumn("cid", nearestCid(col("__pv"), cent))
+    // shuffled face: salt the pinned corpus's hot cells at pin time (the
+    // stream-static sibling of Dedup's bipartite cover — a hot cell's
+    // query×corpus candidate scoring spreads over s tasks per micro-batch
+    // instead of one); queries replicate to every salt via the broadcast
+    // hot-cell table. Broadcast face is skew-immune, no census.
+    val (corpus, hotCells, cIds) =
+      if (broadcastCorpus) {
+        val (c, i) = graft.api.Pinned.checkpointTracked(corpusPlan)
+        (c, None, i)
+      } else {
+        val cap = graft.pipeline.Dedup.longConf(
+          df.sparkSession, "graft.semdedup.cellCap", 8192L)
+        val (hot, hIds) = graft.api.Pinned.checkpointTracked(
+          corpusPlan.groupBy(col("cid")).count().filter(col("count") > cap)
+            .select(col("cid"),
+              ceil(col("count").cast("double") / cap).cast("int").as("__s")))
+        val (c, rIds) = graft.api.Pinned.checkpointTracked(
+          corpusPlan.join(broadcast(hot), Seq("cid"), "left")
+            .withColumn("__sg", when(col("__s").isNull, lit(0))
+              .otherwise(pmod(xxhash64(col("__pid")), col("__s")).cast("int")))
+            .drop("__s"))
+        (c, Some(hot), hIds ++ rIds)
+      }
     graft.api.Pinned.register(df.sparkSession, cIds)
     val qCells = df
       .select(col(qIdCol).as("__qid"), col(vecCol).cast("array<double>").as("__qv"))
       .select(col("__qid"), col("__qv"),
         explode(probeCids(col("__qv"), cent, nProbe)).as("cid"))
-    val scored = qCells
-      .join(if (broadcastCorpus) broadcast(corpus) else corpus, "cid")
+    val qSalted = hotCells match {
+      case None => qCells
+      case Some(hot) => qCells
+        .join(broadcast(hot), Seq("cid"), "left")
+        .withColumn("__sg", explode(sequence(lit(0), coalesce(col("__s"), lit(1)) - 1)))
+        .drop("__s")
+    }
+    val scored = qSalted
+      .join(if (broadcastCorpus) broadcast(corpus) else corpus,
+        if (broadcastCorpus) Seq("cid") else Seq("cid", "__sg"))
       .filter(col("__pid") =!= col("__qid"))
       .select(col("__qid"), col("__pid"),
         Similarity.cosine(col("__qv"), col("__pv")).as("__cos"))

@@ -291,6 +291,129 @@ class SaltedSelfJoinSpec extends SparkSpec {
       "covered shuffled face must match the broadcast face")
   }
 
+  test("streaming ingest vs hot-banded reference: salted pinned index, same survivors") {
+    // the stream-static sibling of the bipartite cover: 60 reference docs
+    // share every band (hot under cap=4) — the pinned index is salted at
+    // pin time, arrivals replicate to all salts via the broadcast
+    // hot-band table, and the survivor set must equal the batch face's
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.streaming.OutputMode
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val boiler = "shared boilerplate header terms of service apply to all pages"
+    val ref = ((0 until 60).map(i => (1000L + i, boiler)) ++
+      (0 until 8).map(i => (2000L + i, s"reference doc $i about topic $i entirely")))
+      .toDF("doc_id", "text")
+    val arriving = Seq(
+      (1L, boiler),                                              // dup of the hot band -> dropped
+      (2L, "a genuinely new document about something original"), // survives
+      (3L, boiler),                                              // dropped
+      (4L, "another fresh arrival with novel words and content"))// survives
+    def batchFace(): Set[Long] = withCap("4") {
+      Dedup.dedupAgainstCorpus(graft.api.MStream(arriving.toDF("doc_id", "text")),
+          ref, "doc_id", "text", k = 12, bands = 4, threshold = 0.8)
+        .df.select("doc_id").collect().map(_.getLong(0)).toSet
+    }
+    val saved = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try withCap("4") {
+      val mem = MemoryStream[(Long, String)]
+      val out = Dedup.dedupAgainstCorpus(
+        graft.api.MStream(mem.toDF().toDF("doc_id", "text")), ref,
+        "doc_id", "text", k = 12, bands = 4, threshold = 0.8, broadcastRef = false)
+      val name = s"hotband_${System.nanoTime()}"
+      val q = out.df.select("doc_id")
+        .writeStream.format("memory").queryName(name)
+        .outputMode(OutputMode.Append()).start()
+      try {
+        arriving.grouped(2).foreach(batch => mem.addData(batch: _*))
+        q.processAllAvailable()
+        assert(q.lastProgress.stateOperators.forall(_.numRowsTotal == 0L),
+          "the salted shuffled face stays stateless")
+        assert(spark.table(name).collect().map(_.getLong(0)).toSet == batchFace(),
+          "salted-index streaming face must equal the batch face")
+      } finally q.stop()
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", saved)
+      graft.api.Pinned.release(spark)
+    }
+  }
+
+  test("streaming IVF faces vs hot cell: salted pinned corpus, same results") {
+    // stream-static siblings of the hot-cell cover: one IVF cell holds
+    // most of the reference/corpus vectors (hot under cellCap=4); the
+    // pinned frame is salted at pin time and arrivals/queries replicate
+    // via the broadcast hot-cell table. Results must equal the batch
+    // faces exactly (top-k ranks included).
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.streaming.OutputMode
+    import scala.util.Random
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val rnd = new Random(19)
+    val hotDir = Array(1.0f, 0.02f, 0.01f, 0.0f)
+    val corpus = ((0 until 30).map(i => (i.toLong, hotDir.map(x => x + 0.001f * i))) ++
+      (0 until 8).map(i => (100L + i, Array.fill(4)(rnd.nextFloat() * 2f - 1f))))
+      .toDF("vec_id", "embedding")
+    val cents = graft.pipeline.Ivf.train(corpus, "vec_id", "embedding", k = 3, iters = 2)
+    val queryRows = (0 until 6).map(i =>
+      (500L + i, hotDir.map(x => x + 0.0005f * i)))
+    val saved = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("graft.semdedup.cellCap", "4")
+    try {
+      // searchIngest: streaming shuffled+salted == batch
+      def skey(r: org.apache.spark.sql.Row) =
+        (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3))
+      val batchTopK = graft.pipeline.Ivf.searchIngest(
+        graft.api.MStream(queryRows.toDF("q_id", "embedding")), corpus,
+        "vec_id", "embedding", "q_id", cents, topK = 3, nProbe = 2)
+        .df.collect().map(skey).toSet
+      val qin = MemoryStream[(Long, Array[Float])]
+      val sOut = graft.pipeline.Ivf.searchIngest(
+        graft.api.MStream(qin.toDF().toDF("q_id", "embedding")), corpus,
+        "vec_id", "embedding", "q_id", cents, topK = 3, nProbe = 2,
+        broadcastCorpus = false)
+      val n1 = s"hotcell_s_${System.nanoTime()}"
+      val q1 = sOut.df.writeStream.format("memory").queryName(n1)
+        .outputMode(OutputMode.Append()).start()
+      try {
+        queryRows.grouped(3).foreach(g => qin.addData(g: _*))
+        q1.processAllAvailable()
+        assert(spark.table(n1).collect().map(skey).toSet == batchTopK,
+          "salted searchIngest must equal the batch face (ranks included)")
+      } finally q1.stop()
+
+      // embeddingDedupAgainstCorpusIvf: streaming shuffled+salted == batch
+      val arrivals = (0 until 6).map(i => (700L + i,
+        if (i % 2 == 0) hotDir.map(x => x + 0.0002f * i)          // near-dups -> dropped
+        else Array.fill(4)(rnd.nextFloat() * 2f - 1f)))           // scattered -> survive
+      val batchSurv = graft.pipeline.Dedup.embeddingDedupAgainstCorpusIvf(
+        graft.api.MStream(arrivals.toDF("vec_id", "embedding")), corpus,
+        "vec_id", "embedding", 0.95, cents, nProbe = 2, broadcastRef = false)
+        .df.select("vec_id").collect().map(_.getLong(0)).toSet
+      val ain = MemoryStream[(Long, Array[Float])]
+      val dOut = graft.pipeline.Dedup.embeddingDedupAgainstCorpusIvf(
+        graft.api.MStream(ain.toDF().toDF("vec_id", "embedding")), corpus,
+        "vec_id", "embedding", 0.95, cents, nProbe = 2, broadcastRef = false)
+      val n2 = s"hotcell_d_${System.nanoTime()}"
+      val q2 = dOut.df.select("vec_id").writeStream.format("memory").queryName(n2)
+        .outputMode(OutputMode.Append()).start()
+      try {
+        arrivals.grouped(2).foreach(g => ain.addData(g: _*))
+        q2.processAllAvailable()
+        assert(q2.lastProgress.stateOperators.forall(_.numRowsTotal == 0L),
+          "the salted IVF ingest stays stateless")
+        assert(spark.table(n2).collect().map(_.getLong(0)).toSet == batchSurv,
+          "salted-index streaming survivors must equal the batch face")
+      } finally q2.stop()
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", saved)
+      spark.conf.unset("graft.semdedup.cellCap")
+      graft.api.Pinned.release(spark)
+    }
+  }
+
   test("bandCap conf: named errors on malformed values, accepts beyond-int") {
     val docs = Seq((1L, "a b c d"), (2L, "a b c d")).toDF("doc_id", "text")
     val sig = Dedup.minhashSignature(docs, "doc_id", "text", k = 4)
