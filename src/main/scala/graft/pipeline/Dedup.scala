@@ -569,16 +569,8 @@ object Dedup {
         (rb, None, ids)
       } else {
         val cap = longConf(df.sparkSession, "graft.dedup.bandCap", 8192L)
-        val (hot, hIds) = graft.api.Pinned.checkpointTracked(
-          refBandsRaw.groupBy(col("__bk")).count().filter(col("count") > cap)
-            .select(col("__bk"),
-              ceil(col("count").cast("double") / cap).cast("int").as("__s")))
-        val (rb, rIds) = graft.api.Pinned.checkpointTracked(
-          refBandsRaw.join(broadcast(hot), Seq("__bk"), "left")
-            .withColumn("__sg", when(col("__s").isNull, lit(0))
-              .otherwise(pmod(xxhash64(col("__rid")), col("__s")).cast("int")))
-            .drop("__s"))
-        (rb, Some(hot), hIds ++ rIds)
+        val (rb, hot, ids) = SaltedIndex.pin(refBandsRaw, "__bk", col("__rid"), cap)
+        (rb, Some(hot), ids)
       }
     val (refSets, rsIds) = graft.api.Pinned.checkpointTracked(
       hr.select(col(idCol).as("__rid"),
@@ -615,10 +607,7 @@ object Dedup {
     // the hot table and probes salt 0 directly
     val arrSalted = hotBands match {
       case None => arrBands
-      case Some(hot) => arrBands
-        .join(broadcast(hot), Seq("__bk"), "left")
-        .withColumn("__sg", explode(sequence(lit(0), coalesce(col("__s"), lit(1)) - 1)))
-        .drop("__s")
+      case Some(hot) => SaltedIndex.replicate(arrBands, hot, "__bk")
     }
     val scoredV = arrSalted
       .join(if (broadcastRef) broadcast(refBands) else refBands,
@@ -1982,20 +1971,21 @@ object Dedup {
             .select(col(idCol))
         else {
           // shuffled face (beyond-broadcast references): a hot IVF cell
-          // is the embedding-space boilerplate band — route the new×ref
-          // cell join through the bipartite salted cover so one hot cell
-          // cannot pin |arrivals-in-cell| × |ref-in-cell| verifications
-          // on a single task (CrossCorpusSpec pins this face equal to
-          // the broadcast face under a tiny cap)
+          // is the embedding-space boilerplate band. The REFERENCE is the
+          // unbounded side, so the asymmetric SaltedIndex cover applies —
+          // the reference rides the cell shuffle ONCE (salted, never
+          // replicated), only the arriving batch replicates to a hot
+          // cell's s salts, and per-task verifications drop from
+          // |arrivals-in-cell| × pop to |arrivals-in-cell| × cap. (The
+          // symmetric saltedCrossJoin would replicate the big reference
+          // ~pop/cap times; that shape is for two comparable corpora.)
+          // Spec-pinned equal to the broadcast face under a tiny cap.
           val cap = longConf(df.sparkSession, "graft.semdedup.cellCap", 8192L)
-          val lf = probes.select(col(idCol).as("__xid"),
-            col("__e0").as("__xv"), col("__n0").as("__xn"), col("__cid"))
-          val rf = refPlan.select(col("__rid").as("__xid"),
-            col("__re").as("__xv"), col("__rn").as("__xn"), col("__cid"))
-          saltedCrossJoin(lf, rf, "__cid", "__xid", cap, hint = Some("shuffle_hash"))
-            .filter(Similarity.dot(col("l___xv"), col("r___xv")) /
-              (col("l___xn") * col("r___xn")) >= threshold)
-            .select(col("l___xid").as(idCol))
+          val (refSalted, hot) = SaltedIndex.salt(refPlan, "__cid", col("__rid"), cap)
+          SaltedIndex.replicate(probes, hot, "__cid")
+            .join(refSalted, Seq("__cid", "__sg"))
+            .filter(isCos)
+            .select(col(idCol))
         }).distinct()
       return new graft.api.MStream(
         df.join(matched, Seq(idCol), "left_anti").select(orig.map(col): _*),
@@ -2012,16 +2002,8 @@ object Dedup {
         (r, None, i)
       } else {
         val cap = longConf(df.sparkSession, "graft.semdedup.cellCap", 8192L)
-        val (hot, hIds) = graft.api.Pinned.checkpointTracked(
-          refPlan.groupBy(col("__cid")).count().filter(col("count") > cap)
-            .select(col("__cid"),
-              ceil(col("count").cast("double") / cap).cast("int").as("__s")))
-        val (r, rIds) = graft.api.Pinned.checkpointTracked(
-          refPlan.join(broadcast(hot), Seq("__cid"), "left")
-            .withColumn("__sg", when(col("__s").isNull, lit(0))
-              .otherwise(pmod(xxhash64(col("__rid")), col("__s")).cast("int")))
-            .drop("__s"))
-        (r, Some(hot), hIds ++ rIds)
+        val (r, hot, i) = SaltedIndex.pin(refPlan, "__cid", col("__rid"), cap)
+        (r, Some(hot), i)
       }
     graft.api.Pinned.register(df.sparkSession, ids)
     val payloadT = StructType(df.schema.fields)
@@ -2037,10 +2019,7 @@ object Dedup {
         col("__cid"))
     val probesSalted = hotCells match {
       case None => probes
-      case Some(hot) => probes
-        .join(broadcast(hot), Seq("__cid"), "left")
-        .withColumn("__sg", explode(sequence(lit(0), coalesce(col("__s"), lit(1)) - 1)))
-        .drop("__s")
+      case Some(hot) => SaltedIndex.replicate(probes, hot, "__cid")
     }
     val u = probesSalted
       .join(if (broadcastRef) broadcast(ref) else ref,

@@ -168,7 +168,17 @@ object Ivf {
       .select(col("__qid"), col("__qv"),
         explode(probeCids(col("__qv"), cent, nProbe)).as("cid"))
 
-    val scored = qCells.join(corpus, "cid")
+    // hot-cell guard (asymmetric SaltedIndex, declarative face): the
+    // corpus rides the cell shuffle once with hot cells salted; queries
+    // replicate to a hot cell's s salts — one dominant-direction cell
+    // can no longer pin |queries probing it| × pop scoring on one task.
+    // Cold corpora: empty hot table, plain cell join at 1× replication.
+    val cap = graft.pipeline.Dedup.longConf(
+      embs.sparkSession, "graft.semdedup.cellCap", 8192L)
+    val (corpusSalted, hot) = graft.pipeline.SaltedIndex.salt(
+      corpus, "cid", col("__pid"), cap)
+    val scored = graft.pipeline.SaltedIndex.replicate(qCells, hot, "cid")
+      .join(corpusSalted, Seq("cid", "__sg"))
       .filter(col("__pid") =!= col("__qid"))
       .withColumn("cos", Similarity.cosine(col("__qv"), col("__pv")))
     // Rank with the bounded-heap aggregate, not a window: a window ships
@@ -258,16 +268,8 @@ object Ivf {
       } else {
         val cap = graft.pipeline.Dedup.longConf(
           df.sparkSession, "graft.semdedup.cellCap", 8192L)
-        val (hot, hIds) = graft.api.Pinned.checkpointTracked(
-          corpusPlan.groupBy(col("cid")).count().filter(col("count") > cap)
-            .select(col("cid"),
-              ceil(col("count").cast("double") / cap).cast("int").as("__s")))
-        val (c, rIds) = graft.api.Pinned.checkpointTracked(
-          corpusPlan.join(broadcast(hot), Seq("cid"), "left")
-            .withColumn("__sg", when(col("__s").isNull, lit(0))
-              .otherwise(pmod(xxhash64(col("__pid")), col("__s")).cast("int")))
-            .drop("__s"))
-        (c, Some(hot), hIds ++ rIds)
+        val (c, hot, i) = SaltedIndex.pin(corpusPlan, "cid", col("__pid"), cap)
+        (c, Some(hot), i)
       }
     graft.api.Pinned.register(df.sparkSession, cIds)
     val qCells = df
@@ -276,10 +278,7 @@ object Ivf {
         explode(probeCids(col("__qv"), cent, nProbe)).as("cid"))
     val qSalted = hotCells match {
       case None => qCells
-      case Some(hot) => qCells
-        .join(broadcast(hot), Seq("cid"), "left")
-        .withColumn("__sg", explode(sequence(lit(0), coalesce(col("__s"), lit(1)) - 1)))
-        .drop("__s")
+      case Some(hot) => SaltedIndex.replicate(qCells, hot, "cid")
     }
     val scored = qSalted
       .join(if (broadcastCorpus) broadcast(corpus) else corpus,

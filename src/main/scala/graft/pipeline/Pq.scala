@@ -223,23 +223,39 @@ object Pq {
     val m = books.size
     val sd = books.head.head._2.size
     val v = col(vecCol).cast("array<double>")
-    val (coded, ids) = graft.api.Pinned.checkpointTracked(
-      corpus
-        .select(col(idCol) +: v.as("__pv") +:
-          books.indices.map(j => slice(v, j * sd + 1, sd).as(s"__s$j")): _*)
-        .select(col(idCol), Ivf.nearestCid(col("__pv"), cent).as("cid"),
-          array(books.indices.map(j =>
-            Ivf.nearestCid(col(s"__s$j"), books(j))): _*).as("codes")))
+    val codedPlan = corpus
+      .select(col(idCol) +: v.as("__pv") +:
+        books.indices.map(j => slice(v, j * sd + 1, sd).as(s"__s$j")): _*)
+      .select(col(idCol), Ivf.nearestCid(col("__pv"), cent).as("cid"),
+        array(books.indices.map(j =>
+          Ivf.nearestCid(col(s"__s$j"), books(j))): _*).as("codes"))
+    // shuffled face: hot IVF cells of the pinned coded corpus are salted
+    // at pin time (SaltedIndex — the stream-static/hot-cell cover)
+    val (coded, hotCells, ids) =
+      if (broadcastCorpus) {
+        val (c, i) = graft.api.Pinned.checkpointTracked(codedPlan)
+        (c, None, i)
+      } else {
+        val cap = Dedup.longConf(
+          corpus.sparkSession, "graft.semdedup.cellCap", 8192L)
+        val (c, hot, i) = SaltedIndex.pin(codedPlan, "cid", col(idCol), cap)
+        (c, Some(hot), i)
+      }
     graft.api.Pinned.register(corpus.sparkSession, ids)
-    val q = withLut(
+    val q0 = withLut(
       queries.select(col(qIdCol), col(vecCol).cast("array<double>").as("__qv")),
       books, Seq(qIdCol),
       Seq(explode(Ivf.probeCids(col("__qv"), cent, nProbe)).as("cid")))
+    val q = hotCells match {
+      case None => q0
+      case Some(hot) => SaltedIndex.replicate(q0, hot, "cid")
+    }
     val offs = books.map(_.size).scanLeft(0)(_ + _)
     val adc = (0 until m).map(j =>
         element_at(col("__lut"), lit(offs(j) + 1) + element_at(col("codes"), j + 1)))
       .reduce(_ + _)
-    q.join(if (broadcastCorpus) broadcast(coded) else coded, "cid")
+    q.join(if (broadcastCorpus) broadcast(coded) else coded,
+        if (broadcastCorpus) Seq("cid") else Seq("cid", "__sg"))
       .filter(col(idCol) =!= col(qIdCol))
       .select(col(qIdCol), col(idCol).cast("long").as("__id"), (-adc).as("__s"))
       .groupBy(col(qIdCol))
@@ -282,24 +298,39 @@ object Pq {
     val m = books.size
     val sd = books.head.head._2.size
     val v = col(vecCol).cast("array<double>")
-    val (coded, ids) = graft.api.Pinned.checkpointTracked(
-      corpus
-        .select(col(idCol).as("__pid") +: v.as("__pv") +:
-          books.indices.map(j => slice(v, j * sd + 1, sd).as(s"__s$j")): _*)
-        .select(col("__pid"), Ivf.nearestCid(col("__pv"), cent).as("cid"),
-          array(books.indices.map(j =>
-            Ivf.nearestCid(col(s"__s$j"), books(j))): _*).as("codes")))
+    val codedPlan = corpus
+      .select(col(idCol).as("__pid") +: v.as("__pv") +:
+        books.indices.map(j => slice(v, j * sd + 1, sd).as(s"__s$j")): _*)
+      .select(col("__pid"), Ivf.nearestCid(col("__pv"), cent).as("cid"),
+        array(books.indices.map(j =>
+          Ivf.nearestCid(col(s"__s$j"), books(j))): _*).as("codes"))
+    // shuffled face: salted pinned index (see ivfAdcTopK)
+    val (coded, hotCells, ids) =
+      if (broadcastCorpus) {
+        val (c, i) = graft.api.Pinned.checkpointTracked(codedPlan)
+        (c, None, i)
+      } else {
+        val cap = Dedup.longConf(
+          df.sparkSession, "graft.semdedup.cellCap", 8192L)
+        val (c, hot, i) = SaltedIndex.pin(codedPlan, "cid", col("__pid"), cap)
+        (c, Some(hot), i)
+      }
     graft.api.Pinned.register(df.sparkSession, ids)
-    val q = withLut(
+    val q0 = withLut(
       df.select(col(qIdCol).as("__qid"), col(vecCol).cast("array<double>").as("__qv")),
       books, Seq("__qid"),
       Seq(explode(Ivf.probeCids(col("__qv"), cent, nProbe)).as("cid")))
+    val q = hotCells match {
+      case None => q0
+      case Some(hot) => SaltedIndex.replicate(q0, hot, "cid")
+    }
     val offs = books.map(_.size).scanLeft(0)(_ + _)
     val adc = (0 until m).map(j =>
         element_at(col("__lut"), lit(offs(j) + 1) + element_at(col("codes"), j + 1)))
       .reduce(_ + _)
     val scored = q
-      .join(if (broadcastCorpus) broadcast(coded) else coded, "cid")
+      .join(if (broadcastCorpus) broadcast(coded) else coded,
+        if (broadcastCorpus) Seq("cid") else Seq("cid", "__sg"))
       .filter(col("__pid") =!= col("__qid"))
       // long ids, matching the batch face's BoundedTopK contract
       .select(col("__qid"), col("__pid").cast("long").as("__pid"), adc.as("__adc"))

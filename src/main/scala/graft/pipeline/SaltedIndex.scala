@@ -1,0 +1,84 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/**
+ * Hot-key salting for PINNED static indexes — the stream-static sibling
+ * of [[Dedup.saltedSelfJoin]]/[[Dedup.saltedCrossJoin]] (reference:
+ * amzn/milan keeps no indexed-reference operators; this is part of
+ * graft's parity-plus ingest family).
+ *
+ * A per-micro-batch (or per-query-batch) equi-join against a static
+ * key-indexed reference routes every arrival carrying a given key to ONE
+ * task together with ALL n reference rows of that key — a boilerplate
+ * band, a dominant-direction IVF cell, or any other hot index key
+ * serializes its n verifications per batch. Windows cannot run on a
+ * stream, so the self/cross covers' declarative window count is
+ * unavailable; but the static side is materialized EAGERLY anyway
+ * (`graft.api.Pinned.checkpointTracked`), so the census runs once at pin
+ * time, batch-side:
+ *
+ *  - [[pin]] checkpoints the index WITH a salt column `__sg`
+ *    (`hash(id) mod s`, s = ceil(pop/cap); 0 for cold keys) plus the
+ *    small hot-key table (key, __s) as a second pinned frame — bounded
+ *    by the number of hot keys, like every other driver-adjacent
+ *    artifact in this library, but never collected.
+ *  - [[replicate]] explodes each arriving row to all s salts of its key
+ *    via a broadcast left join against the hot table (cold keys: the
+ *    1-element sequence — one row, salt 0).
+ *
+ * Joining arrivals to the index on `(key, __sg)` then meets every
+ * (arrival, reference) pair EXACTLY once while a hot key's work spreads
+ * over s tasks. When no key is hot the hot table is empty and the plan
+ * degenerates to the plain key join plus one broadcast left join against
+ * an empty frame.
+ */
+private[graft] object SaltedIndex {
+
+  private def hotKeys(plan: DataFrame, keyCol: String, cap: Long): DataFrame = {
+    require(cap > 0, s"SaltedIndex cap must be positive, got $cap")
+    plan.groupBy(col(keyCol)).count().filter(col("count") > cap)
+      .select(col(keyCol),
+        ceil(col("count").cast("double") / cap).cast("int").as("__s"))
+  }
+
+  private def withSalt(plan: DataFrame, hot: DataFrame, keyCol: String,
+                       idCol: Column): DataFrame =
+    plan.join(broadcast(hot), Seq(keyCol), "left")
+      .withColumn("__sg", when(col("__s").isNull, lit(0))
+        .otherwise(pmod(xxhash64(idCol), col("__s")).cast("int")))
+      .drop("__s")
+
+  /** Declarative (no-checkpoint) face for BATCH queries over a big
+    * static side: returns (salted index carrying `__sg`, hot-key table).
+    * The index side is scanned twice (census + join input) — acceptable
+    * when assignment is cheap or the caller persists; the pinned face
+    * below materializes instead. `idCol` seeds the deterministic salt —
+    * any stable per-row column. */
+  def salt(plan: DataFrame, keyCol: String, idCol: Column, cap: Long)
+      : (DataFrame, DataFrame) = {
+    val hot = hotKeys(plan, keyCol, cap)
+    (withSalt(plan, hot, keyCol, idCol), hot)
+  }
+
+  /** Checkpoint `plan` with hot keys salted; returns (salted index
+    * carrying `__sg`, hot-key table, RDD ids to register with Pinned). */
+  def pin(plan: DataFrame, keyCol: String, idCol: Column, cap: Long)
+      : (DataFrame, DataFrame, Set[Int]) = {
+    val (hot, hIds) = graft.api.Pinned.checkpointTracked(
+      hotKeys(plan, keyCol, cap))
+    val (idx, iIds) = graft.api.Pinned.checkpointTracked(
+      withSalt(plan, hot, keyCol, idCol))
+    (idx, hot, hIds ++ iIds)
+  }
+
+  /** Replicate each arriving row to every salt of its key (cold keys:
+    * one row, salt 0). The output carries `__sg`; join the pinned index
+    * on `(keyCol, "__sg")`. */
+  def replicate(arrivals: DataFrame, hot: DataFrame, keyCol: String): DataFrame =
+    arrivals
+      .join(broadcast(hot), Seq(keyCol), "left")
+      .withColumn("__sg", explode(sequence(lit(0), coalesce(col("__s"), lit(1)) - 1)))
+      .drop("__s")
+}

@@ -93,6 +93,13 @@ class PqSpec extends SparkSpec {
     // the non-broadcast face (cid-bucketed corpus at scale) agrees
     assert(rows(Pq.ivfAdcTopK(df, queries, "vec_id", "embedding", "q_id",
       cents, cb, topK = 10, nProbe = 4, broadcastCorpus = false)) == rows(routed))
+    // ... and with a tiny cellCap every cell is hot, so the SaltedIndex
+    // cover engages — results (ranks included) must not change
+    spark.conf.set("graft.semdedup.cellCap", "4")
+    try assert(rows(Pq.ivfAdcTopK(df, queries, "vec_id", "embedding", "q_id",
+      cents, cb, topK = 10, nProbe = 4, broadcastCorpus = false)) == rows(routed),
+      "salted hot-cell IVFADC must equal the unsalted face")
+    finally spark.conf.unset("graft.semdedup.cellCap")
     graft.api.Pinned.release(spark)
   }
 
