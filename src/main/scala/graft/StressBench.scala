@@ -44,7 +44,12 @@ object StressBench {
         // run whole at 10x (banded ingest batch face, hyperplane-LSH),
         // and the BIPARTITE cover probe (boilerplate hot on both corpora
         // of a cross-corpus dedup)
-        "q_banded_dedup", "q_hyperplane", "crossskew")
+        "q_banded_dedup", "q_hyperplane", "crossskew",
+        // round-12: the ASYMMETRIC SaltedIndex probe (big static corpus
+        // with one dominant-direction cell vs a bounded query batch —
+        // the regime where the triangle cover would over-replicate the
+        // corpus and the salted index salts it once)
+        "idxskew")
     val spark = SparkSession.builder().master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
       .config("spark.sql.session.timeZone", "UTC")
@@ -302,6 +307,68 @@ object StressBench {
           spark.conf.unset("graft.dedup.bandCap")
           spark.conf.set("spark.sql.autoBroadcastJoinThreshold", bcast)
           docs.unpersist()
+        }
+      } else if (q == "idxskew") {
+        // asymmetric SaltedIndex probe: Ivf.search against a corpus whose
+        // dominant direction puts ~80% of vectors in ONE cell (same
+        // construction as semskew), probed by a bounded query batch drawn
+        // from that cone. Beyond broadcast (threshold -1, the corpus-scale
+        // regime — at probe size the planner would broadcast the tiny
+        // query side, which parallelizes even the uncapped plan), the
+        // (cid, __sg) join ships every hot-cell corpus row to one task
+        // uncapped: |queries| x pop scorings serialized. With the salted
+        // index the corpus rides the shuffle once split over s salts and
+        // only the small query side replicates. Results (ranks included)
+        // must be identical — the cover is exact.
+        import spark.implicits._
+        val emb0 = spark.read.parquet(embPath)
+        val dim = emb0.select(size(col("embedding"))).head().getInt(0)
+        val hotVec = transform(col("embedding"), (_, i) =>
+          when(i === 0, lit(1.0)).otherwise(
+            pmod(col("vec_id") * (i.cast("long") + 1L), lit(9973L))
+              .cast("double") / lit(99800.0)).cast("float"))
+        val skewed = emb0.select(col("vec_id"),
+            when(pmod(col("vec_id"), lit(10L)) < 8L, hotVec)
+              .otherwise(col("embedding")).as("embedding"))
+          .repartition(32).persist()
+        val nSkew = skewed.count()
+        val cents = Seq(
+          (0, Seq.tabulate(dim)(i => if (i == 0) 1.0 else 0.0)),
+          (1, Seq.tabulate(dim)(i => if (i == 0) -1.0 else 0.0)),
+          (2, Seq.tabulate(dim)(i => if (i == 1) 1.0 else 0.0)),
+          (3, Seq.tabulate(dim)(i => if (i == 1) -1.0 else 0.0)))
+          .toDF("cid", "cv")
+        val qs = skewed.where(pmod(col("vec_id"), lit(10L)) < 8L)
+          .orderBy("vec_id").limit(64)
+          .select(col("vec_id").as("q_id"), col("embedding")).persist()
+        qs.count()
+        val bcast = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        try {
+          var baseline: Set[String] = null
+          for ((mode, cap) <- Seq("uncapped" -> "1000000000", "capped" -> "2048")) {
+            spark.conf.set("graft.semdedup.cellCap", cap)
+            for (rep <- 1 to 2) {
+              isolate()
+              val t0 = System.nanoTime()
+              val hits = graft.pipeline.Ivf.search(skewed, qs, "vec_id",
+                "embedding", "q_id", cents, topK = 10, nProbe = 1,
+                broadcastQueries = false)
+              hits.write.format("noop").mode("overwrite").save()
+              val secs = (System.nanoTime() - t0) / 1e9
+              val got = hits.collect().map(_.toString).toSet
+              if (baseline == null) baseline = got
+              else require(got == baseline,
+                "salted index changed the top-k results")
+              println(f"STRESS idxskew/$mode rep$rep $secs%.2f s " +
+                s"(${got.size} ranked hits over $nSkew vectors)")
+            }
+            spark.conf.unset("graft.semdedup.cellCap")
+          }
+        } finally {
+          spark.conf.unset("graft.semdedup.cellCap")
+          spark.conf.set("spark.sql.autoBroadcastJoinThreshold", bcast)
+          skewed.unpersist(); qs.unpersist()
         }
       } else if (q == "semauto") {
         // semanticDedupAuto sizes the codebook with Ivf.cellsFor — the

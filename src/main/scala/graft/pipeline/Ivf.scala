@@ -158,7 +158,8 @@ object Ivf {
    * k/nProbe versus brute force.
    */
   def search(embs: DataFrame, queries: DataFrame, idCol: String, vecCol: String,
-             qIdCol: String, centroids: DataFrame, topK: Int, nProbe: Int): DataFrame = {
+             qIdCol: String, centroids: DataFrame, topK: Int, nProbe: Int,
+             broadcastQueries: Boolean = true): DataFrame = {
     val cent = collectCodebook(centroids)
     val corpus = embs.select(col(idCol).as("__pid"), col(vecCol).cast("array<double>").as("__pv"))
       .withColumn("cid", nearestCid(col("__pv"), cent))
@@ -168,17 +169,29 @@ object Ivf {
       .select(col("__qid"), col("__qv"),
         explode(probeCids(col("__qv"), cent, nProbe)).as("cid"))
 
-    // hot-cell guard (asymmetric SaltedIndex, declarative face): the
-    // corpus rides the cell shuffle once with hot cells salted; queries
-    // replicate to a hot cell's s salts — one dominant-direction cell
-    // can no longer pin |queries probing it| × pop scoring on one task.
-    // Cold corpora: empty hot table, plain cell join at 1× replication.
-    val cap = graft.pipeline.Dedup.longConf(
-      embs.sparkSession, "graft.semdedup.cellCap", 8192L)
-    val (corpusSalted, hot) = graft.pipeline.SaltedIndex.salt(
-      corpus, "cid", col("__pid"), cap)
-    val scored = graft.pipeline.SaltedIndex.replicate(qCells, hot, "cid")
-      .join(corpusSalted, Seq("cid", "__sg"))
+    // `broadcastQueries = true` (the bounded-query-batch default): plain
+    // cell equi-join — the planner broadcasts the small probe side and
+    // every corpus partition streams against it in parallel, so a hot
+    // cell cannot serialize work and a skew guard would only add a
+    // corpus pass. `false` (bulk regime: queries ~ corpus scale, e.g.
+    // kNN-graph construction, where BOTH sides shuffle on the cell id):
+    // the asymmetric SaltedIndex cover — the corpus rides the cell
+    // shuffle once with hot cells salted (census pass at plan level),
+    // queries replicate to a hot cell's s salts — so one
+    // dominant-direction cell can no longer pin |queries probing it| ×
+    // pop scoring on one task. Cold corpora: empty hot table, 1×
+    // replication. StressBench `idxskew` probes the redistribution.
+    val joined =
+      if (broadcastQueries) qCells.join(corpus, "cid")
+      else {
+        val cap = graft.pipeline.Dedup.longConf(
+          embs.sparkSession, "graft.semdedup.cellCap", 8192L)
+        val (corpusSalted, hot) = graft.pipeline.SaltedIndex.salt(
+          corpus, "cid", col("__pid"), cap)
+        graft.pipeline.SaltedIndex.replicate(qCells, hot, "cid")
+          .join(corpusSalted, Seq("cid", "__sg"))
+      }
+    val scored = joined
       .filter(col("__pid") =!= col("__qid"))
       .withColumn("cos", Similarity.cosine(col("__qv"), col("__pv")))
     // Rank with the bounded-heap aggregate, not a window: a window ships

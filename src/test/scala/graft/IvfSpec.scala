@@ -30,6 +30,26 @@ class IvfSpec extends SparkSpec {
     assert(ivf == brute, "in-cluster nearest neighbor found while scanning one cell")
   }
 
+  test("bulk face (broadcastQueries=false) equals the default face, salted and not") {
+    // the bulk regime shuffles both sides on the cell id and guards hot
+    // cells with the asymmetric SaltedIndex cover; results (ranks
+    // included) must match the broadcast face exactly — with a tiny
+    // cellCap every cell is hot, so the salted path is exercised too
+    val embs = clustered
+    val centroids = Ivf.train(embs, "vec_id", "embedding", k = 3, iters = 3)
+    val queries = embs.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("q_id"), col("embedding"))
+    def rows(bq: Boolean) = Ivf.search(embs, queries, "vec_id", "embedding",
+        "q_id", centroids, topK = 4, nProbe = 2, broadcastQueries = bq)
+      .collect().map(_.toString).sorted.toSeq
+    val base = rows(bq = true)
+    assert(rows(bq = false) == base, "bulk face must equal the broadcast face")
+    spark.conf.set("graft.semdedup.cellCap", "2")
+    try assert(rows(bq = false) == base,
+      "salted hot-cell bulk face must equal the broadcast face")
+    finally spark.conf.unset("graft.semdedup.cellCap")
+  }
+
   test("measured recall@10 on the real embeddings rises with nProbe") {
     // measure, don't guess: the probe budget is THE recall knob of the
     // IVF design — pin the measured curve on real data so an assignment
