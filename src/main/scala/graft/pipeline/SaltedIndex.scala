@@ -62,15 +62,19 @@ private[graft] object SaltedIndex {
     (withSalt(plan, hot, keyCol, idCol), hot)
   }
 
-  /** Checkpoint `plan` with hot keys salted; returns (salted index
-    * carrying `__sg`, hot-key table, RDD ids to register with Pinned). */
+  /** Checkpoint `plan` ONCE, then census + salt over the materialized
+    * base: the (possibly expensive) index projection — band explosion,
+    * cell assignment — is computed exactly one time; the census reads the
+    * checkpoint and the salted frame is checkpoint + broadcast-left-join
+    * + hash-mod, replayed cheaply when a stream-static join re-plans its
+    * static side per micro-batch. Returns (salted index carrying `__sg`,
+    * hot-key table, RDD ids to register with Pinned). */
   def pin(plan: DataFrame, keyCol: String, idCol: Column, cap: Long)
       : (DataFrame, DataFrame, Set[Int]) = {
+    val (base, bIds) = graft.api.Pinned.checkpointTracked(plan)
     val (hot, hIds) = graft.api.Pinned.checkpointTracked(
-      hotKeys(plan, keyCol, cap))
-    val (idx, iIds) = graft.api.Pinned.checkpointTracked(
-      withSalt(plan, hot, keyCol, idCol))
-    (idx, hot, hIds ++ iIds)
+      hotKeys(base, keyCol, cap))
+    (withSalt(base, hot, keyCol, idCol), hot, bIds ++ hIds)
   }
 
   /** Replicate each arriving row to every salt of its key (cold keys:
