@@ -339,7 +339,7 @@ object StressBench {
           (3, Seq.tabulate(dim)(i => if (i == 1) -1.0 else 0.0)))
           .toDF("cid", "cv")
         val qs = skewed.where(pmod(col("vec_id"), lit(10L)) < 8L)
-          .orderBy("vec_id").limit(64)
+          .orderBy("vec_id").limit(512)
           .select(col("vec_id").as("q_id"), col("embedding")).persist()
         qs.count()
         val bcast = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
