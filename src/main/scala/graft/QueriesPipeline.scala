@@ -1391,6 +1391,66 @@ object QueriesPipeline {
          round(avg(mean_byte), 4) AS avg_mean_byte
        FROM f GROUP BY source"""
 
+  /** REAL image decode, end to end and oracle-checked: deterministic PNGs
+    * (pixel (x,y) of doc d = gray ((d*31+7x+13y) mod 256), encoded through
+    * the JDK PNG writer in the batched codec slot) are decoded back by
+    * `decodeImageBatched` — true raster dims and Rec. 601 mean luminance —
+    * and the DuckDB oracle reproduces the luminance from the closed form,
+    * proving the encode → PNG container → decode → feature path exact.
+    * (`byte_len` — the PNG container size — is the one column with no
+    * closed form and is projected out.) */
+  def qDecodeImage(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(spark, dir).df.select(col("doc_id"))
+    val media = Multimodal.synthesizeImages(d, "doc_id", 8, 8)
+    Multimodal.decodeImageBatched(media, "doc_id")
+      .select(col("id").as("doc_id"), col("decoded"), col("width"), col("height"),
+        round(col("mean_luma"), 4).as("mean_luma"), col("format"))
+  }
+
+  val qDecodeImageSql: String =
+    """SELECT doc_id, true AS decoded, 8 AS width, 8 AS height,
+         round((SELECT avg(0.299*v + 0.587*v + 0.114*v) FROM (
+           SELECT ((doc_id*31 + x*7 + y*13) % 256)::DOUBLE AS v
+           FROM range(0,8) t(x), range(0,8) u(y)) s), 4) AS mean_luma,
+         'image/png' AS format
+       FROM documents"""
+
+  /** REAL audio decode, the WAV sibling of [[qDecodeImage]]: deterministic
+    * 16-bit PCM mono WAVs (sample i of doc d = ((d*131+17i) mod 2000) −
+    * 1000 at 8 kHz) round-trip through the JDK audio stack, and the
+    * oracle reproduces the full-scale RMS from the closed form. */
+  def qDecodeAudio(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(spark, dir).df.select(col("doc_id"))
+    val media = Multimodal.synthesizeAudio(d, "doc_id", 400, 8000)
+    Multimodal.decodeAudioBatched(media, "doc_id")
+      .select(col("id").as("doc_id"), col("decoded"), col("sample_rate"),
+        col("channels"), col("n_samples"),
+        round(col("duration_s"), 4).as("duration_s"),
+        round(col("rms"), 6).as("rms"))
+  }
+
+  val qDecodeAudioSql: String =
+    """SELECT doc_id, true AS decoded, 8000 AS sample_rate, 1 AS channels,
+         400::BIGINT AS n_samples, 0.05::DOUBLE AS duration_s,
+         round((SELECT sqrt(avg(pow((((doc_id*131 + i*17) % 2000) - 1000)/32768.0, 2)))
+           FROM range(0,400) t(i)), 6) AS rms
+       FROM documents"""
+
+  /** `semanticDedupAuto` — the cells-∝-corpus SemDeDup face (codebook
+    * sized by `Ivf.cellsFor`, so per-cell verification work stays
+    * ~constant as the corpus grows). k is DATA-DEPENDENT (ceil(n/target)),
+    * so the fixed-k Lloyd-unroll oracle scaffolding cannot mirror it in
+    * SQL — the driver records the rows-only check; exactness against the
+    * fixed-k face under the same derived k is spec-pinned
+    * (SemanticDedupSpec) and the cell-population contract probed by
+    * StressBench `semauto`. */
+  def qSemanticAuto(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, dir).df
+    graft.pipeline.Dedup.semanticDedupAuto(emb, "vec_id", "embedding",
+      threshold = 0.4, targetCellSize = 128, iters = 2)
+      .select(col("vec_id"))
+  }
+
   /** IVF ANN: k-means cells + probe-limited exact search. Training is
     * deterministic (k lowest ids init, 2 fixed Lloyd rounds), so the oracle
     * mirrors the FULL pipeline in DuckDB — init, two unrolled
@@ -2154,7 +2214,10 @@ object QueriesPipeline {
     "q_embed_stats" -> (qEmbedStats _),
     "q_chunk" -> (qChunk _),
     "q_encode" -> (qEncode _),
-    "q_multimodal" -> (qMultimodal _)
+    "q_multimodal" -> (qMultimodal _),
+    "q_decode_image" -> (qDecodeImage _),
+    "q_decode_audio" -> (qDecodeAudio _),
+    "q_semantic_auto" -> (qSemanticAuto _)
   )
 
   val sql: Map[String, String] = Map(
@@ -2232,6 +2295,10 @@ object QueriesPipeline {
     "q_embed_stats" -> qEmbedStatsSql,
     "q_chunk" -> qChunkSql,
     "q_encode" -> qEncodeSql,
-    "q_multimodal" -> qMultimodalSql
+    "q_multimodal" -> qMultimodalSql,
+    "q_decode_image" -> qDecodeImageSql,
+    "q_decode_audio" -> qDecodeAudioSql
+    // q_semantic_auto: k is data-dependent — not SQL-expressible, driver
+    // records the rows-only check (see qSemanticAuto's doc)
   )
 }

@@ -1707,7 +1707,7 @@ object Dedup {
     // split, which would serialize the whole O(n²) stage onto one task
     val probe = e.repartition(e.sparkSession.sparkContext.defaultParallelism)
     probe.as("a").join(broadcast(e.as("b")), col(s"a.$idCol") < col(s"b.$idCol"))
-      .withColumn("cos", Similarity.dot(col("a.__e"), col("b.__e")) / (col("a.__n") * col("b.__n")))
+      .withColumn("cos", try_divide(Similarity.dot(col("a.__e"), col("b.__e")), col("a.__n") * col("b.__n")))
       .filter(col("cos") >= threshold)
       .select(col(s"a.$idCol").as("id_a"), col(s"b.$idCol").as("id_b"),
         round(col("cos"), 6).as("cos"))
@@ -1754,7 +1754,7 @@ object Dedup {
     cands
       .join(e.select(col(idCol).as("id_a"), col("__e").as("__ea"), col("__n").as("__na")), "id_a")
       .join(e.select(col(idCol).as("id_b"), col("__e").as("__eb"), col("__n").as("__nb")), "id_b")
-      .withColumn("cos", Similarity.dot(col("__ea"), col("__eb")) / (col("__na") * col("__nb")))
+      .withColumn("cos", try_divide(Similarity.dot(col("__ea"), col("__eb")), col("__na") * col("__nb")))
       .filter(col("cos") >= threshold)
       .select(col("id_a"), col("id_b"), round(col("cos"), 6).as("cos"))
   }
@@ -1848,12 +1848,10 @@ object Dedup {
     * changes: per-task pairs drop from pop² to ~cap², spread over
     * s(s+1)/2 buckets, at the cost of (s+1)× replication of the hot
     * cell's rows (the inherent SemDeDup verification work, redistributed).
-    * Populations are counted in one eager pass and the hot-cell table
-    * (bounded by #cells-over-cap, itself bounded by the codebook size) is
-    * a broadcast artifact; when no cell exceeds the cap the original
-    * two-sided plan is used untouched. The mechanism is the shared
-    * [[saltedSelfJoin]], the same cover guarding the MinHash band and
-    * SimHash chunk joins. */
+    * The split factor is a window count INSIDE the plan (no census
+    * action, no broadcast table); a cell under the cap keeps s = 1, i.e.
+    * the plain pair join. The mechanism is the shared [[saltedSelfJoin]],
+    * the same cover guarding the MinHash band and SimHash chunk joins. */
   private def semanticClusters(embs: DataFrame, idCol: String, vecCol: String,
                                centroids: DataFrame, threshold: Double): DataFrame =
     connectedComponents(
@@ -1870,8 +1868,8 @@ object Dedup {
     val e = embs.select(col(idCol), col(vecCol).cast("array<double>").as("__e"))
       .withColumn("__n", Similarity.norm(col("__e")))
       .withColumn("__cid", Ivf.nearestCid(col("__e"), cent))
-    val cos = Similarity.dot(col("a.__e"), col("b.__e")) /
-      (col("a.__n") * col("b.__n"))
+    val cos = try_divide(Similarity.dot(col("a.__e"), col("b.__e")),
+      col("a.__n") * col("b.__n"))
     // shared triangle cover ([[saltedSelfJoin]]); cosine is symmetric so
     // the least/greatest canonicalization is safe, and reduces to the
     // id-ordered identity on the uncapped plain plan
@@ -1915,8 +1913,8 @@ object Dedup {
     val arr = df
       .withColumn("__e", col(vecCol).cast("array<double>"))
       .withColumn("__n", Similarity.norm(col("__e")))
-    val near = Similarity.dot(col("__e"), col("__re")) /
-      (col("__n") * col("__rn")) >= threshold
+    val near = try_divide(Similarity.dot(col("__e"), col("__re")),
+      col("__n") * col("__rn")) >= threshold
     val survivors = arr.join(broadcast(ref), near, "left_anti")
       .select(orig.map(col): _*)
     new graft.api.MStream(survivors, stream.eventOrder, stream.contextKeys, stream.name)
@@ -1956,8 +1954,8 @@ object Dedup {
       .select(col(idCol).as("__rid"), col(vecCol).cast("array<double>").as("__re"))
       .withColumn("__rn", Similarity.norm(col("__re")))
       .withColumn("__cid", Ivf.nearestCid(col("__re"), cent))
-    val isCos = Similarity.dot(col("__e0"), col("__re")) /
-      (col("__n0") * col("__rn")) >= threshold
+    val isCos = try_divide(Similarity.dot(col("__e0"), col("__re")),
+      col("__n0") * col("__rn")) >= threshold
 
     if (!df.isStreaming) {
       val probes = df

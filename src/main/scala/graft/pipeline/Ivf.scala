@@ -194,6 +194,7 @@ object Ivf {
     val scored = joined
       .filter(col("__pid") =!= col("__qid"))
       .withColumn("cos", Similarity.cosine(col("__qv"), col("__pv")))
+      .filter(col("cos").isNotNull) // zero-norm vectors rank in NEITHER face
     // Rank with the bounded-heap aggregate, not a window: a window ships
     // EVERY candidate (cell population × nProbe per query) through the
     // rank exchange and sorts each query's full candidate set; the
@@ -261,8 +262,12 @@ object Ivf {
     import org.apache.spark.sql.types._
     val df = queries.df
     if (!df.isStreaming)
+      // beyond-broadcast (`broadcastCorpus = false`) means the batch join
+      // shuffles both sides too — forward it so the bulk face's hot-cell
+      // cover engages, mirroring the streaming face below
       return new graft.api.MStream(
-        search(embs, df, idCol, vecCol, qIdCol, centroids, topK, nProbe),
+        search(embs, df, idCol, vecCol, qIdCol, centroids, topK, nProbe,
+          broadcastQueries = broadcastCorpus),
         queries.eventOrder, queries.contextKeys, queries.name)
     require(topK > 0 && nProbe > 0, s"need topK > 0 and nProbe > 0, got $topK/$nProbe")
     val cent = collectCodebook(centroids)
@@ -299,6 +304,9 @@ object Ivf {
       .filter(col("__pid") =!= col("__qid"))
       .select(col("__qid"), col("__pid"),
         Similarity.cosine(col("__qv"), col("__pv")).as("__cos"))
+      // zero-norm vectors rank in neither face (and getDouble on a null
+      // __cos would NPE the combine)
+      .filter(col("__cos").isNotNull)
     val qType = df.schema(qIdCol).dataType
     val pType = embs.schema(idCol).dataType
     val outT = StructType(Seq(

@@ -108,9 +108,14 @@ object Multimodal {
         val fmt = r.getStruct(metaIdx).getString(0)
         val img =
           if (fmt != null && fmt.startsWith("image/"))
+            // NonFatal, not just IOException: the JDK GIF/BMP/JPEG readers
+            // throw RuntimeExceptions (AIOOBE, IllegalArgument,
+            // NegativeArraySize) on truncated/corrupt payloads — a crawled
+            // corpus WILL contain those, and the contract is the
+            // byte-stats fallback, never a failed task
             try Option(javax.imageio.ImageIO.read(
               new java.io.ByteArrayInputStream(bytes)))
-            catch { case _: java.io.IOException => None }
+            catch { case scala.util.control.NonFatal(_) => None }
           else None
         img match {
           case Some(im) =>
@@ -203,11 +208,10 @@ object Multimodal {
                   cnt / base.getChannels, rms))
               } finally ais.close()
             } catch {
-              // not an audio container / truncated / conversion unsupported:
-              // degrade, never fail the task
-              case _: javax.sound.sampled.UnsupportedAudioFileException => None
-              case _: java.io.IOException => None
-              case _: IllegalArgumentException => None
+              // not an audio container / truncated / conversion unsupported
+              // (incl. RuntimeExceptions from malformed headers): degrade,
+              // never fail the task
+              case scala.util.control.NonFatal(_) => None
             }
           } else None
         decoded match {
@@ -228,6 +232,77 @@ object Multimodal {
     * pixel-space interpolation, the metadata struct updates to the target
     * dimensions, and a real build swaps the expression for a codec-backed
     * one without touching schema or callers. */
+  /** Deterministic PNG payloads for oracle-checked decode tests: pixel
+    * (x, y) of row `id` is the gray value ((id*31 + x*7 + y*13) mod 256)
+    * replicated to R=G=B (TYPE_INT_RGB avoids the JDK's linear-gray →
+    * sRGB gamma conversion, so the decoded raster round-trips the formula
+    * bit-exactly and the mean Rec. 601 luminance has a closed form a SQL
+    * oracle reproduces). Encoded in the same partition-batched codec slot
+    * the decoders use — synthesis distributes like any other stage. */
+  def synthesizeImages(df: DataFrame, idCol: String, w: Int, h: Int): DataFrame = {
+    val outSchema = StructType(Seq(
+      StructField(idCol, LongType),
+      StructField("media", BinaryType),
+      StructField("media_meta", MediaMetaType)))
+    val idIdx = df.schema.fieldIndex(idCol)
+    implicit val enc = RowEncoder.encoderFor(outSchema)
+    df.mapPartitions { rows =>
+      rows.map { r =>
+        val id = r.getLong(idIdx)
+        val img = new java.awt.image.BufferedImage(
+          w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            val v = (((id * 31 + x * 7 + y * 13) % 256) + 256) % 256
+            img.setRGB(x, y, ((v << 16) | (v << 8) | v).toInt)
+            x += 1
+          }
+          y += 1
+        }
+        val baos = new java.io.ByteArrayOutputStream()
+        javax.imageio.ImageIO.write(img, "png", baos)
+        Row(id, baos.toByteArray, Row("image/png", w, h, 1))
+      }
+    }
+  }
+
+  /** Deterministic WAV payloads (16-bit signed PCM mono, little-endian):
+    * sample i of row `id` is ((id*131 + i*17) mod 2000) − 1000 — the
+    * closed form a SQL oracle mirrors for the decoded RMS. Same
+    * partition-batched slot as [[synthesizeImages]]. */
+  def synthesizeAudio(df: DataFrame, idCol: String, n: Int, rate: Int): DataFrame = {
+    val outSchema = StructType(Seq(
+      StructField(idCol, LongType),
+      StructField("media", BinaryType),
+      StructField("media_meta", MediaMetaType)))
+    val idIdx = df.schema.fieldIndex(idCol)
+    implicit val enc = RowEncoder.encoderFor(outSchema)
+    df.mapPartitions { rows =>
+      rows.map { r =>
+        val id = r.getLong(idIdx)
+        val data = new Array[Byte](n * 2)
+        var i = 0
+        while (i < n) {
+          val s = ((((id * 131 + i * 17) % 2000) + 2000) % 2000 - 1000).toShort
+          data(2 * i) = (s & 0xff).toByte
+          data(2 * i + 1) = ((s >> 8) & 0xff).toByte
+          i += 1
+        }
+        val fmt = new javax.sound.sampled.AudioFormat(
+          javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED,
+          rate.toFloat, 16, 1, 2, rate.toFloat, false)
+        val ais = new javax.sound.sampled.AudioInputStream(
+          new java.io.ByteArrayInputStream(data), fmt, n.toLong)
+        val baos = new java.io.ByteArrayOutputStream()
+        javax.sound.sampled.AudioSystem.write(
+          ais, javax.sound.sampled.AudioFileFormat.Type.WAVE, baos)
+        Row(id, baos.toByteArray, Row("audio/wav", null, null, null))
+      }
+    }
+  }
+
   def resizeStub(df: DataFrame, w: Int, h: Int): DataFrame =
     df.withColumn("media",
         graft.functions.VectorFunctions.byteResize(col("media"), lit(w * h)))

@@ -20,7 +20,13 @@ object Similarity {
 
   def norm(a: Column): Column = graft.functions.VectorFunctions.normNative(a)
 
-  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+  /** Cosine via `try_divide`: a zero-norm vector (e.g. an all-zero
+    * embedding from a failed encoder) has no defined cosine — the plain
+    * division would THROW under Spark's default ANSI mode and kill the
+    * job at scale. Null cosine then fails every `>= threshold` gate and
+    * is excluded from every top-k ranking (both the bounded-heap and
+    * window faces filter it), so zero-norm vectors match nothing. */
+  def cosine(a: Column, b: Column): Column = try_divide(dot(a, b), norm(a) * norm(b))
 
   /**
    * Brute-force cosine top-k: every query scans the corpus once. The query
@@ -35,6 +41,7 @@ object Similarity {
     val scored = c.crossJoin(broadcast(q))
       .filter(col(idCol) =!= col(qIdCol))
       .withColumn("cos", cosine(col("__qe"), col("__e")))
+      .filter(col("cos").isNotNull) // zero-norm: match the heap face, which skips null scores
     val w = Window.partitionBy(col(qIdCol)).orderBy(col("cos").desc, col(idCol))
     scored.withColumn("rn", row_number().over(w))
       .filter(col("rn") <= k)

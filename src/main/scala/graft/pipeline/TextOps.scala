@@ -1197,14 +1197,12 @@ object TextOps {
         "and the merge table is a driver artifact; keep <= 65536")
     val spark = docs.sparkSession
     import spark.implicits._
+    // one conf-parsing contract for the whole pipeline family
+    // ([[Dedup.longConf]]), narrowed to Int with a named range error
     def intConf(key: String, default: Int): Int = {
-      val v = spark.conf.getOption(key).map { s =>
-        try s.trim.toInt
-        catch { case _: NumberFormatException => throw new IllegalArgumentException(
-          s"$key must be an integer, got '$s'") }
-      }.getOrElse(default)
-      require(v > 0, s"$key must be positive, got $v")
-      v
+      val v = Dedup.longConf(spark, key, default)
+      require(v <= Int.MaxValue, s"$key must fit an Int, got $v")
+      v.toInt
     }
     val rematEvery = intConf("graft.bpe.rematEvery", 64)
     // The training loop runs thousands of TINY driver-coordinated jobs
@@ -1214,22 +1212,33 @@ object TextOps {
     // round pay 32+ task launches for kilobytes of work, and that task
     // overhead — not data — dominates the trainer. Keep the working set on
     // a few partitions (graft.bpe.vocabPartitions, default 8) and narrow
-    // the per-round shuffle to match (restored in the finally).
+    // the per-round shuffle to match (in the cloned loop session below).
     val vocabParts = intConf("graft.bpe.vocabPartitions", 8)
-    val shufflePartsBefore = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", vocabParts.toString)
-    // AQE's per-stage re-planning adds a scheduling round trip to every
-    // micro-job; over thousands of driver-coordinated rounds that fixed
-    // latency dominates. The trainer's plans are tiny and fixed-shape —
-    // nothing for AQE to improve — so switch it off for the loop.
-    val aqeBefore = spark.conf.get("spark.sql.adaptive.enabled")
-    spark.conf.set("spark.sql.adaptive.enabled", "false")
-    var vocab = docs
+    // The ONE corpus-scale pass (the word count) runs in the CALLER's
+    // session at its full shuffle width — narrowing applies to the tiny
+    // per-round jobs over the distinct-word table, never to the corpus
+    // scan — and is materialized (lineage-truncated) before the loop.
+    val (vocab0, vocab0Ids) = graft.api.Pinned.checkpointTracked(docs
       .select(explode(words(col(textCol))).as("__w"))
       .groupBy("__w").agg(count(lit(1)).as("__c"))
-      .select(bpeWrap(col("__w")).as("__s"), col("__c"))
+      .select(bpeWrap(col("__w")).as("__s"), col("__c")))
+    // The thousands of tiny driver-coordinated rounds run in a CLONED
+    // session (shared SparkContext, PRIVATE SQLConf): the narrow shuffle
+    // width and AQE-off (whose per-stage re-planning round trip dominates
+    // fixed-shape micro-jobs) apply only to the loop — concurrent queries
+    // on the caller's session keep their plans, and there is no global
+    // conf mutation to restore or race on.
+    val loop = spark.newSession()
+    loop.conf.set("spark.sql.shuffle.partitions", vocabParts.toString)
+    loop.conf.set("spark.sql.adaptive.enabled", "false")
+    var vocab = loop.createDataFrame(vocab0.rdd, vocab0.schema)
       .coalesce(vocabParts)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    var vocabCpIds = Set.empty[Int]
+    def releaseIds(ids: Set[Int]): Unit = {
+      val live = spark.sparkContext.getPersistentRDDs
+      ids.foreach(id => live.get(id).foreach(_.unpersist(blocking = false)))
+    }
     try {
       val merges = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
       // merges learned since the last vocabulary re-materialization — the
@@ -1257,16 +1266,19 @@ object TextOps {
           r += 1
           if (pending.size >= rematEvery && r < numMerges && !exhausted) {
             // fold the pending chain into the data and TRUNCATE LINEAGE
-            // (localCheckpoint, eager): without truncation the logical
-            // plan stacks one projection per generation and analyzer cost
-            // grows linearly with the merge count — the very thing the
-            // re-materialization exists to bound. Same posture as Spark
-            // ML's iterative trainers.
-            val next = vocab
+            // (tracked localCheckpoint, eager): without truncation the
+            // logical plan stacks one projection per generation and
+            // analyzer cost grows linearly with the merge count — the
+            // very thing the re-materialization exists to bound. Same
+            // posture as Spark ML's iterative trainers. Checkpoint RDD
+            // ids are tracked so each superseded generation is ACTUALLY
+            // released (Dataset.unpersist is a CacheManager call — a
+            // no-op for localCheckpoint's RDD-level persist).
+            val (next, nIds) = graft.api.Pinned.checkpointTracked(vocab
               .select(bpeApply(col("__s"), pending.toSeq).as("__s"), col("__c"))
-              .where(size(bpeSymbols(col("__s"))) >= 2)
-              .localCheckpoint(true)
+              .where(size(bpeSymbols(col("__s"))) >= 2))
             vocab.unpersist(blocking = false)
+            releaseIds(vocabCpIds); vocabCpIds = nIds
             vocab = next
             pending.clear()
           }
@@ -1275,9 +1287,9 @@ object TextOps {
       merges.toSeq.zipWithIndex
         .map { case ((a, b), i) => (i + 1, a, b) }.toDF("merge_rank", "lhs", "rhs")
     } finally {
-      spark.conf.set("spark.sql.shuffle.partitions", shufflePartsBefore)
-      spark.conf.set("spark.sql.adaptive.enabled", aqeBefore)
       vocab.unpersist(blocking = false)
+      releaseIds(vocabCpIds)
+      releaseIds(vocab0Ids)
     }
   }
 

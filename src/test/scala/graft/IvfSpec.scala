@@ -50,6 +50,37 @@ class IvfSpec extends SparkSpec {
     finally spark.conf.unset("graft.semdedup.cellCap")
   }
 
+  test("zero-norm vectors match nothing instead of throwing (ANSI divide-by-zero)") {
+    // cosine on an all-zero embedding is undefined; under Spark's default
+    // ANSI mode the naive division would kill the job. try_divide makes
+    // the cosine NULL, which every threshold gate and BOTH top-k faces
+    // (bounded heap skips null scores; the window face filters them)
+    // exclude — so the zero vector ranks nowhere, is no one's neighbor,
+    // and both id-type faces agree.
+    val embs = clustered.union(
+      Seq((999L, Array.fill(4)(0.0f))).toDF("vec_id", "embedding"))
+    val centroids = Ivf.train(clustered, "vec_id", "embedding", k = 3, iters = 2)
+    val queries = embs.filter(col("vec_id") < 3 || col("vec_id") === 999L)
+      .select(col("vec_id").as("q_id"), col("embedding"))
+    val heapFace = Ivf.search(embs, queries, "vec_id", "embedding", "q_id",
+      centroids, topK = 3, nProbe = 3).collect()
+    assert(!heapFace.exists(r => r.getLong(0) == 999L || r.getLong(1) == 999L),
+      "zero-norm vector must appear as neither query nor neighbor")
+    val windowFace = Ivf.search(
+      embs.select(col("vec_id").cast("string").as("vec_id"), col("embedding")),
+      queries.select(col("q_id").cast("string").as("q_id"), col("embedding")),
+      "vec_id", "embedding", "q_id", centroids, topK = 3, nProbe = 3).collect()
+    assert(heapFace.map(r => (r.getLong(0).toString, r.getLong(1).toString,
+        r.getDouble(2), r.getInt(3))).toSet ==
+      windowFace.map(r => (r.getString(0), r.getString(1),
+        r.getDouble(2), r.getInt(3))).toSet,
+      "heap and window faces must agree in the presence of zero-norm vectors")
+    val brute = Similarity.bruteForceTopK(embs, queries, "vec_id", "embedding", "q_id", 3)
+      .collect()
+    assert(!brute.exists(r => r.getLong(0) == 999L || r.getLong(1) == 999L),
+      "brute-force window face excludes zero-norm vectors too")
+  }
+
   test("measured recall@10 on the real embeddings rises with nProbe") {
     // measure, don't guess: the probe budget is THE recall knob of the
     // IVF design — pin the measured curve on real data so an assignment

@@ -277,6 +277,12 @@ class ProgramNodeCoverageSpec extends AnyFunSuite {
       "MaxDims" -> excluded(const)))
     check("graft.pipeline.Multimodal$", Map(
       "withFakeMedia" -> excluded("test-data synthesizer"),
+      "synthesizeImages" -> excluded("deterministic oracle-payload " +
+        "synthesizer (q_decode_image); test-data generator, not a " +
+        "pipeline operator"),
+      "synthesizeAudio" -> excluded("deterministic oracle-payload " +
+        "synthesizer (q_decode_audio); test-data generator, not a " +
+        "pipeline operator"),
       "byteFeatures" -> excluded("multimodal feature projection; program " +
         "face is mapCols over the binary column (documented exclusion: no " +
         "codec libraries ship in this environment)"),

@@ -98,6 +98,21 @@ class SemanticDedupSpec extends SparkSpec {
     assert(unCapped.nonEmpty && unCapped.size < 90, "scenario must actually dedup")
   }
 
+  test("semanticDedupAuto equals the fixed-k face at the derived k") {
+    val embs = (0 until 90).map { i =>
+      (i.toLong, axis(i % 3, 0.001f * (i / 3)))
+    }.toDF("vec_id", "embedding")
+    val auto = Dedup.semanticDedupAuto(embs, "vec_id", "embedding",
+      threshold = 0.99, targetCellSize = 20, iters = 2)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    val k = Ivf.cellsFor(90L, 20L)
+    val cents = Ivf.train(embs, "vec_id", "embedding", k, iters = 2)
+    val fixed = Dedup.semanticDedup(embs, "vec_id", "embedding", cents,
+      threshold = 0.99).select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(auto == fixed, "auto face must equal fixed-k at k = cellsFor(n, target)")
+    assert(auto.size < 90, "scenario must actually dedup")
+  }
+
   test("droppedBecause lineage names the surviving representative") {
     val embs = Seq(
       (10L, axis(0, 0.01f)), (50L, axis(0, 0.02f)),
