@@ -37,6 +37,21 @@ object Pq {
     * Bit-identical entries either way (PqSpec + the PqLut property). */
   private[graft] val LiteralLutEntries = 256
 
+  /** Sub-quantizer assignment with the literal/loop dispatch on the TOTAL
+    * inline budget across all m sub-codebooks: each book alone may sit
+    * under [[Ivf.LiteralCells]] (so `nearestCid`'s per-book dispatch
+    * would pick the literal face), but the m assignments land in ONE
+    * projection, and the combined generated code is what must respect
+    * the Janino method ceiling — m=8 × ksub=64 literal faces measured
+    * blowing the 64 KB limit, dropping the whole encode stage out of
+    * whole-stage codegen (the StressBench `pqlut512` probe). Bit-identical
+    * either way (the loop face is property-pinned against the literal). */
+  private def subCid(books: IndexedSeq[Seq[(Int, Seq[Double])]], j: Int,
+                     sub: Column): Column =
+    if (books.iterator.map(_.size).sum > Ivf.LiteralCells)
+      Ivf.nearestCidLoop(sub, books(j))
+    else Ivf.nearestCid(sub, books(j))
+
   private def lutColsLiteral(books: IndexedSeq[Seq[(Int, Seq[Double])]]): Seq[Column] =
     books.zipWithIndex.flatMap { case (b, j) =>
       val qj = col(s"__q$j")
@@ -107,7 +122,7 @@ object Pq {
           .select((0 until m).map(j => subv(j, col("__pv")).as(s"__s$j")): _*)
           .select(explode(array((0 until m).map { j =>
             struct(lit(j).as("sub"),
-              Ivf.nearestCid(col(s"__s$j"), books(j)).as("cid"),
+              subCid(books, j, col(s"__s$j")).as("cid"),
               col(s"__s$j").as("sv"))
           }: _*)).as("__a"))
           .select(col("__a.sub"), col("__a.cid"), col("__a.sv"))
@@ -163,7 +178,7 @@ object Pq {
         books.indices.map(j => slice(v, j * sd + 1, sd).as(s"__s$j")): _*)
       .select(col(idCol),
         array(books.indices.map(j =>
-          Ivf.nearestCid(col(s"__s$j"), books(j))): _*).as("codes"))
+          subCid(books, j, col(s"__s$j"))): _*).as("codes"))
   }
 
   /** Exhaustive ADC top-k: per query one `m × ksub` lookup table of exact
@@ -228,7 +243,7 @@ object Pq {
         books.indices.map(j => slice(v, j * sd + 1, sd).as(s"__s$j")): _*)
       .select(col(idCol), Ivf.nearestCid(col("__pv"), cent).as("cid"),
         array(books.indices.map(j =>
-          Ivf.nearestCid(col(s"__s$j"), books(j))): _*).as("codes"))
+          subCid(books, j, col(s"__s$j"))): _*).as("codes"))
     // shuffled face: hot IVF cells of the pinned coded corpus are salted
     // at pin time (SaltedIndex — the stream-static/hot-cell cover)
     val (coded, hotCells, ids) =
@@ -303,7 +318,7 @@ object Pq {
         books.indices.map(j => slice(v, j * sd + 1, sd).as(s"__s$j")): _*)
       .select(col("__pid"), Ivf.nearestCid(col("__pv"), cent).as("cid"),
         array(books.indices.map(j =>
-          Ivf.nearestCid(col(s"__s$j"), books(j))): _*).as("codes"))
+          subCid(books, j, col(s"__s$j"))): _*).as("codes"))
     // shuffled face: salted pinned index (see ivfAdcTopK)
     val (coded, hotCells, ids) =
       if (broadcastCorpus) {
