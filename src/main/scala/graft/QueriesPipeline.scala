@@ -1410,7 +1410,7 @@ object QueriesPipeline {
   val qDecodeImageSql: String =
     """SELECT doc_id, true AS decoded, 8 AS width, 8 AS height,
          round((SELECT avg(0.299*v + 0.587*v + 0.114*v) FROM (
-           SELECT ((doc_id*31 + x*7 + y*13) % 256)::DOUBLE AS v
+           SELECT (((doc_id*31 + x*7 + y*13) % 256 + 256) % 256)::DOUBLE AS v
            FROM range(0,8) t(x), range(0,8) u(y)) s), 4) AS mean_luma,
          'image/png' AS format
        FROM documents"""
@@ -1432,7 +1432,7 @@ object QueriesPipeline {
   val qDecodeAudioSql: String =
     """SELECT doc_id, true AS decoded, 8000 AS sample_rate, 1 AS channels,
          400::BIGINT AS n_samples, 0.05::DOUBLE AS duration_s,
-         round((SELECT sqrt(avg(pow((((doc_id*131 + i*17) % 2000) - 1000)/32768.0, 2)))
+         round((SELECT sqrt(avg(pow((((doc_id*131 + i*17) % 2000 + 2000) % 2000 - 1000)/32768.0, 2)))
            FROM range(0,400) t(i)), 6) AS rms
        FROM documents"""
 

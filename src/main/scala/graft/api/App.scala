@@ -570,10 +570,7 @@ object App {
     // batch) and the superseded blocks are released — storage is O(rows),
     // like a real memory sink's buffer, not O(rows × batches)
     val memAccum = new scala.collection.mutable.HashMap[String, (DataFrame, Set[Int])]
-    def unpersistIds(ids: Set[Int]): Unit = {
-      val live = spark.sparkContext.getPersistentRDDs
-      ids.foreach(id => live.get(id).foreach(_.unpersist(blocking = false)))
-    }
+    def unpersistIds(ids: Set[Int]): Unit = Pinned.unpersist(spark, ids)
     val w = df.writeStream.outputMode("append").foreachBatch {
       (batch: DataFrame, batchId: Long) =>
         val pinned = batch.persist()

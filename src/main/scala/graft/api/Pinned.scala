@@ -107,8 +107,14 @@ object Pinned {
     }
   }
 
-  private def unpersist(spark: SparkSession, ids: Set[Int]): Unit = {
-    val live = spark.sparkContext.getPersistentRDDs
+  /** Release tracked RDD ids (non-blocking, ignores already-gone ids) —
+    * THE unpersist-by-id idiom; reuse this instead of re-implementing the
+    * getPersistentRDDs lookup at call sites. */
+  private[graft] def unpersist(spark: SparkSession, ids: Set[Int]): Unit =
+    unpersist(spark.sparkContext, ids)
+
+  private[graft] def unpersist(sc: org.apache.spark.SparkContext, ids: Set[Int]): Unit = {
+    val live = sc.getPersistentRDDs
     ids.foreach(id => live.get(id).foreach(_.unpersist(blocking = false)))
   }
 

@@ -60,10 +60,8 @@ object Cycles {
       (m("__n").asInstanceOf[Long], m("__x").asInstanceOf[Long]))
   }
 
-  private def release(sc: org.apache.spark.SparkContext, ids: Set[Int]): Unit = {
-    val live = sc.getPersistentRDDs
-    ids.foreach(id => live.get(id).foreach(_.unpersist(blocking = false)))
-  }
+  private def release(sc: org.apache.spark.SparkContext, ids: Set[Int]): Unit =
+    graft.api.Pinned.unpersist(sc, ids)
 
   /** Round-granularity lineage for cycle fixpoints (active when the run
     * bound a lineage sink — milan emits lineage from every runtime op,

@@ -300,10 +300,8 @@ object EnrichmentJoins {
             val sc = lDf.sparkSession.sparkContext
             def cpTracked(d: DataFrame): (DataFrame, Set[Int]) =
               graft.api.Pinned.checkpointTracked(d)
-            def unpersistIds(ids: Set[Int]): Unit = {
-              val live = sc.getPersistentRDDs
-              ids.foreach(id => live.get(id).foreach(_.unpersist(blocking = false)))
-            }
+            def unpersistIds(ids: Set[Int]): Unit =
+              graft.api.Pinned.unpersist(sc, ids)
             val maxRn = rights.groupBy(keyNames.map(k => col(s"r$k")): _*)
               .agg(max(col("__rn")).as("__maxrn"))
             var (stuck, stuckIds) = cpTracked(unmatched(w2, m2).join(maxRn, keyEq, "inner")

@@ -943,10 +943,7 @@ object Dedup {
       (cp, graft.api.Pinned.idsOf(cp),
         (m("__n").asInstanceOf[Long], m("__x").asInstanceOf[Long]))
     }
-    def unpersistIds(ids: Set[Int]): Unit = {
-      val live = sc.getPersistentRDDs
-      ids.foreach(id => live.get(id).foreach(_.unpersist(blocking = false)))
-    }
+    def unpersistIds(ids: Set[Int]): Unit = graft.api.Pinned.unpersist(sc, ids)
     // Node keys are LONGS (8-byte shuffle keys through every round). A
     // non-castable id must fail by NAME, not degrade: under ANSI the bare
     // cast throws an anonymous NumberFormatException mid-join; without

@@ -63,9 +63,16 @@ object Ivf {
   private[graft] def nearestCidLoop(pv: Column, cent: Seq[(Int, Seq[Double])]): Column =
     element_at(graft.functions.VectorFunctions.nearestCells(pv, cent, 1), 1)
 
-  private[pipeline] def nearestCid(pv: Column, cent: Seq[(Int, Seq[Double])]): Column = {
+  /** `extraInline`: literal distance entries from OTHER assignment
+    * constructs sharing the same projection — the Janino method ceiling
+    * is per generated method, so the dispatch must budget the whole
+    * projection, not this construct alone (`Pq`'s coarse + m sub-book
+    * encode measured blowing 64 KB with every construct individually
+    * under the threshold). */
+  private[pipeline] def nearestCid(pv: Column, cent: Seq[(Int, Seq[Double])],
+                                   extraInline: Int = 0): Column = {
     require(cent.nonEmpty, "IVF codebook is empty — train() first")
-    if (cent.sizeIs <= LiteralCells) nearestCidLiteral(pv, cent)
+    if (cent.size + extraInline <= LiteralCells) nearestCidLiteral(pv, cent)
     else nearestCidLoop(pv, cent)
   }
 
@@ -75,8 +82,9 @@ object Ivf {
   private[graft] def probeCidsLiteral(pv: Column, cent: Seq[(Int, Seq[Double])], nProbe: Int): Column =
     transform(slice(array_sort(array(distCid(pv, cent): _*)), 1, nProbe), s => s.getField("cid"))
 
-  private[pipeline] def probeCids(pv: Column, cent: Seq[(Int, Seq[Double])], nProbe: Int): Column =
-    if (cent.sizeIs <= LiteralCells) probeCidsLiteral(pv, cent, nProbe)
+  private[pipeline] def probeCids(pv: Column, cent: Seq[(Int, Seq[Double])], nProbe: Int,
+                                  extraInline: Int = 0): Column =
+    if (cent.size + extraInline <= LiteralCells) probeCidsLiteral(pv, cent, nProbe)
     else graft.functions.VectorFunctions.nearestCells(pv, cent, nProbe)
 
   /** The codebook size that keeps expected cell population ~constant as

@@ -44,11 +44,15 @@ object Pq {
     * projection, and the combined generated code is what must respect
     * the Janino method ceiling — m=8 × ksub=64 literal faces measured
     * blowing the 64 KB limit, dropping the whole encode stage out of
-    * whole-stage codegen (the StressBench `pqlut512` probe). Bit-identical
-    * either way (the loop face is property-pinned against the literal). */
+    * whole-stage codegen (the StressBench `pqlut512` probe).
+    * `extraInline` counts literal entries from OTHER constructs staged in
+    * the same projection (the coarse IVF assignment in [[ivfAdcTopK]]'s
+    * coded plan) — the budget is per generated method, not per construct.
+    * Bit-identical either way (the loop face is property-pinned against
+    * the literal). */
   private def subCid(books: IndexedSeq[Seq[(Int, Seq[Double])]], j: Int,
-                     sub: Column): Column =
-    if (books.iterator.map(_.size).sum > Ivf.LiteralCells)
+                     sub: Column, extraInline: Int = 0): Column =
+    if (books.iterator.map(_.size).sum + extraInline > Ivf.LiteralCells)
       Ivf.nearestCidLoop(sub, books(j))
     else Ivf.nearestCid(sub, books(j))
 
@@ -69,12 +73,16 @@ object Pq {
     * select. Literal staging below [[LiteralLutEntries]] (slice each
     * sub-vector once, |q_j|² once, every entry then references columns —
     * smaller codegen, one copy); the [[graft.functions.PqLut]] loop
-    * expression above it. */
+    * expression above it. `extraInline` counts literal entries the
+    * `extra` columns themselves stage into the final select (the
+    * [[Ivf.probeCids]] explode in [[ivfAdcTopK]]) — the Janino budget is
+    * per projection, so the LUT dispatch must see them. */
   private def withLut(q: DataFrame, books: IndexedSeq[Seq[(Int, Seq[Double])]],
-                      carry: Seq[String], extra: Seq[Column]): DataFrame = {
+                      carry: Seq[String], extra: Seq[Column],
+                      extraInline: Int = 0): DataFrame = {
     val sd = books.head.head._2.size
     val cs = carry.map(col)
-    if (books.iterator.map(_.size).sum > LiteralLutEntries)
+    if (books.iterator.map(_.size).sum + extraInline > LiteralLutEntries)
       return q.select(cs ++ (graft.functions.VectorFunctions
         .pqLut(col("__qv"), books.map(_.map(_._2)), sd).as("__lut") +: extra): _*)
     q
@@ -237,13 +245,18 @@ object Pq {
     val books = collectBooks(codebooks)
     val m = books.size
     val sd = books.head.head._2.size
+    // coarse assignment + m sub-assignments land in ONE projection (and
+    // the probe explode shares the LUT's) — each dispatch budgets the
+    // projection total, not its own entries alone
+    val lutTotal = books.iterator.map(_.size).sum
     val v = col(vecCol).cast("array<double>")
     val codedPlan = corpus
       .select(col(idCol) +: v.as("__pv") +:
         books.indices.map(j => slice(v, j * sd + 1, sd).as(s"__s$j")): _*)
-      .select(col(idCol), Ivf.nearestCid(col("__pv"), cent).as("cid"),
+      .select(col(idCol),
+        Ivf.nearestCid(col("__pv"), cent, extraInline = lutTotal).as("cid"),
         array(books.indices.map(j =>
-          subCid(books, j, col(s"__s$j"))): _*).as("codes"))
+          subCid(books, j, col(s"__s$j"), extraInline = cent.size)): _*).as("codes"))
     // shuffled face: hot IVF cells of the pinned coded corpus are salted
     // at pin time (SaltedIndex — the stream-static/hot-cell cover)
     val (coded, hotCells, ids) =
@@ -260,7 +273,9 @@ object Pq {
     val q0 = withLut(
       queries.select(col(qIdCol), col(vecCol).cast("array<double>").as("__qv")),
       books, Seq(qIdCol),
-      Seq(explode(Ivf.probeCids(col("__qv"), cent, nProbe)).as("cid")))
+      Seq(explode(Ivf.probeCids(col("__qv"), cent, nProbe,
+        extraInline = lutTotal)).as("cid")),
+      extraInline = cent.size)
     val q = hotCells match {
       case None => q0
       case Some(hot) => SaltedIndex.replicate(q0, hot, "cid")
@@ -312,13 +327,16 @@ object Pq {
     val books = collectBooks(codebooks)
     val m = books.size
     val sd = books.head.head._2.size
+    // per-projection inline budget, as in ivfAdcTopK
+    val lutTotal = books.iterator.map(_.size).sum
     val v = col(vecCol).cast("array<double>")
     val codedPlan = corpus
       .select(col(idCol).as("__pid") +: v.as("__pv") +:
         books.indices.map(j => slice(v, j * sd + 1, sd).as(s"__s$j")): _*)
-      .select(col("__pid"), Ivf.nearestCid(col("__pv"), cent).as("cid"),
+      .select(col("__pid"),
+        Ivf.nearestCid(col("__pv"), cent, extraInline = lutTotal).as("cid"),
         array(books.indices.map(j =>
-          subCid(books, j, col(s"__s$j"))): _*).as("codes"))
+          subCid(books, j, col(s"__s$j"), extraInline = cent.size)): _*).as("codes"))
     // shuffled face: salted pinned index (see ivfAdcTopK)
     val (coded, hotCells, ids) =
       if (broadcastCorpus) {
@@ -334,7 +352,9 @@ object Pq {
     val q0 = withLut(
       df.select(col(qIdCol).as("__qid"), col(vecCol).cast("array<double>").as("__qv")),
       books, Seq("__qid"),
-      Seq(explode(Ivf.probeCids(col("__qv"), cent, nProbe)).as("cid")))
+      Seq(explode(Ivf.probeCids(col("__qv"), cent, nProbe,
+        extraInline = lutTotal)).as("cid")),
+      extraInline = cent.size)
     val q = hotCells match {
       case None => q0
       case Some(hot) => SaltedIndex.replicate(q0, hot, "cid")

@@ -364,12 +364,9 @@ object TextOps {
     import org.apache.spark.sql.expressions.Window
     val spark = docs.sparkSession
     val sc = spark.sparkContext
-    def unpersistIds(ids: Set[Int]): Unit = {
-      // expected "lineage truncated" WARN per id — superseded checkpoints
-      // are never re-read (same hygiene as connectedComponents)
-      val live = sc.getPersistentRDDs
-      ids.foreach(id => live.get(id).foreach(_.unpersist(blocking = false)))
-    }
+    // expected "lineage truncated" WARN per id — superseded checkpoints
+    // are never re-read (same hygiene as connectedComponents)
+    def unpersistIds(ids: Set[Int]): Unit = graft.api.Pinned.unpersist(sc, ids)
     // materialize the counts BEFORE range partitioning: RangePartitioner's
     // boundary sampling is itself a pass over its child, so an
     // uncheckpointed count aggregate would run twice (sampling + shuffle);
@@ -1235,10 +1232,7 @@ object TextOps {
       .coalesce(vocabParts)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     var vocabCpIds = Set.empty[Int]
-    def releaseIds(ids: Set[Int]): Unit = {
-      val live = spark.sparkContext.getPersistentRDDs
-      ids.foreach(id => live.get(id).foreach(_.unpersist(blocking = false)))
-    }
+    def releaseIds(ids: Set[Int]): Unit = graft.api.Pinned.unpersist(spark, ids)
     try {
       val merges = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
       // merges learned since the last vocabulary re-materialization — the
