@@ -1436,6 +1436,32 @@ object QueriesPipeline {
            FROM range(0,400) t(i)), 6) AS rms
        FROM documents"""
 
+  /** REAL video frame-sample + decode, the multi-frame sibling of
+    * [[qDecodeImage]]: deterministic 6-frame animated GIFs (frame f,
+    * pixel (x, y) of doc d = gray ((d*31 + f*97 + 7x + 13y) mod 256),
+    * bit-exact through the indexed palette) round-trip through the JDK's
+    * multi-frame imageio reader, every 2nd frame is decoded (frames 0, 2,
+    * 4 — the skipped frames are never rasterized), and the oracle
+    * reproduces the sampled-frame mean Rec. 601 luminance from the closed
+    * form. */
+  def qDecodeVideo(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(spark, dir).df.select(col("doc_id"))
+    val media = Multimodal.synthesizeVideos(d, "doc_id", 8, 8, 6)
+    Multimodal.decodeVideoBatched(media, "doc_id", every = 2)
+      .select(col("id").as("doc_id"), col("decoded"), col("width"), col("height"),
+        col("n_frames"), col("n_sampled"),
+        round(col("mean_luma"), 4).as("mean_luma"), col("format"))
+  }
+
+  val qDecodeVideoSql: String =
+    """SELECT doc_id, true AS decoded, 8 AS width, 8 AS height,
+         6 AS n_frames, 3 AS n_sampled,
+         round((SELECT avg(0.299*v + 0.587*v + 0.114*v) FROM (
+           SELECT (((doc_id*31 + f*97 + x*7 + y*13) % 256 + 256) % 256)::DOUBLE AS v
+           FROM range(0,6,2) s(f), range(0,8) t(x), range(0,8) u(y)) q), 4) AS mean_luma,
+         'video/gif' AS format
+       FROM documents"""
+
   /** `semanticDedupAuto` — the cells-∝-corpus SemDeDup face (codebook
     * sized by `Ivf.cellsFor`, so per-cell verification work stays
     * ~constant as the corpus grows). k is DATA-DEPENDENT (ceil(n/target)),
@@ -2217,6 +2243,7 @@ object QueriesPipeline {
     "q_multimodal" -> (qMultimodal _),
     "q_decode_image" -> (qDecodeImage _),
     "q_decode_audio" -> (qDecodeAudio _),
+    "q_decode_video" -> (qDecodeVideo _),
     "q_semantic_auto" -> (qSemanticAuto _)
   )
 
@@ -2297,7 +2324,8 @@ object QueriesPipeline {
     "q_encode" -> qEncodeSql,
     "q_multimodal" -> qMultimodalSql,
     "q_decode_image" -> qDecodeImageSql,
-    "q_decode_audio" -> qDecodeAudioSql
+    "q_decode_audio" -> qDecodeAudioSql,
+    "q_decode_video" -> qDecodeVideoSql
     // q_semantic_auto: k is data-dependent — not SQL-expressible, driver
     // records the rows-only check (see qSemanticAuto's doc)
   )

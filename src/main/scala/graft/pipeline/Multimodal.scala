@@ -10,11 +10,15 @@ import org.apache.spark.sql.types._
  * columns with a typed metadata struct. The Spark-side machinery (schema,
  * partition-parallel batch UDF shape, frame slicing) is real and tested.
  * Feature extraction has two equivalent paths: `byteFeatures` (native
- * column expressions, oracle-checked) and `decodeBatched` (the
- * partition-batched codec slot — its byte-statistics body is a
- * clearly-marked deterministic STUB because no image/audio libraries ship
- * in this environment; swap it for a real decoder without touching the
- * pipeline shape).
+ * column expressions, oracle-checked) and the partition-batched codec
+ * slot. All three media families decode FOR REAL with zero added
+ * dependencies via JDK-built-in codecs: [[decodeImageBatched]]
+ * (PNG/BMP/GIF/JPEG pixels, `javax.imageio`), [[decodeAudioBatched]]
+ * (WAV/AIFF/AU PCM, `javax.sound.sampled`), and [[decodeVideoBatched]]
+ * (multi-frame animated GIF with temporal frame sampling). The generic
+ * [[decodeBatched]] keeps the byte-statistics body as the clearly-marked
+ * stand-in shape for codecs the JDK lacks (MP4/H.264, Opus, …): swap the
+ * row body, keep the schema, batching and fallback contract.
  */
 object Multimodal {
 
@@ -299,6 +303,161 @@ object Multimodal {
         javax.sound.sampled.AudioSystem.write(
           ais, javax.sound.sampled.AudioFileFormat.Type.WAVE, baos)
         Row(id, baos.toByteArray, Row("audio/wav", null, null, null))
+      }
+    }
+  }
+
+  /** Deterministic animated-GIF payloads — the multi-frame sibling of
+    * [[synthesizeImages]]: frame `f`, pixel (x, y) of row `id` is the gray
+    * value ((id*31 + f*97 + x*7 + y*13) mod 256), written as RGB gray.
+    * The GIF writer derives an exact ≤256-entry palette from the used
+    * grays, so the formula round-trips bit-exactly and the sampled-frame
+    * mean luminance has a closed form a SQL oracle reproduces. (An
+    * explicit 256-gray `IndexColorModel` was REJECTED: the JDK's GIF LZW
+    * encoder corrupts the last row of small indexed frames — hence also
+    * the ≥8×8 guard, the smallest shape verified bit-exact across ids and
+    * frame counts.) Same partition-batched codec slot as the other
+    * synthesizers. */
+  def synthesizeVideos(df: DataFrame, idCol: String, w: Int, h: Int,
+                       nFrames: Int): DataFrame = {
+    require(nFrames >= 1, s"nFrames=$nFrames must be >= 1")
+    require(w >= 8 && h >= 8,
+      s"frames ${w}x$h: the JDK GIF encoder mangles tiny frames — use >= 8x8")
+    val outSchema = StructType(Seq(
+      StructField(idCol, LongType),
+      StructField("media", BinaryType),
+      StructField("media_meta", MediaMetaType)))
+    val idIdx = df.schema.fieldIndex(idCol)
+    implicit val enc = RowEncoder.encoderFor(outSchema)
+    df.mapPartitions { rows =>
+      // one writer per partition, reused across rows (writers are not
+      // thread-safe but a partition is single-threaded)
+      val writer = javax.imageio.ImageIO.getImageWritersByFormatName("gif").next()
+      rows.map { r =>
+        val id = r.getLong(idIdx)
+        val baos = new java.io.ByteArrayOutputStream()
+        val ios = new javax.imageio.stream.MemoryCacheImageOutputStream(baos)
+        writer.setOutput(ios)
+        writer.prepareWriteSequence(null)
+        var f = 0
+        while (f < nFrames) {
+          val img = new java.awt.image.BufferedImage(
+            w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+          var y = 0
+          while (y < h) {
+            var x = 0
+            while (x < w) {
+              val v = ((((id * 31 + f * 97 + x * 7 + y * 13) % 256) + 256) % 256).toInt
+              img.setRGB(x, y, (v << 16) | (v << 8) | v)
+              x += 1
+            }
+            y += 1
+          }
+          writer.writeToSequence(new javax.imageio.IIOImage(img, null, null), null)
+          f += 1
+        }
+        writer.endWriteSequence()
+        ios.flush(); ios.close()
+        Row(id, baos.toByteArray, Row("video/gif", w, h, nFrames))
+      }
+    }
+  }
+
+  /**
+   * REAL video frame-sample + decode in the same partition-batched codec
+   * slot: rows whose metadata format starts with `video/` are opened with
+   * the JDK's multi-frame `javax.imageio` reader (animated GIF ships with
+   * every JRE — the one genuine multi-frame container decodable with zero
+   * added dependencies), every `every`-th frame is decoded (frames 0,
+   * `every`, 2·`every`, … — the temporal sampling a training pipeline
+   * runs before feature extraction, here applied WITHOUT decoding the
+   * skipped frames), and the sampled frames reduce to true first-frame
+   * dimensions, the container's total frame count, the sampled count,
+   * and mean Rec. 601 luminance over all sampled pixels. Non-video
+   * formats and undecodable payloads keep the byte-statistics fallback
+   * (`decoded = false`) — the same honest degradation as
+   * [[decodeImageBatched]]. For MP4/H.264-class codecs (not in the JDK)
+   * the slot shape is unchanged: swap the reader, keep the schema,
+   * sampling and fallback contract. Per-row cost is linear in sampled
+   * pixels; distributes and batches like every other codec-slot stage.
+   */
+  def decodeVideoBatched(df: DataFrame, idCol: String, every: Int): DataFrame = {
+    require(every >= 1, s"every=$every must be >= 1")
+    val outSchema = StructType(Seq(
+      StructField("id", LongType),
+      StructField("byte_len", IntegerType),
+      StructField("decoded", BooleanType, nullable = false),
+      StructField("width", IntegerType),
+      StructField("height", IntegerType),
+      StructField("n_frames", IntegerType),
+      StructField("n_sampled", IntegerType),
+      StructField("mean_luma", DoubleType),
+      StructField("mean_byte", DoubleType),
+      StructField("format", StringType)))
+    val idIdx = df.schema.fieldIndex(idCol)
+    val mediaIdx = df.schema.fieldIndex("media")
+    val metaIdx = df.schema.fieldIndex("media_meta")
+    implicit val enc = RowEncoder.encoderFor(outSchema)
+    df.mapPartitions { rows =>
+      rows.map { r =>
+        val bytes = r.getAs[Array[Byte]](mediaIdx)
+        val fmt = r.getStruct(metaIdx).getString(0)
+        val decoded: Option[(Int, Int, Int, Int, Double)] =
+          if (fmt != null && fmt.startsWith("video/")) {
+            // NonFatal like the image path: the GIF reader throws
+            // RuntimeExceptions on truncated/corrupt payloads
+            try {
+              val iis = javax.imageio.ImageIO.createImageInputStream(
+                new java.io.ByteArrayInputStream(bytes))
+              try {
+                val readers = javax.imageio.ImageIO.getImageReaders(iis)
+                if (!readers.hasNext) None
+                else {
+                  val reader = readers.next()
+                  try {
+                    // seekForwardOnly=false: getNumImages(true) must scan
+                    reader.setInput(iis, false, false)
+                    val n = reader.getNumImages(true)
+                    if (n < 1) None
+                    else {
+                      var sum = 0.0
+                      var pixels = 0L
+                      var sampled = 0
+                      var w0 = 0; var h0 = 0
+                      var f = 0
+                      while (f < n) {
+                        val im = reader.read(f)
+                        if (sampled == 0) { w0 = im.getWidth; h0 = im.getHeight }
+                        var y = 0
+                        while (y < im.getHeight) {
+                          var x = 0
+                          while (x < im.getWidth) {
+                            val rgb = im.getRGB(x, y)
+                            sum += 0.299 * ((rgb >> 16) & 0xff) +
+                              0.587 * ((rgb >> 8) & 0xff) + 0.114 * (rgb & 0xff)
+                            x += 1
+                          }
+                          y += 1
+                        }
+                        pixels += im.getWidth.toLong * im.getHeight
+                        sampled += 1
+                        f += every
+                      }
+                      Some((w0, h0, n, sampled, sum / pixels))
+                    }
+                  } finally reader.dispose()
+                }
+              } finally iis.close()
+            } catch { case scala.util.control.NonFatal(_) => None }
+          } else None
+        decoded match {
+          case Some((w, h, n, sampled, luma)) =>
+            Row(r.getLong(idIdx), bytes.length, true, w, h, n, sampled,
+              luma, null, fmt)
+          case None =>
+            Row(r.getLong(idIdx), bytes.length, false, null, null, null, null,
+              null, graft.functions.ByteMeanUtil.mean(bytes), fmt)
+        }
       }
     }
   }

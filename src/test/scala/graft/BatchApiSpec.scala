@@ -560,6 +560,66 @@ class BatchApiSpec extends SparkSpec {
     assert(out(3L).getDouble(8) > 0, "fallback mean_byte populated")
   }
 
+  test("multimodal video decode: real multi-frame GIF with temporal sampling") {
+    // hand-build a 3-frame animated GIF of 2x2 solid grays 10, 200, 60
+    // (RGB gray — the writer derives an exact palette; solid tiny frames
+    // round-trip, unlike varied ones: see synthesizeVideos' >=8x8 guard);
+    // every=2 samples frames {0, 2} -> mean luma exactly (10+60)/2 = 35
+    def gif(frameGrays: Seq[Int], w: Int, h: Int): Array[Byte] = {
+      val writer = javax.imageio.ImageIO.getImageWritersByFormatName("gif").next()
+      val baos = new java.io.ByteArrayOutputStream()
+      val ios = new javax.imageio.stream.MemoryCacheImageOutputStream(baos)
+      writer.setOutput(ios)
+      writer.prepareWriteSequence(null)
+      frameGrays.foreach { g =>
+        val im = new java.awt.image.BufferedImage(
+          w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+        for (y <- 0 until h; x <- 0 until w) im.setRGB(x, y, (g << 16) | (g << 8) | g)
+        writer.writeToSequence(new javax.imageio.IIOImage(im, null, null), null)
+      }
+      writer.endWriteSequence()
+      ios.flush(); ios.close(); writer.dispose()
+      baos.toByteArray
+    }
+    val anim = gif(Seq(10, 200, 60), 2, 2)
+    val notVideo = "plain text bytes".getBytes("UTF-8")
+    val rows = Seq(
+      (1L, anim, "video/gif"),
+      (2L, notVideo, "text/plain"), // non-video format: fallback path
+      (3L, notVideo, "video/gif"))  // declared video but undecodable
+    val df = spark.createDataFrame(rows.map { case (id, b, f) =>
+      org.apache.spark.sql.Row(id, b, org.apache.spark.sql.Row(f, null, null, null)) }.asJava,
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("id", org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("media", org.apache.spark.sql.types.BinaryType),
+        org.apache.spark.sql.types.StructField("media_meta", Multimodal.MediaMetaType))))
+      .repartition(2)
+    val out = Multimodal.decodeVideoBatched(df, "id", every = 2).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(out(1L).getBoolean(2) && out(1L).getInt(3) == 2 && out(1L).getInt(4) == 2)
+    assert(out(1L).getInt(5) == 3, "container frame count from the reader scan")
+    assert(out(1L).getInt(6) == 2, "every=2 over 3 frames samples frames 0 and 2")
+    assert(math.abs(out(1L).getDouble(7) - 35.0) < 1e-9,
+      "sampled-frame luma = (10+60)/2, skipped frame 1 (gray 200) untouched")
+    assert(!out(2L).getBoolean(2) && out(2L).isNullAt(7),
+      "non-video format takes the byte-stats fallback")
+    assert(!out(3L).getBoolean(2),
+      "undecodable bytes degrade to fallback instead of failing the task")
+    assert(out(2L).getDouble(8) > 0, "fallback mean_byte populated")
+    // synthesizer round-trip: decode every frame of a generated payload and
+    // check the closed form the q_decode_video oracle mirrors
+    val media = Multimodal.synthesizeVideos(
+      Seq(Tuple1(7L)).toDF("id").select($"id".cast("long").as("id")), "id", 8, 8, 2)
+    val dec = Multimodal.decodeVideoBatched(media, "id", every = 1).collect().head
+    val expect = (for (f <- 0 until 2; y <- 0 until 8; x <- 0 until 8) yield {
+      val v = (((7L * 31 + f * 97 + x * 7 + y * 13) % 256) + 256) % 256
+      0.299 * v + 0.587 * v + 0.114 * v
+    }).sum / 128
+    assert(dec.getInt(5) == 2 && dec.getInt(6) == 2)
+    assert(math.abs(dec.getDouble(7) - expect) < 1e-9,
+      "GIF palette round-trips the pixel formula bit-exactly")
+  }
+
   test("windowed join state stays bounded on a hot key") {
     // one hot key with 10k rights before each left — the ring-buffer window
     // aggregate keeps n=3 elements of state, never the full right history

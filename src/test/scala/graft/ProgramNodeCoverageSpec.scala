@@ -283,6 +283,9 @@ class ProgramNodeCoverageSpec extends AnyFunSuite {
       "synthesizeAudio" -> excluded("deterministic oracle-payload " +
         "synthesizer (q_decode_audio); test-data generator, not a " +
         "pipeline operator"),
+      "synthesizeVideos" -> excluded("deterministic oracle-payload " +
+        "synthesizer (q_decode_video); test-data generator, not a " +
+        "pipeline operator"),
       "byteFeatures" -> excluded("multimodal feature projection; program " +
         "face is mapCols over the binary column (documented exclusion: no " +
         "codec libraries ship in this environment)"),
@@ -293,6 +296,8 @@ class ProgramNodeCoverageSpec extends AnyFunSuite {
         "same deployment-concern exclusion as decodeBatched"),
       "decodeAudioBatched" -> excluded("partition-batched JDK audio codec; " +
         "same deployment-concern exclusion as decodeBatched"),
+      "decodeVideoBatched" -> excluded("partition-batched JDK multi-frame " +
+        "codec; same deployment-concern exclusion as decodeBatched"),
       "resizeStub" -> excluded("codec-slot stage, same exclusion"),
       "frameSample" -> excluded("binary slicing projection; program face " +
         "is mapCols (substring on binary)"),
