@@ -28,6 +28,31 @@ object Multimodal {
     StructField("height", IntegerType),
     StructField("n_frames", IntegerType)))
 
+  /** Sum of per-pixel Rec. 601 luminance (0.299 R + 0.587 G + 0.114 B)
+    * over a decoded raster — ONE copy shared by the image and video
+    * decoders so the two features cannot drift. */
+  private def lumaSum(im: java.awt.image.BufferedImage): Double = {
+    var sum = 0.0
+    var y = 0
+    while (y < im.getHeight) {
+      var x = 0
+      while (x < im.getWidth) {
+        val rgb = im.getRGB(x, y)
+        sum += 0.299 * ((rgb >> 16) & 0xff) +
+          0.587 * ((rgb >> 8) & 0xff) + 0.114 * (rgb & 0xff)
+        x += 1
+      }
+      y += 1
+    }
+    sum
+  }
+
+  /** Null-safe format from a possibly-null metadata struct: a crawled
+    * corpus carries rows with no metadata at all, and the decode contract
+    * is degrade-to-fallback, never an NPE'd task. */
+  private def fmtOf(meta: Row): String =
+    if (meta == null) null else meta.getString(0)
+
   /** Attach a fake media payload derived from a text column: the bytes are
     * the UTF-8 encoding (deterministic), the metadata is synthesized. */
   def withFakeMedia(df: DataFrame, textCol: String): DataFrame =
@@ -72,9 +97,11 @@ object Multimodal {
     df.mapPartitions { rows =>
       rows.map { r =>
         val bytes = r.getAs[Array[Byte]](mediaIdx)
+        val fmt = fmtOf(r.getStruct(metaIdx))
         // STUB decode: byte statistics stand in for pixel/sample decoding.
-        val mean = graft.functions.ByteMeanUtil.mean(bytes)
-        Row(r.getLong(idIdx), bytes.length, mean, r.getStruct(metaIdx).getString(0))
+        if (bytes == null) Row(r.getLong(idIdx), null, null, fmt)
+        else Row(r.getLong(idIdx), bytes.length,
+          graft.functions.ByteMeanUtil.mean(bytes), fmt)
       }
     }
   }
@@ -109,9 +136,9 @@ object Multimodal {
     df.mapPartitions { rows =>
       rows.map { r =>
         val bytes = r.getAs[Array[Byte]](mediaIdx)
-        val fmt = r.getStruct(metaIdx).getString(0)
+        val fmt = fmtOf(r.getStruct(metaIdx))
         val img =
-          if (fmt != null && fmt.startsWith("image/"))
+          if (bytes != null && fmt != null && fmt.startsWith("image/"))
             // NonFatal, not just IOException: the JDK GIF/BMP/JPEG readers
             // throw RuntimeExceptions (AIOOBE, IllegalArgument,
             // NegativeArraySize) on truncated/corrupt payloads — a crawled
@@ -124,20 +151,10 @@ object Multimodal {
         img match {
           case Some(im) =>
             val (w, h) = (im.getWidth, im.getHeight)
-            var sum = 0.0
-            var y = 0
-            while (y < h) {
-              var x = 0
-              while (x < w) {
-                val rgb = im.getRGB(x, y)
-                sum += 0.299 * ((rgb >> 16) & 0xff) +
-                  0.587 * ((rgb >> 8) & 0xff) + 0.114 * (rgb & 0xff)
-                x += 1
-              }
-              y += 1
-            }
             Row(r.getLong(idIdx), bytes.length, true, w, h,
-              sum / (w.toLong * h), fmt)
+              lumaSum(im) / (w.toLong * h), fmt)
+          case None if bytes == null =>
+            Row(r.getLong(idIdx), null, false, null, null, null, fmt)
           case None =>
             Row(r.getLong(idIdx), bytes.length, false, null, null,
               graft.functions.ByteMeanUtil.mean(bytes), fmt)
@@ -181,9 +198,9 @@ object Multimodal {
     df.mapPartitions { rows =>
       rows.map { r =>
         val bytes = r.getAs[Array[Byte]](mediaIdx)
-        val fmt = r.getStruct(metaIdx).getString(0)
+        val fmt = fmtOf(r.getStruct(metaIdx))
         val decoded: Option[(Int, Int, Long, Double)] =
-          if (fmt != null && fmt.startsWith("audio/")) {
+          if (bytes != null && fmt != null && fmt.startsWith("audio/")) {
             try {
               val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
                 new java.io.ByteArrayInputStream(bytes))
@@ -222,6 +239,9 @@ object Multimodal {
           case Some((sr, ch, ns, rms)) =>
             Row(r.getLong(idIdx), bytes.length, true, sr, ch, ns,
               if (sr > 0) ns.toDouble / sr else 0.0, rms, null, fmt)
+          case None if bytes == null =>
+            Row(r.getLong(idIdx), null, false, null, null, null, null,
+              null, null, fmt)
           case None =>
             Row(r.getLong(idIdx), bytes.length, false, null, null, null, null,
               null, graft.functions.ByteMeanUtil.mean(bytes), fmt)
@@ -331,36 +351,146 @@ object Multimodal {
     implicit val enc = RowEncoder.encoderFor(outSchema)
     df.mapPartitions { rows =>
       // one writer per partition, reused across rows (writers are not
-      // thread-safe but a partition is single-threaded)
+      // thread-safe but a partition is single-threaded), disposed when the
+      // iterator drains
       val writer = javax.imageio.ImageIO.getImageWritersByFormatName("gif").next()
-      rows.map { r =>
-        val id = r.getLong(idIdx)
-        val baos = new java.io.ByteArrayOutputStream()
-        val ios = new javax.imageio.stream.MemoryCacheImageOutputStream(baos)
-        writer.setOutput(ios)
-        writer.prepareWriteSequence(null)
-        var f = 0
-        while (f < nFrames) {
-          val img = new java.awt.image.BufferedImage(
-            w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
-          var y = 0
-          while (y < h) {
-            var x = 0
-            while (x < w) {
-              val v = ((((id * 31 + f * 97 + x * 7 + y * 13) % 256) + 256) % 256).toInt
-              img.setRGB(x, y, (v << 16) | (v << 8) | v)
-              x += 1
-            }
-            y += 1
-          }
-          writer.writeToSequence(new javax.imageio.IIOImage(img, null, null), null)
-          f += 1
+      var disposed = false
+      new scala.collection.AbstractIterator[Row] {
+        def hasNext: Boolean = {
+          val h = rows.hasNext
+          if (!h && !disposed) { writer.dispose(); disposed = true }
+          h
         }
-        writer.endWriteSequence()
-        ios.flush(); ios.close()
-        Row(id, baos.toByteArray, Row("video/gif", w, h, nFrames))
+        def next(): Row = {
+          val r = rows.next()
+          val id = r.getLong(idIdx)
+          val baos = new java.io.ByteArrayOutputStream()
+          val ios = new javax.imageio.stream.MemoryCacheImageOutputStream(baos)
+          try {
+            writer.setOutput(ios)
+            writer.prepareWriteSequence(null)
+            var f = 0
+            while (f < nFrames) {
+              val img = new java.awt.image.BufferedImage(
+                w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+              var y = 0
+              while (y < h) {
+                var x = 0
+                while (x < w) {
+                  val v = ((((id * 31 + f * 97 + x * 7 + y * 13) % 256) + 256) % 256).toInt
+                  img.setRGB(x, y, (v << 16) | (v << 8) | v)
+                  x += 1
+                }
+                y += 1
+              }
+              writer.writeToSequence(new javax.imageio.IIOImage(img, null, null), null)
+              f += 1
+            }
+            writer.endWriteSequence()
+            ios.flush()
+          } finally ios.close()
+          Row(id, baos.toByteArray, Row("video/gif", w, h, nFrames))
+        }
       }
     }
+  }
+
+  /** Per-frame GIF placement parsed from METADATA only (no pixel decode):
+    * the frame's rect within the logical screen, whether it declares a
+    * transparent index, and whether its disposal restores the background. */
+  private final case class GifFrameMeta(x: Int, y: Int, w: Int, h: Int,
+                                        transparent: Boolean, restoreBg: Boolean)
+
+  private def gifChild(e: org.w3c.dom.Element, name: String): Option[org.w3c.dom.Element] = {
+    val kids = e.getElementsByTagName(name)
+    if (kids.getLength > 0) Some(kids.item(0).asInstanceOf[org.w3c.dom.Element])
+    else None
+  }
+
+  private def gifFrameMeta(reader: javax.imageio.ImageReader, f: Int): GifFrameMeta = {
+    val tree = reader.getImageMetadata(f)
+      .getAsTree("javax_imageio_gif_image_1.0").asInstanceOf[org.w3c.dom.Element]
+    val d = gifChild(tree, "ImageDescriptor").getOrElse(
+      throw new IllegalStateException("GIF frame without an ImageDescriptor"))
+    val gce = gifChild(tree, "GraphicControlExtension")
+    GifFrameMeta(
+      d.getAttribute("imageLeftPosition").toInt,
+      d.getAttribute("imageTopPosition").toInt,
+      d.getAttribute("imageWidth").toInt,
+      d.getAttribute("imageHeight").toInt,
+      gce.exists(_.getAttribute("transparentColorFlag").equalsIgnoreCase("TRUE")),
+      gce.exists(_.getAttribute("disposalMethod") == "restoreToBackgroundColor"))
+  }
+
+  /** Frame-sample an animated GIF with COMPOSITING: real-world animated
+    * GIFs are delta-optimized (each frame a sub-rectangle patching the
+    * previous canvas, often with transparency), so raw per-frame rasters
+    * would yield wrong luminance and dimensions. Frames composite onto a
+    * logical-screen canvas (unpainted areas count as black — the GIF
+    * background color is not modeled; `restoreToPrevious` disposal, rare
+    * in practice, is treated as `doNotDispose`), and each sampled index
+    * reads the composited canvas. Which frames must be rasterized is
+    * decided from METADATA alone: a full-screen frame with no transparent
+    * index covers the canvas, so each sample only decodes its delta chain
+    * back to the nearest covering frame — for full-frame containers (the
+    * synthesizer's shape) exactly the sampled frames decode, and frames
+    * past the last sample are never read. Returns (width, height,
+    * n_frames, n_sampled, mean sampled-canvas Rec. 601 luminance). */
+  private def sampleGif(bytes: Array[Byte], every: Int): Option[(Int, Int, Int, Int, Double)] = {
+    val iis = javax.imageio.ImageIO.createImageInputStream(
+      new java.io.ByteArrayInputStream(bytes))
+    try {
+      val readers = javax.imageio.ImageIO.getImageReaders(iis)
+      if (!readers.hasNext) return None
+      val reader = readers.next()
+      try {
+        // seekForwardOnly=false: getNumImages(true) must scan, then seek back
+        reader.setInput(iis, false, false)
+        val n = reader.getNumImages(true)
+        if (n < 1) return None
+        val metas = Array.tabulate(n)(gifFrameMeta(reader, _))
+        val (sw, sh) = Option(reader.getStreamMetadata)
+          .map(_.getAsTree("javax_imageio_gif_stream_1.0")
+            .asInstanceOf[org.w3c.dom.Element])
+          .flatMap(gifChild(_, "LogicalScreenDescriptor"))
+          .map(e => (e.getAttribute("logicalScreenWidth").toInt,
+            e.getAttribute("logicalScreenHeight").toInt))
+          .getOrElse((metas.iterator.map(m => m.x + m.w).max,
+            metas.iterator.map(m => m.y + m.h).max))
+        if (sw < 1 || sh < 1) return None
+        val covering = metas.map(m =>
+          m.x == 0 && m.y == 0 && m.w == sw && m.h == sh && !m.transparent)
+        val sampledIdx = 0 until n by every
+        val needed = new scala.collection.mutable.BitSet(n)
+        sampledIdx.foreach { s =>
+          var c = s
+          while (c > 0 && !covering(c)) c -= 1
+          (c to s).foreach(needed += _)
+        }
+        val canvas = new java.awt.image.BufferedImage(
+          sw, sh, java.awt.image.BufferedImage.TYPE_INT_RGB)
+        val g = canvas.createGraphics()
+        try {
+          var sum = 0.0
+          val last = sampledIdx.last
+          var f = 0
+          while (f <= last) {
+            if (needed(f)) {
+              val m = metas(f)
+              g.drawImage(reader.read(f), m.x, m.y, null)
+              if (f % every == 0) sum += lumaSum(canvas)
+              if (m.restoreBg) {
+                g.setColor(java.awt.Color.BLACK)
+                g.fillRect(m.x, m.y, m.w, m.h)
+              }
+            }
+            f += 1
+          }
+          Some((sw, sh, n, sampledIdx.size,
+            sum / (sampledIdx.size.toLong * sw * sh)))
+        } finally g.dispose()
+      } finally reader.dispose()
+    } finally iis.close()
   }
 
   /**
@@ -368,18 +498,22 @@ object Multimodal {
    * slot: rows whose metadata format starts with `video/` are opened with
    * the JDK's multi-frame `javax.imageio` reader (animated GIF ships with
    * every JRE — the one genuine multi-frame container decodable with zero
-   * added dependencies), every `every`-th frame is decoded (frames 0,
+   * added dependencies), every `every`-th frame is sampled (frames 0,
    * `every`, 2·`every`, … — the temporal sampling a training pipeline
-   * runs before feature extraction, here applied WITHOUT decoding the
-   * skipped frames), and the sampled frames reduce to true first-frame
-   * dimensions, the container's total frame count, the sampled count,
-   * and mean Rec. 601 luminance over all sampled pixels. Non-video
-   * formats and undecodable payloads keep the byte-statistics fallback
-   * (`decoded = false`) — the same honest degradation as
-   * [[decodeImageBatched]]. For MP4/H.264-class codecs (not in the JDK)
-   * the slot shape is unchanged: swap the reader, keep the schema,
-   * sampling and fallback contract. Per-row cost is linear in sampled
-   * pixels; distributes and batches like every other codec-slot stage.
+   * runs before feature extraction), and the samples reduce to the
+   * logical-screen dimensions, the container's total frame count, the
+   * sampled count, and mean Rec. 601 luminance over the sampled
+   * composited canvases. Delta-optimized containers (sub-rectangle
+   * frames, transparency — the common real-world form) composite
+   * correctly, and metadata-driven cover analysis keeps the decode cost
+   * at the sampled frames for full-frame containers — see [[sampleGif]].
+   * Non-video formats and undecodable or null payloads keep the
+   * byte-statistics fallback (`decoded = false`) — the same honest
+   * degradation as [[decodeImageBatched]]. For MP4/H.264-class codecs
+   * (not in the JDK) the slot shape is unchanged: swap the reader, keep
+   * the schema, sampling and fallback contract. Per-row cost is linear
+   * in composited pixels; distributes and batches like every other
+   * codec-slot stage.
    */
   def decodeVideoBatched(df: DataFrame, idCol: String, every: Int): DataFrame = {
     require(every >= 1, s"every=$every must be >= 1")
@@ -401,59 +535,21 @@ object Multimodal {
     df.mapPartitions { rows =>
       rows.map { r =>
         val bytes = r.getAs[Array[Byte]](mediaIdx)
-        val fmt = r.getStruct(metaIdx).getString(0)
+        val fmt = fmtOf(r.getStruct(metaIdx))
         val decoded: Option[(Int, Int, Int, Int, Double)] =
-          if (fmt != null && fmt.startsWith("video/")) {
+          if (bytes != null && fmt != null && fmt.startsWith("video/"))
             // NonFatal like the image path: the GIF reader throws
             // RuntimeExceptions on truncated/corrupt payloads
-            try {
-              val iis = javax.imageio.ImageIO.createImageInputStream(
-                new java.io.ByteArrayInputStream(bytes))
-              try {
-                val readers = javax.imageio.ImageIO.getImageReaders(iis)
-                if (!readers.hasNext) None
-                else {
-                  val reader = readers.next()
-                  try {
-                    // seekForwardOnly=false: getNumImages(true) must scan
-                    reader.setInput(iis, false, false)
-                    val n = reader.getNumImages(true)
-                    if (n < 1) None
-                    else {
-                      var sum = 0.0
-                      var pixels = 0L
-                      var sampled = 0
-                      var w0 = 0; var h0 = 0
-                      var f = 0
-                      while (f < n) {
-                        val im = reader.read(f)
-                        if (sampled == 0) { w0 = im.getWidth; h0 = im.getHeight }
-                        var y = 0
-                        while (y < im.getHeight) {
-                          var x = 0
-                          while (x < im.getWidth) {
-                            val rgb = im.getRGB(x, y)
-                            sum += 0.299 * ((rgb >> 16) & 0xff) +
-                              0.587 * ((rgb >> 8) & 0xff) + 0.114 * (rgb & 0xff)
-                            x += 1
-                          }
-                          y += 1
-                        }
-                        pixels += im.getWidth.toLong * im.getHeight
-                        sampled += 1
-                        f += every
-                      }
-                      Some((w0, h0, n, sampled, sum / pixels))
-                    }
-                  } finally reader.dispose()
-                }
-              } finally iis.close()
-            } catch { case scala.util.control.NonFatal(_) => None }
-          } else None
+            try sampleGif(bytes, every)
+            catch { case scala.util.control.NonFatal(_) => None }
+          else None
         decoded match {
           case Some((w, h, n, sampled, luma)) =>
             Row(r.getLong(idIdx), bytes.length, true, w, h, n, sampled,
               luma, null, fmt)
+          case None if bytes == null =>
+            Row(r.getLong(idIdx), null, false, null, null, null, null,
+              null, null, fmt)
           case None =>
             Row(r.getLong(idIdx), bytes.length, false, null, null, null, null,
               null, graft.functions.ByteMeanUtil.mean(bytes), fmt)

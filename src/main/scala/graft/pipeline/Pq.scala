@@ -28,14 +28,19 @@ import org.apache.spark.sql.functions._
 object Pq {
 
   /** LUT-size threshold between the two per-query lookup-table lowerings,
-    * mirroring [[Ivf.LiteralCells]]: up to this many m×ksub entries the
-    * table is a literal `array(...)` of staged column expressions (fully
-    * unrolled codegen — fastest for the small-m defaults); above it the
-    * literal formulation hits the Janino method ceiling and the table
-    * lowers to the compiled-loop [[graft.functions.PqLut]] expression
-    * (codebooks as one reference object, constant bytecode at any size).
-    * Bit-identical entries either way (PqSpec + the PqLut property). */
-  private[graft] val LiteralLutEntries = 256
+    * DEFINED AS [[Ivf.LiteralCells]] (not merely equal to it): the
+    * probe-explode and LUT constructs share one projection in the IVFADC
+    * query plans, and the whole-family-flips-together guarantee of the
+    * per-projection `extraInline` budget is only structural if the two
+    * dispatches compare against the same ceiling. Up to this many m×ksub
+    * entries the table is a literal `array(...)` of staged column
+    * expressions (fully unrolled codegen — fastest for the small-m
+    * defaults); above it the literal formulation hits the Janino method
+    * ceiling and the table lowers to the compiled-loop
+    * [[graft.functions.PqLut]] expression (codebooks as one reference
+    * object, constant bytecode at any size). Bit-identical entries either
+    * way (PqSpec + the PqLut property). */
+  private[graft] val LiteralLutEntries: Int = Ivf.LiteralCells
 
   /** Sub-quantizer assignment with the literal/loop dispatch on the TOTAL
     * inline budget across all m sub-codebooks: each book alone may sit

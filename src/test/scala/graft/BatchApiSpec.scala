@@ -489,7 +489,8 @@ class BatchApiSpec extends SparkSpec {
     val rows = Seq(
       (1L, gray, "image/png"), (2L, checker, "image/png"),
       (3L, notAnImage, "text/plain"), // non-image format: fallback path
-      (4L, notAnImage, "image/png"))  // declared image but undecodable
+      (4L, notAnImage, "image/png"),  // declared image but undecodable
+      (5L, null, "image/png"))        // null payload: fallback, never an NPE
     val df = spark.createDataFrame(rows.map { case (id, b, f) =>
       org.apache.spark.sql.Row(id, b, org.apache.spark.sql.Row(f, null, null, null)) }.asJava,
       org.apache.spark.sql.types.StructType(Seq(
@@ -508,6 +509,8 @@ class BatchApiSpec extends SparkSpec {
     assert(!out(4L).getBoolean(2),
       "undecodable bytes degrade to fallback instead of failing the task")
     assert(out(3L).getDouble(5) > 0, "fallback mean_byte populated")
+    assert(!out(5L).getBoolean(2) && out(5L).isNullAt(1) && out(5L).isNullAt(5),
+      "null media degrades to fallback with null byte stats, never an NPE")
   }
 
   test("multimodal audio decode: real WAV PCM through the batched codec slot") {
@@ -536,7 +539,8 @@ class BatchApiSpec extends SparkSpec {
     val rows = Seq(
       (1L, square, "audio/wav"), (2L, sine, "audio/wav"),
       (3L, notAudio, "text/plain"), // non-audio format: fallback path
-      (4L, notAudio, "audio/wav")) // declared audio but undecodable
+      (4L, notAudio, "audio/wav"),  // declared audio but undecodable
+      (5L, null, "audio/wav"))      // null payload: fallback, never an NPE
     val df = spark.createDataFrame(rows.map { case (id, b, f) =>
       org.apache.spark.sql.Row(id, b, org.apache.spark.sql.Row(f, null, null, null)) }.asJava,
       org.apache.spark.sql.types.StructType(Seq(
@@ -558,6 +562,8 @@ class BatchApiSpec extends SparkSpec {
     assert(!out(4L).getBoolean(2),
       "undecodable bytes degrade to fallback instead of failing the task")
     assert(out(3L).getDouble(8) > 0, "fallback mean_byte populated")
+    assert(!out(5L).getBoolean(2) && out(5L).isNullAt(1) && out(5L).isNullAt(8),
+      "null media degrades to fallback with null byte stats, never an NPE")
   }
 
   test("multimodal video decode: real multi-frame GIF with temporal sampling") {
@@ -581,12 +587,44 @@ class BatchApiSpec extends SparkSpec {
       ios.flush(); ios.close(); writer.dispose()
       baos.toByteArray
     }
+    // delta-optimized animated GIF (the common real-world form): frame 0
+    // full 8x8 gray 100, frame 1 a 2x2 gray-200 patch at offset (1,1) —
+    // correct decoding COMPOSITES frame 1 onto the frame-0 canvas
+    def deltaGif(): Array[Byte] = {
+      val writer = javax.imageio.ImageIO.getImageWritersByFormatName("gif").next()
+      val baos = new java.io.ByteArrayOutputStream()
+      val ios = new javax.imageio.stream.MemoryCacheImageOutputStream(baos)
+      writer.setOutput(ios)
+      writer.prepareWriteSequence(null)
+      val f0 = new java.awt.image.BufferedImage(
+        8, 8, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until 8; x <- 0 until 8) f0.setRGB(x, y, 0x646464)
+      writer.writeToSequence(new javax.imageio.IIOImage(f0, null, null), null)
+      val f1 = new java.awt.image.BufferedImage(
+        2, 2, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until 2; x <- 0 until 2) f1.setRGB(x, y, 0xC8C8C8)
+      val md = writer.getDefaultImageMetadata(
+        new javax.imageio.ImageTypeSpecifier(f1), null)
+      val fmt = "javax_imageio_gif_image_1.0"
+      val tree = md.getAsTree(fmt).asInstanceOf[org.w3c.dom.Element]
+      val desc = tree.getElementsByTagName("ImageDescriptor").item(0)
+        .asInstanceOf[org.w3c.dom.Element]
+      desc.setAttribute("imageLeftPosition", "1")
+      desc.setAttribute("imageTopPosition", "1")
+      md.setFromTree(fmt, tree)
+      writer.writeToSequence(new javax.imageio.IIOImage(f1, null, md), null)
+      writer.endWriteSequence()
+      ios.flush(); ios.close(); writer.dispose()
+      baos.toByteArray
+    }
     val anim = gif(Seq(10, 200, 60), 2, 2)
     val notVideo = "plain text bytes".getBytes("UTF-8")
     val rows = Seq(
       (1L, anim, "video/gif"),
       (2L, notVideo, "text/plain"), // non-video format: fallback path
-      (3L, notVideo, "video/gif"))  // declared video but undecodable
+      (3L, notVideo, "video/gif"),  // declared video but undecodable
+      (4L, null, "video/gif"),      // null payload: fallback, never an NPE
+      (5L, deltaGif(), "video/gif"))
     val df = spark.createDataFrame(rows.map { case (id, b, f) =>
       org.apache.spark.sql.Row(id, b, org.apache.spark.sql.Row(f, null, null, null)) }.asJava,
       org.apache.spark.sql.types.StructType(Seq(
@@ -606,6 +644,20 @@ class BatchApiSpec extends SparkSpec {
     assert(!out(3L).getBoolean(2),
       "undecodable bytes degrade to fallback instead of failing the task")
     assert(out(2L).getDouble(8) > 0, "fallback mean_byte populated")
+    assert(!out(4L).getBoolean(2) && out(4L).isNullAt(1) && out(4L).isNullAt(8),
+      "null media degrades to fallback with null byte stats, never an NPE")
+    val delta = out(5L)
+    assert(delta.getBoolean(2) && delta.getInt(3) == 8 && delta.getInt(4) == 8,
+      "dims are the logical screen, not the delta frame's sub-rect")
+    assert(delta.getInt(5) == 2 && delta.getInt(6) == 1,
+      "every=2 over 2 frames samples frame 0 only")
+    assert(math.abs(delta.getDouble(7) - 100.0) < 1e-9,
+      "sampled frame 0 luma unaffected by the later delta frame")
+    val deltaAll = Multimodal.decodeVideoBatched(
+      df.filter($"id" === 5L), "id", every = 1).collect().head
+    assert(deltaAll.getInt(6) == 2)
+    assert(math.abs(deltaAll.getDouble(7) - (100.0 + (60 * 100.0 + 4 * 200.0) / 64) / 2) < 1e-9,
+      "frame 1 composites its 2x2 patch onto the frame-0 canvas")
     // synthesizer round-trip: decode every frame of a generated payload and
     // check the closed form the q_decode_video oracle mirrors
     val media = Multimodal.synthesizeVideos(
