@@ -28,6 +28,14 @@ object Multimodal {
     StructField("height", IntegerType),
     StructField("n_frames", IntegerType)))
 
+  /** Largest canvas the video decoder will allocate (2^26 px ≈ 8K video
+    * ×1.9, a 256 MB transient int raster): header-declared dimensions in a
+    * crawled corpus are untrusted, and an unbounded allocation turns a
+    * crafted 16-bit-field header into an OutOfMemoryError — an Error, not
+    * caught by NonFatal — that fails the task. Over-cap payloads take the
+    * byte-stats fallback like any other undecodable row. */
+  private val MaxCanvasPixels: Long = 1L << 26
+
   /** Sum of per-pixel Rec. 601 luminance (0.299 R + 0.587 G + 0.114 B)
     * over a decoded raster — ONE copy shared by the image and video
     * decoders so the two features cannot drift. */
@@ -52,6 +60,27 @@ object Multimodal {
     * is degrade-to-fallback, never an NPE'd task. */
   private def fmtOf(meta: Row): String =
     if (meta == null) null else meta.getString(0)
+
+  /** Decode a single image with the header-dim guard: width/height come
+    * from the header and are bounded by [[MaxCanvasPixels]] BEFORE the
+    * raster is allocated — `ImageIO.read`'s eager allocation would turn a
+    * crafted multi-GB header claim into an OutOfMemoryError, an Error
+    * NonFatal can't catch, failing the task instead of degrading. */
+  private def readImageBounded(bytes: Array[Byte]): Option[java.awt.image.BufferedImage] = {
+    val iis = javax.imageio.ImageIO.createImageInputStream(
+      new java.io.ByteArrayInputStream(bytes))
+    try {
+      val readers = javax.imageio.ImageIO.getImageReaders(iis)
+      if (!readers.hasNext) return None
+      val reader = readers.next()
+      try {
+        reader.setInput(iis, true, true)
+        val (w, h) = (reader.getWidth(0), reader.getHeight(0))
+        if (w < 1 || h < 1 || w.toLong * h > MaxCanvasPixels) None
+        else Some(reader.read(0))
+      } finally reader.dispose()
+    } finally iis.close()
+  }
 
   /** Attach a fake media payload derived from a text column: the bytes are
     * the UTF-8 encoding (deterministic), the metadata is synthesized. */
@@ -116,7 +145,9 @@ object Multimodal {
    * 0.299 R + 0.587 G + 0.114 B over all pixels). Non-image formats and
    * undecodable payloads keep the byte-statistics fallback and report
    * `decoded = false` — the honest degradation, not an error, so one
-   * pipeline handles mixed corpora. Per-row cost is linear in pixels; the
+   * pipeline handles mixed corpora. Header-declared dimensions are
+   * bounded by [[MaxCanvasPixels]] BEFORE the raster allocates (see
+   * [[readImageBounded]]). Per-row cost is linear in pixels; the
    * decode runs inside `mapPartitions` exactly like [[decodeBatched]], so
    * it distributes and batches identically at any scale.
    */
@@ -144,8 +175,7 @@ object Multimodal {
             // NegativeArraySize) on truncated/corrupt payloads — a crawled
             // corpus WILL contain those, and the contract is the
             // byte-stats fallback, never a failed task
-            try Option(javax.imageio.ImageIO.read(
-              new java.io.ByteArrayInputStream(bytes)))
+            try readImageBounded(bytes)
             catch { case scala.util.control.NonFatal(_) => None }
           else None
         img match {
@@ -351,46 +381,41 @@ object Multimodal {
     implicit val enc = RowEncoder.encoderFor(outSchema)
     df.mapPartitions { rows =>
       // one writer per partition, reused across rows (writers are not
-      // thread-safe but a partition is single-threaded), disposed when the
-      // iterator drains
+      // thread-safe but a partition is single-threaded); disposed by the
+      // task-completion listener, which also covers early termination
+      // (limit/take stops consuming) and mid-partition failures — paths a
+      // drain-detecting iterator wrapper would leak on
       val writer = javax.imageio.ImageIO.getImageWritersByFormatName("gif").next()
-      var disposed = false
-      new scala.collection.AbstractIterator[Row] {
-        def hasNext: Boolean = {
-          val h = rows.hasNext
-          if (!h && !disposed) { writer.dispose(); disposed = true }
-          h
-        }
-        def next(): Row = {
-          val r = rows.next()
-          val id = r.getLong(idIdx)
-          val baos = new java.io.ByteArrayOutputStream()
-          val ios = new javax.imageio.stream.MemoryCacheImageOutputStream(baos)
-          try {
-            writer.setOutput(ios)
-            writer.prepareWriteSequence(null)
-            var f = 0
-            while (f < nFrames) {
-              val img = new java.awt.image.BufferedImage(
-                w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
-              var y = 0
-              while (y < h) {
-                var x = 0
-                while (x < w) {
-                  val v = ((((id * 31 + f * 97 + x * 7 + y * 13) % 256) + 256) % 256).toInt
-                  img.setRGB(x, y, (v << 16) | (v << 8) | v)
-                  x += 1
-                }
-                y += 1
+      Option(org.apache.spark.TaskContext.get())
+        .foreach(_.addTaskCompletionListener[Unit](_ => writer.dispose()))
+      rows.map { r =>
+        val id = r.getLong(idIdx)
+        val baos = new java.io.ByteArrayOutputStream()
+        val ios = new javax.imageio.stream.MemoryCacheImageOutputStream(baos)
+        try {
+          writer.setOutput(ios)
+          writer.prepareWriteSequence(null)
+          var f = 0
+          while (f < nFrames) {
+            val img = new java.awt.image.BufferedImage(
+              w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+            var y = 0
+            while (y < h) {
+              var x = 0
+              while (x < w) {
+                val v = ((((id * 31 + f * 97 + x * 7 + y * 13) % 256) + 256) % 256).toInt
+                img.setRGB(x, y, (v << 16) | (v << 8) | v)
+                x += 1
               }
-              writer.writeToSequence(new javax.imageio.IIOImage(img, null, null), null)
-              f += 1
+              y += 1
             }
-            writer.endWriteSequence()
-            ios.flush()
-          } finally ios.close()
-          Row(id, baos.toByteArray, Row("video/gif", w, h, nFrames))
-        }
+            writer.writeToSequence(new javax.imageio.IIOImage(img, null, null), null)
+            f += 1
+          }
+          writer.endWriteSequence()
+          ios.flush()
+        } finally ios.close()
+        Row(id, baos.toByteArray, Row("video/gif", w, h, nFrames))
       }
     }
   }
@@ -446,22 +471,49 @@ object Multimodal {
       try {
         // seekForwardOnly=false: getNumImages(true) must scan, then seek back
         reader.setInput(iis, false, false)
+        if (!reader.getFormatName.equalsIgnoreCase("gif")) {
+          // single-frame container labeled video/* (PNG/BMP/JPEG): decode
+          // as a 1-frame video — frame 0 is always sampled. Dispatch on
+          // the reader's format name, never on exceptions from the
+          // GIF-specific metadata API. Header dims checked BEFORE read(0)
+          // allocates the raster (same untrusted-header guard as the
+          // canvas below).
+          val (w, h) = (reader.getWidth(0), reader.getHeight(0))
+          if (w < 1 || h < 1 || w.toLong * h > MaxCanvasPixels) return None
+          val im = reader.read(0)
+          return Some((w, h, 1, 1, lumaSum(im) / (w.toLong * h)))
+        }
         val n = reader.getNumImages(true)
         if (n < 1) return None
-        val metas = Array.tabulate(n)(gifFrameMeta(reader, _))
+        // only frames up to the LAST SAMPLE are ever composited, so only
+        // their descriptors are parsed; the LSD-missing fallback below is
+        // the one (off-spec) case that needs every frame's extent
+        val last = ((n - 1) / every) * every
+        val metas = Array.tabulate(last + 1)(gifFrameMeta(reader, _))
         val (sw, sh) = Option(reader.getStreamMetadata)
           .map(_.getAsTree("javax_imageio_gif_stream_1.0")
             .asInstanceOf[org.w3c.dom.Element])
           .flatMap(gifChild(_, "LogicalScreenDescriptor"))
           .map(e => (e.getAttribute("logicalScreenWidth").toInt,
             e.getAttribute("logicalScreenHeight").toInt))
-          .getOrElse((metas.iterator.map(m => m.x + m.w).max,
-            metas.iterator.map(m => m.y + m.h).max))
-        if (sw < 1 || sh < 1) return None
+          .getOrElse {
+            var mw = 0; var mh = 0
+            (metas.iterator ++ ((last + 1) until n).iterator
+              .map(gifFrameMeta(reader, _))).foreach { m =>
+              mw = math.max(mw, m.x + m.w); mh = math.max(mh, m.y + m.h)
+            }
+            (mw, mh)
+          }
+        // header dims are UNTRUSTED (16-bit fields allow ~4.3e9-pixel
+        // claims): bound the canvas BEFORE allocating, or a crafted
+        // LogicalScreenDescriptor triggers a multi-GB int[] request whose
+        // OutOfMemoryError escapes NonFatal and kills the task instead of
+        // degrading to the byte-stats fallback
+        if (sw < 1 || sh < 1 || sw.toLong * sh > MaxCanvasPixels) return None
         val covering = metas.map(m =>
           m.x == 0 && m.y == 0 && m.w == sw && m.h == sh && !m.transparent)
         val sampledIdx = 0 until n by every
-        val needed = new scala.collection.mutable.BitSet(n)
+        val needed = new scala.collection.mutable.BitSet(last + 1)
         sampledIdx.foreach { s =>
           var c = s
           while (c > 0 && !covering(c)) c -= 1
@@ -472,7 +524,6 @@ object Multimodal {
         val g = canvas.createGraphics()
         try {
           var sum = 0.0
-          val last = sampledIdx.last
           var f = 0
           while (f <= last) {
             if (needed(f)) {
@@ -507,7 +558,11 @@ object Multimodal {
    * frames, transparency — the common real-world form) composite
    * correctly, and metadata-driven cover analysis keeps the decode cost
    * at the sampled frames for full-frame containers — see [[sampleGif]].
-   * Non-video formats and undecodable or null payloads keep the
+   * Single-frame containers labeled `video/…` (PNG/BMP/JPEG stills)
+   * decode as 1-frame videos via format-name dispatch. Canvases are
+   * bounded by [[MaxCanvasPixels]] BEFORE allocation — header dims in a
+   * crawled corpus are untrusted. Non-video formats and undecodable or
+   * null payloads keep the
    * byte-statistics fallback (`decoded = false`) — the same honest
    * degradation as [[decodeImageBatched]]. For MP4/H.264-class codecs
    * (not in the JDK) the slot shape is unchanged: swap the reader, keep

@@ -619,12 +619,36 @@ class BatchApiSpec extends SparkSpec {
     }
     val anim = gif(Seq(10, 200, 60), 2, 2)
     val notVideo = "plain text bytes".getBytes("UTF-8")
+    // single-frame container labeled video/*: a 3x2 solid gray-90 PNG —
+    // must decode as a 1-frame video (format-name dispatch, not a GIF
+    // metadata exception turning into a silent fallback)
+    val stillPng = {
+      val im = new java.awt.image.BufferedImage(
+        3, 2, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until 2; x <- 0 until 3) im.setRGB(x, y, 0x5A5A5A)
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(im, "png", bos)
+      bos.toByteArray
+    }
+    // valid GIF whose LogicalScreenDescriptor is patched to claim
+    // 50000x50000 (2.5e9 px, over MaxCanvasPixels): the decoder must
+    // refuse to allocate the canvas and degrade, not OOM the task. GIF
+    // has no header checksum, so the patch leaves the container parseable
+    // (bytes 6..9 are the little-endian 16-bit screen width/height).
+    val hugeLsd = {
+      val b = gif(Seq(100), 8, 8).clone()
+      b(6) = 0x50.toByte; b(7) = 0xC3.toByte // 50000 LE
+      b(8) = 0x50.toByte; b(9) = 0xC3.toByte
+      b
+    }
     val rows = Seq(
       (1L, anim, "video/gif"),
       (2L, notVideo, "text/plain"), // non-video format: fallback path
       (3L, notVideo, "video/gif"),  // declared video but undecodable
       (4L, null, "video/gif"),      // null payload: fallback, never an NPE
-      (5L, deltaGif(), "video/gif"))
+      (5L, deltaGif(), "video/gif"),
+      (6L, stillPng, "video/png"),
+      (7L, hugeLsd, "video/gif"))
     val df = spark.createDataFrame(rows.map { case (id, b, f) =>
       org.apache.spark.sql.Row(id, b, org.apache.spark.sql.Row(f, null, null, null)) }.asJava,
       org.apache.spark.sql.types.StructType(Seq(
@@ -658,6 +682,14 @@ class BatchApiSpec extends SparkSpec {
     assert(deltaAll.getInt(6) == 2)
     assert(math.abs(deltaAll.getDouble(7) - (100.0 + (60 * 100.0 + 4 * 200.0) / 64) / 2) < 1e-9,
       "frame 1 composites its 2x2 patch onto the frame-0 canvas")
+    val still = out(6L)
+    assert(still.getBoolean(2) && still.getInt(3) == 3 && still.getInt(4) == 2,
+      "a single-frame container labeled video/* decodes via format-name dispatch")
+    assert(still.getInt(5) == 1 && still.getInt(6) == 1,
+      "still image = 1 frame, frame 0 sampled")
+    assert(math.abs(still.getDouble(7) - 90.0) < 1e-9, "solid gray-90 luma")
+    assert(!out(7L).getBoolean(2) && out(7L).getDouble(8) > 0,
+      "an over-cap header claim degrades to the byte-stats fallback, never an OOM")
     // synthesizer round-trip: decode every frame of a generated payload and
     // check the closed form the q_decode_video oracle mirrors
     val media = Multimodal.synthesizeVideos(
@@ -791,11 +823,21 @@ class BatchApiSpec extends SparkSpec {
   }
 
   test("multimodal native byteFeatures equals the batched codec path") {
+    // a null-media row rides along: both paths must yield null
+    // byte_len/mean_byte for it (null-safe native functions on one side,
+    // the explicit null-payload branch on the other)
     val df = Multimodal.withFakeMedia(
-      Seq((1L, "hello world"), (2L, ""), (3L, "Zz!")).toDF("id", "text"), "text")
+        Seq((1L, "hello world"), (2L, ""), (3L, "Zz!")).toDF("id", "text"), "text")
+      .withColumn("media",
+        when(col("id") === 2L, lit(null).cast("binary")).otherwise(col("media")))
     def rows(d: org.apache.spark.sql.DataFrame) = d.collect()
-      .map(r => (r.getLong(0), r.getInt(1), r.getDouble(2), r.getString(3))).toSet
-    assert(rows(Multimodal.byteFeatures(df, "id")) == rows(Multimodal.decodeBatched(df, "id")))
+      .map(r => (r.getLong(0),
+        if (r.isNullAt(1)) null else r.getInt(1),
+        if (r.isNullAt(2)) null else r.getDouble(2), r.getString(3))).toSet
+    val got = rows(Multimodal.decodeBatched(df, "id"))
+    assert(rows(Multimodal.byteFeatures(df, "id")) == got)
+    assert(got.exists { case (id, len, mean, _) => id == 2L && len == null && mean == null },
+      "null payload round-trips the encoder with null byte stats")
   }
 
   test("bucketized range join equals naive all-pairs filter; plan is an equi-join") {
