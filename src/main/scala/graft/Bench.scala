@@ -90,14 +90,16 @@ object Bench {
     }
     // Artifact layout is dictated by the driver's TAIL capture (last ~2000
     // chars of stdout survive): millisecond precision, queries ASCENDING by
-    // time so the truncated head loses only the fastest entries, and the
-    // total LAST so it always lands inside the captured tail. The COMPLETE
-    // line additionally persists to BENCH_FULL.json in the working
-    // directory (the round snapshot commits it), so the full per-query map
-    // is never lost to truncation.
+    // time so the truncated head loses only the fastest entries — except
+    // FAILURES (-1 sentinels), which sort as if slowest so the entries a
+    // tail reader most needs never truncate away — and the total LAST so
+    // it always lands inside the captured tail. The COMPLETE line
+    // additionally persists to BENCH_FULL.json in the working directory
+    // (the round snapshot commits it), so the full per-query map is never
+    // lost to truncation.
     def fmt(v: Double): String =
       String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
-    val qs = results.sortBy(_._2)
+    val qs = results.sortBy { case (_, v) => if (v < 0) Double.MaxValue else v }
       .map { case (k, v) => "\"" + k + "\":" + fmt(v) }.mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
     val line =

@@ -15,6 +15,61 @@ import org.apache.spark.sql.functions._
  *   runMain graft.StressBench [srcDir] [outDir] [factor] [queries...]
  */
 object StressBench {
+
+  /** Snapshot the listed conf keys (value or absent), run `body` (which
+    * may set/unset them freely), and restore the snapshot even when a
+    * mid-probe require() trips — a failed probe must not leave broadcast
+    * joins disabled or a cap set for the probes listed after it. */
+  private def withConfSnapshot(spark: SparkSession, keys: String*)(body: => Unit): Unit = {
+    val saved = keys.map(k => k -> scala.util.Try(spark.conf.get(k)).toOption)
+    try body
+    finally saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None)    => spark.conf.unset(k)
+    }
+  }
+
+  /** The boilerplate-hot corpus every band-skew probe shares: 40% of the
+    * sf0.1 documents replaced by ONE literal string (the crawled-corpus
+    * header/footer regime), so every MinHash band of the boilerplate is
+    * shared by all of them. Persisted; caller unpersists. */
+  private def boilerplateDocs(spark: SparkSession, src: String): org.apache.spark.sql.DataFrame = {
+    val boiler = "terms of service privacy policy all rights reserved " +
+      "contact us about careers copyright two thousand twenty four"
+    spark.read.parquet(s"$src/documents.parquet")
+      .select(col("doc_id"),
+        when(pmod(col("doc_id"), lit(5L)) < 2L, lit(boiler))
+          .otherwise(col("text")).as("text"))
+      .repartition(32).persist()
+  }
+
+  /** The 80%-hot-cone embeddings + the 4-cell hand-built codebook that
+    * pins the cone to ONE cell — shared by the cell-skew probes
+    * (semskew, idxskew). 80% of vectors become jittered copies of one
+    * direction; the codebook's first centroid owns that cone. Returns
+    * (persisted skewed corpus — caller unpersists, codebook). */
+  private def skewedEmbeddings(spark: SparkSession, embPath: String)
+      : (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame) = {
+    import spark.implicits._
+    val emb0 = spark.read.parquet(embPath)
+    val dim = emb0.select(size(col("embedding"))).head().getInt(0)
+    val hotVec = transform(col("embedding"), (_, i) =>
+      when(i === 0, lit(1.0)).otherwise(
+        pmod(col("vec_id") * (i.cast("long") + 1L), lit(9973L))
+          .cast("double") / lit(99800.0)).cast("float"))
+    val skewed = emb0.select(col("vec_id"),
+        when(pmod(col("vec_id"), lit(10L)) < 8L, hotVec)
+          .otherwise(col("embedding")).as("embedding"))
+      .repartition(32).persist()
+    val cents = Seq(
+      (0, Seq.tabulate(dim)(i => if (i == 0) 1.0 else 0.0)),
+      (1, Seq.tabulate(dim)(i => if (i == 0) -1.0 else 0.0)),
+      (2, Seq.tabulate(dim)(i => if (i == 1) 1.0 else 0.0)),
+      (3, Seq.tabulate(dim)(i => if (i == 1) -1.0 else 0.0)))
+      .toDF("cid", "cv")
+    (skewed, cents)
+  }
+
   def main(args: Array[String]): Unit = {
     val src = if (args.length > 0) args(0) else "/root/testdata/sf0.1"
     val out = if (args.length > 1) args(1) else "/tmp/graft_sf1"
@@ -142,24 +197,8 @@ object StressBench {
         // triangle cover (graft.semdedup.cellCap) the same exact pair set
         // spreads over s(s+1)/2 buckets. Survivor counts must match —
         // the cover is exact — while wall time drops.
-        import spark.implicits._
-        val emb0 = spark.read.parquet(embPath)
-        val dim = emb0.select(size(col("embedding"))).head().getInt(0)
-        val hotVec = transform(col("embedding"), (_, i) =>
-          when(i === 0, lit(1.0)).otherwise(
-            pmod(col("vec_id") * (i.cast("long") + 1L), lit(9973L))
-              .cast("double") / lit(99800.0)).cast("float"))
-        val skewed = emb0.select(col("vec_id"),
-            when(pmod(col("vec_id"), lit(10L)) < 8L, hotVec)
-              .otherwise(col("embedding")).as("embedding"))
-          .repartition(32).persist()
+        val (skewed, cents) = skewedEmbeddings(spark, embPath)
         val nSkew = skewed.count()
-        val cents = Seq(
-          (0, Seq.tabulate(dim)(i => if (i == 0) 1.0 else 0.0)),
-          (1, Seq.tabulate(dim)(i => if (i == 0) -1.0 else 0.0)),
-          (2, Seq.tabulate(dim)(i => if (i == 1) 1.0 else 0.0)),
-          (3, Seq.tabulate(dim)(i => if (i == 1) -1.0 else 0.0)))
-          .toDF("cid", "cv")
         // Model the beyond-broadcast regime: at probe size Spark would
         // BROADCAST one join side, which happens to parallelize even the
         // uncapped plan (each input partition streams against the hash
@@ -168,50 +207,42 @@ object StressBench {
         // in ONE task, the pathology the cover fixes. AQE's skew split is
         // byte-based and can't see pair-count blowup (9 MB of hot rows is
         // "not skewed" by bytes while being quadratic by pairs).
-        val bcast = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
-        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
-        // restore the probe's conf overrides even when a mid-probe
-        // require() trips — a failed probe must not leave broadcast joins
-        // disabled (or the cap set) for queries listed after it
-        try {
-        // time the pair stage alone (the stage the cover redistributes);
-        // full-dedup survivor equality separately pins exactness
-        var uncappedPairs = -1L
-        for ((mode, cap) <- Seq("uncapped" -> "1000000000", "capped" -> "2048")) {
-          spark.conf.set("graft.semdedup.cellCap", cap)
-          for (rep <- 1 to 2) {
-            isolate()
-            val t0 = System.nanoTime()
-            val pairs = graft.pipeline.Dedup.semanticPairs(
-              skewed, "vec_id", "embedding", cents, threshold = 0.999999)
-            pairs.write.format("noop").mode("overwrite").save()
-            val secs = (System.nanoTime() - t0) / 1e9
-            val np = pairs.count()
-            if (uncappedPairs < 0) uncappedPairs = np
-            else require(np == uncappedPairs,
-              s"triangle cover changed the pair set size: $np vs $uncappedPairs")
-            println(f"STRESS semskew/$mode pairs rep$rep $secs%.2f s " +
-              s"($np verified pairs over $nSkew vectors)")
+        try withConfSnapshot(spark,
+          "spark.sql.autoBroadcastJoinThreshold", "graft.semdedup.cellCap") {
+          spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+          // time the pair stage alone (the stage the cover redistributes);
+          // full-dedup survivor equality separately pins exactness
+          var uncappedPairs = -1L
+          for ((mode, cap) <- Seq("uncapped" -> "1000000000", "capped" -> "2048")) {
+            spark.conf.set("graft.semdedup.cellCap", cap)
+            for (rep <- 1 to 2) {
+              isolate()
+              val t0 = System.nanoTime()
+              val pairs = graft.pipeline.Dedup.semanticPairs(
+                skewed, "vec_id", "embedding", cents, threshold = 0.999999)
+              pairs.write.format("noop").mode("overwrite").save()
+              val secs = (System.nanoTime() - t0) / 1e9
+              val np = pairs.count()
+              if (uncappedPairs < 0) uncappedPairs = np
+              else require(np == uncappedPairs,
+                s"triangle cover changed the pair set size: $np vs $uncappedPairs")
+              println(f"STRESS semskew/$mode pairs rep$rep $secs%.2f s " +
+                s"($np verified pairs over $nSkew vectors)")
+            }
           }
+          // exactness end to end: survivor SETS equal capped vs uncapped
+          spark.conf.set("graft.semdedup.cellCap", "2048")
+          val cappedIds = graft.pipeline.Dedup.semanticDedup(
+            skewed, "vec_id", "embedding", cents, threshold = 0.999999)
+            .select("vec_id")
           spark.conf.unset("graft.semdedup.cellCap")
-        }
-        // exactness end to end: survivor SETS equal capped vs uncapped
-        spark.conf.set("graft.semdedup.cellCap", "2048")
-        val cappedIds = graft.pipeline.Dedup.semanticDedup(
-          skewed, "vec_id", "embedding", cents, threshold = 0.999999)
-          .select("vec_id")
-        spark.conf.unset("graft.semdedup.cellCap")
-        val unIds = graft.pipeline.Dedup.semanticDedup(
-          skewed, "vec_id", "embedding", cents, threshold = 0.999999)
-          .select("vec_id")
-        require(cappedIds.exceptAll(unIds).isEmpty && unIds.exceptAll(cappedIds).isEmpty,
-          "triangle cover changed the survivor set")
-        println(s"STRESS semskew survivors identical capped vs uncapped")
-        } finally {
-          spark.conf.unset("graft.semdedup.cellCap")
-          spark.conf.set("spark.sql.autoBroadcastJoinThreshold", bcast)
-          skewed.unpersist()
-        }
+          val unIds = graft.pipeline.Dedup.semanticDedup(
+            skewed, "vec_id", "embedding", cents, threshold = 0.999999)
+            .select("vec_id")
+          require(cappedIds.exceptAll(unIds).isEmpty && unIds.exceptAll(cappedIds).isEmpty,
+            "triangle cover changed the survivor set")
+          println(s"STRESS semskew survivors identical capped vs uncapped")
+        } finally skewed.unpersist()
       } else if (q == "bandskew") {
         // round-11 verdict finding #1: a boilerplate-hot LSH band (the
         // norm in crawled corpora — identical headers/footers put one
@@ -226,17 +257,11 @@ object StressBench {
         // size the planner would broadcast one exploded side, which
         // happens to parallelize even the uncapped plan; at corpus scale
         // the join shuffles on the band key and the hot band is one task.
-        val docs0 = spark.read.parquet(s"$src/documents.parquet")
-        val boiler = "terms of service privacy policy all rights reserved " +
-          "contact us about careers copyright two thousand twenty four"
-        val docs = docs0.select(col("doc_id"),
-            when(pmod(col("doc_id"), lit(5L)) < 2L, lit(boiler))
-              .otherwise(col("text")).as("text"))
-          .repartition(32).persist()
+        val docs = boilerplateDocs(spark, src)
         val nDocs = docs.count()
-        val bcast = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
-        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
-        try {
+        try withConfSnapshot(spark,
+          "spark.sql.autoBroadcastJoinThreshold", "graft.dedup.bandCap") {
+          spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
           var uncappedCands = -1L
           for ((mode, cap) <- Seq("uncapped" -> "1000000000", "capped" -> "256")) {
             spark.conf.set("graft.dedup.bandCap", cap)
@@ -256,13 +281,8 @@ object StressBench {
               println(f"STRESS bandskew/$mode rep$rep $secs%.2f s " +
                 s"($nc candidates over $nDocs docs)")
             }
-            spark.conf.unset("graft.dedup.bandCap")
           }
-        } finally {
-          spark.conf.unset("graft.dedup.bandCap")
-          spark.conf.set("spark.sql.autoBroadcastJoinThreshold", bcast)
-          docs.unpersist()
-        }
+        } finally docs.unpersist()
       } else if (q == "crossskew") {
         // bipartite form of bandskew: the SAME boilerplate is hot on BOTH
         // corpora of a cross-corpus dedup (40% of arrivals and 40% of the
@@ -271,19 +291,13 @@ object StressBench {
         // of the plain new×ref band join. saltedCrossJoin redistributes
         // it; the verified pair count must be identical (exact cover).
         // Broadcast disabled for the same reason as bandskew.
-        val docs0 = spark.read.parquet(s"$src/documents.parquet")
-        val boiler = "terms of service privacy policy all rights reserved " +
-          "contact us about careers copyright two thousand twenty four"
-        val docs = docs0.select(col("doc_id"),
-            when(pmod(col("doc_id"), lit(5L)) < 2L, lit(boiler))
-              .otherwise(col("text")).as("text"))
-          .repartition(32).persist()
+        val docs = boilerplateDocs(spark, src)
         val arrivals = docs.where(pmod(col("doc_id"), lit(3L)) === 0L)
         val ref = docs.where(pmod(col("doc_id"), lit(3L)) =!= 0L)
         val nDocs = docs.count()
-        val bcast = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
-        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
-        try {
+        try withConfSnapshot(spark,
+          "spark.sql.autoBroadcastJoinThreshold", "graft.dedup.bandCap") {
+          spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
           var uncappedPairs = -1L
           for ((mode, cap) <- Seq("uncapped" -> "1000000000", "capped" -> "256")) {
             spark.conf.set("graft.dedup.bandCap", cap)
@@ -301,13 +315,8 @@ object StressBench {
               println(f"STRESS crossskew/$mode rep$rep $secs%.2f s " +
                 s"($np pairs over $nDocs docs)")
             }
-            spark.conf.unset("graft.dedup.bandCap")
           }
-        } finally {
-          spark.conf.unset("graft.dedup.bandCap")
-          spark.conf.set("spark.sql.autoBroadcastJoinThreshold", bcast)
-          docs.unpersist()
-        }
+        } finally docs.unpersist()
       } else if (q == "idxskew") {
         // asymmetric SaltedIndex probe: Ivf.search against a corpus whose
         // dominant direction puts ~80% of vectors in ONE cell (same
@@ -320,31 +329,15 @@ object StressBench {
         // index the corpus rides the shuffle once split over s salts and
         // only the small query side replicates. Results (ranks included)
         // must be identical — the cover is exact.
-        import spark.implicits._
-        val emb0 = spark.read.parquet(embPath)
-        val dim = emb0.select(size(col("embedding"))).head().getInt(0)
-        val hotVec = transform(col("embedding"), (_, i) =>
-          when(i === 0, lit(1.0)).otherwise(
-            pmod(col("vec_id") * (i.cast("long") + 1L), lit(9973L))
-              .cast("double") / lit(99800.0)).cast("float"))
-        val skewed = emb0.select(col("vec_id"),
-            when(pmod(col("vec_id"), lit(10L)) < 8L, hotVec)
-              .otherwise(col("embedding")).as("embedding"))
-          .repartition(32).persist()
+        val (skewed, cents) = skewedEmbeddings(spark, embPath)
         val nSkew = skewed.count()
-        val cents = Seq(
-          (0, Seq.tabulate(dim)(i => if (i == 0) 1.0 else 0.0)),
-          (1, Seq.tabulate(dim)(i => if (i == 0) -1.0 else 0.0)),
-          (2, Seq.tabulate(dim)(i => if (i == 1) 1.0 else 0.0)),
-          (3, Seq.tabulate(dim)(i => if (i == 1) -1.0 else 0.0)))
-          .toDF("cid", "cv")
         val qs = skewed.where(pmod(col("vec_id"), lit(10L)) < 8L)
           .orderBy("vec_id").limit(512)
           .select(col("vec_id").as("q_id"), col("embedding")).persist()
         qs.count()
-        val bcast = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
-        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
-        try {
+        try withConfSnapshot(spark,
+          "spark.sql.autoBroadcastJoinThreshold", "graft.semdedup.cellCap") {
+          spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
           var baseline: Set[String] = null
           for ((mode, cap) <- Seq("uncapped" -> "1000000000", "capped" -> "2048")) {
             spark.conf.set("graft.semdedup.cellCap", cap)
@@ -363,13 +356,8 @@ object StressBench {
               println(f"STRESS idxskew/$mode rep$rep $secs%.2f s " +
                 s"(${got.size} ranked hits over $nSkew vectors)")
             }
-            spark.conf.unset("graft.semdedup.cellCap")
           }
-        } finally {
-          spark.conf.unset("graft.semdedup.cellCap")
-          spark.conf.set("spark.sql.autoBroadcastJoinThreshold", bcast)
-          skewed.unpersist(); qs.unpersist()
-        }
+        } finally { skewed.unpersist(); qs.unpersist() }
       } else if (q == "semauto") {
         // semanticDedupAuto sizes the codebook with Ivf.cellsFor — the
         // executable cells-∝-corpus contract. Ran at 1x and 10x, the MEAN

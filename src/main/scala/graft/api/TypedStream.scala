@@ -65,7 +65,7 @@ final case class TypedStream[T](ds: Dataset[T], seqFn: T => Long) {
   /** Milan `leftJoin`/`fullJoin`/`leftInnerJoin` (typed enrichment). */
   def leftJoin[R, K: Encoder, O: Encoder](right: TypedStream[R])(
       lKey: T => K, rKey: R => K,
-      residual: (T, R) => Boolean = (_: T, _: R) => true)(
+      residual: (T, R) => Boolean = StreamingJoins.noResidual[T, R])(
       out: (Option[T], Option[R]) => O)(implicit te: Encoder[T]): Dataset[O] =
     StreamingJoins.enrichmentJoin[T, R, K, O](ds, right.ds, lKey, rKey,
       seqFn, right.seqFn, StreamingJoins.LeftEnrichment, residual)(out)
@@ -74,11 +74,14 @@ final case class TypedStream[T](ds: Dataset[T], seqFn: T => Long) {
     * reference-strictly by default (a failing pair emits nothing,
     * `FullJoinKeyedCoProcessFunction.scala:57-79`; like the reference,
     * the residual is invoked with a null side when that side has no
-    * state yet — null-check it as Milan programs do).
-    * `lenientResidual = true` keeps the arriving side with None instead. */
+    * state yet — null-check it as Milan programs do). A primitive-typed
+    * side cannot represent that null (it would unbox to a phantom zero),
+    * so strict mode rejects it with a named error — box the type or go
+    * lenient. `lenientResidual = true` keeps the arriving side with None
+    * instead. */
   def fullJoin[R, K: Encoder, O: Encoder](right: TypedStream[R])(
       lKey: T => K, rKey: R => K,
-      residual: (T, R) => Boolean = (_: T, _: R) => true,
+      residual: (T, R) => Boolean = StreamingJoins.noResidual[T, R],
       lenientResidual: Boolean = false)(
       out: (Option[T], Option[R]) => O)(implicit te: Encoder[T]): Dataset[O] =
     StreamingJoins.enrichmentJoin[T, R, K, O](ds, right.ds, lKey, rKey,
@@ -87,7 +90,7 @@ final case class TypedStream[T](ds: Dataset[T], seqFn: T => Long) {
 
   def leftInnerJoin[R, K: Encoder, O: Encoder](right: TypedStream[R])(
       lKey: T => K, rKey: R => K,
-      residual: (T, R) => Boolean = (_: T, _: R) => true)(
+      residual: (T, R) => Boolean = StreamingJoins.noResidual[T, R])(
       out: (Option[T], Option[R]) => O)(implicit te: Encoder[T]): Dataset[O] =
     StreamingJoins.enrichmentJoin[T, R, K, O](ds, right.ds, lKey, rKey,
       seqFn, right.seqFn, StreamingJoins.LeftInner, residual)(out)

@@ -1806,7 +1806,12 @@ object Dedup {
                         threshold: Double, targetCellSize: Long = 4096,
                         iters: Int = 2): DataFrame = {
     require(targetCellSize > 0, s"targetCellSize must be positive, got $targetCellSize")
-    val k = Ivf.cellsFor(embs.count(), targetCellSize)
+    val n = embs.count()
+    // an empty corpus has nothing to dedup AND nothing to train on —
+    // return it unchanged rather than letting Ivf.train produce an empty
+    // codebook and fail downstream with a misleading "train() first"
+    if (n == 0) return embs
+    val k = Ivf.cellsFor(n, targetCellSize)
     val cents = Ivf.train(embs, idCol, vecCol, k, iters)
     semanticDedup(embs, idCol, vecCol, cents, threshold)
   }
@@ -1976,7 +1981,11 @@ object Dedup {
           // ~pop/cap times; that shape is for two comparable corpora.)
           // Spec-pinned equal to the broadcast face under a tiny cap.
           val cap = longConf(df.sparkSession, "graft.semdedup.cellCap", 8192L)
-          val (refSalted, hot) = SaltedIndex.salt(refPlan, "__cid", col("__rid"), cap)
+          // pin, not the declarative salt: the census would otherwise
+          // recompute the reference's per-row nearestCid assignment a
+          // second time as the join input (compute-once, like ivfAdcTopK)
+          val (refSalted, hot, ids) = SaltedIndex.pin(refPlan, "__cid", col("__rid"), cap)
+          graft.api.Pinned.register(df.sparkSession, ids)
           SaltedIndex.replicate(probes, hot, "__cid")
             .join(refSalted, Seq("__cid", "__sg"))
             .filter(isCos)

@@ -183,8 +183,8 @@ object Ivf {
     // cell cannot serialize work and a skew guard would only add a
     // corpus pass. `false` (bulk regime: queries ~ corpus scale, e.g.
     // kNN-graph construction, where BOTH sides shuffle on the cell id):
-    // the asymmetric SaltedIndex cover — the corpus rides the cell
-    // shuffle once with hot cells salted (census pass at plan level),
+    // the asymmetric SaltedIndex cover — the corpus assignment is pinned
+    // once (census + join both read the checkpoint), hot cells salted,
     // queries replicate to a hot cell's s salts — so one
     // dominant-direction cell can no longer pin |queries probing it| ×
     // pop scoring on one task. Cold corpora: empty hot table, 1×
@@ -194,8 +194,14 @@ object Ivf {
       else {
         val cap = graft.pipeline.Dedup.longConf(
           embs.sparkSession, "graft.semdedup.cellCap", 8192L)
-        val (corpusSalted, hot) = graft.pipeline.SaltedIndex.salt(
+        // pin, not the declarative salt: the census would otherwise
+        // recompute the full per-row nearestCid assignment — k distance
+        // evaluations per corpus row, the most expensive stage of the
+        // search — a second time as the join input (the same
+        // compute-once contract as ivfAdcTopK / dedupAgainstCorpus)
+        val (corpusSalted, hot, ids) = graft.pipeline.SaltedIndex.pin(
           corpus, "cid", col("__pid"), cap)
+        graft.api.Pinned.register(embs.sparkSession, ids)
         graft.pipeline.SaltedIndex.replicate(qCells, hot, "cid")
           .join(corpusSalted, Seq("cid", "__sg"))
       }

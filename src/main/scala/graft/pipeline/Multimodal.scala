@@ -145,7 +145,10 @@ object Multimodal {
    * 0.299 R + 0.587 G + 0.114 B over all pixels). Non-image formats and
    * undecodable payloads keep the byte-statistics fallback and report
    * `decoded = false` — the honest degradation, not an error, so one
-   * pipeline handles mixed corpora. Header-declared dimensions are
+   * pipeline handles mixed corpora; the fallback byte mean lives in its
+   * own `mean_byte` column (like the audio/video decoders) so pixel
+   * luminance and raw byte statistics — both 0-255 scaled — can never
+   * blend in one aggregate. Header-declared dimensions are
    * bounded by [[MaxCanvasPixels]] BEFORE the raster allocates (see
    * [[readImageBounded]]). Per-row cost is linear in pixels; the
    * decode runs inside `mapPartitions` exactly like [[decodeBatched]], so
@@ -159,6 +162,7 @@ object Multimodal {
       StructField("width", IntegerType),
       StructField("height", IntegerType),
       StructField("mean_luma", DoubleType),
+      StructField("mean_byte", DoubleType),
       StructField("format", StringType)))
     val idIdx = df.schema.fieldIndex(idCol)
     val mediaIdx = df.schema.fieldIndex("media")
@@ -182,11 +186,11 @@ object Multimodal {
           case Some(im) =>
             val (w, h) = (im.getWidth, im.getHeight)
             Row(r.getLong(idIdx), bytes.length, true, w, h,
-              lumaSum(im) / (w.toLong * h), fmt)
+              lumaSum(im) / (w.toLong * h), null, fmt)
           case None if bytes == null =>
-            Row(r.getLong(idIdx), null, false, null, null, null, fmt)
+            Row(r.getLong(idIdx), null, false, null, null, null, null, fmt)
           case None =>
-            Row(r.getLong(idIdx), bytes.length, false, null, null,
+            Row(r.getLong(idIdx), bytes.length, false, null, null, null,
               graft.functions.ByteMeanUtil.mean(bytes), fmt)
         }
       }
@@ -519,6 +523,12 @@ object Multimodal {
           while (c > 0 && !covering(c)) c -= 1
           (c to s).foreach(needed += _)
         }
+        // per-frame ImageDescriptor dims are the SAME untrusted 16-bit
+        // fields as the LSD: reader.read(f) eagerly allocates the frame
+        // raster from them, so bound every frame that will be read
+        if ((0 to last).exists(f =>
+          needed(f) && metas(f).w.toLong * metas(f).h > MaxCanvasPixels))
+          return None
         val canvas = new java.awt.image.BufferedImage(
           sw, sh, java.awt.image.BufferedImage.TYPE_INT_RGB)
         val g = canvas.createGraphics()

@@ -50,18 +50,6 @@ private[graft] object SaltedIndex {
         .otherwise(pmod(xxhash64(idCol), col("__s")).cast("int")))
       .drop("__s")
 
-  /** Declarative (no-checkpoint) face for BATCH queries over a big
-    * static side: returns (salted index carrying `__sg`, hot-key table).
-    * The index side is scanned twice (census + join input) — acceptable
-    * when assignment is cheap or the caller persists; the pinned face
-    * below materializes instead. `idCol` seeds the deterministic salt —
-    * any stable per-row column. */
-  def salt(plan: DataFrame, keyCol: String, idCol: Column, cap: Long)
-      : (DataFrame, DataFrame) = {
-    val hot = hotKeys(plan, keyCol, cap)
-    (withSalt(plan, hot, keyCol, idCol), hot)
-  }
-
   /** Checkpoint `plan` ONCE, then census + salt over the materialized
     * base: the (possibly expensive) index projection — band explosion,
     * cell assignment — is computed exactly one time; the census reads the

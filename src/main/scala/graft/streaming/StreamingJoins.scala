@@ -36,12 +36,31 @@ object StreamingJoins {
   case object FullEnrichment extends Kind
   case object LeftInner extends Kind
 
+  /** The shared no-residual default — ONE object, so the strict full-join
+    * gate can recognize "no residual supplied" and skip evaluating it
+    * against an absent side entirely. */
+  private val alwaysTrue: (Any, Any) => Boolean = (_, _) => true
+  def noResidual[L, R]: (L, R) => Boolean = alwaysTrue.asInstanceOf[(L, R) => Boolean]
+
+  /** The null stand-in for a side with no state yet, handed to a
+    * reference-strict full-join residual. Scala can't represent null in a
+    * primitive — null.asInstanceOf silently unboxes to a phantom 0/false —
+    * so a primitive-typed side is a named contract error, never a silent
+    * wrong gate. */
+  private def nullSide[A](cls: Class[_], side: String): A = {
+    if (cls.isPrimitive) throw new IllegalArgumentException(
+      s"graft: reference-strict full-join residual would receive a null $side side, " +
+        s"but the $side type is primitive ($cls) and null silently unboxes to zero — " +
+        "box the side type (e.g. java.lang.Long) or use lenientResidual = true")
+    null.asInstanceOf[A]
+  }
+
   def enrichmentJoin[L, R, K: Encoder, O: Encoder](
       left: Dataset[L], right: Dataset[R],
       lKey: L => K, rKey: R => K,
       lSeq: L => Long, rSeq: R => Long,
       kind: Kind,
-      residual: (L, R) => Boolean = (_: L, _: R) => true,
+      residual: (L, R) => Boolean = noResidual[L, R],
       /** Evict join state for keys idle longer than this (Milan keeps
         * group state forever — unbounded on an unbounded key space). */
       stateTtl: Option[java.time.Duration] = None,
@@ -59,6 +78,17 @@ object StreamingJoins {
       Encoders.kryo[(K, Long, Option[L], Option[R])]
     implicit val stEnc: Encoder[(Option[L], Option[R], List[L])] =
       Encoders.kryo[(Option[L], Option[R], List[L])]
+
+    // Reference-strict gating hands the residual a NULL for the side with
+    // no state yet (the reference does the same). Scala can't represent
+    // null in a primitive, and null.asInstanceOf silently unboxes to a
+    // phantom 0/false — so a primitive-typed side with a strict residual
+    // is a named contract error, not a silent wrong gate.
+    val hasResidual = !(residual.asInstanceOf[AnyRef] eq alwaysTrue)
+    // plain Class values, NOT the Datasets: the state closure below must
+    // not capture `left`/`right`
+    val lCls = left.encoder.clsTag.runtimeClass
+    val rCls = right.encoder.clsTag.runtimeClass
 
     val lt = left.map(l => (lKey(l), lSeq(l), Option(l), Option.empty[R]))
     val rt = right.map(r => (rKey(r), rSeq(r), Option.empty[L], Option(r)))
@@ -90,7 +120,8 @@ object StreamingJoins {
                   // reference-strict: the residual gates emission and is
                   // evaluated with the state's value even when absent
                   // (the reference passes null the same way)
-                  else if (residual(l, lastR.getOrElse(null.asInstanceOf[R])))
+                  else if (!hasResidual || residual(l,
+                    lastR.getOrElse(nullSide[R](rCls, "right"))))
                     outs += out(Some(l), lastR)
                 case LeftInner =>
                   lastR.filter(r => residual(l, r)) match {
@@ -105,7 +136,8 @@ object StreamingJoins {
                 case FullEnrichment =>
                   if (lenientResidual)
                     outs += out(lastL.filter(l => residual(l, r)), Some(r))
-                  else if (residual(lastL.getOrElse(null.asInstanceOf[L]), r))
+                  else if (!hasResidual || residual(
+                    lastL.getOrElse(nullSide[L](lCls, "left")), r))
                     outs += out(lastL, Some(r))
                 case LeftInner =>
                   val (matched, stillWaiting) = pending.partition(l => residual(l, r))

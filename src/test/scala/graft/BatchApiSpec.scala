@@ -508,8 +508,11 @@ class BatchApiSpec extends SparkSpec {
       "non-image format takes the byte-stats fallback")
     assert(!out(4L).getBoolean(2),
       "undecodable bytes degrade to fallback instead of failing the task")
-    assert(out(3L).getDouble(5) > 0, "fallback mean_byte populated")
-    assert(!out(5L).getBoolean(2) && out(5L).isNullAt(1) && out(5L).isNullAt(5),
+    assert(out(3L).isNullAt(5) && out(3L).getDouble(6) > 0,
+      "fallback mean_byte lives in its own column — never in mean_luma")
+    assert(out(1L).isNullAt(6), "decoded rows carry no byte-stats stand-in")
+    assert(!out(5L).getBoolean(2) && out(5L).isNullAt(1) &&
+      out(5L).isNullAt(5) && out(5L).isNullAt(6),
       "null media degrades to fallback with null byte stats, never an NPE")
   }
 

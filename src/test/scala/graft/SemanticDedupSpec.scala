@@ -113,6 +113,13 @@ class SemanticDedupSpec extends SparkSpec {
     assert(auto.size < 90, "scenario must actually dedup")
   }
 
+  test("semanticDedupAuto on an empty corpus returns it unchanged") {
+    val empty = Seq.empty[(Long, Array[Float])].toDF("vec_id", "embedding")
+    val out = Dedup.semanticDedupAuto(empty, "vec_id", "embedding", threshold = 0.99)
+    assert(out.schema == empty.schema && out.count() == 0,
+      "no training pass, no misleading empty-codebook error")
+  }
+
   test("droppedBecause lineage names the surviving representative") {
     val embs = Seq(
       (10L, axis(0, 0.01f)), (50L, axis(0, 0.02f)),

@@ -67,6 +67,28 @@ class StreamingJoinSpec extends SparkSpec {
     }
   }
 
+  test("strict residual with a primitive-typed side is a named contract error") {
+    // reference-strict gating hands the residual a null for the side with
+    // no state yet; Long can't hold that null (it would unbox to a phantom
+    // 0 and silently pass/fail the gate), so the engine must refuse loudly
+    val left = Seq(LRec("a", 1, 10)).toDS()
+    val right = Seq(5L).toDS()
+    val joined = StreamingJoins.enrichmentJoin[LRec, Long, String, String](
+      left, right, _.k, _ => "a", _.seq, _ => 2L, StreamingJoins.FullEnrichment,
+      residual = (l: LRec, r: Long) => l.v > r)((l, r) => s"$l|$r")
+    val ex = intercept[Exception] { joined.collect() }
+    def chain(t: Throwable): List[Throwable] =
+      if (t == null) Nil else t :: chain(t.getCause)
+    assert(chain(ex).exists(c => c.getMessage != null &&
+      c.getMessage.contains("primitive") && c.getMessage.contains("lenientResidual")),
+      s"expected the named primitive-side error, got: $ex")
+    // no residual supplied -> the gate never evaluates, primitive sides fine
+    val ok = StreamingJoins.enrichmentJoin[LRec, Long, String, String](
+      left, right, _.k, _ => "a", _.seq, _ => 2L,
+      StreamingJoins.FullEnrichment)((l, r) => s"$l|$r")
+    assert(ok.collect().length == 2, "default residual emits both arrivals")
+  }
+
   test("left inner: lefts buffer until a matching right, then flush exactly once") {
     run(StreamingJoins.LeftInner) { (ls, rs, emitted) =>
       ls.addData(LRec("a", 1, 10))
