@@ -764,6 +764,21 @@ object QueriesPipeline {
                                   ELSE 250000 END"""
   }
 
+  /** Exact-k deterministic holdout carve: exactly 200 documents chosen by
+    * ascending hash rank through the bounded-heap top-k aggregate (one
+    * corpus pass, no global sort); the oracle reproduces the draw
+    * bit-for-bit as ORDER BY gate, id LIMIT k. */
+  def qSampleK(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(spark, dir).df
+    graft.pipeline.Sampling.exactKSample(d, "doc_id", k = 200, salt = "ev1")
+      .select(col("doc_id"), col("source"))
+  }
+
+  val qSampleKSql: String = {
+    val gate = "((" + PolyFold.format("(doc_id::VARCHAR || 'ev1')") + ") * 2654435761) % 1000000"
+    s"""SELECT doc_id, source FROM documents ORDER BY $gate, doc_id LIMIT 200"""
+  }
+
   /** Temperature-based source rebalancing at alpha = 0.5 toward a 300-doc
     * budget: big sources downsample harder than small ones. The oracle
     * recomputes the per-source integer gate thresholds bit-exactly —
@@ -2226,6 +2241,7 @@ object QueriesPipeline {
     "q_semantic_keepbest" -> (qSemanticKeepBest _),
     "q_repetition" -> (qRepetition _),
     "q_sample" -> (qSample _),
+    "q_sample_k" -> (qSampleK _),
     "q_strata_mix" -> (qStrataMix _),
     "q_mix_program" -> (qMixProgram _),
     "q_curate_program" -> (qCurateProgram _),
@@ -2308,6 +2324,7 @@ object QueriesPipeline {
     "q_semantic_keepbest" -> qSemanticKeepBestSql,
     "q_repetition" -> qRepetitionSql,
     "q_sample" -> qSampleSql,
+    "q_sample_k" -> qSampleKSql,
     "q_strata_mix" -> qStrataMixSql,
     "q_mix_program" -> qMixProgramSql,
     "q_curate_program" -> qCurateProgramSql,

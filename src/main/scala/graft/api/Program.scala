@@ -289,6 +289,10 @@ object Program {
   /** Per-stratum quota cap (`Sampling.capPerKey`) — batch face (rank window). */
   final case class CapPerKey(name: String, input: String, strataCol: String,
                              keyCol: String, n: Int, salt: String) extends Node
+  /** Global exact-k deterministic sample (`Sampling.exactKSample`) —
+    * bounded-heap lowering, batch face. */
+  final case class ExactKSample(name: String, input: String, idCol: String,
+                                k: Int, salt: String) extends Node
   /** Per-stratum token-budget prefix fill (`Sampling.capTokensPerKey`) —
     * batch face (running-sum window). */
   final case class CapTokens(name: String, input: String, strataCol: String,
@@ -608,6 +612,7 @@ object Program {
     case as: AssignSplit => Seq(as.input)
     case wm: WeightedMix => Seq(wm.input)
     case cp: CapPerKey => Seq(cp.input)
+    case ek: ExactKSample => Seq(ek.input)
     case ct: CapTokens => Seq(ct.input)
     case tm: TemperatureMix => Seq(tm.input)
     case sp: SafeSplit => Seq(sp.input, sp.pairs)
@@ -869,6 +874,10 @@ object Program {
           val s = in(i)
           new MStream(graft.pipeline.Sampling.capPerKey(s.df, col(strata), col(key), cap, salt),
             s.eventOrder, s.contextKeys, s.name)
+        case ExactKSample(_, i, idc, k, salt) =>
+          val s = in(i)
+          new MStream(graft.pipeline.Sampling.exactKSample(s.df, idc, k, salt),
+            s.eventOrder, s.contextKeys, s.name)
         case CapTokens(_, i, strata, key, tokens, budget, salt) =>
           val s = in(i)
           new MStream(graft.pipeline.Sampling.capTokensPerKey(
@@ -1016,6 +1025,7 @@ object Program {
     case x: AssignSplit => x.copy(name = name)
     case x: WeightedMix => x.copy(name = name)
     case x: CapPerKey => x.copy(name = name)
+    case x: ExactKSample => x.copy(name = name)
     case x: CapTokens => x.copy(name = name)
     case x: TemperatureMix => x.copy(name = name)
     case x: SafeSplit => x.copy(name = name)
@@ -1349,6 +1359,9 @@ object Program {
     def capPerKey(strataCol: String, keyCol: String, cap: Int,
                   salt: String = ""): Rec =
       derive1("capPerKey")(n => CapPerKey(n, name, strataCol, keyCol, cap, salt))
+    /** Global exact-k deterministic sample (bounded-heap lowering). */
+    def exactKSample(idCol: String, k: Int, salt: String = ""): Rec =
+      derive1("exactK")(n => ExactKSample(n, name, idCol, k, salt))
     /** Per-stratum token-budget prefix fill (batch face). */
     def capTokens(strataCol: String, keyCol: String, tokensCol: String,
                   budget: Long, salt: String = ""): Rec =
@@ -1500,7 +1513,7 @@ object Program {
            _: QualityAnnotate | _: PiiScrub | _: LangId | _: ChunkTokens |
            _: PackChunks | _: Winnow | _: Repetition | _: Normalize |
            _: StripMarkup | _: JlProjection | _: TopKPerKey | _: Sq8Ingest |
-           _: ZOrder => true
+           _: ZOrder | _: ExactKSample => true
       case _ => false }) 6
     else if (doc.nodes.exists {
       case _: HashSample | _: StratifiedSample | _: AssignSplit | _: WeightedMix |
@@ -1661,6 +1674,9 @@ object Program {
       case CapPerKey(name, i, strata, key, cap, salt) =>
         ("op" -> "capPerKey") ~ ("name" -> name) ~ ("input" -> i) ~
           ("strataCol" -> strata) ~ ("keyCol" -> key) ~ ("n" -> cap) ~ ("salt" -> salt)
+      case ExactKSample(name, i, idc, k, salt) =>
+        ("op" -> "exactK") ~ ("name" -> name) ~ ("input" -> i) ~
+          ("idCol" -> idc) ~ ("k" -> k) ~ ("salt" -> salt)
       case CapTokens(name, i, strata, key, tokens, budget, salt) =>
         ("op" -> "capTokens") ~ ("name" -> name) ~ ("input" -> i) ~
           ("strataCol" -> strata) ~ ("keyCol" -> key) ~ ("tokensCol" -> tokens) ~
@@ -1920,6 +1936,9 @@ object Program {
           case "capPerKey" => CapPerKey(name, (v \ "input").extract[String],
             (v \ "strataCol").extract[String], (v \ "keyCol").extract[String],
             (v \ "n").extract[Int], (v \ "salt").extractOpt[String].getOrElse(""))
+          case "exactK" => ExactKSample(name, (v \ "input").extract[String],
+            (v \ "idCol").extract[String], (v \ "k").extract[Int],
+            (v \ "salt").extractOpt[String].getOrElse(""))
           case "capTokens" => CapTokens(name, (v \ "input").extract[String],
             (v \ "strataCol").extract[String], (v \ "keyCol").extract[String],
             (v \ "tokensCol").extract[String], (v \ "budget").extract[Long],
@@ -2367,6 +2386,10 @@ object Program {
           if (cp.n <= 0) throw new IllegalArgumentException(
             s"node '${n.name}': capPerKey needs n > 0, got ${cp.n}")
           Seq(cp.input)
+        case ek: ExactKSample =>
+          if (ek.k <= 0) throw new IllegalArgumentException(
+            s"node '${n.name}': exactK needs k > 0, got ${ek.k}")
+          Seq(ek.input)
         case ct: CapTokens =>
           if (ct.budget <= 0) throw new IllegalArgumentException(
             s"node '${n.name}': capTokens needs budget > 0, got ${ct.budget}")

@@ -152,6 +152,46 @@ object Sampling {
     df.withColumn("epoch", explode(epochs))
   }
 
+  /** Global exact-k deterministic uniform sample — the fixed-SIZE sibling
+    * of [[hashSample]] (fixed-RATE): the k rows with the smallest hash
+    * rank (gate asc, id asc — the same multiplicative-hash machinery, so
+    * the draw is partition/cluster/engine-invariant, a different salt
+    * redraws it, and a DuckDB oracle reproduces it as `ORDER BY gate, id
+    * LIMIT k`). This is the eval-set/holdout carve of corpus curation
+    * ("exactly 50k documents, reproducibly"), where [[hashSample]]'s
+    * rate gives only an EXPECTED size.
+    *
+    * Lowered onto the bounded-heap top-k aggregate, NOT a global sort or
+    * a one-partition rank window: each map task keeps one k-element heap,
+    * the exchange carries at most tasks × k (id, rank) entries, and the
+    * k winners broadcast-semi-join back to recover full rows — one corpus
+    * pass plus one cheap id join at any corpus size. `idCol` must be
+    * integral (the heap carries (id, rank) pairs — the
+    * [[graft.operators.GroupTopK]] contract) and NULL ids are excluded
+    * (aggregate null-skipping semantics). k is a sample size, bounded by
+    * the caller like every other driver-adjacent k in this library. */
+  def exactKSample(df: DataFrame, idCol: String, k: Int, salt: String = ""): DataFrame = {
+    require(k > 0, s"exactKSample needs k > 0, got $k")
+    import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType}
+    df.schema(idCol).dataType match {
+      case LongType | IntegerType | ShortType | ByteType =>
+      case other => throw new IllegalArgumentException(
+        s"exactKSample: idCol '$idCol' must be integral (the bounded heap " +
+          s"carries (id, rank) pairs), got $other")
+    }
+    // the heap ranks by score DESC with id-asc ties; negate the gate so
+    // the winners are the SMALLEST gate values — gate < 10^6, so the
+    // double cast is exact and the oracle's BIGINT order matches
+    val winners = df
+      .select(col(idCol).cast("long").as("__id"),
+        (-gate(col(idCol), salt)).cast("double").as("__s"))
+      .agg(graft.functions.VectorFunctions.topKByScore(
+        col("__id"), col("__s"), k).as("__top"))
+      .select(explode(col("__top")).as("__e"))
+      .select(col("__e.id").as("__kid"))
+    df.join(broadcast(winners), col(idCol).cast("long") === col("__kid"), "left_semi")
+  }
+
   /** Per-key quota cap (the Common-Crawl-style per-domain contribution
     * limit): keep at most `n` rows per `strataCol` value, chosen by a
     * deterministic hash rank over the row key (same multiplicative-hash

@@ -271,6 +271,35 @@ class BatchApiSpec extends SparkSpec {
     assert(strat("s0") == 500 && !strat.contains("s1"), "per-stratum rates applied")
   }
 
+  test("exact-k sample: definitional sort equality, partition invariance, bounded-heap plan") {
+    import graft.pipeline.Sampling
+    import graft.functions.VectorFunctions
+    val docs = spark.range(0L, 2000L).select(col("id"), (col("id") % 4).as("grp"))
+    def ids(df: org.apache.spark.sql.DataFrame) = df.select("id").collect().map(_.getLong(0)).toSet
+    // definitional semantics: the k smallest (gate, id) — mirror the gate
+    // formula explicitly, pinning it against silent drift from the oracle
+    val gate = pmod(VectorFunctions.polyHashNative(
+      concat(col("id").cast("string"), lit("ev"))) * lit(2654435761L), lit(1000000L))
+    val expected = ids(docs.orderBy(gate, col("id")).limit(150))
+    val got = Sampling.exactKSample(docs, "id", k = 150, salt = "ev")
+    assert(ids(got) == expected, "heap lowering must equal the definitional sort")
+    assert(got.columns.toSeq == Seq("id", "grp"), "full input rows survive")
+    assert(ids(Sampling.exactKSample(docs.repartition(7), "id", 150, "ev")) == expected,
+      "partitioning-invariant draw")
+    val redraw = ids(Sampling.exactKSample(docs, "id", 150, "ev2"))
+    assert(redraw != expected, "a different salt redraws the sample")
+    assert(ids(Sampling.exactKSample(docs, "id", 5000, "ev")) == ids(docs),
+      "k beyond the corpus keeps every row")
+    // plan: bounded-heap partial aggregation, no global Sort of the corpus
+    val plan = got.queryExecution.executedPlan.toString
+    assert(plan.contains("ObjectHashAggregate") && plan.toLowerCase.contains("partial"),
+      "map-side partial k-heaps present")
+    assert(!plan.contains("Sort "), s"no corpus sort in the sample plan")
+    intercept[IllegalArgumentException] {
+      Sampling.exactKSample(docs.select(col("id").cast("string").as("id")), "id", 10)
+    }
+  }
+
   test("temperature mixing flattens source shares toward uniform, deterministically") {
     import graft.pipeline.Sampling
     // 1600 big + 100 small: natural mix 94/6; alpha 0.5 should pull the

@@ -237,6 +237,7 @@ class ProgramNodeCoverageSpec extends AnyFunSuite {
       "temperatureMix" -> node("temperatureMix"),
       "capPerKey" -> node("capPerKey"),
       "capTokensPerKey" -> node("capTokens"),
+      "exactKSample" -> node("exactK"),
       "strataLookup" -> excluded(block),
       "LiteralStrataEntries" -> excluded(const),
       "MaxStrata" -> excluded(const)))

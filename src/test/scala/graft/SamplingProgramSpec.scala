@@ -53,6 +53,23 @@ class SamplingProgramSpec extends SparkSpec {
       extra = Seq(External("pairs"))).contains("at least one split band"))
   }
 
+  test("exactK node: v6 round-trip, named validation, capture == direct API") {
+    val d = Doc(nodes = Seq(External("in"), ExactKSample("ek", "in", "id", 25, "v")),
+      outputs = Seq("ek"))
+    val json = Program.toJson(d)
+    assert(json.contains("\"version\":6"), "exactK is a v6 node")
+    assert(Program.fromJson(json) == d, "round-trip must be lossless")
+    val e = intercept[IllegalArgumentException](Program.fromJson(Program.toJson(
+      Doc(Seq(External("in"), ExactKSample("x", "in", "id", 0, "")), Seq("x")))))
+    assert(e.getMessage.contains("k > 0") && e.getMessage.contains("node 'x'"))
+    val piped = Program.Rec.external("in", MStream(docs))
+      .exactKSample("id", 25, "v").as("out")
+    val live = piped.stream.df.select("id").collect().map(_.getLong(0)).toSet
+    val direct = graft.pipeline.Sampling.exactKSample(docs, "id", 25, "v")
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(live == direct && live.size == 25, "capture path diverged from the direct API")
+  }
+
   test("captured pipeline == reloaded document == direct API, including safeSplit") {
     val pairsDf = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("id_a", "id_b")
     val bands = Seq("train" -> 0.8, "validation" -> 0.1, "test" -> 0.1)
