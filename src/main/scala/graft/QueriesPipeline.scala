@@ -779,6 +779,19 @@ object QueriesPipeline {
     s"""SELECT doc_id, source FROM documents ORDER BY $gate, doc_id LIMIT 200"""
   }
 
+  /** Per-source exact-k through the bounded-heap lowering — the SAME draw
+    * as q_source_cap's rank window (QUALIFY mirror), hot-stratum-safe. */
+  def qSourceCapK(spark: SparkSession, dir: String): DataFrame =
+    graft.pipeline.Sampling.exactKPerKey(
+        Tables.documents(spark, dir).df, "source", "doc_id", 15, salt = "cap2")
+      .select(col("doc_id"), col("source"))
+
+  val qSourceCapKSql: String = {
+    val gate = "((" + PolyFold.format("(doc_id::VARCHAR || 'cap2')") + ") * 2654435761) % 1000000"
+    s"""SELECT doc_id, source FROM documents
+        QUALIFY row_number() OVER (PARTITION BY source ORDER BY $gate, doc_id) <= 15"""
+  }
+
   /** Temperature-based source rebalancing at alpha = 0.5 toward a 300-doc
     * budget: big sources downsample harder than small ones. The oracle
     * recomputes the per-source integer gate thresholds bit-exactly —
@@ -2242,6 +2255,7 @@ object QueriesPipeline {
     "q_repetition" -> (qRepetition _),
     "q_sample" -> (qSample _),
     "q_sample_k" -> (qSampleK _),
+    "q_source_cap_k" -> (qSourceCapK _),
     "q_strata_mix" -> (qStrataMix _),
     "q_mix_program" -> (qMixProgram _),
     "q_curate_program" -> (qCurateProgram _),
@@ -2325,6 +2339,7 @@ object QueriesPipeline {
     "q_repetition" -> qRepetitionSql,
     "q_sample" -> qSampleSql,
     "q_sample_k" -> qSampleKSql,
+    "q_source_cap_k" -> qSourceCapKSql,
     "q_strata_mix" -> qStrataMixSql,
     "q_mix_program" -> qMixProgramSql,
     "q_curate_program" -> qCurateProgramSql,

@@ -293,6 +293,10 @@ object Program {
     * bounded-heap lowering, batch face. */
   final case class ExactKSample(name: String, input: String, idCol: String,
                                 k: Int, salt: String) extends Node
+  /** Per-stratum exact-k (`Sampling.exactKPerKey`) — the bounded-heap
+    * sibling of [[CapPerKey]] for unique integral ids. */
+  final case class ExactKStrata(name: String, input: String, strataCol: String,
+                                idCol: String, k: Int, salt: String) extends Node
   /** Per-stratum token-budget prefix fill (`Sampling.capTokensPerKey`) —
     * batch face (running-sum window). */
   final case class CapTokens(name: String, input: String, strataCol: String,
@@ -613,6 +617,7 @@ object Program {
     case wm: WeightedMix => Seq(wm.input)
     case cp: CapPerKey => Seq(cp.input)
     case ek: ExactKSample => Seq(ek.input)
+    case es: ExactKStrata => Seq(es.input)
     case ct: CapTokens => Seq(ct.input)
     case tm: TemperatureMix => Seq(tm.input)
     case sp: SafeSplit => Seq(sp.input, sp.pairs)
@@ -878,6 +883,10 @@ object Program {
           val s = in(i)
           new MStream(graft.pipeline.Sampling.exactKSample(s.df, idc, k, salt),
             s.eventOrder, s.contextKeys, s.name)
+        case ExactKStrata(_, i, strata, idc, k, salt) =>
+          val s = in(i)
+          new MStream(graft.pipeline.Sampling.exactKPerKey(s.df, strata, idc, k, salt),
+            s.eventOrder, s.contextKeys, s.name)
         case CapTokens(_, i, strata, key, tokens, budget, salt) =>
           val s = in(i)
           new MStream(graft.pipeline.Sampling.capTokensPerKey(
@@ -1026,6 +1035,7 @@ object Program {
     case x: WeightedMix => x.copy(name = name)
     case x: CapPerKey => x.copy(name = name)
     case x: ExactKSample => x.copy(name = name)
+    case x: ExactKStrata => x.copy(name = name)
     case x: CapTokens => x.copy(name = name)
     case x: TemperatureMix => x.copy(name = name)
     case x: SafeSplit => x.copy(name = name)
@@ -1362,6 +1372,10 @@ object Program {
     /** Global exact-k deterministic sample (bounded-heap lowering). */
     def exactKSample(idCol: String, k: Int, salt: String = ""): Rec =
       derive1("exactK")(n => ExactKSample(n, name, idCol, k, salt))
+    /** Per-stratum exact-k (bounded-heap lowering; unique integral ids). */
+    def exactKPerKey(strataCol: String, idCol: String, k: Int,
+                     salt: String = ""): Rec =
+      derive1("exactKStrata")(n => ExactKStrata(n, name, strataCol, idCol, k, salt))
     /** Per-stratum token-budget prefix fill (batch face). */
     def capTokens(strataCol: String, keyCol: String, tokensCol: String,
                   budget: Long, salt: String = ""): Rec =
@@ -1513,7 +1527,7 @@ object Program {
            _: QualityAnnotate | _: PiiScrub | _: LangId | _: ChunkTokens |
            _: PackChunks | _: Winnow | _: Repetition | _: Normalize |
            _: StripMarkup | _: JlProjection | _: TopKPerKey | _: Sq8Ingest |
-           _: ZOrder | _: ExactKSample => true
+           _: ZOrder | _: ExactKSample | _: ExactKStrata => true
       case _ => false }) 6
     else if (doc.nodes.exists {
       case _: HashSample | _: StratifiedSample | _: AssignSplit | _: WeightedMix |
@@ -1677,6 +1691,9 @@ object Program {
       case ExactKSample(name, i, idc, k, salt) =>
         ("op" -> "exactK") ~ ("name" -> name) ~ ("input" -> i) ~
           ("idCol" -> idc) ~ ("k" -> k) ~ ("salt" -> salt)
+      case ExactKStrata(name, i, strata, idc, k, salt) =>
+        ("op" -> "exactKStrata") ~ ("name" -> name) ~ ("input" -> i) ~
+          ("strataCol" -> strata) ~ ("idCol" -> idc) ~ ("k" -> k) ~ ("salt" -> salt)
       case CapTokens(name, i, strata, key, tokens, budget, salt) =>
         ("op" -> "capTokens") ~ ("name" -> name) ~ ("input" -> i) ~
           ("strataCol" -> strata) ~ ("keyCol" -> key) ~ ("tokensCol" -> tokens) ~
@@ -1939,6 +1956,9 @@ object Program {
           case "exactK" => ExactKSample(name, (v \ "input").extract[String],
             (v \ "idCol").extract[String], (v \ "k").extract[Int],
             (v \ "salt").extractOpt[String].getOrElse(""))
+          case "exactKStrata" => ExactKStrata(name, (v \ "input").extract[String],
+            (v \ "strataCol").extract[String], (v \ "idCol").extract[String],
+            (v \ "k").extract[Int], (v \ "salt").extractOpt[String].getOrElse(""))
           case "capTokens" => CapTokens(name, (v \ "input").extract[String],
             (v \ "strataCol").extract[String], (v \ "keyCol").extract[String],
             (v \ "tokensCol").extract[String], (v \ "budget").extract[Long],
@@ -2390,6 +2410,10 @@ object Program {
           if (ek.k <= 0) throw new IllegalArgumentException(
             s"node '${n.name}': exactK needs k > 0, got ${ek.k}")
           Seq(ek.input)
+        case es: ExactKStrata =>
+          if (es.k <= 0) throw new IllegalArgumentException(
+            s"node '${n.name}': exactKStrata needs k > 0, got ${es.k}")
+          Seq(es.input)
         case ct: CapTokens =>
           if (ct.budget <= 0) throw new IllegalArgumentException(
             s"node '${n.name}': capTokens needs budget > 0, got ${ct.budget}")

@@ -192,6 +192,29 @@ object Sampling {
     df.join(broadcast(winners), col(idCol).cast("long") === col("__kid"), "left_semi")
   }
 
+  /** Per-stratum exact-k — the hot-stratum-safe sibling of [[capPerKey]]:
+    * the SAME deterministic draw (hash-gate asc, id asc within each
+    * stratum) lowered onto the bounded-heap group top-k aggregate
+    * ([[graft.operators.GroupTopK]]), so a stratum holding half the
+    * corpus costs map-side k-heaps merged like a `sum` instead of one
+    * serialized rank-window partition — the 100 TB form of per-domain
+    * contribution caps, closing capPerKey's documented pre-thin caveat.
+    *
+    * Contract: `idCol` must be UNIQUE and integral (the heap carries
+    * (id, rank) pairs and the winners semi-join back by id — duplicate
+    * ids would multiply the kept set; on unique ids the kept set EQUALS
+    * `capPerKey(strataCol, idCol, k)` exactly, spec-pinned). NULL ids are
+    * excluded (aggregate null-skipping — the window face would rank them
+    * first); a NULL stratum forms its own group, same as the window. */
+  def exactKPerKey(df: DataFrame, strataCol: String, idCol: String, k: Int,
+                   salt: String = ""): DataFrame = {
+    require(k > 0, s"exactKPerKey needs k > 0, got $k")
+    val winners = graft.operators.GroupTopK.topKPerKey(
+        df, Seq(strataCol), idCol, -gate(col(idCol), salt), k)
+      .select(col(idCol).cast("long").as("__kid"))
+    df.join(winners, col(idCol).cast("long") === col("__kid"), "left_semi")
+  }
+
   /** Per-key quota cap (the Common-Crawl-style per-domain contribution
     * limit): keep at most `n` rows per `strataCol` value, chosen by a
     * deterministic hash rank over the row key (same multiplicative-hash
@@ -199,9 +222,10 @@ object Sampling {
     * size / engine; a different salt redraws the survivors), ties broken
     * by the key itself. One shuffle on the stratum; the rank window is
     * per-stratum and AQE-spill-safe, but a pathologically hot stratum
-    * serializes its own partition — at that scale pre-thin hot strata
-    * with [[hashSample]] before capping (the cap only needs the sample
-    * to be ≥ n, and the gate is rank-consistent). */
+    * serializes its own partition — with unique integral ids use
+    * [[exactKPerKey]] (identical draw, bounded-heap lowering), otherwise
+    * pre-thin hot strata with [[hashSample]] before capping (the cap only
+    * needs the sample to be ≥ n, and the gate is rank-consistent). */
   def capPerKey(df: DataFrame, strataCol: Column, keyCol: Column, n: Int,
                 salt: String = ""): DataFrame = {
     require(n > 0, s"cap must be positive, got $n")

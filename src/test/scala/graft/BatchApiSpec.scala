@@ -300,6 +300,25 @@ class BatchApiSpec extends SparkSpec {
     }
   }
 
+  test("per-stratum exact-k equals capPerKey's window draw; no rank window in the plan") {
+    import graft.pipeline.Sampling
+    val docs = spark.range(0L, 2000L)
+      .select(col("id"), concat(lit("s"), (col("id") % 5).cast("string")).as("src"))
+    def keyset(df: org.apache.spark.sql.DataFrame) =
+      df.select("id", "src").collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    // unique integral ids: the heap face must reproduce the window face
+    // EXACTLY (same gate, same asc order, same id tiebreak)
+    val window = keyset(Sampling.capPerKey(docs, col("src"), col("id"), 12, "c"))
+    val heap = Sampling.exactKPerKey(docs, "src", "id", 12, "c")
+    assert(keyset(heap) == window, "heap lowering diverged from the rank window")
+    assert(keyset(Sampling.exactKPerKey(docs.repartition(7), "src", "id", 12, "c")) == window,
+      "partitioning-invariant draw")
+    val plan = heap.queryExecution.executedPlan.toString
+    assert(plan.contains("ObjectHashAggregate") && plan.toLowerCase.contains("partial"),
+      "map-side partial k-heaps present")
+    assert(!plan.contains("Window"), "no rank window — a hot stratum must not serialize")
+  }
+
   test("temperature mixing flattens source shares toward uniform, deterministically") {
     import graft.pipeline.Sampling
     // 1600 big + 100 small: natural mix 94/6; alpha 0.5 should pull the

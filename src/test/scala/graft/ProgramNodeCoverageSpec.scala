@@ -238,6 +238,7 @@ class ProgramNodeCoverageSpec extends AnyFunSuite {
       "capPerKey" -> node("capPerKey"),
       "capTokensPerKey" -> node("capTokens"),
       "exactKSample" -> node("exactK"),
+      "exactKPerKey" -> node("exactKStrata"),
       "strataLookup" -> excluded(block),
       "LiteralStrataEntries" -> excluded(const),
       "MaxStrata" -> excluded(const)))

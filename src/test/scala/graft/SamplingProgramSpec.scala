@@ -68,6 +68,16 @@ class SamplingProgramSpec extends SparkSpec {
     val direct = graft.pipeline.Sampling.exactKSample(docs, "id", 25, "v")
       .select("id").collect().map(_.getLong(0)).toSet
     assert(live == direct && live.size == 25, "capture path diverged from the direct API")
+    // the per-stratum sibling: round-trip + capture == direct
+    val d2 = Doc(nodes = Seq(External("in"), ExactKStrata("es", "in", "src", "id", 7, "w")),
+      outputs = Seq("es"))
+    assert(Program.fromJson(Program.toJson(d2)) == d2, "exactKStrata round-trip")
+    val piped2 = Program.Rec.external("in", MStream(docs))
+      .exactKPerKey("src", "id", 7, "w").as("out2")
+    val live2 = piped2.stream.df.select("id").collect().map(_.getLong(0)).toSet
+    val direct2 = graft.pipeline.Sampling.exactKPerKey(docs, "src", "id", 7, "w")
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(live2 == direct2 && live2.size == 21, "per-stratum capture diverged (3 strata x 7)")
   }
 
   test("captured pipeline == reloaded document == direct API, including safeSplit") {
