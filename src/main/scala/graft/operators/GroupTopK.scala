@@ -27,16 +27,22 @@ import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType}
  * curation.
  */
 object GroupTopK {
+  /** The heap-entry id contract, shared by every bounded-heap face
+    * (topKPerKey, the Sampling exact-k family): the heap carries
+    * (id, score) pairs, so the id must be integral. */
+  private[graft] def requireIntegralId(df: DataFrame, idCol: String, op: String): Unit =
+    df.schema(idCol).dataType match {
+      case LongType | IntegerType | ShortType | ByteType =>
+      case other => throw new IllegalArgumentException(
+        s"$op: idCol '$idCol' must be integral (the bounded heap " +
+          s"carries (id, score) pairs), got $other")
+    }
+
   def topKPerKey(df: DataFrame, keys: Seq[String], idCol: String,
                  score: Column, k: Int, scoreAs: String = "score"): DataFrame = {
     require(k > 0, s"topKPerKey needs k > 0, got $k")
     require(keys.nonEmpty, "topKPerKey needs at least one grouping key")
-    df.schema(idCol).dataType match {
-      case LongType | IntegerType | ShortType | ByteType =>
-      case other => throw new IllegalArgumentException(
-        s"topKPerKey: idCol '$idCol' must be integral (the bounded heap " +
-          s"carries (id, score) pairs), got $other")
-    }
+    requireIntegralId(df, idCol, "topKPerKey")
     // Output columns are keys ++ (idCol, scoreAs, rank) — reject overlaps
     // up front with a named contract error instead of emitting a frame
     // with duplicate column names.

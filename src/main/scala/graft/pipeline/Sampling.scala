@@ -166,30 +166,34 @@ object Sampling {
     * the exchange carries at most tasks × k (id, rank) entries, and the
     * k winners broadcast-semi-join back to recover full rows — one corpus
     * pass plus one cheap id join at any corpus size. `idCol` must be
-    * integral (the heap carries (id, rank) pairs — the
-    * [[graft.operators.GroupTopK]] contract) and NULL ids are excluded
-    * (aggregate null-skipping semantics). k is a sample size, bounded by
-    * the caller like every other driver-adjacent k in this library. */
+    * UNIQUE and integral (the heap carries (id, rank) pairs and winners
+    * semi-join back by id — the [[graft.operators.GroupTopK]] contract;
+    * duplicate ids would multiply the kept set past k) and NULL ids are
+    * excluded (aggregate null-skipping semantics). k is a sample size,
+    * bounded by the caller like every other driver-adjacent k in this
+    * library. */
   def exactKSample(df: DataFrame, idCol: String, k: Int, salt: String = ""): DataFrame = {
     require(k > 0, s"exactKSample needs k > 0, got $k")
-    import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType}
-    df.schema(idCol).dataType match {
-      case LongType | IntegerType | ShortType | ByteType =>
-      case other => throw new IllegalArgumentException(
-        s"exactKSample: idCol '$idCol' must be integral (the bounded heap " +
-          s"carries (id, rank) pairs), got $other")
-    }
+    graft.operators.GroupTopK.requireIntegralId(df, idCol, "exactKSample")
     // the heap ranks by score DESC with id-asc ties; negate the gate so
     // the winners are the SMALLEST gate values — gate < 10^6, so the
     // double cast is exact and the oracle's BIGINT order matches
+    val kid = freshName(df, "kid")
     val winners = df
       .select(col(idCol).cast("long").as("__id"),
         (-gate(col(idCol), salt)).cast("double").as("__s"))
       .agg(graft.functions.VectorFunctions.topKByScore(
         col("__id"), col("__s"), k).as("__top"))
       .select(explode(col("__top")).as("__e"))
-      .select(col("__e.id").as("__kid"))
-    df.join(broadcast(winners), col(idCol).cast("long") === col("__kid"), "left_semi")
+      .select(col("__e.id").as(kid))
+    df.join(broadcast(winners), col(idCol).cast("long") === col(kid), "left_semi")
+  }
+
+  /** Collision-proof internal name (the GroupTopK `fresh` idiom): an
+    * input frame may legitimately carry any `__`-prefixed column. */
+  private def freshName(df: DataFrame, base: String): String = {
+    val taken = df.columns.toSet
+    Iterator.from(0).map(i => s"__$base$i").find(!taken(_)).get
   }
 
   /** Per-stratum exact-k — the hot-stratum-safe sibling of [[capPerKey]]:
@@ -209,10 +213,17 @@ object Sampling {
   def exactKPerKey(df: DataFrame, strataCol: String, idCol: String, k: Int,
                    salt: String = ""): DataFrame = {
     require(k > 0, s"exactKPerKey needs k > 0, got $k")
+    // run the heap over an internal projection with fresh names so
+    // topKPerKey's OUTPUT-name constraints (a stratum legitimately named
+    // 'score' or 'rank') never leak to this operator's callers — capPerKey
+    // accepts those names, and this is its drop-in scale face
+    val (strataW, idW, kid) =
+      (freshName(df, "strata"), freshName(df, "sid"), freshName(df, "kid"))
     val winners = graft.operators.GroupTopK.topKPerKey(
-        df, Seq(strataCol), idCol, -gate(col(idCol), salt), k)
-      .select(col(idCol).cast("long").as("__kid"))
-    df.join(winners, col(idCol).cast("long") === col("__kid"), "left_semi")
+        df.select(col(strataCol).as(strataW), col(idCol).as(idW)),
+        Seq(strataW), idW, -gate(col(idW), salt), k)
+      .select(col(idW).cast("long").as(kid))
+    df.join(winners, col(idCol).cast("long") === col(kid), "left_semi")
   }
 
   /** Per-key quota cap (the Common-Crawl-style per-domain contribution

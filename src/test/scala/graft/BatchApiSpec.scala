@@ -298,6 +298,10 @@ class BatchApiSpec extends SparkSpec {
     intercept[IllegalArgumentException] {
       Sampling.exactKSample(docs.select(col("id").cast("string").as("id")), "id", 10)
     }
+    // internal working names must not capture a caller's own __-columns
+    val hostile = docs.withColumn("__kid0", lit(1))
+    assert(ids(Sampling.exactKSample(hostile, "id", 150, "ev")) == expected,
+      "a caller column named __kid0 must not break the semi-join")
   }
 
   test("per-stratum exact-k equals capPerKey's window draw; no rank window in the plan") {
@@ -317,6 +321,12 @@ class BatchApiSpec extends SparkSpec {
     assert(plan.contains("ObjectHashAggregate") && plan.toLowerCase.contains("partial"),
       "map-side partial k-heaps present")
     assert(!plan.contains("Window"), "no rank window — a hot stratum must not serialize")
+    // a stratum legitimately named 'score' (capPerKey accepts it) must not
+    // trip topKPerKey's internal output-name constraints
+    val scored = docs.withColumnRenamed("src", "score")
+    assert(Sampling.exactKPerKey(scored, "score", "id", 12, "c")
+      .select("id").collect().map(_.getLong(0)).toSet == window.map(_._1),
+      "drop-in parity with capPerKey on a 'score'-named stratum")
   }
 
   test("temperature mixing flattens source shares toward uniform, deterministically") {

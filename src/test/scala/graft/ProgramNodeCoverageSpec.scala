@@ -305,7 +305,8 @@ class ProgramNodeCoverageSpec extends AnyFunSuite {
         "is mapCols (substring on binary)"),
       "MediaMetaType" -> excluded(const)))
     check("graft.operators.GroupTopK$", Map(
-      "topKPerKey" -> node("topkPerKey")))
+      "topKPerKey" -> node("topkPerKey"),
+      "requireIntegralId" -> excluded(block)))
     check("graft.operators.Layout$", Map(
       "zorderBy" -> node("zorder"),
       "zkey" -> excluded(block), "interleave" -> excluded(block),
