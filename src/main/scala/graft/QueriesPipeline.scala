@@ -1443,6 +1443,28 @@ object QueriesPipeline {
          'image/png' AS format
        FROM documents"""
 
+  /** REAL pixel-space resize, end to end and oracle-checked: 8×8 synthetic
+    * PNGs resample to 4×4 through the explicit nearest-neighbor kernel
+    * (target (tx,ty) reads source (2tx, 2ty)), re-encode, decode again,
+    * and the oracle reproduces the resized luminance from the closed form
+    * — encode → resize → re-encode → decode, exact at every stage. */
+  def qResizeImage(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(spark, dir).df.select(col("doc_id"))
+    val media = Multimodal.synthesizeImages(d, "doc_id", 8, 8)
+    val resized = Multimodal.resizeImageBatched(media, "doc_id", 4, 4)
+    Multimodal.decodeImageBatched(resized, "id")
+      .select(col("id").as("doc_id"), col("decoded"), col("width"), col("height"),
+        round(col("mean_luma"), 4).as("mean_luma"), col("format"))
+  }
+
+  val qResizeImageSql: String =
+    """SELECT doc_id, true AS decoded, 4 AS width, 4 AS height,
+         round((SELECT avg(0.299*v + 0.587*v + 0.114*v) FROM (
+           SELECT (((doc_id*31 + (2*x)*7 + (2*y)*13) % 256 + 256) % 256)::DOUBLE AS v
+           FROM range(0,4) t(x), range(0,4) u(y)) s), 4) AS mean_luma,
+         'image/png' AS format
+       FROM documents"""
+
   /** REAL audio decode, the WAV sibling of [[qDecodeImage]]: deterministic
     * 16-bit PCM mono WAVs (sample i of doc d = ((d*131+17i) mod 2000) −
     * 1000 at 8 kHz) round-trip through the JDK audio stack, and the
@@ -2272,6 +2294,7 @@ object QueriesPipeline {
     "q_encode" -> (qEncode _),
     "q_multimodal" -> (qMultimodal _),
     "q_decode_image" -> (qDecodeImage _),
+    "q_resize_image" -> (qResizeImage _),
     "q_decode_audio" -> (qDecodeAudio _),
     "q_decode_video" -> (qDecodeVideo _),
     "q_semantic_auto" -> (qSemanticAuto _)
@@ -2356,6 +2379,7 @@ object QueriesPipeline {
     "q_encode" -> qEncodeSql,
     "q_multimodal" -> qMultimodalSql,
     "q_decode_image" -> qDecodeImageSql,
+    "q_resize_image" -> qResizeImageSql,
     "q_decode_audio" -> qDecodeAudioSql,
     "q_decode_video" -> qDecodeVideoSql
     // q_semantic_auto: k is data-dependent — not SQL-expressible, driver

@@ -623,6 +623,75 @@ object Multimodal {
     }
   }
 
+  /**
+   * REAL pixel-space image resize in the same partition-batched codec
+   * slot: rows whose metadata format starts with `image/` and decode
+   * (header-dim-bounded, like [[decodeImageBatched]]) are resampled to
+   * `w`×`h` by an EXPLICIT nearest-neighbor kernel — target pixel
+   * (tx, ty) reads source pixel ((tx·sw)/w, (ty·sh)/h), integer
+   * arithmetic, so the output raster is a closed form of the input (the
+   * q_resize_image oracle reproduces the resized luminance exactly; a
+   * library interpolator's sample positions would be
+   * implementation-defined) — and re-encode as PNG with the metadata
+   * struct updated to the target dimensions. Non-image formats and
+   * undecodable or null payloads pass through UNCHANGED with
+   * `resized = false` (the honest degradation — a resize stage must not
+   * corrupt payloads it cannot decode; [[resizeStub]] remains the
+   * clearly-marked byte-resample stand-in for codecs the JDK lacks).
+   * Output: (id, media, media_meta, resized) — a media frame, so resize
+   * composes with the decoders like any pipeline stage. Per-row cost is
+   * linear in source + target pixels; distributes and batches like every
+   * other codec-slot stage.
+   */
+  def resizeImageBatched(df: DataFrame, idCol: String, w: Int, h: Int): DataFrame = {
+    require(w >= 1 && h >= 1, s"target ${w}x$h must be >= 1x1")
+    require(w.toLong * h <= MaxCanvasPixels,
+      s"target ${w}x$h exceeds MaxCanvasPixels ($MaxCanvasPixels)")
+    val outSchema = StructType(Seq(
+      StructField("id", LongType),
+      StructField("media", BinaryType),
+      StructField("media_meta", MediaMetaType),
+      StructField("resized", BooleanType, nullable = false)))
+    val idIdx = df.schema.fieldIndex(idCol)
+    val mediaIdx = df.schema.fieldIndex("media")
+    val metaIdx = df.schema.fieldIndex("media_meta")
+    implicit val enc = RowEncoder.encoderFor(outSchema)
+    df.mapPartitions { rows =>
+      rows.map { r =>
+        val bytes = r.getAs[Array[Byte]](mediaIdx)
+        val meta = r.getStruct(metaIdx)
+        val fmt = fmtOf(meta)
+        val img =
+          if (bytes != null && fmt != null && fmt.startsWith("image/"))
+            try readImageBounded(bytes)
+            catch { case scala.util.control.NonFatal(_) => None }
+          else None
+        img match {
+          case Some(im) =>
+            val (sw, sh) = (im.getWidth, im.getHeight)
+            val out = new java.awt.image.BufferedImage(
+              w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+            var ty = 0
+            while (ty < h) {
+              val sy = (ty.toLong * sh / h).toInt
+              var tx = 0
+              while (tx < w) {
+                out.setRGB(tx, ty, im.getRGB((tx.toLong * sw / w).toInt, sy))
+                tx += 1
+              }
+              ty += 1
+            }
+            val baos = new java.io.ByteArrayOutputStream()
+            javax.imageio.ImageIO.write(out, "png", baos)
+            Row(r.getLong(idIdx), baos.toByteArray,
+              Row("image/png", w, h, 1), true)
+          case None =>
+            Row(r.getLong(idIdx), bytes, meta, false)
+        }
+      }
+    }
+  }
+
   def resizeStub(df: DataFrame, w: Int, h: Int): DataFrame =
     df.withColumn("media",
         graft.functions.VectorFunctions.byteResize(col("media"), lit(w * h)))

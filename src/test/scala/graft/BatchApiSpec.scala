@@ -574,6 +574,59 @@ class BatchApiSpec extends SparkSpec {
       "null media degrades to fallback with null byte stats, never an NPE")
   }
 
+  test("multimodal image resize: real nearest-neighbor pixels, pass-through degradation") {
+    // a 4x2 left-black/right-white split image: downsize to 2x1 samples
+    // source pixels (0,0) and (2,0) -> one black, one white target pixel
+    def png(w: Int, h: Int, rgbAt: (Int, Int) => Int): Array[Byte] = {
+      val im = new java.awt.image.BufferedImage(
+        w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until h; x <- 0 until w) im.setRGB(x, y, rgbAt(x, y))
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(im, "png", bos)
+      bos.toByteArray
+    }
+    val split = png(4, 2, (x, _) => if (x < 2) 0x000000 else 0xffffff)
+    val notImage = "plain text bytes".getBytes("UTF-8")
+    val rows = Seq(
+      (1L, split, "image/png"),
+      (2L, notImage, "text/plain"),  // non-image: pass through unchanged
+      (3L, notImage, "image/png"),   // undecodable: pass through unchanged
+      (4L, null, "image/png"))       // null payload: pass through, no NPE
+    val df = spark.createDataFrame(rows.map { case (id, b, f) =>
+      org.apache.spark.sql.Row(id, b, org.apache.spark.sql.Row(f, null, null, null)) }.asJava,
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("id", org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("media", org.apache.spark.sql.types.BinaryType),
+        org.apache.spark.sql.types.StructField("media_meta", Multimodal.MediaMetaType))))
+      .repartition(2)
+    val out = Multimodal.resizeImageBatched(df, "id", 2, 1).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(out(1L).getBoolean(3), "decodable image resizes")
+    val meta = out(1L).getStruct(2)
+    assert(meta.getString(0) == "image/png" && meta.getInt(1) == 2 && meta.getInt(2) == 1)
+    // decode the resized payload: 2x1, pixels black + white -> mean 127.5
+    val dec = Multimodal.decodeImageBatched(
+      Multimodal.resizeImageBatched(df.filter($"id" === 1L), "id", 2, 1), "id")
+      .collect().head
+    assert(dec.getBoolean(2) && dec.getInt(3) == 2 && dec.getInt(4) == 1)
+    assert(math.abs(dec.getDouble(5) - 127.5) < 1e-9,
+      "nearest-neighbor samples source (0,0) and (2,0) exactly")
+    // upsizing repeats pixels: 4x2 -> 8x2 keeps the 50/50 split
+    val up = Multimodal.decodeImageBatched(
+      Multimodal.resizeImageBatched(df.filter($"id" === 1L), "id", 8, 2), "id")
+      .collect().head
+    assert(up.getInt(3) == 8 && math.abs(up.getDouble(5) - 127.5) < 1e-9)
+    assert(!out(2L).getBoolean(3) &&
+      java.util.Arrays.equals(out(2L).getAs[Array[Byte]](1), notImage),
+      "non-image payloads pass through byte-identical")
+    assert(!out(3L).getBoolean(3), "undecodable bytes pass through, never fail the task")
+    assert(!out(4L).getBoolean(3) && out(4L).isNullAt(1),
+      "null media passes through as null, never an NPE")
+    intercept[IllegalArgumentException] {
+      Multimodal.resizeImageBatched(df, "id", 0, 5)
+    }
+  }
+
   test("multimodal audio decode: real WAV PCM through the batched codec slot") {
     // generate genuine WAV containers in memory with javax.sound.sampled
     // (ships in the JDK): a full-half-scale square wave (rms exactly 0.5)

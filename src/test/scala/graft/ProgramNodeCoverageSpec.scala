@@ -301,6 +301,8 @@ class ProgramNodeCoverageSpec extends AnyFunSuite {
       "decodeVideoBatched" -> excluded("partition-batched JDK multi-frame " +
         "codec; same deployment-concern exclusion as decodeBatched"),
       "resizeStub" -> excluded("codec-slot stage, same exclusion"),
+      "resizeImageBatched" -> excluded("partition-batched JDK image " +
+        "resize; same deployment-concern exclusion as decodeBatched"),
       "frameSample" -> excluded("binary slicing projection; program face " +
         "is mapCols (substring on binary)"),
       "MediaMetaType" -> excluded(const)))
