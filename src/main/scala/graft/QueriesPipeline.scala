@@ -1486,6 +1486,30 @@ object QueriesPipeline {
            FROM range(0,400) t(i)), 6) AS rms
        FROM documents"""
 
+  /** REAL audio sample-rate conversion, end to end and oracle-checked:
+    * 8 kHz synthetic WAVs resample to 4 kHz through the explicit
+    * nearest-frame kernel (target frame j reads source frame 2j),
+    * re-encode, decode again, and the oracle reproduces the resampled
+    * RMS from the closed form — the full decode → resample → re-encode →
+    * decode chain, exact at every stage. */
+  def qResampleAudio(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(spark, dir).df.select(col("doc_id"))
+    val media = Multimodal.synthesizeAudio(d, "doc_id", 400, 8000)
+    val resampled = Multimodal.resampleAudioBatched(media, "doc_id", 4000)
+    Multimodal.decodeAudioBatched(resampled, "id")
+      .select(col("id").as("doc_id"), col("decoded"), col("sample_rate"),
+        col("channels"), col("n_samples"),
+        round(col("duration_s"), 4).as("duration_s"),
+        round(col("rms"), 6).as("rms"))
+  }
+
+  val qResampleAudioSql: String =
+    """SELECT doc_id, true AS decoded, 4000 AS sample_rate, 1 AS channels,
+         200::BIGINT AS n_samples, 0.05::DOUBLE AS duration_s,
+         round((SELECT sqrt(avg(pow((((doc_id*131 + (2*i)*17) % 2000 + 2000) % 2000 - 1000)/32768.0, 2)))
+           FROM range(0,200) t(i)), 6) AS rms
+       FROM documents"""
+
   /** REAL video frame-sample + decode, the multi-frame sibling of
     * [[qDecodeImage]]: deterministic 6-frame animated GIFs (frame f,
     * pixel (x, y) of doc d = gray ((d*31 + f*97 + 7x + 13y) mod 256),
@@ -1494,6 +1518,33 @@ object QueriesPipeline {
     * 4 — the skipped frames are never rasterized), and the oracle
     * reproduces the sampled-frame mean Rec. 601 luminance from the closed
     * form. */
+  /** REAL frame extraction, end to end and oracle-checked: 3-frame
+    * synthetic GIFs explode to one `image/png` row per sampled frame
+    * (frames 0 and 2 at every=2), each re-encoded frame decodes back
+    * through the IMAGE decoder, and the oracle reproduces the per-frame
+    * luminance from the closed form — GIF → composite → PNG → decode,
+    * exact at every stage. The (doc, frame) pair rides one combined key
+    * through the single-id decoder and splits back out after. */
+  def qFramesVideo(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(spark, dir).df.select(col("doc_id"))
+    val media = Multimodal.synthesizeVideos(d, "doc_id", 8, 8, 3)
+    val frames = Multimodal.explodeFramesBatched(media, "doc_id", every = 2)
+    val keyed = frames.select((col("id") * 10 + col("frame_idx")).as("fid"),
+      col("media"), col("media_meta"))
+    Multimodal.decodeImageBatched(keyed, "fid")
+      .select(expr("id div 10").as("doc_id"),
+        pmod(col("id"), lit(10)).cast("int").as("frame_idx"),
+        col("decoded"), col("width"), col("height"),
+        round(col("mean_luma"), 4).as("mean_luma"))
+  }
+
+  val qFramesVideoSql: String =
+    """SELECT doc_id, f::INT AS frame_idx, true AS decoded, 8 AS width, 8 AS height,
+         round((SELECT avg(0.299*v + 0.587*v + 0.114*v) FROM (
+           SELECT (((doc_id*31 + f*97 + x*7 + y*13) % 256 + 256) % 256)::DOUBLE AS v
+           FROM range(0,8) t(x), range(0,8) u(y)) s), 4) AS mean_luma
+       FROM documents, (SELECT unnest([0, 2]) AS f) fr"""
+
   def qDecodeVideo(spark: SparkSession, dir: String): DataFrame = {
     val d = Tables.documents(spark, dir).df.select(col("doc_id"))
     val media = Multimodal.synthesizeVideos(d, "doc_id", 8, 8, 6)
@@ -2296,7 +2347,9 @@ object QueriesPipeline {
     "q_decode_image" -> (qDecodeImage _),
     "q_resize_image" -> (qResizeImage _),
     "q_decode_audio" -> (qDecodeAudio _),
+    "q_resample_audio" -> (qResampleAudio _),
     "q_decode_video" -> (qDecodeVideo _),
+    "q_frames_video" -> (qFramesVideo _),
     "q_semantic_auto" -> (qSemanticAuto _)
   )
 
@@ -2381,7 +2434,9 @@ object QueriesPipeline {
     "q_decode_image" -> qDecodeImageSql,
     "q_resize_image" -> qResizeImageSql,
     "q_decode_audio" -> qDecodeAudioSql,
-    "q_decode_video" -> qDecodeVideoSql
+    "q_resample_audio" -> qResampleAudioSql,
+    "q_decode_video" -> qDecodeVideoSql,
+    "q_frames_video" -> qFramesVideoSql
     // q_semantic_auto: k is data-dependent — not SQL-expressible, driver
     // records the rows-only check (see qSemanticAuto's doc)
   )

@@ -213,6 +213,29 @@ object Multimodal {
    * inside `mapPartitions` exactly like [[decodeBatched]], so it
    * distributes and batches identically at any scale.
    */
+  /** Parse an audio container and convert to 16-bit signed little-endian
+    * PCM (the JDK converter handles 8/24/32-bit and unsigned variants) —
+    * ONE copy shared by the audio decoder and resampler so the two stages
+    * cannot drift. Returns (sampleRate, channels, interleaved PCM16LE
+    * bytes); callers wrap in the NonFatal degrade-to-fallback contract. */
+  private def pcm16(bytes: Array[Byte]): (Int, Int, Array[Byte]) = {
+    val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+      new java.io.ByteArrayInputStream(bytes))
+    try {
+      val base = ais.getFormat
+      val target = new javax.sound.sampled.AudioFormat(
+        javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED,
+        base.getSampleRate, 16, base.getChannels,
+        base.getChannels * 2, base.getSampleRate, false)
+      val pcm = javax.sound.sampled.AudioSystem.getAudioInputStream(target, ais)
+      val buf = new java.io.ByteArrayOutputStream()
+      val tmp = new Array[Byte](8192)
+      var n = pcm.read(tmp)
+      while (n > 0) { buf.write(tmp, 0, n); n = pcm.read(tmp) }
+      (base.getSampleRate.toInt, base.getChannels, buf.toByteArray)
+    } finally ais.close()
+  }
+
   def decodeAudioBatched(df: DataFrame, idCol: String): DataFrame = {
     val outSchema = StructType(Seq(
       StructField("id", LongType),
@@ -236,32 +259,16 @@ object Multimodal {
         val decoded: Option[(Int, Int, Long, Double)] =
           if (bytes != null && fmt != null && fmt.startsWith("audio/")) {
             try {
-              val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
-                new java.io.ByteArrayInputStream(bytes))
-              try {
-                val base = ais.getFormat
-                val target = new javax.sound.sampled.AudioFormat(
-                  javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED,
-                  base.getSampleRate, 16, base.getChannels,
-                  base.getChannels * 2, base.getSampleRate, false)
-                val pcm = javax.sound.sampled.AudioSystem
-                  .getAudioInputStream(target, ais)
-                val buf = new java.io.ByteArrayOutputStream()
-                val tmp = new Array[Byte](8192)
-                var n = pcm.read(tmp)
-                while (n > 0) { buf.write(tmp, 0, n); n = pcm.read(tmp) }
-                val data = buf.toByteArray
-                var i = 0; var sumSq = 0.0; var cnt = 0L
-                while (i + 1 < data.length) {
-                  // little-endian 16-bit signed, normalized to full scale
-                  val s = ((data(i) & 0xff) | (data(i + 1) << 8)).toShort
-                  val v = s / 32768.0
-                  sumSq += v * v; cnt += 1; i += 2
-                }
-                val rms = if (cnt > 0) math.sqrt(sumSq / cnt) else 0.0
-                Some((base.getSampleRate.toInt, base.getChannels,
-                  cnt / base.getChannels, rms))
-              } finally ais.close()
+              val (sr, ch, data) = pcm16(bytes)
+              var i = 0; var sumSq = 0.0; var cnt = 0L
+              while (i + 1 < data.length) {
+                // little-endian 16-bit signed, normalized to full scale
+                val s = ((data(i) & 0xff) | (data(i + 1) << 8)).toShort
+                val v = s / 32768.0
+                sumSq += v * v; cnt += 1; i += 2
+              }
+              val rms = if (cnt > 0) math.sqrt(sumSq / cnt) else 0.0
+              Some((sr, ch, cnt / ch, rms))
             } catch {
               // not an audio container / truncated / conversion unsupported
               // (incl. RuntimeExceptions from malformed headers): degrade,
@@ -279,6 +286,73 @@ object Multimodal {
           case None =>
             Row(r.getLong(idIdx), bytes.length, false, null, null, null, null,
               null, graft.functions.ByteMeanUtil.mean(bytes), fmt)
+        }
+      }
+    }
+  }
+
+  /**
+   * REAL audio sample-rate conversion in the same partition-batched codec
+   * slot: rows whose metadata format starts with `audio/` decode to
+   * 16-bit PCM (shared [[pcm16]] path) and resample to `targetRate` by an
+   * EXPLICIT nearest-frame kernel — target frame j reads source frame
+   * (j·srcRate)/targetRate, integer arithmetic over whole frames so
+   * channels stay aligned and the output samples are a closed form of the
+   * input (the q_resample_audio oracle reproduces the resampled RMS
+   * exactly; the JDK's own rate converter is provider-dependent and not
+   * guaranteed present) — then re-encode as a WAV container at the target
+   * rate. Non-audio formats and undecodable or null payloads pass through
+   * UNCHANGED with `resampled = false` — the same must-not-corrupt
+   * degradation as [[resizeImageBatched]]. Output: (id, media,
+   * media_meta, resampled) — a media frame, so resampling composes with
+   * the decoders like any pipeline stage.
+   */
+  def resampleAudioBatched(df: DataFrame, idCol: String, targetRate: Int): DataFrame = {
+    require(targetRate >= 1, s"targetRate=$targetRate must be >= 1")
+    val outSchema = StructType(Seq(
+      StructField("id", LongType),
+      StructField("media", BinaryType),
+      StructField("media_meta", MediaMetaType),
+      StructField("resampled", BooleanType, nullable = false)))
+    val idIdx = df.schema.fieldIndex(idCol)
+    val mediaIdx = df.schema.fieldIndex("media")
+    val metaIdx = df.schema.fieldIndex("media_meta")
+    implicit val enc = RowEncoder.encoderFor(outSchema)
+    df.mapPartitions { rows =>
+      rows.map { r =>
+        val bytes = r.getAs[Array[Byte]](mediaIdx)
+        val meta = r.getStruct(metaIdx)
+        val fmt = fmtOf(meta)
+        val converted: Option[Array[Byte]] =
+          if (bytes != null && fmt != null && fmt.startsWith("audio/")) {
+            try {
+              val (sr, ch, data) = pcm16(bytes)
+              val frameBytes = ch * 2
+              val srcFrames = data.length / frameBytes
+              val dstFrames = (srcFrames.toLong * targetRate / sr).toInt
+              val out = new Array[Byte](dstFrames * frameBytes)
+              var j = 0
+              while (j < dstFrames) {
+                val s = ((j.toLong * sr) / targetRate).toInt
+                System.arraycopy(data, s * frameBytes, out, j * frameBytes, frameBytes)
+                j += 1
+              }
+              val pcmFmt = new javax.sound.sampled.AudioFormat(
+                javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED,
+                targetRate.toFloat, 16, ch, frameBytes, targetRate.toFloat, false)
+              val ais = new javax.sound.sampled.AudioInputStream(
+                new java.io.ByteArrayInputStream(out), pcmFmt, dstFrames.toLong)
+              val baos = new java.io.ByteArrayOutputStream()
+              javax.sound.sampled.AudioSystem.write(
+                ais, javax.sound.sampled.AudioFileFormat.Type.WAVE, baos)
+              Some(baos.toByteArray)
+            } catch { case scala.util.control.NonFatal(_) => None }
+          } else None
+        converted match {
+          case Some(wav) =>
+            Row(r.getLong(idIdx), wav, Row("audio/wav", null, null, null), true)
+          case None =>
+            Row(r.getLong(idIdx), bytes, meta, false)
         }
       }
     }
@@ -463,9 +537,15 @@ object Multimodal {
     * index covers the canvas, so each sample only decodes its delta chain
     * back to the nearest covering frame — for full-frame containers (the
     * synthesizer's shape) exactly the sampled frames decode, and frames
-    * past the last sample are never read. Returns (width, height,
-    * n_frames, n_sampled, mean sampled-canvas Rec. 601 luminance). */
-  private def sampleGif(bytes: Array[Byte], every: Int): Option[(Int, Int, Int, Int, Double)] = {
+    * past the last sample are never read. The `sample` callback observes
+    * each sampled composited canvas IN PLACE with its frame index (copy
+    * before retaining — the canvas mutates between samples); returns
+    * (width, height, n_frames, per-sample callback results). ONE core
+    * shared by the feature face ([[sampleGif]] → luminance) and the
+    * explode face ([[explodeFramesBatched]] → PNG per frame) so the two
+    * cannot drift. */
+  private def compositeGif[A](bytes: Array[Byte], every: Int)(
+      sample: (java.awt.image.BufferedImage, Int) => A): Option[(Int, Int, Int, Seq[A])] = {
     val iis = javax.imageio.ImageIO.createImageInputStream(
       new java.io.ByteArrayInputStream(bytes))
     try {
@@ -485,7 +565,7 @@ object Multimodal {
           val (w, h) = (reader.getWidth(0), reader.getHeight(0))
           if (w < 1 || h < 1 || w.toLong * h > MaxCanvasPixels) return None
           val im = reader.read(0)
-          return Some((w, h, 1, 1, lumaSum(im) / (w.toLong * h)))
+          return Some((w, h, 1, Seq(sample(im, 0))))
         }
         val n = reader.getNumImages(true)
         if (n < 1) return None
@@ -533,13 +613,13 @@ object Multimodal {
           sw, sh, java.awt.image.BufferedImage.TYPE_INT_RGB)
         val g = canvas.createGraphics()
         try {
-          var sum = 0.0
+          val out = Seq.newBuilder[A]
           var f = 0
           while (f <= last) {
             if (needed(f)) {
               val m = metas(f)
               g.drawImage(reader.read(f), m.x, m.y, null)
-              if (f % every == 0) sum += lumaSum(canvas)
+              if (f % every == 0) out += sample(canvas, f)
               if (m.restoreBg) {
                 g.setColor(java.awt.Color.BLACK)
                 g.fillRect(m.x, m.y, m.w, m.h)
@@ -547,12 +627,19 @@ object Multimodal {
             }
             f += 1
           }
-          Some((sw, sh, n, sampledIdx.size,
-            sum / (sampledIdx.size.toLong * sw * sh)))
+          Some((sw, sh, n, out.result()))
         } finally g.dispose()
       } finally reader.dispose()
     } finally iis.close()
   }
+
+  /** The feature face of [[compositeGif]]: (width, height, n_frames,
+    * n_sampled, mean sampled-canvas Rec. 601 luminance). */
+  private def sampleGif(bytes: Array[Byte], every: Int): Option[(Int, Int, Int, Int, Double)] =
+    compositeGif(bytes, every)((canvas, _) => lumaSum(canvas)).map {
+      case (sw, sh, n, sums) =>
+        (sw, sh, n, sums.size, sums.sum / (sums.size.toLong * sw * sh))
+    }
 
   /**
    * REAL video frame-sample + decode in the same partition-batched codec
@@ -618,6 +705,57 @@ object Multimodal {
           case None =>
             Row(r.getLong(idIdx), bytes.length, false, null, null, null, null,
               null, graft.functions.ByteMeanUtil.mean(bytes), fmt)
+        }
+      }
+    }
+  }
+
+  /**
+   * REAL video frame EXTRACTION in the same partition-batched codec slot
+   * — the explode face of [[decodeVideoBatched]]: every `every`-th frame
+   * of a `video/…` payload composites (same [[compositeGif]] core: delta
+   * frames, transparency, cover analysis, untrusted-header bounds) and is
+   * re-encoded as its OWN `image/png` media row `(id, frame_idx, media,
+   * media_meta)` — the frames-to-images step a multimodal training
+   * pipeline runs before image featurization, composing directly with
+   * [[decodeImageBatched]]/[[resizeImageBatched]]. Explode semantics for
+   * degradation: non-video, undecodable and null payloads produce NO
+   * rows (an exploder has no single fallback row to emit; gate on
+   * [[decodeVideoBatched]]'s `decoded` flag first to count drops).
+   * Output size is rows × sampled frames — bound `every` accordingly.
+   */
+  def explodeFramesBatched(df: DataFrame, idCol: String, every: Int): DataFrame = {
+    require(every >= 1, s"every=$every must be >= 1")
+    val outSchema = StructType(Seq(
+      StructField("id", LongType),
+      StructField("frame_idx", IntegerType, nullable = false),
+      StructField("media", BinaryType),
+      StructField("media_meta", MediaMetaType)))
+    val idIdx = df.schema.fieldIndex(idCol)
+    val mediaIdx = df.schema.fieldIndex("media")
+    val metaIdx = df.schema.fieldIndex("media_meta")
+    implicit val enc = RowEncoder.encoderFor(outSchema)
+    df.mapPartitions { rows =>
+      rows.flatMap { r =>
+        val bytes = r.getAs[Array[Byte]](mediaIdx)
+        val fmt = fmtOf(r.getStruct(metaIdx))
+        val frames: Option[(Int, Int, Int, Seq[(Int, Array[Byte])])] =
+          if (bytes != null && fmt != null && fmt.startsWith("video/"))
+            try compositeGif(bytes, every) { (canvas, f) =>
+              // encode INSIDE the callback: the canvas mutates between
+              // samples, and the PNG bytes are the retained copy
+              val baos = new java.io.ByteArrayOutputStream()
+              javax.imageio.ImageIO.write(canvas, "png", baos)
+              (f, baos.toByteArray)
+            } catch { case scala.util.control.NonFatal(_) => None }
+          else None
+        frames match {
+          case Some((w, h, _, fs)) =>
+            val id = r.getLong(idIdx)
+            fs.map { case (f, png) =>
+              Row(id, f, png, Row("image/png", w, h, 1))
+            }
+          case None => Nil
         }
       }
     }

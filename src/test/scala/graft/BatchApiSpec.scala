@@ -680,6 +680,49 @@ class BatchApiSpec extends SparkSpec {
       "null media degrades to fallback with null byte stats, never an NPE")
   }
 
+  test("multimodal audio resample: explicit nearest-frame kernel, pass-through degradation") {
+    import spark.implicits._
+    // synthesized 8 kHz mono WAV: resample to 4 kHz keeps every 2nd frame,
+    // so the decoded RMS equals the even-sample closed form
+    val media = Multimodal.synthesizeAudio(
+      Seq(Tuple1(9L)).toDF("id").select($"id".cast("long").as("id")), "id", 400, 8000)
+    val dec = Multimodal.decodeAudioBatched(
+      Multimodal.resampleAudioBatched(media, "id", 4000), "id").collect().head
+    assert(dec.getBoolean(2) && dec.getInt(3) == 4000 && dec.getInt(4) == 1)
+    assert(dec.getLong(5) == 200, "half the frames survive an 8k->4k resample")
+    val expect = math.sqrt((0 until 200).map { i =>
+      val s = (((9L * 131 + (2 * i) * 17) % 2000) + 2000) % 2000 - 1000
+      val v = s / 32768.0; v * v
+    }.sum / 200)
+    assert(math.abs(dec.getDouble(7) - expect) < 1e-12,
+      "resampled RMS equals the even-sample closed form")
+    // upsample 8k->16k repeats frames: RMS unchanged, count doubled
+    val up = Multimodal.decodeAudioBatched(
+      Multimodal.resampleAudioBatched(media, "id", 16000), "id").collect().head
+    assert(up.getInt(3) == 16000 && up.getLong(5) == 800)
+    // non-audio / undecodable / null payloads pass through unchanged
+    val notAudio = "plain text bytes".getBytes("UTF-8")
+    val rows = Seq((1L, notAudio, "text/plain"), (2L, notAudio, "audio/wav"),
+      (3L, null, "audio/wav"))
+    val df = spark.createDataFrame(rows.map { case (id, b, f) =>
+      org.apache.spark.sql.Row(id, b, org.apache.spark.sql.Row(f, null, null, null)) }.asJava,
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("id", org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("media", org.apache.spark.sql.types.BinaryType),
+        org.apache.spark.sql.types.StructField("media_meta", Multimodal.MediaMetaType))))
+    val out = Multimodal.resampleAudioBatched(df, "id", 4000).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(!out(1L).getBoolean(3) &&
+      java.util.Arrays.equals(out(1L).getAs[Array[Byte]](1), notAudio),
+      "non-audio payloads pass through byte-identical")
+    assert(!out(2L).getBoolean(3), "undecodable bytes pass through, never fail the task")
+    assert(!out(3L).getBoolean(3) && out(3L).isNullAt(1),
+      "null media passes through as null, never an NPE")
+    intercept[IllegalArgumentException] {
+      Multimodal.resampleAudioBatched(df, "id", 0)
+    }
+  }
+
   test("multimodal video decode: real multi-frame GIF with temporal sampling") {
     // hand-build a 3-frame animated GIF of 2x2 solid grays 10, 200, 60
     // (RGB gray — the writer derives an exact palette; solid tiny frames
@@ -816,6 +859,80 @@ class BatchApiSpec extends SparkSpec {
     assert(dec.getInt(5) == 2 && dec.getInt(6) == 2)
     assert(math.abs(dec.getDouble(7) - expect) < 1e-9,
       "GIF palette round-trips the pixel formula bit-exactly")
+  }
+
+  test("multimodal frame extraction: exploded PNGs are composited canvases") {
+    import spark.implicits._
+    // synthesizer round-trip: 2 frames explode to 2 PNG rows whose decoded
+    // luminance matches the per-frame closed form
+    val media = Multimodal.synthesizeVideos(
+      Seq(Tuple1(3L)).toDF("id").select($"id".cast("long").as("id")), "id", 8, 8, 2)
+    val frames = Multimodal.explodeFramesBatched(media, "id", every = 1)
+    val decoded = Multimodal.decodeImageBatched(
+        frames.select((col("id") * 10 + col("frame_idx")).as("fid"),
+          col("media"), col("media_meta")), "fid")
+      .collect().map(r => r.getLong(0) -> r.getDouble(5)).toMap
+    for (f <- 0 until 2) {
+      val expect = (for (y <- 0 until 8; x <- 0 until 8) yield {
+        val v = (((3L * 31 + f * 97 + x * 7 + y * 13) % 256) + 256) % 256
+        0.299 * v + 0.587 * v + 0.114 * v
+      }).sum / 64
+      assert(math.abs(decoded(30L + f) - expect) < 1e-9,
+        s"frame $f PNG round-trips the pixel formula")
+    }
+    // delta-optimized GIF (frame 1 = 2x2 patch at (1,1) on an 8x8 base):
+    // the EXPLODED frame 1 must be the composited canvas, not the patch
+    val writer = javax.imageio.ImageIO.getImageWritersByFormatName("gif").next()
+    val baos = new java.io.ByteArrayOutputStream()
+    val ios = new javax.imageio.stream.MemoryCacheImageOutputStream(baos)
+    writer.setOutput(ios)
+    writer.prepareWriteSequence(null)
+    val f0 = new java.awt.image.BufferedImage(
+      8, 8, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until 8; x <- 0 until 8) f0.setRGB(x, y, 0x646464)
+    writer.writeToSequence(new javax.imageio.IIOImage(f0, null, null), null)
+    val f1 = new java.awt.image.BufferedImage(
+      2, 2, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until 2; x <- 0 until 2) f1.setRGB(x, y, 0xC8C8C8)
+    val md = writer.getDefaultImageMetadata(
+      new javax.imageio.ImageTypeSpecifier(f1), null)
+    val tree = md.getAsTree("javax_imageio_gif_image_1.0")
+      .asInstanceOf[org.w3c.dom.Element]
+    val desc = tree.getElementsByTagName("ImageDescriptor").item(0)
+      .asInstanceOf[org.w3c.dom.Element]
+    desc.setAttribute("imageLeftPosition", "1")
+    desc.setAttribute("imageTopPosition", "1")
+    md.setFromTree("javax_imageio_gif_image_1.0", tree)
+    writer.writeToSequence(new javax.imageio.IIOImage(f1, null, md), null)
+    writer.endWriteSequence()
+    ios.flush(); ios.close(); writer.dispose()
+    val deltaDf = spark.createDataFrame(
+      Seq(org.apache.spark.sql.Row(7L, baos.toByteArray,
+        org.apache.spark.sql.Row("video/gif", null, null, null))).asJava,
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("id", org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("media", org.apache.spark.sql.types.BinaryType),
+        org.apache.spark.sql.types.StructField("media_meta", Multimodal.MediaMetaType))))
+    val out = Multimodal.explodeFramesBatched(deltaDf, "id", every = 1).collect()
+      .map(r => r.getInt(1) -> r).toMap
+    assert(out.keySet == Set(0, 1), "both frames explode")
+    assert(out(1).getStruct(3).getInt(1) == 8 && out(1).getStruct(3).getInt(2) == 8,
+      "exploded delta frame has logical-screen dims")
+    val im1 = javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(out(1).getAs[Array[Byte]](2)))
+    assert((im1.getRGB(0, 0) & 0xffffff) == 0x646464,
+      "outside the patch the frame-0 base shows through (composited)")
+    assert((im1.getRGB(1, 1) & 0xffffff) == 0xC8C8C8, "the patch is applied")
+    // non-video payloads produce no rows (explode semantics)
+    val none = Multimodal.explodeFramesBatched(
+      deltaDf.withColumn("media_meta",
+        org.apache.spark.sql.functions.struct(
+          org.apache.spark.sql.functions.lit("text/plain").as("format"),
+          org.apache.spark.sql.functions.lit(null).cast("int").as("width"),
+          org.apache.spark.sql.functions.lit(null).cast("int").as("height"),
+          org.apache.spark.sql.functions.lit(null).cast("int").as("n_frames"))),
+      "id", every = 1)
+    assert(none.count() == 0, "non-video payloads explode to zero rows")
   }
 
   test("windowed join state stays bounded on a hot key") {

@@ -303,6 +303,10 @@ class ProgramNodeCoverageSpec extends AnyFunSuite {
       "resizeStub" -> excluded("codec-slot stage, same exclusion"),
       "resizeImageBatched" -> excluded("partition-batched JDK image " +
         "resize; same deployment-concern exclusion as decodeBatched"),
+      "resampleAudioBatched" -> excluded("partition-batched JDK audio " +
+        "resample; same deployment-concern exclusion as decodeBatched"),
+      "explodeFramesBatched" -> excluded("partition-batched JDK frame " +
+        "extraction; same deployment-concern exclusion as decodeBatched"),
       "frameSample" -> excluded("binary slicing projection; program face " +
         "is mapCols (substring on binary)"),
       "MediaMetaType" -> excluded(const)))
