@@ -1510,14 +1510,6 @@ object QueriesPipeline {
            FROM range(0,200) t(i)), 6) AS rms
        FROM documents"""
 
-  /** REAL video frame-sample + decode, the multi-frame sibling of
-    * [[qDecodeImage]]: deterministic 6-frame animated GIFs (frame f,
-    * pixel (x, y) of doc d = gray ((d*31 + f*97 + 7x + 13y) mod 256),
-    * bit-exact through the indexed palette) round-trip through the JDK's
-    * multi-frame imageio reader, every 2nd frame is decoded (frames 0, 2,
-    * 4 — the skipped frames are never rasterized), and the oracle
-    * reproduces the sampled-frame mean Rec. 601 luminance from the closed
-    * form. */
   /** REAL frame extraction, end to end and oracle-checked: 3-frame
     * synthetic GIFs explode to one `image/png` row per sampled frame
     * (frames 0 and 2 at every=2), each re-encoded frame decodes back
@@ -1532,7 +1524,9 @@ object QueriesPipeline {
     val keyed = frames.select((col("id") * 10 + col("frame_idx")).as("fid"),
       col("media"), col("media_meta"))
     Multimodal.decodeImageBatched(keyed, "fid")
-      .select(expr("id div 10").as("doc_id"),
+      // floor-div to match pmod's flooring (`div` truncates toward zero,
+      // which would mis-pair doc and frame for negative ids)
+      .select(expr("(id - pmod(id, 10)) div 10").as("doc_id"),
         pmod(col("id"), lit(10)).cast("int").as("frame_idx"),
         col("decoded"), col("width"), col("height"),
         round(col("mean_luma"), 4).as("mean_luma"))
@@ -1545,6 +1539,14 @@ object QueriesPipeline {
            FROM range(0,8) t(x), range(0,8) u(y)) s), 4) AS mean_luma
        FROM documents, (SELECT unnest([0, 2]) AS f) fr"""
 
+  /** REAL video frame-sample + decode, the multi-frame sibling of
+    * [[qDecodeImage]]: deterministic 6-frame animated GIFs (frame f,
+    * pixel (x, y) of doc d = gray ((d*31 + f*97 + 7x + 13y) mod 256),
+    * bit-exact through the indexed palette) round-trip through the JDK's
+    * multi-frame imageio reader, every 2nd frame is decoded (frames 0, 2,
+    * 4 — the skipped frames are never rasterized), and the oracle
+    * reproduces the sampled-frame mean Rec. 601 luminance from the closed
+    * form. */
   def qDecodeVideo(spark: SparkSession, dir: String): DataFrame = {
     val d = Tables.documents(spark, dir).df.select(col("doc_id"))
     val media = Multimodal.synthesizeVideos(d, "doc_id", 8, 8, 6)

@@ -36,6 +36,16 @@ object Multimodal {
     * byte-stats fallback like any other undecodable row. */
   private val MaxCanvasPixels: Long = 1L << 26
 
+  /** Largest PCM buffer the audio resampler will allocate (256 MB ≈ 23
+    * minutes of 48 kHz stereo 16-bit) — the audio analog of
+    * [[MaxCanvasPixels]]: the header-declared sample rate is untrusted,
+    * and dstFrames = srcFrames × target/src explodes when a crafted
+    * header claims sampleRate=1 (multi-GB allocation → OutOfMemoryError
+    * past NonFatal) or silently WRAPS through a bare `.toInt` (truncated
+    * output stamped resampled=true). Over-cap payloads pass through
+    * unchanged like every other undecodable row. */
+  private val MaxPcmBytes: Long = 1L << 28
+
   /** Sum of per-pixel Rec. 601 luminance (0.299 R + 0.587 G + 0.114 B)
     * over a decoded raster — ONE copy shared by the image and video
     * decoders so the two features cannot drift. */
@@ -197,22 +207,6 @@ object Multimodal {
     }
   }
 
-  /**
-   * REAL audio decode in the same partition-batched codec slot, using the
-   * JDK's built-in `javax.sound.sampled` (WAV/AIFF/AU readers ship with
-   * every JRE — no external dependency, works headless). Rows whose
-   * metadata format starts with `audio/` are parsed and converted to
-   * 16-bit signed PCM (the JDK converter handles 8/24/32-bit and unsigned
-   * variants), yielding the true sample rate, channel count, per-channel
-   * sample count, duration in seconds, and RMS amplitude normalized to
-   * full scale (a full-scale square wave is 1.0, a full-scale sine
-   * 1/√2). Non-audio formats and undecodable payloads keep the
-   * byte-statistics fallback (`mean_byte`, `decoded = false`) — the same
-   * honest degradation as [[decodeImageBatched]], so one pipeline handles
-   * mixed corpora. Per-row cost is linear in samples; the decode runs
-   * inside `mapPartitions` exactly like [[decodeBatched]], so it
-   * distributes and batches identically at any scale.
-   */
   /** Parse an audio container and convert to 16-bit signed little-endian
     * PCM (the JDK converter handles 8/24/32-bit and unsigned variants) —
     * ONE copy shared by the audio decoder and resampler so the two stages
@@ -236,6 +230,22 @@ object Multimodal {
     } finally ais.close()
   }
 
+  /**
+   * REAL audio decode in the same partition-batched codec slot, using the
+   * JDK's built-in `javax.sound.sampled` (WAV/AIFF/AU readers ship with
+   * every JRE — no external dependency, works headless). Rows whose
+   * metadata format starts with `audio/` are parsed and converted to
+   * 16-bit signed PCM (the JDK converter handles 8/24/32-bit and unsigned
+   * variants), yielding the true sample rate, channel count, per-channel
+   * sample count, duration in seconds, and RMS amplitude normalized to
+   * full scale (a full-scale square wave is 1.0, a full-scale sine
+   * 1/√2). Non-audio formats and undecodable payloads keep the
+   * byte-statistics fallback (`mean_byte`, `decoded = false`) — the same
+   * honest degradation as [[decodeImageBatched]], so one pipeline handles
+   * mixed corpora. Per-row cost is linear in samples; the decode runs
+   * inside `mapPartitions` exactly like [[decodeBatched]], so it
+   * distributes and batches identically at any scale.
+   */
   def decodeAudioBatched(df: DataFrame, idCol: String): DataFrame = {
     val outSchema = StructType(Seq(
       StructField("id", LongType),
@@ -329,23 +339,31 @@ object Multimodal {
               val (sr, ch, data) = pcm16(bytes)
               val frameBytes = ch * 2
               val srcFrames = data.length / frameBytes
-              val dstFrames = (srcFrames.toLong * targetRate / sr).toInt
-              val out = new Array[Byte](dstFrames * frameBytes)
-              var j = 0
-              while (j < dstFrames) {
-                val s = ((j.toLong * sr) / targetRate).toInt
-                System.arraycopy(data, s * frameBytes, out, j * frameBytes, frameBytes)
-                j += 1
+              val dstFramesL =
+                if (sr < 1) -1L else srcFrames.toLong * targetRate / sr
+              // bound BEFORE allocating (untrusted header rate — see
+              // MaxPcmBytes); an over-cap or degenerate container takes
+              // the pass-through path, never an OOM or a wrapped .toInt
+              if (dstFramesL < 0 || dstFramesL * frameBytes > MaxPcmBytes) None
+              else {
+                val dstFrames = dstFramesL.toInt
+                val out = new Array[Byte](dstFrames * frameBytes)
+                var j = 0
+                while (j < dstFrames) {
+                  val s = ((j.toLong * sr) / targetRate).toInt
+                  System.arraycopy(data, s * frameBytes, out, j * frameBytes, frameBytes)
+                  j += 1
+                }
+                val pcmFmt = new javax.sound.sampled.AudioFormat(
+                  javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED,
+                  targetRate.toFloat, 16, ch, frameBytes, targetRate.toFloat, false)
+                val ais = new javax.sound.sampled.AudioInputStream(
+                  new java.io.ByteArrayInputStream(out), pcmFmt, dstFrames.toLong)
+                val baos = new java.io.ByteArrayOutputStream()
+                javax.sound.sampled.AudioSystem.write(
+                  ais, javax.sound.sampled.AudioFileFormat.Type.WAVE, baos)
+                Some(baos.toByteArray)
               }
-              val pcmFmt = new javax.sound.sampled.AudioFormat(
-                javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED,
-                targetRate.toFloat, 16, ch, frameBytes, targetRate.toFloat, false)
-              val ais = new javax.sound.sampled.AudioInputStream(
-                new java.io.ByteArrayInputStream(out), pcmFmt, dstFrames.toLong)
-              val baos = new java.io.ByteArrayOutputStream()
-              javax.sound.sampled.AudioSystem.write(
-                ais, javax.sound.sampled.AudioFileFormat.Type.WAVE, baos)
-              Some(baos.toByteArray)
             } catch { case scala.util.control.NonFatal(_) => None }
           } else None
         converted match {

@@ -12,6 +12,17 @@ import scala.jdk.CollectionConverters._
  * by the driver oracle, and pipeline operator edge cases.
  */
 class BatchApiSpec extends SparkSpec {
+
+  /** In-memory PNG from a pixel formula — shared by the image decode and
+    * resize tests (java.awt + javax.imageio ship in the JDK). */
+  private def png(w: Int, h: Int, rgbAt: (Int, Int) => Int): Array[Byte] = {
+    val im = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until h; x <- 0 until w) im.setRGB(x, y, rgbAt(x, y))
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(im, "png", bos)
+    bos.toByteArray
+  }
   import spark.implicits._
 
   private def lstream = new MStream(
@@ -533,14 +544,6 @@ class BatchApiSpec extends SparkSpec {
   test("multimodal image decode: real PNG pixels through the batched codec slot") {
     // generate genuine PNGs in memory with java.awt + javax.imageio (both
     // ship in the JDK): a 4x3 solid mid-gray and a 2x2 black/white checker
-    def png(w: Int, h: Int, rgbAt: (Int, Int) => Int): Array[Byte] = {
-      val im = new java.awt.image.BufferedImage(
-        w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
-      for (y <- 0 until h; x <- 0 until w) im.setRGB(x, y, rgbAt(x, y))
-      val bos = new java.io.ByteArrayOutputStream()
-      javax.imageio.ImageIO.write(im, "png", bos)
-      bos.toByteArray
-    }
     val gray = png(4, 3, (_, _) => 0x808080) // luma = 128 everywhere
     val checker = png(2, 2, (x, y) => if ((x + y) % 2 == 0) 0x000000 else 0xffffff)
     val notAnImage = "plain text bytes".getBytes("UTF-8")
@@ -577,14 +580,6 @@ class BatchApiSpec extends SparkSpec {
   test("multimodal image resize: real nearest-neighbor pixels, pass-through degradation") {
     // a 4x2 left-black/right-white split image: downsize to 2x1 samples
     // source pixels (0,0) and (2,0) -> one black, one white target pixel
-    def png(w: Int, h: Int, rgbAt: (Int, Int) => Int): Array[Byte] = {
-      val im = new java.awt.image.BufferedImage(
-        w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
-      for (y <- 0 until h; x <- 0 until w) im.setRGB(x, y, rgbAt(x, y))
-      val bos = new java.io.ByteArrayOutputStream()
-      javax.imageio.ImageIO.write(im, "png", bos)
-      bos.toByteArray
-    }
     val split = png(4, 2, (x, _) => if (x < 2) 0x000000 else 0xffffff)
     val notImage = "plain text bytes".getBytes("UTF-8")
     val rows = Seq(
@@ -721,6 +716,13 @@ class BatchApiSpec extends SparkSpec {
     intercept[IllegalArgumentException] {
       Multimodal.resampleAudioBatched(df, "id", 0)
     }
+    // untrusted header rate: a 1 Hz container resampled upward would need
+    // a multi-hundred-MB buffer — over MaxPcmBytes it passes through
+    // instead of OOMing or wrapping the frame count
+    val slow = Multimodal.synthesizeAudio(
+      Seq(Tuple1(1L)).toDF("id").select($"id".cast("long").as("id")), "id", 400, 1)
+    val guarded = Multimodal.resampleAudioBatched(slow, "id", 400000).collect().head
+    assert(!guarded.getBoolean(3), "over-cap PCM bound degrades to pass-through")
   }
 
   test("multimodal video decode: real multi-frame GIF with temporal sampling") {
