@@ -42,18 +42,6 @@ object StreamingJoins {
   private val alwaysTrue: (Any, Any) => Boolean = (_, _) => true
   def noResidual[L, R]: (L, R) => Boolean = alwaysTrue.asInstanceOf[(L, R) => Boolean]
 
-  /** The null stand-in for a side with no state yet, handed to a
-    * reference-strict full-join residual. Scala can't represent null in a
-    * primitive — null.asInstanceOf silently unboxes to a phantom 0/false —
-    * so a primitive-typed side is a named contract error, never a silent
-    * wrong gate. */
-  private def nullSide[A](cls: Class[_], side: String): A = {
-    if (cls.isPrimitive) throw new IllegalArgumentException(
-      s"graft: reference-strict full-join residual would receive a null $side side, " +
-        s"but the $side type is primitive ($cls) and null silently unboxes to zero — " +
-        "box the side type (e.g. java.lang.Long) or use lenientResidual = true")
-    null.asInstanceOf[A]
-  }
 
   def enrichmentJoin[L, R, K: Encoder, O: Encoder](
       left: Dataset[L], right: Dataset[R],
@@ -85,10 +73,23 @@ object StreamingJoins {
     // phantom 0/false — so a primitive-typed side with a strict residual
     // is a named contract error, not a silent wrong gate.
     val hasResidual = !(residual.asInstanceOf[AnyRef] eq alwaysTrue)
-    // plain Class values, NOT the Datasets: the state closure below must
-    // not capture `left`/`right`
-    val lCls = left.encoder.clsTag.runtimeClass
-    val rCls = right.encoder.clsTag.runtimeClass
+    // Reference-strict gating hands the residual a NULL for a side with no
+    // state yet (the reference does the same). Scala can't represent null
+    // in a primitive — null.asInstanceOf silently unboxes to a phantom
+    // 0/false — so reject the combination EAGERLY at construction: a lazy
+    // per-arrival check would make the failure arrival-order-dependent
+    // (clean in tests where lefts happen to precede rights, then a
+    // terminated streaming query on the first right-before-left in
+    // production).
+    if (kind == FullEnrichment && !lenientResidual && hasResidual) {
+      Seq("left" -> left.encoder.clsTag.runtimeClass,
+          "right" -> right.encoder.clsTag.runtimeClass).foreach { case (side, cls) =>
+        require(!cls.isPrimitive,
+          s"graft: a reference-strict full-join residual can receive a null $side side, " +
+            s"but the $side type is primitive ($cls) and null silently unboxes to zero — " +
+            "box the side type (e.g. java.lang.Long) or use lenientResidual = true")
+      }
+    }
 
     val lt = left.map(l => (lKey(l), lSeq(l), Option(l), Option.empty[R]))
     val rt = right.map(r => (rKey(r), rSeq(r), Option.empty[L], Option(r)))
@@ -121,7 +122,7 @@ object StreamingJoins {
                   // evaluated with the state's value even when absent
                   // (the reference passes null the same way)
                   else if (!hasResidual || residual(l,
-                    lastR.getOrElse(nullSide[R](rCls, "right"))))
+                    lastR.getOrElse(null.asInstanceOf[R])))
                     outs += out(Some(l), lastR)
                 case LeftInner =>
                   lastR.filter(r => residual(l, r)) match {
@@ -137,7 +138,7 @@ object StreamingJoins {
                   if (lenientResidual)
                     outs += out(lastL.filter(l => residual(l, r)), Some(r))
                   else if (!hasResidual || residual(
-                    lastL.getOrElse(nullSide[L](lCls, "left")), r))
+                    lastL.getOrElse(null.asInstanceOf[L]), r))
                     outs += out(lastL, Some(r))
                 case LeftInner =>
                   val (matched, stillWaiting) = pending.partition(l => residual(l, r))

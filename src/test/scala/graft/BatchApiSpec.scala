@@ -781,14 +781,7 @@ class BatchApiSpec extends SparkSpec {
     // single-frame container labeled video/*: a 3x2 solid gray-90 PNG —
     // must decode as a 1-frame video (format-name dispatch, not a GIF
     // metadata exception turning into a silent fallback)
-    val stillPng = {
-      val im = new java.awt.image.BufferedImage(
-        3, 2, java.awt.image.BufferedImage.TYPE_INT_RGB)
-      for (y <- 0 until 2; x <- 0 until 3) im.setRGB(x, y, 0x5A5A5A)
-      val bos = new java.io.ByteArrayOutputStream()
-      javax.imageio.ImageIO.write(im, "png", bos)
-      bos.toByteArray
-    }
+    val stillPng = png(3, 2, (_, _) => 0x5A5A5A)
     // valid GIF whose LogicalScreenDescriptor is patched to claim
     // 50000x50000 (2.5e9 px, over MaxCanvasPixels): the decoder must
     // refuse to allocate the canvas and degrade, not OOM the task. GIF

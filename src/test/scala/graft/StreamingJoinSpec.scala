@@ -73,14 +73,14 @@ class StreamingJoinSpec extends SparkSpec {
     // 0 and silently pass/fail the gate), so the engine must refuse loudly
     val left = Seq(LRec("a", 1, 10)).toDS()
     val right = Seq(5L).toDS()
-    val joined = StreamingJoins.enrichmentJoin[LRec, Long, String, String](
-      left, right, _.k, _ => "a", _.seq, _ => 2L, StreamingJoins.FullEnrichment,
-      residual = (l: LRec, r: Long) => l.v > r)((l, r) => s"$l|$r")
-    val ex = intercept[Exception] { joined.collect() }
-    def chain(t: Throwable): List[Throwable] =
-      if (t == null) Nil else t :: chain(t.getCause)
-    assert(chain(ex).exists(c => c.getMessage != null &&
-      c.getMessage.contains("primitive") && c.getMessage.contains("lenientResidual")),
+    // rejected EAGERLY at construction — a lazy per-arrival check would
+    // make the failure arrival-order-dependent
+    val ex = intercept[IllegalArgumentException] {
+      StreamingJoins.enrichmentJoin[LRec, Long, String, String](
+        left, right, _.k, _ => "a", _.seq, _ => 2L, StreamingJoins.FullEnrichment,
+        residual = (l: LRec, r: Long) => l.v > r)((l, r) => s"$l|$r")
+    }
+    assert(ex.getMessage.contains("primitive") && ex.getMessage.contains("lenientResidual"),
       s"expected the named primitive-side error, got: $ex")
     // no residual supplied -> the gate never evaluates, primitive sides fine
     val ok = StreamingJoins.enrichmentJoin[LRec, Long, String, String](
