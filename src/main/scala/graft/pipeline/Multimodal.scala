@@ -652,8 +652,10 @@ object Multimodal {
   }
 
   /** The feature face of [[compositeGif]]: (width, height, n_frames,
-    * n_sampled, mean sampled-canvas Rec. 601 luminance). */
-  private def sampleGif(bytes: Array[Byte], every: Int): Option[(Int, Int, Int, Int, Double)] =
+    * n_sampled, mean sampled-canvas Rec. 601 luminance). Package-private
+    * so MultimodalProps can pit the cover-analysis frame skipping against
+    * a pure sequential reference compositor over random containers. */
+  private[graft] def sampleGif(bytes: Array[Byte], every: Int): Option[(Int, Int, Int, Int, Double)] =
     compositeGif(bytes, every)((canvas, _) => lumaSum(canvas)).map {
       case (sw, sh, n, sums) =>
         (sw, sh, n, sums.size, sums.sum / (sums.size.toLong * sw * sh))

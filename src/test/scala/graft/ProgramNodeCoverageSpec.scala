@@ -307,6 +307,7 @@ class ProgramNodeCoverageSpec extends AnyFunSuite {
         "resample; same deployment-concern exclusion as decodeBatched"),
       "explodeFramesBatched" -> excluded("partition-batched JDK frame " +
         "extraction; same deployment-concern exclusion as decodeBatched"),
+      "sampleGif" -> excluded(block),
       "frameSample" -> excluded("binary slicing projection; program face " +
         "is mapCols (substring on binary)"),
       "MediaMetaType" -> excluded(const)))
