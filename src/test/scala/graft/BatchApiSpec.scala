@@ -23,6 +23,38 @@ class BatchApiSpec extends SparkSpec {
     javax.imageio.ImageIO.write(im, "png", bos)
     bos.toByteArray
   }
+
+  /** Delta-optimized animated GIF (the common real-world form): frame 0
+    * full 8x8 gray 100, frame 1 a 2x2 gray-200 patch at offset (1,1) —
+    * correct decoding COMPOSITES frame 1 onto the frame-0 canvas. Shared
+    * by the video-decode and frame-extraction tests. */
+  private def deltaGif(): Array[Byte] = {
+    val writer = javax.imageio.ImageIO.getImageWritersByFormatName("gif").next()
+    val baos = new java.io.ByteArrayOutputStream()
+    val ios = new javax.imageio.stream.MemoryCacheImageOutputStream(baos)
+    writer.setOutput(ios)
+    writer.prepareWriteSequence(null)
+    val f0 = new java.awt.image.BufferedImage(
+      8, 8, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until 8; x <- 0 until 8) f0.setRGB(x, y, 0x646464)
+    writer.writeToSequence(new javax.imageio.IIOImage(f0, null, null), null)
+    val f1 = new java.awt.image.BufferedImage(
+      2, 2, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until 2; x <- 0 until 2) f1.setRGB(x, y, 0xC8C8C8)
+    val md = writer.getDefaultImageMetadata(
+      new javax.imageio.ImageTypeSpecifier(f1), null)
+    val fmt = "javax_imageio_gif_image_1.0"
+    val tree = md.getAsTree(fmt).asInstanceOf[org.w3c.dom.Element]
+    val desc = tree.getElementsByTagName("ImageDescriptor").item(0)
+      .asInstanceOf[org.w3c.dom.Element]
+    desc.setAttribute("imageLeftPosition", "1")
+    desc.setAttribute("imageTopPosition", "1")
+    md.setFromTree(fmt, tree)
+    writer.writeToSequence(new javax.imageio.IIOImage(f1, null, md), null)
+    writer.endWriteSequence()
+    ios.flush(); ios.close(); writer.dispose()
+    baos.toByteArray
+  }
   import spark.implicits._
 
   private def lstream = new MStream(
@@ -746,36 +778,6 @@ class BatchApiSpec extends SparkSpec {
       ios.flush(); ios.close(); writer.dispose()
       baos.toByteArray
     }
-    // delta-optimized animated GIF (the common real-world form): frame 0
-    // full 8x8 gray 100, frame 1 a 2x2 gray-200 patch at offset (1,1) —
-    // correct decoding COMPOSITES frame 1 onto the frame-0 canvas
-    def deltaGif(): Array[Byte] = {
-      val writer = javax.imageio.ImageIO.getImageWritersByFormatName("gif").next()
-      val baos = new java.io.ByteArrayOutputStream()
-      val ios = new javax.imageio.stream.MemoryCacheImageOutputStream(baos)
-      writer.setOutput(ios)
-      writer.prepareWriteSequence(null)
-      val f0 = new java.awt.image.BufferedImage(
-        8, 8, java.awt.image.BufferedImage.TYPE_INT_RGB)
-      for (y <- 0 until 8; x <- 0 until 8) f0.setRGB(x, y, 0x646464)
-      writer.writeToSequence(new javax.imageio.IIOImage(f0, null, null), null)
-      val f1 = new java.awt.image.BufferedImage(
-        2, 2, java.awt.image.BufferedImage.TYPE_INT_RGB)
-      for (y <- 0 until 2; x <- 0 until 2) f1.setRGB(x, y, 0xC8C8C8)
-      val md = writer.getDefaultImageMetadata(
-        new javax.imageio.ImageTypeSpecifier(f1), null)
-      val fmt = "javax_imageio_gif_image_1.0"
-      val tree = md.getAsTree(fmt).asInstanceOf[org.w3c.dom.Element]
-      val desc = tree.getElementsByTagName("ImageDescriptor").item(0)
-        .asInstanceOf[org.w3c.dom.Element]
-      desc.setAttribute("imageLeftPosition", "1")
-      desc.setAttribute("imageTopPosition", "1")
-      md.setFromTree(fmt, tree)
-      writer.writeToSequence(new javax.imageio.IIOImage(f1, null, md), null)
-      writer.endWriteSequence()
-      ios.flush(); ios.close(); writer.dispose()
-      baos.toByteArray
-    }
     val anim = gif(Seq(10, 200, 60), 2, 2)
     val notVideo = "plain text bytes".getBytes("UTF-8")
     // single-frame container labeled video/*: a 3x2 solid gray-90 PNG —
@@ -875,34 +877,11 @@ class BatchApiSpec extends SparkSpec {
       assert(math.abs(decoded(30L + f) - expect) < 1e-9,
         s"frame $f PNG round-trips the pixel formula")
     }
-    // delta-optimized GIF (frame 1 = 2x2 patch at (1,1) on an 8x8 base):
-    // the EXPLODED frame 1 must be the composited canvas, not the patch
-    val writer = javax.imageio.ImageIO.getImageWritersByFormatName("gif").next()
-    val baos = new java.io.ByteArrayOutputStream()
-    val ios = new javax.imageio.stream.MemoryCacheImageOutputStream(baos)
-    writer.setOutput(ios)
-    writer.prepareWriteSequence(null)
-    val f0 = new java.awt.image.BufferedImage(
-      8, 8, java.awt.image.BufferedImage.TYPE_INT_RGB)
-    for (y <- 0 until 8; x <- 0 until 8) f0.setRGB(x, y, 0x646464)
-    writer.writeToSequence(new javax.imageio.IIOImage(f0, null, null), null)
-    val f1 = new java.awt.image.BufferedImage(
-      2, 2, java.awt.image.BufferedImage.TYPE_INT_RGB)
-    for (y <- 0 until 2; x <- 0 until 2) f1.setRGB(x, y, 0xC8C8C8)
-    val md = writer.getDefaultImageMetadata(
-      new javax.imageio.ImageTypeSpecifier(f1), null)
-    val tree = md.getAsTree("javax_imageio_gif_image_1.0")
-      .asInstanceOf[org.w3c.dom.Element]
-    val desc = tree.getElementsByTagName("ImageDescriptor").item(0)
-      .asInstanceOf[org.w3c.dom.Element]
-    desc.setAttribute("imageLeftPosition", "1")
-    desc.setAttribute("imageTopPosition", "1")
-    md.setFromTree("javax_imageio_gif_image_1.0", tree)
-    writer.writeToSequence(new javax.imageio.IIOImage(f1, null, md), null)
-    writer.endWriteSequence()
-    ios.flush(); ios.close(); writer.dispose()
+    // delta-optimized GIF (shared deltaGif: frame 1 = 2x2 patch at (1,1)
+    // on an 8x8 base): the EXPLODED frame 1 must be the composited
+    // canvas, not the patch
     val deltaDf = spark.createDataFrame(
-      Seq(org.apache.spark.sql.Row(7L, baos.toByteArray,
+      Seq(org.apache.spark.sql.Row(7L, deltaGif(),
         org.apache.spark.sql.Row("video/gif", null, null, null))).asJava,
       org.apache.spark.sql.types.StructType(Seq(
         org.apache.spark.sql.types.StructField("id", org.apache.spark.sql.types.LongType),
