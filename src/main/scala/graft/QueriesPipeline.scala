@@ -1350,6 +1350,63 @@ object QueriesPipeline {
       TextOps.stripMarkup(col("text")).as("clean_text"),
       size(TextOps.domainsOf(col("text"))).cast("long").as("n_domains"))
 
+  /** URL-level dedup end to end: deterministic MESSY urls (five variants
+    * per canonical target — mixed-case host, explicit default port,
+    * fragment, pure-tracking query, tracking mixed into a real query)
+    * collapse under [[TextOps.canonicalUrl]] to keeper = min doc_id per
+    * canonical key; the oracle mirrors the construction AND the full
+    * canonicalization regex chain in the Java ∩ RE2 subset. Four of the
+    * five variants share one clean canonical; the fifth keeps its real
+    * `?q=1` — so the grouping itself proves ports/fragments/tracking
+    * strip while genuine query params survive. */
+  def qUrlDedup(spark: SparkSession, dir: String): DataFrame = {
+    val t = expr("doc_id div 5").cast("string")
+    val url = when(pmod(col("doc_id"), lit(5L)) === 0L,
+        concat(lit("https://Example"), t, lit(".COM/Path/"), t))
+      .when(pmod(col("doc_id"), lit(5L)) === 1L,
+        concat(lit("https://example"), t, lit(".com:443/Path/"), t))
+      .when(pmod(col("doc_id"), lit(5L)) === 2L,
+        concat(lit("https://example"), t, lit(".com/Path/"), t, lit("#frag")))
+      .when(pmod(col("doc_id"), lit(5L)) === 3L,
+        concat(lit("https://example"), t, lit(".com/Path/"), t,
+          lit("?utm_source=x&utm_medium=y")))
+      .otherwise(
+        concat(lit("https://example"), t, lit(".com/Path/"), t,
+          lit("?gclid=abc&q=1&utm_campaign=z")))
+    Tables.documents(spark, dir).df.select(col("doc_id"), url.as("url"))
+      .groupBy(TextOps.canonicalUrl(col("url")).as("url_canon"))
+      .agg(count(lit(1)).as("n_variants"), min(col("doc_id")).as("keeper"))
+  }
+
+  val qUrlDedupSql: String =
+    """WITH u AS (
+         SELECT doc_id,
+           CASE doc_id % 5
+             WHEN 0 THEN 'https://Example' || (doc_id // 5) || '.COM/Path/' || (doc_id // 5)
+             WHEN 1 THEN 'https://example' || (doc_id // 5) || '.com:443/Path/' || (doc_id // 5)
+             WHEN 2 THEN 'https://example' || (doc_id // 5) || '.com/Path/' || (doc_id // 5) || '#frag'
+             WHEN 3 THEN 'https://example' || (doc_id // 5) || '.com/Path/' || (doc_id // 5) || '?utm_source=x&utm_medium=y'
+             ELSE 'https://example' || (doc_id // 5) || '.com/Path/' || (doc_id // 5) || '?gclid=abc&q=1&utm_campaign=z'
+           END AS url
+         FROM documents),
+       parts AS (
+         SELECT doc_id,
+           lower(regexp_extract(url, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS scheme,
+           lower(regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1)) AS hostport,
+           regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^#]*)', 1) AS rest
+         FROM u),
+       canon AS (
+         SELECT doc_id, scheme || '://' ||
+           (CASE WHEN scheme = 'http' THEN regexp_replace(hostport, ':80$', '')
+                 WHEN scheme = 'https' THEN regexp_replace(hostport, ':443$', '')
+                 ELSE hostport END) ||
+           regexp_replace(regexp_replace(regexp_replace(
+             regexp_replace(rest, '([?&])(utm_[^&#=]*|fbclid|gclid)=[^&]*', '\1', 'g'),
+             '&{2,}', '&', 'g'), '\?&', '?'), '[?&]$', '') AS url_canon
+         FROM parts)
+       SELECT url_canon, count(*)::BIGINT AS n_variants, min(doc_id) AS keeper
+       FROM canon GROUP BY url_canon"""
+
   val qStripMarkupSql: String =
     """SELECT doc_id,
          trim(regexp_replace(
@@ -2321,6 +2378,7 @@ object QueriesPipeline {
     "q_fingerprint" -> (qFingerprint _),
     "q_normalize" -> (qNormalize _),
     "q_strip_markup" -> (qStripMarkup _),
+    "q_url_dedup" -> (qUrlDedup _),
     "q_jl_project" -> (qJlProject _),
     "q_group_topk" -> (qGroupTopK _),
     "q_sq8" -> (qSq8 _),
@@ -2408,6 +2466,7 @@ object QueriesPipeline {
     "q_fingerprint" -> qFingerprintSql,
     "q_normalize" -> qNormalizeSql,
     "q_strip_markup" -> qStripMarkupSql,
+    "q_url_dedup" -> qUrlDedupSql,
     "q_jl_project" -> qJlProjectSql,
     "q_group_topk" -> qGroupTopKSql,
     "q_sq8" -> qSq8Sql,

@@ -112,6 +112,36 @@ object TextOps {
         lit("(?i)https?://(?:[^/@ \\t\\n\\f\\r\\x0B]+@)?([A-Za-z0-9.-]+)"), lit(1)),
       h => lower(h)))
 
+  /** Canonical form of a single URL — the key of URL-level dedup, the
+    * FIRST and cheapest dedup stage of crawl curation (dedup by canonical
+    * URL before any content hashing touches text): lowercase the scheme
+    * and host (the case-insensitive components; path and query stay
+    * case-sensitive per RFC 3986), strip an explicit default port
+    * (`:80` http / `:443` https), drop the fragment, drop the standard
+    * tracking query parameters (`utm_*`, `fbclid`, `gclid`) with
+    * separator repair, and trim a dangling `?`/`&`. Pure codegen'd string
+    * expressions the DuckDB oracle mirrors; strings without a
+    * `scheme://` pass through unchanged (not a URL — never corrupt what
+    * can't be parsed, the same degradation stance as the media stages). */
+  def canonicalUrl(url: Column): Column = {
+    val scheme = lower(regexp_extract(url, "^([A-Za-z][A-Za-z0-9+.-]*)://", 1))
+    val hostport = lower(regexp_extract(url, "^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)", 1))
+    // path + query, fragment excluded by the capture's [^#]* bound
+    val rest = regexp_extract(url, "^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^#]*)", 1)
+    val host = when(scheme === "http", regexp_replace(hostport, ":80$", ""))
+      .when(scheme === "https", regexp_replace(hostport, ":443$", ""))
+      .otherwise(hostport)
+    // each removed param keeps its leading separator, so consecutive
+    // removals leave runs of separators: collapse &&+, heal ?&, trim a
+    // trailing ?/& left when the last param was tracking
+    val noTrack = regexp_replace(rest,
+      "([?&])(utm_[^&#=]*|fbclid|gclid)=[^&]*", "$1")
+    val repaired = regexp_replace(regexp_replace(regexp_replace(
+      noTrack, "&{2,}", "&"), "\\?&", "?"), "[?&]$", "")
+    when(scheme === "", url)
+      .otherwise(concat(scheme, lit("://"), host, repaired))
+  }
+
   /** Winnowing document fingerprints (Schleimer et al., SIGMOD 2003 — the
     * MOSS algorithm): word-`n`-gram hashes in position order, each window
     * of `w` selecting its rightmost minimum ([[graft.functions.WinnowSelect]],

@@ -548,6 +548,22 @@ class BatchApiSpec extends SparkSpec {
       "map-side partial top-k present")
   }
 
+  test("canonicalUrl: case, default ports, fragments, tracking params, pass-through") {
+    val cases = Seq(
+      "HTTPS://WWW.Example.COM:443/A/B?x=1#frag" -> "https://www.example.com/A/B?x=1",
+      "http://Host.com:80/" -> "http://host.com/",
+      "http://host.com:8080/p" -> "http://host.com:8080/p", // non-default port kept
+      "https://h.com/p?utm_source=a&utm_medium=b" -> "https://h.com/p",
+      "https://h.com/p?gclid=1&q=2&utm_campaign=3" -> "https://h.com/p?q=2",
+      "https://h.com/p?a=1&fbclid=xyz&b=2" -> "https://h.com/p?a=1&b=2",
+      "https://h.com/Case/Sensitive" -> "https://h.com/Case/Sensitive",
+      "not a url at all" -> "not a url at all")
+    val got = cases.map(_._1).toDF("u")
+      .select(col("u"), graft.pipeline.TextOps.canonicalUrl(col("u")).as("c"))
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    cases.foreach { case (in, want) => assert(got(in) == want, s"canonicalUrl($in)") }
+  }
+
   test("multimodal frame sampling slices the payload without decoding") {
     val df = Multimodal.withFakeMedia(Seq((1L, "abcdefgh")).toDF("id", "text"), "text")
     val frames = Multimodal.frameSample(df, 4).select("frames")

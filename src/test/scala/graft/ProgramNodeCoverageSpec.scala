@@ -196,6 +196,7 @@ class ProgramNodeCoverageSpec extends AnyFunSuite {
       "encodeTokens" -> excluded("batch face of the encodeIngest node"),
       "decontaminate" -> excluded("batch face of the decontaminateIngest node"),
       "domainsOf" -> excluded(block),
+      "canonicalUrl" -> excluded(block),
       "bigramLmScore" -> excluded(block),
       "gopherRules" -> excluded(block),
       "markerHits" -> excluded(block), "ngramCounts" -> excluded(block),
