@@ -1360,7 +1360,9 @@ object QueriesPipeline {
     * `?q=1` — so the grouping itself proves ports/fragments/tracking
     * strip while genuine query params survive. */
   def qUrlDedup(spark: SparkSession, dir: String): DataFrame = {
-    val t = expr("doc_id div 5").cast("string")
+    // floor-consistent group index: pmod floors, so derive t from it
+    // (`div` truncates toward zero and would disagree on negative ids)
+    val t = expr("(doc_id - pmod(doc_id, 5)) div 5").cast("string")
     val url = when(pmod(col("doc_id"), lit(5L)) === 0L,
         concat(lit("https://Example"), t, lit(".COM/Path/"), t))
       .when(pmod(col("doc_id"), lit(5L)) === 1L,
@@ -1369,7 +1371,7 @@ object QueriesPipeline {
         concat(lit("https://example"), t, lit(".com/Path/"), t, lit("#frag")))
       .when(pmod(col("doc_id"), lit(5L)) === 3L,
         concat(lit("https://example"), t, lit(".com/Path/"), t,
-          lit("?utm_source=x&utm_medium=y")))
+          lit("?UTM_Source=x&utm_medium=y")))
       .otherwise(
         concat(lit("https://example"), t, lit(".com/Path/"), t,
           lit("?gclid=abc&q=1&utm_campaign=z")))
@@ -1380,30 +1382,41 @@ object QueriesPipeline {
 
   val qUrlDedupSql: String =
     """WITH u AS (
-         SELECT doc_id,
-           CASE doc_id % 5
-             WHEN 0 THEN 'https://Example' || (doc_id // 5) || '.COM/Path/' || (doc_id // 5)
-             WHEN 1 THEN 'https://example' || (doc_id // 5) || '.com:443/Path/' || (doc_id // 5)
-             WHEN 2 THEN 'https://example' || (doc_id // 5) || '.com/Path/' || (doc_id // 5) || '#frag'
-             WHEN 3 THEN 'https://example' || (doc_id // 5) || '.com/Path/' || (doc_id // 5) || '?utm_source=x&utm_medium=y'
-             ELSE 'https://example' || (doc_id // 5) || '.com/Path/' || (doc_id // 5) || '?gclid=abc&q=1&utm_campaign=z'
-           END AS url
+         SELECT doc_id, ((doc_id % 5) + 5) % 5 AS v,
+           ((doc_id - (((doc_id % 5) + 5) % 5)) // 5)::VARCHAR AS t
          FROM documents),
+       m AS (
+         SELECT doc_id,
+           CASE v
+             WHEN 0 THEN 'https://Example' || t || '.COM/Path/' || t
+             WHEN 1 THEN 'https://example' || t || '.com:443/Path/' || t
+             WHEN 2 THEN 'https://example' || t || '.com/Path/' || t || '#frag'
+             WHEN 3 THEN 'https://example' || t || '.com/Path/' || t || '?UTM_Source=x&utm_medium=y'
+             ELSE 'https://example' || t || '.com/Path/' || t || '?gclid=abc&q=1&utm_campaign=z'
+           END AS url
+         FROM u),
        parts AS (
          SELECT doc_id,
            lower(regexp_extract(url, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS scheme,
-           lower(regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1)) AS hostport,
-           regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^#]*)', 1) AS rest
-         FROM u),
+           coalesce(regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1), '') AS hostport,
+           coalesce(regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^#]*)', 1), '') AS rest
+         FROM m),
+       split AS (
+         SELECT doc_id, scheme,
+           coalesce(regexp_extract(hostport, '^(.*@)', 1), '') AS userinfo,
+           lower(regexp_replace(hostport, '^.*@', '')) AS host0,
+           coalesce(regexp_extract(rest, '^([^?]*)', 1), '') AS path,
+           coalesce(regexp_extract(rest, '(\?.*)$', 1), '') AS query
+         FROM parts),
        canon AS (
-         SELECT doc_id, scheme || '://' ||
-           (CASE WHEN scheme = 'http' THEN regexp_replace(hostport, ':80$', '')
-                 WHEN scheme = 'https' THEN regexp_replace(hostport, ':443$', '')
-                 ELSE hostport END) ||
+         SELECT doc_id, scheme || '://' || userinfo ||
+           (CASE WHEN scheme = 'http' THEN regexp_replace(host0, ':80$', '')
+                 WHEN scheme = 'https' THEN regexp_replace(host0, ':443$', '')
+                 ELSE host0 END) || path ||
            regexp_replace(regexp_replace(regexp_replace(
-             regexp_replace(rest, '([?&])(utm_[^&#=]*|fbclid|gclid)=[^&]*', '\1', 'g'),
-             '&{2,}', '&', 'g'), '\?&', '?'), '[?&]$', '') AS url_canon
-         FROM parts)
+             regexp_replace(query, '([?&])((?i:utm_[^&=]*|fbclid|gclid))=[^&]*', '\1', 'g'),
+             '&{2,}', '&', 'g'), '^\?&', '?'), '[?&]$', '') AS url_canon
+         FROM split)
        SELECT url_canon, count(*)::BIGINT AS n_variants, min(doc_id) AS keeper
        FROM canon GROUP BY url_canon"""
 

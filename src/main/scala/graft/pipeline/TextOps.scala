@@ -115,31 +115,44 @@ object TextOps {
   /** Canonical form of a single URL — the key of URL-level dedup, the
     * FIRST and cheapest dedup stage of crawl curation (dedup by canonical
     * URL before any content hashing touches text): lowercase the scheme
-    * and host (the case-insensitive components; path and query stay
-    * case-sensitive per RFC 3986), strip an explicit default port
-    * (`:80` http / `:443` https), drop the fragment, drop the standard
-    * tracking query parameters (`utm_*`, `fbclid`, `gclid`) with
-    * separator repair, and trim a dangling `?`/`&`. Pure codegen'd string
-    * expressions the DuckDB oracle mirrors; strings without a
-    * `scheme://` pass through unchanged (not a URL — never corrupt what
-    * can't be parsed, the same degradation stance as the media stages). */
+    * and host — the case-insensitive components; userinfo, path and query
+    * stay case-sensitive per RFC 3986 — strip an explicit default port
+    * (`:80` http / `:443` https), drop the fragment, and drop the
+    * standard tracking parameters (`utm_*`, `fbclid`, `gclid`, names
+    * matched case-insensitively) from the QUERY ONLY, with separator
+    * repair and a dangling `?`/`&` trim. The path is never rewritten —
+    * `&` is a legal path sub-delimiter, so a path-blind strip would
+    * truncate real paths and falsely merge distinct documents under the
+    * dedup key. Pure codegen'd string expressions the DuckDB oracle
+    * mirrors; strings without a `scheme://` pass through unchanged (not
+    * a URL — never corrupt what can't be parsed, the same degradation
+    * stance as the media stages). */
   def canonicalUrl(url: Column): Column = {
     val scheme = lower(regexp_extract(url, "^([A-Za-z][A-Za-z0-9+.-]*)://", 1))
-    val hostport = lower(regexp_extract(url, "^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)", 1))
-    // path + query, fragment excluded by the capture's [^#]* bound
+    val hostportRaw = regexp_extract(url, "^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)", 1)
+    // userinfo (user:pass@) is case-SENSITIVE per RFC 3986 — preserved;
+    // only host (+ port) lowercases
+    val userinfo = regexp_extract(hostportRaw, "^(.*@)", 1)
+    val host0 = lower(regexp_replace(hostportRaw, "^.*@", ""))
+    val host = when(scheme === "http", regexp_replace(host0, ":80$", ""))
+      .when(scheme === "https", regexp_replace(host0, ":443$", ""))
+      .otherwise(host0)
+    // path and query split at the FIRST '?': '&' is a legal path
+    // sub-delimiter (RFC 3986), so tracking-strip and separator repair
+    // must never touch the path — only the query is rewritten
     val rest = regexp_extract(url, "^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^#]*)", 1)
-    val host = when(scheme === "http", regexp_replace(hostport, ":80$", ""))
-      .when(scheme === "https", regexp_replace(hostport, ":443$", ""))
-      .otherwise(hostport)
-    // each removed param keeps its leading separator, so consecutive
-    // removals leave runs of separators: collapse &&+, heal ?&, trim a
-    // trailing ?/& left when the last param was tracking
-    val noTrack = regexp_replace(rest,
-      "([?&])(utm_[^&#=]*|fbclid|gclid)=[^&]*", "$1")
+    val path = regexp_extract(rest, "^([^?]*)", 1)
+    val query = regexp_extract(rest, "(\\?.*)$", 1)
+    // tracking NAMES match case-insensitively (messy crawl data carries
+    // UTM_SOURCE= variants); param VALUES and genuine params keep case
+    val noTrack = regexp_replace(query,
+      "([?&])(?i:utm_[^&=]*|fbclid|gclid)=[^&]*", "$1")
+    // each removal keeps its leading separator: collapse &&+ runs, heal
+    // the (anchored — a query starts with '?') ?&, trim a dangling ?/&
     val repaired = regexp_replace(regexp_replace(regexp_replace(
-      noTrack, "&{2,}", "&"), "\\?&", "?"), "[?&]$", "")
+      noTrack, "&{2,}", "&"), "^\\?&", "?"), "[?&]$", "")
     when(scheme === "", url)
-      .otherwise(concat(scheme, lit("://"), host, repaired))
+      .otherwise(concat(scheme, lit("://"), userinfo, host, path, repaired))
   }
 
   /** Winnowing document fingerprints (Schleimer et al., SIGMOD 2003 — the

@@ -554,9 +554,15 @@ class BatchApiSpec extends SparkSpec {
       "http://Host.com:80/" -> "http://host.com/",
       "http://host.com:8080/p" -> "http://host.com:8080/p", // non-default port kept
       "https://h.com/p?utm_source=a&utm_medium=b" -> "https://h.com/p",
+      "https://h.com/p?UTM_Source=a&Fbclid=b" -> "https://h.com/p", // names case-insensitive
       "https://h.com/p?gclid=1&q=2&utm_campaign=3" -> "https://h.com/p?q=2",
       "https://h.com/p?a=1&fbclid=xyz&b=2" -> "https://h.com/p?a=1&b=2",
       "https://h.com/Case/Sensitive" -> "https://h.com/Case/Sensitive",
+      // '&' is a legal PATH sub-delimiter: the strip must never touch it
+      "https://h.com/a&utm_b=1/x" -> "https://h.com/a&utm_b=1/x",
+      "https://h.com/a&&b" -> "https://h.com/a&&b",
+      // userinfo is case-sensitive; only the host lowercases
+      "https://UserA@Host.COM/p" -> "https://UserA@host.com/p",
       "not a url at all" -> "not a url at all")
     val got = cases.map(_._1).toDF("u")
       .select(col("u"), graft.pipeline.TextOps.canonicalUrl(col("u")).as("c"))
