@@ -1469,29 +1469,40 @@ object Dedup {
     require(k >= 2, s"span gram size must be >= 2, got $k")
     require(minDocs >= 2, s"minDocs must be >= 2, got $minDocs")
     val id = col(idCol)
-    val W = org.apache.spark.sql.expressions.Window
-    // Distinct-doc count per gram computed IN-PLACE over the partition
-    // (dense_rank by doc, then its partition max): one exchange carrying
-    // (hash, doc, pos) and the qualifying positions fall out of the same
-    // pass — an aggregate + self-join shape would re-derive the corpus
-    // stage per consumer (differently-pruned subtrees defeat
-    // ReuseExchange) and shuffle the same rows twice. `canonical` drops
-    // each gram's minimum-doc occurrence from the result — the keep-one
-    // drop set of Lee et al. (one more window over the SAME partition,
-    // applied only at the verified-gram stage: canonical choice under an
-    // unverified hash could elect a collision's doc).
+    // Distinct-doc count per gram as a PARTIAL-AGGREGATED groupBy joined
+    // back, never a window. The earlier in-place shape (dense_rank by doc
+    // + its partition max over Window.partitionBy(__g)) put every
+    // occurrence of one gram hash into ONE window task — a boilerplate
+    // k-gram present in a large fraction of a corpus is the NORM at
+    // scale, and that task sorts the gram's whole population while the
+    // cluster idles (the same hot-key shape the saltedSelfJoin cover
+    // removed from the band joins). Here the single-distinct aggregate
+    // plans as (g, id) partial dedup → per-g partial counts → final: the
+    // hot gram's occurrences spread over the (g, id) exchange by doc id,
+    // and each downstream task only merges bounded partial counts. The
+    // join back is hinted shuffle_hash so the probe side STREAMS (a
+    // sort-merge join would re-introduce the per-key sort on __g); the
+    // stats build side is one row per qualifying gram — duplicate-mass
+    // bounded — and AQE's skew split can still subdivide a hot streamed
+    // partition because the build side replicates. Price vs the window:
+    // the gram projection is consumed twice (stats + probe, different
+    // keys, so no ReuseExchange) — two shuffles of 16-byte
+    // (hash, doc, pos) rows and a re-tokenize, both parallel, traded
+    // for the unbounded per-key sort. `canonical` drops each gram's
+    // minimum-doc occurrence — the keep-one drop set of Lee et al.
+    // (min(id) rides the same aggregate; applied only at the
+    // verified-gram stage: canonical choice under an unverified hash
+    // could elect a collision's doc).
     def repeatedPositions(f: DataFrame, gram: org.apache.spark.sql.Column,
                           canonical: Boolean): DataFrame = {
       val g = gram.as("__g")
-      val counted = f.select(id, col("__p"), g)
-        .withColumn("__dr", dense_rank().over(W.partitionBy(col("__g")).orderBy(id)))
-        .withColumn("__nd", max(col("__dr")).over(W.partitionBy(col("__g"))))
+      val base = f.select(id, col("__p"), g)
+      val stats = base.groupBy(col("__g"))
+        .agg(count_distinct(id).as("__nd"), min(id).as("__cd"))
         .where(col("__nd") >= minDocs)
-      val kept =
-        if (canonical)
-          counted.withColumn("__cd", min(id).over(W.partitionBy(col("__g"))))
-            .where(id =!= col("__cd"))
-        else counted
+        .select(col("__g"), col("__cd"))
+      val kept0 = base.join(stats.hint("shuffle_hash"), Seq("__g"))
+      val kept = if (canonical) kept0.where(id =!= col("__cd")) else kept0
       kept.select(id, col("__p"))
     }
     // (doc, position, gram hash): 16 bytes + id per token, no text
