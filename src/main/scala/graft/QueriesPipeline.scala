@@ -1637,12 +1637,13 @@ object QueriesPipeline {
 
   /** `semanticDedupAuto` — the cells-∝-corpus SemDeDup face (codebook
     * sized by `Ivf.cellsFor`, so per-cell verification work stays
-    * ~constant as the corpus grows). k is DATA-DEPENDENT (ceil(n/target)),
-    * so the fixed-k Lloyd-unroll oracle scaffolding cannot mirror it in
-    * SQL — the driver records the rows-only check; exactness against the
-    * fixed-k face under the same derived k is spec-pinned
-    * (SemanticDedupSpec) and the cell-population contract probed by
-    * StressBench `semauto`. */
+    * ~constant as the corpus grows). k is DATA-DEPENDENT (ceil(n/target))
+    * but SQL-DERIVABLE: the oracle computes the same
+    * least(65536, ceil(n/128)) as a scalar subquery feeding the Lloyd
+    * unroll's init LIMIT, so the full rows+schema+hash check applies at
+    * every scale factor. Exactness against the fixed-k face under the
+    * same derived k is additionally spec-pinned (SemanticDedupSpec) and
+    * the cell-population contract probed by StressBench `semauto`. */
   def qSemanticAuto(spark: SparkSession, dir: String): DataFrame = {
     val emb = Tables.embeddings(spark, dir).df
     graft.pipeline.Dedup.semanticDedupAuto(emb, "vec_id", "embedding",
@@ -1770,15 +1771,18 @@ object QueriesPipeline {
   }
 
   /** The SemDeDup cluster CTE chain (Lloyd unroll → cell assignment →
-    * within-cell cosine pairs → recursive CC) shared by the keep-min and
-    * keep-best mirrors — ONE fragment, like the Scala side's
-    * `Dedup.semanticClusters`. */
-  private val semanticClusterCtes: String = {
+    * within-cell cosine pairs → recursive CC) shared by the keep-min,
+    * keep-best and auto-sized mirrors — ONE fragment, like the Scala
+    * side's `Dedup.semanticClusters`. `limitExpr` is the codebook size:
+    * a literal for the fixed-k faces, a scalar subquery over `extraCtes`
+    * for the auto face (k = ceil(n/target) is data-dependent but
+    * SQL-derivable — DuckDB accepts expression LIMIT). */
+  private def semanticClusterCtesK(limitExpr: String, extraCtes: String = ""): String = {
     val assign = ivfAssign _
     val update = ivfUpdate _
-    s"""e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    s"""e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),$extraCtes
         c0 AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid, v AS cv
-               FROM (SELECT * FROM e ORDER BY vec_id LIMIT 8)),
+               FROM (SELECT * FROM e ORDER BY vec_id LIMIT $limitExpr)),
         a1 AS ${assign("c0")},
         c1 AS ${update("a1")},
         a2 AS ${assign("c1")},
@@ -1794,6 +1798,21 @@ object QueriesPipeline {
           SELECT u, u FROM edges
           UNION
           SELECT ed.v, cc.label FROM cc JOIN edges ed ON cc.node = ed.u)"""
+  }
+  private val semanticClusterCtes: String = semanticClusterCtesK("8")
+
+  /** DuckDB mirror of qSemanticAuto: identical to qSemanticDedupSql
+    * except the codebook size is the `Ivf.cellsFor(n, 128)` contract
+    * derived in SQL — kk's scalar feeds the init CTE's LIMIT. */
+  val qSemanticAutoSql: String = {
+    val ctes = semanticClusterCtesK("(SELECT k FROM kk)",
+      extraCtes = """
+        kk AS (SELECT least(65536, (count(*) - 1) // 128 + 1) AS k FROM e),""")
+    s"""WITH RECURSIVE $ctes,
+        dropped AS (SELECT node FROM (SELECT node, min(label) AS l FROM cc GROUP BY node)
+                    WHERE l <> node)
+        SELECT vec_id FROM embeddings
+        WHERE vec_id NOT IN (SELECT node FROM dropped)"""
   }
 
   /** DuckDB mirror: the qIvfAnn Lloyd unroll for cell assignment, then
@@ -2510,8 +2529,7 @@ object QueriesPipeline {
     "q_decode_audio" -> qDecodeAudioSql,
     "q_resample_audio" -> qResampleAudioSql,
     "q_decode_video" -> qDecodeVideoSql,
-    "q_frames_video" -> qFramesVideoSql
-    // q_semantic_auto: k is data-dependent — not SQL-expressible, driver
-    // records the rows-only check (see qSemanticAuto's doc)
+    "q_frames_video" -> qFramesVideoSql,
+    "q_semantic_auto" -> qSemanticAutoSql
   )
 }

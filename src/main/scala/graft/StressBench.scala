@@ -33,10 +33,16 @@ object StressBench {
     * sf0.1 documents replaced by ONE literal string (the crawled-corpus
     * header/footer regime), so every MinHash band of the boilerplate is
     * shared by all of them. Persisted; caller unpersists. */
-  private def boilerplateDocs(spark: SparkSession, src: String): org.apache.spark.sql.DataFrame = {
+  private def boilerplateDocs(spark: SparkSession, src: String): org.apache.spark.sql.DataFrame =
+    boilerplateDocsAt(spark, s"$src/documents.parquet")
+
+  /** Same construction over an explicit parquet path — the 10x corpus
+    * variant used by spanskew (the hot-GRAM probe wants the full
+    * replicated corpus, not the sf0.1 slice). */
+  private def boilerplateDocsAt(spark: SparkSession, path: String): org.apache.spark.sql.DataFrame = {
     val boiler = "terms of service privacy policy all rights reserved " +
       "contact us about careers copyright two thousand twenty four"
-    spark.read.parquet(s"$src/documents.parquet")
+    spark.read.parquet(path)
       .select(col("doc_id"),
         when(pmod(col("doc_id"), lit(5L)) < 2L, lit(boiler))
           .otherwise(col("text")).as("text"))
@@ -104,7 +110,13 @@ object StressBench {
         // with one dominant-direction cell vs a bounded query batch —
         // the regime where the triangle cover would over-replicate the
         // corpus and the salted index salts it once)
-        "idxskew")
+        "idxskew",
+        // round-13: the hot-GRAM probe (one boilerplate passage in 40% of
+        // the corpus, 1x then 10x) — repeatedSpans' per-gram distinct-doc
+        // counts as a partial-aggregated groupBy + shuffle-hash join back,
+        // and a hot-KEY probe of the enrichment/as-of join family (one
+        // key holding ~40% of a 10x events table)
+        "spanskew", "joinskew")
     val spark = SparkSession.builder().master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
       .config("spark.sql.session.timeZone", "UTC")
@@ -358,6 +370,105 @@ object StressBench {
             }
           }
         } finally { skewed.unpersist(); qs.unpersist() }
+      } else if (q == "spanskew") {
+        // round-12 verdict #1 (the last unbounded per-key stage in the
+        // dedup family): repeatedSpans' per-gram distinct-doc counts used
+        // to ride dense_rank/max windows partitioned by the gram hash —
+        // ONE task sorted every occurrence of a boilerplate gram. Now a
+        // partial-aggregated count_distinct + a shuffle_hash-hinted join
+        // back, so the hot gram's occurrences spread over the (gram, doc)
+        // exchange and the probe side streams. 40% of the corpus is ONE
+        // literal passage (every k-gram of it occurs in 40% of documents);
+        // timed at 1x and 10x — near-linear scaling is the
+        // no-single-task-window evidence (the old window shape serialized
+        // the hot gram's whole 10x population on one core). Broadcast
+        // disabled as in bandskew: at probe scale the one-row-per-gram
+        // stats side would broadcast, which parallelizes even a bad plan;
+        // at corpus scale the join shuffles.
+        withConfSnapshot(spark, "spark.sql.autoBroadcastJoinThreshold") {
+          spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+          for ((label, path) <- Seq("1x" -> s"$src/documents.parquet",
+                                    "10x" -> docsPath)) {
+            val docs = boilerplateDocsAt(spark, path)
+            val nDocs = docs.count()
+            try {
+              var expect = -1L
+              for (rep <- 1 to 2) {
+                isolate()
+                val t0 = System.nanoTime()
+                val spans = graft.pipeline.Dedup.repeatedSpans(
+                  docs, "doc_id", "text", k = 5, minDocs = 3)
+                spans.write.format("noop").mode("overwrite").save()
+                val secs = (System.nanoTime() - t0) / 1e9
+                val ns = spans.count()
+                if (expect < 0) expect = ns
+                else require(ns == expect,
+                  s"spanskew/$label span count drifted across reps: $ns vs $expect")
+                println(f"STRESS spanskew/$label rep$rep $secs%.2f s " +
+                  s"($ns spans over $nDocs docs)")
+                graft.api.Pinned.release(spark)
+              }
+            } finally docs.unpersist()
+          }
+        }
+      } else if (q == "joinskew") {
+        // The enrichment/as-of join family's documented per-key bound made
+        // empirical (round-12 verdict next-round #5): these joins lower to
+        // union + ONE shuffle on the key + a within-key ORDER — the
+        // reference's keyed co-process semantics, where a key's timeline
+        // is inherently sequential — so a key holding ~40% of the corpus
+        // serializes ITS timeline on one spillable sort task while every
+        // other key proceeds in parallel. The probe maps 40% of user_ids
+        // of a 10x events table onto ONE user and times leftJoin (arrival
+        // order) and backward asofJoin (time order) against the uniform
+        // corpus as baseline; row counts must be stable across reps.
+        val ev0 = graft.sources.Tables.events(spark, src).df
+          .select(col("event_id"), col("user_id").cast("long").as("user_id"),
+            col("event_type"), col("value"), col("ts_ns"))
+        val big = (0 until factor).map { i =>
+          ev0.select((col("event_id") + lit(i * 100000000L)).as("event_id"),
+            col("user_id"), col("event_type"), col("value"),
+            (col("ts_ns") + lit(i.toLong)).as("ts_ns"))
+        }.reduce(_ unionByName _).repartition(32).persist()
+        val nEv = big.count()
+        try {
+          for ((mode, uid) <- Seq(
+              "uniform" -> col("user_id"),
+              "hot40" -> when(pmod(col("user_id"), lit(5L)) < 2L, lit(0L))
+                .otherwise(col("user_id")))) {
+            val ev = big.withColumn("user_id", uid)
+            for (rep <- 1 to 2) {
+              isolate()
+              val evm = new graft.api.MStream(ev, Seq("ts_ns", "event_id"))
+              val clicks = evm.where(col("event_type") === "click")
+              val purchases = evm.where(col("event_type") === "purchase")
+              var t0 = System.nanoTime()
+              val lj = clicks.leftJoin(purchases)
+                .on((l, r) => l("user_id") === r("user_id"))
+                .select((l, r) => Seq(
+                  l("event_id").as("event_id"), l("user_id").as("user_id"),
+                  l("value").as("click_value"), r("value").as("latest_purchase")))
+                .df
+              lj.write.format("noop").mode("overwrite").save()
+              val ljSecs = (System.nanoTime() - t0) / 1e9
+              val pj = ev.filter(col("event_type") === "purchase")
+                .select(col("event_id").as("p_id"), col("user_id").as("p_user"),
+                  expr("ts_ns div 1000").as("p_ts"), col("value").as("p_value"))
+              val cj = ev.filter(col("event_type") === "click")
+                .select(col("event_id").as("c_id"), col("user_id").as("c_user"),
+                  expr("ts_ns div 1000").as("c_ts"), col("value").as("c_value"))
+              t0 = System.nanoTime()
+              val aj = graft.operators.AsofJoins.asofBackward(pj, "p_ts", cj, "c_ts",
+                keys = Seq("p_user" -> "c_user"), rightOrder = Seq("c_id"),
+                tolerance = Some(3600L * 1000000L))
+              aj.write.format("noop").mode("overwrite").save()
+              val ajSecs = (System.nanoTime() - t0) / 1e9
+              println(f"STRESS joinskew/$mode rep$rep leftJoin $ljSecs%.2f s " +
+                f"(${lj.count()} rows), asof $ajSecs%.2f s (${aj.count()} rows) " +
+                s"over $nEv events")
+            }
+          }
+        } finally big.unpersist()
       } else if (q == "semauto") {
         // semanticDedupAuto sizes the codebook with Ivf.cellsFor — the
         // executable cells-∝-corpus contract. Ran at 1x and 10x, the MEAN
