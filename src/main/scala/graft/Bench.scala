@@ -88,26 +88,43 @@ object Bench {
         }
       }
     }
-    // Artifact layout is dictated by the driver's TAIL capture (last ~2000
-    // chars of stdout survive): millisecond precision, queries ASCENDING by
-    // time so the truncated head loses only the fastest entries — except
-    // FAILURES (-1 sentinels), which sort as if slowest so the entries a
-    // tail reader most needs never truncate away — and the total LAST so
-    // it always lands inside the captured tail. The COMPLETE line
-    // additionally persists to BENCH_FULL.json in the working directory
-    // (the round snapshot commits it), so the full per-query map is never
-    // lost to truncation.
+    // Artifact layout is dictated by the driver's TAIL capture (the LAST
+    // ~2000 chars of stdout survive and are parsed as JSON): two lines go
+    // out. First the full-precision line — queries ASCENDING by time so a
+    // truncated head loses only the fastest entries, except FAILURES (-1
+    // sentinels) which sort as if slowest; it also persists COMPLETE to
+    // BENCH_FULL.json (absolute path — an optional first arg overrides;
+    // the round snapshot commits it). LAST, a compact line built to FIT
+    // the tail whole: every query at integer milliseconds under
+    // "queries_ms" (encoding "<name sans q_>:<ms>", comma-separated; -1 =
+    // failed), self-trimming from the fastest end if the surface ever
+    // outgrows the budget. The tail parser therefore always sees one
+    // complete JSON object with the full per-query map — no BENCH_FULL
+    // git archaeology needed to answer "did X regress".
     def fmt(v: Double): String =
       String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
-    val qs = results.sortBy { case (_, v) => if (v < 0) Double.MaxValue else v }
-      .map { case (k, v) => "\"" + k + "\":" + fmt(v) }.mkString("{", ",", "}")
+    val ascending = results.sortBy { case (_, v) => if (v < 0) Double.MaxValue else v }
+    val qs = ascending.map { case (k, v) => "\"" + k + "\":" + fmt(v) }.mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
+    val fullPath = java.nio.file.Paths.get(
+      args.headOption.getOrElse("BENCH_FULL.json")).toAbsolutePath
     val line =
-      s"""{"metric":"total","unit":"sec","sf":"$sfDir","full":"BENCH_FULL.json","queries":$qs,"value":${fmt(total)}}"""
-    try java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_FULL.json"),
-      (line + "\n").getBytes("UTF-8"))
-    catch { case e: Exception => System.err.println(s"[bench] BENCH_FULL.json write failed: $e") }
+      s"""{"metric":"total","unit":"sec","sf":"$sfDir","full":"$fullPath","queries":$qs,"value":${fmt(total)}}"""
+    try java.nio.file.Files.write(fullPath, (line + "\n").getBytes("UTF-8"))
+    catch { case e: Exception => System.err.println(s"[bench] $fullPath write failed: $e") }
     println(line)
+    val msEntries = ascending.map { case (k, v) =>
+      (if (k.startsWith("q_")) k.drop(2) else k) + ":" +
+        (if (v < 0) "-1" else math.round(v * 1000).toString)
+    }
+    def compact(es: Seq[String], omitted: Int): String =
+      s"""{"metric":"total","unit":"sec","sf":"$sfDir","full":"$fullPath","omitted_fastest":$omitted,"queries_ms":"${es.mkString(",")}","value":${fmt(total)}}"""
+    var kept = msEntries
+    var omitted = 0
+    while (compact(kept, omitted).length > 1900 && kept.nonEmpty) {
+      kept = kept.tail; omitted += 1 // ascending: the fastest entry goes first
+    }
+    println(compact(kept, omitted))
     spark.stop()
   }
 }

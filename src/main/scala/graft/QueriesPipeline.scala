@@ -1414,7 +1414,7 @@ object QueriesPipeline {
                  WHEN scheme = 'https' THEN regexp_replace(host0, ':443$', '')
                  ELSE host0 END) || path ||
            regexp_replace(regexp_replace(regexp_replace(
-             regexp_replace(query, '([?&])((?i:utm_[^&=]*|fbclid|gclid))=[^&]*', '\1', 'g'),
+             regexp_replace(query, '([?&])(?i:utm_[^&=]*|fbclid|gclid)(=[^&]*)?(&(?i:utm_[^&=]*|fbclid|gclid)(=[^&]*)?)*(&|$)', '\1', 'g'),
              '&{2,}', '&', 'g'), '^\?&', '?'), '[?&]$', '') AS url_canon
          FROM split)
        SELECT url_canon, count(*)::BIGINT AS n_variants, min(doc_id) AS keeper

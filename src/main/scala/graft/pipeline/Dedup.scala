@@ -238,6 +238,24 @@ object Dedup {
     v
   }
 
+  /** Hot-key-cover cap conf: like [[longConf]] but 0 is the EXPLICIT
+    * ESCAPE — it disables the cover entirely (plain key-equi join, no
+    * window count, no salt columns) for corpora whose key entropy is
+    * trusted (pre-deduped inputs, bounded batches): the cover's window
+    * count is one extra full shuffle of the banded projection even when
+    * no key is hot, measured 1.4-2.9x on the sf0.1 band-join queries
+    * (steady-state BenchOne, round 13). Negative still rejects. */
+  private[graft] def capConf(spark: org.apache.spark.sql.SparkSession,
+                             key: String, default: Long): Long = {
+    val v = spark.conf.getOption(key).map { s =>
+      try s.trim.toLong
+      catch { case _: NumberFormatException => throw new IllegalArgumentException(
+        s"$key must be an integer, got '$s'") }
+    }.getOrElse(default)
+    require(v >= 0, s"$key must be >= 0 (0 disables the hot-key cover), got $v")
+    v
+  }
+
   /** The session's shuffle width as an explicit number — the width an
     * exchange would plan without AQE — for repartition calls that must
     * pin a stage against AQE partition coalescing. Falls back to the
@@ -294,8 +312,19 @@ object Dedup {
   private[graft] def saltedSelfJoin(e0: DataFrame, keyCol: String, idCol: String,
                                     cap: Long,
                                     hint: Option[String] = None): DataFrame = {
-    require(cap > 0, s"saltedSelfJoin cap must be positive, got $cap")
+    require(cap >= 0,
+      s"saltedSelfJoin cap must be >= 0 (0 disables the cover), got $cap")
     def hinted(d: DataFrame): DataFrame = hint.map(d.hint(_)).getOrElse(d)
+    // cap = 0: the EXPLICIT escape (set the cap conf to 0) for corpora
+    // whose key entropy is trusted — the plain key-equal id-ordered
+    // self-join, paying neither the window count (one full shuffle of
+    // the projection even when no key is hot) nor the bucket machinery.
+    // Same output contract: sides aliased a/b, every within-key id pair
+    // exactly once.
+    if (cap == 0L)
+      return e0.as("a").join(hinted(e0.as("b")),
+        col(s"a.$keyCol") === col(s"b.$keyCol") &&
+          col(s"a.$idCol") < col(s"b.$idCol"))
     val w = org.apache.spark.sql.expressions.Window.partitionBy(col(keyCol))
     val e = e0
       .withColumn("__s", ceil(count(lit(1)).over(w).cast("double") / cap).cast("int"))
@@ -389,7 +418,7 @@ object Dedup {
       struct(lit(b).as("band"), combined.as("bv"))
     }
     val e = sig.select(col(idCol), explode(array(bandCols: _*)).as("__bk"))
-    val cap = longConf(sig.sparkSession, "graft.dedup.bandCap", 8192L)
+    val cap = capConf(sig.sparkSession, "graft.dedup.bandCap", 8192L)
     saltedSelfJoin(e, "__bk", idCol, cap, hint = Some("shuffle_hash"))
       .select(least(col(s"a.$idCol"), col(s"b.$idCol")).as("id_a"),
         greatest(col(s"a.$idCol"), col(s"b.$idCol")).as("id_b"))
@@ -448,7 +477,7 @@ object Dedup {
     // new×ref band join through the bipartite salted cover: a boilerplate
     // band shared by m new and n reference docs redistributes its m×n
     // candidates over bounded buckets instead of one task
-    val cap = longConf(newDocs.sparkSession, "graft.dedup.bandCap", 8192L)
+    val cap = capConf(newDocs.sparkSession, "graft.dedup.bandCap", 8192L)
     val cands = saltedCrossJoin(bandsOf(hn, "__id"), bandsOf(hr, "__id"),
         "__bk", "__id", cap, hint = Some("shuffle_hash"))
       .select(col("l___id").as("id_new"), col("r___id").as("id_ref")).distinct()
@@ -568,7 +597,7 @@ object Dedup {
         val (rb, ids) = graft.api.Pinned.checkpointTracked(refBandsRaw)
         (rb, None, ids)
       } else {
-        val cap = longConf(df.sparkSession, "graft.dedup.bandCap", 8192L)
+        val cap = capConf(df.sparkSession, "graft.dedup.bandCap", 8192L)
         val (rb, hot, ids) = SaltedIndex.pin(refBandsRaw, "__bk", col("__rid"), cap)
         (rb, Some(hot), ids)
       }
@@ -767,7 +796,7 @@ object Dedup {
     val chunkCols = pigeonholeChunks(col("simhash"), bits, maxHamming)
     val e = sigs.select(col(idCol), col("simhash"), explode(array(chunkCols: _*)).as("__ck"))
       .repartition(col("__ck"))
-    val cap = longConf(sigs.sparkSession, "graft.dedup.bandCap", 8192L)
+    val cap = capConf(sigs.sparkSession, "graft.dedup.bandCap", 8192L)
     val ham = expr("bit_count(__sa ^ __sb)")
     // shuffle_hash, not the planner's size-based broadcast: the build side
     // is the exploded corpus (broadcastable only at toy scale), and with
@@ -1307,7 +1336,7 @@ object Dedup {
       // arbitrary pair orientation is safe. No distinct on the drop set:
       // it feeds a left-anti join, which is insensitive to duplicate
       // right rows — a dedup here would only add a shuffle.
-      val cap = longConf(df.sparkSession, "graft.dedup.bandCap", 8192L)
+      val cap = capConf(df.sparkSession, "graft.dedup.bandCap", 8192L)
       val droppedReps = saltedSelfJoin(e, "__ck", "__id", cap, hint = Some("shuffle_hash"))
         .filter(expr("bit_count(a.__sig ^ b.__sig)") <= maxHamming)
         .select(when(col("a.__rk") < col("b.__rk"), col("b.__id"))
@@ -1754,7 +1783,7 @@ object Dedup {
     // so the same [[saltedSelfJoin]] cover applies under the same cap.
     // Candidate pairs are id-canonicalized (no payload), so the cover's
     // arbitrary orientation is safe.
-    val cap = longConf(embs.sparkSession, "graft.dedup.bandCap", 8192L)
+    val cap = capConf(embs.sparkSession, "graft.dedup.bandCap", 8192L)
     val cands = saltedSelfJoin(codes, "__bk", idCol, cap, hint = Some("shuffle_hash"))
       .select(least(col(s"a.$idCol"), col(s"b.$idCol")).as("id_a"),
         greatest(col(s"a.$idCol"), col(s"b.$idCol")).as("id_b"))
@@ -1877,7 +1906,7 @@ object Dedup {
                                    centroids: DataFrame, threshold: Double): DataFrame = {
     require(threshold > 0.0 && threshold <= 1.0, s"threshold in (0,1], got $threshold")
     val cent = Ivf.collectCodebook(centroids)
-    val cap = longConf(embs.sparkSession, "graft.semdedup.cellCap", 8192L)
+    val cap = capConf(embs.sparkSession, "graft.semdedup.cellCap", 8192L)
     val e = embs.select(col(idCol), col(vecCol).cast("array<double>").as("__e"))
       .withColumn("__n", Similarity.norm(col("__e")))
       .withColumn("__cid", Ivf.nearestCid(col("__e"), cent))
@@ -1991,7 +2020,7 @@ object Dedup {
           // symmetric saltedCrossJoin would replicate the big reference
           // ~pop/cap times; that shape is for two comparable corpora.)
           // Spec-pinned equal to the broadcast face under a tiny cap.
-          val cap = longConf(df.sparkSession, "graft.semdedup.cellCap", 8192L)
+          val cap = capConf(df.sparkSession, "graft.semdedup.cellCap", 8192L)
           // pin, not the declarative salt: the census would otherwise
           // recompute the reference's per-row nearestCid assignment a
           // second time as the join input (compute-once, like ivfAdcTopK)
@@ -2016,7 +2045,7 @@ object Dedup {
         val (r, i) = graft.api.Pinned.checkpointTracked(refPlan)
         (r, None, i)
       } else {
-        val cap = longConf(df.sparkSession, "graft.semdedup.cellCap", 8192L)
+        val cap = capConf(df.sparkSession, "graft.semdedup.cellCap", 8192L)
         val (r, hot, i) = SaltedIndex.pin(refPlan, "__cid", col("__rid"), cap)
         (r, Some(hot), i)
       }

@@ -192,7 +192,7 @@ object Ivf {
     val joined =
       if (broadcastQueries) qCells.join(corpus, "cid")
       else {
-        val cap = graft.pipeline.Dedup.longConf(
+        val cap = graft.pipeline.Dedup.capConf(
           embs.sparkSession, "graft.semdedup.cellCap", 8192L)
         // pin, not the declarative salt: the census would otherwise
         // recompute the full per-row nearestCid assignment — k distance
@@ -298,7 +298,7 @@ object Ivf {
         val (c, i) = graft.api.Pinned.checkpointTracked(corpusPlan)
         (c, None, i)
       } else {
-        val cap = graft.pipeline.Dedup.longConf(
+        val cap = graft.pipeline.Dedup.capConf(
           df.sparkSession, "graft.semdedup.cellCap", 8192L)
         val (c, hot, i) = SaltedIndex.pin(corpusPlan, "cid", col("__pid"), cap)
         (c, Some(hot), i)

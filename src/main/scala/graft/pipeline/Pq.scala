@@ -269,7 +269,7 @@ object Pq {
         val (c, i) = graft.api.Pinned.checkpointTracked(codedPlan)
         (c, None, i)
       } else {
-        val cap = Dedup.longConf(
+        val cap = Dedup.capConf(
           corpus.sparkSession, "graft.semdedup.cellCap", 8192L)
         val (c, hot, i) = SaltedIndex.pin(codedPlan, "cid", col(idCol), cap)
         (c, Some(hot), i)
@@ -348,7 +348,7 @@ object Pq {
         val (c, i) = graft.api.Pinned.checkpointTracked(codedPlan)
         (c, None, i)
       } else {
-        val cap = Dedup.longConf(
+        val cap = Dedup.capConf(
           df.sparkSession, "graft.semdedup.cellCap", 8192L)
         val (c, hot, i) = SaltedIndex.pin(codedPlan, "cid", col("__pid"), cap)
         (c, Some(hot), i)

@@ -37,10 +37,18 @@ import org.apache.spark.sql.functions._
 private[graft] object SaltedIndex {
 
   private def hotKeys(plan: DataFrame, keyCol: String, cap: Long): DataFrame = {
-    require(cap > 0, s"SaltedIndex cap must be positive, got $cap")
-    plan.groupBy(col(keyCol)).count().filter(col("count") > cap)
-      .select(col(keyCol),
-        ceil(col("count").cast("double") / cap).cast("int").as("__s"))
+    require(cap >= 0,
+      s"SaltedIndex cap must be >= 0 (0 disables the cover), got $cap")
+    // cap = 0: the same explicit escape as Dedup.capConf documents — an
+    // EMPTY hot table without even the census scan (limit 0 keeps the
+    // schema), so the join degenerates to the plain key join (every row
+    // salt 0) and pin time pays nothing for the skipped armor
+    if (cap == 0L)
+      plan.select(col(keyCol), lit(1).cast("int").as("__s")).limit(0)
+    else
+      plan.groupBy(col(keyCol)).count().filter(col("count") > cap)
+        .select(col(keyCol),
+          ceil(col("count").cast("double") / cap).cast("int").as("__s"))
   }
 
   private def withSalt(plan: DataFrame, hot: DataFrame, keyCol: String,

@@ -223,6 +223,13 @@ object Sampling {
         df.select(col(strataCol).as(strataW), col(idCol).as(idW)),
         Seq(strataW), idW, -gate(col(idW), salt), k)
       .select(col(idW).cast("long").as(kid))
+    // deliberately NO broadcast hint, unlike exactKSample: its winner set
+    // is exactly k ids, this one is strata x k — per-domain caps over a
+    // crawl run to 10^8 strata, where a forced broadcast OOMs the
+    // executors. The size-based planner choice (AQE sees the aggregated
+    // winner frame's true bytes) broadcasts the small-strata case on its
+    // own and shuffles the many-strata case, which is the correct plan in
+    // both regimes.
     df.join(winners, col(idCol).cast("long") === col(kid), "left_semi")
   }
 

@@ -136,7 +136,7 @@ object Similarity {
     // dominant direction) redistributes over bounded tasks under
     // `graft.dedup.bandCap`; cosine is symmetric, so least/greatest
     // canonicalization under the cover's arbitrary orientation is safe
-    val cap = Dedup.longConf(embs.sparkSession, "graft.dedup.bandCap", 8192L)
+    val cap = Dedup.capConf(embs.sparkSession, "graft.dedup.bandCap", 8192L)
     Dedup.saltedSelfJoin(b, "bucket", idCol, cap, hint = Some("shuffle_hash"))
       .withColumn("cos", cosine(col("a.__e"), col("b.__e")))
       .filter(col("cos") >= threshold)

@@ -126,7 +126,11 @@ object TextOps {
     * dedup key. Pure codegen'd string expressions the DuckDB oracle
     * mirrors; strings without a `scheme://` pass through unchanged (not
     * a URL — never corrupt what can't be parsed, the same degradation
-    * stance as the media stages). */
+    * stance as the media stages). That passthrough INCLUDES
+    * protocol-relative references (`//host/path`) by design: their
+    * effective scheme is the linking page's, which a URL column does not
+    * carry, so canonicalizing them would have to guess http vs https —
+    * resolve them upstream where the source scheme is known. */
   def canonicalUrl(url: Column): Column = {
     val scheme = lower(regexp_extract(url, "^([A-Za-z][A-Za-z0-9+.-]*)://", 1))
     val hostportRaw = regexp_extract(url, "^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)", 1)
@@ -144,9 +148,16 @@ object TextOps {
     val path = regexp_extract(rest, "^([^?]*)", 1)
     val query = regexp_extract(rest, "(\\?.*)$", 1)
     // tracking NAMES match case-insensitively (messy crawl data carries
-    // UTM_SOURCE= variants); param VALUES and genuine params keep case
+    // UTM_SOURCE= variants); param VALUES and genuine params keep case.
+    // The value is OPTIONAL (crawls carry valueless '?fbclid&q=1'), so a
+    // bare name must end at '&' or end-of-query — expressed by consuming
+    // a whole RUN of tracking params up to its terminator (keeping the
+    // leading separator) because neither Java nor RE2-compatible
+    // lookahead is available in the shared oracle subset; 'fbclidX'
+    // never matches (no terminator after the literal name)
+    val trackParam = "(?i:utm_[^&=]*|fbclid|gclid)(=[^&]*)?"
     val noTrack = regexp_replace(query,
-      "([?&])(?i:utm_[^&=]*|fbclid|gclid)=[^&]*", "$1")
+      "([?&])" + trackParam + "(&" + trackParam + ")*(&|$)", "$1")
     // each removal keeps its leading separator: collapse &&+ runs, heal
     // the (anchored — a query starts with '?') ?&, trim a dangling ?/&
     val repaired = regexp_replace(regexp_replace(regexp_replace(

@@ -91,6 +91,21 @@ object StreamingJoins {
       }
     }
 
+    // The strict gate is the ONE place user code receives a null side
+    // (absent state). A residual that isn't null-tolerant NPEs there —
+    // and the batch/Row faces evaluate the same null pair to FALSE (SQL
+    // null comparison) and quietly suppress the row. Align the failure
+    // modes: an NPE thrown WHILE a null side is in hand is gate-failed,
+    // not a query-terminating error; an NPE with both sides present is a
+    // genuine residual bug and propagates.
+    def strictGate(l: L, r: R): Boolean =
+      if (!hasResidual) true
+      else try residual(l, r)
+      catch {
+        case _: NullPointerException
+          if l.asInstanceOf[AnyRef] == null || r.asInstanceOf[AnyRef] == null => false
+      }
+
     val lt = left.map(l => (lKey(l), lSeq(l), Option(l), Option.empty[R]))
     val rt = right.map(r => (rKey(r), rSeq(r), Option.empty[L], Option(r)))
     val u = lt.union(rt)
@@ -120,9 +135,9 @@ object StreamingJoins {
                     outs += out(Some(l), lastR.filter(r => residual(l, r)))
                   // reference-strict: the residual gates emission and is
                   // evaluated with the state's value even when absent
-                  // (the reference passes null the same way)
-                  else if (!hasResidual || residual(l,
-                    lastR.getOrElse(null.asInstanceOf[R])))
+                  // (the reference passes null the same way; NPE on the
+                  // null side = gate-failed, matching the Column faces)
+                  else if (strictGate(l, lastR.getOrElse(null.asInstanceOf[R])))
                     outs += out(Some(l), lastR)
                 case LeftInner =>
                   lastR.filter(r => residual(l, r)) match {
@@ -137,8 +152,7 @@ object StreamingJoins {
                 case FullEnrichment =>
                   if (lenientResidual)
                     outs += out(lastL.filter(l => residual(l, r)), Some(r))
-                  else if (!hasResidual || residual(
-                    lastL.getOrElse(null.asInstanceOf[L]), r))
+                  else if (strictGate(lastL.getOrElse(null.asInstanceOf[L]), r))
                     outs += out(lastL, Some(r))
                 case LeftInner =>
                   val (matched, stillWaiting) = pending.partition(l => residual(l, r))

@@ -563,6 +563,18 @@ class BatchApiSpec extends SparkSpec {
       "https://h.com/a&&b" -> "https://h.com/a&&b",
       // userinfo is case-sensitive; only the host lowercases
       "https://UserA@Host.COM/p" -> "https://UserA@host.com/p",
+      // VALUELESS tracking params (common in crawls) strip too — alone,
+      // in runs, mixed with valued ones, leading and trailing
+      "https://h.com/p?fbclid&q=1" -> "https://h.com/p?q=1",
+      "https://h.com/p?a=1&UTM_x&fbclid" -> "https://h.com/p?a=1",
+      "https://h.com/p?fbclid&gclid&q=1" -> "https://h.com/p?q=1",
+      "https://h.com/p?q=1&fbclid&r=2&gclid=3" -> "https://h.com/p?q=1&r=2",
+      "https://h.com/p?fbclid" -> "https://h.com/p",
+      // a PREFIX of a tracking name is a genuine param — never stripped
+      "https://h.com/p?fbclidX=1&q=2" -> "https://h.com/p?fbclidX=1&q=2",
+      "https://h.com/p?fbclidX&q=2" -> "https://h.com/p?fbclidX&q=2",
+      // protocol-relative: effective scheme unknown -> passthrough (doc'd)
+      "//Host.com/Path?utm_source=x" -> "//Host.com/Path?utm_source=x",
       "not a url at all" -> "not a url at all")
     val got = cases.map(_._1).toDF("u")
       .select(col("u"), graft.pipeline.TextOps.canonicalUrl(col("u")).as("c"))

@@ -414,6 +414,53 @@ class SaltedSelfJoinSpec extends SparkSpec {
     }
   }
 
+  test("cap=0: explicit escape is the PLAIN join — identical pairs, no cover machinery") {
+    // For bounded corpora / trusted key entropy the cover's window count
+    // is one extra full shuffle of the banded projection even when no key
+    // is hot (steady-state BenchOne r13: 1.4-2.9x on the sf0.1 band-join
+    // queries). cap=0 must (a) keep the exact pair set and (b) plan the
+    // plain key-equal id-ordered join: no window count, no salt buckets.
+    val docs = ((0 until 70).map(i => (i.toLong, "shared boilerplate header terms of service apply to all pages")) ++
+      (0 until 20).map(i => (200L + i, s"unique document number $i with its own words and content $i")))
+      .toDF("doc_id", "text")
+    val sig = Dedup.minhashSignature(docs, "doc_id", "text", k = 12)
+    def cands(cap: String) = withCap(cap) {
+      Dedup.lshCandidates(sig, "doc_id", k = 12, bands = 4)
+    }
+    val un = cands("1000000").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val escaped = cands("0")
+    assert(escaped.collect().map(r => (r.getLong(0), r.getLong(1))).toSet == un,
+      "cap=0 must produce the plain self-join's exact candidate set")
+    val lp = escaped.queryExecution.optimizedPlan.toString
+    assert(!lp.contains("window") && !lp.contains("Window") && !lp.contains("__bx"),
+      s"cap=0 must skip the cover machinery (window count, salt buckets):\n$lp")
+    // the covered plan DOES carry them — the assertion above is meaningful
+    val lpCov = cands("6").queryExecution.optimizedPlan.toString
+    assert(lpCov.contains("__bx"), "covered plan must carry the salt buckets")
+    // bipartite face: same escape through saltedCrossJoin
+    val left = (0 until 30).map(i => (i.toLong, i % 3)).toDF("id", "key")
+    val right = (100 until 125).map(i => (i.toLong, i % 3)).toDF("id", "key")
+    def cross(cap: Long) = Dedup.saltedCrossJoin(left, right, "key", "id", cap)
+      .select(col("l_id"), col("r_id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(cross(0L) == cross(1000000L), "cap=0 cross join must keep the exact pair set")
+    // SaltedIndex face: cellCap=0 search results equal the covered ones
+    val hotDir = Array(1.0f, 0.02f, 0.01f, 0.0f)
+    val corpus = (0 until 30).map(i => (i.toLong, hotDir.map(x => x + 0.001f * i)))
+      .toDF("vec_id", "embedding")
+    val cents = graft.pipeline.Ivf.train(corpus, "vec_id", "embedding", k = 2, iters = 1)
+    val qs = (0 until 4).map(i => (500L + i, hotDir.map(x => x + 0.0005f * i)))
+      .toDF("q_id", "embedding")
+    def hits(cap: String): Set[String] = {
+      spark.conf.set("graft.semdedup.cellCap", cap)
+      try graft.pipeline.Ivf.search(corpus, qs, "vec_id", "embedding", "q_id",
+          cents, topK = 3, nProbe = 1, broadcastQueries = false)
+        .collect().map(_.toString).toSet
+      finally { spark.conf.unset("graft.semdedup.cellCap"); graft.api.Pinned.release(spark) }
+    }
+    assert(hits("0") == hits("4"), "cellCap=0 salted-index escape must keep the exact top-k")
+  }
+
   test("bandCap conf: named errors on malformed values, accepts beyond-int") {
     val docs = Seq((1L, "a b c d"), (2L, "a b c d")).toDF("doc_id", "text")
     val sig = Dedup.minhashSignature(docs, "doc_id", "text", k = 4)

@@ -89,6 +89,27 @@ class StreamingJoinSpec extends SparkSpec {
     assert(ok.collect().length == 2, "default residual emits both arrivals")
   }
 
+  test("strict residual NPE on a null side is gate-failed, not a query killer") {
+    // the strict gate is the one place user code receives a null side; a
+    // null-INTOLERANT residual (r.w dereferences the right) used to NPE
+    // and terminate the streaming query, while the Column-based faces
+    // evaluate the same null pair to false and suppress the row. The
+    // typed face now matches: NPE-with-a-null-side = gate-failed.
+    run(StreamingJoins.FullEnrichment, residual = (l, r) => l.v > r.w) { (ls, rs, emitted) =>
+      ls.addData(LRec("a", 1, 10))
+      assert(emitted().isEmpty,
+        "null right side -> residual NPE -> gate-failed, matching the Column faces")
+      rs.addData(RRec("a", 2, 5))
+      assert(emitted() == List(Pair(Some(LRec("a", 1, 10)), Some(RRec("a", 2, 5)))),
+        "query stays alive; both-sides-present gate passes (10 > 5)")
+      ls.addData(LRec("a", 3, 1))
+      assert(emitted().size == 1, "failing residual with both sides present emits nothing")
+      ls.addData(LRec("a", 4, 99))
+      assert(emitted().toSet.contains(Pair(Some(LRec("a", 4, 99)), Some(RRec("a", 2, 5)))),
+        "gate keeps evaluating correctly after the earlier NPE")
+    }
+  }
+
   test("left inner: lefts buffer until a matching right, then flush exactly once") {
     run(StreamingJoins.LeftInner) { (ls, rs, emitted) =>
       ls.addData(LRec("a", 1, 10))
