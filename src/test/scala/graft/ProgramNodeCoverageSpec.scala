@@ -166,6 +166,8 @@ class ProgramNodeCoverageSpec extends AnyFunSuite {
       "semanticPairs" -> excluded(block),
       "saltedSelfJoin" -> excluded(block),
       "saltedCrossJoin" -> excluded(block),
+      "capConf" -> excluded("internal conf parser (hot-key cover caps; " +
+        "0 = explicit plain-join escape)"),
       "longConf" -> excluded("internal conf parser shared with Similarity " +
         "(named-error contract for graft.* caps); not an operator"),
       "lastCcRounds" -> excluded("convergence metric accessor (diagnostics)"),
