@@ -115,8 +115,11 @@ object StressBench {
         // the corpus, 1x then 10x) — repeatedSpans' per-gram distinct-doc
         // counts as a partial-aggregated groupBy + shuffle-hash join back,
         // and a hot-KEY probe of the enrichment/as-of join family (one
-        // key holding ~40% of a 10x events table)
-        "spanskew", "joinskew")
+        // key holding ~40% of a 10x events table), plus the CCNet
+        // bucketing at 10x (the distributed per-language exact rank —
+        // the synthetic corpus's dominant language is the hot-language
+        // regime the range+offset rewrite bounds)
+        "spanskew", "joinskew", "q_ppl_buckets")
     val spark = SparkSession.builder().master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
       .config("spark.sql.session.timeZone", "UTC")

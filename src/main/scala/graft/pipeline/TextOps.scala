@@ -593,12 +593,21 @@ object TextOps {
     * partitioning. Documents with no score (< 2 tokens) take a NULL
     * bucket instead of polluting a tercile.
     *
-    * Scale shape: scoring is the two-pass LM operator; bucketing adds ONE
-    * shuffle keyed by language and a per-language sort (range-partitioned
-    * at cluster scale). A pathologically hot language serializes its own
-    * partition — at that scale switch to threshold assignment against
-    * per-language percentile cut points (one aggregate pass), which
-    * approximates the same terciles without the global sort. */
+    * Scale shape: scoring is the two-pass LM operator; bucketing is a
+    * DISTRIBUTED exact rank — a dominant language is the NORM in a crawl
+    * (English holds ~half of Common Crawl), so a
+    * `ntile().over(partitionBy(lang))` window would sort half the corpus
+    * in ONE task. Instead the buildVocab range+offset pattern: range
+    * partition on the total order (lang, score desc, id) — unique key,
+    * so the partitioner balances regardless of language skew — then
+    * per-(range, language) counts (a width x languages frame, never
+    * corpus-sized) yield each range's within-language offset via a tiny
+    * window over that counts frame; global rank = offset + local
+    * row_number inside the range. The tile is then the CLOSED-FORM
+    * ntile of (rank, language population): first n%k tiles take
+    * ceil(n/k) rows, the rest floor(n/k) — exactly Spark's and DuckDB's
+    * NTile, so the output (and the oracle) is bit-identical to the
+    * window form while every task stays bounded by the range width. */
   def perplexityBuckets(docs: org.apache.spark.sql.DataFrame, idCol: String,
                         textCol: String, langCol: String, buckets: Int = 3,
                         alpha: Double = 0.5): org.apache.spark.sql.DataFrame = {
@@ -606,14 +615,58 @@ object TextOps {
     import org.apache.spark.sql.expressions.Window
     val scored = bigramLmScore(docs, idCol, textCol, alpha)
       .join(docs.select(col(idCol), col(langCol)), Seq(idCol))
-    // the null-score rows partition separately so they never occupy tile
-    // slots of the real ranking (one pass — no filter-union double scan)
-    val w = Window.partitionBy(col(langCol), col("avg_logprob").isNull)
-      .orderBy(col("avg_logprob").desc, col(idCol))
-    scored.withColumn("bucket",
-      when(col("avg_logprob").isNotNull, ntile(buckets).over(w)))
-      .select(col(idCol), col(langCol), col("n_pairs"), col("avg_logprob"),
-        col("bucket"))
+    val width = math.max(1,
+      scored.sparkSession.sessionState.conf.numShufflePartitions)
+    // the checkpoint is LOAD-BEARING (the buildVocab lesson): the counts
+    // pass and the rank pass must read the SAME partition assignment,
+    // but two lazy consumers of a range exchange are differently-pruned
+    // subtrees — no ReuseExchange — and each samples its own range
+    // boundaries, so a row's __p can differ between passes and the
+    // offsets drift (observed at sf0.1: bucket 4 of 3). Materializing
+    // the narrow (id, lang, n_pairs, score, __p) rows once also makes
+    // the LM scoring single-pass — the null branch reads the checkpoint
+    // too. Exactness never depends on WHERE the sampled boundaries fall
+    // (offsets come from actual counts), only on both passes seeing one
+    // assignment.
+    val parted = scored
+      .repartitionByRange(width, col(langCol), col("avg_logprob").desc, col(idCol))
+      .withColumn("__p", spark_partition_id())
+      .localCheckpoint()
+    graft.api.Pinned.register(scored.sparkSession, graft.api.Pinned.idsOf(parted))
+    // null scores (< 2 tokens) never occupy tile slots: they skip the
+    // ranking entirely and union back with a NULL bucket (desc ordering
+    // puts them last within their language's ranges — they still ride
+    // the one exchange)
+    val nn = parted.filter(col("avg_logprob").isNotNull)
+    val counts = nn.groupBy(col("__p"), col(langCol))
+      .agg(count(lit(1)).as("__c"))
+    val offs = counts
+      .withColumn("__off", coalesce(
+        sum(col("__c")).over(Window.partitionBy(col(langCol)).orderBy(col("__p"))
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .withColumn("__n", sum(col("__c")).over(Window.partitionBy(col(langCol))))
+      .select(col("__p"), col(langCol), col("__off"), col("__n"))
+    val ranked = nn.join(broadcast(offs), Seq("__p", langCol))
+      .withColumn("__r", col("__off") + row_number().over(
+        Window.partitionBy(col("__p"), col(langCol))
+          .orderBy(col("avg_logprob").desc, col(idCol))))
+    // closed-form NTile(k) of rank r in a population of n: the first
+    // n % k tiles hold floor(n/k)+1 rows ("div" throughout — ANSI-safe:
+    // the big-tile region covers ALL rows when floor(n/k) = 0, so the
+    // small-tile branch and its division never evaluate there (CaseWhen
+    // branches are lazy))
+    val bucketC = expr(
+      s"""CASE WHEN __r <= (__n % $buckets) * ((__n div $buckets) + 1)
+            THEN (__r - 1) div ((__n div $buckets) + 1) + 1
+            ELSE (__n % $buckets)
+                 + ((__r - 1 - (__n % $buckets) * ((__n div $buckets) + 1))
+                    div (__n div $buckets)) + 1
+          END""").cast("int")
+    ranked.select(col(idCol), col(langCol), col("n_pairs"), col("avg_logprob"),
+        bucketC.as("bucket"))
+      .unionByName(parted.filter(col("avg_logprob").isNull)
+        .select(col(idCol), col(langCol), col("n_pairs"), col("avg_logprob"),
+          lit(null).cast("int").as("bucket")))
   }
 
   /** Multinomial Naive Bayes classification against a LABELED reference

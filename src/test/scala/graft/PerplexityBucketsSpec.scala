@@ -53,6 +53,32 @@ class PerplexityBucketsSpec extends SparkSpec {
     assert(buckets.head == 1 && buckets.last == 3)
   }
 
+  test("closed-form tile formula equals the ntile window for every population shape") {
+    // the distributed rewrite replaces ntile().over(partitionBy(lang))
+    // with rank + this closed form; pin it against Spark's own NTile for
+    // every (population, buckets) shape incl. n < k, n % k == 0, n == 1
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions._
+    for (k <- Seq(2, 3, 4, 5, 7)) {
+      val rows = for (n <- 1 to 25; r <- 1 to n) yield (n.toLong, r.toLong)
+      val df = rows.toDF("__n", "__r")
+      val formula = expr(
+        s"""CASE WHEN __r <= (__n % $k) * ((__n div $k) + 1)
+              THEN (__r - 1) div ((__n div $k) + 1) + 1
+              ELSE (__n % $k)
+                   + ((__r - 1 - (__n % $k) * ((__n div $k) + 1))
+                      div (__n div $k)) + 1
+            END""").cast("int")
+      val bad = df
+        .withColumn("__want", ntile(k).over(
+          Window.partitionBy("__n").orderBy("__r")))
+        .withColumn("__got", formula)
+        .filter(col("__got") =!= col("__want"))
+        .collect()
+      assert(bad.isEmpty, s"k=$k mismatches: ${bad.take(5).mkString(", ")}")
+    }
+  }
+
   test("assignment is invariant under input partitioning") {
     val df = corpus.toDF("doc_id", "text", "lang")
     val a = TextOps.perplexityBuckets(df.repartition(1), "doc_id", "text", "lang")
