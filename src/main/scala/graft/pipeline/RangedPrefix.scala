@@ -1,0 +1,80 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/**
+ * Distributed exact per-group prefix aggregation — the machinery behind
+ * every "rank/running-sum within a group whose population is unbounded"
+ * operator (CCNet per-language tiles, per-stratum token budgets). A
+ * window partitioned by the group puts the WHOLE group in one task, and
+ * dominant groups are the norm in crawl curation (English is ~half of
+ * Common Crawl); this is the buildVocab range+offset pattern generalized:
+ *
+ *  1. range partition on the total order (group cols ++ order cols —
+ *     must be UNIQUE per row, so the partitioner balances regardless of
+ *     group skew),
+ *  2. checkpoint ONCE — load-bearing: the offsets pass and the caller's
+ *     final pass must read the SAME boundary sampling, but two lazy
+ *     consumers of a range exchange are differently-pruned subtrees (no
+ *     ReuseExchange) and each samples its OWN boundaries (observed as
+ *     impossible tile ids at sf0.1 before the pin). Exactness never
+ *     depends on WHERE the boundaries fall — offsets come from actual
+ *     per-range aggregates — only on both passes seeing one assignment.
+ *     Project the frame to what the caller needs BEFORE calling: the
+ *     checkpoint materializes it once (narrow rank/score rows, never
+ *     corpus text).
+ *  3. per-(range, group) partial aggregates of `valueExpr` — a
+ *     width × groups frame, never corpus-sized — give each range's
+ *     within-group offset (earlier ranges' total) and the group total
+ *     via two tiny windows over that frame.
+ *
+ * The caller joins the offsets back on ("__p" ++ groupCols) — NULL-SAFE
+ * on the group columns (a null group is its own group, exactly as a
+ * window would treat it) — and adds its local within-(range, group)
+ * window, bounded by the range width.
+ */
+private[pipeline] object RangedPrefix {
+
+  /** Returns (checkpointed frame + "__p", offsets: __p, groupCols...,
+    * "__off" = earlier-ranges total, "__grptot" = group total). Input
+    * must not already carry a "__p" column. */
+  def apply(df: DataFrame, groupCols: Seq[String], orderCols: Seq[Column],
+            valueExpr: Column): (DataFrame, DataFrame) = {
+    require(!df.columns.contains("__p"),
+      "RangedPrefix input must not already carry __p")
+    val width = math.max(1, df.sparkSession.sessionState.conf.numShufflePartitions)
+    val parted = df
+      .repartitionByRange(width, (groupCols.map(col) ++ orderCols): _*)
+      .withColumn("__p", spark_partition_id())
+      .localCheckpoint()
+    graft.api.Pinned.register(df.sparkSession, graft.api.Pinned.idsOf(parted))
+    val byGroup = Window.partitionBy(groupCols.map(col): _*)
+    val offs = parted
+      .groupBy(col("__p") +: groupCols.map(col): _*)
+      .agg(sum(valueExpr).as("__v"))
+      .withColumn("__off", coalesce(
+        sum(col("__v")).over(byGroup.orderBy(col("__p"))
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .withColumn("__grptot", sum(col("__v")).over(byGroup))
+      .select((col("__p") +: groupCols.map(col)) ++
+        Seq(col("__off"), col("__grptot")): _*)
+    (parted, offs)
+  }
+
+  /** Null-safe equi-join of `parted` to its offsets frame on
+    * ("__p" ++ groupCols): null groups must MATCH (they form their own
+    * group, as a window would), which `Seq`-column joins don't do. The
+    * offsets side's join columns come back deduplicated. */
+  def joinOffsets(parted: DataFrame, offs: DataFrame,
+                  groupCols: Seq[String]): DataFrame = {
+    val r = offs.select(
+      (col("__p").as("__pr") +: groupCols.map(c => col(c).as(s"__r_$c"))) ++
+        Seq(col("__off"), col("__grptot")): _*)
+    parted.join(broadcast(r),
+        groupCols.map(c => col(c) <=> col(s"__r_$c"))
+          .foldLeft(col("__p") === col("__pr"))(_ && _))
+      .drop("__pr").drop(groupCols.map(c => s"__r_$c"): _*)
+  }
+}

@@ -257,10 +257,18 @@ object Sampling {
     * walk each stratum in deterministic hash-rank order and keep the
     * maximal PREFIX whose running token total stays within `budget` — the
     * greedy budget fill of training-mix assembly, reproducible on any
-    * partitioning / engine (one running-sum window, O(stratum); a
-    * skip-oversized-and-continue fill would need a quadratic per-row
-    * refold of the kept set). The first row of a stratum is kept only if
-    * it fits alone. Same hot-stratum caveat as `capPerKey`.
+    * partitioning / engine (a skip-oversized-and-continue fill would need
+    * a quadratic per-row refold of the kept set). The first row of a
+    * stratum is kept only if it fits alone.
+    *
+    * Scale shape: the running sum is a DISTRIBUTED exact prefix
+    * ([[RangedPrefix]] — range partition on the unique total order, one
+    * narrow checkpoint, per-(range, stratum) token sums as offsets), not
+    * a per-stratum window: a dominant stratum (one language/domain
+    * holding half the corpus — the norm in crawls) would otherwise fold
+    * its whole running sum in ONE task. The checkpoint materializes the
+    * input rows once — project to the columns you need before calling if
+    * rows are wide.
     *
     * The maximal-prefix guarantee relies on the running sum being
     * MONOTONE: a NULL token count is treated as 0 (the row rides free —
@@ -276,10 +284,20 @@ object Sampling {
     val checked = when(tok >= 0, tok).otherwise(raise_error(concat(
       lit("capTokensPerKey: negative token count "), tok.cast("string"),
       lit(" breaks the monotone running sum"))))
-    val running = sum(checked).over(
-      Window.partitionBy(strataCol).orderBy(gate(keyCol, salt), keyCol)
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow))
-    df.withColumn("__rt", running).filter(col("__rt") <= budget).drop("__rt")
+    // materialize the stratum/gate expressions once under fresh names so
+    // the helper can group and join by them (and a caller's own __-named
+    // columns can't collide)
+    val (stW, gtW) = (freshName(df, "st"), freshName(df, "gt"))
+    val base = df.withColumn(stW, strataCol).withColumn(gtW, gate(keyCol, salt))
+    val (parted, offs) = RangedPrefix(base,
+      groupCols = Seq(stW), orderCols = Seq(col(gtW), keyCol),
+      valueExpr = checked)
+    RangedPrefix.joinOffsets(parted, offs, Seq(stW))
+      .withColumn("__rt", col("__off") + sum(checked).over(
+        Window.partitionBy(col("__p"), col(stW)).orderBy(col(gtW), keyCol)
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .filter(col("__rt") <= budget)
+      .select(df.columns.map(col).toIndexedSeq: _*)
   }
 
   /** Temperature-based source rebalancing (the multilingual-LM sampling

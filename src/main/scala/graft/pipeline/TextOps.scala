@@ -615,38 +615,21 @@ object TextOps {
     import org.apache.spark.sql.expressions.Window
     val scored = bigramLmScore(docs, idCol, textCol, alpha)
       .join(docs.select(col(idCol), col(langCol)), Seq(idCol))
-    val width = math.max(1,
-      scored.sparkSession.sessionState.conf.numShufflePartitions)
-    // the checkpoint is LOAD-BEARING (the buildVocab lesson): the counts
-    // pass and the rank pass must read the SAME partition assignment,
-    // but two lazy consumers of a range exchange are differently-pruned
-    // subtrees — no ReuseExchange — and each samples its own range
-    // boundaries, so a row's __p can differ between passes and the
-    // offsets drift (observed at sf0.1: bucket 4 of 3). Materializing
-    // the narrow (id, lang, n_pairs, score, __p) rows once also makes
-    // the LM scoring single-pass — the null branch reads the checkpoint
-    // too. Exactness never depends on WHERE the sampled boundaries fall
-    // (offsets come from actual counts), only on both passes seeing one
-    // assignment.
-    val parted = scored
-      .repartitionByRange(width, col(langCol), col("avg_logprob").desc, col(idCol))
-      .withColumn("__p", spark_partition_id())
-      .localCheckpoint()
-    graft.api.Pinned.register(scored.sparkSession, graft.api.Pinned.idsOf(parted))
-    // null scores (< 2 tokens) never occupy tile slots: they skip the
-    // ranking entirely and union back with a NULL bucket (desc ordering
-    // puts them last within their language's ranges — they still ride
-    // the one exchange)
+    // RangedPrefix carries the load-bearing subtleties (checkpointed
+    // boundary sampling, width x languages offsets frame, null-safe
+    // group join — a null LANGUAGE is its own tile group, exactly as
+    // the window treated it). Null SCORES (< 2 tokens) never occupy
+    // tile slots: the value expression counts only scored rows (desc
+    // ordering puts nulls last within each language's ranges), they
+    // skip the ranking and union back with a NULL bucket — the LM
+    // scoring stays single-pass through the one checkpoint.
+    val (parted, offs) = RangedPrefix(scored,
+      groupCols = Seq(langCol),
+      orderCols = Seq(col("avg_logprob").desc, col(idCol)),
+      valueExpr = when(col("avg_logprob").isNotNull, lit(1L)).otherwise(lit(0L)))
     val nn = parted.filter(col("avg_logprob").isNotNull)
-    val counts = nn.groupBy(col("__p"), col(langCol))
-      .agg(count(lit(1)).as("__c"))
-    val offs = counts
-      .withColumn("__off", coalesce(
-        sum(col("__c")).over(Window.partitionBy(col(langCol)).orderBy(col("__p"))
-          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
-      .withColumn("__n", sum(col("__c")).over(Window.partitionBy(col(langCol))))
-      .select(col("__p"), col(langCol), col("__off"), col("__n"))
-    val ranked = nn.join(broadcast(offs), Seq("__p", langCol))
+    val ranked = RangedPrefix.joinOffsets(nn, offs, Seq(langCol))
+      .withColumnRenamed("__grptot", "__n")
       .withColumn("__r", col("__off") + row_number().over(
         Window.partitionBy(col("__p"), col(langCol))
           .orderBy(col("avg_logprob").desc, col(idCol))))

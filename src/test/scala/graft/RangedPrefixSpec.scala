@@ -1,0 +1,67 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/**
+ * The distributed exact per-group prefix (`RangedPrefix`) behind
+ * `capTokensPerKey` and `perplexityBuckets`: at shuffle width 1 the
+ * machinery degenerates to LITERALLY the old per-group window (one range,
+ * offset 0), so width-1 vs width-N equality is the exactness proof — and
+ * the null-safe offsets join must keep null groups (a null stratum /
+ * language is its own group, exactly as a window partition treats it).
+ */
+class RangedPrefixSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def withWidth[T](n: Int)(body: => T): T = {
+    val saved = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", n.toString)
+    try body finally spark.conf.set("spark.sql.shuffle.partitions", saved)
+  }
+
+  test("capTokensPerKey: distributed prefix == width-1 window face; null strata/tokens kept") {
+    // one dominant stratum (the hot-language regime), a small one, a NULL
+    // stratum, and a null token count (rides free by contract)
+    val rows = (0 until 300).map(i => (i.toLong, Option("en"), Option((i % 17).toLong))) ++
+      (0 until 20).map(i => (1000L + i, Option("fr"), Option((i % 5).toLong))) ++
+      (0 until 7).map(i => (2000L + i, Option.empty[String], Option(3L))) ++
+      Seq((3000L, Option("en"), Option.empty[Long]))
+    val df = rows.toDF("id", "strata", "toks")
+    def run(w: Int): Set[Long] = withWidth(w) {
+      try graft.pipeline.Sampling.capTokensPerKey(
+          df, col("strata"), col("id"), col("toks"), budget = 200L)
+        .collect().map(_.getLong(0)).toSet
+      finally graft.api.Pinned.release(spark)
+    }
+    val ref = run(1)
+    assert(ref.nonEmpty && ref.size < rows.size, "budget must actually cut")
+    assert((2000L until 2007L).forall(ref.contains),
+      "the null stratum fits its budget whole and must survive the offsets join")
+    assert(run(5) == ref, "width 5 must equal the width-1 window face")
+    assert(run(32) == ref, "width 32 must equal the width-1 window face")
+  }
+
+  test("perplexityBuckets: null-language group tiles on its own and survives") {
+    val texts = Seq(
+      "the cat sat on the mat", "the cat sat on the rug",
+      "the dog sat on the mat", "a dog ran over the hill",
+      "the cat ran over the hill", "a cat sat on a mat",
+      "the dog ran over a hill", "a dog sat on the rug",
+      "the cat sat on a hill", "a dog ran on the mat")
+    val rows = texts.zipWithIndex.map { case (t, i) => (i.toLong, t, Option("en")) } ++
+      texts.zipWithIndex.map { case (t, i) => (100L + i, t + " bis", Option.empty[String]) }
+    val df = rows.toDF("doc_id", "text", "lang")
+    def run(w: Int) = withWidth(w) {
+      try graft.pipeline.TextOps.perplexityBuckets(df, "doc_id", "text", "lang")
+        .collect().map(r => r.toSeq.toList).toSet
+      finally graft.api.Pinned.release(spark)
+    }
+    val ref = run(1)
+    val nullLang = ref.filter(_(1) == null)
+    assert(nullLang.size == 10, "null-language rows must survive the offsets join")
+    val tiles = nullLang.toSeq.groupBy(_(4)).view.mapValues(_.size).toMap
+    assert(tiles == Map(1 -> 4, 2 -> 3, 3 -> 3),
+      s"null language tiles as its own equal-depth group: $tiles")
+    assert(run(17) == ref, "width 17 must equal the width-1 window face")
+  }
+}
