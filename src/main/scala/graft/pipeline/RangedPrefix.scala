@@ -66,13 +66,20 @@ private[pipeline] object RangedPrefix {
   /** Null-safe equi-join of `parted` to its offsets frame on
     * ("__p" ++ groupCols): null groups must MATCH (they form their own
     * group, as a window would), which `Seq`-column joins don't do. The
-    * offsets side's join columns come back deduplicated. */
+    * offsets side's join columns come back deduplicated.
+    *
+    * Deliberately NO broadcast hint: the offsets frame is width × groups
+    * — a few hundred languages broadcast on their own via the size-based
+    * planner choice, but per-DOMAIN strata run to 10^8 groups, where a
+    * forced broadcast OOMs the executors; EqualNullSafe is a hash-join
+    * key, so the many-groups case plans a shuffled equi-join bounded per
+    * task by the range width (the exactKPerKey rationale). */
   def joinOffsets(parted: DataFrame, offs: DataFrame,
                   groupCols: Seq[String]): DataFrame = {
     val r = offs.select(
       (col("__p").as("__pr") +: groupCols.map(c => col(c).as(s"__r_$c"))) ++
         Seq(col("__off"), col("__grptot")): _*)
-    parted.join(broadcast(r),
+    parted.join(r,
         groupCols.map(c => col(c) <=> col(s"__r_$c"))
           .foldLeft(col("__p") === col("__pr"))(_ && _))
       .drop("__pr").drop(groupCols.map(c => s"__r_$c"): _*)
