@@ -434,6 +434,11 @@ object StressBench {
             (col("ts_ns") + lit(i.toLong)).as("ts_ns"))
         }.reduce(_ unionByName _).repartition(32).persist()
         val nEv = big.count()
+        // counts are mode-invariant BY SEMANTICS (leftJoin emits one row
+        // per click, backward as-of one per purchase, regardless of how
+        // user ids are relabeled) — enforced across reps AND modes
+        var expectLj = -1L
+        var expectAj = -1L
         try {
           for ((mode, uid) <- Seq(
               "uniform" -> col("user_id"),
@@ -466,9 +471,13 @@ object StressBench {
                 tolerance = Some(3600L * 1000000L))
               aj.write.format("noop").mode("overwrite").save()
               val ajSecs = (System.nanoTime() - t0) / 1e9
+              val (nl, na) = (lj.count(), aj.count())
+              if (expectLj < 0) { expectLj = nl; expectAj = na }
+              else require(nl == expectLj && na == expectAj,
+                s"joinskew row counts drifted: leftJoin $nl vs $expectLj, " +
+                  s"asof $na vs $expectAj")
               println(f"STRESS joinskew/$mode rep$rep leftJoin $ljSecs%.2f s " +
-                f"(${lj.count()} rows), asof $ajSecs%.2f s (${aj.count()} rows) " +
-                s"over $nEv events")
+                f"($nl rows), asof $ajSecs%.2f s ($na rows) over $nEv events")
             }
           }
         } finally big.unpersist()

@@ -298,7 +298,9 @@ object Program {
   final case class ExactKStrata(name: String, input: String, strataCol: String,
                                 idCol: String, k: Int, salt: String) extends Node
   /** Per-stratum token-budget prefix fill (`Sampling.capTokensPerKey`) —
-    * batch face (running-sum window). */
+    * batch face. BUILD-TIME EAGER since the distributed-prefix rewrite
+    * (`RangedPrefix` checkpoints the range assignment at lowering), so
+    * validation is schema-only like [[TemperatureMix]]. */
   final case class CapTokens(name: String, input: String, strataCol: String,
                              keyCol: String, tokensCol: String, budget: Long,
                              salt: String) extends Node
@@ -2142,6 +2144,15 @@ object Program {
             // the operator's schema (a filter — the input schema unchanged)
             val s = env(tm.input)
             s.df.select(col(tm.keyCol), col(tm.strataCol)).schema
+            emptyOf(s.df.schema)
+          case ct: CapTokens =>
+            // build-time eager since the RangedPrefix rewrite (the range
+            // assignment checkpoints at lowering — running it here would
+            // fire Spark jobs and leak Pinned registrations per validated
+            // document): force the column references, emit the operator's
+            // schema (a filter — the input schema unchanged)
+            val s = env(ct.input)
+            s.df.select(col(ct.strataCol), col(ct.keyCol), col(ct.tokensCol)).schema
             emptyOf(s.df.schema)
           case dc: DedupCorpus =>
             // build-time eager (CC fixpoint runs driver rounds): force the

@@ -227,13 +227,17 @@ object Dedup {
   /** Positive-integer conf with a NAMED contract error: malformed or
     * out-of-range values fail citing the conf key, not with a bare
     * NumberFormatException from somewhere inside a plan build. */
-  private[graft] def longConf(spark: org.apache.spark.sql.SparkSession,
-                       key: String, default: Long): Long = {
-    val v = spark.conf.getOption(key).map { s =>
+  private def parsedLongConf(spark: org.apache.spark.sql.SparkSession,
+                             key: String, default: Long): Long =
+    spark.conf.getOption(key).map { s =>
       try s.trim.toLong
       catch { case _: NumberFormatException => throw new IllegalArgumentException(
         s"$key must be an integer, got '$s'") }
     }.getOrElse(default)
+
+  private[graft] def longConf(spark: org.apache.spark.sql.SparkSession,
+                       key: String, default: Long): Long = {
+    val v = parsedLongConf(spark, key, default)
     require(v > 0, s"$key must be positive, got $v")
     v
   }
@@ -247,11 +251,7 @@ object Dedup {
     * (steady-state BenchOne, round 13). Negative still rejects. */
   private[graft] def capConf(spark: org.apache.spark.sql.SparkSession,
                              key: String, default: Long): Long = {
-    val v = spark.conf.getOption(key).map { s =>
-      try s.trim.toLong
-      catch { case _: NumberFormatException => throw new IllegalArgumentException(
-        s"$key must be an integer, got '$s'") }
-    }.getOrElse(default)
+    val v = parsedLongConf(spark, key, default)
     require(v >= 0, s"$key must be >= 0 (0 disables the hot-key cover), got $v")
     v
   }

@@ -45,11 +45,10 @@ private[pipeline] object RangedPrefix {
     require(!df.columns.contains("__p"),
       "RangedPrefix input must not already carry __p")
     val width = math.max(1, df.sparkSession.sessionState.conf.numShufflePartitions)
-    val parted = df
+    val (parted, cpIds) = graft.api.Pinned.checkpointTracked(df
       .repartitionByRange(width, (groupCols.map(col) ++ orderCols): _*)
-      .withColumn("__p", spark_partition_id())
-      .localCheckpoint()
-    graft.api.Pinned.register(df.sparkSession, graft.api.Pinned.idsOf(parted))
+      .withColumn("__p", spark_partition_id()))
+    graft.api.Pinned.register(df.sparkSession, cpIds)
     val byGroup = Window.partitionBy(groupCols.map(col): _*)
     val offs = parted
       .groupBy(col("__p") +: groupCols.map(col): _*)

@@ -182,4 +182,28 @@ class SamplingProgramSpec extends SparkSpec {
     val e = intercept[IllegalArgumentException](Program.validate(badDoc, spark, config))
     assert(e.getMessage.contains("node 'tm'"), e.getMessage)
   }
+
+  test("capTokens validates schema-only (no checkpoint jobs, no Pinned leak)") {
+    // build-time eager since the RangedPrefix rewrite: validation must
+    // NOT lower it (that would checkpoint the range assignment — Spark
+    // jobs per validated document and registry entries never released)
+    val doc = Doc(
+      nodes = Seq(External("in"),
+        CapTokens("ct", "in", "src", "id", "toks", 100L, "z")),
+      outputs = Seq("ct"))
+    val config = new App.Config()
+      .setSource("in", App.Source("list", rows = Some(docs)))
+      .addSink("ct", App.Sink("memory"))
+    val rddsBefore = spark.sparkContext.getPersistentRDDs.keySet
+    Program.validate(doc, spark, config)
+    assert(spark.sparkContext.getPersistentRDDs.keySet == rddsBefore,
+      "validation must not checkpoint (Pinned leak per validated document)")
+    // a bad column still fails by node name
+    val badDoc = Doc(
+      nodes = Seq(External("in"),
+        CapTokens("ct", "in", "src", "id", "nope", 100L, "z")),
+      outputs = Seq("ct"))
+    val e2 = intercept[IllegalArgumentException](Program.validate(badDoc, spark, config))
+    assert(e2.getMessage.contains("node 'ct'"), e2.getMessage)
+  }
 }
