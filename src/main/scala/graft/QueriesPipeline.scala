@@ -1240,6 +1240,38 @@ object QueriesPipeline {
        SELECT doc_id, round(sum(sc), 4) AS bm25, count(*) AS n_terms
        FROM s GROUP BY doc_id ORDER BY bm25 DESC, doc_id LIMIT 25"""
 
+  /** Batched BM25: five queries (the first three words of docs 0-4)
+    * retrieved against the whole corpus at once through
+    * [[TextOps.bm25Retrieve]] — postings + broadcast query-term table +
+    * partial-aggregated (query, doc) sums + bounded-heap top-10. The
+    * oracle recomputes the full pipeline relationally. */
+  def qBm25Batch(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir).df
+    val qs = docs.where(col("doc_id") < 5)
+      .select(col("doc_id").as("q_id"),
+        concat_ws(" ", slice(TextOps.words(col("text")), 1, 3)).as("q_text"))
+    TextOps.bm25Retrieve(docs, "doc_id", "text", qs, "q_id", "q_text", k = 10)
+  }
+
+  val qBm25BatchSql: String =
+    """WITH d AS (SELECT doc_id, list_filter(string_split_regex(text, '[ \t\n\f\r\x0b]+'), x -> x <> '') AS w FROM documents),
+        stats AS (SELECT count(*)::DOUBLE AS n, avg(len(w)) AS avgdl FROM d),
+        tfx AS (SELECT doc_id, dl, t, count(*)::DOUBLE AS tf FROM (
+                  SELECT doc_id, len(w) AS dl, unnest(w) AS t FROM d) GROUP BY 1, 2, 3),
+        q AS (SELECT doc_id AS q_id, list_distinct(w[1:3]) AS qw FROM d WHERE doc_id < 5),
+        qt AS (SELECT q_id, unnest(qw) AS t FROM q),
+        dfx AS (SELECT t, count(*)::DOUBLE AS dfc FROM tfx
+                WHERE t IN (SELECT DISTINCT t FROM qt) GROUP BY t),
+        sc AS (SELECT qt.q_id, tfx.doc_id,
+                 ln((stats.n - dfx.dfc + 0.5) / (dfx.dfc + 0.5) + 1.0)
+                   * (tfx.tf * 2.2)
+                   / (tfx.tf + 1.2 * (0.25 + 0.75 * tfx.dl / stats.avgdl)) AS c
+               FROM qt JOIN dfx USING (t) JOIN tfx USING (t), stats),
+        agg AS (SELECT q_id, doc_id, round(sum(c), 4) AS bm25 FROM sc GROUP BY 1, 2)
+       SELECT q_id, doc_id, bm25,
+              row_number() OVER (PARTITION BY q_id ORDER BY bm25 DESC, doc_id) AS rank
+       FROM agg QUALIFY rank <= 10"""
+
   /** Per-label embedding statistics: count, centroid norm, mean vector
     * norm — one scan, `VectorSum` centroid accumulation (k rows shuffle,
     * not k×dim). */
@@ -2432,6 +2464,7 @@ object QueriesPipeline {
     "q_pack" -> (qPack _),
     "q_tfidf" -> (qTfidf _),
     "q_bm25" -> (qBm25 _),
+    "q_bm25_batch" -> (qBm25Batch _),
     "q_embed_stats" -> (qEmbedStats _),
     "q_chunk" -> (qChunk _),
     "q_encode" -> (qEncode _),
@@ -2520,6 +2553,7 @@ object QueriesPipeline {
     "q_pack" -> qPackSql,
     "q_tfidf" -> qTfidfSql,
     "q_bm25" -> qBm25Sql,
+    "q_bm25_batch" -> qBm25BatchSql,
     "q_embed_stats" -> qEmbedStatsSql,
     "q_chunk" -> qChunkSql,
     "q_encode" -> qEncodeSql,

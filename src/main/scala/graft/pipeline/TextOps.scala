@@ -378,6 +378,71 @@ object TextOps {
       .limit(k)
   }
 
+  /** Batched BM25 retrieval — the SCALE face of [[bm25TopK]] (which stays
+    * as the single-query, literal-term correctness baseline): top-k
+    * documents per query for a whole QUERY TABLE at once — the batch
+    * retrieval shape of RAG-corpus curation, dedup-by-retrieval, and
+    * benchmark-contamination sweeps. Output: (qIdCol, idCol, bm25, rank).
+    *
+    * Plan shape for 100 TB: the corpus NEVER shuffles by term. Postings
+    * (doc, term, tf) come from one partial-aggregated groupBy (a
+    * document's tokens sit in one partition, so map-side combine
+    * collapses them before the exchange carries per-doc distinct terms
+    * once); document frequencies are computed ONLY for the query
+    * vocabulary (broadcast semi-join first — the full vocab-sized df
+    * table never materializes); and the query-term × idf × avgdl table
+    * joins BROADCAST against the postings (a query batch is bounded by
+    * contract: thousands of queries × tens of terms — the corpus is the
+    * scaled side). A stopword in a query matches every document, so the
+    * per-(query, doc) score aggregate is the load-bearing stage: a SUM —
+    * partially aggregated map-side like any sum — and the final ranking
+    * rides the bounded-heap [[graft.operators.GroupTopK]], so the rank
+    * exchange carries queries × k pairs, never candidate lists. Scores
+    * round to 4 decimals BEFORE ranking, ties on ascending doc id — rank
+    * is stable against fp summation order across engines/partitionings.
+    * Same Lucene/Robertson idf as [[bm25TopK]]:
+    * ln((N − df + 0.5)/(df + 0.5) + 1). Queries with no words (or no
+    * indexed term) return no rows. */
+  def bm25Retrieve(docs: org.apache.spark.sql.DataFrame, idCol: String, textCol: String,
+                   queries: org.apache.spark.sql.DataFrame, qIdCol: String,
+                   qTextCol: String, k: Int,
+                   k1: Double = 1.2, b: Double = 0.75): org.apache.spark.sql.DataFrame = {
+    require(k > 0, s"bm25Retrieve needs k > 0, got $k")
+    graft.operators.GroupTopK.requireIntegralId(docs, idCol, "bm25Retrieve")
+    val ws = words(col(textCol))
+    val tf = docs
+      .select(col(idCol).as("__did"), ws.as("__w"))
+      .select(col("__did"), size(col("__w")).as("__dl"), explode(col("__w")).as("__t"))
+      .groupBy(col("__did"), col("__dl"), col("__t"))
+      .agg(count(lit(1)).cast("double").as("__tf"))
+    // N and avgdl count EVERY document, empty ones included (the explode
+    // drops them from the postings but not from the collection stats —
+    // the bm25TopK convention)
+    val stats = docs.select(size(ws).as("__dl0"))
+      .agg(count(lit(1)).cast("double").as("__n"), avg(col("__dl0")).as("__avgdl"))
+    val qt = queries.select(col(qIdCol).as("__qid"),
+      explode(array_distinct(words(col(qTextCol)))).as("__t"))
+    val qVocab = qt.select(col("__t")).distinct()
+    val dfTab = tf.join(broadcast(qVocab), Seq("__t"), "left_semi")
+      .groupBy(col("__t")).agg(count(lit(1)).cast("double").as("__df"))
+    val qIdf = qt.join(dfTab, Seq("__t")).crossJoin(stats)
+      .select(col("__qid"), col("__t"),
+        log((col("__n") - col("__df") + lit(0.5)) / (col("__df") + lit(0.5)) + lit(1.0))
+          .as("__idf"),
+        col("__avgdl"))
+    val scored = tf.join(broadcast(qIdf), Seq("__t"))
+      .select(col("__qid"), col("__did"),
+        (col("__idf") * col("__tf") * lit(k1 + 1) /
+          (col("__tf") + lit(k1) * (lit(1 - b) + lit(b) * col("__dl") / col("__avgdl"))))
+          .as("__c"))
+      .groupBy(col("__qid"), col("__did"))
+      .agg(round(sum(col("__c")), 4).as("__bm25"))
+    graft.operators.GroupTopK.topKPerKey(scored, Seq("__qid"), "__did",
+        col("__bm25"), k, scoreAs = "bm25")
+      .select(col("__qid").as(qIdCol), col("__did").as(idCol),
+        col("bm25"), col("rank"))
+  }
+
   /** Sequence packing: assign documents, in a stable order within each
     * partition key, to consecutive training chunks of ~`budget` tokens
     * (streaming-greedy: a chunk takes documents until the budget is

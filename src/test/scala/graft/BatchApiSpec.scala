@@ -548,6 +548,33 @@ class BatchApiSpec extends SparkSpec {
       "map-side partial top-k present")
   }
 
+  test("bm25Retrieve: single-query batch equals bm25TopK exactly, stopwords included") {
+    val docs = Seq(
+      (0L, "the quick brown fox jumps over the lazy dog"),
+      (1L, "the dog sleeps all day the dog dreams"),
+      (2L, "a fox and a dog walked into a bar"),
+      (3L, "completely unrelated text about spark joins"),
+      (4L, "the the the the the"),
+      (5L, "fox fox fox"),
+      (6L, "")).toDF("doc_id", "text")
+    for (terms <- Seq(Seq("fox", "dog"), Seq("the"), Seq("fox", "the", "bar"))) {
+      val single = graft.pipeline.TextOps.bm25TopK(docs, "doc_id", "text", terms, k = 5)
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+      val qs = Seq((99L, terms.mkString(" "))).toDF("q_id", "q_text")
+      val batch = graft.pipeline.TextOps.bm25Retrieve(
+          docs, "doc_id", "text", qs, "q_id", "q_text", k = 5)
+        .orderBy("rank")
+        .collect().map(r => (r.getLong(1), r.getDouble(2))).toSeq
+      assert(batch == single,
+        s"terms=$terms: batch $batch must equal single-query $single")
+    }
+    // a query with no indexed words returns no rows, not a failure
+    val none = graft.pipeline.TextOps.bm25Retrieve(docs, "doc_id", "text",
+      Seq((1L, "zzz absent"), (2L, "")).toDF("q_id", "q_text"),
+      "q_id", "q_text", k = 5)
+    assert(none.count() == 0)
+  }
+
   test("canonicalUrl: case, default ports, fragments, tracking params, pass-through") {
     val cases = Seq(
       "HTTPS://WWW.Example.COM:443/A/B?x=1#frag" -> "https://www.example.com/A/B?x=1",

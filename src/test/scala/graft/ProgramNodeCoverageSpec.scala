@@ -224,6 +224,7 @@ class ProgramNodeCoverageSpec extends AnyFunSuite {
         "metrics/analysis output, not a stream transform"),
       "topNgrams" -> excluded(diag), "tfidfTopWord" -> excluded(diag),
       "bm25TopK" -> excluded(diag),
+      "bm25Retrieve" -> excluded(diag),
       "winnowOverlapPairs" -> excluded(diag),
       "EmailRe" -> excluded(const), "IpRe" -> excluded(const),
       "UrlRe" -> excluded(const), "LangMarkers" -> excluded(const),
