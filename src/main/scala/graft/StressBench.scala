@@ -118,8 +118,10 @@ object StressBench {
         // key holding ~40% of a 10x events table), plus the CCNet
         // bucketing at 10x (the distributed per-language exact rank —
         // the synthetic corpus's dominant language is the hot-language
-        // regime the range+offset rewrite bounds)
-        "spanskew", "joinskew", "q_ppl_buckets")
+        // regime the range+offset rewrite bounds) and the batched BM25
+        // retrieval (stopword-heavy queries over the replicated corpus —
+        // the partial-aggregated (query, doc) sum is the stage under test)
+        "spanskew", "joinskew", "q_ppl_buckets", "q_bm25_batch")
     val spark = SparkSession.builder().master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
       .config("spark.sql.session.timeZone", "UTC")

@@ -41,6 +41,35 @@ class RangedPrefixSpec extends SparkSpec {
     assert(run(32) == ref, "width 32 must equal the width-1 window face")
   }
 
+  test("degenerate inputs: empty frames and single rows survive the machinery") {
+    val empty = Seq.empty[(Long, String, Long)].toDF("id", "strata", "toks")
+    try {
+      assert(graft.pipeline.Sampling.capTokensPerKey(
+        empty, col("strata"), col("id"), col("toks"), budget = 10L).count() == 0)
+      val one = Seq((1L, "en", 3L)).toDF("id", "strata", "toks")
+      assert(graft.pipeline.Sampling.capTokensPerKey(
+          one, col("strata"), col("id"), col("toks"), budget = 10L)
+        .collect().map(_.getLong(0)).toSeq == Seq(1L))
+      // a single row larger than the budget is dropped (fits-alone rule)
+      assert(graft.pipeline.Sampling.capTokensPerKey(
+        Seq((1L, "en", 99L)).toDF("id", "strata", "toks"),
+        col("strata"), col("id"), col("toks"), budget = 10L).count() == 0)
+      // bm25Retrieve: empty corpus / empty query table return no rows
+      val docs = Seq((1L, "the cat sat")).toDF("doc_id", "text")
+      val noDocs = Seq.empty[(Long, String)].toDF("doc_id", "text")
+      val qs = Seq((1L, "cat")).toDF("q_id", "q_text")
+      val noQs = Seq.empty[(Long, String)].toDF("q_id", "q_text")
+      assert(graft.pipeline.TextOps.bm25Retrieve(
+        noDocs, "doc_id", "text", qs, "q_id", "q_text", k = 3).count() == 0)
+      assert(graft.pipeline.TextOps.bm25Retrieve(
+        docs, "doc_id", "text", noQs, "q_id", "q_text", k = 3).count() == 0)
+      assert(graft.pipeline.TextOps.bm25Retrieve(
+          docs, "doc_id", "text", qs, "q_id", "q_text", k = 3)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(3))).toSeq ==
+        Seq((1L, 1L, 1L)))
+    } finally graft.api.Pinned.release(spark)
+  }
+
   test("perplexityBuckets: null-language group tiles on its own and survives") {
     val texts = Seq(
       "the cat sat on the mat", "the cat sat on the rug",
