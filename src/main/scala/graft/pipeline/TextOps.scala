@@ -686,9 +686,15 @@ object TextOps {
     // the window treated it). Null SCORES (< 2 tokens) never occupy
     // tile slots: the value expression counts only scored rows (desc
     // ordering puts nulls last within each language's ranges), they
-    // skip the ranking and union back with a NULL bucket — the LM
-    // scoring stays single-pass through the one checkpoint.
-    val (parted, offs) = RangedPrefix(scored,
+    // skip the ranking and union back with a NULL bucket. Pre-pin the
+    // scored frame: repartitionByRange's BOUNDARY-SAMPLING pass fully
+    // evaluates its child, so an unpinned input would run the two-pass
+    // LM scoring twice (once for the sampler, once into RangedPrefix's
+    // checkpoint) — measured ~0.7 s of the sf0.1 query. The sampler and
+    // the exchange now both read these narrow score rows.
+    val (scoredCp, scoredIds) = graft.api.Pinned.checkpointTracked(scored)
+    graft.api.Pinned.register(scored.sparkSession, scoredIds)
+    val (parted, offs) = RangedPrefix(scoredCp,
       groupCols = Seq(langCol),
       orderCols = Seq(col("avg_logprob").desc, col(idCol)),
       valueExpr = when(col("avg_logprob").isNotNull, lit(1L)).otherwise(lit(0L)))
