@@ -24,7 +24,12 @@ import org.apache.spark.sql.functions._
  *     per-range aggregates — only on both passes seeing one assignment.
  *     Project the frame to what the caller needs BEFORE calling: the
  *     checkpoint materializes it once (narrow rank/score rows, never
- *     corpus text).
+ *     corpus text). Note RangePartitioner's boundary sampling is ITSELF
+ *     a full pass over the input (the buildVocab lesson): an expensive
+ *     input pipeline runs once for the sampler and once into this
+ *     checkpoint — pin it first when the input costs more than one
+ *     materialization of its narrow rows (perplexityBuckets does; a
+ *     plain column projection does not bother).
  *  3. per-(range, group) partial aggregates of `valueExpr` — a
  *     width × groups frame, never corpus-sized — give each range's
  *     within-group offset (earlier ranges' total) and the group total

@@ -268,7 +268,9 @@ object Sampling {
     * holding half the corpus — the norm in crawls) would otherwise fold
     * its whole running sum in ONE task. The checkpoint materializes the
     * input rows once — project to the columns you need before calling if
-    * rows are wide.
+    * rows are wide, and pin an EXPENSIVE upstream first (the range
+    * partitioner's boundary sampling is a full extra pass over the
+    * input — the buildVocab/perplexityBuckets lesson).
     *
     * The maximal-prefix guarantee relies on the running sum being
     * MONOTONE: a NULL token count is treated as 0 (the row rides free —
