@@ -2006,6 +2006,42 @@ object QueriesPipeline {
         SELECT d.doc_id, coalesce(a.n_pairs, 0)::BIGINT AS n_pairs, a.avg_logprob
         FROM documents d LEFT JOIN agg a USING (doc_id)"""
 
+  /** Interpolated trigram-LM quality score (the KenLM-direction upgrade
+    * of q_lm_score): Jelinek-Mercer λ = (0.6, 0.3, 0.1), add-0.5
+    * smoothing, V = distinct unigrams. The oracle rebuilds all three
+    * count tables and the interpolation relationally. */
+  def qLm3Score(spark: SparkSession, dir: String): DataFrame =
+    TextOps.trigramLmScore(Tables.documents(spark, dir).df, "doc_id", "text")
+
+  val qLm3ScoreSql: String =
+    s"""WITH words AS (SELECT doc_id, list_filter(string_split_regex(text, '[ \\t\\n\\f\\r\\x0b]+'), x -> x <> '') AS w FROM documents),
+        toks AS (SELECT unnest(w) AS t FROM words),
+        c1 AS (SELECT t, count(*) AS c1 FROM toks GROUP BY t),
+        nv AS (SELECT sum(c1)::DOUBLE AS n, count(*)::DOUBLE AS vv FROM c1),
+        prs AS (SELECT unnest(w[1:len(w) - 1]) AS v, unnest(w[2:len(w)]) AS t
+                FROM words WHERE len(w) >= 2),
+        c2 AS (SELECT v, t, count(*) AS c2 FROM prs GROUP BY v, t),
+        c2x AS (SELECT v, sum(c2) AS c2x FROM c2 GROUP BY v),
+        tris AS (SELECT doc_id, unnest(w[1:len(w) - 2]) AS u,
+                   unnest(w[2:len(w) - 1]) AS v, unnest(w[3:len(w)]) AS t
+                 FROM words WHERE len(w) >= 3),
+        c3 AS (SELECT u, v, t, count(*) AS c3 FROM tris GROUP BY u, v, t),
+        c3x AS (SELECT u, v, sum(c3) AS c3x FROM c3 GROUP BY u, v),
+        agg AS (SELECT p.doc_id AS doc_id, count(*) AS n_tris,
+                  round(avg(ln(
+                    0.6 * (c3.c3 + 0.5) / (c3x.c3x + nv.vv * 0.5)
+                    + 0.3 * (c2.c2 + 0.5) / (c2x.c2x + nv.vv * 0.5)
+                    + 0.1 * (c1.c1 + 0.5) / (nv.n + nv.vv * 0.5))), 3) AS avg_logprob
+                FROM tris p
+                JOIN c3 ON p.u = c3.u AND p.v = c3.v AND p.t = c3.t
+                JOIN c3x ON p.u = c3x.u AND p.v = c3x.v
+                JOIN c2 ON p.v = c2.v AND p.t = c2.t
+                JOIN c2x ON p.v = c2x.v
+                JOIN c1 ON p.t = c1.t CROSS JOIN nv
+                GROUP BY p.doc_id)
+        SELECT d.doc_id, coalesce(a.n_tris, 0)::BIGINT AS n_tris, a.avg_logprob
+        FROM documents d LEFT JOIN agg a USING (doc_id)"""
+
   /** Winnowing fingerprints (Schleimer et al. 2003) over word 3-grams,
     * window 4: the oracle re-runs the per-window rightmost-min definition
     * with list ops (the Scala side is the O(n) deque — same selection,
@@ -2402,6 +2438,7 @@ object QueriesPipeline {
     "q_gopher" -> (qGopher _),
     "q_ingest_program" -> (qIngestProgram _),
     "q_lm_score" -> (qLmScore _),
+    "q_lm3_score" -> (qLm3Score _),
     "q_ppl_buckets" -> (qPplBuckets _),
     "q_winnow" -> (qWinnow _),
     "q_winnow_pairs" -> (qWinnowPairs _),
@@ -2491,6 +2528,7 @@ object QueriesPipeline {
     "q_gopher" -> qGopherSql,
     "q_ingest_program" -> qIngestProgramSql,
     "q_lm_score" -> qLmScoreSql,
+    "q_lm3_score" -> qLm3ScoreSql,
     "q_ppl_buckets" -> qPplBucketsSql,
     "q_winnow" -> qWinnowSql,
     "q_winnow_pairs" -> qWinnowPairsSql,

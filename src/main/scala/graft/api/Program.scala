@@ -425,6 +425,19 @@ object Program {
   final case class ZOrder(name: String, input: String, cols: Seq[String],
                           numFiles: Int, bits: Int) extends Node
 
+  // --- round-13 node (format version 7) ---
+  /** Interpolated trigram-LM quality score over the input corpus ITSELF
+    * (`TextOps.trigramLmScore`) — the KenLM-direction upgrade of the v2
+    * cross-corpus [[LmScore]]. Jelinek-Mercer weights (l3, l2, l1) must
+    * be non-negative and sum to 1. BUILD-TIME EAGER (the three count
+    * model artifacts pin at program build, like [[LmScore]]'s model);
+    * validation is schema-only. Batch-only by nature (the model trains
+    * on its own input — score a stream against a static reference with
+    * [[LmScore]]). */
+  final case class Lm3Score(name: String, input: String, idCol: String,
+                            textCol: String, alpha: Double, l3: Double,
+                            l2: Double, l1: Double) extends Node
+
   /** The whole document: nodes in topological order + the named outputs a
     * configuration may bind sinks to. */
   final case class Doc(nodes: Seq[Node], outputs: Seq[String]) {
@@ -604,6 +617,7 @@ object Program {
     case cd: CorpusDedup => Seq(cd.input, cd.ref)
     case ed: EmbedDedup => Seq(ed.input, ed.ref) ++ ed.centroids
     case lm: LmScore => Seq(lm.input, lm.ref)
+    case l3: Lm3Score => Seq(l3.input)
     case ds: DsirScore => Seq(ds.input, ds.target, ds.raw)
     case tf: TokenFreq => Seq(tf.input, tf.ref)
     case be: BpeEncode => Seq(be.input, be.merges)
@@ -833,6 +847,11 @@ object Program {
         case LmScore(name, i, ref, idCol, textCol, refTextCol, alpha) =>
           graft.pipeline.TextOps.lmScoreAgainst(in(i),
             staticSide(name, in, ref), idCol, textCol, refTextCol, alpha)
+        case Lm3Score(_, i, idCol, textCol, alpha, l3, l2, l1) =>
+          val s = in(i)
+          new MStream(graft.pipeline.TextOps.trigramLmScore(
+              s.df, idCol, textCol, alpha, (l3, l2, l1)),
+            s.eventOrder, s.contextKeys, s.name)
         case DsirScore(name, i, tgt, raw, idCol, textCol, refTextCol, buckets, alpha) =>
           graft.pipeline.TextOps.dsirScore(in(i), staticSide(name, in, tgt),
             staticSide(name, in, raw), idCol, textCol, refTextCol, buckets, alpha)
@@ -1022,6 +1041,7 @@ object Program {
     case x: CorpusDedup => x.copy(name = name)
     case x: EmbedDedup => x.copy(name = name)
     case x: LmScore => x.copy(name = name)
+    case x: Lm3Score => x.copy(name = name)
     case x: DsirScore => x.copy(name = name)
     case x: TokenFreq => x.copy(name = name)
     case x: BpeEncode => x.copy(name = name)
@@ -1293,6 +1313,12 @@ object Program {
                        refTextCol: String, alpha: Double = 0.5): Rec =
       derive("lmScore", Seq(ref))(n => LmScore(n, name, ref.name, idCol,
         textCol, refTextCol, alpha))
+    /** Interpolated trigram-LM quality score over this corpus itself
+      * (format version 7). */
+    def trigramLmScore(idCol: String, textCol: String, alpha: Double = 0.5,
+                       lambdas: (Double, Double, Double) = (0.6, 0.3, 0.1)): Rec =
+      derive1("lm3Score")(n => Lm3Score(n, name, idCol, textCol, alpha,
+        lambdas._1, lambdas._2, lambdas._3))
     /** DSIR importance scoring against `target` and `raw` reference
       * corpora (format version 3). */
     def dsirScore(target: Rec, raw: Rec, idCol: String, textCol: String,
@@ -1513,17 +1539,19 @@ object Program {
     * semanticDedup, semanticDedupBest,
     * lineScrub, spanScrub, quality, piiScrub, langId, chunkTokens,
     * packChunks, winnow, repetition, normalize, stripMarkup, jlProject,
-    * topkPerKey, sq8Encode, zorder).
+    * topkPerKey, sq8Encode, zorder); 7 adds lm3Score (the interpolated
+    * trigram-LM quality score).
     * [[toJson]] stamps each document with the LOWEST version that can
     * express it, so a document using only the v1 grammar stays loadable
     * by a v1 library. Versions track SHIPPED grammars (one per build
     * round), not individual commits — every v6 node landed in the same
     * round, so no v6-stamped artifact can predate any v6 op. */
-  val FormatVersion: Int = 6
+  val FormatVersion: Int = 7
 
   /** The lowest format version expressing every node in `doc`. */
   private def requiredVersion(doc: Doc): Int =
-    if (doc.nodes.exists {
+    if (doc.nodes.exists { case _: Lm3Score => true; case _ => false }) 7
+    else if (doc.nodes.exists {
       case _: DedupCorpus | _: DedupCorpusBest | _: SemanticDedup |
            _: SemanticDedupBest | _: LineScrub | _: SpanScrub |
            _: QualityAnnotate | _: PiiScrub | _: LangId | _: ChunkTokens |
@@ -1627,6 +1655,10 @@ object Program {
           ("ref" -> ref) ~ ("idCol" -> idCol) ~ ("vecCol" -> vecCol) ~
           ("threshold" -> threshold) ~ ("centroids" -> cents) ~
           ("nProbe" -> nProbe) ~ ("broadcastRef" -> bRef)
+      case Lm3Score(name, i, idCol, textCol, alpha, l3, l2, l1) =>
+        ("op" -> "lm3Score") ~ ("name" -> name) ~ ("input" -> i) ~
+          ("idCol" -> idCol) ~ ("textCol" -> textCol) ~ ("alpha" -> alpha) ~
+          ("l3" -> l3) ~ ("l2" -> l2) ~ ("l1" -> l1)
       case LmScore(name, i, ref, idCol, textCol, refTextCol, alpha) =>
         ("op" -> "lmScore") ~ ("name" -> name) ~ ("input" -> i) ~
           ("ref" -> ref) ~ ("idCol" -> idCol) ~ ("textCol" -> textCol) ~
@@ -1890,6 +1922,12 @@ object Program {
             (v \ "ref").extract[String], (v \ "idCol").extract[String],
             (v \ "textCol").extract[String], (v \ "refTextCol").extract[String],
             (v \ "alpha").extractOpt[Double].getOrElse(0.5))
+          case "lm3Score" => Lm3Score(name, (v \ "input").extract[String],
+            (v \ "idCol").extract[String], (v \ "textCol").extract[String],
+            (v \ "alpha").extractOpt[Double].getOrElse(0.5),
+            (v \ "l3").extractOpt[Double].getOrElse(0.6),
+            (v \ "l2").extractOpt[Double].getOrElse(0.3),
+            (v \ "l1").extractOpt[Double].getOrElse(0.1))
           case "dsirScore" => DsirScore(name, (v \ "input").extract[String],
             (v \ "target").extract[String], (v \ "raw").extract[String],
             (v \ "idCol").extract[String], (v \ "textCol").extract[String],
@@ -2091,6 +2129,13 @@ object Program {
             env(lm.ref).df.select(col(lm.refTextCol)).schema
             emptyOf(graft.pipeline.TextOps.lmScoreOutputSchema(
               lm.idCol, s.df.schema(lm.idCol).dataType))
+          case l3: Lm3Score =>
+            // build-time eager (the three count models pin at lowering):
+            // force the column references, emit the score schema
+            val s = env(l3.input)
+            s.df.select(col(l3.idCol), col(l3.textCol)).schema
+            emptyOf(graft.pipeline.TextOps.lm3ScoreOutputSchema(
+              l3.idCol, s.df.schema(l3.idCol).dataType))
           case ds: DsirScore =>
             val s = env(ds.input)
             s.df.select(col(ds.idCol), col(ds.textCol)).schema
@@ -2354,6 +2399,15 @@ object Program {
           if (lm.alpha <= 0.0) throw new IllegalArgumentException(
             s"node '${n.name}': lmScore needs alpha > 0, got ${lm.alpha}")
           Seq(lm.input, lm.ref)
+        case l3: Lm3Score =>
+          if (l3.alpha <= 0.0) throw new IllegalArgumentException(
+            s"node '${n.name}': lm3Score needs alpha > 0, got ${l3.alpha}")
+          if (l3.l3 < 0.0 || l3.l2 < 0.0 || l3.l1 < 0.0 ||
+              math.abs(l3.l3 + l3.l2 + l3.l1 - 1.0) >= 1e-9)
+            throw new IllegalArgumentException(
+              s"node '${n.name}': lm3Score lambdas must be non-negative and " +
+                s"sum to 1, got (${l3.l3}, ${l3.l2}, ${l3.l1})")
+          Seq(l3.input)
         case ds: DsirScore =>
           if (ds.alpha <= 0.0 || ds.buckets <= 0) throw new IllegalArgumentException(
             s"node '${n.name}': dsirScore needs alpha > 0 and buckets > 0, " +

@@ -647,6 +647,81 @@ object TextOps {
       .select(id, coalesce(col("n_pairs"), lit(0L)).as("n_pairs"), col("avg_logprob"))
   }
 
+  /** Interpolated trigram LM quality score — one model order up from
+    * [[bigramLmScore]] toward the 5-gram KenLM real CCNet pipelines score
+    * with (counts-based n-gram models are the exact, oracle-able family;
+    * the interpolation is Jelinek-Mercer): P(t | u v) =
+    * λ3·P̂3(t|u,v) + λ2·P̂2(t|v) + λ1·P̂1(t), each P̂ add-alpha-smoothed
+    * over the self-corpus counts with V = the distinct-unigram vocabulary,
+    * and each document scored by the average ln P over its trigram
+    * positions (< 3 tokens → NULL score, n_tris 0 — the bigram face's
+    * convention).
+    *
+    * Scale shape: the model is three PARTIAL-AGGREGATED count tables —
+    * (u,v,t) trigrams, (v,t) bigrams, unigrams — each corpus-token-
+    * bounded, shuffled by its own keys, and checkpointed once (two
+    * consumers each: its context-total derivation and the scoring join).
+    * Scoring joins the exploded positions against the five count frames
+    * (equi joins; the planner broadcasts the small ones) plus the
+    * one-row (N, V) cross join, then folds per document — the same
+    * two-pass stat-then-score floor as the bigram face, one n-gram order
+    * deeper. A hot token ("the") concentrates its positions' join rows
+    * in one task, but the build sides are count rows and the probe
+    * STREAMS (hash join, no per-key sort) — the spans-join posture. */
+  def trigramLmScore(docs: org.apache.spark.sql.DataFrame, idCol: String,
+                     textCol: String, alpha: Double = 0.5,
+                     lambdas: (Double, Double, Double) = (0.6, 0.3, 0.1))
+      : org.apache.spark.sql.DataFrame = {
+    require(alpha > 0, s"alpha must be positive, got $alpha")
+    require(!docs.isStreaming,
+      "trigramLmScore trains on its own input — batch only (score a stream " +
+        "against a static reference with lmScoreAgainst)")
+    val (l3, l2, l1) = lambdas
+    require(l3 >= 0 && l2 >= 0 && l1 >= 0 && math.abs(l3 + l2 + l1 - 1.0) < 1e-9,
+      s"lambdas must be non-negative and sum to 1, got $lambdas")
+    val id = col(idCol)
+    val spark = docs.sparkSession
+    def pin(d: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+      val (cp, ids) = graft.api.Pinned.checkpointTracked(d)
+      graft.api.Pinned.register(spark, ids)
+      cp
+    }
+    val ws = words(col(textCol))
+    val c1 = pin(docs.select(explode(ws).as("__t"))
+      .groupBy("__t").agg(count(lit(1)).as("__c1")))
+    val nv = c1.agg(sum(col("__c1")).cast("double").as("__n"),
+      count(lit(1)).cast("double").as("__vv"))
+    val c2 = pin(docs.select(ws.as("__w")).where(size(col("__w")) >= 2)
+      .select(explode(arrays_zip(
+        slice(col("__w"), lit(1), size(col("__w")) - 1).as("v"),
+        slice(col("__w"), lit(2), size(col("__w")) - 1).as("t"))).as("__p"))
+      .select(col("__p.v").as("__v"), col("__p.t").as("__t"))
+      .groupBy("__v", "__t").agg(count(lit(1)).as("__c2")))
+    val c2x = c2.groupBy("__v").agg(sum(col("__c2")).as("__c2x"))
+    val tris = docs
+      .select(id, ws.as("__w")).where(size(col("__w")) >= 3)
+      .select(id, explode(arrays_zip(
+        slice(col("__w"), lit(1), size(col("__w")) - 2).as("u"),
+        slice(col("__w"), lit(2), size(col("__w")) - 2).as("v"),
+        slice(col("__w"), lit(3), size(col("__w")) - 2).as("t"))).as("__p"))
+      .select(id, col("__p.u").as("__u"), col("__p.v").as("__v"), col("__p.t").as("__t"))
+    val c3 = pin(tris.groupBy("__u", "__v", "__t").agg(count(lit(1)).as("__c3")))
+    val c3x = c3.groupBy("__u", "__v").agg(sum(col("__c3")).as("__c3x"))
+    val scored = tris
+      .join(c3, Seq("__u", "__v", "__t")).join(c3x, Seq("__u", "__v"))
+      .join(c2, Seq("__v", "__t")).join(c2x, Seq("__v"))
+      .join(c1, Seq("__t"))
+      .crossJoin(broadcast(nv))
+      .withColumn("__lp", log(
+        lit(l3) * (col("__c3") + alpha) / (col("__c3x") + col("__vv") * alpha) +
+          lit(l2) * (col("__c2") + alpha) / (col("__c2x") + col("__vv") * alpha) +
+          lit(l1) * (col("__c1") + alpha) / (col("__n") + col("__vv") * alpha)))
+      .groupBy(id)
+      .agg(count(lit(1)).as("n_tris"), round(avg(col("__lp")), 3).as("avg_logprob"))
+    docs.select(id).join(scored, Seq(idCol), "left")
+      .select(id, coalesce(col("n_tris"), lit(0L)).as("n_tris"), col("avg_logprob"))
+  }
+
   /** CCNet head/middle/tail perplexity bucketing (Wenzek et al. 2020
     * §4.3: per-language perplexity terciles decide which slice of the
     * crawl is kept for LM training — "head" is the best-scoring third):
@@ -1008,6 +1083,16 @@ object TextOps {
     import org.apache.spark.sql.types._
     StructType(Seq(StructField(idCol, idType),
       StructField("n_pairs", LongType, nullable = false),
+      StructField("avg_logprob", DoubleType)))
+  }
+
+  /** Output schema of [[trigramLmScore]] — the build-time fact
+    * `Program.validate` resolves the Lm3Score node against. */
+  def lm3ScoreOutputSchema(idCol: String,
+      idType: org.apache.spark.sql.types.DataType): org.apache.spark.sql.types.StructType = {
+    import org.apache.spark.sql.types._
+    StructType(Seq(StructField(idCol, idType),
+      StructField("n_tris", LongType, nullable = false),
       StructField("avg_logprob", DoubleType)))
   }
 

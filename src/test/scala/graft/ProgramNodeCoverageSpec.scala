@@ -188,6 +188,7 @@ class ProgramNodeCoverageSpec extends AnyFunSuite {
       "packChunks" -> node("packChunks"),
       "winnowFingerprints" -> node("winnow"),
       "lmScoreAgainst" -> node("lmScore"),
+      "trigramLmScore" -> node("lm3Score"),
       "dsirScore" -> node("dsirScore"),
       "nbClassifyAgainst" -> node("nbClassify"),
       "tokenFrequencyStats" -> node("tokenFreq"),
@@ -210,6 +211,7 @@ class ProgramNodeCoverageSpec extends AnyFunSuite {
       "bpeOutputSchema" -> excluded(artifact),
       "dsirOutputSchema" -> excluded(artifact),
       "lmScoreOutputSchema" -> excluded(artifact),
+      "lm3ScoreOutputSchema" -> excluded(artifact),
       "nbOutputSchema" -> excluded(artifact),
       "tokenFreqOutputSchema" -> excluded(artifact),
       "fingerprint" -> excluded("single-projection op (rolling-hash " +
