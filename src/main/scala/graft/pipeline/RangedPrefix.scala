@@ -44,13 +44,25 @@ private[pipeline] object RangedPrefix {
 
   /** Returns (checkpointed frame + "__p", offsets: __p, groupCols...,
     * "__off" = earlier-ranges total, "__grptot" = group total). Input
-    * must not already carry a "__p" column. */
+    * must not already carry a "__p" column. `pinInput = true` checkpoints
+    * the INPUT first so the boundary sampler reads narrow materialized
+    * rows instead of re-running the input pipeline — opt in when the
+    * input costs more than one materialization of its rows
+    * (perplexityBuckets' two-pass LM scoring does; a plain column
+    * projection does not). */
   def apply(df: DataFrame, groupCols: Seq[String], orderCols: Seq[Column],
-            valueExpr: Column): (DataFrame, DataFrame) = {
+            valueExpr: Column, pinInput: Boolean = false): (DataFrame, DataFrame) = {
     require(!df.columns.contains("__p"),
       "RangedPrefix input must not already carry __p")
+    val input =
+      if (!pinInput) df
+      else {
+        val (cp, ids) = graft.api.Pinned.checkpointTracked(df)
+        graft.api.Pinned.register(df.sparkSession, ids)
+        cp
+      }
     val width = math.max(1, df.sparkSession.sessionState.conf.numShufflePartitions)
-    val (parted, cpIds) = graft.api.Pinned.checkpointTracked(df
+    val (parted, cpIds) = graft.api.Pinned.checkpointTracked(input
       .repartitionByRange(width, (groupCols.map(col) ++ orderCols): _*)
       .withColumn("__p", spark_partition_id()))
     graft.api.Pinned.register(df.sparkSession, cpIds)

@@ -409,6 +409,17 @@ object TextOps {
                    k1: Double = 1.2, b: Double = 0.75): org.apache.spark.sql.DataFrame = {
     require(k > 0, s"bm25Retrieve needs k > 0, got $k")
     graft.operators.GroupTopK.requireIntegralId(docs, idCol, "bm25Retrieve")
+    // output is (qIdCol, idCol, bm25, rank): reject collisions up front
+    // with a named contract error (the topKPerKey convention) — queries
+    // drawn from the docs table without renaming their id would otherwise
+    // emit two same-named columns and fail downstream as
+    // AMBIGUOUS_REFERENCE
+    require(qIdCol != idCol,
+      s"bm25Retrieve: qIdCol and idCol are both '$idCol' — rename one " +
+        "(output is (qIdCol, idCol, bm25, rank))")
+    Seq(qIdCol, idCol).foreach(c => require(c != "bm25" && c != "rank",
+      s"bm25Retrieve: id column '$c' collides with an output column " +
+        "(output is (qIdCol, idCol, bm25, rank))"))
     val ws = words(col(textCol))
     val tf = docs
       .select(col(idCol).as("__did"), ws.as("__w"))
@@ -761,18 +772,14 @@ object TextOps {
     // the window treated it). Null SCORES (< 2 tokens) never occupy
     // tile slots: the value expression counts only scored rows (desc
     // ordering puts nulls last within each language's ranges), they
-    // skip the ranking and union back with a NULL bucket. Pre-pin the
-    // scored frame: repartitionByRange's BOUNDARY-SAMPLING pass fully
-    // evaluates its child, so an unpinned input would run the two-pass
-    // LM scoring twice (once for the sampler, once into RangedPrefix's
-    // checkpoint) — measured ~0.7 s of the sf0.1 query. The sampler and
-    // the exchange now both read these narrow score rows.
-    val (scoredCp, scoredIds) = graft.api.Pinned.checkpointTracked(scored)
-    graft.api.Pinned.register(scored.sparkSession, scoredIds)
-    val (parted, offs) = RangedPrefix(scoredCp,
+    // skip the ranking and union back with a NULL bucket. pinInput:
+    // the boundary sampler would otherwise re-run the two-pass LM
+    // scoring (measured ~0.4 s of the sf0.1 query).
+    val (parted, offs) = RangedPrefix(scored,
       groupCols = Seq(langCol),
       orderCols = Seq(col("avg_logprob").desc, col(idCol)),
-      valueExpr = when(col("avg_logprob").isNotNull, lit(1L)).otherwise(lit(0L)))
+      valueExpr = when(col("avg_logprob").isNotNull, lit(1L)).otherwise(lit(0L)),
+      pinInput = true)
     val nn = parted.filter(col("avg_logprob").isNotNull)
     val ranked = RangedPrefix.joinOffsets(nn, offs, Seq(langCol))
       .withColumnRenamed("__grptot", "__n")
