@@ -402,7 +402,14 @@ object TextOps {
     * is stable against fp summation order across engines/partitionings.
     * Same Lucene/Robertson idf as [[bm25TopK]]:
     * ln((N − df + 0.5)/(df + 0.5) + 1). Queries with no words (or no
-    * indexed term) return no rows. */
+    * indexed term) return no rows.
+    *
+    * Streaming queries: micro-batch the query stream into bounded
+    * batches and call THIS face per batch (foreachBatch) — deliberately
+    * no flatMapGroupsWithState ingest face, because a per-query
+    * stateless combine would concentrate a stopword query's
+    * corpus-sized match list in ONE task, exactly the shape the batch
+    * face's partial-aggregated sum spreads. */
   def bm25Retrieve(docs: org.apache.spark.sql.DataFrame, idCol: String, textCol: String,
                    queries: org.apache.spark.sql.DataFrame, qIdCol: String,
                    qTextCol: String, k: Int,
