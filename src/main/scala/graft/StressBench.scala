@@ -121,7 +121,13 @@ object StressBench {
         // regime the range+offset rewrite bounds) and the batched BM25
         // retrieval (stopword-heavy queries over the replicated corpus —
         // the partial-aggregated (query, doc) sum is the stage under test)
-        "spanskew", "joinskew", "q_ppl_buckets", "q_bm25_batch")
+        "spanskew", "joinskew", "q_ppl_buckets", "q_bm25_batch",
+        // round-13: the hot-LANGUAGE probe (60% of the corpus forced into
+        // one language, 1x then 10x) — both RangedPrefix operators (CCNet
+        // tiles, per-stratum token budget) must stay bounded where the
+        // old per-group windows serialized the dominant group, and the
+        // 10x trigram-LM run (three count tables on the replica corpus)
+        "langskew", "q_lm3_score")
     val spark = SparkSession.builder().master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
       .config("spark.sql.session.timeZone", "UTC")
@@ -483,6 +489,58 @@ object StressBench {
             }
           }
         } finally big.unpersist()
+      } else if (q == "langskew") {
+        // round-13: the RangedPrefix operators' hot-GROUP regime made
+        // empirical. A dominant language is CERTAIN in a crawl (English
+        // is ~half of Common Crawl); the old per-group windows
+        // (ntile over partitionBy(lang), running sum over
+        // partitionBy(stratum)) serialized that group's whole population
+        // in one task. 60% of the corpus is forced into ONE language and
+        // both operators run at 1x and 10x against the natural
+        // distribution as baseline — near-parity hot vs natural and
+        // stable row counts are the no-single-task evidence (exactness
+        // itself is spec-pinned: width-1 == width-N in RangedPrefixSpec).
+        for ((label, path) <- Seq("1x" -> s"$src/documents.parquet",
+                                  "10x" -> docsPath)) {
+          val base = spark.read.parquet(path)
+            .select(col("doc_id"), col("text"), col("lang")).persist()
+          val nDocs = base.count()
+          try {
+            for ((mode, langExpr) <- Seq(
+                "natural" -> col("lang"),
+                "hot60" -> when(pmod(col("doc_id"), lit(5L)) < 3L, lit("en"))
+                  .otherwise(col("lang")))) {
+              val docs = base.withColumn("lang", langExpr)
+              var expect = (-1L, -1L)
+              for (rep <- 1 to 2) {
+                isolate()
+                var t0 = System.nanoTime()
+                val tiles = graft.pipeline.TextOps.perplexityBuckets(
+                  docs, "doc_id", "text", "lang")
+                tiles.write.format("noop").mode("overwrite").save()
+                val pplSecs = (System.nanoTime() - t0) / 1e9
+                val nt = tiles.count()
+                graft.api.Pinned.release(spark)
+                t0 = System.nanoTime()
+                val kept = graft.pipeline.Sampling.capTokensPerKey(
+                  docs.select(col("doc_id"), col("lang"),
+                    graft.pipeline.TextOps.tokenCountWhitespace(col("text"))
+                      .cast("long").as("toks")),
+                  col("lang"), col("doc_id"), col("toks"),
+                  budget = 50000L)
+                kept.write.format("noop").mode("overwrite").save()
+                val capSecs = (System.nanoTime() - t0) / 1e9
+                val nk = kept.count()
+                graft.api.Pinned.release(spark)
+                if (expect == (-1L, -1L)) expect = (nt, nk)
+                else require((nt, nk) == expect,
+                  s"langskew/$label/$mode row counts drifted: ($nt, $nk) vs $expect")
+                println(f"STRESS langskew/$label/$mode rep$rep ppl $pplSecs%.2f s " +
+                  f"($nt rows), capTokens $capSecs%.2f s ($nk rows) over $nDocs docs")
+              }
+            }
+          } finally base.unpersist()
+        }
       } else if (q == "semauto") {
         // semanticDedupAuto sizes the codebook with Ivf.cellsFor — the
         // executable cells-∝-corpus contract. Ran at 1x and 10x, the MEAN
