@@ -413,7 +413,16 @@ object TextOps {
   def bm25Retrieve(docs: org.apache.spark.sql.DataFrame, idCol: String, textCol: String,
                    queries: org.apache.spark.sql.DataFrame, qIdCol: String,
                    qTextCol: String, k: Int,
-                   k1: Double = 1.2, b: Double = 0.75): org.apache.spark.sql.DataFrame = {
+                   k1: Double = 1.2, b: Double = 0.75,
+                   /** default: the bounded-query-batch contract FORCES the
+                     * query-term × idf broadcast. Pass false for query
+                     * tables beyond broadcast size — the postings join
+                     * then shuffles on the term (planner-sized; a hot
+                     * stopword term concentrates its probe rows in one
+                     * STREAMING task — linear, no sort — and AQE's skew
+                     * split can subdivide it), the dedupAgainstCorpus
+                     * broadcastRef convention. */
+                   broadcastQueries: Boolean = true): org.apache.spark.sql.DataFrame = {
     require(k > 0, s"bm25Retrieve needs k > 0, got $k")
     graft.operators.GroupTopK.requireIntegralId(docs, idCol, "bm25Retrieve")
     // output is (qIdCol, idCol, bm25, rank): reject collisions up front
@@ -441,14 +450,16 @@ object TextOps {
     val qt = queries.select(col(qIdCol).as("__qid"),
       explode(array_distinct(words(col(qTextCol)))).as("__t"))
     val qVocab = qt.select(col("__t")).distinct()
-    val dfTab = tf.join(broadcast(qVocab), Seq("__t"), "left_semi")
+    val qVocabSide = if (broadcastQueries) broadcast(qVocab) else qVocab
+    val dfTab = tf.join(qVocabSide, Seq("__t"), "left_semi")
       .groupBy(col("__t")).agg(count(lit(1)).cast("double").as("__df"))
     val qIdf = qt.join(dfTab, Seq("__t")).crossJoin(stats)
       .select(col("__qid"), col("__t"),
         log((col("__n") - col("__df") + lit(0.5)) / (col("__df") + lit(0.5)) + lit(1.0))
           .as("__idf"),
         col("__avgdl"))
-    val scored = tf.join(broadcast(qIdf), Seq("__t"))
+    val qIdfSide = if (broadcastQueries) broadcast(qIdf) else qIdf
+    val scored = tf.join(qIdfSide, Seq("__t"))
       .select(col("__qid"), col("__did"),
         (col("__idf") * col("__tf") * lit(k1 + 1) /
           (col("__tf") + lit(k1) * (lit(1 - b) + lit(b) * col("__dl") / col("__avgdl"))))

@@ -573,6 +573,27 @@ class BatchApiSpec extends SparkSpec {
       Seq((1L, "zzz absent"), (2L, "")).toDF("q_id", "q_text"),
       "q_id", "q_text", k = 5)
     assert(none.count() == 0)
+    // the beyond-broadcast face (broadcastQueries = false, joins
+    // planner-sized with broadcast disabled) returns identical rankings
+    val qs2 = Seq((7L, "fox dog the"), (8L, "bar")).toDF("q_id", "q_text")
+    def faces(bq: Boolean): Set[(Long, Long, Double, Long)] =
+      graft.pipeline.TextOps.bm25Retrieve(docs, "doc_id", "text", qs2,
+          "q_id", "q_text", k = 4, broadcastQueries = bq)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3)))
+        .toSet
+    val viaBroadcast = faces(true)
+    val saved = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try assert(faces(false) == viaBroadcast,
+      "shuffled query face must equal the broadcast face (ranks included)")
+    finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", saved)
+    // output-name collisions are a named contract error
+    val clash = intercept[IllegalArgumentException] {
+      graft.pipeline.TextOps.bm25Retrieve(docs, "doc_id", "text",
+        docs.select(col("doc_id"), col("text").as("q_text")),
+        "doc_id", "q_text", k = 3)
+    }
+    assert(clash.getMessage.contains("qIdCol and idCol"))
   }
 
   test("canonicalUrl: case, default ports, fragments, tracking params, pass-through") {
