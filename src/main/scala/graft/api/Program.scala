@@ -286,7 +286,9 @@ object Program {
   final case class WeightedMix(name: String, input: String, keyCol: String,
                                strataCol: String, weights: Map[String, Double],
                                defaultWeight: Double, salt: String) extends Node
-  /** Per-stratum quota cap (`Sampling.capPerKey`) — batch face (rank window). */
+  /** Per-stratum quota cap (`Sampling.capPerKey`) — batch face.
+    * BUILD-TIME EAGER since the distributed-prefix rewrite
+    * ([[CapTokens]]'s reason); validation is schema-only. */
   final case class CapPerKey(name: String, input: String, strataCol: String,
                              keyCol: String, n: Int, salt: String) extends Node
   /** Global exact-k deterministic sample (`Sampling.exactKSample`) —
@@ -2198,6 +2200,12 @@ object Program {
             // schema (a filter — the input schema unchanged)
             val s = env(ct.input)
             s.df.select(col(ct.strataCol), col(ct.keyCol), col(ct.tokensCol)).schema
+            emptyOf(s.df.schema)
+          case cp: CapPerKey =>
+            // build-time eager since the RangedPrefix rewrite (same as
+            // CapTokens): schema-only — a filter keeps the input schema
+            val s = env(cp.input)
+            s.df.select(col(cp.strataCol), col(cp.keyCol)).schema
             emptyOf(s.df.schema)
           case dc: DedupCorpus =>
             // build-time eager (CC fixpoint runs driver rounds): force the

@@ -238,19 +238,30 @@ object Sampling {
     * deterministic hash rank over the row key (same multiplicative-hash
     * machinery as the samplers — stable under any partitioning / cluster
     * size / engine; a different salt redraws the survivors), ties broken
-    * by the key itself. One shuffle on the stratum; the rank window is
-    * per-stratum and AQE-spill-safe, but a pathologically hot stratum
-    * serializes its own partition — with unique integral ids use
-    * [[exactKPerKey]] (identical draw, bounded-heap lowering), otherwise
-    * pre-thin hot strata with [[hashSample]] before capping (the cap only
-    * needs the sample to be ≥ n, and the gate is rank-consistent). */
+    * by the key itself.
+    *
+    * Scale shape: the rank is the DISTRIBUTED exact prefix
+    * ([[RangedPrefix]], like [[capTokensPerKey]]), not a per-stratum
+    * window — a dominant stratum (one domain/language holding half the
+    * corpus) would otherwise sort its whole population in ONE task. With
+    * unique integral ids [[exactKPerKey]] is the cheaper draw-identical
+    * face (bounded map-side heaps, no checkpoint); THIS face works for
+    * any key type. The checkpoint materializes the input rows once —
+    * project first if rows are wide, pin an expensive upstream first. */
   def capPerKey(df: DataFrame, strataCol: Column, keyCol: Column, n: Int,
                 salt: String = ""): DataFrame = {
     require(n > 0, s"cap must be positive, got $n")
     import org.apache.spark.sql.expressions.Window
-    df.withColumn("__rk", row_number().over(
-        Window.partitionBy(strataCol).orderBy(gate(keyCol, salt), keyCol)))
-      .filter(col("__rk") <= n).drop("__rk")
+    val (stW, gtW) = (freshName(df, "st"), freshName(df, "gt"))
+    val base = df.withColumn(stW, strataCol).withColumn(gtW, gate(keyCol, salt))
+    val (parted, offs) = RangedPrefix(base,
+      groupCols = Seq(stW), orderCols = Seq(col(gtW), keyCol),
+      valueExpr = lit(1L))
+    RangedPrefix.joinOffsets(parted, offs, Seq(stW))
+      .withColumn("__rk", col("__off") + row_number().over(
+        Window.partitionBy(col("__p"), col(stW)).orderBy(col(gtW), keyCol)))
+      .filter(col("__rk") <= n)
+      .select(df.columns.map(col).toIndexedSeq: _*)
   }
 
   /** Token-budget variant of [[capPerKey]] ("sample N tokens per domain"):

@@ -198,6 +198,16 @@ class SamplingProgramSpec extends SparkSpec {
     Program.validate(doc, spark, config)
     assert(spark.sparkContext.getPersistentRDDs.keySet == rddsBefore,
       "validation must not checkpoint (Pinned leak per validated document)")
+    // capPerKey became eager with the same rewrite — same contract
+    val docCap = Doc(
+      nodes = Seq(External("in"), CapPerKey("cp", "in", "src", "id", 5, "z")),
+      outputs = Seq("cp"))
+    Program.validate(docCap, spark,
+      new App.Config()
+        .setSource("in", App.Source("list", rows = Some(docs)))
+        .addSink("cp", App.Sink("memory")))
+    assert(spark.sparkContext.getPersistentRDDs.keySet == rddsBefore,
+      "capPerKey validation must not checkpoint either")
     // a bad column still fails by node name
     val badDoc = Doc(
       nodes = Seq(External("in"),
