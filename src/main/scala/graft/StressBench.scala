@@ -532,11 +532,19 @@ object StressBench {
                 val capSecs = (System.nanoTime() - t0) / 1e9
                 val nk = kept.count()
                 graft.api.Pinned.release(spark)
+                t0 = System.nanoTime()
+                val capped = graft.pipeline.Sampling.capPerKey(
+                  docs.select(col("doc_id"), col("lang")),
+                  col("lang"), col("doc_id"), n = 500)
+                capped.write.format("noop").mode("overwrite").save()
+                val cpkSecs = (System.nanoTime() - t0) / 1e9
+                graft.api.Pinned.release(spark)
                 if (expect == (-1L, -1L)) expect = (nt, nk)
                 else require((nt, nk) == expect,
                   s"langskew/$label/$mode row counts drifted: ($nt, $nk) vs $expect")
                 println(f"STRESS langskew/$label/$mode rep$rep ppl $pplSecs%.2f s " +
-                  f"($nt rows), capTokens $capSecs%.2f s ($nk rows) over $nDocs docs")
+                  f"($nt rows), capTokens $capSecs%.2f s ($nk rows), " +
+                  f"capPerKey $cpkSecs%.2f s over $nDocs docs")
               }
             }
           } finally base.unpersist()
