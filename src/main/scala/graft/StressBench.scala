@@ -511,7 +511,7 @@ object StressBench {
                 "hot60" -> when(pmod(col("doc_id"), lit(5L)) < 3L, lit("en"))
                   .otherwise(col("lang")))) {
               val docs = base.withColumn("lang", langExpr)
-              var expect = (-1L, -1L)
+              var expect = (-1L, -1L, -1L)
               for (rep <- 1 to 2) {
                 isolate()
                 var t0 = System.nanoTime()
@@ -538,10 +538,11 @@ object StressBench {
                   col("lang"), col("doc_id"), n = 500)
                 capped.write.format("noop").mode("overwrite").save()
                 val cpkSecs = (System.nanoTime() - t0) / 1e9
+                val nc = capped.count()
                 graft.api.Pinned.release(spark)
-                if (expect == (-1L, -1L)) expect = (nt, nk)
-                else require((nt, nk) == expect,
-                  s"langskew/$label/$mode row counts drifted: ($nt, $nk) vs $expect")
+                if (expect == ((-1L, -1L, -1L))) expect = (nt, nk, nc)
+                else require((nt, nk, nc) == expect,
+                  s"langskew/$label/$mode row counts drifted: ($nt, $nk, $nc) vs $expect")
                 println(f"STRESS langskew/$label/$mode rep$rep ppl $pplSecs%.2f s " +
                   f"($nt rows), capTokens $capSecs%.2f s ($nk rows), " +
                   f"capPerKey $cpkSecs%.2f s over $nDocs docs")

@@ -849,10 +849,10 @@ object Program {
         case LmScore(name, i, ref, idCol, textCol, refTextCol, alpha) =>
           graft.pipeline.TextOps.lmScoreAgainst(in(i),
             staticSide(name, in, ref), idCol, textCol, refTextCol, alpha)
-        case Lm3Score(_, i, idCol, textCol, alpha, l3, l2, l1) =>
+        case Lm3Score(name, i, idCol, textCol, alpha, l3, l2, l1) =>
           val s = in(i)
           new MStream(graft.pipeline.TextOps.trigramLmScore(
-              s.df, idCol, textCol, alpha, (l3, l2, l1)),
+              batchFace(name, "lm3Score", s), idCol, textCol, alpha, (l3, l2, l1)),
             s.eventOrder, s.contextKeys, s.name)
         case DsirScore(name, i, tgt, raw, idCol, textCol, refTextCol, buckets, alpha) =>
           graft.pipeline.TextOps.dsirScore(in(i), staticSide(name, in, tgt),
@@ -898,9 +898,10 @@ object Program {
           new MStream(graft.pipeline.Sampling.weightedMix(
               s.df, col(key), col(strata), weights, dflt, salt),
             s.eventOrder, s.contextKeys, s.name)
-        case CapPerKey(_, i, strata, key, cap, salt) =>
+        case CapPerKey(name, i, strata, key, cap, salt) =>
           val s = in(i)
-          new MStream(graft.pipeline.Sampling.capPerKey(s.df, col(strata), col(key), cap, salt),
+          new MStream(graft.pipeline.Sampling.capPerKey(
+              batchFace(name, "capPerKey", s), col(strata), col(key), cap, salt),
             s.eventOrder, s.contextKeys, s.name)
         case ExactKSample(_, i, idc, k, salt) =>
           val s = in(i)
@@ -910,15 +911,17 @@ object Program {
           val s = in(i)
           new MStream(graft.pipeline.Sampling.exactKPerKey(s.df, strata, idc, k, salt),
             s.eventOrder, s.contextKeys, s.name)
-        case CapTokens(_, i, strata, key, tokens, budget, salt) =>
+        case CapTokens(name, i, strata, key, tokens, budget, salt) =>
           val s = in(i)
           new MStream(graft.pipeline.Sampling.capTokensPerKey(
-              s.df, col(strata), col(key), col(tokens), budget, salt),
+              batchFace(name, "capTokens", s), col(strata), col(key),
+              col(tokens), budget, salt),
             s.eventOrder, s.contextKeys, s.name)
-        case TemperatureMix(_, i, key, strata, alpha, budget, salt) =>
+        case TemperatureMix(name, i, key, strata, alpha, budget, salt) =>
           val s = in(i)
           new MStream(graft.pipeline.Sampling.temperatureMix(
-              s.df, col(key), col(strata), alpha, budget, salt),
+              batchFace(name, "temperatureMix", s), col(key), col(strata),
+              alpha, budget, salt),
             s.eventOrder, s.contextKeys, s.name)
         case SafeSplit(_, i, pairs, idCol, aCol, bCol, splits, as, salt) =>
           val s = in(i)
@@ -2107,8 +2110,14 @@ object Program {
         bound.eventOrder, bound.contextKeys, n)
     }
     var env = Map.empty[String, MStream]
-    def emptyOf(schema: org.apache.spark.sql.types.StructType): MStream =
-      new MStream(spark.createDataFrame(
+    // the empty frame rides the INPUT's lift so declared eventOrder /
+    // contextKeys survive schema-only validation exactly as the real
+    // lowering preserves them (lift keeps order columns still present in
+    // the schema) — otherwise a valid program with a stateful op
+    // DOWNSTREAM of a build-time-eager node would fail validate on the
+    // scan's eventOrder.nonEmpty require while interpret runs it fine
+    def emptyOf(like: MStream, schema: org.apache.spark.sql.types.StructType): MStream =
+      like.lift(spark.createDataFrame(
         new java.util.ArrayList[org.apache.spark.sql.Row](), schema))
     doc.nodes.foreach { node =>
       try {
@@ -2129,46 +2138,46 @@ object Program {
             val s = env(lm.input)
             s.df.select(col(lm.idCol), col(lm.textCol)).schema
             env(lm.ref).df.select(col(lm.refTextCol)).schema
-            emptyOf(graft.pipeline.TextOps.lmScoreOutputSchema(
+            emptyOf(s, graft.pipeline.TextOps.lmScoreOutputSchema(
               lm.idCol, s.df.schema(lm.idCol).dataType))
           case l3: Lm3Score =>
             // build-time eager (the three count models pin at lowering):
             // force the column references, emit the score schema
             val s = env(l3.input)
             s.df.select(col(l3.idCol), col(l3.textCol)).schema
-            emptyOf(graft.pipeline.TextOps.lm3ScoreOutputSchema(
+            emptyOf(s, graft.pipeline.TextOps.lm3ScoreOutputSchema(
               l3.idCol, s.df.schema(l3.idCol).dataType))
           case ds: DsirScore =>
             val s = env(ds.input)
             s.df.select(col(ds.idCol), col(ds.textCol)).schema
             env(ds.target).df.select(col(ds.refTextCol)).schema
             env(ds.raw).df.select(col(ds.refTextCol)).schema
-            emptyOf(graft.pipeline.TextOps.dsirOutputSchema(
+            emptyOf(s, graft.pipeline.TextOps.dsirOutputSchema(
               ds.idCol, s.df.schema(ds.idCol).dataType))
           case tf: TokenFreq =>
             val s = env(tf.input)
             s.df.select(col(tf.idCol), col(tf.textCol)).schema
             env(tf.ref).df.select(col(tf.refTextCol)).schema
-            emptyOf(graft.pipeline.TextOps.tokenFreqOutputSchema(
+            emptyOf(s, graft.pipeline.TextOps.tokenFreqOutputSchema(
               tf.idCol, s.df.schema(tf.idCol).dataType))
           case be: BpeEncode =>
             val s = env(be.input)
             s.df.select(col(be.idCol), col(be.textCol)).schema
             env(be.merges).df.select(col("merge_rank"), col("lhs"), col("rhs")).schema
-            emptyOf(graft.pipeline.TextOps.bpeOutputSchema(
+            emptyOf(s, graft.pipeline.TextOps.bpeOutputSchema(
               be.idCol, s.df.schema(be.idCol).dataType))
           case ed: EmbedDedup if ed.centroids.isDefined =>
             val s = env(ed.input)
             s.df.select(col(ed.idCol), col(ed.vecCol)).schema
             env(ed.ref).df.select(col(ed.idCol), col(ed.vecCol)).schema
             env(ed.centroids.get).df.select(col("cid"), col("cv")).schema
-            emptyOf(s.df.schema) // survivors keep the input schema
+            emptyOf(s, s.df.schema) // survivors keep the input schema
           case ip: IvfProbe =>
             val s = env(ip.input)
             s.df.select(col(ip.qIdCol), col(ip.vecCol)).schema
             env(ip.corpus).df.select(col(ip.idCol), col(ip.vecCol)).schema
             env(ip.centroids).df.select(col("cid"), col("cv")).schema
-            emptyOf(graft.pipeline.Ivf.searchOutputSchema(
+            emptyOf(s, graft.pipeline.Ivf.searchOutputSchema(
               ip.qIdCol, s.df.schema(ip.qIdCol).dataType,
               ip.idCol, env(ip.corpus).df.schema(ip.idCol).dataType))
           case xd: ExactDedup =>
@@ -2177,13 +2186,13 @@ object Program {
             val s = env(xd.input)
             s.df.select(col(xd.idCol), col(xd.textCol)).schema
             env(xd.ref).df.select(col(xd.idCol), col(xd.textCol)).schema
-            emptyOf(s.df.schema)
+            emptyOf(s, s.df.schema)
           case nb: NbClassify =>
             // build-time eager (the count model collects): schema-only
             val s = env(nb.input)
             s.df.select(col(nb.idCol), col(nb.textCol)).schema
             env(nb.ref).df.select(col(nb.refTextCol), col(nb.refLabelCol)).schema
-            emptyOf(graft.pipeline.TextOps.nbOutputSchema(
+            emptyOf(s, graft.pipeline.TextOps.nbOutputSchema(
               nb.idCol, s.df.schema(nb.idCol).dataType))
           case tm: TemperatureMix =>
             // build-time eager (collects per-stratum counts, and rejects an
@@ -2191,7 +2200,7 @@ object Program {
             // the operator's schema (a filter — the input schema unchanged)
             val s = env(tm.input)
             s.df.select(col(tm.keyCol), col(tm.strataCol)).schema
-            emptyOf(s.df.schema)
+            emptyOf(s, s.df.schema)
           case ct: CapTokens =>
             // build-time eager since the RangedPrefix rewrite (the range
             // assignment checkpoints at lowering — running it here would
@@ -2200,24 +2209,24 @@ object Program {
             // schema (a filter — the input schema unchanged)
             val s = env(ct.input)
             s.df.select(col(ct.strataCol), col(ct.keyCol), col(ct.tokensCol)).schema
-            emptyOf(s.df.schema)
+            emptyOf(s, s.df.schema)
           case cp: CapPerKey =>
             // build-time eager since the RangedPrefix rewrite (same as
             // CapTokens): schema-only — a filter keeps the input schema
             val s = env(cp.input)
             s.df.select(col(cp.strataCol), col(cp.keyCol)).schema
-            emptyOf(s.df.schema)
+            emptyOf(s, s.df.schema)
           case dc: DedupCorpus =>
             // build-time eager (CC fixpoint runs driver rounds): force the
             // column references, emit the survivor-id schema
             val s = env(dc.input)
             s.df.select(col(dc.idCol), col(dc.textCol)).schema
-            emptyOf(org.apache.spark.sql.types.StructType(
+            emptyOf(s, org.apache.spark.sql.types.StructType(
               Seq(s.df.schema(dc.idCol))))
           case db: DedupCorpusBest =>
             val s = env(db.input)
             s.df.select(col(db.idCol), col(db.textCol), expr(db.score)).schema
-            emptyOf(org.apache.spark.sql.types.StructType(
+            emptyOf(s, org.apache.spark.sql.types.StructType(
               Seq(s.df.schema(db.idCol))))
           case sd: SemanticDedup =>
             // build-time eager (codebook collect + CC fixpoint): survivors
@@ -2225,12 +2234,12 @@ object Program {
             val s = env(sd.input)
             s.df.select(col(sd.idCol), col(sd.vecCol)).schema
             env(sd.centroids).df.select(col("cid"), col("cv")).schema
-            emptyOf(s.df.schema)
+            emptyOf(s, s.df.schema)
           case sb: SemanticDedupBest =>
             val s = env(sb.input)
             s.df.select(col(sb.idCol), col(sb.vecCol), expr(sb.score)).schema
             env(sb.centroids).df.select(col("cid"), col("cv")).schema
-            emptyOf(s.df.schema)
+            emptyOf(s, s.df.schema)
           case sq: Sq8Ingest =>
             // build-time eager (collects the capped stats artifact):
             // force the refs, emit input schema + the code column
@@ -2239,7 +2248,7 @@ object Program {
             env(sq.stats).df.select(col("dim"), col("lo"), col("hi")).schema
             // mirror withColumn: an existing `as` column is REPLACED, not
             // duplicated (encode-in-place documents must keep validating)
-            emptyOf(org.apache.spark.sql.types.StructType(
+            emptyOf(s, org.apache.spark.sql.types.StructType(
               s.df.schema.fields.filterNot(_.name == sq.as) :+
                 org.apache.spark.sql.types.StructField(
                   sq.as, org.apache.spark.sql.types.ArrayType(
@@ -2249,13 +2258,13 @@ object Program {
             // the refs; the layout op keeps the input schema
             val s = env(zo.input)
             s.df.select(zo.cols.map(col): _*).schema
-            emptyOf(s.df.schema)
+            emptyOf(s, s.df.schema)
           case sc: SpanScrub =>
             // build-time eager (pins the corpus-wide candidate frame):
             // emit the accounting schema (id, n_kept, kept_hash)
             val s = env(sc.input)
             s.df.select(col(sc.idCol), col(sc.textCol)).schema
-            emptyOf(org.apache.spark.sql.types.StructType(Seq(
+            emptyOf(s, org.apache.spark.sql.types.StructType(Seq(
               s.df.schema(sc.idCol),
               org.apache.spark.sql.types.StructField("n_kept",
                 org.apache.spark.sql.types.LongType),

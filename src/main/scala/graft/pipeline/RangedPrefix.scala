@@ -52,8 +52,11 @@ private[pipeline] object RangedPrefix {
     * projection does not). */
   def apply(df: DataFrame, groupCols: Seq[String], orderCols: Seq[Column],
             valueExpr: Column, pinInput: Boolean = false): (DataFrame, DataFrame) = {
-    require(!df.columns.contains("__p"),
-      "RangedPrefix input must not already carry __p")
+    // loud contract errors beat silent corruption: the machinery's
+    // working columns must not already exist (a caller's __off would
+    // become ambiguous after joinOffsets)
+    Seq("__p", "__off", "__grptot").foreach(c => require(!df.columns.contains(c),
+      s"RangedPrefix input must not already carry '$c' (machinery column)"))
     val input =
       if (!pinInput) df
       else {

@@ -252,15 +252,16 @@ object Sampling {
                 salt: String = ""): DataFrame = {
     require(n > 0, s"cap must be positive, got $n")
     import org.apache.spark.sql.expressions.Window
-    val (stW, gtW) = (freshName(df, "st"), freshName(df, "gt"))
+    val (stW, gtW, rkW) =
+      (freshName(df, "st"), freshName(df, "gt"), freshName(df, "rk"))
     val base = df.withColumn(stW, strataCol).withColumn(gtW, gate(keyCol, salt))
     val (parted, offs) = RangedPrefix(base,
       groupCols = Seq(stW), orderCols = Seq(col(gtW), keyCol),
       valueExpr = lit(1L))
     RangedPrefix.joinOffsets(parted, offs, Seq(stW))
-      .withColumn("__rk", col("__off") + row_number().over(
+      .withColumn(rkW, col("__off") + row_number().over(
         Window.partitionBy(col("__p"), col(stW)).orderBy(col(gtW), keyCol)))
-      .filter(col("__rk") <= n)
+      .filter(col(rkW) <= n)
       .select(df.columns.map(col).toIndexedSeq: _*)
   }
 
@@ -300,16 +301,17 @@ object Sampling {
     // materialize the stratum/gate expressions once under fresh names so
     // the helper can group and join by them (and a caller's own __-named
     // columns can't collide)
-    val (stW, gtW) = (freshName(df, "st"), freshName(df, "gt"))
+    val (stW, gtW, rtW) =
+      (freshName(df, "st"), freshName(df, "gt"), freshName(df, "rt"))
     val base = df.withColumn(stW, strataCol).withColumn(gtW, gate(keyCol, salt))
     val (parted, offs) = RangedPrefix(base,
       groupCols = Seq(stW), orderCols = Seq(col(gtW), keyCol),
       valueExpr = checked)
     RangedPrefix.joinOffsets(parted, offs, Seq(stW))
-      .withColumn("__rt", col("__off") + sum(checked).over(
+      .withColumn(rtW, col("__off") + sum(checked).over(
         Window.partitionBy(col("__p"), col(stW)).orderBy(col(gtW), keyCol)
           .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
-      .filter(col("__rt") <= budget)
+      .filter(col(rtW) <= budget)
       .select(df.columns.map(col).toIndexedSeq: _*)
   }
 

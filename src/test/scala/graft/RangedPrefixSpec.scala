@@ -41,6 +41,25 @@ class RangedPrefixSpec extends SparkSpec {
     assert(run(32) == ref, "width 32 must equal the width-1 window face")
   }
 
+  test("capPerKey: distributed rank == width-1 window face; null strata and string keys kept") {
+    // the round's third RangedPrefix rider — and the one whose integral-id
+    // scale face (exactKPerKey) can't cover null keys or string keys, so
+    // this width pin is its only hot-stratum exactness evidence
+    val rows = (0 until 260).map(i => (s"k$i", Option("en"))) ++
+      (0 until 24).map(i => (s"q$i", Option("fr"))) ++
+      (0 until 9).map(i => (s"n$i", Option.empty[String]))
+    val df = rows.toDF("key", "strata")
+    def run(w: Int): Set[String] = withWidth(w) {
+      try graft.pipeline.Sampling.capPerKey(df, col("strata"), col("key"), n = 7)
+        .collect().map(_.getString(0)).toSet
+      finally graft.api.Pinned.release(spark)
+    }
+    val ref = run(1)
+    assert(ref.size == 7 + 7 + 7, "each stratum (null included) keeps exactly n")
+    assert(run(5) == ref && run(32) == ref,
+      "distributed rank must equal the width-1 window face")
+  }
+
   test("degenerate inputs: empty frames and single rows survive the machinery") {
     val empty = Seq.empty[(Long, String, Long)].toDF("id", "strata", "toks")
     try {
