@@ -127,7 +127,14 @@ object StressBench {
         // tiles, per-stratum token budget) must stay bounded where the
         // old per-group windows serialized the dominant group, and the
         // 10x trigram-LM run (three count tables on the replica corpus)
-        "langskew", "q_lm3_score")
+        "langskew", "q_lm3_score",
+        // round-14: the hot-SHARD packing probe (one shard key holding
+        // ~60% of the corpus, 1x then 10x) — packChunks' per-key running
+        // sum was the last avoidable unbounded-per-key window; it now
+        // rides RangedPrefix like capTokensPerKey, and a coarse shard key
+        // (the single-source packing run) must pack at near-parity with
+        // a natural key distribution
+        "packskew")
     val spark = SparkSession.builder().master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
       .config("spark.sql.session.timeZone", "UTC")
@@ -546,6 +553,49 @@ object StressBench {
                 println(f"STRESS langskew/$label/$mode rep$rep ppl $pplSecs%.2f s " +
                   f"($nt rows), capTokens $capSecs%.2f s ($nk rows), " +
                   f"capPerKey $cpkSecs%.2f s over $nDocs docs")
+              }
+            }
+          } finally base.unpersist()
+        }
+      } else if (q == "packskew") {
+        // round-14: packChunks' hot-SHARD regime made empirical. The
+        // caller picks the shard key, and a packing run over one corpus
+        // slice (a single source, a single epoch) is a NATURAL call that
+        // used to fold the entire corpus's prefix sum in ONE task; the
+        // RangedPrefix lowering bounds every task by the range width.
+        // 60% of the corpus forced into ONE shard vs the natural source
+        // distribution, at 1x and 10x — near-parity hot vs natural and
+        // stable row/chunk counts are the no-single-task evidence
+        // (exactness is spec-pinned: width-1 == width-N in
+        // RangedPrefixSpec's packChunks case).
+        for ((label, path) <- Seq("1x" -> s"$src/documents.parquet",
+                                  "10x" -> docsPath)) {
+          val base = spark.read.parquet(path)
+            .select(col("doc_id"), col("text"), col("source")).persist()
+          val nDocs = base.count()
+          try {
+            for ((mode, srcExpr) <- Seq(
+                "natural" -> col("source"),
+                "hot60" -> when(pmod(col("doc_id"), lit(5L)) < 3L, lit("epoch0"))
+                  .otherwise(col("source")))) {
+              val docs = base.withColumn("source", srcExpr)
+              var expect = (-1L, -1L)
+              for (rep <- 1 to 2) {
+                isolate()
+                val t0 = System.nanoTime()
+                val packed = graft.pipeline.TextOps.packChunks(
+                  docs, "doc_id", "text", "source", budget = 4096L)
+                packed.write.format("noop").mode("overwrite").save()
+                val secs = (System.nanoTime() - t0) / 1e9
+                val n = packed.count()
+                val nChunks = packed.select(col("source"), col("chunk_id"))
+                  .distinct().count()
+                graft.api.Pinned.release(spark)
+                if (expect == ((-1L, -1L))) expect = (n, nChunks)
+                else require((n, nChunks) == expect,
+                  s"packskew/$label/$mode counts drifted: ($n, $nChunks) vs $expect")
+                println(f"STRESS packskew/$label/$mode rep$rep $secs%.2f s " +
+                  f"($n rows, $nChunks chunks) over $nDocs docs")
               }
             }
           } finally base.unpersist()

@@ -476,20 +476,39 @@ object TextOps {
     * partition key, to consecutive training chunks of ~`budget` tokens
     * (streaming-greedy: a chunk takes documents until the budget is
     * crossed, so chunks overflow by at most one document — the standard
-    * packing used when assembling fixed-length training sequences). One
-    * running-sum window per partition key; sorting happens within keys
-    * only, so scale is bounded by the largest partition, not the corpus. */
+    * packing used when assembling fixed-length training sequences).
+    *
+    * Scale shape: the per-key running token sum is a DISTRIBUTED exact
+    * prefix ([[RangedPrefix]] — range partition on the unique
+    * (partCol, idCol) total order, one narrow checkpoint of
+    * (id, key, n_tokens) rows, per-(range, key) token sums as offsets),
+    * not a per-key window. The caller picks `partCol`, and a packing run
+    * over one corpus slice — a single source, a single epoch — is a
+    * NATURAL call whose coarse key would otherwise fold the entire
+    * corpus's prefix sum in one task; with the ranged prefix every task
+    * is bounded by the range width regardless of key skew
+    * (capTokensPerKey's shape — the same greedy budget walk). Requires
+    * `idCol` unique within each key (the order the greedy walk follows;
+    * duplicate ids would make the walk itself ill-defined). */
   def packChunks(docs: org.apache.spark.sql.DataFrame, idCol: String, textCol: String,
                  partCol: String, budget: Long): org.apache.spark.sql.DataFrame = {
     require(budget > 0, s"budget=$budget: chunk budget must be positive " +
       "(zero would divide the running token sum by zero)")
     import org.apache.spark.sql.expressions.Window
-    val w = Window.partitionBy(col(partCol)).orderBy(col(idCol))
-      .rowsBetween(Window.unboundedPreceding, -1)
     val toks = tokenCountWhitespace(col(textCol)).cast("long")
-    docs.select(col(idCol), col(partCol), toks.as("n_tokens"))
+    val base = docs.select(col(idCol), col(partCol), toks.as("n_tokens"))
+    val (parted, offs) = RangedPrefix(base,
+      groupCols = Seq(partCol), orderCols = Seq(col(idCol)),
+      valueExpr = col("n_tokens"))
+    // chunk boundary = floor(prefix EXCLUDING the current doc / budget):
+    // group offset + a local window bounded by the range width
+    val w = Window.partitionBy(col("__p"), col(partCol)).orderBy(col(idCol))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    RangedPrefix.joinOffsets(parted, offs, Seq(partCol))
       .withColumn("chunk_id",
-        floor(coalesce(sum(col("n_tokens")).over(w), lit(0L)) / budget).cast("long"))
+        floor((col("__off") + coalesce(sum(col("n_tokens")).over(w), lit(0L))) / budget)
+          .cast("long"))
+      .select(col(idCol), col(partCol), col("n_tokens"), col("chunk_id"))
   }
 
   /** Frequency-ranked vocabulary: words with >= `minCount` occurrences,

@@ -60,6 +60,30 @@ class RangedPrefixSpec extends SparkSpec {
       "distributed rank must equal the width-1 window face")
   }
 
+  test("packChunks: distributed prefix == width-1 window face; coarse hot key and null key") {
+    // the r13 verdict's last avoidable unbounded-per-key window: one shard
+    // key holds nearly the whole corpus (the single-source packing run), a
+    // small key, and a NULL key (its own group, as a window treats it)
+    val rows = (0 until 280).map(i =>
+        (i.toLong, ("tok " * (1 + i % 9)).trim, Option("corpus"))) ++
+      (0 until 15).map(i => (1000L + i, "a b c", Option("small"))) ++
+      (0 until 6).map(i => (2000L + i, "x y", Option.empty[String]))
+    val df = rows.toDF("doc_id", "text", "source")
+    def run(w: Int): Set[(Long, Long)] = withWidth(w) {
+      try graft.pipeline.TextOps.packChunks(df, "doc_id", "text", "source", budget = 64L)
+        .collect().map(r => (r.getLong(0), r.getLong(3))).toSet
+      finally graft.api.Pinned.release(spark)
+    }
+    val ref = run(1)
+    assert(ref.size == rows.size, "every document gets a chunk")
+    assert(ref.filter(_._1 < 1000L).map(_._2).max > 5,
+      "the hot key must actually span many chunks")
+    assert(ref.filter(t => t._1 >= 2000L).map(_._2) == Set(0L),
+      "the null key packs as its own group and must survive the offsets join")
+    assert(run(5) == ref, "width 5 must equal the width-1 window face")
+    assert(run(32) == ref, "width 32 must equal the width-1 window face")
+  }
+
   test("degenerate inputs: empty frames and single rows survive the machinery") {
     val empty = Seq.empty[(Long, String, Long)].toDF("id", "strata", "toks")
     try {
