@@ -850,10 +850,12 @@ object Program {
           graft.pipeline.TextOps.lmScoreAgainst(in(i),
             staticSide(name, in, ref), idCol, textCol, refTextCol, alpha)
         case Lm3Score(name, i, idCol, textCol, alpha, l3, l2, l1) =>
+          // lift (not verbatim eventOrder): the score schema drops the
+          // order columns, and validate's emptyOf assumes lift semantics —
+          // the two faces must agree on what survives
           val s = in(i)
-          new MStream(graft.pipeline.TextOps.trigramLmScore(
-              batchFace(name, "lm3Score", s), idCol, textCol, alpha, (l3, l2, l1)),
-            s.eventOrder, s.contextKeys, s.name)
+          s.lift(graft.pipeline.TextOps.trigramLmScore(
+            batchFace(name, "lm3Score", s), idCol, textCol, alpha, (l3, l2, l1)))
         case DsirScore(name, i, tgt, raw, idCol, textCol, refTextCol, buckets, alpha) =>
           graft.pipeline.TextOps.dsirScore(in(i), staticSide(name, in, tgt),
             staticSide(name, in, raw), idCol, textCol, refTextCol, buckets, alpha)
@@ -1927,12 +1929,24 @@ object Program {
             (v \ "ref").extract[String], (v \ "idCol").extract[String],
             (v \ "textCol").extract[String], (v \ "refTextCol").extract[String],
             (v \ "alpha").extractOpt[Double].getOrElse(0.5))
-          case "lm3Score" => Lm3Score(name, (v \ "input").extract[String],
-            (v \ "idCol").extract[String], (v \ "textCol").extract[String],
-            (v \ "alpha").extractOpt[Double].getOrElse(0.5),
-            (v \ "l3").extractOpt[Double].getOrElse(0.6),
-            (v \ "l2").extractOpt[Double].getOrElse(0.3),
-            (v \ "l1").extractOpt[Double].getOrElse(0.1))
+          case "lm3Score" =>
+            // lambda defaults are ALL-OR-NONE: defaulting the absent ones
+            // independently would turn a hand-written partial artifact
+            // (say l3=1.0 alone) into weights summing past 1 that only
+            // fail later in validate, blaming values the author never
+            // wrote — reject the partial spec here with the real cause
+            val ls = Seq("l3", "l2", "l1").map(k => (v \ k).extractOpt[Double])
+            if (ls.exists(_.isDefined) && ls.exists(_.isEmpty))
+              throw new IllegalArgumentException(
+                s"node '$name': lm3Score lambdas are all-or-none — specify " +
+                  "l3, l2 AND l1, or none of them (defaults 0.6/0.3/0.1); got " +
+                  Seq("l3", "l2", "l1").zip(ls).collect {
+                    case (k, Some(x)) => s"$k=$x" }.mkString(", "))
+            val Seq(l3, l2, l1) =
+              if (ls.head.isDefined) ls.map(_.get) else Seq(0.6, 0.3, 0.1)
+            Lm3Score(name, (v \ "input").extract[String],
+              (v \ "idCol").extract[String], (v \ "textCol").extract[String],
+              (v \ "alpha").extractOpt[Double].getOrElse(0.5), l3, l2, l1)
           case "dsirScore" => DsirScore(name, (v \ "input").extract[String],
             (v \ "target").extract[String], (v \ "raw").extract[String],
             (v \ "idCol").extract[String], (v \ "textCol").extract[String],

@@ -111,7 +111,7 @@ object Dedup {
                 Seq("__k1", "__k2"), "left_anti")
               .drop("__k1", "__k2"))
       }
-      return new graft.api.MStream(out, stream.eventOrder, stream.contextKeys, stream.name)
+      return stream.lift(out)
     }
 
     // streaming: pin the distinct key set once; the probe is a zero-state
@@ -132,8 +132,7 @@ object Dedup {
       .join(if (broadcastRef) broadcast(refKeys) else refKeys, Seq("__k1", "__k2"), "left")
       .filter(col("__hit").isNull)
       .drop("__hit", "__k1", "__k2")
-    new graft.api.MStream(clear.unionByName(surv),
-      stream.eventOrder, stream.contextKeys, stream.name)
+    stream.lift(clear.unionByName(surv))
   }
 
   /** C4-style corpus-wide duplicate-line scrub (Raffel et al. 2020 §2.2:
@@ -561,8 +560,7 @@ object Dedup {
         case None => rawPairs
       }
       val matched = pairs.select(col("id_new").as(idCol)).distinct()
-      return new graft.api.MStream(df.join(matched, Seq(idCol), "left_anti"),
-        stream.eventOrder, stream.contextKeys, stream.name)
+      return stream.lift(df.join(matched, Seq(idCol), "left_anti"))
     }
 
     val rows = k / bands
@@ -670,7 +668,7 @@ object Dedup {
           if (!matched && payload.nonEmpty) Iterator.single(payload.get)
           else Iterator.empty
       }
-    new graft.api.MStream(out, stream.eventOrder, stream.contextKeys, stream.name)
+    stream.lift(out)
   }
 
   /** Containment near-dup pairs (RefinedWeb-style): containment
@@ -1344,9 +1342,8 @@ object Dedup {
       val survivors = reps.select(col("__id"))
         .join(droppedReps, Seq("__id"), "left_anti")
         .withColumnRenamed("__id", idCol)
-      return new graft.api.MStream(
-        df.join(survivors, Seq(idCol), "left_semi").select(orig.map(col): _*),
-        stream.eventOrder, stream.contextKeys, stream.name)
+      return stream.lift(
+        df.join(survivors, Seq(idCol), "left_semi").select(orig.map(col): _*))
     }
 
     // ---- streaming: pigeonhole buckets + per-doc combine -----------------
@@ -1468,7 +1465,7 @@ object Dedup {
           if (!matched && payload.nonEmpty) Iterator.single(payload.get)
           else Iterator.empty
       }
-    new graft.api.MStream(out, stream.eventOrder, stream.contextKeys, stream.name)
+    stream.lift(out)
   }
 
   /** Repeated-passage detection (exact substring dedup at token-k-gram
@@ -1685,7 +1682,7 @@ object Dedup {
         .select(orig.map(col) :+
           concat_ws(" ", col("__kept")).as("scrubbed") :+
           size(col("__kept")).cast("long").as("n_kept"): _*)
-      return new graft.api.MStream(out, stream.eventOrder, stream.contextKeys, stream.name)
+      return stream.lift(out)
     }
 
     // streaming: one narrow leg (explode + broadcast left join keeps every
@@ -1726,7 +1723,7 @@ object Dedup {
           Iterator.single(Row.fromSeq(
             payload.toSeq ++ Seq(kept.mkString(" "), kept.length.toLong)))
       }
-    new graft.api.MStream(out, stream.eventOrder, stream.contextKeys, stream.name)
+    stream.lift(out)
   }
 
   /** Embedding cosine near-dup, exact all-pairs baseline. Quadratic — the
@@ -1959,7 +1956,7 @@ object Dedup {
       col("__n") * col("__rn")) >= threshold
     val survivors = arr.join(broadcast(ref), near, "left_anti")
       .select(orig.map(col): _*)
-    new graft.api.MStream(survivors, stream.eventOrder, stream.contextKeys, stream.name)
+    stream.lift(survivors)
   }
 
   /** IVF-routed face of [[embeddingDedupAgainstCorpus]] — the tested
@@ -2031,9 +2028,8 @@ object Dedup {
             .filter(isCos)
             .select(col(idCol))
         }).distinct()
-      return new graft.api.MStream(
-        df.join(matched, Seq(idCol), "left_anti").select(orig.map(col): _*),
-        stream.eventOrder, stream.contextKeys, stream.name)
+      return stream.lift(
+        df.join(matched, Seq(idCol), "left_anti").select(orig.map(col): _*))
     }
 
     // shuffled face: salt the pinned reference's hot IVF cells at pin
@@ -2081,6 +2077,6 @@ object Dedup {
           if (!matched && payload.nonEmpty) Iterator.single(payload.get)
           else Iterator.empty
       }
-    new graft.api.MStream(out, stream.eventOrder, stream.contextKeys, stream.name)
+    stream.lift(out)
   }
 }

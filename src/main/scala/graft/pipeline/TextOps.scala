@@ -946,9 +946,7 @@ object TextOps {
         .where(col("__rn") === 1)
         .select(col("__id").as(idCol), col("__c").as("pred"),
           col("__score").as("score"))
-      return new graft.api.MStream(
-        df.select(id).join(pred, Seq(idCol), "left"),
-        stream.eventOrder, stream.contextKeys, stream.name)
+      return stream.lift(df.select(id).join(pred, Seq(idCol), "left"))
     }
 
     // streaming: wordless docs ride a null-word sentinel whose class
@@ -997,7 +995,7 @@ object TextOps {
           }
       }
       .withColumnRenamed("__id", idCol)
-    new graft.api.MStream(out, stream.eventOrder, stream.contextKeys, stream.name)
+    stream.lift(out)
   }
 
   /** RE2-safe PII patterns (portable between Java regex and DuckDB's RE2 —
@@ -1100,9 +1098,7 @@ object TextOps {
     * projection is already dual-mode). */
   def gopherGate(stream: graft.api.MStream, idCol: String, textCol: String,
                  minWords: Int = 50, maxWords: Int = 100000): graft.api.MStream =
-    new graft.api.MStream(
-      gopherRules(stream.df, idCol, textCol, minWords, maxWords),
-      stream.eventOrder, stream.contextKeys, stream.name)
+    stream.lift(gopherRules(stream.df, idCol, textCol, minWords, maxWords))
 
   /** Dual-mode bigram-LM scoring AGAINST a reference corpus — the full
     * CCNet shape (Wenzek et al. 2020 score crawl text with an LM trained
@@ -1179,7 +1175,7 @@ object TextOps {
         .agg(count(lit(1)).as("n_pairs"), round(avg(col("__lp")), 3).as("avg_logprob"))
       val out = df.select(id).join(scored, Seq(idCol), "left")
         .select(id, coalesce(col("n_pairs"), lit(0L)).as("n_pairs"), col("avg_logprob"))
-      return new graft.api.MStream(out, stream.eventOrder, stream.contextKeys, stream.name)
+      return stream.lift(out)
     }
 
     // streaming: pair-less docs ride a sentinel row (null u/v never joins)
@@ -1217,7 +1213,7 @@ object TextOps {
       // exact avg/round semantics
       .select(col("__id").as(idCol), col("n_pairs"),
         round(col("__sum") / col("n_pairs"), 3).as("avg_logprob"))
-    new graft.api.MStream(out, stream.eventOrder, stream.contextKeys, stream.name)
+    stream.lift(out)
   }
 
   /** Dual-mode [[encodeTokens]] — apply a FIXED vocabulary at ingest.
@@ -1240,8 +1236,7 @@ object TextOps {
     import org.apache.spark.sql.types._
     val df = stream.df
     if (!df.isStreaming)
-      return new graft.api.MStream(encodeTokens(df, idCol, textCol, vocab, oovId),
-        stream.eventOrder, stream.contextKeys, stream.name)
+      return stream.lift(encodeTokens(df, idCol, textCol, vocab, oovId))
     val (vcp, vIds) = graft.api.Pinned.checkpointTracked(
       vocab.select(col("word").as("__w"), col("id")))
     graft.api.Pinned.register(df.sparkSession, vIds)
@@ -1265,7 +1260,7 @@ object TextOps {
           Iterator.single(Row(key.get(0), ids, rows.count(_.isNullAt(vidIdx)).toLong))
       }
       .withColumnRenamed("__id", idCol)
-    new graft.api.MStream(out, stream.eventOrder, stream.contextKeys, stream.name)
+    stream.lift(out)
   }
 
   /** Dual-mode [[decontaminate]] — benchmark-overlap hygiene at ingest.
@@ -1284,9 +1279,8 @@ object TextOps {
     import org.apache.spark.sql.types._
     val df = stream.df
     if (!df.isStreaming)
-      return new graft.api.MStream(
-        decontaminate(df, idCol, textCol, bench, benchTextCol, n, minOverlap),
-        stream.eventOrder, stream.contextKeys, stream.name)
+      return stream.lift(
+        decontaminate(df, idCol, textCol, bench, benchTextCol, n, minOverlap))
     val (bcp, bIds) = graft.api.Pinned.checkpointTracked(
       bench.select(explode(array_distinct(
           graft.functions.VectorFunctions.wordShingleHashes(col(benchTextCol), n))).as("__g"))
@@ -1312,7 +1306,7 @@ object TextOps {
           Iterator.single(Row(key.get(0), hits, if (hits >= mo) 1 else 0))
       }
       .withColumnRenamed("__id", idCol)
-    new graft.api.MStream(out, stream.eventOrder, stream.contextKeys, stream.name)
+    stream.lift(out)
   }
 
   /** DSIR-style importance weights (Xie et al. 2023, "Data Selection for
@@ -1391,7 +1385,7 @@ object TextOps {
         .agg(count(lit(1)).as("__n"), sum(lam).as("__s"))
       val out = df.select(id).join(scored, Seq(idCol), "left")
         .select(id +: finish(col("__n"), col("__s")): _*)
-      return new graft.api.MStream(out, stream.eventOrder, stream.contextKeys, stream.name)
+      return stream.lift(out)
     }
 
     // streaming: bigram-less docs ride a sentinel (null bucket) row so
@@ -1421,7 +1415,7 @@ object TextOps {
       }
       .select(col("__id").as(idCol) +:
         finish(col("__n"), when(col("__n") > 0, col("__s"))): _*)
-    new graft.api.MStream(out, stream.eventOrder, stream.contextKeys, stream.name)
+    stream.lift(out)
   }
 
   /** Symbol-bracket markers (U+0002 / U+0003) for the BPE working
@@ -1628,8 +1622,7 @@ object TextOps {
     import org.apache.spark.sql.types._
     val df = stream.df
     if (!df.isStreaming)
-      return new graft.api.MStream(bpeTokenize(df, idCol, textCol, merges),
-        stream.eventOrder, stream.contextKeys, stream.name)
+      return stream.lift(bpeTokenize(df, idCol, textCol, merges))
     val ms = merges.select(col("merge_rank"), col("lhs"), col("rhs"))
       .collect().sortBy(_.getInt(0)).map(r => (r.getString(1), r.getString(2))).toSeq
     val id = col(idCol)
@@ -1664,7 +1657,7 @@ object TextOps {
             if (rows.isEmpty) 0L else h))
       }
       .withColumnRenamed("__id", idCol)
-    new graft.api.MStream(out, stream.eventOrder, stream.contextKeys, stream.name)
+    stream.lift(out)
   }
 
   /** Token-frequency annotation against a REFERENCE corpus sketch: one
@@ -1734,7 +1727,7 @@ object TextOps {
         sum(when(col("__e") <= rareMax, 1L).otherwise(0L)).as("__r"))
       val out = df.select(id).join(agg, Seq(idCol), "left")
         .select(id +: outCols(col("__n"), col("__mn"), col("__r")): _*)
-      return new graft.api.MStream(out, stream.eventOrder, stream.contextKeys, stream.name)
+      return stream.lift(out)
     }
 
     // streaming: token-less docs ride a sentinel (null-hash) row; the
@@ -1767,7 +1760,7 @@ object TextOps {
       }
       .select(col("__id").as(idCol) +:
         outCols(col("n_tokens"), col("min_est"), col("n_rare")): _*)
-    new graft.api.MStream(out, stream.eventOrder, stream.contextKeys, stream.name)
+    stream.lift(out)
   }
 
   /** Heavy hitters via a count–min sketch (Cormode & Muthukrishnan 2005):

@@ -48,6 +48,15 @@ object StreamingJoins {
       lKey: L => K, rKey: R => K,
       lSeq: L => Long, rSeq: R => Long,
       kind: Kind,
+      /** Cross-side post-condition. It is handed a NULL side when that
+        * side's state is absent (reference semantics) — a residual that
+        * is not null-tolerant NPEs there, and that NPE is treated as
+        * gate-failed (row suppressed, matching the Column faces' SQL
+        * null comparison), NOT as a query error. An NPE raised with BOTH
+        * sides present still propagates as a genuine residual bug; but
+        * one raised while a side is null is indistinguishable from the
+        * null-side dereference and degrades to suppression — write
+        * residuals null-tolerant if that distinction matters. */
       residual: (L, R) => Boolean = noResidual[L, R],
       /** Evict join state for keys idle longer than this (Milan keeps
         * group state forever — unbounded on an unbounded key space). */

@@ -98,4 +98,43 @@ class TrigramLmSpec extends SparkSpec {
       assert(viaDoc == direct, "document execution must equal the direct API")
     } finally graft.api.Pinned.release(spark)
   }
+
+  test("Lm3Score JSON: lambda defaults are all-or-none; absent = 0.6/0.3/0.1") {
+    def artifact(lambdaJson: String): String =
+      s"""{"version":7,"nodes":[
+         |{"op":"external","name":"in"},
+         |{"op":"lm3Score","name":"s","input":"in","idCol":"doc_id",
+         |"textCol":"text"$lambdaJson}],"outputs":["s"]}""".stripMargin
+    // a hand-written artifact specifying a SUBSET must fail at load with
+    // the real cause, not a later confusing sum-to-1 over defaults the
+    // author never wrote
+    val partial = intercept[IllegalArgumentException](
+      Program.fromJson(artifact(""","l3":1.0""")))
+    assert(partial.getMessage.contains("all-or-none") &&
+      partial.getMessage.contains("l3=1.0"), partial.getMessage)
+    // none specified: the documented defaults apply
+    val defaulted = Program.fromJson(artifact(""))
+    assert(defaulted.nodes.collectFirst { case l: Lm3Score => (l.l3, l.l2, l.l1) }
+      .contains((0.6, 0.3, 0.1)))
+    // all three specified: used verbatim
+    val full = Program.fromJson(artifact(""","l3":0.5,"l2":0.25,"l1":0.25"""))
+    assert(full.nodes.collectFirst { case l: Lm3Score => (l.l3, l.l2, l.l1) }
+      .contains((0.5, 0.25, 0.25)))
+  }
+
+  test("Lm3Score interpret drops stale eventOrder like validate's lift") {
+    // the score schema (id, n_tris, avg_logprob) no longer carries the
+    // input's order column — both faces must agree it is gone, so a
+    // downstream stateful op fails the SAME way in validate and interpret
+    val d = Doc(
+      nodes = Seq(External("in"),
+        Lm3Score("s", "in", "doc_id", "text", 0.5, 0.6, 0.3, 0.1)),
+      outputs = Seq("s"))
+    val ordered = graft.api.MStream(corpus.toDF("doc_id", "text")).orderedBy("text")
+    try {
+      val out = Program.interpret(d)(_ => ordered)("s")
+      assert(out.eventOrder.isEmpty,
+        s"interpret must lift (order column dropped), got ${out.eventOrder}")
+    } finally graft.api.Pinned.release(spark)
+  }
 }
