@@ -2042,6 +2042,112 @@ object QueriesPipeline {
         SELECT d.doc_id, coalesce(a.n_tris, 0)::BIGINT AS n_tris, a.avg_logprob
         FROM documents d LEFT JOIN agg a USING (doc_id)"""
 
+  /** Order-5 interpolated LM quality score — the 5-gram shape real CCNet
+    * pipelines score with (JM smoothing over add-0.5 estimates; KenLM's
+    * modified Kneser-Ney is the documented deviation). The oracle
+    * rebuilds all five count tables and the suffix-aligned interpolation
+    * relationally. */
+  def qLm5Score(spark: SparkSession, dir: String): DataFrame =
+    TextOps.ngramLmScore(Tables.documents(spark, dir).df, "doc_id", "text",
+      order = 5, alpha = 0.5, lambdas = Seq(0.4, 0.25, 0.15, 0.12, 0.08))
+
+  /** The oracle mirror pins the join ORDER stepwise (MATERIALIZED CTEs,
+    * each a 1:1 keyed join chain): letting the engine reorder the flat
+    * 9-join graph invites a many-to-many context-table pairing
+    * (c5x ⋈ c4 on a shared context is quadratic per hot context —
+    * observed as a DuckDB hang at sf0.01). Spark's side executes the
+    * as-written fold, which is the same stepwise chain. */
+  val qLm5ScoreSql: String =
+    s"""WITH words AS (SELECT doc_id, list_filter(string_split_regex(text, '[ \\t\\n\\f\\r\\x0b]+'), x -> x <> '') AS w FROM documents),
+        toks AS (SELECT unnest(w) AS e FROM words),
+        c1 AS MATERIALIZED (SELECT e, count(*) AS c1 FROM toks GROUP BY e),
+        nv AS MATERIALIZED (SELECT sum(c1)::DOUBLE AS n, count(*)::DOUBLE AS vv FROM c1),
+        g2 AS (SELECT unnest(w[1:len(w) - 1]) AS d, unnest(w[2:len(w)]) AS e FROM words WHERE len(w) >= 2),
+        c2 AS MATERIALIZED (SELECT d, e, count(*) AS c2 FROM g2 GROUP BY d, e),
+        c2x AS MATERIALIZED (SELECT d, sum(c2) AS c2x FROM c2 GROUP BY d),
+        g3 AS (SELECT unnest(w[1:len(w) - 2]) AS c, unnest(w[2:len(w) - 1]) AS d, unnest(w[3:len(w)]) AS e FROM words WHERE len(w) >= 3),
+        c3 AS MATERIALIZED (SELECT c, d, e, count(*) AS c3 FROM g3 GROUP BY c, d, e),
+        c3x AS MATERIALIZED (SELECT c, d, sum(c3) AS c3x FROM c3 GROUP BY c, d),
+        g4 AS (SELECT unnest(w[1:len(w) - 3]) AS b, unnest(w[2:len(w) - 2]) AS c, unnest(w[3:len(w) - 1]) AS d, unnest(w[4:len(w)]) AS e FROM words WHERE len(w) >= 4),
+        c4 AS MATERIALIZED (SELECT b, c, d, e, count(*) AS c4 FROM g4 GROUP BY b, c, d, e),
+        c4x AS MATERIALIZED (SELECT b, c, d, sum(c4) AS c4x FROM c4 GROUP BY b, c, d),
+        g5 AS (SELECT doc_id, unnest(w[1:len(w) - 4]) AS a, unnest(w[2:len(w) - 3]) AS b, unnest(w[3:len(w) - 2]) AS c, unnest(w[4:len(w) - 1]) AS d, unnest(w[5:len(w)]) AS e FROM words WHERE len(w) >= 5),
+        c5 AS MATERIALIZED (SELECT a, b, c, d, e, count(*) AS c5 FROM g5 GROUP BY a, b, c, d, e),
+        c5x AS MATERIALIZED (SELECT a, b, c, d, sum(c5) AS c5x FROM c5 GROUP BY a, b, c, d),
+        j5 AS MATERIALIZED (SELECT p.doc_id AS doc_id, p.b AS b, p.c AS c, p.d AS d, p.e AS e,
+            0.4 * (c5.c5 + 0.5) / (c5x.c5x + nv.vv * 0.5) AS t5, nv.n AS n, nv.vv AS vv
+          FROM g5 p
+          JOIN c5 ON p.a = c5.a AND p.b = c5.b AND p.c = c5.c AND p.d = c5.d AND p.e = c5.e
+          JOIN c5x ON p.a = c5x.a AND p.b = c5x.b AND p.c = c5x.c AND p.d = c5x.d
+          CROSS JOIN nv),
+        j4 AS MATERIALIZED (SELECT p.doc_id AS doc_id, p.c AS c, p.d AS d, p.e AS e, p.t5 AS t5, p.n AS n, p.vv AS vv,
+            0.25 * (c4.c4 + 0.5) / (c4x.c4x + p.vv * 0.5) AS t4
+          FROM j5 p
+          JOIN c4 ON p.b = c4.b AND p.c = c4.c AND p.d = c4.d AND p.e = c4.e
+          JOIN c4x ON p.b = c4x.b AND p.c = c4x.c AND p.d = c4x.d),
+        j3 AS MATERIALIZED (SELECT p.doc_id AS doc_id, p.d AS d, p.e AS e, p.t5 AS t5, p.t4 AS t4, p.n AS n, p.vv AS vv,
+            0.15 * (c3.c3 + 0.5) / (c3x.c3x + p.vv * 0.5) AS t3
+          FROM j4 p
+          JOIN c3 ON p.c = c3.c AND p.d = c3.d AND p.e = c3.e
+          JOIN c3x ON p.c = c3x.c AND p.d = c3x.d),
+        j2 AS MATERIALIZED (SELECT p.doc_id AS doc_id, p.e AS e, p.t5 AS t5, p.t4 AS t4, p.t3 AS t3, p.n AS n, p.vv AS vv,
+            0.12 * (c2.c2 + 0.5) / (c2x.c2x + p.vv * 0.5) AS t2
+          FROM j3 p
+          JOIN c2 ON p.d = c2.d AND p.e = c2.e
+          JOIN c2x ON p.d = c2x.d),
+        agg AS (SELECT p.doc_id AS doc_id, count(*) AS n_grams,
+            round(avg(ln(p.t5 + p.t4 + p.t3 + p.t2
+              + 0.08 * (c1.c1 + 0.5) / (p.n + p.vv * 0.5))), 3) AS avg_logprob
+          FROM j2 p JOIN c1 ON p.e = c1.e
+          GROUP BY p.doc_id)
+        SELECT d.doc_id, coalesce(a.n_grams, 0)::BIGINT AS n_grams, a.avg_logprob
+        FROM documents d LEFT JOIN agg a USING (doc_id)"""
+
+  /** The CCNet ingest shape at order 3: every document scored against a
+    * PRETRAINED trigram model (ref = the src0-src3 slice — the
+    * Wikipedia-analog); contexts unseen in the reference back off through
+    * the left-join smoothed floor, which the self-scoring q_lm3_score
+    * never exercises. */
+  def qLm3Against(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir).df
+    val ref = docs.filter(col("source").isin("src0", "src1", "src2", "src3"))
+    TextOps.lm3ScoreAgainst(graft.api.MStream(docs), ref,
+      "doc_id", "text", "text").df
+  }
+
+  val qLm3AgainstSql: String =
+    s"""WITH rwords AS (SELECT list_filter(string_split_regex(text, '[ \\t\\n\\f\\r\\x0b]+'), x -> x <> '') AS w
+                        FROM documents WHERE source IN ('src0', 'src1', 'src2', 'src3')),
+        c1 AS (SELECT t, count(*) AS c1 FROM (SELECT unnest(w) AS t FROM rwords) GROUP BY t),
+        nv AS (SELECT sum(c1)::DOUBLE AS n, count(*)::DOUBLE AS vv FROM c1),
+        prs AS (SELECT unnest(w[1:len(w) - 1]) AS v, unnest(w[2:len(w)]) AS t
+                FROM rwords WHERE len(w) >= 2),
+        c2 AS (SELECT v, t, count(*) AS c2 FROM prs GROUP BY v, t),
+        c2x AS (SELECT v, sum(c2) AS c2x FROM c2 GROUP BY v),
+        rtris AS (SELECT unnest(w[1:len(w) - 2]) AS u, unnest(w[2:len(w) - 1]) AS v,
+                    unnest(w[3:len(w)]) AS t
+                  FROM rwords WHERE len(w) >= 3),
+        c3 AS (SELECT u, v, t, count(*) AS c3 FROM rtris GROUP BY u, v, t),
+        c3x AS (SELECT u, v, sum(c3) AS c3x FROM c3 GROUP BY u, v),
+        words AS (SELECT doc_id, list_filter(string_split_regex(text, '[ \\t\\n\\f\\r\\x0b]+'), x -> x <> '') AS w FROM documents),
+        tris AS (SELECT doc_id, unnest(w[1:len(w) - 2]) AS u,
+                   unnest(w[2:len(w) - 1]) AS v, unnest(w[3:len(w)]) AS t
+                 FROM words WHERE len(w) >= 3),
+        agg AS (SELECT p.doc_id AS doc_id, count(*) AS n_tris,
+                  round(avg(ln(
+                    0.6 * (coalesce(c3.c3, 0) + 0.5) / (coalesce(c3x.c3x, 0) + nv.vv * 0.5)
+                    + 0.3 * (coalesce(c2.c2, 0) + 0.5) / (coalesce(c2x.c2x, 0) + nv.vv * 0.5)
+                    + 0.1 * (coalesce(c1.c1, 0) + 0.5) / (nv.n + nv.vv * 0.5))), 3) AS avg_logprob
+                FROM tris p
+                LEFT JOIN c3 ON p.u = c3.u AND p.v = c3.v AND p.t = c3.t
+                LEFT JOIN c3x ON p.u = c3x.u AND p.v = c3x.v
+                LEFT JOIN c2 ON p.v = c2.v AND p.t = c2.t
+                LEFT JOIN c2x ON p.v = c2x.v
+                LEFT JOIN c1 ON p.t = c1.t CROSS JOIN nv
+                GROUP BY p.doc_id)
+        SELECT d.doc_id, coalesce(a.n_tris, 0)::BIGINT AS n_tris, a.avg_logprob
+        FROM documents d LEFT JOIN agg a USING (doc_id)"""
+
   /** Winnowing fingerprints (Schleimer et al. 2003) over word 3-grams,
     * window 4: the oracle re-runs the per-window rightmost-min definition
     * with list ops (the Scala side is the O(n) deque — same selection,
@@ -2439,6 +2545,8 @@ object QueriesPipeline {
     "q_ingest_program" -> (qIngestProgram _),
     "q_lm_score" -> (qLmScore _),
     "q_lm3_score" -> (qLm3Score _),
+    "q_lm5_score" -> (qLm5Score _),
+    "q_lm3_against" -> (qLm3Against _),
     "q_ppl_buckets" -> (qPplBuckets _),
     "q_winnow" -> (qWinnow _),
     "q_winnow_pairs" -> (qWinnowPairs _),
@@ -2529,6 +2637,8 @@ object QueriesPipeline {
     "q_ingest_program" -> qIngestProgramSql,
     "q_lm_score" -> qLmScoreSql,
     "q_lm3_score" -> qLm3ScoreSql,
+    "q_lm5_score" -> qLm5ScoreSql,
+    "q_lm3_against" -> qLm3AgainstSql,
     "q_ppl_buckets" -> qPplBucketsSql,
     "q_winnow" -> qWinnowSql,
     "q_winnow_pairs" -> qWinnowPairsSql,

@@ -440,6 +440,50 @@ object Program {
                             textCol: String, alpha: Double, l3: Double,
                             l2: Double, l1: Double) extends Node
 
+  // --- round-14 nodes (format version 8) ---
+  /** Dual-mode trigram-LM scoring against a PRETRAINED reference corpus
+    * (`TextOps.lm3ScoreAgainst`) — the CCNet ingest shape at order 3:
+    * [[LmScore]]'s pinned-count-artifact + broadcast-join machinery one
+    * order up, output drop-in for [[Lm3Score]] (n_tris). Lambdas must be
+    * non-negative and sum to 1. BUILD-TIME EAGER (the count artifacts
+    * pin at lowering); validation is schema-only. */
+  final case class Lm3Against(name: String, input: String, ref: String,
+                              idCol: String, textCol: String, refTextCol: String,
+                              alpha: Double, l3: Double, l2: Double,
+                              l1: Double) extends Node
+
+  /** Order-n interpolated LM quality score over the input corpus itself
+    * (`TextOps.ngramLmScore`) — [[Lm3Score]] parameterized toward the
+    * 5-gram KenLM shape. Empty `lambdas` = the halving default; otherwise
+    * exactly `order` weights, highest order first, non-negative, sum 1.
+    * BUILD-TIME EAGER; batch-only (score a stream with [[LmNAgainst]]). */
+  final case class LmNScore(name: String, input: String, idCol: String,
+                            textCol: String, order: Int, alpha: Double,
+                            lambdas: Seq[Double]) extends Node
+
+  /** Dual-mode order-n LM scoring against a PRETRAINED reference corpus
+    * (`TextOps.ngramLmScoreAgainst`), output column n_grams. */
+  final case class LmNAgainst(name: String, input: String, ref: String,
+                              idCol: String, textCol: String, refTextCol: String,
+                              order: Int, alpha: Double,
+                              lambdas: Seq[Double]) extends Node
+
+  /** Batched BM25 retrieval (`TextOps.bm25Retrieve`): top-k corpus
+    * documents per query — the RAG-curation stage as a shippable
+    * artifact node. Batch-only on both sides (corpus-wide collection
+    * stats; micro-batch a query stream via foreachBatch). */
+  final case class Bm25Retrieve(name: String, input: String, queries: String,
+                                idCol: String, textCol: String, qIdCol: String,
+                                qTextCol: String, k: Int, k1: Double, b: Double,
+                                broadcastQueries: Boolean) extends Node
+
+  /** Winnowing fingerprint-overlap candidate pairs
+    * (`TextOps.winnowOverlapPairs`) — the MOSS-style clone-pair miner as
+    * a shippable node. Batch-only (corpus-wide fingerprint self-join). */
+  final case class WinnowPairs(name: String, input: String, idCol: String,
+                               textCol: String, n: Int, w: Int,
+                               minShared: Int, maxBucket: Int) extends Node
+
   /** The whole document: nodes in topological order + the named outputs a
     * configuration may bind sinks to. */
   final case class Doc(nodes: Seq[Node], outputs: Seq[String]) {
@@ -620,6 +664,11 @@ object Program {
     case ed: EmbedDedup => Seq(ed.input, ed.ref) ++ ed.centroids
     case lm: LmScore => Seq(lm.input, lm.ref)
     case l3: Lm3Score => Seq(l3.input)
+    case la: Lm3Against => Seq(la.input, la.ref)
+    case ln: LmNScore => Seq(ln.input)
+    case na: LmNAgainst => Seq(na.input, na.ref)
+    case br: Bm25Retrieve => Seq(br.input, br.queries)
+    case wp: WinnowPairs => Seq(wp.input)
     case ds: DsirScore => Seq(ds.input, ds.target, ds.raw)
     case tf: TokenFreq => Seq(tf.input, tf.ref)
     case be: BpeEncode => Seq(be.input, be.merges)
@@ -856,6 +905,28 @@ object Program {
           val s = in(i)
           s.lift(graft.pipeline.TextOps.trigramLmScore(
             batchFace(name, "lm3Score", s), idCol, textCol, alpha, (l3, l2, l1)))
+        case Lm3Against(name, i, ref, idCol, textCol, refTextCol, alpha, l3, l2, l1) =>
+          graft.pipeline.TextOps.lm3ScoreAgainst(in(i),
+            staticSide(name, in, ref), idCol, textCol, refTextCol, alpha,
+            (l3, l2, l1))
+        case LmNScore(name, i, idCol, textCol, order, alpha, lambdas) =>
+          val s = in(i)
+          s.lift(graft.pipeline.TextOps.ngramLmScore(
+            batchFace(name, "lmnScore", s), idCol, textCol, order, alpha, lambdas))
+        case LmNAgainst(name, i, ref, idCol, textCol, refTextCol, order, alpha, lambdas) =>
+          graft.pipeline.TextOps.ngramLmScoreAgainst(in(i),
+            staticSide(name, in, ref), idCol, textCol, refTextCol, order,
+            alpha, lambdas)
+        case Bm25Retrieve(name, i, q, idCol, textCol, qIdCol, qTextCol, k, k1, b, bq) =>
+          val s = in(i)
+          s.lift(graft.pipeline.TextOps.bm25Retrieve(
+            batchFace(name, "bm25Retrieve", s), idCol, textCol,
+            staticSide(name, in, q), qIdCol, qTextCol, k, k1, b, bq))
+        case WinnowPairs(name, i, idCol, textCol, nn, w, minShared, maxBucket) =>
+          val s = in(i)
+          s.lift(graft.pipeline.TextOps.winnowOverlapPairs(
+            batchFace(name, "winnowPairs", s), idCol, textCol, nn, w,
+            minShared, maxBucket))
         case DsirScore(name, i, tgt, raw, idCol, textCol, refTextCol, buckets, alpha) =>
           graft.pipeline.TextOps.dsirScore(in(i), staticSide(name, in, tgt),
             staticSide(name, in, raw), idCol, textCol, refTextCol, buckets, alpha)
@@ -1049,6 +1120,11 @@ object Program {
     case x: EmbedDedup => x.copy(name = name)
     case x: LmScore => x.copy(name = name)
     case x: Lm3Score => x.copy(name = name)
+    case x: Lm3Against => x.copy(name = name)
+    case x: LmNScore => x.copy(name = name)
+    case x: LmNAgainst => x.copy(name = name)
+    case x: Bm25Retrieve => x.copy(name = name)
+    case x: WinnowPairs => x.copy(name = name)
     case x: DsirScore => x.copy(name = name)
     case x: TokenFreq => x.copy(name = name)
     case x: BpeEncode => x.copy(name = name)
@@ -1326,6 +1402,43 @@ object Program {
                        lambdas: (Double, Double, Double) = (0.6, 0.3, 0.1)): Rec =
       derive1("lm3Score")(n => Lm3Score(n, name, idCol, textCol, alpha,
         lambdas._1, lambdas._2, lambdas._3))
+    /** Cross-corpus trigram-LM scoring trained on `ref` (format version
+      * 8) — the CCNet ingest shape at order 3. */
+    def lm3ScoreAgainst(ref: Rec, idCol: String, textCol: String,
+                        refTextCol: String, alpha: Double = 0.5,
+                        lambdas: (Double, Double, Double) = (0.6, 0.3, 0.1)): Rec =
+      derive("lm3Against", Seq(ref))(n => Lm3Against(n, name, ref.name, idCol,
+        textCol, refTextCol, alpha, lambdas._1, lambdas._2, lambdas._3))
+    /** Order-n interpolated LM score over this corpus itself (format
+      * version 8); empty lambdas = the halving default. */
+    def ngramLmScore(idCol: String, textCol: String, order: Int,
+                     alpha: Double = 0.5, lambdas: Seq[Double] = Nil): Rec =
+      derive1("lmnScore")(n => LmNScore(n, name, idCol, textCol, order,
+        alpha, lambdas))
+    /** Order-n LM scoring against `ref`'s pretrained counts (format
+      * version 8). */
+    def ngramLmScoreAgainst(ref: Rec, idCol: String, textCol: String,
+                            refTextCol: String, order: Int,
+                            alpha: Double = 0.5,
+                            lambdas: Seq[Double] = Nil): Rec =
+      derive("lmnAgainst", Seq(ref))(n => LmNAgainst(n, name, ref.name, idCol,
+        textCol, refTextCol, order, alpha, lambdas))
+    /** Batched BM25 retrieval of this corpus against `queries` (format
+      * version 8). */
+    def bm25Retrieve(queries: Rec, idCol: String, textCol: String,
+                     qIdCol: String, qTextCol: String, k: Int,
+                     k1: Double = 1.2, b: Double = 0.75,
+                     broadcastQueries: Boolean = true): Rec =
+      derive("bm25Retrieve", Seq(queries))(n => Bm25Retrieve(n, name,
+        queries.name, idCol, textCol, qIdCol, qTextCol, k, k1, b,
+        broadcastQueries))
+    /** Winnowing overlap candidate pairs over this corpus (format
+      * version 8). */
+    def winnowOverlapPairs(idCol: String, textCol: String, n: Int = 3,
+                           w: Int = 4, minShared: Int = 2,
+                           maxBucket: Int = 64): Rec =
+      derive1("winnowPairs")(nm => WinnowPairs(nm, name, idCol, textCol, n,
+        w, minShared, maxBucket))
     /** DSIR importance scoring against `target` and `raw` reference
       * corpora (format version 3). */
     def dsirScore(target: Rec, raw: Rec, idCol: String, textCol: String,
@@ -1547,17 +1660,23 @@ object Program {
     * lineScrub, spanScrub, quality, piiScrub, langId, chunkTokens,
     * packChunks, winnow, repetition, normalize, stripMarkup, jlProject,
     * topkPerKey, sq8Encode, zorder); 7 adds lm3Score (the interpolated
-    * trigram-LM quality score).
+    * trigram-LM quality score); 8 adds the order-n LM family (lm3Against,
+    * lmnScore, lmnAgainst) and the retrieval/clone-pair nodes
+    * (bm25Retrieve, winnowPairs).
     * [[toJson]] stamps each document with the LOWEST version that can
     * express it, so a document using only the v1 grammar stays loadable
     * by a v1 library. Versions track SHIPPED grammars (one per build
     * round), not individual commits — every v6 node landed in the same
     * round, so no v6-stamped artifact can predate any v6 op. */
-  val FormatVersion: Int = 7
+  val FormatVersion: Int = 8
 
   /** The lowest format version expressing every node in `doc`. */
   private def requiredVersion(doc: Doc): Int =
-    if (doc.nodes.exists { case _: Lm3Score => true; case _ => false }) 7
+    if (doc.nodes.exists {
+      case _: Lm3Against | _: LmNScore | _: LmNAgainst | _: Bm25Retrieve |
+           _: WinnowPairs => true
+      case _ => false }) 8
+    else if (doc.nodes.exists { case _: Lm3Score => true; case _ => false }) 7
     else if (doc.nodes.exists {
       case _: DedupCorpus | _: DedupCorpusBest | _: SemanticDedup |
            _: SemanticDedupBest | _: LineScrub | _: SpanScrub |
@@ -1666,6 +1785,29 @@ object Program {
         ("op" -> "lm3Score") ~ ("name" -> name) ~ ("input" -> i) ~
           ("idCol" -> idCol) ~ ("textCol" -> textCol) ~ ("alpha" -> alpha) ~
           ("l3" -> l3) ~ ("l2" -> l2) ~ ("l1" -> l1)
+      case Lm3Against(name, i, ref, idCol, textCol, refTextCol, alpha, l3, l2, l1) =>
+        ("op" -> "lm3Against") ~ ("name" -> name) ~ ("input" -> i) ~
+          ("ref" -> ref) ~ ("idCol" -> idCol) ~ ("textCol" -> textCol) ~
+          ("refTextCol" -> refTextCol) ~ ("alpha" -> alpha) ~
+          ("l3" -> l3) ~ ("l2" -> l2) ~ ("l1" -> l1)
+      case LmNScore(name, i, idCol, textCol, order, alpha, lambdas) =>
+        ("op" -> "lmnScore") ~ ("name" -> name) ~ ("input" -> i) ~
+          ("idCol" -> idCol) ~ ("textCol" -> textCol) ~ ("order" -> order) ~
+          ("alpha" -> alpha) ~ ("lambdas" -> lambdas)
+      case LmNAgainst(name, i, ref, idCol, textCol, refTextCol, order, alpha, lambdas) =>
+        ("op" -> "lmnAgainst") ~ ("name" -> name) ~ ("input" -> i) ~
+          ("ref" -> ref) ~ ("idCol" -> idCol) ~ ("textCol" -> textCol) ~
+          ("refTextCol" -> refTextCol) ~ ("order" -> order) ~
+          ("alpha" -> alpha) ~ ("lambdas" -> lambdas)
+      case Bm25Retrieve(name, i, q, idCol, textCol, qIdCol, qTextCol, k, k1, b, bq) =>
+        ("op" -> "bm25Retrieve") ~ ("name" -> name) ~ ("input" -> i) ~
+          ("queries" -> q) ~ ("idCol" -> idCol) ~ ("textCol" -> textCol) ~
+          ("qIdCol" -> qIdCol) ~ ("qTextCol" -> qTextCol) ~ ("k" -> k) ~
+          ("k1" -> k1) ~ ("b" -> b) ~ ("broadcastQueries" -> bq)
+      case WinnowPairs(name, i, idCol, textCol, nn, w, minShared, maxBucket) =>
+        ("op" -> "winnowPairs") ~ ("name" -> name) ~ ("input" -> i) ~
+          ("idCol" -> idCol) ~ ("textCol" -> textCol) ~ ("n" -> nn) ~
+          ("w" -> w) ~ ("minShared" -> minShared) ~ ("maxBucket" -> maxBucket)
       case LmScore(name, i, ref, idCol, textCol, refTextCol, alpha) =>
         ("op" -> "lmScore") ~ ("name" -> name) ~ ("input" -> i) ~
           ("ref" -> ref) ~ ("idCol" -> idCol) ~ ("textCol" -> textCol) ~
@@ -1947,6 +2089,45 @@ object Program {
             Lm3Score(name, (v \ "input").extract[String],
               (v \ "idCol").extract[String], (v \ "textCol").extract[String],
               (v \ "alpha").extractOpt[Double].getOrElse(0.5), l3, l2, l1)
+          case "lm3Against" =>
+            // lambda defaults all-or-none, same rule (and reason) as lm3Score
+            val ls = Seq("l3", "l2", "l1").map(k => (v \ k).extractOpt[Double])
+            if (ls.exists(_.isDefined) && ls.exists(_.isEmpty))
+              throw new IllegalArgumentException(
+                s"node '$name': lm3Against lambdas are all-or-none — specify " +
+                  "l3, l2 AND l1, or none of them (defaults 0.6/0.3/0.1); got " +
+                  Seq("l3", "l2", "l1").zip(ls).collect {
+                    case (k, Some(x)) => s"$k=$x" }.mkString(", "))
+            val Seq(l3, l2, l1) =
+              if (ls.head.isDefined) ls.map(_.get) else Seq(0.6, 0.3, 0.1)
+            Lm3Against(name, (v \ "input").extract[String],
+              (v \ "ref").extract[String], (v \ "idCol").extract[String],
+              (v \ "textCol").extract[String], (v \ "refTextCol").extract[String],
+              (v \ "alpha").extractOpt[Double].getOrElse(0.5), l3, l2, l1)
+          case "lmnScore" => LmNScore(name, (v \ "input").extract[String],
+            (v \ "idCol").extract[String], (v \ "textCol").extract[String],
+            (v \ "order").extract[Int],
+            (v \ "alpha").extractOpt[Double].getOrElse(0.5),
+            (v \ "lambdas").extractOpt[Seq[Double]].getOrElse(Nil))
+          case "lmnAgainst" => LmNAgainst(name, (v \ "input").extract[String],
+            (v \ "ref").extract[String], (v \ "idCol").extract[String],
+            (v \ "textCol").extract[String], (v \ "refTextCol").extract[String],
+            (v \ "order").extract[Int],
+            (v \ "alpha").extractOpt[Double].getOrElse(0.5),
+            (v \ "lambdas").extractOpt[Seq[Double]].getOrElse(Nil))
+          case "bm25Retrieve" => Bm25Retrieve(name, (v \ "input").extract[String],
+            (v \ "queries").extract[String], (v \ "idCol").extract[String],
+            (v \ "textCol").extract[String], (v \ "qIdCol").extract[String],
+            (v \ "qTextCol").extract[String], (v \ "k").extract[Int],
+            (v \ "k1").extractOpt[Double].getOrElse(1.2),
+            (v \ "b").extractOpt[Double].getOrElse(0.75),
+            (v \ "broadcastQueries").extractOpt[Boolean].getOrElse(true))
+          case "winnowPairs" => WinnowPairs(name, (v \ "input").extract[String],
+            (v \ "idCol").extract[String], (v \ "textCol").extract[String],
+            (v \ "n").extractOpt[Int].getOrElse(3),
+            (v \ "w").extractOpt[Int].getOrElse(4),
+            (v \ "minShared").extractOpt[Int].getOrElse(2),
+            (v \ "maxBucket").extractOpt[Int].getOrElse(64))
           case "dsirScore" => DsirScore(name, (v \ "input").extract[String],
             (v \ "target").extract[String], (v \ "raw").extract[String],
             (v \ "idCol").extract[String], (v \ "textCol").extract[String],
@@ -2161,6 +2342,23 @@ object Program {
             s.df.select(col(l3.idCol), col(l3.textCol)).schema
             emptyOf(s, graft.pipeline.TextOps.lm3ScoreOutputSchema(
               l3.idCol, s.df.schema(l3.idCol).dataType))
+          case la: Lm3Against =>
+            val s = env(la.input)
+            s.df.select(col(la.idCol), col(la.textCol)).schema
+            env(la.ref).df.select(col(la.refTextCol)).schema
+            emptyOf(s, graft.pipeline.TextOps.lm3ScoreOutputSchema(
+              la.idCol, s.df.schema(la.idCol).dataType))
+          case ln: LmNScore =>
+            val s = env(ln.input)
+            s.df.select(col(ln.idCol), col(ln.textCol)).schema
+            emptyOf(s, graft.pipeline.TextOps.ngramOutputSchema(
+              ln.idCol, s.df.schema(ln.idCol).dataType))
+          case na: LmNAgainst =>
+            val s = env(na.input)
+            s.df.select(col(na.idCol), col(na.textCol)).schema
+            env(na.ref).df.select(col(na.refTextCol)).schema
+            emptyOf(s, graft.pipeline.TextOps.ngramOutputSchema(
+              na.idCol, s.df.schema(na.idCol).dataType))
           case ds: DsirScore =>
             val s = env(ds.input)
             s.df.select(col(ds.idCol), col(ds.textCol)).schema
@@ -2296,6 +2494,23 @@ object Program {
             s"schemas: ${e.getMessage}", e)
       }
     }
+  }
+
+  /** Shared structural contract of the order-n LM nodes — mirrors
+    * `TextOps.lambdasFor` / the operator requires so a bad artifact
+    * fails at load with the node's name. */
+  private def checkNgram(node: String, op: String, order: Int,
+                         alpha: Double, lambdas: Seq[Double]): Unit = {
+    if (order < 2 || order > 8) throw new IllegalArgumentException(
+      s"node '$node': $op order must be in [2, 8], got $order")
+    if (alpha <= 0.0) throw new IllegalArgumentException(
+      s"node '$node': $op needs alpha > 0, got $alpha")
+    if (lambdas.nonEmpty && (lambdas.length != order ||
+        lambdas.exists(_ < 0) || math.abs(lambdas.sum - 1.0) >= 1e-9))
+      throw new IllegalArgumentException(
+        s"node '$node': $op lambdas must be $order non-negative weights " +
+          s"summing to 1, highest order first (or empty for the halving " +
+          s"default), got ${lambdas.mkString(", ")}")
   }
 
   /** Load-time validation: every SQL fragment must parse, every input
@@ -2439,6 +2654,35 @@ object Program {
               s"node '${n.name}': lm3Score lambdas must be non-negative and " +
                 s"sum to 1, got (${l3.l3}, ${l3.l2}, ${l3.l1})")
           Seq(l3.input)
+        case la: Lm3Against =>
+          if (la.alpha <= 0.0) throw new IllegalArgumentException(
+            s"node '${n.name}': lm3Against needs alpha > 0, got ${la.alpha}")
+          if (la.l3 < 0.0 || la.l2 < 0.0 || la.l1 < 0.0 ||
+              math.abs(la.l3 + la.l2 + la.l1 - 1.0) >= 1e-9)
+            throw new IllegalArgumentException(
+              s"node '${n.name}': lm3Against lambdas must be non-negative " +
+                s"and sum to 1, got (${la.l3}, ${la.l2}, ${la.l1})")
+          Seq(la.input, la.ref)
+        case ln: LmNScore =>
+          checkNgram(n.name, "lmnScore", ln.order, ln.alpha, ln.lambdas)
+          Seq(ln.input)
+        case na: LmNAgainst =>
+          checkNgram(n.name, "lmnAgainst", na.order, na.alpha, na.lambdas)
+          Seq(na.input, na.ref)
+        case br: Bm25Retrieve =>
+          if (br.k <= 0) throw new IllegalArgumentException(
+            s"node '${n.name}': bm25Retrieve needs k > 0, got ${br.k}")
+          if (br.qIdCol == br.idCol) throw new IllegalArgumentException(
+            s"node '${n.name}': bm25Retrieve qIdCol and idCol are both " +
+              s"'${br.idCol}' — rename one (output is (qIdCol, idCol, bm25, rank))")
+          Seq(br.input, br.queries)
+        case wp: WinnowPairs =>
+          if (wp.n < 1 || wp.w < 1 || wp.minShared < 1 || wp.maxBucket < 2)
+            throw new IllegalArgumentException(
+              s"node '${n.name}': winnowPairs needs n >= 1, w >= 1, " +
+                s"minShared >= 1 and maxBucket >= 2, got " +
+                s"(${wp.n}, ${wp.w}, ${wp.minShared}, ${wp.maxBucket})")
+          Seq(wp.input)
         case ds: DsirScore =>
           if (ds.alpha <= 0.0 || ds.buckets <= 0) throw new IllegalArgumentException(
             s"node '${n.name}': dsirScore needs alpha > 0 and buckets > 0, " +

@@ -723,7 +723,7 @@ object TextOps {
     require(alpha > 0, s"alpha must be positive, got $alpha")
     require(!docs.isStreaming,
       "trigramLmScore trains on its own input — batch only (score a stream " +
-        "against a static reference with lmScoreAgainst)")
+        "against a static reference with lm3ScoreAgainst)")
     val (l3, l2, l1) = lambdas
     require(l3 >= 0 && l2 >= 0 && l1 >= 0 && math.abs(l3 + l2 + l1 - 1.0) < 1e-9,
       s"lambdas must be non-negative and sum to 1, got $lambdas")
@@ -769,6 +769,243 @@ object TextOps {
     docs.select(id).join(scored, Seq(idCol), "left")
       .select(id, coalesce(col("n_tris"), lit(0L)).as("n_tris"), col("avg_logprob"))
   }
+
+  // ================================================================ order-n LM
+
+  /** Jelinek-Mercer weights for [[ngramLmScore]], highest order first.
+    * Explicit weights must have `order` entries, be non-negative and sum
+    * to 1; `Nil` takes the halving default λ_j ∝ 2^j (normalized), the
+    * standard strong-preference-for-the-longest-context prior. */
+  private[graft] def lambdasFor(order: Int, lambdas: Seq[Double]): Seq[Double] = {
+    if (lambdas.isEmpty) {
+      val raw = (order - 1 to 0 by -1).map(j => math.pow(2.0, j))
+      val s = raw.sum
+      raw.map(_ / s)
+    } else {
+      require(lambdas.length == order,
+        s"ngram LM of order $order needs $order lambdas (highest order " +
+          s"first), got ${lambdas.length}")
+      require(lambdas.forall(_ >= 0) && math.abs(lambdas.sum - 1.0) < 1e-9,
+        s"lambdas must be non-negative and sum to 1, got $lambdas")
+      lambdas
+    }
+  }
+
+  /** Per-order count tables of the n-gram LM: counts(j) is keyed by the
+    * last j position columns (__p{order-j+1}..__p{order}) with count
+    * __c{j}; ctxs(j) (j >= 2) drops the last key with total __cx{j}.
+    * Suffix-aligned key names make every scoring join a plain
+    * Seq-column equi join against the position frame. Each table is
+    * pinned once (two consumers: its context derivation and the scoring
+    * join) — the model artifact, orders of magnitude under corpus size. */
+  private def ngramModel(train: org.apache.spark.sql.DataFrame, textCol: String,
+                         order: Int)
+      : (Map[Int, org.apache.spark.sql.DataFrame],
+         Map[Int, org.apache.spark.sql.DataFrame]) = {
+    val spark = train.sparkSession
+    def pin(d: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+      val (cp, ids) = graft.api.Pinned.checkpointTracked(d)
+      graft.api.Pinned.register(spark, ids)
+      cp
+    }
+    val counts = (1 to order).map { j =>
+      val names = gramCols(order, j)
+      j -> pin(gramsOf(train, textCol, j, names, Nil)
+        .groupBy(names.map(col): _*).agg(count(lit(1)).as(s"__c$j")))
+    }.toMap
+    val ctxs = (2 to order).map { j =>
+      val names = gramCols(order, j)
+      j -> counts(j).groupBy(names.dropRight(1).map(col): _*)
+        .agg(sum(col(s"__c$j")).as(s"__cx$j"))
+    }.toMap
+    (counts, ctxs)
+  }
+
+  /** Suffix-aligned key names of the j-gram within an order-n position:
+    * __p{n-j+1}..__p{n}. */
+  private def gramCols(order: Int, j: Int): Seq[String] =
+    (order - j + 1 to order).map(i => s"__p$i")
+
+  /** Explode every j-gram position of `d` into suffix-aligned columns
+    * `names` (plus `keep`). Documents under j tokens contribute nothing. */
+  private def gramsOf(d: org.apache.spark.sql.DataFrame, textCol: String, j: Int,
+                      names: Seq[String],
+                      keep: Seq[Column]): org.apache.spark.sql.DataFrame = {
+    val ws = words(col(textCol))
+    d.select(keep :+ ws.as("__w"): _*).where(size(col("__w")) >= j)
+      .select(keep :+ explode(arrays_zip(
+        (1 to j).map(i =>
+          slice(col("__w"), lit(i), size(col("__w")) - (j - 1)).as(s"g$i")): _*)).as("__g"): _*)
+      .select(keep ++ (1 to j).map(i => col(s"__g.g$i").as(names(i - 1))): _*)
+  }
+
+  /** The interpolated per-position log-likelihood over joined count
+    * columns; counts/contexts absent after a LEFT join (the
+    * score-against face) coalesce to 0 — the unseen-context backoff
+    * (0+α)/(0+Vα) the self-scoring face never needs. */
+  private def ngramLp(order: Int, alpha: Double, l: Seq[Double]): Column =
+    log((order to 1 by -1).zip(l).map { case (j, w) =>
+      val c = coalesce(col(s"__c$j"), lit(0L))
+      val cx = if (j >= 2) coalesce(col(s"__cx$j"), lit(0L)) else col("__n")
+      lit(w) * (c + lit(alpha)) / (cx + col("__vv") * lit(alpha))
+    }.reduce(_ + _))
+
+  /** Order-n interpolated LM quality score — [[trigramLmScore]]
+    * parameterized to the 5-gram shape real CCNet pipelines score with
+    * (Wenzek et al. 2020 use 5-gram KenLM; the smoothing here is
+    * Jelinek-Mercer over add-alpha estimates rather than KenLM's
+    * modified Kneser-Ney — the counts-based exact family an independent
+    * engine can reproduce bit-for-bit, documented deviation): P(t | ctx)
+    * = Σ_j λ_j · P̂_j(t | last j−1 tokens), each P̂_j add-alpha-smoothed
+    * with V = the distinct-unigram vocabulary; a document scores the
+    * average ln P over its order-n positions (< order tokens → NULL
+    * score, n_grams 0).
+    *
+    * Scale shape: the model is `order` partial-aggregated count tables,
+    * each corpus-token-bounded, shuffled by its own keys and checkpointed
+    * once; scoring joins the exploded positions against the 2·order−1
+    * count frames (suffix-aligned equi joins, planner broadcasts the
+    * small ones) plus the one-row (N, V) stats frame, then folds per
+    * document — the trigram face's posture at order n. Hot tokens
+    * concentrate probe rows but the probe STREAMS (hash join, no per-key
+    * sort). */
+  def ngramLmScore(docs: org.apache.spark.sql.DataFrame, idCol: String,
+                   textCol: String, order: Int, alpha: Double = 0.5,
+                   lambdas: Seq[Double] = Nil): org.apache.spark.sql.DataFrame = {
+    require(order >= 2 && order <= 8,
+      s"ngramLmScore order must be in [2, 8], got $order (order 1 is a " +
+        "unigram table, not an LM; past 8 the count tables stop being " +
+        "model-sized on real corpora)")
+    require(alpha > 0, s"alpha must be positive, got $alpha")
+    require(!docs.isStreaming,
+      "ngramLmScore trains on its own input — batch only (score a stream " +
+        "against a static reference with ngramLmScoreAgainst)")
+    val l = lambdasFor(order, lambdas)
+    val id = col(idCol)
+    val (counts, ctxs) = ngramModel(docs, textCol, order)
+    val nv = counts(1).agg(sum(col("__c1")).cast("double").as("__n"),
+      count(lit(1)).cast("double").as("__vv"))
+    val pos = gramsOf(docs, textCol, order, gramCols(order, order), Seq(id))
+    val joined = (order to 2 by -1).foldLeft(pos) { (d, j) =>
+      d.join(counts(j), gramCols(order, j))
+        .join(ctxs(j), gramCols(order, j).dropRight(1))
+    }.join(counts(1), gramCols(order, 1))
+      .crossJoin(broadcast(nv))
+    val scored = joined.withColumn("__lp", ngramLp(order, alpha, l))
+      .groupBy(id)
+      .agg(count(lit(1)).as("n_grams"), round(avg(col("__lp")), 3).as("avg_logprob"))
+    docs.select(id).join(scored, Seq(idCol), "left")
+      .select(id, coalesce(col("n_grams"), lit(0L)).as("n_grams"), col("avg_logprob"))
+  }
+
+  /** Dual-mode order-n LM scoring AGAINST a pretrained reference corpus —
+    * the full CCNet ingest shape (Wenzek et al. 2020: score crawl text
+    * with a 5-gram LM trained on Wikipedia; [[ngramLmScore]] is the
+    * self-scoring variant): the `order` add-alpha count tables train on
+    * `refDocs` in one pass (pinned — THE model artifact; N and V collect
+    * as scalars and fold as literals), then documents — batch frame or
+    * arriving stream — score by average interpolated per-position
+    * log-likelihood. Positions with contexts/continuations UNSEEN in the
+    * reference back off through left joins (count 0 → the smoothed floor
+    * (0+α)/(0+Vα)), the piece self-scoring never needs. Documents under
+    * `order` tokens emit (n 0, avg_logprob NULL) in both modes.
+    * Streaming is 2·order−1 stream-static broadcast joins + the
+    * stateless per-batch combine — zero state-store rows. */
+  def ngramLmScoreAgainst(stream: graft.api.MStream,
+                          refDocs: org.apache.spark.sql.DataFrame,
+                          idCol: String, textCol: String, refTextCol: String,
+                          order: Int, alpha: Double = 0.5,
+                          lambdas: Seq[Double] = Nil,
+                          /** Output count-column name — "n_tris" on the
+                            * [[lm3ScoreAgainst]] face so order-3 outputs
+                            * are drop-in for [[trigramLmScore]]'s. */
+                          nCol: String = "n_grams"): graft.api.MStream = {
+    import org.apache.spark.sql.{Encoder, Row}
+    import org.apache.spark.sql.catalyst.encoders.RowEncoder
+    import org.apache.spark.sql.types._
+    require(order >= 2 && order <= 8,
+      s"ngramLmScoreAgainst order must be in [2, 8], got $order")
+    require(alpha > 0, s"alpha must be positive, got $alpha")
+    require(!refDocs.isStreaming,
+      "ngramLmScoreAgainst: the reference corpus must be a batch frame " +
+        "(the model pins once; a streaming reference has no stable artifact)")
+    val l = lambdasFor(order, lambdas)
+    val df = stream.df
+    val (counts, ctxs) = ngramModel(refDocs, refTextCol, order)
+    val nvRow = counts(1).agg(sum(col("__c1")).cast("double"),
+      count(lit(1)).cast("double")).head()
+    require(!nvRow.isNullAt(0) && nvRow.getDouble(1) > 0,
+      "ngramLmScoreAgainst: the reference corpus yields an empty model")
+    val (n, vv) = (nvRow.getDouble(0), nvRow.getDouble(1))
+    val id = col(idCol)
+    def withJoins(pos: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+      (order to 2 by -1).foldLeft(pos) { (d, j) =>
+        d.join(broadcast(counts(j)), gramCols(order, j), "left")
+          .join(broadcast(ctxs(j)), gramCols(order, j).dropRight(1), "left")
+      }.join(broadcast(counts(1)), gramCols(order, 1), "left")
+        .withColumn("__n", lit(n)).withColumn("__vv", lit(vv))
+
+    if (!df.isStreaming) {
+      val pos = gramsOf(df, textCol, order, gramCols(order, order), Seq(id))
+      val scored = withJoins(pos)
+        .withColumn("__lp", ngramLp(order, alpha, l))
+        .groupBy(id)
+        .agg(count(lit(1)).as(nCol), round(avg(col("__lp")), 3).as("avg_logprob"))
+      val out = df.select(id).join(scored, Seq(idCol), "left")
+        .select(id, coalesce(col(nCol), lit(0L)).as(nCol), col("avg_logprob"))
+      return stream.lift(out)
+    }
+
+    // streaming: position-less docs ride a sentinel row (null tokens
+    // never join) so they still emit; the per-doc fold is the stateless
+    // per-batch combine — every position derives from its own input row
+    val ws = words(col(textCol))
+    val pStructs = arrays_zip((1 to order).map(i =>
+      slice(col("__w"), lit(i), size(col("__w")) - (order - 1)).as(s"g$i")): _*)
+    val sentinel = array(struct((1 to order).map(i =>
+      lit(null).cast("string").as(s"g$i")): _*))
+    val u0 = df.withColumn("__w", ws)
+      .select(id.as("__id"),
+        explode(when(size(col("__w")) >= order, pStructs).otherwise(sentinel)).as("__g"))
+      .select(col("__id") +: (1 to order).map(i => col(s"__g.g$i").as(s"__p$i")): _*)
+    val u = withJoins(u0)
+      .select(col("__id"), col("__p1"),
+        when(col("__p1").isNotNull, ngramLp(order, alpha, l)).as("__lp"))
+    val idType = df.schema(idCol).dataType
+    val aggT = StructType(Seq(
+      StructField("__id", idType),
+      StructField(nCol, LongType, nullable = false),
+      StructField("__sum", DoubleType)))
+    val aggEnc: Encoder[Row] = RowEncoder.encoderFor(aggT)
+    val pIdx = u.schema.fieldIndex("__p1")
+    val lpIdx = u.schema.fieldIndex("__lp")
+    val out = graft.streaming.PerBatchCombine(u, Seq("__id"), aggEnc) {
+        (key: Row, it: Iterator[Row]) =>
+          var nn = 0L; var s = 0.0
+          it.foreach { r =>
+            if (!r.isNullAt(pIdx)) { nn += 1; s += r.getDouble(lpIdx) }
+          }
+          Iterator.single(Row(key.get(0), nn, if (nn > 0) s else null))
+      }
+      // division + round in SQL so both faces share Spark's exact
+      // avg/round semantics
+      .select(col("__id").as(idCol), col(nCol),
+        round(col("__sum") / col(nCol), 3).as("avg_logprob"))
+    stream.lift(out)
+  }
+
+  /** Trigram face of [[ngramLmScoreAgainst]] — completes the CCNet ingest
+    * shape at order 3 ([[trigramLmScore]]'s doc points streams here):
+    * same count-artifact + broadcast-join machinery as [[lmScoreAgainst]]
+    * one order up, output drop-in for [[trigramLmScore]] (n_tris). */
+  def lm3ScoreAgainst(stream: graft.api.MStream,
+                      refDocs: org.apache.spark.sql.DataFrame,
+                      idCol: String, textCol: String, refTextCol: String,
+                      alpha: Double = 0.5,
+                      lambdas: (Double, Double, Double) = (0.6, 0.3, 0.1))
+      : graft.api.MStream =
+    ngramLmScoreAgainst(stream, refDocs, idCol, textCol, refTextCol, 3, alpha,
+      Seq(lambdas._1, lambdas._2, lambdas._3), nCol = "n_tris")
 
   /** CCNet head/middle/tail perplexity bucketing (Wenzek et al. 2020
     * §4.3: per-language perplexity terciles decide which slice of the
@@ -1134,6 +1371,36 @@ object TextOps {
     StructType(Seq(StructField(idCol, idType),
       StructField("n_tris", LongType, nullable = false),
       StructField("avg_logprob", DoubleType)))
+  }
+
+  /** Output schema of [[ngramLmScore]] / [[ngramLmScoreAgainst]] (generic
+    * n_grams face) — the build-time fact `Program.validate` resolves the
+    * LmNScore/LmNAgainst nodes against. */
+  def ngramOutputSchema(idCol: String,
+      idType: org.apache.spark.sql.types.DataType): org.apache.spark.sql.types.StructType = {
+    import org.apache.spark.sql.types._
+    StructType(Seq(StructField(idCol, idType),
+      StructField("n_grams", LongType, nullable = false),
+      StructField("avg_logprob", DoubleType)))
+  }
+
+  /** Output schema of [[bm25Retrieve]] — the fact `Program.validate`
+    * resolves the Bm25Retrieve node against. */
+  def bm25RetrieveOutputSchema(qIdCol: String,
+      qIdType: org.apache.spark.sql.types.DataType, idCol: String,
+      idType: org.apache.spark.sql.types.DataType): org.apache.spark.sql.types.StructType = {
+    import org.apache.spark.sql.types._
+    StructType(Seq(StructField(qIdCol, qIdType), StructField(idCol, idType),
+      StructField("bm25", DoubleType), StructField("rank", LongType, nullable = false)))
+  }
+
+  /** Output schema of [[winnowOverlapPairs]] — the fact `Program.validate`
+    * resolves the WinnowPairs node against. */
+  def winnowPairsOutputSchema(
+      idType: org.apache.spark.sql.types.DataType): org.apache.spark.sql.types.StructType = {
+    import org.apache.spark.sql.types._
+    StructType(Seq(StructField("id_a", idType), StructField("id_b", idType),
+      StructField("n_shared", LongType, nullable = false)))
   }
 
   def lmScoreAgainst(stream: graft.api.MStream, refDocs: org.apache.spark.sql.DataFrame,

@@ -402,4 +402,100 @@ class IngestProgramSpec extends SparkSpec {
     assert(e2.getMessage.contains("'g'") && e2.getMessage.contains("minWords"), e2.getMessage)
     graft.api.Pinned.release(spark)
   }
+
+  test("v8 nodes: codec identity, version stamping, capture == direct API, validations") {
+    val docsDf = arriving.toDF("doc_id", "text")
+    val queries = Seq((100L, "fox dog"), (101L, "fresh ideas")).toDF("q_id", "q_text")
+    // codec identity + lowest-version stamping over every v8 node
+    val doc = Doc(
+      nodes = Seq(External("a"), External("r"), External("q"),
+        Lm3Against("la", "a", "r", "id", "text", "rtext", 0.5, 0.6, 0.3, 0.1),
+        LmNScore("ln", "a", "id", "text", 4, 0.5, Seq(0.4, 0.3, 0.2, 0.1)),
+        LmNScore("lnd", "a", "id", "text", 5, 0.5, Nil),
+        LmNAgainst("na", "a", "r", "id", "text", "rtext", 2, 1.0, Seq(0.7, 0.3)),
+        Bm25Retrieve("br", "a", "q", "id", "text", "qid", "qtext", 5, 1.2, 0.75,
+          broadcastQueries = false),
+        WinnowPairs("wp", "a", "id", "text", 3, 4, 2, 64)),
+      outputs = Seq("la", "ln", "lnd", "na", "br", "wp"))
+    val json = Program.toJson(doc)
+    assert(json.contains("\"version\":8"), "v8 nodes stamp format version 8")
+    assert(Program.fromJson(json) == doc, "codec is the identity on every v8 node")
+    assert(Program.toJson(pipelineDoc).contains("\"version\":2"),
+      "documents without v8 nodes still stamp the lowest version")
+
+    // capture == document run == direct API for the retrieval + LM faces
+    try {
+      val docsR = Program.Rec.external("docs", MStream(docsDf))
+      val refR = Program.Rec.external("refcorpus", MStream(ref))
+      val qR = Program.Rec.external("queries", MStream(queries))
+      val cap = Program.capture(
+        docsR.lm3ScoreAgainst(refR, "doc_id", "text", "text").as("lm3"),
+        docsR.ngramLmScore("doc_id", "text", order = 2,
+          lambdas = Seq(0.7, 0.3)).as("lmn"),
+        docsR.bm25Retrieve(qR, "doc_id", "text", "q_id", "q_text", k = 3).as("hits"),
+        docsR.winnowOverlapPairs("doc_id", "text").as("pairs"))
+      assert(Program.fromJson(Program.toJson(cap)) == cap)
+      val config = new App.Config()
+        .setSource("docs", App.Source("list", rows = Some(docsDf)))
+        .setSource("refcorpus", App.Source("list", rows = Some(ref)))
+        .setSource("queries", App.Source("list", rows = Some(queries)))
+        .addSink("lm3", App.Sink("memory")).addSink("lmn", App.Sink("memory"))
+        .addSink("hits", App.Sink("memory")).addSink("pairs", App.Sink("memory"))
+      Program.validate(cap, spark, config)
+      val outs = App.runProgram(spark, config, Program.toJson(cap))
+        .collect { case App.BatchOutput(n, out) => n -> out }.toMap
+      def rows(df: org.apache.spark.sql.DataFrame): Set[Seq[Any]] =
+        df.collect().map(_.toSeq.toList: Seq[Any]).toSet
+      assert(rows(outs("lm3")) == rows(graft.pipeline.TextOps.lm3ScoreAgainst(
+        MStream(docsDf), ref, "doc_id", "text", "text").df))
+      assert(rows(outs("lmn")) == rows(graft.pipeline.TextOps.ngramLmScore(
+        docsDf, "doc_id", "text", 2, 0.5, Seq(0.7, 0.3))))
+      assert(rows(outs("hits")) == rows(graft.pipeline.TextOps.bm25Retrieve(
+        docsDf, "doc_id", "text", queries, "q_id", "q_text", k = 3)))
+      assert(rows(outs("pairs")) == rows(graft.pipeline.TextOps.winnowOverlapPairs(
+        docsDf, "doc_id", "text")))
+
+      // exported schemas match the real operators (validate cannot drift)
+      def namesTypes(s: org.apache.spark.sql.types.StructType) =
+        s.fields.map(f => (f.name, f.dataType)).toSeq
+      assert(namesTypes(outs("lmn").schema) == namesTypes(
+        graft.pipeline.TextOps.ngramOutputSchema("doc_id",
+          docsDf.schema("doc_id").dataType)))
+      assert(namesTypes(outs("hits").schema) == namesTypes(
+        graft.pipeline.TextOps.bm25RetrieveOutputSchema("q_id",
+          queries.schema("q_id").dataType, "doc_id",
+          docsDf.schema("doc_id").dataType)))
+      assert(namesTypes(outs("pairs").schema) == namesTypes(
+        graft.pipeline.TextOps.winnowPairsOutputSchema(
+          docsDf.schema("doc_id").dataType)))
+    } finally graft.api.Pinned.release(spark)
+
+    // parameter validations name the node
+    def loadFail(d: Doc, needle: String): Unit = {
+      val ex = intercept[IllegalArgumentException](Program.fromJson(Program.toJson(d)))
+      assert(ex.getMessage.contains(needle), s"${ex.getMessage} !contains $needle")
+    }
+    loadFail(Doc(Seq(External("a"), External("r"),
+      Lm3Against("x", "a", "r", "id", "t", "rt", 0.5, 0.9, 0.3, 0.1)), Seq("x")),
+      "sum to 1")
+    loadFail(Doc(Seq(External("a"),
+      LmNScore("x", "a", "id", "t", 9, 0.5, Nil)), Seq("x")), "[2, 8]")
+    loadFail(Doc(Seq(External("a"),
+      LmNScore("x", "a", "id", "t", 3, 0.5, Seq(0.5, 0.5))), Seq("x")),
+      "3 non-negative weights")
+    loadFail(Doc(Seq(External("a"), External("r"),
+      LmNAgainst("x", "a", "r", "id", "t", "rt", 3, 0.0, Nil)), Seq("x")), "alpha")
+    loadFail(Doc(Seq(External("a"), External("q"),
+      Bm25Retrieve("x", "a", "q", "id", "t", "id", "qt", 5, 1.2, 0.75, true)),
+      Seq("x")), "rename one")
+    loadFail(Doc(Seq(External("a"),
+      WinnowPairs("x", "a", "id", "t", 0, 4, 2, 64)), Seq("x")), "n >= 1")
+    // hand-written partial lambda artifact fails at load with the real cause
+    val partial = intercept[IllegalArgumentException](Program.fromJson(
+      """{"version":8,"nodes":[{"op":"external","name":"a"},
+        |{"op":"external","name":"r"},
+        |{"op":"lm3Against","name":"x","input":"a","ref":"r","idCol":"id",
+        |"textCol":"t","refTextCol":"rt","l3":1.0}],"outputs":["x"]}""".stripMargin))
+    assert(partial.getMessage.contains("all-or-none"), partial.getMessage)
+  }
 }

@@ -226,8 +226,15 @@ class ProgramNodeCoverageSpec extends AnyFunSuite {
         "metrics/analysis output, not a stream transform"),
       "topNgrams" -> excluded(diag), "tfidfTopWord" -> excluded(diag),
       "bm25TopK" -> excluded(diag),
-      "bm25Retrieve" -> excluded(diag),
-      "winnowOverlapPairs" -> excluded(diag),
+      "bm25Retrieve" -> node("bm25Retrieve"),
+      "winnowOverlapPairs" -> node("winnowPairs"),
+      "ngramLmScore" -> node("lmnScore"),
+      "ngramLmScoreAgainst" -> node("lmnAgainst"),
+      "lm3ScoreAgainst" -> node("lm3Against"),
+      "lambdasFor" -> excluded(block),
+      "ngramOutputSchema" -> excluded(artifact),
+      "bm25RetrieveOutputSchema" -> excluded(artifact),
+      "winnowPairsOutputSchema" -> excluded(artifact),
       "EmailRe" -> excluded(const), "IpRe" -> excluded(const),
       "UrlRe" -> excluded(const), "LangMarkers" -> excluded(const),
       "P" -> excluded(const), "Stopwords" -> excluded(const)))
