@@ -134,7 +134,13 @@ object StressBench {
         // rides RangedPrefix like capTokensPerKey, and a coarse shard key
         // (the single-source packing run) must pack at near-parity with
         // a natural key distribution
-        "packskew")
+        "packskew",
+        // round-14: bm25Retrieve's beyond-broadcast face under a hot
+        // term (a stopword present in 40% of the corpus appears in EVERY
+        // query) — the shuffled postings join streams the hot term's
+        // probe rows; near-parity vs rare-term queries at 1x and 10x is
+        // the no-single-task-blowup evidence
+        "bm25skew")
     val spark = SparkSession.builder().master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
       .config("spark.sql.session.timeZone", "UTC")
@@ -599,6 +605,55 @@ object StressBench {
               }
             }
           } finally base.unpersist()
+        }
+      } else if (q == "bm25skew") {
+        // round-14: the beyond-broadcast bm25Retrieve claim made
+        // empirical. With broadcastQueries = false the postings join
+        // shuffles on the TERM; a stopword term present in 40% of the
+        // corpus (the boilerplate regime) concentrates its postings'
+        // probe rows, and the face's defense is that the probe STREAMS
+        // (hash join, no per-key sort) into a partial-aggregated
+        // (query, doc) sum, with AQE's skew split free to subdivide.
+        // Every hot-mode query carries the stopword; the natural
+        // baseline queries rare per-document words. Near-parity hot vs
+        // natural at 1x and 10x is the evidence; result counts must be
+        // rep-stable.
+        import spark.implicits._
+        for ((label, path) <- Seq("1x" -> s"$src/documents.parquet",
+                                  "10x" -> docsPath)) {
+          val docs = boilerplateDocsAt(spark, path)
+          val nDocs = docs.count()
+          try {
+            // natural terms: one leading word from 64 non-boilerplate docs
+            // (tiny bounded collect — probe construction, not operator code)
+            val natWords = docs.filter(pmod(col("doc_id"), lit(5L)) >= 2L)
+              .select(element_at(split(col("text"), " "), 1).as("w"))
+              .filter(length(col("w")) > 0).limit(64)
+              .collect().map(_.getString(0))
+            for ((mode, mk) <- Seq(
+                "natural" -> ((w: String, i: Int) => s"$w uniqtok$i"),
+                "hotterm" -> ((w: String, i: Int) => s"$w privacy policy uniqtok$i"))) {
+              val qs = natWords.zipWithIndex
+                .map { case (w, i) => (i.toLong, mk(w, i)) }.toSeq
+                .toDF("q_id", "q_text")
+              var expect = -1L
+              for (rep <- 1 to 2) {
+                isolate()
+                val t0 = System.nanoTime()
+                val hits = graft.pipeline.TextOps.bm25Retrieve(
+                  docs, "doc_id", "text", qs, "q_id", "q_text", k = 10,
+                  broadcastQueries = false)
+                hits.write.format("noop").mode("overwrite").save()
+                val secs = (System.nanoTime() - t0) / 1e9
+                val n = hits.count()
+                if (expect < 0) expect = n
+                else require(n == expect,
+                  s"bm25skew/$label/$mode result count drifted: $n vs $expect")
+                println(f"STRESS bm25skew/$label/$mode rep$rep $secs%.2f s " +
+                  f"($n hit rows, 64 queries) over $nDocs docs")
+              }
+            }
+          } finally docs.unpersist()
         }
       } else if (q == "semauto") {
         // semanticDedupAuto sizes the codebook with Ivf.cellsFor — the

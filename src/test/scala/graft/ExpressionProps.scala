@@ -462,4 +462,28 @@ object ExpressionProps extends Properties("graft.expressions") {
       }
       got == expect
     }
+
+  /** The closed-form NTile behind perplexityBuckets' distributed rank
+    * (TextOps' bucketC expression, mirrored here with Scala integer
+    * division = SQL `div` for the non-negative operands in play):
+    * PerplexityBucketsSpec pins it vs Spark's ntile exhaustively for
+    * n <= 25; this property guards the div/mod arithmetic's edge regions
+    * (n < k, n % k == 0, large n) over arbitrary (n <= 10^4, k <= 64)
+    * against the definitional tiling (first n % k tiles hold one extra
+    * row). */
+  private def closedFormTile(n: Long, k: Long, r: Long): Long =
+    if (r <= (n % k) * ((n / k) + 1)) (r - 1) / ((n / k) + 1) + 1
+    else (n % k) + ((r - 1 - (n % k) * ((n / k) + 1)) / (n / k)) + 1
+
+  private def definitionalTiles(n: Long, k: Long): Seq[Long] = {
+    val big = n % k
+    val base = n / k
+    (1L to k).flatMap(t => Seq.fill((base + (if (t <= big) 1 else 0)).toInt)(t))
+  }
+
+  property("closed-form NTile equals the definitional tiling for n <= 10^4, k <= 64") =
+    forAll(Gen.choose(1L, 10000L), Gen.choose(1L, 64L)) { (n, k) =>
+      val want = definitionalTiles(n, k)
+      (1L to n).forall(r => closedFormTile(n, k, r) == want((r - 1).toInt))
+    }
 }
