@@ -287,26 +287,40 @@ object Dedup {
     * band/chunk used to land that band's entire pair count in ONE task,
     * and AQE's byte-based skew split cannot see pair-count blowup.
     *
-    * The split factor is a WINDOW COUNT over the key inside the same
-    * declarative plan — no census action, no checkpoint, no driver round
-    * trip, no plan branch. The SYMMETRY is the load-bearing design
-    * choice: because the two join sides are byte-identical subtrees, the
-    * exchange is built once and reused (earlier asymmetric variants —
-    * lhs/rhs exploding different salt ranges, or a cold/hot union —
-    * planned 2-4 independent copies of the upstream projection and
-    * measured 2x on q_minhash_dedup at sf0.1). When no key is hot every
-    * row gets s = 1, emits exactly one bucket (0,0), and the join IS the
-    * plain key-equal id-ordered self-join at 1x replication plus one
-    * window count over the projection. The orientation predicate
-    * references both sides in every conjunct, so the optimizer cannot
-    * push a side-local filter down and break the symmetry.
-    * Batch-only (window over the full key population).
+    * The split factor comes from a HEAVY-HITTER CENSUS, not a per-key
+    * window (the round-13 shape): the input pins ONCE (a narrow
+    * checkpoint — the RangedPrefix lesson: two consumers of one subtree
+    * are differently-pruned branches that each recompute the upstream
+    * banding), a partial-aggregated `groupBy(key).count()` keeps only
+    * keys over the cap — EMPTY on a clean corpus, a handful of
+    * boilerplate keys otherwise, bounded above by rows/cap — and joins
+    * back LEFT onto the pinned rows (absent count = s = 1). The join is
+    * deliberately unhinted: AQE sizes the completed count stage at
+    * runtime and broadcasts the (normally tiny) hot table, so the
+    * no-hot-key price is one map-side-combined count shuffle of bare
+    * keys instead of round 13's full sort-shuffle of the projection
+    * under a `count().over(partitionBy(key))` window (measured 1.4-2.9x
+    * steady on the sf0.1 band joins); in the degenerate
+    * beyond-broadcast case (10^8+ distinct hot keys) AQE keeps a
+    * shuffled hash join, which costs exactly the old window exchange
+    * without its sort. The SYMMETRY of the pair join is the other
+    * load-bearing design choice: because the two join sides are
+    * byte-identical subtrees, the pair exchange is built once and
+    * reused (earlier asymmetric variants — lhs/rhs exploding different
+    * salt ranges, or a cold/hot union — planned 2-4 independent copies
+    * of the upstream projection and measured 2x on q_minhash_dedup at
+    * sf0.1). When no key is hot every row gets s = 1, emits exactly one
+    * bucket (0,0), and the join IS the plain key-equal id-ordered
+    * self-join at 1x replication. The orientation predicate references
+    * both sides in every conjunct, so the optimizer cannot push a
+    * side-local filter down and break the symmetry.
+    * Batch-only (corpus-wide census).
     *
     * Returns the joined frame with sides aliased `a`/`b` for the caller
     * to project. Under the cover a bucket's pair ORIENTATION is
     * arbitrary, so callers must canonicalize ids with least/greatest and
     * keep only orientation-symmetric payloads (hamming, jaccard,
-    * cosine). Input must not already carry __s/__g/__bx/__by columns
+    * cosine). Input must not already carry __s/__g/__bx/__by/__kc columns
     * (all call sites are internal projections). */
   private[graft] def saltedSelfJoin(e0: DataFrame, keyCol: String, idCol: String,
                                     cap: Long,
@@ -324,9 +338,19 @@ object Dedup {
       return e0.as("a").join(hinted(e0.as("b")),
         col(s"a.$keyCol") === col(s"b.$keyCol") &&
           col(s"a.$idCol") < col(s"b.$idCol"))
-    val w = org.apache.spark.sql.expressions.Window.partitionBy(col(keyCol))
-    val e = e0
-      .withColumn("__s", ceil(count(lit(1)).over(w).cast("double") / cap).cast("int"))
+    // pin the projection ONCE: the census and the pair path are two
+    // consumers, and unpinned they would be differently-pruned subtrees
+    // each recomputing the upstream banding (no ReuseExchange)
+    val spark = e0.sparkSession
+    val (cp, cpIds) = graft.api.Pinned.checkpointTracked(e0)
+    graft.api.Pinned.register(spark, cpIds)
+    val hot = cp.groupBy(col(keyCol)).agg(count(lit(1)).as("__kc"))
+      .filter(col("__kc") > cap)
+    val e = cp
+      .join(hot, Seq(keyCol), "left")
+      .withColumn("__s",
+        coalesce(ceil(col("__kc").cast("double") / cap).cast("int"), lit(1)))
+      .drop("__kc")
       .withColumn("__g", pmod(xxhash64(col(idCol)), col("__s")).cast("int"))
       .withColumn("__b", explode(transform(
         sequence(lit(0), col("__s") - 1),
@@ -381,7 +405,7 @@ object Dedup {
     * Inputs must have IDENTICAL schemas (same id column name/type, same
     * key column, any union-compatible payload columns — payloads ride
     * the cover shuffles, so keep them to what verification needs) and
-    * must not already carry __side/__uid/__s/__g/__bx/__by columns.
+    * must not already carry __side/__uid/__s/__g/__bx/__by/__kc columns.
     * The cover's pair orientation is arbitrary, so the output is
     * re-projected canonically: every input column c returns as `l_c`
     * (the row from `l0`) and `r_c` (the row from `r0`). Batch-only
