@@ -484,6 +484,21 @@ object Program {
                                textCol: String, n: Int, w: Int,
                                minShared: Int, maxBucket: Int) extends Node
 
+  /** Order-n interpolated Kneser-Ney LM score over the input corpus
+    * itself (`TextOps.knLmScore`) — the KenLM smoothing family at a
+    * fixed discount. BUILD-TIME EAGER; batch-only (score a stream with
+    * [[KnAgainst]]). */
+  final case class KnScore(name: String, input: String, idCol: String,
+                           textCol: String, order: Int,
+                           discount: Double) extends Node
+
+  /** Dual-mode order-n Kneser-Ney scoring against a PRETRAINED reference
+    * corpus (`TextOps.knLmScoreAgainst`) — the literal CCNet crawl-vs-
+    * Wikipedia shape with full back-off on unseen contexts. */
+  final case class KnAgainst(name: String, input: String, ref: String,
+                             idCol: String, textCol: String, refTextCol: String,
+                             order: Int, discount: Double) extends Node
+
   /** The whole document: nodes in topological order + the named outputs a
     * configuration may bind sinks to. */
   final case class Doc(nodes: Seq[Node], outputs: Seq[String]) {
@@ -669,6 +684,8 @@ object Program {
     case na: LmNAgainst => Seq(na.input, na.ref)
     case br: Bm25Retrieve => Seq(br.input, br.queries)
     case wp: WinnowPairs => Seq(wp.input)
+    case ks: KnScore => Seq(ks.input)
+    case ka: KnAgainst => Seq(ka.input, ka.ref)
     case ds: DsirScore => Seq(ds.input, ds.target, ds.raw)
     case tf: TokenFreq => Seq(tf.input, tf.ref)
     case be: BpeEncode => Seq(be.input, be.merges)
@@ -927,6 +944,13 @@ object Program {
           s.lift(graft.pipeline.TextOps.winnowOverlapPairs(
             batchFace(name, "winnowPairs", s), idCol, textCol, nn, w,
             minShared, maxBucket))
+        case KnScore(name, i, idCol, textCol, order, discount) =>
+          val s = in(i)
+          s.lift(graft.pipeline.TextOps.knLmScore(
+            batchFace(name, "knScore", s), idCol, textCol, order, discount))
+        case KnAgainst(name, i, ref, idCol, textCol, refTextCol, order, discount) =>
+          graft.pipeline.TextOps.knLmScoreAgainst(in(i),
+            staticSide(name, in, ref), idCol, textCol, refTextCol, order, discount)
         case DsirScore(name, i, tgt, raw, idCol, textCol, refTextCol, buckets, alpha) =>
           graft.pipeline.TextOps.dsirScore(in(i), staticSide(name, in, tgt),
             staticSide(name, in, raw), idCol, textCol, refTextCol, buckets, alpha)
@@ -1125,6 +1149,8 @@ object Program {
     case x: LmNAgainst => x.copy(name = name)
     case x: Bm25Retrieve => x.copy(name = name)
     case x: WinnowPairs => x.copy(name = name)
+    case x: KnScore => x.copy(name = name)
+    case x: KnAgainst => x.copy(name = name)
     case x: DsirScore => x.copy(name = name)
     case x: TokenFreq => x.copy(name = name)
     case x: BpeEncode => x.copy(name = name)
@@ -1439,6 +1465,18 @@ object Program {
                            maxBucket: Int = 64): Rec =
       derive1("winnowPairs")(nm => WinnowPairs(nm, name, idCol, textCol, n,
         w, minShared, maxBucket))
+    /** Order-n Kneser-Ney LM score over this corpus itself (format
+      * version 8). */
+    def knLmScore(idCol: String, textCol: String, order: Int,
+                  discount: Double = 0.75): Rec =
+      derive1("knScore")(n => KnScore(n, name, idCol, textCol, order, discount))
+    /** Order-n Kneser-Ney scoring against `ref`'s pretrained counts
+      * (format version 8). */
+    def knLmScoreAgainst(ref: Rec, idCol: String, textCol: String,
+                         refTextCol: String, order: Int,
+                         discount: Double = 0.75): Rec =
+      derive("knAgainst", Seq(ref))(n => KnAgainst(n, name, ref.name, idCol,
+        textCol, refTextCol, order, discount))
     /** DSIR importance scoring against `target` and `raw` reference
       * corpora (format version 3). */
     def dsirScore(target: Rec, raw: Rec, idCol: String, textCol: String,
@@ -1662,7 +1700,8 @@ object Program {
     * topkPerKey, sq8Encode, zorder); 7 adds lm3Score (the interpolated
     * trigram-LM quality score); 8 adds the order-n LM family (lm3Against,
     * lmnScore, lmnAgainst) and the retrieval/clone-pair nodes
-    * (bm25Retrieve, winnowPairs).
+    * (bm25Retrieve, winnowPairs) plus the
+    * Kneser-Ney pair (knScore, knAgainst).
     * [[toJson]] stamps each document with the LOWEST version that can
     * express it, so a document using only the v1 grammar stays loadable
     * by a v1 library. Versions track SHIPPED grammars (one per build
@@ -1674,7 +1713,7 @@ object Program {
   private def requiredVersion(doc: Doc): Int =
     if (doc.nodes.exists {
       case _: Lm3Against | _: LmNScore | _: LmNAgainst | _: Bm25Retrieve |
-           _: WinnowPairs => true
+           _: WinnowPairs | _: KnScore | _: KnAgainst => true
       case _ => false }) 8
     else if (doc.nodes.exists { case _: Lm3Score => true; case _ => false }) 7
     else if (doc.nodes.exists {
@@ -1808,6 +1847,15 @@ object Program {
         ("op" -> "winnowPairs") ~ ("name" -> name) ~ ("input" -> i) ~
           ("idCol" -> idCol) ~ ("textCol" -> textCol) ~ ("n" -> nn) ~
           ("w" -> w) ~ ("minShared" -> minShared) ~ ("maxBucket" -> maxBucket)
+      case KnScore(name, i, idCol, textCol, order, discount) =>
+        ("op" -> "knScore") ~ ("name" -> name) ~ ("input" -> i) ~
+          ("idCol" -> idCol) ~ ("textCol" -> textCol) ~ ("order" -> order) ~
+          ("discount" -> discount)
+      case KnAgainst(name, i, ref, idCol, textCol, refTextCol, order, discount) =>
+        ("op" -> "knAgainst") ~ ("name" -> name) ~ ("input" -> i) ~
+          ("ref" -> ref) ~ ("idCol" -> idCol) ~ ("textCol" -> textCol) ~
+          ("refTextCol" -> refTextCol) ~ ("order" -> order) ~
+          ("discount" -> discount)
       case LmScore(name, i, ref, idCol, textCol, refTextCol, alpha) =>
         ("op" -> "lmScore") ~ ("name" -> name) ~ ("input" -> i) ~
           ("ref" -> ref) ~ ("idCol" -> idCol) ~ ("textCol" -> textCol) ~
@@ -2128,6 +2176,15 @@ object Program {
             (v \ "w").extractOpt[Int].getOrElse(4),
             (v \ "minShared").extractOpt[Int].getOrElse(2),
             (v \ "maxBucket").extractOpt[Int].getOrElse(64))
+          case "knScore" => KnScore(name, (v \ "input").extract[String],
+            (v \ "idCol").extract[String], (v \ "textCol").extract[String],
+            (v \ "order").extract[Int],
+            (v \ "discount").extractOpt[Double].getOrElse(0.75))
+          case "knAgainst" => KnAgainst(name, (v \ "input").extract[String],
+            (v \ "ref").extract[String], (v \ "idCol").extract[String],
+            (v \ "textCol").extract[String], (v \ "refTextCol").extract[String],
+            (v \ "order").extract[Int],
+            (v \ "discount").extractOpt[Double].getOrElse(0.75))
           case "dsirScore" => DsirScore(name, (v \ "input").extract[String],
             (v \ "target").extract[String], (v \ "raw").extract[String],
             (v \ "idCol").extract[String], (v \ "textCol").extract[String],
@@ -2359,6 +2416,17 @@ object Program {
             env(na.ref).df.select(col(na.refTextCol)).schema
             emptyOf(s, graft.pipeline.TextOps.ngramOutputSchema(
               na.idCol, s.df.schema(na.idCol).dataType))
+          case ks: KnScore =>
+            val s = env(ks.input)
+            s.df.select(col(ks.idCol), col(ks.textCol)).schema
+            emptyOf(s, graft.pipeline.TextOps.ngramOutputSchema(
+              ks.idCol, s.df.schema(ks.idCol).dataType))
+          case ka: KnAgainst =>
+            val s = env(ka.input)
+            s.df.select(col(ka.idCol), col(ka.textCol)).schema
+            env(ka.ref).df.select(col(ka.refTextCol)).schema
+            emptyOf(s, graft.pipeline.TextOps.ngramOutputSchema(
+              ka.idCol, s.df.schema(ka.idCol).dataType))
           case ds: DsirScore =>
             val s = env(ds.input)
             s.df.select(col(ds.idCol), col(ds.textCol)).schema
@@ -2511,6 +2579,16 @@ object Program {
         s"node '$node': $op lambdas must be $order non-negative weights " +
           s"summing to 1, highest order first (or empty for the halving " +
           s"default), got ${lambdas.mkString(", ")}")
+  }
+
+  /** Structural contract of the Kneser-Ney nodes — mirrors the operator
+    * requires so a bad artifact fails at load with the node's name. */
+  private def checkKn(node: String, op: String, order: Int,
+                      discount: Double): Unit = {
+    if (order < 2 || order > 8) throw new IllegalArgumentException(
+      s"node '$node': $op order must be in [2, 8], got $order")
+    if (discount <= 0.0 || discount >= 1.0) throw new IllegalArgumentException(
+      s"node '$node': $op discount must be in (0, 1), got $discount")
   }
 
   /** Load-time validation: every SQL fragment must parse, every input
@@ -2683,6 +2761,12 @@ object Program {
                 s"minShared >= 1 and maxBucket >= 2, got " +
                 s"(${wp.n}, ${wp.w}, ${wp.minShared}, ${wp.maxBucket})")
           Seq(wp.input)
+        case ks: KnScore =>
+          checkKn(n.name, "knScore", ks.order, ks.discount)
+          Seq(ks.input)
+        case ka: KnAgainst =>
+          checkKn(n.name, "knAgainst", ka.order, ka.discount)
+          Seq(ka.input, ka.ref)
         case ds: DsirScore =>
           if (ds.alpha <= 0.0 || ds.buckets <= 0) throw new IllegalArgumentException(
             s"node '${n.name}': dsirScore needs alpha > 0 and buckets > 0, " +

@@ -1007,6 +1007,217 @@ object TextOps {
     ngramLmScoreAgainst(stream, refDocs, idCol, textCol, refTextCol, 3, alpha,
       Seq(lambdas._1, lambdas._2, lambdas._3), nCol = "n_tris")
 
+  // ---------------------------------------------------------- Kneser-Ney LM
+
+  /** The interpolated Kneser-Ney model tables for order n (Kneser & Ney
+    * 1995; Chen & Goodman 1999's interpolated form with one fixed
+    * discount D — KenLM's modified KN uses three count-bucketed
+    * discounts, the documented remaining deviation): raw counts at the
+    * top order, CONTINUATION counts below it — ĉ_j(g) = the number of
+    * distinct words PRECEDING g in the corpus = the row count of the
+    * raw (j+1)-gram table grouped by its last j columns (the "how many
+    * contexts has this word completed" estimate that keeps "Francisco"
+    * rare outside "San") — and per-context aggregates carrying BOTH the
+    * denominator total and N1+ (the discount mass) from ONE groupBy
+    * each. Pinned: the top raw table and every continuation table (each
+    * has two consumers — its context aggregate and the scoring join);
+    * intermediate raw tables are single-consumer and stay lazy.
+    * Returns (rawN, ctxN, cont(1..n-1), ctxc(2..n-1), one-row stats
+    * (__t1 = total bigram types as double, __n1p1, __v = vocabulary)). */
+  private def knModel(train: org.apache.spark.sql.DataFrame, textCol: String,
+                      order: Int)
+      : (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame,
+         Map[Int, org.apache.spark.sql.DataFrame],
+         Map[Int, org.apache.spark.sql.DataFrame],
+         org.apache.spark.sql.DataFrame) = {
+    val spark = train.sparkSession
+    def pin(d: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+      val (cp, ids) = graft.api.Pinned.checkpointTracked(d)
+      graft.api.Pinned.register(spark, ids)
+      cp
+    }
+    def raw(j: Int): org.apache.spark.sql.DataFrame =
+      gramsOf(train, textCol, j, gramCols(order, j), Nil)
+        .groupBy(gramCols(order, j).map(col): _*).agg(count(lit(1)).as(s"__cr$j"))
+    val rawN = pin(raw(order))
+    val ctxN = rawN.groupBy(gramCols(order, order).dropRight(1).map(col): _*)
+      .agg(sum(col(s"__cr$order")).as(s"__tot$order"),
+        count(lit(1)).as(s"__n1p$order"))
+    val cont = (1 until order).map { j =>
+      val src = if (j + 1 == order) rawN else raw(j + 1)
+      j -> pin(src.groupBy(gramCols(order, j).map(col): _*)
+        .agg(count(lit(1)).as(s"__cc$j")))
+    }.toMap
+    val ctxc = (2 until order).map { j =>
+      j -> cont(j).groupBy(gramCols(order, j).dropRight(1).map(col): _*)
+        .agg(sum(col(s"__cc$j")).as(s"__ctot$j"), count(lit(1)).as(s"__n1p$j"))
+    }.toMap
+    val stats = cont(1)
+      .agg(sum(col("__cc1")).cast("double").as("__t1"), count(lit(1)).as("__n1p1"))
+      .crossJoin(train.select(explode(words(col(textCol))).as("__t"))
+        .agg(count_distinct(col("__t")).as("__v")))
+    (rawN, ctxN, cont, ctxc, stats)
+  }
+
+  /** The interpolated-KN per-position log-likelihood over joined count
+    * columns, folded from the continuation-unigram base up: P_1
+    * interpolates with the uniform 1/(V+1) floor (one reserved unknown
+    * slot) so tokens unseen in the model keep mass; each level j backs
+    * off ENTIRELY to level j−1 when its context is unseen (the left-join
+    * face — a seen context always takes max(c−D,0)/total + D·N1+/total
+    * · P_{j−1}). On the self-scoring inner-join face every guard is
+    * true by construction and the fold is the plain interpolated-KN
+    * formula the oracle mirrors without the CASEs. */
+  private def knLp(order: Int, discount: Double): Column = {
+    val dd = lit(discount)
+    var p: Column =
+      greatest(coalesce(col("__cc1"), lit(0L)).cast("double") - dd, lit(0.0)) /
+        col("__t1") +
+        dd * col("__n1p1") / col("__t1") * (lit(1.0) / (col("__v") + lit(1.0)))
+    for (j <- 2 until order) {
+      val hi =
+        greatest(coalesce(col(s"__cc$j"), lit(0L)).cast("double") - dd, lit(0.0)) /
+          col(s"__ctot$j") +
+          dd * col(s"__n1p$j") / col(s"__ctot$j") * p
+      p = when(coalesce(col(s"__ctot$j"), lit(0L)) > 0, hi).otherwise(p)
+    }
+    val hiN =
+      greatest(coalesce(col(s"__cr$order"), lit(0L)).cast("double") - dd, lit(0.0)) /
+        col(s"__tot$order") +
+        dd * col(s"__n1p$order") / col(s"__tot$order") * p
+    log(when(coalesce(col(s"__tot$order"), lit(0L)) > 0, hiN).otherwise(p))
+  }
+
+  /** Order-n interpolated Kneser-Ney LM quality score over the corpus
+    * itself — the KenLM smoothing FAMILY at a fixed discount (real KenLM
+    * is modified KN: three count-bucketed discounts per order; the fixed-D
+    * interpolated form is the exact, oracle-able member — Chen & Goodman
+    * 1999 §3). Counts-based and deterministic: an independent engine
+    * reproduces scores bit-for-bit, which absolute-discounting keeps and
+    * KenLM's float quantization would not. Documents under `order`
+    * tokens score (n_grams 0, NULL).
+    *
+    * Scale shape: the model is the raw top-order table plus n−2
+    * continuation tables (each a partial-aggregated groupBy over the
+    * order above, corpus-token-bounded, pinned once); scoring joins the
+    * exploded positions against count frames exactly like
+    * [[ngramLmScore]] — same two-pass stat-then-score floor, same
+    * streamed-probe posture under hot tokens. */
+  def knLmScore(docs: org.apache.spark.sql.DataFrame, idCol: String,
+                textCol: String, order: Int,
+                discount: Double = 0.75): org.apache.spark.sql.DataFrame = {
+    require(order >= 2 && order <= 8,
+      s"knLmScore order must be in [2, 8], got $order")
+    require(discount > 0 && discount < 1,
+      s"discount must be in (0, 1), got $discount")
+    require(!docs.isStreaming,
+      "knLmScore trains on its own input — batch only (score a stream " +
+        "against a static reference with knLmScoreAgainst)")
+    val id = col(idCol)
+    val (rawN, ctxN, cont, ctxc, stats) = knModel(docs, textCol, order)
+    val pos = gramsOf(docs, textCol, order, gramCols(order, order), Seq(id))
+    // inner joins: a position's own occurrence puts every suffix, context
+    // and continuation in the model, so nothing is absent on the self face
+    var joined = pos.join(rawN, gramCols(order, order))
+      .join(ctxN, gramCols(order, order).dropRight(1))
+    for (j <- order - 1 to 2 by -1)
+      joined = joined.join(cont(j), gramCols(order, j))
+        .join(ctxc(j), gramCols(order, j).dropRight(1))
+    joined = joined.join(cont(1), gramCols(order, 1))
+      .crossJoin(broadcast(stats))
+    val scored = joined.withColumn("__lp", knLp(order, discount))
+      .groupBy(id)
+      .agg(count(lit(1)).as("n_grams"), round(avg(col("__lp")), 3).as("avg_logprob"))
+    docs.select(id).join(scored, Seq(idCol), "left")
+      .select(id, coalesce(col("n_grams"), lit(0L)).as("n_grams"), col("avg_logprob"))
+  }
+
+  /** Dual-mode order-n Kneser-Ney scoring AGAINST a pretrained reference
+    * corpus — the literal CCNet shape (Wenzek et al. 2020 score crawl
+    * text with 5-gram KenLM trained on Wikipedia). Counts train on
+    * `refDocs` ([[knModel]]); arriving documents score through LEFT
+    * joins with full back-off: an unseen context skips its level
+    * entirely (γ = 1 in the standard formulation), an unseen token
+    * bottoms out at the uniform 1/(V+1) floor. Streaming is stream-static
+    * broadcast joins + the stateless per-batch combine — zero state rows,
+    * the [[ngramLmScoreAgainst]] posture. */
+  def knLmScoreAgainst(stream: graft.api.MStream,
+                       refDocs: org.apache.spark.sql.DataFrame,
+                       idCol: String, textCol: String, refTextCol: String,
+                       order: Int, discount: Double = 0.75): graft.api.MStream = {
+    import org.apache.spark.sql.{Encoder, Row}
+    import org.apache.spark.sql.catalyst.encoders.RowEncoder
+    import org.apache.spark.sql.types._
+    require(order >= 2 && order <= 8,
+      s"knLmScoreAgainst order must be in [2, 8], got $order")
+    require(discount > 0 && discount < 1,
+      s"discount must be in (0, 1), got $discount")
+    require(!refDocs.isStreaming,
+      "knLmScoreAgainst: the reference corpus must be a batch frame " +
+        "(the model pins once; a streaming reference has no stable artifact)")
+    val df = stream.df
+    val (rawN, ctxN, cont, ctxc, stats) = knModel(refDocs, refTextCol, order)
+    val st = stats.head()
+    require(!st.isNullAt(0) && st.getDouble(0) > 0,
+      "knLmScoreAgainst: the reference corpus yields an empty model " +
+        "(needs at least one bigram)")
+    val (t1, n1p1, vv) = (st.getDouble(0), st.getLong(1), st.getLong(2))
+    val id = col(idCol)
+    def withJoins(pos: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+      var j0 = pos.join(broadcast(rawN), gramCols(order, order), "left")
+        .join(broadcast(ctxN), gramCols(order, order).dropRight(1), "left")
+      for (j <- order - 1 to 2 by -1)
+        j0 = j0.join(broadcast(cont(j)), gramCols(order, j), "left")
+          .join(broadcast(ctxc(j)), gramCols(order, j).dropRight(1), "left")
+      j0.join(broadcast(cont(1)), gramCols(order, 1), "left")
+        .withColumn("__t1", lit(t1)).withColumn("__n1p1", lit(n1p1))
+        .withColumn("__v", lit(vv))
+    }
+
+    if (!df.isStreaming) {
+      val pos = gramsOf(df, textCol, order, gramCols(order, order), Seq(id))
+      val scored = withJoins(pos)
+        .withColumn("__lp", knLp(order, discount))
+        .groupBy(id)
+        .agg(count(lit(1)).as("n_grams"), round(avg(col("__lp")), 3).as("avg_logprob"))
+      val out = df.select(id).join(scored, Seq(idCol), "left")
+        .select(id, coalesce(col("n_grams"), lit(0L)).as("n_grams"), col("avg_logprob"))
+      return stream.lift(out)
+    }
+
+    val ws = words(col(textCol))
+    val pStructs = arrays_zip((1 to order).map(i =>
+      slice(col("__w"), lit(i), size(col("__w")) - (order - 1)).as(s"g$i")): _*)
+    val sentinel = array(struct((1 to order).map(i =>
+      lit(null).cast("string").as(s"g$i")): _*))
+    val u0 = df.withColumn("__w", ws)
+      .select(id.as("__id"),
+        explode(when(size(col("__w")) >= order, pStructs).otherwise(sentinel)).as("__g"))
+      .select(col("__id") +: (1 to order).map(i => col(s"__g.g$i").as(s"__p$i")): _*)
+    val u = withJoins(u0)
+      .select(col("__id"), col("__p1"),
+        when(col("__p1").isNotNull, knLp(order, discount)).as("__lp"))
+    val idType = df.schema(idCol).dataType
+    val aggT = StructType(Seq(
+      StructField("__id", idType),
+      StructField("n_grams", LongType, nullable = false),
+      StructField("__sum", DoubleType)))
+    val aggEnc: Encoder[Row] = RowEncoder.encoderFor(aggT)
+    val pIdx = u.schema.fieldIndex("__p1")
+    val lpIdx = u.schema.fieldIndex("__lp")
+    val out = graft.streaming.PerBatchCombine(u, Seq("__id"), aggEnc) {
+        (key: Row, it: Iterator[Row]) =>
+          var nn = 0L; var s = 0.0
+          it.foreach { r =>
+            if (!r.isNullAt(pIdx)) { nn += 1; s += r.getDouble(lpIdx) }
+          }
+          Iterator.single(Row(key.get(0), nn, if (nn > 0) s else null))
+      }
+      .select(col("__id").as(idCol), col("n_grams"),
+        round(col("__sum") / col("n_grams"), 3).as("avg_logprob"))
+    stream.lift(out)
+  }
+
   /** CCNet head/middle/tail perplexity bucketing (Wenzek et al. 2020
     * §4.3: per-language perplexity terciles decide which slice of the
     * crawl is kept for LM training — "head" is the best-scoring third):

@@ -231,6 +231,8 @@ class ProgramNodeCoverageSpec extends AnyFunSuite {
       "ngramLmScore" -> node("lmnScore"),
       "ngramLmScoreAgainst" -> node("lmnAgainst"),
       "lm3ScoreAgainst" -> node("lm3Against"),
+      "knLmScore" -> node("knScore"),
+      "knLmScoreAgainst" -> node("knAgainst"),
       "lambdasFor" -> excluded(block),
       "ngramOutputSchema" -> excluded(artifact),
       "bm25RetrieveOutputSchema" -> excluded(artifact),
