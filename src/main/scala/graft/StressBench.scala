@@ -128,6 +128,10 @@ object StressBench {
         // old per-group windows serialized the dominant group, and the
         // 10x trigram-LM run (three count tables on the replica corpus)
         "langskew", "q_lm3_score",
+        // round-14: the 5-gram JM run (five count tables) and the
+        // Kneser-Ney trigram (raw + continuation tables) at 10x — the
+        // order-n LM family's count-build scaling evidence
+        "q_lm5_score", "q_kn3_score",
         // round-14: the hot-SHARD packing probe (one shard key holding
         // ~60% of the corpus, 1x then 10x) — packChunks' per-key running
         // sum was the last avoidable unbounded-per-key window; it now
