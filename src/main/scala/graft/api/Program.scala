@@ -2120,20 +2120,24 @@ object Program {
             (v \ "textCol").extract[String], (v \ "refTextCol").extract[String],
             (v \ "alpha").extractOpt[Double].getOrElse(0.5))
           case "lm3Score" =>
-            // lambda defaults are ALL-OR-NONE: defaulting the absent ones
-            // independently would turn a hand-written partial artifact
-            // (say l3=1.0 alone) into weights summing past 1 that only
-            // fail later in validate, blaming values the author never
-            // wrote — reject the partial spec here with the real cause
+            // lambda defaults are ALL-OR-NONE from format version 8:
+            // defaulting the absent ones independently would turn a
+            // hand-written partial artifact (say l3=1.0 alone) into
+            // weights summing past 1 that only fail later in validate,
+            // blaming values the author never wrote — reject the partial
+            // spec here with the real cause. Documents stamped <= 7 keep
+            // round 13's independent defaults (a shipped v7 artifact that
+            // loaded then must keep loading — the FormatVersion promise).
             val ls = Seq("l3", "l2", "l1").map(k => (v \ k).extractOpt[Double])
-            if (ls.exists(_.isDefined) && ls.exists(_.isEmpty))
+            if (ver >= 8 && ls.exists(_.isDefined) && ls.exists(_.isEmpty))
               throw new IllegalArgumentException(
                 s"node '$name': lm3Score lambdas are all-or-none — specify " +
                   "l3, l2 AND l1, or none of them (defaults 0.6/0.3/0.1); got " +
                   Seq("l3", "l2", "l1").zip(ls).collect {
                     case (k, Some(x)) => s"$k=$x" }.mkString(", "))
             val Seq(l3, l2, l1) =
-              if (ls.head.isDefined) ls.map(_.get) else Seq(0.6, 0.3, 0.1)
+              if (ver >= 8 && ls.head.isDefined) ls.map(_.get)
+              else ls.zip(Seq(0.6, 0.3, 0.1)).map { case (o, d) => o.getOrElse(d) }
             Lm3Score(name, (v \ "input").extract[String],
               (v \ "idCol").extract[String], (v \ "textCol").extract[String],
               (v \ "alpha").extractOpt[Double].getOrElse(0.5), l3, l2, l1)
@@ -2550,6 +2554,41 @@ object Program {
                 org.apache.spark.sql.types.LongType),
               org.apache.spark.sql.types.StructField("kept_hash",
                 org.apache.spark.sql.types.LongType))))
+          case pc: PackChunks =>
+            // build-time eager since the RangedPrefix rewrite (the range
+            // assignment checkpoints at lowering, like CapTokens): force
+            // the refs, emit the packing schema
+            val s = env(pc.input)
+            s.df.select(col(pc.idCol), col(pc.partCol), col(pc.textCol)).schema
+            emptyOf(s, org.apache.spark.sql.types.StructType(Seq(
+              s.df.schema(pc.idCol), s.df.schema(pc.partCol),
+              org.apache.spark.sql.types.StructField("n_tokens",
+                org.apache.spark.sql.types.LongType),
+              org.apache.spark.sql.types.StructField("chunk_id",
+                org.apache.spark.sql.types.LongType))))
+          case cd: CorpusDedup =>
+            // the salted cover's heavy-hitter census (r14) checkpoints at
+            // lowering: schema-only — survivors keep the input schema
+            val s = env(cd.input)
+            s.df.select(col(cd.idCol), col(cd.textCol)).schema
+            env(cd.ref).df.select(col(cd.idCol), col(cd.textCol)).schema
+            emptyOf(s, s.df.schema)
+          case br: Bm25Retrieve =>
+            // lazy, but resolve against the exported schema fact so the
+            // helper and validate cannot drift (IngestProgramSpec pins it
+            // equal to the real operator)
+            val s = env(br.input)
+            s.df.select(col(br.idCol), col(br.textCol)).schema
+            val q = env(br.queries)
+            q.df.select(col(br.qIdCol), col(br.qTextCol)).schema
+            emptyOf(s, graft.pipeline.TextOps.bm25RetrieveOutputSchema(
+              br.qIdCol, q.df.schema(br.qIdCol).dataType,
+              br.idCol, s.df.schema(br.idCol).dataType))
+          case wp: WinnowPairs =>
+            val s = env(wp.input)
+            s.df.select(col(wp.idCol), col(wp.textCol)).schema
+            emptyOf(s, graft.pipeline.TextOps.winnowPairsOutputSchema(
+              s.df.schema(wp.idCol).dataType))
           case other => lowerNode(other, name => env(name))
         }
         out.df.schema // force analysis NOW so failures attribute to THIS node

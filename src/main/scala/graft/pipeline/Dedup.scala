@@ -243,11 +243,12 @@ object Dedup {
 
   /** Hot-key-cover cap conf: like [[longConf]] but 0 is the EXPLICIT
     * ESCAPE — it disables the cover entirely (plain key-equi join, no
-    * window count, no salt columns) for corpora whose key entropy is
-    * trusted (pre-deduped inputs, bounded batches): the cover's window
-    * count is one extra full shuffle of the banded projection even when
-    * no key is hot, measured 1.4-2.9x on the sf0.1 band-join queries
-    * (steady-state BenchOne, round 13). Negative still rejects. */
+    * census, no salt columns) for corpora whose key entropy is trusted
+    * (pre-deduped inputs, bounded batches): the armored default still
+    * costs a narrow checkpoint + a key-count stage even when no key is
+    * hot (round 13's per-key window form measured 1.4-2.9x on the sf0.1
+    * band joins; the r14 heavy-hitter census cut that to job floors,
+    * ~+0.2 s steady per covered query). Negative still rejects. */
   private[graft] def capConf(spark: org.apache.spark.sql.SparkSession,
                              key: String, default: Long): Long = {
     val v = parsedLongConf(spark, key, default)
@@ -330,8 +331,8 @@ object Dedup {
     def hinted(d: DataFrame): DataFrame = hint.map(d.hint(_)).getOrElse(d)
     // cap = 0: the EXPLICIT escape (set the cap conf to 0) for corpora
     // whose key entropy is trusted — the plain key-equal id-ordered
-    // self-join, paying neither the window count (one full shuffle of
-    // the projection even when no key is hot) nor the bucket machinery.
+    // self-join, paying neither the census (checkpoint + key-count
+    // stage even when no key is hot) nor the bucket machinery.
     // Same output contract: sides aliased a/b, every within-key id pair
     // exactly once.
     if (cap == 0L)
@@ -388,7 +389,7 @@ object Dedup {
     * Lowering: the two inputs UNION under a side tag and ride the SAME
     * [[saltedSelfJoin]] triangle cover — the composite id
     * `struct(__side, id)` keeps ids unique even when the two corpora
-    * share raw id values, the window count is over the combined key
+    * share raw id values, the census is over the combined key
     * population (s = ceil((popL+popR)/cap)), and the side-inequality
     * filter keeps exactly the cross pairs (each generated EXACTLY once
     * by the cover's exactness property; same-side pairs are formed and
@@ -409,7 +410,7 @@ object Dedup {
     * The cover's pair orientation is arbitrary, so the output is
     * re-projected canonically: every input column c returns as `l_c`
     * (the row from `l0`) and `r_c` (the row from `r0`). Batch-only
-    * (window over the full key population). */
+    * (corpus-wide census). */
   private[graft] def saltedCrossJoin(l0: DataFrame, r0: DataFrame,
                                      keyCol: String, idCol: String, cap: Long,
                                      hint: Option[String] = None): DataFrame = {
@@ -1911,8 +1912,9 @@ object Dedup {
     * changes: per-task pairs drop from pop² to ~cap², spread over
     * s(s+1)/2 buckets, at the cost of (s+1)× replication of the hot
     * cell's rows (the inherent SemDeDup verification work, redistributed).
-    * The split factor is a window count INSIDE the plan (no census
-    * action, no broadcast table); a cell under the cap keeps s = 1, i.e.
+    * The split factor comes from the shared heavy-hitter census (r14 —
+    * one narrow checkpoint, a partial-aggregated over-cap key count,
+    * AQE-sized join-back); a cell under the cap keeps s = 1, i.e.
     * the plain pair join. The mechanism is the shared [[saltedSelfJoin]],
     * the same cover guarding the MinHash band and SimHash chunk joins. */
   private def semanticClusters(embs: DataFrame, idCol: String, vecCol: String,

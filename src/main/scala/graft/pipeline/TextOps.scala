@@ -1218,6 +1218,23 @@ object TextOps {
     stream.lift(out)
   }
 
+  /** Closed-form NTile(k) of 1-based rank `__r` in a population `__n`:
+    * the first n % k tiles hold floor(n/k)+1 rows — exactly Spark's and
+    * DuckDB's NTile ("div" throughout — ANSI-safe: the big-tile region
+    * covers ALL rows when floor(n/k) = 0, so the small-tile branch and
+    * its division never evaluate there; CaseWhen branches are lazy).
+    * Package-private so PerplexityBucketsSpec pins THIS production
+    * expression (not a copy) against the definitional tiling over random
+    * large-n shapes; ExpressionProps separately pins the arithmetic
+    * against the definition in plain Scala. */
+  private[graft] def closedFormNtile(buckets: Int): Column = expr(
+    s"""CASE WHEN __r <= (__n % $buckets) * ((__n div $buckets) + 1)
+          THEN (__r - 1) div ((__n div $buckets) + 1) + 1
+          ELSE (__n % $buckets)
+               + ((__r - 1 - (__n % $buckets) * ((__n div $buckets) + 1))
+                  div (__n div $buckets)) + 1
+        END""").cast("int")
+
   /** CCNet head/middle/tail perplexity bucketing (Wenzek et al. 2020
     * §4.3: per-language perplexity terciles decide which slice of the
     * crawl is kept for LM training — "head" is the best-scoring third):
@@ -1271,18 +1288,7 @@ object TextOps {
       .withColumn("__r", col("__off") + row_number().over(
         Window.partitionBy(col("__p"), col(langCol))
           .orderBy(col("avg_logprob").desc, col(idCol))))
-    // closed-form NTile(k) of rank r in a population of n: the first
-    // n % k tiles hold floor(n/k)+1 rows ("div" throughout — ANSI-safe:
-    // the big-tile region covers ALL rows when floor(n/k) = 0, so the
-    // small-tile branch and its division never evaluate there (CaseWhen
-    // branches are lazy))
-    val bucketC = expr(
-      s"""CASE WHEN __r <= (__n % $buckets) * ((__n div $buckets) + 1)
-            THEN (__r - 1) div ((__n div $buckets) + 1) + 1
-            ELSE (__n % $buckets)
-                 + ((__r - 1 - (__n % $buckets) * ((__n div $buckets) + 1))
-                    div (__n div $buckets)) + 1
-          END""").cast("int")
+    val bucketC = closedFormNtile(buckets)
     ranked.select(col(idCol), col(langCol), col("n_pairs"), col("avg_logprob"),
         bucketC.as("bucket"))
       .unionByName(parted.filter(col("avg_logprob").isNull)

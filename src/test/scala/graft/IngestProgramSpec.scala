@@ -470,6 +470,25 @@ class IngestProgramSpec extends SparkSpec {
           docsDf.schema("doc_id").dataType)))
     } finally graft.api.Pinned.release(spark)
 
+    // schema-only validation of the build-time-eager census/prefix nodes:
+    // packChunks (RangedPrefix checkpoints at lowering) and corpusDedup
+    // (the salted cover's census checkpoints at lowering) must not fire
+    // jobs or leak Pinned registrations during validate
+    val eagerDoc = Doc(
+      nodes = Seq(External("docs"), External("refcorpus"),
+        PackChunks("pk", "docs", "doc_id", "text", "text", 512L),
+        CorpusDedup("cdx", "docs", "refcorpus", "doc_id", "text", 16, 8, 0.8,
+          broadcastRef = true)),
+      outputs = Seq("pk", "cdx"))
+    val eagerCfg = new App.Config()
+      .setSource("docs", App.Source("list", rows = Some(docsDf)))
+      .setSource("refcorpus", App.Source("list", rows = Some(ref)))
+      .addSink("pk", App.Sink("memory")).addSink("cdx", App.Sink("memory"))
+    val before = spark.sparkContext.getPersistentRDDs.keySet
+    Program.validate(eagerDoc, spark, eagerCfg)
+    assert(spark.sparkContext.getPersistentRDDs.keySet == before,
+      "validate must not checkpoint the RangedPrefix/census machinery")
+
     // parameter validations name the node
     def loadFail(d: Doc, needle: String): Unit = {
       val ex = intercept[IllegalArgumentException](Program.fromJson(Program.toJson(d)))

@@ -55,27 +55,49 @@ class PerplexityBucketsSpec extends SparkSpec {
 
   test("closed-form tile formula equals the ntile window for every population shape") {
     // the distributed rewrite replaces ntile().over(partitionBy(lang))
-    // with rank + this closed form; pin it against Spark's own NTile for
+    // with rank + the PRODUCTION closed form (TextOps.closedFormNtile —
+    // not a test-local copy); pin it against Spark's own NTile for
     // every (population, buckets) shape incl. n < k, n % k == 0, n == 1
     import org.apache.spark.sql.expressions.Window
     import org.apache.spark.sql.functions._
     for (k <- Seq(2, 3, 4, 5, 7)) {
       val rows = for (n <- 1 to 25; r <- 1 to n) yield (n.toLong, r.toLong)
       val df = rows.toDF("__n", "__r")
-      val formula = expr(
-        s"""CASE WHEN __r <= (__n % $k) * ((__n div $k) + 1)
-              THEN (__r - 1) div ((__n div $k) + 1) + 1
-              ELSE (__n % $k)
-                   + ((__r - 1 - (__n % $k) * ((__n div $k) + 1))
-                      div (__n div $k)) + 1
-            END""").cast("int")
       val bad = df
         .withColumn("__want", ntile(k).over(
           Window.partitionBy("__n").orderBy("__r")))
-        .withColumn("__got", formula)
+        .withColumn("__got", TextOps.closedFormNtile(k))
         .filter(col("__got") =!= col("__want"))
         .collect()
       assert(bad.isEmpty, s"k=$k mismatches: ${bad.take(5).mkString(", ")}")
+    }
+  }
+
+  test("production tile expression matches the definitional tiling on random large shapes") {
+    // the div/mod edge regions past the exhaustive n <= 25 grid (large n,
+    // n < k, n % k == 0), driven through the PRODUCTION expression —
+    // boundary ranks of every tile plus random interior ranks per shape
+    import org.apache.spark.sql.functions._
+    val rnd = new scala.util.Random(14)
+    val shapes = Seq((10000L, 64), (9984L, 64), (63L, 64), (1L, 64), (10000L, 3)) ++
+      Seq.fill(40)((1L + rnd.nextInt(10000).toLong, 1 + rnd.nextInt(64)))
+    def defTile(n: Long, k: Long, r: Long): Long = {
+      val big = n % k; val base = n / k
+      if (r <= big * (base + 1)) (r - 1) / (base + 1) + 1
+      else big + (r - 1 - big * (base + 1)) / base + 1
+    }
+    for ((n, k) <- shapes) {
+      val bounds = (1L to k.toLong).flatMap { t =>
+        val hi = math.min(n, t * (n / k) + math.min(t, n % k))
+        Seq(hi, hi + 1)
+      }.filter(r => r >= 1 && r <= n)
+      val ranks = (bounds ++ Seq.fill(20)(1L + rnd.nextInt(n.toInt).toLong)).distinct
+      val df = ranks.map(r => (n, r)).toDF("__n", "__r")
+      val got = df.withColumn("__got", TextOps.closedFormNtile(k))
+        .collect().map(r => r.getLong(1) -> r.getInt(2)).toMap
+      ranks.foreach { r =>
+        assert(got(r).toLong == defTile(n, k, r), s"n=$n k=$k r=$r")
+      }
     }
   }
 

@@ -234,6 +234,7 @@ class ProgramNodeCoverageSpec extends AnyFunSuite {
       "knLmScore" -> node("knScore"),
       "knLmScoreAgainst" -> node("knAgainst"),
       "lambdasFor" -> excluded(block),
+      "closedFormNtile" -> excluded(block),
       "ngramOutputSchema" -> excluded(artifact),
       "bm25RetrieveOutputSchema" -> excluded(artifact),
       "winnowPairsOutputSchema" -> excluded(artifact),

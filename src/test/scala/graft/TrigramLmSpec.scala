@@ -99,27 +99,33 @@ class TrigramLmSpec extends SparkSpec {
     } finally graft.api.Pinned.release(spark)
   }
 
-  test("Lm3Score JSON: lambda defaults are all-or-none; absent = 0.6/0.3/0.1") {
-    def artifact(lambdaJson: String): String =
-      s"""{"version":7,"nodes":[
+  test("Lm3Score JSON: v8 lambda defaults all-or-none; v7 keeps round-13 leniency") {
+    def artifact(ver: Int, lambdaJson: String): String =
+      s"""{"version":$ver,"nodes":[
          |{"op":"external","name":"in"},
          |{"op":"lm3Score","name":"s","input":"in","idCol":"doc_id",
          |"textCol":"text"$lambdaJson}],"outputs":["s"]}""".stripMargin
-    // a hand-written artifact specifying a SUBSET must fail at load with
-    // the real cause, not a later confusing sum-to-1 over defaults the
-    // author never wrote
+    // v8: a hand-written artifact specifying a SUBSET must fail at load
+    // with the real cause, not a later confusing sum-to-1 over defaults
+    // the author never wrote
     val partial = intercept[IllegalArgumentException](
-      Program.fromJson(artifact(""","l3":1.0""")))
+      Program.fromJson(artifact(8, ""","l3":1.0""")))
     assert(partial.getMessage.contains("all-or-none") &&
       partial.getMessage.contains("l3=1.0"), partial.getMessage)
-    // none specified: the documented defaults apply
-    val defaulted = Program.fromJson(artifact(""))
+    // none specified: the documented defaults apply (any version)
+    val defaulted = Program.fromJson(artifact(8, ""))
     assert(defaulted.nodes.collectFirst { case l: Lm3Score => (l.l3, l.l2, l.l1) }
       .contains((0.6, 0.3, 0.1)))
     // all three specified: used verbatim
-    val full = Program.fromJson(artifact(""","l3":0.5,"l2":0.25,"l1":0.25"""))
+    val full = Program.fromJson(artifact(8, ""","l3":0.5,"l2":0.25,"l1":0.25"""))
     assert(full.nodes.collectFirst { case l: Lm3Score => (l.l3, l.l2, l.l1) }
       .contains((0.5, 0.25, 0.25)))
+    // FormatVersion promise: a v7-stamped partial artifact that loaded
+    // under round 13 (independent defaults) keeps loading — the stricter
+    // rule gates on version 8
+    val v7 = Program.fromJson(artifact(7, ""","l3":0.7,"l2":0.2"""))
+    assert(v7.nodes.collectFirst { case l: Lm3Score => (l.l3, l.l2, l.l1) }
+      .contains((0.7, 0.2, 0.1)))
   }
 
   test("Lm3Score interpret drops stale eventOrder like validate's lift") {
