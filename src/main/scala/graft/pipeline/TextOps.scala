@@ -1268,15 +1268,23 @@ object TextOps {
     import org.apache.spark.sql.expressions.Window
     val scored = bigramLmScore(docs, idCol, textCol, alpha)
       .join(docs.select(col(idCol), col(langCol)), Seq(idCol))
-    // RangedPrefix carries the load-bearing subtleties (checkpointed
-    // boundary sampling, width x languages offsets frame, null-safe
-    // group join — a null LANGUAGE is its own tile group, exactly as
-    // the window treated it). Null SCORES (< 2 tokens) never occupy
-    // tile slots: the value expression counts only scored rows (desc
-    // ordering puts nulls last within each language's ranges), they
-    // skip the ranking and union back with a NULL bucket. pinInput:
-    // the boundary sampler would otherwise re-run the two-pass LM
-    // scoring (measured ~0.4 s of the sf0.1 query).
+    bucketByScore(scored, idCol, langCol, buckets, "n_pairs")
+  }
+
+  /** The shared per-language equal-depth tile stage of the bucketing
+    * faces: RangedPrefix carries the load-bearing subtleties
+    * (checkpointed boundary sampling, width x languages offsets frame,
+    * null-safe group join — a null LANGUAGE is its own tile group,
+    * exactly as a window would treat it). Null SCORES never occupy tile
+    * slots: the value expression counts only scored rows (desc ordering
+    * puts nulls last within each language's ranges), they skip the
+    * ranking and union back with a NULL bucket. pinInput: the boundary
+    * sampler would otherwise re-run the two-pass LM scoring (measured
+    * ~0.4 s of the sf0.1 self-face query). */
+  private def bucketByScore(scored: org.apache.spark.sql.DataFrame, idCol: String,
+                            langCol: String, buckets: Int,
+                            nCol: String): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val (parted, offs) = RangedPrefix(scored,
       groupCols = Seq(langCol),
       orderCols = Seq(col("avg_logprob").desc, col(idCol)),
@@ -1289,11 +1297,41 @@ object TextOps {
         Window.partitionBy(col("__p"), col(langCol))
           .orderBy(col("avg_logprob").desc, col(idCol))))
     val bucketC = closedFormNtile(buckets)
-    ranked.select(col(idCol), col(langCol), col("n_pairs"), col("avg_logprob"),
+    ranked.select(col(idCol), col(langCol), col(nCol), col("avg_logprob"),
         bucketC.as("bucket"))
       .unionByName(parted.filter(col("avg_logprob").isNull)
-        .select(col(idCol), col(langCol), col("n_pairs"), col("avg_logprob"),
+        .select(col(idCol), col(langCol), col(nCol), col("avg_logprob"),
           lit(null).cast("int").as("bucket")))
+  }
+
+  /** CCNet bucketing against a PRETRAINED model — the LITERAL Wenzek et
+    * al. 2020 §4.3 shape: score every document under a Kneser-Ney LM
+    * trained on the REFERENCE corpus (their 5-gram KenLM on Wikipedia;
+    * here [[knLmScoreAgainst]] at `order`), then split each language
+    * into `buckets` equal-depth tiles by (score desc, id) — bucket 1 =
+    * "head", the slice kept for LM training. [[perplexityBuckets]] is
+    * the self-trained variant. One shared model scores all languages
+    * (CCNet trains per-language models; with per-language references,
+    * call this per slice — documented deviation). Batch-only: the tile
+    * assignment is a corpus-wide ranking (score a stream with
+    * [[knLmScoreAgainst]] and bucket per micro-batch via foreachBatch).
+    * Output (idCol, langCol, n_grams, avg_logprob, bucket); documents
+    * under `order` tokens take a NULL bucket. */
+  def perplexityBucketsAgainst(docs: org.apache.spark.sql.DataFrame,
+                               refDocs: org.apache.spark.sql.DataFrame,
+                               idCol: String, textCol: String, langCol: String,
+                               refTextCol: String, buckets: Int = 3,
+                               order: Int = 3,
+                               discount: Double = 0.75): org.apache.spark.sql.DataFrame = {
+    require(buckets >= 2, s"perplexityBucketsAgainst needs >= 2 buckets, got $buckets")
+    require(!docs.isStreaming,
+      "perplexityBucketsAgainst is batch-only (the tile assignment is a " +
+        "corpus-wide ranking) — score a stream with knLmScoreAgainst and " +
+        "bucket per micro-batch via foreachBatch")
+    val scored = knLmScoreAgainst(graft.api.MStream(docs), refDocs,
+        idCol, textCol, refTextCol, order, discount).df
+      .join(docs.select(col(idCol), col(langCol)), Seq(idCol))
+    bucketByScore(scored, idCol, langCol, buckets, "n_grams")
   }
 
   /** Multinomial Naive Bayes classification against a LABELED reference

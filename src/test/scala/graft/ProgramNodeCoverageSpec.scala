@@ -222,6 +222,9 @@ class ProgramNodeCoverageSpec extends AnyFunSuite {
         "face is mapCols/applyFn"),
       "perplexityBuckets" -> excluded("derived bucketing over the lmScore " +
         "node's output column (mapCols on lm_score)"),
+      "perplexityBucketsAgainst" -> excluded("derived bucketing over the " +
+        "knAgainst node's score column; the corpus-wide tile layout is " +
+        "an analysis/selection output like perplexityBuckets"),
       "heavyHitters" -> excluded("sketch aggregate (CountMin) — " +
         "metrics/analysis output, not a stream transform"),
       "topNgrams" -> excluded(diag), "tfidfTopWord" -> excluded(diag),
