@@ -450,7 +450,8 @@ object Program {
   final case class Lm3Against(name: String, input: String, ref: String,
                               idCol: String, textCol: String, refTextCol: String,
                               alpha: Double, l3: Double, l2: Double,
-                              l1: Double) extends Node
+                              l1: Double, minCount: Long = 1L,
+                              broadcastModel: Boolean = true) extends Node
 
   /** Order-n interpolated LM quality score over the input corpus itself
     * (`TextOps.ngramLmScore`) — [[Lm3Score]] parameterized toward the
@@ -465,8 +466,9 @@ object Program {
     * (`TextOps.ngramLmScoreAgainst`), output column n_grams. */
   final case class LmNAgainst(name: String, input: String, ref: String,
                               idCol: String, textCol: String, refTextCol: String,
-                              order: Int, alpha: Double,
-                              lambdas: Seq[Double]) extends Node
+                              order: Int, alpha: Double, lambdas: Seq[Double],
+                              minCount: Long = 1L,
+                              broadcastModel: Boolean = true) extends Node
 
   /** Batched BM25 retrieval (`TextOps.bm25Retrieve`): top-k corpus
     * documents per query — the RAG-curation stage as a shippable
@@ -497,7 +499,9 @@ object Program {
     * Wikipedia shape with full back-off on unseen contexts. */
   final case class KnAgainst(name: String, input: String, ref: String,
                              idCol: String, textCol: String, refTextCol: String,
-                             order: Int, discount: Double) extends Node
+                             order: Int, discount: Double,
+                             minCount: Long = 1L,
+                             broadcastModel: Boolean = true) extends Node
 
   /** The whole document: nodes in topological order + the named outputs a
     * configuration may bind sinks to. */
@@ -922,18 +926,18 @@ object Program {
           val s = in(i)
           s.lift(graft.pipeline.TextOps.trigramLmScore(
             batchFace(name, "lm3Score", s), idCol, textCol, alpha, (l3, l2, l1)))
-        case Lm3Against(name, i, ref, idCol, textCol, refTextCol, alpha, l3, l2, l1) =>
+        case Lm3Against(name, i, ref, idCol, textCol, refTextCol, alpha, l3, l2, l1, mc, bm) =>
           graft.pipeline.TextOps.lm3ScoreAgainst(in(i),
             staticSide(name, in, ref), idCol, textCol, refTextCol, alpha,
-            (l3, l2, l1))
+            (l3, l2, l1), mc, bm)
         case LmNScore(name, i, idCol, textCol, order, alpha, lambdas) =>
           val s = in(i)
           s.lift(graft.pipeline.TextOps.ngramLmScore(
             batchFace(name, "lmnScore", s), idCol, textCol, order, alpha, lambdas))
-        case LmNAgainst(name, i, ref, idCol, textCol, refTextCol, order, alpha, lambdas) =>
+        case LmNAgainst(name, i, ref, idCol, textCol, refTextCol, order, alpha, lambdas, mc, bm) =>
           graft.pipeline.TextOps.ngramLmScoreAgainst(in(i),
             staticSide(name, in, ref), idCol, textCol, refTextCol, order,
-            alpha, lambdas)
+            alpha, lambdas, minCount = mc, broadcastModel = bm)
         case Bm25Retrieve(name, i, q, idCol, textCol, qIdCol, qTextCol, k, k1, b, bq) =>
           val s = in(i)
           s.lift(graft.pipeline.TextOps.bm25Retrieve(
@@ -948,9 +952,10 @@ object Program {
           val s = in(i)
           s.lift(graft.pipeline.TextOps.knLmScore(
             batchFace(name, "knScore", s), idCol, textCol, order, discount))
-        case KnAgainst(name, i, ref, idCol, textCol, refTextCol, order, discount) =>
+        case KnAgainst(name, i, ref, idCol, textCol, refTextCol, order, discount, mc, bm) =>
           graft.pipeline.TextOps.knLmScoreAgainst(in(i),
-            staticSide(name, in, ref), idCol, textCol, refTextCol, order, discount)
+            staticSide(name, in, ref), idCol, textCol, refTextCol, order,
+            discount, mc, bm)
         case DsirScore(name, i, tgt, raw, idCol, textCol, refTextCol, buckets, alpha) =>
           graft.pipeline.TextOps.dsirScore(in(i), staticSide(name, in, tgt),
             staticSide(name, in, raw), idCol, textCol, refTextCol, buckets, alpha)
@@ -1432,9 +1437,12 @@ object Program {
       * 8) — the CCNet ingest shape at order 3. */
     def lm3ScoreAgainst(ref: Rec, idCol: String, textCol: String,
                         refTextCol: String, alpha: Double = 0.5,
-                        lambdas: (Double, Double, Double) = (0.6, 0.3, 0.1)): Rec =
+                        lambdas: (Double, Double, Double) = (0.6, 0.3, 0.1),
+                        minCount: Long = 1L,
+                        broadcastModel: Boolean = true): Rec =
       derive("lm3Against", Seq(ref))(n => Lm3Against(n, name, ref.name, idCol,
-        textCol, refTextCol, alpha, lambdas._1, lambdas._2, lambdas._3))
+        textCol, refTextCol, alpha, lambdas._1, lambdas._2, lambdas._3,
+        minCount, broadcastModel))
     /** Order-n interpolated LM score over this corpus itself (format
       * version 8); empty lambdas = the halving default. */
     def ngramLmScore(idCol: String, textCol: String, order: Int,
@@ -1446,9 +1454,11 @@ object Program {
     def ngramLmScoreAgainst(ref: Rec, idCol: String, textCol: String,
                             refTextCol: String, order: Int,
                             alpha: Double = 0.5,
-                            lambdas: Seq[Double] = Nil): Rec =
+                            lambdas: Seq[Double] = Nil,
+                            minCount: Long = 1L,
+                            broadcastModel: Boolean = true): Rec =
       derive("lmnAgainst", Seq(ref))(n => LmNAgainst(n, name, ref.name, idCol,
-        textCol, refTextCol, order, alpha, lambdas))
+        textCol, refTextCol, order, alpha, lambdas, minCount, broadcastModel))
     /** Batched BM25 retrieval of this corpus against `queries` (format
       * version 8). */
     def bm25Retrieve(queries: Rec, idCol: String, textCol: String,
@@ -1474,9 +1484,10 @@ object Program {
       * (format version 8). */
     def knLmScoreAgainst(ref: Rec, idCol: String, textCol: String,
                          refTextCol: String, order: Int,
-                         discount: Double = 0.75): Rec =
+                         discount: Double = 0.75, minCount: Long = 1L,
+                         broadcastModel: Boolean = true): Rec =
       derive("knAgainst", Seq(ref))(n => KnAgainst(n, name, ref.name, idCol,
-        textCol, refTextCol, order, discount))
+        textCol, refTextCol, order, discount, minCount, broadcastModel))
     /** DSIR importance scoring against `target` and `raw` reference
       * corpora (format version 3). */
     def dsirScore(target: Rec, raw: Rec, idCol: String, textCol: String,
@@ -1824,20 +1835,22 @@ object Program {
         ("op" -> "lm3Score") ~ ("name" -> name) ~ ("input" -> i) ~
           ("idCol" -> idCol) ~ ("textCol" -> textCol) ~ ("alpha" -> alpha) ~
           ("l3" -> l3) ~ ("l2" -> l2) ~ ("l1" -> l1)
-      case Lm3Against(name, i, ref, idCol, textCol, refTextCol, alpha, l3, l2, l1) =>
+      case Lm3Against(name, i, ref, idCol, textCol, refTextCol, alpha, l3, l2, l1, mc, bm) =>
         ("op" -> "lm3Against") ~ ("name" -> name) ~ ("input" -> i) ~
           ("ref" -> ref) ~ ("idCol" -> idCol) ~ ("textCol" -> textCol) ~
           ("refTextCol" -> refTextCol) ~ ("alpha" -> alpha) ~
-          ("l3" -> l3) ~ ("l2" -> l2) ~ ("l1" -> l1)
+          ("l3" -> l3) ~ ("l2" -> l2) ~ ("l1" -> l1) ~
+          ("minCount" -> mc) ~ ("broadcastModel" -> bm)
       case LmNScore(name, i, idCol, textCol, order, alpha, lambdas) =>
         ("op" -> "lmnScore") ~ ("name" -> name) ~ ("input" -> i) ~
           ("idCol" -> idCol) ~ ("textCol" -> textCol) ~ ("order" -> order) ~
           ("alpha" -> alpha) ~ ("lambdas" -> lambdas)
-      case LmNAgainst(name, i, ref, idCol, textCol, refTextCol, order, alpha, lambdas) =>
+      case LmNAgainst(name, i, ref, idCol, textCol, refTextCol, order, alpha, lambdas, mc, bm) =>
         ("op" -> "lmnAgainst") ~ ("name" -> name) ~ ("input" -> i) ~
           ("ref" -> ref) ~ ("idCol" -> idCol) ~ ("textCol" -> textCol) ~
           ("refTextCol" -> refTextCol) ~ ("order" -> order) ~
-          ("alpha" -> alpha) ~ ("lambdas" -> lambdas)
+          ("alpha" -> alpha) ~ ("lambdas" -> lambdas) ~
+          ("minCount" -> mc) ~ ("broadcastModel" -> bm)
       case Bm25Retrieve(name, i, q, idCol, textCol, qIdCol, qTextCol, k, k1, b, bq) =>
         ("op" -> "bm25Retrieve") ~ ("name" -> name) ~ ("input" -> i) ~
           ("queries" -> q) ~ ("idCol" -> idCol) ~ ("textCol" -> textCol) ~
@@ -1851,11 +1864,12 @@ object Program {
         ("op" -> "knScore") ~ ("name" -> name) ~ ("input" -> i) ~
           ("idCol" -> idCol) ~ ("textCol" -> textCol) ~ ("order" -> order) ~
           ("discount" -> discount)
-      case KnAgainst(name, i, ref, idCol, textCol, refTextCol, order, discount) =>
+      case KnAgainst(name, i, ref, idCol, textCol, refTextCol, order, discount, mc, bm) =>
         ("op" -> "knAgainst") ~ ("name" -> name) ~ ("input" -> i) ~
           ("ref" -> ref) ~ ("idCol" -> idCol) ~ ("textCol" -> textCol) ~
           ("refTextCol" -> refTextCol) ~ ("order" -> order) ~
-          ("discount" -> discount)
+          ("discount" -> discount) ~
+          ("minCount" -> mc) ~ ("broadcastModel" -> bm)
       case LmScore(name, i, ref, idCol, textCol, refTextCol, alpha) =>
         ("op" -> "lmScore") ~ ("name" -> name) ~ ("input" -> i) ~
           ("ref" -> ref) ~ ("idCol" -> idCol) ~ ("textCol" -> textCol) ~
@@ -2155,7 +2169,9 @@ object Program {
             Lm3Against(name, (v \ "input").extract[String],
               (v \ "ref").extract[String], (v \ "idCol").extract[String],
               (v \ "textCol").extract[String], (v \ "refTextCol").extract[String],
-              (v \ "alpha").extractOpt[Double].getOrElse(0.5), l3, l2, l1)
+              (v \ "alpha").extractOpt[Double].getOrElse(0.5), l3, l2, l1,
+              (v \ "minCount").extractOpt[Long].getOrElse(1L),
+              (v \ "broadcastModel").extractOpt[Boolean].getOrElse(true))
           case "lmnScore" => LmNScore(name, (v \ "input").extract[String],
             (v \ "idCol").extract[String], (v \ "textCol").extract[String],
             (v \ "order").extract[Int],
@@ -2166,7 +2182,9 @@ object Program {
             (v \ "textCol").extract[String], (v \ "refTextCol").extract[String],
             (v \ "order").extract[Int],
             (v \ "alpha").extractOpt[Double].getOrElse(0.5),
-            (v \ "lambdas").extractOpt[Seq[Double]].getOrElse(Nil))
+            (v \ "lambdas").extractOpt[Seq[Double]].getOrElse(Nil),
+            (v \ "minCount").extractOpt[Long].getOrElse(1L),
+            (v \ "broadcastModel").extractOpt[Boolean].getOrElse(true))
           case "bm25Retrieve" => Bm25Retrieve(name, (v \ "input").extract[String],
             (v \ "queries").extract[String], (v \ "idCol").extract[String],
             (v \ "textCol").extract[String], (v \ "qIdCol").extract[String],
@@ -2188,7 +2206,9 @@ object Program {
             (v \ "ref").extract[String], (v \ "idCol").extract[String],
             (v \ "textCol").extract[String], (v \ "refTextCol").extract[String],
             (v \ "order").extract[Int],
-            (v \ "discount").extractOpt[Double].getOrElse(0.75))
+            (v \ "discount").extractOpt[Double].getOrElse(0.75),
+            (v \ "minCount").extractOpt[Long].getOrElse(1L),
+            (v \ "broadcastModel").extractOpt[Boolean].getOrElse(true))
           case "dsirScore" => DsirScore(name, (v \ "input").extract[String],
             (v \ "target").extract[String], (v \ "raw").extract[String],
             (v \ "idCol").extract[String], (v \ "textCol").extract[String],
@@ -2774,6 +2794,8 @@ object Program {
         case la: Lm3Against =>
           if (la.alpha <= 0.0) throw new IllegalArgumentException(
             s"node '${n.name}': lm3Against needs alpha > 0, got ${la.alpha}")
+          if (la.minCount < 1) throw new IllegalArgumentException(
+            s"node '${n.name}': lm3Against needs minCount >= 1, got ${la.minCount}")
           if (la.l3 < 0.0 || la.l2 < 0.0 || la.l1 < 0.0 ||
               math.abs(la.l3 + la.l2 + la.l1 - 1.0) >= 1e-9)
             throw new IllegalArgumentException(
@@ -2785,6 +2807,8 @@ object Program {
           Seq(ln.input)
         case na: LmNAgainst =>
           checkNgram(n.name, "lmnAgainst", na.order, na.alpha, na.lambdas)
+          if (na.minCount < 1) throw new IllegalArgumentException(
+            s"node '${n.name}': lmnAgainst needs minCount >= 1, got ${na.minCount}")
           Seq(na.input, na.ref)
         case br: Bm25Retrieve =>
           if (br.k <= 0) throw new IllegalArgumentException(
@@ -2805,6 +2829,8 @@ object Program {
           Seq(ks.input)
         case ka: KnAgainst =>
           checkKn(n.name, "knAgainst", ka.order, ka.discount)
+          if (ka.minCount < 1) throw new IllegalArgumentException(
+            s"node '${n.name}': knAgainst needs minCount >= 1, got ${ka.minCount}")
           Seq(ka.input, ka.ref)
         case ds: DsirScore =>
           if (ds.alpha <= 0.0 || ds.buckets <= 0) throw new IllegalArgumentException(

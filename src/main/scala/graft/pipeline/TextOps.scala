@@ -799,7 +799,13 @@ object TextOps {
     * pinned once (two consumers: its context derivation and the scoring
     * join) — the model artifact, orders of magnitude under corpus size. */
   private def ngramModel(train: org.apache.spark.sql.DataFrame, textCol: String,
-                         order: Int)
+                         order: Int,
+                         /** prune counts < minCount at orders >= 2 (KenLM
+                           * practice — a raw order-5 table is near
+                           * position-count-sized; pruning is what makes
+                           * the model a broadcastable ARTIFACT at scale;
+                           * unigrams never prune, matching KenLM). */
+                         minCount: Long = 1L)
       : (Map[Int, org.apache.spark.sql.DataFrame],
          Map[Int, org.apache.spark.sql.DataFrame]) = {
     val spark = train.sparkSession
@@ -810,8 +816,10 @@ object TextOps {
     }
     val counts = (1 to order).map { j =>
       val names = gramCols(order, j)
-      j -> pin(gramsOf(train, textCol, j, names, Nil)
-        .groupBy(names.map(col): _*).agg(count(lit(1)).as(s"__c$j")))
+      val raw = gramsOf(train, textCol, j, names, Nil)
+        .groupBy(names.map(col): _*).agg(count(lit(1)).as(s"__c$j"))
+      j -> pin(if (j >= 2 && minCount > 1L) raw.filter(col(s"__c$j") >= minCount)
+               else raw)
     }.toMap
     val ctxs = (2 to order).map { j =>
       val names = gramCols(order, j)
@@ -919,7 +927,22 @@ object TextOps {
                           /** Output count-column name — "n_tris" on the
                             * [[lm3ScoreAgainst]] face so order-3 outputs
                             * are drop-in for [[trigramLmScore]]'s. */
-                          nCol: String = "n_grams"): graft.api.MStream = {
+                          nCol: String = "n_grams",
+                          /** Prune reference counts < minCount at orders
+                            * >= 2 (KenLM's --prune): pruned grams score
+                            * as unseen (the left-join floor). THE scale
+                            * lever — it is what keeps a high-order model
+                            * a broadcastable artifact when the reference
+                            * corpus is large. */
+                          minCount: Long = 1L,
+                          /** false = unhinted model joins for a
+                            * beyond-broadcast (reference huge, unpruned)
+                            * model — planner/AQE-sized, the bm25Retrieve
+                            * broadcastQueries=false convention. Batch
+                            * face only; streaming always broadcasts (a
+                            * per-micro-batch shuffle of the model would
+                            * dominate ingest). */
+                          broadcastModel: Boolean = true): graft.api.MStream = {
     import org.apache.spark.sql.{Encoder, Row}
     import org.apache.spark.sql.catalyst.encoders.RowEncoder
     import org.apache.spark.sql.types._
@@ -929,25 +952,29 @@ object TextOps {
     require(!refDocs.isStreaming,
       "ngramLmScoreAgainst: the reference corpus must be a batch frame " +
         "(the model pins once; a streaming reference has no stable artifact)")
+    require(minCount >= 1, s"minCount must be >= 1, got $minCount")
     val l = lambdasFor(order, lambdas)
     val df = stream.df
-    val (counts, ctxs) = ngramModel(refDocs, refTextCol, order)
+    val (counts, ctxs) = ngramModel(refDocs, refTextCol, order, minCount)
     val nvRow = counts(1).agg(sum(col("__c1")).cast("double"),
       count(lit(1)).cast("double")).head()
     require(!nvRow.isNullAt(0) && nvRow.getDouble(1) > 0,
       "ngramLmScoreAgainst: the reference corpus yields an empty model")
     val (n, vv) = (nvRow.getDouble(0), nvRow.getDouble(1))
     val id = col(idCol)
-    def withJoins(pos: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    def withJoins(pos: org.apache.spark.sql.DataFrame,
+                  bc: Boolean): org.apache.spark.sql.DataFrame = {
+      def side(m: org.apache.spark.sql.DataFrame) = if (bc) broadcast(m) else m
       (order to 2 by -1).foldLeft(pos) { (d, j) =>
-        d.join(broadcast(counts(j)), gramCols(order, j), "left")
-          .join(broadcast(ctxs(j)), gramCols(order, j).dropRight(1), "left")
-      }.join(broadcast(counts(1)), gramCols(order, 1), "left")
+        d.join(side(counts(j)), gramCols(order, j), "left")
+          .join(side(ctxs(j)), gramCols(order, j).dropRight(1), "left")
+      }.join(side(counts(1)), gramCols(order, 1), "left")
         .withColumn("__n", lit(n)).withColumn("__vv", lit(vv))
+    }
 
     if (!df.isStreaming) {
       val pos = gramsOf(df, textCol, order, gramCols(order, order), Seq(id))
-      val scored = withJoins(pos)
+      val scored = withJoins(pos, broadcastModel)
         .withColumn("__lp", ngramLp(order, alpha, l))
         .groupBy(id)
         .agg(count(lit(1)).as(nCol), round(avg(col("__lp")), 3).as("avg_logprob"))
@@ -968,7 +995,7 @@ object TextOps {
       .select(id.as("__id"),
         explode(when(size(col("__w")) >= order, pStructs).otherwise(sentinel)).as("__g"))
       .select(col("__id") +: (1 to order).map(i => col(s"__g.g$i").as(s"__p$i")): _*)
-    val u = withJoins(u0)
+    val u = withJoins(u0, bc = true)
       .select(col("__id"), col("__p1"),
         when(col("__p1").isNotNull, ngramLp(order, alpha, l)).as("__lp"))
     val idType = df.schema(idCol).dataType
@@ -1002,10 +1029,13 @@ object TextOps {
                       refDocs: org.apache.spark.sql.DataFrame,
                       idCol: String, textCol: String, refTextCol: String,
                       alpha: Double = 0.5,
-                      lambdas: (Double, Double, Double) = (0.6, 0.3, 0.1))
+                      lambdas: (Double, Double, Double) = (0.6, 0.3, 0.1),
+                      minCount: Long = 1L,
+                      broadcastModel: Boolean = true)
       : graft.api.MStream =
     ngramLmScoreAgainst(stream, refDocs, idCol, textCol, refTextCol, 3, alpha,
-      Seq(lambdas._1, lambdas._2, lambdas._3), nCol = "n_tris")
+      Seq(lambdas._1, lambdas._2, lambdas._3), nCol = "n_tris",
+      minCount = minCount, broadcastModel = broadcastModel)
 
   // ---------------------------------------------------------- Kneser-Ney LM
 
@@ -1025,7 +1055,13 @@ object TextOps {
     * Returns (rawN, ctxN, cont(1..n-1), ctxc(2..n-1), one-row stats
     * (__t1 = total bigram types as double, __n1p1, __v = vocabulary)). */
   private def knModel(train: org.apache.spark.sql.DataFrame, textCol: String,
-                      order: Int)
+                      order: Int,
+                      /** prune RAW counts < minCount at orders >= 2
+                        * BEFORE continuation derivation (so ĉ counts
+                        * surviving types — KenLM's pruned-model shape);
+                        * the scale lever that keeps a high-order model
+                        * broadcastable. */
+                      minCount: Long = 1L)
       : (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame,
          Map[Int, org.apache.spark.sql.DataFrame],
          Map[Int, org.apache.spark.sql.DataFrame],
@@ -1036,9 +1072,11 @@ object TextOps {
       graft.api.Pinned.register(spark, ids)
       cp
     }
-    def raw(j: Int): org.apache.spark.sql.DataFrame =
-      gramsOf(train, textCol, j, gramCols(order, j), Nil)
+    def raw(j: Int): org.apache.spark.sql.DataFrame = {
+      val c = gramsOf(train, textCol, j, gramCols(order, j), Nil)
         .groupBy(gramCols(order, j).map(col): _*).agg(count(lit(1)).as(s"__cr$j"))
+      if (j >= 2 && minCount > 1L) c.filter(col(s"__cr$j") >= minCount) else c
+    }
     val rawN = pin(raw(order))
     val ctxN = rawN.groupBy(gramCols(order, order).dropRight(1).map(col): _*)
       .agg(sum(col(s"__cr$order")).as(s"__tot$order"),
@@ -1144,7 +1182,17 @@ object TextOps {
   def knLmScoreAgainst(stream: graft.api.MStream,
                        refDocs: org.apache.spark.sql.DataFrame,
                        idCol: String, textCol: String, refTextCol: String,
-                       order: Int, discount: Double = 0.75): graft.api.MStream = {
+                       order: Int, discount: Double = 0.75,
+                       /** Prune reference raw counts < minCount at orders
+                         * >= 2 before continuation derivation (KenLM's
+                         * --prune): pruned grams back off like unseen
+                         * ones. The scale lever that keeps a high-order
+                         * model a broadcastable artifact. */
+                       minCount: Long = 1L,
+                       /** false = unhinted model joins (planner/AQE-
+                         * sized) for a beyond-broadcast model; batch face
+                         * only — streaming always broadcasts. */
+                       broadcastModel: Boolean = true): graft.api.MStream = {
     import org.apache.spark.sql.{Encoder, Row}
     import org.apache.spark.sql.catalyst.encoders.RowEncoder
     import org.apache.spark.sql.types._
@@ -1155,28 +1203,31 @@ object TextOps {
     require(!refDocs.isStreaming,
       "knLmScoreAgainst: the reference corpus must be a batch frame " +
         "(the model pins once; a streaming reference has no stable artifact)")
+    require(minCount >= 1, s"minCount must be >= 1, got $minCount")
     val df = stream.df
-    val (rawN, ctxN, cont, ctxc, stats) = knModel(refDocs, refTextCol, order)
+    val (rawN, ctxN, cont, ctxc, stats) = knModel(refDocs, refTextCol, order, minCount)
     val st = stats.head()
     require(!st.isNullAt(0) && st.getDouble(0) > 0,
       "knLmScoreAgainst: the reference corpus yields an empty model " +
         "(needs at least one bigram)")
     val (t1, n1p1, vv) = (st.getDouble(0), st.getLong(1), st.getLong(2))
     val id = col(idCol)
-    def withJoins(pos: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
-      var j0 = pos.join(broadcast(rawN), gramCols(order, order), "left")
-        .join(broadcast(ctxN), gramCols(order, order).dropRight(1), "left")
+    def withJoins(pos: org.apache.spark.sql.DataFrame,
+                  bc: Boolean): org.apache.spark.sql.DataFrame = {
+      def side(m: org.apache.spark.sql.DataFrame) = if (bc) broadcast(m) else m
+      var j0 = pos.join(side(rawN), gramCols(order, order), "left")
+        .join(side(ctxN), gramCols(order, order).dropRight(1), "left")
       for (j <- order - 1 to 2 by -1)
-        j0 = j0.join(broadcast(cont(j)), gramCols(order, j), "left")
-          .join(broadcast(ctxc(j)), gramCols(order, j).dropRight(1), "left")
-      j0.join(broadcast(cont(1)), gramCols(order, 1), "left")
+        j0 = j0.join(side(cont(j)), gramCols(order, j), "left")
+          .join(side(ctxc(j)), gramCols(order, j).dropRight(1), "left")
+      j0.join(side(cont(1)), gramCols(order, 1), "left")
         .withColumn("__t1", lit(t1)).withColumn("__n1p1", lit(n1p1))
         .withColumn("__v", lit(vv))
     }
 
     if (!df.isStreaming) {
       val pos = gramsOf(df, textCol, order, gramCols(order, order), Seq(id))
-      val scored = withJoins(pos)
+      val scored = withJoins(pos, broadcastModel)
         .withColumn("__lp", knLp(order, discount))
         .groupBy(id)
         .agg(count(lit(1)).as("n_grams"), round(avg(col("__lp")), 3).as("avg_logprob"))
@@ -1194,7 +1245,7 @@ object TextOps {
       .select(id.as("__id"),
         explode(when(size(col("__w")) >= order, pStructs).otherwise(sentinel)).as("__g"))
       .select(col("__id") +: (1 to order).map(i => col(s"__g.g$i").as(s"__p$i")): _*)
-    val u = withJoins(u0)
+    val u = withJoins(u0, bc = true)
       .select(col("__id"), col("__p1"),
         when(col("__p1").isNotNull, knLp(order, discount)).as("__lp"))
     val idType = df.schema(idCol).dataType

@@ -22,15 +22,17 @@ class KnLmSpec extends SparkSpec {
     * extensions = distinct (j+1)-gram types per suffix) below, uniform
     * 1/(V+1) floor, full level-skip on unseen contexts. */
   private def reference(order: Int, d: Double,
-                        train: Seq[(Long, String)], score: Seq[(Long, String)])
+                        train: Seq[(Long, String)], score: Seq[(Long, String)],
+                        minCount: Long = 1L)
       : Map[Long, (Long, Option[Double])] = {
     def w(s: String) = s.split("\\s+").filter(_.nonEmpty).toSeq
     val trainDocs = train.map { case (_, t) => w(t) }
     def grams(ws: Seq[String], j: Int): Seq[Seq[String]] =
       if (ws.size < j) Nil else ws.sliding(j).toSeq
     val raw: Map[Int, Map[Seq[String], Long]] = (2 to order).map { j =>
-      j -> trainDocs.flatMap(grams(_, j)).groupBy(identity)
+      val c = trainDocs.flatMap(grams(_, j)).groupBy(identity)
         .view.mapValues(_.size.toLong).toMap
+      j -> (if (minCount > 1) c.filter(_._2 >= minCount) else c)
     }.toMap
     val cont: Map[Int, Map[Seq[String], Long]] = (1 until order).map { j =>
       j -> raw(j + 1).keys.toSeq.groupBy(_.takeRight(j))
@@ -151,7 +153,8 @@ class KnLmSpec extends SparkSpec {
     val d = Doc(
       nodes = Seq(External("in"), External("r"),
         KnScore("s", "in", "doc_id", "text", 3, 0.75),
-        KnAgainst("a", "in", "r", "doc_id", "text", "text", 3, 0.4)),
+        KnAgainst("a", "in", "r", "doc_id", "text", "text", 3, 0.4,
+          minCount = 2L, broadcastModel = false)),
       outputs = Seq("s", "a"))
     val json = Program.toJson(d)
     assert(json.contains("\"version\":8"), "KN nodes stamp format version 8")
@@ -159,6 +162,11 @@ class KnLmSpec extends SparkSpec {
     val badD = intercept[IllegalArgumentException](Program.fromJson(Program.toJson(
       Doc(Seq(External("in"), KnScore("s", "in", "doc_id", "text", 3, 1.5)), Seq("s")))))
     assert(badD.getMessage.contains("node 's'") && badD.getMessage.contains("(0, 1)"))
+    val badMc = intercept[IllegalArgumentException](Program.fromJson(Program.toJson(
+      Doc(Seq(External("in"), External("r"),
+        KnAgainst("a", "in", "r", "doc_id", "text", "text", 3, 0.75,
+          minCount = 0L)), Seq("a")))))
+    assert(badMc.getMessage.contains("minCount >= 1"), badMc.getMessage)
     try {
       val docsDf = corpus.toDF("doc_id", "text")
       val cap = Program.capture(
@@ -173,6 +181,26 @@ class KnLmSpec extends SparkSpec {
         .collectFirst { case App.BatchOutput("s", o) => o }.get
       assert(rowsOf(out) == rowsOf(TextOps.knLmScore(docsDf, "doc_id", "text", 3)),
         "document execution equals the direct API")
+    } finally graft.api.Pinned.release(spark)
+  }
+
+  test("minCount pruning: continuation counts derive from surviving types; shuffled face identical") {
+    val ref = corpus.toDF("doc_id", "text")
+    val docs = Seq((20L, "a b a b c a"), (21L, "san francisco bay area"), (22L, "q r s"))
+    try {
+      val pruned = rowsOf(TextOps.knLmScoreAgainst(
+        MStream(docs.toDF("doc_id", "text")), ref, "doc_id", "text", "text",
+        order = 3, minCount = 2L).df)
+      assert(pruned == reference(3, 0.75, corpus, docs, minCount = 2L),
+        "pruned KN equals the fold with raw counts >= 2 feeding continuations")
+      val unpruned = rowsOf(TextOps.knLmScoreAgainst(
+        MStream(docs.toDF("doc_id", "text")), ref, "doc_id", "text", "text",
+        order = 3).df)
+      assert(pruned != unpruned, "pruning must actually change rare-gram scores")
+      val shuffled = rowsOf(TextOps.knLmScoreAgainst(
+        MStream(docs.toDF("doc_id", "text")), ref, "doc_id", "text", "text",
+        order = 3, minCount = 2L, broadcastModel = false).df)
+      assert(shuffled == pruned, "the beyond-broadcast face is score-identical")
     } finally graft.api.Pinned.release(spark)
   }
 

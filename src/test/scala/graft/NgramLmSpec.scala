@@ -19,15 +19,17 @@ class NgramLmSpec extends SparkSpec {
     * counts per order from their own j-gram populations, JM interpolation
     * highest order first, add-alpha with V = distinct unigrams. */
   private def reference(order: Int, alpha: Double, l: Seq[Double],
-                        train: Seq[(Long, String)], score: Seq[(Long, String)])
+                        train: Seq[(Long, String)], score: Seq[(Long, String)],
+                        minCount: Long = 1L)
       : Map[Long, (Long, Option[Double])] = {
     def w(s: String) = s.split("\\s+").filter(_.nonEmpty).toSeq
     val trainDocs = train.map { case (_, t) => w(t) }
     def gramsOf(ws: Seq[String], j: Int): Seq[Seq[String]] =
       if (ws.size < j) Nil else ws.sliding(j).toSeq
     val counts: Map[Int, Map[Seq[String], Long]] = (1 to order).map { j =>
-      j -> trainDocs.flatMap(gramsOf(_, j)).groupBy(identity)
+      val raw = trainDocs.flatMap(gramsOf(_, j)).groupBy(identity)
         .view.mapValues(_.size.toLong).toMap
+      j -> (if (j >= 2 && minCount > 1) raw.filter(_._2 >= minCount) else raw)
     }.toMap
     val ctxs: Map[Int, Map[Seq[String], Long]] = (2 to order).map { j =>
       j -> counts(j).toSeq.groupBy(_._1.dropRight(1))
@@ -149,6 +151,28 @@ class NgramLmSpec extends SparkSpec {
         assert(rowsOf(spark.table(name)) == b,
           "streaming scoring equals the batch face")
       } finally q.stop()
+    } finally graft.api.Pinned.release(spark)
+  }
+
+  test("minCount pruning scores pruned grams as unseen; broadcastModel=false identical") {
+    val ref = corpus.toDF("doc_id", "text")
+    val docs = Seq((20L, "a b a b c a"), (21L, "c c c c d"), (22L, "x y z w"))
+    try {
+      val pruned = rowsOf(TextOps.ngramLmScoreAgainst(
+        MStream(docs.toDF("doc_id", "text")), ref, "doc_id", "text", "text",
+        order = 3, alpha = 0.5, lambdas = Seq(0.6, 0.3, 0.1),
+        minCount = 2L).df)
+      assert(pruned == reference(3, 0.5, Seq(0.6, 0.3, 0.1), corpus, docs,
+        minCount = 2L), "pruned model equals the fold with counts >= 2")
+      val unpruned = rowsOf(TextOps.ngramLmScoreAgainst(
+        MStream(docs.toDF("doc_id", "text")), ref, "doc_id", "text", "text",
+        order = 3, alpha = 0.5, lambdas = Seq(0.6, 0.3, 0.1)).df)
+      assert(pruned != unpruned, "pruning must actually change rare-gram scores")
+      val shuffled = rowsOf(TextOps.ngramLmScoreAgainst(
+        MStream(docs.toDF("doc_id", "text")), ref, "doc_id", "text", "text",
+        order = 3, alpha = 0.5, lambdas = Seq(0.6, 0.3, 0.1),
+        minCount = 2L, broadcastModel = false).df)
+      assert(shuffled == pruned, "the beyond-broadcast face is score-identical")
     } finally graft.api.Pinned.release(spark)
   }
 }
