@@ -2201,7 +2201,11 @@ object QueriesPipeline {
       "doc_id", "text", "text", order = 3).df
   }
 
-  val qKn3AgainstSql: String =
+  /** The shared KN-against model + scoring CTE chain (train on the
+    * src0-src3 slice, score ALL documents through the back-off CASEs),
+    * ending at the per-doc `agg` CTE — interpolated into BOTH
+    * q_kn3_against and q_ppl_against so the two oracles cannot drift. */
+  private val knAgainstChainSql: String =
     s"""WITH rwords AS (SELECT list_filter(string_split_regex(text, '[ \\t\\n\\f\\r\\x0b]+'), x -> x <> '') AS w
                 FROM documents WHERE source IN ('src0', 'src1', 'src2', 'src3')),
         g2 AS (SELECT unnest(w[1:len(w) - 1]) AS v, unnest(w[2:len(w)]) AS t FROM rwords WHERE len(w) >= 2),
@@ -2239,7 +2243,10 @@ object QueriesPipeline {
               CASE WHEN coalesce(tot3, 0) > 0
                 THEN greatest(coalesce(c3, 0) - 0.75, 0.0) / tot3 + 0.75 * n1p3 / tot3 * p2
                 ELSE p2 END)), 3) AS avg_logprob
-          FROM jp GROUP BY doc_id)
+          FROM jp GROUP BY doc_id)"""
+
+  val qKn3AgainstSql: String =
+    s"""$knAgainstChainSql
         SELECT d.doc_id, coalesce(a.n_grams, 0)::BIGINT AS n_grams, a.avg_logprob
         FROM documents d LEFT JOIN agg a USING (doc_id)"""
 
@@ -2255,44 +2262,7 @@ object QueriesPipeline {
   }
 
   val qPplAgainstSql: String =
-    s"""WITH rwords AS (SELECT list_filter(string_split_regex(text, '[ \\t\\n\\f\\r\\x0b]+'), x -> x <> '') AS w
-                FROM documents WHERE source IN ('src0', 'src1', 'src2', 'src3')),
-        g2 AS (SELECT unnest(w[1:len(w) - 1]) AS v, unnest(w[2:len(w)]) AS t FROM rwords WHERE len(w) >= 2),
-        c2 AS MATERIALIZED (SELECT v, t, count(*) AS c2 FROM g2 GROUP BY v, t),
-        g3r AS (SELECT unnest(w[1:len(w) - 2]) AS u, unnest(w[2:len(w) - 1]) AS v, unnest(w[3:len(w)]) AS t FROM rwords WHERE len(w) >= 3),
-        c3 AS MATERIALIZED (SELECT u, v, t, count(*) AS c3 FROM g3r GROUP BY u, v, t),
-        ctx3 AS MATERIALIZED (SELECT u, v, sum(c3) AS tot3, count(*) AS n1p3 FROM c3 GROUP BY u, v),
-        cc2 AS MATERIALIZED (SELECT v, t, count(*) AS cc2 FROM c3 GROUP BY v, t),
-        ctxc2 AS MATERIALIZED (SELECT v, sum(cc2) AS ctot2, count(*) AS n1p2 FROM cc2 GROUP BY v),
-        cc1 AS MATERIALIZED (SELECT t, count(*) AS cc1 FROM c2 GROUP BY t),
-        st AS MATERIALIZED (SELECT (SELECT sum(cc1)::DOUBLE FROM cc1) AS t1,
-               (SELECT count(*) FROM cc1) AS n1p1,
-               (SELECT count(DISTINCT tk) FROM (SELECT unnest(w) AS tk FROM rwords)) AS v),
-        words AS (SELECT doc_id, list_filter(string_split_regex(text, '[ \\t\\n\\f\\r\\x0b]+'), x -> x <> '') AS w FROM documents),
-        tris AS (SELECT doc_id, unnest(w[1:len(w) - 2]) AS u, unnest(w[2:len(w) - 1]) AS v, unnest(w[3:len(w)]) AS t FROM words WHERE len(w) >= 3),
-        j3 AS MATERIALIZED (SELECT p.doc_id AS doc_id, p.v AS v, p.t AS t, c3.c3 AS c3, ctx3.tot3 AS tot3, ctx3.n1p3 AS n1p3
-          FROM tris p
-          LEFT JOIN c3 ON p.u = c3.u AND p.v = c3.v AND p.t = c3.t
-          LEFT JOIN ctx3 ON p.u = ctx3.u AND p.v = ctx3.v),
-        j2 AS MATERIALIZED (SELECT p.*, cc2.cc2 AS cc2, ctxc2.ctot2 AS ctot2, ctxc2.n1p2 AS n1p2
-          FROM j3 p
-          LEFT JOIN cc2 ON p.v = cc2.v AND p.t = cc2.t
-          LEFT JOIN ctxc2 ON p.v = ctxc2.v),
-        j1 AS MATERIALIZED (SELECT p.*,
-            greatest(coalesce(cc1.cc1, 0) - 0.75, 0.0) / st.t1
-              + 0.75 * st.n1p1 / st.t1 * (1.0 / (st.v + 1.0)) AS p1
-          FROM j2 p LEFT JOIN cc1 ON p.t = cc1.t CROSS JOIN st),
-        jp AS (SELECT doc_id,
-            CASE WHEN coalesce(ctot2, 0) > 0
-              THEN greatest(coalesce(cc2, 0) - 0.75, 0.0) / ctot2 + 0.75 * n1p2 / ctot2 * p1
-              ELSE p1 END AS p2, c3, tot3, n1p3
-          FROM j1),
-        agg AS (SELECT doc_id, count(*) AS n_grams,
-            round(avg(ln(
-              CASE WHEN coalesce(tot3, 0) > 0
-                THEN greatest(coalesce(c3, 0) - 0.75, 0.0) / tot3 + 0.75 * n1p3 / tot3 * p2
-                ELSE p2 END)), 3) AS avg_logprob
-          FROM jp GROUP BY doc_id),
+    s"""$knAgainstChainSql,
         scored AS (SELECT d.doc_id, d.lang, coalesce(a.n_grams, 0)::BIGINT AS n_grams,
                    a.avg_logprob
                  FROM documents d LEFT JOIN agg a USING (doc_id))

@@ -2035,7 +2035,13 @@ object Program {
     import org.json4s.jackson.JsonMethods
     implicit val fmts: Formats = DefaultFormats
     val j = JsonMethods.parse(json)
-    val ver = (j \ "version").extractOpt[Int].getOrElse(1)
+    val verExplicit = (j \ "version").extractOpt[Int]
+    val ver = verExplicit.getOrElse(1)
+    // version-gated grammar rules treat an ABSENT version as CURRENT: a
+    // hand-written artifact that never thought about versions should get
+    // the newest (best) diagnostics; only an EXPLICIT old stamp opts
+    // into a shipped round's lenient semantics
+    val effVer = verExplicit.getOrElse(FormatVersion)
     if (ver > FormatVersion) throw new IllegalArgumentException(
       s"program document format version $ver is newer than this library's " +
         s"$FormatVersion — upgrade the reading side (refusing to " +
@@ -2139,18 +2145,20 @@ object Program {
             // hand-written partial artifact (say l3=1.0 alone) into
             // weights summing past 1 that only fail later in validate,
             // blaming values the author never wrote — reject the partial
-            // spec here with the real cause. Documents stamped <= 7 keep
-            // round 13's independent defaults (a shipped v7 artifact that
-            // loaded then must keep loading — the FormatVersion promise).
+            // spec here with the real cause. Documents EXPLICITLY stamped
+            // <= 7 keep round 13's independent defaults (a shipped v7
+            // artifact that loaded then must keep loading — the
+            // FormatVersion promise); an absent version gets the strict
+            // rule (see effVer above).
             val ls = Seq("l3", "l2", "l1").map(k => (v \ k).extractOpt[Double])
-            if (ver >= 8 && ls.exists(_.isDefined) && ls.exists(_.isEmpty))
+            if (effVer >= 8 && ls.exists(_.isDefined) && ls.exists(_.isEmpty))
               throw new IllegalArgumentException(
                 s"node '$name': lm3Score lambdas are all-or-none — specify " +
                   "l3, l2 AND l1, or none of them (defaults 0.6/0.3/0.1); got " +
                   Seq("l3", "l2", "l1").zip(ls).collect {
                     case (k, Some(x)) => s"$k=$x" }.mkString(", "))
             val Seq(l3, l2, l1) =
-              if (ver >= 8 && ls.head.isDefined) ls.map(_.get)
+              if (effVer >= 8 && ls.head.isDefined) ls.map(_.get)
               else ls.zip(Seq(0.6, 0.3, 0.1)).map { case (o, d) => o.getOrElse(d) }
             Lm3Score(name, (v \ "input").extract[String],
               (v \ "idCol").extract[String], (v \ "textCol").extract[String],

@@ -955,6 +955,11 @@ object TextOps {
     require(minCount >= 1, s"minCount must be >= 1, got $minCount")
     val l = lambdasFor(order, lambdas)
     val df = stream.df
+    require(!df.isStreaming || broadcastModel,
+      "ngramLmScoreAgainst: the streaming face cannot honor " +
+        "broadcastModel = false (a per-micro-batch model shuffle would " +
+        "dominate ingest) — prune with minCount until the model " +
+        "broadcasts, or score in bounded batches via foreachBatch")
     val (counts, ctxs) = ngramModel(refDocs, refTextCol, order, minCount)
     val nvRow = counts(1).agg(sum(col("__c1")).cast("double"),
       count(lit(1)).cast("double")).head()
@@ -1205,6 +1210,11 @@ object TextOps {
         "(the model pins once; a streaming reference has no stable artifact)")
     require(minCount >= 1, s"minCount must be >= 1, got $minCount")
     val df = stream.df
+    require(!df.isStreaming || broadcastModel,
+      "knLmScoreAgainst: the streaming face cannot honor " +
+        "broadcastModel = false (a per-micro-batch model shuffle would " +
+        "dominate ingest) — prune with minCount until the model " +
+        "broadcasts, or score in bounded batches via foreachBatch")
     val (rawN, ctxN, cont, ctxc, stats) = knModel(refDocs, refTextCol, order, minCount)
     val st = stats.head()
     require(!st.isNullAt(0) && st.getDouble(0) > 0,
@@ -1372,15 +1382,19 @@ object TextOps {
                                refDocs: org.apache.spark.sql.DataFrame,
                                idCol: String, textCol: String, langCol: String,
                                refTextCol: String, buckets: Int = 3,
-                               order: Int = 3,
-                               discount: Double = 0.75): org.apache.spark.sql.DataFrame = {
+                               order: Int = 3, discount: Double = 0.75,
+                               /** [[knLmScoreAgainst]]'s scale levers,
+                                 * passed through — this is the large-
+                                 * reference face that needs them most. */
+                               minCount: Long = 1L,
+                               broadcastModel: Boolean = true): org.apache.spark.sql.DataFrame = {
     require(buckets >= 2, s"perplexityBucketsAgainst needs >= 2 buckets, got $buckets")
     require(!docs.isStreaming,
       "perplexityBucketsAgainst is batch-only (the tile assignment is a " +
         "corpus-wide ranking) — score a stream with knLmScoreAgainst and " +
         "bucket per micro-batch via foreachBatch")
     val scored = knLmScoreAgainst(graft.api.MStream(docs), refDocs,
-        idCol, textCol, refTextCol, order, discount).df
+        idCol, textCol, refTextCol, order, discount, minCount, broadcastModel).df
       .join(docs.select(col(idCol), col(langCol)), Seq(idCol))
     bucketByScore(scored, idCol, langCol, buckets, "n_grams")
   }

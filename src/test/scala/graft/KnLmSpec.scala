@@ -204,6 +204,18 @@ class KnLmSpec extends SparkSpec {
     } finally graft.api.Pinned.release(spark)
   }
 
+  test("streaming face rejects broadcastModel=false with a named error") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(Long, String)]
+    val e = intercept[IllegalArgumentException](TextOps.knLmScoreAgainst(
+      MStream(in.toDF().toDF("doc_id", "text")), corpus.toDF("doc_id", "text"),
+      "doc_id", "text", "text", order = 3, broadcastModel = false))
+    assert(e.getMessage.contains("streaming face") &&
+      e.getMessage.contains("minCount"), e.getMessage)
+    graft.api.Pinned.release(spark)
+  }
+
   test("parameter contracts: order and discount bounds") {
     val df = corpus.toDF("doc_id", "text")
     assert(intercept[IllegalArgumentException](

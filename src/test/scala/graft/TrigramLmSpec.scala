@@ -126,6 +126,13 @@ class TrigramLmSpec extends SparkSpec {
     val v7 = Program.fromJson(artifact(7, ""","l3":0.7,"l2":0.2"""))
     assert(v7.nodes.collectFirst { case l: Lm3Score => (l.l3, l.l2, l.l1) }
       .contains((0.7, 0.2, 0.1)))
+    // an artifact with NO version field gets the current (strict) rule —
+    // authors who never thought about versions should get the better error
+    val noVer = intercept[IllegalArgumentException](Program.fromJson(
+      """{"nodes":[{"op":"external","name":"in"},
+        |{"op":"lm3Score","name":"s","input":"in","idCol":"doc_id",
+        |"textCol":"text","l3":1.0}],"outputs":["s"]}""".stripMargin))
+    assert(noVer.getMessage.contains("all-or-none"), noVer.getMessage)
   }
 
   test("Lm3Score interpret drops stale eventOrder like validate's lift") {
