@@ -729,23 +729,7 @@ object TextOps {
       s"lambdas must be non-negative and sum to 1, got $lambdas")
     val id = col(idCol)
     val spark = docs.sparkSession
-    def pin(d: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
-      val (cp, ids) = graft.api.Pinned.checkpointTracked(d)
-      graft.api.Pinned.register(spark, ids)
-      cp
-    }
     val ws = words(col(textCol))
-    val c1 = pin(docs.select(explode(ws).as("__t"))
-      .groupBy("__t").agg(count(lit(1)).as("__c1")))
-    val nv = c1.agg(sum(col("__c1")).cast("double").as("__n"),
-      count(lit(1)).cast("double").as("__vv"))
-    val c2 = pin(docs.select(ws.as("__w")).where(size(col("__w")) >= 2)
-      .select(explode(arrays_zip(
-        slice(col("__w"), lit(1), size(col("__w")) - 1).as("v"),
-        slice(col("__w"), lit(2), size(col("__w")) - 1).as("t"))).as("__p"))
-      .select(col("__p.v").as("__v"), col("__p.t").as("__t"))
-      .groupBy("__v", "__t").agg(count(lit(1)).as("__c2")))
-    val c2x = c2.groupBy("__v").agg(sum(col("__c2")).as("__c2x"))
     val tris = docs
       .select(id, ws.as("__w")).where(size(col("__w")) >= 3)
       .select(id, explode(arrays_zip(
@@ -753,7 +737,30 @@ object TextOps {
         slice(col("__w"), lit(2), size(col("__w")) - 2).as("v"),
         slice(col("__w"), lit(3), size(col("__w")) - 2).as("t"))).as("__p"))
       .select(id, col("__p.u").as("__u"), col("__p.v").as("__v"), col("__p.t").as("__t"))
-    val c3 = pin(tris.groupBy("__u", "__v", "__t").agg(count(lit(1)).as("__c3")))
+    // the three count builds are independent actions — pin concurrently
+    // (the ngramModel pattern), register on the calling thread
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.ExecutionContext.Implicits.global
+    import scala.concurrent.duration.Duration
+    val done = Await.result(Future.sequence(Seq(
+      Future(graft.api.Pinned.checkpointTracked(
+        docs.select(explode(ws).as("__t"))
+          .groupBy("__t").agg(count(lit(1)).as("__c1")))),
+      Future(graft.api.Pinned.checkpointTracked(
+        docs.select(ws.as("__w")).where(size(col("__w")) >= 2)
+          .select(explode(arrays_zip(
+            slice(col("__w"), lit(1), size(col("__w")) - 1).as("v"),
+            slice(col("__w"), lit(2), size(col("__w")) - 1).as("t"))).as("__p"))
+          .select(col("__p.v").as("__v"), col("__p.t").as("__t"))
+          .groupBy("__v", "__t").agg(count(lit(1)).as("__c2")))),
+      Future(graft.api.Pinned.checkpointTracked(
+        tris.groupBy("__u", "__v", "__t").agg(count(lit(1)).as("__c3")))))),
+      Duration.Inf)
+    done.foreach { case (_, ids) => graft.api.Pinned.register(spark, ids) }
+    val Seq(c1, c2, c3) = done.map(_._1)
+    val nv = c1.agg(sum(col("__c1")).cast("double").as("__n"),
+      count(lit(1)).cast("double").as("__vv"))
+    val c2x = c2.groupBy("__v").agg(sum(col("__c2")).as("__c2x"))
     val c3x = c3.groupBy("__u", "__v").agg(sum(col("__c3")).as("__c3x"))
     val scored = tris
       .join(c3, Seq("__u", "__v", "__t")).join(c3x, Seq("__u", "__v"))
@@ -814,13 +821,31 @@ object TextOps {
       graft.api.Pinned.register(spark, ids)
       cp
     }
-    val counts = (1 to order).map { j =>
-      val names = gramCols(order, j)
-      val raw = gramsOf(train, textCol, j, names, Nil)
-        .groupBy(names.map(col): _*).agg(count(lit(1)).as(s"__c$j"))
-      j -> pin(if (j >= 2 && minCount > 1L) raw.filter(col(s"__c$j") >= minCount)
-               else raw)
-    }.toMap
+    // the per-order count builds are INDEPENDENT actions; submit their
+    // eager checkpoints concurrently (Spark schedules jobs from multiple
+    // threads — later small stages fill slots the earlier shuffle leaves
+    // idle, cutting the serial job-floor tax of `order` sequential pins)
+    // and register the ids on the CALLING thread, where a per-run Pinned
+    // scope (thread-local) still captures them
+    val counts = {
+      import scala.concurrent.{Await, Future}
+      import scala.concurrent.ExecutionContext.Implicits.global
+      import scala.concurrent.duration.Duration
+      val done = Await.result(Future.sequence((1 to order).map { j =>
+        Future {
+          val names = gramCols(order, j)
+          val raw = gramsOf(train, textCol, j, names, Nil)
+            .groupBy(names.map(col): _*).agg(count(lit(1)).as(s"__c$j"))
+          val kept =
+            if (j >= 2 && minCount > 1L) raw.filter(col(s"__c$j") >= minCount)
+            else raw
+          val (cp, ids) = graft.api.Pinned.checkpointTracked(kept)
+          (j, cp, ids)
+        }
+      }.toSeq), Duration.Inf)
+      done.foreach { case (_, _, ids) => graft.api.Pinned.register(spark, ids) }
+      done.map { case (j, cp, _) => j -> cp }.toMap
+    }
     val ctxs = (2 to order).map { j =>
       val names = gramCols(order, j)
       j -> counts(j).groupBy(names.dropRight(1).map(col): _*)
@@ -1072,25 +1097,35 @@ object TextOps {
          Map[Int, org.apache.spark.sql.DataFrame],
          org.apache.spark.sql.DataFrame) = {
     val spark = train.sparkSession
-    def pin(d: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
-      val (cp, ids) = graft.api.Pinned.checkpointTracked(d)
-      graft.api.Pinned.register(spark, ids)
-      cp
-    }
     def raw(j: Int): org.apache.spark.sql.DataFrame = {
       val c = gramsOf(train, textCol, j, gramCols(order, j), Nil)
         .groupBy(gramCols(order, j).map(col): _*).agg(count(lit(1)).as(s"__cr$j"))
       if (j >= 2 && minCount > 1L) c.filter(col(s"__cr$j") >= minCount) else c
     }
-    val rawN = pin(raw(order))
+    // independent count builds pin CONCURRENTLY (the ngramModel pattern);
+    // only cont(order-1) depends on the pinned top table and chains off
+    // its future. Ids register on the CALLING thread (Pinned scopes are
+    // thread-local).
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.ExecutionContext.Implicits.global
+    import scala.concurrent.duration.Duration
+    def contOf(src: org.apache.spark.sql.DataFrame, j: Int) =
+      graft.api.Pinned.checkpointTracked(
+        src.groupBy(gramCols(order, j).map(col): _*)
+          .agg(count(lit(1)).as(s"__cc$j")))
+    val rawNF = Future { graft.api.Pinned.checkpointTracked(raw(order)) }
+    val contFs = (1 until order).map { j =>
+      if (j + 1 == order) rawNF.map { case (cp, _) => (j, contOf(cp, j)) }
+      else Future { (j, contOf(raw(j + 1), j)) }
+    }
+    val (rawN, rawIds) = Await.result(rawNF, Duration.Inf)
+    val contDone = Await.result(Future.sequence(contFs.toSeq), Duration.Inf)
+    graft.api.Pinned.register(spark, rawIds)
+    contDone.foreach { case (_, (_, ids)) => graft.api.Pinned.register(spark, ids) }
     val ctxN = rawN.groupBy(gramCols(order, order).dropRight(1).map(col): _*)
       .agg(sum(col(s"__cr$order")).as(s"__tot$order"),
         count(lit(1)).as(s"__n1p$order"))
-    val cont = (1 until order).map { j =>
-      val src = if (j + 1 == order) rawN else raw(j + 1)
-      j -> pin(src.groupBy(gramCols(order, j).map(col): _*)
-        .agg(count(lit(1)).as(s"__cc$j")))
-    }.toMap
+    val cont = contDone.map { case (j, (cp, _)) => j -> cp }.toMap
     val ctxc = (2 until order).map { j =>
       j -> cont(j).groupBy(gramCols(order, j).dropRight(1).map(col): _*)
         .agg(sum(col(s"__cc$j")).as(s"__ctot$j"), count(lit(1)).as(s"__n1p$j"))
