@@ -1979,13 +1979,20 @@ object TextOps {
       .select(keep :+ explode(
         graft.functions.VectorFunctions.wordShingleHashes(col(text), 2)).as("__h"): _*)
       .select(keep :+ (col("__h") % buckets).as("__b"): _*)
-    val (tgt, tIds) = graft.api.Pinned.checkpointTracked(
-      bucketRows(targetDocs, refTextCol, Nil).groupBy(col("__b")).agg(count(lit(1)).as("__t")))
-    val (raw, rIds) = graft.api.Pinned.checkpointTracked(
-      bucketRows(rawDocs, refTextCol, Nil).groupBy(col("__b")).agg(count(lit(1)).as("__r")))
+    // the two reference sketches are independent actions — pin and total
+    // them concurrently (the ngramModel pattern), register on the caller
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.ExecutionContext.Implicits.global
+    import scala.concurrent.duration.Duration
+    def sketch(d: org.apache.spark.sql.DataFrame, as: String) = Future {
+      val (cp, ids) = graft.api.Pinned.checkpointTracked(
+        bucketRows(d, refTextCol, Nil).groupBy(col("__b")).agg(count(lit(1)).as(as)))
+      (cp, ids, cp.agg(coalesce(sum(col(as)), lit(0L))).head().getLong(0))
+    }
+    val Seq((tgt, tIds, totT), (raw, rIds, totR)) = Await.result(
+      Future.sequence(Seq(sketch(targetDocs, "__t"), sketch(rawDocs, "__r"))),
+      Duration.Inf)
     graft.api.Pinned.register(spark, tIds ++ rIds)
-    val totT = tgt.agg(coalesce(sum(col("__t")), lit(0L))).head().getLong(0)
-    val totR = raw.agg(coalesce(sum(col("__r")), lit(0L))).head().getLong(0)
     require(totT > 0, "dsirScore: the target corpus yields no word bigrams")
     require(totR > 0, "dsirScore: the raw corpus yields no word bigrams")
     // per-occurrence log-ratio; unseen buckets fall to the smoothed floor
