@@ -13,11 +13,12 @@ import org.apache.spark.sql.functions._
  * key-indexed reference routes every arrival carrying a given key to ONE
  * task together with ALL n reference rows of that key — a boilerplate
  * band, a dominant-direction IVF cell, or any other hot index key
- * serializes its n verifications per batch. Windows cannot run on a
- * stream, so the self/cross covers' declarative window count is
- * unavailable; but the static side is materialized EAGERLY anyway
- * (`graft.api.Pinned.checkpointTracked`), so the census runs once at pin
- * time, batch-side:
+ * serializes its n verifications per batch. The batch covers' in-plan
+ * census cannot run per micro-batch; but the static side is
+ * materialized EAGERLY anyway (`graft.api.Pinned.checkpointTracked`),
+ * so the census runs once at pin time, batch-side (this pin-time
+ * heavy-hitter count is also the shape the batch covers adopted in
+ * r14 — saltedSelfJoin's census is the in-plan sibling of this one):
  *
  *  - [[pin]] checkpoints the index WITH a salt column `__sg`
  *    (`hash(id) mod s`, s = ceil(pop/cap); 0 for cold keys) plus the
