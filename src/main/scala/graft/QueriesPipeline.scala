@@ -2272,6 +2272,54 @@ object QueriesPipeline {
              ORDER BY avg_logprob DESC, doc_id) END)::INT AS bucket
         FROM scored"""
 
+  /** Sentence-aware chunking over DETERMINISTICALLY punctuated text
+    * (the synthetic corpus carries no sentence terminators, so — the
+    * q_url_dedup convention — both engines first group each document's
+    * words into runs of 5 + doc_id % 3 joined with '. ': the
+    * segmentation, greedy packing and ordered reassembly then all run
+    * on real multi-sentence structure). */
+  def qChunkSent(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir).df
+    val punct = docs.select(col("doc_id"),
+        TextOps.words(col("text")).as("__w"),
+        (lit(5) + pmod(col("doc_id"), lit(3))).cast("int").as("__g"))
+      .withColumn("__ng", expr("cast((size(__w) + __g - 1) div __g as int)"))
+      .withColumn("ptext",
+        when(size(col("__w")) === 0, lit(""))
+          .otherwise(concat(array_join(
+            transform(sequence(lit(0), col("__ng") - 1),
+              i => array_join(slice(col("__w"), i * col("__g") + 1, col("__g")), " ")),
+            ". "), lit("."))))
+    TextOps.chunkSentences(punct, "doc_id", "ptext", maxTokens = 24L)
+  }
+
+  val qChunkSentSql: String =
+    s"""WITH base AS (SELECT doc_id,
+                  list_filter(string_split_regex(text, '[ \\t\\n\\f\\r\\x0b]+'), x -> x <> '') AS w,
+                  (5 + doc_id % 3)::INT AS g
+                FROM documents),
+        punct AS (SELECT doc_id,
+                  CASE WHEN len(w) = 0 THEN ''
+                       ELSE list_aggregate(
+                         [array_to_string(w[i * g + 1 : i * g + g], ' ')
+                          for i in range(0, ((len(w) + g - 1) // g)::INT)],
+                         'string_agg', '. ') || '.' END AS ptext
+                FROM base),
+        sents0 AS (SELECT doc_id,
+                  list_filter(list_transform(regexp_extract_all(ptext, '[^.!?]+[.!?]*'), x -> trim(x)), x -> x <> '') AS ss
+                FROM punct),
+        es AS (SELECT doc_id, unnest(range(1, len(ss) + 1)) AS pos, unnest(ss) AS s FROM sents0),
+        et AS (SELECT doc_id, pos, s,
+                  len(list_filter(string_split_regex(s, '[ \\t\\n\\f\\r\\x0b]+'), x -> x <> ''))::BIGINT AS t
+                FROM es),
+        c AS (SELECT doc_id, pos, s, t,
+                  floor(coalesce(sum(t) OVER (PARTITION BY doc_id ORDER BY pos
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) / 24)::BIGINT AS chunk_id
+                FROM et)
+        SELECT doc_id, chunk_id, string_agg(s, ' ' ORDER BY pos) AS chunk_text,
+          sum(t)::BIGINT AS n_tokens, count(*)::BIGINT AS n_sentences
+        FROM c GROUP BY doc_id, chunk_id"""
+
   /** Winnowing fingerprints (Schleimer et al. 2003) over word 3-grams,
     * window 4: the oracle re-runs the per-window rightmost-min definition
     * with list ops (the Scala side is the O(n) deque — same selection,
@@ -2674,6 +2722,7 @@ object QueriesPipeline {
     "q_kn3_score" -> (qKn3Score _),
     "q_kn3_against" -> (qKn3Against _),
     "q_ppl_against" -> (qPplAgainst _),
+    "q_chunk_sent" -> (qChunkSent _),
     "q_ppl_buckets" -> (qPplBuckets _),
     "q_winnow" -> (qWinnow _),
     "q_winnow_pairs" -> (qWinnowPairs _),
@@ -2769,6 +2818,7 @@ object QueriesPipeline {
     "q_kn3_score" -> qKn3ScoreSql,
     "q_kn3_against" -> qKn3AgainstSql,
     "q_ppl_against" -> qPplAgainstSql,
+    "q_chunk_sent" -> qChunkSentSql,
     "q_ppl_buckets" -> qPplBucketsSql,
     "q_winnow" -> qWinnowSql,
     "q_winnow_pairs" -> qWinnowPairsSql,

@@ -494,6 +494,13 @@ object Program {
                            textCol: String, order: Int,
                            discount: Double) extends Node
 
+  /** Sentence-aware chunking (`TextOps.chunkSentencesIngest`) — greedy
+    * sentence packing into ~maxTokens chunks, dual-mode (the per-doc
+    * fold is stateless at ingest). */
+  final case class SentChunk(name: String, input: String, idCol: String,
+                             textCol: String, maxTokens: Long,
+                             sep: String) extends Node
+
   /** Dual-mode order-n Kneser-Ney scoring against a PRETRAINED reference
     * corpus (`TextOps.knLmScoreAgainst`) — the literal CCNet crawl-vs-
     * Wikipedia shape with full back-off on unseen contexts. */
@@ -689,6 +696,7 @@ object Program {
     case br: Bm25Retrieve => Seq(br.input, br.queries)
     case wp: WinnowPairs => Seq(wp.input)
     case ks: KnScore => Seq(ks.input)
+    case sx: SentChunk => Seq(sx.input)
     case ka: KnAgainst => Seq(ka.input, ka.ref)
     case ds: DsirScore => Seq(ds.input, ds.target, ds.raw)
     case tf: TokenFreq => Seq(tf.input, tf.ref)
@@ -948,6 +956,9 @@ object Program {
           s.lift(graft.pipeline.TextOps.winnowOverlapPairs(
             batchFace(name, "winnowPairs", s), idCol, textCol, nn, w,
             minShared, maxBucket))
+        case SentChunk(_, i, idCol, textCol, maxTokens, sep) =>
+          graft.pipeline.TextOps.chunkSentencesIngest(in(i), idCol, textCol,
+            maxTokens, sep)
         case KnScore(name, i, idCol, textCol, order, discount) =>
           val s = in(i)
           s.lift(graft.pipeline.TextOps.knLmScore(
@@ -1155,6 +1166,7 @@ object Program {
     case x: Bm25Retrieve => x.copy(name = name)
     case x: WinnowPairs => x.copy(name = name)
     case x: KnScore => x.copy(name = name)
+    case x: SentChunk => x.copy(name = name)
     case x: KnAgainst => x.copy(name = name)
     case x: DsirScore => x.copy(name = name)
     case x: TokenFreq => x.copy(name = name)
@@ -1475,6 +1487,11 @@ object Program {
                            maxBucket: Int = 64): Rec =
       derive1("winnowPairs")(nm => WinnowPairs(nm, name, idCol, textCol, n,
         w, minShared, maxBucket))
+    /** Sentence-aware chunking (format version 8). */
+    def chunkSentences(idCol: String, textCol: String, maxTokens: Long,
+                       sep: String = " "): Rec =
+      derive1("chunkSentences")(n => SentChunk(n, name, idCol, textCol,
+        maxTokens, sep))
     /** Order-n Kneser-Ney LM score over this corpus itself (format
       * version 8). */
     def knLmScore(idCol: String, textCol: String, order: Int,
@@ -1724,7 +1741,7 @@ object Program {
   private def requiredVersion(doc: Doc): Int =
     if (doc.nodes.exists {
       case _: Lm3Against | _: LmNScore | _: LmNAgainst | _: Bm25Retrieve |
-           _: WinnowPairs | _: KnScore | _: KnAgainst => true
+           _: WinnowPairs | _: KnScore | _: KnAgainst | _: SentChunk => true
       case _ => false }) 8
     else if (doc.nodes.exists { case _: Lm3Score => true; case _ => false }) 7
     else if (doc.nodes.exists {
@@ -1860,6 +1877,10 @@ object Program {
         ("op" -> "winnowPairs") ~ ("name" -> name) ~ ("input" -> i) ~
           ("idCol" -> idCol) ~ ("textCol" -> textCol) ~ ("n" -> nn) ~
           ("w" -> w) ~ ("minShared" -> minShared) ~ ("maxBucket" -> maxBucket)
+      case SentChunk(name, i, idCol, textCol, maxTokens, sep) =>
+        ("op" -> "chunkSentences") ~ ("name" -> name) ~ ("input" -> i) ~
+          ("idCol" -> idCol) ~ ("textCol" -> textCol) ~
+          ("maxTokens" -> maxTokens) ~ ("sep" -> sep)
       case KnScore(name, i, idCol, textCol, order, discount) =>
         ("op" -> "knScore") ~ ("name" -> name) ~ ("input" -> i) ~
           ("idCol" -> idCol) ~ ("textCol" -> textCol) ~ ("order" -> order) ~
@@ -2206,6 +2227,10 @@ object Program {
             (v \ "w").extractOpt[Int].getOrElse(4),
             (v \ "minShared").extractOpt[Int].getOrElse(2),
             (v \ "maxBucket").extractOpt[Int].getOrElse(64))
+          case "chunkSentences" => SentChunk(name, (v \ "input").extract[String],
+            (v \ "idCol").extract[String], (v \ "textCol").extract[String],
+            (v \ "maxTokens").extract[Long],
+            (v \ "sep").extractOpt[String].getOrElse(" "))
           case "knScore" => KnScore(name, (v \ "input").extract[String],
             (v \ "idCol").extract[String], (v \ "textCol").extract[String],
             (v \ "order").extract[Int],
@@ -2835,6 +2860,10 @@ object Program {
         case ks: KnScore =>
           checkKn(n.name, "knScore", ks.order, ks.discount)
           Seq(ks.input)
+        case sx: SentChunk =>
+          if (sx.maxTokens <= 0) throw new IllegalArgumentException(
+            s"node '${n.name}': chunkSentences needs maxTokens > 0, got ${sx.maxTokens}")
+          Seq(sx.input)
         case ka: KnAgainst =>
           checkKn(n.name, "knAgainst", ka.order, ka.discount)
           if (ka.minCount < 1) throw new IllegalArgumentException(

@@ -626,6 +626,110 @@ object TextOps {
         least(lit(chunkSize), size(col("__ws")) - col("__s")).cast("long").as("n_tokens"))
   }
 
+  /** Sentence segmentation in the Java ∩ RE2 regex subset (no
+    * lookarounds, so the DuckDB oracle runs the IDENTICAL pattern):
+    * maximal runs of non-terminator characters plus their trailing
+    * `.?!` run, trimmed, empties dropped. Unpunctuated text is one
+    * sentence; an all-punctuation string yields none. A heuristic by
+    * design (abbreviations split — the documented trade of every
+    * regex segmenter); the value is that it is engine-reproducible. */
+  def sentencesOf(text: Column): Column =
+    filter(transform(
+      regexp_extract_all(text, lit("[^.!?]+[.!?]*"), lit(0)), s => trim(s)),
+      s => s =!= "")
+
+  /** Sentence-aware chunking — the RAG-ingestion sibling of
+    * [[chunkTokens]] (fixed token windows cut mid-sentence; retrieval
+    * chunks should not): consecutive SENTENCES pack greedily into
+    * chunks of ~`maxTokens` whitespace tokens, [[packChunks]]'
+    * convention exactly (a chunk takes sentences until the budget is
+    * crossed, so chunks overflow by at most one sentence; an oversized
+    * single sentence gets its own chunk rather than splitting). Output
+    * (idCol, chunk_id, chunk_text, n_tokens, n_sentences); documents
+    * with no sentences produce no chunks.
+    *
+    * Scale shape: the running sum is a per-DOCUMENT window — bounded by
+    * a single document's sentence count, the operator's natural unit
+    * (never a corpus-scale partition). Dual-mode: the streaming face
+    * reassembles each arriving document's chunks in the stateless
+    * per-batch combine (every sentence row derives from its own input
+    * row — the encodeTokensIngest pattern), zero state rows. */
+  def chunkSentences(docs: org.apache.spark.sql.DataFrame, idCol: String,
+                     textCol: String, maxTokens: Long,
+                     sep: String = " "): org.apache.spark.sql.DataFrame = {
+    require(maxTokens > 0, s"maxTokens must be positive, got $maxTokens")
+    import org.apache.spark.sql.expressions.Window
+    val e = docs
+      .select(col(idCol), posexplode(sentencesOf(col(textCol))).as(Seq("__pos", "__sent")))
+      .withColumn("__t", tokenCountWhitespace(col("__sent")).cast("long"))
+    val w = Window.partitionBy(col(idCol)).orderBy(col("__pos"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    e.withColumn("chunk_id",
+        floor(coalesce(sum(col("__t")).over(w), lit(0L)) / maxTokens).cast("long"))
+      .groupBy(col(idCol), col("chunk_id"))
+      .agg(
+        array_join(transform(
+          array_sort(collect_list(struct(col("__pos"), col("__sent")))),
+          x => x.getField("__sent")), sep).as("chunk_text"),
+        sum(col("__t")).as("n_tokens"),
+        count(lit(1)).as("n_sentences"))
+  }
+
+  /** Dual-mode [[chunkSentences]] at ingest: batch delegates to the
+    * window face (the q_chunk_sent oracle face); streaming explodes each
+    * arriving doc's sentences and reassembles chunks in the stateless
+    * per-batch combine — identical greedy fold, zero state rows. */
+  def chunkSentencesIngest(stream: graft.api.MStream, idCol: String,
+                           textCol: String, maxTokens: Long,
+                           sep: String = " "): graft.api.MStream = {
+    import org.apache.spark.sql.{Encoder, Row}
+    import org.apache.spark.sql.catalyst.encoders.RowEncoder
+    import org.apache.spark.sql.types._
+    require(maxTokens > 0, s"maxTokens must be positive, got $maxTokens")
+    val df = stream.df
+    if (!df.isStreaming)
+      return stream.lift(chunkSentences(df, idCol, textCol, maxTokens, sep))
+    val u = df
+      .select(col(idCol).as("__id"),
+        posexplode(sentencesOf(col(textCol))).as(Seq("__pos", "__sent")))
+      .withColumn("__t", tokenCountWhitespace(col("__sent")).cast("long"))
+    val idType = df.schema(idCol).dataType
+    val outT = StructType(Seq(
+      StructField("__id", idType),
+      StructField("chunk_id", LongType, nullable = false),
+      StructField("chunk_text", StringType, nullable = false),
+      StructField("n_tokens", LongType, nullable = false),
+      StructField("n_sentences", LongType, nullable = false)))
+    val outEnc: Encoder[Row] = RowEncoder.encoderFor(outT)
+    val (posIdx, sentIdx, tIdx) =
+      (u.schema.fieldIndex("__pos"), u.schema.fieldIndex("__sent"),
+        u.schema.fieldIndex("__t"))
+    val out = graft.streaming.PerBatchCombine(u, Seq("__id"), outEnc) {
+        (key: Row, it: Iterator[Row]) =>
+          val rows = it.toArray.sortBy(_.getInt(posIdx))
+          val chunks = scala.collection.mutable.LinkedHashMap
+            .empty[Long, (StringBuilder, Long, Long)]
+          var prefix = 0L
+          rows.foreach { r =>
+            val cid = prefix / maxTokens
+            val t = r.getLong(tIdx)
+            prefix += t
+            chunks.get(cid) match {
+              case Some((sb, nt, ns)) =>
+                chunks(cid) = (sb.append(sep).append(r.getString(sentIdx)), nt + t, ns + 1)
+              case None =>
+                chunks(cid) = (new StringBuilder(r.getString(sentIdx)), t, 1L)
+            }
+          }
+          chunks.iterator.map { case (cid, (sb, nt, ns)) =>
+            Row(key.get(0), cid, sb.toString, nt, ns)
+          }
+      }
+      .select(col("__id").as(idCol), col("chunk_id"), col("chunk_text"),
+        col("n_tokens"), col("n_sentences"))
+    stream.lift(out)
+  }
+
   /** Benchmark decontamination — n-gram-overlap hygiene between a training
     * corpus and an evaluation set (the published practice for GPT-3/PaLM
     * training data: drop or flag documents sharing word-n-grams with a

@@ -235,6 +235,10 @@ class ProgramNodeCoverageSpec extends AnyFunSuite {
       "ngramLmScoreAgainst" -> node("lmnAgainst"),
       "lm3ScoreAgainst" -> node("lm3Against"),
       "knLmScore" -> node("knScore"),
+      "chunkSentences" -> node("chunkSentences"),
+      "chunkSentencesIngest" -> node("chunkSentences"),
+      "sentencesOf" -> excluded("single-projection op (sentence array); " +
+        "program face is the chunkSentences node or mapCols"),
       "knLmScoreAgainst" -> node("knAgainst"),
       "lambdasFor" -> excluded(block),
       "closedFormNtile" -> excluded(block),
