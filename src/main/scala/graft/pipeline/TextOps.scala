@@ -653,7 +653,10 @@ object TextOps {
     * (never a corpus-scale partition). Dual-mode: the streaming face
     * reassembles each arriving document's chunks in the stateless
     * per-batch combine (every sentence row derives from its own input
-    * row — the encodeTokensIngest pattern), zero state rows. */
+    * row — the encodeTokensIngest pattern), zero state rows. Requires
+    * `idCol` unique (the packChunks contract): duplicate ids would give
+    * colliding sentence positions and an arbitrary tie-broken running
+    * sum. */
   def chunkSentences(docs: org.apache.spark.sql.DataFrame, idCol: String,
                      textCol: String, maxTokens: Long,
                      sep: String = " "): org.apache.spark.sql.DataFrame = {
@@ -842,11 +845,10 @@ object TextOps {
         slice(col("__w"), lit(3), size(col("__w")) - 2).as("t"))).as("__p"))
       .select(id, col("__p.u").as("__u"), col("__p.v").as("__v"), col("__p.t").as("__t"))
     // the three count builds are independent actions — pin concurrently
-    // (the ngramModel pattern), register on the calling thread
-    import scala.concurrent.{Await, Future}
+    // (the ngramModel pattern), registered failure-safely on the caller
+    import scala.concurrent.Future
     import scala.concurrent.ExecutionContext.Implicits.global
-    import scala.concurrent.duration.Duration
-    val done = Await.result(Future.sequence(Seq(
+    val done = awaitPinned(spark, Seq(
       Future(graft.api.Pinned.checkpointTracked(
         docs.select(explode(ws).as("__t"))
           .groupBy("__t").agg(count(lit(1)).as("__c1")))),
@@ -858,9 +860,7 @@ object TextOps {
           .select(col("__p.v").as("__v"), col("__p.t").as("__t"))
           .groupBy("__v", "__t").agg(count(lit(1)).as("__c2")))),
       Future(graft.api.Pinned.checkpointTracked(
-        tris.groupBy("__u", "__v", "__t").agg(count(lit(1)).as("__c3")))))),
-      Duration.Inf)
-    done.foreach { case (_, ids) => graft.api.Pinned.register(spark, ids) }
+        tris.groupBy("__u", "__v", "__t").agg(count(lit(1)).as("__c3"))))))(_._2)
     val Seq(c1, c2, c3) = done.map(_._1)
     val nv = c1.agg(sum(col("__c1")).cast("double").as("__n"),
       count(lit(1)).cast("double").as("__vv"))
@@ -902,6 +902,30 @@ object TextOps {
     }
   }
 
+  /** Await concurrently-submitted pin futures, registering EVERY
+    * completed checkpoint's ids on the CALLING thread (Pinned scopes are
+    * thread-local) even when a sibling FAILS — then rethrow the first
+    * failure. Without this, one failing count-table build would orphan
+    * every sibling's already-persisted blocks (nothing registered, so
+    * scope release could never unpersist them); with it the failure
+    * path leaks zero blocks. */
+  private def awaitPinned[A](spark: org.apache.spark.sql.SparkSession,
+                             futs: Seq[scala.concurrent.Future[A]])(
+                             ids: A => Set[Int]): Seq[A] = {
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.ExecutionContext.Implicits.global
+    import scala.concurrent.duration.Duration
+    import scala.util.{Failure, Success}
+    val done = Await.result(
+      Future.sequence(futs.map(_.transform(t => Success(t)))), Duration.Inf)
+    done.foreach {
+      case Success(x) => graft.api.Pinned.register(spark, ids(x))
+      case Failure(_) => ()
+    }
+    done.collectFirst { case Failure(e) => throw e }
+    done.collect { case Success(x) => x }
+  }
+
   /** Per-order count tables of the n-gram LM: counts(j) is keyed by the
     * last j position columns (__p{order-j+1}..__p{order}) with count
     * __c{j}; ctxs(j) (j >= 2) drops the last key with total __cx{j}.
@@ -932,10 +956,9 @@ object TextOps {
     // and register the ids on the CALLING thread, where a per-run Pinned
     // scope (thread-local) still captures them
     val counts = {
-      import scala.concurrent.{Await, Future}
+      import scala.concurrent.Future
       import scala.concurrent.ExecutionContext.Implicits.global
-      import scala.concurrent.duration.Duration
-      val done = Await.result(Future.sequence((1 to order).map { j =>
+      awaitPinned(spark, (1 to order).map { j =>
         Future {
           val names = gramCols(order, j)
           val raw = gramsOf(train, textCol, j, names, Nil)
@@ -946,9 +969,7 @@ object TextOps {
           val (cp, ids) = graft.api.Pinned.checkpointTracked(kept)
           (j, cp, ids)
         }
-      }.toSeq), Duration.Inf)
-      done.foreach { case (_, _, ids) => graft.api.Pinned.register(spark, ids) }
-      done.map { case (j, cp, _) => j -> cp }.toMap
+      }.toSeq)(_._3).map { case (j, cp, _) => j -> cp }.toMap
     }
     val ctxs = (2 to order).map { j =>
       val names = gramCols(order, j)
@@ -1210,22 +1231,20 @@ object TextOps {
     // only cont(order-1) depends on the pinned top table and chains off
     // its future. Ids register on the CALLING thread (Pinned scopes are
     // thread-local).
-    import scala.concurrent.{Await, Future}
+    import scala.concurrent.Future
     import scala.concurrent.ExecutionContext.Implicits.global
-    import scala.concurrent.duration.Duration
     def contOf(src: org.apache.spark.sql.DataFrame, j: Int) =
       graft.api.Pinned.checkpointTracked(
         src.groupBy(gramCols(order, j).map(col): _*)
           .agg(count(lit(1)).as(s"__cc$j")))
-    val rawNF = Future { graft.api.Pinned.checkpointTracked(raw(order)) }
+    val rawNF = Future { (order, graft.api.Pinned.checkpointTracked(raw(order))) }
     val contFs = (1 until order).map { j =>
-      if (j + 1 == order) rawNF.map { case (cp, _) => (j, contOf(cp, j)) }
+      if (j + 1 == order) rawNF.map { case (_, (cp, _)) => (j, contOf(cp, j)) }
       else Future { (j, contOf(raw(j + 1), j)) }
     }
-    val (rawN, rawIds) = Await.result(rawNF, Duration.Inf)
-    val contDone = Await.result(Future.sequence(contFs.toSeq), Duration.Inf)
-    graft.api.Pinned.register(spark, rawIds)
-    contDone.foreach { case (_, (_, ids)) => graft.api.Pinned.register(spark, ids) }
+    val all = awaitPinned(spark, rawNF +: contFs.toSeq)(_._2._2)
+    val rawN = all.find(_._1 == order).get._2._1
+    val contDone = all.filter(_._1 != order)
     val ctxN = rawN.groupBy(gramCols(order, order).dropRight(1).map(col): _*)
       .agg(sum(col(s"__cr$order")).as(s"__tot$order"),
         count(lit(1)).as(s"__n1p$order"))
@@ -2085,18 +2104,15 @@ object TextOps {
       .select(keep :+ (col("__h") % buckets).as("__b"): _*)
     // the two reference sketches are independent actions — pin and total
     // them concurrently (the ngramModel pattern), register on the caller
-    import scala.concurrent.{Await, Future}
+    import scala.concurrent.Future
     import scala.concurrent.ExecutionContext.Implicits.global
-    import scala.concurrent.duration.Duration
     def sketch(d: org.apache.spark.sql.DataFrame, as: String) = Future {
       val (cp, ids) = graft.api.Pinned.checkpointTracked(
         bucketRows(d, refTextCol, Nil).groupBy(col("__b")).agg(count(lit(1)).as(as)))
       (cp, ids, cp.agg(coalesce(sum(col(as)), lit(0L))).head().getLong(0))
     }
-    val Seq((tgt, tIds, totT), (raw, rIds, totR)) = Await.result(
-      Future.sequence(Seq(sketch(targetDocs, "__t"), sketch(rawDocs, "__r"))),
-      Duration.Inf)
-    graft.api.Pinned.register(spark, tIds ++ rIds)
+    val Seq((tgt, _, totT), (raw, _, totR)) = awaitPinned(spark,
+      Seq(sketch(targetDocs, "__t"), sketch(rawDocs, "__r")))(_._2)
     require(totT > 0, "dsirScore: the target corpus yields no word bigrams")
     require(totR > 0, "dsirScore: the raw corpus yields no word bigrams")
     // per-occurrence log-ratio; unseen buckets fall to the smoothed floor
