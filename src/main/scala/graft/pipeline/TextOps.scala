@@ -909,9 +909,9 @@ object TextOps {
     * every sibling's already-persisted blocks (nothing registered, so
     * scope release could never unpersist them); with it the failure
     * path leaks zero blocks. */
-  private def awaitPinned[A](spark: org.apache.spark.sql.SparkSession,
-                             futs: Seq[scala.concurrent.Future[A]])(
-                             ids: A => Set[Int]): Seq[A] = {
+  private[graft] def awaitPinned[A](spark: org.apache.spark.sql.SparkSession,
+                                    futs: Seq[scala.concurrent.Future[A]])(
+                                    ids: A => Set[Int]): Seq[A] = {
     import scala.concurrent.{Await, Future}
     import scala.concurrent.ExecutionContext.Implicits.global
     import scala.concurrent.duration.Duration

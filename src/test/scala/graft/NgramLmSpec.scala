@@ -175,4 +175,30 @@ class NgramLmSpec extends SparkSpec {
       assert(shuffled == pruned, "the beyond-broadcast face is score-identical")
     } finally graft.api.Pinned.release(spark)
   }
+
+  test("awaitPinned registers completed siblings even when one pin fails") {
+    import scala.concurrent.Future
+    import scala.concurrent.ExecutionContext.Implicits.global
+    // one future pins a real frame, the other fails: the completed pin's
+    // ids must land in the registry (so release can unpersist them) and
+    // the failure must still propagate
+    val good = Future {
+      val (cp, ids) = graft.api.Pinned.checkpointTracked(
+        spark.range(100).toDF("id"))
+      (cp, ids)
+    }
+    val bad = Future[(org.apache.spark.sql.DataFrame, Set[Int])] {
+      throw new RuntimeException("count-table build failed")
+    }
+    val before = graft.api.Pinned.registered(spark)
+    val e = intercept[RuntimeException](
+      TextOps.awaitPinned(spark, Seq(good, bad))(_._2))
+    assert(e.getMessage.contains("count-table build failed"))
+    val after = graft.api.Pinned.registered(spark)
+    assert((after -- before).nonEmpty,
+      "the completed sibling's checkpoint ids must be registered on failure")
+    graft.api.Pinned.release(spark)
+    assert(spark.sparkContext.getPersistentRDDs.keySet.intersect(after -- before).isEmpty,
+      "release reclaims the sibling's blocks — zero leaked")
+  }
 }

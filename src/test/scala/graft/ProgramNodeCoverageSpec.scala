@@ -241,6 +241,7 @@ class ProgramNodeCoverageSpec extends AnyFunSuite {
         "program face is the chunkSentences node or mapCols"),
       "knLmScoreAgainst" -> node("knAgainst"),
       "lambdasFor" -> excluded(block),
+      "awaitPinned" -> excluded(block),
       "closedFormNtile" -> excluded(block),
       "ngramOutputSchema" -> excluded(artifact),
       "bm25RetrieveOutputSchema" -> excluded(artifact),
