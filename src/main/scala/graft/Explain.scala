@@ -6,7 +6,13 @@ import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
   * at sf0.001. With `-final` as the first arg, EXECUTES each query first and
   * prints the AQE-final executed plan — the only view that shows runtime
   * exchange/stage reuse and AQE join downgrades, which the static explain
-  * of an adaptive plan cannot. */
+  * of an adaptive plan cannot.
+  *
+  * Static mode is NOT fully job-free: queries whose plan construction is
+  * BUILD-TIME EAGER (the salted covers' census checkpoint, the LM nodes'
+  * pinned count tables) run those jobs while BUILDING the plan — tolerable
+  * at this sf0.001 scale, and showing anything else (e.g. forcing cap=0)
+  * would print a plan production never runs. */
 object Explain {
   def main(args: Array[String]): Unit = {
     val showFinal = args.headOption.contains("-final")

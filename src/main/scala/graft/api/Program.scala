@@ -1714,7 +1714,13 @@ object Program {
     * misinterpreting them — the ship-JSON twin of the streaming
     * state-format tag (a document is a long-lived artifact; the library
     * reading it may be older than the one that wrote it). Documents with
-    * no `version` field (pre-tag artifacts) read as version 1.
+    * no `version` field (pre-tag artifacts) read as version 1 for the
+    * newer-than-me check, but version-gated GRAMMAR rules treat an
+    * absent stamp as CURRENT: an unversioned hand-written artifact gets
+    * the newest (strictest) diagnostics — e.g. a partial lm3Score lambda
+    * spec that a lenient v7 reader accepted fails at load under the v8
+    * all-or-none rule — and only an EXPLICIT old stamp opts into a
+    * shipped round's lenient semantics.
     *
     * Version history: 1 = the original 21-node §2 grammar; 2 adds the six
     * pipeline ingest-face nodes (corpusDedup, embedDedup, lmScore,
@@ -1729,7 +1735,8 @@ object Program {
     * trigram-LM quality score); 8 adds the order-n LM family (lm3Against,
     * lmnScore, lmnAgainst) and the retrieval/clone-pair nodes
     * (bm25Retrieve, winnowPairs) plus the
-    * Kneser-Ney pair (knScore, knAgainst).
+    * Kneser-Ney pair (knScore, knAgainst) and sentence-aware chunking
+    * (chunkSentences/SentChunk).
     * [[toJson]] stamps each document with the LOWEST version that can
     * express it, so a document using only the v1 grammar stays loadable
     * by a v1 library. Versions track SHIPPED grammars (one per build

@@ -317,6 +317,21 @@ object Dedup {
     * side-local filter down and break the symmetry.
     * Batch-only (corpus-wide census).
     *
+    * BUILD-TIME EAGER (cap > 0): the census pins the input projection
+    * with a localCheckpoint at PLAN-CONSTRUCTION time — building a
+    * covered plan runs real Spark jobs and holds blocks until the
+    * enclosing Pinned scope releases, the LM-node convention. Callers
+    * that must stay job-free (schema-only validation, static plan
+    * inspection — `graft.Explain`'s static mode documents this) should
+    * set the cap conf to 0 or use `Program.validate`'s schema-only path.
+    *
+    * NULL keys are never split and never pair: the census joins back on
+    * a null-rejecting Seq-column equi join, so a null-key row keeps
+    * s = 1 regardless of how many null-key rows exist — which is
+    * correct, because the null-rejecting PAIR join can never match them
+    * either. Callers wanting null-key pairing must coalesce keys to a
+    * sentinel first (no internal call site does).
+    *
     * Returns the joined frame with sides aliased `a`/`b` for the caller
     * to project. Under the cover a bucket's pair ORIENTATION is
     * arbitrary, so callers must canonicalize ids with least/greatest and
