@@ -1953,6 +1953,57 @@ object QueriesPipeline {
           CASE WHEN len(kept) = 0 THEN 0 ELSE $PolyKept END AS kept_hash
         FROM keep"""
 
+  /** Maximal exact-substring mining (variable-length complement of
+    * q_repeated_spans): for every 6-gram anchor occurring in >= 2 docs,
+    * the longest substring some other occurrence extends to (bounded at
+    * 6 + 12 tokens), per-doc containment-pruned, with the span's content
+    * hash. The ORACLE uses the direct definition — max common extension
+    * over ALL other occurrences via a per-gram pairwise join (duplicate-
+    * mass bounded at oracle scale) — fully independent of the Spark
+    * side's sorted-neighbor LCP shortcut, which MaximalRepeatsProps pins
+    * to this same definition on random corpora. */
+  def qExactSubstr(spark: SparkSession, dir: String): DataFrame =
+    Dedup.maximalRepeats(Tables.documents(spark, dir).df, "doc_id", "text",
+      minLen = 6, maxExtend = 12, minDocs = 2)
+
+  val qExactSubstrSql: String = {
+    // sentinel false appended so list_position always finds a mismatch
+    // (its not-found return differs across engines/versions); the outer
+    // least() is then only the all-equal-same-length clamp
+    def lcp(a: String, b: String): String =
+      s"""least(list_position([coalesce($a[i] = $b[i], false)
+            for i in range(1, greatest(len($a), len($b)) + 1)] || [false], false) - 1,
+          least(len($a), len($b)))"""
+    s"""WITH words AS (SELECT doc_id, list_filter(string_split_regex(text, '[ \\t\\n\\f\\r\\x0b]+'), x -> x <> '') AS w FROM documents),
+        pos AS (SELECT doc_id,
+                  unnest(range(0, len(w) - 5)) AS p,
+                  unnest([array_to_string(w[i:i+5], ' ') for i in range(1, len(w) - 4)]) AS g
+                FROM words WHERE len(w) >= 6),
+        rep AS (SELECT g FROM pos GROUP BY g HAVING count(DISTINCT doc_id) >= 2),
+        cand AS MATERIALIZED (SELECT p.doc_id AS doc_id, p.p AS p, p.g AS g,
+                  w.w[p.p + 7 : p.p + 18] AS ext
+                FROM pos p JOIN words w ON p.doc_id = w.doc_id
+                WHERE p.g IN (SELECT g FROM rep)),
+        ml AS (SELECT a.doc_id AS doc_id, a.p AS p, any_value(a.g) AS g,
+                 any_value(a.ext) AS ext, max(${lcp("a.ext", "b.ext")}) AS ml
+               FROM cand a JOIN cand b
+                 ON a.g = b.g AND (a.doc_id <> b.doc_id OR a.p <> b.p)
+               GROUP BY a.doc_id, a.p),
+        spans0 AS (SELECT doc_id, p AS span_start, 6 + ml AS span_len,
+                     p + 6 + ml AS e,
+                     CASE WHEN ml = 0 THEN g
+                          ELSE g || ' ' || array_to_string(ext[1:ml], ' ') END AS txt
+                   FROM ml),
+        pruned AS (SELECT doc_id, span_start, span_len, e, txt,
+                     max(e) OVER (PARTITION BY doc_id ORDER BY span_start, span_len DESC
+                                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS maxprev
+                   FROM spans0)
+        SELECT doc_id, span_start::BIGINT AS span_start, span_len::BIGINT AS span_len,
+          list_reduce([0] || [ord(c)::BIGINT for c in string_split(txt, '')],
+                      (a, c) -> (a * 31 + c) % 1000000007) AS span_hash
+        FROM pruned WHERE maxprev IS NULL OR e > maxprev"""
+  }
+
   /** Ingest-time boilerplate scrub against a static reference corpus
     * (every 20th doc plays the curated-boilerplate role): tokens covered
     * by any reference 6-gram are dropped; per-doc kept count + portable
@@ -2271,6 +2322,222 @@ object QueriesPipeline {
              PARTITION BY lang, avg_logprob IS NULL
              ORDER BY avg_logprob DESC, doc_id) END)::INT AS bucket
         FROM scored"""
+
+  /** Frozen CCNet thresholds — the artifact face of q_ppl_against: the
+    * src0-src9 half scores against the src0-src3 KN model and its
+    * per-language tercile boundaries freeze as (lang, bucket, cut). */
+  def qPplThresholds(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir).df
+    val ref = docs.filter(col("source").isin("src0", "src1", "src2", "src3"))
+    val pop = docs.filter(col("source").isin((0 to 9).map(i => s"src$i"): _*))
+    TextOps.perplexityBucketThresholds(pop, ref, "doc_id", "text", "lang", "text")
+  }
+
+  /** The shared thresholds CTE chain: KN-against scoring (src0-src3
+    * model) over ALL documents, tercile cuts frozen from the src0-src9
+    * slice — interpolated into BOTH q_ppl_thresholds and q_ppl_apply so
+    * the two oracles cannot drift. Ends at `cuts(lang, bucket, cut)`
+    * with `scored` carrying every document's score. */
+  private val pplThresholdChainSql: String =
+    s"""$knAgainstChainSql,
+        scored AS (SELECT d.doc_id, d.lang, d.source,
+                     coalesce(a.n_grams, 0)::BIGINT AS n_grams, a.avg_logprob
+                   FROM documents d LEFT JOIN agg a USING (doc_id)),
+        tiled AS (SELECT lang, doc_id, avg_logprob,
+                    ntile(3) OVER (PARTITION BY lang
+                      ORDER BY avg_logprob DESC, doc_id) AS b
+                  FROM scored
+                  WHERE avg_logprob IS NOT NULL
+                    AND source IN ('src0','src1','src2','src3','src4',
+                                   'src5','src6','src7','src8','src9')),
+        cuts AS (SELECT lang, b AS bucket, min(avg_logprob) AS cut
+                 FROM tiled WHERE b < 3 GROUP BY lang, b)"""
+
+  val qPplThresholdsSql: String =
+    s"""$pplThresholdChainSql
+        SELECT lang, bucket::INT AS bucket, cut FROM cuts"""
+
+  /** Stateless thresholds APPLY — the streamable CCNet face: every
+    * document's KN-against score buckets under the FROZEN src0-src9
+    * cuts (bucket = 1 + #cuts the score falls strictly below); unscored
+    * docs take a NULL bucket. Streaming face pinned equal by
+    * ThresholdBucketsSpec. */
+  def qPplApply(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir).df
+    val ref = docs.filter(col("source").isin("src0", "src1", "src2", "src3"))
+    val pop = docs.filter(col("source").isin((0 to 9).map(i => s"src$i"): _*))
+    val thr = TextOps.perplexityBucketThresholds(pop, ref,
+      "doc_id", "text", "lang", "text")
+    val scored = TextOps.knLmScoreAgainst(graft.api.MStream(docs), ref,
+        "doc_id", "text", "text", order = 3).df
+      .join(docs.select(col("doc_id"), col("lang")), Seq("doc_id"))
+    TextOps.bucketByThresholds(graft.api.MStream(scored), thr,
+      "lang", "avg_logprob").df
+  }
+
+  val qPplApplySql: String =
+    s"""$pplThresholdChainSql,
+        cl AS (SELECT lang, list(cut ORDER BY bucket) AS cs FROM cuts GROUP BY lang)
+        SELECT s.doc_id, s.lang, s.n_grams, s.avg_logprob,
+          (CASE WHEN s.avg_logprob IS NOT NULL AND cl.lang IS NOT NULL
+                THEN 1 + len(list_filter(cl.cs, c -> s.avg_logprob < c))
+           END)::INT AS bucket
+        FROM scored s LEFT JOIN cl ON s.lang IS NOT DISTINCT FROM cl.lang"""
+
+  /** The modified-KN discount CTE: count-of-counts n1..n4 of `src`'s
+    * count column folded to (d1, d2, d3) by the Chen & Goodman
+    * estimator with KenLM `--discount_fallback` semantics — the EXACT
+    * arithmetic and all-or-none validity rule of `TextOps.mknDerive`
+    * (same operation order, so the doubles are bit-identical). */
+  private def mknDiscSql(cte: String, src: String, ccol: String): String = {
+    val valid = "dv1 IS NOT NULL AND dv1 >= 0 AND dv1 <= 1 AND " +
+      "dv2 >= 0 AND dv2 <= 2 AND dv3 >= 0 AND dv3 <= 3"
+    s"""$cte AS MATERIALIZED (SELECT
+          CASE WHEN $valid THEN dv1 ELSE 0.5 END AS d1,
+          CASE WHEN $valid THEN dv2 ELSE 1.0 END AS d2,
+          CASE WHEN $valid THEN dv3 ELSE 1.5 END AS d3
+        FROM (SELECT
+            CASE WHEN n1 > 0 AND n2 > 0 AND n3 > 0
+                 THEN 1.0 - 2.0 * (n1 / (n1 + 2.0 * n2)) * n2 / n1 END AS dv1,
+            CASE WHEN n1 > 0 AND n2 > 0 AND n3 > 0
+                 THEN 2.0 - 3.0 * (n1 / (n1 + 2.0 * n2)) * n3 / n2 END AS dv2,
+            CASE WHEN n1 > 0 AND n2 > 0 AND n3 > 0
+                 THEN 3.0 - 4.0 * (n1 / (n1 + 2.0 * n2)) * n4 / n3 END AS dv3
+          FROM (SELECT count(*) FILTER ($ccol = 1) AS n1,
+                       count(*) FILTER ($ccol = 2) AS n2,
+                       count(*) FILTER ($ccol = 3) AS n3,
+                       count(*) FILTER ($ccol = 4) AS n4 FROM $src)))"""
+  }
+
+  /** A level's per-count discount selection in SQL: D1/D2/D3+ by the
+    * (coalesced) count's bucket — `TextOps.mknLp`'s `disc`. */
+  private def mknDSel(dl: String, c: String): String =
+    s"(CASE WHEN $c = 1 THEN $dl.d1 WHEN $c = 2 THEN $dl.d2 ELSE $dl.d3 END)"
+
+  /** Modified Kneser-Ney trigram score over the corpus itself — KenLM
+    * parity (count-bucketed discounts derived from count-of-counts,
+    * `--discount_fallback` when degenerate). The oracle rebuilds the
+    * derivation AND the bucketed interpolation relationally; at sf0.01
+    * the top two levels derive while level 1 falls back, at sf0.1 every
+    * level falls back (the probe-measured degenerate corpus shapes), so
+    * both branches of the fallback rule are exercised across the SFs. */
+  def qMkn3Score(spark: SparkSession, dir: String): DataFrame =
+    TextOps.mknLmScore(Tables.documents(spark, dir).df, "doc_id", "text", order = 3)
+
+  val qMkn3ScoreSql: String =
+    s"""WITH words AS (SELECT doc_id, list_filter(string_split_regex(text, '[ \\t\\n\\f\\r\\x0b]+'), x -> x <> '') AS w FROM documents),
+        g2 AS (SELECT unnest(w[1:len(w) - 1]) AS v, unnest(w[2:len(w)]) AS t FROM words WHERE len(w) >= 2),
+        c2 AS MATERIALIZED (SELECT v, t, count(*) AS c2 FROM g2 GROUP BY v, t),
+        g3 AS (SELECT doc_id, unnest(w[1:len(w) - 2]) AS u, unnest(w[2:len(w) - 1]) AS v, unnest(w[3:len(w)]) AS t FROM words WHERE len(w) >= 3),
+        c3 AS MATERIALIZED (SELECT u, v, t, count(*) AS c3 FROM g3 GROUP BY u, v, t),
+        ctx3 AS MATERIALIZED (SELECT u, v, sum(c3) AS tot3,
+               count(*) FILTER (c3 = 1) AS b13, count(*) FILTER (c3 = 2) AS b23,
+               count(*) FILTER (c3 >= 3) AS b33 FROM c3 GROUP BY u, v),
+        cc2 AS MATERIALIZED (SELECT v, t, count(*) AS cc2 FROM c3 GROUP BY v, t),
+        ctxc2 AS MATERIALIZED (SELECT v, sum(cc2) AS ctot2,
+               count(*) FILTER (cc2 = 1) AS b12, count(*) FILTER (cc2 = 2) AS b22,
+               count(*) FILTER (cc2 >= 3) AS b32 FROM cc2 GROUP BY v),
+        cc1 AS MATERIALIZED (SELECT t, count(*) AS cc1 FROM c2 GROUP BY t),
+        ${mknDiscSql("dl3", "c3", "c3")},
+        ${mknDiscSql("dl2", "cc2", "cc2")},
+        ${mknDiscSql("dl1", "cc1", "cc1")},
+        st AS MATERIALIZED (SELECT (SELECT sum(cc1)::DOUBLE FROM cc1) AS t1,
+               (SELECT count(*) FILTER (cc1 = 1) FROM cc1) AS gb1,
+               (SELECT count(*) FILTER (cc1 = 2) FROM cc1) AS gb2,
+               (SELECT count(*) FILTER (cc1 >= 3) FROM cc1) AS gb3,
+               (SELECT count(DISTINCT tk) FROM (SELECT unnest(w) AS tk FROM words)) AS v),
+        j3 AS MATERIALIZED (SELECT p.doc_id AS doc_id, p.v AS v, p.t AS t, c3.c3 AS c3,
+            ctx3.tot3 AS tot3, ctx3.b13 AS b13, ctx3.b23 AS b23, ctx3.b33 AS b33
+          FROM g3 p
+          JOIN c3 ON p.u = c3.u AND p.v = c3.v AND p.t = c3.t
+          JOIN ctx3 ON p.u = ctx3.u AND p.v = ctx3.v),
+        j2 AS MATERIALIZED (SELECT p.*, cc2.cc2 AS cc2, ctxc2.ctot2 AS ctot2,
+            ctxc2.b12 AS b12, ctxc2.b22 AS b22, ctxc2.b32 AS b32
+          FROM j3 p
+          JOIN cc2 ON p.v = cc2.v AND p.t = cc2.t
+          JOIN ctxc2 ON p.v = ctxc2.v),
+        agg AS (SELECT p.doc_id AS doc_id, count(*) AS n_grams,
+            round(avg(ln(
+              greatest(p.c3 - ${mknDSel("dl3", "p.c3")}, 0.0) / p.tot3
+              + (dl3.d1 * p.b13 + dl3.d2 * p.b23 + dl3.d3 * p.b33) / p.tot3 *
+                (greatest(p.cc2 - ${mknDSel("dl2", "p.cc2")}, 0.0) / p.ctot2
+                 + (dl2.d1 * p.b12 + dl2.d2 * p.b22 + dl2.d3 * p.b32) / p.ctot2 *
+                   (greatest(cc1.cc1 - ${mknDSel("dl1", "cc1.cc1")}, 0.0) / st.t1
+                    + (dl1.d1 * st.gb1 + dl1.d2 * st.gb2 + dl1.d3 * st.gb3) / st.t1
+                      * (1.0 / (st.v + 1.0)))))), 3) AS avg_logprob
+          FROM j2 p JOIN cc1 ON p.t = cc1.t
+          CROSS JOIN st CROSS JOIN dl1 CROSS JOIN dl2 CROSS JOIN dl3
+          GROUP BY p.doc_id)
+        SELECT d.doc_id, coalesce(a.n_grams, 0)::BIGINT AS n_grams, a.avg_logprob
+        FROM documents d LEFT JOIN agg a USING (doc_id)"""
+
+  /** Modified-KN scoring against a PRETRAINED reference (ref = the
+    * src0-src3 slice) — the KenLM-parity CCNet ingest shape: bucketed
+    * discounts derive from the REFERENCE model's count-of-counts, unseen
+    * contexts exercise the full back-off CASE branches. */
+  def qMkn3Against(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir).df
+    val ref = docs.filter(col("source").isin("src0", "src1", "src2", "src3"))
+    TextOps.mknLmScoreAgainst(graft.api.MStream(docs), ref,
+      "doc_id", "text", "text", order = 3).df
+  }
+
+  val qMkn3AgainstSql: String =
+    s"""WITH rwords AS (SELECT list_filter(string_split_regex(text, '[ \\t\\n\\f\\r\\x0b]+'), x -> x <> '') AS w
+                FROM documents WHERE source IN ('src0', 'src1', 'src2', 'src3')),
+        g2 AS (SELECT unnest(w[1:len(w) - 1]) AS v, unnest(w[2:len(w)]) AS t FROM rwords WHERE len(w) >= 2),
+        c2 AS MATERIALIZED (SELECT v, t, count(*) AS c2 FROM g2 GROUP BY v, t),
+        g3r AS (SELECT unnest(w[1:len(w) - 2]) AS u, unnest(w[2:len(w) - 1]) AS v, unnest(w[3:len(w)]) AS t FROM rwords WHERE len(w) >= 3),
+        c3 AS MATERIALIZED (SELECT u, v, t, count(*) AS c3 FROM g3r GROUP BY u, v, t),
+        ctx3 AS MATERIALIZED (SELECT u, v, sum(c3) AS tot3,
+               count(*) FILTER (c3 = 1) AS b13, count(*) FILTER (c3 = 2) AS b23,
+               count(*) FILTER (c3 >= 3) AS b33 FROM c3 GROUP BY u, v),
+        cc2 AS MATERIALIZED (SELECT v, t, count(*) AS cc2 FROM c3 GROUP BY v, t),
+        ctxc2 AS MATERIALIZED (SELECT v, sum(cc2) AS ctot2,
+               count(*) FILTER (cc2 = 1) AS b12, count(*) FILTER (cc2 = 2) AS b22,
+               count(*) FILTER (cc2 >= 3) AS b32 FROM cc2 GROUP BY v),
+        cc1 AS MATERIALIZED (SELECT t, count(*) AS cc1 FROM c2 GROUP BY t),
+        ${mknDiscSql("dl3", "c3", "c3")},
+        ${mknDiscSql("dl2", "cc2", "cc2")},
+        ${mknDiscSql("dl1", "cc1", "cc1")},
+        st AS MATERIALIZED (SELECT (SELECT sum(cc1)::DOUBLE FROM cc1) AS t1,
+               (SELECT count(*) FILTER (cc1 = 1) FROM cc1) AS gb1,
+               (SELECT count(*) FILTER (cc1 = 2) FROM cc1) AS gb2,
+               (SELECT count(*) FILTER (cc1 >= 3) FROM cc1) AS gb3,
+               (SELECT count(DISTINCT tk) FROM (SELECT unnest(w) AS tk FROM rwords)) AS v),
+        words AS (SELECT doc_id, list_filter(string_split_regex(text, '[ \\t\\n\\f\\r\\x0b]+'), x -> x <> '') AS w FROM documents),
+        tris AS (SELECT doc_id, unnest(w[1:len(w) - 2]) AS u, unnest(w[2:len(w) - 1]) AS v, unnest(w[3:len(w)]) AS t FROM words WHERE len(w) >= 3),
+        j3 AS MATERIALIZED (SELECT p.doc_id AS doc_id, p.v AS v, p.t AS t, c3.c3 AS c3,
+            ctx3.tot3 AS tot3, ctx3.b13 AS b13, ctx3.b23 AS b23, ctx3.b33 AS b33
+          FROM tris p
+          LEFT JOIN c3 ON p.u = c3.u AND p.v = c3.v AND p.t = c3.t
+          LEFT JOIN ctx3 ON p.u = ctx3.u AND p.v = ctx3.v),
+        j2 AS MATERIALIZED (SELECT p.*, cc2.cc2 AS cc2, ctxc2.ctot2 AS ctot2,
+            ctxc2.b12 AS b12, ctxc2.b22 AS b22, ctxc2.b32 AS b32
+          FROM j3 p
+          LEFT JOIN cc2 ON p.v = cc2.v AND p.t = cc2.t
+          LEFT JOIN ctxc2 ON p.v = ctxc2.v),
+        j1 AS MATERIALIZED (SELECT p.*,
+            greatest(coalesce(cc1.cc1, 0) - ${mknDSel("dl1", "coalesce(cc1.cc1, 0)")}, 0.0) / st.t1
+              + (dl1.d1 * st.gb1 + dl1.d2 * st.gb2 + dl1.d3 * st.gb3) / st.t1
+                * (1.0 / (st.v + 1.0)) AS p1
+          FROM j2 p LEFT JOIN cc1 ON p.t = cc1.t
+          CROSS JOIN st CROSS JOIN dl1),
+        jp AS (SELECT doc_id,
+            CASE WHEN coalesce(ctot2, 0) > 0
+              THEN greatest(coalesce(cc2, 0) - ${mknDSel("dl2", "coalesce(cc2, 0)")}, 0.0) / ctot2
+                   + (dl2.d1 * b12 + dl2.d2 * b22 + dl2.d3 * b32) / ctot2 * p1
+              ELSE p1 END AS p2, c3, tot3, b13, b23, b33
+          FROM j1 CROSS JOIN dl2),
+        agg AS (SELECT doc_id, count(*) AS n_grams,
+            round(avg(ln(
+              CASE WHEN coalesce(tot3, 0) > 0
+                THEN greatest(coalesce(c3, 0) - ${mknDSel("dl3", "coalesce(c3, 0)")}, 0.0) / tot3
+                     + (dl3.d1 * b13 + dl3.d2 * b23 + dl3.d3 * b33) / tot3 * p2
+                ELSE p2 END)), 3) AS avg_logprob
+          FROM jp CROSS JOIN dl3 GROUP BY doc_id)
+        SELECT d.doc_id, coalesce(a.n_grams, 0)::BIGINT AS n_grams, a.avg_logprob
+        FROM documents d LEFT JOIN agg a USING (doc_id)"""
 
   /** Sentence-aware chunking over DETERMINISTICALLY punctuated text
     * (the synthetic corpus carries no sentence terminators, so — the
@@ -2707,6 +2974,7 @@ object QueriesPipeline {
     "q_ivf_ann" -> (qIvfAnn _),
     "q_dedup_exact" -> (qDedupExact _),
     "q_repeated_spans" -> (qRepeatedSpans _),
+    "q_exact_substr" -> (qExactSubstr _),
     "q_span_scrub" -> (qSpanScrub _),
     "q_span_keepone" -> (qSpanKeepone _),
     "q_known_scrub" -> (qKnownScrub _),
@@ -2721,7 +2989,11 @@ object QueriesPipeline {
     "q_lm3_against" -> (qLm3Against _),
     "q_kn3_score" -> (qKn3Score _),
     "q_kn3_against" -> (qKn3Against _),
+    "q_mkn3_score" -> (qMkn3Score _),
+    "q_mkn3_against" -> (qMkn3Against _),
     "q_ppl_against" -> (qPplAgainst _),
+    "q_ppl_thresholds" -> (qPplThresholds _),
+    "q_ppl_apply" -> (qPplApply _),
     "q_chunk_sent" -> (qChunkSent _),
     "q_ppl_buckets" -> (qPplBuckets _),
     "q_winnow" -> (qWinnow _),
@@ -2803,6 +3075,7 @@ object QueriesPipeline {
     "q_ivf_ann" -> qIvfAnnSql,
     "q_dedup_exact" -> qDedupExactSql,
     "q_repeated_spans" -> qRepeatedSpansSql,
+    "q_exact_substr" -> qExactSubstrSql,
     "q_span_scrub" -> qSpanScrubSql,
     "q_span_keepone" -> qSpanKeeponeSql,
     "q_known_scrub" -> qKnownScrubSql,
@@ -2817,7 +3090,11 @@ object QueriesPipeline {
     "q_lm3_against" -> qLm3AgainstSql,
     "q_kn3_score" -> qKn3ScoreSql,
     "q_kn3_against" -> qKn3AgainstSql,
+    "q_mkn3_score" -> qMkn3ScoreSql,
+    "q_mkn3_against" -> qMkn3AgainstSql,
     "q_ppl_against" -> qPplAgainstSql,
+    "q_ppl_thresholds" -> qPplThresholdsSql,
+    "q_ppl_apply" -> qPplApplySql,
     "q_chunk_sent" -> qChunkSentSql,
     "q_ppl_buckets" -> qPplBucketsSql,
     "q_winnow" -> qWinnowSql,

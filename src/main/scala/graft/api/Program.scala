@@ -451,7 +451,7 @@ object Program {
                               idCol: String, textCol: String, refTextCol: String,
                               alpha: Double, l3: Double, l2: Double,
                               l1: Double, minCount: Long = 1L,
-                              broadcastModel: Boolean = true) extends Node
+                              broadcastModel: Option[Boolean] = None) extends Node
 
   /** Order-n interpolated LM quality score over the input corpus itself
     * (`TextOps.ngramLmScore`) — [[Lm3Score]] parameterized toward the
@@ -468,7 +468,7 @@ object Program {
                               idCol: String, textCol: String, refTextCol: String,
                               order: Int, alpha: Double, lambdas: Seq[Double],
                               minCount: Long = 1L,
-                              broadcastModel: Boolean = true) extends Node
+                              broadcastModel: Option[Boolean] = None) extends Node
 
   /** Batched BM25 retrieval (`TextOps.bm25Retrieve`): top-k corpus
     * documents per query — the RAG-curation stage as a shippable
@@ -503,12 +503,61 @@ object Program {
 
   /** Dual-mode order-n Kneser-Ney scoring against a PRETRAINED reference
     * corpus (`TextOps.knLmScoreAgainst`) — the literal CCNet crawl-vs-
-    * Wikipedia shape with full back-off on unseen contexts. */
+    * Wikipedia shape with full back-off on unseen contexts.
+    * `broadcastModel` None (v9 grammar) = AUTO: decided per pinned count
+    * table from its measured size vs the broadcast threshold. */
   final case class KnAgainst(name: String, input: String, ref: String,
                              idCol: String, textCol: String, refTextCol: String,
                              order: Int, discount: Double,
                              minCount: Long = 1L,
-                             broadcastModel: Boolean = true) extends Node
+                             broadcastModel: Option[Boolean] = None) extends Node
+
+  /** Modified Kneser-Ney LM score over the input corpus itself
+    * (`TextOps.mknLmScore`) — KenLM parity: three count-bucketed
+    * discounts per level, each derived from that level's count-of-counts,
+    * falling back to (fb1, fb2, fb3) when the estimate is degenerate
+    * (KenLM `--discount_fallback`). Explicit per-level discount maps are
+    * a Scala-face escape and do not serialize. BUILD-TIME EAGER;
+    * batch-only (score a stream with [[MknAgainst]]). */
+  final case class MknScore(name: String, input: String, idCol: String,
+                            textCol: String, order: Int,
+                            fb1: Double = 0.5, fb2: Double = 1.0,
+                            fb3: Double = 1.5) extends Node
+
+  /** Dual-mode modified-KN scoring against a PRETRAINED reference corpus
+    * (`TextOps.mknLmScoreAgainst`) — [[MknScore]]'s ingest face; bucketed
+    * discounts derive from the REFERENCE model's count-of-counts.
+    * `broadcastModel` None = AUTO (per pinned table by measured size). */
+  final case class MknAgainst(name: String, input: String, ref: String,
+                              idCol: String, textCol: String, refTextCol: String,
+                              order: Int, fb1: Double = 0.5, fb2: Double = 1.0,
+                              fb3: Double = 1.5, minCount: Long = 1L,
+                              broadcastModel: Option[Boolean] = None) extends Node
+
+  /** Maximal exact-substring mining (`Dedup.maximalRepeats`) —
+    * variable-length repeated extents >= minLen tokens with bounded
+    * extension and content hashes. BUILD-TIME EAGER (candidate census);
+    * batch-only (corpus-wide). */
+  final case class ExactSubstr(name: String, input: String, idCol: String,
+                               textCol: String, minLen: Int, maxExtend: Int,
+                               minDocs: Int = 2) extends Node
+
+  /** Frozen per-language perplexity-bucket thresholds
+    * (`TextOps.perplexityBucketThresholds`) — the artifact that makes
+    * CCNet bucketing streamable; apply with [[BucketApply]]. BUILD-TIME
+    * EAGER (trains the KN model); batch-only. */
+  final case class PplThresholds(name: String, input: String, ref: String,
+                                 idCol: String, textCol: String, langCol: String,
+                                 refTextCol: String, buckets: Int = 3,
+                                 order: Int = 3, discount: Double = 0.75,
+                                 minCount: Long = 1L,
+                                 broadcastModel: Option[Boolean] = None) extends Node
+
+  /** Stateless bucket assignment from a thresholds artifact
+    * (`TextOps.bucketByThresholds`) — dual-mode, zero state rows; adds
+    * `bucket` to the input columns. */
+  final case class BucketApply(name: String, input: String, thresholds: String,
+                               langCol: String, scoreCol: String) extends Node
 
   /** The whole document: nodes in topological order + the named outputs a
     * configuration may bind sinks to. */
@@ -698,6 +747,11 @@ object Program {
     case ks: KnScore => Seq(ks.input)
     case sx: SentChunk => Seq(sx.input)
     case ka: KnAgainst => Seq(ka.input, ka.ref)
+    case ms: MknScore => Seq(ms.input)
+    case ma: MknAgainst => Seq(ma.input, ma.ref)
+    case es: ExactSubstr => Seq(es.input)
+    case pt: PplThresholds => Seq(pt.input, pt.ref)
+    case ba: BucketApply => Seq(ba.input, ba.thresholds)
     case ds: DsirScore => Seq(ds.input, ds.target, ds.raw)
     case tf: TokenFreq => Seq(tf.input, tf.ref)
     case be: BpeEncode => Seq(be.input, be.merges)
@@ -967,6 +1021,30 @@ object Program {
           graft.pipeline.TextOps.knLmScoreAgainst(in(i),
             staticSide(name, in, ref), idCol, textCol, refTextCol, order,
             discount, mc, bm)
+        case MknScore(name, i, idCol, textCol, order, f1, f2, f3) =>
+          val s = in(i)
+          s.lift(graft.pipeline.TextOps.mknLmScore(
+            batchFace(name, "mknScore", s), idCol, textCol, order,
+            fallback = (f1, f2, f3)))
+        case MknAgainst(name, i, ref, idCol, textCol, refTextCol, order, f1, f2, f3, mc, bm) =>
+          graft.pipeline.TextOps.mknLmScoreAgainst(in(i),
+            staticSide(name, in, ref), idCol, textCol, refTextCol, order,
+            fallback = (f1, f2, f3), minCount = mc, broadcastModel = bm)
+        case ExactSubstr(name, i, idCol, textCol, minLen, maxExtend, minDocs) =>
+          val s = in(i)
+          s.lift(graft.pipeline.Dedup.maximalRepeats(
+            batchFace(name, "exactSubstr", s), idCol, textCol, minLen,
+            maxExtend, minDocs))
+        case PplThresholds(name, i, ref, idCol, textCol, langCol, refTextCol,
+                           buckets, order, discount, mc, bm) =>
+          val s = in(i)
+          s.lift(graft.pipeline.TextOps.perplexityBucketThresholds(
+            batchFace(name, "pplThresholds", s), staticSide(name, in, ref),
+            idCol, textCol, langCol, refTextCol, buckets, order, discount,
+            mc, bm))
+        case BucketApply(name, i, thr, langCol, scoreCol) =>
+          graft.pipeline.TextOps.bucketByThresholds(in(i),
+            staticSide(name, in, thr), langCol, scoreCol)
         case DsirScore(name, i, tgt, raw, idCol, textCol, refTextCol, buckets, alpha) =>
           graft.pipeline.TextOps.dsirScore(in(i), staticSide(name, in, tgt),
             staticSide(name, in, raw), idCol, textCol, refTextCol, buckets, alpha)
@@ -1166,6 +1244,11 @@ object Program {
     case x: Bm25Retrieve => x.copy(name = name)
     case x: WinnowPairs => x.copy(name = name)
     case x: KnScore => x.copy(name = name)
+    case x: MknScore => x.copy(name = name)
+    case x: MknAgainst => x.copy(name = name)
+    case x: ExactSubstr => x.copy(name = name)
+    case x: PplThresholds => x.copy(name = name)
+    case x: BucketApply => x.copy(name = name)
     case x: SentChunk => x.copy(name = name)
     case x: KnAgainst => x.copy(name = name)
     case x: DsirScore => x.copy(name = name)
@@ -1451,7 +1534,7 @@ object Program {
                         refTextCol: String, alpha: Double = 0.5,
                         lambdas: (Double, Double, Double) = (0.6, 0.3, 0.1),
                         minCount: Long = 1L,
-                        broadcastModel: Boolean = true): Rec =
+                        broadcastModel: Option[Boolean] = None): Rec =
       derive("lm3Against", Seq(ref))(n => Lm3Against(n, name, ref.name, idCol,
         textCol, refTextCol, alpha, lambdas._1, lambdas._2, lambdas._3,
         minCount, broadcastModel))
@@ -1468,7 +1551,7 @@ object Program {
                             alpha: Double = 0.5,
                             lambdas: Seq[Double] = Nil,
                             minCount: Long = 1L,
-                            broadcastModel: Boolean = true): Rec =
+                            broadcastModel: Option[Boolean] = None): Rec =
       derive("lmnAgainst", Seq(ref))(n => LmNAgainst(n, name, ref.name, idCol,
         textCol, refTextCol, order, alpha, lambdas, minCount, broadcastModel))
     /** Batched BM25 retrieval of this corpus against `queries` (format
@@ -1502,9 +1585,46 @@ object Program {
     def knLmScoreAgainst(ref: Rec, idCol: String, textCol: String,
                          refTextCol: String, order: Int,
                          discount: Double = 0.75, minCount: Long = 1L,
-                         broadcastModel: Boolean = true): Rec =
+                         broadcastModel: Option[Boolean] = None): Rec =
       derive("knAgainst", Seq(ref))(n => KnAgainst(n, name, ref.name, idCol,
         textCol, refTextCol, order, discount, minCount, broadcastModel))
+    /** Modified-KN score over this corpus itself (format version 9) —
+      * KenLM parity with `--discount_fallback` semantics. */
+    def mknLmScore(idCol: String, textCol: String, order: Int,
+                   fallback: (Double, Double, Double) = (0.5, 1.0, 1.5)): Rec =
+      derive1("mknScore")(n => MknScore(n, name, idCol, textCol, order,
+        fallback._1, fallback._2, fallback._3))
+    /** Modified-KN scoring against `ref`'s pretrained counts (format
+      * version 9). */
+    def mknLmScoreAgainst(ref: Rec, idCol: String, textCol: String,
+                          refTextCol: String, order: Int,
+                          fallback: (Double, Double, Double) = (0.5, 1.0, 1.5),
+                          minCount: Long = 1L,
+                          broadcastModel: Option[Boolean] = None): Rec =
+      derive("mknAgainst", Seq(ref))(n => MknAgainst(n, name, ref.name, idCol,
+        textCol, refTextCol, order, fallback._1, fallback._2, fallback._3,
+        minCount, broadcastModel))
+    /** Maximal exact-substring mining over this corpus (format version 9). */
+    def maximalRepeats(idCol: String, textCol: String, minLen: Int,
+                       maxExtend: Int, minDocs: Int = 2): Rec =
+      derive1("exactSubstr")(n => ExactSubstr(n, name, idCol, textCol,
+        minLen, maxExtend, minDocs))
+    /** Frozen per-language perplexity-bucket thresholds from this corpus
+      * scored against `ref`'s pretrained KN model (format version 9). */
+    def perplexityBucketThresholds(ref: Rec, idCol: String, textCol: String,
+                                   langCol: String, refTextCol: String,
+                                   buckets: Int = 3, order: Int = 3,
+                                   discount: Double = 0.75, minCount: Long = 1L,
+                                   broadcastModel: Option[Boolean] = None): Rec =
+      derive("pplThresholds", Seq(ref))(n => PplThresholds(n, name, ref.name,
+        idCol, textCol, langCol, refTextCol, buckets, order, discount,
+        minCount, broadcastModel))
+    /** Stateless bucket assignment from a `thresholds` artifact (format
+      * version 9). */
+    def bucketByThresholds(thresholds: Rec, langCol: String,
+                           scoreCol: String): Rec =
+      derive("bucketApply", Seq(thresholds))(n => BucketApply(n, name,
+        thresholds.name, langCol, scoreCol))
     /** DSIR importance scoring against `target` and `raw` reference
       * corpora (format version 3). */
     def dsirScore(target: Rec, raw: Rec, idCol: String, textCol: String,
@@ -1736,17 +1856,31 @@ object Program {
     * lmnScore, lmnAgainst) and the retrieval/clone-pair nodes
     * (bm25Retrieve, winnowPairs) plus the
     * Kneser-Ney pair (knScore, knAgainst) and sentence-aware chunking
-    * (chunkSentences/SentChunk).
+    * (chunkSentences/SentChunk); 9 adds modified Kneser-Ney (mknScore,
+    * mknAgainst), maximal exact-substring mining (exactSubstr), the
+    * frozen-thresholds bucketing pair (pplThresholds, bucketApply), and
+    * the AUTO broadcast lever — an against-face node whose
+    * `broadcastModel` is ABSENT now means "decide per pinned table from
+    * measured size" and stamps v9 (a v8 reader would misread the absent
+    * field as its old `true` default, so the stamp forces the refusal);
+    * an explicit true/false keeps the v8 stamp and the v8 meaning.
     * [[toJson]] stamps each document with the LOWEST version that can
     * express it, so a document using only the v1 grammar stays loadable
     * by a v1 library. Versions track SHIPPED grammars (one per build
     * round), not individual commits — every v6 node landed in the same
     * round, so no v6-stamped artifact can predate any v6 op. */
-  val FormatVersion: Int = 8
+  val FormatVersion: Int = 9
 
   /** The lowest format version expressing every node in `doc`. */
   private def requiredVersion(doc: Doc): Int =
     if (doc.nodes.exists {
+      case _: MknScore | _: MknAgainst | _: ExactSubstr | _: PplThresholds |
+           _: BucketApply => true
+      case la: Lm3Against => la.broadcastModel.isEmpty
+      case na: LmNAgainst => na.broadcastModel.isEmpty
+      case ka: KnAgainst => ka.broadcastModel.isEmpty
+      case _ => false }) 9
+    else if (doc.nodes.exists {
       case _: Lm3Against | _: LmNScore | _: LmNAgainst | _: Bm25Retrieve |
            _: WinnowPairs | _: KnScore | _: KnAgainst | _: SentChunk => true
       case _ => false }) 8
@@ -1898,6 +2032,33 @@ object Program {
           ("refTextCol" -> refTextCol) ~ ("order" -> order) ~
           ("discount" -> discount) ~
           ("minCount" -> mc) ~ ("broadcastModel" -> bm)
+      case MknScore(name, i, idCol, textCol, order, f1, f2, f3) =>
+        ("op" -> "mknScore") ~ ("name" -> name) ~ ("input" -> i) ~
+          ("idCol" -> idCol) ~ ("textCol" -> textCol) ~ ("order" -> order) ~
+          ("fb1" -> f1) ~ ("fb2" -> f2) ~ ("fb3" -> f3)
+      case MknAgainst(name, i, ref, idCol, textCol, refTextCol, order, f1, f2, f3, mc, bm) =>
+        ("op" -> "mknAgainst") ~ ("name" -> name) ~ ("input" -> i) ~
+          ("ref" -> ref) ~ ("idCol" -> idCol) ~ ("textCol" -> textCol) ~
+          ("refTextCol" -> refTextCol) ~ ("order" -> order) ~
+          ("fb1" -> f1) ~ ("fb2" -> f2) ~ ("fb3" -> f3) ~
+          ("minCount" -> mc) ~ ("broadcastModel" -> bm)
+      case ExactSubstr(name, i, idCol, textCol, minLen, maxExtend, minDocs) =>
+        ("op" -> "exactSubstr") ~ ("name" -> name) ~ ("input" -> i) ~
+          ("idCol" -> idCol) ~ ("textCol" -> textCol) ~
+          ("minLen" -> minLen) ~ ("maxExtend" -> maxExtend) ~
+          ("minDocs" -> minDocs)
+      case PplThresholds(name, i, ref, idCol, textCol, langCol, refTextCol,
+                         buckets, order, discount, mc, bm) =>
+        ("op" -> "pplThresholds") ~ ("name" -> name) ~ ("input" -> i) ~
+          ("ref" -> ref) ~ ("idCol" -> idCol) ~ ("textCol" -> textCol) ~
+          ("langCol" -> langCol) ~ ("refTextCol" -> refTextCol) ~
+          ("buckets" -> buckets) ~ ("order" -> order) ~
+          ("discount" -> discount) ~ ("minCount" -> mc) ~
+          ("broadcastModel" -> bm)
+      case BucketApply(name, i, thr, langCol, scoreCol) =>
+        ("op" -> "bucketApply") ~ ("name" -> name) ~ ("input" -> i) ~
+          ("thresholds" -> thr) ~ ("langCol" -> langCol) ~
+          ("scoreCol" -> scoreCol)
       case LmScore(name, i, ref, idCol, textCol, refTextCol, alpha) =>
         ("op" -> "lmScore") ~ ("name" -> name) ~ ("input" -> i) ~
           ("ref" -> ref) ~ ("idCol" -> idCol) ~ ("textCol" -> textCol) ~
@@ -2090,6 +2251,14 @@ object Program {
         (x \ "name").extract[String] -> (x \ "fraction").extract[Double])
       case _ => Nil
     }
+    // version-gated broadcast lever: an ABSENT field means AUTO under the
+    // v9 grammar but the explicit-true default under v8 and earlier —
+    // old artifacts keep their shipped semantics, unversioned ones get
+    // the current (auto) behavior
+    def bmOf(v: JValue): Option[Boolean] = (v \ "broadcastModel") match {
+      case JNothing => if (effVer >= 9) None else Some(true)
+      case x => Some(x.extract[Boolean])
+    }
     val nodes = (j \ "nodes") match {
       case JArray(xs) => xs.map { v =>
         val name = (v \ "name").extract[String]
@@ -2206,8 +2375,7 @@ object Program {
               (v \ "ref").extract[String], (v \ "idCol").extract[String],
               (v \ "textCol").extract[String], (v \ "refTextCol").extract[String],
               (v \ "alpha").extractOpt[Double].getOrElse(0.5), l3, l2, l1,
-              (v \ "minCount").extractOpt[Long].getOrElse(1L),
-              (v \ "broadcastModel").extractOpt[Boolean].getOrElse(true))
+              (v \ "minCount").extractOpt[Long].getOrElse(1L), bmOf(v))
           case "lmnScore" => LmNScore(name, (v \ "input").extract[String],
             (v \ "idCol").extract[String], (v \ "textCol").extract[String],
             (v \ "order").extract[Int],
@@ -2219,8 +2387,7 @@ object Program {
             (v \ "order").extract[Int],
             (v \ "alpha").extractOpt[Double].getOrElse(0.5),
             (v \ "lambdas").extractOpt[Seq[Double]].getOrElse(Nil),
-            (v \ "minCount").extractOpt[Long].getOrElse(1L),
-            (v \ "broadcastModel").extractOpt[Boolean].getOrElse(true))
+            (v \ "minCount").extractOpt[Long].getOrElse(1L), bmOf(v))
           case "bm25Retrieve" => Bm25Retrieve(name, (v \ "input").extract[String],
             (v \ "queries").extract[String], (v \ "idCol").extract[String],
             (v \ "textCol").extract[String], (v \ "qIdCol").extract[String],
@@ -2247,8 +2414,51 @@ object Program {
             (v \ "textCol").extract[String], (v \ "refTextCol").extract[String],
             (v \ "order").extract[Int],
             (v \ "discount").extractOpt[Double].getOrElse(0.75),
-            (v \ "minCount").extractOpt[Long].getOrElse(1L),
-            (v \ "broadcastModel").extractOpt[Boolean].getOrElse(true))
+            (v \ "minCount").extractOpt[Long].getOrElse(1L), bmOf(v))
+          case "mknScore" =>
+            // fallback discounts all-or-none, the lm3Score lambda rule
+            val fs = Seq("fb1", "fb2", "fb3").map(k => (v \ k).extractOpt[Double])
+            if (fs.exists(_.isDefined) && fs.exists(_.isEmpty))
+              throw new IllegalArgumentException(
+                s"node '$name': mknScore fallback discounts are all-or-none — " +
+                  "specify fb1, fb2 AND fb3, or none (defaults 0.5/1.0/1.5); got " +
+                  Seq("fb1", "fb2", "fb3").zip(fs).collect {
+                    case (k, Some(x)) => s"$k=$x" }.mkString(", "))
+            val Seq(f1, f2, f3) =
+              if (fs.head.isDefined) fs.map(_.get) else Seq(0.5, 1.0, 1.5)
+            MknScore(name, (v \ "input").extract[String],
+              (v \ "idCol").extract[String], (v \ "textCol").extract[String],
+              (v \ "order").extract[Int], f1, f2, f3)
+          case "mknAgainst" =>
+            val fs = Seq("fb1", "fb2", "fb3").map(k => (v \ k).extractOpt[Double])
+            if (fs.exists(_.isDefined) && fs.exists(_.isEmpty))
+              throw new IllegalArgumentException(
+                s"node '$name': mknAgainst fallback discounts are all-or-none — " +
+                  "specify fb1, fb2 AND fb3, or none (defaults 0.5/1.0/1.5); got " +
+                  Seq("fb1", "fb2", "fb3").zip(fs).collect {
+                    case (k, Some(x)) => s"$k=$x" }.mkString(", "))
+            val Seq(f1, f2, f3) =
+              if (fs.head.isDefined) fs.map(_.get) else Seq(0.5, 1.0, 1.5)
+            MknAgainst(name, (v \ "input").extract[String],
+              (v \ "ref").extract[String], (v \ "idCol").extract[String],
+              (v \ "textCol").extract[String], (v \ "refTextCol").extract[String],
+              (v \ "order").extract[Int], f1, f2, f3,
+              (v \ "minCount").extractOpt[Long].getOrElse(1L), bmOf(v))
+          case "exactSubstr" => ExactSubstr(name, (v \ "input").extract[String],
+            (v \ "idCol").extract[String], (v \ "textCol").extract[String],
+            (v \ "minLen").extract[Int], (v \ "maxExtend").extract[Int],
+            (v \ "minDocs").extractOpt[Int].getOrElse(2))
+          case "pplThresholds" => PplThresholds(name, (v \ "input").extract[String],
+            (v \ "ref").extract[String], (v \ "idCol").extract[String],
+            (v \ "textCol").extract[String], (v \ "langCol").extract[String],
+            (v \ "refTextCol").extract[String],
+            (v \ "buckets").extractOpt[Int].getOrElse(3),
+            (v \ "order").extractOpt[Int].getOrElse(3),
+            (v \ "discount").extractOpt[Double].getOrElse(0.75),
+            (v \ "minCount").extractOpt[Long].getOrElse(1L), bmOf(v))
+          case "bucketApply" => BucketApply(name, (v \ "input").extract[String],
+            (v \ "thresholds").extract[String], (v \ "langCol").extract[String],
+            (v \ "scoreCol").extract[String])
           case "dsirScore" => DsirScore(name, (v \ "input").extract[String],
             (v \ "target").extract[String], (v \ "raw").extract[String],
             (v \ "idCol").extract[String], (v \ "textCol").extract[String],
@@ -2491,6 +2701,41 @@ object Program {
             env(ka.ref).df.select(col(ka.refTextCol)).schema
             emptyOf(s, graft.pipeline.TextOps.ngramOutputSchema(
               ka.idCol, s.df.schema(ka.idCol).dataType))
+          case ms: MknScore =>
+            // build-time eager (model + discount derivation): schema-only
+            val s = env(ms.input)
+            s.df.select(col(ms.idCol), col(ms.textCol)).schema
+            emptyOf(s, graft.pipeline.TextOps.ngramOutputSchema(
+              ms.idCol, s.df.schema(ms.idCol).dataType))
+          case ma: MknAgainst =>
+            val s = env(ma.input)
+            s.df.select(col(ma.idCol), col(ma.textCol)).schema
+            env(ma.ref).df.select(col(ma.refTextCol)).schema
+            emptyOf(s, graft.pipeline.TextOps.ngramOutputSchema(
+              ma.idCol, s.df.schema(ma.idCol).dataType))
+          case es: ExactSubstr =>
+            // build-time eager (candidate census checkpoint): schema-only
+            val s = env(es.input)
+            s.df.select(col(es.idCol), col(es.textCol)).schema
+            emptyOf(s, org.apache.spark.sql.types.StructType(Seq(
+              s.df.schema(es.idCol),
+              org.apache.spark.sql.types.StructField("span_start",
+                org.apache.spark.sql.types.LongType),
+              org.apache.spark.sql.types.StructField("span_len",
+                org.apache.spark.sql.types.LongType),
+              org.apache.spark.sql.types.StructField("span_hash",
+                org.apache.spark.sql.types.LongType))))
+          case pt: PplThresholds =>
+            // build-time eager (trains the KN model): schema-only
+            val s = env(pt.input)
+            s.df.select(col(pt.idCol), col(pt.textCol), col(pt.langCol)).schema
+            env(pt.ref).df.select(col(pt.refTextCol)).schema
+            emptyOf(s, org.apache.spark.sql.types.StructType(Seq(
+              s.df.schema(pt.langCol),
+              org.apache.spark.sql.types.StructField("bucket",
+                org.apache.spark.sql.types.IntegerType),
+              org.apache.spark.sql.types.StructField("cut",
+                org.apache.spark.sql.types.DoubleType))))
           case ds: DsirScore =>
             val s = env(ds.input)
             s.df.select(col(ds.idCol), col(ds.textCol)).schema
@@ -2690,6 +2935,16 @@ object Program {
       s"node '$node': $op discount must be in (0, 1), got $discount")
   }
 
+  private def checkMkn(node: String, op: String, order: Int,
+                       fb1: Double, fb2: Double, fb3: Double): Unit = {
+    if (order < 2 || order > 8) throw new IllegalArgumentException(
+      s"node '$node': $op order must be in [2, 8], got $order")
+    if (!(fb1 > 0 && fb1 <= 1 && fb2 > 0 && fb2 <= 2 && fb3 > 0 && fb3 <= 3))
+      throw new IllegalArgumentException(
+        s"node '$node': $op fallback discounts must satisfy 0 < D1 <= 1, " +
+          s"0 < D2 <= 2, 0 < D3+ <= 3, got ($fb1, $fb2, $fb3)")
+  }
+
   /** Load-time validation: every SQL fragment must parse, every input
     * reference must resolve to an earlier node. Catches a corrupt or
     * hand-edited document before any Spark job is planned. */
@@ -2876,6 +3131,29 @@ object Program {
           if (ka.minCount < 1) throw new IllegalArgumentException(
             s"node '${n.name}': knAgainst needs minCount >= 1, got ${ka.minCount}")
           Seq(ka.input, ka.ref)
+        case ms: MknScore =>
+          checkMkn(n.name, "mknScore", ms.order, ms.fb1, ms.fb2, ms.fb3)
+          Seq(ms.input)
+        case ma: MknAgainst =>
+          checkMkn(n.name, "mknAgainst", ma.order, ma.fb1, ma.fb2, ma.fb3)
+          if (ma.minCount < 1) throw new IllegalArgumentException(
+            s"node '${n.name}': mknAgainst needs minCount >= 1, got ${ma.minCount}")
+          Seq(ma.input, ma.ref)
+        case es: ExactSubstr =>
+          if (es.minLen < 2 || es.maxExtend < 1 || es.minDocs < 2)
+            throw new IllegalArgumentException(
+              s"node '${n.name}': exactSubstr needs minLen >= 2, " +
+                s"maxExtend >= 1 and minDocs >= 2, got " +
+                s"(${es.minLen}, ${es.maxExtend}, ${es.minDocs})")
+          Seq(es.input)
+        case pt: PplThresholds =>
+          checkKn(n.name, "pplThresholds", pt.order, pt.discount)
+          if (pt.buckets < 2) throw new IllegalArgumentException(
+            s"node '${n.name}': pplThresholds needs buckets >= 2, got ${pt.buckets}")
+          if (pt.minCount < 1) throw new IllegalArgumentException(
+            s"node '${n.name}': pplThresholds needs minCount >= 1, got ${pt.minCount}")
+          Seq(pt.input, pt.ref)
+        case ba: BucketApply => Seq(ba.input, ba.thresholds)
         case ds: DsirScore =>
           if (ds.alpha <= 0.0 || ds.buckets <= 0) throw new IllegalArgumentException(
             s"node '${n.name}': dsirScore needs alpha > 0 and buckets > 0, " +

@@ -1599,6 +1599,125 @@ object Dedup {
       .select(id, col("span_start"), col("span_len"))
   }
 
+  /** Common-prefix length of two string arrays (0 when either is empty;
+    * `least(size, size)` when one is a prefix of the other). zip_with
+    * pads the shorter side with nulls, null == x folds to a mismatch, and
+    * array_position returns 0 (not null) when no mismatch exists. */
+  private def lcpCol(a: org.apache.spark.sql.Column,
+                     b: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    val ap = array_position(zip_with(a, b, (x, y) => coalesce(x === y, lit(false))), false)
+    when(ap === 0, least(size(a), size(b)).cast("long")).otherwise(ap - 1)
+  }
+
+  /** MAXIMAL repeated substrings >= `minLen` tokens — the variable-length
+    * complement of [[repeatedSpans]] (which mines runs of fixed-k
+    * duplicated grams without partner consistency): for every position
+    * whose `minLen`-gram occurs in >= `minDocs` distinct documents, the
+    * LONGEST substring starting there that some other occurrence in the
+    * corpus also extends to, capped at `minLen + maxExtend` tokens (the
+    * bounded-extension budget that keeps every row finite — matches
+    * longer than the budget report exactly the budget, deterministically).
+    * Per document, spans CONTAINED in another span are pruned (the
+    * left-maximality face: a window interior to a longer repeat reports
+    * nothing of its own), so the output is the set of maximal duplicated
+    * extents with their identity hash — Lee et al. 2022's suffix-array
+    * repeats re-expressed as a dataflow. Output (idCol, span_start,
+    * span_len, span_hash), one row per surviving anchor position;
+    * span_hash is the portable polyHash of the span text, so an
+    * independent engine verifies the CONTENT, not just the extent.
+    *
+    * The scrub face needs no new operator: the union of tokens covered by
+    * maximal repeats EQUALS the union of duplicated minLen-windows (every
+    * length-minLen subwindow of a repeated substring is itself repeated),
+    * so [[scrubRepeatedSpans]] at k = minLen is exactly the Lee et al.
+    * remove-all / keep-one treatment — MaximalRepeatsSpec pins the
+    * coincidence.
+    *
+    * Scale shape: candidate generation is [[repeatedSpans]]'s
+    * hash-then-verify pipeline (narrow (hash, doc, pos) shuffles,
+    * partial-aggregated distinct-doc counts, text built only for
+    * duplicate-mass-bounded candidates). Extension avoids BOTH quadratic
+    * per-anchor pairing and a per-gram window (a boilerplate gram's
+    * population is unbounded at 100 TB): candidates sort GLOBALLY by
+    * (gram, extension-window) via RangedPrefix's range partition + global
+    * rank, and each occurrence's maximal partner extension is the max
+    * common prefix with its two LEXICOGRAPHIC NEIGHBORS — the classic
+    * suffix-array LCP property (max lcp over a sorted set is attained at
+    * an adjacent pair), fetched by two narrow equi self-joins on the
+    * unique global rank, never a window over the gram. Every task is
+    * bounded by the range width; the per-document containment prune is
+    * the one per-doc window (bounded by document length, the natural
+    * unit). */
+  def maximalRepeats(docs: DataFrame, idCol: String, textCol: String,
+                     minLen: Int, maxExtend: Int, minDocs: Int = 2): DataFrame = {
+    require(minLen >= 2, s"minLen must be >= 2, got $minLen")
+    require(maxExtend >= 1, s"maxExtend must be >= 1, got $maxExtend")
+    require(minDocs >= 2, s"minDocs must be >= 2, got $minDocs")
+    require(!docs.isStreaming, "maximalRepeats is batch-only (corpus-wide census)")
+    val id = col(idCol)
+    val spark = docs.sparkSession
+    // ---- candidate anchors by HASH (narrow corpus-wide stage) ----
+    val pos = docs.select(id, posexplode(
+        graft.functions.VectorFunctions.wordShingleHashes(col(textCol), minLen))
+      .as(Seq("__p0", "__h")))
+    val hstats = pos.groupBy(col("__h"))
+      .agg(count_distinct(id).as("__nd")).where(col("__nd") >= minDocs)
+      .select(col("__h"))
+    val candPos = pos.join(hstats.hint("shuffle_hash"), Seq("__h"))
+      .select(id, col("__p0")).localCheckpoint()
+    graft.api.Pinned.register(spark, graft.api.Pinned.idsOf(candPos))
+    // ---- gram text + bounded extension window, collision-verified ----
+    val candDocs = candPos.select(id).distinct()
+    val words = docs.join(candDocs, Seq(idCol), "left_semi")
+      .select(id, graft.pipeline.TextOps.words(col(textCol)).as("__w"))
+    val withText = candPos.join(words, Seq(idCol))
+      .select(id, col("__p0"),
+        concat_ws(" ", slice(col("__w"), col("__p0") + 1, lit(minLen))).as("__g"),
+        slice(col("__w"), col("__p0") + 1 + minLen, lit(maxExtend)).as("__ext"))
+    val gstats = withText.groupBy(col("__g"))
+      .agg(count_distinct(id).as("__nd")).where(col("__nd") >= minDocs)
+      .select(col("__g"))
+    val cand = withText.join(gstats.hint("shuffle_hash"), Seq("__g"))
+    // ---- global sort + rank; neighbor LCP via rank self-joins ----
+    val (parted, offs) = RangedPrefix(cand, groupCols = Nil,
+      orderCols = Seq(col("__g"), col("__ext"), id, col("__p0")),
+      valueExpr = lit(1L))
+    val rankedPlan = RangedPrefix.joinOffsets(parted, offs, Nil)
+      .withColumn("__rn", col("__off") + row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("__p"))
+          .orderBy(col("__g"), col("__ext"), id, col("__p0"))))
+      .select(id, col("__p0"), col("__g"), col("__ext"), col("__rn"))
+    // three consumers (self + both neighbor shifts) — pin once
+    val (ranked, rIds) = graft.api.Pinned.checkpointTracked(rankedPlan)
+    graft.api.Pinned.register(spark, rIds)
+    val nbP = ranked.select((col("__rn") + 1).as("__rn"),
+      col("__g").as("__gp"), col("__ext").as("__extp"))
+    val nbN = ranked.select((col("__rn") - 1).as("__rn"),
+      col("__g").as("__gn"), col("__ext").as("__extn"))
+    val withNb = ranked.join(nbP, Seq("__rn"), "left").join(nbN, Seq("__rn"), "left")
+    // a verified gram group has >= minDocs >= 2 members and group members
+    // are contiguous in the sort, so at least one same-gram neighbor
+    // exists; the coalesce is defensive only
+    val maxLcp = coalesce(greatest(
+      when(col("__gp") === col("__g"), lcpCol(col("__ext"), col("__extp"))),
+      when(col("__gn") === col("__g"), lcpCol(col("__ext"), col("__extn")))), lit(0L))
+    val spans = withNb
+      .withColumn("span_len", lit(minLen.toLong) + maxLcp)
+      .withColumn("__txt", when(col("span_len") === minLen, col("__g"))
+        .otherwise(concat(col("__g"), lit(" "),
+          concat_ws(" ", slice(col("__ext"), lit(1), (col("span_len") - minLen).cast("int"))))))
+      .select(id, col("__p0").cast("long").as("span_start"), col("span_len"),
+        graft.pipeline.TextOps.polyHash(col("__txt")).as("span_hash"))
+    // ---- per-doc containment prune (doc-bounded window) ----
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(id)
+      .orderBy(col("span_start"), col("span_len").desc)
+    spans.withColumn("__e", col("span_start") + col("span_len"))
+      .withColumn("__maxPrev", max(col("__e")).over(
+        w.rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)))
+      .where(col("__maxPrev").isNull || col("__e") > col("__maxPrev"))
+      .select(id, col("span_start"), col("span_len"), col("span_hash"))
+  }
+
   /** Boilerplate removal: drop every token covered by a repeated span
     * (`repeatedSpans(k, minDocs)`) from EVERY document it appears in, and
     * emit per-doc accounting — kept-token count + portable hash of the

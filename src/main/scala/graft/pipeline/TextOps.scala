@@ -908,7 +908,9 @@ object TextOps {
     * failure. Without this, one failing count-table build would orphan
     * every sibling's already-persisted blocks (nothing registered, so
     * scope release could never unpersist them); with it the failure
-    * path leaks zero blocks. */
+    * path leaks zero blocks. When SEVERAL siblings fail, the others'
+    * exceptions attach to the first as suppressed — two concurrent
+    * count-table builds failing for different reasons both surface. */
   private[graft] def awaitPinned[A](spark: org.apache.spark.sql.SparkSession,
                                     futs: Seq[scala.concurrent.Future[A]])(
                                     ids: A => Set[Int]): Seq[A] = {
@@ -922,7 +924,13 @@ object TextOps {
       case Success(x) => graft.api.Pinned.register(spark, ids(x))
       case Failure(_) => ()
     }
-    done.collectFirst { case Failure(e) => throw e }
+    done.collectFirst { case Failure(e) =>
+      done.foreach {
+        case Failure(e2) if !(e2 eq e) && !(e2 eq e.getCause) => e.addSuppressed(e2)
+        case _ => ()
+      }
+      throw e
+    }
     done.collect { case Success(x) => x }
   }
 
@@ -983,6 +991,51 @@ object TextOps {
     * __p{n-j+1}..__p{n}. */
   private def gramCols(order: Int, j: Int): Seq[String] =
     (order - j + 1 to order).map(i => s"__p$i")
+
+  private lazy val logger = org.slf4j.LoggerFactory.getLogger("graft.pipeline.TextOps")
+
+  /** Measured persisted bytes (memory + disk blocks) of a PINNED model
+    * table — known exactly at decision time because the count tables are
+    * localCheckpointed before scoring. Deserialized block sizes
+    * overestimate the broadcast wire size, so the auto decision errs
+    * toward shuffling — the safe direction. */
+  private def pinnedBytes(df: org.apache.spark.sql.DataFrame): Long = {
+    val ids = graft.api.Pinned.idsOf(df)
+    df.sparkSession.sparkContext.getRDDStorageInfo
+      .filter(i => ids.contains(i.id)).map(i => i.memSize + i.diskSize).sum
+  }
+
+  /** The AUTO broadcast decision for one pinned model table: its caller
+    * passed no explicit lever, so broadcast iff the measured table fits
+    * the session's autoBroadcastJoinThreshold (a disabled threshold, -1,
+    * auto-broadcasts nothing). Derived frames (context aggregates) are
+    * bounded by their pinned parent and inherit its decision. */
+  private def decideBroadcast(lever: Option[Boolean],
+                              table: org.apache.spark.sql.DataFrame): Boolean =
+    lever.getOrElse {
+      val thr = table.sparkSession.sessionState.conf.autoBroadcastJoinThreshold
+      thr > 0 && pinnedBytes(table) <= thr
+    }
+
+  /** Shared lever hygiene of the against faces: warn when an unpruned
+    * high-order model is being built (the count tables approach
+    * position-count size — the 100 TB posture depends on `minCount`),
+    * and name the streaming constraint when the model does not
+    * broadcast. */
+  private def checkLevers(label: String, order: Int, minCount: Long,
+                          streaming: Boolean, allBroadcast: => Boolean): Unit = {
+    if (minCount == 1L && order >= 4)
+      logger.warn(s"$label: order-$order model with minCount = 1 — the raw " +
+        "count tables are near position-count-sized on real corpora; " +
+        "KenLM-style pruning (minCount >= 2) is the lever that keeps the " +
+        "model a broadcastable artifact at scale")
+    require(!streaming || allBroadcast,
+      s"$label: the streaming face needs every model table to broadcast " +
+        "(a per-micro-batch model shuffle would dominate ingest) but the " +
+        "model exceeds the broadcast threshold (or the lever forces " +
+        "broadcastModel = false) — prune with minCount until the model " +
+        "broadcasts, or score in bounded batches via foreachBatch")
+  }
 
   /** Explode every j-gram position of `d` into suffix-aligned columns
     * `names` (plus `keep`). Documents under j tokens contribute nothing. */
@@ -1085,14 +1138,17 @@ object TextOps {
                             * a broadcastable artifact when the reference
                             * corpus is large. */
                           minCount: Long = 1L,
-                          /** false = unhinted model joins for a
-                            * beyond-broadcast (reference huge, unpruned)
-                            * model — planner/AQE-sized, the bm25Retrieve
-                            * broadcastQueries=false convention. Batch
-                            * face only; streaming always broadcasts (a
-                            * per-micro-batch shuffle of the model would
-                            * dominate ingest). */
-                          broadcastModel: Boolean = true): graft.api.MStream = {
+                          /** The broadcast lever, now AUTO by default:
+                            * None = decide PER PINNED TABLE from its
+                            * measured size vs the session broadcast
+                            * threshold (the tables are checkpointed
+                            * before scoring, so their statistics are
+                            * known); Some(true)/Some(false) force the
+                            * round-14 explicit behavior. Streaming
+                            * requires every table to broadcast —
+                            * Some(false) or an oversized auto decision
+                            * is a named error there. */
+                          broadcastModel: Option[Boolean] = None): graft.api.MStream = {
     import org.apache.spark.sql.{Encoder, Row}
     import org.apache.spark.sql.catalyst.encoders.RowEncoder
     import org.apache.spark.sql.types._
@@ -1105,31 +1161,31 @@ object TextOps {
     require(minCount >= 1, s"minCount must be >= 1, got $minCount")
     val l = lambdasFor(order, lambdas)
     val df = stream.df
-    require(!df.isStreaming || broadcastModel,
-      "ngramLmScoreAgainst: the streaming face cannot honor " +
-        "broadcastModel = false (a per-micro-batch model shuffle would " +
-        "dominate ingest) — prune with minCount until the model " +
-        "broadcasts, or score in bounded batches via foreachBatch")
     val (counts, ctxs) = ngramModel(refDocs, refTextCol, order, minCount)
+    // one decision per pinned count table; the derived context aggregate
+    // of order j is bounded by counts(j) and inherits its decision
+    val bc = (1 to order).map(j => j -> decideBroadcast(broadcastModel, counts(j))).toMap
+    checkLevers("ngramLmScoreAgainst", order, minCount, df.isStreaming,
+      (1 to order).forall(bc))
     val nvRow = counts(1).agg(sum(col("__c1")).cast("double"),
       count(lit(1)).cast("double")).head()
     require(!nvRow.isNullAt(0) && nvRow.getDouble(1) > 0,
       "ngramLmScoreAgainst: the reference corpus yields an empty model")
     val (n, vv) = (nvRow.getDouble(0), nvRow.getDouble(1))
     val id = col(idCol)
-    def withJoins(pos: org.apache.spark.sql.DataFrame,
-                  bc: Boolean): org.apache.spark.sql.DataFrame = {
-      def side(m: org.apache.spark.sql.DataFrame) = if (bc) broadcast(m) else m
+    def withJoins(pos: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+      def side(m: org.apache.spark.sql.DataFrame, j: Int) =
+        if (bc(j)) broadcast(m) else m
       (order to 2 by -1).foldLeft(pos) { (d, j) =>
-        d.join(side(counts(j)), gramCols(order, j), "left")
-          .join(side(ctxs(j)), gramCols(order, j).dropRight(1), "left")
-      }.join(side(counts(1)), gramCols(order, 1), "left")
+        d.join(side(counts(j), j), gramCols(order, j), "left")
+          .join(side(ctxs(j), j), gramCols(order, j).dropRight(1), "left")
+      }.join(side(counts(1), 1), gramCols(order, 1), "left")
         .withColumn("__n", lit(n)).withColumn("__vv", lit(vv))
     }
 
     if (!df.isStreaming) {
       val pos = gramsOf(df, textCol, order, gramCols(order, order), Seq(id))
-      val scored = withJoins(pos, broadcastModel)
+      val scored = withJoins(pos)
         .withColumn("__lp", ngramLp(order, alpha, l))
         .groupBy(id)
         .agg(count(lit(1)).as(nCol), round(avg(col("__lp")), 3).as("avg_logprob"))
@@ -1150,7 +1206,7 @@ object TextOps {
       .select(id.as("__id"),
         explode(when(size(col("__w")) >= order, pStructs).otherwise(sentinel)).as("__g"))
       .select(col("__id") +: (1 to order).map(i => col(s"__g.g$i").as(s"__p$i")): _*)
-    val u = withJoins(u0, bc = true)
+    val u = withJoins(u0)
       .select(col("__id"), col("__p1"),
         when(col("__p1").isNotNull, ngramLp(order, alpha, l)).as("__lp"))
     val idType = df.schema(idCol).dataType
@@ -1186,7 +1242,7 @@ object TextOps {
                       alpha: Double = 0.5,
                       lambdas: (Double, Double, Double) = (0.6, 0.3, 0.1),
                       minCount: Long = 1L,
-                      broadcastModel: Boolean = true)
+                      broadcastModel: Option[Boolean] = None)
       : graft.api.MStream =
     ngramLmScoreAgainst(stream, refDocs, idCol, textCol, refTextCol, 3, alpha,
       Seq(lambdas._1, lambdas._2, lambdas._3), nCol = "n_tris",
@@ -1195,9 +1251,9 @@ object TextOps {
   // ---------------------------------------------------------- Kneser-Ney LM
 
   /** The interpolated Kneser-Ney model tables for order n (Kneser & Ney
-    * 1995; Chen & Goodman 1999's interpolated form with one fixed
-    * discount D — KenLM's modified KN uses three count-bucketed
-    * discounts, the documented remaining deviation): raw counts at the
+    * 1995; Chen & Goodman 1999's interpolated form — the fixed-discount
+    * face [[knLmScore]] and the count-bucketed modified-KN face
+    * [[mknLmScore]] both read these tables): raw counts at the
     * top order, CONTINUATION counts below it — ĉ_j(g) = the number of
     * distinct words PRECEDING g in the corpus = the row count of the
     * raw (j+1)-gram table grouped by its last j columns (the "how many
@@ -1208,7 +1264,9 @@ object TextOps {
     * has two consumers — its context aggregate and the scoring join);
     * intermediate raw tables are single-consumer and stay lazy.
     * Returns (rawN, ctxN, cont(1..n-1), ctxc(2..n-1), one-row stats
-    * (__t1 = total bigram types as double, __n1p1, __v = vocabulary)). */
+    * (__t1 = total bigram types as double, __n1p1, __nb{1,2,3}1 count
+    * buckets, __v = vocabulary)); every context aggregate also carries
+    * its count buckets __nb{1,2,3}{j} for the modified-KN face. */
   private def knModel(train: org.apache.spark.sql.DataFrame, textCol: String,
                       order: Int,
                       /** prune RAW counts < minCount at orders >= 2
@@ -1245,16 +1303,27 @@ object TextOps {
     val all = awaitPinned(spark, rawNF +: contFs.toSeq)(_._2._2)
     val rawN = all.find(_._1 == order).get._2._1
     val contDone = all.filter(_._1 != order)
+    // per-context COUNT BUCKETS (types with count 1 / 2 / >= 3) ride the
+    // same groupBy — the fixed-discount face ignores them, the
+    // modified-KN face's per-context discount mass γ·tot = D1·N1 + D2·N2
+    // + D3·N3+ reads them (Chen & Goodman 1999 §3, KenLM's smoothing)
+    def buckets(cCol: String, suffix: String): Seq[Column] = Seq(
+      count(when(col(cCol) === 1, true)).as(s"__nb1$suffix"),
+      count(when(col(cCol) === 2, true)).as(s"__nb2$suffix"),
+      count(when(col(cCol) >= 3, true)).as(s"__nb3$suffix"))
     val ctxN = rawN.groupBy(gramCols(order, order).dropRight(1).map(col): _*)
       .agg(sum(col(s"__cr$order")).as(s"__tot$order"),
-        count(lit(1)).as(s"__n1p$order"))
+        (count(lit(1)).as(s"__n1p$order") +:
+          buckets(s"__cr$order", order.toString)): _*)
     val cont = contDone.map { case (j, (cp, _)) => j -> cp }.toMap
     val ctxc = (2 until order).map { j =>
       j -> cont(j).groupBy(gramCols(order, j).dropRight(1).map(col): _*)
-        .agg(sum(col(s"__cc$j")).as(s"__ctot$j"), count(lit(1)).as(s"__n1p$j"))
+        .agg(sum(col(s"__cc$j")).as(s"__ctot$j"),
+          (count(lit(1)).as(s"__n1p$j") +: buckets(s"__cc$j", j.toString)): _*)
     }.toMap
     val stats = cont(1)
-      .agg(sum(col("__cc1")).cast("double").as("__t1"), count(lit(1)).as("__n1p1"))
+      .agg(sum(col("__cc1")).cast("double").as("__t1"),
+        (count(lit(1)).as("__n1p1") +: buckets("__cc1", "1")): _*)
       .crossJoin(train.select(explode(words(col(textCol))).as("__t"))
         .agg(count_distinct(col("__t")).as("__v")))
     (rawN, ctxN, cont, ctxc, stats)
@@ -1289,6 +1358,119 @@ object TextOps {
     log(when(coalesce(col(s"__tot$order"), lit(0L)) > 0, hiN).otherwise(p))
   }
 
+  /** KenLM's default `--discount_fallback` discounts (D1, D2, D3+). */
+  private[graft] val MknFallback: (Double, Double, Double) = (0.5, 1.0, 1.5)
+
+  /** Modified-KN discounts for one order from its count-of-counts
+    * (Chen & Goodman 1999 §3; KenLM `AdjustCounts`): Y = n1/(n1+2n2),
+    * D_r = r − (r+1)·Y·n_{r+1}/n_r for r = 1, 2, 3. KenLM refuses to
+    * train when any n_r (r ≤ 3) is zero or a discount leaves [0, r];
+    * this engine takes KenLM's `--discount_fallback` route instead —
+    * the estimate is all-or-none per order (one bad discount falls the
+    * whole order back), so the decision is a deterministic scalar an
+    * oracle reproduces. n4 = 0 is VALID (D3+ = 3 exactly: triples hold
+    * no direct mass, everything flows through γ). */
+  private[graft] def mknDerive(n1: Long, n2: Long, n3: Long, n4: Long,
+                               fallback: (Double, Double, Double) = MknFallback)
+      : (Double, Double, Double) = {
+    if (n1 > 0 && n2 > 0 && n3 > 0) {
+      val y = n1.toDouble / (n1 + 2.0 * n2)
+      val d1 = 1.0 - 2.0 * y * n2 / n1
+      val d2 = 2.0 - 3.0 * y * n3 / n2
+      val d3 = 3.0 - 4.0 * y * n4 / n3
+      if (d1 >= 0 && d1 <= 1 && d2 >= 0 && d2 <= 2 && d3 >= 0 && d3 <= 3)
+        (d1, d2, d3)
+      else fallback
+    } else fallback
+  }
+
+  /** Validate an explicit per-level discount map (or an empty one =
+    * derive) and the fallback triple for the modified-KN faces. */
+  private def checkMknParams(order: Int,
+                             discounts: Map[Int, (Double, Double, Double)],
+                             fallback: (Double, Double, Double)): Unit = {
+    def checkTriple(what: String, t: (Double, Double, Double)): Unit = {
+      val (d1, d2, d3) = t
+      require(d1 > 0 && d1 <= 1 && d2 > 0 && d2 <= 2 && d3 > 0 && d3 <= 3,
+        s"$what discounts must satisfy 0 < D1 <= 1, 0 < D2 <= 2, " +
+          s"0 < D3+ <= 3, got ($d1, $d2, $d3)")
+    }
+    checkTriple("fallback", fallback)
+    if (discounts.nonEmpty) {
+      require(discounts.keySet == (1 to order).toSet,
+        s"explicit modified-KN discounts must cover every level 1..$order " +
+          s"(highest = raw counts, lower = continuation counts), got " +
+          s"levels ${discounts.keySet.toSeq.sorted.mkString(",")}")
+      discounts.foreach { case (j, t) => checkTriple(s"level-$j", t) }
+    }
+  }
+
+  /** Count-of-counts per level over the PINNED model tables (top level =
+    * the raw order-n table, lower levels = the continuation tables —
+    * exactly the tables each level draws probability mass from), folded
+    * to discounts via [[mknDerive]]. The aggs are independent scalar
+    * collects over checkpointed tables; submit them concurrently like
+    * the table builds themselves. */
+  private def mknDiscountsFor(order: Int, rawN: org.apache.spark.sql.DataFrame,
+                              cont: Map[Int, org.apache.spark.sql.DataFrame],
+                              fallback: (Double, Double, Double))
+      : Map[Int, (Double, Double, Double)] = {
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.ExecutionContext.Implicits.global
+    import scala.concurrent.duration.Duration
+    val futs = (1 to order).map { j =>
+      Future {
+        val (t, c) =
+          if (j == order) (rawN, s"__cr$order") else (cont(j), s"__cc$j")
+        val r = t.agg(
+          count(when(col(c) === 1, true)).as("n1"),
+          count(when(col(c) === 2, true)).as("n2"),
+          count(when(col(c) === 3, true)).as("n3"),
+          count(when(col(c) === 4, true)).as("n4")).head()
+        j -> mknDerive(r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+          fallback)
+      }
+    }
+    Await.result(Future.sequence(futs), Duration.Inf).toMap
+  }
+
+  /** The modified-KN per-position log-likelihood: [[knLp]] with the
+    * fixed D replaced by count-bucketed discounts — the discount of a
+    * count is D1/D2/D3+ by its bucket, and the back-off mass of a
+    * context is γ·tot = D1·N1 + D2·N2 + D3·N3+ over that context's
+    * continuation-type buckets. Same guards as [[knLp]]: unseen contexts
+    * skip their level entirely (against face); on the self face every
+    * guard is true by construction. With equal discounts at every bucket
+    * this reduces exactly to [[knLp]] (D·(N1+N2+N3+) = D·N1+), which
+    * KnLmSpec pins. */
+  private def mknLp(order: Int, ds: Map[Int, (Double, Double, Double)]): Column = {
+    def disc(j: Int, c: Column): Column = {
+      val (d1, d2, d3) = ds(j)
+      when(c === 1L, lit(d1)).when(c === 2L, lit(d2)).otherwise(lit(d3))
+    }
+    def gnum(j: Int): Column = {
+      val (d1, d2, d3) = ds(j)
+      lit(d1) * col(s"__nb1$j") + lit(d2) * col(s"__nb2$j") +
+        lit(d3) * col(s"__nb3$j")
+    }
+    val c1 = coalesce(col("__cc1"), lit(0L))
+    var p: Column =
+      greatest(c1.cast("double") - disc(1, c1), lit(0.0)) / col("__t1") +
+        gnum(1) / col("__t1") * (lit(1.0) / (col("__v") + lit(1.0)))
+    for (j <- 2 until order) {
+      val cj = coalesce(col(s"__cc$j"), lit(0L))
+      val hi =
+        greatest(cj.cast("double") - disc(j, cj), lit(0.0)) / col(s"__ctot$j") +
+          gnum(j) / col(s"__ctot$j") * p
+      p = when(coalesce(col(s"__ctot$j"), lit(0L)) > 0, hi).otherwise(p)
+    }
+    val cN = coalesce(col(s"__cr$order"), lit(0L))
+    val hiN =
+      greatest(cN.cast("double") - disc(order, cN), lit(0.0)) / col(s"__tot$order") +
+        gnum(order) / col(s"__tot$order") * p
+    log(when(coalesce(col(s"__tot$order"), lit(0L)) > 0, hiN).otherwise(p))
+  }
+
   /** Order-n interpolated Kneser-Ney LM quality score over the corpus
     * itself — the KenLM smoothing FAMILY at a fixed discount (real KenLM
     * is modified KN: three count-bucketed discounts per order; the fixed-D
@@ -1314,11 +1496,26 @@ object TextOps {
     require(!docs.isStreaming,
       "knLmScore trains on its own input — batch only (score a stream " +
         "against a static reference with knLmScoreAgainst)")
+    knSelfScore(docs, idCol, textCol, order, (_, _) => knLp(order, discount))
+  }
+
+  /** The shared self-scoring stage of the KN family: build the model on
+    * the input itself, inner-join the exploded positions against every
+    * count frame (a position's own occurrence puts every suffix, context
+    * and continuation in the model, so nothing is absent on the self
+    * face) and fold per document. `lpOf(rawN, cont)` supplies the
+    * per-position log-likelihood — a constant column for the fixed
+    * discount, a derived-discount column for modified KN (the tables are
+    * pinned before it runs, so scalar derivations are cheap). */
+  private def knSelfScore(docs: org.apache.spark.sql.DataFrame, idCol: String,
+                          textCol: String, order: Int,
+                          lpOf: (org.apache.spark.sql.DataFrame,
+                                 Map[Int, org.apache.spark.sql.DataFrame]) => Column)
+      : org.apache.spark.sql.DataFrame = {
     val id = col(idCol)
     val (rawN, ctxN, cont, ctxc, stats) = knModel(docs, textCol, order)
+    val lp = lpOf(rawN, cont)
     val pos = gramsOf(docs, textCol, order, gramCols(order, order), Seq(id))
-    // inner joins: a position's own occurrence puts every suffix, context
-    // and continuation in the model, so nothing is absent on the self face
     var joined = pos.join(rawN, gramCols(order, order))
       .join(ctxN, gramCols(order, order).dropRight(1))
     for (j <- order - 1 to 2 by -1)
@@ -1326,11 +1523,40 @@ object TextOps {
         .join(ctxc(j), gramCols(order, j).dropRight(1))
     joined = joined.join(cont(1), gramCols(order, 1))
       .crossJoin(broadcast(stats))
-    val scored = joined.withColumn("__lp", knLp(order, discount))
+    val scored = joined.withColumn("__lp", lp)
       .groupBy(id)
       .agg(count(lit(1)).as("n_grams"), round(avg(col("__lp")), 3).as("avg_logprob"))
     docs.select(id).join(scored, Seq(idCol), "left")
       .select(id, coalesce(col("n_grams"), lit(0L)).as("n_grams"), col("avg_logprob"))
+  }
+
+  /** Order-n MODIFIED Kneser-Ney LM quality score over the corpus itself
+    * — KenLM parity, closing [[knLmScore]]'s documented deviation: three
+    * count-bucketed discounts per level (D1, D2, D3+), each derived from
+    * that level's count-of-counts by the Chen & Goodman 1999 §3 /
+    * KenLM `AdjustCounts` estimator with KenLM's `--discount_fallback`
+    * semantics when the estimate is degenerate ([[mknDerive]] — the
+    * all-or-none per-order rule an independent engine reproduces
+    * exactly). Pass `discounts` to override derivation per level
+    * (level 1 = continuation unigrams, level `order` = raw counts).
+    *
+    * Scale shape: identical to [[knLmScore]] — the count tables ARE the
+    * model; the only addition is one four-scalar agg per pinned table
+    * (submitted concurrently) and three small longs per context row. */
+  def mknLmScore(docs: org.apache.spark.sql.DataFrame, idCol: String,
+                 textCol: String, order: Int,
+                 discounts: Map[Int, (Double, Double, Double)] = Map.empty,
+                 fallback: (Double, Double, Double) = MknFallback)
+      : org.apache.spark.sql.DataFrame = {
+    require(order >= 2 && order <= 8,
+      s"mknLmScore order must be in [2, 8], got $order")
+    require(!docs.isStreaming,
+      "mknLmScore trains on its own input — batch only (score a stream " +
+        "against a static reference with mknLmScoreAgainst)")
+    checkMknParams(order, discounts, fallback)
+    knSelfScore(docs, idCol, textCol, order, (rawN, cont) => mknLp(order,
+      if (discounts.nonEmpty) discounts
+      else mknDiscountsFor(order, rawN, cont, fallback)))
   }
 
   /** Dual-mode order-n Kneser-Ney scoring AGAINST a pretrained reference
@@ -1352,51 +1578,99 @@ object TextOps {
                          * ones. The scale lever that keeps a high-order
                          * model a broadcastable artifact. */
                        minCount: Long = 1L,
-                       /** false = unhinted model joins (planner/AQE-
-                         * sized) for a beyond-broadcast model; batch face
-                         * only — streaming always broadcasts. */
-                       broadcastModel: Boolean = true): graft.api.MStream = {
+                       /** None (default) = AUTO: per pinned table from
+                         * its measured size vs the broadcast threshold;
+                         * Some(false) = unhinted model joins (planner/
+                         * AQE-sized) for a beyond-broadcast model, batch
+                         * face only — streaming requires every table to
+                         * broadcast. */
+                       broadcastModel: Option[Boolean] = None): graft.api.MStream = {
+    require(discount > 0 && discount < 1,
+      s"discount must be in (0, 1), got $discount")
+    knAgainstScore(stream, refDocs, idCol, textCol, refTextCol, order,
+      minCount, broadcastModel, "knLmScoreAgainst",
+      (_, _) => knLp(order, discount))
+  }
+
+  /** Modified-KN scoring AGAINST a pretrained reference corpus — the
+    * KenLM-parity sibling of [[knLmScoreAgainst]] ([[mknLmScore]]'s
+    * dual-mode ingest face): count-bucketed discounts derive per level
+    * from the REFERENCE model's count-of-counts with `--discount_fallback`
+    * semantics ([[mknDerive]]); documents back off through the same left
+    * joins. Streaming is stream-static broadcast joins + the stateless
+    * per-batch combine — zero state rows. */
+  def mknLmScoreAgainst(stream: graft.api.MStream,
+                        refDocs: org.apache.spark.sql.DataFrame,
+                        idCol: String, textCol: String, refTextCol: String,
+                        order: Int,
+                        discounts: Map[Int, (Double, Double, Double)] = Map.empty,
+                        fallback: (Double, Double, Double) = MknFallback,
+                        minCount: Long = 1L,
+                        broadcastModel: Option[Boolean] = None): graft.api.MStream = {
+    checkMknParams(order, discounts, fallback)
+    knAgainstScore(stream, refDocs, idCol, textCol, refTextCol, order,
+      minCount, broadcastModel, "mknLmScoreAgainst", (rawN, cont) => mknLp(order,
+        if (discounts.nonEmpty) discounts
+        else mknDiscountsFor(order, rawN, cont, fallback)))
+  }
+
+  /** The shared against-face engine of the KN family: train the model
+    * tables on `refDocs`, fold the one-row stats to literals, score the
+    * batch frame or arriving stream through left joins with full
+    * back-off. `lpOf(rawN, cont)` supplies the per-position column after
+    * the model pins (so discount derivation sees checkpointed tables). */
+  private def knAgainstScore(stream: graft.api.MStream,
+                             refDocs: org.apache.spark.sql.DataFrame,
+                             idCol: String, textCol: String, refTextCol: String,
+                             order: Int, minCount: Long,
+                             broadcastModel: Option[Boolean],
+                             label: String,
+                             lpOf: (org.apache.spark.sql.DataFrame,
+                                    Map[Int, org.apache.spark.sql.DataFrame]) => Column)
+      : graft.api.MStream = {
     import org.apache.spark.sql.{Encoder, Row}
     import org.apache.spark.sql.catalyst.encoders.RowEncoder
     import org.apache.spark.sql.types._
     require(order >= 2 && order <= 8,
-      s"knLmScoreAgainst order must be in [2, 8], got $order")
-    require(discount > 0 && discount < 1,
-      s"discount must be in (0, 1), got $discount")
+      s"$label order must be in [2, 8], got $order")
     require(!refDocs.isStreaming,
-      "knLmScoreAgainst: the reference corpus must be a batch frame " +
+      s"$label: the reference corpus must be a batch frame " +
         "(the model pins once; a streaming reference has no stable artifact)")
     require(minCount >= 1, s"minCount must be >= 1, got $minCount")
     val df = stream.df
-    require(!df.isStreaming || broadcastModel,
-      "knLmScoreAgainst: the streaming face cannot honor " +
-        "broadcastModel = false (a per-micro-batch model shuffle would " +
-        "dominate ingest) — prune with minCount until the model " +
-        "broadcasts, or score in bounded batches via foreachBatch")
     val (rawN, ctxN, cont, ctxc, stats) = knModel(refDocs, refTextCol, order, minCount)
+    // one decision per pinned table (raw top order + each continuation
+    // level); the derived context aggregates inherit their parent's
+    val bcRaw = decideBroadcast(broadcastModel, rawN)
+    val bcC = (1 until order).map(j => j -> decideBroadcast(broadcastModel, cont(j))).toMap
+    checkLevers(label, order, minCount, df.isStreaming,
+      bcRaw && (1 until order).forall(bcC))
+    val lp = lpOf(rawN, cont)
     val st = stats.head()
-    require(!st.isNullAt(0) && st.getDouble(0) > 0,
-      "knLmScoreAgainst: the reference corpus yields an empty model " +
+    require(!st.isNullAt(0) && st.getAs[Double]("__t1") > 0,
+      s"$label: the reference corpus yields an empty model " +
         "(needs at least one bigram)")
-    val (t1, n1p1, vv) = (st.getDouble(0), st.getLong(1), st.getLong(2))
     val id = col(idCol)
-    def withJoins(pos: org.apache.spark.sql.DataFrame,
-                  bc: Boolean): org.apache.spark.sql.DataFrame = {
-      def side(m: org.apache.spark.sql.DataFrame) = if (bc) broadcast(m) else m
-      var j0 = pos.join(side(rawN), gramCols(order, order), "left")
-        .join(side(ctxN), gramCols(order, order).dropRight(1), "left")
+    def withJoins(pos: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+      def side(m: org.apache.spark.sql.DataFrame, bc: Boolean) =
+        if (bc) broadcast(m) else m
+      var j0 = pos.join(side(rawN, bcRaw), gramCols(order, order), "left")
+        .join(side(ctxN, bcRaw), gramCols(order, order).dropRight(1), "left")
       for (j <- order - 1 to 2 by -1)
-        j0 = j0.join(side(cont(j)), gramCols(order, j), "left")
-          .join(side(ctxc(j)), gramCols(order, j).dropRight(1), "left")
-      j0.join(side(cont(1)), gramCols(order, 1), "left")
-        .withColumn("__t1", lit(t1)).withColumn("__n1p1", lit(n1p1))
-        .withColumn("__v", lit(vv))
+        j0 = j0.join(side(cont(j), bcC(j)), gramCols(order, j), "left")
+          .join(side(ctxc(j), bcC(j)), gramCols(order, j).dropRight(1), "left")
+      // the one-row stats fold to literals — every column, so both lp
+      // families (fixed __n1p1, bucketed __nb*1) resolve
+      Seq("__t1", "__n1p1", "__nb11", "__nb21", "__nb31", "__v")
+        .foldLeft(j0.join(side(cont(1), bcC(1)), gramCols(order, 1), "left")) {
+          (d, c) => d.withColumn(c, lit(st.getAs[Any](c)))
+        }
     }
 
     if (!df.isStreaming) {
       val pos = gramsOf(df, textCol, order, gramCols(order, order), Seq(id))
-      val scored = withJoins(pos, broadcastModel)
-        .withColumn("__lp", knLp(order, discount))
+      val scored = withJoins(pos)
+        .withColumn("__lp", lp)
         .groupBy(id)
         .agg(count(lit(1)).as("n_grams"), round(avg(col("__lp")), 3).as("avg_logprob"))
       val out = df.select(id).join(scored, Seq(idCol), "left")
@@ -1413,9 +1687,9 @@ object TextOps {
       .select(id.as("__id"),
         explode(when(size(col("__w")) >= order, pStructs).otherwise(sentinel)).as("__g"))
       .select(col("__id") +: (1 to order).map(i => col(s"__g.g$i").as(s"__p$i")): _*)
-    val u = withJoins(u0, bc = true)
+    val u = withJoins(u0)
       .select(col("__id"), col("__p1"),
-        when(col("__p1").isNotNull, knLp(order, discount)).as("__lp"))
+        when(col("__p1").isNotNull, lp).as("__lp"))
     val idType = df.schema(idCol).dataType
     val aggT = StructType(Seq(
       StructField("__id", idType),
@@ -1545,7 +1819,7 @@ object TextOps {
                                  * passed through — this is the large-
                                  * reference face that needs them most. */
                                minCount: Long = 1L,
-                               broadcastModel: Boolean = true): org.apache.spark.sql.DataFrame = {
+                               broadcastModel: Option[Boolean] = None): org.apache.spark.sql.DataFrame = {
     require(buckets >= 2, s"perplexityBucketsAgainst needs >= 2 buckets, got $buckets")
     require(!docs.isStreaming,
       "perplexityBucketsAgainst is batch-only (the tile assignment is a " +
@@ -1555,6 +1829,81 @@ object TextOps {
         idCol, textCol, refTextCol, order, discount, minCount, broadcastModel).df
       .join(docs.select(col(idCol), col(langCol)), Seq(idCol))
     bucketByScore(scored, idCol, langCol, buckets, "n_grams")
+  }
+
+  /** FROZEN per-language bucket thresholds from a reference crawl — the
+    * artifact that makes CCNet bucketing STREAMABLE (production CCNet
+    * does exactly this: derive per-language perplexity cut points from a
+    * reference run once, then apply them statelessly to every later
+    * crawl): `docs` scores and tiles under [[perplexityBucketsAgainst]]
+    * (KN model trained on `refDocs`), and each tile boundary freezes as
+    * cut_b = the MINIMUM avg_logprob assigned to bucket b, for
+    * b = 1..buckets−1. Output (langCol, bucket, cut) — a languages ×
+    * (buckets−1) artifact, shippable as a program-document input.
+    * Applying the cuts back to the reference population reproduces its
+    * tiling except where one score value straddles a tile boundary (ties
+    * all land in the best bucket the value reached); a language with
+    * fewer scored documents than buckets freezes only the cuts its
+    * occupied tiles define. Batch-only (the derivation IS the
+    * corpus-wide ranking); [[bucketByThresholds]] is the stateless
+    * dual-mode apply. */
+  def perplexityBucketThresholds(docs: org.apache.spark.sql.DataFrame,
+                                 refDocs: org.apache.spark.sql.DataFrame,
+                                 idCol: String, textCol: String, langCol: String,
+                                 refTextCol: String, buckets: Int = 3,
+                                 order: Int = 3, discount: Double = 0.75,
+                                 minCount: Long = 1L,
+                                 broadcastModel: Option[Boolean] = None)
+      : org.apache.spark.sql.DataFrame =
+    perplexityBucketsAgainst(docs, refDocs, idCol, textCol, langCol,
+        refTextCol, buckets, order, discount, minCount, broadcastModel)
+      .where(col("bucket").isNotNull && col("bucket") < buckets)
+      .groupBy(col(langCol), col("bucket"))
+      .agg(min(col("avg_logprob")).as("cut"))
+
+  /** STATELESS bucket assignment from a frozen thresholds artifact
+    * ([[perplexityBucketThresholds]]'s output, or any (langCol, bucket,
+    * cut) frame): a row's bucket is 1 + the number of cuts its score
+    * falls strictly below — bucket 1 ("head") for scores at or above
+    * cut_1, the last bucket for everything under the final cut. NULL
+    * scores, and languages absent from the artifact, take a NULL bucket
+    * (CCNet has no model for an unseen language). A null LANGUAGE is its
+    * own group on both sides (null-safe join), mirroring the tiling
+    * faces. Dual-mode: batch or streaming from one call — the artifact
+    * folds to a languages × (buckets−1) cuts table broadcast onto the
+    * scored rows (pinned once on the streaming face so micro-batches
+    * re-read the folded artifact, not its derivation), then one
+    * projection; zero state rows. Adds `bucket` (int) to the input
+    * columns. */
+  def bucketByThresholds(stream: graft.api.MStream,
+                         thresholds: org.apache.spark.sql.DataFrame,
+                         langCol: String, scoreCol: String): graft.api.MStream = {
+    require(!thresholds.isStreaming,
+      "bucketByThresholds: the thresholds artifact must be a batch frame")
+    Seq(langCol, "bucket", "cut").foreach(c =>
+      require(thresholds.columns.contains(c),
+        s"thresholds artifact needs column '$c' (have: " +
+          s"${thresholds.columns.mkString(", ")})"))
+    val df = stream.df
+    require(!df.columns.contains("bucket"),
+      "bucketByThresholds input already carries a 'bucket' column")
+    val thrPlan = thresholds.groupBy(col(langCol).as("__thr_lang"))
+      .agg(transform(array_sort(collect_list(struct(col("bucket"), col("cut")))),
+        x => x.getField("cut")).as("__cuts"))
+    val thr =
+      if (!df.isStreaming) thrPlan
+      else {
+        val (cp, ids) = graft.api.Pinned.checkpointTracked(thrPlan)
+        graft.api.Pinned.register(df.sparkSession, ids)
+        cp
+      }
+    val score = col(scoreCol)
+    val out = df.join(broadcast(thr), col(langCol) <=> col("__thr_lang"), "left")
+      .withColumn("bucket",
+        when(score.isNotNull && col("__cuts").isNotNull,
+          (lit(1) + size(filter(col("__cuts"), c => score < c))).cast("int")))
+      .drop("__thr_lang", "__cuts")
+    stream.lift(out)
   }
 
   /** Multinomial Naive Bayes classification against a LABELED reference

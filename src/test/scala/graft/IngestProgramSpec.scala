@@ -410,11 +410,11 @@ class IngestProgramSpec extends SparkSpec {
     val doc = Doc(
       nodes = Seq(External("a"), External("r"), External("q"),
         Lm3Against("la", "a", "r", "id", "text", "rtext", 0.5, 0.6, 0.3, 0.1,
-          minCount = 2L, broadcastModel = false),
+          minCount = 2L, broadcastModel = Some(false)),
         LmNScore("ln", "a", "id", "text", 4, 0.5, Seq(0.4, 0.3, 0.2, 0.1)),
         LmNScore("lnd", "a", "id", "text", 5, 0.5, Nil),
         LmNAgainst("na", "a", "r", "id", "text", "rtext", 2, 1.0, Seq(0.7, 0.3),
-          minCount = 3L, broadcastModel = false),
+          minCount = 3L, broadcastModel = Some(false)),
         Bm25Retrieve("br", "a", "q", "id", "text", "qid", "qtext", 5, 1.2, 0.75,
           broadcastQueries = false),
         WinnowPairs("wp", "a", "id", "text", 3, 4, 2, 64)),

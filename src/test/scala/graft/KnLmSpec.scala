@@ -154,7 +154,7 @@ class KnLmSpec extends SparkSpec {
       nodes = Seq(External("in"), External("r"),
         KnScore("s", "in", "doc_id", "text", 3, 0.75),
         KnAgainst("a", "in", "r", "doc_id", "text", "text", 3, 0.4,
-          minCount = 2L, broadcastModel = false)),
+          minCount = 2L, broadcastModel = Some(false))),
       outputs = Seq("s", "a"))
     val json = Program.toJson(d)
     assert(json.contains("\"version\":8"), "KN nodes stamp format version 8")
@@ -199,7 +199,7 @@ class KnLmSpec extends SparkSpec {
       assert(pruned != unpruned, "pruning must actually change rare-gram scores")
       val shuffled = rowsOf(TextOps.knLmScoreAgainst(
         MStream(docs.toDF("doc_id", "text")), ref, "doc_id", "text", "text",
-        order = 3, minCount = 2L, broadcastModel = false).df)
+        order = 3, minCount = 2L, broadcastModel = Some(false)).df)
       assert(shuffled == pruned, "the beyond-broadcast face is score-identical")
     } finally graft.api.Pinned.release(spark)
   }
@@ -210,7 +210,7 @@ class KnLmSpec extends SparkSpec {
     val in = MemoryStream[(Long, String)]
     val e = intercept[IllegalArgumentException](TextOps.knLmScoreAgainst(
       MStream(in.toDF().toDF("doc_id", "text")), corpus.toDF("doc_id", "text"),
-      "doc_id", "text", "text", order = 3, broadcastModel = false))
+      "doc_id", "text", "text", order = 3, broadcastModel = Some(false)))
     assert(e.getMessage.contains("streaming face") &&
       e.getMessage.contains("minCount"), e.getMessage)
     graft.api.Pinned.release(spark)

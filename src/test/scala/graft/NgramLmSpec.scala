@@ -171,7 +171,7 @@ class NgramLmSpec extends SparkSpec {
       val shuffled = rowsOf(TextOps.ngramLmScoreAgainst(
         MStream(docs.toDF("doc_id", "text")), ref, "doc_id", "text", "text",
         order = 3, alpha = 0.5, lambdas = Seq(0.6, 0.3, 0.1),
-        minCount = 2L, broadcastModel = false).df)
+        minCount = 2L, broadcastModel = Some(false)).df)
       assert(shuffled == pruned, "the beyond-broadcast face is score-identical")
     } finally graft.api.Pinned.release(spark)
   }

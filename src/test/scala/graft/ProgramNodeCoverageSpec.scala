@@ -163,6 +163,7 @@ class ProgramNodeCoverageSpec extends AnyFunSuite {
       "hyperplaneNearDup" -> excluded(diag),
       "embeddingNearDupExact" -> excluded(diag),
       "repeatedSpans" -> excluded(block),
+      "maximalRepeats" -> node("exactSubstr"),
       "semanticPairs" -> excluded(block),
       "saltedSelfJoin" -> excluded(block),
       "saltedCrossJoin" -> excluded(block),
@@ -240,8 +241,14 @@ class ProgramNodeCoverageSpec extends AnyFunSuite {
       "sentencesOf" -> excluded("single-projection op (sentence array); " +
         "program face is the chunkSentences node or mapCols"),
       "knLmScoreAgainst" -> node("knAgainst"),
+      "mknLmScore" -> node("mknScore"),
+      "mknLmScoreAgainst" -> node("mknAgainst"),
+      "perplexityBucketThresholds" -> node("pplThresholds"),
+      "bucketByThresholds" -> node("bucketApply"),
       "lambdasFor" -> excluded(block),
       "awaitPinned" -> excluded(block),
+      "mknDerive" -> excluded(block),
+      "MknFallback" -> excluded(const),
       "closedFormNtile" -> excluded(block),
       "ngramOutputSchema" -> excluded(artifact),
       "bm25RetrieveOutputSchema" -> excluded(artifact),
