@@ -77,11 +77,17 @@ object StressBench {
   }
 
   def main(args: Array[String]): Unit = {
-    val src = if (args.length > 0) args(0) else "/root/testdata/sf0.1"
-    val out = if (args.length > 1) args(1) else "/tmp/graft_sf1"
-    val factor = if (args.length > 2) args(2).toInt else 10
+    // `runMain graft.StressBench all` = the GATED sweep: every probe runs
+    // with its drift assertion evaluated at the end, non-zero exit on any
+    // violation (the round-close protocol's one-command form); remaining
+    // args after `all` parse as usual
+    val gate = args.headOption.contains("all")
+    val a = if (gate) args.drop(1) else args
+    val src = if (a.length > 0) a(0) else "/root/testdata/sf0.1"
+    val out = if (a.length > 1) a(1) else "/tmp/graft_sf1"
+    val factor = if (a.length > 2) a(2).toInt else 10
     val queries =
-      if (args.length > 3) args.drop(3).toSeq
+      if (a.length > 3) a.drop(3).toSeq
       else Seq("q_minhash_dedup", "q_banded_dedup", "q_dedup_clusters", "q_dedup_corpus",
         // one representative per round-9 family: fingerprint pairs, BPE
         // training, NB classification, compressed ANN, plus the
@@ -144,7 +150,13 @@ object StressBench {
         // query) — the shuffled postings join streams the hot term's
         // probe rows; near-parity vs rare-term queries at 1x and 10x is
         // the no-single-task-blowup evidence
-        "bm25skew")
+        "bm25skew",
+        // round-15: the VIRAL-PASSAGE probe for maximal exact-substring
+        // mining — one literal passage fills 40% of the corpus, so every
+        // anchor gram's neighbor-LCP group holds that whole population;
+        // the global range sort bounds every task where a per-gram
+        // window would serialize it. Timed at 1x and 10x
+        "substrskew")
     val spark = SparkSession.builder().master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
       .config("spark.sql.session.timeZone", "UTC")
@@ -190,6 +202,11 @@ object StressBench {
       spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
       System.gc()
     }
+    // best-rep wall times per (probe/label/mode) — the gated sweep's
+    // drift rules read these; exactness violations still throw inline
+    val timings = scala.collection.mutable.Map.empty[String, Double]
+    def obs(key: String, secs: Double): Unit =
+      timings(key) = math.min(timings.getOrElse(key, Double.MaxValue), secs)
     for (q <- queries) {
       if (q == "ivf4096") {
         // SemDeDup-realistic cell count: k=4096 > LiteralCells exercises
@@ -266,6 +283,7 @@ object StressBench {
               if (uncappedPairs < 0) uncappedPairs = np
               else require(np == uncappedPairs,
                 s"triangle cover changed the pair set size: $np vs $uncappedPairs")
+              obs(s"semskew/$mode", secs)
               println(f"STRESS semskew/$mode pairs rep$rep $secs%.2f s " +
                 s"($np verified pairs over $nSkew vectors)")
             }
@@ -318,6 +336,7 @@ object StressBench {
               if (uncappedCands < 0) uncappedCands = nc
               else require(nc == uncappedCands,
                 s"triangle cover changed the candidate count: $nc vs $uncappedCands")
+              obs(s"bandskew/$mode", secs)
               println(f"STRESS bandskew/$mode rep$rep $secs%.2f s " +
                 s"($nc candidates over $nDocs docs)")
             }
@@ -352,6 +371,7 @@ object StressBench {
               if (uncappedPairs < 0) uncappedPairs = np
               else require(np == uncappedPairs,
                 s"bipartite cover changed the pair count: $np vs $uncappedPairs")
+              obs(s"crossskew/$mode", secs)
               println(f"STRESS crossskew/$mode rep$rep $secs%.2f s " +
                 s"($np pairs over $nDocs docs)")
             }
@@ -393,6 +413,7 @@ object StressBench {
               if (baseline == null) baseline = got
               else require(got == baseline,
                 "salted index changed the top-k results")
+              obs(s"idxskew/$mode", secs)
               println(f"STRESS idxskew/$mode rep$rep $secs%.2f s " +
                 s"(${got.size} ranked hits over $nSkew vectors)")
             }
@@ -432,6 +453,7 @@ object StressBench {
                 if (expect < 0) expect = ns
                 else require(ns == expect,
                   s"spanskew/$label span count drifted across reps: $ns vs $expect")
+                obs(s"spanskew/$label", secs)
                 println(f"STRESS spanskew/$label rep$rep $secs%.2f s " +
                   s"($ns spans over $nDocs docs)")
                 graft.api.Pinned.release(spark)
@@ -560,6 +582,9 @@ object StressBench {
                 if (expect == ((-1L, -1L, -1L))) expect = (nt, nk, nc)
                 else require((nt, nk, nc) == expect,
                   s"langskew/$label/$mode row counts drifted: ($nt, $nk, $nc) vs $expect")
+                obs(s"langskew/$label/$mode/ppl", pplSecs)
+                obs(s"langskew/$label/$mode/cap", capSecs)
+                obs(s"langskew/$label/$mode/cpk", cpkSecs)
                 println(f"STRESS langskew/$label/$mode rep$rep ppl $pplSecs%.2f s " +
                   f"($nt rows), capTokens $capSecs%.2f s ($nk rows), " +
                   f"capPerKey $cpkSecs%.2f s over $nDocs docs")
@@ -604,6 +629,7 @@ object StressBench {
                 if (expect == ((-1L, -1L))) expect = (n, nChunks)
                 else require((n, nChunks) == expect,
                   s"packskew/$label/$mode counts drifted: ($n, $nChunks) vs $expect")
+                obs(s"packskew/$label/$mode", secs)
                 println(f"STRESS packskew/$label/$mode rep$rep $secs%.2f s " +
                   f"($n rows, $nChunks chunks) over $nDocs docs")
               }
@@ -653,11 +679,58 @@ object StressBench {
                 if (expect < 0) expect = n
                 else require(n == expect,
                   s"bm25skew/$label/$mode result count drifted: $n vs $expect")
+                obs(s"bm25skew/$label/$mode", secs)
                 println(f"STRESS bm25skew/$label/$mode rep$rep $secs%.2f s " +
                   f"($n hit rows, 64 queries) over $nDocs docs")
               }
             }
           } finally docs.unpersist()
+        }
+      } else if (q == "substrskew") {
+        // round-15: the viral-passage probe for maximalRepeats. 40% of
+        // the corpus is ONE literal 18-token passage, so every 5-gram
+        // anchor inside it occurs in 40% of documents — at 10x that is a
+        // ~200k-occurrence neighbor-LCP group per anchor, the population
+        // a per-gram window would sort in ONE task; the global range
+        // sort + rank self-joins bound every task by the range width.
+        // Span counts must be rep-stable; the planted passage must be
+        // recovered at its full extent in every carrier. Broadcast
+        // disabled as in spanskew (the corpus-scale regime).
+        withConfSnapshot(spark, "spark.sql.autoBroadcastJoinThreshold") {
+          spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+          for ((label, path) <- Seq("1x" -> s"$src/documents.parquet",
+                                    "10x" -> docsPath)) {
+            val docs = boilerplateDocsAt(spark, path)
+            val nDocs = docs.count()
+            try {
+              var expect = -1L
+              for (rep <- 1 to 2) {
+                isolate()
+                val t0 = System.nanoTime()
+                val spans = graft.pipeline.Dedup.maximalRepeats(
+                  docs, "doc_id", "text", minLen = 5, maxExtend = 20, minDocs = 3)
+                spans.write.format("noop").mode("overwrite").save()
+                val secs = (System.nanoTime() - t0) / 1e9
+                val ns = spans.count()
+                // the planted 17-token passage is a full-document repeat:
+                // every carrier must report a span of the full length
+                // starting at 0 (anything shorter is pruned as contained)
+                val carriers = docs.where(pmod(col("doc_id"), lit(5L)) < 2L).count()
+                val full = spans.where(col("span_start") === 0L &&
+                  col("span_len") === 17L).count()
+                require(full >= carriers,
+                  s"substrskew/$label: planted passage recovered in $full of " +
+                    s"$carriers carriers")
+                if (expect < 0) expect = ns
+                else require(ns == expect,
+                  s"substrskew/$label span count drifted across reps: $ns vs $expect")
+                obs(s"substrskew/$label", secs)
+                println(f"STRESS substrskew/$label rep$rep $secs%.2f s " +
+                  s"($ns spans, $full full-passage spans over $nDocs docs)")
+                graft.api.Pinned.release(spark)
+              }
+            } finally docs.unpersist()
+          }
         }
       } else if (q == "semauto") {
         // semanticDedupAuto sizes the codebook with Ivf.cellsFor — the
@@ -763,6 +836,43 @@ object StressBench {
       }
       }
     }
-    spark.stop()
+    // ---- drift rules over the best-rep timings (same-run pairs, so host
+    // load cancels; multipliers are deliberately generous — the rules
+    // catch order-of-magnitude single-task blowups, not bench noise).
+    // joinskew has NO timing rule by design: a hot key's timeline is
+    // inherently sequential per the reference's keyed co-process
+    // semantics (its probe pins row-count stability only). Denominators
+    // floor at 0.5 s so sub-second noise cannot trip a rule.
+    val driftRules: Seq[(String, String, Double)] =
+      Seq(("semskew/capped", "semskew/uncapped", 2.0),
+        ("bandskew/capped", "bandskew/uncapped", 3.0),
+        ("crossskew/capped", "crossskew/uncapped", 3.0),
+        ("idxskew/capped", "idxskew/uncapped", 3.0),
+        ("spanskew/10x", "spanskew/1x", 40.0),
+        ("substrskew/10x", "substrskew/1x", 40.0)) ++
+      (for (l <- Seq("1x", "10x"); op <- Seq("ppl", "cap", "cpk"))
+        yield (s"langskew/$l/hot60/$op", s"langskew/$l/natural/$op", 4.0)) ++
+      Seq("1x", "10x").map(l => (s"packskew/$l/hot60", s"packskew/$l/natural", 4.0)) ++
+      Seq("1x", "10x").map(l => (s"bm25skew/$l/hotterm", s"bm25skew/$l/natural", 5.0))
+    val violations = driftRules.flatMap { case (num, den, maxRatio) =>
+      (timings.get(num), timings.get(den)) match {
+        case (Some(n), Some(d)) =>
+          val ratio = n / math.max(d, 0.5)
+          val verdict = if (ratio <= maxRatio) "ok" else "DRIFT"
+          println(f"STRESS rule $num / $den = $ratio%.2f (max $maxRatio) $verdict")
+          if (ratio <= maxRatio) None
+          else Some(f"$num ${n}%.2f s vs $den ${d}%.2f s: ratio $ratio%.2f > $maxRatio")
+        case _ => None
+      }
+    }
+    if (violations.nonEmpty) {
+      violations.foreach(v => println(s"STRESS VIOLATION: $v"))
+      println(s"STRESS sweep: ${violations.size} drift violation(s)")
+      spark.stop()
+      if (gate) sys.exit(1)
+    } else {
+      println("STRESS sweep: all drift rules green")
+      spark.stop()
+    }
   }
 }

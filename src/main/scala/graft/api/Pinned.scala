@@ -130,9 +130,34 @@ object Pinned {
     }.toSet
 
   /** `localCheckpoint()` plus exact id capture: the standard tracker for
-    * iterative operators (supersede-and-release discipline). */
-  private[graft] def checkpointTracked(df: DataFrame): (DataFrame, Set[Int]) = {
-    val cp = df.localCheckpoint()
-    (cp, idsOf(cp))
-  }
+    * iterative operators (supersede-and-release discipline).
+    *
+    * CENSUS ELISION (round 15): a frame whose plan is a BARE, still-
+    * persisted LogicalRDD already IS the materialized fact a checkpoint
+    * would create — reuse it instead of copying the blocks (a pipeline
+    * chaining two covered/pinning stages over one pinned frame pays one
+    * checkpoint, not two). Safe because the reuse conditions are exact:
+    * the plan must be the LogicalRDD itself (any projection/filter on
+    * top re-checkpoints — detecting "semantically equal to the pinned
+    * frame" through a derived plan is not decidable safely, so derived
+    * plans always materialize), and its RDD must still be persisted
+    * (an unpersisted LogicalRDD — e.g. createDataFrame over a raw RDD —
+    * would recompute arbitrary lineage per consumer). Re-registration of
+    * the returned id is a Set no-op; a later double-unpersist is
+    * harmless. CAVEAT: elision can make two Pinned scopes share one id
+    * (operator B reusing a frame scope A pinned) — releasing A then
+    * frees B's blocks too, so the existing contract ("release only after
+    * the consuming actions complete") is load-bearing across scopes, not
+    * just within one. The supersede-and-release operators are unaffected:
+    * they only ever unpersist their own derived-round checkpoints, which
+    * are never bare reuses (audited round 15). */
+  private[graft] def checkpointTracked(df: DataFrame): (DataFrame, Set[Int]) =
+    df.queryExecution.analyzed match {
+      case lr: org.apache.spark.sql.execution.LogicalRDD
+          if lr.rdd.getStorageLevel != org.apache.spark.storage.StorageLevel.NONE =>
+        (df, Set(lr.rdd.id))
+      case _ =>
+        val cp = df.localCheckpoint()
+        (cp, idsOf(cp))
+    }
 }

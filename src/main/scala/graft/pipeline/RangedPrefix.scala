@@ -40,7 +40,7 @@ import org.apache.spark.sql.functions._
  * window would treat it) — and adds its local within-(range, group)
  * window, bounded by the range width.
  */
-private[pipeline] object RangedPrefix {
+private[graft] object RangedPrefix {
 
   /** Returns (checkpointed frame + "__p", offsets: __p, groupCols...,
     * "__off" = earlier-ranges total, "__grptot" = group total). Input
@@ -80,6 +80,39 @@ private[pipeline] object RangedPrefix {
       .select((col("__p") +: groupCols.map(col)) ++
         Seq(col("__off"), col("__grptot")): _*)
     (parted, offs)
+  }
+
+  /** THE shared running-sum lowering of the greedy packing/budget family
+    * (packChunks' chunk assignment, capTokensPerKey's budget walk,
+    * capPerKey's rank — one kernel so the next packing operator cannot
+    * reintroduce an unbounded per-group frame): the exact per-group
+    * running sum of `valueExpr` along `orderCols` (which must make
+    * (groupCols ++ orderCols) unique per row), EXCLUDING the current row
+    * unless `inclusive`. Appends it as column `as` to the offsets-joined
+    * frame — machinery columns (__p, __off, __grptot) ride along for
+    * callers that need the group total; select them away when done.
+    * Every task is bounded by the range width regardless of group skew.
+    * For a naturally BOUNDED group (one document's sentences), skip the
+    * machinery and use [[windowedSum]]. */
+  def runningSum(df: DataFrame, groupCols: Seq[String], orderCols: Seq[Column],
+                 valueExpr: Column, inclusive: Boolean, as: String): DataFrame = {
+    val (parted, offs) = apply(df, groupCols, orderCols, valueExpr)
+    joinOffsets(parted, offs, groupCols)
+      .withColumn(as, col("__off") + windowedSum(
+        col("__p") +: groupCols.map(col), orderCols, valueExpr, inclusive))
+  }
+
+  /** The plain-window face of [[runningSum]] for groups bounded by a
+    * NATURAL unit (a single document's sentences/positions — never a
+    * corpus-scale key): per-group running sum of `valueExpr` along
+    * `orderCols`, excluding the current row unless `inclusive`, null-free
+    * (empty exclusive frames coalesce to 0). */
+  def windowedSum(groupCols: Seq[Column], orderCols: Seq[Column],
+                  valueExpr: Column, inclusive: Boolean): Column = {
+    val w0 = Window.partitionBy(groupCols: _*).orderBy(orderCols: _*)
+    val w = if (inclusive) w0.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+            else w0.rowsBetween(Window.unboundedPreceding, -1)
+    coalesce(sum(valueExpr).over(w), lit(0L))
   }
 
   /** Null-safe equi-join of `parted` to its offsets frame on

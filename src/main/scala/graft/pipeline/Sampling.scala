@@ -255,12 +255,10 @@ object Sampling {
     val (stW, gtW, rkW) =
       (freshName(df, "st"), freshName(df, "gt"), freshName(df, "rk"))
     val base = df.withColumn(stW, strataCol).withColumn(gtW, gate(keyCol, salt))
-    val (parted, offs) = RangedPrefix(base,
-      groupCols = Seq(stW), orderCols = Seq(col(gtW), keyCol),
-      valueExpr = lit(1L))
-    RangedPrefix.joinOffsets(parted, offs, Seq(stW))
-      .withColumn(rkW, col("__off") + row_number().over(
-        Window.partitionBy(col("__p"), col(stW)).orderBy(col(gtW), keyCol)))
+    // rank = inclusive running count of 1s on the shared kernel
+    RangedPrefix.runningSum(base, groupCols = Seq(stW),
+        orderCols = Seq(col(gtW), keyCol), valueExpr = lit(1L),
+        inclusive = true, as = rkW)
       .filter(col(rkW) <= n)
       .select(df.columns.map(col).toIndexedSeq: _*)
   }
@@ -304,13 +302,11 @@ object Sampling {
     val (stW, gtW, rtW) =
       (freshName(df, "st"), freshName(df, "gt"), freshName(df, "rt"))
     val base = df.withColumn(stW, strataCol).withColumn(gtW, gate(keyCol, salt))
-    val (parted, offs) = RangedPrefix(base,
-      groupCols = Seq(stW), orderCols = Seq(col(gtW), keyCol),
-      valueExpr = checked)
-    RangedPrefix.joinOffsets(parted, offs, Seq(stW))
-      .withColumn(rtW, col("__off") + sum(checked).over(
-        Window.partitionBy(col("__p"), col(stW)).orderBy(col(gtW), keyCol)
-          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    // inclusive running token total on the shared kernel; the budget
+    // filter keeps the maximal monotone prefix
+    RangedPrefix.runningSum(base, groupCols = Seq(stW),
+        orderCols = Seq(col(gtW), keyCol), valueExpr = checked,
+        inclusive = true, as = rtW)
       .filter(col(rtW) <= budget)
       .select(df.columns.map(col).toIndexedSeq: _*)
   }

@@ -494,20 +494,14 @@ object TextOps {
                  partCol: String, budget: Long): org.apache.spark.sql.DataFrame = {
     require(budget > 0, s"budget=$budget: chunk budget must be positive " +
       "(zero would divide the running token sum by zero)")
-    import org.apache.spark.sql.expressions.Window
     val toks = tokenCountWhitespace(col(textCol)).cast("long")
     val base = docs.select(col(idCol), col(partCol), toks.as("n_tokens"))
-    val (parted, offs) = RangedPrefix(base,
-      groupCols = Seq(partCol), orderCols = Seq(col(idCol)),
-      valueExpr = col("n_tokens"))
-    // chunk boundary = floor(prefix EXCLUDING the current doc / budget):
-    // group offset + a local window bounded by the range width
-    val w = Window.partitionBy(col("__p"), col(partCol)).orderBy(col(idCol))
-      .rowsBetween(Window.unboundedPreceding, -1)
-    RangedPrefix.joinOffsets(parted, offs, Seq(partCol))
-      .withColumn("chunk_id",
-        floor((col("__off") + coalesce(sum(col("n_tokens")).over(w), lit(0L))) / budget)
-          .cast("long"))
+    // chunk boundary = floor(prefix EXCLUDING the current doc / budget),
+    // on the shared running-sum kernel
+    RangedPrefix.runningSum(base, groupCols = Seq(partCol),
+        orderCols = Seq(col(idCol)), valueExpr = col("n_tokens"),
+        inclusive = false, as = "__pfx")
+      .withColumn("chunk_id", floor(col("__pfx") / budget).cast("long"))
       .select(col(idCol), col(partCol), col("n_tokens"), col("chunk_id"))
   }
 
@@ -661,14 +655,14 @@ object TextOps {
                      textCol: String, maxTokens: Long,
                      sep: String = " "): org.apache.spark.sql.DataFrame = {
     require(maxTokens > 0, s"maxTokens must be positive, got $maxTokens")
-    import org.apache.spark.sql.expressions.Window
     val e = docs
       .select(col(idCol), posexplode(sentencesOf(col(textCol))).as(Seq("__pos", "__sent")))
       .withColumn("__t", tokenCountWhitespace(col("__sent")).cast("long"))
-    val w = Window.partitionBy(col(idCol)).orderBy(col("__pos"))
-      .rowsBetween(Window.unboundedPreceding, -1)
+    // the shared kernel's plain-window face: the group is one DOCUMENT's
+    // sentences — the natural bounded unit
     e.withColumn("chunk_id",
-        floor(coalesce(sum(col("__t")).over(w), lit(0L)) / maxTokens).cast("long"))
+        floor(RangedPrefix.windowedSum(Seq(col(idCol)), Seq(col("__pos")),
+          col("__t"), inclusive = false) / maxTokens).cast("long"))
       .groupBy(col(idCol), col("chunk_id"))
       .agg(
         array_join(transform(

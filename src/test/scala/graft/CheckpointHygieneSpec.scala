@@ -21,6 +21,30 @@ class CheckpointHygieneSpec extends SparkSpec {
     diff
   }
 
+  test("checkpointTracked elides the copy for a bare, still-persisted LogicalRDD") {
+    val df = spark.range(100).toDF("id")
+    val (cp1, ids1) = graft.api.Pinned.checkpointTracked(df)
+    // a bare pinned frame re-tracks WITHOUT a second checkpoint: same
+    // frame, same RDD ids (the chained-covered-ops elision)
+    val (cp2, ids2) = graft.api.Pinned.checkpointTracked(cp1)
+    assert(cp2 eq cp1, "bare persisted LogicalRDD is reused, not re-copied")
+    assert(ids2 == ids1, "elision returns the original pinned ids")
+    // any DERIVED plan over the pinned frame still materializes its own
+    // checkpoint (semantic equality through a projection is not decidable)
+    val (cp3, ids3) = graft.api.Pinned.checkpointTracked(cp1.filter(col("id") >= 0))
+    assert(!(cp3 eq cp1) && ids3.nonEmpty && ids3.intersect(ids1).isEmpty,
+      "derived plans re-checkpoint")
+    // an UNPERSISTED LogicalRDD (raw RDD frame) is not elidable: its
+    // lineage is arbitrary and nothing pins its blocks
+    val raw = spark.createDataFrame(
+      spark.sparkContext.parallelize(Seq(org.apache.spark.sql.Row(1L))),
+      new org.apache.spark.sql.types.StructType()
+        .add("id", org.apache.spark.sql.types.LongType))
+    val (cp4, ids4) = graft.api.Pinned.checkpointTracked(raw)
+    assert(!(cp4 eq raw) && ids4.nonEmpty, "unpersisted LogicalRDD still checkpoints")
+    graft.api.Pinned.unpersist(spark.sparkContext, ids1 ++ ids3 ++ ids4)
+  }
+
   test("common-case residual left-inner join pins nothing after build") {
     val before = pinnedNow()
     val lefts = new MStream(

@@ -41,6 +41,38 @@ class RangedPrefixSpec extends SparkSpec {
     assert(run(32) == ref, "width 32 must equal the width-1 window face")
   }
 
+  test("runningSum kernel: both faces equal the definitional per-group fold") {
+    // the ONE packing kernel (round 15): packChunks / capTokensPerKey /
+    // capPerKey all lower through runningSum, chunkSentences through
+    // windowedSum — pin the kernel itself against a plain Scala fold,
+    // inclusive and exclusive, with a null group and a hot group
+    val rows = (0 until 120).map(i => (i.toLong, Option("en"), (i % 7).toLong)) ++
+      (0 until 9).map(i => (500L + i, Option("de"), 2L)) ++
+      (0 until 5).map(i => (900L + i, Option.empty[String], 1L))
+    val df = rows.toDF("id", "g", "v")
+    def fold(inclusive: Boolean): Map[Long, Long] =
+      rows.groupBy(_._2).flatMap { case (_, rs) =>
+        val sorted = rs.sortBy(_._1)
+        val csum = sorted.map(_._3).scanLeft(0L)(_ + _)
+        sorted.zipWithIndex.map { case (r, i) =>
+          r._1 -> (if (inclusive) csum(i + 1) else csum(i))
+        }
+      }.toMap
+    for (inclusive <- Seq(true, false)) {
+      val viaRanged =
+        try graft.pipeline.RangedPrefix.runningSum(df, Seq("g"), Seq(col("id")),
+            col("v"), inclusive, "s")
+          .collect().map(r => r.getLong(0) -> r.getLong(r.fieldIndex("s"))).toMap
+        finally graft.api.Pinned.release(spark)
+      val viaWindow = df.withColumn("s", graft.pipeline.RangedPrefix.windowedSum(
+          Seq(col("g")), Seq(col("id")), col("v"), inclusive))
+        .collect().map(r => r.getLong(0) -> r.getLong(r.fieldIndex("s"))).toMap
+      val want = fold(inclusive)
+      assert(viaRanged == want, s"ranged face, inclusive=$inclusive")
+      assert(viaWindow == want, s"window face, inclusive=$inclusive")
+    }
+  }
+
   test("capPerKey: distributed rank == width-1 window face; null strata and string keys kept") {
     // the round's third RangedPrefix rider — and the one whose integral-id
     // scale face (exactKPerKey) can't cover null keys or string keys, so
