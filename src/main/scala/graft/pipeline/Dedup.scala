@@ -1679,12 +1679,17 @@ object Dedup {
       .select(col("__g"))
     val cand = withText.join(gstats.hint("shuffle_hash"), Seq("__g"))
     // ---- global sort + rank; neighbor LCP via rank self-joins ----
-    val (parted, offs) = RangedPrefix(cand, groupCols = Nil,
+    // the rank's total order is GLOBAL: RangedPrefix wants a group column,
+    // so a constant-valued one rides along (an attribute, not a literal —
+    // the optimizer would fold a literal out of the window partition spec
+    // and re-trigger the partition-less WindowExec warning)
+    val (parted, offs) = RangedPrefix(cand.withColumn("__gall", lit(0)),
+      groupCols = Seq("__gall"),
       orderCols = Seq(col("__g"), col("__ext"), id, col("__p0")),
       valueExpr = lit(1L))
-    val rankedPlan = RangedPrefix.joinOffsets(parted, offs, Nil)
+    val rankedPlan = RangedPrefix.joinOffsets(parted, offs, Seq("__gall"))
       .withColumn("__rn", col("__off") + row_number().over(
-        org.apache.spark.sql.expressions.Window.partitionBy(col("__p"))
+        org.apache.spark.sql.expressions.Window.partitionBy(col("__p"), col("__gall"))
           .orderBy(col("__g"), col("__ext"), id, col("__p0"))))
       .select(id, col("__p0"), col("__g"), col("__ext"), col("__rn"))
     // three consumers (self + both neighbor shifts) — pin once

@@ -69,6 +69,15 @@ private[graft] object RangedPrefix {
       .repartitionByRange(width, (groupCols.map(col) ++ orderCols): _*)
       .withColumn("__p", spark_partition_id()))
     graft.api.Pinned.register(df.sparkSession, cpIds)
+    // groupCols must be non-empty: a GLOBAL total order (maximalRepeats'
+    // rank) should pass a constant-valued group COLUMN — an empty
+    // partition spec here would be correct (the offsets frame is
+    // width-rows tiny) but Spark logs a WindowExec warning per job, and a
+    // literal in partitionBy gets folded away by the optimizer, bringing
+    // the warning back
+    require(groupCols.nonEmpty,
+      "RangedPrefix needs at least one group column — for a global total " +
+        "order add a constant-valued column and group by it")
     val byGroup = Window.partitionBy(groupCols.map(col): _*)
     val offs = parted
       .groupBy(col("__p") +: groupCols.map(col): _*)
