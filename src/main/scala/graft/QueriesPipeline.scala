@@ -2333,6 +2333,66 @@ object QueriesPipeline {
     TextOps.perplexityBucketThresholds(pop, ref, "doc_id", "text", "lang", "text")
   }
 
+  /** PER-LANGUAGE KN reference models — the literal CCNet architecture
+    * (one model per language, trained in ONE pass): ref = the src0-src3
+    * slice MINUS zh, so zh documents exercise the no-model verdict
+    * (position count kept, NULL score) while the other four languages
+    * score under their own slices' models. */
+  def qKn3ByLang(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir).df
+    val ref = docs.filter(col("source").isin("src0", "src1", "src2", "src3") &&
+      col("lang") =!= "zh")
+    TextOps.knLmScoreAgainstByLang(graft.api.MStream(docs), ref,
+      "doc_id", "text", "lang", "text", "lang", order = 3).df
+  }
+
+  val qKn3ByLangSql: String =
+    s"""WITH rwords AS (SELECT lang AS lg, list_filter(string_split_regex(text, '[ \\t\\n\\f\\r\\x0b]+'), x -> x <> '') AS w
+                FROM documents WHERE source IN ('src0', 'src1', 'src2', 'src3') AND lang <> 'zh'),
+        g2 AS (SELECT lg, unnest(w[1:len(w) - 1]) AS v, unnest(w[2:len(w)]) AS t FROM rwords WHERE len(w) >= 2),
+        c2 AS MATERIALIZED (SELECT lg, v, t, count(*) AS c2 FROM g2 GROUP BY lg, v, t),
+        g3r AS (SELECT lg, unnest(w[1:len(w) - 2]) AS u, unnest(w[2:len(w) - 1]) AS v, unnest(w[3:len(w)]) AS t FROM rwords WHERE len(w) >= 3),
+        c3 AS MATERIALIZED (SELECT lg, u, v, t, count(*) AS c3 FROM g3r GROUP BY lg, u, v, t),
+        ctx3 AS MATERIALIZED (SELECT lg, u, v, sum(c3) AS tot3, count(*) AS n1p3 FROM c3 GROUP BY lg, u, v),
+        cc2 AS MATERIALIZED (SELECT lg, v, t, count(*) AS cc2 FROM c3 GROUP BY lg, v, t),
+        ctxc2 AS MATERIALIZED (SELECT lg, v, sum(cc2) AS ctot2, count(*) AS n1p2 FROM cc2 GROUP BY lg, v),
+        cc1 AS MATERIALIZED (SELECT lg, t, count(*) AS cc1 FROM c2 GROUP BY lg, t),
+        st AS MATERIALIZED (SELECT a.lg AS lg, a.t1, a.n1p1, b.vv FROM
+               (SELECT lg, sum(cc1)::DOUBLE AS t1, count(*) AS n1p1 FROM cc1 GROUP BY lg) a
+               JOIN (SELECT lg, count(DISTINCT tk) AS vv
+                     FROM (SELECT lg, unnest(w) AS tk FROM rwords) GROUP BY lg) b
+                 ON a.lg IS NOT DISTINCT FROM b.lg),
+        words AS (SELECT doc_id, lang AS lg, list_filter(string_split_regex(text, '[ \\t\\n\\f\\r\\x0b]+'), x -> x <> '') AS w FROM documents),
+        tris AS (SELECT doc_id, lg, unnest(w[1:len(w) - 2]) AS u, unnest(w[2:len(w) - 1]) AS v, unnest(w[3:len(w)]) AS t FROM words WHERE len(w) >= 3),
+        j3 AS MATERIALIZED (SELECT p.doc_id AS doc_id, p.lg AS lg, p.v AS v, p.t AS t,
+            c3.c3 AS c3, ctx3.tot3 AS tot3, ctx3.n1p3 AS n1p3
+          FROM tris p
+          LEFT JOIN c3 ON p.lg IS NOT DISTINCT FROM c3.lg AND p.u = c3.u AND p.v = c3.v AND p.t = c3.t
+          LEFT JOIN ctx3 ON p.lg IS NOT DISTINCT FROM ctx3.lg AND p.u = ctx3.u AND p.v = ctx3.v),
+        j2 AS MATERIALIZED (SELECT p.*, cc2.cc2 AS cc2, ctxc2.ctot2 AS ctot2, ctxc2.n1p2 AS n1p2
+          FROM j3 p
+          LEFT JOIN cc2 ON p.lg IS NOT DISTINCT FROM cc2.lg AND p.v = cc2.v AND p.t = cc2.t
+          LEFT JOIN ctxc2 ON p.lg IS NOT DISTINCT FROM ctxc2.lg AND p.v = ctxc2.v),
+        j1 AS MATERIALIZED (SELECT p.*,
+            greatest(coalesce(cc1.cc1, 0) - 0.75, 0.0) / st.t1
+              + 0.75 * st.n1p1 / st.t1 * (1.0 / (st.vv + 1.0)) AS p1
+          FROM j2 p
+          LEFT JOIN cc1 ON p.lg IS NOT DISTINCT FROM cc1.lg AND p.t = cc1.t
+          LEFT JOIN st ON p.lg IS NOT DISTINCT FROM st.lg),
+        jp AS (SELECT doc_id,
+            CASE WHEN coalesce(ctot2, 0) > 0
+              THEN greatest(coalesce(cc2, 0) - 0.75, 0.0) / ctot2 + 0.75 * n1p2 / ctot2 * p1
+              ELSE p1 END AS p2, c3, tot3, n1p3
+          FROM j1),
+        agg AS (SELECT doc_id, count(*) AS n_grams,
+            round(avg(ln(
+              CASE WHEN coalesce(tot3, 0) > 0
+                THEN greatest(coalesce(c3, 0) - 0.75, 0.0) / tot3 + 0.75 * n1p3 / tot3 * p2
+                ELSE p2 END)), 3) AS avg_logprob
+          FROM jp GROUP BY doc_id)
+        SELECT d.doc_id, coalesce(a.n_grams, 0)::BIGINT AS n_grams, a.avg_logprob
+        FROM documents d LEFT JOIN agg a USING (doc_id)"""
+
   /** The shared thresholds CTE chain: KN-against scoring (src0-src3
     * model) over ALL documents, tercile cuts frozen from the src0-src9
     * slice — interpolated into BOTH q_ppl_thresholds and q_ppl_apply so
@@ -2482,7 +2542,11 @@ object QueriesPipeline {
       "doc_id", "text", "text", order = 3).df
   }
 
-  val qMkn3AgainstSql: String =
+  /** The shared modified-KN against chain (train on src0-src3, score ALL
+    * documents through the back-off CASEs with derived/fallback
+    * discounts), ending at the per-doc `agg` CTE — interpolated into
+    * BOTH q_mkn3_against and q_mkn_buckets so the two cannot drift. */
+  private val mknAgainstChainSql: String =
     s"""WITH rwords AS (SELECT list_filter(string_split_regex(text, '[ \\t\\n\\f\\r\\x0b]+'), x -> x <> '') AS w
                 FROM documents WHERE source IN ('src0', 'src1', 'src2', 'src3')),
         g2 AS (SELECT unnest(w[1:len(w) - 1]) AS v, unnest(w[2:len(w)]) AS t FROM rwords WHERE len(w) >= 2),
@@ -2535,9 +2599,37 @@ object QueriesPipeline {
                 THEN greatest(coalesce(c3, 0) - ${mknDSel("dl3", "coalesce(c3, 0)")}, 0.0) / tot3
                      + (dl3.d1 * b13 + dl3.d2 * b23 + dl3.d3 * b33) / tot3 * p2
                 ELSE p2 END)), 3) AS avg_logprob
-          FROM jp CROSS JOIN dl3 GROUP BY doc_id)
+          FROM jp CROSS JOIN dl3 GROUP BY doc_id)"""
+
+  val qMkn3AgainstSql: String =
+    s"""$mknAgainstChainSql
         SELECT d.doc_id, coalesce(a.n_grams, 0)::BIGINT AS n_grams, a.avg_logprob
         FROM documents d LEFT JOIN agg a USING (doc_id)"""
+
+  /** The FULLY KenLM-parity CCNet bucketing: per-language terciles of the
+    * MODIFIED-KN score against the pretrained reference (Wenzek's actual
+    * 5-gram KenLM is modified-KN — this is the smoothing their pipeline
+    * really uses), composed from the two public operators the shape
+    * decomposes into: mknLmScoreAgainst + the generic bucketByRank. */
+  def qMknBuckets(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir).df
+    val ref = docs.filter(col("source").isin("src0", "src1", "src2", "src3"))
+    val scored = TextOps.mknLmScoreAgainst(graft.api.MStream(docs), ref,
+        "doc_id", "text", "text", order = 3).df
+      .join(docs.select(col("doc_id"), col("lang")), Seq("doc_id"))
+    TextOps.bucketByRank(scored, "lang", "avg_logprob", "doc_id", buckets = 3)
+  }
+
+  val qMknBucketsSql: String =
+    s"""$mknAgainstChainSql,
+        scored AS (SELECT d.doc_id, coalesce(a.n_grams, 0)::BIGINT AS n_grams,
+                   a.avg_logprob, d.lang
+                 FROM documents d LEFT JOIN agg a USING (doc_id))
+        SELECT doc_id, n_grams, avg_logprob, lang,
+          (CASE WHEN avg_logprob IS NOT NULL THEN ntile(3) OVER (
+             PARTITION BY lang, avg_logprob IS NULL
+             ORDER BY avg_logprob DESC, doc_id) END)::INT AS bucket
+        FROM scored"""
 
   /** Sentence-aware chunking over DETERMINISTICALLY punctuated text
     * (the synthetic corpus carries no sentence terminators, so — the
@@ -2989,8 +3081,10 @@ object QueriesPipeline {
     "q_lm3_against" -> (qLm3Against _),
     "q_kn3_score" -> (qKn3Score _),
     "q_kn3_against" -> (qKn3Against _),
+    "q_kn3_bylang" -> (qKn3ByLang _),
     "q_mkn3_score" -> (qMkn3Score _),
     "q_mkn3_against" -> (qMkn3Against _),
+    "q_mkn_buckets" -> (qMknBuckets _),
     "q_ppl_against" -> (qPplAgainst _),
     "q_ppl_thresholds" -> (qPplThresholds _),
     "q_ppl_apply" -> (qPplApply _),
@@ -3090,8 +3184,10 @@ object QueriesPipeline {
     "q_lm3_against" -> qLm3AgainstSql,
     "q_kn3_score" -> qKn3ScoreSql,
     "q_kn3_against" -> qKn3AgainstSql,
+    "q_kn3_bylang" -> qKn3ByLangSql,
     "q_mkn3_score" -> qMkn3ScoreSql,
     "q_mkn3_against" -> qMkn3AgainstSql,
+    "q_mkn_buckets" -> qMknBucketsSql,
     "q_ppl_against" -> qPplAgainstSql,
     "q_ppl_thresholds" -> qPplThresholdsSql,
     "q_ppl_apply" -> qPplApplySql,

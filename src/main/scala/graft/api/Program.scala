@@ -512,6 +512,17 @@ object Program {
                              minCount: Long = 1L,
                              broadcastModel: Option[Boolean] = None) extends Node
 
+  /** Per-language Kneser-Ney scoring against a LABELED reference corpus
+    * (`TextOps.knLmScoreAgainstByLang`) — one model per language trained
+    * in one pass, the literal CCNet architecture; unmodeled languages
+    * take a NULL score. Dual-mode; BUILD-TIME EAGER. */
+  final case class KnAgainstLang(name: String, input: String, ref: String,
+                                 idCol: String, textCol: String, langCol: String,
+                                 refTextCol: String, refLangCol: String,
+                                 order: Int, discount: Double,
+                                 minCount: Long = 1L,
+                                 broadcastModel: Option[Boolean] = None) extends Node
+
   /** Modified Kneser-Ney LM score over the input corpus itself
     * (`TextOps.mknLmScore`) — KenLM parity: three count-bucketed
     * discounts per level, each derived from that level's count-of-counts,
@@ -558,6 +569,14 @@ object Program {
     * `bucket` to the input columns. */
   final case class BucketApply(name: String, input: String, thresholds: String,
                                langCol: String, scoreCol: String) extends Node
+
+  /** Generic per-group equal-depth rank tiling (`TextOps.bucketByRank`)
+    * — the public tile stage every bucketing face shares; composes with
+    * any scorer node (mknAgainst + rankBuckets = the fully KenLM-parity
+    * Wenzek shape). BUILD-TIME EAGER (RangedPrefix pin); batch-only. */
+  final case class RankBuckets(name: String, input: String, groupCol: String,
+                               scoreCol: String, tieCol: String,
+                               buckets: Int = 3) extends Node
 
   /** The whole document: nodes in topological order + the named outputs a
     * configuration may bind sinks to. */
@@ -747,11 +766,13 @@ object Program {
     case ks: KnScore => Seq(ks.input)
     case sx: SentChunk => Seq(sx.input)
     case ka: KnAgainst => Seq(ka.input, ka.ref)
+    case kl: KnAgainstLang => Seq(kl.input, kl.ref)
     case ms: MknScore => Seq(ms.input)
     case ma: MknAgainst => Seq(ma.input, ma.ref)
     case es: ExactSubstr => Seq(es.input)
     case pt: PplThresholds => Seq(pt.input, pt.ref)
     case ba: BucketApply => Seq(ba.input, ba.thresholds)
+    case rb: RankBuckets => Seq(rb.input)
     case ds: DsirScore => Seq(ds.input, ds.target, ds.raw)
     case tf: TokenFreq => Seq(tf.input, tf.ref)
     case be: BpeEncode => Seq(be.input, be.merges)
@@ -1021,6 +1042,11 @@ object Program {
           graft.pipeline.TextOps.knLmScoreAgainst(in(i),
             staticSide(name, in, ref), idCol, textCol, refTextCol, order,
             discount, mc, bm)
+        case KnAgainstLang(name, i, ref, idCol, textCol, langCol, refTextCol,
+                           refLangCol, order, discount, mc, bm) =>
+          graft.pipeline.TextOps.knLmScoreAgainstByLang(in(i),
+            staticSide(name, in, ref), idCol, textCol, langCol, refTextCol,
+            refLangCol, order, discount, mc, bm)
         case MknScore(name, i, idCol, textCol, order, f1, f2, f3) =>
           val s = in(i)
           s.lift(graft.pipeline.TextOps.mknLmScore(
@@ -1045,6 +1071,11 @@ object Program {
         case BucketApply(name, i, thr, langCol, scoreCol) =>
           graft.pipeline.TextOps.bucketByThresholds(in(i),
             staticSide(name, in, thr), langCol, scoreCol)
+        case RankBuckets(name, i, groupCol, scoreCol, tieCol, buckets) =>
+          val s = in(i)
+          s.lift(graft.pipeline.TextOps.bucketByRank(
+            batchFace(name, "rankBuckets", s), groupCol, scoreCol, tieCol,
+            buckets))
         case DsirScore(name, i, tgt, raw, idCol, textCol, refTextCol, buckets, alpha) =>
           graft.pipeline.TextOps.dsirScore(in(i), staticSide(name, in, tgt),
             staticSide(name, in, raw), idCol, textCol, refTextCol, buckets, alpha)
@@ -1244,11 +1275,13 @@ object Program {
     case x: Bm25Retrieve => x.copy(name = name)
     case x: WinnowPairs => x.copy(name = name)
     case x: KnScore => x.copy(name = name)
+    case x: KnAgainstLang => x.copy(name = name)
     case x: MknScore => x.copy(name = name)
     case x: MknAgainst => x.copy(name = name)
     case x: ExactSubstr => x.copy(name = name)
     case x: PplThresholds => x.copy(name = name)
     case x: BucketApply => x.copy(name = name)
+    case x: RankBuckets => x.copy(name = name)
     case x: SentChunk => x.copy(name = name)
     case x: KnAgainst => x.copy(name = name)
     case x: DsirScore => x.copy(name = name)
@@ -1588,6 +1621,16 @@ object Program {
                          broadcastModel: Option[Boolean] = None): Rec =
       derive("knAgainst", Seq(ref))(n => KnAgainst(n, name, ref.name, idCol,
         textCol, refTextCol, order, discount, minCount, broadcastModel))
+    /** Per-language KN scoring against `ref`'s labeled slices (format
+      * version 9) — the literal CCNet one-model-per-language shape. */
+    def knLmScoreAgainstByLang(ref: Rec, idCol: String, textCol: String,
+                               langCol: String, refTextCol: String,
+                               refLangCol: String, order: Int,
+                               discount: Double = 0.75, minCount: Long = 1L,
+                               broadcastModel: Option[Boolean] = None): Rec =
+      derive("knAgainstLang", Seq(ref))(n => KnAgainstLang(n, name, ref.name,
+        idCol, textCol, langCol, refTextCol, refLangCol, order, discount,
+        minCount, broadcastModel))
     /** Modified-KN score over this corpus itself (format version 9) —
       * KenLM parity with `--discount_fallback` semantics. */
     def mknLmScore(idCol: String, textCol: String, order: Int,
@@ -1625,6 +1668,11 @@ object Program {
                            scoreCol: String): Rec =
       derive("bucketApply", Seq(thresholds))(n => BucketApply(n, name,
         thresholds.name, langCol, scoreCol))
+    /** Generic per-group equal-depth rank tiling (format version 9). */
+    def bucketByRank(groupCol: String, scoreCol: String, tieCol: String,
+                     buckets: Int = 3): Rec =
+      derive1("rankBuckets")(n => RankBuckets(n, name, groupCol, scoreCol,
+        tieCol, buckets))
     /** DSIR importance scoring against `target` and `raw` reference
       * corpora (format version 3). */
     def dsirScore(target: Rec, raw: Rec, idCol: String, textCol: String,
@@ -1858,7 +1906,9 @@ object Program {
     * Kneser-Ney pair (knScore, knAgainst) and sentence-aware chunking
     * (chunkSentences/SentChunk); 9 adds modified Kneser-Ney (mknScore,
     * mknAgainst), maximal exact-substring mining (exactSubstr), the
-    * frozen-thresholds bucketing pair (pplThresholds, bucketApply), and
+    * frozen-thresholds bucketing pair (pplThresholds, bucketApply), generic
+    * rank tiling (rankBuckets), per-language KN reference models
+    * (knAgainstLang), and
     * the AUTO broadcast lever — an against-face node whose
     * `broadcastModel` is ABSENT now means "decide per pinned table from
     * measured size" and stamps v9 (a v8 reader would misread the absent
@@ -1875,7 +1925,7 @@ object Program {
   private def requiredVersion(doc: Doc): Int =
     if (doc.nodes.exists {
       case _: MknScore | _: MknAgainst | _: ExactSubstr | _: PplThresholds |
-           _: BucketApply => true
+           _: BucketApply | _: RankBuckets | _: KnAgainstLang => true
       case la: Lm3Against => la.broadcastModel.isEmpty
       case na: LmNAgainst => na.broadcastModel.isEmpty
       case ka: KnAgainst => ka.broadcastModel.isEmpty
@@ -2032,6 +2082,14 @@ object Program {
           ("refTextCol" -> refTextCol) ~ ("order" -> order) ~
           ("discount" -> discount) ~
           ("minCount" -> mc) ~ ("broadcastModel" -> bm)
+      case KnAgainstLang(name, i, ref, idCol, textCol, langCol, refTextCol,
+                         refLangCol, order, discount, mc, bm) =>
+        ("op" -> "knAgainstLang") ~ ("name" -> name) ~ ("input" -> i) ~
+          ("ref" -> ref) ~ ("idCol" -> idCol) ~ ("textCol" -> textCol) ~
+          ("langCol" -> langCol) ~ ("refTextCol" -> refTextCol) ~
+          ("refLangCol" -> refLangCol) ~ ("order" -> order) ~
+          ("discount" -> discount) ~ ("minCount" -> mc) ~
+          ("broadcastModel" -> bm)
       case MknScore(name, i, idCol, textCol, order, f1, f2, f3) =>
         ("op" -> "mknScore") ~ ("name" -> name) ~ ("input" -> i) ~
           ("idCol" -> idCol) ~ ("textCol" -> textCol) ~ ("order" -> order) ~
@@ -2059,6 +2117,10 @@ object Program {
         ("op" -> "bucketApply") ~ ("name" -> name) ~ ("input" -> i) ~
           ("thresholds" -> thr) ~ ("langCol" -> langCol) ~
           ("scoreCol" -> scoreCol)
+      case RankBuckets(name, i, groupCol, scoreCol, tieCol, buckets) =>
+        ("op" -> "rankBuckets") ~ ("name" -> name) ~ ("input" -> i) ~
+          ("groupCol" -> groupCol) ~ ("scoreCol" -> scoreCol) ~
+          ("tieCol" -> tieCol) ~ ("buckets" -> buckets)
       case LmScore(name, i, ref, idCol, textCol, refTextCol, alpha) =>
         ("op" -> "lmScore") ~ ("name" -> name) ~ ("input" -> i) ~
           ("ref" -> ref) ~ ("idCol" -> idCol) ~ ("textCol" -> textCol) ~
@@ -2415,6 +2477,13 @@ object Program {
             (v \ "order").extract[Int],
             (v \ "discount").extractOpt[Double].getOrElse(0.75),
             (v \ "minCount").extractOpt[Long].getOrElse(1L), bmOf(v))
+          case "knAgainstLang" => KnAgainstLang(name,
+            (v \ "input").extract[String], (v \ "ref").extract[String],
+            (v \ "idCol").extract[String], (v \ "textCol").extract[String],
+            (v \ "langCol").extract[String], (v \ "refTextCol").extract[String],
+            (v \ "refLangCol").extract[String], (v \ "order").extract[Int],
+            (v \ "discount").extractOpt[Double].getOrElse(0.75),
+            (v \ "minCount").extractOpt[Long].getOrElse(1L), bmOf(v))
           case "mknScore" =>
             // fallback discounts all-or-none, the lm3Score lambda rule
             val fs = Seq("fb1", "fb2", "fb3").map(k => (v \ k).extractOpt[Double])
@@ -2459,6 +2528,10 @@ object Program {
           case "bucketApply" => BucketApply(name, (v \ "input").extract[String],
             (v \ "thresholds").extract[String], (v \ "langCol").extract[String],
             (v \ "scoreCol").extract[String])
+          case "rankBuckets" => RankBuckets(name, (v \ "input").extract[String],
+            (v \ "groupCol").extract[String], (v \ "scoreCol").extract[String],
+            (v \ "tieCol").extract[String],
+            (v \ "buckets").extractOpt[Int].getOrElse(3))
           case "dsirScore" => DsirScore(name, (v \ "input").extract[String],
             (v \ "target").extract[String], (v \ "raw").extract[String],
             (v \ "idCol").extract[String], (v \ "textCol").extract[String],
@@ -2701,6 +2774,12 @@ object Program {
             env(ka.ref).df.select(col(ka.refTextCol)).schema
             emptyOf(s, graft.pipeline.TextOps.ngramOutputSchema(
               ka.idCol, s.df.schema(ka.idCol).dataType))
+          case kl: KnAgainstLang =>
+            val s = env(kl.input)
+            s.df.select(col(kl.idCol), col(kl.textCol), col(kl.langCol)).schema
+            env(kl.ref).df.select(col(kl.refTextCol), col(kl.refLangCol)).schema
+            emptyOf(s, graft.pipeline.TextOps.ngramOutputSchema(
+              kl.idCol, s.df.schema(kl.idCol).dataType))
           case ms: MknScore =>
             // build-time eager (model + discount derivation): schema-only
             val s = env(ms.input)
@@ -2736,6 +2815,12 @@ object Program {
                 org.apache.spark.sql.types.IntegerType),
               org.apache.spark.sql.types.StructField("cut",
                 org.apache.spark.sql.types.DoubleType))))
+          case rb: RankBuckets =>
+            // build-time eager (RangedPrefix pin at lowering): schema-only
+            val s = env(rb.input)
+            s.df.select(col(rb.groupCol), col(rb.scoreCol), col(rb.tieCol)).schema
+            emptyOf(s, s.df.schema.add("bucket",
+              org.apache.spark.sql.types.IntegerType))
           case ds: DsirScore =>
             val s = env(ds.input)
             s.df.select(col(ds.idCol), col(ds.textCol)).schema
@@ -3131,6 +3216,11 @@ object Program {
           if (ka.minCount < 1) throw new IllegalArgumentException(
             s"node '${n.name}': knAgainst needs minCount >= 1, got ${ka.minCount}")
           Seq(ka.input, ka.ref)
+        case kl: KnAgainstLang =>
+          checkKn(n.name, "knAgainstLang", kl.order, kl.discount)
+          if (kl.minCount < 1) throw new IllegalArgumentException(
+            s"node '${n.name}': knAgainstLang needs minCount >= 1, got ${kl.minCount}")
+          Seq(kl.input, kl.ref)
         case ms: MknScore =>
           checkMkn(n.name, "mknScore", ms.order, ms.fb1, ms.fb2, ms.fb3)
           Seq(ms.input)
@@ -3154,6 +3244,10 @@ object Program {
             s"node '${n.name}': pplThresholds needs minCount >= 1, got ${pt.minCount}")
           Seq(pt.input, pt.ref)
         case ba: BucketApply => Seq(ba.input, ba.thresholds)
+        case rb: RankBuckets =>
+          if (rb.buckets < 2) throw new IllegalArgumentException(
+            s"node '${n.name}': rankBuckets needs buckets >= 2, got ${rb.buckets}")
+          Seq(rb.input)
         case ds: DsirScore =>
           if (ds.alpha <= 0.0 || ds.buckets <= 0) throw new IllegalArgumentException(
             s"node '${n.name}': dsirScore needs alpha > 0 and buckets > 0, " +

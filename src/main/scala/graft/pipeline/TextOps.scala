@@ -1268,15 +1268,32 @@ object TextOps {
                         * surviving types — KenLM's pruned-model shape);
                         * the scale lever that keeps a high-order model
                         * broadcastable. */
-                      minCount: Long = 1L)
+                      minCount: Long = 1L,
+                      /** Some(c) = PER-LANGUAGE models in one pass (the
+                        * literal CCNet architecture): column c threads as
+                        * key "__l" through every count/context/stats
+                        * groupBy, so each language's model is an
+                        * independent slice of the same tables; the stats
+                        * frame becomes one row per language instead of a
+                        * global one-row. None keeps today's shared-model
+                        * shape byte-for-byte (an empty key prefix changes
+                        * nothing). */
+                      langCol: Option[String] = None)
       : (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame,
          Map[Int, org.apache.spark.sql.DataFrame],
          Map[Int, org.apache.spark.sql.DataFrame],
          org.apache.spark.sql.DataFrame) = {
     val spark = train.sparkSession
+    // materialize the key ONCE under its canonical name (gramsOf
+    // re-evaluates its keep expressions on the intermediate frame, so an
+    // aliased keep would not resolve on the second select)
+    val train2 = langCol.map(c => train.withColumn("__l", col(c))).getOrElse(train)
+    val keyNames: Seq[String] = langCol.map(_ => "__l").toSeq
+    val keyKeep: Seq[Column] = keyNames.map(col)
+    def keyed(names: Seq[String]): Seq[Column] = (keyNames ++ names).map(col)
     def raw(j: Int): org.apache.spark.sql.DataFrame = {
-      val c = gramsOf(train, textCol, j, gramCols(order, j), Nil)
-        .groupBy(gramCols(order, j).map(col): _*).agg(count(lit(1)).as(s"__cr$j"))
+      val c = gramsOf(train2, textCol, j, gramCols(order, j), keyKeep)
+        .groupBy(keyed(gramCols(order, j)): _*).agg(count(lit(1)).as(s"__cr$j"))
       if (j >= 2 && minCount > 1L) c.filter(col(s"__cr$j") >= minCount) else c
     }
     // independent count builds pin CONCURRENTLY (the ngramModel pattern);
@@ -1287,7 +1304,7 @@ object TextOps {
     import scala.concurrent.ExecutionContext.Implicits.global
     def contOf(src: org.apache.spark.sql.DataFrame, j: Int) =
       graft.api.Pinned.checkpointTracked(
-        src.groupBy(gramCols(order, j).map(col): _*)
+        src.groupBy(keyed(gramCols(order, j)): _*)
           .agg(count(lit(1)).as(s"__cc$j")))
     val rawNF = Future { (order, graft.api.Pinned.checkpointTracked(raw(order))) }
     val contFs = (1 until order).map { j =>
@@ -1305,21 +1322,32 @@ object TextOps {
       count(when(col(cCol) === 1, true)).as(s"__nb1$suffix"),
       count(when(col(cCol) === 2, true)).as(s"__nb2$suffix"),
       count(when(col(cCol) >= 3, true)).as(s"__nb3$suffix"))
-    val ctxN = rawN.groupBy(gramCols(order, order).dropRight(1).map(col): _*)
+    val ctxN = rawN.groupBy(keyed(gramCols(order, order).dropRight(1)): _*)
       .agg(sum(col(s"__cr$order")).as(s"__tot$order"),
         (count(lit(1)).as(s"__n1p$order") +:
           buckets(s"__cr$order", order.toString)): _*)
     val cont = contDone.map { case (j, (cp, _)) => j -> cp }.toMap
     val ctxc = (2 until order).map { j =>
-      j -> cont(j).groupBy(gramCols(order, j).dropRight(1).map(col): _*)
+      j -> cont(j).groupBy(keyed(gramCols(order, j).dropRight(1)): _*)
         .agg(sum(col(s"__cc$j")).as(s"__ctot$j"),
           (count(lit(1)).as(s"__n1p$j") +: buckets(s"__cc$j", j.toString)): _*)
     }.toMap
-    val stats = cont(1)
-      .agg(sum(col("__cc1")).cast("double").as("__t1"),
-        (count(lit(1)).as("__n1p1") +: buckets("__cc1", "1")): _*)
-      .crossJoin(train.select(explode(words(col(textCol))).as("__t"))
-        .agg(count_distinct(col("__t")).as("__v")))
+    val statAggs = sum(col("__cc1")).cast("double").as("__t1") +:
+      (count(lit(1)).as("__n1p1") +: buckets("__cc1", "1"))
+    val stats = langCol match {
+      case None =>
+        cont(1).agg(statAggs.head, statAggs.tail: _*)
+          .crossJoin(train.select(explode(words(col(textCol))).as("__t"))
+            .agg(count_distinct(col("__t")).as("__v")))
+      case Some(_) =>
+        val t1s = cont(1).groupBy(col("__l")).agg(statAggs.head, statAggs.tail: _*)
+        val vocabs = train2
+          .select(col("__l").as("__lv"), explode(words(col(textCol))).as("__t"))
+          .groupBy(col("__lv")).agg(count_distinct(col("__t")).as("__v"))
+        // null-safe: a null LANGUAGE is its own model, the engine-wide
+        // null-group convention
+        t1s.join(vocabs, col("__l") <=> col("__lv")).drop("__lv")
+    }
     (rawN, ctxN, cont, ctxc, stats)
   }
 
@@ -1586,6 +1614,132 @@ object TextOps {
       (_, _) => knLp(order, discount))
   }
 
+  /** PER-LANGUAGE Kneser-Ney scoring against a LABELED reference corpus —
+    * the literal CCNet architecture (Wenzek et al. train one 5-gram
+    * KenLM PER LANGUAGE on that language's Wikipedia; the shared-model
+    * [[knLmScoreAgainst]] was the documented deviation): every
+    * language's model trains in ONE pass (the language threads as a key
+    * through every count/context/stats groupBy — no per-language driver
+    * loop, no separate jobs per language), and each document scores
+    * under ITS OWN language's model with full back-off. Documents whose
+    * language has no reference model (or whose language's slice yields
+    * no bigram) keep their position count and take a NULL score — the
+    * deterministic no-model verdict, like [[bucketByThresholds]]'s
+    * unknown-language bucket; a null language is its own model (the
+    * engine-wide null-group convention, carried through the joins by
+    * struct-wrapped keys — struct equality treats null fields as equal,
+    * so plain hash-join keys stay null-safe). Dual-mode: streaming is
+    * stream-static broadcast joins + the stateless per-batch combine.
+    *
+    * Scale shape: identical tables to [[knLmScoreAgainst]] with one more
+    * key column — per-language models are SLICES of the same pinned
+    * artifacts, so the count shuffles, the broadcast decisions (per
+    * pinned table, AUTO lever) and the streamed-probe posture all carry
+    * over; the per-language stats frame (languages × 7) always
+    * broadcasts. */
+  def knLmScoreAgainstByLang(stream: graft.api.MStream,
+                             refDocs: org.apache.spark.sql.DataFrame,
+                             idCol: String, textCol: String, langCol: String,
+                             refTextCol: String, refLangCol: String,
+                             order: Int, discount: Double = 0.75,
+                             minCount: Long = 1L,
+                             broadcastModel: Option[Boolean] = None)
+      : graft.api.MStream = {
+    import org.apache.spark.sql.{Encoder, Row}
+    import org.apache.spark.sql.catalyst.encoders.RowEncoder
+    import org.apache.spark.sql.types._
+    val label = "knLmScoreAgainstByLang"
+    require(order >= 2 && order <= 8, s"$label order must be in [2, 8], got $order")
+    require(discount > 0 && discount < 1,
+      s"discount must be in (0, 1), got $discount")
+    require(!refDocs.isStreaming,
+      s"$label: the reference corpus must be a batch frame " +
+        "(the models pin once; a streaming reference has no stable artifact)")
+    require(minCount >= 1, s"minCount must be >= 1, got $minCount")
+    val df = stream.df
+    // struct-wrapped language key: null-safe under plain equi-join keys
+    val refKeyed = refDocs.withColumn("__lraw", struct(col(refLangCol)))
+    val (rawN, ctxN, cont, ctxc, stats) =
+      knModel(refKeyed, refTextCol, order, minCount, langCol = Some("__lraw"))
+    val bcRaw = decideBroadcast(broadcastModel, rawN)
+    val bcC = (1 until order).map(j => j -> decideBroadcast(broadcastModel, cont(j))).toMap
+    checkLevers(label, order, minCount, df.isStreaming,
+      bcRaw && (1 until order).forall(bcC))
+    require(!stats.isEmpty,
+      s"$label: the reference corpus yields no per-language model " +
+        "(no language slice has a bigram)")
+    val id = col(idCol)
+    val lp = knLp(order, discount)
+    def withJoins(pos: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+      def side(m: org.apache.spark.sql.DataFrame, bc: Boolean) =
+        if (bc) broadcast(m) else m
+      def keys(j: Int) = "__l" +: gramCols(order, j)
+      var j0 = pos.join(side(rawN, bcRaw), keys(order), "left")
+        .join(side(ctxN, bcRaw), "__l" +: gramCols(order, order).dropRight(1), "left")
+      for (j <- order - 1 to 2 by -1)
+        j0 = j0.join(side(cont(j), bcC(j)), keys(j), "left")
+          .join(side(ctxc(j), bcC(j)), "__l" +: gramCols(order, j).dropRight(1), "left")
+      // the per-language stats frame (languages × 7) always broadcasts;
+      // an unmodeled language misses every join and scores NULL
+      j0.join(side(cont(1), bcC(1)), keys(1), "left")
+        .join(broadcast(stats), Seq("__l"), "left")
+    }
+
+    if (!df.isStreaming) {
+      // materialize the doc-side key once (gramsOf re-evaluates keeps)
+      val dfK = df.withColumn("__l", struct(col(langCol)))
+      val pos = gramsOf(dfK, textCol, order, gramCols(order, order),
+        Seq(id, col("__l")))
+      val scored = withJoins(pos)
+        .withColumn("__lp", lp)
+        .groupBy(id)
+        .agg(count(lit(1)).as("n_grams"), round(avg(col("__lp")), 3).as("avg_logprob"))
+      val out = df.select(id).join(scored, Seq(idCol), "left")
+        .select(id, coalesce(col("n_grams"), lit(0L)).as("n_grams"), col("avg_logprob"))
+      return stream.lift(out)
+    }
+
+    val ws = words(col(textCol))
+    val pStructs = arrays_zip((1 to order).map(i =>
+      slice(col("__w"), lit(i), size(col("__w")) - (order - 1)).as(s"g$i")): _*)
+    val sentinel = array(struct((1 to order).map(i =>
+      lit(null).cast("string").as(s"g$i")): _*))
+    val u0 = df.withColumn("__w", ws)
+      .select(id.as("__id"), struct(col(langCol)).as("__l"),
+        explode(when(size(col("__w")) >= order, pStructs).otherwise(sentinel)).as("__g"))
+      .select(col("__id") +: col("__l") +:
+        (1 to order).map(i => col(s"__g.g$i").as(s"__p$i")): _*)
+    val u = withJoins(u0)
+      .select(col("__id"), col("__p1"),
+        when(col("__p1").isNotNull, lp).as("__lp"))
+    val idType = df.schema(idCol).dataType
+    val aggT = StructType(Seq(
+      StructField("__id", idType),
+      StructField("n_grams", LongType, nullable = false),
+      StructField("__sum", DoubleType)))
+    val aggEnc: Encoder[Row] = RowEncoder.encoderFor(aggT)
+    val pIdx = u.schema.fieldIndex("__p1")
+    val lpIdx = u.schema.fieldIndex("__lp")
+    val out = graft.streaming.PerBatchCombine(u, Seq("__id"), aggEnc) {
+        (key: Row, it: Iterator[Row]) =>
+          // unlike the shared-model face, __lp can be NULL on real
+          // positions (unmodeled language) — count positions and sum
+          // only scored ones; a doc's positions are uniformly modeled
+          // (one language per doc), so sum/n equals the batch avg
+          var nn = 0L; var s = 0.0; var ns = 0L
+          it.foreach { r =>
+            if (!r.isNullAt(pIdx)) {
+              nn += 1
+              if (!r.isNullAt(lpIdx)) { ns += 1; s += r.getDouble(lpIdx) }
+            }
+          }
+          Iterator.single(Row(key.get(0), nn, if (ns > 0) s else null))
+      }
+      .select(col("__id").as(idCol), col("n_grams"),
+        round(col("__sum") / col("n_grams"), 3).as("avg_logprob"))
+    stream.lift(out)
+  }
+
   /** Modified-KN scoring AGAINST a pretrained reference corpus — the
     * KenLM-parity sibling of [[knLmScoreAgainst]] ([[mknLmScore]]'s
     * dual-mode ingest face): count-bucketed discounts derive per level
@@ -1758,38 +1912,67 @@ object TextOps {
     bucketByScore(scored, idCol, langCol, buckets, "n_pairs")
   }
 
-  /** The shared per-language equal-depth tile stage of the bucketing
-    * faces: RangedPrefix carries the load-bearing subtleties
-    * (checkpointed boundary sampling, width x languages offsets frame,
-    * null-safe group join — a null LANGUAGE is its own tile group,
-    * exactly as a window would treat it). Null SCORES never occupy tile
-    * slots: the value expression counts only scored rows (desc ordering
-    * puts nulls last within each language's ranges), they skip the
-    * ranking and union back with a NULL bucket. pinInput: the boundary
-    * sampler would otherwise re-run the two-pass LM scoring (measured
-    * ~0.4 s of the sf0.1 self-face query). */
-  private def bucketByScore(scored: org.apache.spark.sql.DataFrame, idCol: String,
-                            langCol: String, buckets: Int,
-                            nCol: String): org.apache.spark.sql.DataFrame = {
+  /** GENERIC per-group equal-depth rank tiling — the public face of the
+    * stage every bucketing operator shares (CCNet terciles are
+    * `bucketByRank(scored, lang, avg_logprob, id, 3)`): within each
+    * `groupCol` value, rows rank by (`scoreCol` DESC, `tieCol` ASC) — the
+    * tiebreak makes the assignment a total order, so bucket membership
+    * is deterministic on any engine and partitioning — and the rank
+    * tiles into `buckets` equal-depth buckets by the closed-form NTile
+    * (first n%k tiles take ceil(n/k) rows: exactly Spark's and DuckDB's
+    * `ntile`). Adds `bucket` (int) to the input columns; NULL scores
+    * never occupy tile slots and take a NULL bucket; a NULL group is its
+    * own tile group. Composable with ANY scorer — q_mkn_buckets tiles
+    * the modified-KN against-face scores, the literal KenLM-smoothed
+    * Wenzek shape.
+    *
+    * Scale shape: a DISTRIBUTED exact rank (RangedPrefix — a dominant
+    * group is the norm in crawl curation; an `ntile().over(partitionBy)`
+    * window would sort half the corpus in one task). Requires
+    * (`groupCol`, `scoreCol`, `tieCol`) unique per row (the idCol-unique
+    * contract); `pinInput` checkpoints the input before the boundary
+    * sampler — keep it on when the input is an expensive scoring
+    * pipeline (the sampler is a full extra pass). Batch-only (corpus-
+    * wide ranking); for the stateless streaming face freeze cuts with
+    * [[perplexityBucketThresholds]]-style artifacts and apply
+    * [[bucketByThresholds]]. */
+  def bucketByRank(docs: org.apache.spark.sql.DataFrame, groupCol: String,
+                   scoreCol: String, tieCol: String, buckets: Int,
+                   pinInput: Boolean = true): org.apache.spark.sql.DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val (parted, offs) = RangedPrefix(scored,
-      groupCols = Seq(langCol),
-      orderCols = Seq(col("avg_logprob").desc, col(idCol)),
-      valueExpr = when(col("avg_logprob").isNotNull, lit(1L)).otherwise(lit(0L)),
-      pinInput = true)
-    val nn = parted.filter(col("avg_logprob").isNotNull)
-    val ranked = RangedPrefix.joinOffsets(nn, offs, Seq(langCol))
+    require(buckets >= 2, s"bucketByRank needs >= 2 buckets, got $buckets")
+    require(!docs.isStreaming,
+      "bucketByRank is batch-only (corpus-wide ranking) — freeze cuts and " +
+        "apply bucketByThresholds on a stream")
+    require(!docs.columns.contains("bucket"),
+      "bucketByRank input already carries a 'bucket' column")
+    val score = col(scoreCol)
+    val cols = docs.columns.toIndexedSeq.map(col)
+    val (parted, offs) = RangedPrefix(docs,
+      groupCols = Seq(groupCol),
+      orderCols = Seq(score.desc, col(tieCol)),
+      valueExpr = when(score.isNotNull, lit(1L)).otherwise(lit(0L)),
+      pinInput = pinInput)
+    val nn = parted.filter(score.isNotNull)
+    val ranked = RangedPrefix.joinOffsets(nn, offs, Seq(groupCol))
       .withColumnRenamed("__grptot", "__n")
       .withColumn("__r", col("__off") + row_number().over(
-        Window.partitionBy(col("__p"), col(langCol))
-          .orderBy(col("avg_logprob").desc, col(idCol))))
-    val bucketC = closedFormNtile(buckets)
-    ranked.select(col(idCol), col(langCol), col(nCol), col("avg_logprob"),
-        bucketC.as("bucket"))
-      .unionByName(parted.filter(col("avg_logprob").isNull)
-        .select(col(idCol), col(langCol), col(nCol), col("avg_logprob"),
-          lit(null).cast("int").as("bucket")))
+        Window.partitionBy(col("__p"), col(groupCol))
+          .orderBy(score.desc, col(tieCol))))
+    ranked.select(cols :+ closedFormNtile(buckets).as("bucket"): _*)
+      .unionByName(parted.filter(score.isNull)
+        .select(cols :+ lit(null).cast("int").as("bucket"): _*))
   }
+
+  /** The per-language tile stage of the perplexity-bucketing faces —
+    * [[bucketByRank]] over the scored frame's four columns (kept as a
+    * projection wrapper so the faces' output column order is stable). */
+  private def bucketByScore(scored: org.apache.spark.sql.DataFrame, idCol: String,
+                            langCol: String, buckets: Int,
+                            nCol: String): org.apache.spark.sql.DataFrame =
+    bucketByRank(
+      scored.select(col(idCol), col(langCol), col(nCol), col("avg_logprob")),
+      langCol, "avg_logprob", idCol, buckets)
 
   /** CCNet bucketing against a PRETRAINED model — the LITERAL Wenzek et
     * al. 2020 §4.3 shape: score every document under a Kneser-Ney LM

@@ -241,10 +241,12 @@ class ProgramNodeCoverageSpec extends AnyFunSuite {
       "sentencesOf" -> excluded("single-projection op (sentence array); " +
         "program face is the chunkSentences node or mapCols"),
       "knLmScoreAgainst" -> node("knAgainst"),
+      "knLmScoreAgainstByLang" -> node("knAgainstLang"),
       "mknLmScore" -> node("mknScore"),
       "mknLmScoreAgainst" -> node("mknAgainst"),
       "perplexityBucketThresholds" -> node("pplThresholds"),
       "bucketByThresholds" -> node("bucketApply"),
+      "bucketByRank" -> node("rankBuckets"),
       "lambdasFor" -> excluded(block),
       "awaitPinned" -> excluded(block),
       "mknDerive" -> excluded(block),

@@ -154,6 +154,63 @@ class ThresholdBucketsSpec extends SparkSpec {
     } finally graft.api.Pinned.release(spark)
   }
 
+  test("bucketByRank: generic tiling equals the window-ntile definition; nulls handled") {
+    import org.apache.spark.sql.expressions.Window
+    // hot group (en holds most rows), a null group, null scores, ties
+    val rows = (0 until 90).map(i => (i.toLong, Option("en"), Option((i % 11).toDouble / 7.0))) ++
+      (0 until 8).map(i => (200L + i, Option("fr"), Option(i.toDouble))) ++
+      (0 until 5).map(i => (300L + i, Option.empty[String], Option(1.5))) ++
+      Seq((400L, Option("en"), Option.empty[Double]), (401L, Option.empty[String], Option.empty[Double]))
+    val df = rows.toDF("id", "g", "s")
+    try {
+      val got = graft.pipeline.TextOps.bucketByRank(df, "g", "s", "id", buckets = 4)
+        .collect().map(r => r.getLong(0) ->
+          (if (r.isNullAt(r.fieldIndex("bucket"))) None
+           else Some(r.getInt(r.fieldIndex("bucket"))))).toMap
+      val want = df.withColumn("bucket",
+          when(col("s").isNotNull, ntile(4).over(
+            Window.partitionBy(col("g"), col("s").isNull)
+              .orderBy(col("s").desc, col("id")))))
+        .collect().map(r => r.getLong(0) ->
+          (if (r.isNullAt(r.fieldIndex("bucket"))) None
+           else Some(r.getInt(r.fieldIndex("bucket"))))).toMap
+      assert(got == want, "distributed rank tiling == the window-ntile definition")
+      assert(got(400L).isEmpty && got(401L).isEmpty, "null scores take a NULL bucket")
+      assert(got(300L).nonEmpty, "a null group tiles on its own")
+    } finally graft.api.Pinned.release(spark)
+  }
+
+  test("RankBuckets node: v9 stamp, codec identity, capture == direct API") {
+    import graft.api.{App, Program}
+    import graft.api.Program._
+    val d = Doc(Seq(External("in"),
+      RankBuckets("b", "in", "lang", "score", "doc_id", 4)), Seq("b"))
+    val json = Program.toJson(d)
+    assert(json.contains("\"version\":9") && Program.fromJson(json) == d)
+    val bad = intercept[IllegalArgumentException](Program.fromJson(Program.toJson(
+      Doc(Seq(External("in"), RankBuckets("b", "in", "lang", "score", "doc_id", 1)),
+        Seq("b")))))
+    assert(bad.getMessage.contains("buckets >= 2"), bad.getMessage)
+    try {
+      val docsDf = Seq((1L, "en", 0.5), (2L, "en", 0.1), (3L, "en", 0.9),
+        (4L, "fr", 0.3)).toDF("doc_id", "lang", "score")
+      val cap = Program.capture(
+        Program.Rec.external("in", MStream(docsDf))
+          .bucketByRank("lang", "score", "doc_id", buckets = 2).as("b"))
+      assert(Program.fromJson(Program.toJson(cap)) == cap)
+      val config = new App.Config()
+        .setSource("in", App.Source("list", rows = Some(docsDf)))
+        .addSink("b", App.Sink("memory"))
+      Program.validate(cap, spark, config)
+      val out = App.runProgram(spark, config, Program.toJson(cap))
+        .collectFirst { case App.BatchOutput("b", o) => o }.get
+      val direct = graft.pipeline.TextOps.bucketByRank(docsDf, "lang", "score",
+        "doc_id", 2)
+      assert(out.collect().toSet == direct.collect().toSet,
+        "document execution equals the direct API")
+    } finally graft.api.Pinned.release(spark)
+  }
+
   test("contracts: artifact shape and bucket-column collision") {
     val thr = Seq(("en", 1, -1.0)).toDF("lang", "bucket", "cut")
     val bad = Seq(("en", 1)).toDF("lang", "bucket")
