@@ -2346,7 +2346,11 @@ object QueriesPipeline {
       "doc_id", "text", "lang", "text", "lang", order = 3).df
   }
 
-  val qKn3ByLangSql: String =
+  /** The shared per-language-model CTE chain (train one model per
+    * non-zh language of the src0-src3 slice, score ALL documents under
+    * their own language's model), ending at the per-doc `agg` CTE —
+    * interpolated into BOTH q_kn3_bylang and q_ppl_bylang. */
+  private val qKn3ByLangChain: String =
     s"""WITH rwords AS (SELECT lang AS lg, list_filter(string_split_regex(text, '[ \\t\\n\\f\\r\\x0b]+'), x -> x <> '') AS w
                 FROM documents WHERE source IN ('src0', 'src1', 'src2', 'src3') AND lang <> 'zh'),
         g2 AS (SELECT lg, unnest(w[1:len(w) - 1]) AS v, unnest(w[2:len(w)]) AS t FROM rwords WHERE len(w) >= 2),
@@ -2389,9 +2393,39 @@ object QueriesPipeline {
               CASE WHEN coalesce(tot3, 0) > 0
                 THEN greatest(coalesce(c3, 0) - 0.75, 0.0) / tot3 + 0.75 * n1p3 / tot3 * p2
                 ELSE p2 END)), 3) AS avg_logprob
-          FROM jp GROUP BY doc_id)
+          FROM jp GROUP BY doc_id)"""
+
+  val qKn3ByLangSql: String =
+    s"""$qKn3ByLangChain
         SELECT d.doc_id, coalesce(a.n_grams, 0)::BIGINT AS n_grams, a.avg_logprob
         FROM documents d LEFT JOIN agg a USING (doc_id)"""
+
+  /** The CAPSTONE CCNet composition — per-language models AND
+    * per-language terciles, the complete Wenzek architecture from two
+    * public operators: every document scores under ITS OWN language's KN
+    * model (ref = src0-src3 minus zh), then tiles within its language by
+    * the generic rank stage; zh documents (no model) take a NULL score
+    * AND a NULL bucket. */
+  def qPplByLang(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir).df
+    val ref = docs.filter(col("source").isin("src0", "src1", "src2", "src3") &&
+      col("lang") =!= "zh")
+    val scored = TextOps.knLmScoreAgainstByLang(graft.api.MStream(docs), ref,
+        "doc_id", "text", "lang", "text", "lang", order = 3).df
+      .join(docs.select(col("doc_id"), col("lang")), Seq("doc_id"))
+    TextOps.bucketByRank(scored, "lang", "avg_logprob", "doc_id", buckets = 3)
+  }
+
+  val qPplByLangSql: String =
+    s"""$qKn3ByLangChain,
+        scored AS (SELECT d.doc_id, coalesce(a.n_grams, 0)::BIGINT AS n_grams,
+                   a.avg_logprob, d.lang
+                 FROM documents d LEFT JOIN agg a USING (doc_id))
+        SELECT doc_id, n_grams, avg_logprob, lang,
+          (CASE WHEN avg_logprob IS NOT NULL THEN ntile(3) OVER (
+             PARTITION BY lang, avg_logprob IS NULL
+             ORDER BY avg_logprob DESC, doc_id) END)::INT AS bucket
+        FROM scored"""
 
   /** The shared thresholds CTE chain: KN-against scoring (src0-src3
     * model) over ALL documents, tercile cuts frozen from the src0-src9
@@ -3082,6 +3116,7 @@ object QueriesPipeline {
     "q_kn3_score" -> (qKn3Score _),
     "q_kn3_against" -> (qKn3Against _),
     "q_kn3_bylang" -> (qKn3ByLang _),
+    "q_ppl_bylang" -> (qPplByLang _),
     "q_mkn3_score" -> (qMkn3Score _),
     "q_mkn3_against" -> (qMkn3Against _),
     "q_mkn_buckets" -> (qMknBuckets _),
@@ -3185,6 +3220,7 @@ object QueriesPipeline {
     "q_kn3_score" -> qKn3ScoreSql,
     "q_kn3_against" -> qKn3AgainstSql,
     "q_kn3_bylang" -> qKn3ByLangSql,
+    "q_ppl_bylang" -> qPplByLangSql,
     "q_mkn3_score" -> qMkn3ScoreSql,
     "q_mkn3_against" -> qMkn3AgainstSql,
     "q_mkn_buckets" -> qMknBucketsSql,
