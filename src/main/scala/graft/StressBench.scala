@@ -156,7 +156,13 @@ object StressBench {
         // anchor gram's neighbor-LCP group holds that whole population;
         // the global range sort bounds every task where a per-gram
         // window would serialize it. Timed at 1x and 10x
-        "substrskew")
+        "substrskew",
+        // round-15: the per-language-model probe — one language holding
+        // 60% of corpus AND reference (the English-dominates-the-crawl
+        // regime): its model is the dominant SLICE of every count table,
+        // and the scoring joins stream by (lang, grams) keys exactly like
+        // the shared face. Near-parity hot vs natural at 1x and 10x
+        "bylangskew")
     val spark = SparkSession.builder().master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
       .config("spark.sql.session.timeZone", "UTC")
@@ -732,6 +738,51 @@ object StressBench {
             } finally docs.unpersist()
           }
         }
+      } else if (q == "bylangskew") {
+        // per-language KN models under a dominant language: 60% of docs
+        // (and of the reference slice) forced into ONE language vs the
+        // natural distribution, 1x and 10x. The dominant language's model
+        // is a SLICE of the same pinned tables — count shuffles partial-
+        // aggregate by (lang, grams) and the scoring probe streams, so
+        // hot ≈ natural is the no-single-task evidence; row counts and
+        // the unmodeled-language NULL verdicts must be rep-stable.
+        for ((label, path) <- Seq("1x" -> s"$src/documents.parquet",
+                                  "10x" -> docsPath)) {
+          val base = spark.read.parquet(path)
+            .select(col("doc_id"), col("text"), col("lang"), col("source")).persist()
+          val nDocs = base.count()
+          try {
+            for ((mode, langExpr) <- Seq(
+                "natural" -> col("lang"),
+                "hot60" -> when(pmod(col("doc_id"), lit(5L)) < 3L, lit("en"))
+                  .otherwise(col("lang")))) {
+              val docs = base.withColumn("lang", langExpr)
+              // ref = the src0-src3 slice MINUS zh: zh documents exercise
+              // the no-model NULL path at probe scale too
+              val ref = docs.where(col("source")
+                .isin("src0", "src1", "src2", "src3") && col("lang") =!= "zh")
+              var expect = (-1L, -1L)
+              for (rep <- 1 to 2) {
+                isolate()
+                val t0 = System.nanoTime()
+                val scored = graft.pipeline.TextOps.knLmScoreAgainstByLang(
+                  graft.api.MStream(docs), ref, "doc_id", "text", "lang",
+                  "text", "lang", order = 3).df
+                scored.write.format("noop").mode("overwrite").save()
+                val secs = (System.nanoTime() - t0) / 1e9
+                val n = scored.count()
+                val nNull = scored.where(col("avg_logprob").isNull).count()
+                graft.api.Pinned.release(spark)
+                if (expect == ((-1L, -1L))) expect = (n, nNull)
+                else require((n, nNull) == expect,
+                  s"bylangskew/$label/$mode counts drifted: ($n, $nNull) vs $expect")
+                obs(s"bylangskew/$label/$mode", secs)
+                println(f"STRESS bylangskew/$label/$mode rep$rep $secs%.2f s " +
+                  f"($n rows, $nNull unscored) over $nDocs docs")
+              }
+            }
+          } finally base.unpersist()
+        }
       } else if (q == "semauto") {
         // semanticDedupAuto sizes the codebook with Ivf.cellsFor — the
         // executable cells-∝-corpus contract. Ran at 1x and 10x, the MEAN
@@ -853,7 +904,8 @@ object StressBench {
       (for (l <- Seq("1x", "10x"); op <- Seq("ppl", "cap", "cpk"))
         yield (s"langskew/$l/hot60/$op", s"langskew/$l/natural/$op", 4.0)) ++
       Seq("1x", "10x").map(l => (s"packskew/$l/hot60", s"packskew/$l/natural", 4.0)) ++
-      Seq("1x", "10x").map(l => (s"bm25skew/$l/hotterm", s"bm25skew/$l/natural", 5.0))
+      Seq("1x", "10x").map(l => (s"bm25skew/$l/hotterm", s"bm25skew/$l/natural", 5.0)) ++
+      Seq("1x", "10x").map(l => (s"bylangskew/$l/hot60", s"bylangskew/$l/natural", 4.0))
     val violations = driftRules.flatMap { case (num, den, maxRatio) =>
       (timings.get(num), timings.get(den)) match {
         case (Some(n), Some(d)) =>
