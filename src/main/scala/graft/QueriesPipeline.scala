@@ -2400,6 +2400,106 @@ object QueriesPipeline {
         SELECT d.doc_id, coalesce(a.n_grams, 0)::BIGINT AS n_grams, a.avg_logprob
         FROM documents d LEFT JOIN agg a USING (doc_id)"""
 
+  /** Per-language variant of [[mknDiscSql]]: per-language count-of-counts
+    * → per-language (d1, d2, d3), the same nested-CASE validity rule
+    * (divisions only evaluate when n1..n3 > 0) per language. */
+  private def mknDiscByLangSql(cte: String, src: String, ccol: String): String = {
+    val valid = "dv1 IS NOT NULL AND dv1 >= 0 AND dv1 <= 1 AND " +
+      "dv2 >= 0 AND dv2 <= 2 AND dv3 >= 0 AND dv3 <= 3"
+    s"""$cte AS MATERIALIZED (SELECT lg,
+          CASE WHEN $valid THEN dv1 ELSE 0.5 END AS d1,
+          CASE WHEN $valid THEN dv2 ELSE 1.0 END AS d2,
+          CASE WHEN $valid THEN dv3 ELSE 1.5 END AS d3
+        FROM (SELECT lg,
+            CASE WHEN n1 > 0 AND n2 > 0 AND n3 > 0
+                 THEN 1.0 - 2.0 * (n1 / (n1 + 2.0 * n2)) * n2 / n1 END AS dv1,
+            CASE WHEN n1 > 0 AND n2 > 0 AND n3 > 0
+                 THEN 2.0 - 3.0 * (n1 / (n1 + 2.0 * n2)) * n3 / n2 END AS dv2,
+            CASE WHEN n1 > 0 AND n2 > 0 AND n3 > 0
+                 THEN 3.0 - 4.0 * (n1 / (n1 + 2.0 * n2)) * n4 / n3 END AS dv3
+          FROM (SELECT lg, count(*) FILTER ($ccol = 1) AS n1,
+                       count(*) FILTER ($ccol = 2) AS n2,
+                       count(*) FILTER ($ccol = 3) AS n3,
+                       count(*) FILTER ($ccol = 4) AS n4 FROM $src GROUP BY lg)))"""
+  }
+
+  /** The complete CCNet matrix cell: per-language MODIFIED-KN models
+    * (each language's bucketed discounts derived from its own slices'
+    * count-of-counts, fallback per language) scoring every document
+    * under its own language's model; zh is excluded from the reference
+    * so its documents exercise the no-model NULL verdict. */
+  def qMkn3ByLang(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir).df
+    val ref = docs.filter(col("source").isin("src0", "src1", "src2", "src3") &&
+      col("lang") =!= "zh")
+    TextOps.mknLmScoreAgainstByLang(graft.api.MStream(docs), ref,
+      "doc_id", "text", "lang", "text", "lang", order = 3).df
+  }
+
+  val qMkn3ByLangSql: String =
+    s"""WITH rwords AS (SELECT lang AS lg, list_filter(string_split_regex(text, '[ \\t\\n\\f\\r\\x0b]+'), x -> x <> '') AS w
+                FROM documents WHERE source IN ('src0', 'src1', 'src2', 'src3') AND lang <> 'zh'),
+        g2 AS (SELECT lg, unnest(w[1:len(w) - 1]) AS v, unnest(w[2:len(w)]) AS t FROM rwords WHERE len(w) >= 2),
+        c2 AS MATERIALIZED (SELECT lg, v, t, count(*) AS c2 FROM g2 GROUP BY lg, v, t),
+        g3r AS (SELECT lg, unnest(w[1:len(w) - 2]) AS u, unnest(w[2:len(w) - 1]) AS v, unnest(w[3:len(w)]) AS t FROM rwords WHERE len(w) >= 3),
+        c3 AS MATERIALIZED (SELECT lg, u, v, t, count(*) AS c3 FROM g3r GROUP BY lg, u, v, t),
+        ctx3 AS MATERIALIZED (SELECT lg, u, v, sum(c3) AS tot3,
+               count(*) FILTER (c3 = 1) AS b13, count(*) FILTER (c3 = 2) AS b23,
+               count(*) FILTER (c3 >= 3) AS b33 FROM c3 GROUP BY lg, u, v),
+        cc2 AS MATERIALIZED (SELECT lg, v, t, count(*) AS cc2 FROM c3 GROUP BY lg, v, t),
+        ctxc2 AS MATERIALIZED (SELECT lg, v, sum(cc2) AS ctot2,
+               count(*) FILTER (cc2 = 1) AS b12, count(*) FILTER (cc2 = 2) AS b22,
+               count(*) FILTER (cc2 >= 3) AS b32 FROM cc2 GROUP BY lg, v),
+        cc1 AS MATERIALIZED (SELECT lg, t, count(*) AS cc1 FROM c2 GROUP BY lg, t),
+        ${mknDiscByLangSql("dl3", "c3", "c3")},
+        ${mknDiscByLangSql("dl2", "cc2", "cc2")},
+        ${mknDiscByLangSql("dl1", "cc1", "cc1")},
+        st AS MATERIALIZED (SELECT a.lg AS lg, a.t1, a.gb1, a.gb2, a.gb3, b.vv FROM
+               (SELECT lg, sum(cc1)::DOUBLE AS t1,
+                       count(*) FILTER (cc1 = 1) AS gb1,
+                       count(*) FILTER (cc1 = 2) AS gb2,
+                       count(*) FILTER (cc1 >= 3) AS gb3 FROM cc1 GROUP BY lg) a
+               JOIN (SELECT lg, count(DISTINCT tk) AS vv
+                     FROM (SELECT lg, unnest(w) AS tk FROM rwords) GROUP BY lg) b
+                 ON a.lg IS NOT DISTINCT FROM b.lg),
+        words AS (SELECT doc_id, lang AS lg, list_filter(string_split_regex(text, '[ \\t\\n\\f\\r\\x0b]+'), x -> x <> '') AS w FROM documents),
+        tris AS (SELECT doc_id, lg, unnest(w[1:len(w) - 2]) AS u, unnest(w[2:len(w) - 1]) AS v, unnest(w[3:len(w)]) AS t FROM words WHERE len(w) >= 3),
+        j3 AS MATERIALIZED (SELECT p.doc_id AS doc_id, p.lg AS lg, p.v AS v, p.t AS t,
+            c3.c3 AS c3, ctx3.tot3 AS tot3, ctx3.b13 AS b13, ctx3.b23 AS b23, ctx3.b33 AS b33
+          FROM tris p
+          LEFT JOIN c3 ON p.lg IS NOT DISTINCT FROM c3.lg AND p.u = c3.u AND p.v = c3.v AND p.t = c3.t
+          LEFT JOIN ctx3 ON p.lg IS NOT DISTINCT FROM ctx3.lg AND p.u = ctx3.u AND p.v = ctx3.v),
+        j2 AS MATERIALIZED (SELECT p.*, cc2.cc2 AS cc2, ctxc2.ctot2 AS ctot2,
+            ctxc2.b12 AS b12, ctxc2.b22 AS b22, ctxc2.b32 AS b32
+          FROM j3 p
+          LEFT JOIN cc2 ON p.lg IS NOT DISTINCT FROM cc2.lg AND p.v = cc2.v AND p.t = cc2.t
+          LEFT JOIN ctxc2 ON p.lg IS NOT DISTINCT FROM ctxc2.lg AND p.v = ctxc2.v),
+        j1 AS MATERIALIZED (SELECT p.*,
+            greatest(coalesce(cc1.cc1, 0) - ${mknDSel("dl1", "coalesce(cc1.cc1, 0)")}, 0.0) / st.t1
+              + (dl1.d1 * st.gb1 + dl1.d2 * st.gb2 + dl1.d3 * st.gb3) / st.t1
+                * (1.0 / (st.vv + 1.0)) AS p1
+          FROM j2 p
+          LEFT JOIN cc1 ON p.lg IS NOT DISTINCT FROM cc1.lg AND p.t = cc1.t
+          LEFT JOIN st ON p.lg IS NOT DISTINCT FROM st.lg
+          LEFT JOIN dl1 ON p.lg IS NOT DISTINCT FROM dl1.lg),
+        jp AS (SELECT p.doc_id AS doc_id,
+            CASE WHEN coalesce(p.ctot2, 0) > 0
+              THEN greatest(coalesce(p.cc2, 0) - ${mknDSel("dl2", "coalesce(p.cc2, 0)")}, 0.0) / p.ctot2
+                   + (dl2.d1 * p.b12 + dl2.d2 * p.b22 + dl2.d3 * p.b32) / p.ctot2 * p.p1
+              ELSE p.p1 END AS p2,
+            p.lg AS lg, p.c3 AS c3, p.tot3 AS tot3, p.b13 AS b13, p.b23 AS b23, p.b33 AS b33
+          FROM j1 p LEFT JOIN dl2 ON p.lg IS NOT DISTINCT FROM dl2.lg),
+        agg AS (SELECT p.doc_id AS doc_id, count(*) AS n_grams,
+            round(avg(ln(
+              CASE WHEN coalesce(p.tot3, 0) > 0
+                THEN greatest(coalesce(p.c3, 0) - ${mknDSel("dl3", "coalesce(p.c3, 0)")}, 0.0) / p.tot3
+                     + (dl3.d1 * p.b13 + dl3.d2 * p.b23 + dl3.d3 * p.b33) / p.tot3 * p.p2
+                ELSE p.p2 END)), 3) AS avg_logprob
+          FROM jp p LEFT JOIN dl3 ON p.lg IS NOT DISTINCT FROM dl3.lg
+          GROUP BY p.doc_id)
+        SELECT d.doc_id, coalesce(a.n_grams, 0)::BIGINT AS n_grams, a.avg_logprob
+        FROM documents d LEFT JOIN agg a USING (doc_id)"""
+
   /** The CAPSTONE CCNet composition — per-language models AND
     * per-language terciles, the complete Wenzek architecture from two
     * public operators: every document scores under ITS OWN language's KN
@@ -3116,6 +3216,7 @@ object QueriesPipeline {
     "q_kn3_score" -> (qKn3Score _),
     "q_kn3_against" -> (qKn3Against _),
     "q_kn3_bylang" -> (qKn3ByLang _),
+    "q_mkn3_bylang" -> (qMkn3ByLang _),
     "q_ppl_bylang" -> (qPplByLang _),
     "q_mkn3_score" -> (qMkn3Score _),
     "q_mkn3_against" -> (qMkn3Against _),
@@ -3220,6 +3321,7 @@ object QueriesPipeline {
     "q_kn3_score" -> qKn3ScoreSql,
     "q_kn3_against" -> qKn3AgainstSql,
     "q_kn3_bylang" -> qKn3ByLangSql,
+    "q_mkn3_bylang" -> qMkn3ByLangSql,
     "q_ppl_bylang" -> qPplByLangSql,
     "q_mkn3_score" -> qMkn3ScoreSql,
     "q_mkn3_against" -> qMkn3AgainstSql,

@@ -523,6 +523,19 @@ object Program {
                                  minCount: Long = 1L,
                                  broadcastModel: Option[Boolean] = None) extends Node
 
+  /** Per-language MODIFIED-KN scoring against a labeled reference
+    * corpus (`TextOps.mknLmScoreAgainstByLang`) — the complete CCNet
+    * matrix cell: per-language models with each language's bucketed
+    * discounts derived from its own slices' count-of-counts
+    * (--discount_fallback per language). Dual-mode; BUILD-TIME EAGER. */
+  final case class MknAgainstLang(name: String, input: String, ref: String,
+                                  idCol: String, textCol: String, langCol: String,
+                                  refTextCol: String, refLangCol: String,
+                                  order: Int, fb1: Double = 0.5,
+                                  fb2: Double = 1.0, fb3: Double = 1.5,
+                                  minCount: Long = 1L,
+                                  broadcastModel: Option[Boolean] = None) extends Node
+
   /** Modified Kneser-Ney LM score over the input corpus itself
     * (`TextOps.mknLmScore`) — KenLM parity: three count-bucketed
     * discounts per level, each derived from that level's count-of-counts,
@@ -767,6 +780,7 @@ object Program {
     case sx: SentChunk => Seq(sx.input)
     case ka: KnAgainst => Seq(ka.input, ka.ref)
     case kl: KnAgainstLang => Seq(kl.input, kl.ref)
+    case ml: MknAgainstLang => Seq(ml.input, ml.ref)
     case ms: MknScore => Seq(ms.input)
     case ma: MknAgainst => Seq(ma.input, ma.ref)
     case es: ExactSubstr => Seq(es.input)
@@ -1047,6 +1061,11 @@ object Program {
           graft.pipeline.TextOps.knLmScoreAgainstByLang(in(i),
             staticSide(name, in, ref), idCol, textCol, langCol, refTextCol,
             refLangCol, order, discount, mc, bm)
+        case MknAgainstLang(name, i, ref, idCol, textCol, langCol, refTextCol,
+                            refLangCol, order, f1, f2, f3, mc, bm) =>
+          graft.pipeline.TextOps.mknLmScoreAgainstByLang(in(i),
+            staticSide(name, in, ref), idCol, textCol, langCol, refTextCol,
+            refLangCol, order, (f1, f2, f3), mc, bm)
         case MknScore(name, i, idCol, textCol, order, f1, f2, f3) =>
           val s = in(i)
           s.lift(graft.pipeline.TextOps.mknLmScore(
@@ -1276,6 +1295,7 @@ object Program {
     case x: WinnowPairs => x.copy(name = name)
     case x: KnScore => x.copy(name = name)
     case x: KnAgainstLang => x.copy(name = name)
+    case x: MknAgainstLang => x.copy(name = name)
     case x: MknScore => x.copy(name = name)
     case x: MknAgainst => x.copy(name = name)
     case x: ExactSubstr => x.copy(name = name)
@@ -1631,6 +1651,17 @@ object Program {
       derive("knAgainstLang", Seq(ref))(n => KnAgainstLang(n, name, ref.name,
         idCol, textCol, langCol, refTextCol, refLangCol, order, discount,
         minCount, broadcastModel))
+    /** Per-language modified-KN scoring against `ref`'s labeled slices
+      * (format version 9) — the complete CCNet matrix cell. */
+    def mknLmScoreAgainstByLang(ref: Rec, idCol: String, textCol: String,
+                                langCol: String, refTextCol: String,
+                                refLangCol: String, order: Int,
+                                fallback: (Double, Double, Double) = (0.5, 1.0, 1.5),
+                                minCount: Long = 1L,
+                                broadcastModel: Option[Boolean] = None): Rec =
+      derive("mknAgainstLang", Seq(ref))(n => MknAgainstLang(n, name, ref.name,
+        idCol, textCol, langCol, refTextCol, refLangCol, order,
+        fallback._1, fallback._2, fallback._3, minCount, broadcastModel))
     /** Modified-KN score over this corpus itself (format version 9) —
       * KenLM parity with `--discount_fallback` semantics. */
     def mknLmScore(idCol: String, textCol: String, order: Int,
@@ -1908,7 +1939,7 @@ object Program {
     * mknAgainst), maximal exact-substring mining (exactSubstr), the
     * frozen-thresholds bucketing pair (pplThresholds, bucketApply), generic
     * rank tiling (rankBuckets), per-language KN reference models
-    * (knAgainstLang), and
+    * (knAgainstLang, mknAgainstLang), and
     * the AUTO broadcast lever — an against-face node whose
     * `broadcastModel` is ABSENT now means "decide per pinned table from
     * measured size" and stamps v9 (a v8 reader would misread the absent
@@ -1925,7 +1956,8 @@ object Program {
   private def requiredVersion(doc: Doc): Int =
     if (doc.nodes.exists {
       case _: MknScore | _: MknAgainst | _: ExactSubstr | _: PplThresholds |
-           _: BucketApply | _: RankBuckets | _: KnAgainstLang => true
+           _: BucketApply | _: RankBuckets | _: KnAgainstLang |
+           _: MknAgainstLang => true
       case la: Lm3Against => la.broadcastModel.isEmpty
       case na: LmNAgainst => na.broadcastModel.isEmpty
       case ka: KnAgainst => ka.broadcastModel.isEmpty
@@ -2090,6 +2122,14 @@ object Program {
           ("refLangCol" -> refLangCol) ~ ("order" -> order) ~
           ("discount" -> discount) ~ ("minCount" -> mc) ~
           ("broadcastModel" -> bm)
+      case MknAgainstLang(name, i, ref, idCol, textCol, langCol, refTextCol,
+                          refLangCol, order, f1, f2, f3, mc, bm) =>
+        ("op" -> "mknAgainstLang") ~ ("name" -> name) ~ ("input" -> i) ~
+          ("ref" -> ref) ~ ("idCol" -> idCol) ~ ("textCol" -> textCol) ~
+          ("langCol" -> langCol) ~ ("refTextCol" -> refTextCol) ~
+          ("refLangCol" -> refLangCol) ~ ("order" -> order) ~
+          ("fb1" -> f1) ~ ("fb2" -> f2) ~ ("fb3" -> f3) ~
+          ("minCount" -> mc) ~ ("broadcastModel" -> bm)
       case MknScore(name, i, idCol, textCol, order, f1, f2, f3) =>
         ("op" -> "mknScore") ~ ("name" -> name) ~ ("input" -> i) ~
           ("idCol" -> idCol) ~ ("textCol" -> textCol) ~ ("order" -> order) ~
@@ -2484,6 +2524,20 @@ object Program {
             (v \ "refLangCol").extract[String], (v \ "order").extract[Int],
             (v \ "discount").extractOpt[Double].getOrElse(0.75),
             (v \ "minCount").extractOpt[Long].getOrElse(1L), bmOf(v))
+          case "mknAgainstLang" =>
+            val fs = Seq("fb1", "fb2", "fb3").map(k => (v \ k).extractOpt[Double])
+            if (fs.exists(_.isDefined) && fs.exists(_.isEmpty))
+              throw new IllegalArgumentException(
+                s"node '$name': mknAgainstLang fallback discounts are all-or-none — " +
+                  "specify fb1, fb2 AND fb3, or none (defaults 0.5/1.0/1.5)")
+            val Seq(f1, f2, f3) =
+              if (fs.head.isDefined) fs.map(_.get) else Seq(0.5, 1.0, 1.5)
+            MknAgainstLang(name, (v \ "input").extract[String],
+              (v \ "ref").extract[String], (v \ "idCol").extract[String],
+              (v \ "textCol").extract[String], (v \ "langCol").extract[String],
+              (v \ "refTextCol").extract[String], (v \ "refLangCol").extract[String],
+              (v \ "order").extract[Int], f1, f2, f3,
+              (v \ "minCount").extractOpt[Long].getOrElse(1L), bmOf(v))
           case "mknScore" =>
             // fallback discounts all-or-none, the lm3Score lambda rule
             val fs = Seq("fb1", "fb2", "fb3").map(k => (v \ k).extractOpt[Double])
@@ -2780,6 +2834,12 @@ object Program {
             env(kl.ref).df.select(col(kl.refTextCol), col(kl.refLangCol)).schema
             emptyOf(s, graft.pipeline.TextOps.ngramOutputSchema(
               kl.idCol, s.df.schema(kl.idCol).dataType))
+          case ml: MknAgainstLang =>
+            val s = env(ml.input)
+            s.df.select(col(ml.idCol), col(ml.textCol), col(ml.langCol)).schema
+            env(ml.ref).df.select(col(ml.refTextCol), col(ml.refLangCol)).schema
+            emptyOf(s, graft.pipeline.TextOps.ngramOutputSchema(
+              ml.idCol, s.df.schema(ml.idCol).dataType))
           case ms: MknScore =>
             // build-time eager (model + discount derivation): schema-only
             val s = env(ms.input)
@@ -3221,6 +3281,11 @@ object Program {
           if (kl.minCount < 1) throw new IllegalArgumentException(
             s"node '${n.name}': knAgainstLang needs minCount >= 1, got ${kl.minCount}")
           Seq(kl.input, kl.ref)
+        case ml: MknAgainstLang =>
+          checkMkn(n.name, "mknAgainstLang", ml.order, ml.fb1, ml.fb2, ml.fb3)
+          if (ml.minCount < 1) throw new IllegalArgumentException(
+            s"node '${n.name}': mknAgainstLang needs minCount >= 1, got ${ml.minCount}")
+          Seq(ml.input, ml.ref)
         case ms: MknScore =>
           checkMkn(n.name, "mknScore", ms.order, ms.fb1, ms.fb2, ms.fb3)
           Seq(ms.input)

@@ -1456,6 +1456,84 @@ object TextOps {
     Await.result(Future.sequence(futs), Duration.Inf).toMap
   }
 
+  /** [[mknDerive]] as COLUMN arithmetic over per-language count-of-counts
+    * (n1..n4 columns) — same expression shapes, same all-or-none validity
+    * rule, so a per-language discount table is derivable in-plan and an
+    * oracle reproduces every language's decision. Returns (d1, d2, d3)
+    * columns named `__d1$sfx`/`__d2$sfx`/`__d3$sfx`. */
+  private def mknDeriveCols(sfx: String, fallback: (Double, Double, Double))
+      : Seq[Column] = {
+    val (n1, n2, n3, n4) = (col("__n1"), col("__n2"), col("__n3"), col("__n4"))
+    val y = n1.cast("double") / (n1 + lit(2.0) * n2)
+    val dv1 = lit(1.0) - lit(2.0) * y * n2 / n1
+    val dv2 = lit(2.0) - lit(3.0) * y * n3 / n2
+    val dv3 = lit(3.0) - lit(4.0) * y * n4 / n3
+    // NESTED CaseWhen: the divisions only evaluate once n1..n3 > 0 holds
+    // (CaseWhen branches are lazy; ANSI double division by zero throws)
+    val some = n1 > 0 && n2 > 0 && n3 > 0
+    val bounds = dv1 >= 0 && dv1 <= 1 && dv2 >= 0 && dv2 <= 2 &&
+      dv3 >= 0 && dv3 <= 3
+    val (f1, f2, f3) = fallback
+    def pick(dv: Column, f: Double): Column =
+      when(some, when(bounds, dv).otherwise(lit(f))).otherwise(lit(f))
+    Seq(pick(dv1, f1).as(s"__d1$sfx"), pick(dv2, f2).as(s"__d2$sfx"),
+      pick(dv3, f3).as(s"__d3$sfx"))
+  }
+
+  /** Per-LANGUAGE modified-KN discounts, every level in ONE small frame
+    * keyed __l: each level's count table groups by language into
+    * count-of-counts, derives (D1, D2, D3+) via [[mknDeriveCols]], and
+    * the levels left-join onto level 1's language set (a language with
+    * any bigram has level-1 continuations; higher levels may be absent —
+    * their discount columns stay NULL and are never read, because the
+    * back-off guards skip a level whose context total is 0/NULL). */
+  private def mknLangDiscounts(order: Int, rawN: org.apache.spark.sql.DataFrame,
+                               cont: Map[Int, org.apache.spark.sql.DataFrame],
+                               fallback: (Double, Double, Double))
+      : org.apache.spark.sql.DataFrame = {
+    def level(j: Int): org.apache.spark.sql.DataFrame = {
+      val (t, c) = if (j == order) (rawN, s"__cr$order") else (cont(j), s"__cc$j")
+      t.groupBy(col("__l")).agg(
+          count(when(col(c) === 1, true)).as("__n1"),
+          count(when(col(c) === 2, true)).as("__n2"),
+          count(when(col(c) === 3, true)).as("__n3"),
+          count(when(col(c) === 4, true)).as("__n4"))
+        .select(col("__l") +: mknDeriveCols(s"_$j", fallback): _*)
+    }
+    (2 to order).foldLeft(level(1)) { (acc, j) =>
+      acc.join(level(j), Seq("__l"), "left")
+    }
+  }
+
+  /** [[mknLp]] with PER-LANGUAGE discount COLUMNS (`__d{1,2,3}_$j`,
+    * joined by __l) instead of driver literals — the by-language face's
+    * probability fold; NULL stats/discounts (unmodeled language)
+    * propagate to a NULL score. */
+  private def mknLpByLang(order: Int): Column = {
+    def disc(j: Int, c: Column): Column =
+      when(c === 1L, col(s"__d1_$j")).when(c === 2L, col(s"__d2_$j"))
+        .otherwise(col(s"__d3_$j"))
+    def gnum(j: Int): Column =
+      col(s"__d1_$j") * col(s"__nb1$j") + col(s"__d2_$j") * col(s"__nb2$j") +
+        col(s"__d3_$j") * col(s"__nb3$j")
+    val c1 = coalesce(col("__cc1"), lit(0L))
+    var p: Column =
+      greatest(c1.cast("double") - disc(1, c1), lit(0.0)) / col("__t1") +
+        gnum(1) / col("__t1") * (lit(1.0) / (col("__v") + lit(1.0)))
+    for (j <- 2 until order) {
+      val cj = coalesce(col(s"__cc$j"), lit(0L))
+      val hi =
+        greatest(cj.cast("double") - disc(j, cj), lit(0.0)) / col(s"__ctot$j") +
+          gnum(j) / col(s"__ctot$j") * p
+      p = when(coalesce(col(s"__ctot$j"), lit(0L)) > 0, hi).otherwise(p)
+    }
+    val cN = coalesce(col(s"__cr$order"), lit(0L))
+    val hiN =
+      greatest(cN.cast("double") - disc(order, cN), lit(0.0)) / col(s"__tot$order") +
+        gnum(order) / col(s"__tot$order") * p
+    log(when(coalesce(col(s"__tot$order"), lit(0L)) > 0, hiN).otherwise(p))
+  }
+
   /** The modified-KN per-position log-likelihood: [[knLp]] with the
     * fixed D replaced by count-bucketed discounts — the discount of a
     * count is D1/D2/D3+ by its bucket, and the back-off mass of a
@@ -1645,13 +1723,55 @@ object TextOps {
                              minCount: Long = 1L,
                              broadcastModel: Option[Boolean] = None)
       : graft.api.MStream = {
+    require(discount > 0 && discount < 1,
+      s"discount must be in (0, 1), got $discount")
+    knByLangScore(stream, refDocs, idCol, textCol, langCol, refTextCol,
+      refLangCol, order, minCount, broadcastModel, "knLmScoreAgainstByLang",
+      (_, _) => (knLp(order, discount), None))
+  }
+
+  /** Per-language MODIFIED-KN scoring against a labeled reference — the
+    * complete CCNet matrix cell (per-language models AND KenLM's real
+    * smoothing): each language's three count-bucketed discounts derive
+    * from ITS OWN slices' count-of-counts ([[mknDeriveCols]] — the same
+    * all-or-none `--discount_fallback` rule as [[mknDerive]], per
+    * language), joined onto the scoring rows as a languages-sized
+    * discount frame. Unmodeled languages keep their position count with
+    * a NULL score; dual-mode like [[knLmScoreAgainstByLang]]. */
+  def mknLmScoreAgainstByLang(stream: graft.api.MStream,
+                              refDocs: org.apache.spark.sql.DataFrame,
+                              idCol: String, textCol: String, langCol: String,
+                              refTextCol: String, refLangCol: String,
+                              order: Int,
+                              fallback: (Double, Double, Double) = MknFallback,
+                              minCount: Long = 1L,
+                              broadcastModel: Option[Boolean] = None)
+      : graft.api.MStream = {
+    checkMknParams(order, Map.empty, fallback)
+    knByLangScore(stream, refDocs, idCol, textCol, langCol, refTextCol,
+      refLangCol, order, minCount, broadcastModel, "mknLmScoreAgainstByLang",
+      (rawN, cont) => (mknLpByLang(order),
+        Some(mknLangDiscounts(order, rawN, cont, fallback))))
+  }
+
+  /** The shared per-language against engine: [[knAgainstScore]]'s shape
+    * with the language key threaded through every table and join.
+    * `lpOf(rawN, cont)` returns the per-position column plus an optional
+    * languages-sized side frame (per-language discounts) joined by __l. */
+  private def knByLangScore(stream: graft.api.MStream,
+                            refDocs: org.apache.spark.sql.DataFrame,
+                            idCol: String, textCol: String, langCol: String,
+                            refTextCol: String, refLangCol: String,
+                            order: Int, minCount: Long,
+                            broadcastModel: Option[Boolean], label: String,
+                            lpOf: (org.apache.spark.sql.DataFrame,
+                                   Map[Int, org.apache.spark.sql.DataFrame]) =>
+                              (Column, Option[org.apache.spark.sql.DataFrame]))
+      : graft.api.MStream = {
     import org.apache.spark.sql.{Encoder, Row}
     import org.apache.spark.sql.catalyst.encoders.RowEncoder
     import org.apache.spark.sql.types._
-    val label = "knLmScoreAgainstByLang"
     require(order >= 2 && order <= 8, s"$label order must be in [2, 8], got $order")
-    require(discount > 0 && discount < 1,
-      s"discount must be in (0, 1), got $discount")
     require(!refDocs.isStreaming,
       s"$label: the reference corpus must be a batch frame " +
         "(the models pin once; a streaming reference has no stable artifact)")
@@ -1669,7 +1789,7 @@ object TextOps {
       s"$label: the reference corpus yields no per-language model " +
         "(no language slice has a bigram)")
     val id = col(idCol)
-    val lp = knLp(order, discount)
+    val (lp, extra) = lpOf(rawN, cont)
     def withJoins(pos: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
       def side(m: org.apache.spark.sql.DataFrame, bc: Boolean) =
         if (bc) broadcast(m) else m
@@ -1679,10 +1799,12 @@ object TextOps {
       for (j <- order - 1 to 2 by -1)
         j0 = j0.join(side(cont(j), bcC(j)), keys(j), "left")
           .join(side(ctxc(j), bcC(j)), "__l" +: gramCols(order, j).dropRight(1), "left")
-      // the per-language stats frame (languages × 7) always broadcasts;
-      // an unmodeled language misses every join and scores NULL
-      j0.join(side(cont(1), bcC(1)), keys(1), "left")
+      // the per-language stats frame (languages × 7) always broadcasts,
+      // as does the optional per-language discount frame; an unmodeled
+      // language misses every join and scores NULL
+      val j1 = j0.join(side(cont(1), bcC(1)), keys(1), "left")
         .join(broadcast(stats), Seq("__l"), "left")
+      extra.map(e => j1.join(broadcast(e), Seq("__l"), "left")).getOrElse(j1)
     }
 
     if (!df.isStreaming) {

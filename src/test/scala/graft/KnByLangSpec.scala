@@ -58,6 +58,44 @@ class KnByLangSpec extends SparkSpec {
     } finally graft.api.Pinned.release(spark)
   }
 
+  test("per-language MODIFIED-KN == the shared-model mkn operator run per language slice") {
+    try {
+      val got = rowsOf(TextOps.mknLmScoreAgainstByLang(
+        MStream(docs.toDF("doc_id", "text", "lang")), ref.toDF("doc_id", "text", "lang"),
+        "doc_id", "text", "lang", "text", "lang", order = 3).df)
+      val langs = ref.map(_._3).distinct
+      val perSlice: Map[Long, (Long, Option[Double])] = langs.flatMap { lg =>
+        val refSlice = ref.filter(_._3 == lg).map(r => (r._1, r._2))
+        val docSlice = docs.filter(_._3 == lg).map(r => (r._1, r._2))
+        if (docSlice.isEmpty) Nil
+        else rowsOf(TextOps.mknLmScoreAgainst(
+          MStream(docSlice.toDF("doc_id", "text")), refSlice.toDF("doc_id", "text"),
+          "doc_id", "text", "text", order = 3).df).toSeq
+      }.toMap
+      perSlice.foreach { case (id, want) =>
+        assert(got(id) == want, s"doc $id: mkn by-lang ${got(id)} vs slice $want")
+      }
+      assert(got(103L) == (3L, None) && got(104L) == (0L, None),
+        "no-model and under-order verdicts carry over")
+      // the streaming face is the shared engine; pin it equal here too
+      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+      import org.apache.spark.sql.streaming.OutputMode
+      implicit val sqlCtx = spark.sqlContext
+      val in = MemoryStream[(Long, String, String)]
+      val out = TextOps.mknLmScoreAgainstByLang(
+        MStream(in.toDF().toDF("doc_id", "text", "lang")), ref.toDF("doc_id", "text", "lang"),
+        "doc_id", "text", "lang", "text", "lang", order = 3)
+      in.addData(docs.map(d => (d._1, d._2, d._3)): _*)
+      val name = s"mknbl_${System.nanoTime()}"
+      val q = out.df.writeStream.format("memory").queryName(name)
+        .outputMode(OutputMode.Append()).start()
+      try {
+        q.processAllAvailable()
+        assert(rowsOf(spark.table(name)) == got, "streaming equals batch")
+      } finally q.stop()
+    } finally graft.api.Pinned.release(spark)
+  }
+
   test("streaming == batch; stateless; auto-lever streaming rejection still applies") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import org.apache.spark.sql.streaming.OutputMode
@@ -126,6 +164,40 @@ class KnByLangSpec extends SparkSpec {
       val out = App.runProgram(spark, config, Program.toJson(cap))
         .collectFirst { case App.BatchOutput("a", o) => o }.get
       assert(rowsOf(out) == rowsOf(TextOps.knLmScoreAgainstByLang(
+        MStream(docsDf), refDf, "doc_id", "text", "lang", "text", "lang", 3).df),
+        "document execution equals the direct API")
+    } finally graft.api.Pinned.release(spark)
+  }
+
+  test("MknAgainstLang node: v9 stamp, codec identity, document run == direct API") {
+    import graft.api.{App, Program}
+    import graft.api.Program._
+    val d = Doc(Seq(External("in"), External("r"),
+      MknAgainstLang("a", "in", "r", "doc_id", "text", "lang", "text", "lang",
+        3, 0.4, 0.9, 1.4, minCount = 2L, broadcastModel = Some(false))), Seq("a"))
+    val json = Program.toJson(d)
+    assert(json.contains("\"version\":9") && Program.fromJson(json) == d)
+    val bad = intercept[IllegalArgumentException](Program.fromJson(Program.toJson(
+      Doc(Seq(External("in"), External("r"),
+        MknAgainstLang("a", "in", "r", "doc_id", "text", "lang", "text", "lang",
+          3, fb2 = 2.5)), Seq("a")))))
+    assert(bad.getMessage.contains("fallback"), bad.getMessage)
+    try {
+      val docsDf = docs.toDF("doc_id", "text", "lang")
+      val refDf = ref.toDF("doc_id", "text", "lang")
+      val cap = Program.capture(
+        Program.Rec.external("in", MStream(docsDf))
+          .mknLmScoreAgainstByLang(Program.Rec.external("r", MStream(refDf)),
+            "doc_id", "text", "lang", "text", "lang", order = 3).as("a"))
+      assert(Program.fromJson(Program.toJson(cap)) == cap)
+      val config = new App.Config()
+        .setSource("in", App.Source("list", rows = Some(docsDf)))
+        .setSource("r", App.Source("list", rows = Some(refDf)))
+        .addSink("a", App.Sink("memory"))
+      Program.validate(cap, spark, config)
+      val out = App.runProgram(spark, config, Program.toJson(cap))
+        .collectFirst { case App.BatchOutput("a", o) => o }.get
+      assert(rowsOf(out) == rowsOf(TextOps.mknLmScoreAgainstByLang(
         MStream(docsDf), refDf, "doc_id", "text", "lang", "text", "lang", 3).df),
         "document execution equals the direct API")
     } finally graft.api.Pinned.release(spark)

@@ -242,6 +242,7 @@ class ProgramNodeCoverageSpec extends AnyFunSuite {
         "program face is the chunkSentences node or mapCols"),
       "knLmScoreAgainst" -> node("knAgainst"),
       "knLmScoreAgainstByLang" -> node("knAgainstLang"),
+      "mknLmScoreAgainstByLang" -> node("mknAgainstLang"),
       "mknLmScore" -> node("mknScore"),
       "mknLmScoreAgainst" -> node("mknAgainst"),
       "perplexityBucketThresholds" -> node("pplThresholds"),
