@@ -2400,6 +2400,53 @@ object QueriesPipeline {
         SELECT d.doc_id, coalesce(a.n_grams, 0)::BIGINT AS n_grams, a.avg_logprob
         FROM documents d LEFT JOIN agg a USING (doc_id)"""
 
+  /** PER-LANGUAGE Jelinek-Mercer reference models — the JM cell of the
+    * smoothing × per-language matrix (q_kn3_bylang / q_mkn3_bylang are
+    * the KN cells): one add-alpha trigram model per non-zh language of
+    * the src0-src3 slice, trained in ONE pass; zh documents exercise the
+    * no-model verdict (position count kept, NULL score). */
+  def qLm3ByLang(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir).df
+    val ref = docs.filter(col("source").isin("src0", "src1", "src2", "src3") &&
+      col("lang") =!= "zh")
+    TextOps.ngramLmScoreAgainstByLang(graft.api.MStream(docs), ref,
+      "doc_id", "text", "lang", "text", "lang", order = 3,
+      lambdas = Seq(0.6, 0.3, 0.1), nCol = "n_tris").df
+  }
+
+  val qLm3ByLangSql: String =
+    s"""WITH rwords AS (SELECT lang AS lg, list_filter(string_split_regex(text, '[ \\t\\n\\f\\r\\x0b]+'), x -> x <> '') AS w
+                FROM documents WHERE source IN ('src0', 'src1', 'src2', 'src3') AND lang <> 'zh'),
+        c1 AS MATERIALIZED (SELECT lg, t, count(*) AS c1 FROM (SELECT lg, unnest(w) AS t FROM rwords) GROUP BY lg, t),
+        nv AS MATERIALIZED (SELECT lg, sum(c1)::DOUBLE AS n, count(*)::DOUBLE AS vv FROM c1 GROUP BY lg),
+        prs AS (SELECT lg, unnest(w[1:len(w) - 1]) AS v, unnest(w[2:len(w)]) AS t FROM rwords WHERE len(w) >= 2),
+        c2 AS MATERIALIZED (SELECT lg, v, t, count(*) AS c2 FROM prs GROUP BY lg, v, t),
+        c2x AS MATERIALIZED (SELECT lg, v, sum(c2) AS c2x FROM c2 GROUP BY lg, v),
+        rtris AS (SELECT lg, unnest(w[1:len(w) - 2]) AS u, unnest(w[2:len(w) - 1]) AS v, unnest(w[3:len(w)]) AS t FROM rwords WHERE len(w) >= 3),
+        c3 AS MATERIALIZED (SELECT lg, u, v, t, count(*) AS c3 FROM rtris GROUP BY lg, u, v, t),
+        c3x AS MATERIALIZED (SELECT lg, u, v, sum(c3) AS c3x FROM c3 GROUP BY lg, u, v),
+        words AS (SELECT doc_id, lang AS lg, list_filter(string_split_regex(text, '[ \\t\\n\\f\\r\\x0b]+'), x -> x <> '') AS w FROM documents),
+        tris AS (SELECT doc_id, lg, unnest(w[1:len(w) - 2]) AS u, unnest(w[2:len(w) - 1]) AS v, unnest(w[3:len(w)]) AS t FROM words WHERE len(w) >= 3),
+        j3 AS MATERIALIZED (SELECT p.doc_id AS doc_id, p.lg AS lg, p.v AS v, p.t AS t, c3.c3 AS c3, c3x.c3x AS c3x
+          FROM tris p
+          LEFT JOIN c3 ON p.lg IS NOT DISTINCT FROM c3.lg AND p.u = c3.u AND p.v = c3.v AND p.t = c3.t
+          LEFT JOIN c3x ON p.lg IS NOT DISTINCT FROM c3x.lg AND p.u = c3x.u AND p.v = c3x.v),
+        j2 AS MATERIALIZED (SELECT p.*, c2.c2 AS c2, c2x.c2x AS c2x
+          FROM j3 p
+          LEFT JOIN c2 ON p.lg IS NOT DISTINCT FROM c2.lg AND p.v = c2.v AND p.t = c2.t
+          LEFT JOIN c2x ON p.lg IS NOT DISTINCT FROM c2x.lg AND p.v = c2x.v),
+        agg AS (SELECT p.doc_id AS doc_id, count(*) AS n_tris,
+            round(avg(ln(
+              0.6 * (coalesce(p.c3, 0) + 0.5) / (coalesce(p.c3x, 0) + nv.vv * 0.5)
+              + 0.3 * (coalesce(p.c2, 0) + 0.5) / (coalesce(p.c2x, 0) + nv.vv * 0.5)
+              + 0.1 * (coalesce(c1.c1, 0) + 0.5) / (nv.n + nv.vv * 0.5))), 3) AS avg_logprob
+          FROM j2 p
+          LEFT JOIN c1 ON p.lg IS NOT DISTINCT FROM c1.lg AND p.t = c1.t
+          LEFT JOIN nv ON p.lg IS NOT DISTINCT FROM nv.lg
+          GROUP BY p.doc_id)
+        SELECT d.doc_id, coalesce(a.n_tris, 0)::BIGINT AS n_tris, a.avg_logprob
+        FROM documents d LEFT JOIN agg a USING (doc_id)"""
+
   /** Per-language variant of [[mknDiscSql]]: per-language count-of-counts
     * → per-language (d1, d2, d3), the same nested-CASE validity rule
     * (divisions only evaluate when n1..n3 > 0) per language. */
@@ -3216,6 +3263,7 @@ object QueriesPipeline {
     "q_kn3_score" -> (qKn3Score _),
     "q_kn3_against" -> (qKn3Against _),
     "q_kn3_bylang" -> (qKn3ByLang _),
+    "q_lm3_bylang" -> (qLm3ByLang _),
     "q_mkn3_bylang" -> (qMkn3ByLang _),
     "q_ppl_bylang" -> (qPplByLang _),
     "q_mkn3_score" -> (qMkn3Score _),
@@ -3321,6 +3369,7 @@ object QueriesPipeline {
     "q_kn3_score" -> qKn3ScoreSql,
     "q_kn3_against" -> qKn3AgainstSql,
     "q_kn3_bylang" -> qKn3ByLangSql,
+    "q_lm3_bylang" -> qLm3ByLangSql,
     "q_mkn3_bylang" -> qMkn3ByLangSql,
     "q_ppl_bylang" -> qPplByLangSql,
     "q_mkn3_score" -> qMkn3ScoreSql,

@@ -942,15 +942,22 @@ object TextOps {
                            * position-count-sized; pruning is what makes
                            * the model a broadcastable ARTIFACT at scale;
                            * unigrams never prune, matching KenLM). */
-                         minCount: Long = 1L)
+                         minCount: Long = 1L,
+                         /** Some(c) = PER-LANGUAGE models in one pass
+                           * ([[knModel]]'s convention): column c threads
+                           * as key "__l" through every count/context
+                           * groupBy, so each language's model is an
+                           * independent slice of the same tables. None
+                           * keeps the shared-model shape byte-for-byte. */
+                         langCol: Option[String] = None)
       : (Map[Int, org.apache.spark.sql.DataFrame],
          Map[Int, org.apache.spark.sql.DataFrame]) = {
     val spark = train.sparkSession
-    def pin(d: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
-      val (cp, ids) = graft.api.Pinned.checkpointTracked(d)
-      graft.api.Pinned.register(spark, ids)
-      cp
-    }
+    // materialize the key ONCE under its canonical name (gramsOf
+    // re-evaluates its keep expressions on the intermediate frame)
+    val train2 = langCol.map(c => train.withColumn("__l", col(c))).getOrElse(train)
+    val keyNames: Seq[String] = langCol.map(_ => "__l").toSeq
+    val keyKeep: Seq[Column] = keyNames.map(col)
     // the per-order count builds are INDEPENDENT actions; submit their
     // eager checkpoints concurrently (Spark schedules jobs from multiple
     // threads — later small stages fill slots the earlier shuffle leaves
@@ -963,8 +970,8 @@ object TextOps {
       awaitPinned(spark, (1 to order).map { j =>
         Future {
           val names = gramCols(order, j)
-          val raw = gramsOf(train, textCol, j, names, Nil)
-            .groupBy(names.map(col): _*).agg(count(lit(1)).as(s"__c$j"))
+          val raw = gramsOf(train2, textCol, j, names, keyKeep)
+            .groupBy((keyNames ++ names).map(col): _*).agg(count(lit(1)).as(s"__c$j"))
           val kept =
             if (j >= 2 && minCount > 1L) raw.filter(col(s"__c$j") >= minCount)
             else raw
@@ -975,7 +982,7 @@ object TextOps {
     }
     val ctxs = (2 to order).map { j =>
       val names = gramCols(order, j)
-      j -> counts(j).groupBy(names.dropRight(1).map(col): _*)
+      j -> counts(j).groupBy((keyNames ++ names.dropRight(1)).map(col): _*)
         .agg(sum(col(s"__c$j")).as(s"__cx$j"))
     }.toMap
     (counts, ctxs)
@@ -1807,6 +1814,27 @@ object TextOps {
       extra.map(e => j1.join(broadcast(e), Seq("__l"), "left")).getOrElse(j1)
     }
 
+    byLangApply(stream, idCol, textCol, langCol, order, "n_grams", withJoins, lp)
+  }
+
+  /** The shared batch/streaming APPLY stage of every by-language against
+    * face (KN, modified KN, Jelinek-Mercer): explode positions with the
+    * struct-wrapped language key, run the face's `withJoins`, fold the
+    * per-position `lp` per document. Positions of an unmodeled language
+    * carry a NULL `lp` — counted, never summed — so a document whose
+    * language has no reference model keeps its position count and takes
+    * a NULL score in both modes. */
+  private def byLangApply(stream: graft.api.MStream, idCol: String,
+                          textCol: String, langCol: String, order: Int,
+                          nCol: String,
+                          withJoins: org.apache.spark.sql.DataFrame =>
+                            org.apache.spark.sql.DataFrame,
+                          lp: Column): graft.api.MStream = {
+    import org.apache.spark.sql.{Encoder, Row}
+    import org.apache.spark.sql.catalyst.encoders.RowEncoder
+    import org.apache.spark.sql.types._
+    val df = stream.df
+    val id = col(idCol)
     if (!df.isStreaming) {
       // materialize the doc-side key once (gramsOf re-evaluates keeps)
       val dfK = df.withColumn("__l", struct(col(langCol)))
@@ -1815,9 +1843,9 @@ object TextOps {
       val scored = withJoins(pos)
         .withColumn("__lp", lp)
         .groupBy(id)
-        .agg(count(lit(1)).as("n_grams"), round(avg(col("__lp")), 3).as("avg_logprob"))
+        .agg(count(lit(1)).as(nCol), round(avg(col("__lp")), 3).as("avg_logprob"))
       val out = df.select(id).join(scored, Seq(idCol), "left")
-        .select(id, coalesce(col("n_grams"), lit(0L)).as("n_grams"), col("avg_logprob"))
+        .select(id, coalesce(col(nCol), lit(0L)).as(nCol), col("avg_logprob"))
       return stream.lift(out)
     }
 
@@ -1837,7 +1865,7 @@ object TextOps {
     val idType = df.schema(idCol).dataType
     val aggT = StructType(Seq(
       StructField("__id", idType),
-      StructField("n_grams", LongType, nullable = false),
+      StructField(nCol, LongType, nullable = false),
       StructField("__sum", DoubleType)))
     val aggEnc: Encoder[Row] = RowEncoder.encoderFor(aggT)
     val pIdx = u.schema.fieldIndex("__p1")
@@ -1857,9 +1885,77 @@ object TextOps {
           }
           Iterator.single(Row(key.get(0), nn, if (ns > 0) s else null))
       }
-      .select(col("__id").as(idCol), col("n_grams"),
-        round(col("__sum") / col("n_grams"), 3).as("avg_logprob"))
+      .select(col("__id").as(idCol), col(nCol),
+        round(col("__sum") / col(nCol), 3).as("avg_logprob"))
     stream.lift(out)
+  }
+
+  /** PER-LANGUAGE order-n Jelinek-Mercer LM scoring against a LABELED
+    * reference corpus — the JM cell of the smoothing × per-language
+    * matrix ([[knLmScoreAgainstByLang]] / [[mknLmScoreAgainstByLang]]
+    * are the Kneser-Ney cells): every language's add-alpha count tables
+    * train in ONE pass (the language threads as key "__l" through every
+    * count/context/stats groupBy — per-language models are SLICES of the
+    * same pinned artifacts, no per-language driver loop), and each
+    * document scores under ITS OWN language's model by average
+    * interpolated per-position log-likelihood with the
+    * [[ngramLmScoreAgainst]] back-off floors. Documents whose language
+    * has no reference model keep their position count and take a NULL
+    * score; a null language is its own model (struct-wrapped keys, the
+    * engine-wide null-group convention). Dual-mode: streaming is
+    * stream-static broadcast joins + the stateless per-batch combine.
+    *
+    * Scale shape: identical tables to [[ngramLmScoreAgainst]] with one
+    * more key column, so the count shuffles, the AUTO broadcast lever
+    * (per pinned table, measured size) and the streamed-probe posture
+    * all carry over; the per-language (N, V) stats frame (languages × 2)
+    * always broadcasts. */
+  def ngramLmScoreAgainstByLang(stream: graft.api.MStream,
+                                refDocs: org.apache.spark.sql.DataFrame,
+                                idCol: String, textCol: String, langCol: String,
+                                refTextCol: String, refLangCol: String,
+                                order: Int, alpha: Double = 0.5,
+                                lambdas: Seq[Double] = Nil,
+                                nCol: String = "n_grams",
+                                minCount: Long = 1L,
+                                broadcastModel: Option[Boolean] = None)
+      : graft.api.MStream = {
+    require(order >= 2 && order <= 8,
+      s"ngramLmScoreAgainstByLang order must be in [2, 8], got $order")
+    require(alpha > 0, s"alpha must be positive, got $alpha")
+    require(!refDocs.isStreaming,
+      "ngramLmScoreAgainstByLang: the reference corpus must be a batch " +
+        "frame (the models pin once; a streaming reference has no stable artifact)")
+    require(minCount >= 1, s"minCount must be >= 1, got $minCount")
+    val l = lambdasFor(order, lambdas)
+    val df = stream.df
+    // struct-wrapped language key: null-safe under plain equi-join keys
+    val refKeyed = refDocs.withColumn("__lraw", struct(col(refLangCol)))
+    val (counts, ctxs) = ngramModel(refKeyed, refTextCol, order, minCount,
+      langCol = Some("__lraw"))
+    val bc = (1 to order).map(j => j -> decideBroadcast(broadcastModel, counts(j))).toMap
+    checkLevers("ngramLmScoreAgainstByLang", order, minCount, df.isStreaming,
+      (1 to order).forall(bc))
+    // per-language (N, V) — one row per modeled language, always broadcast
+    val stats = counts(1).groupBy(col("__l"))
+      .agg(sum(col("__c1")).cast("double").as("__n"),
+        count(lit(1)).cast("double").as("__vv"))
+    require(!stats.isEmpty,
+      "ngramLmScoreAgainstByLang: the reference corpus yields no " +
+        "per-language model (no language slice has a token)")
+    def withJoins(pos: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+      def side(m: org.apache.spark.sql.DataFrame, j: Int) =
+        if (bc(j)) broadcast(m) else m
+      (order to 2 by -1).foldLeft(pos) { (d, j) =>
+        d.join(side(counts(j), j), "__l" +: gramCols(order, j), "left")
+          .join(side(ctxs(j), j), "__l" +: gramCols(order, j).dropRight(1), "left")
+      }.join(side(counts(1), 1), "__l" +: gramCols(order, 1), "left")
+        // an unmodeled language misses the stats join — every term of the
+        // interpolation goes NULL, the no-model verdict
+        .join(broadcast(stats), Seq("__l"), "left")
+    }
+    byLangApply(stream, idCol, textCol, langCol, order, nCol, withJoins,
+      ngramLp(order, alpha, l))
   }
 
   /** Modified-KN scoring AGAINST a pretrained reference corpus — the
