@@ -3123,6 +3123,45 @@ object QueriesPipeline {
                       (a, c) -> (a * 31 + c) % 1000000007) AS kept_hash
         FROM agg"""
 
+  /** Paragraph-granularity corpus-wide duplicate scrub (C4 dedups at
+    * both granularities): synthesized two-paragraph documents where the
+    * second paragraph is a shared footer (doc_id % 15 picks it), so the
+    * footer paragraph survives only at its first (doc_id, pos)
+    * occurrence. Outputs per-doc paragraph counts + surviving-content
+    * hash — the q_line_scrub evidence shape one granularity up. */
+  def qParaScrub(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir).df
+    val footer = docs.select(col("doc_id").as("__fid"), col("text").as("__ftext"))
+    val synth = docs.join(footer, col("doc_id") % 15 === col("__fid"))
+      .select(col("doc_id"),
+        concat_ws("\n\n", col("text"), col("__ftext")).as("text"))
+    Dedup.scrubDuplicateParagraphs(synth, "doc_id", "text", minWords = 3)
+      .select(col("doc_id"), col("n_paras"), col("n_dropped"),
+        TextOps.polyHash(col("scrubbed")).as("kept_hash"))
+  }
+
+  val qParaScrubSql: String =
+    s"""WITH synth AS (SELECT d.doc_id AS doc_id, d.text || chr(10) || chr(10) || f.text AS text
+                       FROM documents d JOIN documents f ON f.doc_id = d.doc_id % 15),
+        ps AS (SELECT doc_id, string_split(text, chr(10) || chr(10)) AS ps FROM synth),
+        paras AS (SELECT doc_id, unnest(ps) AS para,
+                    unnest(range(0, len(ps))) AS pos FROM ps),
+        tag AS (SELECT doc_id, pos, para,
+                  len(list_filter(string_split_regex(para, '[ \\t\\n\\f\\r\\x0b]+'), x -> x <> '')) >= 3 AS sub
+                FROM paras),
+        rn AS (SELECT doc_id, pos, para, sub,
+                 row_number() OVER (PARTITION BY sub, para ORDER BY doc_id, pos) AS rn
+               FROM tag),
+        keepr AS (SELECT doc_id, pos, para, (NOT sub OR rn = 1) AS keep FROM rn),
+        agg AS (SELECT doc_id, count(*) AS n_paras,
+                  sum(CASE WHEN keep THEN 0 ELSE 1 END)::BIGINT AS n_dropped,
+                  array_to_string(list(para ORDER BY pos) FILTER (WHERE keep), chr(10) || chr(10)) AS scrubbed
+                FROM keepr GROUP BY doc_id)
+        SELECT doc_id, n_paras, n_dropped,
+          list_reduce([0] || [ord(c)::BIGINT for c in string_split(scrubbed, '')],
+                      (a, c) -> (a * 31 + c) % 1000000007) AS kept_hash
+        FROM agg"""
+
   /** Token-frequency annotation at ingest: arrivals (doc_id % 3 = 0)
     * annotated against a count–min sketch of the reference slice
     * (doc_id % 3 <> 0) — rarest-token estimate + count of tokens the
@@ -3287,6 +3326,7 @@ object QueriesPipeline {
     "q_temp_mix" -> (qTempMix _),
     "q_bpe_encode" -> (qBpeEncode _),
     "q_line_scrub" -> (qLineScrub _),
+    "q_para_scrub" -> (qParaScrub _),
     "q_source_cap" -> (qSourceCap _),
     "q_token_budget" -> (qTokenBudget _),
     "q_dedup_clusters" -> (qDedupClusters _),
@@ -3393,6 +3433,7 @@ object QueriesPipeline {
     "q_temp_mix" -> qTempMixSql,
     "q_bpe_encode" -> qBpeEncodeSql,
     "q_line_scrub" -> qLineScrubSql,
+    "q_para_scrub" -> qParaScrubSql,
     "q_source_cap" -> qSourceCapSql,
     "q_token_budget" -> qTokenBudgetSql,
     "q_dedup_clusters" -> qDedupClustersSql,

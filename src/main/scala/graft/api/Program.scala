@@ -360,6 +360,12 @@ object Program {
     * (id, position) occurrence corpus-wide. */
   final case class LineScrub(name: String, input: String, idCol: String,
                              textCol: String, minWords: Int) extends Node
+  /** Duplicate-paragraph scrub (`Dedup.scrubDuplicateParagraphs` — the
+    * C4 rule one granularity up): per-doc (n_paras, n_dropped, scrubbed)
+    * keeping each blank-line-separated paragraph's first (id, position)
+    * occurrence corpus-wide. */
+  final case class ParaScrub(name: String, input: String, idCol: String,
+                             textCol: String, minWords: Int) extends Node
   /** Repeated-span scrub (`Dedup.scrubRepeatedSpans`, Lee et al. 2022):
     * per-doc (n_kept, kept_hash) after dropping spans of `k`-grams seen
     * in >= `minDocs` documents. BUILD-TIME EAGER (pins the corpus-wide
@@ -520,6 +526,19 @@ object Program {
                                  idCol: String, textCol: String, langCol: String,
                                  refTextCol: String, refLangCol: String,
                                  order: Int, discount: Double,
+                                 minCount: Long = 1L,
+                                 broadcastModel: Option[Boolean] = None) extends Node
+
+  /** Per-language Jelinek-Mercer scoring against a LABELED reference
+    * corpus (`TextOps.ngramLmScoreAgainstByLang`) — the JM cell of the
+    * smoothing × per-language matrix (one add-alpha model per language,
+    * trained in one pass); unmodeled languages take a NULL score.
+    * Dual-mode; BUILD-TIME EAGER. */
+  final case class LmAgainstLang(name: String, input: String, ref: String,
+                                 idCol: String, textCol: String, langCol: String,
+                                 refTextCol: String, refLangCol: String,
+                                 order: Int, alpha: Double = 0.5,
+                                 lambdas: Seq[Double] = Nil,
                                  minCount: Long = 1L,
                                  broadcastModel: Option[Boolean] = None) extends Node
 
@@ -780,6 +799,7 @@ object Program {
     case sx: SentChunk => Seq(sx.input)
     case ka: KnAgainst => Seq(ka.input, ka.ref)
     case kl: KnAgainstLang => Seq(kl.input, kl.ref)
+    case jl: LmAgainstLang => Seq(jl.input, jl.ref)
     case ml: MknAgainstLang => Seq(ml.input, ml.ref)
     case ms: MknScore => Seq(ms.input)
     case ma: MknAgainst => Seq(ma.input, ma.ref)
@@ -811,6 +831,7 @@ object Program {
     case sd: SemanticDedup => Seq(sd.input, sd.centroids)
     case sb: SemanticDedupBest => Seq(sb.input, sb.centroids)
     case ls: LineScrub => Seq(ls.input)
+    case pp: ParaScrub => Seq(pp.input)
     case sc: SpanScrub => Seq(sc.input)
     case qa: QualityAnnotate => Seq(qa.input)
     case ps: PiiScrub => Seq(ps.input)
@@ -1066,6 +1087,12 @@ object Program {
           graft.pipeline.TextOps.mknLmScoreAgainstByLang(in(i),
             staticSide(name, in, ref), idCol, textCol, langCol, refTextCol,
             refLangCol, order, (f1, f2, f3), mc, bm)
+        case LmAgainstLang(name, i, ref, idCol, textCol, langCol, refTextCol,
+                           refLangCol, order, alpha, lambdas, mc, bm) =>
+          graft.pipeline.TextOps.ngramLmScoreAgainstByLang(in(i),
+            staticSide(name, in, ref), idCol, textCol, langCol, refTextCol,
+            refLangCol, order, alpha, lambdas, minCount = mc,
+            broadcastModel = bm)
         case MknScore(name, i, idCol, textCol, order, f1, f2, f3) =>
           val s = in(i)
           s.lift(graft.pipeline.TextOps.mknLmScore(
@@ -1187,6 +1214,9 @@ object Program {
         case LineScrub(name, i, idCol, textCol, minWords) =>
           rewrap(in(i), graft.pipeline.Dedup.scrubDuplicateLines(
             batchFace(name, "lineScrub", in(i)), idCol, textCol, minWords))
+        case ParaScrub(name, i, idCol, textCol, minWords) =>
+          rewrap(in(i), graft.pipeline.Dedup.scrubDuplicateParagraphs(
+            batchFace(name, "paraScrub", in(i)), idCol, textCol, minWords))
         case SpanScrub(name, i, idCol, textCol, k, minDocs, keepCanonical) =>
           rewrap(in(i), graft.pipeline.Dedup.scrubRepeatedSpans(
             batchFace(name, "spanScrub", in(i)), idCol, textCol, k, minDocs,
@@ -1295,6 +1325,7 @@ object Program {
     case x: WinnowPairs => x.copy(name = name)
     case x: KnScore => x.copy(name = name)
     case x: KnAgainstLang => x.copy(name = name)
+    case x: LmAgainstLang => x.copy(name = name)
     case x: MknAgainstLang => x.copy(name = name)
     case x: MknScore => x.copy(name = name)
     case x: MknAgainst => x.copy(name = name)
@@ -1328,6 +1359,7 @@ object Program {
     case x: SemanticDedup => x.copy(name = name)
     case x: SemanticDedupBest => x.copy(name = name)
     case x: LineScrub => x.copy(name = name)
+    case x: ParaScrub => x.copy(name = name)
     case x: SpanScrub => x.copy(name = name)
     case x: QualityAnnotate => x.copy(name = name)
     case x: PiiScrub => x.copy(name = name)
@@ -1651,6 +1683,19 @@ object Program {
       derive("knAgainstLang", Seq(ref))(n => KnAgainstLang(n, name, ref.name,
         idCol, textCol, langCol, refTextCol, refLangCol, order, discount,
         minCount, broadcastModel))
+    /** Per-language Jelinek-Mercer scoring against `ref`'s labeled
+      * slices (format version 10) — the JM cell of the smoothing ×
+      * per-language matrix. */
+    def ngramLmScoreAgainstByLang(ref: Rec, idCol: String, textCol: String,
+                                  langCol: String, refTextCol: String,
+                                  refLangCol: String, order: Int,
+                                  alpha: Double = 0.5,
+                                  lambdas: Seq[Double] = Nil,
+                                  minCount: Long = 1L,
+                                  broadcastModel: Option[Boolean] = None): Rec =
+      derive("lmAgainstLang", Seq(ref))(n => LmAgainstLang(n, name, ref.name,
+        idCol, textCol, langCol, refTextCol, refLangCol, order, alpha,
+        lambdas, minCount, broadcastModel))
     /** Per-language modified-KN scoring against `ref`'s labeled slices
       * (format version 9) — the complete CCNet matrix cell. */
     def mknLmScoreAgainstByLang(ref: Rec, idCol: String, textCol: String,
@@ -1833,6 +1878,10 @@ object Program {
     /** Duplicate-line scrub (the C4 rule). */
     def lineScrub(idCol: String, textCol: String, minWords: Int = 3): Rec =
       derive1("lineScrub")(n => LineScrub(n, name, idCol, textCol, minWords))
+    /** Duplicate-paragraph scrub (the C4 rule one granularity up,
+      * format version 10). */
+    def paraScrub(idCol: String, textCol: String, minWords: Int = 3): Rec =
+      derive1("paraScrub")(n => ParaScrub(n, name, idCol, textCol, minWords))
     /** Repeated-span scrub (Lee et al.); BUILD-TIME EAGER. */
     def spanScrub(idCol: String, textCol: String, k: Int, minDocs: Int,
                   keepCanonical: Boolean = false): Rec =
@@ -1944,17 +1993,23 @@ object Program {
     * `broadcastModel` is ABSENT now means "decide per pinned table from
     * measured size" and stamps v9 (a v8 reader would misread the absent
     * field as its old `true` default, so the stamp forces the refusal);
-    * an explicit true/false keeps the v8 stamp and the v8 meaning.
+    * an explicit true/false keeps the v8 stamp and the v8 meaning;
+    * 10 adds the per-language Jelinek-Mercer face (lmAgainstLang) —
+    * completing the smoothing × per-language matrix — and the
+    * paragraph-granularity duplicate scrub (paraScrub).
     * [[toJson]] stamps each document with the LOWEST version that can
     * express it, so a document using only the v1 grammar stays loadable
     * by a v1 library. Versions track SHIPPED grammars (one per build
     * round), not individual commits — every v6 node landed in the same
     * round, so no v6-stamped artifact can predate any v6 op. */
-  val FormatVersion: Int = 9
+  val FormatVersion: Int = 10
 
   /** The lowest format version expressing every node in `doc`. */
   private def requiredVersion(doc: Doc): Int =
     if (doc.nodes.exists {
+      case _: LmAgainstLang | _: ParaScrub => true
+      case _ => false }) 10
+    else if (doc.nodes.exists {
       case _: MknScore | _: MknAgainst | _: ExactSubstr | _: PplThresholds |
            _: BucketApply | _: RankBuckets | _: KnAgainstLang |
            _: MknAgainstLang => true
@@ -2122,6 +2177,14 @@ object Program {
           ("refLangCol" -> refLangCol) ~ ("order" -> order) ~
           ("discount" -> discount) ~ ("minCount" -> mc) ~
           ("broadcastModel" -> bm)
+      case LmAgainstLang(name, i, ref, idCol, textCol, langCol, refTextCol,
+                         refLangCol, order, alpha, lambdas, mc, bm) =>
+        ("op" -> "lmAgainstLang") ~ ("name" -> name) ~ ("input" -> i) ~
+          ("ref" -> ref) ~ ("idCol" -> idCol) ~ ("textCol" -> textCol) ~
+          ("langCol" -> langCol) ~ ("refTextCol" -> refTextCol) ~
+          ("refLangCol" -> refLangCol) ~ ("order" -> order) ~
+          ("alpha" -> alpha) ~ ("lambdas" -> lambdas) ~
+          ("minCount" -> mc) ~ ("broadcastModel" -> bm)
       case MknAgainstLang(name, i, ref, idCol, textCol, langCol, refTextCol,
                           refLangCol, order, f1, f2, f3, mc, bm) =>
         ("op" -> "mknAgainstLang") ~ ("name" -> name) ~ ("input" -> i) ~
@@ -2262,6 +2325,9 @@ object Program {
           ("threshold" -> threshold) ~ ("score" -> score)
       case LineScrub(name, i, idCol, textCol, minWords) =>
         ("op" -> "lineScrub") ~ ("name" -> name) ~ ("input" -> i) ~
+          ("idCol" -> idCol) ~ ("textCol" -> textCol) ~ ("minWords" -> minWords)
+      case ParaScrub(name, i, idCol, textCol, minWords) =>
+        ("op" -> "paraScrub") ~ ("name" -> name) ~ ("input" -> i) ~
           ("idCol" -> idCol) ~ ("textCol" -> textCol) ~ ("minWords" -> minWords)
       case SpanScrub(name, i, idCol, textCol, k, minDocs, keepCanonical) =>
         ("op" -> "spanScrub") ~ ("name" -> name) ~ ("input" -> i) ~
@@ -2524,6 +2590,14 @@ object Program {
             (v \ "refLangCol").extract[String], (v \ "order").extract[Int],
             (v \ "discount").extractOpt[Double].getOrElse(0.75),
             (v \ "minCount").extractOpt[Long].getOrElse(1L), bmOf(v))
+          case "lmAgainstLang" => LmAgainstLang(name,
+            (v \ "input").extract[String], (v \ "ref").extract[String],
+            (v \ "idCol").extract[String], (v \ "textCol").extract[String],
+            (v \ "langCol").extract[String], (v \ "refTextCol").extract[String],
+            (v \ "refLangCol").extract[String], (v \ "order").extract[Int],
+            (v \ "alpha").extractOpt[Double].getOrElse(0.5),
+            (v \ "lambdas").extractOpt[Seq[Double]].getOrElse(Nil),
+            (v \ "minCount").extractOpt[Long].getOrElse(1L), bmOf(v))
           case "mknAgainstLang" =>
             val fs = Seq("fb1", "fb2", "fb3").map(k => (v \ k).extractOpt[Double])
             if (fs.exists(_.isDefined) && fs.exists(_.isEmpty))
@@ -2689,6 +2763,9 @@ object Program {
           case "lineScrub" => LineScrub(name, (v \ "input").extract[String],
             (v \ "idCol").extract[String], (v \ "textCol").extract[String],
             (v \ "minWords").extractOpt[Int].getOrElse(3))
+          case "paraScrub" => ParaScrub(name, (v \ "input").extract[String],
+            (v \ "idCol").extract[String], (v \ "textCol").extract[String],
+            (v \ "minWords").extractOpt[Int].getOrElse(3))
           case "spanScrub" => SpanScrub(name, (v \ "input").extract[String],
             (v \ "idCol").extract[String], (v \ "textCol").extract[String],
             (v \ "k").extract[Int], (v \ "minDocs").extract[Int],
@@ -2834,6 +2911,12 @@ object Program {
             env(kl.ref).df.select(col(kl.refTextCol), col(kl.refLangCol)).schema
             emptyOf(s, graft.pipeline.TextOps.ngramOutputSchema(
               kl.idCol, s.df.schema(kl.idCol).dataType))
+          case jl: LmAgainstLang =>
+            val s = env(jl.input)
+            s.df.select(col(jl.idCol), col(jl.textCol), col(jl.langCol)).schema
+            env(jl.ref).df.select(col(jl.refTextCol), col(jl.refLangCol)).schema
+            emptyOf(s, graft.pipeline.TextOps.ngramOutputSchema(
+              jl.idCol, s.df.schema(jl.idCol).dataType))
           case ml: MknAgainstLang =>
             val s = env(ml.input)
             s.df.select(col(ml.idCol), col(ml.textCol), col(ml.langCol)).schema
@@ -3281,6 +3364,11 @@ object Program {
           if (kl.minCount < 1) throw new IllegalArgumentException(
             s"node '${n.name}': knAgainstLang needs minCount >= 1, got ${kl.minCount}")
           Seq(kl.input, kl.ref)
+        case jl: LmAgainstLang =>
+          checkNgram(n.name, "lmAgainstLang", jl.order, jl.alpha, jl.lambdas)
+          if (jl.minCount < 1) throw new IllegalArgumentException(
+            s"node '${n.name}': lmAgainstLang needs minCount >= 1, got ${jl.minCount}")
+          Seq(jl.input, jl.ref)
         case ml: MknAgainstLang =>
           checkMkn(n.name, "mknAgainstLang", ml.order, ml.fb1, ml.fb2, ml.fb3)
           if (ml.minCount < 1) throw new IllegalArgumentException(
@@ -3428,6 +3516,10 @@ object Program {
           if (ls.minWords < 1) throw new IllegalArgumentException(
             s"node '${n.name}': lineScrub needs minWords >= 1, got ${ls.minWords}")
           Seq(ls.input)
+        case pp: ParaScrub =>
+          if (pp.minWords < 1) throw new IllegalArgumentException(
+            s"node '${n.name}': paraScrub needs minWords >= 1, got ${pp.minWords}")
+          Seq(pp.input)
         case sc: SpanScrub =>
           if (sc.k < 2 || sc.minDocs < 2) throw new IllegalArgumentException(
             s"node '${n.name}': spanScrub needs k >= 2 and minDocs >= 2, " +

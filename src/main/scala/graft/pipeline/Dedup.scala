@@ -153,11 +153,39 @@ object Dedup {
     * Output: (idCol, n_lines, n_dropped, scrubbed) — `scrubbed` is the
     * document with surviving lines re-joined by newline, in order. */
   def scrubDuplicateLines(docs: DataFrame, idCol: String, textCol: String,
-                          minWords: Int = 3): DataFrame = {
-    require(minWords >= 1, s"scrubDuplicateLines needs minWords >= 1, got $minWords")
+                          minWords: Int = 3): DataFrame =
+    scrubDuplicateUnits(docs, idCol, textCol, minWords, "\n", "n_lines",
+      "scrubDuplicateLines")
+
+  /** PARAGRAPH-granularity corpus-wide duplicate scrub — C4 dedups at
+    * both granularities (Raffel et al. 2020 §2.2 scrub repeated lines;
+    * the paragraph face catches boilerplate blocks — cookie banners,
+    * license headers — whose individual lines vary too little to clear
+    * `minWords` or vary in wrapping): [[scrubDuplicateLines]] with the
+    * unit = a blank-line-separated paragraph. A paragraph occurring more
+    * than once in the corpus keeps only its FIRST occurrence (global
+    * (id, pos) order); paragraphs under `minWords` words never
+    * participate. Same 8-byte-hash shuffle shape and collision guard.
+    *
+    * Output: (idCol, n_paras, n_dropped, scrubbed) — surviving
+    * paragraphs re-joined by the blank-line separator, in order. */
+  def scrubDuplicateParagraphs(docs: DataFrame, idCol: String, textCol: String,
+                               minWords: Int = 3): DataFrame =
+    scrubDuplicateUnits(docs, idCol, textCol, minWords, "\n\n", "n_paras",
+      "scrubDuplicateParagraphs")
+
+  /** The shared unit scrubber behind [[scrubDuplicateLines]] (sep "\n")
+    * and [[scrubDuplicateParagraphs]] (sep "\n\n"): split on the literal
+    * separator, keep the first corpus-wide occurrence of each
+    * participating unit, rebuild with the same separator. */
+  private def scrubDuplicateUnits(docs: DataFrame, idCol: String, textCol: String,
+                                  minWords: Int, sep: String, nCol: String,
+                                  opLabel: String): DataFrame = {
+    require(minWords >= 1, s"$opLabel needs minWords >= 1, got $minWords")
     val id = col(idCol)
     val lines = docs.select(id,
-      posexplode(split(col(textCol), "\n", -1)).as(Seq("__pos", "__line")))
+      posexplode(split(col(textCol), java.util.regex.Pattern.quote(sep), -1))
+        .as(Seq("__pos", "__line")))
     val isSub = size(graft.pipeline.TextOps.words(col("__line"))) >= minWords
     val salted = xxhash64(col("__line"), lit(0x517cc1b7L))
     val firsts = lines.where(isSub)
@@ -165,7 +193,7 @@ object Dedup {
       .agg(min(struct(id.as("i"), col("__pos").as("p"))).as("__first"),
         min(salted).as("__v1"), max(salted).as("__v2"))
       .filter(assert_true(col("__v1") === col("__v2"),
-        lit("xxhash64 collision in scrubDuplicateLines: distinct lines share a hash")).isNull)
+        lit(s"xxhash64 collision in $opLabel: distinct units share a hash")).isNull)
       .select(col("__lh"), col("__first"))
     val tagged = lines
       .withColumn("__sub", isSub)
@@ -173,22 +201,22 @@ object Dedup {
       .join(firsts, Seq("__lh"), "left")
       .withColumn("__keep", !col("__sub") ||
         (col("__first.i") === id && col("__first.p") === col("__pos")))
-    // droppedBecause lineage: each scrubbed line occurrence links to the
-    // first occurrence that kept the line — identity is (doc, pos), the
-    // only stable key a dropped line has
+    // droppedBecause lineage: each scrubbed unit occurrence links to the
+    // first occurrence that kept it — identity is (doc, pos), the only
+    // stable key a dropped unit has
     graft.api.Lineage.current(docs.sparkSession).foreach { rec =>
       rec.add(tagged.where(!col("__keep")).select(
-        lit("droppedBecause:scrubDuplicateLines").as("op"),
+        lit(s"droppedBecause:$opLabel").as("op"),
         xxhash64(struct(id, col("__pos"))).as("output_id"),
         xxhash64(struct(col("__first.i"), col("__first.p"))).as("input_id")))
     }
     tagged.groupBy(id)
-      .agg(count(lit(1)).as("n_lines"),
+      .agg(count(lit(1)).as(nCol),
         sum(when(col("__keep"), 0L).otherwise(1L)).as("n_dropped"),
         array_join(transform(
           sort_array(collect_list(when(col("__keep"),
             struct(col("__pos"), col("__line"))))),
-          x => x.getField("__line")), "\n").as("scrubbed"))
+          x => x.getField("__line")), sep).as("scrubbed"))
   }
 
   /** One pass over the corpus text: (id, word-n-gram shingle hashes),

@@ -94,6 +94,40 @@ class LmByLangSpec extends SparkSpec {
     } finally graft.api.Pinned.release(spark)
   }
 
+  test("LmAgainstLang node: v10 stamp, codec identity, document run == direct API") {
+    import graft.api.{App, Program}
+    import graft.api.Program._
+    val d = Doc(Seq(External("in"), External("r"),
+      LmAgainstLang("a", "in", "r", "doc_id", "text", "lang", "text", "lang",
+        3, 0.4, Seq(0.6, 0.3, 0.1), minCount = 2L, broadcastModel = Some(false))), Seq("a"))
+    val json = Program.toJson(d)
+    assert(json.contains("\"version\":10") && Program.fromJson(json) == d)
+    val bad = intercept[IllegalArgumentException](Program.fromJson(Program.toJson(
+      Doc(Seq(External("in"), External("r"),
+        LmAgainstLang("a", "in", "r", "doc_id", "text", "lang", "text", "lang",
+          3, minCount = 0L)), Seq("a")))))
+    assert(bad.getMessage.contains("minCount"), bad.getMessage)
+    try {
+      val docsDf = docs.toDF("doc_id", "text", "lang")
+      val refDf = ref.toDF("doc_id", "text", "lang")
+      val cap = Program.capture(
+        Program.Rec.external("in", MStream(docsDf))
+          .ngramLmScoreAgainstByLang(Program.Rec.external("r", MStream(refDf)),
+            "doc_id", "text", "lang", "text", "lang", order = 3).as("a"))
+      assert(Program.fromJson(Program.toJson(cap)) == cap)
+      val config = new App.Config()
+        .setSource("in", App.Source("list", rows = Some(docsDf)))
+        .setSource("r", App.Source("list", rows = Some(refDf)))
+        .addSink("a", App.Sink("memory"))
+      Program.validate(cap, spark, config)
+      val out = App.runProgram(spark, config, Program.toJson(cap))
+        .collectFirst { case App.BatchOutput("a", o) => o }.get
+      assert(rowsOf(out) == rowsOf(TextOps.ngramLmScoreAgainstByLang(
+        MStream(docsDf), refDf, "doc_id", "text", "lang", "text", "lang", 3).df),
+        "document execution equals the direct API")
+    } finally graft.api.Pinned.release(spark)
+  }
+
   test("contracts: bounds, lambdas, empty-model rejection") {
     val df = docs.toDF("doc_id", "text", "lang")
     assert(intercept[IllegalArgumentException](TextOps.ngramLmScoreAgainstByLang(

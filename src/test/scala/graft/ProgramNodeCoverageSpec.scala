@@ -138,6 +138,7 @@ class ProgramNodeCoverageSpec extends AnyFunSuite {
       "semanticDedup" -> node("semanticDedup"),
       "semanticDedupKeepBest" -> node("semanticDedupBest"),
       "scrubDuplicateLines" -> node("lineScrub"),
+      "scrubDuplicateParagraphs" -> node("paraScrub"),
       "scrubRepeatedSpans" -> node("spanScrub"),
       "semanticDedupAuto" -> excluded("auto-sizing convenience over the " +
         "semanticDedup node (k = Ivf.cellsFor); programs pin k explicitly " +
@@ -234,6 +235,7 @@ class ProgramNodeCoverageSpec extends AnyFunSuite {
       "winnowOverlapPairs" -> node("winnowPairs"),
       "ngramLmScore" -> node("lmnScore"),
       "ngramLmScoreAgainst" -> node("lmnAgainst"),
+      "ngramLmScoreAgainstByLang" -> node("lmAgainstLang"),
       "lm3ScoreAgainst" -> node("lm3Against"),
       "knLmScore" -> node("knScore"),
       "chunkSentences" -> node("chunkSentences"),

@@ -156,6 +156,69 @@ class SpanDedupSpec extends SparkSpec {
     }
   }
 
+  test("scrubDuplicateParagraphs: paragraph units, separator round-trip, node codec") {
+    val docs = Seq(
+      (1L, "first unique paragraph here\n\nshared boiler plate block"),
+      (2L, "shared boiler plate block\n\nsecond unique paragraph here"),
+      // a paragraph containing single newlines is ONE unit — the line
+      // face would split it; minWords counts across the whole block
+      (3L, "multi line\nparagraph body\n\nshared boiler plate block"),
+      (4L, "so so"))  // < 3 words: exempt, kept verbatim
+      .toDF("doc_id", "text")
+    val out = Dedup.scrubDuplicateParagraphs(docs, "doc_id", "text", minWords = 3)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getString(3))))
+      .toMap
+    assert(out(1L) == ((2L, 0L, "first unique paragraph here\n\nshared boiler plate block")),
+      "doc 1 holds the shared block's first occurrence")
+    assert(out(2L) == ((2L, 1L, "second unique paragraph here")))
+    assert(out(3L) == ((2L, 1L, "multi line\nparagraph body")),
+      "inner single newlines stay inside one paragraph unit")
+    assert(out(4L) == ((1L, 0L, "so so")), "sub-minWords paragraphs are exempt")
+    // brute-force parity on seeded corpora (the line-scrub reference with
+    // the paragraph separator)
+    val rnd = new scala.util.Random(23)
+    val vocabParas = Vector(
+      "alpha beta gamma", "delta epsilon zeta", "shared boiler plate block",
+      "one two", "eta theta iota kappa\nwith a second line")
+    val rdocs = (0L until 25L).map { i =>
+      (i, Seq.fill(1 + rnd.nextInt(3))(vocabParas(rnd.nextInt(vocabParas.size)))
+        .mkString("\n\n"))
+    }
+    val seen = scala.collection.mutable.Set.empty[String]
+    val expect2 = rdocs.sortBy(_._1).map { case (id, t) =>
+      val ps = t.split(java.util.regex.Pattern.quote("\n\n"), -1)
+      val kept = ps.zipWithIndex.filter { case (p, _) =>
+        val sub = p.split("\\s+").count(_.nonEmpty) >= 3
+        !sub || seen.add(p)
+      }.map(_._1)
+      (id, (ps.length.toLong, (ps.length - kept.length).toLong, kept.mkString("\n\n")))
+    }.toMap
+    val got = Dedup.scrubDuplicateParagraphs(rdocs.toDF("doc_id", "text"),
+        "doc_id", "text", minWords = 3)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getString(3))))
+      .toMap
+    assert(got == expect2, "brute-force parity")
+    // ParaScrub node: v10 stamp, codec identity, document run == direct API
+    import graft.api.{App, Program}
+    import graft.api.Program._
+    val d = Doc(Seq(External("in"), ParaScrub("a", "in", "doc_id", "text", 3)), Seq("a"))
+    val json = Program.toJson(d)
+    assert(json.contains("\"version\":10") && Program.fromJson(json) == d)
+    val cap = Program.capture(
+      Program.Rec.external("in", graft.api.MStream(docs))
+        .paraScrub("doc_id", "text").as("a"))
+    assert(Program.fromJson(Program.toJson(cap)) == cap)
+    val config = new App.Config()
+      .setSource("in", App.Source("list", rows = Some(docs)))
+      .addSink("a", App.Sink("memory"))
+    Program.validate(cap, spark, config)
+    val ran = App.runProgram(spark, config, Program.toJson(cap))
+      .collectFirst { case App.BatchOutput("a", o) => o }.get
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getString(3))))
+      .toMap
+    assert(ran == out, "document execution equals the direct API")
+  }
+
   test("repeatedSpans equals a brute-force reference on seeded random corpora") {
     // tiny vocab forces heavy cross-doc gram sharing — the regime where
     // island assembly, thresholds, and the collision-guard stage all work
