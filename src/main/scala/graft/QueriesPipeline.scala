@@ -1272,6 +1272,56 @@ object QueriesPipeline {
               row_number() OVER (PARTITION BY q_id ORDER BY bm25 DESC, doc_id) AS rank
        FROM agg QUALIFY rank <= 10"""
 
+  /** Hybrid retrieval fusion: the BM25 leg (first-3-words queries, the
+    * q_bm25_batch shape) and the cosine ANN leg (the q_ann_topk shape)
+    * fuse by reciprocal-rank fusion at kRrf=60 over a corpus carrying
+    * both text and an embedding (documents ⋈ embeddings on id). The
+    * oracle mirrors BOTH legs and the fusion; ranking is on the exact
+    * fused double with ascending-id ties. */
+  def qHybridRrf(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir).df
+    val emb = Tables.embeddings(spark, dir).df
+    val corpus = docs.select(col("doc_id"), col("text"))
+      .join(emb.select(col("vec_id"), col("embedding")),
+        col("doc_id") === col("vec_id")).drop("vec_id")
+    val qs = corpus.where(col("doc_id") < 5)
+      .select(col("doc_id").as("q_id"),
+        concat_ws(" ", slice(TextOps.words(col("text")), 1, 3)).as("q_text"),
+        col("embedding").as("q_vec"))
+    TextOps.hybridRrfRetrieve(corpus, "doc_id", "text", "embedding",
+      qs, "q_id", "q_text", "q_vec", k = 10)
+  }
+
+  val qHybridRrfSql: String =
+    """WITH d AS (SELECT doc_id, list_filter(string_split_regex(text, '[ \t\n\f\r\x0b]+'), x -> x <> '') AS w FROM documents),
+        stats AS (SELECT count(*)::DOUBLE AS n, avg(len(w)) AS avgdl FROM d),
+        tfx AS (SELECT doc_id, dl, t, count(*)::DOUBLE AS tf FROM (
+                  SELECT doc_id, len(w) AS dl, unnest(w) AS t FROM d) GROUP BY 1, 2, 3),
+        q AS (SELECT doc_id AS q_id, list_distinct(w[1:3]) AS qw FROM d WHERE doc_id < 5),
+        qt AS (SELECT q_id, unnest(qw) AS t FROM q),
+        dfx AS (SELECT t, count(*)::DOUBLE AS dfc FROM tfx
+                WHERE t IN (SELECT DISTINCT t FROM qt) GROUP BY t),
+        sc AS (SELECT qt.q_id, tfx.doc_id,
+                 ln((stats.n - dfx.dfc + 0.5) / (dfx.dfc + 0.5) + 1.0)
+                   * (tfx.tf * 2.2)
+                   / (tfx.tf + 1.2 * (0.25 + 0.75 * tfx.dl / stats.avgdl)) AS c
+               FROM qt JOIN dfx USING (t) JOIN tfx USING (t), stats),
+        aggb AS (SELECT q_id, doc_id, round(sum(c), 4) AS bm25 FROM sc GROUP BY 1, 2),
+        bmleg AS (SELECT q_id, doc_id,
+                    row_number() OVER (PARTITION BY q_id ORDER BY bm25 DESC, doc_id) AS r
+                  FROM aggb QUALIFY r <= 10),
+        e AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+        qe AS (SELECT vec_id AS q_id, e AS qe FROM e WHERE vec_id < 5),
+        annleg AS (SELECT q_id, vec_id AS doc_id,
+                     row_number() OVER (PARTITION BY q_id
+                       ORDER BY list_cosine_similarity(qe, e) DESC, vec_id) AS r
+                   FROM qe, e WHERE vec_id <> q_id QUALIFY r <= 10),
+        united AS (SELECT * FROM bmleg UNION ALL SELECT * FROM annleg),
+        fused AS (SELECT q_id, doc_id, sum(1.0::DOUBLE / (60 + r)) AS f FROM united GROUP BY 1, 2)
+        SELECT q_id, doc_id, round(f, 6) AS rrf,
+          row_number() OVER (PARTITION BY q_id ORDER BY f DESC, doc_id) AS rank
+        FROM fused QUALIFY rank <= 10"""
+
   /** Per-label embedding statistics: count, centroid norm, mean vector
     * norm — one scan, `VectorSum` centroid accumulation (k rows shuffle,
     * not k×dim). */
@@ -3376,6 +3426,7 @@ object QueriesPipeline {
     "q_tfidf" -> (qTfidf _),
     "q_bm25" -> (qBm25 _),
     "q_bm25_batch" -> (qBm25Batch _),
+    "q_hybrid_rrf" -> (qHybridRrf _),
     "q_embed_stats" -> (qEmbedStats _),
     "q_chunk" -> (qChunk _),
     "q_encode" -> (qEncode _),
@@ -3483,6 +3534,7 @@ object QueriesPipeline {
     "q_tfidf" -> qTfidfSql,
     "q_bm25" -> qBm25Sql,
     "q_bm25_batch" -> qBm25BatchSql,
+    "q_hybrid_rrf" -> qHybridRrfSql,
     "q_embed_stats" -> qEmbedStatsSql,
     "q_chunk" -> qChunkSql,
     "q_encode" -> qEncodeSql,

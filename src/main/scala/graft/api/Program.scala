@@ -480,6 +480,17 @@ object Program {
     * documents per query — the RAG-curation stage as a shippable
     * artifact node. Batch-only on both sides (corpus-wide collection
     * stats; micro-batch a query stream via foreachBatch). */
+  /** Hybrid BM25 + ANN retrieval fused by reciprocal-rank fusion
+    * (`TextOps.hybridRrfRetrieve`, Cormack et al. 2009): top-`legK` per
+    * leg, RRF at `kRrf`, fused top-`k` per query. Batch-only on both
+    * sides, like its legs. */
+  final case class HybridRrf(name: String, input: String, queries: String,
+                             idCol: String, textCol: String, vecCol: String,
+                             qIdCol: String, qTextCol: String, qVecCol: String,
+                             k: Int, legK: Int = 0, kRrf: Int = 60,
+                             k1: Double = 1.2, b: Double = 0.75,
+                             broadcastQueries: Boolean = true) extends Node
+
   final case class Bm25Retrieve(name: String, input: String, queries: String,
                                 idCol: String, textCol: String, qIdCol: String,
                                 qTextCol: String, k: Int, k1: Double, b: Double,
@@ -794,6 +805,7 @@ object Program {
     case ln: LmNScore => Seq(ln.input)
     case na: LmNAgainst => Seq(na.input, na.ref)
     case br: Bm25Retrieve => Seq(br.input, br.queries)
+    case hr: HybridRrf => Seq(hr.input, hr.queries)
     case wp: WinnowPairs => Seq(wp.input)
     case ks: KnScore => Seq(ks.input)
     case sx: SentChunk => Seq(sx.input)
@@ -1061,6 +1073,13 @@ object Program {
           s.lift(graft.pipeline.TextOps.bm25Retrieve(
             batchFace(name, "bm25Retrieve", s), idCol, textCol,
             staticSide(name, in, q), qIdCol, qTextCol, k, k1, b, bq))
+        case HybridRrf(name, i, q, idCol, textCol, vecCol, qIdCol, qTextCol,
+                       qVecCol, k, legK, kRrf, k1, b, bq) =>
+          val s = in(i)
+          s.lift(graft.pipeline.TextOps.hybridRrfRetrieve(
+            batchFace(name, "hybridRrf", s), idCol, textCol, vecCol,
+            staticSide(name, in, q), qIdCol, qTextCol, qVecCol, k, legK,
+            kRrf, k1, b, bq))
         case WinnowPairs(name, i, idCol, textCol, nn, w, minShared, maxBucket) =>
           val s = in(i)
           s.lift(graft.pipeline.TextOps.winnowOverlapPairs(
@@ -1322,6 +1341,7 @@ object Program {
     case x: LmNScore => x.copy(name = name)
     case x: LmNAgainst => x.copy(name = name)
     case x: Bm25Retrieve => x.copy(name = name)
+    case x: HybridRrf => x.copy(name = name)
     case x: WinnowPairs => x.copy(name = name)
     case x: KnScore => x.copy(name = name)
     case x: KnAgainstLang => x.copy(name = name)
@@ -1648,6 +1668,16 @@ object Program {
       derive("bm25Retrieve", Seq(queries))(n => Bm25Retrieve(n, name,
         queries.name, idCol, textCol, qIdCol, qTextCol, k, k1, b,
         broadcastQueries))
+    /** Hybrid BM25 + ANN retrieval fused by reciprocal rank (format
+      * version 10). */
+    def hybridRrfRetrieve(queries: Rec, idCol: String, textCol: String,
+                          vecCol: String, qIdCol: String, qTextCol: String,
+                          qVecCol: String, k: Int, legK: Int = 0,
+                          kRrf: Int = 60, k1: Double = 1.2, b: Double = 0.75,
+                          broadcastQueries: Boolean = true): Rec =
+      derive("hybridRrf", Seq(queries))(n => HybridRrf(n, name, queries.name,
+        idCol, textCol, vecCol, qIdCol, qTextCol, qVecCol, k, legK, kRrf,
+        k1, b, broadcastQueries))
     /** Winnowing overlap candidate pairs over this corpus (format
       * version 8). */
     def winnowOverlapPairs(idCol: String, textCol: String, n: Int = 3,
@@ -2007,7 +2037,7 @@ object Program {
   /** The lowest format version expressing every node in `doc`. */
   private def requiredVersion(doc: Doc): Int =
     if (doc.nodes.exists {
-      case _: LmAgainstLang | _: ParaScrub => true
+      case _: LmAgainstLang | _: ParaScrub | _: HybridRrf => true
       case _ => false }) 10
     else if (doc.nodes.exists {
       case _: MknScore | _: MknAgainst | _: ExactSubstr | _: PplThresholds |
@@ -2151,6 +2181,14 @@ object Program {
           ("queries" -> q) ~ ("idCol" -> idCol) ~ ("textCol" -> textCol) ~
           ("qIdCol" -> qIdCol) ~ ("qTextCol" -> qTextCol) ~ ("k" -> k) ~
           ("k1" -> k1) ~ ("b" -> b) ~ ("broadcastQueries" -> bq)
+      case HybridRrf(name, i, q, idCol, textCol, vecCol, qIdCol, qTextCol,
+                     qVecCol, k, legK, kRrf, k1, b, bq) =>
+        ("op" -> "hybridRrf") ~ ("name" -> name) ~ ("input" -> i) ~
+          ("queries" -> q) ~ ("idCol" -> idCol) ~ ("textCol" -> textCol) ~
+          ("vecCol" -> vecCol) ~ ("qIdCol" -> qIdCol) ~
+          ("qTextCol" -> qTextCol) ~ ("qVecCol" -> qVecCol) ~ ("k" -> k) ~
+          ("legK" -> legK) ~ ("kRrf" -> kRrf) ~ ("k1" -> k1) ~ ("b" -> b) ~
+          ("broadcastQueries" -> bq)
       case WinnowPairs(name, i, idCol, textCol, nn, w, minShared, maxBucket) =>
         ("op" -> "winnowPairs") ~ ("name" -> name) ~ ("input" -> i) ~
           ("idCol" -> idCol) ~ ("textCol" -> textCol) ~ ("n" -> nn) ~
@@ -2556,6 +2594,16 @@ object Program {
             (v \ "alpha").extractOpt[Double].getOrElse(0.5),
             (v \ "lambdas").extractOpt[Seq[Double]].getOrElse(Nil),
             (v \ "minCount").extractOpt[Long].getOrElse(1L), bmOf(v))
+          case "hybridRrf" => HybridRrf(name, (v \ "input").extract[String],
+            (v \ "queries").extract[String], (v \ "idCol").extract[String],
+            (v \ "textCol").extract[String], (v \ "vecCol").extract[String],
+            (v \ "qIdCol").extract[String], (v \ "qTextCol").extract[String],
+            (v \ "qVecCol").extract[String], (v \ "k").extract[Int],
+            (v \ "legK").extractOpt[Int].getOrElse(0),
+            (v \ "kRrf").extractOpt[Int].getOrElse(60),
+            (v \ "k1").extractOpt[Double].getOrElse(1.2),
+            (v \ "b").extractOpt[Double].getOrElse(0.75),
+            (v \ "broadcastQueries").extractOpt[Boolean].getOrElse(true))
           case "bm25Retrieve" => Bm25Retrieve(name, (v \ "input").extract[String],
             (v \ "queries").extract[String], (v \ "idCol").extract[String],
             (v \ "textCol").extract[String], (v \ "qIdCol").extract[String],
@@ -3106,6 +3154,15 @@ object Program {
             s.df.select(col(cd.idCol), col(cd.textCol)).schema
             env(cd.ref).df.select(col(cd.idCol), col(cd.textCol)).schema
             emptyOf(s, s.df.schema)
+          case hr: HybridRrf =>
+            // lazy, but resolve against the exported schema fact (the
+            // doc id is LongType by the bounded-heap contract)
+            val s = env(hr.input)
+            s.df.select(col(hr.idCol), col(hr.textCol), col(hr.vecCol)).schema
+            val q = env(hr.queries)
+            q.df.select(col(hr.qIdCol), col(hr.qTextCol), col(hr.qVecCol)).schema
+            emptyOf(s, graft.pipeline.TextOps.hybridRrfOutputSchema(
+              hr.qIdCol, q.df.schema(hr.qIdCol).dataType, hr.idCol))
           case br: Bm25Retrieve =>
             // lazy, but resolve against the exported schema fact so the
             // helper and validate cannot drift (IngestProgramSpec pins it
@@ -3340,6 +3397,16 @@ object Program {
             s"node '${n.name}': bm25Retrieve qIdCol and idCol are both " +
               s"'${br.idCol}' — rename one (output is (qIdCol, idCol, bm25, rank))")
           Seq(br.input, br.queries)
+        case hr: HybridRrf =>
+          if (hr.k <= 0 || hr.legK < 0 || hr.kRrf <= 0)
+            throw new IllegalArgumentException(
+              s"node '${n.name}': hybridRrf needs k > 0, legK >= 0 " +
+                s"(0 = use k) and kRrf > 0, got k=${hr.k} legK=${hr.legK} " +
+                s"kRrf=${hr.kRrf}")
+          if (hr.qIdCol == hr.idCol) throw new IllegalArgumentException(
+            s"node '${n.name}': hybridRrf qIdCol and idCol are both " +
+              s"'${hr.idCol}' — rename one (output is (qIdCol, idCol, rrf, rank))")
+          Seq(hr.input, hr.queries)
         case wp: WinnowPairs =>
           if (wp.n < 1 || wp.w < 1 || wp.minShared < 1 || wp.maxBucket < 2)
             throw new IllegalArgumentException(

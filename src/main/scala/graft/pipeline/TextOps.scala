@@ -472,6 +472,68 @@ object TextOps {
         col("bm25"), col("rank"))
   }
 
+  /** Hybrid retrieval fusion — the BM25 lexical leg and the dense ANN
+    * leg fused by reciprocal-rank fusion (Cormack, Clarke & Büttcher
+    * 2009: RRF(q, d) = Σ_legs 1/(kRrf + rank_leg), the standard
+    * score-free fusion of RAG-corpus curation): each query retrieves its
+    * top-`legK` documents by BM25 ([[bm25Retrieve]] over `textCol` vs
+    * `qTextCol`) and by cosine over the embedding column
+    * ([[Similarity.bruteForceTopKPartial]] — route an IVF probe upstream
+    * for beyond-brute corpora), the legs union as (query, doc, rank) and
+    * fuse with ONE groupBy, and the fused top-`k` rides the bounded-heap
+    * [[graft.operators.GroupTopK]]. A document on one leg only takes
+    * that leg's term (standard RRF). Ranking is on the exact fused
+    * double (integer ranks → IEEE-identical across engines) with
+    * ascending-id ties; the output `rrf` rounds to 6 decimals AFTER
+    * ranking. Leg conventions are kept as their operators define them:
+    * the ANN leg excludes the query's own id, the BM25 leg does not (a
+    * self-match ranks by its own lexical score).
+    *
+    * Output: (qIdCol, idCol, rrf, rank), rank 1..k per query.
+    *
+    * Scale shape: both legs are map-side bounded-heap top-k (the corpus
+    * never shuffles by term and never pairs all vectors); the fusion
+    * input is queries × 2·legK rows, so the fusing groupBy and the final
+    * heap are query-bounded regardless of corpus size. Batch-only on
+    * both sides, like its legs — micro-batch a query stream via
+    * foreachBatch. */
+  def hybridRrfRetrieve(docs: org.apache.spark.sql.DataFrame, idCol: String,
+                        textCol: String, vecCol: String,
+                        queries: org.apache.spark.sql.DataFrame, qIdCol: String,
+                        qTextCol: String, qVecCol: String, k: Int,
+                        /** per-leg retrieval depth; 0 (default) = `k`. */
+                        legK: Int = 0,
+                        /** the RRF smoothing constant (60 in Cormack et
+                          * al. and every production default). */
+                        kRrf: Int = 60,
+                        k1: Double = 1.2, b: Double = 0.75,
+                        broadcastQueries: Boolean = true): org.apache.spark.sql.DataFrame = {
+    require(k > 0, s"hybridRrfRetrieve needs k > 0, got $k")
+    require(legK >= 0, s"legK must be >= 0 (0 = use k), got $legK")
+    require(kRrf > 0, s"kRrf must be positive, got $kRrf")
+    require(!docs.isStreaming && !queries.isStreaming,
+      "hybridRrfRetrieve is batch-only on both sides (corpus-wide " +
+        "collection stats + bounded top-k legs); micro-batch a query " +
+        "stream via foreachBatch")
+    val lk = if (legK == 0) k else legK
+    val bmLeg = bm25Retrieve(docs, idCol, textCol,
+        queries.select(col(qIdCol), col(qTextCol)), qIdCol, qTextCol, lk,
+        k1, b, broadcastQueries)
+      .select(col(qIdCol), col(idCol).cast("long").as(idCol),
+        col("rank").cast("long").as("__r"))
+    val annLeg = graft.pipeline.Similarity.bruteForceTopKPartial(
+        docs.select(col(idCol), col(vecCol)),
+        queries.select(col(qIdCol), col(qVecCol).as(vecCol)),
+        idCol, vecCol, qIdCol, lk)
+      .select(col(qIdCol), col(idCol), col("rn").cast("long").as("__r"))
+    val fused = bmLeg.unionByName(annLeg)
+      .groupBy(col(qIdCol), col(idCol))
+      .agg(sum(lit(1.0) / (lit(kRrf.toLong) + col("__r"))).as("__rrf"))
+    graft.operators.GroupTopK.topKPerKey(fused, Seq(qIdCol), idCol,
+        col("__rrf"), k, scoreAs = "rrf")
+      .withColumn("rrf", round(col("rrf"), 6))
+  }
+
   /** Sequence packing: assign documents, in a stable order within each
     * partition key, to consecutive training chunks of ~`budget` tokens
     * (streaming-greedy: a chunk takes documents until the budget is
@@ -2614,6 +2676,18 @@ object TextOps {
     import org.apache.spark.sql.types._
     StructType(Seq(StructField(qIdCol, qIdType), StructField(idCol, idType),
       StructField("bm25", DoubleType), StructField("rank", LongType, nullable = false)))
+  }
+
+  /** Output schema of [[hybridRrfRetrieve]] — the fact `Program.validate`
+    * resolves the HybridRrf node against. The doc id is LongType by the
+    * bounded-heap contract (the heap carries (long id, score) pairs). */
+  def hybridRrfOutputSchema(qIdCol: String,
+      qIdType: org.apache.spark.sql.types.DataType,
+      idCol: String): org.apache.spark.sql.types.StructType = {
+    import org.apache.spark.sql.types._
+    StructType(Seq(StructField(qIdCol, qIdType),
+      StructField(idCol, LongType), StructField("rrf", DoubleType),
+      StructField("rank", LongType, nullable = false)))
   }
 
   /** Output schema of [[winnowOverlapPairs]] — the fact `Program.validate`

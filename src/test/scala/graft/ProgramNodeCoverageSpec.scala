@@ -232,6 +232,7 @@ class ProgramNodeCoverageSpec extends AnyFunSuite {
       "topNgrams" -> excluded(diag), "tfidfTopWord" -> excluded(diag),
       "bm25TopK" -> excluded(diag),
       "bm25Retrieve" -> node("bm25Retrieve"),
+      "hybridRrfRetrieve" -> node("hybridRrf"),
       "winnowOverlapPairs" -> node("winnowPairs"),
       "ngramLmScore" -> node("lmnScore"),
       "ngramLmScoreAgainst" -> node("lmnAgainst"),
@@ -257,6 +258,7 @@ class ProgramNodeCoverageSpec extends AnyFunSuite {
       "closedFormNtile" -> excluded(block),
       "ngramOutputSchema" -> excluded(artifact),
       "bm25RetrieveOutputSchema" -> excluded(artifact),
+      "hybridRrfOutputSchema" -> excluded(artifact),
       "winnowPairsOutputSchema" -> excluded(artifact),
       "EmailRe" -> excluded(const), "IpRe" -> excluded(const),
       "UrlRe" -> excluded(const), "LangMarkers" -> excluded(const),
