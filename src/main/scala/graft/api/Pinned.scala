@@ -30,16 +30,57 @@ object Pinned {
   /** One run's pinned-frame registrations; see [[scoped]]. */
   final class Scope private[Pinned] (private[Pinned] val spark: SparkSession) {
     private var ids = Set.empty[Int]
-    private[Pinned] def add(more: Set[Int]): Unit = synchronized { ids ++= more }
+    private[Pinned] def add(more: Set[Int]): Unit = {
+      val added = synchronized { val a = more -- ids; ids ++= more; a }
+      retain(spark.sparkContext, added)
+    }
     /** RDD ids this run has pinned so far. */
     def registered: Set[Int] = synchronized(ids)
     private[Pinned] def drain(): Set[Int] =
       synchronized { val r = ids; ids = Set.empty; r }
-    /** Unpersist only THIS run's frames. The plans built from them cannot
-      * be re-executed afterwards (local checkpoints truncate lineage), so
-      * call this only after the run's consuming actions complete. */
-    def release(): Unit = unpersist(spark, drain())
+    /** Unpersist only THIS run's frames — except ids another live
+      * registration still holds (census elision can hand two scopes the
+      * SAME checkpoint; see [[checkpointTracked]]): those stay persisted
+      * until their last holder releases, so releasing run A can never
+      * truncate run B's still-referenced lineage. The plans built from
+      * frames this call DOES free cannot be re-executed afterwards
+      * (local checkpoints truncate lineage), so call this only after the
+      * run's consuming actions complete. */
+    def release(): Unit = unpersist(spark, drainRefs(spark.sparkContext, drain()))
   }
+
+  // CROSS-SCOPE REFCOUNTS (round 16): census elision means two
+  // registrations — two scopes, or a scope and the session-global
+  // registry — can hold ONE rdd id; a plain release would free the other
+  // holder's blocks mid-use (the round-15 documented caveat, now
+  // mechanically safe). Every registration retains its NEWLY-added ids
+  // once; release paths drain their ids and unpersist only those whose
+  // count reaches zero. Weak context keys, like the registry itself.
+  private val refs = new java.util.WeakHashMap[org.apache.spark.SparkContext,
+    scala.collection.mutable.Map[Int, Int]]()
+
+  private def retain(sc: org.apache.spark.SparkContext, ids: Set[Int]): Unit =
+    if (ids.nonEmpty) refs.synchronized {
+      val m = Option(refs.get(sc)).getOrElse {
+        val n = scala.collection.mutable.Map.empty[Int, Int]
+        refs.put(sc, n); n
+      }
+      ids.foreach(id => m.update(id, m.getOrElse(id, 0) + 1))
+    }
+
+  /** Decrement each id's count; return the ids that drained to zero (an
+    * id with no recorded count — nothing else retains it — drains). */
+  private def drainRefs(sc: org.apache.spark.SparkContext,
+                        ids: Set[Int]): Set[Int] =
+    if (ids.isEmpty) ids else refs.synchronized {
+      Option(refs.get(sc)) match {
+        case None => ids
+        case Some(m) => ids.filter { id =>
+          val c = m.getOrElse(id, 1) - 1
+          if (c <= 0) { m.remove(id); true } else { m.update(id, c); false }
+        }
+      }
+    }
 
   private val active = new ThreadLocal[List[Scope]] {
     override def initialValue(): List[Scope] = Nil
@@ -71,9 +112,13 @@ object Pinned {
   private[graft] def register(spark: SparkSession, ids: Set[Int]): Unit =
     if (ids.nonEmpty) scopeFor(spark) match {
       case Some(s) => s.add(ids)
-      case None => reg.synchronized {
-        reg.put(spark, Option(reg.get(spark)).getOrElse(Set.empty) ++ ids)
-      }
+      case None =>
+        val added = reg.synchronized {
+          val cur = Option(reg.get(spark)).getOrElse(Set.empty)
+          reg.put(spark, cur ++ ids)
+          ids -- cur
+        }
+        retain(spark.sparkContext, added)
     }
 
   /** RDD ids registered by the calling run: the innermost active scope's
@@ -91,7 +136,7 @@ object Pinned {
     case Some(s) => s.release()
     case None =>
       val ids = reg.synchronized(Option(reg.remove(spark)).getOrElse(Set.empty))
-      unpersist(spark, ids)
+      unpersist(spark, drainRefs(spark.sparkContext, ids))
   }
 
   /** Merge a scope's unreleased ids into the session-global registry —
@@ -101,9 +146,17 @@ object Pinned {
     * frames afterwards. */
   private[graft] def adopt(scope: Scope): Unit = {
     val ids = scope.drain()
-    if (ids.nonEmpty) reg.synchronized {
-      reg.put(scope.spark,
-        Option(reg.get(scope.spark)).getOrElse(Set.empty) ++ ids)
+    if (ids.nonEmpty) {
+      val dup = reg.synchronized {
+        val cur = Option(reg.get(scope.spark)).getOrElse(Set.empty)
+        reg.put(scope.spark, cur ++ ids)
+        ids.intersect(cur)
+      }
+      // ids the registry already held collapse in the Set union — drop
+      // the scope's extra retain so counts keep tracking registrations
+      // exactly (the registry's own retain keeps them >= 1, so nothing
+      // can drain here)
+      drainRefs(scope.spark.sparkContext, dup)
     }
   }
 
@@ -144,13 +197,14 @@ object Pinned {
     * (an unpersisted LogicalRDD — e.g. createDataFrame over a raw RDD —
     * would recompute arbitrary lineage per consumer). Re-registration of
     * the returned id is a Set no-op; a later double-unpersist is
-    * harmless. CAVEAT: elision can make two Pinned scopes share one id
-    * (operator B reusing a frame scope A pinned) — releasing A then
-    * frees B's blocks too, so the existing contract ("release only after
-    * the consuming actions complete") is load-bearing across scopes, not
-    * just within one. The supersede-and-release operators are unaffected:
-    * they only ever unpersist their own derived-round checkpoints, which
-    * are never bare reuses (audited round 15). */
+    * harmless. Elision can make two Pinned scopes share one id (operator
+    * B reusing a frame scope A pinned); since round 16 that hazard is
+    * mechanically safe — registrations REFCOUNT per rdd id, so releasing
+    * A only decrements and B's blocks survive until B releases too
+    * (CheckpointHygieneSpec pins it). The supersede-and-release
+    * operators are unaffected: they unpersist their own derived-round
+    * checkpoints directly (never registered, never bare reuses — audited
+    * round 15), bypassing the refcounts by design. */
   private[graft] def checkpointTracked(df: DataFrame): (DataFrame, Set[Int]) =
     df.queryExecution.analyzed match {
       case lr: org.apache.spark.sql.execution.LogicalRDD

@@ -128,6 +128,46 @@ class CheckpointHygieneSpec extends SparkSpec {
     assert(Pinned.registered(spark).isEmpty, "nothing fell back to the session registry")
   }
 
+  test("cross-scope elided reuse: releasing one holder keeps the other's blocks") {
+    import graft.api.Pinned
+    val before = pinnedNow()
+    // scope A pins a frame; scope B's checkpointTracked ELIDES the copy
+    // (bare persisted LogicalRDD) and registers the SAME id — the
+    // round-15 documented hazard, now refcounted
+    var cp: org.apache.spark.sql.DataFrame = null
+    var ids: Set[Int] = null
+    val sA = Pinned.scoped(spark) { s =>
+      val t = Pinned.checkpointTracked(spark.range(50).toDF("id"))
+      cp = t._1; ids = t._2
+      Pinned.register(spark, ids)
+      s
+    }
+    val sB = Pinned.scoped(spark) { s =>
+      val (cp2, ids2) = Pinned.checkpointTracked(cp)
+      assert((cp2 eq cp) && ids2 == ids, "scope B reuses A's pinned frame")
+      Pinned.register(spark, ids2)
+      s
+    }
+    sA.release()
+    Thread.sleep(200)
+    assert(ids.subsetOf(pinnedNow()),
+      "A's release must not free blocks B still holds")
+    assert(cp.count() == 50L, "B's plan still executes after A releases")
+    sB.release()
+    val end = settle(before)(d => d.intersect(ids).isEmpty)
+    assert(end.intersect(ids).isEmpty, s"last holder's release frees the blocks, got $end")
+    // double-release of the SAME holder stays a no-op (drain() empties)
+    sB.release()
+    // and a plain unscoped register/release pair still frees exactly once
+    val (cp3, ids3) = Pinned.checkpointTracked(spark.range(7).toDF("id"))
+    Pinned.register(spark, ids3)
+    Pinned.register(spark, ids3) // set no-op: must NOT double-retain
+    Pinned.release(spark)
+    val end2 = settle(before)(d => d.intersect(ids3).isEmpty)
+    assert(end2.intersect(ids3).isEmpty,
+      "re-registering the same id in one registry does not double-retain")
+  }
+
   test("releasePinnedAfterRun drains two sequential eager-batch runs without manual release") {
     import graft.api.{App, Pinned}
     val before = pinnedNow()
