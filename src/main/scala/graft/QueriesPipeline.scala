@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.pipeline.{Dedup, Multimodal, Similarity, TextOps}
+import graft.pipeline.{Arpa, Dedup, Multimodal, Similarity, TextOps}
 import graft.sources.Tables
 
 /**
@@ -1293,7 +1293,8 @@ object QueriesPipeline {
   }
 
   val qHybridRrfSql: String =
-    """WITH d AS (SELECT doc_id, list_filter(string_split_regex(text, '[ \t\n\f\r\x0b]+'), x -> x <> '') AS w FROM documents),
+    """WITH d AS (SELECT doc_id, list_filter(string_split_regex(text, '[ \t\n\f\r\x0b]+'), x -> x <> '') AS w
+                  FROM documents WHERE doc_id IN (SELECT vec_id FROM embeddings)),
         stats AS (SELECT count(*)::DOUBLE AS n, avg(len(w)) AS avgdl FROM d),
         tfx AS (SELECT doc_id, dl, t, count(*)::DOUBLE AS tf FROM (
                   SELECT doc_id, len(w) AS dl, unnest(w) AS t FROM d) GROUP BY 1, 2, 3),
@@ -1307,6 +1308,8 @@ object QueriesPipeline {
                    / (tfx.tf + 1.2 * (0.25 + 0.75 * tfx.dl / stats.avgdl)) AS c
                FROM qt JOIN dfx USING (t) JOIN tfx USING (t), stats),
         aggb AS (SELECT q_id, doc_id, round(sum(c), 4) AS bm25 FROM sc GROUP BY 1, 2),
+        -- the fused corpus is documents JOIN embeddings (both legs need
+        -- text AND a vector), so the BM25 side indexes only joined ids
         bmleg AS (SELECT q_id, doc_id,
                     row_number() OVER (PARTITION BY q_id ORDER BY bm25 DESC, doc_id) AS r
                   FROM aggb QUALIFY r <= 10),
@@ -2351,6 +2354,65 @@ object QueriesPipeline {
         SELECT d.doc_id, coalesce(a.n_grams, 0)::BIGINT AS n_grams, a.avg_logprob
         FROM documents d LEFT JOIN agg a USING (doc_id)"""
 
+  /** KenLM ARPA artifact round trip as the scoring path: the src0-src3
+    * KN model (order 3, minCount 2 — the --prune interop face) EXPORTS
+    * to an ARPA text file, IMPORTS back, and all documents score against
+    * the imported artifact with standard back-off semantics. The oracle
+    * re-derives the scores from the pruned model relationally (the
+    * q_kn3_against chain + HAVING-pruned raw counts) — independent of
+    * the text round trip, so a format/parse defect cannot cancel out. */
+  def qArpaScore(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir).df
+    val ref = docs.filter(col("source").isin("src0", "src1", "src2", "src3"))
+    val path = java.nio.file.Files.createTempDirectory("graft_arpa")
+      .resolve("kn3.arpa").toString
+    Arpa.arpaExportKn(ref, "text", order = 3, path, minCount = 2L)
+    val model = Arpa.arpaImport(spark, path)
+    Arpa.arpaScoreAgainst(graft.api.MStream(docs), model, "doc_id", "text").df
+  }
+
+  val qArpaScoreSql: String =
+    s"""WITH rwords AS (SELECT list_filter(string_split_regex(text, '[ \\t\\n\\f\\r\\x0b]+'), x -> x <> '') AS w
+                FROM documents WHERE source IN ('src0', 'src1', 'src2', 'src3')),
+        g2 AS (SELECT unnest(w[1:len(w) - 1]) AS v, unnest(w[2:len(w)]) AS t FROM rwords WHERE len(w) >= 2),
+        c2 AS MATERIALIZED (SELECT v, t, count(*) AS c2 FROM g2 GROUP BY v, t HAVING count(*) >= 2),
+        g3r AS (SELECT unnest(w[1:len(w) - 2]) AS u, unnest(w[2:len(w) - 1]) AS v, unnest(w[3:len(w)]) AS t FROM rwords WHERE len(w) >= 3),
+        c3 AS MATERIALIZED (SELECT u, v, t, count(*) AS c3 FROM g3r GROUP BY u, v, t HAVING count(*) >= 2),
+        ctx3 AS MATERIALIZED (SELECT u, v, sum(c3) AS tot3, count(*) AS n1p3 FROM c3 GROUP BY u, v),
+        cc2 AS MATERIALIZED (SELECT v, t, count(*) AS cc2 FROM c3 GROUP BY v, t),
+        ctxc2 AS MATERIALIZED (SELECT v, sum(cc2) AS ctot2, count(*) AS n1p2 FROM cc2 GROUP BY v),
+        cc1 AS MATERIALIZED (SELECT t, count(*) AS cc1 FROM c2 GROUP BY t),
+        st AS MATERIALIZED (SELECT (SELECT sum(cc1)::DOUBLE FROM cc1) AS t1,
+               (SELECT count(*) FROM cc1) AS n1p1,
+               (SELECT count(DISTINCT tk) FROM (SELECT unnest(w) AS tk FROM rwords)) AS v),
+        words AS (SELECT doc_id, list_filter(string_split_regex(text, '[ \\t\\n\\f\\r\\x0b]+'), x -> x <> '') AS w FROM documents),
+        tris AS (SELECT doc_id, unnest(w[1:len(w) - 2]) AS u, unnest(w[2:len(w) - 1]) AS v, unnest(w[3:len(w)]) AS t FROM words WHERE len(w) >= 3),
+        j3 AS MATERIALIZED (SELECT p.doc_id AS doc_id, p.v AS v, p.t AS t, c3.c3 AS c3, ctx3.tot3 AS tot3, ctx3.n1p3 AS n1p3
+          FROM tris p
+          LEFT JOIN c3 ON p.u = c3.u AND p.v = c3.v AND p.t = c3.t
+          LEFT JOIN ctx3 ON p.u = ctx3.u AND p.v = ctx3.v),
+        j2 AS MATERIALIZED (SELECT p.*, cc2.cc2 AS cc2, ctxc2.ctot2 AS ctot2, ctxc2.n1p2 AS n1p2
+          FROM j3 p
+          LEFT JOIN cc2 ON p.v = cc2.v AND p.t = cc2.t
+          LEFT JOIN ctxc2 ON p.v = ctxc2.v),
+        j1 AS MATERIALIZED (SELECT p.*,
+            greatest(coalesce(cc1.cc1, 0) - 0.75, 0.0) / st.t1
+              + 0.75 * st.n1p1 / st.t1 * (1.0 / (st.v + 1.0)) AS p1
+          FROM j2 p LEFT JOIN cc1 ON p.t = cc1.t CROSS JOIN st),
+        jp AS (SELECT doc_id,
+            CASE WHEN coalesce(ctot2, 0) > 0
+              THEN greatest(coalesce(cc2, 0) - 0.75, 0.0) / ctot2 + 0.75 * n1p2 / ctot2 * p1
+              ELSE p1 END AS p2, c3, tot3, n1p3
+          FROM j1),
+        agg AS (SELECT doc_id, count(*) AS n_grams,
+            round(avg(ln(
+              CASE WHEN coalesce(tot3, 0) > 0
+                THEN greatest(coalesce(c3, 0) - 0.75, 0.0) / tot3 + 0.75 * n1p3 / tot3 * p2
+                ELSE p2 END)), 3) AS avg_logprob
+          FROM jp GROUP BY doc_id)
+        SELECT d.doc_id, coalesce(a.n_grams, 0)::BIGINT AS n_grams, a.avg_logprob
+        FROM documents d LEFT JOIN agg a USING (doc_id)"""
+
   /** The LITERAL CCNet bucketing shape: per-language terciles of the
     * KN score against a PRETRAINED reference model (ref = the src0-src3
     * slice), bucket 1 = "head". Exercises the against-face scoring AND
@@ -3351,6 +3413,7 @@ object QueriesPipeline {
     "q_lm3_against" -> (qLm3Against _),
     "q_kn3_score" -> (qKn3Score _),
     "q_kn3_against" -> (qKn3Against _),
+    "q_arpa_score" -> (qArpaScore _),
     "q_kn3_bylang" -> (qKn3ByLang _),
     "q_lm3_bylang" -> (qLm3ByLang _),
     "q_mkn3_bylang" -> (qMkn3ByLang _),
@@ -3459,6 +3522,7 @@ object QueriesPipeline {
     "q_lm3_against" -> qLm3AgainstSql,
     "q_kn3_score" -> qKn3ScoreSql,
     "q_kn3_against" -> qKn3AgainstSql,
+    "q_arpa_score" -> qArpaScoreSql,
     "q_kn3_bylang" -> qKn3ByLangSql,
     "q_lm3_bylang" -> qLm3ByLangSql,
     "q_mkn3_bylang" -> qMkn3ByLangSql,

@@ -566,6 +566,15 @@ object Program {
                                   minCount: Long = 1L,
                                   broadcastModel: Option[Boolean] = None) extends Node
 
+  /** Score against a KenLM-format ARPA artifact on the local filesystem
+    * (`Arpa.arpaImport` + `Arpa.arpaScoreAgainst`): the pretrained model
+    * is a FILE — the real CCNet deployment shape — not an in-document
+    * stream; `path` binds like a source path. The model order comes from
+    * the file's own \\data\\ header. Dual-mode (stream-static broadcast
+    * joins); the file is read at lowering time. */
+  final case class ArpaScore(name: String, input: String, path: String,
+                             idCol: String, textCol: String) extends Node
+
   /** Modified Kneser-Ney LM score over the input corpus itself
     * (`TextOps.mknLmScore`) — KenLM parity: three count-bucketed
     * discounts per level, each derived from that level's count-of-counts,
@@ -814,6 +823,7 @@ object Program {
     case jl: LmAgainstLang => Seq(jl.input, jl.ref)
     case ml: MknAgainstLang => Seq(ml.input, ml.ref)
     case ms: MknScore => Seq(ms.input)
+    case as: ArpaScore => Seq(as.input)
     case ma: MknAgainst => Seq(ma.input, ma.ref)
     case es: ExactSubstr => Seq(es.input)
     case pt: PplThresholds => Seq(pt.input, pt.ref)
@@ -1117,6 +1127,11 @@ object Program {
           s.lift(graft.pipeline.TextOps.mknLmScore(
             batchFace(name, "mknScore", s), idCol, textCol, order,
             fallback = (f1, f2, f3)))
+        case ArpaScore(_, i, path, idCol, textCol) =>
+          val s = in(i)
+          graft.pipeline.Arpa.arpaScoreAgainst(s,
+            graft.pipeline.Arpa.arpaImport(s.df.sparkSession, path),
+            idCol, textCol)
         case MknAgainst(name, i, ref, idCol, textCol, refTextCol, order, f1, f2, f3, mc, bm) =>
           graft.pipeline.TextOps.mknLmScoreAgainst(in(i),
             staticSide(name, in, ref), idCol, textCol, refTextCol, order,
@@ -1348,6 +1363,7 @@ object Program {
     case x: LmAgainstLang => x.copy(name = name)
     case x: MknAgainstLang => x.copy(name = name)
     case x: MknScore => x.copy(name = name)
+    case x: ArpaScore => x.copy(name = name)
     case x: MknAgainst => x.copy(name = name)
     case x: ExactSubstr => x.copy(name = name)
     case x: PplThresholds => x.copy(name = name)
@@ -1737,6 +1753,9 @@ object Program {
       derive("mknAgainstLang", Seq(ref))(n => MknAgainstLang(n, name, ref.name,
         idCol, textCol, langCol, refTextCol, refLangCol, order,
         fallback._1, fallback._2, fallback._3, minCount, broadcastModel))
+    /** Score against a KenLM-format ARPA file (format version 10). */
+    def arpaScoreAgainst(path: String, idCol: String, textCol: String): Rec =
+      derive1("arpaScore")(n => ArpaScore(n, name, path, idCol, textCol))
     /** Modified-KN score over this corpus itself (format version 9) —
       * KenLM parity with `--discount_fallback` semantics. */
     def mknLmScore(idCol: String, textCol: String, order: Int,
@@ -2025,8 +2044,10 @@ object Program {
     * field as its old `true` default, so the stamp forces the refusal);
     * an explicit true/false keeps the v8 stamp and the v8 meaning;
     * 10 adds the per-language Jelinek-Mercer face (lmAgainstLang) —
-    * completing the smoothing × per-language matrix — and the
-    * paragraph-granularity duplicate scrub (paraScrub).
+    * completing the smoothing × per-language matrix — the
+    * paragraph-granularity duplicate scrub (paraScrub), hybrid BM25+ANN
+    * retrieval fused by reciprocal rank (hybridRrf), and scoring against
+    * a KenLM-format ARPA artifact file (arpaScore).
     * [[toJson]] stamps each document with the LOWEST version that can
     * express it, so a document using only the v1 grammar stays loadable
     * by a v1 library. Versions track SHIPPED grammars (one per build
@@ -2037,7 +2058,7 @@ object Program {
   /** The lowest format version expressing every node in `doc`. */
   private def requiredVersion(doc: Doc): Int =
     if (doc.nodes.exists {
-      case _: LmAgainstLang | _: ParaScrub | _: HybridRrf => true
+      case _: LmAgainstLang | _: ParaScrub | _: HybridRrf | _: ArpaScore => true
       case _ => false }) 10
     else if (doc.nodes.exists {
       case _: MknScore | _: MknAgainst | _: ExactSubstr | _: PplThresholds |
@@ -2231,6 +2252,9 @@ object Program {
           ("refLangCol" -> refLangCol) ~ ("order" -> order) ~
           ("fb1" -> f1) ~ ("fb2" -> f2) ~ ("fb3" -> f3) ~
           ("minCount" -> mc) ~ ("broadcastModel" -> bm)
+      case ArpaScore(name, i, path, idCol, textCol) =>
+        ("op" -> "arpaScore") ~ ("name" -> name) ~ ("input" -> i) ~
+          ("path" -> path) ~ ("idCol" -> idCol) ~ ("textCol" -> textCol)
       case MknScore(name, i, idCol, textCol, order, f1, f2, f3) =>
         ("op" -> "mknScore") ~ ("name" -> name) ~ ("input" -> i) ~
           ("idCol" -> idCol) ~ ("textCol" -> textCol) ~ ("order" -> order) ~
@@ -2660,6 +2684,9 @@ object Program {
               (v \ "refTextCol").extract[String], (v \ "refLangCol").extract[String],
               (v \ "order").extract[Int], f1, f2, f3,
               (v \ "minCount").extractOpt[Long].getOrElse(1L), bmOf(v))
+          case "arpaScore" => ArpaScore(name, (v \ "input").extract[String],
+            (v \ "path").extract[String], (v \ "idCol").extract[String],
+            (v \ "textCol").extract[String])
           case "mknScore" =>
             // fallback discounts all-or-none, the lm3Score lambda rule
             val fs = Seq("fb1", "fb2", "fb3").map(k => (v \ k).extractOpt[Double])
@@ -2977,6 +3004,14 @@ object Program {
             s.df.select(col(ms.idCol), col(ms.textCol)).schema
             emptyOf(s, graft.pipeline.TextOps.ngramOutputSchema(
               ms.idCol, s.df.schema(ms.idCol).dataType))
+          case as: ArpaScore =>
+            // the artifact file is a RUNTIME binding (like a source
+            // path): validation checks column references and the output
+            // schema fact only, never reads the file
+            val s = env(as.input)
+            s.df.select(col(as.idCol), col(as.textCol)).schema
+            emptyOf(s, graft.pipeline.TextOps.ngramOutputSchema(
+              as.idCol, s.df.schema(as.idCol).dataType))
           case ma: MknAgainst =>
             val s = env(ma.input)
             s.df.select(col(ma.idCol), col(ma.textCol)).schema
@@ -3444,6 +3479,10 @@ object Program {
         case ms: MknScore =>
           checkMkn(n.name, "mknScore", ms.order, ms.fb1, ms.fb2, ms.fb3)
           Seq(ms.input)
+        case as: ArpaScore =>
+          if (as.path.trim.isEmpty) throw new IllegalArgumentException(
+            s"node '${n.name}': arpaScore needs a non-empty artifact path")
+          Seq(as.input)
         case ma: MknAgainst =>
           checkMkn(n.name, "mknAgainst", ma.order, ma.fb1, ma.fb2, ma.fb3)
           if (ma.minCount < 1) throw new IllegalArgumentException(

@@ -1052,7 +1052,7 @@ object TextOps {
 
   /** Suffix-aligned key names of the j-gram within an order-n position:
     * __p{n-j+1}..__p{n}. */
-  private def gramCols(order: Int, j: Int): Seq[String] =
+  private[pipeline] def gramCols(order: Int, j: Int): Seq[String] =
     (order - j + 1 to order).map(i => s"__p$i")
 
   private lazy val logger = org.slf4j.LoggerFactory.getLogger("graft.pipeline.TextOps")
@@ -1102,7 +1102,7 @@ object TextOps {
 
   /** Explode every j-gram position of `d` into suffix-aligned columns
     * `names` (plus `keep`). Documents under j tokens contribute nothing. */
-  private def gramsOf(d: org.apache.spark.sql.DataFrame, textCol: String, j: Int,
+  private[pipeline] def gramsOf(d: org.apache.spark.sql.DataFrame, textCol: String, j: Int,
                       names: Seq[String],
                       keep: Seq[Column]): org.apache.spark.sql.DataFrame = {
     val ws = words(col(textCol))
@@ -1245,54 +1245,8 @@ object TextOps {
       }.join(side(counts(1), 1), gramCols(order, 1), "left")
         .withColumn("__n", lit(n)).withColumn("__vv", lit(vv))
     }
-
-    if (!df.isStreaming) {
-      val pos = gramsOf(df, textCol, order, gramCols(order, order), Seq(id))
-      val scored = withJoins(pos)
-        .withColumn("__lp", ngramLp(order, alpha, l))
-        .groupBy(id)
-        .agg(count(lit(1)).as(nCol), round(avg(col("__lp")), 3).as("avg_logprob"))
-      val out = df.select(id).join(scored, Seq(idCol), "left")
-        .select(id, coalesce(col(nCol), lit(0L)).as(nCol), col("avg_logprob"))
-      return stream.lift(out)
-    }
-
-    // streaming: position-less docs ride a sentinel row (null tokens
-    // never join) so they still emit; the per-doc fold is the stateless
-    // per-batch combine — every position derives from its own input row
-    val ws = words(col(textCol))
-    val pStructs = arrays_zip((1 to order).map(i =>
-      slice(col("__w"), lit(i), size(col("__w")) - (order - 1)).as(s"g$i")): _*)
-    val sentinel = array(struct((1 to order).map(i =>
-      lit(null).cast("string").as(s"g$i")): _*))
-    val u0 = df.withColumn("__w", ws)
-      .select(id.as("__id"),
-        explode(when(size(col("__w")) >= order, pStructs).otherwise(sentinel)).as("__g"))
-      .select(col("__id") +: (1 to order).map(i => col(s"__g.g$i").as(s"__p$i")): _*)
-    val u = withJoins(u0)
-      .select(col("__id"), col("__p1"),
-        when(col("__p1").isNotNull, ngramLp(order, alpha, l)).as("__lp"))
-    val idType = df.schema(idCol).dataType
-    val aggT = StructType(Seq(
-      StructField("__id", idType),
-      StructField(nCol, LongType, nullable = false),
-      StructField("__sum", DoubleType)))
-    val aggEnc: Encoder[Row] = RowEncoder.encoderFor(aggT)
-    val pIdx = u.schema.fieldIndex("__p1")
-    val lpIdx = u.schema.fieldIndex("__lp")
-    val out = graft.streaming.PerBatchCombine(u, Seq("__id"), aggEnc) {
-        (key: Row, it: Iterator[Row]) =>
-          var nn = 0L; var s = 0.0
-          it.foreach { r =>
-            if (!r.isNullAt(pIdx)) { nn += 1; s += r.getDouble(lpIdx) }
-          }
-          Iterator.single(Row(key.get(0), nn, if (nn > 0) s else null))
-      }
-      // division + round in SQL so both faces share Spark's exact
-      // avg/round semantics
-      .select(col("__id").as(idCol), col(nCol),
-        round(col("__sum") / col(nCol), 3).as("avg_logprob"))
-    stream.lift(out)
+    againstApply(stream, idCol, textCol, order, nCol, withJoins,
+      ngramLp(order, alpha, l))
   }
 
   /** Trigram face of [[ngramLmScoreAgainst]] — completes the CCNet ingest
@@ -1330,7 +1284,7 @@ object TextOps {
     * (__t1 = total bigram types as double, __n1p1, __nb{1,2,3}1 count
     * buckets, __v = vocabulary)); every context aggregate also carries
     * its count buckets __nb{1,2,3}{j} for the modified-KN face. */
-  private def knModel(train: org.apache.spark.sql.DataFrame, textCol: String,
+  private[pipeline] def knModel(train: org.apache.spark.sql.DataFrame, textCol: String,
                       order: Int,
                       /** prune RAW counts < minCount at orders >= 2
                         * BEFORE continuation derivation (so ĉ counts
@@ -1477,7 +1431,7 @@ object TextOps {
 
   /** Validate an explicit per-level discount map (or an empty one =
     * derive) and the fallback triple for the modified-KN faces. */
-  private def checkMknParams(order: Int,
+  private[pipeline] def checkMknParams(order: Int,
                              discounts: Map[Int, (Double, Double, Double)],
                              fallback: (Double, Double, Double)): Unit = {
     def checkTriple(what: String, t: (Double, Double, Double)): Unit = {
@@ -1502,7 +1456,7 @@ object TextOps {
     * to discounts via [[mknDerive]]. The aggs are independent scalar
     * collects over checkpointed tables; submit them concurrently like
     * the table builds themselves. */
-  private def mknDiscountsFor(order: Int, rawN: org.apache.spark.sql.DataFrame,
+  private[pipeline] def mknDiscountsFor(order: Int, rawN: org.apache.spark.sql.DataFrame,
                               cont: Map[Int, org.apache.spark.sql.DataFrame],
                               fallback: (Double, Double, Double))
       : Map[Int, (Double, Double, Double)] = {
@@ -2078,7 +2032,6 @@ object TextOps {
     require(!st.isNullAt(0) && st.getAs[Double]("__t1") > 0,
       s"$label: the reference corpus yields an empty model " +
         "(needs at least one bigram)")
-    val id = col(idCol)
     def withJoins(pos: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
       def side(m: org.apache.spark.sql.DataFrame, bc: Boolean) =
         if (bc) broadcast(m) else m
@@ -2094,15 +2047,33 @@ object TextOps {
           (d, c) => d.withColumn(c, lit(st.getAs[Any](c)))
         }
     }
+    againstApply(stream, idCol, textCol, order, "n_grams", withJoins, lp)
+  }
 
+  /** The shared batch/streaming APPLY stage of the shared-model against
+    * faces (the KN family and the imported-ARPA face): explode the
+    * order-n positions, run the face's `withJoins`, fold the
+    * per-position `lp` per document. Batch scores through one groupBy;
+    * streaming rides the stateless per-batch combine (position-less
+    * documents take a sentinel row so they still emit (n 0, NULL)). */
+  private[pipeline] def againstApply(stream: graft.api.MStream, idCol: String,
+                                     textCol: String, order: Int, nCol: String,
+                                     withJoins: org.apache.spark.sql.DataFrame =>
+                                       org.apache.spark.sql.DataFrame,
+                                     lp: Column): graft.api.MStream = {
+    import org.apache.spark.sql.{Encoder, Row}
+    import org.apache.spark.sql.catalyst.encoders.RowEncoder
+    import org.apache.spark.sql.types._
+    val df = stream.df
+    val id = col(idCol)
     if (!df.isStreaming) {
       val pos = gramsOf(df, textCol, order, gramCols(order, order), Seq(id))
       val scored = withJoins(pos)
         .withColumn("__lp", lp)
         .groupBy(id)
-        .agg(count(lit(1)).as("n_grams"), round(avg(col("__lp")), 3).as("avg_logprob"))
+        .agg(count(lit(1)).as(nCol), round(avg(col("__lp")), 3).as("avg_logprob"))
       val out = df.select(id).join(scored, Seq(idCol), "left")
-        .select(id, coalesce(col("n_grams"), lit(0L)).as("n_grams"), col("avg_logprob"))
+        .select(id, coalesce(col(nCol), lit(0L)).as(nCol), col("avg_logprob"))
       return stream.lift(out)
     }
 
@@ -2121,7 +2092,7 @@ object TextOps {
     val idType = df.schema(idCol).dataType
     val aggT = StructType(Seq(
       StructField("__id", idType),
-      StructField("n_grams", LongType, nullable = false),
+      StructField(nCol, LongType, nullable = false),
       StructField("__sum", DoubleType)))
     val aggEnc: Encoder[Row] = RowEncoder.encoderFor(aggT)
     val pIdx = u.schema.fieldIndex("__p1")
@@ -2134,8 +2105,8 @@ object TextOps {
           }
           Iterator.single(Row(key.get(0), nn, if (nn > 0) s else null))
       }
-      .select(col("__id").as(idCol), col("n_grams"),
-        round(col("__sum") / col("n_grams"), 3).as("avg_logprob"))
+      .select(col("__id").as(idCol), col(nCol),
+        round(col("__sum") / col(nCol), 3).as("avg_logprob"))
     stream.lift(out)
   }
 

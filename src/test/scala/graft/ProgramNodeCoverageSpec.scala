@@ -236,6 +236,10 @@ class ProgramNodeCoverageSpec extends AnyFunSuite {
       "winnowOverlapPairs" -> node("winnowPairs"),
       "ngramLmScore" -> node("lmnScore"),
       "ngramLmScoreAgainst" -> node("lmnAgainst"),
+      "knModel" -> excluded(block), "gramCols" -> excluded(block),
+      "gramsOf" -> excluded(block), "againstApply" -> excluded(block),
+      "mknDiscountsFor" -> excluded(block),
+      "checkMknParams" -> excluded(block),
       "ngramLmScoreAgainstByLang" -> node("lmAgainstLang"),
       "lm3ScoreAgainst" -> node("lm3Against"),
       "knLmScore" -> node("knScore"),
@@ -349,6 +353,11 @@ class ProgramNodeCoverageSpec extends AnyFunSuite {
       "frameSample" -> excluded("binary slicing projection; program face " +
         "is mapCols (substring on binary)"),
       "MediaMetaType" -> excluded(const)))
+    check("graft.pipeline.Arpa$", Map(
+      "arpaExportKn" -> excluded(artifact),
+      "arpaExportMkn" -> excluded(artifact),
+      "arpaImport" -> excluded(artifact),
+      "arpaScoreAgainst" -> node("arpaScore")))
     check("graft.operators.GroupTopK$", Map(
       "topKPerKey" -> node("topkPerKey"),
       "requireIntegralId" -> excluded(block)))
