@@ -2737,6 +2737,37 @@ object QueriesPipeline {
            END)::INT AS bucket
         FROM scored s LEFT JOIN cl ON s.lang IS NOT DISTINCT FROM cl.lang"""
 
+  /** The cross-session-artifact face of q_ppl_apply — SINGLE training:
+    * every document scores ONCE against the src0-src3 model; the
+    * src0-src9 slice of that same scored frame derives the tercile cuts
+    * (bucketByRank + a min per tile — the public-operator composition);
+    * the cuts FREEZE to disk as an Artifacts round trip and the loaded
+    * frame drives the stateless apply. Same oracle as q_ppl_apply (the
+    * SQL chain scores once too — this query is the engine shape catching
+    * up with its oracle, closing the documented double-train). */
+  def qPplArtifact(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir).df
+    val ref = docs.filter(col("source").isin("src0", "src1", "src2", "src3"))
+    val scored = TextOps.knLmScoreAgainst(graft.api.MStream(docs), ref,
+        "doc_id", "text", "text", order = 3).df
+      .join(docs.select(col("doc_id"), col("lang"), col("source")), Seq("doc_id"))
+    val pop = scored
+      .filter(col("source").isin((0 to 9).map(i => s"src$i"): _*))
+      .select(col("doc_id"), col("lang"), col("n_grams"), col("avg_logprob"))
+    val cuts = TextOps.bucketByRank(pop, "lang", "avg_logprob", "doc_id",
+        buckets = 3)
+      .where(col("bucket").isNotNull && col("bucket") < 3)
+      .groupBy(col("lang"), col("bucket"))
+      .agg(min(col("avg_logprob")).as("cut"))
+    val artDir = java.nio.file.Files.createTempDirectory("graft_art")
+      .resolve("cuts").toString
+    graft.api.Artifacts.save(artDir, "ppl-thresholds", Map("table" -> cuts))
+    val loaded = graft.api.Artifacts
+      .load(spark, artDir, expectKind = Some("ppl-thresholds")).tables("table")
+    TextOps.bucketByThresholds(graft.api.MStream(scored.drop("source")),
+      loaded, "lang", "avg_logprob").df
+  }
+
   /** The modified-KN discount CTE: count-of-counts n1..n4 of `src`'s
     * count column folded to (d1, d2, d3) by the Chen & Goodman
     * estimator with KenLM `--discount_fallback` semantics — the EXACT
@@ -3424,6 +3455,7 @@ object QueriesPipeline {
     "q_ppl_against" -> (qPplAgainst _),
     "q_ppl_thresholds" -> (qPplThresholds _),
     "q_ppl_apply" -> (qPplApply _),
+    "q_ppl_artifact" -> (qPplArtifact _),
     "q_chunk_sent" -> (qChunkSent _),
     "q_ppl_buckets" -> (qPplBuckets _),
     "q_winnow" -> (qWinnow _),
@@ -3533,6 +3565,7 @@ object QueriesPipeline {
     "q_ppl_against" -> qPplAgainstSql,
     "q_ppl_thresholds" -> qPplThresholdsSql,
     "q_ppl_apply" -> qPplApplySql,
+    "q_ppl_artifact" -> qPplApplySql,
     "q_chunk_sent" -> qChunkSentSql,
     "q_ppl_buckets" -> qPplBucketsSql,
     "q_winnow" -> qWinnowSql,

@@ -575,6 +575,23 @@ object Program {
   final case class ArpaScore(name: String, input: String, path: String,
                              idCol: String, textCol: String) extends Node
 
+  /** Persist the input frame as a cross-session model artifact
+    * ([[Artifacts.save]], table name "table") and pass it through
+    * unchanged — the TEE that lets one pipeline train and freeze what
+    * another loads. `dir` binds like a sink path. Batch-only; WRITES AT
+    * LOWERING TIME (validation never writes). */
+  final case class SaveArtifact(name: String, input: String, dir: String,
+                                kind: String,
+                                overwrite: Boolean = false) extends Node
+
+  /** Bind a saved model artifact's table as a batch frame
+    * ([[Artifacts.load]]) — an against-face's reference side, threshold
+    * cuts, merges or codebook WITHOUT retraining. A source-like node (no
+    * input); `kind` (when set) must match the manifest's tag. */
+  final case class LoadArtifact(name: String, dir: String,
+                                kind: Option[String] = None,
+                                table: String = "table") extends Node
+
   /** Modified Kneser-Ney LM score over the input corpus itself
     * (`TextOps.mknLmScore`) — KenLM parity: three count-bucketed
     * discounts per level, each derived from that level's count-of-counts,
@@ -824,6 +841,8 @@ object Program {
     case ml: MknAgainstLang => Seq(ml.input, ml.ref)
     case ms: MknScore => Seq(ms.input)
     case as: ArpaScore => Seq(as.input)
+    case sv: SaveArtifact => Seq(sv.input)
+    case _: LoadArtifact => Nil
     case ma: MknAgainst => Seq(ma.input, ma.ref)
     case es: ExactSubstr => Seq(es.input)
     case pt: PplThresholds => Seq(pt.input, pt.ref)
@@ -1132,6 +1151,19 @@ object Program {
           graft.pipeline.Arpa.arpaScoreAgainst(s,
             graft.pipeline.Arpa.arpaImport(s.df.sparkSession, path),
             idCol, textCol)
+        case SaveArtifact(name, i, dir, kind, ow) =>
+          val s = in(i)
+          Artifacts.save(dir, kind,
+            Map("table" -> batchFace(name, "saveArtifact", s)),
+            overwrite = ow)
+          s
+        case LoadArtifact(name, dir, kind, table) =>
+          val spark = org.apache.spark.sql.SparkSession.active
+          val art = Artifacts.load(spark, dir, kind)
+          require(art.tables.contains(table),
+            s"node '$name': artifact at $dir has no table '$table' " +
+              s"(have: ${art.tables.keys.toSeq.sorted.mkString(", ")})")
+          MStream(art.tables(table))
         case MknAgainst(name, i, ref, idCol, textCol, refTextCol, order, f1, f2, f3, mc, bm) =>
           graft.pipeline.TextOps.mknLmScoreAgainst(in(i),
             staticSide(name, in, ref), idCol, textCol, refTextCol, order,
@@ -1364,6 +1396,8 @@ object Program {
     case x: MknAgainstLang => x.copy(name = name)
     case x: MknScore => x.copy(name = name)
     case x: ArpaScore => x.copy(name = name)
+    case x: SaveArtifact => x.copy(name = name)
+    case x: LoadArtifact => x.copy(name = name)
     case x: MknAgainst => x.copy(name = name)
     case x: ExactSubstr => x.copy(name = name)
     case x: PplThresholds => x.copy(name = name)
@@ -1756,6 +1790,11 @@ object Program {
     /** Score against a KenLM-format ARPA file (format version 10). */
     def arpaScoreAgainst(path: String, idCol: String, textCol: String): Rec =
       derive1("arpaScore")(n => ArpaScore(n, name, path, idCol, textCol))
+    /** Freeze this frame as a cross-session model artifact and pass it
+      * through (format version 10) — WRITES NOW (capture lowers live). */
+    def saveArtifact(dir: String, kind: String,
+                     overwrite: Boolean = false): Rec =
+      derive1("saveArtifact")(n => SaveArtifact(n, name, dir, kind, overwrite))
     /** Modified-KN score over this corpus itself (format version 9) —
       * KenLM parity with `--discount_fallback` semantics. */
     def mknLmScore(idCol: String, textCol: String, order: Int,
@@ -1991,6 +2030,18 @@ object Program {
     def external(name: String, stream: MStream): Rec =
       new Rec(Vector(External(name)), name, stream.withName(name),
         Map(name -> stream))
+
+    /** Start a recording pipeline from a saved model artifact (format
+      * version 10) — the load half of the cross-session pair; reads the
+      * manifest now (capture lowers live, like every derive). */
+    def loadArtifact(spark: org.apache.spark.sql.SparkSession, dir: String,
+                     kind: Option[String] = None, table: String = "table",
+                     as: String = "artifact"): Rec = {
+      val node = LoadArtifact(as, dir, kind, table)
+      new Rec(Vector(node), as,
+        MStream(Artifacts.load(spark, dir, kind).tables(table)).withName(as),
+        Map.empty)
+    }
   }
 
   /** Assemble the document for one or more recorded outputs — the capture
@@ -2058,7 +2109,8 @@ object Program {
   /** The lowest format version expressing every node in `doc`. */
   private def requiredVersion(doc: Doc): Int =
     if (doc.nodes.exists {
-      case _: LmAgainstLang | _: ParaScrub | _: HybridRrf | _: ArpaScore => true
+      case _: LmAgainstLang | _: ParaScrub | _: HybridRrf | _: ArpaScore |
+           _: SaveArtifact | _: LoadArtifact => true
       case _ => false }) 10
     else if (doc.nodes.exists {
       case _: MknScore | _: MknAgainst | _: ExactSubstr | _: PplThresholds |
@@ -2255,6 +2307,13 @@ object Program {
       case ArpaScore(name, i, path, idCol, textCol) =>
         ("op" -> "arpaScore") ~ ("name" -> name) ~ ("input" -> i) ~
           ("path" -> path) ~ ("idCol" -> idCol) ~ ("textCol" -> textCol)
+      case SaveArtifact(name, i, dir, kind, ow) =>
+        ("op" -> "saveArtifact") ~ ("name" -> name) ~ ("input" -> i) ~
+          ("dir" -> dir) ~ ("kind" -> kind) ~
+          ("overwrite" -> (if (ow) Some(true) else None))
+      case LoadArtifact(name, dir, kind, table) =>
+        ("op" -> "loadArtifact") ~ ("name" -> name) ~ ("dir" -> dir) ~
+          ("kind" -> kind) ~ ("table" -> table)
       case MknScore(name, i, idCol, textCol, order, f1, f2, f3) =>
         ("op" -> "mknScore") ~ ("name" -> name) ~ ("input" -> i) ~
           ("idCol" -> idCol) ~ ("textCol" -> textCol) ~ ("order" -> order) ~
@@ -2687,6 +2746,12 @@ object Program {
           case "arpaScore" => ArpaScore(name, (v \ "input").extract[String],
             (v \ "path").extract[String], (v \ "idCol").extract[String],
             (v \ "textCol").extract[String])
+          case "saveArtifact" => SaveArtifact(name, (v \ "input").extract[String],
+            (v \ "dir").extract[String], (v \ "kind").extract[String],
+            (v \ "overwrite").extractOpt[Boolean].getOrElse(false))
+          case "loadArtifact" => LoadArtifact(name,
+            (v \ "dir").extract[String], (v \ "kind").extractOpt[String],
+            (v \ "table").extractOpt[String].getOrElse("table"))
           case "mknScore" =>
             // fallback discounts all-or-none, the lm3Score lambda rule
             val fs = Seq("fb1", "fb2", "fb3").map(k => (v \ k).extractOpt[Double])
@@ -3012,6 +3077,21 @@ object Program {
             s.df.select(col(as.idCol), col(as.textCol)).schema
             emptyOf(s, graft.pipeline.TextOps.ngramOutputSchema(
               as.idCol, s.df.schema(as.idCol).dataType))
+          case sv: SaveArtifact =>
+            // the tee must NOT write during validation — pass the input
+            // schema through, exactly what the real lowering returns
+            env(sv.input)
+          case la: LoadArtifact =>
+            // a load READS at validation (the manifest is the schema
+            // fact, like a bound source) but computes nothing
+            val art = Artifacts.load(spark, la.dir, la.kind)
+            if (!art.tables.contains(la.table))
+              throw new IllegalArgumentException(
+                s"node '${la.name}': artifact at ${la.dir} has no table " +
+                  s"'${la.table}' (have: ${art.tables.keys.toSeq.sorted.mkString(", ")})")
+            new MStream(spark.createDataFrame(
+              new java.util.ArrayList[org.apache.spark.sql.Row](),
+              art.tables(la.table).schema), Nil, Nil, la.name)
           case ma: MknAgainst =>
             val s = env(ma.input)
             s.df.select(col(ma.idCol), col(ma.textCol)).schema
@@ -3483,6 +3563,16 @@ object Program {
           if (as.path.trim.isEmpty) throw new IllegalArgumentException(
             s"node '${n.name}': arpaScore needs a non-empty artifact path")
           Seq(as.input)
+        case sv: SaveArtifact =>
+          if (sv.dir.trim.isEmpty || sv.kind.trim.isEmpty)
+            throw new IllegalArgumentException(
+              s"node '${n.name}': saveArtifact needs a non-empty dir and kind")
+          Seq(sv.input)
+        case la: LoadArtifact =>
+          if (la.dir.trim.isEmpty || la.table.trim.isEmpty)
+            throw new IllegalArgumentException(
+              s"node '${n.name}': loadArtifact needs a non-empty dir and table")
+          Nil
         case ma: MknAgainst =>
           checkMkn(n.name, "mknAgainst", ma.order, ma.fb1, ma.fb2, ma.fb3)
           if (ma.minCount < 1) throw new IllegalArgumentException(
