@@ -2768,6 +2768,118 @@ object QueriesPipeline {
       loaded, "lang", "avg_logprob").df
   }
 
+  /** One Viterbi segmentation pass over the distinct-word table under
+    * the vocabulary CTE `vocabCte`(piece, p) — the unigram-LM DP as a
+    * recursive CTE (dp in PROBABILITY space: products of exact-division
+    * doubles, bit-identical to the engine's expression; ties to the
+    * longer piece via the ascending-l >= fold), then the backtrace walk.
+    * Emits st$tag/bt$tag; pieces per word = bt$tag WHERE pos = 0. */
+  private def unigramSegPass(tag: String, vocabCte: String, L: Int): String =
+    s"""m$tag AS MATERIALIZED (SELECT map_from_entries(list(struct_pack(k := piece, v := p))) AS m FROM $vocabCte),
+        st$tag AS (
+          SELECT word, wc, 0 AS pos, [1.0::DOUBLE] AS dps, [0] AS bls, m FROM words0, m$tag
+          UNION ALL
+          SELECT word, wc, pos + 1, list_append(dps, best.s), list_append(bls, best.bl), m FROM (
+            SELECT word, wc, pos, dps, bls, m,
+              list_reduce(
+                list_transform(range(1, least($L, pos + 1) + 1),
+                  l -> struct_pack(
+                    s := dps[pos + 2 - l] * coalesce(m[word[pos + 2 - l : pos + 1]][1],
+                           CASE WHEN l = 1 THEN 1e-100 ELSE 0.0::DOUBLE END),
+                    bl := l)),
+                (b, c) -> CASE WHEN c.s >= b.s THEN c ELSE b END) AS best
+            FROM st$tag WHERE pos < len(word))),
+        bt$tag AS (
+          SELECT word, wc, bls, len(word) AS pos, []::VARCHAR[] AS ps FROM st$tag WHERE pos = len(word)
+          UNION ALL
+          SELECT word, wc, bls, pos - bls[pos + 1],
+            list_prepend(word[pos - bls[pos + 1] + 1 : pos], ps)
+          FROM bt$tag WHERE pos > 0)"""
+
+  /** The unigram-LM training chain (seed -> `rounds` hard-EM rounds),
+    * ending at keep$rounds(piece, cnt) — mirrors `Unigram.trainVocab`
+    * decision for decision (seed top-N + all chars; per-round Viterbi
+    * counts; prune to top vocabSize + previous chars floored to 1). */
+  private def unigramChainSql(vocabSize: Int, L: Int, rounds: Int,
+                              seedSize: Int): String = {
+    def round(r: Int): String =
+      s"""${unigramSegPass(r.toString, s"v${r - 1}", L)},
+        cnt$r AS MATERIALIZED (SELECT piece, sum(wc)::BIGINT AS c FROM (
+          SELECT wc, unnest(ps) AS piece FROM bt$r WHERE pos = 0) GROUP BY piece),
+        keep$r AS MATERIALIZED (
+          -- DISTINCT over UNION ALL, not UNION: under WITH RECURSIVE,
+          -- DuckDB reads a top-level UNION in a CTE body as an
+          -- anchor/recursive-term pair and skips the dedup
+          SELECT piece, CASE WHEN len(piece) = 1 THEN greatest(c, 1) ELSE c END AS cnt FROM (
+            SELECT DISTINCT piece, c FROM (
+              (SELECT piece, c FROM (SELECT piece, c FROM cnt$r ORDER BY c DESC, piece LIMIT $vocabSize) tt)
+              UNION ALL
+              (SELECT v.piece AS piece, coalesce(t.c, 0) AS c
+               FROM v${r - 1} v LEFT JOIN cnt$r t USING (piece) WHERE len(v.piece) = 1)) u)),
+        v$r AS MATERIALIZED (SELECT piece, cnt::DOUBLE / (SELECT sum(cnt) FROM keep$r)::DOUBLE AS p FROM keep$r)"""
+    s"""words0 AS MATERIALIZED (
+        SELECT w AS word, count(*) AS wc FROM (
+          SELECT unnest(list_filter(string_split_regex(text, '[ \\t\\n\\f\\r\\x0b]+'), x -> x <> '')) AS w
+          FROM documents) GROUP BY w),
+        cand AS MATERIALIZED (
+          SELECT piece, sum(wc)::BIGINT AS cnt FROM (
+            SELECT wc, unnest(flatten([[word[i:i+l-1] for l in range(1, least($L, len(word) - i + 1) + 1)] for i in range(1, len(word) + 1)])) AS piece
+            FROM words0) GROUP BY piece),
+        seed AS MATERIALIZED (
+          SELECT DISTINCT piece, cnt FROM (
+            (SELECT piece, cnt FROM (SELECT piece, cnt FROM cand ORDER BY cnt DESC, piece LIMIT $seedSize) tt)
+            UNION ALL
+            (SELECT piece, cnt FROM cand WHERE len(piece) = 1)) u),
+        v0 AS MATERIALIZED (SELECT piece, cnt::DOUBLE / (SELECT sum(cnt) FROM seed)::DOUBLE AS p FROM seed),
+        ${(1 to rounds).map(round).mkString(",\n        ")}"""
+  }
+
+  /** Unigram-LM tokenizer training (SentencePiece's model family, Kudo
+    * 2018 — the hard-EM Viterbi variant whose every decision is
+    * engine-reproducible): seed from corpus substrings, two EM rounds,
+    * prune to 40 pieces + all chars. The oracle re-runs the ENTIRE
+    * training relationally (recursive-CTE Viterbi per round). */
+  def qUnigramVocab(spark: SparkSession, dir: String): DataFrame =
+    graft.pipeline.Unigram.trainVocab(Tables.documents(spark, dir).df,
+      "text", vocabSize = 40, maxPieceLen = 3, emRounds = 2, seedSize = 60)
+
+  val qUnigramVocabSql: String =
+    s"""WITH RECURSIVE
+        ${unigramChainSql(40, 3, 2, 60)}
+        SELECT piece, cnt::BIGINT AS cnt,
+          round(ln(cnt::DOUBLE / (SELECT sum(cnt) FROM keep2)::DOUBLE), 6) AS logprob
+        FROM keep2"""
+
+  /** Tokenize every document under the trained unigram vocabulary —
+    * per-doc piece count + sequence hash (the array-free oracle shape).
+    * The Spark face segments INLINE per word occurrence (zero-shuffle
+    * stateless projection); the oracle segments the distinct-word table
+    * once and joins back per document — same pieces by determinism. */
+  def qUnigramEncode(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir).df
+    val vocab = graft.pipeline.Unigram.trainVocab(docs, "text",
+      vocabSize = 40, maxPieceLen = 3, emRounds = 2, seedSize = 60)
+    graft.pipeline.Unigram.tokenize(graft.api.MStream(docs), vocab, "text",
+        maxPieceLen = 3).df
+      .select(col("doc_id"), size(col("pieces")).cast("long").as("n_pieces"),
+        TextOps.polyHash(array_join(col("pieces"), " ")).as("seq_hash"))
+  }
+
+  val qUnigramEncodeSql: String =
+    s"""WITH RECURSIVE
+        ${unigramChainSql(40, 3, 2, 60)},
+        vf AS MATERIALIZED (SELECT piece, cnt::DOUBLE / (SELECT sum(cnt) FROM keep2)::DOUBLE AS p FROM keep2),
+        ${unigramSegPass("E", "vf", 3)},
+        wp AS MATERIALIZED (SELECT word, ps FROM btE WHERE pos = 0),
+        docw AS (SELECT doc_id, unnest(w) AS word, unnest(range(1, len(w) + 1)) AS widx
+                 FROM (SELECT doc_id, list_filter(string_split_regex(text, '[ \\t\\n\\f\\r\\x0b]+'), x -> x <> '') AS w FROM documents)),
+        enc AS (SELECT doc_id, flatten(list(ps ORDER BY widx)) AS pieces
+                FROM docw JOIN wp USING (word) GROUP BY doc_id)
+        SELECT d.doc_id, coalesce(len(e.pieces), 0)::BIGINT AS n_pieces,
+          list_reduce([0] || [ord(c)::BIGINT for c in string_split(coalesce(array_to_string(e.pieces, ' '), ''), '')],
+                      (a, c) -> (a * 31 + c) % 1000000007) AS seq_hash
+        FROM documents d LEFT JOIN enc e USING (doc_id)"""
+
   /** The modified-KN discount CTE: count-of-counts n1..n4 of `src`'s
     * count column folded to (d1, d2, d3) by the Chen & Goodman
     * estimator with KenLM `--discount_fallback` semantics — the EXACT
@@ -3468,6 +3580,8 @@ object QueriesPipeline {
     "q_heavy_hitters" -> (qHeavyHitters _),
     "q_token_freq" -> (qTokenFreq _),
     "q_bpe_merges" -> (qBpeMerges _),
+    "q_unigram_vocab" -> (qUnigramVocab _),
+    "q_unigram_encode" -> (qUnigramEncode _),
     "q_temp_mix" -> (qTempMix _),
     "q_bpe_encode" -> (qBpeEncode _),
     "q_line_scrub" -> (qLineScrub _),
@@ -3578,6 +3692,8 @@ object QueriesPipeline {
     "q_heavy_hitters" -> qHeavyHittersSql,
     "q_token_freq" -> qTokenFreqSql,
     "q_bpe_merges" -> qBpeMergesSql,
+    "q_unigram_vocab" -> qUnigramVocabSql,
+    "q_unigram_encode" -> qUnigramEncodeSql,
     "q_temp_mix" -> qTempMixSql,
     "q_bpe_encode" -> qBpeEncodeSql,
     "q_line_scrub" -> qLineScrubSql,

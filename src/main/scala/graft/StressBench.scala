@@ -162,7 +162,13 @@ object StressBench {
         // regime): its model is the dominant SLICE of every count table,
         // and the scoring joins stream by (lang, grams) keys exactly like
         // the shared face. Near-parity hot vs natural at 1x and 10x
-        "bylangskew")
+        "bylangskew",
+        // round-16: the unigram-LM tokenizer trainer at 1x then 10x —
+        // the E-step segments the DISTINCT-WORD table (near-constant
+        // across replication; only the corpus-wide word count and the
+        // piece-count aggregation scale), so training must grow far
+        // sublinearly in corpus size
+        "unigram")
     val spark = SparkSession.builder().master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
       .config("spark.sql.session.timeZone", "UTC")
@@ -866,6 +872,23 @@ object StressBench {
           println(f"STRESS pqlut512 rep$rep $secs%.2f s (${hits.count()} rows)")
           graft.api.Pinned.release(spark)
         }
+      } else if (q == "unigram") {
+        // unigram-LM trainer: 2 EM rounds at 1x (sf0.1) and 10x. The
+        // distinct-word table is the E-step's frame, so the 10x run pays
+        // only the bigger word-count scan + piece aggregation
+        for ((label, path) <- Seq("1x" -> s"$src/documents.parquet",
+                                  "10x" -> docsPath); rep <- 1 to 2) {
+          isolate()
+          val docs = spark.read.parquet(path)
+          val t0 = System.nanoTime()
+          val vocab = graft.pipeline.Unigram.trainVocab(docs, "text",
+            vocabSize = 64, maxPieceLen = 4, emRounds = 2, seedSize = 128)
+          val secs = (System.nanoTime() - t0) / 1e9
+          obs(s"unigram/$label", secs)
+          println(f"STRESS unigram/$label rep$rep $secs%.2f s " +
+            s"(${vocab.count()} pieces)")
+          graft.api.Pinned.release(spark)
+        }
       } else {
       SparkEntry.queries(q)(spark, "/root/testdata/sf0.001")
         .write.format("noop").mode("overwrite").save() // warm
@@ -900,7 +923,8 @@ object StressBench {
         ("crossskew/capped", "crossskew/uncapped", 3.0),
         ("idxskew/capped", "idxskew/uncapped", 3.0),
         ("spanskew/10x", "spanskew/1x", 40.0),
-        ("substrskew/10x", "substrskew/1x", 40.0)) ++
+        ("substrskew/10x", "substrskew/1x", 40.0),
+        ("unigram/10x", "unigram/1x", 10.0)) ++
       (for (l <- Seq("1x", "10x"); op <- Seq("ppl", "cap", "cpk"))
         yield (s"langskew/$l/hot60/$op", s"langskew/$l/natural/$op", 4.0)) ++
       Seq("1x", "10x").map(l => (s"packskew/$l/hot60", s"packskew/$l/natural", 4.0)) ++

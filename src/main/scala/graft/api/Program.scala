@@ -225,6 +225,13 @@ object Program {
     * collects at program build; driver-sized by training contract). */
   final case class BpeEncode(name: String, input: String, merges: String,
                              idCol: String, textCol: String) extends Node
+  /** Unigram-LM tokenization (`Unigram.tokenize`, Kudo 2018): adds the
+    * `as` pieces column under a (piece, cnt) vocabulary input — trained
+    * by `Unigram.trainVocab` or loaded via [[LoadArtifact]]. Dual-mode;
+    * BUILD-TIME EAGER (the vocabulary collects at lowering). */
+  final case class UnigramEncode(name: String, input: String, vocab: String,
+                                 textCol: String, maxPieceLen: Int = 4,
+                                 as: String = "pieces") extends Node
   /** Fixed-vocabulary token encoding at ingest (`TextOps.encodeTokensIngest`);
     * `vocab` names a (word, id) input. */
   final case class EncodeIngest(name: String, input: String, vocab: String,
@@ -851,6 +858,7 @@ object Program {
     case ds: DsirScore => Seq(ds.input, ds.target, ds.raw)
     case tf: TokenFreq => Seq(tf.input, tf.ref)
     case be: BpeEncode => Seq(be.input, be.merges)
+    case ue: UnigramEncode => Seq(ue.input, ue.vocab)
     case ei: EncodeIngest => Seq(ei.input, ei.vocab)
     case di: DecontamIngest => Seq(di.input, di.bench)
     case ip: IvfProbe => Seq(ip.input, ip.corpus, ip.centroids)
@@ -1197,6 +1205,9 @@ object Program {
         case BpeEncode(name, i, merges, idCol, textCol) =>
           graft.pipeline.TextOps.bpeTokenizeIngest(in(i),
             staticSide(name, in, merges), idCol, textCol)
+        case UnigramEncode(name, i, vocab, textCol, maxPieceLen, as) =>
+          graft.pipeline.Unigram.tokenize(in(i),
+            staticSide(name, in, vocab), textCol, maxPieceLen, as)
         case EncodeIngest(name, i, vocab, idCol, textCol, oovId) =>
           graft.pipeline.TextOps.encodeTokensIngest(in(i),
             staticSide(name, in, vocab), idCol, textCol, oovId)
@@ -1408,6 +1419,7 @@ object Program {
     case x: DsirScore => x.copy(name = name)
     case x: TokenFreq => x.copy(name = name)
     case x: BpeEncode => x.copy(name = name)
+    case x: UnigramEncode => x.copy(name = name)
     case x: EncodeIngest => x.copy(name = name)
     case x: DecontamIngest => x.copy(name = name)
     case x: IvfProbe => x.copy(name = name)
@@ -1852,6 +1864,12 @@ object Program {
       derive("tokenFreq", Seq(ref))(n => TokenFreq(n, name, ref.name,
         idCol, textCol, refTextCol, depth, width, rareMax))
     /** Frozen-BPE tokenization with `merges`' artifact (format version 3). */
+    /** Unigram-LM tokenization under a trained (piece, cnt) vocabulary
+      * (format version 10). */
+    def unigramTokenize(vocab: Rec, textCol: String, maxPieceLen: Int = 4,
+                        as: String = "pieces"): Rec =
+      derive("unigramEncode", Seq(vocab))(n => UnigramEncode(n, name,
+        vocab.name, textCol, maxPieceLen, as))
     def bpeEncode(merges: Rec, idCol: String, textCol: String): Rec =
       derive("bpeEncode", Seq(merges))(n => BpeEncode(n, name, merges.name,
         idCol, textCol))
@@ -2097,8 +2115,10 @@ object Program {
     * 10 adds the per-language Jelinek-Mercer face (lmAgainstLang) —
     * completing the smoothing × per-language matrix — the
     * paragraph-granularity duplicate scrub (paraScrub), hybrid BM25+ANN
-    * retrieval fused by reciprocal rank (hybridRrf), and scoring against
-    * a KenLM-format ARPA artifact file (arpaScore).
+    * retrieval fused by reciprocal rank (hybridRrf), scoring against a
+    * KenLM-format ARPA artifact file (arpaScore), the cross-session
+    * model-artifact pair (saveArtifact/loadArtifact), and unigram-LM
+    * tokenization (unigramEncode).
     * [[toJson]] stamps each document with the LOWEST version that can
     * express it, so a document using only the v1 grammar stays loadable
     * by a v1 library. Versions track SHIPPED grammars (one per build
@@ -2110,7 +2130,7 @@ object Program {
   private def requiredVersion(doc: Doc): Int =
     if (doc.nodes.exists {
       case _: LmAgainstLang | _: ParaScrub | _: HybridRrf | _: ArpaScore |
-           _: SaveArtifact | _: LoadArtifact => true
+           _: SaveArtifact | _: LoadArtifact | _: UnigramEncode => true
       case _ => false }) 10
     else if (doc.nodes.exists {
       case _: MknScore | _: MknAgainst | _: ExactSubstr | _: PplThresholds |
@@ -2362,6 +2382,10 @@ object Program {
       case BpeEncode(name, i, merges, idCol, textCol) =>
         ("op" -> "bpeEncode") ~ ("name" -> name) ~ ("input" -> i) ~
           ("merges" -> merges) ~ ("idCol" -> idCol) ~ ("textCol" -> textCol)
+      case UnigramEncode(name, i, vocab, textCol, maxPieceLen, as) =>
+        ("op" -> "unigramEncode") ~ ("name" -> name) ~ ("input" -> i) ~
+          ("vocab" -> vocab) ~ ("textCol" -> textCol) ~
+          ("maxPieceLen" -> maxPieceLen) ~ ("as" -> as)
       case EncodeIngest(name, i, vocab, idCol, textCol, oovId) =>
         ("op" -> "encodeIngest") ~ ("name" -> name) ~ ("input" -> i) ~
           ("vocab" -> vocab) ~ ("idCol" -> idCol) ~ ("textCol" -> textCol) ~
@@ -2812,6 +2836,11 @@ object Program {
             (v \ "depth").extractOpt[Int].getOrElse(4),
             (v \ "width").extractOpt[Int].getOrElse(2048),
             (v \ "rareMax").extractOpt[Long].getOrElse(2L))
+          case "unigramEncode" => UnigramEncode(name,
+            (v \ "input").extract[String], (v \ "vocab").extract[String],
+            (v \ "textCol").extract[String],
+            (v \ "maxPieceLen").extractOpt[Int].getOrElse(4),
+            (v \ "as").extractOpt[String].getOrElse("pieces"))
           case "bpeEncode" => BpeEncode(name, (v \ "input").extract[String],
             (v \ "merges").extract[String], (v \ "idCol").extract[String],
             (v \ "textCol").extract[String])
@@ -3146,6 +3175,16 @@ object Program {
             env(be.merges).df.select(col("merge_rank"), col("lhs"), col("rhs")).schema
             emptyOf(s, graft.pipeline.TextOps.bpeOutputSchema(
               be.idCol, s.df.schema(be.idCol).dataType))
+          case ue: UnigramEncode =>
+            // build-time eager (the vocabulary collects at lowering):
+            // force the refs, emit input + the pieces column
+            val s = env(ue.input)
+            s.df.select(col(ue.textCol)).schema
+            env(ue.vocab).df.select(col("piece"), col("cnt")).schema
+            emptyOf(s, org.apache.spark.sql.types.StructType(
+              s.df.schema.fields :+ org.apache.spark.sql.types.StructField(
+                ue.as, org.apache.spark.sql.types.ArrayType(
+                  org.apache.spark.sql.types.StringType))))
           case ed: EmbedDedup if ed.centroids.isDefined =>
             val s = env(ed.input)
             s.df.select(col(ed.idCol), col(ed.vecCol)).schema
@@ -3609,6 +3648,12 @@ object Program {
                 s"rareMax >= 0, got depth=${tf.depth} width=${tf.width} rareMax=${tf.rareMax}")
           Seq(tf.input, tf.ref)
         case be: BpeEncode => Seq(be.input, be.merges)
+        case ue: UnigramEncode =>
+          if (ue.maxPieceLen < 1 || ue.maxPieceLen > 16)
+            throw new IllegalArgumentException(
+              s"node '${n.name}': unigramEncode needs maxPieceLen in 1..16, " +
+                s"got ${ue.maxPieceLen}")
+          Seq(ue.input, ue.vocab)
         case ei: EncodeIngest => Seq(ei.input, ei.vocab)
         case di: DecontamIngest =>
           if (di.n < 1 || di.minOverlap < 1) throw new IllegalArgumentException(

@@ -353,6 +353,10 @@ class ProgramNodeCoverageSpec extends AnyFunSuite {
       "frameSample" -> excluded("binary slicing projection; program face " +
         "is mapCols (substring on binary)"),
       "MediaMetaType" -> excluded(const)))
+    check("graft.pipeline.Unigram$", Map(
+      "trainVocab" -> excluded(artifact),
+      "tokenize" -> node("unigramEncode"),
+      "segmentExpr" -> excluded(block)))
     check("graft.pipeline.Arpa$", Map(
       "arpaExportKn" -> excluded(artifact),
       "arpaExportMkn" -> excluded(artifact),

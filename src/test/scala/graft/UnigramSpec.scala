@@ -1,0 +1,207 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.api.MStream
+import graft.pipeline.Unigram
+
+/** Unigram-LM tokenizer (Kudo 2018, hard-EM Viterbi variant): the
+  * segmentation expression against a plain-Scala reference DP AND an
+  * exhaustive optimality check, the trainer against a full plain-Scala
+  * reimplementation of seed → EM rounds → prune, streaming == batch
+  * tokenize, and the contracts. */
+class UnigramSpec extends SparkSpec {
+  import spark.implicits._
+
+  // ---- plain-Scala reference implementation ------------------------
+
+  private def refSegment(w: String, probs: Map[String, Double], L: Int): Seq[String] = {
+    val n = w.length
+    val dp = new Array[Double](n + 1)
+    val bl = new Array[Int](n + 1)
+    dp(0) = 1.0
+    for (i <- 1 to n) {
+      var bestS = -1.0; var bestL = 0
+      for (l <- 1 to math.min(L, i)) {
+        val piece = w.substring(i - l, i)
+        val p = probs.getOrElse(piece, if (l == 1) 1e-100 else 0.0)
+        val cand = dp(i - l) * p
+        if (cand >= bestS) { bestS = cand; bestL = l }
+      }
+      dp(i) = bestS; bl(i) = bestL
+    }
+    var pos = n
+    val out = scala.collection.mutable.ArrayBuffer.empty[String]
+    while (pos > 0) { out += w.substring(pos - bl(pos), pos); pos -= bl(pos) }
+    out.reverse.toSeq
+  }
+
+  private def probsOf(v: Seq[(String, Long)]): Map[String, Double] = {
+    val t = v.map(_._2).sum.toDouble
+    v.map { case (p, c) => p -> (c.toDouble / t) }.toMap
+  }
+
+  private def refTrain(words: Seq[(String, Long)], vocabSize: Int, L: Int,
+                       rounds: Int, seedSize: Int): Seq[(String, Long)] = {
+    val cand = scala.collection.mutable.Map.empty[String, Long]
+    for ((w, wc) <- words; i <- 0 until w.length;
+         l <- 1 to math.min(L, w.length - i))
+      cand.updateWith(w.substring(i, i + l))(o => Some(o.getOrElse(0L) + wc))
+    val top = cand.toSeq.sortBy { case (p, c) => (-c, p) }.take(seedSize)
+    val chars = cand.toSeq.filter(_._1.length == 1)
+    var vocab = (top ++ chars).distinct.sortBy { case (p, c) => (-c, p) }
+    for (_ <- 1 to rounds) {
+      val probs = probsOf(vocab)
+      val counts = scala.collection.mutable.Map.empty[String, Long]
+      for ((w, wc) <- words; piece <- refSegment(w, probs, L))
+        counts.updateWith(piece)(o => Some(o.getOrElse(0L) + wc))
+      val topV = counts.toSeq.sortBy { case (p, c) => (-c, p) }.take(vocabSize)
+      val keptChars = vocab.collect { case (p, _) if p.length == 1 =>
+        p -> math.max(counts.getOrElse(p, 0L), 1L) }
+      vocab = (topV ++ keptChars).groupBy(_._1)
+        .map { case (p, xs) => p -> xs.map(_._2).max }
+        .toSeq.sortBy { case (p, c) => (-c, p) }
+    }
+    vocab
+  }
+
+  // ---- corpora ------------------------------------------------------
+
+  private val rnd = new scala.util.Random(31)
+  private val syllables = Vector("ka", "to", "mi", "ra", "su", "ne", "lo", "ch", "qu")
+  private def randWord(): String =
+    Seq.fill(1 + rnd.nextInt(4))(syllables(rnd.nextInt(syllables.size))).mkString
+  private val corpus = (0L until 60L)
+    .map(i => (i, Seq.fill(3 + rnd.nextInt(8))(randWord()).mkString(" ")))
+
+  test("segmentation expression == reference DP and is score-optimal") {
+    val words = corpus.flatMap(_._2.split(" ")).distinct.take(40)
+    val vocab: Seq[(String, Long)] = {
+      val cand = scala.collection.mutable.Map.empty[String, Long]
+      for (w <- words; i <- 0 until w.length; l <- 1 to math.min(3, w.length - i))
+        cand.updateWith(w.substring(i, i + l))(o => Some(o.getOrElse(0L) + 1L))
+      cand.toSeq.sortBy { case (p, c) => (-c, p) }.take(50) ++
+        cand.toSeq.filter(_._1.length == 1)
+    }.distinct
+    val probs = probsOf(vocab)
+    val probsCol = typedLit(probs)
+    val got = words.toDF("w")
+      .select(col("w"), Unigram.segmentExpr(col("w"), probsCol, 3).as("ps"))
+      .collect().map(r => r.getString(0) -> r.getSeq[String](1)).toMap
+    words.foreach { w =>
+      val ref = refSegment(w, probs, 3)
+      assert(got(w) == ref, s"word '$w': ${got(w)} vs reference $ref")
+      assert(got(w).mkString == w, s"pieces must rebuild the word '$w'")
+      // exhaustive optimality: the chosen segmentation maximizes the
+      // product over ALL segmentations with pieces <= 3 chars
+      def all(s: String): Seq[Seq[String]] =
+        if (s.isEmpty) Seq(Nil)
+        else (1 to math.min(3, s.length)).flatMap(l =>
+          all(s.drop(l)).map(s.take(l) +: _))
+      def score(ps: Seq[String]): Double =
+        ps.map(p => probs.getOrElse(p, if (p.length == 1) 1e-100 else 0.0)).product
+      val bestScore = all(w).map(score).max
+      assert(score(got(w)) == bestScore,
+        s"word '$w': chosen ${got(w)} scores ${score(got(w))} < $bestScore")
+    }
+  }
+
+  test("trainVocab == the plain-Scala reference training, all chars kept") {
+    val docs = corpus.toDF("doc_id", "text")
+    try {
+      val got = Unigram.trainVocab(docs, "text", vocabSize = 30,
+          maxPieceLen = 3, emRounds = 2, seedSize = 40)
+        .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+      val wordCounts = corpus.flatMap(_._2.split(" ").filter(_.nonEmpty))
+        .groupBy(identity).map { case (w, xs) => w -> xs.size.toLong }.toSeq
+      val want = refTrain(wordCounts, 30, 3, 2, 40).toSet
+      assert(got == want, s"vocab:\n${got.toSeq.sorted}\nvs reference\n${want.toSeq.sorted}")
+      val charsInCorpus = corpus.flatMap(_._2.replace(" ", "")).toSet
+      assert(charsInCorpus.forall(c => got.exists(_._1 == c.toString)),
+        "every corpus character survives pruning")
+    } finally graft.api.Pinned.release(spark)
+  }
+
+  test("tokenize: streaming == batch, zero state, pieces rebuild text") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.streaming.OutputMode
+    implicit val sqlCtx = spark.sqlContext
+    val docs = corpus.take(20).toDF("doc_id", "text")
+    try {
+      val vocab = Unigram.trainVocab(docs, "text", vocabSize = 25,
+        maxPieceLen = 3, emRounds = 1, seedSize = 40)
+      val batch = Unigram.tokenize(MStream(docs), vocab, "text", maxPieceLen = 3).df
+        .select(col("doc_id"), col("pieces"))
+        .collect().map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+      // pieces rebuild the concatenated words
+      corpus.take(20).foreach { case (id, text) =>
+        assert(batch(id).mkString == text.split(" ").filter(_.nonEmpty).mkString,
+          s"doc $id pieces rebuild its words")
+      }
+      val in = MemoryStream[(Long, String)]
+      val out = Unigram.tokenize(MStream(in.toDF().toDF("doc_id", "text")),
+        vocab, "text", maxPieceLen = 3)
+      assert(out.df.isStreaming)
+      in.addData(corpus.take(20): _*)
+      val name = s"uni_${System.nanoTime()}"
+      val q = out.df.writeStream.format("memory").queryName(name)
+        .outputMode(OutputMode.Append()).start()
+      try {
+        q.processAllAvailable()
+        assert(q.lastProgress == null ||
+          q.lastProgress.stateOperators.forall(_.numRowsTotal == 0L),
+          "tokenize is stateless")
+        val streamed = spark.table(name).select(col("doc_id"), col("pieces"))
+          .collect().map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+        assert(streamed == batch, "streaming equals batch")
+      } finally q.stop()
+    } finally graft.api.Pinned.release(spark)
+  }
+
+  test("UnigramEncode node: v10 stamp, codec identity, document run == direct API") {
+    import graft.api.{App, Program}
+    import graft.api.Program._
+    val d = Doc(Seq(External("in"), External("v"),
+      UnigramEncode("a", "in", "v", "text", 3, "pieces")), Seq("a"))
+    val json = Program.toJson(d)
+    assert(json.contains("\"version\":10") && Program.fromJson(json) == d)
+    val bad = intercept[IllegalArgumentException](Program.fromJson(Program.toJson(
+      Doc(Seq(External("in"), External("v"),
+        UnigramEncode("a", "in", "v", "text", 0)), Seq("a")))))
+    assert(bad.getMessage.contains("maxPieceLen"), bad.getMessage)
+    try {
+      val docs = corpus.take(15).toDF("doc_id", "text")
+      val vocab = Unigram.trainVocab(docs, "text", 25, maxPieceLen = 3,
+        emRounds = 1, seedSize = 40)
+      val cap = Program.capture(
+        Program.Rec.external("in", MStream(docs))
+          .unigramTokenize(Program.Rec.external("v", MStream(vocab)),
+            "text", maxPieceLen = 3).as("a"))
+      assert(Program.fromJson(Program.toJson(cap)) == cap)
+      val config = new App.Config()
+        .setSource("in", App.Source("list", rows = Some(docs)))
+        .setSource("v", App.Source("list", rows = Some(vocab)))
+        .addSink("a", App.Sink("memory"))
+      Program.validate(cap, spark, config)
+      val out = App.runProgram(spark, config, Program.toJson(cap))
+        .collectFirst { case App.BatchOutput("a", o) => o }.get
+        .collect().map(r => r.getLong(0) -> r.getSeq[String](2)).toMap
+      val direct = Unigram.tokenize(MStream(docs), vocab, "text", maxPieceLen = 3)
+        .df.collect().map(r => r.getLong(0) -> r.getSeq[String](2)).toMap
+      assert(out == direct, "document execution equals the direct API")
+    } finally graft.api.Pinned.release(spark)
+  }
+
+  test("contracts: bounds, vocab shape, streaming trainer rejection") {
+    val docs = corpus.take(5).toDF("doc_id", "text")
+    assert(intercept[IllegalArgumentException](Unigram.trainVocab(
+      docs, "text", vocabSize = 0)).getMessage.contains("vocabSize"))
+    assert(intercept[IllegalArgumentException](Unigram.trainVocab(
+      docs, "text", 10, maxPieceLen = 0)).getMessage.contains("maxPieceLen"))
+    assert(intercept[IllegalArgumentException](Unigram.trainVocab(
+      docs, "text", 10, emRounds = 0)).getMessage.contains("emRounds"))
+    assert(intercept[IllegalArgumentException](Unigram.tokenize(
+      MStream(docs), Seq(("a", 1L)).toDF("piece", "x"), "text"))
+      .getMessage.contains("cnt"))
+    graft.api.Pinned.release(spark)
+  }
+}
