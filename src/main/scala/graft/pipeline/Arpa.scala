@@ -267,6 +267,50 @@ object Arpa {
     * parsing it returns the identical bits, the round-trip guarantee). */
   private def fmt(d: Double): String = d.toString
 
+  /** Export ONE ARPA file PER LANGUAGE of a labeled reference corpus —
+    * the literal CCNet deployment layout (Wenzek et al. ship one KenLM
+    * artifact per language): each language's slice exports through
+    * [[arpaExportKn]] to `dir/<lang>.arpa`. Artifact-writing is
+    * inherently one file per language, so the driver loop here is over
+    * the LANGUAGE SET (bounded — CCNet's is ~100; capped at 1024 with a
+    * named error), not over data; each slice's model still trains as
+    * distributed count tables. A null language exports as `__null.arpa`;
+    * names outside [A-Za-z0-9_-] hex-escape. Languages whose slice has
+    * no bigram are SKIPPED (no model — the by-lang scorer's NULL-verdict
+    * languages). Returns (language, file path) for each written file. */
+  def arpaExportKnByLang(refDocs: DataFrame, refTextCol: String,
+                         refLangCol: String, order: Int, dir: String,
+                         discount: Double = 0.75,
+                         minCount: Long = 1L): Seq[(String, String)] = {
+    require(!refDocs.isStreaming,
+      "arpaExportKnByLang: the reference corpus must be a batch frame")
+    val langs = refDocs.select(col(refLangCol).cast("string")).distinct()
+      .collect().map(r => if (r.isNullAt(0)) null else r.getString(0)).toSeq
+    require(langs.size <= 1024,
+      s"arpaExportKnByLang: ${langs.size} languages — one ARPA file per " +
+        "language is an artifact layout, not a per-key operation; cap 1024")
+    def fileNameOf(l: String): String =
+      if (l == null) "__null"
+      else if (l.nonEmpty && l.forall(c => c.isLetterOrDigit || c == '_' || c == '-')) l
+      else "x" + l.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+        .map(b => f"${b & 0xff}%02x").mkString
+    langs.sorted(Ordering.String.on[String](l => if (l == null) "" else l))
+      .flatMap { l =>
+        val slice = refDocs.filter(col(refLangCol).cast("string") <=> lit(l))
+        val path = new java.io.File(dir, s"${fileNameOf(l)}.arpa").getPath
+        // a language slice without a bigram has no model: skip, like the
+        // by-lang scorer's NULL verdict
+        try {
+          arpaExportKn(slice, refTextCol, order, path, discount, minCount)
+          Some((l, path))
+        } catch {
+          case e: IllegalArgumentException
+              if e.getMessage != null && e.getMessage.contains("empty model") =>
+            None
+        }
+      }
+  }
+
   // ------------------------------------------------------------- import
 
   /** Parse an ARPA text file (standard format — KenLM output included)

@@ -144,6 +144,41 @@ class ArpaSpec extends SparkSpec {
     assert(got(4L) == (1L, Some(r3(-0.5 * ln10))))
   }
 
+  test("per-language export: each file scores its language like the by-lang engine") {
+    val refL = Seq(
+      (0L, "a b a b c a b", "en"), (1L, "a b a b a", "en"),
+      (2L, "c c c c d c", "en"), (3L, "a b c a b c", "en"),
+      (10L, "x y x y z x", "fr"), (11L, "x y z x y", "fr"),
+      (20L, "solo", "zz")) // no bigram -> no model -> skipped
+    val docsL = Seq(
+      (100L, "a b a b c", "en"), (101L, "x y z q r", "fr"))
+    try {
+      val dir = java.nio.file.Files.createTempDirectory("arpa_bylang").toString
+      val written = Arpa.arpaExportKnByLang(refL.toDF("doc_id", "text", "lang"),
+        "text", "lang", order = 3, dir)
+      assert(written.map(_._1).toSet == Set("en", "fr"),
+        s"zz (no bigram) is skipped: $written")
+      // per-language files score exactly like the by-lang engine's slices
+      val engine = TextOps.knLmScoreAgainstByLang(
+        MStream(docsL.toDF("doc_id", "text", "lang")),
+        refL.toDF("doc_id", "text", "lang"),
+        "doc_id", "text", "lang", "text", "lang", order = 3).df
+      val engineRows = rowsOf(engine)
+      written.foreach { case (lang, path) =>
+        val model = Arpa.arpaImport(spark, path)
+        val slice = docsL.filter(_._3 == lang).map(d => (d._1, d._2))
+        if (slice.nonEmpty) {
+          val got = rowsOf(Arpa.arpaScoreAgainst(
+            MStream(slice.toDF("doc_id", "text")), model, "doc_id", "text").df)
+          got.foreach { case (id, v) =>
+            assert(engineRows(id) == v,
+              s"doc $id under $lang.arpa: $v vs by-lang engine ${engineRows(id)}")
+          }
+        }
+      }
+    } finally graft.api.Pinned.release(spark)
+  }
+
   test("streaming == batch; stateless") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import org.apache.spark.sql.streaming.OutputMode

@@ -34,11 +34,14 @@ class PlanSweepSpec extends SparkSpec {
   //    stats reduce to a SINGLE row cross-joined onto the n-gram scoring
   //    join, like q_lm_score (the against faces — q_lm3_against,
   //    q_mkn3_against — fold N/V as literals instead)
+  //  - q_hybrid_rrf: both leg baselines by design — the BM25 leg's
+  //    single stats row (q_bm25_batch) and the ANN leg's broadcast
+  //    probe set on an inequality condition (q_ann_topk)
   private val bnljByDesign =
     Set("q_ngram_jaccard", "q_embed_dedup", "q_ann_topk", "q_bm25", "q_tfidf",
       "q_lm_score", "q_embed_ingest", "q_heavy_hitters", "q_pq_topk",
       "q_ppl_buckets", "q_bm25_batch", "q_lm3_score", "q_lm5_score",
-      "q_kn3_score", "q_mkn3_score")
+      "q_kn3_score", "q_mkn3_score", "q_hybrid_rrf")
 
   test("no query plans a cartesian product; nested-loop joins only by design") {
     val offenders = scala.collection.mutable.ArrayBuffer.empty[String]

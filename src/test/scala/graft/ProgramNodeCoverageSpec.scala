@@ -359,6 +359,7 @@ class ProgramNodeCoverageSpec extends AnyFunSuite {
       "segmentExpr" -> excluded(block)))
     check("graft.pipeline.Arpa$", Map(
       "arpaExportKn" -> excluded(artifact),
+      "arpaExportKnByLang" -> excluded(artifact),
       "arpaExportMkn" -> excluded(artifact),
       "arpaImport" -> excluded(artifact),
       "arpaScoreAgainst" -> node("arpaScore")))
