@@ -281,13 +281,31 @@ object Arpa {
   def arpaExportKnByLang(refDocs: DataFrame, refTextCol: String,
                          refLangCol: String, order: Int, dir: String,
                          discount: Double = 0.75,
-                         minCount: Long = 1L): Seq[(String, String)] = {
+                         minCount: Long = 1L): Seq[(String, String)] =
+    exportByLang(refDocs, refLangCol, dir, "arpaExportKnByLang",
+      (slice, path) => arpaExportKn(slice, refTextCol, order, path,
+        discount, minCount))
+
+  /** [[arpaExportKnByLang]] with KenLM's real smoothing — one
+    * MODIFIED-KN ARPA file per language (each language's bucketed
+    * discounts derive from its own slice's count-of-counts). */
+  def arpaExportMknByLang(refDocs: DataFrame, refTextCol: String,
+                          refLangCol: String, order: Int, dir: String,
+                          fallback: (Double, Double, Double) = TextOps.MknFallback,
+                          minCount: Long = 1L): Seq[(String, String)] =
+    exportByLang(refDocs, refLangCol, dir, "arpaExportMknByLang",
+      (slice, path) => arpaExportMkn(slice, refTextCol, order, path,
+        fallback, minCount))
+
+  private def exportByLang(refDocs: DataFrame, refLangCol: String,
+                           dir: String, label: String,
+                           exportOne: (DataFrame, String) => Unit): Seq[(String, String)] = {
     require(!refDocs.isStreaming,
-      "arpaExportKnByLang: the reference corpus must be a batch frame")
+      s"$label: the reference corpus must be a batch frame")
     val langs = refDocs.select(col(refLangCol).cast("string")).distinct()
       .collect().map(r => if (r.isNullAt(0)) null else r.getString(0)).toSeq
     require(langs.size <= 1024,
-      s"arpaExportKnByLang: ${langs.size} languages — one ARPA file per " +
+      s"$label: ${langs.size} languages — one ARPA file per " +
         "language is an artifact layout, not a per-key operation; cap 1024")
     def fileNameOf(l: String): String =
       if (l == null) "__null"
@@ -301,7 +319,7 @@ object Arpa {
         // a language slice without a bigram has no model: skip, like the
         // by-lang scorer's NULL verdict
         try {
-          arpaExportKn(slice, refTextCol, order, path, discount, minCount)
+          exportOne(slice, path)
           Some((l, path))
         } catch {
           case e: IllegalArgumentException

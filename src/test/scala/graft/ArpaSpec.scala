@@ -176,6 +176,26 @@ class ArpaSpec extends SparkSpec {
           }
         }
       }
+      // the MKN face: one modified-KN file per language, score-equal to
+      // the by-lang MKN engine per slice
+      val dirM = java.nio.file.Files.createTempDirectory("arpa_bylang_mkn").toString
+      val writtenM = Arpa.arpaExportMknByLang(refL.toDF("doc_id", "text", "lang"),
+        "text", "lang", order = 3, dirM)
+      assert(writtenM.map(_._1).toSet == Set("en", "fr"))
+      val engineM = rowsOf(TextOps.mknLmScoreAgainstByLang(
+        MStream(docsL.toDF("doc_id", "text", "lang")),
+        refL.toDF("doc_id", "text", "lang"),
+        "doc_id", "text", "lang", "text", "lang", order = 3).df)
+      writtenM.foreach { case (lang, path) =>
+        val model = Arpa.arpaImport(spark, path)
+        val slice = docsL.filter(_._3 == lang).map(d => (d._1, d._2))
+        rowsOf(Arpa.arpaScoreAgainst(
+          MStream(slice.toDF("doc_id", "text")), model, "doc_id", "text").df)
+          .foreach { case (id, v) =>
+            assert(engineM(id) == v,
+              s"doc $id under mkn $lang.arpa: $v vs by-lang mkn ${engineM(id)}")
+          }
+      }
     } finally graft.api.Pinned.release(spark)
   }
 

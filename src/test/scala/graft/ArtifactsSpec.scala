@@ -72,6 +72,19 @@ class ArtifactsSpec extends SparkSpec {
       Artifacts.save(d5, "bundle", Map("cuts" -> cuts, "vocab" -> vocab))
       val a5 = Artifacts.load(spark, d5)
       assert(a5.tables.keySet == Set("cuts", "vocab"))
+      // unigram vocabulary: tokenize from the LOADED artifact == from the
+      // in-session frame (the (piece, cnt) columns are the contract)
+      val uni = graft.pipeline.Unigram.trainVocab(docs, "text",
+        vocabSize = 20, maxPieceLen = 3, emRounds = 1, seedSize = 30)
+      val d6 = tmp()
+      Artifacts.save(d6, "unigram-vocab", Map("table" -> uni))
+      val uniLoaded = Artifacts.load(spark, d6).tables("table")
+      val tokMem = graft.pipeline.Unigram.tokenize(MStream(docs), uni,
+        "text", maxPieceLen = 3).df.select(col("doc_id"), col("pieces"))
+      val tokDisk = graft.pipeline.Unigram.tokenize(MStream(docs), uniLoaded,
+        "text", maxPieceLen = 3).df.select(col("doc_id"), col("pieces"))
+      assert(sortedRows(tokDisk) == sortedRows(tokMem),
+        "loaded unigram vocab tokenizes identically")
     } finally graft.api.Pinned.release(spark)
   }
 

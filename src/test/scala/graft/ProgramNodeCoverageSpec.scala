@@ -360,6 +360,7 @@ class ProgramNodeCoverageSpec extends AnyFunSuite {
     check("graft.pipeline.Arpa$", Map(
       "arpaExportKn" -> excluded(artifact),
       "arpaExportKnByLang" -> excluded(artifact),
+      "arpaExportMknByLang" -> excluded(artifact),
       "arpaExportMkn" -> excluded(artifact),
       "arpaImport" -> excluded(artifact),
       "arpaScoreAgainst" -> node("arpaScore")))
