@@ -44,57 +44,29 @@ import org.apache.spark.sql.functions._
  */
 object Unigram {
 
-  /** Probability map of a vocabulary (piece → count/total) as the
-    * plan-literal the Viterbi expression reads. */
-  private def probsOf(vocab: Seq[(String, Long)]): Column = {
+  /** Probability map of a vocabulary (piece → count/total): exact
+    * IEEE divisions of exact integers, bit-identical in any engine. */
+  private def probsOf(vocab: Seq[(String, Long)]): Map[String, Double] = {
     val total = vocab.map(_._2).sum.toDouble
-    typedLit(vocab.map { case (piece, c) => piece -> (c.toDouble / total) }.toMap)
+    vocab.map { case (piece, c) => piece -> (c.toDouble / total) }.toMap
   }
 
-  /** Viterbi segmentation of one word column into pieces (array<string>)
-    * under the probability map `probs`: dp over char positions in
+  /** Viterbi segmentation of a text column into pieces (array<string>)
+    * under the probability map: dp over code-point positions in
     * PROBABILITY space (products of exact-division doubles — engine-
     * reproducible), ties to the longer piece (ascending-l fold with >=),
-    * unknown single chars at the exact literal 1e-100. The dp table
-    * builds ONCE in the backtrace accumulator's init, so the quadratic
-    * re-evaluation a shared subtree would cost under interpreted HOFs
-    * never happens. */
-  private[graft] def segmentExpr(w: Column, probs: Column, maxPieceLen: Int): Column = {
-    val n = length(w)
-    // dp: element k = (best prob, chosen piece length) of prefix k-1
-    val dp = aggregate(
-      sequence(lit(1), n),
-      array(struct(lit(1.0).as("s"), lit(0).as("bl"))),
-      (acc, _) => {
-        val i = size(acc) // position being decided; acc = dp[0..i-1]
-        val best = aggregate(
-          sequence(lit(1), least(lit(maxPieceLen), i)),
-          struct(lit(-1.0).as("s"), lit(0).as("bl")),
-          (b, l) => {
-            val piece = w.substr(i - l + lit(1), l)
-            val p = coalesce(element_at(probs, piece),
-              when(l === 1, lit(1e-100)).otherwise(lit(0.0)))
-            val cand = element_at(acc, i - l + lit(1)).getField("s") * p
-            when(cand >= b.getField("s"),
-              struct(cand.as("s"), l.as("bl"))).otherwise(b)
-          })
-        concat(acc, array(best))
-      })
-    // backtrace: carry dp in the accumulator (evaluated once, in init)
-    aggregate(
-      sequence(lit(1), n),
-      struct(dp.as("dp"), n.as("pos"),
-        typedLit(Seq.empty[String]).as("ps")),
-      (st, _) => {
-        val pos = st.getField("pos")
-        val bl = element_at(st.getField("dp"), pos + lit(1)).getField("bl")
-        when(pos > 0,
-          struct(st.getField("dp").as("dp"), (pos - bl).as("pos"),
-            concat(st.getField("ps"),
-              array(w.substr(pos - bl + lit(1), bl))).as("ps")))
-          .otherwise(st)
-      },
-      st => reverse(st.getField("ps")))
+    * unknown single chars at the exact literal 1e-100. Lowered onto the
+    * native [[graft.functions.UnigramSegment]] expression (compiled DP
+    * inside whole-stage codegen — the interpreted-HOF formulation cost
+    * ~27 µs per word occurrence); single-word inputs segment as one
+    * word, whole documents word-scan inline. */
+  private[graft] def segmentExpr(w: Column, probs: Map[String, Double],
+                                 maxPieceLen: Int): Column = {
+    // deterministic key order (Map iteration order is not)
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    val ks = probs.keys.toSeq.sorted
+    ColumnBridge.column(graft.functions.UnigramSegment(
+      ColumnBridge.expr(w), ks, ks.map(probs), maxPieceLen))
   }
 
   private def checkParams(vocabSize: Int, maxPieceLen: Int, emRounds: Int,
@@ -190,8 +162,9 @@ object Unigram {
     require(rows.nonEmpty && rows.length <= 65536,
       s"tokenize: vocabulary must be a 1..65536-piece artifact, got ${rows.length}")
     val probs = probsOf(rows.toSeq)
-    val pieces = flatten(transform(TextOps.words(col(textCol)),
-      wd => segmentExpr(wd, probs, maxPieceLen)))
-    stream.lift(df.withColumn(as, pieces))
+    // the native expression word-scans the whole text itself — one
+    // compiled pass per row, no per-word lambda
+    stream.lift(df.withColumn(as,
+      segmentExpr(col(textCol), probs, maxPieceLen)))
   }
 }

@@ -83,9 +83,8 @@ class UnigramSpec extends SparkSpec {
         cand.toSeq.filter(_._1.length == 1)
     }.distinct
     val probs = probsOf(vocab)
-    val probsCol = typedLit(probs)
     val got = words.toDF("w")
-      .select(col("w"), Unigram.segmentExpr(col("w"), probsCol, 3).as("ps"))
+      .select(col("w"), Unigram.segmentExpr(col("w"), probs, 3).as("ps"))
       .collect().map(r => r.getString(0) -> r.getSeq[String](1)).toMap
     words.foreach { w =>
       val ref = refSegment(w, probs, 3)
