@@ -236,10 +236,13 @@ object Arpa {
         "an ARPA file is a driver-sized artifact; prune harder (minCount) " +
         "or raise the conf deliberately")
 
-    val file = new java.io.File(path)
-    Option(file.getParentFile).foreach(_.mkdirs())
+    // Hadoop FS streams (the Artifacts convention): local paths on
+    // local[*], object-store URIs on a cluster — the artifact layer must
+    // not be the one local-only piece of the deployment story
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val w = new java.io.BufferedWriter(new java.io.OutputStreamWriter(
-      new java.io.FileOutputStream(file), java.nio.charset.StandardCharsets.UTF_8))
+      fs.create(p, true), java.nio.charset.StandardCharsets.UTF_8))
     try {
       w.write("\\data\\\n")
       for (j <- 1 to order)
@@ -315,7 +318,7 @@ object Arpa {
     langs.sorted(Ordering.String.on[String](l => if (l == null) "" else l))
       .flatMap { l =>
         val slice = refDocs.filter(col(refLangCol).cast("string") <=> lit(l))
-        val path = new java.io.File(dir, s"${fileNameOf(l)}.arpa").getPath
+        val path = new org.apache.hadoop.fs.Path(dir, s"${fileNameOf(l)}.arpa").toString
         // a language slice without a bigram has no model: skip, like the
         // by-lang scorer's NULL verdict
         try {
@@ -341,7 +344,10 @@ object Arpa {
     import org.apache.spark.sql.Row
     import org.apache.spark.sql.types._
     val cap = maxEntries(spark)
-    val src = scala.io.Source.fromFile(path)(scala.io.Codec.UTF8)
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    require(fs.exists(p), s"arpaImport: no ARPA file at $path")
+    val src = scala.io.Source.fromInputStream(fs.open(p))(scala.io.Codec.UTF8)
     val declared = scala.collection.mutable.Map.empty[Int, Long]
     val rows = scala.collection.mutable.Map.empty[Int, scala.collection.mutable.ArrayBuffer[Row]]
     var unk: Option[Double] = None
