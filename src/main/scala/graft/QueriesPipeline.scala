@@ -2880,6 +2880,42 @@ object QueriesPipeline {
                       (a, c) -> (a * 31 + c) % 1000000007) AS seq_hash
         FROM documents d LEFT JOIN enc e USING (doc_id)"""
 
+  /** Unigram-LM tokenization to vocabulary IDS (SentencePiece emits ids,
+    * not strings): pieces map to their (cnt desc, piece) rank, OOV
+    * single chars to -1; per-doc scalar checks (count, ORDER-FREE sum
+    * checksum, first id) keep the oracle array-free. */
+  def qUnigramIds(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir).df
+    val vocab = graft.pipeline.Unigram.trainVocab(docs, "text",
+      vocabSize = 40, maxPieceLen = 3, emRounds = 2, seedSize = 60)
+    graft.pipeline.Unigram.encodeIds(graft.api.MStream(docs), vocab, "text",
+        maxPieceLen = 3).df
+      .select(col("doc_id"), size(col("ids")).cast("long").as("n_ids"),
+        aggregate(col("ids"), lit(0L), (a, x) => a + x).as("id_checksum"),
+        element_at(col("ids"), 1).as("first_id"))
+  }
+
+  val qUnigramIdsSql: String =
+    s"""WITH RECURSIVE
+        ${unigramChainSql(40, 3, 2, 60)},
+        vf AS MATERIALIZED (SELECT piece, cnt::DOUBLE / (SELECT sum(cnt) FROM keep2)::DOUBLE AS p FROM keep2),
+        rankv AS MATERIALIZED (SELECT piece, row_number() OVER (ORDER BY cnt DESC, piece) - 1 AS pid FROM keep2),
+        ${unigramSegPass("E", "vf", 3)},
+        wp AS MATERIALIZED (SELECT word, ps FROM btE WHERE pos = 0),
+        docw AS (SELECT doc_id, unnest(w) AS word, unnest(range(1, len(w) + 1)) AS widx
+                 FROM (SELECT doc_id, list_filter(string_split_regex(text, '[ \\t\\n\\f\\r\\x0b]+'), x -> x <> '') AS w FROM documents)),
+        enc AS (SELECT doc_id, flatten(list(ps ORDER BY widx)) AS pieces
+                FROM docw JOIN wp USING (word) GROUP BY doc_id),
+        pp AS (SELECT doc_id, unnest(pieces) AS piece,
+                 unnest(range(1, len(pieces) + 1)) AS ppos FROM enc),
+        ids AS (SELECT pp.doc_id AS doc_id, count(*) AS n_ids,
+                  sum(coalesce(rankv.pid, -1))::BIGINT AS id_checksum,
+                  max(CASE WHEN pp.ppos = 1 THEN coalesce(rankv.pid, -1) END) AS first_id
+                FROM pp LEFT JOIN rankv USING (piece) GROUP BY pp.doc_id)
+        SELECT d.doc_id, coalesce(i.n_ids, 0)::BIGINT AS n_ids,
+          coalesce(i.id_checksum, 0)::BIGINT AS id_checksum, i.first_id::BIGINT AS first_id
+        FROM documents d LEFT JOIN ids i USING (doc_id)"""
+
   /** The modified-KN discount CTE: count-of-counts n1..n4 of `src`'s
     * count column folded to (d1, d2, d3) by the Chen & Goodman
     * estimator with KenLM `--discount_fallback` semantics — the EXACT
@@ -3582,6 +3618,7 @@ object QueriesPipeline {
     "q_bpe_merges" -> (qBpeMerges _),
     "q_unigram_vocab" -> (qUnigramVocab _),
     "q_unigram_encode" -> (qUnigramEncode _),
+    "q_unigram_ids" -> (qUnigramIds _),
     "q_temp_mix" -> (qTempMix _),
     "q_bpe_encode" -> (qBpeEncode _),
     "q_line_scrub" -> (qLineScrub _),
@@ -3694,6 +3731,7 @@ object QueriesPipeline {
     "q_bpe_merges" -> qBpeMergesSql,
     "q_unigram_vocab" -> qUnigramVocabSql,
     "q_unigram_encode" -> qUnigramEncodeSql,
+    "q_unigram_ids" -> qUnigramIdsSql,
     "q_temp_mix" -> qTempMixSql,
     "q_bpe_encode" -> qBpeEncodeSql,
     "q_line_scrub" -> qLineScrubSql,

@@ -232,6 +232,13 @@ object Program {
   final case class UnigramEncode(name: String, input: String, vocab: String,
                                  textCol: String, maxPieceLen: Int = 4,
                                  as: String = "pieces") extends Node
+  /** Unigram-LM tokenization straight to vocabulary IDS
+    * (`Unigram.encodeIds`): rank-by-(cnt desc, piece) ids, `oovId` for
+    * out-of-vocabulary pieces. Dual-mode; BUILD-TIME EAGER. */
+  final case class UnigramIds(name: String, input: String, vocab: String,
+                              textCol: String, maxPieceLen: Int = 4,
+                              oovId: Long = -1L,
+                              as: String = "ids") extends Node
   /** Fixed-vocabulary token encoding at ingest (`TextOps.encodeTokensIngest`);
     * `vocab` names a (word, id) input. */
   final case class EncodeIngest(name: String, input: String, vocab: String,
@@ -859,6 +866,7 @@ object Program {
     case tf: TokenFreq => Seq(tf.input, tf.ref)
     case be: BpeEncode => Seq(be.input, be.merges)
     case ue: UnigramEncode => Seq(ue.input, ue.vocab)
+    case ui: UnigramIds => Seq(ui.input, ui.vocab)
     case ei: EncodeIngest => Seq(ei.input, ei.vocab)
     case di: DecontamIngest => Seq(di.input, di.bench)
     case ip: IvfProbe => Seq(ip.input, ip.corpus, ip.centroids)
@@ -1208,6 +1216,9 @@ object Program {
         case UnigramEncode(name, i, vocab, textCol, maxPieceLen, as) =>
           graft.pipeline.Unigram.tokenize(in(i),
             staticSide(name, in, vocab), textCol, maxPieceLen, as)
+        case UnigramIds(name, i, vocab, textCol, maxPieceLen, oovId, as) =>
+          graft.pipeline.Unigram.encodeIds(in(i),
+            staticSide(name, in, vocab), textCol, maxPieceLen, oovId, as)
         case EncodeIngest(name, i, vocab, idCol, textCol, oovId) =>
           graft.pipeline.TextOps.encodeTokensIngest(in(i),
             staticSide(name, in, vocab), idCol, textCol, oovId)
@@ -1420,6 +1431,7 @@ object Program {
     case x: TokenFreq => x.copy(name = name)
     case x: BpeEncode => x.copy(name = name)
     case x: UnigramEncode => x.copy(name = name)
+    case x: UnigramIds => x.copy(name = name)
     case x: EncodeIngest => x.copy(name = name)
     case x: DecontamIngest => x.copy(name = name)
     case x: IvfProbe => x.copy(name = name)
@@ -1870,6 +1882,12 @@ object Program {
                         as: String = "pieces"): Rec =
       derive("unigramEncode", Seq(vocab))(n => UnigramEncode(n, name,
         vocab.name, textCol, maxPieceLen, as))
+    /** Unigram-LM tokenization straight to vocabulary ids (format
+      * version 10). */
+    def unigramEncodeIds(vocab: Rec, textCol: String, maxPieceLen: Int = 4,
+                         oovId: Long = -1L, as: String = "ids"): Rec =
+      derive("unigramIds", Seq(vocab))(n => UnigramIds(n, name,
+        vocab.name, textCol, maxPieceLen, oovId, as))
     def bpeEncode(merges: Rec, idCol: String, textCol: String): Rec =
       derive("bpeEncode", Seq(merges))(n => BpeEncode(n, name, merges.name,
         idCol, textCol))
@@ -2118,7 +2136,8 @@ object Program {
     * retrieval fused by reciprocal rank (hybridRrf), scoring against a
     * KenLM-format ARPA artifact file (arpaScore), the cross-session
     * model-artifact pair (saveArtifact/loadArtifact), and unigram-LM
-    * tokenization (unigramEncode).
+    * tokenization to pieces and to vocabulary ids
+    * (unigramEncode/unigramIds).
     * [[toJson]] stamps each document with the LOWEST version that can
     * express it, so a document using only the v1 grammar stays loadable
     * by a v1 library. Versions track SHIPPED grammars (one per build
@@ -2130,7 +2149,8 @@ object Program {
   private def requiredVersion(doc: Doc): Int =
     if (doc.nodes.exists {
       case _: LmAgainstLang | _: ParaScrub | _: HybridRrf | _: ArpaScore |
-           _: SaveArtifact | _: LoadArtifact | _: UnigramEncode => true
+           _: SaveArtifact | _: LoadArtifact | _: UnigramEncode |
+           _: UnigramIds => true
       case _ => false }) 10
     else if (doc.nodes.exists {
       case _: MknScore | _: MknAgainst | _: ExactSubstr | _: PplThresholds |
@@ -2386,6 +2406,10 @@ object Program {
         ("op" -> "unigramEncode") ~ ("name" -> name) ~ ("input" -> i) ~
           ("vocab" -> vocab) ~ ("textCol" -> textCol) ~
           ("maxPieceLen" -> maxPieceLen) ~ ("as" -> as)
+      case UnigramIds(name, i, vocab, textCol, maxPieceLen, oovId, as) =>
+        ("op" -> "unigramIds") ~ ("name" -> name) ~ ("input" -> i) ~
+          ("vocab" -> vocab) ~ ("textCol" -> textCol) ~
+          ("maxPieceLen" -> maxPieceLen) ~ ("oovId" -> oovId) ~ ("as" -> as)
       case EncodeIngest(name, i, vocab, idCol, textCol, oovId) =>
         ("op" -> "encodeIngest") ~ ("name" -> name) ~ ("input" -> i) ~
           ("vocab" -> vocab) ~ ("idCol" -> idCol) ~ ("textCol" -> textCol) ~
@@ -2841,6 +2865,12 @@ object Program {
             (v \ "textCol").extract[String],
             (v \ "maxPieceLen").extractOpt[Int].getOrElse(4),
             (v \ "as").extractOpt[String].getOrElse("pieces"))
+          case "unigramIds" => UnigramIds(name,
+            (v \ "input").extract[String], (v \ "vocab").extract[String],
+            (v \ "textCol").extract[String],
+            (v \ "maxPieceLen").extractOpt[Int].getOrElse(4),
+            (v \ "oovId").extractOpt[Long].getOrElse(-1L),
+            (v \ "as").extractOpt[String].getOrElse("ids"))
           case "bpeEncode" => BpeEncode(name, (v \ "input").extract[String],
             (v \ "merges").extract[String], (v \ "idCol").extract[String],
             (v \ "textCol").extract[String])
@@ -3185,6 +3215,14 @@ object Program {
               s.df.schema.fields :+ org.apache.spark.sql.types.StructField(
                 ue.as, org.apache.spark.sql.types.ArrayType(
                   org.apache.spark.sql.types.StringType))))
+          case ui: UnigramIds =>
+            val s = env(ui.input)
+            s.df.select(col(ui.textCol)).schema
+            env(ui.vocab).df.select(col("piece"), col("cnt")).schema
+            emptyOf(s, org.apache.spark.sql.types.StructType(
+              s.df.schema.fields :+ org.apache.spark.sql.types.StructField(
+                ui.as, org.apache.spark.sql.types.ArrayType(
+                  org.apache.spark.sql.types.LongType))))
           case ed: EmbedDedup if ed.centroids.isDefined =>
             val s = env(ed.input)
             s.df.select(col(ed.idCol), col(ed.vecCol)).schema
@@ -3654,6 +3692,12 @@ object Program {
               s"node '${n.name}': unigramEncode needs maxPieceLen in 1..16, " +
                 s"got ${ue.maxPieceLen}")
           Seq(ue.input, ue.vocab)
+        case ui: UnigramIds =>
+          if (ui.maxPieceLen < 1 || ui.maxPieceLen > 16)
+            throw new IllegalArgumentException(
+              s"node '${n.name}': unigramIds needs maxPieceLen in 1..16, " +
+                s"got ${ui.maxPieceLen}")
+          Seq(ui.input, ui.vocab)
         case ei: EncodeIngest => Seq(ei.input, ei.vocab)
         case di: DecontamIngest =>
           if (di.n < 1 || di.minOverlap < 1) throw new IllegalArgumentException(

@@ -140,6 +140,22 @@ object Unigram {
     }.toDF("piece", "cnt", "logprob")
   }
 
+  /** Collect + validate a (piece, cnt) vocabulary frame — the shared
+    * artifact contract of the apply faces. */
+  private def collectVocab(vocab: DataFrame, label: String): Seq[(String, Long)] = {
+    require(!vocab.isStreaming, s"$label: the vocabulary is a batch artifact")
+    Seq("piece", "cnt").foreach(c => require(vocab.columns.contains(c),
+      s"$label: vocabulary frame needs column '$c' (have: " +
+        s"${vocab.columns.mkString(", ")})"))
+    val spark = vocab.sparkSession
+    import spark.implicits._
+    val rows = vocab.select(col("piece"), col("cnt").cast("long"))
+      .as[(String, Long)].collect()
+    require(rows.nonEmpty && rows.length <= 65536,
+      s"$label: vocabulary must be a 1..65536-piece artifact, got ${rows.length}")
+    rows.toSeq
+  }
+
   /** Tokenize `textCol` into unigram-LM pieces under a trained (or
     * loaded — [[graft.api.Artifacts]]) vocabulary frame carrying
     * (piece, cnt): adds `pieces` (array<string>). A zero-shuffle
@@ -148,23 +164,38 @@ object Unigram {
   def tokenize(stream: graft.api.MStream, vocab: DataFrame,
                textCol: String, maxPieceLen: Int = 4,
                as: String = "pieces"): graft.api.MStream = {
-    require(!vocab.isStreaming, "tokenize: the vocabulary is a batch artifact")
-    Seq("piece", "cnt").foreach(c => require(vocab.columns.contains(c),
-      s"tokenize: vocabulary frame needs column '$c' (have: " +
-        s"${vocab.columns.mkString(", ")})"))
     val df = stream.df
     require(!df.columns.contains(as),
       s"tokenize input already carries a '$as' column")
-    val spark = vocab.sparkSession
-    import spark.implicits._
-    val rows = vocab.select(col("piece"), col("cnt").cast("long"))
-      .as[(String, Long)].collect()
-    require(rows.nonEmpty && rows.length <= 65536,
-      s"tokenize: vocabulary must be a 1..65536-piece artifact, got ${rows.length}")
-    val probs = probsOf(rows.toSeq)
+    val rows = collectVocab(vocab, "tokenize")
+    val probs = probsOf(rows)
     // the native expression word-scans the whole text itself — one
     // compiled pass per row, no per-word lambda
     stream.lift(df.withColumn(as,
       segmentExpr(col(textCol), probs, maxPieceLen)))
+  }
+
+  /** Tokenize straight to vocabulary IDS — what a training pipeline
+    * feeds the model (SentencePiece emits ids, not strings): each piece
+    * maps to its rank in the vocabulary by (cnt desc, piece asc),
+    * 0-based — the deterministic id assignment an independent engine
+    * reproduces; pieces outside the vocabulary (unknown single chars)
+    * take `oovId`. Same zero-shuffle stateless projection as
+    * [[tokenize]] (the id map rides the hash-table lookup expression
+    * inside whole-stage codegen), dual-mode by construction. Adds `as`
+    * (array<bigint>). */
+  def encodeIds(stream: graft.api.MStream, vocab: DataFrame,
+                textCol: String, maxPieceLen: Int = 4, oovId: Long = -1L,
+                as: String = "ids"): graft.api.MStream = {
+    val df = stream.df
+    require(!df.columns.contains(as),
+      s"encodeIds input already carries a '$as' column")
+    val rows = collectVocab(vocab, "encodeIds")
+    val probs = probsOf(rows)
+    val idOf = rows.sortBy { case (p, c) => (-c, p) }.zipWithIndex
+      .map { case ((p, _), i) => p -> i.toLong }.toMap
+    val ids = transform(segmentExpr(col(textCol), probs, maxPieceLen),
+      p => graft.functions.VectorFunctions.strataLookup(p, idOf, oovId))
+    stream.lift(df.withColumn(as, ids))
   }
 }

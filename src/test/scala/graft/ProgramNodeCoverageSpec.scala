@@ -356,6 +356,7 @@ class ProgramNodeCoverageSpec extends AnyFunSuite {
     check("graft.pipeline.Unigram$", Map(
       "trainVocab" -> excluded(artifact),
       "tokenize" -> node("unigramEncode"),
+      "encodeIds" -> node("unigramIds"),
       "segmentExpr" -> excluded(block)))
     check("graft.pipeline.Arpa$", Map(
       "arpaExportKn" -> excluded(artifact),

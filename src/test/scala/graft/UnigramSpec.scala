@@ -190,6 +190,53 @@ class UnigramSpec extends SparkSpec {
     } finally graft.api.Pinned.release(spark)
   }
 
+  test("encodeIds: ids are (cnt desc, piece) ranks, OOV takes oovId, node round-trips") {
+    import graft.api.Program
+    import graft.api.Program._
+    try {
+      val docs = corpus.take(15).toDF("doc_id", "text")
+      val vocab = Unigram.trainVocab(docs, "text", 25, maxPieceLen = 3,
+        emRounds = 1, seedSize = 40)
+      val ranked = vocab.collect().map(r => (r.getString(0), r.getLong(1)))
+        .sortBy { case (p, c) => (-c, p) }.zipWithIndex
+        .map { case ((p, _), i) => p -> i.toLong }.toMap
+      val pieces = Unigram.tokenize(MStream(docs), vocab, "text", maxPieceLen = 3)
+        .df.select(col("doc_id"), col("pieces"))
+        .collect().map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+      val got = Unigram.encodeIds(MStream(docs), vocab, "text", maxPieceLen = 3)
+        .df.select(col("doc_id"), col("ids"))
+        .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+      got.foreach { case (id, ids) =>
+        val want = pieces(id).map(p => ranked.getOrElse(p, -1L))
+        assert(ids == want, s"doc $id: $ids vs rank-mapped $want")
+      }
+      // a doc with a char outside the training corpus: OOV id
+      val oov = Unigram.encodeIds(MStream(Seq((999L, "zzz")).toDF("doc_id", "text")),
+          vocab, "text", maxPieceLen = 3, oovId = -7L)
+        .df.select(col("ids")).collect().head.getSeq[Long](0)
+      assert(oov.forall(_ == -7L), s"unknown chars take oovId: $oov")
+      // node codec + document run == direct API
+      val d = Doc(Seq(External("in"), External("v"),
+        UnigramIds("a", "in", "v", "text", 3, -1L, "ids")), Seq("a"))
+      val json = Program.toJson(d)
+      assert(json.contains("\"version\":10") && Program.fromJson(json) == d)
+      val cap = Program.capture(
+        Program.Rec.external("in", MStream(docs))
+          .unigramEncodeIds(Program.Rec.external("v", MStream(vocab)),
+            "text", maxPieceLen = 3).as("a"))
+      assert(Program.fromJson(Program.toJson(cap)) == cap)
+      val config = new graft.api.App.Config()
+        .setSource("in", graft.api.App.Source("list", rows = Some(docs)))
+        .setSource("v", graft.api.App.Source("list", rows = Some(vocab)))
+        .addSink("a", graft.api.App.Sink("memory"))
+      Program.validate(cap, spark, config)
+      val out = graft.api.App.runProgram(spark, config, Program.toJson(cap))
+        .collectFirst { case graft.api.App.BatchOutput("a", o) => o }.get
+        .collect().map(r => r.getLong(0) -> r.getSeq[Long](2)).toMap
+      assert(out == got, "document execution equals the direct API")
+    } finally graft.api.Pinned.release(spark)
+  }
+
   test("contracts: bounds, vocab shape, streaming trainer rejection") {
     val docs = corpus.take(5).toDF("doc_id", "text")
     assert(intercept[IllegalArgumentException](Unigram.trainVocab(
