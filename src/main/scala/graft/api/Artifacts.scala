@@ -63,6 +63,11 @@ object Artifacts {
     require(overwrite || !fs.exists(manifest),
       s"Artifacts.save: $dir already holds an artifact " +
         "(pass overwrite = true to replace it)")
+    // overwrite keeps the commit-last invariant: the OLD manifest must
+    // not survive into the rewrite window, or a crash mid-save leaves a
+    // directory whose stale manifest accepts a mix of old and new tables
+    // — exactly the torn artifact load() is designed to reject
+    if (overwrite && fs.exists(manifest)) fs.delete(manifest, false)
     val mode = if (overwrite) "overwrite" else "errorifexists"
     tables.toSeq.sortBy(_._1).foreach { case (name, df) =>
       df.write.mode(mode).parquet(

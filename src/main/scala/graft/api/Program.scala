@@ -223,6 +223,31 @@ object Program {
     * format version 3); `merges` names a (merge_rank, lhs, rhs) input —
     * a `trainBpeMerges` artifact. Build-time eager (the merge table
     * collects at program build; driver-sized by training contract). */
+  /** BPE tokenization straight to vocabulary IDS
+    * (`TextOps.bpeEncodeIds`, v11): the id space derives from the merge
+    * table alone — in-merge alphabet first (UTF-8 order), then merge
+    * outputs in rank order; OOV pieces take `oovId`. Adds `as`
+    * (array<bigint>); dual-mode; BUILD-TIME EAGER (the merge table
+    * collects). */
+  final case class BpeIds(name: String, input: String, merges: String,
+                          textCol: String, oovId: Long = -1L,
+                          as: String = "ids") extends Node
+
+  /** Unigram tokenization to pieces under a FOREIGN SentencePiece text
+    * vocab file (`Unigram.importVocab` + `Unigram.tokenizeImported`,
+    * v11): `path` binds like a source path (read at lowering time);
+    * the Viterbi runs in log space over the file's scores. */
+  final case class SpTokenize(name: String, input: String, path: String,
+                              textCol: String,
+                              as: String = "pieces") extends Node
+
+  /** Unigram tokenization to the FOREIGN vocab file's own LINE-NUMBER
+    * ids (`Unigram.encodeIdsImported`, v11) — what a pipeline targeting
+    * an existing SentencePiece/Llama-style tokenizer feeds the model. */
+  final case class SpIds(name: String, input: String, path: String,
+                         textCol: String, oovId: Long = -1L,
+                         as: String = "ids") extends Node
+
   final case class BpeEncode(name: String, input: String, merges: String,
                              idCol: String, textCol: String) extends Node
   /** Unigram-LM tokenization (`Unigram.tokenize`, Kudo 2018): adds the
@@ -497,13 +522,19 @@ object Program {
   /** Hybrid BM25 + ANN retrieval fused by reciprocal-rank fusion
     * (`TextOps.hybridRrfRetrieve`, Cormack et al. 2009): top-`legK` per
     * leg, RRF at `kRrf`, fused top-`k` per query. Batch-only on both
-    * sides, like its legs. */
+    * sides, like its legs. `ivfCells` > 0 (v11) routes the dense leg
+    * through an IVF index trained in-call on the corpus embeddings
+    * (`Ivf.train` at `ivfIters` Lloyd rounds, `nProbe` probed cells per
+    * query) — the beyond-brute corpus face; 0 keeps the exhaustive
+    * brute-force leg. */
   final case class HybridRrf(name: String, input: String, queries: String,
                              idCol: String, textCol: String, vecCol: String,
                              qIdCol: String, qTextCol: String, qVecCol: String,
                              k: Int, legK: Int = 0, kRrf: Int = 60,
                              k1: Double = 1.2, b: Double = 0.75,
-                             broadcastQueries: Boolean = true) extends Node
+                             broadcastQueries: Boolean = true,
+                             ivfCells: Int = 0, ivfIters: Int = 2,
+                             nProbe: Int = 0) extends Node
 
   final case class Bm25Retrieve(name: String, input: String, queries: String,
                                 idCol: String, textCol: String, qIdCol: String,
@@ -585,9 +616,22 @@ object Program {
     * is a FILE — the real CCNet deployment shape — not an in-document
     * stream; `path` binds like a source path. The model order comes from
     * the file's own \\data\\ header. Dual-mode (stream-static broadcast
-    * joins); the file is read at lowering time. */
+    * joins); the file is read at lowering time. `sentence` (v11) opts
+    * into `<s>`/`</s>` sentence-delimited windowing — the scoring
+    * semantics of a sentence-trained KenLM file. */
   final case class ArpaScore(name: String, input: String, path: String,
-                             idCol: String, textCol: String) extends Node
+                             idCol: String, textCol: String,
+                             sentence: Boolean = false) extends Node
+
+  /** Score each document against ITS language's ARPA file under `dir` —
+    * the consume half of the per-language CCNet artifact layout
+    * (`Arpa.arpaImportDir` + `Arpa.arpaScoreAgainstByLang`): unmodeled
+    * languages keep their position count with a NULL score, the
+    * in-session by-lang verdict. Dual-mode; the directory is read at
+    * lowering time. */
+  final case class ArpaScoreLang(name: String, input: String, dir: String,
+                                 idCol: String, textCol: String,
+                                 langCol: String) extends Node
 
   /** Persist the input frame as a cross-session model artifact
     * ([[Artifacts.save]], table name "table") and pass it through
@@ -855,6 +899,10 @@ object Program {
     case ml: MknAgainstLang => Seq(ml.input, ml.ref)
     case ms: MknScore => Seq(ms.input)
     case as: ArpaScore => Seq(as.input)
+    case al: ArpaScoreLang => Seq(al.input)
+    case bi: BpeIds => Seq(bi.input, bi.merges)
+    case st: SpTokenize => Seq(st.input)
+    case si: SpIds => Seq(si.input)
     case sv: SaveArtifact => Seq(sv.input)
     case _: LoadArtifact => Nil
     case ma: MknAgainst => Seq(ma.input, ma.ref)
@@ -1119,12 +1167,18 @@ object Program {
             batchFace(name, "bm25Retrieve", s), idCol, textCol,
             staticSide(name, in, q), qIdCol, qTextCol, k, k1, b, bq))
         case HybridRrf(name, i, q, idCol, textCol, vecCol, qIdCol, qTextCol,
-                       qVecCol, k, legK, kRrf, k1, b, bq) =>
+                       qVecCol, k, legK, kRrf, k1, b, bq, ivfCells, ivfIters,
+                       nProbe) =>
           val s = in(i)
+          val corpus = batchFace(name, "hybridRrf", s)
+          val cents =
+            if (ivfCells > 0) Some(graft.pipeline.Ivf.train(
+              corpus, idCol, vecCol, ivfCells, ivfIters))
+            else None
           s.lift(graft.pipeline.TextOps.hybridRrfRetrieve(
-            batchFace(name, "hybridRrf", s), idCol, textCol, vecCol,
+            corpus, idCol, textCol, vecCol,
             staticSide(name, in, q), qIdCol, qTextCol, qVecCol, k, legK,
-            kRrf, k1, b, bq))
+            kRrf, k1, b, bq, cents, nProbe))
         case WinnowPairs(name, i, idCol, textCol, nn, w, minShared, maxBucket) =>
           val s = in(i)
           s.lift(graft.pipeline.TextOps.winnowOverlapPairs(
@@ -1162,11 +1216,16 @@ object Program {
           s.lift(graft.pipeline.TextOps.mknLmScore(
             batchFace(name, "mknScore", s), idCol, textCol, order,
             fallback = (f1, f2, f3)))
-        case ArpaScore(_, i, path, idCol, textCol) =>
+        case ArpaScore(_, i, path, idCol, textCol, sentence) =>
           val s = in(i)
           graft.pipeline.Arpa.arpaScoreAgainst(s,
             graft.pipeline.Arpa.arpaImport(s.df.sparkSession, path),
-            idCol, textCol)
+            idCol, textCol, sentenceMode = sentence)
+        case ArpaScoreLang(_, i, dir, idCol, textCol, langCol) =>
+          val s = in(i)
+          graft.pipeline.Arpa.arpaScoreAgainstByLang(s,
+            graft.pipeline.Arpa.arpaImportDir(s.df.sparkSession, dir),
+            idCol, textCol, langCol)
         case SaveArtifact(name, i, dir, kind, ow) =>
           val s = in(i)
           Artifacts.save(dir, kind,
@@ -1213,6 +1272,19 @@ object Program {
         case BpeEncode(name, i, merges, idCol, textCol) =>
           graft.pipeline.TextOps.bpeTokenizeIngest(in(i),
             staticSide(name, in, merges), idCol, textCol)
+        case BpeIds(name, i, merges, textCol, oovId, as) =>
+          graft.pipeline.TextOps.bpeEncodeIds(in(i),
+            staticSide(name, in, merges), textCol, oovId, as)
+        case SpTokenize(_, i, path, textCol, as) =>
+          val s = in(i)
+          graft.pipeline.Unigram.tokenizeImported(s,
+            graft.pipeline.Unigram.importVocab(s.df.sparkSession, path),
+            textCol, as)
+        case SpIds(_, i, path, textCol, oovId, as) =>
+          val s = in(i)
+          graft.pipeline.Unigram.encodeIdsImported(s,
+            graft.pipeline.Unigram.importVocab(s.df.sparkSession, path),
+            textCol, oovId, as)
         case UnigramEncode(name, i, vocab, textCol, maxPieceLen, as) =>
           graft.pipeline.Unigram.tokenize(in(i),
             staticSide(name, in, vocab), textCol, maxPieceLen, as)
@@ -1418,6 +1490,10 @@ object Program {
     case x: MknAgainstLang => x.copy(name = name)
     case x: MknScore => x.copy(name = name)
     case x: ArpaScore => x.copy(name = name)
+    case x: ArpaScoreLang => x.copy(name = name)
+    case x: BpeIds => x.copy(name = name)
+    case x: SpTokenize => x.copy(name = name)
+    case x: SpIds => x.copy(name = name)
     case x: SaveArtifact => x.copy(name = name)
     case x: LoadArtifact => x.copy(name = name)
     case x: MknAgainst => x.copy(name = name)
@@ -1748,10 +1824,12 @@ object Program {
                           vecCol: String, qIdCol: String, qTextCol: String,
                           qVecCol: String, k: Int, legK: Int = 0,
                           kRrf: Int = 60, k1: Double = 1.2, b: Double = 0.75,
-                          broadcastQueries: Boolean = true): Rec =
+                          broadcastQueries: Boolean = true,
+                          ivfCells: Int = 0, ivfIters: Int = 2,
+                          nProbe: Int = 0): Rec =
       derive("hybridRrf", Seq(queries))(n => HybridRrf(n, name, queries.name,
         idCol, textCol, vecCol, qIdCol, qTextCol, qVecCol, k, legK, kRrf,
-        k1, b, broadcastQueries))
+        k1, b, broadcastQueries, ivfCells, ivfIters, nProbe))
     /** Winnowing overlap candidate pairs over this corpus (format
       * version 8). */
     def winnowOverlapPairs(idCol: String, textCol: String, n: Int = 3,
@@ -1811,9 +1889,18 @@ object Program {
       derive("mknAgainstLang", Seq(ref))(n => MknAgainstLang(n, name, ref.name,
         idCol, textCol, langCol, refTextCol, refLangCol, order,
         fallback._1, fallback._2, fallback._3, minCount, broadcastModel))
-    /** Score against a KenLM-format ARPA file (format version 10). */
-    def arpaScoreAgainst(path: String, idCol: String, textCol: String): Rec =
-      derive1("arpaScore")(n => ArpaScore(n, name, path, idCol, textCol))
+    /** Score against a KenLM-format ARPA file (format version 10;
+      * `sentence = true` stamps 11). */
+    def arpaScoreAgainst(path: String, idCol: String, textCol: String,
+                         sentence: Boolean = false): Rec =
+      derive1("arpaScore")(n => ArpaScore(n, name, path, idCol, textCol,
+        sentence))
+    /** Score each document against ITS language's ARPA file under `dir`
+      * (format version 11) — the per-language CCNet deployment layout. */
+    def arpaScoreAgainstByLang(dir: String, idCol: String, textCol: String,
+                               langCol: String): Rec =
+      derive1("arpaScoreLang")(n => ArpaScoreLang(n, name, dir, idCol,
+        textCol, langCol))
     /** Freeze this frame as a cross-session model artifact and pass it
       * through (format version 10) — WRITES NOW (capture lowers live). */
     def saveArtifact(dir: String, kind: String,
@@ -1891,6 +1978,22 @@ object Program {
     def bpeEncode(merges: Rec, idCol: String, textCol: String): Rec =
       derive("bpeEncode", Seq(merges))(n => BpeEncode(n, name, merges.name,
         idCol, textCol))
+    /** BPE tokenization straight to merge-table-derived ids (format
+      * version 11). */
+    def bpeEncodeIds(merges: Rec, textCol: String, oovId: Long = -1L,
+                     as: String = "ids"): Rec =
+      derive("bpeIds", Seq(merges))(n => BpeIds(n, name, merges.name,
+        textCol, oovId, as))
+    /** Unigram tokenization under a FOREIGN SentencePiece .vocab file
+      * (format version 11). */
+    def spTokenize(path: String, textCol: String,
+                   as: String = "pieces"): Rec =
+      derive1("spTokenize")(n => SpTokenize(n, name, path, textCol, as))
+    /** Unigram tokenization to the foreign vocab file's line-number ids
+      * (format version 11). */
+    def spEncodeIds(path: String, textCol: String, oovId: Long = -1L,
+                    as: String = "ids"): Rec =
+      derive1("spIds")(n => SpIds(n, name, path, textCol, oovId, as))
     /** Fixed-vocabulary token encoding at ingest. */
     def encodeIngest(vocab: Rec, idCol: String, textCol: String,
                      oovId: Long = -1L): Rec =
@@ -2137,17 +2240,29 @@ object Program {
     * KenLM-format ARPA artifact file (arpaScore), the cross-session
     * model-artifact pair (saveArtifact/loadArtifact), and unigram-LM
     * tokenization to pieces and to vocabulary ids
-    * (unigramEncode/unigramIds).
+    * (unigramEncode/unigramIds);
+    * 11 adds per-language ARPA-directory scoring (arpaScoreLang — the
+    * consume half of the CCNet per-language artifact layout), the
+    * sentence-boundary opt-in on arpaScore (`sentence: true` stamps v11;
+    * the default keeps the v10 stamp and meaning), IVF routing on
+    * hybridRrf (`ivfCells`/`nProbe` set stamp v11), BPE tokenization to
+    * ids (bpeIds), and the SentencePiece .vocab interop pair
+    * (spTokenize/spIds).
     * [[toJson]] stamps each document with the LOWEST version that can
     * express it, so a document using only the v1 grammar stays loadable
     * by a v1 library. Versions track SHIPPED grammars (one per build
     * round), not individual commits — every v6 node landed in the same
     * round, so no v6-stamped artifact can predate any v6 op. */
-  val FormatVersion: Int = 10
+  val FormatVersion: Int = 11
 
   /** The lowest format version expressing every node in `doc`. */
   private def requiredVersion(doc: Doc): Int =
     if (doc.nodes.exists {
+      case _: ArpaScoreLang | _: BpeIds | _: SpTokenize | _: SpIds => true
+      case as: ArpaScore => as.sentence
+      case hr: HybridRrf => hr.ivfCells != 0 || hr.nProbe != 0
+      case _ => false }) 11
+    else if (doc.nodes.exists {
       case _: LmAgainstLang | _: ParaScrub | _: HybridRrf | _: ArpaScore |
            _: SaveArtifact | _: LoadArtifact | _: UnigramEncode |
            _: UnigramIds => true
@@ -2295,13 +2410,18 @@ object Program {
           ("qIdCol" -> qIdCol) ~ ("qTextCol" -> qTextCol) ~ ("k" -> k) ~
           ("k1" -> k1) ~ ("b" -> b) ~ ("broadcastQueries" -> bq)
       case HybridRrf(name, i, q, idCol, textCol, vecCol, qIdCol, qTextCol,
-                     qVecCol, k, legK, kRrf, k1, b, bq) =>
+                     qVecCol, k, legK, kRrf, k1, b, bq, ivfCells, ivfIters,
+                     nProbe) =>
         ("op" -> "hybridRrf") ~ ("name" -> name) ~ ("input" -> i) ~
           ("queries" -> q) ~ ("idCol" -> idCol) ~ ("textCol" -> textCol) ~
           ("vecCol" -> vecCol) ~ ("qIdCol" -> qIdCol) ~
           ("qTextCol" -> qTextCol) ~ ("qVecCol" -> qVecCol) ~ ("k" -> k) ~
           ("legK" -> legK) ~ ("kRrf" -> kRrf) ~ ("k1" -> k1) ~ ("b" -> b) ~
-          ("broadcastQueries" -> bq)
+          ("broadcastQueries" -> bq) ~
+          // absent when default: a brute-leg document keeps its v10 bytes
+          ("ivfCells" -> (if (ivfCells != 0) Some(ivfCells) else None)) ~
+          ("ivfIters" -> (if (ivfCells != 0) Some(ivfIters) else None)) ~
+          ("nProbe" -> (if (nProbe != 0) Some(nProbe) else None))
       case WinnowPairs(name, i, idCol, textCol, nn, w, minShared, maxBucket) =>
         ("op" -> "winnowPairs") ~ ("name" -> name) ~ ("input" -> i) ~
           ("idCol" -> idCol) ~ ("textCol" -> textCol) ~ ("n" -> nn) ~
@@ -2344,9 +2464,14 @@ object Program {
           ("refLangCol" -> refLangCol) ~ ("order" -> order) ~
           ("fb1" -> f1) ~ ("fb2" -> f2) ~ ("fb3" -> f3) ~
           ("minCount" -> mc) ~ ("broadcastModel" -> bm)
-      case ArpaScore(name, i, path, idCol, textCol) =>
+      case ArpaScore(name, i, path, idCol, textCol, sentence) =>
         ("op" -> "arpaScore") ~ ("name" -> name) ~ ("input" -> i) ~
-          ("path" -> path) ~ ("idCol" -> idCol) ~ ("textCol" -> textCol)
+          ("path" -> path) ~ ("idCol" -> idCol) ~ ("textCol" -> textCol) ~
+          ("sentence" -> (if (sentence) Some(true) else None))
+      case ArpaScoreLang(name, i, dir, idCol, textCol, langCol) =>
+        ("op" -> "arpaScoreLang") ~ ("name" -> name) ~ ("input" -> i) ~
+          ("dir" -> dir) ~ ("idCol" -> idCol) ~ ("textCol" -> textCol) ~
+          ("langCol" -> langCol)
       case SaveArtifact(name, i, dir, kind, ow) =>
         ("op" -> "saveArtifact") ~ ("name" -> name) ~ ("input" -> i) ~
           ("dir" -> dir) ~ ("kind" -> kind) ~
@@ -2402,6 +2527,17 @@ object Program {
       case BpeEncode(name, i, merges, idCol, textCol) =>
         ("op" -> "bpeEncode") ~ ("name" -> name) ~ ("input" -> i) ~
           ("merges" -> merges) ~ ("idCol" -> idCol) ~ ("textCol" -> textCol)
+      case BpeIds(name, i, merges, textCol, oovId, as) =>
+        ("op" -> "bpeIds") ~ ("name" -> name) ~ ("input" -> i) ~
+          ("merges" -> merges) ~ ("textCol" -> textCol) ~
+          ("oovId" -> oovId) ~ ("as" -> as)
+      case SpTokenize(name, i, path, textCol, as) =>
+        ("op" -> "spTokenize") ~ ("name" -> name) ~ ("input" -> i) ~
+          ("path" -> path) ~ ("textCol" -> textCol) ~ ("as" -> as)
+      case SpIds(name, i, path, textCol, oovId, as) =>
+        ("op" -> "spIds") ~ ("name" -> name) ~ ("input" -> i) ~
+          ("path" -> path) ~ ("textCol" -> textCol) ~
+          ("oovId" -> oovId) ~ ("as" -> as)
       case UnigramEncode(name, i, vocab, textCol, maxPieceLen, as) =>
         ("op" -> "unigramEncode") ~ ("name" -> name) ~ ("input" -> i) ~
           ("vocab" -> vocab) ~ ("textCol" -> textCol) ~
@@ -2734,7 +2870,10 @@ object Program {
             (v \ "kRrf").extractOpt[Int].getOrElse(60),
             (v \ "k1").extractOpt[Double].getOrElse(1.2),
             (v \ "b").extractOpt[Double].getOrElse(0.75),
-            (v \ "broadcastQueries").extractOpt[Boolean].getOrElse(true))
+            (v \ "broadcastQueries").extractOpt[Boolean].getOrElse(true),
+            (v \ "ivfCells").extractOpt[Int].getOrElse(0),
+            (v \ "ivfIters").extractOpt[Int].getOrElse(2),
+            (v \ "nProbe").extractOpt[Int].getOrElse(0))
           case "bm25Retrieve" => Bm25Retrieve(name, (v \ "input").extract[String],
             (v \ "queries").extract[String], (v \ "idCol").extract[String],
             (v \ "textCol").extract[String], (v \ "qIdCol").extract[String],
@@ -2793,7 +2932,12 @@ object Program {
               (v \ "minCount").extractOpt[Long].getOrElse(1L), bmOf(v))
           case "arpaScore" => ArpaScore(name, (v \ "input").extract[String],
             (v \ "path").extract[String], (v \ "idCol").extract[String],
-            (v \ "textCol").extract[String])
+            (v \ "textCol").extract[String],
+            (v \ "sentence").extractOpt[Boolean].getOrElse(false))
+          case "arpaScoreLang" => ArpaScoreLang(name,
+            (v \ "input").extract[String], (v \ "dir").extract[String],
+            (v \ "idCol").extract[String], (v \ "textCol").extract[String],
+            (v \ "langCol").extract[String])
           case "saveArtifact" => SaveArtifact(name, (v \ "input").extract[String],
             (v \ "dir").extract[String], (v \ "kind").extract[String],
             (v \ "overwrite").extractOpt[Boolean].getOrElse(false))
@@ -2874,6 +3018,17 @@ object Program {
           case "bpeEncode" => BpeEncode(name, (v \ "input").extract[String],
             (v \ "merges").extract[String], (v \ "idCol").extract[String],
             (v \ "textCol").extract[String])
+          case "bpeIds" => BpeIds(name, (v \ "input").extract[String],
+            (v \ "merges").extract[String], (v \ "textCol").extract[String],
+            (v \ "oovId").extractOpt[Long].getOrElse(-1L),
+            (v \ "as").extractOpt[String].getOrElse("ids"))
+          case "spTokenize" => SpTokenize(name, (v \ "input").extract[String],
+            (v \ "path").extract[String], (v \ "textCol").extract[String],
+            (v \ "as").extractOpt[String].getOrElse("pieces"))
+          case "spIds" => SpIds(name, (v \ "input").extract[String],
+            (v \ "path").extract[String], (v \ "textCol").extract[String],
+            (v \ "oovId").extractOpt[Long].getOrElse(-1L),
+            (v \ "as").extractOpt[String].getOrElse("ids"))
           case "encodeIngest" => EncodeIngest(name, (v \ "input").extract[String],
             (v \ "vocab").extract[String], (v \ "idCol").extract[String],
             (v \ "textCol").extract[String],
@@ -3136,6 +3291,12 @@ object Program {
             s.df.select(col(as.idCol), col(as.textCol)).schema
             emptyOf(s, graft.pipeline.TextOps.ngramOutputSchema(
               as.idCol, s.df.schema(as.idCol).dataType))
+          case al: ArpaScoreLang =>
+            // same runtime-binding stance for the per-language directory
+            val s = env(al.input)
+            s.df.select(col(al.idCol), col(al.textCol), col(al.langCol)).schema
+            emptyOf(s, graft.pipeline.TextOps.ngramOutputSchema(
+              al.idCol, s.df.schema(al.idCol).dataType))
           case sv: SaveArtifact =>
             // the tee must NOT write during validation — pass the input
             // schema through, exactly what the real lowering returns
@@ -3205,6 +3366,31 @@ object Program {
             env(be.merges).df.select(col("merge_rank"), col("lhs"), col("rhs")).schema
             emptyOf(s, graft.pipeline.TextOps.bpeOutputSchema(
               be.idCol, s.df.schema(be.idCol).dataType))
+          case bi: BpeIds =>
+            // build-time eager (the merge table collects at lowering):
+            // force the refs, emit input + the ids column
+            val s = env(bi.input)
+            s.df.select(col(bi.textCol)).schema
+            env(bi.merges).df.select(col("merge_rank"), col("lhs"), col("rhs")).schema
+            emptyOf(s, org.apache.spark.sql.types.StructType(
+              s.df.schema.fields :+ org.apache.spark.sql.types.StructField(
+                bi.as, org.apache.spark.sql.types.ArrayType(
+                  org.apache.spark.sql.types.LongType))))
+          case st: SpTokenize =>
+            // the vocab file is a runtime binding (never read here)
+            val s = env(st.input)
+            s.df.select(col(st.textCol)).schema
+            emptyOf(s, org.apache.spark.sql.types.StructType(
+              s.df.schema.fields :+ org.apache.spark.sql.types.StructField(
+                st.as, org.apache.spark.sql.types.ArrayType(
+                  org.apache.spark.sql.types.StringType))))
+          case si: SpIds =>
+            val s = env(si.input)
+            s.df.select(col(si.textCol)).schema
+            emptyOf(s, org.apache.spark.sql.types.StructType(
+              s.df.schema.fields :+ org.apache.spark.sql.types.StructField(
+                si.as, org.apache.spark.sql.types.ArrayType(
+                  org.apache.spark.sql.types.LongType))))
           case ue: UnigramEncode =>
             // build-time eager (the vocabulary collects at lowering):
             // force the refs, emit input + the pieces column
@@ -3598,6 +3784,12 @@ object Program {
           if (hr.qIdCol == hr.idCol) throw new IllegalArgumentException(
             s"node '${n.name}': hybridRrf qIdCol and idCol are both " +
               s"'${hr.idCol}' — rename one (output is (qIdCol, idCol, rrf, rank))")
+          if (hr.ivfCells < 0 || hr.nProbe < 0 || hr.ivfIters < 1 ||
+            (hr.ivfCells == 0) != (hr.nProbe == 0))
+            throw new IllegalArgumentException(
+              s"node '${n.name}': hybridRrf IVF routing takes BOTH " +
+                s"ivfCells > 0 and nProbe > 0 (and ivfIters >= 1), got " +
+                s"ivfCells=${hr.ivfCells} nProbe=${hr.nProbe} ivfIters=${hr.ivfIters}")
           Seq(hr.input, hr.queries)
         case wp: WinnowPairs =>
           if (wp.n < 1 || wp.w < 1 || wp.minShared < 1 || wp.maxBucket < 2)
@@ -3640,6 +3832,19 @@ object Program {
           if (as.path.trim.isEmpty) throw new IllegalArgumentException(
             s"node '${n.name}': arpaScore needs a non-empty artifact path")
           Seq(as.input)
+        case al: ArpaScoreLang =>
+          if (al.dir.trim.isEmpty) throw new IllegalArgumentException(
+            s"node '${n.name}': arpaScoreLang needs a non-empty artifact dir")
+          Seq(al.input)
+        case bi: BpeIds => Seq(bi.input, bi.merges)
+        case st: SpTokenize =>
+          if (st.path.trim.isEmpty) throw new IllegalArgumentException(
+            s"node '${n.name}': spTokenize needs a non-empty vocab path")
+          Seq(st.input)
+        case si: SpIds =>
+          if (si.path.trim.isEmpty) throw new IllegalArgumentException(
+            s"node '${n.name}': spIds needs a non-empty vocab path")
+          Seq(si.input)
         case sv: SaveArtifact =>
           if (sv.dir.trim.isEmpty || sv.kind.trim.isEmpty)
             throw new IllegalArgumentException(

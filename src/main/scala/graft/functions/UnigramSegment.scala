@@ -26,7 +26,18 @@ import org.apache.spark.unsafe.types.UTF8String
  * pattern); UnigramSegmentProps pins it against the definitional fold.
  */
 case class UnigramSegment(child: Expression, pieces: Seq[String],
-                          probs: Seq[Double], maxPieceLen: Int)
+                          probs: Seq[Double], maxPieceLen: Int,
+                          /** LOG-space DP (dp[i] = max of dp[i−l] +
+                            * lp(piece)) for vocabularies that arrive as
+                            * log probabilities (the SentencePiece .vocab
+                            * interop): sums of identically-parsed doubles
+                            * are IEEE-identical across engines, the same
+                            * determinism the product fold has for exact
+                            * count divisions. Unknown single chars take
+                            * exactly −1000.0 (the 1e-100 analog), unknown
+                            * longer pieces −1e18 (the 0.0 analog — never
+                            * on a winning path). */
+                          logSpace: Boolean = false)
   extends UnaryExpression {
   require(pieces.length == probs.length,
     s"unigram_segment: ${pieces.length} pieces vs ${probs.length} probabilities")
@@ -81,10 +92,10 @@ case class UnigramSegment(child: Expression, pieces: Seq[String],
     val n = until - from
     val dp = new Array[Double](n + 1)
     val bl = new Array[Int](n + 1)
-    dp(0) = 1.0
+    dp(0) = if (logSpace) 0.0 else 1.0
     var i = 1
     while (i <= n) {
-      var bestS = -1.0
+      var bestS = if (logSpace) Double.NegativeInfinity else -1.0
       var bestL = 0
       val lMax = if (maxPieceLen < i) maxPieceLen else i
       var l = 1
@@ -92,8 +103,9 @@ case class UnigramSegment(child: Expression, pieces: Seq[String],
         val piece = new String(cps, from + i - l, l)
         val pv = table.get(piece)
         val p = if (pv != null) pv.doubleValue()
-          else if (l == 1) 1e-100 else 0.0
-        val cand = dp(i - l) * p
+          else if (l == 1) { if (logSpace) -1000.0 else 1e-100 }
+          else { if (logSpace) -1e18 else 0.0 }
+        val cand = if (logSpace) dp(i - l) + p else dp(i - l) * p
         if (cand >= bestS) { bestS = cand; bestL = l }
         l += 1
       }

@@ -1,6 +1,6 @@
 package graft.pipeline
 
-import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
 import org.apache.spark.sql.functions._
 
 /**
@@ -25,31 +25,46 @@ import org.apache.spark.sql.functions._
  * value; entry absent with live context → γ(h)·p_{j−1}, the fold's
  * discount-mass branch; dead context → the fold's level skip). Tokens
  * unseen in the model take the `<unk>` entry γ₁/(V+1) — the fold's
- * uniform floor. Entries carry no `<s>`/`</s>` marks: this engine's LM
- * semantics are document-windowed, not sentence-delimited (documented
- * deviation; the FORMAT is standard and KenLM-readable).
+ * uniform floor. By default entries carry no `<s>`/`</s>` marks: this
+ * engine's LM semantics are document-windowed (the FORMAT is standard
+ * and KenLM-readable); the opt-in `sentenceMode` on the export and
+ * scoring faces switches both sides to sentence-delimited windowing
+ * with `<s>` padding and a scored `</s>` event, so a sentence-trained
+ * artifact round-trips with boundary semantics intact.
  *
  * [[arpaImport]] parses any ARPA text file (KenLM-trained included) into
  * per-order local tables, and [[arpaScoreAgainst]] scores a batch frame
  * or arriving stream against it with standard back-off semantics — so
  * `knAgainst`-style pipelines interoperate with models trained OUTSIDE
- * the engine.
+ * the engine. [[arpaImportDir]] + [[arpaScoreAgainstByLang]] consume the
+ * per-language directory layout [[arpaExportKnByLang]] writes — the
+ * complete CCNet deployment loop (Wenzek et al. ship one KenLM artifact
+ * per language): each document scores against ITS language's file;
+ * unmodeled languages keep their position count and take a NULL score,
+ * exactly the in-session by-lang verdict.
  *
  * Scale posture: an ARPA file is THE model artifact — bounded by the
  * same pruning lever (`minCount`) that keeps the in-session model
  * broadcastable; export streams entries through `toLocalIterator`
  * (driver holds one partition at a time), import parses driver-side into
  * plan-local tables that BROADCAST into the scoring joins. The entry
- * count is capped by `graft.arpa.maxEntries` (default 20M) with a named
- * error — a model beyond that is not an artifact and should be pruned
- * harder, matching KenLM practice.
+ * count is capped by `graft.arpa.maxEntries` with a named error — a
+ * model beyond that is not an artifact and should be pruned harder,
+ * matching KenLM practice. The per-language export trains ONE
+ * language-keyed model (a single pass over the reference corpus however
+ * many languages it carries); each language's file is a slice of the
+ * shared pinned count tables, not a re-training.
  */
 object Arpa {
 
-  /** Entry-count cap for export and import (conf `graft.arpa.maxEntries`). */
+  /** Entry-count cap for export and import (conf `graft.arpa.maxEntries`).
+    * The default (5M) is sized to the default driver heap: import buffers
+    * the parsed entries as boxed rows before `createDataFrame`, roughly
+    * 150–250 bytes per entry at low orders (~1 GB at 5M) — raise the conf
+    * deliberately, and only together with driver memory. */
   private def maxEntries(spark: SparkSession): Long = {
     val key = "graft.arpa.maxEntries"
-    val raw = spark.conf.getOption(key).getOrElse("20000000")
+    val raw = spark.conf.getOption(key).getOrElse("5000000")
     val v = try raw.toLong catch {
       case _: NumberFormatException => throw new IllegalArgumentException(
         s"$key must be a positive long, got '$raw'")
@@ -72,22 +87,22 @@ object Arpa {
 
   /** Export the fixed-discount interpolated-KN model of `refDocs` (the
     * [[TextOps.knLmScoreAgainst]] model at the same `order`/`discount`/
-    * `minCount`) as an ARPA text file at `path` (a local filesystem
-    * path). Round-trip guarantee: importing the file and scoring with
-    * [[arpaScoreAgainst]] reproduces `knLmScoreAgainst`'s scores (same
-    * reference, same levers) — ArpaSpec pins it at orders 3 and 5,
-    * pruned and unpruned. */
+    * `minCount`) as an ARPA text file at `path` (resolved through the
+    * session's Hadoop conf). Round-trip guarantee: importing the file and
+    * scoring with [[arpaScoreAgainst]] reproduces `knLmScoreAgainst`'s
+    * scores (same reference, same levers) — ArpaSpec pins it at orders 3
+    * and 5, pruned and unpruned. `sentenceMode` trains on sentence-
+    * delimited windows with `<s>` padding and `</s>` events (score with
+    * the same flag). */
   def arpaExportKn(refDocs: DataFrame, refTextCol: String, order: Int,
                    path: String, discount: Double = 0.75,
-                   minCount: Long = 1L): Unit = {
+                   minCount: Long = 1L,
+                   sentenceMode: Boolean = false): Unit = {
     require(discount > 0 && discount < 1,
       s"discount must be in (0, 1), got $discount")
     exportModel(refDocs, refTextCol, order, path, minCount,
-      ds => ((_: Int, _: Column) => lit(discount),
-        (j: Int) => lit(discount) * col(s"__n1p$j"),
-        (st: org.apache.spark.sql.Row) =>
-          discount * st.getAs[Long]("__n1p1")),
-      needDiscounts = false)
+      knDiscBuilders(discount), needDiscounts = false,
+      sentenceMode = sentenceMode)
   }
 
   /** Export the MODIFIED-KN model (KenLM parity: count-bucketed D1/D2/D3+
@@ -97,35 +112,58 @@ object Arpa {
   def arpaExportMkn(refDocs: DataFrame, refTextCol: String, order: Int,
                     path: String,
                     fallback: (Double, Double, Double) = TextOps.MknFallback,
-                    minCount: Long = 1L): Unit = {
+                    minCount: Long = 1L,
+                    sentenceMode: Boolean = false): Unit = {
     TextOps.checkMknParams(order, Map.empty, fallback)
     exportModel(refDocs, refTextCol, order, path, minCount,
-      ds => ((j: Int, c: Column) => {
-        val (d1, d2, d3) = ds(j)
-        when(c === 1L, lit(d1)).when(c === 2L, lit(d2)).otherwise(lit(d3))
-      }, (j: Int) => {
-        val (d1, d2, d3) = ds(j)
-        lit(d1) * col(s"__nb1$j") + lit(d2) * col(s"__nb2$j") +
-          lit(d3) * col(s"__nb3$j")
-      }, (st: org.apache.spark.sql.Row) => {
-        val (d1, d2, d3) = ds(1)
-        d1 * st.getAs[Long]("__nb11") + d2 * st.getAs[Long]("__nb21") +
-          d3 * st.getAs[Long]("__nb31")
-      }), needDiscounts = true, fallback = fallback)
+      mknDiscBuilders, needDiscounts = true, fallback = fallback,
+      sentenceMode = sentenceMode)
   }
 
-  /** The shared export engine: build the KN-family tables, compute every
-    * entry's interpolated probability via the SAME fold arithmetic the
-    * scoring faces use, attach back-off weights to context entries, and
-    * stream the sections to `path`. `mkDisc(ds)` returns the per-level
-    * (discount-of-count, discount-mass-numerator) column builders. */
+  /** The fixed-discount (interpolated-KN) column builders: (per-count
+    * discount, per-level discount-mass numerator, <unk> numerator). */
+  private def knDiscBuilders(discount: Double)
+      : Map[Int, (Double, Double, Double)] =>
+        ((Int, Column) => Column, Int => Column, Row => Double) =
+    _ => ((_: Int, _: Column) => lit(discount),
+      (j: Int) => lit(discount) * col(s"__n1p$j"),
+      (st: Row) => discount * st.getAs[Long]("__n1p1"))
+
+  /** The count-bucketed (modified-KN) column builders over a per-level
+    * discount map. */
+  private def mknDiscBuilders(ds: Map[Int, (Double, Double, Double)])
+      : ((Int, Column) => Column, Int => Column, Row => Double) =
+    ((j: Int, c: Column) => {
+      val (d1, d2, d3) = ds(j)
+      when(c === 1L, lit(d1)).when(c === 2L, lit(d2)).otherwise(lit(d3))
+    }, (j: Int) => {
+      val (d1, d2, d3) = ds(j)
+      lit(d1) * col(s"__nb1$j") + lit(d2) * col(s"__nb2$j") +
+        lit(d3) * col(s"__nb3$j")
+    }, (st: Row) => {
+      val (d1, d2, d3) = ds(1)
+      d1 * st.getAs[Long]("__nb11") + d2 * st.getAs[Long]("__nb21") +
+        d3 * st.getAs[Long]("__nb31")
+    })
+
+  /** The model tables one ARPA file serializes (possibly a per-language
+    * slice of shared keyed tables). */
+  private final case class ModelTables(rawN: DataFrame, ctxN: DataFrame,
+                                       cont: Map[Int, DataFrame],
+                                       ctxc: Map[Int, DataFrame])
+
+  /** The shared single-model export: build the KN-family tables inside a
+    * private Pinned scope (released on EVERY exit path — an IO failure
+    * or cap error must not strand the checkpoints), derive discounts,
+    * stream the file. */
   private def exportModel(refDocs: DataFrame, refTextCol: String, order: Int,
                           path: String, minCount: Long,
                           mkDisc: Map[Int, (Double, Double, Double)] =>
                             ((Int, Column) => Column, Int => Column,
-                             org.apache.spark.sql.Row => Double),
+                             Row => Double),
                           needDiscounts: Boolean,
-                          fallback: (Double, Double, Double) = TextOps.MknFallback): Unit = {
+                          fallback: (Double, Double, Double) = TextOps.MknFallback,
+                          sentenceMode: Boolean = false): Unit = {
     require(order >= 2 && order <= 8,
       s"arpaExport order must be in [2, 8], got $order")
     require(!refDocs.isStreaming,
@@ -133,20 +171,38 @@ object Arpa {
     require(minCount >= 1, s"minCount must be >= 1, got $minCount")
     val spark = refDocs.sparkSession
     // a private scope: the model tables pin for the export's own actions
-    // (counts + section streams) and release on exit, leaving the
-    // caller's registrations untouched
+    // (counts + section streams) and release on exit — success OR failure
+    // — leaving the caller's registrations untouched
     graft.api.Pinned.scoped(spark) { scope =>
-    val (rawN, ctxN, cont, ctxc, stats) =
-      TextOps.knModel(refDocs, refTextCol, order, minCount)
-    val st = stats.head()
-    require(!st.isNullAt(0) && st.getAs[Double]("__t1") > 0,
-      "arpaExport: the reference corpus yields an empty model " +
-        "(needs at least one bigram)")
-    val ds =
-      if (needDiscounts) TextOps.mknDiscountsFor(order, rawN, cont, fallback)
-      else Map.empty[Int, (Double, Double, Double)]
-    val (disc, gnum, unkNum) = mkDisc(ds)
+      try {
+        val train =
+          if (sentenceMode) Sentences.explodeRef(refDocs, refTextCol, order)
+          else refDocs
+        val (rawN, ctxN, cont, ctxc, stats) =
+          TextOps.knModel(train, refTextCol, order, minCount,
+            dropBosTargets = sentenceMode)
+        val st = stats.head()
+        require(!st.isNullAt(0) && st.getAs[Double]("__t1") > 0,
+          "arpaExport: the reference corpus yields an empty model " +
+            "(needs at least one bigram)")
+        val ds =
+          if (needDiscounts) TextOps.mknDiscountsFor(order, rawN, cont, fallback)
+          else Map.empty[Int, (Double, Double, Double)]
+        val (disc, gnum, unkNum) = mkDisc(ds)
+        writeArpa(spark, order, path, ModelTables(rawN, ctxN, cont, ctxc),
+          st, disc, gnum, unkNum)
+      } finally scope.release()
+    }
+  }
 
+  /** Stream one model's sections to `path`: interpolated probabilities
+    * via the SAME fold arithmetic the scoring faces use, back-off weights
+    * on context entries, `<unk>` as a first-class entry, header counts
+    * first, `graft.arpa.maxEntries`-capped. */
+  private def writeArpa(spark: SparkSession, order: Int, path: String,
+                        t: ModelTables, st: Row,
+                        disc: (Int, Column) => Column, gnum: Int => Column,
+                        unkNum: Row => Double): Unit = {
     def keys(j: Int): Seq[String] = TextOps.gramCols(order, j)
     def withStats(d: DataFrame): DataFrame =
       Seq("__t1", "__n1p1", "__nb11", "__nb21", "__nb31", "__v")
@@ -183,7 +239,7 @@ object Arpa {
       * they align with level-j entry names (__p{i} -> __p{i+1}). */
     def shiftedCtx(j: Int): DataFrame = {
       val (src, totCol) =
-        if (j + 1 == order) (ctxN, s"__tot$order") else (ctxc(j + 1), s"__ctot${j + 1}")
+        if (j + 1 == order) (t.ctxN, s"__tot$order") else (t.ctxc(j + 1), s"__ctot${j + 1}")
       val srcKeys = keys(j + 1).dropRight(1)
       val carried = Seq(totCol, s"__n1p${j + 1}", s"__nb1${j + 1}",
         s"__nb2${j + 1}", s"__nb3${j + 1}")
@@ -194,23 +250,23 @@ object Arpa {
     /** Per-level entry frame: (key cols, __lp10, __bo10 nullable). */
     def entries(j: Int): DataFrame = {
       if (j == order) {
-        var d = rawN.join(ctxN, keys(order).dropRight(1))
+        var d = t.rawN.join(t.ctxN, keys(order).dropRight(1))
         for (i <- order - 1 to 2 by -1)
-          d = d.join(cont(i), keys(i), "left")
-            .join(ctxc(i), keys(i).dropRight(1), "left")
-        d = withStats(d.join(cont(1), keys(1), "left"))
+          d = d.join(t.cont(i), keys(i), "left")
+            .join(t.ctxc(i), keys(i).dropRight(1), "left")
+        d = withStats(d.join(t.cont(1), keys(1), "left"))
         d.select(keys(order).map(col) :+ log10(pFold(order)).as("__lp10") :+
           lit(null).cast("double").as("__bo10"): _*)
       } else {
         val ctx = shiftedCtx(j)
-        val base = cont(j).select(keys(j).map(col): _*)
+        val base = t.cont(j).select(keys(j).map(col): _*)
           .unionByName(ctx.select(keys(j).map(col): _*))
           .distinct()
         var d = base
         for (i <- j to 2 by -1)
-          d = d.join(cont(i), keys(i), "left")
-            .join(ctxc(i), keys(i).dropRight(1), "left")
-        d = withStats(d.join(cont(1), keys(1), "left"))
+          d = d.join(t.cont(i), keys(i), "left")
+            .join(t.ctxc(i), keys(i).dropRight(1), "left")
+        d = withStats(d.join(t.cont(1), keys(1), "left"))
           .join(ctx, keys(j), "left")
         val totCol =
           if (j + 1 == order) col(s"__tot$order") else col(s"__ctot${j + 1}")
@@ -234,7 +290,8 @@ object Arpa {
     require(total <= cap,
       s"arpaExport: $total entries exceed graft.arpa.maxEntries = $cap — " +
         "an ARPA file is a driver-sized artifact; prune harder (minCount) " +
-        "or raise the conf deliberately")
+        "or raise the conf deliberately (together with driver memory: " +
+        "import buffers ~150-250 bytes per entry)")
 
     // Hadoop FS streams (the Artifacts convention): local paths on
     // local[*], object-store URIs on a cluster — the artifact layer must
@@ -262,86 +319,186 @@ object Arpa {
       }
       w.write("\n\\end\\\n")
     } finally w.close()
-    scope.release()
-    }
   }
 
   /** Shortest round-trip decimal text of a double (Double.toString —
     * parsing it returns the identical bits, the round-trip guarantee). */
   private def fmt(d: Double): String = d.toString
 
+  // ------------------------------------------- per-language export layout
+
   /** Export ONE ARPA file PER LANGUAGE of a labeled reference corpus —
     * the literal CCNet deployment layout (Wenzek et al. ship one KenLM
-    * artifact per language): each language's slice exports through
-    * [[arpaExportKn]] to `dir/<lang>.arpa`. Artifact-writing is
-    * inherently one file per language, so the driver loop here is over
-    * the LANGUAGE SET (bounded — CCNet's is ~100; capped at 1024 with a
-    * named error), not over data; each slice's model still trains as
-    * distributed count tables. A null language exports as `__null.arpa`;
-    * names outside [A-Za-z0-9_-] hex-escape. Languages whose slice has
-    * no bigram are SKIPPED (no model — the by-lang scorer's NULL-verdict
-    * languages). Returns (language, file path) for each written file. */
+    * artifact per language): `dir/<file>.arpa` per language via
+    * [[fileNameOf]]'s injective, reversible name mapping. ALL languages'
+    * models train in ONE pass (the language threads as a key through
+    * every count/context/stats groupBy — the [[TextOps.knLmScoreAgainstByLang]]
+    * tables); each file is a SLICE of the shared pinned tables, written
+    * byte-identically to a per-slice [[arpaExportKn]] of that language's
+    * documents. Languages whose slice has no bigram are SKIPPED (no
+    * model — the by-lang scorer's NULL-verdict languages); at most 1024
+    * modeled languages (a named error — one file per language is an
+    * artifact layout, not a per-key operation). Returns (language, file
+    * path) for each written file. */
   def arpaExportKnByLang(refDocs: DataFrame, refTextCol: String,
                          refLangCol: String, order: Int, dir: String,
                          discount: Double = 0.75,
-                         minCount: Long = 1L): Seq[(String, String)] =
-    exportByLang(refDocs, refLangCol, dir, "arpaExportKnByLang",
-      (slice, path) => arpaExportKn(slice, refTextCol, order, path,
-        discount, minCount))
+                         minCount: Long = 1L): Seq[(String, String)] = {
+    require(discount > 0 && discount < 1,
+      s"discount must be in (0, 1), got $discount")
+    exportByLang(refDocs, refTextCol, refLangCol, order, dir,
+      "arpaExportKnByLang", minCount, needDiscounts = false,
+      TextOps.MknFallback, _ => knDiscBuilders(discount)(Map.empty))
+  }
 
   /** [[arpaExportKnByLang]] with KenLM's real smoothing — one
     * MODIFIED-KN ARPA file per language (each language's bucketed
-    * discounts derive from its own slice's count-of-counts). */
+    * discounts derive from its own slice's count-of-counts, all
+    * languages in one frame). */
   def arpaExportMknByLang(refDocs: DataFrame, refTextCol: String,
                           refLangCol: String, order: Int, dir: String,
                           fallback: (Double, Double, Double) = TextOps.MknFallback,
-                          minCount: Long = 1L): Seq[(String, String)] =
-    exportByLang(refDocs, refLangCol, dir, "arpaExportMknByLang",
-      (slice, path) => arpaExportMkn(slice, refTextCol, order, path,
-        fallback, minCount))
+                          minCount: Long = 1L): Seq[(String, String)] = {
+    TextOps.checkMknParams(order, Map.empty, fallback)
+    exportByLang(refDocs, refTextCol, refLangCol, order, dir,
+      "arpaExportMknByLang", minCount, needDiscounts = true, fallback,
+      ds => mknDiscBuilders(ds))
+  }
 
-  private def exportByLang(refDocs: DataFrame, refLangCol: String,
-                           dir: String, label: String,
-                           exportOne: (DataFrame, String) => Unit): Seq[(String, String)] = {
+  /** The single-pass per-language export engine: ONE language-keyed
+    * [[TextOps.knModel]] build (the count shuffles run once however many
+    * languages the corpus carries), then each modeled language's file
+    * streams from filter-slices of the shared pinned tables. */
+  private def exportByLang(refDocs: DataFrame, refTextCol: String,
+                           refLangCol: String, order: Int, dir: String,
+                           label: String, minCount: Long,
+                           needDiscounts: Boolean,
+                           fallback: (Double, Double, Double),
+                           mkDiscOf: Map[Int, (Double, Double, Double)] =>
+                             ((Int, Column) => Column, Int => Column,
+                              Row => Double)): Seq[(String, String)] = {
+    require(order >= 2 && order <= 8,
+      s"$label order must be in [2, 8], got $order")
     require(!refDocs.isStreaming,
       s"$label: the reference corpus must be a batch frame")
-    val langs = refDocs.select(col(refLangCol).cast("string")).distinct()
-      .collect().map(r => if (r.isNullAt(0)) null else r.getString(0)).toSeq
-    require(langs.size <= 1024,
-      s"$label: ${langs.size} languages — one ARPA file per " +
-        "language is an artifact layout, not a per-key operation; cap 1024")
-    def fileNameOf(l: String): String =
-      if (l == null) "__null"
-      else if (l.nonEmpty && l.forall(c => c.isLetterOrDigit || c == '_' || c == '-')) l
-      else "x" + l.getBytes(java.nio.charset.StandardCharsets.UTF_8)
-        .map(b => f"${b & 0xff}%02x").mkString
-    langs.sorted(Ordering.String.on[String](l => if (l == null) "" else l))
-      .flatMap { l =>
-        val slice = refDocs.filter(col(refLangCol).cast("string") <=> lit(l))
-        val path = new org.apache.hadoop.fs.Path(dir, s"${fileNameOf(l)}.arpa").toString
-        // a language slice without a bigram has no model: skip, like the
-        // by-lang scorer's NULL verdict
-        try {
-          exportOne(slice, path)
-          Some((l, path))
-        } catch {
-          case e: IllegalArgumentException
-              if e.getMessage != null && e.getMessage.contains("empty model") =>
-            None
+    require(minCount >= 1, s"minCount must be >= 1, got $minCount")
+    val spark = refDocs.sparkSession
+    graft.api.Pinned.scoped(spark) { scope =>
+      try {
+        // struct-wrapped STRING language key (file names are strings;
+        // null-safe under plain equi-filters — the by-lang engine's key
+        // convention)
+        val refKeyed = refDocs.withColumn("__lraw",
+          struct(col(refLangCol).cast("string").as("l")))
+        val (rawN, ctxN, cont, ctxc, stats) =
+          TextOps.knModel(refKeyed, refTextCol, order, minCount,
+            langCol = Some("__lraw"))
+        // the stats frame has ONE row per language WITH a bigram —
+        // exactly the modeled set; capped BEFORE collecting (a degenerate
+        // language column must fail by name, not materialize on the
+        // driver)
+        val statRows = stats.limit(1025).collect()
+        require(statRows.nonEmpty,
+          s"$label: the reference corpus yields no per-language model " +
+            "(no language slice has a bigram)")
+        require(statRows.length <= 1024,
+          s"$label: more than 1024 modeled languages — one ARPA file per " +
+            "language is an artifact layout, not a per-key operation")
+        val lIdx = statRows.head.fieldIndex("__l")
+        def langOf(r: Row): String = {
+          val s = r.getStruct(lIdx)
+          if (s.isNullAt(0)) null else s.getString(0)
         }
-      }
+        // per-language MKN discounts: every language and level in ONE
+        // small frame (order aggregates over the pinned tables), not a
+        // per-language derivation loop
+        val dsByLang: Map[String, Map[Int, (Double, Double, Double)]] =
+          if (!needDiscounts) Map.empty
+          else TextOps.mknLangDiscounts(order, rawN, cont, fallback)
+            .collect().map { r =>
+              val s = r.getStruct(r.fieldIndex("__l"))
+              val l = if (s.isNullAt(0)) null else s.getString(0)
+              l -> (1 to order).map { j =>
+                // absent levels (language with no j-grams) keep the
+                // fallback triple: their entries never exist, so the
+                // value is never read — but the map must be total
+                j -> (if (r.isNullAt(r.fieldIndex(s"__d1_$j"))) fallback
+                      else (r.getDouble(r.fieldIndex(s"__d1_$j")),
+                            r.getDouble(r.fieldIndex(s"__d2_$j")),
+                            r.getDouble(r.fieldIndex(s"__d3_$j"))))
+              }.toMap
+            }.toMap
+        def keyLit(l: String): Column =
+          struct(lit(l).cast("string").as("l"))
+        val names = statRows.map(langOf)
+          .sorted(Ordering.fromLessThan[String]((a, b) =>
+            (if (a == null) "" else a) < (if (b == null) "" else b)))
+        names.map { l =>
+          def slice(t: DataFrame): DataFrame =
+            t.filter(col("__l") === keyLit(l)).drop("__l")
+          val st = statRows.find(r => langOf(r) == l).get
+          val (disc, gnum, unkNum) =
+            mkDiscOf(if (needDiscounts) dsByLang(l) else Map.empty)
+          val path = new org.apache.hadoop.fs.Path(dir,
+            s"${fileNameOf(l)}.arpa").toString
+          writeArpa(spark, order, path,
+            ModelTables(slice(rawN), slice(ctxN),
+              cont.map { case (j, d) => j -> slice(d) },
+              ctxc.map { case (j, d) => j -> slice(d) }),
+            st, disc, gnum, unkNum)
+          (l, path)
+        }.toSeq
+      } finally scope.release()
+    }
+  }
+
+  /** INJECTIVE, reversible language → file-name mapping (two languages
+    * can never overwrite each other's artifact, and [[arpaImportDir]]
+    * recovers the exact language from the name): ASCII-safe names pass
+    * through literally; a null language is `__null`, the empty string
+    * `__empty`; everything else — non-ASCII, unsafe characters, literal
+    * names that could collide with an escape output (`__...` or
+    * `x` + even-length hex) — hex-escapes as `x<utf8 hex>`. */
+  private[graft] def fileNameOf(l: String): String = {
+    if (l == null) "__null"
+    else if (l.isEmpty) "__empty"
+    else if (isLiteralName(l)) l
+    else "x" + l.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      .map(b => f"${b & 0xff}%02x").mkString
+  }
+
+  private val HexEscape = "x(?:[0-9a-f]{2})+".r
+
+  /** A name that may pass through literally: ASCII [A-Za-z0-9_-] only,
+    * not reserved (`__` prefix), not shaped like a hex escape. */
+  private def isLiteralName(l: String): Boolean =
+    l.forall(c => (c >= 'a' && c <= 'z') || (c >= 'A' && c <= 'Z') ||
+      (c >= '0' && c <= '9') || c == '_' || c == '-') &&
+      !l.startsWith("__") && !HexEscape.matches(l)
+
+  /** Inverse of [[fileNameOf]] (the `.arpa`-stripped base name). */
+  private[graft] def langOfFileName(name: String): String = {
+    if (name == "__null") null
+    else if (name == "__empty") ""
+    else if (HexEscape.matches(name)) {
+      val bytes = name.drop(1).grouped(2)
+        .map(h => Integer.parseInt(h, 16).toByte).toArray
+      new String(bytes, java.nio.charset.StandardCharsets.UTF_8)
+    } else name
   }
 
   // ------------------------------------------------------------- import
 
   /** Parse an ARPA text file (standard format — KenLM output included)
     * into an [[ArpaModel]]. Driver-side streaming parse (the artifact
-    * contract), capped by `graft.arpa.maxEntries`; per-order tables are
-    * plan-local and broadcast into the scoring joins. `<s>`/`</s>`
-    * entries parse like any other token (this engine never emits
-    * sentence-boundary positions, so they simply never join). */
+    * contract), capped by `graft.arpa.maxEntries` (sized to driver heap —
+    * see the conf's scaladoc); per-order tables are plan-local and
+    * broadcast into the scoring joins. `<s>`/`</s>` entries parse like
+    * any other token: the default document-windowed scoring never emits
+    * boundary positions (they simply never join), while `sentenceMode`
+    * scoring emits them — so a sentence-trained KenLM file scores with
+    * its own boundary semantics. */
   def arpaImport(spark: SparkSession, path: String): ArpaModel = {
-    import org.apache.spark.sql.Row
     import org.apache.spark.sql.types._
     val cap = maxEntries(spark)
     val p = new org.apache.hadoop.fs.Path(path)
@@ -372,7 +529,8 @@ object Arpa {
             n += 1
             require(n <= cap,
               s"arpaImport: more than graft.arpa.maxEntries = $cap entries — " +
-                "not a driver-sized artifact; raise the conf deliberately")
+                "not a driver-sized artifact; raise the conf deliberately " +
+                "(together with driver memory: ~150-250 bytes per buffered entry)")
             val j = section
             val parts = line.split("[\t ]+")
             require(parts.length == j + 1 || parts.length == j + 2,
@@ -407,6 +565,36 @@ object Arpa {
     ArpaModel(order, tables, unk)
   }
 
+  /** Import every `<name>.arpa` under `dir` as that language's model —
+    * the consume half of [[arpaExportKnByLang]]'s CCNet deployment
+    * layout (names reverse through [[langOfFileName]]: `__null` → the
+    * null language, `x<hex>` → the escaped original). At most 1024 files
+    * (the export-side cap, named error); two files that decode to the
+    * same language (e.g. `en.arpa` next to its own escape) are a named
+    * error, not a silent overwrite. Returns (language, model) pairs
+    * sorted by language. */
+  def arpaImportDir(spark: SparkSession, dir: String): Seq[(String, ArpaModel)] = {
+    val p = new org.apache.hadoop.fs.Path(dir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    require(fs.exists(p) && fs.getFileStatus(p).isDirectory,
+      s"arpaImportDir: no directory at $dir")
+    val files = fs.listStatus(p).toSeq
+      .filter(s => s.isFile && s.getPath.getName.endsWith(".arpa"))
+      .map(_.getPath)
+      .sortBy(_.getName)
+    require(files.nonEmpty, s"arpaImportDir: no .arpa files under $dir")
+    require(files.length <= 1024,
+      s"arpaImportDir: ${files.length} .arpa files — the per-language " +
+        "layout is capped at 1024 (one artifact per language)")
+    val langs = files.map(f => langOfFileName(f.getName.stripSuffix(".arpa")))
+    val dup = langs.groupBy(identity).collectFirst { case (l, fs) if fs.size > 1 => l }
+    require(dup.isEmpty,
+      s"arpaImportDir: two files under $dir decode to language '${dup.get}' " +
+        "— ambiguous layout (a literal name next to its own escape?)")
+    langs.zip(files).map { case (l, f) => (l, arpaImport(spark, f.toString)) }
+      .sortBy { case (l, _) => if (l == null) "" else l }
+  }
+
   // ------------------------------------------------------------ scoring
 
   /** Score documents — batch frame or arriving stream — against an
@@ -416,37 +604,142 @@ object Arpa {
     * outside the model's vocabulary take the `<unk>` entry. Output
     * (idCol, n_grams, avg_logprob) in NATURAL log — drop-in for the KN
     * family's faces (the ARPA file stores log10; scores convert once per
-    * position). Streaming is stream-static broadcast joins + the
-    * stateless per-batch combine — zero state rows. */
+    * position). `sentenceMode` switches to sentence-delimited windowing
+    * (`<s>`-padded contexts, a scored `</s>` event per sentence — KenLM's
+    * own scoring semantics for sentence-trained models; n_grams counts
+    * tokens + one `</s>` per sentence). Streaming is stream-static
+    * broadcast joins + the stateless per-batch combine — zero state
+    * rows. */
   def arpaScoreAgainst(stream: graft.api.MStream, model: ArpaModel,
-                       idCol: String, textCol: String): graft.api.MStream = {
+                       idCol: String, textCol: String,
+                       sentenceMode: Boolean = false): graft.api.MStream = {
     val order = model.order
     require(model.unkLp10.nonEmpty,
       "arpaScoreAgainst: the model has no <unk> entry — open-vocabulary " +
         "scoring needs one (KenLM models carry it; graft exports always " +
         "write it)")
     val unk = model.unkLp10.get
+    val withJoins = arpaJoins(model, keyPrefix = Nil)
+    val lp = arpaFold(order, lit(unk)) * lit(math.log(10.0))
+    TextOps.againstApply(stream, idCol, textCol, order, "n_grams",
+      withJoins, lp, sentenceMode = sentenceMode)
+  }
+
+  /** Score each document against ITS language's model — the consume half
+    * of the CCNet per-language deployment: `models` is the
+    * [[arpaImportDir]] output (or any hand-assembled (language, model)
+    * set); a document whose language has no model (or whose text is
+    * under the directory's top order) keeps its position count and takes
+    * a NULL score — exactly the in-session
+    * [[TextOps.knLmScoreAgainstByLang]] verdict; a null language is its
+    * own model (the engine-wide null-group convention). Models of mixed
+    * orders score at their own order's windows aligned to the
+    * directory's MAX order (documents window at the max order — the
+    * homogeneous CCNet layout trains every language at one order, where
+    * this is exact). Dual-mode: streaming is stream-static broadcast
+    * joins + the stateless per-batch combine — every per-language table
+    * is a driver-parsed artifact, so the broadcast lever has no
+    * beyond-broadcast face here. */
+  def arpaScoreAgainstByLang(stream: graft.api.MStream,
+                             models: Seq[(String, ArpaModel)],
+                             idCol: String, textCol: String,
+                             langCol: String): graft.api.MStream = {
+    require(models.nonEmpty, "arpaScoreAgainstByLang: no models")
+    val dupL = models.groupBy(_._1).collectFirst { case (l, ms) if ms.size > 1 => l }
+    require(dupL.isEmpty,
+      s"arpaScoreAgainstByLang: language '${dupL.get}' has two models")
+    models.foreach { case (l, m) =>
+      require(m.unkLp10.nonEmpty,
+        s"arpaScoreAgainstByLang: the model of language '$l' has no <unk> " +
+          "entry — open-vocabulary scoring needs one") }
+    val spark = stream.df.sparkSession
+    val maxOrder = models.map(_._2.order).max
+    // the doc-side key byLangApply builds is struct(col(langCol)) with
+    // FIELD NAME langCol: materialize a string-cast key column so the
+    // model-side literal structs match it in name and type
+    val keyName = "__arpalang"
+    def keyLit(l: String): Column = struct(lit(l).cast("string").as(keyName))
+    // keyed per-level tables: every language's level-j entries, keys
+    // re-aligned from its own order to the directory's max order; plus
+    // the per-language <unk> frame — all driver artifacts, all broadcast
+    def keyedLevel(j: Int): DataFrame =
+      models.collect { case (l, m) if j <= m.order =>
+        val from = TextOps.gramCols(m.order, j)
+        val to = TextOps.gramCols(maxOrder, j)
+        m.tables(j).select(keyLit(l).as("__l") +:
+          (from.zip(to).map { case (f, t) => col(f).as(t) } :+
+            col(s"__lp$j") :+ col(s"__bo$j")): _*)
+      }.reduce(_ unionByName _)
+    val unkDf = {
+      import org.apache.spark.sql.types._
+      import scala.jdk.CollectionConverters._
+      val schema = StructType(Seq(StructField("__ul", StringType),
+        StructField("__unk", DoubleType, nullable = false)))
+      val rows = models.map { case (l, m) => Row(l, m.unkLp10.get) }
+      spark.createDataFrame(new java.util.ArrayList[Row](rows.asJava), schema)
+        .select(struct(col("__ul").as(keyName)).as("__l"), col("__unk"))
+    }
+    def keys(j: Int): Seq[String] = TextOps.gramCols(maxOrder, j)
+    def boCtx(j: Int): DataFrame = {
+      val lvl = keyedLevel(j)
+      lvl.where(col(s"__bo$j").isNotNull)
+        .select(col("__l") +:
+          (keys(j).map(n => col(n).as(s"__p${n.drop(3).toInt - 1}")) :+
+            col(s"__bo$j")): _*)
+    }
+    def withJoins(pos: DataFrame): DataFrame = {
+      var d = pos
+      for (j <- maxOrder to 1 by -1)
+        d = d.join(broadcast(keyedLevel(j).select(
+          (col("__l") +: keys(j).map(col)) :+ col(s"__lp$j"): _*)),
+          "__l" +: keys(j), "left")
+      for (j <- 1 until maxOrder)
+        d = d.join(broadcast(boCtx(j)),
+          "__l" +: keys(j + 1).dropRight(1), "left")
+      // an unmodeled language misses this join too: a NULL <unk> floor
+      // propagates to the NULL no-model verdict
+      d.join(broadcast(unkDf), Seq("__l"), "left")
+    }
+    val lp = arpaFold(maxOrder, col("__unk")) * lit(math.log(10.0))
+    val keyed = stream.lift(
+      stream.df.withColumn(keyName, col(langCol).cast("string")))
+    TextOps.byLangApply(keyed, idCol, textCol, keyName, maxOrder,
+      "n_grams", withJoins, lp)
+  }
+
+  /** The standard back-off fold over joined __lp/__bo columns (log10):
+    * longest match wins; each skipped context pays its back-off weight
+    * (absent context = 0 = weight 1); the floor is `unkFloor` (a literal
+    * for one model, the per-language joined column for the by-lang
+    * face — NULL there means no model, propagating to a NULL score). */
+  private def arpaFold(order: Int, unkFloor: Column): Column = {
+    var lg: Column = coalesce(col("__lp1"), unkFloor)
+    for (j <- 2 to order)
+      lg = when(col(s"__lp$j").isNotNull, col(s"__lp$j"))
+        .otherwise(coalesce(col(s"__bo${j - 1}"), lit(0.0)) + lg)
+    lg
+  }
+
+  /** The single-model join plan: probability tables top-down, then the
+    * re-keyed back-off weights of each context level. */
+  private def arpaJoins(model: ArpaModel, keyPrefix: Seq[String])
+      : DataFrame => DataFrame = {
+    val order = model.order
     def keys(j: Int): Seq[String] = TextOps.gramCols(order, j)
-    // back-off weights of level-j entries, re-keyed as the CONTEXT of a
-    // level-(j+1) probe: __p{i} -> __p{i-1}
     def boCtx(j: Int): DataFrame =
       model.tables(j).where(col(s"__bo$j").isNotNull)
         .select(keys(j).map(n => col(n).as(s"__p${n.drop(3).toInt - 1}")) :+
           col(s"__bo$j"): _*)
-    def withJoins(pos: DataFrame): DataFrame = {
+    pos => {
       var d = pos
       for (j <- order to 1 by -1)
         d = d.join(broadcast(model.tables(j).select(
-          (keys(j).map(col) :+ col(s"__lp$j")): _*)), keys(j), "left")
+          (keys(j).map(col) :+ col(s"__lp$j")): _*)),
+          keyPrefix ++ keys(j), "left")
       for (j <- 1 until order)
-        d = d.join(broadcast(boCtx(j)), keys(j + 1).dropRight(1), "left")
+        d = d.join(broadcast(boCtx(j)),
+          keyPrefix ++ keys(j + 1).dropRight(1), "left")
       d
     }
-    var lg: Column = coalesce(col("__lp1"), lit(unk))
-    for (j <- 2 to order)
-      lg = when(col(s"__lp$j").isNotNull, col(s"__lp$j"))
-        .otherwise(coalesce(col(s"__bo${j - 1}"), lit(0.0)) + lg)
-    val lp = lg * lit(math.log(10.0))
-    TextOps.againstApply(stream, idCol, textCol, order, "n_grams", withJoins, lp)
   }
 }

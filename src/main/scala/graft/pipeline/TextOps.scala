@@ -478,8 +478,10 @@ object TextOps {
     * score-free fusion of RAG-corpus curation): each query retrieves its
     * top-`legK` documents by BM25 ([[bm25Retrieve]] over `textCol` vs
     * `qTextCol`) and by cosine over the embedding column
-    * ([[Similarity.bruteForceTopKPartial]] — route an IVF probe upstream
-    * for beyond-brute corpora), the legs union as (query, doc, rank) and
+    * ([[Similarity.bruteForceTopKPartial]] by default; pass
+    * `ivfCentroids` + `nProbe` to route the dense leg through
+    * [[Ivf.search]]'s cell probes for beyond-brute corpora), the legs
+    * union as (query, doc, rank) and
     * fuse with ONE groupBy, and the fused top-`k` rides the bounded-heap
     * [[graft.operators.GroupTopK]]. A document on one leg only takes
     * that leg's term (standard RRF). Ranking is on the exact fused
@@ -507,25 +509,50 @@ object TextOps {
                           * al. and every production default). */
                         kRrf: Int = 60,
                         k1: Double = 1.2, b: Double = 0.75,
-                        broadcastQueries: Boolean = true): org.apache.spark.sql.DataFrame = {
+                        broadcastQueries: Boolean = true,
+                        /** IVF routing for the ANN leg — the beyond-brute
+                          * face: with a trained codebook
+                          * ([[graft.pipeline.Ivf.train]]) and `nProbe`
+                          * > 0, each query scores exact cosine within its
+                          * `nProbe` nearest cells ONLY
+                          * ([[graft.pipeline.Ivf.search]] — the corpus
+                          * never cross-joins the query set). The default
+                          * keeps the brute-force leg: exhaustive, exact,
+                          * right for corpora one broadcast pass can
+                          * scan. */
+                        ivfCentroids: Option[org.apache.spark.sql.DataFrame] = None,
+                        nProbe: Int = 0): org.apache.spark.sql.DataFrame = {
     require(k > 0, s"hybridRrfRetrieve needs k > 0, got $k")
     require(legK >= 0, s"legK must be >= 0 (0 = use k), got $legK")
     require(kRrf > 0, s"kRrf must be positive, got $kRrf")
+    require(ivfCentroids.isEmpty == (nProbe == 0),
+      "hybridRrfRetrieve: IVF routing takes BOTH a trained codebook and " +
+        s"nProbe > 0 (got centroids=${ivfCentroids.nonEmpty}, nProbe=$nProbe)")
     require(!docs.isStreaming && !queries.isStreaming,
       "hybridRrfRetrieve is batch-only on both sides (corpus-wide " +
         "collection stats + bounded top-k legs); micro-batch a query " +
         "stream via foreachBatch")
+    // fail by name BEFORE the BM25 leg's long cast can corrupt a
+    // non-integral id into NULLs (the bounded heaps carry (id, score))
+    graft.operators.GroupTopK.requireIntegralId(docs, idCol, "hybridRrfRetrieve")
     val lk = if (legK == 0) k else legK
     val bmLeg = bm25Retrieve(docs, idCol, textCol,
         queries.select(col(qIdCol), col(qTextCol)), qIdCol, qTextCol, lk,
         k1, b, broadcastQueries)
       .select(col(qIdCol), col(idCol).cast("long").as(idCol),
         col("rank").cast("long").as("__r"))
-    val annLeg = graft.pipeline.Similarity.bruteForceTopKPartial(
-        docs.select(col(idCol), col(vecCol)),
-        queries.select(col(qIdCol), col(qVecCol).as(vecCol)),
-        idCol, vecCol, qIdCol, lk)
-      .select(col(qIdCol), col(idCol), col("rn").cast("long").as("__r"))
+    val annLeg = (ivfCentroids match {
+      case Some(cent) => graft.pipeline.Ivf.search(
+          docs.select(col(idCol), col(vecCol)),
+          queries.select(col(qIdCol), col(qVecCol).as(vecCol)),
+          idCol, vecCol, qIdCol, cent, topK = lk, nProbe = nProbe,
+          broadcastQueries = broadcastQueries)
+      case None => graft.pipeline.Similarity.bruteForceTopKPartial(
+          docs.select(col(idCol), col(vecCol)),
+          queries.select(col(qIdCol), col(qVecCol).as(vecCol)),
+          idCol, vecCol, qIdCol, lk)
+    }).select(col(qIdCol), col(idCol).cast("long").as(idCol),
+      col("rn").cast("long").as("__r"))
     val fused = bmLeg.unionByName(annLeg)
       .groupBy(col(qIdCol), col(idCol))
       .agg(sum(lit(1.0) / (lit(kRrf.toLong) + col("__r"))).as("__rrf"))
@@ -1284,6 +1311,12 @@ object TextOps {
     * (__t1 = total bigram types as double, __n1p1, __nb{1,2,3}1 count
     * buckets, __v = vocabulary)); every context aggregate also carries
     * its count buckets __nb{1,2,3}{j} for the modified-KN face. */
+  /** Training-pass counter: how many times [[knModel]] has built its
+    * count tables this JVM — ArpaSpec pins the by-language export to ONE
+    * training pass (the count tables train once with the language as a
+    * key; per-language files are slices, not re-trainings). */
+  private[graft] val knModelBuilds = new java.util.concurrent.atomic.AtomicLong(0L)
+
   private[pipeline] def knModel(train: org.apache.spark.sql.DataFrame, textCol: String,
                       order: Int,
                       /** prune RAW counts < minCount at orders >= 2
@@ -1301,11 +1334,17 @@ object TextOps {
                         * global one-row. None keeps today's shared-model
                         * shape byte-for-byte (an empty key prefix changes
                         * nothing). */
-                      langCol: Option[String] = None)
+                      langCol: Option[String] = None,
+                      /** Sentence-mode training ([[Sentences]]): drop the
+                        * lower-order grams whose TARGET is `<s>` and keep
+                        * `<s>` out of the vocabulary — it is padding, a
+                        * context-only token that is never predicted. */
+                      dropBosTargets: Boolean = false)
       : (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame,
          Map[Int, org.apache.spark.sql.DataFrame],
          Map[Int, org.apache.spark.sql.DataFrame],
          org.apache.spark.sql.DataFrame) = {
+    knModelBuilds.incrementAndGet()
     val spark = train.sparkSession
     // materialize the key ONCE under its canonical name (gramsOf
     // re-evaluates its keep expressions on the intermediate frame, so an
@@ -1315,8 +1354,13 @@ object TextOps {
     val keyKeep: Seq[Column] = keyNames.map(col)
     def keyed(names: Seq[String]): Seq[Column] = (keyNames ++ names).map(col)
     def raw(j: Int): org.apache.spark.sql.DataFrame = {
-      val c = gramsOf(train2, textCol, j, gramCols(order, j), keyKeep)
-        .groupBy(keyed(gramCols(order, j)): _*).agg(count(lit(1)).as(s"__cr$j"))
+      val g0 = gramsOf(train2, textCol, j, gramCols(order, j), keyKeep)
+      // sentence mode: a gram ending at the `<s>` padding is not an
+      // event (only the top order is pad-free by construction)
+      val g = if (dropBosTargets)
+        g0.filter(col(gramCols(order, j).last) =!= lit("<s>")) else g0
+      val c = g.groupBy(keyed(gramCols(order, j)): _*)
+        .agg(count(lit(1)).as(s"__cr$j"))
       if (j >= 2 && minCount > 1L) c.filter(col(s"__cr$j") >= minCount) else c
     }
     // independent count builds pin CONCURRENTLY (the ngramModel pattern);
@@ -1357,15 +1401,21 @@ object TextOps {
     }.toMap
     val statAggs = sum(col("__cc1")).cast("double").as("__t1") +:
       (count(lit(1)).as("__n1p1") +: buckets("__cc1", "1"))
+    // sentence mode: `<s>` is padding, not a predictable token — it
+    // stays out of the vocabulary (the `</s>` event IS predictable and
+    // counts, KenLM's convention)
+    def vocabTokens(d: org.apache.spark.sql.DataFrame, keep: Seq[Column]) = {
+      val t = d.select(keep :+ explode(words(col(textCol))).as("__t"): _*)
+      if (dropBosTargets) t.where(col("__t") =!= lit("<s>")) else t
+    }
     val stats = langCol match {
       case None =>
         cont(1).agg(statAggs.head, statAggs.tail: _*)
-          .crossJoin(train.select(explode(words(col(textCol))).as("__t"))
+          .crossJoin(vocabTokens(train, Nil)
             .agg(count_distinct(col("__t")).as("__v")))
       case Some(_) =>
         val t1s = cont(1).groupBy(col("__l")).agg(statAggs.head, statAggs.tail: _*)
-        val vocabs = train2
-          .select(col("__l").as("__lv"), explode(words(col(textCol))).as("__t"))
+        val vocabs = vocabTokens(train2, Seq(col("__l").as("__lv")))
           .groupBy(col("__lv")).agg(count_distinct(col("__t")).as("__v"))
         // null-safe: a null LANGUAGE is its own model, the engine-wide
         // null-group convention
@@ -1510,7 +1560,7 @@ object TextOps {
     * any bigram has level-1 continuations; higher levels may be absent —
     * their discount columns stay NULL and are never read, because the
     * back-off guards skip a level whose context total is 0/NULL). */
-  private def mknLangDiscounts(order: Int, rawN: org.apache.spark.sql.DataFrame,
+  private[pipeline] def mknLangDiscounts(order: Int, rawN: org.apache.spark.sql.DataFrame,
                                cont: Map[Int, org.apache.spark.sql.DataFrame],
                                fallback: (Double, Double, Double))
       : org.apache.spark.sql.DataFrame = {
@@ -1707,12 +1757,19 @@ object TextOps {
                          * AQE-sized) for a beyond-broadcast model, batch
                          * face only — streaming requires every table to
                          * broadcast. */
-                       broadcastModel: Option[Boolean] = None): graft.api.MStream = {
+                       broadcastModel: Option[Boolean] = None,
+                       /** Sentence-delimited `<s>`/`</s>` windowing on
+                         * BOTH sides ([[Sentences]]) — each sentence
+                         * scores its n words plus one `</s>` event under
+                         * `<s>`-padded contexts; the opt-in that makes a
+                         * sentence-trained artifact ([[Arpa]]'s
+                         * `sentenceMode` export) numerically drop-in. */
+                       sentenceMode: Boolean = false): graft.api.MStream = {
     require(discount > 0 && discount < 1,
       s"discount must be in (0, 1), got $discount")
     knAgainstScore(stream, refDocs, idCol, textCol, refTextCol, order,
       minCount, broadcastModel, "knLmScoreAgainst",
-      (_, _) => knLp(order, discount))
+      (_, _) => knLp(order, discount), sentenceMode = sentenceMode)
   }
 
   /** PER-LANGUAGE Kneser-Ney scoring against a LABELED reference corpus —
@@ -1840,7 +1897,7 @@ object TextOps {
     * carry a NULL `lp` — counted, never summed — so a document whose
     * language has no reference model keeps its position count and takes
     * a NULL score in both modes. */
-  private def byLangApply(stream: graft.api.MStream, idCol: String,
+  private[pipeline] def byLangApply(stream: graft.api.MStream, idCol: String,
                           textCol: String, langCol: String, order: Int,
                           nCol: String,
                           withJoins: org.apache.spark.sql.DataFrame =>
@@ -1988,12 +2045,14 @@ object TextOps {
                         discounts: Map[Int, (Double, Double, Double)] = Map.empty,
                         fallback: (Double, Double, Double) = MknFallback,
                         minCount: Long = 1L,
-                        broadcastModel: Option[Boolean] = None): graft.api.MStream = {
+                        broadcastModel: Option[Boolean] = None,
+                        sentenceMode: Boolean = false): graft.api.MStream = {
     checkMknParams(order, discounts, fallback)
     knAgainstScore(stream, refDocs, idCol, textCol, refTextCol, order,
       minCount, broadcastModel, "mknLmScoreAgainst", (rawN, cont) => mknLp(order,
         if (discounts.nonEmpty) discounts
-        else mknDiscountsFor(order, rawN, cont, fallback)))
+        else mknDiscountsFor(order, rawN, cont, fallback)),
+      sentenceMode = sentenceMode)
   }
 
   /** The shared against-face engine of the KN family: train the model
@@ -2008,7 +2067,8 @@ object TextOps {
                              broadcastModel: Option[Boolean],
                              label: String,
                              lpOf: (org.apache.spark.sql.DataFrame,
-                                    Map[Int, org.apache.spark.sql.DataFrame]) => Column)
+                                    Map[Int, org.apache.spark.sql.DataFrame]) => Column,
+                             sentenceMode: Boolean = false)
       : graft.api.MStream = {
     import org.apache.spark.sql.{Encoder, Row}
     import org.apache.spark.sql.catalyst.encoders.RowEncoder
@@ -2020,7 +2080,11 @@ object TextOps {
         "(the model pins once; a streaming reference has no stable artifact)")
     require(minCount >= 1, s"minCount must be >= 1, got $minCount")
     val df = stream.df
-    val (rawN, ctxN, cont, ctxc, stats) = knModel(refDocs, refTextCol, order, minCount)
+    val train =
+      if (sentenceMode) Sentences.explodeRef(refDocs, refTextCol, order)
+      else refDocs
+    val (rawN, ctxN, cont, ctxc, stats) = knModel(train, refTextCol, order,
+      minCount, dropBosTargets = sentenceMode)
     // one decision per pinned table (raw top order + each continuation
     // level); the derived context aggregates inherit their parent's
     val bcRaw = decideBroadcast(broadcastModel, rawN)
@@ -2047,7 +2111,8 @@ object TextOps {
           (d, c) => d.withColumn(c, lit(st.getAs[Any](c)))
         }
     }
-    againstApply(stream, idCol, textCol, order, "n_grams", withJoins, lp)
+    againstApply(stream, idCol, textCol, order, "n_grams", withJoins, lp,
+      sentenceMode = sentenceMode)
   }
 
   /** The shared batch/streaming APPLY stage of the shared-model against
@@ -2060,14 +2125,23 @@ object TextOps {
                                      textCol: String, order: Int, nCol: String,
                                      withJoins: org.apache.spark.sql.DataFrame =>
                                        org.apache.spark.sql.DataFrame,
-                                     lp: Column): graft.api.MStream = {
+                                     lp: Column,
+                                     /** [[Sentences]] windowing: positions
+                                       * are each sentence's n+1 padded
+                                       * full-order windows instead of the
+                                       * document's sliding windows. */
+                                     sentenceMode: Boolean = false): graft.api.MStream = {
     import org.apache.spark.sql.{Encoder, Row}
     import org.apache.spark.sql.catalyst.encoders.RowEncoder
     import org.apache.spark.sql.types._
     val df = stream.df
     val id = col(idCol)
     if (!df.isStreaming) {
-      val pos = gramsOf(df, textCol, order, gramCols(order, order), Seq(id))
+      val pos =
+        if (sentenceMode)
+          gramsOf(Sentences.explodeDocs(df, id, textCol, order), "__stext",
+            order, gramCols(order, order), Seq(id))
+        else gramsOf(df, textCol, order, gramCols(order, order), Seq(id))
       val scored = withJoins(pos)
         .withColumn("__lp", lp)
         .groupBy(id)
@@ -2077,15 +2151,23 @@ object TextOps {
       return stream.lift(out)
     }
 
-    val ws = words(col(textCol))
-    val pStructs = arrays_zip((1 to order).map(i =>
-      slice(col("__w"), lit(i), size(col("__w")) - (order - 1)).as(s"g$i")): _*)
     val sentinel = array(struct((1 to order).map(i =>
       lit(null).cast("string").as(s"g$i")): _*))
-    val u0 = df.withColumn("__w", ws)
-      .select(id.as("__id"),
-        explode(when(size(col("__w")) >= order, pStructs).otherwise(sentinel)).as("__g"))
-      .select(col("__id") +: (1 to order).map(i => col(s"__g.g$i").as(s"__p$i")): _*)
+    val u0 = if (sentenceMode) {
+      val wins = Sentences.windows(col(textCol), order)
+      df.withColumn("__w", wins)
+        .select(id.as("__id"),
+          explode(when(size(col("__w")) > 0, col("__w")).otherwise(sentinel)).as("__g"))
+        .select(col("__id") +: (1 to order).map(i => col(s"__g.g$i").as(s"__p$i")): _*)
+    } else {
+      val ws = words(col(textCol))
+      val pStructs = arrays_zip((1 to order).map(i =>
+        slice(col("__w"), lit(i), size(col("__w")) - (order - 1)).as(s"g$i")): _*)
+      df.withColumn("__w", ws)
+        .select(id.as("__id"),
+          explode(when(size(col("__w")) >= order, pStructs).otherwise(sentinel)).as("__g"))
+        .select(col("__id") +: (1 to order).map(i => col(s"__g.g$i").as(s"__p$i")): _*)
+    }
     val u = withJoins(u0)
       .select(col("__id"), col("__p1"),
         when(col("__p1").isNotNull, lp).as("__lp"))
@@ -3196,6 +3278,66 @@ object TextOps {
       }
       .withColumnRenamed("__id", idCol)
     stream.lift(out)
+  }
+
+  /** UTF-8 byte order on strings — Spark's and DuckDB's binary string
+    * collation, which Java's UTF-16 `String` order diverges from for
+    * [U+E000, U+FFFF] vs supplementary-plane code points. Every
+    * driver-side tie-break that an oracle mirrors must use THIS order. */
+  private[graft] val Utf8Ordering: Ordering[String] = new Ordering[String] {
+    def compare(a: String, b: String): Int = {
+      val x = a.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      val y = b.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      var i = 0
+      val n = math.min(x.length, y.length)
+      var c = 0
+      while (i < n && c == 0) {
+        c = (x(i) & 0xff) - (y(i) & 0xff)
+        i += 1
+      }
+      if (c != 0) c else x.length - y.length
+    }
+  }
+
+  /** BPE tokenization straight to vocabulary IDS — the BPE cell of the
+    * tokenizer × output matrix ([[graft.pipeline.Unigram.encodeIds]] is
+    * the unigram cell): the id space derives from the MERGE TABLE alone
+    * (the shipped artifact — no corpus pass), in the HuggingFace-BPE
+    * layout: the in-merge alphabet first (symbols appearing as a merge
+    * side but produced by no merge, UTF-8 byte order), then each merge's
+    * output in rank order (a string two merges both produce takes its
+    * FIRST rank's id once). Pieces outside that vocabulary — characters
+    * no merge ever touched — take `oovId`. Adds `as` (array<bigint>); a
+    * zero-shuffle stateless projection (chained codegen'd replaces + the
+    * [[graft.functions.StrataLookup]] hash table), dual-mode by
+    * construction. */
+  def bpeEncodeIds(stream: graft.api.MStream,
+                   merges: org.apache.spark.sql.DataFrame,
+                   textCol: String, oovId: Long = -1L,
+                   as: String = "ids"): graft.api.MStream = {
+    val df = stream.df
+    require(!df.columns.contains(as),
+      s"bpeEncodeIds input already carries a '$as' column")
+    require(!merges.isStreaming,
+      "bpeEncodeIds: the merge table is a batch artifact")
+    val ms = merges.select(col("merge_rank"), col("lhs"), col("rhs"))
+      .collect().sortBy(_.getInt(0)).map(r => (r.getString(1), r.getString(2))).toSeq
+    require(ms.nonEmpty && ms.length <= 65536,
+      s"bpeEncodeIds: the merge table must be a 1..65536-rule artifact, got ${ms.length}")
+    val outFirstRank = ms.zipWithIndex
+      .groupBy { case ((a, b), _) => a + b }
+      .map { case (p, xs) => p -> xs.map(_._2).min }
+    val atoms = ms.flatMap { case (a, b) => Seq(a, b) }.distinct
+      .filterNot(outFirstRank.contains).sorted(Utf8Ordering)
+    val idOf: Map[String, Long] =
+      (atoms.zipWithIndex.map { case (p, i) => p -> i.toLong } ++
+        outFirstRank.toSeq.sortBy(_._2).zipWithIndex
+          .map { case ((p, _), i) => p -> (atoms.length + i).toLong }).toMap
+    val pieces = flatten(transform(words(col(textCol)),
+      w => bpeSymbols(bpeApply(bpeWrap(w), ms))))
+    val ids = transform(pieces,
+      p => graft.functions.VectorFunctions.strataLookup(p, idOf, oovId))
+    stream.lift(df.withColumn(as, ids))
   }
 
   /** Token-frequency annotation against a REFERENCE corpus sketch: one

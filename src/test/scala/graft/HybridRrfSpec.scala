@@ -123,7 +123,79 @@ class HybridRrfSpec extends SparkSpec {
     assert(ran == direct, "document execution equals the direct API")
   }
 
+  test("IVF-routed dense leg: fusion == RRF over bm25 + Ivf.search ranks") {
+    val k = 5
+    val cents = graft.pipeline.Ivf.train(
+      corpusDf.select(col("doc_id"), col("embedding")),
+      "doc_id", "embedding", k = 3, iters = 2)
+    val got = TextOps.hybridRrfRetrieve(corpusDf, "doc_id", "text", "embedding",
+        queriesDf, "q_id", "q_text", "q_vec", k = k,
+        ivfCentroids = Some(cents), nProbe = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> ((r.getDouble(2), r.getLong(3))))
+      .toMap
+    val (bm, _) = legMaps(k)
+    val ivf = graft.pipeline.Ivf.search(
+        corpusDf.select(col("doc_id"), col("embedding")),
+        queriesDf.select(col("q_id"), col("q_vec").as("embedding")),
+        "doc_id", "embedding", "q_id", cents, topK = k, nProbe = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getInt(3).toLong).toMap
+    assert(got == fuseRef(bm, ivf, k),
+      s"IVF-leg fusion:\n$got\nvs reference over bm25 + Ivf.search")
+    // nProbe < nlist: the routed leg really is a SUBSET view (differs
+    // from brute force on this engineered corpus) — otherwise the test
+    // proves nothing about routing
+    val brute = Similarity.bruteForceTopKPartial(
+        corpusDf.select(col("doc_id"), col("embedding")),
+        queriesDf.select(col("q_id"), col("q_vec").as("embedding")),
+        "doc_id", "embedding", "q_id", k)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getInt(3).toLong).toMap
+    assert(ivf != brute, "probing 2 of 3 cells must differ from brute force here")
+  }
+
+  test("HybridRrf IVF node face: v11 stamp, in-call training run == direct API") {
+    import graft.api.{App, Program}
+    import graft.api.Program._
+    val d = Doc(Seq(External("c"), External("q"),
+      HybridRrf("a", "c", "q", "doc_id", "text", "embedding",
+        "q_id", "q_text", "q_vec", k = 5, ivfCells = 3, nProbe = 2)), Seq("a"))
+    val json = Program.toJson(d)
+    assert(json.contains("\"version\":11") && Program.fromJson(json) == d)
+    val bad = intercept[IllegalArgumentException](Program.fromJson(Program.toJson(
+      Doc(Seq(External("c"), External("q"),
+        HybridRrf("a", "c", "q", "doc_id", "text", "embedding",
+          "q_id", "q_text", "q_vec", k = 5, ivfCells = 3)), Seq("a")))))
+    assert(bad.getMessage.contains("nProbe"), bad.getMessage)
+    val cap = Program.capture(
+      Program.Rec.external("c", graft.api.MStream(corpusDf))
+        .hybridRrfRetrieve(Program.Rec.external("q", graft.api.MStream(queriesDf)),
+          "doc_id", "text", "embedding", "q_id", "q_text", "q_vec", k = 5,
+          ivfCells = 3, nProbe = 2).as("a"))
+    assert(Program.fromJson(Program.toJson(cap)) == cap)
+    val config = new App.Config()
+      .setSource("c", App.Source("list", rows = Some(corpusDf)))
+      .setSource("q", App.Source("list", rows = Some(queriesDf)))
+      .addSink("a", App.Sink("memory"))
+    Program.validate(cap, spark, config)
+    val ran = App.runProgram(spark, config, Program.toJson(cap))
+      .collectFirst { case App.BatchOutput("a", o) => o }.get
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> ((r.getDouble(2), r.getLong(3))))
+      .toMap
+    val cents = graft.pipeline.Ivf.train(
+      corpusDf.select(col("doc_id"), col("embedding")),
+      "doc_id", "embedding", k = 3, iters = 2)
+    val direct = TextOps.hybridRrfRetrieve(corpusDf, "doc_id", "text", "embedding",
+        queriesDf, "q_id", "q_text", "q_vec", k = 5,
+        ivfCentroids = Some(cents), nProbe = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> ((r.getDouble(2), r.getLong(3))))
+      .toMap
+    assert(ran == direct, "in-call IVF training equals the direct API")
+  }
+
   test("contracts: k, legK, kRrf bounds and batch-only") {
+    assert(intercept[IllegalArgumentException](TextOps.hybridRrfRetrieve(
+      corpusDf, "doc_id", "text", "embedding", queriesDf,
+      "q_id", "q_text", "q_vec", k = 3, nProbe = 2))
+      .getMessage.contains("IVF routing"), "nProbe without a codebook")
     assert(intercept[IllegalArgumentException](TextOps.hybridRrfRetrieve(
       corpusDf, "doc_id", "text", "embedding", queriesDf,
       "q_id", "q_text", "q_vec", k = 0)).getMessage.contains("k > 0"))

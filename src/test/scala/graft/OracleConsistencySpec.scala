@@ -19,6 +19,13 @@ class OracleConsistencySpec extends AnyFunSuite {
       "[A-Za-z_][A-Za-z0-9_.]*" +
       java.util.regex.Pattern.quote(""", '[ \t\n\f\r\x0b]+'), x -> x <> '')""")).r
 
+  /** The one canonical SENTENCE-split idiom (terminal-punctuation runs —
+    * Spark `split(text, "[.!?]+")`'s exact mirror; the sentence-mode LM
+    * faces split on it before the word split). */
+  private val SentSplitRe =
+    ("string_split_regex\\([A-Za-z_][A-Za-z0-9_.]*" +
+      java.util.regex.Pattern.quote(""", '[.!?]+')""")).r
+
   test("no oracle uses RE2 \\s — Java and RE2 disagree on vertical tab") {
     for ((name, sql) <- SparkEntry.oracleSql)
       assert(!sql.contains("\\s"),
@@ -29,10 +36,12 @@ class OracleConsistencySpec extends AnyFunSuite {
   test("every oracle that tokenizes uses the one canonical word-split idiom") {
     for ((name, sql) <- SparkEntry.oracleSql if sql.contains("string_split_regex")) {
       val splits = "string_split_regex".r.findAllIn(sql).length
-      val canonical = WordSplitRe.findAllIn(sql).length
+      val canonical = WordSplitRe.findAllIn(sql).length +
+        SentSplitRe.findAllIn(sql).length
       assert(splits == canonical,
         s"$name: ${splits - canonical} string_split_regex call(s) deviate from " +
-          s"the canonical word-split idiom:\n  $WordSplit")
+          s"the canonical word-split idiom:\n  $WordSplit\n" +
+          "(or the canonical sentence-split idiom '[.!?]+')")
     }
   }
 

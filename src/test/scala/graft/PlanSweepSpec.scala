@@ -37,11 +37,14 @@ class PlanSweepSpec extends SparkSpec {
   //  - q_hybrid_rrf: both leg baselines by design — the BM25 leg's
   //    single stats row (q_bm25_batch) and the ANN leg's broadcast
   //    probe set on an inequality condition (q_ann_topk)
+  //  - q_hybrid_rrf_ivf: the BM25 leg's single stats row only — the
+  //    routed dense leg is a cid equi-join (the very point of the IVF
+  //    face; its self-exclusion filter rides the equi-join, not a NLJ)
   private val bnljByDesign =
     Set("q_ngram_jaccard", "q_embed_dedup", "q_ann_topk", "q_bm25", "q_tfidf",
       "q_lm_score", "q_embed_ingest", "q_heavy_hitters", "q_pq_topk",
       "q_ppl_buckets", "q_bm25_batch", "q_lm3_score", "q_lm5_score",
-      "q_kn3_score", "q_mkn3_score", "q_hybrid_rrf")
+      "q_kn3_score", "q_mkn3_score", "q_hybrid_rrf", "q_hybrid_rrf_ivf")
 
   test("no query plans a cartesian product; nested-loop joins only by design") {
     val offenders = scala.collection.mutable.ArrayBuffer.empty[String]

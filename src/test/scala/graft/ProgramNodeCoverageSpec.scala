@@ -238,7 +238,12 @@ class ProgramNodeCoverageSpec extends AnyFunSuite {
       "ngramLmScoreAgainst" -> node("lmnAgainst"),
       "knModel" -> excluded(block), "gramCols" -> excluded(block),
       "gramsOf" -> excluded(block), "againstApply" -> excluded(block),
+      "byLangApply" -> excluded(block),
       "mknDiscountsFor" -> excluded(block),
+      "mknLangDiscounts" -> excluded(block),
+      "knModelBuilds" -> excluded(diag),
+      "Utf8Ordering" -> excluded(const),
+      "bpeEncodeIds" -> node("bpeIds"),
       "checkMknParams" -> excluded(block),
       "ngramLmScoreAgainstByLang" -> node("lmAgainstLang"),
       "lm3ScoreAgainst" -> node("lm3Against"),
@@ -357,6 +362,10 @@ class ProgramNodeCoverageSpec extends AnyFunSuite {
       "trainVocab" -> excluded(artifact),
       "tokenize" -> node("unigramEncode"),
       "encodeIds" -> node("unigramIds"),
+      "exportVocab" -> excluded(artifact),
+      "importVocab" -> excluded(artifact),
+      "tokenizeImported" -> node("spTokenize"),
+      "encodeIdsImported" -> node("spIds"),
       "segmentExpr" -> excluded(block)))
     check("graft.pipeline.Arpa$", Map(
       "arpaExportKn" -> excluded(artifact),
@@ -364,7 +373,11 @@ class ProgramNodeCoverageSpec extends AnyFunSuite {
       "arpaExportMknByLang" -> excluded(artifact),
       "arpaExportMkn" -> excluded(artifact),
       "arpaImport" -> excluded(artifact),
-      "arpaScoreAgainst" -> node("arpaScore")))
+      "arpaImportDir" -> excluded(artifact),
+      "fileNameOf" -> excluded(block),
+      "langOfFileName" -> excluded(block),
+      "arpaScoreAgainst" -> node("arpaScore"),
+      "arpaScoreAgainstByLang" -> node("arpaScoreLang")))
     check("graft.operators.GroupTopK$", Map(
       "topKPerKey" -> node("topkPerKey"),
       "requireIntegralId" -> excluded(block)))

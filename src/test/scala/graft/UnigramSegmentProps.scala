@@ -81,4 +81,62 @@ object UnigramSegmentProps extends Properties("UnigramSegment") {
       val rebuild = got.mkString == text.split("\\s+").filter(_.nonEmpty).mkString
       (got == want) && rebuild
     }
+
+  /** Plain-Scala LOG-space reference: sums instead of products, −1000.0
+    * for unknown single code points, −1e18 for unknown longer pieces. */
+  private def refSegmentTextLog(text: String, lps: Map[String, Double],
+                                maxL: Int): Seq[String] = {
+    def isWs(cp: Int) = cp == ' ' || cp == '\t' || cp == '\n' ||
+      cp == '\u000B' || cp == '\f' || cp == '\r'
+    val cps = text.codePoints().toArray
+    val out = scala.collection.mutable.ArrayBuffer.empty[String]
+    var i = 0
+    while (i < cps.length) {
+      while (i < cps.length && isWs(cps(i))) i += 1
+      var j = i
+      while (j < cps.length && !isWs(cps(j))) j += 1
+      if (j > i) {
+        val n = j - i
+        val dp = new Array[Double](n + 1); val bl = new Array[Int](n + 1)
+        dp(0) = 0.0
+        for (k <- 1 to n) {
+          var bs = Double.NegativeInfinity; var bb = 0
+          for (l <- 1 to math.min(maxL, k)) {
+            val piece = new String(cps, i + k - l, l)
+            val p = lps.getOrElse(piece, if (l == 1) -1000.0 else -1e18)
+            val cand = dp(k - l) + p
+            if (cand >= bs) { bs = cand; bb = l }
+          }
+          dp(k) = bs; bl(k) = bb
+        }
+        var pos = n
+        val ps = scala.collection.mutable.ArrayBuffer.empty[String]
+        while (pos > 0) { ps += new String(cps, i + pos - bl(pos), bl(pos)); pos -= bl(pos) }
+        out ++= ps.reverse
+      }
+      i = j
+    }
+    out.toSeq
+  }
+
+  private val lpVocabGen: Gen[Map[String, Double]] = for {
+    n <- Gen.choose(1, 12)
+    pieces <- Gen.listOfN(n, Gen.listOfN(2, alpha).map(_.mkString.take(3)))
+    lps <- Gen.listOfN(n, Gen.choose(-20.0, -0.001))
+  } yield pieces.zip(lps).toMap
+
+  property("log-space eval == definitional log fold (the SP-vocab face)") =
+    forAll(textGen, lpVocabGen, Gen.choose(1, 4)) { (text, lps, maxL) =>
+      val ks = lps.keys.toSeq.sorted
+      val e = UnigramSegment(Literal(UTF8String.fromString(text),
+        org.apache.spark.sql.types.StringType), ks, ks.map(lps), maxL,
+        logSpace = true)
+      val got = e.eval(null)
+        .asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+        .toObjectArray(org.apache.spark.sql.types.StringType)
+        .map(_.asInstanceOf[UTF8String].toString).toSeq
+      val want = refSegmentTextLog(text, lps, maxL)
+      val rebuild = got.mkString == text.split("\\s+").filter(_.nonEmpty).mkString
+      (got == want) && rebuild
+    }
 }

@@ -237,6 +237,151 @@ class UnigramSpec extends SparkSpec {
     } finally graft.api.Pinned.release(spark)
   }
 
+  test("SentencePiece .vocab export -> import round-trips pieces AND ids") {
+    val docs = corpus.toDF("doc_id", "text")
+    try {
+      val vocab = Unigram.trainVocab(docs, "text", vocabSize = 30,
+        maxPieceLen = 3, emRounds = 2, seedSize = 50)
+      val path = java.nio.file.Files.createTempDirectory("sp_rt")
+        .resolve("rt.vocab").toString
+      Unigram.exportVocab(vocab, path)
+      // the file is piece<TAB>score in (cnt desc, piece) order — the id order
+      val lines = scala.io.Source.fromFile(path, "UTF-8").getLines().toVector
+      assert(lines.nonEmpty && lines.forall(_.count(_ == '\t') == 1))
+      val fileOrder = lines.map(_.split('\t')(0))
+      val wantOrder = vocab.collect()
+        .map(r => (r.getString(0), r.getLong(1))).toSeq
+        .sortBy { case (p, c) => (-c, p) }.map(_._1)
+      assert(fileOrder == wantOrder, "line order = (cnt desc, piece) = the id order")
+      val imported = Unigram.importVocab(spark, path)
+      // pieces: imported (log-space) face == in-session (product) face
+      val inPieces = Unigram.tokenize(MStream(docs), vocab, "text", maxPieceLen = 3)
+        .df.select(col("doc_id"), col("pieces")).collect()
+        .map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+      val spPieces = Unigram.tokenizeImported(MStream(docs), imported, "text")
+        .df.select(col("doc_id"), col("pieces")).collect()
+        .map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+      assert(spPieces == inPieces,
+        "log-space segmentation under the exported scores reproduces the " +
+          "in-session product-space segmentation")
+      // ids: sp_id (line number) == encodeIds rank by construction
+      val inIds = Unigram.encodeIds(MStream(docs), vocab, "text", maxPieceLen = 3)
+        .df.select(col("doc_id"), col("ids")).collect()
+        .map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+      val spIds = Unigram.encodeIdsImported(MStream(docs), imported, "text")
+        .df.select(col("doc_id"), col("ids")).collect()
+        .map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+      assert(spIds == inIds)
+    } finally graft.api.Pinned.release(spark)
+  }
+
+  test("foreign .vocab fixture: log-space back-off arithmetic by hand") {
+    val path = java.nio.file.Files.createTempDirectory("sp_foreign")
+      .resolve("foreign.vocab").toString
+    // SentencePiece layout: piece<TAB>score (natural-log), line = id
+    java.nio.file.Files.write(java.nio.file.Paths.get(path),
+      "ab\t-0.5\na\t-1.0\nb\t-1.2\nc\t-3.0\naa\t-2.0\n".getBytes("UTF-8"))
+    val imported = Unigram.importVocab(spark, path)
+    assert(imported.collect().map(r => (r.getString(0), r.getLong(2))).toMap ==
+      Map("ab" -> 0L, "a" -> 1L, "b" -> 2L, "c" -> 3L, "aa" -> 4L),
+      "sp_id is the 0-based line number")
+    val docs = Seq((1L, "abc"), (2L, "abq"), (3L, "aa"), (4L, "")).toDF("doc_id", "text")
+    val got = Unigram.encodeIdsImported(MStream(docs), imported, "text")
+      .df.select(col("doc_id"), col("ids")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    // "abc": [ab c] = -3.5 beats [a b c] = -5.2 -> ids [0, 3]
+    assert(got(1L) == Seq(0L, 3L))
+    // "abq": q unknown -> [ab q] -> [0, oov]
+    assert(got(2L) == Seq(0L, -1L))
+    // "aa": [aa] = -2.0 TIES [a a] = -2.0 -> longer piece wins -> [4]
+    assert(got(3L) == Seq(4L))
+    assert(got(4L) == Seq())
+    val pieces = Unigram.tokenizeImported(MStream(docs), imported, "text")
+      .df.select(col("doc_id"), col("pieces")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+    assert(pieces(1L) == Seq("ab", "c") && pieces(2L) == Seq("ab", "q") &&
+      pieces(3L) == Seq("aa"))
+  }
+
+  test("imported faces: streaming == batch (zero-shuffle projection)") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.streaming.OutputMode
+    implicit val sqlCtx = spark.sqlContext
+    val path = java.nio.file.Files.createTempDirectory("sp_stream")
+      .resolve("s.vocab").toString
+    java.nio.file.Files.write(java.nio.file.Paths.get(path),
+      "ab\t-0.5\na\t-1.0\nb\t-1.2\n".getBytes("UTF-8"))
+    val imported = Unigram.importVocab(spark, path)
+    val rows = Seq((1L, "ab a b"), (2L, "ba"), (3L, ""))
+    val batch = Unigram.encodeIdsImported(
+        MStream(rows.toDF("doc_id", "text")), imported, "text")
+      .df.select(col("doc_id"), col("ids")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    val in = MemoryStream[(Long, String)]
+    val out = Unigram.encodeIdsImported(
+      MStream(in.toDF().toDF("doc_id", "text")), imported, "text")
+    assert(out.df.isStreaming)
+    in.addData(rows: _*)
+    val name = s"sp_${System.nanoTime()}"
+    val q = out.df.select(col("doc_id"), col("ids")).writeStream
+      .format("memory").queryName(name).outputMode(OutputMode.Append()).start()
+    try {
+      q.processAllAvailable()
+      assert(q.lastProgress == null ||
+        q.lastProgress.stateOperators.forall(_.numRowsTotal == 0L))
+      assert(spark.table(name).collect()
+        .map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap == batch)
+    } finally q.stop()
+  }
+
+  test("SpTokenize/SpIds nodes: v11 stamp, codec identity, document run") {
+    import graft.api.Program
+    import graft.api.Program._
+    val path = java.nio.file.Files.createTempDirectory("sp_node")
+      .resolve("n.vocab").toString
+    java.nio.file.Files.write(java.nio.file.Paths.get(path),
+      "ab\t-0.5\na\t-1.0\nb\t-1.2\n".getBytes("UTF-8"))
+    val d = Doc(Seq(External("in"),
+      SpTokenize("p", "in", path, "text"),
+      SpIds("a", "p", path, "text", as = "tok_ids")), Seq("a"))
+    val json = Program.toJson(d)
+    assert(json.contains("\"version\":11") && Program.fromJson(json) == d)
+    val docs = Seq((1L, "ab b"), (2L, "")).toDF("doc_id", "text")
+    try {
+      val cap = Program.capture(
+        Program.Rec.external("in", MStream(docs))
+          .spEncodeIds(path, "text").as("a"))
+      assert(Program.fromJson(Program.toJson(cap)) == cap)
+      val config = new graft.api.App.Config()
+        .setSource("in", graft.api.App.Source("list", rows = Some(docs)))
+        .addSink("a", graft.api.App.Sink("memory"))
+      Program.validate(cap, spark, config)
+      val out = graft.api.App.runProgram(spark, config, Program.toJson(cap))
+        .collectFirst { case graft.api.App.BatchOutput("a", o) => o }.get
+        .collect().map(r => r.getLong(0) -> r.getSeq[Long](2)).toMap
+      assert(out == Map(1L -> Seq(0L, 2L), 2L -> Seq()))
+    } finally graft.api.Pinned.release(spark)
+  }
+
+  test("importVocab contracts: malformed, duplicate, oversized pieces") {
+    def write(name: String, content: String): String = {
+      val p = java.nio.file.Files.createTempDirectory("sp_bad").resolve(name)
+      java.nio.file.Files.write(p, content.getBytes("UTF-8"))
+      p.toString
+    }
+    assert(intercept[IllegalArgumentException](Unigram.importVocab(spark,
+      write("m.vocab", "nolp\n"))).getMessage.contains("malformed"))
+    assert(intercept[IllegalArgumentException](Unigram.importVocab(spark,
+      write("d.vocab", "a\t-1.0\na\t-2.0\n"))).getMessage.contains("twice"))
+    val big = Unigram.importVocab(spark,
+      write("l.vocab", "abcdefghijklmnopq\t-1.0\n")) // 17 code points
+    assert(intercept[IllegalArgumentException](Unigram.tokenizeImported(
+      MStream(Seq((1L, "x")).toDF("doc_id", "text")), big, "text"))
+      .getMessage.contains("16"))
+    assert(intercept[IllegalArgumentException](Unigram.importVocab(spark,
+      write("e.vocab", ""))).getMessage.contains("1..65536"))
+  }
+
   test("contracts: bounds, vocab shape, streaming trainer rejection") {
     val docs = corpus.take(5).toDF("doc_id", "text")
     assert(intercept[IllegalArgumentException](Unigram.trainVocab(
