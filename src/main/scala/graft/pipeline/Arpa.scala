@@ -282,43 +282,49 @@ object Arpa {
     val v = st.getAs[Long]("__v")
     val unkLp10 = math.log10(unkNum(st) / t1 * (1.0 / (v + 1.0)))
 
-    // header counts first (one count() per level, driver scalars)
-    val levelFrames = (1 to order).map(j => j -> entries(j)).toMap
-    val counts = (1 to order).map(j => j -> levelFrames(j).count()).toMap
-    val total = counts.values.sum + 1
-    val cap = maxEntries(spark)
-    require(total <= cap,
-      s"arpaExport: $total entries exceed graft.arpa.maxEntries = $cap — " +
-        "an ARPA file is a driver-sized artifact; prune harder (minCount) " +
-        "or raise the conf deliberately (together with driver memory: " +
-        "import buffers ~150-250 bytes per entry)")
-
-    // Hadoop FS streams (the Artifacts convention): local paths on
-    // local[*], object-store URIs on a cluster — the artifact layer must
-    // not be the one local-only piece of the deployment story
-    val p = new org.apache.hadoop.fs.Path(path)
-    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val w = new java.io.BufferedWriter(new java.io.OutputStreamWriter(
-      fs.create(p, true), java.nio.charset.StandardCharsets.UTF_8))
+    // each level frame has TWO consumers — the header count and the
+    // sorted section stream — and its multi-way join over the pinned
+    // tables is the expensive part: persist it for the file's lifetime
+    // so the joins run once (released in the finally, leak-safe)
+    val levelFrames = (1 to order).map(j => j -> entries(j).persist()).toMap
     try {
-      w.write("\\data\\\n")
-      for (j <- 1 to order)
-        w.write(s"ngram $j=${counts(j) + (if (j == 1) 1 else 0)}\n")
-      for (j <- 1 to order) {
-        w.write(s"\n\\$j-grams:\n")
-        if (j == 1) w.write(s"${fmt(unkLp10)}\t<unk>\n")
-        val it = levelFrames(j).sort(keys(j).map(col): _*).toLocalIterator()
-        while (it.hasNext) {
-          val r = it.next()
-          val gram = (0 until j).map(r.getString).mkString(" ")
-          val lp = fmt(r.getDouble(j))
-          if (j < order && !r.isNullAt(j + 1))
-            w.write(s"$lp\t$gram\t${fmt(r.getDouble(j + 1))}\n")
-          else w.write(s"$lp\t$gram\n")
+      // header counts first (one count() per level, driver scalars)
+      val counts = (1 to order).map(j => j -> levelFrames(j).count()).toMap
+      val total = counts.values.sum + 1
+      val cap = maxEntries(spark)
+      require(total <= cap,
+        s"arpaExport: $total entries exceed graft.arpa.maxEntries = $cap — " +
+          "an ARPA file is a driver-sized artifact; prune harder (minCount) " +
+          "or raise the conf deliberately (together with driver memory: " +
+          "import buffers ~150-250 bytes per entry)")
+
+      // Hadoop FS streams (the Artifacts convention): local paths on
+      // local[*], object-store URIs on a cluster — the artifact layer must
+      // not be the one local-only piece of the deployment story
+      val p = new org.apache.hadoop.fs.Path(path)
+      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val w = new java.io.BufferedWriter(new java.io.OutputStreamWriter(
+        fs.create(p, true), java.nio.charset.StandardCharsets.UTF_8))
+      try {
+        w.write("\\data\\\n")
+        for (j <- 1 to order)
+          w.write(s"ngram $j=${counts(j) + (if (j == 1) 1 else 0)}\n")
+        for (j <- 1 to order) {
+          w.write(s"\n\\$j-grams:\n")
+          if (j == 1) w.write(s"${fmt(unkLp10)}\t<unk>\n")
+          val it = levelFrames(j).sort(keys(j).map(col): _*).toLocalIterator()
+          while (it.hasNext) {
+            val r = it.next()
+            val gram = (0 until j).map(r.getString).mkString(" ")
+            val lp = fmt(r.getDouble(j))
+            if (j < order && !r.isNullAt(j + 1))
+              w.write(s"$lp\t$gram\t${fmt(r.getDouble(j + 1))}\n")
+            else w.write(s"$lp\t$gram\n")
+          }
         }
-      }
-      w.write("\n\\end\\\n")
-    } finally w.close()
+        w.write("\n\\end\\\n")
+      } finally w.close()
+    } finally levelFrames.values.foreach(_.unpersist(blocking = true))
   }
 
   /** Shortest round-trip decimal text of a double (Double.toString —
@@ -433,21 +439,38 @@ object Arpa {
         val names = statRows.map(langOf)
           .sorted(Ordering.fromLessThan[String]((a, b) =>
             (if (a == null) "" else a) < (if (b == null) "" else b)))
-        names.map { l =>
-          def slice(t: DataFrame): DataFrame =
-            t.filter(col("__l") === keyLit(l)).drop("__l")
-          val st = statRows.find(r => langOf(r) == l).get
-          val (disc, gnum, unkNum) =
-            mkDiscOf(if (needDiscounts) dsByLang(l) else Map.empty)
-          val path = new org.apache.hadoop.fs.Path(dir,
-            s"${fileNameOf(l)}.arpa").toString
-          writeArpa(spark, order, path,
-            ModelTables(slice(rawN), slice(ctxN),
-              cont.map { case (j, d) => j -> slice(d) },
-              ctxc.map { case (j, d) => j -> slice(d) }),
-            st, disc, gnum, unkNum)
-          (l, path)
-        }.toSeq
+        // every language's file streams from slices of the SAME pinned
+        // tables, so the writes are independent jobs: submit them
+        // concurrently (the multi-pin pattern — per-file determinism is
+        // untouched, each future writes its own file)
+        import scala.concurrent.{Await, Future}
+        import scala.concurrent.ExecutionContext.Implicits.global
+        import scala.concurrent.duration.Duration
+        val futs: Seq[Future[(String, String)]] = names.toSeq.map { l =>
+          Future {
+            def slice(t: DataFrame): DataFrame =
+              t.filter(col("__l") === keyLit(l)).drop("__l")
+            val st = statRows.find(r => langOf(r) == l).get
+            val (disc, gnum, unkNum) =
+              mkDiscOf(if (needDiscounts) dsByLang(l) else Map.empty)
+            val path = new org.apache.hadoop.fs.Path(dir,
+              s"${fileNameOf(l)}.arpa").toString
+            writeArpa(spark, order, path,
+              ModelTables(slice(rawN), slice(ctxN),
+                cont.map { case (j, d) => j -> slice(d) },
+                ctxc.map { case (j, d) => j -> slice(d) }),
+              st, disc, gnum, unkNum)
+            (l, path)
+          }
+        }
+        // settle EVERY future before rethrowing a failure: the scope
+        // releases on exit, and an in-flight sibling must not be left
+        // persisting level frames after that
+        val settled = Await.result(
+          Future.sequence(futs.map(_.transform(scala.util.Success(_)))),
+          Duration.Inf)
+        settled.collectFirst { case scala.util.Failure(e) => throw e }
+        settled.map(_.get)
       } finally scope.release()
     }
   }
