@@ -3867,6 +3867,218 @@ object QueriesPipeline {
           coalesce(i.id_checksum, 0)::BIGINT AS id_checksum, i.first_id::BIGINT AS first_id
         FROM documents d LEFT JOIN ids i USING (doc_id)"""
 
+  private val WpRounds = 6
+
+  /** WordPiece training mirror (Schuster & Nakajima 2012, the
+    * HuggingFace trainer statistic): `WpRounds` unrolled rounds over the
+    * `##`-prefixed bracketed-symbol vocabulary — per round SYMBOL counts
+    * (s\$r, over ALL words: one-symbol words still feed the
+    * denominators), pair counts (p\$r), argmax of
+    * n / (ca · cb) — ONE division of ONE product, the exact IEEE op
+    * sequence the Scala side runs — with (a, b) binary-order ties, then
+    * the greedy bracketed literal-replace rewrite (merged symbol = a ||
+    * b minus its `##` prefix). `trainFilter` restricts the TRAINING
+    * corpus (the held-out-application faces); the final `vocabv` CTE is
+    * the id layout: [UNK]=0, alphabet in binary order, merge outputs by
+    * rank, later collisions skipped (UNION ALL wrapped in a subquery so
+    * the CTEs stay recursion-safe under WITH RECURSIVE). */
+  private def wpTrainingCtes(trainFilter: String): String = {
+    val rounds = (1 to WpRounds).map { r =>
+      s"""wy$r AS MATERIALIZED (SELECT string_split(s[2:len(s) - 1], chr(3) || chr(2)) AS y, c FROM wv${r - 1}),
+        ws$r AS MATERIALIZED (SELECT sym, sum(c)::BIGINT AS cnt
+                 FROM (SELECT unnest(y) AS sym, c FROM wy$r) GROUP BY sym),
+        wp$r AS MATERIALIZED (SELECT a, b, sum(c)::BIGINT AS n FROM (
+                   SELECT unnest(y[1:len(y) - 1]) AS a, unnest(y[2:len(y)]) AS b, c
+                   FROM wy$r WHERE len(y) >= 2)
+                 GROUP BY 1, 2),
+        wb$r AS MATERIALIZED (SELECT p.a AS a, p.b AS b FROM wp$r p
+                 JOIN ws$r sa ON p.a = sa.sym JOIN ws$r sb ON p.b = sb.sym
+                 ORDER BY p.n::DOUBLE / (sa.cnt::DOUBLE * sb.cnt::DOUBLE) DESC, p.a, p.b
+                 LIMIT 1),
+        wv$r AS MATERIALIZED (SELECT replace(v.s,
+                   chr(2) || b.a || chr(3) || chr(2) || b.b || chr(3),
+                   chr(2) || b.a ||
+                     CASE WHEN b.b LIKE '##%' THEN b.b[3:len(b.b)] ELSE b.b END ||
+                     chr(3)) AS s, v.c
+                 FROM wv${r - 1} v CROSS JOIN wb$r b)"""
+    }.mkString(",\n        ")
+    val mouts = (1 to WpRounds).map(r =>
+      s"SELECT a || CASE WHEN b LIKE '##%' THEN b[3:len(b)] ELSE b END AS merged, $r AS mr FROM wb$r")
+      .mkString("\n          UNION ALL ")
+    s"""trwords AS (SELECT list_filter(string_split_regex(text, '[ \\t\\n\\f\\r\\x0b]+'), x -> x <> '') AS w
+                    FROM documents $trainFilter),
+        twf AS (SELECT word, count(*)::BIGINT AS c
+                FROM (SELECT unnest(w) AS word FROM trwords) GROUP BY word),
+        -- coalesce: DuckDB's array_to_string([], '') is NULL, which would
+        -- drop every single-character word from the working set
+        wv0 AS MATERIALIZED (SELECT chr(2) || word[1:1] || chr(3) ||
+                  coalesce(array_to_string([chr(2) || '##' || ch || chr(3)
+                    for ch in list_filter(string_split(word[2:len(word)], ''), x -> x <> '')], ''), '') AS s,
+                  c
+                FROM twf),
+        $rounds,
+        walpha AS MATERIALIZED (SELECT DISTINCT unnest(string_split(s[2:len(s) - 1], chr(3) || chr(2))) AS sym
+                   FROM wv0),
+        wmouts AS MATERIALIZED (SELECT merged, min(mr) AS mr FROM ($mouts) GROUP BY merged),
+        vocabv AS MATERIALIZED (SELECT piece, row_number() OVER (ORDER BY grp, srt1, srt2) - 1 AS wp_id
+                   FROM (SELECT * FROM (
+                     (SELECT '[UNK]' AS piece, 0 AS grp, '' AS srt1, 0 AS srt2)
+                     UNION ALL
+                     (SELECT sym, 1, sym, 0 FROM walpha WHERE sym <> '[UNK]')
+                     UNION ALL
+                     (SELECT merged, 2, '', mr FROM wmouts m
+                      WHERE merged <> '[UNK]'
+                        AND NOT EXISTS (SELECT 1 FROM walpha a WHERE a.sym = m.merged)))))"""
+  }
+
+  /** The greedy longest-match-first encode pass over the DISTINCT words
+    * of the APPLICATION corpus (the `words` CTE): `wst` advances one
+    * matched piece per recursion step — at each position the longest l
+    * with a vocabulary hit (word-initial candidates verbatim,
+    * word-internal `##`-prefixed), no hit (or an over-100-code-point
+    * word) collapsing the WHOLE word to [UNK]; `wpz` holds each word's
+    * final piece list. */
+  private val wpEncodeCtes: String =
+    s"""words0 AS MATERIALIZED (SELECT DISTINCT word FROM (SELECT unnest(w) AS word FROM words)),
+        wmv AS MATERIALIZED (SELECT map_from_entries(list(struct_pack(k := piece, v := 1))) AS m,
+                 max(len(piece)) AS ml FROM vocabv),
+        wst AS (
+          SELECT word, CASE WHEN len(word) > 100 THEN len(word) ELSE 0 END AS pos,
+            CASE WHEN len(word) > 100 THEN ['[UNK]'] ELSE []::VARCHAR[] END AS ps,
+            m, ml
+          FROM words0, wmv
+          UNION ALL
+          SELECT word,
+            CASE WHEN bl = 0 THEN len(word) ELSE pos + bl END,
+            CASE WHEN bl = 0 THEN ['[UNK]']
+                 ELSE list_append(ps, CASE WHEN pos = 0 THEN word[1:bl]
+                                          ELSE '##' || word[pos + 1:pos + bl] END) END,
+            m, ml
+          FROM (
+            SELECT word, pos, ps, m, ml,
+              list_reduce(
+                list_transform(range(1, least(ml, len(word) - pos) + 1),
+                  l -> CASE WHEN len(m[CASE WHEN pos = 0 THEN word[1:l]
+                                         ELSE '##' || word[pos + 1:pos + l] END]) > 0
+                            THEN l ELSE 0 END),
+                (a, b) -> greatest(a, b)) AS bl
+            FROM wst WHERE pos < len(word))),
+        wpz AS MATERIALIZED (SELECT word, ps FROM wst WHERE pos = len(word))"""
+
+  /** WordPiece vocabulary training (the BERT tokenizer family —
+    * likelihood-scored merges, completing the big-three tokenizer
+    * matrix next to BPE and unigram): the trained (wp_id, piece)
+    * artifact itself. The oracle re-runs every round — symbol + pair
+    * counts, the n/(ca·cb) argmax, the bracketed rewrite — and the id
+    * layout relationally. */
+  def qWordpieceVocab(spark: SparkSession, dir: String): DataFrame =
+    graft.pipeline.WordPiece.trainVocab(Tables.documents(spark, dir).df, "text", WpRounds)
+
+  val qWordpieceVocabSql: String =
+    s"""WITH ${wpTrainingCtes("")}
+        SELECT wp_id::BIGINT AS wp_id, piece FROM vocabv"""
+
+  /** WordPiece greedy encode with a HELD-OUT vocabulary: train on
+    * doc_id % 3 <> 0, encode EVERY document — held-out docs can carry
+    * characters the training alphabet never saw, so the [UNK] collapse
+    * path is exercised on real data. Output: per-doc token count +
+    * portable hash of the space-joined piece sequence (the BPE face's
+    * shape). */
+  def qWordpieceEncode(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir).df
+    val vocab = graft.pipeline.WordPiece.trainVocab(
+      docs.where(col("doc_id") % 3 =!= 0), "text", WpRounds)
+    graft.pipeline.WordPiece.encode(
+      graft.api.MStream(docs), vocab, "doc_id", "text").df
+  }
+
+  val qWordpieceEncodeSql: String =
+    s"""WITH RECURSIVE
+        ${wpTrainingCtes("WHERE doc_id % 3 <> 0")},
+        words AS (SELECT doc_id, list_filter(string_split_regex(text, '[ \\t\\n\\f\\r\\x0b]+'), x -> x <> '') AS w FROM documents),
+        $wpEncodeCtes,
+        docw AS (SELECT doc_id, unnest(w) AS word, unnest(range(1, len(w) + 1)) AS widx
+                 FROM words),
+        enc AS (SELECT doc_id, flatten(list(ps ORDER BY widx)) AS pieces
+                FROM docw JOIN wpz USING (word) GROUP BY doc_id),
+        agg AS (SELECT doc_id, len(pieces)::BIGINT AS n_wp_tokens,
+                  list_reduce([0] || [ord(c)::BIGINT for c in string_split(
+                    array_to_string(pieces, ' '), '')],
+                    (a, c) -> (a * 31 + c) % 1000000007) AS tok_hash
+                FROM enc)
+        SELECT d.doc_id, coalesce(a.n_wp_tokens, 0)::BIGINT AS n_wp_tokens,
+          coalesce(a.tok_hash, 0)::BIGINT AS tok_hash
+        FROM documents d LEFT JOIN agg a USING (doc_id)"""
+
+  /** WordPiece tokenization straight to vocabulary ids — the WordPiece
+    * cell of the tokenizer × output matrix (q_bpe_ids / q_unigram_ids
+    * are the other cells): full-corpus vocabulary, ids = the trained
+    * wp_id layout; per-doc scalar checks keep the oracle array-free. */
+  def qWordpieceIds(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir).df
+    val vocab = graft.pipeline.WordPiece.trainVocab(docs, "text", WpRounds)
+    graft.pipeline.WordPiece.encodeIds(graft.api.MStream(docs), vocab, "text").df
+      .select(col("doc_id"), size(col("ids")).cast("long").as("n_ids"),
+        aggregate(col("ids"), lit(0L), (a, x) => a + x).as("id_checksum"),
+        element_at(col("ids"), 1).as("first_id"))
+  }
+
+  val qWordpieceIdsSql: String =
+    s"""WITH RECURSIVE
+        ${wpTrainingCtes("")},
+        words AS (SELECT doc_id, list_filter(string_split_regex(text, '[ \\t\\n\\f\\r\\x0b]+'), x -> x <> '') AS w FROM documents),
+        $wpEncodeCtes,
+        docw AS (SELECT doc_id, unnest(w) AS word, unnest(range(1, len(w) + 1)) AS widx
+                 FROM words),
+        enc AS (SELECT doc_id, flatten(list(ps ORDER BY widx)) AS pieces
+                FROM docw JOIN wpz USING (word) GROUP BY doc_id),
+        pp AS (SELECT doc_id, unnest(pieces) AS piece,
+                 unnest(range(1, len(pieces) + 1)) AS ppos FROM enc),
+        ids AS (SELECT pp.doc_id AS doc_id, count(*) AS n_ids,
+                  sum(coalesce(v.wp_id, -1))::BIGINT AS id_checksum,
+                  max(CASE WHEN pp.ppos = 1 THEN coalesce(v.wp_id, -1) END) AS first_id
+                FROM pp LEFT JOIN vocabv v USING (piece) GROUP BY pp.doc_id)
+        SELECT d.doc_id, coalesce(i.n_ids, 0)::BIGINT AS n_ids,
+          coalesce(i.id_checksum, 0)::BIGINT AS id_checksum, i.first_id::BIGINT AS first_id
+        FROM documents d LEFT JOIN ids i USING (doc_id)"""
+
+  /** The BERT `vocab.txt` interop loop: the held-out-trained vocabulary
+    * EXPORTS as the standard one-piece-per-line file (line number =
+    * id), imports back, and every document encodes against the
+    * IMPORTED frame — the disk round trip is semantically transparent,
+    * so the oracle is exactly q_wordpiece_encode's (the q_ppl_artifact
+    * pattern). */
+  def qWordpieceImport(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir).df
+    val vocab = graft.pipeline.WordPiece.trainVocab(
+      docs.where(col("doc_id") % 3 =!= 0), "text", WpRounds)
+    val path = java.nio.file.Files.createTempDirectory("graft_wp")
+      .resolve("vocab.txt").toString
+    graft.pipeline.WordPiece.exportVocab(vocab, path)
+    val imported = graft.pipeline.WordPiece.importVocab(spark, path)
+    graft.pipeline.WordPiece.encode(
+      graft.api.MStream(docs), imported, "doc_id", "text").df
+  }
+
+  val qWordpieceImportSql: String = qWordpieceEncodeSql
+
+  /** The GPT-2 `merges.txt` interop loop: the trained BPE merge table
+    * EXPORTS as the standard `#version` + `lhs rhs` lines file, imports
+    * back, and every document tokenizes against the IMPORTED table —
+    * the round trip is semantically transparent, so the oracle is
+    * exactly q_bpe_encode's. */
+  def qBpeImport(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir).df
+    val merges = TextOps.trainBpeMerges(docs, "text", BpeRounds)
+    val path = java.nio.file.Files.createTempDirectory("graft_bpe")
+      .resolve("merges.txt").toString
+    TextOps.bpeExportMerges(merges, path)
+    val imported = TextOps.bpeImportMerges(spark, path)
+    TextOps.bpeTokenize(docs, "doc_id", "text", imported)
+  }
+
+  val qBpeImportSql: String = qBpeEncodeSql
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_ivf_ann" -> (qIvfAnn _),
     "q_dedup_exact" -> (qDedupExact _),
@@ -3892,6 +4104,11 @@ object QueriesPipeline {
     "q_hybrid_rrf_ivf" -> (qHybridRrfIvf _),
     "q_bpe_ids" -> (qBpeIds _),
     "q_unigram_sp" -> (qUnigramSp _),
+    "q_wordpiece_vocab" -> (qWordpieceVocab _),
+    "q_wordpiece_encode" -> (qWordpieceEncode _),
+    "q_wordpiece_ids" -> (qWordpieceIds _),
+    "q_wordpiece_import" -> (qWordpieceImport _),
+    "q_bpe_import" -> (qBpeImport _),
     "q_kn3_bylang" -> (qKn3ByLang _),
     "q_lm3_bylang" -> (qLm3ByLang _),
     "q_mkn3_bylang" -> (qMkn3ByLang _),
@@ -4010,6 +4227,11 @@ object QueriesPipeline {
     "q_hybrid_rrf_ivf" -> qHybridRrfIvfSql,
     "q_bpe_ids" -> qBpeIdsSql,
     "q_unigram_sp" -> qUnigramSpSql,
+    "q_wordpiece_vocab" -> qWordpieceVocabSql,
+    "q_wordpiece_encode" -> qWordpieceEncodeSql,
+    "q_wordpiece_ids" -> qWordpieceIdsSql,
+    "q_wordpiece_import" -> qWordpieceImportSql,
+    "q_bpe_import" -> qBpeImportSql,
     "q_kn3_bylang" -> qKn3ByLangSql,
     "q_lm3_bylang" -> qLm3ByLangSql,
     "q_mkn3_bylang" -> qMkn3ByLangSql,

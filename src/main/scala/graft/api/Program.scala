@@ -264,6 +264,33 @@ object Program {
                               textCol: String, maxPieceLen: Int = 4,
                               oovId: Long = -1L,
                               as: String = "ids") extends Node
+
+  /** WordPiece tokenization to pieces (`WordPiece.tokenize`, Schuster &
+    * Nakajima 2012 — BERT's greedy longest-match-first, v12): adds `as`
+    * (array<string>) under a (wp_id, piece) vocabulary input — trained
+    * by `WordPiece.trainVocab` or imported from a BERT `vocab.txt`.
+    * Unmatchable or over-`maxInputChars` words collapse to `unk`.
+    * Dual-mode; BUILD-TIME EAGER (the vocabulary collects at
+    * lowering). */
+  final case class WpTokenize(name: String, input: String, vocab: String,
+                              textCol: String, unk: String = "[UNK]",
+                              maxInputChars: Int = 100,
+                              as: String = "pieces") extends Node
+  /** Per-document WordPiece token count + portable sequence hash
+    * (`WordPiece.encode`, v12): (idCol, n_wp_tokens, tok_hash), the BPE
+    * encode face's shape. Dual-mode; BUILD-TIME EAGER. */
+  final case class WpEncode(name: String, input: String, vocab: String,
+                            idCol: String, textCol: String,
+                            unk: String = "[UNK]",
+                            maxInputChars: Int = 100) extends Node
+  /** WordPiece tokenization straight to the vocabulary's own `wp_id`
+    * ids (`WordPiece.encodeIds`, v12) — what a pipeline targeting a
+    * BERT-family tokenizer feeds the model. Dual-mode; BUILD-TIME
+    * EAGER. */
+  final case class WpIds(name: String, input: String, vocab: String,
+                         textCol: String, unk: String = "[UNK]",
+                         maxInputChars: Int = 100, oovId: Long = -1L,
+                         as: String = "ids") extends Node
   /** Fixed-vocabulary token encoding at ingest (`TextOps.encodeTokensIngest`);
     * `vocab` names a (word, id) input. */
   final case class EncodeIngest(name: String, input: String, vocab: String,
@@ -915,6 +942,9 @@ object Program {
     case be: BpeEncode => Seq(be.input, be.merges)
     case ue: UnigramEncode => Seq(ue.input, ue.vocab)
     case ui: UnigramIds => Seq(ui.input, ui.vocab)
+    case wt: WpTokenize => Seq(wt.input, wt.vocab)
+    case we: WpEncode => Seq(we.input, we.vocab)
+    case wi: WpIds => Seq(wi.input, wi.vocab)
     case ei: EncodeIngest => Seq(ei.input, ei.vocab)
     case di: DecontamIngest => Seq(di.input, di.bench)
     case ip: IvfProbe => Seq(ip.input, ip.corpus, ip.centroids)
@@ -1291,6 +1321,15 @@ object Program {
         case UnigramIds(name, i, vocab, textCol, maxPieceLen, oovId, as) =>
           graft.pipeline.Unigram.encodeIds(in(i),
             staticSide(name, in, vocab), textCol, maxPieceLen, oovId, as)
+        case WpTokenize(name, i, vocab, textCol, unk, maxChars, as) =>
+          graft.pipeline.WordPiece.tokenize(in(i),
+            staticSide(name, in, vocab), textCol, unk, maxChars, as)
+        case WpEncode(name, i, vocab, idCol, textCol, unk, maxChars) =>
+          graft.pipeline.WordPiece.encode(in(i),
+            staticSide(name, in, vocab), idCol, textCol, unk, maxChars)
+        case WpIds(name, i, vocab, textCol, unk, maxChars, oovId, as) =>
+          graft.pipeline.WordPiece.encodeIds(in(i),
+            staticSide(name, in, vocab), textCol, unk, maxChars, oovId, as)
         case EncodeIngest(name, i, vocab, idCol, textCol, oovId) =>
           graft.pipeline.TextOps.encodeTokensIngest(in(i),
             staticSide(name, in, vocab), idCol, textCol, oovId)
@@ -1508,6 +1547,9 @@ object Program {
     case x: BpeEncode => x.copy(name = name)
     case x: UnigramEncode => x.copy(name = name)
     case x: UnigramIds => x.copy(name = name)
+    case x: WpTokenize => x.copy(name = name)
+    case x: WpEncode => x.copy(name = name)
+    case x: WpIds => x.copy(name = name)
     case x: EncodeIngest => x.copy(name = name)
     case x: DecontamIngest => x.copy(name = name)
     case x: IvfProbe => x.copy(name = name)
@@ -1975,6 +2017,25 @@ object Program {
                          oovId: Long = -1L, as: String = "ids"): Rec =
       derive("unigramIds", Seq(vocab))(n => UnigramIds(n, name,
         vocab.name, textCol, maxPieceLen, oovId, as))
+    /** WordPiece tokenization to pieces under a (wp_id, piece)
+      * vocabulary (format version 12). */
+    def wpTokenize(vocab: Rec, textCol: String, unk: String = "[UNK]",
+                   maxInputChars: Int = 100, as: String = "pieces"): Rec =
+      derive("wpTokenize", Seq(vocab))(n => WpTokenize(n, name,
+        vocab.name, textCol, unk, maxInputChars, as))
+    /** Per-document WordPiece token count + sequence hash (format
+      * version 12). */
+    def wpEncode(vocab: Rec, idCol: String, textCol: String,
+                 unk: String = "[UNK]", maxInputChars: Int = 100): Rec =
+      derive("wpEncode", Seq(vocab))(n => WpEncode(n, name,
+        vocab.name, idCol, textCol, unk, maxInputChars))
+    /** WordPiece tokenization straight to wp_id ids (format version
+      * 12). */
+    def wpEncodeIds(vocab: Rec, textCol: String, unk: String = "[UNK]",
+                    maxInputChars: Int = 100, oovId: Long = -1L,
+                    as: String = "ids"): Rec =
+      derive("wpIds", Seq(vocab))(n => WpIds(n, name,
+        vocab.name, textCol, unk, maxInputChars, oovId, as))
     def bpeEncode(merges: Rec, idCol: String, textCol: String): Rec =
       derive("bpeEncode", Seq(merges))(n => BpeEncode(n, name, merges.name,
         idCol, textCol))
@@ -2247,17 +2308,24 @@ object Program {
     * the default keeps the v10 stamp and meaning), IVF routing on
     * hybridRrf (`ivfCells`/`nProbe` set stamp v11), BPE tokenization to
     * ids (bpeIds), and the SentencePiece .vocab interop pair
-    * (spTokenize/spIds).
+    * (spTokenize/spIds);
+    * 12 adds the WordPiece tokenizer family — greedy longest-match
+    * pieces, the per-document count+hash face, and wp_id ids
+    * (wpTokenize/wpEncode/wpIds) — completing the big-three production
+    * tokenizer matrix (BPE, unigram, WordPiece).
     * [[toJson]] stamps each document with the LOWEST version that can
     * express it, so a document using only the v1 grammar stays loadable
     * by a v1 library. Versions track SHIPPED grammars (one per build
     * round), not individual commits — every v6 node landed in the same
     * round, so no v6-stamped artifact can predate any v6 op. */
-  val FormatVersion: Int = 11
+  val FormatVersion: Int = 12
 
   /** The lowest format version expressing every node in `doc`. */
   private def requiredVersion(doc: Doc): Int =
     if (doc.nodes.exists {
+      case _: WpTokenize | _: WpEncode | _: WpIds => true
+      case _ => false }) 12
+    else if (doc.nodes.exists {
       case _: ArpaScoreLang | _: BpeIds | _: SpTokenize | _: SpIds => true
       case as: ArpaScore => as.sentence
       case hr: HybridRrf => hr.ivfCells != 0 || hr.nProbe != 0
@@ -2546,6 +2614,18 @@ object Program {
         ("op" -> "unigramIds") ~ ("name" -> name) ~ ("input" -> i) ~
           ("vocab" -> vocab) ~ ("textCol" -> textCol) ~
           ("maxPieceLen" -> maxPieceLen) ~ ("oovId" -> oovId) ~ ("as" -> as)
+      case WpTokenize(name, i, vocab, textCol, unk, maxChars, as) =>
+        ("op" -> "wpTokenize") ~ ("name" -> name) ~ ("input" -> i) ~
+          ("vocab" -> vocab) ~ ("textCol" -> textCol) ~ ("unk" -> unk) ~
+          ("maxInputChars" -> maxChars) ~ ("as" -> as)
+      case WpEncode(name, i, vocab, idCol, textCol, unk, maxChars) =>
+        ("op" -> "wpEncode") ~ ("name" -> name) ~ ("input" -> i) ~
+          ("vocab" -> vocab) ~ ("idCol" -> idCol) ~ ("textCol" -> textCol) ~
+          ("unk" -> unk) ~ ("maxInputChars" -> maxChars)
+      case WpIds(name, i, vocab, textCol, unk, maxChars, oovId, as) =>
+        ("op" -> "wpIds") ~ ("name" -> name) ~ ("input" -> i) ~
+          ("vocab" -> vocab) ~ ("textCol" -> textCol) ~ ("unk" -> unk) ~
+          ("maxInputChars" -> maxChars) ~ ("oovId" -> oovId) ~ ("as" -> as)
       case EncodeIngest(name, i, vocab, idCol, textCol, oovId) =>
         ("op" -> "encodeIngest") ~ ("name" -> name) ~ ("input" -> i) ~
           ("vocab" -> vocab) ~ ("idCol" -> idCol) ~ ("textCol" -> textCol) ~
@@ -3015,6 +3095,24 @@ object Program {
             (v \ "maxPieceLen").extractOpt[Int].getOrElse(4),
             (v \ "oovId").extractOpt[Long].getOrElse(-1L),
             (v \ "as").extractOpt[String].getOrElse("ids"))
+          case "wpTokenize" => WpTokenize(name,
+            (v \ "input").extract[String], (v \ "vocab").extract[String],
+            (v \ "textCol").extract[String],
+            (v \ "unk").extractOpt[String].getOrElse("[UNK]"),
+            (v \ "maxInputChars").extractOpt[Int].getOrElse(100),
+            (v \ "as").extractOpt[String].getOrElse("pieces"))
+          case "wpEncode" => WpEncode(name,
+            (v \ "input").extract[String], (v \ "vocab").extract[String],
+            (v \ "idCol").extract[String], (v \ "textCol").extract[String],
+            (v \ "unk").extractOpt[String].getOrElse("[UNK]"),
+            (v \ "maxInputChars").extractOpt[Int].getOrElse(100))
+          case "wpIds" => WpIds(name,
+            (v \ "input").extract[String], (v \ "vocab").extract[String],
+            (v \ "textCol").extract[String],
+            (v \ "unk").extractOpt[String].getOrElse("[UNK]"),
+            (v \ "maxInputChars").extractOpt[Int].getOrElse(100),
+            (v \ "oovId").extractOpt[Long].getOrElse(-1L),
+            (v \ "as").extractOpt[String].getOrElse("ids"))
           case "bpeEncode" => BpeEncode(name, (v \ "input").extract[String],
             (v \ "merges").extract[String], (v \ "idCol").extract[String],
             (v \ "textCol").extract[String])
@@ -3408,6 +3506,32 @@ object Program {
             emptyOf(s, org.apache.spark.sql.types.StructType(
               s.df.schema.fields :+ org.apache.spark.sql.types.StructField(
                 ui.as, org.apache.spark.sql.types.ArrayType(
+                  org.apache.spark.sql.types.LongType))))
+          case wt: WpTokenize =>
+            val s = env(wt.input)
+            s.df.select(col(wt.textCol)).schema
+            env(wt.vocab).df.select(col("wp_id"), col("piece")).schema
+            emptyOf(s, org.apache.spark.sql.types.StructType(
+              s.df.schema.fields :+ org.apache.spark.sql.types.StructField(
+                wt.as, org.apache.spark.sql.types.ArrayType(
+                  org.apache.spark.sql.types.StringType))))
+          case we: WpEncode =>
+            val s = env(we.input)
+            val idField = s.df.schema(we.idCol)
+            s.df.select(col(we.textCol)).schema
+            env(we.vocab).df.select(col("wp_id"), col("piece")).schema
+            emptyOf(s, org.apache.spark.sql.types.StructType(Seq(idField,
+              org.apache.spark.sql.types.StructField("n_wp_tokens",
+                org.apache.spark.sql.types.LongType, nullable = false),
+              org.apache.spark.sql.types.StructField("tok_hash",
+                org.apache.spark.sql.types.LongType, nullable = false))))
+          case wi: WpIds =>
+            val s = env(wi.input)
+            s.df.select(col(wi.textCol)).schema
+            env(wi.vocab).df.select(col("wp_id"), col("piece")).schema
+            emptyOf(s, org.apache.spark.sql.types.StructType(
+              s.df.schema.fields :+ org.apache.spark.sql.types.StructField(
+                wi.as, org.apache.spark.sql.types.ArrayType(
                   org.apache.spark.sql.types.LongType))))
           case ed: EmbedDedup if ed.centroids.isDefined =>
             val s = env(ed.input)
@@ -3903,6 +4027,21 @@ object Program {
               s"node '${n.name}': unigramIds needs maxPieceLen in 1..16, " +
                 s"got ${ui.maxPieceLen}")
           Seq(ui.input, ui.vocab)
+        case wt: WpTokenize =>
+          if (wt.maxInputChars < 1) throw new IllegalArgumentException(
+            s"node '${n.name}': wpTokenize needs maxInputChars >= 1, " +
+              s"got ${wt.maxInputChars}")
+          Seq(wt.input, wt.vocab)
+        case we: WpEncode =>
+          if (we.maxInputChars < 1) throw new IllegalArgumentException(
+            s"node '${n.name}': wpEncode needs maxInputChars >= 1, " +
+              s"got ${we.maxInputChars}")
+          Seq(we.input, we.vocab)
+        case wi: WpIds =>
+          if (wi.maxInputChars < 1) throw new IllegalArgumentException(
+            s"node '${n.name}': wpIds needs maxInputChars >= 1, " +
+              s"got ${wi.maxInputChars}")
+          Seq(wi.input, wi.vocab)
         case ei: EncodeIngest => Seq(ei.input, ei.vocab)
         case di: DecontamIngest =>
           if (di.n < 1 || di.minOverlap < 1) throw new IllegalArgumentException(

@@ -3047,8 +3047,8 @@ object TextOps {
     * inside longer symbols). Codegen'd `replace`, no regex, no UDF; an
     * independent engine (the DuckDB oracle) reproduces it with its own
     * literal `replace`. */
-  private val BpeS = "\u0002"
-  private val BpeE = "\u0003"
+  private[pipeline] val BpeS = "\u0002"
+  private[pipeline] val BpeE = "\u0003"
 
   private def bpeWrap(word: Column): Column =
     array_join(transform(chars(word), c => concat(lit(BpeS), c, lit(BpeE))), "")
@@ -3338,6 +3338,73 @@ object TextOps {
     val ids = transform(pieces,
       p => graft.functions.VectorFunctions.strataLookup(p, idOf, oovId))
     stream.lift(df.withColumn(as, ids))
+  }
+
+  // -------------------------- merges.txt interop (the GPT-2/HF-BPE artifact format)
+
+  /** Export a trained merge table as a HuggingFace-BPE `merges.txt`:
+    * the `#version: 0.2` header line, then `lhs rhs` (single space) per
+    * line in MERGE RANK order — the file every GPT-2-family checkpoint
+    * ships next to its vocab (the BPE analog of [[Arpa]]'s ARPA export
+    * and [[Unigram.exportVocab]]'s SentencePiece `.vocab`). Symbols
+    * containing whitespace cannot ride the space-separated format and
+    * fail by name ([[trainBpeMerges]] never produces them — words are
+    * whitespace-split). Paths resolve through Hadoop FS (object stores
+    * on a cluster). */
+  def bpeExportMerges(merges: org.apache.spark.sql.DataFrame, path: String): Unit = {
+    val ms = merges.select(col("merge_rank"), col("lhs"), col("rhs"))
+      .collect().sortBy(_.getInt(0)).map(r => (r.getString(1), r.getString(2))).toSeq
+    require(ms.nonEmpty && ms.length <= 65536,
+      s"bpeExportMerges: the merge table must be a 1..65536-rule artifact, got ${ms.length}")
+    ms.foreach { case (a, b) =>
+      require(a.nonEmpty && b.nonEmpty && !(a + b).exists(_.isWhitespace),
+        s"bpeExportMerges: rule '$a' + '$b' cannot ride the space-separated format") }
+    val spark = merges.sparkSession
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val w = new java.io.BufferedWriter(new java.io.OutputStreamWriter(
+      fs.create(p, true), java.nio.charset.StandardCharsets.UTF_8))
+    try {
+      w.write("#version: 0.2\n")
+      ms.foreach { case (a, b) => w.write(a); w.write(" "); w.write(b); w.write("\n") }
+    } finally w.close()
+  }
+
+  /** Parse a HuggingFace-BPE `merges.txt` (optional `#version` header,
+    * `lhs rhs` per line in rank order — the file next to every
+    * GPT-2-family checkpoint, including files this engine never
+    * trained) into the (merge_rank, lhs, rhs) frame [[bpeTokenize]] /
+    * [[bpeEncodeIds]] accept. Driver-side streaming parse capped at
+    * 65536 rules (the merge-table-artifact contract). */
+  def bpeImportMerges(spark: org.apache.spark.sql.SparkSession,
+                      path: String): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    require(fs.exists(p), s"bpeImportMerges: no merges file at $path")
+    val src = scala.io.Source.fromInputStream(fs.open(p))(scala.io.Codec.UTF8)
+    val rules = try {
+      src.getLines().map(_.stripSuffix("\r")).zipWithIndex
+        .filterNot { case (line, i) =>
+          (i == 0 && line.startsWith("#version")) || line.isEmpty }
+        .map { case (line, i) =>
+          val cut = line.indexOf(' ')
+          require(cut > 0 && cut < line.length - 1 &&
+            line.indexOf(' ', cut + 1) < 0,
+            s"bpeImportMerges: malformed line ${i + 1} '$line' (want 'lhs rhs')")
+          (line.substring(0, cut), line.substring(cut + 1))
+        }.toVector
+    } finally src.close()
+    require(rules.nonEmpty && rules.length <= 65536,
+      s"bpeImportMerges: a merge table is a 1..65536-rule artifact, got ${rules.length}")
+    import scala.jdk.CollectionConverters._
+    val schema = StructType(Seq(
+      StructField("merge_rank", IntegerType, nullable = false),
+      StructField("lhs", StringType, nullable = false),
+      StructField("rhs", StringType, nullable = false)))
+    val data = rules.zipWithIndex.map { case ((a, b), i) => Row(i + 1, a, b) }
+    spark.createDataFrame(new java.util.ArrayList[Row](data.asJava), schema)
   }
 
   /** Token-frequency annotation against a REFERENCE corpus sketch: one

@@ -210,6 +210,9 @@ class ProgramNodeCoverageSpec extends AnyFunSuite {
       "chars" -> excluded(block), "charShingles" -> excluded(block),
       "buildVocab" -> excluded(artifact),
       "trainBpeMerges" -> excluded(artifact),
+      "bpeExportMerges" -> excluded(artifact),
+      "bpeImportMerges" -> excluded(artifact),
+      "BpeS" -> excluded(const), "BpeE" -> excluded(const),
       "bpeOutputSchema" -> excluded(artifact),
       "dsirOutputSchema" -> excluded(artifact),
       "lmScoreOutputSchema" -> excluded(artifact),
@@ -366,6 +369,15 @@ class ProgramNodeCoverageSpec extends AnyFunSuite {
       "importVocab" -> excluded(artifact),
       "tokenizeImported" -> node("spTokenize"),
       "encodeIdsImported" -> node("spIds"),
+      "segmentExpr" -> excluded(block)))
+    check("graft.pipeline.WordPiece$", Map(
+      "trainVocab" -> excluded(artifact),
+      "tokenize" -> node("wpTokenize"),
+      "encode" -> node("wpEncode"),
+      "encodeIds" -> node("wpIds"),
+      "exportVocab" -> excluded(artifact),
+      "importVocab" -> excluded(artifact),
+      "mergedSym" -> excluded(block),
       "segmentExpr" -> excluded(block)))
     check("graft.pipeline.Arpa$", Map(
       "arpaExportKn" -> excluded(artifact),
