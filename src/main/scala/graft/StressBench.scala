@@ -169,6 +169,11 @@ object StressBench {
         // piece-count aggregation scale), so training must grow far
         // sublinearly in corpus size
         "unigram",
+        // round-17: the WordPiece trainer at 1x then 10x — same
+        // distinct-word-bounded regime as the unigram probe (the merge
+        // rounds scan the pinned word table; only the corpus word count
+        // scales), with the extra per-round symbol-count aggregation
+        "wordpiece",
         // round-17: the hybrid-fusion beyond-brute probe — 512 queries
         // against the 1x and 10x corpora, dense leg brute vs IVF-routed:
         // routing must beat (or match) the brute scan once the query
@@ -925,6 +930,24 @@ object StressBench {
             }
           }
         }
+      } else if (q == "wordpiece") {
+        // WordPiece trainer: 16 likelihood-scored merge rounds at 1x
+        // (sf0.1) and 10x. The per-round symbol+pair aggregations run
+        // over the pinned distinct-word table, so the 10x run pays only
+        // the bigger corpus word-count pass
+        for ((label, path) <- Seq("1x" -> s"$src/documents.parquet",
+                                  "10x" -> docsPath); rep <- 1 to 2) {
+          isolate()
+          val docs = spark.read.parquet(path)
+          val t0 = System.nanoTime()
+          val vocab = graft.pipeline.WordPiece.trainVocab(docs, "text",
+            numMerges = 16)
+          val secs = (System.nanoTime() - t0) / 1e9
+          obs(s"wordpiece/$label", secs)
+          println(f"STRESS wordpiece/$label rep$rep $secs%.2f s " +
+            s"(${vocab.count()} pieces)")
+          graft.api.Pinned.release(spark)
+        }
       } else if (q == "unigram") {
         // unigram-LM trainer: 2 EM rounds at 1x (sf0.1) and 10x. The
         // distinct-word table is the E-step's frame, so the 10x run pays
@@ -978,6 +1001,7 @@ object StressBench {
         ("spanskew/10x", "spanskew/1x", 40.0),
         ("substrskew/10x", "substrskew/1x", 40.0),
         ("unigram/10x", "unigram/1x", 10.0),
+        ("wordpiece/10x", "wordpiece/1x", 10.0),
         // routed-fusion boundedness (10x corpus far under 10x wall) and
         // no-catastrophic-regression vs the brute leg at the same scale
         ("hybridskew/10x/ivf", "hybridskew/1x/ivf", 15.0),
