@@ -3869,6 +3869,140 @@ object QueriesPipeline {
 
   private val WpRounds = 6
 
+  private val ByteBpeRounds = 6
+
+  /** Byte-level BPE training mirror (the GPT-2 tokenizer proper): the
+    * corpus pre-tokenizes under the SHARED lookahead-free pattern
+    * ([[TextOps.Gpt2PreTokenPattern]] — identical semantics in Java
+    * regex and RE2), every pre-token's UTF-8 BYTES map through the
+    * GPT-2 byte alphabet (the 256-entry VALUES table is generated from
+    * the same [[graft.functions.Gpt2Bytes]] reference construction both
+    * engines use — a fixed public constant, like the minhash
+    * coefficients), and `ByteBpeRounds` unrolled rounds learn merges by
+    * raw pair count over the bracketed working set. */
+  private def byteBpeTrainingCtes: String = {
+    val pat = TextOps.Gpt2PreTokenPattern.replace("'", "''")
+    val bmapRows = (0 until 256).map { b =>
+      f"('$b%02X', chr(${graft.functions.Gpt2Bytes.ByteToChar(b).toInt}))"
+    }.mkString(", ")
+    val rounds = (1 to ByteBpeRounds).map { r =>
+      s"""bp$r AS MATERIALIZED (SELECT a, b, sum(c)::BIGINT AS n FROM (
+             SELECT unnest(y[1:len(y) - 1]) AS a, unnest(y[2:len(y)]) AS b, c FROM (
+               SELECT string_split(s[2:len(s) - 1], chr(3) || chr(2)) AS y, c
+               FROM bv${r - 1}))
+           GROUP BY 1, 2),
+        bb$r AS MATERIALIZED (SELECT a, b FROM bp$r ORDER BY n DESC, a, b LIMIT 1),
+        bv$r AS MATERIALIZED (SELECT replace(v.s, chr(2) || b.a || chr(3) || chr(2) || b.b || chr(3),
+                        chr(2) || b.a || b.b || chr(3)) AS s, v.c
+                FROM bv${r - 1} v CROSS JOIN bb$r b)"""
+    }.mkString(",\n        ")
+    s"""bpre AS (SELECT doc_id, regexp_extract_all(text, '$pat') AS w FROM documents),
+        bptf AS (SELECT tok, count(*)::BIGINT AS c
+                 FROM (SELECT unnest(w) AS tok FROM bpre) GROUP BY tok),
+        bmapm AS MATERIALIZED (SELECT map_from_entries(list(struct_pack(k := h, v := ch))) AS m
+                 FROM (VALUES $bmapRows) bm(h, ch)),
+        bmapped AS MATERIALIZED (
+          SELECT tok, c,
+            array_to_string([m[hx[2*i - 1:2*i]][1] for i in range(1, len(hx)//2 + 1)], '') AS s0
+          FROM (SELECT tok, c, hex(encode(tok)) AS hx FROM bptf), bmapm),
+        bv0 AS MATERIALIZED (SELECT array_to_string([chr(2) || ch || chr(3)
+                               for ch in string_split(s0, '')], '') AS s, c
+               FROM bmapped),
+        $rounds"""
+  }
+
+  /** Byte-level BPE merge training (GPT-2's own working units: byte
+    * alphabet + pre-tokens, space -> Ġ): the first 6 rules. The merge
+    * table is exactly what a GPT-2 merges.txt carries. */
+  def qByteBpeMerges(spark: SparkSession, dir: String): DataFrame =
+    TextOps.trainByteBpeMerges(Tables.documents(spark, dir).df, "text", ByteBpeRounds)
+
+  val qByteBpeMergesSql: String = {
+    val union = (1 to ByteBpeRounds)
+      .map(r => s"SELECT $r AS merge_rank, a AS lhs, b AS rhs FROM bb$r")
+      .mkString("\n        UNION ALL ")
+    s"""WITH $byteBpeTrainingCtes
+        $union"""
+  }
+
+  /** The learned byte-level merges applied to every document:
+    * per-doc subword count + portable hash of the space-joined mapped
+    * token sequence (zero-shuffle on the Spark side — the whole apply
+    * is one projection per row). */
+  def qByteBpeEncode(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir).df
+    TextOps.byteBpeTokenize(graft.api.MStream(docs),
+      TextOps.trainByteBpeMerges(docs, "text", ByteBpeRounds),
+      "doc_id", "text").df
+  }
+
+  private def byteBpeApplyCtes: String = {
+    val chain = (1 to ByteBpeRounds).foldLeft("s0b") { (acc, r) =>
+      s"replace($acc, chr(2) || bb$r.a || chr(3) || chr(2) || bb$r.b || chr(3), chr(2) || bb$r.a || bb$r.b || chr(3))"
+    }
+    val crosses = (1 to ByteBpeRounds).map(r => s"CROSS JOIN bb$r").mkString(" ")
+    s"""bdw AS (SELECT doc_id, unnest(w) AS tok, unnest(range(1, len(w) + 1)) AS pos
+               FROM bpre),
+        bwrapped AS (SELECT doc_id, pos,
+                       array_to_string([chr(2) || ch || chr(3)
+                         for ch in string_split(s0, '')], '') AS s0b
+                     FROM bdw JOIN bmapped USING (tok)),
+        btok AS (SELECT doc_id, pos,
+                   string_split(sx[2:len(sx) - 1], chr(3) || chr(2)) AS y
+                 FROM (SELECT doc_id, pos, $chain AS sx FROM bwrapped $crosses))"""
+  }
+
+  val qByteBpeEncodeSql: String =
+    s"""WITH $byteBpeTrainingCtes,
+        $byteBpeApplyCtes,
+        agg AS (SELECT doc_id, sum(len(y))::BIGINT AS n_bbpe_tokens,
+                  list_reduce([0] || [ord(c)::BIGINT for c in string_split(
+                    array_to_string(list(array_to_string(y, ' ') ORDER BY pos), ' '), '')],
+                    (a, c) -> (a * 31 + c) % 1000000007) AS tok_hash
+                FROM btok GROUP BY doc_id)
+        SELECT d.doc_id, coalesce(a.n_bbpe_tokens, 0)::BIGINT AS n_bbpe_tokens,
+          coalesce(a.tok_hash, 0)::BIGINT AS tok_hash
+        FROM documents d LEFT JOIN agg a USING (doc_id)"""
+
+  /** Byte-level BPE tokenization straight to vocabulary ids (the GPT-2
+    * cell of the tokenizer x output matrix): merge-table-derived id
+    * layout, per-doc scalar checks. */
+  def qByteBpeIds(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir).df
+    val merges = TextOps.trainByteBpeMerges(docs, "text", ByteBpeRounds)
+    TextOps.byteBpeEncodeIds(graft.api.MStream(docs), merges, "text").df
+      .select(col("doc_id"), size(col("ids")).cast("long").as("n_ids"),
+        aggregate(col("ids"), lit(0L), (a, x) => a + x).as("id_checksum"),
+        element_at(col("ids"), 1).as("first_id"))
+  }
+
+  val qByteBpeIdsSql: String = {
+    val mt = (1 to ByteBpeRounds)
+      .map(r => s"SELECT $r AS mr, a, b FROM bb$r")
+      .mkString("\n          UNION ALL ")
+    s"""WITH $byteBpeTrainingCtes,
+        $byteBpeApplyCtes,
+        bmt AS ($mt),
+        bouts AS (SELECT a || b AS piece, min(mr) AS mr FROM bmt GROUP BY 1),
+        batoms AS (SELECT DISTINCT sym FROM (
+                     SELECT a AS sym FROM bmt UNION ALL SELECT b AS sym FROM bmt)
+                   WHERE sym NOT IN (SELECT piece FROM bouts)),
+        bvocab AS (SELECT sym AS piece, row_number() OVER (ORDER BY sym) - 1 AS pid FROM batoms
+                   UNION ALL
+                   SELECT piece, (SELECT count(*) FROM batoms)
+                     + row_number() OVER (ORDER BY mr) - 1 AS pid FROM bouts),
+        bpp AS (SELECT doc_id, pos AS wpos, unnest(y) AS piece,
+                  unnest(range(1, len(y) + 1)) AS spos FROM btok),
+        bids AS (SELECT bpp.doc_id AS doc_id, count(*) AS n_ids,
+                   sum(coalesce(v.pid, -1))::BIGINT AS id_checksum,
+                   max(CASE WHEN bpp.wpos = 1 AND bpp.spos = 1
+                            THEN coalesce(v.pid, -1) END) AS first_id
+                 FROM bpp LEFT JOIN bvocab v USING (piece) GROUP BY bpp.doc_id)
+        SELECT d.doc_id, coalesce(i.n_ids, 0)::BIGINT AS n_ids,
+          coalesce(i.id_checksum, 0)::BIGINT AS id_checksum, i.first_id::BIGINT AS first_id
+        FROM documents d LEFT JOIN bids i USING (doc_id)"""
+  }
+
   /** WordPiece training mirror (Schuster & Nakajima 2012, the
     * HuggingFace trainer statistic): `WpRounds` unrolled rounds over the
     * `##`-prefixed bracketed-symbol vocabulary — per round SYMBOL counts
@@ -4109,6 +4243,9 @@ object QueriesPipeline {
     "q_wordpiece_ids" -> (qWordpieceIds _),
     "q_wordpiece_import" -> (qWordpieceImport _),
     "q_bpe_import" -> (qBpeImport _),
+    "q_bytebpe_merges" -> (qByteBpeMerges _),
+    "q_bytebpe_encode" -> (qByteBpeEncode _),
+    "q_bytebpe_ids" -> (qByteBpeIds _),
     "q_kn3_bylang" -> (qKn3ByLang _),
     "q_lm3_bylang" -> (qLm3ByLang _),
     "q_mkn3_bylang" -> (qMkn3ByLang _),
@@ -4232,6 +4369,9 @@ object QueriesPipeline {
     "q_wordpiece_ids" -> qWordpieceIdsSql,
     "q_wordpiece_import" -> qWordpieceImportSql,
     "q_bpe_import" -> qBpeImportSql,
+    "q_bytebpe_merges" -> qByteBpeMergesSql,
+    "q_bytebpe_encode" -> qByteBpeEncodeSql,
+    "q_bytebpe_ids" -> qByteBpeIdsSql,
     "q_kn3_bylang" -> qKn3ByLangSql,
     "q_lm3_bylang" -> qLm3ByLangSql,
     "q_mkn3_bylang" -> qMkn3ByLangSql,

@@ -291,6 +291,21 @@ object Program {
                          textCol: String, unk: String = "[UNK]",
                          maxInputChars: Int = 100, oovId: Long = -1L,
                          as: String = "ids") extends Node
+
+  /** Byte-level BPE per-document count + sequence hash
+    * (`TextOps.byteBpeTokenize`, v12 — the GPT-2 tokenizer proper:
+    * byte-mapped alphabet + lookahead-free pre-tokens); `merges` names
+    * a (merge_rank, lhs, rhs) input in the MAPPED alphabet (a trained
+    * table or an imported GPT-2 merges.txt). Zero-shuffle projection,
+    * dual-mode; BUILD-TIME EAGER. */
+  final case class ByteBpeEncode(name: String, input: String, merges: String,
+                                 idCol: String, textCol: String) extends Node
+  /** Byte-level BPE tokenization straight to merge-table-derived ids
+    * (`TextOps.byteBpeEncodeIds`, v12 — the GPT-2 cell of the
+    * tokenizer × output matrix). Dual-mode; BUILD-TIME EAGER. */
+  final case class ByteBpeIds(name: String, input: String, merges: String,
+                              textCol: String, oovId: Long = -1L,
+                              as: String = "ids") extends Node
   /** Fixed-vocabulary token encoding at ingest (`TextOps.encodeTokensIngest`);
     * `vocab` names a (word, id) input. */
   final case class EncodeIngest(name: String, input: String, vocab: String,
@@ -945,6 +960,8 @@ object Program {
     case wt: WpTokenize => Seq(wt.input, wt.vocab)
     case we: WpEncode => Seq(we.input, we.vocab)
     case wi: WpIds => Seq(wi.input, wi.vocab)
+    case bb: ByteBpeEncode => Seq(bb.input, bb.merges)
+    case bj: ByteBpeIds => Seq(bj.input, bj.merges)
     case ei: EncodeIngest => Seq(ei.input, ei.vocab)
     case di: DecontamIngest => Seq(di.input, di.bench)
     case ip: IvfProbe => Seq(ip.input, ip.corpus, ip.centroids)
@@ -1330,6 +1347,12 @@ object Program {
         case WpIds(name, i, vocab, textCol, unk, maxChars, oovId, as) =>
           graft.pipeline.WordPiece.encodeIds(in(i),
             staticSide(name, in, vocab), textCol, unk, maxChars, oovId, as)
+        case ByteBpeEncode(name, i, merges, idCol, textCol) =>
+          graft.pipeline.TextOps.byteBpeTokenize(in(i),
+            staticSide(name, in, merges), idCol, textCol)
+        case ByteBpeIds(name, i, merges, textCol, oovId, as) =>
+          graft.pipeline.TextOps.byteBpeEncodeIds(in(i),
+            staticSide(name, in, merges), textCol, oovId, as)
         case EncodeIngest(name, i, vocab, idCol, textCol, oovId) =>
           graft.pipeline.TextOps.encodeTokensIngest(in(i),
             staticSide(name, in, vocab), idCol, textCol, oovId)
@@ -1550,6 +1573,8 @@ object Program {
     case x: WpTokenize => x.copy(name = name)
     case x: WpEncode => x.copy(name = name)
     case x: WpIds => x.copy(name = name)
+    case x: ByteBpeEncode => x.copy(name = name)
+    case x: ByteBpeIds => x.copy(name = name)
     case x: EncodeIngest => x.copy(name = name)
     case x: DecontamIngest => x.copy(name = name)
     case x: IvfProbe => x.copy(name = name)
@@ -2036,6 +2061,16 @@ object Program {
                     as: String = "ids"): Rec =
       derive("wpIds", Seq(vocab))(n => WpIds(n, name,
         vocab.name, textCol, unk, maxInputChars, oovId, as))
+    /** Byte-level BPE per-document count + hash (format version 12). */
+    def byteBpeEncode(merges: Rec, idCol: String, textCol: String): Rec =
+      derive("byteBpeEncode", Seq(merges))(n => ByteBpeEncode(n, name,
+        merges.name, idCol, textCol))
+    /** Byte-level BPE tokenization to merge-table ids (format version
+      * 12). */
+    def byteBpeEncodeIds(merges: Rec, textCol: String, oovId: Long = -1L,
+                         as: String = "ids"): Rec =
+      derive("byteBpeIds", Seq(merges))(n => ByteBpeIds(n, name,
+        merges.name, textCol, oovId, as))
     def bpeEncode(merges: Rec, idCol: String, textCol: String): Rec =
       derive("bpeEncode", Seq(merges))(n => BpeEncode(n, name, merges.name,
         idCol, textCol))
@@ -2312,7 +2347,8 @@ object Program {
     * 12 adds the WordPiece tokenizer family — greedy longest-match
     * pieces, the per-document count+hash face, and wp_id ids
     * (wpTokenize/wpEncode/wpIds) — completing the big-three production
-    * tokenizer matrix (BPE, unigram, WordPiece).
+    * tokenizer matrix (BPE, unigram, WordPiece) — and byte-level BPE,
+    * the GPT-2 tokenizer proper (byteBpeEncode/byteBpeIds).
     * [[toJson]] stamps each document with the LOWEST version that can
     * express it, so a document using only the v1 grammar stays loadable
     * by a v1 library. Versions track SHIPPED grammars (one per build
@@ -2323,7 +2359,8 @@ object Program {
   /** The lowest format version expressing every node in `doc`. */
   private def requiredVersion(doc: Doc): Int =
     if (doc.nodes.exists {
-      case _: WpTokenize | _: WpEncode | _: WpIds => true
+      case _: WpTokenize | _: WpEncode | _: WpIds |
+           _: ByteBpeEncode | _: ByteBpeIds => true
       case _ => false }) 12
     else if (doc.nodes.exists {
       case _: ArpaScoreLang | _: BpeIds | _: SpTokenize | _: SpIds => true
@@ -2626,6 +2663,13 @@ object Program {
         ("op" -> "wpIds") ~ ("name" -> name) ~ ("input" -> i) ~
           ("vocab" -> vocab) ~ ("textCol" -> textCol) ~ ("unk" -> unk) ~
           ("maxInputChars" -> maxChars) ~ ("oovId" -> oovId) ~ ("as" -> as)
+      case ByteBpeEncode(name, i, merges, idCol, textCol) =>
+        ("op" -> "byteBpeEncode") ~ ("name" -> name) ~ ("input" -> i) ~
+          ("merges" -> merges) ~ ("idCol" -> idCol) ~ ("textCol" -> textCol)
+      case ByteBpeIds(name, i, merges, textCol, oovId, as) =>
+        ("op" -> "byteBpeIds") ~ ("name" -> name) ~ ("input" -> i) ~
+          ("merges" -> merges) ~ ("textCol" -> textCol) ~
+          ("oovId" -> oovId) ~ ("as" -> as)
       case EncodeIngest(name, i, vocab, idCol, textCol, oovId) =>
         ("op" -> "encodeIngest") ~ ("name" -> name) ~ ("input" -> i) ~
           ("vocab" -> vocab) ~ ("idCol" -> idCol) ~ ("textCol" -> textCol) ~
@@ -3113,6 +3157,13 @@ object Program {
             (v \ "maxInputChars").extractOpt[Int].getOrElse(100),
             (v \ "oovId").extractOpt[Long].getOrElse(-1L),
             (v \ "as").extractOpt[String].getOrElse("ids"))
+          case "byteBpeEncode" => ByteBpeEncode(name, (v \ "input").extract[String],
+            (v \ "merges").extract[String], (v \ "idCol").extract[String],
+            (v \ "textCol").extract[String])
+          case "byteBpeIds" => ByteBpeIds(name, (v \ "input").extract[String],
+            (v \ "merges").extract[String], (v \ "textCol").extract[String],
+            (v \ "oovId").extractOpt[Long].getOrElse(-1L),
+            (v \ "as").extractOpt[String].getOrElse("ids"))
           case "bpeEncode" => BpeEncode(name, (v \ "input").extract[String],
             (v \ "merges").extract[String], (v \ "idCol").extract[String],
             (v \ "textCol").extract[String])
@@ -3532,6 +3583,21 @@ object Program {
             emptyOf(s, org.apache.spark.sql.types.StructType(
               s.df.schema.fields :+ org.apache.spark.sql.types.StructField(
                 wi.as, org.apache.spark.sql.types.ArrayType(
+                  org.apache.spark.sql.types.LongType))))
+          case bb: ByteBpeEncode =>
+            val s = env(bb.input)
+            val idField = s.df.schema(bb.idCol)
+            s.df.select(col(bb.textCol)).schema
+            env(bb.merges).df.select(col("merge_rank"), col("lhs"), col("rhs")).schema
+            emptyOf(s, graft.pipeline.TextOps.byteBpeOutputSchema(
+              bb.idCol, idField.dataType))
+          case bj: ByteBpeIds =>
+            val s = env(bj.input)
+            s.df.select(col(bj.textCol)).schema
+            env(bj.merges).df.select(col("merge_rank"), col("lhs"), col("rhs")).schema
+            emptyOf(s, org.apache.spark.sql.types.StructType(
+              s.df.schema.fields :+ org.apache.spark.sql.types.StructField(
+                bj.as, org.apache.spark.sql.types.ArrayType(
                   org.apache.spark.sql.types.LongType))))
           case ed: EmbedDedup if ed.centroids.isDefined =>
             val s = env(ed.input)
@@ -4042,6 +4108,8 @@ object Program {
             s"node '${n.name}': wpIds needs maxInputChars >= 1, " +
               s"got ${wi.maxInputChars}")
           Seq(wi.input, wi.vocab)
+        case bb: ByteBpeEncode => Seq(bb.input, bb.merges)
+        case bj: ByteBpeIds => Seq(bj.input, bj.merges)
         case ei: EncodeIngest => Seq(ei.input, ei.vocab)
         case di: DecontamIngest =>
           if (di.n < 1 || di.minOverlap < 1) throw new IllegalArgumentException(

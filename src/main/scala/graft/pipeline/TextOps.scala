@@ -3097,6 +3097,28 @@ object TextOps {
       s"numMerges=$numMerges: each merge is one driver-coordinated round " +
         "and the merge table is a driver artifact; keep <= 65536")
     val spark = docs.sparkSession
+    // The ONE corpus-scale pass (the word count) runs in the CALLER's
+    // session at its full shuffle width — narrowing applies to the tiny
+    // per-round jobs over the distinct-word table, never to the corpus
+    // scan — and is materialized (lineage-truncated) before the loop.
+    val (vocab0, vocab0Ids) = graft.api.Pinned.checkpointTracked(docs
+      .select(explode(words(col(textCol))).as("__w"))
+      .groupBy("__w").agg(count(lit(1)).as("__c"))
+      .select(bpeWrap(col("__w")).as("__s"), col("__c")))
+    bpeTrainCore(spark, vocab0, vocab0Ids, numMerges)
+  }
+
+  /** The merge-round loop shared by [[trainBpeMerges]] (whitespace
+    * words, raw chars) and [[trainByteBpeMerges]] (GPT-2 pre-tokens,
+    * byte-mapped alphabet): takes the pinned bracketed (symbol-string,
+    * count) working set, returns the (merge_rank, lhs, rhs) table.
+    * Raw-pair-count scoring, lexicographic ties, greedy left-to-right
+    * rewrite, vocabulary re-materialization with collapsed-unit pruning
+    * every `graft.bpe.rematEvery` rounds. */
+  private def bpeTrainCore(spark: org.apache.spark.sql.SparkSession,
+                           vocab0: org.apache.spark.sql.DataFrame,
+                           vocab0Ids: Set[Int],
+                           numMerges: Int): org.apache.spark.sql.DataFrame = {
     import spark.implicits._
     // one conf-parsing contract for the whole pipeline family
     // ([[Dedup.longConf]]), narrowed to Int with a named range error
@@ -3115,14 +3137,6 @@ object TextOps {
     // a few partitions (graft.bpe.vocabPartitions, default 8) and narrow
     // the per-round shuffle to match (in the cloned loop session below).
     val vocabParts = intConf("graft.bpe.vocabPartitions", 8)
-    // The ONE corpus-scale pass (the word count) runs in the CALLER's
-    // session at its full shuffle width — narrowing applies to the tiny
-    // per-round jobs over the distinct-word table, never to the corpus
-    // scan — and is materialized (lineage-truncated) before the loop.
-    val (vocab0, vocab0Ids) = graft.api.Pinned.checkpointTracked(docs
-      .select(explode(words(col(textCol))).as("__w"))
-      .groupBy("__w").agg(count(lit(1)).as("__c"))
-      .select(bpeWrap(col("__w")).as("__s"), col("__c")))
     // The thousands of tiny driver-coordinated rounds run in a CLONED
     // session (shared SparkContext, PRIVATE SQLConf): the narrow shuffle
     // width and AQE-off (whose per-stage re-planning round trip dominates
@@ -3405,6 +3419,136 @@ object TextOps {
       StructField("rhs", StringType, nullable = false)))
     val data = rules.zipWithIndex.map { case ((a, b), i) => Row(i + 1, a, b) }
     spark.createDataFrame(new java.util.ArrayList[Row](data.asJava), schema)
+  }
+
+  // -------------------------- byte-level BPE (the GPT-2 tokenizer proper)
+
+  /** The GPT-2-style pre-tokenization pattern (Radford et al. 2019),
+    * expressed WITHOUT the original's trailing-whitespace lookahead so
+    * one pattern means the same thing in Java regex (Spark) and RE2
+    * (the DuckDB oracle; RE2 has no lookahead): contraction suffixes,
+    * optionally space-prefixed letter / digit / other runs, whitespace
+    * runs. Documented deviation: in a MULTI-whitespace run the original
+    * splits the last space onto the following word (` `+` word`); this
+    * pattern keeps the run whole (`  `+`word`). Single spaces — all of
+    * natural text — pre-tokenize identically. The whitespace class is
+    * spelled explicitly because Java's `\s` includes U+000B and RE2's
+    * does not. */
+  val Gpt2PreTokenPattern: String =
+    """'s|'t|'re|'ve|'m|'ll|'d| ?\p{L}+| ?\p{N}+| ?[^ \t\n\f\r\x0b\p{L}\p{N}]+|[ \t\n\f\r\x0b]+"""
+
+  /** Pre-tokens of `text` under [[Gpt2PreTokenPattern]], in order; the
+    * alternatives cover every character, so concatenating the pre-tokens
+    * rebuilds the text exactly. */
+  def gpt2PreTokens(text: Column): Column =
+    regexp_extract_all(text, lit(Gpt2PreTokenPattern), lit(0))
+
+  /** [[graft.functions.Gpt2Bytes]] as a column: every UTF-8 byte maps
+    * to one printable char of the fixed 256-char GPT-2 alphabet
+    * (space → Ġ, newline → Ċ). */
+  def gpt2Bytes(s: Column): Column = {
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    ColumnBridge.column(graft.functions.Gpt2Bytes(ColumnBridge.expr(s)))
+  }
+
+  /** Byte-level BPE merge training — the GPT-2 tokenizer proper (the
+    * [[trainBpeMerges]] algorithm over GPT-2's working units): the
+    * corpus pre-tokenizes under [[Gpt2PreTokenPattern]] (pre-tokens keep
+    * their leading space; merges never cross pre-token boundaries),
+    * every pre-token maps through the byte-level alphabet
+    * ([[gpt2Bytes]] — so the symbol space is CLOSED at 256 chars and
+    * whitespace-free, which is what lets GPT-2 artifacts ride the
+    * space-separated `merges.txt` format), and the shared merge-round
+    * loop learns `numMerges` rules by raw pair count. Output:
+    * (merge_rank, lhs, rhs) in the MAPPED alphabet — exactly the rows a
+    * GPT-2 `merges.txt` carries; export with [[bpeExportMerges]].
+    *
+    * Same scale shape as [[trainBpeMerges]]: one corpus pass builds the
+    * distinct-pre-token frequency table, every round is a tiny
+    * driver-coordinated job over it. */
+  def trainByteBpeMerges(docs: org.apache.spark.sql.DataFrame, textCol: String,
+                         numMerges: Int): org.apache.spark.sql.DataFrame = {
+    require(numMerges >= 1 && numMerges <= 65536,
+      s"numMerges=$numMerges: each merge is one driver-coordinated round " +
+        "and the merge table is a driver artifact; keep <= 65536")
+    val spark = docs.sparkSession
+    val (vocab0, vocab0Ids) = graft.api.Pinned.checkpointTracked(docs
+      .select(explode(gpt2PreTokens(col(textCol))).as("__w"))
+      .groupBy("__w").agg(count(lit(1)).as("__c"))
+      .select(bpeWrap(gpt2Bytes(col("__w"))).as("__s"), col("__c")))
+    bpeTrainCore(spark, vocab0, vocab0Ids, numMerges)
+  }
+
+  def byteBpeOutputSchema(idCol: String,
+      idType: org.apache.spark.sql.types.DataType): org.apache.spark.sql.types.StructType = {
+    import org.apache.spark.sql.types._
+    StructType(Seq(StructField(idCol, idType),
+      StructField("n_bbpe_tokens", LongType, nullable = false),
+      StructField("tok_hash", LongType, nullable = false)))
+  }
+
+  /** Apply learned byte-level merges to every document: per-doc token
+    * count + portable hash of the space-joined token sequence (tokens
+    * are whitespace-free by the byte mapping, so the space join is
+    * unambiguous). ZERO-SHUFFLE — no explode, no groupBy: the pre-token
+    * array, byte mapping and chained merge replaces all run inside one
+    * projection per row — so the face is dual-mode by construction
+    * (unlike the word-BPE face, which needed a separate streaming
+    * combine). Token-less documents (empty text) emit (0, 0). */
+  def byteBpeTokenize(stream: graft.api.MStream,
+                      merges: org.apache.spark.sql.DataFrame,
+                      idCol: String, textCol: String): graft.api.MStream = {
+    val df = stream.df
+    val ms = collectMerges(merges, "byteBpeTokenize")
+    val pieces = flatten(transform(gpt2PreTokens(col(textCol)),
+      t => bpeSymbols(bpeApply(bpeWrap(gpt2Bytes(t)), ms))))
+    stream.lift(df.select(col(idCol),
+      size(pieces).cast("long").as("n_bbpe_tokens"),
+      polyHash(array_join(pieces, " ")).as("tok_hash")))
+  }
+
+  /** Byte-level BPE tokenization straight to vocabulary IDS — the
+    * GPT-2 cell of the tokenizer × output matrix: the id space derives
+    * from the merge table alone in the HuggingFace layout
+    * ([[bpeEncodeIds]]'s convention: in-merge alphabet in UTF-8 byte
+    * order, then merge outputs by first rank); pieces outside it —
+    * bytes no merge ever touched — take `oovId`. Adds `as`
+    * (array<bigint>); zero-shuffle stateless projection, dual-mode by
+    * construction. */
+  def byteBpeEncodeIds(stream: graft.api.MStream,
+                       merges: org.apache.spark.sql.DataFrame,
+                       textCol: String, oovId: Long = -1L,
+                       as: String = "ids"): graft.api.MStream = {
+    val df = stream.df
+    require(!df.columns.contains(as),
+      s"byteBpeEncodeIds input already carries a '$as' column")
+    val ms = collectMerges(merges, "byteBpeEncodeIds")
+    val outFirstRank = ms.zipWithIndex
+      .groupBy { case ((a, b), _) => a + b }
+      .map { case (p, xs) => p -> xs.map(_._2).min }
+    val atoms = ms.flatMap { case (a, b) => Seq(a, b) }.distinct
+      .filterNot(outFirstRank.contains).sorted(Utf8Ordering)
+    val idOf: Map[String, Long] =
+      (atoms.zipWithIndex.map { case (p, i) => p -> i.toLong } ++
+        outFirstRank.toSeq.sortBy(_._2).zipWithIndex
+          .map { case ((p, _), i) => p -> (atoms.length + i).toLong }).toMap
+    val pieces = flatten(transform(gpt2PreTokens(col(textCol)),
+      t => bpeSymbols(bpeApply(bpeWrap(gpt2Bytes(t)), ms))))
+    val ids = transform(pieces,
+      p => graft.functions.VectorFunctions.strataLookup(p, idOf, oovId))
+    stream.lift(df.withColumn(as, ids))
+  }
+
+  /** Collect + validate a (merge_rank, lhs, rhs) merge table — the
+    * shared BPE-artifact contract (trained or imported). */
+  private def collectMerges(merges: org.apache.spark.sql.DataFrame,
+                            label: String): Seq[(String, String)] = {
+    require(!merges.isStreaming, s"$label: the merge table is a batch artifact")
+    val ms = merges.select(col("merge_rank"), col("lhs"), col("rhs"))
+      .collect().sortBy(_.getInt(0)).map(r => (r.getString(1), r.getString(2))).toSeq
+    require(ms.nonEmpty && ms.length <= 65536,
+      s"$label: the merge table must be a 1..65536-rule artifact, got ${ms.length}")
+    ms
   }
 
   /** Token-frequency annotation against a REFERENCE corpus sketch: one

@@ -210,6 +210,13 @@ class ProgramNodeCoverageSpec extends AnyFunSuite {
       "chars" -> excluded(block), "charShingles" -> excluded(block),
       "buildVocab" -> excluded(artifact),
       "trainBpeMerges" -> excluded(artifact),
+      "trainByteBpeMerges" -> excluded(artifact),
+      "byteBpeTokenize" -> node("byteBpeEncode"),
+      "byteBpeEncodeIds" -> node("byteBpeIds"),
+      "byteBpeOutputSchema" -> excluded(artifact),
+      "Gpt2PreTokenPattern" -> excluded(const),
+      "gpt2PreTokens" -> excluded(block),
+      "gpt2Bytes" -> excluded(block),
       "bpeExportMerges" -> excluded(artifact),
       "bpeImportMerges" -> excluded(artifact),
       "BpeS" -> excluded(const), "BpeE" -> excluded(const),
