@@ -3867,6 +3867,57 @@ object QueriesPipeline {
           coalesce(i.id_checksum, 0)::BIGINT AS id_checksum, i.first_id::BIGINT AS first_id
         FROM documents d LEFT JOIN ids i USING (doc_id)"""
 
+  /** The full GPT-2 artifact-pair loop: the trained byte-level merge
+    * table EXPORTS as merges.txt + vocab.json (the canonical layout:
+    * 256-char byte alphabet by code point at ids 0..255, merge outputs
+    * by rank — the published GPT-2 head), BOTH import back, and every
+    * document encodes to the FILES' own ids. The oracle re-derives the
+    * canonical layout relationally (the disk round trip is
+    * semantically transparent — the q_ppl_artifact pattern applied to
+    * the id space). */
+  def qByteBpeJson(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir).df
+    val merges = TextOps.trainByteBpeMerges(docs, "text", ByteBpeRounds)
+    val tmp = java.nio.file.Files.createTempDirectory("graft_bbj")
+    val mPath = tmp.resolve("merges.txt").toString
+    val vPath = tmp.resolve("vocab.json").toString
+    TextOps.bpeExportMerges(merges, mPath)
+    TextOps.byteBpeExportVocabJson(merges, vPath)
+    val m2 = TextOps.bpeImportMerges(spark, mPath)
+    val v2 = TextOps.byteBpeImportVocabJson(spark, vPath)
+    TextOps.byteBpeEncodeIdsImported(graft.api.MStream(docs), m2, v2, "text").df
+      .select(col("doc_id"), size(col("ids")).cast("long").as("n_ids"),
+        aggregate(col("ids"), lit(0L), (a, x) => a + x).as("id_checksum"),
+        element_at(col("ids"), 1).as("first_id"))
+  }
+
+  lazy val qByteBpeJsonSql: String = {
+    val mt = (1 to ByteBpeRounds)
+      .map(r => s"SELECT $r AS mr, a, b FROM bb$r")
+      .mkString("\n          UNION ALL ")
+    s"""WITH $byteBpeTrainingCtes,
+        $byteBpeApplyCtes,
+        jmt AS ($mt),
+        jouts AS (SELECT a || b AS piece, min(mr) AS mr FROM jmt GROUP BY 1),
+        -- the canonical vocab.json layout: full byte alphabet by code
+        -- point (0..255), then merge outputs by rank (first-wins; >= 2
+        -- chars, so alphabet collisions are impossible)
+        jvocab AS (SELECT ch AS piece, row_number() OVER (ORDER BY ch) - 1 AS pid
+                   FROM (SELECT DISTINCT ch FROM (VALUES $gpt2BmapRows) bm2(h, ch))
+                   UNION ALL
+                   SELECT piece, 255 + row_number() OVER (ORDER BY mr) AS pid FROM jouts),
+        jpp AS (SELECT doc_id, pos AS wpos, unnest(y) AS piece,
+                  unnest(range(1, len(y) + 1)) AS spos FROM btok),
+        jids AS (SELECT jpp.doc_id AS doc_id, count(*) AS n_ids,
+                   sum(coalesce(v.pid, -1))::BIGINT AS id_checksum,
+                   max(CASE WHEN jpp.wpos = 1 AND jpp.spos = 1
+                            THEN coalesce(v.pid, -1) END) AS first_id
+                 FROM jpp LEFT JOIN jvocab v USING (piece) GROUP BY jpp.doc_id)
+        SELECT d.doc_id, coalesce(i.n_ids, 0)::BIGINT AS n_ids,
+          coalesce(i.id_checksum, 0)::BIGINT AS id_checksum, i.first_id::BIGINT AS first_id
+        FROM documents d LEFT JOIN jids i USING (doc_id)"""
+  }
+
   private val WpRounds = 6
 
   private val ByteBpeRounds = 6
@@ -3880,11 +3931,13 @@ object QueriesPipeline {
     * engines use — a fixed public constant, like the minhash
     * coefficients), and `ByteBpeRounds` unrolled rounds learn merges by
     * raw pair count over the bracketed working set. */
+  private lazy val gpt2BmapRows: String = (0 until 256).map { b =>
+    f"('$b%02X', chr(${graft.functions.Gpt2Bytes.ByteToChar(b).toInt}))"
+  }.mkString(", ")
+
   private def byteBpeTrainingCtes: String = {
     val pat = TextOps.Gpt2PreTokenPattern.replace("'", "''")
-    val bmapRows = (0 until 256).map { b =>
-      f"('$b%02X', chr(${graft.functions.Gpt2Bytes.ByteToChar(b).toInt}))"
-    }.mkString(", ")
+    val bmapRows = gpt2BmapRows
     val rounds = (1 to ByteBpeRounds).map { r =>
       s"""bp$r AS MATERIALIZED (SELECT a, b, sum(c)::BIGINT AS n FROM (
              SELECT unnest(y[1:len(y) - 1]) AS a, unnest(y[2:len(y)]) AS b, c FROM (
@@ -4246,6 +4299,7 @@ object QueriesPipeline {
     "q_bytebpe_merges" -> (qByteBpeMerges _),
     "q_bytebpe_encode" -> (qByteBpeEncode _),
     "q_bytebpe_ids" -> (qByteBpeIds _),
+    "q_bytebpe_json" -> (qByteBpeJson _),
     "q_kn3_bylang" -> (qKn3ByLang _),
     "q_lm3_bylang" -> (qLm3ByLang _),
     "q_mkn3_bylang" -> (qMkn3ByLang _),
@@ -4372,6 +4426,7 @@ object QueriesPipeline {
     "q_bytebpe_merges" -> qByteBpeMergesSql,
     "q_bytebpe_encode" -> qByteBpeEncodeSql,
     "q_bytebpe_ids" -> qByteBpeIdsSql,
+    "q_bytebpe_json" -> qByteBpeJsonSql,
     "q_kn3_bylang" -> qKn3ByLangSql,
     "q_lm3_bylang" -> qLm3ByLangSql,
     "q_mkn3_bylang" -> qMkn3ByLangSql,

@@ -306,6 +306,15 @@ object Program {
   final case class ByteBpeIds(name: String, input: String, merges: String,
                               textCol: String, oovId: Long = -1L,
                               as: String = "ids") extends Node
+  /** Byte-level BPE tokenization to a FOREIGN vocabulary's OWN ids
+    * (`TextOps.byteBpeEncodeIdsImported`, v12): `vocab` names a
+    * (piece, gpt_id) input — an imported GPT-2 `vocab.json` — so a
+    * pipeline feeds an EXISTING checkpoint's exact id space. Dual-mode;
+    * BUILD-TIME EAGER. */
+  final case class ByteBpeIdsVocab(name: String, input: String, merges: String,
+                                   vocab: String, textCol: String,
+                                   oovId: Long = -1L,
+                                   as: String = "ids") extends Node
   /** Fixed-vocabulary token encoding at ingest (`TextOps.encodeTokensIngest`);
     * `vocab` names a (word, id) input. */
   final case class EncodeIngest(name: String, input: String, vocab: String,
@@ -962,6 +971,7 @@ object Program {
     case wi: WpIds => Seq(wi.input, wi.vocab)
     case bb: ByteBpeEncode => Seq(bb.input, bb.merges)
     case bj: ByteBpeIds => Seq(bj.input, bj.merges)
+    case bv: ByteBpeIdsVocab => Seq(bv.input, bv.merges, bv.vocab)
     case ei: EncodeIngest => Seq(ei.input, ei.vocab)
     case di: DecontamIngest => Seq(di.input, di.bench)
     case ip: IvfProbe => Seq(ip.input, ip.corpus, ip.centroids)
@@ -1353,6 +1363,10 @@ object Program {
         case ByteBpeIds(name, i, merges, textCol, oovId, as) =>
           graft.pipeline.TextOps.byteBpeEncodeIds(in(i),
             staticSide(name, in, merges), textCol, oovId, as)
+        case ByteBpeIdsVocab(name, i, merges, vocab, textCol, oovId, as) =>
+          graft.pipeline.TextOps.byteBpeEncodeIdsImported(in(i),
+            staticSide(name, in, merges), staticSide(name, in, vocab),
+            textCol, oovId, as)
         case EncodeIngest(name, i, vocab, idCol, textCol, oovId) =>
           graft.pipeline.TextOps.encodeTokensIngest(in(i),
             staticSide(name, in, vocab), idCol, textCol, oovId)
@@ -1575,6 +1589,7 @@ object Program {
     case x: WpIds => x.copy(name = name)
     case x: ByteBpeEncode => x.copy(name = name)
     case x: ByteBpeIds => x.copy(name = name)
+    case x: ByteBpeIdsVocab => x.copy(name = name)
     case x: EncodeIngest => x.copy(name = name)
     case x: DecontamIngest => x.copy(name = name)
     case x: IvfProbe => x.copy(name = name)
@@ -2071,6 +2086,12 @@ object Program {
                          as: String = "ids"): Rec =
       derive("byteBpeIds", Seq(merges))(n => ByteBpeIds(n, name,
         merges.name, textCol, oovId, as))
+    /** Byte-level BPE tokenization to a foreign vocab.json's own ids
+      * (format version 12). */
+    def byteBpeEncodeIdsVocab(merges: Rec, vocab: Rec, textCol: String,
+                              oovId: Long = -1L, as: String = "ids"): Rec =
+      derive("byteBpeIdsVocab", Seq(merges, vocab))(n => ByteBpeIdsVocab(
+        n, name, merges.name, vocab.name, textCol, oovId, as))
     def bpeEncode(merges: Rec, idCol: String, textCol: String): Rec =
       derive("bpeEncode", Seq(merges))(n => BpeEncode(n, name, merges.name,
         idCol, textCol))
@@ -2348,7 +2369,8 @@ object Program {
     * pieces, the per-document count+hash face, and wp_id ids
     * (wpTokenize/wpEncode/wpIds) — completing the big-three production
     * tokenizer matrix (BPE, unigram, WordPiece) — and byte-level BPE,
-    * the GPT-2 tokenizer proper (byteBpeEncode/byteBpeIds).
+    * the GPT-2 tokenizer proper (byteBpeEncode/byteBpeIds/
+    * byteBpeIdsVocab).
     * [[toJson]] stamps each document with the LOWEST version that can
     * express it, so a document using only the v1 grammar stays loadable
     * by a v1 library. Versions track SHIPPED grammars (one per build
@@ -2360,7 +2382,7 @@ object Program {
   private def requiredVersion(doc: Doc): Int =
     if (doc.nodes.exists {
       case _: WpTokenize | _: WpEncode | _: WpIds |
-           _: ByteBpeEncode | _: ByteBpeIds => true
+           _: ByteBpeEncode | _: ByteBpeIds | _: ByteBpeIdsVocab => true
       case _ => false }) 12
     else if (doc.nodes.exists {
       case _: ArpaScoreLang | _: BpeIds | _: SpTokenize | _: SpIds => true
@@ -2669,6 +2691,10 @@ object Program {
       case ByteBpeIds(name, i, merges, textCol, oovId, as) =>
         ("op" -> "byteBpeIds") ~ ("name" -> name) ~ ("input" -> i) ~
           ("merges" -> merges) ~ ("textCol" -> textCol) ~
+          ("oovId" -> oovId) ~ ("as" -> as)
+      case ByteBpeIdsVocab(name, i, merges, vocab, textCol, oovId, as) =>
+        ("op" -> "byteBpeIdsVocab") ~ ("name" -> name) ~ ("input" -> i) ~
+          ("merges" -> merges) ~ ("vocab" -> vocab) ~ ("textCol" -> textCol) ~
           ("oovId" -> oovId) ~ ("as" -> as)
       case EncodeIngest(name, i, vocab, idCol, textCol, oovId) =>
         ("op" -> "encodeIngest") ~ ("name" -> name) ~ ("input" -> i) ~
@@ -3164,6 +3190,11 @@ object Program {
             (v \ "merges").extract[String], (v \ "textCol").extract[String],
             (v \ "oovId").extractOpt[Long].getOrElse(-1L),
             (v \ "as").extractOpt[String].getOrElse("ids"))
+          case "byteBpeIdsVocab" => ByteBpeIdsVocab(name, (v \ "input").extract[String],
+            (v \ "merges").extract[String], (v \ "vocab").extract[String],
+            (v \ "textCol").extract[String],
+            (v \ "oovId").extractOpt[Long].getOrElse(-1L),
+            (v \ "as").extractOpt[String].getOrElse("ids"))
           case "bpeEncode" => BpeEncode(name, (v \ "input").extract[String],
             (v \ "merges").extract[String], (v \ "idCol").extract[String],
             (v \ "textCol").extract[String])
@@ -3598,6 +3629,15 @@ object Program {
             emptyOf(s, org.apache.spark.sql.types.StructType(
               s.df.schema.fields :+ org.apache.spark.sql.types.StructField(
                 bj.as, org.apache.spark.sql.types.ArrayType(
+                  org.apache.spark.sql.types.LongType))))
+          case bv: ByteBpeIdsVocab =>
+            val s = env(bv.input)
+            s.df.select(col(bv.textCol)).schema
+            env(bv.merges).df.select(col("merge_rank"), col("lhs"), col("rhs")).schema
+            env(bv.vocab).df.select(col("piece"), col("gpt_id")).schema
+            emptyOf(s, org.apache.spark.sql.types.StructType(
+              s.df.schema.fields :+ org.apache.spark.sql.types.StructField(
+                bv.as, org.apache.spark.sql.types.ArrayType(
                   org.apache.spark.sql.types.LongType))))
           case ed: EmbedDedup if ed.centroids.isDefined =>
             val s = env(ed.input)
@@ -4110,6 +4150,7 @@ object Program {
           Seq(wi.input, wi.vocab)
         case bb: ByteBpeEncode => Seq(bb.input, bb.merges)
         case bj: ByteBpeIds => Seq(bj.input, bj.merges)
+        case bv: ByteBpeIdsVocab => Seq(bv.input, bv.merges, bv.vocab)
         case ei: EncodeIngest => Seq(ei.input, ei.vocab)
         case di: DecontamIngest =>
           if (di.n < 1 || di.minOverlap < 1) throw new IllegalArgumentException(

@@ -3539,6 +3539,117 @@ object TextOps {
     stream.lift(df.withColumn(as, ids))
   }
 
+  /** The canonical GPT-2 vocab layout derived from a merge table: the
+    * full 256-character byte alphabet sorted by code point (ids 0..255
+    * — exactly the published GPT-2 `vocab.json` head), then each
+    * merge's output in rank order (a string two merges both produce
+    * keeps its first rank). Outputs have >= 2 chars so they never
+    * collide with the alphabet; ids stay dense. */
+  private def byteBpeVocabLayout(ms: Seq[(String, String)]): Seq[String] = {
+    val alphabet = graft.functions.Gpt2Bytes.ByteToChar
+      .map(_.toString).toSeq.sorted(Utf8Ordering)
+    val seen = scala.collection.mutable.LinkedHashSet.empty[String]
+    alphabet.foreach(seen += _)
+    ms.foreach { case (a, b) => seen += (a + b) }
+    seen.toSeq
+  }
+
+  /** Export the GPT-2 `vocab.json` half of the artifact pair (the
+    * other half is [[bpeExportMerges]]'s `merges.txt`): a JSON object
+    * mapping token -> id in the canonical layout — the 256-char byte
+    * alphabet by code point, then merge outputs by rank — rendered in
+    * id order so re-export is byte-identical. Paths resolve through
+    * Hadoop FS (object stores on a cluster). */
+  def byteBpeExportVocabJson(merges: org.apache.spark.sql.DataFrame,
+                             path: String): Unit = {
+    import org.json4s.JsonDSL._
+    import org.json4s.jackson.JsonMethods
+    import org.json4s.{JObject, JInt}
+    val ms = collectMerges(merges, "byteBpeExportVocabJson")
+    val fields = byteBpeVocabLayout(ms).zipWithIndex
+      .map { case (piece, i) => piece -> org.json4s.JInt(i) }
+    val json = JsonMethods.compact(JsonMethods.render(JObject(fields: _*)))
+    val spark = merges.sparkSession
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val w = new java.io.BufferedWriter(new java.io.OutputStreamWriter(
+      fs.create(p, true), java.nio.charset.StandardCharsets.UTF_8))
+    try w.write(json) finally w.close()
+  }
+
+  /** Parse a GPT-2-style `vocab.json` (a JSON object token -> integer
+    * id — the file next to every GPT-2-family checkpoint, including
+    * files this engine never trained) into a (piece, gpt_id) frame for
+    * [[byteBpeEncodeIdsImported]]. Driver-side parse capped at 65536
+    * entries; duplicate ids fail by name (two tokens cannot share an
+    * id). */
+  def byteBpeImportVocabJson(spark: org.apache.spark.sql.SparkSession,
+                             path: String): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    import org.json4s.jackson.JsonMethods
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    require(fs.exists(p), s"byteBpeImportVocabJson: no vocab file at $path")
+    val src = scala.io.Source.fromInputStream(fs.open(p))(scala.io.Codec.UTF8)
+    val text = try src.mkString finally src.close()
+    val obj = JsonMethods.parse(text) match {
+      case o: org.json4s.JObject => o.obj
+      case other => throw new IllegalArgumentException(
+        s"byteBpeImportVocabJson: $path is not a JSON object (token -> id)")
+    }
+    val rows = obj.map {
+      case (piece, org.json4s.JInt(i)) => (piece, i.toLong)
+      case (piece, other) => throw new IllegalArgumentException(
+        s"byteBpeImportVocabJson: token '$piece' has a non-integer id $other")
+    }
+    require(rows.nonEmpty && rows.length <= 65536,
+      s"byteBpeImportVocabJson: a vocabulary is a 1..65536-entry artifact, got ${rows.length}")
+    val dupP = rows.groupBy(_._1).collectFirst { case (x, xs) if xs.size > 1 => x }
+    require(dupP.isEmpty, s"byteBpeImportVocabJson: token '${dupP.get}' appears twice")
+    val dupI = rows.groupBy(_._2).collectFirst { case (x, xs) if xs.size > 1 => x }
+    require(dupI.isEmpty, s"byteBpeImportVocabJson: id ${dupI.get} assigned twice")
+    import scala.jdk.CollectionConverters._
+    val schema = StructType(Seq(StructField("piece", StringType, nullable = false),
+      StructField("gpt_id", LongType, nullable = false)))
+    val data = rows.map { case (piece, i) => Row(piece, i) }
+    spark.createDataFrame(new java.util.ArrayList[Row](data.asJava), schema)
+  }
+
+  /** Byte-level BPE tokenization to a FOREIGN vocab.json's OWN ids:
+    * apply the merge table ([[byteBpeEncodeIds]]'s chain), then map
+    * each piece through the imported (piece, gpt_id) frame — the id a
+    * GPT-2-checkpoint-targeting pipeline must feed the model; pieces
+    * outside the file take `oovId`. Zero-shuffle stateless projection,
+    * dual-mode by construction. */
+  def byteBpeEncodeIdsImported(stream: graft.api.MStream,
+                               merges: org.apache.spark.sql.DataFrame,
+                               vocab: org.apache.spark.sql.DataFrame,
+                               textCol: String, oovId: Long = -1L,
+                               as: String = "ids"): graft.api.MStream = {
+    val df = stream.df
+    require(!df.columns.contains(as),
+      s"byteBpeEncodeIdsImported input already carries a '$as' column")
+    require(!vocab.isStreaming,
+      "byteBpeEncodeIdsImported: the vocabulary is a batch artifact")
+    val ms = collectMerges(merges, "byteBpeEncodeIdsImported")
+    Seq("piece", "gpt_id").foreach(c => require(vocab.columns.contains(c),
+      s"byteBpeEncodeIdsImported: vocabulary frame needs a '$c' column, has " +
+        vocab.columns.mkString("[", ", ", "]")))
+    val rows = vocab.select(col("piece"), col("gpt_id").cast("long"))
+      .limit(65537).collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    require(rows.nonEmpty && rows.length <= 65536,
+      s"byteBpeEncodeIdsImported: a vocabulary is a 1..65536-entry artifact, got ${rows.length}")
+    val idOf = rows.toMap
+    require(idOf.size == rows.length,
+      "byteBpeEncodeIdsImported: duplicate pieces in the vocabulary frame")
+    val pieces = flatten(transform(gpt2PreTokens(col(textCol)),
+      t => bpeSymbols(bpeApply(bpeWrap(gpt2Bytes(t)), ms))))
+    val ids = transform(pieces,
+      p => graft.functions.VectorFunctions.strataLookup(p, idOf, oovId))
+    stream.lift(df.withColumn(as, ids))
+  }
+
   /** Collect + validate a (merge_rank, lhs, rhs) merge table — the
     * shared BPE-artifact contract (trained or imported). */
   private def collectMerges(merges: org.apache.spark.sql.DataFrame,

@@ -166,6 +166,81 @@ class ByteBpeSpec extends SparkSpec {
     } finally graft.api.Pinned.release(spark)
   }
 
+  test("vocab.json: canonical layout, byte-identical round trip, file ids apply") {
+    val docs = corpus.toDF("doc_id", "text")
+    try {
+      val merges = TextOps.trainByteBpeMerges(docs, "text", 6)
+      val dir = java.nio.file.Files.createTempDirectory("graft_bbj_spec")
+      val p1 = dir.resolve("vocab.json").toString
+      TextOps.byteBpeExportVocabJson(merges, p1)
+      val vocab = TextOps.byteBpeImportVocabJson(spark, p1)
+      val rows = vocab.collect().map(r => (r.getString(0), r.getLong(1))).sortBy(_._2)
+      assert(rows.length == 256 + 6, "256-char alphabet + 6 merge outputs")
+      // canonical head: ids 0..255 are the byte alphabet by code point —
+      // '!' (the lowest printable) is id 0, exactly the published GPT-2 head
+      assert(rows(0) == (("!", 0L)), rows(0).toString)
+      // remapped bytes sort after latin-1: 'Ā' (U+0100) lands at id 188
+      assert(rows(188) == (("Ā", 188L)), rows(188).toString)
+      // merge outputs take 256.. in rank order
+      val m1 = merges.collect().sortBy(_.getInt(0)).head
+      assert(rows(256)._1 == m1.getString(1) + m1.getString(2))
+      // re-export from the imported frame? (export takes merges; assert
+      // the file itself is stable instead: write again, byte-identical)
+      val p2 = dir.resolve("vocab2.json").toString
+      TextOps.byteBpeExportVocabJson(merges, p2)
+      assert(java.util.Arrays.equals(
+        java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(p1)),
+        java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(p2))),
+        "export is deterministic byte-for-byte")
+      // encoding to FILE ids == derived ids shifted by the layout
+      // difference: spot-check equality through a doc round trip
+      val viaFile = TextOps.byteBpeEncodeIdsImported(MStream(docs), merges,
+        vocab, "text").df.select(col("doc_id"), col("ids"))
+        .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+      // every id must resolve (the alphabet covers every byte)
+      assert(viaFile.values.forall(_.forall(_ >= 0L)), "no OOV with a full alphabet")
+      // and mapping ids back through the file reproduces the piece stream
+      val idToPiece = rows.map { case (p, i) => i -> p }.toMap
+      val pieces = TextOps.byteBpeEncodeIds(MStream(docs), merges, "text")
+        .df.select(col("doc_id"), col("ids")).collect()
+        .map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+      // both encodings segment identically (same merge chain), so the
+      // per-doc token COUNTS agree even though id spaces differ
+      assert(viaFile.keySet == pieces.keySet &&
+        viaFile.forall { case (k, v) => v.length == pieces(k).length })
+    } finally graft.api.Pinned.release(spark)
+  }
+
+  test("foreign vocab.json fixture: hand-written GPT-2-style ids apply verbatim") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_bbj_foreign")
+    val pv = dir.resolve("vocab.json")
+    // ids deliberately NOT the canonical layout — the file's ids win
+    java.nio.file.Files.write(pv,
+      """{"a": 5, "Ġ": 7, "b": 11, "Ġb": 13}"""
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    val vocab = TextOps.byteBpeImportVocabJson(spark, pv.toString)
+    val pm = dir.resolve("merges.txt")
+    java.nio.file.Files.write(pm,
+      "#version: 0.2\nĠ b\n".getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    val merges = TextOps.bpeImportMerges(spark, pm.toString)
+    val one = Seq((1L, "a b x")).toDF("doc_id", "text")
+    val ids = TextOps.byteBpeEncodeIdsImported(MStream(one), merges, vocab, "text")
+      .df.select(col("ids")).collect().head.getSeq[Long](0).toList
+    // pre-tokens: "a", " b", " x" -> pieces a, Ġb (merged), Ġ, x(OOV)
+    assert(ids == List(5L, 13L, 7L, -1L), ids.toString)
+    // contracts: duplicate id fails by name
+    val pd = dir.resolve("dup.json")
+    java.nio.file.Files.write(pd, """{"a": 1, "b": 1}""".getBytes("UTF-8"))
+    val bad = intercept[IllegalArgumentException](
+      TextOps.byteBpeImportVocabJson(spark, pd.toString))
+    assert(bad.getMessage.contains("assigned twice"))
+    val pn = dir.resolve("notobj.json")
+    java.nio.file.Files.write(pn, """[1, 2]""".getBytes("UTF-8"))
+    val bad2 = intercept[IllegalArgumentException](
+      TextOps.byteBpeImportVocabJson(spark, pn.toString))
+    assert(bad2.getMessage.contains("not a JSON object"))
+  }
+
   test("ByteBpe nodes: v12 stamp, codec identity, document run == direct API") {
     import graft.api.{App, Program}
     import graft.api.Program._
@@ -173,6 +248,10 @@ class ByteBpeSpec extends SparkSpec {
       ByteBpeIds("a", "in", "m", "text", oovId = -7L, as = "idz")), Seq("a"))
     val json = Program.toJson(d)
     assert(json.contains("\"version\":12") && Program.fromJson(json) == d)
+    val dv = Doc(Seq(External("in"), External("m"), External("v"),
+      ByteBpeIdsVocab("a", "in", "m", "v", "text", oovId = -9L, as = "gz")),
+      Seq("a"))
+    assert(Program.fromJson(Program.toJson(dv)) == dv)
     try {
       val docs = corpus.take(12).toDF("doc_id", "text")
       val merges = TextOps.trainByteBpeMerges(docs, "text", 4)

@@ -213,6 +213,9 @@ class ProgramNodeCoverageSpec extends AnyFunSuite {
       "trainByteBpeMerges" -> excluded(artifact),
       "byteBpeTokenize" -> node("byteBpeEncode"),
       "byteBpeEncodeIds" -> node("byteBpeIds"),
+      "byteBpeEncodeIdsImported" -> node("byteBpeIdsVocab"),
+      "byteBpeExportVocabJson" -> excluded(artifact),
+      "byteBpeImportVocabJson" -> excluded(artifact),
       "byteBpeOutputSchema" -> excluded(artifact),
       "Gpt2PreTokenPattern" -> excluded(const),
       "gpt2PreTokens" -> excluded(block),
