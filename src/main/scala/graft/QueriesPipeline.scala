@@ -3918,6 +3918,105 @@ object QueriesPipeline {
         FROM documents d LEFT JOIN jids i USING (doc_id)"""
   }
 
+  private val LangBpeRounds = 6
+
+  /** Per-language BPE training mirror: `LangBpeRounds` unrolled rounds
+    * where each round argmaxes PER LANGUAGE (row_number over a lang
+    * partition — one statistic pass for every language at once, the
+    * one-pass multi-tokenizer shape) and rewrites each language's slice
+    * with ITS winning merge (LEFT JOIN — languages without a surviving
+    * pair pass through unchanged; exhaustion is permanent, so a
+    * language's round-r merge is its rank-r rule). */
+  private def langBpeTrainingCtes: String = {
+    val rounds = (1 to LangBpeRounds).map { r =>
+      s"""ly$r AS MATERIALIZED (SELECT lang, string_split(s[2:len(s) - 1], chr(3) || chr(2)) AS y, c
+                 FROM lv${r - 1}),
+        lp$r AS MATERIALIZED (SELECT lang, a, b, sum(c)::BIGINT AS n FROM (
+                   SELECT lang, unnest(y[1:len(y) - 1]) AS a, unnest(y[2:len(y)]) AS b, c
+                   FROM ly$r WHERE len(y) >= 2)
+                 GROUP BY 1, 2, 3),
+        lb$r AS MATERIALIZED (SELECT lang, a, b FROM (
+                   SELECT lang, a, b,
+                     row_number() OVER (PARTITION BY lang ORDER BY n DESC, a, b) AS rn
+                   FROM lp$r) WHERE rn = 1),
+        lv$r AS MATERIALIZED (SELECT v.lang,
+                   CASE WHEN b.a IS NULL THEN v.s
+                        ELSE replace(v.s, chr(2) || b.a || chr(3) || chr(2) || b.b || chr(3),
+                               chr(2) || b.a || b.b || chr(3)) END AS s, v.c
+                 FROM lv${r - 1} v LEFT JOIN lb$r b ON v.lang IS NOT DISTINCT FROM b.lang)"""
+    }.mkString(",\n        ")
+    s"""lwords AS (SELECT doc_id, lang, list_filter(string_split_regex(text, '[ \\t\\n\\f\\r\\x0b]+'), x -> x <> '') AS w
+                   FROM documents),
+        lwf AS (SELECT lang, word, count(*)::BIGINT AS c
+                FROM (SELECT lang, unnest(w) AS word FROM lwords) GROUP BY 1, 2),
+        lv0 AS MATERIALIZED (SELECT lang,
+                 array_to_string([chr(2) || ch || chr(3)
+                                  for ch in string_split(word, '')], '') AS s, c
+               FROM lwf),
+        $rounds"""
+  }
+
+  /** Every language's BPE merge table trained in ONE pass (the
+    * tokenizer analog of the per-language LM matrix): (lang,
+    * merge_rank, lhs, rhs), each language's sequence identical to
+    * training on its slice alone. */
+  def qBpeBylang(spark: SparkSession, dir: String): DataFrame =
+    TextOps.trainBpeMergesByLang(Tables.documents(spark, dir).df,
+      "lang", "text", LangBpeRounds)
+
+  lazy val qBpeBylangSql: String = {
+    val union = (1 to LangBpeRounds)
+      .map(r => s"SELECT lang, $r AS merge_rank, a AS lhs, b AS rhs FROM lb$r")
+      .mkString("\n        UNION ALL ")
+    s"""WITH $langBpeTrainingCtes
+        $union"""
+  }
+
+  /** Each document tokenized under its OWN language's merge table:
+    * per-doc count + sequence hash; a language the table does not model
+    * (zero merges trained — e.g. every word single-character) gets the
+    * NULL verdict, mirroring the by-language LM convention. */
+  def qBpeBylangEncode(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir).df
+    TextOps.bpeTokenizeByLang(graft.api.MStream(docs),
+      TextOps.trainBpeMergesByLang(docs, "lang", "text", LangBpeRounds),
+      "doc_id", "lang", "text").df
+  }
+
+  lazy val qBpeBylangEncodeSql: String = {
+    val chain = (1 to LangBpeRounds).map { r =>
+      s"""el$r AS MATERIALIZED (SELECT e.doc_id, e.lang, e.pos,
+             CASE WHEN b.a IS NULL THEN e.s
+                  ELSE replace(e.s, chr(2) || b.a || chr(3) || chr(2) || b.b || chr(3),
+                         chr(2) || b.a || b.b || chr(3)) END AS s
+           FROM el${r - 1} e LEFT JOIN lb$r b ON e.lang IS NOT DISTINCT FROM b.lang)"""
+    }.mkString(",\n        ")
+    val modeled = (1 to LangBpeRounds)
+      .map(r => s"SELECT lang FROM lb$r").mkString(" UNION ALL ")
+    s"""WITH $langBpeTrainingCtes,
+        ldw AS (SELECT doc_id, lang, unnest(w) AS word, unnest(range(1, len(w) + 1)) AS pos
+                FROM lwords),
+        el0 AS MATERIALIZED (SELECT doc_id, lang,  pos,
+                 array_to_string([chr(2) || ch || chr(3)
+                                  for ch in string_split(word, '')], '') AS s
+               FROM ldw),
+        $chain,
+        etok AS (SELECT doc_id, string_split(s[2:len(s) - 1], chr(3) || chr(2)) AS y, pos
+                 FROM el$LangBpeRounds),
+        eagg AS (SELECT doc_id, sum(len(y))::BIGINT AS n,
+                   list_reduce([0] || [ord(c)::BIGINT for c in string_split(
+                     array_to_string(list(array_to_string(y, ' ') ORDER BY pos), ' '), '')],
+                     (a, c) -> (a * 31 + c) % 1000000007) AS h
+                 FROM etok GROUP BY doc_id),
+        lmodeled AS (SELECT DISTINCT lang, 1 AS ok FROM ($modeled))
+        SELECT d.doc_id,
+          (CASE WHEN m.ok IS NULL THEN NULL ELSE coalesce(a.n, 0) END)::BIGINT AS n_bpe_tokens,
+          (CASE WHEN m.ok IS NULL THEN NULL ELSE coalesce(a.h, 0) END)::BIGINT AS tok_hash
+        FROM documents d
+        LEFT JOIN eagg a USING (doc_id)
+        LEFT JOIN lmodeled m ON d.lang IS NOT DISTINCT FROM m.lang"""
+  }
+
   private val WpRounds = 6
 
   private val ByteBpeRounds = 6
@@ -4300,6 +4399,8 @@ object QueriesPipeline {
     "q_bytebpe_encode" -> (qByteBpeEncode _),
     "q_bytebpe_ids" -> (qByteBpeIds _),
     "q_bytebpe_json" -> (qByteBpeJson _),
+    "q_bpe_bylang" -> (qBpeBylang _),
+    "q_bpe_bylang_encode" -> (qBpeBylangEncode _),
     "q_kn3_bylang" -> (qKn3ByLang _),
     "q_lm3_bylang" -> (qLm3ByLang _),
     "q_mkn3_bylang" -> (qMkn3ByLang _),
@@ -4427,6 +4528,8 @@ object QueriesPipeline {
     "q_bytebpe_encode" -> qByteBpeEncodeSql,
     "q_bytebpe_ids" -> qByteBpeIdsSql,
     "q_bytebpe_json" -> qByteBpeJsonSql,
+    "q_bpe_bylang" -> qBpeBylangSql,
+    "q_bpe_bylang_encode" -> qBpeBylangEncodeSql,
     "q_kn3_bylang" -> qKn3ByLangSql,
     "q_lm3_bylang" -> qLm3ByLangSql,
     "q_mkn3_bylang" -> qMkn3ByLangSql,

@@ -315,6 +315,15 @@ object Program {
                                    vocab: String, textCol: String,
                                    oovId: Long = -1L,
                                    as: String = "ids") extends Node
+  /** Per-language BPE tokenization (`TextOps.bpeTokenizeByLang`, v12):
+    * each document tokenizes under ITS language's merge table — `merges`
+    * names a (lang, merge_rank, lhs, rhs) input trained in one pass by
+    * `TextOps.trainBpeMergesByLang`; unmodeled languages get the NULL
+    * verdict (the by-language LM convention). Dual-mode; BUILD-TIME
+    * EAGER. */
+  final case class BpeLangEncode(name: String, input: String, merges: String,
+                                 idCol: String, langCol: String,
+                                 textCol: String) extends Node
   /** Fixed-vocabulary token encoding at ingest (`TextOps.encodeTokensIngest`);
     * `vocab` names a (word, id) input. */
   final case class EncodeIngest(name: String, input: String, vocab: String,
@@ -972,6 +981,7 @@ object Program {
     case bb: ByteBpeEncode => Seq(bb.input, bb.merges)
     case bj: ByteBpeIds => Seq(bj.input, bj.merges)
     case bv: ByteBpeIdsVocab => Seq(bv.input, bv.merges, bv.vocab)
+    case bl: BpeLangEncode => Seq(bl.input, bl.merges)
     case ei: EncodeIngest => Seq(ei.input, ei.vocab)
     case di: DecontamIngest => Seq(di.input, di.bench)
     case ip: IvfProbe => Seq(ip.input, ip.corpus, ip.centroids)
@@ -1367,6 +1377,9 @@ object Program {
           graft.pipeline.TextOps.byteBpeEncodeIdsImported(in(i),
             staticSide(name, in, merges), staticSide(name, in, vocab),
             textCol, oovId, as)
+        case BpeLangEncode(name, i, merges, idCol, langCol, textCol) =>
+          graft.pipeline.TextOps.bpeTokenizeByLang(in(i),
+            staticSide(name, in, merges), idCol, langCol, textCol)
         case EncodeIngest(name, i, vocab, idCol, textCol, oovId) =>
           graft.pipeline.TextOps.encodeTokensIngest(in(i),
             staticSide(name, in, vocab), idCol, textCol, oovId)
@@ -1590,6 +1603,7 @@ object Program {
     case x: ByteBpeEncode => x.copy(name = name)
     case x: ByteBpeIds => x.copy(name = name)
     case x: ByteBpeIdsVocab => x.copy(name = name)
+    case x: BpeLangEncode => x.copy(name = name)
     case x: EncodeIngest => x.copy(name = name)
     case x: DecontamIngest => x.copy(name = name)
     case x: IvfProbe => x.copy(name = name)
@@ -2092,6 +2106,12 @@ object Program {
                               oovId: Long = -1L, as: String = "ids"): Rec =
       derive("byteBpeIdsVocab", Seq(merges, vocab))(n => ByteBpeIdsVocab(
         n, name, merges.name, vocab.name, textCol, oovId, as))
+    /** Per-language BPE tokenization — each document under ITS
+      * language's one-pass-trained merge table (format version 12). */
+    def bpeLangEncode(merges: Rec, idCol: String, langCol: String,
+                      textCol: String): Rec =
+      derive("bpeLangEncode", Seq(merges))(n => BpeLangEncode(n, name,
+        merges.name, idCol, langCol, textCol))
     def bpeEncode(merges: Rec, idCol: String, textCol: String): Rec =
       derive("bpeEncode", Seq(merges))(n => BpeEncode(n, name, merges.name,
         idCol, textCol))
@@ -2370,7 +2390,8 @@ object Program {
     * (wpTokenize/wpEncode/wpIds) — completing the big-three production
     * tokenizer matrix (BPE, unigram, WordPiece) — and byte-level BPE,
     * the GPT-2 tokenizer proper (byteBpeEncode/byteBpeIds/
-    * byteBpeIdsVocab).
+    * byteBpeIdsVocab), and per-language BPE tokenization under
+    * one-pass-trained per-language merge tables (bpeLangEncode).
     * [[toJson]] stamps each document with the LOWEST version that can
     * express it, so a document using only the v1 grammar stays loadable
     * by a v1 library. Versions track SHIPPED grammars (one per build
@@ -2381,8 +2402,8 @@ object Program {
   /** The lowest format version expressing every node in `doc`. */
   private def requiredVersion(doc: Doc): Int =
     if (doc.nodes.exists {
-      case _: WpTokenize | _: WpEncode | _: WpIds |
-           _: ByteBpeEncode | _: ByteBpeIds | _: ByteBpeIdsVocab => true
+      case _: WpTokenize | _: WpEncode | _: WpIds | _: ByteBpeEncode |
+           _: ByteBpeIds | _: ByteBpeIdsVocab | _: BpeLangEncode => true
       case _ => false }) 12
     else if (doc.nodes.exists {
       case _: ArpaScoreLang | _: BpeIds | _: SpTokenize | _: SpIds => true
@@ -2696,6 +2717,10 @@ object Program {
         ("op" -> "byteBpeIdsVocab") ~ ("name" -> name) ~ ("input" -> i) ~
           ("merges" -> merges) ~ ("vocab" -> vocab) ~ ("textCol" -> textCol) ~
           ("oovId" -> oovId) ~ ("as" -> as)
+      case BpeLangEncode(name, i, merges, idCol, langCol, textCol) =>
+        ("op" -> "bpeLangEncode") ~ ("name" -> name) ~ ("input" -> i) ~
+          ("merges" -> merges) ~ ("idCol" -> idCol) ~
+          ("langCol" -> langCol) ~ ("textCol" -> textCol)
       case EncodeIngest(name, i, vocab, idCol, textCol, oovId) =>
         ("op" -> "encodeIngest") ~ ("name" -> name) ~ ("input" -> i) ~
           ("vocab" -> vocab) ~ ("idCol" -> idCol) ~ ("textCol" -> textCol) ~
@@ -3195,6 +3220,9 @@ object Program {
             (v \ "textCol").extract[String],
             (v \ "oovId").extractOpt[Long].getOrElse(-1L),
             (v \ "as").extractOpt[String].getOrElse("ids"))
+          case "bpeLangEncode" => BpeLangEncode(name, (v \ "input").extract[String],
+            (v \ "merges").extract[String], (v \ "idCol").extract[String],
+            (v \ "langCol").extract[String], (v \ "textCol").extract[String])
           case "bpeEncode" => BpeEncode(name, (v \ "input").extract[String],
             (v \ "merges").extract[String], (v \ "idCol").extract[String],
             (v \ "textCol").extract[String])
@@ -3639,6 +3667,17 @@ object Program {
               s.df.schema.fields :+ org.apache.spark.sql.types.StructField(
                 bv.as, org.apache.spark.sql.types.ArrayType(
                   org.apache.spark.sql.types.LongType))))
+          case bl: BpeLangEncode =>
+            val s = env(bl.input)
+            val idField = s.df.schema(bl.idCol)
+            s.df.select(col(bl.langCol), col(bl.textCol)).schema
+            env(bl.merges).df.select(col("lang"), col("merge_rank"),
+              col("lhs"), col("rhs")).schema
+            emptyOf(s, org.apache.spark.sql.types.StructType(Seq(idField,
+              org.apache.spark.sql.types.StructField("n_bpe_tokens",
+                org.apache.spark.sql.types.LongType, nullable = true),
+              org.apache.spark.sql.types.StructField("tok_hash",
+                org.apache.spark.sql.types.LongType, nullable = true))))
           case ed: EmbedDedup if ed.centroids.isDefined =>
             val s = env(ed.input)
             s.df.select(col(ed.idCol), col(ed.vecCol)).schema
@@ -4151,6 +4190,7 @@ object Program {
         case bb: ByteBpeEncode => Seq(bb.input, bb.merges)
         case bj: ByteBpeIds => Seq(bj.input, bj.merges)
         case bv: ByteBpeIdsVocab => Seq(bv.input, bv.merges, bv.vocab)
+        case bl: BpeLangEncode => Seq(bl.input, bl.merges)
         case ei: EncodeIngest => Seq(ei.input, ei.vocab)
         case di: DecontamIngest =>
           if (di.n < 1 || di.minOverlap < 1) throw new IllegalArgumentException(

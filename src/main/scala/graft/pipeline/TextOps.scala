@@ -3421,6 +3421,171 @@ object TextOps {
     spark.createDataFrame(new java.util.ArrayList[Row](data.asJava), schema)
   }
 
+  // -------------------------- per-language BPE (one-pass multi-tokenizer training)
+
+  /** Train EVERY language's BPE merge table in ONE pass — the tokenizer
+    * analog of the per-language LM matrix (`byLangApply`): the corpus is
+    * word-counted ONCE with the language as a key, and each training
+    * round runs ONE job that argmaxes the pair statistic PER LANGUAGE
+    * (a partial-aggregated (lang, a, b) count + a per-language top-1),
+    * so 100 languages cost one round-trip per round, not 100 trainer
+    * runs. Each language's merge sequence is IDENTICAL to training
+    * [[trainBpeMerges]] on its slice alone (spec-pinned): languages
+    * never interact — the key only shares the scan. A language whose
+    * words have all collapsed to one symbol stops receiving merges
+    * (exhaustion is permanent, so a language's merge in global round r
+    * is its rank-r rule in both engines). Modeled-language set capped
+    * at 1024 before collecting (the per-language-artifact contract,
+    * [[Arpa.arpaExportKnByLang]]'s posture). NULL languages train like
+    * any other key and are addressable in [[bpeTokenizeByLang]].
+    *
+    * Output: (lang, merge_rank, lhs, rhs). */
+  def trainBpeMergesByLang(docs: org.apache.spark.sql.DataFrame,
+                           langCol: String, textCol: String,
+                           numMerges: Int): org.apache.spark.sql.DataFrame = {
+    require(numMerges >= 1 && numMerges <= 65536,
+      s"numMerges=$numMerges: each merge is one driver-coordinated round " +
+        "and the merge tables are driver artifacts; keep <= 65536")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    def intConf(key: String, default: Int): Int = {
+      val v = Dedup.longConf(spark, key, default)
+      require(v <= Int.MaxValue, s"$key must fit an Int, got $v")
+      v.toInt
+    }
+    val rematEvery = intConf("graft.bpe.rematEvery", 64)
+    val vocabParts = intConf("graft.bpe.vocabPartitions", 8)
+    val (vocab0, vocab0Ids) = graft.api.Pinned.checkpointTracked(docs
+      .select(col(langCol).as("__l"), explode(words(col(textCol))).as("__w"))
+      .groupBy("__l", "__w").agg(count(lit(1)).as("__c"))
+      .select(col("__l"), bpeWrap(col("__w")).as("__s"), col("__c")))
+    val nLangs = vocab0.select(col("__l")).distinct().limit(1025).count()
+    require(nLangs <= 1024,
+      s"trainBpeMergesByLang: modeled-language set exceeds the 1024-language " +
+        "artifact cap — filter or bucket the language column first")
+    val loop = spark.newSession()
+    loop.conf.set("spark.sql.shuffle.partitions", vocabParts.toString)
+    loop.conf.set("spark.sql.adaptive.enabled", "false")
+    var vocab = loop.createDataFrame(vocab0.rdd, vocab0.schema)
+      .coalesce(vocabParts)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    var vocabCpIds = Set.empty[Int]
+    def releaseIds(ids: Set[Int]): Unit = graft.api.Pinned.unpersist(spark, ids)
+    // pending merge chains per language (null language rides the map
+    // under its own key)
+    val pending = scala.collection.mutable.LinkedHashMap
+      .empty[Option[String], scala.collection.mutable.ArrayBuffer[(String, String)]]
+    def chainFor(l: Option[String]): Seq[(String, String)] =
+      pending.get(l).map(_.toSeq).getOrElse(Nil)
+    /** The per-row conditional apply: each language's pending chain as
+      * one CASE branch (languages are bounded by the 1024 cap; the
+      * re-materialization below bounds chain length, so expression size
+      * stays O(langs x rematEvery)). */
+    def applyByLang(sCol: Column): Column =
+      pending.foldLeft(sCol) { case (acc, (l, ms)) =>
+        val cond = l.map(v => col("__l") === lit(v)).getOrElse(col("__l").isNull)
+        when(cond, bpeApply(sCol, ms.toSeq)).otherwise(acc)
+      }
+    try {
+      val merges = scala.collection.mutable.ArrayBuffer.empty[(Option[String], Int, String, String)]
+      var r = 0
+      var exhausted = false
+      var sincePin = 0
+      while (r < numMerges && !exhausted) {
+        val syms = bpeSymbols(applyByLang(col("__s")))
+        val best = vocab
+          .select(col("__l"), syms.as("__y"), col("__c"))
+          .where(size(col("__y")) >= 2)
+          .select(col("__l"), explode(arrays_zip(
+            slice(col("__y"), lit(1), size(col("__y")) - 1).as("a"),
+            slice(col("__y"), lit(2), size(col("__y")) - 1).as("b"))).as("__p"),
+            col("__c"))
+          .groupBy(col("__l"), col("__p.a").as("a"), col("__p.b").as("b"))
+          .agg(sum(col("__c")).as("__n"))
+          .withColumn("__rn", org.apache.spark.sql.functions.row_number().over(
+            org.apache.spark.sql.expressions.Window.partitionBy(col("__l"))
+              .orderBy(col("__n").desc, col("a"), col("b"))))
+          .where(col("__rn") === 1)
+          .select(col("__l"), col("a"), col("b")).collect()
+        if (best.isEmpty) exhausted = true // every language fully collapsed
+        else {
+          r += 1
+          sincePin += 1
+          best.foreach { row =>
+            val l = Option(row.getString(0))
+            val m = (row.getString(1), row.getString(2))
+            merges += ((l, r, m._1, m._2))
+            pending.getOrElseUpdate(l,
+              scala.collection.mutable.ArrayBuffer.empty[(String, String)]) += m
+          }
+          if (sincePin >= rematEvery && r < numMerges) {
+            val (next, nIds) = graft.api.Pinned.checkpointTracked(vocab
+              .select(col("__l"), applyByLang(col("__s")).as("__s"), col("__c")))
+            vocab.unpersist(blocking = false)
+            releaseIds(vocabCpIds); vocabCpIds = nIds
+            vocab = next
+            pending.clear()
+            sincePin = 0
+          }
+        }
+      }
+      merges.toSeq
+        .map { case (l, mr, a, b) => (l.orNull, mr, a, b) }
+        .toDF("lang", "merge_rank", "lhs", "rhs")
+    } finally {
+      vocab.unpersist(blocking = false)
+      releaseIds(vocabCpIds)
+      releaseIds(vocab0Ids)
+    }
+  }
+
+  /** Apply each document's OWN language's merge table: per-doc subword
+    * count + sequence hash, exactly [[bpeTokenize]] under that
+    * language's rules; documents in a language the table does not model
+    * emit NULL count and hash (the by-language NULL-verdict convention,
+    * [[Arpa.arpaScoreAgainstByLang]]'s posture). Zero-shuffle stateless
+    * projection (the bounded language set rides the plan as CASE
+    * branches of chained literal replaces), dual-mode by
+    * construction. */
+  def bpeTokenizeByLang(stream: graft.api.MStream,
+                        mergesByLang: org.apache.spark.sql.DataFrame,
+                        idCol: String, langCol: String,
+                        textCol: String): graft.api.MStream = {
+    val df = stream.df
+    require(!mergesByLang.isStreaming,
+      "bpeTokenizeByLang: the merge tables are a batch artifact")
+    Seq("lang", "merge_rank", "lhs", "rhs").foreach(c =>
+      require(mergesByLang.columns.contains(c),
+        s"bpeTokenizeByLang: merge frame needs a '$c' column, has " +
+          mergesByLang.columns.mkString("[", ", ", "]")))
+    val rows = mergesByLang
+      .select(col("lang"), col("merge_rank"), col("lhs"), col("rhs"))
+      .collect().map(r => (Option(r.getString(0)), r.getInt(1),
+        r.getString(2), r.getString(3))).toSeq
+    require(rows.nonEmpty && rows.length <= 65536,
+      s"bpeTokenizeByLang: the merge tables are a 1..65536-rule artifact, got ${rows.length}")
+    val byLang: Seq[(Option[String], Seq[(String, String)])] = rows
+      .groupBy(_._1).toSeq
+      .map { case (l, xs) => l -> xs.sortBy(_._2).map(x => (x._3, x._4)) }
+      .sortBy(_._1.map("\u0001" + _).getOrElse("")) // deterministic branch order
+    require(byLang.size <= 1024,
+      s"bpeTokenizeByLang: ${byLang.size} languages exceed the 1024-language cap")
+    def piecesFor(ms: Seq[(String, String)]): Column =
+      flatten(transform(words(col(textCol)),
+        w => bpeSymbols(bpeApply(bpeWrap(w), ms))))
+    val lang = col(langCol)
+    val nullCnt = lit(null).cast("long")
+    val (nExpr, hExpr) = byLang.foldLeft((nullCnt, nullCnt)) {
+      case ((nAcc, hAcc), (l, ms)) =>
+        val cond = l.map(v => lang === lit(v)).getOrElse(lang.isNull)
+        val ps = piecesFor(ms)
+        (when(cond, size(ps).cast("long")).otherwise(nAcc),
+          when(cond, polyHash(array_join(ps, " "))).otherwise(hAcc))
+    }
+    stream.lift(df.select(col(idCol),
+      nExpr.as("n_bpe_tokens"), hExpr.as("tok_hash")))
+  }
+
   // -------------------------- byte-level BPE (the GPT-2 tokenizer proper)
 
   /** The GPT-2-style pre-tokenization pattern (Radford et al. 2019),

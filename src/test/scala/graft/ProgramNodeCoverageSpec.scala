@@ -211,6 +211,8 @@ class ProgramNodeCoverageSpec extends AnyFunSuite {
       "buildVocab" -> excluded(artifact),
       "trainBpeMerges" -> excluded(artifact),
       "trainByteBpeMerges" -> excluded(artifact),
+      "trainBpeMergesByLang" -> excluded(artifact),
+      "bpeTokenizeByLang" -> node("bpeLangEncode"),
       "byteBpeTokenize" -> node("byteBpeEncode"),
       "byteBpeEncodeIds" -> node("byteBpeIds"),
       "byteBpeEncodeIdsImported" -> node("byteBpeIdsVocab"),
