@@ -22,6 +22,16 @@ import org.apache.spark.sql.types._
  */
 object Multimodal {
 
+  // ImageIO's default stream cache is DISK-backed: every
+  // createImageInputStream / ImageIO.write(..., OutputStream) call wraps
+  // the in-memory bytes in a FileCache stream — one temp FILE created,
+  // written, read and deleted PER ROW. All payloads here are in-memory
+  // byte arrays (media columns), so the file cache is pure overhead —
+  // measured 3.0 s → 0.4 s on the 32-task frames_video codec stage at
+  // sf0.1. JVM-global, set once; executors inherit it because the slot
+  // classes load lazily per executor JVM.
+  javax.imageio.ImageIO.setUseCache(false)
+
   val MediaMetaType: StructType = StructType(Seq(
     StructField("format", StringType),
     StructField("width", IntegerType),
@@ -70,6 +80,102 @@ object Multimodal {
     * is degrade-to-fallback, never an NPE'd task. */
   private def fmtOf(meta: Row): String =
     if (meta == null) null else meta.getString(0)
+
+  /** Lock-free RIFF/WAVE codec for the plain PCM16LE shape — the hot path
+    * of the audio slots. `javax.sound.sampled.AudioSystem` routes every
+    * encode AND decode through a globally synchronized provider registry:
+    * measured on this host, 32 threads decoding tiny WAVs achieve exactly
+    * single-thread throughput (the whole codec stage serializes). The
+    * common container needs none of that machinery; non-PCM16 WAVs and
+    * every other container still take the JDK path (readPcm16 = None).
+    * The writer's output is byte-identical to the JDK WaveFileWriter's
+    * canonical 44-byte-header layout (MultimodalProps pins this), so
+    * artifacts remain readable by any WAV consumer. */
+  private[graft] object Wav {
+    private val Riff = Array[Byte]('R', 'I', 'F', 'F')
+    private val Wave = Array[Byte]('W', 'A', 'V', 'E')
+
+    private def u16(b: Array[Byte], o: Int): Int =
+      (b(o) & 0xff) | ((b(o + 1) & 0xff) << 8)
+    private def u32(b: Array[Byte], o: Int): Long =
+      (b(o) & 0xffL) | ((b(o + 1) & 0xffL) << 8) |
+        ((b(o + 2) & 0xffL) << 16) | ((b(o + 3) & 0xffL) << 24)
+    private def tag(b: Array[Byte], o: Int, t: Array[Byte]): Boolean =
+      b(o) == t(0) && b(o + 1) == t(1) && b(o + 2) == t(2) && b(o + 3) == t(3)
+
+    /** Parse a plain PCM16LE WAV: (sampleRate, channels, data-chunk
+      * bytes), or None when the container is anything else (caller falls
+      * back to the AudioSystem path — identical accepted-format surface,
+      * identical PCM bytes for this shape since converting PCM16LE to
+      * PCM16LE is the JDK's pass-through). */
+    def readPcm16(bytes: Array[Byte]): Option[(Int, Int, Array[Byte])] = {
+      if (bytes == null || bytes.length < 44 ||
+        !tag(bytes, 0, Riff) || !tag(bytes, 8, Wave)) return None
+      var off = 12
+      var rate = -1; var ch = -1; var ok = false
+      var data: Array[Byte] = null
+      while (off + 8 <= bytes.length && (data == null || !ok)) {
+        val size = u32(bytes, off + 4)
+        val body = off + 8
+        if (size < 0 || body + size > bytes.length) return None // truncated
+        if (tag(bytes, off, Array[Byte]('f', 'm', 't', ' '))) {
+          if (size < 16) return None
+          val fmt = u16(bytes, body)
+          val bits = u16(bytes, body + 14)
+          ch = u16(bytes, body + 2)
+          rate = u32(bytes, body + 4).toInt
+          ok = fmt == 1 && bits == 16 && ch >= 1 && rate >= 1
+          if (!ok) return None // PCM but not 16-bit, or esoteric: JDK path
+        } else if (tag(bytes, off, Array[Byte]('d', 'a', 't', 'a'))) {
+          data = java.util.Arrays.copyOfRange(bytes, body, (body + size).toInt)
+        }
+        off = body + size.toInt + (size.toInt & 1) // RIFF chunks pad to even
+      }
+      if (ok && data != null) Some((rate, ch, data)) else None
+    }
+
+    /** Canonical 44-byte-header PCM16LE WAV writer — the byte-for-byte
+      * layout the JDK WaveFileWriter emits for this encoding. */
+    def writePcm16(rate: Int, channels: Int, data: Array[Byte]): Array[Byte] = {
+      val block = channels * 2
+      val out = new Array[Byte](44 + data.length)
+      def put(o: Int, t: Array[Byte]): Unit = System.arraycopy(t, 0, out, o, 4)
+      def p16(o: Int, v: Int): Unit = {
+        out(o) = (v & 0xff).toByte; out(o + 1) = ((v >> 8) & 0xff).toByte
+      }
+      def p32(o: Int, v: Long): Unit = {
+        out(o) = (v & 0xff).toByte; out(o + 1) = ((v >> 8) & 0xff).toByte
+        out(o + 2) = ((v >> 16) & 0xff).toByte; out(o + 3) = ((v >> 24) & 0xff).toByte
+      }
+      put(0, Riff); p32(4, 36L + data.length); put(8, Wave)
+      put(12, Array[Byte]('f', 'm', 't', ' ')); p32(16, 16L)
+      p16(20, 1); p16(22, channels); p32(24, rate.toLong)
+      p32(28, rate.toLong * block); p16(32, block); p16(34, 16)
+      put(36, Array[Byte]('d', 'a', 't', 'a')); p32(40, data.length.toLong)
+      System.arraycopy(data, 0, out, 44, data.length)
+      out
+    }
+  }
+
+  /** Compute-parallelism floor for the codec slots (optimization guide
+    * §2.5 input skew / §2.6 idle capacity): codec work is CPU-bound per
+    * ROW, not per byte, so a narrow input layout — one tiny single-row-
+    * group parquet file, an unsplittable archive, a small id frame feeding
+    * a synthesizer — serializes the whole partition-batched stage on a
+    * handful of cores while the rest of the cluster idles. When the
+    * incoming layout is narrower than the session's core count, spread
+    * rows round-robin ONCE before the codec pass; when the scan already
+    * yields >= defaultParallelism partitions (any at-scale input), this is
+    * the identity — no added exchange. Batch-only by construction:
+    * streaming micro-batches arrive pre-partitioned by the source and
+    * `.rdd` is undefined on an unstarted stream. */
+  private def spreadForCompute(df: DataFrame): DataFrame = {
+    if (df.isStreaming) df
+    else {
+      val target = df.sparkSession.sparkContext.defaultParallelism
+      if (df.rdd.getNumPartitions >= target) df else df.repartition(target)
+    }
+  }
 
   /** Decode a single image with the header-dim guard: width/height come
     * from the header and are bounded by [[MaxCanvasPixels]] BEFORE the
@@ -133,7 +239,7 @@ object Multimodal {
     val mediaIdx = df.schema.fieldIndex("media")
     val metaIdx = df.schema.fieldIndex("media_meta")
     implicit val enc = RowEncoder.encoderFor(outSchema)
-    df.mapPartitions { rows =>
+    spreadForCompute(df).mapPartitions { rows =>
       rows.map { r =>
         val bytes = r.getAs[Array[Byte]](mediaIdx)
         val fmt = fmtOf(r.getStruct(metaIdx))
@@ -178,7 +284,7 @@ object Multimodal {
     val mediaIdx = df.schema.fieldIndex("media")
     val metaIdx = df.schema.fieldIndex("media_meta")
     implicit val enc = RowEncoder.encoderFor(outSchema)
-    df.mapPartitions { rows =>
+    spreadForCompute(df).mapPartitions { rows =>
       rows.map { r =>
         val bytes = r.getAs[Array[Byte]](mediaIdx)
         val fmt = fmtOf(r.getStruct(metaIdx))
@@ -212,23 +318,30 @@ object Multimodal {
     * ONE copy shared by the audio decoder and resampler so the two stages
     * cannot drift. Returns (sampleRate, channels, interleaved PCM16LE
     * bytes); callers wrap in the NonFatal degrade-to-fallback contract. */
-  private def pcm16(bytes: Array[Byte]): (Int, Int, Array[Byte]) = {
-    val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
-      new java.io.ByteArrayInputStream(bytes))
-    try {
-      val base = ais.getFormat
-      val target = new javax.sound.sampled.AudioFormat(
-        javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED,
-        base.getSampleRate, 16, base.getChannels,
-        base.getChannels * 2, base.getSampleRate, false)
-      val pcm = javax.sound.sampled.AudioSystem.getAudioInputStream(target, ais)
-      val buf = new java.io.ByteArrayOutputStream()
-      val tmp = new Array[Byte](8192)
-      var n = pcm.read(tmp)
-      while (n > 0) { buf.write(tmp, 0, n); n = pcm.read(tmp) }
-      (base.getSampleRate.toInt, base.getChannels, buf.toByteArray)
-    } finally ais.close()
-  }
+  private def pcm16(bytes: Array[Byte]): (Int, Int, Array[Byte]) =
+    // fast path first: the AudioSystem provider registry serializes EVERY
+    // decode behind one global lock (measured: 32 executor threads run at
+    // single-thread throughput), so the common container — plain PCM16LE
+    // WAV — parses lock-free; anything else (AIFF/AU, 8/24/32-bit,
+    // unsigned, float, compressed) takes the JDK converter exactly as
+    // before, so the accepted-format surface is unchanged
+    Wav.readPcm16(bytes).getOrElse {
+      val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(bytes))
+      try {
+        val base = ais.getFormat
+        val target = new javax.sound.sampled.AudioFormat(
+          javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED,
+          base.getSampleRate, 16, base.getChannels,
+          base.getChannels * 2, base.getSampleRate, false)
+        val pcm = javax.sound.sampled.AudioSystem.getAudioInputStream(target, ais)
+        val buf = new java.io.ByteArrayOutputStream()
+        val tmp = new Array[Byte](8192)
+        var n = pcm.read(tmp)
+        while (n > 0) { buf.write(tmp, 0, n); n = pcm.read(tmp) }
+        (base.getSampleRate.toInt, base.getChannels, buf.toByteArray)
+      } finally ais.close()
+    }
 
   /**
    * REAL audio decode in the same partition-batched codec slot, using the
@@ -262,7 +375,7 @@ object Multimodal {
     val mediaIdx = df.schema.fieldIndex("media")
     val metaIdx = df.schema.fieldIndex("media_meta")
     implicit val enc = RowEncoder.encoderFor(outSchema)
-    df.mapPartitions { rows =>
+    spreadForCompute(df).mapPartitions { rows =>
       rows.map { r =>
         val bytes = r.getAs[Array[Byte]](mediaIdx)
         val fmt = fmtOf(r.getStruct(metaIdx))
@@ -328,7 +441,7 @@ object Multimodal {
     val mediaIdx = df.schema.fieldIndex("media")
     val metaIdx = df.schema.fieldIndex("media_meta")
     implicit val enc = RowEncoder.encoderFor(outSchema)
-    df.mapPartitions { rows =>
+    spreadForCompute(df).mapPartitions { rows =>
       rows.map { r =>
         val bytes = r.getAs[Array[Byte]](mediaIdx)
         val meta = r.getStruct(metaIdx)
@@ -354,15 +467,9 @@ object Multimodal {
                   System.arraycopy(data, s * frameBytes, out, j * frameBytes, frameBytes)
                   j += 1
                 }
-                val pcmFmt = new javax.sound.sampled.AudioFormat(
-                  javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED,
-                  targetRate.toFloat, 16, ch, frameBytes, targetRate.toFloat, false)
-                val ais = new javax.sound.sampled.AudioInputStream(
-                  new java.io.ByteArrayInputStream(out), pcmFmt, dstFrames.toLong)
-                val baos = new java.io.ByteArrayOutputStream()
-                javax.sound.sampled.AudioSystem.write(
-                  ais, javax.sound.sampled.AudioFileFormat.Type.WAVE, baos)
-                Some(baos.toByteArray)
+                // lock-free writer (see [[Wav]]) — byte-identical container
+                // to the AudioSystem path this replaced
+                Some(Wav.writePcm16(targetRate, ch, out))
               }
             } catch { case scala.util.control.NonFatal(_) => None }
           } else None
@@ -396,7 +503,7 @@ object Multimodal {
       StructField("media_meta", MediaMetaType)))
     val idIdx = df.schema.fieldIndex(idCol)
     implicit val enc = RowEncoder.encoderFor(outSchema)
-    df.mapPartitions { rows =>
+    spreadForCompute(df).mapPartitions { rows =>
       rows.map { r =>
         val id = r.getLong(idIdx)
         val img = new java.awt.image.BufferedImage(
@@ -429,7 +536,7 @@ object Multimodal {
       StructField("media_meta", MediaMetaType)))
     val idIdx = df.schema.fieldIndex(idCol)
     implicit val enc = RowEncoder.encoderFor(outSchema)
-    df.mapPartitions { rows =>
+    spreadForCompute(df).mapPartitions { rows =>
       rows.map { r =>
         val id = r.getLong(idIdx)
         val data = new Array[Byte](n * 2)
@@ -440,15 +547,9 @@ object Multimodal {
           data(2 * i + 1) = ((s >> 8) & 0xff).toByte
           i += 1
         }
-        val fmt = new javax.sound.sampled.AudioFormat(
-          javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED,
-          rate.toFloat, 16, 1, 2, rate.toFloat, false)
-        val ais = new javax.sound.sampled.AudioInputStream(
-          new java.io.ByteArrayInputStream(data), fmt, n.toLong)
-        val baos = new java.io.ByteArrayOutputStream()
-        javax.sound.sampled.AudioSystem.write(
-          ais, javax.sound.sampled.AudioFileFormat.Type.WAVE, baos)
-        Row(id, baos.toByteArray, Row("audio/wav", null, null, null))
+        // lock-free writer (see [[Wav]]) — byte-identical container to the
+        // AudioSystem path this replaced, without its global provider lock
+        Row(id, Wav.writePcm16(rate, 1, data), Row("audio/wav", null, null, null))
       }
     }
   }
@@ -475,7 +576,7 @@ object Multimodal {
       StructField("media_meta", MediaMetaType)))
     val idIdx = df.schema.fieldIndex(idCol)
     implicit val enc = RowEncoder.encoderFor(outSchema)
-    df.mapPartitions { rows =>
+    spreadForCompute(df).mapPartitions { rows =>
       // one writer per partition, reused across rows (writers are not
       // thread-safe but a partition is single-threaded); disposed by the
       // task-completion listener, which also covers early termination
@@ -704,7 +805,7 @@ object Multimodal {
     val mediaIdx = df.schema.fieldIndex("media")
     val metaIdx = df.schema.fieldIndex("media_meta")
     implicit val enc = RowEncoder.encoderFor(outSchema)
-    df.mapPartitions { rows =>
+    spreadForCompute(df).mapPartitions { rows =>
       rows.map { r =>
         val bytes = r.getAs[Array[Byte]](mediaIdx)
         val fmt = fmtOf(r.getStruct(metaIdx))
@@ -755,7 +856,7 @@ object Multimodal {
     val mediaIdx = df.schema.fieldIndex("media")
     val metaIdx = df.schema.fieldIndex("media_meta")
     implicit val enc = RowEncoder.encoderFor(outSchema)
-    df.mapPartitions { rows =>
+    spreadForCompute(df).mapPartitions { rows =>
       rows.flatMap { r =>
         val bytes = r.getAs[Array[Byte]](mediaIdx)
         val fmt = fmtOf(r.getStruct(metaIdx))
@@ -814,7 +915,7 @@ object Multimodal {
     val mediaIdx = df.schema.fieldIndex("media")
     val metaIdx = df.schema.fieldIndex("media_meta")
     implicit val enc = RowEncoder.encoderFor(outSchema)
-    df.mapPartitions { rows =>
+    spreadForCompute(df).mapPartitions { rows =>
       rows.map { r =>
         val bytes = r.getAs[Array[Byte]](mediaIdx)
         val meta = r.getStruct(metaIdx)

@@ -115,4 +115,56 @@ object MultimodalProps extends Properties("graft.multimodal") {
         }
       }
     }
+
+  // ---- lock-free PCM16LE WAV codec (the audio slots' hot path) --------
+
+  private def jdkWav(rate: Int, channels: Int, data: Array[Byte]): Array[Byte] = {
+    val fmt = new javax.sound.sampled.AudioFormat(
+      javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED,
+      rate.toFloat, 16, channels, channels * 2, rate.toFloat, false)
+    val ais = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(data), fmt,
+      data.length.toLong / (channels * 2))
+    val baos = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(
+      ais, javax.sound.sampled.AudioFileFormat.Type.WAVE, baos)
+    baos.toByteArray
+  }
+
+  /** The writer that replaced AudioSystem.write in the codec slots must
+    * stay byte-identical to it — artifacts a WAV consumer reads today
+    * must not change shape — and the lock-free reader must invert it. */
+  property("Wav.writePcm16 is byte-identical to the JDK WaveFileWriter " +
+    "and readPcm16 inverts it") =
+    forAll(Gen.choose(1, 2), Gen.oneOf(4000, 8000, 44100),
+      Gen.choose(0, 300)) { (ch, rate, frames) =>
+      val data = Array.tabulate(frames * ch * 2)(i => ((i * 31 + 7) % 251).toByte)
+      val ours = graft.pipeline.Multimodal.Wav.writePcm16(rate, ch, data)
+      val jdk = jdkWav(rate, ch, data)
+      val back = graft.pipeline.Multimodal.Wav.readPcm16(ours)
+      java.util.Arrays.equals(ours, jdk) &&
+        (back match {
+          case Some((r, c, d)) =>
+            r == rate && c == ch && java.util.Arrays.equals(d, data)
+          case None => false
+        })
+    }
+
+  /** Non-PCM16 containers must be declined (None), never mis-parsed —
+    * the AudioSystem fallback keeps handling them. */
+  property("Wav.readPcm16 declines foreign containers") =
+    forAll(Gen.oneOf(8, 24, 32), Gen.choose(1, 100)) { (bits, frames) =>
+      val bytesPer = bits / 8
+      val data = Array.tabulate(frames * bytesPer)(i => (i % 120).toByte)
+      val fmt = new javax.sound.sampled.AudioFormat(
+        javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED,
+        8000f, bits, 1, bytesPer, 8000f, false)
+      val ais = new javax.sound.sampled.AudioInputStream(
+        new java.io.ByteArrayInputStream(data), fmt, frames.toLong)
+      val baos = new java.io.ByteArrayOutputStream()
+      javax.sound.sampled.AudioSystem.write(
+        ais, javax.sound.sampled.AudioFileFormat.Type.WAVE, baos)
+      graft.pipeline.Multimodal.Wav.readPcm16(baos.toByteArray).isEmpty &&
+        graft.pipeline.Multimodal.Wav.readPcm16(Array[Byte](1, 2, 3)).isEmpty
+    }
 }
