@@ -312,7 +312,17 @@ object Arpa {
         for (j <- 1 to order) {
           w.write(s"\n\\$j-grams:\n")
           if (j == 1) w.write(s"${fmt(unkLp10)}\t<unk>\n")
-          val it = levelFrames(j).sort(keys(j).map(col): _*).toLocalIterator()
+          // coalesce(1) + sortWithinPartitions, not a global sort: the
+          // same total order (one partition) WITHOUT the range
+          // partitioner's boundary-sampling pass, and the stream is ONE
+          // job instead of one per shuffle partition (toLocalIterator
+          // launches a job per partition — measured ~170 jobs for the
+          // 7-language by-lang export, dominated by exactly these
+          // fetches). The entry set is graft.arpa.maxEntries-capped (a
+          // driver-sized artifact by contract), so the single sort task
+          // is bounded by the same cap as the serial file write itself.
+          val it = levelFrames(j).coalesce(1)
+            .sortWithinPartitions(keys(j).map(col): _*).toLocalIterator()
           while (it.hasNext) {
             val r = it.next()
             val gram = (0 until j).map(r.getString).mkString(" ")

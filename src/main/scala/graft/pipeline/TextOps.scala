@@ -40,6 +40,42 @@ object TextOps {
     * OracleConsistencySpec pins `\s`-free oracles. */
   def words(text: Column): Column = filter(split(text, "\\s+"), w => w =!= "")
 
+  /** Compute-parallelism floor for CPU-bound per-row stages (optimization
+    * guide §2.5 input skew / §2.6 idle capacity): gram explosion, chained
+    * merge rewrites and Viterbi segmentation cost per ROW, not per byte,
+    * so a narrow input layout — one tiny single-row-group parquet file, an
+    * unsplittable archive — serializes the whole stage on a handful of
+    * cores (measured: q_bpe_encode's tokenize pass was ONE 2.5 s task on
+    * a 32-core session). When the incoming layout is a SHUFFLE-FREE plan
+    * narrower than the session's core count, spread rows round-robin once
+    * before the expensive projection; any at-scale input (>= cores scan
+    * partitions) or post-shuffle frame (already session-width) takes the
+    * identity branch — no exchange added where the layout already
+    * parallelizes. Plans carrying a shuffle boundary or a subquery are
+    * left untouched WITHOUT inspecting partitioning: probing `.rdd` on an
+    * adaptive plan materializes its query stages eagerly (double
+    * execution), and their width is the session's anyway. Streaming
+    * micro-batches arrive pre-partitioned and `.rdd` is undefined on an
+    * unstarted stream — identity there too. */
+  private[graft] def spreadForCompute(df: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    if (df.isStreaming) return df
+    import org.apache.spark.sql.catalyst.plans.logical._
+    import org.apache.spark.sql.catalyst.expressions.SubqueryExpression
+    val lp = df.queryExecution.logical
+    val hasBoundaryOrSubquery = lp.collectFirst {
+      case n @ (_: Join | _: Aggregate | _: Window | _: Sort | _: Distinct |
+                _: Repartition | _: RepartitionByExpression | _: GlobalLimit |
+                _: SetOperation | _: Deduplicate) => n
+      case n if n.expressions.exists(_.exists(_.isInstanceOf[SubqueryExpression])) => n
+    }.isDefined
+    if (hasBoundaryOrSubquery) df
+    else {
+      val target = df.sparkSession.sparkContext.defaultParallelism
+      if (df.rdd.getNumPartitions >= target) df else df.repartition(target)
+    }
+  }
+
   /** Distinct word n-gram shingles ("a b c" strings). */
   def wordShingles(text: Column, n: Int): Column = {
     val ws = words(text)
@@ -3217,7 +3253,7 @@ object TextOps {
     val ms = merges.select(col("merge_rank"), col("lhs"), col("rhs"))
       .collect().sortBy(_.getInt(0)).map(r => (r.getString(1), r.getString(2))).toSeq
     val id = col(idCol)
-    val toks = docs
+    val toks = spreadForCompute(docs)
       .select(id, posexplode(words(col(textCol))).as(Seq("__pos", "__w")))
       .select(id, col("__pos"),
         bpeSymbols(bpeApply(bpeWrap(col("__w")), ms)).as("__y"))
@@ -3351,7 +3387,7 @@ object TextOps {
       w => bpeSymbols(bpeApply(bpeWrap(w), ms))))
     val ids = transform(pieces,
       p => graft.functions.VectorFunctions.strataLookup(p, idOf, oovId))
-    stream.lift(df.withColumn(as, ids))
+    stream.lift(spreadForCompute(df).withColumn(as, ids))
   }
 
   // -------------------------- merges.txt interop (the GPT-2/HF-BPE artifact format)
@@ -3582,7 +3618,7 @@ object TextOps {
         (when(cond, size(ps).cast("long")).otherwise(nAcc),
           when(cond, polyHash(array_join(ps, " "))).otherwise(hAcc))
     }
-    stream.lift(df.select(col(idCol),
+    stream.lift(spreadForCompute(df).select(col(idCol),
       nExpr.as("n_bpe_tokens"), hExpr.as("tok_hash")))
   }
 
@@ -3637,7 +3673,8 @@ object TextOps {
       s"numMerges=$numMerges: each merge is one driver-coordinated round " +
         "and the merge table is a driver artifact; keep <= 65536")
     val spark = docs.sparkSession
-    val (vocab0, vocab0Ids) = graft.api.Pinned.checkpointTracked(docs
+    val (vocab0, vocab0Ids) = graft.api.Pinned.checkpointTracked(
+      spreadForCompute(docs)
       .select(explode(gpt2PreTokens(col(textCol))).as("__w"))
       .groupBy("__w").agg(count(lit(1)).as("__c"))
       .select(bpeWrap(gpt2Bytes(col("__w"))).as("__s"), col("__c")))
@@ -3667,7 +3704,7 @@ object TextOps {
     val ms = collectMerges(merges, "byteBpeTokenize")
     val pieces = flatten(transform(gpt2PreTokens(col(textCol)),
       t => bpeSymbols(bpeApply(bpeWrap(gpt2Bytes(t)), ms))))
-    stream.lift(df.select(col(idCol),
+    stream.lift(spreadForCompute(df).select(col(idCol),
       size(pieces).cast("long").as("n_bbpe_tokens"),
       polyHash(array_join(pieces, " ")).as("tok_hash")))
   }
@@ -3701,7 +3738,7 @@ object TextOps {
       t => bpeSymbols(bpeApply(bpeWrap(gpt2Bytes(t)), ms))))
     val ids = transform(pieces,
       p => graft.functions.VectorFunctions.strataLookup(p, idOf, oovId))
-    stream.lift(df.withColumn(as, ids))
+    stream.lift(spreadForCompute(df).withColumn(as, ids))
   }
 
   /** The canonical GPT-2 vocab layout derived from a merge table: the
@@ -3812,7 +3849,7 @@ object TextOps {
       t => bpeSymbols(bpeApply(bpeWrap(gpt2Bytes(t)), ms))))
     val ids = transform(pieces,
       p => graft.functions.VectorFunctions.strataLookup(p, idOf, oovId))
-    stream.lift(df.withColumn(as, ids))
+    stream.lift(spreadForCompute(df).withColumn(as, ids))
   }
 
   /** Collect + validate a (merge_rank, lhs, rhs) merge table — the

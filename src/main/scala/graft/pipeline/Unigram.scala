@@ -185,7 +185,7 @@ object Unigram {
     val probs = probsOf(rows)
     // the native expression word-scans the whole text itself — one
     // compiled pass per row, no per-word lambda
-    stream.lift(df.withColumn(as,
+    stream.lift(TextOps.spreadForCompute(df).withColumn(as,
       segmentExpr(col(textCol), probs, maxPieceLen)))
   }
 
@@ -300,7 +300,7 @@ object Unigram {
     require(!df.columns.contains(as),
       s"tokenizeImported input already carries a '$as' column")
     val rows = collectVocabLp(vocab, "tokenizeImported")
-    stream.lift(df.withColumn(as,
+    stream.lift(TextOps.spreadForCompute(df).withColumn(as,
       segmentLogExpr(col(textCol), rows, "tokenizeImported")))
   }
 
@@ -318,7 +318,7 @@ object Unigram {
     val idOf = rows.map { case (p, _, i) => p -> i }.toMap
     val ids = transform(segmentLogExpr(col(textCol), rows, "encodeIdsImported"),
       p => graft.functions.VectorFunctions.strataLookup(p, idOf, oovId))
-    stream.lift(df.withColumn(as, ids))
+    stream.lift(TextOps.spreadForCompute(df).withColumn(as, ids))
   }
 
   private def segmentLogExpr(w: Column, rows: Seq[(String, Double, Long)],
@@ -352,6 +352,6 @@ object Unigram {
       .map { case ((p, _), i) => p -> i.toLong }.toMap
     val ids = transform(segmentExpr(col(textCol), probs, maxPieceLen),
       p => graft.functions.VectorFunctions.strataLookup(p, idOf, oovId))
-    stream.lift(df.withColumn(as, ids))
+    stream.lift(TextOps.spreadForCompute(df).withColumn(as, ids))
   }
 }

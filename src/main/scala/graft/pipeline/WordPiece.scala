@@ -233,7 +233,7 @@ object WordPiece {
     require(!df.columns.contains(as),
       s"tokenize input already carries a '$as' column")
     val pieces = collectVocab(vocab, "tokenize").map(_._2)
-    stream.lift(df.withColumn(as,
+    stream.lift(TextOps.spreadForCompute(df).withColumn(as,
       segmentExpr(col(textCol), pieces, unk, maxInputChars)))
   }
 
@@ -249,7 +249,7 @@ object WordPiece {
     val df = stream.df
     val pieces = collectVocab(vocab, "encode").map(_._2)
     val seg = segmentExpr(col(textCol), pieces, unk, maxInputChars)
-    stream.lift(df.select(col(idCol),
+    stream.lift(TextOps.spreadForCompute(df).select(col(idCol),
       size(seg).cast("long").as("n_wp_tokens"),
       TextOps.polyHash(array_join(seg, " ")).as("tok_hash")))
   }
@@ -271,7 +271,7 @@ object WordPiece {
     val ids = transform(
       segmentExpr(col(textCol), rows.map(_._2), unk, maxInputChars),
       p => graft.functions.VectorFunctions.strataLookup(p, idOf, oovId))
-    stream.lift(df.withColumn(as, ids))
+    stream.lift(TextOps.spreadForCompute(df).withColumn(as, ids))
   }
 
   // -------------------------- vocab.txt interop (the BERT artifact format)
