@@ -2664,6 +2664,7 @@ object TextOps {
                   minWords: Int = 50, maxWords: Int = 100000): org.apache.spark.sql.DataFrame = {
     require(minWords >= 1 && maxWords >= minWords,
       s"need 1 <= minWords <= maxWords, got [$minWords, $maxWords]")
+    val docsP = spreadForCompute(docs) // heavy HOF battery per row
     val t = col(textCol)
     val ws = words(t)
     val wsl = transform(ws, w => lower(w))
@@ -2687,7 +2688,7 @@ object TextOps {
       gopherStops.map(sw => array_contains(wsl, sw).cast("int")).reduce(_ + _).as("stops"))
     val s = col("__g")
     def ok(c: Column) = coalesce(c, lit(false))
-    docs.select(col(idCol), explode(array(stats)).as("__g"))
+    docsP.select(col(idCol), explode(array(stats)).as("__g"))
       .select(col(idCol),
         coalesce(s("nw").cast("long"), lit(0L)).as("n_words"),
         ok(s("nw") >= minWords && s("nw") <= maxWords).as("ok_words"),

@@ -12,8 +12,32 @@ import graft.api.MStream
  * thin, schema-aware wrappers.
  */
 object Tables {
+  /** Schema memo per (path, conf-variant): a bare `read.parquet(path)`
+    * runs a footer-reading schema-INFERENCE job on every call — one
+    * driver-visible job per table per query, ~0.1-0.8 s each on this
+    * harness (measured as the "parquet at Tables.scala" stage in every
+    * event-log profile). A catalog table (Hive/Iceberg/Delta) never pays
+    * it because the schema is known metadata; this memo gives the
+    * path-based star schema the same posture. METADATA only — every
+    * query still computes from the parquet files; the first read of a
+    * path infers, later reads plan straight from the cached StructType. */
+  private val schemaCache =
+    new java.util.concurrent.ConcurrentHashMap[String, org.apache.spark.sql.types.StructType]()
+
+  private def readCached(spark: SparkSession, path: String,
+                         variant: String = ""): DataFrame = {
+    val key = path + variant
+    val cached = schemaCache.get(key)
+    if (cached != null) spark.read.schema(cached).parquet(path)
+    else {
+      val d = spark.read.parquet(path)
+      schemaCache.putIfAbsent(key, d.schema)
+      d
+    }
+  }
+
   def df(spark: SparkSession, dir: String, name: String): DataFrame =
-    spark.read.parquet(s"$dir/$name.parquet")
+    readCached(spark, s"$dir/$name.parquet")
 
   def stream(spark: SparkSession, dir: String, name: String): MStream =
     MStream(df(spark, dir, name))
@@ -33,7 +57,7 @@ object Tables {
     val prev = spark.conf.getOption("spark.sql.legacy.parquet.nanosAsLong")
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val raw =
-      try spark.read.parquet(s"$dir/events.parquet")
+      try readCached(spark, s"$dir/events.parquet", variant = "#nanosAsLong")
       finally prev match {
         case Some(v) => spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", v)
         case None    => spark.conf.unset("spark.sql.legacy.parquet.nanosAsLong")
