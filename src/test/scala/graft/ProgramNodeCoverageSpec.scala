@@ -179,6 +179,9 @@ class ProgramNodeCoverageSpec extends AnyFunSuite {
 
   test("TextOps surface: node or documented exclusion") {
     check("graft.pipeline.TextOps$", Map(
+      "spreadForCompute" -> excluded("package-private (public only at " +
+        "bytecode level) compute-parallelism floor for per-row-heavy " +
+        "stages — plan plumbing, not operator surface (OPTIMIZATION_r17)"),
       "normalizeText" -> node("normalize"),
       "qualityFeatures" -> node("quality"),
       "repetitionFeatures" -> node("repetition"),
