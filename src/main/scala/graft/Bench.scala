@@ -118,14 +118,21 @@ object Bench {
         (if (v < 0) "-1" else math.round(v * 1000).toString)
     }
     // no "full" path here — it rides the first line; every byte of the
-    // ~2000-char tail budget goes to query entries (117 queries at
-    // 4-digit ms measured 1878 chars; the trim loop still guards the
-    // 5-digit regime and future surface growth)
+    // ~2000-char tail budget goes to query entries. Budget 1880, not
+    // 1980: the driver captures the LAST 2000 chars of stdout, and sbt
+    // appends a trailing "[success] Total time: ..." line (~80 chars)
+    // AFTER this one — a 1980-char line left the JSON head truncated in
+    // the captured tail every round since r13 ("parsed": null in
+    // BENCH_r13..r17). 1880 + the sbt trailer + newlines fits the
+    // 2000-char window with slack, so the driver finally parses the
+    // compact line whole; the trim drops only the FASTEST entries
+    // (reported in omitted_fastest), and the full map still persists to
+    // BENCH_FULL.json on the first line.
     def compact(es: Seq[String], omitted: Int): String =
       s"""{"metric":"total","unit":"sec","sf":"$sfDir","omitted_fastest":$omitted,"queries_ms":"${es.mkString(",")}","value":${fmt(total)}}"""
     var kept = msEntries
     var omitted = 0
-    while (compact(kept, omitted).length > 1980 && kept.nonEmpty) {
+    while (compact(kept, omitted).length > 1880 && kept.nonEmpty) {
       kept = kept.tail; omitted += 1 // ascending: the fastest entry goes first
     }
     println(compact(kept, omitted))

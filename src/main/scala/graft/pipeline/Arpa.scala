@@ -337,6 +337,180 @@ object Arpa {
     } finally levelFrames.values.foreach(_.unpersist(blocking = true))
   }
 
+  /** The LANGUAGE-KEYED multi-file writer (optimization guide §2.4 —
+    * remove repeated work outright): build each level's entry frame ONCE
+    * over the `__l`-keyed pinned tables, with every per-language scalar
+    * the per-slice [[writeArpa]] folded as a DRIVER LITERAL (level-1
+    * stats, MKN discounts) JOINED as a per-language COLUMN instead —
+    * same doubles, same op tree, so every file stays byte-identical to a
+    * per-slice export (ArpaSpec pins it). The multi-way entry joins that
+    * used to run PER LANGUAGE (~12 broadcast materializations × L for
+    * the by-lang export — its dominant cost) now run once per level, and
+    * each level streams to ALL language files in ONE sorted pass
+    * (`sortWithinPartitions(__l, keys)` + a writer demux: within a
+    * language the rows arrive in exactly the per-slice key order). Jobs:
+    * 2 per level (count + stream), independent of language count. */
+  private def writeArpaKeyed(spark: SparkSession, order: Int,
+                             langs: Seq[String], pathOf: String => String,
+                             t: ModelTables, statsK: DataFrame,
+                             discK: Option[DataFrame],
+                             disc: (Int, Column) => Column,
+                             gnum: Int => Column,
+                             unkLp10Of: String => Double): Unit = {
+    def keys(j: Int): Seq[String] = TextOps.gramCols(order, j)
+    def kkeys(j: Int): Seq[String] = "__l" +: keys(j)
+    def withStats(d: DataFrame): DataFrame =
+      discK.foldLeft(d.join(statsK, Seq("__l")))((x, dk) => x.join(dk, Seq("__l")))
+
+    /** [[writeArpa]]'s pFold verbatim — the per-language stats/discount
+      * columns resolve from the joins above instead of literals. */
+    def pFold(top: Int): Column = {
+      val c1 = coalesce(col("__cc1"), lit(0L))
+      var p: Column =
+        greatest(c1.cast("double") - disc(1, c1), lit(0.0)) / col("__t1") +
+          gnum(1) / col("__t1") * (lit(1.0) / (col("__v") + lit(1.0)))
+      val innerTop = if (top == order) order - 1 else top
+      for (j <- 2 to innerTop) {
+        val cj = coalesce(col(s"__cc$j"), lit(0L))
+        val hi =
+          greatest(cj.cast("double") - disc(j, cj), lit(0.0)) / col(s"__ctot$j") +
+            gnum(j) / col(s"__ctot$j") * p
+        p = when(coalesce(col(s"__ctot$j"), lit(0L)) > 0, hi).otherwise(p)
+      }
+      if (top == order) {
+        val cN = coalesce(col(s"__cr$order"), lit(0L))
+        val hiN =
+          greatest(cN.cast("double") - disc(order, cN), lit(0.0)) / col(s"__tot$order") +
+            gnum(order) / col(s"__tot$order") * p
+        p = when(coalesce(col(s"__tot$order"), lit(0L)) > 0, hiN).otherwise(p)
+      }
+      p
+    }
+
+    def shiftedCtx(j: Int): DataFrame = {
+      val (src, totCol) =
+        if (j + 1 == order) (t.ctxN, s"__tot$order") else (t.ctxc(j + 1), s"__ctot${j + 1}")
+      val srcKeys = keys(j + 1).dropRight(1)
+      val carried = Seq(totCol, s"__n1p${j + 1}", s"__nb1${j + 1}",
+        s"__nb2${j + 1}", s"__nb3${j + 1}")
+      src.select(col("__l") +:
+        (srcKeys.map(n => col(n).as(s"__p${n.drop(3).toInt + 1}")) ++
+          carried.map(col)): _*)
+    }
+
+    /** [[writeArpa]]'s entries(j) with `__l` prepended to every join key
+      * (a filter on a join key commutes through joins/union/distinct, so
+      * the `__l = lang` slice of this frame IS the per-slice frame); the
+      * inner stats join restricts rows to the modeled languages. */
+    def entries(j: Int): DataFrame = {
+      if (j == order) {
+        var d = t.rawN.join(t.ctxN, kkeys(order).dropRight(1))
+        for (i <- order - 1 to 2 by -1)
+          d = d.join(t.cont(i), kkeys(i), "left")
+            .join(t.ctxc(i), kkeys(i).dropRight(1), "left")
+        d = withStats(d.join(t.cont(1), kkeys(1), "left"))
+        d.select(kkeys(order).map(col) :+ log10(pFold(order)).as("__lp10") :+
+          lit(null).cast("double").as("__bo10"): _*)
+      } else {
+        val ctx = shiftedCtx(j)
+        val base = t.cont(j).select(kkeys(j).map(col): _*)
+          .unionByName(ctx.select(kkeys(j).map(col): _*))
+          .distinct()
+        var d = base
+        for (i <- j to 2 by -1)
+          d = d.join(t.cont(i), kkeys(i), "left")
+            .join(t.ctxc(i), kkeys(i).dropRight(1), "left")
+        d = withStats(d.join(t.cont(1), kkeys(1), "left"))
+          .join(ctx, kkeys(j), "left")
+        val totCol =
+          if (j + 1 == order) col(s"__tot$order") else col(s"__ctot${j + 1}")
+        val bo = when(totCol.isNotNull && totCol > 0,
+          log10(gnum(j + 1) / totCol))
+        d.select(kkeys(j).map(col) :+ log10(pFold(j)).as("__lp10") :+
+          bo.as("__bo10"): _*)
+      }
+    }
+
+    val levelFrames = (1 to order).map(j => j -> entries(j).persist()).toMap
+    try {
+      // ONE count job per level (it also materializes the persisted
+      // frame), all levels submitted CONCURRENTLY — the multi-pin futures
+      // pattern: the level builds are independent and each is a chain of
+      // small stages, so overlapping them fills the slots a serial loop
+      // leaves idle. langOf mirrors the struct-key convention.
+      def langOfStruct(s: Row): String = if (s.isNullAt(0)) null else s.getString(0)
+      val countsOf: Map[(String, Int), Long] = {
+        import scala.concurrent.{Await, Future}
+        import scala.concurrent.ExecutionContext.Implicits.global
+        import scala.concurrent.duration.Duration
+        val futs = (1 to order).map { j =>
+          Future {
+            levelFrames(j).groupBy(col("__l")).count().collect().map { r =>
+              (langOfStruct(r.getStruct(0)), j) -> r.getLong(1)
+            }.toSeq
+          }
+        }
+        // settle every future before rethrowing (an in-flight sibling
+        // must not outlive the finally's unpersist)
+        val settled = Await.result(
+          Future.sequence(futs.map(_.transform(scala.util.Success(_)))),
+          Duration.Inf)
+        settled.collectFirst { case scala.util.Failure(e) => throw e }
+        settled.flatMap(_.get).toMap
+      }
+      def countsFor(l: String): Map[Int, Long] =
+        (1 to order).map(j => j -> countsOf.getOrElse((l, j), 0L)).toMap
+      // the per-file cap contract and message of [[writeArpa]], checked
+      // for EVERY language before any file opens (all-or-nothing)
+      val cap = maxEntries(spark)
+      for (l <- langs) {
+        val total = countsFor(l).values.sum + 1
+        require(total <= cap,
+          s"arpaExport: $total entries exceed graft.arpa.maxEntries = $cap — " +
+            "an ARPA file is a driver-sized artifact; prune harder (minCount) " +
+            "or raise the conf deliberately (together with driver memory: " +
+            "import buffers ~150-250 bytes per entry)")
+      }
+      val writers = langs.map { l =>
+        val p = new org.apache.hadoop.fs.Path(pathOf(l))
+        val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        l -> new java.io.BufferedWriter(new java.io.OutputStreamWriter(
+          fs.create(p, true), java.nio.charset.StandardCharsets.UTF_8))
+      }.toMap
+      try {
+        for (l <- langs) {
+          val w = writers(l)
+          w.write("\\data\\\n")
+          val counts = countsFor(l)
+          for (j <- 1 to order)
+            w.write(s"ngram $j=${counts(j) + (if (j == 1) 1 else 0)}\n")
+        }
+        for (j <- 1 to order) {
+          for (l <- langs) {
+            val w = writers(l)
+            w.write(s"\n\\$j-grams:\n")
+            if (j == 1) w.write(s"${fmt(unkLp10Of(l))}\t<unk>\n")
+          }
+          // one sorted pass per level over the shared frame: __l groups
+          // the files, the gram keys give each file its per-slice order
+          val it = levelFrames(j).coalesce(1)
+            .sortWithinPartitions(kkeys(j).map(col): _*).toLocalIterator()
+          while (it.hasNext) {
+            val r = it.next()
+            val w = writers(langOfStruct(r.getStruct(0)))
+            val gram = (1 to j).map(r.getString).mkString(" ")
+            val lp = fmt(r.getDouble(j + 1))
+            if (j < order && !r.isNullAt(j + 2))
+              w.write(s"$lp\t$gram\t${fmt(r.getDouble(j + 2))}\n")
+            else w.write(s"$lp\t$gram\n")
+          }
+        }
+        for (l <- langs) writers(l).write("\n\\end\\\n")
+      } finally writers.values.foreach(w =>
+        try w.close() catch { case _: Exception => () })
+    } finally levelFrames.values.foreach(_.unpersist(blocking = true))
+  }
+
   /** Shortest round-trip decimal text of a double (Double.toString —
     * parsing it returns the identical bits, the round-trip guarantee). */
   private def fmt(d: Double): String = d.toString
@@ -444,43 +618,74 @@ object Arpa {
                             r.getDouble(r.fieldIndex(s"__d3_$j"))))
               }.toMap
             }.toMap
-        def keyLit(l: String): Column =
-          struct(lit(l).cast("string").as("l"))
         val names = statRows.map(langOf)
           .sorted(Ordering.fromLessThan[String]((a, b) =>
             (if (a == null) "" else a) < (if (b == null) "" else b)))
-        // every language's file streams from slices of the SAME pinned
-        // tables, so the writes are independent jobs: submit them
-        // concurrently (the multi-pin pattern — per-file determinism is
-        // untouched, each future writes its own file)
-        import scala.concurrent.{Await, Future}
-        import scala.concurrent.ExecutionContext.Implicits.global
-        import scala.concurrent.duration.Duration
-        val futs: Seq[Future[(String, String)]] = names.toSeq.map { l =>
-          Future {
-            def slice(t: DataFrame): DataFrame =
-              t.filter(col("__l") === keyLit(l)).drop("__l")
-            val st = statRows.find(r => langOf(r) == l).get
-            val (disc, gnum, unkNum) =
-              mkDiscOf(if (needDiscounts) dsByLang(l) else Map.empty)
-            val path = new org.apache.hadoop.fs.Path(dir,
-              s"${fileNameOf(l)}.arpa").toString
-            writeArpa(spark, order, path,
-              ModelTables(slice(rawN), slice(ctxN),
-                cont.map { case (j, d) => j -> slice(d) },
-                ctxc.map { case (j, d) => j -> slice(d) }),
-              st, disc, gnum, unkNum)
-            (l, path)
+        // KEYED write ([[writeArpaKeyed]]): the level frames build ONCE
+        // over the shared pinned tables with per-language stats — and,
+        // for MKN, per-language discounts — joined as columns holding
+        // exactly the values the per-slice path folded as literals (same
+        // doubles, same op tree, byte-identical files). Both join frames
+        // build DRIVER-SIDE from the rows already collected above: a live
+        // `stats` subtree would re-run its corpus-scan vocab aggregate
+        // inside every level frame
+        import org.apache.spark.sql.types._
+        import scala.jdk.CollectionConverters._
+        val lField = StructField("__l",
+          StructType(Seq(StructField("l", StringType))))
+        val statsKSchema = StructType(lField +: Seq(
+          StructField("__t1", DoubleType), StructField("__n1p1", LongType),
+          StructField("__nb11", LongType), StructField("__nb21", LongType),
+          StructField("__nb31", LongType), StructField("__v", LongType)))
+        val statsKRows = statRows.map(r => Row(r.getStruct(lIdx),
+          r.getAs[Double]("__t1"), r.getAs[Long]("__n1p1"),
+          r.getAs[Long]("__nb11"), r.getAs[Long]("__nb21"),
+          r.getAs[Long]("__nb31"), r.getAs[Long]("__v")))
+        val statsK = spark.createDataFrame(
+          new java.util.ArrayList[Row](statsKRows.toSeq.asJava), statsKSchema)
+        val (discK, discC, gnumC) =
+          if (!needDiscounts) {
+            val (d, g, _) = mkDiscOf(Map.empty)
+            (None, d, g)
+          } else {
+            // the joined columns ARE dsByLang's values (fallback already
+            // substituted on absent levels — the same never-read totality
+            // rule as the driver map)
+            val dkSchema = StructType(lField +: (1 to order).flatMap(j => Seq(
+              StructField(s"__d1_$j", DoubleType, nullable = false),
+              StructField(s"__d2_$j", DoubleType, nullable = false),
+              StructField(s"__d3_$j", DoubleType, nullable = false))).toSeq)
+            val dkRows = statRows.map { r =>
+              val ds = dsByLang(langOf(r))
+              Row.fromSeq(r.getStruct(lIdx) +: (1 to order).flatMap { j =>
+                val (d1, d2, d3) = ds(j); Seq(d1, d2, d3)
+              })
+            }
+            val dk = spark.createDataFrame(
+              new java.util.ArrayList[Row](dkRows.toSeq.asJava), dkSchema)
+            val d: (Int, Column) => Column = (j, c) =>
+              when(c === 1L, col(s"__d1_$j")).when(c === 2L, col(s"__d2_$j"))
+                .otherwise(col(s"__d3_$j"))
+            val g: Int => Column = j =>
+              col(s"__d1_$j") * col(s"__nb1$j") + col(s"__d2_$j") * col(s"__nb2$j") +
+                col(s"__d3_$j") * col(s"__nb3$j")
+            (Some(dk), d, g)
           }
-        }
-        // settle EVERY future before rethrowing a failure: the scope
-        // releases on exit, and an in-flight sibling must not be left
-        // persisting level frames after that
-        val settled = Await.result(
-          Future.sequence(futs.map(_.transform(scala.util.Success(_)))),
-          Duration.Inf)
-        settled.collectFirst { case scala.util.Failure(e) => throw e }
-        settled.map(_.get)
+        // the <unk> entry stays a per-language driver scalar — the same
+        // arithmetic [[writeArpa]] runs (log10(unkNum/t1 · 1/(V+1)))
+        val unkLp10ByLang: Map[String, Double] = names.map { l =>
+          val st = statRows.find(r => langOf(r) == l).get
+          val unkNum = mkDiscOf(if (needDiscounts) dsByLang(l) else Map.empty)._3
+          val t1 = st.getAs[Double]("__t1")
+          val v = st.getAs[Long]("__v")
+          l -> math.log10(unkNum(st) / t1 * (1.0 / (v + 1.0)))
+        }.toMap
+        def pathOf(l: String): String =
+          new org.apache.hadoop.fs.Path(dir, s"${fileNameOf(l)}.arpa").toString
+        writeArpaKeyed(spark, order, names.toSeq, pathOf,
+          ModelTables(rawN, ctxN, cont, ctxc), statsK, discK,
+          discC, gnumC, unkLp10ByLang)
+        names.toSeq.map(l => (l, pathOf(l)))
       } finally scope.release()
     }
   }

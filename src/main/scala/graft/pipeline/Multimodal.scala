@@ -28,9 +28,15 @@ object Multimodal {
   // written, read and deleted PER ROW. All payloads here are in-memory
   // byte arrays (media columns), so the file cache is pure overhead —
   // measured 3.0 s → 0.4 s on the 32-task frames_video codec stage at
-  // sf0.1. JVM-global, set once; executors inherit it because the slot
-  // classes load lazily per executor JVM.
-  javax.imageio.ImageIO.setUseCache(false)
+  // sf0.1. NOTE: this is a JVM-GLOBAL mutation that merely loading this
+  // class performs — co-resident code using ImageIO on large streams
+  // loses disk caching and buffers fully in memory. Embedders that need
+  // the disk cache back opt out with
+  // `-Dgraft.multimodal.imageioCache=true` (the codec slots then pay the
+  // per-row temp files again); executors inherit the default because the
+  // slot classes load lazily per executor JVM.
+  if (!java.lang.Boolean.getBoolean("graft.multimodal.imageioCache"))
+    javax.imageio.ImageIO.setUseCache(false)
 
   val MediaMetaType: StructType = StructType(Seq(
     StructField("format", StringType),
@@ -162,20 +168,17 @@ object Multimodal {
     * ROW, not per byte, so a narrow input layout — one tiny single-row-
     * group parquet file, an unsplittable archive, a small id frame feeding
     * a synthesizer — serializes the whole partition-batched stage on a
-    * handful of cores while the rest of the cluster idles. When the
-    * incoming layout is narrower than the session's core count, spread
-    * rows round-robin ONCE before the codec pass; when the scan already
-    * yields >= defaultParallelism partitions (any at-scale input), this is
-    * the identity — no added exchange. Batch-only by construction:
-    * streaming micro-batches arrive pre-partitioned by the source and
-    * `.rdd` is undefined on an unstarted stream. */
-  private def spreadForCompute(df: DataFrame): DataFrame = {
-    if (df.isStreaming) df
-    else {
-      val target = df.sparkSession.sparkContext.defaultParallelism
-      if (df.rdd.getNumPartitions >= target) df else df.repartition(target)
-    }
-  }
+    * handful of cores while the rest of the cluster idles. ONE helper for
+    * the whole library: [[TextOps.spreadForCompute]] carries the
+    * shuffle-boundary/subquery guard (probing `.rdd` on an adaptive plan
+    * with exchanges materializes its query stages eagerly and the
+    * subsequent action re-executes them — chained codec slots, where one
+    * slot's output plan carries the previous slot's Repartition, hit
+    * exactly that), the >= defaultParallelism identity branch for any
+    * at-scale input, and the streaming identity. A private duplicate here
+    * used to probe `.rdd` unguarded; it is gone. */
+  private def spreadForCompute(df: DataFrame): DataFrame =
+    TextOps.spreadForCompute(df)
 
   /** Decode a single image with the header-dim guard: width/height come
     * from the header and are bounded by [[MaxCanvasPixels]] BEFORE the

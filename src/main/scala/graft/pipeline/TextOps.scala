@@ -1222,7 +1222,16 @@ object TextOps {
     val (counts, ctxs) = ngramModel(docs, textCol, order)
     val nv = counts(1).agg(sum(col("__c1")).cast("double").as("__n"),
       count(lit(1)).cast("double").as("__vv"))
-    val pos = gramsOf(docs, textCol, order, gramCols(order, order), Seq(id))
+    // spread the SCORING stage at order >= 3 (guide §2.5/§2.6): with the
+    // count tables broadcast, explode + 2·order−1 joins + partial agg
+    // fuse into ONE whole-stage span over the scan, and a single-row-
+    // group input serializes it on one core (measured 1.6 s of
+    // q_lm5_score's 4.2 s — interleaved A/B: 3.90 → 3.09 s). Order 2's
+    // fold is too lean to pay the exchange (q_lm_score A/B: ~+0.17 s) —
+    // identity there, as at scale. NOT the r17-rejected count-stage
+    // spread: the count builds keep their narrow maps.
+    val posIn = if (order >= 3) spreadForCompute(docs) else docs
+    val pos = gramsOf(posIn, textCol, order, gramCols(order, order), Seq(id))
     val joined = (order to 2 by -1).foldLeft(pos) { (d, j) =>
       d.join(counts(j), gramCols(order, j))
         .join(ctxs(j), gramCols(order, j).dropRight(1))
@@ -1724,6 +1733,10 @@ object TextOps {
     val id = col(idCol)
     val (rawN, ctxN, cont, ctxc, stats) = knModel(docs, textCol, order)
     val lp = lpOf(rawN, cont)
+    // NO scoring-stage spread here (unlike the against/by-lang faces):
+    // the self-score face inner-joins and its plain-KN fold is lean —
+    // interleaved A/B measured the added exchange as a LOSS on
+    // q_kn3_score (1.6 → 1.9/2.0 s, two rounds) and flat on q_mkn3_score
     val pos = gramsOf(docs, textCol, order, gramCols(order, order), Seq(id))
     var joined = pos.join(rawN, gramCols(order, order))
       .join(ctxN, gramCols(order, order).dropRight(1))
@@ -1945,8 +1958,12 @@ object TextOps {
     val df = stream.df
     val id = col(idCol)
     if (!df.isStreaming) {
-      // materialize the doc-side key once (gramsOf re-evaluates keeps)
-      val dfK = df.withColumn("__l", struct(col(langCol)))
+      // materialize the doc-side key once (gramsOf re-evaluates keeps);
+      // spread the SCORING stage (guide §2.5/§2.6 — the fused explode +
+      // keyed left-join tower serializes on a narrow input; interleaved
+      // A/B: q_mkn3_bylang 4.45 → 3.24 s, q_ppl_bylang 4.4 → 3.8 s).
+      // Identity at scale / post-shuffle / streaming.
+      val dfK = spreadForCompute(df.withColumn("__l", struct(col(langCol))))
       val pos = gramsOf(dfK, textCol, order, gramCols(order, order),
         Seq(id, col("__l")))
       val scored = withJoins(pos)
@@ -2173,11 +2190,19 @@ object TextOps {
     val df = stream.df
     val id = col(idCol)
     if (!df.isStreaming) {
+      // spread the SCORING stage (guide §2.5/§2.6): the all-broadcast
+      // left-join tower fuses with the explode into one whole-stage span
+      // over the scan — one task on a single-row-group input. Interleaved
+      // A/B wins: q_mkn3_against 2.8 → 2.1, q_ppl_apply 5.5 → 4.6,
+      // q_arpa_score 4.35 → 4.10 (q_kn3_against pays ~0.15 s — the lean
+      // plain-KN fold — outweighed across the face's callers). Identity
+      // at scale or on an input already carrying a shuffle boundary.
+      val dfS = spreadForCompute(df)
       val pos =
         if (sentenceMode)
-          gramsOf(Sentences.explodeDocs(df, id, textCol, order), "__stext",
+          gramsOf(Sentences.explodeDocs(dfS, id, textCol, order), "__stext",
             order, gramCols(order, order), Seq(id))
-        else gramsOf(df, textCol, order, gramCols(order, order), Seq(id))
+        else gramsOf(dfS, textCol, order, gramCols(order, order), Seq(id))
       val scored = withJoins(pos)
         .withColumn("__lp", lp)
         .groupBy(id)

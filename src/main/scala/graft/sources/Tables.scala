@@ -20,9 +20,28 @@ object Tables {
     * it because the schema is known metadata; this memo gives the
     * path-based star schema the same posture. METADATA only — every
     * query still computes from the parquet files; the first read of a
-    * path infers, later reads plan straight from the cached StructType. */
+    * path infers, later reads plan straight from the cached StructType.
+    *
+    * CONTRACT: a memoized path is STATIC-SCHEMA for the life of the JVM —
+    * exactly the driver-provided star schema's posture (the test fixtures
+    * are never rewritten inside one process). The memo never invalidates
+    * on its own: a process that rewrites a Tables-read path with a
+    * DIFFERENT schema must call [[invalidate]] (or [[clearSchemaCache]])
+    * first, or later reads plan against the stale StructType (renamed /
+    * added columns surface as nulls instead of errors). Artifact
+    * round-trip paths (tmp exports, model files) are NOT routed through
+    * Tables and never hit this memo. */
   private val schemaCache =
     new java.util.concurrent.ConcurrentHashMap[String, org.apache.spark.sql.types.StructType]()
+
+  /** Drop every memoized schema whose key starts with `path` (both the
+    * plain and conf-variant entries) — call before re-reading a path that
+    * was rewritten with a different schema. */
+  def invalidate(path: String): Unit =
+    schemaCache.keySet.removeIf(_.startsWith(path))
+
+  /** Drop the whole schema memo (test isolation / fixture regeneration). */
+  def clearSchemaCache(): Unit = schemaCache.clear()
 
   private def readCached(spark: SparkSession, path: String,
                          variant: String = ""): DataFrame = {
