@@ -178,7 +178,12 @@ object StressBench {
         // against the 1x and 10x corpora, dense leg brute vs IVF-routed:
         // routing must beat (or match) the brute scan once the query
         // batch is real, and the 10x routed run must stay ~linear
-        "hybridskew")
+        "hybridskew",
+        // round-18: the identity-at-scale branch of spreadForCompute,
+        // probe-pinned — tokenizer apply faces over a >=cores-partition
+        // corpus must plan WITHOUT the round-robin exchange the
+        // single-row-group sf0.1 shape needs
+        "spreadscale")
     val spark = SparkSession.builder().master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
       .config("spark.sql.session.timeZone", "UTC")
@@ -929,6 +934,40 @@ object StressBench {
                 f"($n fused rows, 512 queries) over $nDocs docs")
             }
           }
+        }
+      } else if (q == "spreadscale") {
+        // spreadForCompute's identity-at-scale branch, probe-pinned
+        // (round-17 verdict item: the branch was comment-pinned only).
+        // The 10x corpus is written as 32 parquet files, so its scan
+        // yields >= defaultParallelism (local[32]) partitions — exactly
+        // the at-scale layout. (a) the helper itself must return its
+        // input UNCHANGED (same reference: no exchange, no plan change);
+        // (b) each tokenizer apply face planned over the 10x corpus must
+        // contain NO round-robin repartition (the spread exchange the
+        // single-row-group sf0.1 layout needs), while the same face over
+        // sf0.1 MUST contain it — proving the branch flips on layout,
+        // not on code path.
+        val docs10 = spark.read.parquet(docsPath)
+        require(graft.pipeline.TextOps.spreadForCompute(docs10) eq docs10,
+          "spreadscale: spreadForCompute must be the identity on a " +
+            s">=cores-partition input (${docs10.rdd.getNumPartitions} partitions)")
+        for (name <- Seq("q_bpe_encode", "q_bytebpe_encode",
+            "q_wordpiece_encode", "q_unigram_encode", "q_lm5_score")) {
+          isolate()
+          val at10 = SparkEntry.queries(name)(spark, out)
+            .queryExecution.executedPlan.toString
+          require(!at10.contains("REPARTITION_BY_NUM"),
+            s"spreadscale: $name added a round-robin exchange over the " +
+              "10x (>= cores partitions) corpus — the identity branch broke")
+          isolate()
+          val at01 = SparkEntry.queries(name)(spark, src)
+            .queryExecution.executedPlan.toString
+          require(at01.contains("REPARTITION_BY_NUM"),
+            s"spreadscale: $name lost its spread exchange over the " +
+              "single-row-group sf0.1 corpus — the probe's premise changed")
+          println(s"STRESS spreadscale/$name: no exchange at 10x, " +
+            "spread exchange at 1x — identity branch green")
+          graft.api.Pinned.release(spark)
         }
       } else if (q == "wordpiece") {
         // WordPiece trainer: 16 likelihood-scored merge rounds at 1x
