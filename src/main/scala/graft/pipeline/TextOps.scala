@@ -1959,11 +1959,13 @@ object TextOps {
     val id = col(idCol)
     if (!df.isStreaming) {
       // materialize the doc-side key once (gramsOf re-evaluates keeps);
-      // spread the SCORING stage (guide §2.5/§2.6 — the fused explode +
-      // keyed left-join tower serializes on a narrow input; interleaved
-      // A/B: q_mkn3_bylang 4.45 → 3.24 s, q_ppl_bylang 4.4 → 3.8 s).
-      // Identity at scale / post-shuffle / streaming.
-      val dfK = spreadForCompute(df.withColumn("__l", struct(col(langCol))))
+      // spread the SCORING stage at order >= 3 (guide §2.5/§2.6 — the
+      // fused explode + keyed left-join tower serializes on a narrow
+      // input; interleaved A/B: q_mkn3_bylang 4.45 → 3.24 s,
+      // q_ppl_bylang 4.4 → 3.8 s; order 2 keeps the narrow path, the
+      // q_lm_score pattern). Identity at scale / post-shuffle / streaming.
+      val dfK0 = df.withColumn("__l", struct(col(langCol)))
+      val dfK = if (order >= 3) spreadForCompute(dfK0) else dfK0
       val pos = gramsOf(dfK, textCol, order, gramCols(order, order),
         Seq(id, col("__l")))
       val scored = withJoins(pos)
@@ -2190,14 +2192,16 @@ object TextOps {
     val df = stream.df
     val id = col(idCol)
     if (!df.isStreaming) {
-      // spread the SCORING stage (guide §2.5/§2.6): the all-broadcast
-      // left-join tower fuses with the explode into one whole-stage span
-      // over the scan — one task on a single-row-group input. Interleaved
-      // A/B wins: q_mkn3_against 2.8 → 2.1, q_ppl_apply 5.5 → 4.6,
-      // q_arpa_score 4.35 → 4.10 (q_kn3_against pays ~0.15 s — the lean
-      // plain-KN fold — outweighed across the face's callers). Identity
-      // at scale or on an input already carrying a shuffle boundary.
-      val dfS = spreadForCompute(df)
+      // spread the SCORING stage at order >= 3 (guide §2.5/§2.6): the
+      // all-broadcast left-join tower fuses with the explode into one
+      // whole-stage span over the scan — one task on a single-row-group
+      // input. Interleaved A/B wins: q_mkn3_against 2.8 → 2.1,
+      // q_ppl_apply 5.5 → 4.6, q_arpa_score 4.35 → 4.10 (q_kn3_against
+      // pays ~0.15 s — the lean plain-KN fold — outweighed across the
+      // face's callers). Order 2's fold is too lean to pay the exchange
+      // (the q_lm_score/q_lm_against pattern) — identity there, as at
+      // scale or on an input already carrying a shuffle boundary.
+      val dfS = if (order >= 3) spreadForCompute(df) else df
       val pos =
         if (sentenceMode)
           gramsOf(Sentences.explodeDocs(dfS, id, textCol, order), "__stext",
